@@ -1,0 +1,169 @@
+package graft.expressions
+
+import graft.core._
+import graft.udt.TileUDT
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Tile constructors, converters and accessors (reference families:
+ * /root/reference/core/src/main/scala/org/locationtech/rasterframes/expressions/transformers/
+ * and accessors/; UDF variants in functions/package.scala:61-100).
+ */
+
+/** array<numeric> + cols + rows → tile (reference: rf_array_to_tile, functions/package.scala:61-77).
+  * SQL NULL array elements become NoData cells. Output is float64. */
+case class ArrayToTile(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def prettyName: String = "rf_array_to_tile"
+  override def dataType: DataType = TileUDT.instance
+  override def checkInputDataTypes(): TypeCheckResult = first.dataType match {
+    case ArrayType(_: NumericType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName expects array<numeric> first argument")
+  }
+  @transient private lazy val et = first.dataType.asInstanceOf[ArrayType].elementType
+  @transient private lazy val elemExt = doubleExtractor(et)
+  override def nullSafeEval(arr: Any, c: Any, r: Any): Any = {
+    val a = arr.asInstanceOf[ArrayData]
+    val cols = c.asInstanceOf[Int]
+    val rows = r.asInstanceOf[Int]
+    val t = Tile.empty(CellType.float64, cols, rows)
+    val n = math.min(a.numElements(), cols * rows)
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) t.setDouble(i, elemExt(a.get(i, et)))
+      i += 1
+    }
+    tileResult(t)
+  }
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
+    copy(a, b, c)
+}
+
+/** (value, cols, rows, cell_type_name) → constant tile (reference: rf_make_constant_tile). */
+case class MakeConstantTile(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+  override def prettyName: String = "rf_make_constant_tile"
+  override def dataType: DataType = TileUDT.instance
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.exists(_ == null)) return null
+    val value = doubleExtractor(children.head.dataType)(vs.head)
+    val cols = vs(1).asInstanceOf[Int]
+    val rows = vs(2).asInstanceOf[Int]
+    val ct = if (children.size > 3) CellType.fromName(vs(3).toString) else CellType.float64
+    tileResult(Tile.constant(value, ct, cols, rows))
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]) = copy(cs)
+}
+
+/** tile → array<double> in cell index order; NoData → NULL (reference: transformers/TileToArrayDouble.scala). */
+case class TileToArrayDouble(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "rf_tile_to_array_double"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  @transient private lazy val ext = tileExtractor(child.dataType)
+  override def nullSafeEval(input: Any): Any = {
+    val t = ext(input)
+    val out = new Array[Any](t.size)
+    var i = 0
+    while (i < t.size) {
+      val v = t.getDouble(i)
+      out(i) = if (NoData.isData(v)) v else null
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** tile → array<int>; NoData → NULL (reference: transformers/TileToArrayInt.scala). */
+case class TileToArrayInt(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "rf_tile_to_array_int"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = true)
+  @transient private lazy val ext = tileExtractor(child.dataType)
+  override def nullSafeEval(input: Any): Any = {
+    val t = ext(input)
+    val out = new Array[Any](t.size)
+    var i = 0
+    while (i < t.size) {
+      val v = t.get(i)
+      out(i) = if (NoData.isData(v)) v else null
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** Numeric cell-type conversion (reference: transformers/SetCellType.scala → rf_convert_cell_type). */
+case class ConvertCellType(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def prettyName: String = "rf_convert_cell_type"
+  override def dataType: DataType = TileUDT.instance
+  @transient private lazy val ext = tileExtractor(left.dataType)
+  override def nullSafeEval(t: Any, ctName: Any): Any =
+    tileResult(ext(t).convert(CellType.fromName(ctName.toString)))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** Bit-reinterpretation under a new cell type (reference: transformers/InterpretAs.scala). */
+case class InterpretAs(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def prettyName: String = "rf_interpret_cell_type_as"
+  override def dataType: DataType = TileUDT.instance
+  @transient private lazy val ext = tileExtractor(left.dataType)
+  override def nullSafeEval(t: Any, ctName: Any): Any =
+    tileResult(ext(t).interpretAs(CellType.fromName(ctName.toString)))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** Set a user-defined NoData sentinel (reference: transformers/SetNoDataValue.scala → rf_with_no_data). */
+case class SetNoDataValue(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def prettyName: String = "rf_with_no_data"
+  override def dataType: DataType = TileUDT.instance
+  @transient private lazy val ext = tileExtractor(left.dataType)
+  @transient private lazy val ndExt = doubleExtractor(right.dataType)
+  override def nullSafeEval(t: Any, nd: Any): Any =
+    tileResult(ext(t).withNoData(ndExt(nd)))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** Cell type name accessor (reference: accessors/GetCellType.scala). */
+case class GetCellType(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "rf_cell_type"
+  override def dataType: DataType = StringType
+  @transient private lazy val ext = tileExtractor(child.dataType)
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(ext(input).cellType.name)
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** {cols, rows} accessor (reference: accessors/GetDimensions.scala). */
+case class GetDimensions(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "rf_dimensions"
+  override def dataType: DataType = StructType(Seq(
+    StructField("cols", IntegerType, nullable = false),
+    StructField("rows", IntegerType, nullable = false)))
+  @transient private lazy val ext = tileExtractor(child.dataType)
+  override def nullSafeEval(input: Any): Any = {
+    val t = ext(input)
+    InternalRow(t.cols, t.rows)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** Identity realization (lazy tiles arrive in a later milestone; reference: accessors/RealizeTile.scala). */
+case class RealizeTile(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "rf_tile"
+  override def dataType: DataType = TileUDT.instance
+  @transient private lazy val ext = tileExtractor(child.dataType)
+  override def nullSafeEval(input: Any): Any = tileResult(ext(input))
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}

@@ -1,0 +1,241 @@
+package graft
+
+import graft.expressions._
+import graft.udt.TileUDT
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.functions.lit
+
+/**
+ * Column-function API (the `rf_*` surface). Names and arities mirror the
+ * reference's registry
+ * (/root/reference/core/src/main/scala/org/locationtech/rasterframes/expressions/package.scala:89-189);
+ * implementations are the graft expressions.
+ */
+object functions {
+  private def c(e: Expression): Column = asColumn(e)
+  private def e(col: Column): Expression = asExpr(col)
+
+  // constructors / converters
+  def rf_array_to_tile(arr: Column, cols: Int, rows: Int): Column =
+    c(ArrayToTile(e(arr), Literal(cols), Literal(rows)))
+  def rf_make_constant_tile(value: Column, cols: Int, rows: Int, cellType: String): Column =
+    c(MakeConstantTile(Seq(e(value), Literal(cols), Literal(rows), Literal(cellType))))
+  def rf_make_zeros_tile(cols: Int, rows: Int, cellType: String = "float64"): Column =
+    rf_make_constant_tile(lit(0.0), cols, rows, cellType)
+  def rf_make_ones_tile(cols: Int, rows: Int, cellType: String = "float64"): Column =
+    rf_make_constant_tile(lit(1.0), cols, rows, cellType)
+  def rf_tile_to_array_double(t: Column): Column = c(TileToArrayDouble(e(t)))
+  def rf_tile_to_array_int(t: Column): Column = c(TileToArrayInt(e(t)))
+  def rf_convert_cell_type(t: Column, ct: String): Column = c(ConvertCellType(e(t), Literal(ct)))
+  def rf_interpret_cell_type_as(t: Column, ct: String): Column = c(InterpretAs(e(t), Literal(ct)))
+  def rf_with_no_data(t: Column, nd: Double): Column = c(SetNoDataValue(e(t), Literal(nd)))
+  def rf_tile(t: Column): Column = c(RealizeTile(e(t)))
+
+  // accessors
+  def rf_cell_type(t: Column): Column = c(GetCellType(e(t)))
+  def rf_dimensions(t: Column): Column = c(GetDimensions(e(t)))
+
+  // local map algebra
+  def rf_local_add(a: Column, b: Column): Column = c(LocalAdd(e(a), e(b)))
+  def rf_local_add(a: Column, b: Double): Column = c(LocalAdd(e(a), Literal(b)))
+  def rf_local_subtract(a: Column, b: Column): Column = c(LocalSubtract(e(a), e(b)))
+  def rf_local_subtract(a: Column, b: Double): Column = c(LocalSubtract(e(a), Literal(b)))
+  def rf_local_multiply(a: Column, b: Column): Column = c(LocalMultiply(e(a), e(b)))
+  def rf_local_multiply(a: Column, b: Double): Column = c(LocalMultiply(e(a), Literal(b)))
+  def rf_local_divide(a: Column, b: Column): Column = c(LocalDivide(e(a), e(b)))
+  def rf_local_divide(a: Column, b: Double): Column = c(LocalDivide(e(a), Literal(b)))
+  def rf_local_min(a: Column, b: Column): Column = c(LocalMin(e(a), e(b)))
+  def rf_local_min(a: Column, b: Double): Column = c(LocalMin(e(a), Literal(b)))
+  def rf_local_max(a: Column, b: Column): Column = c(LocalMax(e(a), e(b)))
+  def rf_local_max(a: Column, b: Double): Column = c(LocalMax(e(a), Literal(b)))
+  def rf_local_clamp(t: Column, lo: Column, hi: Column): Column = c(LocalClamp(e(t), e(lo), e(hi)))
+  def rf_local_clamp(t: Column, lo: Double, hi: Double): Column =
+    c(LocalClamp(e(t), Literal(lo), Literal(hi)))
+  def rf_where(cond: Column, x: Column, y: Column): Column = c(LocalWhere(e(cond), e(x), e(y)))
+  def rf_normalized_difference(a: Column, b: Column): Column =
+    c(NormalizedDifference(e(a), e(b)))
+  def rf_standardize(t: Column, mean: Column, stddev: Column): Column =
+    c(Standardize(e(t), e(mean), e(stddev)))
+  def rf_standardize(t: Column, mean: Double, stddev: Double): Column =
+    c(Standardize(e(t), Literal(mean), Literal(stddev)))
+  def rf_rescale(t: Column, min: Column, max: Column): Column = c(Rescale(e(t), e(min), e(max)))
+  def rf_rescale(t: Column, min: Double, max: Double): Column =
+    c(Rescale(e(t), Literal(min), Literal(max)))
+  def rf_round(t: Column): Column = c(LocalRound(e(t)))
+  def rf_abs(t: Column): Column = c(LocalAbs(e(t)))
+  def rf_sqrt(t: Column): Column = c(LocalSqrt(e(t)))
+  def rf_log(t: Column): Column = c(LocalLog(e(t)))
+  def rf_log10(t: Column): Column = c(LocalLog10(e(t)))
+  def rf_log2(t: Column): Column = c(LocalLog2(e(t)))
+  def rf_log1p(t: Column): Column = c(LocalLog1p(e(t)))
+  def rf_exp(t: Column): Column = c(LocalExp(e(t)))
+  def rf_exp10(t: Column): Column = c(LocalExp10(e(t)))
+  def rf_exp2(t: Column): Column = c(LocalExp2(e(t)))
+  def rf_expm1(t: Column): Column = c(LocalExpm1(e(t)))
+  def rf_identity(t: Column): Column = c(LocalIdentity(e(t)))
+
+  // comparisons
+  def rf_local_less(a: Column, b: Column): Column = c(LocalLess(e(a), e(b)))
+  def rf_local_less(a: Column, b: Double): Column = c(LocalLess(e(a), Literal(b)))
+  def rf_local_less_equal(a: Column, b: Column): Column = c(LocalLessEqual(e(a), e(b)))
+  def rf_local_less_equal(a: Column, b: Double): Column = c(LocalLessEqual(e(a), Literal(b)))
+  def rf_local_greater(a: Column, b: Column): Column = c(LocalGreater(e(a), e(b)))
+  def rf_local_greater(a: Column, b: Double): Column = c(LocalGreater(e(a), Literal(b)))
+  def rf_local_greater_equal(a: Column, b: Column): Column = c(LocalGreaterEqual(e(a), e(b)))
+  def rf_local_greater_equal(a: Column, b: Double): Column = c(LocalGreaterEqual(e(a), Literal(b)))
+  def rf_local_equal(a: Column, b: Column): Column = c(LocalEqual(e(a), e(b)))
+  def rf_local_equal(a: Column, b: Double): Column = c(LocalEqual(e(a), Literal(b)))
+  def rf_local_unequal(a: Column, b: Column): Column = c(LocalUnequal(e(a), e(b)))
+  def rf_local_unequal(a: Column, b: Double): Column = c(LocalUnequal(e(a), Literal(b)))
+  def rf_local_is_in(t: Column, values: Column): Column = c(LocalIsIn(e(t), e(values)))
+  def rf_local_no_data(t: Column): Column = c(LocalUndefined(e(t)))
+  def rf_local_data(t: Column): Column = c(LocalDefined(e(t)))
+
+  // masking
+  def rf_mask(target: Column, mask: Column): Column = c(MaskByDefined(e(target), e(mask)))
+  def rf_inverse_mask(target: Column, mask: Column): Column =
+    c(InverseMaskByDefined(e(target), e(mask)))
+  def rf_mask_by_value(target: Column, mask: Column, v: Double): Column =
+    c(MaskByValue(e(target), e(mask), Literal(v)))
+  def rf_inverse_mask_by_value(target: Column, mask: Column, v: Double): Column =
+    c(InverseMaskByValue(e(target), e(mask), Literal(v)))
+  def rf_mask_by_values(target: Column, mask: Column, vs: Column): Column =
+    c(MaskByValues(e(target), e(mask), e(vs)))
+  def rf_local_extract_bits(t: Column, start: Int, bits: Int): Column =
+    c(ExtractBits(e(t), Literal(start), Literal(bits)))
+
+  // per-tile stats
+  def rf_tile_sum(t: Column): Column = c(TileSum(e(t)))
+  def rf_tile_mean(t: Column): Column = c(TileMean(e(t)))
+  def rf_tile_min(t: Column): Column = c(TileMin(e(t)))
+  def rf_tile_max(t: Column): Column = c(TileMax(e(t)))
+  def rf_tile_stats(t: Column): Column = c(TileStatsExpr(e(t)))
+  def rf_tile_histogram(t: Column): Column = c(TileHistogram(e(t)))
+  def rf_data_cells(t: Column): Column = c(DataCells(e(t)))
+  def rf_no_data_cells(t: Column): Column = c(NoDataCells(e(t)))
+  def rf_is_no_data_tile(t: Column): Column = c(IsNoDataTile(e(t)))
+  def rf_exists(t: Column): Column = c(TileExists(e(t)))
+  def rf_for_all(t: Column): Column = c(TileForAll(e(t)))
+
+  // generators
+  def rf_explode_tiles(tiles: Column*): Column = c(ExplodeTiles(tiles.map(e)))
+  def rf_explode_tiles_sample(fraction: Double, seed: Long, tiles: Column*): Column =
+    c(ExplodeTiles(tiles.map(e), fraction, seed))
+
+  // aggregates
+  private def agg(a: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction): Column =
+    c(a.toAggregateExpression())
+  def rf_agg_mean(t: Column): Column = agg(CellMeanAggregate(e(t)))
+  def rf_agg_data_cells(t: Column): Column = agg(CellCountAggregate(e(t), countData = true))
+  def rf_agg_no_data_cells(t: Column): Column = agg(CellCountAggregate(e(t), countData = false))
+  def rf_agg_stats(t: Column): Column = agg(CellStatsAggregate(e(t)))
+  def rf_agg_approx_histogram(t: Column, maxBins: Int = 80): Column =
+    agg(HistogramAggregate(e(t), maxBins))
+  def rf_agg_approx_quantiles(t: Column, probs: Seq[Double], relErr: Double = 0.00001): Column =
+    agg(ApproxCellQuantilesAggregate(e(t), probs, relErr))
+  def rf_agg_local_min(t: Column): Column = agg(LocalTileOpAggregate(e(t), isMin = true))
+  def rf_agg_local_max(t: Column): Column = agg(LocalTileOpAggregate(e(t), isMin = false))
+  def rf_agg_local_mean(t: Column): Column = agg(LocalMeanAggregate(e(t)))
+  def rf_agg_local_data_cells(t: Column): Column = agg(LocalCountAggregate(e(t), countData = true))
+  def rf_agg_local_no_data_cells(t: Column): Column = agg(LocalCountAggregate(e(t), countData = false))
+  def rf_agg_local_stats(t: Column): Column = agg(LocalStatsAggregate(e(t)))
+  def rf_assemble_tile(colIdx: Column, rowIdx: Column, value: Column, cols: Int, rows: Int): Column =
+    agg(TileAssembler(e(colIdx), e(rowIdx), e(value), Literal(cols), Literal(rows)))
+}
+
+/**
+ * Session initialization: UDT + SQL function registration (the analog of
+ * the reference's `spark.withRasterFrames` /
+ * /root/reference/core/src/main/scala/org/locationtech/rasterframes/package.scala:60-83).
+ */
+object Raster {
+  def init(spark: SparkSession): SparkSession = {
+    TileUDT.register()
+    val registry = org.apache.spark.sql.graft.shims.functionRegistry(spark)
+
+    def reg1(name: String, f: Expression => Expression): Unit =
+      registry.createOrReplaceTempFunction(name, xs => f(xs.head), "built-in")
+    def reg2(name: String, f: (Expression, Expression) => Expression): Unit =
+      registry.createOrReplaceTempFunction(name, xs => f(xs(0), xs(1)), "built-in")
+    def reg3(name: String, f: (Expression, Expression, Expression) => Expression): Unit =
+      registry.createOrReplaceTempFunction(name, xs => f(xs(0), xs(1), xs(2)), "built-in")
+    def regN(name: String, f: Seq[Expression] => Expression): Unit =
+      registry.createOrReplaceTempFunction(name, f, "built-in")
+
+    reg3("rf_array_to_tile", ArrayToTile(_, _, _))
+    regN("rf_make_constant_tile", MakeConstantTile(_))
+    reg1("rf_tile_to_array_double", TileToArrayDouble(_))
+    reg1("rf_tile_to_array_int", TileToArrayInt(_))
+    reg2("rf_convert_cell_type", ConvertCellType(_, _))
+    reg2("rf_interpret_cell_type_as", InterpretAs(_, _))
+    reg2("rf_with_no_data", SetNoDataValue(_, _))
+    reg1("rf_tile", RealizeTile(_))
+    reg1("rf_cell_type", GetCellType(_))
+    reg1("rf_dimensions", GetDimensions(_))
+    reg2("rf_local_add", LocalAdd(_, _))
+    reg2("rf_local_subtract", LocalSubtract(_, _))
+    reg2("rf_local_multiply", LocalMultiply(_, _))
+    reg2("rf_local_divide", LocalDivide(_, _))
+    reg2("rf_local_min", LocalMin(_, _))
+    reg2("rf_local_max", LocalMax(_, _))
+    reg3("rf_local_clamp", LocalClamp(_, _, _))
+    reg3("rf_where", LocalWhere(_, _, _))
+    reg2("rf_normalized_difference", NormalizedDifference(_, _))
+    reg3("rf_standardize", Standardize(_, _, _))
+    reg3("rf_rescale", Rescale(_, _, _))
+    reg1("rf_round", LocalRound(_))
+    reg1("rf_abs", LocalAbs(_))
+    reg1("rf_sqrt", LocalSqrt(_))
+    reg1("rf_log", LocalLog(_))
+    reg1("rf_log10", LocalLog10(_))
+    reg1("rf_log2", LocalLog2(_))
+    reg1("rf_log1p", LocalLog1p(_))
+    reg1("rf_exp", LocalExp(_))
+    reg1("rf_exp10", LocalExp10(_))
+    reg1("rf_exp2", LocalExp2(_))
+    reg1("rf_expm1", LocalExpm1(_))
+    reg1("rf_identity", LocalIdentity(_))
+    reg2("rf_local_less", LocalLess(_, _))
+    reg2("rf_local_less_equal", LocalLessEqual(_, _))
+    reg2("rf_local_greater", LocalGreater(_, _))
+    reg2("rf_local_greater_equal", LocalGreaterEqual(_, _))
+    reg2("rf_local_equal", LocalEqual(_, _))
+    reg2("rf_local_unequal", LocalUnequal(_, _))
+    reg2("rf_local_is_in", LocalIsIn(_, _))
+    reg1("rf_local_no_data", LocalUndefined(_))
+    reg1("rf_local_data", LocalDefined(_))
+    reg2("rf_mask", MaskByDefined(_, _))
+    reg2("rf_inverse_mask", InverseMaskByDefined(_, _))
+    reg3("rf_mask_by_value", MaskByValue(_, _, _))
+    reg3("rf_inverse_mask_by_value", InverseMaskByValue(_, _, _))
+    reg3("rf_mask_by_values", MaskByValues(_, _, _))
+    reg3("rf_local_extract_bits", ExtractBits(_, _, _))
+    reg1("rf_tile_sum", TileSum(_))
+    reg1("rf_tile_mean", TileMean(_))
+    reg1("rf_tile_min", TileMin(_))
+    reg1("rf_tile_max", TileMax(_))
+    reg1("rf_tile_stats", TileStatsExpr(_))
+    reg1("rf_tile_histogram", TileHistogram(_))
+    reg1("rf_data_cells", DataCells(_))
+    reg1("rf_no_data_cells", NoDataCells(_))
+    reg1("rf_is_no_data_tile", IsNoDataTile(_))
+    reg1("rf_exists", TileExists(_))
+    reg1("rf_for_all", TileForAll(_))
+    regN("rf_explode_tiles", ExplodeTiles(_))
+    reg1("rf_agg_mean", CellMeanAggregate(_).toAggregateExpression())
+    reg1("rf_agg_data_cells", CellCountAggregate(_, countData = true).toAggregateExpression())
+    reg1("rf_agg_no_data_cells", CellCountAggregate(_, countData = false).toAggregateExpression())
+    reg1("rf_agg_stats", CellStatsAggregate(_).toAggregateExpression())
+    reg1("rf_agg_approx_histogram", HistogramAggregate(_).toAggregateExpression())
+    reg1("rf_agg_local_min", LocalTileOpAggregate(_, isMin = true).toAggregateExpression())
+    reg1("rf_agg_local_max", LocalTileOpAggregate(_, isMin = false).toAggregateExpression())
+    reg1("rf_agg_local_mean", LocalMeanAggregate(_).toAggregateExpression())
+    reg1("rf_agg_local_data_cells", LocalCountAggregate(_, countData = true).toAggregateExpression())
+    reg1("rf_agg_local_no_data_cells", LocalCountAggregate(_, countData = false).toAggregateExpression())
+    reg1("rf_agg_local_stats", LocalStatsAggregate(_).toAggregateExpression())
+    regN("rf_assemble_tile", xs => TileAssembler(xs(0), xs(1), xs(2), xs(3), xs(4)).toAggregateExpression())
+    spark
+  }
+}

@@ -1,0 +1,20 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/**
+ * Bridge to Spark internals that are `private[sql]` at the Scala level
+ * (public in bytecode). Same technique the reference uses by placing its
+ * UDTs in org.apache.spark.sql.rf
+ * (/root/reference/core/src/main/scala/org/apache/spark/sql/rf/).
+ */
+object shims {
+  def column(e: Expression): Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+  def functionRegistry(spark: SparkSession): FunctionRegistry =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionState.functionRegistry
+}

@@ -1,0 +1,130 @@
+package graft
+
+import graft.functions._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+object TestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    Raster.init(s)
+    s
+  }
+}
+
+class RasterFunctionsSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  /** 2 tiles of 2x2 built from arrays, with a null element → NoData. */
+  def tiles = {
+    Seq(
+      (1, Seq[java.lang.Double](1.0, 2.0, 3.0, 4.0), Seq[java.lang.Double](10.0, 20.0, 30.0, 40.0)),
+      (2, Seq[java.lang.Double](5.0, null, 7.0, 8.0), Seq[java.lang.Double](1.0, 1.0, null, 1.0))
+    ).toDF("id", "a", "b")
+      .select($"id",
+        rf_array_to_tile($"a", 2, 2).as("ta"),
+        rf_array_to_tile($"b", 2, 2).as("tb"))
+  }
+
+  test("array_to_tile + tile_sum/mean/min/max/cells") {
+    val r = tiles.select($"id",
+      rf_tile_sum($"ta").as("s"), rf_tile_mean($"ta").as("m"),
+      rf_tile_min($"ta").as("mn"), rf_tile_max($"ta").as("mx"),
+      rf_data_cells($"ta").as("dc"), rf_no_data_cells($"ta").as("ndc"))
+      .orderBy($"id").collect()
+    assert(r(0).getDouble(1) == 10.0 && r(0).getDouble(2) == 2.5)
+    assert(r(1).getDouble(1) == 20.0 && r(1).getDouble(2) == 20.0 / 3)
+    assert(r(1).getDouble(3) == 5.0 && r(1).getDouble(4) == 8.0)
+    assert(r(1).getLong(5) == 3L && r(1).getLong(6) == 1L)
+  }
+
+  test("local ops and NoData propagation") {
+    val r = tiles.select($"id",
+      rf_tile_sum(rf_local_add($"ta", $"tb")).as("add"),
+      rf_tile_sum(rf_local_multiply($"ta", 2.0)).as("mul2"),
+      rf_tile_sum(rf_local_less($"ta", 4.0)).as("lt4"))
+      .orderBy($"id").collect()
+    assert(r(0).getDouble(1) == 110.0)
+    assert(r(0).getDouble(2) == 20.0)
+    assert(r(0).getDouble(3) == 3.0)
+    // id=2: add has data only at idx 0,3 → (5+1)+(8+1)=15
+    assert(r(1).getDouble(1) == 15.0)
+  }
+
+  test("SQL registration parity") {
+    tiles.createOrReplaceTempView("tiles_v")
+    val r = spark.sql(
+      "SELECT id, rf_tile_sum(rf_local_add(ta, tb)) AS s FROM tiles_v ORDER BY id").collect()
+    assert(r(0).getDouble(1) == 110.0 && r(1).getDouble(1) == 15.0)
+  }
+
+  test("explode + assemble round trip") {
+    val cells = tiles.select($"id", rf_explode_tiles($"ta"))
+    assert(cells.columns.toSeq == Seq("id", "column_index", "row_index", "ta"))
+    assert(cells.count() == 8)
+    assert(cells.where($"ta".isNull).count() == 1)
+    val re = cells.groupBy($"id")
+      .agg(rf_assemble_tile($"column_index", $"row_index", $"ta", 2, 2).as("t"))
+      .select($"id", rf_tile_sum($"t").as("s")).orderBy($"id").collect()
+    assert(re(0).getDouble(1) == 10.0 && re(1).getDouble(1) == 20.0)
+  }
+
+  test("agg_mean / agg_stats over group") {
+    val r = tiles.agg(
+      rf_agg_mean($"ta").as("m"),
+      rf_agg_data_cells($"ta").as("dc"),
+      rf_agg_stats($"ta").as("st")).collect()(0)
+    assert(r.getDouble(0) == 30.0 / 7)
+    assert(r.getLong(1) == 7L)
+    val st = r.getStruct(2)
+    assert(st.getLong(0) == 7L)
+    assert(st.getDouble(2) == 1.0 && st.getDouble(3) == 8.0)
+  }
+
+  test("agg local min/max/mean") {
+    val r = tiles.agg(
+      rf_tile_to_array_double(rf_agg_local_max($"ta")).as("mx"),
+      rf_tile_to_array_double(rf_agg_local_mean($"ta")).as("mean")).collect()(0)
+    assert(r.getSeq[Double](0) == Seq(5.0, 2.0, 7.0, 8.0))
+    assert(r.getSeq[Double](1) == Seq(3.0, 2.0, 5.0, 6.0))
+  }
+
+  test("masking") {
+    val r = tiles.select($"id",
+      rf_tile_sum(rf_mask($"ta", $"tb")).as("masked"),
+      rf_tile_sum(rf_mask_by_value($"ta", $"tb", 20.0)).as("mbv"))
+      .orderBy($"id").collect()
+    // id=2: tb NoData at idx 2 → ta masked at idx2: 5+8=13 (idx1 already nd)
+    assert(r(1).getDouble(1) == 13.0)
+    // id=1: mask where tb==20 → drop idx1: 1+3+4=8
+    assert(r(0).getDouble(2) == 8.0)
+  }
+
+  test("histogram and quantiles") {
+    val h = tiles.agg(rf_agg_approx_histogram($"ta").as("h")).collect()(0).getStruct(0)
+    val bins = h.getSeq[org.apache.spark.sql.Row](0)
+    assert(bins.map(_.getLong(1)).sum == 7L)
+    assert(bins.find(_.getDouble(0) == 1.0).get.getLong(1) == 1L)
+    val q = tiles.agg(rf_agg_approx_quantiles($"ta", Seq(0.5)).as("q")).collect()(0).getSeq[Double](0)
+    assert(q.head == 4.0)
+  }
+
+  test("convert / with_no_data / cell_type") {
+    val r = tiles.select(
+      rf_cell_type($"ta").as("ct"),
+      rf_cell_type(rf_convert_cell_type($"ta", "int32")).as("ct2"),
+      rf_tile_sum(rf_with_no_data($"ta", 4.0)).as("s")).collect()
+    assert(r(0).getString(0) == "float64")
+    assert(r(0).getString(1) == "int32")
+    assert(r(0).getDouble(2) == 6.0)
+  }
+}
