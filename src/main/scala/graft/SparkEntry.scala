@@ -1,13 +1,445 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions._
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextFunctions}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Driver contract: every operator exposed as a named query over the
+ * testdata tables, with a DuckDB-oracle SQL twin where the semantics are
+ * SQL-expressible (FIXTURES.md §3 oracle recipe).
+ *
+ * Tile construction: per-orderkey 8×4 tiles from lineitem. Cell index =
+ * ROW_NUMBER over a fully deterministic sort — `(l_orderkey,
+ * l_linenumber)` is NOT unique in the synthetic data, so the sort key
+ * includes enough columns to be a total order. l_quantity is always
+ * integer-valued ⇒ sums/means/variances below are exact in IEEE double
+ * regardless of aggregation order, making hash-equality with DuckDB
+ * well-defined.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    Raster.init(s)
+    s.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Per-orderkey aligned tiles: t_qty (l_quantity), t_ln (l_linenumber). */
+  private def tiled(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_orderkey")
+      .orderBy("l_linenumber", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")
+    t(s, dir, "lineitem")
+      .withColumn("i", row_number().over(w) - 1)
+      .groupBy("l_orderkey")
+      .agg(
+        rf_assemble_tile(expr("i % 8"), expr("i div 8"), col("l_quantity"), 8, 4).as("t_qty"),
+        rf_assemble_tile(expr("i % 8"), expr("i div 8"),
+          col("l_linenumber").cast("double"), 8, 4).as("t_ln"))
+      .withColumn("bucket", col("l_orderkey") % 10)
+  }
+
+  /** Explode a tile expression to (l_orderkey, i, cell), data cells only. */
+  private def cells(s: SparkSession, dir: String, tile: Column): DataFrame =
+    tiled(s, dir)
+      .select(col("l_orderkey"), rf_explode_tiles(tile))
+      .toDF("l_orderkey", "column_index", "row_index", "cell")
+      .select(col("l_orderkey"),
+        (col("row_index") * 8 + col("column_index")).cast("int").as("i"),
+        col("cell"))
+      .where(col("cell").isNotNull)
+      .orderBy("l_orderkey", "i")
+
+  private val IDX =
+    """WITH idx AS (
+      |  SELECT l_orderkey, l_orderkey % 10 AS bucket,
+      |         CAST(l_quantity AS DOUBLE) AS q,
+      |         CAST(l_linenumber AS DOUBLE) AS lnv,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY l_orderkey
+      |               ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice) - 1
+      |              AS INTEGER) AS i
+      |  FROM lineitem)""".stripMargin
+
+  /** Flagship: tiles → map algebra → aggregate stats, on sf0.001. */
+  def entry(spark: SparkSession): DataFrame = {
+    val d = tiled(spark, "/root/testdata/sf0.001")
+    d.groupBy("bucket")
+      .agg(
+        rf_agg_mean(rf_normalized_difference(col("t_qty"), col("t_ln"))).as("mean_nd"),
+        rf_agg_stats(col("t_qty")).as("stats"),
+        rf_agg_data_cells(col("t_qty")).as("cells"))
+      .orderBy("bucket")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- per-tile statistics ----
+    "q_tile_sum" -> ((s, dir) =>
+      tiled(s, dir).select(col("l_orderkey"), rf_tile_sum(col("t_qty")).as("tile_sum"))
+        .orderBy("l_orderkey")),
+    "q_tile_mean" -> ((s, dir) =>
+      tiled(s, dir).select(col("l_orderkey"), rf_tile_mean(col("t_qty")).as("tile_mean"))
+        .orderBy("l_orderkey")),
+    "q_tile_minmax" -> ((s, dir) =>
+      tiled(s, dir).select(col("l_orderkey"),
+        rf_tile_min(col("t_qty")).as("tile_min"),
+        rf_tile_max(col("t_qty")).as("tile_max"),
+        rf_data_cells(col("t_qty")).as("dc"),
+        rf_no_data_cells(col("t_qty")).as("ndc"))
+        .orderBy("l_orderkey")),
+    "q_tile_stats" -> ((s, dir) =>
+      tiled(s, dir).select(col("l_orderkey"), rf_tile_stats(col("t_qty")).as("st"))
+        .select(col("l_orderkey"),
+          col("st.data_cells").as("dc"), col("st.no_data_cells").as("ndc"),
+          col("st.min").as("mn"), col("st.max").as("mx"),
+          col("st.mean").as("mean"), col("st.variance").as("variance"))
+        .orderBy("l_orderkey")),
+    // ---- local map algebra ----
+    "q_local_arith" -> ((s, dir) =>
+      tiled(s, dir).select(col("l_orderkey"),
+        rf_tile_sum(rf_local_add(col("t_qty"), col("t_ln"))).as("sum_add"),
+        rf_tile_sum(rf_local_subtract(col("t_qty"), col("t_ln"))).as("sum_sub"),
+        rf_tile_sum(rf_local_multiply(col("t_qty"), col("t_ln"))).as("sum_mul"))
+        .orderBy("l_orderkey")),
+    "q_local_scalar" -> ((s, dir) =>
+      tiled(s, dir).select(col("l_orderkey"),
+        rf_tile_sum(rf_local_add(col("t_qty"), 10.0)).as("s_add"),
+        rf_tile_sum(rf_local_multiply(col("t_qty"), 2.0)).as("s_mul"),
+        rf_tile_sum(rf_local_divide(col("t_qty"), 2.0)).as("s_div"),
+        rf_tile_sum(rf_local_min(col("t_qty"), 25.0)).as("s_min"),
+        rf_tile_sum(rf_local_max(col("t_qty"), 25.0)).as("s_max"))
+        .orderBy("l_orderkey")),
+    "q_local_divide" -> ((s, dir) =>
+      cells(s, dir, rf_local_divide(col("t_qty"), col("t_ln")))),
+    "q_normalized_difference" -> ((s, dir) =>
+      cells(s, dir, rf_normalized_difference(col("t_qty"), col("t_ln")))),
+    "q_comparisons" -> ((s, dir) =>
+      tiled(s, dir).select(col("l_orderkey"),
+        rf_tile_sum(rf_local_less(col("t_qty"), 25.0)).as("n_lt"),
+        rf_tile_sum(rf_local_less_equal(col("t_qty"), 25.0)).as("n_le"),
+        rf_tile_sum(rf_local_greater(col("t_qty"), 25.0)).as("n_gt"),
+        rf_tile_sum(rf_local_greater_equal(col("t_qty"), 25.0)).as("n_ge"),
+        rf_tile_sum(rf_local_equal(col("t_qty"), 25.0)).as("n_eq"),
+        rf_tile_sum(rf_local_unequal(col("t_qty"), 25.0)).as("n_ne"))
+        .orderBy("l_orderkey")),
+    "q_clamp_where" -> ((s, dir) =>
+      tiled(s, dir).select(col("l_orderkey"),
+        rf_tile_sum(rf_local_clamp(col("t_qty"), 10.0, 40.0)).as("s_clamp"),
+        rf_tile_sum(rf_where(rf_local_less(col("t_qty"), 25.0),
+          col("t_qty"), rf_local_multiply(col("t_qty"), 2.0))).as("s_where"))
+        .orderBy("l_orderkey")),
+    "q_is_in" -> ((s, dir) =>
+      tiled(s, dir).select(col("l_orderkey"),
+        rf_tile_sum(rf_local_is_in(col("t_qty"),
+          array(lit(1.0), lit(5.0), lit(10.0), lit(25.0), lit(50.0)))).as("n_in"))
+        .orderBy("l_orderkey")),
+    // ---- masking / nodata ----
+    "q_masking" -> ((s, dir) =>
+      tiled(s, dir).select(col("l_orderkey"),
+        rf_tile_sum(rf_mask_by_value(col("t_qty"), col("t_ln"), 3.0)).as("s_mask"),
+        rf_tile_sum(rf_inverse_mask_by_value(col("t_qty"), col("t_ln"), 3.0)).as("s_inv"),
+        rf_data_cells(rf_mask(col("t_qty"), rf_with_no_data(col("t_ln"), 3.0))).as("dc_mask"))
+        .orderBy("l_orderkey")),
+    "q_with_no_data" -> ((s, dir) =>
+      tiled(s, dir).select(col("l_orderkey"),
+        rf_data_cells(rf_with_no_data(col("t_qty"), 50.0)).as("dc"),
+        rf_tile_sum(rf_with_no_data(col("t_qty"), 50.0)).as("s"))
+        .orderBy("l_orderkey")),
+    "q_convert" -> ((s, dir) =>
+      tiled(s, dir).select(col("l_orderkey"),
+        rf_cell_type(col("t_qty")).as("ct_f64"),
+        rf_cell_type(rf_convert_cell_type(col("t_qty"), "int32")).as("ct_i32"),
+        rf_tile_sum(rf_convert_cell_type(col("t_qty"), "int32")).as("s_i32"),
+        rf_tile_sum(rf_convert_cell_type(col("t_qty"), "uint8")).as("s_u8"))
+        .orderBy("l_orderkey")),
+    "q_extract_bits" -> ((s, dir) =>
+      tiled(s, dir).select(col("l_orderkey"),
+        rf_tile_sum(rf_local_extract_bits(rf_convert_cell_type(col("t_qty"), "int32"), 1, 3))
+          .as("s_bits"))
+        .orderBy("l_orderkey")),
+    // ---- generators / converters ----
+    "q_explode_tiles" -> ((s, dir) => cells(s, dir, col("t_qty"))),
+    "q_assemble_roundtrip" -> ((s, dir) => {
+      val c = tiled(s, dir)
+        .select(col("l_orderkey"), rf_explode_tiles(col("t_qty")))
+        .where(col("t_qty").isNotNull)
+      c.groupBy("l_orderkey")
+        .agg(rf_assemble_tile(col("column_index"), col("row_index"), col("t_qty"), 8, 4).as("t"))
+        .select(col("l_orderkey"), rf_tile_sum(col("t")).as("tile_sum"))
+        .orderBy("l_orderkey")
+    }),
+    "q_standardize" -> ((s, dir) =>
+      cells(s, dir, rf_standardize(col("t_qty"), 25.0, 10.0))),
+    "q_rescale" -> ((s, dir) =>
+      cells(s, dir, rf_rescale(col("t_qty"), 1.0, 50.0))),
+    "q_metadata" -> ((s, dir) =>
+      tiled(s, dir).select(col("l_orderkey"),
+        rf_cell_type(col("t_qty")).as("ct"),
+        col("bucket"),
+        rf_dimensions(col("t_qty")).getField("cols").as("cols"),
+        rf_dimensions(col("t_qty")).getField("rows").as("rows"),
+        rf_is_no_data_tile(col("t_qty")).as("is_nd"),
+        rf_exists(rf_local_greater(col("t_qty"), 49.0)).as("has_gt49"))
+        .orderBy("l_orderkey")),
+    // ---- columnar aggregates ----
+    "q_agg_mean" -> ((s, dir) =>
+      tiled(s, dir).groupBy("bucket").agg(rf_agg_mean(col("t_qty")).as("m"))
+        .orderBy("bucket")),
+    "q_agg_stats" -> ((s, dir) =>
+      tiled(s, dir).groupBy("bucket").agg(rf_agg_stats(col("t_qty")).as("st"),
+          rf_agg_data_cells(col("t_qty")).as("agg_dc"),
+          rf_agg_no_data_cells(col("t_qty")).as("agg_ndc"))
+        .select(col("bucket"),
+          col("st.data_cells").as("dc"), col("st.no_data_cells").as("ndc"),
+          col("st.min").as("mn"), col("st.max").as("mx"),
+          col("st.mean").as("mean"), col("st.variance").as("variance"),
+          col("agg_dc"), col("agg_ndc"))
+        .orderBy("bucket")),
+    "q_agg_histogram" -> ((s, dir) =>
+      tiled(s, dir).agg(rf_agg_approx_histogram(col("t_qty")).as("h"))
+        .select(explode(col("h.bins")).as("b"))
+        .select(col("b.value").as("bin_value"), col("b.count").as("bin_count"))
+        .orderBy("bin_value")),
+    "q_tile_histogram" -> ((s, dir) =>
+      tiled(s, dir)
+        .select(col("l_orderkey"), rf_tile_histogram(col("t_qty")).as("h"))
+        .select(col("l_orderkey"), explode(col("h.bins")).as("b"))
+        .select(col("l_orderkey"), col("b.value").as("bin_value"), col("b.count").as("bin_count"))
+        .orderBy("l_orderkey", "bin_value")),
+    // ---- local (cell-wise) aggregates ----
+    "q_agg_local" -> ((s, dir) =>
+      tiled(s, dir).groupBy("bucket")
+        .agg(rf_agg_local_min(col("t_qty")).as("tmin"),
+          rf_agg_local_max(col("t_qty")).as("tmax"),
+          rf_agg_local_mean(col("t_qty")).as("tmean"),
+          rf_agg_local_data_cells(col("t_qty")).as("tcnt"))
+        .select(col("bucket"),
+          rf_explode_tiles(col("tmin"), col("tmax"), col("tmean"), col("tcnt")))
+        .select(col("bucket"),
+          (col("row_index") * 8 + col("column_index")).cast("int").as("i"),
+          col("tmin").as("min_c"), col("tmax").as("max_c"),
+          col("tmean").as("mean_c"), col("tcnt").as("cnt_c"))
+        .where(col("cnt_c") > 0)
+        .orderBy("bucket", "i")),
+    "q_agg_local_nodata" -> ((s, dir) =>
+      tiled(s, dir).groupBy("bucket")
+        .agg(rf_agg_local_no_data_cells(col("t_qty")).as("tnd"))
+        .select(col("bucket"), rf_explode_tiles(col("tnd")))
+        .select(col("bucket"),
+          (col("row_index") * 8 + col("column_index")).cast("int").as("i"),
+          col("tnd").as("nd"))
+        .orderBy("bucket", "i")),
+    // ---- text analysis ----
+    "q_text_stats" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"), col("n_chars"),
+        TextFunctions.char_count(col("text")).as("chars"),
+        TextFunctions.token_count(col("text")).as("tokens"),
+        size(array_distinct(TextFunctions.tokens(col("text")))).as("distinct_tokens"))
+        .orderBy("doc_id")),
+    "q_quality" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.punct_ratio(col("text")).as("punct_ratio"),
+        TextFunctions.distinct_ratio(col("text")).as("distinct_ratio"),
+        TextFunctions.quality_score(col("text")).as("quality"))
+        .orderBy("doc_id")),
+    "q_token_freq" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy("token")),
+    "q_lang_stats" -> ((s, dir) =>
+      t(s, dir, "documents").groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        avg("n_chars").as("avg_chars"),
+        countDistinct("source").as("n_sources"))
+        .orderBy("lang")),
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("content_hash")),
+    // ---- rows-only (non-SQL-expressible) operators ----
+    "q_lang_id" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        TextFunctions.language_id(col("text")).as("guess"))
+        .orderBy("doc_id")),
+    "q_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.fingerprint(col("text")).as("fp"),
+        TextFunctions.simhash(col("text")).as("sh"))
+        .orderBy("doc_id")),
+    "q_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text", threshold = 0.2)
+        .orderBy("a_id", "b_id")),
+    "q_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 16)
+        .orderBy("a_id", "b_id")),
+    "q_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text", "source", threshold = 0.05)
+        .orderBy("blk", "a_id", "b_id")),
+    "q_knn_brute" -> ((s, dir) =>
+      Similarity.bruteTopK(t(s, dir, "embeddings"), "vec_id", "embedding", 3)
+        .orderBy("query_id", "rank")),
+    "q_knn_lsh" -> ((s, dir) =>
+      Similarity.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding", 3)
+        .orderBy("query_id", "rank")),
+    "q_multimodal" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        length(Multimodal.to_blob(col("text"))).as("byte_len"),
+        size(Multimodal.frame_sample(Multimodal.to_blob(col("text")), 64, 32)).as("n_frames"))
+        .orderBy("doc_id")),
+    "q_multimodal_decode" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        Multimodal.decode_image_stub(Multimodal.to_blob(col("text"))).as("img"),
+        Multimodal.byte_histogram(Multimodal.to_blob(col("text"))).as("hist"))
+        .select(col("doc_id"), col("img.width").as("width"), col("img.height").as("height"),
+          col("img.channels").as("channels"), col("hist"))
+        .orderBy("doc_id")),
+    // ---- events (temporal keys) ----
+    // events.ts is parquet TIMESTAMP(NANOS): read as long nanos, convert.
+    "q_events_daily" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      t(s, dir, "events")
+        .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          min("value").as("min_value"), max("value").as("max_value"),
+          countDistinct("user_id").as("n_users"))
+        .orderBy("day", "event_type")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_tile_sum" ->
+      "SELECT l_orderkey, SUM(l_quantity) AS tile_sum FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey",
+    "q_tile_mean" ->
+      "SELECT l_orderkey, AVG(l_quantity) AS tile_mean FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey",
+    "q_tile_minmax" ->
+      """SELECT l_orderkey, MIN(l_quantity) AS tile_min, MAX(l_quantity) AS tile_max,
+        |CAST(COUNT(*) AS BIGINT) AS dc, CAST(32 - COUNT(*) AS BIGINT) AS ndc
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "q_tile_stats" -> (IDX +
+      """ SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS dc, CAST(32 - COUNT(*) AS BIGINT) AS ndc,
+        |MIN(q) AS mn, MAX(q) AS mx, SUM(q) / COUNT(q) AS mean,
+        |CASE WHEN COUNT(q) > 1 THEN (SUM(q*q) - SUM(q) * (SUM(q) / COUNT(q))) / (COUNT(q) - 1) END AS variance
+        |FROM idx GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin),
+    "q_local_arith" -> (IDX +
+      """ SELECT l_orderkey, SUM(q + lnv) AS sum_add, SUM(q - lnv) AS sum_sub, SUM(q * lnv) AS sum_mul
+        |FROM idx GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin),
+    "q_local_scalar" -> (IDX +
+      """ SELECT l_orderkey, SUM(q + 10.0) AS s_add, SUM(q * 2.0) AS s_mul, SUM(q / 2.0) AS s_div,
+        |SUM(LEAST(q, 25.0)) AS s_min, SUM(GREATEST(q, 25.0)) AS s_max
+        |FROM idx GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin),
+    "q_local_divide" -> (IDX +
+      " SELECT l_orderkey, i, q / lnv AS cell FROM idx ORDER BY l_orderkey, i"),
+    "q_normalized_difference" -> (IDX +
+      " SELECT l_orderkey, i, (q - lnv) / (q + lnv) AS cell FROM idx ORDER BY l_orderkey, i"),
+    "q_comparisons" -> (IDX +
+      """ SELECT l_orderkey,
+        |SUM(CASE WHEN q < 25.0 THEN 1.0 ELSE 0.0 END) AS n_lt,
+        |SUM(CASE WHEN q <= 25.0 THEN 1.0 ELSE 0.0 END) AS n_le,
+        |SUM(CASE WHEN q > 25.0 THEN 1.0 ELSE 0.0 END) AS n_gt,
+        |SUM(CASE WHEN q >= 25.0 THEN 1.0 ELSE 0.0 END) AS n_ge,
+        |SUM(CASE WHEN q = 25.0 THEN 1.0 ELSE 0.0 END) AS n_eq,
+        |SUM(CASE WHEN q <> 25.0 THEN 1.0 ELSE 0.0 END) AS n_ne
+        |FROM idx GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin),
+    "q_clamp_where" -> (IDX +
+      """ SELECT l_orderkey, SUM(LEAST(GREATEST(q, 10.0), 40.0)) AS s_clamp,
+        |SUM(CASE WHEN q < 25.0 THEN q ELSE q * 2.0 END) AS s_where
+        |FROM idx GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin),
+    "q_is_in" -> (IDX +
+      """ SELECT l_orderkey, SUM(CASE WHEN q IN (1.0, 5.0, 10.0, 25.0, 50.0) THEN 1.0 ELSE 0.0 END) AS n_in
+        |FROM idx GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin),
+    "q_masking" -> (IDX +
+      """ SELECT l_orderkey,
+        |COALESCE(SUM(CASE WHEN lnv <> 3.0 THEN q END), 0.0) AS s_mask,
+        |COALESCE(SUM(CASE WHEN lnv = 3.0 THEN q END), 0.0) AS s_inv,
+        |CAST(SUM(CASE WHEN lnv <> 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS dc_mask
+        |FROM idx GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin),
+    "q_with_no_data" -> (IDX +
+      """ SELECT l_orderkey,
+        |CAST(SUM(CASE WHEN q <> 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS dc,
+        |COALESCE(SUM(CASE WHEN q <> 50.0 THEN q END), 0.0) AS s
+        |FROM idx GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin),
+    "q_convert" ->
+      """SELECT l_orderkey, 'float64' AS ct_f64, 'int32' AS ct_i32,
+        |SUM(l_quantity) AS s_i32, SUM(l_quantity) AS s_u8
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "q_extract_bits" -> (IDX +
+      """ SELECT l_orderkey,
+        |SUM(CAST((CAST(q AS BIGINT) >> 1) & 7 AS DOUBLE)) AS s_bits
+        |FROM idx GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin),
+    "q_explode_tiles" -> (IDX +
+      " SELECT l_orderkey, i, q AS cell FROM idx ORDER BY l_orderkey, i"),
+    "q_assemble_roundtrip" ->
+      "SELECT l_orderkey, SUM(l_quantity) AS tile_sum FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey",
+    "q_standardize" -> (IDX +
+      " SELECT l_orderkey, i, (q - 25.0) / 10.0 AS cell FROM idx ORDER BY l_orderkey, i"),
+    "q_rescale" -> (IDX +
+      " SELECT l_orderkey, i, (q - 1.0) / (50.0 - 1.0) AS cell FROM idx ORDER BY l_orderkey, i"),
+    "q_metadata" ->
+      """SELECT l_orderkey, 'float64' AS ct, l_orderkey % 10 AS bucket,
+        |8 AS cols, 4 AS rows, FALSE AS is_nd,
+        |CAST(MAX(CASE WHEN l_quantity > 49.0 THEN 1 ELSE 0 END) AS BOOLEAN) AS has_gt49
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "q_agg_mean" ->
+      "SELECT l_orderkey % 10 AS bucket, AVG(l_quantity) AS m FROM lineitem GROUP BY 1 ORDER BY 1",
+    "q_agg_stats" -> (IDX +
+      """ SELECT bucket, CAST(COUNT(*) AS BIGINT) AS dc,
+        |CAST(32 * COUNT(DISTINCT l_orderkey) - COUNT(*) AS BIGINT) AS ndc,
+        |MIN(q) AS mn, MAX(q) AS mx, SUM(q) / COUNT(q) AS mean,
+        |CASE WHEN COUNT(q) > 1 THEN (SUM(q*q) - SUM(q) * (SUM(q) / COUNT(q))) / (COUNT(q) - 1) END AS variance,
+        |CAST(COUNT(*) AS BIGINT) AS agg_dc,
+        |CAST(32 * COUNT(DISTINCT l_orderkey) - COUNT(*) AS BIGINT) AS agg_ndc
+        |FROM idx GROUP BY bucket ORDER BY bucket""".stripMargin),
+    "q_agg_histogram" -> (IDX +
+      """ SELECT q AS bin_value, CAST(COUNT(*) AS BIGINT) AS bin_count
+        |FROM idx GROUP BY q ORDER BY bin_value""".stripMargin),
+    "q_tile_histogram" -> (IDX +
+      """ SELECT l_orderkey, q AS bin_value, CAST(COUNT(*) AS BIGINT) AS bin_count
+        |FROM idx GROUP BY l_orderkey, q ORDER BY l_orderkey, bin_value""".stripMargin),
+    "q_agg_local" -> (IDX +
+      """ SELECT bucket, i, MIN(q) AS min_c, MAX(q) AS max_c,
+        |SUM(q) / COUNT(q) AS mean_c, CAST(COUNT(*) AS DOUBLE) AS cnt_c
+        |FROM idx GROUP BY bucket, i ORDER BY bucket, i""".stripMargin),
+    "q_agg_local_nodata" -> (IDX +
+      """, b AS (SELECT bucket, CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n FROM idx GROUP BY bucket),
+        |d AS (SELECT bucket, i, CAST(COUNT(*) AS DOUBLE) AS c FROM idx GROUP BY bucket, i)
+        |SELECT b.bucket AS bucket, CAST(gs.g AS INTEGER) AS i, b.n - COALESCE(d.c, 0.0) AS nd
+        |FROM b CROSS JOIN generate_series(0, 31) gs(g)
+        |LEFT JOIN d ON d.bucket = b.bucket AND d.i = gs.g
+        |ORDER BY b.bucket, i""".stripMargin),
+    "q_text_stats" ->
+      """SELECT doc_id, n_chars, CAST(LENGTH(text) AS INTEGER) AS chars,
+        |CAST(LEN(string_split(text, ' ')) AS INTEGER) AS tokens,
+        |CAST(LEN(list_distinct(string_split(text, ' '))) AS INTEGER) AS distinct_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_quality" ->
+      """SELECT doc_id,
+        |CAST(LENGTH(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE) / LENGTH(text) AS punct_ratio,
+        |CAST(LEN(list_distinct(string_split(text, ' '))) AS DOUBLE) / LEN(string_split(text, ' ')) AS distinct_ratio,
+        |((LEAST(CAST(LEN(string_split(text, ' ')) AS DOUBLE) / 64.0, 1.0) * 0.4)
+        | + ((CAST(LEN(list_distinct(string_split(text, ' '))) AS DOUBLE) / LEN(string_split(text, ' '))) * 0.4))
+        | + ((1.0 - CAST(LENGTH(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE) / LENGTH(text)) * 0.2) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_token_freq" ->
+      """SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY token""".stripMargin,
+    "q_lang_stats" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |AVG(n_chars) AS avg_chars, CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, CAST(COUNT(*) AS BIGINT) AS cnt, MIN(doc_id) AS keep_id
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_multimodal" ->
+      """SELECT doc_id, CAST(LENGTH(text) AS INTEGER) AS byte_len,
+        |CAST(CASE WHEN LENGTH(text) >= 64 THEN (LENGTH(text) - 64) // 32 + 1 ELSE 0 END AS INTEGER) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_events_daily" ->
+      """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |MIN(value) AS min_value, MAX(value) AS max_value,
+        |CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
 }

@@ -25,43 +25,80 @@ import org.apache.spark.sql.types._
  * All run as partial → shuffle → final, so they scale out like any Spark
  * aggregate (map-side combine keeps shuffle volume at O(groups), not O(rows)).
  */
-case class CellMeanAggregate(child: Expression) extends DeclarativeAggregate
-    with UnaryLike[Expression] {
+case class CellMeanAggregate(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Double]] with UnaryLike[Expression] {
   override def prettyName: String = "rf_agg_mean"
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
-
-  private lazy val sum = AttributeReference("sum", DoubleType, nullable = false)()
-  private lazy val count = AttributeReference("count", LongType, nullable = false)()
-  override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(sum, count)
-  override lazy val initialValues: Seq[Expression] = Seq(Literal(0.0), Literal(0L))
-  override lazy val updateExpressions: Seq[Expression] = Seq(
-    If(IsNull(child), sum, Add(sum, TileSum(child))),
-    If(IsNull(child), count, Add(count, DataCells(child))))
-  override lazy val mergeExpressions: Seq[Expression] = Seq(
-    Add(sum.left, sum.right),
-    Add(count.left, count.right))
-  override lazy val evaluateExpression: Expression =
-    If(EqualTo(count, Literal(0L)),
-      Literal(null, DoubleType),
-      Divide(sum, Cast(count, DoubleType)))
-  override protected def withNewChildInternal(c: Expression) = copy(c)
+  @transient private lazy val ext = tileExtractor(child.dataType)
+  // buf = (sum, count)
+  override def createAggregationBuffer(): Array[Double] = Array(0.0, 0.0)
+  override def update(buf: Array[Double], input: InternalRow): Array[Double] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val t = ext(v)
+      var s = 0.0; var c = 0L
+      var i = 0; val n = t.size
+      while (i < n) {
+        val d = t.getDouble(i)
+        if (NoData.isData(d)) { s += d; c += 1 }
+        i += 1
+      }
+      buf(0) += s; buf(1) += c
+    }
+    buf
+  }
+  override def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+    a(0) += b(0); a(1) += b(1); a
+  }
+  override def eval(b: Array[Double]): Any =
+    if (b(1) == 0.0) null else b(0) / b(1).toLong
+  override def serialize(b: Array[Double]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putDouble(b(0)).putDouble(b(1)); bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): Array[Double] = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    Array(bb.getDouble, bb.getDouble)
+  }
+  override def withNewMutableAggBufferOffset(o: Int) = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int) = copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
 /** rf_agg_data_cells / rf_agg_no_data_cells (reference: CellCountAggregate.scala:38-101). */
-case class CellCountAggregate(child: Expression, countData: Boolean)
-    extends DeclarativeAggregate with UnaryLike[Expression] {
+case class CellCountAggregate(
+    child: Expression,
+    countData: Boolean,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
   override def prettyName: String = if (countData) "rf_agg_data_cells" else "rf_agg_no_data_cells"
   override def dataType: DataType = LongType
   override def nullable: Boolean = false
-  private lazy val count = AttributeReference("count", LongType, nullable = false)()
-  override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(count)
-  override lazy val initialValues: Seq[Expression] = Seq(Literal(0L))
-  private def cells: Expression = if (countData) DataCells(child) else NoDataCells(child)
-  override lazy val updateExpressions: Seq[Expression] =
-    Seq(If(IsNull(child), count, Add(count, cells)))
-  override lazy val mergeExpressions: Seq[Expression] = Seq(Add(count.left, count.right))
-  override lazy val evaluateExpression: Expression = count
+  @transient private lazy val ext = tileExtractor(child.dataType)
+  override def createAggregationBuffer(): Array[Long] = Array(0L)
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val t = ext(v)
+      buf(0) += (if (countData) t.dataCells else t.noDataCells)
+    }
+    buf
+  }
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = { a(0) += b(0); a }
+  override def eval(b: Array[Long]): Any = b(0)
+  override def serialize(b: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putLong(b(0)); bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): Array[Long] =
+    Array(ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).getLong)
+  override def withNewMutableAggBufferOffset(o: Int) = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int) = copy(inputAggBufferOffset = o)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 

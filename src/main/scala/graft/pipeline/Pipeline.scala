@@ -1,0 +1,201 @@
+package graft.pipeline
+
+import graft.expressions.{asColumn, asExpr}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Training-data pipeline operators over DataFrames: text analysis,
+ * deduplication, similarity search. Everything here is a composition of
+ * built-in (codegen'd) functions plus the native expressions in
+ * [[graft.pipeline]] — no Scala UDFs — and every shape is
+ * partition-local or partial+final so it scales out: dedup joins are
+ * equi-joins on hash buckets (no cross joins except the explicitly
+ * "brute" baselines), and candidate generation is LSH-bounded.
+ */
+object TextFunctions {
+  def c(e: org.apache.spark.sql.catalyst.expressions.Expression): Column = asColumn(e)
+
+  def tokens(text: Column): Column = split(text, " ")
+  def token_count(text: Column): Column = size(tokens(text))
+  def char_count(text: Column): Column = length(text)
+
+  /** Ratio of non [a-z ] characters — punctuation/digit density. */
+  def punct_ratio(text: Column): Column =
+    length(regexp_replace(text, "[a-z ]", "")).cast("double") / length(text)
+
+  /** Fraction of tokens in the stopword list. */
+  def stopword_ratio(text: Column, stopwords: Seq[String]): Column = {
+    val toks = tokens(text)
+    size(array_intersect_count(toks, stopwords)).cast("double") / size(toks)
+  }
+  private def array_intersect_count(toks: Column, words: Seq[String]): Column =
+    filter(toks, t => t.isin(words.map(lit(_).cast("string")): _*))
+
+  /** Distinct-token / token ratio — low values indicate repetitive filler. */
+  def distinct_ratio(text: Column): Column =
+    size(array_distinct(tokens(text))).cast("double") / size(tokens(text))
+
+  /** Composite quality score in [0,1]: favors mid-length docs, lexical
+    * diversity, low punctuation noise. Deterministic, fixed op order. */
+  def quality_score(text: Column): Column = {
+    val nTok = token_count(text).cast("double")
+    val lenScore = least(nTok / lit(64.0), lit(1.0))
+    val diversity = distinct_ratio(text)
+    val punct = punct_ratio(text)
+    (lenScore * lit(0.4)) + (diversity * lit(0.4)) + ((lit(1.0) - punct) * lit(0.2))
+  }
+
+  /** 64-bit rolling-hash document fingerprint. */
+  def fingerprint(text: Column): Column = c(Fingerprint64(asExpr(text)))
+
+  /** Stopword-profile language ID over a fixed profile table. Returns the
+    * best-scoring language code ("und" when nothing matches). N-gram
+    * heuristic: score = hits of language-characteristic tokens. */
+  val langProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los"),
+    "de" -> Seq("der", "die", "und", "das", "nicht", "ist", "ein", "zu"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "une", "est"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我"))
+  def language_id(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = langProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(size(filter(toks, t => t.isin(words.map(lit(_)): _*))).as("score"), lit(lang).as("lang"))
+    }
+    val best = greatest(scores: _*)
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  def minhash(text: Column, numHashes: Int = 32, shingle: Int = 3): Column =
+    c(MinHashSignature(asExpr(tokens(text)), numHashes, shingle))
+  def simhash(text: Column): Column = c(SimHash64(asExpr(tokens(text))))
+}
+
+object Dedup {
+  import TextFunctions.c
+
+  /** Exact duplicate groups by content hash: (hash, cnt, keep_id). */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(count(lit(1)).as("cnt"), min(col(idCol)).as("keep_id"))
+
+  /**
+   * MinHash-LSH near-duplicate candidate pairs.
+   * signature → `bands` bands of `numHashes/bands` rows → equi-join on
+   * (band_idx, band_hash) — a shuffle hash join on bounded buckets, the
+   * standard scale-out shape (no O(n²) compare).
+   * Returns (a_id, b_id, est_jaccard) with a_id < b_id, est_jaccard =
+   * fraction of matching signature positions.
+   */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.5): DataFrame = {
+    val rows = numHashes / bands
+    val sigs = df.select(col(idCol).as("id"),
+      TextFunctions.minhash(col(textCol), numHashes).as("sig"))
+    val banded = sigs.select(col("id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b))).as(Seq("band_idx", "band_hash")))
+    val a = banded.select(col("id").as("a_id"), col("sig").as("a_sig"),
+      col("band_idx"), col("band_hash"))
+    val b = banded.select(col("id").as("b_id"), col("sig").as("b_sig"),
+      col("band_idx"), col("band_hash"))
+    a.join(b, Seq("band_idx", "band_hash"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (size(filter(zip_with(col("a_sig"), col("b_sig"), (x, y) => x === y), x => x))
+          .cast("double") / lit(numHashes.toDouble)).as("est_jaccard"))
+      .distinct()
+      .where(col("est_jaccard") >= threshold)
+  }
+
+  /** SimHash near-dup candidates: 64-bit simhash, blocked on 16-bit
+    * chunks (Hamming ≤ 3 ⇒ some chunk matches exactly — pigeonhole). */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"), TextFunctions.simhash(col(textCol)).as("sh"))
+    val chunkArr = array((0 until 4).map(i =>
+      shiftrightunsigned(col("sh"), i * 16).bitwiseAND(lit(0xffffL))): _*)
+    val chunked = sigs.select(col("id"), col("sh"),
+      posexplode(chunkArr).as(Seq("chunk_idx", "chunk")))
+    val a = chunked.select(col("id").as("a_id"), col("sh").as("a_sh"), col("chunk_idx"), col("chunk"))
+    val b = chunked.select(col("id").as("b_id"), col("sh").as("b_sh"), col("chunk_idx"), col("chunk"))
+    a.join(b, Seq("chunk_idx", "chunk"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_sh").bitwiseXOR(col("b_sh"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard similarity for pairs within a blocking key
+    * (e.g. source). intersection/union are integer counts → the division
+    * is a single exact IEEE op. */
+  def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
+      blockCol: String, n: Int = 3, threshold: Double = 0.1): DataFrame = {
+    val grams = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
+      array_distinct(transform(
+        sequence(lit(0), greatest(size(TextFunctions.tokens(col(textCol))) - n, lit(0))),
+        i => concat_ws(" ", slice(TextFunctions.tokens(col(textCol)), i + lit(1), lit(n))))).as("grams"))
+    val a = grams.select(col("blk"), col("id").as("a_id"), col("grams").as("a_g"))
+    val b = grams.select(col("blk"), col("id").as("b_id"), col("grams").as("b_g"))
+    a.join(b, Seq("blk"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("blk"), col("a_id"), col("b_id"),
+        (size(array_intersect(col("a_g"), col("b_g"))).cast("double") /
+          size(array_union(col("a_g"), col("b_g"))).cast("double")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+}
+
+object Similarity {
+  import TextFunctions.c
+
+  def cosine(a: Column, b: Column): Column = c(CosineSimilarity(asExpr(a), asExpr(b)))
+  def dot(a: Column, b: Column): Column = c(VectorDot(asExpr(a), asExpr(b)))
+
+  /**
+   * Brute-force cosine top-k (the exact baseline): broadcast the right
+   * side, nested-loop join, per-query window top-k. O(n²·d) — correct at
+   * any scale where one side broadcasts; the LSH variant below is the
+   * 100 TB path.
+   */
+  def bruteTopK(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val a = df.select(col(idCol).as("query_id"), col(vecCol).as("a_vec"))
+    val b = df.select(col(idCol).as("neighbor_id"), col(vecCol).as("b_vec"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    a.crossJoin(broadcast(b))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("a_vec"), col("b_vec")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /**
+   * LSH-bucketed approximate top-k: `tables` independent random-
+   * hyperplane signatures; candidates = vectors sharing a bucket in any
+   * table; refine exactly within candidates. Equi-join on (table,
+   * bucket) — shuffle-bounded, no broadcast of the full corpus.
+   */
+  def lshTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      dim: Int = 64, planes: Int = 12, tables: Int = 4): DataFrame = {
+    val withBuckets = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      array((0 until tables).map(t =>
+        c(HyperplaneBucket(asExpr(col(vecCol)), dim, planes, 0x5eed0000L + t))): _*).as("buckets"))
+    val exploded = withBuckets.select(col("id"), col("vec"),
+      posexplode(col("buckets")).as(Seq("table_idx", "bucket")))
+    val a = exploded.select(col("id").as("query_id"), col("vec").as("a_vec"),
+      col("table_idx"), col("bucket"))
+    val b = exploded.select(col("id").as("neighbor_id"), col("vec").as("b_vec"),
+      col("table_idx"), col("bucket"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    a.join(b, Seq("table_idx", "bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("a_vec"), col("b_vec"))
+      .distinct()
+      .select(col("query_id"), col("neighbor_id"), cosine(col("a_vec"), col("b_vec")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+}

@@ -1,0 +1,212 @@
+package graft.pipeline
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Catalyst expressions for the training-data pipeline operators
+ * (dedup / similarity / fingerprinting). These are the hot loops — a
+ * native expression avoids per-element boxing that `zip_with` +
+ * `aggregate` HOFs would pay on 64-dim embeddings and 32-perm
+ * signatures at 100 TB scale.
+ */
+object Hashing {
+  /** splitmix64 finalizer — stable across JVMs. */
+  @inline def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+  /** FNV-1a 64 over UTF-8 bytes, then mixed. */
+  def hashBytes(b: Array[Byte], seed: Long): Long = {
+    var h = 0xcbf29ce484222325L ^ seed
+    var i = 0
+    while (i < b.length) { h = (h ^ (b(i) & 0xffL)) * 0x100000001b3L; i += 1 }
+    mix64(h)
+  }
+  def hashString(s: UTF8String, seed: Long): Long = hashBytes(s.getBytes, seed)
+}
+
+/** Dot product of two float/double arrays, accumulated in double, index order. */
+case class VectorDot(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def prettyName: String = "vec_dot"
+  override def dataType: DataType = DoubleType
+  @transient private lazy val lt = left.dataType.asInstanceOf[ArrayType].elementType
+  @transient private lazy val rt = right.dataType.asInstanceOf[ArrayType].elementType
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName expects array<float|double> args")
+  }
+  @inline private def get(a: ArrayData, et: DataType, i: Int): Double = et match {
+    case FloatType => a.getFloat(i).toDouble
+    case _ => a.getDouble(i)
+  }
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += get(a, lt, i) * get(b, rt, i); i += 1 }
+    s
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** Cosine similarity of two vectors (0 when either norm is 0). */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def prettyName: String = "vec_cosine"
+  override def dataType: DataType = DoubleType
+  @transient private lazy val lt = left.dataType.asInstanceOf[ArrayType].elementType
+  @transient private lazy val rt = right.dataType.asInstanceOf[ArrayType].elementType
+  @inline private def get(a: ArrayData, et: DataType, i: Int): Double = et match {
+    case FloatType => a.getFloat(i).toDouble
+    case _ => a.getDouble(i)
+  }
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = get(a, lt, i); val y = get(b, rt, i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/**
+ * MinHash signature over word-shingles of a token array:
+ * tokens → k-shingles → numHashes minimums of seeded 64-bit hashes.
+ * (Shingle→minhash→band→bucket-join is assembled in [[Dedup]].)
+ */
+case class MinHashSignature(child: Expression, numHashes: Int, shingleSize: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "minhash_signature"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName expects array<string>")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    if (n >= shingleSize) {
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i <= n - shingleSize) {
+        sb.setLength(0)
+        var j = 0
+        while (j < shingleSize) {
+          if (j > 0) sb.append(' ')
+          sb.append(arr.getUTF8String(i + j).toString)
+          j += 1
+        }
+        val base = Hashing.hashBytes(sb.toString.getBytes("UTF-8"), 0L)
+        var k = 0
+        while (k < numHashes) {
+          val h = Hashing.mix64(base ^ (k * 0x9e3779b97f4a7c15L))
+          if (h < sig(k)) sig(k) = h
+          k += 1
+        }
+        i += 1
+      }
+    }
+    new GenericArrayData(sig)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** 64-bit SimHash over a token array (token-frequency weighted). */
+case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "simhash64"
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val acc = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = Hashing.hashString(arr.getUTF8String(i), 7L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Polynomial rolling-hash fingerprint of a string's UTF-8 bytes (base 1000003). */
+case class Fingerprint64(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "fingerprint64"
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[UTF8String].getBytes
+    var h = 0L
+    var i = 0
+    while (i < b.length) { h = h * 1000003L + (b(i) & 0xffL); i += 1 }
+    Hashing.mix64(h)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/**
+ * Random-hyperplane LSH signature for cosine similarity: `planes`
+ * pseudo-random (seeded, deterministic) hyperplanes per table; returns
+ * the sign-bit bucket as an int. Plane components are generated on the
+ * driver once and ship with the expression.
+ */
+case class HyperplaneBucket(child: Expression, dim: Int, planes: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "lsh_bucket"
+  override def dataType: DataType = IntegerType
+  @transient private lazy val et = child.dataType.asInstanceOf[ArrayType].elementType
+  @transient private lazy val mat: Array[Array[Double]] =
+    Array.tabulate(planes, dim) { (p, d) =>
+      // deterministic N(0,1)-ish via pairs of uniform mixes (Box-Muller not needed; sign test only)
+      val u = Hashing.mix64(seed ^ (p * 1048583L + d))
+      (u.toDouble / Long.MaxValue.toDouble)
+    }
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), dim)
+    var bucket = 0
+    var p = 0
+    while (p < planes) {
+      var s = 0.0
+      val row = mat(p)
+      var i = 0
+      while (i < n) {
+        val x = et match {
+          case FloatType => a.getFloat(i).toDouble
+          case _ => a.getDouble(i)
+        }
+        s += x * row(i)
+        i += 1
+      }
+      if (s >= 0) bucket |= (1 << p)
+      p += 1
+    }
+    bucket
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
