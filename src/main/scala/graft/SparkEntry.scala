@@ -432,6 +432,21 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, CAST(COUNT(*) AS BIGINT) AS cnt, MIN(doc_id) AS keep_id
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_ngram_jaccard" ->
+      """WITH toks AS (SELECT source AS blk, doc_id AS id, string_split(text, ' ') AS t FROM documents),
+        |grams AS (SELECT DISTINCT blk, id,
+        |          unnest([array_to_string(t[i:i+2], ' ') FOR i IN range(1, GREATEST(LEN(t) - 1, 2))]) AS gram
+        |          FROM toks),
+        |sizes AS (SELECT blk, id, CAST(COUNT(*) AS DOUBLE) AS sz FROM grams GROUP BY blk, id),
+        |common AS (SELECT a.blk AS blk, a.id AS a_id, b.id AS b_id, CAST(COUNT(*) AS DOUBLE) AS c
+        |           FROM grams a JOIN grams b ON a.blk = b.blk AND a.gram = b.gram AND a.id < b.id
+        |           GROUP BY a.blk, a.id, b.id)
+        |SELECT common.blk AS blk, a_id, b_id, c / (sa.sz + sb.sz - c) AS jaccard
+        |FROM common
+        |JOIN sizes sa ON sa.blk = common.blk AND sa.id = common.a_id
+        |JOIN sizes sb ON sb.blk = common.blk AND sb.id = common.b_id
+        |WHERE c / (sa.sz + sb.sz - c) >= 0.05
+        |ORDER BY blk, a_id, b_id""".stripMargin,
     "q_multimodal" ->
       """SELECT doc_id, CAST(LENGTH(text) AS INTEGER) AS byte_len,
         |CAST(CASE WHEN LENGTH(text) >= 64 THEN (LENGTH(text) - 64) // 32 + 1 ELSE 0 END AS INTEGER) AS n_frames

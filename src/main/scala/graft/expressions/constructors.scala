@@ -159,6 +159,38 @@ case class GetDimensions(child: Expression) extends UnaryExpression with Codegen
   override protected def withNewChildInternal(c: Expression) = copy(c)
 }
 
+/** Deterministic pseudo-random tile from a seed — the analog of the
+  * reference's test/bench `randomTile` (TestData.scala), as an expression
+  * so benches and tests can generate tile corpora distributed, without
+  * shipping data. Values span the cell type's data range. */
+case class SyntheticTile(child: Expression, cols: Int, rows: Int, cellTypeName: String)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "rf_synthetic_tile"
+  override def dataType: DataType = TileUDT.instance
+  @transient private lazy val ct = CellType.fromName(cellTypeName)
+  override def nullSafeEval(seed: Any): Any = {
+    val s = seed.asInstanceOf[Number].longValue()
+    val t = Tile.empty(ct, cols, rows)
+    val n = t.size
+    val (lo, hi) = ct.base match {
+      case CellBase.Bit => (0.0, 1.0)
+      case CellBase.Float32 | CellBase.Float64 => (0.0, 1000.0)
+      case b => (math.max(b.minValue, 0.0), math.min(b.maxValue, 10000.0))
+    }
+    var i = 0
+    while (i < n) {
+      val u = (graft.pipeline.Hashing.mix64(s * 0x9e3779b97f4a7c15L + i) >>> 11).toDouble / (1L << 53).toDouble
+      var v = lo + u * (hi - lo)
+      if (!ct.isFloating) v = math.rint(v)
+      if (ct.isNoData(v)) v = v + 1
+      t.setDouble(i, v)
+      i += 1
+    }
+    tileResult(t)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Identity realization (lazy tiles arrive in a later milestone; reference: accessors/RealizeTile.scala). */
 case class RealizeTile(child: Expression) extends UnaryExpression with CodegenFallback {
   override def prettyName: String = "rf_tile"

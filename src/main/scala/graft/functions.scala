@@ -32,6 +32,8 @@ object functions {
   def rf_interpret_cell_type_as(t: Column, ct: String): Column = c(InterpretAs(e(t), Literal(ct)))
   def rf_with_no_data(t: Column, nd: Double): Column = c(SetNoDataValue(e(t), Literal(nd)))
   def rf_tile(t: Column): Column = c(RealizeTile(e(t)))
+  def rf_synthetic_tile(seed: Column, cols: Int, rows: Int, cellType: String): Column =
+    c(SyntheticTile(e(seed), cols, rows, cellType))
 
   // accessors
   def rf_cell_type(t: Column): Column = c(GetCellType(e(t)))

@@ -130,21 +130,27 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard similarity for pairs within a blocking key
-    * (e.g. source). intersection/union are integer counts → the division
-    * is a single exact IEEE op. */
+    * (e.g. source), computed by EQUI-JOINING on grams — the scale-out
+    * shape: |intersection| falls out of a (block, gram) hash join +
+    * count, never a per-pair array comparison; |union| = |A|+|B|−|∩|.
+    * Counts are integers → the final division is one exact IEEE op. */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
       blockCol: String, n: Int = 3, threshold: Double = 0.1): DataFrame = {
     val grams = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
-      array_distinct(transform(
+      explode(array_distinct(transform(
         sequence(lit(0), greatest(size(TextFunctions.tokens(col(textCol))) - n, lit(0))),
-        i => concat_ws(" ", slice(TextFunctions.tokens(col(textCol)), i + lit(1), lit(n))))).as("grams"))
-    val a = grams.select(col("blk"), col("id").as("a_id"), col("grams").as("a_g"))
-    val b = grams.select(col("blk"), col("id").as("b_id"), col("grams").as("b_g"))
-    a.join(b, Seq("blk"))
+        i => concat_ws(" ", slice(TextFunctions.tokens(col(textCol)), i + lit(1), lit(n))))))
+        .as("gram"))
+    val sizes = grams.groupBy("blk", "id").agg(count(lit(1)).cast("double").as("sz"))
+    val common = grams.select(col("blk"), col("id").as("a_id"), col("gram"))
+      .join(grams.select(col("blk"), col("id").as("b_id"), col("gram")), Seq("blk", "gram"))
       .where(col("a_id") < col("b_id"))
+      .groupBy("blk", "a_id", "b_id").agg(count(lit(1)).cast("double").as("c"))
+    common
+      .join(sizes.select(col("blk"), col("id").as("a_id"), col("sz").as("sa")), Seq("blk", "a_id"))
+      .join(sizes.select(col("blk"), col("id").as("b_id"), col("sz").as("sb")), Seq("blk", "b_id"))
       .select(col("blk"), col("a_id"), col("b_id"),
-        (size(array_intersect(col("a_g"), col("b_g"))).cast("double") /
-          size(array_union(col("a_g"), col("b_g"))).cast("double")).as("jaccard"))
+        (col("c") / (col("sa") + col("sb") - col("c"))).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 }
