@@ -294,6 +294,72 @@ object SparkEntry {
         .select(col("doc_id"), col("img.width").as("width"), col("img.height").as("height"),
           col("img.channels").as("channels"), col("hist"))
         .orderBy("doc_id")),
+    // ---- spatial ----
+    "q_st_predicates" -> ((s, dir) => {
+      val p = t(s, dir, "lineitem")
+        .select(col("l_quantity").as("q"), col("l_linenumber").cast("double").as("lnv"))
+        .distinct()
+      val a = st_geometry(struct(col("q").as("xmin"), col("lnv").as("ymin"),
+        (col("q") + lit(3.0)).as("xmax"), (col("lnv") + lit(2.0)).as("ymax")))
+      val b = st_geomFromWKT(lit("POLYGON ((25 3, 35 3, 35 5, 25 5, 25 3))"))
+      p.select(col("q"), col("lnv"),
+        st_intersects(a, b).as("r_intersects"),
+        st_contains(a, b).as("r_contains"),
+        st_within(a, b).as("r_within"),
+        st_disjoint(a, b).as("r_disjoint"))
+        .orderBy("q", "lnv")
+    }),
+    "q_st_accessors" -> ((s, dir) => {
+      val p = t(s, dir, "lineitem")
+        .select(col("l_quantity").as("q"), col("l_linenumber").cast("double").as("lnv"))
+        .distinct()
+      val a = st_geometry(struct(col("q").as("xmin"), col("lnv").as("ymin"),
+        (col("q") + lit(3.0)).as("xmax"), (col("lnv") + lit(2.0)).as("ymax")))
+      p.select(col("q"), col("lnv"),
+        st_area(a).as("area"),
+        st_x(st_centroid(a)).as("cx"), st_y(st_centroid(a)).as("cy"),
+        st_x(st_makePoint(col("q"), col("lnv"))).as("px"),
+        st_y(st_makePoint(col("q"), col("lnv"))).as("py"))
+        .orderBy("q", "lnv")
+    }),
+    "q_rasterize" -> ((s, dir) => {
+      val p = t(s, dir, "lineitem")
+        .select(col("l_quantity").as("q"), col("l_linenumber").cast("double").as("lnv"))
+        .distinct()
+      val tcol = rf_rasterize(
+        st_geometry(struct(col("q").as("xmin"), col("lnv").as("ymin"),
+          (col("q") + lit(3.0)).as("xmax"), (col("lnv") + lit(2.0)).as("ymax"))),
+        st_geometry(struct(lit(0.0).as("xmin"), lit(0.0).as("ymin"),
+          lit(64.0).as("xmax"), lit(16.0).as("ymax"))),
+        col("q"), 64, 16)
+      p.select(col("q"), col("lnv"),
+        rf_data_cells(tcol).as("dc"), rf_tile_sum(tcol).as("s"))
+        .orderBy("q", "lnv")
+    }),
+    "q_sfc_index" -> ((s, dir) => {
+      val p = t(s, dir, "lineitem")
+        .select((col("l_quantity") / 2.0).as("x"), col("l_linenumber").cast("double").as("y"))
+        .distinct()
+      p.select(col("x"), col("y"),
+        rf_z2_index(st_makePoint(col("x"), col("y")), lit("epsg:4326")).as("z2"),
+        rf_xz2_index(st_buffer(st_makePoint(col("x"), col("y")), lit(0.5)), lit("epsg:4326")).as("xz2"))
+        .orderBy("x", "y")
+    }),
+    "q_raster_join" -> ((s, dir) => {
+      val base = tiled(s, dir).where(col("l_orderkey") % 50 === 0)
+        .select(col("l_orderkey"), col("t_qty").as("tile"),
+          struct((col("l_orderkey") % 1000 * 2).cast("double").as("xmin"),
+            expr("(l_orderkey div 1000) * 2").cast("double").as("ymin"),
+            (col("l_orderkey") % 1000 * 2 + 1).cast("double").as("xmax"),
+            expr("(l_orderkey div 1000) * 2 + 1").cast("double").as("ymax")).as("extent"),
+          lit("epsg:4326").as("crs"))
+      RasterJoin(base,
+        base.select(col("tile").as("r_tile"), col("extent").as("r_extent"), col("crs").as("r_crs")),
+        col("extent"), col("crs"), col("tile"),
+        col("r_extent"), col("r_crs"), col("r_tile"))
+        .select(col("l_orderkey"), rf_tile_sum(col("right_tile")).as("s"))
+        .orderBy("l_orderkey")
+    }),
     // ---- events (temporal keys) ----
     // events.ts is parquet TIMESTAMP(NANOS): read as long nanos, convert.
     "q_events_daily" -> ((s, dir) => {
@@ -451,6 +517,25 @@ object SparkEntry {
       """SELECT doc_id, CAST(LENGTH(text) AS INTEGER) AS byte_len,
         |CAST(CASE WHEN LENGTH(text) >= 64 THEN (LENGTH(text) - 64) // 32 + 1 ELSE 0 END AS INTEGER) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_st_predicates" ->
+      """WITH p AS (SELECT DISTINCT CAST(l_quantity AS DOUBLE) AS q, CAST(l_linenumber AS DOUBLE) AS lnv FROM lineitem)
+        |SELECT q, lnv,
+        |(q <= 35.0 AND q + 3.0 >= 25.0 AND lnv <= 5.0 AND lnv + 2.0 >= 3.0) AS r_intersects,
+        |(q <= 25.0 AND q + 3.0 >= 35.0 AND lnv <= 3.0 AND lnv + 2.0 >= 5.0) AS r_contains,
+        |(q >= 25.0 AND q + 3.0 <= 35.0 AND lnv >= 3.0 AND lnv + 2.0 <= 5.0) AS r_within,
+        |NOT (q <= 35.0 AND q + 3.0 >= 25.0 AND lnv <= 5.0 AND lnv + 2.0 >= 3.0) AS r_disjoint
+        |FROM p ORDER BY q, lnv""".stripMargin,
+    "q_st_accessors" ->
+      """WITH p AS (SELECT DISTINCT CAST(l_quantity AS DOUBLE) AS q, CAST(l_linenumber AS DOUBLE) AS lnv FROM lineitem)
+        |SELECT q, lnv, 6.0 AS area, q + 1.5 AS cx, lnv + 1.0 AS cy, q AS px, lnv AS py
+        |FROM p ORDER BY q, lnv""".stripMargin,
+    "q_rasterize" ->
+      """WITH p AS (SELECT DISTINCT CAST(l_quantity AS DOUBLE) AS q, CAST(l_linenumber AS DOUBLE) AS lnv FROM lineitem)
+        |SELECT q, lnv, CAST(6 AS BIGINT) AS dc, 6.0 * q AS s
+        |FROM p ORDER BY q, lnv""".stripMargin,
+    "q_raster_join" ->
+      """SELECT l_orderkey, SUM(l_quantity) AS s FROM lineitem
+        |WHERE l_orderkey % 50 = 0 GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
     "q_events_daily" ->
       """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |MIN(value) AS min_value, MAX(value) AS max_value,

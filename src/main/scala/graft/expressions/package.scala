@@ -20,13 +20,17 @@ package object expressions {
   def asColumn(e: Expression): Column = org.apache.spark.sql.graft.shims.column(e)
   def asExpr(c: Column): Expression = org.apache.spark.sql.graft.shims.expression(c)
 
-  /** Can this child be interpreted as a tile? */
-  def isTileType(dt: DataType): Boolean = TileUDT.isTileType(dt)
+  /** Can this child be interpreted as a tile? (TileUDT, its bare struct,
+    * or a proj_raster struct — the DynamicExtractors discipline.) */
+  def isTileType(dt: DataType): Boolean =
+    TileUDT.isTileType(dt) || ProjRaster.isProjRasterType(dt)
 
   /** Extraction function for a tile-shaped child. */
   def tileExtractor(dt: DataType): Any => Tile = dt match {
     case dt if TileUDT.isTileType(dt) =>
       (a: Any) => TileUDT.decode(a.asInstanceOf[InternalRow])
+    case dt if ProjRaster.isProjRasterType(dt) =>
+      (a: Any) => ProjRaster.tileOf(a.asInstanceOf[InternalRow])
     case other =>
       throw new IllegalArgumentException(s"Expected tile argument, got: ${other.simpleString(10)}")
   }

@@ -1,0 +1,337 @@
+package graft.expressions
+
+import graft.core.{CellType, Extent, NoData, Tile}
+import graft.core.crs.CRS
+import graft.udt.{GeometryUDT, TileUDT}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.locationtech.jts.geom.{Coordinate, Geometry, GeometryFactory}
+import org.locationtech.jts.geom.prep.PreparedGeometryFactory
+
+/**
+ * Vector/spatial expressions: the st_* library the reference inherits
+ * from GeoMesa spark-jts plus its own additions
+ * (/root/reference/core/src/main/scala/org/locationtech/rasterframes/expressions/SpatialRelation.scala:42-132,
+ * transformers/ReprojectGeometry.scala, transformers/XZ2Indexer.scala,
+ * Z2Indexer.scala, ExtentToGeometry.scala, GeometryToExtent.scala) —
+ * re-implemented over JTS 1.20 (on classpath) and graft's CRS core.
+ */
+object SpatialSupport {
+  val extentSchema: StructType = StructType(Seq(
+    StructField("xmin", DoubleType, nullable = false),
+    StructField("ymin", DoubleType, nullable = false),
+    StructField("xmax", DoubleType, nullable = false),
+    StructField("ymax", DoubleType, nullable = false)))
+
+  val geomFactory = new GeometryFactory()
+
+  def isExtentType(dt: DataType): Boolean = dt match {
+    case st: StructType =>
+      st.fieldNames.length == 4 && st.fieldNames.sameElements(extentSchema.fieldNames)
+    case _ => false
+  }
+
+  /** Accept geometry UDT / WKB binary / extent struct as a geometry (the
+    * DynamicExtractors discipline, SURVEY.md §1.3). */
+  def geomExtractor(dt: DataType): Any => Geometry = dt match {
+    case _: GeometryUDT => { case b: Array[Byte] => GeometryUDT.read(b) }
+    case BinaryType => { case b: Array[Byte] => GeometryUDT.read(b) }
+    case st: StructType if isExtentType(st) => { case r: InternalRow =>
+      Extent(r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)).toJts
+    }
+    case other => throw new IllegalArgumentException(
+      s"Expected geometry or extent argument, got ${other.simpleString(10)}")
+  }
+
+  def isGeomLike(dt: DataType): Boolean = dt match {
+    case _: GeometryUDT | BinaryType => true
+    case st: StructType => isExtentType(st)
+    case _ => false
+  }
+
+  def extentRow(e: org.locationtech.jts.geom.Envelope): InternalRow =
+    InternalRow(e.getMinX, e.getMinY, e.getMaxX, e.getMaxY)
+
+  def serialize(g: Geometry): Array[Byte] = GeometryUDT.write(g)
+}
+
+import SpatialSupport._
+
+abstract class GeomUnaryOp extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isGeomLike(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects a geometry argument")
+  @transient protected lazy val geom: Any => Geometry = geomExtractor(child.dataType)
+}
+
+case class GeomFromWKT(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "st_geomfromwkt"
+  override def dataType: DataType = GeometryUDT.instance
+  @transient private lazy val reader =
+    new org.locationtech.jts.io.WKTReader(geomFactory)
+  override def nullSafeEval(input: Any): Any =
+    serialize(reader.read(input.toString))
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+case class GeomAsWKT(child: Expression) extends GeomUnaryOp {
+  override def prettyName: String = "st_astext"
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(geom(input).toText)
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+case class MakePoint(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def prettyName: String = "st_makepoint"
+  override def dataType: DataType = GeometryUDT.instance
+  @transient private lazy val xe = doubleExtractor(left.dataType)
+  @transient private lazy val ye = doubleExtractor(right.dataType)
+  override def nullSafeEval(x: Any, y: Any): Any =
+    serialize(geomFactory.createPoint(new Coordinate(xe(x), ye(y))))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+case class GeomCentroid(child: Expression) extends GeomUnaryOp {
+  override def prettyName: String = "st_centroid"
+  override def dataType: DataType = GeometryUDT.instance
+  override def nullSafeEval(input: Any): Any = serialize(geom(input).getCentroid)
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+case class GeomArea(child: Expression) extends GeomUnaryOp {
+  override def prettyName: String = "st_area"
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(input: Any): Any = geom(input).getArea
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+case class GeomLength(child: Expression) extends GeomUnaryOp {
+  override def prettyName: String = "st_length"
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(input: Any): Any = geom(input).getLength
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+case class GeomX(child: Expression) extends GeomUnaryOp {
+  override def prettyName: String = "st_x"
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(input: Any): Any = geom(input).getCoordinate.x
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+case class GeomY(child: Expression) extends GeomUnaryOp {
+  override def prettyName: String = "st_y"
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(input: Any): Any = geom(input).getCoordinate.y
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+case class GeomBuffer(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def prettyName: String = "st_buffer"
+  override def dataType: DataType = GeometryUDT.instance
+  @transient private lazy val ge = geomExtractor(left.dataType)
+  @transient private lazy val de = doubleExtractor(right.dataType)
+  override def nullSafeEval(g: Any, d: Any): Any = serialize(ge(g).buffer(de(d)))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** geometry/extent → extent struct (reference: transformers/GeometryToExtent.scala → st_extent). */
+case class GeometryToExtent(child: Expression) extends GeomUnaryOp {
+  override def prettyName: String = "st_extent"
+  override def dataType: DataType = extentSchema
+  override def nullSafeEval(input: Any): Any =
+    extentRow(geom(input).getEnvelopeInternal)
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** extent struct → polygon geometry (reference: transformers/ExtentToGeometry.scala → st_geometry). */
+case class ExtentToGeometry(child: Expression) extends GeomUnaryOp {
+  override def prettyName: String = "st_geometry"
+  override def dataType: DataType = GeometryUDT.instance
+  override def nullSafeEval(input: Any): Any = serialize(geom(input))
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** Coordinate-wise CRS transform (reference: transformers/ReprojectGeometry.scala → st_reproject). */
+case class ReprojectGeometry(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def prettyName: String = "st_reproject"
+  override def dataType: DataType = GeometryUDT.instance
+  @transient private lazy val ge = geomExtractor(first.dataType)
+  override def nullSafeEval(g: Any, src: Any, dst: Any): Any =
+    serialize(CRS.transformGeometry(ge(g), CRS(src.toString), CRS(dst.toString)))
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
+    copy(a, b, c)
+}
+
+/** Binary spatial predicates; both sides may be geometry or extent
+  * (reference: expressions/SpatialRelation.scala:42-132). */
+case class SpatialRelation(left: Expression, right: Expression, op: String)
+    extends BinaryExpression with CodegenFallback {
+  override def prettyName: String = s"st_${op.toLowerCase}"
+  override def dataType: DataType = BooleanType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isGeomLike(left.dataType) && isGeomLike(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects geometry/extent arguments")
+  @transient private lazy val le = geomExtractor(left.dataType)
+  @transient private lazy val re = geomExtractor(right.dataType)
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = le(l); val b = re(r)
+    op match {
+      case "Intersects" => a.intersects(b)
+      case "Contains" => a.contains(b)
+      case "Covers" => a.covers(b)
+      case "Crosses" => a.crosses(b)
+      case "Disjoint" => a.disjoint(b)
+      case "Overlaps" => a.overlaps(b)
+      case "Touches" => a.touches(b)
+      case "Within" => a.within(b)
+      case other => throw new IllegalArgumentException(s"Unknown relation $other")
+    }
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/**
+ * Z2 space-filling-curve index of a geometry's centroid: lon/lat scaled
+ * to `resolution` bits per dimension and bit-interleaved (public Morton
+ * order algorithm; role of the reference's transformers/Z2Indexer.scala).
+ */
+case class Z2Index(left: Expression, right: Expression, resolution: Int = 31)
+    extends BinaryExpression with CodegenFallback {
+  override def prettyName: String = "rf_z2_index"
+  override def dataType: DataType = LongType
+  @transient private lazy val ge = geomExtractor(left.dataType)
+  override def nullSafeEval(g: Any, crsStr: Any): Any = {
+    val c = ge(g).getCentroid
+    val crs = CRS(crsStr.toString)
+    val (lon, lat) = CRS.toLonLat(c.getX, c.getY, crs)
+    val nx = ((lon + 180.0) / 360.0 * ((1L << resolution) - 1)).toLong
+    val ny = ((lat + 90.0) / 180.0 * ((1L << resolution) - 1)).toLong
+    Z2Index.interleave(nx, ny, resolution)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+object Z2Index {
+  def interleave(x: Long, y: Long, bits: Int): Long = {
+    var out = 0L
+    var i = 0
+    while (i < bits && i < 31) {
+      out |= ((x >> i) & 1L) << (2 * i)
+      out |= ((y >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    out
+  }
+}
+
+/**
+ * XZ2 index for extended objects (extents): the XZ-ordering of Böhm,
+ * Klump & Kriegel — enlarged quadtree elements so a box maps to ONE
+ * cell (no duplication). Public algorithm, own implementation; role of
+ * the reference's transformers/XZ2Indexer.scala.
+ */
+case class XZ2Index(left: Expression, right: Expression, resolution: Int = 18)
+    extends BinaryExpression with CodegenFallback {
+  override def prettyName: String = "rf_xz2_index"
+  override def dataType: DataType = LongType
+  @transient private lazy val ge = geomExtractor(left.dataType)
+  override def nullSafeEval(g: Any, crsStr: Any): Any = {
+    val env = ge(g).getEnvelopeInternal
+    val crs = CRS(crsStr.toString)
+    val (lonMin, latMin) = CRS.toLonLat(env.getMinX, env.getMinY, crs)
+    val (lonMax, latMax) = CRS.toLonLat(env.getMaxX, env.getMaxY, crs)
+    // normalize to [0,1]²
+    val xmin = (lonMin + 180.0) / 360.0
+    val xmax = (lonMax + 180.0) / 360.0
+    val ymin = (latMin + 90.0) / 180.0
+    val ymax = (latMax + 90.0) / 180.0
+    XZ2Index.index(xmin, ymin, xmax, ymax, resolution)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+object XZ2Index {
+  /** Sequence code of the enlarged element covering the normalized box. */
+  def index(xmin: Double, ymin: Double, xmax: Double, ymax: Double, g: Int): Long = {
+    val maxDim = math.max(xmax - xmin, ymax - ymin)
+    // length l of the enlarged element: largest level whose doubled cell covers the box
+    val l1 =
+      if (maxDim <= 0) g
+      else math.floor(math.log(maxDim) / math.log(0.5)).toInt
+    val length =
+      if (l1 >= g) g
+      else {
+        val w2 = math.pow(0.5, l1 + 1)
+        def fits(min: Double, max: Double): Boolean =
+          math.floor(min / w2) * w2 + 2 * w2 >= max
+        if (fits(xmin, xmax) && fits(ymin, ymax)) math.min(l1 + 1, g) else math.min(l1, g)
+      }
+    // sequence code: interleaved quadtree walk to `length`
+    var cs = 0L
+    var xLo = 0.0; var yLo = 0.0
+    var i = 0
+    while (i < length) {
+      val cw = math.pow(0.5, i + 1)
+      val xBit = xmin >= xLo + cw
+      val yBit = ymin >= yLo + cw
+      val quad = (if (xBit) 1 else 0) + (if (yBit) 2 else 0)
+      // IC(i) = (4^(g-i) - 1) / 3  — size of a subtree at this level
+      val subtree = (math.pow(4, g - i).toLong - 1L) / 3L
+      cs += 1L + quad * subtree
+      if (xBit) xLo += cw
+      if (yBit) yLo += cw
+      i += 1
+    }
+    cs
+  }
+}
+
+/**
+ * Burn a geometry into a tile: cells whose centers are covered by the
+ * geometry get `value`, others NoData (reference: rf_rasterize UDF,
+ * functions/package.scala:162-169; ours uses a JTS prepared geometry
+ * and per-row center tests).
+ */
+case class Rasterize(children: Seq[Expression]) extends Expression with CodegenFallback {
+  override def prettyName: String = "rf_rasterize"
+  require(children.size == 5, "rf_rasterize(geom, boundsExtentOrGeom, value, cols, rows)")
+  override def dataType: DataType = TileUDT.instance
+  override def nullable: Boolean = true
+  @transient private lazy val ge = geomExtractor(children(0).dataType)
+  @transient private lazy val be = geomExtractor(children(1).dataType)
+  @transient private lazy val ve = doubleExtractor(children(2).dataType)
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.exists(_ == null)) return null
+    val g = ge(vs(0))
+    val bounds = Extent.fromJts(be(vs(1)))
+    val value = ve(vs(2))
+    val cols = vs(3).asInstanceOf[Number].intValue()
+    val rows = vs(4).asInstanceOf[Number].intValue()
+    val prep = PreparedGeometryFactory.prepare(g)
+    val re = graft.core.RasterExtent(bounds, cols, rows)
+    val t = Tile.empty(CellType.int32, cols, rows)
+    var r = 0
+    while (r < rows) {
+      val y = re.rowToY(r)
+      var c = 0
+      while (c < cols) {
+        val p = geomFactory.createPoint(new Coordinate(re.colToX(c), y))
+        if (prep.covers(p)) t.setDouble(r * cols + c, value)
+        c += 1
+      }
+      r += 1
+    }
+    tileResult(t)
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]) = copy(cs)
+}

@@ -145,6 +145,40 @@ object functions {
   def rf_agg_local_stats(t: Column): Column = agg(LocalStatsAggregate(e(t)))
   def rf_assemble_tile(colIdx: Column, rowIdx: Column, value: Column, cols: Int, rows: Int): Column =
     agg(TileAssembler(e(colIdx), e(rowIdx), e(value), Literal(cols), Literal(rows)))
+
+  // spatial / vector
+  def st_geomFromWKT(wkt: Column): Column = c(GeomFromWKT(e(wkt)))
+  def st_asText(g: Column): Column = c(GeomAsWKT(e(g)))
+  def st_makePoint(x: Column, y: Column): Column = c(MakePoint(e(x), e(y)))
+  def st_centroid(g: Column): Column = c(GeomCentroid(e(g)))
+  def st_area(g: Column): Column = c(GeomArea(e(g)))
+  def st_length(g: Column): Column = c(GeomLength(e(g)))
+  def st_x(g: Column): Column = c(GeomX(e(g)))
+  def st_y(g: Column): Column = c(GeomY(e(g)))
+  def st_buffer(g: Column, d: Column): Column = c(GeomBuffer(e(g), e(d)))
+  def st_extent(g: Column): Column = c(GeometryToExtent(e(g)))
+  def st_geometry(extent: Column): Column = c(ExtentToGeometry(e(extent)))
+  def st_reproject(g: Column, src: Column, dst: Column): Column =
+    c(ReprojectGeometry(e(g), e(src), e(dst)))
+  def st_intersects(a: Column, b: Column): Column = c(SpatialRelation(e(a), e(b), "Intersects"))
+  def st_contains(a: Column, b: Column): Column = c(SpatialRelation(e(a), e(b), "Contains"))
+  def st_covers(a: Column, b: Column): Column = c(SpatialRelation(e(a), e(b), "Covers"))
+  def st_crosses(a: Column, b: Column): Column = c(SpatialRelation(e(a), e(b), "Crosses"))
+  def st_disjoint(a: Column, b: Column): Column = c(SpatialRelation(e(a), e(b), "Disjoint"))
+  def st_overlaps(a: Column, b: Column): Column = c(SpatialRelation(e(a), e(b), "Overlaps"))
+  def st_touches(a: Column, b: Column): Column = c(SpatialRelation(e(a), e(b), "Touches"))
+  def st_within(a: Column, b: Column): Column = c(SpatialRelation(e(a), e(b), "Within"))
+  def rf_z2_index(g: Column, crs: Column): Column = c(Z2Index(e(g), e(crs)))
+  def rf_xz2_index(g: Column, crs: Column): Column = c(XZ2Index(e(g), e(crs)))
+  def rf_rasterize(geom: Column, bounds: Column, value: Column, cols: Int, rows: Int): Column =
+    c(Rasterize(Seq(e(geom), e(bounds), e(value), Literal(cols), Literal(rows))))
+
+  // proj_raster
+  def rf_proj_raster(tile: Column, extent: Column, crs: Column): Column =
+    c(CreateProjectedRaster(e(tile), e(extent), e(crs)))
+  def rf_extent(pr: Column): Column = c(GetExtent(e(pr)))
+  def rf_crs(pr: Column): Column = c(GetCRSExpr(e(pr)))
+  def rf_geometry(pr: Column): Column = c(GetGeometry(e(pr)))
 }
 
 /**
@@ -155,6 +189,7 @@ object functions {
 object Raster {
   def init(spark: SparkSession): SparkSession = {
     TileUDT.register()
+    graft.udt.GeometryUDT.register()
     val registry = org.apache.spark.sql.graft.shims.functionRegistry(spark)
 
     def reg1(name: String, f: Expression => Expression): Unit =
@@ -238,6 +273,29 @@ object Raster {
     reg1("rf_agg_local_no_data_cells", LocalCountAggregate(_, countData = false).toAggregateExpression())
     reg1("rf_agg_local_stats", LocalStatsAggregate(_).toAggregateExpression())
     regN("rf_assemble_tile", xs => TileAssembler(xs(0), xs(1), xs(2), xs(3), xs(4)).toAggregateExpression())
+    reg1("st_geomfromwkt", GeomFromWKT(_))
+    reg1("st_astext", GeomAsWKT(_))
+    reg2("st_makepoint", MakePoint(_, _))
+    reg1("st_centroid", GeomCentroid(_))
+    reg1("st_area", GeomArea(_))
+    reg1("st_length", GeomLength(_))
+    reg1("st_x", GeomX(_))
+    reg1("st_y", GeomY(_))
+    reg2("st_buffer", GeomBuffer(_, _))
+    reg1("st_extent", GeometryToExtent(_))
+    reg1("st_geometry", ExtentToGeometry(_))
+    reg3("st_reproject", ReprojectGeometry(_, _, _))
+    for (op <- Seq("Intersects", "Contains", "Covers", "Crosses", "Disjoint",
+        "Overlaps", "Touches", "Within"))
+      reg2(s"st_${op.toLowerCase}", SpatialRelation(_, _, op))
+    reg2("rf_z2_index", Z2Index(_, _))
+    reg2("rf_xz2_index", XZ2Index(_, _))
+    regN("rf_rasterize", Rasterize(_))
+    reg3("rf_proj_raster", CreateProjectedRaster(_, _, _))
+    reg1("rf_extent", GetExtent(_))
+    reg1("rf_crs", GetCRSExpr(_))
+    reg1("rf_geometry", GetGeometry(_))
+    regN("rf_reproject_and_merge", ReprojectAndMerge(_))
     spark
   }
 }
