@@ -294,6 +294,37 @@ object SparkEntry {
         .select(col("doc_id"), col("img.width").as("width"), col("img.height").as("height"),
           col("img.channels").as("channels"), col("hist"))
         .orderBy("doc_id")),
+    // ---- focal / terrain ----
+    "q_focal" -> ((s, dir) =>
+      tiled(s, dir).select(col("l_orderkey"),
+        rf_mask(rf_focal_min(col("t_qty"), "square-1"), col("t_qty")).as("fmin"),
+        rf_mask(rf_focal_max(col("t_qty"), "square-1"), col("t_qty")).as("fmax"),
+        rf_mask(rf_focal_mean(col("t_qty"), "square-1"), col("t_qty")).as("fmean"),
+        rf_mask(rf_convolve(col("t_qty"),
+          array((0 until 9).map(_ => lit(1.0)): _*)), col("t_qty")).as("fsum"))
+        .select(col("l_orderkey"),
+          rf_explode_tiles(col("fmin"), col("fmax"), col("fmean"), col("fsum")))
+        .select(col("l_orderkey"),
+          (col("row_index") * 8 + col("column_index")).cast("int").as("i"),
+          col("fmin"), col("fmax"), col("fmean"), col("fsum"))
+        .where(col("fmin").isNotNull)
+        .orderBy("l_orderkey", "i")),
+    "q_terrain" -> ((s, dir) =>
+      tiled(s, dir)
+        .select(col("l_orderkey"), col("t_qty"),
+          rf_proj_raster(col("t_qty"),
+            struct(lit(0.0).as("xmin"), lit(0.0).as("ymin"),
+              lit(8.0).as("xmax"), lit(4.0).as("ymax")),
+            lit("epsg:3857")).as("pr"))
+        .select(col("l_orderkey"),
+          rf_tile_sum(rf_slope(col("pr"), 1.0)).as("slope_sum"),
+          rf_tile_sum(rf_aspect(col("pr"))).as("aspect_sum"),
+          rf_tile_sum(rf_hillshade(col("pr"), 315.0, 45.0, 1.0)).as("hillshade_sum"),
+          rf_tile_sum(rf_focal_median(col("t_qty"), "square-1")).as("median_sum"),
+          rf_tile_sum(rf_focal_mode(col("t_qty"), "circle-1")).as("mode_sum"),
+          rf_tile_sum(rf_focal_stddev(col("t_qty"), "square-1")).as("stddev_sum"),
+          rf_tile_sum(rf_focal_moransi(col("t_qty"), "square-1")).as("moransi_sum"))
+        .orderBy("l_orderkey")),
     // ---- spatial ----
     "q_st_predicates" -> ((s, dir) => {
       val p = t(s, dir, "lineitem")
@@ -517,6 +548,14 @@ object SparkEntry {
       """SELECT doc_id, CAST(LENGTH(text) AS INTEGER) AS byte_len,
         |CAST(CASE WHEN LENGTH(text) >= 64 THEN (LENGTH(text) - 64) // 32 + 1 ELSE 0 END AS INTEGER) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_focal" -> (IDX +
+      """, cells AS (SELECT l_orderkey, i, q, i % 8 AS c, i // 8 AS r FROM idx)
+        |SELECT a.l_orderkey AS l_orderkey, a.i AS i,
+        |MIN(b.q) AS fmin, MAX(b.q) AS fmax,
+        |SUM(b.q) / COUNT(b.q) AS fmean, SUM(b.q) AS fsum
+        |FROM cells a JOIN cells b
+        |  ON a.l_orderkey = b.l_orderkey AND abs(a.c - b.c) <= 1 AND abs(a.r - b.r) <= 1
+        |GROUP BY a.l_orderkey, a.i ORDER BY l_orderkey, i""".stripMargin),
     "q_st_predicates" ->
       """WITH p AS (SELECT DISTINCT CAST(l_quantity AS DOUBLE) AS q, CAST(l_linenumber AS DOUBLE) AS lnv FROM lineitem)
         |SELECT q, lnv,

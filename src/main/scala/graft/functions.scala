@@ -173,6 +173,20 @@ object functions {
   def rf_rasterize(geom: Column, bounds: Column, value: Column, cols: Int, rows: Int): Column =
     c(Rasterize(Seq(e(geom), e(bounds), e(value), Literal(cols), Literal(rows))))
 
+  // focal / terrain
+  def rf_focal_mean(t: Column, n: String): Column = c(FocalMean(e(t), Literal(n)))
+  def rf_focal_min(t: Column, n: String): Column = c(FocalMin(e(t), Literal(n)))
+  def rf_focal_max(t: Column, n: String): Column = c(FocalMax(e(t), Literal(n)))
+  def rf_focal_median(t: Column, n: String): Column = c(FocalMedian(e(t), Literal(n)))
+  def rf_focal_mode(t: Column, n: String): Column = c(FocalMode(e(t), Literal(n)))
+  def rf_focal_stddev(t: Column, n: String): Column = c(FocalStdDev(e(t), Literal(n)))
+  def rf_focal_moransi(t: Column, n: String): Column = c(FocalMoransI(e(t), Literal(n)))
+  def rf_convolve(t: Column, kernel: Column): Column = c(Convolve(e(t), e(kernel)))
+  def rf_slope(t: Column, zFactor: Double): Column = c(Slope(e(t), Literal(zFactor)))
+  def rf_aspect(t: Column): Column = c(Aspect(e(t)))
+  def rf_hillshade(t: Column, azimuth: Double, altitude: Double, zFactor: Double): Column =
+    c(Hillshade(Seq(e(t), Literal(azimuth), Literal(altitude), Literal(zFactor))))
+
   // proj_raster
   def rf_proj_raster(tile: Column, extent: Column, crs: Column): Column =
     c(CreateProjectedRaster(e(tile), e(extent), e(crs)))
@@ -296,6 +310,17 @@ object Raster {
     reg1("rf_crs", GetCRSExpr(_))
     reg1("rf_geometry", GetGeometry(_))
     regN("rf_reproject_and_merge", ReprojectAndMerge(_))
+    reg2("rf_focal_mean", FocalMean(_, _))
+    reg2("rf_focal_min", FocalMin(_, _))
+    reg2("rf_focal_max", FocalMax(_, _))
+    reg2("rf_focal_median", FocalMedian(_, _))
+    reg2("rf_focal_mode", FocalMode(_, _))
+    reg2("rf_focal_stddev", FocalStdDev(_, _))
+    reg2("rf_focal_moransi", FocalMoransI(_, _))
+    reg2("rf_convolve", Convolve(_, _))
+    reg2("rf_slope", Slope(_, _))
+    reg1("rf_aspect", Aspect(_))
+    regN("rf_hillshade", Hillshade(_))
     spark
   }
 }
