@@ -1,0 +1,348 @@
+package graft.core.geotiff
+
+import java.io.{ByteArrayOutputStream, DataOutputStream}
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.{Files, Paths}
+
+import graft.core._
+import graft.core.crs.CRS
+
+/**
+ * Self-contained single-band GeoTIFF codec (no GDAL/imageio dependency —
+ * SURVEY.md §7.0). Writes baseline little-endian TIFF 6.0 with strip
+ * layout + GeoTIFF tags (ModelPixelScale 33550, ModelTiepoint 33922,
+ * GeoKeyDirectory 34735); reads back both strip and tile layouts,
+ * uncompressed, with windowed reads that touch only the strips/tiles
+ * intersecting the requested grid bounds (the COG access pattern).
+ *
+ * Supported cell types: uint8/int8 (8-bit), uint16/int16 (16), int32 /
+ * float32 (32), float64 (64) with SampleFormat disambiguation.
+ */
+object GeoTiff {
+
+  final case class Info(
+      cols: Int, rows: Int,
+      bitsPerSample: Int, sampleFormat: Int,
+      extent: Extent, crs: CRS,
+      tileWidth: Int, tileLength: Int, // 0 ⇒ strip layout
+      rowsPerStrip: Int,
+      offsets: Array[Long], byteCounts: Array[Long]) {
+    def cellType: CellType = (bitsPerSample, sampleFormat) match {
+      case (8, 2) => CellType.int8
+      case (8, _) => CellType.uint8
+      case (16, 2) => CellType.int16
+      case (16, _) => CellType.uint16
+      case (32, 3) => CellType.float32
+      case (32, _) => CellType.int32
+      case (64, 3) => CellType.float64
+      case (b, f) => throw new IllegalArgumentException(s"Unsupported bits=$b format=$f")
+    }
+    def rasterExtent: RasterExtent = RasterExtent(extent, cols, rows)
+  }
+
+  // ---------------- writer ----------------
+
+  def write(path: String, tile: Tile, extent: Extent, crs: CRS): Unit =
+    Files.write(Paths.get(path), writeBytes(tile, extent, crs))
+
+  def writeBytes(tile: Tile, extent: Extent, crs: CRS): Array[Byte] = {
+    val (bits, fmt) = tile.cellType.base match {
+      case CellBase.Int8 => (8, 2)
+      case CellBase.Bit | CellBase.UInt8 => (8, 1)
+      case CellBase.Int16 => (16, 2)
+      case CellBase.UInt16 => (16, 1)
+      case CellBase.Int32 => (32, 2)
+      case CellBase.Float32 => (32, 3)
+      case CellBase.Float64 => (64, 3)
+    }
+    // cell payload, one strip per row block of 64 rows
+    val payload = cellBytes(tile, bits, fmt)
+    val rowsPerStrip = math.min(64, tile.rows)
+    val nStrips = (tile.rows + rowsPerStrip - 1) / rowsPerStrip
+    val bytesPerRow = tile.cols * (bits / 8)
+
+    val geoKeys: Array[Int] = {
+      val epsg = CRS(crs.normalized).epsg.getOrElse(4326)
+      if (epsg == 4326)
+        Array(1, 1, 0, 3, 1024, 0, 1, 2, 1025, 0, 1, 1, 2048, 0, 1, 4326)
+      else
+        Array(1, 1, 0, 3, 1024, 0, 1, 1, 1025, 0, 1, 1, 3072, 0, 1, epsg)
+    }
+    val pixScale = Array(extent.width / tile.cols, extent.height / tile.rows, 0.0)
+    val tiepoint = Array(0.0, 0.0, 0.0, extent.xmin, extent.ymax, 0.0)
+
+    // layout: header(8) | IFD | extra data | strips
+    val entries = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, Either[Long, Array[Byte]])]
+    // (tag, type, count, Left(inline value) or Right(extra bytes))
+    def shortArr(a: Array[Int]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(a.length * 2).order(ByteOrder.LITTLE_ENDIAN)
+      a.foreach(v => bb.putShort(v.toShort)); bb.array()
+    }
+    def doubleArr(a: Array[Double]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(a.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+      a.foreach(bb.putDouble); bb.array()
+    }
+    def longArr(a: Array[Long]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(a.length * 4).order(ByteOrder.LITTLE_ENDIAN)
+      a.foreach(v => bb.putInt(v.toInt)); bb.array()
+    }
+
+    val stripByteCounts = Array.tabulate(nStrips) { s =>
+      val r0 = s * rowsPerStrip
+      val nr = math.min(rowsPerStrip, tile.rows - r0)
+      (nr * bytesPerRow).toLong
+    }
+
+    entries += ((256, 3, 1, Left(tile.cols.toLong)))      // ImageWidth
+    entries += ((257, 3, 1, Left(tile.rows.toLong)))      // ImageLength
+    entries += ((258, 3, 1, Left(bits.toLong)))           // BitsPerSample
+    entries += ((259, 3, 1, Left(1L)))                    // Compression = none
+    entries += ((262, 3, 1, Left(1L)))                    // Photometric = BlackIsZero
+    entries += ((273, 4, nStrips, Right(longArr(new Array[Long](nStrips))))) // StripOffsets placeholder
+    entries += ((277, 3, 1, Left(1L)))                    // SamplesPerPixel
+    entries += ((278, 3, 1, Left(rowsPerStrip.toLong)))   // RowsPerStrip
+    entries += ((279, 4, nStrips, Right(longArr(stripByteCounts))))
+    entries += ((339, 3, 1, Left(fmt.toLong)))            // SampleFormat
+    entries += ((33550, 12, 3, Right(doubleArr(pixScale))))
+    entries += ((33922, 12, 6, Right(doubleArr(tiepoint))))
+    entries += ((34735, 3, geoKeys.length, Right(shortArr(geoKeys))))
+
+    val sorted = entries.sortBy(_._1)
+    val ifdOffset = 8L
+    val ifdSize = 2 + sorted.size * 12 + 4
+    var extraOffset = ifdOffset + ifdSize
+    // assign extra-data offsets
+    val extraBlocks = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Byte])]
+    val entryOffsets = sorted.map {
+      case (tag, t, c, Right(bytes)) if bytes.length > 4 =>
+        val o = extraOffset
+        extraBlocks += ((o, bytes))
+        extraOffset += bytes.length
+        (tag, t, c, Left(o), Some(bytes))
+      case (tag, t, c, Right(bytes)) =>
+        (tag, t, c, Left(ByteBuffer.wrap(java.util.Arrays.copyOf(bytes, 4))
+          .order(ByteOrder.LITTLE_ENDIAN).getInt.toLong), None)
+      case (tag, t, c, Left(v)) => (tag, t, c, Left(v), None)
+    }
+    val dataStart = extraOffset
+    val stripOffsets = Array.tabulate(nStrips) { s =>
+      dataStart + stripByteCounts.take(s).sum
+    }
+
+    val total = (dataStart + payload.length).toInt
+    val out = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+    out.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifdOffset.toInt)
+    out.putShort(entryOffsets.size.toShort)
+    for ((tag, typ, count, Left(v), extra) <- entryOffsets) {
+      out.putShort(tag.toShort).putShort(typ.toShort).putInt(count)
+      (typ, extra) match {
+        case (3, None) if count == 1 => out.putShort(v.toShort).putShort(0)
+        case _ => out.putInt(v.toInt)
+      }
+    }
+    out.putInt(0) // next IFD
+    for ((o, bytes) <- extraBlocks) { out.position(o.toInt); out.put(bytes) }
+    // patch StripOffsets (placeholder zeros until data offsets were known)
+    val soEntryIdx = sorted.indexWhere(_._1 == 273)
+    val soValue = entryOffsets(soEntryIdx)._4.left.getOrElse(0L)
+    if (nStrips > 1) {
+      out.position(soValue.toInt) // extra block position
+      stripOffsets.foreach(v => out.putInt(v.toInt))
+    } else {
+      out.position((ifdOffset + 2 + soEntryIdx * 12 + 8).toInt) // inline slot
+      out.putInt(stripOffsets(0).toInt)
+    }
+    out.position(dataStart.toInt)
+    out.put(payload)
+    out.array()
+  }
+
+  private def cellBytes(tile: Tile, bits: Int, fmt: Int): Array[Byte] = {
+    val n = tile.size
+    val bb = ByteBuffer.allocate(n * (bits / 8)).order(ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < n) {
+      val raw = tile.getRawDouble(i)
+      bits match {
+        case 8 => bb.put(raw.toLong.toByte)
+        case 16 => bb.putShort(raw.toLong.toShort)
+        case 32 => if (fmt == 3) bb.putFloat(raw.toFloat) else bb.putInt(raw.toLong.toInt)
+        case 64 => bb.putDouble(raw)
+      }
+      i += 1
+    }
+    bb.array()
+  }
+
+  // ---------------- reader ----------------
+
+  def readInfo(path: String): Info = parseInfo(Files.readAllBytes(Paths.get(path)))
+
+  def parseInfo(bytes: Array[Byte]): Info = {
+    val le = bytes(0) == 'I'
+    val bb = ByteBuffer.wrap(bytes).order(
+      if (le) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+    require(bb.getShort(2) == 42, "Not a TIFF file")
+    val ifd = bb.getInt(4)
+    val nEntries = bb.getShort(ifd) & 0xffff
+    var cols = 0; var rows = 0; var bits = 8; var fmt = 1
+    var tileW = 0; var tileL = 0; var rps = Int.MaxValue
+    var offsets: Array[Long] = Array.empty
+    var counts: Array[Long] = Array.empty
+    var pixScale: Array[Double] = Array(1, 1, 0)
+    var tiepoint: Array[Double] = Array(0, 0, 0, 0, 0, 0)
+    var geoKeys: Array[Int] = Array.empty
+
+    def readValues(typ: Int, count: Int, pos: Int): Array[Long] = {
+      val size = typ match {
+        case 1 | 2 => 1; case 3 => 2; case 4 => 4; case 12 => 8; case 11 => 4
+        case _ => 4
+      }
+      val total = size * count
+      val dataPos = if (total <= 4) pos else bb.getInt(pos)
+      Array.tabulate(count) { i =>
+        typ match {
+          case 1 => (bb.get(dataPos + i) & 0xff).toLong
+          case 3 => (bb.getShort(dataPos + i * 2) & 0xffff).toLong
+          case 4 => bb.getInt(dataPos + i * 4).toLong & 0xffffffffL
+          case _ => bb.getInt(dataPos + i * 4).toLong
+        }
+      }
+    }
+    def readDoubles(count: Int, pos: Int): Array[Double] = {
+      val dataPos = bb.getInt(pos)
+      Array.tabulate(count)(i => bb.getDouble(dataPos + i * 8))
+    }
+
+    var e = 0
+    while (e < nEntries) {
+      val base = ifd + 2 + e * 12
+      val tag = bb.getShort(base) & 0xffff
+      val typ = bb.getShort(base + 2) & 0xffff
+      val count = bb.getInt(base + 4)
+      val vpos = base + 8
+      tag match {
+        case 256 => cols = readValues(typ, 1, vpos)(0).toInt
+        case 257 => rows = readValues(typ, 1, vpos)(0).toInt
+        case 258 => bits = readValues(typ, 1, vpos)(0).toInt
+        case 259 =>
+          val comp = readValues(typ, 1, vpos)(0)
+          require(comp == 1, s"Unsupported TIFF compression: $comp")
+        case 273 | 324 => offsets = readValues(typ, count, vpos)
+        case 279 | 325 => counts = readValues(typ, count, vpos)
+        case 278 => rps = readValues(typ, 1, vpos)(0).toInt
+        case 322 => tileW = readValues(typ, 1, vpos)(0).toInt
+        case 323 => tileL = readValues(typ, 1, vpos)(0).toInt
+        case 339 => fmt = readValues(typ, 1, vpos)(0).toInt
+        case 33550 => pixScale = readDoubles(3, vpos)
+        case 33922 => tiepoint = readDoubles(count, vpos)
+        case 34735 => geoKeys = readValues(typ, count, vpos).map(_.toInt)
+        case _ => ()
+      }
+      e += 1
+    }
+    val extent = Extent(
+      tiepoint(3), tiepoint(4) - rows * pixScale(1),
+      tiepoint(3) + cols * pixScale(0), tiepoint(4))
+    val crs = parseGeoKeys(geoKeys)
+    Info(cols, rows, bits, fmt, extent, crs, tileW, tileL,
+      if (rps == Int.MaxValue) rows else rps, offsets, counts)
+  }
+
+  private def parseGeoKeys(keys: Array[Int]): CRS = {
+    // GeoKeyDirectory: header of 4 shorts then (keyId, location, count, value)*
+    var i = 4
+    var modelType = 0; var epsg = 0
+    while (i + 3 < keys.length) {
+      val id = keys(i); val v = keys(i + 3)
+      id match {
+        case 1024 => modelType = v
+        case 2048 => if (epsg == 0) epsg = v
+        case 3072 => epsg = v
+        case _ => ()
+      }
+      i += 4
+    }
+    if (epsg > 0) CRS(s"epsg:$epsg") else CRS.wgs84
+  }
+
+  /** Read the full raster. */
+  def read(path: String): (Tile, Extent, CRS) = {
+    val bytes = Files.readAllBytes(Paths.get(path))
+    val info = parseInfo(bytes)
+    val t = readWindow(bytes, info, GridBounds(0, 0, info.cols - 1, info.rows - 1))
+    (t, info.extent, info.crs)
+  }
+
+  /** Windowed read: decode only the strips/tiles that intersect `win`. */
+  def readWindow(bytes: Array[Byte], info: Info, win: GridBounds): Tile = {
+    val le = bytes(0) == 'I'
+    val bb = ByteBuffer.wrap(bytes).order(
+      if (le) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+    val ct = info.cellType
+    val bytesPer = info.bitsPerSample / 8
+    val out = Tile.empty(ct, win.width, win.height)
+    @inline def putCell(outC: Int, outR: Int, dataPos: Long): Unit = {
+      val v: Double = info.bitsPerSample match {
+        case 8 =>
+          val b = bb.get(dataPos.toInt)
+          if (info.sampleFormat == 2) b.toDouble else (b & 0xff).toDouble
+        case 16 =>
+          val s = bb.getShort(dataPos.toInt)
+          if (info.sampleFormat == 2) s.toDouble else (s & 0xffff).toDouble
+        case 32 =>
+          if (info.sampleFormat == 3) bb.getFloat(dataPos.toInt).toDouble
+          else bb.getInt(dataPos.toInt).toDouble
+        case 64 => bb.getDouble(dataPos.toInt)
+      }
+      // raw storage value: route through interpretAs semantics by direct set
+      out.setDouble(outR * win.width + outC, if (ct.isNoData(v)) Double.NaN else v)
+    }
+    if (info.tileWidth > 0) {
+      val tilesAcross = (info.cols + info.tileWidth - 1) / info.tileWidth
+      val t0c = win.colMin / info.tileWidth; val t1c = win.colMax / info.tileWidth
+      val t0r = win.rowMin / info.tileLength; val t1r = win.rowMax / info.tileLength
+      var tr = t0r
+      while (tr <= t1r) {
+        var tc = t0c
+        while (tc <= t1c) {
+          val tIdx = tr * tilesAcross + tc
+          val off = info.offsets(tIdx)
+          var r = math.max(win.rowMin, tr * info.tileLength)
+          val rEnd = math.min(win.rowMax, (tr + 1) * info.tileLength - 1)
+          while (r <= rEnd) {
+            var c = math.max(win.colMin, tc * info.tileWidth)
+            val cEnd = math.min(win.colMax, (tc + 1) * info.tileWidth - 1)
+            while (c <= cEnd) {
+              val inTileIdx = (r - tr * info.tileLength) * info.tileWidth + (c - tc * info.tileWidth)
+              putCell(c - win.colMin, r - win.rowMin, off + inTileIdx.toLong * bytesPer)
+              c += 1
+            }
+            r += 1
+          }
+          tc += 1
+        }
+        tr += 1
+      }
+    } else {
+      val s0 = win.rowMin / info.rowsPerStrip; val s1 = win.rowMax / info.rowsPerStrip
+      var s = s0
+      while (s <= s1) {
+        val off = info.offsets(s)
+        var r = math.max(win.rowMin, s * info.rowsPerStrip)
+        val rEnd = math.min(win.rowMax, (s + 1) * info.rowsPerStrip - 1)
+        while (r <= rEnd) {
+          var c = win.colMin
+          while (c <= win.colMax) {
+            val inStripIdx = (r - s * info.rowsPerStrip).toLong * info.cols + c
+            putCell(c - win.colMin, r - win.rowMin, off + inStripIdx * bytesPer)
+            c += 1
+          }
+          r += 1
+        }
+        s += 1
+      }
+    }
+    out
+  }
+}

@@ -173,6 +173,13 @@ object functions {
   def rf_rasterize(geom: Column, bounds: Column, value: Column, cols: Int, rows: Int): Column =
     c(Rasterize(Seq(e(geom), e(bounds), e(value), Literal(cols), Literal(rows))))
 
+  // rendering
+  def rf_render_ascii(t: Column): Column = c(RenderAscii(e(t)))
+  def rf_render_matrix(t: Column): Column = c(RenderMatrix(e(t)))
+  def rf_render_png(t: Column): Column = c(RenderPNG(e(t)))
+  def rf_rgb_composite(r: Column, g: Column, b: Column): Column =
+    c(RGBComposite(e(r), e(g), e(b)))
+
   // focal / terrain
   def rf_focal_mean(t: Column, n: String): Column = c(FocalMean(e(t), Literal(n)))
   def rf_focal_min(t: Column, n: String): Column = c(FocalMin(e(t), Literal(n)))
@@ -310,6 +317,10 @@ object Raster {
     reg1("rf_crs", GetCRSExpr(_))
     reg1("rf_geometry", GetGeometry(_))
     regN("rf_reproject_and_merge", ReprojectAndMerge(_))
+    reg1("rf_render_ascii", RenderAscii(_))
+    reg1("rf_render_matrix", RenderMatrix(_))
+    reg1("rf_render_png", RenderPNG(_))
+    reg3("rf_rgb_composite", RGBComposite(_, _, _))
     reg2("rf_focal_mean", FocalMean(_, _))
     reg2("rf_focal_min", FocalMin(_, _))
     reg2("rf_focal_max", FocalMax(_, _))
