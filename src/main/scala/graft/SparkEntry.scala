@@ -294,6 +294,15 @@ object SparkEntry {
         .select(col("doc_id"), col("img.width").as("width"), col("img.height").as("height"),
           col("img.channels").as("channels"), col("hist"))
         .orderBy("doc_id")),
+    "q_resample" -> ((s, dir) =>
+      tiled(s, dir)
+        .select(col("l_orderkey"), rf_resample_nearest(col("t_qty"), lit(0.5)).as("rt"))
+        .select(col("l_orderkey"), rf_explode_tiles(col("rt")))
+        .select(col("l_orderkey"),
+          (col("row_index") * 4 + col("column_index")).cast("int").as("i2"),
+          col("rt").as("cell"))
+        .where(col("cell").isNotNull)
+        .orderBy("l_orderkey", "i2")),
     // ---- focal / terrain ----
     "q_focal" -> ((s, dir) =>
       tiled(s, dir).select(col("l_orderkey"),
@@ -548,6 +557,11 @@ object SparkEntry {
       """SELECT doc_id, CAST(LENGTH(text) AS INTEGER) AS byte_len,
         |CAST(CASE WHEN LENGTH(text) >= 64 THEN (LENGTH(text) - 64) // 32 + 1 ELSE 0 END AS INTEGER) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_resample" -> (IDX +
+      """ SELECT l_orderkey,
+        |CAST(((i // 8 - 1) // 2) * 4 + ((i % 8 - 1) // 2) AS INTEGER) AS i2, q AS cell
+        |FROM idx WHERE (i % 8) % 2 = 1 AND (i // 8) % 2 = 1
+        |ORDER BY l_orderkey, i2""".stripMargin),
     "q_focal" -> (IDX +
       """, cells AS (SELECT l_orderkey, i, q, i % 8 AS c, i // 8 AS r FROM idx)
         |SELECT a.l_orderkey AS l_orderkey, a.i AS i,

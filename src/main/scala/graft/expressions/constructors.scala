@@ -159,6 +159,30 @@ case class GetDimensions(child: Expression) extends UnaryExpression with Codegen
   override protected def withNewChildInternal(c: Expression) = copy(c)
 }
 
+/** Up/down-sample a tile by factor or to match another tile's dims
+  * (reference: localops/Resample.scala → rf_resample, ResampleNearest.scala). */
+case class ResampleExpr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def prettyName: String = "rf_resample"
+  override def dataType: DataType = TileUDT.instance
+  @transient private lazy val ext = tileExtractor(first.dataType)
+  @transient private lazy val targetIsTile = isTileType(second.dataType)
+  @transient private lazy val tExt = if (targetIsTile) tileExtractor(second.dataType) else null
+  @transient private lazy val fExt = if (!targetIsTile) doubleExtractor(second.dataType) else null
+  override def nullSafeEval(t: Any, target: Any, method: Any): Any = {
+    val tile = ext(t)
+    val (dc, dr) =
+      if (targetIsTile) { val tt = tExt(target); (tt.cols, tt.rows) }
+      else {
+        val f = fExt(target)
+        (math.max(1, math.round(tile.cols * f).toInt), math.max(1, math.round(tile.rows * f).toInt))
+      }
+    tileResult(Resample(tile, dc, dr, method.toString))
+  }
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
+    copy(a, b, c)
+}
+
 /** Deterministic pseudo-random tile from a seed — the analog of the
   * reference's test/bench `randomTile` (TestData.scala), as an expression
   * so benches and tests can generate tile corpora distributed, without

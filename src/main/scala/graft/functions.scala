@@ -34,6 +34,10 @@ object functions {
   def rf_tile(t: Column): Column = c(RealizeTile(e(t)))
   def rf_synthetic_tile(seed: Column, cols: Int, rows: Int, cellType: String): Column =
     c(SyntheticTile(e(seed), cols, rows, cellType))
+  def rf_resample(t: Column, factorOrTarget: Column, method: String = "bilinear"): Column =
+    c(ResampleExpr(e(t), e(factorOrTarget), Literal(method)))
+  def rf_resample_nearest(t: Column, factorOrTarget: Column): Column =
+    c(ResampleExpr(e(t), e(factorOrTarget), Literal("nearest")))
 
   // accessors
   def rf_cell_type(t: Column): Column = c(GetCellType(e(t)))
@@ -295,6 +299,7 @@ object Raster {
     reg1("rf_agg_local_stats", LocalStatsAggregate(_).toAggregateExpression())
     regN("rf_assemble_tile", xs => TileAssembler(xs(0), xs(1), xs(2), xs(3), xs(4)).toAggregateExpression())
     reg1("st_geomfromwkt", GeomFromWKT(_))
+    reg1("st_geomfromgeojson", graft.datasource.GeomFromGeoJSON(_))
     reg1("st_astext", GeomAsWKT(_))
     reg2("st_makepoint", MakePoint(_, _))
     reg1("st_centroid", GeomCentroid(_))
@@ -317,6 +322,8 @@ object Raster {
     reg1("rf_crs", GetCRSExpr(_))
     reg1("rf_geometry", GetGeometry(_))
     regN("rf_reproject_and_merge", ReprojectAndMerge(_))
+    reg3("rf_resample", ResampleExpr(_, _, _))
+    reg2("rf_resample_nearest", ResampleExpr(_, _, Literal("nearest")))
     reg1("rf_render_ascii", RenderAscii(_))
     reg1("rf_render_matrix", RenderMatrix(_))
     reg1("rf_render_png", RenderPNG(_))
