@@ -400,6 +400,22 @@ object SparkEntry {
         .select(col("l_orderkey"), rf_tile_sum(col("right_tile")).as("s"))
         .orderBy("l_orderkey")
     }),
+    "q_raster_join_bucketed" -> ((s, dir) => {
+      val base = tiled(s, dir).where(col("l_orderkey") % 50 === 0)
+        .select(col("l_orderkey"), col("t_qty").as("tile"),
+          struct((col("l_orderkey") % 1000 * 2).cast("double").as("xmin"),
+            expr("(l_orderkey div 1000) * 2").cast("double").as("ymin"),
+            (col("l_orderkey") % 1000 * 2 + 1).cast("double").as("xmax"),
+            expr("(l_orderkey div 1000) * 2 + 1").cast("double").as("ymax")).as("extent"),
+          lit("epsg:4326").as("crs"))
+      RasterJoin.bucketed(base,
+        base.select(col("tile").as("r_tile"), col("extent").as("r_extent"), col("crs").as("r_crs")),
+        col("extent"), col("crs"), col("tile"),
+        col("r_extent"), col("r_crs"), col("r_tile"), cellSize = 16.0,
+        leftId = Some(col("l_orderkey")))
+        .select(col("l_orderkey"), rf_tile_sum(col("right_tile")).as("s"))
+        .orderBy("l_orderkey")
+    }),
     // ---- events (temporal keys) ----
     // events.ts is parquet TIMESTAMP(NANOS): read as long nanos, convert.
     "q_events_daily" -> ((s, dir) => {
@@ -587,6 +603,9 @@ object SparkEntry {
         |SELECT q, lnv, CAST(6 AS BIGINT) AS dc, 6.0 * q AS s
         |FROM p ORDER BY q, lnv""".stripMargin,
     "q_raster_join" ->
+      """SELECT l_orderkey, SUM(l_quantity) AS s FROM lineitem
+        |WHERE l_orderkey % 50 = 0 GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "q_raster_join_bucketed" ->
       """SELECT l_orderkey, SUM(l_quantity) AS s FROM lineitem
         |WHERE l_orderkey % 50 = 0 GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
     "q_events_daily" ->

@@ -106,4 +106,25 @@ class SpatialSpec extends AnyFunSuite {
     assert(r(0).getDouble(1) == 10.0)
     assert(r(1).getDouble(1) == 100.0)
   }
+
+  test("bucketed raster join matches the theta-join variant") {
+    val base = Seq((0L, Seq(1.0, 2.0, 3.0, 4.0)), (1L, Seq(10.0, 20.0, 30.0, 40.0)),
+      (2L, Seq(5.0, 5.0, 5.0, 5.0)))
+      .toDF("k", "vals")
+      .select($"k", rf_array_to_tile($"vals", 2, 2).as("tile"),
+        struct(($"k" * 2).cast("double").as("xmin"), lit(0.0).as("ymin"),
+          ($"k" * 2 + 1).cast("double").as("xmax"), lit(1.0).as("ymax")).as("extent"),
+        lit("epsg:4326").as("crs"))
+    val rhs = base.select($"tile".as("r_tile"), $"extent".as("r_extent"), $"crs".as("r_crs"))
+    val plain = RasterJoin(base, rhs,
+      col("extent"), col("crs"), col("tile"),
+      col("r_extent"), col("r_crs"), col("r_tile"))
+      .select($"k", rf_tile_sum($"right_tile").as("s")).orderBy("k").collect()
+    val bucketedR = RasterJoin.bucketed(base, rhs,
+      col("extent"), col("crs"), col("tile"),
+      col("r_extent"), col("r_crs"), col("r_tile"), cellSize = 0.7)
+      .select($"k", rf_tile_sum($"right_tile").as("s")).orderBy("k").collect()
+    assert(plain.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      bucketedR.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+  }
 }
