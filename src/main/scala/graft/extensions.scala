@@ -1,0 +1,84 @@
+package graft
+
+import graft.core.{NoData, Tile}
+import graft.expressions._
+import graft.udt.TileUDT
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.DataType
+
+/**
+ * User-extension surface + notebook rendering helpers (reference:
+ * functions/LocalFunctions.scala:121-122 `rf_local_algebra`,
+ * util/DataFrameRenderers.scala:36-116 toMarkdown/toHTML).
+ */
+
+/** Lift an arbitrary binary cell function into a tile expression — the
+  * user's escape hatch when no built-in local op fits. */
+case class LocalAlgebra(left: Expression, right: Expression, fn: (Double, Double) => Double)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+  override def prettyName: String = "rf_local_algebra"
+  override def dataType: DataType = TileUDT.instance
+  @transient private lazy val le = tileExtractor(left.dataType)
+  @transient private lazy val re = tileExtractor(right.dataType)
+  override def nullSafeEval(l: Any, r: Any): Any =
+    tileResult(le(l).combineDouble(re(r))(fn))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+object extensions {
+  def rf_local_algebra(fn: (Double, Double) => Double)(a: Column, b: Column): Column =
+    asColumn(LocalAlgebra(asExpr(a), asExpr(b), fn))
+
+  implicit class GraftDataFrameMethods(val df: DataFrame) extends AnyVal {
+    /** Markdown table; tile cells summarized as `cellType cols×rows`. */
+    def toMarkdown(numRows: Int = 5): String = {
+      val rows = df.limit(numRows).collect()
+      val header = df.columns
+      def cell(v: Any): String = v match {
+        case t: Tile => s"${t.cellType.name} ${t.cols}×${t.rows}"
+        case null => ""
+        case other => other.toString
+      }
+      val sb = new StringBuilder
+      sb.append(header.mkString("| ", " | ", " |\n"))
+      sb.append(header.map(_ => "---").mkString("| ", " | ", " |\n"))
+      rows.foreach(r => sb.append(
+        header.indices.map(i => cell(r.get(i))).mkString("| ", " | ", " |\n")))
+      sb.toString
+    }
+
+    /** HTML table; tile columns rendered as inline base64 PNG thumbnails. */
+    def toHTML(numRows: Int = 5): String = {
+      import graft.functions._
+      val tileCols = df.schema.fields.filter(f => isTileType(f.dataType)).map(_.name)
+      val rendered = tileCols.foldLeft(df.limit(numRows)) { (d, c) =>
+        d.withColumn(c, rf_render_png(org.apache.spark.sql.functions.col(c)))
+      }
+      val rows = rendered.collect()
+      val header = df.columns
+      val sb = new StringBuilder("<table><tr>")
+      header.foreach(h => sb.append(s"<th>$h</th>"))
+      sb.append("</tr>")
+      rows.foreach { r =>
+        sb.append("<tr>")
+        header.indices.foreach { i =>
+          val v = r.get(i)
+          val cell = v match {
+            case b: Array[Byte] if tileCols.contains(header(i)) =>
+              val b64 = java.util.Base64.getEncoder.encodeToString(b)
+              s"""<img src="data:image/png;base64,$b64"/>"""
+            case null => ""
+            case other => other.toString
+          }
+          sb.append(s"<td>$cell</td>")
+        }
+        sb.append("</tr>")
+      }
+      sb.append("</table>")
+      sb.toString
+    }
+  }
+}

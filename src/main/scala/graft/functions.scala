@@ -150,6 +150,18 @@ object functions {
   def rf_assemble_tile(colIdx: Column, rowIdx: Column, value: Column, cols: Int, rows: Int): Column =
     agg(TileAssembler(e(colIdx), e(rowIdx), e(value), Literal(cols), Literal(rows)))
 
+  def rf_agg_overview_raster(projRaster: Column, cols: Int, rows: Int,
+      extent: graft.core.Extent, crs: String): Column =
+    agg(OverviewRasterAggregate(e(projRaster), cols, rows, extent, crs))
+  /** Aggregate extent union — plain min/max composition, no custom agg
+    * (reference: functions/AggregateFunctions.scala:119-132). */
+  def rf_agg_extent(extent: Column): Column = {
+    import org.apache.spark.sql.functions.{max, min, struct}
+    struct(
+      min(extent.getField("xmin")).as("xmin"), min(extent.getField("ymin")).as("ymin"),
+      max(extent.getField("xmax")).as("xmax"), max(extent.getField("ymax")).as("ymax"))
+  }
+
   // spatial / vector
   def st_geomFromWKT(wkt: Column): Column = c(GeomFromWKT(e(wkt)))
   def st_asText(g: Column): Column = c(GeomAsWKT(e(g)))
