@@ -84,7 +84,8 @@ class GeoTiffScanBuilder(props: Map[String, String])
 }
 
 final case class GeoTiffPartition(path: String, win: GridBounds,
-    key: (Int, Int), extent: Extent, crsName: String) extends InputPartition
+    key: (Int, Int), extent: Extent, crsName: String,
+    cellTypeName: String, lazyTiles: Boolean) extends InputPartition
 
 class GeoTiffScan(props: Map[String, String], required: StructType) extends Scan with Batch {
   override def readSchema(): StructType = required
@@ -94,21 +95,29 @@ class GeoTiffScan(props: Map[String, String], required: StructType) extends Scan
     val (tc, tr) = props.get("tile_dimensions").map { s =>
       val a = s.split("[,x]"); (a(0).trim.toInt, a(1).trim.toInt)
     }.getOrElse((256, 256))
+    // buffer_size expands each window by a halo for cross-tile focal ops
+    // (reference: buffer_size option, RasterSourceRelation.scala:54);
+    // lazy_tiles ships RasterRef-style references instead of cells.
+    val buffer = props.get("buffer_size").map(_.toInt).getOrElse(0)
+    val lazyTiles = props.get("lazy_tiles").exists(_.toBoolean)
     GeoTiffTable.resolvePaths(props).flatMap { p =>
       val info = GeoTiff.readInfo(p)
       val re = info.rasterExtent
       val keysAcross = (info.cols + tc - 1) / tc
       val keysDown = (info.rows + tr - 1) / tr
       for (kr <- 0 until keysDown; kc <- 0 until keysAcross) yield {
-        val win = GridBounds(kc * tc, kr * tr,
-          math.min(info.cols - 1, (kc + 1) * tc - 1),
-          math.min(info.rows - 1, (kr + 1) * tr - 1))
+        val win = GridBounds(
+          math.max(0, kc * tc - buffer),
+          math.max(0, kr * tr - buffer),
+          math.min(info.cols - 1, (kc + 1) * tc - 1 + buffer),
+          math.min(info.rows - 1, (kr + 1) * tr - 1 + buffer))
         val subExtent = Extent(
           info.extent.xmin + win.colMin * re.cellWidth,
           info.extent.ymax - (win.rowMax + 1) * re.cellHeight,
           info.extent.xmin + (win.colMax + 1) * re.cellWidth,
           info.extent.ymax - win.rowMin * re.cellHeight)
-        GeoTiffPartition(p, win, (kc, kr), subExtent, info.crs.normalized)
+        GeoTiffPartition(p, win, (kc, kr), subExtent, info.crs.normalized,
+          info.cellType.name, lazyTiles)
       }
     }.toArray
   }
@@ -133,9 +142,15 @@ class GeoTiffReaderFactory(required: StructType) extends PartitionReaderFactory 
               InternalRow(part.extent.xmin, part.extent.ymin, part.extent.xmax, part.extent.ymax)
             case "crs" => UTF8String.fromString(part.crsName)
             case "tile" =>
-              val bytes = Files.readAllBytes(Paths.get(part.path))
-              val info = GeoTiff.parseInfo(bytes)
-              TileUDT.encode(GeoTiff.readWindow(bytes, info, part.win))
+              if (part.lazyTiles)
+                TileUDT.encode(new graft.udt.RefTile(part.path, part.win,
+                  graft.core.CellType.fromName(part.cellTypeName),
+                  part.win.width, part.win.height))
+              else {
+                val bytes = Files.readAllBytes(Paths.get(part.path))
+                val info = GeoTiff.parseInfo(bytes)
+                TileUDT.encode(GeoTiff.readWindow(bytes, info, part.win))
+              }
           }
         }
         new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(

@@ -215,11 +215,46 @@ case class SyntheticTile(child: Expression, cols: Int, rows: Int, cellTypeName: 
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
-/** Identity realization (lazy tiles arrive in a later milestone; reference: accessors/RealizeTile.scala). */
+/** Force a lazy (RasterRef) tile to a realized one — cells are fetched
+  * here if they haven't been already (reference: accessors/RealizeTile.scala). */
 case class RealizeTile(child: Expression) extends UnaryExpression with CodegenFallback {
   override def prettyName: String = "rf_tile"
   override def dataType: DataType = TileUDT.instance
   @transient private lazy val ext = tileExtractor(child.dataType)
-  override def nullSafeEval(input: Any): Any = tileResult(ext(input))
+  override def nullSafeEval(input: Any): Any = {
+    val t = ext(input)
+    // encode() writes cells (realizing a RefTile) unless still lazy
+    tileResult(Tile.fromBytes(t.toBytes, t.cellType, t.cols, t.rows))
+  }
   override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** Crop a tile to a sub-window — trims the halo after buffered focal ops. */
+case class CropTile(children: Seq[Expression]) extends Expression with CodegenFallback {
+  require(children.size == 5, "rf_crop(tile, col_off, row_off, cols, rows)")
+  override def prettyName: String = "rf_crop"
+  override def nullable: Boolean = true
+  override def dataType: DataType = TileUDT.instance
+  @transient private lazy val ext = tileExtractor(children.head.dataType)
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.exists(_ == null)) return null
+    val t = ext(vs(0))
+    val c0 = vs(1).asInstanceOf[Number].intValue()
+    val r0 = vs(2).asInstanceOf[Number].intValue()
+    val nc = vs(3).asInstanceOf[Number].intValue()
+    val nr = vs(4).asInstanceOf[Number].intValue()
+    val out = Tile.empty(t.cellType, nc, nr)
+    var r = 0
+    while (r < nr) {
+      var c = 0
+      while (c < nc) {
+        out.setDouble(r * nc + c, t.getDouble((r0 + r) * t.cols + (c0 + c)))
+        c += 1
+      }
+      r += 1
+    }
+    tileResult(out)
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]) = copy(cs)
 }

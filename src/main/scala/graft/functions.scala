@@ -32,6 +32,8 @@ object functions {
   def rf_interpret_cell_type_as(t: Column, ct: String): Column = c(InterpretAs(e(t), Literal(ct)))
   def rf_with_no_data(t: Column, nd: Double): Column = c(SetNoDataValue(e(t), Literal(nd)))
   def rf_tile(t: Column): Column = c(RealizeTile(e(t)))
+  def rf_crop(t: Column, colOff: Int, rowOff: Int, cols: Int, rows: Int): Column =
+    c(CropTile(Seq(e(t), Literal(colOff), Literal(rowOff), Literal(cols), Literal(rows))))
   def rf_synthetic_tile(seed: Column, cols: Int, rows: Int, cellType: String): Column =
     c(SyntheticTile(e(seed), cols, rows, cellType))
   def rf_resample(t: Column, factorOrTarget: Column, method: String = "bilinear"): Column =
@@ -246,6 +248,7 @@ object Raster {
     reg2("rf_interpret_cell_type_as", InterpretAs(_, _))
     reg2("rf_with_no_data", SetNoDataValue(_, _))
     reg1("rf_tile", RealizeTile(_))
+    regN("rf_crop", CropTile(_))
     reg1("rf_cell_type", GetCellType(_))
     reg1("rf_dimensions", GetDimensions(_))
     reg2("rf_local_add", LocalAdd(_, _))

@@ -168,12 +168,18 @@ object Similarity {
    * 100 TB path.
    */
   def bruteTopK(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
-    val a = df.select(col(idCol).as("query_id"), col(vecCol).as("a_vec"))
-    val b = df.select(col(idCol).as("neighbor_id"), col(vecCol).as("b_vec"))
+    // norms are precomputed once per side: the O(n²) inner loop pays one
+    // dot product per pair instead of three
+    val a = df.select(col(idCol).as("query_id"), col(vecCol).as("a_vec"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("a_norm"))
+    val b = df.select(col(idCol).as("neighbor_id"), col(vecCol).as("b_vec"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("b_norm"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     a.crossJoin(broadcast(b))
       .where(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), cosine(col("a_vec"), col("b_vec")).as("sim"))
+      .select(col("query_id"), col("neighbor_id"),
+        when(col("a_norm") === 0.0 || col("b_norm") === 0.0, lit(0.0))
+          .otherwise(dot(col("a_vec"), col("b_vec")) / (col("a_norm") * col("b_norm"))).as("sim"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
   }
