@@ -305,6 +305,15 @@ object Raster {
     reg1("rf_agg_data_cells", CellCountAggregate(_, countData = true).toAggregateExpression())
     reg1("rf_agg_no_data_cells", CellCountAggregate(_, countData = false).toAggregateExpression())
     reg1("rf_agg_stats", CellStatsAggregate(_).toAggregateExpression())
+    // rf_agg_approx_quantiles(tile, array(probs...)) — probs must be foldable
+    // (SQL numeric literals arrive as DECIMAL: extract generically)
+    regN("rf_agg_approx_quantiles", { xs =>
+      val et = xs(1).dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+      val ext = doubleExtractor(et)
+      val ad = xs(1).eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val probs = (0 until ad.numElements()).map(i => ext(ad.get(i, et)))
+      ApproxCellQuantilesAggregate(xs(0), probs).toAggregateExpression()
+    })
     reg1("rf_agg_approx_histogram", HistogramAggregate(_).toAggregateExpression())
     reg1("rf_agg_local_min", LocalTileOpAggregate(_, isMin = true).toAggregateExpression())
     reg1("rf_agg_local_max", LocalTileOpAggregate(_, isMin = false).toAggregateExpression())
