@@ -129,6 +129,10 @@ object functions {
 
   // generators
   def rf_explode_tiles(tiles: Column*): Column = c(ExplodeTiles(tiles.map(e)))
+  /** Expand band path columns into one row per subtile window with a
+    * (lazy) tile per band — the multiband catalog reader. */
+  def rf_raster_source_to_tiles(tileDims: (Int, Int), lazyTiles: Boolean, bands: Column*): Column =
+    c(RasterSourceToTiles(bands.map(e), tileDims._1, tileDims._2, lazyTiles))
   def rf_explode_tiles_sample(fraction: Double, seed: Long, tiles: Column*): Column =
     c(ExplodeTiles(tiles.map(e), fraction, seed))
 

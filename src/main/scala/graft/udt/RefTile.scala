@@ -45,13 +45,21 @@ object RefTile {
           size() > MaxCached
       })
 
-  def readWindow(path: String, win: GridBounds): Tile = {
+  private def entryFor(path: String): (Array[Byte], GeoTiff.Info) = {
     var entry = cache.get(path)
     if (entry == null) {
       val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
       entry = (bytes, GeoTiff.parseInfo(bytes))
       cache.put(path, entry)
     }
+    entry
+  }
+
+  /** Cached metadata for a source file (executor-side). */
+  def info(path: String): GeoTiff.Info = entryFor(path)._2
+
+  def readWindow(path: String, win: GridBounds): Tile = {
+    val entry = entryFor(path)
     GeoTiff.readWindow(entry._1, entry._2, win)
   }
 }
