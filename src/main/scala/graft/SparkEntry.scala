@@ -282,6 +282,9 @@ object SparkEntry {
     "q_knn_lsh" -> ((s, dir) =>
       Similarity.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding", 3)
         .orderBy("query_id", "rank")),
+    "q_knn_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding", 3)
+        .orderBy("query_id", "rank")),
     "q_multimodal" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         length(Multimodal.to_blob(col("text"))).as("byte_len"),

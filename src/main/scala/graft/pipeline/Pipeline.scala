@@ -185,13 +185,52 @@ object Similarity {
   }
 
   /**
+   * IVF (inverted-file) approximate top-k: a k-means coarse quantizer
+   * (Spark ML, seeded) assigns every vector to one of `nlist` cells;
+   * each query probes its `nprobe` nearest cells and refines exactly
+   * within them. The centroid table is tiny (nlist×dim) and broadcast;
+   * the candidate join is an equi-join on the cell id — the classic
+   * billion-scale ANN layout.
+   */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feat = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      array_to_vector(col(vecCol)).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10).fit(feat)
+    val assigned = model.transform(feat).select(col("id"), col("vec"),
+      col("prediction").as("cell"))
+    val centroids = df.sparkSession.createDataFrame(
+      model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }.toIndexedSeq)
+      .toDF("cell", "centroid")
+    // nprobe nearest cells per query vector (tiny broadcast cross join)
+    val wProbe = Window.partitionBy("id").orderBy(col("cdist"), col("cell"))
+    val probes = assigned.select(col("id"), col("vec"))
+      .crossJoin(broadcast(centroids))
+      .select(col("id"), col("vec"), col("cell"),
+        (-dot(col("vec"), col("centroid").cast("array<float>"))).as("cdist"))
+      .withColumn("prank", row_number().over(wProbe))
+      .where(col("prank") <= nprobe)
+      .select(col("id").as("query_id"), col("vec").as("a_vec"), col("cell"))
+    val wTop = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    probes.join(assigned.select(col("id").as("neighbor_id"), col("vec").as("b_vec"), col("cell")),
+        Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("a_vec"), col("b_vec")).as("sim"))
+      .groupBy("query_id", "neighbor_id").agg(max("sim").as("sim"))
+      .withColumn("rank", row_number().over(wTop))
+      .where(col("rank") <= k)
+  }
+
+  /**
    * LSH-bucketed approximate top-k: `tables` independent random-
    * hyperplane signatures; candidates = vectors sharing a bucket in any
    * table; refine exactly within candidates. Equi-join on (table,
    * bucket) — shuffle-bounded, no broadcast of the full corpus.
    */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      dim: Int = 64, planes: Int = 12, tables: Int = 4): DataFrame = {
+      dim: Int = 64, planes: Int = 8, tables: Int = 8): DataFrame = {
     val withBuckets = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
       array((0 until tables).map(t =>
         c(HyperplaneBucket(asExpr(col(vecCol)), dim, planes, 0x5eed0000L + t))): _*).as("buckets"))
