@@ -32,6 +32,11 @@ object extensions {
   def rf_local_algebra(fn: (Double, Double) => Double)(a: Column, b: Column): Column =
     asColumn(LocalAlgebra(asExpr(a), asExpr(b), fn))
 
+  /** `spark.withGraft` — the analog of the reference's `withRasterFrames`. */
+  implicit class GraftSessionMethods(val spark: org.apache.spark.sql.SparkSession) extends AnyVal {
+    def withGraft: org.apache.spark.sql.SparkSession = Raster.init(spark)
+  }
+
   implicit class GraftDataFrameMethods(val df: DataFrame) extends AnyVal {
     /** Markdown table; tile cells summarized as `cellType cols×rows`. */
     def toMarkdown(numRows: Int = 5): String = {

@@ -167,6 +167,9 @@ object functions {
       min(extent.getField("xmin")).as("xmin"), min(extent.getField("ymin")).as("ymin"),
       max(extent.getField("xmax")).as("xmax"), max(extent.getField("ymax")).as("ymax"))
   }
+  /** Union of extents after reprojection into a common CRS. */
+  def rf_agg_reprojected_extent(extent: Column, srcCrs: Column, dstCrs: String): Column =
+    rf_agg_extent(st_extent(st_reproject(st_geometry(extent), srcCrs, lit(dstCrs))))
 
   // spatial / vector
   def st_geomFromWKT(wkt: Column): Column = c(GeomFromWKT(e(wkt)))
