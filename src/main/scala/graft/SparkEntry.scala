@@ -297,6 +297,36 @@ object SparkEntry {
         .select(col("doc_id"), col("img.width").as("width"), col("img.height").as("height"),
           col("img.channels").as("channels"), col("hist"))
         .orderBy("doc_id")),
+    "q_math" -> ((s, dir) =>
+      // sqrt is IEEE-754 correctly rounded in both engines → exact oracle;
+      // abs over integer-valued cells is exact
+      cells(s, dir, rf_sqrt(col("t_qty")))
+        .withColumnRenamed("cell", "sqrt_q")
+        .join(cells(s, dir, rf_abs(rf_local_subtract(col("t_qty"), 25.0)))
+          .withColumnRenamed("cell", "abs_q"), Seq("l_orderkey", "i"))
+        .orderBy("l_orderkey", "i")),
+    "q_math_rows" -> ((s, dir) =>
+      // log/exp families: libm results differ at ulp level between engines —
+      // rows-only check (correctness covered by ScalaTest against java.lang.Math)
+      tiled(s, dir).select(col("l_orderkey"),
+        rf_tile_sum(rf_log(col("t_qty"))).as("s_log"),
+        rf_tile_sum(rf_log10(col("t_qty"))).as("s_log10"),
+        rf_tile_sum(rf_log2(col("t_qty"))).as("s_log2"),
+        rf_tile_sum(rf_log1p(col("t_qty"))).as("s_log1p"),
+        rf_tile_sum(rf_exp(rf_local_divide(col("t_qty"), 50.0))).as("s_exp"),
+        rf_tile_sum(rf_exp2(rf_local_divide(col("t_qty"), 10.0))).as("s_exp2"),
+        rf_tile_sum(rf_exp10(rf_local_divide(col("t_qty"), 25.0))).as("s_exp10"),
+        rf_tile_sum(rf_expm1(rf_local_divide(col("t_qty"), 50.0))).as("s_expm1"),
+        rf_tile_sum(rf_round(rf_local_divide(col("t_qty"), 7.0))).as("s_round"),
+        rf_tile_sum(rf_identity(col("t_qty"))).as("s_id"))
+        .orderBy("l_orderkey")),
+    "q_agg_quantiles" -> ((s, dir) =>
+      tiled(s, dir).groupBy("bucket")
+        .agg(rf_agg_approx_quantiles(col("t_qty"), Seq(0.25, 0.5, 0.75)).as("qs"))
+        .select(col("bucket"),
+          col("qs").getItem(0).as("p25"), col("qs").getItem(1).as("p50"),
+          col("qs").getItem(2).as("p75"))
+        .orderBy("bucket")),
     "q_resample" -> ((s, dir) =>
       tiled(s, dir)
         .select(col("l_orderkey"), rf_resample_nearest(col("t_qty"), lit(0.5)).as("rt"))
@@ -576,6 +606,9 @@ object SparkEntry {
       """SELECT doc_id, CAST(LENGTH(text) AS INTEGER) AS byte_len,
         |CAST(CASE WHEN LENGTH(text) >= 64 THEN (LENGTH(text) - 64) // 32 + 1 ELSE 0 END AS INTEGER) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_math" -> (IDX +
+      """ SELECT l_orderkey, i, sqrt(q) AS sqrt_q, abs(q - 25.0) AS abs_q
+        |FROM idx ORDER BY l_orderkey, i""".stripMargin),
     "q_resample" -> (IDX +
       """ SELECT l_orderkey,
         |CAST(((i // 8 - 1) // 2) * 4 + ((i % 8 - 1) // 2) AS INTEGER) AS i2, q AS cell
