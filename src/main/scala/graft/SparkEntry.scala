@@ -257,6 +257,13 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("content_hash")),
+    "q_repetition" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.pipeline.TextFunctions.repetition_ratio(col("text")).as("rep3"))
+        .orderBy("doc_id")),
+    "q_dedup_pipeline" -> ((s, dir) =>
+      graft.pipeline.Dedup2.keepDecisions(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("id")),
     // ---- rows-only (non-SQL-expressible) operators ----
     "q_lang_id" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"), col("lang"),
@@ -587,6 +594,13 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, CAST(COUNT(*) AS BIGINT) AS cnt, MIN(doc_id) AS keep_id
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |grams AS (SELECT doc_id,
+        |  [array_to_string(t[i:i+2], ' ') FOR i IN range(1, GREATEST(LEN(t) - 1, 2))] AS g
+        |  FROM toks)
+        |SELECT doc_id, 1.0 - CAST(LEN(list_distinct(g)) AS DOUBLE) / LEN(g) AS rep3
+        |FROM grams ORDER BY doc_id""".stripMargin,
     "q_ngram_jaccard" ->
       """WITH toks AS (SELECT source AS blk, doc_id AS id, string_split(text, ' ') AS t FROM documents),
         |grams AS (SELECT DISTINCT blk, id,

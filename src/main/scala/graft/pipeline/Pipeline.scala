@@ -71,6 +71,17 @@ object TextFunctions {
   def minhash(text: Column, numHashes: Int = 32, shingle: Int = 3): Column =
     c(MinHashSignature(asExpr(tokens(text)), numHashes, shingle))
   def simhash(text: Column): Column = c(SimHash64(asExpr(tokens(text))))
+
+  /** Gopher-style repetition signal: fraction of duplicate n-grams,
+    * 1 − distinct/total (0 = no repetition). Integer counts → the
+    * division is exact. */
+  def repetition_ratio(text: Column, n: Int = 3): Column = {
+    val toks = tokens(text)
+    val grams = transform(
+      sequence(lit(0), greatest(size(toks) - n, lit(0))),
+      i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))
+    lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams)
+  }
 }
 
 object Dedup {
@@ -152,6 +163,30 @@ object Dedup {
       .select(col("blk"), col("a_id"), col("b_id"),
         (col("c") / (col("sa") + col("sb") - col("c"))).as("jaccard"))
       .where(col("jaccard") >= threshold)
+  }
+}
+
+object Dedup2 {
+  /** The full two-stage dedup decision: exact groups by content hash +
+    * MinHash-LSH near-dup candidates refined by exact n-gram Jaccard;
+    * emits one row per doc with its canonical keep id (min id over the
+    * doc's exact group and its accepted near-dup partners — one
+    * propagation hop, the standard approximation of connected
+    * components for shallow duplicate clusters). */
+  def keepDecisions(df: DataFrame, idCol: String, textCol: String,
+      jaccardThreshold: Double = 0.8): DataFrame = {
+    val ids = df.select(col(idCol).as("id"), md5(col(textCol)).as("h"))
+    val exactKeep = ids.groupBy("h").agg(min(col("id")).as("exact_keep"))
+    val withExact = ids.join(exactKeep, Seq("h")).select(col("id"), col("exact_keep"))
+    val near = Dedup.minhashPairs(df, idCol, textCol, threshold = 0.5)
+      .where(col("est_jaccard") >= jaccardThreshold)
+    val partners = near.select(col("a_id").as("id"), col("b_id").as("partner"))
+      .union(near.select(col("b_id").as("id"), col("a_id").as("partner")))
+      .groupBy("id").agg(min(col("partner")).as("near_keep"))
+    withExact.join(partners, Seq("id"), "left_outer")
+      .select(col("id"),
+        least(col("exact_keep"), coalesce(col("near_keep"), col("exact_keep"))).as("keep_id"))
+      .withColumn("is_duplicate", col("keep_id") =!= col("id"))
   }
 }
 
