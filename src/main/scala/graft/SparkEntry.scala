@@ -426,7 +426,7 @@ object SparkEntry {
         .orderBy("x", "y")
     }),
     "q_raster_join" -> ((s, dir) => {
-      val base = tiled(s, dir).where(col("l_orderkey") % 50 === 0)
+      val base = tiled(s, dir).where(col("l_orderkey") % 200 === 0)
         .select(col("l_orderkey"), col("t_qty").as("tile"),
           struct((col("l_orderkey") % 1000 * 2).cast("double").as("xmin"),
             expr("(l_orderkey div 1000) * 2").cast("double").as("ymin"),
@@ -441,7 +441,7 @@ object SparkEntry {
         .orderBy("l_orderkey")
     }),
     "q_raster_join_bucketed" -> ((s, dir) => {
-      val base = tiled(s, dir).where(col("l_orderkey") % 50 === 0)
+      val base = tiled(s, dir).where(col("l_orderkey") % 200 === 0)
         .select(col("l_orderkey"), col("t_qty").as("tile"),
           struct((col("l_orderkey") % 1000 * 2).cast("double").as("xmin"),
             expr("(l_orderkey div 1000) * 2").cast("double").as("ymin"),
@@ -654,10 +654,10 @@ object SparkEntry {
         |FROM p ORDER BY q, lnv""".stripMargin,
     "q_raster_join" ->
       """SELECT l_orderkey, SUM(l_quantity) AS s FROM lineitem
-        |WHERE l_orderkey % 50 = 0 GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+        |WHERE l_orderkey % 200 = 0 GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
     "q_raster_join_bucketed" ->
       """SELECT l_orderkey, SUM(l_quantity) AS s FROM lineitem
-        |WHERE l_orderkey % 50 = 0 GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+        |WHERE l_orderkey % 200 = 0 GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
     "q_events_daily" ->
       """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |MIN(value) AS min_value, MAX(value) AS max_value,

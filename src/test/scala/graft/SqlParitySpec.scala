@@ -1,0 +1,102 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Calls every registered SQL function once through spark.sql — catches
+ * registration arity/type bugs that the column API can't see (three were
+ * found at the SQL boundary during round 1: explode aliasing, DECIMAL
+ * array literals ×2).
+ */
+class SqlParitySpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  private val T = "rf_make_constant_tile(7.0, 4, 4, 'float64')"
+  private val T2 = "rf_make_constant_tile(3.0, 4, 4, 'float64')"
+  private val G = "st_geomfromwkt('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))')"
+  private val P = "st_makepoint(1.0, 2.0)"
+
+  val calls: Seq[String] = Seq(
+    s"rf_tile($T)", s"rf_crop($T, 1, 1, 2, 2)",
+    "rf_array_to_tile(array(1.0, 2.0), 2, 1)",
+    "rf_make_constant_tile(1.0, 2, 2, 'uint8')",
+    s"rf_tile_to_array_double($T)", s"rf_tile_to_array_int($T)",
+    s"rf_convert_cell_type($T, 'int32')", s"rf_interpret_cell_type_as($T, 'float64raw')",
+    s"rf_with_no_data($T, 7.0)", s"rf_cell_type($T)", s"rf_dimensions($T)",
+    s"rf_local_add($T, $T2)", s"rf_local_subtract($T, $T2)",
+    s"rf_local_multiply($T, 2.0)", s"rf_local_divide($T, 2.0)",
+    s"rf_local_min($T, 5.0)", s"rf_local_max($T, $T2)",
+    s"rf_local_clamp($T, 1.0, 5.0)", s"rf_where(rf_local_less($T, 8.0), $T, $T2)",
+    s"rf_normalized_difference($T, $T2)", s"rf_standardize($T, 5.0, 2.0)",
+    s"rf_rescale($T, 0.0, 10.0)", s"rf_round($T)", s"rf_abs($T)", s"rf_sqrt($T)",
+    s"rf_log($T)", s"rf_log10($T)", s"rf_log2($T)", s"rf_log1p($T)",
+    s"rf_exp($T)", s"rf_exp10($T)", s"rf_exp2($T)", s"rf_expm1($T)", s"rf_identity($T)",
+    s"rf_local_less($T, 8.0)", s"rf_local_less_equal($T, 8.0)",
+    s"rf_local_greater($T, 8.0)", s"rf_local_greater_equal($T, 8.0)",
+    s"rf_local_equal($T, $T2)", s"rf_local_unequal($T, $T2)",
+    s"rf_local_is_in($T, array(7.0, 9.0))", s"rf_local_no_data($T)", s"rf_local_data($T)",
+    s"rf_mask($T, $T2)", s"rf_inverse_mask($T, $T2)",
+    s"rf_mask_by_value($T, $T2, 3.0)", s"rf_inverse_mask_by_value($T, $T2, 3.0)",
+    s"rf_mask_by_values($T, $T2, array(3.0))",
+    s"rf_local_extract_bits(rf_convert_cell_type($T, 'int32'), 0, 2)",
+    s"rf_tile_sum($T)", s"rf_tile_mean($T)", s"rf_tile_min($T)", s"rf_tile_max($T)",
+    s"rf_tile_stats($T)", s"rf_tile_histogram($T)",
+    s"rf_data_cells($T)", s"rf_no_data_cells($T)", s"rf_is_no_data_tile($T)",
+    s"rf_exists($T)", s"rf_for_all($T)",
+    s"rf_resample($T, 2.0, 'bilinear')", s"rf_resample_nearest($T, 0.5)",
+    s"rf_render_ascii($T)", s"rf_render_matrix($T)", s"rf_render_png($T)",
+    s"rf_rgb_composite($T, $T2, $T)",
+    s"rf_focal_mean($T, 'square-1')", s"rf_focal_min($T, '1')", s"rf_focal_max($T, 'circle-1')",
+    s"rf_focal_median($T, '1')", s"rf_focal_mode($T, '1')", s"rf_focal_stddev($T, '1')",
+    s"rf_focal_moransi($T, '1')",
+    s"rf_convolve($T, array(0.0, 1.0, 0.0, 1.0, 1.0, 1.0, 0.0, 1.0, 0.0))",
+    s"rf_slope($T, 1.0)", s"rf_aspect($T)", s"rf_hillshade($T, 315.0, 45.0, 1.0)",
+    s"st_astext($G)", s"st_centroid($G)", s"st_area($G)", s"st_length($G)",
+    s"st_x($P)", s"st_y($P)", s"st_buffer($P, 1.0)",
+    s"st_extent($G)", s"st_geometry(st_extent($G))",
+    s"st_reproject($P, 'epsg:4326', 'epsg:3857')",
+    s"st_intersects($G, $P)", s"st_contains($G, $P)", s"st_covers($G, $P)",
+    s"st_crosses($G, $P)", s"st_disjoint($G, $P)", s"st_overlaps($G, $G)",
+    s"st_touches($G, $P)", s"st_within($P, $G)",
+    s"rf_z2_index($P, 'epsg:4326')", s"rf_xz2_index($G, 'epsg:4326')",
+    s"rf_rasterize($G, $G, 1.0, 8, 8)",
+    s"rf_extent(rf_proj_raster($T, st_extent($G), 'epsg:4326'))",
+    s"rf_crs(rf_proj_raster($T, st_extent($G), 'epsg:4326'))",
+    s"rf_geometry(rf_proj_raster($T, st_extent($G), 'epsg:4326'))",
+    s"""st_geomfromgeojson('{"type":"Point","coordinates":[1,2]}')""",
+    "rf_synthetic_tile(1, 4, 4, 'uint8')" // registered? column-API only — via SQL expression below
+  ).dropRight(1) // rf_synthetic_tile is column-API only
+
+  val aggCalls: Seq[String] = Seq(
+    s"rf_agg_mean($T)", s"rf_agg_data_cells($T)", s"rf_agg_no_data_cells($T)",
+    s"rf_agg_stats($T)", s"rf_agg_approx_histogram($T)",
+    s"rf_agg_approx_quantiles($T, array(0.5))",
+    s"rf_agg_local_min($T)", s"rf_agg_local_max($T)", s"rf_agg_local_mean($T)",
+    s"rf_agg_local_data_cells($T)", s"rf_agg_local_no_data_cells($T)",
+    s"rf_agg_local_stats($T)")
+
+  test("every registered scalar function evaluates via spark.sql") {
+    val failures = calls.flatMap { call =>
+      try { spark.sql(s"SELECT $call").collect(); None }
+      catch { case e: Throwable => Some(s"$call -> ${e.getClass.getSimpleName}: ${Option(e.getMessage).map(_.linesIterator.next()).getOrElse("")}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("every registered aggregate evaluates via spark.sql") {
+    val failures = aggCalls.flatMap { call =>
+      try { spark.sql(s"SELECT $call FROM range(5)").collect(); None }
+      catch { case e: Throwable => Some(s"$call -> ${e.getClass.getSimpleName}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("generator and assembler via spark.sql") {
+    spark.sql(s"SELECT rf_explode_tiles($T)").collect()
+    val n = spark.sql(
+      s"""SELECT rf_tile_sum(rf_assemble_tile(c, r, v, 2, 2)) FROM
+         |(SELECT 0 AS c, 0 AS r, 5.0 AS v UNION ALL SELECT 1, 1, 6.0)""".stripMargin)
+      .collect()(0).getDouble(0)
+    assert(n == 11.0)
+  }
+}
