@@ -26,7 +26,8 @@ object GeoTiff {
       extent: Extent, crs: CRS,
       tileWidth: Int, tileLength: Int, // 0 ⇒ strip layout
       rowsPerStrip: Int,
-      offsets: Array[Long], byteCounts: Array[Long]) {
+      offsets: Array[Long], byteCounts: Array[Long],
+      littleEndian: Boolean = true) {
     def cellType: CellType = (bitsPerSample, sampleFormat) match {
       case (8, 2) => CellType.int8
       case (8, _) => CellType.uint8
@@ -176,15 +177,76 @@ object GeoTiff {
 
   // ---------------- reader ----------------
 
-  def readInfo(path: String): Info = parseInfo(Files.readAllBytes(Paths.get(path)))
+  /**
+   * Byte-range access to an underlying TIFF. At 100 TB the read path must
+   * never pull an entire COG to decode one window; `FileRangeReader`
+   * seeks and reads only the requested segments (the reference's
+   * RangeReader pattern under RFRasterSource). `ArrayByteReader` adapts
+   * in-memory buffers (writer round-trips, tests).
+   */
+  trait ByteReader extends AutoCloseable {
+    def read(offset: Long, length: Int): Array[Byte]
+    def size: Long
+    override def close(): Unit = ()
+  }
 
-  def parseInfo(bytes: Array[Byte]): Info = {
-    val le = bytes(0) == 'I'
-    val bb = ByteBuffer.wrap(bytes).order(
-      if (le) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
-    require(bb.getShort(2) == 42, "Not a TIFF file")
-    val ifd = bb.getInt(4)
-    val nEntries = bb.getShort(ifd) & 0xffff
+  final class ArrayByteReader(bytes: Array[Byte]) extends ByteReader {
+    def read(offset: Long, length: Int): Array[Byte] = {
+      val end = math.min(bytes.length.toLong, offset + length).toInt
+      java.util.Arrays.copyOfRange(bytes, offset.toInt, end)
+    }
+    def size: Long = bytes.length.toLong
+  }
+
+  /** Positional (pread-style) reads; thread-safe, no shared cursor. */
+  final class FileRangeReader(path: String) extends ByteReader {
+    private val ch = java.nio.channels.FileChannel.open(
+      Paths.get(path), java.nio.file.StandardOpenOption.READ)
+    def read(offset: Long, length: Int): Array[Byte] = {
+      val cap = math.min(length.toLong, math.max(0L, ch.size() - offset)).toInt
+      val bb = ByteBuffer.allocate(cap)
+      var pos = offset
+      while (bb.hasRemaining) {
+        val n = ch.read(bb, pos)
+        if (n < 0) throw new java.io.EOFException(s"$path @$pos")
+        pos += n
+      }
+      GeoTiff.recordBytesRead(cap)
+      bb.array()
+    }
+    def size: Long = ch.size()
+    override def close(): Unit = ch.close()
+  }
+
+  // Telemetry for specs: prove bytes-read ∝ windows touched, not file size.
+  private val globalBytesRead = new java.util.concurrent.atomic.AtomicLong
+  private val threadBytesRead = ThreadLocal.withInitial[Array[Long]](() => Array(0L))
+  private def recordBytesRead(n: Int): Unit = {
+    globalBytesRead.addAndGet(n.toLong)
+    threadBytesRead.get()(0) += n.toLong
+  }
+  def bytesReadTotal: Long = globalBytesRead.get()
+  def bytesReadThisThread: Long = threadBytesRead.get()(0)
+  def resetThreadBytesRead(): Unit = threadBytesRead.get()(0) = 0L
+
+  /** Parse header + IFD via ranged reads — never loads cell payload. */
+  def readInfo(path: String): Info = {
+    val r = new FileRangeReader(path)
+    try parseInfo(r) finally r.close()
+  }
+
+  def parseInfo(bytes: Array[Byte]): Info = parseInfo(new ArrayByteReader(bytes))
+
+  def parseInfo(reader: ByteReader): Info = {
+    val header = reader.read(0, 8)
+    val le = header(0) == 'I'
+    val order = if (le) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN
+    val hb = ByteBuffer.wrap(header).order(order)
+    require(hb.getShort(2) == 42, "Not a TIFF file")
+    val ifd = hb.getInt(4)
+    val nEntries = ByteBuffer.wrap(reader.read(ifd.toLong, 2)).order(order).getShort(0) & 0xffff
+    // one ranged read for the whole entry table
+    val entries = ByteBuffer.wrap(reader.read(ifd.toLong + 2, nEntries * 12)).order(order)
     var cols = 0; var rows = 0; var bits = 8; var fmt = 1
     var tileW = 0; var tileL = 0; var rps = Int.MaxValue
     var offsets: Array[Long] = Array.empty
@@ -199,27 +261,30 @@ object GeoTiff {
         case _ => 4
       }
       val total = size * count
-      val dataPos = if (total <= 4) pos else bb.getInt(pos)
+      val data = ByteBuffer.wrap(
+        if (total <= 4) { val a = new Array[Byte](4); entries.get(pos, a); a }
+        else reader.read(entries.getInt(pos).toLong, total)).order(order)
       Array.tabulate(count) { i =>
         typ match {
-          case 1 => (bb.get(dataPos + i) & 0xff).toLong
-          case 3 => (bb.getShort(dataPos + i * 2) & 0xffff).toLong
-          case 4 => bb.getInt(dataPos + i * 4).toLong & 0xffffffffL
-          case _ => bb.getInt(dataPos + i * 4).toLong
+          case 1 => (data.get(i) & 0xff).toLong
+          case 3 => (data.getShort(i * 2) & 0xffff).toLong
+          case 4 => data.getInt(i * 4).toLong & 0xffffffffL
+          case _ => data.getInt(i * 4).toLong
         }
       }
     }
     def readDoubles(count: Int, pos: Int): Array[Double] = {
-      val dataPos = bb.getInt(pos)
-      Array.tabulate(count)(i => bb.getDouble(dataPos + i * 8))
+      val data = ByteBuffer.wrap(
+        reader.read(entries.getInt(pos).toLong, count * 8)).order(order)
+      Array.tabulate(count)(i => data.getDouble(i * 8))
     }
 
     var e = 0
     while (e < nEntries) {
-      val base = ifd + 2 + e * 12
-      val tag = bb.getShort(base) & 0xffff
-      val typ = bb.getShort(base + 2) & 0xffff
-      val count = bb.getInt(base + 4)
+      val base = e * 12
+      val tag = entries.getShort(base) & 0xffff
+      val typ = entries.getShort(base + 2) & 0xffff
+      val count = entries.getInt(base + 4)
       val vpos = base + 8
       tag match {
         case 256 => cols = readValues(typ, 1, vpos)(0).toInt
@@ -246,7 +311,7 @@ object GeoTiff {
       tiepoint(3) + cols * pixScale(0), tiepoint(4))
     val crs = parseGeoKeys(geoKeys)
     Info(cols, rows, bits, fmt, extent, crs, tileW, tileL,
-      if (rps == Int.MaxValue) rows else rps, offsets, counts)
+      if (rps == Int.MaxValue) rows else rps, offsets, counts, le)
   }
 
   private def parseGeoKeys(keys: Array[Int]): CRS = {
@@ -266,34 +331,47 @@ object GeoTiff {
     if (epsg > 0) CRS(s"epsg:$epsg") else CRS.wgs84
   }
 
-  /** Read the full raster. */
+  /** Read the full raster (ranged; still only touches needed segments). */
   def read(path: String): (Tile, Extent, CRS) = {
-    val bytes = Files.readAllBytes(Paths.get(path))
-    val info = parseInfo(bytes)
-    val t = readWindow(bytes, info, GridBounds(0, 0, info.cols - 1, info.rows - 1))
-    (t, info.extent, info.crs)
+    val r = new FileRangeReader(path)
+    try {
+      val info = parseInfo(r)
+      val t = readWindow(r, info, GridBounds(0, 0, info.cols - 1, info.rows - 1))
+      (t, info.extent, info.crs)
+    } finally r.close()
   }
 
-  /** Windowed read: decode only the strips/tiles that intersect `win`. */
-  def readWindow(bytes: Array[Byte], info: Info, win: GridBounds): Tile = {
-    val le = bytes(0) == 'I'
-    val bb = ByteBuffer.wrap(bytes).order(
-      if (le) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+  def readWindow(bytes: Array[Byte], info: Info, win: GridBounds): Tile =
+    readWindow(new ArrayByteReader(bytes), info, win)
+
+  /** Windowed read over a file: seeks only intersecting segments. */
+  def readWindowFile(path: String, info: Info, win: GridBounds): Tile = {
+    val r = new FileRangeReader(path)
+    try readWindow(r, info, win) finally r.close()
+  }
+
+  /**
+   * Windowed read: fetch ONLY the byte ranges of strips/tiles that
+   * intersect `win` (for strips, only the intersecting row span), then
+   * decode. Read amplification is ∝ window size, not file size.
+   */
+  def readWindow(reader: ByteReader, info: Info, win: GridBounds): Tile = {
+    val order = if (info.littleEndian) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN
     val ct = info.cellType
     val bytesPer = info.bitsPerSample / 8
     val out = Tile.empty(ct, win.width, win.height)
-    @inline def putCell(outC: Int, outR: Int, dataPos: Long): Unit = {
+    @inline def putCell(seg: ByteBuffer, localPos: Int, outC: Int, outR: Int): Unit = {
       val v: Double = info.bitsPerSample match {
         case 8 =>
-          val b = bb.get(dataPos.toInt)
+          val b = seg.get(localPos)
           if (info.sampleFormat == 2) b.toDouble else (b & 0xff).toDouble
         case 16 =>
-          val s = bb.getShort(dataPos.toInt)
+          val s = seg.getShort(localPos)
           if (info.sampleFormat == 2) s.toDouble else (s & 0xffff).toDouble
         case 32 =>
-          if (info.sampleFormat == 3) bb.getFloat(dataPos.toInt).toDouble
-          else bb.getInt(dataPos.toInt).toDouble
-        case 64 => bb.getDouble(dataPos.toInt)
+          if (info.sampleFormat == 3) seg.getFloat(localPos).toDouble
+          else seg.getInt(localPos).toDouble
+        case 64 => seg.getDouble(localPos)
       }
       // raw storage value: route through interpretAs semantics by direct set
       out.setDouble(outR * win.width + outC, if (ct.isNoData(v)) Double.NaN else v)
@@ -302,12 +380,17 @@ object GeoTiff {
       val tilesAcross = (info.cols + info.tileWidth - 1) / info.tileWidth
       val t0c = win.colMin / info.tileWidth; val t1c = win.colMax / info.tileWidth
       val t0r = win.rowMin / info.tileLength; val t1r = win.rowMax / info.tileLength
+      val segLen = info.tileWidth * info.tileLength * bytesPer
       var tr = t0r
       while (tr <= t1r) {
         var tc = t0c
         while (tc <= t1c) {
           val tIdx = tr * tilesAcross + tc
-          val off = info.offsets(tIdx)
+          val len =
+            if (tIdx < info.byteCounts.length && info.byteCounts(tIdx) > 0)
+              math.min(segLen.toLong, info.byteCounts(tIdx)).toInt
+            else segLen
+          val seg = ByteBuffer.wrap(reader.read(info.offsets(tIdx), len)).order(order)
           var r = math.max(win.rowMin, tr * info.tileLength)
           val rEnd = math.min(win.rowMax, (tr + 1) * info.tileLength - 1)
           while (r <= rEnd) {
@@ -315,7 +398,7 @@ object GeoTiff {
             val cEnd = math.min(win.colMax, (tc + 1) * info.tileWidth - 1)
             while (c <= cEnd) {
               val inTileIdx = (r - tr * info.tileLength) * info.tileWidth + (c - tc * info.tileWidth)
-              putCell(c - win.colMin, r - win.rowMin, off + inTileIdx.toLong * bytesPer)
+              putCell(seg, inTileIdx * bytesPer, c - win.colMin, r - win.rowMin)
               c += 1
             }
             r += 1
@@ -326,16 +409,21 @@ object GeoTiff {
       }
     } else {
       val s0 = win.rowMin / info.rowsPerStrip; val s1 = win.rowMax / info.rowsPerStrip
+      val bytesPerRow = info.cols * bytesPer
       var s = s0
       while (s <= s1) {
-        val off = info.offsets(s)
-        var r = math.max(win.rowMin, s * info.rowsPerStrip)
+        val stripRow0 = s * info.rowsPerStrip
+        val r0 = math.max(win.rowMin, stripRow0)
         val rEnd = math.min(win.rowMax, (s + 1) * info.rowsPerStrip - 1)
+        // only the intersecting row span of the strip, never the whole strip
+        val segOff = info.offsets(s) + (r0 - stripRow0).toLong * bytesPerRow
+        val seg = ByteBuffer.wrap(
+          reader.read(segOff, (rEnd - r0 + 1) * bytesPerRow)).order(order)
+        var r = r0
         while (r <= rEnd) {
           var c = win.colMin
           while (c <= win.colMax) {
-            val inStripIdx = (r - s * info.rowsPerStrip).toLong * info.cols + c
-            putCell(c - win.colMin, r - win.rowMin, off + inStripIdx * bytesPer)
+            putCell(seg, (r - r0) * bytesPerRow + c * bytesPer, c - win.colMin, r - win.rowMin)
             c += 1
           }
           r += 1

@@ -4,7 +4,6 @@ import java.nio.file.{Files, Paths}
 import java.util.{Map => JMap}
 
 import graft.core._
-import graft.core.geotiff.GeoTiff
 import graft.udt.TileUDT
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
@@ -83,9 +82,16 @@ class GeoTiffScanBuilder(props: Map[String, String])
   override def build(): Scan = new GeoTiffScan(props, required)
 }
 
-final case class GeoTiffPartition(path: String, win: GridBounds,
-    key: (Int, Int), extent: Extent, crsName: String,
-    cellTypeName: String, lazyTiles: Boolean) extends InputPartition
+/**
+ * One partition per FILE — the 100 TB-safe plan shape. Window expansion
+ * and metadata parsing happen executor-side inside the PartitionReader
+ * (the reference expands windows executor-side too, via a generator:
+ * /root/reference/core/src/main/scala/org/locationtech/rasterframes/expressions/generators/RasterSourceToRasterRefs.scala:62-77).
+ * Planning a partition per WINDOW would create millions of driver-side
+ * objects and serial driver I/O on a large catalog.
+ */
+final case class GeoTiffFilePartition(path: String, tileCols: Int, tileRows: Int,
+    buffer: Int, lazyTiles: Boolean) extends InputPartition
 
 class GeoTiffScan(props: Map[String, String], required: StructType) extends Scan with Batch {
   override def readSchema(): StructType = required
@@ -100,26 +106,10 @@ class GeoTiffScan(props: Map[String, String], required: StructType) extends Scan
     // lazy_tiles ships RasterRef-style references instead of cells.
     val buffer = props.get("buffer_size").map(_.toInt).getOrElse(0)
     val lazyTiles = props.get("lazy_tiles").exists(_.toBoolean)
-    GeoTiffTable.resolvePaths(props).flatMap { p =>
-      val info = GeoTiff.readInfo(p)
-      val re = info.rasterExtent
-      val keysAcross = (info.cols + tc - 1) / tc
-      val keysDown = (info.rows + tr - 1) / tr
-      for (kr <- 0 until keysDown; kc <- 0 until keysAcross) yield {
-        val win = GridBounds(
-          math.max(0, kc * tc - buffer),
-          math.max(0, kr * tr - buffer),
-          math.min(info.cols - 1, (kc + 1) * tc - 1 + buffer),
-          math.min(info.rows - 1, (kr + 1) * tr - 1 + buffer))
-        val subExtent = Extent(
-          info.extent.xmin + win.colMin * re.cellWidth,
-          info.extent.ymax - (win.rowMax + 1) * re.cellHeight,
-          info.extent.xmin + (win.colMax + 1) * re.cellWidth,
-          info.extent.ymax - win.rowMin * re.cellHeight)
-        GeoTiffPartition(p, win, (kc, kr), subExtent, info.crs.normalized,
-          info.cellType.name, lazyTiles)
-      }
-    }.toArray
+    // No file I/O on the driver: just the path listing.
+    GeoTiffTable.resolvePaths(props)
+      .map(p => GeoTiffFilePartition(p, tc, tr, buffer, lazyTiles): InputPartition)
+      .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = new GeoTiffReaderFactory(required)
@@ -127,30 +117,43 @@ class GeoTiffScan(props: Map[String, String], required: StructType) extends Scan
 
 class GeoTiffReaderFactory(required: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val part = partition.asInstanceOf[GeoTiffPartition]
+    val part = partition.asInstanceOf[GeoTiffFilePartition]
     new PartitionReader[InternalRow] {
-      private var done = false
-      override def next(): Boolean = !done
+      // Executor-side: one ranged metadata read per file, then iterate
+      // windows; cell bytes are fetched per-window with byte-range reads.
+      private lazy val info = graft.udt.RefTile.info(part.path)
+      private lazy val keysAcross = (info.cols + part.tileCols - 1) / part.tileCols
+      private lazy val keysDown = (info.rows + part.tileRows - 1) / part.tileRows
+      private var idx = -1
+      override def next(): Boolean = { idx += 1; idx < keysAcross * keysDown }
       override def get(): InternalRow = {
-        done = true
+        val kc = idx % keysAcross
+        val kr = idx / keysAcross
+        val re = info.rasterExtent
+        val win = GridBounds(
+          math.max(0, kc * part.tileCols - part.buffer),
+          math.max(0, kr * part.tileRows - part.buffer),
+          math.min(info.cols - 1, (kc + 1) * part.tileCols - 1 + part.buffer),
+          math.min(info.rows - 1, (kr + 1) * part.tileRows - 1 + part.buffer))
+        val extent = Extent(
+          info.extent.xmin + win.colMin * re.cellWidth,
+          info.extent.ymax - (win.rowMax + 1) * re.cellHeight,
+          info.extent.xmin + (win.colMax + 1) * re.cellWidth,
+          info.extent.ymax - win.rowMin * re.cellHeight)
         // column pruning: decode cells only if the tile column is required
         val values = required.fields.map { f =>
           f.name match {
             case "path" => UTF8String.fromString(part.path)
-            case "spatial_key" => InternalRow(part.key._1, part.key._2)
+            case "spatial_key" => InternalRow(kc, kr)
             case "extent" =>
-              InternalRow(part.extent.xmin, part.extent.ymin, part.extent.xmax, part.extent.ymax)
-            case "crs" => UTF8String.fromString(part.crsName)
+              InternalRow(extent.xmin, extent.ymin, extent.xmax, extent.ymax)
+            case "crs" => UTF8String.fromString(info.crs.normalized)
             case "tile" =>
               if (part.lazyTiles)
-                TileUDT.encode(new graft.udt.RefTile(part.path, part.win,
-                  graft.core.CellType.fromName(part.cellTypeName),
-                  part.win.width, part.win.height))
-              else {
-                val bytes = Files.readAllBytes(Paths.get(part.path))
-                val info = GeoTiff.parseInfo(bytes)
-                TileUDT.encode(GeoTiff.readWindow(bytes, info, part.win))
-              }
+                TileUDT.encode(new graft.udt.RefTile(part.path, win,
+                  info.cellType, win.width, win.height))
+              else
+                TileUDT.encode(graft.udt.RefTile.readWindow(part.path, win))
           }
         }
         new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(

@@ -35,31 +35,29 @@ final class RefTile(
 }
 
 object RefTile {
-  private final val MaxCached = 64
-  // path -> (bytes, parsed info); bounded LRU, JVM-wide (one per executor)
+  // path -> parsed Info ONLY (a few KB each — never the cell payload;
+  // caching whole COGs would pin tens of GB per executor at 100 TB).
+  // Cell bytes are fetched per-window with byte-range reads.
+  private final val MaxCached = 4096
   private val cache =
     java.util.Collections.synchronizedMap(
-      new java.util.LinkedHashMap[String, (Array[Byte], GeoTiff.Info)](MaxCached, 0.75f, true) {
+      new java.util.LinkedHashMap[String, GeoTiff.Info](256, 0.75f, true) {
         override def removeEldestEntry(
-            e: java.util.Map.Entry[String, (Array[Byte], GeoTiff.Info)]): Boolean =
+            e: java.util.Map.Entry[String, GeoTiff.Info]): Boolean =
           size() > MaxCached
       })
 
-  private def entryFor(path: String): (Array[Byte], GeoTiff.Info) = {
-    var entry = cache.get(path)
-    if (entry == null) {
-      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
-      entry = (bytes, GeoTiff.parseInfo(bytes))
-      cache.put(path, entry)
+  /** Cached metadata for a source file (executor-side, ranged reads). */
+  def info(path: String): GeoTiff.Info = {
+    var i = cache.get(path)
+    if (i == null) {
+      i = GeoTiff.readInfo(path)
+      cache.put(path, i)
     }
-    entry
+    i
   }
 
-  /** Cached metadata for a source file (executor-side). */
-  def info(path: String): GeoTiff.Info = entryFor(path)._2
-
-  def readWindow(path: String, win: GridBounds): Tile = {
-    val entry = entryFor(path)
-    GeoTiff.readWindow(entry._1, entry._2, win)
-  }
+  /** Byte-range read of just the segments intersecting `win`. */
+  def readWindow(path: String, win: GridBounds): Tile =
+    GeoTiff.readWindowFile(path, info(path), win)
 }
