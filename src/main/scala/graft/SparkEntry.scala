@@ -298,12 +298,18 @@ object SparkEntry {
         size(Multimodal.frame_sample(Multimodal.to_blob(col("text")), 64, 32)).as("n_frames"))
         .orderBy("doc_id")),
     "q_multimodal_decode" -> ((s, dir) =>
+      // hist exploded to orderable scalars (doc_id, bin, bin_count) so the
+      // compare harness can sort it; frac*byte_len recovers the exact
+      // integer count (float32 rel-err ≪ 1/byte_len for these sizes).
       t(s, dir, "documents").select(col("doc_id"),
         Multimodal.decode_image_stub(Multimodal.to_blob(col("text"))).as("img"),
         Multimodal.byte_histogram(Multimodal.to_blob(col("text"))).as("hist"))
-        .select(col("doc_id"), col("img.width").as("width"), col("img.height").as("height"),
-          col("img.channels").as("channels"), col("hist"))
-        .orderBy("doc_id")),
+        .select(col("doc_id"), col("img.channels").as("channels"),
+          col("img.byte_len").as("byte_len"), posexplode(col("hist")))
+        .select(col("doc_id"), col("channels"), col("byte_len"),
+          col("pos").cast("int").as("bin"),
+          round(col("col") * col("byte_len")).cast("long").as("bin_count"))
+        .orderBy("doc_id", "bin")),
     "q_math" -> ((s, dir) =>
       // sqrt is IEEE-754 correctly rounded in both engines → exact oracle;
       // abs over integer-valued cells is exact
@@ -620,6 +626,20 @@ object SparkEntry {
       """SELECT doc_id, CAST(LENGTH(text) AS INTEGER) AS byte_len,
         |CAST(CASE WHEN LENGTH(text) >= 64 THEN (LENGTH(text) - 64) // 32 + 1 ELSE 0 END AS INTEGER) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // text is pure ASCII in the synthetic corpus, so UTF-8 byte value ==
+    // character code and the byte histogram is char-countable in SQL.
+    "q_multimodal_decode" ->
+      """WITH chars AS (
+        |  SELECT d.doc_id, CAST(ascii(substring(d.text, CAST(u.ci AS INT), 1)) // 16 AS INT) AS bin
+        |  FROM documents d, unnest(range(1, length(d.text) + 1)) AS u(ci)),
+        |counts AS (SELECT doc_id, bin, COUNT(*) AS c FROM chars GROUP BY doc_id, bin),
+        |grid AS (
+        |  SELECT d.doc_id, CAST(length(d.text) AS INTEGER) AS byte_len, CAST(g.bin AS INT) AS bin
+        |  FROM documents d, (SELECT unnest(range(0, 16)) AS bin) g)
+        |SELECT grid.doc_id AS doc_id, CAST(3 AS INTEGER) AS channels, grid.byte_len AS byte_len,
+        |  grid.bin AS bin, CAST(COALESCE(counts.c, 0) AS BIGINT) AS bin_count
+        |FROM grid LEFT JOIN counts ON grid.doc_id = counts.doc_id AND grid.bin = counts.bin
+        |ORDER BY doc_id, bin""".stripMargin,
     "q_math" -> (IDX +
       """ SELECT l_orderkey, i, sqrt(q) AS sqrt_q, abs(q - 25.0) AS abs_q
         |FROM idx ORDER BY l_orderkey, i""".stripMargin),
