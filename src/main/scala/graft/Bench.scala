@@ -40,16 +40,31 @@ object Bench {
     }
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+
+    /** warmup run + median of 3 timed runs — stable against JIT/GC noise */
+    def medianOf3(body: => Unit): Double = {
+      body // warmup
+      val ts = Array.fill(3)(time(body)).sorted
+      ts(1)
+    }
 
     // JVM/codegen warmup so the first timed query isn't charged for it
     try SparkEntry.queries("q_tile_sum")(spark, sfDir).write.mode("overwrite").format("noop").save()
     catch { case _: Throwable => () }
 
     // ---- headline SparkEntry queries at the target SF ----
+    // Failures are NOT swallowed into fake-fast timings: a crashing query
+    // is recorded under "errors", excluded from the total, and flagged.
     for ((name, fn) <- SparkEntry.queries) {
-      results(name) = time {
-        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
-        catch { case _: Throwable => () }
+      try {
+        results(name) = medianOf3 {
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        }
+      } catch {
+        case e: Throwable =>
+          errors(name) = e.toString.replaceAll("[\"\\\\\r\n]", " ").take(200)
+          System.err.println(s"BENCH FAILURE in $name: $e")
       }
     }
 
@@ -109,8 +124,11 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
     val total = results.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }
