@@ -261,7 +261,26 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         graft.pipeline.TextFunctions.repetition_ratio(col("text")).as("rep3"))
         .orderBy("doc_id")),
-    "q_dedup_pipeline" -> ((s, dir) =>
+    "q_dedup_pipeline" -> ((s, dir) => {
+      // Chained fixture: every 5th doc plus its 80%- and 64%-token
+      // prefixes. Consecutive links share ~0.8 trigram Jaccard, the
+      // v0↔v2 skip link only ~0.64 — so a single keep_id per chain
+      // REQUIRES transitive (connected-components) clustering, and the
+      // exact-Jaccard edges make the whole thing DuckDB-checkable.
+      val docs = t(s, dir, "documents").where(col("doc_id") % 5 === 0)
+      val toks = split(col("text"), " ")
+      val n1 = floor(size(toks) * 4 / 5).cast("int")
+      val n2 = floor(floor(size(toks) * 4 / 5) * 4 / 5).cast("int")
+      val v0 = docs.select((col("doc_id") * 3).as("id"), col("source"), col("text"))
+      val v1 = docs.select((col("doc_id") * 3 + 1).as("id"), col("source"),
+        concat_ws(" ", slice(toks, lit(1), n1)).as("text"))
+      val v2 = docs.select((col("doc_id") * 3 + 2).as("id"), col("source"),
+        concat_ws(" ", slice(toks, lit(1), n2)).as("text"))
+      graft.pipeline.Dedup2.keepDecisionsExact(
+        v0.union(v1).union(v2), "id", "text", "source")
+        .orderBy("id")
+    }),
+    "q_dedup_lsh" -> ((s, dir) =>
       graft.pipeline.Dedup2.keepDecisions(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("id")),
     // ---- rows-only (non-SQL-expressible) operators ----
@@ -600,6 +619,43 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, CAST(COUNT(*) AS BIGINT) AS cnt, MIN(doc_id) AS keep_id
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // chained fixture + exact trigram-Jaccard edges + recursive-CTE
+    // connected components — the transitive-closure ground truth for the
+    // Spark side's iterative label propagation
+    "q_dedup_pipeline" ->
+      """WITH RECURSIVE docs0 AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS t
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |vars AS (
+        |  SELECT doc_id * 3 AS id, source, t FROM docs0
+        |  UNION ALL
+        |  SELECT doc_id * 3 + 1, source, t[1:(LEN(t) * 4) // 5] FROM docs0
+        |  UNION ALL
+        |  SELECT doc_id * 3 + 2, source, t[1:(((LEN(t) * 4) // 5) * 4) // 5] FROM docs0),
+        |vtext AS (SELECT id, source, array_to_string(t, ' ') AS text, t FROM vars),
+        |grams AS (SELECT DISTINCT source AS blk, id,
+        |  unnest([array_to_string(t[i:i+2], ' ') FOR i IN range(1, GREATEST(LEN(t) - 1, 2))]) AS gram
+        |  FROM vtext),
+        |sizes AS (SELECT blk, id, CAST(COUNT(*) AS DOUBLE) AS sz FROM grams GROUP BY blk, id),
+        |common AS (SELECT a.blk AS blk, a.id AS a_id, b.id AS b_id, CAST(COUNT(*) AS DOUBLE) AS c
+        |           FROM grams a JOIN grams b ON a.blk = b.blk AND a.gram = b.gram AND a.id < b.id
+        |           GROUP BY a.blk, a.id, b.id),
+        |near AS (SELECT a_id, b_id FROM common
+        |         JOIN sizes sa ON sa.blk = common.blk AND sa.id = common.a_id
+        |         JOIN sizes sb ON sb.blk = common.blk AND sb.id = common.b_id
+        |         WHERE c / (sa.sz + sb.sz - c) >= 0.7),
+        |exact AS (SELECT x.id AS a_id, y.id AS b_id FROM vtext x JOIN vtext y
+        |          ON x.text = y.text AND x.id < y.id),
+        |edges AS (SELECT a_id AS src, b_id AS dst FROM near
+        |          UNION SELECT b_id, a_id FROM near
+        |          UNION SELECT a_id, b_id FROM exact
+        |          UNION SELECT b_id, a_id FROM exact),
+        |reach AS (
+        |  SELECT id, id AS r FROM vtext
+        |  UNION
+        |  SELECT e.src AS id, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
+        |SELECT id, MIN(r) AS keep_id, MIN(r) <> id AS is_duplicate
+        |FROM reach GROUP BY id ORDER BY id""".stripMargin,
     "q_repetition" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |grams AS (SELECT doc_id,

@@ -167,26 +167,78 @@ object Dedup {
 }
 
 object Dedup2 {
-  /** The full two-stage dedup decision: exact groups by content hash +
-    * MinHash-LSH near-dup candidates refined by exact n-gram Jaccard;
-    * emits one row per doc with its canonical keep id (min id over the
-    * doc's exact group and its accepted near-dup partners — one
-    * propagation hop, the standard approximation of connected
-    * components for shallow duplicate clusters). */
-  def keepDecisions(df: DataFrame, idCol: String, textCol: String,
-      jaccardThreshold: Double = 0.8): DataFrame = {
+  /**
+   * Connected components by iterative min-label propagation (HashMin) to
+   * a (bounded) FIXPOINT — one-hop min-id splits A→B→C duplicate chains,
+   * and at 100 TB near-dup chains are the norm, not the exception.
+   * Each round is one equi-join + partial-aggregated groupBy on `id`;
+   * rounds needed = component diameter (near-dup clusters are shallow).
+   * `localCheckpoint` truncates lineage so plans don't grow per round.
+   *
+   * nodes: one column `id`; edges: columns `src`, `dst` (symmetrized
+   * here). Returns (id, label) with label = min id of the component.
+   */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+      maxIters: Int = 20): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    var labels = nodes.select(col("id")).distinct()
+      .select(col("id"), col("id").as("label")).localCheckpoint(true)
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIters) {
+      val next = sym.join(labels.select(col("id").as("dst"), col("label")), "dst")
+        .select(col("src").as("id"), col("label"))
+        .union(labels)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.select(col("id"), col("label").as("prev")), "id")
+        .where(col("label") =!= col("prev")).count()
+      done = changed == 0
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  private def exactEdges(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val ids = df.select(col(idCol).as("id"), md5(col(textCol)).as("h"))
+    // star edges to the group minimum — same components as all-pairs
     val exactKeep = ids.groupBy("h").agg(min(col("id")).as("exact_keep"))
-    val withExact = ids.join(exactKeep, Seq("h")).select(col("id"), col("exact_keep"))
+    ids.join(exactKeep, Seq("h"))
+      .select(col("id").as("src"), col("exact_keep").as("dst"))
+      .where(col("src") =!= col("dst"))
+  }
+
+  private def decisions(df: DataFrame, idCol: String, edges: DataFrame,
+      maxIters: Int): DataFrame =
+    connectedComponents(df.select(col(idCol).as("id")), edges, maxIters)
+      .select(col("id"), col("label").as("keep_id"),
+        (col("label") =!= col("id")).as("is_duplicate"))
+
+  /** The full two-stage dedup decision: exact groups by content hash +
+    * MinHash-LSH near-dup candidates, clustered by connected components
+    * so duplicate CHAINS collapse to one canonical keep id. */
+  def keepDecisions(df: DataFrame, idCol: String, textCol: String,
+      jaccardThreshold: Double = 0.8, maxIters: Int = 20): DataFrame = {
     val near = Dedup.minhashPairs(df, idCol, textCol, threshold = 0.5)
       .where(col("est_jaccard") >= jaccardThreshold)
-    val partners = near.select(col("a_id").as("id"), col("b_id").as("partner"))
-      .union(near.select(col("b_id").as("id"), col("a_id").as("partner")))
-      .groupBy("id").agg(min(col("partner")).as("near_keep"))
-    withExact.join(partners, Seq("id"), "left_outer")
-      .select(col("id"),
-        least(col("exact_keep"), coalesce(col("near_keep"), col("exact_keep"))).as("keep_id"))
-      .withColumn("is_duplicate", col("keep_id") =!= col("id"))
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+    decisions(df, idCol, edges = exactEdges(df, idCol, textCol).union(near),
+      maxIters = maxIters)
+  }
+
+  /** Deterministic variant: near-dup edges from EXACT n-gram Jaccard
+    * (equi-join on grams within a blocking key) instead of MinHash
+    * estimates — fully oracle-checkable, same component clustering. */
+  def keepDecisionsExact(df: DataFrame, idCol: String, textCol: String,
+      blockCol: String, n: Int = 3, jaccardThreshold: Double = 0.7,
+      maxIters: Int = 20): DataFrame = {
+    val near = Dedup.ngramJaccard(df, idCol, textCol, blockCol, n, jaccardThreshold)
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+    decisions(df, idCol, edges = exactEdges(df, idCol, textCol).union(near),
+      maxIters = maxIters)
   }
 }
 

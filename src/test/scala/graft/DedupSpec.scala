@@ -1,0 +1,55 @@
+package graft
+
+import graft.pipeline.{Dedup, Dedup2}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  test("connectedComponents resolves chains and stars to one label") {
+    // chain 1-2-3-4 (depth 4), star 10-{11,12,13}, singleton 20
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 13L, 20L).toDF("id")
+    val edges = Seq((2L, 1L), (3L, 2L), (4L, 3L), (11L, 10L), (12L, 10L), (13L, 10L))
+      .toDF("src", "dst")
+    val labels = Dedup2.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(labels(_) == 1L), s"chain: $labels")
+    assert(Seq(10L, 11L, 12L, 13L).forall(labels(_) == 10L), s"star: $labels")
+    assert(labels(20L) == 20L)
+  }
+
+  test("LSH keepDecisions collapses a depth-3 near-dup chain transitively") {
+    // base text + two successive small edits: consecutive pairs are
+    // near-dups; ends are farther apart. One-hop propagation would split
+    // this; connected components must not.
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val v1 = (1 to 54).map(i => s"tok$i").mkString(" ") + " alt55 alt56 alt57 alt58 alt59 alt60"
+    val v2 = (1 to 48).map(i => s"tok$i").mkString(" ") +
+      " alt49 alt50 alt51 alt52 alt53 alt54 alt55 alt56 alt57 alt58 alt59 alt60"
+    val other = (1 to 60).map(i => s"zzz$i").mkString(" ")
+    val df = Seq((1L, base), (2L, v1), (3L, v2), (4L, other)).toDF("doc_id", "text")
+    val out = Dedup2.keepDecisions(df, "doc_id", "text", jaccardThreshold = 0.7)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // if 1-2 and 2-3 are accepted near-dups, 3 must reach keep_id 1
+    assert(out(1L) == 1L)
+    assert(out(2L) == 1L, s"direct near-dup: $out")
+    assert(out(3L) == 1L, s"chained near-dup must collapse transitively: $out")
+    assert(out(4L) == 4L)
+  }
+
+  test("exact keepDecisions merges exact dups through a bridge doc") {
+    val a = (1 to 40).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, a, "s1"), (2L, a, "s1"),                       // exact dups
+      (3L, (1 to 36).map(i => s"w$i").mkString(" ") + " x37 x38 x39 x40", "s1"), // near-dup of a
+      (7L, "totally different content here entirely", "s1"))
+      .toDF("doc_id", "text", "source")
+    val out = Dedup2.keepDecisionsExact(df, "doc_id", "text", "source", jaccardThreshold = 0.7)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == 1L && out(2L) == 1L)
+    assert(out(3L) == 1L, s"near edge into exact group: $out")
+    assert(out(7L) == 7L)
+  }
+}
