@@ -318,20 +318,26 @@ object Similarity {
    */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
       dim: Int = 64, planes: Int = 8, tables: Int = 8): DataFrame = {
-    val withBuckets = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      array((0 until tables).map(t =>
-        c(HyperplaneBucket(asExpr(col(vecCol)), dim, planes, 0x5eed0000L + t))): _*).as("buckets"))
-    val exploded = withBuckets.select(col("id"), col("vec"),
-      posexplode(col("buckets")).as(Seq("table_idx", "bucket")))
-    val a = exploded.select(col("id").as("query_id"), col("vec").as("a_vec"),
-      col("table_idx"), col("bucket"))
-    val b = exploded.select(col("id").as("neighbor_id"), col("vec").as("b_vec"),
-      col("table_idx"), col("bucket"))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    a.join(b, Seq("table_idx", "bucket"))
+    // Bucket join and candidate dedup carry ONLY (id, table, bucket) —
+    // never the d-dim vectors. A candidate pair found in t tables would
+    // otherwise shuffle t duplicate copies of both payloads through the
+    // join + distinct; instead distinct the id pair and join the vectors
+    // back exactly once per side.
+    val exploded = df.select(col(idCol).as("id"),
+      posexplode(array((0 until tables).map(t =>
+        c(HyperplaneBucket(asExpr(col(vecCol)), dim, planes, 0x5eed0000L + t))): _*))
+        .as(Seq("table_idx", "bucket")))
+    val a = exploded.select(col("id").as("query_id"), col("table_idx"), col("bucket"))
+    val b = exploded.select(col("id").as("neighbor_id"), col("table_idx"), col("bucket"))
+    val candidates = a.join(b, Seq("table_idx", "bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("a_vec"), col("b_vec"))
+      .select(col("query_id"), col("neighbor_id"))
       .distinct()
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    candidates
+      .join(vecs.select(col("id").as("query_id"), col("vec").as("a_vec")), Seq("query_id"))
+      .join(vecs.select(col("id").as("neighbor_id"), col("vec").as("b_vec")), Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), cosine(col("a_vec"), col("b_vec")).as("sim"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)

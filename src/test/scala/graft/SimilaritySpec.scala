@@ -31,6 +31,65 @@ class SimilaritySpec extends AnyFunSuite {
     assert(perQuery.forall(_.getLong(0) == 3L))
   }
 
+  test("lshTopK shuffles id pairs, not duplicated vector payloads") {
+    import graft.expressions.{asColumn, asExpr}
+    import graft.pipeline.HyperplaneBucket
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+
+    def measureShuffle(body: => Unit): Long = {
+      val total = new java.util.concurrent.atomic.AtomicLong
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null) total.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try { body; Thread.sleep(1500) } // let straggler listener events drain
+      finally spark.sparkContext.removeSparkListener(listener)
+      total.get()
+    }
+
+    // planted duplicates collide in every table → worst-case candidate dup
+    val dupes = embeddings.limit(50)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"), col("label"))
+    val corpus = embeddings.union(dupes)
+
+    // the pre-fix shape: d-dim vectors ride through the bucket join AND
+    // the distinct, once per table collision
+    def oldShape(): Unit = {
+      val withBuckets = corpus.select(col("vec_id").as("id"), col("embedding").as("vec"),
+        array((0 until 8).map(t =>
+          asColumn(HyperplaneBucket(asExpr(col("embedding")), 64, 8, 0x5eed0000L + t))): _*).as("buckets"))
+      val exploded = withBuckets.select(col("id"), col("vec"),
+        posexplode(col("buckets")).as(Seq("table_idx", "bucket")))
+      val a = exploded.select(col("id").as("query_id"), col("vec").as("a_vec"),
+        col("table_idx"), col("bucket"))
+      val b = exploded.select(col("id").as("neighbor_id"), col("vec").as("b_vec"),
+        col("table_idx"), col("bucket"))
+      val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+      a.join(b, Seq("table_idx", "bucket"))
+        .where(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"), col("a_vec"), col("b_vec"))
+        .distinct()
+        .select(col("query_id"), col("neighbor_id"),
+          Similarity.cosine(col("a_vec"), col("b_vec")).as("sim"))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 3)
+        .write.mode("overwrite").format("noop").save()
+    }
+
+    val newRows = Similarity.lshTopK(corpus, "vec_id", "embedding", 3)
+    val newBytes = measureShuffle {
+      newRows.write.mode("overwrite").format("noop").save()
+    }
+    val oldBytes = measureShuffle(oldShape())
+    info(s"shuffle bytes: new=$newBytes old=$oldBytes")
+    assert(newBytes < oldBytes / 2,
+      s"id-pair distinct should shuffle far less than payload distinct: $newBytes vs $oldBytes")
+  }
+
   test("LSH recovers near-duplicate vectors") {
     import org.apache.spark.sql.functions._
     // plant exact duplicates: same hyperplane signs → same bucket in every table
