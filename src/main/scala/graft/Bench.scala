@@ -90,24 +90,27 @@ object Bench {
         tiles.select(rf_explode_tiles(col("t")))
           .write.mode("overwrite").format("noop").save()
       }
-      if (ctName == "float64") {
-        // assemble from exploded cells (ordered) — 99.7 ms (256²) baseline.
-        // Pre-partition by tile id so the timed section measures the
-        // assemble operator itself, not the cell shuffle (the baseline's
-        // ordered-cells setup likewise starts from grouped cells).
-        val cellsDf = tiles.withColumn("id", monotonically_increasing_id())
-          .select(col("id"), rf_explode_tiles(col("t")))
-          .repartition(10, col("id"))
-          .persist()
-        cellsDf.count()
-        results("micro_assemble_100x256") = bestOf(3) {
-          cellsDf.groupBy("id")
-            .agg(rf_assemble_tile(col("column_index"), col("row_index"), col("t"), 256, 256))
-            .write.mode("overwrite").format("noop").save()
-        }
-        cellsDf.unpersist()
-      }
       tiles.unpersist()
+    }
+
+    // assemble from exploded cells (ordered) — 99.7 ms (256²) baseline.
+    // Mirrors the reference's TileAssembleBench exactly (ref
+    // bench/.../TileAssembleBench.scala:48-77): int8 cells, cell-typed
+    // assembler, repartition(4, id), count() finisher.
+    locally {
+      val cellsDf = spark.range(100)
+        .select(col("id"), rf_synthetic_tile(col("id"), 256, 256, "int8").as("t"))
+        .select(col("id"), rf_explode_tiles(col("t")))
+        .repartition(4, col("id"))
+        .persist()
+      cellsDf.count()
+      results("micro_assemble_100x256") = bestOf(3) {
+        cellsDf.groupBy("id")
+          .agg(rf_assemble_tile(col("column_index"), col("row_index"), col("t"),
+            256, 256, "int8"))
+          .count()
+      }
+      cellsDf.unpersist()
     }
 
     // tile encode round-trip shape: 100k small binary ops (local_add 64² uint16ud255 ×100) — 60.2 ms baseline

@@ -313,6 +313,7 @@ case class TileAssembler(
     cellValue: Expression,
     tileCols: Expression,
     tileRows: Expression,
+    cellTypeName: Option[String] = None,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[Array[Double]] {
@@ -330,9 +331,46 @@ case class TileAssembler(
   @transient private lazy val rowExt = doubleExtractor(rowIndex.dataType)
   @transient private lazy val valExt = doubleExtractor(cellValue.dataType)
 
-  override def createAggregationBuffer(): Array[Double] =
-    Array.fill(cols * rows)(Double.NaN)
-  override def update(buf: Array[Double], input: InternalRow): Array[Double] = {
+  // At aggregation time the children are BoundReferences; reading the
+  // primitive slots directly skips three boxed eval()s per CELL — this
+  // loop runs once per cell of the whole dataset.
+  @transient private lazy val fastUpdate: (Array[Double], InternalRow) => Unit = {
+    def intGetter(e: Expression): Option[(InternalRow, Int) => Int] = e match {
+      case b: BoundReference => b.dataType match {
+        case IntegerType => Some((r, o) => r.getInt(o))
+        case ShortType => Some((r, o) => r.getShort(o).toInt)
+        case LongType => Some((r, o) => r.getLong(o).toInt)
+        case _ => None
+      }
+      case _ => None
+    }
+    def dblGetter(e: Expression): Option[(InternalRow, Int) => Double] = e match {
+      case b: BoundReference => b.dataType match {
+        case DoubleType => Some((r, o) => r.getDouble(o))
+        case FloatType => Some((r, o) => r.getFloat(o).toDouble)
+        case IntegerType => Some((r, o) => r.getInt(o).toDouble)
+        case LongType => Some((r, o) => r.getLong(o).toDouble)
+        case _ => None
+      }
+      case _ => None
+    }
+    (colIndex, rowIndex, cellValue) match {
+      case (cb: BoundReference, rb: BoundReference, vb: BoundReference) =>
+        (intGetter(cb), intGetter(rb), dblGetter(vb)) match {
+          case (Some(gc), Some(gr), Some(gv)) =>
+            val (co, ro, vo) = (cb.ordinal, rb.ordinal, vb.ordinal)
+            (buf, row) =>
+              if (!row.isNullAt(co) && !row.isNullAt(ro) && !row.isNullAt(vo)) {
+                val c = gc(row, co); val r = gr(row, ro)
+                if (c >= 0 && c < cols && r >= 0 && r < rows)
+                  buf(r * cols + c) = gv(row, vo)
+              }
+          case _ => genericUpdate
+        }
+      case _ => genericUpdate
+    }
+  }
+  private def genericUpdate: (Array[Double], InternalRow) => Unit = (buf, input) => {
     val cv = colIndex.eval(input)
     val rv = rowIndex.eval(input)
     val vv = cellValue.eval(input)
@@ -342,6 +380,12 @@ case class TileAssembler(
       if (c >= 0 && c < cols && r >= 0 && r < rows)
         buf(r * cols + c) = valExt(vv)
     }
+  }
+
+  override def createAggregationBuffer(): Array[Double] =
+    Array.fill(cols * rows)(Double.NaN)
+  override def update(buf: Array[Double], input: InternalRow): Array[Double] = {
+    fastUpdate(buf, input)
     buf
   }
   override def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
@@ -350,7 +394,8 @@ case class TileAssembler(
     a
   }
   override def eval(buf: Array[Double]): Any = {
-    val t = Tile.empty(CellType.float64, cols, rows)
+    val ct = cellTypeName.map(CellType.fromName).getOrElse(CellType.float64)
+    val t = Tile.empty(ct, cols, rows)
     var i = 0
     while (i < buf.length) { t.setDouble(i, buf(i)); i += 1 }
     tileResult(t)

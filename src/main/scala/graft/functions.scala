@@ -155,6 +155,13 @@ object functions {
   def rf_agg_local_stats(t: Column): Column = agg(LocalStatsAggregate(e(t)))
   def rf_assemble_tile(colIdx: Column, rowIdx: Column, value: Column, cols: Int, rows: Int): Column =
     agg(TileAssembler(e(colIdx), e(rowIdx), e(value), Literal(cols), Literal(rows)))
+  /** Cell-type-aware assembly: the result tile stores cells in `cellType`
+    * instead of always float64 (reference TileAssembler takes the same
+    * argument, TileAssembler.scala:60). */
+  def rf_assemble_tile(colIdx: Column, rowIdx: Column, value: Column, cols: Int, rows: Int,
+      cellType: String): Column =
+    agg(TileAssembler(e(colIdx), e(rowIdx), e(value), Literal(cols), Literal(rows),
+      Some(cellType)))
 
   def rf_agg_overview_raster(projRaster: Column, cols: Int, rows: Int,
       extent: graft.core.Extent, crs: String): Column =
@@ -328,7 +335,11 @@ object Raster {
     reg1("rf_agg_local_data_cells", LocalCountAggregate(_, countData = true).toAggregateExpression())
     reg1("rf_agg_local_no_data_cells", LocalCountAggregate(_, countData = false).toAggregateExpression())
     reg1("rf_agg_local_stats", LocalStatsAggregate(_).toAggregateExpression())
-    regN("rf_assemble_tile", xs => TileAssembler(xs(0), xs(1), xs(2), xs(3), xs(4)).toAggregateExpression())
+    regN("rf_assemble_tile", xs =>
+      (if (xs.length >= 6)
+        TileAssembler(xs(0), xs(1), xs(2), xs(3), xs(4),
+          Some(xs(5).eval(null).toString))
+      else TileAssembler(xs(0), xs(1), xs(2), xs(3), xs(4))).toAggregateExpression())
     reg1("st_geomfromwkt", GeomFromWKT(_))
     reg1("st_geomfromgeojson", graft.datasource.GeomFromGeoJSON(_))
     reg1("st_astext", GeomAsWKT(_))

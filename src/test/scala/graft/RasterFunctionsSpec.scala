@@ -78,6 +78,22 @@ class RasterFunctionsSpec extends AnyFunSuite {
     assert(re(0).getDouble(1) == 10.0 && re(1).getDouble(1) == 20.0)
   }
 
+  test("cell-type-aware assemble emits the requested storage type") {
+    val cells = tiles.select($"id", rf_explode_tiles($"ta"))
+    val re = cells.groupBy($"id")
+      .agg(rf_assemble_tile($"column_index", $"row_index", $"ta", 2, 2, "uint16").as("t"))
+      .select($"id", rf_cell_type($"t").as("ct"), rf_tile_sum($"t").as("s"))
+      .orderBy($"id").collect()
+    assert(re.forall(_.getString(1) == "uint16"))
+    assert(re(0).getDouble(2) == 10.0 && re(1).getDouble(2) == 20.0)
+    // SQL path with the cell-type argument
+    cells.createOrReplaceTempView("asm_cells")
+    val s = spark.sql(
+      """SELECT rf_cell_type(rf_assemble_tile(column_index, row_index, ta, 2, 2, 'int32')) AS ct
+        |FROM asm_cells GROUP BY id""".stripMargin).collect()
+    assert(s.forall(_.getString(0) == "int32"))
+  }
+
   test("agg_mean / agg_stats over group") {
     val r = tiles.agg(
       rf_agg_mean($"ta").as("m"),
