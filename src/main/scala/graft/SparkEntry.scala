@@ -157,6 +157,15 @@ object SparkEntry {
         rf_tile_sum(rf_local_extract_bits(rf_convert_cell_type(col("t_qty"), "int32"), 1, 3))
           .as("s_bits"))
         .orderBy("l_orderkey")),
+    "q_mask_bits" -> ((s, dir) =>
+      // QA bit-plane masking: NoData t_qty where bits [0,2) of the
+      // linenumber tile land in {1,3} / where bit 0 is set
+      tiled(s, dir).select(col("l_orderkey"),
+        rf_tile_sum(rf_mask_by_bits(col("t_qty"),
+          rf_convert_cell_type(col("t_ln"), "int32"), 0, 2, Seq(1, 3))).as("s_masked"),
+        rf_data_cells(rf_mask_by_bit(col("t_qty"),
+          rf_convert_cell_type(col("t_ln"), "int32"), 0, valueToMask = true)).as("dc_bit"))
+        .orderBy("l_orderkey")),
     // ---- generators / converters ----
     "q_explode_tiles" -> ((s, dir) => cells(s, dir, col("t_qty"))),
     "q_assemble_roundtrip" -> ((s, dir) => {
@@ -554,6 +563,11 @@ object SparkEntry {
     "q_extract_bits" -> (IDX +
       """ SELECT l_orderkey,
         |SUM(CAST((CAST(q AS BIGINT) >> 1) & 7 AS DOUBLE)) AS s_bits
+        |FROM idx GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin),
+    "q_mask_bits" -> (IDX +
+      """ SELECT l_orderkey,
+        |COALESCE(SUM(CASE WHEN (CAST(lnv AS BIGINT) & 3) IN (1, 3) THEN NULL ELSE q END), 0.0) AS s_masked,
+        |CAST(COUNT(CASE WHEN (CAST(lnv AS BIGINT) & 1) = 1 THEN NULL ELSE 1 END) AS BIGINT) AS dc_bit
         |FROM idx GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin),
     "q_explode_tiles" -> (IDX +
       " SELECT l_orderkey, i, q AS cell FROM idx ORDER BY l_orderkey, i"),

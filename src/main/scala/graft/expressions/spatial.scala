@@ -150,6 +150,22 @@ case class GeometryToExtent(child: Expression) extends GeomUnaryOp {
   override protected def withNewChildInternal(c: Expression) = copy(c)
 }
 
+/** geometry → JTS envelope struct, (minx, maxx, miny, maxy) field order
+  * as in the reference (accessors/GetEnvelope.scala:53-57 → rf_envelope). */
+case class GeomEnvelope(child: Expression) extends GeomUnaryOp {
+  override def prettyName: String = "rf_envelope"
+  override def dataType: DataType = StructType(Seq(
+    StructField("minx", DoubleType, nullable = false),
+    StructField("maxx", DoubleType, nullable = false),
+    StructField("miny", DoubleType, nullable = false),
+    StructField("maxy", DoubleType, nullable = false)))
+  override def nullSafeEval(input: Any): Any = {
+    val env = geom(input).getEnvelopeInternal
+    InternalRow(env.getMinX, env.getMaxX, env.getMinY, env.getMaxY)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
 /** extent struct → polygon geometry (reference: transformers/ExtentToGeometry.scala → st_geometry). */
 case class ExtentToGeometry(child: Expression) extends GeomUnaryOp {
   override def prettyName: String = "st_geometry"

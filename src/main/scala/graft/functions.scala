@@ -4,8 +4,9 @@ import graft.expressions._
 import graft.udt.TileUDT
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Cast, CreateArray, Expression, Literal}
 import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.types.DoubleType
 
 /**
  * Column-function API (the `rf_*` surface). Names and arities mirror the
@@ -113,6 +114,19 @@ object functions {
     c(MaskByValues(e(target), e(mask), e(vs)))
   def rf_local_extract_bits(t: Column, start: Int, bits: Int): Column =
     c(ExtractBits(e(t), Literal(start), Literal(bits)))
+  /** QA-band cloud masking: extract bit `bitPosition` of the mask tile
+    * (from the right) and NoData the target wherever it equals
+    * `valueToMask` (reference: functions/LocalFunctions.scala:174-185). */
+  def rf_mask_by_bit(target: Column, mask: Column, bitPosition: Int, valueToMask: Boolean): Column =
+    rf_mask_by_bits(target, mask, bitPosition, 1, Seq(if (valueToMask) 1 else 0))
+  /** Extract bits [startBit, startBit+bits) of the mask tile and NoData
+    * the target where the value is in `valuesToMask`
+    * (reference: functions/LocalFunctions.scala:187-200 — the same
+    * ExtractBits + MaskByValues composition). */
+  def rf_mask_by_bits(target: Column, mask: Column, startBit: Int, bits: Int,
+      valuesToMask: Seq[Int]): Column =
+    rf_mask_by_values(target, rf_local_extract_bits(mask, startBit, bits),
+      org.apache.spark.sql.functions.array(valuesToMask.map(v => lit(v.toDouble)): _*))
 
   // per-tile stats
   def rf_tile_sum(t: Column): Column = c(TileSum(e(t)))
@@ -190,6 +204,7 @@ object functions {
   def st_buffer(g: Column, d: Column): Column = c(GeomBuffer(e(g), e(d)))
   def st_extent(g: Column): Column = c(GeometryToExtent(e(g)))
   def st_geometry(extent: Column): Column = c(ExtentToGeometry(e(extent)))
+  def rf_envelope(g: Column): Column = c(GeomEnvelope(e(g)))
   def st_reproject(g: Column, src: Column, dst: Column): Column =
     c(ReprojectGeometry(e(g), e(src), e(dst)))
   def st_intersects(a: Column, b: Column): Column = c(SpatialRelation(e(a), e(b), "Intersects"))
@@ -303,6 +318,13 @@ object Raster {
     reg3("rf_inverse_mask_by_value", InverseMaskByValue(_, _, _))
     reg3("rf_mask_by_values", MaskByValues(_, _, _))
     reg3("rf_local_extract_bits", ExtractBits(_, _, _))
+    // bit-plane QA masking — compositions of ExtractBits + MaskByValues
+    // (reference registers both: expressions/package.scala:131-132)
+    regN("rf_mask_by_bit", xs =>
+      MaskByValues(xs(0), ExtractBits(xs(1), xs(2), Literal(1)),
+        CreateArray(Seq(Cast(xs(3), DoubleType)))))
+    regN("rf_mask_by_bits", xs =>
+      MaskByValues(xs(0), ExtractBits(xs(1), xs(2), xs(3)), xs(4)))
     reg1("rf_tile_sum", TileSum(_))
     reg1("rf_tile_mean", TileMean(_))
     reg1("rf_tile_min", TileMin(_))
@@ -315,6 +337,16 @@ object Raster {
     reg1("rf_exists", TileExists(_))
     reg1("rf_for_all", TileForAll(_))
     regN("rf_explode_tiles", ExplodeTiles(_))
+    // rf_explode_tiles_sample(fraction, seed, tiles...) — fraction/seed
+    // must be foldable literals, matching the reference's SQL arity
+    // (expressions/package.scala:171)
+    regN("rf_explode_tiles_sample", { xs =>
+      val frac = doubleExtractor(xs(0).dataType)(xs(0).eval(null))
+      val seed = xs(1).eval(null).asInstanceOf[Number].longValue()
+      ExplodeTiles(xs.drop(2), frac, seed)
+    })
+    regN("rf_make_zeros_tile", xs => MakeConstantTile(Literal(0.0) +: xs))
+    regN("rf_make_ones_tile", xs => MakeConstantTile(Literal(1.0) +: xs))
     reg1("rf_agg_mean", CellMeanAggregate(_).toAggregateExpression())
     reg1("rf_agg_data_cells", CellCountAggregate(_, countData = true).toAggregateExpression())
     reg1("rf_agg_no_data_cells", CellCountAggregate(_, countData = false).toAggregateExpression())
@@ -335,6 +367,16 @@ object Raster {
     reg1("rf_agg_local_data_cells", LocalCountAggregate(_, countData = true).toAggregateExpression())
     reg1("rf_agg_local_no_data_cells", LocalCountAggregate(_, countData = false).toAggregateExpression())
     reg1("rf_agg_local_stats", LocalStatsAggregate(_).toAggregateExpression())
+    // rf_agg_overview_raster(proj_raster, cols, rows, xmin, ymin, xmax, ymax, crs)
+    // — dest geometry must be foldable (reference registers the same
+    // aggregate: expressions/package.scala:177)
+    regN("rf_agg_overview_raster", { xs =>
+      def i(e: Expression) = e.eval(null).asInstanceOf[Number].intValue()
+      def d(e: Expression) = doubleExtractor(e.dataType)(e.eval(null))
+      OverviewRasterAggregate(xs(0), i(xs(1)), i(xs(2)),
+        graft.core.Extent(d(xs(3)), d(xs(4)), d(xs(5)), d(xs(6))),
+        xs(7).eval(null).toString).toAggregateExpression()
+    })
     regN("rf_assemble_tile", xs =>
       (if (xs.length >= 6)
         TileAssembler(xs(0), xs(1), xs(2), xs(3), xs(4),
@@ -352,6 +394,7 @@ object Raster {
     reg2("st_buffer", GeomBuffer(_, _))
     reg1("st_extent", GeometryToExtent(_))
     reg1("st_geometry", ExtentToGeometry(_))
+    reg1("rf_envelope", GeomEnvelope(_))
     reg3("st_reproject", ReprojectGeometry(_, _, _))
     for (op <- Seq("Intersects", "Contains", "Covers", "Crosses", "Disjoint",
         "Overlaps", "Touches", "Within"))

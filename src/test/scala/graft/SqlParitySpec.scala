@@ -39,6 +39,9 @@ class SqlParitySpec extends AnyFunSuite {
     s"rf_mask_by_value($T, $T2, 3.0)", s"rf_inverse_mask_by_value($T, $T2, 3.0)",
     s"rf_mask_by_values($T, $T2, array(3.0))",
     s"rf_local_extract_bits(rf_convert_cell_type($T, 'int32'), 0, 2)",
+    s"rf_mask_by_bit($T, rf_convert_cell_type($T2, 'int32'), 0, 1)",
+    s"rf_mask_by_bits($T, rf_convert_cell_type($T2, 'int32'), 0, 2, array(3.0))",
+    "rf_make_zeros_tile(2, 2, 'uint8')", "rf_make_ones_tile(2, 2, 'float32')",
     s"rf_tile_sum($T)", s"rf_tile_mean($T)", s"rf_tile_min($T)", s"rf_tile_max($T)",
     s"rf_tile_stats($T)", s"rf_tile_histogram($T)",
     s"rf_data_cells($T)", s"rf_no_data_cells($T)", s"rf_is_no_data_tile($T)",
@@ -53,7 +56,7 @@ class SqlParitySpec extends AnyFunSuite {
     s"rf_slope($T, 1.0)", s"rf_aspect($T)", s"rf_hillshade($T, 315.0, 45.0, 1.0)",
     s"st_astext($G)", s"st_centroid($G)", s"st_area($G)", s"st_length($G)",
     s"st_x($P)", s"st_y($P)", s"st_buffer($P, 1.0)",
-    s"st_extent($G)", s"st_geometry(st_extent($G))",
+    s"st_extent($G)", s"st_geometry(st_extent($G))", s"rf_envelope($G)",
     s"st_reproject($P, 'epsg:4326', 'epsg:3857')",
     s"st_intersects($G, $P)", s"st_contains($G, $P)", s"st_covers($G, $P)",
     s"st_crosses($G, $P)", s"st_disjoint($G, $P)", s"st_overlaps($G, $G)",
@@ -73,7 +76,13 @@ class SqlParitySpec extends AnyFunSuite {
     s"rf_agg_approx_quantiles($T, array(0.5))",
     s"rf_agg_local_min($T)", s"rf_agg_local_max($T)", s"rf_agg_local_mean($T)",
     s"rf_agg_local_data_cells($T)", s"rf_agg_local_no_data_cells($T)",
-    s"rf_agg_local_stats($T)")
+    s"rf_agg_local_stats($T)",
+    "rf_agg_overview_raster(rf_proj_raster(rf_make_constant_tile(7.0, 4, 4, 'float64')," +
+      " named_struct('xmin', 0.0D, 'ymin', 0.0D, 'xmax', 4.0D, 'ymax', 4.0D)," +
+      " 'epsg:4326'), 8, 8, 0.0, 0.0, 4.0, 4.0, 'epsg:4326')")
+
+  val generatorCalls: Seq[String] = Seq(
+    s"rf_explode_tiles_sample(0.5, 42, $T)")
 
   test("every registered scalar function evaluates via spark.sql") {
     val failures = calls.flatMap { call =>
@@ -93,6 +102,7 @@ class SqlParitySpec extends AnyFunSuite {
 
   test("generator and assembler via spark.sql") {
     spark.sql(s"SELECT rf_explode_tiles($T)").collect()
+    generatorCalls.foreach(call => spark.sql(s"SELECT $call").collect())
     val n = spark.sql(
       s"""SELECT rf_tile_sum(rf_assemble_tile(c, r, v, 2, 2)) FROM
          |(SELECT 0 AS c, 0 AS r, 5.0 AS v UNION ALL SELECT 1, 1, 6.0)""".stripMargin)
