@@ -260,14 +260,22 @@ object Raster {
     graft.udt.GeometryUDT.register()
     val registry = org.apache.spark.sql.graft.shims.functionRegistry(spark)
 
-    def reg1(name: String, f: Expression => Expression): Unit =
-      registry.createOrReplaceTempFunction(name, xs => f(xs.head), "built-in")
+    // Every name registers WITH documentation (usage + optional examples)
+    // so `DESCRIBE FUNCTION EXTENDED` answers for the whole surface —
+    // same property the reference enforces via ExpressionDescription
+    // (ref expressions/package.scala:72-190). A missing doc is a bug.
+    def regN(name: String, f: Seq[Expression] => Expression): Unit = {
+      val usage = FunctionDocs.usage.getOrElse(name,
+        throw new IllegalStateException(s"Missing FunctionDocs.usage entry for '$name'"))
+      val info = new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        "graft.functions", null, name, usage, FunctionDocs.examples.getOrElse(name, ""))
+      registry.registerFunction(FunctionIdentifier(name), info, f)
+    }
+    def reg1(name: String, f: Expression => Expression): Unit = regN(name, xs => f(xs.head))
     def reg2(name: String, f: (Expression, Expression) => Expression): Unit =
-      registry.createOrReplaceTempFunction(name, xs => f(xs(0), xs(1)), "built-in")
+      regN(name, xs => f(xs(0), xs(1)))
     def reg3(name: String, f: (Expression, Expression, Expression) => Expression): Unit =
-      registry.createOrReplaceTempFunction(name, xs => f(xs(0), xs(1), xs(2)), "built-in")
-    def regN(name: String, f: Seq[Expression] => Expression): Unit =
-      registry.createOrReplaceTempFunction(name, f, "built-in")
+      regN(name, xs => f(xs(0), xs(1), xs(2)))
 
     reg3("rf_array_to_tile", ArrayToTile(_, _, _))
     regN("rf_make_constant_tile", MakeConstantTile(_))

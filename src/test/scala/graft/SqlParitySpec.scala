@@ -100,6 +100,28 @@ class SqlParitySpec extends AnyFunSuite {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("every registered function carries DESCRIBE FUNCTION EXTENDED docs") {
+    // the reference's checkDocs invariant (TestEnvironment.scala:141-147)
+    val names = FunctionDocs.usage.keys.toSeq.sorted
+    val failures = names.flatMap { name =>
+      try {
+        val docs = spark.sql(s"DESCRIBE FUNCTION EXTENDED $name")
+          .collect().map(_.getString(0)).mkString("\n")
+        if (!docs.contains(name)) Some(s"$name: docs missing name")
+        else if (!docs.contains("Usage:") || docs.contains("N/A"))
+          Some(s"$name: missing usage")
+        else if (!docs.contains(" - ")) Some(s"$name: usage has no description")
+        else None
+      } catch { case e: Throwable => Some(s"$name -> ${e.getClass.getSimpleName}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+    // and the doc map has no stale entries for unregistered names
+    val registry = org.apache.spark.sql.graft.shims.functionRegistry(spark)
+    val registered = registry.listFunction().map(_.funcName).toSet
+    val stale = names.filterNot(registered.contains)
+    assert(stale.isEmpty, s"docs for unregistered functions: $stale")
+  }
+
   test("generator and assembler via spark.sql") {
     spark.sql(s"SELECT rf_explode_tiles($T)").collect()
     generatorCalls.foreach(call => spark.sql(s"SELECT $call").collect())
