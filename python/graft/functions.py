@@ -1,0 +1,475 @@
+"""Column-function mirrors of the graft ``rf_*``/``st_*`` surface.
+
+Counterpart of the reference's pyrasterframes.rasterfunctions
+(/root/reference/python/pyrasterframes/rasterfunctions.py). Every
+wrapper delegates to the SQL-registered Catalyst expression via
+``call_function`` — no Python UDFs, so nothing here leaves the JVM on
+the hot path. ``graft.init(spark)`` must run first.
+"""
+
+from pyspark.sql.column import Column
+from pyspark.sql.functions import call_function, lit
+
+
+def _c(v):
+    """Columns pass through; python scalars become literals."""
+    return v if isinstance(v, Column) else lit(v)
+
+
+def _fn(name, *args):
+    return call_function(name, *[_c(a) for a in args])
+
+
+# --- constructors / converters -------------------------------------------
+def rf_make_constant_tile(value, cols, rows, cell_type):
+    """Create a `cols` x `rows` tile with all cells set to `value`."""
+    return _fn("rf_make_constant_tile", value, cols, rows, cell_type)
+
+
+def rf_make_zeros_tile(cols, rows, cell_type="float64"):
+    """Create a tile of zeros."""
+    return _fn("rf_make_zeros_tile", cols, rows, cell_type)
+
+
+def rf_make_ones_tile(cols, rows, cell_type="float64"):
+    """Create a tile of ones."""
+    return _fn("rf_make_ones_tile", cols, rows, cell_type)
+
+
+def rf_array_to_tile(array_col, cols, rows):
+    """Convert a numeric array column into a tile."""
+    return _fn("rf_array_to_tile", array_col, cols, rows)
+
+
+def rf_tile_to_array_double(tile):
+    """Flatten a tile into an array of doubles."""
+    return _fn("rf_tile_to_array_double", tile)
+
+
+def rf_tile_to_array_int(tile):
+    """Flatten a tile into an array of integers."""
+    return _fn("rf_tile_to_array_int", tile)
+
+
+def rf_convert_cell_type(tile, cell_type):
+    """Convert the storage cell type, translating NoData."""
+    return _fn("rf_convert_cell_type", tile, cell_type)
+
+
+def rf_interpret_cell_type_as(tile, cell_type):
+    """Reinterpret raw cell bytes as another cell type."""
+    return _fn("rf_interpret_cell_type_as", tile, cell_type)
+
+
+def rf_with_no_data(tile, no_data):
+    """Mark `no_data` as the NoData sentinel of the tile."""
+    return _fn("rf_with_no_data", tile, no_data)
+
+
+def rf_tile(tile):
+    """Realize a lazy tile reference into a materialized tile."""
+    return _fn("rf_tile", tile)
+
+
+def rf_crop(tile, col_off, row_off, cols, rows):
+    """Crop the tile to a grid window."""
+    return _fn("rf_crop", tile, col_off, row_off, cols, rows)
+
+
+def rf_cell_type(tile):
+    """Cell type name of the tile."""
+    return _fn("rf_cell_type", tile)
+
+
+def rf_dimensions(tile):
+    """(cols, rows) struct of the tile."""
+    return _fn("rf_dimensions", tile)
+
+
+# --- local map algebra ----------------------------------------------------
+def rf_local_add(a, b):
+    """Cell-wise addition (tile+tile or tile+scalar)."""
+    return _fn("rf_local_add", a, b)
+
+
+def rf_local_subtract(a, b):
+    """Cell-wise subtraction."""
+    return _fn("rf_local_subtract", a, b)
+
+
+def rf_local_multiply(a, b):
+    """Cell-wise multiplication."""
+    return _fn("rf_local_multiply", a, b)
+
+
+def rf_local_divide(a, b):
+    """Cell-wise division."""
+    return _fn("rf_local_divide", a, b)
+
+
+def rf_local_min(a, b):
+    """Cell-wise minimum."""
+    return _fn("rf_local_min", a, b)
+
+
+def rf_local_max(a, b):
+    """Cell-wise maximum."""
+    return _fn("rf_local_max", a, b)
+
+
+def rf_local_clamp(tile, lo, hi):
+    """Clamp cells into [lo, hi]."""
+    return _fn("rf_local_clamp", tile, lo, hi)
+
+
+def rf_where(condition, x, y):
+    """Cell-wise conditional select."""
+    return _fn("rf_where", condition, x, y)
+
+
+def rf_normalized_difference(a, b):
+    """(a - b) / (a + b), e.g. NDVI."""
+    return _fn("rf_normalized_difference", a, b)
+
+
+def rf_standardize(tile, mean, stddev):
+    """(x - mean) / stddev per cell."""
+    return _fn("rf_standardize", tile, mean, stddev)
+
+
+def rf_rescale(tile, min_val, max_val):
+    """Rescale cells into [0, 1]."""
+    return _fn("rf_rescale", tile, min_val, max_val)
+
+
+def rf_abs(tile):
+    """Absolute value per cell."""
+    return _fn("rf_abs", tile)
+
+
+def rf_sqrt(tile):
+    """Square root per cell."""
+    return _fn("rf_sqrt", tile)
+
+
+def rf_log(tile):
+    """Natural log per cell."""
+    return _fn("rf_log", tile)
+
+
+def rf_exp(tile):
+    """e**x per cell."""
+    return _fn("rf_exp", tile)
+
+
+def rf_round(tile):
+    """Round per cell."""
+    return _fn("rf_round", tile)
+
+
+def rf_local_less(a, b):
+    """Cell-wise a < b (0/1 tile)."""
+    return _fn("rf_local_less", a, b)
+
+
+def rf_local_greater(a, b):
+    """Cell-wise a > b (0/1 tile)."""
+    return _fn("rf_local_greater", a, b)
+
+
+def rf_local_equal(a, b):
+    """Cell-wise a == b (0/1 tile)."""
+    return _fn("rf_local_equal", a, b)
+
+
+def rf_local_unequal(a, b):
+    """Cell-wise a != b (0/1 tile)."""
+    return _fn("rf_local_unequal", a, b)
+
+
+def rf_local_is_in(tile, values):
+    """Cell-wise membership in `values` (0/1 tile)."""
+    return _fn("rf_local_is_in", tile, values)
+
+
+def rf_local_no_data(tile):
+    """1 where NoData, else 0."""
+    return _fn("rf_local_no_data", tile)
+
+
+def rf_local_data(tile):
+    """1 where data, else 0."""
+    return _fn("rf_local_data", tile)
+
+
+# --- masking --------------------------------------------------------------
+def rf_mask(target, mask):
+    """NoData target where mask is NoData."""
+    return _fn("rf_mask", target, mask)
+
+
+def rf_inverse_mask(target, mask):
+    """NoData target where mask holds data."""
+    return _fn("rf_inverse_mask", target, mask)
+
+
+def rf_mask_by_value(target, mask, value):
+    """NoData target where mask equals value."""
+    return _fn("rf_mask_by_value", target, mask, value)
+
+
+def rf_inverse_mask_by_value(target, mask, value):
+    """NoData target where mask does not equal value."""
+    return _fn("rf_inverse_mask_by_value", target, mask, value)
+
+
+def rf_mask_by_values(target, mask, values):
+    """NoData target where mask value is in `values`."""
+    return _fn("rf_mask_by_values", target, mask, values)
+
+
+def rf_mask_by_bit(target, mask, bit_position, value_to_mask):
+    """QA-bit masking: NoData target where mask bit equals value."""
+    return _fn("rf_mask_by_bit", target, mask, bit_position, 1 if value_to_mask else 0)
+
+
+def rf_mask_by_bits(target, mask, start_bit, num_bits, values_to_mask):
+    """NoData target where extracted mask bits fall in `values_to_mask`."""
+    return _fn("rf_mask_by_bits", target, mask, start_bit, num_bits, values_to_mask)
+
+
+def rf_local_extract_bits(tile, start_bit, num_bits):
+    """Extract a bit field from each cell."""
+    return _fn("rf_local_extract_bits", tile, start_bit, num_bits)
+
+
+# --- per-tile statistics --------------------------------------------------
+def rf_tile_sum(tile):
+    """Sum of data cells."""
+    return _fn("rf_tile_sum", tile)
+
+
+def rf_tile_mean(tile):
+    """Mean of data cells."""
+    return _fn("rf_tile_mean", tile)
+
+
+def rf_tile_min(tile):
+    """Minimum of data cells."""
+    return _fn("rf_tile_min", tile)
+
+
+def rf_tile_max(tile):
+    """Maximum of data cells."""
+    return _fn("rf_tile_max", tile)
+
+
+def rf_tile_stats(tile):
+    """(data_cells, no_data_cells, min, max, mean, variance) struct."""
+    return _fn("rf_tile_stats", tile)
+
+
+def rf_tile_histogram(tile):
+    """(value, count) histogram array."""
+    return _fn("rf_tile_histogram", tile)
+
+
+def rf_data_cells(tile):
+    """Count of data cells."""
+    return _fn("rf_data_cells", tile)
+
+
+def rf_no_data_cells(tile):
+    """Count of NoData cells."""
+    return _fn("rf_no_data_cells", tile)
+
+
+def rf_is_no_data_tile(tile):
+    """True if the tile is entirely NoData."""
+    return _fn("rf_is_no_data_tile", tile)
+
+
+def rf_exists(tile):
+    """True if any cell is nonzero."""
+    return _fn("rf_exists", tile)
+
+
+def rf_for_all(tile):
+    """True if all data cells are nonzero."""
+    return _fn("rf_for_all", tile)
+
+
+# --- generators / assembly ------------------------------------------------
+def rf_explode_tiles(*tiles):
+    """One row per cell: column_index, row_index, one value per tile."""
+    return _fn("rf_explode_tiles", *tiles)
+
+
+def rf_explode_tiles_sample(fraction, seed, *tiles):
+    """Deterministically sampled rf_explode_tiles."""
+    return _fn("rf_explode_tiles_sample", fraction, seed, *tiles)
+
+
+def rf_assemble_tile(col_index, row_index, value, cols, rows, cell_type=None):
+    """Assemble exploded cells back into a tile (optionally cell-typed)."""
+    if cell_type is None:
+        return _fn("rf_assemble_tile", col_index, row_index, value, cols, rows)
+    return _fn("rf_assemble_tile", col_index, row_index, value, cols, rows, cell_type)
+
+
+# --- aggregates -----------------------------------------------------------
+def rf_agg_mean(tile):
+    """Aggregate mean over all cells of the group."""
+    return _fn("rf_agg_mean", tile)
+
+
+def rf_agg_data_cells(tile):
+    """Aggregate data-cell count of the group."""
+    return _fn("rf_agg_data_cells", tile)
+
+
+def rf_agg_no_data_cells(tile):
+    """Aggregate NoData count of the group."""
+    return _fn("rf_agg_no_data_cells", tile)
+
+
+def rf_agg_stats(tile):
+    """Aggregate stats struct over all cells of the group."""
+    return _fn("rf_agg_stats", tile)
+
+
+def rf_agg_approx_histogram(tile):
+    """Approximate aggregate histogram of the group."""
+    return _fn("rf_agg_approx_histogram", tile)
+
+
+def rf_agg_local_min(tile):
+    """Cell-wise min across the group's tiles."""
+    return _fn("rf_agg_local_min", tile)
+
+
+def rf_agg_local_max(tile):
+    """Cell-wise max across the group's tiles."""
+    return _fn("rf_agg_local_max", tile)
+
+
+def rf_agg_local_mean(tile):
+    """Cell-wise mean across the group's tiles."""
+    return _fn("rf_agg_local_mean", tile)
+
+
+# --- focal / terrain ------------------------------------------------------
+def rf_focal_mean(tile, neighborhood):
+    """Focal mean over a neighborhood such as 'square-1'."""
+    return _fn("rf_focal_mean", tile, neighborhood)
+
+
+def rf_focal_min(tile, neighborhood):
+    """Focal min."""
+    return _fn("rf_focal_min", tile, neighborhood)
+
+
+def rf_focal_max(tile, neighborhood):
+    """Focal max."""
+    return _fn("rf_focal_max", tile, neighborhood)
+
+
+def rf_slope(tile, z_factor=1.0):
+    """Terrain slope in degrees."""
+    return _fn("rf_slope", tile, z_factor)
+
+
+def rf_aspect(tile):
+    """Terrain aspect in degrees."""
+    return _fn("rf_aspect", tile)
+
+
+def rf_hillshade(tile, azimuth=315.0, altitude=45.0, z_factor=1.0):
+    """Hillshade rendering of elevation."""
+    return _fn("rf_hillshade", tile, azimuth, altitude, z_factor)
+
+
+# --- vector ---------------------------------------------------------------
+def st_geomFromWKT(wkt):
+    """Parse WKT into a geometry."""
+    return _fn("st_geomfromwkt", wkt)
+
+
+def st_asText(geom):
+    """Geometry as WKT."""
+    return _fn("st_astext", geom)
+
+
+def st_makePoint(x, y):
+    """Point geometry from coordinates."""
+    return _fn("st_makepoint", x, y)
+
+
+def st_centroid(geom):
+    """Centroid of the geometry."""
+    return _fn("st_centroid", geom)
+
+
+def st_area(geom):
+    """Planar area."""
+    return _fn("st_area", geom)
+
+
+def st_x(point):
+    """X coordinate of a point."""
+    return _fn("st_x", point)
+
+
+def st_y(point):
+    """Y coordinate of a point."""
+    return _fn("st_y", point)
+
+
+def st_extent(geom):
+    """Bounding-box extent struct of the geometry."""
+    return _fn("st_extent", geom)
+
+
+def st_geometry(extent):
+    """Extent struct as a polygon geometry."""
+    return _fn("st_geometry", extent)
+
+
+def rf_envelope(geom):
+    """JTS envelope struct (minx, maxx, miny, maxy)."""
+    return _fn("rf_envelope", geom)
+
+
+def st_reproject(geom, src_crs, dst_crs):
+    """Reproject geometry coordinates between CRSs."""
+    return _fn("st_reproject", geom, src_crs, dst_crs)
+
+
+def st_intersects(a, b):
+    """True where a intersects b."""
+    return _fn("st_intersects", a, b)
+
+
+def st_contains(a, b):
+    """True where a contains b."""
+    return _fn("st_contains", a, b)
+
+
+def st_within(a, b):
+    """True where a is within b."""
+    return _fn("st_within", a, b)
+
+
+def rf_z2_index(geom, crs):
+    """Z2 space-filling-curve index."""
+    return _fn("rf_z2_index", geom, crs)
+
+
+def rf_xz2_index(geom, crs):
+    """XZ2 space-filling-curve index."""
+    return _fn("rf_xz2_index", geom, crs)
+
+
+def rf_rasterize(geom, bounds, value, cols, rows):
+    """Burn a geometry into a tile."""
+    return _fn("rf_rasterize", geom, bounds, value, cols, rows)

@@ -1,0 +1,33 @@
+import os
+import sys
+
+import pytest
+
+REPO = os.environ.get("GRAFT_REPO", "/root/repo")
+sys.path.insert(0, os.path.join(REPO, "python"))
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from pyspark.sql import SparkSession
+
+    classpath = ":".join(
+        [
+            os.path.join(REPO, "target", "scala-2.13", "classes"),
+            "/opt/spark/jars/jts-core-1.20.0.jar",
+        ]
+    )
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .appName("graft-pytest")
+        .config("spark.driver.extraClassPath", classpath)
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    import graft
+
+    graft.init(spark)
+    yield spark
+    spark.stop()

@@ -25,7 +25,7 @@ class TileUDT extends UserDefinedType[Tile] {
   }
   override def userClass: Class[Tile] = classOf[Tile]
   override def typeName: String = "tile"
-  override def pyUDT: String = "graft.tile_udt"
+  override def pyUDT: String = "graft.rf_types.TileUDT"
   override def equals(o: Any): Boolean = o.isInstanceOf[TileUDT]
   override def hashCode(): Int = classOf[TileUDT].getName.hashCode
 }
