@@ -130,6 +130,7 @@ class TileUDT(UserDefinedType):
                             StructField("row_min", IntegerType(), False),
                             StructField("col_max", IntegerType(), False),
                             StructField("row_max", IntegerType(), False),
+                            StructField("band", IntegerType(), False),
                         ]
                     ),
                     True,

@@ -77,12 +77,16 @@ object RasterJoin {
     val id = "__rj_id"
     // The LHS plan is evaluated twice (candidates + final left-outer), so
     // the row id must be STABLE across evaluations. A caller-supplied
-    // unique key costs nothing; otherwise fall back to
-    // monotonically_increasing_id + persist to pin the assignment.
+    // unique key costs nothing and is the 100 TB path; the fallback pins
+    // the monotonically_increasing_id assignment with an EAGER
+    // localCheckpoint: unlike persist(), evicted blocks can never be
+    // silently recomputed with different ids (loss fails the job), and
+    // the blocks are reclaimed by the ContextCleaner once the result
+    // plan is dropped.
     val l = leftId match {
       case Some(k) => left.withColumn(id, k)
       case None => left.withColumn(id, monotonically_increasing_id())
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
     }
 
     def cellsOf(extent: Column): Column = {

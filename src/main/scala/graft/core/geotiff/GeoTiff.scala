@@ -27,16 +27,28 @@ object GeoTiff {
       tileWidth: Int, tileLength: Int, // 0 ⇒ strip layout
       rowsPerStrip: Int,
       offsets: Array[Long], byteCounts: Array[Long],
-      littleEndian: Boolean = true) {
-    def cellType: CellType = (bitsPerSample, sampleFormat) match {
-      case (8, 2) => CellType.int8
-      case (8, _) => CellType.uint8
-      case (16, 2) => CellType.int16
-      case (16, _) => CellType.uint16
-      case (32, 3) => CellType.float32
-      case (32, _) => CellType.int32
-      case (64, 3) => CellType.float64
-      case (b, f) => throw new IllegalArgumentException(s"Unsupported bits=$b format=$f")
+      littleEndian: Boolean = true,
+      noData: Option[Double] = scala.None,
+      samplesPerPixel: Int = 1) {
+    def cellType: CellType = {
+      val base = (bitsPerSample, sampleFormat) match {
+        case (8, 2) => CellType.int8
+        case (8, _) => CellType.uint8
+        case (16, 2) => CellType.int16
+        case (16, _) => CellType.uint16
+        case (32, 3) => CellType.float32
+        case (32, _) => CellType.int32
+        case (64, 3) => CellType.float64
+        case (b, f) => throw new IllegalArgumentException(s"Unsupported bits=$b format=$f")
+      }
+      // GDAL_NODATA overrides: default sentinel keeps the plain name,
+      // anything else becomes a user-defined ("...ud<v>") cell type
+      noData match {
+        case Some(v) if v.isNaN => base
+        case Some(v) if base.hasNoData && base.noDataValue == v => base
+        case Some(v) => base.withNoData(v)
+        case scala.None => base
+      }
     }
     def rasterExtent: RasterExtent = RasterExtent(extent, cols, rows)
   }
@@ -46,7 +58,21 @@ object GeoTiff {
   def write(path: String, tile: Tile, extent: Extent, crs: CRS): Unit =
     Files.write(Paths.get(path), writeBytes(tile, extent, crs))
 
-  def writeBytes(tile: Tile, extent: Extent, crs: CRS): Array[Byte] = {
+  def writeBytes(tile: Tile, extent: Extent, crs: CRS): Array[Byte] =
+    writeBytesMultiband(Seq(tile), extent, crs)
+
+  def writeMultiband(path: String, tiles: Seq[Tile], extent: Extent, crs: CRS): Unit =
+    Files.write(Paths.get(path), writeBytesMultiband(tiles, extent, crs))
+
+  /** Chunky-interleaved (PlanarConfiguration=1) multiband write; all
+    * bands must share dimensions and cell type. */
+  def writeBytesMultiband(tiles: Seq[Tile], extent: Extent, crs: CRS): Array[Byte] = {
+    require(tiles.nonEmpty, "at least one band required")
+    val tile = tiles.head
+    require(tiles.forall(t => t.cellType.base == tile.cellType.base &&
+      t.cols == tile.cols && t.rows == tile.rows),
+      "bands must share dimensions and cell type")
+    val nBands = tiles.size
     val (bits, fmt) = tile.cellType.base match {
       case CellBase.Int8 => (8, 2)
       case CellBase.Bit | CellBase.UInt8 => (8, 1)
@@ -56,11 +82,11 @@ object GeoTiff {
       case CellBase.Float32 => (32, 3)
       case CellBase.Float64 => (64, 3)
     }
-    // cell payload, one strip per row block of 64 rows
-    val payload = cellBytes(tile, bits, fmt)
+    // cell payload, one strip per row block of 64 rows, bands interleaved
+    val payload = cellBytes(tiles, bits, fmt)
     val rowsPerStrip = math.min(64, tile.rows)
     val nStrips = (tile.rows + rowsPerStrip - 1) / rowsPerStrip
-    val bytesPerRow = tile.cols * (bits / 8)
+    val bytesPerRow = tile.cols * nBands * (bits / 8)
 
     val geoKeys: Array[Int] = {
       val epsg = CRS(crs.normalized).epsg.getOrElse(4326)
@@ -96,17 +122,30 @@ object GeoTiff {
 
     entries += ((256, 3, 1, Left(tile.cols.toLong)))      // ImageWidth
     entries += ((257, 3, 1, Left(tile.rows.toLong)))      // ImageLength
-    entries += ((258, 3, 1, Left(bits.toLong)))           // BitsPerSample
+    entries += ((258, 3, nBands, Right(shortArr(Array.fill(nBands)(bits))))) // BitsPerSample
     entries += ((259, 3, 1, Left(1L)))                    // Compression = none
     entries += ((262, 3, 1, Left(1L)))                    // Photometric = BlackIsZero
     entries += ((273, 4, nStrips, Right(longArr(new Array[Long](nStrips))))) // StripOffsets placeholder
-    entries += ((277, 3, 1, Left(1L)))                    // SamplesPerPixel
+    entries += ((277, 3, 1, Left(nBands.toLong)))         // SamplesPerPixel
+    entries += ((284, 3, 1, Left(1L)))                    // PlanarConfiguration = chunky
     entries += ((278, 3, 1, Left(rowsPerStrip.toLong)))   // RowsPerStrip
     entries += ((279, 4, nStrips, Right(longArr(stripByteCounts))))
-    entries += ((339, 3, 1, Left(fmt.toLong)))            // SampleFormat
+    entries += ((339, 3, nBands, Right(shortArr(Array.fill(nBands)(fmt))))) // SampleFormat
     entries += ((33550, 12, 3, Right(doubleArr(pixScale))))
     entries += ((33922, 12, 6, Right(doubleArr(tiepoint))))
     entries += ((34735, 3, geoKeys.length, Right(shortArr(geoKeys))))
+    if (tile.cellType.hasNoData) {
+      // GDAL_NODATA (42113): ASCII sentinel so NoData survives the round
+      // trip (GDAL convention; ADVICE item — the reference preserves it
+      // through GeoTrellis)
+      val v = tile.cellType.noDataValue
+      val s =
+        if (v.isNaN) "nan"
+        else if (!tile.cellType.isFloating || v == v.toLong.toDouble) v.toLong.toString
+        else v.toString
+      val bytesNd = s.getBytes("US-ASCII") :+ 0.toByte // NUL-terminated ASCII
+      entries += ((42113, 2, bytesNd.length, Right(bytesNd)))
+    }
 
     val sorted = entries.sortBy(_._1)
     val ifdOffset = 8L
@@ -158,17 +197,22 @@ object GeoTiff {
     out.array()
   }
 
-  private def cellBytes(tile: Tile, bits: Int, fmt: Int): Array[Byte] = {
-    val n = tile.size
-    val bb = ByteBuffer.allocate(n * (bits / 8)).order(ByteOrder.LITTLE_ENDIAN)
+  private def cellBytes(tiles: Seq[Tile], bits: Int, fmt: Int): Array[Byte] = {
+    val n = tiles.head.size
+    val nBands = tiles.size
+    val bb = ByteBuffer.allocate(n * nBands * (bits / 8)).order(ByteOrder.LITTLE_ENDIAN)
     var i = 0
     while (i < n) {
-      val raw = tile.getRawDouble(i)
-      bits match {
-        case 8 => bb.put(raw.toLong.toByte)
-        case 16 => bb.putShort(raw.toLong.toShort)
-        case 32 => if (fmt == 3) bb.putFloat(raw.toFloat) else bb.putInt(raw.toLong.toInt)
-        case 64 => bb.putDouble(raw)
+      var b = 0
+      while (b < nBands) {
+        val raw = tiles(b).getRawDouble(i)
+        bits match {
+          case 8 => bb.put(raw.toLong.toByte)
+          case 16 => bb.putShort(raw.toLong.toShort)
+          case 32 => if (fmt == 3) bb.putFloat(raw.toFloat) else bb.putInt(raw.toLong.toInt)
+          case 64 => bb.putDouble(raw)
+        }
+        b += 1
       }
       i += 1
     }
@@ -249,11 +293,13 @@ object GeoTiff {
     val entries = ByteBuffer.wrap(reader.read(ifd.toLong + 2, nEntries * 12)).order(order)
     var cols = 0; var rows = 0; var bits = 8; var fmt = 1
     var tileW = 0; var tileL = 0; var rps = Int.MaxValue
+    var spp = 1
     var offsets: Array[Long] = Array.empty
     var counts: Array[Long] = Array.empty
     var pixScale: Array[Double] = Array(1, 1, 0)
     var tiepoint: Array[Double] = Array(0, 0, 0, 0, 0, 0)
     var geoKeys: Array[Int] = Array.empty
+    var noData: Option[Double] = scala.None
 
     def readValues(typ: Int, count: Int, pos: Int): Array[Long] = {
       val size = typ match {
@@ -266,7 +312,7 @@ object GeoTiff {
         else reader.read(entries.getInt(pos).toLong, total)).order(order)
       Array.tabulate(count) { i =>
         typ match {
-          case 1 => (data.get(i) & 0xff).toLong
+          case 1 | 2 => (data.get(i) & 0xff).toLong
           case 3 => (data.getShort(i * 2) & 0xffff).toLong
           case 4 => data.getInt(i * 4).toLong & 0xffffffffL
           case _ => data.getInt(i * 4).toLong
@@ -289,7 +335,11 @@ object GeoTiff {
       tag match {
         case 256 => cols = readValues(typ, 1, vpos)(0).toInt
         case 257 => rows = readValues(typ, 1, vpos)(0).toInt
-        case 258 => bits = readValues(typ, 1, vpos)(0).toInt
+        case 258 => bits = readValues(typ, count, vpos)(0).toInt // per-band; bands share depth
+        case 277 => spp = readValues(typ, 1, vpos)(0).toInt
+        case 284 =>
+          val pc = readValues(typ, 1, vpos)(0)
+          require(pc == 1, s"Unsupported TIFF planar configuration: $pc (chunky only)")
         case 259 =>
           val comp = readValues(typ, 1, vpos)(0)
           require(comp == 1, s"Unsupported TIFF compression: $comp")
@@ -298,10 +348,15 @@ object GeoTiff {
         case 278 => rps = readValues(typ, 1, vpos)(0).toInt
         case 322 => tileW = readValues(typ, 1, vpos)(0).toInt
         case 323 => tileL = readValues(typ, 1, vpos)(0).toInt
-        case 339 => fmt = readValues(typ, 1, vpos)(0).toInt
+        case 339 => fmt = readValues(typ, count, vpos)(0).toInt
         case 33550 => pixScale = readDoubles(3, vpos)
         case 33922 => tiepoint = readDoubles(count, vpos)
         case 34735 => geoKeys = readValues(typ, count, vpos).map(_.toInt)
+        case 42113 => // GDAL_NODATA, NUL-terminated ASCII
+          val s = readValues(typ, count, vpos)
+            .map(_.toChar).mkString.takeWhile(_ != 0.toChar).trim
+          noData =
+            if (s.equalsIgnoreCase("nan")) Some(Double.NaN) else s.toDoubleOption
         case _ => ()
       }
       e += 1
@@ -311,7 +366,7 @@ object GeoTiff {
       tiepoint(3) + cols * pixScale(0), tiepoint(4))
     val crs = parseGeoKeys(geoKeys)
     Info(cols, rows, bits, fmt, extent, crs, tileW, tileL,
-      if (rps == Int.MaxValue) rows else rps, offsets, counts, le)
+      if (rps == Int.MaxValue) rows else rps, offsets, counts, le, noData, spp)
   }
 
   private def parseGeoKeys(keys: Array[Int]): CRS = {
@@ -344,10 +399,13 @@ object GeoTiff {
   def readWindow(bytes: Array[Byte], info: Info, win: GridBounds): Tile =
     readWindow(new ArrayByteReader(bytes), info, win)
 
+  def readWindow(bytes: Array[Byte], info: Info, win: GridBounds, band: Int): Tile =
+    readWindow(new ArrayByteReader(bytes), info, win, band)
+
   /** Windowed read over a file: seeks only intersecting segments. */
-  def readWindowFile(path: String, info: Info, win: GridBounds): Tile = {
+  def readWindowFile(path: String, info: Info, win: GridBounds, band: Int = 0): Tile = {
     val r = new FileRangeReader(path)
-    try readWindow(r, info, win) finally r.close()
+    try readWindow(r, info, win, band) finally r.close()
   }
 
   /**
@@ -355,10 +413,15 @@ object GeoTiff {
    * intersect `win` (for strips, only the intersecting row span), then
    * decode. Read amplification is ∝ window size, not file size.
    */
-  def readWindow(reader: ByteReader, info: Info, win: GridBounds): Tile = {
+  def readWindow(reader: ByteReader, info: Info, win: GridBounds, band: Int = 0): Tile = {
+    require(band >= 0 && band < info.samplesPerPixel,
+      s"band $band out of range (SamplesPerPixel=${info.samplesPerPixel})")
     val order = if (info.littleEndian) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN
     val ct = info.cellType
     val bytesPer = info.bitsPerSample / 8
+    // chunky interleave: pixel stride spans all bands, band offset selects one
+    val pixBytes = bytesPer * info.samplesPerPixel
+    val bandOff = band * bytesPer
     val out = Tile.empty(ct, win.width, win.height)
     @inline def putCell(seg: ByteBuffer, localPos: Int, outC: Int, outR: Int): Unit = {
       val v: Double = info.bitsPerSample match {
@@ -380,7 +443,7 @@ object GeoTiff {
       val tilesAcross = (info.cols + info.tileWidth - 1) / info.tileWidth
       val t0c = win.colMin / info.tileWidth; val t1c = win.colMax / info.tileWidth
       val t0r = win.rowMin / info.tileLength; val t1r = win.rowMax / info.tileLength
-      val segLen = info.tileWidth * info.tileLength * bytesPer
+      val segLen = info.tileWidth * info.tileLength * pixBytes
       var tr = t0r
       while (tr <= t1r) {
         var tc = t0c
@@ -398,7 +461,7 @@ object GeoTiff {
             val cEnd = math.min(win.colMax, (tc + 1) * info.tileWidth - 1)
             while (c <= cEnd) {
               val inTileIdx = (r - tr * info.tileLength) * info.tileWidth + (c - tc * info.tileWidth)
-              putCell(seg, inTileIdx * bytesPer, c - win.colMin, r - win.rowMin)
+              putCell(seg, inTileIdx * pixBytes + bandOff, c - win.colMin, r - win.rowMin)
               c += 1
             }
             r += 1
@@ -409,7 +472,7 @@ object GeoTiff {
       }
     } else {
       val s0 = win.rowMin / info.rowsPerStrip; val s1 = win.rowMax / info.rowsPerStrip
-      val bytesPerRow = info.cols * bytesPer
+      val bytesPerRow = info.cols * pixBytes
       var s = s0
       while (s <= s1) {
         val stripRow0 = s * info.rowsPerStrip
@@ -423,7 +486,7 @@ object GeoTiff {
         while (r <= rEnd) {
           var c = win.colMin
           while (c <= win.colMax) {
-            putCell(seg, (r - r0) * bytesPerRow + c * bytesPer, c - win.colMin, r - win.rowMin)
+            putCell(seg, (r - r0) * bytesPerRow + c * pixBytes + bandOff, c - win.colMin, r - win.rowMin)
             c += 1
           }
           r += 1

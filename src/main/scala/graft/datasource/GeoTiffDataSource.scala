@@ -30,7 +30,8 @@ import scala.jdk.CollectionConverters._
  */
 class GeoTiffDataSource extends TableProvider with GeoTiffWriteSupport with DataSourceRegister {
   override def shortName(): String = "geotiff"
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType = GeoTiffTable.schema
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GeoTiffTable.schemaFor(options.asScala.toMap)
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
     new GeoTiffTable(properties.asScala.toMap)
@@ -43,14 +44,26 @@ class RasterDataSource extends GeoTiffDataSource {
 }
 
 object GeoTiffTable {
-  val schema: StructType = StructType(Seq(
-    StructField("path", StringType, nullable = false),
-    StructField("spatial_key", StructType(Seq(
-      StructField("col", IntegerType, nullable = false),
-      StructField("row", IntegerType, nullable = false))), nullable = false),
-    StructField("extent", graft.expressions.SpatialSupport.extentSchema, nullable = false),
-    StructField("crs", StringType, nullable = false),
-    StructField("tile", TileUDT.instance, nullable = true)))
+  /** band_indexes option ("0,1,2") selects bands of a multiband file as
+    * one tile_b<i> column each (reference: raster reader band_indexes,
+    * RasterSourceRelation.scala:49-60); default is one "tile" column
+    * reading band 0. */
+  def bandIndexes(props: Map[String, String]): Seq[Int] =
+    props.get("band_indexes").map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq.empty)
+
+  def schemaFor(props: Map[String, String]): StructType = {
+    val tileFields = bandIndexes(props) match {
+      case Seq() => Seq(StructField("tile", TileUDT.instance, nullable = true))
+      case bs => bs.map(b => StructField(s"tile_b$b", TileUDT.instance, nullable = true))
+    }
+    StructType(Seq(
+      StructField("path", StringType, nullable = false),
+      StructField("spatial_key", StructType(Seq(
+        StructField("col", IntegerType, nullable = false),
+        StructField("row", IntegerType, nullable = false))), nullable = false),
+      StructField("extent", graft.expressions.SpatialSupport.extentSchema, nullable = false),
+      StructField("crs", StringType, nullable = false)) ++ tileFields)
+  }
 
   def resolvePaths(props: Map[String, String]): Seq[String] = {
     val raw = props.getOrElse("path", props.getOrElse("paths",
@@ -68,7 +81,7 @@ object GeoTiffTable {
 
 class GeoTiffTable(props: Map[String, String]) extends Table with SupportsRead {
   override def name(): String = s"geotiff(${props.getOrElse("path", "?")})"
-  override def schema(): StructType = GeoTiffTable.schema
+  override def schema(): StructType = GeoTiffTable.schemaFor(props)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -77,7 +90,7 @@ class GeoTiffTable(props: Map[String, String]) extends Table with SupportsRead {
 
 class GeoTiffScanBuilder(props: Map[String, String])
     extends ScanBuilder with SupportsPushDownRequiredColumns {
-  private var required: StructType = GeoTiffTable.schema
+  private var required: StructType = GeoTiffTable.schemaFor(props)
   override def pruneColumns(requiredSchema: StructType): Unit = { required = requiredSchema }
   override def build(): Scan = new GeoTiffScan(props, required)
 }
@@ -148,12 +161,15 @@ class GeoTiffReaderFactory(required: StructType) extends PartitionReaderFactory 
             case "extent" =>
               InternalRow(extent.xmin, extent.ymin, extent.xmax, extent.ymax)
             case "crs" => UTF8String.fromString(info.crs.normalized)
-            case "tile" =>
+            case tileName =>
+              val band =
+                if (tileName == "tile") 0
+                else tileName.stripPrefix("tile_b").toInt
               if (part.lazyTiles)
                 TileUDT.encode(new graft.udt.RefTile(part.path, win,
-                  info.cellType, win.width, win.height))
+                  info.cellType, win.width, win.height, band))
               else
-                TileUDT.encode(graft.udt.RefTile.readWindow(part.path, win))
+                TileUDT.encode(graft.udt.RefTile.readWindow(part.path, win, band))
           }
         }
         new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(

@@ -50,11 +50,17 @@ class NoDataFilter(override val uid: String) extends Transformer {
   setDefault(inputCols, Array.empty[String])
 
   override def transform(df: Dataset[_]): DataFrame = {
+    // default: every numeric column (exploded cells may be float or
+    // integral depending on the assembler's cell type)
     val cols = if ($(inputCols).isEmpty)
-      df.schema.fields.collect { case f if f.dataType == DoubleType => f.name }
+      df.schema.fields.collect { case f if f.dataType.isInstanceOf[NumericType] => f.name }
     else $(inputCols)
     cols.foldLeft(df.toDF()) { (d, c) =>
-      d.where(col(c).isNotNull && !isnan(col(c)))
+      val base = col(c).isNotNull
+      d.where(d.schema(c).dataType match {
+        case DoubleType | FloatType => base && !isnan(col(c))
+        case _ => base
+      })
     }
   }
   override def transformSchema(schema: StructType): StructType = schema

@@ -16,14 +16,15 @@ final class RefTile(
     val win: GridBounds,
     val cellType: CellType,
     val cols: Int,
-    val rows: Int) extends Tile {
+    val rows: Int,
+    val band: Int = 0) extends Tile {
 
   @transient private var realized: Tile = _
   def isRealized: Boolean = realized != null
 
   private def tile: Tile = {
     if (realized == null)
-      realized = RefTile.readWindow(path, win)
+      realized = RefTile.readWindow(path, win, band)
     realized
   }
 
@@ -58,6 +59,6 @@ object RefTile {
   }
 
   /** Byte-range read of just the segments intersecting `win`. */
-  def readWindow(path: String, win: GridBounds): Tile =
-    GeoTiff.readWindowFile(path, info(path), win)
+  def readWindow(path: String, win: GridBounds, band: Int = 0): Tile =
+    GeoTiff.readWindowFile(path, info(path), win, band)
 }

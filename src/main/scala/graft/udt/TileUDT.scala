@@ -38,7 +38,8 @@ object TileUDT {
     StructField("col_min", IntegerType, nullable = false),
     StructField("row_min", IntegerType, nullable = false),
     StructField("col_max", IntegerType, nullable = false),
-    StructField("row_max", IntegerType, nullable = false)))
+    StructField("row_max", IntegerType, nullable = false),
+    StructField("band", IntegerType, nullable = false)))
 
   val schema: StructType = StructType(Seq(
     StructField("cell_type", StringType, nullable = false),
@@ -53,7 +54,7 @@ object TileUDT {
       new GenericInternalRow(Array[Any](
         UTF8String.fromString(t.cellType.name), t.cols, t.rows, null,
         new GenericInternalRow(Array[Any](UTF8String.fromString(r.path),
-          r.win.colMin, r.win.rowMin, r.win.colMax, r.win.rowMax))))
+          r.win.colMin, r.win.rowMin, r.win.colMax, r.win.rowMax, r.band))))
     case _ =>
       new GenericInternalRow(Array[Any](
         UTF8String.fromString(t.cellType.name), t.cols, t.rows, t.toBytes, null))
@@ -66,10 +67,10 @@ object TileUDT {
     if (!row.isNullAt(3))
       Tile.fromBytes(row.getBinary(3), ct, cols, rows)
     else {
-      val ref = row.getStruct(4, 5)
+      val ref = row.getStruct(4, 6)
       new RefTile(ref.getUTF8String(0).toString,
         graft.core.GridBounds(ref.getInt(1), ref.getInt(2), ref.getInt(3), ref.getInt(4)),
-        ct, cols, rows)
+        ct, cols, rows, ref.getInt(5))
     }
   }
 

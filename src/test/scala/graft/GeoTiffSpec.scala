@@ -49,6 +49,66 @@ class GeoTiffSpec extends AnyFunSuite {
     assert(win.getDouble(49, 49) == (99 * 300 + 149).toDouble)
   }
 
+  test("GDAL_NODATA tag round-trips user-defined NoData cell types") {
+    val ct = CellType.fromName("uint16ud255")
+    val t = Tile.empty(ct, 10, 10)
+    var i = 0
+    while (i < t.size) { t.setDouble(i, if (i % 4 == 0) Double.NaN else i); i += 1 }
+    val bytes = GeoTiff.writeBytes(t, Extent(0, 0, 10, 10), CRS.wgs84)
+    val info = GeoTiff.parseInfo(bytes)
+    assert(info.noData.contains(255.0))
+    assert(info.cellType.name == "uint16ud255")
+    val rt = GeoTiff.readWindow(bytes, info, GridBounds(0, 0, 9, 9))
+    i = 0
+    while (i < t.size) {
+      if (i % 4 == 0) assert(rt.getDouble(i).isNaN, s"cell $i should stay NoData")
+      else assert(rt.getDouble(i) == t.getDouble(i), s"cell $i")
+      i += 1
+    }
+    // float default (NaN) writes 'nan' and reads back as plain float64
+    val ft = Tile.empty(CellType.float64, 4, 4)
+    ft.setDouble(3, Double.NaN)
+    val fBytes = GeoTiff.writeBytes(ft, Extent(0, 0, 4, 4), CRS.wgs84)
+    val fInfo = GeoTiff.parseInfo(fBytes)
+    assert(fInfo.noData.exists(_.isNaN))
+    assert(fInfo.cellType.name == "float64")
+  }
+
+  test("multiband write + band_indexes read selects bands correctly") {
+    val dir = tmpDir
+    val bands = (0 until 3).map { b =>
+      val t = Tile.empty(CellType.uint16, 64, 48)
+      var i = 0
+      while (i < t.size) { t.setDouble(i, (i % 100) + b * 1000); i += 1 }
+      t
+    }
+    GeoTiff.writeMultiband(s"$dir/mb.tif", bands, Extent(0, 0, 64, 48), CRS.wgs84)
+
+    // codec level: band-selected windows
+    val info = GeoTiff.readInfo(s"$dir/mb.tif")
+    assert(info.samplesPerPixel == 3)
+    for (b <- 0 until 3) {
+      val w = GeoTiff.readWindowFile(s"$dir/mb.tif", info, GridBounds(10, 10, 19, 19), b)
+      assert(w.getDouble(0, 0) == ((10 * 64 + 10) % 100) + b * 1000, s"band $b")
+    }
+
+    // DSv2 level: band_indexes option → tile_b<i> columns
+    val df = spark.read.format("geotiff").option("path", s"$dir/mb.tif")
+      .option("tile_dimensions", "64,48").option("band_indexes", "0,2").load()
+    assert(df.columns.toSeq.endsWith(Seq("tile_b0", "tile_b2")))
+    val r = df.select(
+      rf_tile_max(col("tile_b0")).as("m0"),
+      rf_tile_max(col("tile_b2")).as("m2")).collect()(0)
+    assert(r.getDouble(0) == 99.0)
+    assert(r.getDouble(1) == 2099.0)
+    // lazy path also band-aware
+    val lz = spark.read.format("geotiff").option("path", s"$dir/mb.tif")
+      .option("tile_dimensions", "32,24").option("band_indexes", "1")
+      .option("lazy_tiles", "true").load()
+    val s1 = lz.select(rf_tile_max(col("tile_b1")).as("m")).agg(max(col("m"))).collect()(0).getDouble(0)
+    assert(s1 == 1099.0)
+  }
+
   test("tiles writer + geotiff/raster reader round-trip through Spark") {
     val dir = tmpDir
     // write 4 tiles on a 2x2 grid
