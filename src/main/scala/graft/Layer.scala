@@ -47,4 +47,77 @@ object Layer {
           col("extent.ymin") <= e.ymax && col("extent.ymax") >= e.ymin)
     }
   }
+
+  /** First tile column name, crs and tile dimensions of a layer — cheap
+    * single-row probe used for layout compatibility checks. */
+  private def layout(df: DataFrame): Option[(String, Int, Int)] = {
+    val tileCol = df.schema.fields
+      .find(f => graft.udt.TileUDT.isTileType(f.dataType)).map(_.name)
+    tileCol.flatMap { tc =>
+      val crsCol = if (df.columns.contains("crs")) col("crs") else lit("?")
+      df.select(crsCol.cast("string").as("crs"), rf_dimensions(col(tc)).as("d"))
+        .limit(1).collect().headOption
+        .map(r => (r.getString(0), r.getStruct(1).getInt(0), r.getStruct(1).getInt(1)))
+    }
+  }
+
+  /**
+   * Key-aligned join of two layers: equi-join on `spatial_key` (and
+   * `temporal_key` when both sides carry one) — a plain shuffle hash
+   * join on the key, never a spatial theta join. Logs a warning when
+   * the two layers' CRS or tile layout differ, like the reference
+   * (/root/reference/core/src/main/scala/org/locationtech/rasterframes/extensions/RasterFrameLayerMethods.scala:137-192);
+   * join results are only meaningful for co-gridded layers.
+   * Right-side column names colliding with the left are prefixed
+   * `right_` (keys excepted).
+   */
+  def spatialJoin(left: DataFrame, right: DataFrame,
+      joinType: String = "inner"): DataFrame = {
+    require(left.columns.contains("spatial_key") && right.columns.contains("spatial_key"),
+      "spatialJoin requires a spatial_key column on both layers")
+    (layout(left), layout(right)) match {
+      case (Some(l), Some(r)) if l != r =>
+        System.err.println(
+          s"WARN graft.Layer.spatialJoin: layers have different CRS/layout: $l vs $r — " +
+            "key-aligned join assumes a shared tiling grid")
+      case _ => ()
+    }
+    val keys = Seq("spatial_key") ++
+      (if (left.columns.contains("temporal_key") && right.columns.contains("temporal_key"))
+        Seq("temporal_key") else Seq.empty)
+    val collisions = right.columns.toSet.intersect(left.columns.toSet) -- keys
+    val renamed = collisions.foldLeft(right)((d, c) => d.withColumnRenamed(c, s"right_$c"))
+    left.join(renamed, keys, joinType)
+  }
+
+  /**
+   * Layer-level metadata in one pass: union extent, key bounds, cell
+   * type, tile dimensions and CRS — the role of the reference's
+   * ProjectedLayerMetadataAggregate
+   * (/root/reference/core/src/main/scala/org/locationtech/rasterframes/expressions/aggregates/ProjectedLayerMetadataAggregate.scala:36-143),
+   * expressed as a composition of built-in (partial-aggregated)
+   * min/max/first instead of a custom buffer.
+   */
+  def metadata(df: DataFrame): DataFrame = {
+    val tileCol = df.schema.fields
+      .find(f => graft.udt.TileUDT.isTileType(f.dataType)).map(_.name)
+      .getOrElse(throw new IllegalArgumentException("layer has no tile column"))
+    val hasKey = df.columns.contains("spatial_key")
+    val keyAggs =
+      if (hasKey) Seq(
+        min(col("spatial_key.col")).as("key_col_min"),
+        min(col("spatial_key.row")).as("key_row_min"),
+        max(col("spatial_key.col")).as("key_col_max"),
+        max(col("spatial_key.row")).as("key_row_max"))
+      else Seq.empty
+    val aggs = Seq(
+      struct(
+        min(col("extent.xmin")).as("xmin"), min(col("extent.ymin")).as("ymin"),
+        max(col("extent.xmax")).as("xmax"), max(col("extent.ymax")).as("ymax")).as("extent"),
+      first(col("crs")).as("crs"),
+      first(rf_cell_type(col(tileCol))).as("cell_type"),
+      first(rf_dimensions(col(tileCol))).as("tile_dimensions"),
+      count(lit(1)).as("tile_count")) ++ keyAggs
+    df.agg(aggs.head, aggs.tail: _*)
+  }
 }

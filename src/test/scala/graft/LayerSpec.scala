@@ -33,4 +33,40 @@ class LayerSpec extends AnyFunSuite {
     val sub = Layer.read(spark, dir, Some(Extent(0, 0, 1, 1)))
     assert(sub.count() == 4) // ids with id % 5 == 0
   }
+
+  private def keyedLayer(offset: Double) = (0 until 6).toDF("id")
+    .select(
+      struct(($"id" % 3).cast("int").as("col"), ($"id" / 3).cast("int").as("row")).as("spatial_key"),
+      rf_make_constant_tile($"id".cast("double") + offset, 8, 8, "float64").as("tile"),
+      struct(($"id" % 3).cast("double").as("xmin"), lit(0.0).as("ymin"),
+        ($"id" % 3 + 1).cast("double").as("xmax"), lit(1.0).as("ymax")).as("extent"),
+      lit("epsg:4326").as("crs"))
+
+  test("spatialJoin key-aligns two layers and prefixes collisions") {
+    val joined = Layer.spatialJoin(keyedLayer(0.0), keyedLayer(100.0))
+    assert(joined.count() == 6)
+    assert(joined.columns.contains("tile") && joined.columns.contains("right_tile"))
+    val diffs = joined.select(
+      rf_tile_mean(rf_local_subtract($"right_tile", $"tile")).as("d"))
+      .distinct().collect().map(_.getDouble(0))
+    assert(diffs.toSeq == Seq(100.0))
+    // left-outer keeps unmatched keys
+    val sparseRight = keyedLayer(5.0).where($"spatial_key.col" === 0)
+    val outer = Layer.spatialJoin(keyedLayer(0.0), sparseRight, "left_outer")
+    assert(outer.count() == 6)
+    assert(outer.where($"right_tile".isNull).count() == 4)
+  }
+
+  test("metadata aggregates union extent, key bounds, cell type, dims") {
+    val m = Layer.metadata(keyedLayer(0.0)).collect()(0)
+    val ext = m.getStruct(m.fieldIndex("extent"))
+    assert(ext.getDouble(0) == 0.0 && ext.getDouble(2) == 3.0)
+    assert(m.getString(m.fieldIndex("crs")) == "epsg:4326")
+    assert(m.getString(m.fieldIndex("cell_type")) == "float64")
+    val dims = m.getStruct(m.fieldIndex("tile_dimensions"))
+    assert(dims.getInt(0) == 8 && dims.getInt(1) == 8)
+    assert(m.getLong(m.fieldIndex("tile_count")) == 6L)
+    assert(m.getInt(m.fieldIndex("key_col_max")) == 2)
+    assert(m.getInt(m.fieldIndex("key_row_max")) == 1)
+  }
 }
