@@ -51,18 +51,29 @@ object GeoTiffTable {
   def bandIndexes(props: Map[String, String]): Seq[Int] =
     props.get("band_indexes").map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq.empty)
 
+  def wantSpatialIndex(props: Map[String, String]): Boolean =
+    props.get("spatial_index").exists(_.toBoolean) ||
+      props.get("spatial_index_partitions").exists(_.toInt != 0)
+
   def schemaFor(props: Map[String, String]): StructType = {
     val tileFields = bandIndexes(props) match {
       case Seq() => Seq(StructField("tile", TileUDT.instance, nullable = true))
       case bs => bs.map(b => StructField(s"tile_b$b", TileUDT.instance, nullable = true))
     }
+    // spatial_index / spatial_index_partitions adds a Z2 index column for
+    // range-partitioned spatial locality (reference: RasterSourceRelation
+    // spatial_index_partitions option)
+    val indexField =
+      if (wantSpatialIndex(props))
+        Seq(StructField("spatial_index", LongType, nullable = false))
+      else Seq.empty
     StructType(Seq(
       StructField("path", StringType, nullable = false),
       StructField("spatial_key", StructType(Seq(
         StructField("col", IntegerType, nullable = false),
         StructField("row", IntegerType, nullable = false))), nullable = false),
       StructField("extent", graft.expressions.SpatialSupport.extentSchema, nullable = false),
-      StructField("crs", StringType, nullable = false)) ++ tileFields)
+      StructField("crs", StringType, nullable = false)) ++ indexField ++ tileFields)
   }
 
   def resolvePaths(props: Map[String, String]): Seq[String] = {
@@ -128,6 +139,17 @@ class GeoTiffScan(props: Map[String, String], required: StructType) extends Scan
   override def createReaderFactory(): PartitionReaderFactory = new GeoTiffReaderFactory(required)
 }
 
+object GeoTiffReaderFactory {
+  /** Z2 index of a point in `crs` (lon/lat-normalized Morton order). */
+  def z2Of(x: Double, y: Double, crs: graft.core.crs.CRS): Long = {
+    val (lon, lat) = graft.core.crs.CRS.toLonLat(x, y, crs)
+    val res = 31
+    val nx = ((lon + 180.0) / 360.0 * ((1L << res) - 1)).toLong
+    val ny = ((lat + 90.0) / 180.0 * ((1L << res) - 1)).toLong
+    graft.expressions.Z2Index.interleave(nx, ny, res)
+  }
+}
+
 class GeoTiffReaderFactory(required: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val part = partition.asInstanceOf[GeoTiffFilePartition]
@@ -161,6 +183,12 @@ class GeoTiffReaderFactory(required: StructType) extends PartitionReaderFactory 
             case "extent" =>
               InternalRow(extent.xmin, extent.ymin, extent.xmax, extent.ymax)
             case "crs" => UTF8String.fromString(info.crs.normalized)
+            case "spatial_index" =>
+              // Z2 of the window centroid in the file CRS — stable, cheap,
+              // and range-partitionable for spatial locality downstream
+              java.lang.Long.valueOf(GeoTiffReaderFactory.z2Of(
+                (extent.xmin + extent.xmax) / 2, (extent.ymin + extent.ymax) / 2,
+                info.crs))
             case tileName =>
               val band =
                 if (tileName == "tile") 0

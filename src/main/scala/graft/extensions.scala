@@ -38,6 +38,20 @@ object extensions {
   }
 
   implicit class GraftDataFrameMethods(val df: DataFrame) extends AnyVal {
+    /** Range-partition by the `spatial_index` column (produced by the
+      * raster reader's `spatial_index` option or `Layer.write`) so
+      * spatially-near tiles share partitions — the role of the
+      * reference's `spatial_index_partitions` reader option. Pass 0 to
+      * use `spark.sql.shuffle.partitions`. */
+    def withSpatialIndexPartitions(numPartitions: Int = 0): DataFrame = {
+      require(df.columns.contains("spatial_index"),
+        "withSpatialIndexPartitions needs a spatial_index column " +
+          "(read with option(\"spatial_index\", \"true\") or use Layer.write)")
+      val n = if (numPartitions > 0) numPartitions
+        else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+      df.repartitionByRange(n, org.apache.spark.sql.functions.col("spatial_index"))
+    }
+
     /** Markdown table; tile cells summarized as `cellType cols×rows`. */
     def toMarkdown(numRows: Int = 5): String = {
       val rows = df.limit(numRows).collect()

@@ -69,6 +69,19 @@ class ReadPathScaleSpec extends AnyFunSuite {
     assert(winBytes < fileSize / 4, s"window read $winBytes vs file $fileSize")
   }
 
+  test("spatial_index option emits a Z2 column; range partitioning clusters it") {
+    import graft.extensions._
+    val dir = Files.createTempDirectory("graft-scale").toString
+    for (i <- 0 until 4) writeTiff(dir, s"f$i.tif", 256, 256)
+    val df = spark.read.format("raster").option("path", dir)
+      .option("tile_dimensions", "128,128").option("spatial_index", "true").load()
+    assert(df.columns.contains("spatial_index"))
+    val idx = df.select("spatial_index").distinct().collect().map(_.getLong(0))
+    assert(idx.nonEmpty && idx.forall(_ >= 0L))
+    val parts = df.withSpatialIndexPartitions(2).rdd.getNumPartitions
+    assert(parts == 2)
+  }
+
   test("lazy tiles defer cell reads until first access") {
     val dir = Files.createTempDirectory("graft-scale").toString
     writeTiff(dir, "a.tif", 256, 256)
