@@ -45,10 +45,14 @@ trait Tile extends Serializable {
     if (ct.isFloating) {
       while (i < n) { out.setDouble(i, getDouble(i)); i += 1 }
     } else {
+      // clamp into the target's representable range — narrowing must
+      // saturate (e.g. 300.0 → uint8 255), never wrap to garbage
+      val lo = ct.base.minValue
+      val hi = ct.base.maxValue
       while (i < n) {
         val v = getDouble(i)
         if (NoData.isNoData(v)) out.setDouble(i, Double.NaN)
-        else out.setDouble(i, math.rint(v))
+        else out.setDouble(i, math.min(hi, math.max(lo, math.rint(v))))
         i += 1
       }
     }

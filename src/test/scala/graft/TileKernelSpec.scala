@@ -64,6 +64,14 @@ class TileKernelSpec extends AnyFunSuite {
     val i = t.convert(CellType.int32)
     assert(i.getDouble(0) == 4.0)
     assert(NoData.isNoData(i.getDouble(1)))
+    // narrowing saturates instead of wrapping
+    val big = Tile.empty(CellType.float64, 3, 1)
+    big.setDouble(0, 300.0); big.setDouble(1, -5.0); big.setDouble(2, 70000.0)
+    val u8 = big.convert(CellType.uint8)
+    assert(u8.getDouble(0) == 255.0, "300 → uint8 saturates to 255")
+    assert(u8.getDouble(1) == 1.0, "-5 → uint8 saturates to min data value")
+    val u16 = big.convert(CellType.uint16)
+    assert(u16.getDouble(2) == 65535.0, "70000 → uint16 saturates")
   }
 
   test("withNoData reinterprets sentinel") {
