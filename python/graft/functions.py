@@ -299,6 +299,51 @@ def rf_for_all(tile):
     return _fn("rf_for_all", tile)
 
 
+def rf_log10(tile):
+    """Base-10 log per cell."""
+    return _fn("rf_log10", tile)
+
+
+def rf_log2(tile):
+    """Base-2 log per cell."""
+    return _fn("rf_log2", tile)
+
+
+def rf_log1p(tile):
+    """log(1 + x) per cell."""
+    return _fn("rf_log1p", tile)
+
+
+def rf_exp10(tile):
+    """10**x per cell."""
+    return _fn("rf_exp10", tile)
+
+
+def rf_exp2(tile):
+    """2**x per cell."""
+    return _fn("rf_exp2", tile)
+
+
+def rf_expm1(tile):
+    """e**x - 1 per cell."""
+    return _fn("rf_expm1", tile)
+
+
+def rf_identity(tile):
+    """The tile unchanged."""
+    return _fn("rf_identity", tile)
+
+
+def rf_local_less_equal(a, b):
+    """Cell-wise a <= b (0/1 tile)."""
+    return _fn("rf_local_less_equal", a, b)
+
+
+def rf_local_greater_equal(a, b):
+    """Cell-wise a >= b (0/1 tile)."""
+    return _fn("rf_local_greater_equal", a, b)
+
+
 # --- generators / assembly ------------------------------------------------
 def rf_explode_tiles(*tiles):
     """One row per cell: column_index, row_index, one value per tile."""
@@ -389,7 +434,155 @@ def rf_hillshade(tile, azimuth=315.0, altitude=45.0, z_factor=1.0):
     return _fn("rf_hillshade", tile, azimuth, altitude, z_factor)
 
 
+def rf_agg_approx_quantiles(tile, probabilities):
+    """Approximate cell-value quantiles across the group."""
+    return _fn("rf_agg_approx_quantiles", tile, probabilities)
+
+
+def rf_agg_local_data_cells(tile):
+    """Cell-wise data-cell counts across the group's tiles."""
+    return _fn("rf_agg_local_data_cells", tile)
+
+
+def rf_agg_local_no_data_cells(tile):
+    """Cell-wise NoData counts across the group's tiles."""
+    return _fn("rf_agg_local_no_data_cells", tile)
+
+
+def rf_agg_local_stats(tile):
+    """Cell-wise stats tiles across the group."""
+    return _fn("rf_agg_local_stats", tile)
+
+
+def rf_agg_overview_raster(proj_raster, cols, rows, xmin, ymin, xmax, ymax, crs):
+    """Aggregate tiles into one overview raster over the destination grid."""
+    return _fn("rf_agg_overview_raster", proj_raster, cols, rows, xmin, ymin, xmax, ymax, crs)
+
+
+# --- projected raster -----------------------------------------------------
+def rf_proj_raster(tile, extent, crs):
+    """Bundle tile + extent + CRS into a projected raster struct."""
+    return _fn("rf_proj_raster", tile, extent, crs)
+
+
+def rf_extent(proj_raster):
+    """Extent struct of a projected raster."""
+    return _fn("rf_extent", proj_raster)
+
+
+def rf_crs(proj_raster):
+    """CRS identifier of a projected raster."""
+    return _fn("rf_crs", proj_raster)
+
+
+def rf_geometry(proj_raster):
+    """Footprint polygon of a projected raster."""
+    return _fn("rf_geometry", proj_raster)
+
+
+def rf_reproject_and_merge(tiles, extents, crss, dst_extent, dst_crs, cols, rows):
+    """Reproject and mosaic tile arrays onto a destination grid."""
+    return _fn("rf_reproject_and_merge", tiles, extents, crss, dst_extent, dst_crs, cols, rows)
+
+
+def rf_resample(tile, factor_or_tile, method="bilinear"):
+    """Resample by factor or to a target tile's grid."""
+    return _fn("rf_resample", tile, factor_or_tile, method)
+
+
+def rf_resample_nearest(tile, factor):
+    """Nearest-neighbor resample by factor."""
+    return _fn("rf_resample_nearest", tile, factor)
+
+
+# --- focal / rendering ----------------------------------------------------
+def rf_focal_median(tile, neighborhood):
+    """Focal median."""
+    return _fn("rf_focal_median", tile, neighborhood)
+
+
+def rf_focal_mode(tile, neighborhood):
+    """Focal mode."""
+    return _fn("rf_focal_mode", tile, neighborhood)
+
+
+def rf_focal_stddev(tile, neighborhood):
+    """Focal standard deviation."""
+    return _fn("rf_focal_stddev", tile, neighborhood)
+
+
+def rf_focal_moransi(tile, neighborhood):
+    """Local Moran's I."""
+    return _fn("rf_focal_moransi", tile, neighborhood)
+
+
+def rf_convolve(tile, kernel):
+    """Convolve with a square kernel given as a flat array."""
+    return _fn("rf_convolve", tile, kernel)
+
+
+def rf_render_ascii(tile):
+    """ASCII-art rendering."""
+    return _fn("rf_render_ascii", tile)
+
+
+def rf_render_matrix(tile):
+    """Cell-value matrix string."""
+    return _fn("rf_render_matrix", tile)
+
+
+def rf_render_png(red, green, blue):
+    """PNG bytes from three band tiles."""
+    return _fn("rf_render_png", red, green, blue)
+
+
+def rf_rgb_composite(red, green, blue):
+    """Pack three tiles into an RGB int32 composite."""
+    return _fn("rf_rgb_composite", red, green, blue)
+
+
 # --- vector ---------------------------------------------------------------
+def st_geomFromGeoJSON(json_str):
+    """Parse GeoJSON into a geometry."""
+    return _fn("st_geomfromgeojson", json_str)
+
+
+def st_length(geom):
+    """Planar length/perimeter."""
+    return _fn("st_length", geom)
+
+
+def st_buffer(geom, distance):
+    """Buffered geometry."""
+    return _fn("st_buffer", geom, distance)
+
+
+def st_covers(a, b):
+    """True where a covers b."""
+    return _fn("st_covers", a, b)
+
+
+def st_crosses(a, b):
+    """True where a crosses b."""
+    return _fn("st_crosses", a, b)
+
+
+def st_disjoint(a, b):
+    """True where a and b are disjoint."""
+    return _fn("st_disjoint", a, b)
+
+
+def st_overlaps(a, b):
+    """True where a overlaps b."""
+    return _fn("st_overlaps", a, b)
+
+
+def st_touches(a, b):
+    """True where a touches b."""
+    return _fn("st_touches", a, b)
+
+
+
 def st_geomFromWKT(wkt):
     """Parse WKT into a geometry."""
     return _fn("st_geomfromwkt", wkt)
