@@ -140,6 +140,29 @@ object SparkEntry {
         rf_tile_sum(rf_inverse_mask_by_value(col("t_qty"), col("t_ln"), 3.0)).as("s_inv"),
         rf_data_cells(rf_mask(col("t_qty"), rf_with_no_data(col("t_ln"), 3.0))).as("dc_mask"))
         .orderBy("l_orderkey")),
+    "q_masking2" -> ((s, dir) =>
+      // the remaining mask family + predicate tiles + crop + exists/for_all
+      tiled(s, dir).select(col("l_orderkey"),
+        rf_tile_sum(rf_mask_by_values(col("t_qty"), col("t_ln"),
+          array(lit(2.0), lit(4.0)))).as("s_mvals"),
+        rf_tile_sum(rf_local_no_data(col("t_qty"))).as("n_nd"),
+        rf_tile_sum(rf_local_data(col("t_qty"))).as("n_data"),
+        rf_tile_sum(rf_crop(col("t_qty"), 0, 0, 4, 2)).as("s_crop"),
+        rf_exists(rf_local_greater(col("t_qty"), 49.0)).as("any_50"),
+        // for_all is NoData-strict: true iff the 4x1 crop is fully
+        // populated (orders with >= 4 cells) and every value positive
+        rf_for_all(rf_local_greater(rf_crop(col("t_qty"), 0, 0, 4, 1), 0.0)).as("all4_pos"))
+        .orderBy("l_orderkey")),
+    "q_envelope" -> ((s, dir) =>
+      t(s, dir, "part").select(col("p_partkey"),
+        rf_envelope(st_geometry(struct(
+          (col("p_partkey") % 7).cast("double").as("xmin"),
+          (col("p_partkey") % 5).cast("double").as("ymin"),
+          (col("p_partkey") % 7 + 2).cast("double").as("xmax"),
+          (col("p_partkey") % 5 + 3).cast("double").as("ymax")))).as("env"))
+        .select(col("p_partkey"), col("env.minx").as("minx"), col("env.maxx").as("maxx"),
+          col("env.miny").as("miny"), col("env.maxy").as("maxy"))
+        .orderBy("p_partkey")),
     "q_with_no_data" -> ((s, dir) =>
       tiled(s, dir).select(col("l_orderkey"),
         rf_data_cells(rf_with_no_data(col("t_qty"), 50.0)).as("dc"),
@@ -551,6 +574,22 @@ object SparkEntry {
         |COALESCE(SUM(CASE WHEN lnv = 3.0 THEN q END), 0.0) AS s_inv,
         |CAST(SUM(CASE WHEN lnv <> 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS dc_mask
         |FROM idx GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin),
+    "q_masking2" -> (IDX +
+      """ SELECT l_orderkey,
+        |COALESCE(SUM(CASE WHEN lnv IN (2.0, 4.0) THEN NULL ELSE q END), 0.0) AS s_mvals,
+        |CAST(32 - COUNT(*) AS DOUBLE) AS n_nd,
+        |CAST(COUNT(*) AS DOUBLE) AS n_data,
+        |COALESCE(SUM(CASE WHEN i % 8 < 4 AND i // 8 < 2 THEN q END), 0.0) AS s_crop,
+        |MAX(CASE WHEN q > 49.0 THEN 1 ELSE 0 END) = 1 AS any_50,
+        |SUM(CASE WHEN i < 4 THEN 1 ELSE 0 END) = 4 AS all4_pos
+        |FROM idx GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin),
+    "q_envelope" ->
+      """SELECT p_partkey,
+        |CAST(p_partkey % 7 AS DOUBLE) AS minx,
+        |CAST(p_partkey % 7 + 2 AS DOUBLE) AS maxx,
+        |CAST(p_partkey % 5 AS DOUBLE) AS miny,
+        |CAST(p_partkey % 5 + 3 AS DOUBLE) AS maxy
+        |FROM part ORDER BY p_partkey""".stripMargin,
     "q_with_no_data" -> (IDX +
       """ SELECT l_orderkey,
         |CAST(SUM(CASE WHEN q <> 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS dc,
