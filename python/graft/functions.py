@@ -480,6 +480,11 @@ def rf_geometry(proj_raster):
     return _fn("rf_geometry", proj_raster)
 
 
+def rf_tile_context(proj_raster):
+    """(extent, crs) context struct of a projected raster."""
+    return _fn("rf_tile_context", proj_raster)
+
+
 def rf_reproject_and_merge(tiles, extents, crss, dst_extent, dst_crs, cols, rows):
     """Reproject and mosaic tile arrays onto a destination grid."""
     return _fn("rf_reproject_and_merge", tiles, extents, crss, dst_extent, dst_crs, cols, rows)

@@ -128,6 +128,7 @@ object FunctionDocs {
     // projected raster
     "rf_proj_raster" -> "rf_proj_raster(tile, extent, crs) - Bundles tile, extent and CRS into a projected raster struct.",
     "rf_extent" -> "rf_extent(proj_raster) - Extent struct of the projected raster.",
+    "rf_tile_context" -> "rf_tile_context(proj_raster) - The (extent, crs) context struct of the projected raster.",
     "rf_crs" -> "rf_crs(proj_raster) - CRS identifier of the projected raster.",
     "rf_geometry" -> "rf_geometry(proj_raster) - Footprint polygon of the projected raster.",
     "rf_reproject_and_merge" -> "rf_reproject_and_merge(tiles, extents, crss, dst_extent, dst_crs, cols, rows) - Reprojects and mosaics tiles onto the destination grid.",

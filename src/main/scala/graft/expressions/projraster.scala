@@ -80,6 +80,24 @@ case class GetCRSExpr(child: Expression) extends UnaryExpression with CodegenFal
   override protected def withNewChildInternal(c: Expression) = copy(c)
 }
 
+/** Whole tile-context (extent + crs) accessor of a proj_raster
+  * (reference: accessors/GetTileContext.scala → rf_tile_context). */
+case class GetTileContext(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "rf_tile_context"
+  override def dataType: DataType = StructType(Seq(
+    StructField("extent", SpatialSupport.extentSchema, nullable = false),
+    StructField("crs", StringType, nullable = false)))
+  override def nullSafeEval(input: Any): Any = {
+    require(ProjRaster.isProjRasterType(child.dataType),
+      "rf_tile_context expects a proj_raster")
+    val row = input.asInstanceOf[InternalRow]
+    val e = ProjRaster.extentOf(row)
+    InternalRow(InternalRow(e.xmin, e.ymin, e.xmax, e.ymax),
+      UTF8String.fromString(ProjRaster.crsOf(row).normalized))
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
 /** Footprint geometry of a proj_raster (reference: accessors/GetGeometry.scala → rf_geometry). */
 case class GetGeometry(child: Expression) extends UnaryExpression with CodegenFallback {
   override def prettyName: String = "rf_geometry"

@@ -205,6 +205,7 @@ object functions {
   def st_extent(g: Column): Column = c(GeometryToExtent(e(g)))
   def st_geometry(extent: Column): Column = c(ExtentToGeometry(e(extent)))
   def rf_envelope(g: Column): Column = c(GeomEnvelope(e(g)))
+  def rf_tile_context(projRaster: Column): Column = c(GetTileContext(e(projRaster)))
   def st_reproject(g: Column, src: Column, dst: Column): Column =
     c(ReprojectGeometry(e(g), e(src), e(dst)))
   def st_intersects(a: Column, b: Column): Column = c(SpatialRelation(e(a), e(b), "Intersects"))
@@ -412,6 +413,7 @@ object Raster {
     regN("rf_rasterize", Rasterize(_))
     reg3("rf_proj_raster", CreateProjectedRaster(_, _, _))
     reg1("rf_extent", GetExtent(_))
+    reg1("rf_tile_context", GetTileContext(_))
     reg1("rf_crs", GetCRSExpr(_))
     reg1("rf_geometry", GetGeometry(_))
     regN("rf_reproject_and_merge", ReprojectAndMerge(_))

@@ -65,6 +65,7 @@ class SqlParitySpec extends AnyFunSuite {
     s"rf_rasterize($G, $G, 1.0, 8, 8)",
     s"rf_extent(rf_proj_raster($T, st_extent($G), 'epsg:4326'))",
     s"rf_crs(rf_proj_raster($T, st_extent($G), 'epsg:4326'))",
+    s"rf_tile_context(rf_proj_raster($T, st_extent($G), 'epsg:4326'))",
     s"rf_geometry(rf_proj_raster($T, st_extent($G), 'epsg:4326'))",
     s"""st_geomfromgeojson('{"type":"Point","coordinates":[1,2]}')""",
     "rf_synthetic_tile(1, 4, 4, 'uint8')" // registered? column-API only — via SQL expression below
