@@ -15,6 +15,8 @@ object Plans {
     show("q_tile_sum")
     show("q_raster_join")
     show("q_knn_brute")
+    show("q_knn_lsh")
+    show("q_dedup_pipeline")
     spark.stop()
   }
 }
