@@ -1,0 +1,69 @@
+"""mapInPandas multimodal plumbing, cross-checked row-for-row against
+the JVM expressions (mm_decode_image / mm_byte_histogram /
+mm_frame_sample) on identical payloads."""
+
+import numpy as np
+import pytest
+from pyspark.sql.functions import col, encode, expr
+
+from graft import multimodal
+
+
+@pytest.fixture(scope="module")
+def blobs_df(spark):
+    df = (
+        spark.range(50)
+        .selectExpr("id", "repeat(concat('payload-', id, ' '), CAST(id % 7 + 1 AS INT)) AS text")
+        .select("id", encode(col("text"), "UTF-8").alias("blob"))
+        .repartition(4)
+    )
+    df.cache().count()
+    return df
+
+
+def test_decode_images_matches_jvm_expression(spark, blobs_df):
+    py = multimodal.decode_images(blobs_df, "blob").select(
+        "id", "width", "height", "channels", "byte_len"
+    )
+    jvm = blobs_df.selectExpr(
+        "id",
+        "mm_decode_image(blob).width AS width",
+        "mm_decode_image(blob).height AS height",
+        "mm_decode_image(blob).channels AS channels",
+        "mm_decode_image(blob).byte_len AS byte_len",
+    )
+    a = {r["id"]: (r["width"], r["height"], r["channels"], r["byte_len"]) for r in py.collect()}
+    b = {r["id"]: (r["width"], r["height"], r["channels"], r["byte_len"]) for r in jvm.collect()}
+    assert a == b and len(a) == 50
+
+
+def test_byte_histograms_match_jvm_expression(spark, blobs_df):
+    py = {r["id"]: r["hist"] for r in multimodal.byte_histograms(blobs_df, "blob").collect()}
+    jvm = {
+        r["id"]: r["hist"]
+        for r in blobs_df.selectExpr("id", "mm_byte_histogram(blob, 16) AS hist").collect()
+    }
+    assert set(py) == set(jvm)
+    for k in py:
+        assert np.allclose(py[k], jvm[k], atol=1e-7), k
+        assert abs(sum(py[k]) - 1.0) < 1e-5
+
+
+def test_sample_frames_match_jvm_expression(spark, blobs_df):
+    py = {
+        r["id"]: [bytes(f) for f in r["frames"]]
+        for r in multimodal.sample_frames(blobs_df, "blob", 8, 4).collect()
+    }
+    jvm = {
+        r["id"]: [bytes(f) for f in r["frames"]]
+        for r in blobs_df.selectExpr("id", "mm_frame_sample(blob, 8, 4) AS frames").collect()
+    }
+    assert py == jvm
+
+
+def test_batch_plumbing_preserves_partitioning_and_rows(spark, blobs_df):
+    out = multimodal.decode_images(blobs_df, "blob")
+    assert out.rdd.getNumPartitions() == blobs_df.rdd.getNumPartitions()
+    assert out.count() == blobs_df.count()
+    # schema grows by exactly the decoded fields, original columns intact
+    assert out.columns == blobs_df.columns + ["width", "height", "channels", "byte_len"]

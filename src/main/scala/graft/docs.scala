@@ -113,6 +113,10 @@ object FunctionDocs {
     "st_extent" -> "st_extent(geom) - Bounding box of the geometry as an extent struct (xmin, ymin, xmax, ymax).",
     "st_geometry" -> "st_geometry(extent) - Converts an extent struct into a polygon geometry.",
     "rf_envelope" -> "rf_envelope(geom) - JTS envelope of the geometry as a struct (minx, maxx, miny, maxy).",
+    // multimodal
+    "mm_decode_image" -> "mm_decode_image(blob) - Deterministic STUB decode of an image payload to (width, height, channels, byte_len); swap for a real codec in production.",
+    "mm_byte_histogram" -> "mm_byte_histogram(blob[, bins]) - Normalized byte-value histogram of the payload (default 16 bins).",
+    "mm_frame_sample" -> "mm_frame_sample(blob, frame_size, stride) - Every stride-th window of frame_size bytes, as an array of binaries.",
     "st_reproject" -> "st_reproject(geom, src_crs, dst_crs) - Reprojects geometry coordinates between CRSs.",
     "st_intersects" -> "st_intersects(a, b) - True if geometries/extents a and b intersect.",
     "st_contains" -> "st_contains(a, b) - True if a contains b.",

@@ -404,6 +404,13 @@ object Raster {
     reg1("st_extent", GeometryToExtent(_))
     reg1("st_geometry", ExtentToGeometry(_))
     reg1("rf_envelope", GeomEnvelope(_))
+    // multimodal binary-column ops (pipeline pack; decode is an honest stub)
+    reg1("mm_decode_image", graft.pipeline.DecodeImageStub(_))
+    regN("mm_byte_histogram", xs => graft.pipeline.ByteHistogram(xs(0),
+      if (xs.length > 1) xs(1).eval(null).asInstanceOf[Number].intValue() else 16))
+    reg3("mm_frame_sample", (b, f, st) => graft.pipeline.FrameSample(b,
+      f.eval(null).asInstanceOf[Number].intValue(),
+      st.eval(null).asInstanceOf[Number].intValue()))
     reg3("st_reproject", ReprojectGeometry(_, _, _))
     for (op <- Seq("Intersects", "Contains", "Covers", "Crosses", "Disjoint",
         "Overlaps", "Touches", "Within"))
