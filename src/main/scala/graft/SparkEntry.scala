@@ -315,6 +315,12 @@ object SparkEntry {
     "q_dedup_lsh" -> ((s, dir) =>
       graft.pipeline.Dedup2.keepDecisions(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("id")),
+    "q_embed_dedup" -> ((s, dir) =>
+      // embedding-cosine near-dup keep decisions (LSH candidates +
+      // exact cosine + connected components) — rows-only check
+      graft.pipeline.EmbeddingDedup.keepDecisions(
+        t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.99)
+        .orderBy("id")),
     // ---- rows-only (non-SQL-expressible) operators ----
     "q_lang_id" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"), col("lang"),

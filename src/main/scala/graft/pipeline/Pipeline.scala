@@ -54,11 +54,26 @@ object TextFunctions {
     * best-scoring language code ("und" when nothing matches). N-gram
     * heuristic: score = hits of language-characteristic tokens. */
   val langProfiles: Map[String, Seq[String]] = Map(
-    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that"),
-    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los"),
-    "de" -> Seq("der", "die", "und", "das", "nicht", "ist", "ein", "zu"),
-    "fr" -> Seq("le", "la", "et", "les", "des", "un", "une", "est"),
-    "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我"))
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it",
+      "was", "for", "on", "with", "as", "his", "they"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "se",
+      "del", "las", "por", "con", "una", "su", "para"),
+    "de" -> Seq("der", "die", "und", "das", "nicht", "ist", "ein", "zu",
+      "ich", "sie", "mit", "den", "auf", "für", "es", "dem"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "une", "est", "en",
+      "du", "que", "pour", "dans", "qui", "au", "pas"),
+    "it" -> Seq("il", "di", "che", "la", "per", "non", "sono", "una",
+      "con", "del", "gli", "nel", "si", "come", "anche", "dei"),
+    "pt" -> Seq("o", "de", "que", "e", "do", "da", "em", "um", "para",
+      "com", "não", "uma", "os", "no", "se", "na"),
+    "nl" -> Seq("de", "het", "een", "van", "en", "dat", "is", "op",
+      "te", "zijn", "voor", "met", "niet", "aan", "er", "maar"),
+    "ru" -> Seq("и", "в", "не", "на", "что", "он", "с", "как", "это",
+      "по", "но", "его", "из", "за", "от", "же"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我", "他",
+      "这", "中", "大", "来", "上", "国", "个"),
+    "ja" -> Seq("の", "に", "は", "を", "た", "が", "で", "て", "と",
+      "し", "れ", "さ", "ある", "いる", "も", "する"))
   def language_id(text: Column): Column = {
     val toks = tokens(text)
     val scores = langProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
@@ -163,6 +178,56 @@ object Dedup {
       .select(col("blk"), col("a_id"), col("b_id"),
         (col("c") / (col("sa") + col("sb") - col("c"))).as("jaccard"))
       .where(col("jaccard") >= threshold)
+  }
+}
+
+object EmbeddingDedup {
+  import TextFunctions.c
+
+  /**
+   * Embedding-cosine near-duplicate pairs: hyperplane-LSH bucket
+   * equi-join for candidates (ids only through the join + distinct, as
+   * in Similarity.lshTopK) refined by exact cosine ≥ `threshold`.
+   * Returns (a_id, b_id, sim) with a_id < b_id — the embedding-space
+   * member of the dedup family (exact / MinHash / SimHash / n-gram /
+   * embedding-cosine).
+   */
+  def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, dim: Int = 64, planes: Int = 8,
+      tables: Int = 8): DataFrame = {
+    val exploded = df.select(col(idCol).as("id"),
+      posexplode(array((0 until tables).map(t =>
+        c(HyperplaneBucket(asExpr(col(vecCol)), dim, planes, 0x5eed0000L + t))): _*))
+        .as(Seq("table_idx", "bucket")))
+    val a = exploded.select(col("id").as("a_id"), col("table_idx"), col("bucket"))
+    val b = exploded.select(col("id").as("b_id"), col("table_idx"), col("bucket"))
+    val candidates = a.join(b, Seq("table_idx", "bucket"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      sqrt(Similarity.dot(col(vecCol), col(vecCol))).as("norm"))
+    candidates
+      .join(vecs.select(col("id").as("a_id"), col("vec").as("a_vec"), col("norm").as("a_norm")),
+        Seq("a_id"))
+      .join(vecs.select(col("id").as("b_id"), col("vec").as("b_vec"), col("norm").as("b_norm")),
+        Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        when(col("a_norm") === 0.0 || col("b_norm") === 0.0, lit(0.0))
+          .otherwise(Similarity.dot(col("a_vec"), col("b_vec")) / (col("a_norm") * col("b_norm")))
+          .as("sim"))
+      .where(col("sim") >= threshold)
+  }
+
+  /** Keep-decisions over embedding near-dups: connected components of
+    * the accepted pair graph, min id per cluster. */
+  def keepDecisions(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, maxIters: Int = 20): DataFrame = {
+    val edges = cosinePairs(df, idCol, vecCol, threshold)
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+    Dedup2.connectedComponents(df.select(col(idCol).as("id")), edges, maxIters)
+      .select(col("id"), col("label").as("keep_id"),
+        (col("label") =!= col("id")).as("is_duplicate"))
   }
 }
 
