@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.streaming.StreamingPipeline
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingPipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  test("streaming exact dedup drops later copies within the watermark") {
+    val dir = Files.createTempDirectory("stream-dedup").toString
+    val rows = Seq(
+      (1L, "alpha text", Timestamp.valueOf("2026-01-01 00:00:00")),
+      (2L, "beta text", Timestamp.valueOf("2026-01-01 00:01:00")),
+      (3L, "alpha text", Timestamp.valueOf("2026-01-01 00:02:00")), // dup of 1
+      (4L, "gamma text", Timestamp.valueOf("2026-01-01 00:03:00")),
+      (5L, "beta text", Timestamp.valueOf("2026-01-01 00:04:00")))  // dup of 2
+    val df = rows.toDF("doc_id", "text", "ts")
+    df.write.mode("overwrite").parquet(dir)
+
+    val deduped = StreamingPipeline.dedupExact(
+      spark.readStream.schema(df.schema).parquet(dir), "text", "ts", "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val out = spark.sql("SELECT text FROM dedup_stream").collect().map(_.getString(0))
+    assert(out.length == 3, out.mkString(","))
+    assert(out.toSet == Set("alpha text", "beta text", "gamma text"))
+  }
+
+  test("mapGroupsWithState keeps running per-key corpus stats across batches") {
+    val dir = Files.createTempDirectory("stream-stats").toString
+    val batch1 = Seq(("en", "hello world"), ("en", "more text"), ("fr", "bonjour"))
+    batch1.toDF("lang", "text").write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream
+      .schema(batch1.toDF("lang", "text").schema).parquet(dir)
+      .as[(String, String)]
+    val stats = StreamingPipeline.runningCorpusStats(stream)
+    val q = stats.toDF().writeStream.format("memory").queryName("stats_stream")
+      .outputMode(OutputMode.Update()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val r1 = spark.sql("SELECT key, docs, chars FROM stats_stream ORDER BY key")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(r1.contains(("en", 2L, 20L)), r1.mkString(","))
+    assert(r1.contains(("fr", 1L, 7L)))
+
+    // second micro-batch: state carries over (en count grows from 2 to 3)
+    Seq(("en", "third doc")).toDF("lang", "text")
+      .write.mode("append").parquet(dir)
+    val q2 = StreamingPipeline.runningCorpusStats(
+      spark.readStream.schema(batch1.toDF("lang", "text").schema).parquet(dir)
+        .as[(String, String)])
+      .toDF().writeStream.format("memory").queryName("stats_stream2")
+      .outputMode(OutputMode.Update()).trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(60000)
+    val en = spark.sql("SELECT docs FROM stats_stream2 WHERE key = 'en'")
+      .collect().map(_.getLong(0)).max
+    assert(en == 3L)
+  }
+}
