@@ -159,14 +159,34 @@ object Dedup {
     * (e.g. source), computed by EQUI-JOINING on grams — the scale-out
     * shape: |intersection| falls out of a (block, gram) hash join +
     * count, never a per-pair array comparison; |union| = |A|+|B|−|∩|.
-    * Counts are integers → the final division is one exact IEEE op. */
+    * Counts are integers → the final division is one exact IEEE op.
+    *
+    * `maxDocFreq` guards against gram skew: the (blk, gram) self-join is
+    * quadratic in a gram's document frequency, so a stop-gram shared by
+    * 10⁴ docs in one block would emit 10⁸ join rows. Grams with
+    * block-level doc frequency above the cutoff are dropped from BOTH the
+    * join and the size counts, so the result is the exact Jaccard over
+    * the retained (discriminative) gram universe — ubiquitous grams carry
+    * ~no Jaccard signal. Default = no cutoff (fully exact). */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
-      blockCol: String, n: Int = 3, threshold: Double = 0.1): DataFrame = {
-    val grams = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
+      blockCol: String, n: Int = 3, threshold: Double = 0.1,
+      maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    val rawGrams = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
       explode(array_distinct(transform(
         sequence(lit(0), greatest(size(TextFunctions.tokens(col(textCol))) - n, lit(0))),
         i => concat_ws(" ", slice(TextFunctions.tokens(col(textCol)), i + lit(1), lit(n))))))
         .as("gram"))
+    val grams =
+      if (maxDocFreq == Int.MaxValue) rawGrams
+      else {
+        // Partial+final count on the SAME key the join shuffles on, then a
+        // semi-join — no extra shuffle shape beyond the join itself.
+        val keep = rawGrams.groupBy("blk", "gram")
+          .agg(count(lit(1)).as("gdf"))
+          .where(col("gdf") <= maxDocFreq)
+          .select(col("blk"), col("gram"))
+        rawGrams.join(keep, Seq("blk", "gram"), "left_semi")
+      }
     val sizes = grams.groupBy("blk", "id").agg(count(lit(1)).cast("double").as("sz"))
     val common = grams.select(col("blk"), col("id").as("a_id"), col("gram"))
       .join(grams.select(col("blk"), col("id").as("b_id"), col("gram")), Seq("blk", "gram"))
@@ -245,23 +265,32 @@ object Dedup2 {
    */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       maxIters: Int = 20): DataFrame = {
+    // Materialize the symmetrized edge set ONCE. `edges` is typically the
+    // output of the whole candidate-generation pipeline (MinHash-LSH or
+    // n-gram-Jaccard joins) — without the checkpoint every fixpoint round
+    // would re-execute that subplan from source, turning an O(diameter)
+    // loop into O(diameter) re-runs of the most expensive stage.
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+      .localCheckpoint(true)
+    val idType = nodes.schema("id").dataType
     var labels = nodes.select(col("id")).distinct()
       .select(col("id"), col("id").as("label")).localCheckpoint(true)
     var iter = 0
     var done = false
     while (!done && iter < maxIters) {
+      // One join per round: the previous label rides along through the
+      // union (null on propagated rows, exactly one non-null per id), so
+      // convergence is read off the checkpointed result with a cheap
+      // filter+count instead of a second join over the propagation plan.
       val next = sym.join(labels.select(col("id").as("dst"), col("label")), "dst")
-        .select(col("src").as("id"), col("label"))
-        .union(labels)
-        .groupBy("id").agg(min("label").as("label"))
+        .select(col("src").as("id"), col("label"), lit(null).cast(idType).as("prev"))
+        .union(labels.select(col("id"), col("label"), col("label").as("prev")))
+        .groupBy("id").agg(min("label").as("label"), max("prev").as("prev"))
         .localCheckpoint(true)
-      val changed = next.join(labels.select(col("id"), col("label").as("prev")), "id")
-        .where(col("label") =!= col("prev")).count()
-      done = changed == 0
-      labels = next
+      done = next.where(col("label") =!= col("prev")).count() == 0
+      labels = next.select(col("id"), col("label"))
       iter += 1
     }
     labels
@@ -345,12 +374,22 @@ object Similarity {
    * billion-scale ANN layout.
    */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+      nlist: Int = 16, nprobe: Int = 4, fitSampleSize: Int = 100000): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val feat = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
       array_to_vector(col(vecCol)).as("features"))
-    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10).fit(feat)
+    // Fit the coarse quantizer on a bounded SAMPLE: k-means is ~10
+    // iterative full-data passes, and the centroids don't need the tail.
+    // One count (metadata-cheap on parquet) sizes a seeded Bernoulli
+    // sample, so the quantizer is deterministic and the fit cost is
+    // capped at ~fitSampleSize rows regardless of corpus size. Below the
+    // cap the fit input is the full set — identical to the unsampled fit.
+    val n = feat.count()
+    val fitDf = if (n <= fitSampleSize) feat
+      else feat.sample(withReplacement = false,
+        fitSampleSize.toDouble / n, seed = 42L)
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10).fit(fitDf)
     val assigned = model.transform(feat).select(col("id"), col("vec"),
       col("prediction").as("cell"))
     val centroids = df.sparkSession.createDataFrame(

@@ -1,0 +1,32 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Times individual SparkEntry queries (warmup + median-of-3, like Bench)
+  * without running the whole bench suite. Usage:
+  * `runMain graft.tools.TimeQuery q_dedup_pipeline[,q_x,...] [sfDir]` */
+object TimeQuery {
+  def main(args: Array[String]): Unit = {
+    val names = args(0).split(",").toSeq
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.Raster.init(spark)
+    for (n <- names) {
+      def run(): Unit =
+        graft.SparkEntry.queries(n)(spark, sfDir).write.mode("overwrite").format("noop").save()
+      run()
+      val ts = Array.fill(3) {
+        val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
+      }.sorted
+      println(f"TIME $n ${ts(1)}%.3f s (min ${ts(0)}%.3f max ${ts(2)}%.3f) sf=$sfDir")
+    }
+    spark.stop()
+  }
+}

@@ -39,6 +39,52 @@ class DedupSpec extends AnyFunSuite {
     assert(out(4L) == 4L)
   }
 
+  test("ngramJaccard maxDocFreq bounds the gram-skew join blowup") {
+    // 100 docs in one block all sharing one ubiquitous stop-gram — the
+    // (blk, gram) self-join on that gram alone is 100·99/2 = 4950 pairs.
+    // Docs 1 and 2 additionally share distinctive content (real near-dups).
+    val shared = (1 to 30).map(i => s"c$i").mkString(" ")
+    val docs = (3 to 100).map(i =>
+      (i.toLong, s"of the and u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f u${i}g u${i}h", "s1")) ++
+      Seq((1L, s"of the and $shared one extra", "s1"),
+          (2L, s"of the and $shared two extra", "s1"))
+    val df = docs.toDF("doc_id", "text", "source")
+
+    def shuffleRecords(body: => Unit): Long = {
+      val total = new java.util.concurrent.atomic.AtomicLong
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null) total.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try { body; Thread.sleep(1500) }
+      finally spark.sparkContext.removeSparkListener(listener)
+      total.get()
+    }
+
+    def pairs(cutoff: Int): Set[(Long, Long)] =
+      Dedup.ngramJaccard(df, "doc_id", "text", "source", threshold = 0.5, maxDocFreq = cutoff)
+        .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // same accepted pairs either way: the stop-gram carries no signal
+    assert(pairs(Int.MaxValue) == Set((1L, 2L)))
+    assert(pairs(10) == Set((1L, 2L)))
+
+    val unbounded = shuffleRecords {
+      Dedup.ngramJaccard(df, "doc_id", "text", "source", threshold = 0.5)
+        .write.mode("overwrite").format("noop").save()
+    }
+    val bounded = shuffleRecords {
+      Dedup.ngramJaccard(df, "doc_id", "text", "source", threshold = 0.5, maxDocFreq = 10)
+        .write.mode("overwrite").format("noop").save()
+    }
+    info(s"shuffle records: unbounded=$unbounded bounded=$bounded")
+    assert(bounded < unbounded / 2,
+      s"doc-frequency cutoff should eliminate the hot-gram pair blowup: $bounded vs $unbounded")
+  }
+
   test("exact keepDecisions merges exact dups through a bridge doc") {
     val a = (1 to 40).map(i => s"w$i").mkString(" ")
     val df = Seq(

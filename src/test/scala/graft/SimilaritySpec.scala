@@ -31,6 +31,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(perQuery.forall(_.getLong(0) == 3L))
   }
 
+  test("IVF quantizer sample-fit is deterministic and keeps k results per query") {
+    import org.apache.spark.sql.functions._
+    // fitSampleSize below the corpus size forces the seeded-sample path
+    def run() = Similarity.ivfTopK(embeddings, "vec_id", "embedding", 3, fitSampleSize = 200)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val first = run()
+    assert(run() == first, "seeded sample + seeded KMeans must be run-to-run deterministic")
+    val perQuery = Similarity.ivfTopK(embeddings, "vec_id", "embedding", 3, fitSampleSize = 200)
+      .groupBy("query_id").count().select("count").distinct().collect()
+    assert(perQuery.forall(_.getLong(0) == 3L))
+  }
+
   test("lshTopK shuffles id pairs, not duplicated vector payloads") {
     import graft.expressions.{asColumn, asExpr}
     import graft.pipeline.HyperplaneBucket
