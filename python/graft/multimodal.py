@@ -2,13 +2,14 @@
 
 Image/audio/video payloads are opaque binary columns; this module gives
 the Pandas-UDF side of the pipeline: schema handling, Arrow batch shape
-and per-batch vectorized processing are REAL, while the media codec
-itself is a deterministic STUB (no image/audio libraries exist in this
-environment) that byte-for-byte matches the JVM expressions
-(``mm_decode_image`` / ``mm_byte_histogram`` / ``mm_frame_sample``) so
-the two surfaces are cross-checkable. Swap `_decode_stub` for a real
-decoder (PIL, ffmpeg, ...) to productionize — the Spark plumbing does
-not change.
+and per-batch vectorized processing. Image decode is REAL for the common
+containers — PNG (IHDR), JPEG (SOF frame header) and GIF (logical screen
+descriptor) are parsed with the stdlib only, mirroring what the JVM side
+reads via ``javax.imageio`` — so ``decode_images`` cross-checks
+row-for-row against the ``mm_decode_image`` Catalyst expression on real
+image payloads. Payloads no parser recognizes yield all-null fields,
+matching the JVM's null struct. Swap in PIL/ffmpeg for full-raster
+access — the Spark plumbing does not change.
 """
 
 import numpy as np
@@ -42,9 +43,43 @@ def _hash_bytes(data, seed):
 
 
 def _decode_stub(blob):
-    """STUB: pseudo-decode matching the JVM DecodeImageStub exactly."""
+    """Pseudo-decode matching the JVM DecodeImageStub (mm_decode_image_stub)."""
     h = _hash_bytes(blob, 99)
     return 64 + (h & 0xFF), 64 + ((h >> 8) & 0xFF), 3, len(blob)
+
+
+# PNG color type -> component count, as java.awt color models report it
+# (palette entries expand to RGB).
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 3, 4: 2, 6: 4}
+
+
+def _decode_image(blob):
+    """Real container-header decode of PNG/JPEG/GIF payloads, mirroring
+    the JVM ``mm_decode_image``; (None,)*4 when the bytes aren't a
+    recognized image (the JVM returns a null struct)."""
+    b = bytes(blob)
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 26 and b[12:16] == b"IHDR":
+        w = int.from_bytes(b[16:20], "big")
+        h = int.from_bytes(b[20:24], "big")
+        channels = _PNG_CHANNELS.get(b[25], None)
+        if channels is not None:
+            return w, h, channels, len(b)
+    elif b[:2] == b"\xff\xd8":  # JPEG: scan markers for the SOF frame header
+        i = 2
+        while i + 9 < len(b):
+            if b[i] != 0xFF:
+                break
+            marker = b[i + 1]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h = int.from_bytes(b[i + 5:i + 7], "big")
+                w = int.from_bytes(b[i + 7:i + 9], "big")
+                return w, h, b[i + 9], len(b)
+            i += 2 + int.from_bytes(b[i + 2:i + 4], "big")
+    elif b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        w = int.from_bytes(b[6:8], "little")
+        h = int.from_bytes(b[8:10], "little")
+        return w, h, 3, len(b)
+    return None, None, None, None
 
 
 def decode_images(df, blob_col, prefix=""):
@@ -60,13 +95,13 @@ def decode_images(df, blob_col, prefix=""):
 
     def decode(batches):
         for pdf in batches:
-            decoded = [_decode_stub(bytes(b)) for b in pdf[blob_col]]
+            decoded = [_decode_image(b) for b in pdf[blob_col]]
             w, h, c, n = (list(t) for t in zip(*decoded)) if decoded else ([], [], [], [])
             yield pdf.assign(**{
-                prefix + "width": pd.Series(w, dtype="int32", index=pdf.index),
-                prefix + "height": pd.Series(h, dtype="int32", index=pdf.index),
-                prefix + "channels": pd.Series(c, dtype="int32", index=pdf.index),
-                prefix + "byte_len": pd.Series(n, dtype="int32", index=pdf.index),
+                prefix + "width": pd.Series(w, dtype="Int32", index=pdf.index),
+                prefix + "height": pd.Series(h, dtype="Int32", index=pdf.index),
+                prefix + "channels": pd.Series(c, dtype="Int32", index=pdf.index),
+                prefix + "byte_len": pd.Series(n, dtype="Int32", index=pdf.index),
             })
 
     return df.mapInPandas(decode, schema)

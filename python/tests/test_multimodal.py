@@ -21,11 +21,34 @@ def blobs_df(spark):
     return df
 
 
-def test_decode_images_matches_jvm_expression(spark, blobs_df):
-    py = multimodal.decode_images(blobs_df, "blob").select(
+@pytest.fixture(scope="module")
+def images_df(spark):
+    """Real PNG payloads built on the JVM (mm_encode_png), one per row,
+    with dims varying by id — plus one non-image payload (id = -1)."""
+    pngs = (
+        spark.range(30)
+        .selectExpr(
+            "id",
+            "CAST(id % 7 + 2 AS INT) AS w",
+            "CAST(id % 5 + 1 AS INT) AS h",
+        )
+        .selectExpr(
+            "id",
+            "mm_encode_png(transform(sequence(0, w * h - 1),"
+            " i -> CAST(pmod(i * 31 + id, 16777216) AS INT)), w, h) AS blob",
+        )
+    )
+    garbage = spark.sql("SELECT CAST(-1 AS BIGINT) AS id, encode('not an image', 'UTF-8') AS blob")
+    df = pngs.union(garbage).repartition(4)
+    df.cache().count()
+    return df
+
+
+def test_decode_images_matches_jvm_expression(spark, images_df):
+    py = multimodal.decode_images(images_df, "blob").select(
         "id", "width", "height", "channels", "byte_len"
     )
-    jvm = blobs_df.selectExpr(
+    jvm = images_df.selectExpr(
         "id",
         "mm_decode_image(blob).width AS width",
         "mm_decode_image(blob).height AS height",
@@ -34,7 +57,9 @@ def test_decode_images_matches_jvm_expression(spark, blobs_df):
     )
     a = {r["id"]: (r["width"], r["height"], r["channels"], r["byte_len"]) for r in py.collect()}
     b = {r["id"]: (r["width"], r["height"], r["channels"], r["byte_len"]) for r in jvm.collect()}
-    assert a == b and len(a) == 50
+    assert a == b and len(a) == 31
+    assert a[-1] == (None, None, None, None)  # non-image -> null fields both sides
+    assert a[0] == (2, 1, 3, a[0][3])  # real decoded dims, RGB
 
 
 def test_byte_histograms_match_jvm_expression(spark, blobs_df):

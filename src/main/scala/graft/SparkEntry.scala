@@ -367,6 +367,33 @@ object SparkEntry {
           col("pos").cast("int").as("bin"),
           round(col("col") * col("byte_len")).cast("long").as("bin_count"))
         .orderBy("doc_id", "bin")),
+    "q_image_decode" -> ((s, dir) => {
+      // Real PNG round-trip: pixels are a closed-form function of doc_id,
+      // so after mm_encode_png → mm_decode_image/mm_image_pixel the dims
+      // and probed pixels are recomputable by the oracle in pure integer
+      // SQL. Channel c of pixel (x, y): (x*7 + y*13 + c*31 + doc_id*3) % 256.
+      val d = col("doc_id")
+      val w = (pmod(d, lit(13)) + 1).cast("int")
+      val h = (pmod(d, lit(11)) + 1).cast("int")
+      val pix = transform(sequence(lit(0L), (w * h - 1).cast("long")), { i =>
+        val x = pmod(i, w.cast("long"))
+        val y = (i - x) / w.cast("long")
+        val base = x * 7 + y * 13 + d * 3
+        (pmod(base, lit(256L)) * 65536L +
+          pmod(base + 31, lit(256L)) * 256L +
+          pmod(base + 62, lit(256L))).cast("int")
+      })
+      t(s, dir, "documents")
+        .select(d, w.as("w"), h.as("h"),
+          Multimodal.encode_png(pix, w, h).as("blob"))
+        .select(d,
+          Multimodal.decode_image(col("blob")).as("img"),
+          Multimodal.image_pixel(col("blob"), lit(0), lit(0)).as("p00"),
+          Multimodal.image_pixel(col("blob"), col("w") - 1, col("h") - 1).as("pll"))
+        .select(d, col("img.width").as("width"), col("img.height").as("height"),
+          col("img.channels").as("channels"), col("p00"), col("pll"))
+        .orderBy("doc_id")
+    }),
     "q_math" -> ((s, dir) =>
       // sqrt is IEEE-754 correctly rounded in both engines → exact oracle;
       // abs over integer-valued cells is exact
@@ -755,6 +782,19 @@ object SparkEntry {
         |  grid.bin AS bin, CAST(COALESCE(counts.c, 0) AS BIGINT) AS bin_count
         |FROM grid LEFT JOIN counts ON grid.doc_id = counts.doc_id AND grid.bin = counts.bin
         |ORDER BY doc_id, bin""".stripMargin,
+    // PNG is lossless, so the decoded dims/pixels equal the closed-form
+    // integer math the Spark side used to build the image.
+    "q_image_decode" ->
+      """SELECT doc_id,
+        |CAST(doc_id % 13 + 1 AS INTEGER) AS width,
+        |CAST(doc_id % 11 + 1 AS INTEGER) AS height,
+        |CAST(3 AS INTEGER) AS channels,
+        |CAST(((doc_id * 3) % 256) * 65536 + ((doc_id * 3 + 31) % 256) * 256
+        |     + ((doc_id * 3 + 62) % 256) AS INTEGER) AS p00,
+        |CAST((((doc_id % 13) * 7 + (doc_id % 11) * 13 + doc_id * 3) % 256) * 65536
+        |     + (((doc_id % 13) * 7 + (doc_id % 11) * 13 + doc_id * 3 + 31) % 256) * 256
+        |     + (((doc_id % 13) * 7 + (doc_id % 11) * 13 + doc_id * 3 + 62) % 256) AS INTEGER) AS pll
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_math" -> (IDX +
       """ SELECT l_orderkey, i, sqrt(q) AS sqrt_q, abs(q - 25.0) AS abs_q
         |FROM idx ORDER BY l_orderkey, i""".stripMargin),

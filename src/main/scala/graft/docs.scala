@@ -114,7 +114,10 @@ object FunctionDocs {
     "st_geometry" -> "st_geometry(extent) - Converts an extent struct into a polygon geometry.",
     "rf_envelope" -> "rf_envelope(geom) - JTS envelope of the geometry as a struct (minx, maxx, miny, maxy).",
     // multimodal
-    "mm_decode_image" -> "mm_decode_image(blob) - Deterministic STUB decode of an image payload to (width, height, channels, byte_len); swap for a real codec in production.",
+    "mm_decode_image" -> "mm_decode_image(blob) - Decodes an image payload via javax.imageio (PNG/JPEG/GIF/BMP/TIFF) to (width, height, channels, byte_len); NULL when the bytes aren't a readable image.",
+    "mm_decode_image_stub" -> "mm_decode_image_stub(blob) - Deterministic pseudo-decode of any payload to (width, height, channels, byte_len) derived from its hash; plumbing tests only — use mm_decode_image for real images.",
+    "mm_encode_png" -> "mm_encode_png(pixels, width, height) - Encodes a row-major array of packed 0xRRGGBB ints into a PNG payload.",
+    "mm_image_pixel" -> "mm_image_pixel(blob, x, y) - Packed 0xRRGGBB value of pixel (x, y) of a decodable image payload; NULL on decode failure or out-of-bounds.",
     "mm_byte_histogram" -> "mm_byte_histogram(blob[, bins]) - Normalized byte-value histogram of the payload (default 16 bins).",
     "mm_frame_sample" -> "mm_frame_sample(blob, frame_size, stride) - Every stride-th window of frame_size bytes, as an array of binaries.",
     "st_reproject" -> "st_reproject(geom, src_crs, dst_crs) - Reprojects geometry coordinates between CRSs.",

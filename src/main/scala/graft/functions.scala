@@ -404,8 +404,12 @@ object Raster {
     reg1("st_extent", GeometryToExtent(_))
     reg1("st_geometry", ExtentToGeometry(_))
     reg1("rf_envelope", GeomEnvelope(_))
-    // multimodal binary-column ops (pipeline pack; decode is an honest stub)
-    reg1("mm_decode_image", graft.pipeline.DecodeImageStub(_))
+    // multimodal binary-column ops (pipeline pack; decode is a real
+    // javax.imageio codec — the deterministic stub stays under its own name)
+    reg1("mm_decode_image", graft.pipeline.DecodeImage(_))
+    reg1("mm_decode_image_stub", graft.pipeline.DecodeImageStub(_))
+    reg3("mm_encode_png", graft.pipeline.EncodePng(_, _, _))
+    reg3("mm_image_pixel", graft.pipeline.ImagePixel(_, _, _))
     regN("mm_byte_histogram", xs => graft.pipeline.ByteHistogram(xs(0),
       if (xs.length > 1) xs(1).eval(null).asInstanceOf[Number].intValue() else 16))
     reg3("mm_frame_sample", (b, f, st) => graft.pipeline.FrameSample(b,

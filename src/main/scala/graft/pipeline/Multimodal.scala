@@ -3,6 +3,7 @@ package graft.pipeline
 import graft.expressions.{asColumn, asExpr}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -11,18 +12,32 @@ import org.apache.spark.sql.types._
 
 /**
  * Multimodal column plumbing: image/audio/video payloads are opaque
- * `binary` columns with typed metadata. The Spark-side machinery
- * (schemas, expressions, batching, partitioning) is real; the actual
- * media decode is STUBBED deterministically because no image/audio
- * codecs exist in this environment — swap [[DecodeImageStub]]'s body
- * for a real decoder to productionize.
+ * `binary` columns with typed metadata. Image decode/encode is REAL,
+ * via the JDK's built-in `javax.imageio` codecs (PNG/JPEG/GIF/BMP/TIFF
+ * readers ship with the JRE — no external library needed); audio/video
+ * remain byte-level ops ([[FrameSample]], [[ByteHistogram]]).
  */
 object Multimodal {
   /** Stand-in payload: utf-8 bytes of a text column (or any binary source). */
   def to_blob(content: Column): Column = encode(content, "UTF-8")
 
+  /** Real image decode ([[DecodeImage]]): (width, height, channels,
+    * byte_len) from any JDK-readable image payload, null otherwise. */
+  def decode_image(blob: Column): Column = asColumn(DecodeImage(asExpr(blob)))
+
+  /** Encode packed-RGB pixels (row-major array<int> of 0xRRGGBB) into a
+    * PNG payload — the write half of the image round-trip. */
+  def encode_png(pixels: Column, width: Column, height: Column): Column =
+    asColumn(EncodePng(asExpr(pixels), asExpr(width), asExpr(height)))
+
+  /** Packed 0xRRGGBB value of pixel (x, y); decodes per call, so project
+    * it only a few times per row (use rf-style explode for bulk access). */
+  def image_pixel(blob: Column, x: Column, y: Column): Column =
+    asColumn(ImagePixel(asExpr(blob), asExpr(x), asExpr(y)))
+
   /** Deterministic fake decode: width/height/channels derived from payload
-    * hash — STUB for a real image decoder. */
+    * hash — retained for non-image payload plumbing tests; prefer
+    * [[decode_image]] for anything that is actually an image. */
   def decode_image_stub(blob: Column): Column = asColumn(DecodeImageStub(asExpr(blob)))
 
   /** Normalized 16-bin byte-value histogram — a real, cheap feature vector. */
@@ -34,9 +49,108 @@ object Multimodal {
     asColumn(FrameSample(asExpr(blob), frameSize, stride))
 }
 
-/** STUB: deterministic pseudo-decode of an "image" payload. */
-case class DecodeImageStub(child: Expression) extends UnaryExpression with CodegenFallback {
+/** Shared `javax.imageio` entry points. The JDK ships PNG, JPEG, GIF,
+  * BMP, WBMP and (since 9) TIFF reader plugins, so this is a real codec
+  * with zero added dependencies. The stream cache is disabled once per
+  * JVM: payloads are already in memory, a temp-file cache per decode
+  * would add executor-local disk I/O for nothing. */
+object ImageCodec {
+  javax.imageio.ImageIO.setUseCache(false)
+  /** Decoded image, or null when no installed reader claims the bytes. */
+  def read(bytes: Array[Byte]): java.awt.image.BufferedImage =
+    try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    catch { case _: java.io.IOException => null }
+}
+
+/** Real image decode: header + raster parse via `javax.imageio`.
+  * Null (not an error) for payloads that aren't a readable image, so it
+  * can run over mixed binary columns. `channels` is the color model's
+  * component count (RGB=3, RGBA=4, gray=1). */
+case class DecodeImage(child: Expression) extends UnaryExpression with CodegenFallback {
   override def prettyName: String = "mm_decode_image"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a binary payload, got ${child.dataType.simpleString}")
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("byte_len", IntegerType, nullable = false)))
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    val img = ImageCodec.read(b)
+    if (img == null) null
+    else InternalRow(img.getWidth, img.getHeight,
+      img.getColorModel.getNumComponents, b.length)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** PNG-encode a row-major packed-RGB pixel array (0xRRGGBB ints).
+  * Lossless, so `mm_image_pixel(mm_encode_png(p, w, h), x, y)` returns
+  * exactly `p[y*w + x] & 0xFFFFFF` — the property the oracle checks. */
+case class EncodePng(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def prettyName: String = "mm_encode_png"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (first.dataType == ArrayType(IntegerType, containsNull = false) ||
+        first.dataType == ArrayType(IntegerType, containsNull = true)) {
+      if (second.dataType == IntegerType && third.dataType == IntegerType)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects integer width/height, got " +
+          s"${second.dataType.simpleString} / ${third.dataType.simpleString}")
+    } else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<int> packed-RGB pixels, got ${first.dataType.simpleString}")
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(p: Any, w: Any, h: Any): Any = {
+    val pix = p.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toIntArray()
+    val wi = w.asInstanceOf[Int]
+    val hi = h.asInstanceOf[Int]
+    require(wi > 0 && hi > 0 && pix.length == wi * hi,
+      s"mm_encode_png: ${pix.length} pixels for ${wi}x$hi image")
+    val img = new java.awt.image.BufferedImage(
+      wi, hi, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, wi, hi, pix, 0, wi)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
+    copy(a, b, c)
+}
+
+/** Packed 0xRRGGBB of pixel (x, y); null when the payload doesn't decode
+  * or the coordinate is out of bounds. */
+case class ImagePixel(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def prettyName: String = "mm_image_pixel"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (first.dataType == BinaryType && second.dataType == IntegerType &&
+        third.dataType == IntegerType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (binary, int, int), got " +
+        Seq(first, second, third).map(_.dataType.simpleString).mkString(", "))
+  override def nullable: Boolean = true
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(blob: Any, x: Any, y: Any): Any = {
+    val img = ImageCodec.read(blob.asInstanceOf[Array[Byte]])
+    val xi = x.asInstanceOf[Int]
+    val yi = y.asInstanceOf[Int]
+    if (img == null || xi < 0 || yi < 0 || xi >= img.getWidth || yi >= img.getHeight) null
+    else img.getRGB(xi, yi) & 0xFFFFFF
+  }
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
+    copy(a, b, c)
+}
+
+/** STUB: deterministic pseudo-decode of an "image" payload — kept for
+  * plumbing tests over non-image payloads (see [[DecodeImage]] for the
+  * real codec). */
+case class DecodeImageStub(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "mm_decode_image_stub"
   override def dataType: DataType = StructType(Seq(
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false),

@@ -1,0 +1,87 @@
+package graft
+
+import graft.pipeline.Multimodal
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Real-image codec coverage: PNG encode → decode round-trips exactly;
+  * JPEG and GIF payloads decode (JDK ImageIO readers); non-image bytes
+  * come back null instead of erroring. */
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private def pngOf(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, f(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("mm_encode_png -> mm_decode_image round-trips dims, channels and pixels") {
+    val df = Seq((5, 3), (1, 1), (13, 11)).toDF("w", "h")
+      .select(col("w"), col("h"),
+        Multimodal.encode_png(
+          transform(sequence(lit(0), col("w") * col("h") - 1),
+            i => (pmod(i * 37 + 11, lit(256)) * 65536 + pmod(i * 5, lit(256)) * 256 +
+              pmod(i, lit(256))).cast("int")),
+          col("w"), col("h")).as("blob"))
+    val out = df.select(col("w"), col("h"),
+      Multimodal.decode_image(col("blob")).as("img"),
+      Multimodal.image_pixel(col("blob"), lit(0), lit(0)).as("p00"),
+      Multimodal.image_pixel(col("blob"), col("w") - 1, col("h") - 1).as("pll"))
+      .collect()
+    for (r <- out) {
+      val (w, h) = (r.getInt(0), r.getInt(1))
+      val img = r.getStruct(2)
+      assert((img.getInt(0), img.getInt(1), img.getInt(2)) == (w, h, 3))
+      assert(r.getInt(3) == (11 % 256) * 65536 + 0 * 256 + 0)
+      val last = w * h - 1
+      assert(r.getInt(4) ==
+        ((last * 37 + 11) % 256) * 65536 + ((last * 5) % 256) * 256 + (last % 256))
+    }
+  }
+
+  test("mm_decode_image reads JPEG and GIF payloads, not just PNG") {
+    def enc(fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(17, 9, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val rows = Seq(("jpeg", enc("jpeg")), ("gif", enc("gif"))).toDF("fmt", "blob")
+      .select(col("fmt"), Multimodal.decode_image(col("blob")).as("img"))
+      .collect()
+    for (r <- rows) {
+      val img = r.getStruct(1)
+      assert((img.getInt(0), img.getInt(1)) == (17, 9), r.getString(0))
+    }
+  }
+
+  test("non-image payloads decode to null; pixel probes null out of bounds") {
+    val png = pngOf(4, 2, (x, y) => x * 16 + y)
+    val rows = Seq(("garbage", "not an image at all".getBytes("UTF-8")), ("png", png))
+      .toDF("kind", "blob")
+      .select(col("kind"),
+        Multimodal.decode_image(col("blob")).as("img"),
+        Multimodal.image_pixel(col("blob"), lit(99), lit(0)).as("oob"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows("garbage").isNullAt(1))
+    assert(rows("garbage").isNullAt(2))
+    assert(!rows("png").isNullAt(1))
+    assert(rows("png").isNullAt(2), "out-of-bounds pixel must be null")
+  }
+
+  test("SQL surface: decode/pixel/stub names registered and consistent") {
+    val r = spark.sql(
+      """SELECT mm_decode_image(b).width AS w, mm_decode_image(b).height AS h,
+        |       mm_image_pixel(b, 1, 0) AS p,
+        |       mm_decode_image_stub(b).channels AS sc
+        |FROM (SELECT mm_encode_png(array(255, 65280, 16711680, 0, 128, 32896), 3, 2) AS b)
+        |""".stripMargin).collect()(0)
+    assert(r.getInt(0) == 3 && r.getInt(1) == 2)
+    assert(r.getInt(2) == 65280)
+    assert(r.getInt(3) == 3)
+  }
+}

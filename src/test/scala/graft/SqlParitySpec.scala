@@ -68,7 +68,10 @@ class SqlParitySpec extends AnyFunSuite {
     s"rf_tile_context(rf_proj_raster($T, st_extent($G), 'epsg:4326'))",
     s"rf_geometry(rf_proj_raster($T, st_extent($G), 'epsg:4326'))",
     s"""st_geomfromgeojson('{"type":"Point","coordinates":[1,2]}')""",
-    "mm_decode_image(encode('hello', 'UTF-8'))",
+    "mm_decode_image(mm_encode_png(array(16711680, 65280, 255, 0), 2, 2))",
+    "mm_image_pixel(mm_encode_png(array(16711680, 65280, 255, 0), 2, 2), 1, 1)",
+    "mm_decode_image(encode('not an image', 'UTF-8'))",
+    "mm_decode_image_stub(encode('hello', 'UTF-8'))",
     "mm_byte_histogram(encode('hello', 'UTF-8'), 16)",
     "mm_frame_sample(encode('hello world and more', 'UTF-8'), 4, 2)",
     "rf_synthetic_tile(1, 4, 4, 'uint8')" // registered? column-API only — via SQL expression below
