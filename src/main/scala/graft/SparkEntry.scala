@@ -403,17 +403,19 @@ object SparkEntry {
           .withColumnRenamed("cell", "abs_q"), Seq("l_orderkey", "i"))
         .orderBy("l_orderkey", "i")),
     "q_math_rows" -> ((s, dir) =>
-      // log/exp families: libm results differ at ulp level between engines —
-      // rows-only check (correctness covered by ScalaTest against java.lang.Math)
+      // log/exp families differ from DuckDB's libm at ulp level, so the
+      // per-order sums are rounded to 6 dp on BOTH sides — at that scale
+      // the engines agree exactly (ScalaTest still pins the raw values
+      // against java.lang.Math)
       tiled(s, dir).select(col("l_orderkey"),
-        rf_tile_sum(rf_log(col("t_qty"))).as("s_log"),
-        rf_tile_sum(rf_log10(col("t_qty"))).as("s_log10"),
-        rf_tile_sum(rf_log2(col("t_qty"))).as("s_log2"),
-        rf_tile_sum(rf_log1p(col("t_qty"))).as("s_log1p"),
-        rf_tile_sum(rf_exp(rf_local_divide(col("t_qty"), 50.0))).as("s_exp"),
-        rf_tile_sum(rf_exp2(rf_local_divide(col("t_qty"), 10.0))).as("s_exp2"),
-        rf_tile_sum(rf_exp10(rf_local_divide(col("t_qty"), 25.0))).as("s_exp10"),
-        rf_tile_sum(rf_expm1(rf_local_divide(col("t_qty"), 50.0))).as("s_expm1"),
+        round(rf_tile_sum(rf_log(col("t_qty"))), 6).as("s_log"),
+        round(rf_tile_sum(rf_log10(col("t_qty"))), 6).as("s_log10"),
+        round(rf_tile_sum(rf_log2(col("t_qty"))), 6).as("s_log2"),
+        round(rf_tile_sum(rf_log1p(col("t_qty"))), 6).as("s_log1p"),
+        round(rf_tile_sum(rf_exp(rf_local_divide(col("t_qty"), 50.0))), 6).as("s_exp"),
+        round(rf_tile_sum(rf_exp2(rf_local_divide(col("t_qty"), 10.0))), 6).as("s_exp2"),
+        round(rf_tile_sum(rf_exp10(rf_local_divide(col("t_qty"), 25.0))), 6).as("s_exp10"),
+        round(rf_tile_sum(rf_expm1(rf_local_divide(col("t_qty"), 50.0))), 6).as("s_expm1"),
         rf_tile_sum(rf_round(rf_local_divide(col("t_qty"), 7.0))).as("s_round"),
         rf_tile_sum(rf_identity(col("t_qty"))).as("s_id"))
         .orderBy("l_orderkey")),
@@ -456,13 +458,16 @@ object SparkEntry {
               lit(8.0).as("xmax"), lit(4.0).as("ymax")),
             lit("epsg:3857")).as("pr"))
         .select(col("l_orderkey"),
-          rf_tile_sum(rf_slope(col("pr"), 1.0)).as("slope_sum"),
-          rf_tile_sum(rf_aspect(col("pr"))).as("aspect_sum"),
-          rf_tile_sum(rf_hillshade(col("pr"), 315.0, 45.0, 1.0)).as("hillshade_sum"),
-          rf_tile_sum(rf_focal_median(col("t_qty"), "square-1")).as("median_sum"),
-          rf_tile_sum(rf_focal_mode(col("t_qty"), "circle-1")).as("mode_sum"),
-          rf_tile_sum(rf_focal_stddev(col("t_qty"), "square-1")).as("stddev_sum"),
-          rf_tile_sum(rf_focal_moransi(col("t_qty"), "square-1")).as("moransi_sum"))
+          // sums rounded to 6 dp on both sides: atan/atan2/sin/cos and
+          // sum-order differ from DuckDB at ulp level (oracle mirrors the
+          // per-cell Horn/focal formulas exactly otherwise)
+          round(rf_tile_sum(rf_slope(col("pr"), 1.0)), 6).as("slope_sum"),
+          round(rf_tile_sum(rf_aspect(col("pr"))), 6).as("aspect_sum"),
+          round(rf_tile_sum(rf_hillshade(col("pr"), 315.0, 45.0, 1.0)), 6).as("hillshade_sum"),
+          round(rf_tile_sum(rf_focal_median(col("t_qty"), "square-1")), 6).as("median_sum"),
+          round(rf_tile_sum(rf_focal_mode(col("t_qty"), "circle-1")), 6).as("mode_sum"),
+          round(rf_tile_sum(rf_focal_stddev(col("t_qty"), "square-1")), 6).as("stddev_sum"),
+          round(rf_tile_sum(rf_focal_moransi(col("t_qty"), "square-1")), 6).as("moransi_sum"))
         .orderBy("l_orderkey")),
     // ---- spatial ----
     "q_st_predicates" -> ((s, dir) => {
@@ -559,6 +564,42 @@ object SparkEntry {
         .orderBy("day", "event_type")
     })
   )
+
+  // ---- DuckDB SQL builders for graft's 64-bit hash primitives ----
+  // The oracle re-derives fingerprint/simhash/minhash EXACTLY in SQL:
+  // unsigned-64 arithmetic is emulated with HUGEINT mod 2^64, splitting
+  // the two 64×64-bit multiplies of the splitmix64 finalizer into 32-bit
+  // halves so products stay inside HUGEINT range.
+  private val M64 = "18446744073709551616::HUGEINT"
+  private def duckMulMod(t: String, c: String): String =
+    s"((($t) % 4294967296::HUGEINT) * $c + (((($t) >> 32) * $c) % 4294967296::HUGEINT)" +
+      s" * 4294967296::HUGEINT) % $M64"
+  /** splitmix64 finalizer (Hashing.mix64) over a HUGEINT in [0, 2^64). */
+  private def duckMix64(z: String): String = {
+    val s = s"(($z) + 11400714819323198485::HUGEINT) % $M64"
+    val t1 = s"xor(($s), ($s) >> 30)"
+    val z1 = duckMulMod(t1, "13787848793156543929::HUGEINT")
+    val t2 = s"xor(($z1), ($z1) >> 27)"
+    val z2 = duckMulMod(t2, "10723151780598845931::HUGEINT")
+    s"xor(($z2), ($z2) >> 31)"
+  }
+  private def duckToSigned(h: String): String =
+    s"CAST(CASE WHEN ($h) >= 9223372036854775808::HUGEINT THEN ($h) - $M64 ELSE ($h) END AS BIGINT)"
+  /** FNV-1a 64 over the chars of `scol` starting from basis `h0`
+    * (Hashing.hashBytes before the mix; corpus is ASCII so char = byte). */
+  private def duckFnv(scol: String, h0: String): String =
+    s"list_reduce(list_prepend($h0::HUGEINT, list_transform(range(1, length($scol) + 1)," +
+      s" i -> ascii(($scol)[i])::HUGEINT)), (a, b) -> (xor(a, b) * 1099511628211::HUGEINT) % $M64)"
+  /** simhash CTEs (toks/tokh/votes/sh): 64-bit simhash per doc as HUGEINT. */
+  private def duckSimhashCtes: String =
+    s"""toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |tokh AS (SELECT doc_id, ${duckMix64(duckFnv("tok", "14695981039346656034"))} AS th FROM toks),
+       |votes AS (
+       |  SELECT doc_id, b, SUM(CASE WHEN (th >> CAST(b AS INTEGER)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM tokh, range(0, 64) r(b) GROUP BY doc_id, b),
+       |sh AS (
+       |  SELECT doc_id, SUM(CASE WHEN v > 0 THEN (1::HUGEINT << CAST(b AS INTEGER)) ELSE 0::HUGEINT END)::HUGEINT AS s
+       |  FROM votes GROUP BY doc_id)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_tile_sum" ->
@@ -782,6 +823,242 @@ object SparkEntry {
         |  grid.bin AS bin, CAST(COALESCE(counts.c, 0) AS BIGINT) AS bin_count
         |FROM grid LEFT JOIN counts ON grid.doc_id = counts.doc_id AND grid.bin = counts.bin
         |ORDER BY doc_id, bin""".stripMargin,
+    "q_math_rows" -> (IDX +
+      """ SELECT l_orderkey, round(SUM(ln(q)), 6) AS s_log, round(SUM(log10(q)), 6) AS s_log10,
+        |round(SUM(log2(q)), 6) AS s_log2, round(SUM(ln(1 + q)), 6) AS s_log1p,
+        |round(SUM(exp(q / 50.0)), 6) AS s_exp, round(SUM(pow(2.0, q / 10.0)), 6) AS s_exp2,
+        |round(SUM(pow(10.0, q / 25.0)), 6) AS s_exp10, round(SUM(exp(q / 50.0) - 1), 6) AS s_expm1,
+        |SUM(round(q / 7.0)) AS s_round, SUM(q) AS s_id
+        |FROM idx GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin),
+    // approx quantiles: epsilon*N << 1 at sf0.01, so the GK sketch returns
+    // exact order statistics == DuckDB's quantile_disc
+    "q_agg_quantiles" -> (IDX +
+      """ SELECT bucket, quantile_disc(q, 0.25) AS p25, quantile_disc(q, 0.5) AS p50,
+        |quantile_disc(q, 0.75) AS p75
+        |FROM idx GROUP BY bucket ORDER BY bucket""".stripMargin),
+    // exact brute-force cosine: DuckDB list_dot_product over DOUBLE-cast
+    // vectors reproduces the left-to-right double accumulation bit-exactly
+    "q_knn_brute" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |e2 AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |        CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN 0.0
+        |             ELSE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) END AS sim
+        |      FROM e2 a, e2 b WHERE a.vec_id <> b.vec_id),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM p)
+        |SELECT query_id, neighbor_id, sim, CAST(rank AS INTEGER) AS rank
+        |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    // stopword-profile argmax re-derived from the same literal profile
+    // table; ties broken by max lang code, matching greatest(struct(...))
+    "q_lang_id" -> {
+      val vals = TextFunctions.langProfiles.toSeq.sortBy(_._1)
+        .flatMap { case (l, ws) => ws.map(w => s"('$l', '$w')") }.mkString(", ")
+      s"""WITH prof(lang, word) AS (VALUES $vals),
+         |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |scores AS (SELECT t.doc_id, p.lang, COUNT(*) AS score
+         |           FROM toks t JOIN prof p ON t.tok = p.word GROUP BY t.doc_id, p.lang),
+         |best AS (SELECT doc_id, lang, score,
+         |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn
+         |         FROM scores)
+         |SELECT d.doc_id, d.lang,
+         |  COALESCE((SELECT b.lang FROM best b
+         |            WHERE b.doc_id = d.doc_id AND b.rn = 1 AND b.score > 0), 'und') AS guess
+         |FROM documents d ORDER BY d.doc_id""".stripMargin
+    },
+    // rolling fingerprint + simhash recomputed with HUGEINT mod-2^64 math
+    "q_fingerprint" -> {
+      s"""WITH raw AS (
+         |  SELECT doc_id, list_reduce(
+         |    list_prepend(0::HUGEINT, list_transform(range(1, length(text) + 1),
+         |      i -> ascii(text[i])::HUGEINT)),
+         |    (a, b) -> (a * 1000003::HUGEINT + b) % $M64) AS h
+         |  FROM documents),
+         |fp AS (SELECT doc_id, ${duckMix64("h")} AS f FROM raw),
+         |$duckSimhashCtes
+         |SELECT fp.doc_id AS doc_id, ${duckToSigned("fp.f")} AS fp, ${duckToSigned("sh.s")} AS sh
+         |FROM fp JOIN sh ON fp.doc_id = sh.doc_id ORDER BY doc_id""".stripMargin
+    },
+    // 16-bit-chunk blocking + hamming filter, mirroring Dedup.simhashPairs
+    "q_simhash_pairs" -> {
+      s"""WITH $duckSimhashCtes,
+         |chunked AS (
+         |  SELECT doc_id, s, ci, CAST((s >> (16 * ci)) % 65536::HUGEINT AS INTEGER) AS chunk
+         |  FROM sh, (SELECT unnest(range(0, 4)) AS ci)),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    bit_count(xor(${duckToSigned("a.s")}, ${duckToSigned("b.s")})) AS hamming
+         |  FROM chunked a JOIN chunked b ON a.ci = b.ci AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+         |SELECT a_id, b_id, CAST(hamming AS INTEGER) AS hamming
+         |FROM pairs WHERE hamming <= 16 ORDER BY a_id, b_id""".stripMargin
+    },
+    // minhash signatures re-derived per (shingle, seed); banded join on the
+    // actual 4-long band slices (band-hash equality == slice equality)
+    "q_minhash_pairs" -> {
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |shingles AS (
+         |  SELECT doc_id, array_to_string(t[CAST(i AS INTEGER):CAST(i + 2 AS INTEGER)], ' ') AS sh
+         |  FROM toks, unnest(range(1, greatest(len(t) - 1, 1))) u(i)),
+         |bases AS (SELECT doc_id, ${duckMix64(duckFnv("sh", "14695981039346656037"))} AS base FROM shingles),
+         |hk AS (
+         |  SELECT doc_id, CAST(k AS INTEGER) AS k,
+         |    ${duckToSigned(duckMix64(s"xor(base, (k::HUGEINT * 11400714819323198485::HUGEINT) % $M64)"))} AS h
+         |  FROM bases, range(0, 32) r(k)),
+         |sig0 AS (SELECT doc_id, k, MIN(h) AS m FROM hk GROUP BY doc_id, k),
+         |grid AS (SELECT d.doc_id, CAST(k AS INTEGER) AS k FROM documents d, range(0, 32) r(k)),
+         |sig AS (
+         |  SELECT g.doc_id, g.k, COALESCE(s.m, 9223372036854775807) AS m
+         |  FROM grid g LEFT JOIN sig0 s ON g.doc_id = s.doc_id AND g.k = s.k),
+         |bands AS (
+         |  SELECT doc_id, k // 4 AS b, list(m ORDER BY k) AS band_sig
+         |  FROM sig GROUP BY doc_id, k // 4),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b ON a.b = b.b AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+         |est AS (
+         |  SELECT c.a_id, c.b_id,
+         |    (SELECT COUNT(*) FROM sig sa JOIN sig sb ON sa.k = sb.k AND sa.m = sb.m
+         |     WHERE sa.doc_id = c.a_id AND sb.doc_id = c.b_id) / 32.0 AS est_jaccard
+         |  FROM cand c)
+         |SELECT a_id, b_id, est_jaccard FROM est WHERE est_jaccard >= 0.2 ORDER BY a_id, b_id""".stripMargin
+    },
+    // Z2: bit interleave of the floored lon/lat grid; XZ2: Böhm et al.
+    // enlarged-quadtree walk as a recursive CTE (seeds cast to DOUBLE —
+    // DuckDB would otherwise type them DECIMAL and round the walk state)
+    "q_sfc_index" ->
+      """WITH RECURSIVE pts AS (
+        |  SELECT DISTINCT CAST(l_quantity AS DOUBLE) / 2.0 AS x, CAST(l_linenumber AS DOUBLE) AS y FROM lineitem),
+        |norm AS (
+        |  SELECT x, y,
+        |    CAST(floor((x + 180.0) / 360.0 * 2147483647) AS BIGINT) AS nx,
+        |    CAST(floor((y + 90.0) / 180.0 * 2147483647) AS BIGINT) AS ny,
+        |    (x - 0.5 + 180.0) / 360.0 AS bxmin, (x + 0.5 + 180.0) / 360.0 AS bxmax,
+        |    (y - 0.5 + 90.0) / 180.0 AS bymin, (y + 0.5 + 90.0) / 180.0 AS bymax
+        |  FROM pts),
+        |lens AS (
+        |  SELECT *, CAST(floor(ln(greatest(bxmax - bxmin, bymax - bymin)) / ln(0.5)) AS INTEGER) AS l1 FROM norm),
+        |lens2 AS (
+        |  SELECT *, CASE
+        |      WHEN l1 >= 18 THEN 18
+        |      WHEN (floor(bxmin / pow(0.5, l1 + 1)) * pow(0.5, l1 + 1) + 2 * pow(0.5, l1 + 1) >= bxmax)
+        |       AND (floor(bymin / pow(0.5, l1 + 1)) * pow(0.5, l1 + 1) + 2 * pow(0.5, l1 + 1) >= bymax)
+        |      THEN least(l1 + 1, 18) ELSE least(l1, 18) END AS len
+        |  FROM lens),
+        |walk(x, y, i, cs, xlo, ylo, len, bxmin, bymin) AS (
+        |  SELECT x, y, 0, CAST(0 AS BIGINT), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), len, bxmin, bymin FROM lens2
+        |  UNION ALL
+        |  SELECT x, y, i + 1,
+        |    cs + 1 + (CASE WHEN bxmin >= xlo + pow(0.5, i + 1) THEN 1 ELSE 0 END
+        |            + CASE WHEN bymin >= ylo + pow(0.5, i + 1) THEN 2 ELSE 0 END)
+        |           * CAST((pow(4, 18 - i) - 1) / 3 AS BIGINT),
+        |    xlo + CASE WHEN bxmin >= xlo + pow(0.5, i + 1) THEN pow(0.5, i + 1) ELSE CAST(0 AS DOUBLE) END,
+        |    ylo + CASE WHEN bymin >= ylo + pow(0.5, i + 1) THEN pow(0.5, i + 1) ELSE CAST(0 AS DOUBLE) END,
+        |    len, bxmin, bymin
+        |  FROM walk WHERE i < len),
+        |xz AS (SELECT x, y, cs AS xz2 FROM walk WHERE i = len),
+        |z2t AS (
+        |  SELECT x, y, CAST(list_sum(list_transform(range(0, 31),
+        |      i -> (((nx >> i) & 1) << (2 * i)) + (((ny >> i) & 1) << (2 * i + 1)))) AS BIGINT) AS z2
+        |  FROM norm)
+        |SELECT z2t.x AS x, z2t.y AS y, z2t.z2 AS z2, xz.xz2 AS xz2
+        |FROM z2t JOIN xz ON z2t.x = xz.x AND z2t.y = xz.y
+        |ORDER BY x, y""".stripMargin,
+    // per-cell Horn gradients / focal windows over the exploded grid;
+    // Moran's I uses ordered list folds to reproduce the tile's
+    // left-to-right double accumulation bit-exactly
+    "q_terrain" -> (IDX +
+      """ , cells AS (SELECT l_orderkey, i, q, i % 8 AS c, i // 8 AS r FROM idx),
+        |orders AS (SELECT DISTINCT l_orderkey FROM idx),
+        |grid AS (
+        |  SELECT o.l_orderkey, CAST(p AS INTEGER) AS p, CAST(p % 8 AS INTEGER) AS gc, CAST(p // 8 AS INTEGER) AS gr
+        |  FROM orders o, range(0, 32) r(p)),
+        |sq AS (
+        |  SELECT g.l_orderkey, g.p, COUNT(n.q) AS k, median(n.q) AS med,
+        |         SUM(n.q) AS s, SUM(n.q * n.q) AS s2
+        |  FROM grid g LEFT JOIN cells n
+        |    ON n.l_orderkey = g.l_orderkey AND abs(n.c - g.gc) <= 1 AND abs(n.r - g.gr) <= 1
+        |  GROUP BY g.l_orderkey, g.p),
+        |med_sum AS (
+        |  SELECT l_orderkey, SUM(med) AS median_sum FROM sq WHERE k > 0 GROUP BY l_orderkey),
+        |sd_sum AS (
+        |  SELECT l_orderkey,
+        |    SUM(CASE WHEN k < 2 THEN 0.0 ELSE sqrt((s2 - s * (s / k)) / (k - 1)) END) AS stddev_sum
+        |  FROM sq WHERE k > 0 GROUP BY l_orderkey),
+        |ci AS (
+        |  SELECT g.l_orderkey, g.p, n.q, COUNT(*) AS cnt
+        |  FROM grid g JOIN cells n
+        |    ON n.l_orderkey = g.l_orderkey
+        |   AND (n.c - g.gc) * (n.c - g.gc) + (n.r - g.gr) * (n.r - g.gr) <= 1
+        |  GROUP BY g.l_orderkey, g.p, n.q),
+        |mo AS (
+        |  SELECT l_orderkey, p, q,
+        |         ROW_NUMBER() OVER (PARTITION BY l_orderkey, p ORDER BY cnt DESC, q ASC) AS rn
+        |  FROM ci),
+        |mode_sum AS (
+        |  SELECT l_orderkey, SUM(q) AS mode_sum FROM mo WHERE rn = 1 GROUP BY l_orderkey),
+        |hornn AS (
+        |  SELECT c0.l_orderkey, c0.i, c0.q AS ctr,
+        |    COALESCE(MAX(CASE WHEN n.c = c0.c - 1 AND n.r = c0.r - 1 THEN n.q END), c0.q) AS na,
+        |    COALESCE(MAX(CASE WHEN n.c = c0.c     AND n.r = c0.r - 1 THEN n.q END), c0.q) AS nb,
+        |    COALESCE(MAX(CASE WHEN n.c = c0.c + 1 AND n.r = c0.r - 1 THEN n.q END), c0.q) AS nc2,
+        |    COALESCE(MAX(CASE WHEN n.c = c0.c - 1 AND n.r = c0.r     THEN n.q END), c0.q) AS nd,
+        |    COALESCE(MAX(CASE WHEN n.c = c0.c + 1 AND n.r = c0.r     THEN n.q END), c0.q) AS nf,
+        |    COALESCE(MAX(CASE WHEN n.c = c0.c - 1 AND n.r = c0.r + 1 THEN n.q END), c0.q) AS ng,
+        |    COALESCE(MAX(CASE WHEN n.c = c0.c     AND n.r = c0.r + 1 THEN n.q END), c0.q) AS nh,
+        |    COALESCE(MAX(CASE WHEN n.c = c0.c + 1 AND n.r = c0.r + 1 THEN n.q END), c0.q) AS ni
+        |  FROM cells c0 LEFT JOIN cells n
+        |    ON n.l_orderkey = c0.l_orderkey AND abs(n.c - c0.c) <= 1 AND abs(n.r - c0.r) <= 1
+        |   AND NOT (n.c = c0.c AND n.r = c0.r)
+        |  GROUP BY c0.l_orderkey, c0.i, c0.q, c0.c, c0.r),
+        |grad AS (
+        |  SELECT l_orderkey, i,
+        |    ((nc2 + 2 * nf + ni) - (na + 2 * nd + ng)) / 8.0 AS dx,
+        |    ((ng + 2 * nh + ni) - (na + 2 * nb + nc2)) / 8.0 AS dy
+        |  FROM hornn),
+        |terrain AS (
+        |  SELECT l_orderkey,
+        |    SUM(degrees(atan(sqrt(dx * dx + dy * dy)))) AS slope_sum,
+        |    SUM(CASE WHEN dx = 0 AND dy = 0 THEN 0.0
+        |        ELSE CASE WHEN 90.0 - degrees(atan2(dy, -dx)) < 0 THEN 90.0 - degrees(atan2(dy, -dx)) + 360.0
+        |                  WHEN 90.0 - degrees(atan2(dy, -dx)) >= 360.0 THEN 90.0 - degrees(atan2(dy, -dx)) - 360.0
+        |                  ELSE 90.0 - degrees(atan2(dy, -dx)) END END) AS aspect_sum,
+        |    SUM(greatest(0.0, round(255.0 * (sin(radians(45.0)) * cos(atan(sqrt(dx * dx + dy * dy)))
+        |        + cos(radians(45.0)) * sin(atan(sqrt(dx * dx + dy * dy)))
+        |          * cos(radians(360.0 - 315.0 + 90.0) - atan2(-dy, dx)))))) AS hillshade_sum
+        |  FROM grad GROUP BY l_orderkey),
+        |stats AS (
+        |  SELECT l_orderkey, COUNT(q) AS c, SUM(q) AS s, SUM(q * q) AS s2 FROM cells GROUP BY l_orderkey),
+        |zc AS (
+        |  SELECT cells.l_orderkey, cells.i, cells.c AS cc, cells.r AS rr,
+        |    (q - (s / st.c)) / sqrt((s2 - s * (s / st.c)) / (st.c - 1)) AS z
+        |  FROM cells JOIN stats st ON cells.l_orderkey = st.l_orderkey
+        |  WHERE st.c >= 2 AND (s2 - s * (s / st.c)) > 0),
+        |mi AS (
+        |  SELECT z0.l_orderkey, z0.i,
+        |    z0.z * (list_reduce(list_prepend(CAST(0 AS DOUBLE), list(zn.z ORDER BY zn.rr, zn.cc)),
+        |                        (a, b) -> a + b) / COUNT(zn.z)) AS v
+        |  FROM zc z0 JOIN zc zn
+        |    ON zn.l_orderkey = z0.l_orderkey AND abs(zn.cc - z0.cc) <= 1 AND abs(zn.rr - z0.rr) <= 1
+        |   AND NOT (zn.cc = z0.cc AND zn.rr = z0.rr)
+        |  GROUP BY z0.l_orderkey, z0.i, z0.z),
+        |mi_sum AS (
+        |  SELECT l_orderkey,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(v ORDER BY i)), (a, b) -> a + b) AS moransi_sum
+        |  FROM mi GROUP BY l_orderkey)
+        |SELECT o.l_orderkey,
+        |  round(COALESCE(t.slope_sum, 0.0), 6) AS slope_sum,
+        |  round(COALESCE(t.aspect_sum, 0.0), 6) AS aspect_sum,
+        |  round(COALESCE(t.hillshade_sum, 0.0), 6) AS hillshade_sum,
+        |  round(COALESCE(m.median_sum, 0.0), 6) AS median_sum,
+        |  round(COALESCE(mm.mode_sum, 0.0), 6) AS mode_sum,
+        |  round(COALESCE(sd.stddev_sum, 0.0), 6) AS stddev_sum,
+        |  round(COALESCE(ms.moransi_sum, 0.0), 6) AS moransi_sum
+        |FROM orders o
+        |LEFT JOIN terrain t ON o.l_orderkey = t.l_orderkey
+        |LEFT JOIN med_sum m ON o.l_orderkey = m.l_orderkey
+        |LEFT JOIN mode_sum mm ON o.l_orderkey = mm.l_orderkey
+        |LEFT JOIN sd_sum sd ON o.l_orderkey = sd.l_orderkey
+        |LEFT JOIN mi_sum ms ON o.l_orderkey = ms.l_orderkey
+        |ORDER BY o.l_orderkey""".stripMargin),
     // PNG is lossless, so the decoded dims/pixels equal the closed-form
     // integer math the Spark side used to build the image.
     "q_image_decode" ->
