@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /**
  * Streaming faces of the training-data pipeline: exact dedup with
@@ -25,6 +25,83 @@ object StreamingPipeline {
     df.withColumn("content_hash", md5(col(textCol)))
       .withWatermark(eventTimeCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
+
+  /** One row of the chunk-blocked simhash stream (see dedupNearSimHash).
+    * `ts` keeps the watermarked event-time column itself — replacing it
+    * with a cast would strip the watermark the event-time timeout needs. */
+  final case class ChunkRow(chunkIdx: Int, chunk: Long, docId: Long, sh: Long,
+    ts: java.sql.Timestamp) {
+    def tsMs: Long = ts.getTime
+  }
+  /** Per-(chunk_idx, chunk) state: (simhash, event-time ms, doc id) of the
+    * keepers seen inside the watermark horizon. */
+  final case class ChunkState(entries: List[(Long, Long, Long)])
+  /** A drop decision: `doc_id` is a near-duplicate of earlier `dup_of`. */
+  final case class NearDup(doc_id: Long, dup_of: Long, hamming: Int, chunk_idx: Int)
+
+  /**
+   * Streaming NEAR-duplicate detection: the batch SimHash blocking
+   * ([[graft.pipeline.Dedup.simhashPairs]]) as a stateful stream. Each
+   * document's 64-bit simhash is split into four 16-bit chunks; state
+   * lives per (chunk_idx, chunk_value) bucket — the same pigeonhole
+   * blocking as the batch path (hamming ≤ 3 guarantees a shared chunk),
+   * so state per bucket is the horizon's keepers in that bucket, never
+   * an all-pairs structure. Emits one [[NearDup]] row per detection
+   * (a doc colliding in several chunks may emit several — `distinct`
+   * downstream if exact-once drop decisions are needed).
+   *
+   * State is watermark-bounded twice over: entries older than the
+   * horizon are pruned on every update, and idle buckets expire whole
+   * via an event-time timeout one horizon past the watermark.
+   */
+  def dedupNearSimHash(df: DataFrame, idCol: String, textCol: String,
+      eventTimeCol: String, watermark: String, maxHamming: Int = 3): Dataset[NearDup] = {
+    import df.sparkSession.implicits._
+    val horizonMs = {
+      val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(watermark))
+      require(iv.months == 0, "watermark must be a day-time interval")
+      iv.days * 86400000L + iv.microseconds / 1000L
+    }
+    val sh = graft.pipeline.TextFunctions.simhash(col(textCol))
+    val chunkArr = array((0 until 4).map(i =>
+      shiftrightunsigned(col("sh"), i * 16).bitwiseAND(lit(0xffffL))): _*)
+    val rows = df.withColumn("sh", sh)
+      .withWatermark(eventTimeCol, watermark)
+      .select(col(eventTimeCol), col(idCol).cast("long").as("docId"), col("sh"),
+        posexplode(chunkArr).as(Seq("chunkIdx", "chunk")))
+      .select(col("chunkIdx").cast("int").as("chunkIdx"), col("chunk"),
+        col("docId"), col("sh"), col(eventTimeCol).as("ts"))
+      .as[ChunkRow]
+    rows.groupByKey(r => (r.chunkIdx, r.chunk))
+      .flatMapGroupsWithState[ChunkState, NearDup](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: (Int, Long), it: Iterator[ChunkRow], state: GroupState[ChunkState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var entries = state.getOption.map(_.entries).getOrElse(Nil)
+            val out = scala.collection.mutable.ArrayBuffer.empty[NearDup]
+            var maxTs = 0L
+            // deterministic within-batch order: by event time, then id
+            for (r <- it.toSeq.sortBy(r => (r.tsMs, r.docId))) {
+              maxTs = math.max(maxTs, r.tsMs)
+              entries.find(e =>
+                e._3 != r.docId &&
+                  java.lang.Long.bitCount(e._1 ^ r.sh) <= maxHamming) match {
+                case Some((esh, _, eid)) =>
+                  out += NearDup(r.docId, eid, java.lang.Long.bitCount(esh ^ r.sh), r.chunkIdx)
+                case None =>
+                  entries = (r.sh, r.tsMs, r.docId) :: entries
+              }
+            }
+            entries = entries.filter(_._2 >= maxTs - horizonMs)
+            state.update(ChunkState(entries))
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs(), maxTs) + horizonMs)
+            out.iterator
+          }
+      }
+  }
 
   /** Running per-key corpus stats carried in the state store. */
   final case class CorpusStats(key: String, docs: Long, chars: Long, maxChars: Long)

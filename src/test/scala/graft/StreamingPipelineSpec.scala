@@ -33,6 +33,30 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(out.toSet == Set("alpha text", "beta text", "gamma text"))
   }
 
+  test("streaming simhash blocking drops a near-duplicate within the horizon") {
+    val dir = Files.createTempDirectory("stream-neardup").toString
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val rows = Seq(
+      (1L, base, Timestamp.valueOf("2026-01-01 00:00:00")),
+      // near-dup of 1: one token changed out of 40 -> tiny hamming distance
+      (2L, base.replace("w17", "z17"), Timestamp.valueOf("2026-01-01 00:01:00")),
+      // unrelated vocabulary -> far in simhash space
+      (3L, (1 to 40).map(i => s"q${i}x").mkString(" "), Timestamp.valueOf("2026-01-01 00:02:00")))
+    val df = rows.toDF("doc_id", "text", "ts")
+    df.write.mode("overwrite").parquet(dir)
+
+    val drops = StreamingPipeline.dedupNearSimHash(
+      spark.readStream.schema(df.schema).parquet(dir),
+      "doc_id", "text", "ts", "10 minutes", maxHamming = 6)
+    val q = drops.toDF().writeStream.format("memory").queryName("neardup_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val out = spark.sql("SELECT DISTINCT doc_id, dup_of FROM neardup_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSet == Set((2L, 1L)),
+      s"expected exactly the planted near-dup (2 dropped as dup of 1), got ${out.mkString(", ")}")
+  }
+
   test("mapGroupsWithState keeps running per-key corpus stats across batches") {
     val dir = Files.createTempDirectory("stream-stats").toString
     val batch1 = Seq(("en", "hello world"), ("en", "more text"), ("fr", "bonjour"))
