@@ -49,17 +49,24 @@ object Layer {
   }
 
   /** First tile column name, crs and tile dimensions of a layer — cheap
-    * single-row probe used for layout compatibility checks. */
-  private def layout(df: DataFrame): Option[(String, Int, Int)] = {
-    val tileCol = df.schema.fields
-      .find(f => graft.udt.TileUDT.isTileType(f.dataType)).map(_.name)
-    tileCol.flatMap { tc =>
-      val crsCol = if (df.columns.contains("crs")) col("crs") else lit("?")
-      df.select(crsCol.cast("string").as("crs"), rf_dimensions(col(tc)).as("d"))
-        .limit(1).collect().headOption
-        .map(r => (r.getString(0), r.getStruct(1).getInt(0), r.getStruct(1).getInt(1)))
-    }
-  }
+    * single-row probe used for layout compatibility checks. Memoized per
+    * analyzed plan (weak keys) so repeated joins over the same layer
+    * don't re-run the probe job. */
+  private val layoutCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        Option[(String, Int, Int)]]())
+  private def layout(df: DataFrame): Option[(String, Int, Int)] =
+    layoutCache.computeIfAbsent(df.queryExecution.analyzed, _ => {
+      val tileCol = df.schema.fields
+        .find(f => graft.udt.TileUDT.isTileType(f.dataType)).map(_.name)
+      tileCol.flatMap { tc =>
+        val crsCol = if (df.columns.contains("crs")) col("crs") else lit("?")
+        df.select(crsCol.cast("string").as("crs"), rf_dimensions(col(tc)).as("d"))
+          .limit(1).collect().headOption
+          .map(r => (r.getString(0), r.getStruct(1).getInt(0), r.getStruct(1).getInt(1)))
+      }
+    })
 
   /**
    * Key-aligned join of two layers: equi-join on `spatial_key` (and

@@ -81,11 +81,13 @@ object GeoTiffTable {
       throw new IllegalArgumentException("geotiff/raster reader requires a 'path' option")))
     raw.split(",").map(_.trim).filter(_.nonEmpty).flatMap { p =>
       val path = Paths.get(p)
-      if (Files.isDirectory(path))
-        Files.list(path).iterator().asScala
+      if (Files.isDirectory(path)) {
+        val stream = Files.list(path)
+        try stream.iterator().asScala
           .filter(f => f.toString.endsWith(".tif") || f.toString.endsWith(".tiff"))
-          .map(_.toString).toSeq.sorted
-      else Seq(p)
+          .map(_.toString).toVector.sorted
+        finally stream.close()
+      } else Seq(p)
     }.toSeq
   }
 }
