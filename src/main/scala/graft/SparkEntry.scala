@@ -317,11 +317,11 @@ object SparkEntry {
         .orderBy("id")),
     "q_embed_dedup" -> ((s, dir) =>
       // embedding-cosine near-dup keep decisions (LSH candidates +
-      // exact cosine + connected components) — rows-only check
+      // exact cosine + connected components)
       graft.pipeline.EmbeddingDedup.keepDecisions(
         t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.99)
         .orderBy("id")),
-    // ---- rows-only (non-SQL-expressible) operators ----
+    // ---- hash/LSH family (oracled via HUGEINT mod-2^64 SQL) ----
     "q_lang_id" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"), col("lang"),
         TextFunctions.language_id(col("text")).as("guess"))
@@ -590,6 +590,53 @@ object SparkEntry {
   private def duckFnv(scol: String, h0: String): String =
     s"list_reduce(list_prepend($h0::HUGEINT, list_transform(range(1, length($scol) + 1)," +
       s" i -> ascii(($scol)[i])::HUGEINT)), (a, b) -> (xor(a, b) * 1099511628211::HUGEINT) % $M64)"
+  /** MinHash signature CTEs (toks…bands/mcand): 32-long signatures per doc
+    * with Long.MaxValue defaults, banded into 8 slices of 4, plus the
+    * banded candidate pairs — shared by q_minhash_pairs and q_dedup_lsh. */
+  private def duckMinhashCtes: String =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |shingles AS (
+       |  SELECT doc_id, array_to_string(t[CAST(i AS INTEGER):CAST(i + 2 AS INTEGER)], ' ') AS sh
+       |  FROM toks, unnest(range(1, greatest(len(t) - 1, 1))) u(i)),
+       |bases AS (SELECT doc_id, ${duckMix64(duckFnv("sh", "14695981039346656037"))} AS base FROM shingles),
+       |hk AS (
+       |  SELECT doc_id, CAST(k AS INTEGER) AS k,
+       |    ${duckToSigned(duckMix64(s"xor(base, (k::HUGEINT * 11400714819323198485::HUGEINT) % $M64)"))} AS h
+       |  FROM bases, range(0, 32) r(k)),
+       |sig0 AS (SELECT doc_id, k, MIN(h) AS m FROM hk GROUP BY doc_id, k),
+       |grid AS (SELECT d.doc_id, CAST(k AS INTEGER) AS k FROM documents d, range(0, 32) r(k)),
+       |sig AS (
+       |  SELECT g.doc_id, g.k, COALESCE(s.m, 9223372036854775807) AS m
+       |  FROM grid g LEFT JOIN sig0 s ON g.doc_id = s.doc_id AND g.k = s.k),
+       |bands AS (
+       |  SELECT doc_id, k // 4 AS b, list(m ORDER BY k) AS band_sig
+       |  FROM sig GROUP BY doc_id, k // 4),
+       |mcand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bands a JOIN bands b ON a.b = b.b AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** Hyperplane-LSH bucket CTEs over `embeddings` (e/mats/ev/dots/buckets):
+    * the HyperplaneBucket weights re-derived from mix64(seed ^ (p*1048583+d))
+    * with ordered list folds so the per-plane dot products are bit-exact. */
+  private def duckHyperplaneCtes: String =
+    s"""e AS (SELECT vec_id, embedding AS v FROM embeddings),
+       |mats AS (
+       |  SELECT CAST(t AS INTEGER) AS t, CAST(p AS INTEGER) AS p, CAST(d AS INTEGER) AS d,
+       |    ${duckToSigned(duckMix64("xor((1592590336 + t)::HUGEINT, (p * 1048583 + d)::HUGEINT)"))}
+       |      / 9223372036854775807 AS w
+       |  FROM range(0, 8) rt(t), range(0, 8) rp(p), range(0, 64) rd(d)),
+       |ev AS (
+       |  SELECT vec_id, CAST(i AS INTEGER) AS i, CAST(v[CAST(i AS INTEGER)] AS DOUBLE) AS x
+       |  FROM e, unnest(range(1, least(len(v), 64) + 1)) u(i)),
+       |dots AS (
+       |  SELECT ev.vec_id, m.t, m.p,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(ev.x * m.w ORDER BY ev.i)), (a, b) -> a + b) AS s
+       |  FROM ev JOIN mats m ON m.d = ev.i - 1
+       |  GROUP BY ev.vec_id, m.t, m.p),
+       |buckets AS (
+       |  SELECT vec_id, t, CAST(SUM(CASE WHEN s >= 0 THEN (1 << p) ELSE 0 END) AS INTEGER) AS bucket
+       |  FROM dots GROUP BY vec_id, t)""".stripMargin
+
   /** simhash CTEs (toks/tokh/votes/sh): 64-bit simhash per doc as HUGEINT. */
   private def duckSimhashCtes: String =
     s"""toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
@@ -894,32 +941,76 @@ object SparkEntry {
     // minhash signatures re-derived per (shingle, seed); banded join on the
     // actual 4-long band slices (band-hash equality == slice equality)
     "q_minhash_pairs" -> {
-      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         |shingles AS (
-         |  SELECT doc_id, array_to_string(t[CAST(i AS INTEGER):CAST(i + 2 AS INTEGER)], ' ') AS sh
-         |  FROM toks, unnest(range(1, greatest(len(t) - 1, 1))) u(i)),
-         |bases AS (SELECT doc_id, ${duckMix64(duckFnv("sh", "14695981039346656037"))} AS base FROM shingles),
-         |hk AS (
-         |  SELECT doc_id, CAST(k AS INTEGER) AS k,
-         |    ${duckToSigned(duckMix64(s"xor(base, (k::HUGEINT * 11400714819323198485::HUGEINT) % $M64)"))} AS h
-         |  FROM bases, range(0, 32) r(k)),
-         |sig0 AS (SELECT doc_id, k, MIN(h) AS m FROM hk GROUP BY doc_id, k),
-         |grid AS (SELECT d.doc_id, CAST(k AS INTEGER) AS k FROM documents d, range(0, 32) r(k)),
-         |sig AS (
-         |  SELECT g.doc_id, g.k, COALESCE(s.m, 9223372036854775807) AS m
-         |  FROM grid g LEFT JOIN sig0 s ON g.doc_id = s.doc_id AND g.k = s.k),
-         |bands AS (
-         |  SELECT doc_id, k // 4 AS b, list(m ORDER BY k) AS band_sig
-         |  FROM sig GROUP BY doc_id, k // 4),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-         |  FROM bands a JOIN bands b ON a.b = b.b AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+      s"""WITH $duckMinhashCtes,
          |est AS (
          |  SELECT c.a_id, c.b_id,
          |    (SELECT COUNT(*) FROM sig sa JOIN sig sb ON sa.k = sb.k AND sa.m = sb.m
          |     WHERE sa.doc_id = c.a_id AND sb.doc_id = c.b_id) / 32.0 AS est_jaccard
-         |  FROM cand c)
+         |  FROM mcand c)
          |SELECT a_id, b_id, est_jaccard FROM est WHERE est_jaccard >= 0.2 ORDER BY a_id, b_id""".stripMargin
+    },
+    // hyperplane-LSH candidates + exact cosine refine + per-query top-k —
+    // the full lshTopK path re-derived (buckets from the seeded mix64 mats)
+    "q_knn_lsh" -> {
+      s"""WITH $duckHyperplaneCtes,
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+         |  FROM buckets a JOIN buckets b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+         |vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |sims AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |    CASE WHEN list_dot_product(a.v, a.v) = 0 OR list_dot_product(b.v, b.v) = 0 THEN 0.0
+         |         ELSE list_dot_product(a.v, b.v)
+         |              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) END AS sim
+         |  FROM cand c JOIN vv a ON a.vec_id = c.query_id JOIN vv b ON b.vec_id = c.neighbor_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM sims)
+         |SELECT query_id, neighbor_id, sim, CAST(rank AS INTEGER) AS rank
+         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+    },
+    // embedding near-dup keep decisions: hyperplane candidates + cosine
+    // >= 0.99 edges + connected components (recursive reachability + MIN)
+    "q_embed_dedup" -> {
+      s"""WITH RECURSIVE $duckHyperplaneCtes,
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+         |  FROM buckets a JOIN buckets b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |pairs AS (
+         |  SELECT c.a_id, c.b_id
+         |  FROM cand c JOIN vv a ON a.vec_id = c.a_id JOIN vv b ON b.vec_id = c.b_id
+         |  WHERE (CASE WHEN sqrt(list_dot_product(a.v, a.v)) = 0 OR sqrt(list_dot_product(b.v, b.v)) = 0 THEN 0.0
+         |         ELSE list_dot_product(a.v, b.v)
+         |              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) END) >= 0.99),
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs UNION SELECT b_id, a_id FROM pairs),
+         |reach AS (
+         |  SELECT vec_id AS id, vec_id AS r FROM embeddings
+         |  UNION
+         |  SELECT e.src AS id, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
+         |SELECT id, MIN(r) AS keep_id, MIN(r) <> id AS is_duplicate
+         |FROM reach GROUP BY id ORDER BY id""".stripMargin
+    },
+    // two-stage LSH dedup decisions: md5 star edges + minhash est >= 0.8
+    // edges, clustered by the same recursive connected components
+    "q_dedup_lsh" -> {
+      s"""WITH RECURSIVE $duckMinhashCtes,
+         |near AS (
+         |  SELECT c.a_id, c.b_id FROM mcand c
+         |  WHERE (SELECT COUNT(*) FROM sig sa JOIN sig sb ON sa.k = sb.k AND sa.m = sb.m
+         |         WHERE sa.doc_id = c.a_id AND sb.doc_id = c.b_id) / 32.0 >= 0.8),
+         |hashes AS (SELECT doc_id AS id, md5(text) AS h FROM documents),
+         |exact_keep AS (SELECT h, MIN(id) AS keep FROM hashes GROUP BY h),
+         |exact_edges AS (
+         |  SELECT hashes.id AS src, ek.keep AS dst FROM hashes JOIN exact_keep ek ON hashes.h = ek.h
+         |  WHERE hashes.id <> ek.keep),
+         |edges AS (
+         |  SELECT src, dst FROM exact_edges UNION SELECT dst, src FROM exact_edges
+         |  UNION SELECT a_id, b_id FROM near UNION SELECT b_id, a_id FROM near),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS r FROM documents
+         |  UNION
+         |  SELECT e.src AS id, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
+         |SELECT id, MIN(r) AS keep_id, MIN(r) <> id AS is_duplicate
+         |FROM reach GROUP BY id ORDER BY id""".stripMargin
     },
     // Z2: bit interleave of the floored lon/lat grid; XZ2: Böhm et al.
     // enlarged-quadtree walk as a recursive CTE (seeds cast to DOUBLE —
