@@ -342,6 +342,22 @@ object Similarity {
   def cosine(a: Column, b: Column): Column = c(CosineSimilarity(asExpr(a), asExpr(b)))
   def dot(a: Column, b: Column): Column = c(VectorDot(asExpr(a), asExpr(b)))
 
+  /** Bounded top-k-by aggregate ([[TopKByAggregate]]): map-side partial
+    * top-k per group → shuffle O(groups·k), replacing the
+    * sort-everything row_number window. */
+  def topKBy(payload: Column, order: Column, k: Int): Column =
+    c(TopKByAggregate(asExpr(payload), asExpr(order), k).toAggregateExpression())
+
+  /** (query_id, neighbor_id, sim) pairs → per-query (sim desc,
+    * neighbor_id) top-k with a rank column — the shared tail of the
+    * brute/LSH/IVF top-k paths. */
+  private[pipeline] def rankTopK(pairs: DataFrame, k: Int): DataFrame =
+    pairs.groupBy("query_id")
+      .agg(topKBy(col("neighbor_id"), col("sim"), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), col("col.neighbor_id").as("neighbor_id"),
+        col("col.sim").as("sim"), (col("pos") + 1).cast("int").as("rank"))
+
   /**
    * Brute-force cosine top-k (the exact baseline): broadcast the right
    * side, nested-loop join, per-query window top-k. O(n²·d) — correct at
@@ -355,14 +371,12 @@ object Similarity {
       sqrt(dot(col(vecCol), col(vecCol))).as("a_norm"))
     val b = df.select(col(idCol).as("neighbor_id"), col(vecCol).as("b_vec"),
       sqrt(dot(col(vecCol), col(vecCol))).as("b_norm"))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    a.crossJoin(broadcast(b))
+    rankTopK(a.crossJoin(broadcast(b))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         when(col("a_norm") === 0.0 || col("b_norm") === 0.0, lit(0.0))
-          .otherwise(dot(col("a_vec"), col("b_vec")) / (col("a_norm") * col("b_norm"))).as("sim"))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+          .otherwise(dot(col("a_vec"), col("b_vec")) / (col("a_norm") * col("b_norm"))).as("sim")),
+      k)
   }
 
   /**
@@ -385,13 +399,23 @@ object Similarity {
     // sample, so the quantizer is deterministic and the fit cost is
     // capped at ~fitSampleSize rows regardless of corpus size. Below the
     // cap the fit input is the full set — identical to the unsampled fit.
-    val n = feat.count()
-    val fitDf = if (n <= fitSampleSize) feat
+    val n = df.count() // metadata-cheap: no vector conversion on this path
+    // The fit input is bounded by fitSampleSize, so size its partitioning
+    // to the SAMPLE, not the corpus: k-means is 10+ scheduler round-trips
+    // (init passes + iterations), and iterating 32 near-empty partitions
+    // is pure overhead. ~50k sampled vectors per partition, materialized
+    // once so every pass reads memory, not the source scan.
+    val sampled = if (n <= fitSampleSize) feat
       else feat.sample(withReplacement = false,
         fitSampleSize.toDouble / n, seed = 42L)
+    val fitParts = math.max(1, (math.min(n, fitSampleSize) / 50000L).toInt)
+    val fitDf = sampled.coalesce(fitParts).localCheckpoint(true)
     val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10).fit(fitDf)
+    // Materialize assignments ONCE: both the probe side and the candidate
+    // join consume `assigned`, and without the checkpoint each would
+    // re-run the scan + vector conversion + model UDF.
     val assigned = model.transform(feat).select(col("id"), col("vec"),
-      col("prediction").as("cell"))
+      col("prediction").as("cell")).localCheckpoint(true)
     val centroids = df.sparkSession.createDataFrame(
       model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }.toIndexedSeq)
       .toDF("cell", "centroid")
@@ -404,14 +428,14 @@ object Similarity {
       .withColumn("prank", row_number().over(wProbe))
       .where(col("prank") <= nprobe)
       .select(col("id").as("query_id"), col("vec").as("a_vec"), col("cell"))
-    val wTop = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    probes.join(assigned.select(col("id").as("neighbor_id"), col("vec").as("b_vec"), col("cell")),
+    // a pair surfacing through several probes carries identical sims, and
+    // the top-k aggregate dedups by neighbor in-buffer — no pre-distinct
+    rankTopK(probes
+      .join(assigned.select(col("id").as("neighbor_id"), col("vec").as("b_vec"), col("cell")),
         Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), cosine(col("a_vec"), col("b_vec")).as("sim"))
-      .groupBy("query_id", "neighbor_id").agg(max("sim").as("sim"))
-      .withColumn("rank", row_number().over(wTop))
-      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), cosine(col("a_vec"), col("b_vec")).as("sim")),
+      k)
   }
 
   /**
@@ -438,12 +462,10 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"))
       .distinct()
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    candidates
+    rankTopK(candidates
       .join(vecs.select(col("id").as("query_id"), col("vec").as("a_vec")), Seq("query_id"))
       .join(vecs.select(col("id").as("neighbor_id"), col("vec").as("b_vec")), Seq("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), cosine(col("a_vec"), col("b_vec")).as("sim"))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), cosine(col("a_vec"), col("b_vec")).as("sim")),
+      k)
   }
 }

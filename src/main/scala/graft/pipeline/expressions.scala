@@ -33,9 +33,11 @@ object Hashing {
   def hashString(s: UTF8String, seed: Long): Long = hashBytes(s.getBytes, seed)
 }
 
-/** Dot product of two float/double arrays, accumulated in double, index order. */
-case class VectorDot(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+/** Dot product of two float/double arrays, accumulated in double, index
+  * order. Codegen'd (not CodegenFallback): these run once per candidate
+  * PAIR in the ANN joins — millions of evaluations per query — so they
+  * must stay inside whole-stage codegen with primitive accumulators. */
+case class VectorDot(left: Expression, right: Expression) extends BinaryExpression {
   override def prettyName: String = "vec_dot"
   override def dataType: DataType = DoubleType
   @transient private lazy val lt = left.dataType.asInstanceOf[ArrayType].elementType
@@ -57,16 +59,43 @@ case class VectorDot(left: Expression, right: Expression)
     while (i < n) { s += get(a, lt, i) * get(b, rt, i); i += 1 }
     s
   }
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (n, s, i) = (ctx.freshName("vdN"), ctx.freshName("vdS"), ctx.freshName("vdI"))
+      val (gx, gy) = (VectorCodegen.elemGetter(lt, a, i), VectorCodegen.elemGetter(rt, b, i))
+      s"""
+      |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+      |double $s = 0.0;
+      |for (int $i = 0; $i < $n; $i++) { $s += ($gx) * ($gy); }
+      |${ev.value} = $s;
+      """.stripMargin
+    })
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
 
-/** Cosine similarity of two vectors (0 when either norm is 0). */
-case class CosineSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+private[pipeline] object VectorCodegen {
+  /** Java source reading element `idx` of ArrayData `v` as double. */
+  def elemGetter(et: DataType, v: String, idx: String): String = et match {
+    case FloatType => s"(double) $v.getFloat($idx)"
+    case _ => s"$v.getDouble($idx)"
+  }
+}
+
+/** Cosine similarity of two vectors (0 when either norm is 0); codegen'd
+  * for the same reason as [[VectorDot]]. */
+case class CosineSimilarity(left: Expression, right: Expression) extends BinaryExpression {
   override def prettyName: String = "vec_cosine"
   override def dataType: DataType = DoubleType
   @transient private lazy val lt = left.dataType.asInstanceOf[ArrayType].elementType
   @transient private lazy val rt = right.dataType.asInstanceOf[ArrayType].elementType
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName expects array<float|double> args")
+  }
   @inline private def get(a: ArrayData, et: DataType, i: Int): Double = et match {
     case FloatType => a.getFloat(i).toDouble
     case _ => a.getDouble(i)
@@ -83,6 +112,27 @@ case class CosineSimilarity(left: Expression, right: Expression)
     }
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("vcN")
+      val i = ctx.freshName("vcI")
+      val (dot, na, nb) = (ctx.freshName("vcDot"), ctx.freshName("vcNa"), ctx.freshName("vcNb"))
+      val (x, y) = (ctx.freshName("vcX"), ctx.freshName("vcY"))
+      val (gx, gy) = (VectorCodegen.elemGetter(lt, a, i), VectorCodegen.elemGetter(rt, b, i))
+      s"""
+      |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+      |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+      |for (int $i = 0; $i < $n; $i++) {
+      |  double $x = $gx; double $y = $gy;
+      |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+      |}
+      |${ev.value} = ($na == 0.0 || $nb == 0.0) ? 0.0
+      |  : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+      """.stripMargin
+    })
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
 
@@ -209,4 +259,104 @@ case class HyperplaneBucket(child: Expression, dim: Int, planes: Int, seed: Long
     bucket
   }
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Bounded top-k buffer: (sim desc, id asc)-sorted parallel arrays of at
+  * most k entries, deduplicated by id (duplicate candidates from several
+  * LSH tables / IVF probes carry identical sims, so keep-first is exact). */
+final class TopKBuffer(val k: Int) extends Serializable {
+  var n: Int = 0
+  val ids: Array[Long] = new Array[Long](k)
+  val sims: Array[Double] = new Array[Double](k)
+  @inline private def beats(s: Double, id: Long, i: Int): Boolean =
+    s > sims(i) || (s == sims(i) && id < ids(i))
+  def insert(id: Long, s: Double): Unit = {
+    var i = 0
+    while (i < n) { if (ids(i) == id) return; i += 1 } // dedup by payload
+    if (n < k) {
+      var pos = n
+      while (pos > 0 && beats(s, id, pos - 1)) {
+        ids(pos) = ids(pos - 1); sims(pos) = sims(pos - 1); pos -= 1
+      }
+      ids(pos) = id; sims(pos) = s; n += 1
+    } else if (beats(s, id, n - 1)) {
+      var pos = n - 1
+      while (pos > 0 && beats(s, id, pos - 1)) {
+        ids(pos) = ids(pos - 1); sims(pos) = sims(pos - 1); pos -= 1
+      }
+      ids(pos) = id; sims(pos) = s
+    }
+  }
+}
+
+/**
+ * Bounded-heap top-k-by aggregate: the scale shape for per-group top-k.
+ * A `row_number().over(Window.partitionBy(g).orderBy(sim desc))` sorts
+ * EVERY candidate pair (the partial WindowGroupLimit still sorts each
+ * map partition); this aggregate reduces each map partition to ≤ k
+ * entries per group before the shuffle, so shuffle volume is
+ * O(groups · k), not O(pairs). Returns array<struct<neighbor_id, sim>>
+ * sorted by (sim desc, neighbor_id asc) — posexplode for ranks.
+ */
+case class TopKByAggregate(
+    payload: Expression,
+    order: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[TopKBuffer] {
+  require(k > 0, "topKBy requires k > 0")
+  override def prettyName: String = "top_k_by"
+  override def children: Seq[Expression] = Seq(payload, order)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("neighbor_id", LongType, nullable = false),
+    StructField("sim", DoubleType, nullable = false))), containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (payload.dataType == LongType && order.dataType == DoubleType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (bigint payload, double order), got " +
+        s"${payload.dataType.simpleString} / ${order.dataType.simpleString}")
+  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
+  override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {
+    val id = payload.eval(input)
+    val s = order.eval(input)
+    if (id != null && s != null)
+      buf.insert(id.asInstanceOf[Long], s.asInstanceOf[Double])
+    buf
+  }
+  override def merge(a: TopKBuffer, b: TopKBuffer): TopKBuffer = {
+    var i = 0
+    while (i < b.n) { a.insert(b.ids(i), b.sims(i)); i += 1 }
+    a
+  }
+  override def eval(buf: TopKBuffer): Any = {
+    val out = new Array[Any](buf.n)
+    var i = 0
+    while (i < buf.n) { out(i) = InternalRow(buf.ids(i), buf.sims(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+  override def serialize(buf: TopKBuffer): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + buf.n * 16)
+    bb.putInt(buf.k).putInt(buf.n)
+    var i = 0
+    while (i < buf.n) { bb.putLong(buf.ids(i)).putDouble(buf.sims(i)); i += 1 }
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): TopKBuffer = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val buf = new TopKBuffer(bb.getInt())
+    val n = bb.getInt()
+    var i = 0
+    while (i < n) { buf.ids(i) = bb.getLong(); buf.sims(i) = bb.getDouble(); i += 1 }
+    buf.n = n
+    buf
+  }
+  override def withNewMutableAggBufferOffset(o: Int): TopKByAggregate =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKByAggregate =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]) =
+    copy(payload = cs(0), order = cs(1))
 }
