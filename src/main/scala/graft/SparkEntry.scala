@@ -396,11 +396,18 @@ object SparkEntry {
     }),
     "q_math" -> ((s, dir) =>
       // sqrt is IEEE-754 correctly rounded in both engines → exact oracle;
-      // abs over integer-valued cells is exact
-      cells(s, dir, rf_sqrt(col("t_qty")))
-        .withColumnRenamed("cell", "sqrt_q")
-        .join(cells(s, dir, rf_abs(rf_local_subtract(col("t_qty"), 25.0)))
-          .withColumnRenamed("cell", "abs_q"), Seq("l_orderkey", "i"))
+      // abs over integer-valued cells is exact. Both tiles explode in ONE
+      // generator pass (rf_explode_tiles is variadic) — no per-cell
+      // self-join to realign them.
+      tiled(s, dir)
+        .select(col("l_orderkey"),
+          rf_explode_tiles(
+            rf_sqrt(col("t_qty")),
+            rf_abs(rf_local_subtract(col("t_qty"), 25.0))))
+        .select(col("l_orderkey"),
+          (col("row_index") * 8 + col("column_index")).cast("int").as("i"),
+          col("cell_0").as("sqrt_q"), col("cell_1").as("abs_q"))
+        .where(col("cell_0").isNotNull)
         .orderBy("l_orderkey", "i")),
     "q_math_rows" -> ((s, dir) =>
       // log/exp families differ from DuckDB's libm at ulp level, so the
@@ -420,8 +427,10 @@ object SparkEntry {
         rf_tile_sum(rf_identity(col("t_qty"))).as("s_id"))
         .orderBy("l_orderkey")),
     "q_agg_quantiles" -> ((s, dir) =>
+      // relativeError 1e-4 keeps eps*N < 1 at the oracle SF (exact order
+      // statistics) with a 10x smaller GK sample buffer than the default
       tiled(s, dir).groupBy("bucket")
-        .agg(rf_agg_approx_quantiles(col("t_qty"), Seq(0.25, 0.5, 0.75)).as("qs"))
+        .agg(rf_agg_approx_quantiles(col("t_qty"), Seq(0.25, 0.5, 0.75), 1e-4).as("qs"))
         .select(col("bucket"),
           col("qs").getItem(0).as("p25"), col("qs").getItem(1).as("p50"),
           col("qs").getItem(2).as("p75"))

@@ -89,14 +89,12 @@ object TextFunctions {
 
   /** Gopher-style repetition signal: fraction of duplicate n-grams,
     * 1 − distinct/total (0 = no repetition). Integer counts → the
-    * division is exact. */
-  def repetition_ratio(text: Column, n: Int = 3): Column = {
-    val toks = tokens(text)
-    val grams = transform(
-      sequence(lit(0), greatest(size(toks) - n, lit(0))),
-      i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))
-    lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams)
-  }
+    * division is exact. Native expression ([[RepetitionRatio]]): the
+    * HOF formulation (transform + slice + concat_ws + array_distinct)
+    * allocates a gram array per row; this builds the distinct set in
+    * one pass. */
+  def repetition_ratio(text: Column, n: Int = 3): Column =
+    c(RepetitionRatio(asExpr(tokens(text)), n))
 }
 
 object Dedup {

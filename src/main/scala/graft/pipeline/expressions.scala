@@ -360,3 +360,40 @@ case class TopKByAggregate(
   override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]) =
     copy(payload = cs(0), order = cs(1))
 }
+
+/** Gopher-style repetition signal over a token array: 1 − distinct/total
+  * n-grams. Same gram construction as the HOF formulation (windows
+  * clipped at the end; short docs yield one short gram) but built in one
+  * pass with a string set — no per-gram array slices or intermediate
+  * gram arrays. */
+case class RepetitionRatio(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "repetition_ratio"
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName expects array<string>")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val sz = toks.numElements()
+    val total = math.max(sz - n, 0) + 1
+    val seen = new java.util.HashSet[String](total * 2)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < total) {
+      sb.setLength(0)
+      var j = i
+      val end = math.min(i + n, sz)
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(toks.getUTF8String(j).toString)
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    1.0 - seen.size.toDouble / total.toDouble
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
