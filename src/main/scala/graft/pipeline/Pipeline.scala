@@ -170,10 +170,8 @@ object Dedup {
       blockCol: String, n: Int = 3, threshold: Double = 0.1,
       maxDocFreq: Int = Int.MaxValue): DataFrame = {
     val rawGrams = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
-      explode(array_distinct(transform(
-        sequence(lit(0), greatest(size(TextFunctions.tokens(col(textCol))) - n, lit(0))),
-        i => concat_ws(" ", slice(TextFunctions.tokens(col(textCol)), i + lit(1), lit(n))))))
-        .as("gram"))
+      explode(TextFunctions.c(DistinctNGrams(
+        asExpr(TextFunctions.tokens(col(textCol))), n))).as("gram"))
     val grams =
       if (maxDocFreq == Int.MaxValue) rawGrams
       else {

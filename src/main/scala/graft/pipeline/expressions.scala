@@ -397,3 +397,42 @@ case class RepetitionRatio(child: Expression, n: Int)
   }
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
+
+/** Distinct n-grams of a token array as array<string>, first-occurrence
+  * order (what array_distinct over the HOF gram build produced) — one
+  * pass, one string set, no intermediate gram array of slices. */
+case class DistinctNGrams(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "distinct_ngrams"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName expects array<string>")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val sz = toks.numElements()
+    val total = math.max(sz - n, 0) + 1
+    val seen = new java.util.LinkedHashSet[String](total * 2)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < total) {
+      sb.setLength(0)
+      var j = i
+      val end = math.min(i + n, sz)
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(toks.getUTF8String(j).toString)
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
