@@ -671,3 +671,35 @@ def rf_xz2_index(geom, crs):
 def rf_rasterize(geom, bounds, value, cols, rows):
     """Burn a geometry into a tile."""
     return _fn("rf_rasterize", geom, bounds, value, cols, rows)
+
+
+# --- multimodal binary-column ops ----------------------------------------
+def mm_decode_image(blob):
+    """Decode an image payload via the JVM's javax.imageio codecs to a
+    (width, height, channels, byte_len) struct; NULL for unreadable bytes."""
+    return _fn("mm_decode_image", blob)
+
+
+def mm_decode_image_stub(blob):
+    """Deterministic pseudo-decode of any payload (plumbing tests only)."""
+    return _fn("mm_decode_image_stub", blob)
+
+
+def mm_encode_png(pixels, width, height):
+    """Encode a row-major array of packed 0xRRGGBB ints into a PNG payload."""
+    return _fn("mm_encode_png", pixels, width, height)
+
+
+def mm_image_pixel(blob, x, y):
+    """Packed 0xRRGGBB of pixel (x, y); NULL on decode failure or OOB."""
+    return _fn("mm_image_pixel", blob, x, y)
+
+
+def mm_byte_histogram(blob, bins=16):
+    """Normalized byte-value histogram of the payload."""
+    return _fn("mm_byte_histogram", blob, bins)
+
+
+def mm_frame_sample(blob, frame_size, stride):
+    """Every stride-th frame_size-byte window as an array of binaries."""
+    return _fn("mm_frame_sample", blob, frame_size, stride)

@@ -92,3 +92,20 @@ def test_batch_plumbing_preserves_partitioning_and_rows(spark, blobs_df):
     assert out.count() == blobs_df.count()
     # schema grows by exactly the decoded fields, original columns intact
     assert out.columns == blobs_df.columns + ["width", "height", "channels", "byte_len"]
+
+
+def test_mm_function_wrappers_round_trip(spark):
+    from pyspark.sql.functions import col, expr
+    import graft.functions as F
+
+    df = spark.range(1).select(
+        F.mm_encode_png(expr("array(16711680, 65280, 255, 0)"), 2, 2).alias("blob")
+    )
+    out = df.select(
+        F.mm_decode_image(col("blob")).alias("img"),
+        F.mm_image_pixel(col("blob"), 0, 0).alias("p00"),
+        F.mm_byte_histogram(col("blob")).alias("hist"),
+    ).collect()[0]
+    assert (out["img"]["width"], out["img"]["height"], out["img"]["channels"]) == (2, 2, 3)
+    assert out["p00"] == 16711680
+    assert abs(sum(out["hist"]) - 1.0) < 1e-5
