@@ -85,6 +85,11 @@ object StreamingPipeline {
             // deterministic within-batch order: by event time, then id
             for (r <- it.toSeq.sortBy(r => (r.tsMs, r.docId))) {
               maxTs = math.max(maxTs, r.tsMs)
+              // prune BEFORE matching, relative to this row's event time —
+              // a keeper older than the horizon must not suppress a doc
+              // arriving a full horizon later (rows are ts-ascending, so
+              // pruning is monotone across the batch)
+              entries = entries.filter(_._2 >= r.tsMs - horizonMs)
               entries.find(e =>
                 e._3 != r.docId &&
                   java.lang.Long.bitCount(e._1 ^ r.sh) <= maxHamming) match {
@@ -94,7 +99,6 @@ object StreamingPipeline {
                   entries = (r.sh, r.tsMs, r.docId) :: entries
               }
             }
-            entries = entries.filter(_._2 >= maxTs - horizonMs)
             state.update(ChunkState(entries))
             state.setTimeoutTimestamp(
               math.max(state.getCurrentWatermarkMs(), maxTs) + horizonMs)

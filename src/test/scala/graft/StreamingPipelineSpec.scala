@@ -57,6 +57,55 @@ class StreamingPipelineSpec extends AnyFunSuite {
       s"expected exactly the planted near-dup (2 dropped as dup of 1), got ${out.mkString(", ")}")
   }
 
+  test("simhash state carries across runs via checkpoint; horizon bounds it") {
+    val dir = Files.createTempDirectory("stream-neardup2").toString
+    val ckpt = Files.createTempDirectory("stream-neardup2-ckpt").toString
+    val base = (1 to 40).map(i => s"v$i").mkString(" ")
+    val schema = Seq((1L, "x", Timestamp.valueOf("2026-01-01 00:00:00")))
+      .toDF("doc_id", "text", "ts").schema
+
+    val outDir = Files.createTempDirectory("stream-neardup2-out").toString
+    def run(): Array[(Long, Long)] = {
+      // file sink + checkpoint: the memory sink cannot recover state
+      val drops = StreamingPipeline.dedupNearSimHash(
+        spark.readStream.schema(schema).parquet(dir),
+        "doc_id", "text", "ts", "10 minutes", maxHamming = 8)
+      val q = drops.toDF().writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      spark.read.parquet(outDir).select("doc_id", "dup_of")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+    }
+
+    // run 1: the original document only — nothing to drop
+    Seq((1L, base, Timestamp.valueOf("2026-01-01 00:00:00")))
+      .toDF("doc_id", "text", "ts").write.mode("overwrite").parquet(dir)
+    assert(run().isEmpty)
+
+    // run 2: a near-dup 1 minute later, in a NEW micro-batch — the
+    // checkpointed bucket state from run 1 catches it
+    Seq((2L, base.replace("v9", "z9"), Timestamp.valueOf("2026-01-01 00:01:00")))
+      .toDF("doc_id", "text", "ts").write.mode("append").parquet(dir)
+    assert(run().toSet == Set((2L, 1L)))
+
+    // in-batch horizon check: a near-dup arriving 2x the horizon after
+    // the keeper must NOT be suppressed by the stale entry
+    val dir2 = Files.createTempDirectory("stream-neardup3").toString
+    Seq(
+      (1L, base, Timestamp.valueOf("2026-01-01 00:00:00")),
+      (3L, base.replace("v9", "z9"), Timestamp.valueOf("2026-01-01 00:25:00")))
+      .toDF("doc_id", "text", "ts").write.mode("overwrite").parquet(dir2)
+    val drops3 = StreamingPipeline.dedupNearSimHash(
+      spark.readStream.schema(schema).parquet(dir2),
+      "doc_id", "text", "ts", "10 minutes", maxHamming = 8)
+    val q3 = drops3.toDF().writeStream.format("memory").queryName("neardup_r3")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q3.awaitTermination(60000)
+    assert(spark.sql("SELECT * FROM neardup_r3").collect().isEmpty,
+      "a keeper beyond the horizon must not suppress a later doc")
+  }
+
   test("mapGroupsWithState keeps running per-key corpus stats across batches") {
     val dir = Files.createTempDirectory("stream-stats").toString
     val batch1 = Seq(("en", "hello world"), ("en", "more text"), ("fr", "bonjour"))
