@@ -60,6 +60,73 @@ object ImageCodec {
   def read(bytes: Array[Byte]): java.awt.image.BufferedImage =
     try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
     catch { case _: java.io.IOException => null }
+
+  // One-entry per-thread memo: a row typically evaluates several image
+  // expressions over the SAME payload (dims + a few pixel probes), each
+  // receiving its own byte-array copy — an Arrays.equals is orders of
+  // magnitude cheaper than re-running the PNG/JPEG decoder per probe.
+  private val last =
+    new ThreadLocal[(Array[Byte], java.awt.image.BufferedImage)]
+  def readCached(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    val c = last.get()
+    if (c != null && java.util.Arrays.equals(c._1, bytes)) c._2
+    else {
+      val img = read(bytes)
+      last.set((bytes, img))
+      img
+    }
+  }
+
+  /** Direct PNG encode of packed-RGB pixels (8-bit RGB, filter 0 rows,
+    * one zlib stream) — the public PNG spec via java.util.zip, ~10×
+    * faster than the ImageIO writer plumbing for small images. Output is
+    * a standard PNG any decoder (including [[read]]) round-trips. */
+  def encodePng(pix: Array[Int], w: Int, h: Int): Array[Byte] = {
+    val raw = new Array[Byte](h * (1 + 3 * w))
+    var p = 0
+    var i = 0
+    for (y <- 0 until h) {
+      raw(p) = 0 // filter type None
+      p += 1
+      var x = 0
+      while (x < w) {
+        val v = pix(i)
+        raw(p) = ((v >>> 16) & 0xff).toByte
+        raw(p + 1) = ((v >>> 8) & 0xff).toByte
+        raw(p + 2) = (v & 0xff).toByte
+        p += 3; i += 1; x += 1
+      }
+    }
+    val deflater = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
+    deflater.setInput(raw)
+    deflater.finish()
+    val comp = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    val tmp = new Array[Byte](8192)
+    while (!deflater.finished()) comp.write(tmp, 0, deflater.deflate(tmp))
+    deflater.end()
+
+    val out = new java.io.ByteArrayOutputStream(comp.size() + 64)
+    out.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n'))
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      val len = data.length
+      out.write(Array[Byte]((len >>> 24).toByte, (len >>> 16).toByte,
+        (len >>> 8).toByte, len.toByte))
+      val tb = typ.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      out.write(tb); out.write(data)
+      val c = crc.getValue
+      out.write(Array[Byte]((c >>> 24).toByte, (c >>> 16).toByte,
+        (c >>> 8).toByte, c.toByte))
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(2.toByte) // 8-bit, color type RGB
+      .put(0.toByte).put(0.toByte).put(0.toByte)       // deflate, filter 0, no interlace
+    chunk("IHDR", ihdr.array())
+    chunk("IDAT", comp.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
 }
 
 /** Real image decode: header + raster parse via `javax.imageio`.
@@ -80,7 +147,7 @@ case class DecodeImage(child: Expression) extends UnaryExpression with CodegenFa
     StructField("byte_len", IntegerType, nullable = false)))
   override def nullSafeEval(input: Any): Any = {
     val b = input.asInstanceOf[Array[Byte]]
-    val img = ImageCodec.read(b)
+    val img = ImageCodec.readCached(b)
     if (img == null) null
     else InternalRow(img.getWidth, img.getHeight,
       img.getColorModel.getNumComponents, b.length)
@@ -111,12 +178,7 @@ case class EncodePng(first: Expression, second: Expression, third: Expression)
     val hi = h.asInstanceOf[Int]
     require(wi > 0 && hi > 0 && pix.length == wi * hi,
       s"mm_encode_png: ${pix.length} pixels for ${wi}x$hi image")
-    val img = new java.awt.image.BufferedImage(
-      wi, hi, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    img.setRGB(0, 0, wi, hi, pix, 0, wi)
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
+    ImageCodec.encodePng(pix, wi, hi)
   }
   override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
     copy(a, b, c)
@@ -136,7 +198,7 @@ case class ImagePixel(first: Expression, second: Expression, third: Expression)
   override def nullable: Boolean = true
   override def dataType: DataType = IntegerType
   override def nullSafeEval(blob: Any, x: Any, y: Any): Any = {
-    val img = ImageCodec.read(blob.asInstanceOf[Array[Byte]])
+    val img = ImageCodec.readCached(blob.asInstanceOf[Array[Byte]])
     val xi = x.asInstanceOf[Int]
     val yi = y.asInstanceOf[Int]
     if (img == null || xi < 0 || yi < 0 || xi >= img.getWidth || yi >= img.getHeight) null
