@@ -384,43 +384,33 @@ object Similarity {
    * billion-scale ANN layout.
    */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      nlist: Int = 16, nprobe: Int = 4, fitSampleSize: Int = 100000): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val feat = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      array_to_vector(col(vecCol)).as("features"))
-    // Fit the coarse quantizer on a bounded SAMPLE: k-means is ~10
-    // iterative full-data passes, and the centroids don't need the tail.
-    // One count (metadata-cheap on parquet) sizes a seeded Bernoulli
-    // sample, so the quantizer is deterministic and the fit cost is
-    // capped at ~fitSampleSize rows regardless of corpus size. Below the
-    // cap the fit input is the full set — identical to the unsampled fit.
-    val n = df.count() // metadata-cheap: no vector conversion on this path
-    // The fit input is bounded by fitSampleSize, so size its partitioning
-    // to the SAMPLE, not the corpus: k-means is 10+ scheduler round-trips
-    // (init passes + iterations), and iterating 32 near-empty partitions
-    // is pure overhead. ~50k sampled vectors per partition, materialized
-    // once so every pass reads memory, not the source scan.
-    val sampled = if (n <= fitSampleSize) feat
-      else feat.sample(withReplacement = false,
-        fitSampleSize.toDouble / n, seed = 42L)
-    val fitParts = math.max(1, (math.min(n, fitSampleSize) / 50000L).toInt)
-    val fitDf = sampled.coalesce(fitParts).localCheckpoint(true)
-    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10).fit(fitDf)
-    // Materialize assignments ONCE: both the probe side and the candidate
-    // join consume `assigned`, and without the checkpoint each would
-    // re-run the scan + vector conversion + model UDF.
-    val assigned = model.transform(feat).select(col("id"), col("vec"),
-      col("prediction").as("cell")).localCheckpoint(true)
+      nlist: Int = 16, nprobe: Int = 4, fitSampleSize: Int = 100000,
+      fitIters: Int = 10): DataFrame = {
+    // Deterministic quantizer fit ([[QuantizerKMeans]]): the first
+    // `fitSampleSize` vectors BY ID — a portable sorted-prefix sample
+    // (TakeOrderedAndProject, no full sort) — are collected to the driver
+    // (bounded by construction) and Lloyd-iterated there. This replaces
+    // Spark ML's kmeans||: the fit costs milliseconds instead of 10+
+    // distributed passes over the corpus, and every arithmetic step is
+    // pinned, so the centroids are bit-reproducible by the DuckDB oracle.
+    val sample = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .orderBy(col("id")).limit(fitSampleSize)
+      .collect().map(_.getSeq[Double](1).toArray)
+    val cents = QuantizerKMeans.fit(sample, nlist, fitIters)
+    // Assignment is one scalar pass with the centroids shipped in the
+    // expression ([[NearestCentroid]]) — materialized ONCE because both
+    // the probe side and the candidate join consume it.
+    val assigned = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      c(NearestCentroid(asExpr(col(vecCol)), cents)).as("cell")).localCheckpoint(true)
     val centroids = df.sparkSession.createDataFrame(
-      model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }.toIndexedSeq)
+      cents.zipWithIndex.map { case (cen, i) => (i, cen.toIndexedSeq) }.toIndexedSeq)
       .toDF("cell", "centroid")
     // nprobe nearest cells per query vector (tiny broadcast cross join)
     val wProbe = Window.partitionBy("id").orderBy(col("cdist"), col("cell"))
     val probes = assigned.select(col("id"), col("vec"))
       .crossJoin(broadcast(centroids))
       .select(col("id"), col("vec"), col("cell"),
-        (-dot(col("vec"), col("centroid").cast("array<float>"))).as("cdist"))
+        (-dot(col("vec"), col("centroid"))).as("cdist"))
       .withColumn("prank", row_number().over(wProbe))
       .where(col("prank") <= nprobe)
       .select(col("id").as("query_id"), col("vec").as("a_vec"), col("cell"))

@@ -436,3 +436,96 @@ case class DistinctNGrams(child: Expression, n: Int)
   }
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
+
+/** Index of the nearest centroid (squared L2, ties to the lowest index),
+  * centroids shipped with the expression like [[HyperplaneBucket]]'s
+  * planes — the IVF assignment step as one codegen-free scalar pass. */
+case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "nearest_centroid"
+  override def dataType: DataType = IntegerType
+  @transient private lazy val et = child.dataType.asInstanceOf[ArrayType].elementType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName expects array<float|double>")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val cen = centroids(c)
+      val n = math.min(v.numElements(), cen.length)
+      var d = 0.0
+      var i = 0
+      while (i < n) {
+        val x = (et match {
+          case FloatType => v.getFloat(i).toDouble
+          case _ => v.getDouble(i)
+        }) - cen(i)
+        d += x * x
+        i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/**
+ * Deterministic Lloyd's k-means for the IVF coarse quantizer, run on the
+ * driver over a BOUNDED sorted-prefix sample. The sample (first
+ * `sampleSize` vectors by id) and every arithmetic step (init = first k
+ * vectors; assignment = squared-L2 argmin, ties to the lowest cell;
+ * update = member mean accumulated in id order; empty cell keeps its
+ * centroid; fixed iteration count) are pinned, so the centroids are
+ * bit-reproducible by any engine — including the DuckDB oracle.
+ * Spark ML's KMeans (seeded kmeans|| + per-iteration distributed jobs)
+ * is the right tool once the SAMPLE itself no longer fits one machine;
+ * for a quantizer fit that is bounded by design, driver Lloyd costs
+ * milliseconds instead of 10+ scheduler round-trips.
+ */
+object QuantizerKMeans {
+  def fit(vectors: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+    require(vectors.nonEmpty, "k-means needs at least one vector")
+    val dim = vectors(0).length
+    var cents = Array.tabulate(math.min(k, vectors.length))(i => vectors(i).clone())
+    if (cents.length < k) cents = cents ++ Array.fill(k - cents.length)(vectors(0).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      var vi = 0
+      while (vi < vectors.length) {
+        val v = vectors(vi)
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var d = 0.0
+          var i = 0
+          while (i < dim) { val x = v(i) - cents(c)(i); d += x * x; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        val s = sums(best)
+        var i = 0
+        while (i < dim) { s(i) += v(i); i += 1 }
+        counts(best) += 1
+        vi += 1
+      }
+      cents = Array.tabulate(k) { c =>
+        if (counts(c) == 0) cents(c)
+        else {
+          val s = sums(c)
+          Array.tabulate(dim)(i => s(i) / counts(c))
+        }
+      }
+      it += 1
+    }
+    cents
+  }
+}
