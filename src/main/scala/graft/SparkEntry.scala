@@ -646,6 +646,35 @@ object SparkEntry {
        |  SELECT vec_id, t, CAST(SUM(CASE WHEN s >= 0 THEN (1 << p) ELSE 0 END) AS INTEGER) AS bucket
        |  FROM dots GROUP BY vec_id, t)""".stripMargin
 
+  /** Unrolled Lloyd k-means CTEs replaying [[graft.pipeline.QuantizerKMeans]]
+    * exactly: sorted-prefix sample, first-k init, squared-L2 argmin with
+    * ties to the lowest cell (list_distance is monotone in squared L2),
+    * member-mean update, empty cell keeps its centroid, fixed iteration
+    * count. MATERIALIZED is load-bearing — DuckDB inlines plain CTEs, and
+    * each iteration references the previous one several times, so the
+    * expansion (and the parquet re-opens) would grow exponentially. */
+  private def duckLloydCtes(k: Int, iters: Int): String = {
+    val init =
+      s"""vv AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |samp AS MATERIALIZED (SELECT vec_id, v FROM vv ORDER BY vec_id LIMIT 100000),
+         |dims AS MATERIALIZED (SELECT UNNEST(range(1, 1 + (SELECT MAX(length(v)) FROM vv))) AS i),
+         |c0 AS MATERIALIZED (SELECT CAST(rn - 1 AS INTEGER) AS cell, v AS centroid
+         |  FROM (SELECT v, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM samp) WHERE rn <= $k)""".stripMargin
+    val rounds = (1 to iters).map { it =>
+      s"""a$it AS MATERIALIZED (SELECT s.vec_id, s.v,
+         |  (SELECT c.cell FROM c${it - 1} c ORDER BY list_distance(s.v, c.centroid), c.cell LIMIT 1) AS cell
+         |  FROM samp s),
+         |m$it AS MATERIALIZED (SELECT a.cell, d.i, AVG(a.v[d.i]) AS mv
+         |  FROM a$it a CROSS JOIN dims d GROUP BY a.cell, d.i),
+         |c$it AS MATERIALIZED (SELECT c.cell,
+         |  CASE WHEN EXISTS (SELECT 1 FROM a$it a WHERE a.cell = c.cell)
+         |       THEN (SELECT list(m.mv ORDER BY m.i) FROM m$it m WHERE m.cell = c.cell)
+         |       ELSE c.centroid END AS centroid
+         |  FROM c${it - 1} c)""".stripMargin
+    }
+    (init +: rounds).mkString(",\n")
+  }
+
   /** simhash CTEs (toks/tokh/votes/sh): 64-bit simhash per doc as HUGEINT. */
   private def duckSimhashCtes: String =
     s"""toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
@@ -971,6 +1000,31 @@ object SparkEntry {
          |    CASE WHEN list_dot_product(a.v, a.v) = 0 OR list_dot_product(b.v, b.v) = 0 THEN 0.0
          |         ELSE list_dot_product(a.v, b.v)
          |              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) END AS sim
+         |  FROM cand c JOIN vv a ON a.vec_id = c.query_id JOIN vv b ON b.vec_id = c.neighbor_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM sims)
+         |SELECT query_id, neighbor_id, sim, CAST(rank AS INTEGER) AS rank
+         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+    },
+    // IVF top-k fully re-derived: the deterministic Lloyd quantizer fit
+    // replayed as unrolled CTEs (duckLloydCtes), then assignment, the
+    // nprobe=4 probe ranking by negative centroid dot product, cell
+    // equi-join candidates, exact cosine refine, per-query top-3
+    "q_knn_ivf" -> {
+      s"""WITH ${duckLloydCtes(k = 16, iters = 10)},
+         |asg AS MATERIALIZED (SELECT vv.vec_id, vv.v,
+         |  (SELECT c.cell FROM c10 c ORDER BY list_distance(vv.v, c.centroid), c.cell LIMIT 1) AS cell
+         |  FROM vv),
+         |probes AS (SELECT * FROM (
+         |    SELECT a.vec_id AS query_id, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+         |        ORDER BY -list_dot_product(a.v, c.centroid), c.cell) AS prank
+         |    FROM asg a CROSS JOIN c10 c) WHERE prank <= 4),
+         |cand AS (SELECT DISTINCT p.query_id, n.vec_id AS neighbor_id
+         |  FROM probes p JOIN asg n ON n.cell = p.cell AND n.vec_id <> p.query_id),
+         |sims AS (SELECT c.query_id, c.neighbor_id,
+         |  CASE WHEN list_dot_product(a.v, a.v) = 0 OR list_dot_product(b.v, b.v) = 0 THEN 0.0
+         |       ELSE list_dot_product(a.v, b.v)
+         |            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) END AS sim
          |  FROM cand c JOIN vv a ON a.vec_id = c.query_id JOIN vv b ON b.vec_id = c.neighbor_id),
          |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM sims)
          |SELECT query_id, neighbor_id, sim, CAST(rank AS INTEGER) AS rank
