@@ -349,6 +349,49 @@ object SparkEntry {
     "q_knn_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding", 3)
         .orderBy("query_id", "rank")),
+    // ---- corpus curation (PII / decontamination / mixture sampling) ----
+    "q_pii" -> ((s, dir) => {
+      // The synthetic corpus carries no PII, so inject deterministic
+      // spans query-side (the oracle repeats the same construction):
+      // emails on doc_id%3, IPv4 on %5, phones on %7.
+      val emailSpan = concat(lit(" reach user"), col("doc_id").cast("string"), lit("@example.com"))
+      val ipSpan = concat(lit(" from 10."), (col("doc_id") % 256).cast("string"),
+        lit(".0."), (col("doc_id") % 100).cast("string"))
+      val phoneSpan = concat(lit(" call 415-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      val injected = concat(col("text"),
+        when(col("doc_id") % 3 === 0, emailSpan).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, ipSpan).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, phoneSpan).otherwise(lit("")))
+      t(s, dir, "documents").select(col("doc_id"), injected.as("txt"))
+        .select(col("doc_id"),
+          size(graft.pipeline.PII.emails(col("txt"))).as("n_emails"),
+          size(graft.pipeline.PII.ipv4s(col("txt"))).as("n_ips"),
+          size(graft.pipeline.PII.phones(col("txt"))).as("n_phones"),
+          graft.pipeline.PII.piiCount(col("txt")).as("n_pii"),
+          graft.pipeline.PII.redact(col("txt")).as("redacted"))
+        .orderBy("doc_id")
+    }),
+    "q_contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.pipeline.Decontaminate.contamination(docs, "doc_id", "text",
+          docs.where(col("source") === "src0"), "text", n = 4)
+        .select(col("id").as("doc_id"), col("n_grams"), col("n_overlap"),
+          col("score"), col("contaminated"))
+        .orderBy("doc_id")
+    }),
+    "q_sample_quota" -> ((s, dir) =>
+      graft.pipeline.Mixture.sampleByQuota(
+          t(s, dir, "documents"), "doc_id", "source", quota = 10L)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")),
+    "q_sample_budget" -> ((s, dir) =>
+      graft.pipeline.Mixture.sampleByTokenBudget(
+          t(s, dir, "documents"), "doc_id", "source",
+          TextFunctions.token_count(col("text")), budgetTokens = 600L)
+        .select(col("doc_id"), col("source"),
+          TextFunctions.token_count(col("text")).as("n_tokens"))
+        .orderBy("doc_id")),
     "q_multimodal" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         length(Multimodal.to_blob(col("text"))).as("byte_len"),
@@ -1030,6 +1073,58 @@ object SparkEntry {
          |SELECT query_id, neighbor_id, sim, CAST(rank AS INTEGER) AS rank
          |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
     },
+    // PII detection/redaction over the same query-side injected spans;
+    // the regexes are the RE2-compatible subset so both engines agree
+    "q_pii" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      val phone = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+      s"""WITH inj AS (SELECT doc_id, text
+         |    || CASE WHEN doc_id % 3 = 0 THEN ' reach user' || doc_id || '@example.com' ELSE '' END
+         |    || CASE WHEN doc_id % 5 = 0 THEN ' from 10.' || (doc_id % 256) || '.0.' || (doc_id % 100) ELSE '' END
+         |    || CASE WHEN doc_id % 7 = 0 THEN ' call 415-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END
+         |    AS txt FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(txt, '$email')) AS INTEGER) AS n_emails,
+         |  CAST(len(regexp_extract_all(txt, '$ip')) AS INTEGER) AS n_ips,
+         |  CAST(len(regexp_extract_all(txt, '$phone')) AS INTEGER) AS n_phones,
+         |  CAST(len(regexp_extract_all(txt, '$email')) + len(regexp_extract_all(txt, '$ip'))
+         |       + len(regexp_extract_all(txt, '$phone')) AS INTEGER) AS n_pii,
+         |  regexp_replace(regexp_replace(regexp_replace(txt,
+         |    '$email', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$phone', '<PHONE>', 'g') AS redacted
+         |FROM inj ORDER BY doc_id""".stripMargin
+    },
+    // benchmark decontamination: distinct 4-grams per doc vs the src0
+    // gram universe — overlap counts, score, flag
+    "q_contamination" ->
+      s"""WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+         |dg AS (SELECT DISTINCT doc_id, source,
+         |    array_to_string(t[CAST(i AS INTEGER):CAST(i + 3 AS INTEGER)], ' ') AS gram
+         |  FROM toks, unnest(range(1, greatest(len(t) - 3, 1) + 1)) u(i)),
+         |bg AS (SELECT DISTINCT gram FROM dg WHERE source = 'src0'),
+         |ng AS (SELECT doc_id, COUNT(*) AS n_grams FROM dg GROUP BY doc_id),
+         |ov AS (SELECT dg.doc_id, COUNT(*) AS n_overlap FROM dg JOIN bg USING (gram) GROUP BY dg.doc_id)
+         |SELECT ng.doc_id, CAST(ng.n_grams AS INTEGER) AS n_grams,
+         |  CAST(COALESCE(ov.n_overlap, 0) AS INTEGER) AS n_overlap,
+         |  COALESCE(ov.n_overlap, 0) / CAST(ng.n_grams AS DOUBLE) AS score,
+         |  COALESCE(ov.n_overlap, 0) > 0 AS contaminated
+         |FROM ng LEFT JOIN ov ON ng.doc_id = ov.doc_id ORDER BY ng.doc_id""".stripMargin,
+    // mixture sampling: the NAIVE window spec — the Spark side runs the
+    // two-phase bucket cutoff, and this oracle proves them row-identical
+    "q_sample_quota" ->
+      s"""WITH h AS (SELECT doc_id, source,
+         |    ${duckToSigned(duckMix64("doc_id::HUGEINT"))} AS hh FROM documents),
+         |r AS (SELECT doc_id, source,
+         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY hh, doc_id) AS rn FROM h)
+         |SELECT doc_id, source FROM r WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
+    "q_sample_budget" ->
+      s"""WITH h AS (SELECT doc_id, source, len(string_split(text, ' ')) AS tc,
+         |    ${duckToSigned(duckMix64("doc_id::HUGEINT"))} AS hh FROM documents),
+         |r AS (SELECT doc_id, source, tc,
+         |    SUM(tc) OVER (PARTITION BY source ORDER BY hh, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum FROM h)
+         |SELECT doc_id, source, CAST(tc AS INTEGER) AS n_tokens
+         |FROM r WHERE cum <= 600 ORDER BY doc_id""".stripMargin,
     // embedding near-dup keep decisions: hyperplane candidates + cosine
     // >= 0.99 edges + connected components (recursive reachability + MIN)
     "q_embed_dedup" -> {

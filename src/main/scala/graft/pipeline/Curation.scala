@@ -1,0 +1,168 @@
+package graft.pipeline
+
+import graft.expressions.asExpr
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus-curation operators for LLM training-data pipelines: PII
+ * detection/redaction, benchmark decontamination, and deterministic
+ * mixture sampling. Like the rest of [[graft.pipeline]], everything is
+ * built-in (codegen'd) functions plus native expressions — no Scala
+ * UDFs — and every shape is partial+final or equi-join bounded.
+ */
+object PII {
+  /** The regex dialect here is the RE2-compatible subset of Java regex
+    * (character classes, `\d`, `\b`, non-capturing groups, bounded
+    * repetition) so external engines replay detection exactly. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+
+  def emails(text: Column): Column = regexp_extract_all(text, lit(EmailRe), lit(0))
+  def ipv4s(text: Column): Column = regexp_extract_all(text, lit(Ipv4Re), lit(0))
+  def phones(text: Column): Column = regexp_extract_all(text, lit(PhoneRe), lit(0))
+
+  /** Total PII hits of all three kinds (emails may double-count under
+    * phones only if the local part is a bare phone number — the regexes
+    * are otherwise disjoint). */
+  def piiCount(text: Column): Column =
+    (size(emails(text)) + size(ipv4s(text)) + size(phones(text))).cast("int")
+
+  /** Replace every PII span with a typed placeholder. Emails first (their
+    * local parts may contain digits), then IPv4 (so the dotted quads are
+    * gone before the phone pass can see their digit runs), then phones. */
+  def redact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+}
+
+/**
+ * Benchmark decontamination: flag training documents that share n-gram
+ * evidence with an evaluation/benchmark corpus, the standard guard
+ * against test-set leakage when assembling a training mixture.
+ */
+object Decontaminate {
+  import TextFunctions.{c, tokens}
+
+  private def grams(text: Column, n: Int): Column =
+    c(DistinctNGrams(asExpr(tokens(text)), n))
+
+  /**
+   * Per-document contamination report: (id, n_grams, n_overlap, score,
+   * contaminated) where `score` = fraction of the document's DISTINCT
+   * n-grams that appear anywhere in `bench`.
+   *
+   * Scale shape: the benchmark gram universe is distinct-reduced and
+   * BROADCAST (benchmarks are small by nature — contamination against a
+   * benchmark too large to broadcast isn't a realistic query), so the
+   * probe over the 100 TB training side is a map-side semi-join: no
+   * shuffle of the corpus at all, one partial+final count per doc.
+   */
+  def contamination(docs: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, n: Int = 5): DataFrame = {
+    val docGrams = docs.select(col(idCol).as("id"),
+      explode(grams(col(textCol), n)).as("gram"))
+    val benchGrams = bench.select(explode(grams(col(benchTextCol), n)).as("gram")).distinct()
+    val overlap = docGrams.join(broadcast(benchGrams), Seq("gram"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).cast("int").as("n_overlap"))
+    docGrams.groupBy("id").agg(count(lit(1)).cast("int").as("n_grams"))
+      .join(overlap, Seq("id"), "left")
+      .select(col("id"), col("n_grams"),
+        coalesce(col("n_overlap"), lit(0)).as("n_overlap"))
+      .withColumn("score", col("n_overlap").cast("double") / col("n_grams"))
+      .withColumn("contaminated", col("n_overlap") > 0)
+  }
+}
+
+/**
+ * Deterministic mixture sampling: select a per-source quota (by document
+ * count or token budget) in a stable pseudo-random order — the
+ * mixture-building step of a training pipeline ("200 B tokens of web,
+ * 20 B of code, ...").
+ *
+ * The naive spec is `row_number() OVER (PARTITION BY source ORDER BY
+ * mix64(id), id) <= quota` — but sources are few and huge, so that
+ * window funnels each source's entire 100 TB slice through ONE reducer.
+ * Instead both samplers run an exact two-phase bucket cutoff:
+ *
+ *  1. bucket every row by the top `bucketBits` bits of its sort hash and
+ *     aggregate per-(source, bucket) counts/token-sums — a partial+final
+ *     agg to a tiny (sources × 2^bucketBits) table;
+ *  2. a cumulative sum over that TINY table (the only window, 2^bucketBits
+ *     rows per source) finds each source's boundary bucket: every bucket
+ *     strictly below it is kept outright, and only the rows INSIDE the
+ *     boundary bucket (expected n/2^bucketBits of them) are ranked
+ *     precisely against the remaining quota.
+ *
+ * The result is row-identical to the naive window (the oracle checks
+ * exactly that) with no per-source serial bottleneck.
+ */
+object Mixture {
+  import TextFunctions.c
+
+  private val BucketBits = 12
+
+  def hashOrder(id: Column): Column = c(Mix64(asExpr(id)))
+
+  /** (source, bucket) → cumulative weight BEFORE this bucket, computed on
+    * the tiny aggregated table; window span is 2^bucketBits rows. */
+  private def bucketPlan(weighted: DataFrame): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    weighted.groupBy("source", "bucket").agg(sum(col("weight")).as("bw"))
+      .withColumn("cum_before", coalesce(sum(col("bw")).over(w), lit(0L)))
+  }
+
+  /** Shared core: ranks rows by (bucket, h, id) within each source and
+    * keeps rows while the running `weight` total stays within `quota`.
+    * `weight` = 1 per row for count quotas, token count for budgets. */
+  private def sampleCore(df: DataFrame, idCol: String, srcCol: String,
+      weight: Column, quota: Long): DataFrame = {
+    val rows = df
+      .withColumn("__h", hashOrder(col(idCol)))
+      // arithmetic shift + offset keeps the bucket monotone in the SIGNED
+      // hash, matching the `ORDER BY mix64(id)` spec order exactly
+      .withColumn("__bucket", shiftright(col("__h"), 64 - BucketBits) + (1 << (BucketBits - 1)))
+      .withColumn("__w", weight.cast("long"))
+      .withColumn("source", col(srcCol))
+    val plan = bucketPlan(rows.select(col("source"), col("__bucket").as("bucket"),
+      col("__w").as("weight")))
+    val joined = rows.join(
+      broadcast(plan.select(col("source"), col("bucket").as("__bucket"),
+        col("cum_before"), (col("cum_before") + col("bw")).as("cum_after"))),
+      Seq("source", "__bucket"))
+    // Buckets that fit entirely under quota pass with no ranking at all;
+    // only the single boundary bucket per source pays a window, over
+    // ~n/2^bucketBits rows.
+    val whole = joined.where(col("cum_after") <= quota)
+    val wBoundary = Window.partitionBy("source")
+      .orderBy(col("__h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundary = joined
+      .where(col("cum_before") < quota && col("cum_after") > quota)
+      .withColumn("__cum", col("cum_before") + sum(col("__w")).over(wBoundary))
+      .where(col("__cum") <= quota)
+      .drop("__cum")
+    whole.unionByName(boundary)
+  }
+
+  /** Keep (up to) `quota` documents per source, chosen in mix64(id)
+    * order. Row-identical to the naive per-source row_number window. */
+  def sampleByQuota(df: DataFrame, idCol: String, srcCol: String,
+      quota: Long): DataFrame =
+    sampleCore(df, idCol, srcCol, lit(1L), quota)
+      .drop("__h", "__bucket", "__w", "cum_before", "cum_after")
+
+  /** Keep documents per source, in mix64(id) order, while the running
+    * token total stays within `budgetTokens` (first doc that would
+    * overflow the budget stops the take for that source). */
+  def sampleByTokenBudget(df: DataFrame, idCol: String, srcCol: String,
+      tokenCount: Column, budgetTokens: Long): DataFrame =
+    sampleCore(df, idCol, srcCol, tokenCount, budgetTokens)
+      .drop("__h", "__bucket", "__w", "cum_before", "cum_after")
+}

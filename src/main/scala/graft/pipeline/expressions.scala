@@ -437,6 +437,27 @@ case class DistinctNGrams(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** splitmix64 finalizer of a long — the stable pseudo-random sort key
+  * behind [[Mixture]]'s deterministic sampling. Codegen'd: a static call
+  * into [[Hashing.mix64]], so it stays inside whole-stage codegen. */
+case class Mix64(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "mix64"
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType | IntegerType => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName expects an integral argument")
+  }
+  override def nullSafeEval(input: Any): Any = input match {
+    case i: java.lang.Integer => Hashing.mix64(i.toLong)
+    case l: java.lang.Long => Hashing.mix64(l)
+  }
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    defineCodeGen(ctx, ev, c => s"graft.pipeline.Hashing.mix64((long)($c))")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Index of the nearest centroid (squared L2, ties to the lowest index),
   * centroids shipped with the expression like [[HyperplaneBucket]]'s
   * planes — the IVF assignment step as one codegen-free scalar pass. */

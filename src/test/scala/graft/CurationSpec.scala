@@ -1,0 +1,86 @@
+package graft
+
+import graft.pipeline.{Decontaminate, Mixture, PII}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  test("PII detection extracts emails, IPv4s, and phone numbers") {
+    val df = Seq(
+      (1L, "write to alice.smith+dev@mail.example.org from 192.168.0.1 or call 415-555-0134"),
+      (2L, "no pii here at all"),
+      (3L, "two mails a@b.io c@d.co one ip 10.0.0.255")).toDF("id", "text")
+    val out = df.select(col("id"), PII.emails(col("text")).as("e"),
+        PII.ipv4s(col("text")).as("i"), PII.phones(col("text")).as("p"),
+        PII.piiCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[String](1), r.getSeq[String](2), r.getSeq[String](3), r.getInt(4)))).toMap
+    assert(out(1L) == ((Seq("alice.smith+dev@mail.example.org"), Seq("192.168.0.1"), Seq("415-555-0134"), 3)))
+    assert(out(2L) == ((Seq(), Seq(), Seq(), 0)))
+    assert(out(3L) == ((Seq("a@b.io", "c@d.co"), Seq("10.0.0.255"), Seq(), 3)))
+  }
+
+  test("PII redaction replaces every span with a typed placeholder") {
+    val df = Seq((1L, "mail bob@x.org twice bob@x.org ip 8.8.8.8 tel 212-555-9876 end"))
+      .toDF("id", "text")
+    val red = df.select(PII.redact(col("text"))).as[String].head()
+    assert(red == "mail <EMAIL> twice <EMAIL> ip <IP> tel <PHONE> end")
+  }
+
+  test("contamination flags docs sharing n-grams with the benchmark") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // contains bench 5-gram
+      (2L, "completely unrelated words with zero overlap here"),
+      (3L, "quick brown fox jumps over something else entirely today")).toDF("doc_id", "text")
+    val bench = Seq("benchmark says the quick brown fox jumps over fences").toDF("q")
+    val out = Decontaminate.contamination(docs, "doc_id", "text", bench, "q", n = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getBoolean(4)))).toMap
+    // doc 1: grams "the quick brown fox jumps" + "quick brown fox jumps over" hit
+    assert(out(1L)._2 == 2 && out(1L)._3, s"doc1: $out")
+    assert(out(2L)._2 == 0 && !out(2L)._3)
+    assert(out(3L)._2 == 1 && out(3L)._3) // "quick brown fox jumps over"
+    assert(out(1L)._1 == 5) // 9 tokens -> 5 distinct 5-grams
+  }
+
+  test("sampleByQuota is row-identical to the naive per-source window spec") {
+    // skewed: src_a has 400 rows, src_b 30, src_c 3 (below quota)
+    val rows = ((1 to 400).map(i => (i.toLong, "src_a")) ++
+      (401 to 430).map(i => (i.toLong, "src_b")) ++
+      (431 to 433).map(i => (i.toLong, "src_c"))).toDF("doc_id", "src")
+    val quota = 25L
+    val got = Mixture.sampleByQuota(rows, "doc_id", "src", quota)
+      .select("doc_id").as[Long].collect().toSet
+    val naive = rows.withColumn("h", Mixture.hashOrder(col("doc_id")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("src").orderBy(col("h"), col("doc_id"))))
+      .where(col("rn") <= quota).select("doc_id").as[Long].collect().toSet
+    assert(naive.size == 25 + 25 + 3)
+    assert(got == naive)
+  }
+
+  test("sampleByTokenBudget is row-identical to the naive running-sum spec") {
+    val rows = ((1 to 300).map(i => (i.toLong, "src_a", 10L + i % 37)) ++
+      (301 to 320).map(i => (i.toLong, "src_b", 5L))).toDF("doc_id", "src", "ntok")
+    val budget = 900L
+    val got = Mixture.sampleByTokenBudget(rows, "doc_id", "src", col("ntok"), budget)
+      .select("doc_id").as[Long].collect().toSet
+    val naive = rows.withColumn("h", Mixture.hashOrder(col("doc_id")))
+      .withColumn("cum", sum(col("ntok")).over(
+        Window.partitionBy("src").orderBy(col("h"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .where(col("cum") <= budget).select("doc_id").as[Long].collect().toSet
+    assert(got == naive)
+    assert(naive.nonEmpty && naive.size < 320)
+  }
+
+  test("sampleByQuota keeps everything when the quota exceeds the source") {
+    val rows = (1 to 8).map(i => (i.toLong, "only")).toDF("doc_id", "src")
+    val got = Mixture.sampleByQuota(rows, "doc_id", "src", 100L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == (1 to 8).map(_.toLong).toSet)
+  }
+}
