@@ -703,3 +703,99 @@ def mm_byte_histogram(blob, bins=16):
 def mm_frame_sample(blob, frame_size, stride):
     """Every stride-th frame_size-byte window as an array of binaries."""
     return _fn("mm_frame_sample", blob, frame_size, stride)
+
+
+# --- training-data pipeline (pl_*) ---------------------------------------
+def pl_token_count(text):
+    """Number of whitespace-separated tokens."""
+    return _fn("pl_token_count", text)
+
+
+def pl_char_count(text):
+    """Number of characters."""
+    return _fn("pl_char_count", text)
+
+
+def pl_punct_ratio(text):
+    """Fraction of characters that are punctuation."""
+    return _fn("pl_punct_ratio", text)
+
+
+def pl_distinct_ratio(text):
+    """Distinct tokens / total tokens (type-token ratio)."""
+    return _fn("pl_distinct_ratio", text)
+
+
+def pl_quality_score(text):
+    """Heuristic document quality score in [0, 1]."""
+    return _fn("pl_quality_score", text)
+
+
+def pl_language_id(text):
+    """Best-guess ISO language code from stopword profiles."""
+    return _fn("pl_language_id", text)
+
+
+def pl_fingerprint(text):
+    """64-bit rolling document fingerprint."""
+    return _fn("pl_fingerprint", text)
+
+
+def pl_simhash(text):
+    """64-bit SimHash of the whitespace tokens."""
+    return _fn("pl_simhash", text)
+
+
+def pl_repetition_ratio(text, n=3):
+    """1 - distinct/total n-gram ratio; high values flag boilerplate."""
+    return _fn("pl_repetition_ratio", text, n)
+
+
+def pl_minhash(text, num_hashes=32, shingle=3):
+    """MinHash signature as an array of longs."""
+    return _fn("pl_minhash", text, num_hashes, shingle)
+
+
+def pl_distinct_ngrams(tokens, n=3):
+    """Distinct n-grams of a token array, in first-seen order."""
+    return _fn("pl_distinct_ngrams", tokens, n)
+
+
+def pl_mix64(x):
+    """splitmix64 finalizer; a stable pseudo-random sort key."""
+    return _fn("pl_mix64", x)
+
+
+def pl_vector_dot(a, b):
+    """Dot product of two float/double array vectors."""
+    return _fn("pl_vector_dot", a, b)
+
+
+def pl_cosine_similarity(a, b):
+    """Cosine similarity of two float/double array vectors."""
+    return _fn("pl_cosine_similarity", a, b)
+
+
+def pl_pii_emails(text):
+    """Every email-address span, as an array of strings."""
+    return _fn("pl_pii_emails", text)
+
+
+def pl_pii_ipv4s(text):
+    """Every dotted-quad IPv4 span, as an array of strings."""
+    return _fn("pl_pii_ipv4s", text)
+
+
+def pl_pii_phones(text):
+    """Every NNN-NNN-NNNN phone span, as an array of strings."""
+    return _fn("pl_pii_phones", text)
+
+
+def pl_pii_count(text):
+    """Total count of email, IPv4, and phone spans."""
+    return _fn("pl_pii_count", text)
+
+
+def pl_redact_pii(text):
+    """Text with email/IPv4/phone spans replaced by typed placeholders."""
+    return _fn("pl_redact_pii", text)

@@ -120,6 +120,26 @@ object FunctionDocs {
     "mm_image_pixel" -> "mm_image_pixel(blob, x, y) - Packed 0xRRGGBB value of pixel (x, y) of a decodable image payload; NULL on decode failure or out-of-bounds.",
     "mm_byte_histogram" -> "mm_byte_histogram(blob[, bins]) - Normalized byte-value histogram of the payload (default 16 bins).",
     "mm_frame_sample" -> "mm_frame_sample(blob, frame_size, stride) - Every stride-th window of frame_size bytes, as an array of binaries.",
+    // training-data pipeline (pl_*)
+    "pl_token_count" -> "pl_token_count(text) - Number of whitespace-separated tokens in the text.",
+    "pl_char_count" -> "pl_char_count(text) - Number of characters in the text.",
+    "pl_punct_ratio" -> "pl_punct_ratio(text) - Fraction of characters that are punctuation.",
+    "pl_distinct_ratio" -> "pl_distinct_ratio(text) - Distinct tokens divided by total tokens (type-token ratio).",
+    "pl_quality_score" -> "pl_quality_score(text) - Heuristic document quality score in [0, 1] from length, punctuation, and token-diversity signals.",
+    "pl_language_id" -> "pl_language_id(text) - Best-guess ISO language code from stopword-profile hits (heuristic-grade).",
+    "pl_fingerprint" -> "pl_fingerprint(text) - 64-bit rolling document fingerprint (FNV-1a + splitmix64 finalizer).",
+    "pl_simhash" -> "pl_simhash(text) - 64-bit SimHash of the whitespace tokens; near-duplicate texts land within a small Hamming distance.",
+    "pl_repetition_ratio" -> "pl_repetition_ratio(text[, n]) - 1 minus distinct/total n-gram ratio (default n=3); high values flag boilerplate repetition.",
+    "pl_minhash" -> "pl_minhash(text[, num_hashes, shingle]) - MinHash signature (default 32 hashes over 3-token shingles) as an array of longs.",
+    "pl_distinct_ngrams" -> "pl_distinct_ngrams(tokens[, n]) - Distinct n-grams (default n=3) of a token array, in first-seen order.",
+    "pl_mix64" -> "pl_mix64(x) - splitmix64 finalizer of an integral value; a stable pseudo-random sort key for deterministic sampling.",
+    "pl_vector_dot" -> "pl_vector_dot(a, b) - Dot product of two float/double array vectors, accumulated in double.",
+    "pl_cosine_similarity" -> "pl_cosine_similarity(a, b) - Cosine similarity of two float/double array vectors (0.0 when either norm is zero).",
+    "pl_pii_emails" -> "pl_pii_emails(text) - Every email-address span in the text, as an array of strings.",
+    "pl_pii_ipv4s" -> "pl_pii_ipv4s(text) - Every dotted-quad IPv4 span in the text, as an array of strings.",
+    "pl_pii_phones" -> "pl_pii_phones(text) - Every NNN-NNN-NNNN phone span in the text, as an array of strings.",
+    "pl_pii_count" -> "pl_pii_count(text) - Total count of email, IPv4, and phone spans in the text.",
+    "pl_redact_pii" -> "pl_redact_pii(text) - The text with every email/IPv4/phone span replaced by <EMAIL>/<IP>/<PHONE>.",
     "st_reproject" -> "st_reproject(geom, src_crs, dst_crs) - Reprojects geometry coordinates between CRSs.",
     "st_intersects" -> "st_intersects(a, b) - True if geometries/extents a and b intersect.",
     "st_contains" -> "st_contains(a, b) - True if a contains b.",

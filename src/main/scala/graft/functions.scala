@@ -415,6 +415,38 @@ object Raster {
     reg3("mm_frame_sample", (b, f, st) => graft.pipeline.FrameSample(b,
       f.eval(null).asInstanceOf[Number].intValue(),
       st.eval(null).asInstanceOf[Number].intValue()))
+    // training-data pipeline scalar pack (pl_*): the text/hash/vector/PII
+    // column functions as SQL names, so the curation surface is reachable
+    // from spark.sql and the Python mirror like the raster surface
+    locally {
+      import graft.pipeline.{PII, TextFunctions => TF}
+      def pcol(f: Column => Column): Seq[Expression] => Expression =
+        xs => org.apache.spark.sql.graft.shims.expressionEager(f(asColumn(xs.head)))
+      def intArg(xs: Seq[Expression], i: Int, dflt: Int): Int =
+        if (xs.length > i) xs(i).eval(null).asInstanceOf[Number].intValue() else dflt
+      regN("pl_token_count", pcol(TF.token_count))
+      regN("pl_char_count", pcol(TF.char_count))
+      regN("pl_punct_ratio", pcol(TF.punct_ratio))
+      regN("pl_distinct_ratio", pcol(TF.distinct_ratio))
+      regN("pl_quality_score", pcol(TF.quality_score))
+      regN("pl_language_id", pcol(TF.language_id))
+      regN("pl_fingerprint", pcol(TF.fingerprint))
+      regN("pl_simhash", pcol(TF.simhash))
+      regN("pl_repetition_ratio", xs => org.apache.spark.sql.graft.shims
+        .expressionEager(TF.repetition_ratio(asColumn(xs.head), intArg(xs, 1, 3))))
+      regN("pl_minhash", xs => org.apache.spark.sql.graft.shims
+        .expressionEager(TF.minhash(asColumn(xs.head), intArg(xs, 1, 32), intArg(xs, 2, 3))))
+      regN("pl_distinct_ngrams", xs =>
+        graft.pipeline.DistinctNGrams(xs.head, intArg(xs, 1, 3)))
+      reg1("pl_mix64", graft.pipeline.Mix64(_))
+      reg2("pl_vector_dot", graft.pipeline.VectorDot(_, _))
+      reg2("pl_cosine_similarity", graft.pipeline.CosineSimilarity(_, _))
+      regN("pl_pii_emails", pcol(PII.emails))
+      regN("pl_pii_ipv4s", pcol(PII.ipv4s))
+      regN("pl_pii_phones", pcol(PII.phones))
+      regN("pl_pii_count", pcol(PII.piiCount))
+      regN("pl_redact_pii", pcol(PII.redact))
+    }
     reg3("st_reproject", ReprojectGeometry(_, _, _))
     for (op <- Seq("Intersects", "Contains", "Covers", "Crosses", "Disjoint",
         "Overlaps", "Touches", "Within"))

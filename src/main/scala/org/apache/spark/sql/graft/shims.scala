@@ -15,6 +15,13 @@ object shims {
     org.apache.spark.sql.classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+  /** Eager ColumnNode→Expression conversion. `expression` wraps the node
+    * in a lazy ColumnNodeExpression, which the Dataset API resolves but
+    * the SQL function-registry path hands to codegen unconverted; this
+    * produces plain (possibly Unresolved*) Catalyst nodes the analyzer
+    * handles in any path. */
+  def expressionEager(c: Column): Expression =
+    org.apache.spark.sql.classic.GraftColumnConverter.eager(c.node)
   def functionRegistry(spark: SparkSession): FunctionRegistry =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionState.functionRegistry
 }

@@ -74,6 +74,16 @@ class SqlParitySpec extends AnyFunSuite {
     "mm_decode_image_stub(encode('hello', 'UTF-8'))",
     "mm_byte_histogram(encode('hello', 'UTF-8'), 16)",
     "mm_frame_sample(encode('hello world and more', 'UTF-8'), 4, 2)",
+    "pl_token_count('a b c')", "pl_char_count('abc')", "pl_punct_ratio('a, b.')",
+    "pl_distinct_ratio('a a b')", "pl_quality_score('the quick brown fox jumps high')",
+    "pl_language_id('the of and to in is')", "pl_fingerprint('hello world')",
+    "pl_simhash('hello world')", "pl_repetition_ratio('a b a b a b', 2)",
+    "pl_minhash('one two three four five')", "pl_distinct_ngrams(array('a', 'b', 'c'), 2)",
+    "pl_mix64(42)", "pl_vector_dot(array(1.0D, 2.0D), array(3.0D, 4.0D))",
+    "pl_cosine_similarity(array(1.0D, 0.0D), array(1.0D, 0.0D))",
+    "pl_pii_emails('mail a@b.co')", "pl_pii_ipv4s('ip 1.2.3.4')",
+    "pl_pii_phones('tel 415-555-0000')", "pl_pii_count('clean text')",
+    "pl_redact_pii('write a@b.co')",
     "rf_synthetic_tile(1, 4, 4, 'uint8')" // registered? column-API only — via SQL expression below
   ).dropRight(1) // rf_synthetic_tile is column-API only
 
