@@ -799,3 +799,8 @@ def pl_pii_count(text):
 def pl_redact_pii(text):
     """Text with email/IPv4/phone spans replaced by typed placeholders."""
     return _fn("pl_redact_pii", text)
+
+
+def mm_image_resize(blob, width, height):
+    """Nearest-neighbor resize of a decodable image, re-encoded as PNG."""
+    return _fn("mm_image_resize", blob, width, height)

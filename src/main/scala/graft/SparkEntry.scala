@@ -437,6 +437,31 @@ object SparkEntry {
           col("img.channels").as("channels"), col("p00"), col("pll"))
         .orderBy("doc_id")
     }),
+    "q_image_resize" -> ((s, dir) => {
+      // Same closed-form source image as q_image_decode, resized to a
+      // fixed 3x2 thumbnail; the floor resample grid sx = x*w/3,
+      // sy = y*h/2 makes every probed pixel integer-predictable.
+      val d = col("doc_id")
+      val w = (pmod(d, lit(13)) + 1).cast("int")
+      val h = (pmod(d, lit(11)) + 1).cast("int")
+      val pix = transform(sequence(lit(0L), (w * h - 1).cast("long")), { i =>
+        val x = pmod(i, w.cast("long"))
+        val y = (i - x) / w.cast("long")
+        val base = x * 7 + y * 13 + d * 3
+        (pmod(base, lit(256L)) * 65536L +
+          pmod(base + 31, lit(256L)) * 256L +
+          pmod(base + 62, lit(256L))).cast("int")
+      })
+      t(s, dir, "documents")
+        .select(d, Multimodal.encode_png(pix, w, h).as("blob"))
+        .select(d, Multimodal.image_resize(col("blob"), lit(3), lit(2)).as("r"))
+        .select(Seq(d,
+          Multimodal.decode_image(col("r")).getField("width").as("rw"),
+          Multimodal.decode_image(col("r")).getField("height").as("rh")) ++
+          (for (y <- 0 to 1; x <- 0 to 2) yield
+            Multimodal.image_pixel(col("r"), lit(x), lit(y)).as(s"p$x$y")): _*)
+        .orderBy("doc_id")
+    }),
     "q_math" -> ((s, dir) =>
       // sqrt is IEEE-754 correctly rounded in both engines → exact oracle;
       // abs over integer-valued cells is exact. Both tiles explode in ONE
@@ -1321,6 +1346,21 @@ object SparkEntry {
         |     + (((doc_id % 13) * 7 + (doc_id % 11) * 13 + doc_id * 3 + 31) % 256) * 256
         |     + (((doc_id % 13) * 7 + (doc_id % 11) * 13 + doc_id * 3 + 62) % 256) AS INTEGER) AS pll
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // resized-thumbnail probes: the floor resample grid replayed in
+    // integer SQL over the same closed-form source image
+    "q_image_resize" -> {
+      def pix(x: Int, y: Int): String = {
+        val sx = s"(($x * (doc_id % 13 + 1)) // 3)"
+        val sy = s"(($y * (doc_id % 11 + 1)) // 2)"
+        val base = s"($sx * 7 + $sy * 13 + doc_id * 3)"
+        s"CAST((($base) % 256) * 65536 + (($base + 31) % 256) * 256" +
+          s" + (($base + 62) % 256) AS INTEGER) AS p$x$y"
+      }
+      s"""SELECT doc_id, CAST(3 AS INTEGER) AS rw, CAST(2 AS INTEGER) AS rh,
+         |${pix(0, 0)}, ${pix(1, 0)}, ${pix(2, 0)},
+         |${pix(0, 1)}, ${pix(1, 1)}, ${pix(2, 1)}
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
     "q_math" -> (IDX +
       """ SELECT l_orderkey, i, sqrt(q) AS sqrt_q, abs(q - 25.0) AS abs_q
         |FROM idx ORDER BY l_orderkey, i""".stripMargin),

@@ -118,6 +118,7 @@ object FunctionDocs {
     "mm_decode_image_stub" -> "mm_decode_image_stub(blob) - Deterministic pseudo-decode of any payload to (width, height, channels, byte_len) derived from its hash; plumbing tests only — use mm_decode_image for real images.",
     "mm_encode_png" -> "mm_encode_png(pixels, width, height) - Encodes a row-major array of packed 0xRRGGBB ints into a PNG payload.",
     "mm_image_pixel" -> "mm_image_pixel(blob, x, y) - Packed 0xRRGGBB value of pixel (x, y) of a decodable image payload; NULL on decode failure or out-of-bounds.",
+    "mm_image_resize" -> "mm_image_resize(blob, width, height) - Nearest-neighbor resize of a decodable image payload to width x height, re-encoded as PNG; NULL when the bytes aren't a readable image.",
     "mm_byte_histogram" -> "mm_byte_histogram(blob[, bins]) - Normalized byte-value histogram of the payload (default 16 bins).",
     "mm_frame_sample" -> "mm_frame_sample(blob, frame_size, stride) - Every stride-th window of frame_size bytes, as an array of binaries.",
     // training-data pipeline (pl_*)

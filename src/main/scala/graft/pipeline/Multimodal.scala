@@ -35,6 +35,12 @@ object Multimodal {
   def image_pixel(blob: Column, x: Column, y: Column): Column =
     asColumn(ImagePixel(asExpr(blob), asExpr(x), asExpr(y)))
 
+  /** Nearest-neighbor resize to (w, h), re-encoded as PNG
+    * ([[ImageResize]]) — the thumbnail/normalize step of an image
+    * pipeline, with an integer floor resample grid. */
+  def image_resize(blob: Column, w: Column, h: Column): Column =
+    asColumn(ImageResize(asExpr(blob), asExpr(w), asExpr(h)))
+
   /** Deterministic fake decode: width/height/channels derived from payload
     * hash — retained for non-image payload plumbing tests; prefer
     * [[decode_image]] for anything that is actually an image. */
@@ -203,6 +209,49 @@ case class ImagePixel(first: Expression, second: Expression, third: Expression)
     val yi = y.asInstanceOf[Int]
     if (img == null || xi < 0 || yi < 0 || xi >= img.getWidth || yi >= img.getHeight) null
     else img.getRGB(xi, yi) & 0xFFFFFF
+  }
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
+    copy(a, b, c)
+}
+
+/** Nearest-neighbor resize of a decodable image payload, re-encoded as
+  * PNG: out(x, y) = src(x*sw÷w, y*sh÷h) with integer floor mapping, so
+  * the resample grid is exactly reproducible by external engines. Null
+  * when the payload doesn't decode; requires positive target dims. */
+case class ImageResize(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def prettyName: String = "mm_image_resize"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (first.dataType == BinaryType && second.dataType == IntegerType &&
+        third.dataType == IntegerType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (binary, int, int), got " +
+        Seq(first, second, third).map(_.dataType.simpleString).mkString(", "))
+  override def nullable: Boolean = true
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(blob: Any, w: Any, h: Any): Any = {
+    val wi = w.asInstanceOf[Int]
+    val hi = h.asInstanceOf[Int]
+    require(wi > 0 && hi > 0, s"mm_image_resize: invalid target ${wi}x$hi")
+    val img = ImageCodec.readCached(blob.asInstanceOf[Array[Byte]])
+    if (img == null) null
+    else {
+      val sw = img.getWidth
+      val sh = img.getHeight
+      val out = new Array[Int](wi * hi)
+      var p = 0
+      var y = 0
+      while (y < hi) {
+        val sy = y * sh / hi
+        var x = 0
+        while (x < wi) {
+          out(p) = img.getRGB(x * sw / wi, sy) & 0xFFFFFF
+          p += 1; x += 1
+        }
+        y += 1
+      }
+      ImageCodec.encodePng(out, wi, hi)
+    }
   }
   override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
     copy(a, b, c)

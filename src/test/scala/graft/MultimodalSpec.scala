@@ -43,6 +43,32 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("mm_image_resize picks exact floor-mapped source pixels") {
+    // 4x2 source with pixel value = linear index; resize to 2x4:
+    // out(x,y) = src(x*4/2, y*2/4) = index (y/2)*4 + 2x
+    val df = Seq(1).toDF("one").select(
+      Multimodal.encode_png(
+        transform(sequence(lit(0), lit(7)), i => i.cast("int")), lit(4), lit(2)).as("blob"))
+    val resized = df.select(Multimodal.image_resize(col("blob"), lit(2), lit(4)).as("r"))
+    val out = resized.select(
+      Multimodal.decode_image(col("r")).as("img"),
+      Multimodal.image_pixel(col("r"), lit(0), lit(0)).as("p00"),
+      Multimodal.image_pixel(col("r"), lit(1), lit(0)).as("p10"),
+      Multimodal.image_pixel(col("r"), lit(0), lit(3)).as("p03"),
+      Multimodal.image_pixel(col("r"), lit(1), lit(3)).as("p13")).head()
+    val img = out.getStruct(0)
+    assert((img.getInt(0), img.getInt(1)) == (2, 4))
+    assert(out.getInt(1) == 0)
+    assert(out.getInt(2) == 2)
+    assert(out.getInt(3) == 4) // y=3 -> sy = 3*2/4 = 1 -> index 4 + 2x
+    assert(out.getInt(4) == 6)
+    // non-image payload resizes to null
+    val n = Seq("nope").toDF("s")
+      .select(Multimodal.image_resize(Multimodal.to_blob(col("s")), lit(2), lit(2)).as("r"))
+      .head()
+    assert(n.isNullAt(0))
+  }
+
   test("mm_decode_image reads JPEG and GIF payloads, not just PNG") {
     def enc(fmt: String): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(17, 9, java.awt.image.BufferedImage.TYPE_INT_RGB)

@@ -70,6 +70,7 @@ class SqlParitySpec extends AnyFunSuite {
     s"""st_geomfromgeojson('{"type":"Point","coordinates":[1,2]}')""",
     "mm_decode_image(mm_encode_png(array(16711680, 65280, 255, 0), 2, 2))",
     "mm_image_pixel(mm_encode_png(array(16711680, 65280, 255, 0), 2, 2), 1, 1)",
+    "mm_image_pixel(mm_image_resize(mm_encode_png(array(16711680, 65280, 255, 0), 2, 2), 4, 4), 3, 3)",
     "mm_decode_image(encode('not an image', 'UTF-8'))",
     "mm_decode_image_stub(encode('hello', 'UTF-8'))",
     "mm_byte_histogram(encode('hello', 'UTF-8'), 16)",
