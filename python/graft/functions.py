@@ -761,6 +761,11 @@ def pl_distinct_ngrams(tokens, n=3):
     return _fn("pl_distinct_ngrams", tokens, n)
 
 
+def pl_ngrams(tokens, n=2):
+    """All n-grams of a token array with multiplicity (strict windows)."""
+    return _fn("pl_ngrams", tokens, n)
+
+
 def pl_mix64(x):
     """splitmix64 finalizer; a stable pseudo-random sort key."""
     return _fn("pl_mix64", x)

@@ -349,6 +349,11 @@ object SparkEntry {
     "q_knn_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding", 3)
         .orderBy("query_id", "rank")),
+    "q_knn_pq" -> ((s, dir) =>
+      // product-quantization ADC top-k (inner product): codes broadcast,
+      // per-pair score = m table lookups — the compressed ANN serving path
+      Similarity.pqTopK(t(s, dir, "embeddings"), "vec_id", "embedding", 3)
+        .orderBy("query_id", "rank")),
     // ---- corpus curation (PII / decontamination / mixture sampling) ----
     "q_pii" -> ((s, dir) => {
       // The synthetic corpus carries no PII, so inject deterministic
@@ -392,6 +397,24 @@ object SparkEntry {
         .select(col("doc_id"), col("source"),
           TextFunctions.token_count(col("text")).as("n_tokens"))
         .orderBy("doc_id")),
+    // ---- training-set assembly (LM scoring / packing / splits) ----
+    "q_lm_score" -> ((s, dir) =>
+      // bigram LM familiarity: corpus gram table + per-doc rarity rollup
+      graft.pipeline.NGramLM.score(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("id")),
+    "q_pack" -> ((s, dir) =>
+      // fixed-capacity sequence packing: shard by mix64(id), contiguous
+      // fill into 2048-token bins, per-bin summary
+      graft.pipeline.Packing.binStats(t(s, dir, "documents"), "doc_id",
+          TextFunctions.token_count(col("text")), capacity = 2048L, numShards = 8)
+        .orderBy("shard", "bin")),
+    "q_split" -> ((s, dir) =>
+      // deterministic permille split assignment, rolled up per (split, lang)
+      graft.pipeline.Splits.assign(t(s, dir, "documents"), "doc_id")
+        .groupBy("split", "lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextFunctions.token_count(col("text")).cast("long")).as("n_tokens"))
+        .orderBy("split", "lang")),
     "q_multimodal" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         length(Multimodal.to_blob(col("text"))).as("byte_len"),
@@ -741,6 +764,54 @@ object SparkEntry {
          |  FROM c${it - 1} c)""".stripMargin
     }
     (init +: rounds).mkString(",\n")
+  }
+
+  /** Per-subspace unrolled Lloyd + code assignment + ADC tables replaying
+    * [[graft.pipeline.Similarity.pqTopK]] exactly: the sorted-prefix
+    * sample is sliced into `m` contiguous subspaces, each fit with the
+    * same pinned Lloyd as [[duckLloydCtes]]; every vector gets one code
+    * per subspace (squared-L2 argmin, ties to the lowest code) and every
+    * query gets an inner-product table vs each subspace codebook
+    * (list_dot_product matches the ascending-index double accumulation
+    * of PQDistTable bit-for-bit, as the cosine oracles already prove). */
+  private def duckPqCtes(m: Int, subDim: Int, k: Int, iters: Int): String = {
+    val init =
+      s"""vv AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |samp AS MATERIALIZED (SELECT vec_id, v FROM vv ORDER BY vec_id LIMIT 100000),
+         |sdims AS MATERIALIZED (SELECT UNNEST(range(1, ${subDim + 1})) AS i)""".stripMargin
+    val subs = (0 until m).map { j =>
+      val (a, b) = (j * subDim + 1, (j + 1) * subDim)
+      val sub =
+        s"""s${j}samp AS MATERIALIZED (SELECT vec_id, v[$a:$b] AS v FROM samp),
+           |s${j}c0 AS MATERIALIZED (SELECT CAST(rn - 1 AS INTEGER) AS cell, v AS centroid
+           |  FROM (SELECT v, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM s${j}samp) WHERE rn <= $k)""".stripMargin
+      val rounds = (1 to iters).map { it =>
+        s"""s${j}a$it AS MATERIALIZED (SELECT s.vec_id, s.v,
+           |  (SELECT c.cell FROM s${j}c${it - 1} c ORDER BY list_distance(s.v, c.centroid), c.cell LIMIT 1) AS cell
+           |  FROM s${j}samp s),
+           |s${j}m$it AS MATERIALIZED (SELECT a.cell, d.i, AVG(a.v[d.i]) AS mv
+           |  FROM s${j}a$it a CROSS JOIN sdims d GROUP BY a.cell, d.i),
+           |s${j}c$it AS MATERIALIZED (SELECT c.cell,
+           |  CASE WHEN EXISTS (SELECT 1 FROM s${j}a$it a WHERE a.cell = c.cell)
+           |       THEN (SELECT list(m.mv ORDER BY m.i) FROM s${j}m$it m WHERE m.cell = c.cell)
+           |       ELSE c.centroid END AS centroid
+           |  FROM s${j}c${it - 1} c)""".stripMargin
+      }
+      val serve =
+        s"""s${j}codes AS MATERIALIZED (SELECT vec_id,
+           |  (SELECT c.cell FROM s${j}c$iters c ORDER BY list_distance(vv.v[$a:$b], c.centroid), c.cell LIMIT 1) AS code
+           |  FROM vv),
+           |s${j}dt AS MATERIALIZED (SELECT q.vec_id, c.cell,
+           |  list_dot_product(q.v[$a:$b], c.centroid) AS s
+           |  FROM vv q CROSS JOIN s${j}c$iters c)""".stripMargin
+      (sub +: rounds :+ serve).mkString(",\n")
+    }
+    // join chain: s0codes c0 JOIN s1codes c1 USING (vec_id) ...
+    val joinChain = (1 until m).map(j => s"JOIN s${j}codes c$j USING (vec_id)").mkString(" ")
+    val allCodes =
+      s"""allcodes AS MATERIALIZED (SELECT c0.vec_id, ${(0 until m).map(j => s"c$j.code AS k$j").mkString(", ")}
+         |  FROM s0codes c0 $joinChain)""".stripMargin
+    (init +: subs :+ allCodes).mkString(",\n")
   }
 
   /** simhash CTEs (toks/tokh/votes/sh): 64-bit simhash per doc as HUGEINT. */
@@ -1098,6 +1169,63 @@ object SparkEntry {
          |SELECT query_id, neighbor_id, sim, CAST(rank AS INTEGER) AS rank
          |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
     },
+    // PQ ADC top-k fully re-derived: per-subspace Lloyd codebooks
+    // (duckPqCtes), code assignment, query ADC tables, pair score =
+    // left-assoc sum of the m looked-up inner products, per-query top-3
+    "q_knn_pq" -> {
+      s"""WITH ${duckPqCtes(m = 4, subDim = 16, k = 16, iters = 5)},
+         |sims AS (
+         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |    d0.s + d1.s + d2.s + d3.s AS sim
+         |  FROM vv q JOIN allcodes n ON n.vec_id <> q.vec_id
+         |  JOIN s0dt d0 ON d0.vec_id = q.vec_id AND d0.cell = n.k0
+         |  JOIN s1dt d1 ON d1.vec_id = q.vec_id AND d1.cell = n.k1
+         |  JOIN s2dt d2 ON d2.vec_id = q.vec_id AND d2.cell = n.k2
+         |  JOIN s3dt d3 ON d3.vec_id = q.vec_id AND d3.cell = n.k3),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM sims)
+         |SELECT query_id, neighbor_id, sim, CAST(rank AS INTEGER) AS rank
+         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+    },
+    // bigram LM scoring: corpus gram counts + per-doc rarity rollup;
+    // all counters integer, the two ratios single IEEE divisions
+    "q_lm_score" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |grams AS (
+         |  SELECT doc_id, t[CAST(i AS INTEGER)] || ' ' || t[CAST(i + 1 AS INTEGER)] AS gram
+         |  FROM toks, unnest(range(1, len(t))) u(i)),
+         |model AS (SELECT gram, COUNT(*) AS cnt FROM grams GROUP BY gram),
+         |scored AS (
+         |  SELECT g.doc_id, CAST(COUNT(*) AS INTEGER) AS n_ngrams,
+         |    CAST(SUM(CASE WHEN m.cnt <= 1 THEN 1 ELSE 0 END) AS INTEGER) AS n_rare,
+         |    CAST(SUM(m.cnt) AS BIGINT) AS sum_freq
+         |  FROM grams g JOIN model m USING (gram) GROUP BY g.doc_id)
+         |SELECT d.doc_id AS id, COALESCE(s.n_ngrams, 0) AS n_ngrams,
+         |  COALESCE(s.n_rare, 0) AS n_rare, CAST(COALESCE(s.sum_freq, 0) AS BIGINT) AS sum_freq,
+         |  CASE WHEN s.n_ngrams > 0 THEN CAST(s.n_rare AS DOUBLE) / s.n_ngrams END AS rare_ratio,
+         |  CASE WHEN s.n_ngrams > 0 THEN CAST(s.sum_freq AS DOUBLE) / s.n_ngrams END AS avg_freq
+         |FROM documents d LEFT JOIN scored s USING (doc_id) ORDER BY id""".stripMargin,
+    // sequence packing: mix64 shard, per-shard running token offset,
+    // contiguous-fill bin = start_offset div capacity — all integer
+    "q_pack" ->
+      s"""WITH h AS (SELECT doc_id, len(string_split(text, ' ')) AS tok,
+         |    ${duckToSigned(duckMix64("doc_id::HUGEINT"))} AS hh FROM documents),
+         |sh AS (SELECT doc_id, tok, hh, CAST(((hh % 8) + 8) % 8 AS INTEGER) AS shard FROM h),
+         |pk AS (SELECT shard, doc_id, tok,
+         |    COALESCE(SUM(tok) OVER (PARTITION BY shard ORDER BY hh, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+         |  FROM sh)
+         |SELECT shard, CAST(start_offset // 2048 AS BIGINT) AS bin,
+         |  CAST(COUNT(*) AS INTEGER) AS n_docs, CAST(SUM(tok) AS BIGINT) AS bin_tokens
+         |FROM pk GROUP BY shard, bin ORDER BY shard, bin""".stripMargin,
+    // deterministic permille splits: mix64 mod 1000 buckets, cumulative
+    // thresholds 980/990, per-(split, lang) rollup
+    "q_split" ->
+      s"""WITH b AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS tok,
+         |    CAST(((${duckToSigned(duckMix64("doc_id::HUGEINT"))} % 1000) + 1000) % 1000 AS INTEGER) AS bucket
+         |  FROM documents)
+         |SELECT CASE WHEN bucket < 980 THEN 'train' WHEN bucket < 990 THEN 'val' ELSE 'test' END AS split,
+         |  lang, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(tok) AS BIGINT) AS n_tokens
+         |FROM b GROUP BY split, lang ORDER BY split, lang""".stripMargin,
     // PII detection/redaction over the same query-side injected spans;
     // the regexes are the RE2-compatible subset so both engines agree
     "q_pii" -> {

@@ -439,6 +439,8 @@ object Raster {
         .expressionEager(TF.minhash(asColumn(xs.head), intArg(xs, 1, 32), intArg(xs, 2, 3))))
       regN("pl_distinct_ngrams", xs =>
         graft.pipeline.DistinctNGrams(xs.head, intArg(xs, 1, 3)))
+      regN("pl_ngrams", xs =>
+        graft.pipeline.NGrams(xs.head, intArg(xs, 1, 2)))
       reg1("pl_mix64", graft.pipeline.Mix64(_))
       reg2("pl_vector_dot", graft.pipeline.VectorDot(_, _))
       reg2("pl_cosine_similarity", graft.pipeline.CosineSimilarity(_, _))

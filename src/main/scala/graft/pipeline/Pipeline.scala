@@ -454,4 +454,42 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), cosine(col("a_vec"), col("b_vec")).as("sim")),
       k)
   }
+
+  /**
+   * Product-quantization ADC top-k by inner product (the compressed
+   * complement of IVF): each vector is encoded as `m` per-subspace
+   * centroid codes (~`m` bytes — [[PQCodes]]), so the whole corpus's
+   * code table is small enough to BROADCAST even when the raw vectors
+   * are terabytes. Each query precomputes its ADC table of
+   * query-to-centroid inner products once ([[PQDistTable]]), and the
+   * scan scores every candidate with `m` array lookups ([[PQAdc]],
+   * codegen'd) — no per-pair float dot products anywhere.
+   *
+   * The quantizer fit mirrors [[ivfTopK]]: a sorted-prefix sample,
+   * driver-side deterministic Lloyd per subspace ([[QuantizerKMeans]]),
+   * every arithmetic step pinned so the DuckDB oracle replays the
+   * centroids, codes and scores bit-exactly.
+   */
+  def pqTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      dim: Int = 64, subspaces: Int = 4, codebook: Int = 16,
+      fitSampleSize: Int = 100000, fitIters: Int = 5): DataFrame = {
+    require(dim % subspaces == 0, "dim must divide evenly into subspaces")
+    val subDim = dim / subspaces
+    val sample = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .orderBy(col("id")).limit(fitSampleSize)
+      .collect().map(_.getSeq[Double](1).toArray.padTo(dim, 0.0))
+    val cents: Array[Array[Array[Double]]] = Array.tabulate(subspaces) { j =>
+      QuantizerKMeans.fit(sample.map(v => v.slice(j * subDim, (j + 1) * subDim)),
+        codebook, fitIters)
+    }
+    val codes = df.select(col(idCol).as("neighbor_id"),
+      c(PQCodes(asExpr(col(vecCol)), cents)).as("codes"))
+    val queries = df.select(col(idCol).as("query_id"),
+      c(PQDistTable(asExpr(col(vecCol)), cents)).as("dt"))
+    rankTopK(queries.crossJoin(broadcast(codes))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        c(PQAdc(asExpr(col("dt")), asExpr(col("codes")), codebook)).as("sim")),
+      k)
+  }
 }

@@ -1,0 +1,144 @@
+package graft.pipeline
+
+import graft.expressions.{asColumn, asExpr}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Training-set assembly operators: n-gram language-model scoring,
+ * fixed-capacity sequence packing, and deterministic train/val/test
+ * splitting. Like the rest of [[graft.pipeline]], every shape is
+ * partial+final aggregation or an equi-join on the key the data already
+ * shuffles on — no UDFs, no driver-side loops over data.
+ */
+object NGramLM {
+  import TextFunctions.c
+
+  /** All bigrams of the whitespace tokens, with multiplicity (strict:
+    * docs with fewer than 2 tokens yield an empty array). */
+  def bigrams(text: Column, n: Int = 2): Column =
+    c(NGrams(asExpr(TextFunctions.tokens(text)), n))
+
+  /** The corpus bigram table: (gram, cnt). One partial+final count,
+    * shuffled on the gram — the "training" half of the LM. */
+  def model(df: DataFrame, textCol: String, n: Int = 2): DataFrame =
+    df.select(explode(bigrams(col(textCol), n)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+
+  /**
+   * Perplexity-style fluency signal without floating-point model
+   * weights: score each document by how familiar its n-grams are to the
+   * corpus-wide n-gram table. Returns (id, n_ngrams, n_rare, sum_freq,
+   * rare_ratio, avg_freq) where a gram is "rare" when its corpus
+   * frequency is ≤ `rareMax` (default 1 = hapax: the occurrence in this
+   * very document is the only one anywhere). High rare_ratio ⇒ the doc
+   * is unlike the rest of the corpus (boilerplate-free but possibly
+   * noise); low ⇒ fluent/common text. All counters are integers and the
+   * two ratios are single IEEE divisions, so the result is bit-exact
+   * across engines.
+   *
+   * Scale shape: the model groupBy and the scoring join shuffle on the
+   * SAME key (gram), so the join is co-partitioned with the count that
+   * feeds it; the per-doc rollup is a partial+final agg on id. Nothing
+   * broadcasts the corpus and nothing funnels it through one reducer.
+   */
+  def score(df: DataFrame, idCol: String, textCol: String, n: Int = 2,
+      rareMax: Long = 1L): DataFrame = {
+    val docGrams = df.select(col(idCol).as("id"),
+      explode(bigrams(col(textCol), n)).as("gram"))
+    val scored = docGrams
+      .join(model(df, textCol, n), Seq("gram"))
+      .groupBy("id").agg(
+        count(lit(1)).cast("int").as("n_ngrams"),
+        sum(when(col("cnt") <= rareMax, 1L).otherwise(0L)).cast("int").as("n_rare"),
+        sum(col("cnt")).as("sum_freq"))
+    // short docs (< n tokens) have no grams: keep them with zero counts
+    df.select(col(idCol).as("id"))
+      .join(scored, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_ngrams"), lit(0)).as("n_ngrams"),
+        coalesce(col("n_rare"), lit(0)).as("n_rare"),
+        coalesce(col("sum_freq"), lit(0L)).as("sum_freq"))
+      .withColumn("rare_ratio",
+        when(col("n_ngrams") > 0,
+          col("n_rare").cast("double") / col("n_ngrams")))
+      .withColumn("avg_freq",
+        when(col("n_ngrams") > 0,
+          col("sum_freq").cast("double") / col("n_ngrams")))
+  }
+}
+
+/**
+ * Fixed-capacity sequence packing: assign documents to training-context
+ * "bins" of `capacity` tokens by contiguous fill — concatenate the
+ * (pseudo-randomly ordered) token stream and put each document in the
+ * bin where its first token lands. A document longer than the remaining
+ * room straddles into the next bin (standard packing-with-cross-doc-
+ * attention-masks; the alternative, greedy first-fit, is inherently
+ * serial and changes results with parallelism).
+ *
+ * Packing is sequential BY DEFINITION, so the scale unit is the shard:
+ * documents are first sharded by mix64(id) (deterministic, uniform),
+ * and the only window runs per shard — `numShards` independent serial
+ * units, sized to the cluster, exactly how packed training shards are
+ * produced in practice. All arithmetic is integer (offsets, integer
+ * division), so results are bit-exact across engines.
+ */
+object Packing {
+  import TextFunctions.c
+
+  private def packed(df: DataFrame, idCol: String, tokenCount: Column,
+      capacity: Long, numShards: Int): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy(col("__h"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(idCol).as("id"), tokenCount.cast("long").as("__tok"))
+      .withColumn("__h", c(Mix64(asExpr(col("id")))))
+      .withColumn("shard", pmod(col("__h"), lit(numShards.toLong)).cast("int"))
+      .withColumn("start_offset", coalesce(sum(col("__tok")).over(w), lit(0L)))
+      .withColumn("bin", (col("start_offset") / capacity).cast("long"))
+  }
+
+  /** (id, shard, bin, start_offset): bin = start_offset / capacity with
+    * start_offset = sum of token counts of earlier docs in the shard's
+    * mix64 order. */
+  def packBins(df: DataFrame, idCol: String, tokenCount: Column,
+      capacity: Long, numShards: Int): DataFrame =
+    packed(df, idCol, tokenCount, capacity, numShards)
+      .select(col("id"), col("shard"), col("bin"), col("start_offset"))
+
+  /** Per-(shard, bin) packing summary: document count and token total
+    * (a bin's total can exceed `capacity` only by the straddle of its
+    * last document). */
+  def binStats(df: DataFrame, idCol: String, tokenCount: Column,
+      capacity: Long, numShards: Int): DataFrame =
+    packed(df, idCol, tokenCount, capacity, numShards)
+      .groupBy("shard", "bin")
+      .agg(count(lit(1)).cast("int").as("n_docs"), sum("__tok").as("bin_tokens"))
+}
+
+/**
+ * Deterministic train/val/test split assignment: permille bucket =
+ * mix64(id) mod 1000 (signed-stabilized), split by cumulative permille
+ * thresholds. Pure per-row arithmetic — no shuffle, no state — and
+ * stable under re-runs, inserts and re-partitioning, which is the whole
+ * point: a document's split NEVER changes when the corpus around it
+ * does (contrast `randomSplit`, which reassigns on every change of
+ * partitioning or seed).
+ */
+object Splits {
+  import TextFunctions.c
+
+  /** Adds (bucket, split) columns; trainPermille + valPermille ≤ 1000,
+    * the remainder is "test". */
+  def assign(df: DataFrame, idCol: String, trainPermille: Int = 980,
+      valPermille: Int = 10): DataFrame = {
+    require(trainPermille + valPermille <= 1000, "permilles exceed 1000")
+    val h = c(Mix64(asExpr(col(idCol))))
+    df.withColumn("bucket", pmod(h, lit(1000L)).cast("int"))
+      .withColumn("split",
+        when(col("bucket") < trainPermille, "train")
+          .when(col("bucket") < trainPermille + valPermille, "val")
+          .otherwise("test"))
+  }
+}

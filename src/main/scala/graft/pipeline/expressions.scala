@@ -550,3 +550,180 @@ object QuantizerKMeans {
     cents
   }
 }
+
+/** ALL n-grams of a token array (with multiplicity, strict: only full
+  * n-length windows, so a doc with fewer than n tokens yields an empty
+  * array). The multiset counterpart of [[DistinctNGrams]] — the n-gram
+  * language model ([[NGramLM]]) counts every occurrence, not presence. */
+case class NGrams(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "ngrams"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName expects array<string>")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val sz = toks.numElements()
+    val total = math.max(sz - n + 1, 0)
+    val out = new Array[Any](total)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < total) {
+      sb.setLength(0)
+      var j = i
+      while (j < i + n) {
+        if (j > i) sb.append(' ')
+        sb.append(toks.getUTF8String(j).toString)
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/**
+ * Product-quantization codes: the vector is cut into `centroids.length`
+ * contiguous subspaces and each slice is assigned to its nearest
+ * per-subspace centroid (squared L2, ties to the lowest code — the same
+ * pinned argmin as [[NearestCentroid]]). Output: array<int> of one code
+ * per subspace — a ~4-byte compressed representation of a 64-dim float
+ * vector, which is what makes the PQ serving scan broadcast-able at
+ * billion-vector scale. Runs once per CORPUS row (not per pair), so
+ * CodegenFallback is fine.
+ */
+case class PQCodes(child: Expression, centroids: Array[Array[Array[Double]]])
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "pq_codes"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  @transient private lazy val et = child.dataType.asInstanceOf[ArrayType].elementType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName expects array<float|double>")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val m = centroids.length
+    val out = new Array[Any](m)
+    var j = 0
+    var off = 0
+    while (j < m) {
+      val sub = centroids(j)
+      val subDim = sub(0).length
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < sub.length) {
+        val cen = sub(c)
+        var d = 0.0
+        var i = 0
+        while (i < subDim) {
+          val x = (if (off + i < v.numElements()) et match {
+            case FloatType => v.getFloat(off + i).toDouble
+            case _ => v.getDouble(off + i)
+          } else 0.0) - cen(i)
+          d += x * x
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(j) = best
+      off += subDim
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/**
+ * ADC (asymmetric distance computation) table for one query vector:
+ * dt[j*k + c] = <query subspace j, centroid c of subspace j>, inner
+ * products accumulated in index order. Computed once per QUERY row; the
+ * per-pair scan ([[PQAdc]]) then only does table lookups — the classic
+ * PQ fast-scan split.
+ */
+case class PQDistTable(child: Expression, centroids: Array[Array[Array[Double]]])
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "pq_dist_table"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  @transient private lazy val et = child.dataType.asInstanceOf[ArrayType].elementType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName expects array<float|double>")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val m = centroids.length
+    val k = centroids(0).length
+    val out = new Array[Any](m * k)
+    var j = 0
+    var off = 0
+    while (j < m) {
+      val sub = centroids(j)
+      val subDim = sub(0).length
+      var c = 0
+      while (c < k) {
+        val cen = sub(c)
+        var s = 0.0
+        var i = 0
+        while (i < subDim) {
+          val x = if (off + i < v.numElements()) et match {
+            case FloatType => v.getFloat(off + i).toDouble
+            case _ => v.getDouble(off + i)
+          } else 0.0
+          s += x * cen(i)
+          i += 1
+        }
+        out(j * k + c) = s
+        c += 1
+      }
+      off += subDim
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** The PQ per-pair score: sum over subspaces j (ascending, from 0.0 —
+  * the pinned order the oracle replays) of dt[j*k + codes[j]]. This runs
+  * once per (query, candidate) PAIR — millions of evaluations — so it is
+  * codegen'd with primitive array lookups, like [[VectorDot]]. */
+case class PQAdc(left: Expression, right: Expression, k: Int) extends BinaryExpression {
+  override def prettyName: String = "pq_adc"
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(DoubleType, _), ArrayType(IntegerType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (array<double> dist table, array<int> codes)")
+  }
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val dt = l.asInstanceOf[ArrayData]
+    val codes = r.asInstanceOf[ArrayData]
+    var s = 0.0
+    var j = 0
+    while (j < codes.numElements()) { s += dt.getDouble(j * k + codes.getInt(j)); j += 1 }
+    s
+  }
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, (dt, codes) => {
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      s"""double $s = 0.0;
+         |for (int $j = 0; $j < $codes.numElements(); $j++) {
+         |  $s += $dt.getDouble($j * $k + $codes.getInt($j));
+         |}
+         |${ev.value} = $s;""".stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
