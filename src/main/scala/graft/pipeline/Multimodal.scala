@@ -62,10 +62,20 @@ object Multimodal {
   * would add executor-local disk I/O for nothing. */
 object ImageCodec {
   javax.imageio.ImageIO.setUseCache(false)
-  /** Decoded image, or null when no installed reader claims the bytes. */
-  def read(bytes: Array[Byte]): java.awt.image.BufferedImage =
-    try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-    catch { case _: java.io.IOException => null }
+  /** Decoded image, or null when no installed reader claims the bytes.
+    * Common PNGs (8-bit gray/RGB/RGBA, non-interlaced) take the native
+    * fast path below — `ImageIO.read` instantiates a reader + stream +
+    * color-converted raster per call, which dominates decode time for
+    * the small images a training pipeline normalizes by the billions;
+    * everything else (JPEG, palette/16-bit/interlaced PNG, ...) falls
+    * back to the JDK plugin. */
+  def read(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    val fast = PngCodec.decode(bytes)
+    if (fast != null) fast
+    else
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException => null }
+  }
 
   // One-entry per-thread memo: a row typically evaluates several image
   // expressions over the SAME payload (dims + a few pixel probes), each
@@ -132,6 +142,153 @@ object ImageCodec {
     chunk("IDAT", comp.toByteArray)
     chunk("IEND", Array.emptyByteArray)
     out.toByteArray
+  }
+}
+
+/**
+ * Native decoder for the common PNG shapes (8-bit depth, gray / RGB /
+ * RGBA color, non-interlaced) straight from the public PNG spec:
+ * IHDR parse, IDAT concatenation, one zlib inflate, per-row filter
+ * reconstruction (None/Sub/Up/Average/Paeth). Returns null for
+ * anything it doesn't handle — palette, 16-bit, interlaced — so the
+ * caller can fall back to `ImageIO`. All-integer reconstruction ⇒
+ * bit-identical to the reference decoder (spec-tested against
+ * `ImageIO` on filtered images).
+ */
+object PngCodec {
+  import java.awt.image.BufferedImage
+
+  def decode(b: Array[Byte]): BufferedImage = {
+    if (b.length < 45 || (b(0) & 0xff) != 0x89 || b(1) != 'P' || b(2) != 'N' ||
+      b(3) != 'G') return null
+    def i32(o: Int): Int = ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+      ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+    // IHDR is required first: 8 sig + 4 len + "IHDR"
+    if (!(b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')) return null
+    val w = i32(16)
+    val h = i32(20)
+    val bitDepth = b(24) & 0xff
+    val colorType = b(25) & 0xff
+    val interlace = b(28) & 0xff
+    val channels = colorType match {
+      case 0 => 1 // gray
+      case 2 => 3 // RGB
+      case 6 => 4 // RGBA
+      case _ => return null // palette (3) / gray+alpha (4): fall back
+    }
+    if (bitDepth != 8 || interlace != 0 || w <= 0 || h <= 0) return null
+    if (w.toLong * h > Int.MaxValue / 4) return null
+    // concatenate IDAT payloads
+    val idat = new java.io.ByteArrayOutputStream(b.length)
+    var off = 33 // 8 sig + 25 IHDR chunk
+    var ok = true
+    while (ok && off + 8 <= b.length) {
+      val len = i32(off)
+      if (len < 0 || off + 12 + len > b.length) ok = false
+      else {
+        val typ = new String(b, off + 4, 4, "US-ASCII")
+        if (typ == "IDAT") idat.write(b, off + 8, len)
+        if (typ == "IEND") ok = false
+        off += 12 + len
+      }
+    }
+    val bpp = channels // bytes per pixel at 8-bit depth
+    val stride = 1 + w * bpp
+    val raw = new Array[Byte](stride * h)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    var got = 0
+    try {
+      while (got < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, got, raw.length - got)
+        if (n == 0 && inf.needsInput()) return null // truncated stream
+        got += n
+      }
+    } catch { case _: java.util.zip.DataFormatException => return null }
+    finally inf.end()
+    if (got < raw.length) return null
+    // per-row filter reconstruction, in place on the filtered bytes
+    var y = 0
+    while (y < h) {
+      val ro = y * stride
+      val filter = raw(ro) & 0xff
+      val po = ro - stride
+      var i = 1
+      filter match {
+        case 0 => // None
+        case 1 => // Sub
+          i = 1 + bpp
+          while (i < stride) { raw(ro + i) = (raw(ro + i) + raw(ro + i - bpp)).toByte; i += 1 }
+        case 2 => // Up
+          if (y > 0) while (i < stride) { raw(ro + i) = (raw(ro + i) + raw(po + i)).toByte; i += 1 }
+        case 3 => // Average
+          while (i < stride) {
+            val left = if (i > bpp) raw(ro + i - bpp) & 0xff else 0
+            val up = if (y > 0) raw(po + i) & 0xff else 0
+            raw(ro + i) = (raw(ro + i) + ((left + up) >> 1)).toByte
+            i += 1
+          }
+        case 4 => // Paeth
+          while (i < stride) {
+            val a = if (i > bpp) raw(ro + i - bpp) & 0xff else 0
+            val c2 = if (y > 0) raw(po + i) & 0xff else 0
+            val c3 = if (y > 0 && i > bpp) raw(po + i - bpp) & 0xff else 0
+            val p = a + c2 - c3
+            val pa = math.abs(p - a); val pb = math.abs(p - c2); val pc = math.abs(p - c3)
+            val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) c2 else c3
+            raw(ro + i) = (raw(ro + i) + pred).toByte
+            i += 1
+          }
+        case _ => return null
+      }
+      y += 1
+    }
+    // pack into a BufferedImage matching ImageIO's reported channel counts
+    colorType match {
+      case 0 =>
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+        val data = img.getRaster.getDataBuffer
+          .asInstanceOf[java.awt.image.DataBufferByte].getData
+        var yy = 0
+        while (yy < h) {
+          System.arraycopy(raw, yy * stride + 1, data, yy * w, w)
+          yy += 1
+        }
+        img
+      case 2 =>
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        val data = img.getRaster.getDataBuffer
+          .asInstanceOf[java.awt.image.DataBufferInt].getData
+        var yy = 0
+        while (yy < h) {
+          var ro = yy * stride + 1
+          var p = yy * w
+          val end = p + w
+          while (p < end) {
+            data(p) = ((raw(ro) & 0xff) << 16) | ((raw(ro + 1) & 0xff) << 8) | (raw(ro + 2) & 0xff)
+            ro += 3; p += 1
+          }
+          yy += 1
+        }
+        img
+      case 6 =>
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_ARGB)
+        val data = img.getRaster.getDataBuffer
+          .asInstanceOf[java.awt.image.DataBufferInt].getData
+        var yy = 0
+        while (yy < h) {
+          var ro = yy * stride + 1
+          var p = yy * w
+          val end = p + w
+          while (p < end) {
+            data(p) = ((raw(ro + 3) & 0xff) << 24) | ((raw(ro) & 0xff) << 16) |
+              ((raw(ro + 1) & 0xff) << 8) | (raw(ro + 2) & 0xff)
+            ro += 4; p += 1
+          }
+          yy += 1
+        }
+        img
+    }
   }
 }
 

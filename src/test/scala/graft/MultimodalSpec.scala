@@ -69,6 +69,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(n.isNullAt(0))
   }
 
+  test("PngCodec fast path matches ImageIO bit-for-bit on filtered PNGs") {
+    // ImageIO's PNG writer picks adaptive per-row filters (Sub/Up/
+    // Average/Paeth on real content), so decoding its output exercises
+    // every reconstruction branch of the native fast path.
+    val shapes = Seq((1, 1), (7, 3), (64, 64), (33, 17))
+    for ((w, h) <- shapes) {
+      val png = pngOf(w, h, (x, y) => ((x * 31 + y * 7) % 256) * 65536 +
+        ((x * x + y) % 256) * 256 + ((x + y * y) % 256))
+      val fast = graft.pipeline.PngCodec.decode(png)
+      assert(fast != null, s"fast path rejected ImageIO PNG ${w}x$h")
+      val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      assert(fast.getWidth == ref.getWidth && fast.getHeight == ref.getHeight)
+      for (y <- 0 until h; x <- 0 until w)
+        assert(fast.getRGB(x, y) == ref.getRGB(x, y), s"pixel ($x,$y) of ${w}x$h")
+    }
+    // gray PNG: 1 channel, same bytes either way
+    val gimg = new java.awt.image.BufferedImage(9, 5, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 5; x <- 0 until 9) gimg.getRaster.setSample(x, y, 0, (x * 29 + y * 13) % 256)
+    val gos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(gimg, "png", gos)
+    val gfast = graft.pipeline.PngCodec.decode(gos.toByteArray)
+    assert(gfast != null && gfast.getColorModel.getNumComponents == 1)
+    for (y <- 0 until 5; x <- 0 until 9)
+      assert(gfast.getRGB(x, y) == gimg.getRGB(x, y))
+    // non-PNG and exotic PNG shapes fall through to null (→ ImageIO)
+    assert(graft.pipeline.PngCodec.decode("notapng".getBytes) == null)
+  }
+
   test("mm_decode_image reads JPEG and GIF payloads, not just PNG") {
     def enc(fmt: String): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(17, 9, java.awt.image.BufferedImage.TYPE_INT_RGB)
