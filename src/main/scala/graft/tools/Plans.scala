@@ -17,6 +17,9 @@ object Plans {
     show("q_knn_brute")
     show("q_knn_lsh")
     show("q_dedup_pipeline")
+    show("q_knn_pq")
+    show("q_lm_score")
+    show("q_pack")
     spark.stop()
   }
 }
