@@ -652,6 +652,17 @@ object SparkEntry {
         .orderBy("l_orderkey")
     }),
     // ---- events (temporal keys) ----
+    "q_sessions" -> ((s, dir) => {
+      // session_window sessionization of the event stream shape, batch
+      // face (identical call works under readStream). Exact aggregates
+      // only; `div` keeps the nanos→micros conversion integral.
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = t(s, dir, "events")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      graft.streaming.StreamingPipeline.sessionStats(
+          ev, "user_id", "ts", "value", gap = "1 hour")
+        .orderBy("user_id", "session_start")
+    }),
     // events.ts is parquet TIMESTAMP(NANOS): read as long nanos, convert.
     "q_events_daily" -> ((s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -1226,6 +1237,21 @@ object SparkEntry {
          |SELECT CASE WHEN bucket < 980 THEN 'train' WHEN bucket < 990 THEN 'val' ELSE 'test' END AS split,
          |  lang, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(tok) AS BIGINT) AS n_tokens
          |FROM b GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+    // sessionization re-derived with lag + cumulative break flags: a new
+    // session starts only when the inactivity gap EXCEEDS 1 hour (an
+    // event at exactly the gap still merges — session_window's interval
+    // is closed at its end, verified by spec); bounds in epoch micros
+    "q_sessions" ->
+      s"""WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS tus, value FROM events),
+         |l AS (SELECT user_id, tus, value,
+         |    LAG(tus) OVER (PARTITION BY user_id ORDER BY tus) AS prev FROM e),
+         |s AS (SELECT user_id, tus, value,
+         |    CASE WHEN prev IS NULL OR tus - prev > 3600000000 THEN 1 ELSE 0 END AS brk FROM l),
+         |g AS (SELECT user_id, tus, value,
+         |    SUM(brk) OVER (PARTITION BY user_id ORDER BY tus ROWS UNBOUNDED PRECEDING) AS sid FROM s)
+         |SELECT user_id, MIN(tus) AS session_start, MAX(tus) + 3600000000 AS session_end,
+         |  CAST(COUNT(*) AS BIGINT) AS n_events, MIN(value) AS min_value, MAX(value) AS max_value
+         |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
     // PII detection/redaction over the same query-side injected spans;
     // the regexes are the RE2-compatible subset so both engines agree
     "q_pii" -> {

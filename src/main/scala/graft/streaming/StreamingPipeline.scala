@@ -107,6 +107,43 @@ object StreamingPipeline {
       }
   }
 
+  /**
+   * Event sessionization with the BUILT-IN `session_window` aggregation
+   * (Spark-first: no custom state code — the dynamic-gap session
+   * operator ships with Structured Streaming and its state is
+   * watermark-bounded). Sessions close after `gap` of inactivity;
+   * output is one row per (key, session) with event count, value sum
+   * and the session bounds. Works identically on a batch DataFrame
+   * (same call, no watermark needed) — the batch/streaming parity the
+   * rest of the library keeps.
+   */
+  def sessionize(df: DataFrame, keyCol: String, eventTimeCol: String,
+      valueCol: String, gap: String, watermark: Option[String] = None): DataFrame = {
+    val src = watermark.fold(df)(w => df.withWatermark(eventTimeCol, w))
+    src.groupBy(col(keyCol), session_window(col(eventTimeCol), gap))
+      .agg(count(lit(1)).as("n_events"), sum(col(valueCol)).as("total_value"))
+      .select(col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("total_value"))
+  }
+
+  /** [[sessionize]] with only exactly-reproducible aggregates (count,
+    * min, max — no float summation order to disagree on) and integer
+    * epoch-micros session bounds: the oracle-checkable face of the
+    * session operator. `session_end` = last event + gap, and an event at
+    * exactly `gap` after the previous one starts a NEW session (the
+    * session interval is half-open). */
+  def sessionStats(df: DataFrame, keyCol: String, eventTimeCol: String,
+      valueCol: String, gap: String): DataFrame =
+    df.groupBy(col(keyCol), session_window(col(eventTimeCol), gap))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(valueCol)).as("min_value"), max(col(valueCol)).as("max_value"))
+      .select(col(keyCol),
+        unix_micros(col("session_window.start")).as("session_start"),
+        unix_micros(col("session_window.end")).as("session_end"),
+        col("n_events"), col("min_value"), col("max_value"))
+
   /** Running per-key corpus stats carried in the state store. */
   final case class CorpusStats(key: String, docs: Long, chars: Long, maxChars: Long)
 

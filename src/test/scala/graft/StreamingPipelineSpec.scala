@@ -136,4 +136,60 @@ class StreamingPipelineSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).max
     assert(en == 3L)
   }
+
+  test("session_window splits streams on the inactivity gap, batch-parity") {
+    val dir = Files.createTempDirectory("stream-sessions").toString
+    val rows = Seq(
+      // user 1: two events 1 min apart, then a 30-min silence, then one more
+      (1L, Timestamp.valueOf("2026-01-01 00:00:00"), 10.0),
+      (1L, Timestamp.valueOf("2026-01-01 00:01:00"), 5.0),
+      (1L, Timestamp.valueOf("2026-01-01 00:31:00"), 2.0),
+      // user 2: one lone event
+      (2L, Timestamp.valueOf("2026-01-01 00:05:00"), 7.0),
+      // user 99 only exists to push the watermark past every session end:
+      // append mode emits a session only once the watermark passes it
+      (99L, Timestamp.valueOf("2026-01-01 02:00:00"), 0.0))
+    val df = rows.toDF("user_id", "ts", "value")
+    df.write.mode("overwrite").parquet(dir)
+
+    val sessions = StreamingPipeline.sessionize(
+      spark.readStream.schema(df.schema).parquet(dir),
+      "user_id", "ts", "value", gap = "10 minutes", watermark = Some("10 minutes"))
+    val q = sessions.writeStream.format("memory").queryName("session_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val out = spark.sql(
+      """SELECT user_id, n_events, total_value FROM session_stream
+        |WHERE user_id < 99 ORDER BY user_id, n_events DESC""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, 2L, 15.0), (1L, 1L, 2.0), (2L, 1L, 7.0)),
+      out.mkString(","))
+
+    // batch parity: the same call over the static frame gives the same sessions
+    val batch = StreamingPipeline.sessionize(df, "user_id", "ts", "value", "10 minutes")
+      .where(col("user_id") < 99)
+      .orderBy(col("user_id"), col("n_events").desc)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getDouble(4)))
+    assert(batch.toSeq == Seq((1L, 2L, 15.0), (1L, 1L, 2.0), (2L, 1L, 7.0)))
+  }
+
+  test("sessionStats gap boundary: exactly-gap merges, one past splits") {
+    // session_window's interval is CLOSED at its end: an event at exactly
+    // prev + gap still merges (one session), one microsecond later splits.
+    // The q_sessions oracle encodes this as `tus - prev > gap`.
+    val merged = Seq(
+      (1L, Timestamp.valueOf("2026-01-01 00:00:00"), 1.0),
+      (1L, Timestamp.valueOf("2026-01-01 00:10:00"), 2.0)) // exactly the gap
+      .toDF("user_id", "ts", "value")
+    val m = StreamingPipeline.sessionStats(merged, "user_id", "ts", "value", "10 minutes")
+      .collect()
+    assert(m.length == 1 && m(0).getLong(3) == 2L, m.mkString(","))
+    val split = Seq(
+      (1L, Timestamp.valueOf("2026-01-01 00:00:00"), 1.0),
+      (1L, Timestamp.valueOf("2026-01-01 00:10:00.000001"), 2.0))
+      .toDF("user_id", "ts", "value")
+    val sp = StreamingPipeline.sessionStats(split, "user_id", "ts", "value", "10 minutes")
+      .orderBy("session_start").collect()
+    assert(sp.length == 2, sp.mkString(","))
+  }
 }
