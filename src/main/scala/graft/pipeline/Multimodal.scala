@@ -158,6 +158,10 @@ object ImageCodec {
 object PngCodec {
   import java.awt.image.BufferedImage
 
+  /** Upper bound on the filtered-scanline buffer (256 MiB). Anything larger
+    * falls back to ImageIO rather than trusting header-claimed dimensions. */
+  private val MaxDecodedBytes = 1L << 28
+
   def decode(b: Array[Byte]): BufferedImage = {
     if (b.length < 45 || (b(0) & 0xff) != 0x89 || b(1) != 'P' || b(2) != 'N' ||
       b(3) != 'G') return null
@@ -177,7 +181,12 @@ object PngCodec {
       case _ => return null // palette (3) / gray+alpha (4): fall back
     }
     if (bitDepth != 8 || interlace != 0 || w <= 0 || h <= 0) return null
-    if (w.toLong * h > Int.MaxValue / 4) return null
+    val bpp = channels // bytes per pixel at 8-bit depth
+    // Guard in Long arithmetic on the actual allocation (filtered scanlines:
+    // stride*h) so header-claimed dimensions can neither overflow Int nor
+    // force a multi-GB allocation from a ~50-byte input.
+    val strideL = 1L + w.toLong * bpp
+    if (strideL * h > MaxDecodedBytes) return null
     // concatenate IDAT payloads
     val idat = new java.io.ByteArrayOutputStream(b.length)
     var off = 33 // 8 sig + 25 IHDR chunk
@@ -188,12 +197,14 @@ object PngCodec {
       else {
         val typ = new String(b, off + 4, 4, "US-ASCII")
         if (typ == "IDAT") idat.write(b, off + 8, len)
+        // tRNS on gray/RGB adds transparency ImageIO honors but this fast
+        // path would drop — defer to ImageIO for identical output.
+        else if (typ == "tRNS" && colorType != 6) return null
         if (typ == "IEND") ok = false
         off += 12 + len
       }
     }
-    val bpp = channels // bytes per pixel at 8-bit depth
-    val stride = 1 + w * bpp
+    val stride = strideL.toInt
     val raw = new Array[Byte](stride * h)
     val inf = new java.util.zip.Inflater()
     inf.setInput(idat.toByteArray)

@@ -96,7 +96,7 @@ object Packing {
       .withColumn("__h", c(Mix64(asExpr(col("id")))))
       .withColumn("shard", pmod(col("__h"), lit(numShards.toLong)).cast("int"))
       .withColumn("start_offset", coalesce(sum(col("__tok")).over(w), lit(0L)))
-      .withColumn("bin", (col("start_offset") / capacity).cast("long"))
+      .withColumn("bin", expr(s"start_offset div ${capacity}L"))
   }
 
   /** (id, shard, bin, start_offset): bin = start_offset / capacity with

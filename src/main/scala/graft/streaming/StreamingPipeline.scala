@@ -132,8 +132,9 @@ object StreamingPipeline {
     * min, max — no float summation order to disagree on) and integer
     * epoch-micros session bounds: the oracle-checkable face of the
     * session operator. `session_end` = last event + gap, and an event at
-    * exactly `gap` after the previous one starts a NEW session (the
-    * session interval is half-open). */
+    * exactly `gap` after the previous one still MERGES into the session
+    * (the interval is closed at its end); only a strictly larger gap
+    * starts a new session. */
   def sessionStats(df: DataFrame, keyCol: String, eventTimeCol: String,
       valueCol: String, gap: String): DataFrame =
     df.groupBy(col(keyCol), session_window(col(eventTimeCol), gap))

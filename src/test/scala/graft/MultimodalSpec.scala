@@ -97,6 +97,49 @@ class MultimodalSpec extends AnyFunSuite {
     assert(graft.pipeline.PngCodec.decode("notapng".getBytes) == null)
   }
 
+  test("PngCodec rejects hostile headers and tRNS without crashing") {
+    def crc(bytes: Array[Byte], off: Int, len: Int): Int = {
+      val c = new java.util.zip.CRC32(); c.update(bytes, off, len); c.getValue.toInt
+    }
+    def i32(v: Int): Array[Byte] =
+      Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def header(w: Int, h: Int, colorType: Int): Array[Byte] = {
+      val os = new java.io.ByteArrayOutputStream()
+      os.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
+      val ihdr = Array[Byte]('I', 'H', 'D', 'R') ++ i32(w) ++ i32(h) ++
+        Array[Byte](8, colorType.toByte, 0, 0, 0)
+      os.write(i32(13)); os.write(ihdr); os.write(i32(crc(ihdr, 0, ihdr.length)))
+      os.toByteArray
+    }
+    // 1 x 536_870_911 RGBA: stride*h overflows Int (~2.68e9) — must return
+    // null, not throw NegativeArraySizeException (the r5 ADVICE case).
+    val bomb = header(1, 536870911, 6) ++ i32(0) ++
+      Array[Byte]('I', 'E', 'N', 'D') ++ i32(0)
+    assert(graft.pipeline.PngCodec.decode(bomb) == null)
+    // 46_000 x 46_000 gray: stride*h fits in Int but exceeds the 256 MiB
+    // allocation cap — null, not a 2 GB allocation from a 50-byte input.
+    val big = header(46000, 46000, 0) ++ i32(0) ++
+      Array[Byte]('I', 'E', 'N', 'D') ++ i32(0)
+    assert(graft.pipeline.PngCodec.decode(big) == null)
+    // gray PNG with a tRNS chunk: fast path must defer to ImageIO (which
+    // honors the transparency) instead of decoding as opaque gray.
+    val os = new java.io.ByteArrayOutputStream()
+    os.write(header(2, 2, 0))
+    val trns = Array[Byte]('t', 'R', 'N', 'S', 0, 0)
+    os.write(i32(2)); os.write(trns); os.write(i32(crc(trns, 0, trns.length)))
+    val deflated = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(Array[Byte](0, 10, 20, 0, 30, 40)) // 2 rows: filter 0 + 2 px
+      d.finish()
+      val buf = new Array[Byte](64); val n = d.deflate(buf); d.end(); buf.take(n)
+    }
+    val idat = Array[Byte]('I', 'D', 'A', 'T') ++ deflated
+    os.write(i32(deflated.length)); os.write(idat); os.write(i32(crc(idat, 0, idat.length)))
+    val iend = Array[Byte]('I', 'E', 'N', 'D')
+    os.write(i32(0)); os.write(iend); os.write(i32(crc(iend, 0, 4)))
+    assert(graft.pipeline.PngCodec.decode(os.toByteArray) == null)
+  }
+
   test("mm_decode_image reads JPEG and GIF payloads, not just PNG") {
     def enc(fmt: String): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(17, 9, java.awt.image.BufferedImage.TYPE_INT_RGB)
