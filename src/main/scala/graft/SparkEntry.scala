@@ -663,6 +663,45 @@ object SparkEntry {
           ev, "user_id", "ts", "value", gap = "1 hour")
         .orderBy("user_id", "session_start")
     }),
+    // As-of join: each click annotated with the latest at-or-before view
+    // by the same user. Single-shuffle union+window algorithm
+    // (Temporal.asofJoin) — no theta join, no BNLJ.
+    "q_asof" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = t(s, dir, "events").withColumn("tus", expr("ts div 1000"))
+      // right side pre-aggregated to unique (user_id, tus) so the
+      // tie-break never engages and any engine agrees row-for-row
+      val views = ev.where(col("event_type") === "view")
+        .groupBy("user_id", "tus").agg(max("value").as("value"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select("event_id", "user_id", "tus")
+      graft.pipeline.Temporal.asofJoin(clicks, views, "user_id", "tus", "tus",
+          rightPrefix = "view_")
+        .orderBy("event_id")
+    }),
+    // Interval join: errors within 10 minutes after each click, counted
+    // per click (left outer via re-join so zero-error clicks keep a row).
+    // Bucketed equi-join on (user_id, time bucket) — the 100 TB shape.
+    "q_interval_join" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val tenMinUs = 600000000L
+      val ev = t(s, dir, "events").withColumn("tus", expr("ts div 1000"))
+      val errors = ev.where(col("event_type") === "error")
+        .select("user_id", "tus", "value")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("tus").as("lo"),
+          (col("tus") + tenMinUs).as("hi"))
+      val pairs = graft.pipeline.Temporal.intervalJoin(
+        errors, clicks, "user_id", "tus", "lo", "hi", bucketWidth = tenMinUs)
+      val perClick = pairs.groupBy(col("span_event_id").as("event_id"))
+        .agg(count(lit(1)).as("n_errors"),
+          min("value").as("min_error"), max("value").as("max_error"))
+      clicks.join(perClick, Seq("event_id"), "left")
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("n_errors"), lit(0L)).as("n_errors"),
+          col("min_error"), col("max_error"))
+        .orderBy("event_id")
+    }),
     // events.ts is parquet TIMESTAMP(NANOS): read as long nanos, convert.
     "q_events_daily" -> ((s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -1252,6 +1291,37 @@ object SparkEntry {
          |SELECT user_id, MIN(tus) AS session_start, MAX(tus) + 3600000000 AS session_end,
          |  CAST(COUNT(*) AS BIGINT) AS n_events, MIN(value) AS min_value, MAX(value) AS max_value
          |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+    // as-of join re-derived portably: union views (side 0) and clicks
+    // (side 1), cumulative LAST_VALUE IGNORE NULLS over (ts, side) —
+    // side 0 first so an exact-ts view matches its click
+    "q_asof" ->
+      s"""WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tus, event_type, value FROM events),
+         |v AS (SELECT user_id, tus, MAX(value) AS value FROM e WHERE event_type = 'view' GROUP BY 1, 2),
+         |c AS (SELECT event_id, user_id, tus FROM e WHERE event_type = 'click'),
+         |u AS (
+         |  SELECT user_id, tus, 0 AS side, NULL::BIGINT AS event_id, value FROM v
+         |  UNION ALL
+         |  SELECT user_id, tus, 1, event_id, NULL FROM c),
+         |w AS (SELECT *,
+         |    LAST_VALUE(CASE WHEN side = 0 THEN tus END IGNORE NULLS)
+         |      OVER win AS view_tus,
+         |    LAST_VALUE(CASE WHEN side = 0 THEN value END IGNORE NULLS)
+         |      OVER win AS view_value
+         |  FROM u WINDOW win AS (PARTITION BY user_id ORDER BY tus, side ROWS UNBOUNDED PRECEDING))
+         |SELECT event_id, user_id, tus, view_tus, view_value
+         |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin,
+    // interval join as the plain (quadratic) range LEFT JOIN the bucketed
+    // Spark plan must agree with row-for-row
+    "q_interval_join" ->
+      s"""WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tus, event_type, value FROM events),
+         |c AS (SELECT event_id, user_id, tus FROM e WHERE event_type = 'click'),
+         |x AS (SELECT user_id, tus, value FROM e WHERE event_type = 'error')
+         |SELECT c.event_id, c.user_id,
+         |  CAST(COUNT(x.tus) AS BIGINT) AS n_errors,
+         |  MIN(x.value) AS min_error, MAX(x.value) AS max_error
+         |FROM c LEFT JOIN x ON x.user_id = c.user_id
+         |  AND x.tus >= c.tus AND x.tus < c.tus + 600000000
+         |GROUP BY c.event_id, c.user_id ORDER BY c.event_id""".stripMargin,
     // PII detection/redaction over the same query-side injected spans;
     // the regexes are the RE2-compatible subset so both engines agree
     "q_pii" -> {

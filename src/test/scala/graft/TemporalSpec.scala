@@ -1,0 +1,114 @@
+package graft
+
+import graft.pipeline.Temporal
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TemporalSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private def quotes = Seq(
+    // key, ts, px
+    ("A", 100L, 1.0), ("A", 200L, 2.0), ("A", 300L, 3.0),
+    ("B", 150L, 9.0)).toDF("k", "ts", "px")
+
+  private def trades = Seq(
+    ("A", 99L, 10), ("A", 100L, 11), ("A", 250L, 12), ("A", 301L, 13),
+    ("B", 140L, 14), ("C", 500L, 15)).toDF("k", "ts", "qty")
+
+  test("asofJoin: backward match with exact-match inclusion, left outer") {
+    val out = Temporal.asofJoin(trades, quotes, "k", "ts", "ts")
+      .orderBy("k", "ts").collect()
+    // (trade ts -> matched quote ts, px)
+    val got = out.map(r => (r.getString(0), r.getLong(1),
+      if (r.isNullAt(3)) null else r.getLong(3),
+      if (r.isNullAt(4)) null else r.getDouble(4))).toSeq
+    assert(got == Seq(
+      ("A", 99L, null, null),        // before first quote
+      ("A", 100L, 100L, 1.0),        // exact ts matches
+      ("A", 250L, 200L, 2.0),        // latest at-or-before
+      ("A", 301L, 300L, 3.0),
+      ("B", 140L, null, null),
+      ("C", 500L, null, null)))      // key absent from right
+  }
+
+  test("asofJoin: tolerance nulls out stale matches") {
+    val out = Temporal.asofJoin(trades, quotes, "k", "ts", "ts",
+        tolerance = Some(lit(10L)))
+      .orderBy("k", "ts").collect()
+    val matched = out.map(r => (r.getString(0), r.getLong(1), !r.isNullAt(3))).toSeq
+    assert(matched == Seq(
+      ("A", 99L, false), ("A", 100L, true), ("A", 250L, false),
+      ("A", 301L, true), ("B", 140L, false), ("C", 500L, false)))
+  }
+
+  test("asofJoin: ties on (key, ts) resolve to the greatest payload") {
+    val r = Seq(("A", 10L, 1.0), ("A", 10L, 5.0), ("A", 10L, 3.0)).toDF("k", "ts", "v")
+    val l = Seq(("A", 10L), ("A", 11L)).toDF("k", "ts")
+    val out = Temporal.asofJoin(l, r, "k", "ts", "ts").orderBy("ts").collect()
+    assert(out.map(_.getDouble(3)).toSeq == Seq(5.0, 5.0))
+  }
+
+  test("asofJoin matches a brute-force oracle on random data") {
+    val n = 500
+    val rnd = new scala.util.Random(7)
+    val lt = (1 to n).map(i => (s"k${rnd.nextInt(5)}", rnd.nextInt(1000).toLong, i))
+    val rt = (1 to n).map(i => (s"k${rnd.nextInt(6)}", rnd.nextInt(1000).toLong, i.toDouble))
+    // brute: for each left row the max right ts <= l.ts; payload max on tie
+    val expected = lt.map { case (k, ts, i) =>
+      val cand = rt.filter(r => r._1 == k && r._2 <= ts)
+      val m = if (cand.isEmpty) None
+        else { val mt = cand.map(_._2).max; Some(cand.filter(_._2 == mt).map(_._3).max) }
+      (k, ts, i, m)
+    }.sortBy(t => (t._1, t._2, t._3))
+    val out = Temporal.asofJoin(lt.toDF("k", "ts", "i"), rt.toDF("k", "ts", "v"),
+        "k", "ts", "ts")
+      .orderBy("k", "ts", "i").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toSeq
+    assert(out == expected)
+  }
+
+  test("intervalJoin: half-open containment, exact pairs, any bucket width") {
+    val pts = Seq(("A", 5L, "p1"), ("A", 10L, "p2"), ("A", 19L, "p3"),
+      ("A", 20L, "p4"), ("B", 10L, "p5")).toDF("k", "ts", "tag")
+    val spans = Seq(("A", 10L, 20L, "s1"), ("A", 15L, 16L, "s2"),
+      ("A", 30L, 30L, "s0"), // empty: end == start
+      ("B", 0L, 100L, "s3")).toDF("k", "lo", "hi", "name")
+    val expected = Set(("p2", "s1"), ("p3", "s1"), ("p5", "s3"))
+    for (width <- Seq(1L, 3L, 7L, 64L, 1000L)) {
+      val got = Temporal.intervalJoin(pts, spans, "k", "ts", "lo", "hi", width)
+        .select("tag", "span_name").collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(got == expected, s"width $width")
+    }
+  }
+
+  test("intervalJoin matches a brute-force oracle on random spans") {
+    val rnd = new scala.util.Random(11)
+    val pts = (1 to 300).map(i => (s"k${rnd.nextInt(4)}", rnd.nextInt(500).toLong, i))
+    val spans = (1 to 80).map { i =>
+      val lo = rnd.nextInt(500).toLong
+      (s"k${rnd.nextInt(5)}", lo, lo + rnd.nextInt(60), i)
+    }
+    val expected = (for {
+      (pk, ts, pi) <- pts
+      (sk, lo, hi, si) <- spans
+      if pk == sk && ts >= lo && ts < hi
+    } yield (pi, si)).toSet
+    val got = Temporal.intervalJoin(pts.toDF("k", "ts", "i"),
+        spans.toDF("k", "lo", "hi", "j"), "k", "ts", "lo", "hi", 32L)
+      .select("i", "span_j").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(got == expected)
+  }
+
+  test("asofJoin plan is a single shuffle (no broadcast-nested-loop)") {
+    val plan = Temporal.asofJoin(trades, quotes, "k", "ts", "ts")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // exactly one exchange hashes the key for the window
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected 1 hash exchange, plan:\n$plan")
+  }
+}
