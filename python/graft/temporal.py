@@ -1,0 +1,112 @@
+"""Temporal joins — Python mirror of ``graft.pipeline.Temporal``.
+
+Pure-PySpark DataFrame implementations of the same two algorithms the
+Scala side ships (see ``pipeline/Temporal.scala`` for the full design
+notes):
+
+- ``asof_join``: ONE shuffle — union the tagged inputs and take
+  ``last(payload, ignoreNulls)`` over a per-key ``(ts, side)`` window —
+  instead of the broadcast-nested-loop plan a ``l.ts >= r.ts`` theta
+  join produces.
+- ``interval_join``: map each point to exactly one time bucket and each
+  span to the buckets it overlaps, equi-join on ``(key, bucket)``, then
+  refine with the exact half-open containment predicate. Linear shuffle
+  volume, no dedup pass.
+
+Both are plain DataFrame compositions, so results are identical to the
+Scala operators row-for-row (asserted by ``test_temporal.py`` against
+the same fixtures as TemporalSpec).
+"""
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(left, right, key, left_ts, right_ts, right_prefix="right_",
+              tolerance=None):
+    """For every left row, attach the right row of the same ``key`` with
+    the greatest ``right_ts <= left_ts`` (pandas ``merge_asof``,
+    direction="backward", exact matches allowed). Left-outer: unmatched
+    rows keep null right columns.
+
+    ``tolerance``: optional Column literal bounding ``left_ts -
+    right_ts`` in the ts columns' own algebra (``F.lit(600000000)`` for
+    long micros, ``F.expr("INTERVAL '10' MINUTE")`` for timestamps).
+
+    Ties on the matched ``(key, ts)`` resolve to the greatest payload
+    struct — a total order, so engines and plans agree.
+    """
+    payload_cols = [c for c in right.columns if c != key]
+    if right_ts not in payload_cols:
+        raise ValueError(f"right is missing ts column {right_ts}")
+    r = right.select(
+        F.col(key).alias("__graft_k"),
+        F.col(right_ts).alias("__graft_ts"),
+        F.lit(0).alias("__graft_side"),
+        F.struct(*[F.col(c) for c in payload_cols]).alias("__graft_r"),
+    )
+    l = (
+        left.withColumn("__graft_k", F.col(key))
+        .withColumn("__graft_ts", F.col(left_ts))
+        .withColumn("__graft_side", F.lit(1))
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy("__graft_k")
+        .orderBy(F.col("__graft_ts"), F.col("__graft_side"), F.col("__graft_r"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = F.last(F.col("__graft_r"), ignorenulls=True).over(w)
+    if tolerance is not None:
+        matched = F.when(
+            matched.isNotNull()
+            & (F.col("__graft_ts") - matched[right_ts] <= tolerance),
+            matched,
+        )
+    u = u.withColumn("__graft_m", matched).where(F.col("__graft_side") == 1)
+    return u.select(
+        *[F.col(c) for c in left.columns],
+        *[F.col("__graft_m")[c].alias(right_prefix + c) for c in payload_cols],
+    )
+
+
+def interval_join(points, spans, key, ts_col, start_col, end_col,
+                  bucket_width, span_prefix="span_"):
+    """Every (point, span) pair of the same ``key`` with
+    ``start <= ts < end`` (half-open). Span columns come back prefixed
+    with ``span_prefix``. Timestamps must be numeric (epoch micros via
+    ``unix_micros`` for TIMESTAMP columns).
+
+    ``bucket_width`` ~ typical span length: each span explodes to
+    ``ceil(span/width)`` bucket rows; any width gives identical results.
+    """
+    if bucket_width <= 0:
+        raise ValueError(f"bucket_width must be positive, got {bucket_width}")
+    span_cols = list(spans.columns)
+    p = points.withColumn("__graft_k", F.col(key)).withColumn(
+        "__graft_b", F.expr(f"CAST({ts_col} AS BIGINT) div {bucket_width}L")
+    )
+    sp = (
+        spans.where(F.col(end_col) > F.col(start_col))
+        .select(
+            F.col(key).alias("__graft_k"),
+            F.explode(
+                F.sequence(
+                    F.expr(f"CAST({start_col} AS BIGINT) div {bucket_width}L"),
+                    F.expr(f"(CAST({end_col} AS BIGINT) - 1) div {bucket_width}L"),
+                )
+            ).alias("__graft_b"),
+            F.struct(*[F.col(c) for c in span_cols]).alias("__graft_s"),
+        )
+    )
+    return (
+        p.join(sp, ["__graft_k", "__graft_b"])
+        .where(
+            (F.col(ts_col) >= F.col("__graft_s")[start_col])
+            & (F.col(ts_col) < F.col("__graft_s")[end_col])
+        )
+        .select(
+            *[F.col(c) for c in points.columns],
+            *[F.col("__graft_s")[c].alias(span_prefix + c) for c in span_cols],
+        )
+    )

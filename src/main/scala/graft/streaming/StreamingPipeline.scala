@@ -108,6 +108,42 @@ object StreamingPipeline {
   }
 
   /**
+   * Stream-stream interval join: pair each point event with every span
+   * `[start, end)` of the same key, the streaming face of
+   * [[graft.pipeline.Temporal.intervalJoin]] (same half-open
+   * containment, span columns prefixed `span_`).
+   *
+   * Spark-first: this is the built-in watermarked stream-stream join —
+   * no custom state code. Both sides carry a watermark, and the
+   * REDUNDANT `ts <= start + maxSpan` conjunct is what lets the engine
+   * derive a state watermark for each side (the `ts < end` bound
+   * relates ts to a non-watermarked payload column, which the state
+   * manager cannot reason about), so buffered rows are evicted once
+   * they can no longer match — state is bounded by
+   * `watermark + maxSpan`, not by stream length. `maxSpan` must be an
+   * upper bound on span length (spans longer than it lose matches past
+   * the bound — assert it from the span generator, don't guess).
+   *
+   * Timestamps are TIMESTAMP columns here (event time), where the
+   * batch operator uses numeric micros: watermarks only attach to
+   * event-time columns.
+   */
+  def intervalJoinStream(points: DataFrame, spans: DataFrame, key: String,
+      tsCol: String, startCol: String, endCol: String,
+      watermark: String = "10 minutes", maxSpan: String = "1 hour"): DataFrame = {
+    val p = points.withWatermark(tsCol, watermark)
+    val sp = spans
+      .select(spans.columns.toSeq.map(c => col(c).as("span_" + c)): _*)
+      .withWatermark("span_" + startCol, watermark)
+    p.join(sp,
+        col(key) === col("span_" + key) &&
+          col(tsCol) >= col("span_" + startCol) &&
+          col(tsCol) < col("span_" + endCol) &&
+          col(tsCol) <= col("span_" + startCol) + expr(s"INTERVAL $maxSpan"))
+      .drop("span_" + key)
+  }
+
+  /**
    * Event sessionization with the BUILT-IN `session_window` aggregation
    * (Spark-first: no custom state code — the dynamic-gap session
    * operator ships with Structured Streaming and its state is

@@ -20,6 +20,8 @@ object Plans {
     show("q_knn_pq")
     show("q_lm_score")
     show("q_pack")
+    show("q_asof")
+    show("q_interval_join")
     spark.stop()
   }
 }

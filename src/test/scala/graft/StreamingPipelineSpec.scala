@@ -137,6 +137,40 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(en == 3L)
   }
 
+  test("stream-stream interval join pairs points with containing spans") {
+    val pdir = Files.createTempDirectory("stream-ij-pts").toString
+    val sdir = Files.createTempDirectory("stream-ij-spans").toString
+    val pts = Seq(
+      ("u1", Timestamp.valueOf("2026-01-01 00:05:00"), 101L),
+      ("u1", Timestamp.valueOf("2026-01-01 00:25:00"), 102L), // outside span
+      ("u2", Timestamp.valueOf("2026-01-01 00:10:00"), 103L),
+      ("u1", Timestamp.valueOf("2026-01-01 00:19:59"), 104L), // just inside
+      ("u1", Timestamp.valueOf("2026-01-01 00:20:00"), 105L)) // end excluded
+      .toDF("k", "ts", "pid")
+    val spans = Seq(
+      ("u1", Timestamp.valueOf("2026-01-01 00:00:00"),
+        Timestamp.valueOf("2026-01-01 00:20:00"), 1L),
+      ("u3", Timestamp.valueOf("2026-01-01 00:00:00"),
+        Timestamp.valueOf("2026-01-01 00:30:00"), 2L))
+      .toDF("k", "lo", "hi", "sid")
+    pts.write.mode("overwrite").parquet(pdir)
+    spans.write.mode("overwrite").parquet(sdir)
+
+    val joined = StreamingPipeline.intervalJoinStream(
+      spark.readStream.schema(pts.schema).parquet(pdir),
+      spark.readStream.schema(spans.schema).parquet(sdir),
+      "k", "ts", "lo", "hi", watermark = "5 minutes", maxSpan = "30 minutes")
+    // streaming symmetric-hash join, not a batch fallback
+    assert(joined.isStreaming)
+    val q = joined.writeStream.format("memory").queryName("ij_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.sql("SELECT pid, span_sid FROM ij_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((101L, 1L), (104L, 1L)),
+      s"expected only in-span pairs with half-open end, got $got")
+  }
+
   test("session_window splits streams on the inactivity gap, batch-parity") {
     val dir = Files.createTempDirectory("stream-sessions").toString
     val rows = Seq(
