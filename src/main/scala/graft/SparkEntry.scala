@@ -289,6 +289,13 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("content_hash")),
+    // CCNet-style segment ("line") dedup: segments repeated across the
+    // corpus are boilerplate and dropped; docs reassemble in order.
+    "q_segment_dedup" -> ((s, dir) =>
+      Dedup.segmentDedup(t(s, dir, "documents"), "doc_id", "text",
+          segTokens = 4, maxDf = 1)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
     "q_repetition" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         graft.pipeline.TextFunctions.repetition_ratio(col("text")).as("rep3"))
@@ -1020,6 +1027,20 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, CAST(COUNT(*) AS BIGINT) AS cnt, MIN(doc_id) AS keep_id
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // segment dedup re-derived with list slicing (no WITH ORDINALITY in
+    // this DuckDB): 4-token segments, df > 1 dropped, ordered reassembly
+    "q_segment_dedup" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |e AS (SELECT doc_id, toks, unnest(range(0, CAST(ceil(len(toks)/4.0) AS BIGINT))) AS seg_id FROM d),
+        |segs AS (SELECT doc_id, seg_id, array_to_string(toks[(seg_id*4+1):(seg_id*4+4)], ' ') AS seg FROM e),
+        |cnt AS (SELECT seg, COUNT(*) AS df FROM segs GROUP BY 1),
+        |kept AS (SELECT s.doc_id, s.seg_id, s.seg FROM segs s JOIN cnt c USING (seg) WHERE c.df <= 1),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_kept, string_agg(seg, ' ' ORDER BY seg_id) AS clean_text
+        |  FROM kept GROUP BY 1),
+        |tot AS (SELECT doc_id, CAST(ceil(len(toks)/4.0) AS INT) AS n_segments FROM d)
+        |SELECT t.doc_id, COALESCE(a.clean_text, '') AS clean_text, t.n_segments,
+        |  CAST(t.n_segments - COALESCE(a.n_kept, 0) AS INT) AS n_dropped
+        |FROM tot t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id""".stripMargin,
     // chained fixture + exact trigram-Jaccard edges + recursive-CTE
     // connected components — the transitive-closure ground truth for the
     // Spark side's iterative label propagation

@@ -106,6 +106,50 @@ object Dedup {
       .agg(count(lit(1)).as("cnt"), min(col(idCol)).as("keep_id"))
 
   /**
+   * Segment-level (CCNet/C4 "line dedup") exact dedup: drop every
+   * segment whose corpus-wide frequency exceeds `maxDf` (boilerplate —
+   * headers, footers, license blurbs — repeats across documents;
+   * original prose doesn't), then reassemble each document from its
+   * surviving segments in original order.
+   *
+   * A segment is `segTokens` consecutive whitespace tokens (the
+   * line-dedup unit for corpora without newlines; pass text pre-split
+   * on '\n' as single-token "segments" for literal line dedup).
+   *
+   * 100 TB shape: one partial+final count shuffled on the segment
+   * string, then a BROADCAST anti-join — only segments with
+   * `df > maxDf` (a tiny, boilerplate-sized set by construction) are
+   * broadcast, never the full segment table — and one groupBy(doc) for
+   * the ordered reassembly. Documents whose every segment is dropped
+   * survive with empty text (left join back to the id spine).
+   *
+   * Everything is built-in codegen'd functions (transform/sequence/
+   * slice/posexplode + sort_array(collect_list)) — no UDFs.
+   *
+   * Returns (id, clean_text, n_segments, n_dropped).
+   */
+  def segmentDedup(df: DataFrame, idCol: String, textCol: String,
+      segTokens: Int = 8, maxDf: Long = 1): DataFrame = {
+    require(segTokens > 0, s"segTokens must be positive, got $segTokens")
+    val segsArr = expr(
+      s"""transform(sequence(0, CAST(ceil(size(split($textCol, ' ')) / ${segTokens}.0) AS INT) - 1),
+         |  i -> array_join(slice(split($textCol, ' '), i * $segTokens + 1, $segTokens), ' '))""".stripMargin)
+    val segs = df.select(col(idCol).as("id"), posexplode(segsArr).as(Seq("pos", "seg")))
+    val hot = segs.groupBy("seg").agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDf).select("seg")
+    val kept = segs.join(broadcast(hot), Seq("seg"), "left_anti")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(expr("transform(sort_array(collect_list(struct(pos, seg))), s -> s.seg)"), " ")
+          .as("clean_text"))
+    df.select(col(idCol).as("id"), size(segsArr).as("n_segments"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id"), coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_segments"),
+        (col("n_segments") - coalesce(col("n_kept"), lit(0L))).cast("int").as("n_dropped"))
+  }
+
+  /**
    * MinHash-LSH near-duplicate candidate pairs.
    * signature → `bands` bands of `numHashes/bands` rows → equi-join on
    * (band_idx, band_hash) — a shuffle hash join on bounded buckets, the

@@ -20,6 +20,32 @@ class DedupSpec extends AnyFunSuite {
     assert(labels(20L) == 20L)
   }
 
+  test("segmentDedup drops corpus-repeated segments, keeps order, keeps empty docs") {
+    // boilerplate "c1 c2 c3 c4" opens docs 1-3; the rest is unique prose.
+    // doc 4 is ONLY boilerplate -> survives with empty text.
+    val docs = Seq(
+      (1L, "c1 c2 c3 c4 a1 a2 a3 a4 a5 a6"),
+      (2L, "c1 c2 c3 c4 b1 b2 b3 b4"),
+      (3L, "c1 c2 c3 c4 d1 d2 d3 d4 d5"),
+      (4L, "c1 c2 c3 c4"),
+      (5L, "e1 e2 e3 e4 e5")).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(docs, "doc_id", "text", segTokens = 4, maxDf = 1)
+      .orderBy("id").collect()
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getString(1), r.getInt(2), r.getInt(3))).toMap
+    // trailing partial segments ("a5 a6", "d5") are unique -> kept
+    assert(byId(1L) == (("a1 a2 a3 a4 a5 a6", 3, 1)))
+    assert(byId(2L) == (("b1 b2 b3 b4", 2, 1)))
+    assert(byId(3L) == (("d1 d2 d3 d4 d5", 3, 1)))
+    assert(byId(4L) == (("", 1, 1)))           // fully-boilerplate doc survives
+    assert(byId(5L) == (("e1 e2 e3 e4 e5", 2, 0)))
+    // order preservation: multi-segment doc reassembles in original order
+    val long = Seq((9L, (1 to 20).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val kept = Dedup.segmentDedup(long, "doc_id", "text", segTokens = 4, maxDf = 1)
+      .head().getString(1)
+    assert(kept == (1 to 20).map(i => s"w$i").mkString(" "))
+  }
+
   test("LSH keepDecisions collapses a depth-3 near-dup chain transitively") {
     // base text + two successive small edits: consecutive pairs are
     // near-dups; ends are farther apart. One-hop propagation would split
