@@ -809,3 +809,13 @@ def pl_redact_pii(text):
 def mm_image_resize(blob, width, height):
     """Nearest-neighbor resize of a decodable image, re-encoded as PNG."""
     return _fn("mm_image_resize", blob, width, height)
+
+
+def pl_bloom_agg(hash_col, num_bits=1 << 20, k=5):
+    """Aggregate 64-bit key hashes into a Bloom bitset (array of longs)."""
+    return _fn("pl_bloom_agg", hash_col, num_bits, k)
+
+
+def pl_bloom_contains(bits, hash_col, k=5):
+    """Probe a literal Bloom bitset; False means certainly absent."""
+    return _fn("pl_bloom_contains", bits, hash_col, k)

@@ -296,6 +296,21 @@ object SparkEntry {
           segTokens = 4, maxDf = 1)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
+    // Incremental dedup against a reference corpus (docs with id%3=0)
+    // via a broadcast Bloom bitset: bloom_hit may include deterministic
+    // false positives; is_member is the exact ground truth.
+    "q_bloom_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val ref = docs.where(col("doc_id") % 3 === 0)
+      val bits = graft.pipeline.BloomDedup.bloomBits(ref, "text", numBits = 16384, k = 4)
+      val fp = TextFunctions.fingerprint(col("text"))
+      val refFps = ref.select(fp.as("rh")).distinct()
+      graft.pipeline.BloomDedup.annotate(docs, "doc_id", "text", bits, k = 4)
+        .select(col("doc_id"), fp.as("fp0"), col("bloom_hit"))
+        .join(broadcast(refFps), col("fp0") === col("rh"), "left")
+        .select(col("doc_id"), col("bloom_hit"), col("rh").isNotNull.as("is_member"))
+        .orderBy("doc_id")
+    }),
     "q_repetition" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         graft.pipeline.TextFunctions.repetition_ratio(col("text")).as("rep3"))
@@ -1027,6 +1042,30 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, CAST(COUNT(*) AS BIGINT) AS cnt, MIN(doc_id) AS keep_id
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Bloom probe replayed bit-exactly: fingerprint64 → Kirsch–Mitzenmacher
+    // double hashing (step = mix64(h ^ golden) | 1), 4 positions mod 2^14;
+    // a doc "hits" iff all 4 of its positions were set by some ref doc
+    "q_bloom_dedup" -> {
+      s"""WITH raw AS (
+         |  SELECT doc_id, list_reduce(
+         |    list_prepend(0::HUGEINT, list_transform(range(1, length(text) + 1),
+         |      i -> ascii(text[i])::HUGEINT)),
+         |    (a, b) -> (a * 1000003::HUGEINT + b) % $M64) AS h
+         |  FROM documents),
+         |fp AS (SELECT doc_id, ${duckMix64("h")} AS hu FROM raw),
+         |st0 AS (SELECT doc_id, hu,
+         |  ${duckMix64("xor(hu, 11400714819323198485::HUGEINT)")} AS g FROM fp),
+         |st AS (SELECT doc_id, hu, g - g % 2::HUGEINT + 1::HUGEINT AS step FROM st0),
+         |pos AS (SELECT doc_id,
+         |  ((hu + (i::HUGEINT * step) % $M64) % $M64) % 16384::HUGEINT AS p
+         |  FROM st, range(0, 4) r(i)),
+         |refpos AS (SELECT DISTINCT p FROM pos WHERE doc_id % 3 = 0),
+         |refh AS (SELECT DISTINCT hu FROM fp WHERE doc_id % 3 = 0),
+         |hit AS (SELECT doc_id, bool_and(p IN (SELECT p FROM refpos)) AS bloom_hit
+         |        FROM pos GROUP BY doc_id)
+         |SELECT f.doc_id, h.bloom_hit, (f.hu IN (SELECT hu FROM refh)) AS is_member
+         |FROM fp f JOIN hit h ON f.doc_id = h.doc_id ORDER BY f.doc_id""".stripMargin
+    },
     // segment dedup re-derived with list slicing (no WITH ORDINALITY in
     // this DuckDB): 4-token segments, df > 1 dropped, ordered reassembly
     "q_segment_dedup" ->

@@ -135,6 +135,8 @@ object FunctionDocs {
     "pl_distinct_ngrams" -> "pl_distinct_ngrams(tokens[, n]) - Distinct n-grams (default n=3) of a token array, in first-seen order.",
     "pl_ngrams" -> "pl_ngrams(tokens[, n]) - All n-grams (default n=2) of a token array with multiplicity; strict windows, so fewer than n tokens yields an empty array.",
     "pl_mix64" -> "pl_mix64(x) - splitmix64 finalizer of an integral value; a stable pseudo-random sort key for deterministic sampling.",
+    "pl_bloom_agg" -> "pl_bloom_agg(hash[, num_bits, k]) - Aggregates 64-bit key hashes into a Bloom bitset (array of num_bits/64 longs, default 2^20 bits / k=5); OR-mergeable across partitions for broadcast incremental dedup.",
+    "pl_bloom_contains" -> "pl_bloom_contains(bits, hash[, k]) - Probes a literal Bloom bitset (from pl_bloom_agg) for a 64-bit key hash; false means certainly absent, true may be a false positive.",
     "pl_vector_dot" -> "pl_vector_dot(a, b) - Dot product of two float/double array vectors, accumulated in double.",
     "pl_cosine_similarity" -> "pl_cosine_similarity(a, b) - Cosine similarity of two float/double array vectors (0.0 when either norm is zero).",
     "pl_pii_emails" -> "pl_pii_emails(text) - Every email-address span in the text, as an array of strings.",

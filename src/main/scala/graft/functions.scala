@@ -442,6 +442,10 @@ object Raster {
       regN("pl_ngrams", xs =>
         graft.pipeline.NGrams(xs.head, intArg(xs, 1, 2)))
       reg1("pl_mix64", graft.pipeline.Mix64(_))
+      regN("pl_bloom_agg", xs => graft.pipeline.BloomBuildAgg(xs.head,
+        intArg(xs, 1, 1 << 20), intArg(xs, 2, 5)).toAggregateExpression())
+      regN("pl_bloom_contains", xs =>
+        graft.pipeline.BloomContains(xs(0), xs(1), intArg(xs, 2, 5)))
       reg2("pl_vector_dot", graft.pipeline.VectorDot(_, _))
       reg2("pl_cosine_similarity", graft.pipeline.CosineSimilarity(_, _))
       regN("pl_pii_emails", pcol(PII.emails))
