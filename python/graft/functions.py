@@ -819,3 +819,38 @@ def pl_bloom_agg(hash_col, num_bits=1 << 20, k=5):
 def pl_bloom_contains(bits, hash_col, k=5):
     """Probe a literal Bloom bitset; False means certainly absent."""
     return _fn("pl_bloom_contains", bits, hash_col, k)
+
+
+def pl_nfc(text):
+    """Unicode NFC (canonical composition) normalization."""
+    return _fn("pl_nfc", text)
+
+
+def pl_nfkc(text):
+    """Unicode NFKC (compatibility composition) normalization."""
+    return _fn("pl_nfkc", text)
+
+
+def pl_unicode_normalize(text, form):
+    """Unicode normalization with an explicit form (NFC/NFD/NFKC/NFKD)."""
+    return _fn("pl_unicode_normalize", text, form)
+
+
+def pl_strip_accents(text):
+    """Remove diacritics: 'Café' becomes 'Cafe'."""
+    return _fn("pl_strip_accents", text)
+
+
+def pl_normalize_whitespace(text):
+    """Collapse whitespace runs to single spaces and trim."""
+    return _fn("pl_normalize_whitespace", text)
+
+
+def pl_strip_punct(text):
+    """Remove every character that is not a letter, digit, or whitespace."""
+    return _fn("pl_strip_punct", text)
+
+
+def pl_clean_text(text):
+    """Canonical cleaning: NFC, lowercase, whitespace collapse."""
+    return _fn("pl_clean_text", text)

@@ -311,6 +311,24 @@ object SparkEntry {
         .select(col("doc_id"), col("bloom_hit"), col("rh").isNotNull.as("is_member"))
         .orderBy("doc_id")
     }),
+    // Unicode-normalization family over a decorated text: the prefix
+    // carries decomposed sequences (e+U+0301, i+U+0308, U+212B, n+U+0303)
+    // so NFC composition, accent stripping, punctuation/whitespace
+    // cleanup all do real work; DuckDB's utf8proc implements the same
+    // Unicode algorithms as java.text.Normalizer
+    "q_normalize" -> ((s, dir) => {
+      import graft.pipeline.TextNorm
+      val deco = concat(
+        lit("  Café naïve Å piña --- "),
+        col("text"), lit("\t end  "))
+      t(s, dir, "documents").select(col("doc_id"),
+        TextNorm.nfc(deco).as("nfc_text"),
+        length(TextNorm.nfc(deco)).as("nfc_len"),
+        TextNorm.strip_accents(deco).as("plain"),
+        TextNorm.clean(deco).as("clean"),
+        TextNorm.normalize_whitespace(TextNorm.strip_punct(deco)).as("nopunct"))
+        .orderBy("doc_id")
+    }),
     "q_repetition" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         graft.pipeline.TextFunctions.repetition_ratio(col("text")).as("rep3"))
@@ -1042,6 +1060,20 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, CAST(COUNT(*) AS BIGINT) AS cnt, MIN(doc_id) AS keep_id
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same decomposed decoration replayed; utf8proc's nfc_normalize /
+    // strip_accents implement the same Unicode algorithms as
+    // java.text.Normalizer, and the regex cleanup is dialect-neutral
+    "q_normalize" ->
+      """WITH d AS (SELECT doc_id,
+        |  '  Café naïve Å piña --- ' || text || chr(9) || ' end  ' AS deco FROM documents)
+        |SELECT doc_id,
+        |  nfc_normalize(deco) AS nfc_text,
+        |  CAST(length(nfc_normalize(deco)) AS INT) AS nfc_len,
+        |  strip_accents(deco) AS plain,
+        |  trim(regexp_replace(lower(nfc_normalize(deco)), '\s+', ' ', 'g')) AS clean,
+        |  trim(regexp_replace(regexp_replace(deco, '[^\p{L}\p{N}\s]', '', 'g'),
+        |       '\s+', ' ', 'g')) AS nopunct
+        |FROM d ORDER BY doc_id""".stripMargin,
     // Bloom probe replayed bit-exactly: fingerprint64 → Kirsch–Mitzenmacher
     // double hashing (step = mix64(h ^ golden) | 1), 4 positions mod 2^14;
     // a doc "hits" iff all 4 of its positions were set by some ref doc

@@ -135,6 +135,13 @@ object FunctionDocs {
     "pl_distinct_ngrams" -> "pl_distinct_ngrams(tokens[, n]) - Distinct n-grams (default n=3) of a token array, in first-seen order.",
     "pl_ngrams" -> "pl_ngrams(tokens[, n]) - All n-grams (default n=2) of a token array with multiplicity; strict windows, so fewer than n tokens yields an empty array.",
     "pl_mix64" -> "pl_mix64(x) - splitmix64 finalizer of an integral value; a stable pseudo-random sort key for deterministic sampling.",
+    "pl_nfc" -> "pl_nfc(text) - Unicode NFC (canonical composition) normalization of a string.",
+    "pl_nfkc" -> "pl_nfkc(text) - Unicode NFKC (compatibility composition) normalization of a string.",
+    "pl_unicode_normalize" -> "pl_unicode_normalize(text, form) - Unicode normalization with an explicit form: 'NFC', 'NFD', 'NFKC', or 'NFKD'.",
+    "pl_strip_accents" -> "pl_strip_accents(text) - Removes diacritics (NFD decomposition, combining marks dropped): 'Café' becomes 'Cafe'.",
+    "pl_normalize_whitespace" -> "pl_normalize_whitespace(text) - Collapses whitespace runs to single spaces and trims the ends.",
+    "pl_strip_punct" -> "pl_strip_punct(text) - Removes every character that is not a letter, digit, or whitespace.",
+    "pl_clean_text" -> "pl_clean_text(text) - Canonical cleaning pass: NFC normalization, lowercase, whitespace collapse.",
     "pl_bloom_agg" -> "pl_bloom_agg(hash[, num_bits, k]) - Aggregates 64-bit key hashes into a Bloom bitset (array of num_bits/64 longs, default 2^20 bits / k=5); OR-mergeable across partitions for broadcast incremental dedup.",
     "pl_bloom_contains" -> "pl_bloom_contains(bits, hash[, k]) - Probes a literal Bloom bitset (from pl_bloom_agg) for a 64-bit key hash; false means certainly absent, true may be a false positive.",
     "pl_vector_dot" -> "pl_vector_dot(a, b) - Dot product of two float/double array vectors, accumulated in double.",

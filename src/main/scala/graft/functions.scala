@@ -442,6 +442,14 @@ object Raster {
       regN("pl_ngrams", xs =>
         graft.pipeline.NGrams(xs.head, intArg(xs, 1, 2)))
       reg1("pl_mix64", graft.pipeline.Mix64(_))
+      reg1("pl_nfc", graft.pipeline.UnicodeNorm(_, "NFC"))
+      reg1("pl_nfkc", graft.pipeline.UnicodeNorm(_, "NFKC"))
+      regN("pl_unicode_normalize", xs => graft.pipeline.UnicodeNorm(xs(0),
+        xs(1).eval(null).toString))
+      reg1("pl_strip_accents", graft.pipeline.StripAccents(_))
+      regN("pl_normalize_whitespace", pcol(graft.pipeline.TextNorm.normalize_whitespace))
+      regN("pl_strip_punct", pcol(graft.pipeline.TextNorm.strip_punct))
+      regN("pl_clean_text", pcol(graft.pipeline.TextNorm.clean))
       regN("pl_bloom_agg", xs => graft.pipeline.BloomBuildAgg(xs.head,
         intArg(xs, 1, 1 << 20), intArg(xs, 2, 5)).toAggregateExpression())
       regN("pl_bloom_contains", xs =>

@@ -1,0 +1,98 @@
+package graft.pipeline
+
+import java.text.Normalizer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Text normalization for corpus cleaning: Unicode canonicalization,
+ * accent stripping, whitespace/punctuation cleanup. All per-row scalar
+ * work (no shuffle, trivially data-parallel at 100 TB); the regex pieces
+ * are Spark built-ins (codegen'd), the Unicode pieces are thin native
+ * expressions over `java.text.Normalizer` — the same Unicode
+ * normalization algorithm utf8proc implements, so DuckDB's
+ * `nfc_normalize`/`strip_accents` reproduce them bit-exactly.
+ */
+object NormHelper {
+  private val formOf = Map(
+    "NFC" -> Normalizer.Form.NFC, "NFD" -> Normalizer.Form.NFD,
+    "NFKC" -> Normalizer.Form.NFKC, "NFKD" -> Normalizer.Form.NFKD)
+
+  def form(name: String): Normalizer.Form =
+    formOf.getOrElse(name.toUpperCase,
+      throw new IllegalArgumentException(
+        s"unknown normalization form '$name' (expected NFC/NFD/NFKC/NFKD)"))
+
+  def normalize(s: UTF8String, f: Normalizer.Form): UTF8String =
+    UTF8String.fromString(Normalizer.normalize(s.toString, f))
+
+  private val Marks = "\\p{M}+".r
+  /** NFD-decompose, drop combining marks — 'Café' -> 'Cafe'. */
+  def stripAccents(s: UTF8String): UTF8String =
+    UTF8String.fromString(
+      Marks.replaceAllIn(Normalizer.normalize(s.toString, Normalizer.Form.NFD), ""))
+}
+
+/** Unicode normalization (NFC/NFD/NFKC/NFKD) of a string column. */
+case class UnicodeNorm(child: Expression, formName: String) extends UnaryExpression {
+  override def prettyName: String = "pl_unicode_normalize"
+  override def dataType: DataType = StringType
+  @transient private lazy val f = NormHelper.form(formName)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName expects a string argument")
+  }
+  override def nullSafeEval(input: Any): Any =
+    NormHelper.normalize(input.asInstanceOf[UTF8String], f)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
+    val fRef = ctx.addReferenceObj("normForm", f, "java.text.Normalizer.Form")
+    defineCodeGen(ctx, ev, c => s"graft.pipeline.NormHelper.normalize($c, $fRef)")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Accent/diacritic removal (NFD + drop combining marks). */
+case class StripAccents(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "pl_strip_accents"
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName expects a string argument")
+  }
+  override def nullSafeEval(input: Any): Any =
+    NormHelper.stripAccents(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    defineCodeGen(ctx, ev, c => s"graft.pipeline.NormHelper.stripAccents($c)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Column-level normalization surface. */
+object TextNorm {
+  import graft.expressions.{asColumn => c, asExpr}
+
+  def nfc(text: Column): Column = c(UnicodeNorm(asExpr(text), "NFC"))
+  def nfkc(text: Column): Column = c(UnicodeNorm(asExpr(text), "NFKC"))
+  def unicode_normalize(text: Column, form: String): Column =
+    c(UnicodeNorm(asExpr(text), form))
+  def strip_accents(text: Column): Column = c(StripAccents(asExpr(text)))
+
+  /** Collapse runs of whitespace to single spaces and trim the ends. */
+  def normalize_whitespace(text: Column): Column =
+    trim(regexp_replace(text, "\\s+", " "))
+
+  /** Drop everything but letters, digits, and whitespace. */
+  def strip_punct(text: Column): Column =
+    regexp_replace(text, "[^\\p{L}\\p{N}\\s]", "")
+
+  /** Canonical cleaning pass: NFC, lowercase, whitespace collapse. */
+  def clean(text: Column): Column = normalize_whitespace(lower(nfc(text)))
+}

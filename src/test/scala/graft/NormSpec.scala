@@ -1,0 +1,70 @@
+package graft
+
+import graft.pipeline.TextNorm
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class NormSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  // explicit code points so composed vs decomposed inputs are unambiguous
+  private val eAcuteC = "\u00e9"           // composed
+  private val eAcuteD = "e\u0301"          // e + combining acute
+  private val angstromSign = "\u212b"      // angstrom sign
+  private val aRing = "\u00c5"             // A-ring composed
+
+  private def one(c: org.apache.spark.sql.Column): String =
+    Seq(1).toDF("x").select(c.as("r")).head().getString(0)
+
+  test("NFC composes combining sequences and singletons") {
+    assert(one(TextNorm.nfc(lit(s"Caf$eAcuteD"))) == s"Caf$eAcuteC")
+    assert(one(TextNorm.nfc(lit(angstromSign))) == aRing)
+    assert(one(TextNorm.nfc(lit("plain ascii"))) == "plain ascii")
+  }
+
+  test("NFKC also folds compatibility characters") {
+    assert(one(TextNorm.nfkc(lit("ﬁle"))) == "file")  // fi ligature
+    assert(one(TextNorm.nfkc(lit("①"))) == "1")       // circled one
+    assert(one(TextNorm.unicode_normalize(lit("ﬁ"), "NFKD")) == "fi")
+  }
+
+  test("strip_accents drops diacritics but keeps base letters") {
+    assert(one(TextNorm.strip_accents(
+      lit(s"Caf$eAcuteC naïve piña $angstromSign"))) ==
+      "Cafe naive pina A")
+    assert(one(TextNorm.strip_accents(lit(s"Caf$eAcuteD"))) == "Cafe")
+  }
+
+  test("whitespace and punctuation cleanup") {
+    assert(one(TextNorm.normalize_whitespace(lit(" a \t\n b  c "))) == "a b c")
+    assert(one(TextNorm.strip_punct(lit("a,b!c--d 9?"))) == "abcd 9")
+    assert(one(TextNorm.clean(lit(s"  Mixed  CASE$angstromSign "))) ==
+      "mixed case\u00e5")
+  }
+
+  test("nulls propagate, invalid form throws") {
+    val r = Seq(1).toDF("x").select(TextNorm.nfc(lit(null).cast("string"))).head()
+    assert(r.isNullAt(0))
+    assertThrows[Exception] {
+      Seq(1).toDF("x")
+        .select(TextNorm.unicode_normalize(lit("x"), "NOPE")).collect()
+    }
+  }
+
+  test("SQL surface parity") {
+    val r = spark.sql(
+      s"SELECT pl_nfc('Caf$eAcuteD'), pl_strip_accents('${eAcuteC}è'), " +
+        "pl_clean_text('  A  B '), pl_normalize_whitespace(' x  y '), " +
+        "pl_strip_punct('a.b'), pl_nfkc('ﬁ'), " +
+        s"pl_unicode_normalize('$eAcuteC', 'NFD')"
+    ).head()
+    assert(r.getString(0) == s"Caf$eAcuteC")
+    assert(r.getString(1) == "ee")
+    assert(r.getString(2) == "a b")
+    assert(r.getString(3) == "x y")
+    assert(r.getString(4) == "ab")
+    assert(r.getString(5) == "fi")
+    assert(r.getString(6) == eAcuteD)
+  }
+}
