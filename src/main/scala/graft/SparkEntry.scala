@@ -329,6 +329,21 @@ object SparkEntry {
         TextNorm.normalize_whitespace(TextNorm.strip_punct(deco)).as("nopunct"))
         .orderBy("doc_id")
     }),
+    // percentile quality gate: drop the bottom quartile by token count
+    // (integer-exact discrete quantile; threshold ties kept)
+    "q_quantile_filter" -> ((s, dir) => {
+      val score = TextFunctions.token_count(col("text"))
+      graft.pipeline.QuantileFilter.keepAbove(
+          t(s, dir, "documents"), score, permille = 250)
+        .select(col("doc_id"), score.cast("int").as("n_tokens"),
+          col("threshold"))
+        .orderBy("doc_id")
+    }),
+    // context-window chunking: 8-token windows, 4-token overlap
+    "q_chunk" -> ((s, dir) =>
+      graft.pipeline.Chunking.chunk(t(s, dir, "documents"), "doc_id", "text",
+          sizeTokens = 8, overlap = 4)
+        .orderBy("doc_id", "chunk_idx")),
     "q_repetition" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         graft.pipeline.TextFunctions.repetition_ratio(col("text")).as("rep3"))
@@ -1074,6 +1089,25 @@ object SparkEntry {
         |  trim(regexp_replace(regexp_replace(deco, '[^\p{L}\p{N}\s]', '', 'g'),
         |       '\s+', ' ', 'g')) AS nopunct
         |FROM d ORDER BY doc_id""".stripMargin,
+    // discrete-quantile threshold replayed: smallest score whose
+    // cumulative histogram count reaches ceil(n * 250 / 1000)
+    "q_quantile_filter" ->
+      """WITH s AS (SELECT doc_id, len(string_split(text, ' ')) AS score FROM documents),
+        |tot AS (SELECT COUNT(*) AS n FROM s),
+        |hist AS (SELECT score, COUNT(*) AS cnt FROM s GROUP BY score),
+        |cum AS (SELECT score, SUM(cnt) OVER (ORDER BY score) AS cume FROM hist),
+        |thr AS (SELECT MIN(score) AS t FROM cum, tot WHERE cume >= (n * 250 + 999) // 1000)
+        |SELECT doc_id, CAST(score AS INT) AS n_tokens, CAST(t AS BIGINT) AS threshold
+        |FROM s, thr WHERE score >= t ORDER BY doc_id""".stripMargin,
+    // chunk windows replayed with 1-based inclusive list slices:
+    // t[i*4+1 : i*4+8] == Spark slice(t, i*4+1, 8)
+    "q_chunk" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |c AS (SELECT doc_id, t, unnest(range(0, (len(t) - 1) // 4 + 1)) AS ci FROM d)
+        |SELECT doc_id, CAST(ci AS INT) AS chunk_idx, CAST(ci * 4 AS INT) AS start_token,
+        |  array_to_string(t[(ci*4+1):(ci*4+8)], ' ') AS chunk_text,
+        |  CAST(LEAST(8, len(t) - ci*4) AS INT) AS n_chunk_tokens
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     // Bloom probe replayed bit-exactly: fingerprint64 → Kirsch–Mitzenmacher
     // double hashing (step = mix64(h ^ golden) | 1), 4 positions mod 2^14;
     // a doc "hits" iff all 4 of its positions were set by some ref doc

@@ -166,3 +166,39 @@ object Mixture {
     sampleCore(df, idCol, srcCol, tokenCount, budgetTokens)
       .drop("__h", "__bucket", "__w", "cum_before", "cum_after")
 }
+
+/**
+ * Percentile-threshold quality filtering (FineWeb-style "drop the
+ * bottom p permille by score") with integer-exact semantics: the
+ * threshold is the smallest score value whose cumulative count reaches
+ * ceil(n * permille / 1000) — i.e. the discrete p-quantile — computed
+ * from a value histogram, never a global row sort. The 100 TB shape:
+ * one partial+final aggregate builds the histogram (rows collapse to
+ * distinct score values), the cumulative scan runs over that bounded
+ * histogram only, and the scalar threshold broadcasts back into a
+ * codegen'd filter. Requires an integral score with bounded cardinality
+ * (token counts, byte lengths, permille-scaled ratios); for unbounded
+ * real scores, quantize to permille first.
+ */
+object QuantileFilter {
+  /** One-row frame: the permille threshold of `score` (integer-exact). */
+  def threshold(df: DataFrame, score: Column, permille: Int): DataFrame = {
+    require(permille >= 0 && permille <= 1000, "permille must be in [0, 1000]")
+    val s = df.select(score.cast("long").as("__s"))
+    val hist = s.groupBy("__s").agg(count(lit(1)).as("__c"))
+    // single-partition window over the HISTOGRAM (distinct values), not rows
+    val cum = hist.withColumn("__cume",
+      sum(col("__c")).over(Window.orderBy(col("__s"))
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    val tot = s.agg(count(lit(1)).as("__n"))
+    cum.crossJoin(tot)
+      .where(col("__cume") >= expr(s"(__n * $permille + 999) div 1000"))
+      .agg(min(col("__s")).as("threshold"))
+  }
+
+  /** Keep rows whose score >= the permille threshold (threshold ties are
+    * kept, so at least (1000 - permille)/1000 of rows survive). */
+  def keepAbove(df: DataFrame, score: Column, permille: Int): DataFrame =
+    df.crossJoin(broadcast(threshold(df, score, permille)))
+      .where(score.cast("long") >= col("threshold"))
+}

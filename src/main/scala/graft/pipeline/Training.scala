@@ -142,3 +142,33 @@ object Splits {
           .otherwise("test"))
   }
 }
+
+/**
+ * Fixed-size token-window chunking with overlap — the context-window
+ * split of a training/RAG pipeline. A pure per-row generator (explode
+ * of a computed index range + array slices, all codegen'd built-ins):
+ * no shuffle, no state, output linear in corpus size, so the plan is
+ * identical at 100 TB. Chunk i covers tokens [i*stride, i*stride+size)
+ * with stride = size - overlap; every start < n_tokens emits, so short
+ * docs yield one (possibly short) chunk and every token lands in at
+ * least one chunk.
+ */
+object Chunking {
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+      sizeTokens: Int, overlap: Int = 0): DataFrame = {
+    require(sizeTokens > 0, "sizeTokens must be positive")
+    require(overlap >= 0 && overlap < sizeTokens,
+      "overlap must be in [0, sizeTokens)")
+    val stride = sizeTokens - overlap
+    df.select(col(idCol), split(col(textCol), " ").as("__t"))
+      .select(col(idCol), col("__t"),
+        explode(expr(s"sequence(0, (size(__t) - 1) div $stride)")).as("__ci"))
+      .select(col(idCol),
+        col("__ci").cast("int").as("chunk_idx"),
+        (col("__ci") * stride).cast("int").as("start_token"),
+        concat_ws(" ",
+          slice(col("__t"), col("__ci") * stride + 1, lit(sizeTokens))).as("chunk_text"),
+        least(lit(sizeTokens), size(col("__t")) - col("__ci") * stride)
+          .cast("int").as("n_chunk_tokens"))
+  }
+}

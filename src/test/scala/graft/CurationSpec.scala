@@ -83,4 +83,22 @@ class CurationSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(got == (1 to 8).map(_.toLong).toSet)
   }
+
+  test("QuantileFilter: integer-exact discrete quantile, ties kept") {
+    import graft.pipeline.QuantileFilter
+    // scores: 1x10, 2x10, 3x10, 4x10 -> n=40; permille=250 -> target 10
+    // cumulative: score 1 reaches 10 -> threshold = 1 (everything kept)
+    val df = (1 to 40).map(i => (i.toLong, (i - 1) / 10 + 1)).toDF("id", "score")
+    val t1 = QuantileFilter.threshold(df, col("score"), 250).head().getLong(0)
+    assert(t1 == 1L)
+    // permille=500 -> target 20; cume(1)=10 < 20, cume(2)=20 -> threshold 2
+    val t2 = QuantileFilter.threshold(df, col("score"), 500).head().getLong(0)
+    assert(t2 == 2L)
+    val kept = QuantileFilter.keepAbove(df, col("score"), 500)
+      .select("id").as[Long].collect().toSet
+    assert(kept == (11 to 40).map(_.toLong).toSet) // score >= 2, ties kept
+    // permille=1000 -> threshold = max score; only the top tie-group stays
+    val t3 = QuantileFilter.threshold(df, col("score"), 1000).head().getLong(0)
+    assert(t3 == 4L)
+  }
 }
