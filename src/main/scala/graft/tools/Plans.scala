@@ -22,6 +22,10 @@ object Plans {
     show("q_pack")
     show("q_asof")
     show("q_interval_join")
+    show("q_bloom_dedup")
+    show("q_chunk")
+    show("q_quantile_filter")
+    show("q_normalize")
     spark.stop()
   }
 }
