@@ -854,3 +854,8 @@ def pl_strip_punct(text):
 def pl_clean_text(text):
     """Canonical cleaning: NFC, lowercase, whitespace collapse."""
     return _fn("pl_clean_text", text)
+
+
+def pl_winnow(text, k=3, w=4):
+    """MOSS winnowing fingerprints as an array of (pos, fp) structs."""
+    return _fn("pl_winnow", text, k, w)

@@ -386,6 +386,12 @@ object SparkEntry {
         TextFunctions.fingerprint(col("text")).as("fp"),
         TextFunctions.simhash(col("text")).as("sh"))
         .orderBy("doc_id")),
+    // winnowing selections (k=3 grams, w=4 windows): positions + hashes
+    "q_winnow" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        explode(TextFunctions.winnow(col("text"), 3, 4)).as("sel"))
+        .select(col("doc_id"), col("sel.pos").as("pos"), col("sel.fp").as("fp"))
+        .orderBy("doc_id", "pos")),
     "q_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text", threshold = 0.2)
         .orderBy("a_id", "b_id")),
@@ -1264,6 +1270,30 @@ object SparkEntry {
          |  COALESCE((SELECT b.lang FROM best b
          |            WHERE b.doc_id = d.doc_id AND b.rn = 1 AND b.score > 0), 'und') AS guess
          |FROM documents d ORDER BY d.doc_id""".stripMargin
+    },
+    // winnowing replayed: same gram hash as the minhash shingles, the
+    // rightmost-window-min encoded as MIN over a composite key
+    // (signed-shifted hash * 2^32 + (2^32-1-pos)) in a 3-PRECEDING frame
+    "q_winnow" -> {
+      val gramHash = duckToSigned(duckMix64(duckFnv("g", "14695981039346656037")))
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |grams AS (SELECT doc_id, CAST(i AS INT) AS pos,
+         |  array_to_string(t[CAST(i AS INT):CAST(i + 2 AS INT)], ' ') AS g
+         |  FROM toks, unnest(range(1, greatest(len(t) - 1, 1))) u(i)),
+         |gh AS (SELECT doc_id, pos, $gramHash AS h FROM grams),
+         |keyed AS (SELECT doc_id, pos, h,
+         |  (h::HUGEINT + 9223372036854775808::HUGEINT) * 4294967296::HUGEINT
+         |    + (4294967295 - pos)::HUGEINT AS key FROM gh),
+         |nn AS (SELECT doc_id, MAX(pos) AS n FROM gh GROUP BY doc_id),
+         |wins AS (SELECT doc_id, pos AS e,
+         |  MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+         |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mk FROM keyed),
+         |selpos AS (SELECT DISTINCT w.doc_id,
+         |  CAST(4294967295 - (w.mk % 4294967296::HUGEINT) AS INT) AS pos
+         |  FROM wins w JOIN nn USING (doc_id) WHERE w.e >= least(4, n))
+         |SELECT s.doc_id, CAST(s.pos - 1 AS INT) AS pos, g.h AS fp
+         |FROM selpos s JOIN gh g ON s.doc_id = g.doc_id AND s.pos = g.pos
+         |ORDER BY s.doc_id, pos""".stripMargin
     },
     // rolling fingerprint + simhash recomputed with HUGEINT mod-2^64 math
     "q_fingerprint" -> {

@@ -437,6 +437,8 @@ object Raster {
         .expressionEager(TF.repetition_ratio(asColumn(xs.head), intArg(xs, 1, 3))))
       regN("pl_minhash", xs => org.apache.spark.sql.graft.shims
         .expressionEager(TF.minhash(asColumn(xs.head), intArg(xs, 1, 32), intArg(xs, 2, 3))))
+      regN("pl_winnow", xs => org.apache.spark.sql.graft.shims
+        .expressionEager(TF.winnow(asColumn(xs.head), intArg(xs, 1, 3), intArg(xs, 2, 4))))
       regN("pl_distinct_ngrams", xs =>
         graft.pipeline.DistinctNGrams(xs.head, intArg(xs, 1, 3)))
       regN("pl_ngrams", xs =>

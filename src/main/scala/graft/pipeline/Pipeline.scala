@@ -87,6 +87,11 @@ object TextFunctions {
     c(MinHashSignature(asExpr(tokens(text)), numHashes, shingle))
   def simhash(text: Column): Column = c(SimHash64(asExpr(tokens(text))))
 
+  /** MOSS-style winnowing fingerprints: array<struct<pos,fp>> of the
+    * rightmost-minimum gram hash per sliding window (see [[Winnow]]). */
+  def winnow(text: Column, k: Int = 3, w: Int = 4): Column =
+    c(Winnow(asExpr(tokens(text)), k, w))
+
   /** Gopher-style repetition signal: fraction of duplicate n-grams,
     * 1 − distinct/total (0 = no repetition). Integer counts → the
     * division is exact. Native expression ([[RepetitionRatio]]): the

@@ -727,3 +727,74 @@ case class PQAdc(left: Expression, right: Expression, k: Int) extends BinaryExpr
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
 }
+
+/**
+ * MOSS-style winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD
+ * 2003): hash every k-token gram (same FNV-1a + splitmix64 gram hash as
+ * [[MinHashSignature]]), slide a window of `w` consecutive hashes, and
+ * select each window's minimum — rightmost on ties, recording a
+ * position at most once. Guarantees every shared substring of at least
+ * w + k - 1 tokens contributes a common fingerprint, with a ~2/(w+1)
+ * sampling rate — the local-guarantee alternative to MinHash when
+ * POSITIONS of matches matter (plagiarism spans, overlap localization).
+ * Output: array<struct<pos:int, fp:bigint>> of selected (0-based gram
+ * start, gram hash). Per-row O(n) via a monotonic deque;
+ * CodegenFallback is fine (one eval per document, like the other
+ * signature expressions).
+ */
+case class Winnow(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k > 0 && w > 0, "winnow expects k > 0 and w > 0")
+  override def prettyName: String = "winnow"
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("pos", IntegerType, nullable = false),
+      StructField("fp", LongType, nullable = false))), containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName expects array<string>")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val nTok = toks.numElements()
+    val n = math.max(nTok - k + 1, 0)
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val hs = new Array[Long](n)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks.getUTF8String(i + j).toString)
+        j += 1
+      }
+      hs(i) = Hashing.hashBytes(sb.toString.getBytes("UTF-8"), 0L)
+      i += 1
+    }
+    // monotonic deque of indices with strictly increasing hash; equal
+    // hashes pop (>=) so the front is always the RIGHTMOST minimum
+    val deque = new Array[Int](n)
+    var head = 0
+    var tail = 0 // exclusive
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var prevSel = -1
+    var e = 0
+    val firstEnd = math.min(w, n) - 1
+    while (e < n) {
+      while (tail > head && hs(deque(tail - 1)) >= hs(e)) tail -= 1
+      deque(tail) = e; tail += 1
+      while (deque(head) < e - w + 1) head += 1
+      if (e >= firstEnd) {
+        val sel = deque(head)
+        if (sel != prevSel) {
+          out += InternalRow(sel, hs(sel))
+          prevSel = sel
+        }
+      }
+      e += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
