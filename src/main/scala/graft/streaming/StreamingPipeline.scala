@@ -26,6 +26,24 @@ object StreamingPipeline {
       .withWatermark(eventTimeCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /**
+   * Streaming incremental dedup against a STATIC reference corpus: rows
+   * whose content fingerprint might be in the reference Bloom bitset
+   * drop; the rest pass, optionally also deduped within the stream by
+   * [[dedupExact]]'s watermark horizon. The bitset is a per-row scalar
+   * probe of broadcast bits — no stream-static join, no extra state, so
+   * the reference corpus costs m/8 bytes per executor regardless of its
+   * row count. False positives (bounded, deterministic) drop novel docs;
+   * false negatives never pass a true duplicate of the reference.
+   */
+  def dedupAgainstBloom(df: DataFrame, textCol: String, bits: Array[Long],
+      k: Int): DataFrame = {
+    import graft.expressions.{asColumn, asExpr}
+    val fp = asColumn(graft.pipeline.Fingerprint64(asExpr(col(textCol))))
+    df.where(!graft.pipeline.BloomDedup.bloomContains(
+      org.apache.spark.sql.functions.lit(bits), fp, k))
+  }
+
   /** One row of the chunk-blocked simhash stream (see dedupNearSimHash).
     * `ts` keeps the watermarked event-time column itself — replacing it
     * with a cast would strip the watermark the event-time timeout needs. */

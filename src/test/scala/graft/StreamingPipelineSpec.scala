@@ -33,6 +33,29 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(out.toSet == Set("alpha text", "beta text", "gamma text"))
   }
 
+  test("streaming bloom filter drops reference-corpus duplicates, passes novel") {
+    val dir = Files.createTempDirectory("stream-bloom").toString
+    // static reference corpus
+    val ref = Seq((100L, "ref doc one"), (101L, "ref doc two"))
+      .toDF("doc_id", "text")
+    val bits = graft.pipeline.BloomDedup.bloomBits(ref, "text", 16384, 4)
+    val rows = Seq(
+      (1L, "ref doc one", Timestamp.valueOf("2026-01-01 00:00:00")),  // dup
+      (2L, "fresh doc a", Timestamp.valueOf("2026-01-01 00:01:00")),
+      (3L, "ref doc two", Timestamp.valueOf("2026-01-01 00:02:00")),  // dup
+      (4L, "fresh doc b", Timestamp.valueOf("2026-01-01 00:03:00")))
+    val df = rows.toDF("doc_id", "text", "ts")
+    df.write.mode("overwrite").parquet(dir)
+
+    val filtered = StreamingPipeline.dedupAgainstBloom(
+      spark.readStream.schema(df.schema).parquet(dir), "text", bits, 4)
+    val q = filtered.writeStream.format("memory").queryName("bloom_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val out = spark.sql("SELECT text FROM bloom_stream").collect().map(_.getString(0))
+    assert(out.toSet == Set("fresh doc a", "fresh doc b"), out.mkString(","))
+  }
+
   test("streaming simhash blocking drops a near-duplicate within the horizon") {
     val dir = Files.createTempDirectory("stream-neardup").toString
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
