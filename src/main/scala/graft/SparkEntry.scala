@@ -329,6 +329,17 @@ object SparkEntry {
         TextNorm.normalize_whitespace(TextNorm.strip_punct(deco)).as("nopunct"))
         .orderBy("doc_id")
     }),
+    // within-doc repetition removal: 2-token segments, first kept
+    "q_dedup_within" -> ((s, dir) =>
+      Dedup.dedupeWithinDoc(t(s, dir, "documents"), "doc_id", "text",
+          segTokens = 2)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+    // Gopher rule metrics + composite pass verdict
+    "q_gopher_rules" -> ((s, dir) =>
+      graft.pipeline.GopherRules.metrics(
+          t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
     // percentile quality gate: drop the bottom quartile by token count
     // (integer-exact discrete quantile; threshold ties kept)
     "q_quantile_filter" -> ((s, dir) => {
@@ -1095,6 +1106,43 @@ object SparkEntry {
         |  trim(regexp_replace(regexp_replace(deco, '[^\p{L}\p{N}\s]', '', 'g'),
         |       '\s+', ' ', 'g')) AS nopunct
         |FROM d ORDER BY doc_id""".stripMargin,
+    // first-occurrence order via ROW_NUMBER (DuckDB's list_distinct does
+    // NOT preserve order; Spark's array_distinct does)
+    "q_dedup_within" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |e AS (SELECT doc_id, t, unnest(range(0, (len(t) + 1) // 2)) AS si FROM d),
+        |segs AS (SELECT doc_id, si, array_to_string(t[(si*2+1):(si*2+2)], ' ') AS seg FROM e),
+        |rn AS (SELECT doc_id, si, seg,
+        |  ROW_NUMBER() OVER (PARTITION BY doc_id, seg ORDER BY si) AS r FROM segs),
+        |kept AS (SELECT doc_id, si, seg FROM rn WHERE r = 1),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+        |  string_agg(seg, ' ' ORDER BY si) AS clean_text FROM kept GROUP BY doc_id),
+        |tot AS (SELECT doc_id, (len(t) + 1) // 2 AS n_segments FROM d)
+        |SELECT t.doc_id, a.clean_text, CAST(t.n_segments AS INT) AS n_segments,
+        |  CAST(t.n_segments - a.n_kept AS INT) AS n_dropped
+        |FROM tot t JOIN agg a USING (doc_id) ORDER BY t.doc_id""".stripMargin,
+    // each Gopher ratio is one int/int division, replayed verbatim
+    "q_gopher_rules" ->
+      """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+        |m AS (SELECT doc_id, LEN(t) AS n,
+        |  list_reduce(list_prepend(0, list_transform(t, x -> length(x))), (a, b) -> a + b) AS sumlen,
+        |  LENGTH(text) - LENGTH(replace(text, '#', '')) AS hashes,
+        |  (LENGTH(text) - LENGTH(replace(text, '...', ''))) // 3 AS ellipses,
+        |  LEN(list_filter(t, x -> regexp_matches(x, '[a-zA-Z]'))) AS alpha,
+        |  LEN(list_filter(list_distinct(t),
+        |      x -> x IN ('the', 'a', 'and', 'of', 'to', 'in'))) AS stop_hits
+        |  FROM d)
+        |SELECT doc_id, CAST(n AS INT) AS n_words,
+        |  CAST(sumlen AS DOUBLE) / n AS mean_word_len,
+        |  CAST(hashes + ellipses AS DOUBLE) / n AS symbol_ratio,
+        |  CAST(alpha AS DOUBLE) / n AS alpha_ratio,
+        |  CAST(stop_hits AS INT) AS stop_hits,
+        |  (n BETWEEN 4 AND 1000)
+        |    AND (CAST(sumlen AS DOUBLE) / n BETWEEN 3.0 AND 10.0)
+        |    AND (CAST(hashes + ellipses AS DOUBLE) / n <= 0.1)
+        |    AND (CAST(alpha AS DOUBLE) / n >= 0.8)
+        |    AND (stop_hits >= 2) AS gopher_pass
+        |FROM m ORDER BY doc_id""".stripMargin,
     // discrete-quantile threshold replayed: smallest score whose
     // cumulative histogram count reaches ceil(n * 250 / 1000)
     "q_quantile_filter" ->

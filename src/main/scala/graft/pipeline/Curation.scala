@@ -202,3 +202,50 @@ object QuantileFilter {
     df.crossJoin(broadcast(threshold(df, score, permille)))
       .where(score.cast("long") >= col("threshold"))
 }
+
+/**
+ * Gopher-style document quality rules (Rae et al. 2021, "Scaling
+ * Language Models: ... Gopher", §A1.1): word-count bounds, mean word
+ * length in [3, 10], symbol-to-word ratio, alphabetic-word fraction,
+ * and a minimum distinct-stopword presence. All per-row codegen'd
+ * built-ins (split + higher-order array functions) — no shuffle, no
+ * UDFs — and every ratio is a single integer/integer division, so
+ * external engines replay the doubles bit-exactly. Line-based rules
+ * (bullet/ellipsis line fractions) are omitted: the synthetic corpus is
+ * single-line; add them over split(text, '\n') when lines exist.
+ */
+object GopherRules {
+  val DefaultStopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in")
+
+  /** Adds the rule metrics + the composite `gopher_pass` verdict. */
+  def metrics(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 4, maxWords: Int = 1000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, minAlphaRatio: Double = 0.8,
+      minStopHits: Int = 2,
+      stopwords: Seq[String] = DefaultStopwords): DataFrame = {
+    val text = col(textCol)
+    val toks = split(text, " ")
+    val n = size(toks)
+    val sumLen = aggregate(transform(toks, t => length(t)), lit(0), (a, x) => a + x)
+    val hashes = length(text) - length(replace(text, lit("#"), lit("")))
+    val ellipses = (length(text) - length(replace(text, lit("..."), lit("")))) / lit(3)
+    val alpha = size(filter(toks, t => t.rlike("[a-zA-Z]")))
+    val stopHits = size(filter(array_distinct(toks),
+      t => t.isin(stopwords.map(lit(_)): _*)))
+    val meanWordLen = sumLen.cast("double") / n
+    val symbolRatio = (hashes + ellipses).cast("double") / n
+    val alphaRatio = alpha.cast("double") / n
+    df.select(col(idCol),
+      n.cast("int").as("n_words"),
+      meanWordLen.as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"),
+      alphaRatio.as("alpha_ratio"),
+      stopHits.cast("int").as("stop_hits"),
+      (n.between(minWords, maxWords) &&
+        meanWordLen.between(minMeanWordLen, maxMeanWordLen) &&
+        symbolRatio <= maxSymbolRatio &&
+        alphaRatio >= minAlphaRatio &&
+        stopHits >= minStopHits).as("gopher_pass"))
+  }
+}

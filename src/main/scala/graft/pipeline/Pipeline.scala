@@ -155,6 +155,28 @@ object Dedup {
   }
 
   /**
+   * WITHIN-document segment dedup (Gopher-style intra-doc repetition
+   * removal): repeated n-token segments inside one document collapse to
+   * their first occurrence; documents reassemble in order. Pure per-row
+   * array work — `array_distinct` preserves first-occurrence order —
+   * so unlike [[segmentDedup]] (corpus-level, needs the hot-segment
+   * join) this op has NO shuffle at any scale.
+   *
+   * Returns (id, clean_text, n_segments, n_dropped).
+   */
+  def dedupeWithinDoc(df: DataFrame, idCol: String, textCol: String,
+      segTokens: Int = 8): DataFrame = {
+    require(segTokens > 0, s"segTokens must be positive, got $segTokens")
+    val segsArr = expr(
+      s"""transform(sequence(0, (size(split($textCol, ' ')) + ${segTokens - 1}) div $segTokens - 1),
+         |  i -> array_join(slice(split($textCol, ' '), i * $segTokens + 1, $segTokens), ' '))""".stripMargin)
+    df.select(col(idCol).as("id"),
+      array_join(array_distinct(segsArr), " ").as("clean_text"),
+      size(segsArr).as("n_segments"),
+      (size(segsArr) - size(array_distinct(segsArr))).as("n_dropped"))
+  }
+
+  /**
    * MinHash-LSH near-duplicate candidate pairs.
    * signature → `bands` bands of `numHashes/bands` rows → equi-join on
    * (band_idx, band_hash) — a shuffle hash join on bounded buckets, the

@@ -101,4 +101,25 @@ class CurationSpec extends AnyFunSuite {
     val t3 = QuantileFilter.threshold(df, col("score"), 1000).head().getLong(0)
     assert(t3 == 4L)
   }
+
+  test("GopherRules: each rule gates independently") {
+    import graft.pipeline.GopherRules
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over a lazy dog in town"), // passes
+      (2L, "a b"),                                        // too few words
+      (3L, "the ### ##### #### of ### every #### word"),  // symbol-heavy
+      (4L, "one two three four five six seven"),          // no 2 stopwords
+      (5L, "the supercalifragilistic expialidocious pneumonoultramicroscopic " +
+        "words of excessive lengthiness extraordinary")   // mean len > 10
+    ).toDF("doc_id", "text")
+    val m = GopherRules.metrics(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(m(0).getAs[Boolean]("gopher_pass"))
+    assert(!m(1).getAs[Boolean]("gopher_pass") && m(1).getAs[Int]("n_words") == 2)
+    assert(!m(2).getAs[Boolean]("gopher_pass") &&
+      m(2).getAs[Double]("symbol_ratio") > 0.1)
+    assert(!m(3).getAs[Boolean]("gopher_pass") && m(3).getAs[Int]("stop_hits") < 2)
+    assert(!m(4).getAs[Boolean]("gopher_pass") &&
+      m(4).getAs[Double]("mean_word_len") > 10.0)
+  }
 }

@@ -124,4 +124,19 @@ class DedupSpec extends AnyFunSuite {
     assert(out(3L) == 1L, s"near edge into exact group: $out")
     assert(out(7L) == 7L)
   }
+
+  test("dedupeWithinDoc collapses repeated segments to first occurrence, in order") {
+    val docs = Seq(
+      (1L, "a b c d a b e f"),   // seg(2): [a b][c d][a b][e f] -> drop 3rd
+      (2L, "x y x y x y"),       // [x y]x3 -> one kept
+      (3L, "p q r"),             // [p q][r] -> nothing repeated (odd tail)
+      (4L, "")).toDF("doc_id", "text")
+    val out = Dedup.dedupeWithinDoc(docs, "doc_id", "text", segTokens = 2)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3))).toSeq
+    assert(out(0) == ((1L, "a b c d e f", 4, 1)))
+    assert(out(1) == ((2L, "x y", 3, 2)))
+    assert(out(2) == ((3L, "p q r", 2, 0)))
+    assert(out(3) == ((4L, "", 1, 0))) // split("") -> [""], one empty segment
+  }
 }
