@@ -329,6 +329,11 @@ object SparkEntry {
         TextNorm.normalize_whitespace(TextNorm.strip_punct(deco)).as("nopunct"))
         .orderBy("doc_id")
     }),
+    // rational tf-idf (tf * N / df, no logarithm) top-3 terms per doc
+    "q_tfidf" -> ((s, dir) =>
+      Dedup.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text", k = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "rank")),
     // within-doc repetition removal: 2-token segments, first kept
     "q_dedup_within" -> ((s, dir) =>
       Dedup.dedupeWithinDoc(t(s, dir, "documents"), "doc_id", "text",
@@ -1106,6 +1111,20 @@ object SparkEntry {
         |  trim(regexp_replace(regexp_replace(deco, '[^\p{L}\p{N}\s]', '', 'g'),
         |       '\s+', ' ', 'g')) AS nopunct
         |FROM d ORDER BY doc_id""".stripMargin,
+    // rational tf-idf replayed with the same pinned multiply-then-divide
+    "q_tfidf" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+        |dfc AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (SELECT t.doc_id, t.term, t.tf, d.df,
+        |  CAST(t.tf AS DOUBLE) * n_docs / d.df AS score
+        |  FROM tf t JOIN dfc d USING (term), n),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |  ORDER BY score DESC, term) AS rank FROM scored)
+        |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        |  score, CAST(rank AS INT) AS rank
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     // first-occurrence order via ROW_NUMBER (DuckDB's list_distinct does
     // NOT preserve order; Spark's array_distinct does)
     "q_dedup_within" ->

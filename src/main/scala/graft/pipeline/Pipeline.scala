@@ -177,6 +177,33 @@ object Dedup {
   }
 
   /**
+   * Rational tf-idf top terms per document: score = tf * N / df with a
+   * pinned multiply-then-divide, no logarithm — transcendental libm
+   * calls are the one place engines drift by an ulp, so the rational
+   * form keeps ranking AND scores bit-exact everywhere. Shapes: tf is
+   * one partial+final count per (doc, term); df distinct-reduces to the
+   * bounded vocabulary and BROADCASTS back; the per-doc top-k window
+   * partitions by doc (skew bounded by a doc's distinct terms).
+   * Returns (id, term, tf, df, score, rank), rank 1..k.
+   */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val toks = df.select(col(idCol).as("id"),
+      explode(split(col(textCol), " ")).as("term"))
+    val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfc = toks.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(broadcast(dfc), "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", col("tf").cast("double") * col("n_docs") / col("df"))
+    val w = Window.partitionBy("id").orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= k)
+      .select(col("id"), col("term"), col("tf"), col("df"), col("score"), col("rank"))
+  }
+
+  /**
    * MinHash-LSH near-duplicate candidate pairs.
    * signature → `bands` bands of `numHashes/bands` rows → equi-join on
    * (band_idx, band_hash) — a shuffle hash join on bounded buckets, the

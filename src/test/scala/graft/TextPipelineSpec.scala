@@ -62,4 +62,23 @@ class TextPipelineSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     for (i <- 0L until 10L) assert(keep(i + 100000L) == i)
   }
+
+  test("tfidfTopTerms ranks rare terms above common ones, rational scores") {
+    import graft.pipeline.Dedup
+    val docs = Seq(
+      (1L, "common common rare1 common"),
+      (2L, "common other rare2"),
+      (3L, "common other filler")).toDF("doc_id", "text")
+    val out = Dedup.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .orderBy("id", "rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getInt(5)))
+    // doc 1: rare1 df=1 score=1*3/1=3.0 beats common tf=3 df=3 score=3.0?
+    // common: 3*3/3 = 3.0 ties rare1 at 3.0 -> term asc: "common" first
+    assert(out.filter(_._1 == 1L).map(_._2).toSeq == Seq("common", "rare1"))
+    // doc 2: rare2 score 3.0, other df=2 score 1.5, common score 1.0
+    assert(out.filter(_._1 == 2L).map(_._2).toSeq == Seq("rare2", "other"))
+    val rare2 = out.find(r => r._1 == 2L && r._2 == "rare2").get
+    assert(rare2._5 == 3.0 && rare2._3 == 1L && rare2._4 == 1L)
+  }
 }
