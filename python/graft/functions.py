@@ -859,3 +859,8 @@ def pl_clean_text(text):
 def pl_winnow(text, k=3, w=4):
     """MOSS winnowing fingerprints as an array of (pos, fp) structs."""
     return _fn("pl_winnow", text, k, w)
+
+
+def pl_l2_norm(v):
+    """Euclidean norm of a float/double array vector."""
+    return _fn("pl_l2_norm", v)

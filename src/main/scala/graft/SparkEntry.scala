@@ -417,6 +417,17 @@ object SparkEntry {
     "q_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text", "source", threshold = 0.05)
         .orderBy("blk", "a_id", "b_id")),
+    // vector hygiene: L2 norm + normalized components, norm staged once
+    "q_vec_norm" -> ((s, dir) => {
+      val v = col("embedding").cast("array<double>")
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), Similarity.l2_norm(v).as("norm"), v.as("__v"))
+        .select(col("vec_id"), col("norm"),
+          element_at(transform(col("__v"), x => x / col("norm")), 1).as("u0"),
+          Similarity.dot(transform(col("__v"), x => x / col("norm")),
+            transform(col("__v"), x => x / col("norm"))).as("unit_dot"))
+        .orderBy("vec_id")
+    }),
     "q_knn_brute" -> ((s, dir) =>
       Similarity.bruteTopK(t(s, dir, "embeddings"), "vec_id", "embedding", 3)
         .orderBy("query_id", "rank")),
@@ -1111,6 +1122,14 @@ object SparkEntry {
         |  trim(regexp_replace(regexp_replace(deco, '[^\p{L}\p{N}\s]', '', 'g'),
         |       '\s+', ' ', 'g')) AS nopunct
         |FROM d ORDER BY doc_id""".stripMargin,
+    // norm/normalize replayed with list_dot_product (index-order, proven
+    // bit-exact by the knn oracles) and IEEE sqrt/division
+    "q_vec_norm" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, sqrt(list_dot_product(v, v)) AS norm, v FROM e),
+        |u AS (SELECT vec_id, norm, list_transform(v, x -> x / norm) AS u FROM n)
+        |SELECT vec_id, norm, u[1] AS u0, list_dot_product(u, u) AS unit_dot
+        |FROM u ORDER BY vec_id""".stripMargin,
     // rational tf-idf replayed with the same pinned multiply-then-divide
     "q_tfidf" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

@@ -147,6 +147,7 @@ object FunctionDocs {
     "pl_bloom_contains" -> "pl_bloom_contains(bits, hash[, k]) - Probes a literal Bloom bitset (from pl_bloom_agg) for a 64-bit key hash; false means certainly absent, true may be a false positive.",
     "pl_vector_dot" -> "pl_vector_dot(a, b) - Dot product of two float/double array vectors, accumulated in double.",
     "pl_cosine_similarity" -> "pl_cosine_similarity(a, b) - Cosine similarity of two float/double array vectors (0.0 when either norm is zero).",
+    "pl_l2_norm" -> "pl_l2_norm(v) - Euclidean norm of a float/double array vector (index-order double accumulation).",
     "pl_pii_emails" -> "pl_pii_emails(text) - Every email-address span in the text, as an array of strings.",
     "pl_pii_ipv4s" -> "pl_pii_ipv4s(text) - Every dotted-quad IPv4 span in the text, as an array of strings.",
     "pl_pii_phones" -> "pl_pii_phones(text) - Every NNN-NNN-NNNN phone span in the text, as an array of strings.",

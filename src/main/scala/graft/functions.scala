@@ -458,6 +458,8 @@ object Raster {
         graft.pipeline.BloomContains(xs(0), xs(1), intArg(xs, 2, 5)))
       reg2("pl_vector_dot", graft.pipeline.VectorDot(_, _))
       reg2("pl_cosine_similarity", graft.pipeline.CosineSimilarity(_, _))
+      regN("pl_l2_norm", xs => org.apache.spark.sql.graft.shims
+        .expressionEager(graft.pipeline.Similarity.l2_norm(asColumn(xs.head))))
       regN("pl_pii_emails", pcol(PII.emails))
       regN("pl_pii_ipv4s", pcol(PII.ipv4s))
       regN("pl_pii_phones", pcol(PII.phones))

@@ -439,6 +439,10 @@ object Similarity {
   /** Bounded top-k-by aggregate ([[TopKByAggregate]]): map-side partial
     * top-k per group → shuffle O(groups·k), replacing the
     * sort-everything row_number window. */
+  /** Euclidean norm, same index-order double accumulation as [[dot]]
+    * (sqrt is IEEE correctly-rounded, so engines agree bit-exactly). */
+  def l2_norm(v: Column): Column = sqrt(dot(v, v))
+
   def topKBy(payload: Column, order: Column, k: Int): Column =
     c(TopKByAggregate(asExpr(payload), asExpr(order), k).toAggregateExpression())
 
