@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Automated plan lint over EVERY SparkEntry query (analysis only, no
+ * execution): unbounded join shapes — CartesianProduct and
+ * BroadcastNestedLoopJoin — are forbidden except where a query
+ * intentionally ships one (the labeled brute-force baselines and the
+ * reference-shaped theta raster join, which exists to be compared
+ * against its bucketed equi-join twin). A new query that accidentally
+ * plans a cross product fails here before it ever reaches the bench.
+ */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** Queries allowed to contain a nested-loop/cartesian shape, and why. */
+  private val nestedLoopAllowed: Map[String, String] = Map(
+    "q_knn_brute" -> "labeled exact brute-force baseline (broadcast NLJ)",
+    "q_raster_join" -> "reference-shaped theta join; bucketed twin is the scale path",
+    "q_quantile_filter" -> "broadcast one-row threshold crossJoin",
+    "q_tfidf" -> "broadcast one-row corpus-count crossJoin",
+    "q_sample_budget" -> "broadcast per-source boundary-bucket plan",
+    "q_sample_quota" -> "broadcast per-source boundary-bucket plan",
+    "q_knn_ivf" -> "broadcast nlist-row centroid table crossJoin (probe ranking)",
+    "q_knn_pq" -> "broadcast PQ code table crossJoin (the point of PQ: codes fit anywhere)")
+
+  test("no query plans an unintended cartesian or nested-loop join") {
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    for ((name, fn) <- SparkEntry.queries) {
+      val plan =
+        try fn(spark, sfDir).queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        catch { case e: Throwable => fail(s"$name failed to plan: ${e.getMessage}") }
+      val hasNlj = plan.contains("BroadcastNestedLoopJoin") ||
+        plan.contains("CartesianProduct")
+      if (hasNlj && !nestedLoopAllowed.contains(name)) offenders += name
+    }
+    assert(offenders.isEmpty,
+      s"unintended nested-loop/cartesian in: ${offenders.mkString(", ")}")
+  }
+
+  test("document-table scans prune to the referenced columns") {
+    // q_chunk reads only (doc_id, text) of documents: the scan must not
+    // drag lang/source/n_chars through the generator
+    val plan = SparkEntry.queries("q_chunk")(spark, sfDir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val readSchemas = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(readSchemas.nonEmpty)
+    assert(readSchemas.forall(s => !s.contains("n_chars") && !s.contains("source")),
+      readSchemas.mkString("\n"))
+  }
+}
