@@ -408,6 +408,11 @@ object SparkEntry {
         explode(TextFunctions.winnow(col("text"), 3, 4)).as("sel"))
         .select(col("doc_id"), col("sel.pos").as("pos"), col("sel.fp").as("fp"))
         .orderBy("doc_id", "pos")),
+    // shared-fingerprint near-dup pairs, hot fingerprints cut pre-join
+    "q_winnow_pairs" -> ((s, dir) =>
+      Dedup.winnowPairs(t(s, dir, "documents"), "doc_id", "text",
+          k = 3, w = 4, minShared = 2, maxDocFreq = 20)
+        .orderBy("a_id", "b_id")),
     "q_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text", threshold = 0.2)
         .orderBy("a_id", "b_id")),
@@ -828,6 +833,28 @@ object SparkEntry {
   private def duckFnv(scol: String, h0: String): String =
     s"list_reduce(list_prepend($h0::HUGEINT, list_transform(range(1, length($scol) + 1)," +
       s" i -> ascii(($scol)[i])::HUGEINT)), (a, b) -> (xor(a, b) * 1099511628211::HUGEINT) % $M64)"
+  /** Winnowing CTEs (toks…gh/selpos): k=3 gram hashes + the selected
+    * positions per doc (rightmost-window-min, w=4) — shared by q_winnow
+    * and q_winnow_pairs. */
+  private def duckWinnowCtes: String = {
+    val gramHash = duckToSigned(duckMix64(duckFnv("g", "14695981039346656037")))
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |grams AS (SELECT doc_id, CAST(i AS INT) AS pos,
+       |  array_to_string(t[CAST(i AS INT):CAST(i + 2 AS INT)], ' ') AS g
+       |  FROM toks, unnest(range(1, greatest(len(t) - 1, 1))) u(i)),
+       |gh AS (SELECT doc_id, pos, $gramHash AS h FROM grams),
+       |keyed AS (SELECT doc_id, pos, h,
+       |  (h::HUGEINT + 9223372036854775808::HUGEINT) * 4294967296::HUGEINT
+       |    + (4294967295 - pos)::HUGEINT AS key FROM gh),
+       |nn AS (SELECT doc_id, MAX(pos) AS n FROM gh GROUP BY doc_id),
+       |wins AS (SELECT doc_id, pos AS e,
+       |  MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+       |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mk FROM keyed),
+       |selpos AS (SELECT DISTINCT w.doc_id,
+       |  CAST(4294967295 - (w.mk % 4294967296::HUGEINT) AS INT) AS pos
+       |  FROM wins w JOIN nn USING (doc_id) WHERE w.e >= least(4, n))""".stripMargin
+  }
+
   /** MinHash signature CTEs (toks…bands/mcand): 32-long signatures per doc
     * with Long.MaxValue defaults, banded into 8 slices of 4, plus the
     * banded candidate pairs — shared by q_minhash_pairs and q_dedup_lsh. */
@@ -1360,27 +1387,24 @@ object SparkEntry {
     // winnowing replayed: same gram hash as the minhash shingles, the
     // rightmost-window-min encoded as MIN over a composite key
     // (signed-shifted hash * 2^32 + (2^32-1-pos)) in a 3-PRECEDING frame
-    "q_winnow" -> {
-      val gramHash = duckToSigned(duckMix64(duckFnv("g", "14695981039346656037")))
-      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         |grams AS (SELECT doc_id, CAST(i AS INT) AS pos,
-         |  array_to_string(t[CAST(i AS INT):CAST(i + 2 AS INT)], ' ') AS g
-         |  FROM toks, unnest(range(1, greatest(len(t) - 1, 1))) u(i)),
-         |gh AS (SELECT doc_id, pos, $gramHash AS h FROM grams),
-         |keyed AS (SELECT doc_id, pos, h,
-         |  (h::HUGEINT + 9223372036854775808::HUGEINT) * 4294967296::HUGEINT
-         |    + (4294967295 - pos)::HUGEINT AS key FROM gh),
-         |nn AS (SELECT doc_id, MAX(pos) AS n FROM gh GROUP BY doc_id),
-         |wins AS (SELECT doc_id, pos AS e,
-         |  MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
-         |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mk FROM keyed),
-         |selpos AS (SELECT DISTINCT w.doc_id,
-         |  CAST(4294967295 - (w.mk % 4294967296::HUGEINT) AS INT) AS pos
-         |  FROM wins w JOIN nn USING (doc_id) WHERE w.e >= least(4, n))
+    "q_winnow" ->
+      s"""WITH $duckWinnowCtes
          |SELECT s.doc_id, CAST(s.pos - 1 AS INT) AS pos, g.h AS fp
          |FROM selpos s JOIN gh g ON s.doc_id = g.doc_id AND s.pos = g.pos
-         |ORDER BY s.doc_id, pos""".stripMargin
-    },
+         |ORDER BY s.doc_id, pos""".stripMargin,
+    // shared-fingerprint pairs on top of the same winnow CTEs; hot
+    // fingerprints (doc frequency > 20) dropped before the self-join
+    "q_winnow_pairs" ->
+      s"""WITH $duckWinnowCtes,
+         |selfp AS (SELECT DISTINCT s.doc_id, g.h
+         |  FROM selpos s JOIN gh g ON s.doc_id = g.doc_id AND s.pos = g.pos),
+         |hot AS (SELECT h FROM selfp GROUP BY h HAVING COUNT(*) > 20),
+         |kept AS (SELECT * FROM selfp WHERE h NOT IN (SELECT h FROM hot)),
+         |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared
+         |  FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT a_id, b_id, CAST(shared AS INT) AS shared
+         |FROM pairs WHERE shared >= 2 ORDER BY a_id, b_id""".stripMargin,
     // rolling fingerprint + simhash recomputed with HUGEINT mod-2^64 math
     "q_fingerprint" -> {
       s"""WITH raw AS (

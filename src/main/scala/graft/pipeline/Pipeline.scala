@@ -177,6 +177,35 @@ object Dedup {
   }
 
   /**
+   * Near-duplicate candidate pairs by shared winnowing fingerprints:
+   * docs selecting >= `minShared` common fingerprints pair up, with the
+   * shared count as the match-strength signal. Same scale shape as the
+   * other dedup families — an equi-join on the fingerprint key, with
+   * the [[Dedup.ngramJaccard]] skew guard: fingerprints selected by
+   * more than `maxDocFreq` docs are boilerplate (a hot fingerprint
+   * shared by 10^4 docs would emit 10^8 join rows) and carry ~no pair
+   * signal, so they drop via a broadcast anti-join BEFORE the
+   * self-join. Winnowing's local guarantee makes the recall concrete:
+   * any shared run of w + k - 1 tokens contributes a shared
+   * fingerprint. Returns (a_id, b_id, shared), a_id < b_id.
+   */
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4, minShared: Int = 2,
+      maxDocFreq: Long = 20): DataFrame = {
+    val sel = df.select(col(idCol).as("id"),
+      explode(TextFunctions.winnow(col(textCol), k, w)).as("s"))
+      .select(col("id"), col("s.fp").as("fp")).distinct()
+    val hot = sel.groupBy("fp").agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDocFreq).select("fp")
+    val kept = sel.join(broadcast(hot), Seq("fp"), "left_anti")
+    kept.as("a").join(kept.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .agg(count(lit(1)).cast("int").as("shared"))
+      .where(col("shared") >= minShared)
+  }
+
+  /**
    * Rational tf-idf top terms per document: score = tf * N / df with a
    * pinned multiply-then-divide, no logarithm — transcendental libm
    * calls are the one place engines drift by an ulp, so the rational

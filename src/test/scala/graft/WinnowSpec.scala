@@ -61,4 +61,23 @@ class WinnowSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     assert(rows.forall { case Row(p: Int, f: Long) => p >= 0 })
   }
+
+  test("winnowPairs finds planted near-dups; hot fingerprints are cut") {
+    import graft.pipeline.Dedup
+    val shared = (1 to 12).map("s" + _).mkString(" ")
+    val boiler = "b1 b2 b3 b4 b5 b6"
+    val docs = (
+      Seq((1L, s"$shared tail one two"), (2L, s"head $shared end")) ++  // near-dups
+      (10L to 40L).map(i => (i, s"$boiler unique$i filler${i * 7} pad${i % 5}"))
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(docs, "doc_id", "text",
+      k = 3, w = 4, minShared = 2, maxDocFreq = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 >= 2),
+      pairs.mkString(","))
+    // the 31 boilerplate docs share only hot fingerprints (df=31 > 5):
+    // no pair among them may survive on boilerplate alone
+    val boilerPairs = pairs.filter(p => p._1 >= 10L && p._2 >= 10L)
+    assert(boilerPairs.isEmpty, boilerPairs.mkString(","))
+  }
 }
