@@ -44,7 +44,11 @@ case class UnicodeNorm(child: Expression, formName: String) extends UnaryExpress
   override def dataType: DataType = StringType
   @transient private lazy val f = NormHelper.form(formName)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case StringType => TypeCheckResult.TypeCheckSuccess
+    case StringType =>
+      // surface a bad form name as an analysis error, not a task failure
+      try { NormHelper.form(formName); TypeCheckResult.TypeCheckSuccess }
+      catch { case e: IllegalArgumentException =>
+        TypeCheckResult.TypeCheckFailure(e.getMessage) }
     case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName expects a string argument")
   }
   override def nullSafeEval(input: Any): Any =

@@ -56,6 +56,26 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(out.toSet == Set("fresh doc a", "fresh doc b"), out.mkString(","))
   }
 
+  test("stateless cleaning + chunking run unchanged under readStream") {
+    val dir = Files.createTempDirectory("stream-chunk").toString
+    val rows = Seq(
+      (1L, "  The   QUICK brown fox jumps over the lazy dog  ",
+        Timestamp.valueOf("2026-01-01 00:00:00")))
+    val df = rows.toDF("doc_id", "text", "ts")
+    df.write.mode("overwrite").parquet(dir)
+
+    val cleaned = spark.readStream.schema(df.schema).parquet(dir)
+      .withColumn("clean", graft.pipeline.TextNorm.clean(col("text")))
+    val chunked = graft.pipeline.Chunking.chunk(cleaned, "doc_id", "clean",
+      sizeTokens = 4, overlap = 0)
+    val q = chunked.writeStream.format("memory").queryName("chunk_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val out = spark.sql("SELECT chunk_text FROM chunk_stream ORDER BY chunk_idx")
+      .collect().map(_.getString(0))
+    assert(out.toSeq == Seq("the quick brown fox", "jumps over the lazy", "dog"))
+  }
+
   test("streaming simhash blocking drops a near-duplicate within the horizon") {
     val dir = Files.createTempDirectory("stream-neardup").toString
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
