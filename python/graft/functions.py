@@ -864,3 +864,8 @@ def pl_winnow(text, k=3, w=4):
 def pl_l2_norm(v):
     """Euclidean norm of a float/double array vector."""
     return _fn("pl_l2_norm", v)
+
+
+def pl_strip_html(text):
+    """Drop HTML tags/comments and decode predefined XML entities."""
+    return _fn("pl_strip_html", text)

@@ -340,6 +340,19 @@ object SparkEntry {
           segTokens = 2)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
+    // web-corpus text extraction: tags/comments dropped, entities
+    // decoded (&amp; last, so &amp;lt; yields a literal &lt;)
+    "q_strip_html" -> ((s, dir) => {
+      import graft.pipeline.TextNorm
+      val deco = concat(
+        lit("""<div class="doc"><!-- hdr --><p>"""),
+        col("text"),
+        lit("""</p>&nbsp;<br/>&amp;lt;end&gt; x <i>it</i>"""))
+      t(s, dir, "documents").select(col("doc_id"),
+        TextNorm.strip_html(deco).as("stripped"),
+        TextNorm.normalize_whitespace(TextNorm.strip_html(deco)).as("clean"))
+        .orderBy("doc_id")
+    }),
     // Gopher rule metrics + composite pass verdict
     "q_gopher_rules" -> ((s, dir) =>
       graft.pipeline.GopherRules.metrics(
@@ -1186,6 +1199,22 @@ object SparkEntry {
         |SELECT t.doc_id, a.clean_text, CAST(t.n_segments AS INT) AS n_segments,
         |  CAST(t.n_segments - a.n_kept AS INT) AS n_dropped
         |FROM tot t JOIN agg a USING (doc_id) ORDER BY t.doc_id""".stripMargin,
+    // same decoration; comment regex first, tag regex second, entity
+    // replaces in the same pinned order
+    "q_strip_html" ->
+      """WITH d AS (SELECT doc_id,
+        |  '<div class="doc"><!-- hdr --><p>' || text ||
+        |  '</p>&nbsp;<br/>&amp;lt;end&gt; x <i>it</i>' AS deco FROM documents),
+        |s AS (SELECT doc_id,
+        |  replace(replace(replace(replace(replace(replace(
+        |    regexp_replace(regexp_replace(deco, '<!--.*?-->', ' ', 'g'),
+        |                   '<[^>]*>', ' ', 'g'),
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |    '&apos;', ''''), '&nbsp;', ' '), '&amp;', '&') AS stripped
+        |  FROM d)
+        |SELECT doc_id, stripped,
+        |  trim(regexp_replace(stripped, '\s+', ' ', 'g')) AS clean
+        |FROM s ORDER BY doc_id""".stripMargin,
     // each Gopher ratio is one int/int division, replayed verbatim
     "q_gopher_rules" ->
       """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),

@@ -143,6 +143,7 @@ object FunctionDocs {
     "pl_normalize_whitespace" -> "pl_normalize_whitespace(text) - Collapses whitespace runs to single spaces and trims the ends.",
     "pl_strip_punct" -> "pl_strip_punct(text) - Removes every character that is not a letter, digit, or whitespace.",
     "pl_clean_text" -> "pl_clean_text(text) - Canonical cleaning pass: NFC normalization, lowercase, whitespace collapse.",
+    "pl_strip_html" -> "pl_strip_html(text) - Drops HTML/XML tags and comments (tags become spaces) and decodes the predefined XML entities plus &nbsp;; &amp; decodes last so &amp;lt; yields a literal &lt;.",
     "pl_bloom_agg" -> "pl_bloom_agg(hash[, num_bits, k]) - Aggregates 64-bit key hashes into a Bloom bitset (array of num_bits/64 longs, default 2^20 bits / k=5); OR-mergeable across partitions for broadcast incremental dedup.",
     "pl_bloom_contains" -> "pl_bloom_contains(bits, hash[, k]) - Probes a literal Bloom bitset (from pl_bloom_agg) for a 64-bit key hash; false means certainly absent, true may be a false positive.",
     "pl_vector_dot" -> "pl_vector_dot(a, b) - Dot product of two float/double array vectors, accumulated in double.",

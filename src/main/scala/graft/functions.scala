@@ -452,6 +452,7 @@ object Raster {
       regN("pl_normalize_whitespace", pcol(graft.pipeline.TextNorm.normalize_whitespace))
       regN("pl_strip_punct", pcol(graft.pipeline.TextNorm.strip_punct))
       regN("pl_clean_text", pcol(graft.pipeline.TextNorm.clean))
+      regN("pl_strip_html", pcol(graft.pipeline.TextNorm.strip_html))
       regN("pl_bloom_agg", xs => graft.pipeline.BloomBuildAgg(xs.head,
         intArg(xs, 1, 1 << 20), intArg(xs, 2, 5)).toAggregateExpression())
       regN("pl_bloom_contains", xs =>

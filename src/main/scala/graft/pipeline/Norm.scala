@@ -99,4 +99,20 @@ object TextNorm {
 
   /** Canonical cleaning pass: NFC, lowercase, whitespace collapse. */
   def clean(text: Column): Column = normalize_whitespace(lower(nfc(text)))
+
+  /** Drop HTML/XML tags and comments, then decode the predefined XML
+    * entities plus nbsp — the text-extraction step of a web-corpus
+    * pipeline. Tags become spaces (so adjacent text doesn't fuse);
+    * `&amp;` decodes LAST so `&amp;lt;` yields the literal `&lt;`
+    * rather than double-decoding. Regex + literal replaces only, all
+    * dialect-neutral. */
+  def strip_html(text: Column): Column = {
+    val noComments = regexp_replace(text, "<!--.*?-->", " ")
+    val noTags = regexp_replace(noComments, "<[^>]*>", " ")
+    val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&apos;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+    ent.foldLeft(noTags) { case (c, (from, to)) =>
+      replace(c, lit(from), lit(to))
+    }
+  }
 }

@@ -67,4 +67,15 @@ class NormSpec extends AnyFunSuite {
     assert(r.getString(5) == "fi")
     assert(r.getString(6) == eAcuteD)
   }
+
+  test("strip_html drops tags and comments, decodes entities in order") {
+    assert(one(TextNorm.strip_html(lit("<p>a</p><br/>b"))) == " a  b")
+    assert(one(TextNorm.strip_html(lit("x<!-- <b>hidden</b> -->y"))) == "x y")
+    assert(one(TextNorm.strip_html(lit("a &amp; b &lt;tag&gt; &nbsp;&quot;q&quot;"))) ==
+      "a & b <tag>  \"q\"")
+    // &amp;lt; must decode to the literal string "&lt;", not "<"
+    assert(one(TextNorm.strip_html(lit("&amp;lt;"))) == "&lt;")
+    assert(one(TextNorm.normalize_whitespace(
+      TextNorm.strip_html(lit("<div> spaced <i>text</i> </div>")))) == "spaced text")
+  }
 }
