@@ -136,10 +136,13 @@ object Dedup {
   def segmentDedup(df: DataFrame, idCol: String, textCol: String,
       segTokens: Int = 8, maxDf: Long = 1): DataFrame = {
     require(segTokens > 0, s"segTokens must be positive, got $segTokens")
+    // token array staged first: a bare split() inside the transform
+    // lambda would re-tokenize the document once PER SEGMENT
     val segsArr = expr(
-      s"""transform(sequence(0, CAST(ceil(size(split($textCol, ' ')) / ${segTokens}.0) AS INT) - 1),
-         |  i -> array_join(slice(split($textCol, ' '), i * $segTokens + 1, $segTokens), ' '))""".stripMargin)
-    val segs = df.select(col(idCol).as("id"), posexplode(segsArr).as(Seq("pos", "seg")))
+      s"""transform(sequence(0, CAST(ceil(size(__t) / ${segTokens}.0) AS INT) - 1),
+         |  i -> array_join(slice(__t, i * $segTokens + 1, $segTokens), ' '))""".stripMargin)
+    val tokenized = df.select(col(idCol).as("id"), split(col(textCol), " ").as("__t"))
+    val segs = tokenized.select(col("id"), posexplode(segsArr).as(Seq("pos", "seg")))
     val hot = segs.groupBy("seg").agg(count(lit(1)).as("df"))
       .where(col("df") > maxDf).select("seg")
     val kept = segs.join(broadcast(hot), Seq("seg"), "left_anti")
@@ -147,7 +150,7 @@ object Dedup {
       .agg(count(lit(1)).as("n_kept"),
         array_join(expr("transform(sort_array(collect_list(struct(pos, seg))), s -> s.seg)"), " ")
           .as("clean_text"))
-    df.select(col(idCol).as("id"), size(segsArr).as("n_segments"))
+    tokenized.select(col("id"), size(segsArr).as("n_segments"))
       .join(kept, Seq("id"), "left")
       .select(col("id"), coalesce(col("clean_text"), lit("")).as("clean_text"),
         col("n_segments"),
@@ -167,13 +170,18 @@ object Dedup {
   def dedupeWithinDoc(df: DataFrame, idCol: String, textCol: String,
       segTokens: Int = 8): DataFrame = {
     require(segTokens > 0, s"segTokens must be positive, got $segTokens")
+    // stage the token array first: a bare split() inside the transform
+    // lambda would re-tokenize the document once PER SEGMENT
     val segsArr = expr(
-      s"""transform(sequence(0, (size(split($textCol, ' ')) + ${segTokens - 1}) div $segTokens - 1),
-         |  i -> array_join(slice(split($textCol, ' '), i * $segTokens + 1, $segTokens), ' '))""".stripMargin)
-    df.select(col(idCol).as("id"),
-      array_join(array_distinct(segsArr), " ").as("clean_text"),
-      size(segsArr).as("n_segments"),
-      (size(segsArr) - size(array_distinct(segsArr))).as("n_dropped"))
+      s"""transform(sequence(0, (size(__t) + ${segTokens - 1}) div $segTokens - 1),
+         |  i -> array_join(slice(__t, i * $segTokens + 1, $segTokens), ' '))""".stripMargin)
+    df.select(col(idCol).as("id"), split(col(textCol), " ").as("__t"))
+      .select(col("id"), segsArr.as("__segs"))
+      .select(col("id"), col("__segs"), array_distinct(col("__segs")).as("__kept"))
+      .select(col("id"),
+        array_join(col("__kept"), " ").as("clean_text"),
+        size(col("__segs")).as("n_segments"),
+        (size(col("__segs")) - size(col("__kept"))).as("n_dropped"))
   }
 
   /**
