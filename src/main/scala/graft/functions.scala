@@ -269,7 +269,8 @@ object Raster {
       val usage = FunctionDocs.usage.getOrElse(name,
         throw new IllegalStateException(s"Missing FunctionDocs.usage entry for '$name'"))
       val info = new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        "graft.functions", null, name, usage, FunctionDocs.examples.getOrElse(name, ""))
+        "graft.functions", null, name, usage, "",
+        FunctionDocs.examples.getOrElse(name, ""), "", "", "", "", "built-in")
       registry.registerFunction(FunctionIdentifier(name), info, f)
     }
     def reg1(name: String, f: Expression => Expression): Unit = regN(name, xs => f(xs.head))

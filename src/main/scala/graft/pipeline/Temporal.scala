@@ -83,7 +83,7 @@ object Temporal {
     }
     u.withColumn("__graft_m", matched)
       .where(col("__graft_side") === 1)
-      .select(left.columns.map(col) ++
+      .select(left.columns.toIndexedSeq.map(col) ++
         payloadCols.map(c => col("__graft_m")(c).as(rightPrefix + c)): _*)
   }
 
@@ -125,7 +125,7 @@ object Temporal {
     p.join(sp, Seq("__graft_k", "__graft_b"))
       .where(col(tsCol) >= col("__graft_s")(startCol) &&
         col(tsCol) < col("__graft_s")(endCol))
-      .select(points.columns.map(col) ++
+      .select(points.columns.toIndexedSeq.map(col) ++
         spanCols.map(c => col("__graft_s")(c).as(spanPrefix + c)): _*)
   }
 }
