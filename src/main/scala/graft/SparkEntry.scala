@@ -340,6 +340,10 @@ object SparkEntry {
           segTokens = 2)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
+    // one-row dataset card: counts + exact-integer-ratio metrics only
+    "q_corpus_report" -> ((s, dir) =>
+      Dedup.corpusReport(t(s, dir, "documents"),
+        "doc_id", "text", "lang", "source")),
     // web-corpus text extraction: tags/comments dropped, entities
     // decoded (&amp; last, so &amp;lt; yields a literal &lt;)
     "q_strip_html" -> ((s, dir) => {
@@ -1199,6 +1203,47 @@ object SparkEntry {
         |SELECT t.doc_id, a.clean_text, CAST(t.n_segments AS INT) AS n_segments,
         |  CAST(t.n_segments - a.n_kept AS INT) AS n_dropped
         |FROM tot t JOIN agg a USING (doc_id) ORDER BY t.doc_id""".stripMargin,
+    // dataset card: integer counts + one exact-int division (dup_rate);
+    // the Gopher pass count reuses q_gopher_rules' pinned arithmetic
+    "q_corpus_report" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      val phone = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+      s"""WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+         |m AS (SELECT doc_id, LEN(t) AS n,
+         |  list_reduce(list_prepend(0, list_transform(t, x -> length(x))), (a, b) -> a + b) AS sumlen,
+         |  LENGTH(text) - LENGTH(replace(text, '#', '')) AS hashes,
+         |  (LENGTH(text) - LENGTH(replace(text, '...', ''))) // 3 AS ellipses,
+         |  LEN(list_filter(t, x -> regexp_matches(x, '[a-zA-Z]'))) AS alpha,
+         |  LEN(list_filter(list_distinct(t),
+         |      x -> x IN ('the', 'a', 'and', 'of', 'to', 'in'))) AS stop_hits
+         |  FROM d),
+         |gp AS (SELECT SUM(CASE WHEN (n BETWEEN 4 AND 1000)
+         |    AND (CAST(sumlen AS DOUBLE) / n BETWEEN 3.0 AND 10.0)
+         |    AND (CAST(hashes + ellipses AS DOUBLE) / n <= 0.1)
+         |    AND (CAST(alpha AS DOUBLE) / n >= 0.8)
+         |    AND (stop_hits >= 2) THEN 1 ELSE 0 END) AS gopher_pass_docs FROM m),
+         |pii AS (SELECT SUM(CASE WHEN len(regexp_extract_all(text, '$email'))
+         |    + len(regexp_extract_all(text, '$ip'))
+         |    + len(regexp_extract_all(text, '$phone')) > 0 THEN 1 ELSE 0 END) AS pii_docs
+         |  FROM documents),
+         |base AS (SELECT COUNT(*) AS n_docs,
+         |  SUM(LENGTH(text)) AS total_chars,
+         |  SUM(LEN(string_split(text, ' '))) AS total_tokens,
+         |  COUNT(DISTINCT lang) AS n_langs,
+         |  COUNT(DISTINCT source) AS n_sources,
+         |  COUNT(DISTINCT md5(text)) AS distinct_texts FROM documents)
+         |SELECT CAST(n_docs AS BIGINT) AS n_docs,
+         |  CAST(total_chars AS BIGINT) AS total_chars,
+         |  CAST(total_tokens AS BIGINT) AS total_tokens,
+         |  CAST(n_langs AS BIGINT) AS n_langs,
+         |  CAST(n_sources AS BIGINT) AS n_sources,
+         |  CAST(distinct_texts AS BIGINT) AS distinct_texts,
+         |  CAST(pii_docs AS BIGINT) AS pii_docs,
+         |  CAST(n_docs - distinct_texts AS DOUBLE) / n_docs AS dup_rate,
+         |  CAST(gopher_pass_docs AS BIGINT) AS gopher_pass_docs
+         |FROM base, gp, pii""".stripMargin
+    },
     // same decoration; comment regex first, tag regex second, entity
     // replaces in the same pinned order
     "q_strip_html" ->

@@ -185,6 +185,31 @@ object Dedup {
   }
 
   /**
+   * One-row corpus summary card — the "dataset card" numbers a curation
+   * run reports: document/char/token totals, language/source spread,
+   * exact-duplicate rate, PII incidence, Gopher-rule pass rate. One
+   * partial+final aggregate pass over the corpus; every metric is an
+   * integer count or a single division of exact integers, so the report
+   * replays bit-exactly in any engine (no order-dependent double sums).
+   */
+  def corpusReport(df: DataFrame, idCol: String, textCol: String,
+      langCol: String, sourceCol: String): DataFrame = {
+    val gopher = GopherRules.metrics(df, idCol, textCol)
+      .agg(sum(col("gopher_pass").cast("long")).as("gopher_pass_docs"))
+    df.agg(
+      count(lit(1)).as("n_docs"),
+      sum(length(col(textCol)).cast("long")).as("total_chars"),
+      sum(size(split(col(textCol), " ")).cast("long")).as("total_tokens"),
+      countDistinct(col(langCol)).as("n_langs"),
+      countDistinct(col(sourceCol)).as("n_sources"),
+      countDistinct(md5(col(textCol))).as("distinct_texts"),
+      sum((PII.piiCount(col(textCol)) > 0).cast("long")).as("pii_docs"))
+      .withColumn("dup_rate",
+        (col("n_docs") - col("distinct_texts")).cast("double") / col("n_docs"))
+      .crossJoin(broadcast(gopher))
+  }
+
+  /**
    * Near-duplicate candidate pairs by shared winnowing fingerprints:
    * docs selecting >= `minShared` common fingerprints pair up, with the
    * shared count as the match-strength signal. Same scale shape as the

@@ -26,6 +26,8 @@ object Plans {
     show("q_chunk")
     show("q_quantile_filter")
     show("q_normalize")
+    show("q_winnow_pairs")
+    show("q_tfidf")
     spark.stop()
   }
 }

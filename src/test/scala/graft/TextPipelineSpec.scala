@@ -81,4 +81,21 @@ class TextPipelineSpec extends AnyFunSuite {
     val rare2 = out.find(r => r._1 == 2L && r._2 == "rare2").get
     assert(rare2._5 == 3.0 && rare2._3 == 1L && rare2._4 == 1L)
   }
+
+  test("corpusReport: one-row dataset card with exact-integer metrics") {
+    import graft.pipeline.Dedup
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over a lazy dog in town", "en", "s1"),
+      (2L, "the quick brown fox jumps over a lazy dog in town", "en", "s2"),
+      (3L, "contact me at bob@example.com for the offer and a deal", "en", "s1"),
+      (4L, "x", "fr", "s3")).toDF("doc_id", "text", "lang", "source")
+    val r = Dedup.corpusReport(docs, "doc_id", "text", "lang", "source").head()
+    assert(r.getAs[Long]("n_docs") == 4L)
+    assert(r.getAs[Long]("distinct_texts") == 3L) // docs 1,2 identical
+    assert(r.getAs[Double]("dup_rate") == 0.25)
+    assert(r.getAs[Long]("n_langs") == 2L && r.getAs[Long]("n_sources") == 3L)
+    assert(r.getAs[Long]("pii_docs") == 1L)
+    assert(r.getAs[Long]("total_tokens") ==
+      docs.collect().map(_.getString(1).split(" ").length.toLong).sum)
+  }
 }
