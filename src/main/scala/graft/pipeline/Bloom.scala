@@ -65,9 +65,15 @@ object BloomHash {
     true
   }
 
+  /** 2^28 bits = 32 MB per aggregation buffer — beyond this a single
+    * buffer per task stops being "small"; shard the filter by hash
+    * prefix instead (see [[BloomDedup]] scaladoc). */
+  val MaxBits: Int = 1 << 28
+
   def requirePow2(numBits: Int): Unit =
-    require(numBits >= 64 && (numBits & (numBits - 1)) == 0,
-      s"numBits must be a power of two >= 64, got $numBits")
+    require(numBits >= 64 && numBits <= MaxBits && (numBits & (numBits - 1)) == 0,
+      s"numBits must be a power of two in [64, $MaxBits], got $numBits" +
+        " (shard the filter by hash prefix for larger reference corpora)")
 }
 
 /**

@@ -58,4 +58,15 @@ class BloomSpec extends AnyFunSuite {
     for (b <- s.getBytes("UTF-8")) h = h * 1000003L + (b & 0xffL)
     Hashing.mix64(h)
   }
+
+  test("oversized or non-power-of-two bitsets are rejected with guidance") {
+    val df = Seq((1L, "x")).toDF("doc_id", "text")
+    val e1 = intercept[IllegalArgumentException] {
+      BloomDedup.bloomBits(df, "text", numBits = 1 << 29, k = 4)
+    }
+    assert(e1.getMessage.contains("shard the filter"))
+    intercept[IllegalArgumentException] {
+      BloomDedup.bloomBits(df, "text", numBits = 1000, k = 4)
+    }
+  }
 }
