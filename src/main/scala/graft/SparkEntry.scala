@@ -439,6 +439,15 @@ object SparkEntry {
     "q_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text", "source", threshold = 0.05)
         .orderBy("blk", "a_id", "b_id")),
+    // order-pinned mean pooling (chunk -> doc embeddings): exploded to
+    // scalars; every double is a pinned-order fold, bit-exact
+    "q_mean_pool" -> ((s, dir) =>
+      Similarity.meanPool(
+          t(s, dir, "embeddings").withColumn("doc", expr("vec_id % 50")),
+          "doc", "vec_id", "embedding")
+        .select(col("g").as("doc"), posexplode(col("mean_vec")).as(Seq("d", "m")))
+        .select(col("doc"), col("d").cast("int").as("d"), col("m"))
+        .orderBy("doc", "d")),
     // vector hygiene: L2 norm + normalized components, norm staged once
     "q_vec_norm" -> ((s, dir) => {
       val v = col("embedding").cast("array<double>")
@@ -1166,6 +1175,18 @@ object SparkEntry {
         |  trim(regexp_replace(regexp_replace(deco, '[^\p{L}\p{N}\s]', '', 'g'),
         |       '\s+', ' ', 'g')) AS nopunct
         |FROM d ORDER BY doc_id""".stripMargin,
+    // mean pooling replayed: list(v ORDER BY vec_id) pins the same fold
+    // order, list_reduce sums per dimension, one division by the count
+    "q_mean_pool" ->
+      """WITH g AS (SELECT vec_id % 50 AS doc, vec_id,
+        |  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |l AS (SELECT doc, list(v ORDER BY vec_id) AS vs FROM g GROUP BY doc),
+        |m AS (SELECT doc, unnest(range(1, 1 + len(vs[1]))) AS dd, vs FROM l)
+        |SELECT doc, CAST(dd - 1 AS INT) AS d,
+        |  list_reduce(list_prepend(0.0::DOUBLE,
+        |    list_transform(vs, x -> x[CAST(dd AS INT)])), (a, b) -> a + b)
+        |    / len(vs) AS m
+        |FROM m ORDER BY doc, d""".stripMargin,
     // norm/normalize replayed with list_dot_product (index-order, proven
     // bit-exact by the knn oracles) and IEEE sqrt/division
     "q_vec_norm" ->

@@ -505,6 +505,28 @@ object Similarity {
     * (sqrt is IEEE correctly-rounded, so engines agree bit-exactly). */
   def l2_norm(v: Column): Column = sqrt(dot(v, v))
 
+  /**
+   * DETERMINISTIC mean pooling of vectors per group (chunk embeddings →
+   * document embedding): distributed float sums are normally
+   * order-dependent and thus irreproducible across runs and engines, so
+   * this op pins the fold order — vectors collect per group, sort by
+   * `orderCol`, and an aggregate HOF sums each dimension in that exact
+   * sequence before one division by the count. Bit-identical on every
+   * run, plan, partitioning, and engine (q_mean_pool replays it in SQL).
+   * Group size is the bound (chunks per document), not corpus size; the
+   * groupBy is one partial+final collect per group key.
+   */
+  def meanPool(df: DataFrame, groupCol: String, orderCol: String,
+      vecCol: String): DataFrame =
+    df.select(col(groupCol).as("g"), col(orderCol).as("o"),
+        col(vecCol).cast("array<double>").as("v"))
+      .groupBy("g")
+      .agg(sort_array(collect_list(struct(col("o"), col("v")))).as("vs"))
+      .select(col("g"),
+        expr("""transform(sequence(1, size(vs[0].v)),
+                  d -> aggregate(vs, 0D, (acc, x) -> acc + x.v[d - 1]) / size(vs))""")
+          .as("mean_vec"))
+
   def topKBy(payload: Column, order: Column, k: Int): Column =
     c(TopKByAggregate(asExpr(payload), asExpr(order), k).toAggregateExpression())
 

@@ -116,4 +116,28 @@ class SimilaritySpec extends AnyFunSuite {
     // every planted duplicate finds its original as the top neighbor
     assert((0L until 20L).forall(i => found.get(i).contains(i)), found.toString)
   }
+
+  test("meanPool is bit-identical across partitionings (pinned fold order)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 120L).map(i =>
+      (i, Array.fill(16)(rnd.nextFloat() * (if (rnd.nextBoolean()) 1 else -1))))
+    val df = rows.toDF("vec_id", "embedding")
+      .withColumn("doc", expr("vec_id % 7"))
+    def pooled(parts: Int): Map[Long, Seq[Double]] =
+      Similarity.meanPool(df.repartition(parts), "doc", "vec_id", "embedding")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+    val a = pooled(1)
+    val b = pooled(13)
+    assert(a.keySet == b.keySet)
+    for (k <- a.keySet) assert(
+      a(k).zip(b(k)).forall { case (x, y) => x == y }, s"doc $k differs")
+    // hand-checked fixture: mean of [1,3] and [2,5] in vec_id order
+    val tiny = Seq((0L, Array(1f, 3f)), (1L, Array(2f, 5f)))
+      .toDF("vec_id", "embedding").withColumn("doc", lit(0L))
+    val m = Similarity.meanPool(tiny, "doc", "vec_id", "embedding")
+      .head().getSeq[Double](1)
+    assert(m == Seq(1.5, 4.0))
+  }
 }
