@@ -730,6 +730,20 @@ object SparkEntry {
         rf_data_cells(tcol).as("dc"), rf_tile_sum(tcol).as("s"))
         .orderBy("q", "lnv")
     }),
+    // zonal statistics: value raster aggregated per zone-raster class —
+    // the classic raster workload as explode + hash aggregate (zone sums
+    // are integer-valued doubles, so the distributed sum is exact)
+    "q_zonal" -> ((s, dir) =>
+      tiled(s, dir)
+        .select(col("l_orderkey"), rf_explode_tiles(col("t_qty"), col("t_ln")))
+        .where(col("t_qty").isNotNull && col("t_ln").isNotNull)
+        .groupBy(col("t_ln").cast("int").as("zone"))
+        .agg(count(lit(1)).as("n_cells"),
+          sum(col("t_qty")).as("zone_sum"),
+          min(col("t_qty")).as("zone_min"),
+          max(col("t_qty")).as("zone_max"),
+          (sum(col("t_qty")) / count(lit(1))).as("zone_mean"))
+        .orderBy("zone")),
     "q_sfc_index" -> ((s, dir) => {
       val p = t(s, dir, "lineitem")
         .select((col("l_quantity") / 2.0).as("x"), col("l_linenumber").cast("double").as("y"))
@@ -1978,6 +1992,11 @@ object SparkEntry {
       """WITH p AS (SELECT DISTINCT CAST(l_quantity AS DOUBLE) AS q, CAST(l_linenumber AS DOUBLE) AS lnv FROM lineitem)
         |SELECT q, lnv, CAST(6 AS BIGINT) AS dc, 6.0 * q AS s
         |FROM p ORDER BY q, lnv""".stripMargin,
+    "q_zonal" -> (IDX +
+      """ SELECT CAST(lnv AS INT) AS zone, CAST(COUNT(*) AS BIGINT) AS n_cells,
+        | SUM(q) AS zone_sum, MIN(q) AS zone_min, MAX(q) AS zone_max,
+        | SUM(q) / COUNT(*) AS zone_mean
+        | FROM idx GROUP BY 1 ORDER BY 1""".stripMargin),
     "q_raster_join" ->
       """SELECT l_orderkey, SUM(l_quantity) AS s FROM lineitem
         |WHERE l_orderkey % 200 = 0 GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
