@@ -869,3 +869,8 @@ def pl_l2_norm(v):
 def pl_strip_html(text):
     """Drop HTML tags/comments and decode predefined XML entities."""
     return _fn("pl_strip_html", text)
+
+
+def pl_chunks(text, size_tokens=512, overlap=0):
+    """Fixed-size token windows as an array of chunk structs."""
+    return _fn("pl_chunks", text, size_tokens, overlap)

@@ -133,6 +133,7 @@ object FunctionDocs {
     "pl_repetition_ratio" -> "pl_repetition_ratio(text[, n]) - 1 minus distinct/total n-gram ratio (default n=3); high values flag boilerplate repetition.",
     "pl_minhash" -> "pl_minhash(text[, num_hashes, shingle]) - MinHash signature (default 32 hashes over 3-token shingles) as an array of longs.",
     "pl_winnow" -> "pl_winnow(text[, k, w]) - MOSS winnowing fingerprints: array of (pos, fp) structs selecting each w-window's rightmost-minimum k-token gram hash; shared substrings of w+k-1 tokens always share a fingerprint.",
+    "pl_chunks" -> "pl_chunks(text[, size_tokens, overlap]) - Fixed-size token windows (default 512, overlap 0) as an array of (chunk_idx, start_token, chunk_text, n_chunk_tokens) structs; inline() it to get chunk rows.",
     "pl_distinct_ngrams" -> "pl_distinct_ngrams(tokens[, n]) - Distinct n-grams (default n=3) of a token array, in first-seen order.",
     "pl_ngrams" -> "pl_ngrams(tokens[, n]) - All n-grams (default n=2) of a token array with multiplicity; strict windows, so fewer than n tokens yields an empty array.",
     "pl_mix64" -> "pl_mix64(x) - splitmix64 finalizer of an integral value; a stable pseudo-random sort key for deterministic sampling.",

@@ -440,6 +440,11 @@ object Raster {
         .expressionEager(TF.minhash(asColumn(xs.head), intArg(xs, 1, 32), intArg(xs, 2, 3))))
       regN("pl_winnow", xs => org.apache.spark.sql.graft.shims
         .expressionEager(TF.winnow(asColumn(xs.head), intArg(xs, 1, 3), intArg(xs, 2, 4))))
+      regN("pl_chunks", xs => org.apache.spark.sql.graft.shims.expressionEager(
+        asColumn(graft.pipeline.Chunks(
+          org.apache.spark.sql.graft.shims.expression(
+            org.apache.spark.sql.functions.split(asColumn(xs.head), " ")),
+          intArg(xs, 1, 512), intArg(xs, 2, 0)))))
       regN("pl_distinct_ngrams", xs =>
         graft.pipeline.DistinctNGrams(xs.head, intArg(xs, 1, 3)))
       regN("pl_ngrams", xs =>

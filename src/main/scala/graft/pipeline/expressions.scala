@@ -798,3 +798,54 @@ case class Winnow(child: Expression, k: Int, w: Int)
   }
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
+
+/**
+ * Scalar form of [[Chunking.chunk]] for the SQL/Python surface:
+ * fixed-size token windows with overlap as one array of structs, so
+ * `SELECT inline(pl_chunks(text, 8, 4))` chunkifies without the
+ * DataFrame helper. Single pass over the staged token array (no
+ * re-tokenization per window); one eval per document, CodegenFallback
+ * like the other signature expressions.
+ */
+case class Chunks(child: Expression, sizeTokens: Int, overlap: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(sizeTokens > 0, "pl_chunks expects size_tokens > 0")
+  require(overlap >= 0 && overlap < sizeTokens,
+    "pl_chunks expects overlap in [0, size_tokens)")
+  override def prettyName: String = "pl_chunks"
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("chunk_idx", IntegerType, nullable = false),
+      StructField("start_token", IntegerType, nullable = false),
+      StructField("chunk_text", StringType, nullable = false),
+      StructField("n_chunk_tokens", IntegerType, nullable = false))),
+    containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName expects array<string>")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    val stride = sizeTokens - overlap
+    val nChunks = if (n == 0) 0 else (n - 1) / stride + 1
+    val out = new Array[Any](nChunks)
+    val sb = new java.lang.StringBuilder()
+    var ci = 0
+    while (ci < nChunks) {
+      val start = ci * stride
+      val len = math.min(sizeTokens, n - start)
+      sb.setLength(0)
+      var j = 0
+      while (j < len) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks.getUTF8String(start + j).toString)
+        j += 1
+      }
+      out(ci) = InternalRow(ci, start, UTF8String.fromString(sb.toString), len)
+      ci += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}

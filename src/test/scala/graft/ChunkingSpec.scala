@@ -41,4 +41,14 @@ class ChunkingSpec extends AnyFunSuite {
       Chunking.chunk(df, "id", "text", sizeTokens = 4, overlap = 4)
     }
   }
+
+  test("pl_chunks SQL scalar agrees with the DataFrame op") {
+    val rows = spark.sql(
+      "SELECT inline(pl_chunks('t1 t2 t3 t4 t5 t6 t7 t8 t9 t10', 8, 4))").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    assert(rows.toSeq == Seq(
+      (0, 0, "t1 t2 t3 t4 t5 t6 t7 t8", 8),
+      (1, 4, "t5 t6 t7 t8 t9 t10", 6),
+      (2, 8, "t9 t10", 2)))
+  }
 }
