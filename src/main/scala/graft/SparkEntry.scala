@@ -305,7 +305,7 @@ object SparkEntry {
       val bits = graft.pipeline.BloomDedup.bloomBits(ref, "text", numBits = 16384, k = 4)
       val fp = TextFunctions.fingerprint(col("text"))
       val refFps = ref.select(fp.as("rh")).distinct()
-      graft.pipeline.BloomDedup.annotate(docs, "doc_id", "text", bits, k = 4)
+      graft.pipeline.BloomDedup.annotate(docs, "text", bits, k = 4)
         .select(col("doc_id"), fp.as("fp0"), col("bloom_hit"))
         .join(broadcast(refFps), col("fp0") === col("rh"), "left")
         .select(col("doc_id"), col("bloom_hit"), col("rh").isNotNull.as("is_member"))
@@ -1287,7 +1287,7 @@ object SparkEntry {
         |  '</p>&nbsp;<br/>&amp;lt;end&gt; x <i>it</i>' AS deco FROM documents),
         |s AS (SELECT doc_id,
         |  replace(replace(replace(replace(replace(replace(
-        |    regexp_replace(regexp_replace(deco, '<!--.*?-->', ' ', 'g'),
+        |    regexp_replace(regexp_replace(deco, '<!--.*?-->', ' ', 'gs'),
         |                   '<[^>]*>', ' ', 'g'),
         |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
         |    '&apos;', ''''), '&nbsp;', ' '), '&amp;', '&') AS stripped

@@ -452,8 +452,18 @@ object Raster {
       reg1("pl_mix64", graft.pipeline.Mix64(_))
       reg1("pl_nfc", graft.pipeline.UnicodeNorm(_, "NFC"))
       reg1("pl_nfkc", graft.pipeline.UnicodeNorm(_, "NFKC"))
-      regN("pl_unicode_normalize", xs => graft.pipeline.UnicodeNorm(xs(0),
-        xs(1).eval(null).toString))
+      regN("pl_unicode_normalize", xs => xs(1) match {
+        // the form must be a string literal (it selects the normalizer at
+        // plan time); a column argument fails analysis with a clear
+        // message instead of an opaque eval-time exception
+        case Literal(s: org.apache.spark.unsafe.types.UTF8String,
+            org.apache.spark.sql.types.StringType) =>
+          graft.pipeline.UnicodeNorm(xs(0), s.toString)
+        case other => throw new org.apache.spark.sql.AnalysisException(
+          "_LEGACY_ERROR_TEMP_3102", // pass-through <msg> template
+          Map("msg" ->
+            s"pl_unicode_normalize expects a string literal form ('NFC'|'NFD'|'NFKC'|'NFKD') as its second argument, got ${other.sql}"))
+      })
       reg1("pl_strip_accents", graft.pipeline.StripAccents(_))
       regN("pl_normalize_whitespace", pcol(graft.pipeline.TextNorm.normalize_whitespace))
       regN("pl_strip_punct", pcol(graft.pipeline.TextNorm.strip_punct))

@@ -144,7 +144,23 @@ case class BloomContains(bits: Expression, hash: Expression, k: Int)
   override def checkInputDataTypes(): TypeCheckResult =
     (bits.dataType, hash.dataType) match {
       case (ArrayType(LongType, _), LongType | IntegerType) if bits.foldable =>
-        TypeCheckResult.TypeCheckSuccess
+        // The probe's mask math assumes the bitset length is a power of
+        // two — the same invariant BloomBuildAgg enforces at build. A
+        // truncated/sliced or wrong-numBits literal would otherwise make
+        // the probe silently wrong (FALSE NEGATIVES, violating the
+        // documented guarantee), so a mismatch fails analysis here.
+        val v = bits.eval(null)
+        if (v == null) TypeCheckResult.TypeCheckFailure(s"$prettyName bits must not be null")
+        else {
+          val nWords = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].numElements()
+          val nBits = nWords.toLong * 64L
+          if (nWords >= 1 && nBits <= BloomHash.MaxBits && (nWords & (nWords - 1)) == 0)
+            TypeCheckResult.TypeCheckSuccess
+          else TypeCheckResult.TypeCheckFailure(
+            s"$prettyName bits length must be a power of two in [64, ${BloomHash.MaxBits}]" +
+              s" bits, got $nBits bits ($nWords words) — was the bitset truncated or" +
+              " built with a different numBits?")
+        }
       case _ => TypeCheckResult.TypeCheckFailure(
         s"$prettyName expects (foldable array<bigint> bits, integral hash)")
     }
@@ -192,8 +208,10 @@ object BloomDedup {
 
   /** Annotate `batch` with `bloom_hit`: whether the document's content
     * fingerprint might be present in the reference corpus. Rows with
-    * bloom_hit = false are certainly novel (no false negatives). */
-  def annotate(batch: DataFrame, idCol: String, textCol: String,
+    * bloom_hit = false are certainly novel (no false negatives). The
+    * probe keys on the text fingerprint only; all existing columns pass
+    * through unchanged. */
+  def annotate(batch: DataFrame, textCol: String,
                bits: Array[Long], k: Int): DataFrame = {
     val lit_bits = lit(bits)
     batch.withColumn("bloom_hit",

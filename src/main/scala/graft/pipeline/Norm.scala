@@ -107,7 +107,7 @@ object TextNorm {
     * rather than double-decoding. Regex + literal replaces only, all
     * dialect-neutral. */
   def strip_html(text: Column): Column = {
-    val noComments = regexp_replace(text, "<!--.*?-->", " ")
+    val noComments = regexp_replace(text, "(?s)<!--.*?-->", " ")
     val noTags = regexp_replace(noComments, "<[^>]*>", " ")
     val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&apos;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")

@@ -243,9 +243,14 @@ object Dedup {
    * pinned multiply-then-divide, no logarithm — transcendental libm
    * calls are the one place engines drift by an ulp, so the rational
    * form keeps ranking AND scores bit-exact everywhere. Shapes: tf is
-   * one partial+final count per (doc, term); df distinct-reduces to the
-   * bounded vocabulary and BROADCASTS back; the per-doc top-k window
-   * partitions by doc (skew bounded by a doc's distinct terms).
+   * one partial+final count per (doc, term); df distinct-reduces per
+   * term and joins back with a plain SHUFFLE equi-join on `term` — a
+   * web-scale corpus has an OPEN vocabulary (typos, unicode junk, code
+   * tokens: billions of distinct terms), so the df table must never be
+   * broadcast; Catalyst picks SMJ/SHJ and both sides shuffle on the
+   * same key the tf aggregation already produced. Only the single-row
+   * corpus count is broadcast. The per-doc top-k window partitions by
+   * doc (skew bounded by a doc's distinct terms).
    * Returns (id, term, tf, df, score, rank), rank 1..k.
    */
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
@@ -256,7 +261,7 @@ object Dedup {
     val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
     val dfc = toks.distinct().groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = df.agg(count(lit(1)).as("n_docs"))
-    val scored = tf.join(broadcast(dfc), "term")
+    val scored = tf.join(dfc, "term")
       .crossJoin(broadcast(nDocs))
       .withColumn("score", col("tf").cast("double") * col("n_docs") / col("df"))
     val w = Window.partitionBy("id").orderBy(col("score").desc, col("term"))
@@ -270,6 +275,14 @@ object Dedup {
    * signature → `bands` bands of `numHashes/bands` rows → equi-join on
    * (band_idx, band_hash) — a shuffle hash join on bounded buckets, the
    * standard scale-out shape (no O(n²) compare).
+   *
+   * The band join and candidate dedup carry ONLY (id, band_idx,
+   * band_hash) — never the `numHashes`-long signatures. A pair matching
+   * in b bands would otherwise shuffle b duplicate copies of BOTH
+   * signatures through the join and distinct over wide rows; instead the
+   * (a_id, b_id) pair is distinct'ed narrow and each side's signature is
+   * rejoined exactly once (the same shape as [[Similarity.lshTopK]]).
+   *
    * Returns (a_id, b_id, est_jaccard) with a_id < b_id, est_jaccard =
    * fraction of matching signature positions.
    */
@@ -278,19 +291,21 @@ object Dedup {
     val rows = numHashes / bands
     val sigs = df.select(col(idCol).as("id"),
       TextFunctions.minhash(col(textCol), numHashes).as("sig"))
-    val banded = sigs.select(col("id"), col("sig"),
+    val banded = sigs.select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b))).as(Seq("band_idx", "band_hash")))
-    val a = banded.select(col("id").as("a_id"), col("sig").as("a_sig"),
-      col("band_idx"), col("band_hash"))
-    val b = banded.select(col("id").as("b_id"), col("sig").as("b_sig"),
-      col("band_idx"), col("band_hash"))
-    a.join(b, Seq("band_idx", "band_hash"))
+    val a = banded.select(col("id").as("a_id"), col("band_idx"), col("band_hash"))
+    val b = banded.select(col("id").as("b_id"), col("band_idx"), col("band_hash"))
+    val candidates = a.join(b, Seq("band_idx", "band_hash"))
       .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+    candidates
+      .join(sigs.select(col("id").as("a_id"), col("sig").as("a_sig")), Seq("a_id"))
+      .join(sigs.select(col("id").as("b_id"), col("sig").as("b_sig")), Seq("b_id"))
       .select(col("a_id"), col("b_id"),
         (size(filter(zip_with(col("a_sig"), col("b_sig"), (x, y) => x === y), x => x))
           .cast("double") / lit(numHashes.toDouble)).as("est_jaccard"))
-      .distinct()
       .where(col("est_jaccard") >= threshold)
   }
 
@@ -498,9 +513,6 @@ object Similarity {
   def cosine(a: Column, b: Column): Column = c(CosineSimilarity(asExpr(a), asExpr(b)))
   def dot(a: Column, b: Column): Column = c(VectorDot(asExpr(a), asExpr(b)))
 
-  /** Bounded top-k-by aggregate ([[TopKByAggregate]]): map-side partial
-    * top-k per group → shuffle O(groups·k), replacing the
-    * sort-everything row_number window. */
   /** Euclidean norm, same index-order double accumulation as [[dot]]
     * (sqrt is IEEE correctly-rounded, so engines agree bit-exactly). */
   def l2_norm(v: Column): Column = sqrt(dot(v, v))
@@ -527,6 +539,9 @@ object Similarity {
                   d -> aggregate(vs, 0D, (acc, x) -> acc + x.v[d - 1]) / size(vs))""")
           .as("mean_vec"))
 
+  /** Bounded top-k-by aggregate ([[TopKByAggregate]]): map-side partial
+    * top-k per group → shuffle O(groups·k), replacing the
+    * sort-everything row_number window. */
   def topKBy(payload: Column, order: Column, k: Int): Column =
     c(TopKByAggregate(asExpr(payload), asExpr(order), k).toAggregateExpression())
 

@@ -12,7 +12,7 @@ class BloomSpec extends AnyFunSuite {
     val docs = (0L until 200L).map(i => (i, s"document number $i with body %d".format(i * 7)))
       .toDF("doc_id", "text")
     val bits = BloomDedup.bloomBits(docs, "text", numBits = 4096, k = 4)
-    val out = BloomDedup.annotate(docs, "doc_id", "text", bits, k = 4)
+    val out = BloomDedup.annotate(docs, "text", bits, k = 4)
       .where(!col("bloom_hit")).count()
     assert(out == 0L)
   }
@@ -21,7 +21,7 @@ class BloomSpec extends AnyFunSuite {
     val ref = (0L until 100L).map(i => (i, s"ref doc $i")).toDF("doc_id", "text")
     val bits = BloomDedup.bloomBits(ref, "text", numBits = 16384, k = 4)
     val batch = (1000L until 1500L).map(i => (i, s"novel doc $i")).toDF("doc_id", "text")
-    val hits = BloomDedup.annotate(batch, "doc_id", "text", bits, k = 4)
+    val hits = BloomDedup.annotate(batch, "text", bits, k = 4)
       .where(col("bloom_hit")).collect().map(_.getLong(0)).toSet
     // fill = 100*4/16384 ~ 2.4% -> FP rate ~ (0.024)^4 ~ 3e-7; expect zero
     assert(hits.isEmpty, s"unexpected bloom hits: $hits")

@@ -139,4 +139,61 @@ class DedupSpec extends AnyFunSuite {
     assert(out(2) == ((3L, "p q r", 2, 0)))
     assert(out(3) == ((4L, "", 1, 0))) // split("") -> [""], one empty segment
   }
+
+  test("minhashPairs shuffles id pairs, not duplicated signature payloads") {
+    import graft.pipeline.TextFunctions
+
+    def measureShuffle(body: => Unit): Long = {
+      val total = new java.util.concurrent.atomic.AtomicLong
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null) total.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try { body; Thread.sleep(1500) } // let straggler listener events drain
+      finally spark.sparkContext.removeSparkListener(listener)
+      total.get()
+    }
+
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // planted exact duplicates collide in every band → worst-case pair dup
+    val dupes = docs.limit(50)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val corpus = docs.select(col("doc_id"), col("text")).union(dupes)
+
+    // the pre-fix shape: 32-long signatures ride through the band join
+    // and the distinct runs over wide (a_id, b_id, est_jaccard) rows
+    def oldShape(): Unit = {
+      val numHashes = 32; val bands = 8; val rows = numHashes / bands
+      val sigs = corpus.select(col("doc_id").as("id"),
+        TextFunctions.minhash(col("text"), numHashes).as("sig"))
+      val banded = sigs.select(col("id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b)))
+          .as(Seq("band_idx", "band_hash")))
+      val a = banded.select(col("id").as("a_id"), col("sig").as("a_sig"),
+        col("band_idx"), col("band_hash"))
+      val b = banded.select(col("id").as("b_id"), col("sig").as("b_sig"),
+        col("band_idx"), col("band_hash"))
+      a.join(b, Seq("band_idx", "band_hash"))
+        .where(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          (size(filter(zip_with(col("a_sig"), col("b_sig"), (x, y) => x === y), x => x))
+            .cast("double") / lit(numHashes.toDouble)).as("est_jaccard"))
+        .distinct()
+        .where(col("est_jaccard") >= 0.2)
+        .write.mode("overwrite").format("noop").save()
+    }
+
+    val newBytes = measureShuffle {
+      Dedup.minhashPairs(corpus, "doc_id", "text", threshold = 0.2)
+        .write.mode("overwrite").format("noop").save()
+    }
+    val oldBytes = measureShuffle(oldShape())
+    info(s"shuffle bytes: new=$newBytes old=$oldBytes")
+    assert(newBytes < oldBytes,
+      s"id-pair band join should shuffle less than payload band join: $newBytes vs $oldBytes")
+  }
 }

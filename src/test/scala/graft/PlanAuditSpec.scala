@@ -42,6 +42,22 @@ class PlanAuditSpec extends AnyFunSuite {
       s"unintended nested-loop/cartesian in: ${offenders.mkString(", ")}")
   }
 
+  test("tf-idf never broadcast-hints the open vocabulary df table") {
+    // The df (document-frequency) table is unbounded on a web-scale
+    // corpus; the only sanctioned broadcast hint is the one-row corpus
+    // count. AQE may still *choose* a broadcast join at tiny SF from
+    // runtime stats — that is fine; what must never exist is the
+    // explicit hint that forces it at any scale.
+    val df = SparkEntry.queries("q_tfidf")(spark, sfDir)
+    val hints = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.size == 1, s"expected exactly one broadcast hint, got ${hints.size}")
+    assert(hints.head.child.schema.fieldNames.sameElements(Array("n_docs")),
+      s"the only broadcast hint must be the one-row corpus count, " +
+        s"got schema ${hints.head.child.schema.fieldNames.mkString(",")}")
+  }
+
   test("document-table scans prune to the referenced columns") {
     // q_chunk reads only (doc_id, text) of documents: the scan must not
     // drag lang/source/n_chars through the generator
