@@ -51,6 +51,68 @@ object SparkEntry {
       .where(col("cell").isNotNull)
       .orderBy("l_orderkey", "i")
 
+  /**
+   * The DSv2 geotiff read path driven end-to-end from parquet-derived
+   * fixtures: a bounded subset of the per-orderkey tiles (l_orderkey %
+   * 61 = 3) is written as one two-band 8×4 GeoTIFF per orderkey (band 0
+   * = quantity, band 1 = linenumber), then read back through
+   * `spark.read.format("geotiff")` with `band_indexes=0,1` and
+   * `tile_dimensions=4,2` — each file expands to four windows, so the
+   * windowed byte-range reader, band indexing, per-window extents and
+   * (optionally) the RefTile lazy path are all on the oracle-checked
+   * path. Output reconstructs the global cell index from (spatial_key,
+   * column/row_index) and carries the window's xmin/ymax, which the
+   * DuckDB oracle re-derives arithmetically.
+   *
+   * The fixture write is driver-side by design (bounded: ~1/61 of
+   * orderkeys, 1 KB per file) and cached per testdata dir: rewritten
+   * only when the orderkey count changes.
+   */
+  private def geotiffRead(s: SparkSession, dir: String, lazyTiles: Boolean): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    Raster.init(s)
+    val fxDir = Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_gt_fixture_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+    val rows = tiled(s, dir).where(col("l_orderkey") % 61 === 3)
+      .select(col("l_orderkey"), col("t_qty"), col("t_ln")).collect()
+    val marker = fxDir.resolve("_fixture_count")
+    val fresh = Files.exists(marker) &&
+      new String(Files.readAllBytes(marker), "UTF-8") == rows.length.toString
+    if (!fresh) {
+      if (Files.isDirectory(fxDir)) {
+        val st = Files.list(fxDir)
+        try st.iterator().asScala.foreach(Files.delete) finally st.close()
+      }
+      Files.createDirectories(fxDir)
+      rows.foreach { r =>
+        val ok = r.getAs[Number](0).longValue()
+        graft.core.geotiff.GeoTiff.writeMultiband(
+          fxDir.resolve(f"ok-$ok%012d.tif").toString,
+          Seq(r.getAs[graft.core.Tile](1), r.getAs[graft.core.Tile](2)),
+          graft.core.Extent(0, 0, 8, 4), graft.core.crs.CRS("epsg:4326"))
+      }
+      Files.write(marker, rows.length.toString.getBytes("UTF-8"))
+    }
+    s.read.format("geotiff")
+      .option("path", fxDir.toString)
+      .option("tile_dimensions", "4,2")
+      .option("band_indexes", "0,1")
+      .option("lazy_tiles", lazyTiles.toString)
+      .load()
+      .select(
+        regexp_extract(col("path"), "ok-(\\d+)\\.tif", 1).cast("long").as("l_orderkey"),
+        col("spatial_key"), col("extent"),
+        rf_explode_tiles(col("tile_b0"), col("tile_b1")))
+      .select(col("l_orderkey"),
+        ((col("spatial_key.row") * 2 + col("row_index")) * 8 +
+          (col("spatial_key.col") * 4 + col("column_index"))).cast("int").as("i"),
+        col("tile_b0").as("qty"), col("tile_b1").as("lnv"),
+        col("extent.xmin").as("win_xmin"), col("extent.ymax").as("win_ymax"))
+      .where(col("qty").isNotNull)
+      .orderBy("l_orderkey", "i")
+  }
+
   private val IDX =
     """WITH idx AS (
       |  SELECT l_orderkey, l_orderkey % 10 AS bucket,
@@ -191,6 +253,13 @@ object SparkEntry {
         .orderBy("l_orderkey")),
     // ---- generators / converters ----
     "q_explode_tiles" -> ((s, dir) => cells(s, dir, col("t_qty"))),
+    // ---- DSv2 geotiff read path, end-to-end: fixture tiffs on disk →
+    // spark.read.format("geotiff") with band_indexes + tile_dimensions
+    // windowing (4×2 windows of 8×4 files → ranged reads) → explode.
+    // The eager/lazy twin pair shares one oracle, so the RefTile lazy
+    // path is pinned to the identical cell stream.
+    "q_geotiff_read" -> ((s, dir) => geotiffRead(s, dir, lazyTiles = false)),
+    "q_geotiff_read_lazy" -> ((s, dir) => geotiffRead(s, dir, lazyTiles = true)),
     "q_assemble_roundtrip" -> ((s, dir) => {
       val c = tiled(s, dir)
         .select(col("l_orderkey"), rf_explode_tiles(col("t_qty")))
@@ -1113,6 +1182,18 @@ object SparkEntry {
         |FROM idx GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin),
     "q_explode_tiles" -> (IDX +
       " SELECT l_orderkey, i, q AS cell FROM idx ORDER BY l_orderkey, i"),
+    // the DSv2 reader's windowed cells re-derived arithmetically: window
+    // (kc, kr) of a 8×4 file in 4×2 windows → xmin = kc*4, ymax = 4-kr*2
+    "q_geotiff_read" -> (IDX +
+      """ SELECT l_orderkey, i, q AS qty, lnv,
+        |CAST(((i % 8) // 4) * 4 AS DOUBLE) AS win_xmin,
+        |CAST(4 - ((i // 8) // 2) * 2 AS DOUBLE) AS win_ymax
+        |FROM idx WHERE l_orderkey % 61 = 3 ORDER BY l_orderkey, i""".stripMargin),
+    "q_geotiff_read_lazy" -> (IDX +
+      """ SELECT l_orderkey, i, q AS qty, lnv,
+        |CAST(((i % 8) // 4) * 4 AS DOUBLE) AS win_xmin,
+        |CAST(4 - ((i // 8) // 2) * 2 AS DOUBLE) AS win_ymax
+        |FROM idx WHERE l_orderkey % 61 = 3 ORDER BY l_orderkey, i""".stripMargin),
     "q_assemble_roundtrip" ->
       "SELECT l_orderkey, SUM(l_quantity) AS tile_sum FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey",
     "q_standardize" -> (IDX +
