@@ -542,6 +542,12 @@ object SparkEntry {
       // per-pair score = m table lookups — the compressed ANN serving path
       Similarity.pqTopK(t(s, dir, "embeddings"), "vec_id", "embedding", 3)
         .orderBy("query_id", "rank")),
+    "q_knn_ivfpq" -> ((s, dir) =>
+      // IVF cell join bounds the candidates, PQ-ADC bounds the per-pair
+      // cost — the billion-scale composition: no corpus broadcast, no
+      // O(n²) scan
+      Similarity.ivfpqTopK(t(s, dir, "embeddings"), "vec_id", "embedding", 3)
+        .orderBy("query_id", "rank")),
     // ---- corpus curation (PII / decontamination / mixture sampling) ----
     "q_pii" -> ((s, dir) => {
       // The synthetic corpus carries no PII, so inject deterministic
@@ -1048,11 +1054,16 @@ object SparkEntry {
     * query gets an inner-product table vs each subspace codebook
     * (list_dot_product matches the ascending-index double accumulation
     * of PQDistTable bit-for-bit, as the cosine oracles already prove). */
-  private def duckPqCtes(m: Int, subDim: Int, k: Int, iters: Int): String = {
+  private def duckPqCtes(m: Int, subDim: Int, k: Int, iters: Int,
+      withInit: Boolean = true): String = {
+    // withInit = false composes with duckLloydCtes in one WITH (vv/samp
+    // already defined there); only the subspace-dim helper is emitted.
     val init =
-      s"""vv AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |samp AS MATERIALIZED (SELECT vec_id, v FROM vv ORDER BY vec_id LIMIT 100000),
-         |sdims AS MATERIALIZED (SELECT UNNEST(range(1, ${subDim + 1})) AS i)""".stripMargin
+      if (withInit)
+        s"""vv AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |samp AS MATERIALIZED (SELECT vec_id, v FROM vv ORDER BY vec_id LIMIT 100000),
+           |sdims AS MATERIALIZED (SELECT UNNEST(range(1, ${subDim + 1})) AS i)""".stripMargin
+      else s"sdims AS MATERIALIZED (SELECT UNNEST(range(1, ${subDim + 1})) AS i)"
     val subs = (0 until m).map { j =>
       val (a, b) = (j * subDim + 1, (j + 1) * subDim)
       val sub =
@@ -1688,6 +1699,33 @@ object SparkEntry {
          |  JOIN s1dt d1 ON d1.vec_id = q.vec_id AND d1.cell = n.k1
          |  JOIN s2dt d2 ON d2.vec_id = q.vec_id AND d2.cell = n.k2
          |  JOIN s3dt d3 ON d3.vec_id = q.vec_id AND d3.cell = n.k3),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM sims)
+         |SELECT query_id, neighbor_id, sim, CAST(rank AS INTEGER) AS rank
+         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+    },
+    // IVF+PQ composed: coarse Lloyd cells + probes from the IVF oracle,
+    // candidate pairs bounded by the probed cells, scores from the PQ
+    // ADC tables (a neighbor is in exactly one cell, so no dedup needed)
+    "q_knn_ivfpq" -> {
+      s"""WITH ${duckLloydCtes(k = 16, iters = 10)},
+         |${duckPqCtes(m = 4, subDim = 16, k = 16, iters = 5, withInit = false)},
+         |asg AS MATERIALIZED (SELECT vv.vec_id, vv.v,
+         |  (SELECT c.cell FROM c10 c ORDER BY list_distance(vv.v, c.centroid), c.cell LIMIT 1) AS cell
+         |  FROM vv),
+         |probes AS (SELECT * FROM (
+         |    SELECT a.vec_id AS query_id, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+         |        ORDER BY -list_dot_product(a.v, c.centroid), c.cell) AS prank
+         |    FROM asg a CROSS JOIN c10 c) WHERE prank <= 4),
+         |cand AS (SELECT p.query_id, n.vec_id AS neighbor_id
+         |  FROM probes p JOIN asg n ON n.cell = p.cell AND n.vec_id <> p.query_id),
+         |sims AS (SELECT c.query_id, c.neighbor_id,
+         |    d0.s + d1.s + d2.s + d3.s AS sim
+         |  FROM cand c JOIN allcodes n ON n.vec_id = c.neighbor_id
+         |  JOIN s0dt d0 ON d0.vec_id = c.query_id AND d0.cell = n.k0
+         |  JOIN s1dt d1 ON d1.vec_id = c.query_id AND d1.cell = n.k1
+         |  JOIN s2dt d2 ON d2.vec_id = c.query_id AND d2.cell = n.k2
+         |  JOIN s3dt d3 ON d3.vec_id = c.query_id AND d3.cell = n.k3),
          |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM sims)
          |SELECT query_id, neighbor_id, sim, CAST(rank AS INTEGER) AS rank
          |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin

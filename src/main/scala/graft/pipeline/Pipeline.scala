@@ -659,12 +659,19 @@ object Similarity {
   /**
    * Product-quantization ADC top-k by inner product (the compressed
    * complement of IVF): each vector is encoded as `m` per-subspace
-   * centroid codes (~`m` bytes — [[PQCodes]]), so the whole corpus's
-   * code table is small enough to BROADCAST even when the raw vectors
-   * are terabytes. Each query precomputes its ADC table of
-   * query-to-centroid inner products once ([[PQDistTable]]), and the
-   * scan scores every candidate with `m` array lookups ([[PQAdc]],
-   * codegen'd) — no per-pair float dot products anywhere.
+   * centroid codes (~`m` bytes — [[PQCodes]]). Each query precomputes
+   * its ADC table of query-to-centroid inner products once
+   * ([[PQDistTable]]), and the scan scores every candidate with `m`
+   * array lookups ([[PQAdc]], codegen'd) — no per-pair float dot
+   * products anywhere.
+   *
+   * CORPUS-SIZE BOUND: this variant broadcasts the full (id, codes)
+   * table and scans every query×candidate pair, so it is the exhaustive
+   * compressed baseline — correct while the code table fits a broadcast
+   * (~10⁸ vectors at m=4; at 10⁹ the ~12 GB table exceeds Spark's
+   * broadcast ceiling and the O(n²) scan dominates regardless). The
+   * scale path is [[ivfpqTopK]], which bounds candidates with the IVF
+   * cell join and ships codes through a shuffle instead.
    *
    * The quantizer fit mirrors [[ivfTopK]]: a sorted-prefix sample,
    * driver-side deterministic Lloyd per subspace ([[QuantizerKMeans]]),
@@ -688,6 +695,66 @@ object Similarity {
     val queries = df.select(col(idCol).as("query_id"),
       c(PQDistTable(asExpr(col(vecCol)), cents)).as("dt"))
     rankTopK(queries.crossJoin(broadcast(codes))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        c(PQAdc(asExpr(col("dt")), asExpr(col("codes")), codebook)).as("sim")),
+      k)
+  }
+
+  /**
+   * IVF+PQ composed top-k — the billion-scale ANN serving layout: the
+   * IVF coarse quantizer bounds WHICH pairs are scored (each query
+   * probes its `nprobe` nearest cells; candidates come from an
+   * equi-join on the cell id), and PQ-ADC bounds WHAT each candidate
+   * costs (`subspaces` small codes + table lookups instead of d-dim
+   * float dot products). Unlike [[pqTopK]] there is no corpus-wide
+   * broadcast and no O(n²) scan: the candidate side of the cell join
+   * carries (id, cell, codes) — a few bytes per vector — and the probe
+   * side carries each query's precomputed ADC table
+   * (subspaces×codebook doubles, ≤ nprobe copies). Only the
+   * nlist-row centroid table broadcasts.
+   *
+   * Both quantizer fits reuse the pinned sorted-prefix sample +
+   * driver-side Lloyd ([[QuantizerKMeans]]); every arithmetic step is
+   * deterministic, so the DuckDB oracle replays cells, probes, codes
+   * and ADC scores bit-exactly (q_knn_ivfpq). A neighbor belongs to
+   * exactly one cell, so a (query, neighbor) pair surfaces through at
+   * most one probe — no dedup pass is needed before the bounded top-k.
+   */
+  def ivfpqTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      dim: Int = 64, nlist: Int = 16, nprobe: Int = 4,
+      subspaces: Int = 4, codebook: Int = 16,
+      fitSampleSize: Int = 100000, coarseIters: Int = 10,
+      pqIters: Int = 5): DataFrame = {
+    require(dim % subspaces == 0, "dim must divide evenly into subspaces")
+    val subDim = dim / subspaces
+    val sample = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .orderBy(col("id")).limit(fitSampleSize)
+      .collect().map(_.getSeq[Double](1).toArray)
+    val cents = QuantizerKMeans.fit(sample, nlist, coarseIters)
+    val padded = sample.map(_.padTo(dim, 0.0))
+    val pqCents: Array[Array[Array[Double]]] = Array.tabulate(subspaces) { j =>
+      QuantizerKMeans.fit(padded.map(v => v.slice(j * subDim, (j + 1) * subDim)),
+        codebook, pqIters)
+    }
+    val assigned = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      c(NearestCentroid(asExpr(col(vecCol)), cents)).as("cell"),
+      c(PQCodes(asExpr(col(vecCol)), pqCents)).as("codes")).localCheckpoint(true)
+    val centroids = df.sparkSession.createDataFrame(
+      cents.zipWithIndex.map { case (cen, i) => (i, cen.toIndexedSeq) }.toIndexedSeq)
+      .toDF("cell", "centroid")
+    val wProbe = Window.partitionBy("id").orderBy(col("cdist"), col("cell"))
+    val probes = assigned.select(col("id"), col("vec"))
+      .crossJoin(broadcast(centroids))
+      .select(col("id"), col("vec"), col("cell"),
+        (-dot(col("vec"), col("centroid"))).as("cdist"))
+      .withColumn("prank", row_number().over(wProbe))
+      .where(col("prank") <= nprobe)
+      .select(col("id").as("query_id"),
+        c(PQDistTable(asExpr(col("vec")), pqCents)).as("dt"), col("cell"))
+    rankTopK(probes
+      .join(assigned.select(col("id").as("neighbor_id"), col("codes"), col("cell")),
+        Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         c(PQAdc(asExpr(col("dt")), asExpr(col("codes")), codebook)).as("sim")),

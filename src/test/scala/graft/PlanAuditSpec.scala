@@ -25,6 +25,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_sample_quota" -> "broadcast per-source boundary-bucket plan",
     "q_corpus_report" -> "broadcast one-row gopher-pass-count crossJoin",
     "q_knn_ivf" -> "broadcast nlist-row centroid table crossJoin (probe ranking)",
+    "q_knn_ivfpq" -> "broadcast nlist-row centroid table crossJoin (probe ranking)",
     "q_knn_pq" -> "broadcast PQ code table crossJoin (the point of PQ: codes fit anywhere)")
 
   test("no query plans an unintended cartesian or nested-loop join") {

@@ -31,6 +31,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(perQuery.forall(_.getLong(0) == 3L))
   }
 
+  test("IVF+PQ composition scores like exhaustive PQ within probed cells") {
+    import org.apache.spark.sql.functions._
+    val df = Similarity.ivfpqTopK(embeddings, "vec_id", "embedding", 3)
+    val ivfpq = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // the SAME (query, neighbor) pair must carry the exact same ADC
+    // score as the exhaustive PQ scan — the IVF stage only restricts
+    // candidates, never changes the scorer
+    val pqPairs = Similarity.pqTopK(embeddings, "vec_id", "embedding", 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val shared = ivfpq.keySet & pqPairs.keySet
+    assert(shared.nonEmpty, "expected some overlap between ivfpq and pq top-3")
+    shared.foreach { p =>
+      assert(ivfpq(p) == pqPairs(p), s"ADC score mismatch for $p")
+    }
+    val perQuery = df.groupBy("query_id").count()
+      .select("count").distinct().collect()
+    assert(perQuery.forall(_.getLong(0) == 3L))
+    // run-to-run determinism (seeded sample + pinned Lloyd)
+    val again = Similarity.ivfpqTopK(embeddings, "vec_id", "embedding", 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(again == ivfpq)
+    // the plan must not contain a cartesian over the corpus — the only
+    // broadcast NLJ is the nlist-row centroid probe ranking
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("IVF quantizer sample-fit is deterministic and keeps k results per query") {
     import org.apache.spark.sql.functions._
     // fitSampleSize below the corpus size forces the seeded-sample path
