@@ -562,6 +562,26 @@ def st_buffer(geom, distance):
     return _fn("st_buffer", geom, distance)
 
 
+def st_distance(a, b):
+    """Euclidean distance between two geometries in shared CRS units."""
+    return _fn("st_distance", a, b)
+
+
+def st_withinDistance(a, b, distance):
+    """True when the geometries lie within `distance` of each other."""
+    return _fn("st_within_distance", a, b, distance)
+
+
+def st_convexHull(geom):
+    """Convex hull of the geometry."""
+    return _fn("st_convexhull", geom)
+
+
+def st_simplify(geom, tolerance):
+    """Douglas-Peucker simplification with the given tolerance."""
+    return _fn("st_simplify", geom, tolerance)
+
+
 def st_covers(a, b):
     """True where a covers b."""
     return _fn("st_covers", a, b)

@@ -778,6 +778,28 @@ object SparkEntry {
         st_disjoint(a, b).as("r_disjoint"))
         .orderBy("q", "lnv")
     }),
+    // distance / hull / simplify over data-derived geometries; every
+    // output is exact integer arithmetic + one correctly-rounded sqrt,
+    // so DuckDB replays it bit-for-bit
+    "q_st_distance" -> ((s, dir) => {
+      val p = t(s, dir, "lineitem")
+        .select(col("l_quantity").cast("int").as("qi"),
+          col("l_linenumber").cast("int").as("lni"))
+        .distinct().where(col("qi") >= 2)
+      val pt = st_makePoint(col("qi").cast("double"), col("lni").cast("double"))
+      val box = st_geomFromWKT(lit("POLYGON ((25 3, 35 3, 35 5, 25 5, 25 3))"))
+      val tri = st_geomFromWKT(concat(lit("MULTIPOINT ((0 0), ("),
+        col("qi"), lit(" 0), (0 "), col("lni"), lit("))")))
+      val poly = st_geomFromWKT(concat(
+        lit("POLYGON ((0 0, 1 0, "), col("qi"), lit(" 0, "),
+        col("qi"), lit(" "), col("lni"), lit(", 0 "), col("lni"), lit(", 0 0))")))
+      p.select(col("qi"), col("lni"),
+        st_distance(pt, box).as("d_box"),
+        st_withinDistance(pt, box, lit(2.0)).as("near_box"),
+        st_area(st_convexHull(tri)).as("hull_area"),
+        st_asText(st_simplify(poly, lit(0.0))).as("simplified"))
+        .orderBy("qi", "lni")
+    }),
     "q_st_accessors" -> ((s, dir) => {
       val p = t(s, dir, "lineitem")
         .select(col("l_quantity").as("q"), col("l_linenumber").cast("double").as("lnv"))
@@ -2107,6 +2129,21 @@ object SparkEntry {
       """WITH p AS (SELECT DISTINCT CAST(l_quantity AS DOUBLE) AS q, CAST(l_linenumber AS DOUBLE) AS lnv FROM lineitem)
         |SELECT q, lnv, 6.0 AS area, q + 1.5 AS cx, lnv + 1.0 AS cy, q AS px, lnv AS py
         |FROM p ORDER BY q, lnv""".stripMargin,
+    // box distance via the axis-gap formula (identical IEEE ops to the
+    // JTS segment path on exact integer inputs); hull area = shoelace
+    // of the triangle; simplify(0) drops the planted collinear vertex
+    "q_st_distance" ->
+      """WITH p AS (SELECT DISTINCT CAST(l_quantity AS INT) AS qi, CAST(l_linenumber AS INT) AS lni
+        |  FROM lineitem WHERE l_quantity >= 2),
+        |g AS (SELECT qi, lni,
+        |  greatest(25.0 - qi, qi - 35.0, 0.0) AS dx,
+        |  greatest(3.0 - lni, lni - 5.0, 0.0) AS dy FROM p)
+        |SELECT qi, lni,
+        |  sqrt(dx * dx + dy * dy) AS d_box,
+        |  sqrt(dx * dx + dy * dy) <= 2.0 AS near_box,
+        |  CAST(qi AS DOUBLE) * lni / 2.0 AS hull_area,
+        |  'POLYGON ((0 0, ' || qi || ' 0, ' || qi || ' ' || lni || ', 0 ' || lni || ', 0 0))' AS simplified
+        |FROM g ORDER BY qi, lni""".stripMargin,
     "q_rasterize" ->
       """WITH p AS (SELECT DISTINCT CAST(l_quantity AS DOUBLE) AS q, CAST(l_linenumber AS DOUBLE) AS lnv FROM lineitem)
         |SELECT q, lnv, CAST(6 AS BIGINT) AS dc, 6.0 * q AS s

@@ -110,6 +110,10 @@ object FunctionDocs {
     "st_x" -> "st_x(point) - X coordinate of the point.",
     "st_y" -> "st_y(point) - Y coordinate of the point.",
     "st_buffer" -> "st_buffer(geom, distance) - Geometry buffered by the given distance.",
+    "st_distance" -> "st_distance(geomA, geomB) - Euclidean distance between the geometries in their shared CRS units.",
+    "st_within_distance" -> "st_within_distance(geomA, geomB, distance) - True when the geometries lie within the given distance of each other (envelope short-circuit).",
+    "st_convexhull" -> "st_convexhull(geom) - Convex hull of the geometry.",
+    "st_simplify" -> "st_simplify(geom, tolerance) - Douglas-Peucker simplification with the given tolerance (topology not guaranteed).",
     "st_extent" -> "st_extent(geom) - Bounding box of the geometry as an extent struct (xmin, ymin, xmax, ymax).",
     "st_geometry" -> "st_geometry(extent) - Converts an extent struct into a polygon geometry.",
     "rf_envelope" -> "rf_envelope(geom) - JTS envelope of the geometry as a struct (minx, maxx, miny, maxy).",

@@ -141,6 +141,70 @@ case class GeomBuffer(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
 
+/** Euclidean distance between two geometries in their (shared) CRS
+  * units (reference surface via the GeoMesa spark-jts mixin,
+  * rasterframes/package.scala:44). */
+case class GeomDistance(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def prettyName: String = "st_distance"
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isGeomLike(left.dataType) && isGeomLike(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects two geometry arguments")
+  @transient private lazy val ga = geomExtractor(left.dataType)
+  @transient private lazy val gb = geomExtractor(right.dataType)
+  override def nullSafeEval(a: Any, b: Any): Any = ga(a).distance(gb(b))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** True when the geometries lie within `d` of each other — JTS
+  * short-circuits on the envelope distance, so this is cheaper than
+  * `st_distance(a, b) <= d` for far-apart pairs. */
+case class GeomWithinDistance(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def prettyName: String = "st_within_distance"
+  override def dataType: DataType = BooleanType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isGeomLike(first.dataType) && isGeomLike(second.dataType) &&
+        third.dataType.isInstanceOf[NumericType])
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (geometry, geometry, numeric distance)")
+  @transient private lazy val ga = geomExtractor(first.dataType)
+  @transient private lazy val gb = geomExtractor(second.dataType)
+  @transient private lazy val de = doubleExtractor(third.dataType)
+  override def nullSafeEval(a: Any, b: Any, d: Any): Any =
+    ga(a).isWithinDistance(gb(b), de(d))
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression) = copy(f, s, t)
+}
+
+/** Convex hull of a geometry. */
+case class GeomConvexHull(child: Expression) extends GeomUnaryOp {
+  override def prettyName: String = "st_convexhull"
+  override def dataType: DataType = GeometryUDT.instance
+  override def nullSafeEval(input: Any): Any = serialize(geom(input).convexHull())
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** Douglas–Peucker simplification with the given tolerance (topology
+  * not guaranteed preserved — the standard st_simplify contract). */
+case class GeomSimplify(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def prettyName: String = "st_simplify"
+  override def dataType: DataType = GeometryUDT.instance
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isGeomLike(left.dataType) && right.dataType.isInstanceOf[NumericType])
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects (geometry, numeric tolerance)")
+  @transient private lazy val ge = geomExtractor(left.dataType)
+  @transient private lazy val de = doubleExtractor(right.dataType)
+  override def nullSafeEval(g: Any, t: Any): Any = serialize(
+    org.locationtech.jts.simplify.DouglasPeuckerSimplifier.simplify(ge(g), de(t)))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
 /** geometry/extent → extent struct (reference: transformers/GeometryToExtent.scala → st_extent). */
 case class GeometryToExtent(child: Expression) extends GeomUnaryOp {
   override def prettyName: String = "st_extent"

@@ -202,6 +202,11 @@ object functions {
   def st_x(g: Column): Column = c(GeomX(e(g)))
   def st_y(g: Column): Column = c(GeomY(e(g)))
   def st_buffer(g: Column, d: Column): Column = c(GeomBuffer(e(g), e(d)))
+  def st_distance(a: Column, b: Column): Column = c(GeomDistance(e(a), e(b)))
+  def st_withinDistance(a: Column, b: Column, d: Column): Column =
+    c(GeomWithinDistance(e(a), e(b), e(d)))
+  def st_convexHull(g: Column): Column = c(GeomConvexHull(e(g)))
+  def st_simplify(g: Column, tolerance: Column): Column = c(GeomSimplify(e(g), e(tolerance)))
   def st_extent(g: Column): Column = c(GeometryToExtent(e(g)))
   def st_geometry(extent: Column): Column = c(ExtentToGeometry(e(extent)))
   def rf_envelope(g: Column): Column = c(GeomEnvelope(e(g)))
@@ -402,6 +407,10 @@ object Raster {
     reg1("st_x", GeomX(_))
     reg1("st_y", GeomY(_))
     reg2("st_buffer", GeomBuffer(_, _))
+    reg2("st_distance", GeomDistance(_, _))
+    reg3("st_within_distance", GeomWithinDistance(_, _, _))
+    reg1("st_convexhull", GeomConvexHull(_))
+    reg2("st_simplify", GeomSimplify(_, _))
     reg1("st_extent", GeometryToExtent(_))
     reg1("st_geometry", ExtentToGeometry(_))
     reg1("rf_envelope", GeomEnvelope(_))

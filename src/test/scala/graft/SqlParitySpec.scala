@@ -56,6 +56,8 @@ class SqlParitySpec extends AnyFunSuite {
     s"rf_slope($T, 1.0)", s"rf_aspect($T)", s"rf_hillshade($T, 315.0, 45.0, 1.0)",
     s"st_astext($G)", s"st_centroid($G)", s"st_area($G)", s"st_length($G)",
     s"st_x($P)", s"st_y($P)", s"st_buffer($P, 1.0)",
+    s"st_distance($P, $G)", s"st_within_distance($P, $G, 2.0)",
+    s"st_convexhull($G)", s"st_simplify($G, 0.5)",
     s"st_extent($G)", s"st_geometry(st_extent($G))", s"rf_envelope($G)",
     s"st_reproject($P, 'epsg:4326', 'epsg:3857')",
     s"st_intersects($G, $P)", s"st_contains($G, $P)", s"st_covers($G, $P)",
