@@ -909,6 +909,19 @@ object SparkEntry {
           rightPrefix = "view_")
         .orderBy("event_id")
     }),
+    // hot-key-safe twin: per-key window split across one-hour time
+    // buckets, same oracle row-for-row (width never changes results)
+    "q_asof_bucketed" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = t(s, dir, "events").withColumn("tus", expr("ts div 1000"))
+      val views = ev.where(col("event_type") === "view")
+        .groupBy("user_id", "tus").agg(max("value").as("value"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select("event_id", "user_id", "tus")
+      graft.pipeline.Temporal.asofJoinBucketed(clicks, views, "user_id", "tus", "tus",
+          bucketWidth = 3600L * 1000000L, rightPrefix = "view_")
+        .orderBy("event_id")
+    }),
     // Interval join: errors within 10 minutes after each click, counted
     // per click (left outer via re-join so zero-error clicks keep a row).
     // Bucketed equi-join on (user_id, time bucket) — the 100 TB shape.
@@ -1811,6 +1824,23 @@ object SparkEntry {
     // (side 1), cumulative LAST_VALUE IGNORE NULLS over (ts, side) —
     // side 0 first so an exact-ts view matches its click
     "q_asof" ->
+      s"""WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tus, event_type, value FROM events),
+         |v AS (SELECT user_id, tus, MAX(value) AS value FROM e WHERE event_type = 'view' GROUP BY 1, 2),
+         |c AS (SELECT event_id, user_id, tus FROM e WHERE event_type = 'click'),
+         |u AS (
+         |  SELECT user_id, tus, 0 AS side, NULL::BIGINT AS event_id, value FROM v
+         |  UNION ALL
+         |  SELECT user_id, tus, 1, event_id, NULL FROM c),
+         |w AS (SELECT *,
+         |    LAST_VALUE(CASE WHEN side = 0 THEN tus END IGNORE NULLS)
+         |      OVER win AS view_tus,
+         |    LAST_VALUE(CASE WHEN side = 0 THEN value END IGNORE NULLS)
+         |      OVER win AS view_value
+         |  FROM u WINDOW win AS (PARTITION BY user_id ORDER BY tus, side ROWS UNBOUNDED PRECEDING))
+         |SELECT event_id, user_id, tus, view_tus, view_value
+         |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin,
+    // identical to q_asof — the bucketed variant must match row-for-row
+    "q_asof_bucketed" ->
       s"""WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tus, event_type, value FROM events),
          |v AS (SELECT user_id, tus, MAX(value) AS value FROM e WHERE event_type = 'view' GROUP BY 1, 2),
          |c AS (SELECT event_id, user_id, tus FROM e WHERE event_type = 'click'),

@@ -56,6 +56,14 @@ object Temporal {
    * `Window.partitionBy(key).orderBy(ts, side, payload)` — right rows
    * sort before left rows at equal ts, so exact matches are included.
    * One shuffle; per-key state is one struct.
+   *
+   * SKEW BOUND: the window partitions by the bare key, so ALL rows of
+   * one key stream through a single task — inherent to asof ordering,
+   * fine for keys up to tens of millions of rows (the state is one
+   * struct and the stream never materializes), but a single
+   * billion-row hot key serializes. For that shape use
+   * [[asofJoinBucketed]], which splits each key's window across coarse
+   * time buckets with identical results.
    */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, rightPrefix: String = "right_",
@@ -72,6 +80,79 @@ object Temporal {
       .withColumn("__graft_side", lit(1))
     val u = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy("__graft_k")
+      .orderBy(col("__graft_ts"), col("__graft_side"), col("__graft_r"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matchedRaw = last(col("__graft_r"), ignoreNulls = true).over(w)
+    val matched = tolerance match {
+      case Some(tol) =>
+        when(matchedRaw.isNotNull &&
+          col("__graft_ts") - matchedRaw(rightTs) <= tol, matchedRaw)
+      case None => matchedRaw
+    }
+    u.withColumn("__graft_m", matched)
+      .where(col("__graft_side") === 1)
+      .select(left.columns.toIndexedSeq.map(col) ++
+        payloadCols.map(c => col("__graft_m")(c).as(rightPrefix + c)): _*)
+  }
+
+  /**
+   * Hot-key-safe variant of [[asofJoin]]: identical semantics for ANY
+   * `bucketWidth` (asserted by TemporalSpec), with the per-key window
+   * split into (key, ts div bucketWidth) time buckets so one hot key
+   * parallelizes across its time range instead of serializing through
+   * a single task.
+   *
+   * The carry-in — the latest right row strictly before each bucket's
+   * start — is computed on a bounded per-(key, bucket) SUMMARY (one
+   * max-struct row per bucket with right rows, plus the left side's
+   * bucket universe). The only remaining serial-per-key step is a
+   * window over that summary, whose length is the number of occupied
+   * buckets per key, not the number of rows. The carry is injected
+   * into each bucket as a virtual right row at the bucket start with
+   * side −1, so it sorts before any real right row at the same
+   * timestamp and real rows always win within their bucket.
+   *
+   * Timestamps must be NUMERIC and non-negative (epoch micros via
+   * `unix_micros` for TIMESTAMP columns), like [[intervalJoin]] —
+   * bucketing is integer floor-division. Pick `bucketWidth` so a hot
+   * key spreads across hundreds of buckets; correctness never depends
+   * on the choice.
+   */
+  def asofJoinBucketed(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, bucketWidth: Long,
+      rightPrefix: String = "right_", tolerance: Option[Column] = None): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val payloadCols = right.columns.filterNot(_ == key).toSeq
+    require(payloadCols.contains(rightTs), s"right is missing ts column $rightTs")
+    val r = right.select(
+      col(key).as("__graft_k"), col(rightTs).cast("long").as("__graft_ts"),
+      lit(0).as("__graft_side"),
+      struct(payloadCols.map(col): _*).as("__graft_r"))
+      .withColumn("__graft_b", expr(s"__graft_ts div ${bucketWidth}L"))
+    val l = left
+      .withColumn("__graft_k", col(key))
+      .withColumn("__graft_ts", col(leftTs).cast("long"))
+      .withColumn("__graft_side", lit(1))
+      .withColumn("__graft_b", expr(s"__graft_ts div ${bucketWidth}L"))
+    // bounded summary: the last (ts, payload) per occupied right bucket
+    val summary = r.groupBy("__graft_k", "__graft_b")
+      .agg(max(struct(col("__graft_ts"), col("__graft_r"))).as("__graft_last"))
+    // bucket universe from BOTH sides, so buckets with left rows but no
+    // right rows still receive a carry from earlier buckets
+    val universe = l.select(col("__graft_k"), col("__graft_b")).distinct()
+      .unionByName(summary.select(col("__graft_k"), col("__graft_b"))).distinct()
+    val wCarry = Window.partitionBy("__graft_k").orderBy("__graft_b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = universe.join(summary, Seq("__graft_k", "__graft_b"), "left")
+      .withColumn("__graft_carry", max(col("__graft_last")).over(wCarry))
+      .where(col("__graft_carry").isNotNull)
+      .select(col("__graft_k"),
+        (col("__graft_b") * bucketWidth).as("__graft_ts"),
+        lit(-1).as("__graft_side"),
+        col("__graft_carry.__graft_r").as("__graft_r"),
+        col("__graft_b"))
+    val u = l.unionByName(r.unionByName(carry), allowMissingColumns = true)
+    val w = Window.partitionBy("__graft_k", "__graft_b")
       .orderBy(col("__graft_ts"), col("__graft_side"), col("__graft_r"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matchedRaw = last(col("__graft_r"), ignoreNulls = true).over(w)

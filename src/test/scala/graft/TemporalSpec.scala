@@ -102,6 +102,38 @@ class TemporalSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("asofJoinBucketed equals asofJoin on a skewed key, for any bucket width") {
+    // one hot key with 400 left + 200 right rows, one cold key, one
+    // key absent from the right — plus planted boundary collisions
+    // (ts exactly at multiples of every tested width)
+    val rnd = new scala.util.Random(11)
+    val lt = (1 to 400).map(i => ("hot", rnd.nextInt(1000).toLong, i)) ++
+      (1 to 20).map(i => ("cold", rnd.nextInt(1000).toLong, 1000 + i)) ++
+      Seq(("hot", 0L, 9001), ("hot", 100L, 9002), ("hot", 700L, 9003),
+        ("none", 50L, 9004))
+    val rt = (1 to 200).map(i => ("hot", rnd.nextInt(1000).toLong, i.toDouble)) ++
+      Seq(("hot", 100L, 777.0), ("cold", 500L, 1.5))
+    val l = lt.toDF("k", "ts", "qty")
+    val r = rt.toDF("k", "ts", "px")
+    def key(rows: Array[org.apache.spark.sql.Row]) = rows.map { row =>
+      (row.getString(0), row.getLong(1), row.getInt(2),
+        if (row.isNullAt(3)) null else row.getLong(3),
+        if (row.isNullAt(4)) null else row.getDouble(4))
+    }.toSet
+    val plain = key(Temporal.asofJoin(l, r, "k", "ts", "ts").collect())
+    for (width <- Seq(1L, 7L, 100L, 1000000L)) {
+      val bucketed = key(
+        Temporal.asofJoinBucketed(l, r, "k", "ts", "ts", bucketWidth = width).collect())
+      assert(bucketed == plain, s"width $width diverged")
+    }
+    // tolerance path too
+    val plainTol = key(Temporal.asofJoin(l, r, "k", "ts", "ts",
+      tolerance = Some(lit(50L))).collect())
+    val bucketedTol = key(Temporal.asofJoinBucketed(l, r, "k", "ts", "ts",
+      bucketWidth = 100L, tolerance = Some(lit(50L))).collect())
+    assert(bucketedTol == plainTol)
+  }
+
   test("asofJoin plan is a single shuffle (no broadcast-nested-loop)") {
     val plan = Temporal.asofJoin(trades, quotes, "k", "ts", "ts")
       .queryExecution.executedPlan.toString
