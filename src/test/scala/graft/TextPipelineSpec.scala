@@ -27,6 +27,134 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(wrong.isEmpty, s"misidentified: ${wrong.mkString(", ")}")
   }
 
+  test("language_id per-language accuracy floors across all 10 profiles") {
+    // 10 varied samples per profile language (labeled mini-corpus; the
+    // sf* documents corpus is all-English-vocab, so per-language floors
+    // must come from here). Floor = 0.8 per language.
+    val corpus: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq(
+        "the house was quiet and they sat with a book on the table",
+        "it is a long way to the station and he was late",
+        "she went to the market for bread and milk in the morning",
+        "the weather was cold as the wind came in from the north",
+        "they spoke of the war and of the years that followed it",
+        "he put his coat on the chair and looked at the fire",
+        "the children played in the garden with a ball and a rope",
+        "that was the best meal they had in a long while",
+        "the road runs along the river and into the old town",
+        "it was clear that the plan would fail without his help"),
+      "es" -> Seq(
+        "el niño juega en el parque con una pelota y su perro",
+        "los libros de la biblioteca son para los estudiantes del pueblo",
+        "la casa que compramos tiene un jardín con flores por todas partes",
+        "se fue por la mañana con su madre y volvió por la noche",
+        "una de las ventanas del salón estaba rota por el viento",
+        "el agua del río baja con fuerza en la primavera",
+        "los padres de su amigo viven en una ciudad del sur",
+        "que las cosas cambien depende de lo que hagamos por ellas",
+        "su hermana trabaja para una empresa del centro de la ciudad",
+        "en el mercado se venden frutas y verduras de la región"),
+      "de" -> Seq(
+        "der hund läuft über die straße und das auto hält nicht an",
+        "ich habe das buch nicht gelesen weil es zu lang ist",
+        "die kinder spielen mit dem ball auf der wiese im park",
+        "sie ist für die arbeit in eine andere stadt gezogen",
+        "das wetter war schlecht und wir sind zu hause geblieben",
+        "ein mann stand auf und ging ohne ein wort zu sagen",
+        "die frau kaufte brot und milch für das frühstück ein",
+        "es ist nicht leicht eine wohnung in der stadt zu finden",
+        "der zug kommt um acht uhr auf dem bahnhof an",
+        "ich bin mit den ergebnissen der prüfung sehr zufrieden"),
+      "fr" -> Seq(
+        "le chat dort dans la cuisine et les enfants jouent au salon",
+        "il est parti pour une semaine au bord de la mer",
+        "les rues du centre sont pleines de monde pour la fête",
+        "une histoire qui ne finit pas comme les autres du pays",
+        "le train du matin est toujours en retard pour le travail",
+        "des fleurs poussent dans le jardin près du vieux mur",
+        "qui veut venir avec nous au marché des livres anciens",
+        "la maison est au bout du chemin dans les arbres",
+        "une pluie fine tombe sur les toits de la ville est",
+        "il ne faut pas oublier les clés dans la voiture"),
+      "it" -> Seq(
+        "il cane corre nel parco e non torna quando lo chiamo",
+        "sono andato al mare con gli amici per il fine settimana",
+        "la casa dei nonni è grande come un piccolo albergo",
+        "che cosa vuoi fare domani se non devi lavorare anche tu",
+        "anche i vicini sono venuti alla festa del paese",
+        "il treno per roma parte dal primo binario della stazione",
+        "non mi piace il caffè che fanno in quel bar",
+        "gli studenti del corso sono bravi e studiano anche di sera",
+        "nel giardino ci sono fiori di tutti i colori che vuoi",
+        "si mangia bene in quella trattoria del centro come sempre"),
+      "pt" -> Seq(
+        "o menino brinca no quintal com o cachorro da vizinha",
+        "não vou ao trabalho hoje porque estou em casa com febre",
+        "a cidade tem um parque grande para as crianças do bairro",
+        "os livros estão em uma caixa no canto da sala",
+        "ela saiu de casa cedo para não perder o ônibus",
+        "um amigo do meu pai mora em uma fazenda no interior",
+        "o rio passa pela cidade e deságua no mar do norte",
+        "se você quiser podemos ir ao cinema na sexta com eles",
+        "as janelas da casa ficam abertas para o vento entrar",
+        "no verão a praia fica cheia de gente do norte"),
+      "nl" -> Seq(
+        "de kat slaapt op de bank en de hond ligt er naast",
+        "het is niet makkelijk om een huis te vinden in de stad",
+        "wij gaan met de trein naar het strand voor een dagje uit",
+        "zijn er nog kaartjes voor de film van vanavond in de zaal",
+        "dat boek van die schrijver is een van de beste",
+        "ik moet morgen vroeg op om aan het werk te gaan",
+        "de kinderen spelen buiten maar het begint te regenen",
+        "een vriend van mij woont aan de rand van het bos",
+        "het eten is klaar en iedereen zit al aan tafel te wachten",
+        "zij is niet bang voor de grote hond van de buren"),
+      "ru" -> Seq(
+        "и он не знал что делать с этим письмом",
+        "мы пошли в лес за грибами но ничего не нашли",
+        "это было на прошлой неделе когда он приехал из города",
+        "она смотрела на него и не могла сказать ни слова",
+        "как всегда по утрам он пьёт чай с хлебом",
+        "в доме было тихо и только часы шли на стене",
+        "что он сказал не имело значения для неё и для нас",
+        "его брат работает на заводе за рекой с весны",
+        "но из этого ничего не вышло как мы и думали",
+        "я не понимаю что это значит но это важно"),
+      "zh" -> Seq(
+        "我 在 中 国 的 大 学 里 有 一 个 朋 友",
+        "他 是 我 的 老 师 也 是 我 的 朋 友",
+        "这 个 人 不 是 我 们 的 同 学",
+        "我 们 在 大 学 里 学 到 了 很 多",
+        "他 来 中 国 是 为 了 看 他 的 家 人",
+        "我 的 书 在 他 的 家 里",
+        "这 是 不 是 你 的 东 西",
+        "大 家 都 在 上 课 他 不 在",
+        "我 有 一 个 大 的 家",
+        "他 不 来 我 们 也 不 去"),
+      "ja" -> Seq(
+        "これ は 私 の 本 で ある",
+        "彼 は 学校 に 行く こと が できる",
+        "私 の 犬 は 庭 に いる",
+        "彼女 は 本 を 読んで いる と 思う",
+        "その 人 が 来た の で 私 も 行く",
+        "これ を 見る と 彼 の 顔 が 変わる",
+        "雨 が 降って いる の で 家 に いる",
+        "私 は それ を した こと が ある",
+        "彼 ら は 町 に 住んで いる と 聞いた",
+        "子供 が 公園 で 遊んで いる の を 見た"))
+    val df = corpus.flatMap { case (lang, texts) => texts.map(lang -> _) }
+      .toDF("expected", "text")
+      .select($"expected", TextFunctions.language_id($"text").as("guess"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val byLang = df.groupBy(_._1).map { case (lang, rows) =>
+      lang -> rows.count { case (e, g) => e == g }.toDouble / rows.length
+    }.toSeq.sortBy(_._1)
+    byLang.foreach { case (lang, acc) => info(f"$lang accuracy = $acc%.2f") }
+    val failing = byLang.filter(_._2 < 0.8)
+    assert(failing.isEmpty,
+      s"languages below the 0.8 floor: ${failing.map { case (l, a) => f"$l=$a%.2f" }.mkString(", ")}")
+  }
+
   test("language_id accuracy on the sf0.01 corpus is pinned") {
     // The synthetic corpus's `lang` label is NOT reflected in the text:
     // every document draws from the same English-ish technical vocabulary
