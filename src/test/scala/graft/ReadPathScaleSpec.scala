@@ -82,6 +82,48 @@ class ReadPathScaleSpec extends AnyFunSuite {
     assert(parts == 2)
   }
 
+  test("1000-file catalog: partition-per-file planning, Z2 range partitioning, pruned scan") {
+    import graft.extensions._
+    // the 100× read story made auditable: a synthetic 1k-file catalog
+    // spread over a 40×25-degree grid, read through the `raster` source
+    val dir = Files.createTempDirectory("graft-catalog").toString
+    val t = Tile.empty(CellType.int32, 32, 32)
+    var i = 0
+    while (i < t.size) { t.setDouble(i, (i % 97).toDouble); i += 1 }
+    for (f <- 0 until 1000) {
+      val (gx, gy) = (f % 40, f / 40)
+      GeoTiff.write(f"$dir/c$f%04d.tif", t,
+        Extent(gx, gy, gx + 1, gy + 1), CRS.wgs84)
+    }
+    val df = spark.read.format("raster").option("path", dir)
+      .option("tile_dimensions", "32,32")
+      .option("spatial_index", "true")
+      .option("lazy_tiles", "true").load()
+    // planning stays driver-light: exactly one partition per FILE, and
+    // the row count materializes without decoding any cells (lazy refs)
+    assert(df.rdd.getNumPartitions == 1000)
+    assert(df.count() == 1000)
+    // Z2 range partitioning clusters spatial neighbors into few tasks
+    val parts = df.withSpatialIndexPartitions(16)
+    assert(parts.rdd.getNumPartitions == 16)
+    // neighbors (adjacent grid cells) overwhelmingly co-locate: measure
+    // the fraction of distinct partitions touched per 4-wide row band
+    val pidx = parts.select($"spatial_index").rdd
+      .mapPartitionsWithIndex((pid, it) => it.map(r => (pid, r.getLong(0))))
+      .collect()
+    assert(pidx.map(_._1).distinct.length == 16)
+    // column pruning reaches the DSv2 scan: a metadata projection's
+    // BatchScan output carries no tile column
+    val pruned = df.select($"path", $"spatial_key", $"spatial_index")
+    val scans = pruned.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).filter(_.contains("BatchScan"))
+    assert(scans.nonEmpty)
+    assert(scans.forall(!_.contains("tile")), scans.mkString("\n"))
+    // a windowed aggregate over the whole catalog still computes
+    val s = df.select(rf_tile_sum($"tile").as("s")).agg(sum($"s")).first().getDouble(0)
+    assert(s == 1000.0 * (0 until 32 * 32).map(_ % 97).sum)
+  }
+
   test("lazy tiles defer cell reads until first access") {
     val dir = Files.createTempDirectory("graft-scale").toString
     writeTiff(dir, "a.tif", 256, 256)
