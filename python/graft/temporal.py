@@ -70,6 +70,76 @@ def asof_join(left, right, key, left_ts, right_ts, right_prefix="right_",
     )
 
 
+def asof_join_bucketed(left, right, key, left_ts, right_ts, bucket_width,
+                       right_prefix="right_", tolerance=None):
+    """Hot-key-safe :func:`asof_join`: identical semantics for any
+    ``bucket_width``, with the per-key window split into
+    ``(key, ts div bucket_width)`` time buckets so one hot key
+    parallelizes across its time range. The carry-in (latest right row
+    before each bucket start) comes from a bounded per-(key, bucket)
+    max-struct summary; carry rows inject at side -1 so real rows win
+    boundary ties. Timestamps must be numeric and non-negative (epoch
+    micros), like :func:`interval_join`.
+    """
+    if bucket_width <= 0:
+        raise ValueError(f"bucket_width must be positive, got {bucket_width}")
+    payload_cols = [c for c in right.columns if c != key]
+    if right_ts not in payload_cols:
+        raise ValueError(f"right is missing ts column {right_ts}")
+    r = right.select(
+        F.col(key).alias("__graft_k"),
+        F.col(right_ts).cast("long").alias("__graft_ts"),
+        F.lit(0).alias("__graft_side"),
+        F.struct(*[F.col(c) for c in payload_cols]).alias("__graft_r"),
+    ).withColumn("__graft_b", F.expr(f"__graft_ts div {bucket_width}L"))
+    l = (
+        left.withColumn("__graft_k", F.col(key))
+        .withColumn("__graft_ts", F.col(left_ts).cast("long"))
+        .withColumn("__graft_side", F.lit(1))
+        .withColumn("__graft_b", F.expr(f"__graft_ts div {bucket_width}L"))
+    )
+    summary = r.groupBy("__graft_k", "__graft_b").agg(
+        F.max(F.struct(F.col("__graft_ts"), F.col("__graft_r"))).alias("__graft_last"))
+    universe = (
+        l.select("__graft_k", "__graft_b").distinct()
+        .unionByName(summary.select("__graft_k", "__graft_b")).distinct()
+    )
+    w_carry = (
+        Window.partitionBy("__graft_k").orderBy("__graft_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        universe.join(summary, ["__graft_k", "__graft_b"], "left")
+        .withColumn("__graft_carry", F.max(F.col("__graft_last")).over(w_carry))
+        .where(F.col("__graft_carry").isNotNull())
+        .select(
+            F.col("__graft_k"),
+            (F.col("__graft_b") * bucket_width).alias("__graft_ts"),
+            F.lit(-1).alias("__graft_side"),
+            F.col("__graft_carry.__graft_r").alias("__graft_r"),
+            F.col("__graft_b"),
+        )
+    )
+    u = l.unionByName(r.unionByName(carry), allowMissingColumns=True)
+    w = (
+        Window.partitionBy("__graft_k", "__graft_b")
+        .orderBy(F.col("__graft_ts"), F.col("__graft_side"), F.col("__graft_r"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = F.last(F.col("__graft_r"), ignorenulls=True).over(w)
+    if tolerance is not None:
+        matched = F.when(
+            matched.isNotNull()
+            & (F.col("__graft_ts") - matched[right_ts] <= tolerance),
+            matched,
+        )
+    u = u.withColumn("__graft_m", matched).where(F.col("__graft_side") == 1)
+    return u.select(
+        *[F.col(c) for c in left.columns],
+        *[F.col("__graft_m")[c].alias(right_prefix + c) for c in payload_cols],
+    )
+
+
 def interval_join(points, spans, key, ts_col, start_col, end_col,
                   bucket_width, span_prefix="span_"):
     """Every (point, span) pair of the same ``key`` with

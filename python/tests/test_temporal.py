@@ -2,7 +2,7 @@
 
 from pyspark.sql import functions as F
 
-from graft.temporal import asof_join, interval_join
+from graft.temporal import asof_join, asof_join_bucketed, interval_join
 
 
 def _quotes(spark):
@@ -41,6 +41,18 @@ def test_asof_tolerance(spark):
         ("A", 99, False), ("A", 100, True), ("A", 250, False),
         ("A", 301, True), ("B", 140, False), ("C", 500, False),
     ]
+
+
+def test_asof_bucketed_equals_plain_any_width(spark):
+    plain = sorted(
+        tuple(r) for r in
+        asof_join(_trades(spark), _quotes(spark), "k", "ts", "ts").collect())
+    for width in (1, 7, 100, 10**6):
+        bucketed = sorted(
+            tuple(r) for r in
+            asof_join_bucketed(_trades(spark), _quotes(spark), "k", "ts", "ts",
+                               bucket_width=width).collect())
+        assert bucketed == plain, f"width {width} diverged"
 
 
 def test_interval_join_half_open_any_width(spark):

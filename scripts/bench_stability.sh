@@ -1,24 +1,39 @@
 #!/usr/bin/env bash
-# Bench stability gate: two consecutive full bench runs at the given SF
-# (default sf0.01) must land within 20% of each other on the headline
-# total. Exits nonzero on drift — run after perf-sensitive changes.
+# Bench isolation + stability gate.
+#
+# Phase 1: sbt compiles once, up front — the bench JVM is then launched
+# with plain `java -cp` so no sbt/zinc/compile activity shares the
+# sandbox with the timed runs (round-6 lesson: a concurrent long build
+# drifted every query ~13% and cost an investigation).
+# Phase 2: two consecutive isolated runs; the headline totals must land
+# within 20% of each other.
+# Phase 3 (optional): pass a previous round's BENCH_r*.json as $2 and
+# every common query is compared best-new vs recorded; moves >1.5x in
+# either direction are listed and exit nonzero — each flagged query
+# needs either a fix or a recorded explanation in README.md before the
+# round closes.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 SF="${1:-/root/testdata/sf0.01}"
+PREV="${2:-}"
+
+echo "phase 1: compile..." >&2
+sbt -batch compile >/dev/null
 
 run() {
-  SPARK_GRAFT_SF_DIR="$SF" sbt -batch "runMain graft.Bench" 2>/dev/null \
+  SPARK_GRAFT_SF_DIR="$SF" java -Xmx96g \
+    -cp "target/scala-2.13/classes:/opt/spark/jars/*" graft.Bench 2>/dev/null \
     | grep -o '{"metric".*}' | tail -1
 }
 
-echo "run 1..." >&2
+echo "phase 2: isolated run 1..." >&2
 J1="$(run)"
 echo "$J1"
-echo "run 2..." >&2
+echo "phase 2: isolated run 2..." >&2
 J2="$(run)"
 echo "$J2"
 
-python3 - "$J1" "$J2" <<'PY'
+python3 - "$J1" "$J2" "$PREV" <<'PY'
 import json, sys
 a, b = (json.loads(x) for x in sys.argv[1:3])
 t1, t2 = a["value"], b["value"]
@@ -26,4 +41,32 @@ drift = abs(t1 - t2) / max(min(t1, t2), 1e-9)
 print(f"totals: {t1:.2f}s vs {t2:.2f}s, drift {drift*100:.1f}%")
 assert drift <= 0.20, f"bench totals drifted more than 20%: {t1} vs {t2}"
 print("STABLE")
+
+prev_path = sys.argv[3]
+if prev_path:
+    import re
+    raw = json.load(open(prev_path))
+    if "queries" in raw:
+        prev = raw["queries"]
+    else:
+        # driver-written BENCH_r*.json wraps a (possibly truncated)
+        # fragment under "tail" — scrape the per-query pairs
+        prev = {m.group(1): float(m.group(2)) for m in
+                re.finditer(r'"(q_[a-z0-9_]+)":([0-9.]+)', raw.get("tail", ""))}
+    best = {k: min(a["queries"][k], b["queries"][k])
+            for k in a["queries"] if k in b["queries"]}
+    flagged = []
+    for q, old in prev.items():
+        new = best.get(q)
+        if new is None or old <= 0:
+            continue
+        r = new / old
+        if r > 1.5 or r < 1 / 1.5:
+            flagged.append((q, old, new, r))
+    for q, old, new, r in sorted(flagged, key=lambda x: -x[3]):
+        print(f"MOVED {q}: {old:.2f}s -> {new:.2f}s ({r:.2f}x)")
+    if any(r > 1.5 for *_, r in flagged):
+        sys.exit(f"{sum(1 for *_, r in flagged if r > 1.5)} quer(ies) regressed >1.5x "
+                 "vs the recorded round — fix or record an explanation in README.md")
+    print("NO REGRESSIONS vs recorded round")
 PY
