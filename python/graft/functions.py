@@ -577,6 +577,36 @@ def st_convexHull(geom):
     return _fn("st_convexhull", geom)
 
 
+def st_intersection(a, b):
+    """Geometric intersection of the two geometries."""
+    return _fn("st_intersection", a, b)
+
+
+def st_union(a, b):
+    """Geometric union of the two geometries."""
+    return _fn("st_union", a, b)
+
+
+def st_difference(a, b):
+    """Part of geometry a not in geometry b."""
+    return _fn("st_difference", a, b)
+
+
+def st_nPoints(geom):
+    """Number of vertices in the geometry."""
+    return _fn("st_npoints", geom)
+
+
+def st_isEmpty(geom):
+    """True when the geometry is empty."""
+    return _fn("st_isempty", geom)
+
+
+def st_isValid(geom):
+    """OGC validity of the geometry."""
+    return _fn("st_isvalid", geom)
+
+
 def st_simplify(geom, tolerance):
     """Douglas-Peucker simplification with the given tolerance."""
     return _fn("st_simplify", geom, tolerance)

@@ -800,6 +800,31 @@ object SparkEntry {
         st_asText(st_simplify(poly, lit(0.0))).as("simplified"))
         .orderBy("qi", "lni")
     }),
+    // overlay set ops on data-derived axis-aligned boxes: every area is
+    // exact integer shoelace arithmetic, empty/npoints from the overlap
+    // classification — all replayable in SQL
+    "q_st_setops" -> ((s, dir) => {
+      val p = t(s, dir, "lineitem")
+        .select(col("l_quantity").cast("int").as("qi"),
+          col("l_linenumber").cast("int").as("lni"))
+        .distinct()
+      val a = st_geometry(struct(col("qi").cast("double").as("xmin"),
+        col("lni").cast("double").as("ymin"),
+        (col("qi") + lit(3.0)).as("xmax"), (col("lni") + lit(2.0)).as("ymax")))
+      val b = st_geomFromWKT(lit("POLYGON ((25 3, 35 3, 35 5, 25 5, 25 3))"))
+      val zig = st_geomFromWKT(concat(lit("LINESTRING ("),
+        concat_ws(", ", transform(sequence(lit(0), col("lni")),
+          i => concat(i.cast("string"), lit(" "), (i * i).cast("string")))),
+        lit(")")))
+      p.select(col("qi"), col("lni"),
+        st_area(st_intersection(a, b)).as("inter_area"),
+        st_area(st_union(a, b)).as("union_area"),
+        st_area(st_difference(a, b)).as("diff_area"),
+        st_isEmpty(st_intersection(a, b)).as("inter_empty"),
+        st_nPoints(zig).as("zig_points"),
+        st_isValid(a).as("a_valid"))
+        .orderBy("qi", "lni")
+    }),
     "q_st_accessors" -> ((s, dir) => {
       val p = t(s, dir, "lineitem")
         .select(col("l_quantity").as("q"), col("l_linenumber").cast("double").as("lnv"))
@@ -2159,6 +2184,25 @@ object SparkEntry {
       """WITH p AS (SELECT DISTINCT CAST(l_quantity AS DOUBLE) AS q, CAST(l_linenumber AS DOUBLE) AS lnv FROM lineitem)
         |SELECT q, lnv, 6.0 AS area, q + 1.5 AS cx, lnv + 1.0 AS cy, q AS px, lnv AS py
         |FROM p ORDER BY q, lnv""".stripMargin,
+    // overlay areas by inclusion-exclusion on exact integer boxes; the
+    // intersection is EMPTY only under strict separation (touching
+    // boxes intersect in a line/point: area 0, not empty)
+    "q_st_setops" ->
+      """WITH p AS (SELECT DISTINCT CAST(l_quantity AS INT) AS qi, CAST(l_linenumber AS INT) AS lni FROM lineitem),
+        |g AS (SELECT qi, lni,
+        |  greatest(0, least(qi + 3, 35) - greatest(qi, 25)) AS iw,
+        |  greatest(0, least(lni + 2, 5) - greatest(lni, 3)) AS ih,
+        |  (least(qi + 3, 35) < greatest(qi, 25)
+        |    OR least(lni + 2, 5) < greatest(lni, 3)) AS sep
+        |  FROM p)
+        |SELECT qi, lni,
+        |  CAST(iw * ih AS DOUBLE) AS inter_area,
+        |  CAST(26 - iw * ih AS DOUBLE) AS union_area,
+        |  CAST(6 - iw * ih AS DOUBLE) AS diff_area,
+        |  sep AS inter_empty,
+        |  CAST(lni + 1 AS INTEGER) AS zig_points,
+        |  TRUE AS a_valid
+        |FROM g ORDER BY qi, lni""".stripMargin,
     // box distance via the axis-gap formula (identical IEEE ops to the
     // JTS segment path on exact integer inputs); hull area = shoelace
     // of the triangle; simplify(0) drops the planted collinear vertex

@@ -113,6 +113,12 @@ object FunctionDocs {
     "st_distance" -> "st_distance(geomA, geomB) - Euclidean distance between the geometries in their shared CRS units.",
     "st_within_distance" -> "st_within_distance(geomA, geomB, distance) - True when the geometries lie within the given distance of each other (envelope short-circuit).",
     "st_convexhull" -> "st_convexhull(geom) - Convex hull of the geometry.",
+    "st_intersection" -> "st_intersection(geomA, geomB) - Geometric intersection of the two geometries.",
+    "st_union" -> "st_union(geomA, geomB) - Geometric union of the two geometries.",
+    "st_difference" -> "st_difference(geomA, geomB) - Part of geomA not in geomB.",
+    "st_npoints" -> "st_npoints(geom) - Number of vertices in the geometry.",
+    "st_isempty" -> "st_isempty(geom) - True when the geometry is empty (e.g. an empty intersection).",
+    "st_isvalid" -> "st_isvalid(geom) - OGC validity of the geometry.",
     "st_simplify" -> "st_simplify(geom, tolerance) - Douglas-Peucker simplification with the given tolerance (topology not guaranteed).",
     "st_extent" -> "st_extent(geom) - Bounding box of the geometry as an extent struct (xmin, ymin, xmax, ymax).",
     "st_geometry" -> "st_geometry(extent) - Converts an extent struct into a polygon geometry.",

@@ -180,6 +180,61 @@ case class GeomWithinDistance(first: Expression, second: Expression, third: Expr
       f: Expression, s: Expression, t: Expression) = copy(f, s, t)
 }
 
+abstract class GeomBinarySetOp extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = GeometryUDT.instance
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isGeomLike(left.dataType) && isGeomLike(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects two geometry arguments")
+  @transient protected lazy val ga: Any => Geometry = geomExtractor(left.dataType)
+  @transient protected lazy val gb: Any => Geometry = geomExtractor(right.dataType)
+}
+
+/** Geometric intersection (JTS overlay). */
+case class GeomIntersection(left: Expression, right: Expression) extends GeomBinarySetOp {
+  override def prettyName: String = "st_intersection"
+  override def nullSafeEval(a: Any, b: Any): Any = serialize(ga(a).intersection(gb(b)))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** Geometric union (JTS overlay). */
+case class GeomUnion(left: Expression, right: Expression) extends GeomBinarySetOp {
+  override def prettyName: String = "st_union"
+  override def nullSafeEval(a: Any, b: Any): Any = serialize(ga(a).union(gb(b)))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** Geometric difference a \ b (JTS overlay). */
+case class GeomDifference(left: Expression, right: Expression) extends GeomBinarySetOp {
+  override def prettyName: String = "st_difference"
+  override def nullSafeEval(a: Any, b: Any): Any = serialize(ga(a).difference(gb(b)))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** Vertex count of the geometry (JTS getNumPoints). */
+case class GeomNPoints(child: Expression) extends GeomUnaryOp {
+  override def prettyName: String = "st_npoints"
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(input: Any): Any = geom(input).getNumPoints
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** True for the empty geometry (e.g. an empty overlay result). */
+case class GeomIsEmpty(child: Expression) extends GeomUnaryOp {
+  override def prettyName: String = "st_isempty"
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(input: Any): Any = geom(input).isEmpty
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** OGC validity of the geometry (JTS isValid). */
+case class GeomIsValid(child: Expression) extends GeomUnaryOp {
+  override def prettyName: String = "st_isvalid"
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(input: Any): Any = geom(input).isValid
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
 /** Convex hull of a geometry. */
 case class GeomConvexHull(child: Expression) extends GeomUnaryOp {
   override def prettyName: String = "st_convexhull"

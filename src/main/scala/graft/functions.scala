@@ -206,6 +206,12 @@ object functions {
   def st_withinDistance(a: Column, b: Column, d: Column): Column =
     c(GeomWithinDistance(e(a), e(b), e(d)))
   def st_convexHull(g: Column): Column = c(GeomConvexHull(e(g)))
+  def st_intersection(a: Column, b: Column): Column = c(GeomIntersection(e(a), e(b)))
+  def st_union(a: Column, b: Column): Column = c(GeomUnion(e(a), e(b)))
+  def st_difference(a: Column, b: Column): Column = c(GeomDifference(e(a), e(b)))
+  def st_nPoints(g: Column): Column = c(GeomNPoints(e(g)))
+  def st_isEmpty(g: Column): Column = c(GeomIsEmpty(e(g)))
+  def st_isValid(g: Column): Column = c(GeomIsValid(e(g)))
   def st_simplify(g: Column, tolerance: Column): Column = c(GeomSimplify(e(g), e(tolerance)))
   def st_extent(g: Column): Column = c(GeometryToExtent(e(g)))
   def st_geometry(extent: Column): Column = c(ExtentToGeometry(e(extent)))
@@ -410,6 +416,12 @@ object Raster {
     reg2("st_distance", GeomDistance(_, _))
     reg3("st_within_distance", GeomWithinDistance(_, _, _))
     reg1("st_convexhull", GeomConvexHull(_))
+    reg2("st_intersection", GeomIntersection(_, _))
+    reg2("st_union", GeomUnion(_, _))
+    reg2("st_difference", GeomDifference(_, _))
+    reg1("st_npoints", GeomNPoints(_))
+    reg1("st_isempty", GeomIsEmpty(_))
+    reg1("st_isvalid", GeomIsValid(_))
     reg2("st_simplify", GeomSimplify(_, _))
     reg1("st_extent", GeometryToExtent(_))
     reg1("st_geometry", ExtentToGeometry(_))

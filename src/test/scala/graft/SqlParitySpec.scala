@@ -58,6 +58,9 @@ class SqlParitySpec extends AnyFunSuite {
     s"st_x($P)", s"st_y($P)", s"st_buffer($P, 1.0)",
     s"st_distance($P, $G)", s"st_within_distance($P, $G, 2.0)",
     s"st_convexhull($G)", s"st_simplify($G, 0.5)",
+    s"st_intersection($G, st_buffer($P, 1.0))", s"st_union($G, st_buffer($P, 1.0))",
+    s"st_difference($G, st_buffer($P, 1.0))", s"st_npoints($G)",
+    s"st_isempty($G)", s"st_isvalid($G)",
     s"st_extent($G)", s"st_geometry(st_extent($G))", s"rf_envelope($G)",
     s"st_reproject($P, 'epsg:4326', 'epsg:3857')",
     s"st_intersects($G, $P)", s"st_contains($G, $P)", s"st_covers($G, $P)",
