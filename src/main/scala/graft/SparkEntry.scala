@@ -68,7 +68,10 @@ object SparkEntry {
    * orderkeys, 1 KB per file) and cached per testdata dir: rewritten
    * only when the orderkey count changes.
    */
-  private def geotiffRead(s: SparkSession, dir: String, lazyTiles: Boolean): DataFrame = {
+  /** Write (or reuse) the per-orderkey two-band fixture GeoTIFFs for
+    * `dir`; returns the fixture directory. Cached per testdata dir:
+    * rewritten only when the sampled orderkey count changes. */
+  private def geotiffFixtureDir(s: SparkSession, dir: String): String = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
     Raster.init(s)
@@ -94,6 +97,11 @@ object SparkEntry {
       }
       Files.write(marker, rows.length.toString.getBytes("UTF-8"))
     }
+    fxDir.toString
+  }
+
+  private def geotiffRead(s: SparkSession, dir: String, lazyTiles: Boolean): DataFrame = {
+    val fxDir = geotiffFixtureDir(s, dir)
     s.read.format("geotiff")
       .option("path", fxDir.toString)
       .option("tile_dimensions", "4,2")
@@ -111,6 +119,35 @@ object SparkEntry {
         col("extent.xmin").as("win_xmin"), col("extent.ymax").as("win_ymax"))
       .where(col("qty").isNotNull)
       .orderBy("l_orderkey", "i")
+  }
+
+  /** The buffered (halo) read path: buffer_size=1 expands each 4×2
+    * window by one pixel, clamped at the file edge, so border cells
+    * surface in up to four windows. Global indices reconstruct from
+    * the CLAMPED window origin (max(0, kc*4−1), max(0, kr*2−1)); the
+    * window extent's xmin/ymax pin the same arithmetic in georeferenced
+    * units. */
+  private def geotiffReadBuffered(s: SparkSession, dir: String): DataFrame = {
+    val fxDir = geotiffFixtureDir(s, dir)
+    val c0 = greatest(lit(0), col("spatial_key.col") * 4 - 1)
+    val r0 = greatest(lit(0), col("spatial_key.row") * 2 - 1)
+    s.read.format("geotiff")
+      .option("path", fxDir)
+      .option("tile_dimensions", "4,2")
+      .option("band_indexes", "0")
+      .option("buffer_size", "1")
+      .load()
+      .select(
+        regexp_extract(col("path"), "ok-(\\d+)\\.tif", 1).cast("long").as("l_orderkey"),
+        col("spatial_key"), col("extent"),
+        rf_explode_tiles(col("tile_b0")))
+      .select(col("l_orderkey"),
+        col("spatial_key.col").as("kc"), col("spatial_key.row").as("kr"),
+        ((r0 + col("row_index")) * 8 + c0 + col("column_index")).cast("int").as("i"),
+        col("tile_b0").as("qty"),
+        col("extent.xmin").as("win_xmin"), col("extent.ymax").as("win_ymax"))
+      .where(col("qty").isNotNull)
+      .orderBy("l_orderkey", "kc", "kr", "i")
   }
 
   private val IDX =
@@ -260,6 +297,10 @@ object SparkEntry {
     // path is pinned to the identical cell stream.
     "q_geotiff_read" -> ((s, dir) => geotiffRead(s, dir, lazyTiles = false)),
     "q_geotiff_read_lazy" -> ((s, dir) => geotiffRead(s, dir, lazyTiles = true)),
+    // buffer_size=1 halo windows: each 4×2 window expands by one pixel
+    // clamped at the file edge, so border cells surface in up to four
+    // windows — the oracle replays the expansion arithmetic per window
+    "q_geotiff_read_buffered" -> ((s, dir) => geotiffReadBuffered(s, dir)),
     "q_assemble_roundtrip" -> ((s, dir) => {
       val c = tiled(s, dir)
         .select(col("l_orderkey"), rf_explode_tiles(col("t_qty")))
@@ -1265,6 +1306,21 @@ object SparkEntry {
         |CAST(((i % 8) // 4) * 4 AS DOUBLE) AS win_xmin,
         |CAST(4 - ((i // 8) // 2) * 2 AS DOUBLE) AS win_ymax
         |FROM idx WHERE l_orderkey % 61 = 3 ORDER BY l_orderkey, i""".stripMargin),
+    // halo replay: each cell joins every window whose 1-px-expanded
+    // (and edge-clamped) range contains it; extents from the clamped
+    // window origin
+    "q_geotiff_read_buffered" -> (IDX +
+      """, w(kc, kr) AS (VALUES (0, 0), (1, 0), (0, 1), (1, 1)),
+        |b AS (SELECT kc, kr,
+        |  greatest(0, kc * 4 - 1) AS c0, least(7, kc * 4 + 4) AS c1,
+        |  greatest(0, kr * 2 - 1) AS r0, least(3, kr * 2 + 2) AS r1 FROM w)
+        |SELECT i.l_orderkey, CAST(b.kc AS INT) AS kc, CAST(b.kr AS INT) AS kr,
+        |  i.i, i.q AS qty,
+        |  CAST(b.c0 AS DOUBLE) AS win_xmin, CAST(4 - b.r0 AS DOUBLE) AS win_ymax
+        |FROM idx i, b
+        |WHERE i.l_orderkey % 61 = 3
+        |  AND (i.i % 8) BETWEEN b.c0 AND b.c1 AND (i.i // 8) BETWEEN b.r0 AND b.r1
+        |ORDER BY i.l_orderkey, kc, kr, i.i""".stripMargin),
     "q_assemble_roundtrip" ->
       "SELECT l_orderkey, SUM(l_quantity) AS tile_sum FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey",
     "q_standardize" -> (IDX +
