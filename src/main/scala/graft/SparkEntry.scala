@@ -150,6 +150,40 @@ object SparkEntry {
       .orderBy("l_orderkey", "kc", "kr", "i")
   }
 
+  /** Buffered read → focal → crop: the cross-tile seam recipe as a user
+    * writes it. Crop offsets depend on which sides actually carry a
+    * halo (edge windows are clamped), so the offset is selected per
+    * window; masking by the cropped source keeps NoData positions
+    * NoData, matching q_focal's convention. */
+  private def geotiffFocal(s: SparkSession, dir: String): DataFrame = {
+    val fxDir = geotiffFixtureDir(s, dir)
+    val kc = col("spatial_key.col")
+    val kr = col("spatial_key.row")
+    def core(t: Column): Column =
+      when(kc > 0 && kr > 0, rf_crop(t, 1, 1, 4, 2))
+        .when(kc > 0, rf_crop(t, 1, 0, 4, 2))
+        .when(kr > 0, rf_crop(t, 0, 1, 4, 2))
+        .otherwise(rf_crop(t, 0, 0, 4, 2))
+    s.read.format("geotiff")
+      .option("path", fxDir)
+      .option("tile_dimensions", "4,2")
+      .option("band_indexes", "0")
+      .option("buffer_size", "1")
+      .load()
+      .select(
+        regexp_extract(col("path"), "ok-(\\d+)\\.tif", 1).cast("long").as("l_orderkey"),
+        col("spatial_key"),
+        rf_mask(core(rf_focal_mean(col("tile_b0"), "square-1")),
+          core(col("tile_b0"))).as("fm"))
+      .select(col("l_orderkey"), col("spatial_key"), rf_explode_tiles(col("fm")))
+      .select(col("l_orderkey"),
+        ((col("spatial_key.row") * 2 + col("row_index")) * 8 +
+          (col("spatial_key.col") * 4 + col("column_index"))).cast("int").as("i"),
+        col("fm").as("fmean"))
+      .where(col("fmean").isNotNull)
+      .orderBy("l_orderkey", "i")
+  }
+
   private val IDX =
     """WITH idx AS (
       |  SELECT l_orderkey, l_orderkey % 10 AS bucket,
@@ -301,6 +335,11 @@ object SparkEntry {
     // clamped at the file edge, so border cells surface in up to four
     // windows — the oracle replays the expansion arithmetic per window
     "q_geotiff_read_buffered" -> ((s, dir) => geotiffReadBuffered(s, dir)),
+    // the full seam story, oracled: buffered windows through the DSv2
+    // reader → focal mean over each buffered tile → crop the halo →
+    // global cells equal the WHOLE-raster focal (the oracle never sees
+    // windows — it computes the neighborhood mean on the full grid)
+    "q_geotiff_focal" -> ((s, dir) => geotiffFocal(s, dir)),
     "q_assemble_roundtrip" -> ((s, dir) => {
       val c = tiled(s, dir)
         .select(col("l_orderkey"), rf_explode_tiles(col("t_qty")))
@@ -1306,6 +1345,16 @@ object SparkEntry {
         |CAST(((i % 8) // 4) * 4 AS DOUBLE) AS win_xmin,
         |CAST(4 - ((i // 8) // 2) * 2 AS DOUBLE) AS win_ymax
         |FROM idx WHERE l_orderkey % 61 = 3 ORDER BY l_orderkey, i""".stripMargin),
+    // the windowed+buffered+cropped focal equals the WHOLE-raster
+    // neighborhood mean — the oracle is seam-blind by construction
+    "q_geotiff_focal" -> (IDX +
+      """, cells AS (SELECT l_orderkey, i, q, i % 8 AS c, i // 8 AS r
+        |  FROM idx WHERE l_orderkey % 61 = 3)
+        |SELECT a.l_orderkey AS l_orderkey, a.i AS i,
+        |SUM(b.q) / COUNT(b.q) AS fmean
+        |FROM cells a JOIN cells b
+        |  ON a.l_orderkey = b.l_orderkey AND abs(a.c - b.c) <= 1 AND abs(a.r - b.r) <= 1
+        |GROUP BY a.l_orderkey, a.i ORDER BY l_orderkey, i""".stripMargin),
     // halo replay: each cell joins every window whose 1-px-expanded
     // (and edge-clamped) range contains it; extents from the clamped
     // window origin
