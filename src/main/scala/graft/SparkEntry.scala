@@ -344,6 +344,30 @@ object SparkEntry {
     // global cells equal the WHOLE-raster focal (the oracle never sees
     // windows — it computes the neighborhood mean on the full grid)
     "q_geotiff_focal" -> ((s, dir) => geotiffFocal(s, dir)),
+    // overview mosaic aggregate: ≤25 sampled per-orderkey tiles placed
+    // on a disjoint 5×5 grid of 8×4 footprints (cell size 1 → dest cell
+    // centers sample 1:1 source cells; first-wins merge is deterministic
+    // because footprints never overlap), then exploded back to cells
+    "q_overview" -> ((s, dir) => {
+      val d = tiled(s, dir)
+        .where(col("l_orderkey") % 601 === 3 && expr("l_orderkey div 601") < 25)
+        .withColumn("p", expr("CAST(l_orderkey div 601 AS INT)"))
+        .withColumn("px", col("p") % 5)
+        .withColumn("py", expr("p div 5"))
+      val ext = struct(
+        (col("px") * 8).cast("double").as("xmin"),
+        (lit(20) - (col("py") + 1) * 4).cast("double").as("ymin"),
+        (col("px") * 8 + 8).cast("double").as("xmax"),
+        (lit(20) - col("py") * 4).cast("double").as("ymax"))
+      d.select(rf_proj_raster(col("t_qty"), ext, lit("epsg:4326")).as("pr"))
+        .agg(rf_agg_overview_raster(col("pr"), 40, 20,
+          graft.core.Extent(0, 0, 40, 20), "epsg:4326").as("ov"))
+        .select(rf_explode_tiles(col("ov")))
+        .toDF("gc", "gr", "v")
+        .where(col("v").isNotNull)
+        .select(col("gc").cast("int"), col("gr").cast("int"), col("v"))
+        .orderBy("gc", "gr")
+    }),
     "q_assemble_roundtrip" -> ((s, dir) => {
       val c = tiled(s, dir)
         .select(col("l_orderkey"), rf_explode_tiles(col("t_qty")))
@@ -1349,6 +1373,14 @@ object SparkEntry {
         |CAST(((i % 8) // 4) * 4 AS DOUBLE) AS win_xmin,
         |CAST(4 - ((i // 8) // 2) * 2 AS DOUBLE) AS win_ymax
         |FROM idx WHERE l_orderkey % 61 = 3 ORDER BY l_orderkey, i""".stripMargin),
+    // overview mosaic replay: dest cell = the one tile whose disjoint
+    // footprint covers it, at the 1:1-mapped local position
+    "q_overview" -> (IDX +
+      """ SELECT CAST((((l_orderkey // 601) % 5) * 8) + (i % 8) AS INT) AS gc,
+        |CAST((((l_orderkey // 601) // 5) * 4) + (i // 8) AS INT) AS gr,
+        |q AS v
+        |FROM idx WHERE l_orderkey % 601 = 3 AND l_orderkey // 601 < 25
+        |ORDER BY gc, gr""".stripMargin),
     // the windowed+buffered+cropped focal equals the WHOLE-raster
     // neighborhood mean — the oracle is seam-blind by construction
     "q_geotiff_focal" -> (IDX +
