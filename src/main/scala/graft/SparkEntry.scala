@@ -911,6 +911,23 @@ object SparkEntry {
     // overlay set ops on data-derived axis-aligned boxes: every area is
     // exact integer shoelace arithmetic, empty/npoints from the overlap
     // classification — all replayable in SQL
+    // web-mercator forward + round trip through the hand-rolled CRS
+    // core, pinned against DuckDB's independent trig at 6 dp (meters —
+    // sub-µm grain) / 9 dp (degrees); the rounding absorbs the ≤2-ulp
+    // libm differences exactly like q_math_rows
+    "q_st_reproject" -> ((s, dir) => {
+      val p = t(s, dir, "lineitem")
+        .select(col("l_quantity").cast("double").as("q"),
+          col("l_linenumber").cast("double").as("lnv"))
+        .distinct()
+      val pt = st_makePoint(col("q") - lit(25.0), col("lnv") * 8 - lit(30.0))
+      val merc = st_reproject(pt, lit("epsg:4326"), lit("epsg:3857"))
+      val back = st_reproject(merc, lit("epsg:3857"), lit("epsg:4326"))
+      p.select(col("q"), col("lnv"),
+        round(st_x(merc), 6).as("mx"), round(st_y(merc), 6).as("my"),
+        round(st_x(back), 9).as("blon"), round(st_y(back), 9).as("blat"))
+        .orderBy("q", "lnv")
+    }),
     "q_st_setops" -> ((s, dir) => {
       val p = t(s, dir, "lineitem")
         .select(col("l_quantity").cast("int").as("qi"),
@@ -2325,6 +2342,19 @@ object SparkEntry {
       """WITH p AS (SELECT DISTINCT CAST(l_quantity AS DOUBLE) AS q, CAST(l_linenumber AS DOUBLE) AS lnv FROM lineitem)
         |SELECT q, lnv, 6.0 AS area, q + 1.5 AS cx, lnv + 1.0 AS cy, q AS px, lnv AS py
         |FROM p ORDER BY q, lnv""".stripMargin,
+    // spherical-mercator forward replayed with DuckDB's own trig; the
+    // round trip re-derives lon/lat via atan∘exp
+    "q_st_reproject" ->
+      """WITH p AS (SELECT DISTINCT CAST(l_quantity AS DOUBLE) AS q, CAST(l_linenumber AS DOUBLE) AS lnv FROM lineitem),
+        |m AS (SELECT q, lnv,
+        |  6378137.0 * radians(q - 25.0) AS x,
+        |  6378137.0 * ln(tan(pi() / 4 + radians(lnv * 8 - 30.0) / 2)) AS y
+        |  FROM p)
+        |SELECT q, lnv,
+        |  round(x, 6) AS mx, round(y, 6) AS my,
+        |  round(degrees(x / 6378137.0), 9) AS blon,
+        |  round(degrees(2 * atan(exp(y / 6378137.0)) - pi() / 2), 9) AS blat
+        |FROM m ORDER BY q, lnv""".stripMargin,
     // overlay areas by inclusion-exclusion on exact integer boxes; the
     // intersection is EMPTY only under strict separation (touching
     // boxes intersect in a line/point: area 0, not empty)
