@@ -911,6 +911,23 @@ object SparkEntry {
     // overlay set ops on data-derived axis-aligned boxes: every area is
     // exact integer shoelace arithmetic, empty/npoints from the overlap
     // classification — all replayable in SQL
+    // the UTM Transverse-Mercator series replayed term-by-term in
+    // DuckDB (zone 31N, lon within ±3° of the central meridian); mm
+    // rounding absorbs the few-ulp transcendental drift, and the
+    // (q, lnv) domain is BOUNDED (350 values at every SF) so a verified
+    // match is the complete value set
+    "q_st_utm" -> ((s, dir) => {
+      val p = t(s, dir, "lineitem")
+        .select(col("l_quantity").cast("double").as("q"),
+          col("l_linenumber").cast("double").as("lnv"))
+        .distinct()
+      val pt = st_makePoint((col("q") - lit(25.0)) / 10.0 + lit(3.0),
+        col("lnv") * 8 - lit(30.0))
+      val utm = st_reproject(pt, lit("epsg:4326"), lit("epsg:32631"))
+      p.select(col("q"), col("lnv"),
+        round(st_x(utm), 3).as("ux"), round(st_y(utm), 3).as("uy"))
+        .orderBy("q", "lnv")
+    }),
     // web-mercator forward + round trip through the hand-rolled CRS
     // core, pinned against DuckDB's independent trig at 6 dp (meters —
     // sub-µm grain) / 9 dp (degrees); the rounding absorbs the ≤2-ulp
@@ -2342,6 +2359,32 @@ object SparkEntry {
       """WITH p AS (SELECT DISTINCT CAST(l_quantity AS DOUBLE) AS q, CAST(l_linenumber AS DOUBLE) AS lnv FROM lineitem)
         |SELECT q, lnv, 6.0 AS area, q + 1.5 AS cx, lnv + 1.0 AS cy, q AS px, lnv AS py
         |FROM p ORDER BY q, lnv""".stripMargin,
+    // the Krüger/Snyder forward series, term-by-term: n/t/c/a, the
+    // meridian arc, and the two polynomial expansions replayed verbatim
+    "q_st_utm" ->
+      """WITH p AS (SELECT DISTINCT CAST(l_quantity AS DOUBLE) AS q, CAST(l_linenumber AS DOUBLE) AS lnv FROM lineitem),
+        |k AS (SELECT 6378137.0 AS rr, (1.0/298.257223563)*(2.0 - 1.0/298.257223563) AS e2, 0.9996 AS k0),
+        |g AS (SELECT q, lnv, radians(lnv*8 - 30.0) AS lat,
+        |  radians(((q - 25.0)/10.0 + 3.0) - 3.0) AS dlon FROM p),
+        |w AS (SELECT q, lnv, lat, dlon, rr, e2, k0,
+        |  sin(lat) AS sl, cos(lat) AS cl, tan(lat) AS tl FROM g, k),
+        |v AS (SELECT *,
+        |  rr / sqrt(1 - e2 * sl * sl) AS n,
+        |  tl * tl AS t2,
+        |  e2 / (1 - e2) * cl * cl AS cc,
+        |  cl * dlon AS a,
+        |  rr * ((1 - e2/4 - 3*e2*e2/64 - 5*e2*e2*e2/256) * lat -
+        |    (3*e2/8 + 3*e2*e2/32 + 45*e2*e2*e2/1024) * sin(2*lat) +
+        |    (15*e2*e2/256 + 45*e2*e2*e2/1024) * sin(4*lat) -
+        |    (35*e2*e2*e2/3072) * sin(6*lat)) AS m
+        |  FROM w)
+        |SELECT q, lnv,
+        |  round(k0 * n * (a + (1 - t2 + cc) * a*a*a / 6 +
+        |    (5 - 18*t2 + t2*t2 + 72*cc - 58*e2/(1 - e2)) * pow(a, 5) / 120) + 500000.0, 3) AS ux,
+        |  round(k0 * (m + n * tl * (a*a / 2 +
+        |    (5 - t2 + 9*cc + 4*cc*cc) * pow(a, 4) / 24 +
+        |    (61 - 58*t2 + t2*t2 + 600*cc - 330*e2/(1 - e2)) * pow(a, 6) / 720)), 3) AS uy
+        |FROM v ORDER BY q, lnv""".stripMargin,
     // spherical-mercator forward replayed with DuckDB's own trig; the
     // round trip re-derives lon/lat via atan∘exp
     "q_st_reproject" ->
