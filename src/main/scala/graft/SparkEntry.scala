@@ -348,6 +348,12 @@ object SparkEntry {
     // on a disjoint 5×5 grid of 8×4 footprints (cell size 1 → dest cell
     // centers sample 1:1 source cells; first-wins merge is deterministic
     // because footprints never overlap), then exploded back to cells
+    // ascii render: per-tile min-max stretch onto the 10-char ramp,
+    // NoData as '∘', rows newline-terminated — fully string-replayable
+    "q_render_ascii" -> ((s, dir) =>
+      tiled(s, dir).select(col("l_orderkey"),
+        rf_render_ascii(col("t_qty")).as("ascii"))
+        .orderBy("l_orderkey")),
     "q_overview" -> ((s, dir) => {
       val d = tiled(s, dir)
         .where(col("l_orderkey") % 601 === 3 && expr("l_orderkey div 601") < 25)
@@ -1407,6 +1413,25 @@ object SparkEntry {
         |CAST(((i % 8) // 4) * 4 AS DOUBLE) AS win_xmin,
         |CAST(4 - ((i // 8) // 2) * 2 AS DOUBLE) AS win_ymax
         |FROM idx WHERE l_orderkey % 61 = 3 ORDER BY l_orderkey, i""".stripMargin),
+    // char = ramp[floor((v-mn)/range*9)] — identical IEEE ops then
+    // floor (Scala toInt truncates; values are non-negative so floor
+    // agrees); absent grid cells render the NoData glyph
+    "q_render_ascii" -> (IDX +
+      """, ext AS (SELECT l_orderkey, MIN(q) AS mn, MAX(q) AS mx FROM idx GROUP BY 1),
+        |grid AS (SELECT e.l_orderkey, e.mn,
+        |  CASE WHEN e.mx > e.mn THEN e.mx - e.mn ELSE 1.0 END AS rng,
+        |  CAST(p AS INT) AS pos FROM ext e, range(0, 32) g(p)),
+        |ch AS (SELECT g.l_orderkey, g.pos,
+        |  CASE WHEN i.q IS NULL THEN '∘'
+        |       ELSE substr(' .:-=+*#%@',
+        |         CAST(floor((i.q - g.mn) / g.rng * 9) AS INT) + 1, 1) END AS c
+        |  FROM grid g LEFT JOIN idx i ON i.l_orderkey = g.l_orderkey AND i.i = g.pos),
+        |rows_ AS (SELECT l_orderkey, pos // 8 AS r,
+        |  string_agg(c, '' ORDER BY pos) AS rowstr
+        |  FROM ch GROUP BY 1, 2)
+        |SELECT l_orderkey,
+        |  string_agg(rowstr || chr(10), '' ORDER BY r) AS ascii
+        |FROM rows_ GROUP BY 1 ORDER BY l_orderkey""".stripMargin),
     // overview mosaic replay: dest cell = the one tile whose disjoint
     // footprint covers it, at the 1:1-mapped local position
     "q_overview" -> (IDX +
