@@ -348,6 +348,13 @@ object SparkEntry {
     // on a disjoint 5×5 grid of 8×4 footprints (cell size 1 → dest cell
     // centers sample 1:1 source cells; first-wins merge is deterministic
     // because footprints never overlap), then exploded back to cells
+    // matrix render: space-separated %.2f cells, NoData as '--' — the
+    // cell values are integer-valued doubles, so the formatting is
+    // tie-free and replays exactly
+    "q_render_matrix" -> ((s, dir) =>
+      tiled(s, dir).select(col("l_orderkey"),
+        rf_render_matrix(col("t_qty")).as("matrix"))
+        .orderBy("l_orderkey")),
     // ascii render: per-tile min-max stretch onto the 10-char ramp,
     // NoData as '∘', rows newline-terminated — fully string-replayable
     "q_render_ascii" -> ((s, dir) =>
@@ -1413,6 +1420,19 @@ object SparkEntry {
         |CAST(((i % 8) // 4) * 4 AS DOUBLE) AS win_xmin,
         |CAST(4 - ((i // 8) // 2) * 2 AS DOUBLE) AS win_ymax
         |FROM idx WHERE l_orderkey % 61 = 3 ORDER BY l_orderkey, i""".stripMargin),
+    // integer-valued cells formatted %.2f, absent grid cells as '--'
+    "q_render_matrix" -> (IDX +
+      """, grid AS (SELECT o.l_orderkey, CAST(p AS INT) AS pos
+        |  FROM (SELECT DISTINCT l_orderkey FROM idx) o, range(0, 32) g(p)),
+        |ch AS (SELECT g.l_orderkey, g.pos,
+        |  CASE WHEN i.q IS NULL THEN '--' ELSE printf('%.2f', i.q) END AS c
+        |  FROM grid g LEFT JOIN idx i ON i.l_orderkey = g.l_orderkey AND i.i = g.pos),
+        |rows_ AS (SELECT l_orderkey, pos // 8 AS r,
+        |  string_agg(c, ' ' ORDER BY pos) AS rowstr
+        |  FROM ch GROUP BY 1, 2)
+        |SELECT l_orderkey,
+        |  string_agg(rowstr || chr(10), '' ORDER BY r) AS matrix
+        |FROM rows_ GROUP BY 1 ORDER BY l_orderkey""".stripMargin),
     // char = ramp[floor((v-mn)/range*9)] — identical IEEE ops then
     // floor (Scala toInt truncates; values are non-negative so floor
     // agrees); absent grid cells render the NoData glyph
