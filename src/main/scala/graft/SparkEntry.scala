@@ -348,6 +348,18 @@ object SparkEntry {
     // on a disjoint 5×5 grid of 8×4 footprints (cell size 1 → dest cell
     // centers sample 1:1 source cells; first-wins merge is deterministic
     // because footprints never overlap), then exploded back to cells
+    // rgb composite: each band min-max stretched to 0..255 (truncated),
+    // NoData stretches to 0, packed (r<<16)|(g<<8)|b into int32raw —
+    // every packed value replays as exact integer arithmetic
+    "q_rgb_composite" -> ((s, dir) =>
+      tiled(s, dir)
+        .select(col("l_orderkey"),
+          rf_rgb_composite(col("t_qty"), col("t_ln"), col("t_qty")).as("rgb"))
+        .select(col("l_orderkey"), rf_explode_tiles(col("rgb")))
+        .select(col("l_orderkey"),
+          (col("row_index") * 8 + col("column_index")).cast("int").as("i"),
+          col("rgb").as("v"))
+        .orderBy("l_orderkey", "i")),
     // matrix render: space-separated %.2f cells, NoData as '--' — the
     // cell values are integer-valued doubles, so the formatting is
     // tie-free and replays exactly
@@ -1420,6 +1432,22 @@ object SparkEntry {
         |CAST(((i % 8) // 4) * 4 AS DOUBLE) AS win_xmin,
         |CAST(4 - ((i // 8) // 2) * 2 AS DOUBLE) AS win_ymax
         |FROM idx WHERE l_orderkey % 61 = 3 ORDER BY l_orderkey, i""".stripMargin),
+    // band stretch floor((v-mn)/range*255), absent cells pack to 0
+    "q_rgb_composite" -> (IDX +
+      """, ext AS (SELECT l_orderkey, MIN(q) AS mnq, MAX(q) AS mxq,
+        |  MIN(lnv) AS mnl, MAX(lnv) AS mxl FROM idx GROUP BY 1),
+        |grid AS (SELECT e.*, CAST(p AS INT) AS pos FROM ext e, range(0, 32) g(p)),
+        |cell AS (SELECT g.l_orderkey, g.pos,
+        |  CASE WHEN i.q IS NULL THEN 0
+        |       ELSE CAST(floor((i.q - g.mnq)
+        |         / (CASE WHEN g.mxq > g.mnq THEN g.mxq - g.mnq ELSE 1.0 END) * 255) AS INT) END AS rq,
+        |  CASE WHEN i.lnv IS NULL THEN 0
+        |       ELSE CAST(floor((i.lnv - g.mnl)
+        |         / (CASE WHEN g.mxl > g.mnl THEN g.mxl - g.mnl ELSE 1.0 END) * 255) AS INT) END AS gl
+        |  FROM grid g LEFT JOIN idx i ON i.l_orderkey = g.l_orderkey AND i.i = g.pos)
+        |SELECT l_orderkey, pos AS i,
+        |  CAST(rq * 65536 + gl * 256 + rq AS DOUBLE) AS v
+        |FROM cell ORDER BY l_orderkey, i""".stripMargin),
     // integer-valued cells formatted %.2f, absent grid cells as '--'
     "q_render_matrix" -> (IDX +
       """, grid AS (SELECT o.l_orderkey, CAST(p AS INT) AS pos
