@@ -188,6 +188,43 @@ object SparkEntry {
       .orderBy("l_orderkey", "i")
   }
 
+  /** End-to-end WRITE oracle: the distributed `tiles` writer emits one
+    * GeoTIFF per row plus catalog.csv; reading the files back through
+    * the DSv2 geotiff reader and joining the catalog (path → orderkey —
+    * the tile filenames are partition-dependent, the catalog is the
+    * contract) must reproduce the source cells exactly. */
+  private def tilesRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    Raster.init(s)
+    val outDir = Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_tiles_rt_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+    if (Files.isDirectory(outDir)) {
+      val st = Files.list(outDir)
+      try st.iterator().asScala.foreach(Files.delete) finally st.close()
+    }
+    val src = tiled(s, dir).where(col("l_orderkey") % 307 === 5)
+      .select(col("l_orderkey"), col("t_qty").as("tile"),
+        struct(lit(0.0).as("xmin"), lit(0.0).as("ymin"),
+          lit(8.0).as("xmax"), lit(4.0).as("ymax")).as("extent"),
+        lit("epsg:4326").as("crs"))
+    src.write.format("tiles").option("path", outDir.toString).save()
+    val catalog = s.read.option("header", "true").csv(s"$outDir/catalog.csv")
+      .select(col("path").as("file"), col("l_orderkey").cast("long").as("l_orderkey"))
+    s.read.format("geotiff")
+      .option("path", outDir.toString)
+      .option("tile_dimensions", "8,4")
+      .load()
+      .select(regexp_extract(col("path"), "([^/]+)$", 1).as("file"),
+        rf_explode_tiles(col("tile")))
+      .join(catalog, Seq("file"))
+      .select(col("l_orderkey"),
+        (col("row_index") * 8 + col("column_index")).cast("int").as("i"),
+        col("tile").as("cell"))
+      .where(col("cell").isNotNull)
+      .orderBy("l_orderkey", "i")
+  }
+
   private val IDX =
     """WITH idx AS (
       |  SELECT l_orderkey, l_orderkey % 10 AS bucket,
@@ -344,6 +381,8 @@ object SparkEntry {
     // global cells equal the WHOLE-raster focal (the oracle never sees
     // windows — it computes the neighborhood mean on the full grid)
     "q_geotiff_focal" -> ((s, dir) => geotiffFocal(s, dir)),
+    // distributed tiles writer → catalog.csv → geotiff reader roundtrip
+    "q_tiles_roundtrip" -> ((s, dir) => tilesRoundtrip(s, dir)),
     // overview mosaic aggregate: ≤25 sampled per-orderkey tiles placed
     // on a disjoint 5×5 grid of 8×4 footprints (cell size 1 → dest cell
     // centers sample 1:1 source cells; first-wins merge is deterministic
@@ -1488,6 +1527,10 @@ object SparkEntry {
         |q AS v
         |FROM idx WHERE l_orderkey % 601 = 3 AND l_orderkey // 601 < 25
         |ORDER BY gc, gr""".stripMargin),
+    // the writer/catalog/reader roundtrip reproduces the source cells
+    "q_tiles_roundtrip" -> (IDX +
+      """ SELECT l_orderkey, i, q AS cell FROM idx
+        |WHERE l_orderkey % 307 = 5 ORDER BY l_orderkey, i""".stripMargin),
     // the windowed+buffered+cropped focal equals the WHOLE-raster
     // neighborhood mean — the oracle is seam-blind by construction
     "q_geotiff_focal" -> (IDX +
