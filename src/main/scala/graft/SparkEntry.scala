@@ -460,6 +460,18 @@ object SparkEntry {
         .select(col("gc").cast("int"), col("gr").cast("int"), col("v"))
         .orderBy("gc", "gr")
     }),
+    // the Spark-ML pipeline pair (TileExploder → NoDataFilter) as a
+    // user composes it in a Pipeline; the oracle is the per-cell grid
+    "q_ml_exploder" -> ((s, dir) => {
+      val exploded = new graft.ml.TileExploder().transform(
+        tiled(s, dir).select(col("l_orderkey"), col("t_qty"), col("t_ln")))
+      new graft.ml.NoDataFilter().setInputCols(Array("t_qty", "t_ln"))
+        .transform(exploded)
+        .select(col("l_orderkey"),
+          (col("row_index") * 8 + col("column_index")).cast("int").as("i"),
+          col("t_qty").as("q"), col("t_ln").as("lnv"))
+        .orderBy("l_orderkey", "i")
+    }),
     "q_assemble_roundtrip" -> ((s, dir) => {
       val c = tiled(s, dir)
         .select(col("l_orderkey"), rf_explode_tiles(col("t_qty")))
@@ -1487,6 +1499,8 @@ object SparkEntry {
         |FROM idx GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin),
     "q_explode_tiles" -> (IDX +
       " SELECT l_orderkey, i, q AS cell FROM idx ORDER BY l_orderkey, i"),
+    "q_ml_exploder" -> (IDX +
+      " SELECT l_orderkey, i, q, lnv FROM idx ORDER BY l_orderkey, i"),
     // the DSv2 reader's windowed cells re-derived arithmetically: window
     // (kc, kr) of a 8×4 file in 4×2 windows → xmin = kc*4, ymax = 4-kr*2
     "q_geotiff_read" -> (IDX +
