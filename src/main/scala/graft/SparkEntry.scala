@@ -383,6 +383,38 @@ object SparkEntry {
     "q_geotiff_focal" -> ((s, dir) => geotiffFocal(s, dir)),
     // distributed tiles writer → catalog.csv → geotiff reader roundtrip
     "q_tiles_roundtrip" -> ((s, dir) => tilesRoundtrip(s, dir)),
+    // STAC local catalog walker: a catalog generated from the nation
+    // table (bounded, 25 rows), read back through the `stac` source —
+    // ids, bbox, datetime and asset lists re-derived by the oracle
+    "q_stac_read" -> ((s, dir) => {
+      import java.nio.file.{Files, Paths}
+      Raster.init(s)
+      val stacDir = Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_stac_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+      Files.createDirectories(stacDir)
+      val nations = t(s, dir, "nation")
+        .select(col("n_nationkey").cast("int"), col("n_name"), col("n_regionkey").cast("int"))
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2))).sortBy(_._1)
+      val links = nations.map { case (k, _, _) => s"""{"rel":"item","href":"item-$k.json"}""" }
+        .mkString("[", ",", "]")
+      Files.write(stacDir.resolve("catalog.json"),
+        s"""{"type":"Catalog","id":"nations","links":$links}""".getBytes("UTF-8"))
+      for ((k, name, rk) <- nations) {
+        val item =
+          s"""{"type":"Feature","id":"n$k","collection":"r$rk",
+             |"bbox":[$k.0,0.0,${k + 1}.0,1.0],
+             |"properties":{"datetime":"2024-01-01T00:00:0${k % 10}Z","name":"$name"},
+             |"assets":{"B1":{"href":"/data/n$k-b1.tif"},"B2":{"href":"/data/n$k-b2.tif"}}}""".stripMargin
+        Files.write(stacDir.resolve(s"item-$k.json"), item.getBytes("UTF-8"))
+      }
+      s.read.format("stac").option("path", stacDir.resolve("catalog.json").toString).load()
+        .select(col("id"), col("collection"), col("datetime"),
+          element_at(col("bbox"), 1).as("bx0"), element_at(col("bbox"), 2).as("by0"),
+          element_at(col("bbox"), 3).as("bx1"), element_at(col("bbox"), 4).as("by1"),
+          size(col("asset_keys")).as("n_assets"),
+          element_at(col("asset_hrefs"), 1).as("href1"))
+        .orderBy("id")
+    }),
     // Parquet-native layer write → extent-queried read (the Parquet
     // min/max-pushable interval predicate, closed on both edges) →
     // explode; the oracle re-derives which grid placements intersect
@@ -1578,6 +1610,17 @@ object SparkEntry {
         |  AND (l_orderkey // 601) // 5 BETWEEN 2 AND 4
         |  AND l_orderkey // 601 < 25
         |ORDER BY l_orderkey, i""".stripMargin),
+    // stac items re-derived from the nation table the catalog was
+    // generated from
+    "q_stac_read" ->
+      """SELECT 'n' || n_nationkey AS id,
+        |  'r' || CAST(n_regionkey AS INT) AS collection,
+        |  '2024-01-01T00:00:0' || (n_nationkey % 10) || 'Z' AS datetime,
+        |  CAST(n_nationkey AS DOUBLE) AS bx0, 0.0 AS by0,
+        |  CAST(n_nationkey + 1 AS DOUBLE) AS bx1, 1.0 AS by1,
+        |  2 AS n_assets,
+        |  '/data/n' || n_nationkey || '-b1.tif' AS href1
+        |FROM nation ORDER BY id""".stripMargin,
     // the writer/catalog/reader roundtrip reproduces the source cells
     "q_tiles_roundtrip" -> (IDX +
       """ SELECT l_orderkey, i, q AS cell FROM idx
