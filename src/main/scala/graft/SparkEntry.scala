@@ -415,6 +415,36 @@ object SparkEntry {
           element_at(col("asset_hrefs"), 1).as("href1"))
         .orderBy("id")
     }),
+    // driver-mosaic geotiff writer: ≤25 disjoint-placed tiles mosaic
+    // into ONE file, read back through the DSv2 reader and exploded —
+    // the same placement arithmetic as q_overview replays the cells
+    "q_geotiff_mosaic" -> ((s, dir) => {
+      import java.nio.file.{Files, Paths}
+      Raster.init(s)
+      val outDir = Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_mosaic_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+      Files.createDirectories(outDir)
+      val out = outDir.resolve("mosaic.tif").toString
+      val d = tiled(s, dir)
+        .where(col("l_orderkey") % 601 === 3 && expr("l_orderkey div 601") < 25)
+        .withColumn("p", expr("CAST(l_orderkey div 601 AS INT)"))
+        .withColumn("px", col("p") % 5)
+        .withColumn("py", expr("p div 5"))
+      d.select(col("t_qty").as("tile"),
+          struct((col("px") * 8).cast("double").as("xmin"),
+            (lit(20) - (col("py") + 1) * 4).cast("double").as("ymin"),
+            (col("px") * 8 + 8).cast("double").as("xmax"),
+            (lit(20) - col("py") * 4).cast("double").as("ymax")).as("extent"),
+          lit("epsg:4326").as("crs"))
+        .write.format("geotiff").option("path", out).save()
+      s.read.format("geotiff").option("path", out)
+        .option("tile_dimensions", "40,20").load()
+        .select(rf_explode_tiles(col("tile")))
+        .toDF("gc", "gr", "v")
+        .where(col("v").isNotNull)
+        .select(col("gc").cast("int"), col("gr").cast("int"), col("v"))
+        .orderBy("gc", "gr")
+    }),
     // Parquet-native layer write → extent-queried read (the Parquet
     // min/max-pushable interval predicate, closed on both edges) →
     // explode; the oracle re-derives which grid placements intersect
@@ -1596,6 +1626,14 @@ object SparkEntry {
     // overview mosaic replay: dest cell = the one tile whose disjoint
     // footprint covers it, at the 1:1-mapped local position
     "q_overview" -> (IDX +
+      """ SELECT CAST((((l_orderkey // 601) % 5) * 8) + (i % 8) AS INT) AS gc,
+        |CAST((((l_orderkey // 601) // 5) * 4) + (i // 8) AS INT) AS gr,
+        |q AS v
+        |FROM idx WHERE l_orderkey % 601 = 3 AND l_orderkey // 601 < 25
+        |ORDER BY gc, gr""".stripMargin),
+    // identical replay to q_overview: the mosaic writer and the
+    // overview aggregate must agree cell-for-cell
+    "q_geotiff_mosaic" -> (IDX +
       """ SELECT CAST((((l_orderkey // 601) % 5) * 8) + (i % 8) AS INT) AS gc,
         |CAST((((l_orderkey // 601) // 5) * 4) + (i // 8) AS INT) AS gr,
         |q AS v
