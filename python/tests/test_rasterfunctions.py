@@ -180,6 +180,37 @@ def test_vector_functions(spark):
     assert "POINT" in r["c"]
 
 
+def test_vector_breadth(spark):
+    box2 = st_geomFromWKT(lit("POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))"))
+    far = st_geomFromWKT(lit("POLYGON ((10 10, 11 10, 11 11, 10 11, 10 10))"))
+    df = spark.range(1).select(
+        st_geomFromWKT(lit("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")).alias("g"),
+        st_makePoint(10.0, 2.0).alias("p"),
+    )
+    r = df.select(
+        st_distance(col("p"), col("g")).alias("d"),
+        st_withinDistance(col("p"), col("g"), lit(7.0)).alias("near"),
+        st_area(st_convexHull(col("g"))).alias("hull"),
+        st_asText(
+            st_simplify(st_geomFromWKT(lit("LINESTRING (0 0, 1 0, 2 0)")), lit(0.0))
+        ).alias("simp"),
+        st_area(st_intersection(col("g"), box2)).alias("ia"),
+        st_area(st_union(col("g"), box2)).alias("ua"),
+        st_nPoints(col("g")).alias("np"),
+        st_isEmpty(st_intersection(col("g"), far)).alias("emp"),
+        st_isValid(col("g")).alias("valid"),
+    ).collect()[0]
+    assert r["d"] == 6.0
+    assert r["near"] is True
+    assert r["hull"] == 16.0
+    assert r["simp"] == "LINESTRING (0 0, 2 0)"
+    assert r["ia"] == 4.0
+    assert r["ua"] == 16.0 + 16.0 - 4.0
+    assert r["np"] == 5
+    assert r["emp"] is True
+    assert r["valid"] is True
+
+
 def test_reproject(spark):
     df = spark.range(1).select(st_makePoint(0.0, 0.0).alias("p"))
     r = df.select(

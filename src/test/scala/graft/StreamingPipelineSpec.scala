@@ -76,6 +76,27 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(out.toSeq == Seq("the quick brown fox", "jumps over the lazy", "dog"))
   }
 
+  test("curation gate (gopher + quality + language) is stream/batch identical") {
+    import graft.pipeline.{GopherRules, TextFunctions}
+    val dir = Files.createTempDirectory("stream-gate").toString
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(200).write.mode("overwrite").parquet(dir)
+    def gate(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      GopherRules.metrics(df, "doc_id", "text")
+        .join(df.select(col("doc_id"),
+          TextFunctions.quality_score(col("text")).as("quality"),
+          TextFunctions.language_id(col("text")).as("lang_guess")), Seq("doc_id"))
+    val batchDf = spark.read.parquet(dir)
+    val batch = gate(batchDf).collect().map(_.toString).sorted.toSeq
+    val q = gate(spark.readStream.schema(batchDf.schema).parquet(dir))
+      .writeStream.format("memory").queryName("gate_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("gate_stream").collect().map(_.toString).sorted.toSeq
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("streaming simhash blocking drops a near-duplicate within the horizon") {
     val dir = Files.createTempDirectory("stream-neardup").toString
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
