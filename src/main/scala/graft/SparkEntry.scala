@@ -79,11 +79,16 @@ object SparkEntry {
     Raster.init(s)
     val fxDir = Paths.get(System.getProperty("java.io.tmpdir"),
       "graft_gt_fixture_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
-    val cnt = t(s, dir, "lineitem").where(col("l_orderkey") % 61 === 3)
-      .select("l_orderkey").distinct().count()
+    // freshness = sampled-orderkey count AND a content fingerprint (the
+    // exact sums the tiles are built from), so regenerated testdata with
+    // the same shape but different values still invalidates the cache
+    val probe = t(s, dir, "lineitem").where(col("l_orderkey") % 61 === 3)
+      .agg(countDistinct("l_orderkey"), sum("l_quantity"), sum("l_linenumber"))
+      .head()
+    val stamp = s"${probe.get(0)}:${probe.get(1)}:${probe.get(2)}"
     val marker = fxDir.resolve("_fixture_count")
     val fresh = Files.exists(marker) &&
-      new String(Files.readAllBytes(marker), "UTF-8") == cnt.toString
+      new String(Files.readAllBytes(marker), "UTF-8") == stamp
     if (!fresh) {
       val rows = tiled(s, dir).where(col("l_orderkey") % 61 === 3)
         .select(col("l_orderkey"), col("t_qty"), col("t_ln")).collect()
@@ -99,7 +104,7 @@ object SparkEntry {
           Seq(r.getAs[graft.core.Tile](1), r.getAs[graft.core.Tile](2)),
           graft.core.Extent(0, 0, 8, 4), graft.core.crs.CRS("epsg:4326"))
       }
-      Files.write(marker, rows.length.toString.getBytes("UTF-8"))
+      Files.write(marker, stamp.getBytes("UTF-8"))
     }
     fxDir.toString
   }
