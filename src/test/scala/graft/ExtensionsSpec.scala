@@ -60,4 +60,37 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(pngs.nonEmpty)
     assert(new java.io.File(s"$dir/index.html").exists())
   }
+
+  test("slippy PNG pixels carry the min-max stretch; footprint masks to transparent") {
+    // a two-valued tile (left half 0, right half 100) stretches to gray
+    // ∈ {0, 255} exactly — decode the written PNGs and assert every
+    // OPAQUE pixel is one of the two endpoints and both occur, while
+    // pixels outside the footprint stay fully transparent
+    val dir = Files.createTempDirectory("slippy-px").toString
+    val cells = Array.tabulate(32 * 32)(i => if (i % 32 < 16) 0.0 else 100.0)
+    Seq(1).toDF("id")
+      .select(rf_array_to_tile(lit(cells), 32, 32).as("tile"),
+        struct(lit(0.0).as("xmin"), lit(0.0).as("ymin"),
+          lit(10.0).as("xmax"), lit(10.0).as("ymax")).as("extent"),
+        lit("epsg:4326").as("crs"))
+      .write.format("slippy").option("path", dir).option("zoom", "5").save()
+    val pngs = new java.io.File(s"$dir/5").listFiles()
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".png"))
+    assert(pngs.nonEmpty)
+    val grays = scala.collection.mutable.Set.empty[Int]
+    var transparent = 0L
+    for (f <- pngs) {
+      val img = javax.imageio.ImageIO.read(f)
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val argb = img.getRGB(x, y)
+        if ((argb >>> 24) == 0xff) {
+          val g = argb & 0xff
+          assert((argb >> 8 & 0xff) == g && (argb >> 16 & 0xff) == g, "gray channels")
+          grays += g
+        } else transparent += 1
+      }
+    }
+    assert(grays == Set(0, 255), s"stretch endpoints only, got $grays")
+    assert(transparent > 0, "outside-footprint pixels must be transparent")
+  }
 }
