@@ -683,6 +683,36 @@ def st_geometry(extent):
     return _fn("st_geometry", extent)
 
 
+def st_geometryType(geom):
+    """JTS type name of the geometry ('Point', 'LineString', ...)."""
+    return _fn("st_geometrytype", geom)
+
+
+def st_numGeometries(geom):
+    """Number of member geometries (1 for a simple geometry)."""
+    return _fn("st_numgeometries", geom)
+
+
+def st_pointN(line, n):
+    """1-based nth vertex of a LineString (negative n from the end)."""
+    return _fn("st_pointn", line, n)
+
+
+def st_exteriorRing(polygon):
+    """Exterior ring of a polygon as a LineString."""
+    return _fn("st_exteriorring", polygon)
+
+
+def st_translate(geom, dx, dy):
+    """Geometry rigidly translated by (dx, dy)."""
+    return _fn("st_translate", geom, dx, dy)
+
+
+def st_closestPoint(a, b):
+    """Point on a nearest to b."""
+    return _fn("st_closestpoint", a, b)
+
+
 def rf_envelope(geom):
     """JTS envelope struct (minx, maxx, miny, maxy)."""
     return _fn("rf_envelope", geom)

@@ -22,6 +22,17 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _int_bucket_width(bucket_width):
+    """Coerce to a positive int — the value is interpolated into SQL as
+    an ``L`` literal, so a float like 3600.0 would otherwise produce an
+    unparseable ``3600.0L`` (the Scala API enforces Long by type)."""
+    w = int(bucket_width)
+    if w != bucket_width or w <= 0:
+        raise ValueError(
+            f"bucket_width must be a positive integer, got {bucket_width!r}")
+    return w
+
+
 def asof_join(left, right, key, left_ts, right_ts, right_prefix="right_",
               tolerance=None):
     """For every left row, attach the right row of the same ``key`` with
@@ -81,8 +92,7 @@ def asof_join_bucketed(left, right, key, left_ts, right_ts, bucket_width,
     boundary ties. Timestamps must be numeric and non-negative (epoch
     micros), like :func:`interval_join`.
     """
-    if bucket_width <= 0:
-        raise ValueError(f"bucket_width must be positive, got {bucket_width}")
+    bucket_width = _int_bucket_width(bucket_width)
     payload_cols = [c for c in right.columns if c != key]
     if right_ts not in payload_cols:
         raise ValueError(f"right is missing ts column {right_ts}")
@@ -150,8 +160,7 @@ def interval_join(points, spans, key, ts_col, start_col, end_col,
     ``bucket_width`` ~ typical span length: each span explodes to
     ``ceil(span/width)`` bucket rows; any width gives identical results.
     """
-    if bucket_width <= 0:
-        raise ValueError(f"bucket_width must be positive, got {bucket_width}")
+    bucket_width = _int_bucket_width(bucket_width)
     span_cols = list(spans.columns)
     p = points.withColumn("__graft_k", F.col(key)).withColumn(
         "__graft_b", F.expr(f"CAST({ts_col} AS BIGINT) div {bucket_width}L")

@@ -9,9 +9,10 @@
 # within 20% of each other.
 # Phase 3 (optional): pass a previous round's BENCH_r*.json as $2 and
 # every common query is compared best-new vs recorded; moves >1.5x in
-# either direction are listed and exit nonzero — each flagged query
-# needs either a fix or a recorded explanation in README.md before the
-# round closes.
+# either direction are listed, and REGRESSIONS (>1.5x slower) exit
+# nonzero — each regressed query needs either a fix or a recorded
+# explanation in README.md before the round closes (speedups are
+# informational only).
 set -euo pipefail
 cd "$(dirname "$0")/.."
 SF="${1:-/root/testdata/sf0.01}"

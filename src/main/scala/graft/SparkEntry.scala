@@ -75,7 +75,6 @@ object SparkEntry {
     * skip the heavy tile collect entirely. */
   private def geotiffFixtureDir(s: SparkSession, dir: String): String = {
     import java.nio.file.{Files, Paths}
-    import scala.jdk.CollectionConverters._
     Raster.init(s)
     val fxDir = Paths.get(System.getProperty("java.io.tmpdir"),
       "graft_gt_fixture_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
@@ -90,23 +89,42 @@ object SparkEntry {
     val fresh = Files.exists(marker) &&
       new String(Files.readAllBytes(marker), "UTF-8") == stamp
     if (!fresh) {
+      // Build into a unique sibling dir, then swap into place with an
+      // atomic rename — a concurrent JVM (overlapping bench/test runs)
+      // never observes a half-regenerated fixture dir.
       val rows = tiled(s, dir).where(col("l_orderkey") % 61 === 3)
         .select(col("l_orderkey"), col("t_qty"), col("t_ln")).collect()
-      if (Files.isDirectory(fxDir)) {
-        val st = Files.list(fxDir)
-        try st.iterator().asScala.foreach(Files.delete) finally st.close()
-      }
-      Files.createDirectories(fxDir)
+      val build = Files.createTempDirectory(fxDir.getParent, fxDir.getFileName.toString + ".build")
       rows.foreach { r =>
         val ok = r.getAs[Number](0).longValue()
         graft.core.geotiff.GeoTiff.writeMultiband(
-          fxDir.resolve(f"ok-$ok%012d.tif").toString,
+          build.resolve(f"ok-$ok%012d.tif").toString,
           Seq(r.getAs[graft.core.Tile](1), r.getAs[graft.core.Tile](2)),
           graft.core.Extent(0, 0, 8, 4), graft.core.crs.CRS("epsg:4326"))
       }
-      Files.write(marker, stamp.getBytes("UTF-8"))
+      Files.write(build.resolve(marker.getFileName), stamp.getBytes("UTF-8"))
+      val retired = if (Files.isDirectory(fxDir)) {
+        val aside = Files.createTempDirectory(fxDir.getParent, fxDir.getFileName.toString + ".old")
+        Files.delete(aside) // need a free name for the rename target
+        try { Files.move(fxDir, aside); Some(aside) }
+        catch { case _: java.nio.file.FileSystemException => None } // concurrent swap won
+      } else None
+      try Files.move(build, fxDir, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { // another JVM installed its (identically stamped) build first
+        case _: java.nio.file.FileSystemException => deleteTree(build)
+      }
+      retired.foreach(deleteTree)
     }
     fxDir.toString
+  }
+
+  private def deleteTree(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.isDirectory(p)) {
+      val st = java.nio.file.Files.list(p)
+      try st.iterator().asScala.foreach(deleteTree) finally st.close()
+    }
+    java.nio.file.Files.deleteIfExists(p)
   }
 
   private def geotiffRead(s: SparkSession, dir: String, lazyTiles: Boolean): DataFrame = {
@@ -377,6 +395,37 @@ object SparkEntry {
     // path is pinned to the identical cell stream.
     "q_geotiff_read" -> ((s, dir) => geotiffRead(s, dir, lazyTiles = false)),
     "q_geotiff_read_lazy" -> ((s, dir) => geotiffRead(s, dir, lazyTiles = true)),
+    // the `raster` catalog entry point (ref RasterSourceDataSource.scala:
+    // 37-49): an explicit URI catalog (comma-list, not a directory scan)
+    // through format("raster") with band selection + spatial_index; the
+    // oracle re-derives every cell AND the Z2 index of each window's
+    // centroid bit-exactly
+    "q_raster_catalog" -> ((s, dir) => {
+      val fxDir = geotiffFixtureDir(s, dir)
+      val files = {
+        import scala.jdk.CollectionConverters._
+        val st = java.nio.file.Files.list(java.nio.file.Paths.get(fxDir))
+        try st.iterator().asScala.map(_.toString).filter(_.endsWith(".tif")).toVector.sorted
+        finally st.close()
+      }
+      s.read.format("raster")
+        .option("paths", files.mkString(","))
+        .option("tile_dimensions", "4,2")
+        .option("band_indexes", "0,1")
+        .option("spatial_index", "true")
+        .load()
+        .select(
+          regexp_extract(col("path"), "ok-(\\d+)\\.tif", 1).cast("long").as("l_orderkey"),
+          col("spatial_key"), col("spatial_index"),
+          rf_explode_tiles(col("tile_b0"), col("tile_b1")))
+        .select(col("l_orderkey"),
+          ((col("spatial_key.row") * 2 + col("row_index")) * 8 +
+            (col("spatial_key.col") * 4 + col("column_index"))).cast("int").as("i"),
+          col("tile_b0").as("qty"), col("tile_b1").as("lnv"),
+          col("spatial_index").as("z2"))
+        .where(col("qty").isNotNull)
+        .orderBy("l_orderkey", "i")
+    }),
     // buffer_size=1 halo windows: each 4×2 window expands by one pixel
     // clamped at the file edge, so border cells surface in up to four
     // windows — the oracle replays the expansion arithmetic per window
@@ -1138,6 +1187,40 @@ object SparkEntry {
         st_isValid(a).as("a_valid"))
         .orderBy("qi", "lni")
     }),
+    // st_* long-tail breadth: type name, collection size, vertex access,
+    // exterior ring, rigid translate, closest point — every output
+    // analytically derivable (the box is axis-aligned with integer
+    // corners, so the closest point is the clamp of the query point and
+    // all arithmetic is exact IEEE on integers)
+    "q_st_breadth2" -> ((s, dir) => {
+      val p = t(s, dir, "lineitem")
+        .select(col("l_quantity").cast("int").as("qi"),
+          col("l_linenumber").cast("int").as("lni"))
+        .distinct()
+      val a = st_geometry(struct(col("qi").cast("double").as("xmin"),
+        col("lni").cast("double").as("ymin"),
+        (col("qi") + lit(3.0)).as("xmax"), (col("lni") + lit(2.0)).as("ymax")))
+      val zig = st_geomFromWKT(concat(lit("LINESTRING ("),
+        concat_ws(", ", transform(sequence(lit(0), col("lni")),
+          i => concat(i.cast("string"), lit(" "), (i * i).cast("string")))),
+        lit(")")))
+      val mpoint = st_geomFromWKT(concat(lit("MULTIPOINT ((0 0), ("),
+        col("qi"), lit(" 0), (0 "), col("lni"), lit("))")))
+      val trans = st_translate(
+        st_makePoint(col("qi").cast("double"), col("lni").cast("double")),
+        lit(2.5), lit(-1.5))
+      val closest = st_closestPoint(a, st_makePoint(lit(40.0), lit(0.0)))
+      p.select(col("qi"), col("lni"),
+        st_geometryType(a).as("gtype"),
+        st_numGeometries(mpoint).as("ngeoms"),
+        st_x(st_pointN(zig, lit(-1))).as("pn_x"),
+        st_y(st_pointN(zig, lit(-1))).as("pn_y"),
+        st_nPoints(st_exteriorRing(a)).as("ring_pts"),
+        st_length(st_exteriorRing(a)).as("ring_len"),
+        st_x(trans).as("tx"), st_y(trans).as("ty"),
+        st_x(closest).as("cx"), st_y(closest).as("cy"))
+        .orderBy("qi", "lni")
+    }),
     "q_st_accessors" -> ((s, dir) => {
       val p = t(s, dir, "lineitem")
         .select(col("l_quantity").as("q"), col("l_linenumber").cast("double").as("lnv"))
@@ -1579,6 +1662,16 @@ object SparkEntry {
       """ SELECT l_orderkey, i, q AS qty, lnv,
         |CAST(((i % 8) // 4) * 4 AS DOUBLE) AS win_xmin,
         |CAST(4 - ((i // 8) // 2) * 2 AS DOUBLE) AS win_ymax
+        |FROM idx WHERE l_orderkey % 61 = 3 ORDER BY l_orderkey, i""".stripMargin),
+    // catalog read: cells as q_geotiff_read; z2 = 31-bit Morton
+    // interleave of the window centroid (cx, cy) = (4*kc+2, 3-2*kr) in
+    // epsg:4326, replayed with the q_sfc_index normalization
+    "q_raster_catalog" -> (IDX +
+      """ SELECT l_orderkey, i, q AS qty, lnv,
+        |CAST(list_sum(list_transform(range(0, 31), b ->
+        |  (((CAST(floor((((i % 8) // 4) * 4 + 2 + 180.0) / 360.0 * 2147483647) AS BIGINT) >> b) & 1) << (2 * b)) +
+        |  (((CAST(floor((3 - ((i // 8) // 2) * 2 + 90.0) / 180.0 * 2147483647) AS BIGINT) >> b) & 1) << (2 * b + 1))
+        |)) AS BIGINT) AS z2
         |FROM idx WHERE l_orderkey % 61 = 3 ORDER BY l_orderkey, i""".stripMargin),
     // band stretch floor((v-mn)/range*255), absent cells pack to 0
     "q_rgb_composite" -> (IDX +
@@ -2608,6 +2701,24 @@ object SparkEntry {
         |(q >= 25.0 AND q + 3.0 <= 35.0 AND lnv >= 3.0 AND lnv + 2.0 <= 5.0) AS r_within,
         |NOT (q <= 35.0 AND q + 3.0 >= 25.0 AND lnv <= 5.0 AND lnv + 2.0 >= 3.0) AS r_disjoint
         |FROM p ORDER BY q, lnv""".stripMargin,
+    // every column replayed analytically: the box is axis-aligned with
+    // integer corners (type 'Polygon', ring of 5 points / perimeter 10),
+    // pointn(-1) is the zig line's last vertex (lni, lni²), translate is
+    // exact addition, and the closest point to (40, 0) is the clamp of
+    // the query point into the box (y: 0 < lni always ⇒ cy = lni)
+    "q_st_breadth2" ->
+      """WITH p AS (SELECT DISTINCT CAST(l_quantity AS INT) AS qi, CAST(l_linenumber AS INT) AS lni FROM lineitem)
+        |SELECT qi, lni,
+        |  'Polygon' AS gtype,
+        |  CAST(3 AS INTEGER) AS ngeoms,
+        |  CAST(lni AS DOUBLE) AS pn_x,
+        |  CAST(lni AS DOUBLE) * lni AS pn_y,
+        |  CAST(5 AS INTEGER) AS ring_pts,
+        |  10.0 AS ring_len,
+        |  qi + 2.5 AS tx, lni - 1.5 AS ty,
+        |  CAST(greatest(qi, least(40, qi + 3)) AS DOUBLE) AS cx,
+        |  CAST(lni AS DOUBLE) AS cy
+        |FROM p ORDER BY qi, lni""".stripMargin,
     "q_st_accessors" ->
       """WITH p AS (SELECT DISTINCT CAST(l_quantity AS DOUBLE) AS q, CAST(l_linenumber AS DOUBLE) AS lnv FROM lineitem)
         |SELECT q, lnv, 6.0 AS area, q + 1.5 AS cx, lnv + 1.0 AS cy, q AS px, lnv AS py

@@ -121,6 +121,12 @@ object FunctionDocs {
     "st_isvalid" -> "st_isvalid(geom) - OGC validity of the geometry.",
     "st_simplify" -> "st_simplify(geom, tolerance) - Douglas-Peucker simplification with the given tolerance (topology not guaranteed).",
     "st_extent" -> "st_extent(geom) - Bounding box of the geometry as an extent struct (xmin, ymin, xmax, ymax).",
+    "st_geometrytype" -> "st_geometrytype(geom) - JTS type name of the geometry ('Point', 'LineString', 'Polygon', ...).",
+    "st_numgeometries" -> "st_numgeometries(geom) - Number of member geometries (1 for a simple geometry).",
+    "st_pointn" -> "st_pointn(line, n) - 1-based nth vertex of a LineString (negative n counts from the end); NULL when out of range or not a line.",
+    "st_exteriorring" -> "st_exteriorring(polygon) - Exterior ring of a polygon as a LineString; NULL for non-polygons.",
+    "st_translate" -> "st_translate(geom, dx, dy) - Geometry rigidly translated by (dx, dy).",
+    "st_closestpoint" -> "st_closestpoint(geomA, geomB) - Point on geomA nearest to geomB.",
     "st_geometry" -> "st_geometry(extent) - Converts an extent struct into a polygon geometry.",
     "rf_envelope" -> "rf_envelope(geom) - JTS envelope of the geometry as a struct (minx, maxx, miny, maxy).",
     // multimodal

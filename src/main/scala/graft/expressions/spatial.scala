@@ -260,6 +260,107 @@ case class GeomSimplify(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
 
+/** JTS geometry-type name ("Point", "LineString", "Polygon", ...) —
+  * the GeoMesa spark-jts st_geometryType contract the reference
+  * re-exports (ref rasterframes/package.scala:44). */
+case class GeomType(child: Expression) extends GeomUnaryOp {
+  override def prettyName: String = "st_geometrytype"
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(geom(input).getGeometryType)
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** Member count of a geometry collection (1 for a simple geometry). */
+case class GeomNumGeometries(child: Expression) extends GeomUnaryOp {
+  override def prettyName: String = "st_numgeometries"
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(input: Any): Any = geom(input).getNumGeometries
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** 1-based nth vertex of a LineString (negative n counts from the end,
+  * the PostGIS extension of the contract); NULL when out of range or
+  * not a line. */
+case class GeomPointN(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def prettyName: String = "st_pointn"
+  override def dataType: DataType = GeometryUDT.instance
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isGeomLike(left.dataType) &&
+        (right.dataType == IntegerType || right.dataType == LongType ||
+          right.dataType == ShortType || right.dataType == ByteType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects (geometry, integral index)")
+  @transient private lazy val ge = geomExtractor(left.dataType)
+  override def nullSafeEval(g: Any, n: Any): Any = ge(g) match {
+    case line: org.locationtech.jts.geom.LineString =>
+      val raw = n.asInstanceOf[Number].intValue()
+      val i = if (raw < 0) line.getNumPoints + raw else raw - 1
+      if (i < 0 || i >= line.getNumPoints) null
+      else serialize(line.getPointN(i))
+    case _ => null
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** Exterior ring of a Polygon as a LineString; NULL for other types. */
+case class GeomExteriorRing(child: Expression) extends GeomUnaryOp {
+  override def prettyName: String = "st_exteriorring"
+  override def dataType: DataType = GeometryUDT.instance
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any = geom(input) match {
+    case p: org.locationtech.jts.geom.Polygon => serialize(p.getExteriorRing)
+    case _ => null
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** Rigid translation of every coordinate by (dx, dy). */
+case class GeomTranslate(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def prettyName: String = "st_translate"
+  override def dataType: DataType = GeometryUDT.instance
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isGeomLike(first.dataType) && second.dataType.isInstanceOf[NumericType] &&
+        third.dataType.isInstanceOf[NumericType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects (geometry, numeric dx, numeric dy)")
+  @transient private lazy val ge = geomExtractor(first.dataType)
+  @transient private lazy val dxe = doubleExtractor(second.dataType)
+  @transient private lazy val dye = doubleExtractor(third.dataType)
+  override def nullSafeEval(g: Any, dx: Any, dy: Any): Any = {
+    val (tx, ty) = (dxe(dx), dye(dy))
+    val out = ge(g).copy()
+    out.apply(new org.locationtech.jts.geom.CoordinateFilter {
+      override def filter(c: Coordinate): Unit = { c.x += tx; c.y += ty }
+    })
+    out.geometryChanged()
+    serialize(out)
+  }
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression) =
+    copy(f, s, t)
+}
+
+/** Point on geometry A nearest to geometry B (JTS DistanceOp); equals a
+  * point of A's interior when B intersects A. */
+case class GeomClosestPoint(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def prettyName: String = "st_closestpoint"
+  override def dataType: DataType = GeometryUDT.instance
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isGeomLike(left.dataType) && isGeomLike(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects two geometry arguments")
+  @transient private lazy val ae = geomExtractor(left.dataType)
+  @transient private lazy val be = geomExtractor(right.dataType)
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val pts = org.locationtech.jts.operation.distance.DistanceOp.nearestPoints(ae(a), be(b))
+    serialize(geomFactory.createPoint(pts(0)))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
 /** geometry/extent → extent struct (reference: transformers/GeometryToExtent.scala → st_extent). */
 case class GeometryToExtent(child: Expression) extends GeomUnaryOp {
   override def prettyName: String = "st_extent"

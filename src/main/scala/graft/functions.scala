@@ -215,6 +215,13 @@ object functions {
   def st_simplify(g: Column, tolerance: Column): Column = c(GeomSimplify(e(g), e(tolerance)))
   def st_extent(g: Column): Column = c(GeometryToExtent(e(g)))
   def st_geometry(extent: Column): Column = c(ExtentToGeometry(e(extent)))
+  def st_geometryType(g: Column): Column = c(GeomType(e(g)))
+  def st_numGeometries(g: Column): Column = c(GeomNumGeometries(e(g)))
+  def st_pointN(g: Column, n: Column): Column = c(GeomPointN(e(g), e(n)))
+  def st_exteriorRing(g: Column): Column = c(GeomExteriorRing(e(g)))
+  def st_translate(g: Column, dx: Column, dy: Column): Column =
+    c(GeomTranslate(e(g), e(dx), e(dy)))
+  def st_closestPoint(a: Column, b: Column): Column = c(GeomClosestPoint(e(a), e(b)))
   def rf_envelope(g: Column): Column = c(GeomEnvelope(e(g)))
   def rf_tile_context(projRaster: Column): Column = c(GetTileContext(e(projRaster)))
   def st_reproject(g: Column, src: Column, dst: Column): Column =
@@ -425,6 +432,12 @@ object Raster {
     reg2("st_simplify", GeomSimplify(_, _))
     reg1("st_extent", GeometryToExtent(_))
     reg1("st_geometry", ExtentToGeometry(_))
+    reg1("st_geometrytype", GeomType(_))
+    reg1("st_numgeometries", GeomNumGeometries(_))
+    reg2("st_pointn", GeomPointN(_, _))
+    reg1("st_exteriorring", GeomExteriorRing(_))
+    reg3("st_translate", GeomTranslate(_, _, _))
+    reg2("st_closestpoint", GeomClosestPoint(_, _))
     reg1("rf_envelope", GeomEnvelope(_))
     // multimodal binary-column ops (pipeline pack; decode is a real
     // javax.imageio codec — the deterministic stub stays under its own name)

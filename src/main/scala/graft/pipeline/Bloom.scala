@@ -149,23 +149,40 @@ case class BloomContains(bits: Expression, hash: Expression, k: Int)
         // truncated/sliced or wrong-numBits literal would otherwise make
         // the probe silently wrong (FALSE NEGATIVES, violating the
         // documented guarantee), so a mismatch fails analysis here.
-        val v = bits.eval(null)
-        if (v == null) TypeCheckResult.TypeCheckFailure(s"$prettyName bits must not be null")
-        else {
-          val nWords = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].numElements()
-          val nBits = nWords.toLong * 64L
-          if (nWords >= 1 && nBits <= BloomHash.MaxBits && (nWords & (nWords - 1)) == 0)
-            TypeCheckResult.TypeCheckSuccess
-          else TypeCheckResult.TypeCheckFailure(
-            s"$prettyName bits length must be a power of two in [64, ${BloomHash.MaxBits}]" +
-              s" bits, got $nBits bits ($nWords words) — was the bitset truncated or" +
-              " built with a different numBits?")
+        // checkInputDataTypes can run on every analysis pass, so the
+        // (possibly large) foldable is evaluated once and memoized; an
+        // eval-time throw becomes a TypeCheckFailure rather than an
+        // exception escaping analysis.
+        foldedWords match {
+          case scala.util.Left(err) => TypeCheckResult.TypeCheckFailure(
+            s"$prettyName bits literal failed to evaluate: $err")
+          case scala.util.Right(null) =>
+            TypeCheckResult.TypeCheckFailure(s"$prettyName bits must not be null")
+          case scala.util.Right(words) =>
+            val nWords = words.length
+            val nBits = nWords.toLong * 64L
+            if (nWords >= 1 && nBits <= BloomHash.MaxBits && (nWords & (nWords - 1)) == 0)
+              TypeCheckResult.TypeCheckSuccess
+            else TypeCheckResult.TypeCheckFailure(
+              s"$prettyName bits length must be a power of two in [64, ${BloomHash.MaxBits}]" +
+                s" bits, got $nBits bits ($nWords words) — was the bitset truncated or" +
+                " built with a different numBits?")
         }
       case _ => TypeCheckResult.TypeCheckFailure(
         s"$prettyName expects (foldable array<bigint> bits, integral hash)")
     }
-  @transient private lazy val bitWords: Array[Long] =
-    bits.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+  /** One-shot evaluation of the foldable bits literal, shared by
+    * analysis-time validation and runtime probing. */
+  @transient private lazy val foldedWords: Either[String, Array[Long]] =
+    try scala.util.Right(bits.eval(null) match {
+      case null => null
+      case a: org.apache.spark.sql.catalyst.util.ArrayData => a.toLongArray()
+    })
+    catch { case e: Exception => scala.util.Left(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
+  @transient private lazy val bitWords: Array[Long] = foldedWords match {
+    case scala.util.Right(words) if words != null => words
+    case other => throw new IllegalStateException(s"unvalidated bits literal: $other")
+  }
   override def nullSafeEval(b: Any, h: Any): Any = {
     val hv = h match {
       case i: java.lang.Integer => i.toLong

@@ -24,4 +24,9 @@ object shims {
     org.apache.spark.sql.classic.GraftColumnConverter.eager(c.node)
   def functionRegistry(spark: SparkSession): FunctionRegistry =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionState.functionRegistry
+  /** Block until every queued SparkListener event is delivered —
+    * deterministic metric collection in tests (listenerBus is
+    * private[spark]). */
+  def waitForListenerBus(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
 }

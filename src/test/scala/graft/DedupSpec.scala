@@ -152,7 +152,9 @@ class DedupSpec extends AnyFunSuite {
         }
       }
       spark.sparkContext.addSparkListener(listener)
-      try { body; Thread.sleep(1500) } // let straggler listener events drain
+      // drain ALL pending listener events (a fixed sleep undercounts
+      // stragglers on a loaded box and flakes the comparison)
+      try { body; org.apache.spark.sql.graft.shims.waitForListenerBus(spark.sparkContext) }
       finally spark.sparkContext.removeSparkListener(listener)
       total.get()
     }

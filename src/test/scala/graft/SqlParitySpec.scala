@@ -62,6 +62,11 @@ class SqlParitySpec extends AnyFunSuite {
     s"st_difference($G, st_buffer($P, 1.0))", s"st_npoints($G)",
     s"st_isempty($G)", s"st_isvalid($G)",
     s"st_extent($G)", s"st_geometry(st_extent($G))", s"rf_envelope($G)",
+    s"st_geometrytype($G)", s"st_numgeometries($G)",
+    "st_pointn(st_geomfromwkt('LINESTRING (0 0, 1 1, 2 4)'), 2)",
+    "st_pointn(st_geomfromwkt('LINESTRING (0 0, 1 1, 2 4)'), -1)",
+    s"st_exteriorring($G)", s"st_translate($P, 2.5, -1.5)",
+    s"st_closestpoint($G, st_makepoint(9.0, 9.0))",
     s"st_reproject($P, 'epsg:4326', 'epsg:3857')",
     s"st_intersects($G, $P)", s"st_contains($G, $P)", s"st_covers($G, $P)",
     s"st_crosses($G, $P)", s"st_disjoint($G, $P)", s"st_overlaps($G, $G)",
@@ -138,11 +143,25 @@ class SqlParitySpec extends AnyFunSuite {
       } catch { case e: Throwable => Some(s"$name -> ${e.getClass.getSimpleName}") }
     }
     assert(failures.isEmpty, failures.mkString("\n"))
-    // and the doc map has no stale entries for unregistered names
+    // and the doc map is EXACTLY the graft registry: no stale doc
+    // entries, no undocumented registrations (regN already throws on a
+    // missing usage entry, so set equality pins both directions)
+    // Spark 4.1 ships its own st_* built-ins (st_srid, st_asbinary, ...),
+    // so membership is decided by the registering className, not prefix
     val registry = org.apache.spark.sql.graft.shims.functionRegistry(spark)
-    val registered = registry.listFunction().map(_.funcName).toSet
-    val stale = names.filterNot(registered.contains)
-    assert(stale.isEmpty, s"docs for unregistered functions: $stale")
+    val graftRegistered = registry.listFunction()
+      .filter(f => registry.lookupFunction(f).exists(_.getClassName == "graft.functions"))
+      .map(_.funcName).toSet
+    val docKeys = FunctionDocs.usage.keySet
+    assert(docKeys == graftRegistered,
+      s"docs-only: ${(docKeys -- graftRegistered).toSeq.sorted}; " +
+        s"undocumented: ${(graftRegistered -- docKeys).toSeq.sorted}")
+    // pinned surface size — README §2.15 and the Python parity test
+    // (python/tests/test_sql_surface.py) quote this number
+    assert(docKeys.size == 184, s"registered SQL surface moved: ${docKeys.size} names")
+    // Examples blocks may only supplement documented names
+    val strayExamples = FunctionDocs.examples.keySet -- docKeys
+    assert(strayExamples.isEmpty, s"examples for undocumented names: $strayExamples")
   }
 
   test("generator and assembler via spark.sql") {
