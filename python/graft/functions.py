@@ -775,6 +775,11 @@ def mm_image_pixel(blob, x, y):
     return _fn("mm_image_pixel", blob, x, y)
 
 
+def mm_png_stats(blob):
+    """(width, height, opaque, red_sum) summary struct of a decodable image."""
+    return _fn("mm_png_stats", blob)
+
+
 def mm_byte_histogram(blob, bins=16):
     """Normalized byte-value histogram of the payload."""
     return _fn("mm_byte_histogram", blob, bins)

@@ -127,6 +127,33 @@ object SparkEntry {
     java.nio.file.Files.deleteIfExists(p)
   }
 
+  /** Write (or overwrite — ~350 features, trivially cheap) a GeoJSON
+    * FeatureCollection fixture over the bounded distinct (qi, lni)
+    * domain, with deliberately mixed property types (long, double,
+    * boolean, string) so the reader's Spark-JSON schema inference is on
+    * the oracled path. Atomic tmp-file + rename like the tiff fixtures. */
+  private def geojsonFixture(s: SparkSession, dir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val path = Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_geojson_" + dir.replaceAll("[^A-Za-z0-9]", "_") + ".json")
+    val rows = t(s, dir, "lineitem")
+      .select(col("l_quantity").cast("int").as("qi"),
+        col("l_linenumber").cast("int").as("lni"))
+      .distinct().orderBy("qi", "lni").collect()
+    val features = rows.map { r =>
+      val (qi, lni) = (r.getInt(0), r.getInt(1))
+      s"""{"type":"Feature","geometry":{"type":"Point","coordinates":[$qi,$lni]},""" +
+        s""""properties":{"qi":$qi,"lni":$lni,"label":"q$qi","ratio":${qi / 2.0},""" +
+        s""""flag":${qi % 2 == 0}}}"""
+    }
+    val doc = features.mkString("""{"type":"FeatureCollection","features":[""", ",", "]}")
+    val tmp = Files.createTempFile(path.getParent, path.getFileName.toString, ".tmp")
+    Files.write(tmp, doc.getBytes("UTF-8"))
+    Files.move(tmp, path, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    path.toString
+  }
+
   private def geotiffRead(s: SparkSession, dir: String, lazyTiles: Boolean): DataFrame = {
     val fxDir = geotiffFixtureDir(s, dir)
     s.read.format("geotiff")
@@ -400,6 +427,91 @@ object SparkEntry {
     // through format("raster") with band selection + spatial_index; the
     // oracle re-derives every cell AND the Z2 index of each window's
     // centroid bit-exactly
+    // seeded cell sampling (rf_explode_tiles_sample): the keep decision
+    // is java.util.Random(42).nextDouble() per cell position in row-major
+    // order — a PUBLICLY SPECIFIED 48-bit LCG the oracle replays
+    // independently in DuckDB (HUGEINT mod-2^48 arithmetic)
+    "q_explode_sample" -> ((s, dir) =>
+      tiled(s, dir)
+        .select(col("l_orderkey"), rf_explode_tiles_sample(0.5, 42L, col("t_qty")))
+        .toDF("l_orderkey", "column_index", "row_index", "qty")
+        .select(col("l_orderkey"),
+          (col("row_index") * 8 + col("column_index")).cast("int").as("i"),
+          col("qty"))
+        .where(col("qty").isNotNull)
+        .orderBy("l_orderkey", "i")),
+    // grayscale PNG render: min-max stretch to 0..255, NoData transparent
+    // — decoded back via mm_png_stats and replayed arithmetically
+    "q_render_png" -> ((s, dir) =>
+      tiled(s, dir)
+        .select(col("l_orderkey"),
+          Multimodal.png_stats(rf_render_png(col("t_qty"))).as("st"))
+        .select(col("l_orderkey"),
+          col("st.width").as("w"), col("st.height").as("h"),
+          col("st.opaque").as("opaque"), col("st.red_sum").as("red_sum"))
+        .orderBy("l_orderkey")),
+    // slippy z/x/y PNG pyramid writer (ref SlippyDataSource.scala:17-67)
+    // oracled end-to-end: each input row's footprint is EXACTLY one
+    // zoom-6 slippy tile (extent computed with the writer's own
+    // tile-bounds formulas, so the two RasterExtents coincide), making
+    // the 256² nearest-neighbor resample map pixel (c, r) to source
+    // cell (c div 32, r div 64) robustly (pixel centers sit ≥1/64 of a
+    // cell away from every cell boundary — far beyond ulp noise). The
+    // written tile SET, per-tile opaque-pixel count (2048·data_cells)
+    // and red/gray sum (2048·Σ⌊(v−mn)/range·255⌋) replay in DuckDB.
+    "q_slippy" -> ((s, dir) => {
+      Raster.init(s)
+      val out = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_slippy_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+      deleteTree(out)
+      val zoom = 6
+      val n = 1 << zoom
+      def lonOf(i: Int) = i.toDouble / n * 360.0 - 180.0
+      def latOf(i: Int) = math.toDegrees(math.atan(math.sinh(math.Pi * (1 - 2.0 * i / n))))
+      // slot k (= l_orderkey div 61, bounded to 2048 so slots are unique)
+      // → its own zoom-6 tile (k % 64, 16 + (k div 64) % 32)
+      val lookup = {
+        import s.implicits._
+        (0 until 2048).map { k =>
+          val tx = k % n
+          val ty = 16 + (k / n) % 32
+          (k, lonOf(tx), latOf(ty + 1), lonOf(tx + 1), latOf(ty))
+        }.toDF("k", "xmin", "ymin", "xmax", "ymax")
+      }
+      tiled(s, dir)
+        .where(col("l_orderkey") % 61 === 3 && expr("l_orderkey div 61") < 2048)
+        .select(expr("l_orderkey div 61").cast("int").as("k"), col("t_qty").as("tile"))
+        .join(broadcast(lookup), "k")
+        .select(col("tile"),
+          struct(col("xmin"), col("ymin"), col("xmax"), col("ymax")).as("extent"),
+          lit("epsg:4326").as("crs"))
+        .write.format("slippy")
+        .option("path", out.toString).option("zoom", zoom.toString).save()
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png")
+        .option("recursiveFileLookup", "true")
+        .load(out.resolve(zoom.toString).toString)
+        .select(
+          regexp_extract(col("path"), "/(\\d+)/(\\d+)\\.png$", 1).cast("int").as("tx"),
+          regexp_extract(col("path"), "/(\\d+)/(\\d+)\\.png$", 2).cast("int").as("ty"),
+          Multimodal.png_stats(col("content")).as("st"))
+        .select(
+          (((col("ty") - 16) * n + col("tx")) * 61 + 3).cast("long").as("l_orderkey"),
+          col("st.width").as("w"), col("st.height").as("h"),
+          col("st.opaque").as("opaque"), col("st.red_sum").as("red_sum"))
+        .orderBy("l_orderkey")
+    }),
+    // geojson FeatureCollection read (ref GeoJsonDataSource.scala:43-131)
+    // through format("geojson"): Jackson feature split + Spark-JSON
+    // property inference (long/double/boolean/string) + GeomFromGeoJSON
+    // decode, oracled via WKT text + every inferred property
+    "q_geojson_read" -> ((s, dir) => {
+      val path = geojsonFixture(s, dir)
+      s.read.format("geojson").option("path", path).load()
+        .select(st_asText(col("geometry")).as("wkt"),
+          col("qi"), col("lni"), col("label"), col("ratio"), col("flag"))
+        .orderBy("qi", "lni")
+    }),
     "q_raster_catalog" -> ((s, dir) => {
       val fxDir = geotiffFixtureDir(s, dir)
       val files = {
@@ -1663,6 +1775,57 @@ object SparkEntry {
         |CAST(((i % 8) // 4) * 4 AS DOUBLE) AS win_xmin,
         |CAST(4 - ((i // 8) // 2) * 2 AS DOUBLE) AS win_ymax
         |FROM idx WHERE l_orderkey % 61 = 3 ORDER BY l_orderkey, i""".stripMargin),
+    // java.util.Random replay: s0 = (42 XOR 0x5DEECE66D) mod 2^48, then
+    // s' = (s·25214903917 + 11) mod 2^48; nextDouble consumes two draws,
+    // ((s1>>22)·2^27 + (s2>>21))·2^-53 — all exact power-of-two scaling,
+    // so the keep mask (one per 8×4 cell position, every tile identical)
+    // is bit-reproducible
+    "q_explode_sample" -> (IDX.replaceFirst("WITH idx", "WITH RECURSIVE idx") +
+      """, rng(j, s) AS (
+        |  SELECT 0, CAST(xor(42, 25214903917) AS HUGEINT)
+        |  UNION ALL
+        |  SELECT j + 1, (s * 25214903917 + 11) % 281474976710656 FROM rng WHERE j < 64),
+        |vals AS (SELECT j, CAST(s AS BIGINT) AS sb FROM rng),
+        |keep AS (
+        |  SELECT CAST((a.j - 1) // 2 AS INTEGER) AS p
+        |  FROM vals a JOIN vals b ON b.j = a.j + 1
+        |  WHERE a.j % 2 = 1
+        |    AND ((a.sb >> 22) * 134217728.0 + (b.sb >> 21)) / 9007199254740992.0 <= 0.5)
+        |SELECT i.l_orderkey, i.i, i.q AS qty FROM idx i JOIN keep k ON i.i = k.p
+        |ORDER BY i.l_orderkey, i.i""".stripMargin),
+    // per-order grayscale render: opaque = data cells, red_sum = the
+    // same stretch sum as q_slippy without the pixel-block fan-out
+    "q_render_png" -> (IDX +
+      """, g AS (SELECT l_orderkey, COUNT(*) AS dc, MIN(q) AS mn, MAX(q) AS mx FROM idx GROUP BY 1),
+        |r AS (SELECT i.l_orderkey,
+        |    SUM(CAST(floor((i.q - g.mn) / (CASE WHEN g.mx > g.mn THEN g.mx - g.mn ELSE 1.0 END) * 255) AS BIGINT)) AS gsum
+        |  FROM idx i JOIN g ON i.l_orderkey = g.l_orderkey GROUP BY 1)
+        |SELECT g.l_orderkey, CAST(8 AS INTEGER) AS w, CAST(4 AS INTEGER) AS h,
+        |  CAST(g.dc AS BIGINT) AS opaque, CAST(r.gsum AS BIGINT) AS red_sum
+        |FROM g JOIN r ON g.l_orderkey = r.l_orderkey ORDER BY g.l_orderkey""".stripMargin),
+    // the tile set is the written-slot set; opaque = 2048 per data cell
+    // (each source cell covers a 32×64 pixel block), gray = exact IEEE
+    // replay of ((v − mn) / range · 255) truncation
+    "q_slippy" -> (IDX +
+      """, g AS (
+        |  SELECT l_orderkey, COUNT(*) AS dc, MIN(q) AS mn, MAX(q) AS mx
+        |  FROM idx WHERE l_orderkey % 61 = 3 AND l_orderkey // 61 < 2048 GROUP BY 1),
+        |r AS (
+        |  SELECT i.l_orderkey,
+        |    SUM(CAST(floor((i.q - g.mn) / (CASE WHEN g.mx > g.mn THEN g.mx - g.mn ELSE 1.0 END) * 255) AS BIGINT)) AS gsum
+        |  FROM idx i JOIN g ON i.l_orderkey = g.l_orderkey GROUP BY 1)
+        |SELECT g.l_orderkey, CAST(256 AS INTEGER) AS w, CAST(256 AS INTEGER) AS h,
+        |  CAST(2048 * g.dc AS BIGINT) AS opaque, CAST(2048 * r.gsum AS BIGINT) AS red_sum
+        |FROM g JOIN r ON g.l_orderkey = r.l_orderkey ORDER BY g.l_orderkey""".stripMargin),
+    // the fixture's features are generated from the same bounded
+    // (qi, lni) domain, so every property and the point WKT replay
+    // directly; integer JSON numbers infer as BIGINT
+    "q_geojson_read" ->
+      """WITH p AS (SELECT DISTINCT CAST(l_quantity AS INT) AS qi, CAST(l_linenumber AS INT) AS lni FROM lineitem)
+        |SELECT 'POINT (' || qi || ' ' || lni || ')' AS wkt,
+        |  CAST(qi AS BIGINT) AS qi, CAST(lni AS BIGINT) AS lni,
+        |  'q' || qi AS label, qi / 2.0 AS ratio, qi % 2 = 0 AS flag
+        |FROM p ORDER BY qi, lni""".stripMargin,
     // catalog read: cells as q_geotiff_read; z2 = 31-bit Morton
     // interleave of the window centroid (cx, cy) = (4*kc+2, 3-2*kr) in
     // epsg:4326, replayed with the q_sfc_index normalization

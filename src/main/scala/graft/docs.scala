@@ -135,6 +135,7 @@ object FunctionDocs {
     "mm_encode_png" -> "mm_encode_png(pixels, width, height) - Encodes a row-major array of packed 0xRRGGBB ints into a PNG payload.",
     "mm_image_pixel" -> "mm_image_pixel(blob, x, y) - Packed 0xRRGGBB value of pixel (x, y) of a decodable image payload; NULL on decode failure or out-of-bounds.",
     "mm_image_resize" -> "mm_image_resize(blob, width, height) - Nearest-neighbor resize of a decodable image payload to width x height, re-encoded as PNG; NULL when the bytes aren't a readable image.",
+    "mm_png_stats" -> "mm_png_stats(blob) - Whole-image summary struct (width, height, opaque, red_sum) of a decodable image payload: opaque counts alpha=255 pixels, red_sum sums their red channel; NULL when the bytes aren't a readable image.",
     "mm_byte_histogram" -> "mm_byte_histogram(blob[, bins]) - Normalized byte-value histogram of the payload (default 16 bins).",
     "mm_frame_sample" -> "mm_frame_sample(blob, frame_size, stride) - Every stride-th window of frame_size bytes, as an array of binaries.",
     // training-data pipeline (pl_*)

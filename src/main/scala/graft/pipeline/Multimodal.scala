@@ -41,6 +41,10 @@ object Multimodal {
   def image_resize(blob: Column, w: Column, h: Column): Column =
     asColumn(ImageResize(asExpr(blob), asExpr(w), asExpr(h)))
 
+  /** Whole-image (width, height, opaque-pixel count, red-channel sum)
+    * summary ([[PngStats]]) — the read-back half of a PNG-writer oracle. */
+  def png_stats(blob: Column): Column = asColumn(PngStats(asExpr(blob)))
+
   /** Deterministic fake decode: width/height/channels derived from payload
     * hash — retained for non-image payload plumbing tests; prefer
     * [[decode_image]] for anything that is actually an image. */
@@ -380,6 +384,49 @@ case class ImagePixel(first: Expression, second: Expression, third: Expression)
   }
   override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
     copy(a, b, c)
+}
+
+/** Whole-image summary of a decodable payload: dimensions plus the
+  * opaque (alpha = 255) pixel count and the red-channel sum over opaque
+  * pixels — one scalar row per image instead of width×height
+  * `mm_image_pixel` probes, which is what makes PNG writers (slippy
+  * tiles, rf_render_png) oracle-able at scale. Null when the payload
+  * doesn't decode. */
+case class PngStats(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "mm_png_stats"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a binary payload, got ${child.dataType.simpleString}")
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("opaque", LongType, nullable = false),
+    StructField("red_sum", LongType, nullable = false)))
+  override def nullSafeEval(input: Any): Any = {
+    val img = ImageCodec.readCached(input.asInstanceOf[Array[Byte]])
+    if (img == null) null
+    else {
+      var opaque = 0L
+      var redSum = 0L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val argb = img.getRGB(x, y)
+          if ((argb >>> 24) == 0xff) {
+            opaque += 1
+            redSum += (argb >>> 16) & 0xff
+          }
+          x += 1
+        }
+        y += 1
+      }
+      InternalRow(img.getWidth, img.getHeight, opaque, redSum)
+    }
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(c)
 }
 
 /** Nearest-neighbor resize of a decodable image payload, re-encoded as

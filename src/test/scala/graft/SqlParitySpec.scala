@@ -82,6 +82,7 @@ class SqlParitySpec extends AnyFunSuite {
     "mm_image_pixel(mm_encode_png(array(16711680, 65280, 255, 0), 2, 2), 1, 1)",
     "mm_image_pixel(mm_image_resize(mm_encode_png(array(16711680, 65280, 255, 0), 2, 2), 4, 4), 3, 3)",
     "mm_decode_image(encode('not an image', 'UTF-8'))",
+    "mm_png_stats(mm_encode_png(array(16711680, 65280, 255, 0), 2, 2))",
     "mm_decode_image_stub(encode('hello', 'UTF-8'))",
     "mm_byte_histogram(encode('hello', 'UTF-8'), 16)",
     "mm_frame_sample(encode('hello world and more', 'UTF-8'), 4, 2)",
@@ -158,7 +159,7 @@ class SqlParitySpec extends AnyFunSuite {
         s"undocumented: ${(graftRegistered -- docKeys).toSeq.sorted}")
     // pinned surface size — README §2.15 and the Python parity test
     // (python/tests/test_sql_surface.py) quote this number
-    assert(docKeys.size == 184, s"registered SQL surface moved: ${docKeys.size} names")
+    assert(docKeys.size == 185, s"registered SQL surface moved: ${docKeys.size} names")
     // Examples blocks may only supplement documented names
     val strayExamples = FunctionDocs.examples.keySet -- docKeys
     assert(strayExamples.isEmpty, s"examples for undocumented names: $strayExamples")
