@@ -572,6 +572,10 @@ def st_withinDistance(a, b, distance):
     return _fn("st_within_distance", a, b, distance)
 
 
+# exact-SQL-name alias (the camelCase fold drops the inner underscore)
+st_within_distance = st_withinDistance
+
+
 def st_convexHull(geom):
     """Convex hull of the geometry."""
     return _fn("st_convexhull", geom)

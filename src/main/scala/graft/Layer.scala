@@ -84,7 +84,7 @@ object Layer {
       "spatialJoin requires a spatial_key column on both layers")
     (layout(left), layout(right)) match {
       case (Some(l), Some(r)) if l != r =>
-        System.err.println(
+        Console.err.println(
           s"WARN graft.Layer.spatialJoin: layers have different CRS/layout: $l vs $r — " +
             "key-aligned join assumes a shared tiling grid")
       case _ => ()

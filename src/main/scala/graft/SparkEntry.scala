@@ -427,6 +427,23 @@ object SparkEntry {
     // through format("raster") with band selection + spatial_index; the
     // oracle re-derives every cell AND the Z2 index of each window's
     // centroid bit-exactly
+    // key-aligned layer join (ref RasterFrameLayerMethods.scala:137-192):
+    // two co-gridded layers equi-joined on spatial_key — a plain shuffle
+    // hash join, never a spatial theta — with colliding right columns
+    // right_-prefixed; cell-aligned map algebra across the join oracled
+    "q_layer_spatial_join" -> ((s, dir) => {
+      val base = tiled(s, dir)
+      def layer(tile: Column) = base.select(
+        struct((col("l_orderkey") % 4096).cast("int").as("col"),
+          expr("l_orderkey div 4096").cast("int").as("row")).as("spatial_key"),
+        col("l_orderkey"), tile.as("tile"), lit("epsg:4326").as("crs"))
+      Layer.spatialJoin(layer(col("t_qty")), layer(col("t_ln")))
+        .select(col("l_orderkey"), col("right_l_orderkey"),
+          rf_tile_sum(col("tile")).as("s_qty"),
+          rf_tile_sum(col("right_tile")).as("s_ln"),
+          rf_tile_sum(rf_local_add(col("tile"), col("right_tile"))).as("s_add"))
+        .orderBy("l_orderkey")
+    }),
     // seeded cell sampling (rf_explode_tiles_sample): the keep decision
     // is java.util.Random(42).nextDouble() per cell position in row-major
     // order — a PUBLICLY SPECIFIED 48-bit LCG the oracle replays
@@ -1775,6 +1792,12 @@ object SparkEntry {
         |CAST(((i % 8) // 4) * 4 AS DOUBLE) AS win_xmin,
         |CAST(4 - ((i // 8) // 2) * 2 AS DOUBLE) AS win_ymax
         |FROM idx WHERE l_orderkey % 61 = 3 ORDER BY l_orderkey, i""".stripMargin),
+    // both layers carry the same cell-presence pattern, so the joined
+    // local add sums to SUM(q) + SUM(lnv) per key
+    "q_layer_spatial_join" -> (IDX +
+      """ SELECT l_orderkey, l_orderkey AS right_l_orderkey,
+        |  SUM(q) AS s_qty, SUM(lnv) AS s_ln, SUM(q + lnv) AS s_add
+        |FROM idx GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin),
     // java.util.Random replay: s0 = (42 XOR 0x5DEECE66D) mod 2^48, then
     // s' = (s·25214903917 + 11) mod 2^48; nextDouble consumes two draws,
     // ((s1>>22)·2^27 + (s2>>21))·2^-53 — all exact power-of-two scaling,

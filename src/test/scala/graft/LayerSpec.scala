@@ -57,6 +57,20 @@ class LayerSpec extends AnyFunSuite {
     assert(outer.where($"right_tile".isNull).count() == 4)
   }
 
+  test("spatialJoin warns when layer CRS/layouts differ") {
+    val reprojected = keyedLayer(0.0).withColumn("crs", lit("epsg:3857"))
+    val buf = new java.io.ByteArrayOutputStream()
+    val joined = Console.withErr(buf) {
+      val j = Layer.spatialJoin(keyedLayer(0.0), reprojected)
+      j.count() // force the layout probes + join
+      j
+    }
+    assert(joined.count() == 6) // still joins — warning, not an error
+    val err = buf.toString("UTF-8")
+    assert(err.contains("different CRS/layout"), s"expected layout warning, got: $err")
+    assert(err.contains("epsg:3857"))
+  }
+
   test("metadata aggregates union extent, key bounds, cell type, dims") {
     val m = Layer.metadata(keyedLayer(0.0)).collect()(0)
     val ext = m.getStruct(m.fieldIndex("extent"))
