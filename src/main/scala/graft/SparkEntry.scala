@@ -461,6 +461,7 @@ object SparkEntry {
     // — decoded back via mm_png_stats and replayed arithmetically
     "q_render_png" -> ((s, dir) =>
       tiled(s, dir)
+        .where(col("l_orderkey") % 31 === 3) // ImageIO encode is per-row costly; bound the sweep
         .select(col("l_orderkey"),
           Multimodal.png_stats(rf_render_png(col("t_qty"))).as("st"))
         .select(col("l_orderkey"),
@@ -485,18 +486,19 @@ object SparkEntry {
       val n = 1 << zoom
       def lonOf(i: Int) = i.toDouble / n * 360.0 - 180.0
       def latOf(i: Int) = math.toDegrees(math.atan(math.sinh(math.Pi * (1 - 2.0 * i / n))))
-      // slot k (= l_orderkey div 61, bounded to 2048 so slots are unique)
-      // → its own zoom-6 tile (k % 64, 16 + (k div 64) % 32)
+      // slot k (= l_orderkey div 61, bounded to 256 so slots are unique
+      // AND the 256²-pixel resample stays ~17M pixel ops per run at any
+      // SF) → its own zoom-6 tile (k % 64, 16 + (k div 64) % 32)
       val lookup = {
         import s.implicits._
-        (0 until 2048).map { k =>
+        (0 until 256).map { k =>
           val tx = k % n
           val ty = 16 + (k / n) % 32
           (k, lonOf(tx), latOf(ty + 1), lonOf(tx + 1), latOf(ty))
         }.toDF("k", "xmin", "ymin", "xmax", "ymax")
       }
       tiled(s, dir)
-        .where(col("l_orderkey") % 61 === 3 && expr("l_orderkey div 61") < 2048)
+        .where(col("l_orderkey") % 61 === 3 && expr("l_orderkey div 61") < 256)
         .select(expr("l_orderkey div 61").cast("int").as("k"), col("t_qty").as("tile"))
         .join(broadcast(lookup), "k")
         .select(col("tile"),
@@ -1819,7 +1821,8 @@ object SparkEntry {
     // per-order grayscale render: opaque = data cells, red_sum = the
     // same stretch sum as q_slippy without the pixel-block fan-out
     "q_render_png" -> (IDX +
-      """, g AS (SELECT l_orderkey, COUNT(*) AS dc, MIN(q) AS mn, MAX(q) AS mx FROM idx GROUP BY 1),
+      """, g AS (SELECT l_orderkey, COUNT(*) AS dc, MIN(q) AS mn, MAX(q) AS mx FROM idx
+        |  WHERE l_orderkey % 31 = 3 GROUP BY 1),
         |r AS (SELECT i.l_orderkey,
         |    SUM(CAST(floor((i.q - g.mn) / (CASE WHEN g.mx > g.mn THEN g.mx - g.mn ELSE 1.0 END) * 255) AS BIGINT)) AS gsum
         |  FROM idx i JOIN g ON i.l_orderkey = g.l_orderkey GROUP BY 1)
@@ -1832,7 +1835,7 @@ object SparkEntry {
     "q_slippy" -> (IDX +
       """, g AS (
         |  SELECT l_orderkey, COUNT(*) AS dc, MIN(q) AS mn, MAX(q) AS mx
-        |  FROM idx WHERE l_orderkey % 61 = 3 AND l_orderkey // 61 < 2048 GROUP BY 1),
+        |  FROM idx WHERE l_orderkey % 61 = 3 AND l_orderkey // 61 < 256 GROUP BY 1),
         |r AS (
         |  SELECT i.l_orderkey,
         |    SUM(CAST(floor((i.q - g.mn) / (CASE WHEN g.mx > g.mn THEN g.mx - g.mn ELSE 1.0 END) * 255) AS BIGINT)) AS gsum
