@@ -602,19 +602,13 @@ object Similarity {
     // expression ([[NearestCentroid]]) — materialized ONCE because both
     // the probe side and the candidate join consume it.
     val assigned = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      c(NearestCentroid(asExpr(col(vecCol)), cents)).as("cell")).localCheckpoint(true)
-    val centroids = df.sparkSession.createDataFrame(
-      cents.zipWithIndex.map { case (cen, i) => (i, cen.toIndexedSeq) }.toIndexedSeq)
-      .toDF("cell", "centroid")
-    // nprobe nearest cells per query vector (tiny broadcast cross join)
-    val wProbe = Window.partitionBy("id").orderBy(col("cdist"), col("cell"))
-    val probes = assigned.select(col("id"), col("vec"))
-      .crossJoin(broadcast(centroids))
-      .select(col("id"), col("vec"), col("cell"),
-        (-dot(col("vec"), col("centroid"))).as("cdist"))
-      .withColumn("prank", row_number().over(wProbe))
-      .where(col("prank") <= nprobe)
-      .select(col("id").as("query_id"), col("vec").as("a_vec"), col("cell"))
+      c(NearestCentroid(asExpr(col(vecCol)), cents)).as("cell")).persist()
+    // nprobe nearest cells per query vector: a single scalar pass
+    // ([[NearestCells]], centroids shipped in the expression) — no
+    // N×nlist cross-join rows, no per-id window shuffle; the probe SET
+    // (ordered -dot then cell) is identical to the windowed formulation
+    val probes = assigned.select(col("id").as("query_id"), col("vec").as("a_vec"),
+      explode(c(NearestCells(asExpr(col("vec")), cents, nprobe))).as("cell"))
     // a pair surfacing through several probes carries identical sims, and
     // the top-k aggregate dedups by neighbor in-buffer — no pre-distinct
     rankTopK(probes
@@ -740,18 +734,12 @@ object Similarity {
     val assigned = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
       c(NearestCentroid(asExpr(col(vecCol)), cents)).as("cell"),
       c(PQCodes(asExpr(col(vecCol)), pqCents)).as("codes")).localCheckpoint(true)
-    val centroids = df.sparkSession.createDataFrame(
-      cents.zipWithIndex.map { case (cen, i) => (i, cen.toIndexedSeq) }.toIndexedSeq)
-      .toDF("cell", "centroid")
-    val wProbe = Window.partitionBy("id").orderBy(col("cdist"), col("cell"))
+    // probe selection as one scalar pass (see ivfTopK) — the ADC
+    // distance table is computed once per surviving probe row
     val probes = assigned.select(col("id"), col("vec"))
-      .crossJoin(broadcast(centroids))
-      .select(col("id"), col("vec"), col("cell"),
-        (-dot(col("vec"), col("centroid"))).as("cdist"))
-      .withColumn("prank", row_number().over(wProbe))
-      .where(col("prank") <= nprobe)
       .select(col("id").as("query_id"),
-        c(PQDistTable(asExpr(col("vec")), pqCents)).as("dt"), col("cell"))
+        c(PQDistTable(asExpr(col("vec")), pqCents)).as("dt"),
+        explode(c(NearestCells(asExpr(col("vec")), cents, nprobe))).as("cell"))
     rankTopK(probes
       .join(assigned.select(col("id").as("neighbor_id"), col("codes"), col("cell")),
         Seq("cell"))

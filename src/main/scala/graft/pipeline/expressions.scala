@@ -497,6 +497,72 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
 }
 
 /**
+ * The `nprobe` nearest IVF cells of a query vector by inner-product
+ * score, ordered (-dot asc, cell asc) — the probe-selection window
+ * ([[Pipeline.ivfTopK]]) collapsed into one scalar pass. At scale this
+ * replaces an N×nlist cross-join row blow-up plus a per-id window
+ * shuffle with zero extra rows and zero shuffle. Arithmetic mirrors
+ * [[VectorDot]] (index-order double accumulation) so the probe SET is
+ * bit-identical to the windowed formulation the DuckDB oracle replays.
+ */
+case class NearestCells(child: Expression, centroids: Array[Array[Double]], nprobe: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "nearest_cells"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  @transient private lazy val et = child.dataType.asInstanceOf[ArrayType].elementType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName expects array<float|double>")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val nCells = centroids.length
+    val cdist = new Array[Double](nCells) // -dot, smaller = nearer
+    var c = 0
+    while (c < nCells) {
+      val cen = centroids(c)
+      val n = math.min(v.numElements(), cen.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        s += (et match {
+          case FloatType => v.getFloat(i).toDouble
+          case _ => v.getDouble(i)
+        }) * cen(i)
+        i += 1
+      }
+      cdist(c) = -s
+      c += 1
+    }
+    // selection of the nprobe smallest; strict < keeps the LOWEST cell
+    // on ties — the (cdist asc, cell asc) window order
+    val m = math.min(nprobe, nCells)
+    val chosen = new Array[Int](m)
+    val used = new Array[Boolean](nCells)
+    var j = 0
+    while (j < m) {
+      var best = -1
+      var bestD = Double.MaxValue
+      var cc = 0
+      while (cc < nCells) {
+        if (!used(cc) && cdist(cc) < bestD) { bestD = cdist(cc); best = cc }
+        cc += 1
+      }
+      if (best == -1) { // all-NaN remainder: NaN sorts last, ties → lowest cell
+        var f = 0
+        while (used(f)) f += 1
+        best = f
+      }
+      used(best) = true
+      chosen(j) = best
+      j += 1
+    }
+    new GenericArrayData(chosen)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/**
  * Deterministic Lloyd's k-means for the IVF coarse quantizer, run on the
  * driver over a BOUNDED sorted-prefix sample. The sample (first
  * `sampleSize` vectors by id) and every arithmetic step (init = first k
