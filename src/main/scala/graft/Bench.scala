@@ -42,10 +42,26 @@ object Bench {
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
 
-    /** warmup run + median of 3 timed runs — stable against JIT/GC noise */
+    /** Release Spark-level state a query invocation may have left behind:
+      * SQL-cached plans and persisted/localCheckpoint'ed RDD blocks.
+      * Queries that persist internally (IVF assignment, dedup fixpoints)
+      * can't unpersist before their consumer acts, so the blocks outlive
+      * the invocation — across a 100+-query suite in one JVM they
+      * accumulate and contaminate every later measurement (the round-8
+      * scale curve measured q_terrain at 4× its isolated time from
+      * exactly this). Runs OUTSIDE the timed region. */
+    def releaseLeftovers(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+
+    /** warmup run + median of 3 timed runs — stable against JIT/GC noise;
+      * leftover blocks are released after every rep so rep N doesn't pay
+      * for rep N-1's leaked state. */
     def medianOf3(body: => Unit): Double = {
       body // warmup
-      val ts = Array.fill(3)(time(body)).sorted
+      releaseLeftovers()
+      val ts = Array.fill(3) { val t = time(body); releaseLeftovers(); t }.sorted
       ts(1)
     }
 
@@ -56,7 +72,11 @@ object Bench {
     // ---- headline SparkEntry queries at the target SF ----
     // Failures are NOT swallowed into fake-fast timings: a crashing query
     // is recorded under "errors", excluded from the total, and flagged.
-    for ((name, fn) <- SparkEntry.queries) {
+    // Sorted-name order: the Map's hash order reshuffles globally when a
+    // query is added, silently changing every query's predecessor (and so
+    // its inherited JVM state) between rounds; alphabetical order only
+    // perturbs the insertion's neighbors.
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       try {
         results(name) = medianOf3 {
           fn(spark, sfDir).write.mode("overwrite").format("noop").save()
@@ -66,6 +86,10 @@ object Bench {
           errors(name) = e.toString.replaceAll("[\"\\\\\r\n]", " ").take(200)
           System.err.println(s"BENCH FAILURE in $name: $e")
       }
+      // NO explicit System.gc() here: measured (round 8), a full GC per
+      // query made the whole suite ~1.3× slower — G1 returns committed
+      // heap to the OS and every successor pays re-commit page faults.
+      // The deterministic releaseLeftovers() above is the real fix.
     }
 
     // ---- baseline micro shapes (match BASELINE.md configs) ----

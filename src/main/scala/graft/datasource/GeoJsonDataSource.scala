@@ -23,7 +23,9 @@ object GeoJson {
   /** Features are split with Jackson (Spark's JSON schema inference can't
     * unify the heterogeneous nesting of GeoJSON `coordinates`); property
     * schema inference is then delegated to Spark's JSON reader over the
-    * properties objects alone. */
+    * properties objects alone. Like `spark.read.json`, inference is one
+    * eager pass now and the returned frame re-parses lazily — nothing is
+    * cached, so repeated reads don't accumulate executor-memory state. */
   def read(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     val texts = spark.read.option("wholetext", "true").text(path).as[String]
@@ -37,7 +39,7 @@ object GeoJson {
         (f.get("geometry").toString,
           Option(f.get("properties")).map(_.toString).getOrElse("{}"))
       }
-    }.toDF("geom_json", "props_json").cache()
+    }.toDF("geom_json", "props_json")
     val propSchema = spark.read.json(features.select("props_json").as[String]).schema
     val propCols = propSchema.fieldNames.toSeq.map(n => col(s"p.$n").as(n))
     features.select(

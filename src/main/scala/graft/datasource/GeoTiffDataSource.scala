@@ -109,14 +109,22 @@ class GeoTiffScanBuilder(props: Map[String, String])
 }
 
 /**
- * One partition per FILE — the 100 TB-safe plan shape. Window expansion
- * and metadata parsing happen executor-side inside the PartitionReader
- * (the reference expands windows executor-side too, via a generator:
+ * A run of FILES per partition — the 100 TB-safe plan shape. Window
+ * expansion and metadata parsing happen executor-side inside the
+ * PartitionReader (the reference expands windows executor-side too, via
+ * a generator:
  * /root/reference/core/src/main/scala/org/locationtech/rasterframes/expressions/generators/RasterSourceToRasterRefs.scala:62-77).
  * Planning a partition per WINDOW would create millions of driver-side
- * objects and serial driver I/O on a large catalog.
+ * objects and serial driver I/O on a large catalog; a partition per
+ * FILE creates a task per object, which collapses on catalogs of many
+ * small COGs (a million 4 KB thumbnails must not be a million tasks).
+ * Files are bin-packed like Spark's own FilePartition planning:
+ * name-sorted contiguous runs (preserving the catalog's spatial
+ * ordering), each file costed at size + `spark.sql.files.openCostInBytes`,
+ * packed up to min(`spark.sql.files.maxPartitionBytes`,
+ * max(openCost, totalCost / defaultParallelism)).
  */
-final case class GeoTiffFilePartition(path: String, tileCols: Int, tileRows: Int,
+final case class GeoTiffFilePartition(paths: Seq[String], tileCols: Int, tileRows: Int,
     buffer: Int, lazyTiles: Boolean) extends InputPartition
 
 class GeoTiffScan(props: Map[String, String], required: StructType) extends Scan with Batch {
@@ -132,10 +140,32 @@ class GeoTiffScan(props: Map[String, String], required: StructType) extends Scan
     // lazy_tiles ships RasterRef-style references instead of cells.
     val buffer = props.get("buffer_size").map(_.toInt).getOrElse(0)
     val lazyTiles = props.get("lazy_tiles").exists(_.toBoolean)
-    // No file I/O on the driver: just the path listing.
-    GeoTiffTable.resolvePaths(props)
-      .map(p => GeoTiffFilePartition(p, tc, tr, buffer, lazyTiles): InputPartition)
-      .toArray
+    // Driver-side I/O stays at listing + size metadata (an object-store
+    // LIST returns sizes with the names; the local probe mirrors that).
+    val paths = GeoTiffTable.resolvePaths(props)
+    val conf = org.apache.spark.sql.internal.SQLConf.get
+    val openCost = conf.filesOpenCostInBytes
+    val parallelism = org.apache.spark.sql.SparkSession.active
+      .sparkContext.defaultParallelism
+    val costs = paths.map { p =>
+      val sz = try Files.size(Paths.get(p)) catch { case _: Exception => 0L }
+      sz + openCost
+    }
+    val maxSplit = math.min(conf.filesMaxPartitionBytes,
+      math.max(openCost, costs.sum / math.max(1, parallelism)))
+    val bins = Seq.newBuilder[InputPartition]
+    var run = Vector.newBuilder[String]
+    var runCost = 0L
+    var nonEmpty = false
+    paths.zip(costs).foreach { case (p, c) =>
+      if (nonEmpty && runCost + c > maxSplit) {
+        bins += GeoTiffFilePartition(run.result(), tc, tr, buffer, lazyTiles)
+        run = Vector.newBuilder[String]; runCost = 0L; nonEmpty = false
+      }
+      run += p; runCost += c; nonEmpty = true
+    }
+    if (nonEmpty) bins += GeoTiffFilePartition(run.result(), tc, tr, buffer, lazyTiles)
+    bins.result().toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = new GeoTiffReaderFactory(required)
@@ -157,12 +187,26 @@ class GeoTiffReaderFactory(required: StructType) extends PartitionReaderFactory 
     val part = partition.asInstanceOf[GeoTiffFilePartition]
     new PartitionReader[InternalRow] {
       // Executor-side: one ranged metadata read per file, then iterate
-      // windows; cell bytes are fetched per-window with byte-range reads.
-      private lazy val info = graft.udt.RefTile.info(part.path)
-      private lazy val keysAcross = (info.cols + part.tileCols - 1) / part.tileCols
-      private lazy val keysDown = (info.rows + part.tileRows - 1) / part.tileRows
+      // its windows; cell bytes are fetched per-window with byte-range
+      // reads. Files of the partition's run are consumed sequentially.
+      private val files = part.paths.iterator
+      private var path: String = _
+      private var info: graft.core.geotiff.GeoTiff.Info = _
+      private var keysAcross = 0
+      private var keysDown = 0
       private var idx = -1
-      override def next(): Boolean = { idx += 1; idx < keysAcross * keysDown }
+      override def next(): Boolean = {
+        idx += 1
+        while (info == null || idx >= keysAcross * keysDown) {
+          if (!files.hasNext) return false
+          path = files.next()
+          info = graft.udt.RefTile.info(path)
+          keysAcross = (info.cols + part.tileCols - 1) / part.tileCols
+          keysDown = (info.rows + part.tileRows - 1) / part.tileRows
+          idx = 0
+        }
+        true
+      }
       override def get(): InternalRow = {
         val kc = idx % keysAcross
         val kr = idx / keysAcross
@@ -180,7 +224,7 @@ class GeoTiffReaderFactory(required: StructType) extends PartitionReaderFactory 
         // column pruning: decode cells only if the tile column is required
         val values = required.fields.map { f =>
           f.name match {
-            case "path" => UTF8String.fromString(part.path)
+            case "path" => UTF8String.fromString(path)
             case "spatial_key" => InternalRow(kc, kr)
             case "extent" =>
               InternalRow(extent.xmin, extent.ymin, extent.xmax, extent.ymax)
@@ -196,10 +240,10 @@ class GeoTiffReaderFactory(required: StructType) extends PartitionReaderFactory 
                 if (tileName == "tile") 0
                 else tileName.stripPrefix("tile_b").toInt
               if (part.lazyTiles)
-                TileUDT.encode(new graft.udt.RefTile(part.path, win,
+                TileUDT.encode(new graft.udt.RefTile(path, win,
                   info.cellType, win.width, win.height, band))
               else
-                TileUDT.encode(graft.udt.RefTile.readWindow(part.path, win, band))
+                TileUDT.encode(graft.udt.RefTile.readWindow(path, win, band))
           }
         }
         new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(

@@ -30,12 +30,14 @@ class ReadPathScaleSpec extends AnyFunSuite {
     path
   }
 
-  test("one input partition per file, windows expanded executor-side") {
+  test("substantial files get a partition each, windows expanded executor-side") {
     val dir = Files.createTempDirectory("graft-scale").toString
     for (i <- 0 until 5) writeTiff(dir, s"f$i.tif", 512, 512)
     val df = spark.read.format("geotiff").option("path", dir)
       .option("tile_dimensions", "128,128").load()
-    // 5 files × (4×4 windows) = 80 rows, but only 5 partitions
+    // each 1 MB file costs size + openCostInBytes (4 MB) > the 4 MB pack
+    // target, so none share a partition: 5 files × (4×4 windows) =
+    // 80 rows from exactly 5 partitions
     assert(df.rdd.getNumPartitions == 5)
     assert(df.count() == 80)
     val sums = df.select(rf_tile_sum($"tile").as("s")).agg(sum($"s")).first().getDouble(0)
@@ -99,9 +101,13 @@ class ReadPathScaleSpec extends AnyFunSuite {
       .option("tile_dimensions", "32,32")
       .option("spatial_index", "true")
       .option("lazy_tiles", "true").load()
-    // planning stays driver-light: exactly one partition per FILE, and
-    // the row count materializes without decoding any cells (lazy refs)
-    assert(df.rdd.getNumPartitions == 1000)
+    // planning stays driver-light (listing + size metadata only) and the
+    // task count stays BOUNDED: 1000 tiny files bin-pack into runs sized
+    // by openCostInBytes/maxPartitionBytes — a handful of partitions, not
+    // a task per object (the small-file collapse at catalog scale). The
+    // row count materializes without decoding any cells (lazy refs).
+    val nParts = df.rdd.getNumPartitions
+    assert(nParts > 1 && nParts <= 64, s"expected packed partitions, got $nParts")
     assert(df.count() == 1000)
     // Z2 range partitioning clusters spatial neighbors into few tasks
     val parts = df.withSpatialIndexPartitions(16)
