@@ -719,6 +719,39 @@ object SparkEntry {
           col("t_qty").as("q"), col("t_ln").as("lnv"))
         .orderBy("l_orderkey", "i")
     }),
+    // constant-tile constructors driven end-to-end: per-key constant,
+    // zeros and ones tiles reduced through tile stats — the sums and
+    // data-cell counts are analytically SQL-derivable
+    "q_make_tiles" -> ((s, dir) => {
+      t(s, dir, "lineitem").where(col("l_orderkey") % 37 === 5)
+        .groupBy("l_orderkey").agg(max("l_linenumber").as("ln"))
+        .select(col("l_orderkey"),
+          rf_tile_sum(rf_make_constant_tile(col("ln"), 8, 4, "int32")).as("csum"),
+          rf_data_cells(rf_make_constant_tile(col("ln"), 8, 4, "int32")).as("dc"),
+          rf_tile_sum(rf_make_zeros_tile(8, 4, "float64")).as("zsum"),
+          rf_tile_sum(rf_make_ones_tile(8, 4, "uint8")).as("osum"),
+          rf_cell_type(rf_make_zeros_tile(8, 4, "float64")).as("zct"))
+        .orderBy("l_orderkey")
+    }),
+    // the user-extension escape hatch: an arbitrary binary cell function
+    // lifted over two tiles; the closure here is IEEE-exact (×2, +, /4
+    // are correctly rounded) so DuckDB replays it cell-for-cell
+    "q_local_algebra" -> ((s, dir) => {
+      import graft.extensions._
+      cells(s, dir, rf_local_algebra((a, b) => (a * 2.0 + b) / 4.0)(col("t_qty"), col("t_ln")))
+    }),
+    // notebook renderers as data: toMarkdown over the tiled frame (tile
+    // cells summarized as "cellType cols×rows") and toHTML over a plain
+    // frame — both deterministic strings DuckDB rebuilds with string_agg
+    "q_show" -> ((s, dir) => {
+      import graft.extensions._
+      import s.implicits._
+      val md = tiled(s, dir).orderBy("l_orderkey")
+        .select(col("l_orderkey"), col("t_qty")).toMarkdown(5)
+      val html = t(s, dir, "nation").orderBy("n_nationkey")
+        .select(col("n_nationkey"), col("n_name")).toHTML(3)
+      Seq((md, html)).toDF("md", "html")
+    }),
     "q_assemble_roundtrip" -> ((s, dir) => {
       val c = tiled(s, dir)
         .select(col("l_orderkey"), rf_explode_tiles(col("t_qty")))
@@ -1782,6 +1815,24 @@ object SparkEntry {
       " SELECT l_orderkey, i, q AS cell FROM idx ORDER BY l_orderkey, i"),
     "q_ml_exploder" -> (IDX +
       " SELECT l_orderkey, i, q, lnv FROM idx ORDER BY l_orderkey, i"),
+    "q_make_tiles" ->
+      """SELECT l_orderkey,
+        |CAST(32 * MAX(l_linenumber) AS DOUBLE) AS csum,
+        |CAST(32 AS BIGINT) AS dc, 0.0 AS zsum, 32.0 AS osum,
+        |'float64' AS zct
+        |FROM lineitem WHERE l_orderkey % 37 = 5
+        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "q_local_algebra" -> (IDX +
+      " SELECT l_orderkey, i, (q * 2.0 + lnv) / 4.0 AS cell FROM idx ORDER BY l_orderkey, i"),
+    "q_show" ->
+      """WITH oks AS (SELECT DISTINCT l_orderkey FROM lineitem ORDER BY l_orderkey LIMIT 5),
+        |nat AS (SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey LIMIT 3)
+        |SELECT
+        |'| l_orderkey | t_qty |' || chr(10) || '| --- | --- |' || chr(10) ||
+        |  (SELECT string_agg('| ' || l_orderkey || ' | float64 8×4 |' || chr(10), '' ORDER BY l_orderkey) FROM oks) AS md,
+        |'<table><tr><th>n_nationkey</th><th>n_name</th></tr>' ||
+        |  (SELECT string_agg('<tr><td>' || n_nationkey || '</td><td>' || n_name || '</td></tr>', '' ORDER BY n_nationkey) FROM nat) ||
+        |  '</table>' AS html""".stripMargin,
     // the DSv2 reader's windowed cells re-derived arithmetically: window
     // (kc, kr) of a 8×4 file in 4×2 windows → xmin = kc*4, ymax = 4-kr*2
     "q_geotiff_read" -> (IDX +
