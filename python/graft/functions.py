@@ -717,6 +717,136 @@ def st_closestPoint(a, b):
     return _fn("st_closestpoint", a, b)
 
 
+def st_boundary(geom):
+    """Topological boundary: polygon rings as lines, line endpoints as points."""
+    return _fn("st_boundary", geom)
+
+
+def st_dimension(geom):
+    """Topological dimension: 0 point, 1 line, 2 polygon."""
+    return _fn("st_dimension", geom)
+
+
+def st_coordDim(geom):
+    """Coordinate dimension: 2 unless a vertex carries a real Z."""
+    return _fn("st_coorddim", geom)
+
+
+def st_isClosed(geom):
+    """True when a (multi)line starts and ends at the same point."""
+    return _fn("st_isclosed", geom)
+
+
+def st_isCollection(geom):
+    """True when the geometry is a collection (Multi* or GeometryCollection)."""
+    return _fn("st_iscollection", geom)
+
+
+def st_isRing(line):
+    """True when the line is a ring (closed and simple); NULL for non-lines."""
+    return _fn("st_isring", line)
+
+
+def st_isSimple(geom):
+    """OGC simplicity: no self-intersection or self-tangency."""
+    return _fn("st_issimple", geom)
+
+
+def st_numPoints(geom):
+    """Total vertex count (alias of st_npoints, the spark-jts name)."""
+    return _fn("st_numpoints", geom)
+
+
+def st_geometryN(geom, n):
+    """1-based nth member of a collection; NULL out of range."""
+    return _fn("st_geometryn", geom, n)
+
+
+def st_interiorRingN(polygon, n):
+    """1-based nth interior ring as a LineString; NULL out of range."""
+    return _fn("st_interiorringn", polygon, n)
+
+
+def st_envelope(geom):
+    """Envelope as a geometry (degenerate inputs give point/line)."""
+    return _fn("st_envelope", geom)
+
+
+def st_makeLine(points):
+    """LineString through an array of points, in array order."""
+    return _fn("st_makeline", points)
+
+
+def st_makePolygon(shell):
+    """Polygon from a closed LineString shell."""
+    return _fn("st_makepolygon", shell)
+
+
+def st_makeBox2D(corner_a, corner_b):
+    """Axis-aligned box polygon spanning the two corner points."""
+    return _fn("st_makebox2d", corner_a, corner_b)
+
+
+def st_point(x, y):
+    """Point geometry from coordinates (alias of st_makepoint)."""
+    return _fn("st_point", x, y)
+
+
+def st_castToPoint(geom):
+    """The geometry when it is a Point, else NULL."""
+    return _fn("st_casttopoint", geom)
+
+
+def st_castToLineString(geom):
+    """The geometry when it is a LineString, else NULL."""
+    return _fn("st_casttolinestring", geom)
+
+
+def st_castToPolygon(geom):
+    """The geometry when it is a Polygon, else NULL."""
+    return _fn("st_casttopolygon", geom)
+
+
+def st_castToGeometry(geom):
+    """The geometry unchanged (type-widening cast)."""
+    return _fn("st_casttogeometry", geom)
+
+
+def st_byteArray(s):
+    """UTF-8 bytes of the string."""
+    return _fn("st_bytearray", s)
+
+
+def st_asGeoJSON(geom):
+    """GeoJSON geometry fragment (RFC 7946, no whitespace)."""
+    return _fn("st_asgeojson", geom)
+
+
+def st_asLatLonText(point):
+    """Point as DMS text, latitude then longitude."""
+    return _fn("st_aslatlontext", point)
+
+
+def st_distanceSphere(a, b):
+    """Great-circle distance in meters between two lon/lat points."""
+    return _fn("st_distancesphere", a, b)
+
+
+def st_lengthSphere(line):
+    """Great-circle length in meters of a lon/lat LineString."""
+    return _fn("st_lengthsphere", line)
+
+
+def st_relate(a, b):
+    """DE-9IM intersection matrix of the two geometries as its 9-char string."""
+    return _fn("st_relate", a, b)
+
+
+def st_relateBool(a, b, pattern):
+    """True when the DE-9IM matrix matches the pattern."""
+    return _fn("st_relatebool", a, b, pattern)
+
+
 def rf_envelope(geom):
     """JTS envelope struct (minx, maxx, miny, maxy)."""
     return _fn("rf_envelope", geom)

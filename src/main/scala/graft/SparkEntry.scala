@@ -1385,6 +1385,97 @@ object SparkEntry {
         st_x(closest).as("cx"), st_y(closest).as("cy"))
         .orderBy("qi", "lni")
     }),
+    // the spark-jts long tail, round 2: boundary/dimension/coorddim,
+    // closure/ring/simplicity/collection predicates, geometryn,
+    // interiorringn (donut hole with dyadic 1+qi/16 × 1+lni/8 corners so
+    // every ring length is exact IEEE), envelope, makeline/makepolygon/
+    // makebox2d, the st_castTo* family, bytearray, and GeoJSON output
+    // (shortest-roundtrip doubles — DuckDB's VARCHAR cast is the same
+    // shortest-decimal form for these integral values)
+    "q_st_breadth3" -> ((s, dir) => {
+      val p = t(s, dir, "lineitem")
+        .select(col("l_quantity").cast("int").as("qi"),
+          col("l_linenumber").cast("int").as("lni"))
+        .distinct()
+      val box = st_geometry(struct(col("qi").cast("double").as("xmin"),
+        col("lni").cast("double").as("ymin"),
+        (col("qi") + lit(3.0)).as("xmax"), (col("lni") + lit(2.0)).as("ymax")))
+      val zig = st_geomFromWKT(concat(lit("LINESTRING ("),
+        concat_ws(", ", transform(sequence(lit(0), col("lni")),
+          i => concat(i.cast("string"), lit(" "), (i * i).cast("string")))),
+        lit(")")))
+      val mpoint = st_geomFromWKT(concat(lit("MULTIPOINT ((0 0), ("),
+        col("qi"), lit(" 0), (0 "), col("lni"), lit("))")))
+      val ring = st_exteriorRing(box)
+      val donut = st_geomFromWKT(concat(
+        lit("POLYGON ((0 0, 60 0, 60 20, 0 20, 0 0), (1 1, "),
+        (lit(1.0) + col("qi") / 16.0).cast("string"), lit(" 1, "),
+        (lit(1.0) + col("qi") / 16.0).cast("string"), lit(" "),
+        (lit(1.0) + col("lni") / 8.0).cast("string"), lit(", 1 "),
+        (lit(1.0) + col("lni") / 8.0).cast("string"), lit(", 1 1))")))
+      val box2 = st_makeBox2D(st_point(lit(0.0), lit(0.0)),
+        st_point(col("qi").cast("double"), col("lni").cast("double")))
+      val line3 = st_makeLine(array(
+        st_point(lit(0.0), lit(0.0)),
+        st_point(col("qi").cast("double"), lit(0.0)),
+        st_point(col("qi").cast("double"), col("lni").cast("double"))))
+      p.select(col("qi"), col("lni"),
+        st_length(st_boundary(box2)).as("bnd_len"),
+        st_area(box2).as("box2_area"),
+        (st_dimension(box) * 10 + st_dimension(zig)).as("dims"),
+        st_coordDim(box).as("cdim"),
+        st_isClosed(zig).as("closed_zig"),
+        st_isClosed(ring).as("closed_ring"),
+        st_isCollection(mpoint).as("iscoll"),
+        st_isRing(ring).as("isring_ring"),
+        st_isRing(zig).as("isring_zig"),
+        st_isSimple(zig).as("simple_zig"),
+        st_numPoints(zig).as("npts"),
+        st_x(st_geometryN(mpoint, lit(2))).as("g2x"),
+        st_length(st_interiorRingN(donut, lit(1))).as("hole_len"),
+        st_area(st_envelope(zig)).as("env_area"),
+        st_area(st_makePolygon(ring)).as("mkpoly_area"),
+        st_length(line3).as("mkline_len"),
+        st_castToPoint(box).isNull.as("cast_pt_null"),
+        st_area(st_castToPolygon(box)).as("cast_poly_area"),
+        st_geometryType(st_castToGeometry(zig)).as("cast_geom_type"),
+        st_castToLineString(box).isNull.as("cast_ls_null"),
+        length(st_byteArray(concat(lit("doc"), col("qi")))).as("blen"),
+        st_asGeoJSON(st_point(col("qi").cast("double"),
+          col("lni").cast("double"))).as("gj"))
+        .orderBy("qi", "lni")
+    }),
+    // spherical metrics (haversine on the IUGG mean radius — replayed
+    // term-by-term in DuckDB with the identical op order and round(6),
+    // the CRS rounding recipe), DMS text over dyadic coordinates (all
+    // minute/second decimals are exact), and DE-9IM relate with the
+    // textbook matrices for point-in-polygon and equal-polygons
+    "q_st_sphere" -> ((s, dir) => {
+      val p = t(s, dir, "lineitem")
+        .select(col("l_quantity").cast("int").as("qi"),
+          col("l_linenumber").cast("int").as("lni"))
+        .distinct()
+      val box = st_geometry(struct(col("qi").cast("double").as("xmin"),
+        col("lni").cast("double").as("ymin"),
+        (col("qi") + lit(3.0)).as("xmax"), (col("lni") + lit(2.0)).as("ymax")))
+      val ax = col("qi") / 8.0 - 3.0
+      val ay = col("lni") / 4.0
+      val pa = st_point(ax, ay)
+      val pb = st_point(ax + 0.5, ay + 0.25)
+      val pc = st_point(ax + 1.0, ay - 0.5)
+      val lltPoint = st_point(lit(0.0) - (lit(3.0) + col("qi") / 8.0),
+        col("lni") / 4.0 - 1.0)
+      p.select(col("qi"), col("lni"),
+        round(st_distanceSphere(pa, pb), 6).as("dsphere"),
+        round(st_lengthSphere(st_makeLine(array(pa, pb, pc))), 6).as("lsphere"),
+        st_asLatLonText(lltPoint).as("lltext"),
+        st_relate(st_centroid(box), box).as("rel_in"),
+        st_relate(box, box).as("rel_eq"),
+        st_relateBool(st_centroid(box), box, lit("T*F**F***")).as("relb_in"),
+        st_relateBool(st_point(lit(-50.0), lit(-50.0)), box,
+          lit("T********")).as("relb_far"))
+        .orderBy("qi", "lni")
+    }),
     "q_st_accessors" -> ((s, dir) => {
       val p = t(s, dir, "lineitem")
         .select(col("l_quantity").as("q"), col("l_linenumber").cast("double").as("lnv"))
@@ -2959,6 +3050,82 @@ object SparkEntry {
         |  CAST(greatest(qi, least(40, qi + 3)) AS DOUBLE) AS cx,
         |  CAST(lni AS DOUBLE) AS cy
         |FROM p ORDER BY qi, lni""".stripMargin,
+    // every column is analytic: box2 is an axis-aligned integer box
+    // (perimeter/area exact), the donut hole corners are dyadic
+    // (1+qi/16, 1+lni/8 — ring length qi/8 + lni/4 exact), the zig
+    // envelope is lni × lni² and DuckDB's VARCHAR cast of a double is
+    // the same shortest-decimal form Java's Double.toString emits for
+    // these integral coordinates
+    "q_st_breadth3" ->
+      """WITH p AS (SELECT DISTINCT CAST(l_quantity AS INT) AS qi, CAST(l_linenumber AS INT) AS lni FROM lineitem)
+        |SELECT qi, lni,
+        |  CAST(2 * (qi + lni) AS DOUBLE) AS bnd_len,
+        |  CAST(qi AS DOUBLE) * lni AS box2_area,
+        |  CAST(21 AS INTEGER) AS dims,
+        |  CAST(2 AS INTEGER) AS cdim,
+        |  false AS closed_zig,
+        |  true AS closed_ring,
+        |  true AS iscoll,
+        |  true AS isring_ring,
+        |  false AS isring_zig,
+        |  true AS simple_zig,
+        |  CAST(lni + 1 AS INTEGER) AS npts,
+        |  CAST(qi AS DOUBLE) AS g2x,
+        |  qi / 8.0 + lni / 4.0 AS hole_len,
+        |  CAST(lni AS DOUBLE) * lni * lni AS env_area,
+        |  6.0 AS mkpoly_area,
+        |  CAST(qi + lni AS DOUBLE) AS mkline_len,
+        |  true AS cast_pt_null,
+        |  6.0 AS cast_poly_area,
+        |  'LineString' AS cast_geom_type,
+        |  true AS cast_ls_null,
+        |  CAST(3 + length(CAST(qi AS VARCHAR)) AS INTEGER) AS blen,
+        |  '{"type":"Point","coordinates":[' || CAST(CAST(qi AS DOUBLE) AS VARCHAR)
+        |    || ',' || CAST(CAST(lni AS DOUBLE) AS VARCHAR) || ']}' AS gj
+        |FROM p ORDER BY qi, lni""".stripMargin,
+    // haversine replayed with the identical op order (toRadians is
+    // x/180*pi, the Java order) and round(6) on both sides — the CRS
+    // rounding recipe; DMS text over dyadic eighths/quarters of a
+    // degree (minutes and seconds are exact decimals, printf('%.3f')
+    // matches Java's %.3f); relate matrices are the textbook
+    // point-within-polygon and equal-polygons DE-9IM strings
+    "q_st_sphere" ->
+      """WITH p AS (SELECT DISTINCT CAST(l_quantity AS INT) AS qi, CAST(l_linenumber AS INT) AS lni FROM lineitem),
+        |c AS (SELECT qi, lni,
+        |        qi / 8.0 - 3.0 AS ax, lni / 4.0 AS ay,
+        |        -(3.0 + qi / 8.0) AS llx, lni / 4.0 - 1.0 AS lly
+        |      FROM p),
+        |h AS (SELECT qi, lni, llx, lly,
+        |        2.0 * 6371008.7714 * asin(least(1.0, sqrt(
+        |          sin((((ay + 0.25) - ay) / 180.0 * pi()) / 2) * sin((((ay + 0.25) - ay) / 180.0 * pi()) / 2)
+        |          + cos(ay / 180.0 * pi()) * cos((ay + 0.25) / 180.0 * pi())
+        |            * sin((((ax + 0.5) - ax) / 180.0 * pi()) / 2) * sin((((ax + 0.5) - ax) / 180.0 * pi()) / 2)))) AS hav_ab,
+        |        2.0 * 6371008.7714 * asin(least(1.0, sqrt(
+        |          sin((((ay - 0.5) - (ay + 0.25)) / 180.0 * pi()) / 2) * sin((((ay - 0.5) - (ay + 0.25)) / 180.0 * pi()) / 2)
+        |          + cos((ay + 0.25) / 180.0 * pi()) * cos((ay - 0.5) / 180.0 * pi())
+        |            * sin((((ax + 1.0) - (ax + 0.5)) / 180.0 * pi()) / 2) * sin((((ax + 1.0) - (ax + 0.5)) / 180.0 * pi()) / 2)))) AS hav_bc
+        |      FROM c),
+        |d AS (SELECT qi, lni, hav_ab, hav_bc,
+        |        abs(lly) AS la, abs(llx) AS lo,
+        |        CASE WHEN lly < 0 THEN 'S' ELSE 'N' END AS lah,
+        |        CASE WHEN llx < 0 THEN 'W' ELSE 'E' END AS loh
+        |      FROM h)
+        |SELECT qi, lni,
+        |  round(hav_ab, 6) AS dsphere,
+        |  round(hav_ab + hav_bc, 6) AS lsphere,
+        |  CAST(CAST(floor(la) AS INT) AS VARCHAR) || '°'
+        |    || CAST(CAST(floor((la - floor(la)) * 60.0) AS INT) AS VARCHAR) || ''''
+        |    || printf('%.3f', ((la - floor(la)) * 60.0 - floor((la - floor(la)) * 60.0)) * 60.0) || '"' || lah
+        |    || ' '
+        |    || CAST(CAST(floor(lo) AS INT) AS VARCHAR) || '°'
+        |    || CAST(CAST(floor((lo - floor(lo)) * 60.0) AS INT) AS VARCHAR) || ''''
+        |    || printf('%.3f', ((lo - floor(lo)) * 60.0 - floor((lo - floor(lo)) * 60.0)) * 60.0) || '"' || loh
+        |    AS lltext,
+        |  '0FFFFF212' AS rel_in,
+        |  '2FFF1FFF2' AS rel_eq,
+        |  true AS relb_in,
+        |  false AS relb_far
+        |FROM d ORDER BY qi, lni""".stripMargin,
     "q_st_accessors" ->
       """WITH p AS (SELECT DISTINCT CAST(l_quantity AS DOUBLE) AS q, CAST(l_linenumber AS DOUBLE) AS lnv FROM lineitem)
         |SELECT q, lnv, 6.0 AS area, q + 1.5 AS cx, lnv + 1.0 AS cy, q AS px, lnv AS py

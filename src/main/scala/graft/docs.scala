@@ -128,6 +128,32 @@ object FunctionDocs {
     "st_translate" -> "st_translate(geom, dx, dy) - Geometry rigidly translated by (dx, dy).",
     "st_closestpoint" -> "st_closestpoint(geomA, geomB) - Point on geomA nearest to geomB.",
     "st_geometry" -> "st_geometry(extent) - Converts an extent struct into a polygon geometry.",
+    "st_boundary" -> "st_boundary(geom) - Topological boundary: polygon rings as lines, line endpoints as points, empty for points.",
+    "st_dimension" -> "st_dimension(geom) - Topological dimension: 0 point, 1 line, 2 polygon (max over a collection).",
+    "st_coorddim" -> "st_coorddim(geom) - Coordinate dimension: 2 unless a vertex carries a real Z ordinate.",
+    "st_isclosed" -> "st_isclosed(geom) - True when a (multi)line starts and ends at the same point; true for non-line types.",
+    "st_iscollection" -> "st_iscollection(geom) - True when the geometry is a collection (Multi* or GeometryCollection).",
+    "st_isring" -> "st_isring(line) - True when the line is a ring (closed and simple); NULL for non-lines.",
+    "st_issimple" -> "st_issimple(geom) - OGC simplicity: no self-intersection or self-tangency.",
+    "st_numpoints" -> "st_numpoints(geom) - Total vertex count of the geometry (alias of st_npoints, the spark-jts name).",
+    "st_geometryn" -> "st_geometryn(geom, n) - 1-based nth member of a collection; NULL out of range.",
+    "st_interiorringn" -> "st_interiorringn(polygon, n) - 1-based nth interior ring as a LineString; NULL out of range or for non-polygons.",
+    "st_envelope" -> "st_envelope(geom) - Envelope as a geometry (degenerate inputs give point/line).",
+    "st_makeline" -> "st_makeline(points) - LineString through an array of points, in array order.",
+    "st_makepolygon" -> "st_makepolygon(shell) - Polygon from a closed LineString shell.",
+    "st_makebox2d" -> "st_makebox2d(cornerA, cornerB) - Axis-aligned box polygon spanning the two corner points.",
+    "st_point" -> "st_point(x, y) - Point geometry from coordinates (alias of st_makepoint, the spark-jts name).",
+    "st_casttopoint" -> "st_casttopoint(geom) - The geometry when it is a Point, else NULL.",
+    "st_casttolinestring" -> "st_casttolinestring(geom) - The geometry when it is a LineString, else NULL.",
+    "st_casttopolygon" -> "st_casttopolygon(geom) - The geometry when it is a Polygon, else NULL.",
+    "st_casttogeometry" -> "st_casttogeometry(geom) - The geometry unchanged (type-widening cast).",
+    "st_bytearray" -> "st_bytearray(string) - UTF-8 bytes of the string.",
+    "st_asgeojson" -> "st_asgeojson(geom) - GeoJSON geometry fragment (RFC 7946, no whitespace).",
+    "st_aslatlontext" -> "st_aslatlontext(point) - Point as DMS text, latitude then longitude (seconds to 3 decimals).",
+    "st_distancesphere" -> "st_distancesphere(pointA, pointB) - Great-circle distance in meters between two lon/lat points (haversine, IUGG mean radius).",
+    "st_lengthsphere" -> "st_lengthsphere(line) - Great-circle length in meters of a lon/lat LineString; 0 for non-lines.",
+    "st_relate" -> "st_relate(geomA, geomB) - DE-9IM intersection matrix of the two geometries as its 9-char string.",
+    "st_relatebool" -> "st_relatebool(geomA, geomB, pattern) - True when the DE-9IM matrix matches the pattern (T/F/0/1/2/* per cell).",
     "rf_envelope" -> "rf_envelope(geom) - JTS envelope of the geometry as a struct (minx, maxx, miny, maxy).",
     // multimodal
     "mm_decode_image" -> "mm_decode_image(blob) - Decodes an image payload via javax.imageio (PNG/JPEG/GIF/BMP/TIFF) to (width, height, channels, byte_len); NULL when the bytes aren't a readable image.",

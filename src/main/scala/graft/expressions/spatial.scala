@@ -571,3 +571,361 @@ case class Rasterize(children: Seq[Expression]) extends Expression with CodegenF
   }
   override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]) = copy(cs)
 }
+
+// ---------------------------------------------------------------------------
+// GeoMesa spark-jts long tail (the reference re-exports the whole mixin via
+// rasterframes/package.scala:44): accessors, constructors, casts, output
+// formats, spherical metrics and DE-9IM relate — re-implemented over JTS.
+// ---------------------------------------------------------------------------
+
+/** Topological boundary (JTS getBoundary): polygon → its rings as lines,
+  * line → endpoints, point → empty. */
+case class GeomBoundary(child: Expression) extends GeomUnaryOp {
+  override def prettyName: String = "st_boundary"
+  override def dataType: DataType = GeometryUDT.instance
+  override def nullSafeEval(input: Any): Any = serialize(geom(input).getBoundary)
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** Topological dimension: 0 point, 1 line, 2 polygon (collection = max). */
+case class GeomDimension(child: Expression) extends GeomUnaryOp {
+  override def prettyName: String = "st_dimension"
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(input: Any): Any = geom(input).getDimension
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** Coordinate dimension — 2 unless a vertex carries a real Z (WKB here is
+  * always 2-D, so stored columns answer 2; in-flight 3-D JTS objects from a
+  * user extension answer 3). */
+case class GeomCoordDim(child: Expression) extends GeomUnaryOp {
+  override def prettyName: String = "st_coorddim"
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(input: Any): Any = {
+    val c = geom(input).getCoordinate
+    if (c != null && !java.lang.Double.isNaN(c.getZ)) 3 else 2
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** True when a (multi)line starts and ends at the same point; true for
+  * non-line types (the spark-jts/PostGIS convention). */
+case class GeomIsClosed(child: Expression) extends GeomUnaryOp {
+  import org.locationtech.jts.geom.{LineString, MultiLineString}
+  override def prettyName: String = "st_isclosed"
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(input: Any): Any = geom(input) match {
+    case l: LineString => l.isClosed
+    case m: MultiLineString => m.isClosed
+    case _ => true
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** True when the geometry is a GeometryCollection (incl. Multi*). */
+case class GeomIsCollection(child: Expression) extends GeomUnaryOp {
+  override def prettyName: String = "st_iscollection"
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(input: Any): Any =
+    geom(input).isInstanceOf[org.locationtech.jts.geom.GeometryCollection]
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** True when the line is a ring (closed and simple); NULL for non-lines. */
+case class GeomIsRing(child: Expression) extends GeomUnaryOp {
+  override def prettyName: String = "st_isring"
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any = geom(input) match {
+    case l: org.locationtech.jts.geom.LineString => l.isRing
+    case _ => null
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** OGC simplicity (JTS isSimple): no self-intersection/self-tangency. */
+case class GeomIsSimple(child: Expression) extends GeomUnaryOp {
+  override def prettyName: String = "st_issimple"
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(input: Any): Any = geom(input).isSimple
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** 1-based nth member of a collection (the PostGIS convention); the
+  * geometry itself for n=1 on a simple geometry; NULL out of range. */
+case class GeomGeometryN(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def prettyName: String = "st_geometryn"
+  override def dataType: DataType = GeometryUDT.instance
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isGeomLike(left.dataType) &&
+        (right.dataType == IntegerType || right.dataType == LongType ||
+          right.dataType == ShortType || right.dataType == ByteType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects (geometry, integral index)")
+  @transient private lazy val ge = geomExtractor(left.dataType)
+  override def nullSafeEval(g: Any, n: Any): Any = {
+    val geom = ge(g)
+    val i = n.asInstanceOf[Number].intValue() - 1
+    if (i < 0 || i >= geom.getNumGeometries) null
+    else serialize(geom.getGeometryN(i))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** 1-based nth interior ring of a polygon as a LineString; NULL out of
+  * range or for non-polygons. */
+case class GeomInteriorRingN(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def prettyName: String = "st_interiorringn"
+  override def dataType: DataType = GeometryUDT.instance
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isGeomLike(left.dataType) &&
+        (right.dataType == IntegerType || right.dataType == LongType ||
+          right.dataType == ShortType || right.dataType == ByteType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects (geometry, integral index)")
+  @transient private lazy val ge = geomExtractor(left.dataType)
+  override def nullSafeEval(g: Any, n: Any): Any = ge(g) match {
+    case p: org.locationtech.jts.geom.Polygon =>
+      val i = n.asInstanceOf[Number].intValue() - 1
+      if (i < 0 || i >= p.getNumInteriorRing) null
+      else serialize(p.getInteriorRingN(i))
+    case _ => null
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** Envelope as a GEOMETRY (degenerate inputs give point/line, the JTS
+  * getEnvelope contract) — distinct from st_extent's struct. */
+case class GeomEnvelopeGeom(child: Expression) extends GeomUnaryOp {
+  override def prettyName: String = "st_envelope"
+  override def dataType: DataType = GeometryUDT.instance
+  override def nullSafeEval(input: Any): Any = serialize(geom(input).getEnvelope)
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** LineString through an array of points, in array order. */
+case class GeomMakeLine(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "st_makeline"
+  override def dataType: DataType = GeometryUDT.instance
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(et, _) if isGeomLike(et) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName expects array<geometry>")
+  }
+  @transient private lazy val ge =
+    geomExtractor(child.dataType.asInstanceOf[ArrayType].elementType)
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val coords = Array.tabulate(arr.numElements()) { i =>
+      ge(arr.getBinary(i)).getCoordinate
+    }
+    serialize(geomFactory.createLineString(coords))
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** Polygon from a closed LineString shell. */
+case class GeomMakePolygon(child: Expression) extends GeomUnaryOp {
+  override def prettyName: String = "st_makepolygon"
+  override def dataType: DataType = GeometryUDT.instance
+  override def nullSafeEval(input: Any): Any = {
+    val shell = geom(input) match {
+      case r: org.locationtech.jts.geom.LinearRing => r
+      case l: org.locationtech.jts.geom.LineString =>
+        geomFactory.createLinearRing(l.getCoordinateSequence)
+      case other => throw new IllegalArgumentException(
+        s"st_makepolygon expects a closed LineString, got ${other.getGeometryType}")
+    }
+    serialize(geomFactory.createPolygon(shell))
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** Axis-aligned box polygon spanning two corner points. */
+case class GeomMakeBox2D(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def prettyName: String = "st_makebox2d"
+  override def dataType: DataType = GeometryUDT.instance
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isGeomLike(left.dataType) && isGeomLike(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects two point arguments")
+  @transient private lazy val ae = geomExtractor(left.dataType)
+  @transient private lazy val be = geomExtractor(right.dataType)
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (p, q) = (ae(a).getCoordinate, be(b).getCoordinate)
+    serialize(Extent(math.min(p.x, q.x), math.min(p.y, q.y),
+      math.max(p.x, q.x), math.max(p.y, q.y)).toJts)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** Downcast to an expected geometry subtype, NULL when the value is a
+  * different type (the spark-jts st_castTo* contract). */
+case class GeomCastTo(child: Expression, typeName: String)
+    extends GeomUnaryOp {
+  override def prettyName: String = s"st_castto${typeName.toLowerCase}"
+  override def dataType: DataType = GeometryUDT.instance
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any = {
+    val g = geom(input)
+    if (typeName == "Geometry" || g.getGeometryType == typeName) serialize(g) else null
+  }
+  override protected def withNewChildInternal(c: Expression) =
+    copy(child = c)
+}
+
+/** UTF-8 bytes of a string (the spark-jts st_byteArray helper). */
+case class StringToByteArray(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "st_bytearray"
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects a string argument")
+  override def nullSafeEval(input: Any): Any =
+    input.asInstanceOf[UTF8String].toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** GeoJSON geometry fragment (RFC 7946, no whitespace; coordinates in
+  * shortest round-trip decimal — Java's Double.toString). */
+case class GeomAsGeoJson(child: Expression) extends GeomUnaryOp {
+  override def prettyName: String = "st_asgeojson"
+  override def dataType: DataType = StringType
+  private def coord(c: Coordinate): String = s"[${c.x},${c.y}]"
+  private def ring(cs: Array[Coordinate]): String = cs.map(coord).mkString("[", ",", "]")
+  private def enc(g: Geometry): String = g match {
+    case p: org.locationtech.jts.geom.Point =>
+      s"""{"type":"Point","coordinates":${coord(p.getCoordinate)}}"""
+    case l: org.locationtech.jts.geom.LineString =>
+      s"""{"type":"LineString","coordinates":${ring(l.getCoordinates)}}"""
+    case p: org.locationtech.jts.geom.Polygon =>
+      val rings = (Seq(p.getExteriorRing) ++
+        (0 until p.getNumInteriorRing).map(p.getInteriorRingN))
+        .map(r => ring(r.getCoordinates)).mkString("[", ",", "]")
+      s"""{"type":"Polygon","coordinates":$rings}"""
+    case m: org.locationtech.jts.geom.MultiPoint =>
+      val cs = (0 until m.getNumGeometries)
+        .map(i => coord(m.getGeometryN(i).getCoordinate)).mkString("[", ",", "]")
+      s"""{"type":"MultiPoint","coordinates":$cs}"""
+    case gc: org.locationtech.jts.geom.GeometryCollection =>
+      val gs = (0 until gc.getNumGeometries).map(i => enc(gc.getGeometryN(i)))
+        .mkString("[", ",", "]")
+      s"""{"type":"GeometryCollection","geometries":$gs}"""
+    case other => throw new IllegalArgumentException(
+      s"st_asgeojson: unsupported geometry ${other.getGeometryType}")
+  }
+  override def nullSafeEval(input: Any): Any = UTF8String.fromString(enc(geom(input)))
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** Point as DMS text: D°M'S.SSS"H for latitude then longitude
+  * (seconds to 3 decimals, no carry past 59.999…; the PostGIS
+  * ST_AsLatLonText shape). */
+case class GeomAsLatLonText(child: Expression) extends GeomUnaryOp {
+  override def prettyName: String = "st_aslatlontext"
+  override def dataType: DataType = StringType
+  private def dms(v: Double, pos: String, neg: String): String = {
+    val h = if (v < 0) neg else pos
+    val a = math.abs(v)
+    val d = a.toInt
+    val mFull = (a - d) * 60.0
+    val m = mFull.toInt
+    val s = (mFull - m) * 60.0
+    f"""$d%d°$m%d'$s%.3f"$h"""
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val c = geom(input).getCoordinate
+    UTF8String.fromString(dms(c.y, "N", "S") + " " + dms(c.x, "E", "W"))
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+object Sphere {
+  /** IUGG mean earth radius, the PostGIS ST_DistanceSphere constant. */
+  val EarthRadiusM: Double = 6371008.7714
+  def haversineM(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Double = {
+    val φ1 = math.toRadians(lat1); val φ2 = math.toRadians(lat2)
+    val dφ = math.toRadians(lat2 - lat1); val dλ = math.toRadians(lon2 - lon1)
+    val a = math.sin(dφ / 2) * math.sin(dφ / 2) +
+      math.cos(φ1) * math.cos(φ2) * math.sin(dλ / 2) * math.sin(dλ / 2)
+    2.0 * EarthRadiusM * math.asin(math.min(1.0, math.sqrt(a)))
+  }
+}
+
+/** Great-circle distance in meters between two lon/lat points
+  * (haversine on the IUGG mean radius 6 371 008.7714 m). */
+case class GeomDistanceSphere(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def prettyName: String = "st_distancesphere"
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isGeomLike(left.dataType) && isGeomLike(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects two geometry arguments")
+  @transient private lazy val ae = geomExtractor(left.dataType)
+  @transient private lazy val be = geomExtractor(right.dataType)
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (p, q) = (ae(a).getCoordinate, be(b).getCoordinate)
+    Sphere.haversineM(p.x, p.y, q.x, q.y)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** Great-circle length in meters of a lon/lat LineString (sum of
+  * per-segment haversine); 0 for non-line inputs. */
+case class GeomLengthSphere(child: Expression) extends GeomUnaryOp {
+  override def prettyName: String = "st_lengthsphere"
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(input: Any): Any = geom(input) match {
+    case l: org.locationtech.jts.geom.LineString =>
+      val cs = l.getCoordinates
+      var sum = 0.0
+      var i = 1
+      while (i < cs.length) {
+        sum += Sphere.haversineM(cs(i - 1).x, cs(i - 1).y, cs(i).x, cs(i).y)
+        i += 1
+      }
+      sum
+    case _ => 0.0
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** DE-9IM intersection matrix of two geometries as its 9-char string. */
+case class GeomRelate(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def prettyName: String = "st_relate"
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isGeomLike(left.dataType) && isGeomLike(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects two geometry arguments")
+  @transient private lazy val ae = geomExtractor(left.dataType)
+  @transient private lazy val be = geomExtractor(right.dataType)
+  override def nullSafeEval(a: Any, b: Any): Any =
+    UTF8String.fromString(ae(a).relate(be(b)).toString)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** True when the two geometries' DE-9IM matrix matches the pattern
+  * (each cell one of T, F, 0, 1, 2, or the wildcard star). */
+case class GeomRelateBool(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def prettyName: String = "st_relatebool"
+  override def dataType: DataType = BooleanType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isGeomLike(first.dataType) && isGeomLike(second.dataType) &&
+        third.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (geometry, geometry, string pattern)")
+  @transient private lazy val ae = geomExtractor(first.dataType)
+  @transient private lazy val be = geomExtractor(second.dataType)
+  override def nullSafeEval(a: Any, b: Any, p: Any): Any =
+    ae(a).relate(be(b), p.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression) = copy(f, s, t)
+}

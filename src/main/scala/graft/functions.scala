@@ -222,6 +222,33 @@ object functions {
   def st_translate(g: Column, dx: Column, dy: Column): Column =
     c(GeomTranslate(e(g), e(dx), e(dy)))
   def st_closestPoint(a: Column, b: Column): Column = c(GeomClosestPoint(e(a), e(b)))
+  def st_boundary(g: Column): Column = c(GeomBoundary(e(g)))
+  def st_dimension(g: Column): Column = c(GeomDimension(e(g)))
+  def st_coordDim(g: Column): Column = c(GeomCoordDim(e(g)))
+  def st_isClosed(g: Column): Column = c(GeomIsClosed(e(g)))
+  def st_isCollection(g: Column): Column = c(GeomIsCollection(e(g)))
+  def st_isRing(g: Column): Column = c(GeomIsRing(e(g)))
+  def st_isSimple(g: Column): Column = c(GeomIsSimple(e(g)))
+  def st_numPoints(g: Column): Column = c(GeomNPoints(e(g)))
+  def st_geometryN(g: Column, n: Column): Column = c(GeomGeometryN(e(g), e(n)))
+  def st_interiorRingN(g: Column, n: Column): Column = c(GeomInteriorRingN(e(g), e(n)))
+  def st_envelope(g: Column): Column = c(GeomEnvelopeGeom(e(g)))
+  def st_makeLine(points: Column): Column = c(GeomMakeLine(e(points)))
+  def st_makePolygon(shell: Column): Column = c(GeomMakePolygon(e(shell)))
+  def st_makeBox2D(low: Column, high: Column): Column = c(GeomMakeBox2D(e(low), e(high)))
+  def st_point(x: Column, y: Column): Column = c(MakePoint(e(x), e(y)))
+  def st_castToPoint(g: Column): Column = c(GeomCastTo(e(g), "Point"))
+  def st_castToLineString(g: Column): Column = c(GeomCastTo(e(g), "LineString"))
+  def st_castToPolygon(g: Column): Column = c(GeomCastTo(e(g), "Polygon"))
+  def st_castToGeometry(g: Column): Column = c(GeomCastTo(e(g), "Geometry"))
+  def st_byteArray(s: Column): Column = c(StringToByteArray(e(s)))
+  def st_asGeoJSON(g: Column): Column = c(GeomAsGeoJson(e(g)))
+  def st_asLatLonText(g: Column): Column = c(GeomAsLatLonText(e(g)))
+  def st_distanceSphere(a: Column, b: Column): Column = c(GeomDistanceSphere(e(a), e(b)))
+  def st_lengthSphere(g: Column): Column = c(GeomLengthSphere(e(g)))
+  def st_relate(a: Column, b: Column): Column = c(GeomRelate(e(a), e(b)))
+  def st_relateBool(a: Column, b: Column, pattern: Column): Column =
+    c(GeomRelateBool(e(a), e(b), e(pattern)))
   def rf_envelope(g: Column): Column = c(GeomEnvelope(e(g)))
   def rf_tile_context(projRaster: Column): Column = c(GetTileContext(e(projRaster)))
   def st_reproject(g: Column, src: Column, dst: Column): Column =
@@ -438,6 +465,32 @@ object Raster {
     reg1("st_exteriorring", GeomExteriorRing(_))
     reg3("st_translate", GeomTranslate(_, _, _))
     reg2("st_closestpoint", GeomClosestPoint(_, _))
+    reg1("st_boundary", GeomBoundary(_))
+    reg1("st_dimension", GeomDimension(_))
+    reg1("st_coorddim", GeomCoordDim(_))
+    reg1("st_isclosed", GeomIsClosed(_))
+    reg1("st_iscollection", GeomIsCollection(_))
+    reg1("st_isring", GeomIsRing(_))
+    reg1("st_issimple", GeomIsSimple(_))
+    reg1("st_numpoints", GeomNPoints(_))
+    reg2("st_geometryn", GeomGeometryN(_, _))
+    reg2("st_interiorringn", GeomInteriorRingN(_, _))
+    reg1("st_envelope", GeomEnvelopeGeom(_))
+    reg1("st_makeline", GeomMakeLine(_))
+    reg1("st_makepolygon", GeomMakePolygon(_))
+    reg2("st_makebox2d", GeomMakeBox2D(_, _))
+    reg2("st_point", MakePoint(_, _))
+    reg1("st_casttopoint", GeomCastTo(_, "Point"))
+    reg1("st_casttolinestring", GeomCastTo(_, "LineString"))
+    reg1("st_casttopolygon", GeomCastTo(_, "Polygon"))
+    reg1("st_casttogeometry", GeomCastTo(_, "Geometry"))
+    reg1("st_bytearray", StringToByteArray(_))
+    reg1("st_asgeojson", GeomAsGeoJson(_))
+    reg1("st_aslatlontext", GeomAsLatLonText(_))
+    reg2("st_distancesphere", GeomDistanceSphere(_, _))
+    reg1("st_lengthsphere", GeomLengthSphere(_))
+    reg2("st_relate", GeomRelate(_, _))
+    reg3("st_relatebool", GeomRelateBool(_, _, _))
     reg1("rf_envelope", GeomEnvelope(_))
     // multimodal binary-column ops (pipeline pack; decode is a real
     // javax.imageio codec — the deterministic stub stays under its own name)

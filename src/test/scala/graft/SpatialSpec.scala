@@ -128,3 +128,104 @@ class SpatialSpec extends AnyFunSuite {
       bucketedR.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
   }
 }
+
+/** Edge cases of the round-8 spark-jts long-tail additions that the
+  * q_st_breadth3 / q_st_sphere oracles can't reach (nulls, out-of-range
+  * indices, multi-part closure, SQL-surface parity). */
+class SpatialLongTailSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private def one(expr: org.apache.spark.sql.Column) =
+    Seq(1).toDF("x").select(expr).collect()(0)
+
+  test("geometryn / interiorringn / pointn out-of-range give NULL") {
+    val mp = st_geomFromWKT(lit("MULTIPOINT ((0 0), (1 0))"))
+    assert(one(st_geometryN(mp, lit(3))).isNullAt(0))
+    assert(one(st_geometryN(mp, lit(0))).isNullAt(0))
+    val poly = st_geomFromWKT(lit("POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0))"))
+    assert(one(st_interiorRingN(poly, lit(1))).isNullAt(0))
+    // non-polygon input
+    assert(one(st_interiorRingN(mp, lit(1))).isNullAt(0))
+  }
+
+  test("isclosed on multilines; isring NULL for non-lines") {
+    val closedMl = st_geomFromWKT(
+      lit("MULTILINESTRING ((0 0, 1 0, 1 1, 0 0), (5 5, 6 5, 6 6, 5 5))"))
+    val openMl = st_geomFromWKT(
+      lit("MULTILINESTRING ((0 0, 1 0, 1 1, 0 0), (5 5, 6 5))"))
+    assert(one(st_isClosed(closedMl)).getBoolean(0))
+    assert(!one(st_isClosed(openMl)).getBoolean(0))
+    // point/polygon answer true by convention
+    assert(one(st_isClosed(st_makePoint(lit(1.0), lit(2.0)))).getBoolean(0))
+    assert(one(st_isRing(st_makePoint(lit(1.0), lit(2.0)))).isNullAt(0))
+    // self-intersecting bowtie line: closed but not simple => not a ring
+    val bowtie = st_geomFromWKT(lit("LINESTRING (0 0, 2 2, 2 0, 0 2, 0 0)"))
+    assert(one(st_isClosed(bowtie)).getBoolean(0))
+    assert(!one(st_isRing(bowtie)).getBoolean(0))
+    assert(!one(st_isSimple(bowtie)).getBoolean(0))
+  }
+
+  test("casts: wrong type is NULL, right type round-trips") {
+    val p = st_makePoint(lit(3.0), lit(4.0))
+    assert(one(st_castToPolygon(p)).isNullAt(0))
+    assert(one(st_x(st_castToPoint(p))).getDouble(0) == 3.0)
+    assert(one(st_geometryType(st_castToGeometry(p))).getString(0) == "Point")
+  }
+
+  test("boundary shapes: polygon ring, line endpoints, point empty") {
+    val poly = st_geomFromWKT(lit("POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))"))
+    assert(one(st_length(st_boundary(poly))).getDouble(0) == 14.0)
+    val line = st_geomFromWKT(lit("LINESTRING (0 0, 5 0)"))
+    assert(one(st_numGeometries(st_boundary(line))).getInt(0) == 2)
+    assert(one(st_isEmpty(st_boundary(st_makePoint(lit(0.0), lit(0.0))))).getBoolean(0))
+  }
+
+  test("geojson nested shapes: polygon with hole, multipoint, collection") {
+    val donut = st_geomFromWKT(
+      lit("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))"))
+    val gj = one(st_asGeoJSON(donut)).getString(0)
+    assert(gj.startsWith("""{"type":"Polygon","coordinates":[[[0.0,0.0],"""))
+    assert(gj.contains("""],[[1.0,1.0],"""))
+    val mp = one(st_asGeoJSON(st_geomFromWKT(lit("MULTIPOINT ((0 0), (1 2))")))).getString(0)
+    assert(mp == """{"type":"MultiPoint","coordinates":[[0.0,0.0],[1.0,2.0]]}""")
+  }
+
+  test("relate is order-sensitive; relatebool wildcards") {
+    val poly = st_geomFromWKT(lit("POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0))"))
+    val p = st_makePoint(lit(3.0), lit(3.0))
+    assert(one(st_relate(p, poly)).getString(0) == "0FFFFF212")
+    assert(one(st_relate(poly, p)).getString(0) == "0F2FF1FF2")
+    assert(one(st_relateBool(p, poly, lit("*********"))).getBoolean(0))
+    assert(!one(st_relateBool(p, poly, lit("FFFFFFFFF"))).getBoolean(0))
+  }
+
+  test("distancesphere symmetry and a known meridian arc") {
+    // one degree of latitude along a meridian on the IUGG sphere:
+    // 2*pi*R/360 = 111194.92664… m
+    val a = st_makePoint(lit(10.0), lit(45.0))
+    val b = st_makePoint(lit(10.0), lit(46.0))
+    val d1 = one(st_distanceSphere(a, b)).getDouble(0)
+    val d2 = one(st_distanceSphere(b, a)).getDouble(0)
+    assert(d1 == d2)
+    assert(math.abs(d1 - 2 * math.Pi * 6371008.7714 / 360.0) < 1e-6)
+    // lengthsphere of the 2-point line equals the point distance
+    val l = one(st_lengthSphere(st_makeLine(array(a, b)))).getDouble(0)
+    assert(l == d1)
+  }
+
+  test("new names resolve through SQL with docs") {
+    val names = Seq("st_boundary", "st_geometryn", "st_makebox2d",
+      "st_distancesphere", "st_relatebool", "st_asgeojson")
+    for (n <- names) {
+      val doc = spark.sql(s"DESCRIBE FUNCTION EXTENDED $n")
+        .collect().map(_.getString(0)).mkString("\n")
+      assert(doc.contains(n), s"$n missing from DESCRIBE output")
+    }
+    val r = spark.sql(
+      """SELECT st_relate(st_point(1.0, 1.0),
+        |  st_makebox2d(st_point(0.0, 0.0), st_point(2.0, 2.0)))""".stripMargin)
+      .collect()(0).getString(0)
+    assert(r == "0FFFFF212")
+  }
+}
