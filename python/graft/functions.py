@@ -847,6 +847,61 @@ def st_relateBool(a, b, pattern):
     return _fn("st_relatebool", a, b, pattern)
 
 
+def st_geoHash(geom, precision):
+    """Geohash of a lon/lat geometry at the given character precision."""
+    return _fn("st_geohash", geom, precision)
+
+
+def st_geomFromGeoHash(hash_col):
+    """Geohash cell as its bounding-box polygon."""
+    return _fn("st_geomfromgeohash", hash_col)
+
+
+def st_pointFromGeoHash(hash_col):
+    """Geohash cell center as a point."""
+    return _fn("st_pointfromgeohash", hash_col)
+
+
+def st_geomFromText(wkt):
+    """Geometry from WKT (alias of st_geomFromWKT)."""
+    return _fn("st_geomfromtext", wkt)
+
+
+def st_pointFromText(wkt):
+    """Point from WKT; NULL when the text is a different geometry type."""
+    return _fn("st_pointfromtext", wkt)
+
+
+def st_lineFromText(wkt):
+    """LineString from WKT; NULL when the text is a different geometry type."""
+    return _fn("st_linefromtext", wkt)
+
+
+def st_polygonFromText(wkt):
+    """Polygon from WKT; NULL when the text is a different geometry type."""
+    return _fn("st_polygonfromtext", wkt)
+
+
+def st_makeBBOX(xmin, ymin, xmax, ymax):
+    """Axis-aligned box polygon from four coordinate bounds."""
+    return _fn("st_makebbox", xmin, ymin, xmax, ymax)
+
+
+def st_bufferPoint(point, meters):
+    """Geodesic buffer of a lon/lat point (64-gon at the great-circle radius)."""
+    return _fn("st_bufferpoint", point, meters)
+
+
+def st_antimeridianSafeGeom(geom):
+    """Splits a geometry crossing the +-180 line into parts on each side."""
+    return _fn("st_antimeridiansafegeom", geom)
+
+
+def st_idlSafeGeom(geom):
+    """Alias of st_antimeridianSafeGeom."""
+    return _fn("st_idlsafegeom", geom)
+
+
 def rf_envelope(geom):
     """JTS envelope struct (minx, maxx, miny, maxy)."""
     return _fn("rf_envelope", geom)

@@ -1476,6 +1476,46 @@ object SparkEntry {
           lit("T********")).as("relb_far"))
         .orderBy("qi", "lni")
     }),
+    // geohash trio + the batch-2 spark-jts names: the encode walk is 35
+    // dyadic interval bisections (midpoints always (mn+mx)/2 from ±180/±90
+    // starts), so DuckDB replays it bit-exact with a recursive CTE; the
+    // decoded cell bounds and center are that walk's final state. The
+    // antimeridian split of an axis-aligned integer box is exact-area
+    // arithmetic; bufferpoint's vertex count and containment are analytic
+    "q_st_geohash" -> ((s, dir) => {
+      val p = t(s, dir, "lineitem")
+        .select(col("l_quantity").cast("int").as("qi"),
+          col("l_linenumber").cast("int").as("lni"))
+        .distinct()
+      val lon = col("qi") - lit(25.5)
+      val lat = col("lni") * 3.0 - 10.5
+      val pt = st_point(lon, lat)
+      val gh = st_geoHash(pt, lit(7))
+      val bbox = st_geomFromGeoHash(gh)
+      val ctr = st_pointFromGeoHash(gh)
+      val ext = st_extent(bbox)
+      val bp = st_bufferPoint(pt, lit(50000.0))
+      val amCross = st_geomFromWKT(concat(lit("POLYGON ((170 0, 190 0, 190 "),
+        col("lni"), lit(", 170 "), col("lni"), lit(", 170 0))")))
+      p.select(col("qi"), col("lni"),
+        gh.as("gh"),
+        ext.getField("xmin").as("ghxmin"), ext.getField("ymin").as("ghymin"),
+        ext.getField("xmax").as("ghxmax"), ext.getField("ymax").as("ghymax"),
+        st_x(ctr).as("ghcx"), st_y(ctr).as("ghcy"),
+        st_area(st_makeBBOX(lit(0.0), lit(0.0),
+          col("qi").cast("double"), col("lni").cast("double"))).as("bbox_area"),
+        st_x(st_pointFromText(concat(lit("POINT ("), col("qi"), lit(" "),
+          col("lni"), lit(")")))).as("pft_x"),
+        st_lineFromText(concat(lit("POINT ("), col("qi"), lit(" 0)")))
+          .isNull.as("lft_null"),
+        st_nPoints(bp).as("bp_np"),
+        st_contains(bp, pt).as("bp_in"),
+        st_contains(bp, st_point(lon + 2.0, lat)).as("bp_far"),
+        st_numGeometries(st_antimeridianSafeGeom(amCross)).as("am_n"),
+        st_area(st_antimeridianSafeGeom(amCross)).as("am_area"),
+        st_numGeometries(st_antimeridianSafeGeom(bbox)).as("am_n1"))
+        .orderBy("qi", "lni")
+    }),
     "q_st_accessors" -> ((s, dir) => {
       val p = t(s, dir, "lineitem")
         .select(col("l_quantity").as("q"), col("l_linenumber").cast("double").as("lnv"))
@@ -3126,6 +3166,54 @@ object SparkEntry {
         |  true AS relb_in,
         |  false AS relb_far
         |FROM d ORDER BY qi, lni""".stripMargin,
+    // the recursive CTE is the geohash walk itself: 35 bisections of
+    // ([-180,180], [-90,90]) with even bits refining longitude — all
+    // interval endpoints dyadic, so Spark and DuckDB agree bit-for-bit;
+    // chars are 5-bit groups of the accumulated code, MSB first
+    "q_st_geohash" ->
+      """WITH RECURSIVE p AS (SELECT DISTINCT CAST(l_quantity AS INT) AS qi, CAST(l_linenumber AS INT) AS lni FROM lineitem),
+        |s AS (
+        |  SELECT qi, lni,
+        |         CAST(qi AS DOUBLE) - CAST(25.5 AS DOUBLE) AS lon,
+        |         CAST(lni AS DOUBLE) * CAST(3.0 AS DOUBLE) - CAST(10.5 AS DOUBLE) AS lat,
+        |         0 AS i, CAST(-180 AS DOUBLE) AS lomn, CAST(180 AS DOUBLE) AS lomx,
+        |         CAST(-90 AS DOUBLE) AS lamn, CAST(90 AS DOUBLE) AS lamx,
+        |         CAST(0 AS BIGINT) AS code
+        |  FROM p
+        |  UNION ALL
+        |  SELECT qi, lni, lon, lat, i + 1,
+        |    CASE WHEN i % 2 = 0 AND lon >= (lomn + lomx) / 2 THEN (lomn + lomx) / 2 ELSE lomn END,
+        |    CASE WHEN i % 2 = 0 AND lon < (lomn + lomx) / 2 THEN (lomn + lomx) / 2 ELSE lomx END,
+        |    CASE WHEN i % 2 = 1 AND lat >= (lamn + lamx) / 2 THEN (lamn + lamx) / 2 ELSE lamn END,
+        |    CASE WHEN i % 2 = 1 AND lat < (lamn + lamx) / 2 THEN (lamn + lamx) / 2 ELSE lamx END,
+        |    code * 2 + CASE WHEN i % 2 = 0
+        |                    THEN CASE WHEN lon >= (lomn + lomx) / 2 THEN 1 ELSE 0 END
+        |                    ELSE CASE WHEN lat >= (lamn + lamx) / 2 THEN 1 ELSE 0 END END
+        |  FROM s WHERE i < 35
+        |),
+        |f AS (SELECT * FROM s WHERE i = 35),
+        |g AS (SELECT qi, lni, lomn, lomx, lamn, lamx,
+        |        substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(code // 1073741824 % 32 AS INT) + 1, 1)
+        |        || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(code // 33554432 % 32 AS INT) + 1, 1)
+        |        || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(code // 1048576 % 32 AS INT) + 1, 1)
+        |        || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(code // 32768 % 32 AS INT) + 1, 1)
+        |        || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(code // 1024 % 32 AS INT) + 1, 1)
+        |        || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(code // 32 % 32 AS INT) + 1, 1)
+        |        || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(code % 32 AS INT) + 1, 1) AS gh
+        |      FROM f)
+        |SELECT qi, lni, gh,
+        |  lomn AS ghxmin, lamn AS ghymin, lomx AS ghxmax, lamx AS ghymax,
+        |  (lomn + lomx) / 2 AS ghcx, (lamn + lamx) / 2 AS ghcy,
+        |  CAST(qi AS DOUBLE) * lni AS bbox_area,
+        |  CAST(qi AS DOUBLE) AS pft_x,
+        |  true AS lft_null,
+        |  CAST(65 AS INTEGER) AS bp_np,
+        |  true AS bp_in,
+        |  false AS bp_far,
+        |  CAST(2 AS INTEGER) AS am_n,
+        |  CAST(20 AS DOUBLE) * lni AS am_area,
+        |  CAST(1 AS INTEGER) AS am_n1
+        |FROM g ORDER BY qi, lni""".stripMargin,
     "q_st_accessors" ->
       """WITH p AS (SELECT DISTINCT CAST(l_quantity AS DOUBLE) AS q, CAST(l_linenumber AS DOUBLE) AS lnv FROM lineitem)
         |SELECT q, lnv, 6.0 AS area, q + 1.5 AS cx, lnv + 1.0 AS cy, q AS px, lnv AS py

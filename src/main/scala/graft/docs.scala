@@ -154,6 +154,17 @@ object FunctionDocs {
     "st_lengthsphere" -> "st_lengthsphere(line) - Great-circle length in meters of a lon/lat LineString; 0 for non-lines.",
     "st_relate" -> "st_relate(geomA, geomB) - DE-9IM intersection matrix of the two geometries as its 9-char string.",
     "st_relatebool" -> "st_relatebool(geomA, geomB, pattern) - True when the DE-9IM matrix matches the pattern (T/F/0/1/2/* per cell).",
+    "st_geohash" -> "st_geohash(geom, precision) - Geohash of a lon/lat geometry (centroid for non-points) at the given character precision (1-12).",
+    "st_geomfromgeohash" -> "st_geomfromgeohash(hash) - Geohash cell as its bounding-box polygon.",
+    "st_pointfromgeohash" -> "st_pointfromgeohash(hash) - Geohash cell center as a point.",
+    "st_geomfromtext" -> "st_geomfromtext(wkt) - Geometry from WKT (alias of st_geomfromwkt).",
+    "st_pointfromtext" -> "st_pointfromtext(wkt) - Point from WKT; NULL when the text is a different geometry type.",
+    "st_linefromtext" -> "st_linefromtext(wkt) - LineString from WKT; NULL when the text is a different geometry type.",
+    "st_polygonfromtext" -> "st_polygonfromtext(wkt) - Polygon from WKT; NULL when the text is a different geometry type.",
+    "st_makebbox" -> "st_makebbox(xmin, ymin, xmax, ymax) - Axis-aligned box polygon from four coordinate bounds.",
+    "st_bufferpoint" -> "st_bufferpoint(point, meters) - Geodesic buffer of a lon/lat point: a 64-gon at the given great-circle radius (IUGG sphere).",
+    "st_antimeridiansafegeom" -> "st_antimeridiansafegeom(geom) - Splits a geometry crossing the +-180 line into parts on each side; unchanged otherwise.",
+    "st_idlsafegeom" -> "st_idlsafegeom(geom) - Alias of st_antimeridiansafegeom.",
     "rf_envelope" -> "rf_envelope(geom) - JTS envelope of the geometry as a struct (minx, maxx, miny, maxy).",
     // multimodal
     "mm_decode_image" -> "mm_decode_image(blob) - Decodes an image payload via javax.imageio (PNG/JPEG/GIF/BMP/TIFF) to (width, height, channels, byte_len); NULL when the bytes aren't a readable image.",

@@ -929,3 +929,207 @@ case class GeomRelateBool(first: Expression, second: Expression, third: Expressi
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression) = copy(f, s, t)
 }
+
+/** Standard geohash bit-interleave (public algorithm): even bits refine
+  * longitude, odd bits latitude, midpoints always (mn+mx)/2 — every
+  * interval endpoint stays dyadic, so the walk is replayable bit-exact
+  * in plain SQL (the q_st_geohash oracle does exactly that). */
+object Geohash {
+  val Base32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+  private val CharIdx: Map[Char, Int] = Base32.zipWithIndex.toMap
+
+  def encode(lon: Double, lat: Double, precision: Int): String = {
+    require(precision >= 1 && precision <= 12,
+      s"geohash precision must be in [1, 12], got $precision")
+    var (lomn, lomx, lamn, lamx) = (-180.0, 180.0, -90.0, 90.0)
+    val sb = new java.lang.StringBuilder(precision)
+    var bit = 0
+    var idx = 0
+    while (sb.length < precision) {
+      if (bit % 2 == 0) {
+        val mid = (lomn + lomx) / 2
+        if (lon >= mid) { idx = idx * 2 + 1; lomn = mid } else { idx = idx * 2; lomx = mid }
+      } else {
+        val mid = (lamn + lamx) / 2
+        if (lat >= mid) { idx = idx * 2 + 1; lamn = mid } else { idx = idx * 2; lamx = mid }
+      }
+      bit += 1
+      if (bit % 5 == 0) { sb.append(Base32.charAt(idx)); idx = 0 }
+    }
+    sb.toString
+  }
+
+  /** (lomn, lamn, lomx, lamx) cell bounds of a geohash. */
+  def decodeBounds(hash: String): (Double, Double, Double, Double) = {
+    var (lomn, lomx, lamn, lamx) = (-180.0, 180.0, -90.0, 90.0)
+    var bit = 0
+    hash.foreach { ch =>
+      val idx = CharIdx.getOrElse(ch,
+        throw new IllegalArgumentException(s"invalid geohash char '$ch' in '$hash'"))
+      var b = 4
+      while (b >= 0) {
+        val set = ((idx >> b) & 1) == 1
+        if (bit % 2 == 0) {
+          val mid = (lomn + lomx) / 2
+          if (set) lomn = mid else lomx = mid
+        } else {
+          val mid = (lamn + lamx) / 2
+          if (set) lamn = mid else lamx = mid
+        }
+        bit += 1
+        b -= 1
+      }
+    }
+    (lomn, lamn, lomx, lamx)
+  }
+}
+
+/** Geohash of a lon/lat geometry (centroid for non-points) at the given
+  * character precision. */
+case class GeohashEncode(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def prettyName: String = "st_geohash"
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isGeomLike(left.dataType) &&
+        (right.dataType == IntegerType || right.dataType == LongType ||
+          right.dataType == ShortType || right.dataType == ByteType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects (geometry, integral precision)")
+  @transient private lazy val ge = geomExtractor(left.dataType)
+  override def nullSafeEval(g: Any, p: Any): Any = {
+    val c = ge(g).getCentroid.getCoordinate
+    UTF8String.fromString(Geohash.encode(c.x, c.y, p.asInstanceOf[Number].intValue()))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** Geohash cell as its bounding-box polygon. */
+case class GeomFromGeohash(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "st_geomfromgeohash"
+  override def dataType: DataType = GeometryUDT.instance
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects a string argument")
+  override def nullSafeEval(input: Any): Any = {
+    val (lomn, lamn, lomx, lamx) = Geohash.decodeBounds(input.toString)
+    serialize(Extent(lomn, lamn, lomx, lamx).toJts)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** Geohash cell center as a point. */
+case class PointFromGeohash(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "st_pointfromgeohash"
+  override def dataType: DataType = GeometryUDT.instance
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects a string argument")
+  override def nullSafeEval(input: Any): Any = {
+    val (lomn, lamn, lomx, lamx) = Geohash.decodeBounds(input.toString)
+    serialize(geomFactory.createPoint(
+      new Coordinate((lomn + lomx) / 2, (lamn + lamx) / 2)))
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** Axis-aligned box polygon from four coordinate bounds. */
+case class GeomMakeBBox(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+  override def prettyName: String = "st_makebbox"
+  override def dataType: DataType = GeometryUDT.instance
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.length == 4 && children.forall(_.dataType.isInstanceOf[NumericType]))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (xmin, ymin, xmax, ymax) numeric bounds")
+  @transient private lazy val es = children.map(c => doubleExtractor(c.dataType))
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.exists(_ == null)) return null
+    val ds = vs.zip(es).map { case (v, e) => e(v) }
+    serialize(Extent(ds(0), ds(1), ds(2), ds(3)).toJts)
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]) = copy(cs)
+}
+
+/** Geodesic buffer of a lon/lat point: a 64-gon whose vertices sit at
+  * the given great-circle radius (meters, IUGG sphere) from the point —
+  * the spherical direct problem at bearings 2πk/64. */
+case class GeomBufferPoint(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def prettyName: String = "st_bufferpoint"
+  override def dataType: DataType = GeometryUDT.instance
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isGeomLike(left.dataType) && right.dataType.isInstanceOf[NumericType])
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects (point, numeric meters)")
+  @transient private lazy val ge = geomExtractor(left.dataType)
+  @transient private lazy val de = doubleExtractor(right.dataType)
+  private val Sides = 64
+  override def nullSafeEval(g: Any, r: Any): Any = {
+    val c = ge(g).getCoordinate
+    val δ = de(r) / Sphere.EarthRadiusM
+    val φ1 = math.toRadians(c.y)
+    val λ1 = math.toRadians(c.x)
+    val (sinφ1, cosφ1) = (math.sin(φ1), math.cos(φ1))
+    val (sinδ, cosδ) = (math.sin(δ), math.cos(δ))
+    val coords = new Array[Coordinate](Sides + 1)
+    var k = 0
+    while (k < Sides) {
+      val θ = 2.0 * math.Pi * k / Sides
+      val sinφ2 = sinφ1 * cosδ + cosφ1 * sinδ * math.cos(θ)
+      val φ2 = math.asin(math.max(-1.0, math.min(1.0, sinφ2)))
+      val λ2 = λ1 + math.atan2(math.sin(θ) * sinδ * cosφ1, cosδ - sinφ1 * sinφ2)
+      coords(k) = new Coordinate(math.toDegrees(λ2), math.toDegrees(φ2))
+      k += 1
+    }
+    coords(Sides) = coords(0)
+    serialize(geomFactory.createPolygon(coords))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** Antimeridian-safe geometry: splits a geometry crossing the ±180
+  * line into a collection with parts on each side. A geometry is taken
+  * to cross when its longitude span exceeds 180° (standard-range
+  * coordinates) or it extends past +180 (unwrapped coordinates) — the
+  * GeoMesa spark-jts contract. */
+case class AntimeridianSafeGeom(child: Expression) extends GeomUnaryOp {
+  override def prettyName: String = "st_antimeridiansafegeom"
+  override def dataType: DataType = GeometryUDT.instance
+  private def shiftNegative(g: Geometry): Geometry = {
+    val out = g.copy()
+    out.apply(new org.locationtech.jts.geom.CoordinateFilter {
+      override def filter(c: Coordinate): Unit = if (c.x < 0) c.x += 360.0
+    })
+    out.geometryChanged()
+    out
+  }
+  private def shiftBack(g: Geometry): Geometry = {
+    val out = g.copy()
+    out.apply(new org.locationtech.jts.geom.CoordinateFilter {
+      override def filter(c: Coordinate): Unit = c.x -= 360.0
+    })
+    out.geometryChanged()
+    out
+  }
+  private def split(unwrapped: Geometry): Geometry = {
+    val west = unwrapped.intersection(Extent(-180, -90, 180, 90).toJts)
+    val east = unwrapped.intersection(Extent(180, -90, 540, 90).toJts)
+    if (east.isEmpty) west
+    else if (west.isEmpty) shiftBack(east)
+    else west.union(shiftBack(east))
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val g = geom(input)
+    val env = g.getEnvelopeInternal
+    val out =
+      if (env.getMaxX > 180.0) split(g)                 // already unwrapped
+      else if (env.getWidth > 180.0) split(shiftNegative(g)) // standard range, crossing
+      else g
+    serialize(out)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}

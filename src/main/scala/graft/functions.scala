@@ -249,6 +249,19 @@ object functions {
   def st_relate(a: Column, b: Column): Column = c(GeomRelate(e(a), e(b)))
   def st_relateBool(a: Column, b: Column, pattern: Column): Column =
     c(GeomRelateBool(e(a), e(b), e(pattern)))
+  def st_geoHash(g: Column, precision: Column): Column = c(GeohashEncode(e(g), e(precision)))
+  def st_geomFromGeoHash(hash: Column): Column = c(GeomFromGeohash(e(hash)))
+  def st_pointFromGeoHash(hash: Column): Column = c(PointFromGeohash(e(hash)))
+  def st_geomFromText(wkt: Column): Column = c(GeomFromWKT(e(wkt)))
+  def st_pointFromText(wkt: Column): Column = c(GeomCastTo(GeomFromWKT(e(wkt)), "Point"))
+  def st_lineFromText(wkt: Column): Column = c(GeomCastTo(GeomFromWKT(e(wkt)), "LineString"))
+  def st_polygonFromText(wkt: Column): Column = c(GeomCastTo(GeomFromWKT(e(wkt)), "Polygon"))
+  def st_makeBBOX(xmin: Column, ymin: Column, xmax: Column, ymax: Column): Column =
+    c(GeomMakeBBox(Seq(e(xmin), e(ymin), e(xmax), e(ymax))))
+  def st_bufferPoint(point: Column, meters: Column): Column =
+    c(GeomBufferPoint(e(point), e(meters)))
+  def st_antimeridianSafeGeom(g: Column): Column = c(AntimeridianSafeGeom(e(g)))
+  def st_idlSafeGeom(g: Column): Column = c(AntimeridianSafeGeom(e(g)))
   def rf_envelope(g: Column): Column = c(GeomEnvelope(e(g)))
   def rf_tile_context(projRaster: Column): Column = c(GetTileContext(e(projRaster)))
   def st_reproject(g: Column, src: Column, dst: Column): Column =
@@ -491,6 +504,17 @@ object Raster {
     reg1("st_lengthsphere", GeomLengthSphere(_))
     reg2("st_relate", GeomRelate(_, _))
     reg3("st_relatebool", GeomRelateBool(_, _, _))
+    reg2("st_geohash", GeohashEncode(_, _))
+    reg1("st_geomfromgeohash", GeomFromGeohash(_))
+    reg1("st_pointfromgeohash", PointFromGeohash(_))
+    reg1("st_geomfromtext", GeomFromWKT(_))
+    reg1("st_pointfromtext", x => GeomCastTo(GeomFromWKT(x), "Point"))
+    reg1("st_linefromtext", x => GeomCastTo(GeomFromWKT(x), "LineString"))
+    reg1("st_polygonfromtext", x => GeomCastTo(GeomFromWKT(x), "Polygon"))
+    regN("st_makebbox", GeomMakeBBox(_))
+    reg2("st_bufferpoint", GeomBufferPoint(_, _))
+    reg1("st_antimeridiansafegeom", AntimeridianSafeGeom(_))
+    reg1("st_idlsafegeom", AntimeridianSafeGeom(_))
     reg1("rf_envelope", GeomEnvelope(_))
     // multimodal binary-column ops (pipeline pack; decode is a real
     // javax.imageio codec — the deterministic stub stays under its own name)

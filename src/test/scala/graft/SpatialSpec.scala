@@ -229,3 +229,80 @@ class SpatialLongTailSpec extends AnyFunSuite {
     assert(r == "0FFFFF212")
   }
 }
+
+/** Batch-2 long-tail edges: geohash reference vectors, bufferpoint
+  * geodesic radius, antimeridian splitting in both coordinate styles. */
+class SpatialGeohashSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private def one(expr: org.apache.spark.sql.Column) =
+    Seq(1).toDF("x").select(expr).collect()(0)
+
+  test("geohash matches the published reference vector") {
+    // the canonical example from the public geohash spec
+    assert(graft.expressions.Geohash.encode(-5.6, 42.6, 5) == "ezs42")
+    assert(graft.expressions.Geohash.encode(-5.603027, 42.604980, 5) == "ezs42")
+    val gh = one(st_geoHash(st_makePoint(lit(-5.6), lit(42.6)), lit(5))).getString(0)
+    assert(gh == "ezs42")
+  }
+
+  test("geohash decode brackets the encoded point, center halves the cell") {
+    val (lomn, lamn, lomx, lamx) = graft.expressions.Geohash.decodeBounds("ezs42")
+    assert(lomn <= -5.6 && -5.6 < lomx && lamn <= 42.6 && 42.6 < lamx)
+    // 5 chars = 25 bits: 13 lon, 12 lat
+    assert(lomx - lomn == 360.0 / math.pow(2, 13))
+    assert(lamx - lamn == 180.0 / math.pow(2, 12))
+    val r = one(struct(
+      st_x(st_pointFromGeoHash(lit("ezs42"))),
+      st_y(st_pointFromGeoHash(lit("ezs42"))))).getStruct(0)
+    assert(r.getDouble(0) == (lomn + lomx) / 2 && r.getDouble(1) == (lamn + lamx) / 2)
+  }
+
+  test("geohash rejects bad precision and bad chars") {
+    intercept[Exception] {
+      one(st_geoHash(st_makePoint(lit(0.0), lit(0.0)), lit(13)))
+    }
+    intercept[Exception] { one(st_geomFromGeoHash(lit("ab!c"))) }
+  }
+
+  test("bufferpoint vertices sit at the requested great-circle radius") {
+    val df = Seq(1).toDF("x").select(
+      st_bufferPoint(st_makePoint(lit(10.0), lit(45.0)), lit(75000.0)).as("bp"))
+    val poly = df.collect()(0).getAs[org.locationtech.jts.geom.Geometry](0)
+    val coords = poly.getCoordinates
+    assert(coords.length == 65)
+    for (c <- coords) {
+      val d = graft.expressions.Sphere.haversineM(10.0, 45.0, c.x, c.y)
+      assert(math.abs(d - 75000.0) < 1e-4, s"vertex at $d m")
+    }
+  }
+
+  test("antimeridian split: unwrapped and standard-range crossings") {
+    // unwrapped: 170..190
+    val un = one(st_numGeometries(st_antimeridianSafeGeom(
+      st_geomFromWKT(lit("POLYGON ((170 0, 190 0, 190 5, 170 5, 170 0))"))))).getInt(0)
+    assert(un == 2)
+    // standard range: -175..175 spanning the line (width 350 > 180)
+    val std = st_antimeridianSafeGeom(st_geomFromWKT(
+      lit("POLYGON ((175 0, 185 0, 185 5, 175 5, 175 0))")))
+    val stdWrapped = st_antimeridianSafeGeom(st_geomFromWKT(
+      lit("MULTIPOLYGON (((175 0, 180 0, 180 5, 175 5, 175 0)))")))
+    assert(one(st_numGeometries(std)).getInt(0) == 2)
+    assert(one(st_area(std)).getDouble(0) == 50.0)
+    // touching 180 exactly but not crossing stays one part
+    assert(one(st_numGeometries(stdWrapped)).getInt(0) == 1)
+    // non-crossing geometry is unchanged
+    val same = one(st_asText(st_antimeridianSafeGeom(
+      st_geomFromWKT(lit("POLYGON ((0 0, 5 0, 5 5, 0 5, 0 0))"))))).getString(0)
+    assert(same == "POLYGON ((0 0, 5 0, 5 5, 0 5, 0 0))")
+  }
+
+  test("wkt typed parsers: matching type round-trips, mismatch is NULL") {
+    assert(one(st_x(st_pointFromText(lit("POINT (3 4)")))).getDouble(0) == 3.0)
+    assert(one(st_pointFromText(lit("LINESTRING (0 0, 1 1)"))).isNullAt(0))
+    assert(one(st_length(st_lineFromText(lit("LINESTRING (0 0, 3 4)")))).getDouble(0) == 5.0)
+    assert(one(st_polygonFromText(lit("POINT (1 2)"))).isNullAt(0))
+    assert(one(st_area(st_makeBBOX(lit(1.0), lit(2.0), lit(4.0), lit(6.0)))).getDouble(0) == 12.0)
+  }
+}
