@@ -719,6 +719,21 @@ object SparkEntry {
           col("t_qty").as("q"), col("t_ln").as("lnv"))
         .orderBy("l_orderkey", "i")
     }),
+    // NoDataFilter where it genuinely drops DATA positions (not just the
+    // assembler's unfilled cells): cells equal to 50 are declared nodata
+    // pre-explode, arrive as NULL, and the default-column filter removes
+    // the whole row even though the sibling band still has a value there
+    "q_ml_nodata" -> ((s, dir) => {
+      val src = tiled(s, dir).select(col("l_orderkey"),
+        rf_with_no_data(col("t_qty"), 50.0).as("t_qty"), col("t_ln"))
+      val exploded = new graft.ml.TileExploder().transform(src)
+      new graft.ml.NoDataFilter() // default: every numeric column
+        .transform(exploded)
+        .select(col("l_orderkey"),
+          (col("row_index") * 8 + col("column_index")).cast("int").as("i"),
+          col("t_qty").as("q"), col("t_ln").as("lnv"))
+        .orderBy("l_orderkey", "i")
+    }),
     // constant-tile constructors driven end-to-end: per-key constant,
     // zeros and ones tiles reduced through tile stats — the sums and
     // data-cell counts are analytically SQL-derivable
@@ -1946,6 +1961,8 @@ object SparkEntry {
       " SELECT l_orderkey, i, q AS cell FROM idx ORDER BY l_orderkey, i"),
     "q_ml_exploder" -> (IDX +
       " SELECT l_orderkey, i, q, lnv FROM idx ORDER BY l_orderkey, i"),
+    "q_ml_nodata" -> (IDX +
+      " SELECT l_orderkey, i, q, lnv FROM idx WHERE q <> 50.0 ORDER BY l_orderkey, i"),
     "q_make_tiles" ->
       """SELECT l_orderkey,
         |CAST(32 * MAX(l_linenumber) AS DOUBLE) AS csum,

@@ -85,7 +85,20 @@ class DedupSpec extends AnyFunSuite {
         }
       }
       spark.sparkContext.addSparkListener(listener)
-      try { body; Thread.sleep(1500) }
+      try {
+        body
+        // Drain the listener bus: the job is done but task-end events are
+        // delivered async. A fixed sleep undercounts on a loaded box, so
+        // poll until the count holds still, bounded at 15 s.
+        val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+        var prev = -1L
+        var stable = 0
+        while (stable < 3 && System.nanoTime() < deadline) {
+          Thread.sleep(200)
+          val cur = total.get()
+          if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+        }
+      }
       finally spark.sparkContext.removeSparkListener(listener)
       total.get()
     }
