@@ -902,6 +902,41 @@ def st_idlSafeGeom(geom):
     return _fn("st_idlsafegeom", geom)
 
 
+def st_equals(a, b):
+    """True when the two geometries are topologically equal."""
+    return _fn("st_equals", a, b)
+
+
+def st_mPointFromText(wkt):
+    """MultiPoint from WKT; NULL when the text is a different geometry type."""
+    return _fn("st_mpointfromtext", wkt)
+
+
+def st_mLineFromText(wkt):
+    """MultiLineString from WKT; NULL when the text is a different geometry type."""
+    return _fn("st_mlinefromtext", wkt)
+
+
+def st_mPolyFromText(wkt):
+    """MultiPolygon from WKT; NULL when the text is a different geometry type."""
+    return _fn("st_mpolyfromtext", wkt)
+
+
+def st_makePointM(x, y, m):
+    """Point with a measure (M) coordinate; WKT output stays XY."""
+    return _fn("st_makepointm", x, y, m)
+
+
+def st_distanceSpheroid(a, b):
+    """Ellipsoidal WGS84 (Vincenty) distance in meters between two lon/lat points."""
+    return _fn("st_distancespheroid", a, b)
+
+
+def st_lengthSpheroid(line):
+    """Ellipsoidal WGS84 (Vincenty) length in meters of a lon/lat LineString."""
+    return _fn("st_lengthspheroid", line)
+
+
 def rf_envelope(geom):
     """JTS envelope struct (minx, maxx, miny, maxy)."""
     return _fn("rf_envelope", geom)

@@ -1531,6 +1531,58 @@ object SparkEntry {
         st_numGeometries(st_antimeridianSafeGeom(bbox)).as("am_n1"))
         .orderBy("qi", "lni")
     }),
+    // batch-3 spark-jts names, analytic oracle: topological equality of a
+    // bbox against its re-ordered polygon text, MULTI* typed parsers
+    // through planar length/area, and the measure-point's XY face
+    "q_st_breadth4" -> ((s, dir) => {
+      val p = t(s, dir, "lineitem")
+        .select(col("l_quantity").cast("int").as("qi"),
+          col("l_linenumber").cast("int").as("lni"))
+        .distinct()
+      val qd = col("qi").cast("double")
+      val ld = col("lni").cast("double")
+      val poly = st_polygonFromText(concat(lit("POLYGON (("), col("qi"), lit(" "),
+        col("lni"), lit(", 0 "), col("lni"), lit(", 0 0, "), col("qi"), lit(" 0, "),
+        col("qi"), lit(" "), col("lni"), lit("))")))
+      val mline = st_mLineFromText(concat(lit("MULTILINESTRING ((0 0, "), col("qi"),
+        lit(" 0), (0 0, 0 "), col("lni"), lit("))")))
+      val mpoly = st_mPolyFromText(concat(lit("MULTIPOLYGON (((0 0, "), col("qi"),
+        lit(" 0, "), col("qi"), lit(" "), col("lni"), lit(", 0 "), col("lni"),
+        lit(", 0 0)))")))
+      val mpoint = st_mPointFromText(concat(lit("MULTIPOINT (("), col("qi"), lit(" "),
+        col("lni"), lit("), (0 0))")))
+      p.select(col("qi"), col("lni"),
+        st_equals(st_makeBBOX(lit(0.0), lit(0.0), qd, ld), poly).as("eq_box"),
+        st_equals(st_point(qd, ld), st_point(qd, ld + 1.0)).as("eq_ne"),
+        st_numGeometries(mpoint).as("mp_n"),
+        st_mPointFromText(lit("POINT (1 2)")).isNull.as("mp_null"),
+        st_length(mline).as("ml_len"),
+        st_area(mpoly).as("mpoly_area"),
+        st_x(st_makePointM(qd, ld, qd + ld)).as("pm_x"),
+        st_y(st_makePointM(qd, ld, qd + ld)).as("pm_y"))
+        .orderBy("qi", "lni")
+    }),
+    // WGS84 Vincenty, replayed in DuckDB: the fixed 20-iteration λ walk
+    // is a recursive CTE, the final σ terms are recomputed once from the
+    // converged λ exactly as Spheroid.vincentyM does, and only the final
+    // meters are rounded (transcendental-parity recipe)
+    "q_st_spheroid" -> ((s, dir) => {
+      val p = t(s, dir, "lineitem")
+        .select(col("l_quantity").cast("int").as("qi"),
+          col("l_linenumber").cast("int").as("lni"))
+        .distinct()
+      val lon1 = col("qi") * 0.7 - 20.0
+      val lat1 = col("lni") * 2.5 - 8.0
+      val lon2 = col("qi") * 0.3 + 5.0
+      val lat2 = col("lni") * 1.5 + 10.0
+      val p1 = st_point(lon1, lat1)
+      val p2 = st_point(lon2, lat2)
+      val line = st_makeLine(array(p1, st_point(lit(0.0), lit(0.0)), p2))
+      p.select(col("qi"), col("lni"),
+        round(st_distanceSpheroid(p1, p2), 4).as("dspheroid"),
+        round(st_lengthSpheroid(line), 4).as("lspheroid"))
+        .orderBy("qi", "lni")
+    }),
     "q_st_accessors" -> ((s, dir) => {
       val p = t(s, dir, "lineitem")
         .select(col("l_quantity").as("q"), col("l_linenumber").cast("double").as("lnv"))
@@ -3231,6 +3283,78 @@ object SparkEntry {
         |  CAST(20 AS DOUBLE) * lni AS am_area,
         |  CAST(1 AS INTEGER) AS am_n1
         |FROM g ORDER BY qi, lni""".stripMargin,
+    "q_st_breadth4" ->
+      """WITH p AS (SELECT DISTINCT CAST(l_quantity AS INT) AS qi, CAST(l_linenumber AS INT) AS lni FROM lineitem)
+        |SELECT qi, lni,
+        |  true AS eq_box, false AS eq_ne,
+        |  CAST(2 AS INTEGER) AS mp_n, true AS mp_null,
+        |  CAST(qi + lni AS DOUBLE) AS ml_len,
+        |  CAST(qi AS DOUBLE) * lni AS mpoly_area,
+        |  CAST(qi AS DOUBLE) AS pm_x, CAST(lni AS DOUBLE) AS pm_y
+        |FROM p ORDER BY qi, lni""".stripMargin,
+    // the recursive CTE replays Spheroid.vincentyM: pair 1 is the
+    // distance endpoints, pairs 2/3 the two line segments; 20 λ
+    // iterations, then the σ terms recomputed once from the final λ.
+    // toRadians is mirrored as x / 180.0 * pi()
+    "q_st_spheroid" ->
+      """WITH RECURSIVE p AS (SELECT DISTINCT CAST(l_quantity AS INT) AS qi, CAST(l_linenumber AS INT) AS lni FROM lineitem),
+        |pts AS (SELECT qi, lni,
+        |          qi * 0.7 - 20.0 AS lon1, lni * 2.5 - 8.0 AS lat1,
+        |          qi * 0.3 + 5.0 AS lon2, lni * 1.5 + 10.0 AS lat2 FROM p),
+        |pr AS (
+        |  SELECT qi, lni, 1 AS pair, lon1 AS a_lon, lat1 AS a_lat, lon2 AS b_lon, lat2 AS b_lat FROM pts
+        |  UNION ALL SELECT qi, lni, 2, lon1, lat1, 0.0, 0.0 FROM pts
+        |  UNION ALL SELECT qi, lni, 3, 0.0, 0.0, lon2, lat2 FROM pts),
+        |tr AS (SELECT qi, lni, pair,
+        |         (b_lon - a_lon) / 180.0 * pi() AS bigl,
+        |         sin(atan((1.0 - 1.0/298.257223563) * tan(a_lat / 180.0 * pi()))) AS sinu1,
+        |         cos(atan((1.0 - 1.0/298.257223563) * tan(a_lat / 180.0 * pi()))) AS cosu1,
+        |         sin(atan((1.0 - 1.0/298.257223563) * tan(b_lat / 180.0 * pi()))) AS sinu2,
+        |         cos(atan((1.0 - 1.0/298.257223563) * tan(b_lat / 180.0 * pi()))) AS cosu2
+        |       FROM pr),
+        |v AS (
+        |  SELECT qi, lni, pair, bigl, sinu1, cosu1, sinu2, cosu2, 0 AS i, bigl AS lam FROM tr
+        |  UNION ALL
+        |  SELECT qi, lni, pair, bigl, sinu1, cosu1, sinu2, cosu2, i + 1,
+        |         bigl + (1.0 - cc) * (1.0/298.257223563) * sina *
+        |           (sg + cc * sins * (c2m + cc * coss * (-1.0 + 2.0 * c2m * c2m))) AS lam
+        |  FROM (
+        |    SELECT *, (1.0/298.257223563) / 16.0 * cos2a * (4.0 + (1.0/298.257223563) * (4.0 - 3.0 * cos2a)) AS cc
+        |    FROM (
+        |      SELECT *, CASE WHEN cos2a = 0 THEN 0.0 ELSE coss - 2.0 * sinu1 * sinu2 / cos2a END AS c2m
+        |      FROM (
+        |        SELECT *, 1.0 - sina * sina AS cos2a
+        |        FROM (
+        |          SELECT *, atan2(sins, coss) AS sg,
+        |                 CASE WHEN sins = 0 THEN 0.0 ELSE cosu1 * cosu2 * sin(lam) / sins END AS sina
+        |          FROM (
+        |            SELECT *,
+        |              sqrt((cosu2 * sin(lam)) * (cosu2 * sin(lam))
+        |                 + (cosu1 * sinu2 - sinu1 * cosu2 * cos(lam)) * (cosu1 * sinu2 - sinu1 * cosu2 * cos(lam))) AS sins,
+        |              sinu1 * sinu2 + cosu1 * cosu2 * cos(lam) AS coss
+        |            FROM v WHERE i < 20)))))),
+        |fin AS (SELECT * FROM v WHERE i = 20),
+        |r1 AS (SELECT qi, lni, pair, sinu1, cosu1, sinu2, cosu2, lam,
+        |         sqrt((cosu2 * sin(lam)) * (cosu2 * sin(lam))
+        |            + (cosu1 * sinu2 - sinu1 * cosu2 * cos(lam)) * (cosu1 * sinu2 - sinu1 * cosu2 * cos(lam))) AS sins,
+        |         sinu1 * sinu2 + cosu1 * cosu2 * cos(lam) AS coss
+        |       FROM fin),
+        |r2 AS (SELECT *, atan2(sins, coss) AS sg,
+        |         CASE WHEN sins = 0 THEN 0.0 ELSE cosu1 * cosu2 * sin(lam) / sins END AS sina FROM r1),
+        |r3 AS (SELECT *, 1.0 - sina * sina AS cos2a FROM r2),
+        |r4 AS (SELECT *, CASE WHEN cos2a = 0 THEN 0.0 ELSE coss - 2.0 * sinu1 * sinu2 / cos2a END AS c2m,
+        |         cos2a * (6378137.0 * 6378137.0 - (6378137.0 * (1.0 - 1.0/298.257223563)) * (6378137.0 * (1.0 - 1.0/298.257223563)))
+        |           / ((6378137.0 * (1.0 - 1.0/298.257223563)) * (6378137.0 * (1.0 - 1.0/298.257223563))) AS usq FROM r3),
+        |r5 AS (SELECT *, 1.0 + usq / 16384.0 * (4096.0 + usq * (-768.0 + usq * (320.0 - 175.0 * usq))) AS biga,
+        |         usq / 1024.0 * (256.0 + usq * (-128.0 + usq * (74.0 - 47.0 * usq))) AS bigb FROM r4),
+        |r6 AS (SELECT *, bigb * sins * (c2m + bigb / 4.0 * (coss * (-1.0 + 2.0 * c2m * c2m)
+        |         - bigb / 6.0 * c2m * (-3.0 + 4.0 * sins * sins) * (-3.0 + 4.0 * c2m * c2m))) AS dsg FROM r5),
+        |d AS (SELECT qi, lni, pair,
+        |        (6378137.0 * (1.0 - 1.0/298.257223563)) * biga * (sg - dsg) AS s FROM r6)
+        |SELECT qi, lni,
+        |  round(MAX(CASE WHEN pair = 1 THEN s END), 4) AS dspheroid,
+        |  round(MAX(CASE WHEN pair = 2 THEN s END) + MAX(CASE WHEN pair = 3 THEN s END), 4) AS lspheroid
+        |FROM d GROUP BY qi, lni ORDER BY qi, lni""".stripMargin,
     "q_st_accessors" ->
       """WITH p AS (SELECT DISTINCT CAST(l_quantity AS DOUBLE) AS q, CAST(l_linenumber AS DOUBLE) AS lnv FROM lineitem)
         |SELECT q, lnv, 6.0 AS area, q + 1.5 AS cx, lnv + 1.0 AS cy, q AS px, lnv AS py

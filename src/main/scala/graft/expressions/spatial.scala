@@ -428,6 +428,7 @@ case class SpatialRelation(left: Expression, right: Expression, op: String)
       case "Overlaps" => a.overlaps(b)
       case "Touches" => a.touches(b)
       case "Within" => a.within(b)
+      case "Equals" => a.equalsTopo(b)
       case other => throw new IllegalArgumentException(s"Unknown relation $other")
     }
   }
@@ -1132,4 +1133,141 @@ case class AntimeridianSafeGeom(child: Expression) extends GeomUnaryOp {
     serialize(out)
   }
   override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** WGS84 Vincenty inverse (public algorithm), run for a FIXED 20 λ
+  * iterations — convergence for non-antipodal inputs happens in ≤6,
+  * after which λ is a double fixed point, so the constant trip count
+  * changes nothing numerically but makes the walk replayable as a
+  * 20-step recursive CTE (the q_st_spheroid oracle). Final σ terms are
+  * recomputed once from the converged λ, mirroring the replay's shape. */
+object Spheroid {
+  val SemiMajorM: Double = 6378137.0
+  val Flattening: Double = 1.0 / 298.257223563
+  val SemiMinorM: Double = SemiMajorM * (1.0 - Flattening)
+  val Iters = 20
+
+  def vincentyM(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Double = {
+    if (lon1 == lon2 && lat1 == lat2) return 0.0
+    val f = Flattening
+    val bigL = math.toRadians(lon2 - lon1)
+    val u1 = math.atan((1.0 - f) * math.tan(math.toRadians(lat1)))
+    val u2 = math.atan((1.0 - f) * math.tan(math.toRadians(lat2)))
+    val sinU1 = math.sin(u1); val cosU1 = math.cos(u1)
+    val sinU2 = math.sin(u2); val cosU2 = math.cos(u2)
+    var lam = bigL
+    var i = 0
+    while (i < Iters) {
+      val sinLam = math.sin(lam); val cosLam = math.cos(lam)
+      val sinSigma = math.sqrt(
+        (cosU2 * sinLam) * (cosU2 * sinLam) +
+          (cosU1 * sinU2 - sinU1 * cosU2 * cosLam) * (cosU1 * sinU2 - sinU1 * cosU2 * cosLam))
+      val cosSigma = sinU1 * sinU2 + cosU1 * cosU2 * cosLam
+      val sigma = math.atan2(sinSigma, cosSigma)
+      val sinAlpha = if (sinSigma == 0.0) 0.0 else cosU1 * cosU2 * sinLam / sinSigma
+      val cosSqAlpha = 1.0 - sinAlpha * sinAlpha
+      val cos2Sm = if (cosSqAlpha == 0.0) 0.0 else cosSigma - 2.0 * sinU1 * sinU2 / cosSqAlpha
+      val c = f / 16.0 * cosSqAlpha * (4.0 + f * (4.0 - 3.0 * cosSqAlpha))
+      lam = bigL + (1.0 - c) * f * sinAlpha *
+        (sigma + c * sinSigma * (cos2Sm + c * cosSigma * (-1.0 + 2.0 * cos2Sm * cos2Sm)))
+      i += 1
+    }
+    val sinLam = math.sin(lam); val cosLam = math.cos(lam)
+    val sinSigma = math.sqrt(
+      (cosU2 * sinLam) * (cosU2 * sinLam) +
+        (cosU1 * sinU2 - sinU1 * cosU2 * cosLam) * (cosU1 * sinU2 - sinU1 * cosU2 * cosLam))
+    val cosSigma = sinU1 * sinU2 + cosU1 * cosU2 * cosLam
+    val sigma = math.atan2(sinSigma, cosSigma)
+    val sinAlpha = if (sinSigma == 0.0) 0.0 else cosU1 * cosU2 * sinLam / sinSigma
+    val cosSqAlpha = 1.0 - sinAlpha * sinAlpha
+    val cos2Sm = if (cosSqAlpha == 0.0) 0.0 else cosSigma - 2.0 * sinU1 * sinU2 / cosSqAlpha
+    val a = SemiMajorM; val b = SemiMinorM
+    val uSq = cosSqAlpha * (a * a - b * b) / (b * b)
+    val bigA = 1.0 + uSq / 16384.0 * (4096.0 + uSq * (-768.0 + uSq * (320.0 - 175.0 * uSq)))
+    val bigB = uSq / 1024.0 * (256.0 + uSq * (-128.0 + uSq * (74.0 - 47.0 * uSq)))
+    val dSigma = bigB * sinSigma * (cos2Sm + bigB / 4.0 *
+      (cosSigma * (-1.0 + 2.0 * cos2Sm * cos2Sm) -
+        bigB / 6.0 * cos2Sm * (-3.0 + 4.0 * sinSigma * sinSigma) *
+          (-3.0 + 4.0 * cos2Sm * cos2Sm)))
+    b * bigA * (sigma - dSigma)
+  }
+}
+
+/** Ellipsoidal (WGS84 Vincenty) distance in meters between two lon/lat
+  * points (first coordinate of each geometry). */
+case class GeomDistanceSpheroid(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def prettyName: String = "st_distancespheroid"
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isGeomLike(left.dataType) && isGeomLike(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects two geometry arguments")
+  @transient private lazy val ae = geomExtractor(left.dataType)
+  @transient private lazy val be = geomExtractor(right.dataType)
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (p, q) = (ae(a).getCoordinate, be(b).getCoordinate)
+    Spheroid.vincentyM(p.x, p.y, q.x, q.y)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** Ellipsoidal (WGS84 Vincenty) length in meters of a lon/lat
+  * LineString (sum of per-segment distances); 0 for non-line inputs. */
+case class GeomLengthSpheroid(child: Expression) extends GeomUnaryOp {
+  override def prettyName: String = "st_lengthspheroid"
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(input: Any): Any = geom(input) match {
+    case l: org.locationtech.jts.geom.LineString =>
+      val cs = l.getCoordinates
+      var sum = 0.0
+      var i = 1
+      while (i < cs.length) {
+        sum += Spheroid.vincentyM(cs(i - 1).x, cs(i - 1).y, cs(i).x, cs(i).y)
+        i += 1
+      }
+      sum
+    case _ => 0.0
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** Point with a measure (M) coordinate. WKT text output stays XY (the
+  * writer's default); the measure is carried on the JTS coordinate. */
+case class MakePointM(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def prettyName: String = "st_makepointm"
+  override def dataType: DataType = GeometryUDT.instance
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(first, second, third).forall(_.dataType.isInstanceOf[NumericType]))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects (x, y, m) numeric arguments")
+  @transient private lazy val es =
+    Seq(first, second, third).map(c => doubleExtractor(c.dataType))
+  override def nullSafeEval(x: Any, y: Any, m: Any): Any =
+    MakePointM.writeXYM(geomFactory.createPoint(
+      // explicit dimension-3/measures-1 sequence: the plain Coordinate
+      // array path misreports XYM as XYZ and breaks the WKB writer
+      new org.locationtech.jts.geom.impl.PackedCoordinateSequence.Double(
+        Array(es(0)(x), es(1)(y), es(2)(m)), 3, 1)))
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression) =
+    copy(f, s, t)
+}
+
+object MakePointM {
+  // The shared UDT writer is 2-D (XY geometries keep byte-stable WKB);
+  // measure points need a 4-D writer so M survives the WKB round-trip.
+  // JTS emits only the ordinates actually present, and the shared
+  // WKBReader parses the M flag back into CoordinateXYM.
+  private val xymWriter = new ThreadLocal[org.locationtech.jts.io.WKBWriter] {
+    override def initialValue() = {
+      val w = new org.locationtech.jts.io.WKBWriter(3)
+      w.setOutputOrdinates(java.util.EnumSet.of(
+        org.locationtech.jts.io.Ordinate.X,
+        org.locationtech.jts.io.Ordinate.Y,
+        org.locationtech.jts.io.Ordinate.M))
+      w
+    }
+  }
+  def writeXYM(g: Geometry): Array[Byte] = xymWriter.get().write(g)
 }

@@ -262,6 +262,15 @@ object functions {
     c(GeomBufferPoint(e(point), e(meters)))
   def st_antimeridianSafeGeom(g: Column): Column = c(AntimeridianSafeGeom(e(g)))
   def st_idlSafeGeom(g: Column): Column = c(AntimeridianSafeGeom(e(g)))
+  def st_equals(a: Column, b: Column): Column = c(SpatialRelation(e(a), e(b), "Equals"))
+  def st_mPointFromText(wkt: Column): Column = c(GeomCastTo(GeomFromWKT(e(wkt)), "MultiPoint"))
+  def st_mLineFromText(wkt: Column): Column =
+    c(GeomCastTo(GeomFromWKT(e(wkt)), "MultiLineString"))
+  def st_mPolyFromText(wkt: Column): Column = c(GeomCastTo(GeomFromWKT(e(wkt)), "MultiPolygon"))
+  def st_makePointM(x: Column, y: Column, m: Column): Column =
+    c(MakePointM(e(x), e(y), e(m)))
+  def st_distanceSpheroid(a: Column, b: Column): Column = c(GeomDistanceSpheroid(e(a), e(b)))
+  def st_lengthSpheroid(line: Column): Column = c(GeomLengthSpheroid(e(line)))
   def rf_envelope(g: Column): Column = c(GeomEnvelope(e(g)))
   def rf_tile_context(projRaster: Column): Column = c(GetTileContext(e(projRaster)))
   def st_reproject(g: Column, src: Column, dst: Column): Column =
@@ -515,6 +524,13 @@ object Raster {
     reg2("st_bufferpoint", GeomBufferPoint(_, _))
     reg1("st_antimeridiansafegeom", AntimeridianSafeGeom(_))
     reg1("st_idlsafegeom", AntimeridianSafeGeom(_))
+    reg2("st_equals", SpatialRelation(_, _, "Equals"))
+    reg1("st_mpointfromtext", x => GeomCastTo(GeomFromWKT(x), "MultiPoint"))
+    reg1("st_mlinefromtext", x => GeomCastTo(GeomFromWKT(x), "MultiLineString"))
+    reg1("st_mpolyfromtext", x => GeomCastTo(GeomFromWKT(x), "MultiPolygon"))
+    reg3("st_makepointm", MakePointM(_, _, _))
+    reg2("st_distancespheroid", GeomDistanceSpheroid(_, _))
+    reg1("st_lengthspheroid", GeomLengthSpheroid(_))
     reg1("rf_envelope", GeomEnvelope(_))
     // multimodal binary-column ops (pipeline pack; decode is a real
     // javax.imageio codec — the deterministic stub stays under its own name)

@@ -306,3 +306,64 @@ class SpatialGeohashSpec extends AnyFunSuite {
     assert(one(st_area(st_makeBBOX(lit(1.0), lit(2.0), lit(4.0), lit(6.0)))).getDouble(0) == 12.0)
   }
 }
+
+/** Batch-3 long-tail: topological equality, MULTI* WKT parsers, measure
+  * points, and the WGS84 Vincenty pair against the published vector. */
+class SpatialSpheroidSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private def one(expr: org.apache.spark.sql.Column) =
+    Seq(1).toDF("x").select(expr).collect()(0)
+
+  test("vincenty matches the published Flinders Peak - Buninyong line") {
+    // the canonical Vincenty inverse test line (Geoscience Australia):
+    // ellipsoidal distance 54 972.271 m
+    val d = graft.expressions.Spheroid.vincentyM(
+      144.42486788888888, -37.95103341666667,
+      143.92649552777777, -37.65282113888889)
+    assert(math.abs(d - 54972.271) < 5e-3, s"got $d")
+    val viaSql = one(st_distanceSpheroid(
+      st_makePoint(lit(144.42486788888888), lit(-37.95103341666667)),
+      st_makePoint(lit(143.92649552777777), lit(-37.65282113888889)))).getDouble(0)
+    assert(viaSql == d)
+  }
+
+  test("vincenty is symmetric, zero for identical points, near-sphere for short arcs") {
+    val ab = graft.expressions.Spheroid.vincentyM(10.0, 45.0, 11.0, 46.0)
+    val ba = graft.expressions.Spheroid.vincentyM(11.0, 46.0, 10.0, 45.0)
+    assert(math.abs(ab - ba) < 1e-6)
+    assert(graft.expressions.Spheroid.vincentyM(5.0, 5.0, 5.0, 5.0) == 0.0)
+    // ellipsoidal vs spherical should agree within ~0.6%
+    val sph = graft.expressions.Sphere.haversineM(10.0, 45.0, 11.0, 46.0)
+    assert(math.abs(ab - sph) / sph < 0.006)
+  }
+
+  test("lengthspheroid sums segments; non-line is 0") {
+    val seg1 = graft.expressions.Spheroid.vincentyM(0.0, 0.0, 1.0, 0.0)
+    val seg2 = graft.expressions.Spheroid.vincentyM(1.0, 0.0, 1.0, 1.0)
+    val len = one(st_lengthSpheroid(st_geomFromWKT(
+      lit("LINESTRING (0 0, 1 0, 1 1)")))).getDouble(0)
+    assert(len == seg1 + seg2)
+    assert(one(st_lengthSpheroid(st_makePoint(lit(1.0), lit(2.0)))).getDouble(0) == 0.0)
+  }
+
+  test("st_equals is topological; multi parsers type-check; makepointm carries M") {
+    assert(one(st_equals(
+      st_geomFromWKT(lit("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")),
+      st_geomFromWKT(lit("POLYGON ((2 2, 0 2, 0 0, 2 0, 2 2))")))).getBoolean(0))
+    assert(!one(st_equals(
+      st_makePoint(lit(1.0), lit(2.0)), st_makePoint(lit(1.0), lit(3.0)))).getBoolean(0))
+    assert(one(st_numGeometries(st_mPointFromText(
+      lit("MULTIPOINT ((1 2), (3 4))")))).getInt(0) == 2)
+    assert(one(st_mPointFromText(lit("POINT (1 2)"))).isNullAt(0))
+    assert(one(st_length(st_mLineFromText(
+      lit("MULTILINESTRING ((0 0, 3 4), (0 0, 0 1))")))).getDouble(0) == 6.0)
+    assert(one(st_area(st_mPolyFromText(
+      lit("MULTIPOLYGON (((0 0, 2 0, 2 3, 0 3, 0 0)))")))).getDouble(0) == 6.0)
+    val pm = one(st_makePointM(lit(3.0), lit(4.0), lit(9.5)))
+      .getAs[org.locationtech.jts.geom.Geometry](0)
+    assert(pm.getCoordinate.getX == 3.0 && pm.getCoordinate.getY == 4.0 &&
+      pm.getCoordinate.getM == 9.5)
+  }
+}
