@@ -985,6 +985,31 @@ object SparkEntry {
       graft.pipeline.EmbeddingDedup.keepDecisions(
         t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.99)
         .orderBy("id")),
+    "q_semdedup" -> ((s, dir) => {
+      // SemDeDup keep decisions (k-means cells + within-cell cosine
+      // pruning, low-centroid-sim priority). The raw corpus has no
+      // near-dups (max natural cosine ~0.51), so the query plants them
+      // deterministically: vectors are L2-normalized (the paper's prep),
+      // then unioned with an exact copy per id % 7 == 0 and a
+      // direction-preserving 1.25-scaled copy per id % 11 == 0 (scaled
+      // BEFORE normalizing, so both engines replay the same doubles).
+      val v = col("embedding").cast("array<double>")
+      val unit = t(s, dir, "embeddings")
+        .select(col("vec_id").cast("long").as("id"), v.as("__v"))
+        .select(col("id"), Similarity.l2_norm(col("__v")).as("n"), col("__v"))
+        .select(col("id"), transform(col("__v"), x => x / col("n")).as("vec"))
+      val scaled = t(s, dir, "embeddings").where(col("vec_id") % 11 === 0)
+        .select((col("vec_id").cast("long") + 20000L).as("id"),
+          transform(v, x => x * lit(1.25)).as("__v"))
+        .select(col("id"), Similarity.l2_norm(col("__v")).as("n"), col("__v"))
+        .select(col("id"), transform(col("__v"), x => x / col("n")).as("vec"))
+      val planted = unit
+        .union(unit.where(col("id") % 7 === 0).select((col("id") + 10000L).as("id"), col("vec")))
+        .union(scaled)
+      graft.pipeline.EmbeddingDedup.semDedupKeep(
+        planted, "id", "vec", nlist = 16, threshold = 0.97)
+        .orderBy("id")
+    }),
     // ---- hash/LSH family (oracled via HUGEINT mod-2^64 SQL) ----
     "q_lang_id" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"), col("lang"),
@@ -1842,9 +1867,10 @@ object SparkEntry {
     * count. MATERIALIZED is load-bearing — DuckDB inlines plain CTEs, and
     * each iteration references the previous one several times, so the
     * expansion (and the parquet re-opens) would grow exponentially. */
-  private def duckLloydCtes(k: Int, iters: Int): String = {
+  private def duckLloydCtes(k: Int, iters: Int,
+      vvSql: String = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"): String = {
     val init =
-      s"""vv AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      s"""vv AS MATERIALIZED ($vvSql),
          |samp AS MATERIALIZED (SELECT vec_id, v FROM vv ORDER BY vec_id LIMIT 100000),
          |dims AS MATERIALIZED (SELECT UNNEST(range(1, 1 + (SELECT MAX(length(v)) FROM vv))) AS i),
          |c0 AS MATERIALIZED (SELECT CAST(rn - 1 AS INTEGER) AS cell, v AS centroid
@@ -2927,6 +2953,40 @@ object SparkEntry {
          |  SELECT e.src AS id, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
          |SELECT id, MIN(r) AS keep_id, MIN(r) <> id AS is_duplicate
          |FROM reach GROUP BY id ORDER BY id""".stripMargin
+    },
+    // SemDeDup: the normalized + planted union re-derived, the same
+    // unrolled Lloyd fit over it, cosine-to-own-centroid priority, and
+    // the keep rule as one NOT EXISTS over higher-priority cell-mates
+    // at cosine >= 0.97 (priority = csim asc, id asc — the paper's
+    // keep-the-edge-example rule, ties to the lower id)
+    "q_semdedup" -> {
+      def dcos(a: String, b: String) =
+        s"""CASE WHEN list_dot_product($a, $a) = 0 OR list_dot_product($b, $b) = 0 THEN 0.0
+           |       ELSE list_dot_product($a, $b)
+           |            / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))) END""".stripMargin
+      s"""WITH base AS MATERIALIZED (
+         |  SELECT vec_id AS id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+         |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)),
+         |scaled AS MATERIALIZED (
+         |  SELECT vec_id + 20000 AS id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+         |  FROM (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.25) AS v
+         |        FROM embeddings WHERE vec_id % 11 = 0)),
+         |allv AS MATERIALIZED (
+         |  SELECT id, u FROM base
+         |  UNION ALL SELECT id + 10000, u FROM base WHERE id % 7 = 0
+         |  UNION ALL SELECT id, u FROM scaled),
+         |${duckLloydCtes(k = 16, iters = 10, vvSql = "SELECT id AS vec_id, u AS v FROM allv")},
+         |asg AS MATERIALIZED (SELECT vv.vec_id, vv.v,
+         |  (SELECT c.cell FROM c10 c ORDER BY list_distance(vv.v, c.centroid), c.cell LIMIT 1) AS cell
+         |  FROM vv),
+         |sc AS MATERIALIZED (SELECT a.vec_id, a.v, a.cell,
+         |  ${dcos("a.v", "c.centroid")} AS csim
+         |  FROM asg a JOIN c10 c ON c.cell = a.cell)
+         |SELECT s.vec_id AS id, s.cell, s.csim,
+         |  NOT EXISTS (SELECT 1 FROM sc o WHERE o.cell = s.cell
+         |    AND (o.csim < s.csim OR (o.csim = s.csim AND o.vec_id < s.vec_id))
+         |    AND (${dcos("o.v", "s.v")}) >= 0.97) AS keep
+         |FROM sc s ORDER BY id""".stripMargin
     },
     // two-stage LSH dedup decisions: md5 star edges + minhash est >= 0.8
     // edges, clustered by the same recursive connected components

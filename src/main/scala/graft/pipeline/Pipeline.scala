@@ -420,6 +420,61 @@ object EmbeddingDedup {
       .select(col("id"), col("label").as("keep_id"),
         (col("label") =!= col("id")).as("is_duplicate"))
   }
+
+  /**
+   * SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+   * k-means clustering + within-cluster cosine pruning. Every vector is
+   * assigned to one of `nlist` cells by the same deterministic Lloyd
+   * quantizer as [[Similarity.ivfTopK]]; within a cell, a document is
+   * dropped when some cell-mate with higher keep priority sits at cosine
+   * ≥ `threshold`. Keep priority follows the paper: LOW similarity to
+   * the centroid wins (edge examples survive, cluster-core near-dups are
+   * dropped), ties broken to the lower id — which makes the decision a
+   * single EXISTS over ordered cell-mates, no iteration.
+   *
+   * Scale shape: the quantizer fit is the bounded sorted-prefix driver
+   * sample; the centroid table (nlist×dim) rides inside the assignment
+   * expression and one nlist-row broadcast join; candidate pairs are an
+   * equi-join on the cell id. The O(|cell|²) refine is the operator's
+   * semantic (SemDeDup picks nlist ~ √N so cells stay small) — there is
+   * no corpus broadcast and no cross join anywhere.
+   *
+   * Returns (id, cell, csim, keep).
+   */
+  def semDedupKeep(df: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 16, threshold: Double = 0.97,
+      fitSampleSize: Int = 100000, fitIters: Int = 10): DataFrame = {
+    val sample = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .orderBy(col("id")).limit(fitSampleSize)
+      .collect().map(_.getSeq[Double](1).toArray)
+    val cents = QuantizerKMeans.fit(sample, nlist, fitIters)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val centroids = broadcast(
+      cents.zipWithIndex.map { case (v, i) => (i, v) }.toSeq.toDF("cell", "centroid"))
+    // one scalar assignment pass + one tiny join: (id, vec, cell, csim)
+    val scored = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        c(NearestCentroid(asExpr(col(vecCol)), cents)).as("cell"))
+      .join(centroids, Seq("cell"))
+      .select(col("cell"), col("id"), col("vec"),
+        Similarity.cosine(col("vec"), col("centroid")).as("csim"))
+    // a (higher-priority a, lower-priority b) pair at sim ≥ τ drops b;
+    // priority = (csim asc, id asc), evaluated directly in the join
+    // condition — no per-cell window/rank shuffle
+    val dropped = scored
+      .select(col("cell"), col("id").as("a_id"), col("vec").as("a_vec"),
+        col("csim").as("a_csim"))
+      .join(scored.select(col("cell"), col("id").as("b_id"), col("vec").as("b_vec"),
+        col("csim").as("b_csim")), Seq("cell"))
+      .where(col("a_csim") < col("b_csim") ||
+        (col("a_csim") === col("b_csim") && col("a_id") < col("b_id")))
+      .where(Similarity.cosine(col("a_vec"), col("b_vec")) >= threshold)
+      .select(col("b_id").as("id")).distinct()
+    scored.select(col("id"), col("cell"), col("csim"))
+      .join(dropped.select(col("id"), lit(true).as("dup")), Seq("id"), "left")
+      .select(col("id"), col("cell"), col("csim"),
+        coalesce(!col("dup"), lit(true)).as("keep"))
+  }
 }
 
 object Dedup2 {

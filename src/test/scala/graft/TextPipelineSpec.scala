@@ -191,6 +191,30 @@ class TextPipelineSpec extends AnyFunSuite {
     for (i <- 0L until 10L) assert(keep(i + 100000L) == i)
   }
 
+  test("semDedupKeep drops exactly one of each planted pair, keeps edges") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id".cast("long").as("id"), $"embedding".cast("array<double>").as("vec"))
+    val dupes = emb.where($"id" < 10)
+      .select(($"id" + 100000L).as("id"), $"vec")
+    val out = EmbeddingDedup.semDedupKeep(emb.union(dupes), "id", "vec",
+      nlist = 8, threshold = 0.97)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getBoolean(3)))
+    assert(out.length == emb.count() + 10)
+    // each planted exact-copy pair loses exactly its higher id (equal
+    // csim -> tie to the lower id, the paper's deterministic order)
+    val dropped = out.filter(!_._4).map(_._1).toSet
+    assert((0L until 10L).forall(i => dropped.contains(i + 100000L) && !dropped.contains(i)),
+      s"planted pairs not collapsed to originals: $dropped")
+    // nothing else in this corpus sits at cosine >= 0.97 (max natural
+    // pair ~0.5), so the planted copies are the only drops
+    assert(dropped.size == 10, s"unexpected drops: ${dropped.filter(_ < 100000L)}")
+    // determinism: a second run returns the identical decision set
+    val again = EmbeddingDedup.semDedupKeep(emb.union(dupes), "id", "vec",
+      nlist = 8, threshold = 0.97)
+      .collect().map(r => (r.getLong(0), r.getBoolean(3))).toSet
+    assert(out.map(r => (r._1, r._4)).toSet == again)
+  }
+
   test("tfidfTopTerms ranks rare terms above common ones, rational scores") {
     import graft.pipeline.Dedup
     val docs = Seq(
