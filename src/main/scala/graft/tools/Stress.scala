@@ -1,0 +1,118 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Dedup, Dedup2, EmbeddingDedup, Similarity}
+
+/** Synthetic-decade stress harness for the shuffle-heavy text/ANN/
+  * temporal operators. The sandbox tops out at sf0.1, so this replicates
+  * the sf0.1 tables `factor`× with structure-PRESERVING perturbations
+  * and times each operator at the inflated size — the second empirical
+  * decade on top of `scripts/scale_curve.sh` (sf0.001 → 0.01 → 0.1).
+  *
+  * Replication must not change the statistics that drive these
+  * operators' costs, so copies are perturbed, never cloned:
+  * - documents: per-copy alphabet rotation (`translate`) rewrites every
+  *   token, so copies share no shingles/grams — the duplicate RATE stays
+  *   the corpus's own instead of every doc becoming a factor-sized
+  *   near-dup clique (which would measure a corpus that cannot exist);
+  * - embeddings: per-copy deterministic sign-flip patterns (an
+  *   orthogonal transform per copy) keep norms and within-copy geometry
+  *   while decorrelating cross-copy cosines;
+  * - events: ids and the user key space shift per copy, so per-key event
+  *   densities (the window/session cost driver) are unchanged.
+  *
+  * Usage: `Stress [sfDir] [factor]` — one JSON line per op:
+  * `{"op":…,"factor":…,"rows":…,"sec":…}`.
+  */
+object Stress {
+  private def timed(op: String, factor: Int)(df: => DataFrame): Unit = {
+    val t0 = System.nanoTime()
+    val rows = df.count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"""{"op":"$op","factor":$factor,"rows":$rows,"sec":$sec%.3f}""")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = if (args.length > 1) args(1).toInt else 16
+    require(factor >= 1 && factor <= 20, s"factor must be in [1, 20], got $factor")
+    val spark = SparkSession.builder().master("local[32]")
+      .appName("graft-stress")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", false)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val alpha = "abcdefghijklmnopqrst"
+    val docs = (0 until factor).map { k =>
+      val rot = alpha.drop(k % alpha.length) + alpha.take(k % alpha.length)
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select((col("doc_id") + lit(k.toLong * 10000000L)).as("doc_id"),
+          translate(col("text"), alpha, rot).as("text"),
+          col("lang"), col("source"))
+    }.reduce(_ union _)
+
+    val emb = (0 until factor).map { k =>
+      val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select((col("vec_id") + lit(k.toLong * 10000000L)).as("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+      if (k == 0) base
+      else base.withColumn("embedding",
+        transform(col("embedding"),
+          (x, i) => when((i * (2 * k + 3)) % 7 < 3, -x).otherwise(x)))
+    }.reduce(_ union _)
+
+    val events = (0 until factor).map { k =>
+      spark.read.parquet(s"$sfDir/events.parquet")
+        .select((col("event_id") + lit(k.toLong * 1000000000L)).as("event_id"),
+          (col("user_id") + lit(k.toLong * 1000000L)).as("user_id"),
+          col("event_type"), col("ts"), col("value"))
+    }.reduce(_ union _)
+
+    // materialize the replicated inputs once so every op times its own
+    // work, not the union-of-parquet-scans
+    docs.persist(); emb.persist(); events.persist()
+    println(s"""{"op":"_sizes","factor":$factor,"docs":${docs.count()},""" +
+      s""""emb":${emb.count()},"events":${events.count()}}""")
+
+    timed("minhash_pairs", factor)(
+      Dedup.minhashPairs(docs, "doc_id", "text"))
+    timed("simhash_pairs", factor)(
+      Dedup.simhashPairs(docs, "doc_id", "text"))
+    timed("tfidf_top5", factor)(
+      Dedup.tfidfTopTerms(docs, "doc_id", "text", k = 5))
+    timed("dedup_lsh_cc", factor)(
+      Dedup2.keepDecisions(docs, "doc_id", "text"))
+
+    // ANN knobs scale with the corpus the way a real deployment's would:
+    // nlist ~ sqrt(N) bounds the within-cell quadratic refine, and the
+    // fit stays a bounded driver-side sample
+    val n = emb.count()
+    val nlist = math.max(16, math.sqrt(n.toDouble).toInt)
+    timed("semdedup", factor)(
+      EmbeddingDedup.semDedupKeep(emb, "vec_id", "embedding",
+        nlist = nlist, threshold = 0.97, fitSampleSize = 20000, fitIters = 4))
+    timed("ivfpq_top3", factor)(
+      Similarity.ivfpqTopK(emb, "vec_id", "embedding", 3,
+        nlist = nlist, nprobe = 8, fitSampleSize = 20000,
+        coarseIters = 4, pqIters = 3))
+
+    val ev = events.withColumn("tus", expr("ts div 1000"))
+    val views = ev.where(col("event_type") === "view")
+      .groupBy("user_id", "tus").agg(max("value").as("value"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select("event_id", "user_id", "tus")
+    timed("asof_bucketed", factor)(
+      graft.pipeline.Temporal.asofJoinBucketed(clicks, views, "user_id",
+        "tus", "tus", bucketWidth = 3600L * 1000000L, rightPrefix = "view_"))
+    timed("sessions", factor)(
+      graft.streaming.StreamingPipeline.sessionStats(
+        ev.withColumn("ts", timestamp_micros(col("tus"))),
+        "user_id", "ts", "value", gap = "1 hour"))
+
+    spark.stop()
+  }
+}
