@@ -536,9 +536,22 @@ def rf_render_matrix(tile):
     return _fn("rf_render_matrix", tile)
 
 
-def rf_render_png(red, green, blue):
-    """PNG bytes from three band tiles."""
-    return _fn("rf_render_png", red, green, blue)
+def rf_render_png(tile, green=None, blue=None, color_ramp=None):
+    """PNG bytes: RGB composite of three band tiles, a single tile
+    through a named color ramp (``color_ramp="Viridis"``), or a single
+    tile as a grayscale min-max stretch."""
+    if green is not None and blue is not None:
+        return _fn("rf_render_png", tile, green, blue)
+    if green is not None or blue is not None:
+        raise ValueError("rf_render_png needs both green and blue for the RGB form")
+    if color_ramp is not None:
+        return _fn("rf_render_png", tile, color_ramp)
+    return _fn("rf_render_png", tile)
+
+
+def rf_mk_crs(crs_text):
+    """Normalized CRS identifier from text, e.g. ``rf_mk_crs('EPSG:4326')``."""
+    return _fn("rf_mk_crs", crs_text)
 
 
 def rf_rgb_composite(red, green, blue):

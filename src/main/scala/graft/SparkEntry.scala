@@ -468,6 +468,22 @@ object SparkEntry {
           col("st.width").as("w"), col("st.height").as("h"),
           col("st.opaque").as("opaque"), col("st.red_sum").as("red_sum"))
         .orderBy("l_orderkey")),
+    // named-color-ramp renders (ref RenderColorRampPNG + ColorRampNames):
+    // Viridis exercises the stop interpolation (incl. the segment
+    // switch), Greyscale8 the quantized levels — both decoded back and
+    // replayed as exact IEEE stretch + truncation arithmetic
+    "q_render_ramp" -> ((s, dir) =>
+      tiled(s, dir)
+        .where(col("l_orderkey") % 31 === 3)
+        .select(col("l_orderkey"),
+          Multimodal.png_stats(rf_render_png(col("t_qty"), "Viridis")).as("sv"),
+          Multimodal.png_stats(rf_render_png(col("t_qty"), "Greyscale8")).as("sg"))
+        .select(col("l_orderkey"),
+          col("sv.width").as("w"), col("sv.height").as("h"),
+          col("sv.opaque").as("opaque"),
+          col("sv.red_sum").as("vir_red"),
+          col("sg.red_sum").as("g8_red"))
+        .orderBy("l_orderkey")),
     // slippy z/x/y PNG pyramid writer (ref SlippyDataSource.scala:17-67)
     // oracled end-to-end: each input row's footprint is EXACTLY one
     // zoom-6 slippy tile (extent computed with the writer's own
@@ -2106,6 +2122,27 @@ object SparkEntry {
         |SELECT g.l_orderkey, CAST(8 AS INTEGER) AS w, CAST(4 AS INTEGER) AS h,
         |  CAST(g.dc AS BIGINT) AS opaque, CAST(r.gsum AS BIGINT) AS red_sum
         |FROM g JOIN r ON g.l_orderkey = r.l_orderkey ORDER BY g.l_orderkey""".stripMargin),
+    // ramp renders: t = (v-mn)/range, then Viridis red = segment-wise
+    // linear interpolation over red stops (68, 33, 253) and Greyscale8 =
+    // 8 quantized levels floor(255*idx/7) — same IEEE ops, same floors
+    "q_render_ramp" -> (IDX +
+      """, g AS (SELECT l_orderkey, COUNT(*) AS dc, MIN(q) AS mn, MAX(q) AS mx FROM idx
+        |  WHERE l_orderkey % 31 = 3 GROUP BY 1),
+        |t AS (SELECT i.l_orderkey,
+        |    (i.q - g.mn) / (CASE WHEN g.mx > g.mn THEN g.mx - g.mn ELSE 1.0 END) AS t
+        |  FROM idx i JOIN g ON i.l_orderkey = g.l_orderkey),
+        |vir AS (SELECT l_orderkey,
+        |    SUM(CAST(floor(CASE WHEN LEAST(1, floor(t * 2)) = 0
+        |          THEN 68 + (t * 2 - LEAST(1, floor(t * 2))) * (33 - 68)
+        |          ELSE 33 + (t * 2 - LEAST(1, floor(t * 2))) * (253 - 33) END) AS BIGINT)) AS rsum
+        |  FROM t GROUP BY 1),
+        |g8 AS (SELECT l_orderkey,
+        |    SUM(CAST(floor((255.0 * LEAST(7, floor(t * 8))) / 7) AS BIGINT)) AS rsum
+        |  FROM t GROUP BY 1)
+        |SELECT g.l_orderkey, CAST(8 AS INTEGER) AS w, CAST(4 AS INTEGER) AS h,
+        |  CAST(g.dc AS BIGINT) AS opaque, vir.rsum AS vir_red, g8.rsum AS g8_red
+        |FROM g JOIN vir ON g.l_orderkey = vir.l_orderkey
+        |JOIN g8 ON g.l_orderkey = g8.l_orderkey ORDER BY g.l_orderkey""".stripMargin),
     // the tile set is the written-slot set; opaque = 2048 per data cell
     // (each source cell covers a 32×64 pixel block), gray = exact IEEE
     // replay of ((v − mn) / range · 255) truncation

@@ -60,6 +60,10 @@ object CRS {
 
   private def isUtm(e: Int): Boolean =
     (e >= 32601 && e <= 32660) || (e >= 32701 && e <= 32760)
+  /** Whether this CRS is in the supported registry (4326, 3857, UTM
+    * zones) — the validation face of rf_mk_crs. */
+  def isSupported(crs: CRS): Boolean =
+    crs.epsg.exists(e => e == 4326 || e == 3857 || isUtm(e))
   private def utmZone(e: Int): (Int, Boolean) =
     if (e >= 32701) (e - 32700, false) else (e - 32600, true)
   private def utmCentralMeridian(zone: Int): Double = -183.0 + 6.0 * zone

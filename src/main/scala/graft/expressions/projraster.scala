@@ -80,6 +80,28 @@ case class GetCRSExpr(child: Expression) extends UnaryExpression with CodegenFal
   override protected def withNewChildInternal(c: Expression) = copy(c)
 }
 
+/** CRS constructor from text (reference: docs reference.md:129-139
+  * rf_mk_crs — `SELECT rf_mk_crs('EPSG:4326')`). Normalizes the
+  * identifier to the string form every graft CRS column carries and
+  * fails analysis-side-visible on identifiers outside the supported
+  * registry, where the reference's proj4j would throw at eval. */
+case class MkCRS(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "rf_mk_crs"
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects a CRS identifier string")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val crs = graft.core.crs.CRS(input.toString)
+    require(graft.core.crs.CRS.isSupported(crs),
+      s"Unsupported CRS: ${input.toString} (supported: EPSG:4326, EPSG:3857, EPSG:326xx/327xx UTM)")
+    UTF8String.fromString(crs.normalized)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
 /** Whole tile-context (extent + crs) accessor of a proj_raster
   * (reference: accessors/GetTileContext.scala → rf_tile_context). */
 case class GetTileContext(child: Expression) extends UnaryExpression with CodegenFallback {

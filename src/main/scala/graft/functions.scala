@@ -292,6 +292,10 @@ object functions {
   def rf_render_ascii(t: Column): Column = c(RenderAscii(e(t)))
   def rf_render_matrix(t: Column): Column = c(RenderMatrix(e(t)))
   def rf_render_png(t: Column): Column = c(RenderPNG(e(t)))
+  def rf_render_png(t: Column, rampName: String): Column =
+    c(RenderRampPNG(e(t), Literal(rampName)))
+  def rf_render_png(red: Column, green: Column, blue: Column): Column =
+    c(RenderRGBPNG(RGBComposite(e(red), e(green), e(blue))))
   def rf_rgb_composite(r: Column, g: Column, b: Column): Column =
     c(RGBComposite(e(r), e(g), e(b)))
 
@@ -314,6 +318,8 @@ object functions {
     c(CreateProjectedRaster(e(tile), e(extent), e(crs)))
   def rf_extent(pr: Column): Column = c(GetExtent(e(pr)))
   def rf_crs(pr: Column): Column = c(GetCRSExpr(e(pr)))
+  def rf_mk_crs(crsText: Column): Column = c(MkCRS(e(crsText)))
+  def rf_mk_crs(crsText: String): Column = c(MkCRS(Literal(crsText)))
   def rf_geometry(pr: Column): Column = c(GetGeometry(e(pr)))
 }
 
@@ -628,7 +634,14 @@ object Raster {
     reg2("rf_resample_nearest", ResampleExpr(_, _, Literal("nearest")))
     reg1("rf_render_ascii", RenderAscii(_))
     reg1("rf_render_matrix", RenderMatrix(_))
-    reg1("rf_render_png", RenderPNG(_))
+    regN("rf_render_png", {
+      case Seq(t) => RenderPNG(t)
+      case Seq(t, ramp) => RenderRampPNG(t, ramp)
+      case Seq(r, g, b) => RenderRGBPNG(RGBComposite(r, g, b))
+      case xs => throw new IllegalArgumentException(
+        s"rf_render_png takes 1-3 arguments, got ${xs.length}")
+    })
+    reg1("rf_mk_crs", MkCRS(_))
     reg3("rf_rgb_composite", RGBComposite(_, _, _))
     reg2("rf_focal_mean", FocalMean(_, _))
     reg2("rf_focal_min", FocalMin(_, _))
