@@ -536,6 +536,45 @@ def rf_render_matrix(tile):
     return _fn("rf_render_matrix", tile)
 
 
+def rf_cell_types():
+    """The standard cell type names (8 bases, plus ``ud<N>`` user-NoData
+    variants accepted anywhere a cell type string is)."""
+    return ["bool", "int8raw", "int8", "uint8raw", "uint8", "int16raw", "int16",
+            "uint16raw", "uint16", "int32raw", "int32", "float32raw", "float32",
+            "float64raw", "float64"]
+
+
+def rf_agg_extent(extent):
+    """Aggregate extent union — min/max composition over the struct fields."""
+    from pyspark.sql.functions import struct, min as fmin, max as fmax
+    return struct(
+        fmin(extent.getField("xmin")).alias("xmin"),
+        fmin(extent.getField("ymin")).alias("ymin"),
+        fmax(extent.getField("xmax")).alias("xmax"),
+        fmax(extent.getField("ymax")).alias("ymax"))
+
+
+def rf_agg_reprojected_extent(extent, src_crs, dest_crs):
+    """Aggregate extent union after reprojecting each row into ``dest_crs``."""
+    return rf_agg_extent(
+        st_extent(st_reproject(st_geometry(extent), src_crs, dest_crs)))
+
+
+def rf_focal_std_dev(tile, neighborhood):
+    """Reference-name alias of :func:`rf_focal_stddev`."""
+    return rf_focal_stddev(tile, neighborhood)
+
+
+def rf_moransI(tile, neighborhood):
+    """Reference-name alias of :func:`rf_focal_moransi`."""
+    return rf_focal_moransi(tile, neighborhood)
+
+
+def rf_render_color_ramp_png(tile, color_ramp_name):
+    """Reference-name alias: render through a named color ramp."""
+    return _fn("rf_render_png", tile, color_ramp_name)
+
+
 def rf_render_png(tile, green=None, blue=None, color_ramp=None):
     """PNG bytes: RGB composite of three band tiles, a single tile
     through a named color ramp (``color_ramp="Viridis"``), or a single

@@ -274,6 +274,28 @@ def test_render_and_quantiles(spark):
     assert len(q["q"]) == 1
 
 
+def test_reference_name_aliases_and_ramp_render(spark):
+    from graft.functions import (rf_agg_extent, rf_cell_types, rf_mk_crs,
+                                 rf_render_color_ramp_png, rf_render_png)
+
+    assert "uint16" in rf_cell_types() and len(rf_cell_types()) == 15
+    df = spark.range(1).select(
+        rf_make_constant_tile(3.0, 2, 2, "uint8").alias("t"))
+    for png_col in (rf_render_color_ramp_png(col("t"), "Viridis"),
+                    rf_render_png(col("t"), color_ramp="Greyscale8"),
+                    rf_render_png(col("t"), col("t"), col("t"))):
+        png = df.select(png_col.alias("p")).collect()[0]["p"]
+        assert bytes(png[1:4]) == b"PNG"
+    crs = spark.range(1).select(rf_mk_crs(lit("EPSG:3857")).alias("c")).collect()[0]["c"]
+    assert crs == "epsg:3857"
+    ext = (
+        spark.sql("SELECT named_struct('xmin', CAST(id AS DOUBLE), 'ymin', 0.0D, "
+                  "'xmax', CAST(id + 1 AS DOUBLE), 'ymax', 1.0D) AS e FROM range(3)")
+        .agg(rf_agg_extent(col("e")).alias("u")).collect()[0]["u"]
+    )
+    assert ext["xmin"] == 0.0 and ext["xmax"] == 3.0
+
+
 def test_geojson_and_predicates(spark):
     df = spark.range(1).select(
         st_geomFromGeoJSON(lit('{"type":"Point","coordinates":[1,2]}')).alias("p"),
