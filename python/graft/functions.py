@@ -834,6 +834,28 @@ def st_makePolygon(shell):
     return _fn("st_makepolygon", shell)
 
 
+def st_polygon(shell):
+    """Polygon from a closed LineString (reference-name alias of
+    :func:`st_makePolygon`)."""
+    return _fn("st_makepolygon", shell)
+
+
+def st_asBinary(geom):
+    """WKB bytes of a geometry (delegates to Spark 4.1's built-in)."""
+    return _fn("st_asbinary", geom)
+
+
+def st_geomFromWKB(wkb):
+    """Geometry from WKB bytes (delegates to Spark 4.1's built-in)."""
+    return _fn("st_geomfromwkb", wkb)
+
+
+def st_pointFromWKB(wkb):
+    """Point geometry from WKB bytes (the WKB already encodes the type;
+    delegates to Spark 4.1's built-in reader)."""
+    return _fn("st_geomfromwkb", wkb)
+
+
 def st_makeBox2D(corner_a, corner_b):
     """Axis-aligned box polygon spanning the two corner points."""
     return _fn("st_makebox2d", corner_a, corner_b)
