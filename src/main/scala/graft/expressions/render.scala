@@ -168,11 +168,16 @@ case class RenderRampPNG(child: Expression, ramp: Expression)
     if (ramp.dataType != StringType || !ramp.foldable)
       TypeCheckResult.TypeCheckFailure(
         s"$prettyName expects a literal color ramp name")
-    else ramp.eval(null) match {
-      case null => TypeCheckResult.TypeCheckFailure(s"$prettyName ramp name must not be null")
-      case s: UTF8String if ColorRampNames.gradients.contains(s.toString) ||
+    else (try scala.util.Right(ramp.eval(null)) catch {
+      case e: Exception => scala.util.Left(e.getMessage)
+    }) match {
+      case scala.util.Left(msg) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName could not evaluate the ramp name: $msg")
+      case scala.util.Right(null) =>
+        TypeCheckResult.TypeCheckFailure(s"$prettyName ramp name must not be null")
+      case scala.util.Right(s: UTF8String) if ColorRampNames.gradients.contains(s.toString) ||
           ColorRampNames.greyscales.contains(s.toString) => TypeCheckResult.TypeCheckSuccess
-      case s => TypeCheckResult.TypeCheckFailure(
+      case scala.util.Right(s) => TypeCheckResult.TypeCheckFailure(
         s"Provided color ramp name '$s' does not match one of " +
           ColorRampNames.all.mkString(", "))
     }

@@ -452,12 +452,16 @@ object EmbeddingDedup {
     import spark.implicits._
     val centroids = broadcast(
       cents.zipWithIndex.map { case (v, i) => (i, v) }.toSeq.toDF("cell", "centroid"))
-    // one scalar assignment pass + one tiny join: (id, vec, cell, csim)
+    // one scalar assignment pass + one tiny join: (id, vec, cell, csim).
+    // Materialized once — it feeds both sides of the pair join and the
+    // final projection, and recomputing the assignment is a full corpus
+    // scan per consumer (same contract as ivfTopK's assignment table).
     val scored = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
         c(NearestCentroid(asExpr(col(vecCol)), cents)).as("cell"))
       .join(centroids, Seq("cell"))
       .select(col("cell"), col("id"), col("vec"),
         Similarity.cosine(col("vec"), col("centroid")).as("csim"))
+      .persist()
     // a (higher-priority a, lower-priority b) pair at sim ≥ τ drops b;
     // priority = (csim asc, id asc), evaluated directly in the join
     // condition — no per-cell window/rank shuffle
