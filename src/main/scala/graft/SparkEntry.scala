@@ -1356,6 +1356,16 @@ object SparkEntry {
     // rounding absorbs the few-ulp transcendental drift, and the
     // (q, lnv) domain is BOUNDED (350 values at every SF) so a verified
     // match is the complete value set
+    // rf_mk_crs over the bounded linenumber domain: normalization
+    // (trim + lowercase) of EPSG/UTM identifiers is pure string work
+    "q_mk_crs" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_linenumber").cast("int").as("ln")).distinct()
+        .select(col("ln"),
+          rf_mk_crs(concat(lit(" EPSG:"), (lit(32600) + col("ln")).cast("string"))).as("utm"),
+          rf_mk_crs(lit("EPSG:4326")).as("wgs"),
+          rf_mk_crs(lit("epsg:3857")).as("merc"))
+        .orderBy("ln")),
     "q_st_utm" -> ((s, dir) => {
       val p = t(s, dir, "lineitem")
         .select(col("l_quantity").cast("double").as("q"),
@@ -3456,6 +3466,12 @@ object SparkEntry {
       """WITH p AS (SELECT DISTINCT CAST(l_quantity AS DOUBLE) AS q, CAST(l_linenumber AS DOUBLE) AS lnv FROM lineitem)
         |SELECT q, lnv, 6.0 AS area, q + 1.5 AS cx, lnv + 1.0 AS cy, q AS px, lnv AS py
         |FROM p ORDER BY q, lnv""".stripMargin,
+    // rf_mk_crs = trim + lowercase of supported identifiers
+    "q_mk_crs" ->
+      """SELECT ln, 'epsg:' || CAST(32600 + ln AS VARCHAR) AS utm,
+        |  'epsg:4326' AS wgs, 'epsg:3857' AS merc
+        |FROM (SELECT DISTINCT CAST(l_linenumber AS INT) AS ln FROM lineitem)
+        |ORDER BY ln""".stripMargin,
     // the Krüger/Snyder forward series, term-by-term: n/t/c/a, the
     // meridian arc, and the two polynomial expansions replayed verbatim
     "q_st_utm" ->
