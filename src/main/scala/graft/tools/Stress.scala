@@ -34,6 +34,44 @@ object Stress {
     println(f"""{"op":"$op","factor":$factor,"rows":$rows,"sec":$sec%.3f}""")
   }
 
+  /** Per-copy alphabet rotation rewrites every token, so copies share no
+    * shingles/grams and the corpus duplicate RATE is factor-invariant
+    * (StressSpec pins this: pair counts scale exactly ×factor). */
+  def replicateDocs(spark: SparkSession, sfDir: String, factor: Int): DataFrame = {
+    val alpha = "abcdefghijklmnopqrst"
+    (0 until factor).map { k =>
+      val rot = alpha.drop(k % alpha.length) + alpha.take(k % alpha.length)
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select((col("doc_id") + lit(k.toLong * 10000000L)).as("doc_id"),
+          translate(col("text"), alpha, rot).as("text"),
+          col("lang"), col("source"))
+    }.reduce(_ union _)
+  }
+
+  /** Per-copy deterministic sign-flip patterns: an orthogonal transform
+    * per copy keeps norms and within-copy geometry, decorrelates
+    * cross-copy cosines. */
+  def replicateEmbeddings(spark: SparkSession, sfDir: String, factor: Int): DataFrame =
+    (0 until factor).map { k =>
+      val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select((col("vec_id") + lit(k.toLong * 10000000L)).as("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+      if (k == 0) base
+      else base.withColumn("embedding",
+        transform(col("embedding"),
+          (x, i) => when((i * (2 * k + 3)) % 7 < 3, -x).otherwise(x)))
+    }.reduce(_ union _)
+
+  /** Ids and the user key space shift per copy — per-key event densities
+    * (the window/session cost driver) are unchanged. */
+  def replicateEvents(spark: SparkSession, sfDir: String, factor: Int): DataFrame =
+    (0 until factor).map { k =>
+      spark.read.parquet(s"$sfDir/events.parquet")
+        .select((col("event_id") + lit(k.toLong * 1000000000L)).as("event_id"),
+          (col("user_id") + lit(k.toLong * 1000000L)).as("user_id"),
+          col("event_type"), col("ts"), col("value"))
+    }.reduce(_ union _)
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = if (args.length > 1) args(1).toInt else 16
@@ -46,31 +84,9 @@ object Stress {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val alpha = "abcdefghijklmnopqrst"
-    val docs = (0 until factor).map { k =>
-      val rot = alpha.drop(k % alpha.length) + alpha.take(k % alpha.length)
-      spark.read.parquet(s"$sfDir/documents.parquet")
-        .select((col("doc_id") + lit(k.toLong * 10000000L)).as("doc_id"),
-          translate(col("text"), alpha, rot).as("text"),
-          col("lang"), col("source"))
-    }.reduce(_ union _)
-
-    val emb = (0 until factor).map { k =>
-      val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
-        .select((col("vec_id") + lit(k.toLong * 10000000L)).as("vec_id"),
-          col("embedding").cast("array<double>").as("embedding"))
-      if (k == 0) base
-      else base.withColumn("embedding",
-        transform(col("embedding"),
-          (x, i) => when((i * (2 * k + 3)) % 7 < 3, -x).otherwise(x)))
-    }.reduce(_ union _)
-
-    val events = (0 until factor).map { k =>
-      spark.read.parquet(s"$sfDir/events.parquet")
-        .select((col("event_id") + lit(k.toLong * 1000000000L)).as("event_id"),
-          (col("user_id") + lit(k.toLong * 1000000L)).as("user_id"),
-          col("event_type"), col("ts"), col("value"))
-    }.reduce(_ union _)
+    val docs = replicateDocs(spark, sfDir, factor)
+    val emb = replicateEmbeddings(spark, sfDir, factor)
+    val events = replicateEvents(spark, sfDir, factor)
 
     // materialize the replicated inputs once so every op times its own
     // work, not the union-of-parquet-scans
