@@ -213,6 +213,15 @@ class TextPipelineSpec extends AnyFunSuite {
       nlist = 8, threshold = 0.97)
       .collect().map(r => (r.getLong(0), r.getBoolean(3))).toSet
     assert(out.map(r => (r._1, r._4)).toSet == again)
+    // threshold monotonicity: the keep-priority order is τ-independent,
+    // so raising τ only removes pairs — every doc kept at a LOWER τ is
+    // kept at a higher one
+    val loose = EmbeddingDedup.semDedupKeep(emb.union(dupes), "id", "vec",
+      nlist = 8, threshold = 0.5)
+      .collect().filter(_.getBoolean(3)).map(_.getLong(0)).toSet
+    val strictKeeps = again.filter(_._2).map(_._1)
+    assert(loose.subsetOf(strictKeeps),
+      s"kept at τ=0.5 but dropped at τ=0.97: ${loose -- strictKeeps}")
   }
 
   test("tfidfTopTerms ranks rare terms above common ones, rational scores") {
