@@ -154,6 +154,48 @@ object SparkEntry {
     path.toString
   }
 
+  /** Two-file WARC fixture from the documents table: even doc_ids in a
+    * plain .warc, odd in a whole-file-gzipped .warc.gz — one fixture
+    * exercises both decode paths of [[graft.datasource.Warc]]. Atomic
+    * tmp-file + rename like the other fixtures. */
+  private def warcFixtureDir(s: SparkSession, dir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val root = Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_warc_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+    val rows = t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+      .orderBy("doc_id").collect()
+    def record(id: Long, text: String, source: String): Array[Byte] = {
+      val payload = text.getBytes("UTF-8")
+      val hdr = (s"WARC/1.0\r\n" +
+        s"WARC-Type: response\r\n" +
+        s"WARC-Target-URI: http://graft.test/$source/$id\r\n" +
+        f"WARC-Date: 2024-01-01T00:00:${id % 60}%02dZ\r\n" +
+        s"WARC-Record-ID: <urn:uuid:doc-$id>\r\n" +
+        s"Content-Type: text/plain\r\n" +
+        s"Content-Length: ${payload.length}\r\n\r\n").getBytes("UTF-8")
+      hdr ++ payload ++ "\r\n\r\n".getBytes("UTF-8")
+    }
+    val plain = rows.filter(_.getLong(0) % 2 == 0)
+      .flatMap(r => record(r.getLong(0), r.getString(1), r.getString(2)))
+    val odd = rows.filter(_.getLong(0) % 2 == 1)
+      .flatMap(r => record(r.getLong(0), r.getString(1), r.getString(2)))
+    val gzBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(odd); gz.close()
+      bos.toByteArray
+    }
+    Files.createDirectories(root)
+    for ((name, bytes) <- Seq("even.warc" -> plain, "odd.warc.gz" -> gzBytes)) {
+      val tmp = Files.createTempFile(root, name, ".tmp")
+      Files.write(tmp, bytes)
+      Files.move(tmp, root.resolve(name), java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    root.toString
+  }
+
   private def geotiffRead(s: SparkSession, dir: String, lazyTiles: Boolean): DataFrame = {
     val fxDir = geotiffFixtureDir(s, dir)
     s.read.format("geotiff")
@@ -546,6 +588,21 @@ object SparkEntry {
         .select(st_asText(col("geometry")).as("wkt"),
           col("qi"), col("lni"), col("label"), col("ratio"), col("flag"))
         .orderBy("qi", "lni")
+    }),
+    // WARC container read (Common Crawl shape): records re-derived from
+    // the documents table they were built from — headers lifted to
+    // columns, Content-Length-framed payload decoded back to the text.
+    // The fixture splits even doc_ids into a plain .warc and odd into a
+    // whole-file .warc.gz, so both decode paths face the oracle.
+    "q_warc_read" -> ((s, dir) => {
+      val path = warcFixtureDir(s, dir)
+      s.read.format("warc").option("path", path).load()
+        .select(
+          regexp_extract(col("target_uri"), "/(\\d+)$", 1).cast("long").as("doc_id"),
+          col("record_type"), col("target_uri"), col("warc_date"),
+          col("content_type"), col("content_length"),
+          col("payload").cast("string").as("text"))
+        .orderBy("doc_id")
     }),
     "q_raster_catalog" -> ((s, dir) => {
       val fxDir = geotiffFixtureDir(s, dir)
@@ -2176,6 +2233,15 @@ object SparkEntry {
         |  CAST(qi AS BIGINT) AS qi, CAST(lni AS BIGINT) AS lni,
         |  'q' || qi AS label, qi / 2.0 AS ratio, qi % 2 = 0 AS flag
         |FROM p ORDER BY qi, lni""".stripMargin,
+    // WARC headers/payload replay directly from the documents rows the
+    // fixture serialized (ASCII corpus: strlen = Content-Length bytes)
+    "q_warc_read" ->
+      """SELECT doc_id, 'response' AS record_type,
+        |  'http://graft.test/' || source || '/' || doc_id AS target_uri,
+        |  '2024-01-01T00:00:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || 'Z' AS warc_date,
+        |  'text/plain' AS content_type,
+        |  CAST(strlen(text) AS BIGINT) AS content_length, text
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // catalog read: cells as q_geotiff_read; z2 = 31-bit Morton
     // interleave of the window centroid (cx, cy) = (4*kc+2, 3-2*kr) in
     // epsg:4326, replayed with the q_sfc_index normalization
