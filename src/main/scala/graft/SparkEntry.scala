@@ -2207,7 +2207,8 @@ object SparkEntry {
         |    SUM(CAST(floor((255.0 * LEAST(7, floor(t * 8))) / 7) AS BIGINT)) AS rsum
         |  FROM t GROUP BY 1)
         |SELECT g.l_orderkey, CAST(8 AS INTEGER) AS w, CAST(4 AS INTEGER) AS h,
-        |  CAST(g.dc AS BIGINT) AS opaque, vir.rsum AS vir_red, g8.rsum AS g8_red
+        |  CAST(g.dc AS BIGINT) AS opaque, CAST(vir.rsum AS BIGINT) AS vir_red,
+        |  CAST(g8.rsum AS BIGINT) AS g8_red
         |FROM g JOIN vir ON g.l_orderkey = vir.l_orderkey
         |JOIN g8 ON g.l_orderkey = g8.l_orderkey ORDER BY g.l_orderkey""".stripMargin),
     // the tile set is the written-slot set; opaque = 2048 per data cell
