@@ -26,6 +26,27 @@ object SparkEntry {
     s.read.parquet(s"$dir/$name.parquet")
   }
 
+  /**
+   * The events table with `tus` = `ts` as epoch micros, resolved
+   * SCHEMA-ADAPTIVELY: the driver has shipped `events.ts` both as
+   * parquet TIMESTAMP(NANOS) (long nanos under the legacy reader) and
+   * as TIMESTAMP(MICROS) (a typed TIMESTAMP/_NTZ column) — the silent
+   * switch between the two broke all five temporal queries in round 9.
+   * A long column is taken as NANOS (`div 1000` keeps it integral,
+   * matching the oracle's `epoch_ns(ts) // 1000`); typed columns go
+   * through [[graft.pipeline.Temporal.epochMicros]]. Every temporal
+   * query reads events through this one helper, and EntrySchemaSpec
+   * trips loudly if a future regeneration brings a third shape.
+   */
+  private def eventsMicros(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val tus = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => graft.pipeline.Temporal.epochMicros(ev, "ts")
+    }
+    ev.withColumn("tus", tus)
+  }
+
   /** Per-orderkey aligned tiles: t_qty (l_quantity), t_ln (l_linenumber). */
   private def tiled(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("l_orderkey")
@@ -1776,20 +1797,17 @@ object SparkEntry {
     "q_sessions" -> ((s, dir) => {
       // session_window sessionization of the event stream shape, batch
       // face (identical call works under readStream). Exact aggregates
-      // only; `div` keeps the nanos→micros conversion integral.
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = t(s, dir, "events")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // only; sessionStats resolves the time axis itself (tus = epoch
+      // micros, the numeric branch of its schema-adaptive event time).
       graft.streaming.StreamingPipeline.sessionStats(
-          ev, "user_id", "ts", "value", gap = "1 hour")
+          eventsMicros(s, dir), "user_id", "tus", "value", gap = "1 hour")
         .orderBy("user_id", "session_start")
     }),
     // As-of join: each click annotated with the latest at-or-before view
     // by the same user. Single-shuffle union+window algorithm
     // (Temporal.asofJoin) — no theta join, no BNLJ.
     "q_asof" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = t(s, dir, "events").withColumn("tus", expr("ts div 1000"))
+      val ev = eventsMicros(s, dir)
       // right side pre-aggregated to unique (user_id, tus) so the
       // tie-break never engages and any engine agrees row-for-row
       val views = ev.where(col("event_type") === "view")
@@ -1803,8 +1821,7 @@ object SparkEntry {
     // hot-key-safe twin: per-key window split across one-hour time
     // buckets, same oracle row-for-row (width never changes results)
     "q_asof_bucketed" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = t(s, dir, "events").withColumn("tus", expr("ts div 1000"))
+      val ev = eventsMicros(s, dir)
       val views = ev.where(col("event_type") === "view")
         .groupBy("user_id", "tus").agg(max("value").as("value"))
       val clicks = ev.where(col("event_type") === "click")
@@ -1817,9 +1834,8 @@ object SparkEntry {
     // per click (left outer via re-join so zero-error clicks keep a row).
     // Bucketed equi-join on (user_id, time bucket) — the 100 TB shape.
     "q_interval_join" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val tenMinUs = 600000000L
-      val ev = t(s, dir, "events").withColumn("tus", expr("ts div 1000"))
+      val ev = eventsMicros(s, dir)
       val errors = ev.where(col("event_type") === "error")
         .select("user_id", "tus", "value")
       val clicks = ev.where(col("event_type") === "click")
@@ -1836,11 +1852,9 @@ object SparkEntry {
           col("min_error"), col("max_error"))
         .orderBy("event_id")
     }),
-    // events.ts is parquet TIMESTAMP(NANOS): read as long nanos, convert.
     "q_events_daily" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      t(s, dir, "events")
-        .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      eventsMicros(s, dir)
+        .withColumn("ts", timestamp_micros(col("tus")))
         .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
         .agg(count(lit(1)).as("n"),
           min("value").as("min_value"), max("value").as("max_value"),

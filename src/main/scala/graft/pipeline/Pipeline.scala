@@ -456,12 +456,18 @@ object EmbeddingDedup {
     // Materialized once — it feeds both sides of the pair join and the
     // final projection, and recomputing the assignment is a full corpus
     // scan per consumer (same contract as ivfTopK's assignment table).
+    // EAGER localCheckpoint rather than persist(): an operator that
+    // returns a lazy DataFrame has no safe place to unpersist, and a
+    // persist() block stays pinned in the CacheManager until an explicit
+    // unpersist — checkpoint blocks are instead reclaimed by the
+    // ContextCleaner as soon as the result plan is dropped (the
+    // RasterJoin.bucketed rationale).
     val scored = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
         c(NearestCentroid(asExpr(col(vecCol)), cents)).as("cell"))
       .join(centroids, Seq("cell"))
       .select(col("cell"), col("id"), col("vec"),
         Similarity.cosine(col("vec"), col("centroid")).as("csim"))
-      .persist()
+      .localCheckpoint(true)
     // a (higher-priority a, lower-priority b) pair at sim ≥ τ drops b;
     // priority = (csim asc, id asc), evaluated directly in the join
     // condition — no per-cell window/rank shuffle
@@ -659,9 +665,13 @@ object Similarity {
     val cents = QuantizerKMeans.fit(sample, nlist, fitIters)
     // Assignment is one scalar pass with the centroids shipped in the
     // expression ([[NearestCentroid]]) — materialized ONCE because both
-    // the probe side and the candidate join consume it.
+    // the probe side and the candidate join consume it. Eager
+    // localCheckpoint, not persist(): blocks are reclaimed by the
+    // ContextCleaner once the result plan is dropped, where a persist()
+    // from inside an operator would stay pinned with no unpersist site
+    // (see semDedupKeep).
     val assigned = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      c(NearestCentroid(asExpr(col(vecCol)), cents)).as("cell")).persist()
+      c(NearestCentroid(asExpr(col(vecCol)), cents)).as("cell")).localCheckpoint(true)
     // nprobe nearest cells per query vector: a single scalar pass
     // ([[NearestCells]], centroids shipped in the expression) — no
     // N×nlist cross-join rows, no per-id window shuffle; the probe SET

@@ -33,6 +33,32 @@ import org.apache.spark.sql.functions._
 object Temporal {
 
   /**
+   * A timestamp-ish column as epoch micros (long), schema-adaptively:
+   *
+   *  - `TIMESTAMP` → `unix_micros`
+   *  - `TIMESTAMP_NTZ` → cast to `TIMESTAMP` (interpreted in the
+   *    session timezone — graft sessions pin UTC) then `unix_micros`
+   *  - numeric → `CAST(... AS BIGINT)` unchanged: the caller's own
+   *    epoch algebra (micros, millis, a logical tick counter) passes
+   *    through untouched
+   *
+   * This is the single point where every temporal operator (and every
+   * SparkEntry temporal query) resolves its time axis, so a testdata
+   * regeneration that flips `events.ts` between TIMESTAMP(NANOS)-as-
+   * long and TIMESTAMP(MICROS) — which broke five queries in round 9 —
+   * is absorbed here instead of failing analysis in each caller.
+   */
+  def epochMicros(df: DataFrame, c: String): Column =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.TimestampType => unix_micros(col(c))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(col(c).cast(org.apache.spark.sql.types.TimestampType))
+      case _: org.apache.spark.sql.types.NumericType => col(c).cast("long")
+      case other => throw new IllegalArgumentException(
+        s"column $c: expected TIMESTAMP, TIMESTAMP_NTZ or numeric epoch, got $other")
+    }
+
+  /**
    * As-of join: for every left row, attach the single right row of the
    * same key with the greatest `rightTs <= leftTs` (pandas
    * `merge_asof(direction="backward", allow_exact_matches=True)`).
@@ -41,10 +67,15 @@ object Temporal {
    * with `rightPrefix` (including the matched right timestamp). Rows
    * with no qualifying match keep null right columns (left-outer).
    *
-   * `tolerance`: optional maximum for `leftTs - rightTs`; matches
-   * farther in the past are nulled out. Pass a literal in the timestamp
-   * columns' own algebra — `lit(600000000L)` for long micros,
-   * `expr("INTERVAL '10' MINUTE")` for TIMESTAMP columns.
+   * Timestamp columns: `leftTs`/`rightTs` may be TIMESTAMP,
+   * TIMESTAMP_NTZ or numeric epoch values, mixed freely — both sides
+   * are normalized to epoch micros via [[epochMicros]] before the sort.
+   * Right payload columns keep their original types in the output.
+   *
+   * `tolerance`: optional maximum for `leftTs - rightTs` in the
+   * NORMALIZED domain — micros for TIMESTAMP inputs
+   * (`lit(600000000L)` = 10 min), the columns' own units for numeric
+   * inputs. Matches farther in the past are nulled out.
    *
    * Determinism: if several right rows share the matched (key, ts), the
    * one with the greatest payload struct wins (a total order, so plans
@@ -70,13 +101,17 @@ object Temporal {
       tolerance: Option[Column] = None): DataFrame = {
     val payloadCols = right.columns.filterNot(_ == key).toSeq
     require(payloadCols.contains(rightTs), s"right is missing ts column $rightTs")
+    // __graft_ots rides inside the payload struct so tolerance can
+    // subtract in the normalized micros domain even when the visible
+    // rightTs column is TIMESTAMP-typed; it is dropped on projection
     val r = right.select(
-      col(key).as("__graft_k"), col(rightTs).as("__graft_ts"),
+      col(key).as("__graft_k"), epochMicros(right, rightTs).as("__graft_ts"),
       lit(0).as("__graft_side"),
-      struct(payloadCols.map(col): _*).as("__graft_r"))
+      struct(payloadCols.map(col) :+
+        epochMicros(right, rightTs).as("__graft_ots"): _*).as("__graft_r"))
     val l = left
       .withColumn("__graft_k", col(key))
-      .withColumn("__graft_ts", col(leftTs))
+      .withColumn("__graft_ts", epochMicros(left, leftTs))
       .withColumn("__graft_side", lit(1))
     val u = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy("__graft_k")
@@ -86,7 +121,7 @@ object Temporal {
     val matched = tolerance match {
       case Some(tol) =>
         when(matchedRaw.isNotNull &&
-          col("__graft_ts") - matchedRaw(rightTs) <= tol, matchedRaw)
+          col("__graft_ts") - matchedRaw("__graft_ots") <= tol, matchedRaw)
       case None => matchedRaw
     }
     u.withColumn("__graft_m", matched)
@@ -112,11 +147,12 @@ object Temporal {
    * side −1, so it sorts before any real right row at the same
    * timestamp and real rows always win within their bucket.
    *
-   * Timestamps must be NUMERIC and non-negative (epoch micros via
-   * `unix_micros` for TIMESTAMP columns), like [[intervalJoin]] —
-   * bucketing is integer floor-division. Pick `bucketWidth` so a hot
-   * key spreads across hundreds of buckets; correctness never depends
-   * on the choice.
+   * Timestamps may be TIMESTAMP/TIMESTAMP_NTZ (normalized to epoch
+   * micros via [[epochMicros]] — `bucketWidth` and `tolerance` are then
+   * in MICROS) or numeric non-negative epochs in the caller's own
+   * units, like [[intervalJoin]] — bucketing is integer floor-division.
+   * Pick `bucketWidth` so a hot key spreads across hundreds of buckets;
+   * correctness never depends on the choice.
    */
   def asofJoinBucketed(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, bucketWidth: Long,
@@ -125,13 +161,14 @@ object Temporal {
     val payloadCols = right.columns.filterNot(_ == key).toSeq
     require(payloadCols.contains(rightTs), s"right is missing ts column $rightTs")
     val r = right.select(
-      col(key).as("__graft_k"), col(rightTs).cast("long").as("__graft_ts"),
+      col(key).as("__graft_k"), epochMicros(right, rightTs).as("__graft_ts"),
       lit(0).as("__graft_side"),
-      struct(payloadCols.map(col): _*).as("__graft_r"))
+      struct(payloadCols.map(col) :+
+        epochMicros(right, rightTs).as("__graft_ots"): _*).as("__graft_r"))
       .withColumn("__graft_b", expr(s"__graft_ts div ${bucketWidth}L"))
     val l = left
       .withColumn("__graft_k", col(key))
-      .withColumn("__graft_ts", col(leftTs).cast("long"))
+      .withColumn("__graft_ts", epochMicros(left, leftTs))
       .withColumn("__graft_side", lit(1))
       .withColumn("__graft_b", expr(s"__graft_ts div ${bucketWidth}L"))
     // bounded summary: the last (ts, payload) per occupied right bucket
@@ -159,7 +196,7 @@ object Temporal {
     val matched = tolerance match {
       case Some(tol) =>
         when(matchedRaw.isNotNull &&
-          col("__graft_ts") - matchedRaw(rightTs) <= tol, matchedRaw)
+          col("__graft_ts") - matchedRaw("__graft_ots") <= tol, matchedRaw)
       case None => matchedRaw
     }
     u.withColumn("__graft_m", matched)
@@ -176,8 +213,11 @@ object Temporal {
    * `spanPrefix`. Inner semantics — aggregate and re-join to the span
    * table for left-outer counts (see q_interval_join).
    *
-   * Timestamps must be NUMERIC (epoch micros via `unix_micros` for
-   * TIMESTAMP columns): bucketing is integer floor-division.
+   * Timestamps may be TIMESTAMP/TIMESTAMP_NTZ (normalized to epoch
+   * micros via [[epochMicros]] — `bucketWidth` is then in MICROS) or
+   * numeric epochs: bucketing is integer floor-division, and the exact
+   * containment refine also runs in the normalized domain, so the
+   * point and span sides may even mix typed and numeric timestamps.
    *
    * `bucketWidth` tuning: pick ≈ the typical span length, so each span
    * lands in O(1) buckets. Shuffle cost is |points| + Σ ⌈span/width⌉;
@@ -194,18 +234,22 @@ object Temporal {
     val spanCols = spans.columns.toSeq
     val p = points
       .withColumn("__graft_k", col(key))
-      .withColumn("__graft_b", expr(s"CAST($tsCol AS BIGINT) div ${bucketWidth}L"))
+      .withColumn("__graft_t", epochMicros(points, tsCol))
+      .withColumn("__graft_b", expr(s"__graft_t div ${bucketWidth}L"))
     // one row per bucket the half-open span overlaps; empty spans vanish
     val sp = spans
-      .where(col(endCol) > col(startCol))
+      .withColumn("__graft_lo", epochMicros(spans, startCol))
+      .withColumn("__graft_hi", epochMicros(spans, endCol))
+      .where(col("__graft_hi") > col("__graft_lo"))
       .select(col(key).as("__graft_k"),
+        col("__graft_lo"), col("__graft_hi"),
         explode(sequence(
-          expr(s"CAST($startCol AS BIGINT) div ${bucketWidth}L"),
-          expr(s"(CAST($endCol AS BIGINT) - 1) div ${bucketWidth}L"))).as("__graft_b"),
+          expr(s"__graft_lo div ${bucketWidth}L"),
+          expr(s"(__graft_hi - 1) div ${bucketWidth}L"))).as("__graft_b"),
         struct(spanCols.map(col): _*).as("__graft_s"))
     p.join(sp, Seq("__graft_k", "__graft_b"))
-      .where(col(tsCol) >= col("__graft_s")(startCol) &&
-        col(tsCol) < col("__graft_s")(endCol))
+      .where(col("__graft_t") >= col("__graft_lo") &&
+        col("__graft_t") < col("__graft_hi"))
       .select(points.columns.toIndexedSeq.map(col) ++
         spanCols.map(c => col("__graft_s")(c).as(spanPrefix + c)): _*)
   }

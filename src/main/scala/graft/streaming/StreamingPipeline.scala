@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -173,7 +173,8 @@ object StreamingPipeline {
    */
   def sessionize(df: DataFrame, keyCol: String, eventTimeCol: String,
       valueCol: String, gap: String, watermark: Option[String] = None): DataFrame = {
-    val src = watermark.fold(df)(w => df.withWatermark(eventTimeCol, w))
+    val typed = df.withColumn(eventTimeCol, eventTime(df, eventTimeCol))
+    val src = watermark.fold(typed)(w => typed.withWatermark(eventTimeCol, w))
     src.groupBy(col(keyCol), session_window(col(eventTimeCol), gap))
       .agg(count(lit(1)).as("n_events"), sum(col(valueCol)).as("total_value"))
       .select(col(keyCol),
@@ -189,9 +190,27 @@ object StreamingPipeline {
     * exactly `gap` after the previous one still MERGES into the session
     * (the interval is closed at its end); only a strictly larger gap
     * starts a new session. */
+  /** Event-time column as a TIMESTAMP, schema-adaptively: TIMESTAMP
+    * passes through, TIMESTAMP_NTZ is cast in the session timezone
+    * (graft sessions pin UTC), numeric is taken as epoch MICROS — the
+    * typed-axis twin of [[graft.pipeline.Temporal.epochMicros]] for
+    * operators built on `session_window`/watermarks, so callers never
+    * have to pre-convert (the round-9 regression class). */
+  private def eventTime(df: DataFrame, c: String): Column =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.TimestampType => col(c)
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        col(c).cast(org.apache.spark.sql.types.TimestampType)
+      case _: org.apache.spark.sql.types.NumericType =>
+        timestamp_micros(col(c).cast("long"))
+      case other => throw new IllegalArgumentException(
+        s"column $c: expected TIMESTAMP, TIMESTAMP_NTZ or numeric epoch micros, got $other")
+    }
+
   def sessionStats(df: DataFrame, keyCol: String, eventTimeCol: String,
       valueCol: String, gap: String): DataFrame =
-    df.groupBy(col(keyCol), session_window(col(eventTimeCol), gap))
+    df.withColumn(eventTimeCol, eventTime(df, eventTimeCol))
+      .groupBy(col(keyCol), session_window(col(eventTimeCol), gap))
       .agg(count(lit(1)).as("n_events"),
         min(col(valueCol)).as("min_value"), max(col(valueCol)).as("max_value"))
       .select(col(keyCol),

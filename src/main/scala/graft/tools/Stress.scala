@@ -80,7 +80,7 @@ object Stress {
       .appName("graft-stress")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", false)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -116,7 +116,13 @@ object Stress {
         nlist = nlist, nprobe = 8, fitSampleSize = 20000,
         coarseIters = 4, pqIters = 3))
 
-    val ev = events.withColumn("tus", expr("ts div 1000"))
+    // ts → epoch micros, schema-adaptive like SparkEntry.eventsMicros
+    // (long = legacy nanos, typed TIMESTAMP via Temporal.epochMicros)
+    val tus = events.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => graft.pipeline.Temporal.epochMicros(events, "ts")
+    }
+    val ev = events.withColumn("tus", tus)
     val views = ev.where(col("event_type") === "view")
       .groupBy("user_id", "tus").agg(max("value").as("value"))
     val clicks = ev.where(col("event_type") === "click")
@@ -126,8 +132,7 @@ object Stress {
         "tus", "tus", bucketWidth = 3600L * 1000000L, rightPrefix = "view_"))
     timed("sessions", factor)(
       graft.streaming.StreamingPipeline.sessionStats(
-        ev.withColumn("ts", timestamp_micros(col("tus"))),
-        "user_id", "ts", "value", gap = "1 hour"))
+        ev, "user_id", "tus", "value", gap = "1 hour"))
 
     spark.stop()
   }

@@ -290,4 +290,17 @@ class StreamingPipelineSpec extends AnyFunSuite {
       .orderBy("session_start").collect()
     assert(sp.length == 2, sp.mkString(","))
   }
+
+  test("sessionStats accepts a numeric epoch-micros event time directly") {
+    // schema-adaptive event time: a long micros column sessionizes to
+    // exactly the same rows as its timestamp_micros lift
+    val numeric = Seq((1L, 0L, 1.0), (1L, 600000000L, 2.0),
+      (1L, 1800000001L, 3.0), (2L, 5L, 4.0)).toDF("user_id", "ts", "value")
+    val typed = numeric.withColumn("ts", timestamp_micros(col("ts")))
+    val a = StreamingPipeline.sessionStats(numeric, "user_id", "ts", "value", "10 minutes")
+      .orderBy("user_id", "session_start").collect().map(_.toSeq).toSeq
+    val b = StreamingPipeline.sessionStats(typed, "user_id", "ts", "value", "10 minutes")
+      .orderBy("user_id", "session_start").collect().map(_.toSeq).toSeq
+    assert(a == b && a.length == 3, a.mkString(","))
+  }
 }

@@ -48,7 +48,6 @@ class StressSpec extends AnyFunSuite {
   }
 
   test("event replication keeps per-user event counts identical") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val two = Stress.replicateEvents(spark, sf, 2)
     val dens = two.groupBy((col("user_id") % 1000000L).as("u"),
         (col("user_id") >= 1000000L).as("copy"))

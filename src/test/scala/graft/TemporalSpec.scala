@@ -134,6 +134,52 @@ class TemporalSpec extends AnyFunSuite {
     assert(bucketedTol == plainTol)
   }
 
+  test("asofJoin accepts TIMESTAMP columns directly (no pre-cast)") {
+    // same data as the numeric fixtures, lifted to typed TIMESTAMP via
+    // timestamp_micros — results must agree row-for-row with the
+    // numeric run (the round-9 regression class: a caller handing the
+    // operator a typed parquet column must just work)
+    val tq = quotes.withColumn("ts", timestamp_micros(col("ts")))
+    val tt = trades.withColumn("ts", timestamp_micros(col("ts")))
+    val out = Temporal.asofJoin(tt, tq, "k", "ts", "ts")
+      .select(col("k"), unix_micros(col("ts")).as("ts"), col("qty"),
+        unix_micros(col("right_ts")).as("right_ts"), col("right_px"))
+      .orderBy("k", "ts").collect()
+    val num = Temporal.asofJoin(trades, quotes, "k", "ts", "ts")
+      .orderBy("k", "ts").collect()
+    assert(out.map(_.toSeq).toSeq == num.map(_.toSeq).toSeq)
+    // tolerance is in MICROS for TIMESTAMP inputs
+    val tol = Temporal.asofJoin(tt, tq, "k", "ts", "ts",
+        tolerance = Some(lit(10L)))
+      .orderBy("k", "ts").collect()
+      .map(r => !r.isNullAt(3)).toSeq
+    assert(tol == Seq(false, true, false, true, false, false))
+  }
+
+  test("asofJoinBucketed and intervalJoin accept TIMESTAMP columns") {
+    val tq = quotes.withColumn("ts", timestamp_micros(col("ts")))
+    val tt = trades.withColumn("ts", timestamp_micros(col("ts")))
+    val b = Temporal.asofJoinBucketed(tt, tq, "k", "ts", "ts", bucketWidth = 100L)
+      .select(col("k"), unix_micros(col("ts")).as("ts"), col("qty"),
+        unix_micros(col("right_ts")).as("right_ts"), col("right_px"))
+      .orderBy("k", "ts").collect()
+    val num = Temporal.asofJoin(trades, quotes, "k", "ts", "ts")
+      .orderBy("k", "ts").collect()
+    assert(b.map(_.toSeq).toSeq == num.map(_.toSeq).toSeq)
+
+    // interval join: typed points against NUMERIC spans — the refine
+    // runs in the normalized micros domain so mixing is legal
+    val pts = Seq(("A", 5L, "p1"), ("A", 10L, "p2"), ("A", 19L, "p3"),
+      ("A", 20L, "p4"), ("B", 10L, "p5")).toDF("k", "ts", "tag")
+      .withColumn("ts", timestamp_micros(col("ts")))
+    val spans = Seq(("A", 10L, 20L, "s1"), ("A", 15L, 16L, "s2"),
+      ("B", 0L, 100L, "s3")).toDF("k", "lo", "hi", "name")
+    val got = Temporal.intervalJoin(pts, spans, "k", "ts", "lo", "hi", 7L)
+      .select("tag", "span_name").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("p2", "s1"), ("p3", "s1"), ("p5", "s3")))
+  }
+
   test("asofJoin plan is a single shuffle (no broadcast-nested-loop)") {
     val plan = Temporal.asofJoin(trades, quotes, "k", "ts", "ts")
       .queryExecution.executedPlan.toString

@@ -224,6 +224,18 @@ class TextPipelineSpec extends AnyFunSuite {
       s"kept at τ=0.5 but dropped at τ=0.97: ${loose -- strictKeeps}")
   }
 
+  test("semDedupKeep leaves nothing pinned in the cache manager") {
+    // the assignment table is an eager localCheckpoint (ContextCleaner-
+    // reclaimable), NOT a Dataset.persist — a persist() from inside an
+    // operator has no unpersist site and would pin blocks in the
+    // CacheManager for the life of the session
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id".cast("long").as("id"), $"embedding".cast("array<double>").as("vec"))
+    EmbeddingDedup.semDedupKeep(emb, "id", "vec", nlist = 8).count()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "semDedupKeep left a pinned CacheManager entry behind")
+  }
+
   test("tfidfTopTerms ranks rare terms above common ones, rational scores") {
     import graft.pipeline.Dedup
     val docs = Seq(
