@@ -150,3 +150,105 @@ def winnow_pairs(df, id_col, text_col, k=3, w=4, min_shared=2,
         .agg(F.count(F.lit(1)).cast("int").alias("shared"))
         .where(F.col("shared") >= min_shared)
     )
+
+
+def _kmeans_fit(vectors, k, iters):
+    """Deterministic Lloyd quantizer — same init (sorted-id prefix, first
+    k vectors) and same sequential arithmetic order as the Scala
+    ``QuantizerKMeans.fit``, so centroids agree bit-for-bit (pure-python
+    floats are IEEE doubles)."""
+    if not vectors:
+        raise ValueError("k-means needs at least one vector")
+    dim = len(vectors[0])
+    cents = [list(vectors[i]) for i in range(min(k, len(vectors)))]
+    while len(cents) < k:
+        cents.append(list(vectors[0]))
+    for _ in range(iters):
+        sums = [[0.0] * dim for _ in range(k)]
+        counts = [0] * k
+        for v in vectors:
+            best, best_d = 0, float("inf")
+            for c in range(k):
+                cc = cents[c]
+                d = 0.0
+                for i in range(dim):
+                    x = v[i] - cc[i]
+                    d += x * x
+                if d < best_d:
+                    best_d, best = d, c
+            s = sums[best]
+            for i in range(dim):
+                s[i] += v[i]
+            counts[best] += 1
+        cents = [
+            cents[c] if counts[c] == 0
+            else [sums[c][i] / counts[c] for i in range(dim)]
+            for c in range(k)
+        ]
+    return cents
+
+
+def semdedup_keep(df, id_col, vec_col, nlist=16, threshold=0.97,
+                  fit_sample_size=100000, fit_iters=10):
+    """SemDeDup keep decisions — Python mirror of the Scala
+    ``EmbeddingDedup.semDedupKeep`` (Abbas et al. 2023,
+    arXiv:2303.09540): k-means cells + within-cell cosine pruning, keep
+    priority = LOW centroid similarity (edge examples survive), ties to
+    the lower id. Returns ``(id, cell, csim, keep)``.
+
+    Same scale shape as the Scala side: bounded driver fit sample,
+    nlist-row broadcast centroid table, cell equi-join for candidate
+    pairs — no corpus broadcast, no cross join over data rows.
+    """
+    sample = [list(r[1]) for r in
+              df.select(F.col(id_col).alias("id"),
+                        F.col(vec_col).cast("array<double>").alias("v"))
+                .orderBy("id").limit(fit_sample_size).collect()]
+    cents = _kmeans_fit(sample, nlist, fit_iters)
+    spark = df.sparkSession
+    centroids = F.broadcast(spark.createDataFrame(
+        [(i, v) for i, v in enumerate(cents)],
+        "cell int, centroid array<double>"))
+    vecs = df.select(F.col(id_col).alias("id"),
+                     F.col(vec_col).cast("array<double>").alias("vec"))
+    # assignment: argmin squared-L2 over the nlist-row broadcast table;
+    # (dist, cell) min-struct ties to the lowest cell like the Scala
+    # NearestCentroid expression
+    dist = F.aggregate(
+        F.zip_with(F.col("vec"), F.col("centroid"),
+                   lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    w = Window.partitionBy("id").orderBy("__d", "cell")
+    scored = (
+        vecs.join(centroids)
+        .withColumn("__d", dist)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(F.col("cell"), F.col("id"), F.col("vec"),
+                F.expr("pl_cosine_similarity(vec, centroid)").alias("csim"))
+        .localCheckpoint(True)
+    )
+    a = scored.select(F.col("cell"), F.col("id").alias("a_id"),
+                      F.col("vec").alias("a_vec"), F.col("csim").alias("a_csim"))
+    b = scored.select(F.col("cell"), F.col("id").alias("b_id"),
+                      F.col("vec").alias("b_vec"), F.col("csim").alias("b_csim"))
+    dropped = (
+        a.join(b, ["cell"])
+        .where((F.col("a_csim") < F.col("b_csim"))
+               | ((F.col("a_csim") == F.col("b_csim"))
+                  & (F.col("a_id") < F.col("b_id"))))
+        .where(F.expr("pl_cosine_similarity(a_vec, b_vec)") >= threshold)
+        .select(F.col("b_id").alias("id")).distinct())
+    return (
+        scored.select("id", "cell", "csim")
+        .join(dropped.withColumn("dup", F.lit(True)), ["id"], "left")
+        .select("id", "cell", "csim",
+                F.coalesce(~F.col("dup"), F.lit(True)).alias("keep")))
+
+
+def read_warc(spark, path):
+    """Common Crawl WARC container read through the JVM ``warc`` DSv2
+    source (one task per ``.warc``/``.warc.gz`` file — the industry
+    shape): columns ``(record_type, target_uri, warc_date, content_type,
+    content_length, payload)``."""
+    return spark.read.format("warc").option("path", path).load()

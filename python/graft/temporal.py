@@ -19,7 +19,24 @@ the same fixtures as TemporalSpec).
 """
 
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
+
+
+def epoch_micros(df, c):
+    """``c`` as epoch micros (long), schema-adaptively — the Python twin
+    of ``Temporal.epochMicros``: TIMESTAMP via ``unix_micros``,
+    TIMESTAMP_NTZ cast in the session timezone (graft pins UTC) first,
+    numeric passes through as the caller's own epoch algebra."""
+    dt = df.schema[c].dataType
+    if isinstance(dt, T.TimestampType):
+        return F.unix_micros(F.col(c))
+    if isinstance(dt, T.TimestampNTZType):
+        return F.unix_micros(F.col(c).cast("timestamp"))
+    if isinstance(dt, T.NumericType):
+        return F.col(c).cast("long")
+    raise ValueError(
+        f"column {c}: expected TIMESTAMP, TIMESTAMP_NTZ or numeric epoch, got {dt}")
 
 
 def _int_bucket_width(bucket_width):
@@ -40,9 +57,12 @@ def asof_join(left, right, key, left_ts, right_ts, right_prefix="right_",
     direction="backward", exact matches allowed). Left-outer: unmatched
     rows keep null right columns.
 
+    Timestamp columns may be TIMESTAMP/TIMESTAMP_NTZ or numeric epochs,
+    mixed freely — both sides normalize through :func:`epoch_micros`.
+
     ``tolerance``: optional Column literal bounding ``left_ts -
-    right_ts`` in the ts columns' own algebra (``F.lit(600000000)`` for
-    long micros, ``F.expr("INTERVAL '10' MINUTE")`` for timestamps).
+    right_ts`` in the NORMALIZED domain — micros for TIMESTAMP inputs
+    (``F.lit(600000000)`` = 10 min), the columns' own units for numeric.
 
     Ties on the matched ``(key, ts)`` resolve to the greatest payload
     struct — a total order, so engines and plans agree.
@@ -52,13 +72,15 @@ def asof_join(left, right, key, left_ts, right_ts, right_prefix="right_",
         raise ValueError(f"right is missing ts column {right_ts}")
     r = right.select(
         F.col(key).alias("__graft_k"),
-        F.col(right_ts).alias("__graft_ts"),
+        epoch_micros(right, right_ts).alias("__graft_ts"),
         F.lit(0).alias("__graft_side"),
-        F.struct(*[F.col(c) for c in payload_cols]).alias("__graft_r"),
+        F.struct(*([F.col(c) for c in payload_cols]
+                   + [epoch_micros(right, right_ts).alias("__graft_ots")])
+                 ).alias("__graft_r"),
     )
     l = (
         left.withColumn("__graft_k", F.col(key))
-        .withColumn("__graft_ts", F.col(left_ts))
+        .withColumn("__graft_ts", epoch_micros(left, left_ts))
         .withColumn("__graft_side", F.lit(1))
     )
     u = l.unionByName(r, allowMissingColumns=True)
@@ -71,7 +93,7 @@ def asof_join(left, right, key, left_ts, right_ts, right_prefix="right_",
     if tolerance is not None:
         matched = F.when(
             matched.isNotNull()
-            & (F.col("__graft_ts") - matched[right_ts] <= tolerance),
+            & (F.col("__graft_ts") - matched["__graft_ots"] <= tolerance),
             matched,
         )
     u = u.withColumn("__graft_m", matched).where(F.col("__graft_side") == 1)
@@ -89,8 +111,9 @@ def asof_join_bucketed(left, right, key, left_ts, right_ts, bucket_width,
     parallelizes across its time range. The carry-in (latest right row
     before each bucket start) comes from a bounded per-(key, bucket)
     max-struct summary; carry rows inject at side -1 so real rows win
-    boundary ties. Timestamps must be numeric and non-negative (epoch
-    micros), like :func:`interval_join`.
+    boundary ties. Timestamps may be TIMESTAMP/TIMESTAMP_NTZ
+    (``bucket_width``/``tolerance`` then in MICROS) or numeric
+    non-negative epochs, like :func:`interval_join`.
     """
     bucket_width = _int_bucket_width(bucket_width)
     payload_cols = [c for c in right.columns if c != key]
@@ -98,13 +121,15 @@ def asof_join_bucketed(left, right, key, left_ts, right_ts, bucket_width,
         raise ValueError(f"right is missing ts column {right_ts}")
     r = right.select(
         F.col(key).alias("__graft_k"),
-        F.col(right_ts).cast("long").alias("__graft_ts"),
+        epoch_micros(right, right_ts).alias("__graft_ts"),
         F.lit(0).alias("__graft_side"),
-        F.struct(*[F.col(c) for c in payload_cols]).alias("__graft_r"),
+        F.struct(*([F.col(c) for c in payload_cols]
+                   + [epoch_micros(right, right_ts).alias("__graft_ots")])
+                 ).alias("__graft_r"),
     ).withColumn("__graft_b", F.expr(f"__graft_ts div {bucket_width}L"))
     l = (
         left.withColumn("__graft_k", F.col(key))
-        .withColumn("__graft_ts", F.col(left_ts).cast("long"))
+        .withColumn("__graft_ts", epoch_micros(left, left_ts))
         .withColumn("__graft_side", F.lit(1))
         .withColumn("__graft_b", F.expr(f"__graft_ts div {bucket_width}L"))
     )
@@ -140,7 +165,7 @@ def asof_join_bucketed(left, right, key, left_ts, right_ts, bucket_width,
     if tolerance is not None:
         matched = F.when(
             matched.isNotNull()
-            & (F.col("__graft_ts") - matched[right_ts] <= tolerance),
+            & (F.col("__graft_ts") - matched["__graft_ots"] <= tolerance),
             matched,
         )
     u = u.withColumn("__graft_m", matched).where(F.col("__graft_side") == 1)
@@ -154,25 +179,33 @@ def interval_join(points, spans, key, ts_col, start_col, end_col,
                   bucket_width, span_prefix="span_"):
     """Every (point, span) pair of the same ``key`` with
     ``start <= ts < end`` (half-open). Span columns come back prefixed
-    with ``span_prefix``. Timestamps must be numeric (epoch micros via
-    ``unix_micros`` for TIMESTAMP columns).
+    with ``span_prefix``. Timestamps may be TIMESTAMP/TIMESTAMP_NTZ
+    (``bucket_width`` then in MICROS) or numeric epochs — bucketing and
+    the exact refine both run in the :func:`epoch_micros`-normalized
+    domain, so the two sides may even mix typed and numeric columns.
 
     ``bucket_width`` ~ typical span length: each span explodes to
     ``ceil(span/width)`` bucket rows; any width gives identical results.
     """
     bucket_width = _int_bucket_width(bucket_width)
     span_cols = list(spans.columns)
-    p = points.withColumn("__graft_k", F.col(key)).withColumn(
-        "__graft_b", F.expr(f"CAST({ts_col} AS BIGINT) div {bucket_width}L")
+    p = (
+        points.withColumn("__graft_k", F.col(key))
+        .withColumn("__graft_t", epoch_micros(points, ts_col))
+        .withColumn("__graft_b", F.expr(f"__graft_t div {bucket_width}L"))
     )
     sp = (
-        spans.where(F.col(end_col) > F.col(start_col))
+        spans.withColumn("__graft_lo", epoch_micros(spans, start_col))
+        .withColumn("__graft_hi", epoch_micros(spans, end_col))
+        .where(F.col("__graft_hi") > F.col("__graft_lo"))
         .select(
             F.col(key).alias("__graft_k"),
+            F.col("__graft_lo"),
+            F.col("__graft_hi"),
             F.explode(
                 F.sequence(
-                    F.expr(f"CAST({start_col} AS BIGINT) div {bucket_width}L"),
-                    F.expr(f"(CAST({end_col} AS BIGINT) - 1) div {bucket_width}L"),
+                    F.expr(f"__graft_lo div {bucket_width}L"),
+                    F.expr(f"(__graft_hi - 1) div {bucket_width}L"),
                 )
             ).alias("__graft_b"),
             F.struct(*[F.col(c) for c in span_cols]).alias("__graft_s"),
@@ -181,8 +214,8 @@ def interval_join(points, spans, key, ts_col, start_col, end_col,
     return (
         p.join(sp, ["__graft_k", "__graft_b"])
         .where(
-            (F.col(ts_col) >= F.col("__graft_s")[start_col])
-            & (F.col(ts_col) < F.col("__graft_s")[end_col])
+            (F.col("__graft_t") >= F.col("__graft_lo"))
+            & (F.col("__graft_t") < F.col("__graft_hi"))
         )
         .select(
             *[F.col(c) for c in points.columns],

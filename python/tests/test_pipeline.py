@@ -65,3 +65,42 @@ def test_winnow_pairs_matches_scala_semantics(spark):
     assert any(r["a_id"] == 1 and r["b_id"] == 2 and r["shared"] >= 2
                for r in out)
     assert not any(r["a_id"] == 3 or r["b_id"] == 3 for r in out)
+
+
+def test_semdedup_keep_drops_planted_pairs(spark):
+    from graft.pipeline import semdedup_keep
+
+    emb = (spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+           .select(F.col("vec_id").cast("long").alias("id"),
+                   F.col("embedding").cast("array<double>").alias("vec")))
+    dupes = emb.where(F.col("id") < 10).select(
+        (F.col("id") + 100000).alias("id"), F.col("vec"))
+    out = semdedup_keep(emb.union(dupes), "id", "vec", nlist=8, threshold=0.97)
+    rows = {r["id"]: (r["cell"], r["csim"], r["keep"]) for r in out.collect()}
+    assert len(rows) == emb.count() + 10
+    # each planted exact-copy pair loses exactly its higher id (equal
+    # csim -> tie to the lower id), nothing else sits at cosine >= 0.97
+    dropped = {i for i, (_, _, keep) in rows.items() if not keep}
+    assert dropped == {i + 100000 for i in range(10)}, dropped
+
+
+def test_read_warc_parses_records(spark, tmp_path):
+    import gzip
+
+    from graft.pipeline import read_warc
+
+    body = b"hello warc"
+    rec = (b"WARC/1.0\r\n"
+           b"WARC-Type: response\r\n"
+           b"WARC-Target-URI: http://example.test/doc/7\r\n"
+           b"WARC-Date: 2024-01-01T00:00:07Z\r\n"
+           b"Content-Type: text/plain\r\n"
+           b"Content-Length: " + str(len(body)).encode() + b"\r\n"
+           b"\r\n" + body + b"\r\n\r\n")
+    (tmp_path / "t.warc.gz").write_bytes(gzip.compress(rec * 3))
+    out = read_warc(spark, str(tmp_path)).collect()
+    assert len(out) == 3
+    assert all(r["record_type"] == "response" for r in out)
+    assert all(r["target_uri"] == "http://example.test/doc/7" for r in out)
+    assert all(bytes(r["payload"]) == body for r in out)
+    assert all(r["content_length"] == len(body) for r in out)

@@ -72,3 +72,39 @@ def test_interval_join_half_open_any_width(spark):
             .select("tag", "span_name").collect()
         }
         assert got == expected, f"width {width}"
+
+
+def test_asof_and_interval_accept_timestamp_columns(spark):
+    # typed TIMESTAMP inputs must agree row-for-row with the numeric run
+    tq = _quotes(spark).withColumn("ts", F.timestamp_micros(F.col("ts")))
+    tt = _trades(spark).withColumn("ts", F.timestamp_micros(F.col("ts")))
+    typed = (asof_join(tt, tq, "k", "ts", "ts")
+             .select(F.col("k"), F.unix_micros("ts").alias("ts"), F.col("qty"),
+                     F.unix_micros("right_ts").alias("right_ts"),
+                     F.col("right_px"))
+             .orderBy("k", "ts").collect())
+    num = (asof_join(_trades(spark), _quotes(spark), "k", "ts", "ts")
+           .orderBy("k", "ts").collect())
+    assert [tuple(r) for r in typed] == [tuple(r) for r in num]
+
+    bucketed = (asof_join_bucketed(tt, tq, "k", "ts", "ts", 100)
+                .select(F.col("k"), F.unix_micros("ts").alias("ts"), F.col("qty"),
+                        F.unix_micros("right_ts").alias("right_ts"),
+                        F.col("right_px"))
+                .orderBy("k", "ts").collect())
+    assert [tuple(r) for r in bucketed] == [tuple(r) for r in num]
+
+    # typed points against NUMERIC spans: refine runs in the normalized
+    # micros domain, so mixing is legal
+    pts = spark.createDataFrame(
+        [("A", 5, "p1"), ("A", 10, "p2"), ("A", 19, "p3"),
+         ("A", 20, "p4"), ("B", 10, "p5")],
+        "k string, ts long, tag string",
+    ).withColumn("ts", F.timestamp_micros(F.col("ts")))
+    spans = spark.createDataFrame(
+        [("A", 10, 20, "s1"), ("A", 15, 16, "s2"), ("B", 0, 100, "s3")],
+        "k string, lo long, hi long, name string",
+    )
+    got = {(r["tag"], r["span_name"]) for r in
+           interval_join(pts, spans, "k", "ts", "lo", "hi", 7).collect()}
+    assert got == {("p2", "s1"), ("p3", "s1"), ("p5", "s3")}
