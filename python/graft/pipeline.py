@@ -252,3 +252,54 @@ def read_warc(spark, path):
     shape): columns ``(record_type, target_uri, warc_date, content_type,
     content_length, payload)``."""
     return spark.read.format("warc").option("path", path).load()
+
+
+def substring_dedup(df, id_col, text_col, k=8):
+    """Exact substring dedup — Python mirror of the Scala
+    ``Dedup.substringDedup`` (Lee et al. 2022, arXiv:2107.06499
+    "ExactSubstr", at k-token-window granularity): drop every token
+    covered by a k-token window whose content occurs more than once in
+    the corpus. Windows come from the registered ``pl_winnow`` with
+    w=1 (every window, no downsampling); "occurs more than once" is one
+    linear groupBy(fp); flagged windows return via LEFT SEMI join on fp
+    (no pair blowup); overlapping windows merge per doc with the
+    cumulative-max interval merge. Returns
+    ``(id, n_tokens, n_dup_spans, n_removed_tokens, cleaned_text)``.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    wins = (
+        df.select(F.col(id_col).alias("id"),
+                  F.explode(F.expr(f"pl_winnow({text_col}, {k}, 1)")).alias("w"))
+        .select("id", F.col("w.pos").alias("pos"), F.col("w.fp").alias("fp")))
+    dup_fp = (wins.groupBy("fp").agg(F.count(F.lit(1)).alias("n"))
+              .where(F.col("n") > 1).select("fp"))
+    flagged = wins.join(dup_fp, ["fp"], "left_semi")
+    by_doc = Window.partitionBy("id").orderBy("pos")
+    merged = (
+        flagged.withColumn("e", F.col("pos") + k)
+        .withColumn("pmax", F.max("e").over(
+            by_doc.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("brk", F.when(
+            F.col("pmax").isNull() | (F.col("pos") > F.col("pmax")), 1).otherwise(0))
+        .withColumn("grp", F.sum("brk").over(
+            by_doc.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("id", "grp")
+        .agg(F.min("pos").alias("s"), F.max("e").alias("e")))
+    spans = merged.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum(F.col("e") - F.col("s")).cast("long").alias("n_removed_tokens"),
+        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("spans"))
+    return (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+        .join(spans, ["id"], "left")
+        .select(
+            "id",
+            F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+            F.coalesce(F.col("n_dup_spans"), F.lit(0)).alias("n_dup_spans"),
+            F.coalesce(F.col("n_removed_tokens"), F.lit(0)).alias("n_removed_tokens"),
+            F.when(F.col("spans").isNull(), F.col("text")).otherwise(F.expr(
+                "array_join(transform(filter(transform(split(text, ' '), "
+                "(x, i) -> named_struct('x', x, 'i', i)), "
+                "p -> NOT exists(spans, sp -> p.i >= sp.s AND p.i < sp.e)), "
+                "p -> p.x), ' ')")).alias("cleaned_text")))

@@ -104,3 +104,22 @@ def test_read_warc_parses_records(spark, tmp_path):
     assert all(r["target_uri"] == "http://example.test/doc/7" for r in out)
     assert all(bytes(r["payload"]) == body for r in out)
     assert all(r["content_length"] == len(body) for r in out)
+
+
+def test_substring_dedup_matches_scala_semantics(spark):
+    from graft.pipeline import substring_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j unique1 tail1"),
+         (2, "a b c d e f g h i j unique2 tail2"),
+         (3, "short doc nothing here"),
+         (4, "z z z z z z z z z z z z z z z z")],
+        "doc_id long, text string")
+    out = [tuple(r) for r in
+           substring_dedup(docs, "doc_id", "text", k=8).orderBy("id").collect()]
+    assert out == [
+        (1, 12, 1, 10, "unique1 tail1"),
+        (2, 12, 1, 10, "unique2 tail2"),
+        (3, 4, 0, 0, "short doc nothing here"),
+        (4, 16, 1, 16, ""),
+    ]

@@ -1125,6 +1125,11 @@ object SparkEntry {
       Dedup.winnowPairs(t(s, dir, "documents"), "doc_id", "text",
           k = 3, w = 4, minShared = 2, maxDocFreq = 20)
         .orderBy("a_id", "b_id")),
+    // ExactSubstr dedup (Lee et al. 2022): tokens under any corpus-
+    // duplicated 8-token window removed, spans merged per doc
+    "q_substring_dedup" -> ((s, dir) =>
+      Dedup.substringDedup(t(s, dir, "documents"), "doc_id", "text", k = 8)
+        .orderBy("id")),
     "q_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text", threshold = 0.2)
         .orderBy("a_id", "b_id")),
@@ -1816,6 +1821,18 @@ object SparkEntry {
         .select("event_id", "user_id", "tus")
       graft.pipeline.Temporal.asofJoin(clicks, views, "user_id", "tus", "tus",
           rightPrefix = "view_")
+        .orderBy("event_id")
+    }),
+    // tolerance path: matches farther than 10 min in the past null out
+    // (the micros-domain tolerance contract for typed inputs)
+    "q_asof_tolerance" -> ((s, dir) => {
+      val ev = eventsMicros(s, dir)
+      val views = ev.where(col("event_type") === "view")
+        .groupBy("user_id", "tus").agg(max("value").as("value"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select("event_id", "user_id", "tus")
+      graft.pipeline.Temporal.asofJoin(clicks, views, "user_id", "tus", "tus",
+          rightPrefix = "view_", tolerance = Some(lit(600000000L)))
         .orderBy("event_id")
     }),
     // hot-key-safe twin: per-key window split across one-hour time
@@ -2781,6 +2798,46 @@ object SparkEntry {
          |  GROUP BY a.doc_id, b.doc_id)
          |SELECT a_id, b_id, CAST(shared AS INT) AS shared
          |FROM pairs WHERE shared >= 2 ORDER BY a_id, b_id""".stripMargin,
+    // ExactSubstr dedup re-derived: every 8-token window hash (same
+    // FNV-1a + splitmix64 as the Spark Winnow expression), corpus-
+    // duplicated hashes flag [pos, pos+8) spans, cumulative-max
+    // interval merge per doc, tokens outside merged spans re-joined
+    "q_substring_dedup" -> {
+      val gramHash = duckToSigned(duckMix64(duckFnv("g", "14695981039346656037")))
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |grams AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+         |  array_to_string(t[CAST(i AS INT):CAST(i + 7 AS INT)], ' ') AS g
+         |  FROM toks, unnest(range(1, greatest(len(t) - 6, 1))) u(i)),
+         |gh AS (SELECT doc_id, pos, $gramHash AS h FROM grams),
+         |dup AS (SELECT h FROM gh GROUP BY h HAVING COUNT(*) > 1),
+         |flg AS (SELECT doc_id, pos, pos + 8 AS e FROM gh WHERE h IN (SELECT h FROM dup)),
+         |m1 AS (SELECT doc_id, pos, e,
+         |  MAX(e) OVER (PARTITION BY doc_id ORDER BY pos
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax FROM flg),
+         |m2 AS (SELECT doc_id, pos, e,
+         |  CASE WHEN pmax IS NULL OR pos > pmax THEN 1 ELSE 0 END AS brk FROM m1),
+         |m3 AS (SELECT doc_id, pos, e,
+         |  SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp FROM m2),
+         |sp AS (SELECT doc_id, grp, MIN(pos) AS s, MAX(e) AS e FROM m3 GROUP BY doc_id, grp),
+         |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+         |  CAST(SUM(e - s) AS BIGINT) AS n_removed_tokens FROM sp GROUP BY doc_id),
+         |tokix AS (SELECT doc_id, CAST(i - 1 AS INT) AS ti, t[CAST(i AS INT)] AS tok
+         |  FROM toks, unnest(range(1, len(t) + 1)) u(i)),
+         |keep AS (SELECT k.doc_id, k.ti, k.tok FROM tokix k
+         |  WHERE NOT EXISTS (SELECT 1 FROM sp
+         |    WHERE sp.doc_id = k.doc_id AND k.ti >= sp.s AND k.ti < sp.e)),
+         |cleaned AS (SELECT doc_id, COALESCE(string_agg(tok, ' ' ORDER BY ti), '') AS ct
+         |  FROM keep GROUP BY doc_id)
+         |SELECT d.doc_id AS id,
+         |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+         |  COALESCE(a.n_dup_spans, 0) AS n_dup_spans,
+         |  COALESCE(a.n_removed_tokens, 0) AS n_removed_tokens,
+         |  CASE WHEN a.doc_id IS NULL THEN d.text ELSE COALESCE(c.ct, '') END AS cleaned_text
+         |FROM documents d
+         |LEFT JOIN agg a ON d.doc_id = a.doc_id
+         |LEFT JOIN cleaned c ON d.doc_id = c.doc_id
+         |ORDER BY id""".stripMargin
+    },
     // rolling fingerprint + simhash recomputed with HUGEINT mod-2^64 math
     "q_fingerprint" -> {
       s"""WITH raw AS (
@@ -2978,6 +3035,26 @@ object SparkEntry {
          |      OVER win AS view_value
          |  FROM u WINDOW win AS (PARTITION BY user_id ORDER BY tus, side ROWS UNBOUNDED PRECEDING))
          |SELECT event_id, user_id, tus, view_tus, view_value
+         |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin,
+    // q_asof plus the tolerance null-out: matches farther than 10 min
+    // in the past keep the row but lose the matched view columns
+    "q_asof_tolerance" ->
+      s"""WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tus, event_type, value FROM events),
+         |v AS (SELECT user_id, tus, MAX(value) AS value FROM e WHERE event_type = 'view' GROUP BY 1, 2),
+         |c AS (SELECT event_id, user_id, tus FROM e WHERE event_type = 'click'),
+         |u AS (
+         |  SELECT user_id, tus, 0 AS side, NULL::BIGINT AS event_id, value FROM v
+         |  UNION ALL
+         |  SELECT user_id, tus, 1, event_id, NULL FROM c),
+         |w AS (SELECT *,
+         |    LAST_VALUE(CASE WHEN side = 0 THEN tus END IGNORE NULLS)
+         |      OVER win AS view_tus,
+         |    LAST_VALUE(CASE WHEN side = 0 THEN value END IGNORE NULLS)
+         |      OVER win AS view_value
+         |  FROM u WINDOW win AS (PARTITION BY user_id ORDER BY tus, side ROWS UNBOUNDED PRECEDING))
+         |SELECT event_id, user_id, tus,
+         |  CASE WHEN tus - view_tus <= 600000000 THEN view_tus END AS view_tus,
+         |  CASE WHEN tus - view_tus <= 600000000 THEN view_value END AS view_value
          |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin,
     // identical to q_asof — the bucketed variant must match row-for-row
     "q_asof_bucketed" ->

@@ -239,6 +239,70 @@ object Dedup {
   }
 
   /**
+   * Exact substring dedup (Lee et al. 2022, arXiv:2107.06499 — the
+   * "ExactSubstr" mode, at k-token-window granularity): remove every
+   * token covered by a k-token window whose content occurs MORE THAN
+   * ONCE in the corpus (within- or cross-document). Detection is
+   * equivalent to the paper's suffix-array criterion for duplicated
+   * runs of ≥ k tokens: such a run yields equal window fingerprints at
+   * every alignment of both occurrences, so the union of flagged
+   * windows is exactly the union of ≥k-token duplicated substrings
+   * (64-bit fingerprints stand in for byte equality, like every other
+   * hash-keyed dedup here).
+   *
+   * Distributed shape, vs the paper's single-node suffix array: window
+   * fingerprints are ids-only (id, pos, fp) rows from one generator
+   * pass ([[Winnow]] with w=1 — every window, no downsampling);
+   * "occurs more than once" is one linear groupBy(fp); flagged windows
+   * come back through a LEFT SEMI join on fp, so a boilerplate
+   * fingerprint shared by 10^6 docs re-marks its own windows and
+   * nothing else — no pair materialization, no hot-key blowup;
+   * overlapping windows collapse per doc with the classic
+   * cumulative-max interval merge (a window function bounded by doc
+   * length). Every stage shuffles on fp or id — linear at 100 TB.
+   *
+   * Returns (id, n_tokens, n_dup_spans, n_removed_tokens,
+   * cleaned_text): counts of merged duplicated spans / removed tokens,
+   * and the text with flagged tokens dropped.
+   */
+  def substringDedup(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val wins = df.select(col(idCol).as("id"),
+        explode(TextFunctions.winnow(col(textCol), k, 1)).as("w"))
+      .select(col("id"), col("w.pos").as("pos"), col("w.fp").as("fp"))
+    val dupFp = wins.groupBy("fp").agg(count(lit(1)).as("n"))
+      .where(col("n") > 1).select("fp")
+    val flagged = wins.join(dupFp, Seq("fp"), "left_semi")
+    val byDoc = Window.partitionBy("id").orderBy("pos")
+    val merged = flagged
+      .withColumn("e", col("pos") + k)
+      .withColumn("pmax",
+        max(col("e")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when(col("pmax").isNull || col("pos") > col("pmax"), 1).otherwise(0))
+      .withColumn("grp",
+        sum(col("brk")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("id"), col("grp"))
+      .agg(min("pos").as("s"), max("e").as("e"))
+    val spans = merged.groupBy("id").agg(
+      count(lit(1)).as("n_dup_spans"),
+      sum(col("e") - col("s")).cast("long").as("n_removed_tokens"),
+      sort_array(collect_list(struct(col("s"), col("e")))).as("spans"))
+    df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .join(spans, Seq("id"), "left")
+      .select(col("id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("n_removed_tokens"), lit(0L)).as("n_removed_tokens"),
+        when(col("spans").isNull, col("text")).otherwise(expr(
+          "array_join(transform(filter(transform(split(text, ' '), " +
+            "(x, i) -> named_struct('x', x, 'i', i)), " +
+            "p -> NOT exists(spans, sp -> p.i >= sp.s AND p.i < sp.e)), " +
+            "p -> p.x), ' ')")).as("cleaned_text"))
+  }
+
+  /**
    * Rational tf-idf top terms per document: score = tf * N / df with a
    * pinned multiply-then-divide, no logarithm — transcendental libm
    * calls are the one place engines drift by an ulp, so the rational

@@ -153,6 +153,36 @@ class DedupSpec extends AnyFunSuite {
     assert(out(3) == ((4L, "", 1, 0))) // split("") -> [""], one empty segment
   }
 
+  test("substringDedup removes corpus-duplicated >=k-token runs, merges spans") {
+    import spark.implicits._
+    val docs = Seq(
+      // 10-token prefix shared by docs 1 and 2: windows at pos 0..2 are
+      // corpus-duplicated, merging to one span [0, 10)
+      (1L, "a b c d e f g h i j unique1 tail1"),
+      (2L, "a b c d e f g h i j unique2 tail2"),
+      (3L, "short doc nothing here"), // < k tokens: no windows, untouched
+      // within-doc repetition: every window identical -> whole doc removed
+      (4L, "z z z z z z z z z z z z z z z z")
+    ).toDF("doc_id", "text")
+    val out = graft.pipeline.Dedup.substringDedup(docs, "doc_id", "text", k = 8)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(out(0) == ((1L, 12L, 1L, 10L, "unique1 tail1")))
+    assert(out(1) == ((2L, 12L, 1L, 10L, "unique2 tail2")))
+    assert(out(2) == ((3L, 4L, 0L, 0L, "short doc nothing here")))
+    assert(out(3) == ((4L, 16L, 1L, 16L, "")))
+  }
+
+  test("substringDedup plans only equi-joins (semi on fp, left on id)") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f g h i")).toDF("doc_id", "text")
+    val plan = graft.pipeline.Dedup.substringDedup(docs, "doc_id", "text")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+
   test("minhashPairs shuffles id pairs, not duplicated signature payloads") {
     import graft.pipeline.TextFunctions
 
