@@ -125,6 +125,85 @@ object StreamingPipeline {
       }
   }
 
+  /** One tagged row of the unioned as-of stream: side 0 = right
+    * (reference update), side 1 = left (row to enrich); right rows sort
+    * before left rows at equal ts so exact-ts matches are included,
+    * like the batch [[graft.pipeline.Temporal.asofJoin]] window order. */
+  final case class AsofRow(k: Long, t: Long, side: Int, id: Long, v: Double)
+  /** Per-key state: the single latest reference (ts, value) — one small
+    * struct per key, independent of stream length. */
+  final case class AsofRef(t: Long, v: Double)
+  /** One enriched left row — q_asof's exact output shape, so the batch
+    * operator is the parity oracle. */
+  final case class AsofMatch(event_id: Long, user_id: Long, tus: Long,
+    view_tus: Option[Long], view_value: Option[Double])
+
+  /**
+   * Streaming as-of (point-in-time) enrichment — the streaming face of
+   * [[graft.pipeline.Temporal.asofJoin]]: every left row is annotated
+   * with the latest right (ts, value) of the same key at-or-before its
+   * own ts. The classic feature-store / CDC-enrichment operator: the
+   * right stream is a trickle of reference updates, the left stream the
+   * firehose to enrich.
+   *
+   * Custom state via flatMapGroupsWithState because no built-in
+   * stream-stream join expresses "latest at-or-before" with O(1) state:
+   * the watermarked range join buffers a horizon of BOTH sides, where
+   * the as-of contract needs exactly ONE struct per key (the newest
+   * reference row), however old it is. Per batch, each key's rows are
+   * processed in (ts, side, value) event-time order, so within a
+   * micro-batch the result equals the batch operator row-for-row
+   * (asserted by StreamingPipelineSpec); across batches the state
+   * carries the latest reference through the checkpoint.
+   *
+   * Contract for out-of-order arrivals ACROSS batches: the state is the
+   * single newest reference, so a right row arriving in a later batch
+   * with an OLDER ts than the retained one cannot serve left rows —
+   * enrich-with-latest-known, the feature-store semantics. Feed the
+   * right stream roughly in order (or widen upstream watermarks) where
+   * the exact backward match matters.
+   *
+   * Timestamps resolve schema-adaptively ([[graft.pipeline.Temporal
+   * .epochMicros]]): TIMESTAMP/TIMESTAMP_NTZ or numeric epoch micros.
+   * State never times out (one struct per live key — bounded by the key
+   * cardinality, not the stream).
+   */
+  def asofJoinStream(left: DataFrame, right: DataFrame, key: String,
+      idCol: String, leftTs: String, rightTs: String,
+      valueCol: String): Dataset[AsofMatch] = {
+    import left.sparkSession.implicits._
+    val l = left.select(col(key).cast("long").as("k"),
+      graft.pipeline.Temporal.epochMicros(left, leftTs).as("t"),
+      lit(1).as("side"), col(idCol).cast("long").as("id"),
+      lit(Double.NaN).as("v"))
+    val r = right.select(col(key).cast("long").as("k"),
+      graft.pipeline.Temporal.epochMicros(right, rightTs).as("t"),
+      lit(0).as("side"), lit(-1L).as("id"),
+      col(valueCol).cast("double").as("v"))
+    l.unionByName(r).as[AsofRow]
+      .groupByKey(_.k)
+      .flatMapGroupsWithState[AsofRef, AsofMatch](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (k: Long, it: Iterator[AsofRow], state: GroupState[AsofRef]) =>
+          var ref = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[AsofMatch]
+          // (t, side, v): right before left at equal ts; max value wins
+          // a right-side ts tie — the batch window's payload tie-break
+          for (row <- it.toSeq.sortBy(r => (r.t, r.side, r.v))) {
+            if (row.side == 0) {
+              if (ref == null || row.t > ref.t ||
+                (row.t == ref.t && row.v > ref.v)) ref = AsofRef(row.t, row.v)
+            } else if (ref != null && ref.t <= row.t) {
+              out += AsofMatch(row.id, k, row.t, Some(ref.t), Some(ref.v))
+            } else {
+              out += AsofMatch(row.id, k, row.t, None, None)
+            }
+          }
+          if (ref != null) state.update(ref)
+          out.iterator
+      }
+  }
+
   /**
    * Stream-stream interval join: pair each point event with every span
    * `[start, end)` of the same key, the streaming face of

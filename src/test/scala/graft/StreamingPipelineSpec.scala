@@ -291,6 +291,82 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(sp.length == 2, sp.mkString(","))
   }
 
+  test("asofJoinStream single batch equals the batch asofJoin row-for-row") {
+    val dir = Files.createTempDirectory("stream-asof").toString
+    val rnd = new scala.util.Random(23)
+    val rights = (1 to 300).map(i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong * 1000L, i.toDouble))
+    val lefts = (1 to 300).map(i =>
+      (i.toLong, rnd.nextInt(6).toLong, rnd.nextInt(1000).toLong * 1000L))
+    val rdf = rights.toDF("user_id", "tus", "value")
+    val ldf = lefts.toDF("event_id", "user_id", "tus")
+    rdf.write.mode("overwrite").parquet(s"$dir/right")
+    ldf.write.mode("overwrite").parquet(s"$dir/left")
+
+    val out = StreamingPipeline.asofJoinStream(
+      spark.readStream.schema(ldf.schema).parquet(s"$dir/left"),
+      spark.readStream.schema(rdf.schema).parquet(s"$dir/right"),
+      "user_id", "event_id", "tus", "tus", "value")
+    val q = out.toDF().writeStream.format("memory").queryName("asof_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.sql("SELECT * FROM asof_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getLong(3),
+        if (r.isNullAt(4)) null else r.getDouble(4))).toSet
+
+    // batch oracle: right pre-aggregated to unique (key, ts) by max
+    // value — the same tie-break the stream state applies
+    val views = rdf.groupBy("user_id", "tus").agg(max("value").as("value"))
+    val expected = graft.pipeline.Temporal.asofJoin(
+        ldf, views, "user_id", "tus", "tus", rightPrefix = "view_")
+      .select("event_id", "user_id", "tus", "view_tus", "view_value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getLong(3),
+        if (r.isNullAt(4)) null else r.getDouble(4))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty && got.exists(_._4 != null) && got.exists(_._4 == null))
+  }
+
+  test("asofJoinStream state carries the latest reference across runs") {
+    val dir = Files.createTempDirectory("stream-asof2").toString
+    val ckpt = Files.createTempDirectory("stream-asof2-ckpt").toString
+    val outDir = Files.createTempDirectory("stream-asof2-out").toString
+    val rSchema = Seq((1L, 1L, 1.0)).toDF("user_id", "tus", "value").schema
+    val lSchema = Seq((1L, 1L, 1L)).toDF("event_id", "user_id", "tus").schema
+
+    def run(): Set[(Long, Long, Any, Any)] = {
+      val out = StreamingPipeline.asofJoinStream(
+        spark.readStream.schema(lSchema).parquet(s"$dir/left"),
+        spark.readStream.schema(rSchema).parquet(s"$dir/right"),
+        "user_id", "event_id", "tus", "tus", "value")
+      val q = out.toDF().writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      spark.read.parquet(outDir).collect()
+        .map(r => (r.getLong(0), r.getLong(2),
+          if (r.isNullAt(3)) null else r.getLong(3),
+          if (r.isNullAt(4)) null else r.getDouble(4))).toSet
+    }
+
+    // run 1: references only — nothing emitted
+    Seq((7L, 100L, 1.5), (7L, 200L, 2.5))
+      .toDF("user_id", "tus", "value").write.mode("overwrite").parquet(s"$dir/right")
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], lSchema)
+      .write.mode("overwrite").parquet(s"$dir/left")
+    assert(run().isEmpty)
+
+    // run 2: left rows in a NEW micro-batch match the checkpointed
+    // latest reference (t=200); one row predates it -> no match
+    Seq((1L, 7L, 250L), (2L, 7L, 150L))
+      .toDF("event_id", "user_id", "tus").write.mode("append").parquet(s"$dir/left")
+    assert(run() == Set(
+      (1L, 250L, 200L, 2.5),   // latest-known reference
+      (2L, 150L, null, null))) // older than the retained latest: no match
+  }
+
   test("sessionStats accepts a numeric epoch-micros event time directly") {
     // schema-adaptive event time: a long micros column sessionizes to
     // exactly the same rows as its timestamp_micros lift
