@@ -1229,6 +1229,13 @@ def pl_normalize_whitespace(text):
     return _fn("pl_normalize_whitespace", text)
 
 
+def pl_normalize_url(url):
+    """Canonicalize a URL for dedup keys: trim, strip the #fragment,
+    lowercase scheme and host, strip default :80/:443 ports and one
+    trailing slash."""
+    return _fn("pl_normalize_url", url)
+
+
 def pl_strip_punct(text):
     """Remove every character that is not a letter, digit, or whitespace."""
     return _fn("pl_strip_punct", text)

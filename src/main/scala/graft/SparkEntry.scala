@@ -1130,6 +1130,23 @@ object SparkEntry {
     "q_substring_dedup" -> ((s, dir) =>
       Dedup.substringDedup(t(s, dir, "documents"), "doc_id", "text", k = 8)
         .orderBy("id")),
+    // URL dedup: six messy variants per URL group (case, :80/:443,
+    // #fragment, trailing slash, padding) collapse under
+    // pl_normalize_url; keeper = min doc_id per canonical URL
+    "q_url_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        expr("doc_id div 6").cast("string").as("gid"), (col("doc_id") % 6).as("v"))
+      val url = when(col("v") === 0, concat(lit("http://EXAMPLE.com/a/"), col("gid")))
+        .when(col("v") === 1, concat(lit("http://example.com:80/a/"), col("gid")))
+        .when(col("v") === 2, concat(lit("http://example.com/a/"), col("gid"), lit("#frag")))
+        .when(col("v") === 3, concat(lit("https://Example.COM:443/b?q="), col("gid")))
+        .when(col("v") === 4, concat(lit("https://example.com/b?q="), col("gid"), lit("/")))
+        .otherwise(concat(lit("  http://example.com/a/"), col("gid"), lit("  ")))
+      d.withColumn("nurl", graft.pipeline.TextNorm.normalize_url(url))
+        .groupBy("nurl")
+        .agg(count(lit(1)).as("n_variants"), min("doc_id").as("keeper_id"))
+        .orderBy("nurl")
+    }),
     "q_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text", threshold = 0.2)
         .orderBy("a_id", "b_id")),
@@ -2838,6 +2855,28 @@ object SparkEntry {
          |LEFT JOIN cleaned c ON d.doc_id = c.doc_id
          |ORDER BY id""".stripMargin
     },
+    // the same messy-URL construction + the normalize_url steps
+    // re-derived in RE2 regexes (anchored, no lookarounds — by design)
+    "q_url_dedup" ->
+      s"""WITH b AS (SELECT doc_id, doc_id // 6 AS gid, doc_id % 6 AS v FROM documents),
+         |u AS (SELECT doc_id, CASE v
+         |  WHEN 0 THEN 'http://EXAMPLE.com/a/' || gid
+         |  WHEN 1 THEN 'http://example.com:80/a/' || gid
+         |  WHEN 2 THEN 'http://example.com/a/' || gid || '#frag'
+         |  WHEN 3 THEN 'https://Example.COM:443/b?q=' || gid
+         |  WHEN 4 THEN 'https://example.com/b?q=' || gid || '/'
+         |  ELSE '  http://example.com/a/' || gid || '  ' END AS url FROM b),
+         |n1 AS (SELECT doc_id, trim(regexp_replace(url, '(?s)#.*$$', '')) AS nf FROM u),
+         |n2 AS (SELECT doc_id, nf,
+         |  lower(regexp_extract(nf, '^([a-zA-Z][a-zA-Z0-9+.\\-]*://[^/?#]*)', 1)) AS sh,
+         |  regexp_replace(nf, '^[a-zA-Z][a-zA-Z0-9+.\\-]*://[^/?#]*', '') AS rest FROM n1),
+         |n3 AS (SELECT doc_id, CASE WHEN sh = '' THEN nf ELSE sh || rest END AS low FROM n2),
+         |n4 AS (SELECT doc_id, regexp_replace(regexp_replace(low,
+         |    '^(http://[^/:?#]*):80((/|\\?|#).*)?$$', '\\1\\2'),
+         |    '^(https://[^/:?#]*):443((/|\\?|#).*)?$$', '\\1\\2') AS np FROM n3),
+         |n5 AS (SELECT doc_id, regexp_replace(np, '/$$', '') AS nurl FROM n4)
+         |SELECT nurl, CAST(COUNT(*) AS BIGINT) AS n_variants, MIN(doc_id) AS keeper_id
+         |FROM n5 GROUP BY nurl ORDER BY nurl""".stripMargin,
     // rolling fingerprint + simhash recomputed with HUGEINT mod-2^64 math
     "q_fingerprint" -> {
       s"""WITH raw AS (

@@ -600,6 +600,7 @@ object Raster {
       })
       reg1("pl_strip_accents", graft.pipeline.StripAccents(_))
       regN("pl_normalize_whitespace", pcol(graft.pipeline.TextNorm.normalize_whitespace))
+      regN("pl_normalize_url", pcol(graft.pipeline.TextNorm.normalize_url))
       regN("pl_strip_punct", pcol(graft.pipeline.TextNorm.strip_punct))
       regN("pl_clean_text", pcol(graft.pipeline.TextNorm.clean))
       regN("pl_strip_html", pcol(graft.pipeline.TextNorm.strip_html))

@@ -100,6 +100,27 @@ object TextNorm {
   /** Canonical cleaning pass: NFC, lowercase, whitespace collapse. */
   def clean(text: Column): Column = normalize_whitespace(lower(nfc(text)))
 
+  /** Canonicalize a URL for dedup keys — the standard web-corpus
+    * normalization (strip the #fragment; trim; lowercase scheme+host,
+    * preserving path/query case; strip the default :80/:443 port; strip
+    * one trailing slash). Built-in regexp/string functions only, each
+    * step anchored so the whole chain stays codegen'd and has an exact
+    * RE2 twin in the DuckDB oracle (no lookarounds). Malformed or
+    * scheme-less strings pass through the steps unchanged where they
+    * don't match — normalization never throws. */
+  def normalize_url(url: Column): Column = {
+    val noFrag = trim(regexp_replace(url, "(?s)#.*$", ""))
+    val schemeHost = lower(regexp_extract(noFrag,
+      "^([a-zA-Z][a-zA-Z0-9+.\\-]*://[^/?#]*)", 1))
+    val rest = regexp_replace(noFrag, "^[a-zA-Z][a-zA-Z0-9+.\\-]*://[^/?#]*", "")
+    val lowered = when(schemeHost === "", noFrag)
+      .otherwise(concat(schemeHost, rest))
+    val noPort = regexp_replace(
+      regexp_replace(lowered, "^(http://[^/:?#]*):80((/|\\?|#).*)?$", "$1$2"),
+      "^(https://[^/:?#]*):443((/|\\?|#).*)?$", "$1$2")
+    regexp_replace(noPort, "/$", "")
+  }
+
   /** Drop HTML/XML tags and comments, then decode the predefined XML
     * entities plus nbsp — the text-extraction step of a web-corpus
     * pipeline. Tags become spaces (so adjacent text doesn't fuse);

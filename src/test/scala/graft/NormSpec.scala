@@ -68,6 +68,29 @@ class NormSpec extends AnyFunSuite {
     assert(r.getString(6) == eAcuteD)
   }
 
+  test("normalize_url canonicalizes case, ports, fragments, slashes") {
+    import org.apache.spark.sql.functions.lit
+    def n(s: String) = one(TextNorm.normalize_url(lit(s)))
+    // scheme+host lowercase; PATH case preserved
+    assert(n("HTTP://ExAmple.COM/Path/File") == "http://example.com/Path/File")
+    // default ports strip, scheme-matched only
+    assert(n("http://h.com:80/x") == "http://h.com/x")
+    assert(n("https://h.com:443/x") == "https://h.com/x")
+    assert(n("http://h.com:8080/x") == "http://h.com:8080/x")
+    assert(n("https://h.com:80/x") == "https://h.com:80/x") // not https' default
+    assert(n("http://h.com:80") == "http://h.com")
+    assert(n("http://h.com:80?q=1") == "http://h.com?q=1")
+    // fragment strips; query survives; ONE trailing slash strips
+    assert(n("http://h.com/a?q=UP#Frag") == "http://h.com/a?q=UP")
+    assert(n("http://h.com/a/") == "http://h.com/a")
+    assert(n("http://h.com/") == "http://h.com")
+    // whitespace padding trims; idempotent
+    assert(n("  http://EXAMPLE.com/a  ") == "http://example.com/a")
+    assert(n("http://example.com/a") == "http://example.com/a")
+    // scheme-less input: only the matching steps apply, nothing throws
+    assert(n("not a url #x") == "not a url")
+  }
+
   test("strip_html drops tags and comments, decodes entities in order") {
     assert(one(TextNorm.strip_html(lit("<p>a</p><br/>b"))) == " a  b")
     assert(one(TextNorm.strip_html(lit("x<!-- <b>hidden</b> -->y"))) == "x y")
