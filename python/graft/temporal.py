@@ -51,11 +51,13 @@ def _int_bucket_width(bucket_width):
 
 
 def asof_join(left, right, key, left_ts, right_ts, right_prefix="right_",
-              tolerance=None):
+              tolerance=None, direction="backward"):
     """For every left row, attach the right row of the same ``key`` with
     the greatest ``right_ts <= left_ts`` (pandas ``merge_asof``,
-    direction="backward", exact matches allowed). Left-outer: unmatched
-    rows keep null right columns.
+    direction="backward", exact matches allowed), or with
+    ``direction="forward"`` the smallest ``right_ts >= left_ts`` — the
+    same single-shuffle window read in reverse time order. Left-outer:
+    unmatched rows keep null right columns.
 
     Timestamp columns may be TIMESTAMP/TIMESTAMP_NTZ or numeric epochs,
     mixed freely — both sides normalize through :func:`epoch_micros`.
@@ -83,19 +85,22 @@ def asof_join(left, right, key, left_ts, right_ts, right_prefix="right_",
         .withColumn("__graft_ts", epoch_micros(left, left_ts))
         .withColumn("__graft_side", F.lit(1))
     )
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"direction must be 'backward' or 'forward', got {direction!r}")
+    fwd = direction == "forward"
     u = l.unionByName(r, allowMissingColumns=True)
     w = (
         Window.partitionBy("__graft_k")
-        .orderBy(F.col("__graft_ts"), F.col("__graft_side"), F.col("__graft_r"))
+        .orderBy(F.col("__graft_ts").desc() if fwd else F.col("__graft_ts"),
+                 F.col("__graft_side"), F.col("__graft_r"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = F.last(F.col("__graft_r"), ignorenulls=True).over(w)
     if tolerance is not None:
-        matched = F.when(
-            matched.isNotNull()
-            & (F.col("__graft_ts") - matched["__graft_ots"] <= tolerance),
-            matched,
-        )
+        gap = (matched["__graft_ots"] - F.col("__graft_ts") if fwd
+               else F.col("__graft_ts") - matched["__graft_ots"])
+        matched = F.when(matched.isNotNull() & (gap <= tolerance), matched)
     u = u.withColumn("__graft_m", matched).where(F.col("__graft_side") == 1)
     return u.select(
         *[F.col(c) for c in left.columns],

@@ -108,3 +108,13 @@ def test_asof_and_interval_accept_timestamp_columns(spark):
     got = {(r["tag"], r["span_name"]) for r in
            interval_join(pts, spans, "k", "ts", "lo", "hi", 7).collect()}
     assert got == {("p2", "s1"), ("p3", "s1"), ("p5", "s3")}
+
+
+def test_asof_forward_direction(spark):
+    out = (asof_join(_trades(spark), _quotes(spark), "k", "ts", "ts",
+                     direction="forward")
+           .orderBy("k", "ts").collect())
+    got = [(r["k"], r["ts"], r["right_ts"]) for r in out]
+    assert got == [
+        ("A", 99, 100), ("A", 100, 100), ("A", 250, 300),
+        ("A", 301, None), ("B", 140, 150), ("C", 500, None)]

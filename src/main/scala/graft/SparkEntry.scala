@@ -1840,6 +1840,18 @@ object SparkEntry {
           rightPrefix = "view_")
         .orderBy("event_id")
     }),
+    // forward direction: each click annotated with the EARLIEST
+    // at-or-after view (the same single shuffle, reversed time order)
+    "q_asof_forward" -> ((s, dir) => {
+      val ev = eventsMicros(s, dir)
+      val views = ev.where(col("event_type") === "view")
+        .groupBy("user_id", "tus").agg(max("value").as("value"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select("event_id", "user_id", "tus")
+      graft.pipeline.Temporal.asofJoin(clicks, views, "user_id", "tus", "tus",
+          rightPrefix = "view_", direction = "forward")
+        .orderBy("event_id")
+    }),
     // tolerance path: matches farther than 10 min in the past null out
     // (the micros-domain tolerance contract for typed inputs)
     "q_asof_tolerance" -> ((s, dir) => {
@@ -3073,6 +3085,24 @@ object SparkEntry {
          |    LAST_VALUE(CASE WHEN side = 0 THEN value END IGNORE NULLS)
          |      OVER win AS view_value
          |  FROM u WINDOW win AS (PARTITION BY user_id ORDER BY tus, side ROWS UNBOUNDED PRECEDING))
+         |SELECT event_id, user_id, tus, view_tus, view_value
+         |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin,
+    // forward as-of re-derived: the same tagged-union window read over
+    // DESCENDING ts (side 0 still first at equal ts for exact matches)
+    "q_asof_forward" ->
+      s"""WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tus, event_type, value FROM events),
+         |v AS (SELECT user_id, tus, MAX(value) AS value FROM e WHERE event_type = 'view' GROUP BY 1, 2),
+         |c AS (SELECT event_id, user_id, tus FROM e WHERE event_type = 'click'),
+         |u AS (
+         |  SELECT user_id, tus, 0 AS side, NULL::BIGINT AS event_id, value FROM v
+         |  UNION ALL
+         |  SELECT user_id, tus, 1, event_id, NULL FROM c),
+         |w AS (SELECT *,
+         |    LAST_VALUE(CASE WHEN side = 0 THEN tus END IGNORE NULLS)
+         |      OVER win AS view_tus,
+         |    LAST_VALUE(CASE WHEN side = 0 THEN value END IGNORE NULLS)
+         |      OVER win AS view_value
+         |  FROM u WINDOW win AS (PARTITION BY user_id ORDER BY tus DESC, side ROWS UNBOUNDED PRECEDING))
          |SELECT event_id, user_id, tus, view_tus, view_value
          |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin,
     // q_asof plus the tolerance null-out: matches farther than 10 min

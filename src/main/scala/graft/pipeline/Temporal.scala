@@ -61,7 +61,9 @@ object Temporal {
   /**
    * As-of join: for every left row, attach the single right row of the
    * same key with the greatest `rightTs <= leftTs` (pandas
-   * `merge_asof(direction="backward", allow_exact_matches=True)`).
+   * `merge_asof(direction="backward", allow_exact_matches=True)`), or
+   * with `direction = "forward"` the smallest `rightTs >= leftTs` —
+   * the same single-shuffle window read in reverse time order.
    *
    * Output = all left columns, plus each non-key right column prefixed
    * with `rightPrefix` (including the matched right timestamp). Rows
@@ -72,10 +74,11 @@ object Temporal {
    * are normalized to epoch micros via [[epochMicros]] before the sort.
    * Right payload columns keep their original types in the output.
    *
-   * `tolerance`: optional maximum for `leftTs - rightTs` in the
-   * NORMALIZED domain — micros for TIMESTAMP inputs
-   * (`lit(600000000L)` = 10 min), the columns' own units for numeric
-   * inputs. Matches farther in the past are nulled out.
+   * `tolerance`: optional maximum for the match gap (`leftTs - rightTs`
+   * backward, `rightTs - leftTs` forward) in the NORMALIZED domain —
+   * micros for TIMESTAMP inputs (`lit(600000000L)` = 10 min), the
+   * columns' own units for numeric inputs. Matches farther away null
+   * out.
    *
    * Determinism: if several right rows share the matched (key, ts), the
    * one with the greatest payload struct wins (a total order, so plans
@@ -98,7 +101,11 @@ object Temporal {
    */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, rightPrefix: String = "right_",
-      tolerance: Option[Column] = None): DataFrame = {
+      tolerance: Option[Column] = None,
+      direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be 'backward' or 'forward', got $direction")
+    val fwd = direction == "forward"
     val payloadCols = right.columns.filterNot(_ == key).toSeq
     require(payloadCols.contains(rightTs), s"right is missing ts column $rightTs")
     // __graft_ots rides inside the payload struct so tolerance can
@@ -114,14 +121,21 @@ object Temporal {
       .withColumn("__graft_ts", epochMicros(left, leftTs))
       .withColumn("__graft_side", lit(1))
     val u = l.unionByName(r, allowMissingColumns = true)
+    // forward = the same running window over REVERSED time: rights with
+    // later ts stream first, so the running last() at a left row is the
+    // smallest rightTs >= leftTs. Side order stays 0-before-1 (exact
+    // matches included); payload stays ascending, so equal-ts ties
+    // resolve to the greatest payload in both directions.
     val w = Window.partitionBy("__graft_k")
-      .orderBy(col("__graft_ts"), col("__graft_side"), col("__graft_r"))
+      .orderBy(if (fwd) col("__graft_ts").desc else col("__graft_ts").asc,
+        col("__graft_side"), col("__graft_r"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matchedRaw = last(col("__graft_r"), ignoreNulls = true).over(w)
     val matched = tolerance match {
       case Some(tol) =>
-        when(matchedRaw.isNotNull &&
-          col("__graft_ts") - matchedRaw("__graft_ots") <= tol, matchedRaw)
+        val gap = if (fwd) matchedRaw("__graft_ots") - col("__graft_ts")
+          else col("__graft_ts") - matchedRaw("__graft_ots")
+        when(matchedRaw.isNotNull && gap <= tol, matchedRaw)
       case None => matchedRaw
     }
     u.withColumn("__graft_m", matched)

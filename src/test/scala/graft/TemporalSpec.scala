@@ -134,6 +134,46 @@ class TemporalSpec extends AnyFunSuite {
     assert(bucketedTol == plainTol)
   }
 
+  test("asofJoin direction=forward matches the earliest at-or-after row") {
+    val out = Temporal.asofJoin(trades, quotes, "k", "ts", "ts",
+        direction = "forward")
+      .orderBy("k", "ts").collect()
+    val got = out.map(r => (r.getString(0), r.getLong(1),
+      if (r.isNullAt(3)) null else r.getLong(3))).toSeq
+    assert(got == Seq(
+      ("A", 99L, 100L),   // next quote after 99
+      ("A", 100L, 100L),  // exact ts matches forward too
+      ("A", 250L, 300L),
+      ("A", 301L, null),  // nothing after the last quote
+      ("B", 140L, 150L),
+      ("C", 500L, null)))
+    // forward tolerance: gap = rightTs - leftTs
+    val tol = Temporal.asofJoin(trades, quotes, "k", "ts", "ts",
+        tolerance = Some(lit(10L)), direction = "forward")
+      .orderBy("k", "ts").collect()
+      .map(r => !r.isNullAt(3)).toSeq
+    assert(tol == Seq(true, true, false, false, true, false))
+  }
+
+  test("asofJoin forward matches a brute-force oracle on random data") {
+    val n = 500
+    val rnd = new scala.util.Random(13)
+    val lt = (1 to n).map(i => (s"k${rnd.nextInt(5)}", rnd.nextInt(1000).toLong, i))
+    val rt = (1 to n).map(i => (s"k${rnd.nextInt(6)}", rnd.nextInt(1000).toLong, i.toDouble))
+    val expected = lt.map { case (k, ts, i) =>
+      val cand = rt.filter(r => r._1 == k && r._2 >= ts)
+      val m = if (cand.isEmpty) None
+        else { val mt = cand.map(_._2).min; Some(cand.filter(_._2 == mt).map(_._3).max) }
+      (k, ts, i, m)
+    }.sortBy(t => (t._1, t._2, t._3))
+    val out = Temporal.asofJoin(lt.toDF("k", "ts", "i"), rt.toDF("k", "ts", "v"),
+        "k", "ts", "ts", direction = "forward")
+      .orderBy("k", "ts", "i").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toSeq
+    assert(out == expected)
+  }
+
   test("asofJoin accepts TIMESTAMP columns directly (no pre-cast)") {
     // same data as the numeric fixtures, lifted to typed TIMESTAMP via
     // timestamp_micros — results must agree row-for-row with the
