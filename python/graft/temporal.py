@@ -51,13 +51,15 @@ def _int_bucket_width(bucket_width):
 
 
 def asof_join(left, right, key, left_ts, right_ts, right_prefix="right_",
-              tolerance=None, direction="backward"):
+              tolerance=None, direction="backward",
+              allow_exact_matches=True):
     """For every left row, attach the right row of the same ``key`` with
     the greatest ``right_ts <= left_ts`` (pandas ``merge_asof``,
-    direction="backward", exact matches allowed), or with
-    ``direction="forward"`` the smallest ``right_ts >= left_ts`` — the
-    same single-shuffle window read in reverse time order. Left-outer:
-    unmatched rows keep null right columns.
+    direction="backward"). ``direction="forward"`` matches the smallest
+    ``right_ts >= left_ts`` (the same single-shuffle window read in
+    reverse time order); ``"nearest"`` picks whichever sits closer,
+    ties backward. ``allow_exact_matches=False`` makes both comparisons
+    strict. Left-outer: unmatched rows keep null right columns.
 
     Timestamp columns may be TIMESTAMP/TIMESTAMP_NTZ or numeric epochs,
     mixed freely — both sides normalize through :func:`epoch_micros`.
@@ -72,10 +74,14 @@ def asof_join(left, right, key, left_ts, right_ts, right_prefix="right_",
     payload_cols = [c for c in right.columns if c != key]
     if right_ts not in payload_cols:
         raise ValueError(f"right is missing ts column {right_ts}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be 'backward', 'forward' or 'nearest', got {direction!r}")
     r = right.select(
         F.col(key).alias("__graft_k"),
         epoch_micros(right, right_ts).alias("__graft_ts"),
         F.lit(0).alias("__graft_side"),
+        F.lit(0 if allow_exact_matches else 2).alias("__graft_ord"),
         F.struct(*([F.col(c) for c in payload_cols]
                    + [epoch_micros(right, right_ts).alias("__graft_ots")])
                  ).alias("__graft_r"),
@@ -84,22 +90,31 @@ def asof_join(left, right, key, left_ts, right_ts, right_prefix="right_",
         left.withColumn("__graft_k", F.col(key))
         .withColumn("__graft_ts", epoch_micros(left, left_ts))
         .withColumn("__graft_side", F.lit(1))
+        .withColumn("__graft_ord", F.lit(1))
     )
-    if direction not in ("backward", "forward"):
-        raise ValueError(
-            f"direction must be 'backward' or 'forward', got {direction!r}")
-    fwd = direction == "forward"
     u = l.unionByName(r, allowMissingColumns=True)
-    w = (
-        Window.partitionBy("__graft_k")
-        .orderBy(F.col("__graft_ts").desc() if fwd else F.col("__graft_ts"),
-                 F.col("__graft_side"), F.col("__graft_r"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    matched = F.last(F.col("__graft_r"), ignorenulls=True).over(w)
+
+    def win(desc_ts):
+        return (
+            Window.partitionBy("__graft_k")
+            .orderBy(F.col("__graft_ts").desc() if desc_ts else F.col("__graft_ts"),
+                     F.col("__graft_ord"), F.col("__graft_r"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+
+    m_b = F.last(F.col("__graft_r"), ignorenulls=True).over(win(False))
+    m_f = F.last(F.col("__graft_r"), ignorenulls=True).over(win(True))
+    if direction == "backward":
+        matched = m_b
+    elif direction == "forward":
+        matched = m_f
+    else:
+        bg = F.col("__graft_ts") - m_b["__graft_ots"]
+        fg = m_f["__graft_ots"] - F.col("__graft_ts")
+        matched = (F.when(m_b.isNull(), m_f).when(m_f.isNull(), m_b)
+                   .when(bg <= fg, m_b).otherwise(m_f))
     if tolerance is not None:
-        gap = (matched["__graft_ots"] - F.col("__graft_ts") if fwd
-               else F.col("__graft_ts") - matched["__graft_ots"])
+        gap = F.abs(F.col("__graft_ts") - matched["__graft_ots"])
         matched = F.when(matched.isNotNull() & (gap <= tolerance), matched)
     u = u.withColumn("__graft_m", matched).where(F.col("__graft_side") == 1)
     return u.select(

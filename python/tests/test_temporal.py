@@ -118,3 +118,16 @@ def test_asof_forward_direction(spark):
     assert got == [
         ("A", 99, 100), ("A", 100, 100), ("A", 250, 300),
         ("A", 301, None), ("B", 140, 150), ("C", 500, None)]
+
+
+def test_asof_nearest_and_strict_matches(spark):
+    near = (asof_join(_trades(spark), _quotes(spark), "k", "ts", "ts",
+                      direction="nearest")
+            .orderBy("k", "ts").collect())
+    assert [(r["ts"], r["right_ts"]) for r in near] == [
+        (99, 100), (100, 100), (250, 200), (301, 300), (140, 150), (500, None)]
+    strict = (asof_join(_trades(spark), _quotes(spark), "k", "ts", "ts",
+                        allow_exact_matches=False)
+              .orderBy("k", "ts").collect())
+    assert [(r["ts"], r["right_ts"]) for r in strict] == [
+        (99, None), (100, None), (250, 200), (301, 300), (140, None), (500, None)]

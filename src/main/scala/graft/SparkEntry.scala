@@ -1840,6 +1840,18 @@ object SparkEntry {
           rightPrefix = "view_")
         .orderBy("event_id")
     }),
+    // nearest direction: smaller absolute gap wins, ties backward —
+    // still one shuffle (second window is a sort of the same partition)
+    "q_asof_nearest" -> ((s, dir) => {
+      val ev = eventsMicros(s, dir)
+      val views = ev.where(col("event_type") === "view")
+        .groupBy("user_id", "tus").agg(max("value").as("value"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select("event_id", "user_id", "tus")
+      graft.pipeline.Temporal.asofJoin(clicks, views, "user_id", "tus", "tus",
+          rightPrefix = "view_", direction = "nearest")
+        .orderBy("event_id")
+    }),
     // forward direction: each click annotated with the EARLIEST
     // at-or-after view (the same single shuffle, reversed time order)
     "q_asof_forward" -> ((s, dir) => {
@@ -3086,6 +3098,30 @@ object SparkEntry {
          |      OVER win AS view_value
          |  FROM u WINDOW win AS (PARTITION BY user_id ORDER BY tus, side ROWS UNBOUNDED PRECEDING))
          |SELECT event_id, user_id, tus, view_tus, view_value
+         |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin,
+    // nearest as-of re-derived: BOTH running windows (asc + desc) over
+    // the same tagged union, smaller gap wins, ties backward
+    "q_asof_nearest" ->
+      s"""WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tus, event_type, value FROM events),
+         |v AS (SELECT user_id, tus, MAX(value) AS value FROM e WHERE event_type = 'view' GROUP BY 1, 2),
+         |c AS (SELECT event_id, user_id, tus FROM e WHERE event_type = 'click'),
+         |u AS (
+         |  SELECT user_id, tus, 0 AS side, NULL::BIGINT AS event_id, value FROM v
+         |  UNION ALL
+         |  SELECT user_id, tus, 1, event_id, NULL FROM c),
+         |w AS (SELECT *,
+         |    LAST_VALUE(CASE WHEN side = 0 THEN tus END IGNORE NULLS) OVER wb AS b_tus,
+         |    LAST_VALUE(CASE WHEN side = 0 THEN value END IGNORE NULLS) OVER wb AS b_val,
+         |    LAST_VALUE(CASE WHEN side = 0 THEN tus END IGNORE NULLS) OVER wf AS f_tus,
+         |    LAST_VALUE(CASE WHEN side = 0 THEN value END IGNORE NULLS) OVER wf AS f_val
+         |  FROM u WINDOW
+         |    wb AS (PARTITION BY user_id ORDER BY tus, side ROWS UNBOUNDED PRECEDING),
+         |    wf AS (PARTITION BY user_id ORDER BY tus DESC, side ROWS UNBOUNDED PRECEDING))
+         |SELECT event_id, user_id, tus,
+         |  CASE WHEN b_tus IS NULL THEN f_tus WHEN f_tus IS NULL THEN b_tus
+         |       WHEN tus - b_tus <= f_tus - tus THEN b_tus ELSE f_tus END AS view_tus,
+         |  CASE WHEN b_tus IS NULL THEN f_val WHEN f_tus IS NULL THEN b_val
+         |       WHEN tus - b_tus <= f_tus - tus THEN b_val ELSE f_val END AS view_value
          |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin,
     // forward as-of re-derived: the same tagged-union window read over
     // DESCENDING ts (side 0 still first at equal ts for exact matches)

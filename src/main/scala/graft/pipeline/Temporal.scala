@@ -61,9 +61,13 @@ object Temporal {
   /**
    * As-of join: for every left row, attach the single right row of the
    * same key with the greatest `rightTs <= leftTs` (pandas
-   * `merge_asof(direction="backward", allow_exact_matches=True)`), or
-   * with `direction = "forward"` the smallest `rightTs >= leftTs` —
-   * the same single-shuffle window read in reverse time order.
+   * `merge_asof(direction="backward", allow_exact_matches=True)`).
+   * `direction = "forward"` matches the smallest `rightTs >= leftTs`
+   * (the same single-shuffle window read in reverse time order);
+   * `"nearest"` picks whichever of the two sits closer, ties backward
+   * — still one shuffle, one extra in-partition sort.
+   * `allowExactMatches = false` makes both comparisons strict, like
+   * the pandas flag.
    *
    * Output = all left columns, plus each non-key right column prefixed
    * with `rightPrefix` (including the matched right timestamp). Rows
@@ -102,40 +106,57 @@ object Temporal {
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, rightPrefix: String = "right_",
       tolerance: Option[Column] = None,
-      direction: String = "backward"): DataFrame = {
-    require(direction == "backward" || direction == "forward",
-      s"direction must be 'backward' or 'forward', got $direction")
-    val fwd = direction == "forward"
+      direction: String = "backward",
+      allowExactMatches: Boolean = true): DataFrame = {
+    require(Set("backward", "forward", "nearest")(direction),
+      s"direction must be 'backward', 'forward' or 'nearest', got $direction")
     val payloadCols = right.columns.filterNot(_ == key).toSeq
     require(payloadCols.contains(rightTs), s"right is missing ts column $rightTs")
     // __graft_ots rides inside the payload struct so tolerance can
     // subtract in the normalized micros domain even when the visible
-    // rightTs column is TIMESTAMP-typed; it is dropped on projection
+    // rightTs column is TIMESTAMP-typed; it is dropped on projection.
+    // __graft_ord controls exact-match inclusion: rights sort before
+    // lefts at equal ts (ord 0 < 1) when exact matches count, after
+    // (ord 2 > 1) when they don't — the running last() then excludes
+    // equal-ts rights in BOTH read directions.
     val r = right.select(
       col(key).as("__graft_k"), epochMicros(right, rightTs).as("__graft_ts"),
       lit(0).as("__graft_side"),
+      lit(if (allowExactMatches) 0 else 2).as("__graft_ord"),
       struct(payloadCols.map(col) :+
         epochMicros(right, rightTs).as("__graft_ots"): _*).as("__graft_r"))
     val l = left
       .withColumn("__graft_k", col(key))
       .withColumn("__graft_ts", epochMicros(left, leftTs))
       .withColumn("__graft_side", lit(1))
+      .withColumn("__graft_ord", lit(1))
     val u = l.unionByName(r, allowMissingColumns = true)
     // forward = the same running window over REVERSED time: rights with
     // later ts stream first, so the running last() at a left row is the
-    // smallest rightTs >= leftTs. Side order stays 0-before-1 (exact
-    // matches included); payload stays ascending, so equal-ts ties
-    // resolve to the greatest payload in both directions.
-    val w = Window.partitionBy("__graft_k")
-      .orderBy(if (fwd) col("__graft_ts").desc else col("__graft_ts").asc,
-        col("__graft_side"), col("__graft_r"))
+    // smallest rightTs >= leftTs. Payload stays ascending, so equal-ts
+    // ties resolve to the greatest payload in every direction. Both
+    // windows share one hash exchange; "nearest" costs a second sort of
+    // the same partitions, never a second shuffle.
+    def win(descTs: Boolean) = Window.partitionBy("__graft_k")
+      .orderBy(if (descTs) col("__graft_ts").desc else col("__graft_ts").asc,
+        col("__graft_ord"), col("__graft_r"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matchedRaw = last(col("__graft_r"), ignoreNulls = true).over(w)
+    lazy val mB = last(col("__graft_r"), ignoreNulls = true).over(win(false))
+    lazy val mF = last(col("__graft_r"), ignoreNulls = true).over(win(true))
+    val matchedRaw = direction match {
+      case "backward" => mB
+      case "forward" => mF
+      case "nearest" =>
+        // smaller absolute gap wins; ties go backward (pandas nearest)
+        val bg = col("__graft_ts") - mB("__graft_ots")
+        val fg = mF("__graft_ots") - col("__graft_ts")
+        when(mB.isNull, mF).when(mF.isNull, mB)
+          .when(bg <= fg, mB).otherwise(mF)
+    }
     val matched = tolerance match {
       case Some(tol) =>
-        val gap = if (fwd) matchedRaw("__graft_ots") - col("__graft_ts")
-          else col("__graft_ts") - matchedRaw("__graft_ots")
-        when(matchedRaw.isNotNull && gap <= tol, matchedRaw)
+        when(matchedRaw.isNotNull &&
+          abs(col("__graft_ts") - matchedRaw("__graft_ots")) <= tol, matchedRaw)
       case None => matchedRaw
     }
     u.withColumn("__graft_m", matched)

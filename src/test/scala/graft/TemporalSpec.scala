@@ -174,6 +174,64 @@ class TemporalSpec extends AnyFunSuite {
     assert(out == expected)
   }
 
+  test("asofJoin direction=nearest picks the smaller gap, ties backward") {
+    val out = Temporal.asofJoin(trades, quotes, "k", "ts", "ts",
+        direction = "nearest")
+      .orderBy("k", "ts").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(3)) null else r.getLong(3))).toSeq
+    assert(out == Seq(
+      ("A", 99L, 100L),   // only forward exists
+      ("A", 100L, 100L),  // exact
+      ("A", 250L, 200L),  // back gap 50 <= fwd gap 50: tie -> backward
+      ("A", 301L, 300L),  // only backward
+      ("B", 140L, 150L),
+      ("C", 500L, null)))
+  }
+
+  test("asofJoin nearest matches a brute-force oracle on random data") {
+    val n = 400
+    val rnd = new scala.util.Random(17)
+    val lt = (1 to n).map(i => (s"k${rnd.nextInt(5)}", rnd.nextInt(1000).toLong, i))
+    val rt = (1 to n).map(i => (s"k${rnd.nextInt(6)}", rnd.nextInt(1000).toLong, i.toDouble))
+    val expected = lt.map { case (k, ts, i) =>
+      val back = rt.filter(r => r._1 == k && r._2 <= ts)
+      val fwd = rt.filter(r => r._1 == k && r._2 >= ts)
+      val b = if (back.isEmpty) None else {
+        val mt = back.map(_._2).max; Some((mt, back.filter(_._2 == mt).map(_._3).max)) }
+      val f = if (fwd.isEmpty) None else {
+        val mt = fwd.map(_._2).min; Some((mt, fwd.filter(_._2 == mt).map(_._3).max)) }
+      val m = (b, f) match {
+        case (None, x) => x.map(_._2)
+        case (x, None) => x.map(_._2)
+        case (Some((bt, bv)), Some((ft, fv))) =>
+          if (ts - bt <= ft - ts) Some(bv) else Some(fv)
+      }
+      (k, ts, i, m)
+    }.sortBy(t => (t._1, t._2, t._3))
+    val out = Temporal.asofJoin(lt.toDF("k", "ts", "i"), rt.toDF("k", "ts", "v"),
+        "k", "ts", "ts", direction = "nearest")
+      .orderBy("k", "ts", "i").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toSeq
+    assert(out == expected)
+  }
+
+  test("asofJoin allowExactMatches=false excludes equal-ts rights") {
+    def got(dir: String) = Temporal.asofJoin(trades, quotes, "k", "ts", "ts",
+        direction = dir, allowExactMatches = false)
+      .orderBy("k", "ts").collect()
+      .map(r => (r.getLong(1), if (r.isNullAt(3)) null else r.getLong(3))).toSeq
+    // backward: the exact-ts quote at 100 no longer matches trade@100
+    assert(got("backward") == Seq(
+      (99L, null), (100L, null), (250L, 200L), (301L, 300L),
+      (140L, null), (500L, null)))
+    // forward: trade@100 now skips quote@100 to quote@200
+    assert(got("forward") == Seq(
+      (99L, 100L), (100L, 200L), (250L, 300L), (301L, null),
+      (140L, 150L), (500L, null)))
+  }
+
   test("asofJoin accepts TIMESTAMP columns directly (no pre-cast)") {
     // same data as the numeric fixtures, lifted to typed TIMESTAMP via
     // timestamp_micros — results must agree row-for-row with the
