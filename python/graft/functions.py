@@ -1256,6 +1256,34 @@ def pl_l2_norm(v):
     return _fn("pl_l2_norm", v)
 
 
+def pl_int8_scale(v):
+    """Per-vector symmetric int8 quantization scale: max(abs)/127 in
+    double, clamped to 1 for the all-zero vector."""
+    return _fn("pl_int8_scale", v)
+
+
+def pl_quantize_int8(v, scale):
+    """Symmetric int8 quantization: round(v_i / scale) as int. Stage the
+    scale once per row (a column) rather than inlining pl_int8_scale."""
+    return _fn("pl_quantize_int8", v, scale)
+
+
+def pl_dequantize_int8(codes, scale):
+    """Inverse of pl_quantize_int8: codes_i * scale as double."""
+    return _fn("pl_dequantize_int8", codes, scale)
+
+
+def pl_clean_lines(text):
+    """C4-style line-level boilerplate cleanup: keep trimmed lines with
+    >= 3 words and no stop marker, re-joined with newlines."""
+    return _fn("pl_clean_lines", text)
+
+
+def pl_kept_lines(text):
+    """Kept-line count of pl_clean_lines under the same rules."""
+    return _fn("pl_kept_lines", text)
+
+
 def pl_strip_html(text):
     """Drop HTML tags/comments and decode predefined XML entities."""
     return _fn("pl_strip_html", text)

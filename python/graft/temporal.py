@@ -242,3 +242,123 @@ def interval_join(points, spans, key, ts_col, start_col, end_col,
             *[F.col("__graft_s")[c].alias(span_prefix + c) for c in span_cols],
         )
     )
+
+
+def resample(df, key, ts_col, value_col, bucket_width):
+    """Time-bucket downsample (pandas ``resample`` / OHLC bars): one row
+    per (key, bucket) with open/high/low/close of ``value_col``, the row
+    count and the sum. ONE shuffle with map-side partial aggregation;
+    equal-ts ties take the smallest value as open, greatest as close (a
+    total order). ``ts_col`` may be TIMESTAMP/TIMESTAMP_NTZ (then
+    ``bucket_width`` is MICROS) or a numeric epoch."""
+    bucket_width = _int_bucket_width(bucket_width)
+    return (
+        df.select(F.col(key), epoch_micros(df, ts_col).alias("__graft_t"),
+                  F.col(value_col).alias("__graft_v"))
+        .groupBy(F.col(key),
+                 F.expr(f"__graft_t div {bucket_width}L").alias("__graft_b"))
+        .agg(
+            F.min(F.struct(F.col("__graft_t"), F.col("__graft_v"))).alias("__graft_o"),
+            F.max(F.struct(F.col("__graft_t"), F.col("__graft_v"))).alias("__graft_c"),
+            F.min("__graft_v").alias("low"), F.max("__graft_v").alias("high"),
+            F.count(F.lit(1)).alias("n"), F.sum("__graft_v").alias("total"))
+        .select(F.col(key), (F.col("__graft_b") * bucket_width).alias("bucket_start"),
+                F.col("__graft_o.__graft_v").alias("open"), F.col("high"),
+                F.col("low"), F.col("__graft_c.__graft_v").alias("close"),
+                F.col("n"), F.col("total"))
+    )
+
+
+def rolling(df, key, ts_col, value_col, window, prefix="roll_"):
+    """Trailing rolling-window aggregates: per row, the count/sum/min/max
+    of ``value_col`` over the same key's rows with ts in the inclusive
+    range ``[ts - window, ts]``. One shuffle; a single hot key serializes
+    through one task — use :func:`rolling_bucketed` for that shape."""
+    w = (Window.partitionBy(F.col(key)).orderBy(F.col("__graft_t"))
+         .rangeBetween(-int(window), 0))
+    return (
+        df.withColumn("__graft_t", epoch_micros(df, ts_col))
+        .withColumn(prefix + "n", F.count(F.col(value_col)).over(w))
+        .withColumn(prefix + "sum", F.sum(F.col(value_col)).over(w))
+        .withColumn(prefix + "min", F.min(F.col(value_col)).over(w))
+        .withColumn(prefix + "max", F.max(F.col(value_col)).over(w))
+        .drop("__graft_t")
+    )
+
+
+def rolling_bucketed(df, key, ts_col, value_col, window, bucket_width,
+                     prefix="roll_"):
+    """Hot-key-safe twin of :func:`rolling`: identical output for any
+    ``bucket_width >= window``, the per-key range window split across
+    (key, ts div bucket_width) partitions; rows within ``window`` of a
+    bucket's end are replicated as ghosts into the next bucket and
+    dropped from the output."""
+    window = int(window)
+    bucket_width = _int_bucket_width(bucket_width)
+    if bucket_width < window:
+        raise ValueError(
+            f"bucket_width ({bucket_width}) must be >= window ({window})")
+    base = (
+        df.withColumn("__graft_t", epoch_micros(df, ts_col))
+        .withColumn("__graft_b", F.expr(f"__graft_t div {bucket_width}L"))
+        .withColumn("__graft_ghost", F.lit(False))
+    )
+    ghosts = (
+        base.where(F.col("__graft_t")
+                   >= (F.col("__graft_b") + 1) * bucket_width - window)
+        .withColumn("__graft_b", F.col("__graft_b") + 1)
+        .withColumn("__graft_ghost", F.lit(True))
+    )
+    w = (Window.partitionBy(F.col(key), F.col("__graft_b"))
+         .orderBy(F.col("__graft_t")).rangeBetween(-window, 0))
+    return (
+        base.unionByName(ghosts)
+        .withColumn(prefix + "n", F.count(F.col(value_col)).over(w))
+        .withColumn(prefix + "sum", F.sum(F.col(value_col)).over(w))
+        .withColumn(prefix + "min", F.min(F.col(value_col)).over(w))
+        .withColumn(prefix + "max", F.max(F.col(value_col)).over(w))
+        .where(~F.col("__graft_ghost"))
+        .drop("__graft_t", "__graft_b", "__graft_ghost")
+    )
+
+
+def funnel(df, key, ts_col, step_col, steps, within=None):
+    """Funnel analysis: one row per key with the time each ordered step
+    was first reached — step i's time is the earliest step-i event
+    at-or-after step i-1's time (equal timestamps DO progress), with
+    ``within`` bounding later steps relative to the FIRST step. ONE
+    shuffle: per-step first-reach times are prefix minima over a single
+    (ts, step-rank) window, then a plain aggregation."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    rank = F.lit(len(steps))
+    for i, s in enumerate(steps):
+        rank = F.when(F.col("__graft_s") == s, F.lit(i)).otherwise(rank)
+    w = (Window.partitionBy("__graft_k")
+         .orderBy(F.col("__graft_t"), F.col("__graft_rk"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cur = (df.select(F.col(key).alias("__graft_k"),
+                     epoch_micros(df, ts_col).alias("__graft_t"),
+                     F.col(step_col).alias("__graft_s"))
+           .withColumn("__graft_rk", rank))
+    for i, s in enumerate(steps):
+        if i == 0:
+            cond = F.col("__graft_s") == s
+        else:
+            cond = ((F.col("__graft_s") == s)
+                    & (F.col("__graft_t") >= F.col(f"__graft_r{i - 1}")))
+            if within is not None:
+                cond = cond & (F.col("__graft_t")
+                               <= F.col("__graft_r0") + int(within))
+        cur = cur.withColumn(f"__graft_c{i}", F.when(cond, F.col("__graft_t")))
+        if i < len(steps) - 1:
+            cur = cur.withColumn(f"__graft_r{i}",
+                                 F.min(F.col(f"__graft_c{i}")).over(w))
+    out = cur.groupBy(F.col("__graft_k").alias(key)).agg(
+        *[F.min(F.col(f"__graft_c{i}")).alias(f"t_{i + 1}")
+          for i in range(len(steps))])
+    completed = F.lit(0)
+    for i in range(len(steps)):
+        completed = completed + F.when(F.col(f"t_{i + 1}").isNotNull(),
+                                       1).otherwise(0)
+    return out.withColumn("steps_completed", completed)

@@ -131,3 +131,74 @@ def test_asof_nearest_and_strict_matches(spark):
               .orderBy("k", "ts").collect())
     assert [(r["ts"], r["right_ts"]) for r in strict] == [
         (99, None), (100, None), (250, 200), (301, 300), (140, None), (500, None)]
+
+
+def test_resample_ohlc(spark):
+    from graft.temporal import resample
+
+    df = spark.createDataFrame(
+        [("A", 101, 5), ("A", 105, 2), ("A", 109, 8), ("A", 113, 1),
+         ("B", 101, 7)], ["k", "ts", "v"])
+    got = [tuple(r) for r in
+           resample(df, "k", "ts", "v", 10).orderBy("k", "bucket_start").collect()]
+    assert got == [("A", 100, 5, 8, 2, 8, 3, 15),
+                   ("A", 110, 1, 1, 1, 1, 1, 1),
+                   ("B", 100, 7, 7, 7, 7, 1, 7)]
+
+
+def test_rolling_bucketed_matches_plain(spark):
+    import random
+
+    from graft.temporal import rolling, rolling_bucketed
+
+    rnd = random.Random(3)
+    rows = [(f"k{rnd.randrange(3)}", rnd.randrange(300), rnd.randrange(50))
+            for _ in range(400)]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    plain = [tuple(r) for r in
+             rolling(df, "k", "ts", "v", 25).orderBy("k", "ts", "v").collect()]
+    buck = [tuple(r) for r in
+            rolling_bucketed(df, "k", "ts", "v", 25, 40)
+            .orderBy("k", "ts", "v").collect()]
+    assert plain == buck
+
+
+def test_funnel(spark):
+    from graft.temporal import funnel
+
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (1, 10, "b"), (1, 30, "c"),
+         (2, 5, "b"), (2, 10, "a"), (2, 20, "b"),
+         (3, 1, "b")], ["u", "ts", "e"])
+    got = [tuple(r) for r in
+           funnel(df, "u", "ts", "e", ["a", "b", "c"]).orderBy("u").collect()]
+    assert got == [(1, 10, 10, 30, 3), (2, 10, 20, None, 2),
+                   (3, None, None, None, 0)]
+
+
+def test_quantize_roundtrip(spark):
+    import graft.functions as gf
+    from pyspark.sql import functions as F
+
+    df = (spark.createDataFrame([(1, [3.0, -1.5, 0.75]), (2, [0.0, 0.0, 0.0])],
+                                ["id", "v"])
+          .withColumn("scale", gf.pl_int8_scale(F.col("v")))
+          .withColumn("codes", gf.pl_quantize_int8(F.col("v"), F.col("scale")))
+          .withColumn("deq", gf.pl_dequantize_int8(F.col("codes"), F.col("scale"))))
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[1]["codes"] == [127, -64, 32]
+    assert rows[2]["scale"] == 1.0 and rows[2]["codes"] == [0, 0, 0]
+    assert all(abs(a - b) <= rows[1]["scale"] / 2 + 1e-12
+               for a, b in zip(rows[1]["v"], rows[1]["deq"]))
+
+
+def test_clean_lines(spark):
+    import graft.functions as gf
+    from pyspark.sql import functions as F
+
+    txt = "this line stays around\ntoo short\nEnable JavaScript to view"
+    r = (spark.range(1)
+         .select(gf.pl_clean_lines(F.lit(txt)).alias("c"),
+                 gf.pl_kept_lines(F.lit(txt)).alias("k"))
+         .head())
+    assert r["c"] == "this line stays around" and r["k"] == 1

@@ -1176,6 +1176,40 @@ object SparkEntry {
             transform(col("__v"), x => x / col("norm"))).as("unit_dot"))
         .orderBy("vec_id")
     }),
+    // symmetric int8 embedding quantization — the 4× storage shrink for
+    // billion-vector corpora; scale staged ONCE per row (inlining it
+    // would re-reduce the array per element), codes round-half-away
+    "q_quantize" -> ((s, dir) => {
+      val v = col("embedding").cast("array<double>")
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), v.as("__v"),
+          Similarity.int8Scale(col("embedding")).as("scale"))
+        .select(col("vec_id"), col("scale"),
+          Similarity.quantizeInt8(col("__v"), col("scale")).as("codes"))
+        .select(col("vec_id"), col("scale"), col("codes"),
+          array_max(col("codes")).as("code_max"),
+          array_min(col("codes")).as("code_min"))
+        .orderBy("vec_id")
+    }),
+    // C4-style line-level boilerplate cleanup over a deterministic
+    // multi-line rendering of the documents (the ' line ' token becomes
+    // a break; every 4th/5th doc gets a marker line injected so the
+    // stop-marker rule engages)
+    "q_clean_lines" -> ((s, dir) => {
+      val lined = concat(
+        regexp_replace(col("text"), " line ", "\n"),
+        when(col("doc_id") % 4 === 0,
+          lit("\nenable javascript to view")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          lit("\nwe use cookie banners here")).otherwise(lit("")))
+      t(s, dir, "documents")
+        .select(col("doc_id"), lined.as("txt"))
+        .select(col("doc_id"),
+          size(split(col("txt"), "\n")).as("n_lines"),
+          graft.pipeline.TextNorm.kept_lines(col("txt")).as("n_kept"),
+          graft.pipeline.TextNorm.clean_lines(col("txt")).as("cleaned"))
+        .orderBy("doc_id")
+    }),
     "q_knn_brute" -> ((s, dir) =>
       Similarity.bruteTopK(t(s, dir, "embeddings"), "vec_id", "embedding", 3)
         .orderBy("query_id", "rank")),
@@ -1918,6 +1952,43 @@ object SparkEntry {
           min("value").as("min_value"), max("value").as("max_value"),
           countDistinct("user_id").as("n_users"))
         .orderBy("day", "event_type")
+    }),
+    // Time-bucket downsample (OHLC bars): per (user, hour) open/high/
+    // low/close, one shuffle with map-side combine. Rows pre-aggregated
+    // to unique (user, ts) so the open/close tie-break never engages;
+    // values discretized to milli-units (long) so every aggregate is
+    // exact integer math — hash-identical on any engine and any
+    // partial-agg order.
+    "q_ohlc" -> ((s, dir) => {
+      val uniq = eventsMicros(s, dir)
+        .groupBy("user_id", "tus").agg(max("value").as("value"))
+        .withColumn("vl", expr("cast(round(value * 1000) as bigint)"))
+      graft.pipeline.Temporal.resample(uniq, "user_id", "tus", "vl",
+          bucketWidth = 3600L * 1000000L)
+        .orderBy("user_id", "bucket_start")
+    }),
+    // Trailing 30-minute rolling stats per event, via the hot-key-safe
+    // bucketed range window (bucket = 1 h >= window); TemporalSpec pins
+    // it row-identical to the plain per-key window for random widths.
+    // Long milli-units again keep the window sums exact.
+    "q_rolling" -> ((s, dir) => {
+      val ev = eventsMicros(s, dir)
+        .withColumn("vl", expr("cast(round(value * 1000) as bigint)"))
+      graft.pipeline.Temporal.rollingBucketed(ev, "user_id", "tus", "vl",
+          window = 1800L * 1000000L, bucketWidth = 3600L * 1000000L)
+        .select("event_id", "user_id", "tus",
+          "roll_n", "roll_sum", "roll_min", "roll_max")
+        .orderBy("event_id")
+    }),
+    // Funnel: signup → view → click → purchase, each later step within
+    // 7 days of the first signup. Single shuffle: per-step first-reach
+    // times are prefix minima over one (ts, step-rank) window, then a
+    // plain aggregation — no per-step self-joins.
+    "q_funnel" -> ((s, dir) => {
+      graft.pipeline.Temporal.funnel(eventsMicros(s, dir), "user_id",
+          "tus", "event_type", Seq("signup", "view", "click", "purchase"),
+          within = Some(7L * 86400L * 1000000L))
+        .orderBy("user_id")
     })
   )
 
@@ -2534,6 +2605,40 @@ object SparkEntry {
         |u AS (SELECT vec_id, norm, list_transform(v, x -> x / norm) AS u FROM n)
         |SELECT vec_id, norm, u[1] AS u0, list_dot_product(u, u) AS unit_dot
         |FROM u ORDER BY vec_id""".stripMargin,
+    // int8 quantization replayed in double with the same staged scale;
+    // round() is half-away-from-zero in both engines, and the cast to
+    // INTEGER acts on an already-integral double
+    "q_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |m AS (SELECT vec_id, v,
+        |  list_max(list_transform(v, x -> abs(x))) / 127.0 AS m0 FROM e),
+        |s AS (SELECT vec_id, v, CASE WHEN m0 = 0 THEN 1.0 ELSE m0 END AS scale FROM m),
+        |c AS (SELECT vec_id, scale,
+        |  list_transform(v, x -> CAST(round(x / scale) AS INTEGER)) AS codes FROM s)
+        |SELECT vec_id, scale, codes,
+        |  list_max(codes) AS code_max, list_min(codes) AS code_min
+        |FROM c ORDER BY vec_id""".stripMargin,
+    // line cleanup replayed with DuckDB's list lambdas over the same
+    // injected boilerplate; the word-count and marker rules are literal
+    // string ops in both engines (no regex dialect in the predicate)
+    "q_clean_lines" ->
+      """WITH lined AS (SELECT doc_id,
+        |  regexp_replace(text, ' line ', chr(10), 'g')
+        |  || CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'enable javascript to view' ELSE '' END
+        |  || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'we use cookie banners here' ELSE '' END AS txt
+        |  FROM documents),
+        |k AS (SELECT doc_id, txt,
+        |  list_filter(string_split(txt, chr(10)), l ->
+        |    len(list_filter(string_split(trim(l), ' '), w -> w <> '')) >= 3
+        |    AND NOT contains(lower(trim(l)), 'javascript')
+        |    AND NOT contains(lower(trim(l)), 'cookie')
+        |    AND NOT contains(lower(trim(l)), 'all rights reserved')) AS kept
+        |  FROM lined)
+        |SELECT doc_id,
+        |  CAST(len(string_split(txt, chr(10))) AS INTEGER) AS n_lines,
+        |  CAST(len(kept) AS INTEGER) AS n_kept,
+        |  array_to_string(list_transform(kept, l -> trim(l)), chr(10)) AS cleaned
+        |FROM k ORDER BY doc_id""".stripMargin,
     // rational tf-idf replayed with the same pinned multiply-then-divide
     "q_tfidf" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
@@ -3190,6 +3295,52 @@ object SparkEntry {
          |FROM c LEFT JOIN x ON x.user_id = c.user_id
          |  AND x.tus >= c.tus AND x.tus < c.tus + 600000000
          |GROUP BY c.event_id, c.user_id ORDER BY c.event_id""".stripMargin,
+    // OHLC downsample replayed with arg_min/arg_max over the unique
+    // (user, ts) rows — ties impossible, so the tie-break is moot
+    "q_ohlc" ->
+      s"""WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS tus, value FROM events),
+         |u AS (SELECT user_id, tus, MAX(value) AS value FROM e GROUP BY 1, 2),
+         |v AS (SELECT user_id, tus, CAST(round(value * 1000) AS BIGINT) AS vl FROM u)
+         |SELECT user_id, (tus // 3600000000) * 3600000000 AS bucket_start,
+         |  arg_min(vl, tus) AS open, MAX(vl) AS high, MIN(vl) AS low,
+         |  arg_max(vl, tus) AS close, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(vl) AS BIGINT) AS total
+         |FROM v GROUP BY 1, 2 ORDER BY user_id, bucket_start""".stripMargin,
+    // the bucketed rolling window must agree row-for-row with the plain
+    // RANGE frame over the bare key
+    "q_rolling" ->
+      s"""WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tus,
+         |    CAST(round(value * 1000) AS BIGINT) AS vl FROM events)
+         |SELECT event_id, user_id, tus,
+         |  CAST(COUNT(vl) OVER w AS BIGINT) AS roll_n,
+         |  CAST(SUM(vl) OVER w AS BIGINT) AS roll_sum,
+         |  MIN(vl) OVER w AS roll_min, MAX(vl) OVER w AS roll_max
+         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus
+         |  RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)
+         |ORDER BY event_id""".stripMargin,
+    // funnel re-derived as chained MIN subqueries: t_i = earliest step-i
+    // event at-or-after t_{i-1}, all within 7 days of the first signup
+    "q_funnel" ->
+      s"""WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS tus, event_type FROM events),
+         |k AS (SELECT DISTINCT user_id FROM e),
+         |s1 AS (SELECT user_id, MIN(tus) AS t_1 FROM e WHERE event_type = 'signup' GROUP BY 1),
+         |s2 AS (SELECT e.user_id, MIN(e.tus) AS t_2 FROM e JOIN s1 ON e.user_id = s1.user_id
+         |  WHERE e.event_type = 'view' AND e.tus >= s1.t_1
+         |    AND e.tus <= s1.t_1 + 604800000000 GROUP BY 1),
+         |s3 AS (SELECT e.user_id, MIN(e.tus) AS t_3 FROM e JOIN s2 ON e.user_id = s2.user_id
+         |  JOIN s1 ON e.user_id = s1.user_id
+         |  WHERE e.event_type = 'click' AND e.tus >= s2.t_2
+         |    AND e.tus <= s1.t_1 + 604800000000 GROUP BY 1),
+         |s4 AS (SELECT e.user_id, MIN(e.tus) AS t_4 FROM e JOIN s3 ON e.user_id = s3.user_id
+         |  JOIN s1 ON e.user_id = s1.user_id
+         |  WHERE e.event_type = 'purchase' AND e.tus >= s3.t_3
+         |    AND e.tus <= s1.t_1 + 604800000000 GROUP BY 1)
+         |SELECT k.user_id, t_1, t_2, t_3, t_4,
+         |  CAST((t_1 IS NOT NULL)::INT + (t_2 IS NOT NULL)::INT
+         |    + (t_3 IS NOT NULL)::INT + (t_4 IS NOT NULL)::INT AS INTEGER) AS steps_completed
+         |FROM k LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+         |  LEFT JOIN s3 USING (user_id) LEFT JOIN s4 USING (user_id)
+         |ORDER BY k.user_id""".stripMargin,
     // PII detection/redaction over the same query-side injected spans;
     // the regexes are the RE2-compatible subset so both engines agree
     "q_pii" -> {

@@ -601,6 +601,8 @@ object Raster {
       reg1("pl_strip_accents", graft.pipeline.StripAccents(_))
       regN("pl_normalize_whitespace", pcol(graft.pipeline.TextNorm.normalize_whitespace))
       regN("pl_normalize_url", pcol(graft.pipeline.TextNorm.normalize_url))
+      regN("pl_clean_lines", pcol(graft.pipeline.TextNorm.clean_lines(_)))
+      regN("pl_kept_lines", pcol(graft.pipeline.TextNorm.kept_lines(_)))
       regN("pl_strip_punct", pcol(graft.pipeline.TextNorm.strip_punct))
       regN("pl_clean_text", pcol(graft.pipeline.TextNorm.clean))
       regN("pl_strip_html", pcol(graft.pipeline.TextNorm.strip_html))
@@ -612,6 +614,14 @@ object Raster {
       reg2("pl_cosine_similarity", graft.pipeline.CosineSimilarity(_, _))
       regN("pl_l2_norm", xs => org.apache.spark.sql.graft.shims
         .expressionEager(graft.pipeline.Similarity.l2_norm(asColumn(xs.head))))
+      regN("pl_int8_scale", xs => org.apache.spark.sql.graft.shims
+        .expressionEager(graft.pipeline.Similarity.int8Scale(asColumn(xs.head))))
+      regN("pl_quantize_int8", xs => org.apache.spark.sql.graft.shims
+        .expressionEager(graft.pipeline.Similarity.quantizeInt8(
+          asColumn(xs(0)), asColumn(xs(1)))))
+      regN("pl_dequantize_int8", xs => org.apache.spark.sql.graft.shims
+        .expressionEager(graft.pipeline.Similarity.dequantizeInt8(
+          asColumn(xs(0)), asColumn(xs(1)))))
       regN("pl_pii_emails", pcol(PII.emails))
       regN("pl_pii_ipv4s", pcol(PII.ipv4s))
       regN("pl_pii_phones", pcol(PII.phones))

@@ -121,6 +121,44 @@ object TextNorm {
     regexp_replace(noPort, "/$", "")
   }
 
+  /** Line-level boilerplate cleanup — the C4-style per-line pass that
+    * runs between HTML stripping and document-level quality filters.
+    * Splits on newlines and keeps a line iff, after trimming:
+    *  - it has at least `minWords` whitespace-separated words,
+    *  - its lowercase form contains none of `stopMarkers` (nav/footer
+    *    noise like "javascript", "cookie", "all rights reserved"),
+    *  - with `requireTerminal`, it ends in terminal punctuation
+    *    (`. ! ? " '` — the C4 rule).
+    * Kept lines are re-joined trimmed. Built-in higher-order array
+    * functions only (codegen'd, per-row scalar — no shuffle), each with
+    * an exact DuckDB list-function twin (q_clean_lines). */
+  def clean_lines(text: Column, minWords: Int = 3,
+      stopMarkers: Seq[String] = Seq("javascript", "cookie",
+        "all rights reserved"),
+      requireTerminal: Boolean = false): Column = {
+    def keep(l: Column): Column = {
+      val t = trim(l)
+      val words = size(filter(split(t, " "), w => w =!= ""))
+      val noMarker = stopMarkers.foldLeft(lit(true)) {
+        (acc, m) => acc && !lower(t).contains(m)
+      }
+      val terminal =
+        if (requireTerminal) t.rlike("[.!?\"']$") else lit(true)
+      words >= minWords && noMarker && terminal
+    }
+    array_join(transform(filter(split(text, "\n"), keep _), l => trim(l)), "\n")
+  }
+
+  /** The kept-line count of [[clean_lines]] under the same rules —
+    * pair with `size(split(text, '\n'))` for a kept/total ratio. */
+  def kept_lines(text: Column, minWords: Int = 3,
+      stopMarkers: Seq[String] = Seq("javascript", "cookie",
+        "all rights reserved"),
+      requireTerminal: Boolean = false): Column = {
+    val cleaned = clean_lines(text, minWords, stopMarkers, requireTerminal)
+    when(cleaned === "", 0).otherwise(size(split(cleaned, "\n")))
+  }
+
   /** Drop HTML/XML tags and comments, then decode the predefined XML
     * entities plus nbsp — the text-extraction step of a web-corpus
     * pipeline. Tags become spaces (so adjacent text doesn't fuse);

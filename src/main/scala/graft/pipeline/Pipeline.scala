@@ -646,6 +646,33 @@ object Similarity {
     * (sqrt is IEEE correctly-rounded, so engines agree bit-exactly). */
   def l2_norm(v: Column): Column = sqrt(dot(v, v))
 
+  /** Per-vector symmetric int8 scale: `max(|v_i|) / 127`, clamped to 1
+    * for the all-zero vector so [[quantizeInt8]] never divides by zero.
+    * All arithmetic in double (float inputs widen losslessly), so any
+    * IEEE engine agrees bit-exactly. */
+  def int8Scale(v: Column): Column = {
+    val s = array_max(transform(v, x => abs(x.cast("double")))) / 127d
+    when(s === 0d, 1d).otherwise(s)
+  }
+
+  /** Symmetric int8 scalar quantization of an embedding column — the
+    * standard 4× storage shrink for billion-vector ANN corpora (codes
+    * ride the shuffles, one double rides beside them for dequant).
+    * `round(v_i / scale)` half-away-from-zero lands in [-127, 127].
+    * Built-in higher-order functions only: per-row scalar, codegen'd,
+    * no shuffle. Pair with [[dequantizeInt8]]; quantization error is
+    * bounded by scale/2 per dimension.
+    *
+    * Pass the vector's [[int8Scale]] as a materialized column — inlining
+    * it would re-reduce the array once per ELEMENT (O(d²) per row). */
+  def quantizeInt8(v: Column, scale: Column): Column =
+    transform(v, x => round(x.cast("double") / scale).cast("int"))
+
+  /** Inverse of [[quantizeInt8]] given the same vector's [[int8Scale]]:
+    * `codes_i * scale`, in double. */
+  def dequantizeInt8(codes: Column, scale: Column): Column =
+    transform(codes, x => x.cast("double") * scale)
+
   /**
    * DETERMINISTIC mean pooling of vectors per group (chunk embeddings →
    * document embedding): distributed float sums are normally

@@ -241,6 +241,168 @@ object Temporal {
   }
 
   /**
+   * Time-bucket downsample (pandas `resample` / OHLC bars): one row per
+   * (key, bucket of `bucketWidth` ticks) with open/high/low/close of
+   * `valueCol`, the row count and the sum.
+   *
+   * ONE shuffle with map-side partial aggregation — open/close are
+   * `min`/`max` over `struct(ts, value)`, which combine associatively,
+   * so a 100 TB scan reduces to |keys|×|buckets| rows before the
+   * exchange. Ties at equal ts resolve to the smallest (open) /
+   * greatest (close) value — a total order, so engines agree;
+   * pre-aggregate to unique (key, ts) for other tie-breaks.
+   *
+   * `tsCol` may be TIMESTAMP/TIMESTAMP_NTZ (then `bucketWidth` is in
+   * MICROS) or a numeric epoch in its own units, via [[epochMicros]].
+   * `bucket_start` is returned in the normalized domain.
+   */
+  def resample(df: DataFrame, key: String, tsCol: String, valueCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    df.select(col(key), epochMicros(df, tsCol).as("__graft_t"),
+        col(valueCol).as("__graft_v"))
+      .groupBy(col(key), expr(s"__graft_t div ${bucketWidth}L").as("__graft_b"))
+      .agg(
+        min(struct(col("__graft_t"), col("__graft_v"))).as("__graft_o"),
+        max(struct(col("__graft_t"), col("__graft_v"))).as("__graft_c"),
+        min("__graft_v").as("low"), max("__graft_v").as("high"),
+        count(lit(1)).as("n"), sum("__graft_v").as("total"))
+      .select(col(key), (col("__graft_b") * bucketWidth).as("bucket_start"),
+        col("__graft_o.__graft_v").as("open"), col("high"), col("low"),
+        col("__graft_c.__graft_v").as("close"), col("n"), col("total"))
+  }
+
+  /**
+   * Trailing rolling-window aggregates: for every input row, the
+   * count/sum/min/max (and mean) of `valueCol` over the same key's rows
+   * with `ts` in the inclusive range `[ts - window, ts]` — the
+   * time-based `df.rolling(...)` of pandas, `RANGE BETWEEN n PRECEDING
+   * AND CURRENT ROW` of SQL.
+   *
+   * One shuffle; the range frame streams through the window operator
+   * with a sliding buffer bounded by the densest `window`-span of one
+   * key. SKEW BOUND: like [[asofJoin]], the bare-key partitioning
+   * serializes a single hot key through one task — use
+   * [[rollingBucketed]] (identical results) when one key's row count
+   * is itself cluster-scale.
+   *
+   * Sum/mean over doubles are floating-point: for hash-exact
+   * cross-engine comparison feed an integral or decimal `valueCol`.
+   */
+  def rolling(df: DataFrame, key: String, tsCol: String, valueCol: String,
+      window: Long, prefix: String = "roll_"): DataFrame = {
+    require(window >= 0, s"window must be non-negative, got $window")
+    val t = epochMicros(df, tsCol)
+    val w = Window.partitionBy(col(key)).orderBy(col("__graft_t"))
+      .rangeBetween(-window, 0)
+    df.withColumn("__graft_t", t)
+      .withColumn(prefix + "n", count(col(valueCol)).over(w))
+      .withColumn(prefix + "sum", sum(col(valueCol)).over(w))
+      .withColumn(prefix + "min", min(col(valueCol)).over(w))
+      .withColumn(prefix + "max", max(col(valueCol)).over(w))
+      .drop("__graft_t")
+  }
+
+  /**
+   * Hot-key-safe twin of [[rolling]]: identical output for ANY
+   * `bucketWidth >= window` (asserted by TemporalSpec), with the
+   * per-key range window split across `(key, ts div bucketWidth)`
+   * partitions so one hot key parallelizes over its time range.
+   *
+   * Each row computes its frame inside its own bucket; rows within
+   * `window` of a bucket's END are additionally replicated as "ghost"
+   * rows into the NEXT bucket (they can fall inside early frames
+   * there), then dropped from the output. Because `bucketWidth >=
+   * window`, a frame never reaches more than one bucket back, so one
+   * ghost generation suffices and every frame sees exactly the rows of
+   * the plain variant. Shuffle volume ≤ 2×|rows|; the densest
+   * `window`-span bound on window-operator state is unchanged.
+   */
+  def rollingBucketed(df: DataFrame, key: String, tsCol: String,
+      valueCol: String, window: Long, bucketWidth: Long,
+      prefix: String = "roll_"): DataFrame = {
+    require(window >= 0, s"window must be non-negative, got $window")
+    require(bucketWidth >= window && bucketWidth > 0,
+      s"bucketWidth ($bucketWidth) must be >= window ($window) and positive")
+    val base = df.withColumn("__graft_t", epochMicros(df, tsCol))
+      .withColumn("__graft_b", expr(s"__graft_t div ${bucketWidth}L"))
+      .withColumn("__graft_ghost", lit(false))
+    val ghosts = base
+      .where(col("__graft_t") >= (col("__graft_b") + 1) * bucketWidth - window)
+      .withColumn("__graft_b", col("__graft_b") + 1)
+      .withColumn("__graft_ghost", lit(true))
+    val w = Window.partitionBy(col(key), col("__graft_b"))
+      .orderBy(col("__graft_t")).rangeBetween(-window, 0)
+    base.unionByName(ghosts)
+      .withColumn(prefix + "n", count(col(valueCol)).over(w))
+      .withColumn(prefix + "sum", sum(col(valueCol)).over(w))
+      .withColumn(prefix + "min", min(col(valueCol)).over(w))
+      .withColumn(prefix + "max", max(col(valueCol)).over(w))
+      .where(!col("__graft_ghost"))
+      .drop("__graft_t", "__graft_b", "__graft_ghost")
+  }
+
+  /**
+   * Funnel analysis: one row per key with the time each step of the
+   * ordered `steps` sequence was first reached. Step 1's time is the
+   * key's earliest `stepCol == steps(0)` event; step i's time is the
+   * earliest `steps(i-1)` event at-or-after step i−1's time (and, with
+   * `within`, no later than `within` ticks after step 1 — the
+   * conversion-window convention). Equal timestamps DO progress the
+   * funnel (non-strict, the SQL-friendly convention:
+   * `t2 = min(ts | step = s2 AND ts >= t1)`).
+   *
+   * ONE shuffle: the per-step "first reach so far" times are running
+   * prefix minima over a single `(key)` window ordered by
+   * `(ts, step rank)` — the rank tie-break makes equal-ts progression
+   * deterministic — followed by a plain aggregation. A key's rows
+   * stream through the window operator with O(steps) state; no
+   * self-joins, no per-step shuffles.
+   *
+   * Output: key, `t_1 .. t_k` (epoch micros, null where the funnel
+   * stalled), `steps_completed`. Keys with no step-1 event keep a row
+   * with zero completion IF they appear in `df` at all.
+   */
+  def funnel(df: DataFrame, key: String, tsCol: String, stepCol: String,
+      steps: Seq[String], within: Option[Long] = None): DataFrame = {
+    require(steps.nonEmpty, "steps must be non-empty")
+    // rank: position in the funnel (unlisted events sort last — they
+    // never produce candidates, so their order is irrelevant)
+    val rank = steps.zipWithIndex.foldLeft(lit(steps.size)) {
+      case (acc, (s, i)) => when(col("__graft_s") === s, lit(i)).otherwise(acc)
+    }
+    val w = Window.partitionBy("__graft_k")
+      .orderBy(col("__graft_t"), col("__graft_rk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    var cur = df.select(col(key).as("__graft_k"),
+        epochMicros(df, tsCol).as("__graft_t"), col(stepCol).as("__graft_s"))
+      .withColumn("__graft_rk", rank)
+    steps.zipWithIndex.foreach { case (s, i) =>
+      val inWindow = within match {
+        case Some(win) if i > 0 =>
+          col("__graft_t") <= col("__graft_r0") + win
+        case _ => lit(true)
+      }
+      val cond =
+        if (i == 0) col("__graft_s") === s
+        else col("__graft_s") === s && col("__graft_t") >= col(s"__graft_r${i - 1}") &&
+          inWindow
+      cur = cur.withColumn(s"__graft_c$i", when(cond, col("__graft_t")))
+      // the last step's candidates never feed another condition — its
+      // prefix minimum would equal the plain min, so skip the pass
+      if (i < steps.size - 1)
+        cur = cur.withColumn(s"__graft_r$i", min(col(s"__graft_c$i")).over(w))
+    }
+    val stepCols = steps.indices.map(i => min(col(s"__graft_c$i")).as(s"t_${i + 1}"))
+    val out = cur.groupBy(col("__graft_k").as(key))
+      .agg(stepCols.head, stepCols.tail: _*)
+    val completed = steps.indices.foldLeft(lit(0)) {
+      case (acc, i) => acc + when(col(s"t_${i + 1}").isNotNull, 1).otherwise(0)
+    }
+    out.withColumn("steps_completed", completed)
+  }
+
+  /**
    * Interval join: every (point, span) pair of the same key with
    * `startCol <= tsCol < endCol` (half-open, the event-log convention).
    *

@@ -297,6 +297,29 @@ object StreamingPipeline {
         unix_micros(col("session_window.end")).as("session_end"),
         col("n_events"), col("min_value"), col("max_value"))
 
+  /** OHLC time-bucket downsample over tumbling event-time windows — the
+    * streaming face of [[graft.pipeline.Temporal.resample]]: identical
+    * rows to the batch operator when `width` equals its `bucketWidth`
+    * (tumbling windows align to the epoch, like integer floor-division;
+    * StreamingPipelineSpec pins the parity). Under `readStream`, add a
+    * watermark upstream and the windowed aggregate emits finalized
+    * buckets; open/close are min/max over `struct(ts, value)`, which
+    * combine associatively, so state-store merges agree with the batch
+    * plan for any micro-batch interleaving. */
+  def resampleStream(df: DataFrame, keyCol: String, eventTimeCol: String,
+      valueCol: String, width: String): DataFrame =
+    df.withColumn(eventTimeCol, eventTime(df, eventTimeCol))
+      .groupBy(col(keyCol), window(col(eventTimeCol), width))
+      .agg(
+        min(struct(col(eventTimeCol), col(valueCol))).as("__graft_o"),
+        max(struct(col(eventTimeCol), col(valueCol))).as("__graft_c"),
+        min(col(valueCol)).as("low"), max(col(valueCol)).as("high"),
+        count(lit(1)).as("n"), sum(col(valueCol)).as("total"))
+      .select(col(keyCol),
+        unix_micros(col("window.start")).as("bucket_start"),
+        col(s"__graft_o.$valueCol").as("open"), col("high"), col("low"),
+        col(s"__graft_c.$valueCol").as("close"), col("n"), col("total"))
+
   /** Running per-key corpus stats carried in the state store. */
   final case class CorpusStats(key: String, docs: Long, chars: Long, maxChars: Long)
 

@@ -101,4 +101,31 @@ class NormSpec extends AnyFunSuite {
     assert(one(TextNorm.normalize_whitespace(
       TextNorm.strip_html(lit("<div> spaced <i>text</i> </div>")))) == "spaced text")
   }
+
+  test("clean_lines keeps substantial lines, drops short and boilerplate ones") {
+    val txt = lit(Seq(
+      "this line stays around",      // 4 words -> kept
+      "too short",                   // 2 words -> dropped
+      "  padded line also stays  ",  // trims, 4 words -> kept trimmed
+      "Enable JavaScript to view",   // marker (case-insensitive) -> dropped
+      "please accept our cookie policy", // marker -> dropped
+      "All Rights Reserved by us"    // marker -> dropped
+    ).mkString("\n"))
+    assert(one(TextNorm.clean_lines(txt)) ==
+      "this line stays around\npadded line also stays")
+    val kept = spark.range(1)
+      .select(TextNorm.kept_lines(txt).cast("string")).head().getString(0)
+    assert(kept == "2")
+  }
+
+  test("clean_lines terminal-punctuation rule and empty result") {
+    val txt = lit("a proper full sentence.\nno terminal punctuation here")
+    assert(one(TextNorm.clean_lines(txt, requireTerminal = true)) ==
+      "a proper full sentence.")
+    assert(one(TextNorm.clean_lines(lit("tiny\nwee"))) == "")
+    val kept = spark.range(1)
+      .select(TextNorm.kept_lines(lit("tiny\nwee")).cast("string"))
+      .head().getString(0)
+    assert(kept == "0")
+  }
 }

@@ -168,4 +168,28 @@ class SimilaritySpec extends AnyFunSuite {
       .head().getSeq[Double](1)
     assert(m == Seq(1.5, 4.0))
   }
+
+  test("int8 quantization: codes bounded, reconstruction error <= scale/2") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(5)
+    val vecs = (1 to 50).map(i =>
+      (i.toLong, Array.fill(16)((rnd.nextFloat() - 0.5f) * 10f)))
+    val df = spark.createDataFrame(vecs).toDF("id", "v")
+      .withColumn("v", col("v").cast("array<double>"))
+      .withColumn("scale", Similarity.int8Scale(col("v")))
+      .withColumn("codes", Similarity.quantizeInt8(col("v"), col("scale")))
+      .withColumn("deq", Similarity.dequantizeInt8(col("codes"), col("scale")))
+    val bad = df.where(
+      array_max(col("codes")) > 127 || array_min(col("codes")) < -127 ||
+        exists(zip_with(col("v"), col("deq"), (a, b) => abs(a - b)),
+          e => e > col("scale") / 2 + lit(1e-12)))
+      .count()
+    assert(bad == 0)
+    // all-zero vector: scale clamps to 1, codes all zero
+    val z = spark.createDataFrame(Seq((1L, Array(0f, 0f)))).toDF("id", "v")
+      .withColumn("scale", Similarity.int8Scale(col("v")))
+      .withColumn("codes", Similarity.quantizeInt8(col("v"), col("scale")))
+      .head()
+    assert(z.getDouble(2) == 1.0 && z.getSeq[Int](3) == Seq(0, 0))
+  }
 }

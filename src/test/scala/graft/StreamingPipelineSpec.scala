@@ -291,6 +291,42 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(sp.length == 2, sp.mkString(","))
   }
 
+  test("resampleStream emits OHLC buckets, batch-parity with Temporal.resample") {
+    val dir = Files.createTempDirectory("stream-resample").toString
+    val rows = Seq(
+      (1L, Timestamp.valueOf("2026-01-01 00:00:05"), 5L),
+      (1L, Timestamp.valueOf("2026-01-01 00:00:20"), 2L),
+      (1L, Timestamp.valueOf("2026-01-01 00:00:55"), 8L),
+      (1L, Timestamp.valueOf("2026-01-01 00:01:10"), 1L),
+      (2L, Timestamp.valueOf("2026-01-01 00:00:30"), 7L),
+      // watermark pusher: append mode finalizes earlier windows
+      (99L, Timestamp.valueOf("2026-01-01 02:00:00"), 0L))
+      .toDF("user_id", "ts", "v")
+    rows.write.mode("overwrite").parquet(dir)
+
+    val stream = StreamingPipeline.resampleStream(
+      spark.readStream.schema(rows.schema).parquet(dir)
+        .withWatermark("ts", "10 minutes"),
+      "user_id", "ts", "v", width = "1 minute")
+    val q = stream.writeStream.format("memory").queryName("resample_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.sql(
+      """SELECT user_id, bucket_start, open, high, low, close, n, total
+        |FROM resample_stream WHERE user_id < 99
+        |ORDER BY user_id, bucket_start""".stripMargin)
+      .collect().map(_.toSeq).toSeq
+
+    // batch parity: same rows from the batch operator at the same width
+    val batch = graft.pipeline.Temporal.resample(
+        rows.where(col("user_id") < 99), "user_id", "ts", "v",
+        bucketWidth = 60L * 1000000L)
+      .orderBy("user_id", "bucket_start").collect().map(_.toSeq).toSeq
+    assert(got == batch, s"stream=$got batch=$batch")
+    assert(got.map(r => (r(0), r(2), r(5), r(6), r(7))) == Seq(
+      (1L, 5L, 8L, 3L, 15L), (1L, 1L, 1L, 1L, 1L), (2L, 7L, 7L, 1L, 7L)))
+  }
+
   test("asofJoinStream single batch equals the batch asofJoin row-for-row") {
     val dir = Files.createTempDirectory("stream-asof").toString
     val rnd = new scala.util.Random(23)

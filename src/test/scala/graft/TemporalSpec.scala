@@ -278,6 +278,133 @@ class TemporalSpec extends AnyFunSuite {
     assert(got == Set(("p2", "s1"), ("p3", "s1"), ("p5", "s3")))
   }
 
+  test("resample: OHLC bars per (key, bucket)") {
+    val df = Seq(
+      ("A", 101L, 5L), ("A", 105L, 2L), ("A", 109L, 8L), // bucket 10
+      ("A", 113L, 1L),                                   // bucket 11
+      ("B", 101L, 7L)).toDF("k", "ts", "v")
+    val got = Temporal.resample(df, "k", "ts", "v", bucketWidth = 10L)
+      .orderBy("k", "bucket_start").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    // (k, bucket_start, open, high, low, close, n, total)
+    assert(got == Seq(
+      ("A", 100L, 5L, 8L, 2L, 8L, 3L, 15L),
+      ("A", 110L, 1L, 1L, 1L, 1L, 1L, 1L),
+      ("B", 100L, 7L, 7L, 7L, 7L, 1L, 7L)))
+  }
+
+  test("resample: equal-ts ties take smallest value as open, greatest as close") {
+    val df = Seq(("A", 100L, 9L), ("A", 100L, 3L)).toDF("k", "ts", "v")
+    val r = Temporal.resample(df, "k", "ts", "v", 10L).collect()(0)
+    assert((r.getLong(2), r.getLong(5)) == (3L, 9L)) // open, close
+  }
+
+  test("rolling: trailing inclusive range frame") {
+    val df = Seq(("A", 100L, 1L), ("A", 105L, 2L), ("A", 110L, 4L),
+      ("A", 121L, 8L), ("B", 100L, 16L)).toDF("k", "ts", "v")
+    val got = Temporal.rolling(df, "k", "ts", "v", window = 10L)
+      .orderBy("k", "ts")
+      .select("k", "ts", "roll_n", "roll_sum").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      ("A", 100L, 1L, 1L),   // [90,100]: itself
+      ("A", 105L, 2L, 3L),   // [95,105]: 100,105
+      ("A", 110L, 3L, 7L),   // [100,110]: all three (inclusive lower end)
+      ("A", 121L, 1L, 8L),   // [111,121]: itself only
+      ("B", 100L, 1L, 16L)))
+  }
+
+  test("rollingBucketed matches rolling for any bucketWidth >= window") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 800).map(_ =>
+      (s"k${rnd.nextInt(4)}", rnd.nextInt(500).toLong, rnd.nextInt(100).toLong))
+    val df = rows.toDF("k", "ts", "v")
+    val plainRows = Temporal.rolling(df, "k", "ts", "v", window = 37L)
+      .orderBy("k", "ts", "v").collect().map(_.toSeq).toSeq
+    for (width <- Seq(37L, 38L, 50L, 100L, 1000L)) {
+      val buck = Temporal.rollingBucketed(df, "k", "ts", "v",
+          window = 37L, bucketWidth = width)
+        .orderBy("k", "ts", "v").collect().map(_.toSeq).toSeq
+      assert(buck == plainRows, s"width=$width diverged")
+    }
+  }
+
+  test("rollingBucketed rejects bucketWidth < window") {
+    val df = Seq(("A", 1L, 1L)).toDF("k", "ts", "v")
+    intercept[IllegalArgumentException](
+      Temporal.rollingBucketed(df, "k", "ts", "v", window = 10L, bucketWidth = 5L))
+  }
+
+  test("funnel: step times chain, equal timestamps progress, keys without step 1 stall") {
+    val ev = Seq(
+      // u1 completes all three, step2 at the SAME ts as step1
+      (1L, 10L, "a"), (1L, 10L, "b"), (1L, 30L, "c"),
+      // u2: b before any a never counts; the later b does
+      (2L, 5L, "b"), (2L, 10L, "a"), (2L, 20L, "b"),
+      // u3: no a at all
+      (3L, 1L, "b"), (3L, 2L, "c")).toDF("u", "ts", "e")
+    val got = Temporal.funnel(ev, "u", "ts", "e", Seq("a", "b", "c"))
+      .orderBy("u").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        r.getInt(4))).toSeq
+    assert(got == Seq(
+      (1L, 10L, 10L, 30L, 3),
+      (2L, 10L, 20L, -1L, 2),
+      (3L, -1L, -1L, -1L, 0)))
+  }
+
+  test("funnel: within bounds later steps relative to the FIRST step") {
+    val ev = Seq(
+      (1L, 0L, "a"), (1L, 40L, "b"), (1L, 60L, "c"),
+      (2L, 0L, "a"), (2L, 40L, "b"), (2L, 90L, "c")).toDF("u", "ts", "e")
+    val got = Temporal.funnel(ev, "u", "ts", "e", Seq("a", "b", "c"),
+        within = Some(80L))
+      .orderBy("u").collect().map(r => r.getInt(4)).toSeq
+    assert(got == Seq(3, 2)) // u2's c at 90 > 0 + 80 stalls
+  }
+
+  test("funnel matches a brute-force oracle on random data") {
+    val rnd = new scala.util.Random(23)
+    val steps = Seq("s1", "s2", "s3")
+    val rows = (1 to 1500).map(_ => (rnd.nextInt(40).toLong,
+      rnd.nextInt(200).toLong, s"s${1 + rnd.nextInt(4)}")) // s4 = noise
+    val expected = rows.groupBy(_._1).map { case (u, evs) =>
+      var prev = Option(Long.MinValue)
+      val ts = steps.map { s =>
+        val t = prev.flatMap(p =>
+          evs.filter(e => e._3 == s && e._2 >= p).map(_._2).minOption)
+        prev = t
+        t
+      }
+      (u, ts.map(_.getOrElse(-1L)), ts.count(_.isDefined))
+    }.toSeq.sortBy(_._1)
+    val got = Temporal.funnel(rows.toDF("u", "ts", "e"), "u", "ts", "e", steps)
+      .orderBy("u").collect()
+      .map(r => (r.getLong(0),
+        (1 to 3).map(i => if (r.isNullAt(i)) -1L else r.getLong(i)).toList,
+        r.getInt(4))).toSeq
+    assert(got == expected)
+  }
+
+  test("funnel and rolling plans are a single shuffle") {
+    val df = Seq(("A", 1L, 1L)).toDF("k", "ts", "v")
+    for (plan <- Seq(
+        Temporal.funnel(df.toDF("k", "ts", "e").withColumn("e", lit("a")),
+          "k", "ts", "e", Seq("a", "b", "c"))
+          .queryExecution.executedPlan.toString,
+        Temporal.rolling(df, "k", "ts", "v", 10L)
+          .queryExecution.executedPlan.toString)) {
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      assert(!plan.contains("CartesianProduct"), plan)
+      val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(exchanges == 1, s"expected 1 hash exchange, plan:\n$plan")
+    }
+  }
+
   test("asofJoin plan is a single shuffle (no broadcast-nested-loop)") {
     val plan = Temporal.asofJoin(trades, quotes, "k", "ts", "ts")
       .queryExecution.executedPlan.toString
