@@ -1273,6 +1273,18 @@ def pl_dequantize_int8(codes, scale):
     return _fn("pl_dequantize_int8", codes, scale)
 
 
+def pl_url_host(url):
+    """Host of a URL: lowercased authority, :port stripped; empty for
+    scheme-less input."""
+    return _fn("pl_url_host", url)
+
+
+def pl_url_domain(url):
+    """Registered-domain approximation: last two dot-labels of
+    pl_url_host; not public-suffix-aware."""
+    return _fn("pl_url_domain", url)
+
+
 def pl_clean_lines(text):
     """C4-style line-level boilerplate cleanup: keep trimmed lines with
     >= 3 words and no stop marker, re-joined with newlines."""

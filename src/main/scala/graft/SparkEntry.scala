@@ -1266,6 +1266,23 @@ object SparkEntry {
           t(s, dir, "documents"), "doc_id", "source", quota = 10L)
         .select(col("doc_id"), col("source"))
         .orderBy("doc_id")),
+    // per-registered-domain document cap (the RefinedWeb curation rule):
+    // a messy URL per doc (subdomain varies per doc, site per 20-doc
+    // group), pl_url_domain folds subdomains to the registered domain,
+    // then the same two-phase hash-order quota as q_sample_quota keyed
+    // on it — the extraction stays codegen'd, the cap is one shuffle
+    "q_domain_quota" -> ((s, dir) => {
+      val sub = element_at(
+        array(lit("www"), lit("en"), lit("blog"), lit("m")),
+        (col("doc_id") % 4 + 1).cast("int"))
+      val url = concat(lit("https://"), sub, lit(".site"),
+        expr("doc_id div 20"), lit(".org/p/"), col("doc_id"))
+      val d = t(s, dir, "documents")
+        .withColumn("domain", graft.pipeline.TextNorm.url_domain(url))
+      graft.pipeline.Mixture.sampleByQuota(d, "doc_id", "domain", quota = 10L)
+        .select(col("doc_id"), col("domain"))
+        .orderBy("doc_id")
+    }),
     "q_sample_budget" -> ((s, dir) =>
       graft.pipeline.Mixture.sampleByTokenBudget(
           t(s, dir, "documents"), "doc_id", "source",
@@ -3385,6 +3402,23 @@ object SparkEntry {
          |r AS (SELECT doc_id, source,
          |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY hh, doc_id) AS rn FROM h)
          |SELECT doc_id, source FROM r WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
+    // domain cap: the same naive window oracle, keyed on the re-derived
+    // registered domain (host regexp + last-two-labels, with the
+    // single-label fallback pl_url_domain documents)
+    "q_domain_quota" ->
+      s"""WITH u AS (SELECT doc_id,
+         |    'https://' || ['www','en','blog','m'][(doc_id % 4 + 1)::INT]
+         |      || '.site' || (doc_id // 20) || '.org/p/' || doc_id AS url FROM documents),
+         |host AS (SELECT doc_id,
+         |    lower(regexp_extract(trim(url), '^[a-zA-Z][a-zA-Z0-9+.\\-]*://([^/:?#]*)', 1)) AS h FROM u),
+         |d AS (SELECT doc_id,
+         |    CASE WHEN regexp_extract(h, '([^.]+\\.[^.]+)$$', 1) = '' THEN h
+         |         ELSE regexp_extract(h, '([^.]+\\.[^.]+)$$', 1) END AS domain FROM host),
+         |hh AS (SELECT doc_id, domain,
+         |    ${duckToSigned(duckMix64("doc_id::HUGEINT"))} AS hh FROM d),
+         |r AS (SELECT doc_id, domain,
+         |    ROW_NUMBER() OVER (PARTITION BY domain ORDER BY hh, doc_id) AS rn FROM hh)
+         |SELECT doc_id, domain FROM r WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
     "q_sample_budget" ->
       s"""WITH h AS (SELECT doc_id, source, len(string_split(text, ' ')) AS tc,
          |    ${duckToSigned(duckMix64("doc_id::HUGEINT"))} AS hh FROM documents),

@@ -603,6 +603,8 @@ object Raster {
       regN("pl_normalize_url", pcol(graft.pipeline.TextNorm.normalize_url))
       regN("pl_clean_lines", pcol(graft.pipeline.TextNorm.clean_lines(_)))
       regN("pl_kept_lines", pcol(graft.pipeline.TextNorm.kept_lines(_)))
+      regN("pl_url_host", pcol(graft.pipeline.TextNorm.url_host))
+      regN("pl_url_domain", pcol(graft.pipeline.TextNorm.url_domain))
       regN("pl_strip_punct", pcol(graft.pipeline.TextNorm.strip_punct))
       regN("pl_clean_text", pcol(graft.pipeline.TextNorm.clean))
       regN("pl_strip_html", pcol(graft.pipeline.TextNorm.strip_html))

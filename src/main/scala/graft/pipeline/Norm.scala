@@ -121,6 +121,26 @@ object TextNorm {
     regexp_replace(noPort, "/$", "")
   }
 
+  /** Host of a URL: the authority between `scheme://` and the first
+    * `/ ? #`, lowercased, with any `:port` stripped; empty string for
+    * scheme-less input. Anchored regexp only — codegen'd, with an exact
+    * RE2 twin in DuckDB. */
+  def url_host(url: Column): Column =
+    lower(regexp_extract(trim(url),
+      "^[a-zA-Z][a-zA-Z0-9+.\\-]*://([^/:?#]*)", 1))
+
+  /** Registered domain approximation: the last two dot-labels of
+    * [[url_host]] (`www.example.com` → `example.com`) — the per-domain
+    * cap key of web-corpus curation (RefinedWeb). Single-label hosts
+    * (e.g. `localhost`) pass through whole. NOT public-suffix-aware: a
+    * `*.co.uk` host returns `co.uk`; thread a real PSL table through a
+    * join when that matters. */
+  def url_domain(url: Column): Column = {
+    val h = url_host(url)
+    val last2 = regexp_extract(h, "([^.]+\\.[^.]+)$", 1)
+    when(last2 === "", h).otherwise(last2)
+  }
+
   /** Line-level boilerplate cleanup — the C4-style per-line pass that
     * runs between HTML stripping and document-level quality filters.
     * Splits on newlines and keeps a line iff, after trimming:

@@ -102,6 +102,21 @@ class NormSpec extends AnyFunSuite {
       TextNorm.strip_html(lit("<div> spaced <i>text</i> </div>")))) == "spaced text")
   }
 
+  test("url_host and url_domain extract authority and registered domain") {
+    assert(one(TextNorm.url_host(lit("https://WWW.Example.COM:8080/p?q=1"))) ==
+      "www.example.com")
+    assert(one(TextNorm.url_host(lit("  http://a.b.c/x  "))) == "a.b.c")
+    assert(one(TextNorm.url_host(lit("no scheme here"))) == "")
+    assert(one(TextNorm.url_domain(lit("https://www.example.com/p"))) ==
+      "example.com")
+    assert(one(TextNorm.url_domain(lit("http://en.blog.site7.org/x"))) ==
+      "site7.org")
+    // single-label host passes through whole
+    assert(one(TextNorm.url_domain(lit("http://localhost:9090/x"))) ==
+      "localhost")
+    assert(one(TextNorm.url_domain(lit("garbage"))) == "")
+  }
+
   test("clean_lines keeps substantial lines, drops short and boilerplate ones") {
     val txt = lit(Seq(
       "this line stays around",      // 4 words -> kept
