@@ -303,3 +303,36 @@ def substring_dedup(df, id_col, text_col, k=8):
                 "(x, i) -> named_struct('x', x, 'i', i)), "
                 "p -> NOT exists(spans, sp -> p.i >= sp.s AND p.i < sp.e)), "
                 "p -> p.x), ' ')")).alias("cleaned_text")))
+
+
+def pmi_pairs(df, id_col, text_col, min_support=5, k=20):
+    """Top co-occurring term pairs by rational PMI lift — Python mirror
+    of the Scala ``Dedup.pmiPairs``: for unordered pairs (a < b)
+    co-occurring in >= ``min_support`` documents,
+    ``lift = n_ab * N / (n_a * n_b)`` (no logarithm — the ranking is
+    identical and the scores stay bit-exact cross-engine). The df filter
+    runs before pairing and is lossless; the global top-k is sort+limit
+    (TakeOrderedAndProject), rank assigned over the k survivors only.
+    Returns ``(a, b, n_ab, n_a, n_b, lift, rank)``."""
+    if min_support <= 0 or k <= 0:
+        raise ValueError("min_support and k must be positive")
+    toks = (df.select(F.col(id_col).alias("id"),
+                      F.explode(F.split(F.col(text_col), " ")).alias("term"))
+            .distinct())
+    dfc = (toks.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+           .where(F.col("df") >= min_support))
+    kt = toks.join(dfc, "term")
+    l = kt.select("id", F.col("term").alias("a"), F.col("df").alias("n_a"))
+    r = kt.select("id", F.col("term").alias("b"), F.col("df").alias("n_b"))
+    pairs = (l.join(r, "id").where(F.col("a") < F.col("b"))
+             .groupBy("a", "b", "n_a", "n_b")
+             .agg(F.count(F.lit(1)).alias("n_ab"))
+             .where(F.col("n_ab") >= min_support))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (pairs.crossJoin(F.broadcast(n_docs))
+              .withColumn("lift", F.col("n_ab").cast("double") * F.col("n_docs")
+                          / (F.col("n_a") * F.col("n_b")))
+              .orderBy(F.col("lift").desc(), "a", "b").limit(k))
+    w = Window.orderBy(F.col("lift").desc(), "a", "b")
+    return (scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .select("a", "b", "n_ab", "n_a", "n_b", "lift", "rank"))

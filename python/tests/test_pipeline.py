@@ -123,3 +123,16 @@ def test_substring_dedup_matches_scala_semantics(spark):
         (3, 4, 0, 0, "short doc nothing here"),
         (4, 16, 1, 16, ""),
     ]
+
+
+def test_pmi_pairs(spark):
+    from graft.pipeline import pmi_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "x y bg"), (2, "x y bg rare"), (3, "bg filler"), (4, "bg filler")],
+        ["doc_id", "text"])
+    out = {(r["a"], r["b"]): r for r in
+           pmi_pairs(docs, "doc_id", "text", min_support=2, k=10).collect()}
+    assert out[("x", "y")]["lift"] == 2.0 and out[("x", "y")]["rank"] == 1
+    assert out[("bg", "x")]["lift"] == 1.0
+    assert not any("rare" in p for p in out)

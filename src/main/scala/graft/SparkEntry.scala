@@ -1147,6 +1147,12 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_variants"), min("doc_id").as("keeper_id"))
         .orderBy("nurl")
     }),
+    // top co-occurring term pairs by rational PMI lift (no log: the
+    // ranking is identical and the scores stay bit-exact cross-engine)
+    "q_pmi" -> ((s, dir) =>
+      Dedup.pmiPairs(t(s, dir, "documents"), "doc_id", "text",
+          minSupport = 5L, k = 20)
+        .orderBy("rank")),
     "q_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text", threshold = 0.2)
         .orderBy("a_id", "b_id")),
@@ -3394,6 +3400,25 @@ object SparkEntry {
          |  COALESCE(ov.n_overlap, 0) / CAST(ng.n_grams AS DOUBLE) AS score,
          |  COALESCE(ov.n_overlap, 0) > 0 AS contaminated
          |FROM ng LEFT JOIN ov ON ng.doc_id = ov.doc_id ORDER BY ng.doc_id""".stripMargin,
+    // PMI pairs: the same rational lift; DISTINCT (doc, term) in a
+    // subquery (unnest expands before DISTINCT applies), naive global
+    // window vs the Spark side's TakeOrderedAndProject top-k
+    "q_pmi" ->
+      """WITH toks AS (SELECT DISTINCT doc_id, term FROM
+        |    (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)),
+        |dfc AS (SELECT term, COUNT(*) AS df FROM toks GROUP BY 1 HAVING COUNT(*) >= 5),
+        |kt AS (SELECT t.doc_id, t.term, k.df FROM toks t JOIN dfc k ON t.term = k.term),
+        |pairs AS (SELECT l.term AS a, r.term AS b, l.df AS n_a, r.df AS n_b,
+        |    COUNT(*) AS n_ab
+        |  FROM kt l JOIN kt r ON l.doc_id = r.doc_id AND l.term < r.term
+        |  GROUP BY 1, 2, 3, 4 HAVING COUNT(*) >= 5),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |s AS (SELECT a, b, n_ab, n_a, n_b,
+        |    CAST(n_ab AS DOUBLE) * n_docs / (n_a * n_b) AS lift FROM pairs, n),
+        |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY lift DESC, a, b) AS rank FROM s)
+        |SELECT a, b, CAST(n_ab AS BIGINT) AS n_ab, CAST(n_a AS BIGINT) AS n_a,
+        |  CAST(n_b AS BIGINT) AS n_b, lift, CAST(rank AS INTEGER) AS rank
+        |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
     // mixture sampling: the NAIVE window spec — the Spark side runs the
     // two-phase bucket cutoff, and this oracle proves them row-identical
     "q_sample_quota" ->

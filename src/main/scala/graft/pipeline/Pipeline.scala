@@ -335,6 +335,54 @@ object Dedup {
   }
 
   /**
+   * Top co-occurring term pairs by rational PMI lift: for unordered
+   * term pairs (a < b) co-occurring in at least `minSupport` documents,
+   * `lift = n_ab * N / (n_a * n_b)` — the PMI argument WITHOUT the
+   * logarithm: log is monotone, so the ranking is identical, and the
+   * rational form stays bit-exact across engines (the [[tfidfTopTerms]]
+   * rule — transcendental libm calls are where engines drift an ulp).
+   *
+   * Scale shape: the document-frequency filter runs BEFORE pairing and
+   * is LOSSLESS — a pair's support is at most the smaller of its terms'
+   * document frequencies, so `df < minSupport` terms cannot reach
+   * `n_ab >= minSupport`. Per-doc pair expansion is the standard
+   * O(distinct-kept-terms²) co-occurrence shape, thinned by that
+   * filter; pair counting is one groupBy shuffle on the pair key; the
+   * df table joins with plain shuffle equi-joins (open vocabulary —
+   * never broadcast); only the one-row corpus count broadcasts. The
+   * global top-k is sort+limit — Spark's TakeOrderedAndProject keeps a
+   * k-row heap per partition, no full sort, no single-task window
+   * (rank is then assigned over the k survivors only).
+   *
+   * Returns (a, b, n_ab, n_a, n_b, lift, rank), rank 1..k by
+   * (lift desc, a, b).
+   */
+  def pmiPairs(df: DataFrame, idCol: String, textCol: String,
+      minSupport: Long = 5L, k: Int = 20): DataFrame = {
+    require(minSupport > 0 && k > 0, s"minSupport and k must be positive")
+    val toks = df.select(col(idCol).as("id"),
+      explode(split(col(textCol), " ")).as("term")).distinct()
+    val dfc = toks.groupBy("term").agg(count(lit(1)).as("df"))
+      .where(col("df") >= minSupport)
+    val kt = toks.join(dfc, "term")
+    val l = kt.select(col("id"), col("term").as("a"), col("df").as("n_a"))
+    val r = kt.select(col("id"), col("term").as("b"), col("df").as("n_b"))
+    val pairs = l.join(r, "id").where(col("a") < col("b"))
+      .groupBy("a", "b", "n_a", "n_b").agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minSupport)
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val scored = pairs.crossJoin(broadcast(nDocs))
+      .withColumn("lift",
+        col("n_ab").cast("double") * col("n_docs") / (col("n_a") * col("n_b")))
+      .orderBy(col("lift").desc, col("a"), col("b")).limit(k)
+    // rank over the <= k survivors only — the empty-frame window is fine
+    val w = Window.orderBy(col("lift").desc, col("a"), col("b"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+        col("lift"), col("rank"))
+  }
+
+  /**
    * MinHash-LSH near-duplicate candidate pairs.
    * signature → `bands` bands of `numHashes/bands` rows → equi-join on
    * (band_idx, band_hash) — a shuffle hash join on bounded buckets, the

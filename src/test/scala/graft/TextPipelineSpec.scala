@@ -255,6 +255,31 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(rare2._5 == 3.0 && rare2._3 == 1L && rare2._4 == 1L)
   }
 
+  test("pmiPairs ranks exclusive co-occurrence above background, df filter is lossless") {
+    import graft.pipeline.Dedup
+    // x and y ALWAYS co-occur (2 docs each, 2 together); bg is everywhere.
+    // rare appears once — under minSupport, must not surface in any pair.
+    val docs = Seq(
+      (1L, "x y bg"), (2L, "x y bg rare"),
+      (3L, "bg filler"), (4L, "bg filler")).toDF("doc_id", "text")
+    val out = Dedup.pmiPairs(docs, "doc_id", "text", minSupport = 2L, k = 10)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2), r.getDouble(5), r.getInt(6)))
+    val byPair = out.map(x => x._1 -> x).toMap
+    // lift(x,y) = 2*4/(2*2) = 2.0 — the top pair
+    assert(byPair(("x", "y"))._3 == 2.0 && byPair(("x", "y"))._4 == 1)
+    // lift(bg,x) = 2*4/(4*2) = 1.0
+    assert(byPair(("bg", "x"))._3 == 1.0)
+    // rare (df=1) and any pair with it are filtered out losslessly
+    assert(!out.exists(p => p._1._1 == "rare" || p._1._2 == "rare"))
+    // filler pairs only with bg: lift = 2*4/(4*2) = 1.0
+    assert(byPair(("bg", "filler"))._3 == 1.0)
+    // global top-k is TakeOrderedAndProject, not a full-sort exchange
+    val plan = Dedup.pmiPairs(docs, "doc_id", "text", 2L, 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("corpusReport: one-row dataset card with exact-integer metrics") {
     import graft.pipeline.Dedup
     val docs = Seq(
