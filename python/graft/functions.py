@@ -1273,6 +1273,18 @@ def pl_dequantize_int8(codes, scale):
     return _fn("pl_dequantize_int8", codes, scale)
 
 
+def pl_cms_agg(key, depth=4, width=1024):
+    """Aggregate integral keys into an ADD-mergeable count-min sketch
+    (array<bigint>, depth*width row-major, width a power of two)."""
+    return _fn("pl_cms_agg", key, depth, width)
+
+
+def pl_cms_estimate(sketch, key, depth=4, width=1024):
+    """Point frequency estimate against a pl_cms_agg sketch — min across
+    rows; never underestimates."""
+    return _fn("pl_cms_estimate", sketch, key, depth, width)
+
+
 def pl_url_host(url):
     """Host of a URL: lowercased authority, :port stripped; empty for
     scheme-less input."""

@@ -136,3 +136,18 @@ def test_pmi_pairs(spark):
     assert out[("x", "y")]["lift"] == 2.0 and out[("x", "y")]["rank"] == 1
     assert out[("bg", "x")]["lift"] == 1.0
     assert not any("rare" in p for p in out)
+
+
+def test_cms_sketch(spark):
+    import graft.functions as gf
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(k,) for k in [1, 1, 1, 2, 2, 3]], ["k"])
+    sk = df.agg(gf.pl_cms_agg(F.col("k"), 4, 64).alias("s"))
+    out = (df.groupBy("k").agg(F.count(F.lit(1)).alias("exact"))
+           .crossJoin(F.broadcast(sk))
+           .select("k", "exact",
+                   gf.pl_cms_estimate(F.col("s"), F.col("k"), 4, 64).alias("est"))
+           .collect())
+    assert all(r["est"] >= r["exact"] for r in out)
+    assert {r["k"]: r["est"] for r in out}[1] == 3

@@ -2012,6 +2012,22 @@ object SparkEntry {
           "tus", "event_type", Seq("signup", "view", "click", "purchase"),
           within = Some(7L * 86400L * 1000000L))
         .orderBy("user_id")
+    }),
+    // Count-min sketch heavy hitters over event user_ids: the 4×256
+    // ADD-mergeable aggregate reduces the scan to one 1 KB array per
+    // partition; estimates probe the broadcast sketch per row and can
+    // never undercount (overcount column shows collision inflation).
+    // The oracle replays bucket assignment and the min-over-rows in
+    // SQL with the same splitmix64 HUGEINT emulation.
+    "q_heavy_hitters" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val sk = ev.agg(graft.pipeline.Cms.sketch(col("user_id"), 4, 256).as("sk"))
+      ev.groupBy("user_id").agg(count(lit(1)).as("n_exact"))
+        .crossJoin(broadcast(sk))
+        .select(col("user_id"), col("n_exact"),
+          graft.pipeline.Cms.estimate(col("sk"), col("user_id"), 4, 256).as("n_est"))
+        .withColumn("overcount", col("n_est") - col("n_exact"))
+        .orderBy("user_id")
     })
   )
 
@@ -3318,6 +3334,28 @@ object SparkEntry {
          |FROM c LEFT JOIN x ON x.user_id = c.user_id
          |  AND x.tus >= c.tus AND x.tus < c.tus + 600000000
          |GROUP BY c.event_id, c.user_id ORDER BY c.event_id""".stripMargin,
+    // count-min sketch replayed relationally: one row per (event, sketch
+    // row) -> per-(row, bucket) counts -> estimate = min over the key's
+    // four buckets; same splitmix64, same power-of-two mask (% width)
+    "q_heavy_hitters" -> {
+      val bucket = (key: String) => duckMix64(
+        s"xor(($key)::HUGEINT, ((r::HUGEINT * 11400714819323198485::HUGEINT) % $M64))")
+      s"""WITH b AS (SELECT user_id, CAST(rr.r AS INT) AS r,
+         |    ${bucket("user_id")} % 256::HUGEINT AS bucket
+         |  FROM events, range(0, 4) rr(r)),
+         |counts AS (SELECT r, bucket, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+         |keys AS (SELECT user_id, COUNT(*) AS n_exact FROM events GROUP BY 1),
+         |kb AS (SELECT user_id, n_exact, CAST(rr.r AS INT) AS r,
+         |    ${bucket("user_id")} % 256::HUGEINT AS bucket
+         |  FROM keys, range(0, 4) rr(r)),
+         |est AS (SELECT kb.user_id, kb.n_exact, MIN(c.cnt) AS n_est
+         |  FROM kb JOIN counts c ON c.r = kb.r AND c.bucket = kb.bucket
+         |  GROUP BY 1, 2)
+         |SELECT user_id, CAST(n_exact AS BIGINT) AS n_exact,
+         |  CAST(n_est AS BIGINT) AS n_est,
+         |  CAST(n_est - n_exact AS BIGINT) AS overcount
+         |FROM est ORDER BY user_id""".stripMargin
+    },
     // OHLC downsample replayed with arg_min/arg_max over the unique
     // (user, ts) rows — ties impossible, so the tie-break is moot
     "q_ohlc" ->

@@ -612,6 +612,11 @@ object Raster {
         intArg(xs, 1, 1 << 20), intArg(xs, 2, 5)).toAggregateExpression())
       regN("pl_bloom_contains", xs =>
         graft.pipeline.BloomContains(xs(0), xs(1), intArg(xs, 2, 5)))
+      regN("pl_cms_agg", xs => graft.pipeline.CmsBuildAgg(xs.head,
+        intArg(xs, 1, 4), intArg(xs, 2, 1024)).toAggregateExpression())
+      regN("pl_cms_estimate", xs => org.apache.spark.sql.graft.shims
+        .expressionEager(graft.pipeline.Cms.estimate(asColumn(xs(0)),
+          asColumn(xs(1)), intArg(xs, 2, 4), intArg(xs, 3, 1024))))
       reg2("pl_vector_dot", graft.pipeline.VectorDot(_, _))
       reg2("pl_cosine_similarity", graft.pipeline.CosineSimilarity(_, _))
       regN("pl_l2_norm", xs => org.apache.spark.sql.graft.shims
