@@ -204,6 +204,67 @@ object StreamingPipeline {
       }
   }
 
+  /** One funnel event after rank projection: key, epoch-micros time,
+    * step index in the funnel (unlisted events are filtered upstream). */
+  final case class FunnelRow(k: Long, t: Long, rk: Int)
+  /** Per-key state: first-reach time per step, -1 = unreached. */
+  final case class FunnelSt(times: Seq[Long])
+  /** Funnel progression emitted per key per micro-batch. */
+  final case class FunnelOut(key: Long, stepTimes: Seq[Long], stepsCompleted: Int)
+
+  /**
+   * Streaming funnel — the stateful face of
+   * [[graft.pipeline.Temporal.funnel]]: per-key step first-reach times
+   * carried in the state store (one `steps.size`-long array per live
+   * key), updated each micro-batch and emitted as a progression row for
+   * every key the batch touched. A single micro-batch over a static
+   * frame equals the batch operator row-for-row (events sort by
+   * `(t, step rank)` inside the group, replaying the batch window's
+   * equal-ts tie-break; StreamingPipelineSpec pins the parity).
+   *
+   * PROGRESSIVE semantics across batches: steps LATCH at first reach
+   * against the state as of arrival — a late-arriving earlier step-1
+   * event cannot retroactively re-time steps already latched (the
+   * same enrich-with-known trade [[asofJoinStream]] documents). Feed
+   * the stream roughly in order where exact cross-batch parity with
+   * the batch operator matters.
+   *
+   * `within` bounds later steps relative to the latched step-1 time, in
+   * the normalized micros domain. Unreached steps report -1 (a typed
+   * Dataset keeps the state encoder lean; map to nulls at the edge if
+   * SQL-style output is wanted).
+   */
+  def funnelStream(df: DataFrame, key: String, tsCol: String,
+      stepCol: String, steps: Seq[String],
+      within: Option[Long] = None): Dataset[FunnelOut] = {
+    require(steps.nonEmpty, "steps must be non-empty")
+    import df.sparkSession.implicits._
+    val rank = steps.zipWithIndex.foldLeft(lit(-1)) {
+      case (acc, (s, i)) => when(col(stepCol) === s, lit(i)).otherwise(acc)
+    }
+    val rows = df.select(col(key).cast("long").as("k"),
+        graft.pipeline.Temporal.epochMicros(df, tsCol).as("t"),
+        rank.as("rk"))
+      .where(col("rk") >= 0).as[FunnelRow]
+    val n = steps.size
+    rows.groupByKey(_.k)
+      .flatMapGroupsWithState[FunnelSt, FunnelOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (k: Long, it: Iterator[FunnelRow], state: GroupState[FunnelSt]) =>
+          val times = state.getOption.map(_.times.toArray)
+            .getOrElse(Array.fill(n)(-1L))
+          for (r <- it.toSeq.sortBy(x => (x.t, x.rk))) {
+            val i = r.rk
+            val prevOk = i == 0 || (times(i - 1) >= 0 && r.t >= times(i - 1))
+            val withinOk = i == 0 ||
+              within.forall(w => times(0) >= 0 && r.t <= times(0) + w)
+            if (times(i) < 0 && prevOk && withinOk) times(i) = r.t
+          }
+          state.update(FunnelSt(times.toSeq))
+          Iterator.single(FunnelOut(k, times.toSeq, times.count(_ >= 0)))
+      }
+  }
+
   /**
    * Stream-stream interval join: pair each point event with every span
    * `[start, end)` of the same key, the streaming face of

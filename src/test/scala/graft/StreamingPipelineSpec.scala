@@ -403,6 +403,69 @@ class StreamingPipelineSpec extends AnyFunSuite {
       (2L, 150L, null, null))) // older than the retained latest: no match
   }
 
+  test("funnelStream single batch equals the batch funnel row-for-row") {
+    val dir = Files.createTempDirectory("stream-funnel").toString
+    val rnd = new scala.util.Random(31)
+    val steps = Seq("a", "b", "c")
+    val rows = (1 to 1200).map(_ => (rnd.nextInt(30).toLong,
+      rnd.nextInt(500).toLong, s"s${rnd.nextInt(2)}" match {
+        case "s0" => Seq("a", "b", "c", "noise")(rnd.nextInt(4))
+        case _ => Seq("a", "b", "c", "noise")(rnd.nextInt(4))
+      }))
+    val df = rows.toDF("user_id", "tus", "step")
+    df.write.mode("overwrite").parquet(dir)
+
+    val out = StreamingPipeline.funnelStream(
+      spark.readStream.schema(df.schema).parquet(dir),
+      "user_id", "tus", "step", steps, within = Some(200L))
+    val q = out.toDF().writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.sql("SELECT * FROM funnel_stream").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toList, r.getInt(2))).toSet
+
+    val expected = graft.pipeline.Temporal.funnel(
+        df, "user_id", "tus", "step", steps, within = Some(200L))
+      .collect()
+      .map(r => (r.getLong(0),
+        (1 to 3).map(i => if (r.isNullAt(i)) -1L else r.getLong(i)).toList,
+        r.getInt(4))).toSet
+    assert(got == expected)
+    assert(got.exists(_._3 == 3) && got.exists(_._3 < 3)) // non-trivial mix
+  }
+
+  test("funnelStream latches progression across micro-batches") {
+    val dir = Files.createTempDirectory("stream-funnel2").toString
+    val ckpt = Files.createTempDirectory("stream-funnel2-ckpt").toString
+    val outDir = Files.createTempDirectory("stream-funnel2-out").toString
+    val schema = Seq((1L, 1L, "a")).toDF("user_id", "tus", "step").schema
+
+    def run(): Map[Long, (List[Long], Int)] = {
+      val out = StreamingPipeline.funnelStream(
+        spark.readStream.schema(schema).parquet(dir),
+        "user_id", "tus", "step", Seq("a", "b"))
+      val q = out.toDF().writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      // latest progression per key = the row with the most steps
+      spark.read.parquet(outDir).collect()
+        .map(r => (r.getLong(0), (r.getSeq[Long](1).toList, r.getInt(2))))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).maxBy(_._2) }
+    }
+
+    // batch 1: only the first step reaches
+    Seq((5L, 100L, "a"), (5L, 50L, "b")) // b BEFORE a: must not latch
+      .toDF("user_id", "tus", "step").write.mode("overwrite").parquet(dir)
+    assert(run()(5L) == (List(100L, -1L), 1))
+
+    // batch 2: a later b completes the funnel against the CHECKPOINTED
+    // step-1 time; an even-earlier a cannot retroactively re-time step 1
+    Seq((5L, 150L, "b"), (5L, 10L, "a"))
+      .toDF("user_id", "tus", "step").write.mode("append").parquet(dir)
+    assert(run()(5L) == (List(100L, 150L), 2))
+  }
+
   test("sessionStats accepts a numeric epoch-micros event time directly") {
     // schema-adaptive event time: a long micros column sessionizes to
     // exactly the same rows as its timestamp_micros lift
