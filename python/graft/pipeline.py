@@ -336,3 +336,37 @@ def pmi_pairs(df, id_col, text_col, min_support=5, k=20):
     w = Window.orderBy(F.col("lift").desc(), "a", "b")
     return (scored.withColumn("rank", F.row_number().over(w).cast("int"))
             .select("a", "b", "n_ab", "n_a", "n_b", "lift", "rank"))
+
+
+def page_rank(edges, src_col, dst_col, iterations=3, damping_permille=850):
+    """Fixed-point PageRank — Python mirror of the Scala
+    ``Graph.pageRank``: damped power iteration as joins + aggregations,
+    ranks as integer MILLIONTHS (floating summation order would make
+    runs and engines disagree; long sums are associative, so the result
+    is bit-reproducible). Parallel edges dedupe; dangling nodes leak
+    mass (simple variant). Returns ``(node, rank)``."""
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    if not 0 <= damping_permille <= 1000:
+        raise ValueError(
+            f"damping_permille must be in [0, 1000], got {damping_permille}")
+    e = (edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+         .distinct().localCheckpoint(True))
+    nodes = (e.select(F.col("src").alias("node"))
+             .unionByName(e.select(F.col("dst").alias("node")))
+             .distinct().localCheckpoint(True))
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    base = (1000 - damping_permille) * 1000000
+    ranks = nodes.withColumn("rank", F.lit(1000000))
+    for _ in range(iterations):
+        contribs = (e.join(ranks.withColumnRenamed("node", "src"), "src")
+                    .join(outdeg, "src")
+                    .select(F.col("dst").alias("node"),
+                            F.expr("rank div outdeg").alias("contrib"))
+                    .groupBy("node").agg(F.sum("contrib").alias("in_mass")))
+        ranks = (nodes.join(contribs, ["node"], "left")
+                 .select("node",
+                         F.expr(f"({base}L + {damping_permille} * "
+                                "coalesce(in_mass, 0L)) div 1000").alias("rank"))
+                 .localCheckpoint(True))
+    return ranks

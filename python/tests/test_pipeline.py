@@ -151,3 +151,12 @@ def test_cms_sketch(spark):
            .collect())
     assert all(r["est"] >= r["exact"] for r in out)
     assert {r["k"]: r["est"] for r in out}[1] == 3
+
+
+def test_page_rank(spark):
+    from graft.pipeline import page_rank
+
+    e = spark.createDataFrame([(1, 2), (1, 3), (2, 3)], ["s", "d"])
+    r = {row["node"]: row["rank"]
+         for row in page_rank(e, "s", "d", iterations=2).collect()}
+    assert r == {1: 150000, 2: 213750, 3: 702500}

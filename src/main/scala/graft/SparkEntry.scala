@@ -2013,6 +2013,18 @@ object SparkEntry {
           within = Some(7L * 86400L * 1000000L))
         .orderBy("user_id")
     }),
+    // Fixed-point PageRank over the customer→supplier purchase graph
+    // (suppliers offset so key spaces don't collide). Integer millionths
+    // end-to-end: rank sums are associative longs, so the power
+    // iteration is bit-reproducible and the oracle replays it with //.
+    "q_pagerank" -> ((s, dir) => {
+      val edges = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"), (col("l_suppkey") + 100000L).as("dst"))
+      graft.pipeline.Graph.pageRank(edges, "src", "dst", iterations = 3)
+        .orderBy("node")
+    }),
     // Count-min sketch heavy hitters over event user_ids: the 4×256
     // ADD-mergeable aggregate reduces the scan to one 1 KB array per
     // partition; estimates probe the broadcast sketch per row and can
@@ -3334,6 +3346,24 @@ object SparkEntry {
          |FROM c LEFT JOIN x ON x.user_id = c.user_id
          |  AND x.tus >= c.tus AND x.tus < c.tus + 600000000
          |GROUP BY c.event_id, c.user_id ORDER BY c.event_id""".stripMargin,
+    // fixed-point PageRank replayed with three unrolled iterations of
+    // integer // division — associative long sums, no float drift
+    "q_pagerank" -> {
+      def iter(prev: String, out: String) =
+        s"""i$out AS (SELECT e.dst AS node, SUM($prev.rank // od.outdeg) AS m
+           |  FROM e JOIN $prev ON e.src = $prev.node JOIN od ON e.src = od.src GROUP BY 1),
+           |$out AS (SELECT n.node, (150000000 + 850 * COALESCE(i$out.m, 0)) // 1000 AS rank
+           |  FROM nodes n LEFT JOIN i$out ON n.node = i$out.node)""".stripMargin
+      s"""WITH e AS (SELECT DISTINCT o_custkey AS src, l_suppkey + 100000 AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+         |r0 AS (SELECT node, 1000000::HUGEINT AS rank FROM nodes),
+         |${iter("r0", "r1")},
+         |${iter("r1", "r2")},
+         |${iter("r2", "r3")}
+         |SELECT node, CAST(rank AS BIGINT) AS rank FROM r3 ORDER BY node""".stripMargin
+    },
     // count-min sketch replayed relationally: one row per (event, sketch
     // row) -> per-(row, bucket) counts -> estimate = min over the key's
     // four buckets; same splitmix64, same power-of-two mask (% width)
