@@ -133,6 +133,20 @@ object Stress {
     timed("sessions", factor)(
       graft.streaming.StreamingPipeline.sessionStats(
         ev, "user_id", "tus", "value", gap = "1 hour"))
+    // round-10 temporal analytics: the bucketed rolling window is the
+    // shape whose hot-key behavior the replication actually stresses
+    // (each copy shifts user ids, so per-key densities stay constant)
+    timed("rolling_bucketed", factor)(
+      graft.pipeline.Temporal.rollingBucketed(
+        ev.withColumn("vl", expr("cast(round(value * 1000) as bigint)")),
+        "user_id", "tus", "vl",
+        window = 1800L * 1000000L, bucketWidth = 3600L * 1000000L))
+    timed("funnel", factor)(
+      graft.pipeline.Temporal.funnel(ev, "user_id", "tus", "event_type",
+        Seq("signup", "view", "click", "purchase"),
+        within = Some(7L * 86400L * 1000000L)))
+    timed("pmi_pairs", factor)(
+      Dedup.pmiPairs(docs, "doc_id", "text", minSupport = 5L, k = 20))
 
     spark.stop()
   }

@@ -26,7 +26,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_corpus_report" -> "broadcast one-row gopher-pass-count crossJoin",
     "q_knn_ivf" -> "broadcast nlist-row centroid table crossJoin (probe ranking)",
     "q_knn_ivfpq" -> "broadcast nlist-row centroid table crossJoin (probe ranking)",
-    "q_knn_pq" -> "broadcast PQ code table crossJoin (the point of PQ: codes fit anywhere)")
+    "q_knn_pq" -> "broadcast PQ code table crossJoin (the point of PQ: codes fit anywhere)",
+    "q_pmi" -> "broadcast one-row corpus-count crossJoin",
+    "q_heavy_hitters" -> "broadcast one-row CMS sketch crossJoin (1 KB array)")
 
   test("no query plans an unintended cartesian or nested-loop join") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
