@@ -370,3 +370,53 @@ def page_rank(edges, src_col, dst_col, iterations=3, damping_permille=850):
                                 "coalesce(in_mass, 0L)) div 1000").alias("rank"))
                  .localCheckpoint(True))
     return ranks
+
+
+def snapshot_diff(old_df, new_df, id_col, text_col):
+    """Crawl-to-crawl snapshot diff — Python mirror of the Scala
+    ``Dedup.snapshotDiff``: classify every id as added / removed /
+    changed / unchanged by content fingerprint. One full-outer shuffle
+    join on the id; both sides reduce to (id, fingerprint) before the
+    exchange. Returns ``(id, status, old_fp, new_fp)``."""
+    import graft.functions as gf
+
+    o = old_df.select(F.col(id_col).alias("id"),
+                      gf.pl_fingerprint(F.col(text_col)).alias("old_fp"))
+    n = new_df.select(F.col(id_col).alias("id"),
+                      gf.pl_fingerprint(F.col(text_col)).alias("new_fp"))
+    return (o.join(n, ["id"], "full_outer")
+            .select("id",
+                    F.when(F.col("old_fp").isNull(), "added")
+                    .when(F.col("new_fp").isNull(), "removed")
+                    .when(F.col("old_fp") == F.col("new_fp"), "unchanged")
+                    .otherwise("changed").alias("status"),
+                    "old_fp", "new_fp"))
+
+
+def diversity_report(df, src_col, text_col):
+    """Per-source lexical-diversity report — Python mirror of the Scala
+    ``Dedup.diversityReport``: doc/token totals, distinct unigrams and
+    bigrams, type-token ratios. Integer counts + one exact double
+    division per ratio."""
+    import graft.functions as gf
+
+    toks = df.select(F.col(src_col).alias("source"),
+                     F.explode(F.split(F.col(text_col), " ")).alias("g"))
+    uni = toks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("g").alias("distinct_tokens"))
+    bi = (df.select(F.col(src_col).alias("source"),
+                    F.explode(gf.pl_ngrams(F.split(F.col(text_col), " "), 2))
+                    .alias("g"))
+          .groupBy("source").agg(
+              F.count(F.lit(1)).alias("n_bigrams"),
+              F.countDistinct("g").alias("distinct_bigrams")))
+    docs = df.groupBy(F.col(src_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs"))
+    return (docs.join(uni, "source").join(bi, "source")
+            .select("source", "n_docs", "n_tokens", "distinct_tokens",
+                    (F.col("distinct_tokens").cast("double")
+                     / F.col("n_tokens")).alias("ttr"),
+                    "n_bigrams", "distinct_bigrams",
+                    (F.col("distinct_bigrams").cast("double")
+                     / F.col("n_bigrams")).alias("bigram_ttr")))

@@ -160,3 +160,28 @@ def test_page_rank(spark):
     r = {row["node"]: row["rank"]
          for row in page_rank(e, "s", "d", iterations=2).collect()}
     assert r == {1: 150000, 2: 213750, 3: 702500}
+
+
+def test_snapshot_diff(spark):
+    from graft.pipeline import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")], ["doc_id", "text"])
+    new = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta prime"), (4, "delta")], ["doc_id", "text"])
+    st = {r["id"]: r["status"] for r in
+          snapshot_diff(old, new, "doc_id", "text").collect()}
+    assert st == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_diversity_report(spark):
+    from graft.pipeline import diversity_report
+
+    df = spark.createDataFrame(
+        [("a", "x y x"), ("a", "x y z"), ("b", "q q q q")],
+        ["source", "text"])
+    r = {row["source"]: row for row in
+         diversity_report(df, "source", "text").collect()}
+    assert r["a"]["n_tokens"] == 6 and r["a"]["distinct_tokens"] == 3
+    assert r["a"]["ttr"] == 0.5
+    assert r["b"]["distinct_bigrams"] == 1 and r["b"]["n_bigrams"] == 3

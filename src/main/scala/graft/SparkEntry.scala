@@ -1147,6 +1147,24 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_variants"), min("doc_id").as("keeper_id"))
         .orderBy("nurl")
     }),
+    // per-source lexical-diversity report (dataset-card metrics): all
+    // integer counts + one exact double division per ratio
+    "q_diversity" -> ((s, dir) =>
+      Dedup.diversityReport(t(s, dir, "documents"), "source", "text")
+        .orderBy("source")),
+    // crawl-to-crawl snapshot diff: the new snapshot drops every 7th
+    // doc, edits every 5th, and re-adds every 11th under a shifted id —
+    // one ids+fingerprints full-outer join classifies all four states
+    "q_snapshot_diff" -> ((s, dir) => {
+      val old = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val newer = old.where(col("doc_id") % 7 =!= 0)
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" updated"))).otherwise(col("text")))
+        .unionByName(old.where(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      Dedup.snapshotDiff(old, newer, "doc_id", "text")
+        .orderBy("id")
+    }),
     // top co-occurring term pairs by rational PMI lift (no log: the
     // ranking is identical and the scores stay bit-exact cross-engine)
     "q_pmi" -> ((s, dir) =>
@@ -3468,6 +3486,53 @@ object SparkEntry {
          |  COALESCE(ov.n_overlap, 0) / CAST(ng.n_grams AS DOUBLE) AS score,
          |  COALESCE(ov.n_overlap, 0) > 0 AS contaminated
          |FROM ng LEFT JOIN ov ON ng.doc_id = ov.doc_id ORDER BY ng.doc_id""".stripMargin,
+    // diversity report: unigram/bigram distinct shares re-derived with
+    // the same space-joined gram construction
+    "q_diversity" ->
+      """WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS g FROM documents),
+        |uni AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(DISTINCT g) AS BIGINT) AS distinct_tokens FROM toks GROUP BY 1),
+        |bt AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+        |bgrams AS (SELECT source,
+        |    array_to_string(t[CAST(i AS INT):CAST(i + 1 AS INT)], ' ') AS g
+        |  FROM bt, unnest(range(1, greatest(len(t), 1))) u(i)),
+        |bi AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |    CAST(COUNT(DISTINCT g) AS BIGINT) AS distinct_bigrams FROM bgrams GROUP BY 1),
+        |docs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1)
+        |SELECT d.source, d.n_docs, u.n_tokens, u.distinct_tokens,
+        |  CAST(u.distinct_tokens AS DOUBLE) / u.n_tokens AS ttr,
+        |  b.n_bigrams, b.distinct_bigrams,
+        |  CAST(b.distinct_bigrams AS DOUBLE) / b.n_bigrams AS bigram_ttr
+        |FROM docs d JOIN uni u ON d.source = u.source JOIN bi b ON d.source = b.source
+        |ORDER BY d.source""".stripMargin,
+    // snapshot diff replayed with the polynomial-rolling fingerprint and
+    // a FULL OUTER join; the same drop/edit/add construction in SQL
+    "q_snapshot_diff" -> {
+      def fp(src: String) =
+        s"""SELECT doc_id, ${duckToSigned(duckMix64(
+             """list_reduce(
+               |    list_prepend(0::HUGEINT, list_transform(range(1, length(text) + 1),
+               |      i -> ascii(text[i])::HUGEINT)),
+               |    (a, b) -> (a * 1000003::HUGEINT + b) % """.stripMargin + M64 + ")"))} AS f
+           |  FROM $src""".stripMargin
+      s"""WITH olds AS (SELECT doc_id, text FROM documents),
+         |news AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 0 THEN text || ' updated' ELSE text END AS text
+         |  FROM olds WHERE doc_id % 7 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 100000, text FROM olds WHERE doc_id % 11 = 0),
+         |ofp AS (${fp("olds")}),
+         |nfp AS (${fp("news")})
+         |SELECT COALESCE(ofp.doc_id, nfp.doc_id) AS id,
+         |  CASE WHEN ofp.f IS NULL THEN 'added'
+         |       WHEN nfp.f IS NULL THEN 'removed'
+         |       WHEN ofp.f = nfp.f THEN 'unchanged'
+         |       ELSE 'changed' END AS status,
+         |  ofp.f AS old_fp, nfp.f AS new_fp
+         |FROM ofp FULL OUTER JOIN nfp ON ofp.doc_id = nfp.doc_id
+         |ORDER BY id""".stripMargin
+    },
     // PMI pairs: the same rational lift; DISTINCT (doc, term) in a
     // subquery (unnest expands before DISTINCT applies), naive global
     // window vs the Spark side's TakeOrderedAndProject top-k

@@ -52,6 +52,23 @@ object extensions {
       df.repartitionByRange(n, org.apache.spark.sql.functions.col("spatial_index"))
     }
 
+    /** Persist as a BUCKETED + per-bucket-sorted catalog table — the
+      * co-located-join primitive for repeated 100 TB joins: two tables
+      * bucketed on the same key with the same bucket count equi-join
+      * and aggregate with ZERO exchanges (the scan's output
+      * partitioning already satisfies the join's requirement;
+      * BucketingSpec asserts the exchange-free plan). Pay one write-time
+      * shuffle, amortize it over every later join — the Spark-native
+      * answer to "pre-partition the fact tables". `path` keeps data out
+      * of the default warehouse; bucket pruning applies on point
+      * predicates over the key. */
+    def saveBucketedTable(table: String, keyCol: String, buckets: Int,
+        path: String): Unit = {
+      require(buckets > 0, s"buckets must be positive, got $buckets")
+      df.write.bucketBy(buckets, keyCol).sortBy(keyCol)
+        .option("path", path).mode("overwrite").saveAsTable(table)
+    }
+
     /** Markdown table; tile cells summarized as `cellType cols×rows`. */
     def toMarkdown(numRows: Int = 5): String = {
       val rows = df.limit(numRows).collect()

@@ -192,6 +192,39 @@ object Dedup {
    * integer count or a single division of exact integers, so the report
    * replays bit-exactly in any engine (no order-dependent double sums).
    */
+  /**
+   * Per-source lexical-diversity report — the dataset-card metrics that
+   * surface self-repetition (a synthetic or boilerplate-heavy source
+   * shows a falling distinct share as volume grows): document/token
+   * totals, distinct unigrams and bigrams, and the type-token ratios.
+   *
+   * Shapes: one exploded-token aggregation and one exploded-bigram
+   * aggregation, both a single shuffle on (source, gram) for the
+   * distinct then (source) for the rollup — map-side combine
+   * throughout, no collect. Ratios are one double division over exact
+   * integers, so the report is engine-exact (q_diversity).
+   */
+  def diversityReport(df: DataFrame, srcCol: String,
+      textCol: String): DataFrame = {
+    val toks = df.select(col(srcCol).as("source"),
+      explode(split(col(textCol), " ")).as("g"))
+    val uni = toks.groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"), countDistinct("g").as("distinct_tokens"))
+    val bi = df.select(col(srcCol).as("source"),
+        explode(graft.pipeline.NGramLM.bigrams(col(textCol))).as("g"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_bigrams"), countDistinct("g").as("distinct_bigrams"))
+    val docs = df.groupBy(col(srcCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    docs.join(uni, "source").join(bi, "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("distinct_tokens"),
+        (col("distinct_tokens").cast("double") / col("n_tokens")).as("ttr"),
+        col("n_bigrams"), col("distinct_bigrams"),
+        (col("distinct_bigrams").cast("double") / col("n_bigrams"))
+          .as("bigram_ttr"))
+  }
+
   def corpusReport(df: DataFrame, idCol: String, textCol: String,
       langCol: String, sourceCol: String): DataFrame = {
     val gopher = GopherRules.metrics(df, idCol, textCol)
@@ -332,6 +365,33 @@ object Dedup {
     scored.withColumn("rank", row_number().over(w).cast("int"))
       .where(col("rank") <= k)
       .select(col("id"), col("term"), col("tf"), col("df"), col("score"), col("rank"))
+  }
+
+  /**
+   * Crawl-to-crawl snapshot diff: classify every document id across two
+   * corpus snapshots as `added` / `removed` / `changed` / `unchanged`
+   * by content fingerprint — the incremental-maintenance primitive that
+   * lets a recrawl feed DELTAS into dedup and index refresh instead of
+   * full recomputes.
+   *
+   * ONE full-outer shuffle join on the id; both sides reduce to
+   * (id, 64-bit fingerprint) before the exchange, so text payloads
+   * never shuffle. Returns (id, status, old_fp, new_fp) with null fp on
+   * the absent side.
+   */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol).as("id"),
+      TextFunctions.fingerprint(col(textCol)).as("old_fp"))
+    val n = newDf.select(col(idCol).as("id"),
+      TextFunctions.fingerprint(col(textCol)).as("new_fp"))
+    o.join(n, Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("old_fp").isNull, "added")
+          .when(col("new_fp").isNull, "removed")
+          .when(col("old_fp") === col("new_fp"), "unchanged")
+          .otherwise("changed").as("status"),
+        col("old_fp"), col("new_fp"))
   }
 
   /**

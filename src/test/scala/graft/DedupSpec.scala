@@ -241,4 +241,29 @@ class DedupSpec extends AnyFunSuite {
     assert(newBytes < oldBytes,
       s"id-pair band join should shuffle less than payload band join: $newBytes vs $oldBytes")
   }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged") {
+    val old = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
+    val newer = Seq((1L, "alpha"), (2L, "beta prime"), (4L, "delta")).toDF("doc_id", "text")
+    val got = Dedup.snapshotDiff(old, newer, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+    // fp nullability mirrors presence
+    val rows = Dedup.snapshotDiff(old, newer, "doc_id", "text")
+      .where(col("status") === "added").collect()
+    assert(rows.forall(r => r.isNullAt(2) && !r.isNullAt(3)))
+  }
+
+  test("diversityReport computes exact type-token ratios per source") {
+    val df = Seq(("a", "x y x"), ("a", "x y z"), ("b", "q q q q"))
+      .toDF("source", "text")
+    val r = Dedup.diversityReport(df, "source", "text")
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r("a").getLong(1) == 2 && r("a").getLong(2) == 6)      // docs, tokens
+    assert(r("a").getLong(3) == 3 && r("a").getDouble(4) == 0.5)  // distinct, ttr
+    // source a bigrams: "x y","y x","x y","y z" -> 4 total, 3 distinct
+    assert(r("a").getLong(5) == 4 && r("a").getLong(6) == 3)
+    assert(r("b").getLong(5) == 3 && r("b").getLong(6) == 1)      // q q x3, 1 distinct
+  }
 }

@@ -466,6 +466,34 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(run()(5L) == (List(100L, 150L), 2))
   }
 
+  test("CMS sketch aggregates across micro-batches (ADD-merge in the state store)") {
+    val dir = Files.createTempDirectory("stream-cms").toString
+    val ckpt = Files.createTempDirectory("stream-cms-ckpt").toString
+    val schema = Seq(1L).toDF("k").schema
+
+    def run(): Seq[Long] = {
+      val sk = spark.readStream.schema(schema).parquet(dir)
+        .agg(graft.pipeline.Cms.sketch(col("k"), 4, 64).as("sk"))
+      val q = sk.writeStream.format("memory").queryName("cms_stream")
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      spark.sql("SELECT sk FROM cms_stream").head.getSeq[Long](0)
+    }
+
+    Seq(7L, 7L, 9L).toDF("k").write.mode("overwrite").parquet(dir)
+    val s1 = run()
+    assert(s1.sum == 4L * 3) // 3 keys x 4 sketch rows
+    // batch 2 adds more of key 7; the checkpointed sketch accumulates
+    Seq(7L, 7L).toDF("k").write.mode("append").parquet(dir)
+    val s2 = run()
+    assert(s2.sum == 4L * 5)
+    // the streamed two-batch sketch equals the one-shot batch sketch
+    val batch = Seq(7L, 7L, 9L, 7L, 7L).toDF("k")
+      .agg(graft.pipeline.Cms.sketch(col("k"), 4, 64)).head.getSeq[Long](0)
+    assert(s2 == batch)
+  }
+
   test("sessionStats accepts a numeric epoch-micros event time directly") {
     // schema-adaptive event time: a long micros column sessionizes to
     // exactly the same rows as its timestamp_micros lift
