@@ -2058,6 +2058,33 @@ object SparkEntry {
           graft.pipeline.Cms.estimate(col("sk"), col("user_id"), 4, 256).as("n_est"))
         .withColumn("overcount", col("n_est") - col("n_exact"))
         .orderBy("user_id")
+    }),
+    // Skew-salted lineitem⋈supplier (row-identical to the plain join,
+    // pinned by the oracle): supplier replicated ×8, lineitem salted by
+    // row hash, so a hot suppkey fans out over 8 reducers. Revenue in
+    // exact cents so the aggregate is order-independent integer math.
+    "q_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_suppkey").as("suppkey"),
+          expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"))
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+      graft.pipeline.Joins.saltedJoin(li, sup, "suppkey", salts = 8)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n"), sum("cents").as("revenue_cents"))
+        .orderBy("s_nationkey")
+    }),
+    // CDC latest-wins compaction: one row per (user, event_type) — the
+    // greatest (ts, event_id), via the map-side-combining max_by
+    // aggregate instead of a window sort (JoinsSpec pins both the
+    // row-parity with row_number and the window-free physical plan).
+    "q_compact" -> ((s, dir) => {
+      val ev = eventsMicros(s, dir)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("tus"), expr("cast(round(value * 100) as bigint)").as("vc"))
+      graft.pipeline.Joins.compactLatest(ev,
+          Seq("user_id", "event_type"), Seq("tus", "event_id"))
+        .orderBy("user_id", "event_type")
     })
   )
 
@@ -4170,6 +4197,20 @@ object SparkEntry {
       """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |MIN(value) AS min_value, MAX(value) AS max_value,
         |CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // salting must be invisible to the result: the oracle is the PLAIN join
+    "q_salted_join" ->
+      """SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+        |CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // latest-wins compaction replayed as the window it replaces
+    "q_compact" ->
+      """WITH e AS (SELECT user_id, event_type, event_id, epoch_ns(ts) // 1000 AS tus,
+        |    CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY tus DESC, event_id DESC) AS rn FROM e)
+        |SELECT user_id, event_type, event_id, CAST(tus AS BIGINT) AS tus, vc
+        |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
   )
 }

@@ -1,0 +1,102 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Shuffle-shaping join helpers for the hostile end of the 100 TB case:
+ * the equi-join whose key histogram is so skewed that one reducer gets
+ * a material fraction of the fact table, and the changelog compaction
+ * that every CDC / snapshot ingest needs before anything else runs.
+ *
+ * Both operators are row-identical to their naive formulations — the
+ * whole point is to change the PHYSICAL shuffle shape without touching
+ * the logical result, so each ships with an oracle query pinning it to
+ * the plain-SQL twin (q_salted_join, q_compact).
+ *
+ * The reference engine has no join surface beyond its spatial join
+ * (`extensions/RasterJoin.scala:40-133`); these follow the same design
+ * recipe as [[graft.RasterJoin.bucketed]] and
+ * [[Temporal.asofJoinBucketed]]: manufacture a finer equi-key so no
+ * single reducer owns a whole hot key.
+ */
+object Joins {
+
+  /**
+   * Skew-salted inner equi-join: row-identical to
+   * `big.join(small, key)` but with every hot key's rows spread across
+   * `salts` reducers.
+   *
+   * Mechanics: each big-side row gets a deterministic salt in
+   * `[0, salts)` (`xxhash64` of the whole row — any per-row value
+   * works, the result never depends on it); the small side is
+   * replicated once per salt value with a generator (no driver loop,
+   * no broadcast requirement). The join key becomes `(key, salt)`, so
+   * a key holding 20% of a 100 TB fact table fans out over `salts`
+   * tasks instead of serializing one reducer. Correctness is
+   * unconditional — for any multiplicities, each (bigRow, smallRow)
+   * pair meets exactly once, in the big row's salt bucket.
+   *
+   * Cost model: small side shuffles ×`salts` — use when BOTH sides are
+   * too large to broadcast (else `broadcast(small)` needs no salt at
+   * all) and the big side is skewed. AQE's skew-join split handles
+   * mid-size skew adaptively; explicit salting is for the planned-for
+   * case (known hot keys, deterministic task sizing) and for engines /
+   * modes where AQE cannot split (e.g. a sort-merge join feeding a
+   * window over the same key). Prefer `salts` ≈ hot-key rows ÷ target
+   * partition rows, capped by cluster parallelism.
+   *
+   * Output columns: `key`, then big-side payload, then small-side
+   * payload (the `join ... using` layout). Payload name collisions
+   * across sides are the caller's to resolve, as with the built-in.
+   */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      salts: Int = 8): DataFrame = {
+    require(salts > 0, s"salts must be positive, got $salts")
+    val bigPayload = big.columns.filterNot(_ == key).toSeq
+    val smallPayload = small.columns.filterNot(_ == key).toSeq
+    val b = big.withColumn("__graft_salt",
+      pmod(xxhash64(struct(big.columns.map(col).toSeq: _*)), lit(salts.toLong)))
+    val sm = small.withColumn("__graft_salt",
+      explode(sequence(lit(0L), lit(salts.toLong - 1))))
+    b.alias("b").join(sm.alias("s"),
+        col(s"b.$key") === col(s"s.$key") &&
+          col("b.__graft_salt") === col("s.__graft_salt"))
+      .select((col(s"b.$key").as(key) +:
+        (bigPayload.map(c => col(s"b.$c").as(c)) ++
+          smallPayload.map(c => col(s"s.$c").as(c)))): _*)
+  }
+
+  /**
+   * Changelog compaction (CDC "latest wins"): one row per `keys` — the
+   * row whose `orderCols` tuple is lexicographically greatest. The
+   * upsert-apply step of every snapshot + changelog ingest
+   * (Debezium/Hudi/Delta-style), and the primitive q_snapshot_diff's
+   * inputs are built from.
+   *
+   * NOT a window: `row_number() OVER (PARTITION BY keys ORDER BY ord
+   * DESC)` shuffles and SORTS every version of every key. This is a
+   * plain aggregate — `max_by(payload_struct, ord_struct)` — so
+   * map-side partial aggregation collapses each partition to one
+   * struct per key BEFORE the exchange. A key with a million updates
+   * ships ≤ one row per input partition instead of a million into one
+   * sorting reducer; no skew handling is ever needed.
+   *
+   * Determinism: `orderCols` must be a total order within each key
+   * (include a unique id as the last column) — otherwise ties resolve
+   * arbitrarily, exactly as they would in the window formulation.
+   *
+   * Output: `keys` then the remaining columns, original names/types.
+   */
+  def compactLatest(df: DataFrame, keys: Seq[String],
+      orderCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty && orderCols.nonEmpty, "keys and orderCols required")
+    val payload = df.columns.filterNot(keys.contains).toSeq
+    require(payload.nonEmpty, "no payload columns to compact")
+    val ord = struct(orderCols.map(col): _*)
+    df.groupBy(keys.map(col): _*)
+      .agg(max_by(struct(payload.map(col): _*), ord).as("__graft_last"))
+      .select(keys.map(col) ++
+        payload.map(p => col(s"__graft_last.$p").as(p)): _*)
+  }
+}

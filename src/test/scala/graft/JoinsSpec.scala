@@ -1,0 +1,88 @@
+package graft
+
+import graft.pipeline.Joins
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class JoinsSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private def big = Seq(
+    // hot key 1 dominates, key 3 absent from small side
+    (1L, 10), (1L, 11), (1L, 12), (1L, 13), (1L, 14),
+    (2L, 20), (2L, 21), (3L, 30)).toDF("k", "bv")
+
+  private def small = Seq(
+    (1L, "a"), (2L, "b"), (4L, "d")).toDF("k", "sv")
+
+  test("saltedJoin is row-identical to the plain inner join") {
+    for (salts <- Seq(1, 3, 8)) {
+      val got = Joins.saltedJoin(big, small, "k", salts)
+        .orderBy("k", "bv").collect().map(r =>
+          (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+      val want = big.join(small, Seq("k"))
+        .orderBy("k", "bv").collect().map(r =>
+          (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+      assert(got == want, s"salts=$salts")
+    }
+  }
+
+  test("saltedJoin handles duplicate keys on BOTH sides (pair multiplicity)") {
+    val b = Seq((1L, "x"), (1L, "y")).toDF("k", "bv")
+    val s = Seq((1L, "p"), (1L, "q")).toDF("k", "sv")
+    val got = Joins.saltedJoin(b, s, "k", 4).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq.sorted
+    assert(got == Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q")))
+  }
+
+  test("saltedJoin spreads a hot key across salt buckets") {
+    // with the row-hash salt, 5 distinct rows of key 1 should not all
+    // land in one of 8 buckets (probability 8^-4 per layout; the data
+    // is fixed so this is a deterministic regression pin, not a flake)
+    val salted = big.withColumn("salt",
+      pmod(xxhash64(struct(col("k"), col("bv"))), lit(8L)))
+    val n = salted.where(col("k") === 1).select("salt").distinct().count()
+    assert(n > 1, "hot key collapsed into a single salt bucket")
+  }
+
+  test("saltedJoin validates salts") {
+    intercept[IllegalArgumentException](Joins.saltedJoin(big, small, "k", 0))
+  }
+
+  private def changelog = Seq(
+    // key, ver, uniq, payload
+    ("u1", 1L, 1L, "a"), ("u1", 3L, 2L, "c"), ("u1", 2L, 3L, "b"),
+    ("u2", 5L, 4L, "x"),
+    ("u3", 7L, 5L, "t"), ("u3", 7L, 6L, "s") // tie on ver -> uniq 6 wins
+  ).toDF("k", "ver", "uniq", "v")
+
+  test("compactLatest keeps the lexicographically greatest orderCols row") {
+    val got = Joins.compactLatest(changelog, Seq("k"), Seq("ver", "uniq"))
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(3))).toSeq
+    assert(got == Seq(("u1", 3L, "c"), ("u2", 5L, "x"), ("u3", 7L, "s")))
+  }
+
+  test("compactLatest agrees with the window row_number formulation") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 400).map(i =>
+      (s"k${rnd.nextInt(20)}", rnd.nextInt(50).toLong, i.toLong, s"p$i"))
+    val df = rows.toDF("k", "ver", "uniq", "v")
+    val got = Joins.compactLatest(df, Seq("k"), Seq("ver", "uniq"))
+      .orderBy("k").collect().map(_.toSeq).toSeq
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("k")
+      .orderBy(col("ver").desc, col("uniq").desc)
+    val want = df.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .drop("rn").orderBy("k").collect().map(_.toSeq).toSeq
+    assert(got == want)
+  }
+
+  test("compactLatest plans a partial aggregate, not a window sort") {
+    val plan = Joins.compactLatest(changelog, Seq("k"), Seq("ver", "uniq"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"expected aggregate, got:\n$plan")
+    assert(plan.contains("partial_max_by") || plan.contains("HashAggregate")
+      || plan.contains("SortAggregate"), s"no aggregate in:\n$plan")
+  }
+}
