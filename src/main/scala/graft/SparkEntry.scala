@@ -2085,6 +2085,26 @@ object SparkEntry {
       graft.pipeline.Joins.compactLatest(ev,
           Seq("user_id", "event_type"), Seq("tus", "event_id"))
         .orderBy("user_id", "event_type")
+    }),
+    // HyperLogLog distinct users, two-level: daily sketches MAX-merged
+    // up to event_type (the rollup no re-scan can beat at 100 TB), then
+    // the integer-exact raw estimate. merge(sketch(daily)) ≡
+    // sketch(union) — HllSpec pins it — so the oracle replays registers
+    // straight from distinct (event_type, user_id).
+    "q_hll" -> ((s, dir) => {
+      val ev = eventsMicros(s, dir)
+        .withColumn("day", date_format(timestamp_micros(col("tus")), "yyyy-MM-dd"))
+      val daily = ev.groupBy("event_type", "day")
+        .agg(graft.pipeline.Hll.sketch(col("user_id"), 64).as("sk"))
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct("user_id").as("n_exact"))
+      daily.groupBy("event_type")
+        .agg(graft.pipeline.Hll.merge(col("sk"), 64).as("sk"),
+          count(lit(1)).as("n_days"))
+        .join(exact, Seq("event_type"))
+        .select(col("event_type"), col("n_days"), col("n_exact"),
+          graft.pipeline.Hll.estimate(col("sk"), 64).as("n_est"))
+        .orderBy("event_type")
     })
   )
 
@@ -4211,6 +4231,33 @@ object SparkEntry {
         |r AS (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
         |    ORDER BY tus DESC, event_id DESC) AS rn FROM e)
         |SELECT user_id, event_type, event_id, CAST(tus AS BIGINT) AS tus, vc
-        |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+        |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    // HLL registers replayed from distinct (event_type, user) keys:
+    // reg = top 6 bits of splitmix64, rank = 32 - floor(log2(low32))
+    // (w < 2^32 is exact in a double), empty registers contribute 2^33,
+    // then the same alpha-scaled integral division as Hll.estimate
+    "q_hll" -> {
+      val mix = duckMix64("(user_id)::HUGEINT")
+      s"""WITH k AS (SELECT DISTINCT event_type, user_id FROM events),
+         |h AS (SELECT event_type, $mix AS hh FROM k),
+         |b AS (SELECT event_type, CAST(hh // 288230376151711744::HUGEINT AS INT) AS reg,
+         |    CAST(hh % 4294967296::HUGEINT AS BIGINT) AS w FROM h),
+         |r AS (SELECT event_type, reg,
+         |    MAX(CASE WHEN w = 0 THEN 33 ELSE 32 - CAST(floor(log2(w)) AS INT) END) AS rho
+         |  FROM b GROUP BY 1, 2),
+         |grid AS (SELECT DISTINCT event_type, CAST(g AS INT) AS reg
+         |  FROM events, range(0, 64) t(g)),
+         |regs AS (SELECT grid.event_type, grid.reg, COALESCE(r.rho, 0) AS rho
+         |  FROM grid LEFT JOIN r ON grid.event_type = r.event_type AND grid.reg = r.reg),
+         |s AS (SELECT event_type, SUM(1::BIGINT << (33 - rho)) AS ssum FROM regs GROUP BY 1),
+         |ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_exact,
+         |    COUNT(DISTINCT strftime(CAST(ts AS DATE), '%Y-%m-%d')) AS n_days
+         |  FROM events GROUP BY 1)
+         |SELECT ex.event_type, CAST(n_days AS BIGINT) AS n_days,
+         |  CAST(n_exact AS BIGINT) AS n_exact,
+         |  CAST((7090::HUGEINT * 4096 * 8589934592) // (ssum::HUGEINT * 10000) AS BIGINT) AS n_est
+         |FROM ex JOIN s ON ex.event_type = s.event_type
+         |ORDER BY ex.event_type""".stripMargin
+    }
   )
 }
