@@ -2119,7 +2119,31 @@ object SparkEntry {
         .where(col("is_anomaly"))
         .select("event_id", "user_id", "event_type", "vc", "grp_n", "dev2", "var_n2")
         .orderBy("event_id")
-    })
+    }),
+    // Edit-distance-1 spell-correction join: query-side misspellings
+    // (2nd char deleted, the q_pii injection recipe) matched back
+    // against the corpus vocabulary through the deletion-variant
+    // EQUI-join — JoinsSpec pins parity with the brute Levenshtein
+    // cross product and the product-free physical plan.
+    "q_fuzzy_join" -> ((s, dir) => {
+      val vocab = t(s, dir, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .where(length(col("tok")) >= 4).distinct()
+      val noisy = vocab.select(concat(col("tok").substr(lit(1), lit(1)),
+          col("tok").substr(lit(3), length(col("tok")))).as("q")).distinct()
+      graft.pipeline.Joins.fuzzyJoin(noisy, vocab, "q", "tok")
+        .orderBy("q", "tok")
+    }),
+    // First BPE merge iteration: corpus-wide adjacent character-pair
+    // counts (codegen'd HOF, no UDF) — one shuffle with map-side
+    // combine, top-40 by the total (count desc, pair) order.
+    "q_bpe_pairs" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .where(length(col("tok")) >= 2)
+        .select(explode(TextFunctions.char_pairs(col("tok"))).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("pair")).limit(40))
   )
 
   // ---- DuckDB SQL builders for graft's 64-bit hash primitives ----
@@ -4284,6 +4308,21 @@ object SparkEntry {
         |  (grp_n * ssq - s * s) AS var_n2
         |FROM e JOIN g USING (user_id, event_type)
         |WHERE (grp_n * vc - s) * (grp_n * vc - s) > 4 * (grp_n * ssq - s * s)
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+    // the blocked ED-1 join replayed as a plain Levenshtein theta-join
+    // (fine at oracle scale; the Spark side must never plan this shape)
+    "q_fuzzy_join" ->
+      """WITH vocab AS (SELECT DISTINCT tok
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE length(tok) >= 4),
+        |noisy AS (SELECT DISTINCT substr(tok, 1, 1) || substr(tok, 3) AS q FROM vocab)
+        |SELECT q, tok FROM noisy JOIN vocab ON levenshtein(q, tok) <= 1
+        |ORDER BY q, tok""".stripMargin,
+    "q_bpe_pairs" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |pairs AS (SELECT substr(tok, CAST(i AS INT), 2) AS pair
+        |  FROM toks, unnest(range(1, length(tok))) u(i) WHERE length(tok) >= 2)
+        |SELECT pair, CAST(COUNT(*) AS BIGINT) AS n FROM pairs
+        |GROUP BY pair ORDER BY n DESC, pair LIMIT 40""".stripMargin
   )
 }

@@ -99,4 +99,47 @@ object Joins {
       .select(keys.map(col) ++
         payload.map(p => col(s"__graft_last.$p").as(p)): _*)
   }
+
+  /**
+   * Edit-distance-≤1 string join (FastSS/SymSpell blocking): pairs
+   * every left row with every right row whose string is within one
+   * insert/delete/substitute of it — spell-correcting noisy keys
+   * against a reference vocabulary, merging OCR'd entities, matching
+   * near-miss URLs.
+   *
+   * NOT an all-pairs Levenshtein scan (|L|·|R| distance calls — the
+   * plan a naive theta-join produces, quadratic at vocabulary scale).
+   * Blocking: two strings are within edit distance 1 **iff** their
+   * deletion-variant sets intersect ([[TextFunctions.deletion_variants]]
+   * — the string plus each single-character deletion), so candidates
+   * come from an EQUI-join on variants — ~(len+1) rows per side,
+   * shuffled by variant — and only candidates pay the exact
+   * `levenshtein` refine. The classic similarity-join recipe: turn the
+   * metric predicate into an equi-key (same design as the minhash band
+   * join and [[Temporal.intervalJoin]]'s bucket join).
+   *
+   * Inputs should be deduplicated relations (e.g. vocabulary tables) —
+   * candidate pairs that meet in several variants are `distinct`-ed, so
+   * duplicate input rows would collapse.
+   *
+   * Output: left columns then right columns, one row per matching
+   * pair.
+   */
+  def fuzzyJoin(left: DataFrame, right: DataFrame, leftCol: String,
+      rightCol: String): DataFrame = {
+    require(left.columns.intersect(right.columns).isEmpty,
+      s"column names must not collide across sides: " +
+        left.columns.intersect(right.columns).mkString(", "))
+    val lv = left.withColumn("__graft_var",
+      explode(TextFunctions.deletion_variants(col(leftCol))))
+    val rv = right.withColumn("__graft_var",
+      explode(TextFunctions.deletion_variants(col(rightCol))))
+    val outCols = left.columns.map(c => col(s"l.$c").as(c)) ++
+      right.columns.map(c => col(s"r.$c").as(c))
+    lv.alias("l").join(rv.alias("r"),
+        col("l.__graft_var") === col("r.__graft_var"))
+      .select(outCols.toSeq: _*)
+      .where(levenshtein(col(leftCol), col(rightCol)) <= 1)
+      .distinct()
+  }
 }

@@ -100,6 +100,27 @@ object TextFunctions {
     * one pass. */
   def repetition_ratio(text: Column, n: Int = 3): Column =
     c(RepetitionRatio(asExpr(tokens(text)), n))
+
+  /** Adjacent character bigrams of a token — the unit the first BPE
+    * merge iteration counts corpus-wide (q_bpe_pairs). Codegen'd HOF
+    * chain, no UDF; empty for tokens shorter than 2 (Spark's `sequence`
+    * REVERSES when start > stop, so the guard is load-bearing). */
+  def char_pairs(tok: Column): Column =
+    when(length(tok) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(tok) - 1),
+        i => tok.substr(i, lit(2))))
+
+  /** The token plus every single-character deletion — the classic
+    * FastSS/SymSpell blocking key set: two tokens are within edit
+    * distance 1 iff their variant sets intersect, so a vocabulary
+    * self-match becomes an EQUI-join on variants (q_fuzzy_join)
+    * instead of an all-pairs Levenshtein scan. */
+  def deletion_variants(tok: Column): Column =
+    when(length(tok) < 1, array(tok))
+      .otherwise(concat(array(tok),
+        transform(sequence(lit(1), length(tok)),
+          i => concat(tok.substr(lit(1), i - 1),
+            tok.substr(i + 1, length(tok) - i)))))
 }
 
 object Dedup {

@@ -78,6 +78,50 @@ class JoinsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("deletion_variants and char_pairs: hand cases and length guards") {
+    import graft.pipeline.TextFunctions
+    val df = Seq("cat", "ab", "x", "").toDF("t")
+    val vars = df.select(TextFunctions.deletion_variants(col("t")))
+      .collect().map(_.getSeq[String](0)).toSeq
+    assert(vars == Seq(
+      Seq("cat", "at", "ct", "ca"), Seq("ab", "b", "a"), Seq("x", ""), Seq("")))
+    val pairs = df.select(TextFunctions.char_pairs(col("t")))
+      .collect().map(_.getSeq[String](0)).toSeq
+    assert(pairs == Seq(Seq("ca", "at"), Seq("ab"), Seq(), Seq()))
+  }
+
+  test("fuzzyJoin matches a brute-force Levenshtein join") {
+    val vocab = Seq("batch", "match", "latch", "hash", "hatch", "spark",
+      "sparks", "park", "data", "date").toDF("tok")
+    val noisy = Seq("batch", "bratch", "hach", "sprk", "daat", "zzz")
+      .toDF("q")
+    val got = Joins.fuzzyJoin(noisy, vocab, "q", "tok")
+      .orderBy("q", "tok").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    // brute reference via Spark's own levenshtein over the cross product
+    val want = noisy.crossJoin(vocab)
+      .where(levenshtein(col("q"), col("tok")) <= 1)
+      .orderBy("q", "tok").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == want && want.nonEmpty)
+    assert(got.contains(("bratch", "batch")) && got.contains(("batch", "batch")))
+    assert(!got.exists(_._1 == "zzz"))
+  }
+
+  test("fuzzyJoin plans an equi-join on variants, not a nested loop") {
+    val vocab = Seq("abc", "abd").toDF("tok")
+    val noisy = Seq("abx").toDF("q")
+    val plan = Joins.fuzzyJoin(noisy, vocab, "q", "tok")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"fuzzy join degenerated to a product:\n$plan")
+  }
+
+  test("fuzzyJoin rejects colliding column names") {
+    val a = Seq("x").toDF("tok"); val b = Seq("y").toDF("tok")
+    intercept[IllegalArgumentException](Joins.fuzzyJoin(a, b, "tok", "tok"))
+  }
+
   test("compactLatest plans a partial aggregate, not a window sort") {
     val plan = Joins.compactLatest(changelog, Seq("k"), Seq("ver", "uniq"))
       .queryExecution.executedPlan.toString
