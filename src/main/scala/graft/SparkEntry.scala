@@ -2143,7 +2143,25 @@ object SparkEntry {
         .where(length(col("tok")) >= 2)
         .select(explode(TextFunctions.char_pairs(col("tok"))).as("pair"))
         .groupBy("pair").agg(count(lit(1)).as("n"))
-        .orderBy(desc("n"), col("pair")).limit(40))
+        .orderBy(desc("n"), col("pair")).limit(40)),
+    // ANN quality audit: per-query recall@3 of the IVF index against
+    // the exact brute ground truth — the acceptance gate every index
+    // build should ship with. At 100 TB the ground-truth side runs on a
+    // query SAMPLE (brute is the labeled O(n²) baseline); the audit
+    // shape — left join truth to index hits, count matches — is
+    // unchanged.
+    "q_knn_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val truth = Similarity.bruteTopK(e, "vec_id", "embedding", 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = Similarity.ivfTopK(e, "vec_id", "embedding", 3)
+        .select(col("query_id").as("aq"), col("neighbor_id").as("an"))
+      truth.join(approx,
+          col("query_id") === col("aq") && col("neighbor_id") === col("an"), "left")
+        .groupBy("query_id")
+        .agg(count(col("an")).as("hits"), count(lit(1)).as("k"))
+        .orderBy("query_id")
+    })
   )
 
   // ---- DuckDB SQL builders for graft's 64-bit hash primitives ----
@@ -4323,6 +4341,40 @@ object SparkEntry {
         |pairs AS (SELECT substr(tok, CAST(i AS INT), 2) AS pair
         |  FROM toks, unnest(range(1, length(tok))) u(i) WHERE length(tok) >= 2)
         |SELECT pair, CAST(COUNT(*) AS BIGINT) AS n FROM pairs
-        |GROUP BY pair ORDER BY n DESC, pair LIMIT 40""".stripMargin
+        |GROUP BY pair ORDER BY n DESC, pair LIMIT 40""".stripMargin,
+    // recall@3 audit: the IVF oracle's top-3 left-joined to the brute
+    // top-3 ground truth, matches counted per query
+    "q_knn_recall" -> {
+      s"""WITH ${duckLloydCtes(k = 16, iters = 10)},
+         |asg AS MATERIALIZED (SELECT vv.vec_id, vv.v,
+         |  (SELECT c.cell FROM c10 c ORDER BY list_distance(vv.v, c.centroid), c.cell LIMIT 1) AS cell
+         |  FROM vv),
+         |probes AS (SELECT * FROM (
+         |    SELECT a.vec_id AS query_id, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+         |        ORDER BY -list_dot_product(a.v, c.centroid), c.cell) AS prank
+         |    FROM asg a CROSS JOIN c10 c) WHERE prank <= 4),
+         |cand AS (SELECT DISTINCT p.query_id, n.vec_id AS neighbor_id
+         |  FROM probes p JOIN asg n ON n.cell = p.cell AND n.vec_id <> p.query_id),
+         |isims AS (SELECT c.query_id, c.neighbor_id,
+         |  CASE WHEN list_dot_product(a.v, a.v) = 0 OR list_dot_product(b.v, b.v) = 0 THEN 0.0
+         |       ELSE list_dot_product(a.v, b.v)
+         |            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) END AS sim
+         |  FROM cand c JOIN vv a ON a.vec_id = c.query_id JOIN vv b ON b.vec_id = c.neighbor_id),
+         |ir AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM isims),
+         |ivf AS (SELECT query_id, neighbor_id FROM ir WHERE rank <= 3),
+         |e2 AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM vv),
+         |bp AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |        CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN 0.0
+         |             ELSE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) END AS sim
+         |      FROM e2 a, e2 b WHERE a.vec_id <> b.vec_id),
+         |br AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM bp),
+         |truth AS (SELECT query_id, neighbor_id FROM br WHERE rank <= 3)
+         |SELECT t.query_id, CAST(COUNT(i.neighbor_id) AS BIGINT) AS hits,
+         |  CAST(COUNT(*) AS BIGINT) AS k
+         |FROM truth t LEFT JOIN ivf i
+         |  ON i.query_id = t.query_id AND i.neighbor_id = t.neighbor_id
+         |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin
+    }
   )
 }
