@@ -1285,6 +1285,36 @@ def pl_cms_estimate(sketch, key, depth=4, width=1024):
     return _fn("pl_cms_estimate", sketch, key, depth, width)
 
 
+def pl_hll_agg(key, m=64):
+    """Aggregate integral keys into a MAX-mergeable HyperLogLog register
+    array (array<bigint> of m registers, m a power of two in [16, 256])."""
+    return _fn("pl_hll_agg", key, m)
+
+
+def pl_hll_merge(sketch, m=64):
+    """Roll finer-grained pl_hll_agg sketches up (daily -> monthly) by
+    elementwise MAX with bounded m-register state."""
+    return _fn("pl_hll_merge", sketch, m)
+
+
+def pl_hll_estimate(sketch, m=64):
+    """Integer-exact raw-HLL distinct-count estimate of a register array;
+    relative error ~ 1.04/sqrt(m) for n >> m."""
+    return _fn("pl_hll_estimate", sketch, m)
+
+
+def pl_char_pairs(token):
+    """Adjacent character bigrams of a token (the unit a BPE merge
+    iteration counts); empty for tokens shorter than 2."""
+    return _fn("pl_char_pairs", token)
+
+
+def pl_deletion_variants(token):
+    """The token plus each single-character deletion (FastSS/SymSpell
+    blocking keys): edit-distance-1 matching as an equi-join."""
+    return _fn("pl_deletion_variants", token)
+
+
 def pl_url_host(url):
     """Host of a URL: lowercased authority, :port stripped; empty for
     scheme-less input."""

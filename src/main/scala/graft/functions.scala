@@ -617,6 +617,15 @@ object Raster {
       regN("pl_cms_estimate", xs => org.apache.spark.sql.graft.shims
         .expressionEager(graft.pipeline.Cms.estimate(asColumn(xs(0)),
           asColumn(xs(1)), intArg(xs, 2, 4), intArg(xs, 3, 1024))))
+      regN("pl_hll_agg", xs => graft.pipeline.HllBuildAgg(xs.head,
+        intArg(xs, 1, 64)).toAggregateExpression())
+      regN("pl_hll_merge", xs => graft.pipeline.HllMergeAgg(xs.head,
+        intArg(xs, 1, 64)).toAggregateExpression())
+      regN("pl_hll_estimate", xs => org.apache.spark.sql.graft.shims
+        .expressionEager(graft.pipeline.Hll.estimate(asColumn(xs.head),
+          intArg(xs, 1, 64))))
+      regN("pl_char_pairs", pcol(TF.char_pairs))
+      regN("pl_deletion_variants", pcol(TF.deletion_variants))
       reg2("pl_vector_dot", graft.pipeline.VectorDot(_, _))
       reg2("pl_cosine_similarity", graft.pipeline.CosineSimilarity(_, _))
       regN("pl_l2_norm", xs => org.apache.spark.sql.graft.shims

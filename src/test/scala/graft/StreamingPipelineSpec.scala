@@ -494,6 +494,33 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(s2 == batch)
   }
 
+  test("HLL sketch MAX-merges across micro-batches (streaming distinct count)") {
+    val dir = Files.createTempDirectory("stream-hll").toString
+    val ckpt = Files.createTempDirectory("stream-hll-ckpt").toString
+    val schema = Seq(1L).toDF("k").schema
+
+    def run(): Seq[Long] = {
+      val sk = spark.readStream.schema(schema).parquet(dir)
+        .agg(graft.pipeline.Hll.sketch(col("k"), 64).as("sk"))
+      val q = sk.writeStream.format("memory").queryName("hll_stream")
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      spark.sql("SELECT sk FROM hll_stream").head.getSeq[Long](0)
+    }
+
+    Seq(7L, 7L, 9L, 21L).toDF("k").write.mode("overwrite").parquet(dir)
+    run()
+    // batch 2 adds dups of old keys and one new key; registers MAX-merge
+    // in the state store, so the stream equals the one-shot batch sketch
+    Seq(7L, 9L, 33L).toDF("k").write.mode("append").parquet(dir)
+    val s2 = run()
+    val batch = Seq(7L, 7L, 9L, 21L, 7L, 9L, 33L).toDF("k")
+      .agg(graft.pipeline.Hll.sketch(col("k"), 64)).head.getSeq[Long](0)
+    assert(s2 == batch)
+    assert(s2.count(_ > 0L) >= 3) // 4 distinct keys hit >= 3 registers
+  }
+
   test("sessionStats accepts a numeric epoch-micros event time directly") {
     // schema-adaptive event time: a long micros column sessionizes to
     // exactly the same rows as its timestamp_micros lift
