@@ -68,7 +68,22 @@ object DumpPlans {
       "q_pagerank" -> ("Fixed-point PageRank, final iteration: edge-to-rank " +
         "equi-joins + a per-dst partial/final sum over localCheckpoint'ed " +
         "inputs — the Pregel-lite relational shape; integer millionths, " +
-        "no float drift."))
+        "no float drift."),
+      "q_salted_join" -> ("Skew-salted join: the fact side shuffles ONCE on " +
+        "(key, salt) — a hot key fans out over 8 reducers — while the dim " +
+        "side replicates through a generator; result row-identical to the " +
+        "plain join (the oracle is the unsalted SQL)."),
+      "q_compact" -> ("CDC latest-wins compaction as a partial+final max_by " +
+        "aggregate: every partition collapses to one struct per key BEFORE " +
+        "the exchange — no window sort, no skew exposure."),
+      "q_hll" -> ("HyperLogLog rollup: daily register arrays reduce via " +
+        "ObjectHashAggregate partials, MAX-merge to event_type, and the " +
+        "estimate is a flat integer expression over the 64-long array — " +
+        "the only shuffles are the two tiny keyed aggregations."),
+      "q_fuzzy_join" -> ("Edit-distance-1 join: deletion variants explode " +
+        "~(len+1)× ids-only rows into a variant EQUI-join (SortMergeJoin), " +
+        "refine is a per-candidate levenshtein — no Levenshtein theta-join, " +
+        "no nested loop."))
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of the flagship queries\n\n")
     sb.append("Generated by `graft.tools.DumpPlans` at sf0.001 with\n")
