@@ -2161,7 +2161,23 @@ object SparkEntry {
         .groupBy("query_id")
         .agg(count(col("an")).as("hits"), count(lit(1)).as("k"))
         .orderBy("query_id")
-    })
+    }),
+    // Deequ-style one-pass column profile over integral/string columns
+    // (floats excluded — their min/max STRING rendering is
+    // engine-specific; everything counted here is hash-exact).
+    "q_profile" -> ((s, dir) =>
+      graft.pipeline.Profile.profile(t(s, dir, "lineitem"),
+          Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+            "l_returnflag", "l_linestatus"))
+        .orderBy("column")),
+    // Cohort retention triangle over events: first-day cohorts ×
+    // day offsets, exact distinct-user counts — two keyed aggregations
+    // and one key equi-join, no time self-joins.
+    "q_retention" -> ((s, dir) =>
+      graft.pipeline.Temporal.cohortRetention(
+          eventsMicros(s, dir), "user_id", "tus")
+        .withColumn("cohort_day", date_format(col("cohort_day"), "yyyy-MM-dd"))
+        .orderBy("cohort_day", "day_offset"))
   )
 
   // ---- DuckDB SQL builders for graft's 64-bit hash primitives ----
@@ -4375,6 +4391,26 @@ object SparkEntry {
          |FROM truth t LEFT JOIN ivf i
          |  ON i.query_id = t.query_id AND i.neighbor_id = t.neighbor_id
          |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin
-    }
+    },
+    // per-column profile as a UNION ALL of single-column aggregates
+    "q_profile" -> {
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+        "l_linenumber", "l_returnflag", "l_linestatus")
+      cols.map { c =>
+        s"""SELECT '$c' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(COUNT($c) AS BIGINT) AS n_non_null,
+           |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(MIN($c) AS VARCHAR) AS min_value,
+           |  CAST(MAX($c) AS VARCHAR) AS max_value FROM lineitem""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+    },
+    "q_retention" ->
+      """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |f AS (SELECT user_id, MIN(day) AS cd FROM act GROUP BY 1)
+        |SELECT strftime(cd, '%Y-%m-%d') AS cohort_day,
+        |  CAST(date_diff('day', cd, day) AS INTEGER) AS day_offset,
+        |  CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+        |FROM act a JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

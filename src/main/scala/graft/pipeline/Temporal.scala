@@ -450,4 +450,31 @@ object Temporal {
       .select(points.columns.toIndexedSeq.map(col) ++
         spanCols.map(c => col("__graft_s")(c).as(spanPrefix + c)): _*)
   }
+
+  /**
+   * Cohort retention: assign every key to the cohort of its FIRST
+   * active day, then count distinct keys per (cohort day, day offset)
+   * — the product-analytics triangle every events warehouse publishes.
+   *
+   * Two aggregations and one equi-join, all on the key: (1) per-key
+   * first day (map-side-combining `min`), (2) distinct (key, day)
+   * activity, (3) join on the key — the first-day table is one row per
+   * key, so AQE broadcasts it at moderate cardinalities and a plain
+   * shuffle join handles billions of keys — then the final
+   * (cohort, offset) count. Exact integer counts; no windows, no
+   * self-join over time.
+   *
+   * `tsCol` is schema-adaptive via [[epochMicros]]; days are UTC
+   * calendar dates of the micros instant.
+   */
+  def cohortRetention(df: DataFrame, key: String, tsCol: String): DataFrame = {
+    val day = to_date(timestamp_micros(epochMicros(df, tsCol)))
+    val act = df.select(col(key).as("__graft_k"), day.as("__graft_day")).distinct()
+    val first = act.groupBy("__graft_k")
+      .agg(min(col("__graft_day")).as("cohort_day"))
+    act.join(first, Seq("__graft_k"))
+      .groupBy(col("cohort_day"),
+        datediff(col("__graft_day"), col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("__graft_k")).as("n_active"))
+  }
 }

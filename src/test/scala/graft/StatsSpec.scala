@@ -56,4 +56,38 @@ class StatsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("AdaptiveSparkPlan"),
       s"moment join should broadcast:\n$plan")
   }
+
+  test("Profile.profile: counts, nulls, distincts, min/max per column") {
+    import graft.pipeline.Profile
+    val df = Seq(
+      (1L, Some("a")), (2L, Some("b")), (2L, None), (5L, Some("a"))
+    ).toDF("id", "tag")
+    val got = Profile.profile(df, Seq("id", "tag"))
+      .orderBy("column").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5))).toSeq
+    assert(got == Seq(
+      ("id", 4L, 4L, 3L, "1", "5"),
+      ("tag", 4L, 3L, 2L, "a", "b")))
+  }
+
+  test("Profile.profile is a single pass (one aggregate, no joins)") {
+    import graft.pipeline.Profile
+    val df = (1 to 100).map(i => (i.toLong, s"s${i % 7}")).toDF("a", "b")
+    val plan = Profile.profile(df, Seq("a", "b")).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"profile should not join:\n$plan")
+  }
+
+  test("cohortRetention: hand-checked triangle") {
+    import graft.pipeline.Temporal
+    // u1 first active day0, returns day1; u2 first day1 only
+    val us = 86400L * 1000000L
+    val df = Seq((1L, 0L), (1L, us), (1L, us + 5L), (2L, us))
+      .toDF("user_id", "tus")
+    val got = Temporal.cohortRetention(df, "user_id", "tus")
+      .orderBy("cohort_day", "day_offset").collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      ("1970-01-01", 0, 1L), ("1970-01-01", 1, 1L), ("1970-01-02", 0, 1L)))
+  }
 }
