@@ -2177,7 +2177,18 @@ object SparkEntry {
       graft.pipeline.Temporal.cohortRetention(
           eventsMicros(s, dir), "user_id", "tus")
         .withColumn("cohort_day", date_format(col("cohort_day"), "yyyy-MM-dd"))
-        .orderBy("cohort_day", "day_offset"))
+        .orderBy("cohort_day", "day_offset")),
+    // ROLLUP hierarchy totals in ONE pass: Catalyst's Expand feeds the
+    // same partial+final aggregate for all three grouping levels —
+    // no per-level re-scan, no union of aggregates. Quantities are
+    // integral doubles, so SUMs stay exact.
+    "q_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("bigint")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first))
   )
 
   // ---- DuckDB SQL builders for graft's 64-bit hash primitives ----
@@ -4411,6 +4422,11 @@ object SparkEntry {
         |  CAST(date_diff('day', cd, day) AS INTEGER) AS day_offset,
         |  CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
         |FROM act a JOIN f USING (user_id)
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
   )
 }

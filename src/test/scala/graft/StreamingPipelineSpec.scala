@@ -494,6 +494,36 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(s2 == batch)
   }
 
+  test("latest-wins compaction applies a changelog stream incrementally (CDC apply)") {
+    val dir = Files.createTempDirectory("stream-cdc").toString
+    val ckpt = Files.createTempDirectory("stream-cdc-ckpt").toString
+    val schema = Seq(("k", 1L, 1L, "v")).toDF("k", "ver", "uniq", "v").schema
+
+    def run(): Map[String, (Long, String)] = {
+      // the streaming face of Joins.compactLatest: the same max_by
+      // aggregate keeps ONE struct per key in the state store
+      val latest = spark.readStream.schema(schema).parquet(dir)
+        .groupBy("k")
+        .agg(max_by(struct(col("ver"), col("v")), struct(col("ver"), col("uniq"))).as("last"))
+        .select(col("k"), col("last.ver").as("ver"), col("last.v").as("v"))
+      val q = latest.writeStream.format("memory").queryName("cdc_stream")
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      spark.sql("SELECT k, ver, v FROM cdc_stream").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    }
+
+    Seq(("u1", 1L, 1L, "a"), ("u2", 5L, 2L, "x"))
+      .toDF("k", "ver", "uniq", "v").write.mode("overwrite").parquet(dir)
+    assert(run() == Map("u1" -> (1L, "a"), "u2" -> (5L, "x")))
+
+    // batch 2: u1 advances twice (out of order); state keeps the max
+    Seq(("u1", 3L, 3L, "c"), ("u1", 2L, 4L, "b"))
+      .toDF("k", "ver", "uniq", "v").write.mode("append").parquet(dir)
+    assert(run() == Map("u1" -> (3L, "c"), "u2" -> (5L, "x")))
+  }
+
   test("HLL sketch MAX-merges across micro-batches (streaming distinct count)") {
     val dir = Files.createTempDirectory("stream-hll").toString
     val ckpt = Files.createTempDirectory("stream-hll-ckpt").toString
