@@ -2188,7 +2188,31 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast("bigint")).as("sum_qty"))
         .orderBy(col("l_returnflag").asc_nulls_first,
-          col("l_linestatus").asc_nulls_first))
+          col("l_linestatus").asc_nulls_first)),
+    // Pivot with an EXPLICIT value list — one aggregation pass (pivot
+    // values fold into the same partial aggregate); an unlisted pivot
+    // would first collect distinct values to the driver, which the
+    // 100 TB path avoids by always pinning the list.
+    "q_pivot" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id")),
+    // Inter-event gap statistics per user: lag over the (user, ts)
+    // window, then integer micro-gap aggregates — arrival-cadence
+    // profiling with one composite-key shuffle.
+    "q_gaps" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+      eventsMicros(s, dir)
+        .withColumn("gap", col("tus") - lag("tus", 1).over(w))
+        .where(col("gap").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_gaps"), min("gap").as("min_gap"),
+          max("gap").as("max_gap"), sum("gap").as("sum_gap"))
+        .orderBy("user_id")
+    })
   )
 
   // ---- DuckDB SQL builders for graft's 64-bit hash primitives ----
@@ -4427,6 +4451,23 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
         |CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_pivot" ->
+      """SELECT user_id,
+        |CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_gaps" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS tus FROM events),
+        |g AS (SELECT user_id,
+        |  tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS gap
+        |  FROM e)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+        |  CAST(MIN(gap) AS BIGINT) AS min_gap, CAST(MAX(gap) AS BIGINT) AS max_gap,
+        |  CAST(SUM(gap) AS BIGINT) AS sum_gap
+        |FROM g WHERE gap IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
