@@ -420,3 +420,105 @@ def diversity_report(df, src_col, text_col):
                     "n_bigrams", "distinct_bigrams",
                     (F.col("distinct_bigrams").cast("double")
                      / F.col("n_bigrams")).alias("bigram_ttr")))
+
+
+def salted_join(big, small, key, salts=8):
+    """Skew-salted inner equi-join — Python mirror of the Scala
+    ``Joins.saltedJoin``: row-identical to ``big.join(small, key)`` but a
+    hot key's rows spread over ``salts`` reducers. The big side gets a
+    deterministic row-hash salt; the small side replicates once per salt
+    through a generator (no broadcast requirement)."""
+    b = big.withColumn(
+        "__graft_salt",
+        F.pmod(F.xxhash64(F.struct(*[F.col(c) for c in big.columns])),
+               F.lit(salts)))
+    s = small.withColumn(
+        "__graft_salt", F.explode(F.sequence(F.lit(0).cast("long"),
+                                             F.lit(salts - 1).cast("long"))))
+    big_payload = [c for c in big.columns if c != key]
+    small_payload = [c for c in small.columns if c != key]
+    return (b.alias("b").join(
+                s.alias("s"),
+                (F.col(f"b.{key}") == F.col(f"s.{key}"))
+                & (F.col("b.__graft_salt") == F.col("s.__graft_salt")))
+            .select(F.col(f"b.{key}").alias(key),
+                    *[F.col(f"b.{c}").alias(c) for c in big_payload],
+                    *[F.col(f"s.{c}").alias(c) for c in small_payload]))
+
+
+def compact_latest(df, keys, order_cols):
+    """CDC latest-wins changelog compaction — Python mirror of the Scala
+    ``Joins.compactLatest``: one row per ``keys``, the lexicographically
+    greatest ``order_cols`` tuple, via the map-side-combining ``max_by``
+    aggregate (no window sort). ``order_cols`` must be a total order
+    within each key (end with a unique id)."""
+    payload = [c for c in df.columns if c not in keys]
+    ord_s = F.struct(*[F.col(c) for c in order_cols])
+    return (df.groupBy(*[F.col(k) for k in keys])
+            .agg(F.max_by(F.struct(*[F.col(c) for c in payload]),
+                          ord_s).alias("__graft_last"))
+            .select(*[F.col(k) for k in keys],
+                    *[F.col(f"__graft_last.{c}").alias(c) for c in payload]))
+
+
+def fuzzy_join(left, right, left_col, right_col):
+    """Edit-distance-≤1 string join — Python mirror of the Scala
+    ``Joins.fuzzyJoin``: FastSS deletion-variant blocking
+    (``pl_deletion_variants``) turns Levenshtein matching into an
+    equi-join on variants; only candidates pay the exact refine. Column
+    names must not collide across sides; inputs should be deduplicated
+    relations."""
+    import graft.functions as gf
+
+    lv = left.withColumn("__graft_var",
+                         F.explode(gf.pl_deletion_variants(F.col(left_col))))
+    rv = right.withColumn("__graft_var",
+                          F.explode(gf.pl_deletion_variants(F.col(right_col))))
+    return (lv.alias("l").join(
+                rv.alias("r"), F.col("l.__graft_var") == F.col("r.__graft_var"))
+            .select(*[F.col(f"l.{c}").alias(c) for c in left.columns],
+                    *[F.col(f"r.{c}").alias(c) for c in right.columns])
+            .where(F.levenshtein(F.col(left_col), F.col(right_col)) <= 1)
+            .distinct())
+
+
+def anomaly_flags(df, keys, value_col, k_num=2, k_den=1):
+    """Division-free per-group z-score gate — Python mirror of the Scala
+    ``Stats.anomalyFlags``: appends ``grp_n``, ``dev2 = (n·v − s)²``,
+    ``var_n2 = n·ssq − s²`` and ``is_anomaly = kDen²·dev2 > kNum²·var_n2``
+    in exact integer math (pre-scale float metrics to longs first)."""
+    v = F.col(value_col).cast("long")
+    moments = df.groupBy(*[F.col(c) for c in keys]).agg(
+        F.count(F.lit(1)).alias("grp_n"),
+        F.sum(v).alias("__graft_s"),
+        F.sum(v * v).alias("__graft_ssq"))
+    d = F.col("grp_n") * v - F.col("__graft_s")
+    return (df.join(moments, list(keys))
+            .withColumn("dev2", d * d)
+            .withColumn("var_n2",
+                        F.col("grp_n") * F.col("__graft_ssq")
+                        - F.col("__graft_s") * F.col("__graft_s"))
+            .withColumn("is_anomaly",
+                        F.lit(k_den * k_den) * F.col("dev2")
+                        > F.lit(k_num * k_num) * F.col("var_n2"))
+            .drop("__graft_s", "__graft_ssq"))
+
+
+def profile(df, cols):
+    """Deequ-style one-pass column profile — Python mirror of the Scala
+    ``Profile.profile``: one row per column with row/null/distinct counts
+    and string-cast min/max. Keep float columns out when cross-engine
+    string parity matters."""
+    aggs = [F.count(F.lit(1)).alias("__graft_total")]
+    for c in cols:
+        aggs += [F.count(F.col(c)).alias(f"__graft_cnt_{c}"),
+                 F.countDistinct(F.col(c)).alias(f"__graft_nd_{c}"),
+                 F.min(F.col(c)).cast("string").alias(f"__graft_min_{c}"),
+                 F.max(F.col(c)).cast("string").alias(f"__graft_max_{c}")]
+    row = df.agg(*aggs)
+    tuples = ", ".join(
+        f"'{c}', __graft_total, `__graft_cnt_{c}`, `__graft_nd_{c}`, "
+        f"`__graft_min_{c}`, `__graft_max_{c}`" for c in cols)
+    return row.select(F.expr(
+        f"stack({len(cols)}, {tuples}) AS "
+        "(column, n_rows, n_non_null, n_distinct, min_value, max_value)"))

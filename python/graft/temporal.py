@@ -362,3 +362,20 @@ def funnel(df, key, ts_col, step_col, steps, within=None):
         completed = completed + F.when(F.col(f"t_{i + 1}").isNotNull(),
                                        1).otherwise(0)
     return out.withColumn("steps_completed", completed)
+
+
+def cohort_retention(df, key, ts_col):
+    """Cohort retention triangle — Python mirror of the Scala
+    ``Temporal.cohortRetention``: every key joins the cohort of its first
+    active UTC day; exact distinct keys per (cohort_day, day_offset).
+    Two keyed aggregations + one equi-join, no time self-joins."""
+    day = F.to_date(F.timestamp_micros(epoch_micros(df, ts_col)))
+    act = (df.select(F.col(key).alias("__graft_k"), day.alias("__graft_day"))
+           .distinct())
+    first = act.groupBy("__graft_k").agg(
+        F.min("__graft_day").alias("cohort_day"))
+    return (act.join(first, ["__graft_k"])
+            .groupBy(F.col("cohort_day"),
+                     F.datediff(F.col("__graft_day"),
+                                F.col("cohort_day")).alias("day_offset"))
+            .agg(F.countDistinct("__graft_k").alias("n_active")))

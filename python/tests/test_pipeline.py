@@ -185,3 +185,58 @@ def test_diversity_report(spark):
     assert r["a"]["n_tokens"] == 6 and r["a"]["distinct_tokens"] == 3
     assert r["a"]["ttr"] == 0.5
     assert r["b"]["distinct_bigrams"] == 1 and r["b"]["n_bigrams"] == 3
+
+
+def test_salted_join_matches_plain(spark):
+    from graft.pipeline import salted_join
+    big = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20), (3, 30)], "k long, bv int")
+    small = spark.createDataFrame([(1, "a"), (2, "b"), (4, "d")],
+                                  "k long, sv string")
+    got = sorted((r.k, r.bv, r.sv)
+                 for r in salted_join(big, small, "k", 4).collect())
+    want = sorted((r.k, r.bv, r.sv)
+                  for r in big.join(small, ["k"]).collect())
+    assert got == want
+
+
+def test_compact_latest(spark):
+    from graft.pipeline import compact_latest
+    df = spark.createDataFrame(
+        [("u1", 1, 1, "a"), ("u1", 3, 2, "c"), ("u1", 2, 3, "b"),
+         ("u3", 7, 5, "t"), ("u3", 7, 6, "s")],
+        "k string, ver long, uniq long, v string")
+    got = sorted((r.k, r.ver, r.v)
+                 for r in compact_latest(df, ["k"], ["ver", "uniq"]).collect())
+    assert got == [("u1", 3, "c"), ("u3", 7, "s")]
+
+
+def test_fuzzy_join(spark):
+    from graft.pipeline import fuzzy_join
+    vocab = spark.createDataFrame([("batch",), ("hash",), ("spark",)],
+                                  "tok string")
+    noisy = spark.createDataFrame([("bratch",), ("hach",), ("zzz",)],
+                                  "q string")
+    got = sorted((r.q, r.tok) for r in
+                 fuzzy_join(noisy, vocab, "q", "tok").collect())
+    assert got == [("bratch", "batch"), ("hach", "hash")]
+
+
+def test_anomaly_flags(spark):
+    from graft.pipeline import anomaly_flags
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 10), ("a", 10), ("a", 10), ("a", 100)],
+        "k string, v long")
+    out = {r.v: r.is_anomaly
+           for r in anomaly_flags(df, ["k"], "v", 3, 2).collect()}
+    assert out == {10: False, 100: True}  # z = 2 > 1.5
+
+
+def test_profile(spark):
+    from graft.pipeline import profile
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (2, None), (5, "a")],
+                               "id long, tag string")
+    got = {r.column: (r.n_rows, r.n_non_null, r.n_distinct,
+                      r.min_value, r.max_value)
+           for r in profile(df, ["id", "tag"]).collect()}
+    assert got == {"id": (4, 4, 3, "1", "5"), "tag": (4, 3, 2, "a", "b")}

@@ -202,3 +202,14 @@ def test_clean_lines(spark):
                  gf.pl_kept_lines(F.lit(txt)).alias("k"))
          .head())
     assert r["c"] == "this line stays around" and r["k"] == 1
+
+
+def test_cohort_retention(spark):
+    from graft.temporal import cohort_retention
+    us = 86400 * 1000000
+    df = spark.createDataFrame(
+        [(1, 0), (1, us), (1, us + 5), (2, us)], "user_id long, tus long")
+    got = sorted((str(r.cohort_day), r.day_offset, r.n_active)
+                 for r in cohort_retention(df, "user_id", "tus").collect())
+    assert got == [("1970-01-01", 0, 1), ("1970-01-01", 1, 1),
+                   ("1970-01-02", 0, 1)]
