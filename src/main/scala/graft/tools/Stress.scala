@@ -148,6 +148,37 @@ object Stress {
     timed("pmi_pairs", factor)(
       Dedup.pmiPairs(docs, "doc_id", "text", minSupport = 5L, k = 20))
 
+    // round-10 joins/sketches: per-copy user-id shifts keep the dim
+    // side growing with the fact side (salted join), the rotated
+    // alphabet grows the fuzzy-join vocabulary ×factor, and the HLL
+    // rollup's register arrays stay m-long regardless of factor
+    timed("compact_latest", factor)(
+      graft.pipeline.Joins.compactLatest(
+        ev.select("user_id", "event_type", "event_id", "tus"),
+        Seq("user_id", "event_type"), Seq("tus", "event_id")))
+    timed("hll_rollup", factor)(
+      ev.withColumn("day", to_date(timestamp_micros(col("tus"))))
+        .groupBy("event_type", "day")
+        .agg(graft.pipeline.Hll.sketch(col("user_id"), 64).as("sk"))
+        .groupBy("event_type")
+        .agg(graft.pipeline.Hll.merge(col("sk"), 64).as("sk")))
+    timed("retention", factor)(
+      graft.pipeline.Temporal.cohortRetention(ev, "user_id", "tus"))
+    timed("salted_join", factor) {
+      val dim = ev.select(col("user_id")).distinct()
+        .withColumn("seg", pmod(col("user_id"), lit(7L)))
+      graft.pipeline.Joins.saltedJoin(
+        ev.select("event_id", "user_id"), dim, "user_id", salts = 8)
+    }
+    timed("fuzzy_join", factor) {
+      val vocab = docs.select(
+          explode(graft.pipeline.TextFunctions.tokens(col("text"))).as("tok"))
+        .where(length(col("tok")) >= 4).distinct()
+      val noisy = vocab.select(concat(col("tok").substr(lit(1), lit(1)),
+        col("tok").substr(lit(3), length(col("tok")))).as("q")).distinct()
+      graft.pipeline.Joins.fuzzyJoin(noisy, vocab, "q", "tok")
+    }
+
     spark.stop()
   }
 }
