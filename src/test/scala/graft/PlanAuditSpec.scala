@@ -28,7 +28,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_knn_ivfpq" -> "broadcast nlist-row centroid table crossJoin (probe ranking)",
     "q_knn_pq" -> "broadcast PQ code table crossJoin (the point of PQ: codes fit anywhere)",
     "q_pmi" -> "broadcast one-row corpus-count crossJoin",
-    "q_heavy_hitters" -> "broadcast one-row CMS sketch crossJoin (1 KB array)")
+    "q_heavy_hitters" -> "broadcast one-row CMS sketch crossJoin (1 KB array)",
+    "q_knn_recall" -> ("contains the labeled brute baseline as the recall " +
+      "ground truth; at scale the truth side runs on a query sample"))
 
   test("no query plans an unintended cartesian or nested-loop join") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
