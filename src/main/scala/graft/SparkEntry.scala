@@ -2200,6 +2200,31 @@ object SparkEntry {
         .agg(count(lit(1)))
         .na.fill(0L)
         .orderBy("user_id")),
+    // Markov transition counts: consecutive event-type pairs per user
+    // (lag over the same composite sort as q_gaps), then one global
+    // count — the sequence-mining staple behind session modeling.
+    "q_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+      eventsMicros(s, dir)
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .where(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("prev_type", "next_type")
+    }),
+    // Skew audit: the top-10 hottest join keys with integer-permille
+    // share of the table — the number that decides when saltedJoin's
+    // fan-out is worth its dim-side replication. Two tiny aggregates;
+    // the one-row total broadcasts.
+    "q_skew_report" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val total = li.agg(count(lit(1)).as("total"))
+      li.groupBy("l_partkey").agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(total))
+        .select(col("l_partkey"), col("n"),
+          expr("n * 1000 div total").as("share_permille"))
+        .orderBy(desc("n"), col("l_partkey")).limit(10)
+    }),
     // Inter-event gap statistics per user: lag over the (user, ts)
     // window, then integer micro-gap aggregates — arrival-cadence
     // profiling with one composite-key shuffle.
@@ -4460,6 +4485,19 @@ object SparkEntry {
         |CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
         |CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS tus FROM events),
+        |p AS (SELECT event_type AS next_type,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev_type
+        |  FROM e)
+        |SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_skew_report" ->
+      """WITH g AS (SELECT l_partkey, COUNT(*) AS n FROM lineitem GROUP BY 1),
+        |t AS (SELECT COUNT(*) AS total FROM lineitem)
+        |SELECT l_partkey, CAST(n AS BIGINT) AS n,
+        |  CAST(n * 1000 // total AS BIGINT) AS share_permille
+        |FROM g, t ORDER BY n DESC, l_partkey LIMIT 10""".stripMargin,
     "q_gaps" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS tus FROM events),
         |g AS (SELECT user_id,

@@ -30,7 +30,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_pmi" -> "broadcast one-row corpus-count crossJoin",
     "q_heavy_hitters" -> "broadcast one-row CMS sketch crossJoin (1 KB array)",
     "q_knn_recall" -> ("contains the labeled brute baseline as the recall " +
-      "ground truth; at scale the truth side runs on a query sample"))
+      "ground truth; at scale the truth side runs on a query sample"),
+    "q_skew_report" -> "broadcast one-row table-total crossJoin")
 
   test("no query plans an unintended cartesian or nested-loop join") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
