@@ -505,20 +505,95 @@ def anomaly_flags(df, keys, value_col, k_num=2, k_den=1):
 
 
 def profile(df, cols):
-    """Deequ-style one-pass column profile — Python mirror of the Scala
+    """Deequ-style column profile — Python mirror of the Scala
     ``Profile.profile``: one row per column with row/null/distinct counts
-    and string-cast min/max. Keep float columns out when cross-engine
-    string parity matters."""
-    aggs = [F.count(F.lit(1)).alias("__graft_total")]
-    for c in cols:
-        aggs += [F.count(F.col(c)).alias(f"__graft_cnt_{c}"),
-                 F.countDistinct(F.col(c)).alias(f"__graft_nd_{c}"),
-                 F.min(F.col(c)).cast("string").alias(f"__graft_min_{c}"),
-                 F.max(F.col(c)).cast("string").alias(f"__graft_max_{c}")]
-    row = df.agg(*aggs)
-    tuples = ", ".join(
-        f"'{c}', __graft_total, `__graft_cnt_{c}`, `__graft_nd_{c}`, "
-        f"`__graft_min_{c}`, `__graft_max_{c}`" for c in cols)
-    return row.select(F.expr(
-        f"stack({len(cols)}, {tuples}) AS "
-        "(column, n_rows, n_non_null, n_distinct, min_value, max_value)"))
+    and string-cast min/max, as per-column two-phase ``groupBy(value)``
+    branches (map-side combine, column-pruned scans — no multi-distinct
+    Expand). Keep float columns out when cross-engine string parity
+    matters; cache computed inputs first (branches re-evaluate)."""
+    from functools import reduce
+
+    def branch(c):
+        return (df.groupBy(F.col(c).alias("__graft_v"))
+                .agg(F.count(F.lit(1)).alias("__graft_cnt"))
+                .agg(F.coalesce(F.sum("__graft_cnt"), F.lit(0).cast("long"))
+                     .alias("n_rows"),
+                     F.coalesce(F.sum(F.when(F.col("__graft_v").isNotNull(),
+                                             F.col("__graft_cnt"))),
+                                F.lit(0).cast("long")).alias("n_non_null"),
+                     F.count("__graft_v").alias("n_distinct"),
+                     F.min("__graft_v").cast("string").alias("min_value"),
+                     F.max("__graft_v").cast("string").alias("max_value"))
+                .select(F.lit(c).alias("column"), "n_rows", "n_non_null",
+                        "n_distinct", "min_value", "max_value"))
+
+    return reduce(lambda a, b: a.unionAll(b), [branch(c) for c in cols])
+
+
+def bloom_join(big, small, key, num_bits=1 << 20, k=5):
+    """Bloom-prefiltered inner equi-join — Python mirror of the Scala
+    ``Joins.bloomJoin``: row-identical to ``big.join(small, key)``, but
+    the big side is cut at the scan by a membership probe against a
+    Bloom bitset of the small side's keys (built by a one-row aggregate,
+    ``num_bits/8`` bytes collected driver-side). False positives die in
+    the exact join; false negatives are impossible."""
+    import graft.functions as gf
+
+    bits = (small.select(gf.pl_bloom_agg(F.xxhash64(F.col(key)),
+                                         num_bits, k).alias("bits"))
+            .head()[0])
+    return (big.where(gf.pl_bloom_contains(F.lit(bits),
+                                           F.xxhash64(F.col(key)), k))
+            .join(small, key))
+
+
+def edit_distance_pairs(docs, id_col, text_col, prefix_len=16,
+                        max_dist=10, hot_cap=64):
+    """Blocked exact edit-distance near-dup pairs — Python mirror of the
+    Scala ``Joins.editDistancePairs``: prefix-block equi-self-join +
+    thresholded banded ``levenshtein`` refine; blocks larger than
+    ``hot_cap`` are excluded by a broadcast anti-join."""
+    d = docs.select(F.col(id_col).alias("__graft_id"),
+                    F.col(text_col).alias("__graft_txt"),
+                    F.substring(F.col(text_col), 1, prefix_len)
+                    .alias("__graft_blk"))
+    hot = (d.groupBy("__graft_blk").agg(F.count(F.lit(1)).alias("__graft_n"))
+           .where(F.col("__graft_n") > hot_cap).select("__graft_blk"))
+    cool = d.join(F.broadcast(hot), ["__graft_blk"], "left_anti")
+    a = cool.select("__graft_blk", F.col("__graft_id").alias("id_a"),
+                    F.col("__graft_txt").alias("__graft_ta"))
+    b = cool.select("__graft_blk", F.col("__graft_id").alias("id_b"),
+                    F.col("__graft_txt").alias("__graft_tb"))
+    return (a.join(b, ["__graft_blk"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b",
+                    F.levenshtein(F.col("__graft_ta"), F.col("__graft_tb"),
+                                  max_dist).cast("int").alias("dist"))
+            .where(F.col("dist") >= 0))
+
+
+def z_index(a, b):
+    """Morton/Z2 interleave of two non-negative integer key columns
+    (16 bits each) — Python mirror of the Scala ``Layout.zIndex``."""
+    def spread16(x):
+        v = x.bitwiseAND(F.lit(0xFFFF))
+        v = v.bitwiseOR(F.shiftleft(v, 8)).bitwiseAND(F.lit(0x00FF00FF))
+        v = v.bitwiseOR(F.shiftleft(v, 4)).bitwiseAND(F.lit(0x0F0F0F0F))
+        v = v.bitwiseOR(F.shiftleft(v, 2)).bitwiseAND(F.lit(0x33333333))
+        return v.bitwiseOR(F.shiftleft(v, 1)).bitwiseAND(F.lit(0x55555555))
+
+    return spread16(a.cast("long")).bitwiseOR(
+        F.shiftleft(spread16(b.cast("long")), 1))
+
+
+def zorder_write(df, key_a, key_b, path, files=16):
+    """Write ``df`` as ``files`` Parquet files z-ordered on
+    ``(key_a, key_b)`` — Python mirror of the Scala
+    ``Layout.zorderWrite``: range-partitioned by the Morton index so
+    per-file min-max stats prune conjunctive range predicates on BOTH
+    keys."""
+    (df.withColumn("__graft_z", z_index(F.col(key_a), F.col(key_b)))
+     .repartitionByRange(files, F.col("__graft_z"))
+     .sortWithinPartitions("__graft_z")
+     .drop("__graft_z")
+     .write.mode("overwrite").parquet(path))

@@ -240,3 +240,43 @@ def test_profile(spark):
                       r.min_value, r.max_value)
            for r in profile(df, ["id", "tag"]).collect()}
     assert got == {"id": (4, 4, 3, "1", "5"), "tag": (4, 3, 2, "a", "b")}
+
+
+def test_bloom_join_matches_plain(spark):
+    from graft.pipeline import bloom_join
+    big = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (3, 30)], "k long, bv int")
+    small = spark.createDataFrame([(1, "a"), (2, "b"), (4, "d")],
+                                  "k long, sv string")
+    got = sorted((r.k, r.bv, r.sv)
+                 for r in bloom_join(big, small, "k", 1 << 10, 3).collect())
+    want = sorted((r.k, r.bv, r.sv)
+                  for r in big.join(small, ["k"]).collect())
+    assert got == want and len(got) == 3
+
+
+def test_edit_distance_pairs(spark):
+    from graft.pipeline import edit_distance_pairs
+    docs = spark.createDataFrame(
+        [(0, "the quick brown fox jumps"),
+         (1, "the quick brown fox jumped"),
+         (2, "unrelated prefix entirely")],
+        "doc_id long, text string")
+    got = sorted((r.id_a, r.id_b, r.dist) for r in
+                 edit_distance_pairs(docs, "doc_id", "text",
+                                     prefix_len=16, max_dist=5).collect())
+    assert got == [(0, 1, 2)]
+
+
+def test_z_index_and_zorder_write(spark, tmp_path):
+    from graft.pipeline import z_index, zorder_write
+    import pyspark.sql.functions as F
+    got = (spark.createDataFrame([(3, 5)], "a long, b long")
+           .select(z_index(F.col("a"), F.col("b")).alias("z"))
+           .head().z)
+    # 3 = 0b011, 5 = 0b101 -> interleave(a even bits, b odd bits) = 0b100111
+    assert got == 0b100111
+    df = spark.range(256).select((F.col("id") % 16).alias("a"),
+                                 (F.col("id") / 16).cast("long").alias("b"))
+    zorder_write(df, "a", "b", str(tmp_path / "z"), files=4)
+    assert spark.read.parquet(str(tmp_path / "z")).count() == 256

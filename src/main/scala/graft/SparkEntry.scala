@@ -301,6 +301,23 @@ object SparkEntry {
       .orderBy("l_orderkey", "i")
   }
 
+  /** Z-order write + pruned read-back (see q_zorder_prune's comment).
+    * Single-row aggregate result; the layout proof (disjoint per-file z
+    * ranges) is asserted by LayoutSpec. */
+  private def zorderPrune(s: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_zorder_" + dir.replaceAll("[^A-Za-z0-9]", "_")).toString
+    graft.pipeline.Layout.zorderWrite(
+      t(s, dir, "lineitem").select("l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice"),
+      "l_partkey", "l_suppkey", path, files = 16)
+    s.read.parquet(path)
+      .where(col("l_partkey").between(100, 299) && col("l_suppkey").between(10, 39))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(round(l_extendedprice * 100) as bigint)")).as("revenue_cents"),
+        sum(col("l_quantity").cast("bigint")).as("sum_qty"))
+  }
+
   /** End-to-end WRITE oracle: the distributed `tiles` writer emits one
     * GeoTIFF per row plus catalog.csv; reading the files back through
     * the DSv2 geotiff reader and joining the catalog (path → orderkey —
@@ -2189,6 +2206,75 @@ object SparkEntry {
           sum(col("l_quantity").cast("bigint")).as("sum_qty"))
         .orderBy(col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)),
+    // CUBE totals in the same single pass (grand total + both marginals
+    // + cells): Expand ×4 into one partial+final aggregate — no
+    // per-level rescan, no union of aggregates.
+    "q_cube" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("bigint")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+    // Bloom-prefiltered join: the dim predicate (s_nationkey < 5 keeps
+    // ~20% of suppliers) reaches the FACT side as a 128 KB bitset probe
+    // at the scan — the explicit runtime row filter (Joins.bloomJoin).
+    // The oracle is the PLAIN filtered join: bloom false positives are
+    // removed by the exact join, so the filter is invisible to rows.
+    "q_bloom_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_suppkey").as("suppkey"),
+          expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"))
+      val sup = t(s, dir, "supplier").where(col("s_nationkey") < 5)
+        .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+      graft.pipeline.Joins.bloomJoin(li, sup, "suppkey")
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n"), sum("cents").as("revenue_cents"))
+        .orderBy("s_nationkey")
+    }),
+    // Exact edit-distance near-dup pairs: prefix-16 block equi-join +
+    // thresholded banded levenshtein refine (Joins.editDistancePairs);
+    // hot blocks (> 64 docs) cut by a broadcast anti-join, replayed by
+    // the oracle's HAVING exclusion.
+    "q_edit_dedup" -> ((s, dir) =>
+      graft.pipeline.Joins.editDistancePairs(
+          t(s, dir, "documents"), "doc_id", "text",
+          prefixLen = 16, maxDist = 10, hotCap = 64)
+        .orderBy("id_a", "id_b")),
+    // Per-type deciles of DAILY revenue: the window runs over the
+    // pre-aggregated (type, day) rollup — bounded rows per partition
+    // key (days, not raw events), the scalable place to put ntile.
+    "q_ntile" -> ((s, dir) => {
+      val d = eventsMicros(s, dir)
+        .withColumn("day",
+          date_format(timestamp_micros(col("tus")), "yyyy-MM-dd"))
+        .groupBy("event_type", "day")
+        .agg(sum(expr("cast(round(value * 100) as bigint)")).as("rev"))
+      val w = Window.partitionBy("event_type").orderBy("rev", "day")
+      d.withColumn("decile", ntile(10).over(w))
+        .groupBy("event_type", "decile")
+        .agg(count(lit(1)).as("n_days"), min("rev").as("lo"), max("rev").as("hi"))
+        .orderBy("event_type", "decile")
+    }),
+    // Deterministic training-order shuffle: a Knuth multiplicative hash
+    // of doc_id is a bijection mod 2^32, so ORDER BY it is a seedable,
+    // reproducible global permutation (range-sort at scale; first 100
+    // shown). The final row_number runs AFTER the top-k, over 100 rows.
+    "q_shuffle_order" -> ((s, dir) => {
+      val keyed = t(s, dir, "documents")
+        .select(col("doc_id"),
+          pmod(col("doc_id") * 2654435761L, lit(4294967296L)).as("shuffle_key"))
+        .orderBy("shuffle_key", "doc_id").limit(100)
+      keyed.withColumn("position",
+        row_number().over(Window.orderBy("shuffle_key", "doc_id")).cast("int"))
+    }),
+    // Z-order layout + pruned read-back (Layout.zorderWrite): write
+    // lineitem as 16 files range-partitioned on the (partkey, suppkey)
+    // Morton index, then aggregate under a conjunctive range predicate
+    // — the filters reach the Parquet reader (PushedFilters) and the
+    // z-clustering makes file/row-group min-max stats selective for
+    // BOTH keys. Oracle = the same predicate over the original table.
+    "q_zorder_prune" -> ((s, dir) => zorderPrune(s, dir)),
     // Pivot with an EXPLICIT value list — one aggregation pass (pivot
     // values fold into the same partial aggregate); an unlisted pivot
     // would first collect distinct values to the driver, which the
@@ -4477,6 +4563,53 @@ object SparkEntry {
         |CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    // bloom prefiltering must be invisible: the oracle is the PLAIN
+    // filtered join (false positives die in the exact join)
+    "q_bloom_join" ->
+      """SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+        |CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE s_nationkey < 5
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // blocked exact-Levenshtein pairs; the hot-block cut is replayed
+    "q_edit_dedup" ->
+      """WITH d AS (SELECT doc_id, text, substr(text, 1, 16) AS blk FROM documents),
+        |hot AS (SELECT blk FROM d GROUP BY blk HAVING COUNT(*) > 64),
+        |c AS (SELECT * FROM d WHERE blk NOT IN (SELECT blk FROM hot))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.text, b.text) AS INTEGER) AS dist
+        |FROM c a JOIN c b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.text, b.text) <= 10
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_ntile" ->
+      """WITH d AS (SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM events GROUP BY 1, 2),
+        |n AS (SELECT event_type, rev,
+        |    ntile(10) OVER (PARTITION BY event_type ORDER BY rev, day) AS decile
+        |  FROM d)
+        |SELECT event_type, CAST(decile AS INTEGER) AS decile,
+        |  CAST(COUNT(*) AS BIGINT) AS n_days, MIN(rev) AS lo, MAX(rev) AS hi
+        |FROM n GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_shuffle_order" ->
+      """WITH s AS (SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS shuffle_key
+        |  FROM documents ORDER BY shuffle_key, doc_id LIMIT 100)
+        |SELECT doc_id, CAST(shuffle_key AS BIGINT) AS shuffle_key,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) AS INTEGER) AS position
+        |FROM s ORDER BY position""".stripMargin,
+    // the z-order layout must be invisible to rows: the oracle is the
+    // same predicate over the ORIGINAL table
+    "q_zorder_prune" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 100 AND 299 AND l_suppkey BETWEEN 10 AND 39""".stripMargin,
     "q_pivot" ->
       """SELECT user_id,
         |CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,

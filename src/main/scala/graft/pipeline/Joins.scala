@@ -142,4 +142,81 @@ object Joins {
       .where(levenshtein(col(leftCol), col(rightCol)) <= 1)
       .distinct()
   }
+
+  /**
+   * Bloom-prefiltered inner equi-join: row-identical to
+   * `big.join(small, key)`, but the big side is cut down BEFORE the
+   * join by a membership probe against a Bloom filter of the small
+   * side's keys — the hand-rolled version of a runtime row-level
+   * filter (Spark's own `runtime.bloomFilter` optimization plants the
+   * same shape; doing it explicitly works on any join the optimizer
+   * won't touch, e.g. under a window or through a UDF boundary).
+   *
+   * Why it matters at 100 TB: a selective dim-side predicate (say 4%
+   * of suppliers) normally does nothing for the fact side — every fact
+   * row still shuffles into the join. The Bloom probe is a per-row
+   * scalar against `numBits/8` bytes built by a one-row aggregate
+   * (the shuffle carries bitsets, not rows) and shipped once per task
+   * as a plan literal, so ~96% of the fact table dies at the SCAN,
+   * before any exchange. False positives just ride through to the
+   * exact join, which removes them; false negatives are impossible, so
+   * the result is exactly the plain join.
+   *
+   * The driver materializes the bitset (`numBits/8` bytes; default
+   * 2^20 bits = 128 KB) — the same bounded-collect pattern as
+   * [[BloomDedup.bloomBits]] and the IVF centroid fit.
+   *
+   * Output: `key`, big-side payload, small-side payload (the
+   * `join ... using` layout, like [[saltedJoin]]).
+   */
+  def bloomJoin(big: DataFrame, small: DataFrame, key: String,
+      numBits: Int = 1 << 20, k: Int = 5): DataFrame = {
+    val bits = small
+      .select(BloomDedup.bloomAgg(xxhash64(col(key)), numBits, k).as("bits"))
+      .head().getSeq[Long](0).toArray
+    big.where(BloomDedup.bloomContains(lit(bits), xxhash64(col(key)), k))
+      .join(small, key)
+  }
+
+  /**
+   * Blocked edit-distance near-duplicate pairs: all `(id_a, id_b)` with
+   * `id_a < id_b` whose texts share a `prefixLen`-char prefix and are
+   * within `maxDist` Levenshtein edits — the exact-distance
+   * complement to the sketch dedups (minhash/simhash estimate set
+   * overlap; Levenshtein certifies character-level edits, the right
+   * notion for templated/boilerplate near-dups).
+   *
+   * NOT all-pairs: candidates come from an equi-self-join on the
+   * prefix block key, so the quadratic refine runs per block, and a
+   * hot-block guard (same recipe as q_winnow_pairs' hot-fingerprint
+   * cut) anti-joins away blocks larger than `hotCap` rows first — a
+   * boilerplate prefix shared by a million docs caps at a documented
+   * exclusion instead of an O(10^12)-pair reducer. The refine uses the
+   * THRESHOLDED `levenshtein(a, b, maxDist)` built-in (banded
+   * O(len·maxDist) with early abandon, not full O(len²)).
+   *
+   * Prefix blocking certifies only dist ≤ maxDist pairs that AGREE on
+   * the first `prefixLen` chars (edits inside the prefix land in
+   * different blocks) — standard blocked-matching recall trade-off;
+   * shingle-based [[Pipeline]] sketches cover prefix-divergent pairs.
+   *
+   * Output: `id_a`, `id_b`, `dist` (int), one row per pair.
+   */
+  def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
+      prefixLen: Int = 16, maxDist: Int = 10, hotCap: Int = 64): DataFrame = {
+    val d = docs.select(col(idCol).as("__graft_id"), col(textCol).as("__graft_txt"),
+      substring(col(textCol), 1, prefixLen).as("__graft_blk"))
+    val hot = d.groupBy("__graft_blk").agg(count(lit(1)).as("__graft_n"))
+      .where(col("__graft_n") > hotCap).select("__graft_blk")
+    val cool = d.join(broadcast(hot), Seq("__graft_blk"), "left_anti")
+    val a = cool.select(col("__graft_blk"), col("__graft_id").as("id_a"),
+      col("__graft_txt").as("__graft_ta"))
+    val b = cool.select(col("__graft_blk"), col("__graft_id").as("id_b"),
+      col("__graft_txt").as("__graft_tb"))
+    a.join(b, Seq("__graft_blk"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("__graft_ta"), col("__graft_tb"), maxDist).cast("int").as("dist"))
+      .where(col("dist") >= 0)
+  }
 }

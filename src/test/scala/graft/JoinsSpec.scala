@@ -129,4 +129,64 @@ class JoinsSpec extends AnyFunSuite {
     assert(plan.contains("partial_max_by") || plan.contains("HashAggregate")
       || plan.contains("SortAggregate"), s"no aggregate in:\n$plan")
   }
+
+  test("bloomJoin is row-identical to the plain inner join") {
+    val got = Joins.bloomJoin(big, small, "k", numBits = 1 << 10, k = 3)
+      .orderBy("k", "bv").collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    val want = big.join(small, Seq("k"))
+      .orderBy("k", "bv").collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    assert(got == want && want.nonEmpty)
+  }
+
+  test("bloomJoin prunes big-side rows whose key misses the filter") {
+    // key 3 is absent from the small side: at 2^10 bits over 3 keys the
+    // false-positive odds are negligible, so the pre-join filter should
+    // drop its row before the join (count the filtered scan's output)
+    val bits = small.select(graft.pipeline.BloomDedup
+        .bloomAgg(xxhash64(col("k")), 1 << 10, 3).as("bits"))
+      .head().getSeq[Long](0).toArray
+    val kept = big.where(graft.pipeline.BloomDedup
+        .bloomContains(lit(bits), xxhash64(col("k")), 3))
+    assert(kept.count() == 7, "expected key 3's row pruned pre-join")
+  }
+
+  private def dupDocs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"), // 3 edits from 0
+    (2L, "the quick brown fox leaps over a sleepy dog"), // shares prefix, far
+    (3L, "completely different text with no shared prefix"),
+    (4L, "the quick brown fox jumps over the lazy dog")  // exact dup of 0
+  ).toDF("doc_id", "text")
+
+  test("editDistancePairs matches the brute blocked Levenshtein") {
+    val got = Joins.editDistancePairs(dupDocs, "doc_id", "text",
+        prefixLen = 16, maxDist = 5, hotCap = 64)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    // brute: all a<b pairs sharing the 16-char prefix, exact distance
+    val d = dupDocs.select(col("doc_id"), col("text"),
+      substring(col("text"), 1, 16).as("blk"))
+    val want = d.alias("a").join(d.alias("b"),
+        col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        levenshtein(col("a.text"), col("b.text")).cast("int").as("dist"))
+      .where(col("dist") <= 5)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got == want)
+    assert(got.contains((0L, 1L, 3)) && got.contains((0L, 4L, 0)))
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("editDistancePairs hot-block guard excludes oversized blocks") {
+    val boiler = (0L to 9L).map(i => (i, s"boilerplate header $i")).toDF("doc_id", "text")
+    val n = Joins.editDistancePairs(boiler, "doc_id", "text",
+      prefixLen = 16, maxDist = 10, hotCap = 4).count()
+    assert(n == 0, "block of 10 > hotCap 4 must be excluded entirely")
+    val kept = Joins.editDistancePairs(boiler, "doc_id", "text",
+      prefixLen = 16, maxDist = 10, hotCap = 100).count()
+    assert(kept == 45, "under the cap all 10*9/2 pairs refine")
+  }
 }

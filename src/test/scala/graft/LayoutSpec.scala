@@ -1,0 +1,59 @@
+package graft
+
+import graft.pipeline.Layout
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class LayoutSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  test("zIndex interleaves bits (matches the reference Morton order)") {
+    val got = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (65535L, 65535L))
+      .toDF("a", "b")
+      .select(Layout.zIndex(col("a"), col("b"))).as[Long].collect().toSeq
+    val want = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (65535L, 65535L))
+      .map { case (a, b) => graft.expressions.Z2Index.interleave(a, b, 16) }
+    assert(got == want)
+  }
+
+  test("zIndex stays in whole-stage codegen (no expression fallback)") {
+    val plan = spark.range(4)
+      .select(Layout.zIndex(col("id"), col("id") + 1).as("z"))
+      .queryExecution.executedPlan.toString
+    // whole-stage-codegen'd operators print with a *(stageId) prefix
+    assert(plan.contains("*(1) Project"), s"no codegen span in:\n$plan")
+  }
+
+  test("zorderWrite produces files with DISJOINT z ranges (pruning precondition)") {
+    val path = java.nio.file.Files.createTempDirectory("graft_layout_spec").toString
+    val df = spark.range(4096)
+      .select((col("id") % 64).as("a"), (col("id") / 64).cast("long").as("b"))
+    Layout.zorderWrite(df, "a", "b", path, files = 8)
+    val ranges = spark.read.parquet(path)
+      .select(input_file_name().as("f"), Layout.zIndex(col("a"), col("b")).as("z"))
+      .groupBy("f").agg(min("z").as("lo"), max("z").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.length > 1, "expected multiple output files")
+    ranges.sliding(2).foreach { case Array((_, hi1), (lo2, _)) =>
+      assert(hi1 <= lo2, s"overlapping per-file z ranges: $ranges")
+    }
+    // round-trip: no rows lost or duplicated
+    assert(spark.read.parquet(path).count() == 4096)
+  }
+
+  test("range filters on both z keys are pushed to the parquet scan") {
+    val path = java.nio.file.Files.createTempDirectory("graft_layout_spec2").toString
+    val df = spark.range(1024)
+      .select((col("id") % 32).as("a"), (col("id") / 32).cast("long").as("b"))
+    Layout.zorderWrite(df, "a", "b", path, files = 4)
+    val plan = spark.read.parquet(path)
+      .where(col("a").between(3, 9) && col("b").between(5, 11))
+      .queryExecution.executedPlan.toString
+    // the PushedFilters list is truncated in toString — assert the list
+    // exists and carries the range predicates that survive the cut
+    assert(plan.contains("PushedFilters: [IsNotNull(a)") &&
+      plan.contains("GreaterThanOrEqual(a,3)") && plan.contains("LessThanOrEqual(a,9)"),
+      s"filters not pushed to scan:\n$plan")
+  }
+}
