@@ -83,7 +83,24 @@ object DumpPlans {
       "q_fuzzy_join" -> ("Edit-distance-1 join: deletion variants explode " +
         "~(len+1)× ids-only rows into a variant EQUI-join (SortMergeJoin), " +
         "refine is a per-candidate levenshtein — no Levenshtein theta-join, " +
-        "no nested loop."))
+        "no nested loop."),
+      "q_bloom_join" -> ("Bloom-prefiltered join: the dim keys collapse to " +
+        "a 128 KB bitset (one-row aggregate, driver-collected like the IVF " +
+        "centroids), probed as a scalar plan literal in the fact SCAN's " +
+        "filter — ~96% of fact rows die before the join exchange; the " +
+        "exact join removes false positives, so rows match the plain join."),
+      "q_edit_dedup" -> ("Blocked Levenshtein near-dup pairs: prefix-block " +
+        "equi-self-join bounds the quadratic refine per block; the hot-" +
+        "block guard is a broadcast anti-join; the refine is the " +
+        "THRESHOLDED levenshtein(a,b,d) — banded O(len·d), early abandon."),
+      "q_profile" -> ("Column profile without the multi-distinct Expand: " +
+        "per-column branches, each a map-side partial groupBy(value) (only " +
+        "DISTINCT values shuffle) + a global fold; each branch's parquet " +
+        "scan is pruned to its own column."),
+      "q_zorder_prune" -> ("Z-order layout read-back: conjunctive range " +
+        "predicates on BOTH interleaved keys reach the parquet reader as " +
+        "PushedFilters over files whose min-max stats are selective " +
+        "rectangles — row groups outside the predicate box never decode."))
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of the flagship queries\n\n")
     sb.append("Generated by `graft.tools.DumpPlans` at sf0.001 with\n")
