@@ -966,6 +966,20 @@ object SparkEntry {
         .select(explode(TextFunctions.tokens(col("text"))).as("token"))
         .groupBy("token").agg(count(lit(1)).as("cnt"))
         .orderBy("token")),
+    // Per-source modal token: min_by on (−count, token) — max count,
+    // ties to the smallest token — so the mode is a partial+final
+    // aggregate (map-side combine), not a per-group window sort; the
+    // oracle replays it as the row_number it replaces.
+    "q_mode" -> ((s, dir) => {
+      val tc = t(s, dir, "documents")
+        .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("n"))
+      tc.groupBy("source")
+        .agg(min_by(struct(col("tok"), col("n")),
+          struct((-col("n")).as("nn"), col("tok"))).as("m"))
+        .select(col("source"), col("m.tok").as("top_token"), col("m.n").as("n"))
+        .orderBy("source")
+    }),
     "q_lang_stats" -> ((s, dir) =>
       t(s, dir, "documents").groupBy("lang").agg(
         count(lit(1)).as("n_docs"),
@@ -2898,6 +2912,14 @@ object SparkEntry {
       """SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |GROUP BY token ORDER BY token""".stripMargin,
+    // the aggregate mode replayed as the window it replaces
+    "q_mode" ->
+      """WITH tc AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents)
+        |  GROUP BY 1, 2),
+        |r AS (SELECT source, token, n,
+        |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY n DESC, token) AS rn FROM tc)
+        |SELECT source, token AS top_token, n FROM r WHERE rn = 1 ORDER BY source""".stripMargin,
     "q_lang_stats" ->
       """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
         |AVG(n_chars) AS avg_chars, CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
