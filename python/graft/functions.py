@@ -1315,6 +1315,13 @@ def pl_deletion_variants(token):
     return _fn("pl_deletion_variants", token)
 
 
+def pl_z_index(a, b):
+    """Morton/Z2 bit-interleave of two non-negative integer keys (16 bits
+    each): the clustering key for z-ordered data layout (see
+    graft.pipeline.zorder_write). Geometry variant: rf_z2_index."""
+    return _fn("pl_z_index", a, b)
+
+
 def pl_url_host(url):
     """Host of a URL: lowercased authority, :port stripped; empty for
     scheme-less input."""

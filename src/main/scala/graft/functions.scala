@@ -638,6 +638,9 @@ object Raster {
       regN("pl_dequantize_int8", xs => org.apache.spark.sql.graft.shims
         .expressionEager(graft.pipeline.Similarity.dequantizeInt8(
           asColumn(xs(0)), asColumn(xs(1)))))
+      regN("pl_z_index", xs => org.apache.spark.sql.graft.shims
+        .expressionEager(graft.pipeline.Layout.zIndex(
+          asColumn(xs(0)), asColumn(xs(1)))))
       regN("pl_pii_emails", pcol(PII.emails))
       regN("pl_pii_ipv4s", pcol(PII.ipv4s))
       regN("pl_pii_phones", pcol(PII.phones))

@@ -185,6 +185,28 @@ object Stress {
     timed("fuzzy_join", factor)(
       graft.pipeline.Joins.fuzzyJoin(noisy, vocab, "q", "tok"))
 
+    // round-10 second wave: the bloom prefilter's cost is one bitset
+    // aggregate over the dim + a scalar probe per fact row (should be
+    // ~linear in events regardless of dim growth), and the blocked
+    // Levenshtein refine is bounded by the hot-block cap even as the
+    // rotated alphabet multiplies the block count ×factor
+    // like the fuzzy-join vocabulary: the dim is a materialized table in
+    // any real pipeline (bloomJoin evaluates it twice — bitset build +
+    // exact join — so deriving it inline would time the corpus-wide
+    // distinct twice, not the bloom); persist it so the timed op is the
+    // bitset aggregate + per-row probe + exact join
+    val bloomDim = ev.select(col("user_id")).distinct()
+      .where(pmod(col("user_id"), lit(5L)) === 0L)
+      .withColumn("seg", pmod(col("user_id"), lit(7L))).persist()
+    bloomDim.count()
+    timed("bloom_join", factor)(
+      graft.pipeline.Joins.bloomJoin(
+        ev.select("event_id", "user_id"), bloomDim, "user_id"))
+    timed("edit_dedup_pairs", factor)(
+      graft.pipeline.Joins.editDistancePairs(
+        docs.select("doc_id", "text"), "doc_id", "text",
+        prefixLen = 16, maxDist = 10, hotCap = 64))
+
     spark.stop()
   }
 }
