@@ -1088,6 +1088,18 @@ def mm_frame_sample(blob, frame_size, stride):
     return _fn("mm_frame_sample", blob, frame_size, stride)
 
 
+def mm_wav_synth(seed, n):
+    """Deterministic PCM16 WAV fixture: canonical RIFF header (mono,
+    16 kHz) + n closed-form samples."""
+    return _fn("mm_wav_synth", seed, n)
+
+
+def mm_wav_stats(blob):
+    """Real PCM16 WAV parse: (sample_rate, channels, n_samples, min_s,
+    max_s, sum_s); NULL for non-PCM16 payloads."""
+    return _fn("mm_wav_stats", blob)
+
+
 # --- training-data pipeline (pl_*) ---------------------------------------
 def pl_token_count(text):
     """Number of whitespace-separated tokens."""

@@ -1381,6 +1381,21 @@ object SparkEntry {
           col("pos").cast("int").as("bin"),
           round(col("col") * col("byte_len")).cast("long").as("bin_count"))
         .orderBy("doc_id", "bin")),
+    // REAL audio plumbing over a deterministic fixture: mm_wav_synth
+    // writes a canonical PCM16 RIFF payload per doc (closed-form
+    // samples), mm_wav_stats parses it back — chunk walk, fmt block,
+    // exact integer sample fold. The oracle recomputes the stats from
+    // the sample formula directly, so a header/endianness/offset bug
+    // anywhere in the parser breaks the hash.
+    "q_audio_stats" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+          Multimodal.wav_stats(
+            Multimodal.wav_synth(col("doc_id"), lit(256))).as("st"))
+        .select(col("doc_id"), col("st.sample_rate").as("sample_rate"),
+          col("st.channels").as("channels"), col("st.n_samples").as("n_samples"),
+          col("st.min_s").as("min_s"), col("st.max_s").as("max_s"),
+          col("st.sum_s").as("sum_s"))
+        .orderBy("doc_id")),
     "q_image_decode" -> ((s, dir) => {
       // Real PNG round-trip: pixels are a closed-form function of doc_id,
       // so after mm_encode_png → mm_decode_image/mm_image_pixel the dims
@@ -3237,6 +3252,16 @@ object SparkEntry {
         |  grid.bin AS bin, CAST(COALESCE(counts.c, 0) AS BIGINT) AS bin_count
         |FROM grid LEFT JOIN counts ON grid.doc_id = counts.doc_id AND grid.bin = counts.bin
         |ORDER BY doc_id, bin""".stripMargin,
+    // the WAV parser replayed from the sample formula (no byte plumbing):
+    // samples are ((doc_id*31 + i*7) % 65536) - 32768 for i in [0, 256)
+    "q_audio_stats" ->
+      """SELECT doc_id, CAST(16000 AS INTEGER) AS sample_rate,
+        |  CAST(1 AS INTEGER) AS channels, CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |  CAST(MIN(s) AS INTEGER) AS min_s, CAST(MAX(s) AS INTEGER) AS max_s,
+        |  CAST(SUM(s) AS BIGINT) AS sum_s
+        |FROM (SELECT d.doc_id, ((d.doc_id * 31 + u.i * 7) % 65536) - 32768 AS s
+        |      FROM documents d, unnest(range(0, 256)) AS u(i))
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_math_rows" -> (IDX +
       """ SELECT l_orderkey, round(SUM(ln(q)), 6) AS s_log, round(SUM(log10(q)), 6) AS s_log10,
         |round(SUM(log2(q)), 6) AS s_log2, round(SUM(ln(1 + q)), 6) AS s_log1p,

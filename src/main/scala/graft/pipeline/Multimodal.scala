@@ -14,8 +14,11 @@ import org.apache.spark.sql.types._
  * Multimodal column plumbing: image/audio/video payloads are opaque
  * `binary` columns with typed metadata. Image decode/encode is REAL,
  * via the JDK's built-in `javax.imageio` codecs (PNG/JPEG/GIF/BMP/TIFF
- * readers ship with the JRE — no external library needed); audio/video
- * remain byte-level ops ([[FrameSample]], [[ByteHistogram]]).
+ * readers ship with the JRE — no external library needed); audio has a
+ * real PCM16 WAV parser ([[WavStats]] — RIFF chunk walk + exact sample
+ * stats) over deterministic [[WavSynth]] fixtures (no audio corpus in
+ * the sandbox); video remains byte-level ops ([[FrameSample]],
+ * [[ByteHistogram]]).
  */
 object Multimodal {
   /** Stand-in payload: utf-8 bytes of a text column (or any binary source). */
@@ -57,6 +60,15 @@ object Multimodal {
     * bytes (the video-frame-sample shape, on bytes). */
   def frame_sample(blob: Column, frameSize: Int, stride: Int): Column =
     asColumn(FrameSample(asExpr(blob), frameSize, stride))
+
+  /** Deterministic PCM16 WAV fixture ([[WavSynth]]): canonical RIFF
+    * header + closed-form samples, so the parser is oracle-checkable. */
+  def wav_synth(seed: Column, n: Column): Column =
+    asColumn(WavSynth(asExpr(seed), asExpr(n)))
+
+  /** Real PCM16 WAV parse ([[WavStats]]): RIFF chunk walk + exact
+    * integer sample stats; null for non-PCM16 payloads. */
+  def wav_stats(blob: Column): Column = asColumn(WavStats(asExpr(blob)))
 }
 
 /** Shared `javax.imageio` entry points. The JDK ships PNG, JPEG, GIF,
@@ -524,6 +536,110 @@ case class FrameSample(child: Expression, frameSize: Int, stride: Int)
       off += stride
     }
     new GenericArrayData(frames.toArray)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** Deterministic PCM16 WAV payload: a canonical 44-byte RIFF header
+  * (mono, 16 kHz) + `n` little-endian int16 samples
+  * `((seed·31 + i·7) mod 65536) − 32768` — the audio test fixture (the
+  * sandbox ships no audio corpus; the closed-form samples let a SQL
+  * oracle validate the PARSER end-to-end without byte plumbing). */
+case class WavSynth(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def prettyName: String = "mm_wav_synth"
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (LongType | IntegerType, IntegerType | LongType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.DataTypeMismatch("UNEXPECTED_INPUT_TYPE",
+        Map("msg" -> s"mm_wav_synth expects (integral seed, integral n), got $other"))
+    }
+  override def nullSafeEval(seedAny: Any, nAny: Any): Any = {
+    val seed = seedAny.asInstanceOf[Number].longValue()
+    val n = nAny.asInstanceOf[Number].intValue()
+    val dataLen = 2 * n
+    val b = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(16000) // sample rate
+      .putInt(32000) // byte rate
+      .putShort(2) // block align
+      .putShort(16) // bits per sample
+    b.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < n) {
+      b.putShort(((((seed * 31 + i.toLong * 7) % 65536) - 32768)).toShort)
+      i += 1
+    }
+    b.array()
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** REAL PCM16 WAV parse: walks the RIFF chunk list (tolerating extra
+  * chunks like LIST/INFO), reads the `fmt ` block, and folds the
+  * `data` samples into exact-integer stats —
+  * `(sample_rate, channels, n_samples, min_s, max_s, sum_s)`.
+  * Null for anything that is not a PCM16 RIFF/WAVE payload. */
+case class WavStats(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "mm_wav_stats"
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.DataTypeMismatch("UNEXPECTED_INPUT_TYPE",
+      Map("msg" -> s"mm_wav_stats expects binary, got $other"))
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("min_s", IntegerType, nullable = false),
+    StructField("max_s", IntegerType, nullable = false),
+    StructField("sum_s", LongType, nullable = false)))
+  override def nullSafeEval(input: Any): Any = {
+    val raw = input.asInstanceOf[Array[Byte]]
+    if (raw.length < 12) return null
+    val b = java.nio.ByteBuffer.wrap(raw).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(off: Int): String =
+      new String(raw, off, 4, "US-ASCII")
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return null
+    var off = 12
+    var sampleRate = -1; var channels = -1; var bits = -1; var fmtCode = -1
+    var dataOff = -1; var dataLen = -1
+    while (off + 8 <= raw.length) {
+      val t = tag(off)
+      val len = b.getInt(off + 4)
+      if (len < 0 || off + 8 + len > raw.length) return null
+      if (t == "fmt " && len >= 16) {
+        fmtCode = b.getShort(off + 8) & 0xffff
+        channels = b.getShort(off + 10) & 0xffff
+        sampleRate = b.getInt(off + 12)
+        bits = b.getShort(off + 22) & 0xffff
+      } else if (t == "data") {
+        dataOff = off + 8; dataLen = len
+      }
+      off += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    if (fmtCode != 1 || bits != 16 || channels <= 0 || sampleRate <= 0 ||
+      dataOff < 0 || dataLen % 2 != 0) return null
+    val n = dataLen / 2
+    var mn = Int.MaxValue; var mx = Int.MinValue; var sum = 0L
+    var i = 0
+    while (i < n) {
+      val s = b.getShort(dataOff + 2 * i).toInt
+      if (s < mn) mn = s
+      if (s > mx) mx = s
+      sum += s
+      i += 1
+    }
+    if (n == 0) { mn = 0; mx = 0 }
+    InternalRow(sampleRate, channels, n.toLong, mn, mx, sum)
   }
   override protected def withNewChildInternal(c: Expression) = copy(c)
 }

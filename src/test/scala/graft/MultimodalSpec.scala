@@ -181,4 +181,52 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r.getInt(2) == 65280)
     assert(r.getInt(3) == 3)
   }
+
+  test("mm_wav_stats parses the synth fixture and tolerates extra chunks") {
+    val rows = Seq((5L, 8), (0L, 0)).toDF("seed", "n")
+      .select(col("seed"),
+        Multimodal.wav_stats(Multimodal.wav_synth(col("seed"), col("n"))).as("st"))
+      .collect().map(r => r.getLong(0) -> r.getStruct(1)).toMap
+    val st = rows(5L)
+    assert(st.getInt(0) == 16000 && st.getInt(1) == 1 && st.getLong(2) == 8L)
+    // closed form: ((5*31 + i*7) % 65536) - 32768 for i in [0, 8)
+    val want = (0 until 8).map(i => ((5 * 31 + i * 7) % 65536) - 32768)
+    assert(st.getInt(3) == want.min && st.getInt(4) == want.max &&
+      st.getLong(5) == want.map(_.toLong).sum)
+    assert(rows(0L).getLong(2) == 0L, "zero-sample payload parses (n=0)")
+
+    // hand-build a payload with a LIST chunk between fmt and data
+    val base = Seq((7L, 4)).toDF("seed", "n")
+      .select(Multimodal.wav_synth(col("seed"), col("n"))).collect()(0).getAs[Array[Byte]](0)
+    val fmtAndOn = java.util.Arrays.copyOfRange(base, 12, base.length)
+    val list = "LIST".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes("US-ASCII")
+    val withList = java.util.Arrays.copyOfRange(base, 0, 12) ++
+      java.util.Arrays.copyOfRange(fmtAndOn, 0, 24) ++ list ++
+      java.util.Arrays.copyOfRange(fmtAndOn, 24, fmtAndOn.length)
+    val bb = java.nio.ByteBuffer.wrap(withList).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(4, withList.length - 8) // fix RIFF size for the inserted chunk
+    val parsed = Seq(Tuple1(withList)).toDF("b")
+      .select(Multimodal.wav_stats(col("b"))).collect()(0)
+    assert(!parsed.isNullAt(0), "LIST chunk must be tolerated")
+    assert(parsed.getStruct(0).getLong(2) == 4L)
+  }
+
+  test("mm_wav_stats nulls out malformed and non-PCM payloads") {
+    val wav = Seq((1L, 4)).toDF("seed", "n")
+      .select(Multimodal.wav_synth(col("seed"), col("n"))).collect()(0).getAs[Array[Byte]](0)
+    val truncated = java.util.Arrays.copyOfRange(wav, 0, wav.length - 3)
+    val notRiff = "definitely not audio bytes".getBytes("UTF-8")
+    val badFmt = wav.clone(); badFmt(20) = 3 // audioFormat = 3 (float)
+    val out = Seq(("trunc", truncated), ("plain", notRiff), ("float", badFmt))
+      .toDF("kind", "b")
+      .select(col("kind"), Multimodal.wav_stats(col("b")).as("st"))
+      .collect().map(r => r.getString(0) -> r.isNullAt(1)).toMap
+    assert(out == Map("trunc" -> true, "plain" -> true, "float" -> true))
+  }
+
+  test("SQL surface: mm_wav_synth/mm_wav_stats registered") {
+    val r = spark.sql(
+      "SELECT mm_wav_stats(mm_wav_synth(9, 16)).n_samples AS n").collect()(0)
+    assert(r.getLong(0) == 16L)
+  }
 }
