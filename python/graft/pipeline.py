@@ -372,6 +372,83 @@ def page_rank(edges, src_col, dst_col, iterations=3, damping_permille=850):
     return ranks
 
 
+def hits(edges, src_col, dst_col, iterations=2):
+    """HITS hubs-and-authorities — Python mirror of the Scala
+    ``Graph.hits``: per iteration, authority = in-edge hub sum and hub =
+    out-edge authority sum, each max-normalized to integer millionths
+    (exact long arithmetic, bit-reproducible). Returns
+    ``(node, hub, auth)``."""
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    e = (edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+         .distinct().localCheckpoint(True))
+    nodes = (e.select(F.col("src").alias("node"))
+             .unionByName(e.select(F.col("dst").alias("node")))
+             .distinct().localCheckpoint(True))
+
+    def normalized(raw, c):
+        mx = raw.agg(F.max(F.col(c)).alias("__graft_mx"))
+        return (raw.crossJoin(F.broadcast(mx))
+                .select("node", F.expr(
+                    f"{c} * 1000000L div greatest(__graft_mx, 1L)").alias(c)))
+
+    scores = (nodes.withColumn("hub", F.lit(1000000))
+              .withColumn("auth", F.lit(1000000)))
+    for _ in range(iterations):
+        a_raw = (nodes.join(
+            e.join(scores.select(F.col("node").alias("src"), "hub"), "src")
+            .groupBy(F.col("dst").alias("node")).agg(F.sum("hub").alias("auth")),
+            ["node"], "left")
+            .select("node", F.coalesce("auth", F.lit(0)).alias("auth")))
+        auth = normalized(a_raw, "auth").localCheckpoint(True)
+        h_raw = (nodes.join(
+            e.join(auth.select(F.col("node").alias("dst"), "auth"), "dst")
+            .groupBy(F.col("src").alias("node")).agg(F.sum("auth").alias("hub")),
+            ["node"], "left")
+            .select("node", F.coalesce("hub", F.lit(0)).alias("hub")))
+        hub = normalized(h_raw, "hub").localCheckpoint(True)
+        scores = (hub.join(auth, ["node"]).select("node", "hub", "auth")
+                  .localCheckpoint(True))
+    return scores
+
+
+def triangles(edges, src_col, dst_col):
+    """Triangle enumeration — Python mirror of the Scala
+    ``Graph.triangles``: degree-ordered orientation (each undirected edge
+    points from its (degree, id)-smaller endpoint), so wedge generation
+    is O(m^1.5) total regardless of hub skew and each triangle is found
+    once, at its unique minimal apex. Direction, parallel edges and
+    self-loops are ignored. Returns ``(a, b, c)`` with ``a < b < c``."""
+    e = (edges.select(F.least(F.col(src_col), F.col(dst_col)).alias("lo"),
+                      F.greatest(F.col(src_col), F.col(dst_col)).alias("hi"))
+         .where(F.col("lo") != F.col("hi"))
+         .distinct().localCheckpoint(True))
+    deg = (e.select(F.col("lo").alias("node"))
+           .unionByName(e.select(F.col("hi").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
+    oriented = (
+        e.join(deg.select(F.col("node").alias("lo"), F.col("deg").alias("dlo")), "lo")
+        .join(deg.select(F.col("node").alias("hi"), F.col("deg").alias("dhi")), "hi")
+        .select(F.when(F.struct("dlo", "lo") < F.struct("dhi", "hi"),
+                       F.struct(F.col("lo").alias("u"), F.col("hi").alias("v"),
+                                F.col("dhi").alias("dv")))
+                .otherwise(F.struct(F.col("hi").alias("u"), F.col("lo").alias("v"),
+                                    F.col("dlo").alias("dv"))).alias("o"))
+        .select(F.col("o.u").alias("u"), F.col("o.v").alias("v"),
+                F.col("o.dv").alias("dv"))
+        .localCheckpoint(True))
+    w1 = oriented.select("u", F.col("v").alias("v1"), F.col("dv").alias("d1"))
+    w2 = oriented.select("u", F.col("v").alias("v2"), F.col("dv").alias("d2"))
+    wedges = (w1.join(w2, ["u"])
+              .where(F.struct("d1", "v1") < F.struct("d2", "v2"))
+              .select("u", "v1", "v2"))
+    closing = oriented.select(F.col("v").alias("v2"), F.col("u").alias("v1"))
+    return (wedges.join(closing, ["v1", "v2"])
+            .select(F.array_sort(F.array("u", "v1", "v2")).alias("t"))
+            .select(F.col("t")[0].alias("a"), F.col("t")[1].alias("b"),
+                    F.col("t")[2].alias("c")))
+
+
 def snapshot_diff(old_df, new_df, id_col, text_col):
     """Crawl-to-crawl snapshot diff — Python mirror of the Scala
     ``Dedup.snapshotDiff``: classify every id as added / removed /
@@ -459,6 +536,39 @@ def compact_latest(df, keys, order_cols):
                           ord_s).alias("__graft_last"))
             .select(*[F.col(k) for k in keys],
                     *[F.col(f"__graft_last.{c}").alias(c) for c in payload]))
+
+
+def overlap_join(left, right, key, left_start, left_end, right_start,
+                 right_end, bucket_width):
+    """Interval-overlap equi-join — Python mirror of the Scala
+    ``Joins.overlapJoin``: pairs rows sharing ``key`` whose CLOSED
+    ``[start, end]`` intervals overlap. Each interval explodes to the
+    ``bucket_width``-sized buckets it touches; the join runs on
+    ``(key, bucket)``, and keeping only ``greatest(starts)``'s bucket
+    makes each pair exactly-once with no dedup shuffle."""
+    if bucket_width <= 0:
+        raise ValueError(f"bucket_width must be positive, got {bucket_width}")
+    collide = (set(left.columns) & set(right.columns)) - {key}
+    if collide:
+        raise ValueError(f"column names must not collide across sides: "
+                         f"{sorted(collide)}")
+    l = left.withColumn("__graft_bkt", F.explode(F.sequence(
+        F.expr(f"{left_start} div {bucket_width}L"),
+        F.expr(f"{left_end} div {bucket_width}L"))))
+    r = (right.withColumnRenamed(key, "__graft_rk")
+         .withColumn("__graft_bkt", F.explode(F.sequence(
+             F.expr(f"{right_start} div {bucket_width}L"),
+             F.expr(f"{right_end} div {bucket_width}L")))))
+    out_cols = ([F.col(c) for c in left.columns]
+                + [F.col(c) for c in right.columns if c != key])
+    return (l.join(r, (F.col(key) == F.col("__graft_rk"))
+                   & (l["__graft_bkt"] == r["__graft_bkt"]))
+            .where((F.col(left_start) <= F.col(right_end))
+                   & (F.col(right_start) <= F.col(left_end))
+                   & (l["__graft_bkt"] == F.expr(
+                       f"greatest({left_start}, {right_start})"
+                       f" div {bucket_width}L")))
+            .select(*out_cols))
 
 
 def fuzzy_join(left, right, left_col, right_col):

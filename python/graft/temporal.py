@@ -379,3 +379,19 @@ def cohort_retention(df, key, ts_col):
                      F.datediff(F.col("__graft_day"),
                                 F.col("cohort_day")).alias("day_offset"))
             .agg(F.countDistinct("__graft_k").alias("n_active")))
+
+
+def scd2(df, keys, ts_col, tie_cols=()):
+    """SCD Type-2 history build — Python mirror of the Scala
+    ``Temporal.scd2``: each changelog row gains ``valid_from_us`` (its
+    change instant, epoch micros) and ``valid_to_us`` (the next change
+    for the same ``keys``, null while current) from ONE lead window.
+    ``tie_cols`` must make the sort total within a key (end with a
+    unique id). ``ts_col`` is schema-adaptive via ``epoch_micros``."""
+    if not keys:
+        raise ValueError("keys required")
+    frm = epoch_micros(df, ts_col)
+    w = (Window.partitionBy(*[F.col(k) for k in keys])
+         .orderBy(*([frm.asc()] + [F.col(c).asc() for c in tie_cols])))
+    return (df.withColumn("valid_from_us", frm)
+            .withColumn("valid_to_us", F.lead("valid_from_us", 1).over(w)))

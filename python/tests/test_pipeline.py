@@ -280,3 +280,35 @@ def test_z_index_and_zorder_write(spark, tmp_path):
                                  (F.col("id") / 16).cast("long").alias("b"))
     zorder_write(df, "a", "b", str(tmp_path / "z"), files=4)
     assert spark.read.parquet(str(tmp_path / "z")).count() == 256
+
+
+def test_triangles(spark):
+    from graft.pipeline import triangles
+    # K4 minus edge (3,4), plus direction/self-loop noise
+    e = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3), (1, 4), (2, 3), (2, 4), (1, 1)],
+        "s long, d long")
+    got = sorted((r.a, r.b, r.c) for r in triangles(e, "s", "d").collect())
+    assert got == [(1, 2, 3), (1, 2, 4)]
+
+
+def test_hits(spark):
+    from graft.pipeline import hits
+    e = spark.createDataFrame([(1, 101), (2, 101), (2, 102)], "s long, d long")
+    r = {row["node"]: (row["hub"], row["auth"])
+         for row in hits(e, "s", "d", iterations=2).collect()}
+    assert r == {1: (625000, 0), 2: (1000000, 0),
+                 101: (0, 1000000), 102: (0, 600000)}
+
+
+def test_overlap_join(spark):
+    from graft.pipeline import overlap_join
+    a = spark.createDataFrame([(1, 10, 0, 5), (1, 11, 20, 30)],
+                              "k long, id_a long, s_a long, e_a long")
+    b = spark.createDataFrame([(1, 20, 5, 9), (1, 21, 6, 9), (2, 22, 0, 99)],
+                              "k long, id_b long, s_b long, e_b long")
+    for w in (1, 4, 1000):
+        got = sorted((r.id_a, r.id_b) for r in
+                     overlap_join(a, b, "k", "s_a", "e_a",
+                                  "s_b", "e_b", w).collect())
+        assert got == [(10, 20)], f"bucket_width={w}"

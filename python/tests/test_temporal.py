@@ -213,3 +213,14 @@ def test_cohort_retention(spark):
                  for r in cohort_retention(df, "user_id", "tus").collect())
     assert got == [("1970-01-01", 0, 1), ("1970-01-01", 1, 1),
                    ("1970-01-02", 0, 1)]
+
+
+def test_scd2(spark):
+    from graft.temporal import scd2
+    log = spark.createDataFrame(
+        [("A", 10, "v1", 1), ("A", 20, "v2", 2), ("B", 15, "w1", 3)],
+        "k string, ts long, pay string, id long")
+    got = sorted((r.k, r.pay, r.valid_from_us, r.valid_to_us)
+                 for r in scd2(log, ["k"], "ts", ["id"]).collect())
+    assert got == [("A", "v1", 10, 20), ("A", "v2", 20, None),
+                   ("B", "w1", 15, None)]

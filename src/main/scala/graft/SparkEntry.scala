@@ -2352,6 +2352,103 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_gaps"), min("gap").as("min_gap"),
           max("gap").as("max_gap"), sum("gap").as("sum_gap"))
         .orderBy("user_id")
+    }),
+    // Degree-ordered triangle enumeration (Graph.triangles) over the
+    // part co-purchase graph (consecutive line items of one order):
+    // wedges form only at each triangle's (deg, id)-minimal apex, so
+    // the quadratic step is O(m^1.5) total no matter how hot a hub
+    // part gets; the oracle closes the naive 3-way edge self-join.
+    "q_triangles" -> ((s, dir) => {
+      // (l_linenumber alone repeats within an order — the full tiled()
+      // sort makes the lead deterministic.)
+      val w = Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")
+      val edges = t(s, dir, "lineitem")
+        .withColumn("nxt", lead("l_partkey", 1).over(w))
+        .where(col("nxt").isNotNull && col("l_partkey") =!= col("nxt"))
+        .select(col("l_partkey").as("src"), col("nxt").as("dst"))
+      graft.pipeline.Graph.triangles(edges, "src", "dst")
+        .orderBy("a", "b", "c")
+    }),
+    // Interval-overlap join (Joins.overlapJoin): per-part shipping
+    // windows [shipdate, shipdate + quantity] in epoch days, odd vs
+    // even line numbers. The 64-day bucket equi-join with the
+    // greatest-start ownership rule replaces the per-key nested loop
+    // AND the dedup pass; the oracle is the plain theta join.
+    "q_overlap_join" -> ((s, dir) => {
+      val li0 = t(s, dir, "lineitem")
+      val li = li0.select(col("l_partkey").as("k"),
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("lid"),
+          col("l_linenumber").as("ln"),
+          (graft.pipeline.Temporal.epochMicros(li0, "l_shipdate")
+            / lit(86400000000L)).cast("long").as("sd"),
+          col("l_quantity").cast("bigint").as("span"))
+        .withColumn("ed", col("sd") + col("span"))
+      val a = li.where(col("ln") % 2 === 1)
+        .select(col("k"), col("lid").as("id_a"), col("sd").as("s_a"), col("ed").as("e_a"))
+      val b = li.where(col("ln") % 2 === 0)
+        .select(col("k"), col("lid").as("id_b"), col("sd").as("s_b"), col("ed").as("e_b"))
+      graft.pipeline.Joins.overlapJoin(a, b, "k",
+          "s_a", "e_a", "s_b", "e_b", bucketWidth = 64L)
+        .select(col("k"), col("id_a"), col("id_b"),
+          (least(col("e_a"), col("e_b")) - greatest(col("s_a"), col("s_b")) + 1)
+            .as("overlap_days"))
+        .orderBy("k", "id_a", "id_b")
+    }),
+    // SCD Type-2 history from the purchase changelog (Temporal.scd2):
+    // each version gains [valid_from_us, valid_to_us) from ONE lead
+    // window — point-in-time dimension lookups then run as
+    // intervalJoin instead of per-lookup sorts.
+    "q_scd2" -> ((s, dir) => {
+      val ev = eventsMicros(s, dir)
+        .where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          expr("cast(round(value * 100) as bigint)").as("vc"), col("tus"))
+      graft.pipeline.Temporal.scd2(ev, Seq("user_id"), "tus", Seq("event_id"))
+        .select("user_id", "event_id", "vc", "valid_from_us", "valid_to_us")
+        .orderBy("user_id", "valid_from_us", "event_id")
+    }),
+    // Per-user ordered event-type journey — the behavior-sequence
+    // training export. ONE shuffle: collect_list + in-group sort_array
+    // (state bounded by per-user activity), no global window, no
+    // per-event row explosion downstream.
+    "q_sequences" -> ((s, dir) =>
+      eventsMicros(s, dir)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          expr("array_join(transform(sort_array(collect_list(struct(tus, " +
+            "event_id, event_type))), x -> x.event_type), ',')").as("journey"))
+        .orderBy("user_id")),
+    // Inverted-index build: token → document frequency + the 20
+    // smallest doc ids, via the bounded TopKByAggregate — map-side
+    // partial top-k means shuffle O(tokens·k); postings never sort
+    // corpus-wide. (-doc_id as the double order key is exact below
+    // 2^53.) df ≥ 20 keeps the common-term rows.
+    "q_inverted_index" -> ((s, dir) => {
+      val pairs = t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .where(length(col("tok")) >= 4)
+        .distinct()
+      pairs.groupBy("tok")
+        .agg(count(lit(1)).as("df"),
+          Similarity.topKBy(col("doc_id"), -col("doc_id").cast("double"), 20).as("tk"))
+        .where(col("df") >= 20)
+        .select(col("tok"), col("df"),
+          expr("sort_array(transform(tk, x -> x.neighbor_id))").as("postings"))
+        .orderBy("tok")
+    }),
+    // HITS hubs/authorities (Graph.hits) on the customer→supplier
+    // purchase graph — bipartite, so customers score as hubs and
+    // suppliers as authorities. Integer max-normalization per
+    // half-step keeps every score an exact long; the oracle unrolls
+    // both iterations in SQL with the same floor divisions.
+    "q_hits" -> ((s, dir) => {
+      val edges = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"), (col("l_suppkey") + 100000L).as("dst"))
+      graft.pipeline.Graph.hits(edges, "src", "dst", iterations = 2)
+        .orderBy("node")
     })
   )
 
@@ -4686,6 +4783,81 @@ object SparkEntry {
         |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
         |  CAST(MIN(gap) AS BIGINT) AS min_gap, CAST(MAX(gap) AS BIGINT) AS max_gap,
         |  CAST(SUM(gap) AS BIGINT) AS sum_gap
-        |FROM g WHERE gap IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM g WHERE gap IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_triangles" ->
+      """WITH s AS (SELECT l_orderkey, l_partkey AS pk,
+        |    lead(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY
+        |      l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice) AS nxt
+        |  FROM lineitem),
+        |e AS (SELECT DISTINCT least(pk, nxt) AS lo, greatest(pk, nxt) AS hi
+        |  FROM s WHERE nxt IS NOT NULL AND pk <> nxt)
+        |SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+        |FROM e e1 JOIN e e2 ON e1.lo = e2.lo AND e1.hi < e2.hi
+        |  JOIN e e3 ON e3.lo = e1.hi AND e3.hi = e2.hi
+        |ORDER BY 1, 2, 3""".stripMargin,
+    "q_overlap_join" ->
+      """WITH li AS (SELECT l_partkey AS k,
+        |    l_orderkey * 10 + l_linenumber AS lid, l_linenumber AS ln,
+        |    epoch_ns(l_shipdate) // 1000 // 86400000000 AS sd,
+        |    epoch_ns(l_shipdate) // 1000 // 86400000000
+        |      + CAST(l_quantity AS BIGINT) AS ed
+        |  FROM lineitem),
+        |a AS (SELECT k, lid AS id_a, sd AS s_a, ed AS e_a FROM li WHERE ln % 2 = 1),
+        |b AS (SELECT k, lid AS id_b, sd AS s_b, ed AS e_b FROM li WHERE ln % 2 = 0)
+        |SELECT a.k, id_a, id_b,
+        |  CAST(least(e_a, e_b) - greatest(s_a, s_b) + 1 AS BIGINT) AS overlap_days
+        |FROM a JOIN b ON a.k = b.k AND s_a <= e_b AND s_b <= e_a
+        |ORDER BY 1, 2, 3""".stripMargin,
+    "q_scd2" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS vc, epoch_ns(ts) // 1000 AS tus
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT user_id, event_id, vc, tus AS valid_from_us,
+        |  lead(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS valid_to_us
+        |FROM e ORDER BY user_id, valid_from_us, event_id""".stripMargin,
+    "q_sequences" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_ns(ts) // 1000 AS tus FROM events)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  string_agg(event_type, ',' ORDER BY tus, event_id) AS journey
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_inverted_index" ->
+      """WITH p AS (SELECT DISTINCT doc_id, tok FROM
+        |    (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE length(tok) >= 4),
+        |g AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM p
+        |  GROUP BY 1 HAVING count(*) >= 20),
+        |r AS (SELECT tok, doc_id,
+        |  row_number() OVER (PARTITION BY tok ORDER BY doc_id) AS rn FROM p)
+        |SELECT g.tok, g.df, list(r.doc_id ORDER BY r.doc_id) AS postings
+        |FROM g JOIN r ON g.tok = r.tok AND r.rn <= 20
+        |GROUP BY g.tok, g.df ORDER BY g.tok""".stripMargin,
+    "q_hits" ->
+      """WITH e AS (SELECT DISTINCT o_custkey AS src, l_suppkey + 100000 AS dst
+        |    FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |n AS (SELECT DISTINCT node FROM
+        |    (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        |ind AS (SELECT dst AS node, CAST(count(*) AS BIGINT) AS indeg FROM e GROUP BY 1),
+        |a1r AS (SELECT n.node, coalesce(indeg, 0) * 1000000 AS raw
+        |  FROM n LEFT JOIN ind USING (node)),
+        |a1 AS (SELECT node, CAST(raw * 1000000
+        |    // greatest((SELECT max(raw) FROM a1r), 1) AS BIGINT) AS auth FROM a1r),
+        |h1j AS (SELECT e.src AS node, sum(a1.auth) AS raw
+        |  FROM e JOIN a1 ON a1.node = e.dst GROUP BY 1),
+        |h1r AS (SELECT n.node, coalesce(h1j.raw, 0) AS raw FROM n LEFT JOIN h1j USING (node)),
+        |h1 AS (SELECT node, CAST(raw * 1000000
+        |    // greatest((SELECT max(raw) FROM h1r), 1) AS BIGINT) AS hub FROM h1r),
+        |a2j AS (SELECT e.dst AS node, sum(h1.hub) AS raw
+        |  FROM e JOIN h1 ON h1.node = e.src GROUP BY 1),
+        |a2r AS (SELECT n.node, coalesce(a2j.raw, 0) AS raw FROM n LEFT JOIN a2j USING (node)),
+        |a2 AS (SELECT node, CAST(raw * 1000000
+        |    // greatest((SELECT max(raw) FROM a2r), 1) AS BIGINT) AS auth FROM a2r),
+        |h2j AS (SELECT e.src AS node, sum(a2.auth) AS raw
+        |  FROM e JOIN a2 ON a2.node = e.dst GROUP BY 1),
+        |h2r AS (SELECT n.node, coalesce(h2j.raw, 0) AS raw FROM n LEFT JOIN h2j USING (node)),
+        |h2 AS (SELECT node, CAST(raw * 1000000
+        |    // greatest((SELECT max(raw) FROM h2r), 1) AS BIGINT) AS hub FROM h2r)
+        |SELECT h2.node, h2.hub, a2.auth FROM h2 JOIN a2 USING (node)
+        |ORDER BY node""".stripMargin
   )
 }

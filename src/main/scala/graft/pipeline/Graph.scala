@@ -70,4 +70,124 @@ object Graph {
     }
     ranks
   }
+
+  /**
+   * Triangle enumeration over an undirected graph — the clustering /
+   * community-density primitive (local clustering coefficients, spam
+   * farm detection in link graphs: organic neighborhoods close
+   * triangles, link farms don't).
+   *
+   * NOT the naive three-way self-join on the raw edge list: that plan's
+   * middle join fans every high-degree node's edge pairs into one
+   * reducer (a celebrity node with d neighbors yields d² wedge rows).
+   * This is the degree-ordered orientation algorithm (Schank-Wagner /
+   * Cohen's MapReduce form): each undirected edge is oriented from its
+   * (degree, id)-smaller endpoint to the larger, so every node's
+   * out-degree is O(√m) and wedge generation — the only quadratic step
+   * — is bounded by Σ outdeg² = O(m^1.5) TOTAL, independent of skew.
+   * Both the wedge build and the closing check are plain equi-joins
+   * (shuffle on node / edge key), so AQE sizes the reducers.
+   *
+   * Each triangle is found exactly once (at its unique
+   * (degree, id)-minimal apex) and reported with its vertices sorted by
+   * id: (a < b < c).
+   *
+   * Input: any (src, dst) relation; direction, parallel edges and
+   * self-loops are ignored (canonicalized + distinct'd first).
+   */
+  def triangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges.select(
+        least(col(srcCol), col(dstCol)).as("lo"),
+        greatest(col(srcCol), col(dstCol)).as("hi"))
+      .where(col("lo") =!= col("hi"))
+      .distinct().localCheckpoint(true)
+    val deg = e.select(col("lo").as("node"))
+      .unionByName(e.select(col("hi").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // Orient each edge from the (deg, id)-smaller endpoint: u -> v.
+    val oriented = e
+      .join(deg.select(col("node").as("lo"), col("deg").as("dlo")), "lo")
+      .join(deg.select(col("node").as("hi"), col("deg").as("dhi")), "hi")
+      .select(
+        when(struct(col("dlo"), col("lo")) < struct(col("dhi"), col("hi")),
+          struct(col("lo").as("u"), col("hi").as("v"),
+            col("dhi").as("dv")))
+          .otherwise(struct(col("hi").as("u"), col("lo").as("v"),
+            col("dlo").as("dv")))
+          .as("o"))
+      .select(col("o.u").as("u"), col("o.v").as("v"), col("o.dv").as("dv"))
+      .localCheckpoint(true)
+    // Wedges at apex u: ordered out-neighbor pairs (v1, v2) with
+    // (deg, id)(v1) < (deg, id)(v2) — matches the edge orientation, so
+    // the closing edge (if any) is oriented v1 -> v2.
+    val w1 = oriented.select(col("u"), col("v").as("v1"), col("dv").as("d1"))
+    val w2 = oriented.select(col("u"), col("v").as("v2"), col("dv").as("d2"))
+    val wedges = w1.join(w2, Seq("u"))
+      .where(struct(col("d1"), col("v1")) < struct(col("d2"), col("v2")))
+      .select(col("u"), col("v1"), col("v2"))
+    val closing = oriented.select(col("v").as("v2"), col("u").as("v1"))
+    wedges.join(closing, Seq("v1", "v2"))
+      .select(array_sort(array(col("u"), col("v1"), col("v2"))).as("t"))
+      .select(col("t").getItem(0).as("a"), col("t").getItem(1).as("b"),
+        col("t").getItem(2).as("c"))
+  }
+
+  /**
+   * HITS (Kleinberg hubs-and-authorities) over a DIRECTED graph — the
+   * complement of [[pageRank]] for bipartite-flavored link data:
+   * authorities are pages good links point AT, hubs are pages that
+   * point at good authorities (catalog pages vs content pages in a
+   * crawl; customers vs suppliers in a transaction graph).
+   *
+   * Same Pregel-lite relational shape as pageRank: per iteration,
+   * authority(v) = Σ hub(u) over in-edges (one shuffle on dst with
+   * map-side combine), then hub(u) = Σ auth(v) over out-edges (one
+   * shuffle on src), each followed by max-normalization — the score
+   * vector rescales so max = [[Scale]], keeping every value an exact
+   * long (L2 normalization would reintroduce float drift; max-norm is
+   * the standard integer-safe alternative and preserves ranking). The
+   * max is a one-row broadcast; `localCheckpoint` per iteration stops
+   * plan nesting.
+   *
+   * DETERMINISM: all arithmetic is long sums + floor division, so the
+   * result is bit-reproducible and replayable in any engine (the
+   * q_hits oracle unrolls the iterations in SQL). Nodes with no
+   * in-edges score authority 0; no out-edges, hub 0.
+   *
+   * Returns (node, hub, auth) in [[Scale]]-millionths, every node from
+   * either edge endpoint present.
+   */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 2): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint(true)
+    def normalized(raw: DataFrame, c: String): DataFrame = {
+      val mx = raw.agg(max(col(c)).as("__graft_mx"))
+      raw.crossJoin(broadcast(mx))
+        .select(col("node"),
+          expr(s"$c * ${Scale}L div greatest(__graft_mx, 1L)").as(c))
+    }
+    var scores = nodes.withColumn("hub", lit(Scale)).withColumn("auth", lit(Scale))
+    for (_ <- 1 to iterations) {
+      val aRaw = nodes.join(
+          e.join(scores.select(col("node").as("src"), col("hub")), "src")
+            .groupBy(col("dst").as("node")).agg(sum("hub").as("auth")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("auth"), lit(0L)).as("auth"))
+      val auth = normalized(aRaw, "auth").localCheckpoint(true)
+      val hRaw = nodes.join(
+          e.join(auth.select(col("node").as("dst"), col("auth")), "dst")
+            .groupBy(col("src").as("node")).agg(sum("auth").as("hub")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("hub"), lit(0L)).as("hub"))
+      val hub = normalized(hRaw, "hub").localCheckpoint(true)
+      scores = hub.join(auth, Seq("node")).select(col("node"), col("hub"), col("auth"))
+        .localCheckpoint(true)
+    }
+    scores
+  }
 }

@@ -219,4 +219,56 @@ object Joins {
         levenshtein(col("__graft_ta"), col("__graft_tb"), maxDist).cast("int").as("dist"))
       .where(col("dist") >= 0)
   }
+
+  /**
+   * Interval-overlap equi-join: pairs every left row with every right
+   * row sharing `key` whose CLOSED intervals `[start, end]` overlap —
+   * the span×span sibling of [[Temporal.intervalJoin]] (point×span).
+   * Validity-window joins (SCD2 dimensions × fact spans), genomic
+   * range joins, and concurrent-session overlap all reduce to it.
+   *
+   * NOT a theta-join: `a.start <= b.end AND b.start <= a.end` alone
+   * gives Catalyst no equi-key, so the plan is a per-key nested loop
+   * (quadratic in rows-per-key, and a full cartesian if `key` is
+   * coarse). Bucketing manufactures the equi-key — each interval
+   * explodes to the `bucketWidth`-sized time buckets it touches, the
+   * join runs on `(key, bucket)`, and the overlap predicate refines.
+   *
+   * Exactly-once without a dedup pass: an overlapping pair meets in
+   * every shared bucket, but `greatest(a.start, b.start)` lies in BOTH
+   * intervals, so its bucket is shared — keeping only that bucket's
+   * match emits each pair once (the same allocation trick as
+   * intervalJoin's point-owns-one-bucket). No `distinct()` shuffle.
+   *
+   * Shuffle volume: each row replicates `span/bucketWidth + 1` times —
+   * pick `bucketWidth` ≈ the typical span so the factor stays ~2.
+   * Long-tail spans cost replication, never correctness.
+   *
+   * Output: left columns, right columns (names must not collide), one
+   * row per overlapping pair.
+   */
+  def overlapJoin(left: DataFrame, right: DataFrame, key: String,
+      leftStart: String, leftEnd: String, rightStart: String,
+      rightEnd: String, bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val collisions = left.columns.toSet.intersect(right.columns.toSet) - key
+    require(collisions.isEmpty,
+      s"column names must not collide across sides: ${collisions.mkString(", ")}")
+    val l = left.withColumn("__graft_bkt",
+      explode(sequence(expr(s"$leftStart div ${bucketWidth}L"),
+        expr(s"$leftEnd div ${bucketWidth}L"))))
+    val r = right.withColumnRenamed(key, "__graft_rk")
+      .withColumn("__graft_bkt",
+        explode(sequence(expr(s"$rightStart div ${bucketWidth}L"),
+          expr(s"$rightEnd div ${bucketWidth}L"))))
+    val outCols = left.columns.map(col) ++
+      right.columns.filterNot(_ == key).map(col)
+    l.join(r, col(key) === col("__graft_rk") &&
+        l("__graft_bkt") === r("__graft_bkt"))
+      .where(col(leftStart) <= col(rightEnd) &&
+        col(rightStart) <= col(leftEnd) &&
+        l("__graft_bkt") ===
+          expr(s"greatest($leftStart, $rightStart) div ${bucketWidth}L"))
+      .select(outCols.toSeq: _*)
+  }
 }

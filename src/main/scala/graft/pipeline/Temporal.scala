@@ -477,4 +477,36 @@ object Temporal {
         datediff(col("__graft_day"), col("cohort_day")).as("day_offset"))
       .agg(countDistinct(col("__graft_k")).as("n_active"))
   }
+
+  /**
+   * SCD Type-2 history build: turns a changelog (one row per change
+   * event) into validity intervals — each row gains `valid_from_us`
+   * (its own change instant, epoch micros) and `valid_to_us` (the NEXT
+   * change's instant for the same `keys`, null while current). The
+   * inverse of [[Joins.compactLatest]] (which keeps only the last
+   * version): SCD2 keeps every version and makes point-in-time lookup
+   * an [[intervalJoin]] — the dimension-history recipe behind
+   * "as of when the order shipped, what was the customer's tier".
+   *
+   * ONE shuffle: a `lead` window over `(keys | tsCol, tieCols...)`.
+   * Partition state per key is its version count — bounded by update
+   * rate, not corpus size; a key with pathological churn is a groupBy
+   * hot key, never a product. `tieCols` must make the sort total
+   * within a key (include a unique id) — same determinism contract as
+   * compactLatest.
+   *
+   * `tsCol` is schema-adaptive via [[epochMicros]]. Output: input
+   * columns + `valid_from_us`, `valid_to_us` (the half-open
+   * `[from, to)` convention composes with intervalJoin's closed spans
+   * via `to - 1`).
+   */
+  def scd2(df: DataFrame, keys: Seq[String], tsCol: String,
+      tieCols: Seq[String] = Nil): DataFrame = {
+    require(keys.nonEmpty, "keys required")
+    val from = epochMicros(df, tsCol)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((from +: tieCols.map(col)).map(_.asc): _*)
+    df.withColumn("valid_from_us", from)
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(w))
+  }
 }

@@ -204,6 +204,69 @@ object StreamingPipeline {
       }
   }
 
+  /** One changelog version: key, epoch-micros change time, unique id
+    * (the within-ts tie-break), payload value. */
+  final case class Scd2Row(k: Long, t: Long, id: Long, v: Double)
+  /** Per-key state: the currently-open version. */
+  final case class Scd2Open(t: Long, id: Long, v: Double)
+  /** A CLOSED version: superseded at `valid_to_us`. */
+  final case class Scd2Closed(key: Long, id: Long, value: Double,
+    valid_from_us: Long, valid_to_us: Long)
+
+  /**
+   * Streaming SCD Type-2 history — the streaming face of
+   * [[graft.pipeline.Temporal.scd2]]: each arriving version CLOSES its
+   * key's previously-open version (emitting it with
+   * `valid_to_us` = the new version's instant) and becomes the open
+   * one. Append-mode emission is exactly the closed rows — the open
+   * version per key lives in the state store (ONE struct per live key,
+   * like [[asofJoinStream]]) and is emitted only when superseded, so
+   * downstream sinks receive every history row exactly once, already
+   * immutable.
+   *
+   * Within a micro-batch, versions sort by `(t, id)` — a single batch
+   * over a static frame equals the batch operator's closed rows
+   * row-for-row (spec-pinned). Across batches the same
+   * latest-known contract as asofJoinStream: a version arriving in a
+   * later batch with an OLDER ts than its key's open version cannot
+   * rewrite already-emitted history — it closes instantly (zero-length
+   * validity ending at the open version's start), keeping emitted
+   * intervals append-only, which is the property SCD2 sinks need.
+   *
+   * Timestamps resolve schema-adaptively
+   * ([[graft.pipeline.Temporal.epochMicros]]). State never times out.
+   */
+  def scd2Stream(df: DataFrame, key: String, tsCol: String, idCol: String,
+      valueCol: String): Dataset[Scd2Closed] = {
+    import df.sparkSession.implicits._
+    df.select(col(key).cast("long").as("k"),
+        graft.pipeline.Temporal.epochMicros(df, tsCol).as("t"),
+        col(idCol).cast("long").as("id"),
+        col(valueCol).cast("double").as("v"))
+      .as[Scd2Row]
+      .groupByKey(_.k)
+      .flatMapGroupsWithState[Scd2Open, Scd2Closed](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (k: Long, it: Iterator[Scd2Row], state: GroupState[Scd2Open]) =>
+          var open = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Closed]
+          for (row <- it.toSeq.sortBy(r => (r.t, r.id))) {
+            if (open == null) {
+              open = Scd2Open(row.t, row.id, row.v)
+            } else if (row.t >= open.t) {
+              out += Scd2Closed(k, open.id, open.v, open.t, row.t)
+              open = Scd2Open(row.t, row.id, row.v)
+            } else {
+              // late straggler: close instantly at the open version's
+              // start — emitted history stays append-only
+              out += Scd2Closed(k, row.id, row.v, row.t, open.t)
+            }
+          }
+          if (open != null) state.update(open)
+          out.iterator
+      }
+  }
+
   /** One funnel event after rank projection: key, epoch-micros time,
     * step index in the funnel (unlisted events are filtered upstream). */
   final case class FunnelRow(k: Long, t: Long, rk: Int)

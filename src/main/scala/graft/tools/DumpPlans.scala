@@ -100,7 +100,17 @@ object DumpPlans {
       "q_zorder_prune" -> ("Z-order layout read-back: conjunctive range " +
         "predicates on BOTH interleaved keys reach the parquet reader as " +
         "PushedFilters over files whose min-max stats are selective " +
-        "rectangles — row groups outside the predicate box never decode."))
+        "rectangles — row groups outside the predicate box never decode."),
+      "q_triangles" -> ("Degree-ordered triangle enumeration: every join " +
+        "is an equi-join (edge↔degree, wedge↔closing-edge); orientation " +
+        "from the (deg, id)-smaller endpoint bounds wedge fan-out at " +
+        "O(√m) per node, so the quadratic step is O(m^1.5) TOTAL — no " +
+        "hub-key reducer, no cartesian anywhere in the plan."),
+      "q_overlap_join" -> ("Interval-overlap join: both sides explode to " +
+        "(key, time-bucket) rows and meet in a SortMergeJoin on the " +
+        "composite key; the greatest-start ownership filter makes pairs " +
+        "exactly-once with NO distinct shuffle — replication factor " +
+        "span/width + 1, the knob the caller sizes to the typical span."))
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of the flagship queries\n\n")
     sb.append("Generated by `graft.tools.DumpPlans` at sf0.001 with\n")

@@ -48,4 +48,64 @@ class GraphSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Graph.pageRank(e, "s", "d", iterations = 0))
     intercept[IllegalArgumentException](Graph.pageRank(e, "s", "d", dampingPermille = 1500))
   }
+
+  test("triangles: K4 has exactly its four sorted triangles") {
+    val e = (for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)).toDF("s", "d")
+    val got = Graph.triangles(e, "s", "d").orderBy("a", "b", "c")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 2L, 3L), (1L, 2L, 4L), (1L, 3L, 4L), (2L, 3L, 4L)))
+  }
+
+  test("triangles: direction, parallel edges and self-loops are ignored") {
+    val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 1L), (2L, 3L))
+      .toDF("s", "d")
+    val got = Graph.triangles(e, "s", "d").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 2L, 3L)))
+  }
+
+  test("triangles matches the brute 3-way self-join on a random graph") {
+    val rnd = new scala.util.Random(42)
+    val edges = (1 to 3000)
+      .map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter(p => p._1 != p._2).distinct
+    val e = edges.toDF("s", "d")
+    // brute: canonical edge set, all (a<b<c) with the three edges present
+    val canon = edges.map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).toSet
+    val nodes = canon.flatMap(p => Seq(p._1, p._2)).toSeq.sorted
+    val brute = for {
+      a <- nodes; b <- nodes if a < b && canon((a, b))
+      c <- nodes if b < c && canon((b, c)) && canon((a, c))
+    } yield (a, b, c)
+    val got = Graph.triangles(e, "s", "d").orderBy("a", "b", "c")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == brute.sorted)
+    // each triangle exactly once — no dedup pass hides double counting
+    assert(got.distinct.size == got.size)
+  }
+
+  test("hits: hand-computed two-iteration scores on a 2x2 bipartite graph") {
+    // hubs 1, 2; authorities 101, 102; 2 cites both
+    val e = Seq((1L, 101L), (2L, 101L), (2L, 102L)).toDF("s", "d")
+    val r = Graph.hits(e, "s", "d", iterations = 2).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    // iter1: a_raw=(2e6,1e6) -> a=(1e6,5e5); h_raw=(1e6,1.5e6) -> h=(666666,1e6)
+    // iter2: a_raw=(1666666,1e6) -> a=(1e6,600000);
+    //        h_raw=(1e6,1600000) -> h=(625000,1e6)
+    assert(r == Map(1L -> (625000L, 0L), 2L -> (1000000L, 0L),
+      101L -> (0L, 1000000L), 102L -> (0L, 600000L)))
+  }
+
+  test("hits is partitioning-invariant and max-normalized") {
+    val rnd = new scala.util.Random(43)
+    val e = (1 to 2000).map(_ => (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter(p => p._1 != p._2).toDF("s", "d")
+    val a = Graph.hits(e.repartition(1), "s", "d", 2)
+      .orderBy("node").collect().map(_.toSeq).toSeq
+    val b = Graph.hits(e.repartition(17), "s", "d", 2)
+      .orderBy("node").collect().map(_.toSeq).toSeq
+    assert(a == b)
+    assert(a.map(_(1).asInstanceOf[Long]).max == 1000000L)
+    assert(a.map(_(2).asInstanceOf[Long]).max == 1000000L)
+  }
 }

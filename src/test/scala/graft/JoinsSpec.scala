@@ -189,4 +189,56 @@ class JoinsSpec extends AnyFunSuite {
       prefixLen = 16, maxDist = 10, hotCap = 100).count()
     assert(kept == 45, "under the cap all 10*9/2 pairs refine")
   }
+
+  private def randomIntervals(seed: Int, n: Int, tag: String) = {
+    val rnd = new scala.util.Random(seed)
+    (1 to n).map { i =>
+      val s = rnd.nextInt(1000).toLong
+      (rnd.nextInt(5).toLong, i.toLong, s, s + rnd.nextInt(120).toLong)
+    }.toDF("k", s"id_$tag", s"s_$tag", s"e_$tag")
+  }
+
+  test("overlapJoin matches the theta join for any bucket width") {
+    val a = randomIntervals(7, 300, "a")
+    val b = randomIntervals(13, 300, "b")
+    val want = a.join(b, a("k") === b("k") &&
+        col("s_a") <= col("e_b") && col("s_b") <= col("e_a"))
+      .select(a("k"), col("id_a"), col("id_b"))
+      .orderBy("k", "id_a", "id_b").collect().map(_.toSeq).toSeq
+    for (w <- Seq(1L, 7L, 64L, 1000L, 100000L)) {
+      val got = Joins.overlapJoin(a, b, "k", "s_a", "e_a", "s_b", "e_b", w)
+        .select(col("k"), col("id_a"), col("id_b"))
+        .orderBy("k", "id_a", "id_b").collect().map(_.toSeq).toSeq
+      assert(got == want, s"bucketWidth=$w")
+      // exactly-once: no hidden distinct — duplicates would surface here
+      assert(got.distinct.size == got.size, s"bucketWidth=$w emitted dups")
+    }
+  }
+
+  test("overlapJoin: touching endpoints overlap, disjoint spans do not") {
+    val a = Seq((1L, 10L, 0L, 5L)).toDF("k", "id_a", "s_a", "e_a")
+    val b = Seq((1L, 20L, 5L, 9L), (1L, 21L, 6L, 9L))
+      .toDF("k", "id_b", "s_b", "e_b")
+    val got = Joins.overlapJoin(a, b, "k", "s_a", "e_a", "s_b", "e_b", 4L)
+      .select("id_b").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(20L), "closed intervals: [0,5] meets [5,9], not [6,9]")
+  }
+
+  test("overlapJoin plans bucket equi-joins, not a nested loop") {
+    val a = randomIntervals(7, 50, "a")
+    val b = randomIntervals(13, 50, "b")
+    val plan = Joins.overlapJoin(a, b, "k", "s_a", "e_a", "s_b", "e_b", 64L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("overlapJoin validates width and rejects colliding columns") {
+    val a = randomIntervals(7, 5, "a")
+    intercept[IllegalArgumentException](
+      Joins.overlapJoin(a, a, "k", "s_a", "e_a", "s_a", "e_a", 64L))
+    intercept[IllegalArgumentException](
+      Joins.overlapJoin(a, randomIntervals(13, 5, "b"), "k",
+        "s_a", "e_a", "s_b", "e_b", 0L))
+  }
 }

@@ -563,4 +563,74 @@ class StreamingPipelineSpec extends AnyFunSuite {
       .orderBy("user_id", "session_start").collect().map(_.toSeq).toSeq
     assert(a == b && a.length == 3, a.mkString(","))
   }
+
+  test("scd2Stream single batch equals the batch scd2's closed rows") {
+    val dir = Files.createTempDirectory("stream-scd2").toString
+    val rnd = new scala.util.Random(29)
+    val log = (1 to 400).map(i =>
+      (rnd.nextInt(6).toLong, rnd.nextInt(500).toLong * 1000L, i.toLong,
+        rnd.nextInt(100).toDouble))
+    val df = log.toDF("k", "tus", "id", "v")
+    df.write.mode("overwrite").parquet(s"$dir/log")
+
+    val out = StreamingPipeline.scd2Stream(
+      spark.readStream.schema(df.schema).parquet(s"$dir/log"),
+      "k", "tus", "id", "v")
+    val q = out.toDF().writeStream.format("memory").queryName("scd2_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.sql("SELECT * FROM scd2_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4))).toSet
+
+    val expected = graft.pipeline.Temporal.scd2(df, Seq("k"), "tus", Seq("id"))
+      .where(col("valid_to_us").isNotNull)
+      .select("k", "id", "v", "valid_from_us", "valid_to_us")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == expected && got.nonEmpty)
+  }
+
+  test("scd2Stream carries the open version across runs; stragglers close instantly") {
+    val dir = Files.createTempDirectory("stream-scd2b").toString
+    val ckpt = Files.createTempDirectory("stream-scd2b-ckpt").toString
+    val outDir = Files.createTempDirectory("stream-scd2b-out").toString
+    val schema = Seq((1L, 1L, 1L, 1.0)).toDF("k", "tus", "id", "v").schema
+
+    def run(): Set[(Long, Long, Double, Long, Long)] = {
+      val out = StreamingPipeline.scd2Stream(
+        spark.readStream.schema(schema).parquet(s"$dir/log"), "k", "tus", "id", "v")
+      val q = out.toDF().writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      spark.read.parquet(outDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3), r.getLong(4))).toSet
+    }
+
+    // run 1: one version per key — everything stays open, nothing emits
+    Seq((7L, 100L, 1L, 1.5)).toDF("k", "tus", "id", "v")
+      .write.mode("overwrite").parquet(s"$dir/log")
+    assert(run().isEmpty)
+
+    // run 2: within-batch rows sort by (t, id) before applying, so the
+    // checkpointed open version closes in event-time order
+    Seq((7L, 300L, 2L, 2.5), (7L, 200L, 3L, 9.9)).toDF("k", "tus", "id", "v")
+      .write.mode("append").parquet(s"$dir/log")
+    assert(run() == Set(
+      (7L, 1L, 1.5, 100L, 200L),
+      (7L, 3L, 9.9, 200L, 300L)))
+
+    // run 3: a CROSS-batch straggler older than the open version closes
+    // instantly at the open version's start — emitted history stays
+    // append-only, the open version (t=300) is untouched
+    Seq((7L, 250L, 4L, 4.4)).toDF("k", "tus", "id", "v")
+      .write.mode("append").parquet(s"$dir/log")
+    assert(run() == Set(
+      (7L, 1L, 1.5, 100L, 200L),
+      (7L, 3L, 9.9, 200L, 300L),
+      (7L, 4L, 4.4, 250L, 300L)))
+  }
 }

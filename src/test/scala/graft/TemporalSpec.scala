@@ -414,4 +414,40 @@ class TemporalSpec extends AnyFunSuite {
     val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(exchanges == 1, s"expected 1 hash exchange, plan:\n$plan")
   }
+
+  test("scd2: versions chain per key, last version stays open") {
+    val log = Seq(("A", 10L, "v1", 1L), ("A", 20L, "v2", 2L),
+      ("A", 30L, "v3", 3L), ("B", 15L, "w1", 4L)).toDF("k", "ts", "pay", "id")
+    val got = Temporal.scd2(log, Seq("k"), "ts", Seq("id"))
+      .orderBy("k", "valid_from_us")
+      .select("k", "pay", "valid_from_us", "valid_to_us")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    assert(got == Seq(("A", "v1", 10L, 20L), ("A", "v2", 20L, 30L),
+      ("A", "v3", 30L, -1L), ("B", "w1", 15L, -1L)))
+  }
+
+  test("scd2: equal-ts versions tie-break on tieCols deterministically") {
+    val log = Seq(("A", 10L, "first", 1L), ("A", 10L, "second", 2L))
+      .toDF("k", "ts", "pay", "id")
+    val got = Temporal.scd2(log, Seq("k"), "ts", Seq("id"))
+      .orderBy("valid_from_us", "pay")
+      .select("pay", "valid_to_us")
+      .collect().map(r => (r.getString(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq
+    assert(got == Seq(("first", 10L), ("second", -1L)))
+  }
+
+  test("scd2 accepts TIMESTAMP columns and is one shuffle") {
+    val log = Seq(("A", "2024-01-01 00:00:00", 1L), ("A", "2024-01-02 00:00:00", 2L))
+      .toDF("k", "s", "id").withColumn("ts", col("s").cast("timestamp"))
+    val out = Temporal.scd2(log, Seq("k"), "ts", Seq("id"))
+    val rows = out.orderBy("id").select("valid_from_us", "valid_to_us")
+      .collect()
+    assert(rows(0).getLong(0) == 1704067200000000L)
+    assert(rows(0).getLong(1) == 1704153600000000L && rows(1).isNullAt(1))
+    val plan = out.queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected 1 hash exchange, plan:\n$plan")
+  }
 }
