@@ -2449,6 +2449,46 @@ object SparkEntry {
         .select(col("o_custkey").as("src"), (col("l_suppkey") + 100000L).as("dst"))
       graft.pipeline.Graph.hits(edges, "src", "dst", iterations = 2)
         .orderBy("node")
+    }),
+    // Priority dedup over CANONICAL-form clusters: case/punctuation/
+    // whitespace variants hash to one cluster (lower + strip + collapse
+    // — the CCNet canonicalization), and the HIGHEST-quality copy wins
+    // (quality desc, doc_id asc), via the same map-side-combining
+    // max_by as compactLatest — no window sort. The injected noisy
+    // twins get SMALLER ids, so a min-id keeper would pick them; the
+    // quality keeper must not (punct noise tanks their score).
+    "q_dedup_keep_best" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val noisy = base.select((col("doc_id") - 10000L).as("doc_id"),
+        concat(upper(col("text")), lit(" !!! ;;; ???")).as("text"))
+      val canon = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+      val d = base.unionByName(noisy)
+        .select(col("doc_id"), md5(canon).as("canon_hash"),
+          TextFunctions.quality_score(col("text")).as("q"))
+      d.groupBy("canon_hash")
+        .agg(count(lit(1)).as("cnt"),
+          max_by(col("doc_id"), struct(col("q"), (-col("doc_id")).as("nid")))
+            .as("keep_id"),
+          max(col("q")).as("best_q"))
+        .orderBy("canon_hash")
+    }),
+    // Crawl-frontier politeness scheduling: per-host FIFO slots
+    // (quality-priority order) × a fixed per-host delay give each URL
+    // its fetch instant — the window is per-host bounded, so a hot
+    // host is a groupBy hot key, and the politeness contract (one
+    // fetch per host per delay) holds per partition key by
+    // construction.
+    "q_crawl_schedule" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(col("source"), lit(".example.com")).as("host"),
+          TextFunctions.quality_score(col("text")).as("q"))
+      val w = Window.partitionBy("host").orderBy(desc("q"), col("doc_id"))
+      d.withColumn("slot", row_number().over(w).cast("int"))
+        .withColumn("fetch_at_us", (col("slot") - 1).cast("bigint") * 500000L)
+        .select("doc_id", "host", "slot", "fetch_at_us")
+        .orderBy("host", "slot")
     })
   )
 
@@ -4858,6 +4898,40 @@ object SparkEntry {
         |h2 AS (SELECT node, CAST(raw * 1000000
         |    // greatest((SELECT max(raw) FROM h2r), 1) AS BIGINT) AS hub FROM h2r)
         |SELECT h2.node, h2.hub, a2.auth FROM h2 JOIN a2 USING (node)
-        |ORDER BY node""".stripMargin
+        |ORDER BY node""".stripMargin,
+    "q_dedup_keep_best" ->
+      """WITH u AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id - 10000, upper(text) || ' !!! ;;; ???'
+        |  FROM documents),
+        |d AS (SELECT doc_id,
+        |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |    ' +', ' ', 'g'))) AS canon_hash,
+        |  ((LEAST(CAST(LEN(string_split(text, ' ')) AS DOUBLE) / 64.0, 1.0) * 0.4)
+        |   + ((CAST(LEN(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |       / LEN(string_split(text, ' '))) * 0.4))
+        |   + ((1.0 - CAST(LENGTH(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE)
+        |       / LENGTH(text)) * 0.2) AS q
+        |  FROM u),
+        |r AS (SELECT canon_hash, doc_id,
+        |  row_number() OVER (PARTITION BY canon_hash ORDER BY q DESC, doc_id) AS rn
+        |  FROM d),
+        |g AS (SELECT canon_hash, CAST(count(*) AS BIGINT) AS cnt, max(q) AS best_q
+        |  FROM d GROUP BY 1)
+        |SELECT g.canon_hash, g.cnt, r.doc_id AS keep_id, g.best_q
+        |FROM g JOIN r ON g.canon_hash = r.canon_hash AND r.rn = 1
+        |ORDER BY 1""".stripMargin,
+    "q_crawl_schedule" ->
+      """WITH d AS (SELECT doc_id, source || '.example.com' AS host,
+        |  ((LEAST(CAST(LEN(string_split(text, ' ')) AS DOUBLE) / 64.0, 1.0) * 0.4)
+        |   + ((CAST(LEN(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |       / LEN(string_split(text, ' '))) * 0.4))
+        |   + ((1.0 - CAST(LENGTH(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE)
+        |       / LENGTH(text)) * 0.2) AS q
+        |  FROM documents)
+        |SELECT doc_id, host,
+        |  CAST(row_number() OVER (PARTITION BY host ORDER BY q DESC, doc_id) AS INT) AS slot,
+        |  CAST((row_number() OVER (PARTITION BY host ORDER BY q DESC, doc_id) - 1)
+        |    * 500000 AS BIGINT) AS fetch_at_us
+        |FROM d ORDER BY host, slot""".stripMargin
   )
 }

@@ -207,6 +207,44 @@ object Stress {
         docs.select("doc_id", "text"), "doc_id", "text",
         prefixLen = 16, maxDist = 10, hotCap = 64))
 
+    // round-10 third wave: graph + interval ops. The stride lattice
+    // over the (factor-shifted) user-id space keeps per-node degree
+    // and per-node wedge counts CONSTANT as nodes grow ×factor, so
+    // triangle work should scale linearly — the property the
+    // degree-ordered orientation is supposed to deliver (a naive wedge
+    // join would blow up on any emergent hub instead).
+    val users = ev.select(col("user_id")).distinct().persist()
+    users.count()
+    val lattice = users
+      .withColumn("d", explode(array(lit(1L), lit(2L), lit(3L))))
+      .select(col("user_id").as("src"), (col("user_id") + col("d")).as("dst"))
+    timed("triangles", factor)(
+      graft.pipeline.Graph.triangles(lattice, "src", "dst"))
+    // 1000 authorities regardless of factor: authority in-degree grows
+    // ×factor — the hot-key shape HITS' per-dst aggregate must absorb
+    // with map-side combine, never a per-authority reducer sort
+    val cites = ev.select(col("user_id").as("src"),
+      (lit(1000000000000L) + pmod(col("user_id"), lit(1000L))).as("dst"))
+    timed("hits", factor)(
+      graft.pipeline.Graph.hits(cites, "src", "dst", iterations = 2))
+    // per-user event spans: densities per key are factor-invariant, so
+    // overlap pair counts scale ×factor (linear shuffle, ~2× bucket
+    // replication at width == max span)
+    val spans = ev.select(col("user_id").as("k"), col("event_id"),
+      col("tus").as("s"),
+      (col("tus") + expr("cast(round(value * 1000000) as bigint)")).as("e"))
+    val sa = spans.where(col("event_id") % 2 === 0)
+      .select(col("k"), col("event_id").as("id_a"), col("s").as("s_a"), col("e").as("e_a"))
+    val sb = spans.where(col("event_id") % 2 === 1)
+      .select(col("k"), col("event_id").as("id_b"), col("s").as("s_b"), col("e").as("e_b"))
+    timed("overlap_join", factor)(
+      graft.pipeline.Joins.overlapJoin(sa, sb, "k",
+        "s_a", "e_a", "s_b", "e_b", bucketWidth = 100000000L))
+    timed("scd2", factor)(
+      graft.pipeline.Temporal.scd2(
+        ev.select("user_id", "event_type", "event_id", "tus"),
+        Seq("user_id", "event_type"), "tus", Seq("event_id")))
+
     spark.stop()
   }
 }
