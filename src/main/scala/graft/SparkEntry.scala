@@ -2489,6 +2489,39 @@ object SparkEntry {
         .withColumn("fetch_at_us", (col("slot") - 1).cast("bigint") * 500000L)
         .select("doc_id", "host", "slot", "fetch_at_us")
         .orderBy("host", "slot")
+    }),
+    // Best-of-source sampling: top-3 docs per source by quality via
+    // the bounded TopKByAggregate — map partitions reduce to ≤3
+    // entries per source BEFORE the shuffle (O(sources·k) volume,
+    // no corpus-wide row_number sort); the aggregate's (order desc,
+    // id asc) tie-break is exactly the oracle window's.
+    "q_best_per_source" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        TextFunctions.quality_score(col("text")).as("q"))
+      d.groupBy("source")
+        .agg(Similarity.topKBy(col("doc_id"), col("q"), 3).as("tk"))
+        .select(col("source"), posexplode(col("tk")))
+        .select(col("source"), (col("pos") + 1).cast("int").as("rank"),
+          col("col.neighbor_id").as("doc_id"), col("col.sim").as("q"))
+        .orderBy("source", "rank")
+    }),
+    // Exact LOWER median of daily revenue per event type: the sort is
+    // WITHIN each group's collected day array (bounded by days, not
+    // raw events — same scaling argument as q_ntile), so no global
+    // window touches raw rows; integer cents keep it hash-exact.
+    "q_median_daily" -> ((s, dir) => {
+      val d = eventsMicros(s, dir)
+        .withColumn("day",
+          date_format(timestamp_micros(col("tus")), "yyyy-MM-dd"))
+        .groupBy("event_type", "day")
+        .agg(sum(expr("cast(round(value * 100) as bigint)")).as("rev"))
+      d.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          sort_array(collect_list(col("rev"))).as("sr"))
+        .select(col("event_type"), col("n_days"),
+          element_at(col("sr"),
+            expr("cast((n_days + 1) div 2 as int)")).as("median_rev"))
+        .orderBy("event_type")
     })
   )
 
@@ -4932,6 +4965,30 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY host ORDER BY q DESC, doc_id) AS INT) AS slot,
         |  CAST((row_number() OVER (PARTITION BY host ORDER BY q DESC, doc_id) - 1)
         |    * 500000 AS BIGINT) AS fetch_at_us
-        |FROM d ORDER BY host, slot""".stripMargin
+        |FROM d ORDER BY host, slot""".stripMargin,
+    "q_best_per_source" ->
+      """WITH d AS (SELECT doc_id, source,
+        |  ((LEAST(CAST(LEN(string_split(text, ' ')) AS DOUBLE) / 64.0, 1.0) * 0.4)
+        |   + ((CAST(LEN(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |       / LEN(string_split(text, ' '))) * 0.4))
+        |   + ((1.0 - CAST(LENGTH(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE)
+        |       / LENGTH(text)) * 0.2) AS q
+        |  FROM documents)
+        |SELECT source, CAST(rn AS INT) AS rank, doc_id, q FROM
+        |  (SELECT source, doc_id, q,
+        |    row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS rn
+        |   FROM d)
+        |WHERE rn <= 3 ORDER BY source, rank""".stripMargin,
+    "q_median_daily" ->
+      """WITH drev AS (SELECT event_type,
+        |    strftime(ts, '%Y-%m-%d') AS day,
+        |    sum(CAST(round(value * 100) AS BIGINT)) AS rev
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, rev,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY rev) AS rn FROM drev),
+        |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days FROM drev GROUP BY 1)
+        |SELECT n.event_type, n.n_days, r.rev AS median_rev
+        |FROM n JOIN r ON r.event_type = n.event_type AND r.rn = (n.n_days + 1) // 2
+        |ORDER BY 1""".stripMargin
   )
 }
