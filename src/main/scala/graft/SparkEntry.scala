@@ -2522,7 +2522,21 @@ object SparkEntry {
           element_at(col("sr"),
             expr("cast((n_days + 1) div 2 as int)")).as("median_rev"))
         .orderBy("event_type")
-    })
+    }),
+    // Semi-structured ELT over the JSON props column: from_json with an
+    // EXPLICIT schema (codegen'd JsonToStructs — no inference pass over
+    // the corpus, the schema-on-read contract at 100 TB), then plain
+    // typed aggregation; malformed rows would null out, not fail.
+    "q_json_extract" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+            .getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(count(col("k")).as("n"), sum("k").as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k"))
+        .orderBy("event_type"))
   )
 
   // ---- DuckDB SQL builders for graft's 64-bit hash primitives ----
@@ -4989,6 +5003,13 @@ object SparkEntry {
         |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days FROM drev GROUP BY 1)
         |SELECT n.event_type, n.n_days, r.rev AS median_rev
         |FROM n JOIN r ON r.event_type = n.event_type AND r.rn = (n.n_days + 1) // 2
-        |ORDER BY 1""".stripMargin
+        |ORDER BY 1""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_type, CAST(count(k) AS BIGINT) AS n,
+        |  CAST(sum(k) AS BIGINT) AS sum_k, CAST(min(k) AS BIGINT) AS min_k,
+        |  CAST(max(k) AS BIGINT) AS max_k
+        |FROM (SELECT event_type,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
