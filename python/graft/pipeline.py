@@ -571,6 +571,32 @@ def overlap_join(left, right, key, left_start, left_end, right_start,
             .select(*out_cols))
 
 
+def apply_changelog(snapshot, changes, keys, order_cols, op_col):
+    """CDC MERGE — Python mirror of the Scala ``Joins.applyChangelog``:
+    apply a changelog (upserts AND ``op == 'D'`` tombstones) to a
+    snapshot. The changelog compacts map-side to one head per touched
+    key (``compact_latest``), then ONE full-outer equi-join upserts /
+    deletes; untouched keys pass through."""
+    payload = [c for c in snapshot.columns if c not in keys]
+    missing = [c for c in payload + [op_col] if c not in changes.columns]
+    if missing:
+        raise ValueError(f"changes is missing columns: {missing}")
+    sel = list(dict.fromkeys(list(keys) + payload + [op_col] + list(order_cols)))
+    latest = compact_latest(changes.select(*sel), keys, order_cols)
+    cond = None
+    for k in keys:
+        c = F.col(f"s.{k}") == F.col(f"c.{k}")
+        cond = c if cond is None else (cond & c)
+    return (snapshot.alias("s").join(latest.alias("c"), cond, "full_outer")
+            .where(F.col(f"c.{op_col}").isNull()
+                   | (F.col(f"c.{op_col}") != "D"))
+            .select(*[F.coalesce(F.col(f"c.{k}"), F.col(f"s.{k}")).alias(k)
+                      for k in keys],
+                    *[F.when(F.col(f"c.{op_col}").isNotNull(),
+                             F.col(f"c.{p}")).otherwise(F.col(f"s.{p}")).alias(p)
+                      for p in payload]))
+
+
 def fuzzy_join(left, right, left_col, right_col):
     """Edit-distance-≤1 string join — Python mirror of the Scala
     ``Joins.fuzzyJoin``: FastSS deletion-variant blocking

@@ -292,6 +292,18 @@ def test_triangles(spark):
     assert got == [(1, 2, 3), (1, 2, 4)]
 
 
+def test_apply_changelog(spark):
+    from graft.pipeline import apply_changelog
+    snap = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")],
+                                 "k long, pay string")
+    ch = spark.createDataFrame(
+        [(1, "a2", "U", 10, 1), (4, "d", "U", 10, 2), (2, "x", "D", 10, 3)],
+        "k long, pay string, op string, ver long, id long")
+    got = sorted((r.k, r.pay) for r in
+                 apply_changelog(snap, ch, ["k"], ["ver", "id"], "op").collect())
+    assert got == [(1, "a2"), (3, "c"), (4, "d")]
+
+
 def test_hits(spark):
     from graft.pipeline import hits
     e = spark.createDataFrame([(1, 101), (2, 101), (2, 102)], "s long, d long")

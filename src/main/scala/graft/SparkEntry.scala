@@ -2537,6 +2537,54 @@ object SparkEntry {
         .agg(count(col("k")).as("n"), sum("k").as("sum_k"),
           min("k").as("min_k"), max("k").as("max_k"))
         .orderBy("event_type"))
+    ,
+    // CDC MERGE (Joins.applyChangelog): even-event snapshot + odd-event
+    // changelog with tombstones (vc < 1000 → 'D'); the changelog first
+    // collapses map-side to one head per touched key, then ONE
+    // full-outer join applies upserts and deletes — no window over the
+    // snapshot. The oracle replays compaction + merge with windows.
+    "q_cdc_apply" -> ((s, dir) => {
+      val e = eventsMicros(s, dir).select(col("user_id"), col("event_id"),
+        expr("cast(round(value * 100) as bigint)").as("vc"), col("tus"))
+      val snap = graft.pipeline.Joins.compactLatest(
+          e.where(col("event_id") % 2 === 0), Seq("user_id"), Seq("tus", "event_id"))
+        .select("user_id", "vc")
+      val changes = e.where(col("event_id") % 2 === 1)
+        .withColumn("op", when(col("vc") < 1000, lit("D")).otherwise(lit("U")))
+      graft.pipeline.Joins.applyChangelog(snap, changes,
+          Seq("user_id"), Seq("tus", "event_id"), "op")
+        .orderBy("user_id")
+    }),
+    // Label-separation audit over the embedding table: per label-pair
+    // the EXACT integer dot of int8-quantized sum vectors (pl_quantize
+    // codes → dimension-wise long sums, associative so the result is
+    // partition-order-proof — the float version would drift). One
+    // posexplode + (label, dim) groupBy is the whole data pass; the
+    // L×L pair join is label-METADATA-sized (broadcast), never rows.
+    // Diagonal = within-label mass, off-diagonal = cross-label
+    // alignment — the label-quality confusion audit for an embedding
+    // model.
+    "q_label_separation" -> ((s, dir) => {
+      val codes = t(s, dir, "embeddings")
+        .select(col("label").cast("bigint").as("label"),
+          Similarity.quantizeInt8(col("embedding").cast("array<double>"),
+            Similarity.int8Scale(col("embedding"))).as("codes"))
+      val sums = codes.select(col("label"), posexplode(col("codes")))
+        .groupBy("label", "pos").agg(sum("col").as("s"))
+      val sv = sums.groupBy("label")
+        .agg(expr("transform(sort_array(collect_list(struct(pos, s))), x -> x.s)")
+          .as("sv"))
+      val lv = sv.join(codes.groupBy("label").agg(count(lit(1)).as("n")), "label")
+      val a = lv.select(col("label").as("label_a"), col("n").as("n_a"),
+        col("sv").as("sv_a"))
+      val b = lv.select(col("label").as("label_b"), col("n").as("n_b"),
+        col("sv").as("sv_b"))
+      a.crossJoin(broadcast(b)).where(col("label_a") <= col("label_b"))
+        .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+          expr("aggregate(zip_with(sv_a, sv_b, (x, y) -> x * y), 0L, (acc, x) -> acc + x)")
+            .as("dot_ss"))
+        .orderBy("label_a", "label_b")
+    })
   )
 
   // ---- DuckDB SQL builders for graft's 64-bit hash primitives ----
@@ -5010,6 +5058,45 @@ object SparkEntry {
         |  CAST(max(k) AS BIGINT) AS max_k
         |FROM (SELECT event_type,
         |  CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_cdc_apply" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS vc, epoch_ns(ts) // 1000 AS tus
+        |  FROM events),
+        |snap AS (SELECT user_id, vc FROM
+        |  (SELECT user_id, vc, row_number() OVER
+        |     (PARTITION BY user_id ORDER BY tus DESC, event_id DESC) AS rn
+        |   FROM e WHERE event_id % 2 = 0) WHERE rn = 1),
+        |latest AS (SELECT user_id, vc, op FROM
+        |  (SELECT user_id, vc, CASE WHEN vc < 1000 THEN 'D' ELSE 'U' END AS op,
+        |     row_number() OVER
+        |       (PARTITION BY user_id ORDER BY tus DESC, event_id DESC) AS rn
+        |   FROM e WHERE event_id % 2 = 1) WHERE rn = 1)
+        |SELECT coalesce(l.user_id, s.user_id) AS user_id,
+        |  CASE WHEN l.op IS NOT NULL THEN l.vc ELSE s.vc END AS vc
+        |FROM snap s FULL OUTER JOIN latest l ON s.user_id = l.user_id
+        |WHERE l.op IS NULL OR l.op <> 'D'
+        |ORDER BY 1""".stripMargin,
+    "q_label_separation" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |m AS (SELECT vec_id, label, v,
+        |  list_max(list_transform(v, x -> abs(x))) / 127.0 AS m0 FROM e),
+        |c AS (SELECT vec_id, label, list_transform(v, x ->
+        |  CAST(round(x / (CASE WHEN m0 = 0 THEN 1.0 ELSE m0 END)) AS BIGINT)) AS codes
+        |  FROM m),
+        |d0 AS (SELECT label, unnest(range(1, 1 + len(codes))) AS dd, codes FROM c),
+        |d AS (SELECT label, dd, CAST(sum(codes[CAST(dd AS INT)]) AS BIGINT) AS s
+        |  FROM d0 GROUP BY 1, 2),
+        |sv AS (SELECT label, list(s ORDER BY dd) AS sv FROM d GROUP BY 1),
+        |n AS (SELECT label, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY 1),
+        |lv AS (SELECT sv.label, n.n, sv.sv FROM sv JOIN n USING (label))
+        |SELECT a.label AS label_a, b.label AS label_b, a.n AS n_a, b.n AS n_b,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(1, 1 + len(a.sv)),
+        |      dd -> a.sv[CAST(dd AS INT)] * b.sv[CAST(dd AS INT)])),
+        |    (x, y) -> x + y) AS BIGINT) AS dot_ss
+        |FROM lv a JOIN lv b ON a.label <= b.label
+        |ORDER BY 1, 2""".stripMargin
   )
 }

@@ -271,4 +271,48 @@ object Joins {
           expr(s"greatest($leftStart, $rightStart) div ${bucketWidth}L"))
       .select(outCols.toSeq: _*)
   }
+
+  /**
+   * CDC MERGE: apply a changelog (upserts AND deletes) to a snapshot —
+   * the Debezium/Hudi/Delta `MERGE INTO` batch primitive.
+   * [[compactLatest]] alone gives latest-wins rows; this composes it
+   * with the snapshot and honors tombstones: per key, the latest
+   * change (by `orderCols`, which must totally order within a key)
+   * decides — `opCol == "D"` removes the key, anything else replaces
+   * (or inserts) the payload; keys the changelog never touches pass
+   * through unchanged.
+   *
+   * Plan shape at 100 TB: the changelog first collapses to ONE row per
+   * touched key via the map-side-combining max_by (a billion updates
+   * to one hot key ship ≤ one struct per input partition), then ONE
+   * full-outer equi-join against the snapshot — no window over the
+   * snapshot, no per-key sort of anything but the compacted heads.
+   * Both sides shuffle once on the key; AQE handles skew.
+   *
+   * `snapshot` and `changes` must share `keys` + payload column names;
+   * `changes` additionally carries `opCol` and `orderCols`. Output:
+   * the new snapshot, same schema as `snapshot`.
+   */
+  def applyChangelog(snapshot: DataFrame, changes: DataFrame,
+      keys: Seq[String], orderCols: Seq[String], opCol: String): DataFrame = {
+    require(keys.nonEmpty && orderCols.nonEmpty, "keys and orderCols required")
+    val payload = snapshot.columns.filterNot(keys.contains).toSeq
+    val missing = (payload :+ opCol).filterNot(changes.columns.contains)
+    require(missing.isEmpty,
+      s"changes is missing columns: ${missing.mkString(", ")}")
+    val latest = compactLatest(
+      changes.select(
+        (keys ++ payload ++ Seq(opCol) ++ orderCols).distinct.map(col): _*),
+      keys, orderCols)
+    val snapCols = keys.map(c => col(s"s.$c")) ++ payload.map(c => col(s"s.$c"))
+    val out = snapshot.alias("s").join(latest.alias("c"),
+        keys.map(k => col(s"s.$k") === col(s"c.$k")).reduce(_ && _),
+        "full_outer")
+      .where(col(s"c.$opCol").isNull || col(s"c.$opCol") =!= "D")
+      .select(keys.map(k => coalesce(col(s"c.$k"), col(s"s.$k")).as(k)) ++
+        payload.map(p =>
+          when(col(s"c.$opCol").isNotNull, col(s"c.$p"))
+            .otherwise(col(s"s.$p")).as(p)): _*)
+    out
+  }
 }

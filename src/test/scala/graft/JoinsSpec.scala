@@ -233,6 +233,35 @@ class JoinsSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("applyChangelog: upsert, insert, delete and passthrough in one merge") {
+    val snap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "pay")
+    val changes = Seq(
+      (1L, "a2", "U", 10L, 1L),  // update existing
+      (4L, "d", "U", 10L, 2L),   // insert new key
+      (2L, "x", "D", 10L, 3L),   // tombstone
+      (2L, "stale", "U", 5L, 4L) // older than the tombstone: ignored
+    ).toDF("k", "pay", "op", "ver", "id")
+    val got = Joins.applyChangelog(snap, changes, Seq("k"), Seq("ver", "id"), "op")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "a2"), (3L, "c"), (4L, "d")))
+  }
+
+  test("applyChangelog: a delete-then-reinsert keeps the latest insert") {
+    val snap = Seq((1L, "a")).toDF("k", "pay")
+    val changes = Seq((1L, "x", "D", 1L, 1L), (1L, "re", "U", 2L, 2L))
+      .toDF("k", "pay", "op", "ver", "id")
+    val got = Joins.applyChangelog(snap, changes, Seq("k"), Seq("ver", "id"), "op")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "re")))
+  }
+
+  test("applyChangelog validates required change columns") {
+    val snap = Seq((1L, "a")).toDF("k", "pay")
+    val bad = Seq((1L, "U", 1L)).toDF("k", "op", "ver")
+    intercept[IllegalArgumentException](
+      Joins.applyChangelog(snap, bad, Seq("k"), Seq("ver"), "op"))
+  }
+
   test("overlapJoin validates width and rejects colliding columns") {
     val a = randomIntervals(7, 5, "a")
     intercept[IllegalArgumentException](

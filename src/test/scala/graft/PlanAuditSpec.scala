@@ -31,7 +31,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_heavy_hitters" -> "broadcast one-row CMS sketch crossJoin (1 KB array)",
     "q_knn_recall" -> ("contains the labeled brute baseline as the recall " +
       "ground truth; at scale the truth side runs on a query sample"),
-    "q_skew_report" -> "broadcast one-row table-total crossJoin")
+    "q_skew_report" -> "broadcast one-row table-total crossJoin",
+    "q_label_separation" ->
+      "broadcast label-cardinality sum-vector crossJoin (L x L label pairs = metadata-sized)")
 
   test("no query plans an unintended cartesian or nested-loop join") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
