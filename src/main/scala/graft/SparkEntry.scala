@@ -2584,6 +2584,27 @@ object SparkEntry {
           expr("aggregate(zip_with(sv_a, sv_b, (x, y) -> x * y), 0L, (acc, x) -> acc + x)")
             .as("dot_ss"))
         .orderBy("label_a", "label_b")
+    }),
+    // Priority-keeper near-dup clustering (Dedup2.keepDecisionsBy):
+    // the q_dedup_pipeline chain fixture with INVERTED variant ids —
+    // the full document carries the LARGEST id in its component, so a
+    // min-id keeper would retain a truncation; the priority keeper
+    // (token count desc, id asc) must retain the full text. Same
+    // fixpoint clustering; one extra max_by aggregation + join.
+    "q_dedup_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("doc_id") % 5 === 0)
+      val toks = split(col("text"), " ")
+      val n1 = floor(size(toks) * 4 / 5).cast("int")
+      val n2 = floor(floor(size(toks) * 4 / 5) * 4 / 5).cast("int")
+      val v0 = docs.select((col("doc_id") * 3 + 2).as("id"), col("source"), col("text"))
+      val v1 = docs.select((col("doc_id") * 3 + 1).as("id"), col("source"),
+        concat_ws(" ", slice(toks, lit(1), n1)).as("text"))
+      val v2 = docs.select((col("doc_id") * 3).as("id"), col("source"),
+        concat_ws(" ", slice(toks, lit(1), n2)).as("text"))
+      val u = v0.union(v1).union(v2)
+        .withColumn("p", size(split(col("text"), " ")).cast("bigint"))
+      graft.pipeline.Dedup2.keepDecisionsBy(u, "id", "text", "p", "source")
+        .orderBy("id")
     })
   )
 
@@ -5097,6 +5118,47 @@ object SparkEntry {
         |      dd -> a.sv[CAST(dd AS INT)] * b.sv[CAST(dd AS INT)])),
         |    (x, y) -> x + y) AS BIGINT) AS dot_ss
         |FROM lv a JOIN lv b ON a.label <= b.label
-        |ORDER BY 1, 2""".stripMargin
+        |ORDER BY 1, 2""".stripMargin,
+    "q_dedup_best" ->
+      """WITH RECURSIVE docs0 AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS t
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |vars AS (
+        |  SELECT doc_id * 3 + 2 AS id, source, t FROM docs0
+        |  UNION ALL
+        |  SELECT doc_id * 3 + 1, source, t[1:(LEN(t) * 4) // 5] FROM docs0
+        |  UNION ALL
+        |  SELECT doc_id * 3, source, t[1:(((LEN(t) * 4) // 5) * 4) // 5] FROM docs0),
+        |vtext AS (SELECT id, source, array_to_string(t, ' ') AS text, t FROM vars),
+        |grams AS (SELECT DISTINCT source AS blk, id,
+        |  unnest([array_to_string(t[i:i+2], ' ') FOR i IN range(1, GREATEST(LEN(t) - 1, 2))]) AS gram
+        |  FROM vtext),
+        |sizes AS (SELECT blk, id, CAST(COUNT(*) AS DOUBLE) AS sz FROM grams GROUP BY blk, id),
+        |common AS (SELECT a.blk AS blk, a.id AS a_id, b.id AS b_id, CAST(COUNT(*) AS DOUBLE) AS c
+        |           FROM grams a JOIN grams b ON a.blk = b.blk AND a.gram = b.gram AND a.id < b.id
+        |           GROUP BY a.blk, a.id, b.id),
+        |near AS (SELECT a_id, b_id FROM common
+        |         JOIN sizes sa ON sa.blk = common.blk AND sa.id = common.a_id
+        |         JOIN sizes sb ON sb.blk = common.blk AND sb.id = common.b_id
+        |         WHERE c / (sa.sz + sb.sz - c) >= 0.7),
+        |exact AS (SELECT x.id AS a_id, y.id AS b_id FROM vtext x JOIN vtext y
+        |          ON x.text = y.text AND x.id < y.id),
+        |edges AS (SELECT a_id AS src, b_id AS dst FROM near
+        |          UNION SELECT b_id, a_id FROM near
+        |          UNION SELECT a_id, b_id FROM exact
+        |          UNION SELECT b_id, a_id FROM exact),
+        |reach AS (
+        |  SELECT id, id AS r FROM vtext
+        |  UNION
+        |  SELECT e.src AS id, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+        |comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id),
+        |pr AS (SELECT v.id, comp.comp, CAST(LEN(v.t) AS BIGINT) AS p
+        |  FROM vars v JOIN comp ON comp.id = v.id),
+        |k AS (SELECT comp, id AS keep_id FROM
+        |  (SELECT comp, id, row_number() OVER
+        |     (PARTITION BY comp ORDER BY p DESC, id) AS rn FROM pr)
+        |  WHERE rn = 1)
+        |SELECT pr.id, k.keep_id, k.keep_id <> pr.id AS is_duplicate
+        |FROM pr JOIN k USING (comp) ORDER BY pr.id""".stripMargin
   )
 }

@@ -763,6 +763,38 @@ object Dedup2 {
     decisions(df, idCol, edges = exactEdges(df, idCol, textCol).union(near),
       maxIters = maxIters)
   }
+
+  /**
+   * Priority-keeper variant of [[keepDecisionsExact]]: identical
+   * component clustering, but within each near-dup component the
+   * keeper is the member with the GREATEST `(priority, -id)` — "keep
+   * the best copy", not "keep the smallest id". The curation-grade
+   * policy: a near-dup chain built from a full document and its
+   * truncations/mutilations should retain the most complete one, which
+   * min-id cannot promise.
+   *
+   * One extra keyed aggregation over the converged labels (the
+   * map-side-combining `max_by`, same shape as
+   * [[Joins.compactLatest]]) and one join back — nothing touches the
+   * fixpoint loop. `priority` must be a numeric column on `df`; ties
+   * resolve to the smaller id, so the result is total.
+   */
+  def keepDecisionsBy(df: DataFrame, idCol: String, textCol: String,
+      priorityCol: String, blockCol: String, n: Int = 3,
+      jaccardThreshold: Double = 0.7, maxIters: Int = 20): DataFrame = {
+    val near = Dedup.ngramJaccard(df, idCol, textCol, blockCol, n, jaccardThreshold)
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+    val labels = connectedComponents(df.select(col(idCol).as("id")),
+      exactEdges(df, idCol, textCol).union(near), maxIters)
+    val withP = labels.join(
+      df.select(col(idCol).as("id"), col(priorityCol).as("__graft_p")), "id")
+    val keepers = withP.groupBy("label")
+      .agg(max_by(col("id"),
+        struct(col("__graft_p"), (-col("id")).as("__graft_nid"))).as("keep_id"))
+    withP.join(keepers, Seq("label"))
+      .select(col("id"), col("keep_id"),
+        (col("keep_id") =!= col("id")).as("is_duplicate"))
+  }
 }
 
 object Similarity {

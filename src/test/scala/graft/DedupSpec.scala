@@ -65,6 +65,24 @@ class DedupSpec extends AnyFunSuite {
     assert(out(4L) == 4L)
   }
 
+  test("keepDecisionsBy retains the highest-priority member, not the min id") {
+    // full doc carries the LARGEST id — a min-id keeper would retain
+    // the truncation; the priority keeper must retain the full text
+    val full = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val cut = (1 to 48).map(i => s"tok$i").mkString(" ")
+    val other = (1 to 60).map(i => s"zzz$i").mkString(" ")
+    val df = Seq((1L, cut, "s"), (2L, full, "s"), (3L, other, "s"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("p", org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.split(col("text"), " ")).cast("bigint"))
+    val out = Dedup2.keepDecisionsBy(df, "doc_id", "text", "p", "source",
+        jaccardThreshold = 0.7)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(1L) == (2L, true), s"truncation must defer to the full doc: $out")
+    assert(out(2L) == (2L, false))
+    assert(out(3L) == (3L, false))
+  }
+
   test("ngramJaccard maxDocFreq bounds the gram-skew join blowup") {
     // 100 docs in one block all sharing one ubiquitous stop-gram — the
     // (blk, gram) self-join on that gram alone is 100·99/2 = 4950 pairs.
