@@ -571,6 +571,25 @@ def overlap_join(left, right, key, left_start, left_end, right_start,
             .select(*out_cols))
 
 
+def priority_sample(df, id_col, weight_col, k):
+    """Weighted priority sampling (Duffield-Lund-Thorup, integer form) —
+    Python mirror of the Scala ``Splits.prioritySample``:
+    ``priority = (pl_mix64(id) & Long.Max) div max(weight, 1)``, the k
+    smallest priorities win. Deterministic, seedless, exact integer
+    comparisons; the plan is a scalar projection + bounded global
+    top-k."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    from graft import functions as gf
+    return (df.withColumn("__graft_u",
+                          gf.pl_mix64(F.col(id_col))
+                          .bitwiseAND(F.lit(9223372036854775807)))
+            .withColumn("priority",
+                        F.expr(f"__graft_u div greatest({weight_col}, 1L)"))
+            .orderBy("priority", id_col).limit(k)
+            .drop("__graft_u"))
+
+
 def apply_changelog(snapshot, changes, keys, order_cols, op_col):
     """CDC MERGE — Python mirror of the Scala ``Joins.applyChangelog``:
     apply a changelog (upserts AND ``op == 'D'`` tombstones) to a

@@ -292,6 +292,17 @@ def test_triangles(spark):
     assert got == [(1, 2, 3), (1, 2, 4)]
 
 
+def test_priority_sample(spark):
+    from graft.pipeline import priority_sample
+    items = spark.createDataFrame(
+        [(i, 1000 if i < 100 else 10) for i in range(200)], "id long, w long")
+    got = priority_sample(items, "id", "w", 20).collect()
+    assert len(got) == 20
+    assert sum(1 for r in got if r.id < 100) >= 18  # heavy class dominates
+    ps = [r.priority for r in got]
+    assert ps == sorted(ps) and all(p >= 0 for p in ps)
+
+
 def test_apply_changelog(spark):
     from graft.pipeline import apply_changelog
     snap = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")],

@@ -2605,7 +2605,17 @@ object SparkEntry {
         .withColumn("p", size(split(col("text"), " ")).cast("bigint"))
       graft.pipeline.Dedup2.keepDecisionsBy(u, "id", "text", "p", "source")
         .orderBy("id")
-    })
+    }),
+    // Weighted priority sampling (Duffield-Lund-Thorup, integer form):
+    // priority = uniform-int div weight, k smallest win — heavy docs
+    // surface ~proportionally, the whole plan is one scalar projection
+    // + bounded global top-k (TakeOrderedAndProject), and the integer
+    // floor division makes the sample bit-replayable in DuckDB.
+    "q_priority_sample" -> ((s, dir) =>
+      graft.pipeline.Splits.prioritySample(
+          t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+          "doc_id", "n_chars", k = 50)
+        .orderBy("priority", "doc_id"))
   )
 
   // ---- DuckDB SQL builders for graft's 64-bit hash primitives ----
@@ -5159,6 +5169,13 @@ object SparkEntry {
         |     (PARTITION BY comp ORDER BY p DESC, id) AS rn FROM pr)
         |  WHERE rn = 1)
         |SELECT pr.id, k.keep_id, k.keep_id <> pr.id AS is_duplicate
-        |FROM pr JOIN k USING (comp) ORDER BY pr.id""".stripMargin
+        |FROM pr JOIN k USING (comp) ORDER BY pr.id""".stripMargin,
+    "q_priority_sample" ->
+      s"""WITH p AS (SELECT doc_id, n_chars,
+         |  CAST((${duckMix64("doc_id::HUGEINT")} % 9223372036854775808::HUGEINT)
+         |    // greatest(n_chars, 1) AS BIGINT) AS priority
+         |  FROM documents)
+         |SELECT doc_id, n_chars, priority FROM p
+         |ORDER BY priority, doc_id LIMIT 50""".stripMargin
   )
 }

@@ -141,6 +141,37 @@ object Splits {
           .when(col("bucket") < trainPermille + valPermille, "val")
           .otherwise("test"))
   }
+
+  /**
+   * Weighted PRIORITY sampling (Duffield-Lund-Thorup): a deterministic
+   * k-item sample whose inclusion leans toward heavy `weightCol` items
+   * — the weighted complement of the hash-order quota sample. Each row
+   * gets `priority = u div max(weight, 1)` with `u = mix64(id) &
+   * Long.MaxValue` (a uniform integer on [0, 2^63) — integer floor
+   * division instead of the scheme's u/w float keeps every comparison
+   * EXACT and bit-replayable in any engine); the k SMALLEST priorities
+   * win, so doubling a weight halves an item's priority scale.
+   *
+   * 100 TB shape: the only plan is a scalar projection + global
+   * bounded top-k (TakeOrderedAndProject — map partitions keep k rows,
+   * no full sort materialization, no shuffle beyond the k-row
+   * singleton). Seedless by design: the sample is a pure function of
+   * ids, so reruns and engines agree row-for-row.
+   *
+   * Output: input columns + `priority`, the k winners in
+   * (priority, id) order.
+   */
+  def prioritySample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val u = c(Mix64(asExpr(col(idCol)))).bitwiseAND(lit(Long.MaxValue))
+    df.withColumn("__graft_u", u)
+      .withColumn("priority",
+        expr(s"__graft_u div greatest($weightCol, 1L)"))
+      .orderBy(col("priority"), col(idCol))
+      .limit(k)
+      .drop("__graft_u")
+  }
 }
 
 /**

@@ -66,6 +66,24 @@ class TrainingSpec extends AnyFunSuite {
     assert(n("train") > 1900 && n("val") < 50 && n("test") < 50)
   }
 
+  test("prioritySample is deterministic and leans toward heavy weights") {
+    // two weight classes: heavy items (w=1000) vs light (w=10) — the
+    // heavy class should dominate the sample ~100:1 in expectation
+    val items = (0L until 2000L).map(i =>
+      (i, if (i < 1000) 1000L else 10L)).toDF("id", "w")
+    val a = Splits.prioritySample(items, "id", "w", 100)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    val b = Splits.prioritySample(items.repartition(13), "id", "w", 100)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(a == b, "sample changed under repartition")
+    assert(a.size == 100)
+    val heavy = a.count(_._1 < 1000)
+    assert(heavy >= 90, s"heavy class should dominate, got $heavy/100")
+    // priorities are sorted, non-negative (sign bit cleared), exact ints
+    assert(a.map(_._2) == a.map(_._2).sorted && a.forall(_._2 >= 0))
+    intercept[IllegalArgumentException](Splits.prioritySample(items, "id", "w", 0))
+  }
+
   test("pqTopK ranks exact self-duplicates first") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val dupes = emb.limit(8)
