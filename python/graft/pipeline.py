@@ -590,6 +590,32 @@ def priority_sample(df, id_col, weight_col, k):
             .drop("__graft_u"))
 
 
+def band_join(left, right, key, left_val, right_val, eps):
+    """Scalar band join — Python mirror of the Scala ``Joins.bandJoin``:
+    pairs rows sharing ``key`` whose integral values differ by at most
+    ``eps``. The left side replicates to its home bucket and both
+    neighbors (width = eps), the right keeps its single home bucket, so
+    each matching pair meets exactly once in an equi-join."""
+    if eps <= 0:
+        raise ValueError(f"eps must be positive, got {eps}")
+    collide = (set(left.columns) & set(right.columns)) - {key}
+    if collide:
+        raise ValueError(f"column names must not collide across sides: "
+                         f"{sorted(collide)}")
+    l = left.withColumn("__graft_bkt", F.explode(F.array(
+        F.expr(f"{left_val} div {eps}L - 1"),
+        F.expr(f"{left_val} div {eps}L"),
+        F.expr(f"{left_val} div {eps}L + 1"))))
+    r = (right.withColumnRenamed(key, "__graft_rk")
+         .withColumn("__graft_bkt", F.expr(f"{right_val} div {eps}L")))
+    out_cols = ([F.col(c) for c in left.columns]
+                + [F.col(c) for c in right.columns if c != key])
+    return (l.join(r, (F.col(key) == F.col("__graft_rk"))
+                   & (l["__graft_bkt"] == r["__graft_bkt"]))
+            .where(F.abs(F.col(left_val) - F.col(right_val)) <= eps)
+            .select(*out_cols))
+
+
 def apply_changelog(snapshot, changes, keys, order_cols, op_col):
     """CDC MERGE — Python mirror of the Scala ``Joins.applyChangelog``:
     apply a changelog (upserts AND ``op == 'D'`` tombstones) to a

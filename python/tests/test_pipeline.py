@@ -292,6 +292,17 @@ def test_triangles(spark):
     assert got == [(1, 2, 3), (1, 2, 4)]
 
 
+def test_band_join(spark):
+    from graft.pipeline import band_join
+    a = spark.createDataFrame([(1, 10, 100), (1, 11, 300)],
+                              "k long, id_a long, v_a long")
+    b = spark.createDataFrame([(1, 20, 149), (1, 21, 151), (2, 22, 100)],
+                              "k long, id_b long, v_b long")
+    got = sorted((r.id_a, r.id_b) for r in
+                 band_join(a, b, "k", "v_a", "v_b", 50).collect())
+    assert got == [(10, 20)]  # |100-149|<=50; |100-151|>50; key 2 unmatched
+
+
 def test_priority_sample(spark):
     from graft.pipeline import priority_sample
     items = spark.createDataFrame(

@@ -2615,7 +2615,24 @@ object SparkEntry {
       graft.pipeline.Splits.prioritySample(
           t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
           "doc_id", "n_chars", k = 50)
-        .orderBy("priority", "doc_id"))
+        .orderBy("priority", "doc_id")),
+    // Scalar band join (Joins.bandJoin): within-brand part pairs whose
+    // retail prices sit within 50 cents — the neighbor-bucket equi-join
+    // (3× left replication, right keeps its home bucket → exactly-once)
+    // replacing the per-brand nested loop; oracle is the theta join.
+    "q_band_join" -> ((s, dir) => {
+      val p = t(s, dir, "part").select(col("p_brand").as("brand"),
+        col("p_partkey"),
+        expr("cast(round(p_retailprice * 100) as bigint)").as("cents"))
+      val a = p.where(col("p_partkey") % 2 === 0)
+        .select(col("brand"), col("p_partkey").as("id_a"), col("cents").as("c_a"))
+      val b = p.where(col("p_partkey") % 2 === 1)
+        .select(col("brand"), col("p_partkey").as("id_b"), col("cents").as("c_b"))
+      graft.pipeline.Joins.bandJoin(a, b, "brand", "c_a", "c_b", eps = 50L)
+        .select(col("brand"), col("id_a"), col("id_b"),
+          (col("c_a") - col("c_b")).as("diff_cents"))
+        .orderBy("brand", "id_a", "id_b")
+    })
   )
 
   // ---- DuckDB SQL builders for graft's 64-bit hash primitives ----
@@ -5176,6 +5193,14 @@ object SparkEntry {
          |    // greatest(n_chars, 1) AS BIGINT) AS priority
          |  FROM documents)
          |SELECT doc_id, n_chars, priority FROM p
-         |ORDER BY priority, doc_id LIMIT 50""".stripMargin
+         |ORDER BY priority, doc_id LIMIT 50""".stripMargin,
+    "q_band_join" ->
+      """WITH p AS (SELECT p_brand AS brand, p_partkey,
+        |    CAST(round(p_retailprice * 100) AS BIGINT) AS cents FROM part),
+        |a AS (SELECT brand, p_partkey AS id_a, cents AS c_a FROM p WHERE p_partkey % 2 = 0),
+        |b AS (SELECT brand, p_partkey AS id_b, cents AS c_b FROM p WHERE p_partkey % 2 = 1)
+        |SELECT a.brand, id_a, id_b, c_a - c_b AS diff_cents
+        |FROM a JOIN b ON a.brand = b.brand AND abs(c_a - c_b) <= 50
+        |ORDER BY 1, 2, 3""".stripMargin
   )
 }

@@ -273,6 +273,45 @@ object Joins {
   }
 
   /**
+   * Scalar band join: pairs every left row with every right row
+   * sharing `key` whose integral values differ by at most `eps`
+   * (`|leftVal − rightVal| <= eps`, closed) — numeric near-matching:
+   * price-collision audits, sensor alignment, feature-value near-dups.
+   *
+   * Same family as [[overlapJoin]] but for points: bucket width = eps,
+   * the LEFT side replicates to its home bucket and both neighbors
+   * (bucket boundaries are eps apart, so a matching pair's buckets
+   * differ by at most 1), the RIGHT side keeps its single home bucket
+   * — every matching pair therefore meets EXACTLY once (the right
+   * row's bucket is unique), no dedup shuffle. The equi-join on
+   * `(key, bucket)` replaces the per-key nested loop a theta-join
+   * plans; constant 3× left-side replication.
+   *
+   * Values must be integral (scale floats to cents/micros first —
+   * exact, and the band semantics stay bit-deterministic).
+   *
+   * Output: left columns, right columns (names must not collide).
+   */
+  def bandJoin(left: DataFrame, right: DataFrame, key: String,
+      leftVal: String, rightVal: String, eps: Long): DataFrame = {
+    require(eps > 0, s"eps must be positive, got $eps")
+    val collisions = left.columns.toSet.intersect(right.columns.toSet) - key
+    require(collisions.isEmpty,
+      s"column names must not collide across sides: ${collisions.mkString(", ")}")
+    val l = left.withColumn("__graft_bkt",
+      explode(array(expr(s"$leftVal div ${eps}L - 1"),
+        expr(s"$leftVal div ${eps}L"), expr(s"$leftVal div ${eps}L + 1"))))
+    val r = right.withColumnRenamed(key, "__graft_rk")
+      .withColumn("__graft_bkt", expr(s"$rightVal div ${eps}L"))
+    val outCols = left.columns.map(col) ++
+      right.columns.filterNot(_ == key).map(col)
+    l.join(r, col(key) === col("__graft_rk") &&
+        l("__graft_bkt") === r("__graft_bkt"))
+      .where(abs(col(leftVal) - col(rightVal)) <= eps)
+      .select(outCols.toSeq: _*)
+  }
+
+  /**
    * CDC MERGE: apply a changelog (upserts AND deletes) to a snapshot —
    * the Debezium/Hudi/Delta `MERGE INTO` batch primitive.
    * [[compactLatest]] alone gives latest-wins rows; this composes it

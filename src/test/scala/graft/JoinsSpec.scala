@@ -262,6 +262,32 @@ class JoinsSpec extends AnyFunSuite {
       Joins.applyChangelog(snap, bad, Seq("k"), Seq("ver"), "op"))
   }
 
+  test("bandJoin matches the theta join, exactly once, including negatives") {
+    val rnd = new scala.util.Random(17)
+    val mk = (seed: Int, tag: String) => {
+      val r = new scala.util.Random(seed)
+      (1 to 300).map(i => (r.nextInt(4).toLong, i.toLong,
+        r.nextInt(400).toLong - 200L)).toDF("k", s"id_$tag", s"v_$tag")
+    }
+    val a = mk(3, "a"); val b = mk(11, "b")
+    for (eps <- Seq(1L, 7L, 50L, 1000L)) {
+      val want = a.join(b, a("k") === b("k") &&
+          abs(col("v_a") - col("v_b")) <= eps)
+        .select(a("k"), col("id_a"), col("id_b"))
+        .orderBy("k", "id_a", "id_b").collect().map(_.toSeq).toSeq
+      val got = Joins.bandJoin(a, b, "k", "v_a", "v_b", eps)
+        .select(col("k"), col("id_a"), col("id_b"))
+        .orderBy("k", "id_a", "id_b").collect().map(_.toSeq).toSeq
+      assert(got == want, s"eps=$eps")
+      assert(got.distinct.size == got.size, s"eps=$eps emitted dups")
+    }
+    val plan = Joins.bandJoin(a, b, "k", "v_a", "v_b", 50L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    intercept[IllegalArgumentException](Joins.bandJoin(a, b, "k", "v_a", "v_b", 0L))
+  }
+
   test("overlapJoin validates width and rejects colliding columns") {
     val a = randomIntervals(7, 5, "a")
     intercept[IllegalArgumentException](
