@@ -1078,6 +1078,12 @@ def mm_png_stats(blob):
     return _fn("mm_png_stats", blob)
 
 
+def mm_image_ahash(blob):
+    """64-bit average-hash (aHash) image near-dup fingerprint; compare
+    with bit_count(a ^ b) Hamming distance."""
+    return _fn("mm_image_ahash", blob)
+
+
 def mm_byte_histogram(blob, bins=16):
     """Normalized byte-value histogram of the payload."""
     return _fn("mm_byte_histogram", blob, bins)

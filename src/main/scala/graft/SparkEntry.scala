@@ -2632,6 +2632,36 @@ object SparkEntry {
         .select(col("brand"), col("id_a"), col("id_b"),
           (col("c_a") - col("c_b")).as("diff_cents"))
         .orderBy("brand", "id_a", "id_b")
+    }),
+    // Image near-dup fingerprints: mm_image_ahash over the closed-form
+    // synthetic PNGs (the q_image_decode corpus) — all-integer floor
+    // resample + gray + mean threshold, so the oracle recomputes every
+    // hash from the pixel formula; hamming_next (bit_count of the xor
+    // with the next doc's hash) is the near-dup distance the banded
+    // self-join would use at corpus scale. The global lead window is
+    // demo-scale; production pairs come from the 16-bit chunk blocking
+    // (same recipe as the simhash join).
+    "q_image_ahash" -> ((s, dir) => {
+      val d = col("doc_id")
+      val w = (pmod(d, lit(13)) + 1).cast("int")
+      val h = (pmod(d, lit(11)) + 1).cast("int")
+      val pix = transform(sequence(lit(0L), (w * h - 1).cast("long")), { i =>
+        val x = pmod(i, w.cast("long"))
+        val y = (i - x) / w.cast("long")
+        val base = x * 7 + y * 13 + d * 3
+        (pmod(base, lit(256L)) * 65536L +
+          pmod(base + 31, lit(256L)) * 256L +
+          pmod(base + 62, lit(256L))).cast("int")
+      })
+      val hashed = t(s, dir, "documents")
+        .select(d, Multimodal.image_ahash(
+          Multimodal.encode_png(pix, w, h)).as("ahash"))
+      val wnd = Window.orderBy("doc_id")
+      hashed
+        .withColumn("bits", expr("bit_count(ahash)"))
+        .withColumn("hamming_next",
+          expr("bit_count(ahash ^ lead(ahash, 1) OVER (ORDER BY doc_id))"))
+        .orderBy("doc_id")
     })
   )
 
@@ -5201,6 +5231,31 @@ object SparkEntry {
         |b AS (SELECT brand, p_partkey AS id_b, cents AS c_b FROM p WHERE p_partkey % 2 = 1)
         |SELECT a.brand, id_a, id_b, c_a - c_b AS diff_cents
         |FROM a JOIN b ON a.brand = b.brand AND abs(c_a - c_b) <= 50
-        |ORDER BY 1, 2, 3""".stripMargin
+        |ORDER BY 1, 2, 3""".stripMargin,
+    "q_image_ahash" ->
+      """WITH g AS (SELECT doc_id, doc_id % 13 + 1 AS w, doc_id % 11 + 1 AS h
+        |  FROM documents),
+        |cells AS (SELECT doc_id, w, h, unnest(range(0, 64)) AS k FROM g),
+        |c2 AS (SELECT doc_id, k,
+        |  ((k % 8) * w) // 8 AS sx, ((k // 8) * h) // 8 AS sy FROM cells),
+        |gr AS (SELECT doc_id, k,
+        |  ((sx * 7 + sy * 13 + doc_id * 3) % 256
+        |   + (sx * 7 + sy * 13 + doc_id * 3 + 31) % 256
+        |   + (sx * 7 + sy * 13 + doc_id * 3 + 62) % 256) // 3 AS gray
+        |  FROM c2),
+        |mh AS (SELECT doc_id, CAST(sum(gray) AS BIGINT) // 64 AS mean
+        |  FROM gr GROUP BY 1),
+        |hb AS (SELECT gr.doc_id,
+        |  sum(CASE WHEN gray > mean
+        |    THEN (1::HUGEINT << CAST(k AS INT)) ELSE 0::HUGEINT END) AS uh
+        |  FROM gr JOIN mh ON gr.doc_id = mh.doc_id GROUP BY 1),
+        |sh AS (SELECT doc_id,
+        |  CAST(CASE WHEN uh >= 9223372036854775808::HUGEINT
+        |    THEN uh - 18446744073709551616::HUGEINT ELSE uh END AS BIGINT) AS ahash
+        |  FROM hb)
+        |SELECT doc_id, ahash, CAST(bit_count(ahash) AS INT) AS bits,
+        |  CAST(bit_count(xor(ahash, lead(ahash) OVER (ORDER BY doc_id))) AS INT)
+        |    AS hamming_next
+        |FROM sh ORDER BY doc_id""".stripMargin
   )
 }

@@ -546,6 +546,7 @@ object Raster {
     reg3("mm_image_pixel", graft.pipeline.ImagePixel(_, _, _))
     reg3("mm_image_resize", graft.pipeline.ImageResize(_, _, _))
     reg1("mm_png_stats", graft.pipeline.PngStats(_))
+    reg1("mm_image_ahash", graft.pipeline.ImageAHash(_))
     reg2("mm_wav_synth", graft.pipeline.WavSynth(_, _))
     reg1("mm_wav_stats", graft.pipeline.WavStats(_))
     regN("mm_byte_histogram", xs => graft.pipeline.ByteHistogram(xs(0),

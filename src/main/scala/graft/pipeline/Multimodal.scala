@@ -48,6 +48,10 @@ object Multimodal {
     * summary ([[PngStats]]) — the read-back half of a PNG-writer oracle. */
   def png_stats(blob: Column): Column = asColumn(PngStats(asExpr(blob)))
 
+  /** 64-bit average hash of an image blob — the image near-dup
+    * fingerprint ([[ImageAHash]]). */
+  def image_ahash(blob: Column): Column = asColumn(ImageAHash(asExpr(blob)))
+
   /** Deterministic fake decode: width/height/channels derived from payload
     * hash — retained for non-image payload plumbing tests; prefer
     * [[decode_image]] for anything that is actually an image. */
@@ -482,6 +486,63 @@ case class ImageResize(first: Expression, second: Expression, third: Expression)
   }
   override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
     copy(a, b, c)
+}
+
+/**
+ * 64-bit average hash (aHash) of an image blob — the classic image
+ * near-duplicate fingerprint: decode, floor-resample to 8×8, gray each
+ * cell as `(r + g + b) div 3`, threshold against the integer mean
+ * (`sum div 64`), bit `y*8 + x` set iff `gray > mean`. Re-encodes,
+ * crops and small noise keep the hash within a few bits, so a Hamming
+ * band join on the hashes finds visual near-dups the way simhash finds
+ * textual ones — same blocking recipe (split into 16-bit chunks,
+ * equi-join per chunk) at corpus scale.
+ *
+ * ALL-integer math (floor resample, integer gray, integer mean), so
+ * the hash is bit-deterministic and SQL-replayable — the q_image_ahash
+ * oracle recomputes it from the closed-form synthetic pixels.
+ */
+case class ImageAHash(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "mm_image_ahash"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a binary payload, got ${child.dataType.simpleString}")
+  override def nullable: Boolean = true
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any = {
+    val img = ImageCodec.readCached(input.asInstanceOf[Array[Byte]])
+    if (img == null) null
+    else {
+      val sw = img.getWidth
+      val sh = img.getHeight
+      val gray = new Array[Long](64)
+      var sum = 0L
+      var k = 0
+      var y = 0
+      while (y < 8) {
+        val sy = y * sh / 8
+        var x = 0
+        while (x < 8) {
+          val rgb = img.getRGB(x * sw / 8, sy)
+          val g = (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3
+          gray(k) = g
+          sum += g
+          k += 1; x += 1
+        }
+        y += 1
+      }
+      val mean = sum / 64
+      var hash = 0L
+      k = 0
+      while (k < 64) {
+        if (gray(k) > mean) hash |= (1L << k)
+        k += 1
+      }
+      hash
+    }
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(c)
 }
 
 /** STUB: deterministic pseudo-decode of an "image" payload — kept for

@@ -229,4 +229,34 @@ class MultimodalSpec extends AnyFunSuite {
       "SELECT mm_wav_stats(mm_wav_synth(9, 16)).n_samples AS n").collect()(0)
     assert(r.getLong(0) == 16L)
   }
+
+  test("mm_image_ahash: flat image hashes to 0, half-bright sets the right half") {
+    // 1x1 flat: every cell equals the mean -> no bit strictly above it
+    val flat = spark.sql(
+      "SELECT mm_image_ahash(mm_encode_png(array(8224125), 1, 1)) AS h")
+      .head().getLong(0)
+    assert(flat == 0L)
+    // 2x1 black|white: columns 0-3 sample pixel 0 (gray 0), 4-7 pixel 1
+    // (gray 255); mean = 127 -> exactly the 32 right-half bits set
+    val half = spark.sql(
+      "SELECT mm_image_ahash(mm_encode_png(array(0, 16777215), 2, 1)) AS h")
+      .head().getLong(0)
+    assert(java.lang.Long.bitCount(half) == 32)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val bit = (half >> (y * 8 + x)) & 1L
+      assert(bit == (if (x >= 4) 1L else 0L), s"bit ($x,$y)")
+    }
+    // near-dup robustness: one-pixel noise on a 16x16 gradient moves the
+    // hash by a small Hamming step, not a rewrite
+    val base = (0 until 256).map(i => (i % 16) * 16 * 65793)
+    def png(p: Seq[Int]) = s"mm_encode_png(array(${p.mkString(",")}), 16, 16)"
+    val noisy = base.updated(0, base(0) + 65793 * 8)
+    val Array(h1, h2) = spark.sql(
+      s"SELECT mm_image_ahash(${png(base)}) AS a, mm_image_ahash(${png(noisy)}) AS b")
+      .head() match { case r => Array(r.getLong(0), r.getLong(1)) }
+    assert(java.lang.Long.bitCount(h1 ^ h2) <= 2, s"noise moved too many bits")
+    // null passthrough on non-image bytes
+    assert(spark.sql("SELECT mm_image_ahash(cast('nope' as binary)) IS NULL AS n")
+      .head().getBoolean(0))
+  }
 }
