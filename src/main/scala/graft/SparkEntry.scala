@@ -2662,6 +2662,44 @@ object SparkEntry {
         .withColumn("hamming_next",
           expr("bit_count(ahash ^ lead(ahash, 1) OVER (ORDER BY doc_id))"))
         .orderBy("doc_id")
+    }),
+    // Image near-dup PAIR MINING: originals + one-pixel-noise twins,
+    // ahash chunk blocking (four 16-bit chunks — hamming ≤ 3 pairs
+    // must share one by pigeonhole, same recipe as simhash), exact
+    // Hamming refine ≤ 6. Ids-only through the chunk equi-join; the
+    // oracle recomputes hashes closed-form and replays the blocking.
+    "q_image_dedup" -> ((s, dir) => {
+      val d = col("doc_id")
+      val v = col("v")
+      val w = (pmod(d, lit(13)) + 1).cast("int")
+      val h = (pmod(d, lit(11)) + 1).cast("int")
+      val pix = transform(sequence(lit(0L), (w * h - 1).cast("long")), { i =>
+        val x = pmod(i, w.cast("long"))
+        val y = (i - x) / w.cast("long")
+        val base = x * 7 + y * 13 + d * 3 +
+          when(v === 1 && i === 0, lit(8L)).otherwise(lit(0L))
+        (pmod(base, lit(256L)) * 65536L +
+          pmod(base + 31, lit(256L)) * 256L +
+          pmod(base + 62, lit(256L))).cast("int")
+      })
+      val hs = t(s, dir, "documents").select(col("doc_id"))
+        .where(d % 5 === 0) // tiny synth images collide across docs; thin the corpus
+        .withColumn("v", explode(array(lit(0L), lit(1L))))
+        .select((d * 2 + v).as("id"),
+          Multimodal.image_ahash(Multimodal.encode_png(pix, w, h)).as("ahash"))
+      val chunks = hs
+        .withColumn("ci", explode(sequence(lit(0), lit(3))))
+        .withColumn("ck", expr("(ahash >> (ci * 16)) & 65535"))
+      val a = chunks.select(col("ci"), col("ck"),
+        col("id").as("id_a"), col("ahash").as("h_a"))
+      val b = chunks.select(col("ci"), col("ck"),
+        col("id").as("id_b"), col("ahash").as("h_b"))
+      a.join(b, Seq("ci", "ck")).where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          expr("bit_count(h_a ^ h_b)").as("hamming"))
+        .distinct()
+        .where(col("hamming") <= 6)
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -5256,6 +5294,36 @@ object SparkEntry {
         |SELECT doc_id, ahash, CAST(bit_count(ahash) AS INT) AS bits,
         |  CAST(bit_count(xor(ahash, lead(ahash) OVER (ORDER BY doc_id))) AS INT)
         |    AS hamming_next
-        |FROM sh ORDER BY doc_id""".stripMargin
+        |FROM sh ORDER BY doc_id""".stripMargin,
+    "q_image_dedup" ->
+      """WITH g AS (SELECT doc_id, vv AS v, doc_id % 13 + 1 AS w, doc_id % 11 + 1 AS h
+        |  FROM documents, unnest([0, 1]) AS t(vv) WHERE doc_id % 5 = 0),
+        |cells AS (SELECT doc_id, v, w, h, unnest(range(0, 64)) AS k FROM g),
+        |c2 AS (SELECT doc_id, v, k,
+        |  ((k % 8) * w) // 8 AS sx, ((k // 8) * h) // 8 AS sy FROM cells),
+        |gr AS (SELECT doc_id, v, k,
+        |  ((sx * 7 + sy * 13 + doc_id * 3 + nz) % 256
+        |   + (sx * 7 + sy * 13 + doc_id * 3 + nz + 31) % 256
+        |   + (sx * 7 + sy * 13 + doc_id * 3 + nz + 62) % 256) // 3 AS gray
+        |  FROM (SELECT *, CASE WHEN v = 1 AND sx = 0 AND sy = 0 THEN 8 ELSE 0 END AS nz
+        |        FROM c2)),
+        |mh AS (SELECT doc_id, v, CAST(sum(gray) AS BIGINT) // 64 AS mean
+        |  FROM gr GROUP BY 1, 2),
+        |hb AS (SELECT gr.doc_id, gr.v,
+        |  sum(CASE WHEN gray > mean
+        |    THEN (1::HUGEINT << CAST(k AS INT)) ELSE 0::HUGEINT END) AS uh
+        |  FROM gr JOIN mh ON gr.doc_id = mh.doc_id AND gr.v = mh.v GROUP BY 1, 2),
+        |sh AS (SELECT doc_id * 2 + v AS id,
+        |  CAST(CASE WHEN uh >= 9223372036854775808::HUGEINT
+        |    THEN uh - 18446744073709551616::HUGEINT ELSE uh END AS BIGINT) AS ahash
+        |  FROM hb),
+        |chunks AS (SELECT id, ahash, ci, (ahash >> (ci * 16)) & 65535 AS ck
+        |  FROM sh, unnest([0, 1, 2, 3]) AS t(ci)),
+        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+        |    CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
+        |  FROM chunks a JOIN chunks b
+        |    ON a.ci = b.ci AND a.ck = b.ck AND a.id < b.id)
+        |SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 6
+        |ORDER BY 1, 2""".stripMargin
   )
 }
