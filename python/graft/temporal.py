@@ -381,6 +381,24 @@ def cohort_retention(df, key, ts_col):
             .agg(F.countDistinct("__graft_k").alias("n_active")))
 
 
+def gap_fill(df, key, bucket_col, value_col):
+    """Forward-fill over a dense time spine — Python mirror of the Scala
+    ``Temporal.gapFill``: one row per key per bucket from the key's
+    first to last observation, ``<value>_filled`` = the most recent
+    observation at or before that bucket."""
+    spine = (df.groupBy(F.col(key))
+             .agg(F.min(bucket_col).alias("__graft_lo"),
+                  F.max(bucket_col).alias("__graft_hi"))
+             .select(F.col(key), F.explode(F.sequence(
+                 "__graft_lo", "__graft_hi")).alias(bucket_col)))
+    w = (Window.partitionBy(key).orderBy(bucket_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (spine.join(df.select(key, bucket_col, value_col),
+                       [key, bucket_col], "left")
+            .withColumn(f"{value_col}_filled",
+                        F.last(value_col, ignorenulls=True).over(w)))
+
+
 def scd2(df, keys, ts_col, tie_cols=()):
     """SCD Type-2 history build — Python mirror of the Scala
     ``Temporal.scd2``: each changelog row gains ``valid_from_us`` (its

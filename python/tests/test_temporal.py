@@ -215,6 +215,15 @@ def test_cohort_retention(spark):
                    ("1970-01-02", 0, 1)]
 
 
+def test_gap_fill(spark):
+    from graft.temporal import gap_fill
+    sparse = spark.createDataFrame([("A", 10, 1), ("A", 12, 2)],
+                                   "k string, b long, v long")
+    got = sorted((r.b, r.v, r.v_filled) for r in
+                 gap_fill(sparse, "k", "b", "v").collect())
+    assert got == [(10, 1, 1), (11, None, 1), (12, 2, 2)]
+
+
 def test_scd2(spark):
     from graft.temporal import scd2
     log = spark.createDataFrame(

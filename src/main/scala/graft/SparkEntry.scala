@@ -2700,6 +2700,21 @@ object SparkEntry {
         .distinct()
         .where(col("hamming") <= 6)
         .orderBy("id_a", "id_b")
+    }),
+    // Forward-fill over the dense day spine (Temporal.gapFill): rare
+    // high-value events (value > 250, a few dozen rows) leave most days empty; the
+    // spine generator + left join + last-ignoreNulls window completes
+    // the series with the prior observation — no per-gap self-joins.
+    "q_gap_fill" -> ((s, dir) => {
+      val daily = eventsMicros(s, dir)
+        .select(col("event_type"),
+          expr("tus div 86400000000").as("day"),
+          expr("cast(round(value * 100) as bigint)").as("vc"))
+        .where(col("vc") > 25000)
+        .groupBy("event_type", "day")
+        .agg(sum("vc").as("rev"))
+      graft.pipeline.Temporal.gapFill(daily, "event_type", "day", "rev")
+        .orderBy("event_type", "day")
     })
   )
 
@@ -5324,6 +5339,20 @@ object SparkEntry {
         |  FROM chunks a JOIN chunks b
         |    ON a.ci = b.ci AND a.ck = b.ck AND a.id < b.id)
         |SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 6
-        |ORDER BY 1, 2""".stripMargin
+        |ORDER BY 1, 2""".stripMargin,
+    "q_gap_fill" ->
+      """WITH drev AS (SELECT event_type,
+        |    epoch_ns(ts) // 1000 // 86400000000 AS day,
+        |    sum(CAST(round(value * 100) AS BIGINT)) AS rev
+        |  FROM events WHERE CAST(round(value * 100) AS BIGINT) > 25000
+        |  GROUP BY 1, 2),
+        |b AS (SELECT event_type, min(day) AS lo, max(day) AS hi FROM drev GROUP BY 1),
+        |spine AS (SELECT event_type, unnest(range(lo, hi + 1)) AS day FROM b),
+        |j AS (SELECT s.event_type, s.day, d.rev
+        |  FROM spine s LEFT JOIN drev d ON s.event_type = d.event_type AND s.day = d.day)
+        |SELECT event_type, day, rev,
+        |  last_value(rev IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rev_filled
+        |FROM j ORDER BY 1, 2""".stripMargin
   )
 }

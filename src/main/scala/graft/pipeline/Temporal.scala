@@ -509,4 +509,38 @@ object Temporal {
     df.withColumn("valid_from_us", from)
       .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(w))
   }
+
+  /**
+   * Forward-fill over a dense time spine: `df` holds SPARSE
+   * (key, bucket, value) observations on an integral bucket axis
+   * (days, hours — any integer grid); the result has one row per key
+   * per bucket from the key's first to last observation, with
+   * `<value>_filled` = the most recent observation at or before that
+   * bucket. The time-series completion step before any
+   * fixed-cadence model consumes event data.
+   *
+   * Shapes: one groupBy for per-key bounds, a generator exploding the
+   * spine (rows = Σ per-key ranges — the caller bounds the grid
+   * granularity, and a key's spine is its own observed range, never
+   * the corpus's), one left equi-join back, and one per-key window
+   * (`last(value) ignoreNulls` over the bucket order). No self-joins
+   * over time, no per-gap probes; a hot key is a groupBy/window hot
+   * key, splittable by coarser buckets upstream.
+   *
+   * Output: `key`, `bucketCol`, the original sparse `valueCol`
+   * (null on filled rows), and `<valueCol>_filled`.
+   */
+  def gapFill(df: DataFrame, key: String, bucketCol: String,
+      valueCol: String): DataFrame = {
+    val spine = df.groupBy(col(key))
+      .agg(min(col(bucketCol)).as("__graft_lo"), max(col(bucketCol)).as("__graft_hi"))
+      .select(col(key),
+        explode(sequence(col("__graft_lo"), col("__graft_hi"))).as(bucketCol))
+    val w = Window.partitionBy(key).orderBy(bucketCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(df.select(col(key), col(bucketCol), col(valueCol)),
+        Seq(key, bucketCol), "left")
+      .withColumn(s"${valueCol}_filled",
+        last(col(valueCol), ignoreNulls = true).over(w))
+  }
 }

@@ -438,6 +438,18 @@ class TemporalSpec extends AnyFunSuite {
     assert(got == Seq(("first", 10L), ("second", -1L)))
   }
 
+  test("gapFill completes the spine and forward-fills from the prior value") {
+    val sparse = Seq(("A", 10L, 1L), ("A", 13L, 2L), ("B", 5L, 9L))
+      .toDF("k", "b", "v")
+    val got = Temporal.gapFill(sparse, "k", "b", "v")
+      .orderBy("k", "b")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      ("A", 10L, 1L, 1L), ("A", 11L, -1L, 1L), ("A", 12L, -1L, 1L),
+      ("A", 13L, 2L, 2L), ("B", 5L, 9L, 9L)))
+  }
+
   test("scd2 accepts TIMESTAMP columns and is one shuffle") {
     val log = Seq(("A", "2024-01-01 00:00:00", 1L), ("A", "2024-01-02 00:00:00", 2L))
       .toDF("k", "s", "id").withColumn("ts", col("s").cast("timestamp"))
