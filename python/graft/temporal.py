@@ -381,6 +381,25 @@ def cohort_retention(df, key, ts_col):
             .agg(F.countDistinct("__graft_k").alias("n_active")))
 
 
+def interval_union_length(df, key, start_col, end_col):
+    """Merged-interval coverage — Python mirror of the Scala
+    ``Temporal.intervalUnionLength``: total length of the union of
+    half-open [start, end) spans per key via one running-max window
+    (each span contributes only its uncovered tail). Returns
+    (key, n_spans, span_sum, covered)."""
+    w = (Window.partitionBy(key).orderBy(start_col, end_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    return (df.withColumn("__graft_pm", F.max(end_col).over(w))
+            .withColumn("__graft_c", F.greatest(
+                F.lit(0), F.col(end_col) - F.greatest(
+                    F.col(start_col),
+                    F.coalesce(F.col("__graft_pm"), F.col(start_col)))))
+            .groupBy(F.col(key))
+            .agg(F.count(F.lit(1)).alias("n_spans"),
+                 F.sum(F.col(end_col) - F.col(start_col)).alias("span_sum"),
+                 F.sum("__graft_c").alias("covered")))
+
+
 def gap_fill(df, key, bucket_col, value_col):
     """Forward-fill over a dense time spine — Python mirror of the Scala
     ``Temporal.gapFill``: one row per key per bucket from the key's

@@ -215,6 +215,14 @@ def test_cohort_retention(spark):
                    ("1970-01-02", 0, 1)]
 
 
+def test_interval_union_length(spark):
+    from graft.temporal import interval_union_length
+    sp = spark.createDataFrame(
+        [("A", 0, 10), ("A", 5, 15), ("A", 20, 25)], "k string, s long, e long")
+    r = interval_union_length(sp, "k", "s", "e").head()
+    assert (r.n_spans, r.span_sum, r.covered) == (3, 25, 20)
+
+
 def test_gap_fill(spark):
     from graft.temporal import gap_fill
     sparse = spark.createDataFrame([("A", 10, 1), ("A", 12, 2)],

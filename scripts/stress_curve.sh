@@ -31,17 +31,25 @@ import json, sys
 a = {j["op"]: j for j in map(json.loads, sys.argv[1].splitlines())}
 b = {j["op"]: j for j in map(json.loads, sys.argv[2].splitlines())}
 factor = int(sys.argv[3])
+# Ops whose DOCUMENTED complexity is N^1.5, not linear: IVF at fixed
+# recall (nlist ~ sqrt(N), nprobe const) scans nprobe*N/nlist ~ sqrt(N)
+# candidates per query, so an all-queries sweep is Theta(N^1.5) by
+# design — gate it against FACTOR^1.5, the bound its own contract
+# states, instead of the linear ceiling.
+SQRT_N_OPS = {"ivfpq_top3"}
 bad = []
 print(f"{'op':<16}{'1x':>8}{'%dx' % factor:>9}{'ratio':>8}")
 for op, j in a.items():
     if op.startswith("_"):
         continue
     r = b[op]["sec"] / j["sec"]
-    flag = " SUPERLINEAR" if r > factor * 1.25 else ""
+    gate = (factor ** 1.5 if op in SQRT_N_OPS else factor) * 1.25
+    flag = " SUPERLINEAR" if r > gate else ""
     if flag:
         bad.append(op)
-    print(f"{op:<16}{j['sec']:>7.2f}s{b[op]['sec']:>8.2f}s{r:>7.2f}x{flag}")
+    mark = " [N^1.5 gate]" if op in SQRT_N_OPS else ""
+    print(f"{op:<16}{j['sec']:>7.2f}s{b[op]['sec']:>8.2f}s{r:>7.2f}x{flag}{mark}")
 if bad:
     sys.exit(f"superlinear on {factor}x data: {', '.join(bad)}")
-print(f"all ops at or below {factor}x on {factor}x data")
+print(f"all ops within their complexity gates on {factor}x data")
 PY

@@ -2715,6 +2715,36 @@ object SparkEntry {
         .agg(sum("vc").as("rev"))
       graft.pipeline.Temporal.gapFill(daily, "event_type", "day", "rev")
         .orderBy("event_type", "day")
+    }),
+    // Merged-interval coverage (Temporal.intervalUnionLength): per-user
+    // active time as the UNION of [tus, tus + value-scaled span) —
+    // one running-max window, each span contributes only its uncovered
+    // tail, so overlap mass = span_sum − covered. Exact micros.
+    "q_interval_union" -> ((s, dir) => {
+      val spans = eventsMicros(s, dir)
+        .select(col("user_id"), col("tus").as("s"),
+          (col("tus") + expr("cast(round(value * 1000000) as bigint)")).as("e"))
+      graft.pipeline.Temporal.intervalUnionLength(spans, "user_id", "s", "e")
+        .orderBy("user_id")
+    }),
+    // Time-weighted average price (TWAP) over SCD2 validity intervals:
+    // each purchase version weighs by its [valid_from, valid_to)
+    // duration — the metric every pricing/feature pipeline computes
+    // off dimension history; integer micros × cents keep it exact
+    // (closed versions only; the open tail has no duration yet).
+    "q_twap" -> ((s, dir) => {
+      val ev = eventsMicros(s, dir)
+        .where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          expr("cast(round(value * 100) as bigint)").as("vc"), col("tus"))
+      graft.pipeline.Temporal.scd2(ev, Seq("user_id"), "tus", Seq("event_id"))
+        .where(col("valid_to_us").isNotNull)
+        .withColumn("dur", col("valid_to_us") - col("valid_from_us"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_closed"),
+          sum("dur").as("dur_us"),
+          expr("sum(vc * dur) div sum(dur)").as("twap_cents"))
+        .orderBy("user_id")
     })
   )
 
@@ -5353,6 +5383,28 @@ object SparkEntry {
         |SELECT event_type, day, rev,
         |  last_value(rev IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY day
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rev_filled
-        |FROM j ORDER BY 1, 2""".stripMargin
+        |FROM j ORDER BY 1, 2""".stripMargin,
+    "q_interval_union" ->
+      """WITH sp AS (SELECT user_id, epoch_ns(ts) // 1000 AS s,
+        |    epoch_ns(ts) // 1000 + CAST(round(value * 1000000) AS BIGINT) AS e
+        |  FROM events),
+        |wm AS (SELECT user_id, s, e,
+        |  max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM sp)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |  CAST(sum(e - s) AS BIGINT) AS span_sum,
+        |  CAST(sum(greatest(0, e - greatest(s, coalesce(pm, s)))) AS BIGINT) AS covered
+        |FROM wm GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_twap" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS vc, epoch_ns(ts) // 1000 AS tus
+        |  FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, vc, tus AS f,
+        |  lead(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS t FROM e)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_closed,
+        |  CAST(sum(t - f) AS BIGINT) AS dur_us,
+        |  CAST(sum(vc * (t - f)) // sum(t - f) AS BIGINT) AS twap_cents
+        |FROM v WHERE t IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -530,6 +530,36 @@ object Temporal {
    * Output: `key`, `bucketCol`, the original sparse `valueCol`
    * (null on filled rows), and `<valueCol>_filled`.
    */
+  /**
+   * Merged-interval coverage per key: the total length of the UNION of
+   * half-open `[start, end)` spans — uptime/SLA coverage, user active
+   * time, sensor duty cycle — without materializing merged intervals.
+   *
+   * ONE window pass: rows sort by `(start, end)` per key, each row
+   * contributes `max(0, end − max(start, prevMax))` where `prevMax` is
+   * the running max of earlier ends — overlapped stretches contribute
+   * zero, partial overlaps exactly their uncovered tail. A plain
+   * aggregation folds contributions; integer micros keep it exact.
+   * Per-key window state is one running max — no interval list, no
+   * self-join, no merge materialization.
+   *
+   * Returns one row per key: `n_spans`, `span_sum` (Σ raw lengths),
+   * `covered` (union length; `span_sum − covered` = overlap mass).
+   */
+  def intervalUnionLength(df: DataFrame, key: String, startCol: String,
+      endCol: String): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(startCol, endCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__graft_pm", max(col(endCol)).over(w))
+      .withColumn("__graft_c",
+        greatest(lit(0L), col(endCol) -
+          greatest(col(startCol), coalesce(col("__graft_pm"), col(startCol)))))
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col(endCol) - col(startCol)).as("span_sum"),
+        sum("__graft_c").as("covered"))
+  }
+
   def gapFill(df: DataFrame, key: String, bucketCol: String,
       valueCol: String): DataFrame = {
     val spine = df.groupBy(col(key))

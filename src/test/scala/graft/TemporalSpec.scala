@@ -450,6 +450,30 @@ class TemporalSpec extends AnyFunSuite {
       ("A", 13L, 2L, 2L), ("B", 5L, 9L, 9L)))
   }
 
+  test("intervalUnionLength merges overlaps exactly (hand case + brute)") {
+    val sp = Seq(("A", 0L, 10L), ("A", 5L, 15L), ("A", 20L, 25L),
+      ("A", 6L, 8L), ("B", 3L, 3L)).toDF("k", "s", "e")
+    val got = Temporal.intervalUnionLength(sp, "k", "s", "e")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // A: [0,15) ∪ [20,25) = 20 covered; raw sum 10+10+5+2 = 27
+    assert(got("A") == (4L, 27L, 20L))
+    assert(got("B") == (1L, 0L, 0L), "zero-length span covers nothing")
+
+    val rnd = new scala.util.Random(31)
+    val spans = (1 to 500).map { _ =>
+      val s = rnd.nextInt(300).toLong
+      (rnd.nextInt(3).toLong, s, s + rnd.nextInt(40).toLong)
+    }
+    val brute = spans.groupBy(_._1).map { case (k, ss) =>
+      k -> ss.flatMap(t => t._2 until t._3).toSet.size.toLong
+    }
+    val out = Temporal.intervalUnionLength(
+        spans.toDF("k", "s", "e"), "k", "s", "e")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out == brute)
+  }
+
   test("scd2 accepts TIMESTAMP columns and is one shuffle") {
     val log = Seq(("A", "2024-01-01 00:00:00", 1L), ("A", "2024-01-02 00:00:00", 2L))
       .toDF("k", "s", "id").withColumn("ts", col("s").cast("timestamp"))
