@@ -571,6 +571,49 @@ def overlap_join(left, right, key, left_start, left_end, right_start,
             .select(*out_cols))
 
 
+def segment_lm_filter(df, id_col, text_col, seg_tokens=8,
+                      max_rare_permille=500, rare_max_cnt=1):
+    """CCNet-style segment LM gate — Python mirror of the Scala
+    ``SegmentLm.segmentLmFilter``: fixed token-window segments score
+    against the corpus bigram table; segments whose bigrams are mostly
+    corpus-unique drop, documents reassemble in order. Integer-permille
+    rarity keeps the gate exactly replayable."""
+    from graft import functions as gf
+    segs_arr = F.expr(
+        f"transform(sequence(0, CAST(ceil(size(__t) / {seg_tokens}.0) AS INT)"
+        f" - 1), i -> array_join(slice(__t, i * {seg_tokens} + 1,"
+        f" {seg_tokens}), ' '))")
+    tokenized = df.select(F.col(id_col).alias("id"),
+                          F.split(F.col(text_col), " ").alias("__t"))
+    segs = tokenized.select("id", F.posexplode(segs_arr).alias("pos", "seg"))
+    model = (df.select(F.explode(gf.pl_ngrams(F.split(F.col(text_col), " "), 2))
+                       .alias("gram"))
+             .groupBy("gram").agg(F.count(F.lit(1)).alias("cnt")))
+    sgrams = segs.select("id", "pos",
+                         F.explode(gf.pl_ngrams(F.split(F.col("seg"), " "), 2))
+                         .alias("gram"))
+    rarity = (sgrams.join(model, ["gram"])
+              .groupBy("id", "pos")
+              .agg(F.count(F.lit(1)).alias("__n"),
+                   F.sum(F.when(F.col("cnt") <= rare_max_cnt, 1)
+                         .otherwise(0)).alias("__r")))
+    kept = (segs.join(rarity, ["id", "pos"], "left")
+            .where(F.coalesce(F.expr("__r * 1000 div __n"), F.lit(0))
+                   <= max_rare_permille)
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.array_join(F.expr(
+                     "transform(sort_array(collect_list(struct(pos, seg))),"
+                     " s -> s.seg)"), " ").alias("clean_text")))
+    return (tokenized.select("id", F.size(segs_arr).alias("n_segments"))
+            .join(kept, ["id"], "left")
+            .select("id",
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                    "n_segments",
+                    (F.col("n_segments") - F.coalesce("n_kept", F.lit(0)))
+                    .cast("int").alias("n_dropped")))
+
+
 def priority_sample(df, id_col, weight_col, k):
     """Weighted priority sampling (Duffield-Lund-Thorup, integer form) —
     Python mirror of the Scala ``Splits.prioritySample``:

@@ -292,6 +292,19 @@ def test_triangles(spark):
     assert got == [(1, 2, 3), (1, 2, 4)]
 
 
+def test_segment_lm_filter(spark):
+    from graft.pipeline import segment_lm_filter
+    prose = "the quick brown fox jumps over the lazy"
+    docs = spark.createDataFrame(
+        [(1, prose), (2, prose),
+         (3, prose + " zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8")],
+        "doc_id long, text string")
+    got = {r.id: (r.clean_text, r.n_dropped) for r in
+           segment_lm_filter(docs, "doc_id", "text").collect()}
+    assert got[1] == (prose, 0) and got[2] == (prose, 0)
+    assert got[3] == (prose, 1)  # the all-unique gibberish segment drops
+
+
 def test_band_join(spark):
     from graft.pipeline import band_join
     a = spark.createDataFrame([(1, 10, 100), (1, 11, 300)],

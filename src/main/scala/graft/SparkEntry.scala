@@ -2745,6 +2745,21 @@ object SparkEntry {
           sum("dur").as("dur_us"),
           expr("sum(vc * dur) div sum(dur)").as("twap_cents"))
         .orderBy("user_id")
+    }),
+    // CCNet-style segment LM gate (SegmentLm.segmentLmFilter): every
+    // 3rd doc gets an appended gibberish run whose bigrams are
+    // corpus-unique — those segments score rare_permille ≈ 1000 and
+    // drop; ordinary prose segments survive. Bigram rarity is an
+    // exact integer permille, so the whole gate replays in SQL.
+    "q_segment_lm_filter" -> ((s, dir) => {
+      val noisy = t(s, dir, "documents").select(col("doc_id"),
+        expr("concat(text, CASE WHEN doc_id % 3 = 0 THEN concat(" +
+          "' g', doc_id, 'x0 g', doc_id, 'x1 g', doc_id, 'x2 g', doc_id, " +
+          "'x3 g', doc_id, 'x4 g', doc_id, 'x5 g', doc_id, 'x6 g', doc_id, 'x7')" +
+          " ELSE '' END)").as("text"))
+      graft.pipeline.SegmentLm.segmentLmFilter(noisy, "doc_id", "text",
+          segTokens = 8, maxRarePermille = 500)
+        .orderBy("id")
     })
   )
 
@@ -5405,6 +5420,34 @@ object SparkEntry {
         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_closed,
         |  CAST(sum(t - f) AS BIGINT) AS dur_us,
         |  CAST(sum(vc * (t - f)) // sum(t - f) AS BIGINT) AS twap_cents
-        |FROM v WHERE t IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM v WHERE t IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_segment_lm_filter" ->
+      """WITH nd AS (SELECT doc_id, text || CASE WHEN doc_id % 3 = 0 THEN
+        |    ' g' || doc_id || 'x0 g' || doc_id || 'x1 g' || doc_id || 'x2 g' ||
+        |    doc_id || 'x3 g' || doc_id || 'x4 g' || doc_id || 'x5 g' ||
+        |    doc_id || 'x6 g' || doc_id || 'x7' ELSE '' END AS text FROM documents),
+        |d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM nd),
+        |grams AS (SELECT doc_id, toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)] AS gram
+        |  FROM d, unnest(range(1, len(toks))) u(i)),
+        |model AS (SELECT gram, count(*) AS cnt FROM grams GROUP BY 1),
+        |e AS (SELECT doc_id, toks,
+        |  unnest(range(0, CAST(ceil(len(toks) / 8.0) AS BIGINT))) AS seg_id FROM d),
+        |segs AS (SELECT doc_id, seg_id,
+        |  toks[(seg_id * 8 + 1):(seg_id * 8 + 8)] AS st FROM e),
+        |sg AS (SELECT doc_id, seg_id, st[CAST(i AS INT)] || ' ' || st[CAST(i + 1 AS INT)] AS gram
+        |  FROM segs, unnest(range(1, len(st))) u(i)),
+        |j AS (SELECT s.doc_id, s.seg_id, count(*) AS n,
+        |    sum(CASE WHEN m.cnt <= 1 THEN 1 ELSE 0 END) AS r
+        |  FROM sg s JOIN model m USING (gram) GROUP BY 1, 2),
+        |kept AS (SELECT segs.doc_id, segs.seg_id, array_to_string(st, ' ') AS seg
+        |  FROM segs LEFT JOIN j ON segs.doc_id = j.doc_id AND segs.seg_id = j.seg_id
+        |  WHERE coalesce(r * 1000 // n, 0) <= 500),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+        |    string_agg(seg, ' ' ORDER BY seg_id) AS clean_text
+        |  FROM kept GROUP BY 1),
+        |tot AS (SELECT doc_id, CAST(ceil(len(toks) / 8.0) AS INT) AS n_segments FROM d)
+        |SELECT t.doc_id AS id, COALESCE(a.clean_text, '') AS clean_text,
+        |  t.n_segments, CAST(t.n_segments - COALESCE(a.n_kept, 0) AS INT) AS n_dropped
+        |FROM tot t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id""".stripMargin
   )
 }

@@ -249,3 +249,57 @@ object GopherRules {
         stopHits >= minStopHits).as("gopher_pass"))
   }
 }
+
+/**
+ * CCNet-style SEGMENT-level language-model filtering: documents split
+ * into fixed token windows, each segment scored against the corpus
+ * bigram table, and segments whose bigrams are mostly corpus-unique
+ * (gibberish, mangled encodings, boilerplate hashes) dropped before
+ * the document reassembles — the per-paragraph-perplexity gate of the
+ * CCNet pipeline, with bigram RARITY standing in for the external LM
+ * (self-supervised: the corpus is its own model; rarity is an exact
+ * integer permille, so the gate is replayable to the bit where a
+ * float perplexity would not be).
+ *
+ * Shapes at scale: the model is one partial+final gram count; segment
+ * scoring is one shuffle on the gram (ids-only rows) + a (doc, seg)
+ * groupBy; reassembly reuses the [[Dedup.segmentDedup]] recipe
+ * (in-group sort_array, no window). The model is re-derived from `df`
+ * here — persist it once when several filters share it.
+ */
+object SegmentLm {
+  /** Returns (id, clean_text, n_segments, n_dropped). A segment is
+    * dropped when `rare_bigrams * 1000 div bigrams > maxRarePermille`;
+    * segments too short to have bigrams carry no evidence and are
+    * kept. `rareMaxCnt` defines "rare" (corpus count ≤ it). */
+  def segmentLmFilter(df: DataFrame, idCol: String, textCol: String,
+      segTokens: Int = 8, maxRarePermille: Long = 500,
+      rareMaxCnt: Long = 1): DataFrame = {
+    require(segTokens > 0, s"segTokens must be positive, got $segTokens")
+    val segsArr = expr(
+      s"""transform(sequence(0, CAST(ceil(size(__t) / ${segTokens}.0) AS INT) - 1),
+         |  i -> array_join(slice(__t, i * $segTokens + 1, $segTokens), ' '))""".stripMargin)
+    val tokenized = df.select(col(idCol).as("id"), split(col(textCol), " ").as("__t"))
+    val segs = tokenized.select(col("id"), posexplode(segsArr).as(Seq("pos", "seg")))
+    val model = NGramLM.model(df, textCol)
+    val sgrams = segs.select(col("id"), col("pos"),
+      explode(NGramLM.bigrams(col("seg"))).as("gram"))
+    val rarity = sgrams.join(model, Seq("gram"))
+      .groupBy("id", "pos")
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("cnt") <= rareMaxCnt, 1L).otherwise(0L)).as("__r"))
+    val kept = segs.join(rarity, Seq("id", "pos"), "left")
+      .where(coalesce(expr("__r * 1000 div __n"), lit(0L)) <= maxRarePermille)
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(expr(
+          "transform(sort_array(collect_list(struct(pos, seg))), s -> s.seg)"),
+          " ").as("clean_text"))
+    tokenized.select(col("id"), size(segsArr).as("n_segments"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id"), coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_segments"),
+        (col("n_segments") - coalesce(col("n_kept"), lit(0L))).cast("int")
+          .as("n_dropped"))
+  }
+}

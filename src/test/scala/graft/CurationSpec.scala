@@ -122,4 +122,23 @@ class CurationSpec extends AnyFunSuite {
     assert(!m(4).getAs[Boolean]("gopher_pass") &&
       m(4).getAs[Double]("mean_word_len") > 10.0)
   }
+
+  test("segmentLmFilter drops gibberish segments, keeps shared prose") {
+    // docs 1-3 share the same 8-token prose segment (its bigrams have
+    // corpus count 3); doc 3 carries an extra all-unique gibberish
+    // segment that must drop; doc 4 is a 1-token doc (no bigrams -> kept)
+    val prose = "the quick brown fox jumps over the lazy"
+    val docs = Seq(
+      (1L, prose), (2L, prose),
+      (3L, prose + " zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8"),
+      (4L, "solo")).toDF("doc_id", "text")
+    val got = graft.pipeline.SegmentLm.segmentLmFilter(
+        docs, "doc_id", "text", segTokens = 8, maxRarePermille = 500)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getInt(3))).toMap
+    assert(got(1L) == ((prose, 1, 0)))
+    assert(got(2L) == ((prose, 1, 0)))
+    assert(got(3L) == ((prose, 2, 1)), s"gibberish segment must drop: ${got(3L)}")
+    assert(got(4L) == (("solo", 1, 0)), "no-bigram segment carries no evidence")
+  }
 }
