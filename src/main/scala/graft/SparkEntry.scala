@@ -2760,6 +2760,24 @@ object SparkEntry {
       graft.pipeline.SegmentLm.segmentLmFilter(noisy, "doc_id", "text",
           segTokens = 8, maxRarePermille = 500)
         .orderBy("id")
+    }),
+    // Tokenizer-coverage audit: OOV permille per source against the
+    // top-1000 corpus vocabulary (count desc, token tie-break — a
+    // deterministic global top-k, broadcastable by construction). The
+    // number that decides whether a pinned tokenizer vocab fits a new
+    // source before training on it.
+    "q_oov_rate" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), col("tok")).limit(1000)
+        .select(col("tok"), lit(1).as("__in"))
+      toks.join(vocab, Seq("tok"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_permille", expr("n_oov * 1000 div n_tokens"))
+        .orderBy("source")
     })
   )
 
@@ -5448,6 +5466,17 @@ object SparkEntry {
         |tot AS (SELECT doc_id, CAST(ceil(len(toks) / 8.0) AS INT) AS n_segments FROM d)
         |SELECT t.doc_id AS id, COALESCE(a.clean_text, '') AS clean_text,
         |  t.n_segments, CAST(t.n_segments - COALESCE(a.n_kept, 0) AS INT) AS n_dropped
-        |FROM tot t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id""".stripMargin
+        |FROM tot t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id""".stripMargin,
+    "q_oov_rate" ->
+      """WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |v AS (SELECT tok FROM (SELECT tok, count(*) AS c FROM toks
+        |  GROUP BY 1 ORDER BY c DESC, tok LIMIT 1000)),
+        |j AS (SELECT t.source, CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+        |  FROM toks t LEFT JOIN v ON t.tok = v.tok)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(oov) AS BIGINT) AS n_oov,
+        |  CAST(sum(oov) * 1000 // count(*) AS BIGINT) AS oov_permille
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
