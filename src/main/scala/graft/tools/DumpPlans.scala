@@ -110,7 +110,21 @@ object DumpPlans {
         "(key, time-bucket) rows and meet in a SortMergeJoin on the " +
         "composite key; the greatest-start ownership filter makes pairs " +
         "exactly-once with NO distinct shuffle — replication factor " +
-        "span/width + 1, the knob the caller sizes to the typical span."))
+        "span/width + 1, the knob the caller sizes to the typical span."),
+      "q_cdc_apply" -> ("CDC MERGE: the changelog collapses to one head " +
+        "per touched key in a partial+final max_by aggregate BEFORE the " +
+        "exchange, then ONE full-outer SortMergeJoin against the snapshot " +
+        "applies upserts and op='D' deletes — no window over the " +
+        "snapshot, no second pass."),
+      "q_segment_lm_filter" -> ("Segment LM gate: the bigram model is a " +
+        "partial+final gram count; segment scoring shuffles ids-only " +
+        "(id, pos, gram) rows on the gram; reassembly is an in-group " +
+        "sort_array — no window over raw tokens, no per-segment scan."),
+      "q_priority_sample" -> ("Weighted priority sample: one codegen'd " +
+        "projection computes the integer u div w priority, then " +
+        "TakeOrderedAndProject keeps k rows per partition before the " +
+        "singleton merge — no global sort materialization, no shuffle " +
+        "of non-winners."))
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of the flagship queries\n\n")
     sb.append("Generated by `graft.tools.DumpPlans` at sf0.001 with\n")
