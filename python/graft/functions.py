@@ -1084,6 +1084,12 @@ def mm_image_ahash(blob):
     return _fn("mm_image_ahash", blob)
 
 
+def mm_wav_energy(blob, window):
+    """Per-window energy (exact long sum of squared samples) of a PCM16
+    WAV payload — the silence-split / voice-activity primitive."""
+    return _fn("mm_wav_energy", blob, window)
+
+
 def mm_byte_histogram(blob, bins=16):
     """Normalized byte-value histogram of the payload."""
     return _fn("mm_byte_histogram", blob, bins)

@@ -2778,7 +2778,21 @@ object SparkEntry {
           sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
         .withColumn("oov_permille", expr("n_oov * 1000 div n_tokens"))
         .orderBy("source")
-    })
+    }),
+    // Audio windowing (mm_wav_energy): per-64-sample energies over the
+    // synth PCM16 corpus — the silence-split / voice-activity pass;
+    // integer s² sums make every window bit-replayable from the
+    // closed-form sample formula.
+    "q_audio_windows" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+          Multimodal.wav_energy(
+            expr("mm_wav_synth(doc_id, 256)"), lit(64)).as("en"))
+        .select(col("doc_id"),
+          size(col("en")).as("n_windows"),
+          expr("array_position(en, array_max(en))").cast("int").as("peak_win"),
+          expr("array_max(en)").as("peak_energy"),
+          expr("aggregate(en, 0L, (a, x) -> a + x)").as("total_energy"))
+        .orderBy("doc_id"))
   )
 
   // ---- DuckDB SQL builders for graft's 64-bit hash primitives ----
@@ -5477,6 +5491,20 @@ object SparkEntry {
         |SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
         |  CAST(sum(oov) AS BIGINT) AS n_oov,
         |  CAST(sum(oov) * 1000 // count(*) AS BIGINT) AS oov_permille
-        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_audio_windows" ->
+      """WITH sm AS (SELECT d.doc_id, u.i // 64 AS w,
+        |    ((d.doc_id * 31 + u.i * 7) % 65536) - 32768 AS s
+        |  FROM documents d, unnest(range(0, 256)) AS u(i)),
+        |en AS (SELECT doc_id, w, CAST(sum(s * s) AS BIGINT) AS e
+        |  FROM sm GROUP BY 1, 2),
+        |pk AS (SELECT doc_id, CAST(count(*) AS INT) AS n_windows,
+        |    CAST(sum(e) AS BIGINT) AS total_energy,
+        |    CAST(max(e) AS BIGINT) AS peak_energy FROM en GROUP BY 1),
+        |pos AS (SELECT en.doc_id, CAST(min(w) + 1 AS INT) AS peak_win
+        |  FROM en JOIN pk ON en.doc_id = pk.doc_id AND en.e = pk.peak_energy
+        |  GROUP BY 1)
+        |SELECT pk.doc_id, n_windows, peak_win, peak_energy, total_energy
+        |FROM pk JOIN pos ON pk.doc_id = pos.doc_id ORDER BY 1""".stripMargin
   )
 }

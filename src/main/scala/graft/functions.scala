@@ -549,6 +549,7 @@ object Raster {
     reg1("mm_image_ahash", graft.pipeline.ImageAHash(_))
     reg2("mm_wav_synth", graft.pipeline.WavSynth(_, _))
     reg1("mm_wav_stats", graft.pipeline.WavStats(_))
+    reg2("mm_wav_energy", graft.pipeline.WavEnergyWindows(_, _))
     regN("mm_byte_histogram", xs => graft.pipeline.ByteHistogram(xs(0),
       if (xs.length > 1) xs(1).eval(null).asInstanceOf[Number].intValue() else 16))
     reg3("mm_frame_sample", (b, f, st) => graft.pipeline.FrameSample(b,

@@ -73,6 +73,11 @@ object Multimodal {
   /** Real PCM16 WAV parse ([[WavStats]]): RIFF chunk walk + exact
     * integer sample stats; null for non-PCM16 payloads. */
   def wav_stats(blob: Column): Column = asColumn(WavStats(asExpr(blob)))
+
+  /** Per-window PCM16 energy array ([[WavEnergyWindows]]) — the
+    * silence-split / voice-activity primitive. */
+  def wav_energy(blob: Column, window: Column): Column =
+    asColumn(WavEnergyWindows(asExpr(blob), asExpr(window)))
 }
 
 /** Shared `javax.imageio` entry points. The JDK ships PNG, JPEG, GIF,
@@ -648,6 +653,75 @@ case class WavSynth(left: Expression, right: Expression)
   * `data` samples into exact-integer stats —
   * `(sample_rate, channels, n_samples, min_s, max_s, sum_s)`.
   * Null for anything that is not a PCM16 RIFF/WAVE payload. */
+/**
+ * Per-window energy of a PCM16 WAV payload: sum of squared samples per
+ * `window`-sample block (last partial block included) — the
+ * voice-activity / silence-split primitive audio curation pipelines run
+ * before transcription: quiet windows (low energy) mark trim points,
+ * the peak window locates the loudest segment. ALL-integer (s², long
+ * sums), so per-window energies are bit-deterministic and the
+ * q_audio_windows oracle replays them from the closed-form synth
+ * samples. NULL on malformed / non-PCM16 payloads, like [[WavStats]].
+ */
+case class WavEnergyWindows(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def prettyName: String = "mm_wav_energy"
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, IntegerType | LongType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.DataTypeMismatch("UNEXPECTED_INPUT_TYPE",
+        Map("msg" -> s"mm_wav_energy expects (binary, integral window), got $other"))
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any, winAny: Any): Any = {
+    val win = winAny.asInstanceOf[Number].intValue()
+    require(win > 0, s"mm_wav_energy: window must be positive, got $win")
+    val raw = input.asInstanceOf[Array[Byte]]
+    if (raw.length < 12) return null
+    val b = java.nio.ByteBuffer.wrap(raw).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(off: Int): String = new String(raw, off, 4, "US-ASCII")
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return null
+    var off = 12
+    var bits = -1; var fmtCode = -1; var channels = -1
+    var dataOff = -1; var dataLen = -1
+    while (off + 8 <= raw.length) {
+      val t = tag(off)
+      val len = b.getInt(off + 4)
+      if (len < 0 || off + 8 + len > raw.length) return null
+      if (t == "fmt " && len >= 16) {
+        fmtCode = b.getShort(off + 8) & 0xffff
+        channels = b.getShort(off + 10) & 0xffff
+        bits = b.getShort(off + 22) & 0xffff
+      } else if (t == "data") {
+        dataOff = off + 8; dataLen = len
+      }
+      off += 8 + len + (len & 1)
+    }
+    if (fmtCode != 1 || bits != 16 || channels <= 0 ||
+      dataOff < 0 || dataLen % 2 != 0) return null
+    val n = dataLen / 2
+    val nWin = (n + win - 1) / win
+    val out = new Array[Any](nWin)
+    var w = 0
+    while (w < nWin) {
+      var e = 0L
+      var i = w * win
+      val end = math.min(i + win, n)
+      while (i < end) {
+        val s = b.getShort(dataOff + 2 * i).toLong
+        e += s * s
+        i += 1
+      }
+      out(w) = e
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(l, r)
+}
+
 case class WavStats(child: Expression) extends UnaryExpression with CodegenFallback {
   override def prettyName: String = "mm_wav_stats"
   override def nullable: Boolean = true

@@ -259,4 +259,19 @@ class MultimodalSpec extends AnyFunSuite {
     assert(spark.sql("SELECT mm_image_ahash(cast('nope' as binary)) IS NULL AS n")
       .head().getBoolean(0))
   }
+
+  test("mm_wav_energy: window sums, last partial window, null on junk") {
+    // 6 samples, window 4 -> [sum of first 4 squares, last 2]
+    val en = spark.sql(
+      "SELECT mm_wav_energy(mm_wav_synth(3, 6), 4) AS e").head().getSeq[Long](0)
+    val samples = (0 until 6).map(i => ((3L * 31 + i * 7) % 65536) - 32768)
+    assert(en == Seq(samples.take(4).map(s => s * s).sum,
+      samples.drop(4).map(s => s * s).sum))
+    // whole-file window: one entry equal to the total energy
+    val one = spark.sql(
+      "SELECT mm_wav_energy(mm_wav_synth(3, 6), 100) AS e").head().getSeq[Long](0)
+    assert(one == Seq(samples.map(s => s * s).sum))
+    assert(spark.sql("SELECT mm_wav_energy(cast('junk' as binary), 4) IS NULL AS n")
+      .head().getBoolean(0))
+  }
 }
