@@ -821,3 +821,46 @@ def zorder_write(df, key_a, key_b, path, files=16):
      .sortWithinPartitions("__graft_z")
      .drop("__graft_z")
      .write.mode("overwrite").parquet(path))
+
+
+def dsir_top_k(df, id_col, text_col, is_target, buckets=512, k=100):
+    """DSIR importance resampling (Xie et al. 2023, arXiv:2302.03169) —
+    Python mirror of the Scala ``Dsir.topK``. Hashed lowercase-alnum
+    unigram features (``pl_fingerprint`` rolling hash, power-of-two
+    bucket mask), add-one-smoothed log-likelihood-ratio weights in
+    integer micro-nats, per-doc score = Σ λ[bucket(tok)], top-``k`` by
+    (score desc, id). Returns ``(doc_id, score_unats, rank)``.
+
+    Scale shape: the token stream reduces to a ``buckets``-row count
+    table; the λ table is broadcast back for scoring (the Scala side
+    goes one step further and ships λ inside a Catalyst expression so
+    scoring needs no join at all).
+    """
+    if buckets & (buckets - 1) != 0:
+        raise ValueError("buckets must be a power of two")
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), is_target.cast("boolean").alias("tgt"),
+        F.explode(F.expr(
+            f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")).alias("tok"))
+    th = toks.select("doc_id", "tgt",
+                     F.pmod(F.expr("pl_fingerprint(tok)"), F.lit(buckets)).alias("b"))
+    bc = th.groupBy("b").agg(
+        F.count(F.lit(1)).alias("r"),
+        F.sum(F.when(F.col("tgt"), F.lit(1)).otherwise(F.lit(0))).alias("t"))
+    tot = bc.agg(F.sum("r").alias("rr"), F.sum("t").alias("tt"))
+    lam = bc.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.round(F.lit(1e6) * (
+            F.log((F.col("t") + F.lit(1.0)) / (F.col("tt") + F.lit(float(buckets))))
+            - F.log((F.col("r") + F.lit(1.0)) / (F.col("rr") + F.lit(float(buckets))))
+        )).cast("long").alias("lam"))
+    scored = (th.join(F.broadcast(lam), "b")
+              .groupBy("doc_id").agg(F.sum("lam").alias("score_unats")))
+    # docs with zero tokens score exactly 0, like the Scala expression
+    base = df.select(F.col(id_col).alias("doc_id"))
+    full = (base.join(scored, "doc_id", "left")
+            .na.fill({"score_unats": 0}))
+    top = full.orderBy(F.col("score_unats").desc(), F.col("doc_id")).limit(k)
+    return top.withColumn(
+        "rank", F.row_number().over(
+            Window.orderBy(F.col("score_unats").desc(), F.col("doc_id"))).cast("int"))

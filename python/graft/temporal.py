@@ -432,3 +432,35 @@ def scd2(df, keys, ts_col, tie_cols=()):
          .orderBy(*([frm.asc()] + [F.col(c).asc() for c in tie_cols])))
     return (df.withColumn("valid_from_us", frm)
             .withColumn("valid_to_us", F.lead("valid_from_us", 1).over(w)))
+
+
+def attribution(df, key, id_col, ts_col, type_col, conversion_type,
+                touch_types, lookback_micros):
+    """Multi-touch attribution — Python mirror of the Scala
+    ``Temporal.attribution``: for each ``conversion_type`` event, the
+    first- and last-touch ``touch_types`` event of the same ``key``
+    within a trailing ``lookback_micros`` window. One shuffle (by key)
+    and two range-frame window aggregates of a lexicographic
+    ``(ts, id, type)`` struct — never a conversions×touches self-join.
+    """
+    if conversion_type in touch_types:
+        raise ValueError("conversion_type cannot also be a touch type")
+    base = df.withColumn("__graft_t", epoch_micros(df, ts_col))
+    w = (Window.partitionBy(F.col(key)).orderBy(F.col("__graft_t"))
+         .rangeBetween(-lookback_micros, -1))
+    touch = F.when(
+        F.col(type_col).isin(list(touch_types)),
+        F.struct(F.col("__graft_t").alias("t"), F.col(id_col).alias("id"),
+                 F.col(type_col).alias("tp")))
+    return (base
+            .withColumn("__graft_first", F.min(touch).over(w))
+            .withColumn("__graft_last", F.max(touch).over(w))
+            .where(F.col(type_col) == conversion_type)
+            .select(F.col(id_col).alias("conversion_id"), F.col(key),
+                    F.col("__graft_t").alias("conv_ts"),
+                    F.col("__graft_first.id").alias("first_touch_id"),
+                    F.col("__graft_first.tp").alias("first_touch_type"),
+                    F.col("__graft_first.t").alias("first_touch_ts"),
+                    F.col("__graft_last.id").alias("last_touch_id"),
+                    F.col("__graft_last.tp").alias("last_touch_type"),
+                    F.col("__graft_last.t").alias("last_touch_ts")))

@@ -359,3 +359,21 @@ def test_overlap_join(spark):
                      overlap_join(a, b, "k", "s_a", "e_a",
                                   "s_b", "e_b", w).collect())
         assert got == [(10, 20)], f"bucket_width={w}"
+
+
+def test_dsir_top_k_prefers_target_vocabulary(spark):
+    from graft.pipeline import dsir_top_k
+
+    df = spark.createDataFrame(
+        [(1, "tgt", "the quick brown fox jumps over the lazy dog"),
+         (2, "tgt", "the quick brown fox runs past the lazy dog"),
+         (3, "raw", "zzz spam spam click here buy now cheap pills"),
+         (4, "raw", "the quick brown fox naps beside the lazy dog")],
+        "id long, split string, text string")
+    out = dsir_top_k(df, "id", "text", F.col("split") == "tgt",
+                     buckets=256, k=4)
+    rows = {r["doc_id"]: (r["score_unats"], r["rank"]) for r in out.collect()}
+    assert sorted(r[1] for r in rows.values()) == [1, 2, 3, 4]
+    # target-vocabulary doc 4 outscores the junk doc 3
+    assert rows[4][0] > rows[3][0]
+    assert rows[3][0] < 0

@@ -241,3 +241,20 @@ def test_scd2(spark):
                  for r in scd2(log, ["k"], "ts", ["id"]).collect())
     assert got == [("A", "v1", 10, 20), ("A", "v2", 20, None),
                    ("B", "w1", 15, None)]
+
+
+def test_attribution_first_last_touch(spark):
+    from graft.temporal import attribution
+
+    ev = spark.createDataFrame(
+        [(2, 1, 10, "view"), (3, 1, 20, "click"), (4, 1, 22, "error"),
+         (5, 1, 25, "purchase"), (6, 2, 1000, "purchase"),
+         (7, 3, 50, "view"), (8, 3, 50, "click"), (10, 3, 60, "purchase")],
+        "event_id long, user_id long, ts long, event_type string")
+    out = {r["conversion_id"]: r for r in
+           attribution(ev, "user_id", "event_id", "ts", "event_type",
+                       "purchase", ["click", "view"], 30).collect()}
+    assert out[5]["first_touch_id"] == 2 and out[5]["last_touch_id"] == 3
+    assert out[6]["first_touch_id"] is None
+    # same-ts tie breaks by id on both ends
+    assert out[10]["first_touch_id"] == 7 and out[10]["last_touch_id"] == 8

@@ -1145,6 +1145,13 @@ object SparkEntry {
         TextFunctions.fingerprint(col("text")).as("fp"),
         TextFunctions.simhash(col("text")).as("sh"))
         .orderBy("doc_id")),
+    // DSIR importance resampling (Xie et al. 2023): λ fit over hashed
+    // lowercase-alnum unigrams with target = English docs, then top-100
+    // docs by integer micro-nat score — the λ table is a bounded driver
+    // collect (512 longs) and scoring runs inside the scan, no joins
+    "q_dsir" -> ((s, dir) =>
+      graft.pipeline.Dsir.topK(t(s, dir, "documents"), "doc_id", "text",
+        isTarget = col("lang") === "en", buckets = 512, k = 100)),
     // winnowing selections (k=3 grams, w=4 windows): positions + hashes
     "q_winnow" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
@@ -1949,6 +1956,17 @@ object SparkEntry {
     // As-of join: each click annotated with the latest at-or-before view
     // by the same user. Single-shuffle union+window algorithm
     // (Temporal.asofJoin) — no theta join, no BNLJ.
+    // first/last-touch attribution: each purchase attributes to the
+    // first and last click/view of the same user in the trailing 7
+    // days — two range-frame windows on ONE user shuffle, never the
+    // conversions×touches self-join that explodes on hot users
+    "q_attribution" -> ((s, dir) =>
+      graft.pipeline.Temporal.attribution(eventsMicros(s, dir),
+          key = "user_id", idCol = "event_id", tsCol = "tus",
+          typeCol = "event_type", conversionType = "purchase",
+          touchTypes = Seq("click", "view"),
+          lookbackMicros = 7L * 24 * 3600 * 1000000L)
+        .orderBy("conversion_id")),
     "q_asof" -> ((s, dir) => {
       val ev = eventsMicros(s, dir)
       // right side pre-aggregated to unique (user_id, tus) so the
@@ -3840,6 +3858,32 @@ object SparkEntry {
          |SELECT fp.doc_id AS doc_id, ${duckToSigned("fp.f")} AS fp, ${duckToSigned("sh.s")} AS sh
          |FROM fp JOIN sh ON fp.doc_id = sh.doc_id ORDER BY doc_id""".stripMargin
     },
+    // DSIR re-derived: polyhash+mix64 token buckets (power-of-two mod ==
+    // low-bit mask, so HUGEINT unsigned-mod matches Spark's signed pmod),
+    // add-one-smoothed integer micro-nat λ, Σλ per doc, top-100
+    "q_dsir" -> {
+      val tokHash = duckMix64(
+        s"list_reduce(list_prepend(0::HUGEINT, list_transform(range(1, length(tok) + 1)," +
+          s" i -> ascii(tok[i])::HUGEINT)), (a, b) -> (a * 1000003::HUGEINT + b) % $M64)")
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang = 'en' AS tgt,
+         |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+         |  FROM documents),
+         |th AS (SELECT doc_id, tgt, CAST(($tokHash) % 512::HUGEINT AS INT) AS b FROM toks),
+         |bc AS (SELECT b, COUNT(*) AS r, SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS t
+         |       FROM th GROUP BY b),
+         |tot AS (SELECT SUM(r) AS rr, SUM(t) AS tt FROM bc),
+         |lam AS (SELECT b, CAST(round(1000000.0 * (ln((t + 1.0) / (tt + 512.0))
+         |                 - ln((r + 1.0) / (rr + 512.0)))) AS BIGINT) AS lam
+         |        FROM bc, tot),
+         |sc AS (SELECT t.doc_id, SUM(l.lam) AS score FROM th t JOIN lam l USING (b)
+         |       GROUP BY t.doc_id),
+         |allsc AS (SELECT d.doc_id, COALESCE(sc.score, 0) AS score_unats
+         |         FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id)
+         |SELECT doc_id, score_unats,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY score_unats DESC, doc_id) AS INT) AS rank
+         |FROM allsc ORDER BY score_unats DESC, doc_id LIMIT 100""".stripMargin
+    },
     // 16-bit-chunk blocking + hamming filter, mirroring Dedup.simhashPairs
     "q_simhash_pairs" -> {
       s"""WITH $duckSimhashCtes,
@@ -4006,6 +4050,23 @@ object SparkEntry {
          |SELECT user_id, MIN(tus) AS session_start, MAX(tus) + 3600000000 AS session_end,
          |  CAST(COUNT(*) AS BIGINT) AS n_events, MIN(value) AS min_value, MAX(value) AS max_value
          |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+    // attribution re-derived with the same range-frame window: struct
+    // min/max is lexicographic (t, id, tp) on both engines
+    "q_attribution" ->
+      s"""WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS t FROM events),
+         |w AS (SELECT *,
+         |  min(CASE WHEN event_type IN ('click','view')
+         |      THEN struct_pack(t := t, id := event_id, tp := event_type) END)
+         |    OVER win AS ft,
+         |  max(CASE WHEN event_type IN ('click','view')
+         |      THEN struct_pack(t := t, id := event_id, tp := event_type) END)
+         |    OVER win AS lt
+         |  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY t
+         |    RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING))
+         |SELECT event_id AS conversion_id, user_id, t AS conv_ts,
+         |  ft.id AS first_touch_id, ft.tp AS first_touch_type, ft.t AS first_touch_ts,
+         |  lt.id AS last_touch_id, lt.tp AS last_touch_type, lt.t AS last_touch_ts
+         |FROM w WHERE event_type = 'purchase' ORDER BY conversion_id""".stripMargin,
     // as-of join re-derived portably: union views (side 0) and clicks
     // (side 1), cumulative LAST_VALUE IGNORE NULLS over (ts, side) —
     // side 0 first so an exact-ts view matches its click

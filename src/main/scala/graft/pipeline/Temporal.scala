@@ -560,6 +560,46 @@ object Temporal {
         sum("__graft_c").as("covered"))
   }
 
+  /**
+   * Multi-touch attribution: for every `conversionType` event, the
+   * first- and last-touch `touchTypes` event of the same `key` inside
+   * a trailing lookback window of `lookbackMicros`. Returns one row
+   * per conversion: (conversion id/key/ts, first_touch_{id,type,ts},
+   * last_touch_{id,type,ts}) — touch fields null when no touch exists
+   * in the window.
+   *
+   * Scale shape: ONE shuffle (hash by `key`), then two range-frame
+   * window aggregates (`min`/`max` of a (ts, id, type) struct —
+   * lexicographic, so ties at equal ts break by id deterministically).
+   * The naive conversions×touches self-join this replaces explodes on
+   * hot keys at 100 TB; a range frame is per-partition streaming state.
+   * `tsCol` may be TIMESTAMP or numeric epoch ([[epochMicros]]).
+   */
+  def attribution(df: DataFrame, key: String, idCol: String, tsCol: String,
+      typeCol: String, conversionType: String, touchTypes: Seq[String],
+      lookbackMicros: Long): DataFrame = {
+    require(lookbackMicros > 0, "lookbackMicros must be positive")
+    require(!touchTypes.contains(conversionType),
+      "conversionType cannot also be a touch type")
+    val base = df.withColumn("__graft_t", epochMicros(df, tsCol))
+    val w = Window.partitionBy(col(key)).orderBy(col("__graft_t"))
+      .rangeBetween(-lookbackMicros, -1L)
+    val touch = when(col(typeCol).isin(touchTypes: _*),
+      struct(col("__graft_t").as("t"), col(idCol).as("id"), col(typeCol).as("tp")))
+    base
+      .withColumn("__graft_first", min(touch).over(w))
+      .withColumn("__graft_last", max(touch).over(w))
+      .where(col(typeCol) === conversionType)
+      .select(col(idCol).as("conversion_id"), col(key),
+        col("__graft_t").as("conv_ts"),
+        col("__graft_first.id").as("first_touch_id"),
+        col("__graft_first.tp").as("first_touch_type"),
+        col("__graft_first.t").as("first_touch_ts"),
+        col("__graft_last.id").as("last_touch_id"),
+        col("__graft_last.tp").as("last_touch_type"),
+        col("__graft_last.t").as("last_touch_ts"))
+  }
+
   def gapFill(df: DataFrame, key: String, bucketCol: String,
       valueCol: String): DataFrame = {
     val spine = df.groupBy(col(key))

@@ -31,6 +31,15 @@ object Hashing {
     mix64(h)
   }
   def hashString(s: UTF8String, seed: Long): Long = hashBytes(s.getBytes, seed)
+  /** Rolling polynomial hash (×1000003) then mixed — the
+    * [[Fingerprint64]] hash, shared so other expressions can bucket
+    * strings identically to `pl_fingerprint`. */
+  def polyMix(b: Array[Byte]): Long = {
+    var h = 0L
+    var i = 0
+    while (i < b.length) { h = h * 1000003L + (b(i) & 0xffL); i += 1 }
+    mix64(h)
+  }
 }
 
 /** Dot product of two float/double arrays, accumulated in double, index
@@ -209,12 +218,45 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
 case class Fingerprint64(child: Expression) extends UnaryExpression with CodegenFallback {
   override def prettyName: String = "fingerprint64"
   override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    Hashing.polyMix(input.asInstanceOf[UTF8String].getBytes)
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/**
+ * DSIR hashed-bucket importance score: Σ over the child's string
+ * elements of `lam(polyMix(tok) & (lam.length-1))` — the per-document
+ * importance weight of "Data Selection for Language Models via
+ * Importance Resampling" (Xie et al. 2023, arXiv:2302.03169) with the
+ * λ table pre-fit on the driver (bounded: one long per bucket) and
+ * shipped inside the expression, so scoring runs inside the scan with
+ * no join and no shuffle. λ is in integer micro-nats, making the score
+ * exact under any accumulation order.
+ */
+case class BucketLogRatioScore(child: Expression, lam: Array[Long])
+    extends UnaryExpression with CodegenFallback {
+  require(Integer.bitCount(lam.length) == 1,
+    s"lambda table length must be a power of two, got ${lam.length}")
+  private val mask = lam.length - 1L
+  override def prettyName: String = "bucket_log_ratio_score"
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bucket_log_ratio_score needs array<string>, got $other")
+  }
   override def nullSafeEval(input: Any): Any = {
-    val b = input.asInstanceOf[UTF8String].getBytes
-    var h = 0L
+    val arr = input.asInstanceOf[ArrayData]
+    var s = 0L
     var i = 0
-    while (i < b.length) { h = h * 1000003L + (b(i) & 0xffL); i += 1 }
-    Hashing.mix64(h)
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val h = Hashing.polyMix(arr.getUTF8String(i).getBytes)
+        s += lam((h & mask).toInt)
+      }
+      i += 1
+    }
+    s
   }
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }

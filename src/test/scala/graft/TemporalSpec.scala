@@ -486,4 +486,42 @@ class TemporalSpec extends AnyFunSuite {
     val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(exchanges == 1, s"expected 1 hash exchange, plan:\n$plan")
   }
+
+  test("attribution: first/last touch inside lookback, ties by id, left outer") {
+    val ev = Seq(
+      // user 1: touches at 10 (view), 20 (click), conversion at 25;
+      // an old touch at -100 (outside 30-tick lookback from 25? no —
+      // 25-30=-5, so -100 is outside), an error event never attributes
+      (1L, 1L, -100L, "view"), (2L, 1L, 10L, "view"), (3L, 1L, 20L, "click"),
+      (4L, 1L, 22L, "error"), (5L, 1L, 25L, "purchase"),
+      // user 2: conversion with no touches in window
+      (6L, 2L, 1000L, "purchase"),
+      // user 3: two touches at the SAME ts — tie breaks to smaller id;
+      // a touch exactly at conversion ts is excluded (frame ends at -1)
+      (7L, 3L, 50L, "view"), (8L, 3L, 50L, "click"), (9L, 3L, 60L, "view"),
+      (10L, 3L, 60L, "purchase")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val out = Temporal.attribution(ev, "user_id", "event_id", "ts",
+      "event_type", "purchase", Seq("click", "view"), lookbackMicros = 30L)
+      .orderBy("conversion_id").collect()
+    assert(out.length == 3)
+    val r1 = out(0) // conversion 5: first=2 (ts 10), last=3 (ts 20)
+    assert(r1.getLong(3) == 2L && r1.getString(4) == "view" && r1.getLong(5) == 10L)
+    assert(r1.getLong(6) == 3L && r1.getString(7) == "click" && r1.getLong(8) == 20L)
+    val r2 = out(1) // conversion 6: no touches -> nulls
+    assert(r2.isNullAt(3) && r2.isNullAt(6))
+    val r3 = out(2) // conversion 10: first=(50,7), last=(50,8); ts-60 view excluded
+    assert(r3.getLong(3) == 7L && r3.getLong(6) == 8L)
+  }
+
+  test("attribution plan is one shuffle, no join") {
+    val ev = Seq((1L, 1L, 10L, "view"), (2L, 1L, 25L, "purchase"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val out = Temporal.attribution(ev, "user_id", "event_id", "ts",
+      "event_type", "purchase", Seq("click", "view"), 30L)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected 1 hash exchange, plan:\n$plan")
+  }
 }
