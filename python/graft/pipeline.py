@@ -864,3 +864,34 @@ def dsir_top_k(df, id_col, text_col, is_target, buckets=512, k=100):
     return top.withColumn(
         "rank", F.row_number().over(
             Window.orderBy(F.col("score_unats").desc(), F.col("doc_id"))).cast("int"))
+
+
+def longest_prefix_join(left, ip_col, id_col, rules, len_col, prefix_col):
+    """Longest-prefix-match (CIDR) join — Python mirror of the Scala
+    ``Joins.longestPrefixJoin``: bounded candidate expansion (one per
+    distinct prefix length, ≤ 33), equi-join on ``(len, prefix)``,
+    longest match wins per row via a lexicographic struct max. Left
+    outer: unmatched rows keep null ``matched_len`` + payload.
+    """
+    lengths = sorted(r[0] for r in
+                     rules.select(F.col(len_col).cast("int")).distinct().collect())
+    if not lengths or any(l < 1 or l > 32 for l in lengths):
+        raise ValueError(f"prefix lengths must be in [1,32], got {lengths}")
+    payload = [c for c in rules.columns if c not in (len_col, prefix_col)]
+    r = rules.select(F.col(len_col).cast("int").alias("__graft_len"),
+                     F.col(prefix_col).cast("long").alias("__graft_p"),
+                     *[F.col(p) for p in payload])
+    cand = (left
+            .withColumn("__graft_len",
+                        F.explode(F.array(*[F.lit(l) for l in lengths])))
+            .withColumn("__graft_p",
+                        F.expr(f"shiftright({ip_col}, 32 - __graft_len)"))
+            .join(r, ["__graft_len", "__graft_p"]))
+    winner = (cand.groupBy(F.col(id_col))
+              .agg(F.max(F.struct(F.col("__graft_len").alias("len"),
+                                  *[F.col(p) for p in payload])).alias("__graft_w"))
+              .select(F.col(id_col).alias("__graft_id"), "__graft_w"))
+    return (left.join(winner, F.col(id_col) == F.col("__graft_id"), "left")
+            .select(*[F.col(c) for c in left.columns],
+                    F.col("__graft_w.len").alias("matched_len"),
+                    *[F.col(f"__graft_w.{p}").alias(p) for p in payload]))

@@ -377,3 +377,18 @@ def test_dsir_top_k_prefers_target_vocabulary(spark):
     # target-vocabulary doc 4 outscores the junk doc 3
     assert rows[4][0] > rows[3][0]
     assert rows[3][0] < 0
+
+
+def test_longest_prefix_join(spark):
+    from graft.pipeline import longest_prefix_join
+
+    ips = spark.createDataFrame(
+        [(1, 0xC0A80105), (2, 0x0A000001), (3, 0x08080808)], "id long, ip long")
+    rules = spark.createDataFrame(
+        [(8, 0xC0, "r8"), (16, 0xC0A8, "r16"), (24, 0xC0A801, "r24"),
+         (8, 0x0A, "r10")], "plen int, prefix long, action string")
+    out = {r["id"]: (r["matched_len"], r["action"]) for r in
+           longest_prefix_join(ips, "ip", "id", rules, "plen", "prefix").collect()}
+    assert out[1] == (24, "r24")
+    assert out[2] == (8, "r10")
+    assert out[3] == (None, None)

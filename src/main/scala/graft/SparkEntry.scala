@@ -2638,6 +2638,23 @@ object SparkEntry {
     // retail prices sit within 50 cents — the neighbor-bucket equi-join
     // (3× left replication, right keeps its home bucket → exactly-once)
     // replacing the per-brand nested loop; oracle is the theta join.
+    // longest-prefix-match (CIDR) join: synthetic IPs from user ids
+    // (Knuth multiplicative hash — integer-exact on both engines) vs a
+    // /8-/16-/24 rule table from customer keys; bounded candidate
+    // expansion + equi-join on (len, prefix), longest match wins
+    "q_cidr_join" -> ((s, dir) => {
+      val ips = t(s, dir, "events").select(col("user_id")).distinct()
+        .withColumn("ip32", expr("(user_id * 2654435761L) % 4294967296L"))
+      val rules = t(s, dir, "customer")
+        .select(col("c_custkey"),
+          expr("(c_custkey * 2654435761L) % 4294967296L").as("rip"),
+          (lit(8) + (col("c_custkey") % 3) * 8).cast("int").as("plen"))
+        .withColumn("prefix", expr("shiftright(rip, 32 - plen)"))
+        .groupBy("plen", "prefix").agg(min("c_custkey").as("rule_id"))
+      graft.pipeline.Joins.longestPrefixJoin(ips, "ip32", "user_id",
+          rules, "plen", "prefix")
+        .orderBy("user_id")
+    }),
     "q_band_join" -> ((s, dir) => {
       val p = t(s, dir, "part").select(col("p_brand").as("brand"),
         col("p_partkey"),
@@ -5415,6 +5432,23 @@ object SparkEntry {
          |  FROM documents)
          |SELECT doc_id, n_chars, priority FROM p
          |ORDER BY priority, doc_id LIMIT 50""".stripMargin,
+    // CIDR longest-prefix re-derived with a theta join (fine at oracle
+    // scale) + struct-max winner; all-integer Knuth hash on both sides
+    "q_cidr_join" ->
+      """WITH ips AS (SELECT DISTINCT user_id,
+        |    (user_id * 2654435761) % 4294967296 AS ip32 FROM events),
+        |rules0 AS (SELECT c_custkey,
+        |    (c_custkey * 2654435761) % 4294967296 AS rip,
+        |    CAST(8 + (c_custkey % 3) * 8 AS INT) AS plen FROM customer),
+        |rules AS (SELECT plen, rip >> (32 - plen) AS prefix,
+        |    MIN(c_custkey) AS rule_id FROM rules0 GROUP BY 1, 2),
+        |cand AS (SELECT i.user_id, i.ip32, r.plen, r.rule_id
+        |  FROM ips i JOIN rules r ON r.prefix = i.ip32 >> (32 - r.plen)),
+        |win AS (SELECT user_id, max(struct_pack(len := plen, rule_id := rule_id)) AS w
+        |  FROM cand GROUP BY user_id)
+        |SELECT i.user_id, i.ip32, w.w.len AS matched_len, w.w.rule_id AS rule_id
+        |FROM ips i LEFT JOIN win w ON i.user_id = w.user_id
+        |ORDER BY i.user_id""".stripMargin,
     "q_band_join" ->
       """WITH p AS (SELECT p_brand AS brand, p_partkey,
         |    CAST(round(p_retailprice * 100) AS BIGINT) AS cents FROM part),

@@ -354,4 +354,52 @@ object Joins {
             .otherwise(col(s"s.$p")).as(p)): _*)
     out
   }
+
+  /**
+   * Longest-prefix-match join — the IP-to-CIDR lookup (GeoIP
+   * enrichment, blocklist filtering, routing-table audit). For each
+   * left row, the rule with the longest prefix length whose prefix
+   * bits equal the top bits of `ipCol` (a 32-bit address as long).
+   *
+   * Mechanics: the distinct prefix lengths present in `rules` are a
+   * bounded driver collect (≤ 33 values); each left row expands to one
+   * candidate per length (`ip >> (32 − len)`), meets its rules via an
+   * EQUI-join on `(len, prefix)`, and the longest match wins per row
+   * through one `max_by`-shaped struct max — never a `left LIKE
+   * rule%`/theta join, which plans a nested loop over the full rule
+   * table. Expansion factor = distinct lengths (real routing tables:
+   * ~20), so a 100 TB fact side stays a linear-cost equi-join; a
+   * GeoIP-sized rule side (millions of rows) shuffles or AQE-
+   * broadcasts like any dimension table.
+   *
+   * `rules` must be unique on `(lenCol, prefixCol)` — pre-aggregate
+   * multi-action tables first. Output: all left columns, then
+   * `matched_len` + the rule payload columns (null when nothing
+   * matches, left-outer semantics).
+   */
+  def longestPrefixJoin(left: DataFrame, ipCol: String, idCol: String,
+      rules: DataFrame, lenCol: String, prefixCol: String): DataFrame = {
+    val lengths = rules.select(col(lenCol).cast("int")).distinct()
+      .collect().map(_.getInt(0)).sorted // bounded: ≤ 33 prefix lengths
+    require(lengths.nonEmpty && lengths.forall(l => l >= 1 && l <= 32),
+      s"prefix lengths must be in [1,32], got ${lengths.mkString(",")}")
+    val payload = rules.columns.filterNot(c => c == lenCol || c == prefixCol).toSeq
+    val r = rules.select(
+      (col(lenCol).cast("int").as("__graft_len") +:
+        col(prefixCol).cast("long").as("__graft_p") +:
+        payload.map(col)): _*)
+    val cand = left
+      .withColumn("__graft_len", explode(lit(lengths)))
+      .withColumn("__graft_p", expr(s"shiftright($ipCol, 32 - __graft_len)"))
+      .join(r, Seq("__graft_len", "__graft_p"))
+    // longest match per left row: struct max is lexicographic, led by len
+    val winner = cand.groupBy(col(idCol))
+      .agg(max(struct(col("__graft_len").as("len") +:
+        payload.map(col): _*)).as("__graft_w"))
+      .select(col(idCol).as("__graft_id"), col("__graft_w"))
+    left.join(winner, col(idCol) === col("__graft_id"), "left")
+      .select(left.columns.map(col) ++
+        (col("__graft_w.len").as("matched_len") +:
+          payload.map(p => col(s"__graft_w.$p").as(p))): _*)
+  }
 }

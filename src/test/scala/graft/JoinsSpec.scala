@@ -296,4 +296,43 @@ class JoinsSpec extends AnyFunSuite {
       Joins.overlapJoin(a, randomIntervals(13, 5, "b"), "k",
         "s_a", "e_a", "s_b", "e_b", 0L))
   }
+
+  test("longestPrefixJoin: longest match wins, left outer, payload rides") {
+    import spark.implicits._
+    // ip 0xC0A80105 = 192.168.1.5; rules at /8 (192.*), /16 (192.168.*),
+    // /24 (192.168.1.*) — the /24 must win; 10.0.0.1 matches only /8=10;
+    // 8.8.8.8 matches nothing
+    val ips = Seq(
+      (1L, 0xC0A80105L), (2L, 0x0A000001L), (3L, 0x08080808L)
+    ).toDF("id", "ip")
+    val rules = Seq(
+      (8, 0xC0L, "r8"), (16, 0xC0A8L, "r16"), (24, 0xC0A801L, "r24"),
+      (8, 0x0AL, "r10")
+    ).toDF("plen", "prefix", "action")
+    val out = Joins.longestPrefixJoin(ips, "ip", "id", rules, "plen", "prefix")
+      .orderBy("id").collect()
+    assert(out.length == 3)
+    assert(out(0).getInt(2) == 24 && out(0).getString(3) == "r24")
+    assert(out(1).getInt(2) == 8 && out(1).getString(3) == "r10")
+    assert(out(2).isNullAt(2) && out(2).isNullAt(3))
+  }
+
+  test("longestPrefixJoin plans equi-joins only (no nested loop)") {
+    import spark.implicits._
+    val ips = Seq((1L, 42L)).toDF("id", "ip")
+    val rules = Seq((8, 0L, "r")).toDF("plen", "prefix", "action")
+    val plan = Joins.longestPrefixJoin(ips, "ip", "id", rules, "plen", "prefix")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("longestPrefixJoin rejects out-of-range prefix lengths") {
+    import spark.implicits._
+    val ips = Seq((1L, 42L)).toDF("id", "ip")
+    val rules = Seq((40, 0L, "r")).toDF("plen", "prefix", "action")
+    intercept[IllegalArgumentException](
+      Joins.longestPrefixJoin(ips, "ip", "id", rules, "plen", "prefix"))
+  }
 }
