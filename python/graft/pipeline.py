@@ -895,3 +895,56 @@ def longest_prefix_join(left, ip_col, id_col, rules, len_col, prefix_col):
             .select(*[F.col(c) for c in left.columns],
                     F.col("__graft_w.len").alias("matched_len"),
                     *[F.col(f"__graft_w.{p}").alias(p) for p in payload]))
+
+
+def wordpiece_stats(df, id_col, text_col, vocab_size=200):
+    """Greedy longest-match subword stats — Python mirror of the Scala
+    ``Wordpiece.pieceStats``: vocab = top-``vocab_size`` corpus words
+    by (count desc, word) plus single ASCII-alnum chars; per doc,
+    greedy longest-prefix tokenization yields (n_words, n_pieces,
+    n_unk). The Scala side evaluates in the scan via a shipped-vocab
+    expression; the mirror walks words with an offset join against a
+    precomputed longest-match table (same result, pure DataFrame ops).
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.expr(
+            f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")).alias("tok"))
+    top = [r[0] for r in
+           toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+               .orderBy(F.col("c").desc(), F.col("tok"))
+               .limit(vocab_size).collect()]
+    chars = [chr(c) for c in range(ord("a"), ord("z") + 1)] + \
+            [chr(c) for c in range(ord("0"), ord("9") + 1)]
+    vocab = set(top) | set(chars)
+    max_len = max(len(p) for p in vocab)
+
+    def walk(word):
+        np_, nu = 0, 0
+        i = 0
+        while i < len(word):
+            hit = 0
+            for l in range(min(max_len, len(word) - i), 0, -1):
+                if word[i:i + l] in vocab:
+                    hit = l
+                    break
+            if hit:
+                np_, i = np_ + 1, i + hit
+            else:
+                np_, nu, i = np_ + 1, nu + 1, i + 1
+        return np_, nu
+
+    # distinct words are bounded by the corpus vocabulary — walk them
+    # driver-side (the Scala expression does the same work in the scan)
+    dwords = [r[0] for r in toks.select("tok").distinct().collect()]
+    spark = df.sparkSession
+    wstats = F.broadcast(spark.createDataFrame(
+        [(w, *walk(w)) for w in dwords], "tok string, np int, nu int"))
+    g = (toks.join(wstats, "tok")
+         .groupBy("doc_id")
+         .agg(F.count(F.lit(1)).cast("int").alias("n_words"),
+              F.sum("np").cast("int").alias("n_pieces"),
+              F.sum("nu").cast("int").alias("n_unk")))
+    return (df.select(F.col(id_col).alias("id"))
+            .join(g, F.col("id") == g["doc_id"], "left").drop("doc_id")
+            .na.fill({"n_words": 0, "n_pieces": 0, "n_unk": 0}))

@@ -392,3 +392,16 @@ def test_longest_prefix_join(spark):
     assert out[1] == (24, "r24")
     assert out[2] == (8, "r10")
     assert out[3] == (None, None)
+
+
+def test_wordpiece_stats(spark):
+    from graft.pipeline import wordpiece_stats
+
+    docs = spark.createDataFrame(
+        [(1, "the cat the cat the"), (2, "the dog"), (3, "")],
+        "doc_id long, text string")
+    out = {r["id"]: (r["n_words"], r["n_pieces"], r["n_unk"]) for r in
+           wordpiece_stats(docs, "doc_id", "text", vocab_size=2).collect()}
+    assert out[1] == (5, 5, 0)
+    assert out[2] == (2, 4, 0)  # "dog" decomposes to d+o+g single chars
+    assert out[3] == (0, 0, 0)

@@ -1152,6 +1152,13 @@ object SparkEntry {
     "q_dsir" -> ((s, dir) =>
       graft.pipeline.Dsir.topK(t(s, dir, "documents"), "doc_id", "text",
         isTarget = col("lang") === "en", buckets = 512, k = 100)),
+    // greedy longest-match subword stats (WordPiece/BPE-inference
+    // shape): vocab = top-200 corpus words + single-char fallbacks
+    // (bounded driver fit), per-doc piece/unk counts inside the scan
+    "q_wordpiece" -> ((s, dir) =>
+      graft.pipeline.Wordpiece.pieceStats(t(s, dir, "documents"),
+          "doc_id", "text", vocabSize = 200)
+        .orderBy("id")),
     // winnowing selections (k=3 grams, w=4 windows): positions + hashes
     "q_winnow" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
@@ -3875,6 +3882,42 @@ object SparkEntry {
          |SELECT fp.doc_id AS doc_id, ${duckToSigned("fp.f")} AS fp, ${duckToSigned("sh.s")} AS sh
          |FROM fp JOIN sh ON fp.doc_id = sh.doc_id ORDER BY doc_id""".stripMargin
     },
+    // wordpiece re-derived: same vocab fit, then the greedy walk as a
+    // recursive CTE over a precomputed longest-match table per
+    // (distinct word, offset); per-doc sums re-join word instances
+    "q_wordpiece" ->
+      s"""WITH RECURSIVE toks AS (
+         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+         |  FROM documents),
+         |vfit AS (SELECT tok AS p FROM (
+         |  SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+         |  ORDER BY c DESC, tok LIMIT 200)),
+         |vocab AS (SELECT DISTINCT p FROM (
+         |  SELECT p FROM vfit
+         |  UNION ALL
+         |  SELECT unnest([${(('a' to 'z') ++ ('0' to '9')).map(c => s"'$c'").mkString(",")}]) AS p)),
+         |dwords AS (SELECT DISTINCT tok AS w FROM toks),
+         |positions AS (SELECT w, unnest(range(0, length(w))) AS pos FROM dwords),
+         |best AS (
+         |  SELECT p.w, p.pos, MAX(length(v.p)) AS bl
+         |  FROM positions p LEFT JOIN vocab v
+         |    ON substr(p.w, CAST(p.pos + 1 AS INT), length(v.p)) = v.p
+         |  GROUP BY p.w, p.pos),
+         |st AS (
+         |  SELECT w, CAST(0 AS BIGINT) AS pos, 0 AS np, 0 AS nu FROM dwords
+         |  UNION ALL
+         |  SELECT s.w, s.pos + COALESCE(b.bl, 1), s.np + 1,
+         |    s.nu + CASE WHEN b.bl IS NULL THEN 1 ELSE 0 END
+         |  FROM st s JOIN best b ON b.w = s.w AND b.pos = s.pos
+         |  WHERE s.pos < length(s.w)),
+         |wstats AS (SELECT w, np, nu FROM st WHERE pos >= length(w)),
+         |g AS (SELECT t.doc_id, COUNT(*) AS nw, SUM(ws.np) AS np, SUM(ws.nu) AS nu
+         |      FROM toks t JOIN wstats ws ON ws.w = t.tok GROUP BY t.doc_id)
+         |SELECT d.doc_id AS id, CAST(COALESCE(g.nw, 0) AS INT) AS n_words,
+         |  CAST(COALESCE(g.np, 0) AS INT) AS n_pieces,
+         |  CAST(COALESCE(g.nu, 0) AS INT) AS n_unk
+         |FROM documents d LEFT JOIN g ON d.doc_id = g.doc_id
+         |ORDER BY id""".stripMargin,
     // DSIR re-derived: polyhash+mix64 token buckets (power-of-two mod ==
     // low-bit mask, so HUGEINT unsigned-mod matches Spark's signed pmod),
     // add-one-smoothed integer micro-nat λ, Σλ per doc, top-100

@@ -30,7 +30,9 @@ import org.apache.spark.sql.functions._
  * smoothed log-likelihood ratio in micro-nats.
  */
 object Dsir {
-  private def toks(textCol: String): Column =
+  /** Lowercase ASCII-alnum word runs — the shared feature tokenizer of
+    * the DSIR and Wordpiece fits. */
+  private[pipeline] def toks(textCol: String): Column =
     expr(s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)")
 
   /** Per-bucket importance weights in integer micro-nats:

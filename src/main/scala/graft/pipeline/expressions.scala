@@ -915,6 +915,59 @@ case class Winnow(child: Expression, k: Int, w: Int)
  * re-tokenization per window); one eval per document, CodegenFallback
  * like the other signature expressions.
  */
+/**
+ * Greedy longest-match subword tokenization stats (the WordPiece /
+ * BPE-inference shape): for each word in the child array, repeatedly
+ * take the longest `vocab` piece prefixing the remainder, emitting one
+ * `<unk>` and advancing one char when nothing matches. Returns
+ * struct(n_pieces, n_unk) summed over the array — the per-doc token
+ * count a training-data pipeline budgets with. The vocab ships inside
+ * the expression (bounded driver fit, like the ANN quantizers), so the
+ * stats compute inside the scan: no join, no shuffle.
+ */
+case class GreedyPieceStats(child: Expression, vocab: Array[String])
+    extends UnaryExpression with CodegenFallback {
+  require(vocab.nonEmpty, "vocab must be non-empty")
+  private val pieces: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](vocab.length * 2)
+    vocab.foreach(s.add)
+    s
+  }
+  private val maxLen = vocab.iterator.map(_.length).max
+  override def prettyName: String = "pl_greedy_piece_stats"
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_pieces", IntegerType, nullable = false),
+    StructField("n_unk", IntegerType, nullable = false)))
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName expects array<string>")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    var np = 0
+    var nu = 0
+    var w = 0
+    while (w < toks.numElements()) {
+      if (!toks.isNullAt(w)) {
+        val word = toks.getUTF8String(w).toString
+        var i = 0
+        while (i < word.length) {
+          var l = math.min(maxLen, word.length - i)
+          var hit = 0
+          while (l >= 1 && hit == 0) {
+            if (pieces.contains(word.substring(i, i + l))) hit = l else l -= 1
+          }
+          if (hit > 0) { np += 1; i += hit }
+          else { np += 1; nu += 1; i += 1 }
+        }
+      }
+      w += 1
+    }
+    InternalRow(np, nu)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 case class Chunks(child: Expression, sizeTokens: Int, overlap: Int)
     extends UnaryExpression with CodegenFallback {
   require(sizeTokens > 0, "pl_chunks expects size_tokens > 0")

@@ -1,0 +1,56 @@
+package graft
+
+import graft.pipeline.{GreedyPieceStats, Wordpiece}
+import graft.expressions.{asColumn, asExpr}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class WordpieceSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private def stats(words: Seq[String], vocab: Seq[String]): (Int, Int) = {
+    val df = Seq(Tuple1(words)).toDF("w")
+      .select(asColumn(GreedyPieceStats(asExpr(col("w")), vocab.toArray)).as("s"))
+      .select("s.n_pieces", "s.n_unk").collect().head
+    (df.getInt(0), df.getInt(1))
+  }
+
+  test("greedy longest-match: longest piece wins at every offset") {
+    // "unhappy": vocab has un, unhap? no — pieces: "unhappy"? use
+    // vocab {un, happy, h, a, p, y}: un + happy = 2 pieces
+    assert(stats(Seq("unhappy"), Seq("un", "happy", "h", "a", "p", "y")) == (2, 0))
+    // longest-first: "the" beats "t"+"he" when both available
+    assert(stats(Seq("the"), Seq("t", "he", "the")) == (1, 0))
+    // fallback: chars absent from vocab emit <unk> one char at a time
+    assert(stats(Seq("xy"), Seq("a")) == (2, 2))
+    // mixed: "abxab" with {ab} -> ab, unk(x), ab = 3 pieces 1 unk
+    assert(stats(Seq("abxab"), Seq("ab")) == (3, 1))
+    // multiple words sum
+    assert(stats(Seq("ab", "ab", "x"), Seq("ab")) == (3, 1))
+  }
+
+  test("pieceStats fits vocab on the corpus and counts per doc") {
+    val docs = Seq(
+      (1L, "the cat the cat the"),
+      (2L, "the dog"),
+      (3L, "")).toDF("doc_id", "text")
+    val out = Wordpiece.pieceStats(docs, "doc_id", "text", vocabSize = 2)
+      .orderBy("id").collect()
+    // vocab = {the, cat} (+ single chars); doc 1: 5 words, 5 pieces
+    assert(out(0).getInt(1) == 5 && out(0).getInt(2) == 5 && out(0).getInt(3) == 0)
+    // doc 2: "the"=1 piece, "dog"= d+o+g single chars = 3 pieces, 0 unk
+    assert(out(1).getInt(1) == 2 && out(1).getInt(2) == 4 && out(1).getInt(3) == 0)
+    // empty doc: zeros
+    assert(out(2).getInt(1) == 0 && out(2).getInt(2) == 0 && out(2).getInt(3) == 0)
+  }
+
+  test("pieceStats plan is scan-only: no join, no token shuffle") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val plan = Wordpiece.pieceStats(docs, "doc_id", "text", 4)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Exchange"), plan)
+  }
+}
