@@ -328,6 +328,76 @@ object StreamingPipeline {
       }
   }
 
+  /** One event after touch/conversion projection. */
+  final case class AttrRow(k: Long, t: Long, id: Long, tp: String, conv: Boolean)
+  /** Per-key state: touches still inside any future conversion's
+    * lookback (pruned to `maxSeen - lookback` each batch). */
+  final case class AttrSt(touches: Seq[(Long, Long, String)], maxSeen: Long)
+  /** One attribution row per conversion event (append-mode). */
+  final case class AttrOut(conversionId: Long, key: Long, convTs: Long,
+      firstTouchId: Option[Long], firstTouchType: Option[String],
+      firstTouchTs: Option[Long], lastTouchId: Option[Long],
+      lastTouchType: Option[String], lastTouchTs: Option[Long])
+
+  /**
+   * Streaming multi-touch attribution — the stateful face of
+   * [[graft.pipeline.Temporal.attribution]]: per key, the state store
+   * carries the touches still inside any future conversion's trailing
+   * `lookbackMicros` window; each conversion emits its first/last
+   * touch on arrival. A single micro-batch over a static frame equals
+   * the batch operator row-for-row (events sort by `(t, id)` in the
+   * group, replaying the batch range-frame's lexicographic tie-break;
+   * StreamingPipelineSpec pins the parity).
+   *
+   * State is bounded by the per-key touch rate × lookback — the same
+   * horizon the batch range frame reads — pruned against the key's
+   * max seen time each batch. Cross-batch semantics are
+   * attribute-with-known: a touch arriving AFTER its conversion was
+   * processed does not retroactively re-attribute (the
+   * [[asofJoinStream]] trade); feed roughly in order where exact
+   * parity matters.
+   */
+  def attributionStream(df: DataFrame, key: String, idCol: String,
+      tsCol: String, typeCol: String, conversionType: String,
+      touchTypes: Seq[String], lookbackMicros: Long): Dataset[AttrOut] = {
+    require(lookbackMicros > 0, "lookbackMicros must be positive")
+    require(!touchTypes.contains(conversionType),
+      "conversionType cannot also be a touch type")
+    import df.sparkSession.implicits._
+    val rows = df.select(col(key).cast("long").as("k"),
+        graft.pipeline.Temporal.epochMicros(df, tsCol).as("t"),
+        col(idCol).cast("long").as("id"), col(typeCol).as("tp"),
+        (col(typeCol) === conversionType).as("conv"))
+      .where(col("conv") || col(typeCol).isin(touchTypes: _*))
+      .as[AttrRow]
+    rows.groupByKey(_.k)
+      .flatMapGroupsWithState[AttrSt, AttrOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (k: Long, it: Iterator[AttrRow], state: GroupState[AttrSt]) =>
+          val st = state.getOption.getOrElse(AttrSt(Seq.empty, Long.MinValue))
+          var touches = st.touches.toVector
+          var maxSeen = st.maxSeen
+          val out = Vector.newBuilder[AttrOut]
+          for (r <- it.toSeq.sortBy(x => (x.t, x.id))) {
+            maxSeen = math.max(maxSeen, r.t)
+            if (r.conv) {
+              val in = touches.filter(x => x._1 >= r.t - lookbackMicros && x._1 < r.t)
+              if (in.isEmpty)
+                out += AttrOut(r.id, k, r.t, None, None, None, None, None, None)
+              else {
+                val f = in.min
+                val l = in.max
+                out += AttrOut(r.id, k, r.t, Some(f._2), Some(f._3), Some(f._1),
+                  Some(l._2), Some(l._3), Some(l._1))
+              }
+            } else touches :+= ((r.t, r.id, r.tp))
+          }
+          touches = touches.filter(_._1 >= maxSeen - lookbackMicros)
+          state.update(AttrSt(touches, maxSeen))
+          out.result().iterator
+      }
+  }
+
   /**
    * Stream-stream interval join: pair each point event with every span
    * `[start, end)` of the same key, the streaming face of

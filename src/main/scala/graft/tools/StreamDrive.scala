@@ -1,0 +1,44 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+
+/** Drive the stateful streaming faces end-to-end over the real events
+  * parquet (readStream → flatMapGroupsWithState → memory sink) and
+  * print row counts next to their batch twins. Usage:
+  * `runMain graft.tools.StreamDrive [sfDir]` */
+object StreamDrive {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.Raster.init(spark)
+    val path = s"$sfDir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    // events.parquet is a single file: glob-filter the directory (the
+    // file source needs a directory basePath)
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+
+    val attr = graft.streaming.StreamingPipeline.attributionStream(
+      stream, "user_id", "event_id", "ts", "event_type", "purchase",
+      Seq("click", "view"), lookbackMicros = 7L * 24 * 3600 * 1000000L)
+    val q = attr.toDF().writeStream.format("memory").queryName("drive_attr")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.sql("SELECT COUNT(*) FROM drive_attr").collect()(0).getLong(0)
+
+    val batch = graft.pipeline.Temporal.attribution(
+      spark.read.parquet(path), "user_id", "event_id", "ts", "event_type",
+      "purchase", Seq("click", "view"), 7L * 24 * 3600 * 1000000L).count()
+    println(s"[stream-drive] attribution: streamed=$streamed batch=$batch " +
+      (if (streamed == batch) "MATCH" else "MISMATCH"))
+    require(streamed == batch, "stream/batch attribution row counts differ")
+    spark.stop()
+  }
+}

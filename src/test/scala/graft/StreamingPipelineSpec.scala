@@ -633,4 +633,51 @@ class StreamingPipelineSpec extends AnyFunSuite {
       (7L, 3L, 9.9, 200L, 300L),
       (7L, 4L, 4.4, 250L, 300L)))
   }
+
+  test("attributionStream single batch equals batch attribution row-for-row") {
+    val dir = Files.createTempDirectory("stream-attr").toString
+    val rnd = new scala.util.Random(47)
+    val types = Seq("click", "view", "purchase", "error")
+    val rows = (1 to 1500).map(i => (i.toLong, rnd.nextInt(25).toLong,
+      rnd.nextInt(800).toLong, types(rnd.nextInt(4))))
+    val df = rows.toDF("event_id", "user_id", "tus", "event_type")
+    df.write.mode("overwrite").parquet(dir)
+
+    val out = StreamingPipeline.attributionStream(
+      spark.readStream.schema(df.schema).parquet(dir),
+      "user_id", "event_id", "tus", "event_type", "purchase",
+      Seq("click", "view"), lookbackMicros = 100L)
+    val q = out.toDF().writeStream.format("memory").queryName("attr_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.sql(
+      "SELECT conversionId, firstTouchId, lastTouchId FROM attr_stream")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+
+    val expected = graft.pipeline.Temporal.attribution(df, "user_id",
+        "event_id", "tus", "event_type", "purchase", Seq("click", "view"), 100L)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(6)) -1L else r.getLong(6))).toSet
+    assert(got == expected)
+    assert(got.exists(_._2 >= 0) && got.exists(_._2 == -1L)) // non-trivial mix
+  }
+
+  test("attributionStream prunes state to the lookback horizon") {
+    val dir = Files.createTempDirectory("stream-attr2").toString
+    val df = Seq((1L, 1L, 10L, "view"), (2L, 1L, 500L, "purchase"))
+      .toDF("event_id", "user_id", "tus", "event_type")
+    df.write.mode("overwrite").parquet(dir)
+    val out = StreamingPipeline.attributionStream(
+      spark.readStream.schema(df.schema).parquet(dir),
+      "user_id", "event_id", "tus", "event_type", "purchase",
+      Seq("click", "view"), lookbackMicros = 100L)
+    val q = out.toDF().writeStream.format("memory").queryName("attr_stream2")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val r = spark.sql("SELECT firstTouchId FROM attr_stream2").collect()
+    assert(r.length == 1 && r.head.isNullAt(0)) // view at 10 outside [400,500)
+  }
 }
