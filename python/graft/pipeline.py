@@ -948,3 +948,28 @@ def wordpiece_stats(df, id_col, text_col, vocab_size=200):
     return (df.select(F.col(id_col).alias("id"))
             .join(g, F.col("id") == g["doc_id"], "left").drop("doc_id")
             .na.fill({"n_words": 0, "n_pieces": 0, "n_unk": 0}))
+
+
+def cusum(df, keys, order_col, value_col, ref, slack, threshold):
+    """Two-sided CUSUM change-point detection — Python mirror of the
+    Scala ``Stats.cusum``. The ``max(0, .)`` recurrence in closed form:
+    ``S_t = P_t - min(0, min_{j<=t} P_j)`` with ``P`` the prefix sum of
+    drift-adjusted deltas — two window passes over one shuffle by
+    ``keys``, all integer math.
+    """
+    if slack < 0 or threshold <= 0:
+        raise ValueError("slack >= 0 and threshold > 0 required")
+    w = (Window.partitionBy(*[F.col(k) for k in keys]).orderBy(F.col(order_col))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    v = F.col(value_col).cast("long")
+    with_p = (df
+              .withColumn("__graft_ph", F.sum(v - F.lit(ref) - F.lit(slack)).over(w))
+              .withColumn("__graft_pl", F.sum(F.lit(ref) - v - F.lit(slack)).over(w)))
+    return (with_p
+            .withColumn("cusum_hi",
+                        F.col("__graft_ph") - F.least(F.lit(0), F.min("__graft_ph").over(w)))
+            .withColumn("cusum_lo",
+                        F.col("__graft_pl") - F.least(F.lit(0), F.min("__graft_pl").over(w)))
+            .withColumn("is_change",
+                        (F.col("cusum_hi") > threshold) | (F.col("cusum_lo") > threshold))
+            .drop("__graft_ph", "__graft_pl"))

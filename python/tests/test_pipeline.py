@@ -405,3 +405,16 @@ def test_wordpiece_stats(spark):
     assert out[1] == (5, 5, 0)
     assert out[2] == (2, 4, 0)  # "dog" decomposes to d+o+g single chars
     assert out[3] == (0, 0, 0)
+
+
+def test_cusum_flags_level_shift(spark):
+    from graft.pipeline import cusum
+
+    rows = [(1, t, 25 if 10 <= t < 15 else 15) for t in range(20)]
+    df = spark.createDataFrame(rows, "k long, t long, x long")
+    out = cusum(df, ["k"], "t", "x", ref=15, slack=1, threshold=12) \
+        .orderBy("t").collect()
+    assert not any(r["is_change"] for r in out[:10])
+    assert all(r["is_change"] for r in out[11:15])
+    # closed form spot check: S+ after 2 shifted buckets = 2*(25-16) = 18
+    assert out[11]["cusum_hi"] == 18

@@ -2181,6 +2181,17 @@ object SparkEntry {
     // integers: the division-free z-test (n·v−s)² > k²·(n·ssq−s²) — one
     // moment groupBy + a broadcastable join back, no window. Flags ~6%
     // of events at sf0.01.
+    // two-sided CUSUM change-point over daily per-type event counts:
+    // the max(0,·) recurrence in closed form (prefix sum − running
+    // min), two window passes on one shuffle — all integer
+    "q_cusum" -> ((s, dir) => {
+      val daily = eventsMicros(s, dir)
+        .groupBy(col("event_type"), expr("tus div 86400000000").as("day"))
+        .agg(count(lit(1)).as("x"))
+      graft.pipeline.Stats.cusum(daily, Seq("event_type"), "day", "x",
+          ref = 65L, slack = 5L, threshold = 40L)
+        .orderBy("event_type", "day")
+    }),
     "q_anomaly" -> ((s, dir) => {
       val ev = t(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("event_type"),
@@ -5085,6 +5096,22 @@ object SparkEntry {
          |FROM ex JOIN s ON ex.event_type = s.event_type
          |ORDER BY ex.event_type""".stripMargin
     },
+    // CUSUM replayed with the same closed form: prefix sums of the
+    // drift-adjusted deltas minus their running min, two windows
+    "q_cusum" ->
+      """WITH e AS (SELECT event_type, epoch_ns(ts) // 1000 AS tus FROM events),
+        |d AS (SELECT event_type, tus // 86400000000 AS day, COUNT(*) AS x
+        |      FROM e GROUP BY 1, 2),
+        |p AS (SELECT event_type, day, x,
+        |    SUM(x - 70) OVER w AS ph, SUM(60 - x) OVER w AS pl
+        |  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day ROWS UNBOUNDED PRECEDING))
+        |SELECT event_type, day, CAST(x AS BIGINT) AS x,
+        |  CAST(ph - LEAST(0, MIN(ph) OVER w) AS BIGINT) AS cusum_hi,
+        |  CAST(pl - LEAST(0, MIN(pl) OVER w) AS BIGINT) AS cusum_lo,
+        |  (ph - LEAST(0, MIN(ph) OVER w)) > 40 OR
+        |    (pl - LEAST(0, MIN(pl) OVER w)) > 40 AS is_change
+        |FROM p WINDOW w AS (PARTITION BY event_type ORDER BY day ROWS UNBOUNDED PRECEDING)
+        |ORDER BY event_type, day""".stripMargin,
     // the division-free z-gate replayed verbatim in BIGINT
     "q_anomaly" ->
       """WITH e AS (SELECT event_id, user_id, event_type,

@@ -60,4 +60,45 @@ object Stats {
         lit(kDen.toLong * kDen) * col("dev2") > lit(kNum.toLong * kNum) * col("var_n2"))
       .drop("__graft_s", "__graft_ssq")
   }
+
+  /**
+   * Two-sided CUSUM change-point detection over per-key ordered
+   * series: the classic sequential statistic
+   *
+   *   S⁺_t = max(0, S⁺_{t−1} + (x_t − ref − slack))
+   *   S⁻_t = max(0, S⁻_{t−1} + (ref − x_t − slack))
+   *
+   * flagged when either exceeds `threshold`. The recurrence is NOT
+   * expressed as a recursion: `max(0, ·)`-folded sums have the closed
+   * form `S_t = P_t − min(0, min_{j≤t} P_j)` with `P` the plain prefix
+   * sum of the drift-adjusted deltas — so both sides are a cumulative
+   * sum plus a running min, two ordinary window passes over ONE
+   * shuffle by `keys`. No per-key array collection, no UDF loop; a
+   * 100 TB metric stream with million-bucket keys runs as a sorted
+   * window scan. All integer math on a pre-scaled long `valueCol` —
+   * bit-reproducible, and the DuckDB oracle (q_cusum) replays the same
+   * two windows.
+   *
+   * Output: input rows + `cusum_hi`, `cusum_lo`, `is_change`.
+   */
+  def cusum(df: DataFrame, keys: Seq[String], orderCol: String,
+      valueCol: String, ref: Long, slack: Long, threshold: Long): DataFrame = {
+    require(keys.nonEmpty, "keys required")
+    require(slack >= 0 && threshold > 0, "slack >= 0 and threshold > 0 required")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val v = col(valueCol).cast("long")
+    val withP = df
+      .withColumn("__graft_ph", sum(v - lit(ref) - lit(slack)).over(w))
+      .withColumn("__graft_pl", sum(lit(ref) - v - lit(slack)).over(w))
+    withP
+      .withColumn("cusum_hi",
+        col("__graft_ph") - least(lit(0L), min("__graft_ph").over(w)))
+      .withColumn("cusum_lo",
+        col("__graft_pl") - least(lit(0L), min("__graft_pl").over(w)))
+      .withColumn("is_change",
+        col("cusum_hi") > threshold || col("cusum_lo") > threshold)
+      .drop("__graft_ph", "__graft_pl")
+  }
 }

@@ -90,4 +90,50 @@ class StatsSpec extends AnyFunSuite {
     assert(got == Seq(
       ("1970-01-01", 0, 1L), ("1970-01-01", 1, 1L), ("1970-01-02", 0, 1L)))
   }
+
+  test("cusum closed form equals the direct max(0,.) recurrence") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = for (k <- 0 until 4; t <- 0 until 60)
+      yield (k.toLong, t.toLong, (10 + rnd.nextInt(11)).toLong) // 10..20
+    val df = rows.toDF("k", "t", "x")
+    val got = graft.pipeline.Stats.cusum(df, Seq("k"), "t", "x",
+        ref = 15L, slack = 1L, threshold = 8L)
+      .select("k", "t", "cusum_hi", "cusum_lo", "is_change")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    for (k <- 0 until 4) {
+      var sh = 0L
+      var sl = 0L
+      for (t <- 0 until 60) {
+        val x = rows(k * 60 + t)._3
+        sh = math.max(0L, sh + (x - 15 - 1))
+        sl = math.max(0L, sl + (15 - x - 1))
+        val (gh, gl, gc) = got((k.toLong, t.toLong))
+        assert(gh == sh && gl == sl, s"k=$k t=$t got ($gh,$gl) want ($sh,$sl)")
+        assert(gc == (sh > 8 || sl > 8))
+      }
+    }
+  }
+
+  test("cusum flags a planted level shift and recovers") {
+    import spark.implicits._
+    // flat at ref, then a +10 shift for 5 buckets: hi side must flag
+    val rows = (0 until 20).map(t =>
+      (1L, t.toLong, if (t >= 10 && t < 15) 25L else 15L))
+    val out = graft.pipeline.Stats.cusum(rows.toDF("k", "t", "x"),
+        Seq("k"), "t", "x", ref = 15L, slack = 1L, threshold = 12L)
+      .orderBy("t").collect()
+    assert(!out.take(10).exists(_.getBoolean(5)))
+    assert(out.slice(11, 15).forall(_.getBoolean(5))) // 2nd shifted bucket on
+  }
+
+  test("cusum plan is one shuffle (both windows share the sort)") {
+    import spark.implicits._
+    val df = Seq((1L, 1L, 5L)).toDF("k", "t", "x")
+    val plan = graft.pipeline.Stats.cusum(df, Seq("k"), "t", "x", 5L, 0L, 1L)
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected 1 hash exchange, plan:\n$plan")
+  }
 }
