@@ -973,3 +973,48 @@ def cusum(df, keys, order_col, value_col, ref, slack, threshold):
             .withColumn("is_change",
                         (F.col("cusum_hi") > threshold) | (F.col("cusum_lo") > threshold))
             .drop("__graft_ph", "__graft_pl"))
+
+
+def psi_report(ref, cur, value_col, buckets=10):
+    """Population stability index drift report — Python mirror of the
+    Scala ``Stats.psiReport``: reference-decile boundaries from the
+    integer-exact histogram quantile, per-bucket contribution in
+    integer micro-nats with add-one smoothing. Total PSI = the column
+    sum (warn > 100000 µnats ≙ 0.1, act > 250000 ≙ 0.25).
+    """
+    if buckets < 2:
+        raise ValueError("buckets must be >= 2")
+    s = ref.select(F.col(value_col).cast("long").alias("__s"))
+    hist = s.groupBy("__s").agg(F.count(F.lit(1)).alias("__c"))
+    cum = hist.withColumn("__cume", F.sum("__c").over(
+        Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, 0)))
+    n = s.count()
+    cume_rows = sorted((r["__s"], r["__cume"]) for r in cum.collect())
+    bounds = []
+    for i in range(1, buckets):
+        p = i * 1000 // buckets
+        need = (n * p + 999) // 1000
+        bounds.append(next(v for v, c in cume_rows if c >= need))
+    bounds.sort()
+
+    def bucket_of(v):
+        b = F.lit(0)
+        for x in bounds:
+            b = b + F.when(v >= F.lit(x), 1).otherwise(0)
+        return b
+
+    def side(df, name):
+        return (df.select(bucket_of(F.col(value_col).cast("long")).alias("bucket"))
+                .groupBy("bucket").agg(F.count(F.lit(1)).alias(name)))
+
+    j = (side(ref, "ref_n").join(side(cur, "cur_n"), ["bucket"], "full")
+         .na.fill({"ref_n": 0, "cur_n": 0}))
+    totals = j.agg(F.sum("ref_n").alias("__r"), F.sum("cur_n").alias("__c2"))
+    return (j.crossJoin(F.broadcast(totals))
+            .select("bucket", "ref_n", "cur_n",
+                    F.round(F.lit(1e6) *
+                            ((F.col("ref_n") + F.lit(1.0)) / (F.col("__r") + F.lit(float(buckets)))
+                             - (F.col("cur_n") + F.lit(1.0)) / (F.col("__c2") + F.lit(float(buckets)))) *
+                            (F.log((F.col("ref_n") + F.lit(1.0)) / (F.col("__r") + F.lit(float(buckets))))
+                             - F.log((F.col("cur_n") + F.lit(1.0)) / (F.col("__c2") + F.lit(float(buckets))))))
+                    .cast("long").alias("psi_unats")))

@@ -418,3 +418,14 @@ def test_cusum_flags_level_shift(spark):
     assert all(r["is_change"] for r in out[11:15])
     # closed form spot check: S+ after 2 shifted buckets = 2*(25-16) = 18
     assert out[11]["cusum_hi"] == 18
+
+
+def test_psi_report(spark):
+    from graft.pipeline import psi_report
+
+    ref = spark.createDataFrame([(i % 100,) for i in range(1000)], "v long")
+    shifted = spark.createDataFrame([(i % 100 + 80,) for i in range(1000)], "v long")
+    calm = psi_report(ref, ref, "v").agg(F.sum("psi_unats")).collect()[0][0]
+    alarm = psi_report(ref, shifted, "v").agg(F.sum("psi_unats")).collect()[0][0]
+    assert calm == 0
+    assert alarm > 250000

@@ -2181,6 +2181,18 @@ object SparkEntry {
     // integers: the division-free z-test (n·v−s)² > k²·(n·ssq−s²) — one
     // moment groupBy + a broadcastable join back, no window. Flags ~6%
     // of events at sf0.01.
+    // PSI drift report between the view and click value distributions:
+    // reference-decile buckets (integer-exact histogram quantiles),
+    // per-bucket contribution in integer micro-nats
+    "q_psi" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_type"),
+        expr("cast(round(value * 100) as bigint)").as("vc"))
+      graft.pipeline.Stats.psiReport(
+          ev.where(col("event_type") === "view").select("vc"),
+          ev.where(col("event_type") === "click").select("vc"),
+          "vc", buckets = 10)
+        .orderBy("bucket")
+    }),
     // two-sided CUSUM change-point over daily per-type event counts:
     // the max(0,·) recurrence in closed form (prefix sum − running
     // min), two window passes on one shuffle — all integer
@@ -5096,6 +5108,33 @@ object SparkEntry {
          |FROM ex JOIN s ON ex.event_type = s.event_type
          |ORDER BY ex.event_type""".stripMargin
     },
+    // PSI re-derived: the same histogram-cume decile boundaries, the
+    // same sum-of-ge bucketing (correlated count over the 9-row bounds
+    // multiset), micro-nat contributions rounded identically
+    "q_psi" ->
+      """WITH e AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+        |r AS (SELECT vc FROM e WHERE event_type = 'view'),
+        |c AS (SELECT vc FROM e WHERE event_type = 'click'),
+        |hist AS (SELECT vc AS s, COUNT(*) AS cnt FROM r GROUP BY vc),
+        |cum AS (SELECT s, SUM(cnt) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS cume FROM hist),
+        |tot AS (SELECT COUNT(*) AS n FROM r),
+        |pms AS (SELECT unnest([100,200,300,400,500,600,700,800,900]) AS p),
+        |bounds AS (SELECT p, MIN(s) AS b FROM cum, tot, pms
+        |           WHERE cume >= (n * p + 999) // 1000 GROUP BY p),
+        |rb AS (SELECT (SELECT COUNT(*) FROM bounds WHERE b <= vc) AS bucket FROM r),
+        |cb AS (SELECT (SELECT COUNT(*) FROM bounds WHERE b <= vc) AS bucket FROM c),
+        |rc AS (SELECT bucket, COUNT(*) AS ref_n FROM rb GROUP BY bucket),
+        |cc AS (SELECT bucket, COUNT(*) AS cur_n FROM cb GROUP BY bucket),
+        |j AS (SELECT COALESCE(rc.bucket, cc.bucket) AS bucket,
+        |        COALESCE(ref_n, 0) AS ref_n, COALESCE(cur_n, 0) AS cur_n
+        |      FROM rc FULL JOIN cc ON rc.bucket = cc.bucket),
+        |t2 AS (SELECT SUM(ref_n) AS rr, SUM(cur_n) AS c2 FROM j)
+        |SELECT CAST(bucket AS INT) AS bucket, ref_n, cur_n,
+        |  CAST(round(1000000.0 *
+        |    ((ref_n + 1.0) / (rr + 10.0) - (cur_n + 1.0) / (c2 + 10.0)) *
+        |    (ln((ref_n + 1.0) / (rr + 10.0)) - ln((cur_n + 1.0) / (c2 + 10.0))))
+        |    AS BIGINT) AS psi_unats
+        |FROM j, t2 ORDER BY bucket""".stripMargin,
     // CUSUM replayed with the same closed form: prefix sums of the
     // drift-adjusted deltas minus their running min, two windows
     "q_cusum" ->

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -100,5 +100,62 @@ object Stats {
       .withColumn("is_change",
         col("cusum_hi") > threshold || col("cusum_lo") > threshold)
       .drop("__graft_ph", "__graft_pl")
+  }
+
+  /**
+   * PSI — population stability index — between a reference and a
+   * current distribution of an integral metric: the standard drift
+   * report (feature drift between training and serving, score drift
+   * between crawl snapshots). Buckets are the reference side's decile
+   * boundaries (the integer-exact discrete quantiles of
+   * [[QuantileFilter.threshold]], computed from ONE value histogram —
+   * never a row sort); each side then buckets with a codegen'd
+   * boundary-count expression and reduces to `buckets` rows.
+   * Per-bucket contribution in integer micro-nats with add-one
+   * smoothing:
+   *
+   *   psi_b = round(1e6 · (p_b − q_b) · ln(p_b / q_b)),
+   *   p_b = (ref_b + 1)/(R + B),  q_b = (cur_b + 1)/(C + B)
+   *
+   * Scale shape: one histogram aggregate on ref (distinct values
+   * shuffle, not rows), a bounded driver collect of B−1 boundary
+   * longs, one groupBy per side, and a B-row join — the fact tables
+   * never shuffle a second time. Total PSI = sum of the column
+   * (industry gates: warn > 0.1 ≙ 100 000 µnats, act > 0.25).
+   */
+  def psiReport(ref: DataFrame, cur: DataFrame, valueCol: String,
+      buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    import org.apache.spark.sql.expressions.Window
+    val s = ref.select(col(valueCol).cast("long").as("__s"))
+    val hist = s.groupBy("__s").agg(count(lit(1)).as("__c"))
+    val cum = hist.withColumn("__cume",
+      sum(col("__c")).over(Window.orderBy(col("__s"))
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    val tot = s.agg(count(lit(1)).as("__n"))
+    val permilles = (1 until buckets).map(i => i * 1000 / buckets)
+    val pm = ref.sparkSession.createDataFrame(
+      permilles.map(Tuple1(_))).toDF("__p")
+    val bounds = cum.crossJoin(broadcast(tot)).crossJoin(broadcast(pm))
+      .where(col("__cume") >= expr("(__n * __p + 999) div 1000"))
+      .groupBy("__p").agg(min(col("__s")).as("__b"))
+      .collect().map(_.getLong(1)).sorted // bounded: buckets-1 longs
+    def bucketOf(v: Column): Column =
+      bounds.foldLeft(lit(0))((acc, b) =>
+        acc + when(v >= lit(b), 1).otherwise(0))
+    def side(df: DataFrame, name: String): DataFrame =
+      df.select(bucketOf(col(valueCol).cast("long")).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as(name))
+    val joined = side(ref, "ref_n").join(side(cur, "cur_n"), Seq("bucket"), "full")
+      .na.fill(0L, Seq("ref_n", "cur_n"))
+    val totals = joined.agg(sum("ref_n").as("__r"), sum("cur_n").as("__c2"))
+    joined.crossJoin(broadcast(totals))
+      .select(col("bucket"), col("ref_n"), col("cur_n"),
+        round(lit(1e6) *
+          ((col("ref_n") + lit(1.0)) / (col("__r") + lit(buckets.toDouble))
+            - (col("cur_n") + lit(1.0)) / (col("__c2") + lit(buckets.toDouble))) *
+          (log((col("ref_n") + lit(1.0)) / (col("__r") + lit(buckets.toDouble)))
+            - log((col("cur_n") + lit(1.0)) / (col("__c2") + lit(buckets.toDouble)))))
+          .cast("long").as("psi_unats"))
   }
 }

@@ -124,7 +124,28 @@ object DumpPlans {
         "projection computes the integer u div w priority, then " +
         "TakeOrderedAndProject keeps k rows per partition before the " +
         "singleton merge — no global sort materialization, no shuffle " +
-        "of non-winners."))
+        "of non-winners."),
+      "q_dsir" -> ("DSIR: pass 1 reduces the token stream to a 512-row " +
+        "bucket aggregate (map-side combined); the integer micro-nat " +
+        "lambda table ships INSIDE the scoring expression, so pass 2 is " +
+        "scan + TakeOrderedAndProject — zero joins, zero row shuffles " +
+        "in the scoring pass."),
+      "q_attribution" -> ("Multi-touch attribution: ONE hash exchange by " +
+        "user; first/last touch are two range-frame window aggregates of " +
+        "a lexicographic (ts,id,type) struct over the same sort — the " +
+        "conversions-times-touches self-join never exists."),
+      "q_cidr_join" -> ("Longest-prefix CIDR join: rows expand once per " +
+        "distinct prefix length (bounded collect, here 3) into an " +
+        "equi-join on (len, prefix); winner-per-row is a partial+final " +
+        "struct max — no LIKE theta join, no nested loop."),
+      "q_wordpiece" -> ("Greedy subword stats: the vocab fit is a " +
+        "map-side-combined word count + top-200 TakeOrdered; stats " +
+        "evaluate inside the scan via the shipped-vocab expression — " +
+        "the scoring pass has no exchange at all."),
+      "q_cusum" -> ("CUSUM change-point: daily counts aggregate once, " +
+        "then BOTH cusum sides are window projections (prefix sum + " +
+        "running min) sharing one (key) exchange — the max(0,.) " +
+        "recurrence never loops."))
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of the flagship queries\n\n")
     sb.append("Generated by `graft.tools.DumpPlans` at sf0.001 with\n")

@@ -32,6 +32,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_knn_recall" -> ("contains the labeled brute baseline as the recall " +
       "ground truth; at scale the truth side runs on a query sample"),
     "q_skew_report" -> "broadcast one-row table-total crossJoin",
+    "q_psi" -> "broadcast one-row side-totals crossJoin (10-row bucket table)",
     "q_label_separation" ->
       "broadcast label-cardinality sum-vector crossJoin (L x L label pairs = metadata-sized)")
 

@@ -128,6 +128,31 @@ class StatsSpec extends AnyFunSuite {
     assert(out.slice(11, 15).forall(_.getBoolean(5))) // 2nd shifted bucket on
   }
 
+  test("psiReport: identical distributions score ~0, shifted ones score high") {
+    import spark.implicits._
+    val ref = (0 until 1000).map(i => Tuple1((i % 100).toLong)).toDF("v")
+    val same = (0 until 1000).map(i => Tuple1((i % 100).toLong)).toDF("v")
+    val shifted = (0 until 1000).map(i => Tuple1((i % 100 + 80).toLong)).toDF("v")
+    val calm = graft.pipeline.Stats.psiReport(ref, same, "v", 10)
+      .agg(sum("psi_unats")).collect().head.getLong(0)
+    val alarm = graft.pipeline.Stats.psiReport(ref, shifted, "v", 10)
+      .agg(sum("psi_unats")).collect().head.getLong(0)
+    assert(calm == 0L, s"identical dists must score 0 micro-nats, got $calm")
+    // industry "act" gate is 0.25 = 250000 micro-nats
+    assert(alarm > 250000L, s"an 80% shift must alarm, got $alarm")
+  }
+
+  test("psiReport: every row lands in a bucket; counts are conserved") {
+    import spark.implicits._
+    val ref = (0 until 500).map(i => Tuple1(i.toLong)).toDF("v")
+    val cur = (0 until 300).map(i => Tuple1((i * 3).toLong)).toDF("v")
+    val rows = graft.pipeline.Stats.psiReport(ref, cur, "v", 10).collect()
+    assert(rows.map(_.getLong(1)).sum == 500L)
+    assert(rows.map(_.getLong(2)).sum == 300L)
+    assert(rows.map(_.getInt(0)).distinct.length == rows.length)
+    assert(rows.forall(r => r.getInt(0) >= 0 && r.getInt(0) < 10))
+  }
+
   test("cusum plan is one shuffle (both windows share the sort)") {
     import spark.implicits._
     val df = Seq((1L, 1L, 5L)).toDF("k", "t", "x")
