@@ -1018,3 +1018,23 @@ def psi_report(ref, cur, value_col, buckets=10):
                             (F.log((F.col("ref_n") + F.lit(1.0)) / (F.col("__r") + F.lit(float(buckets))))
                              - F.log((F.col("cur_n") + F.lit(1.0)) / (F.col("__c2") + F.lit(float(buckets))))))
                     .cast("long").alias("psi_unats")))
+
+
+def rrf_fuse(lists, k, rrf_k=60):
+    """Reciprocal-rank fusion (Cormack et al. 2009) — Python mirror of
+    the Scala ``Similarity.rrfFuse``: integer-micro scores
+    ``1e6 div (rrf_k + rank)`` summed per (query, neighbor), per-query
+    top-``k`` with ties to the lower neighbor id.
+    """
+    if not lists:
+        raise ValueError("at least one ranked list required")
+    u = None
+    for df in lists:
+        part = df.select("query_id", "neighbor_id",
+                         F.expr(f"1000000L div ({rrf_k}L + rank)").alias("__c"))
+        u = part if u is None else u.unionByName(part)
+    sc = u.groupBy("query_id", "neighbor_id").agg(F.sum("__c").alias("rrf_unats"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_unats").desc(), F.col("neighbor_id"))
+    return (sc.withColumn("rank", F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= k))

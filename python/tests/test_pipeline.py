@@ -429,3 +429,15 @@ def test_psi_report(spark):
     alarm = psi_report(ref, shifted, "v").agg(F.sum("psi_unats")).collect()[0][0]
     assert calm == 0
     assert alarm > 250000
+
+
+def test_rrf_fuse(spark):
+    from graft.pipeline import rrf_fuse
+
+    a = spark.createDataFrame([(1, 10, 1), (1, 11, 2)],
+                              "query_id long, neighbor_id long, rank int")
+    b = spark.createDataFrame([(1, 11, 1), (1, 12, 2)],
+                              "query_id long, neighbor_id long, rank int")
+    out = rrf_fuse([a, b], k=3).orderBy("rank").collect()
+    assert [r["neighbor_id"] for r in out] == [11, 10, 12]
+    assert [r["rrf_unats"] for r in out] == [32522, 16393, 16129]

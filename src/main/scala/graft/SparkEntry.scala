@@ -1293,6 +1293,16 @@ object SparkEntry {
       // per-pair score = m table lookups — the compressed ANN serving path
       Similarity.pqTopK(t(s, dir, "embeddings"), "vec_id", "embedding", 3)
         .orderBy("query_id", "rank")),
+    // reciprocal-rank fusion of the LSH and IVF top-3 lists: integer
+    // micro scores (1e6 div (60+rank)) summed per (query, neighbor),
+    // bounded top-k — the hybrid-retrieval merge primitive
+    "q_knn_rrf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.rrfFuse(Seq(
+          Similarity.lshTopK(emb, "vec_id", "embedding", 3),
+          Similarity.ivfTopK(emb, "vec_id", "embedding", 3)), k = 3)
+        .orderBy("query_id", "rank")
+    }),
     "q_knn_ivfpq" -> ((s, dir) =>
       // IVF cell join bounds the candidates, PQ-ADC bounds the per-pair
       // cost — the billion-scale composition: no corpus broadcast, no
@@ -4033,6 +4043,50 @@ object SparkEntry {
          |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM sims)
          |SELECT query_id, neighbor_id, sim, CAST(rank AS INTEGER) AS rank
          |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+    },
+    // RRF re-derived end-to-end: BOTH the hyperplane-LSH chain and the
+    // unrolled-Lloyd IVF chain replay in one WITH (disjoint CTE names),
+    // then integer-micro 1e6 // (60+rank) scores fuse and re-rank
+    "q_knn_rrf" -> {
+      s"""WITH $duckHyperplaneCtes,
+         |${duckLloydCtes(k = 16, iters = 10)},
+         |lcand AS (
+         |  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+         |  FROM buckets a JOIN buckets b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+         |lsims AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |    CASE WHEN list_dot_product(a.v, a.v) = 0 OR list_dot_product(b.v, b.v) = 0 THEN 0.0
+         |         ELSE list_dot_product(a.v, b.v)
+         |              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) END AS sim
+         |  FROM lcand c JOIN vv a ON a.vec_id = c.query_id JOIN vv b ON b.vec_id = c.neighbor_id),
+         |lr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM lsims),
+         |ltop AS (SELECT query_id, neighbor_id, rank FROM lr WHERE rank <= 3),
+         |asg AS MATERIALIZED (SELECT vv.vec_id, vv.v,
+         |  (SELECT c.cell FROM c10 c ORDER BY list_distance(vv.v, c.centroid), c.cell LIMIT 1) AS cell
+         |  FROM vv),
+         |probes AS (SELECT * FROM (
+         |    SELECT a.vec_id AS query_id, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+         |        ORDER BY -list_dot_product(a.v, c.centroid), c.cell) AS prank
+         |    FROM asg a CROSS JOIN c10 c) WHERE prank <= 4),
+         |icand AS (SELECT DISTINCT p.query_id, n.vec_id AS neighbor_id
+         |  FROM probes p JOIN asg n ON n.cell = p.cell AND n.vec_id <> p.query_id),
+         |isims AS (SELECT c.query_id, c.neighbor_id,
+         |  CASE WHEN list_dot_product(a.v, a.v) = 0 OR list_dot_product(b.v, b.v) = 0 THEN 0.0
+         |       ELSE list_dot_product(a.v, b.v)
+         |            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) END AS sim
+         |  FROM icand c JOIN vv a ON a.vec_id = c.query_id JOIN vv b ON b.vec_id = c.neighbor_id),
+         |ir AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM isims),
+         |itop AS (SELECT query_id, neighbor_id, rank FROM ir WHERE rank <= 3),
+         |u AS (SELECT query_id, neighbor_id, 1000000 // (60 + rank) AS c FROM ltop
+         |      UNION ALL
+         |      SELECT query_id, neighbor_id, 1000000 // (60 + rank) AS c FROM itop),
+         |sc AS (SELECT query_id, neighbor_id, SUM(c) AS rrf_unats FROM u GROUP BY 1, 2),
+         |rr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |         ORDER BY rrf_unats DESC, neighbor_id) AS rank FROM sc)
+         |SELECT query_id, neighbor_id, CAST(rrf_unats AS BIGINT) AS rrf_unats,
+         |  CAST(rank AS INT) AS rank
+         |FROM rr WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
     },
     // PQ ADC top-k fully re-derived: per-subspace Lloyd codebooks
     // (duckPqCtes), code assignment, query ADC tables, pair score =

@@ -972,6 +972,35 @@ object Similarity {
   }
 
   /**
+   * Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009): fuse
+   * ranked candidate lists — different ANN indexes, or ANN + lexical —
+   * by `score(q,n) = Σ_lists 1/(rrfK + rank)`. Scores are integer
+   * micros (`1e6 div (rrfK + rank)`), so fusion is exact under any
+   * union/aggregation order; per-query top-k ties break to the lower
+   * neighbor id.
+   *
+   * Each input needs (query_id, neighbor_id, rank). Scale shape:
+   * union of ids+rank rows (no vectors), ONE groupBy on the
+   * (query, neighbor) pair with map-side partial sums, then the
+   * bounded O(groups·k) top-k aggregate — never a global sort.
+   */
+  def rrfFuse(lists: Seq[DataFrame], k: Int, rrfK: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "at least one ranked list required")
+    require(rrfK >= 1, s"rrfK must be >= 1, got $rrfK")
+    val u = lists.map(_.select(col("query_id"), col("neighbor_id"),
+        expr(s"1000000L div (${rrfK}L + rank)").as("__graft_c")))
+      .reduce(_.unionByName(_))
+    u.groupBy("query_id", "neighbor_id")
+      .agg(sum("__graft_c").as("rrf_unats"))
+      .groupBy("query_id")
+      .agg(topKBy(col("neighbor_id"), col("rrf_unats").cast("double"), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), col("col.neighbor_id").as("neighbor_id"),
+        col("col.sim").cast("long").as("rrf_unats"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
+  /**
    * Product-quantization ADC top-k by inner product (the compressed
    * complement of IVF): each vector is encoded as `m` per-subspace
    * centroid codes (~`m` bytes — [[PQCodes]]). Each query precomputes

@@ -192,4 +192,22 @@ class SimilaritySpec extends AnyFunSuite {
       .head()
     assert(z.getDouble(2) == 1.0 && z.getSeq[Int](3) == Seq(0, 0))
   }
+
+  test("rrfFuse: agreement wins, ties break to the lower neighbor id") {
+    import spark.implicits._
+    // list A ranks (q=1): n=10 first, n=11 second; list B: n=11 first,
+    // n=12 second. n=11 fuses 1e6/62 + 1e6/61 = 16129+16393 = 32522,
+    // n=10 = 16393, n=12 = 16129 — fused order: 11, 10, 12
+    val a = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("query_id", "neighbor_id", "rank")
+    val b = Seq((1L, 11L, 1), (1L, 12L, 2)).toDF("query_id", "neighbor_id", "rank")
+    val out = Similarity.rrfFuse(Seq(a, b), k = 3)
+      .orderBy("rank").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(11L, 10L, 12L))
+    assert(out.map(_.getLong(2)).toSeq == Seq(32522L, 16393L, 16129L))
+    // equal scores (two singleton lists at the same rank) tie by id
+    val c = Seq((2L, 20L, 1)).toDF("query_id", "neighbor_id", "rank")
+    val d = Seq((2L, 19L, 1)).toDF("query_id", "neighbor_id", "rank")
+    val tie = Similarity.rrfFuse(Seq(c, d), k = 2).orderBy("rank").collect()
+    assert(tie.map(_.getLong(1)).toSeq == Seq(19L, 20L))
+  }
 }
