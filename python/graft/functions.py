@@ -1148,6 +1148,12 @@ def pl_fingerprint(text):
     return _fn("pl_fingerprint", text)
 
 
+def pl_script_counts(text):
+    """Unicode script composition: struct of codepoint counts (latin,
+    digit, cjk, cyrillic, arabic, space, other)."""
+    return _fn("pl_script_counts", text)
+
+
 def pl_simhash(text):
     """64-bit SimHash of the whitespace tokens."""
     return _fn("pl_simhash", text)

@@ -441,3 +441,16 @@ def test_rrf_fuse(spark):
     out = rrf_fuse([a, b], k=3).orderBy("rank").collect()
     assert [r["neighbor_id"] for r in out] == [11, 10, 12]
     assert [r["rrf_unats"] for r in out] == [32522, 16393, 16129]
+
+
+def test_pl_script_counts(spark):
+    from graft.functions import pl_script_counts
+
+    df = spark.createDataFrame(
+        [(1, "abc 12 你好 мир"), (2, "")], "id long, text string")
+    out = {r["id"]: r["sc"] for r in
+           df.select("id", pl_script_counts(F.col("text")).alias("sc")).collect()}
+    assert out[1]["latin"] == 3 and out[1]["digit"] == 2
+    assert out[1]["cjk"] == 2 and out[1]["cyrillic"] == 3
+    assert out[1]["space"] == 3 and out[1]["other"] == 0
+    assert out[2]["latin"] == 0 and out[2]["other"] == 0

@@ -1140,6 +1140,19 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"), col("lang"),
         TextFunctions.language_id(col("text")).as("guess"))
         .orderBy("doc_id")),
+    // Unicode script composition per doc (codepoint-range counts) —
+    // the routing signal for non-space-delimited scripts; pure
+    // per-row expression, zero shuffles before the orderBy
+    "q_script_mix" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          expr("pl_script_counts(text)").as("sc"))
+        .select(col("doc_id"), col("lang"),
+          col("sc.latin").as("latin"), col("sc.digit").as("digit"),
+          col("sc.cjk").as("cjk"), col("sc.cyrillic").as("cyrillic"),
+          col("sc.arabic").as("arabic"), col("sc.space").as("space"),
+          col("sc.other").as("other"))
+        .orderBy("doc_id")),
     "q_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         TextFunctions.fingerprint(col("text")).as("fp"),
@@ -3915,6 +3928,32 @@ object SparkEntry {
          |SELECT fp.doc_id AS doc_id, ${duckToSigned("fp.f")} AS fp, ${duckToSigned("sh.s")} AS sh
          |FROM fp JOIN sh ON fp.doc_id = sh.doc_id ORDER BY doc_id""".stripMargin
     },
+    // script mix re-derived from DuckDB character codepoints
+    // (ascii(text[i]) — both engines count codepoints, not code units)
+    "q_script_mix" ->
+      """WITH chars AS (
+        |  SELECT doc_id, ascii(text[CAST(i AS INT)]) AS c
+        |  FROM documents, unnest(range(1, length(text) + 1)) u(i)),
+        |agg AS (SELECT doc_id,
+        |  CAST(SUM(CASE WHEN (c BETWEEN 97 AND 122) OR (c BETWEEN 65 AND 90) THEN 1 ELSE 0 END) AS INT) AS latin,
+        |  CAST(SUM(CASE WHEN c BETWEEN 48 AND 57 THEN 1 ELSE 0 END) AS INT) AS digit,
+        |  CAST(SUM(CASE WHEN (c BETWEEN 19968 AND 40959) OR (c BETWEEN 13312 AND 19903) THEN 1 ELSE 0 END) AS INT) AS cjk,
+        |  CAST(SUM(CASE WHEN c BETWEEN 1024 AND 1279 THEN 1 ELSE 0 END) AS INT) AS cyrillic,
+        |  CAST(SUM(CASE WHEN c BETWEEN 1536 AND 1791 THEN 1 ELSE 0 END) AS INT) AS arabic,
+        |  CAST(SUM(CASE WHEN c IN (32, 9, 10, 13) THEN 1 ELSE 0 END) AS INT) AS space,
+        |  CAST(SUM(CASE WHEN NOT ((c BETWEEN 97 AND 122) OR (c BETWEEN 65 AND 90)
+        |    OR (c BETWEEN 48 AND 57) OR (c BETWEEN 19968 AND 40959)
+        |    OR (c BETWEEN 13312 AND 19903) OR (c BETWEEN 1024 AND 1279)
+        |    OR (c BETWEEN 1536 AND 1791) OR c IN (32, 9, 10, 13))
+        |    THEN 1 ELSE 0 END) AS INT) AS other
+        |  FROM chars GROUP BY doc_id)
+        |SELECT d.doc_id, d.lang,
+        |  COALESCE(latin, 0) AS latin, COALESCE(digit, 0) AS digit,
+        |  COALESCE(cjk, 0) AS cjk, COALESCE(cyrillic, 0) AS cyrillic,
+        |  COALESCE(arabic, 0) AS arabic, COALESCE(space, 0) AS space,
+        |  COALESCE(other, 0) AS other
+        |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // wordpiece re-derived: same vocab fit, then the greedy walk as a
     // recursive CTE over a precomputed longest-match table per
     // (distinct word, offset); per-doc sums re-join word instances

@@ -571,6 +571,7 @@ object Raster {
       regN("pl_quality_score", pcol(TF.quality_score))
       regN("pl_language_id", pcol(TF.language_id))
       regN("pl_fingerprint", pcol(TF.fingerprint))
+      regN("pl_script_counts", xs => graft.pipeline.ScriptCounts(xs.head))
       regN("pl_simhash", pcol(TF.simhash))
       regN("pl_repetition_ratio", xs => org.apache.spark.sql.graft.shims
         .expressionEager(TF.repetition_ratio(asColumn(xs.head), intArg(xs, 1, 3))))

@@ -224,6 +224,49 @@ case class Fingerprint64(child: Expression) extends UnaryExpression with Codegen
 }
 
 /**
+ * Per-document Unicode script composition: counts of codepoints in the
+ * major script ranges a multilingual curation pipeline routes on
+ * (latin letters, digits, CJK unified+ext A, cyrillic, arabic,
+ * whitespace, other). Iterates CODEPOINTS (not UTF-16 units), so the
+ * counts match any engine's character semantics — the DuckDB oracle
+ * replays them from `ascii(text[i])` codepoints.
+ */
+case class ScriptCounts(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "pl_script_counts"
+  override def dataType: DataType = StructType(Seq(
+    StructField("latin", IntegerType, nullable = false),
+    StructField("digit", IntegerType, nullable = false),
+    StructField("cjk", IntegerType, nullable = false),
+    StructField("cyrillic", IntegerType, nullable = false),
+    StructField("arabic", IntegerType, nullable = false),
+    StructField("space", IntegerType, nullable = false),
+    StructField("other", IntegerType, nullable = false)))
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got $other")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    var latin, digit, cjk, cyr, ar, sp, other = 0
+    val it = s.codePoints().iterator()
+    while (it.hasNext) {
+      val c = it.nextInt()
+      if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')) latin += 1
+      else if (c >= '0' && c <= '9') digit += 1
+      else if ((c >= 0x4E00 && c <= 0x9FFF) || (c >= 0x3400 && c <= 0x4DBF)) cjk += 1
+      else if (c >= 0x0400 && c <= 0x04FF) cyr += 1
+      else if (c >= 0x0600 && c <= 0x06FF) ar += 1
+      else if (c == ' ' || c == '\t' || c == '\n' || c == '\r') sp += 1
+      else other += 1
+    }
+    InternalRow(latin, digit, cjk, cyr, ar, sp, other)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/**
  * DSIR hashed-bucket importance score: Σ over the child's string
  * elements of `lam(polyMix(tok) & (lam.length-1))` — the per-document
  * importance weight of "Data Selection for Language Models via
