@@ -2204,6 +2204,20 @@ object SparkEntry {
     // integers: the division-free z-test (n·v−s)² > k²·(n·ssq−s²) — one
     // moment groupBy + a broadcastable join back, no window. Flags ~6%
     // of events at sf0.01.
+    // day-of-week × hour seasonality profile per event type with an
+    // integer permille lift vs the type's uniform cell mean — dow/hour
+    // from pure epoch arithmetic (engine-independent, 0 = Sunday)
+    "q_seasonality" -> ((s, dir) => {
+      val cells = eventsMicros(s, dir)
+        .groupBy(col("event_type"),
+          expr("(tus div 86400000000 + 4) % 7").as("dow"),
+          expr("(tus % 86400000000) div 3600000000").as("hour"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type")
+      cells.withColumn("type_total", sum("n").over(w))
+        .withColumn("lift_permille", expr("n * 168 * 1000 div type_total"))
+        .orderBy("event_type", "dow", "hour")
+    }),
     // PSI drift report between the view and click value distributions:
     // reference-decile buckets (integer-exact histogram quantiles),
     // per-bucket contribution in integer micro-nats
@@ -5201,6 +5215,17 @@ object SparkEntry {
          |FROM ex JOIN s ON ex.event_type = s.event_type
          |ORDER BY ex.event_type""".stripMargin
     },
+    // seasonality replayed from the same epoch arithmetic
+    "q_seasonality" ->
+      """WITH e AS (SELECT event_type, epoch_ns(ts) // 1000 AS tus FROM events),
+        |cells AS (SELECT event_type, (tus // 86400000000 + 4) % 7 AS dow,
+        |    (tus % 86400000000) // 3600000000 AS hour, COUNT(*) AS n
+        |  FROM e GROUP BY 1, 2, 3),
+        |t AS (SELECT *, SUM(n) OVER (PARTITION BY event_type) AS type_total FROM cells)
+        |SELECT event_type, dow, hour, CAST(n AS BIGINT) AS n,
+        |  CAST(type_total AS BIGINT) AS type_total,
+        |  n * 168 * 1000 // type_total AS lift_permille
+        |FROM t ORDER BY event_type, dow, hour""".stripMargin,
     // PSI re-derived: the same histogram-cume decile boundaries, the
     // same sum-of-ge bucketing (correlated count over the 9-row bounds
     // multiset), micro-nat contributions rounded identically

@@ -328,6 +328,53 @@ object StreamingPipeline {
       }
   }
 
+  /** One metric point after projection. */
+  final case class CusumRow(k: Long, t: Long, x: Long)
+  /** Per-key state: both prefix sums and their running mins (the
+    * closed-form carry of [[graft.pipeline.Stats.cusum]]) — four longs
+    * per live key, O(1) regardless of series length. */
+  final case class CusumSt(ph: Long, phMin: Long, pl: Long, plMin: Long)
+  final case class CusumOut(key: Long, t: Long, x: Long,
+      cusumHi: Long, cusumLo: Long, isChange: Boolean)
+
+  /**
+   * Streaming two-sided CUSUM — the stateful face of
+   * [[graft.pipeline.Stats.cusum]]: the closed form
+   * `S_t = P_t − min(0, min_{j≤t} P_j)` needs only the running prefix
+   * sum and its min per side, so the state is FOUR longs per key —
+   * no window, no history. Single-batch runs equal the batch operator
+   * row-for-row (points sort by time in the group;
+   * StreamingPipelineSpec pins the parity on random series).
+   * `(key, orderCol)` must be unique, as in the batch operator; feed
+   * roughly in order — a late point folds into the sums at arrival
+   * (the standard monitoring trade).
+   */
+  def cusumStream(df: DataFrame, key: String, orderCol: String,
+      valueCol: String, ref: Long, slack: Long, threshold: Long): Dataset[CusumOut] = {
+    require(slack >= 0 && threshold > 0, "slack >= 0 and threshold > 0 required")
+    import df.sparkSession.implicits._
+    val rows = df.select(col(key).cast("long").as("k"),
+      col(orderCol).cast("long").as("t"),
+      col(valueCol).cast("long").as("x")).as[CusumRow]
+    rows.groupByKey(_.k)
+      .flatMapGroupsWithState[CusumSt, CusumOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (k: Long, it: Iterator[CusumRow], state: GroupState[CusumSt]) =>
+          var st = state.getOption.getOrElse(CusumSt(0L, 0L, 0L, 0L))
+          val out = Vector.newBuilder[CusumOut]
+          for (r <- it.toSeq.sortBy(_.t)) {
+            val ph = st.ph + (r.x - ref - slack)
+            val pl = st.pl + (ref - r.x - slack)
+            st = CusumSt(ph, math.min(st.phMin, ph), pl, math.min(st.plMin, pl))
+            val hi = ph - math.min(0L, st.phMin)
+            val lo = pl - math.min(0L, st.plMin)
+            out += CusumOut(k, r.t, r.x, hi, lo, hi > threshold || lo > threshold)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** One event after touch/conversion projection. */
   final case class AttrRow(k: Long, t: Long, id: Long, tp: String, conv: Boolean)
   /** Per-key state: touches still inside any future conversion's

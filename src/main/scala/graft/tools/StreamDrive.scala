@@ -39,6 +39,25 @@ object StreamDrive {
     println(s"[stream-drive] attribution: streamed=$streamed batch=$batch " +
       (if (streamed == batch) "MATCH" else "MISMATCH"))
     require(streamed == batch, "stream/batch attribution row counts differ")
+
+    // CUSUM face: per-user event-value stream, closed-form state
+    val cs = graft.streaming.StreamingPipeline.cusumStream(
+      stream.selectExpr("user_id", "unix_micros(cast(ts as timestamp)) AS tus",
+        "cast(round(value * 100) as bigint) AS vc"),
+      "user_id", "tus", "vc", ref = 50L, slack = 5L, threshold = 500L)
+    val q2 = cs.toDF().writeStream.format("memory").queryName("drive_cusum")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(120000)
+    val streamedFlags = spark.sql(
+      "SELECT COUNT(*) FROM drive_cusum WHERE isChange").collect()(0).getLong(0)
+    val ev = spark.read.parquet(path)
+      .selectExpr("user_id", "unix_micros(cast(ts as timestamp)) AS tus",
+        "cast(round(value * 100) as bigint) AS vc")
+    val batchFlags = graft.pipeline.Stats.cusum(ev, Seq("user_id"), "tus", "vc",
+      50L, 5L, 500L).where(org.apache.spark.sql.functions.col("is_change")).count()
+    println(s"[stream-drive] cusum flags: streamed=$streamedFlags batch=$batchFlags " +
+      (if (streamedFlags == batchFlags) "MATCH" else "MISMATCH"))
+    require(streamedFlags == batchFlags, "stream/batch cusum flag counts differ")
     spark.stop()
   }
 }

@@ -665,6 +665,54 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(got.exists(_._2 >= 0) && got.exists(_._2 == -1L)) // non-trivial mix
   }
 
+  test("cusumStream single batch equals the batch cusum row-for-row") {
+    val dir = Files.createTempDirectory("stream-cusum").toString
+    val rnd = new scala.util.Random(11)
+    val rows = for (k <- 0 until 8; t <- 0 until 80)
+      yield (k.toLong, t.toLong, (10 + rnd.nextInt(11)).toLong)
+    val df = rows.toDF("k", "t", "x")
+    df.write.mode("overwrite").parquet(dir)
+    val out = StreamingPipeline.cusumStream(
+      spark.readStream.schema(df.schema).parquet(dir),
+      "k", "t", "x", ref = 15L, slack = 1L, threshold = 8L)
+    val q = out.toDF().writeStream.format("memory").queryName("cusum_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.sql("SELECT key, t, cusumHi, cusumLo, isChange FROM cusum_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    val expected = graft.pipeline.Stats.cusum(df, Seq("k"), "t", "x", 15L, 1L, 8L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+    assert(got == expected)
+    assert(got.values.exists(_._3) && got.values.exists(!_._3)) // non-trivial mix
+  }
+
+  test("cusumStream carries the closed-form state across micro-batches") {
+    val dir = Files.createTempDirectory("stream-cusum2").toString
+    val ckpt = Files.createTempDirectory("stream-cusum2-ckpt").toString
+    val outDir = Files.createTempDirectory("stream-cusum2-out").toString
+    val part1 = (0 until 10).map(t => (1L, t.toLong, 15L))
+    val part2 = (10 until 15).map(t => (1L, t.toLong, 25L)) // level shift
+    val schema = part1.toDF("k", "t", "x").schema
+    part1.toDF("k", "t", "x").write.mode("overwrite").parquet(dir)
+    def run(): Set[Long] = {
+      val out = StreamingPipeline.cusumStream(
+        spark.readStream.schema(schema).parquet(dir),
+        "k", "t", "x", ref = 15L, slack = 1L, threshold = 12L)
+      val q = out.toDF().writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      spark.read.parquet(outDir).where(col("isChange"))
+        .collect().map(_.getAs[Long]("t")).toSet
+    }
+    assert(run().isEmpty)
+    part2.toDF("k", "t", "x").write.mode("append").parquet(dir)
+    // batch semantics across the restart: S+ crosses 12 at t=11
+    assert(run() == Set(11L, 12L, 13L, 14L))
+  }
+
   test("attributionStream prunes state to the lookback horizon") {
     val dir = Files.createTempDirectory("stream-attr2").toString
     val df = Seq((1L, 1L, 10L, "view"), (2L, 1L, 500L, "purchase"))
