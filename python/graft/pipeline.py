@@ -1038,3 +1038,30 @@ def rrf_fuse(lists, k, rrf_k=60):
         F.col("rrf_unats").desc(), F.col("neighbor_id"))
     return (sc.withColumn("rank", F.row_number().over(w).cast("int"))
             .where(F.col("rank") <= k))
+
+
+def frequent_pairs(df, basket_col, item_col, min_support=2):
+    """Market-basket frequent item pairs — Python mirror of the Scala
+    ``Baskets.frequentPairs``: ordered self-equi-join on the basket id,
+    support / integer-permille confidence and lift.
+    """
+    if min_support < 1:
+        raise ValueError("min_support must be >= 1")
+    items = df.select(F.col(basket_col).alias("__b"),
+                      F.col(item_col).alias("__i")).distinct()
+    n = items.select("__b").distinct().agg(F.count(F.lit(1)).alias("__n"))
+    ic = items.groupBy(F.col("__i").alias("__ic")).agg(F.count(F.lit(1)).alias("__c"))
+    a = items.select("__b", F.col("__i").alias("item_a"))
+    b = items.select("__b", F.col("__i").alias("item_b"))
+    pairs = (a.join(b, ["__b"]).where(F.col("item_a") < F.col("item_b"))
+             .groupBy("item_a", "item_b").agg(F.count(F.lit(1)).alias("support"))
+             .where(F.col("support") >= min_support))
+    return (pairs
+            .join(ic.withColumnRenamed("__c", "__ca"),
+                  F.col("item_a") == F.col("__ic")).drop("__ic")
+            .join(ic.withColumnRenamed("__c", "__cb"),
+                  F.col("item_b") == F.col("__ic")).drop("__ic")
+            .crossJoin(F.broadcast(n))
+            .select("item_a", "item_b", "support",
+                    F.expr("support * 1000 div __ca").alias("conf_ab_permille"),
+                    F.expr("support * __n * 1000 div (__ca * __cb)").alias("lift_permille")))

@@ -454,3 +454,16 @@ def test_pl_script_counts(spark):
     assert out[1]["cjk"] == 2 and out[1]["cyrillic"] == 3
     assert out[1]["space"] == 3 and out[1]["other"] == 0
     assert out[2]["latin"] == 0 and out[2]["other"] == 0
+
+
+def test_frequent_pairs(spark):
+    from graft.pipeline import frequent_pairs
+
+    df = spark.createDataFrame(
+        [(1, "A"), (1, "B"), (2, "A"), (2, "B"), (3, "A"), (3, "C"), (4, "B")],
+        "bid long, item string")
+    out = {(r["item_a"], r["item_b"]): (r["support"], r["conf_ab_permille"],
+                                        r["lift_permille"])
+           for r in frequent_pairs(df, "bid", "item", min_support=1).collect()}
+    assert out[("A", "B")] == (2, 666, 888)
+    assert out[("A", "C")] == (1, 333, 1333)

@@ -2204,6 +2204,18 @@ object SparkEntry {
     // integers: the division-free z-test (n·v−s)² > k²·(n·ssq−s²) — one
     // moment groupBy + a broadcastable join back, no window. Flags ~6%
     // of events at sf0.01.
+    // market-basket association pairs over per-order brand sets:
+    // ordered self-equi-join on the basket id (quadratic only in the
+    // bounded basket size), integer-permille confidence and lift
+    "q_assoc" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val part = t(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+      val baskets = li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("oid"), col("p_brand").as("brand"))
+      graft.pipeline.Baskets.frequentPairs(baskets, "oid", "brand",
+          minSupport = 20L)
+        .orderBy("item_a", "item_b")
+    }),
     // day-of-week × hour seasonality profile per event type with an
     // integer permille lift vs the type's uniform cell mean — dow/hour
     // from pure epoch arithmetic (engine-independent, 0 = Sunday)
@@ -5215,6 +5227,20 @@ object SparkEntry {
          |FROM ex JOIN s ON ex.event_type = s.event_type
          |ORDER BY ex.event_type""".stripMargin
     },
+    // association pairs re-derived with the same ordered self-join
+    "q_assoc" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS b, p_brand AS i
+        |               FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |n AS (SELECT COUNT(DISTINCT b) AS nb FROM items),
+        |ic AS (SELECT i, COUNT(*) AS c FROM items GROUP BY i),
+        |p AS (SELECT a.i AS item_a, b.i AS item_b, COUNT(*) AS support
+        |      FROM items a JOIN items b ON a.b = b.b AND a.i < b.i
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 20)
+        |SELECT item_a, item_b, support,
+        |  support * 1000 // ca.c AS conf_ab_permille,
+        |  support * nb * 1000 // (ca.c * cb.c) AS lift_permille
+        |FROM p JOIN ic ca ON ca.i = p.item_a JOIN ic cb ON cb.i = p.item_b, n
+        |ORDER BY item_a, item_b""".stripMargin,
     // seasonality replayed from the same epoch arithmetic
     "q_seasonality" ->
       """WITH e AS (SELECT event_type, epoch_ns(ts) // 1000 AS tus FROM events),
