@@ -1065,3 +1065,32 @@ def frequent_pairs(df, basket_col, item_col, min_support=2):
             .select("item_a", "item_b", "support",
                     F.expr("support * 1000 div __ca").alias("conf_ab_permille"),
                     F.expr("support * __n * 1000 div (__ca * __cb)").alias("lift_permille")))
+
+
+def label_propagation(edges, src_col, dst_col, iterations=3):
+    """Deterministic synchronous label propagation — Python mirror of
+    the Scala ``Graph.labelPropagation``: every node adopts the most
+    frequent neighbor label (ties to the smallest), fixed iteration
+    count, isolated nodes keep their own. Returns (node, community).
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    d = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    e = (d.unionByName(d.select(F.col("b").alias("a"), F.col("a").alias("b")))
+         .where(F.col("a") != F.col("b")).distinct().localCheckpoint(True))
+    nodes = e.select(F.col("a").alias("node")).distinct().localCheckpoint(True)
+    labels = nodes.withColumn("community", F.col("node"))
+    for _ in range(iterations):
+        votes = (e.join(labels.select(F.col("node").alias("b"),
+                                      F.col("community").alias("lbl")), "b")
+                 .groupBy(F.col("a").alias("node"), F.col("lbl"))
+                 .agg(F.count(F.lit(1)).alias("c")))
+        winner = (votes.groupBy("node")
+                  .agg(F.min(F.struct((-F.col("c")).alias("nc"),
+                                      F.col("lbl").alias("l"))).alias("w"))
+                  .select("node", F.col("w.l").alias("community")))
+        labels = (nodes.join(winner, ["node"], "left")
+                  .select("node", F.coalesce(F.col("community"),
+                                             F.col("node")).alias("community"))
+                  .localCheckpoint(True))
+    return labels

@@ -467,3 +467,16 @@ def test_frequent_pairs(spark):
            for r in frequent_pairs(df, "bid", "item", min_support=1).collect()}
     assert out[("A", "B")] == (2, 666, 888)
     assert out[("A", "C")] == (1, 333, 1333)
+
+
+def test_label_propagation(spark):
+    from graft.pipeline import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (10, 11), (10, 12), (11, 12), (3, 10)],
+        "s long, d long")
+    out = {r["node"]: r["community"] for r in
+           label_propagation(edges, "s", "d", 3).collect()}
+    assert out[1] == out[2]
+    assert out[11] == out[12]
+    assert out[1] != out[11]

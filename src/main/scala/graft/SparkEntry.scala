@@ -2129,6 +2129,17 @@ object SparkEntry {
     // (suppliers offset so key spaces don't collide). Integer millionths
     // end-to-end: rank sums are associative longs, so the power
     // iteration is bit-reproducible and the oracle replays it with //.
+    // deterministic synchronous label propagation (3 rounds, ties to
+    // the smallest label) over the same customer-supplier graph —
+    // community detection beside pagerank/HITS/CC
+    "q_lpa" -> ((s, dir) => {
+      val edges = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"), (col("l_suppkey") + 100000L).as("dst"))
+      graft.pipeline.Graph.labelPropagation(edges, "src", "dst", iterations = 3)
+        .orderBy("node")
+    }),
     "q_pagerank" -> ((s, dir) => {
       val edges = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
         .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
@@ -4381,6 +4392,28 @@ object SparkEntry {
          |GROUP BY c.event_id, c.user_id ORDER BY c.event_id""".stripMargin,
     // fixed-point PageRank replayed with three unrolled iterations of
     // integer // division — associative long sums, no float drift
+    // LPA unrolled: per round, neighbor-label votes + the same
+    // (count desc, label) argmax via ROW_NUMBER, isolated keep-own
+    "q_lpa" -> {
+      val rounds = (1 to 3).map { i =>
+        s"""w$i AS (SELECT node, lbl AS community FROM (
+           |   SELECT e.a AS node, l.community AS lbl, COUNT(*) AS c,
+           |     ROW_NUMBER() OVER (PARTITION BY e.a
+           |       ORDER BY COUNT(*) DESC, l.community) AS rn
+           |   FROM e JOIN l${i - 1} l ON l.node = e.b
+           |   GROUP BY e.a, l.community) t WHERE rn = 1),
+           |l$i AS (SELECT n.node, COALESCE(w$i.community, n.node) AS community
+           |        FROM n LEFT JOIN w$i ON w$i.node = n.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH dir AS (SELECT o_custkey AS a, l_suppkey + 100000 AS b
+         |             FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |e AS (SELECT DISTINCT a, b FROM (
+         |  SELECT a, b FROM dir UNION ALL SELECT b, a FROM dir) u WHERE a <> b),
+         |n AS (SELECT DISTINCT a AS node FROM e),
+         |l0 AS (SELECT node, node AS community FROM n),
+         |$rounds
+         |SELECT node, community FROM l3 ORDER BY node""".stripMargin
+    },
     "q_pagerank" -> {
       def iter(prev: String, out: String) =
         s"""i$out AS (SELECT e.dst AS node, SUM($prev.rank // od.outdeg) AS m

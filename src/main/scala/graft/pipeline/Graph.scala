@@ -72,6 +72,49 @@ object Graph {
   }
 
   /**
+   * Synchronous label propagation (Raghavan et al. 2007) — community
+   * detection on the undirected graph, made DETERMINISTIC: every node
+   * simultaneously adopts the most frequent label among its neighbors,
+   * ties to the smallest label, isolated nodes keep their own; a FIXED
+   * iteration count replaces the usual random sweep order, so the
+   * result is reproducible and the DuckDB oracle can unroll the same
+   * rounds. Complements [[pageRank]] (importance), [[hits]]
+   * (hub/authority) and the connected-components keep-decisions
+   * (q_dedup_pipeline): LPA splits dense regions a CC merge would glue
+   * together.
+   *
+   * Per iteration: one equi-join of the (symmetrized, deduped) edge
+   * list with the label table, a (node, label) count, and a
+   * min-struct argmax — all map-side-combinable aggregations; each
+   * round `localCheckpoint`s so plans don't nest. Hot nodes cost their
+   * degree, never degree² (no wedge expansion anywhere).
+   */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 3): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val dir = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+    val e = dir.unionByName(dir.select(col("b").as("a"), col("a").as("b")))
+      .where(col("a") =!= col("b"))
+      .distinct().localCheckpoint(true)
+    val nodes = e.select(col("a").as("node")).distinct().localCheckpoint(true)
+    var labels = nodes.withColumn("community", col("node"))
+    for (_ <- 1 to iterations) {
+      val votes = e
+        .join(labels.select(col("node").as("b"), col("community").as("lbl")), "b")
+        .groupBy(col("a").as("node"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+      val winner = votes.groupBy("node")
+        .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l"))).as("w"))
+        .select(col("node"), col("w.l").as("community"))
+      labels = nodes.join(winner, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("community"), col("node")).as("community"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+
+  /**
    * Triangle enumeration over an undirected graph — the clustering /
    * community-density primitive (local clustering coefficients, spam
    * farm detection in link graphs: organic neighborhoods close

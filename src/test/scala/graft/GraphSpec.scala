@@ -108,4 +108,34 @@ class GraphSpec extends AnyFunSuite {
     assert(a.map(_(1).asInstanceOf[Long]).max == 1000000L)
     assert(a.map(_(2).asInstanceOf[Long]).max == 1000000L)
   }
+
+  test("labelPropagation: two cliques joined by one bridge separate") {
+    import spark.implicits._
+    // clique {1,2,3}, clique {10,11,12}, bridge 3-10
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L)).toDF("s", "d")
+    val out = Graph.labelPropagation(edges, "s", "d", iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // min-tie synchronous LPA pulls both cliques toward their smallest
+    // ids; the two cliques must not share one community
+    assert(out(1L) == out(2L))
+    assert(out(11L) == out(12L))
+    assert(out(1L) != out(11L), out.toString)
+  }
+
+  test("labelPropagation: deterministic across runs; isolated self-label") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val edges = (1 to 300).map(_ =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong)).toDF("s", "d")
+    def run() = Graph.labelPropagation(edges, "s", "d", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(run() == run())
+    // a self-loop-only node is dropped by canonicalization; a node
+    // with one neighbor adopts that neighbor's (initial) label
+    val pair = Seq((100L, 200L)).toDF("s", "d")
+    val got = Graph.labelPropagation(pair, "s", "d", 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(100L -> 200L, 200L -> 100L))
+  }
 }
