@@ -1094,3 +1094,37 @@ def label_propagation(edges, src_col, dst_col, iterations=3):
                                              F.col("node")).alias("community"))
                   .localCheckpoint(True))
     return labels
+
+
+def path_prefix_join(left, path_col, id_col, rules, prefix_col):
+    """Longest URL path-prefix match — Python mirror of the Scala
+    ``Joins.pathPrefixJoin``: bounded per-depth segment-prefix
+    expansion into an equi-join on (prefix, depth); the deepest rule
+    wins; segment boundaries are respected (``/ab`` is not under
+    ``/a``). Left outer; rule payload rides through.
+    """
+    depths = sorted(r[0] for r in rules.select(
+        (F.size(F.split(F.col(prefix_col), "/")) - 1).cast("int").alias("__d"))
+        .distinct().collect())
+    if not depths or any(d < 1 or d > 32 for d in depths):
+        raise ValueError(f"rule depths must be in [1,32], got {depths}")
+    payload = [c for c in rules.columns if c != prefix_col]
+    r = rules.select(F.col(prefix_col).alias("__graft_p"),
+                     (F.size(F.split(F.col(prefix_col), "/")) - 1)
+                     .cast("int").alias("__graft_d"),
+                     *[F.col(p) for p in payload])
+    cand = (left
+            .withColumn("__graft_d",
+                        F.explode(F.array(*[F.lit(d) for d in depths])))
+            .withColumn("__graft_p", F.array_join(
+                F.slice(F.split(F.col(path_col), "/"), F.lit(1),
+                        F.col("__graft_d") + 1), "/"))
+            .join(r, ["__graft_p", "__graft_d"]))
+    winner = (cand.groupBy(F.col(id_col))
+              .agg(F.max(F.struct(F.col("__graft_d").alias("d"),
+                                  *[F.col(p) for p in payload])).alias("__graft_w"))
+              .select(F.col(id_col).alias("__graft_id"), "__graft_w"))
+    return (left.join(winner, F.col(id_col) == F.col("__graft_id"), "left")
+            .select(*[F.col(c) for c in left.columns],
+                    F.col("__graft_w.d").alias("matched_depth"),
+                    *[F.col(f"__graft_w.{p}").alias(p) for p in payload]))

@@ -480,3 +480,17 @@ def test_label_propagation(spark):
     assert out[1] == out[2]
     assert out[11] == out[12]
     assert out[1] != out[11]
+
+
+def test_path_prefix_join(spark):
+    from graft.pipeline import path_prefix_join
+
+    urls = spark.createDataFrame(
+        [(1, "/a/b/c"), (2, "/a/x"), (3, "/ab/c")], "id long, path string")
+    rules = spark.createDataFrame(
+        [("/a", "r-a"), ("/a/b", "r-ab")], "prefix string, action string")
+    out = {r["id"]: (r["matched_depth"], r["action"]) for r in
+           path_prefix_join(urls, "path", "id", rules, "prefix").collect()}
+    assert out[1] == (2, "r-ab")
+    assert out[2] == (1, "r-a")
+    assert out[3] == (None, None)  # /ab is not under /a

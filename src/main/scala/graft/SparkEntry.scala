@@ -2728,6 +2728,25 @@ object SparkEntry {
     // retail prices sit within 50 cents — the neighbor-bucket equi-join
     // (3× left replication, right keeps its home bucket → exactly-once)
     // replacing the per-brand nested loop; oracle is the theta join.
+    // robots-style URL path blocklist: segment-prefix expansion into
+    // an equi-join on (prefix, depth), deepest rule wins — never the
+    // LIKE theta join (wrong at segment boundaries AND a nested loop)
+    "q_path_block" -> ((s, dir) => {
+      val urls = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("/cat"), (col("doc_id") % 7).cast("string"),
+          lit("/sub"), (col("doc_id") % 13).cast("string"),
+          lit("/page"), col("doc_id").cast("string")).as("path"))
+      val rules = t(s, dir, "part")
+        .select(col("p_partkey"),
+          when(col("p_partkey") % 2 === 0,
+            concat(lit("/cat"), (col("p_partkey") % 7).cast("string")))
+          .otherwise(concat(lit("/cat"), (col("p_partkey") % 7).cast("string"),
+            lit("/sub"), (col("p_partkey") % 13).cast("string"))).as("prefix"))
+        .groupBy("prefix").agg(min("p_partkey").as("rule_id"))
+      graft.pipeline.Joins.pathPrefixJoin(urls, "path", "doc_id",
+          rules, "prefix")
+        .orderBy("doc_id")
+    }),
     // longest-prefix-match (CIDR) join: synthetic IPs from user ids
     // (Knuth multiplicative hash — integer-exact on both engines) vs a
     // /8-/16-/24 rule table from customer keys; bounded candidate
@@ -5718,6 +5737,29 @@ object SparkEntry {
          |  FROM documents)
          |SELECT doc_id, n_chars, priority FROM p
          |ORDER BY priority, doc_id LIMIT 50""".stripMargin,
+    // path blocklist re-derived: the theta join over segment-sliced
+    // prefixes (oracle-scale), deepest rule via struct max
+    "q_path_block" ->
+      """WITH urls AS (SELECT doc_id,
+        |    '/cat' || CAST(doc_id % 7 AS VARCHAR) || '/sub' ||
+        |    CAST(doc_id % 13 AS VARCHAR) || '/page' || CAST(doc_id AS VARCHAR) AS path
+        |  FROM documents),
+        |rules AS (SELECT prefix, MIN(p_partkey) AS rule_id FROM (
+        |  SELECT p_partkey, CASE WHEN p_partkey % 2 = 0
+        |    THEN '/cat' || CAST(p_partkey % 7 AS VARCHAR)
+        |    ELSE '/cat' || CAST(p_partkey % 7 AS VARCHAR) || '/sub' ||
+        |         CAST(p_partkey % 13 AS VARCHAR) END AS prefix
+        |  FROM part) p0 GROUP BY prefix),
+        |cand AS (SELECT u.doc_id,
+        |    CAST(len(string_split(r.prefix, '/')) - 1 AS INT) AS d, r.rule_id
+        |  FROM urls u JOIN rules r
+        |    ON r.prefix = array_to_string(list_slice(string_split(u.path, '/'),
+        |         1, len(string_split(r.prefix, '/'))), '/')),
+        |win AS (SELECT doc_id, max(struct_pack(d := d, rule_id := rule_id)) AS w
+        |  FROM cand GROUP BY doc_id)
+        |SELECT u.doc_id, u.path, w.w.d AS matched_depth, w.w.rule_id AS rule_id
+        |FROM urls u LEFT JOIN win w ON u.doc_id = w.doc_id
+        |ORDER BY u.doc_id""".stripMargin,
     // CIDR longest-prefix re-derived with a theta join (fine at oracle
     // scale) + struct-max winner; all-integer Knuth hash on both sides
     "q_cidr_join" ->

@@ -402,4 +402,48 @@ object Joins {
         (col("__graft_w.len").as("matched_len") +:
           payload.map(p => col(s"__graft_w.$p").as(p))): _*)
   }
+
+  /**
+   * Longest path-prefix match — [[longestPrefixJoin]]'s string
+   * sibling for URL paths (robots-style blocklists, routing tables,
+   * per-section crawl policies). A rule `/a/b` matches any path whose
+   * first segments are exactly `a, b`; the deepest matching rule wins
+   * per row.
+   *
+   * Same shape: the distinct rule DEPTHS (segment counts) are a
+   * bounded driver collect; each left row expands to one
+   * segment-prefix string per depth and meets its rules in an
+   * EQUI-join on the prefix — never `path LIKE rule || '%'`, which
+   * both plans a nested loop AND is wrong at segment boundaries
+   * (`/ab` is not under `/a`). `rules` must be unique on `prefixCol`;
+   * prefixes are `/seg/seg…` with no trailing slash. Output: left
+   * columns + `matched_depth` + rule payload (nulls when unmatched).
+   */
+  def pathPrefixJoin(left: DataFrame, pathCol: String, idCol: String,
+      rules: DataFrame, prefixCol: String): DataFrame = {
+    val depths = rules
+      .select((size(split(col(prefixCol), "/")) - 1).cast("int").as("__d"))
+      .distinct().collect().map(_.getInt(0)).sorted // bounded: rule depths
+    require(depths.nonEmpty && depths.forall(d => d >= 1 && d <= 32),
+      s"rule depths must be in [1,32] segments, got ${depths.mkString(",")}")
+    val payload = rules.columns.filterNot(_ == prefixCol).toSeq
+    val r = rules.select(
+      (col(prefixCol).as("__graft_p") +:
+        (size(split(col(prefixCol), "/")) - 1).cast("int").as("__graft_d") +:
+        payload.map(col)): _*)
+    val cand = left
+      .withColumn("__graft_d", explode(lit(depths)))
+      // split('/a/b','/') = ["","a","b"]; slice(1, d+1) + join = "/a/…"
+      .withColumn("__graft_p",
+        array_join(slice(split(col(pathCol), "/"), lit(1), col("__graft_d") + 1), "/"))
+      .join(r, Seq("__graft_p", "__graft_d"))
+    val winner = cand.groupBy(col(idCol))
+      .agg(max(struct(col("__graft_d").as("d") +:
+        payload.map(col): _*)).as("__graft_w"))
+      .select(col(idCol).as("__graft_id"), col("__graft_w"))
+    left.join(winner, col(idCol) === col("__graft_id"), "left")
+      .select(left.columns.map(col) ++
+        (col("__graft_w.d").as("matched_depth") +:
+          payload.map(p => col(s"__graft_w.$p").as(p))): _*)
+  }
 }

@@ -328,6 +328,31 @@ class JoinsSpec extends AnyFunSuite {
       !plan.contains("CartesianProduct"), plan)
   }
 
+  test("pathPrefixJoin: deepest rule wins, segment boundaries respected") {
+    import spark.implicits._
+    val urls = Seq((1L, "/a/b/c"), (2L, "/a/x"), (3L, "/ab/c"), (4L, "/z"))
+      .toDF("id", "path")
+    val rules = Seq(("/a", "r-a"), ("/a/b", "r-ab")).toDF("prefix", "action")
+    val out = Joins.pathPrefixJoin(urls, "path", "id", rules, "prefix")
+      .orderBy("id").collect()
+    assert(out(0).getInt(2) == 2 && out(0).getString(3) == "r-ab") // /a/b/c
+    assert(out(1).getInt(2) == 1 && out(1).getString(3) == "r-a")  // /a/x
+    // /ab/c must NOT match /a — the LIKE-prefix bug this join avoids
+    assert(out(2).isNullAt(2) && out(2).isNullAt(3))
+    assert(out(3).isNullAt(2))
+  }
+
+  test("pathPrefixJoin plans equi-joins only") {
+    import spark.implicits._
+    val urls = Seq((1L, "/a/b")).toDF("id", "path")
+    val rules = Seq(("/a", "r")).toDF("prefix", "action")
+    val plan = Joins.pathPrefixJoin(urls, "path", "id", rules, "prefix")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+
   test("longestPrefixJoin rejects out-of-range prefix lengths") {
     import spark.implicits._
     val ips = Seq((1L, 42L)).toDF("id", "ip")
