@@ -1128,3 +1128,27 @@ def path_prefix_join(left, path_col, id_col, rules, prefix_col):
             .select(*[F.col(c) for c in left.columns],
                     F.col("__graft_w.d").alias("matched_depth"),
                     *[F.col(f"__graft_w.{p}").alias(p) for p in payload]))
+
+
+def ndcg_k(results, truth, k):
+    """Graded nDCG@k of a ranked list vs a ranked truth — Python
+    mirror of the Scala ``Similarity.ndcgK``: rel = k+1 - truth_rank
+    (0 if absent), integer-micro discounts round(1e6/log2(i+1)),
+    ndcg_permille = dcg*1000 div idcg.
+    """
+    import math
+    if not 1 <= k <= 100:
+        raise ValueError("k must be in [1,100]")
+    disc = [round(1e6 * math.log(2) / math.log(i + 1)) for i in range(1, k + 1)]
+    idcg = sum((k + 1 - i) * disc[i - 1] for i in range(1, k + 1))
+    t = (truth.where(F.col("rank") <= k)
+         .select("query_id", "neighbor_id", F.col("rank").alias("__tr")))
+    return (results.where(F.col("rank") <= k)
+            .join(t, ["query_id", "neighbor_id"], "left")
+            .select("query_id",
+                    (F.coalesce(F.lit(k + 1) - F.col("__tr"), F.lit(0)).cast("long")
+                     * F.element_at(F.array(*[F.lit(d) for d in disc]),
+                                    F.col("rank"))).alias("__g"))
+            .groupBy("query_id").agg(F.sum("__g").alias("dcg_unats"))
+            .withColumn("ndcg_permille",
+                        F.expr(f"dcg_unats * 1000 div {idcg}L")))

@@ -494,3 +494,13 @@ def test_path_prefix_join(spark):
     assert out[1] == (2, "r-ab")
     assert out[2] == (1, "r-a")
     assert out[3] == (None, None)  # /ab is not under /a
+
+
+def test_ndcg_k(spark):
+    from graft.pipeline import ndcg_k
+
+    truth = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        "query_id long, neighbor_id long, rank int")
+    perfect = ndcg_k(truth, truth, 3).collect()[0]
+    assert perfect["dcg_unats"] == 4761860 and perfect["ndcg_permille"] == 1000

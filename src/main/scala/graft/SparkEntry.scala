@@ -1306,6 +1306,17 @@ object SparkEntry {
       // per-pair score = m table lookups — the compressed ANN serving path
       Similarity.pqTopK(t(s, dir, "embeddings"), "vec_id", "embedding", 3)
         .orderBy("query_id", "rank")),
+    // nDCG@3 of the fused RRF list against the exact brute truth:
+    // integer-micro discounts, rel = 4 - truth_rank — the position-
+    // aware complement of q_knn_recall
+    "q_knn_ndcg" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val fused = Similarity.rrfFuse(Seq(
+        Similarity.lshTopK(emb, "vec_id", "embedding", 3),
+        Similarity.ivfTopK(emb, "vec_id", "embedding", 3)), k = 3)
+      val truth = Similarity.bruteTopK(emb, "vec_id", "embedding", 3)
+      Similarity.ndcgK(fused, truth, 3).orderBy("query_id")
+    }),
     // reciprocal-rank fusion of the LSH and IVF top-3 lists: integer
     // micro scores (1e6 div (60+rank)) summed per (query, neighbor),
     // bounded top-k — the hybrid-retrieval merge primitive
@@ -4138,6 +4149,64 @@ object SparkEntry {
          |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM sims)
          |SELECT query_id, neighbor_id, sim, CAST(rank AS INTEGER) AS rank
          |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+    },
+    // nDCG@3 re-derived: the full RRF fusion chain + the brute truth,
+    // then the same integer-micro discounts (1000000/630930/500000)
+    // and idcg = 4761860 inlined as constants on both engines
+    "q_knn_ndcg" -> {
+      s"""WITH $duckHyperplaneCtes,
+         |${duckLloydCtes(k = 16, iters = 10)},
+         |lcand AS (
+         |  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+         |  FROM buckets a JOIN buckets b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+         |lsims AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |    CASE WHEN list_dot_product(a.v, a.v) = 0 OR list_dot_product(b.v, b.v) = 0 THEN 0.0
+         |         ELSE list_dot_product(a.v, b.v)
+         |              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) END AS sim
+         |  FROM lcand c JOIN vv a ON a.vec_id = c.query_id JOIN vv b ON b.vec_id = c.neighbor_id),
+         |lr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM lsims),
+         |ltop AS (SELECT query_id, neighbor_id, rank FROM lr WHERE rank <= 3),
+         |asg AS MATERIALIZED (SELECT vv.vec_id, vv.v,
+         |  (SELECT c.cell FROM c10 c ORDER BY list_distance(vv.v, c.centroid), c.cell LIMIT 1) AS cell
+         |  FROM vv),
+         |probes AS (SELECT * FROM (
+         |    SELECT a.vec_id AS query_id, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+         |        ORDER BY -list_dot_product(a.v, c.centroid), c.cell) AS prank
+         |    FROM asg a CROSS JOIN c10 c) WHERE prank <= 4),
+         |icand AS (SELECT DISTINCT p.query_id, n.vec_id AS neighbor_id
+         |  FROM probes p JOIN asg n ON n.cell = p.cell AND n.vec_id <> p.query_id),
+         |isims AS (SELECT c.query_id, c.neighbor_id,
+         |  CASE WHEN list_dot_product(a.v, a.v) = 0 OR list_dot_product(b.v, b.v) = 0 THEN 0.0
+         |       ELSE list_dot_product(a.v, b.v)
+         |            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) END AS sim
+         |  FROM icand c JOIN vv a ON a.vec_id = c.query_id JOIN vv b ON b.vec_id = c.neighbor_id),
+         |ir AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM isims),
+         |itop AS (SELECT query_id, neighbor_id, rank FROM ir WHERE rank <= 3),
+         |u AS (SELECT query_id, neighbor_id, 1000000 // (60 + rank) AS c FROM ltop
+         |      UNION ALL
+         |      SELECT query_id, neighbor_id, 1000000 // (60 + rank) AS c FROM itop),
+         |sc AS (SELECT query_id, neighbor_id, SUM(c) AS rrf_unats FROM u GROUP BY 1, 2),
+         |rr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |         ORDER BY rrf_unats DESC, neighbor_id) AS rank FROM sc),
+         |fused AS (SELECT query_id, neighbor_id, rank FROM rr WHERE rank <= 3),
+         |e2 AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM vv),
+         |bp AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |        CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN 0.0
+         |             ELSE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) END AS sim
+         |      FROM e2 a, e2 b WHERE a.vec_id <> b.vec_id),
+         |br AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM bp),
+         |truthr AS (SELECT query_id, neighbor_id, rank FROM br WHERE rank <= 3),
+         |g AS (SELECT f.query_id,
+         |        SUM(COALESCE(4 - t.rank, 0) *
+         |          CASE f.rank WHEN 1 THEN 1000000 WHEN 2 THEN 630930 ELSE 500000 END) AS dcg_unats
+         |      FROM fused f LEFT JOIN truthr t
+         |        ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+         |      GROUP BY f.query_id)
+         |SELECT query_id, CAST(dcg_unats AS BIGINT) AS dcg_unats,
+         |  dcg_unats * 1000 // 4761860 AS ndcg_permille
+         |FROM g ORDER BY query_id""".stripMargin
     },
     // RRF re-derived end-to-end: BOTH the hyperplane-LSH chain and the
     // unrolled-Lloyd IVF chain replay in one WITH (disjoint CTE names),

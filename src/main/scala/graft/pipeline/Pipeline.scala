@@ -1001,6 +1001,36 @@ object Similarity {
   }
 
   /**
+   * Graded nDCG@k of a ranked result list against a ranked ground
+   * truth — the retrieval-quality metric that complements recall
+   * (q_knn_recall): position matters, so a fused list that ranks the
+   * true best neighbor first scores above one that buries it at k.
+   * `rel(neighbor) = k+1 − truth_rank` (0 when absent from the truth
+   * top-k); discounts are INTEGER micros `round(1e6 / log2(i+1))`
+   * fixed at plan time, so per-query DCG is an exact integer sum and
+   * `ndcg_permille = dcg·1000 div idcg` is bit-reproducible.
+   *
+   * Both inputs need (query_id, neighbor_id, rank). One left
+   * equi-join on the (query, neighbor) pair + a per-query sum —
+   * ids-only rows, map-side combinable.
+   */
+  def ndcgK(results: DataFrame, truth: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= 100, s"k must be in [1,100], got $k")
+    val disc: Array[Long] =
+      (1 to k).map(i => Math.round(1e6 * math.log(2) / math.log(i + 1))).toArray
+    val idcg = (1 to k).map(i => (k + 1 - i).toLong * disc(i - 1)).sum
+    val t = truth.where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("__graft_tr"))
+    results.where(col("rank") <= k)
+      .join(t, Seq("query_id", "neighbor_id"), "left")
+      .select(col("query_id"),
+        (coalesce(lit(k + 1) - col("__graft_tr"), lit(0)).cast("long") *
+          element_at(lit(disc), col("rank"))).as("__graft_g"))
+      .groupBy("query_id").agg(sum("__graft_g").as("dcg_unats"))
+      .withColumn("ndcg_permille", expr(s"dcg_unats * 1000 div ${idcg}L"))
+  }
+
+  /**
    * Product-quantization ADC top-k by inner product (the compressed
    * complement of IVF): each vector is encoded as `m` per-subspace
    * centroid codes (~`m` bytes — [[PQCodes]]). Each query precomputes

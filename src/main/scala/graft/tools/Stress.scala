@@ -245,6 +245,56 @@ object Stress {
         ev.select("user_id", "event_type", "event_id", "tus"),
         Seq("user_id", "event_type"), "tus", Seq("event_id")))
 
+    // round-10 fourth wave. Per-copy user-id shifts keep per-key event
+    // densities constant, so the range-frame attribution windows and
+    // the per-user CUSUM series should scale LINEARLY in events; the
+    // DSIR/wordpiece fits stay bounded (512 longs / 200 words) while
+    // their scoring passes scan ×factor rows; LPA on the stride
+    // lattice keeps per-node degree constant as nodes grow ×factor.
+    timed("attribution", factor)(
+      graft.pipeline.Temporal.attribution(ev, "user_id", "event_id",
+        "tus", "event_type", "purchase", Seq("click", "view"),
+        lookbackMicros = 7L * 86400L * 1000000L))
+    timed("cusum", factor)(
+      graft.pipeline.Stats.cusum(
+        ev.withColumn("vc", expr("cast(round(value * 100) as bigint)")),
+        Seq("user_id"), "tus", "vc", ref = 50L, slack = 5L, threshold = 500L))
+    timed("dsir_top1k", factor)(
+      graft.pipeline.Dsir.topK(docs, "doc_id", "text",
+        isTarget = col("lang") === "en", buckets = 512, k = 1000))
+    timed("wordpiece_stats", factor)(
+      graft.pipeline.Wordpiece.pieceStats(docs, "doc_id", "text", 200))
+    timed("lpa", factor)(
+      graft.pipeline.Graph.labelPropagation(lattice, "src", "dst", 3))
+    // CIDR fact side grows ×factor (shifted user ids → new IPs); the
+    // rule table is a fixed dimension — the equi-join must stay linear
+    val ips = ev.select(col("user_id")).distinct()
+      .withColumn("ip32", expr("(user_id * 2654435761L) % 4294967296L"))
+    val cidrRules = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey"),
+        expr("(c_custkey * 2654435761L) % 4294967296L").as("rip"),
+        (lit(8) + (col("c_custkey") % 3) * 8).cast("int").as("plen"))
+      .withColumn("prefix", expr("shiftright(rip, 32 - plen)"))
+      .groupBy("plen", "prefix").agg(min("c_custkey").as("rule_id"))
+      .persist()
+    cidrRules.count()
+    timed("cidr_join", factor)(
+      graft.pipeline.Joins.longestPrefixJoin(ips, "ip32", "user_id",
+        cidrRules, "plen", "prefix"))
+    // baskets = per-user event-type sets: basket size is bounded by the
+    // 5 event types, so the ordered pair self-join stays linear
+    timed("assoc_pairs", factor)(
+      graft.pipeline.Baskets.frequentPairs(
+        ev.select(col("user_id").as("bid"), col("event_type").as("item")),
+        "bid", "item", minSupport = 2L))
+    timed("psi", factor)(
+      graft.pipeline.Stats.psiReport(
+        ev.where(col("event_type") === "view")
+          .select(expr("cast(round(value * 100) as bigint)").as("vc")),
+        ev.where(col("event_type") === "click")
+          .select(expr("cast(round(value * 100) as bigint)").as("vc")),
+        "vc", buckets = 10))
+
     spark.stop()
   }
 }

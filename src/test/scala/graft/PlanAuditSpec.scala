@@ -31,6 +31,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_heavy_hitters" -> "broadcast one-row CMS sketch crossJoin (1 KB array)",
     "q_knn_recall" -> ("contains the labeled brute baseline as the recall " +
       "ground truth; at scale the truth side runs on a query sample"),
+    "q_knn_ndcg" -> ("contains the labeled brute baseline as the nDCG " +
+      "ground truth; at scale the truth side runs on a query sample"),
     "q_skew_report" -> "broadcast one-row table-total crossJoin",
     "q_psi" -> "broadcast one-row side-totals crossJoin (10-row bucket table)",
     "q_assoc" -> "broadcast one-row basket-count crossJoin",

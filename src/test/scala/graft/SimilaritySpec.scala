@@ -210,4 +210,25 @@ class SimilaritySpec extends AnyFunSuite {
     val tie = Similarity.rrfFuse(Seq(c, d), k = 2).orderBy("rank").collect()
     assert(tie.map(_.getLong(1)).toSeq == Seq(19L, 20L))
   }
+
+  test("ndcgK: perfect, inverted and disjoint lists score as expected") {
+    import spark.implicits._
+    val truth = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 20L, 1), (2L, 21L, 2), (2L, 22L, 3),
+      (3L, 30L, 1), (3L, 31L, 2), (3L, 32L, 3))
+      .toDF("query_id", "neighbor_id", "rank")
+    val results = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),  // perfect
+      (2L, 22L, 1), (2L, 21L, 2), (2L, 20L, 3),  // inverted
+      (3L, 90L, 1), (3L, 91L, 2), (3L, 92L, 3))  // disjoint
+      .toDF("query_id", "neighbor_id", "rank")
+    val out = Similarity.ndcgK(results, truth, 3)
+      .orderBy("query_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // idcg = 3*1000000 + 2*630930 + 1*500000 = 4761860
+    assert(out(0) == ((1L, 4761860L, 1000L)))
+    // inverted: 1*1000000 + 2*630930 + 3*500000 = 3761860 -> 789 permille
+    assert(out(1) == ((2L, 3761860L, 789L)))
+    assert(out(2) == ((3L, 0L, 0L)))
+  }
 }
