@@ -1152,3 +1152,47 @@ def ndcg_k(results, truth, k):
             .groupBy("query_id").agg(F.sum("__g").alias("dcg_unats"))
             .withColumn("ndcg_permille",
                         F.expr(f"dcg_unats * 1000 div {idcg}L")))
+
+
+def trend(df, keys, x_col, y_col):
+    """Per-key least-squares linear trend — Python mirror of the Scala
+    ``Stats.trend``: exact integer moments in one groupBy, slope in
+    integer micro-units; singleton keys report null.
+    """
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    return (df.groupBy(*[F.col(k) for k in keys])
+            .agg(F.count(F.lit(1)).alias("n"), F.sum(x).alias("__sx"),
+                 F.sum(y).alias("__sy"), F.sum(x * y).alias("__sxy"),
+                 F.sum(x * x).alias("__sxx"))
+            .withColumn("slope_micro", F.when(
+                F.col("n") * F.col("__sxx") - F.col("__sx") * F.col("__sx") == 0,
+                F.lit(None)).otherwise(
+                F.round(F.lit(1e6) *
+                        (F.col("n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast("double") /
+                        (F.col("n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast("double"))
+                .cast("long")))
+            .drop("__sx", "__sy", "__sxy", "__sxx"))
+
+
+def benford(df, value_col):
+    """Benford first-digit audit — Python mirror of the Scala
+    ``Stats.benford``: digit from the decimal string, expected permille
+    log10(1+1/d), signed deviation.
+    """
+    import math
+    expected = {d: round(1000.0 * math.log10(1.0 + 1.0 / d)) for d in range(1, 10)}
+    exp_col = F.lit(0)
+    for d in range(1, 10):
+        exp_col = F.when(F.col("digit") == d, F.lit(expected[d])).otherwise(exp_col)
+    v = F.col(value_col).cast("long")
+    digits = (df.where(v > 0)
+              .select(F.substring(v.cast("string"), 1, 1).cast("int").alias("digit"))
+              .groupBy("digit").agg(F.count(F.lit(1)).alias("n")))
+    tot = digits.agg(F.sum("n").alias("__t"))
+    return (digits.crossJoin(F.broadcast(tot))
+            .select("digit", "n",
+                    F.expr("n * 1000 div __t").alias("observed_permille"),
+                    exp_col.cast("long").alias("expected_permille"))
+            .withColumn("deviation_permille",
+                        F.col("observed_permille") - F.col("expected_permille")))

@@ -504,3 +504,15 @@ def test_ndcg_k(spark):
         "query_id long, neighbor_id long, rank int")
     perfect = ndcg_k(truth, truth, 3).collect()[0]
     assert perfect["dcg_unats"] == 4761860 and perfect["ndcg_permille"] == 1000
+
+
+def test_trend_and_benford(spark):
+    from graft.pipeline import benford, trend
+
+    df = spark.createDataFrame([("a", x, 3 * x + 5) for x in range(11)],
+                               "k string, x long, y long")
+    assert trend(df, ["k"], "x", "y").collect()[0]["slope_micro"] == 3000000
+    u = spark.createDataFrame([(v,) for v in range(1, 10000)], "v long")
+    rows = {r["digit"]: r for r in benford(u, "v").collect()}
+    assert rows[1]["expected_permille"] == 301
+    assert rows[1]["deviation_permille"] < -150

@@ -2264,6 +2264,24 @@ object SparkEntry {
           "vc", buckets = 10)
         .orderBy("bucket")
     }),
+    // per-type least-squares trend of the daily event counts: exact
+    // integer moments in one groupBy, only the final slope division
+    // touches doubles
+    "q_trend" -> ((s, dir) => {
+      val daily = eventsMicros(s, dir)
+        .groupBy(col("event_type"), expr("tus div 86400000000").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.pipeline.Stats.trend(daily, Seq("event_type"), "day", "cnt")
+        .orderBy("event_type")
+    }),
+    // Benford first-digit audit over the order-value cents: observed
+    // vs log10(1+1/d) permille, digit from the decimal string
+    "q_benford" -> ((s, dir) =>
+      graft.pipeline.Stats.benford(
+          t(s, dir, "lineitem").select(
+            expr("cast(round(l_extendedprice * 100) as bigint)").as("cents")),
+          "cents")
+        .orderBy("digit")),
     // two-sided CUSUM change-point over daily per-type event counts:
     // the max(0,·) recurrence in closed form (prefix sum − running
     // min), two window passes on one shuffle — all integer
@@ -5400,6 +5418,37 @@ object SparkEntry {
         |    (ln((ref_n + 1.0) / (rr + 10.0)) - ln((cur_n + 1.0) / (c2 + 10.0))))
         |    AS BIGINT) AS psi_unats
         |FROM j, t2 ORDER BY bucket""".stripMargin,
+    // trend replayed: identical integer moments, one double division
+    "q_trend" ->
+      """WITH e AS (SELECT event_type, epoch_ns(ts) // 1000 AS tus FROM events),
+        |d AS (SELECT event_type, tus // 86400000000 AS day, COUNT(*) AS cnt
+        |      FROM e GROUP BY 1, 2),
+        |m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |        SUM(day) AS sx, SUM(cnt) AS sy,
+        |        SUM(day * cnt) AS sxy, SUM(day * day) AS sxx
+        |      FROM d GROUP BY event_type)
+        |SELECT event_type, n,
+        |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+        |       ELSE CAST(round(1000000.0 * CAST(n * sxy - sx * sy AS DOUBLE)
+        |            / CAST(n * sxx - sx * sx AS DOUBLE)) AS BIGINT) END AS slope_micro
+        |FROM m ORDER BY event_type""".stripMargin,
+    // Benford audit replayed: same string-rendered first digit, same
+    // inlined log10(1+1/d) permille constants
+    "q_benford" ->
+      """WITH v AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |           FROM lineitem),
+        |d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit,
+        |        COUNT(*) AS n
+        |      FROM v WHERE cents > 0 GROUP BY 1),
+        |t AS (SELECT SUM(n) AS tt FROM d)
+        |SELECT digit, n, CAST(n * 1000 // tt AS BIGINT) AS observed_permille,
+        |  CAST(CASE digit WHEN 1 THEN 301 WHEN 2 THEN 176 WHEN 3 THEN 125
+        |    WHEN 4 THEN 97 WHEN 5 THEN 79 WHEN 6 THEN 67 WHEN 7 THEN 58
+        |    WHEN 8 THEN 51 ELSE 46 END AS BIGINT) AS expected_permille,
+        |  CAST(n * 1000 // tt - (CASE digit WHEN 1 THEN 301 WHEN 2 THEN 176
+        |    WHEN 3 THEN 125 WHEN 4 THEN 97 WHEN 5 THEN 79 WHEN 6 THEN 67
+        |    WHEN 7 THEN 58 WHEN 8 THEN 51 ELSE 46 END) AS BIGINT) AS deviation_permille
+        |FROM d, t ORDER BY digit""".stripMargin,
     // CUSUM replayed with the same closed form: prefix sums of the
     // drift-adjusted deltas minus their running min, two windows
     "q_cusum" ->

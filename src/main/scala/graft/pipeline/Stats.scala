@@ -103,6 +103,61 @@ object Stats {
   }
 
   /**
+   * Per-key least-squares linear trend of an integral series — the
+   * metric-direction primitive (is this domain's daily volume
+   * growing?). `slope_micro = round(1e6·(nΣxy − ΣxΣy)/(nΣx² −
+   * (Σx)²))`: every moment is an exact integer sum (map-side
+   * combinable, ONE groupBy, no window, no sort), and only the final
+   * division touches doubles — identical on any engine. Keys with a
+   * single point (denominator 0) report null slope.
+   */
+  def trend(df: DataFrame, keys: Seq[String], xCol: String,
+      yCol: String): DataFrame = {
+    require(keys.nonEmpty, "keys required")
+    val x = col(xCol).cast("long")
+    val y = col(yCol).cast("long")
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(x).as("__sx"), sum(y).as("__sy"),
+        sum(x * y).as("__sxy"), sum(x * x).as("__sxx"))
+      .withColumn("slope_micro",
+        when(col("n") * col("__sxx") - col("__sx") * col("__sx") === 0L, lit(null))
+          .otherwise(round(lit(1e6) *
+            (col("n") * col("__sxy") - col("__sx") * col("__sy")).cast("double") /
+            (col("n") * col("__sxx") - col("__sx") * col("__sx")).cast("double"))
+            .cast("long")))
+      .drop("__sx", "__sy", "__sxy", "__sxx")
+  }
+
+  /**
+   * Benford's-law first-digit audit of a positive integral metric —
+   * the classic fabricated-data / unit-mixup screen. Digit shares are
+   * compared against `log10(1 + 1/d)` in permille (constants fixed at
+   * plan time); the output is one row per leading digit with observed
+   * count, observed and expected permille, and the signed deviation.
+   * The first digit comes from the DECIMAL STRING rendering (identical
+   * on any engine), never floor(log10) — which goes wrong at powers of
+   * ten in floating point. One groupBy over 9 groups.
+   */
+  def benford(df: DataFrame, valueCol: String): DataFrame = {
+    val expected: Map[Int, Long] = (1 to 9).map(d =>
+      d -> Math.round(1000.0 * math.log10(1.0 + 1.0 / d))).toMap
+    val expectedCol = (1 to 9).foldLeft(lit(0L)) { (acc, d) =>
+      when(col("digit") === d, lit(expected(d))).otherwise(acc)
+    }
+    val v = col(valueCol).cast("long")
+    val digits = df.where(v > 0)
+      .select(substring(v.cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val tot = digits.agg(sum("n").as("__t"))
+    digits.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        expr("n * 1000 div __t").as("observed_permille"),
+        expectedCol.as("expected_permille"))
+      .withColumn("deviation_permille",
+        col("observed_permille") - col("expected_permille"))
+  }
+
+  /**
    * PSI — population stability index — between a reference and a
    * current distribution of an integral metric: the standard drift
    * report (feature drift between training and serving, score drift

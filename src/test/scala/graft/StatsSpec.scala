@@ -153,6 +153,36 @@ class StatsSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getInt(0) >= 0 && r.getInt(0) < 10))
   }
 
+  test("trend: exact slope on a hand case; singleton keys report null") {
+    import spark.implicits._
+    // y = 3x + 5 exactly -> slope 3.000000; plus a singleton key
+    val df = (0L to 10L).map(x => ("a", x, 3 * x + 5)).toDF("k", "x", "y")
+      .union(Seq(("b", 1L, 7L)).toDF("k", "x", "y"))
+    val out = graft.pipeline.Stats.trend(df, Seq("k"), "x", "y")
+      .orderBy("k").collect()
+    assert(out(0).getLong(2) == 3000000L)
+    assert(out(1).isNullAt(2))
+  }
+
+  test("benford: digit shares sum to ~1000 and uniform data deviates") {
+    import spark.implicits._
+    // 1..9999 uniform: digit 1 is overrepresented vs Benford? No —
+    // uniform 1..9999 gives each leading digit ~1111 values -> ~111
+    // permille each, far from Benford's 301 for digit 1
+    val df = (1L to 9999L).map(Tuple1(_)).toDF("v")
+    val rows = graft.pipeline.Stats.benford(df, "v").orderBy("digit").collect()
+    assert(rows.length == 9)
+    assert(rows.map(_.getLong(2)).sum >= 995 && rows.map(_.getLong(2)).sum <= 1000)
+    val d1 = rows.head
+    assert(d1.getInt(0) == 1 && d1.getLong(3) == 301L)
+    assert(d1.getLong(4) < -150L) // uniform data: digit-1 share ~111
+    // non-positive values are excluded
+    val withZeros = df.union(Seq(Tuple1(0L), Tuple1(-5L)).toDF("v"))
+    val n2 = graft.pipeline.Stats.benford(withZeros, "v")
+      .agg(sum("n")).collect().head.getLong(0)
+    assert(n2 == 9999L)
+  }
+
   test("cusum plan is one shuffle (both windows share the sort)") {
     import spark.implicits._
     val df = Seq((1L, 1L, 5L)).toDF("k", "t", "x")
