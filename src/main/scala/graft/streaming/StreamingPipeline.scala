@@ -328,6 +328,46 @@ object StreamingPipeline {
       }
   }
 
+  /**
+   * Streaming PSI drift monitor: per event-time window, the
+   * population-stability index of a metric column against a STATIC
+   * reference distribution (bounds + counts fit offline with
+   * [[graft.pipeline.Stats.psiReport]]'s decile machinery). Append
+   * mode needs ONE aggregation, so the per-bucket counts are
+   * conditional sums inside a single windowed groupBy — never a
+   * second aggregation over bucket rows — and the micro-nat PSI is a
+   * plain expression over the B count columns. Alert when
+   * `psi_unats` crosses the usual gates (0.1 ≙ 100 000, 0.25 ≙
+   * 250 000). State is one row of B longs per open window.
+   */
+  def psiWindowed(df: DataFrame, eventTimeCol: String, valueCol: String,
+      refBounds: Array[Long], refCounts: Array[Long],
+      windowDuration: String, watermarkDelay: String = "0 seconds"): DataFrame = {
+    val b = refCounts.length
+    require(b >= 2, s"need >= 2 buckets, got $b")
+    require(refBounds.length == b - 1,
+      s"bounds must be counts-1 long, got ${refBounds.length} vs $b")
+    val v = col(valueCol).cast("long")
+    val bucket = refBounds.foldLeft(lit(0))((acc, x) =>
+      acc + when(v >= lit(x), 1).otherwise(0))
+    val counts = (0 until b).map(i =>
+      sum(when(bucket === i, 1L).otherwise(0L)).as(s"__c$i"))
+    val agg = df
+      .withWatermark(eventTimeCol, watermarkDelay)
+      .groupBy(window(col(eventTimeCol), windowDuration))
+      .agg(counts.head, counts.tail: _*)
+    val cTot = (0 until b).map(i => col(s"__c$i")).reduce(_ + _)
+    val rTot = refCounts.sum
+    val psi = (0 until b).map { i =>
+      val p = (lit(refCounts(i)) + lit(1.0)) / lit(rTot + b.toDouble)
+      val q = (col(s"__c$i") + lit(1.0)) / (cTot + lit(b.toDouble))
+      round(lit(1e6) * (p - q) * (log(p) - log(q))).cast("long")
+    }.reduce(_ + _)
+    agg.select(col("window.start").as("window_start"),
+      col("window.end").as("window_end"),
+      cTot.as("n_events"), psi.as("psi_unats"))
+  }
+
   /** One metric point after projection. */
   final case class CusumRow(k: Long, t: Long, x: Long)
   /** Per-key state: both prefix sums and their running mins (the

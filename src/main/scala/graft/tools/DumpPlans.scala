@@ -145,7 +145,22 @@ object DumpPlans {
       "q_cusum" -> ("CUSUM change-point: daily counts aggregate once, " +
         "then BOTH cusum sides are window projections (prefix sum + " +
         "running min) sharing one (key) exchange — the max(0,.) " +
-        "recurrence never loops."))
+        "recurrence never loops."),
+      "q_lpa" -> ("Label propagation, final round: edge-label equi-join, " +
+        "(node, label) partial+final count, min-struct argmax — hot " +
+        "nodes cost degree, never degree^2; localCheckpoint'ed rounds " +
+        "keep the plan flat."),
+      "q_path_block" -> ("URL path blocklist: bounded per-depth " +
+        "segment-prefix expansion meets rules in an equi-join on " +
+        "(prefix, depth); deepest-rule winner is a partial+final struct " +
+        "max — no LIKE theta join."),
+      "q_assoc" -> ("Market-basket pairs: distinct (basket, item) rows, " +
+        "ordered self-equi-join on the basket id (quadratic only in " +
+        "the bounded basket size), minSupport prune BEFORE the " +
+        "per-item joins; the only broadcast is the one-row basket count."),
+      "q_knn_ndcg" -> ("nDCG@3: the fused and truth lists meet in ONE " +
+        "ids-only equi-join; discounts are plan-time integer constants, " +
+        "so the per-query score is a partial+final integer sum."))
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of the flagship queries\n\n")
     sb.append("Generated by `graft.tools.DumpPlans` at sf0.001 with\n")

@@ -58,6 +58,26 @@ object StreamDrive {
     println(s"[stream-drive] cusum flags: streamed=$streamedFlags batch=$batchFlags " +
       (if (streamedFlags == batchFlags) "MATCH" else "MISMATCH"))
     require(streamedFlags == batchFlags, "stream/batch cusum flag counts differ")
+
+    // PSI drift monitor: daily windows of value-cents vs a uniform
+    // reference fit from the full batch (deciles of the value column)
+    val cents = spark.read.parquet(path)
+      .selectExpr("cast(round(value * 100) as bigint) AS vc")
+    val bounds = (1 until 10).map(p =>
+      cents.stat.approxQuantile("vc", Array(p / 10.0), 0.0).head.toLong).toArray
+    val refCounts = Array.fill(10)(cents.count() / 10)
+    val psi = graft.streaming.StreamingPipeline.psiWindowed(
+      stream.selectExpr("cast(ts as timestamp) AS ts",
+        "cast(round(value * 100) as bigint) AS vc"),
+      "ts", "vc", bounds, refCounts, "1 day")
+    val q3 = psi.writeStream.format("memory").queryName("drive_psi")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q3.awaitTermination(120000)
+    val windows = spark.sql(
+      "SELECT COUNT(*), MAX(abs(psi_unats)) FROM drive_psi").collect()(0)
+    println(s"[stream-drive] psi windows=${windows.getLong(0)} " +
+      s"max|psi|=${windows.getLong(1)} unats (self-reference: expect small)")
+    require(windows.getLong(0) > 0, "psi monitor emitted no windows")
     spark.stop()
   }
 }

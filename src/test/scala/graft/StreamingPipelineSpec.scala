@@ -665,6 +665,33 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(got.exists(_._2 >= 0) && got.exists(_._2 == -1L)) // non-trivial mix
   }
 
+  test("psiWindowed: a matching window scores ~0, a shifted window alarms") {
+    val dir = Files.createTempDirectory("stream-psi").toString
+    // reference: uniform 0..99 — decile bounds 10,20,…,90, 100 per bucket
+    val refBounds = (1 until 10).map(i => (i * 10).toLong).toArray
+    val refCounts = Array.fill(10)(100L)
+    // window 1 (t in [0,60s)): same uniform; window 2: everything +80
+    val rows = (0 until 1000).map(i =>
+      (java.sql.Timestamp.valueOf(f"2024-01-01 00:00:${i % 50}%02d"), (i % 100).toLong)) ++
+      (0 until 1000).map(i =>
+        (java.sql.Timestamp.valueOf(f"2024-01-01 00:01:${i % 50}%02d"), (i % 100 + 80).toLong))
+    val df = rows.toDF("ts", "v")
+    df.write.mode("overwrite").parquet(dir)
+    val out = StreamingPipeline.psiWindowed(
+      spark.readStream.schema(df.schema).parquet(dir),
+      "ts", "v", refBounds, refCounts, "1 minute")
+    val q = out.writeStream.format("memory").queryName("psi_stream")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.sql(
+      "SELECT window_start, n_events, psi_unats FROM psi_stream ORDER BY window_start")
+      .collect()
+    assert(got.length == 2)
+    assert(got(0).getLong(1) == 1000L && got(1).getLong(1) == 1000L)
+    assert(math.abs(got(0).getLong(2)) < 5000L, s"calm window: ${got(0)}")
+    assert(got(1).getLong(2) > 250000L, s"shifted window: ${got(1)}")
+  }
+
   test("cusumStream single batch equals the batch cusum row-for-row") {
     val dir = Files.createTempDirectory("stream-cusum").toString
     val rnd = new scala.util.Random(11)
