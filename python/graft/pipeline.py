@@ -1196,3 +1196,25 @@ def benford(df, value_col):
                     exp_col.cast("long").alias("expected_permille"))
             .withColumn("deviation_permille",
                         F.col("observed_permille") - F.col("expected_permille")))
+
+
+def hll_overlap(a, b, key_col, m=64):
+    """Audience-overlap estimate via HLL inclusion–exclusion — Python
+    mirror of the q_hll_overlap composition: est(A) + est(B) −
+    est(A∪B), clamped at 0, beside the union estimate. Uses the
+    registered pl_hll_* SQL aggregates; the sketches make the overlap
+    question answerable without materializing either distinct set.
+    """
+    ska = a.select(F.expr(f"pl_hll_agg({key_col}, {m})").alias("sk"))
+    skb = b.select(F.expr(f"pl_hll_agg({key_col}, {m})").alias("sk"))
+    sks = ska.unionByName(skb)
+    est = (sks.agg(F.expr(f"pl_hll_merge(sk, {m})").alias("sku"))
+           .crossJoin(F.broadcast(
+               ska.select(F.expr(f"pl_hll_estimate(sk, {m})").alias("est_a"))))
+           .crossJoin(F.broadcast(
+               skb.select(F.expr(f"pl_hll_estimate(sk, {m})").alias("est_b"))))
+           .select("est_a", "est_b",
+                   F.expr(f"pl_hll_estimate(sku, {m})").alias("est_union")))
+    return est.withColumn(
+        "est_intersect",
+        F.greatest(F.lit(0), F.col("est_a") + F.col("est_b") - F.col("est_union")))

@@ -516,3 +516,12 @@ def test_trend_and_benford(spark):
     rows = {r["digit"]: r for r in benford(u, "v").collect()}
     assert rows[1]["expected_permille"] == 301
     assert rows[1]["deviation_permille"] < -150
+
+
+def test_hll_overlap(spark):
+    from graft.pipeline import hll_overlap
+
+    a = spark.createDataFrame([(k,) for k in range(1, 2001)], "k long")
+    b = spark.createDataFrame([(k,) for k in range(1001, 3001)], "k long")
+    row = hll_overlap(a, b, "k").collect()[0]
+    assert 300 < row["est_intersect"] < 1900  # exact overlap = 1000, m=64

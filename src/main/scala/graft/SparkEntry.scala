@@ -2207,6 +2207,37 @@ object SparkEntry {
     // the integer-exact raw estimate. merge(sketch(daily)) ≡
     // sketch(union) — HllSpec pins it — so the oracle replays registers
     // straight from distinct (event_type, user_id).
+    // HLL set-algebra: audience-overlap estimate via inclusion-
+    // exclusion over MAX-merged sketches — |A∩B| ≈ est(A) + est(B) −
+    // est(A∪B), with the exact intersection beside it; the sketches
+    // make the same question answerable at 100 TB without ever
+    // materializing either distinct set
+    "q_hll_overlap" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .where(col("event_type").isin("view", "click"))
+        .select(col("event_type"), col("user_id"))
+      val per = ev.groupBy("event_type")
+        .agg(graft.pipeline.Hll.sketch(col("user_id"), 64).as("sk"))
+        .select(col("event_type"),
+          graft.pipeline.Hll.estimate(col("sk"), 64).as("est"), col("sk"))
+      val flat = per.agg(
+          max(when(col("event_type") === "view", col("est"))).as("est_view"),
+          max(when(col("event_type") === "click", col("est"))).as("est_click"),
+          graft.pipeline.Hll.merge(col("sk"), 64).as("sku"))
+        .select(col("est_view"), col("est_click"),
+          graft.pipeline.Hll.estimate(col("sku"), 64).as("est_union"))
+        // inclusion–exclusion can dip negative for near-disjoint sets:
+        // clamp at 0 (both engines) so the permille division is stable
+        .withColumn("est_intersect",
+          greatest(lit(0L), col("est_view") + col("est_click") - col("est_union")))
+      val exacti = ev.where(col("event_type") === "view").select("user_id").distinct()
+        .join(ev.where(col("event_type") === "click").select("user_id").distinct(),
+          Seq("user_id"))
+        .agg(count(lit(1)).as("exact_intersect"))
+      flat.crossJoin(broadcast(exacti))
+        .withColumn("jaccard_est_permille",
+          expr("est_intersect * 1000 div est_union"))
+    }),
     "q_hll" -> ((s, dir) => {
       val ev = eventsMicros(s, dir)
         .withColumn("day", date_format(timestamp_micros(col("tus")), "yyyy-MM-dd"))
@@ -5343,6 +5374,45 @@ object SparkEntry {
     // reg = top 6 bits of splitmix64, rank = 32 - floor(log2(low32))
     // (w < 2^32 is exact in a double), empty registers contribute 2^33,
     // then the same alpha-scaled integral division as Hll.estimate
+    // overlap replayed: per-side registers on the full grid, union =
+    // register-wise MAX, the same fixed-point alpha-m estimate
+    "q_hll_overlap" -> {
+      val mix = duckMix64("(user_id)::HUGEINT")
+      val estOf = (ssum: String) =>
+        s"CAST((7090::HUGEINT * 4096 * 8589934592) // (($ssum)::HUGEINT * 10000) AS BIGINT)"
+      s"""WITH k AS (SELECT DISTINCT event_type, user_id FROM events
+         |           WHERE event_type IN ('view', 'click')),
+         |h AS (SELECT event_type, $mix AS hh FROM k),
+         |b AS (SELECT event_type, CAST(hh // 288230376151711744::HUGEINT AS INT) AS reg,
+         |    CAST(hh % 4294967296::HUGEINT AS BIGINT) AS w FROM h),
+         |r AS (SELECT event_type, reg,
+         |    MAX(CASE WHEN w = 0 THEN 33 ELSE 32 - CAST(floor(log2(w)) AS INT) END) AS rho
+         |  FROM b GROUP BY 1, 2),
+         |grid AS (SELECT et AS event_type, CAST(g AS INT) AS reg
+         |  FROM (VALUES ('view'), ('click')) s(et), range(0, 64) t(g)),
+         |regs AS (SELECT grid.event_type, grid.reg, COALESCE(r.rho, 0) AS rho
+         |  FROM grid LEFT JOIN r ON grid.event_type = r.event_type AND grid.reg = r.reg),
+         |s AS (SELECT event_type, SUM(1::BIGINT << (33 - rho)) AS ssum FROM regs GROUP BY 1),
+         |ur AS (SELECT reg, MAX(rho) AS rho FROM regs GROUP BY reg),
+         |us AS (SELECT SUM(1::BIGINT << (33 - rho)) AS ssum FROM ur),
+         |ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_intersect FROM (
+         |  SELECT user_id FROM k WHERE event_type = 'view'
+         |  INTERSECT
+         |  SELECT user_id FROM k WHERE event_type = 'click') q)
+         |SELECT
+         |  (SELECT ${estOf("ssum")} FROM s WHERE event_type = 'view') AS est_view,
+         |  (SELECT ${estOf("ssum")} FROM s WHERE event_type = 'click') AS est_click,
+         |  (SELECT ${estOf("ssum")} FROM us) AS est_union,
+         |  GREATEST(0, (SELECT ${estOf("ssum")} FROM s WHERE event_type = 'view')
+         |    + (SELECT ${estOf("ssum")} FROM s WHERE event_type = 'click')
+         |    - (SELECT ${estOf("ssum")} FROM us)) AS est_intersect,
+         |  ex.exact_intersect,
+         |  GREATEST(0, (SELECT ${estOf("ssum")} FROM s WHERE event_type = 'view')
+         |    + (SELECT ${estOf("ssum")} FROM s WHERE event_type = 'click')
+         |    - (SELECT ${estOf("ssum")} FROM us)) * 1000
+         |    // (SELECT ${estOf("ssum")} FROM us) AS jaccard_est_permille
+         |FROM ex""".stripMargin
+    },
     "q_hll" -> {
       val mix = duckMix64("(user_id)::HUGEINT")
       s"""WITH k AS (SELECT DISTINCT event_type, user_id FROM events),

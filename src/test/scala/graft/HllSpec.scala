@@ -86,4 +86,17 @@ class HllSpec extends AnyFunSuite {
     assert(HllSketch.rho(0x0000000080000000L) == 1)
     assert(HllSketch.rho(0x0000000000010000L) == 16)
   }
+
+  test("inclusion-exclusion intersection estimate tracks the exact overlap") {
+    import spark.implicits._
+    // A = 1..2000, B = 1001..3000 -> |A∩B| = 1000, |A∪B| = 3000
+    val a = (1L to 2000L).map(Tuple1(_)).toDF("k")
+    val b = (1001L to 3000L).map(Tuple1(_)).toDF("k")
+    def est(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(Hll.estimate(Hll.sketch(col("k"), 64), 64)).collect().head.getLong(0)
+    val inter = est(a) + est(b) - est(a.union(b))
+    // m=64 -> ~13% per-estimate error; the inclusion-exclusion difference
+    // compounds, so accept a generous band around 1000
+    assert(inter > 300 && inter < 1900, s"est intersect $inter vs exact 1000")
+  }
 }

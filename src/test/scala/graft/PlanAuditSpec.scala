@@ -37,6 +37,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_psi" -> "broadcast one-row side-totals crossJoin (10-row bucket table)",
     "q_assoc" -> "broadcast one-row basket-count crossJoin",
     "q_benford" -> "broadcast one-row digit-total crossJoin (9-row table)",
+    "q_hll_overlap" -> "broadcast one-row exact-intersect crossJoin beside the 1 KB sketches",
     "q_label_separation" ->
       "broadcast label-cardinality sum-vector crossJoin (L x L label pairs = metadata-sized)")
 
