@@ -2996,7 +2996,25 @@ object SparkEntry {
           expr("array_position(en, array_max(en))").cast("int").as("peak_win"),
           expr("array_max(en)").as("peak_energy"),
           expr("aggregate(en, 0L, (a, x) -> a + x)").as("total_energy"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+    // voice-activity spans: windows whose energy beats the clip mean
+    // (integer cross-multiply e·n > total — no division) merge into
+    // segments via gaps-and-islands; the VAD speech-segmentation shape
+    "q_vad" -> ((s, dir) => {
+      val en = t(s, dir, "documents").select(col("doc_id"),
+          posexplode(Multimodal.wav_energy(
+            expr("mm_wav_synth(doc_id, 256)"), lit(64))))
+        .select(col("doc_id"), col("pos").cast("long").as("w"), col("col").as("e"))
+      val tot = en.groupBy("doc_id").agg(sum("e").as("te"), count(lit(1)).as("nw"))
+      val act = en.join(tot, "doc_id").where(col("e") * col("nw") > col("te"))
+      val win = Window.partitionBy("doc_id").orderBy("w")
+      act.withColumn("isl", col("w") - row_number().over(win))
+        .groupBy("doc_id", "isl")
+        .agg(min("w").as("start_w"), max("w").as("end_w"),
+          count(lit(1)).as("n_active"), sum("e").as("seg_energy"))
+        .drop("isl")
+        .orderBy("doc_id", "start_w")
+    })
   )
 
   // ---- DuckDB SQL builders for graft's 64-bit hash primitives ----
@@ -6116,6 +6134,25 @@ object SparkEntry {
         |  FROM en JOIN pk ON en.doc_id = pk.doc_id AND en.e = pk.peak_energy
         |  GROUP BY 1)
         |SELECT pk.doc_id, n_windows, peak_win, peak_energy, total_energy
-        |FROM pk JOIN pos ON pk.doc_id = pos.doc_id ORDER BY 1""".stripMargin
+        |FROM pk JOIN pos ON pk.doc_id = pos.doc_id ORDER BY 1""".stripMargin,
+    // VAD spans replayed: same PCM synth + energy, same integer
+    // above-mean gate, same gaps-and-islands merge
+    "q_vad" ->
+      """WITH sm AS (SELECT d.doc_id, u.i // 64 AS w,
+        |    ((d.doc_id * 31 + u.i * 7) % 65536) - 32768 AS s
+        |  FROM documents d, unnest(range(0, 256)) AS u(i)),
+        |en AS (SELECT doc_id, w, CAST(sum(s * s) AS BIGINT) AS e
+        |  FROM sm GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, SUM(e) AS te, COUNT(*) AS nw FROM en GROUP BY 1),
+        |act AS (SELECT en.doc_id, w, e FROM en JOIN tot USING (doc_id)
+        |        WHERE e * nw > te),
+        |isl AS (SELECT doc_id, w, e,
+        |    w - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY w) AS g
+        |  FROM act)
+        |SELECT doc_id, CAST(MIN(w) AS BIGINT) AS start_w,
+        |  CAST(MAX(w) AS BIGINT) AS end_w,
+        |  CAST(COUNT(*) AS BIGINT) AS n_active,
+        |  CAST(SUM(e) AS BIGINT) AS seg_energy
+        |FROM isl GROUP BY doc_id, g ORDER BY doc_id, start_w""".stripMargin
   )
 }
