@@ -2295,6 +2295,22 @@ object SparkEntry {
           "vc", buckets = 10)
         .orderBy("bucket")
     }),
+    // seasonally-adjusted anomaly days: each (type, day) count vs the
+    // type's same-day-of-week mean, flagged when the residual exceeds
+    // 25% — cross-multiplied (|n·d − T|·4 > T), so no division anywhere
+    "q_seasonal_anomaly" -> ((s, dir) => {
+      val daily = eventsMicros(s, dir)
+        .groupBy(col("event_type"), expr("tus div 86400000000").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("dow", expr("(day + 4) % 7"))
+      val prof = daily.groupBy("event_type", "dow")
+        .agg(sum("n").as("dow_total"), count(lit(1)).as("days_dow"))
+      daily.join(prof, Seq("event_type", "dow"))
+        .withColumn("is_anomaly",
+          abs(col("n") * col("days_dow") - col("dow_total")) * 4 > col("dow_total"))
+        .select("event_type", "day", "dow", "n", "dow_total", "days_dow", "is_anomaly")
+        .orderBy("event_type", "day")
+    }),
     // per-type least-squares trend of the daily event counts: exact
     // integer moments in one groupBy, only the final slope division
     // touches doubles
@@ -5506,6 +5522,20 @@ object SparkEntry {
         |    (ln((ref_n + 1.0) / (rr + 10.0)) - ln((cur_n + 1.0) / (c2 + 10.0))))
         |    AS BIGINT) AS psi_unats
         |FROM j, t2 ORDER BY bucket""".stripMargin,
+    // seasonal anomaly replayed: same dow profile, same cross-multiply
+    "q_seasonal_anomaly" ->
+      """WITH e AS (SELECT event_type, epoch_ns(ts) // 1000 AS tus FROM events),
+        |d AS (SELECT event_type, tus // 86400000000 AS day, COUNT(*) AS n
+        |      FROM e GROUP BY 1, 2),
+        |dd AS (SELECT event_type, day, n, (day + 4) % 7 AS dow FROM d),
+        |p AS (SELECT event_type, dow, SUM(n) AS dow_total,
+        |        CAST(COUNT(*) AS BIGINT) AS days_dow
+        |      FROM dd GROUP BY 1, 2)
+        |SELECT dd.event_type, dd.day, dd.dow, CAST(dd.n AS BIGINT) AS n,
+        |  CAST(p.dow_total AS BIGINT) AS dow_total, p.days_dow,
+        |  abs(dd.n * p.days_dow - p.dow_total) * 4 > p.dow_total AS is_anomaly
+        |FROM dd JOIN p ON dd.event_type = p.event_type AND dd.dow = p.dow
+        |ORDER BY dd.event_type, dd.day""".stripMargin,
     // trend replayed: identical integer moments, one double division
     "q_trend" ->
       """WITH e AS (SELECT event_type, epoch_ns(ts) // 1000 AS tus FROM events),
