@@ -464,3 +464,20 @@ def attribution(df, key, id_col, ts_col, type_col, conversion_type,
                     F.col("__graft_last.id").alias("last_touch_id"),
                     F.col("__graft_last.tp").alias("last_touch_type"),
                     F.col("__graft_last.t").alias("last_touch_ts")))
+
+
+def clamped_cum_sum(df, keys, order_cols, delta_col, floor=0):
+    """Floor-clamped running balance — Python mirror of the Scala
+    ``Temporal.clampedCumSum``: bal_t = max(floor, bal_{t-1} + delta)
+    in closed window form (prefix sum minus its clamped running min),
+    one shuffle by keys. ``(keys, order_cols)`` must totally order
+    rows within a key.
+    """
+    w = (Window.partitionBy(*[F.col(k) for k in keys])
+         .orderBy(*[F.col(c) for c in order_cols])
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (df.withColumn("__p", F.sum(F.col(delta_col).cast("long")).over(w))
+            .withColumn("balance",
+                        F.lit(floor) + F.col("__p")
+                        - F.least(F.lit(0), F.min("__p").over(w)))
+            .drop("__p"))

@@ -258,3 +258,13 @@ def test_attribution_first_last_touch(spark):
     assert out[6]["first_touch_id"] is None
     # same-ts tie breaks by id on both ends
     assert out[10]["first_touch_id"] == 7 and out[10]["last_touch_id"] == 8
+
+
+def test_clamped_cum_sum(spark):
+    from graft.temporal import clamped_cum_sum
+
+    df = spark.createDataFrame(
+        [(1, 0, 5), (1, 1, -10), (1, 2, 3), (1, 3, -1)], "k long, t long, d long")
+    out = [r["balance"] for r in
+           clamped_cum_sum(df, ["k"], ["t"], "d").orderBy("t").collect()]
+    assert out == [5, 0, 3, 2]

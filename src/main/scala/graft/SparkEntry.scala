@@ -2295,6 +2295,21 @@ object SparkEntry {
           "vc", buckets = 10)
         .orderBy("bucket")
     }),
+    // floor-clamped running balance (inventory / token-bucket shape):
+    // purchases drain, signups refill — the max(floor, .) recurrence
+    // in the same closed window form as CUSUM, one shuffle per user
+    "q_inventory" -> ((s, dir) => {
+      val ev = eventsMicros(s, dir)
+        .where(col("event_type").isin("purchase", "signup"))
+        .select(col("user_id"), col("event_id"), col("tus"),
+          when(col("event_type") === "signup",
+            expr("cast(round(value * 100) as bigint)"))
+            .otherwise(-expr("cast(round(value * 100) as bigint)")).as("delta"))
+      graft.pipeline.Temporal.clampedCumSum(ev, Seq("user_id"),
+          Seq("tus", "event_id"), "delta")
+        .select("user_id", "event_id", "tus", "delta", "balance")
+        .orderBy("user_id", "tus", "event_id")
+    }),
     // seasonally-adjusted anomaly days: each (type, day) count vs the
     // type's same-day-of-week mean, flagged when the residual exceeds
     // 25% — cross-multiplied (|n·d − T|·4 > T), so no division anywhere
@@ -5522,6 +5537,18 @@ object SparkEntry {
         |    (ln((ref_n + 1.0) / (rr + 10.0)) - ln((cur_n + 1.0) / (c2 + 10.0))))
         |    AS BIGINT) AS psi_unats
         |FROM j, t2 ORDER BY bucket""".stripMargin,
+    // clamped balance replayed with the same closed form
+    "q_inventory" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS tus,
+        |    CASE WHEN event_type = 'signup' THEN CAST(round(value * 100) AS BIGINT)
+        |         ELSE -CAST(round(value * 100) AS BIGINT) END AS delta
+        |  FROM events WHERE event_type IN ('purchase', 'signup')),
+        |p AS (SELECT *, SUM(delta) OVER w AS ps FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING)),
+        |b AS (SELECT *, ps - LEAST(0, MIN(ps) OVER w2) AS balance FROM p
+        |  WINDOW w2 AS (PARTITION BY user_id ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING))
+        |SELECT user_id, event_id, tus, delta, CAST(balance AS BIGINT) AS balance
+        |FROM b ORDER BY user_id, tus, event_id""".stripMargin,
     // seasonal anomaly replayed: same dow profile, same cross-multiply
     "q_seasonal_anomaly" ->
       """WITH e AS (SELECT event_type, epoch_ns(ts) // 1000 AS tus FROM events),

@@ -600,6 +600,30 @@ object Temporal {
         col("__graft_last.t").as("last_touch_ts"))
   }
 
+  /**
+   * Floor-clamped running balance: `bal_t = max(floor, bal_{t−1} +
+   * delta_t)` — stock levels that cannot go negative, token-bucket
+   * rate limiters, credit balances with a floor. Like
+   * [[Stats.cusum]], the recurrence is NOT a loop: with `P` the plain
+   * prefix sum, `bal_t = floor + (P_t − min(floor0, min_{j≤t} P_j))`
+   * where `floor0 = 0` shifts the identity to a zero start — i.e. one
+   * cumulative sum plus one running min over the SAME single shuffle
+   * by `keys`. All integer; `(keys, orderCols)` must totally order
+   * rows within a key (add a unique id as the tiebreaker).
+   */
+  def clampedCumSum(df: DataFrame, keys: Seq[String], orderCols: Seq[String],
+      deltaCol: String, floor: Long = 0L): DataFrame = {
+    require(keys.nonEmpty && orderCols.nonEmpty, "keys and orderCols required")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__graft_p", sum(col(deltaCol).cast("long")).over(w))
+      .withColumn("balance",
+        lit(floor) + col("__graft_p") -
+          least(lit(0L), min(col("__graft_p")).over(w)))
+      .drop("__graft_p")
+  }
+
   def gapFill(df: DataFrame, key: String, bucketCol: String,
       valueCol: String): DataFrame = {
     val spine = df.groupBy(col(key))

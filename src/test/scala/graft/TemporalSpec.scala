@@ -514,6 +514,24 @@ class TemporalSpec extends AnyFunSuite {
     assert(r3.getLong(3) == 7L && r3.getLong(6) == 8L)
   }
 
+  test("clampedCumSum equals the direct max(floor,.) recurrence") {
+    val rnd = new scala.util.Random(13)
+    val rows = for (k <- 0 until 3; t <- 0 until 50)
+      yield (k.toLong, t.toLong, (rnd.nextInt(21) - 10).toLong)
+    val df = rows.toDF("k", "t", "d")
+    for (floor <- Seq(0L, 5L)) {
+      val got = Temporal.clampedCumSum(df, Seq("k"), Seq("t"), "d", floor)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+      for (k <- 0 until 3) {
+        var bal = floor
+        for (t <- 0 until 50) {
+          bal = math.max(floor, bal + rows(k * 50 + t)._3)
+          assert(got((k.toLong, t.toLong)) == bal, s"floor=$floor k=$k t=$t")
+        }
+      }
+    }
+  }
+
   test("attribution plan is one shuffle, no join") {
     val ev = Seq((1L, 1L, 10L, "view"), (2L, 1L, 25L, "purchase"))
       .toDF("event_id", "user_id", "ts", "event_type")
