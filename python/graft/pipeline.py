@@ -1218,3 +1218,94 @@ def hll_overlap(a, b, key_col, m=64):
     return est.withColumn(
         "est_intersect",
         F.greatest(F.lit(0), F.col("est_a") + F.col("est_b") - F.col("est_union")))
+
+
+def vad_segments(df, id_col, energies_col):
+    """Voice-activity segments — Python mirror of the q_vad
+    composition: explode a per-clip window-energy array (e.g.
+    ``mm_wav_energy(blob, win)``), mark windows whose energy beats the
+    clip mean with the integer cross-multiply ``e * n_windows >
+    total_energy`` (no division), and merge runs of active windows
+    into segments via gaps-and-islands (window index minus its
+    row_number is constant inside a run). One shuffle by clip id.
+    """
+    en = (df.select(F.col(id_col),
+                    F.posexplode(F.col(energies_col)).alias("w", "e"))
+          .withColumn("w", F.col("w").cast("long")))
+    tot = en.groupBy(id_col).agg(F.sum("e").alias("__te"),
+                                 F.count(F.lit(1)).alias("__nw"))
+    act = (en.join(tot, id_col)
+           .where(F.col("e") * F.col("__nw") > F.col("__te")))
+    win = Window.partitionBy(id_col).orderBy("w")
+    return (act.withColumn("__isl", F.col("w") - F.row_number().over(win))
+            .groupBy(id_col, "__isl")
+            .agg(F.min("w").alias("start_w"), F.max("w").alias("end_w"),
+                 F.count(F.lit(1)).alias("n_active"),
+                 F.sum("e").alias("seg_energy"))
+            .drop("__isl"))
+
+
+def percentile_report(df, keys, value_col, permilles=(500, 900, 990)):
+    """Per-key EXACT discrete percentile report — Python mirror of the
+    Scala ``Stats.percentileReport``: one (key, value) histogram
+    shuffle, a per-key cume window over distinct values, and the
+    cross-multiplied ceil threshold ``cume * 1000 >= n * p`` (division-
+    free), pivoted to one row per key with a ``p<permille>`` column
+    each.
+    """
+    hist = (df.groupBy(*([F.col(c) for c in keys]
+                         + [F.col(value_col).cast("long").alias("__v")]))
+            .agg(F.count(F.lit(1)).alias("__c")))
+    w_cume = (Window.partitionBy(*[F.col(c) for c in keys]).orderBy("__v")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_key = Window.partitionBy(*[F.col(c) for c in keys])
+    cum = (hist.withColumn("__cume", F.sum("__c").over(w_cume))
+           .withColumn("__n", F.sum("__c").over(w_key)))
+    aggs = [F.max("__n").alias("n")] + [
+        F.min(F.when(F.col("__cume") * 1000 >= F.col("__n") * p,
+                     F.col("__v"))).alias(f"p{p}")
+        for p in permilles]
+    return cum.groupBy(*[F.col(c) for c in keys]).agg(*aggs)
+
+
+def k_core(edges, src_col, dst_col, k, rounds=3):
+    """k-core pruning — Python mirror of the Scala ``Graph.kCore``:
+    ``rounds`` fixed iterations of "drop nodes with degree < k"; per
+    round one degree aggregate and two equi-joins against the survivor
+    table, with ``localCheckpoint`` cutting the plan lineage.
+    """
+    e = (edges.select(F.least(F.col(src_col), F.col(dst_col)).alias("lo"),
+                      F.greatest(F.col(src_col), F.col(dst_col)).alias("hi"))
+         .where(F.col("lo") != F.col("hi"))
+         .distinct().localCheckpoint(True))
+
+    def degrees(cur):
+        return (cur.select(F.col("lo").alias("node"))
+                .unionByName(cur.select(F.col("hi").alias("node")))
+                .groupBy("node").agg(F.count(F.lit(1)).alias("degree")))
+
+    for _ in range(rounds):
+        keep = degrees(e).where(F.col("degree") >= k).select("node")
+        e = (e.join(keep.select(F.col("node").alias("lo")), "lo")
+             .join(keep.select(F.col("node").alias("hi")), "hi")
+             .select("lo", "hi").localCheckpoint(True))
+    return degrees(e)
+
+
+def k_anonymity_audit(df, quasi_cols, k):
+    """k-anonymity audit — Python mirror of the Scala
+    ``KAnonymity.audit``: per full quasi-identifier combo its count and
+    ``is_risky = n < k``, plus the coarser prefix combo's count and
+    whether generalizing away the finest column clears it
+    (``coarse_ok``). ``quasi_cols`` ordered coarse -> fine, >= 2 cols.
+    """
+    if len(quasi_cols) < 2:
+        raise ValueError("need >= 2 quasi columns (coarse -> fine)")
+    coarse_cols = list(quasi_cols[:-1])
+    full = (df.groupBy(*[F.col(c) for c in quasi_cols])
+            .agg(F.count(F.lit(1)).alias("n")))
+    coarse = (df.groupBy(*[F.col(c) for c in coarse_cols])
+              .agg(F.count(F.lit(1)).alias("n_coarse")))
+    return (full.join(coarse, coarse_cols)
+            .withColumn("is_risky", F.col("n") < k)
+            .withColumn("coarse_ok", F.col("n_coarse") >= k))

@@ -481,3 +481,42 @@ def clamped_cum_sum(df, keys, order_cols, delta_col, floor=0):
                         F.lit(floor) + F.col("__p")
                         - F.least(F.lit(0), F.min("__p").over(w)))
             .drop("__p"))
+
+
+def seasonality_profile(df, type_col, tus_col):
+    """Day-of-week x hour seasonality profile per type with an integer
+    permille lift vs the type's uniform cell mean — Python mirror of
+    the q_seasonality composition. dow/hour come from pure epoch
+    arithmetic on micros (0 = Sunday), so any engine agrees; the lift
+    is the division-free ``n * 168 * 1000 div type_total``.
+    """
+    cells = (df.groupBy(
+                F.col(type_col),
+                F.expr(f"({tus_col} div 86400000000 + 4) % 7").alias("dow"),
+                F.expr(f"({tus_col} % 86400000000) div 3600000000").alias("hour"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    w = Window.partitionBy(type_col)
+    return (cells.withColumn("type_total", F.sum("n").over(w))
+            .withColumn("lift_permille",
+                        F.expr("n * 168 * 1000 div type_total")))
+
+
+def seasonal_anomaly(df, type_col, tus_col, num=1, den=4):
+    """Seasonally-adjusted anomaly days — Python mirror of the
+    q_seasonal_anomaly composition: each (type, day) count against the
+    type's same-day-of-week mean, flagged when the residual exceeds
+    ``num/den`` of it. Cross-multiplied (``|n*days - total| * den >
+    total * num``), so the gate is all-integer and division-free.
+    """
+    daily = (df.groupBy(F.col(type_col),
+                        F.expr(f"{tus_col} div 86400000000").alias("day"))
+             .agg(F.count(F.lit(1)).alias("n"))
+             .withColumn("dow", F.expr("(day + 4) % 7")))
+    prof = (daily.groupBy(type_col, "dow")
+            .agg(F.sum("n").alias("dow_total"),
+                 F.count(F.lit(1)).alias("days_dow")))
+    return (daily.join(prof, [type_col, "dow"])
+            .withColumn("is_anomaly",
+                        F.abs(F.col("n") * F.col("days_dow")
+                              - F.col("dow_total")) * den
+                        > F.col("dow_total") * num))

@@ -525,3 +525,49 @@ def test_hll_overlap(spark):
     b = spark.createDataFrame([(k,) for k in range(1001, 3001)], "k long")
     row = hll_overlap(a, b, "k").collect()[0]
     assert 300 < row["est_intersect"] < 1900  # exact overlap = 1000, m=64
+
+
+def test_vad_segments(spark):
+    from graft.pipeline import vad_segments
+
+    # windows 1-2 and 5 beat the mean (total=16, n=8 -> active iff e*8>16)
+    df = spark.createDataFrame(
+        [(1, [0, 5, 5, 0, 0, 6, 0, 0])],
+        "clip long, en array<long>")
+    segs = [(r["start_w"], r["end_w"], r["n_active"], r["seg_energy"])
+            for r in vad_segments(df, "clip", "en").orderBy("start_w").collect()]
+    assert segs == [(1, 2, 2, 10), (5, 5, 1, 6)]
+
+
+def test_percentile_report(spark):
+    from graft.pipeline import percentile_report
+
+    df = spark.createDataFrame(
+        [("a", v) for v in range(1, 101)] + [("b", 7)] * 10, "k string, v long")
+    rows = {r["k"]: (r["n"], r["p500"], r["p900"], r["p990"])
+            for r in percentile_report(df, ["k"], "v").collect()}
+    assert rows["a"] == (100, 50, 90, 99)
+    assert rows["b"] == (10, 7, 7, 7)
+
+
+def test_k_core(spark):
+    from graft.pipeline import k_core
+
+    clique = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    df = spark.createDataFrame(clique + [(4, 10), (10, 11)], "s long, d long")
+    out = {r["node"]: r["degree"]
+           for r in k_core(df, "s", "d", k=2, rounds=2).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_k_anonymity_audit(spark):
+    from graft.pipeline import k_anonymity_audit
+
+    rows = [("A", 1, 0)] * 5 + [("A", 1, 1)] + [("B", 2, 0)] * 3
+    df = spark.createDataFrame(rows, "seg string, nation int, band long")
+    out = {(r["seg"], r["nation"], r["band"]):
+           (r["n"], r["n_coarse"], r["is_risky"], r["coarse_ok"])
+           for r in k_anonymity_audit(df, ["seg", "nation", "band"], 5).collect()}
+    assert out[("A", 1, 0)] == (5, 6, False, True)
+    assert out[("A", 1, 1)] == (1, 6, True, True)
+    assert out[("B", 2, 0)] == (3, 3, True, False)

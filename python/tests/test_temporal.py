@@ -268,3 +268,35 @@ def test_clamped_cum_sum(spark):
     out = [r["balance"] for r in
            clamped_cum_sum(df, ["k"], ["t"], "d").orderBy("t").collect()]
     assert out == [5, 0, 3, 2]
+
+
+def test_seasonality_profile(spark):
+    from graft.temporal import seasonality_profile
+
+    # 3 events in hour 0 of a Thursday (day 0, dow 4), 1 in hour 1
+    us_h = 3600000000
+    df = spark.createDataFrame(
+        [("a", 0), ("a", 1), ("a", 2), ("a", us_h)], "t string, tus long")
+    rows = {(r["dow"], r["hour"]): (r["n"], r["lift_permille"])
+            for r in seasonality_profile(df, "t", "tus").collect()}
+    assert rows[(4, 0)] == (3, 3 * 168 * 1000 // 4)
+    assert rows[(4, 1)] == (1, 1 * 168 * 1000 // 4)
+
+
+def test_seasonal_anomaly(spark):
+    from graft.temporal import seasonal_anomaly
+
+    us_d = 86400000000
+    # type "a": three same-dow days with counts 2, 2, 8 -> day 14 flags
+    rows = ([("a", d * us_d) for d in (0, 7) for _ in range(2)]
+            + [("a", 14 * us_d)] * 8)
+    df = spark.createDataFrame(rows, "t string, tus long")
+    out = {r["day"]: r["is_anomaly"]
+           for r in seasonal_anomaly(df, "t", "tus").collect()}
+    assert out == {0: True, 7: True, 14: True}
+    # uniform counts never flag
+    flat = spark.createDataFrame(
+        [("b", d * us_d) for d in (0, 7, 14) for _ in range(3)],
+        "t string, tus long")
+    assert all(not r["is_anomaly"]
+               for r in seasonal_anomaly(flat, "t", "tus").collect())

@@ -1268,10 +1268,13 @@ object SparkEntry {
           Similarity.int8Scale(col("embedding")).as("scale"))
         .select(col("vec_id"), col("scale"),
           Similarity.quantizeInt8(col("__v"), col("scale")).as("codes"))
-        .select(col("vec_id"), col("scale"), col("codes"),
+        .select(col("vec_id"), col("scale"),
           array_max(col("codes")).as("code_max"),
-          array_min(col("codes")).as("code_min"))
-        .orderBy("vec_id")
+          array_min(col("codes")).as("code_min"),
+          posexplode(col("codes")).as(Seq("pos", "code")))
+        .select(col("vec_id"), col("scale"), col("pos").cast("int").as("pos"),
+          col("code"), col("code_max"), col("code_min"))
+        .orderBy("vec_id", "pos")
     }),
     // C4-style line-level boilerplate cleanup over a deterministic
     // multi-line rendering of the documents (the ' line ' token becomes
@@ -2633,8 +2636,10 @@ object SparkEntry {
           Similarity.topKBy(col("doc_id"), -col("doc_id").cast("double"), 20).as("tk"))
         .where(col("df") >= 20)
         .select(col("tok"), col("df"),
-          expr("sort_array(transform(tk, x -> x.neighbor_id))").as("postings"))
-        .orderBy("tok")
+          posexplode(expr("sort_array(transform(tk, x -> x.neighbor_id))"))
+            .as(Seq("pos", "doc_id")))
+        .select(col("tok"), col("df"), col("pos").cast("int").as("pos"), col("doc_id"))
+        .orderBy("tok", "pos")
     }),
     // HITS hubs/authorities (Graph.hits) on the customer→supplier
     // purchase graph — bipartite, so customers score as hubs and
@@ -2873,9 +2878,10 @@ object SparkEntry {
     // resample + gray + mean threshold, so the oracle recomputes every
     // hash from the pixel formula; hamming_next (bit_count of the xor
     // with the next doc's hash) is the near-dup distance the banded
-    // self-join would use at corpus scale. The global lead window is
-    // demo-scale; production pairs come from the 16-bit chunk blocking
-    // (same recipe as the simhash join).
+    // self-join would use at corpus scale. The lead window is
+    // partitioned by doc_id block so no task ever holds a global sort;
+    // production pairs come from the 16-bit chunk blocking (same
+    // recipe as the simhash join).
     "q_image_ahash" -> ((s, dir) => {
       val d = col("doc_id")
       val w = (pmod(d, lit(13)) + 1).cast("int")
@@ -2891,11 +2897,11 @@ object SparkEntry {
       val hashed = t(s, dir, "documents")
         .select(d, Multimodal.image_ahash(
           Multimodal.encode_png(pix, w, h)).as("ahash"))
-      val wnd = Window.orderBy("doc_id")
       hashed
         .withColumn("bits", expr("bit_count(ahash)"))
         .withColumn("hamming_next",
-          expr("bit_count(ahash ^ lead(ahash, 1) OVER (ORDER BY doc_id))"))
+          expr("bit_count(ahash ^ lead(ahash, 1) OVER " +
+            "(PARTITION BY doc_id DIV 1000 ORDER BY doc_id))"))
         .orderBy("doc_id")
     }),
     // Image near-dup PAIR MINING: originals + one-pixel-noise twins,
@@ -3045,6 +3051,38 @@ object SparkEntry {
           count(lit(1)).as("n_active"), sum("e").as("seg_energy"))
         .drop("isl")
         .orderBy("doc_id", "start_w")
+    }),
+    // per-type EXACT p50/p90/p99 of the event value cents — the
+    // latency-table shape: one (key, value) histogram shuffle, per-key
+    // cume window over distinct values, cross-multiplied threshold
+    "q_percentiles" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_type"),
+        expr("cast(round(value * 100) as bigint)").as("vc"))
+      graft.pipeline.Stats.percentileReport(ev, Seq("event_type"), "vc",
+          Seq(500, 900, 990))
+        .orderBy("event_type")
+    }),
+    // k-core prune of the customer-supplier purchase graph (2 fixed
+    // rounds, k=4): per round one degree aggregate + two equi-joins
+    // against the survivor table — the link-farm/tendril quality gate
+    "q_kcore" -> ((s, dir) => {
+      val edges = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"), (col("l_suppkey") + 100000L).as("dst"))
+      graft.pipeline.Graph.kCore(edges, "src", "dst", k = 4, rounds = 2)
+        .orderBy("node")
+    }),
+    // k-anonymity audit over (segment, nation, balance-band): flag
+    // combos under k and report whether generalizing away the finest
+    // column clears them — two aggregates + one aggregate-table join
+    "q_kanonymity" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_mktsegment"),
+        col("c_nationkey"),
+        expr("cast(floor(c_acctbal / 1000) as bigint)").as("bal_band"))
+      graft.pipeline.KAnonymity.audit(c,
+          Seq("c_mktsegment", "c_nationkey", "bal_band"), k = 5L)
+        .orderBy("c_mktsegment", "c_nationkey", "bal_band")
     })
   )
 
@@ -3263,19 +3301,19 @@ object SparkEntry {
       " SELECT l_orderkey, i, (q - lnv) / (q + lnv) AS cell FROM idx ORDER BY l_orderkey, i"),
     "q_comparisons" -> (IDX +
       """ SELECT l_orderkey,
-        |SUM(CASE WHEN q < 25.0 THEN 1.0 ELSE 0.0 END) AS n_lt,
-        |SUM(CASE WHEN q <= 25.0 THEN 1.0 ELSE 0.0 END) AS n_le,
-        |SUM(CASE WHEN q > 25.0 THEN 1.0 ELSE 0.0 END) AS n_gt,
-        |SUM(CASE WHEN q >= 25.0 THEN 1.0 ELSE 0.0 END) AS n_ge,
-        |SUM(CASE WHEN q = 25.0 THEN 1.0 ELSE 0.0 END) AS n_eq,
-        |SUM(CASE WHEN q <> 25.0 THEN 1.0 ELSE 0.0 END) AS n_ne
+        |CAST(SUM(CASE WHEN q < 25.0 THEN 1.0 ELSE 0.0 END) AS DOUBLE) AS n_lt,
+        |CAST(SUM(CASE WHEN q <= 25.0 THEN 1.0 ELSE 0.0 END) AS DOUBLE) AS n_le,
+        |CAST(SUM(CASE WHEN q > 25.0 THEN 1.0 ELSE 0.0 END) AS DOUBLE) AS n_gt,
+        |CAST(SUM(CASE WHEN q >= 25.0 THEN 1.0 ELSE 0.0 END) AS DOUBLE) AS n_ge,
+        |CAST(SUM(CASE WHEN q = 25.0 THEN 1.0 ELSE 0.0 END) AS DOUBLE) AS n_eq,
+        |CAST(SUM(CASE WHEN q <> 25.0 THEN 1.0 ELSE 0.0 END) AS DOUBLE) AS n_ne
         |FROM idx GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin),
     "q_clamp_where" -> (IDX +
       """ SELECT l_orderkey, SUM(LEAST(GREATEST(q, 10.0), 40.0)) AS s_clamp,
         |SUM(CASE WHEN q < 25.0 THEN q ELSE q * 2.0 END) AS s_where
         |FROM idx GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin),
     "q_is_in" -> (IDX +
-      """ SELECT l_orderkey, SUM(CASE WHEN q IN (1.0, 5.0, 10.0, 25.0, 50.0) THEN 1.0 ELSE 0.0 END) AS n_in
+      """ SELECT l_orderkey, CAST(SUM(CASE WHEN q IN (1.0, 5.0, 10.0, 25.0, 50.0) THEN 1.0 ELSE 0.0 END) AS DOUBLE) AS n_in
         |FROM idx GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin),
     "q_masking" -> (IDX +
       """ SELECT l_orderkey,
@@ -3326,7 +3364,8 @@ object SparkEntry {
     "q_make_tiles" ->
       """SELECT l_orderkey,
         |CAST(32 * MAX(l_linenumber) AS DOUBLE) AS csum,
-        |CAST(32 AS BIGINT) AS dc, 0.0 AS zsum, 32.0 AS osum,
+        |CAST(32 AS BIGINT) AS dc, CAST(0.0 AS DOUBLE) AS zsum,
+        |CAST(32.0 AS DOUBLE) AS osum,
         |'float64' AS zct
         |FROM lineitem WHERE l_orderkey % 37 = 5
         |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
@@ -3531,8 +3570,8 @@ object SparkEntry {
       """SELECT 'n' || n_nationkey AS id,
         |  'r' || CAST(n_regionkey AS INT) AS collection,
         |  '2024-01-01T00:00:0' || (n_nationkey % 10) || 'Z' AS datetime,
-        |  CAST(n_nationkey AS DOUBLE) AS bx0, 0.0 AS by0,
-        |  CAST(n_nationkey + 1 AS DOUBLE) AS bx1, 1.0 AS by1,
+        |  CAST(n_nationkey AS DOUBLE) AS bx0, CAST(0.0 AS DOUBLE) AS by0,
+        |  CAST(n_nationkey + 1 AS DOUBLE) AS bx1, CAST(1.0 AS DOUBLE) AS by1,
         |  2 AS n_assets,
         |  '/data/n' || n_nationkey || '-b1.tif' AS href1
         |FROM nation ORDER BY id""".stripMargin,
@@ -3678,10 +3717,13 @@ object SparkEntry {
         |  list_max(list_transform(v, x -> abs(x))) / 127.0 AS m0 FROM e),
         |s AS (SELECT vec_id, v, CASE WHEN m0 = 0 THEN 1.0 ELSE m0 END AS scale FROM m),
         |c AS (SELECT vec_id, scale,
-        |  list_transform(v, x -> CAST(round(x / scale) AS INTEGER)) AS codes FROM s)
-        |SELECT vec_id, scale, codes,
+        |  list_transform(v, x -> CAST(round(x / scale) AS INTEGER)) AS codes FROM s),
+        |u AS (SELECT vec_id, scale, codes,
+        |  unnest(range(1, 1 + len(codes))) AS dd FROM c)
+        |SELECT vec_id, scale, CAST(dd - 1 AS INT) AS pos,
+        |  codes[CAST(dd AS INT)] AS code,
         |  list_max(codes) AS code_max, list_min(codes) AS code_min
-        |FROM c ORDER BY vec_id""".stripMargin,
+        |FROM u ORDER BY vec_id, pos""".stripMargin,
     // line cleanup replayed with DuckDB's list lambdas over the same
     // injected boilerplate; the word-count and marker rules are literal
     // string ops in both engines (no regex dialect in the predicate)
@@ -4175,7 +4217,7 @@ object SparkEntry {
          |        FROM bc, tot),
          |sc AS (SELECT t.doc_id, SUM(l.lam) AS score FROM th t JOIN lam l USING (b)
          |       GROUP BY t.doc_id),
-         |allsc AS (SELECT d.doc_id, COALESCE(sc.score, 0) AS score_unats
+         |allsc AS (SELECT d.doc_id, CAST(COALESCE(sc.score, 0) AS BIGINT) AS score_unats
          |         FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id)
          |SELECT doc_id, score_unats,
          |  CAST(ROW_NUMBER() OVER (ORDER BY score_unats DESC, doc_id) AS INT) AS rank
@@ -4303,7 +4345,7 @@ object SparkEntry {
          |        ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
          |      GROUP BY f.query_id)
          |SELECT query_id, CAST(dcg_unats AS BIGINT) AS dcg_unats,
-         |  dcg_unats * 1000 // 4761860 AS ndcg_permille
+         |  CAST(dcg_unats * 1000 // 4761860 AS BIGINT) AS ndcg_permille
          |FROM g ORDER BY query_id""".stripMargin
     },
     // RRF re-derived end-to-end: BOTH the hyperplane-LSH chain and the
@@ -5101,8 +5143,8 @@ object SparkEntry {
         |  CAST(lni AS DOUBLE) AS pn_x,
         |  CAST(lni AS DOUBLE) * lni AS pn_y,
         |  CAST(5 AS INTEGER) AS ring_pts,
-        |  10.0 AS ring_len,
-        |  qi + 2.5 AS tx, lni - 1.5 AS ty,
+        |  CAST(10.0 AS DOUBLE) AS ring_len,
+        |  CAST(qi + 2.5 AS DOUBLE) AS tx, CAST(lni - 1.5 AS DOUBLE) AS ty,
         |  CAST(greatest(qi, least(40, qi + 3)) AS DOUBLE) AS cx,
         |  CAST(lni AS DOUBLE) AS cy
         |FROM p ORDER BY qi, lni""".stripMargin,
@@ -5129,10 +5171,10 @@ object SparkEntry {
         |  CAST(qi AS DOUBLE) AS g2x,
         |  qi / 8.0 + lni / 4.0 AS hole_len,
         |  CAST(lni AS DOUBLE) * lni * lni AS env_area,
-        |  6.0 AS mkpoly_area,
+        |  CAST(6.0 AS DOUBLE) AS mkpoly_area,
         |  CAST(qi + lni AS DOUBLE) AS mkline_len,
         |  true AS cast_pt_null,
-        |  6.0 AS cast_poly_area,
+        |  CAST(6.0 AS DOUBLE) AS cast_poly_area,
         |  'LineString' AS cast_geom_type,
         |  true AS cast_ls_null,
         |  CAST(3 + length(CAST(qi AS VARCHAR)) AS INTEGER) AS blen,
@@ -5304,7 +5346,8 @@ object SparkEntry {
         |FROM d GROUP BY qi, lni ORDER BY qi, lni""".stripMargin,
     "q_st_accessors" ->
       """WITH p AS (SELECT DISTINCT CAST(l_quantity AS DOUBLE) AS q, CAST(l_linenumber AS DOUBLE) AS lnv FROM lineitem)
-        |SELECT q, lnv, 6.0 AS area, q + 1.5 AS cx, lnv + 1.0 AS cy, q AS px, lnv AS py
+        |SELECT q, lnv, CAST(6.0 AS DOUBLE) AS area, q + 1.5 AS cx,
+        |  lnv + 1.0 AS cy, q AS px, lnv AS py
         |FROM p ORDER BY q, lnv""".stripMargin,
     // rf_mk_crs = trim + lowercase of supported identifiers
     "q_mk_crs" ->
@@ -5508,7 +5551,7 @@ object SparkEntry {
         |t AS (SELECT *, SUM(n) OVER (PARTITION BY event_type) AS type_total FROM cells)
         |SELECT event_type, dow, hour, CAST(n AS BIGINT) AS n,
         |  CAST(type_total AS BIGINT) AS type_total,
-        |  n * 168 * 1000 // type_total AS lift_permille
+        |  CAST(n * 168 * 1000 // type_total AS BIGINT) AS lift_permille
         |FROM t ORDER BY event_type, dow, hour""".stripMargin,
     // PSI re-derived: the same histogram-cume decile boundaries, the
     // same sum-of-ge bucketing (correlated count over the 9-row bounds
@@ -5617,8 +5660,8 @@ object SparkEntry {
         |g AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS grp_n,
         |    SUM(vc) AS s, SUM(vc * vc) AS ssq FROM e GROUP BY 1, 2)
         |SELECT event_id, e.user_id, e.event_type, vc, grp_n,
-        |  (grp_n * vc - s) * (grp_n * vc - s) AS dev2,
-        |  (grp_n * ssq - s * s) AS var_n2
+        |  CAST((grp_n * vc - s) * (grp_n * vc - s) AS BIGINT) AS dev2,
+        |  CAST(grp_n * ssq - s * s AS BIGINT) AS var_n2
         |FROM e JOIN g USING (user_id, event_type)
         |WHERE (grp_n * vc - s) * (grp_n * vc - s) > 4 * (grp_n * ssq - s * s)
         |ORDER BY event_id""".stripMargin,
@@ -5818,9 +5861,9 @@ object SparkEntry {
         |  GROUP BY 1 HAVING count(*) >= 20),
         |r AS (SELECT tok, doc_id,
         |  row_number() OVER (PARTITION BY tok ORDER BY doc_id) AS rn FROM p)
-        |SELECT g.tok, g.df, list(r.doc_id ORDER BY r.doc_id) AS postings
+        |SELECT g.tok, g.df, CAST(r.rn - 1 AS INT) AS pos, r.doc_id
         |FROM g JOIN r ON g.tok = r.tok AND r.rn <= 20
-        |GROUP BY g.tok, g.df ORDER BY g.tok""".stripMargin,
+        |ORDER BY g.tok, pos""".stripMargin,
     "q_hits" ->
       """WITH e AS (SELECT DISTINCT o_custkey AS src, l_suppkey + 100000 AS dst
         |    FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
@@ -5903,7 +5946,7 @@ object SparkEntry {
         |r AS (SELECT event_type, rev,
         |  row_number() OVER (PARTITION BY event_type ORDER BY rev) AS rn FROM drev),
         |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days FROM drev GROUP BY 1)
-        |SELECT n.event_type, n.n_days, r.rev AS median_rev
+        |SELECT n.event_type, n.n_days, CAST(r.rev AS BIGINT) AS median_rev
         |FROM n JOIN r ON r.event_type = n.event_type AND r.rn = (n.n_days + 1) // 2
         |ORDER BY 1""".stripMargin,
     "q_json_extract" ->
@@ -6070,7 +6113,8 @@ object SparkEntry {
         |    THEN uh - 18446744073709551616::HUGEINT ELSE uh END AS BIGINT) AS ahash
         |  FROM hb)
         |SELECT doc_id, ahash, CAST(bit_count(ahash) AS INT) AS bits,
-        |  CAST(bit_count(xor(ahash, lead(ahash) OVER (ORDER BY doc_id))) AS INT)
+        |  CAST(bit_count(xor(ahash, lead(ahash) OVER
+        |    (PARTITION BY doc_id // 1000 ORDER BY doc_id))) AS INT)
         |    AS hamming_next
         |FROM sh ORDER BY doc_id""".stripMargin,
     "q_image_dedup" ->
@@ -6113,9 +6157,9 @@ object SparkEntry {
         |spine AS (SELECT event_type, unnest(range(lo, hi + 1)) AS day FROM b),
         |j AS (SELECT s.event_type, s.day, d.rev
         |  FROM spine s LEFT JOIN drev d ON s.event_type = d.event_type AND s.day = d.day)
-        |SELECT event_type, day, rev,
-        |  last_value(rev IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY day
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rev_filled
+        |SELECT event_type, day, CAST(rev AS BIGINT) AS rev,
+        |  CAST(last_value(rev IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS rev_filled
         |FROM j ORDER BY 1, 2""".stripMargin,
     "q_interval_union" ->
       """WITH sp AS (SELECT user_id, epoch_ns(ts) // 1000 AS s,
@@ -6210,6 +6254,50 @@ object SparkEntry {
         |  CAST(MAX(w) AS BIGINT) AS end_w,
         |  CAST(COUNT(*) AS BIGINT) AS n_active,
         |  CAST(SUM(e) AS BIGINT) AS seg_energy
-        |FROM isl GROUP BY doc_id, g ORDER BY doc_id, start_w""".stripMargin
+        |FROM isl GROUP BY doc_id, g ORDER BY doc_id, start_w""".stripMargin,
+    // exact discrete quantiles replayed: same histogram, same per-key
+    // cume window, same cross-multiplied ceil threshold
+    "q_percentiles" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS v FROM events),
+        |h AS (SELECT event_type, v, COUNT(*) AS c FROM e GROUP BY 1, 2),
+        |cw AS (SELECT event_type, v, c,
+        |    SUM(c) OVER (PARTITION BY event_type ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS cume,
+        |    SUM(c) OVER (PARTITION BY event_type) AS n FROM h)
+        |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+        |  CAST(MIN(CASE WHEN cume * 1000 >= n * 500 THEN v END) AS BIGINT) AS p500,
+        |  CAST(MIN(CASE WHEN cume * 1000 >= n * 900 THEN v END) AS BIGINT) AS p900,
+        |  CAST(MIN(CASE WHEN cume * 1000 >= n * 990 THEN v END) AS BIGINT) AS p990
+        |FROM cw GROUP BY 1 ORDER BY 1""".stripMargin,
+    // both fixed prune rounds unrolled; the bipartite graph makes
+    // least/greatest the identity (custkey < 100000 <= suppkey+100000)
+    "q_kcore" ->
+      """WITH e0 AS (SELECT DISTINCT o_custkey AS lo, l_suppkey + 100000 AS hi
+        |    FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |n1 AS (SELECT node, COUNT(*) AS deg FROM
+        |    (SELECT lo AS node FROM e0 UNION ALL SELECT hi FROM e0) GROUP BY 1),
+        |k1 AS (SELECT node FROM n1 WHERE deg >= 4),
+        |e1 AS (SELECT lo, hi FROM e0
+        |    WHERE lo IN (SELECT node FROM k1) AND hi IN (SELECT node FROM k1)),
+        |n2 AS (SELECT node, COUNT(*) AS deg FROM
+        |    (SELECT lo AS node FROM e1 UNION ALL SELECT hi FROM e1) GROUP BY 1),
+        |k2 AS (SELECT node FROM n2 WHERE deg >= 4),
+        |e2 AS (SELECT lo, hi FROM e1
+        |    WHERE lo IN (SELECT node FROM k2) AND hi IN (SELECT node FROM k2))
+        |SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM
+        |    (SELECT lo AS node FROM e2 UNION ALL SELECT hi FROM e2)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_kanonymity" ->
+      """WITH q AS (SELECT c_mktsegment, c_nationkey,
+        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band FROM customer),
+        |f AS (SELECT c_mktsegment, c_nationkey, bal_band,
+        |    CAST(COUNT(*) AS BIGINT) AS n FROM q GROUP BY 1, 2, 3),
+        |co AS (SELECT c_mktsegment, c_nationkey,
+        |    CAST(COUNT(*) AS BIGINT) AS n_coarse FROM q GROUP BY 1, 2)
+        |SELECT f.c_mktsegment, f.c_nationkey, f.bal_band, f.n, co.n_coarse,
+        |  f.n < 5 AS is_risky, co.n_coarse >= 5 AS coarse_ok
+        |FROM f JOIN co USING (c_mktsegment, c_nationkey)
+        |ORDER BY 1, 2, 3""".stripMargin
   )
 }

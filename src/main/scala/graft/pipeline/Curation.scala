@@ -303,3 +303,37 @@ object SegmentLm {
           .as("n_dropped"))
   }
 }
+
+/**
+ * k-anonymity audit over quasi-identifier columns — the privacy gate a
+ * training-data release runs before shipping user-derived tables: any
+ * quasi-identifier combination observed on fewer than k rows can
+ * single someone out. Beside the flag, the audit reports whether the
+ * standard remediation — generalizing away the FINEST quasi column —
+ * would clear the combo (`coarse_ok`), so the caller can split rows
+ * into keep / generalize / suppress in one pass.
+ *
+ * Scale shape: two groupBys over the same fact scan (full combo and
+ * the one-shorter prefix combo — both map-side combinable aggregates
+ * whose outputs are combo-bounded, not row-bounded) and one equi-join
+ * between the two aggregate tables (AQE broadcasts the coarse side in
+ * practice). No window, no self-join of the fact table.
+ */
+object KAnonymity {
+  /** One row per full quasi combo: its count `n`, `is_risky = n < k`,
+    * the coarser prefix combo's count `n_coarse`, and
+    * `coarse_ok = n_coarse >= k`. `quasiCols` must have >= 2 columns,
+    * ordered coarse -> fine (the last is the one generalized away). */
+  def audit(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.size >= 2,
+      s"need >= 2 quasi columns (coarse -> fine), got ${quasiCols.size}")
+    require(k >= 2, s"k must be >= 2, got $k")
+    val coarseCols = quasiCols.dropRight(1)
+    val full = df.groupBy(quasiCols.map(col): _*).agg(count(lit(1)).as("n"))
+    val coarse = df.groupBy(coarseCols.map(col): _*)
+      .agg(count(lit(1)).as("n_coarse"))
+    full.join(coarse, coarseCols)
+      .withColumn("is_risky", col("n") < k)
+      .withColumn("coarse_ok", col("n_coarse") >= k)
+  }
+}

@@ -233,4 +233,46 @@ object Graph {
     }
     scores
   }
+
+  /**
+   * k-core pruning — the link-graph quality gate (a page in the k-core
+   * has k neighbors that each have k neighbors…; link-farm tendrils and
+   * orphan chains fall out after a round or two). `rounds` FIXED
+   * iterations of "drop nodes with degree < k, recompute" — fixed, not
+   * to-convergence, so the result is deterministic for the oracle and
+   * the cost is bounded a priori (full coreness would loop O(degeneracy)
+   * times; real curation gates run 2-4 rounds).
+   *
+   * Scale shape per round: one degree groupBy (map-side combinable) and
+   * two equi-joins of the edge list against the surviving-node table —
+   * never a self-join of edges; `localCheckpoint` cuts the growing plan
+   * lineage each round exactly like [[labelPropagation]]. Output:
+   * surviving nodes with their residual degree after the last prune.
+   *
+   * Input: any (src, dst) relation; direction, parallel edges and
+   * self-loops are ignored (canonicalized + distinct'd first).
+   */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, rounds: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    var e = edges.select(
+        least(col(srcCol), col(dstCol)).as("lo"),
+        greatest(col(srcCol), col(dstCol)).as("hi"))
+      .where(col("lo") =!= col("hi"))
+      .distinct().localCheckpoint(true)
+    def degrees(cur: DataFrame): DataFrame =
+      cur.select(col("lo").as("node"))
+        .unionByName(cur.select(col("hi").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("degree"))
+    for (_ <- 1 to rounds) {
+      val keep = degrees(e).where(col("degree") >= k).select("node")
+      e = e
+        .join(keep.select(col("node").as("lo")), "lo")
+        .join(keep.select(col("node").as("hi")), "hi")
+        .select("lo", "hi")
+        .localCheckpoint(true)
+    }
+    degrees(e)
+  }
 }

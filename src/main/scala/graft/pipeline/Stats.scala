@@ -178,8 +178,16 @@ object Stats {
    * never shuffle a second time. Total PSI = sum of the column
    * (industry gates: warn > 0.1 ≙ 100 000 µnats, act > 0.25).
    */
-  def psiReport(ref: DataFrame, cur: DataFrame, valueCol: String,
-      buckets: Int = 10): DataFrame = {
+  /**
+   * The offline fit half of [[psiReport]] / the streaming
+   * [[graft.streaming.StreamingPipeline.psiWindowed]] monitor: the
+   * reference side's integer-exact discrete quantile boundaries
+   * (buckets−1 sorted longs), computed from ONE value histogram
+   * (distinct values shuffle, never a row sort) and a bounded driver
+   * collect. `bucketOf(v) = Σ [v >= bound_i]` on both engines.
+   */
+  def quantileBounds(ref: DataFrame, valueCol: String,
+      buckets: Int = 10): Array[Long] = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
     import org.apache.spark.sql.expressions.Window
     val s = ref.select(col(valueCol).cast("long").as("__s"))
@@ -191,10 +199,16 @@ object Stats {
     val permilles = (1 until buckets).map(i => i * 1000 / buckets)
     val pm = ref.sparkSession.createDataFrame(
       permilles.map(Tuple1(_))).toDF("__p")
-    val bounds = cum.crossJoin(broadcast(tot)).crossJoin(broadcast(pm))
+    cum.crossJoin(broadcast(tot)).crossJoin(broadcast(pm))
       .where(col("__cume") >= expr("(__n * __p + 999) div 1000"))
       .groupBy("__p").agg(min(col("__s")).as("__b"))
       .collect().map(_.getLong(1)).sorted // bounded: buckets-1 longs
+  }
+
+  def psiReport(ref: DataFrame, cur: DataFrame, valueCol: String,
+      buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val bounds = quantileBounds(ref, valueCol, buckets)
     def bucketOf(v: Column): Column =
       bounds.foldLeft(lit(0))((acc, b) =>
         acc + when(v >= lit(b), 1).otherwise(0))
@@ -212,5 +226,40 @@ object Stats {
           (log((col("ref_n") + lit(1.0)) / (col("__r") + lit(buckets.toDouble)))
             - log((col("cur_n") + lit(1.0)) / (col("__c2") + lit(buckets.toDouble)))))
           .cast("long").as("psi_unats"))
+  }
+
+  /**
+   * Per-key EXACT discrete percentile report — the p50/p90/p99 latency
+   * table (per-domain doc-length percentiles, per-source quality
+   * cutoffs) with none of the approximate-sketch error bars. For each
+   * key and permille `p`, the smallest value whose cumulative count
+   * reaches `ceil(n·p/1000)` — the same integer-exact histogram-cume
+   * quantile as [[quantileBounds]], here per group and pivoted to one
+   * row per key (`n`, then one `p<permille>` column each).
+   *
+   * Scale shape: ONE `groupBy(keys, value)` value histogram (map-side
+   * combinable — the shuffle carries distinct (key, value) pairs, not
+   * rows), one per-key window over those histogram rows (partitioned;
+   * a key's distinct-value count bounds the sort), one per-key reduce.
+   * The threshold test is cross-multiplied (`cume·1000 ≥ n·p`), so the
+   * report is division-free and bit-identical on any engine.
+   */
+  def percentileReport(df: DataFrame, keys: Seq[String], valueCol: String,
+      permilles: Seq[Int] = Seq(500, 900, 990)): DataFrame = {
+    require(keys.nonEmpty, "keys required")
+    require(permilles.nonEmpty && permilles.forall(p => p >= 1 && p <= 1000),
+      s"permilles must be in [1,1000], got ${permilles.mkString(",")}")
+    import org.apache.spark.sql.expressions.Window
+    val hist = df.groupBy(keys.map(col) :+ col(valueCol).cast("long").as("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val wCume = Window.partitionBy(keys.map(col): _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wKey = Window.partitionBy(keys.map(col): _*)
+    val cum = hist
+      .withColumn("__cume", sum("__c").over(wCume))
+      .withColumn("__n", sum("__c").over(wKey))
+    val aggs = max(col("__n")).as("n") +: permilles.map(p =>
+      min(when(col("__cume") * 1000 >= col("__n") * p, col("__v"))).as(s"p$p"))
+    cum.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 }

@@ -141,4 +141,20 @@ class CurationSpec extends AnyFunSuite {
     assert(got(3L) == ((prose, 2, 1)), s"gibberish segment must drop: ${got(3L)}")
     assert(got(4L) == (("solo", 1, 0)), "no-bigram segment carries no evidence")
   }
+
+  test("kAnonymity audit: risky combos flagged, coarse remediation checked") {
+    import spark.implicits._
+    // (seg, nation, band): A/1 has bands {0 x5, 1 x1} -> band 1 risky but
+    // coarse (A,1) has 6 rows -> generalization clears it; B/2 has 3 rows
+    // in one band -> risky AND coarse-risky
+    val rows = Seq.fill(5)(("A", 1, 0L)) ++ Seq(("A", 1, 1L)) ++
+      Seq.fill(3)(("B", 2, 0L))
+    val df = rows.toDF("seg", "nation", "band")
+    val out = graft.pipeline.KAnonymity.audit(df, Seq("seg", "nation", "band"), 5L)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(4), r.getBoolean(5), r.getBoolean(6))).toMap
+    assert(out(("A", 1, 0L)) == ((5L, 6L, false, true)))
+    assert(out(("A", 1, 1L)) == ((1L, 6L, true, true)))
+    assert(out(("B", 2, 0L)) == ((3L, 3L, true, false)))
+  }
 }

@@ -138,4 +138,21 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(100L -> 200L, 200L -> 100L))
   }
+
+  test("kCore: tendrils fall off, the dense core survives with degrees") {
+    import spark.implicits._
+    // 4-clique (1,2,3,4) + a chain 4-10-11: the chain nodes die at k=2
+    val clique = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val edges = (clique ++ Seq((4L, 10L), (10L, 11L))).toDF("s", "d")
+    val out = Graph.kCore(edges, "s", "d", k = 2, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // k above the clique degree empties the graph
+    assert(Graph.kCore(edges, "s", "d", k = 4, rounds = 2).count() == 0L)
+    // fixed rounds: a long chain needs more rounds than it gets
+    val chain = (1L to 6L).sliding(2).map(w => (w(0), w(1))).toSeq.toDF("s", "d")
+    val after1 = Graph.kCore(chain, "s", "d", k = 2, rounds = 1).count()
+    val after2 = Graph.kCore(chain, "s", "d", k = 2, rounds = 2).count()
+    assert(after1 > after2) // each round peels one layer of endpoints
+  }
 }

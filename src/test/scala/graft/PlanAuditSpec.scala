@@ -72,6 +72,42 @@ class PlanAuditSpec extends AnyFunSuite {
         s"got schema ${hints.head.child.schema.fieldNames.mkString(",")}")
   }
 
+  /** Queries allowed a window WITHOUT partition keys, and why every one
+    * is bounded: each global window here runs over an already-reduced
+    * relation (distinct values, per-group aggregates, a top-k) whose
+    * row count is data-bounded, not corpus-bounded — a single task over
+    * thousands of rows, never a global sort of the fact table. */
+  private val globalWindowAllowed: Map[String, String] = Map(
+    "q_psi" -> "cumulative histogram over DISTINCT metric values (decile fit)",
+    "q_quantile_filter" -> "cumulative histogram over DISTINCT score values",
+    "q_sample_budget" -> "cume over per-source aggregate rows (sources, not docs)",
+    "q_skew_report" -> "rank over per-key count aggregates (top-k skew table)",
+    "q_heavy_hitters" -> "rank over CMS row-estimates (width-bounded table)",
+    "q_wordpiece" -> "rank over the bounded candidate-vocab aggregate",
+    "q_dsir" -> "rank over the top-100 score rows",
+    "q_benford" -> "9-digit table rank",
+    "q_token_freq" -> "rank over per-token aggregate (top-k output)",
+    "q_bpe_pairs" -> "rank over per-pair aggregate (top-40 output)",
+    "q_pmi" -> "rank over per-pair cooccurrence aggregate (top-20 output)",
+    "q_shuffle_order" -> "row_number AFTER the limit(100) — 100 rows, not the corpus")
+
+  test("every window operator is partitioned (no global fact-table sorts)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    for ((name, fn) <- SparkEntry.queries) {
+      val plan =
+        try fn(spark, sfDir).queryExecution.optimizedPlan
+        catch { case e: Throwable => fail(s"$name failed to plan: ${e.getMessage}") }
+      val hasGlobal = plan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }.nonEmpty
+      if (hasGlobal && !globalWindowAllowed.contains(name)) offenders += name
+    }
+    assert(offenders.isEmpty,
+      s"un-partitioned window in: ${offenders.mkString(", ")} — " +
+        "partition the window or justify it in globalWindowAllowed")
+  }
+
   test("document-table scans prune to the referenced columns") {
     // q_chunk reads only (doc_id, text) of documents: the scan must not
     // drag lang/source/n_chars through the generator

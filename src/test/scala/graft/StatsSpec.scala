@@ -191,4 +191,32 @@ class StatsSpec extends AnyFunSuite {
     val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(exchanges == 1, s"expected 1 hash exchange, plan:\n$plan")
   }
+
+  test("percentileReport: exact discrete quantiles per key") {
+    import spark.implicits._
+    // key a: values 1..100 once each -> p500=50, p900=90, p990=99
+    // key b: constant 7 -> every percentile is 7
+    val df = ((1L to 100L).map(v => ("a", v)) ++ Seq.fill(10)(("b", 7L)))
+      .toDF("k", "v")
+    val rows = graft.pipeline.Stats.percentileReport(
+        df, Seq("k"), "v", Seq(500, 900, 990))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows("a") == ((100L, 50L, 90L, 99L)))
+    assert(rows("b") == ((10L, 7L, 7L, 7L)))
+    // duplicates shift the cume exactly like repeated rows
+    val dup = Seq(("c", 1L), ("c", 1L), ("c", 1L), ("c", 10L)).toDF("k", "v")
+    val c = graft.pipeline.Stats.percentileReport(dup, Seq("k"), "v", Seq(750, 751))
+      .collect().head
+    assert(c.getLong(2) == 1L && c.getLong(3) == 10L) // cume(1)=3 = 75.0%
+  }
+
+  test("percentileReport shuffles the histogram, not the fact rows") {
+    import spark.implicits._
+    val df = Seq(("a", 1L)).toDF("k", "v")
+    val plan = graft.pipeline.Stats.percentileReport(df, Seq("k"), "v")
+      .queryExecution.executedPlan.toString
+    // first aggregate is partial+final on (k, v): map-side combine present
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"))
+  }
 }

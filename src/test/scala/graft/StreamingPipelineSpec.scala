@@ -755,4 +755,117 @@ class StreamingPipelineSpec extends AnyFunSuite {
     val r = spark.sql("SELECT firstTouchId FROM attr_stream2").collect()
     assert(r.length == 1 && r.head.isNullAt(0)) // view at 10 outside [400,500)
   }
+
+  // --- oracle-replay parity: the streaming twins fed the EXACT input of
+  // their oracled driver queries (sf0.001 events) must reproduce the
+  // batch queries' rows. This closes the oracle-coverage gap for the
+  // stream operators without a driver query: the batch side IS
+  // DuckDB-verified every round, so stream == batch == oracle. ---
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** The driver queries' schema-adaptive events projection
+    * (SparkEntry.eventsMicros): micros since epoch as a long. */
+  private def eventsTus = {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val tus = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => graft.pipeline.Temporal.epochMicros(ev, "ts")
+    }
+    ev.withColumn("tus", tus)
+  }
+
+  private def optLong(r: org.apache.spark.sql.Row, i: Int): Long =
+    if (r.isNullAt(i)) Long.MinValue else r.getLong(i)
+  private def optStr(r: org.apache.spark.sql.Row, i: Int): String =
+    if (r.isNullAt(i)) "" else r.getString(i)
+
+  test("attributionStream replays the oracled q_attribution rows (sf0.001)") {
+    val in = eventsTus.select("event_id", "user_id", "tus", "event_type")
+    val dir = Files.createTempDirectory("parity-attr").toString
+    in.coalesce(1).write.mode("overwrite").parquet(dir)
+    val look = 7L * 24 * 3600 * 1000000L
+    val out = StreamingPipeline.attributionStream(
+      spark.readStream.schema(in.schema).parquet(dir),
+      "user_id", "event_id", "tus", "event_type", "purchase",
+      Seq("click", "view"), lookbackMicros = look)
+    val q = out.toDF().writeStream.format("memory").queryName("parity_attr")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.sql(
+      """SELECT conversionId, key, convTs, firstTouchId, firstTouchType,
+        |firstTouchTs, lastTouchId, lastTouchType, lastTouchTs
+        |FROM parity_attr""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        optLong(r, 3), optStr(r, 4), optLong(r, 5),
+        optLong(r, 6), optStr(r, 7), optLong(r, 8))).toSet
+    val exp = SparkEntry.queries("q_attribution")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        optLong(r, 3), optStr(r, 4), optLong(r, 5),
+        optLong(r, 6), optStr(r, 7), optLong(r, 8))).toSet
+    assert(got == exp)
+    assert(exp.size > 100 && exp.exists(_._4 != Long.MinValue)) // non-trivial
+  }
+
+  test("cusumStream replays the oracled q_cusum rows (sf0.001)") {
+    // the batch query's exact input: daily per-type event counts; the
+    // stream key must be numeric, so types get a deterministic code and
+    // rows map back through it for the compare
+    val daily = eventsTus
+      .groupBy(col("event_type"), expr("tus div 86400000000").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val types = daily.select("event_type").distinct()
+      .collect().map(_.getString(0)).sorted.zipWithIndex.toMap
+    val code = typedLit(types)
+    val in = daily.select(code(col("event_type")).cast("long").as("k"),
+      col("day").cast("long").as("day"), col("x"))
+    val dir = Files.createTempDirectory("parity-cusum").toString
+    in.coalesce(1).write.mode("overwrite").parquet(dir)
+    val out = StreamingPipeline.cusumStream(
+      spark.readStream.schema(in.schema).parquet(dir),
+      "k", "day", "x", ref = 65L, slack = 5L, threshold = 40L)
+    val q = out.toDF().writeStream.format("memory").queryName("parity_cusum")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.sql(
+      "SELECT key, t, x, cusumHi, cusumLo, isChange FROM parity_cusum")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+    val exp = SparkEntry.queries("q_cusum")(spark, sfDir)
+      .collect().map(r => (types(r.getString(0)).toLong, r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+    assert(got == exp)
+    assert(exp.size > 100 && exp.values.exists(_._4)) // change points exist
+  }
+
+  test("psiWindowed replays the oracled q_psi total (sf0.001)") {
+    // fit = the batch query's exact reference side (view vc deciles);
+    // the oracled per-bucket report's ref_n is the refCounts vector, so
+    // a single all-containing window must reproduce sum(psi_unats)
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_type"),
+        expr("cast(round(value * 100) as bigint)").as("vc"))
+    val refSide = ev.where(col("event_type") === "view").select("vc")
+    val bounds = graft.pipeline.Stats.quantileBounds(refSide, "vc", 10)
+    val batch = SparkEntry.queries("q_psi")(spark, sfDir).collect()
+    val refCounts = Array.fill(10)(0L)
+    batch.foreach(r => refCounts(r.getInt(0)) = r.getLong(1))
+    val expPsi = batch.map(_.getAs[Long]("psi_unats")).sum
+    val expN = batch.map(_.getAs[Long]("cur_n")).sum
+
+    val cur = ev.where(col("event_type") === "click")
+      .select(to_timestamp(lit("2026-01-01 00:00:00")).as("ts"), col("vc"))
+    val dir = Files.createTempDirectory("parity-psi").toString
+    cur.coalesce(1).write.mode("overwrite").parquet(dir)
+    val out = StreamingPipeline.psiWindowed(
+      spark.readStream.schema(cur.schema).parquet(dir),
+      "ts", "vc", bounds, refCounts, "1 day")
+    val q = out.writeStream.format("memory").queryName("parity_psi")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.sql("SELECT n_events, psi_unats FROM parity_psi").collect()
+    assert(got.length == 1)
+    assert(got.head.getLong(0) == expN)
+    assert(got.head.getLong(1) == expPsi)
+  }
 }
