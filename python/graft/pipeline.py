@@ -1309,3 +1309,25 @@ def k_anonymity_audit(df, quasi_cols, k):
     return (full.join(coarse, coarse_cols)
             .withColumn("is_risky", F.col("n") < k)
             .withColumn("coarse_ok", F.col("n_coarse") >= k))
+
+
+def calibrate_scores(df, group_col, score_col):
+    """Per-group percentile-rank calibration — Python mirror of the
+    Scala ``QuantileFilter.calibrate``: ``calib_permille`` = permille
+    of the group's rows scoring strictly below this row
+    (``below * 1000 div n``, ties share one value), via the
+    (group, score) histogram cume and one equi-join back — rows are
+    never window-sorted.
+    """
+    v = F.col(score_col).cast("long")
+    hist = (df.groupBy(F.col(group_col).alias("__g"), v.alias("__v"))
+            .agg(F.count(F.lit(1)).alias("__c")))
+    w_cume = (Window.partitionBy("__g").orderBy("__v")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_grp = Window.partitionBy("__g")
+    m = (hist.withColumn("__below", F.sum("__c").over(w_cume) - F.col("__c"))
+         .withColumn("__n", F.sum("__c").over(w_grp))
+         .select(F.col("__g"), F.col("__v"),
+                 F.expr("__below * 1000 div __n").alias("calib_permille")))
+    return (df.join(m, (F.col(group_col) == F.col("__g")) & (v == F.col("__v")))
+            .drop("__g", "__v"))

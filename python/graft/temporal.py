@@ -520,3 +520,22 @@ def seasonal_anomaly(df, type_col, tus_col, num=1, den=4):
                         F.abs(F.col("n") * F.col("days_dow")
                               - F.col("dow_total")) * den
                         > F.col("dow_total") * num))
+
+
+def growth_curve(df, keys, id_col, bucket_col):
+    """First-seen growth curve — Python mirror of the Scala
+    ``Temporal.growthCurve``: per (keys, bucket) the ids appearing for
+    the first time in that bucket plus the running cumulative
+    (= exact distinct-to-date), from one min-bucket-per-id groupBy and
+    a cume window over bucket rows. ``keys`` may be empty for one
+    global curve.
+    """
+    kcols = [F.col(k) for k in keys]
+    first = (df.groupBy(*(kcols + [F.col(id_col)]))
+             .agg(F.min(F.col(bucket_col)).alias("__fb")))
+    curve = (first.groupBy(*(kcols + [F.col("__fb").alias(bucket_col)]))
+             .agg(F.count(F.lit(1)).alias("new_ids")))
+    w = ((Window.partitionBy(*kcols) if keys else Window.partitionBy())
+         .orderBy(bucket_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return curve.withColumn("cum_ids", F.sum("new_ids").over(w))

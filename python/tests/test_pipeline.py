@@ -571,3 +571,14 @@ def test_k_anonymity_audit(spark):
     assert out[("A", 1, 0)] == (5, 6, False, True)
     assert out[("A", 1, 1)] == (1, 6, True, True)
     assert out[("B", 2, 0)] == (3, 3, True, False)
+
+
+def test_calibrate_scores(spark):
+    from graft.pipeline import calibrate_scores
+
+    df = spark.createDataFrame(
+        [("s1", 1, 10), ("s1", 2, 20), ("s1", 3, 20), ("s1", 4, 30),
+         ("s2", 5, 99)], "src string, id long, score long")
+    out = {r["id"]: r["calib_permille"]
+           for r in calibrate_scores(df, "src", "score").collect()}
+    assert out == {1: 0, 2: 250, 3: 250, 4: 750, 5: 0}

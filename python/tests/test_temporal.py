@@ -300,3 +300,14 @@ def test_seasonal_anomaly(spark):
         "t string, tus long")
     assert all(not r["is_anomaly"]
                for r in seasonal_anomaly(flat, "t", "tus").collect())
+
+
+def test_growth_curve(spark):
+    from graft.temporal import growth_curve
+
+    df = spark.createDataFrame(
+        [("a", 1, 1), ("a", 1, 3), ("a", 2, 1), ("a", 3, 3), ("b", 1, 2)],
+        "k string, uid long, day long")
+    out = {(r["k"], r["day"]): (r["new_ids"], r["cum_ids"])
+           for r in growth_curve(df, ["k"], "uid", "day").collect()}
+    assert out == {("a", 1): (2, 2), ("a", 3): (1, 3), ("b", 2): (1, 1)}

@@ -3083,6 +3083,25 @@ object SparkEntry {
       graft.pipeline.KAnonymity.audit(c,
           Seq("c_mktsegment", "c_nationkey", "bal_band"), k = 5L)
         .orderBy("c_mktsegment", "c_nationkey", "bal_band")
+    }),
+    // new + cumulative distinct users per (type, day) — exact
+    // distinct-to-date from ONE fact shuffle (min-bucket per id, then
+    // day-row aggregates; the cume window runs over days, not events)
+    "q_growth_curve" -> ((s, dir) => {
+      val ev = eventsMicros(s, dir)
+        .withColumn("day", expr("tus div 86400000000"))
+      graft.pipeline.Temporal.growthCurve(ev, Seq("event_type"),
+          "user_id", "day")
+        .orderBy("event_type", "day")
+    }),
+    // per-source percentile-rank calibration of n_chars: strictly-below
+    // cume over the (source, score) histogram, one equi-join back —
+    // makes heterogeneous per-source scores mixture-comparable
+    "q_calibrate" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        col("n_chars"))
+      graft.pipeline.QuantileFilter.calibrate(d, "source", "n_chars")
+        .orderBy("doc_id")
     })
   )
 
@@ -6298,6 +6317,27 @@ object SparkEntry {
         |SELECT f.c_mktsegment, f.c_nationkey, f.bal_band, f.n, co.n_coarse,
         |  f.n < 5 AS is_risky, co.n_coarse >= 5 AS coarse_ok
         |FROM f JOIN co USING (c_mktsegment, c_nationkey)
-        |ORDER BY 1, 2, 3""".stripMargin
+        |ORDER BY 1, 2, 3""".stripMargin,
+    "q_growth_curve" ->
+      """WITH e AS (SELECT event_type, user_id,
+        |    epoch_ns(ts) // 1000 // 86400000000 AS day FROM events),
+        |f AS (SELECT event_type, user_id, MIN(day) AS fb FROM e GROUP BY 1, 2),
+        |c AS (SELECT event_type, fb AS day, CAST(COUNT(*) AS BIGINT) AS new_ids
+        |  FROM f GROUP BY 1, 2)
+        |SELECT event_type, day, new_ids,
+        |  CAST(SUM(new_ids) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_ids
+        |FROM c ORDER BY 1, 2""".stripMargin,
+    "q_calibrate" ->
+      """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+        |h AS (SELECT source, n_chars, COUNT(*) AS c FROM d GROUP BY 1, 2),
+        |m AS (SELECT source, n_chars,
+        |    SUM(c) OVER (PARTITION BY source ORDER BY n_chars
+        |      ROWS UNBOUNDED PRECEDING) - c AS below,
+        |    SUM(c) OVER (PARTITION BY source) AS n FROM h)
+        |SELECT d.doc_id, d.source, d.n_chars,
+        |  CAST(below * 1000 // n AS BIGINT) AS calib_permille
+        |FROM d JOIN m ON d.source = m.source AND d.n_chars = m.n_chars
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -201,6 +201,37 @@ object QuantileFilter {
   def keepAbove(df: DataFrame, score: Column, permille: Int): DataFrame =
     df.crossJoin(broadcast(threshold(df, score, permille)))
       .where(score.cast("long") >= col("threshold"))
+
+  /**
+   * Per-group percentile-rank calibration: append `calib_permille` =
+   * the permille of the group's rows scoring STRICTLY below this row's
+   * score (`below · 1000 div n` — ties share one calibrated value).
+   * This is how heterogeneous per-source quality scores become
+   * comparable before mixture sampling: a 0.9-quality doc means
+   * nothing across scorers, "top 2% of its source" does.
+   *
+   * Same histogram discipline as [[threshold]], per group: the
+   * strictly-below cume runs over distinct (group, score) histogram
+   * rows (partitioned window — a group's distinct score count bounds
+   * the sort), and the fact table meets the permille map in ONE
+   * equi-join on (group, score) — the rows themselves are never
+   * window-sorted. Integral scores only (quantize first).
+   */
+  def calibrate(df: DataFrame, groupCol: String, scoreCol: String): DataFrame = {
+    val v = col(scoreCol).cast("long")
+    val hist = df.groupBy(col(groupCol).as("__g"), v.as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val wCume = Window.partitionBy("__g").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wGrp = Window.partitionBy("__g")
+    val m = hist
+      .withColumn("__below", sum("__c").over(wCume) - col("__c"))
+      .withColumn("__n", sum("__c").over(wGrp))
+      .select(col("__g"), col("__v"),
+        expr("__below * 1000 div __n").as("calib_permille"))
+    df.join(m, col(groupCol) === col("__g") && v === col("__v"))
+      .drop("__g", "__v")
+  }
 }
 
 /**

@@ -637,4 +637,33 @@ object Temporal {
       .withColumn(s"${valueCol}_filled",
         last(col(valueCol), ignoreNulls = true).over(w))
   }
+
+  /**
+   * First-seen growth curve: per (keys, bucket), how many ids appeared
+   * for the FIRST time in that bucket, and the running cumulative —
+   * the audience/corpus growth report ("distinct users to date" daily)
+   * computed without ever re-scanning history: `min(bucket)` per id is
+   * one map-side-combinable groupBy of the fact table, the curve is an
+   * aggregate over THAT id-bounded table, and the cume window runs
+   * over bucket rows (days, not events). Exact — no sketch error — at
+   * one fact shuffle, because "cumulative distinct" over first-seen
+   * buckets is exactly distinct-to-date.
+   *
+   * `keys` may be empty (one global curve); with keys the id's first
+   * appearance counts per key group (a user first-seen in "click" and
+   * later in "view" is new to each).
+   */
+  def growthCurve(df: DataFrame, keys: Seq[String], idCol: String,
+      bucketCol: String): DataFrame = {
+    val kcols = keys.map(col)
+    val first = df.groupBy(kcols :+ col(idCol): _*)
+      .agg(min(col(bucketCol)).as("__graft_fb"))
+    val curve = first.groupBy(kcols :+ col("__graft_fb").as(bucketCol): _*)
+      .agg(count(lit(1)).as("new_ids"))
+    val w = (if (keys.isEmpty) Window.partitionBy()
+             else Window.partitionBy(kcols: _*))
+      .orderBy(col(bucketCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    curve.withColumn("cum_ids", sum("new_ids").over(w))
+  }
 }

@@ -368,6 +368,34 @@ object StreamingPipeline {
       cTot.as("n_events"), psi.as("psi_unats"))
   }
 
+  /**
+   * Streaming distinct-count monitor: per event-time window, the
+   * integer-exact raw-HLL estimate of `idCol`'s cardinality — the
+   * "unique users per hour" board that exact distinct cannot serve at
+   * stream scale (its state would be the id set itself). State per
+   * open window is the m-register sketch (m longs), merged by
+   * elementwise max — commutative and idempotent, so late or replayed
+   * rows never corrupt it. The estimate is
+   * [[graft.pipeline.Hll.estimate]]'s division-exact integer form: a
+   * single micro-batch over a static frame equals the batch
+   * `Hll.sketch`/`estimate` aggregate row-for-row
+   * (StreamingPipelineSpec pins the parity against the oracled q_hll
+   * machinery).
+   */
+  def distinctWindowed(df: DataFrame, eventTimeCol: String, idCol: String,
+      windowDuration: String, m: Int = 64,
+      watermarkDelay: String = "0 seconds"): DataFrame = {
+    val agg = df
+      .withWatermark(eventTimeCol, watermarkDelay)
+      .groupBy(window(col(eventTimeCol), windowDuration))
+      .agg(graft.pipeline.Hll.sketch(col(idCol), m).as("__sk"),
+        count(lit(1)).as("n_events"))
+    agg.select(col("window.start").as("window_start"),
+      col("window.end").as("window_end"),
+      col("n_events"),
+      graft.pipeline.Hll.estimate(col("__sk"), m).as("n_distinct_est"))
+  }
+
   /** One metric point after projection. */
   final case class CusumRow(k: Long, t: Long, x: Long)
   /** Per-key state: both prefix sums and their running mins (the

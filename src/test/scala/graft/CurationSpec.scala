@@ -157,4 +157,14 @@ class CurationSpec extends AnyFunSuite {
     assert(out(("A", 1, 1L)) == ((1L, 6L, true, true)))
     assert(out(("B", 2, 0L)) == ((3L, 3L, true, false)))
   }
+
+  test("calibrate: per-group strictly-below permille, ties share a value") {
+    import spark.implicits._
+    val df = Seq(("s1", 1L, 10L), ("s1", 2L, 20L), ("s1", 3L, 20L),
+      ("s1", 4L, 30L), ("s2", 5L, 99L)).toDF("src", "id", "score")
+    val out = graft.pipeline.QuantileFilter.calibrate(df, "src", "score")
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    // s1: below(10)=0 -> 0; below(20)=1 -> 250; below(30)=3 -> 750
+    assert(out == Map(1L -> 0L, 2L -> 250L, 3L -> 250L, 4L -> 750L, 5L -> 0L))
+  }
 }

@@ -868,4 +868,28 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(got.head.getLong(0) == expN)
     assert(got.head.getLong(1) == expPsi)
   }
+
+  test("distinctWindowed replays the batch HLL estimate per window (sf0.001)") {
+    // watermarks attach only to TIMESTAMP (not NTZ); session TZ is UTC
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("ts").cast("timestamp").as("ts"), col("user_id"))
+    val exp = ev.groupBy(window(col("ts"), "1 day"))
+      .agg(graft.pipeline.Hll.sketch(col("user_id"), 64).as("sk"),
+        count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("n"),
+        graft.pipeline.Hll.estimate(col("sk"), 64).as("est"))
+      .collect().map(r => r.get(0).toString -> (r.getLong(1), r.getLong(2))).toMap
+    val dir = Files.createTempDirectory("parity-distinct").toString
+    ev.coalesce(1).write.mode("overwrite").parquet(dir)
+    val out = StreamingPipeline.distinctWindowed(
+      spark.readStream.schema(ev.schema).parquet(dir), "ts", "user_id", "1 day")
+    val q = out.writeStream.format("memory").queryName("parity_distinct")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.sql(
+      "SELECT window_start, n_events, n_distinct_est FROM parity_distinct")
+      .collect().map(r => r.get(0).toString -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == exp)
+    assert(exp.size > 10 && exp.values.exists(_._2 > 1)) // non-trivial
+  }
 }

@@ -542,4 +542,21 @@ class TemporalSpec extends AnyFunSuite {
     val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(exchanges == 1, s"expected 1 hash exchange, plan:\n$plan")
   }
+
+  test("growthCurve: first-seen counts and distinct-to-date cume") {
+    import spark.implicits._
+    // user 1 on days 1,3; user 2 on day 1; user 3 on day 3 (all key a);
+    // user 1 again under key b on day 2
+    val df = Seq(("a", 1L, 1L), ("a", 1L, 3L), ("a", 2L, 1L),
+      ("a", 3L, 3L), ("b", 1L, 2L)).toDF("k", "uid", "day")
+    val out = graft.pipeline.Temporal.growthCurve(df, Seq("k"), "uid", "day")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(out == Map(("a", 1L) -> ((2L, 2L)), ("a", 3L) -> ((1L, 3L)),
+      ("b", 2L) -> ((1L, 1L))))
+    // keyless: one global curve
+    val g = graft.pipeline.Temporal.growthCurve(df, Seq.empty, "uid", "day")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(g == Map(1L -> ((2L, 2L)), 3L -> ((1L, 3L))))
+  }
 }
