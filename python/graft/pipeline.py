@@ -1331,3 +1331,40 @@ def calibrate_scores(df, group_col, score_col):
                  F.expr("__below * 1000 div __n").alias("calib_permille")))
     return (df.join(m, (F.col(group_col) == F.col("__g")) & (v == F.col("__v")))
             .drop("__g", "__v"))
+
+
+def token_entropy(df, id_col, text_col):
+    """Per-doc Shannon token entropy in integer micro-nats — Python
+    mirror of the Scala ``Stats.tokenEntropy``: one (id, token) count
+    aggregate, each term ``round(1e6 * (c/n) * ln(n/c))`` rounded
+    before the sum (the psi micro-nat discipline).
+    """
+    toks = (df.select(F.col(id_col).alias("id"),
+                      F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+            .where(F.col("tok") != ""))
+    cnt = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("__c"))
+    tot = cnt.groupBy("id").agg(F.sum("__c").alias("n_tokens"),
+                                F.count(F.lit(1)).alias("n_unique"))
+    return (cnt.join(tot, "id")
+            .groupBy("id", "n_tokens", "n_unique")
+            .agg(F.sum(F.round(F.lit(1e6) * F.col("__c") / F.col("n_tokens")
+                               * F.log(F.col("n_tokens").cast("double")
+                                       / F.col("__c"))).cast("long"))
+                 .alias("entropy_unats")))
+
+
+def conservation_audit(parent, parent_key, parent_val, child, child_key,
+                       child_val):
+    """Parent/child conservation audit — Python mirror of the Scala
+    ``Joins.conservationAudit``: children reduce first to parent-key
+    cardinality, then one left equi-join; orphan headers report
+    ``child_sum = 0``. Integral values only (pre-scale to cents).
+    """
+    sums = (child.groupBy(F.col(child_key).alias(parent_key))
+            .agg(F.sum(F.col(child_val).cast("long")).alias("child_sum"),
+                 F.count(F.lit(1)).alias("n_children")))
+    return (parent.select(F.col(parent_key),
+                          F.col(parent_val).cast("long").alias("parent_val"))
+            .join(sums, [parent_key], "left")
+            .na.fill(0, ["child_sum", "n_children"])
+            .withColumn("diff", F.col("parent_val") - F.col("child_sum")))

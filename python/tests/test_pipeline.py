@@ -582,3 +582,27 @@ def test_calibrate_scores(spark):
     out = {r["id"]: r["calib_permille"]
            for r in calibrate_scores(df, "src", "score").collect()}
     assert out == {1: 0, 2: 250, 3: 250, 4: 750, 5: 0}
+
+
+def test_token_entropy(spark):
+    import math
+    from graft.pipeline import token_entropy
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "x x x x")], "id long, t string")
+    out = {r["id"]: (r["n_tokens"], r["n_unique"], r["entropy_unats"])
+           for r in token_entropy(df, "id", "t").collect()}
+    assert out[1] == (4, 4, 4 * round(1e6 * 0.25 * math.log(4.0)))
+    assert out[2] == (4, 1, 0)
+
+
+def test_conservation_audit(spark):
+    from graft.pipeline import conservation_audit
+
+    parent = spark.createDataFrame([(1, 100), (2, 50), (3, 70)], "k long, v long")
+    child = spark.createDataFrame([(1, 60), (1, 40), (2, 49)], "ck long, cv long")
+    out = {r["k"]: (r["parent_val"], r["child_sum"], r["n_children"], r["diff"])
+           for r in conservation_audit(parent, "k", "v", child, "ck", "cv").collect()}
+    assert out[1] == (100, 100, 2, 0)
+    assert out[2] == (50, 49, 1, 1)
+    assert out[3] == (70, 0, 0, 70)

@@ -3102,6 +3102,34 @@ object SparkEntry {
         col("n_chars"))
       graft.pipeline.QuantileFilter.calibrate(d, "source", "n_chars")
         .orderBy("doc_id")
+    }),
+    // per-doc Shannon token entropy in micro-nats (repetitiveness
+    // gate): one (id, token) count aggregate, per-term micro-nat
+    // rounding, no window — the psi/dsir integer-log discipline
+    "q_token_entropy" -> ((s, dir) =>
+      graft.pipeline.Stats.tokenEntropy(
+          t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("id")),
+    // order-header vs line-item conservation: children reduce first,
+    // one left join, then a per-status mismatch summary — the
+    // ingestion reconciliation report, all integer cents
+    "q_reconcile" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderstatus"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"),
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("lcents"))
+      graft.pipeline.Joins.conservationAudit(o, "o_orderkey", "cents",
+          l, "l_orderkey", "lcents")
+        .join(t(s, dir, "orders").select("o_orderkey", "o_orderstatus"),
+          "o_orderkey")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(when(col("diff") =!= 0L, 1L).otherwise(0L)).as("n_mismatch"),
+          sum(when(col("n_children") === 0L, 1L).otherwise(0L)).as("n_childless"),
+          sum(abs(col("diff"))).as("sum_abs_diff"),
+          max(abs(col("diff"))).as("max_abs_diff"))
+        .orderBy("o_orderstatus")
     })
   )
 
@@ -6338,6 +6366,38 @@ object SparkEntry {
         |SELECT d.doc_id, d.source, d.n_chars,
         |  CAST(below * 1000 // n AS BIGINT) AS calib_permille
         |FROM d JOIN m ON d.source = m.source AND d.n_chars = m.n_chars
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    // entropy replayed with the same left-assoc double chain and the
+    // same per-term micro-nat round-then-sum
+    "q_token_entropy" ->
+      """WITH t AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |c AS (SELECT id, tok, COUNT(*) AS c FROM t WHERE tok <> '' GROUP BY 1, 2),
+        |n AS (SELECT id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(*) AS BIGINT) AS n_unique FROM c GROUP BY 1)
+        |SELECT c.id, n.n_tokens, n.n_unique,
+        |  CAST(SUM(CAST(round(1000000.0 * c / n_tokens
+        |    * ln(CAST(n_tokens AS DOUBLE) / c)) AS BIGINT)) AS BIGINT)
+        |    AS entropy_unats
+        |FROM c JOIN n USING (id) GROUP BY 1, 2, 3 ORDER BY id""".stripMargin,
+    "q_reconcile" ->
+      """WITH o AS (SELECT o_orderkey, o_orderstatus,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |ls AS (SELECT l_orderkey,
+        |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS child_sum,
+        |    CAST(COUNT(*) AS BIGINT) AS n_children
+        |  FROM lineitem GROUP BY 1),
+        |a AS (SELECT o.o_orderstatus, o.cents,
+        |    COALESCE(ls.child_sum, 0) AS child_sum,
+        |    COALESCE(ls.n_children, 0) AS n_children,
+        |    o.cents - COALESCE(ls.child_sum, 0) AS diff
+        |  FROM o LEFT JOIN ls ON o.o_orderkey = ls.l_orderkey)
+        |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CASE WHEN diff <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+        |  CAST(SUM(CASE WHEN n_children = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_childless,
+        |  CAST(SUM(abs(diff)) AS BIGINT) AS sum_abs_diff,
+        |  CAST(MAX(abs(diff)) AS BIGINT) AS max_abs_diff
+        |FROM a GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

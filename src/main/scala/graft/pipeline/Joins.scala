@@ -446,4 +446,31 @@ object Joins {
         (col("__graft_w.d").as("matched_depth") +:
           payload.map(p => col(s"__graft_w.$p").as(p))): _*)
   }
+
+  /**
+   * Parent/child conservation audit — the reconciliation report every
+   * ingestion pipeline runs between a header table and its detail rows
+   * (order total vs line-item sum, session duration vs event span,
+   * declared byte count vs shard sizes): per parent key, the declared
+   * value, the children's sum and count, and the signed `diff`.
+   * Integral values only (pre-scale money to cents) so the audit is
+   * exact — a float sum would itself need reconciling.
+   *
+   * Scale shape: the child side reduces FIRST (one map-side-combinable
+   * groupBy to parent-key cardinality), then one left equi-join against
+   * the parent table — the detail rows never join directly. Parents
+   * with no children report `child_sum = 0, n_children = 0` (left
+   * outer), so orphan headers surface instead of vanishing.
+   */
+  def conservationAudit(parent: DataFrame, parentKey: String,
+      parentVal: String, child: DataFrame, childKey: String,
+      childVal: String): DataFrame = {
+    val sums = child.groupBy(col(childKey).as(parentKey))
+      .agg(sum(col(childVal).cast("long")).as("child_sum"),
+        count(lit(1)).as("n_children"))
+    parent.select(col(parentKey), col(parentVal).cast("long").as("parent_val"))
+      .join(sums, Seq(parentKey), "left")
+      .na.fill(0L, Seq("child_sum", "n_children"))
+      .withColumn("diff", col("parent_val") - col("child_sum"))
+  }
 }

@@ -262,4 +262,33 @@ object Stats {
       min(when(col("__cume") * 1000 >= col("__n") * p, col("__v"))).as(s"p$p"))
     cum.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
+
+  /**
+   * Per-document Shannon entropy of the token distribution, in integer
+   * micro-nats — the repetitiveness signal quality filters gate on
+   * (boilerplate and keyword-stuffed spam sit far below prose, which
+   * runs ≈ ln(n_unique) when tokens are spread): `Σ round(1e6 ·
+   * (c/n) · ln(n/c))` over the doc's token counts, each term rounded
+   * before the sum (the [[psiReport]] micro-nat discipline, so any
+   * IEEE engine reproduces the long exactly).
+   *
+   * Scale shape: explode to (id, token), ONE (id, token) count
+   * aggregate (map-side combinable), per-id totals over that
+   * token-bounded table, and the entropy reduce — no window, no
+   * self-join; everything shuffles on id at token-table size.
+   * Output: `id`, `n_tokens`, `n_unique`, `entropy_unats`.
+   */
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .where(col("tok") =!= "")
+    val cnt = toks.groupBy("id", "tok").agg(count(lit(1)).as("__c"))
+    val tot = cnt.groupBy("id")
+      .agg(sum("__c").as("n_tokens"), count(lit(1)).as("n_unique"))
+    cnt.join(tot, "id")
+      .groupBy(col("id"), col("n_tokens"), col("n_unique"))
+      .agg(sum(round(lit(1e6) * col("__c") / col("n_tokens") *
+          log(col("n_tokens").cast("double") / col("__c"))).cast("long"))
+        .as("entropy_unats"))
+  }
 }

@@ -360,4 +360,17 @@ class JoinsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Joins.longestPrefixJoin(ips, "ip", "id", rules, "plen", "prefix"))
   }
+
+  test("conservationAudit: matches, mismatches and orphan headers") {
+    import spark.implicits._
+    val parent = Seq((1L, 100L), (2L, 50L), (3L, 70L)).toDF("k", "v")
+    val child = Seq((1L, 60L), (1L, 40L), (2L, 49L)).toDF("ck", "cv")
+    val out = graft.pipeline.Joins.conservationAudit(
+        parent, "k", "v", child, "ck", "cv")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L) == ((100L, 100L, 2L, 0L)))   // conserved
+    assert(out(2L) == ((50L, 49L, 1L, 1L)))     // off by one cent
+    assert(out(3L) == ((70L, 0L, 0L, 70L)))     // orphan header surfaces
+  }
 }

@@ -219,4 +219,15 @@ class StatsSpec extends AnyFunSuite {
     // first aggregate is partial+final on (k, v): map-side combine present
     assert(plan.contains("partial_count") || plan.contains("HashAggregate"))
   }
+
+  test("tokenEntropy: uniform tokens hit ln(k); repetition scores zero") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d"), (2L, "x x x x"), (3L, "a a b b")).toDF("id", "t")
+    val out = graft.pipeline.Stats.tokenEntropy(df, "id", "t")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ((4L, 4L, 4 * math.round(1e6 * 0.25 * math.log(4.0)))))
+    assert(out(2L) == ((4L, 1L, 0L)))
+    assert(out(3L) == ((4L, 2L, 2 * 2 * math.round(1e6 * 0.25 * math.log(2.0)))))
+  }
 }
