@@ -1368,3 +1368,38 @@ def conservation_audit(parent, parent_key, parent_val, child, child_key,
             .join(sums, [parent_key], "left")
             .na.fill(0, ["child_sum", "n_children"])
             .withColumn("diff", F.col("parent_val") - F.col("child_sum")))
+
+
+def winsorize(df, keys, value_col, lo_permille=10, hi_permille=990):
+    """Per-key winsorization — Python mirror of the Scala
+    ``Stats.winsorize``: clamp into the key's exact discrete
+    ``[p<lo>, p<hi>]`` percentile band (from :func:`percentile_report`'s
+    histogram machinery), appended as ``<value_col>_w``.
+    """
+    pr = (percentile_report(df, keys, value_col, (lo_permille, hi_permille))
+          .select(*([F.col(c) for c in keys]
+                    + [F.col(f"p{lo_permille}").alias("__lo"),
+                       F.col(f"p{hi_permille}").alias("__hi")])))
+    return (df.join(pr, list(keys))
+            .withColumn(f"{value_col}_w",
+                        F.greatest(F.least(F.col(value_col).cast("long"),
+                                           F.col("__hi")), F.col("__lo")))
+            .drop("__lo", "__hi"))
+
+
+def robust_anomaly_flags(df, keys, value_col, k_num=3, k_den=1):
+    """Median/MAD outlier gate — Python mirror of the Scala
+    ``Stats.robustAnomalyFlags``: flags ``|v - med| * k_den > MAD *
+    k_num`` with both med and MAD exact discrete medians from two
+    histogram passes; all integer, bit-reproducible.
+    """
+    med = (percentile_report(df, keys, value_col, (500,))
+           .select(*([F.col(c) for c in keys] + [F.col("p500").alias("med")])))
+    dev = (df.join(med, list(keys))
+           .withColumn("abs_dev",
+                       F.abs(F.col(value_col).cast("long") - F.col("med"))))
+    mad = (percentile_report(dev, keys, "abs_dev", (500,))
+           .select(*([F.col(c) for c in keys] + [F.col("p500").alias("mad")])))
+    return (dev.join(mad, list(keys))
+            .withColumn("is_anomaly",
+                        F.col("abs_dev") * k_den > F.col("mad") * k_num))

@@ -606,3 +606,23 @@ def test_conservation_audit(spark):
     assert out[1] == (100, 100, 2, 0)
     assert out[2] == (50, 49, 1, 1)
     assert out[3] == (70, 0, 0, 70)
+
+
+def test_winsorize(spark):
+    from graft.pipeline import winsorize
+
+    df = spark.createDataFrame(
+        [("a", v, v) for v in range(1, 101)], "k string, id long, v long")
+    out = {r["id"]: r["v_w"]
+           for r in winsorize(df, ["k"], "v", 100, 900).collect()}
+    assert out[1] == 10 and out[50] == 50 and out[100] == 90
+
+
+def test_robust_anomaly_flags(spark):
+    from graft.pipeline import robust_anomaly_flags
+
+    rows = [("a", i, 10) for i in range(1, 100)] + [("a", 100, 1000)]
+    df = spark.createDataFrame(rows, "k string, id long, v long")
+    out = [r["id"] for r in robust_anomaly_flags(df, ["k"], "v")
+           .where("is_anomaly").collect()]
+    assert out == [100]

@@ -3130,6 +3130,25 @@ object SparkEntry {
           sum(abs(col("diff"))).as("sum_abs_diff"),
           max(abs(col("diff"))).as("max_abs_diff"))
         .orderBy("o_orderstatus")
+    }),
+    // per-type winsorized event values: exact p10/p990 band from the
+    // histogram, one broadcastable join back, integer clamp
+    "q_winsorize" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_id"), col("event_type"),
+        expr("cast(round(value * 100) as bigint)").as("vc"))
+      graft.pipeline.Stats.winsorize(ev, Seq("event_type"), "vc", 10, 990)
+        .orderBy("event_id")
+    }),
+    // median/MAD outlier gate per event type — the whale-proof twin of
+    // q_anomaly's mean/sigma gate, all integer (two histogram passes)
+    "q_robust_anomaly" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_id"), col("event_type"),
+        expr("cast(round(value * 100) as bigint)").as("vc"))
+      graft.pipeline.Stats.robustAnomalyFlags(ev, Seq("event_type"), "vc",
+          kNum = 3, kDen = 1)
+        .where(col("is_anomaly"))
+        .select("event_id", "event_type", "vc", "med", "abs_dev", "mad")
+        .orderBy("event_id")
     })
   )
 
@@ -6398,6 +6417,48 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN n_children = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_childless,
         |  CAST(SUM(abs(diff)) AS BIGINT) AS sum_abs_diff,
         |  CAST(MAX(abs(diff)) AS BIGINT) AS max_abs_diff
-        |FROM a GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM a GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the same histogram-cume discrete percentiles, clamped
+    "q_winsorize" ->
+      """WITH e AS (SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+        |h AS (SELECT event_type, vc AS v, COUNT(*) AS c FROM e GROUP BY 1, 2),
+        |cw AS (SELECT event_type, v, c,
+        |    SUM(c) OVER (PARTITION BY event_type ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS cume,
+        |    SUM(c) OVER (PARTITION BY event_type) AS n FROM h),
+        |b AS (SELECT event_type,
+        |    CAST(MIN(CASE WHEN cume * 1000 >= n * 10 THEN v END) AS BIGINT) AS lo,
+        |    CAST(MIN(CASE WHEN cume * 1000 >= n * 990 THEN v END) AS BIGINT) AS hi
+        |  FROM cw GROUP BY 1)
+        |SELECT e.event_id, e.event_type, e.vc,
+        |  greatest(least(e.vc, b.hi), b.lo) AS vc_w
+        |FROM e JOIN b USING (event_type) ORDER BY event_id""".stripMargin,
+    // median + MAD replayed with two of the same histogram passes
+    "q_robust_anomaly" ->
+      """WITH e AS (SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+        |h1 AS (SELECT event_type, vc AS v, COUNT(*) AS c FROM e GROUP BY 1, 2),
+        |c1 AS (SELECT event_type, v, c,
+        |    SUM(c) OVER (PARTITION BY event_type ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS cume,
+        |    SUM(c) OVER (PARTITION BY event_type) AS n FROM h1),
+        |md AS (SELECT event_type,
+        |    CAST(MIN(CASE WHEN cume * 1000 >= n * 500 THEN v END) AS BIGINT) AS med
+        |  FROM c1 GROUP BY 1),
+        |d AS (SELECT e.event_id, e.event_type, e.vc, md.med,
+        |    abs(e.vc - md.med) AS abs_dev FROM e JOIN md USING (event_type)),
+        |h2 AS (SELECT event_type, abs_dev AS v, COUNT(*) AS c FROM d GROUP BY 1, 2),
+        |c2 AS (SELECT event_type, v, c,
+        |    SUM(c) OVER (PARTITION BY event_type ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS cume,
+        |    SUM(c) OVER (PARTITION BY event_type) AS n FROM h2),
+        |mad AS (SELECT event_type,
+        |    CAST(MIN(CASE WHEN cume * 1000 >= n * 500 THEN v END) AS BIGINT) AS mad
+        |  FROM c2 GROUP BY 1)
+        |SELECT d.event_id, d.event_type, d.vc, d.med,
+        |  CAST(d.abs_dev AS BIGINT) AS abs_dev, mad.mad
+        |FROM d JOIN mad USING (event_type)
+        |WHERE d.abs_dev * 1 > mad.mad * 3 ORDER BY event_id""".stripMargin
   )
 }

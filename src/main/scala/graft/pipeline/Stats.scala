@@ -278,6 +278,59 @@ object Stats {
    * self-join; everything shuffles on id at token-table size.
    * Output: `id`, `n_tokens`, `n_unique`, `entropy_unats`.
    */
+  /**
+   * Per-key winsorization: clamp `valueCol` into its key's
+   * `[p<lo>, p<hi>]` exact discrete percentile band (appended as
+   * `<valueCol>_w`, band bounds as `__lo`/`__hi` dropped) — the
+   * outlier treatment that keeps rows (unlike a filter) while bounding
+   * the moments a downstream mean/σ gate sees. Bounds come from
+   * [[percentileReport]] (histogram-cume, division-free); the fact
+   * table meets the key-bounded bounds table in ONE equi-join that AQE
+   * broadcasts in practice.
+   */
+  def winsorize(df: DataFrame, keys: Seq[String], valueCol: String,
+      loPermille: Int = 10, hiPermille: Int = 990): DataFrame = {
+    require(loPermille < hiPermille,
+      s"lo must be < hi, got $loPermille >= $hiPermille")
+    val pr = percentileReport(df, keys, valueCol, Seq(loPermille, hiPermille))
+      .select(keys.map(col) :+ col(s"p$loPermille").as("__lo") :+
+        col(s"p$hiPermille").as("__hi"): _*)
+    df.join(pr, keys)
+      .withColumn(s"${valueCol}_w",
+        greatest(least(col(valueCol).cast("long"), col("__hi")), col("__lo")))
+      .drop("__lo", "__hi")
+  }
+
+  /**
+   * Robust per-key outlier gate on median/MAD instead of mean/σ — the
+   * screen that survives the outliers it is looking for (one whale
+   * purchase inflates σ enough to hide the rest; the median absolute
+   * deviation barely moves). Flags `|v − med| · kDen > MAD · kNum`
+   * with `med` the key's discrete median and `MAD = median(|v −
+   * med|)` — every quantity an exact integer, so the flag is
+   * bit-reproducible (contrast [[anomalyFlags]]' moment algebra, same
+   * contract, different estimator). Keys where MAD = 0 flag any
+   * deviation (strict gate, like the σ = 0 case).
+   *
+   * Scale shape: two [[percentileReport]] passes (median of v, then
+   * median of |v − med|) — each one histogram aggregate plus
+   * key-bounded windows — and two fact-side equi-joins against
+   * key-bounded tables. No window ever sorts fact rows.
+   */
+  def robustAnomalyFlags(df: DataFrame, keys: Seq[String], valueCol: String,
+      kNum: Int = 3, kDen: Int = 1): DataFrame = {
+    require(kNum > 0 && kDen > 0, "kNum and kDen must be positive")
+    val med = percentileReport(df, keys, valueCol, Seq(500))
+      .select(keys.map(col) :+ col("p500").as("med"): _*)
+    val dev = df.join(med, keys)
+      .withColumn("abs_dev", abs(col(valueCol).cast("long") - col("med")))
+    val mad = percentileReport(dev, keys, "abs_dev", Seq(500))
+      .select(keys.map(col) :+ col("p500").as("mad"): _*)
+    dev.join(mad, keys)
+      .withColumn("is_anomaly",
+        col("abs_dev") * kDen > col("mad") * kNum)
+  }
+
   def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
         explode(split(col(textCol), " ")).as("tok"))

@@ -230,4 +230,30 @@ class StatsSpec extends AnyFunSuite {
     assert(out(2L) == ((4L, 1L, 0L)))
     assert(out(3L) == ((4L, 2L, 2 * 2 * math.round(1e6 * 0.25 * math.log(2.0)))))
   }
+
+  test("winsorize clamps into the exact percentile band per key") {
+    import spark.implicits._
+    // 1..100 once each: p100=10, p900=90 -> values clamp into [10, 90]
+    val df = (1L to 100L).map(v => ("a", v, v)).toDF("k", "id", "v")
+    val out = graft.pipeline.Stats.winsorize(df, Seq("k"), "v", 100, 900)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(out(1L) == 10L && out(5L) == 10L && out(10L) == 10L)
+    assert(out(50L) == 50L)
+    assert(out(90L) == 90L && out(95L) == 90L && out(100L) == 90L)
+  }
+
+  test("robustAnomalyFlags: whale outlier flags; sigma-gate comparison case") {
+    import spark.implicits._
+    // 99 values of 10 + one whale 1000: med=10, MAD=0 -> whale flags
+    val df = ((1L to 99L).map(i => ("a", i, 10L)) :+ ("a", 100L, 1000L))
+      .toDF("k", "id", "v")
+    val out = graft.pipeline.Stats.robustAnomalyFlags(df, Seq("k"), "v")
+      .where(col("is_anomaly")).collect().map(_.getLong(1)).toSet
+    assert(out == Set(100L))
+    // spread data: nothing flags at 3 MAD when deviations are uniform
+    val flat = (1L to 10L).map(i => ("b", i, i)).toDF("k", "id", "v")
+    val n = graft.pipeline.Stats.robustAnomalyFlags(flat, Seq("k"), "v")
+      .where(col("is_anomaly")).count()
+    assert(n == 0L) // med=5, MAD=2, max dev 5 <= 6
+  }
 }
