@@ -1403,3 +1403,43 @@ def robust_anomaly_flags(df, keys, value_col, k_num=3, k_den=1):
     return (dev.join(mad, list(keys))
             .withColumn("is_anomaly",
                         F.col("abs_dev") * k_den > F.col("mad") * k_num))
+
+
+def jaccard_prefix_pairs(df, id_col, text_col, threshold_permille, shingle=3):
+    """PPJoin-style Jaccard threshold self-join — Python mirror of the
+    Scala ``Dedup.jaccardPrefixPairs``: distinct ``shingle``-gram sets,
+    global rare-first prefix candidates, symmetric size filter, exact
+    intersection verify, all integer permille.
+    """
+    tp = int(threshold_permille)
+    ws = F.split(F.col(text_col), " ")
+    grams = F.array_distinct(F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(ws) - shingle, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(ws, i + 1, shingle))))
+    toks = (df.select(F.col(id_col).alias("id"), F.explode(grams).alias("tok"))
+            .where(F.col("tok") != ""))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy("id").orderBy("__df", "tok")
+    ranked = toks.join(freq, "tok").withColumn("__rn", F.row_number().over(w))
+    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    pref = (ranked.join(sizes, "id")
+            .where(F.col("__rn")
+                   <= F.col("sz") - F.expr(f"(sz * {tp} + 999) div 1000") + 1)
+            .select("id", "sz", "tok"))
+    cand = (pref.select(F.col("id").alias("a_id"), F.col("sz").alias("a_sz"),
+                        "tok")
+            .join(pref.select(F.col("id").alias("b_id"),
+                              F.col("sz").alias("b_sz"), "tok"), "tok")
+            .where((F.col("a_id") < F.col("b_id"))
+                   & (F.col("b_sz") * 1000 >= F.col("a_sz") * tp)
+                   & (F.col("a_sz") * 1000 >= F.col("b_sz") * tp))
+            .select("a_id", "b_id", "a_sz", "b_sz").distinct())
+    inter = (cand.join(toks.select(F.col("id").alias("a_id"), "tok"), "a_id")
+             .join(toks.select(F.col("id").alias("b_id"), "tok"),
+                   ["b_id", "tok"])
+             .groupBy("a_id", "b_id", "a_sz", "b_sz")
+             .agg(F.count(F.lit(1)).alias("inter")))
+    return (inter.where(F.col("inter") * 1000
+                        >= tp * (F.col("a_sz") + F.col("b_sz") - F.col("inter")))
+            .withColumn("jaccard_permille",
+                        F.expr("inter * 1000 div (a_sz + b_sz - inter)")))

@@ -539,3 +539,27 @@ def growth_curve(df, keys, id_col, bucket_col):
          .orderBy(bucket_col)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return curve.withColumn("cum_ids", F.sum("new_ids").over(w))
+
+
+def m4_downsample(df, keys, ts_col, value_col, bucket_width):
+    """M4 chart downsampling — Python mirror of the Scala
+    ``Temporal.m4Downsample``: per (keys, bucket) exactly first, last,
+    min and max (first/last via lexicographic struct min/max), one
+    map-side-combinable groupBy — visually lossless line rendering
+    from 4 rows per pixel column (Jugel et al., VLDB 2014).
+    """
+    ts = F.col(ts_col).cast("long")
+    v = F.col(value_col).cast("long")
+    bucket = F.expr(f"cast(`{ts_col}` as long) div {int(bucket_width)}L")
+    return (df.groupBy(*([F.col(k) for k in keys] + [bucket.alias("bucket")]))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min(v).alias("v_min"), F.max(v).alias("v_max"),
+                 F.min(F.struct(ts.alias("t"), v.alias("v"))).alias("__f"),
+                 F.max(F.struct(ts.alias("t"), v.alias("v"))).alias("__l"))
+            .select(*([F.col(k) for k in keys]
+                      + [F.col("bucket"), F.col("n"),
+                         F.col("v_min"), F.col("v_max"),
+                         F.col("__f.t").alias("ts_first"),
+                         F.col("__f.v").alias("v_first"),
+                         F.col("__l.t").alias("ts_last"),
+                         F.col("__l.v").alias("v_last")])))

@@ -626,3 +626,17 @@ def test_robust_anomaly_flags(spark):
     out = [r["id"] for r in robust_anomaly_flags(df, ["k"], "v")
            .where("is_anomaly").collect()]
     assert out == [100]
+
+
+def test_jaccard_prefix_pairs(spark):
+    from graft.pipeline import jaccard_prefix_pairs
+
+    base = " ".join(f"w{i % 7} x{i} y{i + 1}" for i in range(1, 31))
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " tail1"),
+         (3, " ".join(f"q{i}" for i in range(100, 140)))],
+        "id long, text string")
+    out = jaccard_prefix_pairs(docs, "id", "text", 800).collect()
+    assert len(out) == 1
+    assert (out[0]["a_id"], out[0]["b_id"]) == (1, 2)
+    assert out[0]["jaccard_permille"] >= 800

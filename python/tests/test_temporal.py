@@ -311,3 +311,15 @@ def test_growth_curve(spark):
     out = {(r["k"], r["day"]): (r["new_ids"], r["cum_ids"])
            for r in growth_curve(df, ["k"], "uid", "day").collect()}
     assert out == {("a", 1): (2, 2), ("a", 3): (1, 3), ("b", 2): (1, 1)}
+
+
+def test_m4_downsample(spark):
+    from graft.temporal import m4_downsample
+
+    df = spark.createDataFrame(
+        [("a", 0, 5), ("a", 40, 1), ("a", 90, 9), ("a", 99, 2), ("a", 150, 7)],
+        "k string, ts long, v long")
+    out = {r["bucket"]: (r["n"], r["v_min"], r["v_max"], r["v_first"], r["v_last"])
+           for r in m4_downsample(df, ["k"], "ts", "v", 100).collect()}
+    assert out[0] == (4, 1, 9, 5, 2)
+    assert out[1] == (1, 7, 7, 7, 7)

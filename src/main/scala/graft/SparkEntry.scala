@@ -3149,7 +3149,26 @@ object SparkEntry {
         .where(col("is_anomaly"))
         .select("event_id", "event_type", "vc", "med", "abs_dev", "mad")
         .orderBy("event_id")
-    })
+    }),
+    // M4 chart downsampling: per (type, day) exactly first/last/min/max
+    // of the value series — one map-side-combinable groupBy, first/last
+    // via lexicographic struct min/max (visually lossless, VLDB'14)
+    "q_m4" -> ((s, dir) => {
+      val ev = eventsMicros(s, dir).select(col("event_type"), col("tus"),
+        expr("cast(round(value * 100) as bigint)").as("vc"))
+      graft.pipeline.Temporal.m4Downsample(ev, Seq("event_type"), "tus", "vc",
+          bucketWidth = 86400000000L)
+        .orderBy("event_type", "bucket")
+    }),
+    // PPJoin-style Jaccard threshold self-join over 3-gram SHINGLE
+    // sets at 90%: rare-first prefix equi-join (hottest prefix shingle
+    // df = 7 on this corpus vs thousands for raw unigrams), symmetric
+    // size filter, exact intersection verify — no blocking column
+    // needed; output is exactly the generator's planted near-dups.
+    "q_jaccard_join" -> ((s, dir) =>
+      graft.pipeline.Dedup.jaccardPrefixPairs(
+          t(s, dir, "documents"), "doc_id", "text", thresholdPermille = 900)
+        .orderBy("a_id", "b_id"))
   )
 
   // ---- DuckDB SQL builders for graft's 64-bit hash primitives ----
@@ -6459,6 +6478,53 @@ object SparkEntry {
         |SELECT d.event_id, d.event_type, d.vc, d.med,
         |  CAST(d.abs_dev AS BIGINT) AS abs_dev, mad.mad
         |FROM d JOIN mad USING (event_type)
-        |WHERE d.abs_dev * 1 > mad.mad * 3 ORDER BY event_id""".stripMargin
+        |WHERE d.abs_dev * 1 > mad.mad * 3 ORDER BY event_id""".stripMargin,
+    // first/last replayed deterministically via (ts, v) row_number —
+    // the same lexicographic tie-break as the struct min/max
+    "q_m4" ->
+      """WITH e AS (SELECT event_type, epoch_ns(ts) // 1000 AS tus,
+        |    CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+        |b AS (SELECT event_type, tus // 86400000000 AS bucket, tus, vc FROM e),
+        |r AS (SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+        |      ORDER BY tus, vc) AS rf,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+        |      ORDER BY tus DESC, vc DESC) AS rl
+        |  FROM b)
+        |SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(MIN(vc) AS BIGINT) AS v_min, CAST(MAX(vc) AS BIGINT) AS v_max,
+        |  CAST(MIN(CASE WHEN rf = 1 THEN tus END) AS BIGINT) AS ts_first,
+        |  CAST(MIN(CASE WHEN rf = 1 THEN vc END) AS BIGINT) AS v_first,
+        |  CAST(MIN(CASE WHEN rl = 1 THEN tus END) AS BIGINT) AS ts_last,
+        |  CAST(MIN(CASE WHEN rl = 1 THEN vc END) AS BIGINT) AS v_last
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the whole prefix-filter chain replayed: same freq order, same
+    // prefix length, same size filter, same integer verify
+    "q_jaccard_join" ->
+      """WITH tt AS (SELECT doc_id AS id, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |toks AS (SELECT DISTINCT id,
+        |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS tok
+        |  FROM tt, unnest(range(1, len(ws) - 1)) u(i)),
+        |freq AS (SELECT tok, COUNT(*) AS df FROM toks GROUP BY 1),
+        |sz AS (SELECT id, COUNT(*) AS sz FROM toks GROUP BY 1),
+        |r AS (SELECT t.id, t.tok,
+        |    ROW_NUMBER() OVER (PARTITION BY t.id ORDER BY f.df, t.tok) AS rn
+        |  FROM toks t JOIN freq f USING (tok)),
+        |pref AS (SELECT r.id, s.sz, r.tok FROM r JOIN sz s USING (id)
+        |  WHERE r.rn <= s.sz - (s.sz * 900 + 999) // 1000 + 1),
+        |cand AS (SELECT DISTINCT a.id AS a_id, b.id AS b_id,
+        |    a.sz AS a_sz, b.sz AS b_sz
+        |  FROM pref a JOIN pref b ON a.tok = b.tok AND a.id < b.id
+        |  WHERE b.sz * 1000 >= a.sz * 900 AND a.sz * 1000 >= b.sz * 900),
+        |inter AS (SELECT c.a_id, c.b_id, c.a_sz, c.b_sz, COUNT(*) AS i
+        |  FROM cand c JOIN toks ta ON ta.id = c.a_id
+        |  JOIN toks tb ON tb.id = c.b_id AND tb.tok = ta.tok
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT a_id, b_id, CAST(a_sz AS BIGINT) AS a_sz,
+        |  CAST(b_sz AS BIGINT) AS b_sz, CAST(i AS BIGINT) AS inter,
+        |  CAST(i * 1000 // (a_sz + b_sz - i) AS BIGINT) AS jaccard_permille
+        |FROM inter WHERE i * 1000 >= 900 * (a_sz + b_sz - i)
+        |ORDER BY a_id, b_id""".stripMargin
   )
 }

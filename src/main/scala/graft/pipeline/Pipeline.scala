@@ -563,6 +563,74 @@ object Dedup {
         (col("c") / (col("sa") + col("sb") - col("c"))).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
+
+  /**
+   * Jaccard threshold self-join with PREFIX FILTERING (Chaudhuri/
+   * Ganti/Kaushik ICDE'06; Xiao et al.'s PPJoin family) — the
+   * principled alternative to [[ngramJaccard]]'s attribute blocking
+   * when no natural block column exists: two token SETS with
+   * `J(a,b) >= t` must share a token within each other's
+   * `|d| − ⌈t·|d|⌉ + 1` RAREST tokens (else even perfect overlap on
+   * the rest cannot reach t), so candidates come from an equi-join on
+   * prefix tokens only — the corpus's hot tokens sit at the END of the
+   * frequency order and never generate pairs from long documents.
+   *
+   * Stages (all equi-joins, ids + small ints only): global element
+   * doc-frequency (one groupBy), per-doc rare-first rank (window
+   * partitioned by doc — a doc's element count bounds the sort),
+   * prefix candidate join with the symmetric size filter
+   * (`t·|a| ≤ 1000·|b|`, both ways), then an exact intersection count
+   * per candidate pair and the division-free verify
+   * `inter·1000 ≥ t·(|a|+|b|−inter)`. Output: `a_id, b_id, a_sz,
+   * b_sz, inter, jaccard_permille`. Threshold in permille.
+   *
+   * The set elements are `shingle`-gram SHINGLES (distinct,
+   * space-joined; `shingle = 1` gives plain token sets) — prefix
+   * filtering needs a long-tail element frequency distribution, and a
+   * natural-language corpus's raw unigram vocabulary can be tiny
+   * (this synthetic corpus: 31 words — every "rare" token appears in
+   * thousands of docs, so unigram prefixes prune nothing) while its
+   * shingle vocabulary is combinatorial (27k 3-grams here, hottest
+   * prefix shingle df = 7). Same reason minhash shingles.
+   */
+  def jaccardPrefixPairs(df: DataFrame, idCol: String, textCol: String,
+      thresholdPermille: Int, shingle: Int = 3): DataFrame = {
+    require(thresholdPermille >= 1 && thresholdPermille <= 1000,
+      s"thresholdPermille must be in [1,1000], got $thresholdPermille")
+    require(shingle >= 1, s"shingle must be >= 1, got $shingle")
+    val tp = thresholdPermille
+    val toks = df.select(col(idCol).as("id"),
+        explode(TextFunctions.c(DistinctNGrams(
+          asExpr(TextFunctions.tokens(col(textCol))), shingle))).as("tok"))
+      .where(col("tok") =!= "")
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("__df"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("id")
+      .orderBy(col("__df"), col("tok"))
+    val ranked = toks.join(freq, "tok")
+      .withColumn("__rn", row_number().over(w))
+    val sizes = toks.groupBy("id").agg(count(lit(1)).as("sz"))
+    val pref = ranked.join(sizes, "id")
+      .where(col("__rn") <= col("sz") - expr(s"(sz * $tp + 999) div 1000") + 1L)
+      .select(col("id"), col("sz"), col("tok"))
+    val cand = pref.select(col("id").as("a_id"), col("sz").as("a_sz"), col("tok"))
+      .join(pref.select(col("id").as("b_id"), col("sz").as("b_sz"), col("tok")),
+        "tok")
+      .where(col("a_id") < col("b_id") &&
+        col("b_sz") * 1000 >= col("a_sz") * tp &&
+        col("a_sz") * 1000 >= col("b_sz") * tp)
+      .select("a_id", "b_id", "a_sz", "b_sz")
+      .distinct()
+    val inter = cand
+      .join(toks.select(col("id").as("a_id"), col("tok")), "a_id")
+      .join(toks.select(col("id").as("b_id"), col("tok")), Seq("b_id", "tok"))
+      .groupBy("a_id", "b_id", "a_sz", "b_sz")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .where(col("inter") * 1000 >= lit(tp.toLong) *
+        (col("a_sz") + col("b_sz") - col("inter")))
+      .withColumn("jaccard_permille",
+        expr("inter * 1000 div (a_sz + b_sz - inter)"))
+  }
 }
 
 object EmbeddingDedup {

@@ -653,6 +653,36 @@ object Temporal {
    * appearance counts per key group (a user first-seen in "click" and
    * later in "view" is new to each).
    */
+  /**
+   * M4 time-series downsampling (Jugel et al., VLDB 2014): per
+   * (keys, bucket) keep exactly the four points a pixel column of a
+   * line chart can show — first, last, min, max — so a billion-point
+   * series reduces to 4·buckets rows with a VISUALLY LOSSLESS
+   * rendering guarantee, unlike stride sampling which erases spikes.
+   *
+   * ONE map-side-combinable groupBy: first/last ride min/max over
+   * `struct(ts, v)` (lexicographic struct order — ties on ts resolve
+   * by value, a total order any engine agrees on), min/max over the
+   * value. No window, no sort, no second pass. `tsCol`/`valueCol`
+   * must be integral (epoch micros + pre-scaled metric).
+   */
+  def m4Downsample(df: DataFrame, keys: Seq[String], tsCol: String,
+      valueCol: String, bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val ts = col(tsCol).cast("long")
+    val v = col(valueCol).cast("long")
+    val bucket = expr(s"cast(`$tsCol` as long) div ${bucketWidth}L")
+    df.groupBy(keys.map(col) :+ bucket.as("bucket"): _*)
+      .agg(count(lit(1)).as("n"),
+        min(v).as("v_min"), max(v).as("v_max"),
+        min(struct(ts.as("t"), v.as("v"))).as("__f"),
+        max(struct(ts.as("t"), v.as("v"))).as("__l"))
+      .select(keys.map(col) ++ Seq(col("bucket"), col("n"),
+        col("v_min"), col("v_max"),
+        col("__f.t").as("ts_first"), col("__f.v").as("v_first"),
+        col("__l.t").as("ts_last"), col("__l.v").as("v_last")): _*)
+  }
+
   def growthCurve(df: DataFrame, keys: Seq[String], idCol: String,
       bucketCol: String): DataFrame = {
     val kcols = keys.map(col)

@@ -284,4 +284,21 @@ class DedupSpec extends AnyFunSuite {
     assert(r("a").getLong(5) == 4 && r("a").getLong(6) == 3)
     assert(r("b").getLong(5) == 3 && r("b").getLong(6) == 1)      // q q x3, 1 distinct
   }
+
+  test("jaccardPrefixPairs finds planted shingle near-dups, nothing else") {
+    import spark.implicits._
+    val base = (1 to 30).map(i => s"w${i % 7} x$i y${i + 1} z${i * 3 % 11}").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " tail1"),            // near-dup of 1 (one extra shingle run)
+      (3L, (100 to 135).map(i => s"q$i").mkString(" "))) // unrelated
+      .toDF("id", "text")
+    val out = graft.pipeline.Dedup.jaccardPrefixPairs(docs, "id", "text", 800)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(5)))
+    assert(out.length == 1)
+    assert(out.head._1 == 1L && out.head._2 == 2L && out.head._3 >= 800L)
+    // threshold above the planted pair's similarity (991) returns nothing
+    assert(graft.pipeline.Dedup.jaccardPrefixPairs(docs, "id", "text", 995)
+      .count() == 0L)
+  }
 }

@@ -559,4 +559,18 @@ class TemporalSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(g == Map(1L -> ((2L, 2L)), 3L -> ((1L, 3L))))
   }
+
+  test("m4Downsample: first/last/min/max per bucket, struct tie-break") {
+    import spark.implicits._
+    val df = Seq(("a", 0L, 5L), ("a", 40L, 1L), ("a", 90L, 9L), ("a", 99L, 2L),
+      ("a", 150L, 7L), ("b", 10L, 3L)).toDF("k", "ts", "v")
+    val out = graft.pipeline.Temporal.m4Downsample(df, Seq("k"), "ts", "v", 100L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8))).toMap
+    // bucket a/0: n=4, min=1, max=9, first=(0,5), last=(99,2)
+    assert(out(("a", 0L)) == ((4L, 1L, 9L, 0L, 5L, 99L, 2L)))
+    assert(out(("a", 1L)) == ((1L, 7L, 7L, 150L, 7L, 150L, 7L)))
+    assert(out(("b", 0L)) == ((1L, 3L, 3L, 10L, 3L, 10L, 3L)))
+  }
 }
