@@ -331,6 +331,47 @@ object Stats {
         col("abs_dev") * kDen > col("mad") * kNum)
   }
 
+  /**
+   * Inter-event cadence regularity — the bot/crawler tell: humans
+   * arrive with bursty gaps (squared coefficient of variation CV² ≈
+   * 1 for Poisson, higher for sessions), schedulers arrive on a
+   * metronome (CV² ≈ 0). Per key, the gap moments and the flag
+   * `CV² < kNum/kDen`, division-cleared to
+   * `kDen·(n·ssq − s²) < kNum·s²` — the [[anomalyFlags]] integer
+   * algebra applied to the DELTAS of the sorted timestamps.
+   *
+   * Gaps are `(ts − prev) div divisor` (default micros → seconds):
+   * the divisor is the overflow contract — with gap ≤ G and n gaps
+   * per key, needs `n·ssq ≤ n²·G² < 2^63` (seconds over a year:
+   * G ≈ 3·10⁷, n ≤ 10⁴ fits). Ordering ties cost nothing: the gap
+   * MULTISET of a sorted multiset is tie-order-invariant, and only
+   * moments are kept. One shuffle (the per-key lag window), then a
+   * map-side-combinable moment aggregate. Keys need `minGaps` gaps to
+   * flag (short histories say nothing).
+   */
+  def gapRegularity(df: DataFrame, keys: Seq[String], tsCol: String,
+      divisor: Long = 1000000L, kNum: Int = 1, kDen: Int = 10,
+      minGaps: Int = 5): DataFrame = {
+    require(keys.nonEmpty, "keys required")
+    require(divisor > 0 && kNum > 0 && kDen > 0 && minGaps >= 1,
+      "divisor, kNum, kDen, minGaps must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
+    val gap = ((col(tsCol).cast("long") -
+      lag(col(tsCol).cast("long"), 1).over(w)) / divisor).cast("long")
+    df.withColumn("__gap", gap)
+      .where(col("__gap").isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_gaps"),
+        sum("__gap").as("gap_sum"),
+        sum(col("__gap") * col("__gap")).as("gap_ssq"))
+      .withColumn("var_n2",
+        col("n_gaps") * col("gap_ssq") - col("gap_sum") * col("gap_sum"))
+      .withColumn("is_robotic",
+        col("n_gaps") >= minGaps && col("gap_sum") > 0L &&
+          col("var_n2") * kDen < col("gap_sum") * col("gap_sum") * kNum)
+  }
+
   def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
         explode(split(col(textCol), " ")).as("tok"))

@@ -396,6 +396,38 @@ object StreamingPipeline {
       graft.pipeline.Hll.estimate(col("__sk"), m).as("n_distinct_est"))
   }
 
+  /**
+   * Streaming M4 downsampling — the live-dashboard face of
+   * [[graft.pipeline.Temporal.m4Downsample]]: per key and event-time
+   * window, first/last/min/max of the metric via the same
+   * lexicographic `struct(ts, v)` min/max, so the chart points are
+   * EXACTLY the batch operator's rows (all four reducers are
+   * commutative and idempotent — late or replayed rows never corrupt
+   * them; a single micro-batch over a static frame is row-identical
+   * to the batch operator, StreamingPipelineSpec pins it). State per
+   * open (key, window) is six longs + two timestamps — O(1) however
+   * many points stream through.
+   */
+  def m4Windowed(df: DataFrame, keys: Seq[String], eventTimeCol: String,
+      valueCol: String, windowDuration: String,
+      watermarkDelay: String = "0 seconds"): DataFrame = {
+    val ts = unix_micros(col(eventTimeCol))
+    val v = col(valueCol).cast("long")
+    val agg = df
+      .withWatermark(eventTimeCol, watermarkDelay)
+      .groupBy(keys.map(col) :+ window(col(eventTimeCol), windowDuration): _*)
+      .agg(count(lit(1)).as("n"),
+        min(v).as("v_min"), max(v).as("v_max"),
+        min(struct(ts.as("t"), v.as("v"))).as("__f"),
+        max(struct(ts.as("t"), v.as("v"))).as("__l"))
+    agg.select(keys.map(col) ++ Seq(
+      col("window.start").as("window_start"),
+      col("window.end").as("window_end"),
+      col("n"), col("v_min"), col("v_max"),
+      col("__f.t").as("ts_first"), col("__f.v").as("v_first"),
+      col("__l.t").as("ts_last"), col("__l.v").as("v_last")): _*)
+  }
+
   /** One metric point after projection. */
   final case class CusumRow(k: Long, t: Long, x: Long)
   /** Per-key state: both prefix sums and their running mins (the
