@@ -4,7 +4,14 @@ import sys
 import pytest
 
 REPO = os.environ.get("GRAFT_REPO", "/root/repo")
-sys.path.insert(0, os.path.join(REPO, "python"))
+GRAFT_PY = os.path.join(REPO, "python")
+sys.path.insert(0, GRAFT_PY)
+# Executor Python workers are forked with PYTHONPATH from the env, not the
+# driver's sys.path: without this, cloudpickled functions that reference the
+# graft package die with ModuleNotFoundError on the workers.
+os.environ["PYTHONPATH"] = GRAFT_PY + (
+    (":" + os.environ["PYTHONPATH"]) if os.environ.get("PYTHONPATH") else ""
+)
 
 
 @pytest.fixture(scope="session")
@@ -21,6 +28,7 @@ def spark():
         SparkSession.builder.master("local[4]")
         .appName("graft-pytest")
         .config("spark.driver.extraClassPath", classpath)
+        .config("spark.executorEnv.PYTHONPATH", GRAFT_PY)
         .config("spark.sql.shuffle.partitions", "4")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
