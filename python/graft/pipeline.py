@@ -1405,18 +1405,24 @@ def robust_anomaly_flags(df, keys, value_col, k_num=3, k_den=1):
                         F.col("abs_dev") * k_den > F.col("mad") * k_num))
 
 
-def jaccard_prefix_pairs(df, id_col, text_col, threshold_permille, shingle=3):
+def jaccard_prefix_pairs(df, id_col, text_col, threshold_permille, shingle=3,
+                         hot_cap=1024):
     """PPJoin-style Jaccard threshold self-join — Python mirror of the
-    Scala ``Dedup.jaccardPrefixPairs``: distinct ``shingle``-gram sets,
-    global rare-first prefix candidates, symmetric size filter, exact
-    intersection verify, all integer permille.
+    Scala ``Dedup.jaccardPrefixPairs``: STRICT distinct ``shingle``-gram
+    sets (a doc with fewer than ``shingle`` tokens contributes nothing),
+    global rare-first prefix candidates, symmetric size filter, PPJoin
+    position filter, ``hot_cap`` prefix-block guard, exact intersection
+    verify, all integer permille.
     """
     tp = int(threshold_permille)
-    ws = F.split(F.col(text_col), " ")
+    ws = F.col("__t")
     grams = F.array_distinct(F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(ws) - shingle, F.lit(0))),
+        F.sequence(F.lit(0), F.size(ws) - shingle),
         lambda i: F.concat_ws(" ", F.slice(ws, i + 1, shingle))))
-    toks = (df.select(F.col(id_col).alias("id"), F.explode(grams).alias("tok"))
+    toks = (df.select(F.col(id_col).alias("id"),
+                      F.split(F.col(text_col), " ").alias("__t"))
+            .where(F.size("__t") >= shingle)
+            .select(F.col("id"), F.explode(grams).alias("tok"))
             .where(F.col("tok") != ""))
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
     w = Window.partitionBy("id").orderBy("__df", "tok")
@@ -1425,14 +1431,22 @@ def jaccard_prefix_pairs(df, id_col, text_col, threshold_permille, shingle=3):
     pref = (ranked.join(sizes, "id")
             .where(F.col("__rn")
                    <= F.col("sz") - F.expr(f"(sz * {tp} + 999) div 1000") + 1)
-            .select("id", "sz", "tok"))
-    cand = (pref.select(F.col("id").alias("a_id"), F.col("sz").alias("a_sz"),
-                        "tok")
-            .join(pref.select(F.col("id").alias("b_id"),
-                              F.col("sz").alias("b_sz"), "tok"), "tok")
+            .select("id", "sz", "tok", "__rn"))
+    hot = (pref.groupBy("tok").agg(F.count(F.lit(1)).alias("__n"))
+           .where(F.col("__n") > hot_cap).select("tok"))
+    cool = pref.join(F.broadcast(hot), ["tok"], "left_anti")
+    cand = (cool.select(F.col("id").alias("a_id"), F.col("sz").alias("a_sz"),
+                        F.col("__rn").alias("a_rn"), "tok")
+            .join(cool.select(F.col("id").alias("b_id"),
+                              F.col("sz").alias("b_sz"),
+                              F.col("__rn").alias("b_rn"), "tok"), "tok")
             .where((F.col("a_id") < F.col("b_id"))
                    & (F.col("b_sz") * 1000 >= F.col("a_sz") * tp)
-                   & (F.col("a_sz") * 1000 >= F.col("b_sz") * tp))
+                   & (F.col("a_sz") * 1000 >= F.col("b_sz") * tp)
+                   & ((F.lit(1) + F.least(F.col("a_sz") - F.col("a_rn"),
+                                          F.col("b_sz") - F.col("b_rn")))
+                      * (1000 + tp)
+                      >= tp * (F.col("a_sz") + F.col("b_sz"))))
             .select("a_id", "b_id", "a_sz", "b_sz").distinct())
     inter = (cand.join(toks.select(F.col("id").alias("a_id"), "tok"), "a_id")
              .join(toks.select(F.col("id").alias("b_id"), "tok"),

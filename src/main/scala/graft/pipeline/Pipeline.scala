@@ -591,17 +591,44 @@ object Dedup {
    * (this synthetic corpus: 31 words — every "rare" token appears in
    * thousands of docs, so unigram prefixes prune nothing) while its
    * shingle vocabulary is combinatorial (27k 3-grams here, hottest
-   * prefix shingle df = 7). Same reason minhash shingles.
+   * prefix shingle df = 7). Same reason minhash shingles. Shingling is
+   * STRICT: a document with fewer than `shingle` tokens has no
+   * `shingle`-gram window, contributes no set elements, and therefore
+   * never pairs (the DuckDB oracle builds its grams the same way).
+   *
+   * Two candidate-side guards beyond the size filter:
+   *  - PPJoin's POSITION filter: a match on prefix tokens at rare-first
+   *    ranks `(i, j)` bounds the whole-set overlap by
+   *    `1 + min(|a|−i, |b|−j)` when it is the pair's first shared
+   *    prefix token, so a matched row survives only if
+   *    `(1 + min(|a|−i, |b|−j))·(1000+t) ≥ t·(|a|+|b|)` — the
+   *    permille form of `ubound ≥ ⌈t/(1+t)·(|a|+|b|)⌉`. A qualifying
+   *    pair's FIRST shared prefix token always passes (no earlier
+   *    shared token exists in either full list, so the bound is
+   *    valid there), hence pruning per matched row before `distinct`
+   *    keeps every true pair while discarding tail-of-prefix matches
+   *    that could never verify.
+   *  - a `hotCap` guard (same recipe as [[Joins.editDistancePairs]]):
+   *    prefix-token blocks larger than `hotCap` docs are anti-joined
+   *    away before the self-join, so one boilerplate shingle that
+   *    lands in a million prefixes caps at a documented exclusion
+   *    instead of an O(n²) reducer. Pairs whose ONLY shared prefix
+   *    token is capped are missed — the standard blocked-matching
+   *    trade-off; size the cap above the corpus's hottest legitimate
+   *    prefix df (here: 7) so it only fires on degenerate spam.
    */
   def jaccardPrefixPairs(df: DataFrame, idCol: String, textCol: String,
-      thresholdPermille: Int, shingle: Int = 3): DataFrame = {
+      thresholdPermille: Int, shingle: Int = 3, hotCap: Int = 1024): DataFrame = {
     require(thresholdPermille >= 1 && thresholdPermille <= 1000,
       s"thresholdPermille must be in [1,1000], got $thresholdPermille")
     require(shingle >= 1, s"shingle must be >= 1, got $shingle")
+    require(hotCap >= 1, s"hotCap must be >= 1, got $hotCap")
     val tp = thresholdPermille
     val toks = df.select(col(idCol).as("id"),
-        explode(TextFunctions.c(DistinctNGrams(
-          asExpr(TextFunctions.tokens(col(textCol))), shingle))).as("tok"))
+        TextFunctions.tokens(col(textCol)).as("__t"))
+      .where(size(col("__t")) >= shingle)
+      .select(col("id"),
+        explode(TextFunctions.c(DistinctNGrams(asExpr(col("__t")), shingle))).as("tok"))
       .where(col("tok") =!= "")
     val freq = toks.groupBy("tok").agg(count(lit(1)).as("__df"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("id")
@@ -611,13 +638,19 @@ object Dedup {
     val sizes = toks.groupBy("id").agg(count(lit(1)).as("sz"))
     val pref = ranked.join(sizes, "id")
       .where(col("__rn") <= col("sz") - expr(s"(sz * $tp + 999) div 1000") + 1L)
-      .select(col("id"), col("sz"), col("tok"))
-    val cand = pref.select(col("id").as("a_id"), col("sz").as("a_sz"), col("tok"))
-      .join(pref.select(col("id").as("b_id"), col("sz").as("b_sz"), col("tok")),
-        "tok")
+      .select(col("id"), col("sz"), col("tok"), col("__rn"))
+    val hot = pref.groupBy("tok").agg(count(lit(1)).as("__n"))
+      .where(col("__n") > hotCap).select("tok")
+    val cool = pref.join(broadcast(hot), Seq("tok"), "left_anti")
+    val cand = cool.select(col("id").as("a_id"), col("sz").as("a_sz"),
+        col("__rn").as("a_rn"), col("tok"))
+      .join(cool.select(col("id").as("b_id"), col("sz").as("b_sz"),
+        col("__rn").as("b_rn"), col("tok")), "tok")
       .where(col("a_id") < col("b_id") &&
         col("b_sz") * 1000 >= col("a_sz") * tp &&
-        col("a_sz") * 1000 >= col("b_sz") * tp)
+        col("a_sz") * 1000 >= col("b_sz") * tp &&
+        (lit(1L) + least(col("a_sz") - col("a_rn"), col("b_sz") - col("b_rn"))) *
+          (1000L + tp) >= lit(tp.toLong) * (col("a_sz") + col("b_sz")))
       .select("a_id", "b_id", "a_sz", "b_sz")
       .distinct()
     val inter = cand

@@ -301,4 +301,33 @@ class DedupSpec extends AnyFunSuite {
     assert(graft.pipeline.Dedup.jaccardPrefixPairs(docs, "id", "text", 995)
       .count() == 0L)
   }
+
+  test("jaccardPrefixPairs shingling is strict: sub-shingle docs never pair") {
+    import spark.implicits._
+    // Two identical 2-token docs have no 3-gram window: with strict
+    // shingling (matching the DuckDB oracle's range-based gram build)
+    // they contribute no set elements and must not pair.
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "x y z p q r"))
+      .toDF("id", "text")
+    assert(graft.pipeline.Dedup.jaccardPrefixPairs(docs, "id", "text", 500)
+      .count() == 0L)
+  }
+
+  test("jaccardPrefixPairs hotCap bounds a deliberately hot prefix shingle") {
+    import spark.implicits._
+    // 20 docs all share the boilerplate shingle "hot1 hot2 hot3"; at a low
+    // threshold the prefix covers every shingle, so that one block alone
+    // would fan out C(20,2)=190 candidates.
+    val docs = (1 to 20).map(i => (i.toLong, s"hot1 hot2 hot3 u$i v$i w$i"))
+      .toDF("id", "text")
+    // Default cap (1024) leaves the block intact: every pair shares only
+    // the hot shingle, J = 1/7 = 142 permille >= 100.
+    assert(graft.pipeline.Dedup.jaccardPrefixPairs(docs, "id", "text", 100)
+      .count() == 190L)
+    // hotCap = 8 anti-joins the 20-doc block away before the self-join;
+    // the remaining per-doc-unique shingles generate zero candidates.
+    assert(graft.pipeline.Dedup
+      .jaccardPrefixPairs(docs, "id", "text", 100, hotCap = 8)
+      .count() == 0L)
+  }
 }
