@@ -1405,6 +1405,31 @@ def robust_anomaly_flags(df, keys, value_col, k_num=3, k_den=1):
                         F.col("abs_dev") * k_den > F.col("mad") * k_num))
 
 
+def gap_regularity(df, keys, ts_col, divisor=1000000, k_num=1, k_den=10,
+                   min_gaps=5):
+    """Inter-event cadence regularity — Python mirror of the Scala
+    ``Stats.gapRegularity``: integral-div gaps off one per-key lag
+    window, integer moment aggregate, division-cleared CV^2 flag;
+    all-zero-gap keys (cadence faster than the divisor) flag robotic.
+    """
+    w = Window.partitionBy(*keys).orderBy(ts_col)
+    return (df.withColumn("__diff", F.col(ts_col).cast("long")
+                          - F.lag(F.col(ts_col).cast("long"), 1).over(w))
+            .withColumn("__gap", F.expr(f"__diff div {int(divisor)}L"))
+            .where(F.col("__gap").isNotNull())
+            .groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("n_gaps"),
+                 F.sum("__gap").alias("gap_sum"),
+                 F.sum(F.col("__gap") * F.col("__gap")).alias("gap_ssq"))
+            .withColumn("var_n2", F.col("n_gaps") * F.col("gap_ssq")
+                        - F.col("gap_sum") * F.col("gap_sum"))
+            .withColumn("is_robotic",
+                        (F.col("n_gaps") >= min_gaps)
+                        & ((F.col("gap_sum") == 0)
+                           | (F.col("var_n2") * k_den
+                              < F.col("gap_sum") * F.col("gap_sum") * k_num))))
+
+
 def jaccard_prefix_pairs(df, id_col, text_col, threshold_permille, shingle=3,
                          hot_cap=1024):
     """PPJoin-style Jaccard threshold self-join — Python mirror of the

@@ -640,3 +640,21 @@ def test_jaccard_prefix_pairs(spark):
     assert len(out) == 1
     assert (out[0]["a_id"], out[0]["b_id"]) == (1, 2)
     assert out[0]["jaccard_permille"] >= 800
+
+
+def test_gap_regularity(spark):
+    from graft.pipeline import gap_regularity
+
+    rows = ([("bot", i * 10_000_000) for i in range(10)]
+            + [("fastbot", i * 1_000) for i in range(10)]
+            + [("new", i * 10_000_000) for i in range(5)])
+    acc = 0
+    for g in [1, 1, 1, 1, 100, 1, 1, 1, 100]:
+        rows.append(("human", acc))
+        acc += g * 1_000_000
+    rows.append(("human", acc))
+    df = spark.createDataFrame(rows, ["k", "ts"])
+    out = {r["k"]: r["is_robotic"]
+           for r in gap_regularity(df, ["k"], "ts").collect()}
+    assert out == {"bot": True, "fastbot": True, "human": False,
+                   "new": False}

@@ -3168,7 +3168,15 @@ object SparkEntry {
     "q_jaccard_join" -> ((s, dir) =>
       graft.pipeline.Dedup.jaccardPrefixPairs(
           t(s, dir, "documents"), "doc_id", "text", thresholdPermille = 900)
-        .orderBy("a_id", "b_id"))
+        .orderBy("a_id", "b_id")),
+    // inter-event cadence regularity per user: integer gap moments off
+    // one lag window, CV^2 < 1/10 division-cleared — the bot tell
+    "q_gap_regularity" -> ((s, dir) =>
+      graft.pipeline.Stats.gapRegularity(
+          eventsMicros(s, dir).select(col("user_id"), col("tus")),
+          Seq("user_id"), "tus", divisor = 1000000L, kNum = 1, kDen = 10,
+          minGaps = 5)
+        .orderBy("user_id"))
   )
 
   // ---- DuckDB SQL builders for graft's 64-bit hash primitives ----
@@ -6525,6 +6533,25 @@ object SparkEntry {
         |  CAST(b_sz AS BIGINT) AS b_sz, CAST(i AS BIGINT) AS inter,
         |  CAST(i * 1000 // (a_sz + b_sz - i) AS BIGINT) AS jaccard_permille
         |FROM inter WHERE i * 1000 >= 900 * (a_sz + b_sz - i)
-        |ORDER BY a_id, b_id""".stripMargin
+        |ORDER BY a_id, b_id""".stripMargin,
+    // gap moments replayed: same lag-over-sorted-ts, same floor-div to
+    // seconds (gaps are nonnegative so // == div), same cleared CV^2
+    "q_gap_regularity" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS tus FROM events),
+        |g AS (SELECT user_id,
+        |    (tus - LAG(tus) OVER (PARTITION BY user_id ORDER BY tus))
+        |      // 1000000 AS gap
+        |  FROM e),
+        |a AS (SELECT user_id, COUNT(*) AS n_gaps, SUM(gap) AS gap_sum,
+        |    SUM(gap * gap) AS gap_ssq
+        |  FROM g WHERE gap IS NOT NULL GROUP BY 1)
+        |SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
+        |  CAST(gap_sum AS BIGINT) AS gap_sum,
+        |  CAST(gap_ssq AS BIGINT) AS gap_ssq,
+        |  CAST(n_gaps * gap_ssq - gap_sum * gap_sum AS BIGINT) AS var_n2,
+        |  (n_gaps >= 5 AND (gap_sum = 0 OR
+        |    (n_gaps * gap_ssq - gap_sum * gap_sum) * 10
+        |      < gap_sum * gap_sum * 1)) AS is_robotic
+        |FROM a ORDER BY user_id""".stripMargin
   )
 }

@@ -264,21 +264,6 @@ object Stats {
   }
 
   /**
-   * Per-document Shannon entropy of the token distribution, in integer
-   * micro-nats — the repetitiveness signal quality filters gate on
-   * (boilerplate and keyword-stuffed spam sit far below prose, which
-   * runs ≈ ln(n_unique) when tokens are spread): `Σ round(1e6 ·
-   * (c/n) · ln(n/c))` over the doc's token counts, each term rounded
-   * before the sum (the [[psiReport]] micro-nat discipline, so any
-   * IEEE engine reproduces the long exactly).
-   *
-   * Scale shape: explode to (id, token), ONE (id, token) count
-   * aggregate (map-side combinable), per-id totals over that
-   * token-bounded table, and the entropy reduce — no window, no
-   * self-join; everything shuffles on id at token-table size.
-   * Output: `id`, `n_tokens`, `n_unique`, `entropy_unats`.
-   */
-  /**
    * Per-key winsorization: clamp `valueCol` into its key's
    * `[p<lo>, p<hi>]` exact discrete percentile band (appended as
    * `<valueCol>_w`, band bounds as `__lo`/`__hi` dropped) — the
@@ -340,14 +325,20 @@ object Stats {
    * `kDen·(n·ssq − s²) < kNum·s²` — the [[anomalyFlags]] integer
    * algebra applied to the DELTAS of the sorted timestamps.
    *
-   * Gaps are `(ts − prev) div divisor` (default micros → seconds):
-   * the divisor is the overflow contract — with gap ≤ G and n gaps
-   * per key, needs `n·ssq ≤ n²·G² < 2^63` (seconds over a year:
-   * G ≈ 3·10⁷, n ≤ 10⁴ fits). Ordering ties cost nothing: the gap
-   * MULTISET of a sorted multiset is tie-order-invariant, and only
+   * Gaps are `(ts − prev) div divisor` (default micros → seconds;
+   * TRUE integral `div` — sorted timestamps make every gap ≥ 0, so
+   * div, truncation and floor all agree, but the expression says what
+   * the doc says): the divisor is the overflow contract — with gap ≤ G
+   * and n gaps per key, needs `n·ssq ≤ n²·G² < 2^63` (seconds over a
+   * year: G ≈ 3·10⁷, n ≤ 10⁴ fits). Ordering ties cost nothing: the
+   * gap MULTISET of a sorted multiset is tie-order-invariant, and only
    * moments are kept. One shuffle (the per-key lag window), then a
    * map-side-combinable moment aggregate. Keys need `minGaps` gaps to
-   * flag (short histories say nothing).
+   * flag (short histories say nothing). A key whose gaps ALL divide to
+   * zero (a cadence faster than the divisor, or duplicated
+   * timestamps) is the degenerate metronome — CV² has no mean to
+   * divide by, and it flags robotic directly rather than hiding
+   * behind the division guard.
    */
   def gapRegularity(df: DataFrame, keys: Seq[String], tsCol: String,
       divisor: Long = 1000000L, kNum: Int = 1, kDen: Int = 10,
@@ -357,10 +348,11 @@ object Stats {
       "divisor, kNum, kDen, minGaps must be positive")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
-    val gap = ((col(tsCol).cast("long") -
-      lag(col(tsCol).cast("long"), 1).over(w)) / divisor).cast("long")
-    df.withColumn("__gap", gap)
+    df.withColumn("__diff",
+        col(tsCol).cast("long") - lag(col(tsCol).cast("long"), 1).over(w))
+      .withColumn("__gap", expr(s"__diff div ${divisor}L"))
       .where(col("__gap").isNotNull)
+      .drop("__diff")
       .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n_gaps"),
         sum("__gap").as("gap_sum"),
@@ -368,10 +360,26 @@ object Stats {
       .withColumn("var_n2",
         col("n_gaps") * col("gap_ssq") - col("gap_sum") * col("gap_sum"))
       .withColumn("is_robotic",
-        col("n_gaps") >= minGaps && col("gap_sum") > 0L &&
-          col("var_n2") * kDen < col("gap_sum") * col("gap_sum") * kNum)
+        col("n_gaps") >= minGaps &&
+          (col("gap_sum") === 0L ||
+            col("var_n2") * kDen < col("gap_sum") * col("gap_sum") * kNum))
   }
 
+  /**
+   * Per-document Shannon entropy of the token distribution, in integer
+   * micro-nats — the repetitiveness signal quality filters gate on
+   * (boilerplate and keyword-stuffed spam sit far below prose, which
+   * runs ≈ ln(n_unique) when tokens are spread): `Σ round(1e6 ·
+   * (c/n) · ln(n/c))` over the doc's token counts, each term rounded
+   * before the sum (the [[psiReport]] micro-nat discipline, so any
+   * IEEE engine reproduces the long exactly).
+   *
+   * Scale shape: explode to (id, token), ONE (id, token) count
+   * aggregate (map-side combinable), per-id totals over that
+   * token-bounded table, and the entropy reduce — no window, no
+   * self-join; everything shuffles on id at token-table size.
+   * Output: `id`, `n_tokens`, `n_unique`, `entropy_unats`.
+   */
   def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
         explode(split(col(textCol), " ")).as("tok"))

@@ -639,21 +639,6 @@ object Temporal {
   }
 
   /**
-   * First-seen growth curve: per (keys, bucket), how many ids appeared
-   * for the FIRST time in that bucket, and the running cumulative —
-   * the audience/corpus growth report ("distinct users to date" daily)
-   * computed without ever re-scanning history: `min(bucket)` per id is
-   * one map-side-combinable groupBy of the fact table, the curve is an
-   * aggregate over THAT id-bounded table, and the cume window runs
-   * over bucket rows (days, not events). Exact — no sketch error — at
-   * one fact shuffle, because "cumulative distinct" over first-seen
-   * buckets is exactly distinct-to-date.
-   *
-   * `keys` may be empty (one global curve); with keys the id's first
-   * appearance counts per key group (a user first-seen in "click" and
-   * later in "view" is new to each).
-   */
-  /**
    * M4 time-series downsampling (Jugel et al., VLDB 2014): per
    * (keys, bucket) keep exactly the four points a pixel column of a
    * line chart can show — first, last, min, max — so a billion-point
@@ -665,6 +650,12 @@ object Temporal {
    * by value, a total order any engine agrees on), min/max over the
    * value. No window, no sort, no second pass. `tsCol`/`valueCol`
    * must be integral (epoch micros + pre-scaled metric).
+   *
+   * PRECONDITION: `tsCol` ≥ 0 (epoch-anchored series). The bucket is
+   * Spark's integral `div`, which truncates toward zero, while the
+   * DuckDB oracle's `//` floors — the two agree exactly on
+   * nonnegative timestamps and differ by one bucket on negative ones,
+   * so pre-epoch data would need an explicit floor-div bucket.
    */
   def m4Downsample(df: DataFrame, keys: Seq[String], tsCol: String,
       valueCol: String, bucketWidth: Long): DataFrame = {
@@ -683,6 +674,24 @@ object Temporal {
         col("__l.t").as("ts_last"), col("__l.v").as("v_last")): _*)
   }
 
+  /**
+   * First-seen growth curve: per (keys, bucket), how many ids appeared
+   * for the FIRST time in that bucket, and the running cumulative —
+   * the audience/corpus growth report ("distinct users to date" daily)
+   * computed without ever re-scanning history: `min(bucket)` per id is
+   * one map-side-combinable groupBy of the fact table, the curve is an
+   * aggregate over THAT id-bounded table, and the cume window runs
+   * over bucket rows (days, not events). Exact — no sketch error — at
+   * one fact shuffle, because "cumulative distinct" over first-seen
+   * buckets is exactly distinct-to-date.
+   *
+   * `keys` may be empty (one global curve); with keys the id's first
+   * appearance counts per key group (a user first-seen in "click" and
+   * later in "view" is new to each). Callers that derive `bucketCol`
+   * with an integral `div` (e.g. the q_growth_curve day math) inherit
+   * the same nonnegative-timestamp precondition as [[m4Downsample]]:
+   * truncate-vs-floor only agree at ts ≥ 0.
+   */
   def growthCurve(df: DataFrame, keys: Seq[String], idCol: String,
       bucketCol: String): DataFrame = {
     val kcols = keys.map(col)

@@ -256,4 +256,26 @@ class StatsSpec extends AnyFunSuite {
       .where(col("is_anomaly")).count()
     assert(n == 0L) // med=5, MAD=2, max dev 5 <= 6
   }
+
+  test("gapRegularity: metronome flags, bursty doesn't, edge cases") {
+    import spark.implicits._
+    def run(rows: Seq[(String, Long)]) =
+      graft.pipeline.Stats.gapRegularity(rows.toDF("k", "ts"), Seq("k"), "ts",
+          divisor = 1000000L, kNum = 1, kDen = 10, minGaps = 5)
+        .collect().map(r => r.getString(0) -> r.getBoolean(5)).toMap
+    // metronome: exactly 10s apart -> CV^2 = 0, robotic
+    val metronome = (0L to 9L).map(i => ("bot", i * 10000000L))
+    // bursty: gaps 1,1,1,1,100,1,1,1,100 s -> CV^2 well above 0.1
+    val burstGaps = Seq(1L, 1L, 1L, 1L, 100L, 1L, 1L, 1L, 100L)
+    val bursty = burstGaps.scanLeft(0L)(_ + _ * 1000000L).map(("human", _))
+    // sub-second cadence: every gap divides to 0 -> degenerate metronome
+    val fast = (0L to 9L).map(i => ("fastbot", i * 1000L))
+    // short history: 4 gaps < minGaps=5 never flags, even on a metronome
+    val short = (0L to 4L).map(i => ("new", i * 10000000L))
+    val out = run(metronome ++ bursty ++ fast ++ short)
+    assert(out("bot"))
+    assert(!out("human"))
+    assert(out("fastbot"))
+    assert(!out("new"))
+  }
 }
