@@ -9,18 +9,11 @@ import org.apache.spark.sql.execution.ExplainMode
   * the scale-shape claims (shuffle counts, broadcast sides, pushed
   * pruning) made auditable from the repo without running anything. */
 object DumpPlans {
-  def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", 8)
-      .config("spark.ui.enabled", false)
-      // small-SF auto-broadcast would mask the at-scale join shapes:
-      // with the threshold off, ONLY explicit broadcast() hints
-      // broadcast — the plans below show what a big cluster would run
-      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.001"
-    val picks = Seq(
+  /** The flagship set: every post-wave-4 oracled operator lands here
+    * with a one-paragraph scale note when it ships. PlansAuditSpec pins
+    * PLANS.md to exactly these sections, so a new flagship without a
+    * regenerated PLANS.md fails the suite. */
+  val picks: Seq[(String, String)] = Seq(
       "q_agg_stats" -> ("Columnar stats aggregate: one partial+final pass, " +
         "48-byte buffers; the row_number window and the assemble groupBy " +
         "share the l_orderkey exchange."),
@@ -160,7 +153,68 @@ object DumpPlans {
         "per-item joins; the only broadcast is the one-row basket count."),
       "q_knn_ndcg" -> ("nDCG@3: the fused and truth lists meet in ONE " +
         "ids-only equi-join; discounts are plan-time integer constants, " +
-        "so the per-query score is a partial+final integer sum."))
+        "so the per-query score is a partial+final integer sum."),
+      // ---- waves 5-9 + round-12 flagships ----
+      "q_jaccard_join" -> ("PPJoin Jaccard self-join: candidates are an " +
+        "equi-join on rare-first prefix shingles with the symmetric size " +
+        "AND position filters applied IN the join condition, after a " +
+        "broadcast anti-join removes hot prefix blocks; verify is one " +
+        "count aggregate per candidate — ids + small ints only, never " +
+        "all-pairs."),
+      "q_kcore" -> ("k-core, fixed rounds: each round is one degree " +
+        "aggregate + two equi-joins of edges against the shrinking " +
+        "surviving-node table, localCheckpoint'ed so the plan never " +
+        "re-derives prior rounds — no edge self-join anywhere."),
+      "q_m4" -> ("M4 downsampling: ONE map-side-combinable groupBy — " +
+        "first/last ride lexicographic struct min/max beside the value " +
+        "min/max, so a billion-point series reduces in a single " +
+        "partial+final pass with no window and no sort."),
+      "q_percentiles" -> ("Exact per-key p50/p90/p99: the fact table " +
+        "collapses to a (key, value) histogram FIRST; the cume windows " +
+        "run over histogram rows (distinct values), never fact rows, and " +
+        "the report is a partial+final min-over-threshold."),
+      "q_winsorize" -> ("Winsorization: percentile band bounds come from " +
+        "the histogram-cume report; the fact side meets the key-bounded " +
+        "bounds table in ONE equi-join (AQE broadcasts it) and clamps " +
+        "inside whole-stage codegen."),
+      "q_robust_anomaly" -> ("Median/MAD gate: two histogram-cume " +
+        "percentile passes (median of v, median of |v-med|), each " +
+        "windowing only distinct-value rows; the fact table pays two " +
+        "equi-joins against key-bounded tables and an integer compare."),
+      "q_calibrate" -> ("Per-group score calibration: permille ranks come " +
+        "from per-group distinct-score histograms (windows over histogram " +
+        "rows); facts join the rank table once on (group, score) — no " +
+        "window ever sorts fact rows."),
+      "q_growth_curve" -> ("First-seen growth: min(bucket) per id is one " +
+        "map-side-combinable groupBy; the curve aggregates that " +
+        "id-bounded table and the cume window runs over bucket rows " +
+        "(days), so history is never rescanned."),
+      "q_kanonymity" -> ("k-anonymity audit: two map-side-combinable " +
+        "groupBys (combo counts, coarse-combo counts) + one equi-join " +
+        "bounded by the distinct-combo table — fact rows shuffle once."),
+      "q_token_entropy" -> ("Token entropy: explode to (id, token), ONE " +
+        "(id, token) count aggregate, per-id totals over the " +
+        "token-bounded table, integer micro-nat reduce — no window, no " +
+        "self-join."),
+      "q_reconcile" -> ("Parent/child conservation: the child side " +
+        "REDUCES to one row per parent key before the single left " +
+        "equi-join against headers — integral-exact diff, no window."),
+      "q_gap_regularity" -> ("Cadence regularity: one per-key lag window " +
+        "(the only shuffle), integral-div gaps, then a map-side-" +
+        "combinable moment aggregate; the CV^2 flag is division-cleared " +
+        "integer algebra."))
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", false)
+      // small-SF auto-broadcast would mask the at-scale join shapes:
+      // with the threshold off, ONLY explicit broadcast() hints
+      // broadcast — the plans below show what a big cluster would run
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.001"
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of the flagship queries\n\n")
     sb.append("Generated by `graft.tools.DumpPlans` at sf0.001 with\n")
