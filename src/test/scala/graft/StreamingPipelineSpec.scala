@@ -869,6 +869,57 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(got.head.getLong(1) == expPsi)
   }
 
+  test("scd2Stream replays the oracled q_scd2 closed rows (sf0.001)") {
+    // the batch query's exact input: purchase events keyed by user
+    val in = eventsTus.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        expr("cast(round(value * 100) as bigint)").as("vc"), col("tus"))
+    val dir = Files.createTempDirectory("parity-scd2").toString
+    in.coalesce(1).write.mode("overwrite").parquet(dir)
+    val out = StreamingPipeline.scd2Stream(
+      spark.readStream.schema(in.schema).parquet(dir),
+      "user_id", "tus", "event_id", "vc")
+    val q = out.toDF().writeStream.format("memory").queryName("parity_scd2")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.sql(
+      "SELECT key, id, value, valid_from_us, valid_to_us FROM parity_scd2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2).toLong,
+        r.getLong(3), r.getLong(4))).toSet
+    // stream emits CLOSED versions only; the oracled batch rows with a
+    // non-null valid_to are exactly those
+    val exp = SparkEntry.queries("q_scd2")(spark, sfDir)
+      .where(col("valid_to_us").isNotNull)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == exp)
+    assert(exp.size > 50) // non-trivial
+  }
+
+  test("dedupAgainstBloom replays the oracled q_bloom_dedup misses (sf0.001)") {
+    // same reference corpus + bitset as the batch query (docs id%3=0)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val bits = graft.pipeline.BloomDedup.bloomBits(
+      docs.where(col("doc_id") % 3 === 0), "text", numBits = 16384, k = 4)
+    val in = docs.select("doc_id", "text")
+    val dir = Files.createTempDirectory("parity-bloom").toString
+    in.coalesce(1).write.mode("overwrite").parquet(dir)
+    val out = StreamingPipeline.dedupAgainstBloom(
+      spark.readStream.schema(in.schema).parquet(dir), "text", bits, k = 4)
+    val q = out.writeStream.format("memory").queryName("parity_bloom")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.sql("SELECT doc_id FROM parity_bloom")
+      .collect().map(_.getLong(0)).toSet
+    // the stream passes exactly the rows the oracled batch query marks
+    // bloom_hit = false (same fingerprint, same bitset, same k)
+    val batch = SparkEntry.queries("q_bloom_dedup")(spark, sfDir).collect()
+    val exp = batch.filter(!_.getBoolean(1)).map(_.getLong(0)).toSet
+    assert(got == exp)
+    // non-trivial both ways: some pass, some are dropped
+    assert(exp.nonEmpty && exp.size < batch.length)
+  }
+
   test("distinctWindowed replays the batch HLL estimate per window (sf0.001)") {
     // watermarks attach only to TIMESTAMP (not NTZ); session TZ is UTC
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
