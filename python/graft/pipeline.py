@@ -1405,6 +1405,54 @@ def robust_anomaly_flags(df, keys, value_col, k_num=3, k_den=1):
                         F.col("abs_dev") * k_den > F.col("mad") * k_num))
 
 
+def l_diversity(df, quasi_cols, sensitive_col, l):
+    """l-diversity audit — Python mirror of the Scala
+    ``KAnonymity.lDiversity``: per quasi combo, row count, distinct
+    sensitive-value count, ``is_risky = l_distinct < l``; two bounded
+    groupBys, no countDistinct Expand.
+    """
+    return (df.groupBy(*(list(quasi_cols) + [sensitive_col]))
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .groupBy(*quasi_cols)
+            .agg(F.sum("__c").alias("n"),
+                 F.count(F.lit(1)).alias("l_distinct"))
+            .withColumn("is_risky", F.col("l_distinct") < l))
+
+
+def collocations(df, text_col, min_count=5):
+    """Adjacent-bigram collocation mining — Python mirror of the Scala
+    ``Stats.collocations``: strict bigram counts, unigram joins, and the
+    left-assoc micro-nat PMI sum rounded once.
+    """
+    toks = df.select(F.split(F.col(text_col), " ").alias("__t"))
+    uni = (toks.select(F.explode("__t").alias("tok"))
+           .where(F.col("tok") != "")
+           .groupBy("tok").agg(F.count(F.lit(1)).alias("c")))
+    ws = F.col("__t")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(ws) - 2),
+        lambda i: F.concat_ws(" ", F.slice(ws, i + 1, 2)))
+    bi0 = (toks.where(F.size("__t") >= 2)
+           .select(F.explode(grams).alias("bg"))
+           .groupBy("bg").agg(F.count(F.lit(1)).alias("c_ab")))
+    totals = F.broadcast(
+        uni.agg(F.sum("c").alias("n_uni"))
+        .crossJoin(bi0.agg(F.sum("c_ab").alias("n_bi"))))
+    bi = (bi0.where(F.col("c_ab") >= min_count)
+          .withColumn("a", F.expr("split(bg, ' ')[0]"))
+          .withColumn("b", F.expr("split(bg, ' ')[1]")))
+    return (bi.join(uni.select(F.col("tok").alias("a"),
+                               F.col("c").alias("c_a")), "a")
+            .join(uni.select(F.col("tok").alias("b"),
+                             F.col("c").alias("c_b")), "b")
+            .crossJoin(totals)
+            .select("a", "b", "c_ab", "c_a", "c_b",
+                    F.round(F.lit(1e6) * (F.log("c_ab")
+                            + F.lit(2.0) * F.log("n_uni")
+                            - F.log("n_bi") - F.log("c_a") - F.log("c_b")))
+                    .cast("long").alias("pmi_unats")))
+
+
 def gap_regularity(df, keys, ts_col, divisor=1000000, k_num=1, k_den=10,
                    min_gaps=5):
     """Inter-event cadence regularity — Python mirror of the Scala

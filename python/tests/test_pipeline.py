@@ -658,3 +658,32 @@ def test_gap_regularity(spark):
            for r in gap_regularity(df, ["k"], "ts").collect()}
     assert out == {"bot": True, "fastbot": True, "human": False,
                    "new": False}
+
+
+def test_l_diversity(spark):
+    from graft.pipeline import l_diversity
+
+    rows = [("A", 1, 0)] * 6 + [("B", 2, 0), ("B", 2, 1), ("B", 2, 2)]
+    df = spark.createDataFrame(rows, ["seg", "nation", "band"])
+    out = {(r["seg"], r["nation"]): (r["n"], r["l_distinct"], r["is_risky"])
+           for r in l_diversity(df, ["seg", "nation"], "band", 3).collect()}
+    assert out[("A", 1)] == (6, 1, True)
+    assert out[("B", 2)] == (3, 3, False)
+
+
+def test_collocations(spark):
+    import math
+
+    from graft.pipeline import collocations
+
+    docs = ["new york is red and blue is big"] * 6 + [
+        "red q blue w red e blue r", "solo"]
+    df = spark.createDataFrame([(d,) for d in docs], ["text"])
+    out = {(r["a"], r["b"]): (r["c_ab"], r["pmi_unats"])
+           for r in collocations(df, "text", min_count=2).collect()}
+    n_uni = 6 * 8 + 8 + 1
+    n_bi = 6 * 7 + 7
+    expected = round(1e6 * (math.log(6) + 2.0 * math.log(n_uni)
+                            - math.log(n_bi) - 2 * math.log(6)))
+    assert out[("new", "york")] == (6, expected)
+    assert ("red", "blue") not in out

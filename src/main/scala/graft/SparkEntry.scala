@@ -3176,7 +3176,23 @@ object SparkEntry {
           eventsMicros(s, dir).select(col("user_id"), col("tus")),
           Seq("user_id"), "tus", divisor = 1000000L, kNum = 1, kDen = 10,
           minGaps = 5)
-        .orderBy("user_id"))
+        .orderBy("user_id")),
+    // adjacent-bigram collocations (word2phrase): micro-nat PMI from two
+    // map-side-combinable counts + two token-bounded equi-joins
+    "q_colloc" -> ((s, dir) =>
+      graft.pipeline.Stats.collocations(t(s, dir, "documents"), "text",
+          minCount = 5L)
+        .orderBy("a", "b")),
+    // l-diversity audit: combos that are k-anonymous by count can still
+    // leak a homogeneous sensitive value — two bounded groupBys
+    "q_ldiversity" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_mktsegment"),
+        col("c_nationkey"),
+        expr("cast(floor(c_acctbal / 1000) as bigint)").as("bal_band"))
+      graft.pipeline.KAnonymity.lDiversity(c,
+          Seq("c_mktsegment", "c_nationkey"), "bal_band", l = 3L)
+        .orderBy("c_mktsegment", "c_nationkey")
+    })
   )
 
   // ---- DuckDB SQL builders for graft's 64-bit hash primitives ----
@@ -6552,6 +6568,37 @@ object SparkEntry {
         |  (n_gaps >= 5 AND (gap_sum = 0 OR
         |    (n_gaps * gap_ssq - gap_sum * gap_sum) * 10
         |      < gap_sum * gap_sum * 1)) AS is_robotic
-        |FROM a ORDER BY user_id""".stripMargin
+        |FROM a ORDER BY user_id""".stripMargin,
+    // micro-nat PMI replayed: same strict adjacent bigrams, same
+    // unpruned normalizer, same left-assoc ln sum rounded once
+    "q_colloc" ->
+      """WITH tt AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        |uni AS (SELECT u.tok, COUNT(*) AS c FROM tt, unnest(ws) u(tok)
+        |  WHERE u.tok <> '' GROUP BY 1),
+        |bi0 AS (SELECT ws[i] AS a, ws[i+1] AS b
+        |  FROM tt, unnest(range(1, len(ws))) u(i)),
+        |bic AS (SELECT a, b, COUNT(*) AS c_ab FROM bi0 GROUP BY 1, 2),
+        |tot AS (SELECT (SELECT SUM(c) FROM uni) AS n_uni,
+        |  (SELECT COUNT(*) FROM bi0) AS n_bi)
+        |SELECT bic.a, bic.b, CAST(c_ab AS BIGINT) AS c_ab,
+        |  CAST(ua.c AS BIGINT) AS c_a, CAST(ub.c AS BIGINT) AS c_b,
+        |  CAST(round(1e6 * (ln(c_ab) + 2.0 * ln(n_uni) - ln(n_bi)
+        |    - ln(ua.c) - ln(ub.c))) AS BIGINT) AS pmi_unats
+        |FROM bic JOIN uni ua ON bic.a = ua.tok
+        |JOIN uni ub ON bic.b = ub.tok
+        |CROSS JOIN tot
+        |WHERE c_ab >= 5 ORDER BY a, b""".stripMargin,
+    // two bounded groupBys replayed; DISTINCT count via the pair table
+    "q_ldiversity" ->
+      """WITH c AS (SELECT c_mktsegment, c_nationkey,
+        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band
+        |  FROM customer),
+        |p AS (SELECT c_mktsegment, c_nationkey, bal_band, COUNT(*) AS cc
+        |  FROM c GROUP BY 1, 2, 3)
+        |SELECT c_mktsegment, c_nationkey, CAST(SUM(cc) AS BIGINT) AS n,
+        |  CAST(COUNT(*) AS BIGINT) AS l_distinct,
+        |  COUNT(*) < 3 AS is_risky
+        |FROM p GROUP BY 1, 2
+        |ORDER BY c_mktsegment, c_nationkey""".stripMargin
   )
 }

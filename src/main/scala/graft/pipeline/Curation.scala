@@ -367,4 +367,28 @@ object KAnonymity {
       .withColumn("is_risky", col("n") < k)
       .withColumn("coarse_ok", col("n_coarse") >= k)
   }
+
+  /**
+   * l-diversity audit — the sensitive-attribute complement of [[audit]]:
+   * a combo can be k-anonymous (n ≥ k rows) yet still leak the
+   * sensitive value if all its rows share one (the homogeneity attack,
+   * Machanavajjhala et al. ICDE'06). One row per quasi combo: row count
+   * `n`, distinct sensitive-value count `l_distinct`, and
+   * `is_risky = l_distinct < l`.
+   *
+   * Scale shape: one (combo, sensitive) groupBy — map-side combinable,
+   * output bounded by the distinct pair table — then a combo-bounded
+   * rollup; fact rows shuffle once and no countDistinct Expand ever
+   * materializes.
+   */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String], sensitiveCol: String,
+      l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "quasi columns required")
+    require(l >= 2, s"l must be >= 2, got $l")
+    df.groupBy(quasiCols.map(col) :+ col(sensitiveCol): _*)
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(quasiCols.map(col): _*)
+      .agg(sum("__c").as("n"), count(lit(1)).as("l_distinct"))
+      .withColumn("is_risky", col("l_distinct") < l)
+  }
 }

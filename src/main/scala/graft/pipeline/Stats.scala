@@ -393,4 +393,50 @@ object Stats {
           log(col("n_tokens").cast("double") / col("__c"))).cast("long"))
         .as("entropy_unats"))
   }
+
+  /**
+   * Adjacent-bigram collocation mining — the word2phrase step of
+   * phrase-vocab building (contrast [[Dedup.pmiPairs]], which scores
+   * DOCUMENT-level co-occurrence; this scores ADJACENCY): every
+   * consecutive token pair is counted with multiplicity, each side
+   * joins its corpus unigram count, and the score is pointwise mutual
+   * information in integer micro-nats,
+   * `round(1e6 · (ln c_ab + 2·ln N_uni − ln N_bi − ln c_a − ln c_b))` —
+   * each ln an IEEE double and the sum rounded ONCE (the [[psiReport]]
+   * micro-nat discipline, so any engine reproduces the long exactly).
+   * `N_bi` is the UNpruned total bigram count (the probability
+   * normalizer), taken before `minCount` trims the tail.
+   *
+   * Scale shape: one bigram-count groupBy + one unigram-count groupBy
+   * (both map-side combinable; strict [[NGrams]] windows, so sub-2-token
+   * docs contribute nothing), two equi-joins of the pruned bigram table
+   * against the token-bounded unigram table, and the two corpus totals
+   * ride a one-row broadcast. `minCount` prunes BEFORE the joins.
+   * Output: `a, b, c_ab, c_a, c_b, pmi_unats`.
+   */
+  def collocations(df: DataFrame, textCol: String,
+      minCount: Long = 5L): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    import graft.expressions.{asColumn, asExpr}
+    val toks = df.select(split(col(textCol), " ").as("__t"))
+    val uni = toks.select(explode(col("__t")).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val bi0 = toks
+      .select(explode(asColumn(NGrams(asExpr(col("__t")), 2))).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c_ab"))
+    val totals = broadcast(
+      uni.agg(sum("c").as("n_uni"))
+        .crossJoin(bi0.agg(sum("c_ab").as("n_bi"))))
+    val bi = bi0.where(col("c_ab") >= minCount)
+      .withColumn("a", expr("split(bg, ' ')[0]"))
+      .withColumn("b", expr("split(bg, ' ')[1]"))
+    bi.join(uni.select(col("tok").as("a"), col("c").as("c_a")), "a")
+      .join(uni.select(col("tok").as("b"), col("c").as("c_b")), "b")
+      .crossJoin(totals)
+      .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"),
+        round(lit(1e6) * (log(col("c_ab")) + lit(2.0) * log(col("n_uni")) -
+          log(col("n_bi")) - log(col("c_a")) - log(col("c_b"))))
+          .cast("long").as("pmi_unats"))
+  }
 }

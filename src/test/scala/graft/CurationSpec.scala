@@ -158,6 +158,21 @@ class CurationSpec extends AnyFunSuite {
     assert(out(("B", 2, 0L)) == ((3L, 3L, true, false)))
   }
 
+  test("lDiversity: k-anonymous but homogeneous combo flags, diverse doesn't") {
+    import spark.implicits._
+    // (A,1): 6 rows but every sensitive value is 0 -> homogeneity leak;
+    // (B,2): 3 rows across 3 distinct values -> diverse, not risky
+    val rows = Seq.fill(6)(("A", 1, 0L)) ++
+      Seq(("B", 2, 0L), ("B", 2, 1L), ("B", 2, 2L))
+    val df = rows.toDF("seg", "nation", "band")
+    val out = graft.pipeline.KAnonymity.lDiversity(df, Seq("seg", "nation"),
+        "band", l = 3L)
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(out(("A", 1)) == ((6L, 1L, true)))
+    assert(out(("B", 2)) == ((3L, 3L, false)))
+  }
+
   test("calibrate: per-group strictly-below permille, ties share a value") {
     import spark.implicits._
     val df = Seq(("s1", 1L, 10L), ("s1", 2L, 20L), ("s1", 3L, 20L),

@@ -257,6 +257,25 @@ class StatsSpec extends AnyFunSuite {
     assert(n == 0L) // med=5, MAD=2, max dev 5 <= 6
   }
 
+  test("collocations: planted adjacent phrase scores high, scattered pair absent") {
+    import spark.implicits._
+    // "new york" adjacent 6x; "red" and "blue" both frequent but never
+    // adjacent; sub-2-token docs contribute nothing (strict bigrams)
+    val docs = (Seq.fill(6)("new york is red and blue is big") :+
+      "red q blue w red e blue r" :+ "solo").toDF("text")
+    val out = graft.pipeline.Stats.collocations(docs, "text", minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val (cab, ca, cb, pmi) = out(("new", "york"))
+    assert(cab == 6L && ca == 6L && cb == 6L)
+    val nUni = 6 * 8 + 8 + 1 // six 8-token docs + one 8-token + "solo"
+    val nBi = 6 * 7 + 7      // strict windows: "solo" has none
+    val expected = math.round(1e6 * (math.log(6) + 2.0 * math.log(nUni.toDouble) -
+      math.log(nBi.toDouble) - math.log(6) - math.log(6)))
+    assert(pmi == expected)
+    assert(!out.contains(("red", "blue"))) // frequent tokens, never adjacent
+  }
+
   test("gapRegularity: metronome flags, bursty doesn't, edge cases") {
     import spark.implicits._
     def run(rows: Seq[(String, Long)]) =
