@@ -428,6 +428,49 @@ object StreamingPipeline {
       col("__l.t").as("ts_last"), col("__l.v").as("v_last")): _*)
   }
 
+  /** One (id, bucket) observation of the first-seen stream. */
+  final case class FirstSeenRow(id: Long, bucket: Long)
+  /** An id's one-and-only emission: the bucket it was first observed in. */
+  final case class FirstSeenOut(id: Long, first_bucket: Long)
+
+  /**
+   * Streaming first-seen monitor — the live face of
+   * [[graft.pipeline.Temporal.growthCurve]]: emits each id EXACTLY
+   * ONCE, tagged with the bucket it was first observed in, so a
+   * downstream per-bucket count of the emitted rows IS the growth
+   * curve's `new_ids` column (and its running sum the `cum_ids`
+   * curve). Within a micro-batch the id's MINIMUM bucket wins —
+   * matching the batch operator's `min(bucket)`, so a single batch
+   * over a static frame reproduces the batch first-seen table
+   * row-for-row (StreamingPipelineSpec pins it against the oracled
+   * q_growth_curve machinery). Across batches first-observation wins:
+   * a late row with an earlier bucket arriving after its id was
+   * emitted cannot retract the emission — append-only output, the
+   * same latest-known contract as [[asofJoinStream]].
+   *
+   * State is ONE BOOLEAN per distinct id — the exact-distinct memory
+   * floor (there is no cheaper exact answer). Where per-id exactness
+   * isn't required at corpus scale, [[distinctWindowed]]'s HLL sketch
+   * is the bounded-state alternative. Group with multiple keys by
+   * packing them into the id (the cusum parity spec's code trick).
+   */
+  def firstSeenStream(df: DataFrame, idCol: String,
+      bucketCol: String): Dataset[FirstSeenOut] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        col(bucketCol).cast("long").as("bucket")).as[FirstSeenRow]
+      .groupByKey(_.id)
+      .flatMapGroupsWithState[Boolean, FirstSeenOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (id: Long, it: Iterator[FirstSeenRow], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator.single(FirstSeenOut(id, it.map(_.bucket).min))
+          }
+      }
+  }
+
   /** One metric point after projection. */
   final case class CusumRow(k: Long, t: Long, x: Long)
   /** Per-key state: both prefix sums and their running mins (the

@@ -869,6 +869,61 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(got.head.getLong(1) == expPsi)
   }
 
+  test("firstSeenStream replays the oracled q_growth_curve new_ids (sf0.001)") {
+    // the batch query's exact input: per (event_type, user) first day;
+    // the composite key packs the type code into the id (cusum trick)
+    val ev = eventsTus.select(col("user_id"), col("event_type"),
+      expr("tus div 86400000000").as("day"))
+    val types = ev.select("event_type").distinct()
+      .collect().map(_.getString(0)).sorted.zipWithIndex.toMap
+    val code = typedLit(types)
+    val in = ev.select(
+      (col("user_id") * 16 + code(col("event_type"))).cast("long").as("id"),
+      col("day"))
+    val dir = Files.createTempDirectory("parity-firstseen").toString
+    in.coalesce(1).write.mode("overwrite").parquet(dir)
+    val out = StreamingPipeline.firstSeenStream(
+      spark.readStream.schema(in.schema).parquet(dir), "id", "day")
+    val q = out.toDF().writeStream.format("memory").queryName("parity_fs")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // per-(type, first day) counts of the emitted rows == new_ids
+    val got = spark.sql("SELECT id, first_bucket FROM parity_fs").collect()
+      .groupBy(r => (r.getLong(0) % 16, r.getLong(1)))
+      .map { case (k, rs) => k -> rs.length.toLong }
+    val exp = SparkEntry.queries("q_growth_curve")(spark, sfDir)
+      .collect().map(r => (types(r.getString(0)).toLong, r.getLong(1)) ->
+        r.getLong(2)).toMap
+    assert(got == exp)
+    assert(exp.size > 20) // non-trivial
+  }
+
+  test("firstSeenStream latches: an id never re-emits across runs") {
+    val dir = Files.createTempDirectory("stream-fs").toString
+    val ckpt = Files.createTempDirectory("stream-fs-ckpt").toString
+    val outDir = Files.createTempDirectory("stream-fs-out").toString
+    val schema = Seq((1L, 1L)).toDF("id", "day").schema
+    def run(): Set[(Long, Long)] = {
+      val out = StreamingPipeline.firstSeenStream(
+        spark.readStream.schema(schema).parquet(s"$dir/log"), "id", "day")
+      val q = out.toDF().writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      spark.read.parquet(outDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    // run 1: id 7 seen on days 5 and 3 in one batch -> min wins
+    Seq((7L, 5L), (7L, 3L)).toDF("id", "day")
+      .write.mode("overwrite").parquet(s"$dir/log")
+    assert(run() == Set((7L, 3L)))
+    // run 2: id 7 again (even with an EARLIER day) never re-emits;
+    // id 8 is new and emits
+    Seq((7L, 1L), (8L, 6L)).toDF("id", "day")
+      .write.mode("append").parquet(s"$dir/log")
+    assert(run() == Set((7L, 3L), (8L, 6L)))
+  }
+
   test("scd2Stream replays the oracled q_scd2 closed rows (sf0.001)") {
     // the batch query's exact input: purchase events keyed by user
     val in = eventsTus.where(col("event_type") === "purchase")
