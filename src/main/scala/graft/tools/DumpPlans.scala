@@ -202,7 +202,15 @@ object DumpPlans {
       "q_gap_regularity" -> ("Cadence regularity: one per-key lag window " +
         "(the only shuffle), integral-div gaps, then a map-side-" +
         "combinable moment aggregate; the CV^2 flag is division-cleared " +
-        "integer algebra."))
+        "integer algebra."),
+      "q_colloc" -> ("Adjacent-bigram collocations: one bigram-count " +
+        "groupBy + one unigram-count groupBy (both map-side " +
+        "combinable), two equi-joins of the minCount-pruned bigram " +
+        "table against the token-bounded unigram table; only the " +
+        "one-row corpus totals broadcast."),
+      "q_ldiversity" -> ("l-diversity audit: one (combo, sensitive) " +
+        "groupBy then a combo-bounded rollup — fact rows shuffle once " +
+        "and no countDistinct Expand ever materializes."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
