@@ -39,7 +39,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_benford" -> "broadcast one-row digit-total crossJoin (9-row table)",
     "q_hll_overlap" -> "broadcast one-row exact-intersect crossJoin beside the 1 KB sketches",
     "q_label_separation" ->
-      "broadcast label-cardinality sum-vector crossJoin (L x L label pairs = metadata-sized)")
+      "broadcast label-cardinality sum-vector crossJoin (L x L label pairs = metadata-sized)",
+    "q_colloc" -> "broadcast one-row corpus-totals crossJoin (n_uni, n_bi)")
 
   test("no query plans an unintended cartesian or nested-loop join") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
