@@ -3192,7 +3192,45 @@ object SparkEntry {
       graft.pipeline.KAnonymity.lDiversity(c,
           Seq("c_mktsegment", "c_nationkey"), "bal_band", l = 3L)
         .orderBy("c_mktsegment", "c_nationkey")
-    })
+    }),
+    // set-CONTAINMENT threshold join at 80%: a's rare-shingle prefix
+    // probes b's full rare-ranked list (index-probe shape), one-sided
+    // size filter, exact intersection verify — the asymmetric sibling
+    // of q_jaccard_join (quote / subset-doc detection)
+    "q_containment_join" -> ((s, dir) =>
+      graft.pipeline.Dedup.containmentPrefixPairs(
+          t(s, dir, "documents"), "doc_id", "text", thresholdPermille = 800)
+        .orderBy("a_id", "b_id")),
+    // Cohen's kappa between the gold lang column and the stopword-
+    // profile LID guess: one label-pair groupBy, integer-cleared
+    // (n·agree − Σ a_k·b_k)/(n² − Σ a_k·b_k) in sign-handled permille
+    "q_kappa" -> ((s, dir) => {
+      val lab = t(s, dir, "documents").select(col("lang").as("gold"),
+        TextFunctions.language_id(col("text")).as("guess"))
+      graft.pipeline.Stats.cohenKappa(lab, "gold", "guess")
+    }),
+    // symmetric window-3 co-occurrence counts (the GloVe stats pass):
+    // per-row HOF pair generation + ONE map-side-combinable groupBy
+    "q_cooccur" -> ((s, dir) =>
+      graft.pipeline.Stats.windowCooccur(t(s, dir, "documents"), "text",
+          window = 3, minCount = 5L)
+        .orderBy("a", "b")),
+    // LAG-based debounce on (user, type): drop events repeating within
+    // 60 s of their predecessor — one partitioned window, ties broken
+    // by event_id so exact-duplicate timestamps keep the smallest id
+    "q_debounce" -> ((s, dir) =>
+      graft.pipeline.Temporal.debounce(
+          eventsMicros(s, dir).select(col("event_id"), col("user_id"),
+            col("event_type"), col("tus")),
+          Seq("user_id", "event_type"), "tus", "event_id",
+          minGap = 60000000L)
+        .orderBy("event_id")),
+    // hash-shard balance audit: mix64(doc_id) & 63, per-shard rows +
+    // byte weight + permille deviation from the even split
+    "q_shard_balance" -> ((s, dir) =>
+      graft.pipeline.Layout.shardBalance(t(s, dir, "documents"), "doc_id",
+          length(col("text")), shards = 64)
+        .orderBy("shard"))
   )
 
   // ---- DuckDB SQL builders for graft's 64-bit hash primitives ----
@@ -6599,6 +6637,105 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS l_distinct,
         |  COUNT(*) < 3 AS is_risky
         |FROM p GROUP BY 1, 2
-        |ORDER BY c_mktsegment, c_nationkey""".stripMargin
+        |ORDER BY c_mktsegment, c_nationkey""".stripMargin,
+    // containment chain replayed: same rare-first prefix on the probe
+    // side, FULL shingle list on the index side, one-sided size
+    // filter, same integer verify (position/hot filters are lossless
+    // candidate pruning, so the oracle skips them)
+    "q_containment_join" ->
+      """WITH tt AS (SELECT doc_id AS id, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |toks AS (SELECT DISTINCT id,
+        |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS tok
+        |  FROM tt, unnest(range(1, len(ws) - 1)) u(i)),
+        |freq AS (SELECT tok, COUNT(*) AS df FROM toks GROUP BY 1),
+        |sz AS (SELECT id, COUNT(*) AS sz FROM toks GROUP BY 1),
+        |r AS (SELECT t.id, t.tok,
+        |    ROW_NUMBER() OVER (PARTITION BY t.id ORDER BY f.df, t.tok) AS rn
+        |  FROM toks t JOIN freq f USING (tok)),
+        |pref AS (SELECT r.id, s.sz, r.tok FROM r JOIN sz s USING (id)
+        |  WHERE r.rn <= s.sz - (s.sz * 800 + 999) // 1000 + 1),
+        |cand AS (SELECT DISTINCT a.id AS a_id, b.id AS b_id,
+        |    a.sz AS a_sz, sb.sz AS b_sz
+        |  FROM pref a JOIN toks b ON a.tok = b.tok AND a.id <> b.id
+        |  JOIN sz sb ON sb.id = b.id
+        |  WHERE sb.sz * 1000 >= a.sz * 800),
+        |inter AS (SELECT c.a_id, c.b_id, c.a_sz, c.b_sz, COUNT(*) AS i
+        |  FROM cand c JOIN toks ta ON ta.id = c.a_id
+        |  JOIN toks tb ON tb.id = c.b_id AND tb.tok = ta.tok
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT a_id, b_id, CAST(a_sz AS BIGINT) AS a_sz,
+        |  CAST(b_sz AS BIGINT) AS b_sz, CAST(i AS BIGINT) AS inter,
+        |  CAST(i * 1000 // a_sz AS BIGINT) AS containment_permille
+        |FROM inter WHERE i * 1000 >= 800 * a_sz
+        |ORDER BY a_id, b_id""".stripMargin,
+    // kappa replayed off the q_lang_id guess CTEs: one pair-count
+    // table, marginal products, the same sign-handled truncating
+    // permille (// floors, so |num| is divided and the sign reapplied)
+    "q_kappa" -> {
+      val vals = TextFunctions.langProfiles.toSeq.sortBy(_._1)
+        .flatMap { case (l, ws) => ws.map(w => s"('$l', '$w')") }.mkString(", ")
+      s"""WITH prof(lang, word) AS (VALUES $vals),
+         |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |scores AS (SELECT t.doc_id, p.lang, COUNT(*) AS score
+         |           FROM toks t JOIN prof p ON t.tok = p.word GROUP BY t.doc_id, p.lang),
+         |best AS (SELECT doc_id, lang, score,
+         |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn
+         |         FROM scores),
+         |lab AS (SELECT d.lang AS gold,
+         |  COALESCE((SELECT b.lang FROM best b
+         |            WHERE b.doc_id = d.doc_id AND b.rn = 1 AND b.score > 0), 'und') AS guess
+         |  FROM documents d),
+         |pairs AS (SELECT gold, guess, COUNT(*) AS c FROM lab GROUP BY 1, 2),
+         |am AS (SELECT gold AS k, SUM(c) AS ca FROM pairs GROUP BY 1),
+         |bm AS (SELECT guess AS k, SUM(c) AS cb FROM pairs GROUP BY 1),
+         |tot AS (SELECT SUM(c) AS n,
+         |  COALESCE(SUM(CASE WHEN gold = guess THEN c END), 0) AS agree FROM pairs),
+         |pe AS (SELECT COALESCE(SUM(ca * cb), 0) AS pe_num
+         |  FROM am JOIN bm USING (k))
+         |SELECT CAST(n AS BIGINT) AS n, CAST(agree AS BIGINT) AS agree,
+         |  CAST(pe_num AS BIGINT) AS pe_num,
+         |  CAST(n * agree - pe_num AS BIGINT) AS kappa_num,
+         |  CAST(n * n - pe_num AS BIGINT) AS kappa_den,
+         |  CAST(CASE WHEN n * n - pe_num = 0 THEN NULL
+         |       WHEN n * agree - pe_num >= 0
+         |         THEN ((n * agree - pe_num) * 1000) // (n * n - pe_num)
+         |       ELSE -(((pe_num - n * agree) * 1000) // (n * n - pe_num))
+         |       END AS BIGINT) AS kappa_permille
+         |FROM tot CROSS JOIN pe""".stripMargin
+    },
+    // window-3 pair generation replayed positionally; least/greatest
+    // canonical order, integer counts, same strict windows
+    "q_cooccur" ->
+      """WITH tt AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        |p AS (SELECT least(ws[i], ws[i+d]) AS a, greatest(ws[i], ws[i+d]) AS b
+        |  FROM tt, unnest(range(1, len(ws))) u(i), unnest(range(1, 4)) v(d)
+        |  WHERE i + d <= len(ws) AND ws[i] <> '' AND ws[i+d] <> '')
+        |SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cnt FROM p GROUP BY 1, 2
+        |HAVING COUNT(*) >= 5 ORDER BY a, b""".stripMargin,
+    // same LAG over (tus, event_id) within (user, type); first event
+    // NULL gap is kept, 60 s threshold replayed verbatim
+    "q_debounce" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |    epoch_ns(ts) // 1000 AS tus FROM events),
+        |g AS (SELECT *, tus - LAG(tus) OVER (PARTITION BY user_id, event_type
+        |    ORDER BY tus, event_id) AS prev_gap FROM e)
+        |SELECT event_id, user_id, event_type, CAST(tus AS BIGINT) AS tus,
+        |  CAST(prev_gap AS BIGINT) AS prev_gap,
+        |  (prev_gap IS NULL OR prev_gap >= 60000000) AS is_kept
+        |FROM g ORDER BY event_id""".stripMargin,
+    // splitmix64 of doc_id mod 64 (power of two, so the unsigned
+    // HUGEINT modulus equals the Scala signed mask), byte weights,
+    // permille deviation — nonnegative weights so // == div
+    "q_shard_balance" ->
+      s"""WITH s AS (SELECT CAST(${duckMix64("(doc_id)::HUGEINT")} % 64 AS BIGINT) AS shard,
+         |    len(text) AS w FROM documents),
+         |per AS (SELECT shard, COUNT(*) AS n_rows, SUM(w) AS w_sum
+         |  FROM s GROUP BY 1),
+         |tot AS (SELECT SUM(w_sum) AS tw FROM per)
+         |SELECT shard, CAST(n_rows AS BIGINT) AS n_rows,
+         |  CAST(w_sum AS BIGINT) AS w_sum,
+         |  CAST(w_sum * 64 * 1000 // tw - 1000 AS BIGINT) AS dev_permille
+         |FROM per CROSS JOIN tot ORDER BY shard""".stripMargin
   )
 }

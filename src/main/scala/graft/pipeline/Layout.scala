@@ -59,4 +59,41 @@ object Layout {
       .drop("__graft_z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /**
+   * Hash-shard balance audit — the layout-planning question a 100 TB
+   * corpus asks before choosing its shard count: assign every row to
+   * `shard = mix64(id) & (shards − 1)` (splitmix64 then mask; `shards`
+   * must be a power of two so the mask equals the unsigned modulus and
+   * any engine — including the DuckDB HUGEINT oracle — reproduces the
+   * assignment exactly) and report per-shard row count, weight sum
+   * (bytes, tokens — caller's column), and the signed permille
+   * deviation from the ideal even split,
+   * `dev_permille = (w_sum·shards·1000) div Σw − 1000` (nonnegative
+   * weights, so `div` truncation is floor on the positive side and the
+   * −1000 shift carries the sign).
+   *
+   * Scale shape: ONE map-side-combinable groupBy on the masked hash
+   * (shards rows out), then the one-row total rides a broadcast
+   * crossJoin — the same bounded-totals pattern as
+   * [[Stats.collocations]]. Output: `shard, n_rows, w_sum,
+   * dev_permille`.
+   */
+  def shardBalance(df: DataFrame, idCol: String, weight: Column,
+      shards: Int = 256): DataFrame = {
+    require(shards >= 2 && (shards & (shards - 1)) == 0,
+      s"shards must be a power of two >= 2, got $shards")
+    import graft.expressions.asColumn
+    import graft.expressions.asExpr
+    val shard = asColumn(graft.pipeline.Mix64(asExpr(col(idCol).cast("long"))))
+      .bitwiseAND(lit(shards - 1L)).as("shard")
+    val perShard = df.select(shard, weight.cast("long").as("__w"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_rows"), sum("__w").as("w_sum"))
+    val tot = perShard.agg(sum("w_sum").as("__tot"))
+    perShard.crossJoin(broadcast(tot))
+      .withColumn("dev_permille",
+        expr(s"w_sum * ${shards}L * 1000 div __tot - 1000"))
+      .drop("__tot")
+  }
 }

@@ -664,6 +664,82 @@ object Dedup {
       .withColumn("jaccard_permille",
         expr("inter * 1000 div (a_sz + b_sz - inter)"))
   }
+
+  /**
+   * Set-CONTAINMENT threshold join with prefix filtering — the
+   * asymmetric sibling of [[jaccardPrefixPairs]]: emit ordered pairs
+   * `(a, b)` where `|A ∩ B| ≥ ⌈t·|A|⌉` (a's shingle set is mostly
+   * inside b's), the primitive behind quote/boilerplate detection and
+   * "is this doc a subset of that doc" dedup, where Jaccard fails
+   * because a big superset drags the union down.
+   *
+   * Prefix bound (containment form): if A∩B misses all of a's
+   * `|A| − ⌈t·|A|⌉ + 1` globally-RAREST elements, the overlap tops out
+   * at `⌈t·|A|⌉ − 1 < ⌈t·|A|⌉` — so a's prefix must hit B somewhere.
+   * Containment puts no upper bound on |B|, so the candidate join runs
+   * a's prefix against b's FULL rare-ranked list (the index-probe
+   * shape of set-containment joins: probe side slims to ~(1−t)·|A|
+   * elements, index side stays whole) with the one-sided size filter
+   * `|B| ≥ ⌈t·|A|⌉` and the position filter
+   * `1 + min(|A|−i, |B|−j) ≥ ⌈t·|A|⌉` applied per matched row (valid
+   * at the pair's first shared rare-ranked element, exactly as in
+   * [[jaccardPrefixPairs]] — pruning before `distinct` is lossless).
+   * Verify is the exact intersection count and the division-free
+   * `inter·1000 ≥ t·|A|`. Shingling is STRICT (sub-`shingle`-token
+   * docs contribute nothing and never pair); `hotCap` anti-joins
+   * prefix/index blocks hotter than the cap before the self-join —
+   * same documented trade-off as the Jaccard variant.
+   *
+   * Output: `a_id, b_id, a_sz, b_sz, inter, containment_permille`
+   * with `a_id ≠ b_id` (ordered: a contained in b; near-identical
+   * twins appear in both directions by design).
+   */
+  def containmentPrefixPairs(df: DataFrame, idCol: String, textCol: String,
+      thresholdPermille: Int, shingle: Int = 3, hotCap: Int = 1024): DataFrame = {
+    require(thresholdPermille >= 1 && thresholdPermille <= 1000,
+      s"thresholdPermille must be in [1,1000], got $thresholdPermille")
+    require(shingle >= 1, s"shingle must be >= 1, got $shingle")
+    require(hotCap >= 1, s"hotCap must be >= 1, got $hotCap")
+    val tp = thresholdPermille
+    val toks = df.select(col(idCol).as("id"),
+        TextFunctions.tokens(col(textCol)).as("__t"))
+      .where(size(col("__t")) >= shingle)
+      .select(col("id"),
+        explode(TextFunctions.c(DistinctNGrams(asExpr(col("__t")), shingle))).as("tok"))
+      .where(col("tok") =!= "")
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("__df"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("id")
+      .orderBy(col("__df"), col("tok"))
+    val sizes = toks.groupBy("id").agg(count(lit(1)).as("sz"))
+    val ranked = toks.join(freq, "tok")
+      .withColumn("__rn", row_number().over(w))
+      .join(sizes, "id")
+    // ⌈t·|A|⌉ in permille; needed twice (prefix length, size filter)
+    val need = expr(s"(sz * $tp + 999) div 1000")
+    val pref = ranked.where(col("__rn") <= col("sz") - need + 1L)
+      .select(col("id"), col("sz"), col("tok"), col("__rn"))
+    val hot = freq.where(col("__df") > hotCap).select("tok")
+    val probe = pref.join(broadcast(hot), Seq("tok"), "left_anti")
+    val index = ranked.select(col("id"), col("sz"), col("tok"), col("__rn"))
+      .join(broadcast(hot), Seq("tok"), "left_anti")
+    val cand = probe.select(col("id").as("a_id"), col("sz").as("a_sz"),
+        col("__rn").as("a_rn"), col("tok"))
+      .join(index.select(col("id").as("b_id"), col("sz").as("b_sz"),
+        col("__rn").as("b_rn"), col("tok")), "tok")
+      .where(col("a_id") =!= col("b_id") &&
+        col("b_sz") * 1000 >= col("a_sz") * tp &&
+        (lit(1L) + least(col("a_sz") - col("a_rn"), col("b_sz") - col("b_rn"))) *
+          1000L >= lit(tp.toLong) * col("a_sz"))
+      .select("a_id", "b_id", "a_sz", "b_sz")
+      .distinct()
+    cand
+      .join(toks.select(col("id").as("a_id"), col("tok")), "a_id")
+      .join(toks.select(col("id").as("b_id"), col("tok")), Seq("b_id", "tok"))
+      .groupBy("a_id", "b_id", "a_sz", "b_sz")
+      .agg(count(lit(1)).as("inter"))
+      .where(col("inter") * 1000 >= lit(tp.toLong) * col("a_sz"))
+      .withColumn("containment_permille", expr("inter * 1000 div a_sz"))
+  }
 }
 
 object EmbeddingDedup {

@@ -439,4 +439,76 @@ object Stats {
           log(col("n_bi")) - log(col("c_a")) - log(col("c_b"))))
           .cast("long").as("pmi_unats"))
   }
+
+  /**
+   * Cohen's kappa — chance-corrected agreement between two labelers
+   * (human annotators, two quality gates, a model vs. its teacher):
+   * the label-quality audit a training-data pipeline runs before
+   * trusting a filter column. Multi-class, EXACT INTEGER math: with
+   * `n` rows, `agree = Σ_k n_kk` and `pe_num = Σ_k a_k·b_k` (marginal
+   * products), kappa `(p_o − p_e)/(1 − p_e)` clears to the integer
+   * ratio `kappa_num/kappa_den = (n·agree − pe_num)/(n² − pe_num)`,
+   * reported in sign-handled truncating permille (κ can be negative —
+   * systematic disagreement — and `div`-truncation toward zero is
+   * applied to |num| so Spark `div` and DuckDB `//` agree on both
+   * signs). `kappa_den = 0` (a degenerate corpus where chance
+   * agreement is already 1, e.g. both columns constant) yields NULL.
+   *
+   * Scale shape: ONE (a, b) pair-count groupBy over the fact rows
+   * (map-side combinable, label-combo-bounded output); marginals,
+   * totals, and the agree sum all derive from that tiny pair table,
+   * and the three one-row aggregates meet in broadcast crossJoins.
+   * Output (one row): `n, agree, pe_num, kappa_num, kappa_den,
+   * kappa_permille`.
+   */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val pairs = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("c"))
+    val aMarg = pairs.groupBy("a").agg(sum("c").as("ca"))
+    val bMarg = pairs.groupBy("b").agg(sum("c").as("cb"))
+    val tot = pairs.agg(sum("c").as("n"),
+      coalesce(sum(when(col("a") === col("b"), col("c"))), lit(0L)).as("agree"))
+    val pe = aMarg.join(bMarg, col("a") === col("b"))
+      .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("pe_num"))
+    broadcast(tot).crossJoin(broadcast(pe))
+      .withColumn("kappa_num", col("n") * col("agree") - col("pe_num"))
+      .withColumn("kappa_den", col("n") * col("n") - col("pe_num"))
+      .withColumn("kappa_permille", expr(
+        """case when kappa_den = 0 then null
+          |     when kappa_num >= 0 then (kappa_num * 1000) div kappa_den
+          |     else -((-kappa_num * 1000) div kappa_den) end""".stripMargin))
+  }
+
+  /**
+   * Symmetric window-`window` token co-occurrence counts — the
+   * GloVe/word2vec statistics pass (contrast [[collocations]], which
+   * scores ADJACENT bigrams only): every unordered token pair whose
+   * positions sit within `window` of each other in a document counts
+   * once per occurrence, summed over the corpus, tail pruned at
+   * `minCount`.
+   *
+   * Scale shape: pair generation is a per-row codegen'd HOF chain —
+   * explode distances 1..window, `transform` zips each token with its
+   * d-successor (strict windows: no padding, sub-(d+1)-token docs
+   * contribute nothing at distance d) — then ONE map-side-combinable
+   * groupBy count. No join, no window function, no self-join; the
+   * shuffle carries (pair, partial count) rows bounded by the distinct
+   * pair vocabulary per partition. Integer-only output:
+   * `a, b, cnt` with `a <= b` (least/greatest canonical order).
+   */
+  def windowCooccur(df: DataFrame, textCol: String, window: Int = 5,
+      minCount: Long = 5L): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    df.select(split(col(textCol), " ").as("ws"),
+        explode(sequence(lit(1), lit(window))).as("d"))
+      .where(size(col("ws")) > col("d"))
+      .select(explode(expr(
+        "transform(sequence(1, size(ws) - d), i -> struct(ws[i-1] as x, ws[i+d-1] as y))")).as("p"))
+      .where(col("p.x") =!= "" && col("p.y") =!= "")
+      .select(least(col("p.x"), col("p.y")).as("a"),
+        greatest(col("p.x"), col("p.y")).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount)
+  }
 }

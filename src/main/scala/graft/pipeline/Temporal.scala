@@ -705,4 +705,35 @@ object Temporal {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     curve.withColumn("cum_ids", sum("new_ids").over(w))
   }
+
+  /**
+   * Debounce / tolerance dedup: flag events that repeat within
+   * `minGap` of the PREVIOUS event on the same key — double-clicks,
+   * retry storms, at-least-once delivery echoes — the ingest-cleanup
+   * pass that runs before sessionization. LAG-based semantics (the
+   * standard "suppress if the immediately preceding event is closer
+   * than the gap", independent of whether that predecessor itself
+   * survives — document this: it is NOT the chained rate-limiter,
+   * whose keep-set depends recursively on prior keeps), with
+   * `(tsCol, idCol)` as the total order so ties break
+   * deterministically: an exact-duplicate timestamp always keeps the
+   * smallest id and drops the rest (gap 0 < minGap).
+   *
+   * Scale shape: one window partitioned by `keys` ordered by
+   * `(ts, id)` — a single shuffle on the key, per-key sort, no join;
+   * the same shape (and the same skew profile) as sessionization.
+   * Output: input rows + `prev_gap` (long, NULL on each key's first
+   * event) + `is_kept` (first event of a key is always kept).
+   */
+  def debounce(df: DataFrame, keys: Seq[String], tsCol: String,
+      idCol: String, minGap: Long): DataFrame = {
+    require(keys.nonEmpty, "keys required")
+    require(minGap > 0, s"minGap must be positive, got $minGap")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col(idCol))
+    df.withColumn("prev_gap",
+        col(tsCol).cast("long") - lag(col(tsCol).cast("long"), 1).over(w))
+      .withColumn("is_kept",
+        col("prev_gap").isNull || col("prev_gap") >= minGap)
+  }
 }

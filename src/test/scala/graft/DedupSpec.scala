@@ -313,6 +313,50 @@ class DedupSpec extends AnyFunSuite {
       .count() == 0L)
   }
 
+  test("containmentPrefixPairs: substring doc contained one-way only") {
+    import spark.implicits._
+    val big = (1 to 40).map(i => s"t$i").mkString(" ")          // 38 shingles
+    val sub = (5 to 20).map(i => s"t$i").mkString(" ")          // 14, all in big
+    val docs = Seq((1L, sub), (2L, big),
+      (3L, (100 to 140).map(i => s"q$i").mkString(" "))).toDF("id", "text")
+    val out = graft.pipeline.Dedup
+      .containmentPrefixPairs(docs, "id", "text", 800)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // sub ⊂ big at 1000 permille; big→sub is 14/38 = 368 and never emits
+    assert(out.toSeq == Seq((1L, 2L, 14L, 38L, 14L, 1000L)))
+  }
+
+  test("containmentPrefixPairs: identical twins pair in both directions") {
+    import spark.implicits._
+    val txt = (1 to 12).map(i => s"p$i").mkString(" ")
+    val docs = Seq((1L, txt), (2L, txt)).toDF("id", "text")
+    val out = graft.pipeline.Dedup
+      .containmentPrefixPairs(docs, "id", "text", 900)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(5))).sorted
+    assert(out.toSeq == Seq((1L, 2L, 1000L), (2L, 1L, 1000L)))
+    // strict shingling: sub-3-token docs never pair even when identical
+    val shorts = Seq((1L, "a b"), (2L, "a b")).toDF("id", "text")
+    assert(graft.pipeline.Dedup
+      .containmentPrefixPairs(shorts, "id", "text", 500).count() == 0L)
+  }
+
+  test("containmentPrefixPairs hotCap bounds a hot index shingle") {
+    import spark.implicits._
+    // every doc shares "hot1 hot2 hot3"; low threshold 250 -> the 3-token
+    // probe prefix includes the hot shingle for the 4-shingle docs
+    val docs = (1 to 20).map(i => (i.toLong, s"hot1 hot2 hot3 u$i v$i w$i"))
+      .toDF("id", "text")
+    // 6-token docs: 4 shingles each; shared shingle gives inter=1,
+    // 1000/4 = 250 -> every ordered pair qualifies at t=250
+    assert(graft.pipeline.Dedup.containmentPrefixPairs(docs, "id", "text", 250)
+      .count() == 380L)
+    // hotCap=8 removes the 20-doc hot block from probe AND index sides
+    assert(graft.pipeline.Dedup
+      .containmentPrefixPairs(docs, "id", "text", 250, hotCap = 8)
+      .count() == 0L)
+  }
+
   test("jaccardPrefixPairs hotCap bounds a deliberately hot prefix shingle") {
     import spark.implicits._
     // 20 docs all share the boilerplate shingle "hot1 hot2 hot3"; at a low

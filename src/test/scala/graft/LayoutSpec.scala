@@ -56,4 +56,25 @@ class LayoutSpec extends AnyFunSuite {
       plan.contains("GreaterThanOrEqual(a,3)") && plan.contains("LessThanOrEqual(a,9)"),
       s"filters not pushed to scan:\n$plan")
   }
+
+  test("shardBalance: exact mix64 assignment, weights, deviation formula") {
+    val df = spark.range(1000).select(col("id"), (col("id") % 7 + 1).as("w"))
+    val out = Layout.shardBalance(df, "id", col("w"), shards = 16)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // replay the assignment driver-side
+    val exp = (0L until 1000L).map(i => (graft.pipeline.Hashing.mix64(i) & 15L, i % 7 + 1))
+      .groupBy(_._1).map { case (s, xs) => s -> (xs.size.toLong, xs.map(_._2).sum) }
+    val tot = exp.values.map(_._2).sum
+    assert(out.keySet == exp.keySet)
+    exp.foreach { case (s, (n, w)) =>
+      val (gn, gw, dev) = out(s)
+      assert(gn == n && gw == w)
+      assert(dev == w * 16L * 1000L / tot - 1000L)
+    }
+    // the mask-equals-modulus contract requires a power of two
+    intercept[IllegalArgumentException] {
+      Layout.shardBalance(df, "id", col("w"), shards = 48)
+    }
+  }
 }

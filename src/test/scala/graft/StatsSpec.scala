@@ -297,4 +297,37 @@ class StatsSpec extends AnyFunSuite {
     assert(out("fastbot"))
     assert(!out("new"))
   }
+
+  test("cohenKappa: hand case, perfect, systematic disagreement, degenerate") {
+    def kappa(rows: Seq[(String, String)]): org.apache.spark.sql.Row =
+      Stats.cohenKappa(rows.toDF("ga", "gb"), "ga", "gb").collect().head
+    // 4x(a,a), 4x(b,b), 2x(a,b): n=10 agree=8, marginals gold a=6 b=4 /
+    // guess a=4 b=6 -> pe_num=48, kappa = 32/52 = 615 permille truncated
+    val hand = kappa(Seq.fill(4)(("a", "a")) ++ Seq.fill(4)(("b", "b")) ++
+      Seq.fill(2)(("a", "b")))
+    assert(hand.getLong(0) == 10L && hand.getLong(1) == 8L)
+    assert(hand.getLong(2) == 48L && hand.getLong(3) == 32L)
+    assert(hand.getLong(4) == 52L && hand.getLong(5) == 615L)
+    // perfect agreement over two classes -> exactly 1000
+    assert(kappa(Seq(("a", "a"), ("b", "b"), ("a", "a"))).getLong(5) == 1000L)
+    // total systematic swap -> -1000 (negative branch of the sign-handled div)
+    assert(kappa(Seq.fill(5)(("a", "b")) ++ Seq.fill(5)(("b", "a")))
+      .getLong(5) == -1000L)
+    // both columns constant: pe = 1, denominator 0 -> NULL kappa
+    assert(kappa(Seq.fill(5)(("a", "a"))).isNullAt(5))
+  }
+
+  test("windowCooccur: exact window-2 pair counts, canonical order, strict windows") {
+    val df = Seq("a b c d", "b a", "z").toDF("text")
+    val got = Stats.windowCooccur(df, "text", window = 2, minCount = 1L)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    // doc1 d=1: (a,b),(b,c),(c,d); d=2: (a,c),(b,d); doc2 d=1: (b,a)->(a,b);
+    // "z" has no pair at any distance (strict windows)
+    assert(got == Map(("a", "b") -> 2L, ("b", "c") -> 1L, ("c", "d") -> 1L,
+      ("a", "c") -> 1L, ("b", "d") -> 1L))
+    // minCount prunes the singletons
+    val pruned = Stats.windowCooccur(df, "text", window = 2, minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(pruned == Seq(("a", "b")))
+  }
 }

@@ -573,4 +573,23 @@ class TemporalSpec extends AnyFunSuite {
     assert(out(("a", 1L)) == ((1L, 7L, 7L, 150L, 7L, 150L, 7L)))
     assert(out(("b", 0L)) == ((1L, 3L, 3L, 10L, 3L, 10L, 3L)))
   }
+
+  test("debounce: LAG semantics, tie-break by id, per-key independence") {
+    import spark.implicits._
+    // key u: 0s, 30s, 100s, 100s (dup ts) with 60s gap
+    val df = Seq((1L, "u", 0L), (2L, "u", 30L), (3L, "u", 100L),
+      (4L, "u", 100L), (5L, "v", 1L)).toDF("id", "k", "ts")
+    val out = graft.pipeline.Temporal.debounce(df, Seq("k"), "ts", "id", 60L)
+      .collect().map(r => r.getLong(0) -> (r.isNullAt(3), r.getBoolean(4))).toMap
+    assert(out(1L) == ((true, true)))    // first of key: NULL gap, kept
+    assert(out(2L) == ((false, false)))  // 30 < 60: dropped
+    assert(out(3L) == ((false, true)))   // 70 >= 60: kept (LAG, not chained)
+    assert(out(4L) == ((false, false)))  // tie: larger id sees gap 0
+    assert(out(5L) == ((true, true)))    // other key unaffected
+    // exact-duplicate timestamps: smallest id survives regardless of order
+    val dup = Seq((9L, "w", 5L), (7L, "w", 5L), (8L, "w", 5L)).toDF("id", "k", "ts")
+    val kept = graft.pipeline.Temporal.debounce(dup, Seq("k"), "ts", "id", 10L)
+      .where(col("is_kept")).collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(7L))
+  }
 }
