@@ -6640,8 +6640,13 @@ object SparkEntry {
         |ORDER BY c_mktsegment, c_nationkey""".stripMargin,
     // containment chain replayed: same rare-first prefix on the probe
     // side, FULL shingle list on the index side, one-sided size
-    // filter, same integer verify (position/hot filters are lossless
-    // candidate pruning, so the oracle skips them)
+    // filter, same integer verify. The POSITION filter is lossless
+    // candidate pruning (skipped here); the HOT filter is NOT — a
+    // shingle with df > hotCap is dropped from probe AND index, which
+    // can drop true pairs — so the oracle replays the df > 1024
+    // anti-join on the shared join token (probe and index drop the
+    // same hot tokens, so one predicate on the matched token covers
+    // both sides)
     "q_containment_join" ->
       """WITH tt AS (SELECT doc_id AS id, string_split(text, ' ') AS ws
         |  FROM documents),
@@ -6655,9 +6660,11 @@ object SparkEntry {
         |  FROM toks t JOIN freq f USING (tok)),
         |pref AS (SELECT r.id, s.sz, r.tok FROM r JOIN sz s USING (id)
         |  WHERE r.rn <= s.sz - (s.sz * 800 + 999) // 1000 + 1),
+        |cool AS (SELECT p.* FROM pref p JOIN freq f USING (tok)
+        |  WHERE f.df <= 1024),
         |cand AS (SELECT DISTINCT a.id AS a_id, b.id AS b_id,
         |    a.sz AS a_sz, sb.sz AS b_sz
-        |  FROM pref a JOIN toks b ON a.tok = b.tok AND a.id <> b.id
+        |  FROM cool a JOIN toks b ON a.tok = b.tok AND a.id <> b.id
         |  JOIN sz sb ON sb.id = b.id
         |  WHERE sb.sz * 1000 >= a.sz * 800),
         |inter AS (SELECT c.a_id, c.b_id, c.a_sz, c.b_sz, COUNT(*) AS i

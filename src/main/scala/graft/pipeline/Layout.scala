@@ -83,6 +83,14 @@ object Layout {
       shards: Int = 256): DataFrame = {
     require(shards >= 2 && (shards & (shards - 1)) == 0,
       s"shards must be a power of two >= 2, got $shards")
+    // A non-numeric id would cast to NULL and pool silently into a
+    // NULL shard, skewing the audit — require a long-compatible type
+    // up front so a bad id column fails loudly at plan time.
+    val idType = df.schema(idCol).dataType
+    require(Seq("byte", "short", "integer", "long", "date", "timestamp")
+        .contains(idType.typeName) || idType.typeName.startsWith("decimal"),
+      s"shardBalance needs an integral id column; '$idCol' is " +
+        s"${idType.simpleString} (hash raw bytes or pre-parse instead)")
     import graft.expressions.asColumn
     import graft.expressions.asExpr
     val shard = asColumn(graft.pipeline.Mix64(asExpr(col(idCol).cast("long"))))

@@ -470,13 +470,25 @@ object Stats {
       coalesce(sum(when(col("a") === col("b"), col("c"))), lit(0L)).as("agree"))
     val pe = aMarg.join(bMarg, col("a") === col("b"))
       .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("pe_num"))
+    // n·agree and n² overflow Long past n ≈ 3e9 rows — plausible at
+    // corpus scale — so the clearing runs in DECIMAL(38,0) and only the
+    // reported intermediates cast down to long (null on overflow, never
+    // a silent wraparound; kappa_permille itself is exact at any n).
     broadcast(tot).crossJoin(broadcast(pe))
-      .withColumn("kappa_num", col("n") * col("agree") - col("pe_num"))
-      .withColumn("kappa_den", col("n") * col("n") - col("pe_num"))
+      .withColumn("__n", col("n").cast("decimal(38,0)"))
+      .withColumn("__agree", col("agree").cast("decimal(38,0)"))
+      .withColumn("__pe", col("pe_num").cast("decimal(38,0)"))
+      .withColumn("kappa_num",
+        (col("__n") * col("__agree") - col("__pe")).cast("long"))
+      .withColumn("kappa_den",
+        (col("__n") * col("__n") - col("__pe")).cast("long"))
       .withColumn("kappa_permille", expr(
-        """case when kappa_den = 0 then null
-          |     when kappa_num >= 0 then (kappa_num * 1000) div kappa_den
-          |     else -((-kappa_num * 1000) div kappa_den) end""".stripMargin))
+        """cast(case when __n * __n - __pe = 0 then null
+          |     when __n * __agree - __pe >= 0
+          |       then (__n * __agree - __pe) * 1000 div (__n * __n - __pe)
+          |     else -((__pe - __n * __agree) * 1000 div (__n * __n - __pe))
+          |     end as long)""".stripMargin))
+      .drop("__n", "__agree", "__pe")
   }
 
   /**

@@ -729,6 +729,13 @@ object Temporal {
       idCol: String, minGap: Long): DataFrame = {
     require(keys.nonEmpty, "keys required")
     require(minGap > 0, s"minGap must be positive, got $minGap")
+    // prev_gap / is_kept are reserved output names — overwriting an
+    // existing column of the same name would silently destroy caller
+    // data, so fail fast (consistent with the other Temporal helpers).
+    Seq("prev_gap", "is_kept").foreach { r =>
+      require(!df.columns.contains(r),
+        s"debounce writes a '$r' column; input already has one — rename it first")
+    }
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol), col(idCol))
     df.withColumn("prev_gap",

@@ -40,7 +40,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_hll_overlap" -> "broadcast one-row exact-intersect crossJoin beside the 1 KB sketches",
     "q_label_separation" ->
       "broadcast label-cardinality sum-vector crossJoin (L x L label pairs = metadata-sized)",
-    "q_colloc" -> "broadcast one-row corpus-totals crossJoin (n_uni, n_bi)")
+    "q_colloc" -> "broadcast one-row corpus-totals crossJoin (n_uni, n_bi)",
+    "q_kappa" -> "broadcast one-row totals crossJoin (n, agree, pe_num — 3 longs)",
+    "q_shard_balance" -> "broadcast one-row grand-total crossJoin over the shard counts")
 
   test("no query plans an unintended cartesian or nested-loop join") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
