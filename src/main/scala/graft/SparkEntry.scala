@@ -61,6 +61,39 @@ object SparkEntry {
       .withColumn("bucket", col("l_orderkey") % 10)
   }
 
+  /** Dense (hole-free) 8×4 tiles: lineitem chunked 32 rows at a time
+    * within each orderkey-mod-10 bucket (row_number over the same total
+    * order as [[tiled]], prefixed by l_orderkey), partial trailing
+    * chunks dropped — every cell is data, so the cubic/lanczos kernels
+    * run their full window instead of the NoData fallback. */
+  private def denseTiled(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(expr("l_orderkey % 10")).orderBy(
+      "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")
+    t(s, dir, "lineitem")
+      .withColumn("bucket", col("l_orderkey") % 10)
+      .withColumn("i", row_number().over(w) - 1)
+      .select(col("bucket"), expr("i div 32").as("tid"), expr("i % 32").as("j"),
+        col("l_quantity").as("q"))
+      .groupBy("bucket", "tid")
+      .agg(count(lit(1)).as("__n"),
+        rf_assemble_tile(expr("j % 8"), expr("j div 8"), col("q"), 8, 4).as("t"))
+      .where(col("__n") === 32)
+      .drop("__n")
+  }
+
+  /** The denseTiled chunking replayed in SQL: (bucket, tid, c, r, q). */
+  private val DIDX =
+    """WITH didx AS (
+      |  SELECT l_orderkey % 10 AS bucket, CAST(l_quantity AS DOUBLE) AS q,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY l_orderkey % 10
+      |               ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey,
+      |                        l_quantity, l_extendedprice) - 1 AS INTEGER) AS i
+      |  FROM lineitem),
+      |chunk AS (SELECT bucket, i // 32 AS tid, i % 32 AS j, q FROM didx),
+      |fullt AS (SELECT bucket, tid FROM chunk GROUP BY 1, 2 HAVING COUNT(*) = 32),
+      |dcell AS (SELECT c.bucket, c.tid, j % 8 AS c, j // 8 AS r, q
+      |          FROM chunk c JOIN fullt USING (bucket, tid))""".stripMargin
+
   /** Explode a tile expression to (l_orderkey, i, cell), data cells only. */
   private def cells(s: SparkSession, dir: String, tile: Column): DataFrame =
     tiled(s, dir)
@@ -1549,6 +1582,77 @@ object SparkEntry {
           col("rt").as("cell"))
         .where(col("cell").isNotNull)
         .orderBy("l_orderkey", "i2")),
+    // downsample-by-average (the overview/pyramid path) on the
+    // NoData-rich per-orderkey tiles: each 2x2 source block averages
+    // its data cells exactly; empty blocks are NoData and drop out
+    "q_resample_avg" -> ((s, dir) =>
+      tiled(s, dir)
+        .select(col("l_orderkey"), rf_resample(col("t_qty"), lit(0.5), "average").as("rt"))
+        .select(col("l_orderkey"), rf_explode_tiles(col("rt")))
+        .select(col("l_orderkey"),
+          (col("row_index") * 4 + col("column_index")).cast("int").as("i2"),
+          col("rt").as("cell"))
+        .where(col("cell").isNotNull)
+        .orderBy("l_orderkey", "i2")),
+    // the full aggregate-resample family over the same 2x2 blocks:
+    // min/max/sum plus the deterministic order statistics (LOWER
+    // median = ceil(n/2)-th smallest; mode ties break to the smallest
+    // value) — all exact integers in double, hash-stable on any engine
+    "q_resample_aggs" -> ((s, dir) =>
+      tiled(s, dir)
+        .select(col("l_orderkey"),
+          rf_resample(col("t_qty"), lit(0.5), "min").as("r_min"),
+          rf_resample(col("t_qty"), lit(0.5), "max").as("r_max"),
+          rf_resample(col("t_qty"), lit(0.5), "sum").as("r_sum"),
+          rf_resample(col("t_qty"), lit(0.5), "median").as("r_med"),
+          rf_resample(col("t_qty"), lit(0.5), "mode").as("r_mode"))
+        .select(col("l_orderkey"), rf_explode_tiles(
+          col("r_min"), col("r_max"), col("r_sum"), col("r_med"), col("r_mode")))
+        .select(col("l_orderkey"),
+          (col("row_index") * 4 + col("column_index")).cast("int").as("i2"),
+          col("r_min"), col("r_max"), col("r_sum"), col("r_med"), col("r_mode"))
+        .where(col("r_min").isNotNull)
+        .orderBy("l_orderkey", "i2")),
+    // Keys cubic convolution (a = -0.5) on DENSE tiles at factor 0.5:
+    // every tap weight is an exact dyadic (9/16, -1/16), so the 16-term
+    // sum is exact in double in ANY accumulation order and the oracle
+    // replays it bit-for-bit with literal weights and clamped taps
+    "q_resample_cubic" -> ((s, dir) =>
+      denseTiled(s, dir)
+        .select(col("bucket"), col("tid"),
+          rf_resample(col("t"), lit(0.5), "cubic_convolution").as("rt"))
+        .select(col("bucket"), col("tid"), rf_explode_tiles(col("rt")))
+        .select(col("bucket"), col("tid"),
+          (col("row_index") * 4 + col("column_index")).cast("int").as("i2"),
+          col("rt").as("cell"))
+        .orderBy("bucket", "tid", "i2")),
+    // cubic B-spline: at half-phase the exact cell values live on the
+    // k/2304 grid, whose dyadic members hit DECIMAL rounding midpoints
+    // constantly (round-half anything diverges across engines there).
+    // Both sides therefore quantize to the DYADIC 2^-20 grid:
+    // floor(x*2^20 + 0.5)/2^20 — k/2304 values are mathematically
+    // never on a half-boundary of that grid (frac is a ninth or
+    // exactly representable), and the /2^20 is exact in double
+    "q_resample_spline" -> ((s, dir) =>
+      denseTiled(s, dir)
+        .select(col("bucket"), col("tid"),
+          rf_resample(col("t"), lit(0.5), "cubic_spline").as("rt"))
+        .select(col("bucket"), col("tid"), rf_explode_tiles(col("rt")))
+        .select(col("bucket"), col("tid"),
+          (col("row_index") * 4 + col("column_index")).cast("int").as("i2"),
+          (floor(col("rt") * 1048576.0 + 0.5) / 1048576.0).as("cell"))
+        .orderBy("bucket", "tid", "i2")),
+    // Lanczos-3 (6x6 windowed sinc): sin() differs by ulps across
+    // engines; same dyadic 2^-20 quantization as the spline
+    "q_resample_lanczos" -> ((s, dir) =>
+      denseTiled(s, dir)
+        .select(col("bucket"), col("tid"),
+          rf_resample(col("t"), lit(0.5), "lanczos").as("rt"))
+        .select(col("bucket"), col("tid"), rf_explode_tiles(col("rt")))
+        .select(col("bucket"), col("tid"),
+          (col("row_index") * 4 + col("column_index")).cast("int").as("i2"),
+          (floor(col("rt") * 1048576.0 + 0.5) / 1048576.0).as("cell"))
+        .orderBy("bucket", "tid", "i2")),
     // ---- focal / terrain ----
     "q_focal" -> ((s, dir) =>
       tiled(s, dir).select(col("l_orderkey"),
@@ -5261,6 +5365,89 @@ object SparkEntry {
         |CAST(((i // 8 - 1) // 2) * 4 + ((i % 8 - 1) // 2) AS INTEGER) AS i2, q AS cell
         |FROM idx WHERE (i % 8) % 2 = 1 AND (i // 8) % 2 = 1
         |ORDER BY l_orderkey, i2""".stripMargin),
+    // footprint average replayed per 2x2 block: SUM/COUNT of exact
+    // integer doubles — one division, identical on both engines; empty
+    // blocks simply have no rows
+    "q_resample_avg" -> (IDX +
+      """ SELECT l_orderkey,
+        |CAST((i // 8 // 2) * 4 + (i % 8 // 2) AS INTEGER) AS i2,
+        |SUM(q) / COUNT(q) AS cell
+        |FROM idx GROUP BY 1, 2 ORDER BY l_orderkey, i2""".stripMargin),
+    // min/max/sum are plain block aggregates; LOWER median = the
+    // ceil(n/2)-th smallest via row_number; mode = (count DESC, value
+    // ASC) rank 1 — the same deterministic tie-breaks as the kernel
+    "q_resample_aggs" -> (IDX +
+      """, blk AS (SELECT l_orderkey,
+        |    CAST((i // 8 // 2) * 4 + (i % 8 // 2) AS INTEGER) AS i2, q FROM idx),
+        |agg AS (SELECT l_orderkey, i2, MIN(q) AS r_min, MAX(q) AS r_max,
+        |    SUM(q) AS r_sum FROM blk GROUP BY 1, 2),
+        |md AS (SELECT l_orderkey, i2, q,
+        |    ROW_NUMBER() OVER (PARTITION BY l_orderkey, i2 ORDER BY q) AS rn,
+        |    COUNT(*) OVER (PARTITION BY l_orderkey, i2) AS n FROM blk),
+        |med AS (SELECT l_orderkey, i2, q AS r_med FROM md WHERE rn = (n + 1) // 2),
+        |vc AS (SELECT l_orderkey, i2, q, COUNT(*) AS cc FROM blk GROUP BY 1, 2, 3),
+        |mo AS (SELECT l_orderkey, i2, q AS r_mode,
+        |    ROW_NUMBER() OVER (PARTITION BY l_orderkey, i2 ORDER BY cc DESC, q) AS mr
+        |  FROM vc)
+        |SELECT l_orderkey, i2, r_min, r_max, r_sum, r_med, r_mode
+        |FROM agg JOIN med USING (l_orderkey, i2) JOIN mo USING (l_orderkey, i2)
+        |WHERE mr = 1 ORDER BY l_orderkey, i2""".stripMargin),
+    // Keys a=-0.5 at fx=fy=0.5: literal dyadic tap weights (9/16,
+    // -1/16), taps clamp to the tile edge keeping their weight, the
+    // 16-term sum is exact in double in any order (all terms are
+    // multiples of 1/256), and the weight sum is exactly 1 so no
+    // normalization division appears on either side
+    "q_resample_cubic" -> (DIDX +
+      """, taps(m, w) AS (VALUES (-1, -0.0625), (0, 0.5625), (1, 0.5625), (2, -0.0625)),
+        |dst AS (SELECT bucket, tid, a.dc, b.dr
+        |  FROM fullt, range(0, 4) a(dc), range(0, 2) b(dr)),
+        |terms AS (SELECT d.bucket, d.tid, d.dc, d.dr, ty.w * tx.w * s.q AS term
+        |  FROM dst d CROSS JOIN taps tx CROSS JOIN taps ty
+        |  JOIN dcell s ON s.bucket = d.bucket AND s.tid = d.tid
+        |   AND s.c = LEAST(7, GREATEST(0, 2 * d.dc + tx.m))
+        |   AND s.r = LEAST(3, GREATEST(0, 2 * d.dr + ty.m)))
+        |SELECT bucket, CAST(tid AS BIGINT) AS tid,
+        |  CAST(dr * 4 + dc AS INTEGER) AS i2, SUM(term) AS cell
+        |FROM terms GROUP BY 1, 2, 3 ORDER BY bucket, tid, i2""".stripMargin),
+    // B-spline weights are sixths (one inexact division each, same
+    // literal expression both engines); dyadic 2^-20 quantization on
+    // both sides absorbs accumulation-order ulps without the decimal
+    // midpoint trap (see the query comment)
+    "q_resample_spline" -> (DIDX +
+      """, taps(m, w) AS (VALUES (-1, 0.125/6), (0, 2.875/6), (1, 2.875/6), (2, 0.125/6)),
+        |dst AS (SELECT bucket, tid, a.dc, b.dr
+        |  FROM fullt, range(0, 4) a(dc), range(0, 2) b(dr)),
+        |terms AS (SELECT d.bucket, d.tid, d.dc, d.dr,
+        |    ty.w * tx.w * s.q AS term, ty.w * tx.w AS w2
+        |  FROM dst d CROSS JOIN taps tx CROSS JOIN taps ty
+        |  JOIN dcell s ON s.bucket = d.bucket AND s.tid = d.tid
+        |   AND s.c = LEAST(7, GREATEST(0, 2 * d.dc + tx.m))
+        |   AND s.r = LEAST(3, GREATEST(0, 2 * d.dr + ty.m)))
+        |SELECT bucket, CAST(tid AS BIGINT) AS tid,
+        |  CAST(dr * 4 + dc AS INTEGER) AS i2,
+        |  FLOOR(SUM(term) / SUM(w2) * 1048576 + 0.5) / 1048576 AS cell
+        |FROM terms GROUP BY 1, 2, 3 ORDER BY bucket, tid, i2""".stripMargin),
+    // Lanczos-3: 6 taps per axis at distances {0.5,1.5,2.5}, weights
+    // sinc(d)*sinc(d/3) written as the same float expression; sin()
+    // ulp differences across engines are absorbed by the dyadic
+    // 2^-20 quantization
+    "q_resample_lanczos" -> (DIDX +
+      """, taps AS (SELECT m,
+        |    (sin(pi() * d) / (pi() * d)) * (sin(pi() * d / 3) / (pi() * d / 3)) AS w
+        |  FROM (SELECT m, ABS(0.5 - m) AS d
+        |        FROM (VALUES (-2), (-1), (0), (1), (2), (3)) t(m))),
+        |dst AS (SELECT bucket, tid, a.dc, b.dr
+        |  FROM fullt, range(0, 4) a(dc), range(0, 2) b(dr)),
+        |terms AS (SELECT d.bucket, d.tid, d.dc, d.dr,
+        |    ty.w * tx.w * s.q AS term, ty.w * tx.w AS w2
+        |  FROM dst d CROSS JOIN taps tx CROSS JOIN taps ty
+        |  JOIN dcell s ON s.bucket = d.bucket AND s.tid = d.tid
+        |   AND s.c = LEAST(7, GREATEST(0, 2 * d.dc + tx.m))
+        |   AND s.r = LEAST(3, GREATEST(0, 2 * d.dr + ty.m)))
+        |SELECT bucket, CAST(tid AS BIGINT) AS tid,
+        |  CAST(dr * 4 + dc AS INTEGER) AS i2,
+        |  FLOOR(SUM(term) / SUM(w2) * 1048576 + 0.5) / 1048576 AS cell
+        |FROM terms GROUP BY 1, 2, 3 ORDER BY bucket, tid, i2""".stripMargin),
     "q_focal" -> (IDX +
       """, cells AS (SELECT l_orderkey, i, q, i % 8 AS c, i // 8 AS r FROM idx)
         |SELECT a.l_orderkey AS l_orderkey, a.i AS i,
