@@ -10,7 +10,11 @@ import org.apache.spark.sql.functions._
  * onto the LHS grid. Same recipe as the reference
  * (/root/reference/core/src/main/scala/org/locationtech/rasterframes/extensions/RasterJoin.scala:68-133):
  * monotonically_increasing_id → BNLJ on ST_Intersects → groupBy(id)
- * with first()/collect_list → merge expression.
+ * with first()/collect_list → merge expression. `method` is the
+ * reference's resampleMethod parameter (RasterJoin.scala:68): the
+ * point-interpolation kernel the merge samples RHS tiles with
+ * (nearest [default], bilinear, cubic_convolution, cubic_spline,
+ * lanczos).
  *
  * Scale note: Spark plans the theta join as BroadcastNestedLoopJoin
  * (right side broadcast). For catalogs too large to broadcast, pre-bucket
@@ -29,7 +33,8 @@ object RasterJoin {
   def apply(left: DataFrame, right: DataFrame,
       leftExtent: Column, leftCrs: Column, leftTile: Column,
       rightExtent: Column, rightCrs: Column, rightTile: Column,
-      mergedName: String = "right_tile"): DataFrame = {
+      mergedName: String = "right_tile",
+      method: String = "nearest"): DataFrame = {
     val id = "__rj_id"
     val l = left.withColumn(id, monotonically_increasing_id())
     val lGeom = asColumn(ExtentToGeometry(asExpr(leftExtent)))
@@ -53,7 +58,8 @@ object RasterJoin {
       asExpr(col("__rj_tiles")), asExpr(col("__rj_extents")), asExpr(col("__rj_crss")),
       asExpr(asColumn(GetExtent(asExpr(col(leftExtent.toString()))))),
       asExpr(col(leftCrs.toString())),
-      asExpr(dims.getField("cols")), asExpr(dims.getField("rows")))))
+      asExpr(dims.getField("cols")), asExpr(dims.getField("rows")),
+      asExpr(lit(method)))))
 
     grouped
       .withColumn(mergedName, merged)
@@ -73,7 +79,8 @@ object RasterJoin {
       leftExtent: Column, leftCrs: Column, leftTile: Column,
       rightExtent: Column, rightCrs: Column, rightTile: Column,
       cellSize: Double, mergedName: String = "right_tile",
-      leftId: Option[Column] = None): DataFrame = {
+      leftId: Option[Column] = None,
+      method: String = "nearest"): DataFrame = {
     val id = "__rj_id"
     // The LHS plan is evaluated twice (candidates + final left-outer), so
     // the row id must be STABLE across evaluations. A caller-supplied
@@ -127,7 +134,8 @@ object RasterJoin {
       asExpr(col("__rj_tiles")), asExpr(col("__rj_extents")), asExpr(col("__rj_crss")),
       asExpr(asColumn(GetExtent(asExpr(col(leftExtent.toString()))))),
       asExpr(col(leftCrs.toString())),
-      asExpr(dims.getField("cols")), asExpr(dims.getField("rows")))))
+      asExpr(dims.getField("cols")), asExpr(dims.getField("rows")),
+      asExpr(lit(method)))))
     val matched = grouped.withColumn(mergedName, merged)
       .drop("__rj_tiles", "__rj_extents", "__rj_crss")
       .drop(leftCols: _*)

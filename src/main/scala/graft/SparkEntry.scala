@@ -2091,6 +2091,33 @@ object SparkEntry {
         .select(col("l_orderkey"), rf_tile_sum(col("right_tile")).as("s"))
         .orderBy("l_orderkey")
     }),
+    // resampleMethod threaded through the raster join (ref
+    // RasterJoin.scala:68): the RHS carries half-resolution average
+    // overviews of the same footprints, so the 8x4 merge genuinely
+    // bilinear-interpolates the 4x2 source (fx/fy are exact quarters,
+    // never near a floor boundary); per-cell compare on the dyadic
+    // 2^-20 grid absorbs sum-order ulps in the renormalized division
+    "q_raster_join_bilinear" -> ((s, dir) => {
+      val base = tiled(s, dir).where(col("l_orderkey") % 200 === 0)
+        .select(col("l_orderkey"), col("t_qty").as("tile"),
+          struct((col("l_orderkey") % 1000 * 2).cast("double").as("xmin"),
+            expr("(l_orderkey div 1000) * 2").cast("double").as("ymin"),
+            (col("l_orderkey") % 1000 * 2 + 1).cast("double").as("xmax"),
+            expr("(l_orderkey div 1000) * 2 + 1").cast("double").as("ymax")).as("extent"),
+          lit("epsg:4326").as("crs"))
+      val right = base.select(
+        rf_resample(col("tile"), lit(0.5), "average").as("r_tile"),
+        col("extent").as("r_extent"), col("crs").as("r_crs"))
+      RasterJoin(base, right,
+        col("extent"), col("crs"), col("tile"),
+        col("r_extent"), col("r_crs"), col("r_tile"), method = "bilinear")
+        .select(col("l_orderkey"), rf_explode_tiles(col("right_tile")))
+        .select(col("l_orderkey"),
+          (col("row_index") * 8 + col("column_index")).cast("int").as("i2"),
+          (floor(col("right_tile") * 1048576.0 + 0.5) / 1048576.0).as("cell"))
+        .where(col("cell").isNotNull)
+        .orderBy("l_orderkey", "i2")
+    }),
     // ---- events (temporal keys) ----
     "q_sessions" -> ((s, dir) => {
       // session_window sessionization of the event stream shape, batch
@@ -5777,6 +5804,36 @@ object SparkEntry {
     "q_raster_join_bucketed" ->
       """SELECT l_orderkey, SUM(l_quantity) AS s FROM lineitem
         |WHERE l_orderkey % 200 = 0 GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    // the bilinear merge replayed per cell: exact average 4x2 overview,
+    // fractional source coords (c+0.5)/2 - 0.5 (exact quarters), taps
+    // clamp at the tile edge keeping weights, positive-weight data taps
+    // renormalize SUM(w*v)/SUM(w) exactly as Resample.bilinearAt, and
+    // both sides quantize to the dyadic 2^-20 grid
+    "q_raster_join_bilinear" -> (IDX +
+      """, av AS (SELECT l_orderkey, (i % 8) // 2 AS sc, (i // 8) // 2 AS sr,
+        |    SUM(q) / COUNT(q) AS v
+        |  FROM idx WHERE l_orderkey % 200 = 0 GROUP BY 1, 2, 3),
+        |ords AS (SELECT DISTINCT l_orderkey FROM av),
+        |g2 AS (SELECT l_orderkey, a.c, b.r,
+        |    CAST(GREATEST(0, LEAST(3, FLOOR((a.c + 0.5) / 2 - 0.5))) AS INTEGER) AS c0,
+        |    CAST(GREATEST(0, LEAST(1, FLOOR((b.r + 0.5) / 2 - 0.5))) AS INTEGER) AS r0
+        |  FROM ords, range(0, 8) a(c), range(0, 4) b(r)),
+        |g3 AS (SELECT l_orderkey, c, r, c0, LEAST(3, c0 + 1) AS c1,
+        |    (c + 0.5) / 2 - 0.5 - c0 AS fx,
+        |    r0, LEAST(1, r0 + 1) AS r1,
+        |    (r + 0.5) / 2 - 0.5 - r0 AS fy FROM g2),
+        |taps AS (
+        |  SELECT l_orderkey, c, r, c0 AS tc, r0 AS tr, (1 - fx) * (1 - fy) AS w FROM g3
+        |  UNION ALL SELECT l_orderkey, c, r, c1, r0, fx * (1 - fy) FROM g3
+        |  UNION ALL SELECT l_orderkey, c, r, c0, r1, (1 - fx) * fy FROM g3
+        |  UNION ALL SELECT l_orderkey, c, r, c1, r1, fx * fy FROM g3),
+        |smp AS (SELECT t.l_orderkey, t.c, t.r, SUM(t.w * av.v) / SUM(t.w) AS cell
+        |  FROM taps t JOIN av ON av.l_orderkey = t.l_orderkey
+        |    AND av.sc = t.tc AND av.sr = t.tr
+        |  WHERE t.w > 0 GROUP BY 1, 2, 3)
+        |SELECT l_orderkey, CAST(r * 8 + c AS INTEGER) AS i2,
+        |  FLOOR(cell * 1048576 + 0.5) / 1048576 AS cell
+        |FROM smp ORDER BY l_orderkey, i2""".stripMargin),
     "q_events_daily" ->
       """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |MIN(value) AS min_value, MAX(value) AS max_value,

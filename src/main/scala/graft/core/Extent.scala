@@ -59,6 +59,11 @@ final case class RasterExtent(extent: Extent, cols: Int, rows: Int) {
   def rowToY(row: Int): Double = extent.ymax - (row + 0.5) * cellHeight
   def xToCol(x: Double): Int = math.floor((x - extent.xmin) / cellWidth).toInt
   def yToRow(y: Double): Int = math.floor((extent.ymax - y) / cellHeight).toInt
+  /** Continuous column coordinate of x — cell CENTERS sit at integers
+    * (col 0's center is 0.0), the convention the interpolating
+    * resample kernels sample in. */
+  def xToColFrac(x: Double): Double = (x - extent.xmin) / cellWidth - 0.5
+  def yToRowFrac(y: Double): Double = (extent.ymax - y) / cellHeight - 0.5
   /** Grid bounds (clamped) covering a sub-extent. */
   def gridBoundsFor(sub: Extent): GridBounds = {
     val cMin = math.max(0, xToCol(sub.xmin + cellWidth / 100))

@@ -48,11 +48,12 @@ object Resample {
     out
   }
 
-  /** Bilinear sample at continuous (x, y): weighted mean over the 2×2
-    * data neighbors, weights renormalized when some are NoData; NaN if
-    * all four are NoData. Shared by bilinear() and the cubic/lanczos
-    * NoData fallback. */
-  private def bilinearAt(t: Tile, x: Double, y: Double): Double = {
+  /** Bilinear sample at continuous (x, y) in cell-center coordinates:
+    * weighted mean over the 2×2 data neighbors, weights renormalized
+    * when some are NoData; NaN if all four are NoData. Shared by
+    * bilinear(), the cubic/lanczos NoData fallback, and the
+    * rasterJoin merge's resampleMethod path. */
+  def bilinearAt(t: Tile, x: Double, y: Double): Double = {
     val r0 = math.max(0, math.min(t.rows - 1, math.floor(y).toInt))
     val r1 = math.min(t.rows - 1, r0 + 1)
     val fy = y - r0
@@ -121,6 +122,56 @@ object Resample {
    * 2×2 fallback degrades gracefully (GeoTrellis resamplers make the
    * same choice). Output is always float64.
    */
+  /** One kernel sample at continuous (x, y): flat Σ w_r·w_c·v over the
+    * (2·radius)² window normalized by Σ w; falls back to [[bilinearAt]]
+    * if the window has any NoData cell (see [[interpolate]]). */
+  private def kernelAt(t: Tile, x: Double, y: Double,
+      kernel: Double => Double, radius: Int): Double = {
+    val r0 = math.floor(y).toInt
+    val fy = y - r0
+    val c0 = math.floor(x).toInt
+    val fx = x - c0
+    var vsum = 0.0; var wsum = 0.0; var hole = false
+    var i = -radius + 1
+    while (i <= radius && !hole) {
+      val wy = kernel(math.abs(fy - i))
+      val sr = math.max(0, math.min(t.rows - 1, r0 + i))
+      var j = -radius + 1
+      while (j <= radius && !hole) {
+        val wx = kernel(math.abs(fx - j))
+        val sc = math.max(0, math.min(t.cols - 1, c0 + j))
+        val v = t.getDouble(sr * t.cols + sc)
+        if (NoData.isNoData(v)) hole = true
+        else { val w = wy * wx; vsum += w * v; wsum += w }
+        j += 1
+      }
+      i += 1
+    }
+    if (hole) bilinearAt(t, x, y)
+    else if (wsum == 0) Double.NaN
+    else vsum / wsum
+  }
+
+  /** Point-sample `t` at continuous cell-center coordinates (x, y)
+    * with any of the five point-interpolation methods — the sampling
+    * primitive the rasterJoin merge threads its resampleMethod through
+    * (aggregate methods have no point-sample meaning and are
+    * rejected). */
+  def sampleAt(t: Tile, x: Double, y: Double, method: String): Double =
+    method.toLowerCase.trim.replaceAll("_", "") match {
+      case "nearest" | "nearestneighbor" =>
+        val sc = math.max(0, math.min(t.cols - 1, math.round(x).toInt))
+        val sr = math.max(0, math.min(t.rows - 1, math.round(y).toInt))
+        t.getDouble(sr * t.cols + sc)
+      case "bilinear" => bilinearAt(t, x, y)
+      case "cubicconvolution" => kernelAt(t, x, y, keysKernel, 2)
+      case "cubicspline" => kernelAt(t, x, y, bsplineKernel, 2)
+      case "lanczos" | "lanzos" => kernelAt(t, x, y, lanczosKernel, 3)
+      case m => throw new IllegalArgumentException(
+        s"Unsupported point-sample method: $m (nearest, bilinear, " +
+          "cubic_convolution, cubic_spline, lanczos)")
+    }
+
   private def interpolate(t: Tile, dstCols: Int, dstRows: Int,
       kernel: Double => Double, radius: Int): Tile = {
     val out = Tile.empty(CellType.float64, dstCols, dstRows)
@@ -129,33 +180,10 @@ object Resample {
     var r = 0
     while (r < dstRows) {
       val y = (r + 0.5) * sy - 0.5
-      val r0 = math.floor(y).toInt
-      val fy = y - r0
       var c = 0
       while (c < dstCols) {
-        val x = (c + 0.5) * sx - 0.5
-        val c0 = math.floor(x).toInt
-        val fx = x - c0
-        var vsum = 0.0; var wsum = 0.0; var hole = false
-        var i = -radius + 1
-        while (i <= radius && !hole) {
-          val wy = kernel(math.abs(fy - i))
-          val sr = math.max(0, math.min(t.rows - 1, r0 + i))
-          var j = -radius + 1
-          while (j <= radius && !hole) {
-            val wx = kernel(math.abs(fx - j))
-            val sc = math.max(0, math.min(t.cols - 1, c0 + j))
-            val v = t.getDouble(sr * t.cols + sc)
-            if (NoData.isNoData(v)) hole = true
-            else { val w = wy * wx; vsum += w * v; wsum += w }
-            j += 1
-          }
-          i += 1
-        }
         out.setDouble(r * dstCols + c,
-          if (hole) bilinearAt(t, x, y)
-          else if (wsum == 0) Double.NaN
-          else vsum / wsum)
+          kernelAt(t, (c + 0.5) * sx - 0.5, y, kernel, radius))
         c += 1
       }
       r += 1

@@ -133,21 +133,32 @@ case class GetGeometry(child: Expression) extends UnaryExpression with CodegenFa
 
 /**
  * Mosaic a list of source tiles (+extents +CRSs) onto a destination
- * grid: nearest-neighbor resampling through the CRS transform; first
- * data value wins per destination cell. This is the merge step of
+ * grid: per-cell resampling through the CRS transform; first data
+ * value wins per destination cell. This is the merge step of
  * rasterJoin (reference: `reproject_and_merge`,
  * functions/package.scala:102-137) as a native expression over the
- * collect_list arrays.
+ * collect_list arrays. The optional 8th argument is the
+ * resampleMethod the reference threads through RasterJoin
+ * (extensions/RasterJoin.scala:68) — any point-interpolation kernel
+ * (nearest [default], bilinear, cubic_convolution, cubic_spline,
+ * lanczos); a source contributes only where its footprint contains
+ * the destination cell center, and interpolation windows clamp at the
+ * source tile edge.
  */
 case class ReprojectAndMerge(children: Seq[Expression]) extends Expression with CodegenFallback {
   override def prettyName: String = "rf_reproject_and_merge"
-  require(children.size == 7,
-    "reproject_and_merge(tiles, extents, crss, destExtent, destCrs, cols, rows)")
+  require(children.size == 7 || children.size == 8,
+    "reproject_and_merge(tiles, extents, crss, destExtent, destCrs, cols, rows[, method])")
   override def dataType: DataType = TileUDT.instance
   override def nullable: Boolean = true
 
   override def eval(input: InternalRow): Any = {
     val vs = children.map(_.eval(input))
+    val method = if (vs.size == 8 && vs(7) != null) vs(7).toString else "nearest"
+    val isNearest = method.toLowerCase.trim.replaceAll("_", "") match {
+      case "nearest" | "nearestneighbor" => true
+      case _ => false
+    }
     if (vs(3) == null || vs(4) == null) return null
     val tiles = vs(0).asInstanceOf[ArrayData]
     val extents = vs(1).asInstanceOf[ArrayData]
@@ -178,9 +189,15 @@ case class ReprojectAndMerge(children: Seq[Expression]) extends Expression with 
               val dx = destRE.colToX(c); val dy = destRE.rowToY(r)
               val (sx, sy) = if (same) (dx, dy) else CRS.transform(dx, dy, destCrs, srcCrs)
               if (srcExtent.contains(sx, sy)) {
-                val sc = srcRE.xToCol(sx); val sr = srcRE.yToRow(sy)
-                if (sc >= 0 && sc < t.cols && sr >= 0 && sr < t.rows) {
-                  val v = t.getDouble(sr * t.cols + sc)
+                if (isNearest) {
+                  val sc = srcRE.xToCol(sx); val sr = srcRE.yToRow(sy)
+                  if (sc >= 0 && sc < t.cols && sr >= 0 && sr < t.rows) {
+                    val v = t.getDouble(sr * t.cols + sc)
+                    if (NoData.isData(v)) out.setDouble(i, v)
+                  }
+                } else {
+                  val v = Resample.sampleAt(t,
+                    srcRE.xToColFrac(sx), srcRE.yToRowFrac(sy), method)
                   if (NoData.isData(v)) out.setDouble(i, v)
                 }
               }

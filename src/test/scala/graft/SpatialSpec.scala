@@ -127,6 +127,46 @@ class SpatialSpec extends AnyFunSuite {
     assert(plain.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
       bucketedR.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
   }
+
+  test("raster join resampleMethod: bilinear on an aligned grid is identity, " +
+      "twins stay row-identical, half-res RHS interpolates") {
+    val base = Seq((0L, Seq(1.0, 2.0, 3.0, 4.0)), (1L, Seq(10.0, 20.0, 30.0, 40.0)))
+      .toDF("k", "vals")
+      .select($"k", rf_array_to_tile($"vals", 2, 2).as("tile"),
+        struct(($"k" * 2).cast("double").as("xmin"), lit(0.0).as("ymin"),
+          ($"k" * 2 + 1).cast("double").as("xmax"), lit(1.0).as("ymax")).as("extent"),
+        lit("epsg:4326").as("crs"))
+    val rhs = base.select($"tile".as("r_tile"), $"extent".as("r_extent"), $"crs".as("r_crs"))
+    // aligned same-resolution grids: every dest center hits a source
+    // center, so bilinear weights collapse to (1,0,0,0) = nearest
+    def cellsOf(df: org.apache.spark.sql.DataFrame) = df
+      .select($"k", rf_explode_tiles($"right_tile"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3))).sortBy(t => (t._1, t._3, t._2))
+    val nearestR = RasterJoin(base, rhs, col("extent"), col("crs"), col("tile"),
+      col("r_extent"), col("r_crs"), col("r_tile"))
+    val bilinearR = RasterJoin(base, rhs, col("extent"), col("crs"), col("tile"),
+      col("r_extent"), col("r_crs"), col("r_tile"), method = "bilinear")
+    assert(cellsOf(nearestR).sameElements(cellsOf(bilinearR)))
+    // bucketed twin is row-identical under a non-default method too
+    val bucketedBil = RasterJoin.bucketed(base, rhs, col("extent"), col("crs"), col("tile"),
+      col("r_extent"), col("r_crs"), col("r_tile"), cellSize = 0.7, method = "bilinear")
+    assert(cellsOf(bilinearR).sameElements(cellsOf(bucketedBil)))
+    // a 1x1 RHS (average overview) merged onto the 2x2 grid: every dest
+    // cell bilinear-samples the single source cell -> the block average
+    val rhs1 = base.select(rf_resample($"tile", lit(0.5), "average").as("r_tile"),
+      $"extent".as("r_extent"), $"crs".as("r_crs"))
+    val merged = RasterJoin(base, rhs1, col("extent"), col("crs"), col("tile"),
+      col("r_extent"), col("r_crs"), col("r_tile"), method = "bilinear")
+    val cells = cellsOf(merged)
+    assert(cells.filter(_._1 == 0L).forall(_._4 == 2.5))
+    assert(cells.filter(_._1 == 1L).forall(_._4 == 25.0))
+    // aggregate methods have no point-sample meaning in the merge
+    intercept[org.apache.spark.SparkException] {
+      RasterJoin(base, rhs, col("extent"), col("crs"), col("tile"),
+        col("r_extent"), col("r_crs"), col("r_tile"), method = "average")
+        .select(rf_tile_sum($"right_tile")).collect()
+    }
+  }
 }
 
 /** Edge cases of the round-8 spark-jts long-tail additions that the
