@@ -485,13 +485,18 @@ def rf_tile_context(proj_raster):
     return _fn("rf_tile_context", proj_raster)
 
 
-def rf_reproject_and_merge(tiles, extents, crss, dst_extent, dst_crs, cols, rows):
-    """Reproject and mosaic tile arrays onto a destination grid."""
-    return _fn("rf_reproject_and_merge", tiles, extents, crss, dst_extent, dst_crs, cols, rows)
+def rf_reproject_and_merge(tiles, extents, crss, dst_extent, dst_crs, cols,
+                           rows, method="nearest"):
+    """Reproject and mosaic tile arrays onto a destination grid with the
+    given point-interpolation resample method."""
+    return _fn("rf_reproject_and_merge", tiles, extents, crss, dst_extent,
+               dst_crs, cols, rows, method)
 
 
 def rf_resample(tile, factor_or_tile, method="bilinear"):
-    """Resample by factor or to a target tile's grid."""
+    """Resample by factor or to a target tile's grid. Methods: nearest,
+    bilinear, cubic_convolution, cubic_spline, lanczos, and the
+    aggregate family average/mode/median/max/min/sum."""
     return _fn("rf_resample", tile, factor_or_tile, method)
 
 

@@ -1530,3 +1530,145 @@ def jaccard_prefix_pairs(df, id_col, text_col, threshold_permille, shingle=3,
                         >= tp * (F.col("a_sz") + F.col("b_sz") - F.col("inter")))
             .withColumn("jaccard_permille",
                         F.expr("inter * 1000 div (a_sz + b_sz - inter)")))
+
+
+def window_cooccur(df, text_col, window=5, min_count=5):
+    """Symmetric window co-occurrence counts — Python mirror of the
+    Scala ``Stats.windowCooccur``: per-row HOF pair generation (explode
+    distances 1..window, zip each token with its d-successor, strict
+    windows), canonical least/greatest pair order, ONE map-side-
+    combinable groupBy count, ``min_count`` tail prune.
+    """
+    if window < 1 or min_count < 1:
+        raise ValueError("window and min_count must be >= 1")
+    return (df.select(F.split(F.col(text_col), " ").alias("ws"),
+                      F.explode(F.sequence(F.lit(1), F.lit(window))).alias("d"))
+            .where(F.size("ws") > F.col("d"))
+            .select(F.explode(F.expr(
+                "transform(sequence(1, size(ws) - d), "
+                "i -> struct(ws[i-1] as x, ws[i+d-1] as y))")).alias("p"))
+            .where((F.col("p.x") != "") & (F.col("p.y") != ""))
+            .select(F.least("p.x", "p.y").alias("a"),
+                    F.greatest("p.x", "p.y").alias("b"))
+            .groupBy("a", "b").agg(F.count(F.lit(1)).alias("cnt"))
+            .where(F.col("cnt") >= min_count))
+
+
+def cohen_kappa(df, a_col, b_col):
+    """Cohen's kappa — Python mirror of the Scala ``Stats.cohenKappa``:
+    one (a, b) pair-count groupBy, marginal products, the integer-
+    cleared (n*agree - pe_num)/(n^2 - pe_num) in sign-handled
+    truncating permille; the clearing runs in DECIMAL(38,0) so n*agree
+    and n^2 cannot wrap past ~3e9 rows.
+    """
+    pairs = (df.groupBy(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+             .agg(F.count(F.lit(1)).alias("c")))
+    a_marg = pairs.groupBy("a").agg(F.sum("c").alias("ca"))
+    b_marg = pairs.groupBy("b").agg(F.sum("c").alias("cb"))
+    tot = pairs.agg(
+        F.sum("c").alias("n"),
+        F.coalesce(F.sum(F.when(F.col("a") == F.col("b"), F.col("c"))),
+                   F.lit(0)).alias("agree"))
+    pe = (a_marg.join(b_marg, F.col("a") == F.col("b"))
+          .agg(F.coalesce(F.sum(F.col("ca") * F.col("cb")),
+                          F.lit(0)).alias("pe_num")))
+    return (F.broadcast(tot).crossJoin(F.broadcast(pe))
+            .withColumn("__n", F.col("n").cast("decimal(38,0)"))
+            .withColumn("__agree", F.col("agree").cast("decimal(38,0)"))
+            .withColumn("__pe", F.col("pe_num").cast("decimal(38,0)"))
+            .withColumn("kappa_num",
+                        (F.col("__n") * F.col("__agree") - F.col("__pe"))
+                        .cast("long"))
+            .withColumn("kappa_den",
+                        (F.col("__n") * F.col("__n") - F.col("__pe"))
+                        .cast("long"))
+            .withColumn("kappa_permille", F.expr(
+                "cast(case when __n * __n - __pe = 0 then null "
+                "when __n * __agree - __pe >= 0 "
+                "then (__n * __agree - __pe) * 1000 div (__n * __n - __pe) "
+                "else -((__pe - __n * __agree) * 1000 div (__n * __n - __pe)) "
+                "end as long)"))
+            .drop("__n", "__agree", "__pe"))
+
+
+def shard_balance(df, id_col, weight_col, shards=256):
+    """Hash-shard balance audit — Python mirror of the Scala
+    ``Layout.shardBalance``: shard = pl_mix64(id) & (shards-1) (shards
+    must be a power of two), per-shard row count and weight sum, signed
+    permille deviation from the even split off a broadcast one-row
+    total. Requires an integral id column so a bad id fails loudly
+    instead of pooling into a NULL shard.
+    """
+    if shards < 2 or (shards & (shards - 1)) != 0:
+        raise ValueError(f"shards must be a power of two >= 2, got {shards}")
+    id_type = df.schema[id_col].dataType.typeName()
+    if id_type not in ("byte", "short", "integer", "long", "date",
+                       "timestamp") and not id_type.startswith("decimal"):
+        raise ValueError(
+            f"shard_balance needs an integral id column; '{id_col}' is "
+            f"{id_type} (hash raw bytes or pre-parse instead)")
+    per_shard = (df.select(
+        (F.expr(f"pl_mix64(CAST({id_col} AS LONG))")
+         .bitwiseAND(F.lit(shards - 1))).alias("shard"),
+        F.col(weight_col).cast("long").alias("__w"))
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("__w").alias("w_sum")))
+    tot = per_shard.agg(F.sum("w_sum").alias("__tot"))
+    return (per_shard.crossJoin(F.broadcast(tot))
+            .withColumn("dev_permille",
+                        F.expr(f"w_sum * {shards}L * 1000 div __tot - 1000"))
+            .drop("__tot"))
+
+
+def containment_prefix_pairs(df, id_col, text_col, threshold_permille,
+                             shingle=3, hot_cap=1024):
+    """Set-containment threshold join — Python mirror of the Scala
+    ``Dedup.containmentPrefixPairs``: a's rare-first prefix probes b's
+    FULL rare-ranked shingle list (index-probe shape), one-sided size
+    filter, per-match position filter, ``hot_cap`` anti-join on
+    document frequency, exact intersection verify; ordered pairs with
+    integer ``containment_permille = inter*1000 div a_sz``.
+    """
+    tp = int(threshold_permille)
+    if not 1 <= tp <= 1000:
+        raise ValueError(f"threshold_permille must be in [1,1000], got {tp}")
+    ws = F.col("__t")
+    grams = F.array_distinct(F.transform(
+        F.sequence(F.lit(0), F.size(ws) - shingle),
+        lambda i: F.concat_ws(" ", F.slice(ws, i + 1, shingle))))
+    toks = (df.select(F.col(id_col).alias("id"),
+                      F.split(F.col(text_col), " ").alias("__t"))
+            .where(F.size("__t") >= shingle)
+            .select(F.col("id"), F.explode(grams).alias("tok"))
+            .where(F.col("tok") != ""))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy("id").orderBy("__df", "tok")
+    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    ranked = (toks.join(freq, "tok")
+              .withColumn("__rn", F.row_number().over(w)).join(sizes, "id"))
+    need = F.expr(f"(sz * {tp} + 999) div 1000")
+    pref = (ranked.where(F.col("__rn") <= F.col("sz") - need + 1)
+            .select("id", "sz", "tok", "__rn"))
+    hot = freq.where(F.col("__df") > hot_cap).select("tok")
+    probe = pref.join(F.broadcast(hot), ["tok"], "left_anti")
+    index = (ranked.select("id", "sz", "tok", "__rn")
+             .join(F.broadcast(hot), ["tok"], "left_anti"))
+    cand = (probe.select(F.col("id").alias("a_id"), F.col("sz").alias("a_sz"),
+                         F.col("__rn").alias("a_rn"), "tok")
+            .join(index.select(F.col("id").alias("b_id"),
+                               F.col("sz").alias("b_sz"),
+                               F.col("__rn").alias("b_rn"), "tok"), "tok")
+            .where((F.col("a_id") != F.col("b_id"))
+                   & (F.col("b_sz") * 1000 >= F.col("a_sz") * tp)
+                   & ((F.lit(1) + F.least(F.col("a_sz") - F.col("a_rn"),
+                                          F.col("b_sz") - F.col("b_rn")))
+                      * 1000 >= tp * F.col("a_sz")))
+            .select("a_id", "b_id", "a_sz", "b_sz").distinct())
+    return (cand.join(toks.select(F.col("id").alias("a_id"), "tok"), "a_id")
+            .join(toks.select(F.col("id").alias("b_id"), "tok"),
+                  ["b_id", "tok"])
+            .groupBy("a_id", "b_id", "a_sz", "b_sz")
+            .agg(F.count(F.lit(1)).alias("inter"))
+            .where(F.col("inter") * 1000 >= tp * F.col("a_sz"))
+            .withColumn("containment_permille",
+                        F.expr("inter * 1000 div a_sz")))

@@ -563,3 +563,26 @@ def m4_downsample(df, keys, ts_col, value_col, bucket_width):
                          F.col("__f.v").alias("v_first"),
                          F.col("__l.t").alias("ts_last"),
                          F.col("__l.v").alias("v_last")])))
+
+
+def debounce(df, keys, ts_col, id_col, min_gap):
+    """Debounce / tolerance dedup — Python mirror of the Scala
+    ``Temporal.debounce``: LAG-based suppression of events within
+    ``min_gap`` of the PREVIOUS event on the same key, (ts, id) total
+    order for deterministic ties; adds ``prev_gap`` and ``is_kept``
+    (reserved names — fails fast if the input already has them).
+    """
+    if not keys:
+        raise ValueError("keys required")
+    if min_gap <= 0:
+        raise ValueError(f"min_gap must be positive, got {min_gap}")
+    for r in ("prev_gap", "is_kept"):
+        if r in df.columns:
+            raise ValueError(
+                f"debounce writes a '{r}' column; input already has one")
+    w = Window.partitionBy(*keys).orderBy(ts_col, id_col)
+    return (df.withColumn("prev_gap",
+                          F.col(ts_col).cast("long")
+                          - F.lag(F.col(ts_col).cast("long"), 1).over(w))
+            .withColumn("is_kept", F.col("prev_gap").isNull()
+                        | (F.col("prev_gap") >= min_gap)))

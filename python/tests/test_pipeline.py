@@ -687,3 +687,52 @@ def test_collocations(spark):
                             - math.log(n_bi) - 2 * math.log(6)))
     assert out[("new", "york")] == (6, expected)
     assert ("red", "blue") not in out
+
+
+def test_window_cooccur_counts(spark):
+    from graft.pipeline import window_cooccur
+    df = spark.createDataFrame([("a b a b",), ("a b",)], "text string")
+    got = {(r["a"], r["b"]): r["cnt"]
+           for r in window_cooccur(df, "text", window=2, min_count=1).collect()}
+    # doc1 d=1: (a,b) (a,b) (a,b); d=2: (a,a) (b,b); doc2 d=1: (a,b)
+    assert got == {("a", "b"): 4, ("a", "a"): 1, ("b", "b"): 1}
+
+
+def test_cohen_kappa_integer_clearing(spark):
+    from graft.pipeline import cohen_kappa
+    rows = [("a", "a")] * 3 + [("b", "b")] + [("a", "b")]
+    df = spark.createDataFrame(rows, "gold string, guess string")
+    r = cohen_kappa(df, "gold", "guess").collect()[0]
+    # n=5, agree=4, marginals gold(a=4,b=1) guess(a=3,b=2) -> pe=14
+    assert (r["n"], r["agree"], r["pe_num"]) == (5, 4, 14)
+    assert (r["kappa_num"], r["kappa_den"]) == (6, 11)
+    assert r["kappa_permille"] == 545  # 6000 div 11, truncating
+
+
+def test_shard_balance_even_split_and_id_guard(spark):
+    from graft.pipeline import shard_balance
+    df = spark.range(4096).withColumn("w", F.lit(1))
+    out = shard_balance(df, "id", "w", shards=4).collect()
+    assert len(out) == 4
+    assert sum(r["n_rows"] for r in out) == 4096
+    assert all(abs(r["dev_permille"]) < 200 for r in out)
+    try:
+        shard_balance(df.withColumn("sid", F.col("id").cast("string")),
+                      "sid", "w", shards=4)
+        assert False, "string id must be rejected"
+    except ValueError:
+        pass
+
+
+def test_containment_prefix_pairs_subset_detection(spark):
+    from graft.pipeline import containment_prefix_pairs
+    small = "w1 w2 w3 w4 w5"
+    big = small + " x1 x2 x3 x4 x5 x6 x7"
+    df = spark.createDataFrame(
+        [(1, small), (2, big), (3, "z1 z2 z3 z4")], "doc_id long, text string")
+    got = {(r["a_id"], r["b_id"]): r["containment_permille"]
+           for r in containment_prefix_pairs(df, "doc_id", "text", 800)
+           .collect()}
+    # doc1's 3 shingles all inside doc2 -> (1,2) at 1000; never (2,1):
+    # doc2 has 10 shingles, only 3 shared -> 300 < 800
+    assert got == {(1, 2): 1000}

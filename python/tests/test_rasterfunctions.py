@@ -315,3 +315,22 @@ def test_sql_surface_from_python(spark):
     assert spark.sql("SELECT rf_tile_sum(rf_make_ones_tile(2, 2, 'float64')) AS s").collect()[0]["s"] == 4.0
     docs = spark.sql("DESCRIBE FUNCTION EXTENDED rf_tile_sum").collect()
     assert any("rf_tile_sum" in r[0] for r in docs)
+
+
+def test_resample_aggregate_and_cubic_methods(spark):
+    from graft.functions import rf_array_to_tile, rf_resample, rf_tile_to_array_double
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(
+        [([1.0, 3.0, 5.0, 7.0, 2.0, 8.0, 6.0, 4.0],)], "vals array<double>")
+    t = rf_array_to_tile(F.col("vals"), 4, 2)
+    row = df.select(
+        rf_tile_to_array_double(rf_resample(t, F.lit(0.5), "average")).alias("avg"),
+        rf_tile_to_array_double(rf_resample(t, F.lit(0.5), "max")).alias("mx"),
+        rf_tile_to_array_double(rf_resample(t, F.lit(0.5), "sum")).alias("sm"),
+        rf_tile_to_array_double(rf_resample(t, F.lit(0.5), "median")).alias("md"),
+    ).collect()[0]
+    # blocks {1,3,2,8} and {5,7,6,4}
+    assert row["avg"] == [3.5, 5.5]
+    assert row["mx"] == [8.0, 7.0]
+    assert row["sm"] == [14.0, 22.0]
+    assert row["md"] == [2.0, 5.0]  # lower median

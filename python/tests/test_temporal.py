@@ -323,3 +323,19 @@ def test_m4_downsample(spark):
            for r in m4_downsample(df, ["k"], "ts", "v", 100).collect()}
     assert out[0] == (4, 1, 9, 5, 2)
     assert out[1] == (1, 7, 7, 7, 7)
+
+
+def test_debounce_lag_semantics_and_reserved_names(spark):
+    from graft.temporal import debounce
+    df = spark.createDataFrame(
+        [("u", 0, 1), ("u", 5, 2), ("u", 100, 3), ("v", 7, 4)],
+        "k string, ts long, id long")
+    got = {r["id"]: (r["prev_gap"], r["is_kept"])
+           for r in debounce(df, ["k"], "ts", "id", 10).collect()}
+    assert got == {1: (None, True), 2: (5, False), 3: (95, True),
+                   4: (None, True)}
+    try:
+        debounce(df.withColumn("is_kept", F.lit(True)), ["k"], "ts", "id", 10)
+        assert False, "reserved name must be rejected"
+    except ValueError:
+        pass
