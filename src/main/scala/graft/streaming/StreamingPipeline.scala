@@ -471,6 +471,50 @@ object StreamingPipeline {
       }
   }
 
+  final case class DebounceRow(k: Long, t: Long, id: Long)
+  final case class DebounceOut(key: Long, t: Long, id: Long,
+      prev_gap: Option[Long], is_kept: Boolean)
+
+  /**
+   * Streaming debounce — the stateful face of
+   * [[graft.pipeline.Temporal.debounce]], same LAG semantics: an event
+   * is suppressed when it lands within `minGap` of the PREVIOUS event
+   * on its key, where "previous" means last SEEN, not last kept (the
+   * non-chained contract the batch operator documents). That contract
+   * is exactly why the state is ONE long per key — the last seen
+   * timestamp — where the chained rate-limiter would need the same
+   * single long but different update rules.
+   *
+   * Within a micro-batch the group sorts by `(ts, id)` — the batch
+   * operator's total order — so a single batch over a static frame
+   * reproduces the batch rows exactly (StreamingPipelineSpec pins the
+   * parity against the oracled q_debounce). Across batches feed
+   * roughly in order: a late event gaps against the latest seen
+   * timestamp at arrival (the monitoring trade, as in [[cusumStream]]).
+   * Composite keys pack into the long id the usual way.
+   */
+  def debounceStream(df: DataFrame, key: String, tsCol: String,
+      idCol: String, minGap: Long): Dataset[DebounceOut] = {
+    require(minGap > 0, s"minGap must be positive, got $minGap")
+    import df.sparkSession.implicits._
+    df.select(col(key).cast("long").as("k"), col(tsCol).cast("long").as("t"),
+        col(idCol).cast("long").as("id")).as[DebounceRow]
+      .groupByKey(_.k)
+      .flatMapGroupsWithState[Long, DebounceOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (k: Long, it: Iterator[DebounceRow], state: GroupState[Long]) =>
+          var last: Option[Long] = state.getOption
+          val out = Vector.newBuilder[DebounceOut]
+          for (r <- it.toSeq.sortBy(x => (x.t, x.id))) {
+            val gap = last.map(r.t - _)
+            out += DebounceOut(k, r.t, r.id, gap, gap.forall(_ >= minGap))
+            last = Some(r.t)
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** One metric point after projection. */
   final case class CusumRow(k: Long, t: Long, x: Long)
   /** Per-key state: both prefix sums and their running mins (the
