@@ -1672,3 +1672,130 @@ def containment_prefix_pairs(df, id_col, text_col, threshold_permille,
             .where(F.col("inter") * 1000 >= tp * F.col("a_sz"))
             .withColumn("containment_permille",
                         F.expr("inter * 1000 div a_sz")))
+
+
+def fleiss_kappa(df, item_col, category_col, raters):
+    """Fleiss' kappa — Python mirror of the Scala ``Stats.fleissKappa``:
+    one (item, category) groupBy, an item-bounded completeness
+    semi-join (items without exactly ``raters`` ratings drop), three
+    one-row aggregates met in broadcast crossJoins, DECIMAL(38,0)
+    clearing: num = (S - N*r)*N*r - C*(r-1), den = (r-1)*((N*r)^2 - C),
+    sign-handled truncating permille (NULL when den = 0).
+    """
+    if raters < 2:
+        raise ValueError(f"raters must be >= 2, got {raters}")
+    nij = (df.groupBy(F.col(item_col).alias("item"),
+                      F.col(category_col).alias("cat"))
+           .agg(F.count(F.lit(1)).alias("c")))
+    complete = (nij.groupBy("item").agg(F.sum("c").alias("__r"))
+                .where(F.col("__r") == raters).select("item"))
+    kept = nij.join(complete, "item")
+    n_items = complete.agg(F.count(F.lit(1)).alias("n_items"))
+    s_sq = kept.agg(F.coalesce(F.sum(F.col("c") * F.col("c")),
+                               F.lit(0)).alias("s_sq"))
+    c_sq = (kept.groupBy("cat").agg(F.sum("c").alias("cj"))
+            .agg(F.coalesce(F.sum(F.col("cj") * F.col("cj")),
+                            F.lit(0)).alias("c_sq")))
+    return (F.broadcast(n_items).crossJoin(F.broadcast(s_sq))
+            .crossJoin(F.broadcast(c_sq))
+            .withColumn("__nr", (F.col("n_items") * F.lit(raters))
+                        .cast("decimal(38,0)"))
+            .withColumn("__s", F.col("s_sq").cast("decimal(38,0)"))
+            .withColumn("__c", F.col("c_sq").cast("decimal(38,0)"))
+            .withColumn("__num", (F.col("__s") - F.col("__nr"))
+                        * F.col("__nr") - F.col("__c") * F.lit(raters - 1))
+            .withColumn("__den", (F.col("__nr") * F.col("__nr")
+                                  - F.col("__c")) * F.lit(raters - 1))
+            .select(F.col("n_items"), F.lit(raters).alias("n_raters"),
+                    F.col("s_sq"), F.col("c_sq"),
+                    F.col("__num").cast("long").alias("kappa_num"),
+                    F.col("__den").cast("long").alias("kappa_den"),
+                    F.expr("cast(case when __den = 0 then null "
+                           "when __num >= 0 then __num * 1000 div __den "
+                           "else -((-__num) * 1000 div __den) end as long)")
+                    .alias("kappa_permille")))
+
+
+def rouge_n(df, id_col, cand_col, ref_col, n=2):
+    """ROUGE-N — Python mirror of the Scala ``Stats.rougeN``: per-row
+    strict pl_ngrams windows + a clipped-overlap fold over the
+    reference's distinct grams; recall/precision/F1 in truncating
+    permille (NULL when the side has no n-gram). ZERO shuffles.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    from . import functions as gf
+    matched = F.expr(
+        "aggregate(array_distinct(__rg), 0L, (acc, g) -> acc + "
+        "least(size(filter(__rg, x -> x = g)), "
+        "size(filter(__cg, x -> x = g))))")
+    return (df.select(
+                F.col(id_col).alias("id"),
+                gf.pl_ngrams(F.split(F.col(cand_col), " "), n).alias("__cg"),
+                gf.pl_ngrams(F.split(F.col(ref_col), " "), n).alias("__rg"))
+            .select(F.col("id"),
+                    F.size("__cg").cast("long").alias("cand_n"),
+                    F.size("__rg").cast("long").alias("ref_n"),
+                    matched.alias("match_n"))
+            .select(F.col("id"), "cand_n", "ref_n", "match_n",
+                    F.when(F.col("cand_n") > 0,
+                           F.expr("match_n * 1000 div cand_n"))
+                    .alias("rouge_p"),
+                    F.when(F.col("ref_n") > 0,
+                           F.expr("match_n * 1000 div ref_n"))
+                    .alias("rouge_r"),
+                    F.when(F.col("cand_n") + F.col("ref_n") > 0,
+                           F.expr("match_n * 2000 div (cand_n + ref_n)"))
+                    .alias("rouge_f")))
+
+
+def adamic_adar(edges, src_col, dst_col, max_degree=64, min_common=1):
+    """Adamic-Adar link prediction — Python mirror of the Scala
+    ``Graph.adamicAdar``: canonical undirected edges, adjacency,
+    centers capped at ``max_degree`` (the hub guard) BEFORE the wedge
+    self-join on the center, per-wedge round(1e6/ln(deg)) micro-unit
+    terms, existing edges removed with a LEFT ANTI join.
+    """
+    if max_degree < 2:
+        raise ValueError(f"max_degree must be >= 2, got {max_degree}")
+    e = (edges.select(F.least(F.col(src_col), F.col(dst_col)).alias("lo"),
+                      F.greatest(F.col(src_col), F.col(dst_col)).alias("hi"))
+         .where(F.col("lo") != F.col("hi"))
+         .distinct().localCheckpoint(True))
+    adj = (e.select(F.col("lo").alias("w"), F.col("hi").alias("nb"))
+           .unionByName(e.select(F.col("hi").alias("w"),
+                                 F.col("lo").alias("nb"))))
+    deg = adj.groupBy("w").agg(F.count(F.lit(1)).alias("deg"))
+    centers = adj.join(deg.where(F.col("deg") <= max_degree), "w")
+    a = centers.select("w", F.col("nb").alias("u"), "deg")
+    b = centers.select("w", F.col("nb").alias("v"))
+    scored = (a.join(b, ["w"]).where(F.col("u") < F.col("v"))
+              .groupBy("u", "v")
+              .agg(F.count(F.lit(1)).alias("common"),
+                   F.sum(F.round(F.lit(1e6)
+                                 / F.log(F.col("deg").cast("double")))
+                         .cast("long")).alias("aa_unats"))
+              .where(F.col("common") >= min_common))
+    return scored.join(e, (scored["u"] == e["lo"]) & (scored["v"] == e["hi"]),
+                       "left_anti")
+
+
+def co_membership(df, user_col, item_col, max_items=50, min_users=2):
+    """Co-membership ("also engaged") — Python mirror of the Scala
+    ``Graph.coMembership``: distinct (user, item), hub users above
+    ``max_items`` dropped BEFORE the user-bounded pair self-join, one
+    (a, b) pair count pruned at ``min_users``.
+    """
+    if max_items < 2:
+        raise ValueError(f"max_items must be >= 2, got {max_items}")
+    ui = (df.select(F.col(user_col).alias("u"), F.col(item_col).alias("i"))
+          .where(F.col("u").isNotNull() & F.col("i").isNotNull())
+          .distinct())
+    keep = (ui.groupBy("u").agg(F.count(F.lit(1)).alias("__d"))
+            .where(F.col("__d") <= max_items).select("u"))
+    kept = ui.join(keep, "u")
+    return (kept.select("u", F.col("i").alias("a"))
+            .join(kept.select("u", F.col("i").alias("b")), ["u"])
+            .where(F.col("a") < F.col("b"))
+            .groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_users"))
+            .where(F.col("n_users") >= min_users))

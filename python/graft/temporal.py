@@ -586,3 +586,47 @@ def debounce(df, keys, ts_col, id_col, min_gap):
                           - F.lag(F.col(ts_col).cast("long"), 1).over(w))
             .withColumn("is_kept", F.col("prev_gap").isNull()
                         | (F.col("prev_gap") >= min_gap)))
+
+
+def autocorr(df, key_col, order_col, id_col, value_col, k):
+    """Exact lag-k autocorrelation — Python mirror of the Scala
+    ``Temporal.autocorr``: one lead(k) window per key over the
+    (order, id) total order, one six-moment aggregate, DECIMAL(38,0)
+    n^2-cleared num/den, sign-handled truncating permille (NULL for
+    constant or too-short series). ``value_col`` must be pre-scaled
+    integral.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = Window.partitionBy(key_col).orderBy(order_col, id_col)
+    x = F.col(value_col).cast("decimal(38,0)")
+    lagged = df.select(F.col(key_col).alias("key"), x.alias("__x"),
+                       F.lead(x, k).over(w).alias("__y"))
+    return (lagged.groupBy("key")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("__x").alias("__s"),
+                 F.sum(F.col("__x") * F.col("__x")).alias("__ssq"),
+                 F.sum(F.when(F.col("__y").isNotNull(),
+                              F.col("__x") * F.col("__y"))).alias("__sxy"),
+                 F.sum(F.when(F.col("__y").isNotNull(),
+                              F.col("__x"))).alias("__head"),
+                 F.sum(F.when(F.col("__y").isNotNull(),
+                              F.col("__y"))).alias("__tail"))
+            .withColumn("__n", F.col("n").cast("decimal(38,0)"))
+            .withColumn("__num",
+                        F.col("__n") * F.col("__n") * F.col("__sxy")
+                        - F.col("__n") * F.col("__s")
+                        * (F.col("__head") + F.col("__tail"))
+                        + (F.col("__n") - F.lit(k)) * F.col("__s")
+                        * F.col("__s"))
+            .withColumn("__den",
+                        F.col("__n") * F.col("__n") * F.col("__ssq")
+                        - F.col("__n") * F.col("__s") * F.col("__s"))
+            .select(F.col("key"), F.col("n"),
+                    F.col("__num").cast("long").alias("acf_num"),
+                    F.col("__den").cast("long").alias("acf_den"),
+                    F.expr("cast(case when __den is null or __den = 0 "
+                           "or __num is null then null "
+                           "when __num >= 0 then __num * 1000 div __den "
+                           "else -((-__num) * 1000 div __den) end as long)")
+                    .alias("acf_permille")))

@@ -736,3 +736,70 @@ def test_containment_prefix_pairs_subset_detection(spark):
     # doc1's 3 shingles all inside doc2 -> (1,2) at 1000; never (2,1):
     # doc2 has 10 shingles, only 3 shared -> 300 < 800
     assert got == {(1, 2): 1000}
+
+
+def test_fleiss_kappa_hand_case_and_incomplete_drop(spark):
+    from graft.pipeline import fleiss_kappa
+    rows = [(1, "A"), (1, "A"), (1, "A"),
+            (2, "A"), (2, "A"), (2, "B"),
+            (3, "B"), (3, "B"), (3, "B"),
+            (4, "A"), (4, "B"), (4, "B"),
+            (9, "A"), (9, "A")]  # incomplete item drops
+    df = spark.createDataFrame(rows, "item long, cat string")
+    r = fleiss_kappa(df, "item", "cat", raters=3).collect()[0]
+    # N=4 r=3 S=28 C=72 -> num=48 den=144 -> 333 permille
+    assert (r["n_items"], r["s_sq"], r["c_sq"]) == (4, 28, 72)
+    assert (r["kappa_num"], r["kappa_den"]) == (48, 144)
+    assert r["kappa_permille"] == 333
+    # degenerate single-category corpus -> NULL
+    one = spark.createDataFrame([(1, "A"), (1, "A")], "item long, cat string")
+    assert fleiss_kappa(one, "item", "cat", 2).collect()[0][
+        "kappa_permille"] is None
+
+
+def test_rouge_n_clipped_overlap(spark):
+    from graft.pipeline import rouge_n
+    df = spark.createDataFrame(
+        [(1, "a b c a b", "a b c"), (2, "a b c", "a")],
+        "id long, cand string, ref string")
+    out = {r["id"]: r for r in rouge_n(df, "id", "cand", "ref", n=2).collect()}
+    # clipped: min(2,1)[a b] + min(1,1)[b c] = 2 of cand 4 / ref 2
+    assert (out[1]["cand_n"], out[1]["ref_n"], out[1]["match_n"]) == (4, 2, 2)
+    assert (out[1]["rouge_p"], out[1]["rouge_r"], out[1]["rouge_f"]) == (
+        500, 1000, 666)
+    # sub-2-token ref: strict windows -> recall NULL, precision 0
+    assert out[2]["ref_n"] == 0 and out[2]["rouge_r"] is None
+    assert out[2]["rouge_p"] == 0
+
+
+def test_adamic_adar_path_and_cap(spark):
+    import math
+    from graft.pipeline import adamic_adar
+    path = spark.createDataFrame([(1, 2), (2, 3)], "s long, d long")
+    rows = adamic_adar(path, "s", "d").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["u"], r["v"], r["common"]) == (1, 3, 1)
+    assert r["aa_unats"] == round(1e6 / math.log(2.0))
+    # triangle: all candidate pairs already edges -> empty
+    tri = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "s long, d long")
+    assert adamic_adar(tri, "s", "d").count() == 0
+    # hub cap excludes the star center
+    star = spark.createDataFrame([(1, l) for l in range(2, 7)],
+                                 "s long, d long")
+    assert adamic_adar(star, "s", "d", max_degree=4).count() == 0
+    assert adamic_adar(star, "s", "d", max_degree=5).count() == 10
+
+
+def test_co_membership_cap_and_prune(spark):
+    from graft.pipeline import co_membership
+    rows = [(1, "x"), (1, "y"), (1, "z"),
+            (2, "x"), (2, "y"), (2, "y"),
+            (3, "x"), (3, "y"), (3, "z"), (3, "w")]
+    df = spark.createDataFrame(rows, "u long, i string")
+    got = {(r["a"], r["b"]): r["n_users"]
+           for r in co_membership(df, "u", "i", max_items=3,
+                                  min_users=1).collect()}
+    assert got == {("x", "y"): 2, ("x", "z"): 1, ("y", "z"): 1}
+    pruned = co_membership(df, "u", "i", max_items=3, min_users=2).collect()
+    assert [(r["a"], r["b"]) for r in pruned] == [("x", "y")]

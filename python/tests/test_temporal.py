@@ -339,3 +339,17 @@ def test_debounce_lag_semantics_and_reserved_names(spark):
         assert False, "reserved name must be rejected"
     except ValueError:
         pass
+
+
+def test_autocorr_hand_case_and_nulls(spark):
+    from graft.temporal import autocorr
+    rows = [("a", i * 10, i, i) for i in range(1, 5)] + \
+           [("c", i * 10, i, 7) for i in range(1, 6)]
+    df = spark.createDataFrame(rows, "key string, ts long, id long, v long")
+    out = {r["key"]: r for r in autocorr(df, "key", "ts", "id", "v",
+                                         k=1).collect()}
+    # x=[1,2,3,4]: ACF_1 = 0.25 -> num 20, den 80, 250 permille
+    assert (out["a"]["acf_num"], out["a"]["acf_den"]) == (20, 80)
+    assert out["a"]["acf_permille"] == 250
+    # constant series -> den 0 -> NULL
+    assert out["c"]["acf_permille"] is None

@@ -1440,6 +1440,35 @@ object SparkEntry {
       graft.pipeline.Packing.binStats(t(s, dir, "documents"), "doc_id",
           TextFunctions.token_count(col("text")), capacity = 2048L, numShards = 8)
         .orderBy("shard", "bin")),
+    // END-TO-END curation: clean-lines → gopher gate → exact dedup →
+    // pack, composed as ONE plan — pins the cross-operator contracts the
+    // per-stage queries can't see. The fixture adds a boilerplate-
+    // decorated copy of every 3rd doc; the copy's CLEANED text equals
+    // the original's, so the dedup stage has real work that exists only
+    // BECAUSE cleaning normalized it (order of stages matters — pinned).
+    // Per-row codegen all the way to the dedup groupBy: two shuffles
+    // total (hash groupBy + per-shard pack window), both keyed.
+    "q_e2e_curation" -> ((s, dir) => {
+      import graft.pipeline.{TextNorm, GopherRules, Packing}
+      val docs = t(s, dir, "documents")
+      val lined = regexp_replace(col("text"), " line ", "\n")
+      val base = docs.select(col("doc_id").as("id"), lined.as("txt"))
+      val copies = docs.where(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 100000L).as("id"),
+          concat(lined, lit("\nenable javascript to view"),
+            lit("\nwe use cookie banners here")).as("txt"))
+      val flatDf = base.union(copies)
+        .select(col("id"),
+          replace(TextNorm.clean_lines(col("txt")), lit("\n"), lit(" ")).as("flat"))
+      val gated = flatDf.where(GopherRules.passGate(col("flat")))
+        .select(col("id"), col("flat"), md5(col("flat")).as("__h"),
+          size(split(col("flat"), " ")).cast("long").as("tok"))
+      // exact dedup keep-min-id: hash-bounded equi-join, one shuffle
+      val keep = gated.groupBy("__h").agg(min("id").as("id"))
+      val survivors = gated.join(keep, Seq("__h", "id")).select(col("id"), col("tok"))
+      Packing.binStats(survivors, "id", col("tok"), capacity = 2048L, numShards = 8)
+        .orderBy("shard", "bin")
+    }),
     "q_split" -> ((s, dir) =>
       // deterministic permille split assignment, rolled up per (split, lang)
       graft.pipeline.Splits.assign(t(s, dir, "documents"), "doc_id")
@@ -2108,9 +2137,13 @@ object SparkEntry {
       val right = base.select(
         rf_resample(col("tile"), lit(0.5), "average").as("r_tile"),
         col("extent").as("r_extent"), col("crs").as("r_crs"))
-      RasterJoin(base, right,
+      // the BUCKETED (equi-join) twin carries the method: proves the
+      // resample kernel threads through the scale path, and keeps this
+      // query out of the theta-join allowlist
+      RasterJoin.bucketed(base, right,
         col("extent"), col("crs"), col("tile"),
-        col("r_extent"), col("r_crs"), col("r_tile"), method = "bilinear")
+        col("r_extent"), col("r_crs"), col("r_tile"), cellSize = 16.0,
+        leftId = Some(col("l_orderkey")), method = "bilinear")
         .select(col("l_orderkey"), rf_explode_tiles(col("right_tile")))
         .select(col("l_orderkey"),
           (col("row_index") * 8 + col("column_index")).cast("int").as("i2"),
@@ -3361,7 +3394,62 @@ object SparkEntry {
     "q_shard_balance" -> ((s, dir) =>
       graft.pipeline.Layout.shardBalance(t(s, dir, "documents"), "doc_id",
           length(col("text")), shards = 64)
-        .orderBy("shard"))
+        .orderBy("shard")),
+    // ---- wave 12: agreement / eval / link-prediction / behavior ----
+    // Fleiss' kappa over 7-rater panels (event_id div 7 = item,
+    // event_type = vote): dense ids mean exactly one trailing
+    // incomplete item, so the completeness filter visibly fires
+    "q_fleiss" -> ((s, dir) =>
+      graft.pipeline.Stats.fleissKappa(
+        t(s, dir, "events").select(expr("event_id div 7").as("item"),
+          col("event_type").as("cat")),
+        "item", "cat", raters = 7)),
+    // ROUGE-2 of each doc against its own 3/4-token prefix: per-row
+    // clipped-bigram overlap, permille P/R/F — zero shuffles
+    "q_rouge" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val pairs = t(s, dir, "documents").select(col("doc_id"),
+        col("text").as("cand"),
+        concat_ws(" ",
+          slice(toks, lit(1), expr("(size(split(text, ' ')) * 3) div 4")))
+          .as("ref"))
+      graft.pipeline.Stats.rougeN(pairs, "doc_id", "cand", "ref", n = 2)
+        .orderBy("id")
+    }),
+    // Adamic-Adar link prediction on the lineitem adjacency-chain graph
+    // (the q_triangles fixture): centers capped at deg 64 (max deg is
+    // ~78 at sf0.01, so the hub guard visibly fires), micro-unit 1/ln
+    // terms rounded per wedge, existing edges anti-joined away
+    "q_link_predict" -> ((s, dir) => {
+      val w = Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")
+      val edges = t(s, dir, "lineitem")
+        .withColumn("nxt", lead("l_partkey", 1).over(w))
+        .where(col("nxt").isNotNull && col("l_partkey") =!= col("nxt"))
+        .select(col("l_partkey").as("src"), col("nxt").as("dst"))
+      graft.pipeline.Graph.adamicAdar(edges, "src", "dst",
+          maxDegree = 64, minCommon = 3L)
+        .orderBy("u", "v")
+    }),
+    // "users who engaged X also engaged Y": distinct (user, item) with
+    // item = props.k mod 20, hub users (> 19 distinct items) dropped
+    // before the user-bounded pair self-join
+    "q_also_viewed" -> ((s, dir) =>
+      graft.pipeline.Graph.coMembership(
+        t(s, dir, "events").select(col("user_id"),
+          (get_json_object(col("props"), "$.k").cast("int") % 20).as("item")),
+        "user_id", "item", maxItems = 19, minUsers = 2L)
+        .orderBy("a", "b")),
+    // exact lag-2 autocorrelation of each user's cent-scaled value
+    // series: one lead window + one moment aggregate, DECIMAL-cleared
+    // n²-scaled num/den, sign-handled permille
+    "q_autocorr" -> ((s, dir) =>
+      graft.pipeline.Temporal.autocorr(
+        eventsMicros(s, dir).select(col("user_id"), col("tus"),
+          col("event_id"), round(col("value") * 100).cast("long").as("cents")),
+        "user_id", "tus", "event_id", "cents", k = 2)
+        .withColumnRenamed("key", "user_id")
+        .orderBy("user_id"))
   )
 
   // ---- DuckDB SQL builders for graft's 64-bit hash primitives ----
@@ -4740,6 +4828,57 @@ object SparkEntry {
          |sh AS (SELECT doc_id, tok, hh, CAST(((hh % 8) + 8) % 8 AS INTEGER) AS shard FROM h),
          |pk AS (SELECT shard, doc_id, tok,
          |    COALESCE(SUM(tok) OVER (PARTITION BY shard ORDER BY hh, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+         |  FROM sh)
+         |SELECT shard, CAST(start_offset // 2048 AS BIGINT) AS bin,
+         |  CAST(COUNT(*) AS INTEGER) AS n_docs, CAST(SUM(tok) AS BIGINT) AS bin_tokens
+         |FROM pk GROUP BY shard, bin ORDER BY shard, bin""".stripMargin,
+    // the composed curation pipeline replayed stage-by-stage: the
+    // clean-lines CTE is q_clean_lines' pinned list arithmetic, the
+    // gopher gate is q_gopher_rules' pinned single-division ratios over
+    // the CLEANED text, dedup is min-id per md5, pack is q_pack's
+    // mix64-shard cumulative-offset windows — one SQL statement, so any
+    // cross-stage contract drift (e.g. cleaning no longer normalizing
+    // the decorated copies) breaks the hash
+    "q_e2e_curation" ->
+      s"""WITH base AS (
+         |  SELECT doc_id AS id, regexp_replace(text, ' line ', chr(10), 'g') AS txt
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000, regexp_replace(text, ' line ', chr(10), 'g')
+         |    || chr(10) || 'enable javascript to view'
+         |    || chr(10) || 'we use cookie banners here'
+         |  FROM documents WHERE doc_id % 3 = 0),
+         |cl AS (SELECT id, array_to_string(list_transform(
+         |    list_filter(string_split(txt, chr(10)), l ->
+         |      len(list_filter(string_split(trim(l), ' '), w -> w <> '')) >= 3
+         |      AND NOT contains(lower(trim(l)), 'javascript')
+         |      AND NOT contains(lower(trim(l)), 'cookie')
+         |      AND NOT contains(lower(trim(l)), 'all rights reserved')),
+         |    l -> trim(l)), chr(10)) AS cleaned
+         |  FROM base),
+         |m AS (SELECT id, replace(cleaned, chr(10), ' ') AS flat FROM cl),
+         |g AS (SELECT id, flat, string_split(flat, ' ') AS t FROM m),
+         |met AS (SELECT id, flat, LEN(t) AS n,
+         |  list_reduce(list_prepend(0, list_transform(t, x -> length(x))), (a, b) -> a + b) AS sumlen,
+         |  LENGTH(flat) - LENGTH(replace(flat, '#', '')) AS hashes,
+         |  (LENGTH(flat) - LENGTH(replace(flat, '...', ''))) // 3 AS ellipses,
+         |  LEN(list_filter(t, x -> regexp_matches(x, '[a-zA-Z]'))) AS alpha,
+         |  LEN(list_filter(list_distinct(t),
+         |      x -> x IN ('the', 'a', 'and', 'of', 'to', 'in'))) AS stop_hits
+         |  FROM g),
+         |p AS (SELECT id, flat, CAST(n AS BIGINT) AS tok FROM met
+         |  WHERE n BETWEEN 4 AND 1000
+         |    AND CAST(sumlen AS DOUBLE) / n BETWEEN 3.0 AND 10.0
+         |    AND CAST(hashes + ellipses AS DOUBLE) / n <= 0.1
+         |    AND CAST(alpha AS DOUBLE) / n >= 0.8
+         |    AND stop_hits >= 2),
+         |k AS (SELECT md5(flat) AS h, MIN(id) AS id FROM p GROUP BY 1),
+         |sv AS (SELECT p.id, p.tok FROM p JOIN k ON md5(p.flat) = k.h AND p.id = k.id),
+         |hh AS (SELECT id, tok, ${duckToSigned(duckMix64("id::HUGEINT"))} AS hh FROM sv),
+         |sh AS (SELECT id, tok, hh, CAST(((hh % 8) + 8) % 8 AS INTEGER) AS shard FROM hh),
+         |pk AS (SELECT shard, tok,
+         |    COALESCE(SUM(tok) OVER (PARTITION BY shard ORDER BY hh, id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
          |  FROM sh)
          |SELECT shard, CAST(start_offset // 2048 AS BIGINT) AS bin,
@@ -6987,6 +7126,111 @@ object SparkEntry {
          |SELECT shard, CAST(n_rows AS BIGINT) AS n_rows,
          |  CAST(w_sum AS BIGINT) AS w_sum,
          |  CAST(w_sum * 64 * 1000 // tw - 1000 AS BIGINT) AS dev_permille
-         |FROM per CROSS JOIN tot ORDER BY shard""".stripMargin
+         |FROM per CROSS JOIN tot ORDER BY shard""".stripMargin,
+    // Fleiss' kappa replayed with the same integer clearing (common
+    // factor N·r cancelled); HAVING SUM(c) = 7 is the completeness
+    // filter (dense event ids leave exactly one incomplete tail item)
+    "q_fleiss" ->
+      """WITH r AS (SELECT event_id // 7 AS item, event_type AS cat FROM events),
+        |nij AS (SELECT item, cat, COUNT(*) AS c FROM r GROUP BY 1, 2),
+        |comp AS (SELECT item FROM nij GROUP BY item HAVING SUM(c) = 7),
+        |kept AS (SELECT nij.* FROM nij JOIN comp USING (item)),
+        |nn AS (SELECT COUNT(*) AS n_items FROM comp),
+        |ss AS (SELECT COALESCE(SUM(c * c), 0) AS s_sq FROM kept),
+        |cc AS (SELECT COALESCE(SUM(cj * cj), 0) AS c_sq FROM
+        |  (SELECT SUM(c) AS cj FROM kept GROUP BY cat)),
+        |x AS (SELECT n_items, s_sq, c_sq,
+        |  (s_sq - n_items * 7) * (n_items * 7) - c_sq * 6 AS kappa_num,
+        |  ((n_items * 7) * (n_items * 7) - c_sq) * 6 AS kappa_den
+        |  FROM nn, ss, cc)
+        |SELECT CAST(n_items AS BIGINT) AS n_items, CAST(7 AS INT) AS n_raters,
+        |  CAST(s_sq AS BIGINT) AS s_sq, CAST(c_sq AS BIGINT) AS c_sq,
+        |  CAST(kappa_num AS BIGINT) AS kappa_num,
+        |  CAST(kappa_den AS BIGINT) AS kappa_den,
+        |  CAST(CASE WHEN kappa_den = 0 THEN NULL
+        |       WHEN kappa_num >= 0 THEN kappa_num * 1000 // kappa_den
+        |       ELSE -((-kappa_num) * 1000 // kappa_den) END AS BIGINT)
+        |    AS kappa_permille
+        |FROM x""".stripMargin,
+    // ROUGE-2 replayed with strict gram windows (range(1, max(len-1,0)+1)
+    // is empty for sub-2-token sides) and the same clipped-overlap fold
+    // over the reference's distinct grams
+    "q_rouge" ->
+      """WITH d AS (SELECT doc_id AS id, string_split(text, ' ') AS ct FROM documents),
+        |p AS (SELECT id, ct, ct[1:(len(ct) * 3) // 4] AS rt FROM d),
+        |gr AS (SELECT id,
+        |  list_transform(range(1, greatest(len(ct) - 1, 0) + 1),
+        |    i -> ct[i] || ' ' || ct[i + 1]) AS cg,
+        |  list_transform(range(1, greatest(len(rt) - 1, 0) + 1),
+        |    i -> rt[i] || ' ' || rt[i + 1]) AS rg
+        |  FROM p),
+        |m AS (SELECT id, CAST(len(cg) AS BIGINT) AS cand_n,
+        |  CAST(len(rg) AS BIGINT) AS ref_n,
+        |  CAST(list_reduce(list_prepend(0, list_transform(list_distinct(rg),
+        |    g -> least(len(list_filter(rg, x -> x = g)),
+        |               len(list_filter(cg, x -> x = g))))),
+        |    (a, b) -> a + b) AS BIGINT) AS match_n
+        |  FROM gr)
+        |SELECT id, cand_n, ref_n, match_n,
+        |  CAST(CASE WHEN cand_n > 0 THEN match_n * 1000 // cand_n END AS BIGINT) AS rouge_p,
+        |  CAST(CASE WHEN ref_n > 0 THEN match_n * 1000 // ref_n END AS BIGINT) AS rouge_r,
+        |  CAST(CASE WHEN cand_n + ref_n > 0
+        |    THEN match_n * 2000 // (cand_n + ref_n) END AS BIGINT) AS rouge_f
+        |FROM m ORDER BY id""".stripMargin,
+    // Adamic-Adar replayed: same chain-adjacency edges as q_triangles,
+    // centers capped at deg 64, per-wedge round(1e6/ln(deg)) terms,
+    // existing edges removed with an ANTI JOIN
+    "q_link_predict" ->
+      """WITH s AS (SELECT l_orderkey, l_partkey AS pk,
+        |    row_number() OVER (PARTITION BY l_orderkey ORDER BY
+        |      l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice) AS rn
+        |  FROM lineitem),
+        |e0 AS (SELECT a.pk AS x, b.pk AS y FROM s a JOIN s b
+        |  ON a.l_orderkey = b.l_orderkey AND b.rn = a.rn + 1 AND a.pk <> b.pk),
+        |e AS (SELECT DISTINCT least(x, y) AS lo, greatest(x, y) AS hi FROM e0),
+        |adj AS (SELECT lo AS w, hi AS nb FROM e UNION ALL SELECT hi, lo FROM e),
+        |deg AS (SELECT w, COUNT(*) AS deg FROM adj GROUP BY w),
+        |cen AS (SELECT adj.w, adj.nb, deg.deg FROM adj JOIN deg USING (w)
+        |  WHERE deg <= 64),
+        |p AS (SELECT a.nb AS u, b.nb AS v, COUNT(*) AS common,
+        |    SUM(CAST(round(1000000 / ln(a.deg)) AS BIGINT)) AS aa_unats
+        |  FROM cen a JOIN cen b ON a.w = b.w AND a.nb < b.nb
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+        |SELECT u, v, CAST(common AS BIGINT) AS common,
+        |  CAST(aa_unats AS BIGINT) AS aa_unats
+        |FROM p ANTI JOIN e ON p.u = e.lo AND p.v = e.hi
+        |ORDER BY u, v""".stripMargin,
+    // co-membership replayed: distinct (user, item), HAVING <= 19 is
+    // the hub-user cap, pair self-join on the user, count per pair
+    "q_also_viewed" ->
+      """WITH ui AS (SELECT DISTINCT user_id AS u,
+        |    CAST(json_extract(props, '$.k') AS INT) % 20 AS i FROM events),
+        |keep AS (SELECT u FROM ui GROUP BY u HAVING COUNT(*) <= 19),
+        |k AS (SELECT ui.u, ui.i FROM ui JOIN keep USING (u))
+        |SELECT a.i AS a, b.i AS b, CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM k a JOIN k b ON a.u = b.u AND a.i < b.i
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY 1, 2""".stripMargin,
+    // lag-2 ACF replayed with the same n²-cleared integer moments; all
+    // products stay under BIGINT range at this corpus (cents <= ~5e4,
+    // n <= ~100 per user)
+    "q_autocorr" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS tus, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS x FROM events),
+        |l AS (SELECT user_id, x, LEAD(x, 2) OVER (PARTITION BY user_id
+        |    ORDER BY tus, event_id) AS y FROM e),
+        |m AS (SELECT user_id, COUNT(*) AS n, SUM(x) AS s, SUM(x * x) AS ssq,
+        |    SUM(CASE WHEN y IS NOT NULL THEN x * y END) AS sxy,
+        |    SUM(CASE WHEN y IS NOT NULL THEN x END) AS hd,
+        |    SUM(CASE WHEN y IS NOT NULL THEN y END) AS tl
+        |  FROM l GROUP BY user_id),
+        |f AS (SELECT user_id, n,
+        |    n * n * sxy - n * s * (hd + tl) + (n - 2) * s * s AS num,
+        |    n * n * ssq - n * s * s AS den FROM m)
+        |SELECT user_id, CAST(n AS BIGINT) AS n, CAST(num AS BIGINT) AS acf_num,
+        |  CAST(den AS BIGINT) AS acf_den,
+        |  CAST(CASE WHEN den = 0 OR num IS NULL THEN NULL
+        |    WHEN num >= 0 THEN num * 1000 // den
+        |    ELSE -((-num) * 1000 // den) END AS BIGINT) AS acf_permille
+        |FROM f ORDER BY user_id""".stripMargin
   )
 }

@@ -248,6 +248,32 @@ object QuantileFilter {
 object GopherRules {
   val DefaultStopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in")
 
+  /** The composite pass verdict as a bare column — for composing the
+    * gate inline (e.g. the end-to-end curation pipeline) without
+    * materializing the per-rule metric columns. Same pinned arithmetic
+    * as [[metrics]]: each ratio is ONE integer/integer division, so the
+    * doubles replay bit-exactly on any IEEE-754 engine. */
+  def passGate(text: Column,
+      minWords: Int = 4, maxWords: Int = 1000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, minAlphaRatio: Double = 0.8,
+      minStopHits: Int = 2,
+      stopwords: Seq[String] = DefaultStopwords): Column = {
+    val toks = split(text, " ")
+    val n = size(toks)
+    val sumLen = aggregate(transform(toks, t => length(t)), lit(0), (a, x) => a + x)
+    val hashes = length(text) - length(replace(text, lit("#"), lit("")))
+    val ellipses = (length(text) - length(replace(text, lit("..."), lit("")))) / lit(3)
+    val alpha = size(filter(toks, t => t.rlike("[a-zA-Z]")))
+    val stopHits = size(filter(array_distinct(toks),
+      t => t.isin(stopwords.map(lit(_)): _*)))
+    n.between(minWords, maxWords) &&
+      (sumLen.cast("double") / n).between(minMeanWordLen, maxMeanWordLen) &&
+      (hashes + ellipses).cast("double") / n <= maxSymbolRatio &&
+      alpha.cast("double") / n >= minAlphaRatio &&
+      stopHits >= minStopHits
+  }
+
   /** Adds the rule metrics + the composite `gopher_pass` verdict. */
   def metrics(df: DataFrame, idCol: String, textCol: String,
       minWords: Int = 4, maxWords: Int = 1000,

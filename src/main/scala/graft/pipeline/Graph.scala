@@ -275,4 +275,78 @@ object Graph {
     }
     degrees(e)
   }
+
+  /**
+   * Adamic–Adar link prediction over an undirected graph: for every
+   * non-adjacent node pair (u, v) with at least one common neighbor,
+   * `common` = |N(u) ∩ N(v)| and `aa_unats = Σ_w round(1e6 / ln(deg w))`
+   * over the common neighbors w — the classic "which edge forms next"
+   * score (friend suggestion; related-entity candidates for
+   * retrieval-corpus linking). Each 1/ln term is rounded to integer
+   * micro-units BEFORE the sum (the psiReport micro-nat discipline), so
+   * any IEEE engine reproduces the long exactly; a common neighbor has
+   * deg ≥ 2 by construction, so ln > 0 always.
+   *
+   * Scale shape: wedges enumerate through the CENTER node w — one
+   * equi-self-join of the adjacency on w, quadratic only in deg(w) —
+   * with centers capped at `maxDegree` first (the hub guard: a
+   * celebrity hub would cost deg² for terms worth ~1/ln(deg) ≈ 0 each;
+   * the cap is part of the operator's documented semantics, replayed
+   * by the oracle). Existing edges leave via one LEFT ANTI join.
+   * Output: (u, v, common, aa_unats), u < v.
+   */
+  def adamicAdar(edges: DataFrame, srcCol: String, dstCol: String,
+      maxDegree: Int = 64, minCommon: Long = 1L): DataFrame = {
+    require(maxDegree >= 2, s"maxDegree must be >= 2, got $maxDegree")
+    val e = edges.select(
+        least(col(srcCol), col(dstCol)).as("lo"),
+        greatest(col(srcCol), col(dstCol)).as("hi"))
+      .where(col("lo") =!= col("hi"))
+      .distinct().localCheckpoint(true)
+    val adj = e.select(col("lo").as("w"), col("hi").as("nb"))
+      .unionByName(e.select(col("hi").as("w"), col("lo").as("nb")))
+    val deg = adj.groupBy("w").agg(count(lit(1)).as("deg"))
+    val centers = adj.join(deg.where(col("deg") <= maxDegree), "w")
+    val a = centers.select(col("w"), col("nb").as("u"), col("deg"))
+    val b = centers.select(col("w"), col("nb").as("v"))
+    val scored = a.join(b, Seq("w")).where(col("u") < col("v"))
+      .groupBy("u", "v")
+      .agg(count(lit(1)).as("common"),
+        sum(round(lit(1e6) / log(col("deg").cast("double"))).cast("long"))
+          .as("aa_unats"))
+      .where(col("common") >= minCommon)
+    scored.join(e, scored("u") === e("lo") && scored("v") === e("hi"),
+      "left_anti")
+  }
+
+  /**
+   * Co-membership ("users who engaged X also engaged Y"): item pairs
+   * weighted by the number of distinct users engaging both — the
+   * bipartite-projection statistic behind related-items panels and
+   * behavioral clustering. Input is raw (user, item) interaction rows;
+   * repeats collapse first, so a user contributes each pair once.
+   *
+   * Scale shape: distinct (user, item) is one groupBy; users above
+   * `maxItems` distinct items are DROPPED before pairing (the hub
+   * guard — a bot touching every item would alone contribute |items|²
+   * pairs; the cap is documented operator semantics, replayed by the
+   * oracle), then the pair self-join on the user is bounded by
+   * maxItems² per user and ONE (a, b) count groupBy aggregates it.
+   * Output: (a, b, n_users), a < b, pruned at `minUsers`.
+   */
+  def coMembership(df: DataFrame, userCol: String, itemCol: String,
+      maxItems: Int = 50, minUsers: Long = 2L): DataFrame = {
+    require(maxItems >= 2, s"maxItems must be >= 2, got $maxItems")
+    val ui = df.select(col(userCol).as("u"), col(itemCol).as("i"))
+      .where(col("u").isNotNull && col("i").isNotNull)
+      .distinct()
+    val keep = ui.groupBy("u").agg(count(lit(1)).as("__d"))
+      .where(col("__d") <= maxItems).select("u")
+    val kept = ui.join(keep, "u")
+    kept.select(col("u"), col("i").as("a"))
+      .join(kept.select(col("u"), col("i").as("b")), Seq("u"))
+      .where(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_users"))
+      .where(col("n_users") >= minUsers)
+  }
 }

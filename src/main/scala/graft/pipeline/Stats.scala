@@ -523,4 +523,106 @@ object Stats {
       .groupBy("a", "b").agg(count(lit(1)).as("cnt"))
       .where(col("cnt") >= minCount)
   }
+
+  /**
+   * Fleiss' kappa — chance-corrected agreement among a FIXED panel of
+   * `raters` raters per item (the multi-annotator generalization of
+   * [[cohenKappa]]: crowd labeling rounds, N-way model ensembles
+   * voting on training labels). Input is one row per rating
+   * (item, category); items whose rating count differs from `raters`
+   * are DROPPED (documented: Fleiss is defined for complete panels —
+   * partial items would need Krippendorff weighting).
+   *
+   * EXACT INTEGER math. With `N` complete items, `r` raters,
+   * `S = Σ_ij n_ij²` (n_ij = ratings of item i in category j) and
+   * `C = Σ_j c_j²` (c_j = column totals over complete items), the
+   * usual `κ = (P̄ − P̄_e)/(1 − P̄_e)` clears (common factor N·r
+   * cancelled) to
+   *
+   *   kappa_num = (S − N·r)·N·r − C·(r−1)
+   *   kappa_den = (r−1)·((N·r)² − C)
+   *
+   * computed in DECIMAL(38,0) so N ≳ 3e9 cannot wrap; the permille is
+   * sign-handled truncating div (κ < 0 = systematic disagreement),
+   * NULL when the denominator is 0 (all ratings one category).
+   *
+   * Scale shape: ONE (item, category) groupBy over the fact rows
+   * (map-side combinable), an item-bounded completeness semi-join,
+   * then three one-row aggregates (N, S, C) met in broadcast
+   * crossJoins — the [[cohenKappa]] shape. Output (one row):
+   * `n_items, n_raters, s_sq, c_sq, kappa_num, kappa_den,
+   * kappa_permille`.
+   */
+  def fleissKappa(df: DataFrame, itemCol: String, categoryCol: String,
+      raters: Int): DataFrame = {
+    require(raters >= 2, s"raters must be >= 2, got $raters")
+    val nij = df.groupBy(col(itemCol).as("item"), col(categoryCol).as("cat"))
+      .agg(count(lit(1)).as("c"))
+    val complete = nij.groupBy("item").agg(sum("c").as("__r"))
+      .where(col("__r") === raters.toLong).select("item")
+    val kept = nij.join(complete, "item")
+    // three ONE-ROW aggregates (never a mixed distinct+sum agg — that
+    // plans an Expand): N over the complete-item table, S over kept
+    // cells, C over the category totals
+    val nItems = complete.agg(count(lit(1)).as("n_items"))
+    val sSq = kept.agg(coalesce(sum(col("c") * col("c")), lit(0L)).as("s_sq"))
+    val cSq = kept.groupBy("cat").agg(sum("c").as("cj"))
+      .agg(coalesce(sum(col("cj") * col("cj")), lit(0L)).as("c_sq"))
+    broadcast(nItems).crossJoin(broadcast(sSq)).crossJoin(broadcast(cSq))
+      .withColumn("__nr",
+        (col("n_items") * lit(raters.toLong)).cast("decimal(38,0)"))
+      .withColumn("__s", col("s_sq").cast("decimal(38,0)"))
+      .withColumn("__c", col("c_sq").cast("decimal(38,0)"))
+      .withColumn("__num",
+        (col("__s") - col("__nr")) * col("__nr") - col("__c") * lit(raters - 1))
+      .withColumn("__den",
+        (col("__nr") * col("__nr") - col("__c")) * lit(raters - 1))
+      .select(col("n_items"), lit(raters).as("n_raters"),
+        col("s_sq"), col("c_sq"),
+        col("__num").cast("long").as("kappa_num"),
+        col("__den").cast("long").as("kappa_den"),
+        expr("""cast(case when __den = 0 then null
+          |     when __num >= 0 then __num * 1000 div __den
+          |     else -((-__num) * 1000 div __den) end as long)""".stripMargin)
+          .as("kappa_permille"))
+  }
+
+  /**
+   * ROUGE-N — clipped n-gram overlap between a candidate and a
+   * reference text (summarization / distillation eval, and the
+   * prefix-leakage audit of a train/eval split): per pair,
+   * `match = Σ_g min(cnt_cand(g), cnt_ref(g))` over the reference's
+   * distinct n-grams, with recall `match/ref_n`, precision
+   * `match/cand_n`, F1 `2·match/(cand_n + ref_n)` — all reported in
+   * truncating permille (exact integers; NULL when the denominator is
+   * 0, i.e. a side too short to have an n-gram).
+   *
+   * Scale shape: pure per-row expressions — strict [[NGrams]] windows
+   * plus a codegen'd clipped-overlap fold — ZERO shuffles; a billion
+   * pairs cost one scan. (Contrast [[Decontaminate]], which joins
+   * gram tables corpus-wide; ROUGE is pairwise so the grams never
+   * leave the row.) Output: id, cand_n, ref_n, match_n,
+   * rouge_p/r/f permilles.
+   */
+  def rougeN(df: DataFrame, idCol: String, candCol: String,
+      refCol: String, n: Int = 2): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    import graft.expressions.{asColumn, asExpr}
+    val matched = expr(
+      s"""aggregate(array_distinct(__rg), 0L, (acc, g) -> acc +
+         |  least(size(filter(__rg, x -> x = g)),
+         |        size(filter(__cg, x -> x = g))))""".stripMargin)
+    df.select(col(idCol).as("id"),
+        asColumn(NGrams(asExpr(split(col(candCol), " ")), n)).as("__cg"),
+        asColumn(NGrams(asExpr(split(col(refCol), " ")), n)).as("__rg"))
+      .select(col("id"),
+        size(col("__cg")).cast("long").as("cand_n"),
+        size(col("__rg")).cast("long").as("ref_n"),
+        matched.as("match_n"))
+      .select(col("id"), col("cand_n"), col("ref_n"), col("match_n"),
+        when(col("cand_n") > 0, expr("match_n * 1000 div cand_n")).as("rouge_p"),
+        when(col("ref_n") > 0, expr("match_n * 1000 div ref_n")).as("rouge_r"),
+        when(col("cand_n") + col("ref_n") > 0,
+          expr("match_n * 2000 div (cand_n + ref_n)")).as("rouge_f"))
+  }
 }

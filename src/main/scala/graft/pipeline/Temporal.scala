@@ -743,4 +743,61 @@ object Temporal {
       .withColumn("is_kept",
         col("prev_gap").isNull || col("prev_gap") >= minGap)
   }
+
+  /**
+   * EXACT lag-`k` autocorrelation per key over a pre-scaled integer
+   * series — the seasonality/self-similarity probe (does yesterday
+   * predict today? is the metric k-periodic?) that runs before
+   * committing to a seasonal model. The textbook ACF
+   * `r_k = Σ_{i≤n−k}(x_i−x̄)(x_{i+k}−x̄) / Σ_i(x_i−x̄)²` with the
+   * FULL-series mean clears (×n²) to all-integer moments:
+   *
+   *   num·n² = n²·Σ x_i·x_{i+k} − n·S·(head_sum + tail_sum) + (n−k)·S²
+   *   den·n² = n²·Σ x_i²       − n·S²
+   *
+   * (head = first n−k terms, tail = last n−k terms, S = Σ x_i) —
+   * computed in DECIMAL(38,0), reported as sign-handled truncating
+   * permille; NULL when the series is constant (den = 0) or shorter
+   * than k+1. `valueCol` must be integral (scale cents/micros before
+   * calling — the same pre-scaled-long contract as [[Stats]] gates).
+   *
+   * Scale shape: ONE window per key ordered by (`orderCol`, `idCol`)
+   * computing lead(k), then one map-side-combinable groupBy(key) of
+   * six integer moments — a single keyed shuffle + aggregate, the
+   * gapRegularity profile. Output: key, n, acf_num, acf_den (longs,
+   * null on overflow of the cast-down; the permille itself is exact),
+   * acf_permille.
+   */
+  def autocorr(df: DataFrame, keyCol: String, orderCol: String,
+      idCol: String, valueCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = Window.partitionBy(keyCol).orderBy(col(orderCol), col(idCol))
+    val x = col(valueCol).cast("decimal(38,0)")
+    val lagged = df
+      .select(col(keyCol).as("key"), x.as("__x"),
+        lead(x, k).over(w).as("__y"))
+    lagged.groupBy("key")
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x")).as("__s"),
+        sum(col("__x") * col("__x")).as("__ssq"),
+        sum(when(col("__y").isNotNull, col("__x") * col("__y"))).as("__sxy"),
+        sum(when(col("__y").isNotNull, col("__x"))).as("__head"),
+        sum(when(col("__y").isNotNull, col("__y"))).as("__tail"))
+      .withColumn("__n", col("n").cast("decimal(38,0)"))
+      .withColumn("__num",
+        col("__n") * col("__n") * col("__sxy") -
+          col("__n") * col("__s") * (col("__head") + col("__tail")) +
+          (col("__n") - lit(k)) * col("__s") * col("__s"))
+      .withColumn("__den",
+        col("__n") * col("__n") * col("__ssq") -
+          col("__n") * col("__s") * col("__s"))
+      .select(col("key"), col("n"),
+        col("__num").cast("long").as("acf_num"),
+        col("__den").cast("long").as("acf_den"),
+        expr(s"""cast(case when __den is null or __den = 0 or __num is null
+          |       then null
+          |     when __num >= 0 then __num * 1000 div __den
+          |     else -((-__num) * 1000 div __den) end as long)""".stripMargin)
+          .as("acf_permille"))
+  }
 }

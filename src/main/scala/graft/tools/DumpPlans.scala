@@ -210,7 +210,71 @@ object DumpPlans {
         "one-row corpus totals broadcast."),
       "q_ldiversity" -> ("l-diversity audit: one (combo, sensitive) " +
         "groupBy then a combo-bounded rollup — fact rows shuffle once " +
-        "and no countDistinct Expand ever materializes."))
+        "and no countDistinct Expand ever materializes."),
+      // ---- wave-11 (round-12 snapshot) + round-13 flagships ----
+      "q_cooccur" -> ("Windowed token co-occurrence: tokens explode to " +
+        "(id, pos, token) once, pairs form in a per-doc position-bounded " +
+        "equi-self-join (|pos_a - pos_b| <= w inside the join condition), " +
+        "then ONE map-side-combinable pair-count groupBy — fan-out is " +
+        "window-bounded per token, never quadratic in the document."),
+      "q_kappa" -> ("Cohen's kappa: the rating stream collapses to ONE " +
+        "(a, b) pair-count groupBy; marginals are label-bounded " +
+        "re-aggregations of that table and the chance term is a " +
+        "label-bounded equi-join; the only crossJoins are the allowlisted " +
+        "one-row broadcast totals; DECIMAL(38,0) clearing keeps n^2 exact " +
+        "past 3e9 rows."),
+      "q_shard_balance" -> ("Shard-balance audit: mix64 over the " +
+        "(schema-checked integral) id inside whole-stage codegen, one " +
+        "groupBy on the masked hash (exactly nShards groups), and the " +
+        "permille deviation rides the one-row broadcast total — fact rows " +
+        "shuffle once into a bounded-cardinality aggregate."),
+      "q_debounce" -> ("Tolerance debounce: ONE hash exchange on the key; " +
+        "prev-gap is a lag window over the (ts, id) sort and the keep " +
+        "decision is a codegen'd compare — sessionization's skew profile, " +
+        "no self-join, no second pass."),
+      "q_containment_join" -> ("One-way containment join (PPJoin prefix): " +
+        "candidates are an equi-join on the rare-first prefix with the " +
+        "containment size filter and position upper bound IN the join " +
+        "condition, after a broadcast anti-join caps hot shingles " +
+        "(df > hotCap); verify is one count per candidate — ids + small " +
+        "ints through the shuffle, never payloads."),
+      "q_resample_cubic" -> ("Keys cubic-convolution resample: a pure " +
+        "per-tile codegen'd expression over the scan — zero exchanges; " +
+        "the 16-tap kernel's dyadic weights make the result exact in " +
+        "double, so the same query is the cross-engine oracle."),
+      "q_raster_join_bilinear" -> ("Raster join with a bilinear " +
+        "reproject_and_merge kernel: identical join shape to the pinned " +
+        "q_raster_join_bucketed (extent-grid SortMergeJoin, no tile " +
+        "broadcast) — the resample method changes only the per-pair merge " +
+        "expression, never the shuffle."),
+      "q_e2e_curation" -> ("The composed curation pipeline (clean-lines " +
+        "→ gopher gate → exact dedup → pack) as ONE plan: per-row " +
+        "codegen from scan to the dedup groupBy, then exactly two keyed " +
+        "shuffles — the md5-hash groupBy+join and the per-shard packing " +
+        "window. The per-stage flagships pin each piece; this pins the " +
+        "cross-stage contracts."),
+      // ---- wave-12 flagships ----
+      "q_fleiss" -> ("Fleiss' kappa: ONE (item, category) groupBy over " +
+        "the rating stream, an item-bounded completeness semi-join, and " +
+        "three one-row aggregates met in allowlisted broadcast " +
+        "crossJoins — DECIMAL(38,0) clearing keeps the integer kappa " +
+        "exact past 3e9 items."),
+      "q_rouge" -> ("ROUGE-2: strict NGrams windows + a codegen'd " +
+        "clipped-overlap fold, all per-row — ZERO exchanges; a billion " +
+        "candidate/reference pairs cost one scan."),
+      "q_link_predict" -> ("Adamic-Adar: wedges enumerate through the " +
+        "CENTER node (one adjacency equi-self-join on w, quadratic only " +
+        "in deg(w)) with centers capped at maxDegree BEFORE the join — " +
+        "the hub guard; per-wedge micro-unit 1/ln terms aggregate in one " +
+        "(u, v) groupBy and existing edges leave via one LEFT ANTI join."),
+      "q_also_viewed" -> ("Co-membership: distinct (user, item) is one " +
+        "groupBy, hub users (> maxItems) drop via an aggregate semi-join " +
+        "BEFORE the user-keyed pair self-join (bounded at maxItems² per " +
+        "user), then ONE map-side-combinable pair count."),
+      "q_autocorr" -> ("Exact lag-k autocorrelation: one lead window per " +
+        "key + one map-side-combinable six-moment aggregate — a single " +
+        "keyed shuffle; the n²-cleared integer num/den make the permille " +
+        "bit-reproducible under any partitioning."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")

@@ -155,4 +155,41 @@ class GraphSpec extends AnyFunSuite {
     val after2 = Graph.kCore(chain, "s", "d", k = 2, rounds = 2).count()
     assert(after1 > after2) // each round peels one layer of endpoints
   }
+
+  test("adamicAdar: path wedge, triangle exclusion, hub cap") {
+    // path a-b-c: one wedge at center b (deg 2) -> (a, c) scored
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("s", "d")
+    val p = Graph.adamicAdar(path, "s", "d").collect()
+    assert(p.length == 1)
+    val row = p.head
+    assert(row.getLong(0) == 1L && row.getLong(1) == 3L)
+    assert(row.getLong(2) == 1L)
+    assert(row.getLong(3) == math.round(1e6 / math.log(2.0)))
+    // triangle: every candidate pair is an existing edge -> anti-joined away
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("s", "d")
+    assert(Graph.adamicAdar(tri, "s", "d").count() == 0L)
+    // 5-leaf star: center deg 5; cap 4 excludes it (leaves can't pair)
+    val star = (2L to 6L).map(l => (1L, l)).toDF("s", "d")
+    assert(Graph.adamicAdar(star, "s", "d", maxDegree = 4).count() == 0L)
+    val full = Graph.adamicAdar(star, "s", "d", maxDegree = 5).collect()
+    assert(full.length == 10) // C(5,2) leaf pairs, each common=1
+    assert(full.forall(_.getLong(3) == math.round(1e6 / math.log(5.0))))
+  }
+
+  test("coMembership: pair counts, hub-user cap, minUsers prune") {
+    val rows = Seq(
+      (1L, "x"), (1L, "y"), (1L, "z"),
+      (2L, "x"), (2L, "y"), (2L, "y"), // duplicate interaction collapses
+      (3L, "x"), (3L, "y"), (3L, "z"), (3L, "w")).toDF("u", "i")
+    // maxItems=3 drops user 3; (x,y) seen by users 1 and 2
+    val got = Graph.coMembership(rows, "u", "i", maxItems = 3, minUsers = 1L)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(got == Map(("x", "y") -> 2L, ("x", "z") -> 1L, ("y", "z") -> 1L))
+    val pruned = Graph.coMembership(rows, "u", "i", maxItems = 3, minUsers = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(pruned == Seq(("x", "y")))
+    // raising the cap admits user 3's pairs (w enters)
+    val wide = Graph.coMembership(rows, "u", "i", maxItems = 4, minUsers = 1L)
+    assert(wide.count() == 6L) // C(4,2) over {w,x,y,z} for u3 ∪ previous
+  }
 }

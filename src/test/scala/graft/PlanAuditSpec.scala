@@ -42,7 +42,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "broadcast label-cardinality sum-vector crossJoin (L x L label pairs = metadata-sized)",
     "q_colloc" -> "broadcast one-row corpus-totals crossJoin (n_uni, n_bi)",
     "q_kappa" -> "broadcast one-row totals crossJoin (n, agree, pe_num — 3 longs)",
-    "q_shard_balance" -> "broadcast one-row grand-total crossJoin over the shard counts")
+    "q_shard_balance" -> "broadcast one-row grand-total crossJoin over the shard counts",
+    "q_fleiss" -> "broadcast one-row totals crossJoins (n_items, s_sq, c_sq — 3 longs)")
 
   test("no query plans an unintended cartesian or nested-loop join") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -330,4 +330,53 @@ class StatsSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
     assert(pruned == Seq(("a", "b")))
   }
+
+  test("fleissKappa: hand case, incomplete-item drop, perfect, swap, degenerate") {
+    def fleiss(rows: Seq[(Long, String)], r: Int): org.apache.spark.sql.Row =
+      Stats.fleissKappa(rows.toDF("item", "cat"), "item", "cat", r)
+        .collect().head
+    // items: (A,A,A), (A,A,B), (B,B,B), (A,B,B) + an incomplete 2-rating
+    // item that must drop. N=4 r=3 S=28 C=72:
+    // num=(28-12)*12-72*2=48, den=2*(144-72)=144 -> 333 permille
+    val hand = fleiss(
+      Seq(1L -> "A", 1L -> "A", 1L -> "A",
+          2L -> "A", 2L -> "A", 2L -> "B",
+          3L -> "B", 3L -> "B", 3L -> "B",
+          4L -> "A", 4L -> "B", 4L -> "B",
+          9L -> "A", 9L -> "A"), 3)
+    assert(hand.getLong(0) == 4L)                      // n_items (9 dropped)
+    assert(hand.getLong(2) == 28L && hand.getLong(3) == 72L) // s_sq, c_sq
+    assert(hand.getLong(4) == 48L && hand.getLong(5) == 144L)
+    assert(hand.getLong(6) == 333L)
+    // perfect agreement across two categories -> exactly 1000
+    assert(fleiss(Seq(1L -> "A", 1L -> "A", 1L -> "A",
+      2L -> "B", 2L -> "B", 2L -> "B"), 3).getLong(6) == 1000L)
+    // r=2 total within-item disagreement -> -1000
+    assert(fleiss(Seq(1L -> "A", 1L -> "B", 2L -> "A", 2L -> "B"), 2)
+      .getLong(6) == -1000L)
+    // all ratings one category: den = 0 -> NULL
+    assert(fleiss(Seq(1L -> "A", 1L -> "A", 2L -> "A", 2L -> "A"), 2)
+      .isNullAt(6))
+  }
+
+  test("rougeN: clipped bigram overlap, permilles, short-side NULLs") {
+    def rouge(cand: String, ref: String): org.apache.spark.sql.Row =
+      Stats.rougeN(Seq((1L, cand, ref)).toDF("id", "cand", "ref"),
+        "id", "cand", "ref", n = 2).collect().head
+    // cand grams [a b, b c, c a, a b], ref grams [a b, b c]:
+    // clipped match = min(1,2) + min(1,1) = 2
+    val r = rouge("a b c a b", "a b c")
+    assert(r.getLong(1) == 4L && r.getLong(2) == 2L && r.getLong(3) == 2L)
+    assert(r.getLong(4) == 500L && r.getLong(5) == 1000L && r.getLong(6) == 666L)
+    // clipping caps repeated candidate grams at the ref multiplicity
+    val c = rouge("x y x y x y", "x y")
+    assert(c.getLong(3) == 1L && c.getLong(5) == 1000L)
+    // sub-2-token ref: strict windows -> ref_n = 0, recall NULL
+    val s = rouge("a b c", "a")
+    assert(s.getLong(2) == 0L && s.getLong(3) == 0L && s.isNullAt(5))
+    assert(s.getLong(4) == 0L)   // precision defined: 0/3
+    // both sides too short -> every permille NULL
+    val e = rouge("a", "b")
+    assert(e.isNullAt(4) && e.isNullAt(5) && e.isNullAt(6))
+  }
 }

@@ -592,4 +592,26 @@ class TemporalSpec extends AnyFunSuite {
       .where(col("is_kept")).collect().map(_.getLong(0)).toSeq
     assert(kept == Seq(7L))
   }
+
+  test("autocorr: hand-computed lag-1 ACF, constant NULL, short-series NULL") {
+    def acf(rows: Seq[(String, Long, Long, Long)], k: Int) =
+      Temporal.autocorr(rows.toDF("key", "ts", "id", "v"),
+          "key", "ts", "id", "v", k)
+        .collect().map(r => r.getString(0) -> r).toMap
+    // x = [1,2,3,4], lag 1: classic ACF = 1.25/5 = 0.25 -> 250 permille
+    // cleared: num = 16*20 - 4*10*15 + 3*100 = 20, den = 16*30 - 400 = 80
+    val a = acf((1L to 4L).map(i => ("a", i * 10L, i, i)), 1)("a")
+    assert(a.getLong(1) == 4L)
+    assert(a.getLong(2) == 20L && a.getLong(3) == 80L)
+    assert(a.getLong(4) == 250L)
+    // alternating series, lag 2 = perfectly in phase -> positive; lag 1
+    // anti-phase -> negative permille (sign-handled truncating div)
+    val alt = (1L to 8L).map(i => ("b", i * 10L, i, if (i % 2 == 0) 10L else -10L))
+    assert(acf(alt, 1)("b").getLong(4) < 0L)
+    assert(acf(alt, 2)("b").getLong(4) > 0L)
+    // constant series: den = 0 -> NULL
+    assert(acf((1L to 5L).map(i => ("c", i * 10L, i, 7L)), 1)("c").isNullAt(4))
+    // series shorter than k+1 -> no overlapping terms -> NULL
+    assert(acf(Seq(("d", 10L, 1L, 1L), ("d", 20L, 2L, 2L)), 3)("d").isNullAt(4))
+  }
 }
