@@ -1799,3 +1799,113 @@ def co_membership(df, user_col, item_col, max_items=50, min_users=2):
             .where(F.col("a") < F.col("b"))
             .groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_users"))
             .where(F.col("n_users") >= min_users))
+
+
+def krippendorff_alpha(df, item_col, category_col):
+    """Krippendorff's alpha (nominal) — Python mirror of the Scala
+    ``Stats.krippendorffAlpha``: variable panel sizes (items with
+    r_i >= 2 all contribute; single-rating items are unpairable),
+    per-item micro-unit disagreement terms round(1e6*(ri^2-si)/(ri-1)),
+    integer expected side, DECIMAL(38,0) clearing, sign-handled
+    truncating permille (NULL when nothing is pairable or one
+    category).
+    """
+    nij = (df.groupBy(F.col(item_col).alias("item"),
+                      F.col(category_col).alias("cat"))
+           .agg(F.count(F.lit(1)).alias("c")))
+    per_item = (nij.groupBy("item")
+                .agg(F.sum("c").alias("ri"),
+                     F.sum(F.col("c") * F.col("c")).alias("si"))
+                .where(F.col("ri") >= 2))
+    items = per_item.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.coalesce(F.sum(F.round(
+            F.lit(1e6) * (F.col("ri") * F.col("ri") - F.col("si"))
+            .cast("double") / (F.col("ri") - 1)).cast("long")),
+            F.lit(0)).alias("d_o_micro"))
+    pairable = nij.join(per_item.select("item"), "item")
+    cats = (pairable.groupBy("cat").agg(F.sum("c").alias("nc"))
+            .agg(F.coalesce(F.sum("nc"), F.lit(0)).alias("n_ratings"),
+                 F.coalesce(F.sum(F.col("nc") * F.col("nc")),
+                            F.lit(0)).alias("c_sq")))
+    return (F.broadcast(cats).crossJoin(F.broadcast(items))
+            .withColumn("__n", F.col("n_ratings").cast("decimal(38,0)"))
+            .withColumn("__c", F.col("c_sq").cast("decimal(38,0)"))
+            .withColumn("__do", F.col("d_o_micro").cast("decimal(38,0)"))
+            .withColumn("__de", (F.col("__n") * F.col("__n") - F.col("__c"))
+                        * F.lit(1000000))
+            .withColumn("__num", F.col("__de")
+                        - (F.col("__n") - 1) * F.col("__do"))
+            .select("n_ratings", "n_items", "d_o_micro", "c_sq",
+                    F.col("__num").cast("long").alias("alpha_num"),
+                    F.col("__de").cast("long").alias("alpha_den"),
+                    F.expr("cast(case when __de = 0 then null "
+                           "when __num >= 0 then __num * 1000 div __de "
+                           "else -((-__num) * 1000 div __de) end as long)")
+                    .alias("alpha_permille")))
+
+
+def cosine_sim_join(df, id_col, text_col, threshold_permille, df_cap=1024):
+    """Sparse tf-idf cosine similarity join — Python mirror of the
+    Scala ``Dedup.cosineSimJoin``: centi-nat integer idf weights
+    (round(100*ln(N/df))), inverted-index candidates with the
+    df > ``df_cap`` hub guard, exact integer dots/norms in
+    DECIMAL(38,0), cos^2 in ppm thresholded at
+    ``threshold_permille``^2.
+    """
+    tp = int(threshold_permille)
+    if not 1 <= tp <= 1000:
+        raise ValueError(f"threshold_permille must be in [1,1000], got {tp}")
+    tf = (df.select(F.col(id_col).alias("id"),
+                    F.explode(F.split(F.col(text_col), " ")).alias("term"))
+          .where(F.col("term") != "")
+          .groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf")))
+    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = F.broadcast(df.agg(F.count(F.lit(1)).alias("__n")))
+    weighted = (tf.join(dfc.where(F.col("df") <= df_cap), "term")
+                .crossJoin(n)
+                .select("id", "term",
+                        (F.col("tf") * F.round(
+                            F.lit(100.0) * F.log(F.col("__n").cast("double")
+                                                 / F.col("df")))
+                         .cast("long")).alias("w"))
+                .where(F.col("w") > 0))
+    norms = weighted.groupBy("id").agg(
+        F.sum(F.col("w").cast("decimal(38,0)") * F.col("w")).alias("norm2"))
+    dots = (weighted.select(F.col("id").alias("a"), "term",
+                            F.col("w").alias("wa"))
+            .join(weighted.select(F.col("id").alias("b"), "term",
+                                  F.col("w").alias("wb")), "term")
+            .where(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("common_terms"),
+                 F.sum(F.col("wa").cast("decimal(38,0)")
+                       * F.col("wb")).alias("dot")))
+    return (dots
+            .join(norms.select(F.col("id").alias("a"),
+                               F.col("norm2").alias("na")), "a")
+            .join(norms.select(F.col("id").alias("b"),
+                               F.col("norm2").alias("nb")), "b")
+            .withColumn("cos2_ppm", F.expr(
+                "cast(dot * dot * 1000000 div (na * nb) as long)"))
+            .where(F.col("dot") * F.col("dot") * 1000000
+                   >= F.col("na") * F.col("nb") * F.lit(tp * tp))
+            .select("a", "b", "common_terms", "cos2_ppm"))
+
+
+def blocklist_hits(df, id_col, text_col, patterns):
+    """Multi-pattern blocklist scan — Python mirror of the Scala
+    ``Blocklist.hits``: one Aho-Corasick pass per row via the
+    registered ``pl_multi_match_counts`` SQL function (counts ALL
+    overlapping occurrences), exploded to (id, pattern, n_hits > 0).
+    """
+    if not patterns:
+        raise ValueError("patterns must not be empty")
+    lits = ", ".join("'" + p.replace("'", "''") + "'" for p in patterns)
+    counts = F.expr(f"pl_multi_match_counts({text_col}, array({lits}))")
+    pats = F.array(*[F.lit(p) for p in patterns])
+    return (df.select(F.col(id_col).alias("id"),
+                      F.posexplode(counts).alias("__pi", "n_hits"))
+            .where(F.col("n_hits") > 0)
+            .select("id", F.element_at(pats, F.col("__pi") + 1)
+                    .alias("pattern"), "n_hits"))

@@ -803,3 +803,41 @@ def test_co_membership_cap_and_prune(spark):
     assert got == {("x", "y"): 2, ("x", "z"): 1, ("y", "z"): 1}
     pruned = co_membership(df, "u", "i", max_items=3, min_users=2).collect()
     assert [(r["a"], r["b"]) for r in pruned] == [("x", "y")]
+
+
+def test_krippendorff_alpha_variable_panels(spark):
+    from graft.pipeline import krippendorff_alpha
+    rows = [(1, "A"), (1, "A"), (2, "A"), (2, "B"),
+            (3, "B"), (3, "B"), (3, "B"), (9, "C")]  # 9 unpairable
+    df = spark.createDataFrame(rows, "item long, cat string")
+    r = krippendorff_alpha(df, "item", "cat").collect()[0]
+    # n=7 C=25 d_o=2e6 -> num 12e6 / den 24e6 -> 500 permille
+    assert (r["n_ratings"], r["n_items"]) == (7, 3)
+    assert (r["d_o_micro"], r["c_sq"]) == (2000000, 25)
+    assert r["alpha_permille"] == 500
+    # perfect agreement with mixed panel sizes
+    p = spark.createDataFrame([(1, "A"), (1, "A"), (2, "B"), (2, "B"),
+                               (2, "B")], "item long, cat string")
+    assert krippendorff_alpha(p, "item", "cat").collect()[0][
+        "alpha_permille"] == 1000
+
+
+def test_cosine_sim_join_identity_and_cap(spark):
+    from graft.pipeline import cosine_sim_join
+    df = spark.createDataFrame([(1, "x y"), (2, "x z"), (3, "x y")],
+                               "id long, text string")
+    rows = cosine_sim_join(df, "id", "text", 500).collect()
+    # x has df=N -> idf 0 -> drops; A~C identical on the weighted view
+    assert len(rows) == 1
+    assert (rows[0]["a"], rows[0]["b"], rows[0]["cos2_ppm"]) == (1, 3, 1000000)
+    assert cosine_sim_join(df, "id", "text", 500, df_cap=1).count() == 0
+
+
+def test_blocklist_hits_overlapping(spark):
+    from graft.pipeline import blocklist_hits
+    df = spark.createDataFrame([(1, "banana bandana"), (2, "pure prose")],
+                               "id long, text string")
+    got = {(r["id"], r["pattern"]): r["n_hits"]
+           for r in blocklist_hits(df, "id", "text",
+                                   ["an", "ana", "na", "band"]).collect()}
+    assert got == {(1, "an"): 4, (1, "ana"): 3, (1, "na"): 3, (1, "band"): 1}

@@ -3449,7 +3449,39 @@ object SparkEntry {
           col("event_id"), round(col("value") * 100).cast("long").as("cents")),
         "user_id", "tus", "event_id", "cents", k = 2)
         .withColumnRenamed("key", "user_id")
-        .orderBy("user_id"))
+        .orderBy("user_id")),
+    // ---- wave 13: variable-panel agreement / weighted dedup / blocklist ----
+    // Krippendorff's alpha over VARIABLE panels: per 10-event block,
+    // keep 2..5 ratings (block mod 4 sizes the panel); every 50th block
+    // keeps one rating and must drop as unpairable
+    "q_krippendorff" -> ((s, dir) =>
+      graft.pipeline.Stats.krippendorffAlpha(
+        t(s, dir, "events").where(expr(
+          """CASE WHEN (event_id div 10) % 50 = 0 THEN event_id % 10 = 0
+            |ELSE event_id % 10 < 2 + (event_id div 10) % 4 END""".stripMargin))
+          .select(expr("event_id div 10").as("item"),
+            col("event_type").as("cat")),
+        "item", "cat")),
+    // sparse tf-idf cosine join: centi-nat integer idf weights, df>400
+    // terms dropped (the hub guard visibly fires on the small shared
+    // vocabulary), inverted-index candidates, cos² >= 0.9² in ppm
+    "q_cosine_join" -> ((s, dir) =>
+      graft.pipeline.Dedup.cosineSimJoin(t(s, dir, "documents"),
+          "doc_id", "text", thresholdPermille = 900, dfCap = 400L)
+        .orderBy("a", "b")),
+    // Aho-Corasick blocklist scan: one automaton pass per doc counting
+    // ALL overlapping occurrences (the injected ' banana' proves the
+    // overlap semantics: 'ana' counts twice inside one 'banana')
+    "q_blocklist" -> ((s, dir) =>
+      graft.pipeline.Blocklist.hits(
+        t(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 3 === 0, lit(" banana")).otherwise(lit("")))
+            .as("text")),
+        "doc_id", "text",
+        Seq("an", "ana", "na", "scan", "batch", "banana"))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "pattern"))
   )
 
   // ---- DuckDB SQL builders for graft's 64-bit hash primitives ----
@@ -7231,6 +7263,72 @@ object SparkEntry {
         |  CAST(CASE WHEN den = 0 OR num IS NULL THEN NULL
         |    WHEN num >= 0 THEN num * 1000 // den
         |    ELSE -((-num) * 1000 // den) END AS BIGINT) AS acf_permille
-        |FROM f ORDER BY user_id""".stripMargin
+        |FROM f ORDER BY user_id""".stripMargin,
+    // Krippendorff replayed: same variable-panel filter, per-item
+    // micro-unit disagreement terms (one division + one round), integer
+    // expected side; HAVING SUM(c) >= 2 is the pairable filter
+    "q_krippendorff" ->
+      """WITH r AS (SELECT event_id // 10 AS item, event_type AS cat FROM events
+        |  WHERE CASE WHEN (event_id // 10) % 50 = 0 THEN event_id % 10 = 0
+        |    ELSE event_id % 10 < 2 + (event_id // 10) % 4 END),
+        |nij AS (SELECT item, cat, COUNT(*) AS c FROM r GROUP BY 1, 2),
+        |per AS (SELECT item, SUM(c) AS ri, SUM(c * c) AS si FROM nij
+        |  GROUP BY item HAVING SUM(c) >= 2),
+        |it AS (SELECT COUNT(*) AS n_items,
+        |  COALESCE(SUM(CAST(round(1e6 * (ri * ri - si) / (ri - 1)) AS BIGINT)), 0)
+        |    AS d_o_micro FROM per),
+        |pair AS (SELECT nij.* FROM nij JOIN per USING (item)),
+        |cats AS (SELECT COALESCE(SUM(nc), 0) AS n_ratings,
+        |  COALESCE(SUM(nc * nc), 0) AS c_sq FROM
+        |  (SELECT SUM(c) AS nc FROM pair GROUP BY cat)),
+        |f AS (SELECT n_ratings, n_items, d_o_micro, c_sq,
+        |  (n_ratings * n_ratings - c_sq) * 1000000 AS de,
+        |  (n_ratings * n_ratings - c_sq) * 1000000
+        |    - (n_ratings - 1) * d_o_micro AS num
+        |  FROM cats, it)
+        |SELECT CAST(n_ratings AS BIGINT) AS n_ratings,
+        |  CAST(n_items AS BIGINT) AS n_items,
+        |  CAST(d_o_micro AS BIGINT) AS d_o_micro, CAST(c_sq AS BIGINT) AS c_sq,
+        |  CAST(num AS BIGINT) AS alpha_num, CAST(de AS BIGINT) AS alpha_den,
+        |  CAST(CASE WHEN de = 0 THEN NULL
+        |    WHEN num >= 0 THEN num * 1000 // de
+        |    ELSE -((-num) * 1000 // de) END AS BIGINT) AS alpha_permille
+        |FROM f""".stripMargin,
+    // cosine join replayed: centi-nat idf weights (one ln + one round),
+    // integer dots/norms, cos^2 in ppm; df > 400 postings dropped
+    "q_cosine_join" ->
+      """WITH tf AS (SELECT doc_id AS id, t.term, COUNT(*) AS tf FROM
+        |  (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) t
+        |  WHERE t.term <> '' GROUP BY 1, 2),
+        |dfc AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT COUNT(*) AS nn FROM documents),
+        |w AS (SELECT id, term,
+        |    tf * CAST(round(100.0 * ln(CAST(nn AS DOUBLE) / df)) AS BIGINT) AS w
+        |  FROM tf JOIN dfc USING (term), n WHERE df <= 400),
+        |wp AS (SELECT * FROM w WHERE w > 0),
+        |nrm AS (SELECT id, SUM(w * w) AS norm2 FROM wp GROUP BY id),
+        |d AS (SELECT a.id AS a, b.id AS b, COUNT(*) AS common_terms,
+        |    SUM(a.w * b.w) AS dot
+        |  FROM wp a JOIN wp b ON a.term = b.term AND a.id < b.id
+        |  GROUP BY 1, 2)
+        |SELECT d.a, d.b, CAST(common_terms AS BIGINT) AS common_terms,
+        |  CAST(dot * dot * 1000000 // (na.norm2 * nb.norm2) AS BIGINT) AS cos2_ppm
+        |FROM d JOIN nrm na ON d.a = na.id JOIN nrm nb ON d.b = nb.id
+        |WHERE dot * dot * 1000000 >= na.norm2 * nb.norm2 * 810000
+        |ORDER BY d.a, d.b""".stripMargin,
+    // blocklist replayed positionally: per (doc, pattern), the count of
+    // positions whose substring equals the pattern — the overlapping
+    // semantics of the Aho-Corasick pass, O(len·k) here vs O(len) there
+    "q_blocklist" ->
+      """WITH d AS (SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' banana' ELSE '' END AS t
+        |  FROM documents),
+        |p AS (SELECT unnest(['an','ana','na','scan','batch','banana']) AS pattern),
+        |c AS (SELECT doc_id, pattern,
+        |    len(list_filter(range(1, length(t) - length(pattern) + 2),
+        |      i -> substring(t, i, length(pattern)) = pattern)) AS n_hits
+        |  FROM d, p)
+        |SELECT doc_id, pattern, CAST(n_hits AS BIGINT) AS n_hits
+        |FROM c WHERE n_hits > 0 ORDER BY doc_id, pattern""".stripMargin
   )
 }

@@ -588,6 +588,8 @@ object Raster {
         graft.pipeline.DistinctNGrams(xs.head, intArg(xs, 1, 3)))
       regN("pl_ngrams", xs =>
         graft.pipeline.NGrams(xs.head, intArg(xs, 1, 2)))
+      regN("pl_multi_match_counts", xs =>
+        graft.pipeline.MultiMatchCounts(xs(0), xs(1)))
       reg1("pl_mix64", graft.pipeline.Mix64(_))
       reg1("pl_nfc", graft.pipeline.UnicodeNorm(_, "NFC"))
       reg1("pl_nfkc", graft.pipeline.UnicodeNorm(_, "NFKC"))

@@ -12,6 +12,46 @@ import org.apache.spark.sql.functions._
  * built-in (codegen'd) functions plus native expressions — no Scala
  * UDFs — and every shape is partial+final or equi-join bounded.
  */
+/**
+ * Multi-pattern blocklist matching — the banned-phrase / unsafe-term
+ * scan of a curation pipeline, run against dictionaries far too large
+ * for per-pattern `contains` probes. One [[MultiMatchCounts]]
+ * Aho–Corasick pass per row counts ALL (overlapping) occurrences of
+ * every pattern simultaneously: O(len + matches) per document,
+ * independent of the dictionary size, where k `LIKE`/`contains`
+ * probes cost O(k·len) and k regexes worse.
+ *
+ * Scale shape: the dictionary ships inside the expression (plan
+ * literal — the Bloom-bits pattern, `Pipeline.scala` q_bloom_join);
+ * the scan is per-row with ZERO shuffles before the caller's own
+ * aggregation. Dictionaries beyond plan-literal size (~10⁶ entries)
+ * should ship via a broadcast join on extracted candidates instead.
+ */
+object Blocklist {
+  import graft.expressions.asColumn
+
+  /** Per-pattern occurrence counts as `array<long>` aligned with
+    * `patterns` (counts overlapping hits — "banana" vs "ana" is 2). */
+  def multi_match_counts(text: Column, patterns: Seq[String]): Column = {
+    require(patterns.nonEmpty, "patterns must not be empty")
+    asColumn(MultiMatchCounts(asExpr(text),
+      asExpr(array(patterns.map(lit(_)): _*))))
+  }
+
+  /** (id, pattern, n_hits) rows for every document×pattern with at
+    * least one hit. */
+  def hits(df: DataFrame, idCol: String, textCol: String,
+      patterns: Seq[String]): DataFrame = {
+    val pats = array(patterns.map(lit(_)): _*)
+    df.select(col(idCol).as("id"),
+        posexplode(multi_match_counts(col(textCol), patterns))
+          .as(Seq("__pi", "n_hits")))
+      .where(col("n_hits") > 0L)
+      .select(col("id"),
+        element_at(pats, col("__pi") + 1).as("pattern"), col("n_hits"))
+  }
+}
+
 object PII {
   /** The regex dialect here is the RE2-compatible subset of Java regex
     * (character classes, `\d`, `\b`, non-capturing groups, bounded

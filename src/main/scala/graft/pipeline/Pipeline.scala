@@ -740,6 +740,69 @@ object Dedup {
       .where(col("inter") * 1000 >= lit(tp.toLong) * col("a_sz"))
       .withColumn("containment_permille", expr("inter * 1000 div a_sz"))
   }
+
+  /**
+   * Sparse tf-idf COSINE similarity join via an inverted index — the
+   * weighted complement of [[jaccardPrefixPairs]] (Jaccard treats
+   * every token equally; cosine lets rare terms dominate, the classic
+   * news-dedup / near-copy detector for texts that share vocabulary
+   * but not shingles). All-integer weights: `idf_centi =
+   * round(100·ln(N/df))` (one ln, one round — replayable; centi-nats,
+   * not micro, so `dot²·1e6` stays inside DECIMAL(38,0) — with
+   * tf ≤ 10³, distinct terms ≤ 10⁴ and idf ≤ 2,500 the product peaks
+   * ~10³⁶; micro-nat weights would wrap), term weight
+   * `w = tf·idf_centi`, so dot products and norms are EXACT integers
+   * and the score is `cos²` in parts-per-million:
+   * `cos2_ppm = dot²·1e6 div (‖a‖²·‖b‖²)` (squaring avoids the
+   * irrational sqrt; the caller's threshold t on cosine becomes t² on
+   * this). Pairs must share ≥ 1 indexed term.
+   *
+   * Scale shape: tf and df are two map-side-combinable groupBys;
+   * candidate pairs form by equi-joining the posting list with itself
+   * on the TERM (ids + weights only, never documents), after terms
+   * with df > `dfCap` are dropped — the hub guard, principled here:
+   * high-df terms carry the LOWEST idf, so the cap removes the most
+   * expensive and least informative postings first (df = N terms have
+   * idf exactly 0 and never matter). Per-pair verify is one aggregate;
+   * norms join key-bounded. DECIMAL(38,0) products throughout.
+   * Output: (a, b, common_terms, cos2_ppm), a < b,
+   * cos2_ppm ≥ thresholdPermille² (a cosine threshold in permille).
+   */
+  def cosineSimJoin(df: DataFrame, idCol: String, textCol: String,
+      thresholdPermille: Int, dfCap: Long = 1024L): DataFrame = {
+    require(thresholdPermille >= 1 && thresholdPermille <= 1000,
+      s"thresholdPermille must be in [1,1000], got $thresholdPermille")
+    require(dfCap >= 1, s"dfCap must be >= 1, got $dfCap")
+    val tf = df.select(col(idCol).as("id"),
+        explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .where(col("term") =!= "")
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = broadcast(df.agg(count(lit(1)).as("__n")))
+    val weighted = tf.join(dfc.where(col("df") <= dfCap), "term")
+      .crossJoin(n)
+      .select(col("id"), col("term"),
+        (col("tf") * round(lit(100.0) *
+          log(col("__n").cast("double") / col("df"))).cast("long")).as("w"))
+      .where(col("w") > 0L)
+    val norms = weighted.groupBy("id")
+      .agg(sum(col("w").cast("decimal(38,0)") * col("w")).as("norm2"))
+    val dots = weighted.select(col("id").as("a"), col("term"), col("w").as("wa"))
+      .join(weighted.select(col("id").as("b"), col("term"), col("w").as("wb")),
+        "term")
+      .where(col("a") < col("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("common_terms"),
+        sum(col("wa").cast("decimal(38,0)") * col("wb")).as("dot"))
+    val thr2 = thresholdPermille.toLong * thresholdPermille
+    dots
+      .join(norms.select(col("id").as("a"), col("norm2").as("na")), "a")
+      .join(norms.select(col("id").as("b"), col("norm2").as("nb")), "b")
+      .withColumn("cos2_ppm", expr(
+        "cast(dot * dot * 1000000 div (na * nb) as long)"))
+      .where(col("dot") * col("dot") * 1000000L >= col("na") * col("nb") * thr2)
+      .select(col("a"), col("b"), col("common_terms"), col("cos2_ppm"))
+  }
 }
 
 object EmbeddingDedup {

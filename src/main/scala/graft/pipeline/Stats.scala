@@ -588,6 +588,62 @@ object Stats {
   }
 
   /**
+   * Krippendorff's alpha (nominal) — chance-corrected agreement for
+   * VARIABLE panel sizes: the exact case [[fleissKappa]] refuses
+   * (items with any r_i ≥ 2 ratings all contribute; only single-rating
+   * items are unpairable and drop). The observed-disagreement side is
+   * a per-item rational `(r_i² − Σ_c n_ic²)/(r_i − 1)`, rounded to
+   * integer MICRO-UNITS per item (`round(1e6·…)` — the psiReport
+   * micro-nat discipline: one integer division in double then one
+   * round, bit-replayable on any IEEE engine) and summed; the expected
+   * side is all-integer. With `n = Σ_c n_c` pairable ratings and
+   * `C = Σ_c n_c²`:
+   *
+   *   alpha_num = (n² − C)·1e6 − (n − 1)·Σ_i t_i
+   *   alpha_den = (n² − C)·1e6
+   *
+   * in DECIMAL(38,0), sign-handled truncating permille; NULL when all
+   * pairable ratings are one category (den = 0) or nothing is
+   * pairable.
+   *
+   * Scale shape: ONE (item, category) groupBy, per-item micro-unit
+   * terms off that bounded table, then three one-row aggregates met
+   * in broadcast crossJoins — the [[fleissKappa]] shape without the
+   * completeness filter. Output (one row): `n_ratings, n_items,
+   * d_o_micro, c_sq, alpha_num, alpha_den, alpha_permille`.
+   */
+  def krippendorffAlpha(df: DataFrame, itemCol: String,
+      categoryCol: String): DataFrame = {
+    val nij = df.groupBy(col(itemCol).as("item"), col(categoryCol).as("cat"))
+      .agg(count(lit(1)).as("c"))
+    val perItem = nij.groupBy("item")
+      .agg(sum("c").as("ri"), sum(col("c") * col("c")).as("si"))
+      .where(col("ri") >= 2L)
+    val items = perItem.agg(
+      count(lit(1)).as("n_items"),
+      coalesce(sum(round(lit(1e6) *
+        (col("ri") * col("ri") - col("si")).cast("double") /
+        (col("ri") - 1L)).cast("long")), lit(0L)).as("d_o_micro"))
+    val pairable = nij.join(perItem.select("item"), "item")
+    val cats = pairable.groupBy("cat").agg(sum("c").as("nc"))
+      .agg(coalesce(sum(col("nc")), lit(0L)).as("n_ratings"),
+        coalesce(sum(col("nc") * col("nc")), lit(0L)).as("c_sq"))
+    broadcast(cats).crossJoin(broadcast(items))
+      .withColumn("__n", col("n_ratings").cast("decimal(38,0)"))
+      .withColumn("__c", col("c_sq").cast("decimal(38,0)"))
+      .withColumn("__do", col("d_o_micro").cast("decimal(38,0)"))
+      .withColumn("__de", (col("__n") * col("__n") - col("__c")) * lit(1000000L))
+      .withColumn("__num", col("__de") - (col("__n") - 1) * col("__do"))
+      .select(col("n_ratings"), col("n_items"), col("d_o_micro"), col("c_sq"),
+        col("__num").cast("long").as("alpha_num"),
+        col("__de").cast("long").as("alpha_den"),
+        expr("""cast(case when __de = 0 then null
+          |     when __num >= 0 then __num * 1000 div __de
+          |     else -((-__num) * 1000 div __de) end as long)""".stripMargin)
+          .as("alpha_permille"))
+  }
+
+  /**
    * ROUGE-N — clipped n-gram overlap between a candidate and a
    * reference text (summarization / distillation eval, and the
    * prefix-leakage audit of a train/eval split): per pair,

@@ -1053,3 +1053,113 @@ case class Chunks(child: Expression, sizeTokens: Int, overlap: Int)
   }
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
+
+/**
+ * Counts ALL occurrences — including overlapping ones — of each of a
+ * FIXED pattern list inside `text`, in ONE left-to-right pass over the
+ * string via an Aho–Corasick automaton (goto/fail/dict-suffix links).
+ * Returns `array<long>` aligned with the pattern array. The pattern
+ * argument must be foldable (a literal blocklist): the automaton is
+ * built once per executor from it (transient lazy), so a million-row
+ * partition pays the build exactly once and each row costs
+ * O(len + matches) — independent of the pattern count, which is the
+ * whole point versus k separate `contains`/`regexp` probes at O(k·len).
+ *
+ * Overlap semantics (unlike `replace`-based counting, which is
+ * non-overlapping): "banana" vs ["ana"] counts 2. Empty patterns are
+ * rejected at analysis; an empty pattern ARRAY yields an empty counts
+ * array.
+ */
+case class MultiMatchCounts(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def prettyName: String = "multi_match_counts"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, ArrayType(StringType, _)) if right.foldable =>
+        val arr = right.eval(null)
+        if (arr == null) TypeCheckResult.TypeCheckFailure(
+          s"$prettyName pattern array must not be null")
+        else {
+          val ad = arr.asInstanceOf[ArrayData]
+          val bad = (0 until ad.numElements()).exists(i =>
+            ad.isNullAt(i) || ad.getUTF8String(i).numChars() == 0)
+          if (bad) TypeCheckResult.TypeCheckFailure(
+            s"$prettyName patterns must be non-null and non-empty")
+          else TypeCheckResult.TypeCheckSuccess
+        }
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (string, foldable array<string>)")
+    }
+
+  @transient private lazy val patterns: Array[String] = {
+    val ad = right.eval(null).asInstanceOf[ArrayData]
+    Array.tabulate(ad.numElements())(i => ad.getUTF8String(i).toString)
+  }
+
+  // Automaton arrays: per node a char->child map, a fail link, and the
+  // pattern indexes ending exactly at the node; dictLink jumps to the
+  // nearest fail-ancestor that ends some pattern, so per-position match
+  // reporting walks only genuine hits.
+  @transient private lazy val automaton: (Array[scala.collection.mutable.LongMap[Int]],
+      Array[Int], Array[List[Int]], Array[Int]) = {
+    import scala.collection.mutable
+    val next = mutable.ArrayBuffer(mutable.LongMap.empty[Int])
+    val ends = mutable.ArrayBuffer[List[Int]](Nil)
+    for ((p, pi) <- patterns.zipWithIndex) {
+      var cur = 0
+      for (ch <- p) {
+        val key = ch.toLong
+        cur = next(cur).getOrElse(key, {
+          next += mutable.LongMap.empty[Int]
+          ends += Nil
+          val id = next.size - 1
+          next(cur)(key) = id
+          id
+        })
+      }
+      ends(cur) = pi :: ends(cur)
+    }
+    val n = next.size
+    val fail = new Array[Int](n)
+    val dict = new Array[Int](n)
+    val queue = mutable.Queue.empty[Int]
+    for ((_, c) <- next(0)) { fail(c) = 0; dict(c) = 0; queue += c }
+    while (queue.nonEmpty) {
+      val u = queue.dequeue()
+      dict(u) = if (ends(fail(u)).nonEmpty) fail(u) else dict(fail(u))
+      for ((ch, c) <- next(u)) {
+        var f = fail(u)
+        while (f != 0 && !next(f).contains(ch)) f = fail(f)
+        fail(c) = next(f).getOrElse(ch, 0) match {
+          case `c` => 0
+          case x => x
+        }
+        queue += c
+      }
+    }
+    (next.toArray, fail, ends.toArray, dict)
+  }
+
+  override def nullSafeEval(t: Any, ps: Any): Any = {
+    val (next, fail, ends, dict) = automaton
+    val counts = new Array[Long](patterns.length)
+    val s = t.asInstanceOf[UTF8String].toString
+    var node = 0
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i).toLong
+      while (node != 0 && !next(node).contains(ch)) node = fail(node)
+      node = next(node).getOrElse(ch, 0)
+      var m = if (ends(node).nonEmpty) node else dict(node)
+      while (m != 0) {
+        ends(m).foreach(pi => counts(pi) += 1)
+        m = dict(m)
+      }
+      i += 1
+    }
+    new GenericArrayData(counts.map(x => x: Any))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}

@@ -274,7 +274,22 @@ object DumpPlans {
       "q_autocorr" -> ("Exact lag-k autocorrelation: one lead window per " +
         "key + one map-side-combinable six-moment aggregate — a single " +
         "keyed shuffle; the n²-cleared integer num/den make the permille " +
-        "bit-reproducible under any partitioning."))
+        "bit-reproducible under any partitioning."),
+      // ---- wave-13 flagships ----
+      "q_krippendorff" -> ("Krippendorff's alpha: ONE (item, category) " +
+        "groupBy, per-item micro-unit disagreement terms off the bounded " +
+        "item table, three one-row aggregates in allowlisted broadcast " +
+        "crossJoins — the variable-panel sibling of q_fleiss."),
+      "q_cosine_join" -> ("Sparse tf-idf cosine join: tf and df are two " +
+        "map-side-combinable groupBys; candidates equi-join the posting " +
+        "list with itself on the TERM (ids + integer weights only) after " +
+        "the df > dfCap hub guard drops the lowest-idf, highest-fan-out " +
+        "postings; norms join key-bounded; all products DECIMAL-exact."),
+      "q_blocklist" -> ("Aho-Corasick blocklist scan: the dictionary " +
+        "ships inside the expression as a plan literal, the automaton " +
+        "builds once per executor, and each row costs O(len + matches) " +
+        "independent of pattern count — zero exchanges before the " +
+        "caller's aggregation."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")

@@ -182,4 +182,21 @@ class CurationSpec extends AnyFunSuite {
     // s1: below(10)=0 -> 0; below(20)=1 -> 250; below(30)=3 -> 750
     assert(out == Map(1L -> 0L, 2L -> 250L, 3L -> 250L, 4L -> 750L, 5L -> 0L))
   }
+
+  test("Blocklist: overlapping Aho-Corasick counts, nested patterns, hits shape") {
+    import graft.pipeline.Blocklist
+    val df = Seq((1L, "banana bandana"), (2L, "pure prose")).toDF("id", "text")
+    val got = Blocklist.hits(df, "id", "text", Seq("an", "ana", "na", "band"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    // banana: an 2, ana 2 (overlap!), na 2; bandana: an 2, ana 1, na 1, band 1
+    assert(got == Map((1L, "an") -> 4L, (1L, "ana") -> 3L,
+      (1L, "na") -> 3L, (1L, "band") -> 1L))
+    // nested patterns both count; pure overlap "aaa" vs "aa" is 2
+    val nested = Seq((1L, "aaa")).toDF("id", "text")
+    val n = Blocklist.hits(nested, "id", "text", Seq("a", "aa"))
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(n == Map("a" -> 3L, "aa" -> 2L))
+    // no-hit rows emit nothing
+    assert(Blocklist.hits(df, "id", "text", Seq("zzz")).count() == 0L)
+  }
 }

@@ -374,4 +374,24 @@ class DedupSpec extends AnyFunSuite {
       .jaccardPrefixPairs(docs, "id", "text", 100, hotCap = 8)
       .count() == 0L)
   }
+
+  test("cosineSimJoin: identical docs score 1e6 ppm; zero-idf terms drop; dfCap guards") {
+    import graft.pipeline.Dedup
+    // x appears in all 3 docs -> idf 0 -> x carries no weight, so A and
+    // B share nothing; A and C are identical on the weighted view
+    val df = Seq((1L, "x y"), (2L, "x z"), (3L, "x y")).toDF("id", "text")
+    val got = Dedup.cosineSimJoin(df, "id", "text", thresholdPermille = 500)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map((1L, 3L) -> ((1L, 1000000L))))
+    // dfCap = 1 removes y (df 2) -> no candidate pairs at all
+    assert(Dedup.cosineSimJoin(df, "id", "text", 500, dfCap = 1L).count() == 0L)
+    // partial overlap scores strictly between 0 and 1e6 and is symmetric
+    val p = Seq((1L, "a b c"), (2L, "a b d"), (3L, "q r s")).toDF("id", "text")
+    val rows = Dedup.cosineSimJoin(p, "id", "text", 1).collect()
+    assert(rows.length == 1)
+    val r0 = rows.head
+    assert(r0.getLong(0) == 1L && r0.getLong(1) == 2L && r0.getLong(2) == 2L)
+    assert(r0.getLong(3) > 0L && r0.getLong(3) < 1000000L)
+  }
 }

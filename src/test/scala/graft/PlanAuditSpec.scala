@@ -43,7 +43,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_colloc" -> "broadcast one-row corpus-totals crossJoin (n_uni, n_bi)",
     "q_kappa" -> "broadcast one-row totals crossJoin (n, agree, pe_num — 3 longs)",
     "q_shard_balance" -> "broadcast one-row grand-total crossJoin over the shard counts",
-    "q_fleiss" -> "broadcast one-row totals crossJoins (n_items, s_sq, c_sq — 3 longs)")
+    "q_fleiss" -> "broadcast one-row totals crossJoins (n_items, s_sq, c_sq — 3 longs)",
+    "q_krippendorff" -> "broadcast one-row totals crossJoin (cats × items — 2 tiny rows)",
+    "q_cosine_join" -> "broadcast one-row corpus-count crossJoin (the idf N)")
 
   test("no query plans an unintended cartesian or nested-loop join") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]

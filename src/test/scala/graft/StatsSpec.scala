@@ -379,4 +379,26 @@ class StatsSpec extends AnyFunSuite {
     val e = rouge("a", "b")
     assert(e.isNullAt(4) && e.isNullAt(5) && e.isNullAt(6))
   }
+
+  test("krippendorffAlpha: hand case with variable raters, perfect, degenerate") {
+    import org.apache.spark.sql.Row
+    def alpha(rows: Seq[(Long, String)]): Row =
+      Stats.krippendorffAlpha(rows.toDF("item", "cat"), "item", "cat")
+        .collect().head
+    // items: (A,A) r=2 t=0; (A,B) r=2 t=2e6; (B,B,B) r=3 t=0; single
+    // rating (C) unpairable -> dropped. n=7 C=25:
+    // num = 24e6 - 6*2e6 = 12e6, den = 24e6 -> 500 permille
+    val hand = alpha(Seq(1L -> "A", 1L -> "A", 2L -> "A", 2L -> "B",
+      3L -> "B", 3L -> "B", 3L -> "B", 9L -> "C"))
+    assert(hand.getLong(0) == 7L && hand.getLong(1) == 3L)   // n_ratings, n_items
+    assert(hand.getLong(2) == 2000000L && hand.getLong(3) == 25L) // d_o, c_sq
+    assert(hand.getLong(6) == 500L)
+    // perfect agreement, mixed panel sizes -> 1000
+    assert(alpha(Seq(1L -> "A", 1L -> "A", 2L -> "B", 2L -> "B", 2L -> "B"))
+      .getLong(6) == 1000L)
+    // one category everywhere: den = 0 -> NULL
+    assert(alpha(Seq(1L -> "A", 1L -> "A", 2L -> "A", 2L -> "A")).isNullAt(6))
+    // nothing pairable -> NULL
+    assert(alpha(Seq(1L -> "A", 2L -> "B")).isNullAt(6))
+  }
 }
