@@ -562,6 +562,64 @@ object StreamingPipeline {
       }
   }
 
+  /** (key, ts) projection for the gap-regularity monitor. */
+  final case class GapRow(k: Long, t: Long)
+  /** Per-key state: last seen timestamp + the three gap moments — 4
+    * longs, the smallest possible cadence memory. */
+  final case class GapSt(last: Long, n: Long, s: Long, ssq: Long)
+  /** Per-key report row (one per key per batch that touched it). */
+  final case class GapOut(key: Long, nGaps: Long, gapSum: Long,
+      gapSsq: Long, varN2: Long, isRobotic: Boolean)
+
+  /**
+   * Streaming cadence-regularity monitor — the stateful face of
+   * [[graft.pipeline.Stats.gapRegularity]]: per key, the state store
+   * keeps `(last_ts, n, Σgap, Σgap²)` and every batch emits the key's
+   * updated moments plus the division-cleared CV² flag
+   * (`kDen·(n·ssq − s²) < kNum·s²`, zero-gap metronome short-circuit,
+   * `minGaps` floor) — live bot detection with FOUR LONGS of state per
+   * key, the incremental form of the batch lag-window + moment
+   * aggregate. A single micro-batch over a static frame reproduces the
+   * batch operator row-for-row (StreamingPipelineSpec pins the parity
+   * against the oracled q_gap_regularity machinery).
+   *
+   * Cross-batch semantics assume the per-key feed is in order (the
+   * [[cusumStream]] trade): a late event would produce one negative
+   * gap where the batch operator's global sort would not. Keys with a
+   * single event so far carry state but emit nothing (no gap exists —
+   * matching the batch WHERE on the lag).
+   */
+  def gapRegularityStream(df: DataFrame, key: String, tsCol: String,
+      divisor: Long = 1000000L, kNum: Int = 1, kDen: Int = 10,
+      minGaps: Int = 5): Dataset[GapOut] = {
+    require(divisor > 0 && kNum > 0 && kDen > 0 && minGaps >= 1,
+      "divisor, kNum, kDen, minGaps must be positive")
+    import df.sparkSession.implicits._
+    val rows = df.select(col(key).cast("long").as("k"),
+      col(tsCol).cast("long").as("t")).as[GapRow]
+    rows.groupByKey(_.k)
+      .flatMapGroupsWithState[GapSt, GapOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (k: Long, it: Iterator[GapRow], state: GroupState[GapSt]) =>
+          var st = state.getOption.getOrElse(GapSt(Long.MinValue, 0L, 0L, 0L))
+          for (r <- it.toSeq.sortBy(_.t)) {
+            if (st.last != Long.MinValue) {
+              // sorted feed ⇒ gap ≥ 0, so / matches the batch `div`
+              val gap = (r.t - st.last) / divisor
+              st = GapSt(r.t, st.n + 1L, st.s + gap, st.ssq + gap * gap)
+            } else st = st.copy(last = r.t)
+          }
+          state.update(st)
+          if (st.n == 0L) Iterator.empty
+          else {
+            val varN2 = st.n * st.ssq - st.s * st.s
+            val robotic = st.n >= minGaps &&
+              (st.s == 0L || varN2 * kDen < st.s * st.s * kNum)
+            Iterator.single(GapOut(k, st.n, st.s, st.ssq, varN2, robotic))
+          }
+      }
+  }
+
   /** One event after touch/conversion projection. */
   final case class AttrRow(k: Long, t: Long, id: Long, tp: String, conv: Boolean)
   /** Per-key state: touches still inside any future conversion's

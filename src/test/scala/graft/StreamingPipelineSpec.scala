@@ -1065,4 +1065,58 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(got == exp)
     assert(exp.size > 10 && exp.values.exists(_._2 > 1)) // non-trivial
   }
+
+  test("gapRegularityStream replays the oracled q_gap_regularity rows (sf0.001)") {
+    val in = eventsTus.select(col("user_id"), col("tus"))
+    val dir = Files.createTempDirectory("parity-gapreg").toString
+    in.coalesce(1).write.mode("overwrite").parquet(dir)
+    val out = StreamingPipeline.gapRegularityStream(
+      spark.readStream.schema(in.schema).parquet(dir),
+      "user_id", "tus", divisor = 1000000L, kNum = 1, kDen = 10, minGaps = 5)
+    val q = out.toDF().writeStream.format("memory").queryName("parity_gapreg")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.sql(
+      "SELECT key, nGaps, gapSum, gapSsq, varN2, isRobotic FROM parity_gapreg")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+    val exp = SparkEntry.queries("q_gap_regularity")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+    assert(got == exp)
+    assert(exp.size > 10) // non-trivial key spread (sf0.001 has 15 users)
+  }
+
+  test("gapRegularityStream carries the four-long state across micro-batches") {
+    val dir = Files.createTempDirectory("stream-gapreg2").toString
+    val ckpt = Files.createTempDirectory("stream-gapreg2-ckpt").toString
+    val outDir = Files.createTempDirectory("stream-gapreg2-out").toString
+    // metronome at 10s cadence, fed in two halves: the second run must
+    // see the first half's last timestamp (the cross-batch gap is the
+    // same 10s, not a fresh first-event null)
+    val part1 = (0 until 4).map(i => (1L, i * 10000000L))
+    val part2 = (4 until 8).map(i => (1L, i * 10000000L))
+    val schema = part1.toDF("k", "tus").schema
+    part1.toDF("k", "tus").write.mode("overwrite").parquet(dir)
+    def run(): Map[Long, (Long, Long, Boolean)] = {
+      val out = StreamingPipeline.gapRegularityStream(
+        spark.readStream.schema(schema).parquet(dir),
+        "k", "tus", divisor = 1000000L, kNum = 1, kDen = 10, minGaps = 5)
+      val q = out.toDF().writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      spark.read.parquet(outDir).collect()
+        .map(r => r.getAs[Long]("nGaps") ->
+          ((r.getAs[Long]("gapSum"), r.getAs[Long]("varN2"),
+            r.getAs[Boolean]("isRobotic")))).toMap
+    }
+    val first = run()
+    assert(first == Map(3L -> ((30L, 0L, false)))) // 3 gaps < minGaps
+    part2.toDF("k", "tus").write.mode("append").parquet(dir)
+    val second = run()
+    // 7 gaps of exactly 10: the 4->5 boundary gap came from state
+    assert(second(3L) == ((30L, 0L, false)))
+    assert(second(7L) == ((70L, 0L, true))) // metronome flags past minGaps
+  }
 }
