@@ -1909,3 +1909,75 @@ def blocklist_hits(df, id_col, text_col, patterns):
             .where(F.col("n_hits") > 0)
             .select("id", F.element_at(pats, F.col("__pi") + 1)
                     .alias("pattern"), "n_hits"))
+
+
+def t_closeness(df, quasi_cols, sensitive_col, t_permille):
+    """t-closeness audit — Python mirror of the Scala
+    ``KAnonymity.tCloseness``: integer EMD (mean absolute cumulative
+    gap over the ordered sensitive values) of each quasi combo's
+    distribution vs the corpus, via a dense combo x value grid
+    (broadcast crossJoin of two metadata-sized tables), cumulative
+    windows over grid rows, DECIMAL(38,0) clearing.
+    """
+    tp = int(t_permille)
+    if not 1 <= tp <= 1000:
+        raise ValueError(f"t_permille must be in [1,1000], got {tp}")
+    combo = [F.col(c) for c in quasi_cols]
+    cell = (df.groupBy(*(combo + [F.col(sensitive_col).alias("__v")]))
+            .agg(F.count(F.lit(1)).alias("__p")))
+    glob = (df.groupBy(F.col(sensitive_col).alias("__v"))
+            .agg(F.count(F.lit(1)).alias("__q")))
+    combos = cell.groupBy(*combo).agg(F.sum("__p").alias("n"))
+    grid = (F.broadcast(combos).crossJoin(F.broadcast(glob))
+            .join(cell, list(quasi_cols) + ["__v"], "left")
+            .na.fill(0, ["__p"]))
+    w = Window.partitionBy(*quasi_cols).orderBy("__v")
+    totals = F.broadcast(glob.agg(F.sum("__q").alias("__n"),
+                                  F.count(F.lit(1)).alias("__k")))
+    return (grid
+            .withColumn("__cp", F.sum("__p").over(w))
+            .withColumn("__cq", F.sum("__q").over(w))
+            .crossJoin(totals)
+            .where(F.col("__k") >= 2)
+            .groupBy(*(combo + [F.col("n"), F.col("__n"), F.col("__k")]))
+            .agg(F.sum(F.abs(F.col("__cp").cast("decimal(38,0)")
+                             * F.col("__n")
+                             - F.col("__cq").cast("decimal(38,0)")
+                             * F.col("n"))).alias("__d"))
+            .withColumn("emd_permille", F.expr(
+                "cast(__d * 1000 div (cast(n as decimal(38,0)) * __n "
+                "* (__k - 1)) as long)"))
+            .withColumn("is_risky", F.col("emd_permille") > tp)
+            .select(*(list(quasi_cols) + ["n", "emd_permille", "is_risky"])))
+
+
+def flesch_readability(df, id_col, text_col):
+    """Flesch reading ease — Python mirror of the Scala
+    ``Readability.flesch``: sentence-per-line text, vowel-group
+    syllables (floor 1 per word), milli-point score rounded once;
+    NULL for wordless rows. Pure per-row built-ins, zero shuffles.
+    """
+    words = F.filter(
+        F.split(F.regexp_replace(F.col("__text"), "\n", " "), " "),
+        lambda w: w != "")
+    syl = F.expr(
+        "aggregate(filter(split(regexp_replace(__text, '\\n', ' '), ' '), "
+        "w -> w != ''), 0L, (acc, w) -> acc + greatest(1L, "
+        "size(regexp_extract_all(w, '[aeiouy]+', 0))))")
+    sentences = F.size(F.filter(F.split(F.col("__text"), "\n"),
+                                lambda l: F.trim(l) != ""))
+    return (df.select(F.col(id_col).alias("id"),
+                      F.col(text_col).alias("__text"))
+            .select(F.col("id"),
+                    F.greatest(sentences.cast("long"),
+                               F.lit(1)).alias("n_sentences"),
+                    F.size(words).cast("long").alias("n_words"),
+                    syl.alias("n_syllables"))
+            .select("id", "n_sentences", "n_words", "n_syllables",
+                    F.when(F.col("n_words") > 0,
+                           F.round(F.lit(206835.0)
+                                   - F.lit(1015.0) * F.col("n_words")
+                                   / F.col("n_sentences")
+                                   - F.lit(84600.0) * F.col("n_syllables")
+                                   / F.col("n_words")).cast("long"))
+                    .alias("flesch_milli")))

@@ -630,3 +630,32 @@ def autocorr(df, key_col, order_col, id_col, value_col, k):
                            "when __num >= 0 then __num * 1000 div __den "
                            "else -((-__num) * 1000 div __den) end as long)")
                     .alias("acf_permille")))
+
+
+def journeys(df, key_col, ts_col, id_col, type_col, gap_micros, n=3,
+             min_count=2):
+    """Session journey mining — Python mirror of the Scala
+    ``Temporal.journeys``: gap sessionization (one key shuffle),
+    per-session ordered type path via in-group sort_array, strict
+    pl_ngrams path windows, one journey count pruned at ``min_count``.
+    """
+    if gap_micros <= 0 or n < 1:
+        raise ValueError("gap_micros must be positive and n >= 1")
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = (df
+            .withColumn("__prev", F.lag(F.col(ts_col).cast("long"), 1).over(w))
+            .withColumn("__brk", F.when(
+                F.col("__prev").isNull()
+                | (F.col(ts_col).cast("long") - F.col("__prev") > gap_micros),
+                F.lit(1)).otherwise(F.lit(0)))
+            .withColumn("__sid", F.sum("__brk").over(run)))
+    paths = (sess.groupBy(F.col(key_col), F.col("__sid"))
+             .agg(F.expr(f"transform(sort_array(collect_list("
+                         f"struct({ts_col}, {id_col}, {type_col}))), "
+                         f"s -> s.{type_col})").alias("__path")))
+    return (paths
+            .select(F.explode(F.expr(f"pl_ngrams(__path, {n})"))
+                    .alias("journey"))
+            .groupBy("journey").agg(F.count(F.lit(1)).alias("cnt"))
+            .where(F.col("cnt") >= min_count))

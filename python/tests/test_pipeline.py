@@ -841,3 +841,26 @@ def test_blocklist_hits_overlapping(spark):
            for r in blocklist_hits(df, "id", "text",
                                    ["an", "ana", "na", "band"]).collect()}
     assert got == {(1, "an"): 4, (1, "ana"): 3, (1, "na"): 3, (1, "band"): 1}
+
+
+def test_t_closeness_hand_emd(spark):
+    from graft.pipeline import t_closeness
+    rows = [("a", 1, 0), ("a", 1, 0), ("a", 1, 0),
+            ("b", 1, 1), ("b", 1, 1),
+            ("c", 1, 0), ("c", 1, 1)]
+    df = spark.createDataFrame(rows, "seg string, nat long, band long")
+    got = {r["seg"]: (r["n"], r["emd_permille"], r["is_risky"])
+           for r in t_closeness(df, ["seg", "nat"], "band", 300).collect()}
+    assert got == {"a": (3, 428, True), "b": (2, 571, True),
+                   "c": (2, 71, False)}
+
+
+def test_flesch_readability_hand(spark):
+    from graft.pipeline import flesch_readability
+    df = spark.createDataFrame([(1, "the cat sat\non a mat"), (2, "")],
+                               "id long, text string")
+    got = {r["id"]: r for r in flesch_readability(df, "id", "text").collect()}
+    assert (got[1]["n_sentences"], got[1]["n_words"],
+            got[1]["n_syllables"]) == (2, 6, 6)
+    assert got[1]["flesch_milli"] == 119190
+    assert got[2]["flesch_milli"] is None

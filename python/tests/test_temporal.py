@@ -353,3 +353,16 @@ def test_autocorr_hand_case_and_nulls(spark):
     assert out["a"]["acf_permille"] == 250
     # constant series -> den 0 -> NULL
     assert out["c"]["acf_permille"] is None
+
+
+def test_journeys_session_breaks(spark):
+    from graft.temporal import journeys
+    rows = [(1, 10, 1, "a"), (1, 20, 2, "b"), (1, 30, 3, "c"),
+            (2, 10, 4, "a"), (2, 20, 5, "b"), (2, 30, 6, "c"),
+            (3, 10, 7, "a"), (3, 5000, 8, "b"), (3, 5010, 9, "c")]
+    df = spark.createDataFrame(rows, "u long, ts long, id long, tp string")
+    got = {r["journey"]: r["cnt"]
+           for r in journeys(df, "u", "ts", "id", "tp", gap_micros=100,
+                             n=3, min_count=1).collect()}
+    # user 3's session break keeps its a out of any trigram
+    assert got == {"a b c": 2}

@@ -3482,6 +3482,37 @@ object SparkEntry {
         Seq("an", "ana", "na", "scan", "batch", "banana"))
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id", "pattern"))
+    ,
+    // ---- wave 14: t-closeness / readability / journey mining ----
+    // t-closeness over the acctbal band (ordered sensitive): integer
+    // EMD of each quasi combo's band distribution vs the corpus
+    "q_tcloseness" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_mktsegment"),
+        col("c_nationkey"),
+        expr("cast(floor(c_acctbal / 1000) as bigint)").as("bal_band"))
+      graft.pipeline.KAnonymity.tCloseness(c,
+          Seq("c_mktsegment", "c_nationkey"), "bal_band", tPermille = 300L)
+        .orderBy("c_mktsegment", "c_nationkey")
+    }),
+    // Flesch reading ease on the sentence-per-line clean_lines shape
+    // (same ' line ' -> newline fixture as q_clean_lines); milli-points
+    // rounded once from two exact integer divisions
+    "q_readability" -> ((s, dir) =>
+      graft.pipeline.Readability.flesch(
+        t(s, dir, "documents").select(col("doc_id"),
+          regexp_replace(col("text"), " line ", "\n").as("lined")),
+        "doc_id", "lined")
+        .orderBy("id")),
+    // session journey mining: 1-day-gap sessions (the synthetic feed's
+    // median per-user cadence is ~7h, so day sessions hold real paths),
+    // ordered type paths, corpus-wide trigram journey counts
+    "q_journeys" -> ((s, dir) =>
+      graft.pipeline.Temporal.journeys(
+        eventsMicros(s, dir).select(col("user_id"), col("tus"),
+          col("event_id"), col("event_type")),
+        "user_id", "tus", "event_id", "event_type",
+        gapMicros = 86400000000L, n = 3, minCount = 5L)
+        .orderBy("journey"))
   )
 
   // ---- DuckDB SQL builders for graft's 64-bit hash primitives ----
@@ -7329,6 +7360,74 @@ object SparkEntry {
         |      i -> substring(t, i, length(pattern)) = pattern)) AS n_hits
         |  FROM d, p)
         |SELECT doc_id, pattern, CAST(n_hits AS BIGINT) AS n_hits
-        |FROM c WHERE n_hits > 0 ORDER BY doc_id, pattern""".stripMargin
+        |FROM c WHERE n_hits > 0 ORDER BY doc_id, pattern""".stripMargin,
+    // t-closeness replayed: dense combo x value grid, cumulative gaps
+    // |CumP*n_total - CumQ*n_combo| summed, one integer division
+    "q_tcloseness" ->
+      """WITH c AS (SELECT c_mktsegment, c_nationkey,
+        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS v FROM customer),
+        |cell AS (SELECT c_mktsegment, c_nationkey, v, COUNT(*) AS p
+        |  FROM c GROUP BY 1, 2, 3),
+        |gl AS (SELECT v, COUNT(*) AS q FROM c GROUP BY v),
+        |combos AS (SELECT c_mktsegment, c_nationkey, SUM(p) AS n
+        |  FROM cell GROUP BY 1, 2),
+        |grid AS (SELECT co.c_mktsegment, co.c_nationkey, co.n, g.v, g.q,
+        |    COALESCE(cl.p, 0) AS p
+        |  FROM combos co CROSS JOIN gl g LEFT JOIN cell cl
+        |    ON cl.c_mktsegment = co.c_mktsegment
+        |   AND cl.c_nationkey = co.c_nationkey AND cl.v = g.v),
+        |cum AS (SELECT *,
+        |    SUM(p) OVER (PARTITION BY c_mktsegment, c_nationkey ORDER BY v) AS cp,
+        |    SUM(q) OVER (PARTITION BY c_mktsegment, c_nationkey ORDER BY v) AS cq
+        |  FROM grid),
+        |tot AS (SELECT SUM(q) AS nn, COUNT(*) AS k FROM gl),
+        |d AS (SELECT c_mktsegment, c_nationkey, n, nn, k,
+        |    SUM(ABS(cp * nn - cq * n)) AS dd
+        |  FROM cum, tot WHERE k >= 2 GROUP BY 1, 2, 3, 4, 5)
+        |SELECT c_mktsegment, c_nationkey, CAST(n AS BIGINT) AS n,
+        |  CAST(dd * 1000 // (n * nn * (k - 1)) AS BIGINT) AS emd_permille,
+        |  dd * 1000 // (n * nn * (k - 1)) > 300 AS is_risky
+        |FROM d ORDER BY c_mktsegment, c_nationkey""".stripMargin,
+    // Flesch replayed: vowel-group syllables (regexp_extract_all),
+    // blank lines don't count as sentences, one final round
+    "q_readability" ->
+      """WITH d AS (SELECT doc_id AS id,
+        |    regexp_replace(text, ' line ', chr(10), 'g') AS txt FROM documents),
+        |m AS (SELECT id,
+        |  greatest(len(list_filter(string_split(txt, chr(10)),
+        |    l -> trim(l) <> '')), 1) AS n_sentences,
+        |  list_filter(string_split(replace(txt, chr(10), ' '), ' '),
+        |    w -> w <> '') AS ws FROM d),
+        |s AS (SELECT id, n_sentences, len(ws) AS n_words,
+        |  list_reduce(list_prepend(0, list_transform(ws,
+        |    w -> greatest(1, len(regexp_extract_all(w, '[aeiouy]+'))))),
+        |    (a, b) -> a + b) AS n_syllables FROM m)
+        |SELECT id, CAST(n_sentences AS BIGINT) AS n_sentences,
+        |  CAST(n_words AS BIGINT) AS n_words,
+        |  CAST(n_syllables AS BIGINT) AS n_syllables,
+        |  CAST(CASE WHEN n_words > 0 THEN
+        |    round(206835.0 - 1015.0 * n_words / n_sentences
+        |          - 84600.0 * n_syllables / n_words) END AS BIGINT)
+        |    AS flesch_milli
+        |FROM s ORDER BY id""".stripMargin,
+    // journeys replayed: the q_sessions break-flag sessionization, an
+    // ordered list per session, 1-based inclusive trigram slices
+    "q_journeys" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS tus, event_id,
+        |    event_type FROM events),
+        |l AS (SELECT *, LAG(tus) OVER (PARTITION BY user_id
+        |    ORDER BY tus, event_id) AS prev FROM e),
+        |s AS (SELECT *, CASE WHEN prev IS NULL OR tus - prev > 86400000000
+        |    THEN 1 ELSE 0 END AS brk FROM l),
+        |g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id
+        |    ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM s),
+        |p AS (SELECT user_id, sid,
+        |    list(event_type ORDER BY tus, event_id) AS path
+        |  FROM g GROUP BY 1, 2),
+        |j AS (SELECT array_to_string(path[i:i+2], ' ') AS journey
+        |  FROM (SELECT path, unnest(range(1, greatest(len(path) - 2, 0) + 1)) AS i
+        |        FROM p))
+        |SELECT journey, CAST(COUNT(*) AS BIGINT) AS cnt FROM j
+        |GROUP BY 1 HAVING COUNT(*) >= 5 ORDER BY journey""".stripMargin
   )
 }

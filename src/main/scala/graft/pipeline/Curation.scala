@@ -416,6 +416,48 @@ object SegmentLm {
  * between the two aggregate tables (AQE broadcasts the coarse side in
  * practice). No window, no self-join of the fact table.
  */
+/**
+ * Flesch Reading Ease over sentence-per-line text — the classic
+ * readability gate of an instruction/educational-data filter, applied
+ * to the [[graft.pipeline.TextNorm.clean_lines]] output shape (one
+ * sentence per `\n` line; feed prose through a sentence splitter
+ * first). Syllables are approximated the standard way — vowel-group
+ * runs `[aeiouy]+` per word, floor 1 — and the score
+ * `206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)` is
+ * reported in MILLI-points, rounded ONCE from two exact integer
+ * divisions in double (replayable on any IEEE engine). Higher = easier;
+ * classic English prose sits ~60–70.
+ *
+ * Scale shape: pure per-row built-ins (split + regexp_extract_all +
+ * higher-order folds) — zero shuffles.
+ */
+object Readability {
+  /** (id, n_sentences, n_words, n_syllables, flesch_milli). Rows with
+    * no words return NULL flesch (nothing to score). */
+  def flesch(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = filter(split(regexp_replace(col("__text"), "\n", " "), " "),
+      w => w =!= "")
+    val syl = expr(
+      """aggregate(filter(split(regexp_replace(__text, '\n', ' '), ' '),
+        |    w -> w != ''), 0L,
+        |  (acc, w) -> acc + greatest(1L,
+        |    size(regexp_extract_all(w, '[aeiouy]+', 0))))""".stripMargin)
+    val sentences =
+      size(filter(split(col("__text"), "\n"), l => trim(l) =!= ""))
+    df.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .select(col("id"),
+        greatest(sentences.cast("long"), lit(1L)).as("n_sentences"),
+        size(words).cast("long").as("n_words"),
+        syl.as("n_syllables"))
+      .select(col("id"), col("n_sentences"), col("n_words"), col("n_syllables"),
+        when(col("n_words") > 0L,
+          round(lit(206835.0) -
+            lit(1015.0) * col("n_words") / col("n_sentences") -
+            lit(84600.0) * col("n_syllables") / col("n_words")).cast("long"))
+          .as("flesch_milli"))
+  }
+}
+
 object KAnonymity {
   /** One row per full quasi combo: its count `n`, `is_risky = n < k`,
     * the coarser prefix combo's count `n_coarse`, and
@@ -456,5 +498,62 @@ object KAnonymity {
       .groupBy(quasiCols.map(col): _*)
       .agg(sum("__c").as("n"), count(lit(1)).as("l_distinct"))
       .withColumn("is_risky", col("l_distinct") < l)
+  }
+
+  /**
+   * t-closeness audit over an ORDERED sensitive attribute — the third
+   * rung of the privacy-audit ladder ([[audit]] k-anonymity counts,
+   * [[lDiversity]] distinct values, this bounds the DISTRIBUTION): a
+   * combo is risky when the Earth Mover's Distance between its
+   * sensitive-value distribution and the corpus-wide one exceeds `t`
+   * (an attacker learns a skewed salary band even when l values are
+   * present). EMD for ordered values with unit adjacent-step cost is
+   * the mean absolute cumulative gap, cleared to EXACT integers:
+   * per combo c over the k global values in order,
+   *
+   *   emd_permille = ( Σ_j |CumP_j·n − CumQ_j·n_c| ) · 1000
+   *                    div ( n_c·n·(k−1) )
+   *
+   * (CumP over the combo's counts, CumQ over the corpus; the j=k term
+   * is identically 0, so summing all k terms equals the k−1-term
+   * definition). DECIMAL(38,0) products, so corpus sizes past 2^31
+   * cannot wrap.
+   *
+   * Scale shape: one (combo, value) groupBy + one (value) groupBy; the
+   * dense combo×value grid is an allowlisted crossJoin of two
+   * METADATA-sized tables (distinct combos × distinct sensitive
+   * values — the label_separation pattern), windows run over grid rows
+   * only, and fact rows shuffle exactly once. Output: one row per
+   * combo — `quasiCols..., n, emd_permille, is_risky`.
+   */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String], sensitiveCol: String,
+      tPermille: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "quasi columns required")
+    require(tPermille >= 1 && tPermille <= 1000,
+      s"tPermille must be in [1,1000], got $tPermille")
+    val combo = quasiCols.map(col)
+    val cell = df.groupBy(combo :+ col(sensitiveCol).as("__v"): _*)
+      .agg(count(lit(1)).as("__p"))
+    val global = df.groupBy(col(sensitiveCol).as("__v"))
+      .agg(count(lit(1)).as("__q"))
+    val combos = cell.groupBy(combo: _*).agg(sum("__p").as("n"))
+    val grid = broadcast(combos).crossJoin(broadcast(global))
+      .join(cell, quasiCols :+ "__v", "left")
+      .na.fill(0L, Seq("__p"))
+    val w = Window.partitionBy(combo: _*).orderBy(col("__v"))
+    val totals = broadcast(global.agg(sum("__q").as("__n"),
+      count(lit(1)).as("__k")))
+    grid
+      .withColumn("__cp", sum("__p").over(w))
+      .withColumn("__cq", sum(col("__q")).over(w))
+      .crossJoin(totals)
+      .where(col("__k") >= 2)
+      .groupBy(combo :+ col("n") :+ col("__n") :+ col("__k"): _*)
+      .agg(sum(abs(col("__cp").cast("decimal(38,0)") * col("__n") -
+        col("__cq").cast("decimal(38,0)") * col("n"))).as("__d"))
+      .withColumn("emd_permille", expr(
+        "cast(__d * 1000 div (cast(n as decimal(38,0)) * __n * (__k - 1)) as long)"))
+      .withColumn("is_risky", col("emd_permille") > tPermille)
+      .select(combo ++ Seq(col("n"), col("emd_permille"), col("is_risky")): _*)
   }
 }

@@ -768,6 +768,49 @@ object Temporal {
    * null on overflow of the cast-down; the permille itself is exact),
    * acf_permille.
    */
+  /**
+   * Session journey mining — the "common user paths" statistic of
+   * clickstream analysis: events sessionize on an inactivity gap
+   * (same closed-at-gap rule as the sessionization oracle: a new
+   * session starts only when the gap EXCEEDS `gapMicros`), each
+   * session becomes its ordered event-type path, and every length-`n`
+   * window of every path counts toward the corpus journey table,
+   * pruned at `minCount`. (The n=2 cut of this is the Markov
+   * transition table; journeys keep the ORDER-n context transitions
+   * lose.)
+   *
+   * Scale shape: ONE key-partitioned window pair (lag + running break
+   * sum — sessionization's single shuffle), a (key, session) groupBy
+   * whose in-group `sort_array` replays the (ts, id) total order
+   * without a second window, strict [[graft.pipeline.NGrams]] path
+   * windows, then one map-side-combinable journey count. Output:
+   * `journey` (space-joined types), `cnt`.
+   */
+  def journeys(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      typeCol: String, gapMicros: Long, n: Int = 3,
+      minCount: Long = 2L): DataFrame = {
+    require(gapMicros > 0, s"gapMicros must be positive, got $gapMicros")
+    require(n >= 1, s"n must be >= 1, got $n")
+    import graft.expressions.{asColumn, asExpr}
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(idCol))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = df
+      .withColumn("__prev", lag(col(tsCol).cast("long"), 1).over(w))
+      .withColumn("__brk",
+        when(col("__prev").isNull ||
+          col(tsCol).cast("long") - col("__prev") > gapMicros, 1L)
+          .otherwise(0L))
+      .withColumn("__sid", sum("__brk").over(run))
+    val paths = sess.groupBy(col(keyCol), col("__sid"))
+      .agg(expr(s"transform(sort_array(collect_list(" +
+        s"struct($tsCol, $idCol, $typeCol))), s -> s.$typeCol)").as("__path"))
+    paths
+      .select(explode(asColumn(graft.pipeline.NGrams(
+        asExpr(col("__path")), n))).as("journey"))
+      .groupBy("journey").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount)
+  }
+
   def autocorr(df: DataFrame, keyCol: String, orderCol: String,
       idCol: String, valueCol: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")

@@ -289,7 +289,22 @@ object DumpPlans {
         "ships inside the expression as a plan literal, the automaton " +
         "builds once per executor, and each row costs O(len + matches) " +
         "independent of pattern count — zero exchanges before the " +
-        "caller's aggregation."))
+        "caller's aggregation."),
+      // ---- wave-14 flagships ----
+      "q_tcloseness" -> ("t-closeness: one (combo, value) groupBy + one " +
+        "(value) groupBy; the dense grid is an allowlisted crossJoin of " +
+        "two METADATA-sized tables, cumulative windows run over grid " +
+        "rows only, and fact rows shuffle exactly once — the integer " +
+        "EMD needs no per-row float."),
+      "q_readability" -> ("Flesch reading ease: split + " +
+        "regexp_extract_all + a higher-order syllable fold, all per-row " +
+        "— zero exchanges; the milli-point score rounds ONCE from two " +
+        "exact integer divisions."),
+      "q_journeys" -> ("Session journey mining: sessionization's single " +
+        "key shuffle (lag + running break sum), a (key, session) groupBy " +
+        "whose in-group sort_array replays the total order without a " +
+        "second window, strict NGrams path windows, one map-side-" +
+        "combinable journey count."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")

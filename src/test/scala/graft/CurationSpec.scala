@@ -199,4 +199,41 @@ class CurationSpec extends AnyFunSuite {
     // no-hit rows emit nothing
     assert(Blocklist.hits(df, "id", "text", Seq("zzz")).count() == 0L)
   }
+
+  test("tCloseness: hand-computed EMD, balanced combo scores 0") {
+    import graft.pipeline.KAnonymity
+    // global bands: three 0s, three 1s (k=2, n=6); combo a has all mass
+    // at band 0 -> EMD 0.5; combo b all at 1 -> 0.5; combo c balanced -> 0
+    val rows = Seq(
+      ("a", 1L, 0L), ("a", 1L, 0L), ("a", 1L, 0L),
+      ("b", 1L, 1L), ("b", 1L, 1L),
+      ("c", 1L, 0L), ("c", 1L, 1L)).toDF("seg", "nat", "band")
+    val got = KAnonymity.tCloseness(rows, Seq("seg", "nat"), "band", 300L)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toMap
+    // global: band0 x4, band1 x3 (n=7, k=2)
+    // a: n=3, cum0 |3*7-4*3|=9 -> 9*1000 div (3*7*1) = 428
+    // b: n=2, cum0 |0*7-4*2|=8 -> 8*1000 div (2*7) = 571
+    // c: n=2, cum0 |1*7-4*2|=1 -> 1*1000 div 14 = 71
+    assert(got("a") == ((3L, 428L, true)))
+    assert(got("b") == ((2L, 571L, true)))
+    assert(got("c") == ((2L, 71L, false)))
+  }
+
+  test("Readability.flesch: hand case, syllable groups, empty-text NULL") {
+    import graft.pipeline.Readability
+    val df = Seq(
+      (1L, "the cat sat\non a mat"),   // 2 sentences, 6 words, 6 syllables
+      (2L, "banana banana"),            // 1 sentence, 2 words, 6 syllables
+      (3L, "")).toDF("id", "text")
+    val got = Readability.flesch(df, "id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getLong(1) == 2L && got(1L).getLong(2) == 6L &&
+      got(1L).getLong(3) == 6L)
+    // 206835 - 1015*(6/2) - 84600*(6/6) = 119190
+    assert(got(1L).getLong(4) == 119190L)
+    // banana = 3 vowel groups; 206835 - 1015*2 - 84600*3 = -48995
+    assert(got(2L).getLong(3) == 6L && got(2L).getLong(4) == -48995L)
+    assert(got(3L).getLong(2) == 0L && got(3L).isNullAt(4))
+  }
 }

@@ -45,7 +45,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_shard_balance" -> "broadcast one-row grand-total crossJoin over the shard counts",
     "q_fleiss" -> "broadcast one-row totals crossJoins (n_items, s_sq, c_sq — 3 longs)",
     "q_krippendorff" -> "broadcast one-row totals crossJoin (cats × items — 2 tiny rows)",
-    "q_cosine_join" -> "broadcast one-row corpus-count crossJoin (the idf N)")
+    "q_cosine_join" -> "broadcast one-row corpus-count crossJoin (the idf N)",
+    "q_tcloseness" -> ("broadcast combos x values dense-grid crossJoin " +
+      "(two metadata-sized tables — the label_separation pattern) + one-row totals"))
 
   test("no query plans an unintended cartesian or nested-loop join") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]

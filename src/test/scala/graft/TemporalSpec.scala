@@ -614,4 +614,25 @@ class TemporalSpec extends AnyFunSuite {
     // series shorter than k+1 -> no overlapping terms -> NULL
     assert(acf(Seq(("d", 10L, 1L, 1L), ("d", 20L, 2L, 2L)), 3)("d").isNullAt(4))
   }
+
+  test("journeys: trigram paths respect session breaks and minCount") {
+    def ev(rows: (Long, Long, Long, String)*) =
+      rows.toSeq.toDF("u", "ts", "id", "tp")
+    // user 1: a b c d in one session; user 2: a b c; user 3 has a gap
+    // after b, so its c d e never joins a's trigrams
+    val df = ev(
+      (1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"), (1L, 30L, 3L, "c"), (1L, 40L, 4L, "d"),
+      (2L, 10L, 5L, "a"), (2L, 20L, 6L, "b"), (2L, 30L, 7L, "c"),
+      (3L, 10L, 8L, "a"), (3L, 20L, 9L, "b"),
+      (3L, 5000L, 10L, "c"), (3L, 5010L, 11L, "d"), (3L, 5020L, 12L, "e"))
+    val got = graft.pipeline.Temporal.journeys(df, "u", "ts", "id", "tp",
+        gapMicros = 100L, n = 3, minCount = 1L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a b c" -> 2L, "b c d" -> 1L, "c d e" -> 1L))
+    // minCount prunes the singletons
+    val pruned = graft.pipeline.Temporal.journeys(df, "u", "ts", "id", "tp",
+        gapMicros = 100L, n = 3, minCount = 2L)
+      .collect().map(r => r.getString(0)).toSeq
+    assert(pruned == Seq("a b c"))
+  }
 }
