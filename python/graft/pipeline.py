@@ -1981,3 +1981,45 @@ def flesch_readability(df, id_col, text_col):
                                    - F.lit(84600.0) * F.col("n_syllables")
                                    / F.col("n_words")).cast("long"))
                     .alias("flesch_milli")))
+
+
+def bpe_learn(df, text_col, rounds):
+    """BPE merge learning — Python mirror of the Scala ``Bpe.learn``:
+    per round, within-word adjacent-unit pair counts, a deterministic
+    (cnt DESC, pair) one-row argmax, and the delimiter-replace rewrite
+    ('¦x¦¦y¦' -> '¦xy¦') whose left-to-right non-overlap IS the BPE
+    greedy scan. Returns one (round, pair, merged, cnt) row per round
+    (rounds past pair exhaustion emit nothing).
+    """
+    if not 1 <= rounds <= 16:
+        raise ValueError(f"rounds must be in [1,16], got {rounds}")
+    d = "¦"
+    work = df.select(F.transform(
+        F.filter(F.split(F.col(text_col), " "), lambda t: t != ""),
+        lambda tok: F.concat(F.lit(d + d),
+                             F.regexp_replace(tok, "(.)", "$1" + d + d)))
+        .alias("work"))
+    out = None
+    for r in range(1, rounds + 1):
+        units = F.filter(F.split(F.col("w"), d + "+"), lambda u: u != "")
+        pairs = (work.select(F.explode("work").alias("w"))
+                 .select(F.explode(F.expr(
+                     f"pl_ngrams(filter(split(w, '{d}+'), u -> u != ''), 2)"))
+                     .alias("pair"))
+                 .groupBy("pair").agg(F.count(F.lit(1)).alias("cnt")))
+        best = (pairs.orderBy(F.desc("cnt"), F.asc("pair")).limit(1)
+                .select(F.lit(r).alias("round"), "pair", "cnt",
+                        F.expr("split(pair, ' ')[0]").alias("__x"),
+                        F.expr("split(pair, ' ')[1]").alias("__y"))
+                .localCheckpoint(True))
+        row = best.select("round", "pair",
+                          F.concat("__x", "__y").alias("merged"), "cnt")
+        out = row if out is None else out.unionByName(row)
+        work = (work.crossJoin(F.broadcast(best.select("__x", "__y")))
+                .select(F.transform(F.col("work"), lambda w: F.replace(
+                    w,
+                    F.concat(F.lit(d), F.col("__x"), F.lit(d + d),
+                             F.col("__y"), F.lit(d)),
+                    F.concat(F.lit(d), F.col("__x"), F.col("__y"),
+                             F.lit(d)))).alias("work")))
+    return out

@@ -864,3 +864,12 @@ def test_flesch_readability_hand(spark):
             got[1]["n_syllables"]) == (2, 6, 6)
     assert got[1]["flesch_milli"] == 119190
     assert got[2]["flesch_milli"] is None
+
+
+def test_bpe_learn_greedy_rounds(spark):
+    from graft.pipeline import bpe_learn
+    df = spark.createDataFrame([("abab ab",), ("aaa",)], "text string")
+    got = sorted((r["round"], r["pair"], r["merged"], r["cnt"])
+                 for r in bpe_learn(df, "text", 3).collect())
+    assert got == [(1, "a b", "ab", 3), (2, "a a", "aa", 2),
+                   (3, "aa a", "aaa", 1)]

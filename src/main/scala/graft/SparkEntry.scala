@@ -3512,7 +3512,13 @@ object SparkEntry {
           col("event_id"), col("event_type")),
         "user_id", "tus", "event_id", "event_type",
         gapMicros = 86400000000L, n = 3, minCount = 5L)
-        .orderBy("journey"))
+        .orderBy("journey")),
+    // three greedy BPE merge rounds (Sennrich et al.): pair counts,
+    // deterministic argmax, delimiter-replace rewrite — the iterative
+    // loop q_bpe_pairs stops short of, fully SQL-replayed by the oracle
+    "q_bpe_learn" -> ((s, dir) =>
+      graft.pipeline.Bpe.learn(t(s, dir, "documents"), "text", rounds = 3)
+        .orderBy("round"))
   )
 
   // ---- DuckDB SQL builders for graft's 64-bit hash primitives ----
@@ -7428,6 +7434,50 @@ object SparkEntry {
         |  FROM (SELECT path, unnest(range(1, greatest(len(path) - 2, 0) + 1)) AS i
         |        FROM p))
         |SELECT journey, CAST(COUNT(*) AS BIGINT) AS cnt FROM j
-        |GROUP BY 1 HAVING COUNT(*) >= 5 ORDER BY journey""".stripMargin
+        |GROUP BY 1 HAVING COUNT(*) >= 5 ORDER BY journey""".stripMargin,
+    // BPE learning unrolled: per round, pair counts over the delimited
+    // unit strings, (cnt DESC, pair) argmax, and the same ONE-replace
+    // rewrite ('¦x¦¦y¦' -> '¦xy¦' — each match keeps a delimiter on
+    // both flanks, so replace's left-to-right non-overlap IS the BPE
+    // greedy scan)
+    "q_bpe_learn" ->
+      """WITH w0 AS (SELECT list_transform(
+        |    list_filter(string_split(text, ' '), t -> t <> ''),
+        |    tok -> '¦¦' || regexp_replace(tok, '(.)', '\1¦¦', 'g')) AS work
+        |  FROM documents),
+        |u1 AS (SELECT list_filter(string_split_regex(w, '¦+'), x -> x <> '') AS un
+        |  FROM (SELECT unnest(work) AS w FROM w0)),
+        |g1 AS (SELECT un, unnest(range(1, greatest(len(un) - 1, 0) + 1)) AS i FROM u1),
+        |p1 AS (SELECT un[i] || ' ' || un[i+1] AS pair, COUNT(*) AS cnt
+        |  FROM g1 GROUP BY 1),
+        |b1 AS (SELECT 1 AS round, pair, cnt,
+        |    string_split(pair, ' ')[1] AS x, string_split(pair, ' ')[2] AS y
+        |  FROM p1 ORDER BY cnt DESC, pair LIMIT 1),
+        |w1 AS (SELECT list_transform(work, w -> replace(w,
+        |    '¦' || x || '¦¦' || y || '¦', '¦' || x || y || '¦')) AS work
+        |  FROM w0, b1),
+        |u2 AS (SELECT list_filter(string_split_regex(w, '¦+'), x -> x <> '') AS un
+        |  FROM (SELECT unnest(work) AS w FROM w1)),
+        |g2 AS (SELECT un, unnest(range(1, greatest(len(un) - 1, 0) + 1)) AS i FROM u2),
+        |p2 AS (SELECT un[i] || ' ' || un[i+1] AS pair, COUNT(*) AS cnt
+        |  FROM g2 GROUP BY 1),
+        |b2 AS (SELECT 2 AS round, pair, cnt,
+        |    string_split(pair, ' ')[1] AS x, string_split(pair, ' ')[2] AS y
+        |  FROM p2 ORDER BY cnt DESC, pair LIMIT 1),
+        |w2 AS (SELECT list_transform(work, w -> replace(w,
+        |    '¦' || x || '¦¦' || y || '¦', '¦' || x || y || '¦')) AS work
+        |  FROM w1, b2),
+        |u3 AS (SELECT list_filter(string_split_regex(w, '¦+'), x -> x <> '') AS un
+        |  FROM (SELECT unnest(work) AS w FROM w2)),
+        |g3 AS (SELECT un, unnest(range(1, greatest(len(un) - 1, 0) + 1)) AS i FROM u3),
+        |p3 AS (SELECT un[i] || ' ' || un[i+1] AS pair, COUNT(*) AS cnt
+        |  FROM g3 GROUP BY 1),
+        |b3 AS (SELECT 3 AS round, pair, cnt,
+        |    string_split(pair, ' ')[1] AS x, string_split(pair, ' ')[2] AS y
+        |  FROM p3 ORDER BY cnt DESC, pair LIMIT 1)
+        |SELECT CAST(round AS INT) AS round, pair, x || y AS merged,
+        |  CAST(cnt AS BIGINT) AS cnt
+        |FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2
+        |      UNION ALL SELECT * FROM b3) ORDER BY round""".stripMargin
   )
 }

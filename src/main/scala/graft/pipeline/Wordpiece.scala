@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import graft.expressions.{asColumn, asExpr}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -50,5 +50,66 @@ object Wordpiece {
       .select(col("id"), col("n_words"),
         col("__graft_s.n_pieces").as("n_pieces"),
         col("__graft_s.n_unk").as("n_unk"))
+  }
+}
+
+/**
+ * BPE merge LEARNING — the iterative half of byte-pair encoding that
+ * [[graft.SparkEntry]]'s q_bpe_pairs (single-iteration pair counts)
+ * stops short of: each round counts adjacent unit pairs WITHIN words
+ * across the corpus, adopts the most frequent pair (ties break to the
+ * lexicographically smallest — deterministic on any engine), and
+ * rewrites every word with the pair fused into one unit, exactly the
+ * Sennrich et al. 2016 greedy loop.
+ *
+ * The merge REWRITE is the part folklore says needs a per-word UDF
+ * loop; it doesn't. Words are carried as `¦¦`-delimited unit strings
+ * (`"the"` → `"¦¦t¦¦h¦¦e¦¦"`), and fusing pair (x, y) is ONE
+ * `replace(w, "¦x¦¦y¦", "¦xy¦")`: each match consumes one delimiter
+ * from each side's pair, so back-to-back occurrences stay matchable
+ * and the builtin's left-to-right non-overlapping semantics IS the
+ * BPE greedy scan ("a a a" with pair (a,a) merges once). `replace`
+ * behaves identically in DuckDB, which makes the whole loop — counts,
+ * argmax, rewrite — SQL-replayable (q_bpe_learn unrolls it).
+ *
+ * Scale shape per round: one map-side-combinable pair-count groupBy,
+ * a one-row argmax (TakeOrdered — never a driver collect) pinned flat
+ * with an eager localCheckpoint, then a broadcast crossJoin carrying
+ * (x, y) into the per-row rewrite. `rounds` is small by nature (real
+ * vocabs run the loop offline; the shape is identical at any corpus
+ * size). Output: one row per round — `round, pair, merged, cnt`.
+ */
+object Bpe {
+  private val D = "¦" // '¦' — not a corpus character (ASCII text)
+
+  def learn(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 16, s"rounds must be in [1,16], got $rounds")
+    def unitsOf(w: Column): Column =
+      filter(split(w, s"$D+"), u => u =!= "")
+    var work = df.select(transform(
+      filter(split(col(textCol), " "), t => t =!= ""),
+      tok => concat(lit(D + D), regexp_replace(tok, "(.)", "$1" + D + D)))
+      .as("work"))
+    var out: DataFrame = null
+    for (r <- 1 to rounds) {
+      val pairs = work.select(explode(col("work")).as("w"))
+        .select(explode(asColumn(NGrams(asExpr(unitsOf(col("w"))), 2))).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      // one-row argmax; eager localCheckpoint keeps round r+1's plan
+      // from inlining round r's whole lineage (2^rounds blowup)
+      val best = pairs.orderBy(desc("cnt"), asc("pair")).limit(1)
+        .select(lit(r).as("round"), col("pair"), col("cnt"),
+          expr("split(pair, ' ')[0]").as("__x"),
+          expr("split(pair, ' ')[1]").as("__y"))
+        .localCheckpoint(true)
+      val row = best.select(col("round"), col("pair"),
+        concat(col("__x"), col("__y")).as("merged"), col("cnt"))
+      out = if (out == null) row else out.unionByName(row)
+      work = work.crossJoin(broadcast(best.select(col("__x"), col("__y"))))
+        .select(transform(col("work"), w => replace(w,
+          concat(lit(D), col("__x"), lit(D + D), col("__y"), lit(D)),
+          concat(lit(D), col("__x"), col("__y"), lit(D)))).as("work"))
+    }
+    out
   }
 }

@@ -304,7 +304,12 @@ object DumpPlans {
         "key shuffle (lag + running break sum), a (key, session) groupBy " +
         "whose in-group sort_array replays the total order without a " +
         "second window, strict NGrams path windows, one map-side-" +
-        "combinable journey count."))
+        "combinable journey count."),
+      "q_bpe_learn" -> ("BPE merge learning: per round one map-side-" +
+        "combinable pair count, a ONE-ROW TakeOrdered argmax (never a " +
+        "driver collect) pinned flat with an eager localCheckpoint, and " +
+        "a broadcast crossJoin feeding the per-row delimiter-replace " +
+        "rewrite — the 'needs a UDF loop' folklore reduced to replace()."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")

@@ -53,4 +53,23 @@ class WordpieceSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), plan)
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("Bpe.learn: greedy merges, lexicographic tie-break, exhaustion") {
+    import graft.pipeline.Bpe
+    // r1: "a b" x3 (abab: 2, ab: 1) beats "a a" x2 (aaa) -> merge "ab"
+    // r2: "a a" x2 beats "ab ab" x1 -> merge "aa" (aaa -> [aa, a])
+    // r3: tie at 1 between "aa a" and "ab ab" -> lexicographic "aa a"
+    val df = Seq("abab ab", "aaa").toDF("text")
+    val got = Bpe.learn(df, "text", rounds = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq.sortBy(_._1)
+    assert(got == Seq((1, "a b", "ab", 3L), (2, "a a", "aa", 2L),
+      (3, "aa a", "aaa", 1L)))
+    // "aaa" with pair (a,a) merges ONCE (greedy non-overlap): after r2
+    // the word is [aa, a], never [aa, aa]-impossible or [a, aa]
+    // exhaustion: single 2-char word runs dry after one merge
+    val tiny = Seq("xy").toDF("text")
+    val rows = Bpe.learn(tiny, "text", rounds = 4).collect()
+    assert(rows.length == 1 && rows.head.getString(2) == "xy")
+  }
 }
