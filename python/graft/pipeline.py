@@ -2023,3 +2023,46 @@ def bpe_learn(df, text_col, rounds):
                     F.concat(F.lit(d), F.col("__x"), F.col("__y"),
                              F.lit(d)))).alias("work")))
     return out
+
+
+def hard_negatives_with_cells(df, id_col, vec_col, label_col, cell_col):
+    """Contrastive hard-negative mining — Python mirror of the Scala
+    ``Similarity.hardNegatives`` over a PRE-ASSIGNED cell column (the
+    deterministic IVF fit is a Scala-side expression; assign cells with
+    the Scala operator or any bucketing first): one cell
+    equi-self-join, cosine refine, per-anchor lexicographic struct max
+    (sim DESC, id ASC ties)."""
+    LMAX = (1 << 63) - 1
+    a = df.select(F.col(id_col).alias("query_id"),
+                  F.col(label_col).alias("label"),
+                  F.col(vec_col).cast("array<double>").alias("a_vec"),
+                  F.col(cell_col).alias("cell"))
+    b = df.select(F.col(id_col).alias("neighbor_id"),
+                  F.col(label_col).alias("n_label"),
+                  F.col(vec_col).cast("array<double>").alias("b_vec"),
+                  F.col(cell_col).alias("cell"))
+    dot = F.expr("aggregate(zip_with(a_vec, b_vec, (x, y) -> x * y), "
+                 "0D, (acc, v) -> acc + v)")
+    na = F.expr("aggregate(transform(a_vec, x -> x * x), 0D, (acc, v) -> acc + v)")
+    nb = F.expr("aggregate(transform(b_vec, x -> x * x), 0D, (acc, v) -> acc + v)")
+    sim = F.when((na == 0) | (nb == 0), F.lit(0.0)) \
+        .otherwise(dot / (F.sqrt(na) * F.sqrt(nb)))
+    pairs = (a.join(b, ["cell"])
+             .where(F.col("query_id") != F.col("neighbor_id"))
+             .select("query_id", "label", "neighbor_id", "n_label",
+                     sim.alias("sim")))
+    key = F.struct(F.col("sim"),
+                   (F.lit(LMAX) - F.col("neighbor_id")).alias("nk"),
+                   F.col("neighbor_id").alias("nid"),
+                   F.col("n_label").alias("nlbl"), F.col("sim").alias("s2"))
+    return (pairs.groupBy("query_id", "label")
+            .agg(F.max(F.when(F.col("n_label") == F.col("label"), key))
+                 .alias("__p"),
+                 F.max(F.when(F.col("n_label") != F.col("label"), key))
+                 .alias("__n"))
+            .select("query_id", "label",
+                    F.col("__p.nid").alias("pos_id"),
+                    F.col("__p.s2").alias("pos_sim"),
+                    F.col("__n.nid").alias("neg_id"),
+                    F.col("__n.nlbl").alias("neg_label"),
+                    F.col("__n.s2").alias("neg_sim")))

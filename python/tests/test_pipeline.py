@@ -873,3 +873,16 @@ def test_bpe_learn_greedy_rounds(spark):
                  for r in bpe_learn(df, "text", 3).collect())
     assert got == [(1, "a b", "ab", 3), (2, "a a", "aa", 2),
                    (3, "aa a", "aaa", 1)]
+
+
+def test_hard_negatives_with_cells(spark):
+    from graft.pipeline import hard_negatives_with_cells
+    rows = [(1, [1.0, 0.0], 0, 0), (2, [0.99, 0.1], 0, 0),
+            (3, [0.98, 0.05], 1, 0), (10, [0.0, 1.0], 1, 1)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int, cell int")
+    got = {r["query_id"]: r for r in hard_negatives_with_cells(
+        df, "vec_id", "embedding", "label", "cell").collect()}
+    assert got[1]["pos_id"] == 2 and got[1]["neg_id"] == 3
+    assert got[3]["pos_id"] is None and got[3]["neg_id"] is not None
+    assert 10 not in got  # alone in its cell -> no pairs -> absent

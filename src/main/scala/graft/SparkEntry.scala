@@ -3518,7 +3518,54 @@ object SparkEntry {
     // loop q_bpe_pairs stops short of, fully SQL-replayed by the oracle
     "q_bpe_learn" -> ((s, dir) =>
       graft.pipeline.Bpe.learn(t(s, dir, "documents"), "text", rounds = 3)
-        .orderBy("round"))
+        .orderBy("round")),
+    // minhash-LSH quality audit on the chained near-dup fixture
+    // (q_dedup_pipeline's v0/v1/v2): precision/recall of the banded
+    // est>=0.5 candidates against the exact trigram-jaccard>=0.5 truth
+    // (direct shingle-intersection join — no prefix/hotCap pruning, so
+    // the truth side is lossless by construction)
+    "q_minhash_eval" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("doc_id") % 5 === 0)
+      val toks = split(col("text"), " ")
+      val n1 = floor(size(toks) * 4 / 5).cast("int")
+      val n2 = floor(floor(size(toks) * 4 / 5) * 4 / 5).cast("int")
+      val fx = docs.select((col("doc_id") * 3).as("id"), col("text"))
+        .union(docs.select((col("doc_id") * 3 + 1).as("id"),
+          concat_ws(" ", slice(toks, lit(1), n1)).as("text")))
+        .union(docs.select((col("doc_id") * 3 + 2).as("id"),
+          concat_ws(" ", slice(toks, lit(1), n2)).as("text")))
+      import graft.pipeline.{TextFunctions, DistinctNGrams}
+      import graft.expressions.asExpr
+      val sh = fx.select(col("id"),
+          explode(TextFunctions.c(DistinctNGrams(asExpr(split(col("text"), " ")), 3))).as("tok"))
+        .where(col("tok") =!= "")
+      val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+      val inter = sh.select(col("id").as("a_id"), col("tok"))
+        .join(sh.select(col("id").as("b_id"), col("tok")), "tok")
+        .where(col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+      val truth = inter
+        .join(sizes.select(col("id").as("a_id"), col("sz").as("sa")), "a_id")
+        .join(sizes.select(col("id").as("b_id"), col("sz").as("sb")), "b_id")
+        .where(col("inter") * 1000 >= lit(500L) * (col("sa") + col("sb") - col("inter")))
+        .select("a_id", "b_id")
+      val cand = graft.pipeline.Dedup.minhashPairs(fx, "id", "text",
+        threshold = 0.5).select("a_id", "b_id")
+      val tp = cand.join(truth, Seq("a_id", "b_id"))
+        .agg(count(lit(1)).as("tp"))
+      val nt = truth.agg(count(lit(1)).as("n_truth"))
+      val nc = cand.agg(count(lit(1)).as("n_cand"))
+      broadcast(nt).crossJoin(broadcast(nc)).crossJoin(broadcast(tp))
+        .select(col("n_truth"), col("n_cand"), col("tp"),
+          when(col("n_cand") > 0, expr("tp * 1000 div n_cand")).as("precision_permille"),
+          when(col("n_truth") > 0, expr("tp * 1000 div n_truth")).as("recall_permille"))
+    }),
+    // contrastive mining: per anchor, best same-label and best
+    // different-label IVF-cell mate (ties to the smallest id)
+    "q_hard_negatives" -> ((s, dir) =>
+      graft.pipeline.Similarity.hardNegatives(
+        t(s, dir, "embeddings"), "vec_id", "embedding", "label")
+        .orderBy("query_id"))
   )
 
   // ---- DuckDB SQL builders for graft's 64-bit hash primitives ----
@@ -3571,8 +3618,11 @@ object SparkEntry {
   /** MinHash signature CTEs (toks…bands/mcand): 32-long signatures per doc
     * with Long.MaxValue defaults, banded into 8 slices of 4, plus the
     * banded candidate pairs — shared by q_minhash_pairs and q_dedup_lsh. */
-  private def duckMinhashCtes: String =
-    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+  private def duckMinhashCtes: String = duckMinhashCtesFrom("documents")
+  /** Same minhash/band CTE chain over an arbitrary (doc_id, text)
+    * relation (a CTE name works — used by the planted-pair eval). */
+  private def duckMinhashCtesFrom(src: String): String =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM $src),
        |shingles AS (
        |  SELECT doc_id, array_to_string(t[CAST(i AS INTEGER):CAST(i + 2 AS INTEGER)], ' ') AS sh
        |  FROM toks, unnest(range(1, greatest(len(t) - 1, 1))) u(i)),
@@ -3582,7 +3632,7 @@ object SparkEntry {
        |    ${duckToSigned(duckMix64(s"xor(base, (k::HUGEINT * 11400714819323198485::HUGEINT) % $M64)"))} AS h
        |  FROM bases, range(0, 32) r(k)),
        |sig0 AS (SELECT doc_id, k, MIN(h) AS m FROM hk GROUP BY doc_id, k),
-       |grid AS (SELECT d.doc_id, CAST(k AS INTEGER) AS k FROM documents d, range(0, 32) r(k)),
+       |grid AS (SELECT d.doc_id, CAST(k AS INTEGER) AS k FROM $src d, range(0, 32) r(k)),
        |sig AS (
        |  SELECT g.doc_id, g.k, COALESCE(s.m, 9223372036854775807) AS m
        |  FROM grid g LEFT JOIN sig0 s ON g.doc_id = s.doc_id AND g.k = s.k),
@@ -7478,6 +7528,73 @@ object SparkEntry {
         |SELECT CAST(round AS INT) AS round, pair, x || y AS merged,
         |  CAST(cnt AS BIGINT) AS cnt
         |FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2
-        |      UNION ALL SELECT * FROM b3) ORDER BY round""".stripMargin
+        |      UNION ALL SELECT * FROM b3) ORDER BY round""".stripMargin,
+    // minhash eval replayed: the chained v0/v1/v2 fixture, exact
+    // distinct-trigram jaccard truth (no pruning), the full minhash CTE
+    // chain over the fixture for candidates, and the three counts
+    "q_minhash_eval" -> {
+      s"""WITH docs0 AS (SELECT doc_id, string_split(text, ' ') AS t
+         |  FROM documents WHERE doc_id % 5 = 0),
+         |vars AS (SELECT doc_id * 3 AS doc_id, t FROM docs0
+         |  UNION ALL SELECT doc_id * 3 + 1, t[1:(LEN(t) * 4) // 5] FROM docs0
+         |  UNION ALL SELECT doc_id * 3 + 2, t[1:(((LEN(t) * 4) // 5) * 4) // 5] FROM docs0),
+         |vtext AS (SELECT doc_id, array_to_string(t, ' ') AS text, t FROM vars),
+         |g AS (SELECT DISTINCT doc_id AS id,
+         |  unnest([array_to_string(t[i:i+2], ' ')
+         |          FOR i IN range(1, GREATEST(LEN(t) - 1, 1))]) AS gram
+         |  FROM vtext),
+         |gs AS (SELECT id, COUNT(*) AS sz FROM g GROUP BY id),
+         |co AS (SELECT a.id AS a_id, b.id AS b_id, COUNT(*) AS c
+         |  FROM g a JOIN g b ON a.gram = b.gram AND a.id < b.id GROUP BY 1, 2),
+         |truth AS (SELECT a_id, b_id FROM co
+         |  JOIN gs sa ON sa.id = co.a_id JOIN gs sb ON sb.id = co.b_id
+         |  WHERE c * 1000 >= 500 * (sa.sz + sb.sz - c)),
+         |${duckMinhashCtesFrom("vtext")},
+         |est AS (SELECT c.a_id, c.b_id,
+         |  (SELECT COUNT(*) FROM sig sa JOIN sig sb ON sa.k = sb.k AND sa.m = sb.m
+         |   WHERE sa.doc_id = c.a_id AND sb.doc_id = c.b_id) / 32.0 AS ej
+         |  FROM mcand c),
+         |cand AS (SELECT a_id, b_id FROM est WHERE ej >= 0.5),
+         |nt AS (SELECT COUNT(*) AS n_truth FROM truth),
+         |nc AS (SELECT COUNT(*) AS n_cand FROM cand),
+         |tpx AS (SELECT COUNT(*) AS tp FROM cand JOIN truth USING (a_id, b_id))
+         |SELECT CAST(n_truth AS BIGINT) AS n_truth, CAST(n_cand AS BIGINT) AS n_cand,
+         |  CAST(tp AS BIGINT) AS tp,
+         |  CAST(CASE WHEN n_cand > 0 THEN tp * 1000 // n_cand END AS BIGINT)
+         |    AS precision_permille,
+         |  CAST(CASE WHEN n_truth > 0 THEN tp * 1000 // n_truth END AS BIGINT)
+         |    AS recall_permille
+         |FROM nt, nc, tpx""".stripMargin
+    },
+    // hard negatives replayed: the Lloyd quantizer fit + assignment CTEs
+    // (as q_knn_ivf), cell-mate pairs with labels, per-anchor rank-1
+    // same-label and different-label rows via LEFT joins
+    "q_hard_negatives" -> {
+      s"""WITH ${duckLloydCtes(k = 16, iters = 10)},
+         |asg AS MATERIALIZED (SELECT vv.vec_id, vv.v,
+         |  (SELECT c.cell FROM c10 c ORDER BY list_distance(vv.v, c.centroid), c.cell LIMIT 1) AS cell
+         |  FROM vv),
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |p AS (SELECT a.vec_id AS qid, la.label AS label, b.vec_id AS nid,
+         |    lb.label AS nlbl,
+         |    CASE WHEN list_dot_product(va.v, va.v) = 0 OR list_dot_product(vb.v, vb.v) = 0 THEN 0.0
+         |         ELSE list_dot_product(va.v, vb.v)
+         |              / (sqrt(list_dot_product(va.v, va.v)) * sqrt(list_dot_product(vb.v, vb.v))) END AS sim
+         |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+         |  JOIN vv va ON va.vec_id = a.vec_id JOIN vv vb ON vb.vec_id = b.vec_id
+         |  JOIN lab la ON la.vec_id = a.vec_id JOIN lab lb ON lb.vec_id = b.vec_id),
+         |rp AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY sim DESC, nid) AS rn FROM p WHERE label = nlbl),
+         |rng AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY sim DESC, nid) AS rn FROM p WHERE label <> nlbl),
+         |base AS (SELECT DISTINCT qid, label FROM p)
+         |SELECT b.qid AS query_id, b.label,
+         |  rp.nid AS pos_id, rp.sim AS pos_sim,
+         |  rng.nid AS neg_id, rng.nlbl AS neg_label, rng.sim AS neg_sim
+         |FROM base b
+         |LEFT JOIN rp ON rp.qid = b.qid AND rp.rn = 1
+         |LEFT JOIN rng ON rng.qid = b.qid AND rng.rn = 1
+         |ORDER BY query_id""".stripMargin
+    }
   )
 }

@@ -1181,6 +1181,56 @@ object Similarity {
   }
 
   /**
+   * Contrastive hard-negative mining — per anchor vector, the most
+   * similar SAME-label neighbor (the positive) and the most similar
+   * DIFFERENT-label neighbor (the hard negative) among its IVF-cell
+   * mates: the batch-construction pass of contrastive/triplet training
+   * (SimCLR-style pipelines mine hardest negatives near the anchor,
+   * which is exactly what cell co-membership bounds). Ties break to
+   * the smallest neighbor id via a lexicographic struct max — never a
+   * nondeterministic max_by.
+   *
+   * Scale shape: the same deterministic quantizer fit + one-pass
+   * assignment as [[ivfTopK]] (bounded sorted-prefix sample, centroids
+   * shipped in the expression), then ONE cell equi-self-join and ONE
+   * per-anchor aggregate — no corpus broadcast, no all-pairs. Anchors
+   * whose cell has no same-label (resp. different-label) mate carry
+   * NULL positive (resp. negative); anchors alone in their cell emit
+   * nothing.
+   */
+  def hardNegatives(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, nlist: Int = 16, fitSampleSize: Int = 100000,
+      fitIters: Int = 10): DataFrame = {
+    val sample = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .orderBy(col("id")).limit(fitSampleSize)
+      .collect().map(_.getSeq[Double](1).toArray)
+    val cents = QuantizerKMeans.fit(sample, nlist, fitIters)
+    val assigned = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      col(labelCol).as("lbl"),
+      c(NearestCentroid(asExpr(col(vecCol)), cents)).as("cell")).localCheckpoint(true)
+    val pairs = assigned.select(col("id").as("query_id"), col("lbl").as("label"),
+        col("vec").as("a_vec"), col("cell"))
+      .join(assigned.select(col("id").as("neighbor_id"), col("lbl").as("n_label"),
+        col("vec").as("b_vec"), col("cell")), Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("label"), col("neighbor_id"), col("n_label"),
+        cosine(col("a_vec"), col("b_vec")).as("sim"))
+    // struct max orders by (sim, Long.MaxValue - id): highest sim wins,
+    // ties to the SMALLEST neighbor id; payload fields ride behind
+    val key = struct(col("sim"),
+      (lit(Long.MaxValue) - col("neighbor_id")).as("nk"),
+      col("neighbor_id").as("nid"), col("n_label").as("nlbl"),
+      col("sim").as("s2"))
+    pairs.groupBy("query_id", "label").agg(
+        max(when(col("n_label") === col("label"), key)).as("__p"),
+        max(when(col("n_label") =!= col("label"), key)).as("__n"))
+      .select(col("query_id"), col("label"),
+        col("__p.nid").as("pos_id"), col("__p.s2").as("pos_sim"),
+        col("__n.nid").as("neg_id"), col("__n.nlbl").as("neg_label"),
+        col("__n.s2").as("neg_sim"))
+  }
+
+  /**
    * LSH-bucketed approximate top-k: `tables` independent random-
    * hyperplane signatures; candidates = vectors sharing a bucket in any
    * table; refine exactly within candidates. Equi-join on (table,

@@ -309,7 +309,17 @@ object DumpPlans {
         "combinable pair count, a ONE-ROW TakeOrdered argmax (never a " +
         "driver collect) pinned flat with an eager localCheckpoint, and " +
         "a broadcast crossJoin feeding the per-row delimiter-replace " +
-        "rewrite — the 'needs a UDF loop' folklore reduced to replace()."))
+        "rewrite — the 'needs a UDF loop' folklore reduced to replace()."),
+      "q_minhash_eval" -> ("Minhash-LSH quality audit: exact truth from " +
+        "a direct shingle-intersection equi-join (no pruning — the eval " +
+        "harness must not inherit the candidate generator's blind " +
+        "spots), banded candidates from the production operator, three " +
+        "one-row counts on broadcast crossJoins."),
+      "q_hard_negatives" -> ("Contrastive hard-negative mining: the IVF " +
+        "fit + one-pass assignment of q_knn_ivf, ONE cell equi-self-" +
+        "join (never all-pairs), and one per-anchor aggregate whose " +
+        "lexicographic struct max breaks similarity ties to the " +
+        "smallest id — deterministic where max_by is not."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")

@@ -48,7 +48,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_cosine_join" -> "broadcast one-row corpus-count crossJoin (the idf N)",
     "q_tcloseness" -> ("broadcast combos x values dense-grid crossJoin " +
       "(two metadata-sized tables — the label_separation pattern) + one-row totals"),
-    "q_bpe_learn" -> "broadcast one-row best-pair crossJoin per merge round (3 rows total)")
+    "q_bpe_learn" -> "broadcast one-row best-pair crossJoin per merge round (3 rows total)",
+    "q_minhash_eval" -> "broadcast one-row count crossJoins (n_truth, n_cand, tp)")
 
   test("no query plans an unintended cartesian or nested-loop join") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -231,4 +231,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out(1) == ((2L, 3761860L, 789L)))
     assert(out(2) == ((3L, 0L, 0L)))
   }
+
+  test("hardNegatives: best same/different-label cellmates, deterministic ties") {
+    import spark.implicits._
+    // 2D vectors in two tight clusters (one IVF run keeps them in
+    // distinct cells with nlist=2): cluster A = ids 1,2,3 (labels 0,0,1),
+    // cluster B = ids 10,11 (labels 1,1)
+    val rows = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.99f, 0.1f), 0),
+      (3L, Array(0.98f, 0.05f), 1),
+      (10L, Array(0.0f, 1.0f), 1), (11L, Array(0.1f, 0.99f), 1))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(df, "vec_id", "embedding", "label",
+        nlist = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // id 1 (label 0): positive = 2 (same label), negative = 3
+    assert(got(1L).getLong(2) == 2L && got(1L).getLong(4) == 3L)
+    // id 3 (label 1): no same-label cellmate -> NULL positive; negative
+    // is its most similar other-label mate
+    assert(got(3L).isNullAt(2) && !got(3L).isNullAt(4))
+    // id 10 (label 1): positive = 11, no other-label cellmate -> NULL neg
+    assert(got(10L).getLong(2) == 11L && got(10L).isNullAt(4))
+    // every anchor with a cellmate appears
+    assert(got.size == 5)
+  }
 }
