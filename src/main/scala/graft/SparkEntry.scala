@@ -1446,8 +1446,9 @@ object SparkEntry {
     // decorated copy of every 3rd doc; the copy's CLEANED text equals
     // the original's, so the dedup stage has real work that exists only
     // BECAUSE cleaning normalized it (order of stages matters — pinned).
-    // Per-row codegen all the way to the dedup groupBy: two shuffles
-    // total (hash groupBy + per-shard pack window), both keyed.
+    // Per-row codegen all the way to the dedup window: three keyed
+    // shuffles total (content-hash dedup window, per-shard pack window,
+    // per-bin stats aggregate).
     "q_e2e_curation" -> ((s, dir) => {
       import graft.pipeline.{TextNorm, GopherRules, Packing}
       val docs = t(s, dir, "documents")
@@ -1463,9 +1464,14 @@ object SparkEntry {
       val gated = flatDf.where(GopherRules.passGate(col("flat")))
         .select(col("id"), col("flat"), md5(col("flat")).as("__h"),
           size(split(col("flat"), " ")).cast("long").as("tok"))
-      // exact dedup keep-min-id: hash-bounded equi-join, one shuffle
-      val keep = gated.groupBy("__h").agg(min("id").as("id"))
-      val survivors = gated.join(keep, Seq("__h", "id")).select(col("id"), col("tok"))
+      // exact dedup keep-min-id as ONE hash-partitioned window (groups
+      // are duplicate-sized, so no skew): replaces the groupBy + (h,id)
+      // join-back, which planned three exchanges where this plans one
+      val keepW = Window.partitionBy("__h")
+      val survivors = gated
+        .withColumn("__keep", min("id").over(keepW))
+        .where(col("id") === col("__keep"))
+        .select(col("id"), col("tok"))
       Packing.binStats(survivors, "id", col("tok"), capacity = 2048L, numShards = 8)
         .orderBy("shard", "bin")
     }),

@@ -534,8 +534,10 @@ object KAnonymity {
     val combo = quasiCols.map(col)
     val cell = df.groupBy(combo :+ col(sensitiveCol).as("__v"): _*)
       .agg(count(lit(1)).as("__p"))
-    val global = df.groupBy(col(sensitiveCol).as("__v"))
-      .agg(count(lit(1)).as("__q"))
+      .localCheckpoint(true) // consumed 3x (combos, grid join, global)
+    // the global distribution rolls up from the cell table — never a
+    // second scan of the fact rows
+    val global = cell.groupBy("__v").agg(sum("__p").as("__q"))
     val combos = cell.groupBy(combo: _*).agg(sum("__p").as("n"))
     val grid = broadcast(combos).crossJoin(broadcast(global))
       .join(cell, quasiCols :+ "__v", "left")

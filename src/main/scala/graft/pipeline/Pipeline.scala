@@ -779,12 +779,17 @@ object Dedup {
       .groupBy("id", "term").agg(count(lit(1)).as("tf"))
     val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = broadcast(df.agg(count(lit(1)).as("__n")))
+    // the weighted posting list is consumed FOUR times (both dot sides,
+    // both norm joins): materialize it once — eager localCheckpoint,
+    // the ivfTopK pattern — or the optimizer re-derives the tf/df
+    // lineage per reference (measured: 22-join plan, 8 redundant scans)
     val weighted = tf.join(dfc.where(col("df") <= dfCap), "term")
       .crossJoin(n)
       .select(col("id"), col("term"),
         (col("tf") * round(lit(100.0) *
           log(col("__n").cast("double") / col("df"))).cast("long")).as("w"))
       .where(col("w") > 0L)
+      .localCheckpoint(true)
     val norms = weighted.groupBy("id")
       .agg(sum(col("w").cast("decimal(38,0)") * col("w")).as("norm2"))
     val dots = weighted.select(col("id").as("a"), col("term"), col("w").as("wa"))

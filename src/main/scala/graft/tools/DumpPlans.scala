@@ -249,10 +249,12 @@ object DumpPlans {
         "expression, never the shuffle."),
       "q_e2e_curation" -> ("The composed curation pipeline (clean-lines " +
         "→ gopher gate → exact dedup → pack) as ONE plan: per-row " +
-        "codegen from scan to the dedup groupBy, then exactly two keyed " +
-        "shuffles — the md5-hash groupBy+join and the per-shard packing " +
-        "window. The per-stage flagships pin each piece; this pins the " +
-        "cross-stage contracts."),
+        "codegen from scan to the dedup step, then three keyed shuffles " +
+        "— a content-hash min-id window (duplicate-sized groups, no " +
+        "skew; replaced a groupBy+join-back that planned three " +
+        "exchanges), the per-shard packing window, the per-bin stats " +
+        "aggregate. The per-stage flagships pin each piece; this pins " +
+        "the cross-stage contracts."),
       // ---- wave-12 flagships ----
       "q_fleiss" -> ("Fleiss' kappa: ONE (item, category) groupBy over " +
         "the rating stream, an item-bounded completeness semi-join, and " +
@@ -281,21 +283,24 @@ object DumpPlans {
         "item table, three one-row aggregates in allowlisted broadcast " +
         "crossJoins — the variable-panel sibling of q_fleiss."),
       "q_cosine_join" -> ("Sparse tf-idf cosine join: tf and df are two " +
-        "map-side-combinable groupBys; candidates equi-join the posting " +
-        "list with itself on the TERM (ids + integer weights only) after " +
-        "the df > dfCap hub guard drops the lowest-idf, highest-fan-out " +
-        "postings; norms join key-bounded; all products DECIMAL-exact."),
+        "map-side-combinable groupBys; the weighted posting list " +
+        "materializes ONCE (eager localCheckpoint — it feeds both dot " +
+        "sides and both norm joins; without it the optimizer re-derived " +
+        "the lineage per reference into a 22-join plan); candidates " +
+        "equi-join the postings on the TERM after the df > dfCap hub " +
+        "guard; all products DECIMAL-exact."),
       "q_blocklist" -> ("Aho-Corasick blocklist scan: the dictionary " +
         "ships inside the expression as a plan literal, the automaton " +
         "builds once per executor, and each row costs O(len + matches) " +
         "independent of pattern count — zero exchanges before the " +
         "caller's aggregation."),
       // ---- wave-14 flagships ----
-      "q_tcloseness" -> ("t-closeness: one (combo, value) groupBy + one " +
-        "(value) groupBy; the dense grid is an allowlisted crossJoin of " +
-        "two METADATA-sized tables, cumulative windows run over grid " +
-        "rows only, and fact rows shuffle exactly once — the integer " +
-        "EMD needs no per-row float."),
+      "q_tcloseness" -> ("t-closeness: fact rows shuffle exactly once " +
+        "(the (combo, value) groupBy, checkpointed — it feeds the " +
+        "combos, the grid join and the global rollup, which derives " +
+        "from the cell table instead of re-scanning facts); the dense " +
+        "grid is an allowlisted crossJoin of two METADATA-sized tables " +
+        "and the cumulative windows run over grid rows only."),
       "q_readability" -> ("Flesch reading ease: split + " +
         "regexp_extract_all + a higher-order syllable fold, all per-row " +
         "— zero exchanges; the milli-point score rounds ONCE from two " +
