@@ -3535,16 +3535,22 @@ object SparkEntry {
       val toks = split(col("text"), " ")
       val n1 = floor(size(toks) * 4 / 5).cast("int")
       val n2 = floor(floor(size(toks) * 4 / 5) * 4 / 5).cast("int")
+      // the fixture feeds the truth side AND the minhash side, and the
+      // shingle table feeds sizes + both intersection sides: one
+      // materialization each (the un-checkpointed form re-scanned the
+      // parquet 96 times)
       val fx = docs.select((col("doc_id") * 3).as("id"), col("text"))
         .union(docs.select((col("doc_id") * 3 + 1).as("id"),
           concat_ws(" ", slice(toks, lit(1), n1)).as("text")))
         .union(docs.select((col("doc_id") * 3 + 2).as("id"),
           concat_ws(" ", slice(toks, lit(1), n2)).as("text")))
+        .localCheckpoint(true)
       import graft.pipeline.{TextFunctions, DistinctNGrams}
       import graft.expressions.asExpr
       val sh = fx.select(col("id"),
           explode(TextFunctions.c(DistinctNGrams(asExpr(split(col("text"), " ")), 3))).as("tok"))
         .where(col("tok") =!= "")
+        .localCheckpoint(true)
       val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
       val inter = sh.select(col("id").as("a_id"), col("tok"))
         .join(sh.select(col("id").as("b_id"), col("tok")), "tok")

@@ -419,12 +419,16 @@ object Stats {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
     import graft.expressions.{asColumn, asExpr}
     val toks = df.select(split(col(textCol), " ").as("__t"))
+    // both count tables are consumed twice (totals + joins): one
+    // materialization each, so the corpus scans exactly twice
     val uni = toks.select(explode(col("__t")).as("tok"))
       .where(col("tok") =!= "")
       .groupBy("tok").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val bi0 = toks
       .select(explode(asColumn(NGrams(asExpr(col("__t")), 2))).as("bg"))
       .groupBy("bg").agg(count(lit(1)).as("c_ab"))
+      .localCheckpoint(true)
     val totals = broadcast(
       uni.agg(sum("c").as("n_uni"))
         .crossJoin(bi0.agg(sum("c_ab").as("n_bi"))))
@@ -462,8 +466,12 @@ object Stats {
    * kappa_permille`.
    */
   def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // the label-combo-bounded pair table feeds four aggregates
+    // (marginals x2, totals, agree): materialize it once or every
+    // reference re-scans the fact table
     val pairs = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
       .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val aMarg = pairs.groupBy("a").agg(sum("c").as("ca"))
     val bMarg = pairs.groupBy("b").agg(sum("c").as("cb"))
     val tot = pairs.agg(sum("c").as("n"),
@@ -556,8 +564,11 @@ object Stats {
   def fleissKappa(df: DataFrame, itemCol: String, categoryCol: String,
       raters: Int): DataFrame = {
     require(raters >= 2, s"raters must be >= 2, got $raters")
+    // the (item, category) table feeds the completeness filter, S and C:
+    // materialize once so facts scan once
     val nij = df.groupBy(col(itemCol).as("item"), col(categoryCol).as("cat"))
       .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val complete = nij.groupBy("item").agg(sum("c").as("__r"))
       .where(col("__r") === raters.toLong).select("item")
     val kept = nij.join(complete, "item")
@@ -614,8 +625,11 @@ object Stats {
    */
   def krippendorffAlpha(df: DataFrame, itemCol: String,
       categoryCol: String): DataFrame = {
+    // (item, category) table feeds per-item terms AND the pairable
+    // rollup: one materialization, one fact scan
     val nij = df.groupBy(col(itemCol).as("item"), col(categoryCol).as("cat"))
       .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val perItem = nij.groupBy("item")
       .agg(sum("c").as("ri"), sum(col("c") * col("c")).as("si"))
       .where(col("ri") >= 2L)
