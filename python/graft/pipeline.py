@@ -2066,3 +2066,26 @@ def hard_negatives_with_cells(df, id_col, vec_col, label_col, cell_col):
                     F.col("__n.nid").alias("neg_id"),
                     F.col("__n.nlbl").alias("neg_label"),
                     F.col("__n.s2").alias("neg_sim")))
+
+
+def ngram_novelty(df, id_col, text_col, n=3):
+    """Per-doc n-gram novelty — Python mirror of the Scala
+    ``Stats.ngramNovelty``: gram origin = min doc id, per-doc novel
+    fraction in truncating permille; sub-n docs contribute one
+    truncated whole-doc gram (the pl_distinct_ngrams convention).
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    grams = (df.select(F.col(id_col).alias("id"),
+                       F.explode(F.expr(
+                           f"pl_distinct_ngrams(split({text_col}, ' '), {n})"))
+                       .alias("gram"))
+             .where(F.col("gram") != ""))
+    origin = grams.groupBy("gram").agg(F.min("id").alias("__first"))
+    return (grams.join(origin, "gram")
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("n_grams"),
+                 F.sum(F.when(F.col("id") == F.col("__first"), 1)
+                       .otherwise(0)).alias("n_novel"))
+            .withColumn("novelty_permille",
+                        F.expr("n_novel * 1000 div n_grams")))

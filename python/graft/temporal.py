@@ -659,3 +659,21 @@ def journeys(df, key_col, ts_col, id_col, type_col, gap_micros, n=3,
                     .alias("journey"))
             .groupBy("journey").agg(F.count(F.lit(1)).alias("cnt"))
             .where(F.col("cnt") >= min_count))
+
+
+def term_counts_windowed(df, event_time_col, text_col, window_duration,
+                         watermark_delay="0 seconds"):
+    """Windowed term counts — Python mirror of the Scala
+    ``StreamingPipeline.termCountsWindowed``: one API for the batch and
+    streaming faces (watermarked tumbling-window token count); top-k is
+    the consumer's cut.
+    """
+    return (df.withWatermark(event_time_col, watermark_delay)
+            .select(F.col(event_time_col),
+                    F.explode(F.split(F.col(text_col), " ")).alias("term"))
+            .where(F.col("term") != "")
+            .groupBy(F.window(F.col(event_time_col), window_duration),
+                     F.col("term"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.col("window.start").alias("window_start"),
+                    "term", "cnt"))

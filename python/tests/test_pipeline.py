@@ -886,3 +886,13 @@ def test_hard_negatives_with_cells(spark):
     assert got[1]["pos_id"] == 2 and got[1]["neg_id"] == 3
     assert got[3]["pos_id"] is None and got[3]["neg_id"] is not None
     assert 10 not in got  # alone in its cell -> no pairs -> absent
+
+
+def test_ngram_novelty(spark):
+    from graft.pipeline import ngram_novelty
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c x"), (3, "a b c d")],
+        "doc_id long, text string")
+    got = {r["id"]: (r["n_grams"], r["n_novel"], r["novelty_permille"])
+           for r in ngram_novelty(df, "doc_id", "text", 3).collect()}
+    assert got == {1: (2, 2, 1000), 2: (2, 1, 500), 3: (2, 0, 0)}

@@ -366,3 +366,16 @@ def test_journeys_session_breaks(spark):
                              n=3, min_count=1).collect()}
     # user 3's session break keeps its a out of any trigram
     assert got == {"a b c": 2}
+
+
+def test_term_counts_windowed_batch_face(spark):
+    from graft.temporal import term_counts_windowed
+    import datetime as dt
+    rows = [(dt.datetime(2024, 1, 1), "a b"), (dt.datetime(2024, 1, 1, 5), "a"),
+            (dt.datetime(2024, 1, 9), "a c")]
+    df = spark.createDataFrame(rows, "ts timestamp, text string")
+    got = {(str(r["window_start"]), r["term"]): r["cnt"]
+           for r in term_counts_windowed(df, "ts", "text", "7 days").collect()}
+    # epoch-aligned weeks: 2024-01-01..03 is one window, 01-09 the next
+    assert sum(v for (w, t), v in got.items() if t == "a") == 3
+    assert len({w for (w, t) in got}) == 2

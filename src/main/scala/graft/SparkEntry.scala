@@ -3577,7 +3577,33 @@ object SparkEntry {
     "q_hard_negatives" -> ((s, dir) =>
       graft.pipeline.Similarity.hardNegatives(
         t(s, dir, "embeddings"), "vec_id", "embedding", "label")
-        .orderBy("query_id"))
+        .orderBy("query_id")),
+    // per-doc trigram novelty vs earlier doc ids: the memorization /
+    // freshness audit — gram origin = min doc id, one groupBy + one
+    // gram-keyed join back (the tfidf shape)
+    "q_novelty" -> ((s, dir) =>
+      graft.pipeline.Stats.ngramNovelty(
+        t(s, dir, "documents"), "doc_id", "text", n = 3)
+        .orderBy("id")),
+    // trending terms: weekly tumbling-window token counts through the
+    // SHARED batch/streaming termCountsWindowed, top-3 per window cut
+    // batch-side (a rank after a streaming agg would chain two
+    // stateful aggregations)
+    "q_trending" -> ((s, dir) => {
+      val msg = concat(col("event_type"), lit(" k"),
+        (get_json_object(col("props"), "$.k").cast("int") % 20).cast("string"))
+      val ev = eventsMicros(s, dir)
+        .select(timestamp_micros(col("tus")).as("ts2"), msg.as("text"))
+      val counts = graft.streaming.StreamingPipeline.termCountsWindowed(
+        ev, "ts2", "text", "7 days")
+      val w = Window.partitionBy("window_start")
+        .orderBy(desc("cnt"), col("term"))
+      counts.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 3)
+        .select(unix_micros(col("window_start")).as("w_start"),
+          col("term"), col("cnt"), col("rank"))
+        .orderBy("w_start", "rank")
+    })
   )
 
   // ---- DuckDB SQL builders for graft's 64-bit hash primitives ----
@@ -7553,7 +7579,7 @@ object SparkEntry {
          |vtext AS (SELECT doc_id, array_to_string(t, ' ') AS text, t FROM vars),
          |g AS (SELECT DISTINCT doc_id AS id,
          |  unnest([array_to_string(t[i:i+2], ' ')
-         |          FOR i IN range(1, GREATEST(LEN(t) - 1, 1))]) AS gram
+         |          FOR i IN range(1, GREATEST(LEN(t) - 3, 0) + 2)]) AS gram
          |  FROM vtext),
          |gs AS (SELECT id, COUNT(*) AS sz FROM g GROUP BY id),
          |co AS (SELECT a.id AS a_id, b.id AS b_id, COUNT(*) AS c
@@ -7607,6 +7633,37 @@ object SparkEntry {
          |LEFT JOIN rp ON rp.qid = b.qid AND rp.rn = 1
          |LEFT JOIN rng ON rng.qid = b.qid AND rng.rn = 1
          |ORDER BY query_id""".stripMargin
-    }
+    },
+    // novelty replayed: distinct trigrams, origin = min id per gram,
+    // per-doc novel fraction in truncating permille
+    "q_novelty" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (SELECT DISTINCT doc_id AS id,
+        |  unnest([array_to_string(t[i:i+2], ' ')
+        |          FOR i IN range(1, GREATEST(LEN(t) - 3, 0) + 2)]) AS gram
+        |  FROM d),
+        |o AS (SELECT gram, MIN(id) AS f FROM g GROUP BY gram)
+        |SELECT id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |  CAST(SUM(CASE WHEN id = f THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  CAST(SUM(CASE WHEN id = f THEN 1 ELSE 0 END) * 1000 // COUNT(*) AS BIGINT)
+        |    AS novelty_permille
+        |FROM g JOIN o USING (gram) GROUP BY id ORDER BY id""".stripMargin,
+    // trending replayed: the two tokens per event re-derived, epoch-
+    // aligned 7-day buckets (Spark tumbling windows are epoch-origin),
+    // counts, rank per window by (cnt DESC, term)
+    "q_trending" ->
+      """WITH e AS (SELECT epoch_ns(ts) // 1000 AS tus, event_type,
+        |    CAST(json_extract(props, '$.k') AS INT) % 20 AS k FROM events),
+        |tok AS (
+        |  SELECT (tus // 604800000000) * 604800000000 AS w_start,
+        |    event_type AS term FROM e
+        |  UNION ALL
+        |  SELECT (tus // 604800000000) * 604800000000, 'k' || k FROM e),
+        |c AS (SELECT w_start, term, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY w_start
+        |    ORDER BY cnt DESC, term) AS rank FROM c)
+        |SELECT CAST(w_start AS BIGINT) AS w_start, term,
+        |  CAST(cnt AS BIGINT) AS cnt, CAST(rank AS INT) AS rank
+        |FROM r WHERE rank <= 3 ORDER BY w_start, rank""".stripMargin
   )
 }

@@ -599,6 +599,40 @@ object Stats {
   }
 
   /**
+   * Per-document n-gram NOVELTY against the earlier corpus — the
+   * memorization/freshness audit of an ordered ingest (how much of
+   * this document's content first appears HERE?): a gram's origin is
+   * the smallest doc id containing it, and a doc's novelty is the
+   * permille of its distinct n-grams it originates. Boilerplate-heavy
+   * or near-duplicate late documents score near 0; genuinely new
+   * content scores near 1000. Deterministic — no sampling, exact
+   * integer permille.
+   *
+   * Scale shape: one (gram → min doc id) groupBy (map-side combinable)
+   * and one gram-keyed equi-join back to the per-doc distinct grams,
+   * then a per-doc count aggregate — the tfidf shape; the gram table
+   * is open-vocabulary and is never broadcast. Output: `id, n_grams,
+   * n_novel, novelty_permille`. Sub-n documents contribute one
+   * truncated whole-doc gram (the [[DistinctNGrams]] fingerprint
+   * convention), so every non-empty document gets a row.
+   */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    import graft.expressions.{asColumn, asExpr}
+    val grams = df.select(col(idCol).as("id"),
+        explode(asColumn(DistinctNGrams(asExpr(split(col(textCol), " ")), n)))
+          .as("gram"))
+      .where(col("gram") =!= "")
+    val origin = grams.groupBy("gram").agg(min("id").as("__first"))
+    grams.join(origin, "gram")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("id") === col("__first"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_permille", expr("n_novel * 1000 div n_grams"))
+  }
+
+  /**
    * Krippendorff's alpha (nominal) — chance-corrected agreement for
    * VARIABLE panel sizes: the exact case [[fleissKappa]] refuses
    * (items with any r_i ≥ 2 ratings all contribute; only single-rating

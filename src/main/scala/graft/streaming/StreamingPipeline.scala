@@ -397,6 +397,31 @@ object StreamingPipeline {
   }
 
   /**
+   * Windowed term counts — the trending-terms monitor (what is the
+   * feed talking about THIS hour?), one API for both faces: under a
+   * batch frame it is a plain tumbling-window token count; under
+   * `readStream` the same call is a watermarked streaming aggregation
+   * whose count reducer is commutative — late rows within the
+   * watermark fold in exactly. Top-k per window is deliberately the
+   * CONSUMER's cut (a rank after a streaming agg would chain two
+   * stateful aggregations, which append-mode streaming forbids — the
+   * batch q_trending applies it; dashboards read the counts table).
+   *
+   * Scale shape: explode to (window, token) and ONE map-side-
+   * combinable count — the shuffle carries distinct (window, token)
+   * partials, never raw rows.
+   */
+  def termCountsWindowed(df: DataFrame, eventTimeCol: String,
+      textCol: String, windowDuration: String,
+      watermarkDelay: String = "0 seconds"): DataFrame =
+    df.withWatermark(eventTimeCol, watermarkDelay)
+      .select(col(eventTimeCol), explode(split(col(textCol), " ")).as("term"))
+      .where(col("term") =!= "")
+      .groupBy(window(col(eventTimeCol), windowDuration), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("term"), col("cnt"))
+
+  /**
    * Streaming M4 downsampling — the live-dashboard face of
    * [[graft.pipeline.Temporal.m4Downsample]]: per key and event-time
    * window, first/last/min/max of the metric via the same

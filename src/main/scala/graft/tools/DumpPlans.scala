@@ -324,7 +324,16 @@ object DumpPlans {
         "fit + one-pass assignment of q_knn_ivf, ONE cell equi-self-" +
         "join (never all-pairs), and one per-anchor aggregate whose " +
         "lexicographic struct max breaks similarity ties to the " +
-        "smallest id — deterministic where max_by is not."))
+        "smallest id — deterministic where max_by is not."),
+      "q_novelty" -> ("N-gram novelty: one (gram -> min id) groupBy " +
+        "(map-side combinable) + one gram-keyed equi-join back — the " +
+        "tfidf shape; the open-vocabulary gram table is never " +
+        "broadcast."),
+      "q_trending" -> ("Trending terms through the SHARED batch/" +
+        "streaming termCountsWindowed: explode to (window, term), ONE " +
+        "map-side-combinable count; the top-3 rank is batch-side by " +
+        "design (a rank after a streaming agg would chain two stateful " +
+        "aggregations, which append-mode streaming forbids)."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")

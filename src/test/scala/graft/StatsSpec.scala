@@ -401,4 +401,18 @@ class StatsSpec extends AnyFunSuite {
     // nothing pairable -> NULL
     assert(alpha(Seq(1L -> "A", 2L -> "B")).isNullAt(6))
   }
+
+  test("ngramNovelty: origin = min id, permille, short docs absent") {
+    val df = Seq(
+      (1L, "a b c d"),      // grams: abc, bcd — both first here -> 1000
+      (2L, "a b c x"),      // abc (seen), bcx (new) -> 500
+      (3L, "a b c d"),      // all seen -> 0
+      (4L, "zz")            // sub-n doc: ONE truncated whole-doc gram
+    ).toDF("doc_id", "text") //   (the DistinctNGrams fingerprint convention)
+    val got = Stats.ngramNovelty(df, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    assert(got == Map(1L -> ((2L, 2L, 1000L)), 2L -> ((2L, 1L, 500L)),
+      3L -> ((2L, 0L, 0L)), 4L -> ((1L, 1L, 1000L))))
+  }
 }

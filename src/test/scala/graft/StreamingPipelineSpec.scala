@@ -1119,4 +1119,25 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(second(3L) == ((30L, 0L, false)))
     assert(second(7L) == ((70L, 0L, true))) // metronome flags past minGaps
   }
+
+  test("termCountsWindowed: streaming complete-mode equals the batch call (sf0.001)") {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("ts").cast("timestamp").as("ts"),
+        concat(col("event_type"), lit(" k"),
+          (get_json_object(col("props"), "$.k").cast("int") % 20)
+            .cast("string")).as("text"))
+    val exp = StreamingPipeline.termCountsWindowed(ev, "ts", "text", "7 days")
+      .collect().map(r => (r.get(0).toString, r.getString(1)) -> r.getLong(2)).toMap
+    val dir = Files.createTempDirectory("parity-terms").toString
+    ev.coalesce(1).write.mode("overwrite").parquet(dir)
+    val out = StreamingPipeline.termCountsWindowed(
+      spark.readStream.schema(ev.schema).parquet(dir), "ts", "text", "7 days")
+    val q = out.writeStream.format("memory").queryName("parity_terms")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.sql("SELECT window_start, term, cnt FROM parity_terms")
+      .collect().map(r => (r.get(0).toString, r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == exp)
+    assert(exp.size > 20) // several windows x terms
+  }
 }
