@@ -238,9 +238,21 @@ def rf_mask_by_bits(target, mask, start_bit, num_bits, values_to_mask):
     return _fn("rf_mask_by_bits", target, mask, start_bit, num_bits, values_to_mask)
 
 
-def rf_local_extract_bits(tile, start_bit, num_bits):
+def rf_local_extract_bits(tile, start_bit, num_bits=1):
     """Extract a bit field from each cell."""
     return _fn("rf_local_extract_bits", tile, start_bit, num_bits)
+
+
+def rf_local_extract_bit(tile, bit_position):
+    """Extract the single bit at bit_position of each cell (alias of
+    rf_local_extract_bits with num_bits=1)."""
+    return _fn("rf_local_extract_bit", tile, bit_position)
+
+
+def rf_cell_types():
+    """Array of supported cell type names, narrowest storage width
+    first (constant)."""
+    return _fn("rf_cell_types")
 
 
 # --- per-tile statistics --------------------------------------------------
@@ -1388,3 +1400,10 @@ def pl_strip_html(text):
 def pl_chunks(text, size_tokens=512, overlap=0):
     """Fixed-size token windows as an array of chunk structs."""
     return _fn("pl_chunks", text, size_tokens, overlap)
+
+
+def pl_multi_match_counts(text, patterns):
+    """Counts of ALL (overlapping) occurrences of each pattern in text,
+    as an array aligned with the patterns array — one Aho-Corasick pass
+    per row. See graft.pipeline.blocklist_hits for the exploded view."""
+    return _fn("pl_multi_match_counts", text, patterns)

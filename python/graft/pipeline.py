@@ -1886,10 +1886,16 @@ def cosine_sim_join(df, id_col, text_col, threshold_permille, df_cap=1024):
                                F.col("norm2").alias("na")), "a")
             .join(norms.select(F.col("id").alias("b"),
                                F.col("norm2").alias("nb")), "b")
+            # exact overflow-free ppm (matches the Scala operator): the
+            # x1e6 is split into two x1e3 steps around the integral
+            # division — floor(A*1e6/B) = q1*1e3 + floor(r1*1e3/B) with
+            # q1 = A*1e3 div B, r1 = A*1e3 mod B; peak intermediate is
+            # B*1e3 (A <= B by Cauchy-Schwarz), never near DECIMAL(38,0)
             .withColumn("cos2_ppm", F.expr(
-                "cast(dot * dot * 1000000 div (na * nb) as long)"))
-            .where(F.col("dot") * F.col("dot") * 1000000
-                   >= F.col("na") * F.col("nb") * F.lit(tp * tp))
+                "cast((dot * dot * 1000 div (na * nb)) * 1000"
+                " + ((dot * dot * 1000) % (na * nb)) * 1000 div (na * nb)"
+                " as long)"))
+            .where(F.col("cos2_ppm") >= F.lit(tp * tp))
             .select("a", "b", "common_terms", "cos2_ppm"))
 
 
@@ -1918,10 +1924,20 @@ def t_closeness(df, quasi_cols, sensitive_col, t_permille):
     distribution vs the corpus, via a dense combo x value grid
     (broadcast crossJoin of two metadata-sized tables), cumulative
     windows over grid rows, DECIMAL(38,0) clearing.
+
+    NULL contract (matches the Scala operator): rows with a NULL
+    sensitive or quasi value are EXCLUDED up front — the grid join is
+    null-unsafe and engines disagree on NULL ordering in the cumulative
+    window; COALESCE a sentinel upstream if NULLs are data.
     """
     tp = int(t_permille)
     if not 1 <= tp <= 1000:
         raise ValueError(f"t_permille must be in [1,1000], got {tp}")
+    nn = None
+    for c in list(quasi_cols) + [sensitive_col]:
+        cond = F.col(c).isNotNull()
+        nn = cond if nn is None else (nn & cond)
+    df = df.where(nn)
     combo = [F.col(c) for c in quasi_cols]
     cell = (df.groupBy(*(combo + [F.col(sensitive_col).alias("__v")]))
             .agg(F.count(F.lit(1)).alias("__p")))
@@ -1963,7 +1979,7 @@ def flesch_readability(df, id_col, text_col):
     syl = F.expr(
         "aggregate(filter(split(regexp_replace(__text, '\\n', ' '), ' '), "
         "w -> w != ''), 0L, (acc, w) -> acc + greatest(1L, "
-        "size(regexp_extract_all(w, '[aeiouy]+', 0))))")
+        "size(regexp_extract_all(lower(w), '[aeiouy]+', 0))))")
     sentences = F.size(F.filter(F.split(F.col("__text"), "\n"),
                                 lambda l: F.trim(l) != ""))
     return (df.select(F.col(id_col).alias("id"),
@@ -2025,22 +2041,30 @@ def bpe_learn(df, text_col, rounds):
     return out
 
 
-def hard_negatives_with_cells(df, id_col, vec_col, label_col, cell_col):
+def hard_negatives_with_cells(df, id_col, vec_col, label_col, cell_col,
+                              max_cell_mates=4096):
     """Contrastive hard-negative mining — Python mirror of the Scala
     ``Similarity.hardNegatives`` over a PRE-ASSIGNED cell column (the
     deterministic IVF fit is a Scala-side expression; assign cells with
     the Scala operator or any bucketing first): one cell
     equi-self-join, cosine refine, per-anchor lexicographic struct max
-    (sim DESC, id ASC ties)."""
+    (sim DESC, id ASC ties). ``max_cell_mates`` is the hub guard: the
+    neighbor side is capped to the max_cell_mates LOWEST-ID members of
+    each cell, bounding pairs at O(N * max_cell_mates) on skewed cells;
+    anchors are never dropped, only the mates they compare against."""
+    from pyspark.sql import Window as _W
     LMAX = (1 << 63) - 1
     a = df.select(F.col(id_col).alias("query_id"),
                   F.col(label_col).alias("label"),
                   F.col(vec_col).cast("array<double>").alias("a_vec"),
                   F.col(cell_col).alias("cell"))
-    b = df.select(F.col(id_col).alias("neighbor_id"),
-                  F.col(label_col).alias("n_label"),
-                  F.col(vec_col).cast("array<double>").alias("b_vec"),
-                  F.col(cell_col).alias("cell"))
+    b = (df.select(F.col(id_col).alias("neighbor_id"),
+                   F.col(label_col).alias("n_label"),
+                   F.col(vec_col).cast("array<double>").alias("b_vec"),
+                   F.col(cell_col).alias("cell"))
+         .withColumn("__r", F.row_number().over(
+             _W.partitionBy("cell").orderBy("neighbor_id")))
+         .where(F.col("__r") <= max_cell_mates).drop("__r"))
     dot = F.expr("aggregate(zip_with(a_vec, b_vec, (x, y) -> x * y), "
                  "0D, (acc, v) -> acc + v)")
     na = F.expr("aggregate(transform(a_vec, x -> x * x), 0D, (acc, v) -> acc + v)")

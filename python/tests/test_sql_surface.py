@@ -10,10 +10,16 @@ import inspect
 
 import pytest
 
-PINNED_SURFACE = 251
+PINNED_SURFACE = 254
 
 # Registered SQL names with no same-named Python wrapper, each for a
 # documented reason. Keep this list short and justified.
+#
+# Design note (typed aliases): the reference's rasterfunctions.py also
+# exposes ~20 typed names (rf_local_add_double, rf_local_add_int, ...).
+# graft intentionally collapses each family into ONE polymorphic wrapper
+# that accepts Column or scalar — the typed names would be redundant
+# synonyms, so they are neither registered nor wrapped (README §2.15).
 INTENTIONAL_GAPS = {
     # variadic generator: wrapped as the *explode_tiles(...)* helper with
     # fraction/seed keywords rather than one def per SQL name

@@ -2,15 +2,25 @@
 """Local stand-in for the driver's correctness gate: compare VerifyOne
 parquet dumps against their DuckDB oracle rows (columns sorted by name,
 rows sorted, exact value compare). Usage:
-  python3 scripts/check_queries.py OUTDIR [SFDIR]
+  python3 scripts/check_queries.py OUTDIR [SFDIR] [--json OUT.json]
+
+--json writes a driver-format per-query record (rows/schema/hash match)
+so each round carries a committed CORRECTNESS_SELF_r*.json even when
+the driver's own artifact goes missing (round 13 shipped `{}`).
 """
 import json, math, sys
 from pathlib import Path
 
 import duckdb
 
-outdir = Path(sys.argv[1])
-sfdir = Path(sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01")
+argv = list(sys.argv[1:])
+json_out = None
+if "--json" in argv:
+    i = argv.index("--json")
+    json_out = Path(argv[i + 1])
+    del argv[i:i + 2]
+outdir = Path(argv[0])
+sfdir = Path(argv[1] if len(argv) > 1 else "/root/testdata/sf0.01")
 
 con = duckdb.connect()
 for p in sfdir.glob("*.parquet"):
@@ -35,6 +45,7 @@ def dtype_offenders(rel):
 
 
 fail = 0
+records = {}
 for name, sql in sorted(oracles.items()):
     spark_rel = con.sql(f"SELECT * FROM '{outdir / name}/*.parquet'")
     cols = sorted(spark_rel.columns)
@@ -48,6 +59,10 @@ for name, sql in sorted(oracles.items()):
             print(f"[FAIL] {name}: {side} column {o} is not driver-hashable "
                   f"(CAST to BIGINT/DOUBLE or posexplode)")
         fail += 1
+        records[name] = {"rows_match": False, "schema_match": False,
+                         "hash_match": False, "spark_rows": len(srows),
+                         "oracle_rows": None,
+                         "err": "non-hashable dtype: " + ", ".join(o for _, o in bad)}
         continue
     ocols = sorted(orel.columns)
     orows = con.sql(f'SELECT {", ".join(chr(34)+c+chr(34) for c in ocols)} FROM orel ORDER BY ALL').fetchall()
@@ -64,10 +79,17 @@ for name, sql in sorted(oracles.items()):
                 break
     status = "OK " if ok else "FAIL"
     print(f"[{status}] {name}: spark={len(srows)} cols={cols} oracle={len(orows)} cols={ocols}")
+    records[name] = {"rows_match": len(srows) == len(orows),
+                     "schema_match": cols == ocols, "hash_match": ok,
+                     "spark_rows": len(srows), "oracle_rows": len(orows),
+                     "err": None}
     if not ok:
         fail += 1
         for i, (a, b) in enumerate(zip(srows, orows)):
             if a != b:
                 print(f"  first diff at row {i}:\n    spark : {a}\n    oracle: {b}")
                 break
+if json_out is not None:
+    json_out.write_text(json.dumps(records, indent=2) + "\n")
+    print(f"[json] wrote {len(records)} records to {json_out}")
 sys.exit(1 if fail else 0)

@@ -515,8 +515,16 @@ object SparkEntry {
     "q_extract_bits" -> ((s, dir) =>
       tiled(s, dir).select(col("l_orderkey"),
         rf_tile_sum(rf_local_extract_bits(rf_convert_cell_type(col("t_qty"), "int32"), 1, 3))
-          .as("s_bits"))
+          .as("s_bits"),
+        // singular SQL alias (ref expressions/package.scala:189) — bit 0
+        rf_tile_sum(rf_local_extract_bit(rf_convert_cell_type(col("t_qty"), "int32"), 0))
+          .as("s_bit0"))
         .orderBy("l_orderkey")),
+    // constant registry introspection (ref functions/package.scala:175)
+    "q_cell_types" -> ((s, dir) =>
+      s.range(1).selectExpr("posexplode(rf_cell_types()) AS (pos, ct_name)")
+        .selectExpr("CAST(pos AS BIGINT) AS pos", "ct_name")
+        .orderBy("pos")),
     "q_mask_bits" -> ((s, dir) =>
       // QA bit-plane masking: NoData t_qty where bits [0,2) of the
       // linenumber tile land in {1,3} / where bit 0 is set
@@ -3112,6 +3120,58 @@ object SparkEntry {
         .where(col("hamming") <= 6)
         .orderBy("id_a", "id_b")
     }),
+    // END-TO-END multimodal curation — the image twin of q_e2e_curation,
+    // pinning the mm_* operators' cross-contracts in one plan:
+    // synthesize closed-form PNGs (originals + one-pixel-noise twins) →
+    // REAL decode gate (mm_decode_image parses every payload; frames
+    // under 20 px drop) → mm_image_ahash fingerprints → 16-bit chunk
+    // blocking + Hamming ≤ 6 pair mining → keep the smaller id of each
+    // near-dup pair (larger ids LEFT ANTI out) → pack survivors into
+    // fixed-capacity bins by pixel count (Packing.binStats). The decoded
+    // (id, px, ahash) table is checkpointed ONCE — it feeds both the
+    // blocking self-join and the survivor anti-join.
+    "q_e2e_multimodal" -> ((s, dir) => {
+      val d = col("doc_id")
+      val v = col("v")
+      val w = (pmod(d, lit(13)) + 1).cast("int")
+      val h = (pmod(d, lit(11)) + 1).cast("int")
+      val pix = transform(sequence(lit(0L), (w * h - 1).cast("long")), { i =>
+        val x = pmod(i, w.cast("long"))
+        val y = (i - x) / w.cast("long")
+        val base = x * 7 + y * 13 + d * 3 +
+          when(v === 1 && i === 0, lit(8L)).otherwise(lit(0L))
+        (pmod(base, lit(256L)) * 65536L +
+          pmod(base + 31, lit(256L)) * 256L +
+          pmod(base + 62, lit(256L))).cast("int")
+      })
+      val imgs = t(s, dir, "documents").select(col("doc_id"))
+        .where(d % 5 === 0)
+        .withColumn("v", explode(array(lit(0L), lit(1L))))
+        .select((d * 2 + v).as("id"), Multimodal.encode_png(pix, w, h).as("png"))
+      val decoded = imgs
+        .select(col("id"), col("png"), Multimodal.decode_image(col("png")).as("m"))
+        .where(col("m.width") * col("m.height") >= 20)
+        .select(col("id"),
+          (col("m.width") * col("m.height")).cast("long").as("px"),
+          Multimodal.image_ahash(col("png")).as("ahash"))
+        .localCheckpoint(true)
+      val chunks = decoded
+        .withColumn("ci", explode(sequence(lit(0), lit(3))))
+        .withColumn("ck", expr("(ahash >> (ci * 16)) & 65535"))
+      val dupIds = chunks.select(col("ci"), col("ck"),
+          col("id").as("id_a"), col("ahash").as("h_a"))
+        .join(chunks.select(col("ci"), col("ck"),
+          col("id").as("id_b"), col("ahash").as("h_b")), Seq("ci", "ck"))
+        .where(col("id_a") < col("id_b"))
+        .select("id_a", "id_b", "h_a", "h_b").distinct()
+        .where(expr("bit_count(h_a ^ h_b)") <= 6)
+        .select(col("id_b").as("id")).distinct()
+      val survivors = decoded.join(dupIds, Seq("id"), "left_anti")
+        .select(col("id"), col("px"))
+      graft.pipeline.Packing.binStats(survivors, "id", col("px"),
+          capacity = 512L, numShards = 4)
+        .orderBy("shard", "bin")
+    }),
     // Forward-fill over the dense day spine (Temporal.gapFill): rare
     // high-value events (value > 250, a few dozen rows) leave most days empty; the
     // spine generator + left join + last-ignoreNulls window completes
@@ -3575,8 +3635,11 @@ object SparkEntry {
     // contrastive mining: per anchor, best same-label and best
     // different-label IVF-cell mate (ties to the smallest id)
     "q_hard_negatives" -> ((s, dir) =>
+      // maxCellMates=8 binds at sf0.01 so the hub guard's semantics
+      // (mates = 8 lowest-id cell members) are pinned by the oracle
       graft.pipeline.Similarity.hardNegatives(
-        t(s, dir, "embeddings"), "vec_id", "embedding", "label")
+        t(s, dir, "embeddings"), "vec_id", "embedding", "label",
+        maxCellMates = 8)
         .orderBy("query_id")),
     // per-doc trigram novelty vs earlier doc ids: the memorization /
     // freshness audit — gram origin = min doc id, one groupBy + one
@@ -3590,8 +3653,11 @@ object SparkEntry {
     // batch-side (a rank after a streaming agg would chain two
     // stateful aggregations)
     "q_trending" -> ((s, dir) => {
-      val msg = concat(col("event_type"), lit(" k"),
-        (get_json_object(col("props"), "$.k").cast("int") % 20).cast("string"))
+      // concat_ws (null-skipping) so a null props.k degrades to the bare
+      // event_type token — identical to the oracle's UNION branches,
+      // where plain concat would NULL the whole message and drop BOTH
+      val msg = concat_ws(" ", col("event_type"), concat(lit("k"),
+        (get_json_object(col("props"), "$.k").cast("int") % 20).cast("string")))
       val ev = eventsMicros(s, dir)
         .select(timestamp_micros(col("tus")).as("ts2"), msg.as("text"))
       val counts = graft.streaming.StreamingPipeline.termCountsWindowed(
@@ -3871,8 +3937,15 @@ object SparkEntry {
         |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
     "q_extract_bits" -> (IDX +
       """ SELECT l_orderkey,
-        |SUM(CAST((CAST(q AS BIGINT) >> 1) & 7 AS DOUBLE)) AS s_bits
+        |SUM(CAST((CAST(q AS BIGINT) >> 1) & 7 AS DOUBLE)) AS s_bits,
+        |SUM(CAST(CAST(q AS BIGINT) & 1 AS DOUBLE)) AS s_bit0
         |FROM idx GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin),
+    "q_cell_types" ->
+      """SELECT * FROM (VALUES (0,'bool'),(1,'int8raw'),(2,'int8'),
+        |(3,'uint8raw'),(4,'uint8'),(5,'int16raw'),(6,'int16'),
+        |(7,'uint16raw'),(8,'uint16'),(9,'int32raw'),(10,'int32'),
+        |(11,'float32raw'),(12,'float32'),(13,'float64raw'),
+        |(14,'float64')) AS t(pos, ct_name) ORDER BY pos""".stripMargin,
     "q_mask_bits" -> (IDX +
       """ SELECT l_orderkey,
         |COALESCE(SUM(CASE WHEN (CAST(lnv AS BIGINT) & 3) IN (1, 3) THEN NULL ELSE q END), 0.0) AS s_masked,
@@ -6834,6 +6907,52 @@ object SparkEntry {
         |    ON a.ci = b.ci AND a.ck = b.ck AND a.id < b.id)
         |SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 6
         |ORDER BY 1, 2""".stripMargin,
+    // e2e multimodal replayed: the q_image_dedup hash CTEs with the
+    // >= 20 px decode gate folded into the corpus, near-dup larger ids
+    // anti-joined away, then the q_e2e_curation mix64 packing CTEs over
+    // pixel counts (capacity 512, 4 shards)
+    "q_e2e_multimodal" ->
+      s"""WITH g AS (SELECT doc_id, vv AS v, doc_id % 13 + 1 AS w, doc_id % 11 + 1 AS h
+         |  FROM documents, unnest([0, 1]) AS t(vv)
+         |  WHERE doc_id % 5 = 0 AND (doc_id % 13 + 1) * (doc_id % 11 + 1) >= 20),
+         |cells AS (SELECT doc_id, v, w, h, unnest(range(0, 64)) AS k FROM g),
+         |c2 AS (SELECT doc_id, v, k,
+         |  ((k % 8) * w) // 8 AS sx, ((k // 8) * h) // 8 AS sy FROM cells),
+         |gr AS (SELECT doc_id, v, k,
+         |  ((sx * 7 + sy * 13 + doc_id * 3 + nz) % 256
+         |   + (sx * 7 + sy * 13 + doc_id * 3 + nz + 31) % 256
+         |   + (sx * 7 + sy * 13 + doc_id * 3 + nz + 62) % 256) // 3 AS gray
+         |  FROM (SELECT *, CASE WHEN v = 1 AND sx = 0 AND sy = 0 THEN 8 ELSE 0 END AS nz
+         |        FROM c2)),
+         |mh AS (SELECT doc_id, v, CAST(sum(gray) AS BIGINT) // 64 AS mean
+         |  FROM gr GROUP BY 1, 2),
+         |hb AS (SELECT gr.doc_id, gr.v,
+         |  sum(CASE WHEN gray > mean
+         |    THEN (1::HUGEINT << CAST(k AS INT)) ELSE 0::HUGEINT END) AS uh
+         |  FROM gr JOIN mh ON gr.doc_id = mh.doc_id AND gr.v = mh.v GROUP BY 1, 2),
+         |sh AS (SELECT hb.doc_id * 2 + hb.v AS id,
+         |  CAST(g.w * g.h AS BIGINT) AS px,
+         |  CAST(CASE WHEN uh >= 9223372036854775808::HUGEINT
+         |    THEN uh - 18446744073709551616::HUGEINT ELSE uh END AS BIGINT) AS ahash
+         |  FROM hb JOIN g ON hb.doc_id = g.doc_id AND hb.v = g.v),
+         |chunks AS (SELECT id, ahash, ci, (ahash >> (ci * 16)) & 65535 AS ck
+         |  FROM sh, unnest([0, 1, 2, 3]) AS t(ci)),
+         |dup AS (SELECT DISTINCT id_b AS id
+         |  FROM (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         |      a.ahash AS h_a, b.ahash AS h_b
+         |    FROM chunks a JOIN chunks b
+         |      ON a.ci = b.ci AND a.ck = b.ck AND a.id < b.id) p
+         |  WHERE bit_count(xor(h_a, h_b)) <= 6),
+         |sv AS (SELECT id, px FROM sh WHERE id NOT IN (SELECT id FROM dup)),
+         |hh AS (SELECT id, px, ${duckToSigned(duckMix64("id::HUGEINT"))} AS hh FROM sv),
+         |shd AS (SELECT id, px, hh, CAST(((hh % 4) + 4) % 4 AS INTEGER) AS shard FROM hh),
+         |pk AS (SELECT shard, px,
+         |    COALESCE(SUM(px) OVER (PARTITION BY shard ORDER BY hh, id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+         |  FROM shd)
+         |SELECT shard, CAST(start_offset // 512 AS BIGINT) AS bin,
+         |  CAST(COUNT(*) AS INTEGER) AS n_docs, CAST(SUM(px) AS BIGINT) AS bin_tokens
+         |FROM pk GROUP BY shard, bin ORDER BY shard, bin""".stripMargin,
     "q_gap_fill" ->
       """WITH drev AS (SELECT event_type,
         |    epoch_ns(ts) // 1000 // 86400000000 AS day,
@@ -7435,12 +7554,16 @@ object SparkEntry {
         |d AS (SELECT a.id AS a, b.id AS b, COUNT(*) AS common_terms,
         |    SUM(a.w * b.w) AS dot
         |  FROM wp a JOIN wp b ON a.term = b.term AND a.id < b.id
-        |  GROUP BY 1, 2)
-        |SELECT d.a, d.b, CAST(common_terms AS BIGINT) AS common_terms,
-        |  CAST(dot * dot * 1000000 // (na.norm2 * nb.norm2) AS BIGINT) AS cos2_ppm
-        |FROM d JOIN nrm na ON d.a = na.id JOIN nrm nb ON d.b = nb.id
-        |WHERE dot * dot * 1000000 >= na.norm2 * nb.norm2 * 810000
-        |ORDER BY d.a, d.b""".stripMargin,
+        |  GROUP BY 1, 2),
+        |sel AS (SELECT d.a, d.b, common_terms,
+        |    (dot * dot * 1000 // (na.norm2 * nb.norm2)) * 1000
+        |    + ((dot * dot * 1000) % (na.norm2 * nb.norm2)) * 1000
+        |      // (na.norm2 * nb.norm2) AS cos2_ppm
+        |  FROM d JOIN nrm na ON d.a = na.id JOIN nrm nb ON d.b = nb.id)
+        |SELECT a, b, CAST(common_terms AS BIGINT) AS common_terms,
+        |  CAST(cos2_ppm AS BIGINT) AS cos2_ppm
+        |FROM sel WHERE cos2_ppm >= 810000
+        |ORDER BY a, b""".stripMargin,
     // blocklist replayed positionally: per (doc, pattern), the count of
     // positions whose substring equals the pattern — the overlapping
     // semantics of the Aho-Corasick pass, O(len·k) here vs O(len) there
@@ -7494,7 +7617,7 @@ object SparkEntry {
         |    w -> w <> '') AS ws FROM d),
         |s AS (SELECT id, n_sentences, len(ws) AS n_words,
         |  list_reduce(list_prepend(0, list_transform(ws,
-        |    w -> greatest(1, len(regexp_extract_all(w, '[aeiouy]+'))))),
+        |    w -> greatest(1, len(regexp_extract_all(lower(w), '[aeiouy]+'))))),
         |    (a, b) -> a + b) AS n_syllables FROM m)
         |SELECT id, CAST(n_sentences AS BIGINT) AS n_sentences,
         |  CAST(n_words AS BIGINT) AS n_words,
@@ -7613,12 +7736,14 @@ object SparkEntry {
          |  (SELECT c.cell FROM c10 c ORDER BY list_distance(vv.v, c.centroid), c.cell LIMIT 1) AS cell
          |  FROM vv),
          |lab AS (SELECT vec_id, label FROM embeddings),
+         |bm AS (SELECT vec_id, v, cell,
+         |    ROW_NUMBER() OVER (PARTITION BY cell ORDER BY vec_id) AS crn FROM asg),
          |p AS (SELECT a.vec_id AS qid, la.label AS label, b.vec_id AS nid,
          |    lb.label AS nlbl,
          |    CASE WHEN list_dot_product(va.v, va.v) = 0 OR list_dot_product(vb.v, vb.v) = 0 THEN 0.0
          |         ELSE list_dot_product(va.v, vb.v)
          |              / (sqrt(list_dot_product(va.v, va.v)) * sqrt(list_dot_product(vb.v, vb.v))) END AS sim
-         |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+         |  FROM asg a JOIN bm b ON a.cell = b.cell AND a.vec_id <> b.vec_id AND b.crn <= 8
          |  JOIN vv va ON va.vec_id = a.vec_id JOIN vv vb ON vb.vec_id = b.vec_id
          |  JOIN lab la ON la.vec_id = a.vec_id JOIN lab lb ON lb.vec_id = b.vec_id),
          |rp AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
@@ -7658,7 +7783,8 @@ object SparkEntry {
         |  SELECT (tus // 604800000000) * 604800000000 AS w_start,
         |    event_type AS term FROM e
         |  UNION ALL
-        |  SELECT (tus // 604800000000) * 604800000000, 'k' || k FROM e),
+        |  SELECT (tus // 604800000000) * 604800000000, 'k' || k FROM e
+        |  WHERE k IS NOT NULL),
         |c AS (SELECT w_start, term, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY w_start
         |    ORDER BY cnt DESC, term) AS rank FROM c)

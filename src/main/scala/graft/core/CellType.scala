@@ -130,6 +130,15 @@ object CellType {
   val float64raw: CellType = CellType(Float64, None)
   val float64: CellType = CellType(Float64, Default)
 
+  /** Every fixed (non-user-defined-NoData) cell type, narrowest first —
+    * the list `rf_cell_types` returns (reference:
+    * functions/package.scala:140-157 builds the same 15 names). */
+  val allNames: Seq[String] = Seq(
+    bool, int8raw, int8, uint8raw, uint8, int16raw, int16,
+    uint16raw, uint16, int32raw, int32, float32raw, float32,
+    float64raw, float64
+  ).map(_.name)
+
   private val fixed: Map[String, CellType] = Seq(
     bool, int8raw, int8, uint8raw, uint8, int16raw, int16,
     uint16raw, uint16, int32raw, int32, float32raw, float32,

@@ -114,6 +114,14 @@ object functions {
     c(MaskByValues(e(target), e(mask), e(vs)))
   def rf_local_extract_bits(t: Column, start: Int, bits: Int): Column =
     c(ExtractBits(e(t), Literal(start), Literal(bits)))
+  /** Single-bit form (reference: functions/LocalFunctions.scala:218-229
+    * exposes both, and expressions/package.scala:188-189 registers the
+    * singular SQL alias). */
+  def rf_local_extract_bit(t: Column, bitPosition: Int): Column =
+    rf_local_extract_bits(t, bitPosition, 1)
+  /** Names of every supported cell type, in storage-width order
+    * (reference: functions/package.scala:140-157 `cellTypes`). */
+  def rf_cell_types: Seq[String] = graft.core.CellType.allNames
   /** QA-band cloud masking: extract bit `bitPosition` of the mask tile
     * (from the right) and NoData the target wherever it equals
     * `valueToMask` (reference: functions/LocalFunctions.scala:174-185). */
@@ -400,7 +408,17 @@ object Raster {
     reg3("rf_mask_by_value", MaskByValue(_, _, _))
     reg3("rf_inverse_mask_by_value", InverseMaskByValue(_, _, _))
     reg3("rf_mask_by_values", MaskByValues(_, _, _))
-    reg3("rf_local_extract_bits", ExtractBits(_, _, _))
+    // plural + singular, both 2- or 3-arg (num_bits defaults to 1) —
+    // the reference registers both names over one ExtractBits.apply
+    // (ref expressions/package.scala:188-189)
+    regN("rf_local_extract_bits", xs =>
+      ExtractBits(xs(0), xs(1), if (xs.size >= 3) xs(2) else Literal(1)))
+    regN("rf_local_extract_bit", xs =>
+      ExtractBits(xs(0), xs(1), if (xs.size >= 3) xs(2) else Literal(1)))
+    // constant list of supported cell type names (ref
+    // functions/package.scala:175 registers the same 0-arg UDF)
+    regN("rf_cell_types", _ =>
+      CreateArray(graft.core.CellType.allNames.map(Literal(_))))
     // bit-plane QA masking — compositions of ExtractBits + MaskByValues
     // (reference registers both: expressions/package.scala:131-132)
     regN("rf_mask_by_bit", xs =>

@@ -422,7 +422,8 @@ object SegmentLm {
  * to the [[graft.pipeline.TextNorm.clean_lines]] output shape (one
  * sentence per `\n` line; feed prose through a sentence splitter
  * first). Syllables are approximated the standard way — vowel-group
- * runs `[aeiouy]+` per word, floor 1 — and the score
+ * runs `[aeiouy]+` per LOWERCASED word, floor 1 (case-folding first,
+ * so 'Apple' and 'apple' count alike) — and the score
  * `206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)` is
  * reported in MILLI-points, rounded ONCE from two exact integer
  * divisions in double (replayable on any IEEE engine). Higher = easier;
@@ -441,7 +442,7 @@ object Readability {
       """aggregate(filter(split(regexp_replace(__text, '\n', ' '), ' '),
         |    w -> w != ''), 0L,
         |  (acc, w) -> acc + greatest(1L,
-        |    size(regexp_extract_all(w, '[aeiouy]+', 0))))""".stripMargin)
+        |    size(regexp_extract_all(lower(w), '[aeiouy]+', 0))))""".stripMargin)
     val sentences =
       size(filter(split(col("__text"), "\n"), l => trim(l) =!= ""))
     df.select(col(idCol).as("id"), col(textCol).as("__text"))
@@ -525,6 +526,13 @@ object KAnonymity {
    * values — the label_separation pattern), windows run over grid rows
    * only, and fact rows shuffle exactly once. Output: one row per
    * combo — `quasiCols..., n, emd_permille, is_risky`.
+   *
+   * NULL contract: rows with a NULL sensitive or quasi value are
+   * EXCLUDED up front. The grid's left join is null-unsafe and engines
+   * disagree on NULL ordering in the cumulative window (Spark sorts
+   * NULLS FIRST, most SQL engines NULLS LAST), so admitting them would
+   * silently inflate the EMD and diverge cross-engine; audit NULL
+   * handling with a COALESCE sentinel upstream if NULLs are data.
    */
   def tCloseness(df: DataFrame, quasiCols: Seq[String], sensitiveCol: String,
       tPermille: Long): DataFrame = {
@@ -532,7 +540,10 @@ object KAnonymity {
     require(tPermille >= 1 && tPermille <= 1000,
       s"tPermille must be in [1,1000], got $tPermille")
     val combo = quasiCols.map(col)
-    val cell = df.groupBy(combo :+ col(sensitiveCol).as("__v"): _*)
+    val nonNull = (quasiCols :+ sensitiveCol)
+      .map(col(_).isNotNull).reduce(_ && _)
+    val cell = df.where(nonNull)
+      .groupBy(combo :+ col(sensitiveCol).as("__v"): _*)
       .agg(count(lit(1)).as("__p"))
       .localCheckpoint(true) // consumed 3x (combos, grid join, global)
     // the global distribution rolls up from the cell table — never a

@@ -747,15 +747,18 @@ object Dedup {
    * every token equally; cosine lets rare terms dominate, the classic
    * news-dedup / near-copy detector for texts that share vocabulary
    * but not shingles). All-integer weights: `idf_centi =
-   * round(100·ln(N/df))` (one ln, one round — replayable; centi-nats,
-   * not micro, so `dot²·1e6` stays inside DECIMAL(38,0) — with
-   * tf ≤ 10³, distinct terms ≤ 10⁴ and idf ≤ 2,500 the product peaks
-   * ~10³⁶; micro-nat weights would wrap), term weight
+   * round(100·ln(N/df))` (one ln, one round — replayable), term weight
    * `w = tf·idf_centi`, so dot products and norms are EXACT integers
    * and the score is `cos²` in parts-per-million:
-   * `cos2_ppm = dot²·1e6 div (‖a‖²·‖b‖²)` (squaring avoids the
+   * `cos2_ppm = floor(dot²·1e6 / (‖a‖²·‖b‖²))` (squaring avoids the
    * irrational sqrt; the caller's threshold t on cosine becomes t² on
-   * this). Pairs must share ≥ 1 indexed term.
+   * this). The ×1e6 is applied as two ×1e3 steps AROUND the integral
+   * division (exact — see the inline derivation) so no intermediate
+   * exceeds `‖a‖²·‖b‖²·10³`: safe for per-doc norms up to ~3·10¹⁷,
+   * i.e. 5 orders of magnitude past tf ≤ 10³ / 10⁴ distinct terms /
+   * idf_centi ≤ 2500 (where a single-step `dot²·1e6` would exceed
+   * DECIMAL(38,0) by ~40× and, under non-ANSI configs, silently NULL
+   * out true-positive pairs). Pairs must share ≥ 1 indexed term.
    *
    * Scale shape: tf and df are two map-side-combinable groupBys;
    * candidate pairs form by equi-joining the posting list with itself
@@ -800,12 +803,20 @@ object Dedup {
       .agg(count(lit(1)).as("common_terms"),
         sum(col("wa").cast("decimal(38,0)") * col("wb")).as("dot"))
     val thr2 = thresholdPermille.toLong * thresholdPermille
+    // Exact overflow-free ppm: with A = dot², B = na·nb, q1 = A·10³ div B
+    // and r1 = A·10³ mod B, A·10⁶ = (q1·B + r1)·10³, hence
+    // floor(A·10⁶/B) = q1·10³ + floor(r1·10³/B). Peak intermediate is
+    // max(A, r1)·10³ ≤ B·10³ (A ≤ B by Cauchy–Schwarz; r1 < B), so
+    // nothing approaches DECIMAL(38,0) until B ~ 10³⁵. B ≥ 1 always
+    // (w > 0 is enforced above, so every joined norm² ≥ 1). The filter
+    // is exact too: floor(x) ≥ thr² ⟺ x ≥ thr² for integer thr².
     dots
       .join(norms.select(col("id").as("a"), col("norm2").as("na")), "a")
       .join(norms.select(col("id").as("b"), col("norm2").as("nb")), "b")
       .withColumn("cos2_ppm", expr(
-        "cast(dot * dot * 1000000 div (na * nb) as long)"))
-      .where(col("dot") * col("dot") * 1000000L >= col("na") * col("nb") * thr2)
+        "cast((dot * dot * 1000 div (na * nb)) * 1000" +
+          " + ((dot * dot * 1000) % (na * nb)) * 1000 div (na * nb) as long)"))
+      .where(col("cos2_ppm") >= thr2)
       .select(col("a"), col("b"), col("common_terms"), col("cos2_ppm"))
   }
 }
@@ -1202,10 +1213,20 @@ object Similarity {
    * whose cell has no same-label (resp. different-label) mate carry
    * NULL positive (resp. negative); anchors alone in their cell emit
    * nothing.
+   *
+   * `maxCellMates` is the hub guard every pair-miner here carries
+   * (adamicAdar maxDegree, coMembership maxItems, PPJoin hotCap): the
+   * neighbor side of the cell self-join is capped to the `maxCellMates`
+   * LOWEST-ID members of each cell (deterministic — a row_number over
+   * (cell ORDER BY id)), bounding the pair stream at O(N · maxCellMates)
+   * regardless of nlist. Anchors are never dropped — only the mates they
+   * are compared against. With skewed cells a hot cell otherwise goes
+   * quadratic: nlist=16 over 10⁹ rows is 4·10¹⁵ pairs without the cap.
    */
   def hardNegatives(df: DataFrame, idCol: String, vecCol: String,
       labelCol: String, nlist: Int = 16, fitSampleSize: Int = 100000,
-      fitIters: Int = 10): DataFrame = {
+      fitIters: Int = 10, maxCellMates: Int = 4096): DataFrame = {
+    require(maxCellMates >= 1, s"maxCellMates must be >= 1, got $maxCellMates")
     val sample = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .orderBy(col("id")).limit(fitSampleSize)
       .collect().map(_.getSeq[Double](1).toArray)
@@ -1213,9 +1234,13 @@ object Similarity {
     val assigned = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
       col(labelCol).as("lbl"),
       c(NearestCentroid(asExpr(col(vecCol)), cents)).as("cell")).localCheckpoint(true)
+    // hub guard: mates = the maxCellMates lowest-id members per cell
+    val mates = assigned
+      .withColumn("__r", row_number().over(Window.partitionBy("cell").orderBy("id")))
+      .where(col("__r") <= maxCellMates)
     val pairs = assigned.select(col("id").as("query_id"), col("lbl").as("label"),
         col("vec").as("a_vec"), col("cell"))
-      .join(assigned.select(col("id").as("neighbor_id"), col("lbl").as("n_label"),
+      .join(mates.select(col("id").as("neighbor_id"), col("lbl").as("n_label"),
         col("vec").as("b_vec"), col("cell")), Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("label"), col("neighbor_id"), col("n_label"),

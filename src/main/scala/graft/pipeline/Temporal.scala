@@ -745,30 +745,6 @@ object Temporal {
   }
 
   /**
-   * EXACT lag-`k` autocorrelation per key over a pre-scaled integer
-   * series — the seasonality/self-similarity probe (does yesterday
-   * predict today? is the metric k-periodic?) that runs before
-   * committing to a seasonal model. The textbook ACF
-   * `r_k = Σ_{i≤n−k}(x_i−x̄)(x_{i+k}−x̄) / Σ_i(x_i−x̄)²` with the
-   * FULL-series mean clears (×n²) to all-integer moments:
-   *
-   *   num·n² = n²·Σ x_i·x_{i+k} − n·S·(head_sum + tail_sum) + (n−k)·S²
-   *   den·n² = n²·Σ x_i²       − n·S²
-   *
-   * (head = first n−k terms, tail = last n−k terms, S = Σ x_i) —
-   * computed in DECIMAL(38,0), reported as sign-handled truncating
-   * permille; NULL when the series is constant (den = 0) or shorter
-   * than k+1. `valueCol` must be integral (scale cents/micros before
-   * calling — the same pre-scaled-long contract as [[Stats]] gates).
-   *
-   * Scale shape: ONE window per key ordered by (`orderCol`, `idCol`)
-   * computing lead(k), then one map-side-combinable groupBy(key) of
-   * six integer moments — a single keyed shuffle + aggregate, the
-   * gapRegularity profile. Output: key, n, acf_num, acf_den (longs,
-   * null on overflow of the cast-down; the permille itself is exact),
-   * acf_permille.
-   */
-  /**
    * Session journey mining — the "common user paths" statistic of
    * clickstream analysis: events sessionize on an inactivity gap
    * (same closed-at-gap rule as the sessionization oracle: a new
@@ -811,6 +787,30 @@ object Temporal {
       .where(col("cnt") >= minCount)
   }
 
+  /**
+   * EXACT lag-`k` autocorrelation per key over a pre-scaled integer
+   * series — the seasonality/self-similarity probe (does yesterday
+   * predict today? is the metric k-periodic?) that runs before
+   * committing to a seasonal model. The textbook ACF
+   * `r_k = Σ_{i≤n−k}(x_i−x̄)(x_{i+k}−x̄) / Σ_i(x_i−x̄)²` with the
+   * FULL-series mean clears (×n²) to all-integer moments:
+   *
+   *   num·n² = n²·Σ x_i·x_{i+k} − n·S·(head_sum + tail_sum) + (n−k)·S²
+   *   den·n² = n²·Σ x_i²       − n·S²
+   *
+   * (head = first n−k terms, tail = last n−k terms, S = Σ x_i) —
+   * computed in DECIMAL(38,0), reported as sign-handled truncating
+   * permille; NULL when the series is constant (den = 0) or shorter
+   * than k+1. `valueCol` must be integral (scale cents/micros before
+   * calling — the same pre-scaled-long contract as [[Stats]] gates).
+   *
+   * Scale shape: ONE window per key ordered by (`orderCol`, `idCol`)
+   * computing lead(k), then one map-side-combinable groupBy(key) of
+   * six integer moments — a single keyed shuffle + aggregate, the
+   * gapRegularity profile. Output: key, n, acf_num, acf_den (longs,
+   * null on overflow of the cast-down; the permille itself is exact),
+   * acf_permille.
+   */
   def autocorr(df: DataFrame, keyCol: String, orderCol: String,
       idCol: String, valueCol: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")

@@ -421,6 +421,69 @@ object StreamingPipeline {
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("window_start"), col("term"), col("cnt"))
 
+  final case class TrendRow(w: Long, term: String)
+  final case class TrendSt(terms: Map[String, Long])
+  final case class TrendOut(window_start: Long, term: String, cnt: Long,
+      rank: Int)
+
+  /**
+   * UPDATE-mode live trending top-k — the dashboard face of
+   * [[termCountsWindowed]]: each micro-batch re-emits every touched
+   * window's CURRENT top-`k` terms (cnt DESC, term ASC ties — the
+   * batch q_trending cut), so a live sink always holds the freshest
+   * ranking without chaining a rank over a streaming aggregation
+   * (append mode forbids two stateful aggs; update mode + explicit
+   * state sidesteps it).
+   *
+   * State per open window is a Misra–Gries summary of at most
+   * `capacity` counters — the bounded-memory frequent-items sketch
+   * (Misra & Gries '82; counts are undercounts by at most
+   * n/capacity, and any term with true share > 1/capacity is
+   * guaranteed present). With `capacity` ≥ the window's distinct-term
+   * count the counters — and therefore the emitted top-k — are EXACT
+   * and equal the batch cut row-for-row (StreamingPipelineSpec pins
+   * this on the q_trending fixture). Choose capacity ≫ k (default
+   * 1024 vs a dashboard's k ≈ 10) so heavy hitters never evict.
+   *
+   * Scale shape: one groupByKey shuffle on window start; state is
+   * O(windows-in-flight × capacity) regardless of corpus size —
+   * the flatMapGroupsWithState analogue of a watermarked agg.
+   */
+  def trendingTopKStream(df: DataFrame, eventTimeCol: String,
+      textCol: String, windowMicros: Long, k: Int,
+      capacity: Int = 1024): Dataset[TrendOut] = {
+    require(windowMicros > 0, s"windowMicros must be positive, got $windowMicros")
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(capacity >= k, s"capacity ($capacity) must be >= k ($k)")
+    import df.sparkSession.implicits._
+    val tus = unix_micros(col(eventTimeCol))
+    df.select(
+        // epoch-aligned floor (pmod handles pre-epoch timestamps the way
+        // the built-in window() does)
+        (tus - pmod(tus, lit(windowMicros))).as("w"),
+        explode(split(col(textCol), " ")).as("term"))
+      .where(col("term") =!= "").as[TrendRow]
+      .groupByKey(_.w)
+      .flatMapGroupsWithState[TrendSt, TrendOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (w: Long, it: Iterator[TrendRow], state: GroupState[TrendSt]) =>
+          val m = scala.collection.mutable.Map.empty[String, Long]
+          state.getOption.foreach(s => m ++= s.terms)
+          for (r <- it) {
+            m.get(r.term) match {
+              case Some(c) => m(r.term) = c + 1L
+              case None if m.size < capacity => m(r.term) = 1L
+              case None => // Misra–Gries decrement step: all counters -1
+                for ((t, c) <- m) if (c <= 1L) m.remove(t) else m(t) = c - 1L
+            }
+          }
+          state.update(TrendSt(m.toMap))
+          m.toSeq.sortBy { case (t, c) => (-c, t) }.take(k).iterator
+            .zipWithIndex
+            .map { case ((t, c), i) => TrendOut(w, t, c, i + 1) }
+      }
+  }
+
   /**
    * Streaming M4 downsampling — the live-dashboard face of
    * [[graft.pipeline.Temporal.m4Downsample]]: per key and event-time

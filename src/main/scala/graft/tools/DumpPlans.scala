@@ -333,7 +333,15 @@ object DumpPlans {
         "streaming termCountsWindowed: explode to (window, term), ONE " +
         "map-side-combinable count; the top-3 rank is batch-side by " +
         "design (a rank after a streaming agg would chain two stateful " +
-        "aggregations, which append-mode streaming forbids)."))
+        "aggregations, which append-mode streaming forbids)."),
+      // ---- wave-17 flagships ----
+      "q_e2e_multimodal" -> ("The composed multimodal pipeline (PNG " +
+        "encode → REAL decode gate → ahash → chunk-blocked near-dup " +
+        "anti-join → pixel-count packing) as ONE plan: the decoded " +
+        "(id, px, ahash) table checkpoints ONCE and feeds both the " +
+        "blocking self-join and the survivor anti-join; pairs travel " +
+        "as ids+hashes only, never payloads — the image twin of " +
+        "q_e2e_curation's cross-stage contract pin."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")

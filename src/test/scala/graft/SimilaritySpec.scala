@@ -255,4 +255,34 @@ class SimilaritySpec extends AnyFunSuite {
     // every anchor with a cellmate appears
     assert(got.size == 5)
   }
+
+  test("hardNegatives: maxCellMates caps the neighbor side to the lowest ids") {
+    import spark.implicits._
+    // one tight cluster (nlist=1 -> everyone shares the cell): ids 1..5,
+    // labels alternate. With maxCellMates=2 only ids 1 and 2 are eligible
+    // mates; anchors are never dropped.
+    val rows = Seq(
+      (1L, Array(1.0f, 0.00f), 0), (2L, Array(1.0f, 0.01f), 1),
+      (3L, Array(1.0f, 0.02f), 0), (4L, Array(1.0f, 0.03f), 1),
+      (5L, Array(1.0f, 0.04f), 0))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(df, "vec_id", "embedding", "label",
+        nlist = 1, maxCellMates = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // all 5 anchors survive (each has at least one eligible mate)
+    assert(got.size == 5)
+    // every reported positive/negative id is drawn from {1, 2}
+    for ((id, r) <- got) {
+      if (!r.isNullAt(2)) assert(Set(1L, 2L).contains(r.getLong(2)),
+        s"anchor $id positive ${r.getLong(2)} escaped the mate cap")
+      if (!r.isNullAt(4)) assert(Set(1L, 2L).contains(r.getLong(4)),
+        s"anchor $id negative ${r.getLong(4)} escaped the mate cap")
+    }
+    // anchor 5 (label 0): positive must be 1 (only same-label mate in
+    // the cap set), negative must be 2
+    assert(got(5L).getLong(2) == 1L && got(5L).getLong(4) == 2L)
+    // anchor 1: its own id is excluded; positive from {2}? no — label 0
+    // needs same-label: ids {3,5} are capped away -> NULL positive
+    assert(got(1L).isNullAt(2) && got(1L).getLong(4) == 2L)
+  }
 }

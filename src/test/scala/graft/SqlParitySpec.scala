@@ -39,6 +39,9 @@ class SqlParitySpec extends AnyFunSuite {
     s"rf_mask_by_value($T, $T2, 3.0)", s"rf_inverse_mask_by_value($T, $T2, 3.0)",
     s"rf_mask_by_values($T, $T2, array(3.0))",
     s"rf_local_extract_bits(rf_convert_cell_type($T, 'int32'), 0, 2)",
+    s"rf_local_extract_bits(rf_convert_cell_type($T, 'int32'), 0)",
+    s"rf_local_extract_bit(rf_convert_cell_type($T, 'int32'), 1)",
+    "rf_cell_types()",
     s"rf_mask_by_bit($T, rf_convert_cell_type($T2, 'int32'), 0, 1)",
     s"rf_mask_by_bits($T, rf_convert_cell_type($T2, 'int32'), 0, 2, array(3.0))",
     "rf_make_zeros_tile(2, 2, 'uint8')", "rf_make_ones_tile(2, 2, 'float32')",
@@ -159,7 +162,7 @@ class SqlParitySpec extends AnyFunSuite {
         s"undocumented: ${(graftRegistered -- docKeys).toSeq.sorted}")
     // pinned surface size — README §2.15 and the Python parity test
     // (python/tests/test_sql_surface.py) quote this number
-    assert(docKeys.size == 252, s"registered SQL surface moved: ${docKeys.size} names")
+    assert(docKeys.size == 254, s"registered SQL surface moved: ${docKeys.size} names")
     // Examples blocks may only supplement documented names
     val strayExamples = FunctionDocs.examples.keySet -- docKeys
     assert(strayExamples.isEmpty, s"examples for undocumented names: $strayExamples")

@@ -1140,4 +1140,58 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(got == exp)
     assert(exp.size > 20) // several windows x terms
   }
+
+  test("trendingTopKStream: update-mode top-3 equals the batch cut (sf0.001)") {
+    val weekUs = 604800000000L
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("ts").cast("timestamp").as("ts"),
+        concat_ws(" ", col("event_type"), concat(lit("k"),
+          (get_json_object(col("props"), "$.k").cast("int") % 20)
+            .cast("string"))).as("text"))
+    // batch expectation: exact window counts + (cnt DESC, term ASC) top-3
+    val counts = StreamingPipeline.termCountsWindowed(ev, "ts", "text", "7 days")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("window_start").orderBy(desc("cnt"), col("term"))
+    val exp = counts.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(unix_micros(col("window_start")).as("w"), col("term"),
+        col("cnt"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getInt(3)) ->
+        ((r.getString(1), r.getLong(2)))).toMap
+    val dir = Files.createTempDirectory("trend-topk").toString
+    ev.coalesce(1).write.mode("overwrite").parquet(dir)
+    // capacity 4096 >= distinct terms at sf0.001 -> Misra-Gries is exact
+    val out = StreamingPipeline.trendingTopKStream(
+      spark.readStream.schema(ev.schema).parquet(dir),
+      "ts", "text", weekUs, k = 3, capacity = 4096)
+    val q = out.toDF().writeStream.format("memory").queryName("trend_topk")
+      .outputMode(OutputMode.Update()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.sql(
+      "SELECT window_start, term, cnt, rank FROM trend_topk")
+      .collect().map(r => (r.getLong(0), r.getInt(3)) ->
+        ((r.getString(1), r.getLong(2)))).toMap
+    assert(got == exp, s"got=${got.toSeq.sortBy(_._1)} exp=${exp.toSeq.sortBy(_._1)}")
+    assert(exp.size >= 6) // at least 2 windows x 3 ranks
+
+    // bounded state: capacity enforced — with capacity k the sketch still
+    // yields k rows per window and every count is <= the true count
+    val small = StreamingPipeline.trendingTopKStream(
+      spark.readStream.schema(ev.schema).parquet(dir),
+      "ts", "text", weekUs, k = 3, capacity = 3)
+    val q2 = small.toDF().writeStream.format("memory").queryName("trend_small")
+      .outputMode(OutputMode.Update()).trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(120000)
+    val trueCounts = counts
+      .select(unix_micros(col("window_start")), col("term"), col("cnt"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val smallRows = spark.sql(
+      "SELECT window_start, term, cnt FROM trend_small").collect()
+    assert(smallRows.nonEmpty)
+    for (r <- smallRows) {
+      val t = trueCounts.getOrElse((r.getLong(0), r.getString(1)), 0L)
+      assert(r.getLong(2) <= t,
+        s"MG count ${r.getLong(2)} exceeds true count $t for ${r.getString(1)}")
+    }
+  }
 }
