@@ -1407,3 +1407,11 @@ def pl_multi_match_counts(text, patterns):
     as an array aligned with the patterns array — one Aho-Corasick pass
     per row. See graft.pipeline.blocklist_hits for the exploded view."""
     return _fn("pl_multi_match_counts", text, patterns)
+
+
+def pl_rand_proj(vec, out_dim=16, seed=0x5eed):
+    """Johnson-Lindenstrauss +/-1 random projection of a float/double
+    array to out_dim exact-integer components (floor(v*1024)
+    quantization, sign from mix64) -- the width reducer in front of
+    exact cosine refine."""
+    return _fn("pl_rand_proj", vec, out_dim, seed)

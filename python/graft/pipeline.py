@@ -2113,3 +2113,43 @@ def ngram_novelty(df, id_col, text_col, n=3):
                        .otherwise(0)).alias("n_novel"))
             .withColumn("novelty_permille",
                         F.expr("n_novel * 1000 div n_grams")))
+
+
+def zipf_fit(df, text_col, top_r=1000):
+    """Zipf rank-frequency fit — Python mirror of the Scala
+    ``Stats.zipfFit``: integer least squares on once-rounded micro-nat
+    (ln rank, ln count) over the top_r most frequent terms (count DESC,
+    term ASC ties). One map-side-combinable token count, a distributed
+    TakeOrdered top_r cut, one single-row moment aggregate. Returns one
+    row: n_terms, slope_micro, intercept_micro (organic text sits near
+    slope_micro ~ -1e6).
+    """
+    if top_r < 2:
+        raise ValueError(f"top_r must be >= 2, got {top_r}")
+    counts = (df.select(F.explode(F.split(F.col(text_col), " "))
+                        .alias("term"))
+              .where(F.col("term") != "")
+              .groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+              .orderBy(F.desc("cnt"), F.col("term")).limit(top_r))
+    w = Window.orderBy(F.desc("cnt"), F.col("term"))
+    return (counts
+            .withColumn("__r", F.row_number().over(w))
+            .select(F.round(F.lit(1e6) * F.log(F.col("__r").cast("double")))
+                    .cast("long").alias("__x"),
+                    F.round(F.lit(1e6) * F.log(F.col("cnt").cast("double")))
+                    .cast("long").alias("__y"))
+            .agg(F.count(F.lit(1)).alias("n_terms"),
+                 F.sum(F.col("__x").cast("decimal(38,0)")).alias("__sx"),
+                 F.sum(F.col("__y").cast("decimal(38,0)")).alias("__sy"),
+                 F.sum(F.col("__x").cast("decimal(38,0)") * F.col("__y"))
+                 .alias("__sxy"),
+                 F.sum(F.col("__x").cast("decimal(38,0)") * F.col("__x"))
+                 .alias("__sxx"))
+            .withColumn("__den", F.expr("n_terms * __sxx - __sx * __sx"))
+            .withColumn("slope_micro", F.expr(
+                "cast(if(__den = 0, null, (n_terms * __sxy - __sx * __sy)"
+                " * 1000000 div __den) as long)"))
+            .withColumn("intercept_micro", F.expr(
+                "cast(if(__den = 0, null, (__sy * 1000000 - slope_micro"
+                " * __sx) div (n_terms * 1000000)) as long)"))
+            .select("n_terms", "slope_micro", "intercept_micro"))

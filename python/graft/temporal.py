@@ -677,3 +677,25 @@ def term_counts_windowed(df, event_time_col, text_col, window_duration,
             .agg(F.count(F.lit(1)).alias("cnt"))
             .select(F.col("window.start").alias("window_start"),
                     "term", "cnt"))
+
+
+def burst_segments(df, key_col, bucket_col, cnt_col, threshold, min_len=2):
+    """Burst segment detection — Python mirror of the Scala
+    ``Temporal.burstSegments``: maximal runs of CONSECUTIVE buckets with
+    count >= threshold via the gaps-and-islands key
+    (bucket - row_number), reported as (key, seg_start, n_buckets,
+    total_cnt) and pruned at min_len. Two keyed windows + one groupBy
+    over the already-aggregated (key, bucket) count table.
+    """
+    if min_len < 1:
+        raise ValueError(f"min_len must be >= 1, got {min_len}")
+    w = Window.partitionBy(key_col).orderBy(bucket_col)
+    return (df.where(F.col(cnt_col) >= threshold)
+            .withColumn("__grp", F.col(bucket_col).cast("long")
+                        - F.row_number().over(w))
+            .groupBy(F.col(key_col), F.col("__grp"))
+            .agg(F.min(F.col(bucket_col).cast("long")).alias("seg_start"),
+                 F.count(F.lit(1)).alias("n_buckets"),
+                 F.sum(F.col(cnt_col).cast("long")).alias("total_cnt"))
+            .where(F.col("n_buckets") >= min_len)
+            .drop("__grp"))

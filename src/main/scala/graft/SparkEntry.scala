@@ -3669,6 +3669,32 @@ object SparkEntry {
         .select(unix_micros(col("window_start")).as("w_start"),
           col("term"), col("cnt"), col("rank"))
         .orderBy("w_start", "rank")
+    }),
+    // ---- wave 17: JL projection / Zipf fit / burst segments ----
+    // JL ±1 random projection to 8 exact-integer components; exploded so
+    // the compare harness sorts scalars (power-of-two quantization makes
+    // the float->int step replayable with no round-mode dependence)
+    "q_rand_proj" -> ((s, dir) =>
+      t(s, dir, "embeddings").select(col("vec_id"),
+        posexplode(graft.pipeline.Similarity.randomProjection(
+          col("embedding"), 8, 7L)))
+        .select(col("vec_id"), col("pos").cast("int").as("j"),
+          col("col").as("y"))
+        .orderBy("vec_id", "j")),
+    // Zipf rank-frequency fit over the corpus vocabulary: one token
+    // count, a TakeOrdered top-500 cut, integer least squares
+    "q_zipf" -> ((s, dir) =>
+      graft.pipeline.Stats.zipfFit(t(s, dir, "documents"), "text",
+        topR = 500)),
+    // burst segments: maximal runs of consecutive days with >= 67
+    // events per type (gaps-and-islands over the bucketed count table)
+    "q_bursts" -> ((s, dir) => {
+      val daily = eventsMicros(s, dir)
+        .select(col("event_type"), expr("tus div 86400000000").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+      graft.pipeline.Temporal.burstSegments(daily, "event_type", "day",
+          "cnt", threshold = 67L, minLen = 2)
+        .orderBy("event_type", "seg_start")
     })
   )
 
@@ -7790,6 +7816,57 @@ object SparkEntry {
         |    ORDER BY cnt DESC, term) AS rank FROM c)
         |SELECT CAST(w_start AS BIGINT) AS w_start, term,
         |  CAST(cnt AS BIGINT) AS cnt, CAST(rank AS INT) AS rank
-        |FROM r WHERE rank <= 3 ORDER BY w_start, rank""".stripMargin
+        |FROM r WHERE rank <= 3 ORDER BY w_start, rank""".stripMargin,
+    // JL projection replayed: floor(v*1024) quantization (float*1024 is
+    // exact in double - power of two), sign = parity of mix64(7 + i*8+j)
+    "q_rand_proj" ->
+      s"""WITH x AS (SELECT vec_id, i - 1 AS i,
+         |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1024) AS BIGINT) AS q
+         |  FROM embeddings, unnest(range(1, len(embedding) + 1)) u(i)),
+         |p AS (SELECT vec_id, i, q, unnest(range(0, 8)) AS j FROM x),
+         |sgn AS (SELECT vec_id, j, q,
+         |    CASE WHEN ${duckMix64("(7 + i * 8 + j)::HUGEINT")} % 2 = 0
+         |      THEN 1 ELSE -1 END AS s
+         |  FROM p)
+         |SELECT vec_id, CAST(j AS INT) AS j, CAST(SUM(q * s) AS BIGINT) AS y
+         |FROM sgn GROUP BY vec_id, j ORDER BY vec_id, j""".stripMargin,
+    // Zipf fit replayed: same top-500 cut (count DESC, term ASC), same
+    // once-rounded micro-nat (x, y), same truncating integer divisions
+    "q_zipf" ->
+      """WITH c AS (SELECT t.term, COUNT(*) AS cnt FROM
+        |    (SELECT unnest(string_split(text, ' ')) AS term FROM documents) t
+        |  WHERE t.term <> '' GROUP BY 1 ORDER BY cnt DESC, term LIMIT 500),
+        |r AS (SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS rk
+        |  FROM c),
+        |xy AS (SELECT CAST(round(1e6 * ln(rk)) AS BIGINT) AS x,
+        |    CAST(round(1e6 * ln(cnt)) AS BIGINT) AS y FROM r),
+        |m AS (SELECT COUNT(*)::HUGEINT AS n, SUM(x::HUGEINT) AS sx,
+        |    SUM(y::HUGEINT) AS sy, SUM(x::HUGEINT * y) AS sxy,
+        |    SUM(x::HUGEINT * x) AS sxx FROM xy),
+        |s AS (SELECT n, sx, sy,
+        |    (n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx) AS sl
+        |  FROM m)
+        |SELECT CAST(n AS BIGINT) AS n_terms, CAST(sl AS BIGINT) AS slope_micro,
+        |  CAST((sy * 1000000 - sl * sx) // (n * 1000000) AS BIGINT)
+        |    AS intercept_micro
+        |FROM s""".stripMargin,
+    // burst segments replayed: the same gaps-and-islands key
+    // (day - row_number) over the hot daily counts
+    "q_bursts" ->
+      """WITH e AS (SELECT event_type,
+        |    epoch_ns(ts) // 1000 // 86400000000 AS day FROM events),
+        |c AS (SELECT event_type, day, COUNT(*) AS cnt FROM e GROUP BY 1, 2),
+        |h AS (SELECT event_type, day, cnt,
+        |    day - ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+        |      AS grp
+        |  FROM c WHERE cnt >= 67),
+        |seg AS (SELECT event_type, MIN(day) AS seg_start,
+        |    COUNT(*) AS n_buckets, SUM(cnt) AS total_cnt
+        |  FROM h GROUP BY event_type, grp)
+        |SELECT event_type, CAST(seg_start AS BIGINT) AS seg_start,
+        |  CAST(n_buckets AS BIGINT) AS n_buckets,
+        |  CAST(total_cnt AS BIGINT) AS total_cnt
+        |FROM seg WHERE n_buckets >= 2
+        |ORDER BY event_type, seg_start""".stripMargin
   )
 }

@@ -608,6 +608,10 @@ object Raster {
         graft.pipeline.NGrams(xs.head, intArg(xs, 1, 2)))
       regN("pl_multi_match_counts", xs =>
         graft.pipeline.MultiMatchCounts(xs(0), xs(1)))
+      regN("pl_rand_proj", xs => graft.pipeline.RandomProjection(xs.head,
+        intArg(xs, 1, 16),
+        if (xs.length > 2) xs(2).eval(null).asInstanceOf[Number].longValue()
+        else 0x5eedL))
       reg1("pl_mix64", graft.pipeline.Mix64(_))
       reg1("pl_nfc", graft.pipeline.UnicodeNorm(_, "NFC"))
       reg1("pl_nfkc", graft.pipeline.UnicodeNorm(_, "NFKC"))

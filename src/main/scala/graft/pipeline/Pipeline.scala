@@ -1059,6 +1059,12 @@ object Similarity {
   def cosine(a: Column, b: Column): Column = c(CosineSimilarity(asExpr(a), asExpr(b)))
   def dot(a: Column, b: Column): Column = c(VectorDot(asExpr(a), asExpr(b)))
 
+  /** JL ±1 random projection to `outDim` exact-integer components (see
+    * [[RandomProjection]]): the width reducer in front of exact refine
+    * when full embeddings are too wide to shuffle. */
+  def randomProjection(vec: Column, outDim: Int, seed: Long = 0x5eedL): Column =
+    c(RandomProjection(asExpr(vec), outDim, seed))
+
   /** Euclidean norm, same index-order double accumulation as [[dot]]
     * (sqrt is IEEE correctly-rounded, so engines agree bit-exactly). */
   def l2_norm(v: Column): Column = sqrt(dot(v, v))

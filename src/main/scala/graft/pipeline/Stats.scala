@@ -710,6 +710,56 @@ object Stats {
    * leave the row.) Output: id, cand_n, ref_n, match_n,
    * rouge_p/r/f permilles.
    */
+  /**
+   * Zipf rank–frequency fit over a corpus vocabulary — the classic
+   * natural-language health check of a training mixture: organic text
+   * follows `freq ∝ rank^s` with s ≈ −1; template spam, boilerplate
+   * floods and synthetic fill bend the slope or crush the fit. Linear
+   * least squares on `(x, y) = (round(1e6·ln rank), round(1e6·ln cnt))`
+   * over the `topR` most frequent terms (count DESC, term ASC ties —
+   * deterministic), with the rounding applied ONCE per value (the
+   * idf_centi recipe) so the moments are exact integers:
+   *
+   *   slope_micro     = (n·Σxy − Σx·Σy)·1e6 div (n·Σx² − (Σx)²)
+   *   intercept_micro = (Σy·1e6 − slope_micro·Σx) div (n·1e6)
+   *
+   * — truncating integer divisions by definition, replayable anywhere.
+   *
+   * Scale shape: ONE map-side-combinable token count (the only
+   * row-bounded shuffle), a distributed TakeOrdered for the topR cut
+   * (never a global sort of the vocabulary), a row_number over the
+   * topR-row table, and one single-row moment aggregate. Output: one
+   * row — n_terms, slope_micro, intercept_micro.
+   */
+  def zipfFit(df: DataFrame, textCol: String, topR: Int = 1000): DataFrame = {
+    require(topR >= 2, s"topR must be >= 2, got $topR")
+    val counts = df
+      .select(explode(split(col(textCol), " ")).as("term"))
+      .where(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("term")).limit(topR)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("cnt"), col("term"))
+    counts
+      .withColumn("__r", row_number().over(w))
+      .select(
+        round(lit(1e6) * log(col("__r").cast("double"))).cast("long").as("__x"),
+        round(lit(1e6) * log(col("cnt").cast("double"))).cast("long").as("__y"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("__x").cast("decimal(38,0)")).as("__sx"),
+        sum(col("__y").cast("decimal(38,0)")).as("__sy"),
+        sum(col("__x").cast("decimal(38,0)") * col("__y")).as("__sxy"),
+        sum(col("__x").cast("decimal(38,0)") * col("__x")).as("__sxx"))
+      .withColumn("__den", expr("n_terms * __sxx - __sx * __sx"))
+      .withColumn("slope_micro", expr(
+        "cast(if(__den = 0, null," +
+          " (n_terms * __sxy - __sx * __sy) * 1000000 div __den) as long)"))
+      .withColumn("intercept_micro", expr(
+        "cast(if(__den = 0, null, (__sy * 1000000 - slope_micro * __sx)" +
+          " div (n_terms * 1000000)) as long)"))
+      .select(col("n_terms"), col("slope_micro"), col("intercept_micro"))
+  }
+
   def rougeN(df: DataFrame, idCol: String, candCol: String,
       refCol: String, n: Int = 2): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")

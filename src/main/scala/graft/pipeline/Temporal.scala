@@ -843,4 +843,36 @@ object Temporal {
           |     else -((-__num) * 1000 div __den) end as long)""".stripMargin)
           .as("acf_permille"))
   }
+
+  /**
+   * Burst segment detection over a per-key bucketed count series — the
+   * "when did this term/domain/user spike, and for how long" statistic
+   * (the run-length core of Kleinberg burst detection with a fixed
+   * threshold in place of the HMM): a burst is a MAXIMAL run of
+   * CONSECUTIVE buckets whose count is ≥ `threshold`, reported once per
+   * run with its start bucket, length and total mass, pruned at
+   * `minLen`. Islands form with the classic gaps-and-islands key
+   * `bucket − row_number()` (consecutive hot buckets share it), so the
+   * whole operator is two windows + one groupBy over the ALREADY
+   * AGGREGATED (key, bucket) table — never the raw events.
+   *
+   * Scale shape: input is the bucketed count table (bounded by
+   * keys × buckets, the termCountsWindowed output shape); both windows
+   * and the groupBy partition BY KEY — one keyed shuffle, no global
+   * sort. Output: key, seg_start, n_buckets, total_cnt.
+   */
+  def burstSegments(df: DataFrame, keyCol: String, bucketCol: String,
+      cntCol: String, threshold: Long, minLen: Int = 2): DataFrame = {
+    require(minLen >= 1, s"minLen must be >= 1, got $minLen")
+    val w = Window.partitionBy(keyCol).orderBy(bucketCol)
+    df.where(col(cntCol) >= threshold)
+      .withColumn("__grp",
+        col(bucketCol).cast("long") - row_number().over(w))
+      .groupBy(col(keyCol), col("__grp"))
+      .agg(min(col(bucketCol).cast("long")).as("seg_start"),
+        count(lit(1)).as("n_buckets"),
+        sum(col(cntCol).cast("long")).as("total_cnt"))
+      .where(col("n_buckets") >= minLen)
+      .drop("__grp")
+  }
 }

@@ -1208,3 +1208,57 @@ case class ClippedOverlap(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
 }
+
+/**
+ * Johnson–Lindenstrauss random projection of an embedding to `outDim`
+ * integer components, cleared to EXACT integers: component j is
+ * `Σ_i floor(v_i·1024) · s_ij` with sign `s_ij = ±1` from bit 0 of
+ * `mix64(seed + i·outDim + j)`. Achlioptas (JCSS '03) shows ±1 entries
+ * satisfy the JL lemma, so inner products / distances on the sketch
+ * concentrate around the originals at dimension O(ln n / ε²) — the
+ * cheap pre-filter in front of exact cosine refine when 64-dim floats
+ * are still too wide to shuffle at corpus scale.
+ *
+ * The ×1024 quantization is a POWER OF TWO on purpose: float32·1024 is
+ * exact in double on any IEEE engine, so there is no round-mode
+ * dependence anywhere and external engines replay the sketch
+ * bit-for-bit (contrast round(v·1000), whose half-way cases differ by
+ * libm). Per-row, zero shuffles; the sign matrix derives from the seed
+ * inside the expression — nothing ships with the plan but two ints.
+ */
+case class RandomProjection(child: Expression, outDim: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "rand_proj"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) if outDim >= 1 =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (array<float|double>, out_dim >= 1)")
+  }
+  @transient private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val out = new Array[Long](outDim)
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val v = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        val q = math.floor(v * 1024.0).toLong
+        if (q != 0L) {
+          var j = 0
+          while (j < outDim) {
+            val s = Hashing.mix64(seed + i.toLong * outDim + j)
+            if ((s & 1L) == 0L) out(j) += q else out(j) -= q
+            j += 1
+          }
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(out.map(x => x: Any))
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}

@@ -285,4 +285,32 @@ class SimilaritySpec extends AnyFunSuite {
     // needs same-label: ids {3,5} are capped away -> NULL positive
     assert(got(1L).isNullAt(2) && got(1L).getLong(4) == 2L)
   }
+
+  test("randomProjection: exact integers, sign matrix from the seed") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val df = Seq((1L, Array(0.5f, -0.25f, 0.0f))).toDF("id", "v")
+    val got = df.select(Similarity.randomProjection(col("v"), 4, 7L).as("y"))
+      .collect()(0).getSeq[Long](0)
+    // replicate: q = floor(v*1024) = (512, -256, 0); sign from bit 0 of
+    // mix64(7 + i*4 + j)
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val qs = Seq(512L, -256L, 0L)
+    val exp = (0 until 4).map { j =>
+      qs.zipWithIndex.map { case (q, i) =>
+        if ((mix(7L + i * 4 + j) & 1L) == 0L) q else -q
+      }.sum
+    }
+    assert(got == exp, s"got=$got exp=$exp")
+    // projections are linear: scaling the vector by 2 doubles the sketch
+    val df2 = Seq((1L, Array(1.0f, -0.5f, 0.0f))).toDF("id", "v")
+    val got2 = df2.select(Similarity.randomProjection(col("v"), 4, 7L).as("y"))
+      .collect()(0).getSeq[Long](0)
+    assert(got2 == exp.map(_ * 2))
+  }
 }

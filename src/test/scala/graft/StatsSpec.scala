@@ -415,4 +415,35 @@ class StatsSpec extends AnyFunSuite {
     assert(got == Map(1L -> ((2L, 2L, 1000L)), 2L -> ((2L, 1L, 500L)),
       3L -> ((2L, 0L, 0L)), 4L -> ((1L, 1L, 1000L))))
   }
+
+  test("zipfFit: exact integer least squares on a constructed corpus") {
+    // one doc whose token counts are a perfect power law would need
+    // fractional counts; instead verify against an independently
+    // computed expectation for counts (8, 4, 2, 1)
+    val text = (Seq.fill(8)("a") ++ Seq.fill(4)("b") ++
+      Seq.fill(2)("c") ++ Seq("d")).mkString(" ")
+    val got = Stats.zipfFit(Seq((1L, text)).toDF("id", "text"), "text")
+      .collect()(0)
+    assert(got.getLong(0) == 4L)
+    // replicate the documented formula exactly
+    val xs = (1 to 4).map(r => math.round(1e6 * math.log(r)))
+    val ys = Seq(8L, 4L, 2L, 1L).map(c => math.round(1e6 * math.log(c.toDouble)))
+    val n = BigInt(4)
+    val sx = xs.map(BigInt(_)).sum; val sy = ys.map(BigInt(_)).sum
+    val sxy = xs.zip(ys).map { case (a, b) => BigInt(a) * b }.sum
+    val sxx = xs.map(x => BigInt(x) * x).sum
+    val slope = (n * sxy - sx * sy) * 1000000 / (n * sxx - sx * sx)
+    val icpt = (sy * 1000000 - slope * sx) / (n * 1000000)
+    assert(got.getLong(1) == slope.toLong, s"slope ${got.getLong(1)} vs $slope")
+    assert(got.getLong(2) == icpt.toLong)
+    // a genuine power law 8,4,2,1 over ranks 1..4 is NOT ln-linear
+    // (freq halves while rank ratio shrinks), so just sanity-bound it
+    assert(got.getLong(1) < 0L && got.getLong(1) > -2000000L)
+  }
+
+  test("zipfFit: degenerate single-term corpus yields null slope") {
+    val got = Stats.zipfFit(Seq((1L, "x x x")).toDF("id", "text"), "text")
+      .collect()(0)
+    assert(got.getLong(0) == 1L && got.isNullAt(1) && got.isNullAt(2))
+  }
 }

@@ -635,4 +635,26 @@ class TemporalSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0)).toSeq
     assert(pruned == Seq("a b c"))
   }
+
+  test("burstSegments: islands form on consecutive buckets only") {
+    import spark.implicits._
+    // key A: hot at days 1,2,3 (run of 3), 5 (singleton), 8,9 (run of 2)
+    // key B: never reaches the threshold
+    val df = Seq(
+      ("A", 1L, 10L), ("A", 2L, 12L), ("A", 3L, 11L), ("A", 4L, 3L),
+      ("A", 5L, 15L), ("A", 6L, 2L), ("A", 8L, 10L), ("A", 9L, 10L),
+      ("B", 1L, 5L), ("B", 2L, 5L)
+    ).toDF("k", "day", "cnt")
+    val got = graft.pipeline.Temporal.burstSegments(df, "k", "day", "cnt",
+        threshold = 10L, minLen = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // the day-5 singleton is pruned by minLen; day 4/6 gaps split runs
+    assert(got == Set(("A", 1L, 3L, 33L), ("A", 8L, 2L, 20L)))
+    // minLen = 1 readmits the singleton
+    val all = graft.pipeline.Temporal.burstSegments(df, "k", "day", "cnt",
+        threshold = 10L, minLen = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(all == Set(("A", 1L), ("A", 5L), ("A", 8L)))
+  }
 }
