@@ -1112,6 +1112,13 @@ def mm_byte_histogram(blob, bins=16):
     return _fn("mm_byte_histogram", blob, bins)
 
 
+def mm_frame_deltas(blob, frame_size, stride, bins=16):
+    """L1 distances between consecutive frames' byte histograms
+    (integer counts) -- the scene-change primitive over framed binary
+    streams; one entry per adjacent frame pair."""
+    return _fn("mm_frame_deltas", blob, frame_size, stride, bins)
+
+
 def mm_frame_sample(blob, frame_size, stride):
     """Every stride-th frame_size-byte window as an array of binaries."""
     return _fn("mm_frame_sample", blob, frame_size, stride)

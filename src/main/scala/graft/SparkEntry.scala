@@ -3695,7 +3695,31 @@ object SparkEntry {
       graft.pipeline.Temporal.burstSegments(daily, "event_type", "day",
           "cnt", threshold = 67L, minLen = 2)
         .orderBy("event_type", "seg_start")
-    })
+    }),
+    // BPE learn -> APPLY composition: the merge table from 3 greedy
+    // rounds (one row per round — a metadata-sized driver fetch, the
+    // CIDR-rule-list class of bounded collect) tokenizes the corpus in
+    // a pure per-row replace chain — zero shuffles in the apply pass
+    "q_bpe_apply" -> ((s, dir) => {
+      val merges = graft.pipeline.Bpe.learn(
+          t(s, dir, "documents").select(col("text")), "text", rounds = 3)
+        .orderBy("round").collect()
+        .map { r => val p = r.getString(1).split(" "); (p(0), p(1)) }
+      graft.pipeline.Bpe.applyMerges(
+          t(s, dir, "documents"), "doc_id", "text", merges.toSeq)
+        .orderBy("id")
+    }),
+    // scene-change detection over framed bytes: consecutive-frame
+    // byte-histogram L1 deltas (one pass, integer counts), cut where
+    // the delta clears the threshold
+    "q_scene_cuts" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        posexplode(Multimodal.frame_deltas(
+          Multimodal.to_blob(col("text")), 64, 64, 16)))
+        .select(col("doc_id"), col("pos").cast("int").as("pos"),
+          col("col").as("delta"))
+        .where(col("delta") >= 16L)
+        .orderBy("doc_id", "pos"))
   )
 
   // ---- DuckDB SQL builders for graft's 64-bit hash primitives ----
@@ -7867,6 +7891,70 @@ object SparkEntry {
         |  CAST(n_buckets AS BIGINT) AS n_buckets,
         |  CAST(total_cnt AS BIGINT) AS total_cnt
         |FROM seg WHERE n_buckets >= 2
-        |ORDER BY event_type, seg_start""".stripMargin
+        |ORDER BY event_type, seg_start""".stripMargin,
+    // BPE apply replayed: the q_bpe_learn merge chain with doc_id
+    // carried through, then per-doc residual units flattened
+    "q_bpe_apply" ->
+      """WITH d0 AS (SELECT doc_id, list_transform(
+        |    list_filter(string_split(text, ' '), t -> t <> ''),
+        |    tok -> '¦¦' || regexp_replace(tok, '(.)', '\1¦¦', 'g')) AS work
+        |  FROM documents),
+        |u1 AS (SELECT list_filter(string_split_regex(w, '¦+'), x -> x <> '') AS un
+        |  FROM (SELECT unnest(work) AS w FROM d0)),
+        |g1 AS (SELECT un, unnest(range(1, greatest(len(un) - 1, 0) + 1)) AS i FROM u1),
+        |p1 AS (SELECT un[i] || ' ' || un[i+1] AS pair, COUNT(*) AS cnt
+        |  FROM g1 GROUP BY 1),
+        |b1 AS (SELECT string_split(pair, ' ')[1] AS x, string_split(pair, ' ')[2] AS y
+        |  FROM p1 ORDER BY cnt DESC, pair LIMIT 1),
+        |d1 AS (SELECT doc_id, list_transform(work, w -> replace(w,
+        |    '¦' || x || '¦¦' || y || '¦', '¦' || x || y || '¦')) AS work
+        |  FROM d0, b1),
+        |u2 AS (SELECT list_filter(string_split_regex(w, '¦+'), x -> x <> '') AS un
+        |  FROM (SELECT unnest(work) AS w FROM d1)),
+        |g2 AS (SELECT un, unnest(range(1, greatest(len(un) - 1, 0) + 1)) AS i FROM u2),
+        |p2 AS (SELECT un[i] || ' ' || un[i+1] AS pair, COUNT(*) AS cnt
+        |  FROM g2 GROUP BY 1),
+        |b2 AS (SELECT string_split(pair, ' ')[1] AS x, string_split(pair, ' ')[2] AS y
+        |  FROM p2 ORDER BY cnt DESC, pair LIMIT 1),
+        |d2 AS (SELECT doc_id, list_transform(work, w -> replace(w,
+        |    '¦' || x || '¦¦' || y || '¦', '¦' || x || y || '¦')) AS work
+        |  FROM d1, b2),
+        |u3 AS (SELECT list_filter(string_split_regex(w, '¦+'), x -> x <> '') AS un
+        |  FROM (SELECT unnest(work) AS w FROM d2)),
+        |g3 AS (SELECT un, unnest(range(1, greatest(len(un) - 1, 0) + 1)) AS i FROM u3),
+        |p3 AS (SELECT un[i] || ' ' || un[i+1] AS pair, COUNT(*) AS cnt
+        |  FROM g3 GROUP BY 1),
+        |b3 AS (SELECT string_split(pair, ' ')[1] AS x, string_split(pair, ' ')[2] AS y
+        |  FROM p3 ORDER BY cnt DESC, pair LIMIT 1),
+        |d3 AS (SELECT doc_id, list_transform(work, w -> replace(w,
+        |    '¦' || x || '¦¦' || y || '¦', '¦' || x || y || '¦')) AS work
+        |  FROM d2, b3),
+        |units AS (SELECT doc_id, flatten(list_transform(work,
+        |    w -> list_filter(string_split_regex(w, '¦+'), x -> x <> ''))) AS un
+        |  FROM d3)
+        |SELECT doc_id AS id, CAST(len(un) AS BIGINT) AS n_units,
+        |  array_to_string(un, ' ') AS units_str
+        |FROM units ORDER BY id""".stripMargin,
+    // scene cuts replayed: per-frame dense 16-bin histograms from the
+    // character stream (ASCII corpus: char = byte), adjacent L1 deltas
+    "q_scene_cuts" ->
+      """WITH f AS (SELECT doc_id, text,
+        |    unnest(range(0, length(text) // 64)) AS fi
+        |  FROM documents WHERE length(text) >= 64),
+        |c AS (SELECT doc_id, fi, text, unnest(range(1, 65)) AS k FROM f),
+        |bn AS (SELECT doc_id, fi,
+        |    ascii(substring(text, CAST(fi * 64 + k AS INT), 1)) // 16 AS bin
+        |  FROM c),
+        |h AS (SELECT doc_id, fi, bin, COUNT(*) AS cnt FROM bn GROUP BY 1, 2, 3),
+        |grid AS (SELECT g.doc_id, g.fi, b.bin, COALESCE(h.cnt, 0) AS cnt
+        |  FROM (SELECT DISTINCT doc_id, fi FROM f) g
+        |  CROSS JOIN (SELECT unnest(range(0, 16)) AS bin) b
+        |  LEFT JOIN h ON h.doc_id = g.doc_id AND h.fi = g.fi AND h.bin = b.bin),
+        |d AS (SELECT a.doc_id, a.fi AS pos, SUM(abs(a.cnt - b.cnt)) AS delta
+        |  FROM grid a JOIN grid b
+        |    ON a.doc_id = b.doc_id AND a.bin = b.bin AND b.fi = a.fi + 1
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, CAST(pos AS INT) AS pos, CAST(delta AS BIGINT) AS delta
+        |FROM d WHERE delta >= 16 ORDER BY doc_id, pos""".stripMargin
   )
 }

@@ -573,6 +573,11 @@ object Raster {
     reg3("mm_frame_sample", (b, f, st) => graft.pipeline.FrameSample(b,
       f.eval(null).asInstanceOf[Number].intValue(),
       st.eval(null).asInstanceOf[Number].intValue()))
+    regN("mm_frame_deltas", xs => graft.pipeline.FrameDeltas(xs(0),
+      xs(1).eval(null).asInstanceOf[Number].intValue(),
+      xs(2).eval(null).asInstanceOf[Number].intValue(),
+      if (xs.length > 3) xs(3).eval(null).asInstanceOf[Number].intValue()
+      else 16))
     // training-data pipeline scalar pack (pl_*): the text/hash/vector/PII
     // column functions as SQL names, so the curation surface is reachable
     // from spark.sql and the Python mirror like the raster surface

@@ -65,6 +65,13 @@ object Multimodal {
   def frame_sample(blob: Column, frameSize: Int, stride: Int): Column =
     asColumn(FrameSample(asExpr(blob), frameSize, stride))
 
+  /** Consecutive-frame byte-histogram L1 deltas ([[FrameDeltas]]) — the
+    * scene-change primitive over framed binary streams; all-integer, one
+    * pass, no intermediate frame array. */
+  def frame_deltas(blob: Column, frameSize: Int, stride: Int,
+      bins: Int = 16): Column =
+    asColumn(FrameDeltas(asExpr(blob), frameSize, stride, bins))
+
   /** Deterministic PCM16 WAV fixture ([[WavSynth]]): canonical RIFF
     * header + closed-form samples, so the parser is oracle-checkable. */
   def wav_synth(seed: Column, n: Column): Column =
@@ -775,6 +782,57 @@ case class WavStats(child: Expression) extends UnaryExpression with CodegenFallb
     }
     if (n == 0) { mn = 0; mx = 0 }
     InternalRow(sampleRate, channels, n.toLong, mn, mx, sum)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/**
+ * Consecutive-frame byte-histogram L1 distances in ONE pass over the
+ * blob — the scene-change / content-shift primitive for sampled video
+ * (or any framed binary stream): frame f = bytes
+ * [f·stride, f·stride + frameSize); delta[f] = Σ_b |hist_f[b] −
+ * hist_{f+1}[b]| over `bins` equal-width byte buckets. A cut is a
+ * position whose delta clears the caller's threshold. All-integer
+ * counts (never the normalized fractions of [[ByteHistogram]]), so any
+ * engine replays the deltas exactly; computing deltas inline avoids
+ * materializing the array<binary> frames [[FrameSample]] would carry
+ * through the plan.
+ */
+case class FrameDeltas(child: Expression, frameSize: Int, stride: Int,
+    bins: Int) extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "mm_frame_deltas"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != BinaryType) TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a binary payload, got ${child.dataType.simpleString}")
+    else if (frameSize < 1 || stride < 1 || bins < 1 || 256 % bins != 0)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs frame_size/stride >= 1 and bins dividing 256")
+    else TypeCheckResult.TypeCheckSuccess
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    val width = 256 / bins
+    val nFrames = if (b.length < frameSize) 0 else (b.length - frameSize) / stride + 1
+    if (nFrames < 2) return new GenericArrayData(Array.empty[Any])
+    def hist(off: Int): Array[Int] = {
+      val h = new Array[Int](bins)
+      var i = 0
+      while (i < frameSize) { h((b(off + i) & 0xff) / width) += 1; i += 1 }
+      h
+    }
+    val out = new Array[Any](nFrames - 1)
+    var prev = hist(0)
+    var f = 1
+    while (f < nFrames) {
+      val cur = hist(f * stride)
+      var d = 0L
+      var k = 0
+      while (k < bins) { d += math.abs(cur(k) - prev(k)); k += 1 }
+      out(f - 1) = d
+      prev = cur
+      f += 1
+    }
+    new GenericArrayData(out)
   }
   override protected def withNewChildInternal(c: Expression) = copy(c)
 }

@@ -274,4 +274,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(spark.sql("SELECT mm_wav_energy(cast('junk' as binary), 4) IS NULL AS n")
       .head().getBoolean(0))
   }
+
+  test("mm_frame_deltas: adjacent-histogram L1, short payloads empty") {
+    // frames of 4 at stride 4 over 12 bytes: "aaaa" vs "aaab" vs "zzzz"
+    // bins of width 16: 'a'=97 -> bin 6, 'b'=98 -> bin 6, 'z'=122 -> bin 7
+    // f0={6:4}, f1={6:4} -> delta 0; f1 vs f2={7:4} -> delta 8
+    val got = spark.sql(
+      "SELECT mm_frame_deltas(encode('aaaaaaabzzzz', 'UTF-8'), 4, 4, 16) AS d")
+      .head().getSeq[Long](0)
+    assert(got == Seq(0L, 8L), got.toString)
+    // under two frames -> empty array, never null
+    val short = spark.sql(
+      "SELECT mm_frame_deltas(encode('abc', 'UTF-8'), 4, 4, 16) AS d")
+      .head().getSeq[Long](0)
+    assert(short.isEmpty)
+    // overlapping stride: 8 bytes, frame 4, stride 2 -> 3 frames, 2 deltas
+    val ov = spark.sql(
+      "SELECT mm_frame_deltas(encode('aaaazzzz', 'UTF-8'), 4, 2, 16) AS d")
+      .head().getSeq[Long](0)
+    // f0=aaaa {6:4}, f1=aazz {6:2,7:2}, f2=zzzz {7:4}
+    assert(ov == Seq(4L, 4L), ov.toString)
+  }
 }

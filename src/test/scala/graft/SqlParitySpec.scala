@@ -89,6 +89,7 @@ class SqlParitySpec extends AnyFunSuite {
     "mm_decode_image_stub(encode('hello', 'UTF-8'))",
     "mm_byte_histogram(encode('hello', 'UTF-8'), 16)",
     "mm_frame_sample(encode('hello world and more', 'UTF-8'), 4, 2)",
+    "mm_frame_deltas(encode('hello world and more', 'UTF-8'), 4, 4, 16)",
     "pl_token_count('a b c')", "pl_char_count('abc')", "pl_punct_ratio('a, b.')",
     "pl_distinct_ratio('a a b')", "pl_quality_score('the quick brown fox jumps high')",
     "pl_language_id('the of and to in is')", "pl_fingerprint('hello world')",
@@ -163,7 +164,7 @@ class SqlParitySpec extends AnyFunSuite {
         s"undocumented: ${(graftRegistered -- docKeys).toSeq.sorted}")
     // pinned surface size — README §2.15 and the Python parity test
     // (python/tests/test_sql_surface.py) quote this number
-    assert(docKeys.size == 255, s"registered SQL surface moved: ${docKeys.size} names")
+    assert(docKeys.size == 256, s"registered SQL surface moved: ${docKeys.size} names")
     // Examples blocks may only supplement documented names
     val strayExamples = FunctionDocs.examples.keySet -- docKeys
     assert(strayExamples.isEmpty, s"examples for undocumented names: $strayExamples")

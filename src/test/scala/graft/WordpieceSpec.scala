@@ -72,4 +72,24 @@ class WordpieceSpec extends AnyFunSuite {
     val rows = Bpe.learn(tiny, "text", rounds = 4).collect()
     assert(rows.length == 1 && rows.head.getString(2) == "xy")
   }
+
+  test("Bpe.applyMerges: learned merges tokenize; unseen units survive") {
+    import graft.pipeline.Bpe
+    val df = Seq((1L, "abab ab"), (2L, "aaa"), (3L, "zq")).toDF("id", "text")
+    // merges from the learn test's corpus: ab, aa, aaa
+    val merges = Seq(("a", "b"), ("a", "a"), ("aa", "a"))
+    val got = Bpe.applyMerges(df, "id", "text", merges)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // "abab" -> a b a b -> ab ab; "ab" -> ab
+    assert(got(1L) == ((3L, "ab ab ab")))
+    // "aaa" -> a a a -> (a,a) greedy left-to-right ONCE -> aa a -> (aa,a) -> aaa
+    assert(got(2L) == ((1L, "aaa")))
+    // untouched word decomposes to characters
+    assert(got(3L) == ((2L, "z q")))
+    // zero shuffles: the apply pass is scan-local
+    val plan = Bpe.applyMerges(df, "id", "text", merges)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
