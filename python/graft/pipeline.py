@@ -2153,3 +2153,80 @@ def zipf_fit(df, text_col, top_r=1000):
                 "cast(if(__den = 0, null, (__sy * 1000000 - slope_micro"
                 " * __sx) div (n_terms * 1000000)) as long)"))
             .select("n_terms", "slope_micro", "intercept_micro"))
+
+
+def chi_square_2x2(df, keys, group_col, success_col):
+    """Chi-square 2x2 independence test per key — Python mirror of the
+    Scala ``Stats.chiSquare2x2``: four conditional counts in ONE
+    map-side-combinable groupBy, chi2 in rounded-once micro-points
+    (the trend recipe), significant_95 at the chi2(1) 5% critical
+    value; NULL on degenerate margins.
+    """
+    g = F.col(group_col).cast("boolean")
+    s = F.col(success_col).cast("boolean")
+    return (df.groupBy(*[F.col(k) for k in keys])
+            .agg(F.count(F.when(~g & s, 1)).alias("a"),
+                 F.count(F.when(~g & ~s, 1)).alias("b"),
+                 F.count(F.when(g & s, 1)).alias("c"),
+                 F.count(F.when(g & ~s, 1)).alias("d"))
+            .withColumn("chi2_micro", F.expr(
+                "cast(case when (a + b) = 0 or (c + d) = 0"
+                " or (a + c) = 0 or (b + d) = 0 then null"
+                " else round(1e6 * cast(a + b + c + d as double)"
+                " * cast(a * d - b * c as double)"
+                " * cast(a * d - b * c as double)"
+                " / (cast(a + b as double) * cast(c + d as double)"
+                " * cast(a + c as double) * cast(b + d as double)))"
+                " end as long)"))
+            .withColumn("significant_95",
+                        F.when(F.col("chi2_micro").isNull, F.lit(None))
+                        .otherwise(F.col("chi2_micro") > 3841459)))
+
+
+def ks_statistic(ref, cur, value_col):
+    """Two-sample Kolmogorov-Smirnov statistic — Python mirror of the
+    Scala ``Stats.ksStatistic``: exact integer D in ppm over the
+    distinct-value table (one groupBy per side, cumulative windows
+    over distinct values only), smallest-value argmax tie-break.
+    """
+    va = (ref.select(F.col(value_col).cast("long").alias("__v"))
+          .groupBy("__v").agg(F.count(F.lit(1)).alias("__ca")))
+    vb = (cur.select(F.col(value_col).cast("long").alias("__v"))
+          .groupBy("__v").agg(F.count(F.lit(1)).alias("__cb")))
+    w = Window.orderBy("__v")
+    joined = (va.join(vb, ["__v"], "full_outer")
+              .na.fill(0, ["__ca", "__cb"])
+              .withColumn("__cuma", F.sum("__ca").over(w))
+              .withColumn("__cumb", F.sum("__cb").over(w)))
+    totals = F.broadcast(joined.agg(F.sum("__ca").alias("__na"),
+                                    F.sum("__cb").alias("__nb")))
+    return (joined.crossJoin(totals)
+            .withColumn("__gap", F.abs(
+                F.col("__cuma").cast("decimal(38,0)") * F.col("__nb")
+                - F.col("__cumb").cast("decimal(38,0)") * F.col("__na")))
+            .agg(F.max("__na").alias("n_ref"), F.max("__nb").alias("n_cur"),
+                 F.max(F.struct(F.col("__gap"),
+                                (-F.col("__v").cast("decimal(38,0)"))
+                                .alias("__nv"),
+                                F.col("__v").alias("__vv"))).alias("__m"))
+            .select("n_ref", "n_cur",
+                    F.expr("cast(__m.__gap * 1000000 div"
+                           " (cast(n_ref as decimal(38,0)) * n_cur) as long)")
+                    .alias("d_ppm"),
+                    F.col("__m.__vv").alias("at_value")))
+
+
+def mrr_k(results, truth, k):
+    """MRR@k — Python mirror of the Scala ``Similarity.mrrK``: per
+    query, the first result rank <= k whose neighbor is in the truth
+    set; rr_ppm = 1e6 div rank (truncating), 0 on miss.
+    """
+    t = (truth.select("query_id", "neighbor_id")
+         .withColumn("__rel", F.lit(1)))
+    return (results.where(F.col("rank") <= k)
+            .join(t, ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(F.min(F.when(F.col("__rel").isNotNull, F.col("rank")))
+                 .cast("long").alias("first_rel_rank"))
+            .withColumn("rr_ppm", F.expr(
+                "cast(coalesce(1000000 div first_rel_rank, 0) as long)")))

@@ -3719,7 +3719,34 @@ object SparkEntry {
         .select(col("doc_id"), col("pos").cast("int").as("pos"),
           col("col").as("delta"))
         .where(col("delta") >= 16L)
-        .orderBy("doc_id", "pos"))
+        .orderBy("doc_id", "pos")),
+    // ---- wave 19: A/B significance / KS drift / MRR ----
+    // chi-square 2x2 per event type: variant = odd user, success =
+    // value > 50; the A/B significance readout
+    "q_chi2" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("event_type"),
+        (col("user_id") % 2 === 1).as("grp"),
+        (col("value") > 50.0).as("succ"))
+      graft.pipeline.Stats.chiSquare2x2(e, Seq("event_type"), "grp", "succ")
+        .orderBy("event_type")
+    }),
+    // two-sample KS over value cents: view vs click distributions
+    "q_ks" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("event_type"),
+        expr("cast(round(value * 100) as bigint)").as("vc"))
+      graft.pipeline.Stats.ksStatistic(
+        e.where(col("event_type") === "view"),
+        e.where(col("event_type") === "click"), "vc")
+    }),
+    // MRR@3 of the IVF list against brute-force truth — the
+    // first-hit leg of the retrieval-eval family (recall / nDCG / MRR)
+    "q_mrr" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val results = Similarity.ivfTopK(e, "vec_id", "embedding", 3)
+      val truth = Similarity.bruteTopK(e, "vec_id", "embedding", 3)
+        .select(col("query_id"), col("neighbor_id"))
+      Similarity.mrrK(results, truth, 3).orderBy("query_id")
+    })
   )
 
   // ---- DuckDB SQL builders for graft's 64-bit hash primitives ----
@@ -7955,6 +7982,88 @@ object SparkEntry {
         |    ON a.doc_id = b.doc_id AND a.bin = b.bin AND b.fi = a.fi + 1
         |  GROUP BY 1, 2)
         |SELECT doc_id, CAST(pos AS INT) AS pos, CAST(delta AS BIGINT) AS delta
-        |FROM d WHERE delta >= 16 ORDER BY doc_id, pos""".stripMargin
+        |FROM d WHERE delta >= 16 ORDER BY doc_id, pos""".stripMargin,
+    // chi-square replayed: four conditional counts, the identical
+    // left-associated double expression, one round
+    "q_chi2" ->
+      """WITH cc AS (SELECT event_type,
+        |    COUNT(CASE WHEN user_id % 2 = 0 AND value > 50.0 THEN 1 END) AS a,
+        |    COUNT(CASE WHEN user_id % 2 = 0 AND NOT value > 50.0 THEN 1 END) AS b,
+        |    COUNT(CASE WHEN user_id % 2 = 1 AND value > 50.0 THEN 1 END) AS c,
+        |    COUNT(CASE WHEN user_id % 2 = 1 AND NOT value > 50.0 THEN 1 END) AS d
+        |  FROM events GROUP BY 1)
+        |SELECT event_type, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+        |  CAST(c AS BIGINT) AS c, CAST(d AS BIGINT) AS d,
+        |  CAST(CASE WHEN (a + b) = 0 OR (c + d) = 0 OR (a + c) = 0 OR (b + d) = 0
+        |    THEN NULL
+        |    ELSE round(1e6 * CAST(a + b + c + d AS DOUBLE)
+        |      * CAST(a * d - b * c AS DOUBLE) * CAST(a * d - b * c AS DOUBLE)
+        |      / (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+        |         * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)))
+        |    END AS BIGINT) AS chi2_micro,
+        |  CASE WHEN (a + b) = 0 OR (c + d) = 0 OR (a + c) = 0 OR (b + d) = 0
+        |    THEN NULL
+        |    ELSE round(1e6 * CAST(a + b + c + d AS DOUBLE)
+        |      * CAST(a * d - b * c AS DOUBLE) * CAST(a * d - b * c AS DOUBLE)
+        |      / (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+        |         * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE))) > 3841459
+        |    END AS significant_95
+        |FROM cc ORDER BY event_type""".stripMargin,
+    // KS replayed: per-side distinct-value counts, cumulative sums,
+    // integer gap max with smallest-value tie-break
+    "q_ks" ->
+      """WITH e AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc
+        |  FROM events),
+        |a AS (SELECT vc AS v, COUNT(*) AS ca FROM e WHERE event_type = 'view' GROUP BY 1),
+        |b AS (SELECT vc AS v, COUNT(*) AS cb FROM e WHERE event_type = 'click' GROUP BY 1),
+        |j AS (SELECT COALESCE(a.v, b.v) AS v, COALESCE(ca, 0) AS ca,
+        |    COALESCE(cb, 0) AS cb FROM a FULL OUTER JOIN b ON a.v = b.v),
+        |cum AS (SELECT v, SUM(ca) OVER (ORDER BY v) AS cuma,
+        |    SUM(cb) OVER (ORDER BY v) AS cumb FROM j),
+        |t AS (SELECT SUM(ca)::HUGEINT AS na, SUM(cb)::HUGEINT AS nb FROM j),
+        |g AS (SELECT v, abs(cuma::HUGEINT * nb - cumb::HUGEINT * na) AS gap
+        |  FROM cum, t),
+        |m AS (SELECT gap, v FROM g ORDER BY gap DESC, v LIMIT 1)
+        |SELECT CAST(na AS BIGINT) AS n_ref, CAST(nb AS BIGINT) AS n_cur,
+        |  CAST(gap * 1000000 // (na * nb) AS BIGINT) AS d_ppm,
+        |  CAST(v AS BIGINT) AS at_value
+        |FROM m, t""".stripMargin,
+    // MRR replayed over the q_knn_recall IVF/brute CTE machinery:
+    // first relevant rank per query, truncating reciprocal ppm
+    "q_mrr" -> {
+      s"""WITH ${duckLloydCtes(k = 16, iters = 10)},
+         |asg AS MATERIALIZED (SELECT vv.vec_id, vv.v,
+         |  (SELECT c.cell FROM c10 c ORDER BY list_distance(vv.v, c.centroid), c.cell LIMIT 1) AS cell
+         |  FROM vv),
+         |probes AS (SELECT * FROM (
+         |    SELECT a.vec_id AS query_id, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+         |        ORDER BY -list_dot_product(a.v, c.centroid), c.cell) AS prank
+         |    FROM asg a CROSS JOIN c10 c) WHERE prank <= 4),
+         |cand AS (SELECT DISTINCT p.query_id, n.vec_id AS neighbor_id
+         |  FROM probes p JOIN asg n ON n.cell = p.cell AND n.vec_id <> p.query_id),
+         |isims AS (SELECT c.query_id, c.neighbor_id,
+         |  CASE WHEN list_dot_product(a.v, a.v) = 0 OR list_dot_product(b.v, b.v) = 0 THEN 0.0
+         |       ELSE list_dot_product(a.v, b.v)
+         |            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) END AS sim
+         |  FROM cand c JOIN vv a ON a.vec_id = c.query_id JOIN vv b ON b.vec_id = c.neighbor_id),
+         |ir AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM isims),
+         |ivfr AS (SELECT query_id, neighbor_id, rank FROM ir WHERE rank <= 3),
+         |e2 AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM vv),
+         |bp AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |        CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN 0.0
+         |             ELSE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) END AS sim
+         |      FROM e2 a, e2 b WHERE a.vec_id <> b.vec_id),
+         |br AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM bp),
+         |truth AS (SELECT query_id, neighbor_id FROM br WHERE rank <= 3),
+         |hit AS (SELECT r.query_id,
+         |    MIN(CASE WHEN t.neighbor_id IS NOT NULL THEN r.rank END) AS frr
+         |  FROM ivfr r LEFT JOIN truth t
+         |    ON t.query_id = r.query_id AND t.neighbor_id = r.neighbor_id
+         |  GROUP BY 1)
+         |SELECT query_id, CAST(frr AS BIGINT) AS first_rel_rank,
+         |  CAST(COALESCE(1000000 // frr, 0) AS BIGINT) AS rr_ppm
+         |FROM hit ORDER BY query_id""".stripMargin
+    }
   )
 }

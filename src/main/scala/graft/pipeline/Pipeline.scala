@@ -1357,6 +1357,34 @@ object Similarity {
   }
 
   /**
+   * MRR@k of a ranked result list against a relevance set — the third
+   * leg of the retrieval-eval family (recall counts hits, nDCG grades
+   * positions, MRR isolates the FIRST hit: the metric for "did the
+   * answer surface near the top"). Per query,
+   * `rr_ppm = 1e6 div first_rel_rank` (a truncating integer division —
+   * exact on any engine) with `first_rel_rank` the smallest result
+   * rank ≤ k whose neighbor appears in the truth set; queries with no
+   * relevant hit in the top k report NULL rank and rr_ppm 0.
+   *
+   * Both inputs need (query_id, neighbor_id) and results a rank. One
+   * LEFT SEMI-shaped equi-join on the pair + a per-query min —
+   * ids-only rows, map-side combinable. Queries absent from `results`
+   * are absent here (there is nothing to rank).
+   */
+  def mrrK(results: DataFrame, truth: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k must be in [1,1000], got $k")
+    val t = truth.select(col("query_id"), col("neighbor_id"))
+      .withColumn("__graft_rel", lit(1))
+    results.where(col("rank") <= k)
+      .join(t, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(min(when(col("__graft_rel").isNotNull, col("rank")))
+        .cast("long").as("first_rel_rank"))
+      .withColumn("rr_ppm", expr(
+        "cast(coalesce(1000000 div first_rel_rank, 0) as long)"))
+  }
+
+  /**
    * Product-quantization ADC top-k by inner product (the compressed
    * complement of IVF): each vector is encoded as `m` per-subspace
    * centroid codes (~`m` bytes — [[PQCodes]]). Each query precomputes

@@ -711,6 +711,98 @@ object Stats {
    * rouge_p/r/f permilles.
    */
   /**
+   * Chi-square test of independence on a 2×2 contingency table per
+   * key — the A/B-experiment significance readout (is the success
+   * rate difference between control and variant real?): per key,
+   * cells a/b/c/d = (control success, control failure, variant
+   * success, variant failure) and
+   *
+   *   chi2_micro = round(1e6 · N·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d)))
+   *
+   * with the integer cross term `ad − bc` exact in longs (safe to
+   * ~3·10⁹ rows per cell) and ONE double division rounded once — the
+   * [[trend]] recipe, identical on any IEEE engine when the operand
+   * order matches. `significant_95` applies the χ²₍₁₎ 5% critical
+   * value (3.841459). NULL chi2 when any margin is 0 (a degenerate
+   * table has no test).
+   *
+   * Scale shape: ONE map-side-combinable groupBy computing four
+   * conditional counts — a single keyed shuffle, output bounded by
+   * the key space.
+   */
+  def chiSquare2x2(df: DataFrame, keys: Seq[String], groupCol: String,
+      successCol: String): DataFrame = {
+    require(keys.nonEmpty, "keys required")
+    val g = col(groupCol).cast("boolean")
+    val s = col(successCol).cast("boolean")
+    df.groupBy(keys.map(col): _*)
+      .agg(
+        count(when(!g && s, 1)).as("a"),
+        count(when(!g && !s, 1)).as("b"),
+        count(when(g && s, 1)).as("c"),
+        count(when(g && !s, 1)).as("d"))
+      .withColumn("chi2_micro", expr(
+        """cast(case when (a + b) = 0 or (c + d) = 0
+          |         or (a + c) = 0 or (b + d) = 0 then null
+          |  else round(1e6 * cast(a + b + c + d as double)
+          |    * cast(a * d - b * c as double) * cast(a * d - b * c as double)
+          |    / (cast(a + b as double) * cast(c + d as double)
+          |       * cast(a + c as double) * cast(b + d as double)))
+          |  end as long)""".stripMargin))
+      .withColumn("significant_95",
+        when(col("chi2_micro").isNull, lit(null))
+          .otherwise(col("chi2_micro") > 3841459L))
+  }
+
+  /**
+   * Two-sample Kolmogorov–Smirnov statistic over a pre-scaled integral
+   * metric — the distribution-drift gate that catches shape changes
+   * [[psiReport]]'s fixed buckets can miss: `D = max_v |CDF_ref(v) −
+   * CDF_cur(v)|`, cleared to exact integers as
+   *
+   *   d_ppm = max_v |cum_ref(v)·n_cur − cum_cur(v)·n_ref| · 1e6
+   *             div (n_ref·n_cur)
+   *
+   * — DECIMAL(38,0) products, one truncating division at the max.
+   * `at_value` is the SMALLEST value achieving the max (deterministic
+   * argmax via a lexicographic struct). Output: one row — n_ref,
+   * n_cur, d_ppm, at_value.
+   *
+   * Scale shape: one groupBy per side (map-side combinable, output
+   * bounded by the DISTINCT VALUE table), a full outer join of the two
+   * count tables, and cumulative windows over distinct values only —
+   * the fact rows shuffle once per side. Continuous metrics should be
+   * bucketed/scaled first (the pre-scaled-long contract); the global
+   * window runs over the distinct-value table, not the corpus.
+   */
+  def ksStatistic(ref: DataFrame, cur: DataFrame,
+      valueCol: String): DataFrame = {
+    val va = ref.select(col(valueCol).cast("long").as("__v"))
+      .groupBy("__v").agg(count(lit(1)).as("__ca"))
+    val vb = cur.select(col(valueCol).cast("long").as("__v"))
+      .groupBy("__v").agg(count(lit(1)).as("__cb"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("__v")
+    val joined = va.join(vb, Seq("__v"), "full_outer")
+      .na.fill(0L, Seq("__ca", "__cb"))
+      .withColumn("__cuma", sum("__ca").over(w))
+      .withColumn("__cumb", sum("__cb").over(w))
+    joined
+      .crossJoin(broadcast(joined.agg(sum("__ca").as("__na"),
+        sum("__cb").as("__nb"))))
+      .withColumn("__gap", abs(
+        col("__cuma").cast("decimal(38,0)") * col("__nb") -
+          col("__cumb").cast("decimal(38,0)") * col("__na")))
+      .agg(max(col("__na")).as("n_ref"), max(col("__nb")).as("n_cur"),
+        max(struct(col("__gap"),
+          (-col("__v").cast("decimal(38,0)")).as("__nv"),
+          col("__v").as("__vv"))).as("__m"))
+      .select(col("n_ref"), col("n_cur"),
+        expr("cast(__m.__gap * 1000000 div (cast(n_ref as decimal(38,0)) * n_cur) as long)")
+          .as("d_ppm"),
+        col("__m.__vv").as("at_value"))
+  }
+
+  /**
    * Zipf rank–frequency fit over a corpus vocabulary — the classic
    * natural-language health check of a training mixture: organic text
    * follows `freq ∝ rank^s` with s ≈ −1; template spam, boilerplate

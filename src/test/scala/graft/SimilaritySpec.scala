@@ -313,4 +313,27 @@ class SimilaritySpec extends AnyFunSuite {
       .collect()(0).getSeq[Long](0)
     assert(got2 == exp.map(_ * 2))
   }
+
+  test("mrrK: first relevant rank, truncating reciprocal, zero on miss") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val results = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),   // hit at rank 2
+      (2L, 20L, 1), (2L, 21L, 2),                 // hit at rank 1
+      (3L, 30L, 1), (3L, 31L, 2)                  // no hits
+    ).toDF("query_id", "neighbor_id", "rank")
+    val truth = Seq((1L, 11L), (1L, 12L), (2L, 20L), (3L, 99L))
+      .toDF("query_id", "neighbor_id")
+    val got = Similarity.mrrK(results, truth, 3)
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) -1L else r.getLong(1)), r.getLong(2))).toMap
+    assert(got(1L) == ((2L, 500000L)))
+    assert(got(2L) == ((1L, 1000000L)))
+    assert(got(3L) == ((-1L, 0L)))
+    // rank 3 truncates: 1e6 div 3 = 333333
+    val r3 = Similarity.mrrK(
+      Seq((9L, 1L, 1), (9L, 2L, 2), (9L, 3L, 3)).toDF("query_id", "neighbor_id", "rank"),
+      Seq((9L, 3L)).toDF("query_id", "neighbor_id"), 3).collect()(0)
+    assert(r3.getLong(1) == 3L && r3.getLong(2) == 333333L)
+  }
 }

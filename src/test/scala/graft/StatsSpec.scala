@@ -446,4 +446,37 @@ class StatsSpec extends AnyFunSuite {
       .collect()(0)
     assert(got.getLong(0) == 1L && got.isNullAt(1) && got.isNullAt(2))
   }
+
+  test("chiSquare2x2: hand-checked table, degenerate margins null") {
+    // classic table a=20 b=30 c=35 d=15: chi2 = 100*(300-1050)^2/(50*50*55*45)
+    val rows = (Seq.fill(20)((false, true)) ++ Seq.fill(30)((false, false)) ++
+      Seq.fill(35)((true, true)) ++ Seq.fill(15)((true, false)))
+      .map { case (g, su) => ("k", g, su) }
+    val df = rows.toDF("k", "grp", "succ")
+    val got = Stats.chiSquare2x2(df, Seq("k"), "grp", "succ").collect()(0)
+    assert((got.getLong(1), got.getLong(2), got.getLong(3), got.getLong(4))
+      == ((20L, 30L, 35L, 15L)))
+    val exp = math.round(1e6 * 100.0 * (20.0 * 15 - 30 * 35) *
+      (20.0 * 15 - 30 * 35) / (50.0 * 50 * 55 * 45))
+    assert(got.getLong(5) == exp, s"${got.getLong(5)} vs $exp")
+    assert(got.getBoolean(6)) // ~9.09 >> 3.84
+    // single-group input: (c+d) margin 0 -> null test
+    val deg = Seq(("k", false, true), ("k", false, false)).toDF("k", "grp", "succ")
+    val dg = Stats.chiSquare2x2(deg, Seq("k"), "grp", "succ").collect()(0)
+    assert(dg.isNullAt(5) && dg.isNullAt(6))
+  }
+
+  test("ksStatistic: exact integer D, smallest-value argmax tie-break") {
+    // ref = {1,2,3,4}, cur = {3,4,5,6}: max |CDF gap| = 1/2 at v=2 (and
+    // stays 1/2 at 3,4 -> tie-break reports v=2)
+    val ref = Seq(1L, 2L, 3L, 4L).toDF("v")
+    val cur = Seq(3L, 4L, 5L, 6L).toDF("v")
+    val got = Stats.ksStatistic(ref, cur, "v").collect()(0)
+    assert(got.getLong(0) == 4L && got.getLong(1) == 4L)
+    assert(got.getLong(2) == 500000L, s"d_ppm ${got.getLong(2)}")
+    assert(got.getLong(3) == 2L, s"at_value ${got.getLong(3)}")
+    // identical samples -> D = 0
+    val same = Stats.ksStatistic(ref, ref, "v").collect()(0)
+    assert(same.getLong(2) == 0L)
+  }
 }
