@@ -49,7 +49,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_tcloseness" -> ("broadcast combos x values dense-grid crossJoin " +
       "(two metadata-sized tables — the label_separation pattern) + one-row totals"),
     "q_bpe_learn" -> "broadcast one-row best-pair crossJoin per merge round (3 rows total)",
-    "q_minhash_eval" -> "broadcast one-row count crossJoins (n_truth, n_cand, tp)")
+    "q_minhash_eval" -> "broadcast one-row count crossJoins (n_truth, n_cand, tp)",
+    "q_ks" -> "broadcast one-row side-totals crossJoin (n_ref, n_cur — 2 longs)",
+    "q_mrr" -> "broadcast nlist-row centroid table crossJoin (the q_knn_ivf probe ranking) + the labeled brute baseline as MRR ground truth")
 
   test("no query plans an unintended cartesian or nested-loop join") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -99,7 +101,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_token_freq" -> "rank over per-token aggregate (top-k output)",
     "q_bpe_pairs" -> "rank over per-pair aggregate (top-40 output)",
     "q_pmi" -> "rank over per-pair cooccurrence aggregate (top-20 output)",
-    "q_shuffle_order" -> "row_number AFTER the limit(100) — 100 rows, not the corpus")
+    "q_shuffle_order" -> "row_number AFTER the limit(100) — 100 rows, not the corpus",
+    "q_zipf" -> "row_number over the TakeOrdered top-500 term table (topR-bounded)",
+    "q_ks" -> "cumulative sums over DISTINCT metric values (pre-scaled-long contract)")
 
   test("every window operator is partitioned (no global fact-table sorts)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
