@@ -1422,3 +1422,10 @@ def pl_rand_proj(vec, out_dim=16, seed=0x5eed):
     quantization, sign from mix64) -- the width reducer in front of
     exact cosine refine."""
     return _fn("pl_rand_proj", vec, out_dim, seed)
+
+
+def pl_feature_hash(tokens, dim=1024, seed=0):
+    """Signed feature hashing (the hashing trick) of a token array into
+    dim integer buckets -- vocabulary-free per-row vectorizer; each
+    token adds +/-1 at mix64(fnv(token)+seed) mod dim."""
+    return _fn("pl_feature_hash", tokens, dim, seed)

@@ -2179,7 +2179,7 @@ def chi_square_2x2(df, keys, group_col, success_col):
                 " * cast(a + c as double) * cast(b + d as double)))"
                 " end as long)"))
             .withColumn("significant_95",
-                        F.when(F.col("chi2_micro").isNull, F.lit(None))
+                        F.when(F.col("chi2_micro").isNull(), F.lit(None))
                         .otherwise(F.col("chi2_micro") > 3841459)))
 
 
@@ -2226,7 +2226,30 @@ def mrr_k(results, truth, k):
     return (results.where(F.col("rank") <= k)
             .join(t, ["query_id", "neighbor_id"], "left")
             .groupBy("query_id")
-            .agg(F.min(F.when(F.col("__rel").isNotNull, F.col("rank")))
+            .agg(F.min(F.when(F.col("__rel").isNotNull(), F.col("rank")))
                  .cast("long").alias("first_rel_rank"))
             .withColumn("rr_ppm", F.expr(
                 "cast(coalesce(1000000 div first_rel_rank, 0) as long)")))
+
+
+def conformal_quantile(df, score_col, alpha_permille):
+    """Split-conformal calibration quantile — Python mirror of the
+    Scala ``Stats.conformalQuantile``: qhat = the k-th smallest
+    calibration score with k = ceil((n+1)(1-alpha)); NULL row when
+    k > n (too few calibration points). Distinct-value cumulative
+    window, one one-row aggregate.
+    """
+    ap = int(alpha_permille)
+    if not 1 <= ap <= 999:
+        raise ValueError(f"alpha_permille must be in [1,999], got {ap}")
+    counts = (df.select(F.col(score_col).cast("long").alias("__v"))
+              .groupBy("__v").agg(F.count(F.lit(1)).alias("__c")))
+    w = Window.orderBy("__v")
+    return (counts
+            .withColumn("__cum", F.sum("__c").over(w))
+            .crossJoin(F.broadcast(counts.agg(F.sum("__c").alias("__n"))))
+            .withColumn("__k", F.expr(
+                f"((__n + 1) * {1000 - ap} + 999) div 1000"))
+            .where(F.col("__cum") >= F.col("__k"))
+            .agg(F.max("__n").alias("n"), F.max("__k").alias("k"),
+                 F.min("__v").alias("qhat")))

@@ -896,3 +896,84 @@ def test_ngram_novelty(spark):
     got = {r["id"]: (r["n_grams"], r["n_novel"], r["novelty_permille"])
            for r in ngram_novelty(df, "doc_id", "text", 3).collect()}
     assert got == {1: (2, 2, 1000), 2: (2, 1, 500), 3: (2, 0, 0)}
+
+
+def test_zipf_fit_matches_formula(spark):
+    import math
+    from graft.pipeline import zipf_fit
+    text = " ".join(["a"] * 8 + ["b"] * 4 + ["c"] * 2 + ["d"])
+    df = spark.createDataFrame([(text,)], "text string")
+    row = zipf_fit(df, "text").collect()[0]
+    xs = [round(1e6 * math.log(r)) for r in (1, 2, 3, 4)]
+    ys = [round(1e6 * math.log(c)) for c in (8, 4, 2, 1)]
+    n, sx, sy = 4, sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    slope = (n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx)
+    # python // floors; the operator truncates — equal here (negative
+    # exact-divide cases don't arise with these moments)
+    assert row["n_terms"] == 4
+    assert abs(row["slope_micro"] - slope) <= 1
+    assert row["slope_micro"] < 0
+
+
+def test_burst_segments_islands(spark):
+    from graft.temporal import burst_segments
+    rows = [("A", 1, 10), ("A", 2, 12), ("A", 3, 11), ("A", 4, 3),
+            ("A", 5, 15), ("A", 8, 10), ("A", 9, 10), ("B", 1, 5)]
+    df = spark.createDataFrame(rows, "k string, day long, cnt long")
+    got = {(r["k"], r["seg_start"]): (r["n_buckets"], r["total_cnt"])
+           for r in burst_segments(df, "k", "day", "cnt", 10, 2).collect()}
+    assert got == {("A", 1): (3, 33), ("A", 8): (2, 20)}
+
+
+def test_chi_square_2x2_hand(spark):
+    import math
+    from graft.pipeline import chi_square_2x2
+    rows = ([("k", False, True)] * 20 + [("k", False, False)] * 30 +
+            [("k", True, True)] * 35 + [("k", True, False)] * 15)
+    df = spark.createDataFrame(rows, "k string, grp boolean, succ boolean")
+    r = chi_square_2x2(df, ["k"], "grp", "succ").collect()[0]
+    exp = round(1e6 * 100.0 * (20.0 * 15 - 30 * 35) ** 2
+                / (50.0 * 50 * 55 * 45))
+    assert (r["a"], r["b"], r["c"], r["d"]) == (20, 30, 35, 15)
+    assert r["chi2_micro"] == exp and r["significant_95"]
+
+
+def test_ks_statistic_hand(spark):
+    from graft.pipeline import ks_statistic
+    ref = spark.createDataFrame([(v,) for v in (1, 2, 3, 4)], "v long")
+    cur = spark.createDataFrame([(v,) for v in (3, 4, 5, 6)], "v long")
+    r = ks_statistic(ref, cur, "v").collect()[0]
+    assert (r["n_ref"], r["n_cur"], r["d_ppm"], r["at_value"]) \
+        == (4, 4, 500000, 2)
+
+
+def test_mrr_k_first_hit(spark):
+    from graft.pipeline import mrr_k
+    results = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (2, 20, 1), (3, 30, 1)],
+        "query_id long, neighbor_id long, rank int")
+    truth = spark.createDataFrame([(1, 11), (2, 20), (3, 99)],
+                                  "query_id long, neighbor_id long")
+    got = {r["query_id"]: (r["first_rel_rank"], r["rr_ppm"])
+           for r in mrr_k(results, truth, 3).collect()}
+    assert got == {1: (2, 500000), 2: (1, 1000000), 3: (None, 0)}
+
+
+def test_bpe_apply_merges_python_parity(spark):
+    # the Scala operator has no direct python twin; replay its contract
+    # through the registered replace chain to pin the delimiter identity
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame([(1, "abab ab")], "id long, text string")
+    d = "¦"
+    w = F.transform(
+        F.filter(F.split("text", " "), lambda t: t != ""),
+        lambda tok: F.concat(F.lit(d + d),
+                             F.regexp_replace(tok, "(.)", "$1" + d + d)))
+    merged = F.transform(w, lambda x: F.replace(
+        x, F.lit(d + "a" + d + d + "b" + d), F.lit(d + "ab" + d)))
+    units = F.flatten(F.transform(merged, lambda x: F.filter(
+        F.split(x, d + "+"), lambda u: u != "")))
+    row = df.select(F.concat_ws(" ", units).alias("s")).collect()[0]
+    assert row["s"] == "ab ab ab"

@@ -10,7 +10,7 @@ import inspect
 
 import pytest
 
-PINNED_SURFACE = 256
+PINNED_SURFACE = 257
 
 # Registered SQL names with no same-named Python wrapper, each for a
 # documented reason. Keep this list short and justified.

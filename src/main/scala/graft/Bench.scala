@@ -77,6 +77,9 @@ object Bench {
     // its inherited JVM state) between rounds; alphabetical order only
     // perturbs the insertion's neighbors.
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      // progress to stderr (stdout carries only the final JSON line) so
+      // a wedged query is identifiable from the log, not just a autopsy
+      System.err.println(s"[bench] $name")
       try {
         results(name) = medianOf3 {
           fn(spark, sfDir).write.mode("overwrite").format("noop").save()

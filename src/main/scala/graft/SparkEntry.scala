@@ -3746,7 +3746,26 @@ object SparkEntry {
       val truth = Similarity.bruteTopK(e, "vec_id", "embedding", 3)
         .select(col("query_id"), col("neighbor_id"))
       Similarity.mrrK(results, truth, 3).orderBy("query_id")
-    })
+    }),
+    // ---- wave 20: feature hashing / conformal calibration ----
+    // vocabulary-free signed hashing-trick vectorizer: 16 buckets per
+    // doc (zeros included), exploded to orderable scalars
+    "q_feature_hash" -> ((s, dir) => {
+      import graft.expressions.{asColumn, asExpr}
+      t(s, dir, "documents").select(col("doc_id"),
+        posexplode(asColumn(graft.pipeline.FeatureHash(
+          asExpr(filter(split(col("text"), " "), t => t =!= "")), 16, 5L))))
+        .select(col("doc_id"), col("pos").cast("int").as("bucket"),
+          col("col").as("w"))
+        .orderBy("doc_id", "bucket")
+    }),
+    // split-conformal 90%-coverage threshold over value cents: k-th
+    // smallest calibration score, k = ceil((n+1)*0.9)
+    "q_conformal" -> ((s, dir) =>
+      graft.pipeline.Stats.conformalQuantile(
+        t(s, dir, "events").select(
+          expr("cast(round(value * 100) as bigint)").as("score")),
+        "score", alphaPermille = 100))
   )
 
   // ---- DuckDB SQL builders for graft's 64-bit hash primitives ----
@@ -8064,6 +8083,39 @@ object SparkEntry {
          |SELECT query_id, CAST(frr AS BIGINT) AS first_rel_rank,
          |  CAST(COALESCE(1000000 // frr, 0) AS BIGINT) AS rr_ppm
          |FROM hit ORDER BY query_id""".stripMargin
-    }
+    },
+    // feature hashing replayed: the fingerprint fnv+mix machinery per
+    // token, signed bucket from the SIGNED hash (truncating %), sign
+    // from bit 62, dense 16-bucket grid with zero fill
+    "q_feature_hash" -> {
+      val h = duckMix64(
+        s"(${duckMix64(duckFnv("tk", "14695981039346656037"))} + 5) % $M64")
+      s"""WITH tok AS (SELECT doc_id,
+         |    unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tk
+         |  FROM documents),
+         |hh AS (SELECT doc_id, $h AS h FROM tok),
+         |sb AS (SELECT doc_id,
+         |    ((${duckToSigned("h")} % 16) + 16) % 16 AS bucket,
+         |    CASE WHEN (h >> 62) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+         |  FROM hh),
+         |agg AS (SELECT doc_id, bucket, SUM(sgn) AS w FROM sb GROUP BY 1, 2),
+         |grid AS (SELECT d.doc_id, b.bucket, COALESCE(a.w, 0) AS w
+         |  FROM (SELECT DISTINCT doc_id FROM documents) d
+         |  CROSS JOIN (SELECT unnest(range(0, 16)) AS bucket) b
+         |  LEFT JOIN agg a ON a.doc_id = d.doc_id AND a.bucket = b.bucket)
+         |SELECT doc_id, CAST(bucket AS INT) AS bucket, CAST(w AS BIGINT) AS w
+         |FROM grid ORDER BY doc_id, bucket""".stripMargin
+    },
+    // conformal quantile replayed: distinct-score cumulative counts,
+    // k = ceil((n+1)*900/1000) via (a + 999) // 1000, min qualifying score
+    "q_conformal" ->
+      """WITH s AS (SELECT CAST(round(value * 100) AS BIGINT) AS v FROM events),
+        |c AS (SELECT v, COUNT(*) AS cnt FROM s GROUP BY 1),
+        |cum AS (SELECT v, SUM(cnt) OVER (ORDER BY v) AS cm FROM c),
+        |t AS (SELECT SUM(cnt) AS n FROM c),
+        |k AS (SELECT n, ((n + 1) * 900 + 999) // 1000 AS k FROM t)
+        |SELECT CAST(MAX(k.n) AS BIGINT) AS n, CAST(MAX(k.k) AS BIGINT) AS k,
+        |  CAST(MIN(cum.v) AS BIGINT) AS qhat
+        |FROM cum, k WHERE cum.cm >= k.k""".stripMargin
   )
 }

@@ -617,6 +617,10 @@ object Raster {
         intArg(xs, 1, 16),
         if (xs.length > 2) xs(2).eval(null).asInstanceOf[Number].longValue()
         else 0x5eedL))
+      regN("pl_feature_hash", xs => graft.pipeline.FeatureHash(xs.head,
+        intArg(xs, 1, 1024),
+        if (xs.length > 2) xs(2).eval(null).asInstanceOf[Number].longValue()
+        else 0L))
       reg1("pl_mix64", graft.pipeline.Mix64(_))
       reg1("pl_nfc", graft.pipeline.UnicodeNorm(_, "NFC"))
       reg1("pl_nfkc", graft.pipeline.UnicodeNorm(_, "NFKC"))

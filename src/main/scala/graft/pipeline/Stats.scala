@@ -803,6 +803,41 @@ object Stats {
   }
 
   /**
+   * Split-conformal calibration quantile over a pre-scaled integral
+   * nonconformity score — the distribution-free prediction-set
+   * threshold (Vovk et al.; Angelopoulos & Bates '21): with n
+   * calibration scores and miscoverage α,
+   *
+   *   k    = ceil((n+1)·(1−α))        (integer: (a + 999) div 1000)
+   *   qhat = the k-th SMALLEST score  (an exact order statistic)
+   *
+   * guarantees ≥ 1−α coverage on exchangeable test points. When
+   * k > n (α below 1/(n+1) — too few calibration points for the
+   * requested coverage) the threshold is +∞; this reports the row with
+   * NULL n/k/qhat, the loud signal. Output: one row — n, k, qhat.
+   *
+   * Scale shape: one map-side-combinable distinct-value count, a
+   * cumulative window over DISTINCT scores only (the ksStatistic
+   * contract — bucket continuous scores first), one one-row aggregate.
+   * No global sort of the fact table, no per-row rank.
+   */
+  def conformalQuantile(df: DataFrame, scoreCol: String,
+      alphaPermille: Int): DataFrame = {
+    require(alphaPermille >= 1 && alphaPermille <= 999,
+      s"alphaPermille must be in [1,999], got $alphaPermille")
+    val counts = df.select(col(scoreCol).cast("long").as("__v"))
+      .groupBy("__v").agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("__v")
+    counts
+      .withColumn("__cum", sum("__c").over(w))
+      .crossJoin(broadcast(counts.agg(sum("__c").as("__n"))))
+      .withColumn("__k", expr(
+        s"((__n + 1) * ${1000 - alphaPermille} + 999) div 1000"))
+      .where(col("__cum") >= col("__k"))
+      .agg(max("__n").as("n"), max("__k").as("k"), min("__v").as("qhat"))
+  }
+
+  /**
    * Zipf rank–frequency fit over a corpus vocabulary — the classic
    * natural-language health check of a training mixture: organic text
    * follows `freq ∝ rank^s` with s ≈ −1; template spam, boilerplate

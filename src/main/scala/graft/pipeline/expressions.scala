@@ -1262,3 +1262,42 @@ case class RandomProjection(child: Expression, outDim: Int, seed: Long)
   }
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
+
+/**
+ * Signed feature hashing (the "hashing trick", Weinberger et al.
+ * ICML'09) of a token array into a fixed `dim`-bucket integer vector:
+ * each token adds ±1 to bucket `mix64(fnv(token) + seed) mod dim`, the
+ * sign drawn from the NEXT bit of the same hash — the unbiased
+ * estimator variant (E[x·x'] preserves inner products). The
+ * vocabulary-free vectorizer for cheap linear probes/classifiers at
+ * corpus scale: no fit, no dictionary, no shuffle — pure per-row.
+ * All-integer output, replayable by any engine with the same fnv+mix64
+ * (the q_fingerprint oracle machinery).
+ */
+case class FeatureHash(child: Expression, dim: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "feature_hash"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if dim >= 2 => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (array<string>, dim >= 2)")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val out = new Array[Long](dim)
+    var i = 0
+    while (i < a.numElements()) {
+      if (!a.isNullAt(i)) {
+        val h = Hashing.mix64(
+          Hashing.hashBytes(a.getUTF8String(i).getBytes, 0L) + seed)
+        // non-negative bucket from the low bits; sign from the next bit
+        val b = (((h % dim) + dim) % dim).toInt
+        if (((h >>> 62) & 1L) == 0L) out(b) += 1L else out(b) -= 1L
+      }
+      i += 1
+    }
+    new GenericArrayData(out.map(x => x: Any))
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}

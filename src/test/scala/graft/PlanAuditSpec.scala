@@ -51,7 +51,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_bpe_learn" -> "broadcast one-row best-pair crossJoin per merge round (3 rows total)",
     "q_minhash_eval" -> "broadcast one-row count crossJoins (n_truth, n_cand, tp)",
     "q_ks" -> "broadcast one-row side-totals crossJoin (n_ref, n_cur — 2 longs)",
-    "q_mrr" -> "broadcast nlist-row centroid table crossJoin (the q_knn_ivf probe ranking) + the labeled brute baseline as MRR ground truth")
+    "q_mrr" -> "broadcast nlist-row centroid table crossJoin (the q_knn_ivf probe ranking) + the labeled brute baseline as MRR ground truth",
+    "q_conformal" -> "broadcast one-row calibration-count crossJoin (the n)")
 
   test("no query plans an unintended cartesian or nested-loop join") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -103,7 +104,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_pmi" -> "rank over per-pair cooccurrence aggregate (top-20 output)",
     "q_shuffle_order" -> "row_number AFTER the limit(100) — 100 rows, not the corpus",
     "q_zipf" -> "row_number over the TakeOrdered top-500 term table (topR-bounded)",
-    "q_ks" -> "cumulative sums over DISTINCT metric values (pre-scaled-long contract)")
+    "q_ks" -> "cumulative sums over DISTINCT metric values (pre-scaled-long contract)",
+    "q_conformal" -> "cumulative counts over DISTINCT calibration scores (pre-scaled-long contract)")
 
   test("every window operator is partitioned (no global fact-table sorts)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}

@@ -479,4 +479,23 @@ class StatsSpec extends AnyFunSuite {
     val same = Stats.ksStatistic(ref, ref, "v").collect()(0)
     assert(same.getLong(2) == 0L)
   }
+
+  test("conformalQuantile: exact order statistic, +inf edge is loud") {
+    // 10 scores 1..10, alpha=100 (90%): k = ceil(11*0.9) = 10 -> qhat = 10
+    val df = (1L to 10L).toDF("score")
+    val got = Stats.conformalQuantile(df, "score", 100).collect()(0)
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) == ((10L, 10L, 10L)))
+    // alpha=500: k = ceil(11*0.5) = 6 -> qhat = 6
+    val half = Stats.conformalQuantile(df, "score", 500).collect()(0)
+    assert(half.getLong(1) == 6L && half.getLong(2) == 6L)
+    // n=3, alpha=100: k = ceil(4*0.9) = 4 > n -> +inf threshold, NULL row
+    val tiny = Stats.conformalQuantile((1L to 3L).toDF("score"), "score", 100)
+      .collect()(0)
+    assert(tiny.isNullAt(0) && tiny.isNullAt(1) && tiny.isNullAt(2))
+    // duplicate scores: ties collapse into the distinct-value counts
+    val dup = Seq(1L, 1L, 1L, 2L).toDF("score")
+    val d = Stats.conformalQuantile(dup, "score", 500).collect()(0)
+    // k = ceil(5*0.5) = 3 -> third smallest is 1
+    assert(d.getLong(1) == 3L && d.getLong(2) == 1L)
+  }
 }

@@ -296,4 +296,32 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(r.getAs[Long]("total_tokens") ==
       docs.collect().map(_.getString(1).split(" ").length.toLong).sum)
   }
+
+  test("pl_feature_hash: signed buckets, linearity under repetition") {
+    val r = spark.sql(
+      "SELECT pl_feature_hash(array('the', 'cat', 'the'), 8, 5) AS v")
+      .head().getSeq[Long](0)
+    assert(r.length == 8)
+    // 'the' appears twice: its bucket carries +/-2, 'cat' +/-1 (possibly
+    // the same bucket); total absolute mass is 3 when separate
+    assert(r.map(math.abs).sum == 3 || r.map(math.abs).sum == 1,
+      r.toString) // |2 + 1| or |2 - 1| when colliding
+    val single = spark.sql(
+      "SELECT pl_feature_hash(array('the'), 8, 5) AS v")
+      .head().getSeq[Long](0)
+    // doubling a token doubles its contribution in place
+    val double = spark.sql(
+      "SELECT pl_feature_hash(array('the', 'the'), 8, 5) AS v")
+      .head().getSeq[Long](0)
+    assert(double == single.map(_ * 2))
+    // seed changes the layout
+    val other = spark.sql(
+      "SELECT pl_feature_hash(array('the'), 8, 6) AS v")
+      .head().getSeq[Long](0)
+    assert(other != single || true) // layout may coincide; at least runs
+    // dim guard
+    intercept[Exception] {
+      spark.sql("SELECT pl_feature_hash(array('x'), 1, 0)").collect()
+    }
+  }
 }
