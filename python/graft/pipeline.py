@@ -2253,3 +2253,136 @@ def conformal_quantile(df, score_col, alpha_permille):
             .where(F.col("__cum") >= F.col("__k"))
             .agg(F.max("__n").alias("n"), F.max("__k").alias("k"),
                  F.min("__v").alias("qhat")))
+
+
+def bm25(df, id_col, text_col, query_terms, k1_milli=1200,
+         b_permille=750, k=10):
+    """Okapi BM25 top-k retrieval scoring — Python mirror of the Scala
+    ``Dedup.bm25``: Lucene (1 + ...) idf, per-(doc, term) contribution
+    rounded once to micro-points. Tokens filter to the query terms
+    BEFORE any shuffle; df and the one-row totals broadcast.
+    """
+    if not query_terms:
+        raise ValueError("query_terms required")
+    toks = F.split(F.col(text_col), " ")
+    base = (df.select(F.col(id_col).alias("id"),
+                      F.size(F.filter(toks, lambda t: t != ""))
+                      .cast("long").alias("__dl"),
+                      F.explode(toks).alias("__t"))
+            .where(F.col("__t").isin(list(query_terms))))
+    tf = (base.groupBy("id", "__t")
+          .agg(F.count(F.lit(1)).alias("__tf"), F.max("__dl").alias("__dl")))
+    dfc = (base.select("id", "__t").distinct()
+           .groupBy("__t").agg(F.count(F.lit(1)).alias("__df")))
+    totals = df.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.size(F.filter(toks, lambda t: t != "")).cast("long"))
+        .alias("__sumlen"))
+    k1 = F.lit(int(k1_milli)).cast("double") / F.lit(1000.0)
+    b = F.lit(int(b_permille)).cast("double") / F.lit(1000.0)
+    avgdl = F.col("__sumlen").cast("double") / F.col("__n").cast("double")
+    contrib = F.round(F.lit(1e6) *
+                      F.log(F.lit(1.0) +
+                            (F.col("__n").cast("double") - F.col("__df") +
+                             F.lit(0.5)) /
+                            (F.col("__df").cast("double") + F.lit(0.5))) *
+                      (F.col("__tf").cast("double") * (k1 + F.lit(1.0))) /
+                      (F.col("__tf").cast("double") +
+                       k1 * (F.lit(1.0) - b +
+                             b * (F.col("__dl").cast("double") / avgdl)))
+                      ).cast("long")
+    scored = (tf.join(F.broadcast(dfc), "__t")
+              .crossJoin(F.broadcast(totals))
+              .select(F.col("id"), contrib.alias("__c"))
+              .groupBy("id")
+              .agg(F.count(F.lit(1)).alias("n_hit"),
+                   F.sum("__c").alias("score_micro"))
+              .orderBy(F.col("score_micro").desc(), F.col("id")).limit(k))
+    w = Window.orderBy(F.col("score_micro").desc(), F.col("id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .select("id", "n_hit", "score_micro", "rank"))
+
+
+def token_label_mi(df, id_col, text_col, label_col, k=20):
+    """Token-label mutual information (label-leakage audit) — Python
+    mirror of the Scala ``Stats.tokenLabelMI``: per-token MI against a
+    document label in integer micro-nats (per-cell round-once), dense
+    term x label grid with the broadcast label margins, top-k.
+    """
+    pres = (df.select(F.col(id_col).alias("__id"),
+                      F.col(label_col).alias("__l"),
+                      F.explode(F.split(F.col(text_col), " ")).alias("__t"))
+            .where(F.col("__t") != "").distinct())
+    cells = pres.groupBy("__t", "__l").agg(F.count(F.lit(1)).alias("__c1"))
+    term_margin = cells.groupBy("__t").agg(F.sum("__c1").alias("__nt"))
+    label_margin = (df.groupBy(F.col(label_col).alias("__l"))
+                    .agg(F.count(F.lit(1)).alias("__nl")))
+    total = df.agg(F.count(F.lit(1)).alias("__n"))
+    grid = (term_margin.crossJoin(F.broadcast(label_margin))
+            .join(cells, ["__t", "__l"], "left").na.fill(0, ["__c1"])
+            .crossJoin(F.broadcast(total)))
+
+    def contrib(c, row_margin):
+        return (F.when(c == 0, F.lit(0).cast("long"))
+                .otherwise(F.round(F.lit(1e6) *
+                                   (c.cast("double") / F.col("__n")) *
+                                   F.log(c.cast("double") * F.col("__n") /
+                                         (row_margin.cast("double") *
+                                          F.col("__nl")))).cast("long")))
+
+    per_cell = grid.select(
+        "__t", "__nt",
+        (contrib(F.col("__c1"), F.col("__nt")) +
+         contrib(F.col("__nl") - F.col("__c1"),
+                 F.col("__n") - F.col("__nt"))).alias("__mi"))
+    top = (per_cell.groupBy("__t", "__nt")
+           .agg(F.sum("__mi").alias("mi_unats"))
+           .orderBy(F.col("mi_unats").desc(), F.col("__t")).limit(k))
+    w = Window.orderBy(F.col("mi_unats").desc(), F.col("__t"))
+    return (top.withColumn("rank", F.row_number().over(w).cast("int"))
+            .select(F.col("__t").alias("term"),
+                    F.col("__nt").alias("n_docs_with"), "mi_unats", "rank"))
+
+
+# Poisson(1) inverse-CDF thresholds on the 63-bit uniform scale —
+# shared verbatim with the Scala Stats.PoissonThresholds and the
+# DuckDB oracle so bootstrap weights replay exactly on any engine.
+POISSON_THRESHOLDS = (
+    3393088950634442752, 6786177901268885504, 8482722376586106880,
+    9048237201691847680, 9189615907968282624, 9217891649223569408,
+    9222604272766116864)
+
+
+def poisson_bootstrap(df, id_col, value_col, reps=32):
+    """Poisson bootstrap of the mean of a pre-scaled integral metric —
+    Python mirror of the Scala ``Stats.poissonBootstrap``: reps
+    deterministic mix64 replicates, weight 0..7 from the shared
+    Poisson(1) thresholds, one map-side-combined groupBy(rep).
+    """
+    from graft import functions as gf
+    reps = int(reps)
+    if not 2 <= reps <= 1024:
+        raise ValueError(f"reps must be in [2,1024], got {reps}")
+    # per-replicate golden multiples as PRECOMPUTED signed-64 literals
+    # (ANSI column arithmetic would throw on the wrap), XOR'd in
+    def seed(r):
+        s = ((r + 1) * 11400714819323198485) % (1 << 64)
+        return s - (1 << 64) if s >= (1 << 63) else s
+    rep = F.explode(F.array(*[
+        F.struct(F.lit(r).alias("r"), F.lit(seed(r)).alias("s"))
+        for r in range(reps)])).alias("__rs")
+    h = gf.pl_mix64(F.col(id_col).cast("long").bitwiseXOR(F.col("__rs.s")))
+    u = h.bitwiseAND(F.lit(9223372036854775807))
+    wgt = F.lit(0).cast("long")
+    for t in POISSON_THRESHOLDS:
+        wgt = wgt + F.when(u >= F.lit(t), F.lit(1)).otherwise(F.lit(0))
+    return (df.select(F.col(id_col).cast("long").alias(id_col),
+                      F.col(value_col).cast("long").alias("__v"), rep)
+            .withColumn("rep", F.col("__rs.r"))
+            .withColumn("__w", wgt)
+            .groupBy("rep")
+            .agg(F.sum("__w").alias("n_eff"),
+                 F.sum(F.col("__w") * F.col("__v")).alias("sum_w"))
+            .select(F.col("rep").cast("int").alias("rep"), "n_eff", "sum_w",
+                    (F.col("sum_w").cast("double") / F.col("n_eff"))
+                    .alias("mean")))

@@ -977,3 +977,52 @@ def test_bpe_apply_merges_python_parity(spark):
         F.split(x, d + "+"), lambda u: u != "")))
     row = df.select(F.concat_ws(" ", units).alias("s")).collect()[0]
     assert row["s"] == "ab ab ab"
+
+
+def test_bm25_hand_corpus(spark):
+    import math
+    from graft.pipeline import bm25
+    docs = spark.createDataFrame(
+        [(1, "cat dog cat fish"), (2, "cat bird tree"), (3, "fish bird tree")],
+        "id long, text string")
+    got = {r["id"]: (r["n_hit"], r["score_micro"], r["rank"])
+           for r in bm25(docs, "id", "text", ["cat", "dog"], 1200, 750, 3)
+           .collect()}
+    k1, b, avgdl = 1200 / 1000.0, 750 / 1000.0, 10.0 / 3
+
+    def term(tf, df, dl):
+        idf = math.log(1.0 + (3.0 - df + 0.5) / (df + 0.5))
+        return round(1e6 * idf * (tf * (k1 + 1.0)) /
+                     (tf + k1 * (1.0 - b + b * (dl / avgdl))))
+
+    assert got[1] == (2, term(2, 2, 4) + term(1, 1, 4), 1)
+    assert got[2] == (1, term(1, 2, 3), 2)
+    assert 3 not in got
+
+
+def test_token_label_mi_perfect_and_independent(spark):
+    import math
+    from graft.pipeline import token_label_mi
+    df = spark.createDataFrame(
+        [(1, "xx cc hh", "a"), (2, "xx cc", "a"),
+         (3, "cc hh", "b"), (4, "cc yy", "b")],
+        "id long, text string, lab string")
+    got = {r["term"]: (r["n_docs_with"], r["mi_unats"], r["rank"])
+           for r in token_label_mi(df, "id", "text", "lab", 10).collect()}
+    assert got["xx"][1] == 2 * round(1e6 * 0.5 * math.log(2.0))
+    assert got["xx"][2] == 1
+    assert got["cc"] == (4, 0, got["cc"][2])
+    assert got["hh"][1] == 0
+
+
+def test_poisson_bootstrap_deterministic(spark):
+    from graft.pipeline import poisson_bootstrap
+    df = spark.range(2000).select(
+        F.col("id"), F.lit(7).cast("long").alias("v"))
+    a = sorted(poisson_bootstrap(df, "id", "v", reps=4).collect())
+    b = sorted(poisson_bootstrap(df, "id", "v", reps=4).collect())
+    assert a == b and len(a) == 4
+    for r in a:
+        assert r["mean"] == 7.0
+        assert r["sum_w"] == 7 * r["n_eff"]
+        assert abs(r["n_eff"] - 2000) < 4 * 2000 ** 0.5

@@ -3765,7 +3765,26 @@ object SparkEntry {
       graft.pipeline.Stats.conformalQuantile(
         t(s, dir, "events").select(
           expr("cast(round(value * 100) as bigint)").as("score")),
-        "score", alphaPermille = 100))
+        "score", alphaPermille = 100)),
+    // ---- wave 21: retrieval scoring / leakage audit / bootstrap ----
+    // BM25 top-10 against a 3-term query, k1=1.2 b=0.75, micro-point
+    // round-once contributions
+    "q_bm25" -> ((s, dir) =>
+      graft.pipeline.Dedup.bm25(t(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "table", "hash"), 1200, 750, 10).orderBy("rank")),
+    // token->lang mutual information: the label-leakage audit, top-20
+    // tokens by integer micro-nat MI
+    "q_token_label_mi" -> ((s, dir) =>
+      graft.pipeline.Stats.tokenLabelMI(
+        t(s, dir, "documents"), "doc_id", "text", "lang", 20)
+        .orderBy("rank")),
+    // Poisson bootstrap of mean event value cents: 16 deterministic
+    // mix64 replicates, exact integer (n_eff, sum_w) per replicate
+    "q_bootstrap" -> ((s, dir) =>
+      graft.pipeline.Stats.poissonBootstrap(
+        t(s, dir, "events").select(col("event_id"),
+          expr("cast(round(value * 100) as bigint)").as("cents")),
+        "event_id", "cents", reps = 16).orderBy("rep"))
   )
 
   // ---- DuckDB SQL builders for graft's 64-bit hash primitives ----
@@ -8116,6 +8135,80 @@ object SparkEntry {
         |k AS (SELECT n, ((n + 1) * 900 + 999) // 1000 AS k FROM t)
         |SELECT CAST(MAX(k.n) AS BIGINT) AS n, CAST(MAX(k.k) AS BIGINT) AS k,
         |  CAST(MIN(cum.v) AS BIGINT) AS qhat
-        |FROM cum, k WHERE cum.cm >= k.k""".stripMargin
+        |FROM cum, k WHERE cum.cm >= k.k""".stripMargin,
+    // BM25 replayed: same left-associated double expression (ln
+    // round-once parity), k1/b materialized as the identical division
+    "q_bm25" ->
+      """WITH base AS (SELECT doc_id AS id,
+        |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS dl,
+        |    unnest(string_split(text, ' ')) AS t
+        |  FROM documents),
+        |fil AS (SELECT * FROM base WHERE t IN ('spark', 'table', 'hash')),
+        |tf AS (SELECT id, t, COUNT(*) AS tf, MAX(dl) AS dl
+        |  FROM fil GROUP BY 1, 2),
+        |dfc AS (SELECT t, COUNT(DISTINCT id) AS df FROM fil GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS n,
+        |    SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS sumlen
+        |  FROM documents),
+        |contrib AS (SELECT id, CAST(round(1e6 *
+        |    ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+        |    (CAST(tf AS DOUBLE) * (CAST(1200 AS DOUBLE) / 1000.0 + 1.0)) /
+        |    (CAST(tf AS DOUBLE) + CAST(1200 AS DOUBLE) / 1000.0 *
+        |      (1.0 - CAST(750 AS DOUBLE) / 1000.0 + CAST(750 AS DOUBLE) / 1000.0 *
+        |        (CAST(dl AS DOUBLE) / (CAST(sumlen AS DOUBLE) / CAST(n AS DOUBLE)))))
+        |  ) AS BIGINT) AS c
+        |  FROM tf JOIN dfc USING (t), tot),
+        |scored AS (SELECT id, COUNT(*) AS n_hit, SUM(c) AS score_micro
+        |  FROM contrib GROUP BY 1
+        |  ORDER BY score_micro DESC, id LIMIT 10)
+        |SELECT id, CAST(n_hit AS BIGINT) AS n_hit,
+        |  CAST(score_micro AS BIGINT) AS score_micro,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY score_micro DESC, id) AS INT) AS rank
+        |FROM scored ORDER BY rank""".stripMargin,
+    // token-label MI replayed: dense term x label grid (absent labels
+    // carry mass in the absent cell), per-cell round-once micro-nats
+    "q_token_label_mi" ->
+      """WITH pres AS (SELECT DISTINCT doc_id, lang, t FROM
+        |    (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+        |     FROM documents) WHERE t <> ''),
+        |cells AS (SELECT t, lang, COUNT(*) AS c1 FROM pres GROUP BY 1, 2),
+        |tm AS (SELECT t, SUM(c1) AS nt FROM cells GROUP BY 1),
+        |lm AS (SELECT lang, COUNT(*) AS nl FROM documents GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS n FROM documents),
+        |grid AS (SELECT tm.t, tm.nt, lm.lang, lm.nl,
+        |    COALESCE(c.c1, 0) AS c1, tot.n
+        |  FROM tm CROSS JOIN lm
+        |  LEFT JOIN cells c ON c.t = tm.t AND c.lang = lm.lang, tot),
+        |mi AS (SELECT t, nt, SUM(
+        |    CASE WHEN c1 = 0 THEN 0 ELSE CAST(round(1e6 *
+        |      (CAST(c1 AS DOUBLE) / n) *
+        |      ln(CAST(c1 AS DOUBLE) * n / (CAST(nt AS DOUBLE) * nl))) AS BIGINT) END
+        |  + CASE WHEN nl - c1 = 0 THEN 0 ELSE CAST(round(1e6 *
+        |      (CAST(nl - c1 AS DOUBLE) / n) *
+        |      ln(CAST(nl - c1 AS DOUBLE) * n / (CAST(n - nt AS DOUBLE) * nl))) AS BIGINT) END
+        |  ) AS mi_unats FROM grid GROUP BY 1, 2),
+        |top AS (SELECT * FROM mi ORDER BY mi_unats DESC, t LIMIT 20)
+        |SELECT t AS term, CAST(nt AS BIGINT) AS n_docs_with,
+        |  CAST(mi_unats AS BIGINT) AS mi_unats,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY mi_unats DESC, t) AS INT) AS rank
+        |FROM top ORDER BY rank""".stripMargin,
+    // Poisson bootstrap replayed: the same mix64 stream (rep-keyed
+    // golden multiples), 63-bit uniform vs the shared threshold longs
+    "q_bootstrap" -> {
+      val h = duckMix64(
+        s"xor(event_id::HUGEINT, ((rep + 1)::HUGEINT * 11400714819323198485::HUGEINT) % $M64)")
+      val u = s"(($h) % 9223372036854775808::HUGEINT)"
+      val w = graft.pipeline.Stats.PoissonThresholds
+        .map(tk => s"CASE WHEN $u >= ${tk}::HUGEINT THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH base AS (SELECT event_id,
+         |    CAST(round(value * 100) AS BIGINT) AS v FROM events),
+         |reps AS (SELECT unnest(range(0, 16)) AS rep),
+         |weighted AS (SELECT rep, v, $w AS w FROM base CROSS JOIN reps)
+         |SELECT CAST(rep AS INT) AS rep, CAST(SUM(w) AS BIGINT) AS n_eff,
+         |  CAST(SUM(w * v) AS BIGINT) AS sum_w,
+         |  CAST(SUM(w * v) AS DOUBLE) / CAST(SUM(w) AS BIGINT) AS mean
+         |FROM weighted GROUP BY 1 ORDER BY rep""".stripMargin
+    }
   )
 }

@@ -389,6 +389,71 @@ object Dedup {
   }
 
   /**
+   * Okapi BM25 retrieval scoring (Robertson & Zaragoza '09, the
+   * Lucene `(1 + …)` idf variant that never goes negative) of every
+   * document against a fixed query term set — the ranking face of the
+   * [[invertedIndex]] / [[tfidfTopTerms]] family:
+   *
+   *   score(d) = Σ_t ln(1 + (N − df_t + 0.5)/(df_t + 0.5))
+   *              · tf · (k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+   *
+   * k1 and b arrive as exact integer milli-values (1200 ≙ 1.2,
+   * 750 ≙ 0.75) and are materialized as the SAME division expression on
+   * both engines. Each (doc, term) contribution is rounded ONCE to
+   * integer micro-points and the per-doc sum of longs is exact, so the
+   * DuckDB oracle replays the ranking bit-for-bit (ln round-once parity,
+   * the psi/trend recipe).
+   *
+   * Scale shape: tokens are filtered to the query terms BEFORE any
+   * shuffle — the explode feeds a pushed-down isin, so only matching
+   * postings ever exchange. One (doc, term) groupBy builds tf with the
+   * doc length carried (max of a per-doc constant — no second join
+   * against the corpus); df over the ≤|query| surviving terms and the
+   * one-row (N, Σlen) total both BROADCAST. Global top-k is
+   * TakeOrdered; rank is a window over the k survivors only.
+   *
+   * Returns (id, n_hit, score_micro, rank), rank 1..k by
+   * (score desc, id).
+   */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1Milli: Int = 1200, bPermille: Int = 750,
+      k: Int = 10): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms required")
+    require(k1Milli >= 0 && bPermille >= 0 && bPermille <= 1000 && k > 0,
+      s"bad bm25 params k1=$k1Milli b=$bPermille k=$k")
+    val base = df.select(col(idCol).as("id"),
+      size(filter(split(col(textCol), " "), t => t =!= "")).cast("long").as("__dl"),
+      explode(split(col(textCol), " ")).as("__t"))
+      .where(col("__t").isin(queryTerms: _*))
+    val tf = base.groupBy("id", "__t")
+      .agg(count(lit(1)).as("__tf"), max("__dl").as("__dl"))
+    val dfc = base.select("id", "__t").distinct()
+      .groupBy("__t").agg(count(lit(1)).as("__df"))
+    val totals = df.agg(count(lit(1)).as("__n"),
+      sum(size(filter(split(col(textCol), " "), t => t =!= "")).cast("long"))
+        .as("__sumlen"))
+    val k1 = lit(k1Milli).cast("double") / lit(1000.0)
+    val b = lit(bPermille).cast("double") / lit(1000.0)
+    val avgdl = col("__sumlen").cast("double") / col("__n").cast("double")
+    val contrib = round(lit(1e6) *
+      log(lit(1.0) + (col("__n").cast("double") - col("__df") + lit(0.5)) /
+        (col("__df").cast("double") + lit(0.5))) *
+      (col("__tf").cast("double") * (k1 + lit(1.0))) /
+      (col("__tf").cast("double") +
+        k1 * (lit(1.0) - b + b * (col("__dl").cast("double") / avgdl))))
+      .cast("long")
+    val scored = tf.join(broadcast(dfc), "__t")
+      .crossJoin(broadcast(totals))
+      .select(col("id"), contrib.as("__c"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_hit"), sum("__c").as("score_micro"))
+      .orderBy(col("score_micro").desc, col("id")).limit(k)
+    val w = Window.orderBy(col("score_micro").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .select(col("id"), col("n_hit"), col("score_micro"), col("rank"))
+  }
+
+  /**
    * Crawl-to-crawl snapshot diff: classify every document id across two
    * corpus snapshots as `added` / `removed` / `changed` / `unchanged`
    * by content fingerprint — the incremental-maintenance primitive that

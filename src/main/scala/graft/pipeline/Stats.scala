@@ -906,4 +906,126 @@ object Stats {
         when(col("cand_n") + col("ref_n") > 0,
           expr("match_n * 2000 div (cand_n + ref_n)")).as("rouge_f"))
   }
+
+  /**
+   * Token–label mutual information — the label-leakage detector: for
+   * every vocabulary token, the MI (in integer micro-nats) between the
+   * token's per-document presence indicator and a document label
+   * column. Tokens whose presence pins the label (a language marker
+   * leaking into "topic" labels, a template string leaking the source)
+   * float to the top; a feature-selection / leakage audit in one query.
+   *
+   *   MI(t) = Σ_{a∈{1,0}, l}  p(a,l) · ln( p(a,l) / (p(a)·p(l)) )
+   *
+   * with cells from exact document counts: present cell c₁ₗ = docs with
+   * token t and label l, absent cell c₀ₗ = n_l − c₁ₗ. Each nonzero
+   * cell's contribution is rounded ONCE to micro-nats (the [[psiReport]]
+   * discipline) and the per-term sum of those longs is exact, so any
+   * engine replays the total bit-for-bit; empty cells contribute 0 by
+   * the x·ln x → 0 limit.
+   *
+   * Scale shape: one distinct over (doc, token) then ONE (token, label)
+   * groupBy — fact rows shuffle once, map-side combined. The dense
+   * term × label grid is the [[graft.pipeline.Curation]] t-closeness
+   * shape: a crossJoin of the vocabulary-sized margin table with the
+   * BROADCAST label margin table (labels are metadata-sized), linear in
+   * the vocabulary. Global top-k is TakeOrdered (k-row heap per
+   * partition, no full sort); rank is a window over the k survivors.
+   *
+   * Returns (term, n_docs_with, mi_unats, rank), rank 1..k by
+   * (mi desc, term).
+   */
+  def tokenLabelMI(df: DataFrame, idCol: String, textCol: String,
+      labelCol: String, k: Int = 20): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val pres = df.select(col(idCol).as("__id"), col(labelCol).as("__l"),
+      explode(split(col(textCol), " ")).as("__t"))
+      .where(col("__t") =!= "").distinct()
+    val cells = pres.groupBy("__t", "__l").agg(count(lit(1)).as("__c1"))
+    val termMargin = cells.groupBy("__t").agg(sum("__c1").as("__nt"))
+    val labelMargin = df.groupBy(col(labelCol).as("__l"))
+      .agg(count(lit(1)).as("__nl"))
+    val total = df.agg(count(lit(1)).as("__n"))
+    // dense grid: every (term, label), absent labels get a 0 present
+    // cell (their ABSENT cell still carries mass — it cannot be skipped)
+    val grid = termMargin.crossJoin(broadcast(labelMargin))
+      .join(cells, Seq("__t", "__l"), "left").na.fill(0L, Seq("__c1"))
+      .crossJoin(broadcast(total))
+    // one rounded micro-nat contribution per nonzero cell; the double
+    // expression is left-associated identically in the DuckDB oracle
+    def contrib(c: Column, rowMargin: Column): Column =
+      when(c === 0L, 0L).otherwise(round(lit(1e6) *
+        (c.cast("double") / col("__n")) *
+        log(c.cast("double") * col("__n") /
+          (rowMargin.cast("double") * col("__nl")))).cast("long"))
+    val perCell = grid.select(col("__t"), col("__nt"),
+      (contrib(col("__c1"), col("__nt")) +
+        contrib(col("__nl") - col("__c1"), col("__n") - col("__nt")))
+        .as("__mi"))
+    val top = perCell.groupBy("__t", "__nt")
+      .agg(sum("__mi").as("mi_unats"))
+      .orderBy(col("mi_unats").desc, col("__t")).limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("mi_unats").desc, col("__t"))
+    top.withColumn("rank", row_number().over(w).cast("int"))
+      .select(col("__t").as("term"), col("__nt").as("n_docs_with"),
+        col("mi_unats"), col("rank"))
+  }
+
+  /** Poisson(1) inverse-CDF thresholds on the 63-bit uniform scale:
+    * weight(u) = Σ_k [u ≥ T_k], k = 0..6 — so per-row bootstrap weights
+    * are 0..7 (the ≥8 tail, mass 1e-5, folds into 7). The literals are
+    * shared verbatim with the DuckDB oracle, so replay is exact. */
+  private[graft] val PoissonThresholds: Array[Long] = Array(
+    3393088950634442752L, 6786177901268885504L, 8482722376586106880L,
+    9048237201691847680L, 9189615907968282624L, 9217891649223569408L,
+    9222604272766116864L)
+
+  /**
+   * Poisson bootstrap — the scalable bootstrap (Chamandy et al.,
+   * Google '12; the resampling scheme behind large-scale A/B CIs):
+   * replicate r reweights every row by an independent Poisson(1) draw,
+   * approximating a multinomial resample without coordinating a global
+   * n. Draws are DETERMINISTIC: mix64(id ⊕ (r+1)·golden) masked to 63
+   * bits against the shared [[PoissonThresholds]], so any engine
+   * replays every weight exactly and the replicate sums are integers.
+   * The per-replicate golden multiples are PRECOMPUTED literals (JVM
+   * longs wrap; ANSI column arithmetic would throw) XOR'd in — the
+   * [[Cms]] seeding recipe.
+   *
+   * Returns `reps` rows (rep, n_eff, sum_w, mean) over a pre-scaled
+   * integral metric: n_eff = Σ w, sum_w = Σ w·v (exact longs),
+   * mean = sum_w / n_eff in one double division. The replicate spread
+   * IS the sampling distribution of the mean — percentile CIs read
+   * straight off the sorted means.
+   *
+   * Scale shape: explode(sequence(0, reps−1)) inflates rows reps× on
+   * the MAP side only — the groupBy(rep) partial-aggregates before the
+   * exchange, so exactly `reps` rows per partition shuffle regardless
+   * of data size. No global sort, no second pass. Overflow contract:
+   * reps·max|v|·n < 2^63 with w ≤ 7 — pre-scale coarser for wider
+   * regimes (the [[anomalyFlags]] bound discipline).
+   */
+  def poissonBootstrap(df: DataFrame, idCol: String, valueCol: String,
+      reps: Int = 32): DataFrame = {
+    require(reps >= 2 && reps <= 1024, s"reps must be in [2,1024], got $reps")
+    import graft.expressions.{asColumn, asExpr}
+    val rep = explode(array((0 until reps).map(r => struct(
+      lit(r).as("r"), lit((r + 1L) * -7046029254386353131L).as("s"))): _*))
+      .as("__rs")
+    val h = asColumn(Mix64(asExpr(
+      col(idCol).cast("long").bitwiseXOR(col("__rs.s")))))
+    val u = h.bitwiseAND(lit(Long.MaxValue))
+    val wgt = PoissonThresholds.foldLeft(lit(0L))((acc, t) =>
+      acc + when(u >= lit(t), 1L).otherwise(0L))
+    df.select(col(idCol).cast("long").as(idCol),
+        col(valueCol).cast("long").as("__v"), rep)
+      .withColumn("rep", col("__rs.r"))
+      .withColumn("__w", wgt)
+      .groupBy("rep")
+      .agg(sum("__w").as("n_eff"),
+        sum(col("__w") * col("__v")).as("sum_w"))
+      .select(col("rep").cast("int").as("rep"), col("n_eff"), col("sum_w"),
+        (col("sum_w").cast("double") / col("n_eff")).as("mean"))
+  }
 }

@@ -52,7 +52,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_minhash_eval" -> "broadcast one-row count crossJoins (n_truth, n_cand, tp)",
     "q_ks" -> "broadcast one-row side-totals crossJoin (n_ref, n_cur — 2 longs)",
     "q_mrr" -> "broadcast nlist-row centroid table crossJoin (the q_knn_ivf probe ranking) + the labeled brute baseline as MRR ground truth",
-    "q_conformal" -> "broadcast one-row calibration-count crossJoin (the n)")
+    "q_conformal" -> "broadcast one-row calibration-count crossJoin (the n)",
+    "q_bm25" -> "broadcast query-term df table + one-row (N, sumlen) totals crossJoin",
+    "q_token_label_mi" -> ("broadcast label-margin dense-grid crossJoin " +
+      "(labels are metadata-sized — the q_tcloseness pattern) + one-row total"))
 
   test("no query plans an unintended cartesian or nested-loop join") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -105,7 +108,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_shuffle_order" -> "row_number AFTER the limit(100) — 100 rows, not the corpus",
     "q_zipf" -> "row_number over the TakeOrdered top-500 term table (topR-bounded)",
     "q_ks" -> "cumulative sums over DISTINCT metric values (pre-scaled-long contract)",
-    "q_conformal" -> "cumulative counts over DISTINCT calibration scores (pre-scaled-long contract)")
+    "q_conformal" -> "cumulative counts over DISTINCT calibration scores (pre-scaled-long contract)",
+    "q_bm25" -> "row_number over the TakeOrdered top-10 doc table",
+    "q_token_label_mi" -> "row_number over the TakeOrdered top-20 term table")
 
   test("every window operator is partitioned (no global fact-table sorts)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}

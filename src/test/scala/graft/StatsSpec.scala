@@ -498,4 +498,43 @@ class StatsSpec extends AnyFunSuite {
     // k = ceil(5*0.5) = 3 -> third smallest is 1
     assert(d.getLong(1) == 3L && d.getLong(2) == 1L)
   }
+
+  test("tokenLabelMI: perfect and independent tokens land where theory says") {
+    // 4 docs, 2 labels. 'xx' appears exactly in the two label-a docs
+    // (perfect 1-bit MI = ln 2); 'cc' appears in all docs (MI 0);
+    // 'hh' appears in one doc of each label (independent of label, MI 0)
+    val df = Seq(
+      (1L, "xx cc hh", "a"), (2L, "xx cc", "a"),
+      (3L, "cc hh", "b"), (4L, "cc yy", "b")).toDF("id", "text", "lab")
+    val got = Stats.tokenLabelMI(df, "id", "text", "lab", 10)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getInt(3))).toMap
+    // two nonzero cells (present-a, absent-b), each ln 2 at p = 0.5,
+    // each rounded once THEN summed
+    assert(got("xx")._2 == 2 * math.round(1e6 * 0.5 * math.log(2.0)), got("xx"))
+    assert(got("cc")._1 == 4L && got("cc")._2 == 0L)
+    assert(got("hh")._2 == 0L) // 2x2 uniform over labels: independent
+    // perfect predictor ranks first
+    assert(got("xx")._3 == 1)
+  }
+
+  test("poissonBootstrap: deterministic, weights distribute like Poisson(1)") {
+    val df = (0L until 4000L).map(i => (i, 100L)).toDF("id", "v")
+    val a = Stats.poissonBootstrap(df, "id", "v", reps = 8).collect()
+      .sortBy(_.getInt(0))
+    val b = Stats.poissonBootstrap(df, "id", "v", reps = 8).collect()
+      .sortBy(_.getInt(0))
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq) // replayable
+    assert(a.length == 8)
+    // constant metric: every replicate mean is exactly 100
+    a.foreach { r => assert(r.getDouble(3) == 100.0, r.toString) }
+    // n_eff concentrates near n (Poisson(1) mean 1): all within 4 sigma
+    a.foreach { r =>
+      assert(math.abs(r.getLong(1) - 4000L) < 4 * math.sqrt(4000.0), r.toString)
+    }
+    // and replicates genuinely differ from each other
+    assert(a.map(_.getLong(1)).distinct.length > 1)
+    // sum is exactly 100 * n_eff (weights are integers)
+    a.foreach { r => assert(r.getLong(2) == 100L * r.getLong(1)) }
+  }
 }

@@ -324,4 +324,26 @@ class TextPipelineSpec extends AnyFunSuite {
       spark.sql("SELECT pl_feature_hash(array('x'), 1, 0)").collect()
     }
   }
+
+  test("bm25 matches the closed-form score on a hand corpus") {
+    import graft.pipeline.Dedup
+    // 3 docs; query = (cat, dog). df(cat)=2, df(dog)=1; dls 4, 3, 3
+    val docs = Seq(
+      (1L, "cat dog cat fish"), (2L, "cat bird tree"),
+      (3L, "fish bird tree")).toDF("id", "text")
+    val got = Dedup.bm25(docs, "id", "text", Seq("cat", "dog"), 1200, 750, 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getInt(3))).toMap
+    val k1 = 1200 / 1000.0; val b = 750 / 1000.0
+    val avgdl = 10.0 / 3
+    def idf(df: Long): Double = math.log(1.0 + (3.0 - df + 0.5) / (df + 0.5))
+    def term(tf: Long, df: Long, dl: Long): Long =
+      math.round(1e6 * idf(df) * (tf * (k1 + 1.0)) /
+        (tf + k1 * (1.0 - b + b * (dl / avgdl))))
+    assert(got(1L) == ((2L, term(2, 2, 4) + term(1, 1, 4), 1)))
+    assert(got(2L) == ((1L, term(1, 2, 3), 2)))
+    assert(!got.contains(3L)) // no query term -> no row
+    // doc 1 hits both terms and the rare one: must rank first
+    assert(got(1L)._2 > got(2L)._2)
+  }
 }
