@@ -2386,3 +2386,87 @@ def poisson_bootstrap(df, id_col, value_col, reps=32):
             .select(F.col("rep").cast("int").alias("rep"), "n_eff", "sum_w",
                     (F.col("sum_w").cast("double") / F.col("n_eff"))
                     .alias("mean")))
+
+
+def token_kl(p, q, text_col, k=20):
+    """Token-distribution KL divergence between two corpus slices —
+    Python mirror of the Scala ``Stats.tokenKL``: add-one-smoothed
+    per-term KL(P||Q) contributions in integer micro-nats over the
+    union vocabulary, top-k most over-represented in P.
+    """
+    def counts(df, name):
+        return (df.select(F.explode(F.split(F.col(text_col), " "))
+                          .alias("term"))
+                .where(F.col("term") != "")
+                .groupBy("term").agg(F.count(F.lit(1)).alias(name)))
+    joined = (counts(p, "p_cnt").join(counts(q, "q_cnt"), ["term"],
+                                      "full_outer")
+              .na.fill(0, ["p_cnt", "q_cnt"]))
+    totals = joined.agg(F.sum("p_cnt").alias("__np"),
+                        F.sum("q_cnt").alias("__nq"),
+                        F.count(F.lit(1)).alias("__v"))
+    contrib = F.round(F.lit(1e6) *
+                      ((F.col("p_cnt") + F.lit(1.0)) /
+                       (F.col("__np") + F.col("__v"))) *
+                      F.log(((F.col("p_cnt") + F.lit(1.0)) /
+                             (F.col("__np") + F.col("__v"))) /
+                            ((F.col("q_cnt") + F.lit(1.0)) /
+                             (F.col("__nq") + F.col("__v"))))).cast("long")
+    top = (joined.crossJoin(F.broadcast(totals))
+           .select("term", "p_cnt", "q_cnt", contrib.alias("kl_unats"))
+           .orderBy(F.col("kl_unats").desc(), F.col("term")).limit(k))
+    w = Window.orderBy(F.col("kl_unats").desc(), F.col("term"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def source_overlap(df, source_col, text_col):
+    """Pairwise source content Jaccard over 64-bit doc fingerprints —
+    Python mirror of the Scala ``Dedup.sourceOverlap``: distinct
+    (source, fp) before any join, fp-keyed ordered self-join, exact
+    truncating ppm.
+    """
+    from graft import functions as gf
+    fps = (df.select(F.col(source_col).alias("src"),
+                     gf.pl_fingerprint(F.col(text_col)).alias("__fp"))
+           .distinct())
+    sizes = fps.groupBy("src").agg(F.count(F.lit(1)).alias("n"))
+    l = fps.select(F.col("src").alias("src_a"), "__fp")
+    r = fps.select(F.col("src").alias("src_b"), "__fp")
+    return (l.join(r, "__fp").where(F.col("src_a") < F.col("src_b"))
+            .groupBy("src_a", "src_b").agg(F.count(F.lit(1)).alias("inter"))
+            .join(F.broadcast(sizes.select(F.col("src").alias("src_a"),
+                                           F.col("n").alias("n_a"))), "src_a")
+            .join(F.broadcast(sizes.select(F.col("src").alias("src_b"),
+                                           F.col("n").alias("n_b"))), "src_b")
+            .select("src_a", "src_b", "n_a", "n_b", "inter",
+                    F.expr("inter * 1000000 div (n_a + n_b - inter)")
+                    .alias("jaccard_ppm")))
+
+
+def simpson_reversals(df, stratum_col, group_col, success_col):
+    """Simpson's-paradox screen — Python mirror of the Scala
+    ``Stats.simpsonReversals``: per-stratum 2x2 counts, rational
+    risk-difference signs (divisions cleared), reversal flag vs the
+    pooled direction. Exact integer math throughout.
+    """
+    g = F.col(group_col).cast("boolean")
+    s = F.col(success_col).cast("boolean")
+    strata = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count(F.when(g & s, 1)).alias("a"),
+        F.count(F.when(g & ~s, 1)).alias("b"),
+        F.count(F.when(~g & s, 1)).alias("c"),
+        F.count(F.when(~g & ~s, 1)).alias("d"))
+
+    def sig(a, b, c, d):
+        return F.signum(a * (c + d) - c * (a + b)).cast("int")
+
+    pooled = strata.agg(F.sum("a").alias("__pa"), F.sum("b").alias("__pb"),
+                        F.sum("c").alias("__pc"), F.sum("d").alias("__pd"))
+    return (strata.crossJoin(F.broadcast(pooled))
+            .select("stratum", "a", "b", "c", "d",
+                    sig(F.col("a"), F.col("b"), F.col("c"), F.col("d"))
+                    .alias("stratum_sign"),
+                    sig(F.col("__pa"), F.col("__pb"), F.col("__pc"),
+                        F.col("__pd")).alias("pooled_sign"))
+            .withColumn("reverses",
+                        F.col("stratum_sign") * F.col("pooled_sign") == -1))

@@ -1026,3 +1026,43 @@ def test_poisson_bootstrap_deterministic(spark):
         assert r["mean"] == 7.0
         assert r["sum_w"] == 7 * r["n_eff"]
         assert abs(r["n_eff"] - 2000) < 4 * 2000 ** 0.5
+
+
+def test_token_kl_shifted_token(spark):
+    import math
+    from graft.pipeline import token_kl
+    p = spark.createDataFrame([("aa bb",), ("aa cc",)], "text string")
+    q = spark.createDataFrame([("bb cc",), ("bb dd",)], "text string")
+    rows = token_kl(p, q, "text", 10).collect()
+    top = min(rows, key=lambda r: r["rank"])
+    assert (top["term"], top["p_cnt"], top["q_cnt"]) == ("aa", 2, 0)
+    assert top["kl_unats"] == round(
+        1e6 * (3.0 / 8) * math.log((3.0 / 8) / (1.0 / 8)))
+    flat = token_kl(p, p, "text", 10).collect()
+    assert all(r["kl_unats"] == 0 for r in flat)
+
+
+def test_source_overlap_jaccard(spark):
+    from graft.pipeline import source_overlap
+    df = spark.createDataFrame(
+        [("s1", "one"), ("s1", "two"), ("s1", "three"),
+         ("s2", "two"), ("s2", "three"), ("s2", "four"),
+         ("s3", "nine")],
+        "src string, text string")
+    got = {(r["src_a"], r["src_b"]): (r["n_a"], r["n_b"], r["inter"],
+                                      r["jaccard_ppm"])
+           for r in source_overlap(df, "src", "text").collect()}
+    # s1 n=3, s2 n=3, inter=2, union=4 -> 500000 ppm; s3 overlaps nothing
+    assert got == {("s1", "s2"): (3, 3, 2, 500000)}
+
+
+def test_simpson_reversal_textbook(spark):
+    from graft.pipeline import simpson_reversals
+    rows = ([("X", True, True)] * 81 + [("X", True, False)] * 6 +
+            [("X", False, True)] * 234 + [("X", False, False)] * 36 +
+            [("Y", True, True)] * 192 + [("Y", True, False)] * 71 +
+            [("Y", False, True)] * 55 + [("Y", False, False)] * 25)
+    df = spark.createDataFrame(rows, "st string, g boolean, s boolean")
+    got = {r["stratum"]: (r["stratum_sign"], r["pooled_sign"], r["reverses"])
+           for r in simpson_reversals(df, "st", "g", "s").collect()}
+    assert got == {"X": (1, -1, True), "Y": (1, -1, True)}

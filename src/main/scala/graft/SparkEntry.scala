@@ -3784,7 +3784,33 @@ object SparkEntry {
       graft.pipeline.Stats.poissonBootstrap(
         t(s, dir, "events").select(col("event_id"),
           expr("cast(round(value * 100) as bigint)").as("cents")),
-        "event_id", "cents", reps = 16).orderBy("rep"))
+        "event_id", "cents", reps = 16).orderBy("rep")),
+    // ---- wave 22: mixture-shift / overlap / confounding audits ----
+    // token KL divergence, src0 slice vs the rest: top-20 tokens most
+    // over-represented in src0, add-one smoothed micro-nats
+    "q_token_kl" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.pipeline.Stats.tokenKL(
+        d.where(col("source") === "src0"),
+        d.where(col("source") =!= "src0"), "text", 20).orderBy("rank")
+    }),
+    // cross-source content Jaccard over 8-token-prefix fingerprints
+    // (full-text fingerprints share nothing across the synthetic
+    // sources; prefix keys are the near-dup-shaped variant)
+    "q_source_overlap" -> ((s, dir) =>
+      graft.pipeline.Dedup.sourceOverlap(
+        t(s, dir, "documents").select(col("source"),
+          array_join(slice(split(col("text"), " "), 1, 8), " ").as("text")),
+        "source", "text")
+        .orderBy("src_a", "src_b")),
+    // Simpson screen: per-event-type 2x2 (even user vs high value)
+    // against the pooled direction, rational sign compare
+    "q_simpson" -> ((s, dir) =>
+      graft.pipeline.Stats.simpsonReversals(
+        t(s, dir, "events").select(col("event_type"),
+          expr("user_id % 2 = 0").as("grp"),
+          expr("cast(round(value * 100) as bigint) >= 500").as("succ")),
+        "event_type", "grp", "succ").orderBy("stratum"))
   )
 
   // ---- DuckDB SQL builders for graft's 64-bit hash primitives ----
@@ -8209,6 +8235,76 @@ object SparkEntry {
          |  CAST(SUM(w * v) AS BIGINT) AS sum_w,
          |  CAST(SUM(w * v) AS DOUBLE) / CAST(SUM(w) AS BIGINT) AS mean
          |FROM weighted GROUP BY 1 ORDER BY rep""".stripMargin
-    }
+    },
+    // token KL replayed: add-one smoothing over the union vocabulary,
+    // per-term round-once micro-nats, identical left association
+    "q_token_kl" ->
+      """WITH cp AS (SELECT t AS term, COUNT(*) AS p_cnt FROM
+        |    (SELECT unnest(string_split(text, ' ')) AS t FROM documents
+        |     WHERE source = 'src0') WHERE t <> '' GROUP BY 1),
+        |cq AS (SELECT t AS term, COUNT(*) AS q_cnt FROM
+        |    (SELECT unnest(string_split(text, ' ')) AS t FROM documents
+        |     WHERE source <> 'src0') WHERE t <> '' GROUP BY 1),
+        |j AS (SELECT COALESCE(cp.term, cq.term) AS term,
+        |    COALESCE(p_cnt, 0) AS p_cnt, COALESCE(q_cnt, 0) AS q_cnt
+        |  FROM cp FULL OUTER JOIN cq ON cp.term = cq.term),
+        |tot AS (SELECT SUM(p_cnt) AS np, SUM(q_cnt) AS nq,
+        |    COUNT(*) AS v FROM j),
+        |sc AS (SELECT term, p_cnt, q_cnt, CAST(round(1e6 *
+        |    ((CAST(p_cnt AS DOUBLE) + 1.0) / (np + v)) *
+        |    ln(((CAST(p_cnt AS DOUBLE) + 1.0) / (np + v)) /
+        |       ((CAST(q_cnt AS DOUBLE) + 1.0) / (nq + v)))) AS BIGINT)
+        |    AS kl_unats
+        |  FROM j, tot),
+        |top AS (SELECT * FROM sc ORDER BY kl_unats DESC, term LIMIT 20)
+        |SELECT term, CAST(p_cnt AS BIGINT) AS p_cnt,
+        |  CAST(q_cnt AS BIGINT) AS q_cnt, kl_unats,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY kl_unats DESC, term) AS INT) AS rank
+        |FROM top ORDER BY rank""".stripMargin,
+    // source overlap replayed: the fingerprint polyroll+mix64, distinct
+    // (source, fp), fp-keyed ordered self-join, truncating ppm div
+    "q_source_overlap" -> {
+      val poly = "list_reduce(list_prepend(0::HUGEINT, " +
+        "list_transform(range(1, length(pre) + 1), " +
+        s"i -> ascii(pre[i])::HUGEINT)), (a, b) -> (a * 1000003::HUGEINT + b) % $M64)"
+      s"""WITH pref AS (SELECT source,
+         |    array_to_string(string_split(text, ' ')[1:8], ' ') AS pre
+         |  FROM documents),
+         |raw AS (SELECT source, $poly AS h FROM pref),
+         |fp AS (SELECT DISTINCT source, ${duckMix64("h")} AS f FROM raw),
+         |sizes AS (SELECT source, COUNT(*) AS n FROM fp GROUP BY 1),
+         |pairs AS (SELECT a.source AS src_a, b.source AS src_b,
+         |    COUNT(*) AS inter
+         |  FROM fp a JOIN fp b ON a.f = b.f AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT src_a, src_b, CAST(sa.n AS BIGINT) AS n_a,
+         |  CAST(sb.n AS BIGINT) AS n_b, CAST(inter AS BIGINT) AS inter,
+         |  CAST(inter * 1000000 // (sa.n + sb.n - inter) AS BIGINT)
+         |    AS jaccard_ppm
+         |FROM pairs
+         |JOIN sizes sa ON sa.source = pairs.src_a
+         |JOIN sizes sb ON sb.source = pairs.src_b
+         |ORDER BY src_a, src_b""".stripMargin
+    },
+    // Simpson screen replayed: four conditional counts per stratum,
+    // rational risk-difference signs, pooled row from the stratum table
+    "q_simpson" ->
+      """WITH f AS (SELECT event_type AS stratum, (user_id % 2 = 0) AS g,
+        |    (CAST(round(value * 100) AS BIGINT) >= 500) AS s FROM events),
+        |st AS (SELECT stratum,
+        |    COUNT(CASE WHEN g AND s THEN 1 END) AS a,
+        |    COUNT(CASE WHEN g AND NOT s THEN 1 END) AS b,
+        |    COUNT(CASE WHEN NOT g AND s THEN 1 END) AS c,
+        |    COUNT(CASE WHEN NOT g AND NOT s THEN 1 END) AS d
+        |  FROM f GROUP BY 1),
+        |p AS (SELECT SUM(a) AS pa, SUM(b) AS pb, SUM(c) AS pc,
+        |    SUM(d) AS pd FROM st)
+        |SELECT stratum, a, b, c, d,
+        |  CAST(sign(a * (c + d) - c * (a + b)) AS INT) AS stratum_sign,
+        |  CAST(sign(pa * (pc + pd) - pc * (pa + pb)) AS INT) AS pooled_sign,
+        |  (CAST(sign(a * (c + d) - c * (a + b)) AS INT) *
+        |   CAST(sign(pa * (pc + pd) - pc * (pa + pb)) AS INT) = -1)
+        |    AS reverses
+        |FROM st, p ORDER BY stratum""".stripMargin
   )
 }

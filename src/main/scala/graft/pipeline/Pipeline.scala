@@ -454,6 +454,44 @@ object Dedup {
   }
 
   /**
+   * Pairwise source-overlap audit: exact content Jaccard between every
+   * ordered pair of corpus sources over 64-bit document fingerprints —
+   * the "how much of source B is already in source A" report that
+   * prices a new acquisition before it enters the mixture (cross-source
+   * duplication is THE scaling risk of web-corpus unions).
+   *
+   *   jaccard_ppm(a,b) = |fp_a ∩ fp_b| · 10⁶ div (|fp_a| + |fp_b| − ∩)
+   *
+   * — exact integers end to end (truncating div, the rouge recipe).
+   *
+   * Scale shape: text reduces to (source, fingerprint) and distincts
+   * BEFORE anything joins — payloads never shuffle twice. The
+   * intersection is a fingerprint-keyed equi-SELF-join with `a < b`;
+   * per-fingerprint fan-out is bounded by (#sources carrying it)², and
+   * sources are metadata-sized, so the pair stream is O(|fps| · S²)
+   * worst-case with tiny S — no hub cap needed (unlike open-vocabulary
+   * pair miners). Per-source sizes join back via one broadcast.
+   *
+   * Returns (src_a, src_b, n_a, n_b, inter, jaccard_ppm), a < b.
+   */
+  def sourceOverlap(df: DataFrame, sourceCol: String,
+      textCol: String): DataFrame = {
+    val fps = df.select(col(sourceCol).as("src"),
+      TextFunctions.fingerprint(col(textCol)).as("__fp")).distinct()
+    val sizes = fps.groupBy("src").agg(count(lit(1)).as("n"))
+    val l = fps.select(col("src").as("src_a"), col("__fp"))
+    val r = fps.select(col("src").as("src_b"), col("__fp"))
+    l.join(r, "__fp").where(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes.select(col("src").as("src_a"), col("n").as("n_a"))),
+        "src_a")
+      .join(broadcast(sizes.select(col("src").as("src_b"), col("n").as("n_b"))),
+        "src_b")
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("inter"),
+        expr("inter * 1000000 div (n_a + n_b - inter)").as("jaccard_ppm"))
+  }
+
+  /**
    * Crawl-to-crawl snapshot diff: classify every document id across two
    * corpus snapshots as `added` / `removed` / `changed` / `unchanged`
    * by content fingerprint — the incremental-maintenance primitive that

@@ -972,6 +972,100 @@ object Stats {
         col("mi_unats"), col("rank"))
   }
 
+  /**
+   * Token-distribution KL divergence between two corpus slices — the
+   * "what changed in the mixture" report: for every token in the UNION
+   * vocabulary, the add-one-smoothed KL(P‖Q) contribution
+   *
+   *   kl_t = p_t · ln(p_t / q_t),
+   *   p_t = (c_P(t)+1)/(N_P+V),  q_t = (c_Q(t)+1)/(N_Q+V)
+   *
+   * in integer micro-nats (per-term round-once, the [[psiReport]]
+   * discipline — any engine replays each long exactly). The top-k by
+   * contribution are the tokens most over-represented in P relative to
+   * Q — the drill-down PSI/[[ksStatistic]] can't give because they see
+   * only a scalar metric, not the vocabulary.
+   *
+   * Scale shape: one token-count groupBy per side (map-side combined),
+   * ONE full-outer equi-join on the term, and a broadcast one-row
+   * totals crossJoin (N_P, N_Q, V). Global top-k is TakeOrdered; rank
+   * is a window over the k survivors only.
+   *
+   * Returns (term, p_cnt, q_cnt, kl_unats, rank), rank 1..k by
+   * (kl desc, term).
+   */
+  def tokenKL(p: DataFrame, q: DataFrame, textCol: String,
+      k: Int = 20): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    def counts(df: DataFrame, name: String): DataFrame =
+      df.select(explode(split(col(textCol), " ")).as("term"))
+        .where(col("term") =!= "")
+        .groupBy("term").agg(count(lit(1)).as(name))
+    val cp = counts(p, "p_cnt")
+    val cq = counts(q, "q_cnt")
+    val joined = cp.join(cq, Seq("term"), "full_outer")
+      .na.fill(0L, Seq("p_cnt", "q_cnt"))
+    val totals = joined.agg(sum("p_cnt").as("__np"), sum("q_cnt").as("__nq"),
+      count(lit(1)).as("__v"))
+    val contrib = round(lit(1e6) *
+      ((col("p_cnt") + lit(1.0)) / (col("__np") + col("__v"))) *
+      log(((col("p_cnt") + lit(1.0)) / (col("__np") + col("__v"))) /
+        ((col("q_cnt") + lit(1.0)) / (col("__nq") + col("__v")))))
+      .cast("long")
+    val top = joined.crossJoin(broadcast(totals))
+      .select(col("term"), col("p_cnt"), col("q_cnt"),
+        contrib.as("kl_unats"))
+      .orderBy(col("kl_unats").desc, col("term")).limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("kl_unats").desc, col("term"))
+    top.withColumn("rank", row_number().over(w).cast("int"))
+  }
+
+  /**
+   * Simpson's-paradox screen over a stratified 2×2 association — the
+   * A/B sanity check [[chiSquare2x2]] significance can't give: a pooled
+   * effect direction that REVERSES inside every stratum is a
+   * confounded readout, not a finding (Simpson '51; the canonical
+   * Berkeley-admissions failure). Per stratum, the four counts and the
+   * risk-difference sign compared RATIONALLY —
+   *
+   *   sign(a·(c+d) − c·(a+b))   (a/(a+b) vs c/(c+d), divisions cleared)
+   *
+   * — so everything is exact 64-bit integer math; the pooled row
+   * computes the same sign over the summed counts and every stratum is
+   * flagged when its direction contradicts the pooled one.
+   *
+   * Scale shape: ONE (stratum) groupBy with four conditional counts
+   * (map-side combined, stratum-bounded output), a one-row pooled
+   * aggregate over the stratum table (metadata-sized), broadcast back.
+   * Fact rows shuffle once.
+   *
+   * Returns one row per stratum: (stratum, a, b, c, d, stratum_sign,
+   * pooled_sign, reverses). Overflow contract: a·(c+d) < 2^63 — counts
+   * to ~3e9 per stratum cell.
+   */
+  def simpsonReversals(df: DataFrame, stratumCol: String,
+      groupCol: String, successCol: String): DataFrame = {
+    val g = col(groupCol).cast("boolean")
+    val s = col(successCol).cast("boolean")
+    val strata = df.groupBy(col(stratumCol).as("stratum")).agg(
+      count(when(g && s, 1)).as("a"),
+      count(when(g && !s, 1)).as("b"),
+      count(when(!g && s, 1)).as("c"),
+      count(when(!g && !s, 1)).as("d"))
+    def sig(a: Column, b: Column, c: Column, d: Column): Column =
+      signum(a * (c + d) - c * (a + b)).cast("int")
+    val pooled = strata.agg(sum("a").as("__pa"), sum("b").as("__pb"),
+      sum("c").as("__pc"), sum("d").as("__pd"))
+    strata.crossJoin(broadcast(pooled))
+      .select(col("stratum"), col("a"), col("b"), col("c"), col("d"),
+        sig(col("a"), col("b"), col("c"), col("d")).as("stratum_sign"),
+        sig(col("__pa"), col("__pb"), col("__pc"), col("__pd"))
+          .as("pooled_sign"))
+      .withColumn("reverses",
+        col("stratum_sign") * col("pooled_sign") === -1)
+  }
+
   /** Poisson(1) inverse-CDF thresholds on the 63-bit uniform scale:
     * weight(u) = Σ_k [u ≥ T_k], k = 0..6 — so per-row bootstrap weights
     * are 0..7 (the ≥8 tail, mass 1e-5, folds into 7). The literals are

@@ -55,7 +55,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_conformal" -> "broadcast one-row calibration-count crossJoin (the n)",
     "q_bm25" -> "broadcast query-term df table + one-row (N, sumlen) totals crossJoin",
     "q_token_label_mi" -> ("broadcast label-margin dense-grid crossJoin " +
-      "(labels are metadata-sized — the q_tcloseness pattern) + one-row total"))
+      "(labels are metadata-sized — the q_tcloseness pattern) + one-row total"),
+    "q_token_kl" -> "broadcast one-row (N_P, N_Q, V) totals crossJoin",
+    "q_simpson" -> "broadcast one-row pooled-counts crossJoin (4 longs)")
 
   test("no query plans an unintended cartesian or nested-loop join") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -110,7 +112,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_ks" -> "cumulative sums over DISTINCT metric values (pre-scaled-long contract)",
     "q_conformal" -> "cumulative counts over DISTINCT calibration scores (pre-scaled-long contract)",
     "q_bm25" -> "row_number over the TakeOrdered top-10 doc table",
-    "q_token_label_mi" -> "row_number over the TakeOrdered top-20 term table")
+    "q_token_label_mi" -> "row_number over the TakeOrdered top-20 term table",
+    "q_token_kl" -> "row_number over the TakeOrdered top-20 term table")
 
   test("every window operator is partitioned (no global fact-table sorts)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}

@@ -537,4 +537,37 @@ class StatsSpec extends AnyFunSuite {
     // sum is exactly 100 * n_eff (weights are integers)
     a.foreach { r => assert(r.getLong(2) == 100L * r.getLong(1)) }
   }
+
+  test("tokenKL: identical slices are flat, a shifted token floats up") {
+    val p = Seq("aa bb", "aa cc").toDF("text")
+    // q lacks 'aa' entirely -> 'aa' must carry the largest contribution
+    val q = Seq("bb cc", "bb dd").toDF("text")
+    val rows = Stats.tokenKL(p, q, "text", 10).collect()
+    val top = rows.minBy(_.getInt(4))
+    assert(top.getString(0) == "aa" && top.getLong(1) == 2L && top.getLong(2) == 0L)
+    // hand value: p_aa = 3/8, q_aa = 1/8 (add-one, Np=4 Nq=4 V=4)
+    assert(top.getLong(3) ==
+      math.round(1e6 * (3.0 / 8) * math.log((3.0 / 8) / (1.0 / 8))))
+    // same slice twice: every contribution is exactly 0
+    val flat = Stats.tokenKL(p, p, "text", 10).collect()
+    assert(flat.forall(_.getLong(3) == 0L))
+  }
+
+  test("simpsonReversals: the textbook reversal flags, aligned strata don't") {
+    // classic: treatment better in BOTH strata, worse pooled
+    // stratum X: grp 81/87 vs other 234/270; stratum Y: 192/263 vs 55/80
+    def rows(st: String, g: Boolean, s: Boolean, n: Int) =
+      Seq.fill(n)((st, g, s))
+    val df = (rows("X", true, true, 81) ++ rows("X", true, false, 6) ++
+      rows("X", false, true, 234) ++ rows("X", false, false, 36) ++
+      rows("Y", true, true, 192) ++ rows("Y", true, false, 71) ++
+      rows("Y", false, true, 55) ++ rows("Y", false, false, 25))
+      .toDF("st", "g", "s")
+    val got = Stats.simpsonReversals(df, "st", "g", "s").collect()
+      .map(r => r.getString(0) -> (r.getInt(5), r.getInt(6), r.getBoolean(7)))
+      .toMap
+    // per-stratum: treatment better (sign +1); pooled: worse (sign -1)
+    assert(got("X") == ((1, -1, true)), got.toString)
+    assert(got("Y") == ((1, -1, true)), got.toString)
+  }
 }
