@@ -2470,3 +2470,84 @@ def simpson_reversals(df, stratum_col, group_col, success_col):
                         F.col("__pd")).alias("pooled_sign"))
             .withColumn("reverses",
                         F.col("stratum_sign") * F.col("pooled_sign") == -1))
+
+
+def gini_concentration(df, key_col):
+    """Gini concentration of rows over a grouping key — Python mirror
+    of the Scala ``Stats.giniConcentration``: exact integer Lorenz
+    formula over (count, key)-sorted per-key counts, truncating ppm.
+    """
+    counts = (df.groupBy(F.col(key_col).alias("__k"))
+              .agg(F.count(F.lit(1)).alias("__c")))
+    w = Window.orderBy(F.col("__c"), F.col("__k"))
+    return (counts.withColumn("__i", F.row_number().over(w).cast("long"))
+            .agg(F.count(F.lit(1)).alias("n_keys"),
+                 F.sum("__c").alias("total"),
+                 F.sum(F.col("__i") * F.col("__c")).alias("__ic"))
+            .select("n_keys", "total",
+                    F.expr("(2 * __ic - (n_keys + 1) * total) * 1000000"
+                           " div (n_keys * total)").alias("gini_ppm")))
+
+
+def cmh_test(df, stratum_col, group_col, success_col):
+    """Cochran-Mantel-Haenszel pooled 2x2 chi-square across strata —
+    Python mirror of the Scala ``Stats.cmhTest``: per-stratum E/V in
+    round-once micro-points, exact long sums, one double division;
+    strata with n < 2 contribute nothing.
+    """
+    g = F.col(group_col).cast("boolean")
+    s = F.col(success_col).cast("boolean")
+    strata = (df.groupBy(F.col(stratum_col).alias("__st")).agg(
+        F.count(F.when(g & s, 1)).alias("a"),
+        F.count(F.when(g & ~s, 1)).alias("b"),
+        F.count(F.when(~g & s, 1)).alias("c"),
+        F.count(F.when(~g & ~s, 1)).alias("d"))
+        .withColumn("n", F.col("a") + F.col("b") + F.col("c") + F.col("d")))
+    num_i = (F.when(F.col("n") < 2, F.lit(0).cast("long"))
+             .otherwise(F.round(F.lit(1e6) * (
+                 F.col("a") - (F.col("a") + F.col("b")).cast("double") *
+                 (F.col("a") + F.col("c")) / F.col("n"))).cast("long")))
+    den_i = (F.when(F.col("n") < 2, F.lit(0).cast("long"))
+             .otherwise(F.round(F.lit(1e6) * (
+                 (F.col("a") + F.col("b")).cast("double") *
+                 (F.col("c") + F.col("d")) * (F.col("a") + F.col("c")) *
+                 (F.col("b") + F.col("d"))) /
+                 (F.col("n").cast("double") * F.col("n") *
+                  (F.col("n") - F.lit(1)))).cast("long")))
+    chi2 = (F.when(F.col("den_micro") == 0, F.lit(None).cast("long"))
+            .otherwise(F.round(F.col("num_micro").cast("double") *
+                               F.col("num_micro") / F.col("den_micro"))
+                       .cast("long")))
+    return (strata.agg(F.count(F.lit(1)).alias("n_strata"),
+                       F.sum(num_i).alias("num_micro"),
+                       F.sum(den_i).alias("den_micro"))
+            .select("n_strata", "num_micro", "den_micro",
+                    chi2.alias("chi2_micro"))
+            .withColumn("significant_95",
+                        F.when(F.col("chi2_micro").isNull(),
+                               F.lit(None).cast("boolean"))
+                        .otherwise(F.col("chi2_micro") > 3841459)))
+
+
+def ewma_smooth(df, key_col, order_col, value_col, lags=8):
+    """Truncated half-decay EWMA in exact integer arithmetic — Python
+    mirror of the Scala ``Temporal.ewmaSmooth``: weight 2^(L-1-k) on
+    lag k over one per-key window; absent lags leave both sums.
+    """
+    lags = int(lags)
+    if not 1 <= lags <= 16:
+        raise ValueError(f"lags must be in [1,16], got {lags}")
+    w = Window.partitionBy(F.col(key_col)).orderBy(F.col(order_col))
+    v = F.col(value_col).cast("long")
+    num = F.lit(0).cast("long")
+    den = F.lit(0).cast("long")
+    for k in range(lags):
+        wt = 1 << (lags - 1 - k)
+        l = F.lag(v, k).over(w)
+        num = num + F.when(l.isNotNull(), l * F.lit(wt)).otherwise(0)
+        den = den + F.when(l.isNotNull(), F.lit(wt)).otherwise(0)
+    return (df.withColumn("__graft_num", num)
+            .withColumn("__graft_den", den)
+            .withColumn("ewma_milli",
+                        F.expr("(1000 * __graft_num) div __graft_den"))
+            .drop("__graft_num", "__graft_den"))

@@ -1066,3 +1066,35 @@ def test_simpson_reversal_textbook(spark):
     got = {r["stratum"]: (r["stratum_sign"], r["pooled_sign"], r["reverses"])
            for r in simpson_reversals(df, "st", "g", "s").collect()}
     assert got == {"X": (1, -1, True), "Y": (1, -1, True)}
+
+
+def test_gini_concentration(spark):
+    from graft.pipeline import gini_concentration
+    even = spark.createDataFrame([("a",), ("a",), ("b",), ("b",)], "k string")
+    r = gini_concentration(even, "k").collect()[0]
+    assert (r["n_keys"], r["total"], r["gini_ppm"]) == (2, 4, 0)
+    skew = spark.createDataFrame([("z",)] * 8 + [("x",), ("y",)], "k string")
+    assert gini_concentration(skew, "k").collect()[0]["gini_ppm"] \
+        == 14 * 1000000 // 30
+
+
+def test_cmh_hand(spark):
+    from graft.pipeline import cmh_test
+    rows = ([("X", True, True)] * 20 + [("X", True, False)] * 30 +
+            [("X", False, True)] * 35 + [("X", False, False)] * 15)
+    df = spark.createDataFrame(rows, "st string, g boolean, s boolean")
+    r = cmh_test(df, "st", "g", "s").collect()[0]
+    num = round(1e6 * (20 - 50.0 * 55 / 100))
+    den = round(1e6 * (50.0 * 50 * 55 * 45) / (100.0 * 100 * 99))
+    assert (r["num_micro"], r["den_micro"]) == (num, den)
+    assert r["chi2_micro"] == round(float(num) * num / den)
+
+
+def test_ewma_smooth_exact(spark):
+    from graft.pipeline import ewma_smooth
+    df = spark.createDataFrame(
+        [("k", 1, 10), ("k", 2, 20), ("k", 3, 40)],
+        "key string, ord long, v long")
+    got = {r["ord"]: r["ewma_milli"]
+           for r in ewma_smooth(df, "key", "ord", "v", lags=3).collect()}
+    assert got == {1: 10000, 2: 100000 // 6, 3: 30000}

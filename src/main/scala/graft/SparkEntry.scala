@@ -3810,7 +3810,26 @@ object SparkEntry {
         t(s, dir, "events").select(col("event_type"),
           expr("user_id % 2 = 0").as("grp"),
           expr("cast(round(value * 100) as bigint) >= 500").as("succ")),
-        "event_type", "grp", "succ").orderBy("stratum"))
+        "event_type", "grp", "succ").orderBy("stratum")),
+    // ---- wave 23: concentration / pooled test / smoothing ----
+    // Gini concentration of documents across sources, exact ppm
+    "q_gini" -> ((s, dir) =>
+      graft.pipeline.Stats.giniConcentration(
+        t(s, dir, "documents"), "source")),
+    // CMH pooled chi2 over the q_simpson strata — the controlled test
+    "q_cmh" -> ((s, dir) =>
+      graft.pipeline.Stats.cmhTest(
+        t(s, dir, "events").select(col("event_type"),
+          expr("user_id % 2 = 0").as("grp"),
+          expr("cast(round(value * 100) as bigint) >= 500").as("succ")),
+        "event_type", "grp", "succ")),
+    // truncated half-decay EWMA of value cents per event type
+    "q_ewma" -> ((s, dir) =>
+      graft.pipeline.Temporal.ewmaSmooth(
+        t(s, dir, "events").select(col("event_type"), col("event_id"),
+          expr("cast(round(value * 100) as bigint)").as("cents")),
+        "event_type", "event_id", "cents", lags = 8)
+        .orderBy("event_type", "event_id"))
   )
 
   // ---- DuckDB SQL builders for graft's 64-bit hash primitives ----
@@ -8305,6 +8324,67 @@ object SparkEntry {
         |  (CAST(sign(a * (c + d) - c * (a + b)) AS INT) *
         |   CAST(sign(pa * (pc + pd) - pc * (pa + pb)) AS INT) = -1)
         |    AS reverses
-        |FROM st, p ORDER BY stratum""".stripMargin
+        |FROM st, p ORDER BY stratum""".stripMargin,
+    // Gini replayed: per-key counts, (count, key)-ordered ranks, the
+    // exact integer Lorenz formula with truncating div
+    "q_gini" ->
+      """WITH c AS (SELECT source AS k, COUNT(*) AS c FROM documents
+        |  GROUP BY 1),
+        |r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c, k) AS i FROM c)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |  CAST(SUM(c) AS BIGINT) AS total,
+        |  CAST((2 * SUM(i * c) - (COUNT(*) + 1) * SUM(c)) * 1000000
+        |    // (COUNT(*) * SUM(c)) AS BIGINT) AS gini_ppm
+        |FROM r""".stripMargin,
+    // CMH replayed: per-stratum E/V contributions rounded once to
+    // micro-points (margin products through doubles), exact long sums
+    "q_cmh" ->
+      """WITH f AS (SELECT event_type AS stratum, (user_id % 2 = 0) AS g,
+        |    (CAST(round(value * 100) AS BIGINT) >= 500) AS s FROM events),
+        |st AS (SELECT stratum,
+        |    COUNT(CASE WHEN g AND s THEN 1 END) AS a,
+        |    COUNT(CASE WHEN g AND NOT s THEN 1 END) AS b,
+        |    COUNT(CASE WHEN NOT g AND s THEN 1 END) AS c,
+        |    COUNT(CASE WHEN NOT g AND NOT s THEN 1 END) AS d
+        |  FROM f GROUP BY 1),
+        |n AS (SELECT *, a + b + c + d AS n FROM st),
+        |k AS (SELECT
+        |    CASE WHEN n < 2 THEN 0 ELSE CAST(round(1e6 *
+        |      (a - CAST(a + b AS DOUBLE) * (a + c) / n)) AS BIGINT) END
+        |      AS num_i,
+        |    CASE WHEN n < 2 THEN 0 ELSE CAST(round(1e6 *
+        |      (CAST(a + b AS DOUBLE) * (c + d) * (a + c) * (b + d)) /
+        |      (CAST(n AS DOUBLE) * n * (n - 1))) AS BIGINT) END AS den_i
+        |  FROM n),
+        |t AS (SELECT COUNT(*) AS n_strata, SUM(num_i) AS ns,
+        |    SUM(den_i) AS ds FROM k)
+        |SELECT CAST(n_strata AS BIGINT) AS n_strata,
+        |  CAST(ns AS BIGINT) AS num_micro, CAST(ds AS BIGINT) AS den_micro,
+        |  CASE WHEN ds = 0 THEN NULL
+        |    ELSE CAST(round(CAST(ns AS DOUBLE) * ns / ds) AS BIGINT) END
+        |    AS chi2_micro,
+        |  CASE WHEN ds = 0 THEN NULL
+        |    ELSE CAST(round(CAST(ns AS DOUBLE) * ns / ds) AS BIGINT)
+        |      > 3841459 END AS significant_95
+        |FROM t""".stripMargin,
+    // EWMA replayed: the same L lag reads over one per-key window,
+    // weights 2^(L-1-k), absent lags excluded from both sums
+    "q_ewma" -> {
+      val terms = (0 until 8).map { k =>
+        val wt = 1L << (7 - k)
+        val l = if (k == 0) "cents" else s"LAG(cents, $k) OVER w"
+        (s"CASE WHEN $l IS NOT NULL THEN $l * $wt ELSE 0 END",
+          s"CASE WHEN $l IS NOT NULL THEN $wt ELSE 0 END")
+      }
+      s"""WITH b AS (SELECT event_type, event_id,
+         |    CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+         |SELECT event_type, event_id, cents,
+         |  CAST((1000 * (${terms.map(_._1).mkString(" + ")}))
+         |    // (${terms.map(_._2).mkString(" + ")}) AS BIGINT)
+         |    AS ewma_milli
+         |FROM b
+         |WINDOW w AS (PARTITION BY event_type ORDER BY event_id)
+         |ORDER BY event_type, event_id""".stripMargin
+    }
   )
 }

@@ -1066,6 +1066,93 @@ object Stats {
         col("stratum_sign") * col("pooled_sign") === -1)
   }
 
+  /**
+   * Gini concentration of a corpus over a grouping key — the
+   * one-number "is the mixture dominated by a few domains/sources"
+   * audit (Lorenz-curve area, Gini '12; the standard concentration
+   * statistic). Over per-key counts c₁ ≤ … ≤ c_n (ties broken by key —
+   * both engines sort identically):
+   *
+   *   gini_ppm = (2·Σ i·cᵢ − (n+1)·Σ cᵢ) · 10⁶ div (n · Σ cᵢ)
+   *
+   * — exact integers end to end (truncating div). 0 = perfectly even,
+   * → 1 000 000 as one key takes everything.
+   *
+   * Scale shape: ONE keyed groupBy reduces the corpus to the key-
+   * bounded count table; the rank window and the two one-row sums run
+   * over THAT table only (keys are bounded — domains/sources/langs,
+   * not documents). Overflow contract: n·Σc < 2^63 — e.g. a million
+   * keys over a trillion rows.
+   *
+   * Returns one row: (n_keys, total, gini_ppm).
+   */
+  def giniConcentration(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol).as("__k"))
+      .agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__c"), col("__k"))
+    counts.withColumn("__i", row_number().over(w).cast("long"))
+      .agg(count(lit(1)).as("n_keys"), sum("__c").as("total"),
+        sum(col("__i") * col("__c")).as("__ic"))
+      .select(col("n_keys"), col("total"),
+        expr("(2 * __ic - (n_keys + 1) * total) * 1000000" +
+          " div (n_keys * total)").as("gini_ppm"))
+  }
+
+  /**
+   * Cochran–Mantel–Haenszel pooled 2×2 test across strata — the
+   * statistically-sound companion to [[simpsonReversals]]: where the
+   * Simpson screen flags per-stratum direction conflicts, CMH answers
+   * "is there a common association after CONTROLLING for the stratum"
+   * (Mantel & Haenszel '59; uncorrected statistic):
+   *
+   *   χ²_CMH = (Σᵢ aᵢ − Eᵢ)² / Σᵢ Vᵢ,
+   *   Eᵢ = (aᵢ+bᵢ)(aᵢ+cᵢ)/nᵢ,
+   *   Vᵢ = (aᵢ+bᵢ)(cᵢ+dᵢ)(aᵢ+cᵢ)(bᵢ+dᵢ)/(nᵢ²(nᵢ−1))
+   *
+   * Per-stratum Eᵢ/Vᵢ contributions are rounded ONCE to micro-points
+   * (the [[psiReport]] discipline — margin products go through doubles,
+   * so no 64-bit overflow at 3e9-row cells) and their long sums are
+   * exact; the final χ² is one double division. Strata with nᵢ < 2
+   * (V undefined) contribute nothing, documented; all-degenerate input
+   * yields NULL. significant_95 gates on the χ²(1) 5% critical value.
+   *
+   * Scale shape: ONE stratum groupBy with four conditional counts
+   * (map-side combined), then a one-row aggregate over the
+   * metadata-sized stratum table. Fact rows shuffle once.
+   *
+   * Returns one row: (n_strata, num_micro, den_micro, chi2_micro,
+   * significant_95).
+   */
+  def cmhTest(df: DataFrame, stratumCol: String, groupCol: String,
+      successCol: String): DataFrame = {
+    val g = col(groupCol).cast("boolean")
+    val s = col(successCol).cast("boolean")
+    val strata = df.groupBy(col(stratumCol).as("__st")).agg(
+      count(when(g && s, 1)).as("a"),
+      count(when(g && !s, 1)).as("b"),
+      count(when(!g && s, 1)).as("c"),
+      count(when(!g && !s, 1)).as("d"))
+      .withColumn("n", col("a") + col("b") + col("c") + col("d"))
+    val numI = when(col("n") < 2, 0L).otherwise(round(lit(1e6) *
+      (col("a") - (col("a") + col("b")).cast("double") *
+        (col("a") + col("c")) / col("n"))).cast("long"))
+    val denI = when(col("n") < 2, 0L).otherwise(round(lit(1e6) *
+      ((col("a") + col("b")).cast("double") * (col("c") + col("d")) *
+        (col("a") + col("c")) * (col("b") + col("d"))) /
+      (col("n").cast("double") * col("n") * (col("n") - lit(1)))).cast("long"))
+    strata.agg(count(lit(1)).as("n_strata"),
+        sum(numI).as("num_micro"), sum(denI).as("den_micro"))
+      .select(col("n_strata"), col("num_micro"), col("den_micro"),
+        when(col("den_micro") === 0L, lit(null).cast("long"))
+          .otherwise(round(col("num_micro").cast("double") *
+            col("num_micro") / col("den_micro")).cast("long"))
+          .as("chi2_micro"))
+      .withColumn("significant_95",
+        when(col("chi2_micro").isNull, lit(null).cast("boolean"))
+          .otherwise(col("chi2_micro") > 3841459L))
+  }
+
   /** Poisson(1) inverse-CDF thresholds on the 63-bit uniform scale:
     * weight(u) = Σ_k [u ≥ T_k], k = 0..6 — so per-row bootstrap weights
     * are 0..7 (the ≥8 tail, mass 1e-5, folds into 7). The literals are

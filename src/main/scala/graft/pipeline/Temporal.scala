@@ -875,4 +875,47 @@ object Temporal {
       .where(col("n_buckets") >= minLen)
       .drop("__grp")
   }
+
+  /**
+   * Truncated exponentially-weighted moving average (decay ½ per step)
+   * over a pre-scaled integral metric — the smoothing a control chart
+   * or live health monitor puts in front of a gate, in EXACT integer
+   * arithmetic: weight 2^(L−1−k) on lag k over the last `lags` rows,
+   *
+   *   ewma_milli = 1000 · Σₖ v_{t−k}·2^(L−1−k)  div  Σₖ 2^(L−1−k)
+   *
+   * with absent lags (series head) excluded from BOTH sums, so early
+   * rows average over what exists. Halving weights put >99.9% of the
+   * mass inside 10 lags — the truncation at `lags ≤ 16` changes
+   * nothing observable and is what makes the recursion windowable (the
+   * infinite-memory recurrence is inherently sequential; the truncated
+   * form is L lag() reads over ONE per-key window sort, exactly
+   * replayable by any engine with LAG).
+   *
+   * Scale shape: one per-key window (partitioned — never a global
+   * sort), L lag expressions sharing its single sort; no joins, no
+   * second shuffle. `orderCol` must be unique per key (the
+   * deterministic-window contract).
+   *
+   * Returns the input plus `ewma_milli`.
+   */
+  def ewmaSmooth(df: DataFrame, keyCol: String, orderCol: String,
+      valueCol: String, lags: Int = 8): DataFrame = {
+    require(lags >= 1 && lags <= 16, s"lags must be in [1,16], got $lags")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
+    val v = col(valueCol).cast("long")
+    val terms = (0 until lags).map { k =>
+      val wt = 1L << (lags - 1 - k)
+      val l = lag(v, k).over(w)
+      (when(l.isNotNull, l * lit(wt)).otherwise(0L),
+        when(l.isNotNull, lit(wt)).otherwise(0L))
+    }
+    val num = terms.map(_._1).reduce(_ + _)
+    val den = terms.map(_._2).reduce(_ + _)
+    df.withColumn("__graft_num", num)
+      .withColumn("__graft_den", den)
+      .withColumn("ewma_milli",
+        expr("(1000 * __graft_num) div __graft_den"))
+      .drop("__graft_num", "__graft_den")
+  }
 }

@@ -113,7 +113,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_conformal" -> "cumulative counts over DISTINCT calibration scores (pre-scaled-long contract)",
     "q_bm25" -> "row_number over the TakeOrdered top-10 doc table",
     "q_token_label_mi" -> "row_number over the TakeOrdered top-20 term table",
-    "q_token_kl" -> "row_number over the TakeOrdered top-20 term table")
+    "q_token_kl" -> "row_number over the TakeOrdered top-20 term table",
+    "q_gini" -> "rank over the per-key count aggregate (keys are metadata-sized)")
 
   test("every window operator is partitioned (no global fact-table sorts)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}

@@ -570,4 +570,42 @@ class StatsSpec extends AnyFunSuite {
     assert(got("X") == ((1, -1, true)), got.toString)
     assert(got("Y") == ((1, -1, true)), got.toString)
   }
+
+  test("giniConcentration: even split is 0, total concentration nears 1") {
+    val even = Seq("a", "a", "b", "b", "c", "c").toDF("k")
+    val e = Stats.giniConcentration(even, "k").collect()(0)
+    assert((e.getLong(0), e.getLong(1), e.getLong(2)) == ((3L, 6L, 0L)))
+    // counts 1,1,8: gini = (2*(1*1+2*1+3*8) - 4*10) / (3*10) = 14/30
+    val skew = (Seq.fill(8)("z") ++ Seq("x", "y")).toDF("k")
+    val s = Stats.giniConcentration(skew, "k").collect()(0)
+    assert(s.getLong(2) == 14L * 1000000 / 30)
+  }
+
+  test("cmhTest matches the hand formula and degenerate strata drop out") {
+    // stratum X: a=20 b=30 c=35 d=15; stratum Y: a=8 b=2 c=5 d=5
+    def rows(st: String, g: Boolean, s: Boolean, n: Int) =
+      Seq.fill(n)((st, g, s))
+    val df = (rows("X", true, true, 20) ++ rows("X", true, false, 30) ++
+      rows("X", false, true, 35) ++ rows("X", false, false, 15) ++
+      rows("Y", true, true, 8) ++ rows("Y", true, false, 2) ++
+      rows("Y", false, true, 5) ++ rows("Y", false, false, 5) ++
+      rows("Z", true, true, 1)).toDF("st", "g", "s") // Z: n=1, drops out
+    val r = Stats.cmhTest(df, "st", "g", "s").collect()(0)
+    def numI(a: Long, b: Long, c: Long, d: Long): Long = {
+      val n = a + b + c + d
+      math.round(1e6 * (a - (a + b).toDouble * (a + c) / n))
+    }
+    def denI(a: Long, b: Long, c: Long, d: Long): Long = {
+      val n = a + b + c + d
+      math.round(1e6 * ((a + b).toDouble * (c + d) * (a + c) * (b + d)) /
+        (n.toDouble * n * (n - 1)))
+    }
+    val ns = numI(20, 30, 35, 15) + numI(8, 2, 5, 5)
+    val ds = denI(20, 30, 35, 15) + denI(8, 2, 5, 5)
+    assert(r.getLong(0) == 3L) // Z counted as a stratum, contributes 0
+    assert(r.getLong(1) == ns && r.getLong(2) == ds)
+    assert(r.getLong(3) == math.round(ns.toDouble * ns / ds))
+    // X is strongly negative-assoc, Y positive; pooled X dominates
+    assert(r.getBoolean(4) == (r.getLong(3) > 3841459L))
+  }
 }

@@ -657,4 +657,22 @@ class TemporalSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(all == Set(("A", 1L), ("A", 5L), ("A", 8L)))
   }
+
+  test("ewmaSmooth: exact truncated half-decay weights, heads renormalize") {
+    import spark.implicits._
+    val df = Seq(("k", 1L, 10L), ("k", 2L, 20L), ("k", 3L, 40L),
+      ("j", 1L, 5L)).toDF("key", "ord", "v")
+    val got = graft.pipeline.Temporal.ewmaSmooth(df, "key", "ord", "v",
+        lags = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    // lags=3 weights (current..oldest) = 4,2,1
+    // k@1: only current -> 1000*10*4/4 = 10000
+    assert(got(("k", 1L)) == 10000L)
+    // k@2: (20*4 + 10*2)*1000 div 6 = 100000 div 6 = 16666
+    assert(got(("k", 2L)) == 100000L / 6)
+    // k@3: (40*4 + 20*2 + 10*1)*1000 div 7 = 210000 div 7 = 30000
+    assert(got(("k", 3L)) == 30000L)
+    // singleton key: its own value
+    assert(got(("j", 1L)) == 5000L)
+  }
 }
