@@ -341,7 +341,41 @@ object DumpPlans {
         "(id, px, ahash) table checkpoints ONCE and feeds both the " +
         "blocking self-join and the survivor anti-join; pairs travel " +
         "as ids+hashes only, never payloads — the image twin of " +
-        "q_e2e_curation's cross-stage contract pin."))
+        "q_e2e_curation's cross-stage contract pin."),
+      // ---- wave-18..23 flagships ----
+      "q_chi2" -> ("Chi-square 2x2 A/B readout: FOUR conditional " +
+        "counts in ONE map-side-combinable groupBy — a single keyed " +
+        "shuffle, key-bounded output; the statistic is a per-row " +
+        "round-once expression after the aggregate."),
+      "q_ks" -> ("Two-sample KS drift: one groupBy per side, " +
+        "cumulative windows over the DISTINCT-VALUE table only " +
+        "(fact rows shuffle once per side), exact integer D in ppm " +
+        "with a smallest-value argmax."),
+      "q_bm25" -> ("BM25 retrieval: tokens filter to the query terms " +
+        "BEFORE any shuffle (the explode feeds a pushed-down isin); " +
+        "df and the one-row (N, sumlen) totals broadcast; top-k is " +
+        "TakeOrdered, rank over the k survivors only."),
+      "q_token_label_mi" -> ("Token-label MI leakage audit: ONE " +
+        "(token, label) groupBy; the dense term x label grid is a " +
+        "crossJoin with the BROADCAST metadata-sized label margins " +
+        "(the t-closeness pattern) — linear in the vocabulary, and " +
+        "absent cells keep their mass."),
+      "q_bootstrap" -> ("Poisson bootstrap: explode inflates reps x " +
+        "on the MAP side only — groupBy(rep) partial-aggregates " +
+        "before the exchange, so exactly reps rows per partition " +
+        "shuffle regardless of data size; weights are deterministic " +
+        "mix64 draws against shared threshold literals."),
+      "q_token_kl" -> ("Token KL mixture shift: one token-count " +
+        "groupBy per side, ONE full-outer term join, broadcast " +
+        "one-row totals; per-term round-once micro-nats make the " +
+        "top-k engine-replayable."),
+      "q_source_overlap" -> ("Cross-source Jaccard: text reduces to " +
+        "distinct (source, fingerprint) BEFORE the fp-keyed ordered " +
+        "self-join; per-fp fan-out is bounded by the metadata-sized " +
+        "source count squared; sizes join back via broadcast."),
+      "q_ewma" -> ("Truncated integer EWMA: L lag reads share ONE " +
+        "per-key window sort — partitioned, never a global sort; no " +
+        "joins, no second shuffle; exact longs end to end."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
