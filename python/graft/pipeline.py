@@ -2551,3 +2551,75 @@ def ewma_smooth(df, key_col, order_col, value_col, lags=8):
             .withColumn("ewma_milli",
                         F.expr("(1000 * __graft_num) div __graft_den"))
             .drop("__graft_num", "__graft_den"))
+
+
+def rbo_topk(a, b, k):
+    """Rank-biased overlap at p=1/2 — Python mirror of the Scala
+    ``Similarity.rboTopK``: exact 2^-d depth weights, overlap via
+    max(rank_A, rank_B) <= d against a broadcast k-row depth table;
+    queries sharing nothing keep a 0 row.
+    """
+    k = int(k)
+    if not 1 <= k <= 62:
+        raise ValueError(f"k must be in [1,62], got {k}")
+    ar = (a.where(F.col("rank") <= k)
+          .select("query_id", "neighbor_id",
+                  F.col("rank").cast("long").alias("__ra")))
+    br = (b.where(F.col("rank") <= k)
+          .select("query_id", "neighbor_id",
+                  F.col("rank").cast("long").alias("__rb")))
+    common = (ar.join(br, ["query_id", "neighbor_id"])
+              .select("query_id",
+                      F.greatest("__ra", "__rb").alias("__m")))
+    depths = a.sparkSession.createDataFrame(
+        [(d,) for d in range(1, k + 1)], "__d long")
+    per_query = (common.join(F.broadcast(depths),
+                             F.col("__m") <= F.col("__d"))
+                 .groupBy("query_id", "__d")
+                 .agg(F.count(F.lit(1)).alias("__x"))
+                 .select("query_id", F.expr(
+                     "__x * 1000000 div (__d * shiftleft(cast(1 as bigint),"
+                     " cast(__d as int)))").alias("__contrib"))
+                 .groupBy("query_id")
+                 .agg(F.sum("__contrib").alias("rbo_ppm")))
+    n_common = common.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_common"))
+    return (a.select("query_id").distinct()
+            .join(n_common, ["query_id"], "left")
+            .join(per_query, ["query_id"], "left")
+            .na.fill(0, ["n_common", "rbo_ppm"]))
+
+
+def neyman_sample(df, id_col, src_col, metric_col, budget):
+    """Neyman-allocated stratified sample — Python mirror of the Scala
+    ``Mixture.neymanSample``: allocation min(n_h, budget*w_h div sum w)
+    with w_h = round(sqrt(n*ssq - s^2)) (= N_h*sigma_h, engine-exact by
+    IEEE sqrt), rows taken per stratum in mix64(id) order. The take
+    here is the naive per-stratum window — row-identical to the Scala
+    bucketed two-phase take (pinned by CurationSpec).
+    """
+    from graft import functions as gf
+    budget = int(budget)
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    v = F.col(metric_col).cast("long")
+    m = (df.select(F.col(src_col).alias("__src"), v.alias("__v"))
+         .groupBy("__src").agg(F.count(F.lit(1)).alias("__nh"),
+                               F.sum("__v").alias("__s"),
+                               F.sum(F.col("__v") * F.col("__v"))
+                               .alias("__ssq")))
+    w = m.withColumn("w_h", F.round(F.sqrt(
+        (F.col("__nh") * F.col("__ssq") - F.col("__s") * F.col("__s"))
+        .cast("double"))).cast("long"))
+    tot = w.agg(F.sum("w_h").alias("__tw"))
+    alloc = (w.crossJoin(F.broadcast(tot))
+             .withColumn("alloc", F.least(F.col("__nh"), F.expr(
+                 f"case when __tw = 0 then 0"
+                 f" else {budget} * w_h div __tw end")))
+             .select(F.col("__src").alias(src_col), "w_h", "alloc"))
+    win = Window.partitionBy(F.col(src_col)).orderBy(
+        gf.pl_mix64(F.col(id_col)), F.col(id_col))
+    return (df.join(F.broadcast(alloc), src_col)
+            .withColumn("__rn", F.row_number().over(win))
+            .where(F.col("__rn") <= F.col("alloc"))
+            .drop("__rn"))

@@ -1098,3 +1098,30 @@ def test_ewma_smooth_exact(spark):
     got = {r["ord"]: r["ewma_milli"]
            for r in ewma_smooth(df, "key", "ord", "v", lags=3).collect()}
     assert got == {1: 10000, 2: 100000 // 6, 3: 30000}
+
+
+def test_rbo_topk_hand(spark):
+    from graft.pipeline import rbo_topk
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3),
+         (2, 20, 1), (2, 21, 2), (2, 22, 3)],
+        "query_id long, neighbor_id long, rank int")
+    b = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3),
+         (2, 21, 1), (2, 20, 2), (2, 22, 3)],
+        "query_id long, neighbor_id long, rank int")
+    got = {r["query_id"]: (r["n_common"], r["rbo_ppm"])
+           for r in rbo_topk(a, b, 3).collect()}
+    assert got == {1: (3, 875000), 2: (3, 375000)}
+
+
+def test_neyman_sample_allocation(spark):
+    from graft.pipeline import neyman_sample
+    rows = ([(i, "hi", 1000 if i % 2 == 0 else 0) for i in range(1, 101)] +
+            [(i, "lo", 500) for i in range(101, 201)])
+    df = spark.createDataFrame(rows, "doc_id long, src string, v long")
+    out = neyman_sample(df, "doc_id", "src", "v", 30)
+    by_src = {r["src"]: r["count"]
+              for r in out.groupBy("src").count().collect()}
+    # w_hi = 50000, w_lo = 0 -> alloc_hi = 30, lo dropped
+    assert by_src == {"hi": 30}

@@ -3829,7 +3829,28 @@ object SparkEntry {
         t(s, dir, "events").select(col("event_type"), col("event_id"),
           expr("cast(round(value * 100) as bigint)").as("cents")),
         "event_type", "event_id", "cents", lags = 8)
-        .orderBy("event_type", "event_id"))
+        .orderBy("event_type", "event_id")),
+    // ---- wave 24: ranking drift / variance-optimal sampling ----
+    // RBO@3 (p=1/2, exact 2^-d weights) of the IVF ranking against the
+    // brute ranking — ORDER-sensitive where recall/MRR are set-based
+    "q_rbo" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.rboTopK(
+        Similarity.ivfTopK(e, "vec_id", "embedding", 3),
+        Similarity.bruteTopK(e, "vec_id", "embedding", 3), 3)
+        .orderBy("query_id")
+    }),
+    // Neyman-allocated stratified sample over n_chars: per-source
+    // report (took, exact sampled-id checksum) pins the row-level take
+    "q_neyman" -> ((s, dir) =>
+      graft.pipeline.Mixture.neymanSample(
+        t(s, dir, "documents").select(col("doc_id"), col("source"),
+          col("n_chars")),
+        "doc_id", "source", col("n_chars"), budget = 200L)
+        .groupBy(col("source"))
+        .agg(max("w_h").as("w_h"), max("alloc").as("alloc"),
+          count(lit(1)).as("took"), sum(col("doc_id")).as("id_sum"))
+        .orderBy("source"))
   )
 
   // ---- DuckDB SQL builders for graft's 64-bit hash primitives ----
@@ -8385,6 +8406,78 @@ object SparkEntry {
          |FROM b
          |WINDOW w AS (PARTITION BY event_type ORDER BY event_id)
          |ORDER BY event_type, event_id""".stripMargin
-    }
+    },
+    // RBO replayed over the q_mrr IVF/brute CTE machinery: overlap at
+    // each depth via max(rank_A, rank_B) <= d, exact 2^-d contributions
+    "q_rbo" -> {
+      s"""WITH ${duckLloydCtes(k = 16, iters = 10)},
+         |asg AS MATERIALIZED (SELECT vv.vec_id, vv.v,
+         |  (SELECT c.cell FROM c10 c ORDER BY list_distance(vv.v, c.centroid), c.cell LIMIT 1) AS cell
+         |  FROM vv),
+         |probes AS (SELECT * FROM (
+         |    SELECT a.vec_id AS query_id, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+         |        ORDER BY -list_dot_product(a.v, c.centroid), c.cell) AS prank
+         |    FROM asg a CROSS JOIN c10 c) WHERE prank <= 4),
+         |cand AS (SELECT DISTINCT p.query_id, n.vec_id AS neighbor_id
+         |  FROM probes p JOIN asg n ON n.cell = p.cell AND n.vec_id <> p.query_id),
+         |isims AS (SELECT c.query_id, c.neighbor_id,
+         |  CASE WHEN list_dot_product(a.v, a.v) = 0 OR list_dot_product(b.v, b.v) = 0 THEN 0.0
+         |       ELSE list_dot_product(a.v, b.v)
+         |            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) END AS sim
+         |  FROM cand c JOIN vv a ON a.vec_id = c.query_id JOIN vv b ON b.vec_id = c.neighbor_id),
+         |ir AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM isims),
+         |ivfr AS (SELECT query_id, neighbor_id, rank FROM ir WHERE rank <= 3),
+         |e2 AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM vv),
+         |bp AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |        CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN 0.0
+         |             ELSE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) END AS sim
+         |      FROM e2 a, e2 b WHERE a.vec_id <> b.vec_id),
+         |br AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM bp),
+         |brt AS (SELECT query_id, neighbor_id, rank FROM br WHERE rank <= 3),
+         |com AS (SELECT i.query_id,
+         |    GREATEST(i.rank, t.rank)::BIGINT AS m
+         |  FROM ivfr i JOIN brt t ON t.query_id = i.query_id
+         |    AND t.neighbor_id = i.neighbor_id),
+         |dep AS (SELECT unnest(range(1, 4))::BIGINT AS d),
+         |pd AS (SELECT query_id, d, COUNT(*) AS x FROM com
+         |  JOIN dep ON m <= d GROUP BY 1, 2),
+         |pq AS (SELECT query_id,
+         |    SUM(x * 1000000 // (d * (1::BIGINT << d))) AS rbo_ppm
+         |  FROM pd GROUP BY 1),
+         |nc AS (SELECT query_id, COUNT(*) AS n_common FROM com GROUP BY 1),
+         |qs AS (SELECT DISTINCT query_id FROM ivfr)
+         |SELECT qs.query_id,
+         |  CAST(COALESCE(nc.n_common, 0) AS BIGINT) AS n_common,
+         |  CAST(COALESCE(pq.rbo_ppm, 0) AS BIGINT) AS rbo_ppm
+         |FROM qs LEFT JOIN nc ON nc.query_id = qs.query_id
+         |LEFT JOIN pq ON pq.query_id = qs.query_id
+         |ORDER BY qs.query_id""".stripMargin
+    },
+    // Neyman replayed: exact integer moments, IEEE-sqrt weights rounded
+    // once, least(n, budget*w div tw), mix64-ordered per-stratum take
+    "q_neyman" ->
+      s"""WITH m AS (SELECT source, COUNT(*) AS n, SUM(n_chars) AS s,
+         |    SUM(n_chars * n_chars) AS ssq FROM documents GROUP BY 1),
+         |w AS (SELECT source, n,
+         |    CAST(round(sqrt(CAST(n * ssq - s * s AS DOUBLE))) AS BIGINT)
+         |      AS w_h FROM m),
+         |tw AS (SELECT SUM(w_h) AS tw FROM w),
+         |al AS (SELECT source, n, w_h,
+         |    LEAST(n, CASE WHEN tw = 0 THEN 0
+         |      ELSE 200 * w_h // tw END) AS alloc FROM w, tw),
+         |h AS (SELECT doc_id, source,
+         |    ${duckToSigned(duckMix64("doc_id::HUGEINT"))} AS hh FROM documents),
+         |r AS (SELECT doc_id, source,
+         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY hh, doc_id)
+         |      AS rn FROM h),
+         |takes AS (SELECT r.doc_id, r.source FROM r JOIN al
+         |  ON al.source = r.source WHERE r.rn <= al.alloc)
+         |SELECT al.source, CAST(al.w_h AS BIGINT) AS w_h,
+         |  CAST(al.alloc AS BIGINT) AS alloc,
+         |  CAST(COUNT(t.doc_id) AS BIGINT) AS took,
+         |  CAST(SUM(t.doc_id) AS BIGINT) AS id_sum
+         |FROM al JOIN takes t ON t.source = al.source
+         |GROUP BY 1, 2, 3 ORDER BY al.source""".stripMargin
   )
 }

@@ -162,7 +162,7 @@ object Mixture {
     * keeps rows while the running `weight` total stays within `quota`.
     * `weight` = 1 per row for count quotas, token count for budgets. */
   private def sampleCore(df: DataFrame, idCol: String, srcCol: String,
-      weight: Column, quota: Long): DataFrame = {
+      weight: Column, quota: Column): DataFrame = {
     val rows = df
       .withColumn("__h", hashOrder(col(idCol)))
       // arithmetic shift + offset keeps the bucket monotone in the SIGNED
@@ -195,7 +195,7 @@ object Mixture {
     * order. Row-identical to the naive per-source row_number window. */
   def sampleByQuota(df: DataFrame, idCol: String, srcCol: String,
       quota: Long): DataFrame =
-    sampleCore(df, idCol, srcCol, lit(1L), quota)
+    sampleCore(df, idCol, srcCol, lit(1L), lit(quota))
       .drop("__h", "__bucket", "__w", "cum_before", "cum_after")
 
   /** Keep documents per source, in mix64(id) order, while the running
@@ -203,8 +203,50 @@ object Mixture {
     * overflow the budget stops the take for that source). */
   def sampleByTokenBudget(df: DataFrame, idCol: String, srcCol: String,
       tokenCount: Column, budgetTokens: Long): DataFrame =
-    sampleCore(df, idCol, srcCol, tokenCount, budgetTokens)
+    sampleCore(df, idCol, srcCol, tokenCount, lit(budgetTokens))
       .drop("__h", "__bucket", "__w", "cum_before", "cum_after")
+
+  /**
+   * Neyman-allocated stratified sample: spend a global row `budget`
+   * across strata proportional to N_h·σ_h of a pre-scaled integral
+   * metric — the variance-optimal allocation for estimating the metric
+   * mean (Neyman '34), vs [[sampleByQuota]]'s flat per-source cap.
+   *
+   *   w_h    = round(√(n_h·Σv² − (Σv)²))   (= N_h·σ_h exactly; IEEE
+   *            sqrt is correctly rounded, so the long is engine-exact)
+   *   alloc_h = min(n_h, budget·w_h div Σw)
+   *
+   * Zero-variance strata get 0 (they contribute nothing to mean
+   * variance — the textbook behavior); if EVERY stratum is degenerate,
+   * all allocations are 0. Rows are then taken per stratum in
+   * mix64(id) order through the same bucketed two-phase take as
+   * [[sampleByQuota]] — no per-stratum serial window.
+   *
+   * Scale shape: one moments groupBy (map-side combined,
+   * stratum-bounded), a broadcast one-row Σw crossJoin, the bucketed
+   * take's tiny-table window. Overflow contract: n_h·Σv² < 2^63 and
+   * budget·w_h < 2^63 (the [[Stats.anomalyFlags]] discipline).
+   *
+   * Returns the sampled rows plus (w_h, alloc).
+   */
+  def neymanSample(df: DataFrame, idCol: String, srcCol: String,
+      metric: Column, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val m = df.select(col(srcCol).as("source"), metric.cast("long").as("__v"))
+      .groupBy("source").agg(count(lit(1)).as("__nh"),
+        sum("__v").as("__s"), sum(col("__v") * col("__v")).as("__ssq"))
+    val w = m.withColumn("w_h", round(sqrt(
+      (col("__nh") * col("__ssq") - col("__s") * col("__s"))
+        .cast("double"))).cast("long"))
+    val tot = w.agg(sum("w_h").as("__tw"))
+    val alloc = w.crossJoin(broadcast(tot))
+      .withColumn("alloc", least(col("__nh"),
+        expr(s"case when __tw = 0 then 0 else $budget * w_h div __tw end")))
+      .select(col("source").as(srcCol), col("w_h"), col("alloc"))
+    sampleCore(df.join(broadcast(alloc), srcCol), idCol, srcCol, lit(1L),
+        col("alloc"))
+      .drop("__h", "__bucket", "__w", "cum_before", "cum_after")
+  }
 }
 
 /**

@@ -1488,6 +1488,51 @@ object Similarity {
   }
 
   /**
+   * Rank-biased overlap (Webber et al. TOIS '10) between two top-k
+   * rankings at persistence p = ½ — the ranking-DRIFT eval the
+   * set-based recall/MRR/nDCG family can't give: it weights agreement
+   * at the TOP, so an index rebuild that keeps the same neighbor set
+   * but reorders rank 1 and rank 10 scores below a same-order one.
+   *
+   *   RBO@k = (1−p) Σ_{d=1..k} p^(d−1) · |A_d ∩ B_d| / d
+   *
+   * With p = ½ the weight is exactly 2^−d, so every depth contribution
+   * is the EXACT integer `X_d · 10⁶ div (d · 2^d)` (X_d = overlap of
+   * the two depth-d prefixes via max(rank_A, rank_B) ≤ d) and the sum
+   * of longs is engine-replayable; truncation loses < k ppm.
+   *
+   * Scale shape: both rankings reduce to (query, neighbor, rank) and
+   * meet in ONE equi-join; the depth expansion is a ≤ k-row BROADCAST
+   * table (metadata-sized); per-(query, depth) counts map-side combine.
+   * Queries sharing nothing keep a 0 row via the left join from A's
+   * distinct queries.
+   *
+   * Returns (query_id, n_common, rbo_ppm).
+   */
+  def rboTopK(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= 62, s"k must be in [1,62], got $k")
+    val ar = a.where(col("rank") <= k).select(col("query_id"),
+      col("neighbor_id"), col("rank").cast("long").as("__ra"))
+    val br = b.where(col("rank") <= k).select(col("query_id"),
+      col("neighbor_id"), col("rank").cast("long").as("__rb"))
+    val common = ar.join(br, Seq("query_id", "neighbor_id"))
+      .select(col("query_id"), greatest(col("__ra"), col("__rb")).as("__m"))
+    val depths = a.sparkSession.createDataFrame(
+      (1 to k).map(d => Tuple1(d.toLong))).toDF("__d")
+    val perQuery = common.join(broadcast(depths), col("__m") <= col("__d"))
+      .groupBy("query_id", "__d").agg(count(lit(1)).as("__x"))
+      .select(col("query_id"), expr(
+        "__x * 1000000 div (__d * shiftleft(cast(1 as bigint), cast(__d as int)))")
+        .as("__contrib"))
+      .groupBy("query_id").agg(sum("__contrib").as("rbo_ppm"))
+    val nCommon = common.groupBy("query_id").agg(count(lit(1)).as("n_common"))
+    a.select("query_id").distinct()
+      .join(nCommon, Seq("query_id"), "left")
+      .join(perQuery, Seq("query_id"), "left")
+      .na.fill(0L, Seq("n_common", "rbo_ppm"))
+  }
+
+  /**
    * Product-quantization ADC top-k by inner product (the compressed
    * complement of IVF): each vector is encoded as `m` per-subspace
    * centroid codes (~`m` bytes — [[PQCodes]]). Each query precomputes

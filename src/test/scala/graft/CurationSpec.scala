@@ -236,4 +236,36 @@ class CurationSpec extends AnyFunSuite {
     assert(got(2L).getLong(3) == 6L && got(2L).getLong(4) == -48995L)
     assert(got(3L).getLong(2) == 0L && got(3L).isNullAt(4))
   }
+
+  test("neymanSample allocates by N_h*sigma_h and takes in mix64 order") {
+    // src hi: 100 rows alternating 0/1000 (huge variance);
+    // src lo: 100 rows constant 500 (zero variance -> alloc 0);
+    // src md: 10 rows alternating 400/600 (small n, small sigma)
+    val rows = ((1 to 100).map(i => (i.toLong, "hi", if (i % 2 == 0) 1000L else 0L)) ++
+      (101 to 200).map(i => (i.toLong, "lo", 500L)) ++
+      (201 to 210).map(i => (i.toLong, "md", if (i % 2 == 0) 600L else 400L)))
+      .toDF("doc_id", "src", "v")
+    val out = Mixture.neymanSample(rows, "doc_id", "src", col("v"), budget = 30L)
+    val bySrc = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // w_hi = round(sqrt(100*100*1000^2/4... )) exact: n*ssq - s^2 =
+    // 100*50*1e6 - (50000)^2 = 5e9 - 2.5e9 = 2.5e9 -> w = 50000
+    // w_md = sqrt(10*(5*360000+5*160000) - 5000^2) = sqrt(26e6-25e6) = 1000
+    // w_lo = 0; tw = 51000
+    // alloc_hi = 30*50000 div 51000 = 29; alloc_md = 30*1000 div 51000 = 0
+    assert(bySrc.getOrElse("hi", 0L) == 29L, bySrc.toString)
+    assert(!bySrc.contains("lo") && !bySrc.contains("md"), bySrc.toString)
+    // the take follows mix64(id) order exactly (row-identity vs naive)
+    import org.apache.spark.sql.expressions.Window
+    val naive = rows.where(col("src") === "hi")
+      .withColumn("h", Mixture.hashOrder(col("doc_id")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("src").orderBy(col("h"), col("doc_id"))))
+      .where(col("rn") <= 29).select("doc_id").as[Long].collect().toSet
+    assert(out.select("doc_id").as[Long].collect().toSet == naive)
+    // alloc is capped at the stratum size
+    val tiny = Mixture.neymanSample(rows, "doc_id", "src", col("v"),
+      budget = 100000L)
+    assert(tiny.where(col("src") === "hi").count() == 100L)
+  }
 }

@@ -57,7 +57,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_token_label_mi" -> ("broadcast label-margin dense-grid crossJoin " +
       "(labels are metadata-sized — the q_tcloseness pattern) + one-row total"),
     "q_token_kl" -> "broadcast one-row (N_P, N_Q, V) totals crossJoin",
-    "q_simpson" -> "broadcast one-row pooled-counts crossJoin (4 longs)")
+    "q_simpson" -> "broadcast one-row pooled-counts crossJoin (4 longs)",
+    "q_rbo" -> ("contains the labeled brute baseline + the q_knn_ivf " +
+      "centroid crossJoin; the RBO depth expansion itself is a " +
+      "broadcast k-row depth-table range join (metadata-sized)"),
+    "q_neyman" -> "broadcast one-row total-weight crossJoin (the sum of N_h*sigma_h)")
 
   test("no query plans an unintended cartesian or nested-loop join") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -336,4 +336,24 @@ class SimilaritySpec extends AnyFunSuite {
       Seq((9L, 3L)).toDF("query_id", "neighbor_id"), 3).collect()(0)
     assert(r3.getLong(1) == 3L && r3.getLong(2) == 333333L)
   }
+
+  test("rboTopK: identical = sum 2^-d, swap discounts the top, disjoint = 0") {
+    import spark.implicits._
+    val a = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 20L, 1), (2L, 21L, 2), (2L, 22L, 3),
+      (3L, 30L, 1), (3L, 31L, 2), (3L, 32L, 3))
+      .toDF("query_id", "neighbor_id", "rank")
+    // q1: identical; q2: top two swapped; q3: disjoint
+    val b = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 21L, 1), (2L, 20L, 2), (2L, 22L, 3),
+      (3L, 90L, 1), (3L, 91L, 2), (3L, 92L, 3))
+      .toDF("query_id", "neighbor_id", "rank")
+    val got = Similarity.rboTopK(a, b, 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // identical: X_d = d -> 1e6/2 + 1e6/4 + 1e6/8 = 875000
+    assert(got(1L) == ((3L, 875000L)))
+    // swap: X_1 = 0, X_2 = 2, X_3 = 3 -> 0 + 250000 + 125000 = 375000
+    assert(got(2L) == ((3L, 375000L)))
+    assert(got(3L) == ((0L, 0L)))
+  }
 }
