@@ -650,6 +650,58 @@ object StreamingPipeline {
       }
   }
 
+  /** (key, order, value) projection for the EWMA smoother. */
+  final case class EwmaRow(k: Long, t: Long, x: Long)
+  /** Per-key state: the most-recent-first previous values, ≤ lags−1
+    * longs — the entire memory the truncated EWMA needs. */
+  final case class EwmaSt(recent: Seq[Long])
+  /** Per-row output: the input plus the exact integer EWMA. */
+  final case class EwmaOut(key: Long, t: Long, x: Long, ewmaMilli: Long)
+
+  /**
+   * Streaming truncated EWMA — the stateful face of
+   * [[graft.pipeline.Temporal.ewmaSmooth]]: per key, the state store
+   * keeps only the last `lags−1` values, and every arriving row emits
+   * `1000·Σ vₖ·2^(L−1−k) div Σ 2^(L−1−k)` over the values that exist —
+   * bit-identical to the batch lag-window operator (series heads
+   * renormalize the denominator the same way; JVM long division and
+   * Spark `div` both truncate toward zero). A single micro-batch over
+   * a static frame reproduces the batch operator row-for-row
+   * (StreamingPipelineSpec pins the parity).
+   *
+   * Cross-batch semantics assume the per-key feed is in order within
+   * the stream (the [[cusumStream]] trade); rows inside one batch are
+   * sorted by `orderCol` before folding. State is ≤ lags−1 longs per
+   * key — bounded regardless of stream length.
+   */
+  def ewmaStream(df: DataFrame, key: String, orderCol: String,
+      valueCol: String, lags: Int = 8): Dataset[EwmaOut] = {
+    require(lags >= 1 && lags <= 16, s"lags must be in [1,16], got $lags")
+    import df.sparkSession.implicits._
+    val rows = df.select(col(key).cast("long").as("k"),
+      col(orderCol).cast("long").as("t"),
+      col(valueCol).cast("long").as("x")).as[EwmaRow]
+    rows.groupByKey(_.k)
+      .flatMapGroupsWithState[EwmaSt, EwmaOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (k: Long, it: Iterator[EwmaRow], state: GroupState[EwmaSt]) =>
+          var recent = state.getOption.map(_.recent).getOrElse(Seq.empty)
+          val out = Vector.newBuilder[EwmaOut]
+          for (r <- it.toSeq.sortBy(_.t)) {
+            val values = (r.x +: recent).take(lags) // most recent first
+            var num = 0L; var den = 0L; var i = 0
+            while (i < values.length) {
+              val wt = 1L << (lags - 1 - i)
+              num += values(i) * wt; den += wt; i += 1
+            }
+            out += EwmaOut(k, r.t, r.x, 1000L * num / den)
+            recent = (r.x +: recent).take(lags - 1)
+          }
+          state.update(EwmaSt(recent))
+          out.result().iterator
+      }
+  }
+
   /** (key, ts) projection for the gap-regularity monitor. */
   final case class GapRow(k: Long, t: Long)
   /** Per-key state: last seen timestamp + the three gap moments — 4

@@ -375,7 +375,17 @@ object DumpPlans {
         "source count squared; sizes join back via broadcast."),
       "q_ewma" -> ("Truncated integer EWMA: L lag reads share ONE " +
         "per-key window sort — partitioned, never a global sort; no " +
-        "joins, no second shuffle; exact longs end to end."))
+        "joins, no second shuffle; exact longs end to end."),
+      "q_rbo" -> ("Rank-biased overlap: the two rankings meet in ONE " +
+        "equi-join on (query, neighbor); the depth expansion is a " +
+        "broadcast k-row table range join (metadata-sized); " +
+        "per-(query, depth) counts map-side combine; zero-overlap " +
+        "queries survive via the left join from A's distinct queries."),
+      "q_neyman" -> ("Neyman stratified sampling: one moments groupBy " +
+        "(stratum-bounded), broadcast one-row total-weight crossJoin, " +
+        "then the SAME bucketed two-phase take as q_sample_quota — " +
+        "whole buckets pass rank-free, only the per-source boundary " +
+        "bucket pays a window over ~n/4096 rows."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")

@@ -740,6 +740,52 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(run() == Set(11L, 12L, 13L, 14L))
   }
 
+  test("ewmaStream single batch equals the batch ewmaSmooth row-for-row") {
+    val dir = Files.createTempDirectory("stream-ewma").toString
+    val rnd = new scala.util.Random(7)
+    val rows = for (k <- 0 until 6; t <- 0 until 50)
+      yield (k.toLong, t.toLong, (100 + rnd.nextInt(900)).toLong)
+    val df = rows.toDF("k", "t", "x")
+    df.write.mode("overwrite").parquet(dir)
+    val out = StreamingPipeline.ewmaStream(
+      spark.readStream.schema(df.schema).parquet(dir), "k", "t", "x", lags = 8)
+    val q = out.toDF().writeStream.format("memory").queryName("ewma_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.sql("SELECT key, t, ewmaMilli FROM ewma_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val expected = graft.pipeline.Temporal.ewmaSmooth(df, "k", "t", "x", lags = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        r.getAs[Long]("ewma_milli")).toMap
+    assert(got == expected)
+    assert(got.size == rows.size)
+  }
+
+  test("ewmaStream carries the lag memory across micro-batches") {
+    val dir = Files.createTempDirectory("stream-ewma2").toString
+    val ckpt = Files.createTempDirectory("stream-ewma2-ckpt").toString
+    val outDir = Files.createTempDirectory("stream-ewma2-out").toString
+    val part1 = (0 until 6).map(t => (1L, t.toLong, 100L))
+    val part2 = Seq((1L, 6L, 900L)) // spike lands on remembered history
+    val schema = part1.toDF("k", "t", "x").schema
+    part1.toDF("k", "t", "x").write.mode("overwrite").parquet(dir)
+    def run(): Map[Long, Long] = {
+      val out = StreamingPipeline.ewmaStream(
+        spark.readStream.schema(schema).parquet(dir), "k", "t", "x", lags = 4)
+      val q = out.toDF().writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      spark.read.parquet(outDir).collect()
+        .map(r => r.getAs[Long]("t") -> r.getAs[Long]("ewmaMilli")).toMap
+    }
+    assert(run()(5L) == 100000L) // steady state: constant 100
+    part2.toDF("k", "t", "x").write.mode("append").parquet(dir)
+    // t=6 sees (900,100,100,100) with weights (8,4,2,1):
+    // 1000*(7200+400+200+100)/15 = 526666
+    assert(run()(6L) == 1000L * (900 * 8 + 100 * 4 + 100 * 2 + 100) / 15)
+  }
+
   test("attributionStream prunes state to the lookback horizon") {
     val dir = Files.createTempDirectory("stream-attr2").toString
     val df = Seq((1L, 1L, 10L, "view"), (2L, 1L, 500L, "purchase"))
