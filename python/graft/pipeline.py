@@ -2623,3 +2623,91 @@ def neyman_sample(df, id_col, src_col, metric_col, budget):
             .withColumn("__rn", F.row_number().over(win))
             .where(F.col("__rn") <= F.col("alloc"))
             .drop("__rn"))
+
+
+def quantile_normalize(df, group_col, score_col):
+    """Quantile normalization across groups — Python mirror of the
+    Scala ``QuantileFilter.quantileNormalize``: within-group inclusive
+    cumulative permille over the distinct-score histogram, mapped onto
+    the pooled discrete quantile at that permille (1..1000 broadcast
+    grid). Integral pre-quantized scores only.
+    """
+    v = F.col(score_col).cast("long")
+    hist = (df.groupBy(F.col(group_col).alias("__g"), v.alias("__v"))
+            .agg(F.count(F.lit(1)).alias("__c")))
+    w_cume = (Window.partitionBy("__g").orderBy("__v")
+              .rowsBetween(Window.unboundedPreceding, 0))
+    w_grp = Window.partitionBy("__g")
+    pm_map = (hist.withColumn("__cum", F.sum("__c").over(w_cume))
+              .withColumn("__n", F.sum("__c").over(w_grp))
+              .select("__g", "__v",
+                      F.expr("__cum * 1000 div __n").alias("src_permille")))
+    pooled = (df.groupBy(v.alias("__pv")).agg(F.count(F.lit(1)).alias("__pc"))
+              .withColumn("__pcum", F.sum("__pc").over(
+                  Window.orderBy("__pv")
+                  .rowsBetween(Window.unboundedPreceding, 0))))
+    p_tot = df.agg(F.count(F.lit(1)).alias("__pn"))
+    grid = df.sparkSession.createDataFrame(
+        [(p,) for p in range(1, 1001)], "__pm int")
+    inv = (pooled.crossJoin(F.broadcast(p_tot)).crossJoin(F.broadcast(grid))
+           .where(F.col("__pcum") >= F.expr("(__pn * __pm + 999) div 1000"))
+           .groupBy("__pm").agg(F.min("__pv").alias("norm_score")))
+    return (df.join(pm_map, (F.col(group_col) == F.col("__g")) &
+                    (v == F.col("__v")))
+            .join(F.broadcast(inv), F.col("src_permille") == F.col("__pm"))
+            .drop("__g", "__v", "__pm"))
+
+
+def effective_sample_size(df, weight_col):
+    """ESS = (sum w)^2 / sum w^2 — Python mirror of the Scala
+    ``Stats.effectiveSampleSize``: exact long moments, one round-once
+    milli ratio, NULL when all weights are zero.
+    """
+    w = F.col(weight_col).cast("long")
+    return (df.agg(F.count(F.lit(1)).alias("n"), F.sum(w).alias("sum_w"),
+                   F.sum(w * w).alias("sum_w2"))
+            .select("n", "sum_w", "sum_w2",
+                    F.when(F.col("sum_w2") == 0, F.lit(None).cast("long"))
+                    .otherwise(F.round(F.lit(1000.0) * (
+                        F.col("sum_w").cast("double") * F.col("sum_w") /
+                        F.col("sum_w2"))).cast("long")).alias("ess_milli")))
+
+
+def spearman_corr(df, x_col, y_col):
+    """Spearman rank correlation with mid-rank ties — Python mirror of
+    the Scala ``Stats.spearmanCorr``: integer double-ranks
+    (2*cum_before + cnt + 1) from distinct-value histograms, six exact
+    long moments, one round-once micro rho; NULL on a constant metric.
+    """
+    def ranks(c, out):
+        w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
+        return (df.select(F.col(c).cast("long").alias("__v"))
+                .groupBy("__v").agg(F.count(F.lit(1)).alias("__c"))
+                .withColumn("__before",
+                            F.coalesce(F.sum("__c").over(w), F.lit(0)))
+                .select(F.col("__v").alias(f"__{out}"),
+                        (F.lit(2) * F.col("__before") + F.col("__c") +
+                         F.lit(1)).cast("long").alias(out)))
+
+    joined = (df.select(F.col(x_col).cast("long").alias("__xv"),
+                        F.col(y_col).cast("long").alias("__yv"))
+              .join(ranks(x_col, "drx"), F.col("__xv") == F.col("__drx"))
+              .join(ranks(y_col, "dry"), F.col("__yv") == F.col("__dry")))
+    return (joined.agg(F.count(F.lit(1)).alias("n"),
+                       F.sum("drx").alias("__sx"), F.sum("dry").alias("__sy"),
+                       F.sum(F.col("drx") * F.col("dry")).alias("__sxy"),
+                       F.sum(F.col("drx") * F.col("drx")).alias("__sxx"),
+                       F.sum(F.col("dry") * F.col("dry")).alias("__syy"))
+            .select("n", F.when(
+                (F.col("n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+                 == 0) |
+                (F.col("n") * F.col("__syy") - F.col("__sy") * F.col("__sy")
+                 == 0), F.lit(None).cast("long"))
+                .otherwise(F.round(F.lit(1e6) *
+                    (F.col("n").cast("double") * F.col("__sxy") -
+                     F.col("__sx").cast("double") * F.col("__sy")) /
+                    F.sqrt((F.col("n") * F.col("__sxx") -
+                            F.col("__sx") * F.col("__sx")).cast("double")) /
+                    F.sqrt((F.col("n") * F.col("__syy") -
+                            F.col("__sy") * F.col("__sy")).cast("double")))
+                    .cast("long")).alias("rho_micro")))

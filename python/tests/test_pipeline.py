@@ -1125,3 +1125,35 @@ def test_neyman_sample_allocation(spark):
               for r in out.groupBy("src").count().collect()}
     # w_hi = 50000, w_lo = 0 -> alloc_hi = 30, lo dropped
     assert by_src == {"hi": 30}
+
+
+def test_quantile_normalize_pooled_scale(spark):
+    from graft.pipeline import quantile_normalize
+    rows = [(1, "a", 10), (2, "a", 20), (3, "a", 30), (4, "a", 40),
+            (5, "b", 1000), (6, "b", 2000), (7, "b", 3000), (8, "b", 4000)]
+    df = spark.createDataFrame(rows, "id long, g string, s long")
+    got = {r["id"]: (r["src_permille"], r["norm_score"])
+           for r in quantile_normalize(df, "g", "s").collect()}
+    assert got[1] == (250, 20) and got[5] == (250, 20)
+    assert got[4] == (1000, 4000) and got[8] == (1000, 4000)
+    assert got[2][1] == got[6][1] and got[3][1] == got[7][1]
+
+
+def test_effective_sample_size(spark):
+    from graft.pipeline import effective_sample_size
+    flat = spark.createDataFrame([(5,)] * 10, "w long")
+    r = effective_sample_size(flat, "w").collect()[0]
+    assert (r["n"], r["ess_milli"]) == (10, 10000)
+    skew = spark.createDataFrame([(1,)] * 9 + [(1000,)], "w long")
+    s = effective_sample_size(skew, "w").collect()[0]
+    assert s["ess_milli"] == round(1000.0 * (1009.0 * 1009 / 1000009))
+
+
+def test_spearman_corr(spark):
+    from graft.pipeline import spearman_corr
+    mono = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 40), (4, 45)], "x long, y long")
+    assert spearman_corr(mono, "x", "y").collect()[0]["rho_micro"] == 1000000
+    rev = spark.createDataFrame(
+        [(1, 9), (2, 7), (3, 5), (4, 2)], "x long, y long")
+    assert spearman_corr(rev, "x", "y").collect()[0]["rho_micro"] == -1000000

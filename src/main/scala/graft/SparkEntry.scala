@@ -3850,7 +3850,28 @@ object SparkEntry {
         .groupBy(col("source"))
         .agg(max("w_h").as("w_h"), max("alloc").as("alloc"),
           count(lit(1)).as("took"), sum(col("doc_id")).as("id_sum"))
-        .orderBy("source"))
+        .orderBy("source")),
+    // ---- wave 26: score calibration / weighting / association ----
+    // quantile-normalize n_chars across sources onto the pooled scale
+    "q_qnorm" -> ((s, dir) =>
+      graft.pipeline.QuantileFilter.quantileNormalize(
+        t(s, dir, "documents").select(col("doc_id"), col("source"),
+          col("n_chars")),
+        "source", "n_chars")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("src_permille"), col("norm_score"))
+        .orderBy("doc_id")),
+    // effective sample size of event value cents as importance weights
+    "q_ess" -> ((s, dir) =>
+      graft.pipeline.Stats.effectiveSampleSize(
+        t(s, dir, "events").select(
+          expr("cast(round(value * 100) as bigint)").as("w")), "w")),
+    // Spearman rho between doc length in chars and in tokens
+    "q_spearman" -> ((s, dir) =>
+      graft.pipeline.Stats.spearmanCorr(
+        t(s, dir, "documents").select(col("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens")),
+        "n_chars", "n_tokens"))
   )
 
   // ---- DuckDB SQL builders for graft's 64-bit hash primitives ----
@@ -8478,6 +8499,71 @@ object SparkEntry {
          |  CAST(COUNT(t.doc_id) AS BIGINT) AS took,
          |  CAST(SUM(t.doc_id) AS BIGINT) AS id_sum
          |FROM al JOIN takes t ON t.source = al.source
-         |GROUP BY 1, 2, 3 ORDER BY al.source""".stripMargin
+         |GROUP BY 1, 2, 3 ORDER BY al.source""".stripMargin,
+    // quantile normalization replayed: within-source inclusive-cum
+    // permille, pooled discrete quantile at each permille 1..1000
+    "q_qnorm" ->
+      """WITH h AS (SELECT source AS g, n_chars AS v, COUNT(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |pm AS (SELECT g, v,
+        |    (SUM(c) OVER (PARTITION BY g ORDER BY v
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 1000
+        |      // (SUM(c) OVER (PARTITION BY g)) AS src_permille
+        |  FROM h),
+        |ph AS (SELECT n_chars AS pv, COUNT(*) AS pc FROM documents
+        |  GROUP BY 1),
+        |pc AS (SELECT pv, SUM(pc) OVER (ORDER BY pv
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pcum
+        |  FROM ph),
+        |pt AS (SELECT COUNT(*) AS pn FROM documents),
+        |grid AS (SELECT unnest(range(1, 1001)) AS pmv),
+        |inv AS (SELECT pmv, MIN(pv) AS norm_score
+        |  FROM pc, pt, grid WHERE pcum >= (pn * pmv + 999) // 1000
+        |  GROUP BY 1)
+        |SELECT d.doc_id, d.source, d.n_chars,
+        |  CAST(pm.src_permille AS BIGINT) AS src_permille,
+        |  CAST(inv.norm_score AS BIGINT) AS norm_score
+        |FROM documents d
+        |JOIN pm ON pm.g = d.source AND pm.v = d.n_chars
+        |JOIN inv ON inv.pmv = pm.src_permille
+        |ORDER BY d.doc_id""".stripMargin,
+    // ESS replayed: exact long moments, one round-once double ratio
+    "q_ess" ->
+      """WITH b AS (SELECT CAST(round(value * 100) AS BIGINT) AS w
+        |  FROM events),
+        |m AS (SELECT COUNT(*) AS n, SUM(w) AS sw, SUM(w * w) AS sw2
+        |  FROM b)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(sw AS BIGINT) AS sum_w,
+        |  CAST(sw2 AS BIGINT) AS sum_w2,
+        |  CASE WHEN sw2 = 0 THEN NULL ELSE CAST(round(1000.0 *
+        |    (CAST(sw AS DOUBLE) * sw / sw2)) AS BIGINT) END AS ess_milli
+        |FROM m""".stripMargin,
+    // Spearman replayed: integer double-ranks (2*cum_before + cnt + 1)
+    // per distinct value, six exact long moments, one round-once rho
+    "q_spearman" ->
+      """WITH b AS (SELECT n_chars AS x,
+        |    len(string_split(text, ' ')) AS y FROM documents),
+        |hx AS (SELECT x AS v, COUNT(*) AS c FROM b GROUP BY 1),
+        |rx AS (SELECT v, 2 * COALESCE(SUM(c) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + c + 1 AS dr FROM hx),
+        |hy AS (SELECT y AS v, COUNT(*) AS c FROM b GROUP BY 1),
+        |ry AS (SELECT v, 2 * COALESCE(SUM(c) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + c + 1 AS dr FROM hy),
+        |j AS (SELECT rx.dr AS drx, ry.dr AS dry FROM b
+        |  JOIN rx ON rx.v = b.x JOIN ry ON ry.v = b.y),
+        |m AS (SELECT COUNT(*) AS n, SUM(drx) AS sx, SUM(dry) AS sy,
+        |    SUM(drx * dry) AS sxy, SUM(drx * drx) AS sxx,
+        |    SUM(dry * dry) AS syy FROM j)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+        |    THEN NULL
+        |    ELSE CAST(round(1e6 *
+        |      (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+        |      sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) /
+        |      sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS BIGINT) END
+        |    AS rho_micro
+        |FROM m""".stripMargin
   )
 }

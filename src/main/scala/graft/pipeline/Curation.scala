@@ -314,6 +314,60 @@ object QuantileFilter {
     df.join(m, col(groupCol) === col("__g") && v === col("__v"))
       .drop("__g", "__v")
   }
+
+  /**
+   * Quantile normalization across groups — the VALUE-scale completion
+   * of [[calibrate]] (the microarray-era quantile-mapping, Bolstad
+   * et al. '03, at corpus scale): each row's score maps to the POOLED
+   * distribution's value at the row's within-group quantile, so
+   * heterogeneous per-source score scales become one comparable scale
+   * in real score units (where calibrate outputs a rank).
+   *
+   *   pm(row)   = cum_{≤v within group} · 1000 div n_group   (1..1000)
+   *   norm(pm)  = min pooled v with pooled_cum ≥ ceil(n_pool·pm/1000)
+   *             — the [[QuantileFilter.threshold]] discrete quantile
+   *
+   * Exact integers end to end; ties inside a group share one pm and
+   * one normalized value on every engine.
+   *
+   * Scale shape: both sides reduce to distinct-value histograms before
+   * any window (the [[calibrate]] discipline — fact rows are never
+   * window-sorted); the pooled permille map is a ≤1000-row broadcast
+   * built from histogram × permille-grid (bounded by distinct scores ×
+   * 1000 — integral pre-quantized scores only, by contract); the fact
+   * table meets its (group, score) → pm map in ONE equi-join and the
+   * pm → value map by broadcast.
+   *
+   * Returns the input plus (src_permille, norm_score).
+   */
+  def quantileNormalize(df: DataFrame, groupCol: String,
+      scoreCol: String): DataFrame = {
+    val v = col(scoreCol).cast("long")
+    val hist = df.groupBy(col(groupCol).as("__g"), v.as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val wCume = Window.partitionBy("__g").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wGrp = Window.partitionBy("__g")
+    val pmMap = hist
+      .withColumn("__cum", sum("__c").over(wCume))
+      .withColumn("__n", sum("__c").over(wGrp))
+      .select(col("__g"), col("__v"),
+        expr("__cum * 1000 div __n").as("src_permille"))
+    // pooled inverse-CDF at each permille: the threshold() recipe over
+    // the pooled histogram, once per pm 1..1000
+    val pooled = df.groupBy(v.as("__pv")).agg(count(lit(1)).as("__pc"))
+      .withColumn("__pcum", sum("__pc").over(Window.orderBy(col("__pv"))
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    val pTot = df.agg(count(lit(1)).as("__pn"))
+    val grid = df.sparkSession.createDataFrame(
+      (1 to 1000).map(Tuple1(_))).toDF("__pm")
+    val inv = pooled.crossJoin(broadcast(pTot)).crossJoin(broadcast(grid))
+      .where(col("__pcum") >= expr("(__pn * __pm + 999) div 1000"))
+      .groupBy("__pm").agg(min(col("__pv")).as("norm_score"))
+    df.join(pmMap, col(groupCol) === col("__g") && v === col("__v"))
+      .join(broadcast(inv), col("src_permille") === col("__pm"))
+      .drop("__g", "__v", "__pm")
+  }
 }
 
 /**

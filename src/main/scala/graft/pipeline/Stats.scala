@@ -1153,6 +1153,88 @@ object Stats {
           .otherwise(col("chi2_micro") > 3841459L))
   }
 
+  /**
+   * Effective sample size of an importance-weighted corpus — the
+   * one-number "did my reweighting destroy the sample" audit that
+   * belongs next to every [[graft.pipeline.Training]] DSIR-style
+   * resampling (Kong '92):
+   *
+   *   ESS = (Σw)² / Σw²,   ess_milli = round(1000 · sw·sw/sw2)
+   *
+   * Σw and Σw² are exact longs from pre-scaled integral weights; the
+   * final ratio is one round-once double expression (identical on any
+   * engine). ESS ≈ n means weights are flat; ESS ≪ n means a few rows
+   * dominate and the reweighted estimate is noise. NULL when all
+   * weights are 0.
+   *
+   * Scale shape: ONE map-side-combinable aggregate — three longs
+   * shuffle per partition. Overflow contract: Σw² < 2^63 (milli-scaled
+   * weights to 10⁶ rows; pre-scale coarser beyond).
+   */
+  def effectiveSampleSize(df: DataFrame, weightCol: String): DataFrame = {
+    val w = col(weightCol).cast("long")
+    df.agg(count(lit(1)).as("n"), sum(w).as("sum_w"),
+        sum(w * w).as("sum_w2"))
+      .select(col("n"), col("sum_w"), col("sum_w2"),
+        when(col("sum_w2") === 0L, lit(null).cast("long"))
+          .otherwise(round(lit(1000.0) * (col("sum_w").cast("double") *
+            col("sum_w") / col("sum_w2"))).cast("long")).as("ess_milli"))
+  }
+
+  /**
+   * Spearman rank correlation between two integral metrics — the
+   * monotone-association audit ("does quality score track length?")
+   * that Pearson gets wrong on heavy-tailed corpus metrics. Ranks use
+   * the standard mid-rank tie treatment, materialized as integer
+   * DOUBLE-RANKS so ties never touch floats:
+   *
+   *   dr(v) = 2·cum_before(v) + cnt(v) + 1       (= 2 · mid-rank)
+   *   rho   = (n·Σxy − Σx·Σy) / √(n·Σx²−(Σx)²) / √(n·Σy²−(Σy)²)
+   *
+   * over the double-ranks; all six moments are exact longs and rho is
+   * ONE round-once micro expression — engine-replayable. NULL when
+   * either metric is constant (rho undefined).
+   *
+   * Scale shape: one distinct-value histogram + cumulative window per
+   * metric (distinct values, never a row sort — the [[psiReport]]
+   * discipline), two equi-joins hand each row its double-ranks, ONE
+   * moment aggregate. Overflow contract: Σ(drx·dry) ≤ 4n³ < 2^63 —
+   * n to ~1.3e6 rows; sample first beyond (rho is an audit statistic).
+   *
+   * Returns one row: (n, rho_micro).
+   */
+  def spearmanCorr(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    def ranks(c: String, out: String): DataFrame = {
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.orderBy(col("__v")).rowsBetween(W.unboundedPreceding, -1)
+      df.select(col(c).cast("long").as("__v"))
+        .groupBy("__v").agg(count(lit(1)).as("__c"))
+        .withColumn("__before", coalesce(sum("__c").over(w), lit(0L)))
+        .select(col("__v").as(s"__$out"),
+          (lit(2L) * col("__before") + col("__c") + lit(1L)).as(out))
+    }
+    val joined = df.select(col(xCol).cast("long").as("__xv"),
+        col(yCol).cast("long").as("__yv"))
+      .join(ranks(xCol, "drx"), col("__xv") === col("__drx"))
+      .join(ranks(yCol, "dry"), col("__yv") === col("__dry"))
+    joined.agg(count(lit(1)).as("n"),
+        sum("drx").as("__sx"), sum("dry").as("__sy"),
+        sum(col("drx") * col("dry")).as("__sxy"),
+        sum(col("drx") * col("drx")).as("__sxx"),
+        sum(col("dry") * col("dry")).as("__syy"))
+      .select(col("n"),
+        when(col("n") * col("__sxx") - col("__sx") * col("__sx") === 0L ||
+            col("n") * col("__syy") - col("__sy") * col("__sy") === 0L,
+          lit(null).cast("long"))
+          .otherwise(round(lit(1e6) *
+            (col("n").cast("double") * col("__sxy") -
+              col("__sx").cast("double") * col("__sy")) /
+            sqrt((col("n") * col("__sxx") - col("__sx") * col("__sx"))
+              .cast("double")) /
+            sqrt((col("n") * col("__syy") - col("__sy") * col("__sy"))
+              .cast("double"))).cast("long")).as("rho_micro"))
+  }
+
   /** Poisson(1) inverse-CDF thresholds on the 63-bit uniform scale:
     * weight(u) = Σ_k [u ≥ T_k], k = 0..6 — so per-row bootstrap weights
     * are 0..7 (the ≥8 tail, mass 1e-5, folds into 7). The literals are

@@ -385,7 +385,12 @@ object DumpPlans {
         "(stratum-bounded), broadcast one-row total-weight crossJoin, " +
         "then the SAME bucketed two-phase take as q_sample_quota — " +
         "whole buckets pass rank-free, only the per-source boundary " +
-        "bucket pays a window over ~n/4096 rows."))
+        "bucket pays a window over ~n/4096 rows."),
+      "q_qnorm" -> ("Quantile normalization: both sides reduce to " +
+        "distinct-score histograms BEFORE any window (fact rows are " +
+        "never window-sorted); the pooled inverse-CDF is a 1000-row " +
+        "broadcast; the fact table pays ONE (group, score) equi-join " +
+        "plus a broadcast permille lookup."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")

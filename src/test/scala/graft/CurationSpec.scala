@@ -1,6 +1,6 @@
 package graft
 
-import graft.pipeline.{Decontaminate, Mixture, PII}
+import graft.pipeline.{Decontaminate, Mixture, PII, QuantileFilter}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -267,5 +267,33 @@ class CurationSpec extends AnyFunSuite {
     val tiny = Mixture.neymanSample(rows, "doc_id", "src", col("v"),
       budget = 100000L)
     assert(tiny.where(col("src") === "hi").count() == 100L)
+  }
+
+  test("quantileNormalize maps group quantiles onto the pooled scale") {
+    // group a scores 10,20,30,40; group b scores 1000,2000,3000,4000 —
+    // after normalization the same within-group position gets the SAME
+    // pooled value in both groups
+    val rows = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "a", 30L),
+      (4L, "a", 40L), (5L, "b", 1000L), (6L, "b", 2000L),
+      (7L, "b", 3000L), (8L, "b", 4000L)).toDF("id", "g", "s")
+    val got = QuantileFilter.quantileNormalize(rows, "g", "s")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("src_permille"), r.getAs[Long]("norm_score"))).toMap
+    // within-group permilles: 250, 500, 750, 1000 in both groups
+    assert(got(1L)._1 == 250L && got(5L)._1 == 250L)
+    assert(got(4L)._1 == 1000L && got(8L)._1 == 1000L)
+    // pooled sorted: 10,20,30,40,1000,2000,3000,4000 -> the 250th
+    // permille is the ceil(8*250/1000)=2nd value = 20; 1000th = 4000
+    assert(got(1L)._2 == 20L && got(5L)._2 == 20L)
+    assert(got(4L)._2 == 4000L && got(8L)._2 == 4000L)
+    // mid positions land on the pooled mid values identically
+    assert(got(2L)._2 == got(6L)._2 && got(3L)._2 == got(7L)._2)
+    // ties inside a group share one permille and one normalized value
+    val tied = Seq((1L, "a", 5L), (2L, "a", 5L), (3L, "a", 9L),
+      (4L, "b", 7L)).toDF("id", "g", "s")
+    val t = QuantileFilter.quantileNormalize(tied, "g", "s")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("src_permille"), r.getAs[Long]("norm_score"))).toMap
+    assert(t(1L) == t(2L))
   }
 }

@@ -61,7 +61,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_rbo" -> ("contains the labeled brute baseline + the q_knn_ivf " +
       "centroid crossJoin; the RBO depth expansion itself is a " +
       "broadcast k-row depth-table range join (metadata-sized)"),
-    "q_neyman" -> "broadcast one-row total-weight crossJoin (the sum of N_h*sigma_h)")
+    "q_neyman" -> "broadcast one-row total-weight crossJoin (the sum of N_h*sigma_h)",
+    "q_qnorm" -> ("broadcast 1000-row permille grid + one-row pooled-total " +
+      "crossJoins over the distinct-score histogram (pre-quantized scores by contract)"))
 
   test("no query plans an unintended cartesian or nested-loop join") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -118,7 +120,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_bm25" -> "row_number over the TakeOrdered top-10 doc table",
     "q_token_label_mi" -> "row_number over the TakeOrdered top-20 term table",
     "q_token_kl" -> "row_number over the TakeOrdered top-20 term table",
-    "q_gini" -> "rank over the per-key count aggregate (keys are metadata-sized)")
+    "q_gini" -> "rank over the per-key count aggregate (keys are metadata-sized)",
+    "q_qnorm" -> "cumulative counts over the POOLED distinct-score histogram (pre-quantized)",
+    "q_spearman" -> "cumulative counts over the two DISTINCT-value histograms (mid-rank ties)")
 
   test("every window operator is partitioned (no global fact-table sorts)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}

@@ -608,4 +608,42 @@ class StatsSpec extends AnyFunSuite {
     // X is strongly negative-assoc, Y positive; pooled X dominates
     assert(r.getBoolean(4) == (r.getLong(3) > 3841459L))
   }
+
+  test("effectiveSampleSize: flat weights give n, one dominant row collapses it") {
+    val flat = Seq.fill(10)(5L).toDF("w")
+    val f = Stats.effectiveSampleSize(flat, "w").collect()(0)
+    assert(f.getLong(0) == 10L && f.getLong(3) == 10000L) // ESS = n
+    // one huge weight: ESS -> ~1
+    val skew = (Seq.fill(9)(1L) :+ 1000L).toDF("w")
+    val s = Stats.effectiveSampleSize(skew, "w").collect()(0)
+    // (1009)^2 / (9 + 1e6) = 1.018... -> 1018 milli
+    assert(s.getLong(3) == math.round(1000.0 * (1009.0 * 1009 / 1000009)))
+    val zero = Seq(0L, 0L).toDF("w")
+    assert(Stats.effectiveSampleSize(zero, "w").collect()(0).isNullAt(3))
+  }
+
+  test("spearmanCorr: monotone = 1e6, reversed = -1e6, ties mid-rank") {
+    val mono = Seq((1L, 10L), (2L, 20L), (3L, 40L), (4L, 45L))
+      .toDF("x", "y")
+    assert(Stats.spearmanCorr(mono, "x", "y").collect()(0)
+      .getLong(1) == 1000000L)
+    val rev = Seq((1L, 9L), (2L, 7L), (3L, 5L), (4L, 2L)).toDF("x", "y")
+    assert(Stats.spearmanCorr(rev, "x", "y").collect()(0)
+      .getLong(1) == -1000000L)
+    // constant y: undefined -> NULL
+    val const = Seq((1L, 5L), (2L, 5L)).toDF("x", "y")
+    assert(Stats.spearmanCorr(const, "x", "y").collect()(0).isNullAt(1))
+    // tie case against the classic mid-rank formula: x=(1,2,2,4),
+    // y=(1,3,2,4): double-ranks x=(2,5,5,8), y=(2,6,4,8)
+    val tied = Seq((1L, 1L), (2L, 3L), (2L, 2L), (4L, 4L)).toDF("x", "y")
+    val got = Stats.spearmanCorr(tied, "x", "y").collect()(0).getLong(1)
+    val (dx, dy) = (Seq(2.0, 5, 5, 8), Seq(2.0, 6, 4, 8))
+    val n = 4.0
+    val (sx, sy) = (dx.sum, dy.sum)
+    val sxy = dx.zip(dy).map { case (a, b) => a * b }.sum
+    val (sxx, syy) = (dx.map(a => a * a).sum, dy.map(a => a * a).sum)
+    val rho = (n * sxy - sx * sy) /
+      math.sqrt(n * sxx - sx * sx) / math.sqrt(n * syy - sy * sy)
+    assert(math.abs(got - math.round(1e6 * rho)) <= 1, s"$got vs $rho")
+  }
 }
