@@ -2711,3 +2711,31 @@ def spearman_corr(df, x_col, y_col):
                     F.sqrt((F.col("n") * F.col("__syy") -
                             F.col("__sy") * F.col("__sy")).cast("double")))
                     .cast("long")).alias("rho_micro")))
+
+
+def token_jsd(p, q, text_col):
+    """Jensen-Shannon divergence of two token distributions — Python
+    mirror of the Scala ``Stats.tokenJSD``: symmetric, bounded by ln 2,
+    one rounded micro-nat per union-vocabulary term with m = (p+q)/2,
+    exact long sum.
+    """
+    def counts(df, name):
+        return (df.select(F.explode(F.split(F.col(text_col), " "))
+                          .alias("term"))
+                .where(F.col("term") != "")
+                .groupBy("term").agg(F.count(F.lit(1)).alias(name)))
+    joined = (counts(p, "p_cnt").join(counts(q, "q_cnt"), ["term"],
+                                      "full_outer")
+              .na.fill(0, ["p_cnt", "q_cnt"]))
+    totals = joined.agg(F.sum("p_cnt").alias("__np"),
+                        F.sum("q_cnt").alias("__nq"),
+                        F.count(F.lit(1)).alias("__v"))
+    pp = (F.col("p_cnt") + F.lit(1.0)) / (F.col("__np") + F.col("__v"))
+    qq = (F.col("q_cnt") + F.lit(1.0)) / (F.col("__nq") + F.col("__v"))
+    m = (pp + qq) / F.lit(2.0)
+    contrib = F.round(F.lit(1e6) * (
+        F.lit(0.5) * pp * F.log(pp / m) +
+        F.lit(0.5) * qq * F.log(qq / m))).cast("long")
+    return (joined.crossJoin(F.broadcast(totals))
+            .agg(F.count(F.lit(1)).alias("n_terms"),
+                 F.sum(contrib).alias("jsd_unats")))

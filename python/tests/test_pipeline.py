@@ -1157,3 +1157,20 @@ def test_spearman_corr(spark):
     rev = spark.createDataFrame(
         [(1, 9), (2, 7), (3, 5), (4, 2)], "x long, y long")
     assert spearman_corr(rev, "x", "y").collect()[0]["rho_micro"] == -1000000
+
+
+def test_token_jsd(spark):
+    import math
+    from graft.pipeline import token_jsd
+    p = spark.createDataFrame([("aa bb",), ("aa cc",)], "text string")
+    q = spark.createDataFrame([("bb cc",), ("bb dd",)], "text string")
+    assert token_jsd(p, p, "text").collect()[0]["jsd_unats"] == 0
+
+    def term(pv, qv):
+        m = (pv + qv) / 2
+        return round(1e6 * (0.5 * pv * math.log(pv / m) +
+                            0.5 * qv * math.log(qv / m)))
+
+    hand = (term(3 / 8, 1 / 8) + term(2 / 8, 3 / 8) +
+            term(2 / 8, 2 / 8) + term(1 / 8, 2 / 8))
+    assert token_jsd(p, q, "text").collect()[0]["jsd_unats"] == hand

@@ -3871,7 +3871,15 @@ object SparkEntry {
       graft.pipeline.Stats.spearmanCorr(
         t(s, dir, "documents").select(col("n_chars"),
           size(split(col("text"), " ")).cast("long").as("n_tokens")),
-        "n_chars", "n_tokens"))
+        "n_chars", "n_tokens")),
+    // Jensen-Shannon divergence of the q_token_kl slices — the
+    // symmetric bounded mixture-distance to trend
+    "q_jsd" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.pipeline.Stats.tokenJSD(
+        d.where(col("source") === "src0"),
+        d.where(col("source") =!= "src0"), "text")
+    })
   )
 
   // ---- DuckDB SQL builders for graft's 64-bit hash primitives ----
@@ -8564,6 +8572,30 @@ object SparkEntry {
         |      sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) /
         |      sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS BIGINT) END
         |    AS rho_micro
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+    // JSD replayed: same joined-count machinery as q_token_kl, one
+    // rounded micro-nat per term with m = (p+q)/2 inlined identically
+    "q_jsd" -> {
+      val pp = "((CAST(p_cnt AS DOUBLE) + 1.0) / (np + v))"
+      val qq = "((CAST(q_cnt AS DOUBLE) + 1.0) / (nq + v))"
+      val mm = s"(($pp + $qq) / 2.0)"
+      s"""WITH cp AS (SELECT t AS term, COUNT(*) AS p_cnt FROM
+         |    (SELECT unnest(string_split(text, ' ')) AS t FROM documents
+         |     WHERE source = 'src0') WHERE t <> '' GROUP BY 1),
+         |cq AS (SELECT t AS term, COUNT(*) AS q_cnt FROM
+         |    (SELECT unnest(string_split(text, ' ')) AS t FROM documents
+         |     WHERE source <> 'src0') WHERE t <> '' GROUP BY 1),
+         |j AS (SELECT COALESCE(cp.term, cq.term) AS term,
+         |    COALESCE(p_cnt, 0) AS p_cnt, COALESCE(q_cnt, 0) AS q_cnt
+         |  FROM cp FULL OUTER JOIN cq ON cp.term = cq.term),
+         |tot AS (SELECT SUM(p_cnt) AS np, SUM(q_cnt) AS nq,
+         |    COUNT(*) AS v FROM j),
+         |sc AS (SELECT CAST(round(1e6 *
+         |    (0.5 * $pp * ln($pp / $mm) + 0.5 * $qq * ln($qq / $mm)))
+         |    AS BIGINT) AS c
+         |  FROM j, tot)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+         |  CAST(SUM(c) AS BIGINT) AS jsd_unats FROM sc""".stripMargin
+    }
   )
 }

@@ -1022,6 +1022,46 @@ object Stats {
   }
 
   /**
+   * Jensen–Shannon divergence between the token distributions of two
+   * corpus slices — the SYMMETRIC, bounded (≤ ln 2) companion of
+   * [[tokenKL]] for mixture-distance dashboards (Lin '91): with the
+   * same add-one smoothing over the union vocabulary,
+   *
+   *   jsd = Σ_t round-once( 10⁶ · (½·p·ln(p/m) + ½·q·ln(q/m)) ),
+   *   m = (p+q)/2
+   *
+   * one rounded micro-nat long per term, summed exactly — engine-
+   * replayable like every log-family statistic here. Symmetry and the
+   * ln 2 bound make it the number to TREND (KL explodes when a token
+   * vanishes from one side; JSD never does).
+   *
+   * Scale shape: identical to [[tokenKL]] — one token-count groupBy
+   * per side, one full-outer term join, a broadcast one-row totals
+   * crossJoin, then ONE map-side-combinable sum.
+   *
+   * Returns one row: (n_terms, jsd_unats).
+   */
+  def tokenJSD(p: DataFrame, q: DataFrame, textCol: String): DataFrame = {
+    def counts(df: DataFrame, name: String): DataFrame =
+      df.select(explode(split(col(textCol), " ")).as("term"))
+        .where(col("term") =!= "")
+        .groupBy("term").agg(count(lit(1)).as(name))
+    val joined = counts(p, "p_cnt").join(counts(q, "q_cnt"),
+        Seq("term"), "full_outer")
+      .na.fill(0L, Seq("p_cnt", "q_cnt"))
+    val totals = joined.agg(sum("p_cnt").as("__np"), sum("q_cnt").as("__nq"),
+      count(lit(1)).as("__v"))
+    val pp = (col("p_cnt") + lit(1.0)) / (col("__np") + col("__v"))
+    val qq = (col("q_cnt") + lit(1.0)) / (col("__nq") + col("__v"))
+    val m = (pp + qq) / lit(2.0)
+    val contrib = round(lit(1e6) *
+      (lit(0.5) * pp * log(pp / m) + lit(0.5) * qq * log(qq / m)))
+      .cast("long")
+    joined.crossJoin(broadcast(totals))
+      .agg(count(lit(1)).as("n_terms"), sum(contrib).as("jsd_unats"))
+  }
+
+  /**
    * Simpson's-paradox screen over a stratified 2×2 association — the
    * A/B sanity check [[chiSquare2x2]] significance can't give: a pooled
    * effect direction that REVERSES inside every stratum is a

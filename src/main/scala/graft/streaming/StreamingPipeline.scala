@@ -650,6 +650,57 @@ object StreamingPipeline {
       }
   }
 
+  /** (key, order, value) projection for the running z-gate. */
+  final case class ZRow(k: Long, t: Long, x: Long)
+  /** Per-key state: the three exact integer moments — 3 longs. */
+  final case class ZSt(n: Long, s: Long, ssq: Long)
+  /** Per-row output: value, prefix count, and the division-cleared
+    * z-gate flag against the moments INCLUDING this row. */
+  final case class ZOut(key: Long, t: Long, x: Long, nSoFar: Long,
+      isAnomaly: Boolean)
+
+  /**
+   * Streaming running-moments z-gate — the live face of
+   * [[graft.pipeline.Stats.anomalyFlags]], with the one semantic a
+   * stream forces: each row is judged against the moments of the
+   * PREFIX up to and including itself (a stream cannot see the
+   * future), where the batch operator uses the whole group. Same
+   * division-cleared exact integer test, so no float accumulation
+   * ever: `kDen²·(n·v − s)² > kNum²·(n·ssq − s²)`. Rows in singleton
+   * prefixes never flag (z undefined — the batch contract). State is
+   * THREE longs per key; overflow contract as the batch operator
+   * (kNum²·N·V² < 2^63 — pre-scale coarser for wide regimes).
+   *
+   * Cross-batch: moments persist, so a restart continues the same
+   * prefix (spec pins it); per-key in-order feed assumed (the
+   * [[cusumStream]] trade), rows inside one batch sorted by `t`.
+   */
+  def anomalyStream(df: DataFrame, key: String, orderCol: String,
+      valueCol: String, kNum: Int = 2, kDen: Int = 1): Dataset[ZOut] = {
+    require(kNum > 0 && kDen > 0, s"k must be positive, got $kNum/$kDen")
+    import df.sparkSession.implicits._
+    val rows = df.select(col(key).cast("long").as("k"),
+      col(orderCol).cast("long").as("t"),
+      col(valueCol).cast("long").as("x")).as[ZRow]
+    rows.groupByKey(_.k)
+      .flatMapGroupsWithState[ZSt, ZOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (k: Long, it: Iterator[ZRow], state: GroupState[ZSt]) =>
+          var st = state.getOption.getOrElse(ZSt(0L, 0L, 0L))
+          val out = Vector.newBuilder[ZOut]
+          for (r <- it.toSeq.sortBy(_.t)) {
+            st = ZSt(st.n + 1, st.s + r.x, st.ssq + r.x * r.x)
+            val dev = st.n * r.x - st.s
+            val varN2 = st.n * st.ssq - st.s * st.s
+            val flag = kDen.toLong * kDen * dev * dev >
+              kNum.toLong * kNum * varN2
+            out += ZOut(k, r.t, r.x, st.n, flag)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** (key, order, value) projection for the EWMA smoother. */
   final case class EwmaRow(k: Long, t: Long, x: Long)
   /** Per-key state: the most-recent-first previous values, ≤ lags−1

@@ -63,7 +63,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "broadcast k-row depth-table range join (metadata-sized)"),
     "q_neyman" -> "broadcast one-row total-weight crossJoin (the sum of N_h*sigma_h)",
     "q_qnorm" -> ("broadcast 1000-row permille grid + one-row pooled-total " +
-      "crossJoins over the distinct-score histogram (pre-quantized scores by contract)"))
+      "crossJoins over the distinct-score histogram (pre-quantized scores by contract)"),
+    "q_jsd" -> "broadcast one-row (N_P, N_Q, V) totals crossJoin (the q_token_kl shape)")
 
   test("no query plans an unintended cartesian or nested-loop join") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -553,6 +553,27 @@ class StatsSpec extends AnyFunSuite {
     assert(flat.forall(_.getLong(3) == 0L))
   }
 
+  test("tokenJSD: zero on identical slices, symmetric, matches hand value") {
+    val p = Seq("aa bb", "aa cc").toDF("text")
+    val q = Seq("bb cc", "bb dd").toDF("text")
+    val same = Stats.tokenJSD(p, p, "text").collect()(0)
+    assert(same.getLong(1) == 0L)
+    val ab = Stats.tokenJSD(p, q, "text").collect()(0)
+    val ba = Stats.tokenJSD(q, p, "text").collect()(0)
+    assert(ab.getLong(0) == 4L && ab.getLong(1) == ba.getLong(1)) // symmetric
+    // hand: smoothed (p,q) per term over Np=Nq=4, V=4:
+    // aa (3/8,1/8), bb (2/8,3/8), cc (2/8,2/8), dd (1/8,2/8)
+    def term(pv: Double, qv: Double): Long = {
+      val m = (pv + qv) / 2
+      math.round(1e6 * (0.5 * pv * math.log(pv / m) +
+        0.5 * qv * math.log(qv / m)))
+    }
+    val hand = term(3.0 / 8, 1.0 / 8) + term(2.0 / 8, 3.0 / 8) +
+      term(2.0 / 8, 2.0 / 8) + term(1.0 / 8, 2.0 / 8)
+    assert(ab.getLong(1) == hand, s"${ab.getLong(1)} vs $hand")
+    assert(ab.getLong(1) > 0L && ab.getLong(1) < 693148L) // 0 < jsd < ln 2
+  }
+
   test("simpsonReversals: the textbook reversal flags, aligned strata don't") {
     // classic: treatment better in BOTH strata, worse pooled
     // stratum X: grp 81/87 vs other 234/270; stratum Y: 192/263 vs 55/80

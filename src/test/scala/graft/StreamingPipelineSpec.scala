@@ -740,6 +740,39 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(run() == Set(11L, 12L, 13L, 14L))
   }
 
+  test("anomalyStream flags against prefix moments, state spans batches") {
+    val dir = Files.createTempDirectory("stream-z").toString
+    val ckpt = Files.createTempDirectory("stream-z-ckpt").toString
+    val outDir = Files.createTempDirectory("stream-z-out").toString
+    // steady 10s, then a 100 spike: the spike must flag against the
+    // prefix moments; the steady rows must not
+    val part1 = (0 until 20).map(t => (1L, t.toLong, 10L))
+    val part2 = Seq((1L, 20L, 100L), (1L, 21L, 10L))
+    val schema = part1.toDF("k", "t", "x").schema
+    part1.toDF("k", "t", "x").write.mode("overwrite").parquet(dir)
+    def run(): Map[Long, (Long, Boolean)] = {
+      val out = StreamingPipeline.anomalyStream(
+        spark.readStream.schema(schema).parquet(dir),
+        "k", "t", "x", kNum = 3, kDen = 1)
+      val q = out.toDF().writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      spark.read.parquet(outDir).collect()
+        .map(r => r.getAs[Long]("t") ->
+          ((r.getAs[Long]("nSoFar"), r.getAs[Boolean]("isAnomaly")))).toMap
+    }
+    val first = run()
+    assert(first.size == 20 && first.values.forall(!_._2)) // constant: no flags
+    assert(first(19L)._1 == 20L)
+    part2.toDF("k", "t", "x").write.mode("append").parquet(dir)
+    val second = run()
+    // prefix count carried across the restart: t=20 is row 21
+    assert(second(20L)._1 == 21L && second(20L)._2, second.toString)
+    // the hand fold: after the spike, t=21's value 10 sits within 3 sigma
+    assert(second(21L)._1 == 22L && !second(21L)._2, second.toString)
+  }
+
   test("ewmaStream single batch equals the batch ewmaSmooth row-for-row") {
     val dir = Files.createTempDirectory("stream-ewma").toString
     val rnd = new scala.util.Random(7)
