@@ -928,6 +928,13 @@ def st_lengthSphere(line):
     return _fn("st_lengthsphere", line)
 
 
+def st_aggregateDistanceSphere(points):
+    """Total great-circle distance in meters along an array of lon/lat
+    points (sum of consecutive st_distanceSphere legs); 0 for fewer
+    than two points."""
+    return _fn("st_aggregate_distance_sphere", points)
+
+
 def st_relate(a, b):
     """DE-9IM intersection matrix of the two geometries as its 9-char string."""
     return _fn("st_relate", a, b)
@@ -1429,3 +1436,15 @@ def pl_feature_hash(tokens, dim=1024, seed=0):
     dim integer buckets -- vocabulary-free per-row vectorizer; each
     token adds +/-1 at mix64(fnv(token)+seed) mod dim."""
     return _fn("pl_feature_hash", tokens, dim, seed)
+
+
+def pl_bpe_apply(tokens, merges):
+    """BPE-tokenize each word of a token array against a LEARNED merge
+    list and flatten the subword units. ``merges`` is a literal list of
+    'x y' pair strings in learned order (bpe_learn's ``pair`` column);
+    the whole table rides inside one native expression, so cost is
+    independent of the merge-table size."""
+    from pyspark.sql.functions import array
+    if isinstance(merges, (list, tuple)):
+        merges = array(*[lit(m) for m in merges])
+    return _fn("pl_bpe_apply", tokens, merges)

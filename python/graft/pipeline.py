@@ -2188,10 +2188,14 @@ def ks_statistic(ref, cur, value_col):
     Scala ``Stats.ksStatistic``: exact integer D in ppm over the
     distinct-value table (one groupBy per side, cumulative windows
     over distinct values only), smallest-value argmax tie-break.
+    NULL values are excluded from both sides by contract (no position
+    on the value axis; engine-ambiguous NULL window ordering).
     """
     va = (ref.select(F.col(value_col).cast("long").alias("__v"))
+          .where(F.col("__v").isNotNull())
           .groupBy("__v").agg(F.count(F.lit(1)).alias("__ca")))
     vb = (cur.select(F.col(value_col).cast("long").alias("__v"))
+          .where(F.col("__v").isNotNull())
           .groupBy("__v").agg(F.count(F.lit(1)).alias("__cb")))
     w = Window.orderBy("__v")
     joined = (va.join(vb, ["__v"], "full_outer")
@@ -2237,12 +2241,14 @@ def conformal_quantile(df, score_col, alpha_permille):
     Scala ``Stats.conformalQuantile``: qhat = the k-th smallest
     calibration score with k = ceil((n+1)(1-alpha)); NULL row when
     k > n (too few calibration points). Distinct-value cumulative
-    window, one one-row aggregate.
+    window, one one-row aggregate. NULL scores are excluded by
+    contract (the ks_statistic NULL rule).
     """
     ap = int(alpha_permille)
     if not 1 <= ap <= 999:
         raise ValueError(f"alpha_permille must be in [1,999], got {ap}")
     counts = (df.select(F.col(score_col).cast("long").alias("__v"))
+              .where(F.col("__v").isNotNull())
               .groupBy("__v").agg(F.count(F.lit(1)).alias("__c")))
     w = Window.orderBy("__v")
     return (counts
@@ -2476,6 +2482,8 @@ def gini_concentration(df, key_col):
     """Gini concentration of rows over a grouping key — Python mirror
     of the Scala ``Stats.giniConcentration``: exact integer Lorenz
     formula over (count, key)-sorted per-key counts, truncating ppm.
+    Moments run in DECIMAL(38,0) — the x1e6-scaled numerator overflows
+    a long at n_keys*total > ~9.2e12; decimals hold to 1e32.
     """
     counts = (df.groupBy(F.col(key_col).alias("__k"))
               .agg(F.count(F.lit(1)).alias("__c")))
@@ -2483,10 +2491,13 @@ def gini_concentration(df, key_col):
     return (counts.withColumn("__i", F.row_number().over(w).cast("long"))
             .agg(F.count(F.lit(1)).alias("n_keys"),
                  F.sum("__c").alias("total"),
-                 F.sum(F.col("__i") * F.col("__c")).alias("__ic"))
+                 F.sum(F.col("__i").cast("decimal(38,0)") * F.col("__c"))
+                 .alias("__ic"))
             .select("n_keys", "total",
-                    F.expr("(2 * __ic - (n_keys + 1) * total) * 1000000"
-                           " div (n_keys * total)").alias("gini_ppm")))
+                    F.expr("(2 * __ic - (cast(n_keys as decimal(38,0)) + 1)"
+                           " * total) * 1000000"
+                           " div (cast(n_keys as decimal(38,0)) * total)")
+                    .alias("gini_ppm")))
 
 
 def cmh_test(df, stratum_col, group_col, success_col):
@@ -2630,10 +2641,14 @@ def quantile_normalize(df, group_col, score_col):
     Scala ``QuantileFilter.quantileNormalize``: within-group inclusive
     cumulative permille over the distinct-score histogram, mapped onto
     the pooled discrete quantile at that permille (1..1000 broadcast
-    grid). Integral pre-quantized scores only.
+    grid). Integral pre-quantized scores only. The within-group
+    permille is a CEILING division (range [1,1000] — a floor maps any
+    value with cum < n/1000 to 0 and silently drops it at the grid
+    join). NULL group/score rows are excluded by contract.
     """
     v = F.col(score_col).cast("long")
-    hist = (df.groupBy(F.col(group_col).alias("__g"), v.alias("__v"))
+    d = df.where(F.col(group_col).isNotNull() & v.isNotNull())
+    hist = (d.groupBy(F.col(group_col).alias("__g"), v.alias("__v"))
             .agg(F.count(F.lit(1)).alias("__c")))
     w_cume = (Window.partitionBy("__g").orderBy("__v")
               .rowsBetween(Window.unboundedPreceding, 0))
@@ -2641,19 +2656,20 @@ def quantile_normalize(df, group_col, score_col):
     pm_map = (hist.withColumn("__cum", F.sum("__c").over(w_cume))
               .withColumn("__n", F.sum("__c").over(w_grp))
               .select("__g", "__v",
-                      F.expr("__cum * 1000 div __n").alias("src_permille")))
-    pooled = (df.groupBy(v.alias("__pv")).agg(F.count(F.lit(1)).alias("__pc"))
+                      F.expr("(__cum * 1000 + __n - 1) div __n")
+                      .alias("src_permille")))
+    pooled = (d.groupBy(v.alias("__pv")).agg(F.count(F.lit(1)).alias("__pc"))
               .withColumn("__pcum", F.sum("__pc").over(
                   Window.orderBy("__pv")
                   .rowsBetween(Window.unboundedPreceding, 0))))
-    p_tot = df.agg(F.count(F.lit(1)).alias("__pn"))
+    p_tot = d.agg(F.count(F.lit(1)).alias("__pn"))
     grid = df.sparkSession.createDataFrame(
         [(p,) for p in range(1, 1001)], "__pm int")
     inv = (pooled.crossJoin(F.broadcast(p_tot)).crossJoin(F.broadcast(grid))
            .where(F.col("__pcum") >= F.expr("(__pn * __pm + 999) div 1000"))
            .groupBy("__pm").agg(F.min("__pv").alias("norm_score")))
-    return (df.join(pm_map, (F.col(group_col) == F.col("__g")) &
-                    (v == F.col("__v")))
+    return (d.join(pm_map, (F.col(group_col) == F.col("__g")) &
+                   (v == F.col("__v")))
             .join(F.broadcast(inv), F.col("src_permille") == F.col("__pm"))
             .drop("__g", "__v", "__pm"))
 
@@ -2677,11 +2693,16 @@ def spearman_corr(df, x_col, y_col):
     """Spearman rank correlation with mid-rank ties — Python mirror of
     the Scala ``Stats.spearmanCorr``: integer double-ranks
     (2*cum_before + cnt + 1) from distinct-value histograms, six exact
-    long moments, one round-once micro rho; NULL on a constant metric.
+    DECIMAL(38,0) moments (longs overflow the n*Sxx-class products at
+    n ~ 39k; decimals hold to n ~ 1e9), one round-once micro rho; NULL
+    on a constant metric. Rows with a NULL in either metric are
+    excluded (pairwise-complete).
     """
+    complete = df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+
     def ranks(c, out):
         w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
-        return (df.select(F.col(c).cast("long").alias("__v"))
+        return (complete.select(F.col(c).cast("long").alias("__v"))
                 .groupBy("__v").agg(F.count(F.lit(1)).alias("__c"))
                 .withColumn("__before",
                             F.coalesce(F.sum("__c").over(w), F.lit(0)))
@@ -2689,15 +2710,17 @@ def spearman_corr(df, x_col, y_col):
                         (F.lit(2) * F.col("__before") + F.col("__c") +
                          F.lit(1)).cast("long").alias(out)))
 
-    joined = (df.select(F.col(x_col).cast("long").alias("__xv"),
-                        F.col(y_col).cast("long").alias("__yv"))
+    joined = (complete.select(F.col(x_col).cast("long").alias("__xv"),
+                              F.col(y_col).cast("long").alias("__yv"))
               .join(ranks(x_col, "drx"), F.col("__xv") == F.col("__drx"))
               .join(ranks(y_col, "dry"), F.col("__yv") == F.col("__dry")))
+    dx = F.col("drx").cast("decimal(38,0)")
+    dy = F.col("dry").cast("decimal(38,0)")
     return (joined.agg(F.count(F.lit(1)).alias("n"),
-                       F.sum("drx").alias("__sx"), F.sum("dry").alias("__sy"),
-                       F.sum(F.col("drx") * F.col("dry")).alias("__sxy"),
-                       F.sum(F.col("drx") * F.col("drx")).alias("__sxx"),
-                       F.sum(F.col("dry") * F.col("dry")).alias("__syy"))
+                       F.sum(dx).alias("__sx"), F.sum(dy).alias("__sy"),
+                       F.sum(dx * dy).alias("__sxy"),
+                       F.sum(dx * dx).alias("__sxx"),
+                       F.sum(dy * dy).alias("__syy"))
             .select("n", F.when(
                 (F.col("n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
                  == 0) |

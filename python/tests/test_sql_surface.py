@@ -1,6 +1,7 @@
 """Python-side completeness sweep of the registered SQL surface.
 
-The Scala side pins the surface at 250 names (SqlParitySpec); this test
+The Scala side pins the surface at PINNED_SURFACE names (SqlParitySpec
+keeps the same number); this test
 re-derives the same set from Python via the session catalog, checks every
 name answers DESCRIBE FUNCTION with usage docs, and asserts the
 `python/graft` wrapper module covers the registry (or that a gap is in
@@ -10,7 +11,7 @@ import inspect
 
 import pytest
 
-PINNED_SURFACE = 257
+PINNED_SURFACE = 259
 
 # Registered SQL names with no same-named Python wrapper, each for a
 # documented reason. Keep this list short and justified.

@@ -3696,13 +3696,14 @@ object SparkEntry {
           "cnt", threshold = 67L, minLen = 2)
         .orderBy("event_type", "seg_start")
     }),
-    // BPE learn -> APPLY composition: the merge table from 3 greedy
+    // BPE learn -> APPLY composition: the merge table from 8 greedy
     // rounds (one row per round — a metadata-sized driver fetch, the
-    // CIDR-rule-list class of bounded collect) tokenizes the corpus in
-    // a pure per-row replace chain — zero shuffles in the apply pass
+    // CIDR-rule-list class of bounded collect) tokenizes the corpus
+    // through the single native BpeApplyMerges kernel — zero shuffles
+    // and ONE plan node in the apply pass however many merges ride in
     "q_bpe_apply" -> ((s, dir) => {
       val merges = graft.pipeline.Bpe.learn(
-          t(s, dir, "documents").select(col("text")), "text", rounds = 3)
+          t(s, dir, "documents").select(col("text")), "text", rounds = 8)
         .orderBy("round").collect()
         .map { r => val p = r.getString(1).split(" "); (p(0), p(1)) }
       graft.pipeline.Bpe.applyMerges(
@@ -3730,13 +3731,21 @@ object SparkEntry {
       graft.pipeline.Stats.chiSquare2x2(e, Seq("event_type"), "grp", "succ")
         .orderBy("event_type")
     }),
-    // two-sample KS over value cents: view vs click distributions
+    // two-sample KS over value cents: view vs click distributions.
+    // One injected NULL row per side pins the operator's NULL-exclusion
+    // contract cross-engine (the oracle injects the same rows and
+    // filters them the way the operator does)
     "q_ks" -> ((s, dir) => {
       val e = t(s, dir, "events").select(col("event_type"),
         expr("cast(round(value * 100) as bigint)").as("vc"))
+      val nulls = s.range(1).select(lit("view").as("event_type"),
+          lit(null).cast("long").as("vc"))
+        .unionByName(s.range(1).select(lit("click").as("event_type"),
+          lit(null).cast("long").as("vc")))
+      val all = e.unionByName(nulls)
       graft.pipeline.Stats.ksStatistic(
-        e.where(col("event_type") === "view"),
-        e.where(col("event_type") === "click"), "vc")
+        all.where(col("event_type") === "view"),
+        all.where(col("event_type") === "click"), "vc")
     }),
     // MRR@3 of the IVF list against brute-force truth — the
     // first-hit leg of the retrieval-eval family (recall / nDCG / MRR)
@@ -3879,6 +3888,26 @@ object SparkEntry {
       graft.pipeline.Stats.tokenJSD(
         d.where(col("source") === "src0"),
         d.where(col("source") =!= "src0"), "text")
+    }),
+    // ---- wave 28: spherical path length (the last reference st_* name) ----
+    // st_aggregate_distance_sphere over the q_st_sphere point triple:
+    // sum of consecutive haversine legs == hav_ab + hav_bc, replayed
+    // term-by-term in DuckDB with round(6) (the CRS rounding recipe);
+    // a single-point array pins the <2-points -> 0.0 contract
+    "q_st_agg_sphere" -> ((s, dir) => {
+      val p = t(s, dir, "lineitem")
+        .select(col("l_quantity").cast("int").as("qi"),
+          col("l_linenumber").cast("int").as("lni"))
+        .distinct()
+      val ax = col("qi") / 8.0 - 3.0
+      val ay = col("lni") / 4.0
+      val pa = st_point(ax, ay)
+      val pb = st_point(ax + 0.5, ay + 0.25)
+      val pc = st_point(ax + 1.0, ay - 0.5)
+      p.select(col("qi"), col("lni"),
+        round(st_aggregateDistanceSphere(array(pa, pb, pc)), 6).as("path_m"),
+        st_aggregateDistanceSphere(array(pa)).as("single_m"))
+        .orderBy("qi", "lni")
     })
   )
 
@@ -3887,6 +3916,39 @@ object SparkEntry {
   // unsigned-64 arithmetic is emulated with HUGEINT mod 2^64, splitting
   // the two 64×64-bit multiplies of the splitmix64 finalizer into 32-bit
   // halves so products stay inside HUGEINT range.
+  /** Unrolled DuckDB CTE chain for `rounds` greedy BPE merge rounds
+    * over the documents corpus: w0 is the delimiter-encoded init,
+    * round r counts within-word unit pairs (u/g/p), takes the
+    * (cnt DESC, pair) argmax (b) and rewrites via the one-replace
+    * identity (w). `withDocId` carries doc_id through the chain (the
+    * apply replay). Generated, so the round count scales without
+    * hand-unrolling — q_bpe_apply exercises 8 rounds. */
+  private def duckBpeChain(rounds: Int, withDocId: Boolean): String = {
+    val idSel = if (withDocId) "doc_id, " else ""
+    val sb = new StringBuilder
+    sb.append(
+      s"""w0 AS (SELECT ${idSel}list_transform(
+         |    list_filter(string_split(text, ' '), t -> t <> ''),
+         |    tok -> '¦¦' || regexp_replace(tok, '(.)', '\\1¦¦', 'g')) AS work
+         |  FROM documents)""".stripMargin)
+    for (r <- 1 to rounds) {
+      sb.append(",\n")
+      sb.append(
+        s"""u$r AS (SELECT list_filter(string_split_regex(w, '¦+'), x -> x <> '') AS un
+           |  FROM (SELECT unnest(work) AS w FROM w${r - 1})),
+           |g$r AS (SELECT un, unnest(range(1, greatest(len(un) - 1, 0) + 1)) AS i FROM u$r),
+           |p$r AS (SELECT un[i] || ' ' || un[i+1] AS pair, COUNT(*) AS cnt
+           |  FROM g$r GROUP BY 1),
+           |b$r AS (SELECT $r AS round, pair, cnt,
+           |    string_split(pair, ' ')[1] AS x, string_split(pair, ' ')[2] AS y
+           |  FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
+           |w$r AS (SELECT ${idSel}list_transform(work, w -> replace(w,
+           |    '¦' || x || '¦¦' || y || '¦', '¦' || x || y || '¦')) AS work
+           |  FROM w${r - 1}, b$r)""".stripMargin)
+    }
+    sb.toString
+  }
+
   private val M64 = "18446744073709551616::HUGEINT"
   private def duckMulMod(t: String, c: String): String =
     s"((($t) % 4294967296::HUGEINT) * $c + (((($t) >> 32) * $c) % 4294967296::HUGEINT)" +
@@ -7861,45 +7923,13 @@ object SparkEntry {
     // rewrite ('¦x¦¦y¦' -> '¦xy¦' — each match keeps a delimiter on
     // both flanks, so replace's left-to-right non-overlap IS the BPE
     // greedy scan)
-    "q_bpe_learn" ->
-      """WITH w0 AS (SELECT list_transform(
-        |    list_filter(string_split(text, ' '), t -> t <> ''),
-        |    tok -> '¦¦' || regexp_replace(tok, '(.)', '\1¦¦', 'g')) AS work
-        |  FROM documents),
-        |u1 AS (SELECT list_filter(string_split_regex(w, '¦+'), x -> x <> '') AS un
-        |  FROM (SELECT unnest(work) AS w FROM w0)),
-        |g1 AS (SELECT un, unnest(range(1, greatest(len(un) - 1, 0) + 1)) AS i FROM u1),
-        |p1 AS (SELECT un[i] || ' ' || un[i+1] AS pair, COUNT(*) AS cnt
-        |  FROM g1 GROUP BY 1),
-        |b1 AS (SELECT 1 AS round, pair, cnt,
-        |    string_split(pair, ' ')[1] AS x, string_split(pair, ' ')[2] AS y
-        |  FROM p1 ORDER BY cnt DESC, pair LIMIT 1),
-        |w1 AS (SELECT list_transform(work, w -> replace(w,
-        |    '¦' || x || '¦¦' || y || '¦', '¦' || x || y || '¦')) AS work
-        |  FROM w0, b1),
-        |u2 AS (SELECT list_filter(string_split_regex(w, '¦+'), x -> x <> '') AS un
-        |  FROM (SELECT unnest(work) AS w FROM w1)),
-        |g2 AS (SELECT un, unnest(range(1, greatest(len(un) - 1, 0) + 1)) AS i FROM u2),
-        |p2 AS (SELECT un[i] || ' ' || un[i+1] AS pair, COUNT(*) AS cnt
-        |  FROM g2 GROUP BY 1),
-        |b2 AS (SELECT 2 AS round, pair, cnt,
-        |    string_split(pair, ' ')[1] AS x, string_split(pair, ' ')[2] AS y
-        |  FROM p2 ORDER BY cnt DESC, pair LIMIT 1),
-        |w2 AS (SELECT list_transform(work, w -> replace(w,
-        |    '¦' || x || '¦¦' || y || '¦', '¦' || x || y || '¦')) AS work
-        |  FROM w1, b2),
-        |u3 AS (SELECT list_filter(string_split_regex(w, '¦+'), x -> x <> '') AS un
-        |  FROM (SELECT unnest(work) AS w FROM w2)),
-        |g3 AS (SELECT un, unnest(range(1, greatest(len(un) - 1, 0) + 1)) AS i FROM u3),
-        |p3 AS (SELECT un[i] || ' ' || un[i+1] AS pair, COUNT(*) AS cnt
-        |  FROM g3 GROUP BY 1),
-        |b3 AS (SELECT 3 AS round, pair, cnt,
-        |    string_split(pair, ' ')[1] AS x, string_split(pair, ' ')[2] AS y
-        |  FROM p3 ORDER BY cnt DESC, pair LIMIT 1)
-        |SELECT CAST(round AS INT) AS round, pair, x || y AS merged,
-        |  CAST(cnt AS BIGINT) AS cnt
-        |FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2
-        |      UNION ALL SELECT * FROM b3) ORDER BY round""".stripMargin,
+    "q_bpe_learn" -> {
+      val unions = (1 to 3).map(r => s"SELECT * FROM b$r").mkString(" UNION ALL ")
+      s"""WITH ${duckBpeChain(3, withDocId = false)}
+         |SELECT CAST(round AS INT) AS round, pair, x || y AS merged,
+         |  CAST(cnt AS BIGINT) AS cnt
+         |FROM ($unions) ORDER BY round""".stripMargin
+    },
     // minhash eval replayed: the chained v0/v1/v2 fixture, exact
     // distinct-trigram jaccard truth (no pruning), the full minhash CTE
     // chain over the fixture for candidates, and the three counts
@@ -8052,49 +8082,18 @@ object SparkEntry {
         |  CAST(total_cnt AS BIGINT) AS total_cnt
         |FROM seg WHERE n_buckets >= 2
         |ORDER BY event_type, seg_start""".stripMargin,
-    // BPE apply replayed: the q_bpe_learn merge chain with doc_id
-    // carried through, then per-doc residual units flattened
+    // BPE apply replayed: the generated 8-round merge chain with doc_id
+    // carried through, then per-doc residual units flattened — 8 rounds
+    // (vs learn's 3) so the oracle exercises merge-count growth against
+    // the native kernel
     "q_bpe_apply" ->
-      """WITH d0 AS (SELECT doc_id, list_transform(
-        |    list_filter(string_split(text, ' '), t -> t <> ''),
-        |    tok -> '¦¦' || regexp_replace(tok, '(.)', '\1¦¦', 'g')) AS work
-        |  FROM documents),
-        |u1 AS (SELECT list_filter(string_split_regex(w, '¦+'), x -> x <> '') AS un
-        |  FROM (SELECT unnest(work) AS w FROM d0)),
-        |g1 AS (SELECT un, unnest(range(1, greatest(len(un) - 1, 0) + 1)) AS i FROM u1),
-        |p1 AS (SELECT un[i] || ' ' || un[i+1] AS pair, COUNT(*) AS cnt
-        |  FROM g1 GROUP BY 1),
-        |b1 AS (SELECT string_split(pair, ' ')[1] AS x, string_split(pair, ' ')[2] AS y
-        |  FROM p1 ORDER BY cnt DESC, pair LIMIT 1),
-        |d1 AS (SELECT doc_id, list_transform(work, w -> replace(w,
-        |    '¦' || x || '¦¦' || y || '¦', '¦' || x || y || '¦')) AS work
-        |  FROM d0, b1),
-        |u2 AS (SELECT list_filter(string_split_regex(w, '¦+'), x -> x <> '') AS un
-        |  FROM (SELECT unnest(work) AS w FROM d1)),
-        |g2 AS (SELECT un, unnest(range(1, greatest(len(un) - 1, 0) + 1)) AS i FROM u2),
-        |p2 AS (SELECT un[i] || ' ' || un[i+1] AS pair, COUNT(*) AS cnt
-        |  FROM g2 GROUP BY 1),
-        |b2 AS (SELECT string_split(pair, ' ')[1] AS x, string_split(pair, ' ')[2] AS y
-        |  FROM p2 ORDER BY cnt DESC, pair LIMIT 1),
-        |d2 AS (SELECT doc_id, list_transform(work, w -> replace(w,
-        |    '¦' || x || '¦¦' || y || '¦', '¦' || x || y || '¦')) AS work
-        |  FROM d1, b2),
-        |u3 AS (SELECT list_filter(string_split_regex(w, '¦+'), x -> x <> '') AS un
-        |  FROM (SELECT unnest(work) AS w FROM d2)),
-        |g3 AS (SELECT un, unnest(range(1, greatest(len(un) - 1, 0) + 1)) AS i FROM u3),
-        |p3 AS (SELECT un[i] || ' ' || un[i+1] AS pair, COUNT(*) AS cnt
-        |  FROM g3 GROUP BY 1),
-        |b3 AS (SELECT string_split(pair, ' ')[1] AS x, string_split(pair, ' ')[2] AS y
-        |  FROM p3 ORDER BY cnt DESC, pair LIMIT 1),
-        |d3 AS (SELECT doc_id, list_transform(work, w -> replace(w,
-        |    '¦' || x || '¦¦' || y || '¦', '¦' || x || y || '¦')) AS work
-        |  FROM d2, b3),
-        |units AS (SELECT doc_id, flatten(list_transform(work,
-        |    w -> list_filter(string_split_regex(w, '¦+'), x -> x <> ''))) AS un
-        |  FROM d3)
-        |SELECT doc_id AS id, CAST(len(un) AS BIGINT) AS n_units,
-        |  array_to_string(un, ' ') AS units_str
-        |FROM units ORDER BY id""".stripMargin,
+      s"""WITH ${duckBpeChain(8, withDocId = true)},
+         |units AS (SELECT doc_id, flatten(list_transform(work,
+         |    w -> list_filter(string_split_regex(w, '¦+'), x -> x <> ''))) AS un
+         |  FROM w8)
+         |SELECT doc_id AS id, CAST(len(un) AS BIGINT) AS n_units,
+         |  array_to_string(un, ' ') AS units_str
+         |FROM units ORDER BY id""".stripMargin,
     // scene cuts replayed: per-frame dense 16-bin histograms from the
     // character stream (ASCII corpus: char = byte), adjacent L1 deltas
     "q_scene_cuts" ->
@@ -8146,9 +8145,13 @@ object SparkEntry {
     // integer gap max with smallest-value tie-break
     "q_ks" ->
       """WITH e AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc
-        |  FROM events),
-        |a AS (SELECT vc AS v, COUNT(*) AS ca FROM e WHERE event_type = 'view' GROUP BY 1),
-        |b AS (SELECT vc AS v, COUNT(*) AS cb FROM e WHERE event_type = 'click' GROUP BY 1),
+        |  FROM events
+        |  UNION ALL SELECT 'view', NULL
+        |  UNION ALL SELECT 'click', NULL),
+        |a AS (SELECT vc AS v, COUNT(*) AS ca FROM e
+        |  WHERE event_type = 'view' AND vc IS NOT NULL GROUP BY 1),
+        |b AS (SELECT vc AS v, COUNT(*) AS cb FROM e
+        |  WHERE event_type = 'click' AND vc IS NOT NULL GROUP BY 1),
         |j AS (SELECT COALESCE(a.v, b.v) AS v, COALESCE(ca, 0) AS ca,
         |    COALESCE(cb, 0) AS cb FROM a FULL OUTER JOIN b ON a.v = b.v),
         |cum AS (SELECT v, SUM(ca) OVER (ORDER BY v) AS cuma,
@@ -8508,14 +8511,17 @@ object SparkEntry {
          |  CAST(SUM(t.doc_id) AS BIGINT) AS id_sum
          |FROM al JOIN takes t ON t.source = al.source
          |GROUP BY 1, 2, 3 ORDER BY al.source""".stripMargin,
-    // quantile normalization replayed: within-source inclusive-cum
-    // permille, pooled discrete quantile at each permille 1..1000
+    // quantile normalization replayed: within-source CEILING-division
+    // inclusive-cum permille (range [1,1000] — a floor would map rare
+    // low values in >1000-row groups to 0 and drop them at the grid
+    // join), pooled discrete quantile at each permille 1..1000
     "q_qnorm" ->
       """WITH h AS (SELECT source AS g, n_chars AS v, COUNT(*) AS c
         |  FROM documents GROUP BY 1, 2),
         |pm AS (SELECT g, v,
-        |    (SUM(c) OVER (PARTITION BY g ORDER BY v
+        |    ((SUM(c) OVER (PARTITION BY g ORDER BY v
         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 1000
+        |      + (SUM(c) OVER (PARTITION BY g)) - 1)
         |      // (SUM(c) OVER (PARTITION BY g)) AS src_permille
         |  FROM h),
         |ph AS (SELECT n_chars AS pv, COUNT(*) AS pc FROM documents
@@ -8561,9 +8567,10 @@ object SparkEntry {
         |    + c + 1 AS dr FROM hy),
         |j AS (SELECT rx.dr AS drx, ry.dr AS dry FROM b
         |  JOIN rx ON rx.v = b.x JOIN ry ON ry.v = b.y),
-        |m AS (SELECT COUNT(*) AS n, SUM(drx) AS sx, SUM(dry) AS sy,
-        |    SUM(drx * dry) AS sxy, SUM(drx * drx) AS sxx,
-        |    SUM(dry * dry) AS syy FROM j)
+        |m AS (SELECT COUNT(*) AS n, SUM(drx::HUGEINT) AS sx,
+        |    SUM(dry::HUGEINT) AS sy,
+        |    SUM(drx::HUGEINT * dry) AS sxy, SUM(drx::HUGEINT * drx) AS sxx,
+        |    SUM(dry::HUGEINT * dry) AS syy FROM j)
         |SELECT CAST(n AS BIGINT) AS n,
         |  CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
         |    THEN NULL
@@ -8596,6 +8603,27 @@ object SparkEntry {
          |  FROM j, tot)
          |SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
          |  CAST(SUM(c) AS BIGINT) AS jsd_unats FROM sc""".stripMargin
-    }
+    },
+    // spherical path length replayed: the q_st_sphere haversine CTE
+    // verbatim, summed legs rounded once; a one-point path is 0.0
+    "q_st_agg_sphere" ->
+      """WITH p AS (SELECT DISTINCT CAST(l_quantity AS INT) AS qi, CAST(l_linenumber AS INT) AS lni FROM lineitem),
+        |c AS (SELECT qi, lni,
+        |        qi / 8.0 - 3.0 AS ax, lni / 4.0 AS ay
+        |      FROM p),
+        |h AS (SELECT qi, lni,
+        |        2.0 * 6371008.7714 * asin(least(1.0, sqrt(
+        |          sin((((ay + 0.25) - ay) / 180.0 * pi()) / 2) * sin((((ay + 0.25) - ay) / 180.0 * pi()) / 2)
+        |          + cos(ay / 180.0 * pi()) * cos((ay + 0.25) / 180.0 * pi())
+        |            * sin((((ax + 0.5) - ax) / 180.0 * pi()) / 2) * sin((((ax + 0.5) - ax) / 180.0 * pi()) / 2)))) AS hav_ab,
+        |        2.0 * 6371008.7714 * asin(least(1.0, sqrt(
+        |          sin((((ay - 0.5) - (ay + 0.25)) / 180.0 * pi()) / 2) * sin((((ay - 0.5) - (ay + 0.25)) / 180.0 * pi()) / 2)
+        |          + cos((ay + 0.25) / 180.0 * pi()) * cos((ay - 0.5) / 180.0 * pi())
+        |            * sin((((ax + 1.0) - (ax + 0.5)) / 180.0 * pi()) / 2) * sin((((ax + 1.0) - (ax + 0.5)) / 180.0 * pi()) / 2)))) AS hav_bc
+        |      FROM c)
+        |SELECT qi, lni,
+        |  round(hav_ab + hav_bc, 6) AS path_m,
+        |  CAST(0.0 AS DOUBLE) AS single_m
+        |FROM h ORDER BY qi, lni""".stripMargin
   )
 }

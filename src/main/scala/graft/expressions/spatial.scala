@@ -896,6 +896,43 @@ case class GeomLengthSphere(child: Expression) extends GeomUnaryOp {
   override protected def withNewChildInternal(c: Expression) = copy(c)
 }
 
+/** Total great-circle distance in meters along a SEQUENCE of lon/lat
+  * geometries — the sum of [[GeomDistanceSphere]] legs between
+  * consecutive array entries (each geometry contributes its first
+  * coordinate, like st_distancesphere). The spark-jts path-length
+  * aggregate the reference exposes as `st_aggregateDistanceSphere`
+  * (ref python/pyrasterframes/rasterfunctions.py:1425-1427); 0.0 for
+  * fewer than two points; NULL entries are skipped. */
+case class GeomAggregateDistanceSphere(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "st_aggregate_distance_sphere"
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(et, _) if isGeomLike(et) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects an array<geometry> argument")
+  }
+  @transient private lazy val elemExtractor: Any => Geometry =
+    geomExtractor(child.dataType.asInstanceOf[ArrayType].elementType)
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    var sum = 0.0
+    var prev: org.locationtech.jts.geom.Coordinate = null
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val c = elemExtractor(arr.get(i,
+          child.dataType.asInstanceOf[ArrayType].elementType)).getCoordinate
+        if (prev != null) sum += Sphere.haversineM(prev.x, prev.y, c.x, c.y)
+        prev = c
+      }
+      i += 1
+    }
+    sum
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
 /** DE-9IM intersection matrix of two geometries as its 9-char string. */
 case class GeomRelate(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {

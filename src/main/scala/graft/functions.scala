@@ -254,6 +254,8 @@ object functions {
   def st_asLatLonText(g: Column): Column = c(GeomAsLatLonText(e(g)))
   def st_distanceSphere(a: Column, b: Column): Column = c(GeomDistanceSphere(e(a), e(b)))
   def st_lengthSphere(g: Column): Column = c(GeomLengthSphere(e(g)))
+  def st_aggregateDistanceSphere(points: Column): Column =
+    c(GeomAggregateDistanceSphere(e(points)))
   def st_relate(a: Column, b: Column): Column = c(GeomRelate(e(a), e(b)))
   def st_relateBool(a: Column, b: Column, pattern: Column): Column =
     c(GeomRelateBool(e(a), e(b), e(pattern)))
@@ -535,6 +537,7 @@ object Raster {
     reg1("st_aslatlontext", GeomAsLatLonText(_))
     reg2("st_distancesphere", GeomDistanceSphere(_, _))
     reg1("st_lengthsphere", GeomLengthSphere(_))
+    reg1("st_aggregate_distance_sphere", GeomAggregateDistanceSphere(_))
     reg2("st_relate", GeomRelate(_, _))
     reg3("st_relatebool", GeomRelateBool(_, _, _))
     reg2("st_geohash", GeohashEncode(_, _))
@@ -621,6 +624,19 @@ object Raster {
         intArg(xs, 1, 1024),
         if (xs.length > 2) xs(2).eval(null).asInstanceOf[Number].longValue()
         else 0L))
+      regN("pl_bpe_apply", xs => {
+        // the merge table is a plan-time literal array of 'x y' pairs
+        // (Bpe.learn's `pair` column), folded once into the kernel
+        val arr = xs(1).eval(null)
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val merges = (0 until arr.numElements()).map { i =>
+          val p = arr.getUTF8String(i).toString.split(" ", 2)
+          require(p.length == 2,
+            s"pl_bpe_apply merge entries must be 'x y' pairs, got '${arr.getUTF8String(i)}'")
+          (p(0), p(1))
+        }
+        graft.pipeline.BpeApplyMerges(xs(0), merges)
+      })
       reg1("pl_mix64", graft.pipeline.Mix64(_))
       reg1("pl_nfc", graft.pipeline.UnicodeNorm(_, "NFC"))
       reg1("pl_nfkc", graft.pipeline.UnicodeNorm(_, "NFKC"))

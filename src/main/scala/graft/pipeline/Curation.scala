@@ -323,12 +323,20 @@ object QuantileFilter {
    * heterogeneous per-source score scales become one comparable scale
    * in real score units (where calibrate outputs a rank).
    *
-   *   pm(row)   = cum_{≤v within group} · 1000 div n_group   (1..1000)
+   *   pm(row)   = ⌈cum_{≤v within group} · 1000 / n_group⌉   (1..1000)
+   *             — CEILING division ((cum·1000 + n−1) div n), so the
+   *               smallest cum ≥ 1 maps to pm ≥ 1 and every row lands
+   *               on the 1..1000 grid (a floor here maps any value
+   *               with cum < n/1000 to pm 0, silently dropping it at
+   *               the grid join — every >1000-row group with a rare
+   *               low value)
    *   norm(pm)  = min pooled v with pooled_cum ≥ ceil(n_pool·pm/1000)
    *             — the [[QuantileFilter.threshold]] discrete quantile
    *
    * Exact integers end to end; ties inside a group share one pm and
-   * one normalized value on every engine.
+   * one normalized value on every engine. Rows with a NULL group or
+   * score are excluded by contract (a NULL score has no quantile; the
+   * ksStatistic NULL rule — CurationSpec pins it).
    *
    * Scale shape: both sides reduce to distinct-value histograms before
    * any window (the [[calibrate]] discipline — fact rows are never
@@ -343,7 +351,8 @@ object QuantileFilter {
   def quantileNormalize(df: DataFrame, groupCol: String,
       scoreCol: String): DataFrame = {
     val v = col(scoreCol).cast("long")
-    val hist = df.groupBy(col(groupCol).as("__g"), v.as("__v"))
+    val in = df.where(col(groupCol).isNotNull && v.isNotNull)
+    val hist = in.groupBy(col(groupCol).as("__g"), v.as("__v"))
       .agg(count(lit(1)).as("__c"))
     val wCume = Window.partitionBy("__g").orderBy("__v")
       .rowsBetween(Window.unboundedPreceding, 0)
@@ -352,19 +361,19 @@ object QuantileFilter {
       .withColumn("__cum", sum("__c").over(wCume))
       .withColumn("__n", sum("__c").over(wGrp))
       .select(col("__g"), col("__v"),
-        expr("__cum * 1000 div __n").as("src_permille"))
+        expr("(__cum * 1000 + __n - 1) div __n").as("src_permille"))
     // pooled inverse-CDF at each permille: the threshold() recipe over
     // the pooled histogram, once per pm 1..1000
-    val pooled = df.groupBy(v.as("__pv")).agg(count(lit(1)).as("__pc"))
+    val pooled = in.groupBy(v.as("__pv")).agg(count(lit(1)).as("__pc"))
       .withColumn("__pcum", sum("__pc").over(Window.orderBy(col("__pv"))
         .rowsBetween(Window.unboundedPreceding, 0)))
-    val pTot = df.agg(count(lit(1)).as("__pn"))
+    val pTot = in.agg(count(lit(1)).as("__pn"))
     val grid = df.sparkSession.createDataFrame(
       (1 to 1000).map(Tuple1(_))).toDF("__pm")
     val inv = pooled.crossJoin(broadcast(pTot)).crossJoin(broadcast(grid))
       .where(col("__pcum") >= expr("(__pn * __pm + 999) div 1000"))
       .groupBy("__pm").agg(min(col("__pv")).as("norm_score"))
-    df.join(pmMap, col(groupCol) === col("__g") && v === col("__v"))
+    in.join(pmMap, col(groupCol) === col("__g") && v === col("__v"))
       .join(broadcast(inv), col("src_permille") === col("__pm"))
       .drop("__g", "__v", "__pm")
   }

@@ -913,12 +913,18 @@ object Dedup {
     // nothing approaches DECIMAL(38,0) until B ~ 10³⁵. B ≥ 1 always
     // (w > 0 is enforced above, so every joined norm² ≥ 1). The filter
     // is exact too: floor(x) ≥ thr² ⟺ x ≥ thr² for integer thr².
+    // A·10³ and B materialize ONCE as named columns: inlined, the
+    // split-division form pays the two wide decimal multiplies 2-3×
+    // per row (CollapseProject/pushdown won't duplicate non-cheap
+    // expressions across a named boundary, measured — the r14→r15
+    // creep note in README).
     dots
       .join(norms.select(col("id").as("a"), col("norm2").as("na")), "a")
       .join(norms.select(col("id").as("b"), col("norm2").as("nb")), "b")
+      .withColumn("__a3", expr("dot * dot * 1000"))
+      .withColumn("__b", expr("na * nb"))
       .withColumn("cos2_ppm", expr(
-        "cast((dot * dot * 1000 div (na * nb)) * 1000" +
-          " + ((dot * dot * 1000) % (na * nb)) * 1000 div (na * nb) as long)"))
+        "cast((__a3 div __b) * 1000 + (__a3 % __b) * 1000 div __b as long)"))
       .where(col("cos2_ppm") >= thr2)
       .select(col("a"), col("b"), col("common_terms"), col("cos2_ppm"))
   }

@@ -777,9 +777,15 @@ object Stats {
    */
   def ksStatistic(ref: DataFrame, cur: DataFrame,
       valueCol: String): DataFrame = {
+    // NULL metric values carry no position on the value axis and are
+    // engine-ambiguous in cumulative windows (Spark orders NULL first,
+    // DuckDB last): excluded from both sides by contract (the
+    // tCloseness rule; StatsSpec + the q_ks NULL-bearing fixture pin it)
     val va = ref.select(col(valueCol).cast("long").as("__v"))
+      .where(col("__v").isNotNull)
       .groupBy("__v").agg(count(lit(1)).as("__ca"))
     val vb = cur.select(col(valueCol).cast("long").as("__v"))
+      .where(col("__v").isNotNull)
       .groupBy("__v").agg(count(lit(1)).as("__cb"))
     val w = org.apache.spark.sql.expressions.Window.orderBy("__v")
     val joined = va.join(vb, Seq("__v"), "full_outer")
@@ -825,7 +831,11 @@ object Stats {
       alphaPermille: Int): DataFrame = {
     require(alphaPermille >= 1 && alphaPermille <= 999,
       s"alphaPermille must be in [1,999], got $alphaPermille")
+    // NULL scores are excluded by contract (no rank on the score axis;
+    // engine-ambiguous NULL ordering in cumulative windows — the
+    // ksStatistic rule), so n counts non-null calibration points only
     val counts = df.select(col(scoreCol).cast("long").as("__v"))
+      .where(col("__v").isNotNull)
       .groupBy("__v").agg(count(lit(1)).as("__c"))
     val w = org.apache.spark.sql.expressions.Window.orderBy("__v")
     counts
@@ -1121,8 +1131,12 @@ object Stats {
    * Scale shape: ONE keyed groupBy reduces the corpus to the key-
    * bounded count table; the rank window and the two one-row sums run
    * over THAT table only (keys are bounded — domains/sources/langs,
-   * not documents). Overflow contract: n·Σc < 2^63 — e.g. a million
-   * keys over a trillion rows.
+   * not documents). The Lorenz moments run in DECIMAL(38,0) — the
+   * ×10⁶-scaled numerator reaches n·Σc·10⁶, which overflows a long a
+   * million times below the key-count×row-count frontier; decimals
+   * hold to n·Σc < 10³², matching the HUGEINT oracle. Overflow
+   * contract: n·Σc < 10³² — e.g. a billion keys over a sextillion
+   * rows.
    *
    * Returns one row: (n_keys, total, gini_ppm).
    */
@@ -1133,10 +1147,11 @@ object Stats {
       .orderBy(col("__c"), col("__k"))
     counts.withColumn("__i", row_number().over(w).cast("long"))
       .agg(count(lit(1)).as("n_keys"), sum("__c").as("total"),
-        sum(col("__i") * col("__c")).as("__ic"))
+        sum(col("__i").cast("decimal(38,0)") * col("__c")).as("__ic"))
       .select(col("n_keys"), col("total"),
-        expr("(2 * __ic - (n_keys + 1) * total) * 1000000" +
-          " div (n_keys * total)").as("gini_ppm"))
+        expr("(2 * __ic - (cast(n_keys as decimal(38,0)) + 1) * total)" +
+          " * 1000000 div (cast(n_keys as decimal(38,0)) * total)")
+          .as("gini_ppm"))
   }
 
   /**
@@ -1231,37 +1246,47 @@ object Stats {
    *   dr(v) = 2·cum_before(v) + cnt(v) + 1       (= 2 · mid-rank)
    *   rho   = (n·Σxy − Σx·Σy) / √(n·Σx²−(Σx)²) / √(n·Σy²−(Σy)²)
    *
-   * over the double-ranks; all six moments are exact longs and rho is
-   * ONE round-once micro expression — engine-replayable. NULL when
-   * either metric is constant (rho undefined).
+   * over the double-ranks; all six moments are exact DECIMAL(38,0)
+   * integers (the n·Σxy-class products reach ~4n⁴ — longs overflow at
+   * n ≈ 39k; decimals hold to n ≈ 10⁹) and rho is ONE round-once micro
+   * expression over their correctly-rounded double casts —
+   * engine-replayable against HUGEINT oracles. NULL when either metric
+   * is constant (rho undefined). Rows with a NULL in either metric are
+   * excluded by contract (pairwise-complete — the ksStatistic NULL
+   * rule; a NULL has no rank and NULL window ordering is
+   * engine-ambiguous).
    *
    * Scale shape: one distinct-value histogram + cumulative window per
    * metric (distinct values, never a row sort — the [[psiReport]]
    * discipline), two equi-joins hand each row its double-ranks, ONE
-   * moment aggregate. Overflow contract: Σ(drx·dry) ≤ 4n³ < 2^63 —
-   * n to ~1.3e6 rows; sample first beyond (rho is an audit statistic).
+   * moment aggregate. Overflow contract: 4n⁴ < 10³⁸ — n to ~10⁹ rows;
+   * sample first beyond (rho is an audit statistic).
    *
    * Returns one row: (n, rho_micro).
    */
   def spearmanCorr(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val complete = df
+      .where(col(xCol).isNotNull && col(yCol).isNotNull)
     def ranks(c: String, out: String): DataFrame = {
       val W = org.apache.spark.sql.expressions.Window
       val w = W.orderBy(col("__v")).rowsBetween(W.unboundedPreceding, -1)
-      df.select(col(c).cast("long").as("__v"))
+      complete.select(col(c).cast("long").as("__v"))
         .groupBy("__v").agg(count(lit(1)).as("__c"))
         .withColumn("__before", coalesce(sum("__c").over(w), lit(0L)))
         .select(col("__v").as(s"__$out"),
           (lit(2L) * col("__before") + col("__c") + lit(1L)).as(out))
     }
-    val joined = df.select(col(xCol).cast("long").as("__xv"),
+    val joined = complete.select(col(xCol).cast("long").as("__xv"),
         col(yCol).cast("long").as("__yv"))
       .join(ranks(xCol, "drx"), col("__xv") === col("__drx"))
       .join(ranks(yCol, "dry"), col("__yv") === col("__dry"))
+    val dx = col("drx").cast("decimal(38,0)")
+    val dy = col("dry").cast("decimal(38,0)")
     joined.agg(count(lit(1)).as("n"),
-        sum("drx").as("__sx"), sum("dry").as("__sy"),
-        sum(col("drx") * col("dry")).as("__sxy"),
-        sum(col("drx") * col("drx")).as("__sxx"),
-        sum(col("dry") * col("dry")).as("__syy"))
+        sum(dx).as("__sx"), sum(dy).as("__sy"),
+        sum(dx * dy).as("__sxy"),
+        sum(dx * dx).as("__sxx"),
+        sum(dy * dy).as("__syy"))
       .select(col("n"),
         when(col("n") * col("__sxx") - col("__sx") * col("__sx") === 0L ||
             col("n") * col("__syy") - col("__sy") * col("__sy") === 0L,

@@ -115,35 +115,31 @@ object Bpe {
 
   /**
    * Apply a LEARNED merge list to a corpus — the tokenize step that
-   * pairs with [[learn]]: each merge (x, y) fuses in list order via the
-   * same delimiter-replace identity (`replace("¦x¦¦y¦", "¦xy¦")` IS the
-   * greedy left-to-right BPE scan — see [[learn]]'s doc), then every
-   * word's residual units flatten into the document's subword stream.
-   * The merges are PLAN LITERALS (a real vocab's merge table is
-   * thousands of rows — well inside plan-literal size; [[learn]]'s
-   * output is one row per round, so `learn(...).collect()` is a
-   * metadata-sized driver fetch, the CIDR-rule-list class of bounded
-   * collect).
+   * pairs with [[learn]]: each merge (x, y) fuses in list order with
+   * the greedy left-to-right non-overlap semantics of [[learn]]'s
+   * delimiter-replace identity, then every word's residual units
+   * flatten into the document's subword stream. The whole merge table
+   * ships inside ONE [[BpeApplyMerges]] expression node (a real
+   * vocab's thousands of merges are one shared hash map per executor,
+   * not thousands of chained plan nodes; [[learn]]'s output is one row
+   * per round, so `learn(...).collect()` is a metadata-sized driver
+   * fetch, the CIDR-rule-list class of bounded collect). The merge
+   * list must be in LEARNED order — see the kernel's doc for why that
+   * makes the single-pass loop exactly the sequential replace chain.
    *
-   * Scale shape: a pure per-row replace chain — ZERO shuffles; the
-   * 100 TB corpus tokenizes in the scan. Output: id, n_units,
-   * units_str (the space-joined subword stream).
+   * Scale shape: one native per-row kernel — ZERO shuffles, zero
+   * per-merge corpus copies; the 100 TB corpus tokenizes in the scan
+   * at O(word_len · merges_applied) per word regardless of the merge
+   * table's size. Output: id, n_units, units_str (the space-joined
+   * subword stream).
    */
   def applyMerges(df: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
     require(merges.nonEmpty, "merges must not be empty")
-    val init = df.select(col(idCol).as("id"), transform(
-      filter(split(col(textCol), " "), t => t =!= ""),
-      tok => concat(lit(D + D), regexp_replace(tok, "(.)", "$1" + D + D)))
-      .as("__w"))
-    val fused = merges.foldLeft(init) { case (acc, (x, y)) =>
-      acc.select(col("id"), transform(col("__w"), w => replace(w,
-        lit(D + x + D + D + y + D), lit(D + x + y + D))).as("__w"))
-    }
-    fused
-      .select(col("id"), expr(
-        s"flatten(transform(__w, w -> filter(split(w, '$D+'), u -> u != '')))")
-        .as("__units"))
+    df.select(col(idCol).as("id"),
+        asColumn(BpeApplyMerges(
+          asExpr(filter(split(col(textCol), " "), t => t =!= "")),
+          merges)).as("__units"))
       .select(col("id"),
         size(col("__units")).cast("long").as("n_units"),
         concat_ws(" ", col("__units")).as("units_str"))

@@ -1274,6 +1274,118 @@ case class RandomProjection(child: Expression, outDim: Int, seed: Long)
  * All-integer output, replayable by any engine with the same fnv+mix64
  * (the q_fingerprint oracle machinery).
  */
+/**
+ * One-pass BPE tokenizer against a LEARNED merge list — the native
+ * kernel behind [[Bpe.applyMerges]] (the ROUGE/[[ClippedOverlap]]
+ * rewrite applied to the merge rewrite): the whole merge table rides
+ * inside ONE expression node and each word tokenizes in a single
+ * greedy loop, where the previous `transform(replace(...))` chain was
+ * one plan node and one full string copy of the corpus PER MERGE —
+ * plan-size explosion and O(merges) passes at a real (thousands-of-
+ * rows) vocabulary.
+ *
+ * Semantics are EXACTLY the delimiter-replace chain the DuckDB oracle
+ * replays (see [[Bpe.learn]]'s doc): merges apply in list order, each
+ * as one left-to-right non-overlapping fuse pass. The kernel runs the
+ * equivalent min-rank iteration (repeatedly fuse the lowest-ranked
+ * pair present — the standard BPE encoder loop): for a merge list in
+ * LEARNED order the two are identical, because a merge's output unit
+ * can only appear in later merges (the Sennrich invariant — pair
+ * (x,y) is only countable after x and y exist), so when sequential
+ * application reaches rank r no pair of rank < r survives, and a fuse
+ * pass only creates pairs involving its own output. BpeSpec pins
+ * kernel ≡ sequential-replace on a genuinely learned 64+-merge table.
+ *
+ * Contract: the merge list must be in learned order (ranks respect
+ * production order) — [[Bpe.learn]] output always is. Per-word cost is
+ * O(len · merges_applied), INDEPENDENT of the merge-table size; the
+ * table itself is one shared hash map built once per executor.
+ * Output: the word-by-word flattened subword stream, array<string>.
+ */
+case class BpeApplyMerges(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression with CodegenFallback {
+  require(merges.nonEmpty, "merges must not be empty")
+  override def prettyName: String = "pl_bpe_apply"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName expects array<string>")
+  }
+  // rank map keyed "x y" (NUL cannot appear inside a unit: units
+  // derive from whitespace-split corpus tokens)
+  @transient private lazy val rank: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.length * 2)
+    merges.zipWithIndex.foreach { case ((x, y), i) =>
+      // first occurrence wins, like the replace chain (a duplicate
+      // later merge finds nothing left to fuse)
+      m.putIfAbsent(x + " " + y, i)
+    }
+    m
+  }
+  @transient private lazy val mergeArr: Array[(String, String)] = merges.toArray
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var w = 0
+    while (w < toks.numElements()) {
+      if (!toks.isNullAt(w)) {
+        val word = toks.getUTF8String(w).toString
+        // initial units: one per code point (the regex-'(.)' split of
+        // the replace-chain init)
+        var units = new Array[String](word.codePointCount(0, word.length))
+        var ci = 0
+        var ui = 0
+        while (ci < word.length) {
+          val cp = word.codePointAt(ci)
+          val n = Character.charCount(cp)
+          units(ui) = word.substring(ci, ci + n)
+          ci += n
+          ui += 1
+        }
+        // min-rank iteration: each applied rank fuses >=1 pair, so the
+        // loop runs at most len-1 times
+        var done = units.length < 2
+        while (!done) {
+          var best = Int.MaxValue
+          var i = 0
+          while (i < units.length - 1) {
+            val r = rank.get(units(i) + " " + units(i + 1))
+            if (r != null && r < best) best = r
+            i += 1
+          }
+          if (best == Int.MaxValue) done = true
+          else {
+            val (x, y) = mergeArr(best)
+            val next = new Array[String](units.length)
+            var src = 0
+            var dst = 0
+            while (src < units.length) {
+              if (src < units.length - 1 && units(src) == x && units(src + 1) == y) {
+                next(dst) = x + y
+                src += 2
+              } else {
+                next(dst) = units(src)
+                src += 1
+              }
+              dst += 1
+            }
+            units = java.util.Arrays.copyOf(next, dst)
+            done = units.length < 2
+          }
+        }
+        var k = 0
+        while (k < units.length) {
+          out += UTF8String.fromString(units(k))
+          k += 1
+        }
+      }
+      w += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 case class FeatureHash(child: Expression, dim: Int, seed: Long)
     extends UnaryExpression with CodegenFallback {
   override def prettyName: String = "feature_hash"

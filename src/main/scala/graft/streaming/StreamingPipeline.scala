@@ -421,7 +421,7 @@ object StreamingPipeline {
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("window_start"), col("term"), col("cnt"))
 
-  final case class TrendRow(w: Long, term: String)
+  final case class TrendRow(w: Long, term: String, ts: java.sql.Timestamp)
   final case class TrendSt(terms: Map[String, Long])
   final case class TrendOut(window_start: Long, term: String, cnt: Long,
       rank: Int)
@@ -446,41 +446,73 @@ object StreamingPipeline {
    * 1024 vs a dashboard's k ≈ 10) so heavy hitters never evict.
    *
    * Scale shape: one groupByKey shuffle on window start; state is
-   * O(windows-in-flight × capacity) regardless of corpus size —
-   * the flatMapGroupsWithState analogue of a watermarked agg.
+   * O(windows-IN-FLIGHT × capacity) regardless of corpus size — and
+   * "in flight" is enforced, not aspirational: under streaming
+   * execution each window's state carries an EVENT-TIME TIMEOUT at
+   * `window_start + windowMicros + watermarkDelay`, so once the
+   * watermark passes a window's close the state is dropped on the
+   * next micro-batch (the eviction emits nothing — the window's last
+   * Update-mode rows already hold its final ranking). Without it the
+   * key space — window starts — grows with TIME by construction and
+   * state would never shrink over the stream's lifetime. Late rows
+   * beyond `watermarkDelay` are dropped by the same watermark. Under
+   * a batch frame (parity harnesses) there is no watermark: timeouts
+   * are inert and the call degrades to the plain one-pass sketch.
    */
   def trendingTopKStream(df: DataFrame, eventTimeCol: String,
       textCol: String, windowMicros: Long, k: Int,
-      capacity: Int = 1024): Dataset[TrendOut] = {
+      capacity: Int = 1024, watermarkDelay: String = "0 seconds"): Dataset[TrendOut] = {
     require(windowMicros > 0, s"windowMicros must be positive, got $windowMicros")
     require(k >= 1, s"k must be >= 1, got $k")
     require(capacity >= k, s"capacity ($capacity) must be >= k ($k)")
     import df.sparkSession.implicits._
+    val streaming = df.isStreaming
     val tus = unix_micros(col(eventTimeCol))
-    df.select(
+    val timeout =
+      if (streaming) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout // batch: no watermark to time against
+    df.withWatermark(eventTimeCol, watermarkDelay)
+      .select(
         // epoch-aligned floor (pmod handles pre-epoch timestamps the way
         // the built-in window() does)
         (tus - pmod(tus, lit(windowMicros))).as("w"),
-        explode(split(col(textCol), " ")).as("term"))
+        explode(split(col(textCol), " ")).as("term"),
+        // the watermarked column rides along so late-row filtering can
+        // bind to it (a bare alias keeps the attribute's watermark tag;
+        // wrapping it in a cast would strip the metadata)
+        col(eventTimeCol).as("ts"))
       .where(col("term") =!= "").as[TrendRow]
       .groupByKey(_.w)
       .flatMapGroupsWithState[TrendSt, TrendOut](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        OutputMode.Update, timeout) {
         (w: Long, it: Iterator[TrendRow], state: GroupState[TrendSt]) =>
-          val m = scala.collection.mutable.Map.empty[String, Long]
-          state.getOption.foreach(s => m ++= s.terms)
-          for (r <- it) {
-            m.get(r.term) match {
-              case Some(c) => m(r.term) = c + 1L
-              case None if m.size < capacity => m(r.term) = 1L
-              case None => // Misra–Gries decrement step: all counters -1
-                for ((t, c) <- m) if (c <= 1L) m.remove(t) else m(t) = c - 1L
+          if (state.hasTimedOut) {
+            // watermark passed this window's close: evict, emit nothing
+            state.remove()
+            Iterator.empty
+          } else {
+            val m = scala.collection.mutable.Map.empty[String, Long]
+            state.getOption.foreach(s => m ++= s.terms)
+            for (r <- it) {
+              m.get(r.term) match {
+                case Some(c) => m(r.term) = c + 1L
+                case None if m.size < capacity => m(r.term) = 1L
+                case None => // Misra–Gries decrement step: all counters -1
+                  for ((t, c) <- m) if (c <= 1L) m.remove(t) else m(t) = c - 1L
+              }
             }
+            state.update(TrendSt(m.toMap))
+            if (streaming) {
+              // evict once the watermark clears the window close (+1 ms:
+              // the timeout must sit strictly past the current watermark)
+              state.setTimeoutTimestamp(
+                math.max(w / 1000L + windowMicros / 1000L,
+                  state.getCurrentWatermarkMs() + 1L))
+            }
+            m.toSeq.sortBy { case (t, c) => (-c, t) }.take(k).iterator
+              .zipWithIndex
+              .map { case ((t, c), i) => TrendOut(w, t, c, i + 1) }
           }
-          state.update(TrendSt(m.toMap))
-          m.toSeq.sortBy { case (t, c) => (-c, t) }.take(k).iterator
-            .zipWithIndex
-            .map { case ((t, c), i) => TrendOut(w, t, c, i + 1) }
       }
   }
 

@@ -296,4 +296,28 @@ class CurationSpec extends AnyFunSuite {
         (r.getAs[Long]("src_permille"), r.getAs[Long]("norm_score"))).toMap
     assert(t(1L) == t(2L))
   }
+
+  test("quantileNormalize: ceiling permille keeps rare low values; NULLs excluded") {
+    // a >1000-row group with ONE unique minimum: floor permille would
+    // map cum=1 to 0 and silently drop the row at the 1..1000 grid join
+    val big = spark.range(2000)
+      .select(lit("g1").as("g"), (col("id") + 10L).as("s"))
+      .unionByName(spark.range(1)
+        .select(lit("g1").as("g"), lit(1L).as("s")))
+    val out = QuantileFilter.quantileNormalize(big, "g", "s")
+    assert(out.count() == 2001L, "ceiling permille must keep every row")
+    val minPm = out.where(col("s") === 1L)
+      .select("src_permille").collect().map(_.getLong(0)).toSeq
+    assert(minPm == Seq(1L), s"cum=1 of 2001 must land on permille 1, got $minPm")
+    // NULL group or score rows are excluded by contract, everything
+    // else is unchanged
+    val nulls = Seq((Option.empty[String], Option(5L)),
+      (Option("g1"), Option.empty[Long])).toDF("g", "s")
+    val withNulls = QuantileFilter.quantileNormalize(
+      big.unionByName(nulls), "g", "s")
+    assert(withNulls.count() == 2001L)
+    val a = out.orderBy("s", "src_permille").collect().toSeq
+    val b = withNulls.orderBy("s", "src_permille").collect().toSeq
+    assert(a == b, "NULL rows must not perturb the non-null result")
+  }
 }

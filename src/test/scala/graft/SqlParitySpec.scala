@@ -98,6 +98,9 @@ class SqlParitySpec extends AnyFunSuite {
     "pl_mix64(42)", "pl_vector_dot(array(1.0D, 2.0D), array(3.0D, 4.0D))",
     "pl_rand_proj(array(cast(0.5 as float), cast(-0.25 as float)), 4, 7)",
     "pl_feature_hash(array('the', 'cat', 'the'), 8, 5)",
+    "pl_bpe_apply(array('that', 'hat'), array('t h', 'th a', 'tha t'))",
+    "st_aggregate_distance_sphere(array(st_makepoint(0.0, 0.0)," +
+      " st_makepoint(1.0, 0.0), st_makepoint(1.0, 1.0)))",
     "pl_cosine_similarity(array(1.0D, 0.0D), array(1.0D, 0.0D))",
     "pl_pii_emails('mail a@b.co')", "pl_pii_ipv4s('ip 1.2.3.4')",
     "pl_pii_phones('tel 415-555-0000')", "pl_pii_count('clean text')",
@@ -165,7 +168,7 @@ class SqlParitySpec extends AnyFunSuite {
         s"undocumented: ${(graftRegistered -- docKeys).toSeq.sorted}")
     // pinned surface size — README §2.15 and the Python parity test
     // (python/tests/test_sql_surface.py) quote this number
-    assert(docKeys.size == 257, s"registered SQL surface moved: ${docKeys.size} names")
+    assert(docKeys.size == 259, s"registered SQL surface moved: ${docKeys.size} names")
     // Examples blocks may only supplement documented names
     val strayExamples = FunctionDocs.examples.keySet -- docKeys
     assert(strayExamples.isEmpty, s"examples for undocumented names: $strayExamples")

@@ -667,4 +667,59 @@ class StatsSpec extends AnyFunSuite {
       math.sqrt(n * sxx - sx * sx) / math.sqrt(n * syy - sy * sy)
     assert(math.abs(got - math.round(1e6 * rho)) <= 1, s"$got vs $rho")
   }
+
+  test("distinct-window family excludes NULL metric rows by contract") {
+    // ksStatistic: a NULL value on either side must not become a NULL
+    // histogram row (Spark orders NULL first, DuckDB last — admitting
+    // them is engine-ambiguous); result equals the NULL-free input
+    val a = Seq(Option(1L), Option(2L), None, Option(2L)).toDF("v")
+    val b = Seq(Option(1L), Option(3L), None).toDF("v")
+    val ks1 = Stats.ksStatistic(a, b, "v").collect().toSeq
+    val ks2 = Stats.ksStatistic(a.na.drop(), b.na.drop(), "v").collect().toSeq
+    assert(ks1 == ks2)
+    assert(ks1.head.getLong(0) == 3L && ks1.head.getLong(1) == 2L,
+      "n_ref/n_cur must count non-null rows only")
+    // conformalQuantile: NULL scores are not calibration points
+    // (alpha=500 keeps k=ceil(4*0.5)=2 <= n=3; qhat = 2nd smallest)
+    val s1 = Seq(Option(10L), Option(20L), Option(30L), None).toDF("s")
+    val c1 = Stats.conformalQuantile(s1, "s", alphaPermille = 500)
+      .collect().head
+    val c2 = Stats.conformalQuantile(s1.na.drop(), "s", alphaPermille = 500)
+      .collect().head
+    assert(c1 == c2 && c1.getLong(0) == 3L && c1.getLong(2) == 20L)
+    // spearmanCorr: pairwise-complete — a NULL in either metric drops
+    // the row from ranks AND moments
+    val xy = Seq((Option(1L), Option(10L)), (Option(2L), Option(20L)),
+      (Option(3L), Option(30L)), (None, Option(99L)), (Option(9L), None))
+      .toDF("x", "y")
+    val r1 = Stats.spearmanCorr(xy, "x", "y").collect().head
+    val r2 = Stats.spearmanCorr(xy.na.drop(), "x", "y").collect().head
+    assert(r1 == r2 && r1.getLong(0) == 3L && r1.getLong(1) == 1000000L)
+  }
+
+  test("spearmanCorr/giniConcentration: decimal moments past the long frontier") {
+    // 50k rows of distinct ranks: the six spearman moments reach
+    // ~4n^4 ≈ 2.5e19 > 2^63 in the n·Σxx products — the pre-decimal
+    // long arithmetic overflowed (ANSI throw) at n ≈ 39k
+    val n = 50000L
+    val big = spark.range(n).select(col("id").as("x"), col("id").as("y"))
+    val r = Stats.spearmanCorr(big, "x", "y").collect().head
+    assert(r.getLong(0) == n && r.getLong(1) == 1000000L,
+      s"monotone 50k-row rho must be exactly 1e6: $r")
+    // gini now runs its Lorenz moments in DECIMAL(38,0) (the long form
+    // overflowed at n_keys·Σc > 2^63/1e6 ≈ 9.2e12 — a fleet-scale
+    // input no test can materialize); this pins the decimal path's
+    // exactness against BigInt on a skewed 2.6M-row input
+    val skew = spark.range(4)
+      .select((col("id") % 2).as("k"))
+      .unionByName(spark.range(2600000L).select(lit(2L).as("k")))
+    val g = Stats.giniConcentration(skew, "k").collect().head
+    assert(g.getLong(0) == 3L && g.getLong(1) == 2600004L, g.toString)
+    // exact: counts c = (2,2,2600000) sorted -> Σic = 2+4+7800000
+    // gini_ppm = (2*7800006 - 4*2600004)*1e6 div (3*2600004)
+    val ic = 2L + 4L + 3L * 2600000L
+    val expected = (BigInt(2) * ic - BigInt(4) * 2600004L) * 1000000 /
+      (BigInt(3) * 2600004L)
+    assert(g.getLong(2) == expected.toLong, s"${g.getLong(2)} vs $expected")
+  }
 }

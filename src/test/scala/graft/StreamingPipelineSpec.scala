@@ -1273,4 +1273,38 @@ class StreamingPipelineSpec extends AnyFunSuite {
         s"MG count ${r.getLong(2)} exceeds true count $t for ${r.getString(1)}")
     }
   }
+
+  test("trendingTopKStream: event-time timeout evicts closed-window state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val weekUs = 604800000000L
+    val mem = MemoryStream[(Timestamp, String)]
+    val out = StreamingPipeline.trendingTopKStream(
+      mem.toDF().toDF("ts", "text"), "ts", "text", weekUs, k = 2,
+      capacity = 16)
+    val q = out.toDF().writeStream.format("memory").queryName("trend_evict")
+      .outputMode(OutputMode.Update()).start()
+    def ts(us: Long) = new Timestamp(us / 1000L)
+    try {
+      // ts strictly above 0: the very first micro-batch's watermark is
+      // 0 ms and Spark's late filter drops rows AT the watermark
+      mem.addData((ts(5000000L), "a a b")); q.processAllAvailable()
+      // window 0 is open: one state row
+      mem.addData((ts(3L * weekUs), "c")); q.processAllAvailable()
+      // the batch above raised the watermark to 3 weeks; this batch
+      // fires window 0's timeout (close = 1 week << watermark) and the
+      // eviction emits nothing
+      mem.addData((ts(3L * weekUs + 1000000L), "c d")); q.processAllAvailable()
+      val rowsTotal = q.lastProgress.stateOperators(0).numRowsTotal
+      assert(rowsTotal == 1L,
+        s"closed-window state must be evicted, still holding $rowsTotal rows")
+      // the evicted window's final ranking was already emitted and
+      // nothing retracts it
+      val w0 = spark.sql(
+        "SELECT term, cnt FROM trend_evict WHERE window_start = 0 AND rank = 1")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(w0 == Set(("a", 2L)))
+    } finally q.stop()
+  }
 }

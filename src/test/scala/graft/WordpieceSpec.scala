@@ -92,4 +92,83 @@ class WordpieceSpec extends AnyFunSuite {
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(!plan.contains("Exchange"), plan)
   }
+
+  // ---- pure-Scala reference: the documented sequential replace-chain
+  // semantics (one left-to-right non-overlapping fuse pass per merge,
+  // in list order) — what the pre-kernel transform(replace()) chain and
+  // the DuckDB oracle compute ----
+  private def onePass(units: Array[String], x: String, y: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < units.length) {
+      if (i < units.length - 1 && units(i) == x && units(i + 1) == y) {
+        out += x + y; i += 2
+      } else { out += units(i); i += 1 }
+    }
+    out.toArray
+  }
+  private def sequentialApply(word: String, merges: Seq[(String, String)]): Array[String] = {
+    var units = word.map(_.toString).toArray
+    for ((x, y) <- merges) units = onePass(units, x, y)
+    units
+  }
+  /** Reference learner with Bpe.learn's exact argmax ((cnt DESC, pair
+    * ASC) over within-word adjacent pairs) — produces a genuinely
+    * LEARNED (well-formed) merge table of arbitrary length. */
+  private def learnRef(corpus: Seq[String], rounds: Int): Seq[(String, String)] = {
+    var words: Seq[Array[String]] = corpus.flatMap(_.split(" "))
+      .filter(_.nonEmpty).map(_.map(_.toString).toArray)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var r = 0
+    var dry = false
+    while (r < rounds && !dry) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for (w <- words; i <- 0 until w.length - 1)
+        counts((w(i), w(i + 1))) = counts.getOrElse((w(i), w(i + 1)), 0L) + 1L
+      if (counts.isEmpty) dry = true
+      else {
+        val best = counts.toSeq
+          .minBy { case ((x, y), c) => (-c, x + " " + y) }._1
+        merges += best
+        words = words.map(w => onePass(w, best._1, best._2))
+        r += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  test("BpeApplyMerges kernel == sequential replace chain at 100+ learned merges") {
+    import graft.pipeline.Bpe
+    // deterministic pseudo-corpus over a 6-letter alphabet: enough pair
+    // diversity for a three-digit learned merge table — the
+    // "thousands of merges" claim exercised well past the rounds<=16
+    // learn cap (the kernel's cost is merge-table-size free)
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abcdef"
+    val words = (1 to 240).map(_ =>
+      (1 to (3 + rnd.nextInt(8))).map(_ => alphabet(rnd.nextInt(6))).mkString)
+    val corpus = words.grouped(6).map(_.mkString(" ")).toSeq
+    val merges = learnRef(corpus, 160)
+    assert(merges.length >= 100, s"fixture learned only ${merges.length} merges")
+    val df = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val got = Bpe.applyMerges(df, "id", "text", merges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    for ((t, i) <- corpus.zipWithIndex) {
+      val exp = t.split(" ").filter(_.nonEmpty)
+        .flatMap(w => sequentialApply(w, merges))
+      assert(got(i.toLong) == ((exp.length.toLong, exp.mkString(" "))),
+        s"doc $i diverged from the sequential reference")
+    }
+    // the merge table rides in ONE expression node: no per-merge
+    // replace chain in the plan, no Exchange (analyzed plan — the
+    // optimizer folds this local fixture into a LocalRelation)
+    val qe = Bpe.applyMerges(df, "id", "text", merges).queryExecution
+    val analyzed = qe.analyzed.toString
+    assert(analyzed.contains("pl_bpe_apply"), analyzed.take(2000))
+    assert(!analyzed.contains("replace("), analyzed.take(2000))
+    assert(!qe.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      .contains("Exchange"))
+  }
 }
