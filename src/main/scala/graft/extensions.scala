@@ -69,14 +69,18 @@ object extensions {
         .option("path", path).mode("overwrite").saveAsTable(table)
     }
 
-    /** Markdown table; tile cells summarized as `cellType cols×rows`. */
-    def toMarkdown(numRows: Int = 5): String = {
+    /** Markdown table; tile cells summarized as `cellType cols×rows`.
+      * `truncate` caps non-tile cells at 40 chars (the reference
+      * renderer's knob, util/DataFrameRenderers.scala:36-116). */
+    def toMarkdown(numRows: Int = 5, truncate: Boolean = false): String = {
       val rows = df.limit(numRows).collect()
       val header = df.columns
       def cell(v: Any): String = v match {
         case t: Tile => s"${t.cellType.name} ${t.cols}×${t.rows}"
         case null => ""
-        case other => other.toString
+        case other =>
+          val s = other.toString
+          if (truncate && s.length > 40) s.take(37) + "..." else s
       }
       val sb = new StringBuilder
       sb.append(header.mkString("| ", " | ", " |\n"))
@@ -87,7 +91,7 @@ object extensions {
     }
 
     /** HTML table; tile columns rendered as inline base64 PNG thumbnails. */
-    def toHTML(numRows: Int = 5): String = {
+    def toHTML(numRows: Int = 5, truncate: Boolean = false): String = {
       import graft.functions._
       val tileCols = df.schema.fields.filter(f => isTileType(f.dataType)).map(_.name)
       val rendered = tileCols.foldLeft(df.limit(numRows)) { (d, c) =>
@@ -107,7 +111,9 @@ object extensions {
               val b64 = java.util.Base64.getEncoder.encodeToString(b)
               s"""<img src="data:image/png;base64,$b64"/>"""
             case null => ""
-            case other => other.toString
+            case other =>
+              val s = other.toString
+              if (truncate && s.length > 40) s.take(37) + "..." else s
           }
           sb.append(s"<td>$cell</td>")
         }
@@ -117,4 +123,17 @@ object extensions {
       sb.toString
     }
   }
+}
+
+/** Static py4j bridge for the notebook helpers — the role of the
+  * reference's `RFContext._dfToMarkdown` / `_dfToHTML`
+  * (ref python/pyrasterframes/rf_ipython.py `spark_df_to_markdown` /
+  * `spark_df_to_html` call them through the gateway): a TOP-LEVEL
+  * object with plain methods because py4j can neither reach Scala
+  * implicit-class extension methods nor `$`-mangled nested objects. */
+object Display {
+  def dfToMarkdown(df: DataFrame, numRows: Int, truncate: Boolean): String =
+    new extensions.GraftDataFrameMethods(df).toMarkdown(numRows, truncate)
+  def dfToHTML(df: DataFrame, numRows: Int, truncate: Boolean): String =
+    new extensions.GraftDataFrameMethods(df).toHTML(numRows, truncate)
 }
