@@ -2013,7 +2013,7 @@ def bpe_learn(df, text_col, rounds):
     work = df.select(F.transform(
         F.filter(F.split(F.col(text_col), " "), lambda t: t != ""),
         lambda tok: F.concat(F.lit(d + d),
-                             F.regexp_replace(tok, "(.)", "$1" + d + d)))
+                             F.regexp_replace(tok, "(?s)(.)", "$1" + d + d)))
         .alias("work"))
     out = None
     for r in range(1, rounds + 1):

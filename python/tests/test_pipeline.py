@@ -970,7 +970,7 @@ def test_bpe_apply_merges_python_parity(spark):
     w = F.transform(
         F.filter(F.split("text", " "), lambda t: t != ""),
         lambda tok: F.concat(F.lit(d + d),
-                             F.regexp_replace(tok, "(.)", "$1" + d + d)))
+                             F.regexp_replace(tok, "(?s)(.)", "$1" + d + d)))
     merged = F.transform(w, lambda x: F.replace(
         x, F.lit(d + "a" + d + d + "b" + d), F.lit(d + "ab" + d)))
     units = F.flatten(F.transform(merged, lambda x: F.filter(

@@ -59,18 +59,27 @@ def test_every_name_has_describe_docs(spark):
     assert not missing, f"names without usable docs: {missing}"
 
 
+def _fold(name):
+    # wrappers use the Scala DSL's camelCase (st_geomFromWKT) while SQL
+    # names are lowercase and may keep word underscores
+    # (st_aggregate_distance_sphere) — compare case-folded with
+    # underscores stripped so both conventions meet in the middle
+    return name.lower().replace("_", "")
+
+
 def test_python_wrappers_cover_registry(spark):
     import graft
 
-    # wrappers use the Scala DSL's camelCase (st_geomFromWKT); SQL names
-    # are lowercase — compare case-folded
     wrappers = {
-        name.lower() for name, obj in inspect.getmembers(graft, inspect.isfunction)
+        _fold(name) for name, obj in inspect.getmembers(graft, inspect.isfunction)
         if name.startswith(GRAFT_PREFIXES)
     }
     registry = graft_registry(spark)
 
-    unwrapped = registry - wrappers - set(INTENTIONAL_GAPS)
+    unwrapped = {
+        n for n in registry
+        if _fold(n) not in wrappers and n not in INTENTIONAL_GAPS
+    }
     assert not unwrapped, f"registered SQL names without python wrappers: {sorted(unwrapped)}"
 
     # every documented gap must still be a real registered name

@@ -3929,7 +3929,7 @@ object SparkEntry {
     sb.append(
       s"""w0 AS (SELECT ${idSel}list_transform(
          |    list_filter(string_split(text, ' '), t -> t <> ''),
-         |    tok -> '¦¦' || regexp_replace(tok, '(.)', '\\1¦¦', 'g')) AS work
+         |    tok -> '¦¦' || regexp_replace(tok, '(?s)(.)', '\\1¦¦', 'g')) AS work
          |  FROM documents)""".stripMargin)
     for (r <- 1 to rounds) {
       sb.append(",\n")

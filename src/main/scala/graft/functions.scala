@@ -589,7 +589,19 @@ object Raster {
       def pcol(f: Column => Column): Seq[Expression] => Expression =
         xs => org.apache.spark.sql.graft.shims.expressionEager(f(asColumn(xs.head)))
       def intArg(xs: Seq[Expression], i: Int, dflt: Int): Int =
-        if (xs.length > i) xs(i).eval(null).asInstanceOf[Number].intValue() else dflt
+        if (xs.length > i) {
+          require(xs(i).foldable,
+            s"argument ${i + 1} must be a literal integer, not a column " +
+              "(it is folded into the plan at analysis time)")
+          xs(i).eval(null).asInstanceOf[Number].intValue()
+        } else dflt
+      def longArg(xs: Seq[Expression], i: Int, dflt: Long): Long =
+        if (xs.length > i) {
+          require(xs(i).foldable,
+            s"argument ${i + 1} must be a literal long, not a column " +
+              "(it is folded into the plan at analysis time)")
+          xs(i).eval(null).asInstanceOf[Number].longValue()
+        } else dflt
       regN("pl_token_count", pcol(TF.token_count))
       regN("pl_char_count", pcol(TF.char_count))
       regN("pl_punct_ratio", pcol(TF.punct_ratio))
@@ -617,16 +629,16 @@ object Raster {
       regN("pl_multi_match_counts", xs =>
         graft.pipeline.MultiMatchCounts(xs(0), xs(1)))
       regN("pl_rand_proj", xs => graft.pipeline.RandomProjection(xs.head,
-        intArg(xs, 1, 16),
-        if (xs.length > 2) xs(2).eval(null).asInstanceOf[Number].longValue()
-        else 0x5eedL))
+        intArg(xs, 1, 16), longArg(xs, 2, 0x5eedL)))
       regN("pl_feature_hash", xs => graft.pipeline.FeatureHash(xs.head,
-        intArg(xs, 1, 1024),
-        if (xs.length > 2) xs(2).eval(null).asInstanceOf[Number].longValue()
-        else 0L))
+        intArg(xs, 1, 1024), longArg(xs, 2, 0L)))
       regN("pl_bpe_apply", xs => {
         // the merge table is a plan-time literal array of 'x y' pairs
         // (Bpe.learn's `pair` column), folded once into the kernel
+        require(xs(1).foldable,
+          "pl_bpe_apply merges must be a literal array of 'x y' strings " +
+            "(e.g. array('a b', 'ab c')); a column reference cannot be " +
+            "folded into the kernel at plan time")
         val arr = xs(1).eval(null)
           .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
         val merges = (0 until arr.numElements()).map { i =>

@@ -913,11 +913,11 @@ object Dedup {
     // nothing approaches DECIMAL(38,0) until B ~ 10³⁵. B ≥ 1 always
     // (w > 0 is enforced above, so every joined norm² ≥ 1). The filter
     // is exact too: floor(x) ≥ thr² ⟺ x ≥ thr² for integer thr².
-    // A·10³ and B materialize ONCE as named columns: inlined, the
-    // split-division form pays the two wide decimal multiplies 2-3×
-    // per row (CollapseProject/pushdown won't duplicate non-cheap
-    // expressions across a named boundary, measured — the r14→r15
-    // creep note in README).
+    // A·10³ and B are named columns for readability. Measured (r16
+    // README note 2): the optimizer pushes the ppm filter into the
+    // last join's condition and re-inlines the aliases there either
+    // way, so hoisted vs inlined is identical on the hot path
+    // (sf0.1 A/B inside run noise: 1.95 vs 2.15 s medians).
     dots
       .join(norms.select(col("id").as("a"), col("norm2").as("na")), "a")
       .join(norms.select(col("id").as("b"), col("norm2").as("nb")), "b")

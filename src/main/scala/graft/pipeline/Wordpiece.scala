@@ -88,7 +88,10 @@ object Bpe {
       filter(split(w, s"$D+"), u => u =!= "")
     var work = df.select(transform(
       filter(split(col(textCol), " "), t => t =!= ""),
-      tok => concat(lit(D + D), regexp_replace(tok, "(.)", "$1" + D + D)))
+      // DOTALL so line terminators (\n, \r,  ...) are units too —
+      // keeps learn, the BpeApplyMerges kernel (one unit per code
+      // point), and the DuckDB oracle on the same initial decomposition
+      tok => concat(lit(D + D), regexp_replace(tok, "(?s)(.)", "$1" + D + D)))
       .as("work"))
     var out: DataFrame = null
     for (r <- 1 to rounds) {

@@ -1311,14 +1311,15 @@ case class BpeApplyMerges(child: Expression, merges: Seq[(String, String)])
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName expects array<string>")
   }
-  // rank map keyed "x y" (NUL cannot appear inside a unit: units
-  // derive from whitespace-split corpus tokens)
+  // rank map keyed x + NUL + y (the u0000 escape below; NUL cannot
+  // appear inside a unit: units derive from whitespace-split corpus
+  // tokens)
   @transient private lazy val rank: java.util.HashMap[String, Integer] = {
     val m = new java.util.HashMap[String, Integer](merges.length * 2)
     merges.zipWithIndex.foreach { case ((x, y), i) =>
       // first occurrence wins, like the replace chain (a duplicate
       // later merge finds nothing left to fuse)
-      m.putIfAbsent(x + " " + y, i)
+      m.putIfAbsent(x + "\u0000" + y, i)
     }
     m
   }
@@ -1330,8 +1331,9 @@ case class BpeApplyMerges(child: Expression, merges: Seq[(String, String)])
     while (w < toks.numElements()) {
       if (!toks.isNullAt(w)) {
         val word = toks.getUTF8String(w).toString
-        // initial units: one per code point (the regex-'(.)' split of
-        // the replace-chain init)
+        // initial units: one per code point — line terminators
+        // included, matching the DOTALL '(?s)(.)' split of the
+        // learn/oracle replace-chain init
         var units = new Array[String](word.codePointCount(0, word.length))
         var ci = 0
         var ui = 0
@@ -1349,7 +1351,7 @@ case class BpeApplyMerges(child: Expression, merges: Seq[(String, String)])
           var best = Int.MaxValue
           var i = 0
           while (i < units.length - 1) {
-            val r = rank.get(units(i) + " " + units(i + 1))
+            val r = rank.get(units(i) + "\u0000" + units(i + 1))
             if (r != null && r < best) best = r
             i += 1
           }

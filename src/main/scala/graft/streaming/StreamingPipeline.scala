@@ -458,6 +458,15 @@ object StreamingPipeline {
    * beyond `watermarkDelay` are dropped by the same watermark. Under
    * a batch frame (parity harnesses) there is no watermark: timeouts
    * are inert and the call degrades to the plain one-pass sketch.
+   *
+   * BEHAVIOR CHANGE (r15): streaming callers now run WITH a watermark
+   * (required by the state eviction above). The `"0 seconds"` default
+   * matches the sibling functions' defaults but means any out-of-order
+   * row — event time at or below the max seen — is DROPPED, where the
+   * pre-r15 unwatermarked version counted it. Real-world streams with
+   * mild disorder should pass an explicit `watermarkDelay` (one window
+   * is a sound default: state stays O(2 windows × capacity)); batch
+   * callers are unaffected.
    */
   def trendingTopKStream(df: DataFrame, eventTimeCol: String,
       textCol: String, windowMicros: Long, k: Int,
@@ -504,9 +513,16 @@ object StreamingPipeline {
             state.update(TrendSt(m.toMap))
             if (streaming) {
               // evict once the watermark clears the window close (+1 ms:
-              // the timeout must sit strictly past the current watermark)
+              // the timeout must sit strictly past the current watermark).
+              // CEILING of the true close in ms (floorDiv handles
+              // pre-epoch negatives): truncating each micros term
+              // separately could land up to ~2 ms early, and a watermark
+              // in that gap would evict state while rows with event time
+              // in (watermark, close) are still accepted — a straggler
+              // would then re-open the window and emit a wrong low-count
+              // ranking for an already-finalized window.
               state.setTimeoutTimestamp(
-                math.max(w / 1000L + windowMicros / 1000L,
+                math.max(Math.floorDiv(w + windowMicros + 999L, 1000L),
                   state.getCurrentWatermarkMs() + 1L))
             }
             m.toSeq.sortBy { case (t, c) => (-c, t) }.take(k).iterator

@@ -315,6 +315,12 @@ object DumpPlans {
         "driver collect) pinned flat with an eager localCheckpoint, and " +
         "a broadcast crossJoin feeding the per-row delimiter-replace " +
         "rewrite — the 'needs a UDF loop' folklore reduced to replace()."),
+      "q_bpe_apply" -> ("BPE tokenize with a LEARNED merge table: the " +
+        "whole table (8 learn rounds here; thousands in a real vocab) " +
+        "rides in ONE BpeApplyMerges expression node — a per-executor " +
+        "hash map, single greedy min-rank loop per word, zero per-merge " +
+        "corpus copies and zero Exchanges after the learn phase's " +
+        "metadata-sized collect."),
       "q_minhash_eval" -> ("Minhash-LSH quality audit: exact truth from " +
         "a direct shingle-intersection equi-join (no pruning — the eval " +
         "harness must not inherit the candidate generator's blind " +

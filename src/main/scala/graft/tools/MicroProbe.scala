@@ -1,34 +1,97 @@
 package graft.tools
+
+import graft.Raster
+import graft.functions._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * Isolated micro-benchmark probe: reruns ONE of Bench's micro shapes in
+ * a fresh JVM, printing every rep, so a drifting in-session micro
+ * number (measured after 280 queries' worth of heap history) can be
+ * separated from a genuine plan/kernel regression. Born from the r15
+ * verdict's micro_assemble_100x256 creep investigation (0.66x -> 0.85x
+ * -> 0.97x of BASELINE.md across rounds with the assembler code
+ * untouched) — see README "Performance" for the recorded findings.
+ *
+ * Usage: java -cp "target/scala-2.13/classes:SPARK_JARS" (the spark
+ * jars glob) graft.tools.MicroProbe [assemble|explode|agg_stats] [reps]
+ */
 object MicroProbe {
   def main(args: Array[String]): Unit = {
-    def time(body: => Unit): Double = { val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9 }
-    def perOp(n: Int)(body: => Unit): Double = {
-      var i = 0; while (i < n) { body; i += 1 }
-      (1 to 3).map(_ => time { var j = 0; while (j < n) { body; j += 1 } }).min / n
+    val shape = args.headOption.getOrElse("assemble")
+    val reps = if (args.length > 1) args(1).toInt else 10
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Raster.init(spark)
+
+    def time(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }
-    val mk = (seed: Long, ct: String) => {
-      val rnd = new scala.util.Random(seed)
-      val t = graft.core.Tile.empty(graft.core.CellType.fromName(ct), 512, 512)
-      var i = 0; while (i < 512 * 512) { t.setDouble(i, rnd.nextInt(65535).toDouble); i += 1 }
-      t: graft.core.Tile
+
+    val run: () => Unit = shape match {
+      case "assemble" =>
+        val cellsDf = spark.range(100)
+          .select(col("id"), rf_synthetic_tile(col("id"), 256, 256, "int8").as("t"))
+          .select(col("id"), rf_explode_tiles(col("t")))
+          .repartition(4, col("id"))
+          .persist()
+        cellsDf.count()
+        () => {
+          cellsDf.groupBy("id")
+            .agg(rf_assemble_tile(col("column_index"), col("row_index"), col("t"),
+              256, 256, "int8"))
+            .count(); ()
+        }
+      case "assemble_scan" =>
+        // the assemble micro's input side alone: persisted exploded
+        // cells -> noop sink. Separates cache-scan cost from the
+        // ObjectHashAggregate + TileAssembler cost.
+        val cellsDf = spark.range(100)
+          .select(col("id"), rf_synthetic_tile(col("id"), 256, 256, "int8").as("t"))
+          .select(col("id"), rf_explode_tiles(col("t")))
+          .repartition(4, col("id"))
+          .persist()
+        cellsDf.count()
+        () => cellsDf.write.mode("overwrite").format("noop").save()
+      case "assemble_groupcount" =>
+        // same scan + the same-key ObjectHashAggregate shape but a
+        // trivial count agg: isolates the TileAssembler update cost.
+        val cellsDf = spark.range(100)
+          .select(col("id"), rf_synthetic_tile(col("id"), 256, 256, "int8").as("t"))
+          .select(col("id"), rf_explode_tiles(col("t")))
+          .repartition(4, col("id"))
+          .persist()
+        cellsDf.count()
+        () => { cellsDf.groupBy("id").agg(sum("t")).count(); () }
+      case "explode" =>
+        val tiles = spark.range(100).repartition(10)
+          .select(rf_synthetic_tile(col("id"), 256, 256, "uint8").as("t")).persist()
+        tiles.count()
+        () => tiles.select(rf_explode_tiles(col("t")))
+          .write.mode("overwrite").format("noop").save()
+      case "agg_stats" =>
+        val tiles = spark.range(400).repartition(32)
+          .select(rf_synthetic_tile(col("id"), 240, 240, "uint16ud255").as("t")).persist()
+        tiles.count()
+        () => { tiles.select(rf_agg_stats(col("t"))).collect(); () }
+      case other => sys.error(s"unknown shape: $other")
     }
-    val (r, g, b) = (mk(1, "uint16"), mk(2, "uint16"), mk(3, "uint16"))
-    val rr = graft.udt.TileUDT.encode(r); val gr = graft.udt.TileUDT.encode(g); val br = graft.udt.TileUDT.encode(b)
-    val renderExpr = graft.expressions.RenderRGBPNG(graft.expressions.RGBComposite(
-      org.apache.spark.sql.catalyst.expressions.BoundReference(0, graft.udt.TileUDT.instance.sqlType, nullable = false),
-      org.apache.spark.sql.catalyst.expressions.BoundReference(1, graft.udt.TileUDT.instance.sqlType, nullable = false),
-      org.apache.spark.sql.catalyst.expressions.BoundReference(2, graft.udt.TileUDT.instance.sqlType, nullable = false)))
-    val row = org.apache.spark.sql.catalyst.InternalRow(rr, gr, br)
-    var sink: Any = null
-    println(f"render_png: ${perOp(5) { sink = renderExpr.eval(row) }}%.4f s/op (baseline 0.3977)")
-    val tile = mk(7, "float64")
-    println(f"tile_encode_512: ${perOp(500) { sink = graft.udt.TileUDT.encode(tile) } * 1e6}%.1f us/op (baseline 1080.8)")
-    println(f"tile_roundtrip_512: ${perOp(500) { sink = graft.udt.TileUDT.decode(graft.udt.TileUDT.encode(tile)) } * 1e6}%.1f us/op (baseline 3401.0)")
-    val codes = Array("epsg:4326", "EPSG:3857", "epsg:32633", "epsg:32718")
-    var acc = 0
-    println(f"crs_parse: ${perOp(1000000) { val c = graft.core.crs.CRS(codes(acc & 3)); if (graft.core.crs.CRS.isSupported(c)) acc += c.epsg.get & 7 else acc += 1 } * 1e6}%.4f us/op (baseline 13.08)")
-    val a = graft.core.crs.CRS("epsg:4326"); val b2 = graft.core.crs.CRS("EPSG:4326")
-    println(f"crs_equals_warm: ${perOp(1000000) { if (a.normalized == b2.normalized) acc += 1 } * 1e6}%.4f us/op (baseline 0.037)")
-    println(s"sink=${sink != null} acc=$acc")
+
+    run() // warmup
+    val times = (1 to reps).map { i =>
+      val s = time(run())
+      println(f"[probe] $shape rep $i%2d: ${s * 1000}%8.1f ms")
+      s
+    }
+    val sorted = times.sorted
+    println(f"[probe] $shape best=${sorted.head * 1000}%.1f ms " +
+      f"median=${sorted(reps / 2) * 1000}%.1f ms worst=${sorted.last * 1000}%.1f ms")
+    spark.stop()
   }
 }

@@ -137,6 +137,33 @@ class WordpieceSpec extends AnyFunSuite {
     merges.toSeq
   }
 
+  test("newline-bearing tokens: learn, kernel, and replace chain agree") {
+    import graft.pipeline.Bpe
+    // "a\nb" is ONE token (the word split is on single spaces), so a
+    // line terminator can sit INSIDE a word. The DOTALL '(?s)(.)' init
+    // makes \n / \r its own unit in learn — exactly the kernel's
+    // per-code-point decomposition. (Pre-r16, '(.)' skipped line
+    // terminators and learn saw the glued unit "\nb" while the kernel
+    // saw [\n, b], breaking learn/apply parity on any newline corpus.)
+    val corpus = Seq("a\nb a\nb ab", "b\r\nb aa\nb", "a\nb b\r\nb")
+    val df = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val refMerges = learnRef(corpus, 10)
+    val sparkMerges = Bpe.learn(df, "text", rounds = 10)
+      .collect().sortBy(_.getInt(0))
+      .map(r => { val p = r.getString(1).split(" ", 2); (p(0), p(1)) }).toSeq
+    assert(sparkMerges == refMerges,
+      s"learn decomposition diverged: spark=$sparkMerges ref=$refMerges")
+    val got = Bpe.applyMerges(df, "id", "text", refMerges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    for ((t, i) <- corpus.zipWithIndex) {
+      val exp = t.split(" ").filter(_.nonEmpty)
+        .flatMap(w => sequentialApply(w, refMerges))
+      assert(got(i.toLong) == ((exp.length.toLong, exp.mkString(" "))),
+        s"doc $i diverged from the sequential reference")
+    }
+  }
+
   test("BpeApplyMerges kernel == sequential replace chain at 100+ learned merges") {
     import graft.pipeline.Bpe
     // deterministic pseudo-corpus over a 6-letter alphabet: enough pair
