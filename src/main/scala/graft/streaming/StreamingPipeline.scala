@@ -410,11 +410,17 @@ object StreamingPipeline {
    * Scale shape: explode to (window, token) and ONE map-side-
    * combinable count — the shuffle carries distinct (window, token)
    * partials, never raw rows.
+   *
+   * Composing downstream of another stateful operator that already
+   * watermarked `eventTimeCol` (e.g. [[dedupExact]] in a multi-stateful
+   * append chain): pass `watermarkDelay = null` to INHERIT the upstream
+   * watermark — Spark disallows redefining it mid-plan.
    */
   def termCountsWindowed(df: DataFrame, eventTimeCol: String,
       textCol: String, windowDuration: String,
       watermarkDelay: String = "0 seconds"): DataFrame =
-    df.withWatermark(eventTimeCol, watermarkDelay)
+    (if (watermarkDelay == null) df
+     else df.withWatermark(eventTimeCol, watermarkDelay))
       .select(col(eventTimeCol), explode(split(col(textCol), " ")).as("term"))
       .where(col("term") =!= "")
       .groupBy(window(col(eventTimeCol), windowDuration), col("term"))
@@ -606,6 +612,135 @@ object StreamingPipeline {
           }
       }
   }
+
+  /** One (gram, doc, event-time) observation; `ts` keeps the
+    * watermarked column itself (a cast would strip the tag). */
+  final case class GramNovRow(gram: String, id: Long, ts: java.sql.Timestamp)
+  /** Per-(gram, doc) novelty verdict: `novel` iff this doc originates
+    * the gram within the stream's active-vocabulary horizon. */
+  final case class GramNovOut(gram: String, doc_id: Long, novel: Boolean)
+
+  /**
+   * Streaming n-gram novelty — the live face of
+   * [[graft.pipeline.Stats.ngramNovelty]], the order-DEPENDENT audit a
+   * batch recomputation can't answer incrementally (batch novelty is a
+   * full re-scan per refresh; here each arriving document is judged
+   * against everything that came before it, as it lands). Emits one
+   * Append-mode row per (gram, document) pair: `novel = true` iff the
+   * gram was never seen before this document arrived. A gram's
+   * first-seen state is explicit — keyed by gram, one last-seen
+   * event-time Long per distinct gram — so within a micro-batch the
+   * MINIMUM doc id originates (the batch operator's `min(id)` origin),
+   * and across batches first-arrival wins. A single batch over a
+   * static frame therefore reproduces the batch classification exactly
+   * ([[ngramNoveltyRollup]] of the emitted rows == `ngramNovelty`
+   * row-for-row; StreamingPipelineSpec pins it).
+   *
+   * State is bounded by TTL, not history: each gram's state carries an
+   * EVENT-TIME TIMEOUT at `last_seen + ttlMicros`, so once the
+   * watermark passes a gram's horizon the state drops on the next
+   * micro-batch. The trade is explicit: an evicted gram re-registers
+   * as novel on its next sight — this is ACTIVE-VOCABULARY novelty
+   * (novel vs the trailing `ttlMicros` of stream), the only exact
+   * answer with bounded state; all-time novelty needs the exact
+   * distinct-gram set (the [[firstSeenStream]] memory floor, which at
+   * open-vocabulary corpus scale grows without bound). Size `ttlMicros`
+   * to the boilerplate horizon that matters (a crawl's recrawl period,
+   * a feed's dedup window). Batch frames have no watermark: timeouts
+   * are inert and the call degrades to the exact single-batch audit.
+   *
+   * Per-document rollup (`n_grams, n_novel, novelty_permille`) is a
+   * second aggregation — chain it in `foreachBatch` via
+   * [[ngramNoveltyRollup]] (a groupBy downstream of
+   * flatMapGroupsWithState in the same streaming query is a
+   * multi-stateful shape Spark rejects outside append windows).
+   *
+   * Scale shape: one groupByKey shuffle on gram (the tfidf key);
+   * state = one Long per gram in the TTL horizon; emission is
+   * append-only, no retraction. Late rows beyond `watermarkDelay` drop
+   * at the watermark like every event-time face here.
+   */
+  def ngramNoveltyStream(df: DataFrame, idCol: String, textCol: String,
+      eventTimeCol: String, n: Int = 3, ttlMicros: Long = Long.MaxValue,
+      watermarkDelay: String = "0 seconds"): Dataset[GramNovOut] = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(ttlMicros > 0, s"ttlMicros must be positive, got $ttlMicros")
+    import df.sparkSession.implicits._
+    import graft.expressions.{asColumn, asExpr}
+    val streaming = df.isStreaming
+    val timeout =
+      if (streaming) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout // batch: no watermark to time against
+    df.withWatermark(eventTimeCol, watermarkDelay)
+      .select(
+        explode(asColumn(DistinctNGramsOf(col(textCol), n))).as("gram"),
+        col(idCol).cast("long").as("id"),
+        col(eventTimeCol).as("ts"))
+      .where(col("gram") =!= "").as[GramNovRow]
+      .groupByKey(_.gram)
+      .flatMapGroupsWithState[Long, GramNovOut](
+        OutputMode.Append, timeout) {
+        (gram: String, it: Iterator[GramNovRow], state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last_seen + ttl: drop the gram from the
+            // active vocabulary; its next sight is novel again
+            state.remove()
+            Iterator.empty
+          } else {
+            // min doc id originates within a batch — the batch
+            // operator's min(id) contract; event time only drives TTL
+            val rows = it.toSeq.sortBy(r => (r.id, unixMicros(r.ts)))
+            val seen = state.exists
+            val out = rows.iterator.zipWithIndex.map { case (r, i) =>
+              GramNovOut(gram, r.id, !seen && i == 0)
+            }.toVector
+            val lastUs = rows.iterator.map(r => unixMicros(r.ts)).max
+            state.update(math.max(state.getOption.getOrElse(Long.MinValue), lastUs))
+            if (streaming) {
+              // ceiling of (last_seen + ttl) in ms, clamped strictly
+              // past the current watermark (monotonicity) and against
+              // Long overflow for the keep-forever default
+              val horizonUs =
+                if (state.get > Long.MaxValue - ttlMicros) Long.MaxValue
+                else state.get + ttlMicros
+              val horizonMs =
+                if (horizonUs >= Long.MaxValue - 999L) Long.MaxValue / 1000L
+                else Math.floorDiv(horizonUs + 999L, 1000L)
+              state.setTimeoutTimestamp(
+                math.max(horizonMs, state.getCurrentWatermarkMs() + 1L))
+            }
+            out.iterator
+          }
+      }
+  }
+
+  /** Micro-batch epoch micros of a timestamp (driver/executor-side
+    * scala — not the SQL function). */
+  private def unixMicros(ts: java.sql.Timestamp): Long =
+    ts.getTime * 1000L + (ts.getNanos % 1000000) / 1000L
+
+  /** The per-doc distinct n-grams of a text column — the batch
+    * operator's exact gram decomposition ([[graft.pipeline.Stats
+    * .ngramNovelty]]'s DistinctNGrams over the whitespace split),
+    * shared so the streaming face cannot drift from it. */
+  private def DistinctNGramsOf(text: Column, n: Int) = {
+    import graft.expressions.asExpr
+    graft.pipeline.DistinctNGrams(asExpr(split(text, " ")), n)
+  }
+
+  /**
+   * Roll [[ngramNoveltyStream]]'s per-(gram, doc) rows up to the batch
+   * operator's per-document schema (`id, n_grams, n_novel,
+   * novelty_permille`) — run inside `foreachBatch` (or over a
+   * completed static result): a groupBy cannot chain after
+   * flatMapGroupsWithState inside one streaming query.
+   */
+  def ngramNoveltyRollup(rows: Dataset[GramNovOut]): DataFrame =
+    rows.toDF()
+      .groupBy(col("doc_id").as("id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("novel"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_permille", expr("n_novel * 1000 div n_grams"))
 
   final case class DebounceRow(k: Long, t: Long, id: Long)
   final case class DebounceOut(key: Long, t: Long, id: Long,

@@ -1307,4 +1307,137 @@ class StreamingPipelineSpec extends AnyFunSuite {
       assert(w0 == Set(("a", 2L)))
     } finally q.stop()
   }
+
+  test("e2e streaming curation: clean -> exact dedup -> bloom gate -> windowed counts in ONE query") {
+    // the full ingest skeleton as one streaming plan: stateless
+    // normalization, watermark-bounded exact dedup
+    // (dropDuplicatesWithinWatermark), the static-reference Bloom
+    // anti-gate (stateless broadcast-bitset probe), then a windowed
+    // term-count aggregation — TWO chained stateful operators (dedup ->
+    // time-window agg), the multi-stateful shape Spark supports in
+    // append mode. The trending top-k face stays a separate query by
+    // design (rank-over-agg needs update mode — see trendingTopKStream).
+    val dir = Files.createTempDirectory("stream-e2e").toString
+    val ref = Seq((100L, "ref doc one")).toDF("doc_id", "text")
+    val bits = graft.pipeline.BloomDedup.bloomBits(ref, "text", 16384, 4)
+    val rows = Seq(
+      (1L, "  Fresh   Alpha Beta ", Timestamp.valueOf("2026-01-01 00:00:10")),
+      (2L, "fresh alpha beta", Timestamp.valueOf("2026-01-01 00:00:20")), // exact dup post-clean
+      (3L, "ref doc one", Timestamp.valueOf("2026-01-01 00:00:30")),     // reference-corpus dup
+      (4L, "gamma delta", Timestamp.valueOf("2026-01-01 00:00:40")),
+      // pushes the watermark past window [00:00, 00:01) so append mode
+      // finalizes it; its own window stays open and unemitted
+      (5L, "omega", Timestamp.valueOf("2026-01-01 00:02:30")))
+    val df = rows.toDF("doc_id", "text", "ts")
+    df.write.mode("overwrite").parquet(dir)
+
+    val cleaned = spark.readStream.schema(df.schema).parquet(dir)
+      .withColumn("clean", graft.pipeline.TextNorm.clean(col("text")))
+    val deduped = StreamingPipeline.dedupExact(cleaned, "clean", "ts", "1 minute")
+    val gated = StreamingPipeline.dedupAgainstBloom(deduped, "clean", bits, 4)
+    // watermarkDelay = null: inherit dedupExact's watermark (Spark
+    // disallows redefining it in a multi-stateful chain)
+    val counts = StreamingPipeline.termCountsWindowed(gated, "ts", "clean",
+      "1 minute", watermarkDelay = null)
+    val q = counts.writeStream.format("memory").queryName("e2e_curation")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val out = spark.sql(
+      "SELECT term, cnt FROM e2e_curation WHERE window_start = timestamp'2026-01-01 00:00:00'")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // doc 2 fell to the exact dedup, doc 3 to the Bloom gate: each
+    // surviving term counts exactly once
+    assert(out == Set(("fresh", 1L), ("alpha", 1L), ("beta", 1L),
+      ("gamma", 1L), ("delta", 1L)), out.mkString(","))
+  }
+
+  test("ngramNoveltyStream single batch rolls up to the batch ngramNovelty (sf0.001)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("ts", lit(Timestamp.valueOf("2026-01-01 00:00:00")))
+    val streamRows = StreamingPipeline.ngramNoveltyStream(
+      docs, "doc_id", "text", "ts", n = 3)
+    val got = StreamingPipeline.ngramNoveltyRollup(streamRows)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val exp = graft.pipeline.Stats.ngramNovelty(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+      "doc_id", "text", n = 3)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == exp.length && got.sameElements(exp),
+      s"stream rollup diverged from batch: got ${got.take(3).toSeq} vs ${exp.take(3).toSeq}")
+  }
+
+  test("ngramNoveltyStream: TTL evicts gram state; re-sight is novel again") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val hourUs = 3600000000L
+    def ts(us: Long) = new Timestamp(us / 1000L)
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val out = StreamingPipeline.ngramNoveltyStream(
+      mem.toDF().toDF("doc_id", "text", "ts"), "doc_id", "text", "ts",
+      n = 2, ttlMicros = hourUs)
+    val q = out.toDF().writeStream.format("memory").queryName("nov_evict")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: doc 1 originates "a b" (ts strictly above 0 — the
+      // first micro-batch's watermark is 0 ms and rows AT it drop)
+      mem.addData((1L, "a b", ts(5000000L))); q.processAllAvailable()
+      // batch 2: doc 2 repeats the gram within the TTL — not novel
+      mem.addData((2L, "a b", ts(10000000L))); q.processAllAvailable()
+      // batch 3: a filler gram 3h out raises the max event time; the
+      // watermark (one batch behind) is still 10s here, so nothing
+      // evicts yet
+      mem.addData((3L, "x y", ts(3L * hourUs))); q.processAllAvailable()
+      // batch 4: watermark is now 3h >> "a b"'s last_seen + 1h, and
+      // the "a b" group has NO data this batch (event-time timeouts
+      // only fire for data-less groups) — the eviction runs here
+      mem.addData((4L, "m n", ts(3L * hourUs + 1000000L))); q.processAllAvailable()
+      // batch 5: "a b" re-arrives after eviction — novel AGAIN
+      mem.addData((5L, "a b", ts(3L * hourUs + 5000000L))); q.processAllAvailable()
+      val rows = spark.sql("SELECT doc_id, gram, novel FROM nov_evict")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSet
+      assert(rows.contains((1L, "a b", true)), s"doc 1 must originate: $rows")
+      assert(rows.contains((2L, "a b", false)), s"doc 2 within TTL must not: $rows")
+      assert(rows.contains((5L, "a b", true)),
+        s"doc 5 after TTL eviction must re-originate: $rows")
+      // state holds only the still-live grams ("x y", "m n", and the
+      // re-seen "a b"), not every gram ever seen
+      val stateRows = q.lastProgress.stateOperators(0).numRowsTotal
+      assert(stateRows == 3L, s"TTL must bound state, holding $stateRows rows")
+    } finally q.stop()
+  }
+
+  test("ngramNoveltyStream state carries across runs via checkpoint") {
+    val dir = Files.createTempDirectory("stream-nov").toString
+    val ckpt = Files.createTempDirectory("stream-nov-ckpt").toString
+    val outDir = Files.createTempDirectory("stream-nov-out").toString
+    val schema = Seq((1L, "x", Timestamp.valueOf("2026-01-01 00:00:00")))
+      .toDF("doc_id", "text", "ts").schema
+
+    def run(): Set[(Long, String, Boolean)] = {
+      // file sink + checkpoint: the memory sink cannot recover state
+      val rows = StreamingPipeline.ngramNoveltyStream(
+        spark.readStream.schema(schema).parquet(dir),
+        "doc_id", "text", "ts", n = 2, ttlMicros = 86400000000L)
+      val q = rows.toDF().writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      spark.read.parquet(outDir).select("doc_id", "gram", "novel")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSet
+    }
+
+    // run 1: doc 1 originates both grams
+    Seq((1L, "p q r", Timestamp.valueOf("2026-01-01 00:00:10")))
+      .toDF("doc_id", "text", "ts").write.mode("overwrite").parquet(dir)
+    assert(run() == Set((1L, "p q", true), (1L, "q r", true)))
+
+    // run 2 (new JVM-level query, same checkpoint): doc 2 repeats one
+    // gram — the restored state marks it seen; the fresh gram is novel
+    Seq((2L, "q r s", Timestamp.valueOf("2026-01-01 00:10:00")))
+      .toDF("doc_id", "text", "ts").write.mode("append").parquet(dir)
+    assert(run() == Set((1L, "p q", true), (1L, "q r", true),
+      (2L, "q r", false), (2L, "r s", true)))
+  }
 }
