@@ -1442,6 +1442,24 @@ object SparkEntry {
       // bigram LM familiarity: corpus gram table + per-doc rarity rollup
       graft.pipeline.NGramLM.score(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("id")),
+    // ---- wave 29: interpolated Kneser-Ney bigram perplexity ----
+    // the real CCNet/KenLM filter arithmetic (continuation counts, not
+    // rarity): per-gram round-once micro-nat log-probs, exact per-doc
+    // sums, single-division average
+    "q_kn_score" -> ((s, dir) =>
+      graft.pipeline.NGramLM.knScore(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("id")),
+    // ---- wave 30: one-pass exact covariance matrix over embeddings ----
+    // milli-quantized ints -> ONE GramMatrixAggregate (state O(d^2),
+    // corpus scanned once, merge order-free), DECIMAL(38,0) products,
+    // single double division per cell
+    "q_covariance" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(
+        expr("transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))")
+          .as("v"))
+      graft.pipeline.Stats.covarianceMatrix(e, "v", 64)
+        .orderBy("i", "j")
+    }),
     "q_pack" -> ((s, dir) =>
       // fixed-capacity sequence packing: shard by mix64(id), contiguous
       // fill into 2048-token bins, per-bin summary
@@ -5322,6 +5340,54 @@ object SparkEntry {
          |  CASE WHEN s.n_ngrams > 0 THEN CAST(s.n_rare AS DOUBLE) / s.n_ngrams END AS rare_ratio,
          |  CASE WHEN s.n_ngrams > 0 THEN CAST(s.sum_freq AS DOUBLE) / s.n_ngrams END AS avg_freq
          |FROM documents d LEFT JOIN scored s USING (doc_id) ORDER BY id""".stripMargin,
+    // interpolated Kneser-Ney bigram scoring: per-MODEL-gram round-once
+    // micro-nat log-prob (double expression left-associated exactly as
+    // the Spark side computes it), exact long sums per doc, one IEEE
+    // division for the average
+    "q_kn_score" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |grams AS (
+         |  SELECT doc_id, t[CAST(i AS INTEGER)] || ' ' || t[CAST(i + 1 AS INTEGER)] AS gram
+         |  FROM toks, unnest(range(1, len(t))) u(i)),
+         |big AS (SELECT gram, string_split(gram, ' ')[1] AS w1,
+         |    string_split(gram, ' ')[2] AS w2, COUNT(*) AS c12
+         |  FROM grams GROUP BY 1, 2, 3),
+         |ctx AS (SELECT w1, SUM(c12) AS c1, COUNT(*) AS n1p_fw FROM big GROUP BY w1),
+         |cont AS (SELECT w2, COUNT(*) AS n1p_bw FROM big GROUP BY w2),
+         |v AS (SELECT COUNT(*) AS v2 FROM big),
+         |model AS (
+         |  SELECT gram, CAST(round(1e6 * ln(
+         |      (greatest(CAST(c12 AS DOUBLE) - CAST(0.75 AS DOUBLE), CAST(0.0 AS DOUBLE))
+         |       + (CAST(0.75 AS DOUBLE) * n1p_fw) * (CAST(n1p_bw AS DOUBLE) / v2)) / c1
+         |    )) AS BIGINT) AS lp
+         |  FROM big JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN v),
+         |scored AS (
+         |  SELECT g.doc_id, CAST(COUNT(*) AS INTEGER) AS n_bigrams,
+         |    CAST(SUM(m.lp) AS BIGINT) AS ll_unats
+         |  FROM grams g JOIN model m USING (gram) GROUP BY g.doc_id)
+         |SELECT d.doc_id AS id, COALESCE(s.n_bigrams, 0) AS n_bigrams,
+         |  CAST(COALESCE(s.ll_unats, 0) AS BIGINT) AS ll_unats,
+         |  CASE WHEN s.n_bigrams > 0
+         |       THEN -(CAST(s.ll_unats AS DOUBLE) / s.n_bigrams) END AS nll_unats_per_gram
+         |FROM documents d LEFT JOIN scored s USING (doc_id) ORDER BY id""".stripMargin,
+    // one-pass exact covariance: milli-quantized embedding ints, exact
+    // integer moment sums (order-free), HUGEINT products mirroring the
+    // Spark side's DECIMAL(38,0), one double division per cell
+    "q_covariance" ->
+      s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v FROM embeddings),
+         |e AS (SELECT vec_id, CAST(u.i - 1 AS INTEGER) AS di, v[CAST(u.i AS INTEGER)] AS x
+         |  FROM q, unnest(range(1, len(v) + 1)) u(i)),
+         |p AS (SELECT a.di AS i, b.di AS j, COUNT(*) AS n,
+         |    SUM(a.x) AS sx, SUM(b.x) AS sy, SUM(a.x * b.x) AS sxy
+         |  FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.di <= b.di
+         |  GROUP BY 1, 2)
+         |SELECT i, j, CAST(n AS BIGINT) AS n, CAST(sx AS BIGINT) AS sx,
+         |  CAST(sy AS BIGINT) AS sy, CAST(sxy AS BIGINT) AS sxy,
+         |  CAST(CAST(n AS HUGEINT) * CAST(sxy AS HUGEINT)
+         |       - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS DOUBLE)
+         |    / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE) AS cov
+         |FROM p ORDER BY i, j""".stripMargin,
     // sequence packing: mix64 shard, per-shard running token offset,
     // contiguous-fill bin = start_offset div capacity — all integer
     "q_pack" ->

@@ -1356,4 +1356,92 @@ object Stats {
       .select(col("rep").cast("int").as("rep"), col("n_eff"), col("sum_w"),
         (col("sum_w").cast("double") / col("n_eff")).as("mean"))
   }
+
+  /**
+   * Exact sample covariance matrix of an integer-quantized embedding
+   * column — the moment input of embedding whitening / PCA / Mahalanobis
+   * screens. One [[GramMatrixAggregate]] pass collapses the corpus to
+   * d + d(d+1)/2 + 1 longs per partition (merged associatively —
+   * NOTHING about the result depends on row or partition order, unlike
+   * every float covariance), then the d(d+1)/2 upper-triangle cells are
+   * unpacked by a broadcast join against a metadata-sized (i, j) index
+   * table and finished as
+   *
+   *   cov_ij = (n·Σxy − Σx·Σy) / (n·(n−1))
+   *
+   * with DECIMAL(38,0) numerator/denominator products (longs would
+   * overflow n·Σxy around n ≈ 10⁶ at 10³-unit quantization) and ONE
+   * double division — bit-replayable by a HUGEINT oracle.
+   *
+   * `vec` must already be integer units (e.g.
+   * `transform(embedding, x -> cast(round(x*1000) as bigint))`); see
+   * [[GramMatrixAggregate]] for the Σ|x·x| < 2^63 state contract.
+   *
+   * Scale shape: one aggregate over the scan (state O(d²), shuffle
+   * O(partitions·d²)), one posexplode of a SINGLE row, one broadcast
+   * equi-join on the triangle index. The corpus is read exactly once.
+   *
+   * Returns (i, j, n, sx, sy, sxy, cov) for i ≤ j, i/j 0-based dims.
+   */
+  def covarianceMatrix(df: DataFrame, vecCol: String, dim: Int): DataFrame = {
+    require(dim > 0 && dim <= 4096, s"dim must be in [1, 4096], got $dim")
+    import graft.expressions.{asColumn, asExpr}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val g = asColumn(GramMatrixAggregate(asExpr(col(vecCol)), dim)
+      .toAggregateExpression())
+    val moments = df.agg(g.as("__g"))
+      .select(col("__g.n").as("n"), col("__g.sums").as("__sums"),
+        posexplode(col("__g.prods")).as(Seq("__k", "sxy")))
+    // triangle index (k -> (i, j)) and the per-dim sums, both
+    // metadata-sized (d(d+1)/2 rows) and broadcast
+    val idx = (0 until dim).flatMap(i => (i until dim).map(j =>
+        (i.toLong * dim - i.toLong * (i - 1) / 2 + (j - i), i, j)))
+      .toDF("__k", "i", "j")
+    val dec = "decimal(38,0)"
+    moments.join(broadcast(idx), Seq("__k"))
+      .withColumn("sx", expr(s"__sums[i]"))
+      .withColumn("sy", expr(s"__sums[j]"))
+      .select(col("i"), col("j"), col("n"), col("sx"), col("sy"), col("sxy"),
+        ((col("n").cast(dec) * col("sxy") - col("sx").cast(dec) * col("sy"))
+          .cast("double") /
+          (col("n").cast(dec) * (col("n") - lit(1L))).cast("double"))
+          .as("cov"))
+  }
+
+  /**
+   * Top principal component of a [[covarianceMatrix]] result by seeded
+   * power iteration ON THE DRIVER — the d×d matrix is metadata
+   * (≤ 4096² doubles), so iterating it locally is the correct scale
+   * shape; the corpus itself was already reduced by the one-pass
+   * moment aggregate. Deterministic: starts from the all-ones vector,
+   * `iters` fixed multiply+normalize rounds (no convergence test, no
+   * RNG), sign pinned so the largest-|loading| coordinate is positive.
+   *
+   * Returns (dim 0-based, loading, eigenvalue) — `dim` rows.
+   */
+  def pcaTopComponent(cov: DataFrame, dim: Int, iters: Int = 50): DataFrame = {
+    require(dim > 0 && dim <= 4096, s"dim must be in [1, 4096], got $dim")
+    val spark = cov.sparkSession
+    import spark.implicits._
+    val m = Array.ofDim[Double](dim, dim)
+    // bounded by construction: d(d+1)/2 rows of the moment table
+    cov.select("i", "j", "cov").collect().foreach { r =>
+      val (i, j, v) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      m(i)(j) = v; m(j)(i) = v
+    }
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    var eig = 0.0
+    (0 until iters).foreach { _ =>
+      val w = Array.tabulate(dim)(i => {
+        var s = 0.0; var j = 0
+        while (j < dim) { s += m(i)(j) * v(j); j += 1 }
+        s
+      })
+      val norm = math.sqrt(w.map(x => x * x).sum)
+      if (norm > 0) { v = w.map(_ / norm); eig = norm }
+    }
+    val flip = if (v(v.indices.maxBy(i => (math.abs(v(i)), -i))) < 0) -1.0 else 1.0
+    v.indices.map(i => (i, v(i) * flip, eig)).toDF("dim", "loading", "eigenvalue")
+  }
 }

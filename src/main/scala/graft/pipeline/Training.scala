@@ -67,6 +67,73 @@ object NGramLM {
         when(col("n_ngrams") > 0,
           col("sum_freq").cast("double") / col("n_ngrams")))
   }
+
+  /**
+   * Interpolated Kneser–Ney bigram log-likelihood scoring — the real
+   * perplexity-filter arithmetic of a CCNet/KenLM-style curation
+   * pipeline (Kneser & Ney '95; Chen & Goodman '98 eq. 4.27),
+   * where [[score]] gives only a rarity heuristic. With absolute
+   * discount `D = discountCenti/100`:
+   *
+   *   P(w₂|w₁) = (max(c(w₁w₂) − D, 0) + D · N₁₊(w₁·) · P_cont(w₂)) / c(w₁·)
+   *   P_cont(w₂) = N₁₊(·w₂) / N₁₊(··)
+   *
+   * N₁₊(w₁·) = distinct continuations of w₁, N₁₊(·w₂) = distinct
+   * predecessors of w₂ ("how many contexts has this word completed" —
+   * the novel-continuation idea that distinguishes KN from Katz),
+   * N₁₊(··) = distinct bigram types. The model is self-scored (grams
+   * come from the corpus being scored) so every gram has c ≥ 1 and
+   * P > 0 — no OOV branch.
+   *
+   * Float discipline: one rounded micro-nat long per MODEL gram
+   * (round-once, [[graft.pipeline.Stats.tokenKL]]'s discipline — the
+   * double expression is left-associated identically in the DuckDB
+   * oracle), summed exactly per document; the per-gram average is a
+   * single IEEE division at the end.
+   *
+   * Scale shape: the per-gram log-prob is computed once per DISTINCT
+   * gram (vocabulary-sized model table), not per occurrence; the
+   * context/continuation tables are groupBys OVER the gram table
+   * (already collapsed), and doc scoring is one gram equi-join +
+   * one partial+final per-doc rollup. Nothing broadcasts the corpus;
+   * the only broadcast is the one-row type count.
+   *
+   * Returns (id, n_bigrams, ll_unats, nll_unats_per_gram) — higher
+   * nll ⇒ less fluent under the corpus model; docs with < 2 tokens
+   * carry zero counts and a NULL average.
+   */
+  def knScore(df: DataFrame, idCol: String, textCol: String,
+      discountCenti: Int = 75): DataFrame = {
+    require(discountCenti > 0 && discountCenti < 100,
+      s"discountCenti must be in (0, 100), got $discountCenti")
+    val d = lit(discountCenti / 100.0)
+    val big = df.select(explode(bigrams(col(textCol))).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("c12"))
+      .withColumn("__w1", split(col("gram"), " ").getItem(0))
+      .withColumn("__w2", split(col("gram"), " ").getItem(1))
+    val ctx = big.groupBy("__w1").agg(sum("c12").as("c1"),
+      count(lit(1)).as("n1p_fw"))
+    val cont = big.groupBy("__w2").agg(count(lit(1)).as("n1p_bw"))
+    val types = big.agg(count(lit(1)).as("__v2"))
+    val pcont = col("n1p_bw").cast("double") / col("__v2")
+    val pkn = (greatest(col("c12").cast("double") - d, lit(0.0)) +
+      (d * col("n1p_fw")) * pcont) / col("c1")
+    val model = big.join(ctx, Seq("__w1")).join(cont, Seq("__w2"))
+      .crossJoin(broadcast(types))
+      .select(col("gram"), round(lit(1e6) * log(pkn)).cast("long").as("__lp"))
+    val scored = df.select(col(idCol).as("id"),
+        explode(bigrams(col(textCol))).as("gram"))
+      .join(model, Seq("gram"))
+      .groupBy("id").agg(count(lit(1)).cast("int").as("n_bigrams"),
+        sum("__lp").as("ll_unats"))
+    df.select(col(idCol).as("id")).join(scored, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_bigrams"), lit(0)).as("n_bigrams"),
+        coalesce(col("ll_unats"), lit(0L)).as("ll_unats"))
+      .withColumn("nll_unats_per_gram",
+        when(col("n_bigrams") > 0,
+          -(col("ll_unats").cast("double") / col("n_bigrams"))))
+  }
 }
 
 /**

@@ -446,6 +446,117 @@ case class TopKByAggregate(
     copy(payload = cs(0), order = cs(1))
 }
 
+/** Exact second-moment state over integer-quantized d-dim vectors:
+  * count, per-dimension sums, and the upper-triangle (i ≤ j, row-major)
+  * pair-product sums. All longs, so merges are associative and
+  * order-free — the property that makes the covariance bit-exact on any
+  * partitioning. */
+final class GramBuffer(val d: Int) extends Serializable {
+  var n: Long = 0L
+  val sums: Array[Long] = new Array[Long](d)
+  val prods: Array[Long] = new Array[Long](d * (d + 1) / 2)
+  def add(v: ArrayData): Unit = {
+    n += 1L
+    var i = 0
+    var k = 0
+    while (i < d) {
+      val xi = v.getLong(i)
+      sums(i) += xi
+      var j = i
+      while (j < d) { prods(k) += xi * v.getLong(j); k += 1; j += 1 }
+      i += 1
+    }
+  }
+}
+
+/**
+ * Distributed Gram/covariance moments over an integer-quantized
+ * embedding column — the scale shape for covariance estimation and PCA
+ * whitening: ONE TypedImperativeAggregate whose state is the d×d second
+ * moment (d + d(d+1)/2 + 1 longs ≈ 8·d²/2 bytes — ~16 KiB at d = 64,
+ * ~1 MiB at d = 512), merged associatively across partitions. The
+ * alternative — posexplode × self-join on the row id — shuffles
+ * O(rows·d²) pair rows; this shuffles O(partitions·d²) state and the
+ * corpus never leaves its scan.
+ *
+ * Input MUST be integer units (e.g. milli-units via
+ * `cast(round(x*1000) as bigint)`): long sums are exact and
+ * order-independent where float sums are neither. Overflow contract:
+ * Σ|x_i·x_j| < 2^63 — at |x| ≤ 10⁴ units that is ~10¹¹ rows; the final
+ * (n·Σxy − Σx·Σy) products belong in DECIMAL(38,0) downstream
+ * ([[graft.pipeline.Stats.covarianceMatrix]] does).
+ *
+ * Returns struct(n, sums array<bigint>, prods array<bigint>) with prods
+ * the upper triangle row-major: index(i,j) = i·d − i(i−1)/2 + (j − i).
+ */
+case class GramMatrixAggregate(
+    child: Expression,
+    d: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[GramBuffer] {
+  require(d > 0 && d <= 4096, s"gram_matrix dimension must be in [1, 4096], got $d")
+  override def prettyName: String = "gram_matrix"
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("sums", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("prods", ArrayType(LongType, containsNull = false), nullable = false)))
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<bigint> (integer-quantized vector), got ${other.simpleString}")
+  }
+  override def createAggregationBuffer(): GramBuffer = new GramBuffer(d)
+  override def update(buf: GramBuffer, input: InternalRow): GramBuffer = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[ArrayData]
+      require(arr.numElements() == d,
+        s"gram_matrix: expected $d-dim vector, got ${arr.numElements()}")
+      buf.add(arr)
+    }
+    buf
+  }
+  override def merge(a: GramBuffer, b: GramBuffer): GramBuffer = {
+    a.n += b.n
+    var i = 0
+    while (i < a.sums.length) { a.sums(i) += b.sums(i); i += 1 }
+    var k = 0
+    while (k < a.prods.length) { a.prods(k) += b.prods(k); k += 1 }
+    a
+  }
+  override def eval(buf: GramBuffer): Any = InternalRow(
+    buf.n, new GenericArrayData(buf.sums.map(x => x: Any)),
+    new GenericArrayData(buf.prods.map(x => x: Any)))
+  override def serialize(buf: GramBuffer): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 8 + 8 * (buf.d + buf.prods.length))
+    bb.putInt(buf.d).putLong(buf.n)
+    var i = 0
+    while (i < buf.d) { bb.putLong(buf.sums(i)); i += 1 }
+    var k = 0
+    while (k < buf.prods.length) { bb.putLong(buf.prods(k)); k += 1 }
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): GramBuffer = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val buf = new GramBuffer(bb.getInt())
+    buf.n = bb.getLong()
+    var i = 0
+    while (i < buf.d) { buf.sums(i) = bb.getLong(); i += 1 }
+    var k = 0
+    while (k < buf.prods.length) { buf.prods(k) = bb.getLong(); k += 1 }
+    buf
+  }
+  override def withNewMutableAggBufferOffset(o: Int): GramMatrixAggregate =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): GramMatrixAggregate =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]) =
+    copy(child = cs(0))
+}
+
 /** Gopher-style repetition signal over a token array: 1 − distinct/total
   * n-grams. Same gram construction as the HOF formulation (windows
   * clipped at the end; short docs yield one short gram) but built in one

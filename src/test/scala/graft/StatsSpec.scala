@@ -8,6 +8,31 @@ class StatsSpec extends AnyFunSuite {
   lazy val spark = TestSession.spark
   import spark.implicits._
 
+  test("covarianceMatrix is exact on a hand case and skips null vectors") {
+    // already-quantized 2-dim vectors (1,2),(2,4),(3,6): y = 2x exactly
+    val df = Seq(Some(Seq(1L, 2L)), Some(Seq(2L, 4L)), Some(Seq(3L, 6L)),
+      None).toDF("v")
+    val out = Stats.covarianceMatrix(df, "v", 2).orderBy("i", "j")
+      .collect().map(r => ((r.getInt(0), r.getInt(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6))))
+      .toMap
+    assert(out.size == 3)                              // upper triangle of d=2
+    assert(out((0, 0)) == ((3L, 6L, 6L, 14L, 1.0)))    // var(x) = 1
+    assert(out((0, 1)) == ((3L, 6L, 12L, 28L, 2.0)))   // cov(x,2x) = 2
+    assert(out((1, 1)) == ((3L, 12L, 12L, 56L, 4.0)))  // var(2x) = 4
+  }
+
+  test("pcaTopComponent recovers the dominant eigenpair") {
+    // covariance [[1,2],[2,4]] has eigenvalues 5 and 0; top eigenvector
+    // is (1,2)/sqrt(5), sign pinned positive on the largest loading
+    val cov = Seq((0, 0, 1.0), (0, 1, 2.0), (1, 1, 4.0)).toDF("i", "j", "cov")
+    val pc = Stats.pcaTopComponent(cov, 2).orderBy("dim")
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+    assert(math.abs(pc(0)._2 - 1.0 / math.sqrt(5)) < 1e-12)
+    assert(math.abs(pc(1)._2 - 2.0 / math.sqrt(5)) < 1e-12)
+    assert(math.abs(pc(0)._3 - 5.0) < 1e-12)
+  }
+
   test("anomalyFlags agrees with the float z-score on a hand case") {
     // group a: values 10,10,10,10,100 — 100 is the obvious outlier
     val df = Seq(("a", 10L), ("a", 10L), ("a", 10L), ("a", 10L), ("a", 100L),

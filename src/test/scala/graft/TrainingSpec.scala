@@ -29,6 +29,30 @@ class TrainingSpec extends AnyFunSuite {
     assert(r4.getInt(2) == 1 && r4.getDouble(4) == 1.0)  // pure hapax doc
   }
 
+  test("NGramLM.knScore matches hand-computed interpolated Kneser-Ney") {
+    // corpus grams: "a b"(2), "b c"(1), "b d"(1); V2 = 3 types
+    // ctx a: c1=2, N1+(a.)=1;  ctx b: c1=2, N1+(b.)=2
+    // Pcont = 1/3 for each of b, c, d (one predecessor each)
+    // P(b|a) = (max(2-.75,0) + .75*1*(1/3)) / 2 = 0.75
+    // P(c|b) = P(d|b) = (max(1-.75,0) + .75*2*(1/3)) / 2 = 0.375
+    // (sanity: given context b the vocab sums to 1: P(b|b)=0.25 +
+    //  P(c|b)+P(d|b)=0.75)
+    val docs = Seq(
+      (1L, "a b c"), (2L, "a b d"), (3L, "x")).toDF("doc_id", "text")
+    val out = NGramLM.knScore(docs, "doc_id", "text")
+      .orderBy("id").collect()
+    val lpAB = math.round(1e6 * math.log(0.75))    // -287682
+    val lpBC = math.round(1e6 * math.log(0.375))   // -980829
+    assert(lpAB == -287682L && lpBC == -980829L)
+    val r1 = out(0)
+    assert(r1.getInt(1) == 2 && r1.getLong(2) == lpAB + lpBC)
+    assert(r1.getDouble(3) == -(lpAB + lpBC).toDouble / 2)
+    val r2 = out(1)
+    assert(r2.getLong(2) == r1.getLong(2)) // same probabilities, d ≡ c by symmetry
+    val r3 = out(2)                        // <2 tokens: zero counts, NULL average
+    assert(r3.getInt(1) == 0 && r3.getLong(2) == 0L && r3.isNullAt(3))
+  }
+
   test("Packing fills bins contiguously and never splits the shard order") {
     val docs = (0L until 40L).map(i => (i, "tok " * 600)).toDF("doc_id", "text")
     val packed = Packing.packBins(docs, "doc_id",
