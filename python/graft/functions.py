@@ -1448,3 +1448,17 @@ def pl_bpe_apply(tokens, merges):
     if isinstance(merges, (list, tuple)):
         merges = array(*[lit(m) for m in merges])
     return _fn("pl_bpe_apply", tokens, merges)
+
+
+def pl_unigram_segment(tokens, pieces, costs, max_piece_len=4):
+    """Unigram-LM (SentencePiece) Viterbi tokenization of each word of a
+    token array under a literal vocab: ``pieces`` (list of strings) and
+    ``costs`` (list of integer micro-nat costs, unigram_learn's
+    ``cost_unats``) fold into one native expression; the DP compares
+    exact longs and ties prefer the longer last piece."""
+    from pyspark.sql.functions import array
+    if isinstance(pieces, (list, tuple)):
+        pieces = array(*[lit(p) for p in pieces])
+    if isinstance(costs, (list, tuple)):
+        costs = array(*[lit(int(c)) for c in costs])
+    return _fn("pl_unigram_segment", tokens, pieces, costs, lit(int(max_piece_len)))

@@ -1460,6 +1460,25 @@ object SparkEntry {
       graft.pipeline.Stats.covarianceMatrix(e, "v", 64)
         .orderBy("i", "j")
     }),
+    // ---- wave 31: unigram-LM (SentencePiece) tokenizer ----
+    // hard-EM over integer micro-nat Viterbi costs: 2 EM rounds of
+    // segment-with-UnigramViterbi -> recount -> re-smooth; the oracle
+    // replays every DP decision with sliding-window recursive CTEs
+    "q_unigram_learn" -> ((s, dir) =>
+      graft.pipeline.Unigram.learn(t(s, dir, "documents"), "text",
+          vocabSize = 64, iters = 2, maxPieceLen = 4)
+        .orderBy("piece")),
+    // tokenize under the learned model: one kernel pass + per-doc
+    // (n_pieces, exact cost sum, space-joined piece stream)
+    "q_unigram_apply" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val model = graft.pipeline.Unigram.learn(d, "text",
+          vocabSize = 64, iters = 2, maxPieceLen = 4)
+        .select("piece", "cost_unats").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq // bounded: vocab
+      graft.pipeline.Unigram.segment(d, "doc_id", "text", model)
+        .orderBy("id")
+    }),
     "q_pack" -> ((s, dir) =>
       // fixed-capacity sequence packing: shard by mix64(id), contiguous
       // fill into 2048-token bins, per-bin summary
@@ -3941,6 +3960,85 @@ object SparkEntry {
     * identity (w). `withDocId` carries doc_id through the chain (the
     * apply replay). Generated, so the round count scales without
     * hand-unrolling — q_bpe_apply exercises 8 rounds. */
+  /**
+   * Unrolled DuckDB CTE chain for the unigram-LM tokenizer oracle:
+   * seed vocab (all single chars + top multis by (cnt desc, piece)),
+   * integer micro-nat costs, then per EM round a RECURSIVE Viterbi DP
+   * whose state is a sliding window of the last `maxPieceLen` path
+   * costs and segmentations (recursive CTEs expose only the previous
+   * iteration's rows, so the window IS the DP table), a usage recount,
+   * and re-smoothed costs — replaying [[graft.pipeline.Unigram.learn]]
+   * and [[graft.pipeline.UnigramViterbi]] decision-for-decision,
+   * including the prefer-longer-last-piece tie-break (the CASE scans
+   * l descending; the kernel's ascending loop keeps `<=`). With
+   * `withApply`, emits one extra DP round under the final model for
+   * the tokenize pass.
+   */
+  private def duckUnigramChain(vocabSize: Int, iters: Int,
+      maxPieceLen: Int, withApply: Boolean): String = {
+    val L = maxPieceLen
+    val INF = "4611686018427387904"
+    val sb = new StringBuilder
+    sb.append(
+      s"""w AS MATERIALIZED (SELECT w2 AS word, COUNT(*) AS wcnt FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS w2 FROM documents)
+         |  WHERE w2 <> '' GROUP BY 1),
+         |cand AS MATERIALIZED (SELECT substring(word, CAST(u.s AS INTEGER), CAST(u2.l AS INTEGER)) AS piece,
+         |    SUM(wcnt) AS cnt
+         |  FROM w, unnest(range(1, len(word) + 1)) u(s), unnest(range(1, $L + 1)) u2(l)
+         |  WHERE u.s + u2.l <= len(word) + 1 GROUP BY 1),
+         |chars AS MATERIALIZED (SELECT piece, cnt FROM cand WHERE len(piece) = 1),
+         |multis AS MATERIALIZED (SELECT piece, cnt FROM (
+         |    SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+         |    FROM cand WHERE len(piece) > 1)
+         |  WHERE rn <= $vocabSize - (SELECT COUNT(*) FROM chars)),
+         |vocab0 AS MATERIALIZED (SELECT piece, cnt FROM chars UNION ALL SELECT piece, cnt FROM multis),
+         |v0 AS MATERIALIZED (SELECT piece, CAST(-round(1e6 * ln(CAST(cnt AS DOUBLE) /
+         |    (SELECT SUM(cnt) FROM vocab0))) AS BIGINT) AS cost FROM vocab0)""".stripMargin)
+    def dpSeg(r: Int, vin: String): String = {
+      val baseC = "CAST(0 AS BIGINT) AS c0" +
+        (1 until L).map(i => s", CAST($INF AS BIGINT) AS c$i").mkString
+      val baseS = (0 until L).map(i => s"'' AS s$i").mkString(", ")
+      val joins = (1 to L).map { l =>
+        s"  LEFT JOIN $vin t$l ON d.pos + 1 >= $l" +
+          s" AND t$l.piece = substring(d.word, d.pos + 2 - $l, $l)"
+      }.mkString("\n")
+      val cands = (1 to L).map(l => s"(d.c${l - 1} + t$l.cost)")
+      val bl = s"least(${cands.map(c => s"coalesce($c, $INF)").mkString(", ")})"
+      def app(l: Int) =
+        s"CASE WHEN d.s${l - 1} = '' THEN t$l.piece" +
+          s" ELSE d.s${l - 1} || ' ' || t$l.piece END"
+      val s0new = (L to 2 by -1).map(l =>
+        s"WHEN ${cands(l - 1)} = $bl THEN ${app(l)}")
+        .mkString("CASE ", " ", s" ELSE ${app(1)} END")
+      val shiftC = (1 until L).map(i => s"d.c${i - 1} AS c$i").mkString(", ")
+      val shiftS = (1 until L).map(i => s"d.s${i - 1} AS s$i").mkString(", ")
+      s"""dp$r AS (
+         |  SELECT word, len(word) AS len, 0 AS pos, $baseC, $baseS FROM w
+         |  UNION ALL
+         |  SELECT d.word, d.len, d.pos + 1, $bl AS c0, $shiftC,
+         |    $s0new AS s0, $shiftS
+         |  FROM dp$r d
+         |$joins
+         |  WHERE d.pos < d.len),
+         |seg$r AS MATERIALIZED (SELECT word, s0 AS seg, c0 AS wcost FROM dp$r WHERE pos = len)""".stripMargin
+    }
+    for (r <- 1 to iters) {
+      sb.append(",\n").append(dpSeg(r, s"v${r - 1}"))
+      sb.append(",\n").append(
+        s"""rc$r AS MATERIALIZED (SELECT piece, SUM(wcnt) AS cnt FROM (
+           |    SELECT word, unnest(string_split(seg, ' ')) AS piece FROM seg$r) sp
+           |  JOIN w USING (word) GROUP BY piece),
+           |tot$r AS MATERIALIZED (SELECT SUM(coalesce(rc.cnt, 0) + 1) AS tt FROM vocab0
+           |  LEFT JOIN rc$r rc USING (piece)),
+           |v$r AS MATERIALIZED (SELECT vocab0.piece, CAST(-round(1e6 * ln(
+           |    CAST(coalesce(rc.cnt, 0) + 1 AS DOUBLE) / tt)) AS BIGINT) AS cost
+           |  FROM vocab0 LEFT JOIN rc$r rc USING (piece) CROSS JOIN tot$r)""".stripMargin)
+    }
+    if (withApply) sb.append(",\n").append(dpSeg(iters + 1, s"v$iters"))
+    sb.toString
+  }
+
   private def duckBpeChain(rounds: Int, withDocId: Boolean): String = {
     val idSel = if (withDocId) "doc_id, " else ""
     val sb = new StringBuilder
@@ -5388,6 +5486,31 @@ object SparkEntry {
          |       - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS DOUBLE)
          |    / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE) AS cov
          |FROM p ORDER BY i, j""".stripMargin,
+    // unigram-LM learn: seed chars+top-multis vocab, 2 hard-EM rounds,
+    // each a recursive sliding-window Viterbi DP + recount + re-smooth
+    "q_unigram_learn" ->
+      s"""WITH RECURSIVE ${duckUnigramChain(64, 2, 4, withApply = false)}
+         |SELECT vocab0.piece AS piece, CAST(coalesce(rc2.cnt, 0) AS BIGINT) AS cnt,
+         |  v2.cost AS cost_unats
+         |FROM vocab0 LEFT JOIN rc2 ON rc2.piece = vocab0.piece
+         |  JOIN v2 ON v2.piece = vocab0.piece
+         |ORDER BY piece""".stripMargin,
+    // unigram-LM apply: a third DP round under the final model scores
+    // every distinct word; docs roll up by word position
+    "q_unigram_apply" ->
+      s"""WITH RECURSIVE ${duckUnigramChain(64, 2, 4, withApply = true)},
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |dw AS (SELECT doc_id, CAST(u.i AS INTEGER) AS wi, t[CAST(u.i AS INTEGER)] AS word
+         |  FROM toks, unnest(range(1, len(t) + 1)) u(i)
+         |  WHERE t[CAST(u.i AS INTEGER)] <> ''),
+         |ag AS (SELECT dw.doc_id, SUM(len(string_split(s.seg, ' '))) AS n_pieces,
+         |    SUM(s.wcost) AS cost_unats,
+         |    string_agg(s.seg, ' ' ORDER BY dw.wi) AS pieces_str
+         |  FROM dw JOIN seg3 s ON s.word = dw.word GROUP BY 1)
+         |SELECT d.doc_id AS id, CAST(coalesce(ag.n_pieces, 0) AS BIGINT) AS n_pieces,
+         |  CAST(coalesce(ag.cost_unats, 0) AS BIGINT) AS cost_unats,
+         |  coalesce(ag.pieces_str, '') AS pieces_str
+         |FROM documents d LEFT JOIN ag USING (doc_id) ORDER BY id""".stripMargin,
     // sequence packing: mix64 shard, per-shard running token offset,
     // contiguous-fill bin = start_offset div capacity — all integer
     "q_pack" ->

@@ -649,6 +649,27 @@ object Raster {
         }
         graft.pipeline.BpeApplyMerges(xs(0), merges)
       })
+      regN("pl_unigram_segment", xs => {
+        // the vocab (pieces + integer micro-nat costs) is a plan-time
+        // literal pair of arrays (Unigram.learn's piece/cost_unats
+        // columns), folded once into the Viterbi kernel
+        require(xs.length == 4,
+          "pl_unigram_segment expects (tokens, pieces, costs, max_piece_len)")
+        require(xs(1).foldable && xs(2).foldable && xs(3).foldable,
+          "pl_unigram_segment pieces/costs/max_piece_len must be literals " +
+            "(the vocab folds into the kernel at plan time)")
+        val pArr = xs(1).eval(null)
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val cArr = xs(2).eval(null)
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        require(pArr.numElements() == cArr.numElements(),
+          s"pl_unigram_segment pieces (${pArr.numElements()}) and costs " +
+            s"(${cArr.numElements()}) must be aligned")
+        val pieces = (0 until pArr.numElements()).map(i => pArr.getUTF8String(i).toString)
+        val costs = (0 until cArr.numElements()).map(i => cArr.getLong(i))
+        val maxLen = xs(3).eval(null).asInstanceOf[Number].intValue()
+        graft.pipeline.UnigramViterbi(xs(0), pieces, costs, maxLen)
+      })
       reg1("pl_mix64", graft.pipeline.Mix64(_))
       reg1("pl_nfc", graft.pipeline.UnicodeNorm(_, "NFC"))
       reg1("pl_nfkc", graft.pipeline.UnicodeNorm(_, "NFKC"))

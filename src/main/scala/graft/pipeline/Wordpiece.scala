@@ -148,3 +148,130 @@ object Bpe {
         concat_ws(" ", col("__units")).as("units_str"))
   }
 }
+
+/**
+ * Unigram-LM tokenizer (Kudo '18, the SentencePiece model) — the third
+ * member of the subword trio next to [[Bpe]] (merge-based) and
+ * [[Wordpiece]] (greedy longest-match): a PROBABILISTIC vocabulary
+ * where each word's tokenization is the Viterbi-best segmentation
+ * under per-piece log-probs, refined by hard-EM (Viterbi E-step,
+ * recount M-step).
+ *
+ * Determinism discipline: piece scores are integer micro-nat COSTS
+ * (−round½↑(10⁶·ln p), one rounding point per piece per iteration —
+ * the [[Stats.tokenKL]] round-once rule), so the DP inside
+ * [[UnigramViterbi]] compares exact longs and every segmentation, count
+ * and final score is bit-replayable by the DuckDB oracle's recursive
+ * CTEs (q_unigram_learn / q_unigram_apply).
+ *
+ * Scale shape per EM iteration: the E-step is one scalar kernel pass
+ * over the DISTINCT-WORD table (vocabulary-sized, never the corpus),
+ * the M-step one vocab-bounded groupBy + driver collect (≤ vocabSize
+ * rows — the merges-table class of bounded collect). The corpus
+ * itself is touched exactly once, to build the word-frequency table;
+ * final tokenization ([[segment]]) rides the scan with zero shuffles.
+ */
+object Unigram {
+  /** Half-away-from-zero long rounding (java.math HALF_UP) — matches
+    * Spark's and DuckDB's `round` on NEGATIVE values where
+    * `Math.round`'s floor(x+0.5) does not. */
+  private def roundHalfUp(x: Double): Long =
+    BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
+  /** (word, wcnt) corpus word-frequency table. */
+  private def wordTable(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(filter(split(col(textCol), " "), t => t =!= ""))
+        .as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wcnt"))
+
+  /** Integer micro-nat costs from smoothed counts: cost_p =
+    * −round½↑(10⁶·ln((cnt_p+1)/Σ(cnt+1))). Driver-side over the
+    * bounded vocab. */
+  private def costsOf(cnts: Seq[(String, Long)]): Seq[(String, Long)] = {
+    val total = cnts.map(_._2 + 1L).sum.toDouble
+    cnts.map { case (p, c) =>
+      (p, -roundHalfUp(1e6 * math.log((c + 1L).toDouble / total)))
+    }
+  }
+
+  /**
+   * Fit a unigram vocabulary on a corpus: seed with every single
+   * code-point piece plus the top (vocabSize − #chars) multi-char
+   * substrings (length ≤ maxPieceLen) by (count desc, piece asc), then
+   * run `iters` hard-EM rounds. The vocab is FIXED across iterations
+   * (chars guarantee coverage; add-one smoothing keeps unused pieces
+   * finite) — the pruning refinement of full SentencePiece changes
+   * which pieces survive, not the shape of the computation.
+   *
+   * Returns (piece, cnt, cost_unats): cnt = the final E-step's usage
+   * recount (0 for never-chosen pieces), cost_unats = the NEXT-round
+   * cost implied by that recount — i.e. the shipped model.
+   */
+  def learn(df: DataFrame, textCol: String, vocabSize: Int = 64,
+      iters: Int = 2, maxPieceLen: Int = 4): DataFrame = {
+    require(vocabSize >= 2 && vocabSize <= 65536,
+      s"vocabSize must be in [2, 65536], got $vocabSize")
+    require(iters >= 1 && iters <= 8, s"iters must be in [1,8], got $iters")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = wordTable(df, textCol).localCheckpoint(true)
+    val cand = words.select(col("wcnt"), explode(expr(
+        s"""flatten(transform(sequence(1, length(word)), s ->
+           |  transform(sequence(1, least($maxPieceLen, length(word) - s + 1)),
+           |    l -> substring(word, s, l))))""".stripMargin)).as("piece"))
+      .groupBy("piece").agg(sum("wcnt").as("cnt"))
+    val chars = cand.where(length(col("piece")) === 1)
+      .collect().map(r => (r.getString(0), r.getLong(1))) // bounded: alphabet
+    require(chars.length < vocabSize,
+      s"vocabSize $vocabSize must exceed the ${chars.length} single chars")
+    val multis = cand.where(length(col("piece")) > 1)
+      .orderBy(col("cnt").desc, col("piece"))
+      .limit(vocabSize - chars.length)
+      .collect().map(r => (r.getString(0), r.getLong(1))) // bounded: vocabSize
+    val vocab = (chars ++ multis).sortBy(_._1)
+    // initial costs from RAW seed counts (no smoothing needed: every
+    // seed piece was observed)
+    val total0 = vocab.map(_._2).sum.toDouble
+    var costs: Seq[(String, Long)] = vocab.map { case (p, c) =>
+      (p, -roundHalfUp(1e6 * math.log(c.toDouble / total0)))
+    }
+    var lastCnt: Map[String, Long] = null
+    for (_ <- 1 to iters) {
+      val seg = words.select(col("wcnt"),
+        explode(asColumn(UnigramViterbi(asExpr(array(col("word"))),
+          costs.map(_._1), costs.map(_._2), maxPieceLen))).as("piece"))
+      lastCnt = seg.groupBy("piece").agg(sum("wcnt").as("c"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap // ≤ vocab
+      costs = costsOf(vocab.map { case (p, _) => (p, lastCnt.getOrElse(p, 0L)) })
+    }
+    val cntMap = lastCnt
+    vocab.map { case (p, _) =>
+      (p, cntMap.getOrElse(p, 0L), costs.find(_._1 == p).get._2)
+    }.toSeq.toDF("piece", "cnt", "cost_unats")
+  }
+
+  /** Tokenize a corpus under a learned vocab: ONE [[UnigramViterbi]]
+    * kernel pass (zero shuffles for the segmentation itself), then a
+    * broadcast cost join + per-doc rollup for the score. Returns
+    * (id, n_pieces, cost_unats, pieces_str). */
+  def segment(df: DataFrame, idCol: String, textCol: String,
+      vocab: Seq[(String, Long)], maxPieceLen: Int = 4): DataFrame = {
+    require(vocab.nonEmpty, "vocab must not be empty")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vdf = vocab.toDF("__piece", "__cost")
+    val seg = df.select(col(idCol).as("id"),
+      asColumn(UnigramViterbi(
+        asExpr(filter(split(col(textCol), " "), t => t =!= "")),
+        vocab.map(_._1), vocab.map(_._2), maxPieceLen)).as("__pieces"))
+    val scored = seg.select(col("id"), explode(col("__pieces")).as("__piece"))
+      .join(broadcast(vdf), Seq("__piece"))
+      .groupBy("id").agg(count(lit(1)).cast("long").as("n_pieces"),
+        sum("__cost").as("cost_unats"))
+    seg.select(col("id"), concat_ws(" ", col("__pieces")).as("pieces_str"))
+      .join(scored, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_pieces"), lit(0L)).as("n_pieces"),
+        coalesce(col("cost_unats"), lit(0L)).as("cost_unats"),
+        col("pieces_str"))
+  }
+}

@@ -1499,6 +1499,107 @@ case class BpeApplyMerges(child: Expression, merges: Seq[(String, String)])
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/**
+ * Viterbi segmentation under a unigram LM vocabulary — the decode half
+ * of the SentencePiece tokenizer family (Kudo '18), completing the
+ * BPE ([[BpeApplyMerges]]) / WordPiece / Unigram trio. The whole vocab
+ * (pieces + integer micro-nat costs) ships in THIS ONE expression node
+ * (per-executor hash map, same discipline as the BPE kernel); each
+ * word runs an O(len · maxPieceLen) DP entirely in exact longs, so the
+ * best segmentation is bit-reproducible on any engine — the DuckDB
+ * oracle replays the identical DP with a sliding-window recursive CTE.
+ *
+ * Tie-break contract (pinned in both engines): equal path cost prefers
+ * the LONGER last piece (ascending-length loop with `<=`, i.e. the
+ * smallest predecessor index wins). Words decompose per CODE POINT;
+ * every single-code-point piece of the corpus must be in the vocab
+ * (guaranteed when the vocab was learned from the same corpus —
+ * [[graft.pipeline.Unigram.learn]] always keeps all chars), else the
+ * word is unsegmentable and evaluation fails loudly.
+ *
+ * Input: array<string> words; output: their pieces, concatenated in
+ * word order. Per-row scalar — zero shuffles, tokenization rides the
+ * scan at any corpus size.
+ */
+case class UnigramViterbi(child: Expression, pieces: Seq[String],
+    costs: Seq[Long], maxPieceLen: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(pieces.nonEmpty && pieces.length == costs.length,
+    "pieces/costs must be non-empty and aligned")
+  require(maxPieceLen >= 1 && maxPieceLen <= 16,
+    s"maxPieceLen must be in [1,16], got $maxPieceLen")
+  override def prettyName: String = "pl_unigram_segment"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName expects array<string>")
+  }
+  @transient private lazy val cost: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long](pieces.length * 2)
+    pieces.iterator.zip(costs.iterator).foreach { case (p, c) => m.put(p, c) }
+    m
+  }
+  private val INF = Long.MaxValue / 4
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var w = 0
+    while (w < toks.numElements()) {
+      if (!toks.isNullAt(w)) {
+        val word = toks.getUTF8String(w).toString
+        // code-point units, like the BPE kernel's init
+        val n = word.codePointCount(0, word.length)
+        val cps = new Array[String](n)
+        var ci = 0
+        var ui = 0
+        while (ci < word.length) {
+          val cc = Character.charCount(word.codePointAt(ci))
+          cps(ui) = word.substring(ci, ci + cc)
+          ci += cc
+          ui += 1
+        }
+        if (n > 0) {
+          val best = Array.fill(n + 1)(INF)
+          val bp = new Array[Int](n + 1)
+          best(0) = 0L
+          var pos = 1
+          while (pos <= n) {
+            var l = 1
+            val lMax = math.min(maxPieceLen, pos)
+            while (l <= lMax) {
+              if (best(pos - l) < INF) {
+                val piece = cps.slice(pos - l, pos).mkString
+                val c = cost.get(piece)
+                // `<=`: later (larger) l wins ties — the pinned
+                // prefer-longer-last-piece contract
+                if (c != null && best(pos - l) + c.longValue() <= best(pos))
+                  { best(pos) = best(pos - l) + c.longValue(); bp(pos) = l }
+              }
+              l += 1
+            }
+            pos += 1
+          }
+          if (best(n) >= INF)
+            throw new IllegalStateException(
+              s"$prettyName: word '$word' is unsegmentable under the vocab " +
+                "(a single-code-point piece is missing)")
+          val rev = scala.collection.mutable.ArrayBuffer.empty[Any]
+          var p = n
+          while (p > 0) {
+            val l = bp(p)
+            rev += UTF8String.fromString(cps.slice(p - l, p).mkString)
+            p -= l
+          }
+          out ++= rev.reverseIterator
+        }
+      }
+      w += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 case class FeatureHash(child: Expression, dim: Int, seed: Long)
     extends UnaryExpression with CodegenFallback {
   override def prettyName: String = "feature_hash"

@@ -64,7 +64,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_neyman" -> "broadcast one-row total-weight crossJoin (the sum of N_h*sigma_h)",
     "q_qnorm" -> ("broadcast 1000-row permille grid + one-row pooled-total " +
       "crossJoins over the distinct-score histogram (pre-quantized scores by contract)"),
-    "q_jsd" -> "broadcast one-row (N_P, N_Q, V) totals crossJoin (the q_token_kl shape)")
+    "q_jsd" -> "broadcast one-row (N_P, N_Q, V) totals crossJoin (the q_token_kl shape)",
+    "q_kn_score" -> "broadcast one-row bigram-type-count crossJoin (the Kneser-Ney N1+(··))")
 
   test("no query plans an unintended cartesian or nested-loop join") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
