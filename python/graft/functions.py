@@ -1070,6 +1070,13 @@ def rf_xz2_index(geom, crs):
     return _fn("rf_xz2_index", geom, crs)
 
 
+def rf_hilbert_index(geom, crs):
+    """Hilbert space-filling-curve index of the geometry centroid
+    (order 16): locality-first alternative to rf_z2_index -- consecutive
+    cells are always grid-adjacent."""
+    return _fn("rf_hilbert_index", geom, crs)
+
+
 def rf_rasterize(geom, bounds, value, cols, rows):
     """Burn a geometry into a tile."""
     return _fn("rf_rasterize", geom, bounds, value, cols, rows)

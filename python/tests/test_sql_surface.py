@@ -11,7 +11,7 @@ import inspect
 
 import pytest
 
-PINNED_SURFACE = 260
+PINNED_SURFACE = 261
 
 # Registered SQL names with no same-named Python wrapper, each for a
 # documented reason. Keep this list short and justified.

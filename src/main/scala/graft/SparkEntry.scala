@@ -1479,6 +1479,16 @@ object SparkEntry {
       graft.pipeline.Unigram.segment(d, "doc_id", "text", model)
         .orderBy("id")
     }),
+    // ---- wave 32: isotonic (PAV) score calibration ----
+    // quantile-bucketed n_chars vs a lexical label, driver PAV with
+    // exact rational merges; the oracle replays the minimax identity
+    // max_{j<=i} min_{k>=i} avg(j..k) with an O(buckets^2) pairs join
+    "q_isotonic" -> ((s, dir) =>
+      graft.pipeline.Stats.isotonicCalibrate(
+          t(s, dir, "documents").select(col("n_chars"),
+            col("text").contains("table").as("label")),
+          "n_chars", "label", buckets = 16)
+        .orderBy("bucket")),
     "q_pack" -> ((s, dir) =>
       // fixed-capacity sequence packing: shard by mix64(id), contiguous
       // fill into 2048-token bins, per-bin summary
@@ -2140,6 +2150,17 @@ object SparkEntry {
         rf_xz2_index(st_buffer(st_makePoint(col("x"), col("y")), lit(0.5)), lit("epsg:4326")).as("xz2"))
         .orderBy("x", "y")
     }),
+    // ---- wave 33: Hilbert SFC index (locality-first z2 companion) ----
+    // canonical reflect+swap bit walk, all-integer; the oracle replays
+    // it with one recursive CTE over the 16 levels
+    "q_hilbert_index" -> ((s, dir) => {
+      val p = t(s, dir, "lineitem")
+        .select((col("l_quantity") / 2.0).as("x"), col("l_linenumber").cast("double").as("y"))
+        .distinct()
+      p.select(col("x"), col("y"),
+        rf_hilbert_index(st_makePoint(col("x"), col("y")), lit("epsg:4326")).as("h"))
+        .orderBy("x", "y")
+    }),
     "q_raster_join" -> ((s, dir) => {
       val base = tiled(s, dir).where(col("l_orderkey") % 200 === 0)
         .select(col("l_orderkey"), col("t_qty").as("tile"),
@@ -2552,6 +2573,25 @@ object SparkEntry {
         .groupBy(col("event_type"), expr("tus div 86400000000").as("day"))
         .agg(count(lit(1)).as("cnt"))
       graft.pipeline.Stats.trend(daily, Seq("event_type"), "day", "cnt")
+        .orderBy("event_type")
+    }),
+    // ---- wave 35: Wald SPRT early-stop A/B gate: exact long LLR walk
+    // (four plan-time micro-nat constants), first-crossing decision per
+    // event type over the event_id order
+    "q_sprt" -> ((s, dir) =>
+      graft.pipeline.Stats.sprt(
+          t(s, dir, "events").select(col("event_type"), col("event_id"),
+            expr("cast(round(value * 100) as bigint) >= 500").as("succ")),
+          Seq("event_type"), "event_id", "succ")
+        .orderBy("event_type")),
+    // ---- wave 34: Theil-Sen robust slope (the OLS q_trend's 29%-
+    // breakdown companion): median of pairwise slopes, each one IEEE
+    // division of exact longs, median picked by partitioned window
+    "q_theil_sen" -> ((s, dir) => {
+      val daily = eventsMicros(s, dir)
+        .groupBy(col("event_type"), expr("tus div 86400000000").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.pipeline.Stats.theilSenSlope(daily, Seq("event_type"), "day", "cnt")
         .orderBy("event_type")
     }),
     // Benford first-digit audit over the order-value cents: observed
@@ -5511,6 +5551,38 @@ object SparkEntry {
          |  CAST(coalesce(ag.cost_unats, 0) AS BIGINT) AS cost_unats,
          |  coalesce(ag.pieces_str, '') AS pieces_str
          |FROM documents d LEFT JOIN ag USING (doc_id) ORDER BY id""".stripMargin,
+    // isotonic calibration replayed via the PAV = minimax identity:
+    // same integer quantile bounds as q_psi, per-bucket (n, n_pos),
+    // v(j,k) = pooled-rate doubles over prefix sums, cal_i =
+    // max_{j<=i} min_{k>=i} v — one rounding point per bucket
+    "q_isotonic" ->
+      s"""WITH d AS (SELECT n_chars AS s, contains(text, 'table') AS y FROM documents),
+         |hist AS (SELECT s, COUNT(*) AS cnt FROM d GROUP BY s),
+         |cum AS (SELECT s, SUM(cnt) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS cume FROM hist),
+         |tot AS (SELECT COUNT(*) AS n FROM d),
+         |pms AS (SELECT unnest([${(1 until 16).map(_ * 1000 / 16).mkString(",")}]) AS p),
+         |bounds AS (SELECT p, MIN(s) AS b FROM cum, tot, pms
+         |           WHERE cume >= (n * p + 999) // 1000 GROUP BY p),
+         |bk AS (SELECT CAST((SELECT COUNT(*) FROM bounds WHERE b <= s) AS INTEGER) AS bucket, y FROM d),
+         |bt AS (SELECT bucket, COUNT(*) AS n,
+         |    CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+         |  FROM bk GROUP BY bucket),
+         |pre AS (SELECT bucket,
+         |    SUM(n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cn,
+         |    SUM(n_pos) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cp,
+         |    COALESCE(SUM(n) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pcn,
+         |    COALESCE(SUM(n_pos) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pcp
+         |  FROM bt),
+         |pairs AS (SELECT j.bucket AS jb, k.bucket AS kb,
+         |    CAST(k.cp - j.pcp AS DOUBLE) / (k.cn - j.pcn) AS v
+         |  FROM pre j JOIN pre k ON k.bucket >= j.bucket),
+         |mm AS (SELECT b.bucket, p.jb, MIN(p.v) AS mn
+         |  FROM bt b JOIN pairs p ON p.jb <= b.bucket AND p.kb >= b.bucket
+         |  GROUP BY 1, 2),
+         |cal AS (SELECT bucket, MAX(mn) AS v FROM mm GROUP BY bucket)
+         |SELECT b.bucket, b.n, b.n_pos,
+         |  CAST(round(1e6 * c.v) AS BIGINT) AS cal_ppm
+         |FROM bt b JOIN cal c USING (bucket) ORDER BY bucket""".stripMargin,
     // sequence packing: mix64 shard, per-shard running token offset,
     // contiguous-fill bin = start_offset div capacity — all integer
     "q_pack" ->
@@ -6089,6 +6161,31 @@ object SparkEntry {
         |SELECT z2t.x AS x, z2t.y AS y, z2t.z2 AS z2, xz.xz2 AS xz2
         |FROM z2t JOIN xz ON z2t.x = xz.x AND z2t.y = xz.y
         |ORDER BY x, y""".stripMargin,
+    // Hilbert xy2d replayed as a 16-level recursive walk: per level the
+    // quadrant digit (3*rx XOR ry) scales by s^2, then the canonical
+    // full-grid reflect (rx=1, ry=0) + swap rotation
+    "q_hilbert_index" ->
+      """WITH RECURSIVE pts AS (
+        |  SELECT DISTINCT CAST(l_quantity AS DOUBLE) / 2.0 AS x, CAST(l_linenumber AS DOUBLE) AS y FROM lineitem),
+        |norm AS (SELECT x, y,
+        |    CAST(floor((x + 180.0) / 360.0 * 65535) AS BIGINT) AS nx,
+        |    CAST(floor((y + 90.0) / 180.0 * 65535) AS BIGINT) AS ny
+        |  FROM pts),
+        |walk(x, y, cx, cy, s, d) AS (
+        |  SELECT x, y, nx, ny, CAST(32768 AS BIGINT), CAST(0 AS BIGINT) FROM norm
+        |  UNION ALL
+        |  SELECT x, y,
+        |    CASE WHEN (cy & s) = 0
+        |         THEN (CASE WHEN (cx & s) > 0 THEN 65535 - cy ELSE cy END)
+        |         ELSE cx END,
+        |    CASE WHEN (cy & s) = 0
+        |         THEN (CASE WHEN (cx & s) > 0 THEN 65535 - cx ELSE cx END)
+        |         ELSE cy END,
+        |    s // 2,
+        |    d + s * s * xor(3 * (CASE WHEN (cx & s) > 0 THEN 1 ELSE 0 END),
+        |                    CASE WHEN (cy & s) > 0 THEN 1 ELSE 0 END)
+        |  FROM walk WHERE s > 0)
+        |SELECT x, y, d AS h FROM walk WHERE s = 0 ORDER BY x, y""".stripMargin,
     // per-cell Horn gradients / focal windows over the exploded grid;
     // Moran's I uses ordered list folds to reproduce the tile's
     // left-to-right double accumulation bit-exactly
@@ -6841,6 +6938,49 @@ object SparkEntry {
         |       ELSE CAST(round(1000000.0 * CAST(n * sxy - sx * sy AS DOUBLE)
         |            / CAST(n * sxx - sx * sx AS DOUBLE)) AS BIGINT) END AS slope_micro
         |FROM m ORDER BY event_type""".stripMargin,
+    // SPRT replayed: the same four plan-time micro-nat constants
+    // inlined, exact cumulative-long window walk, first-crossing pick
+    "q_sprt" -> {
+      val Seq(lpS, lpF, aUp, bLo) =
+        graft.pipeline.Stats.sprtConstantsMicro(500, 600, 50, 50)
+      s"""WITH e AS (SELECT event_type, event_id,
+         |    CASE WHEN CAST(round(value * 100) AS BIGINT) >= 500
+         |         THEN CAST($lpS AS BIGINT) ELSE CAST($lpF AS BIGINT) END AS step
+         |  FROM events),
+         |c AS (SELECT event_type, step,
+         |    SUM(step) OVER (PARTITION BY event_type ORDER BY event_id
+         |      ROWS UNBOUNDED PRECEDING) AS llr,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS rn
+         |  FROM e),
+         |g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         |    MIN(CASE WHEN llr >= $aUp THEN rn END) AS hit1,
+         |    MIN(CASE WHEN llr <= $bLo THEN rn END) AS hit0,
+         |    CAST(SUM(step) AS BIGINT) AS llr_final_micro
+         |  FROM c GROUP BY event_type)
+         |SELECT event_type, n,
+         |  CASE WHEN hit1 IS NOT NULL AND (hit0 IS NULL OR hit1 < hit0) THEN 'accept_h1'
+         |       WHEN hit0 IS NOT NULL THEN 'accept_h0' ELSE 'continue' END AS decision,
+         |  CAST(least(hit1, hit0) AS BIGINT) AS decided_at,
+         |  llr_final_micro
+         |FROM g ORDER BY event_type""".stripMargin
+    },
+    // Theil-Sen replayed: pairwise slope doubles (one division each),
+    // median via the same two-middle-rows window pick
+    "q_theil_sen" ->
+      """WITH e AS (SELECT event_type, epoch_ns(ts) // 1000 AS tus FROM events),
+        |d AS (SELECT event_type, tus // 86400000000 AS day, COUNT(*) AS cnt
+        |      FROM e GROUP BY 1, 2),
+        |p AS (SELECT a.event_type,
+        |        CAST(b.cnt - a.cnt AS DOUBLE) / (b.day - a.day) AS s
+        |      FROM d a JOIN d b ON a.event_type = b.event_type AND b.day > a.day),
+        |r AS (SELECT event_type, s,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY s) AS rn,
+        |        COUNT(*) OVER (PARTITION BY event_type) AS m
+        |      FROM p)
+        |SELECT event_type, CAST(MAX(m) AS BIGINT) AS n_pairs,
+        |  CAST(round(1e6 * AVG(s)) AS BIGINT) AS ts_slope_micro
+        |FROM r WHERE rn = (m + 1) // 2 OR rn = (m + 2) // 2
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // Benford audit replayed: same string-rendered first digit, same
     // inlined log10(1+1/d) permille constants
     "q_benford" ->

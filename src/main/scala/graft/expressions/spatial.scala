@@ -471,6 +471,61 @@ object Z2Index {
 }
 
 /**
+ * Hilbert-curve index of a geometry's centroid — the locality-FIRST
+ * companion of [[Z2Index]]: consecutive Hilbert cells are always
+ * grid-adjacent (Z-order jumps at quadrant seams), so range scans over
+ * a Hilbert-sorted layout touch fewer distant cells — the property
+ * that matters when the index keys a 100 TB table's file layout.
+ * Standard bitwise xy→d walk (Hilbert 1891; the public rot/reflect
+ * formulation popularized by Warren's Hacker's Delight) over the
+ * [[Z2Index]] lon/lat grid normalization; all-integer state, so the
+ * DuckDB oracle replays the walk with one recursive CTE. Beyond the
+ * reference's surface (it ships z2/xz2 only — Z2Indexer.scala,
+ * XZ2Indexer.scala); public algorithm, own implementation.
+ */
+case class HilbertIndex(left: Expression, right: Expression, resolution: Int = 16)
+    extends BinaryExpression with CodegenFallback {
+  require(resolution >= 1 && resolution <= 31,
+    s"rf_hilbert_index resolution must be in [1, 31], got $resolution")
+  override def prettyName: String = "rf_hilbert_index"
+  override def dataType: DataType = LongType
+  @transient private lazy val ge = geomExtractor(left.dataType)
+  override def nullSafeEval(g: Any, crsStr: Any): Any = {
+    val c = ge(g).getCentroid
+    val crs = CRS(crsStr.toString)
+    val (lon, lat) = CRS.toLonLat(c.getX, c.getY, crs)
+    val nx = ((lon + 180.0) / 360.0 * ((1L << resolution) - 1)).toLong
+    val ny = ((lat + 90.0) / 180.0 * ((1L << resolution) - 1)).toLong
+    HilbertIndex.xy2d(resolution, nx, ny)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+object HilbertIndex {
+  /** xy → distance along the order-`res` Hilbert curve; exact long
+    * walk from the top bit down — the canonical reflect-over-the-FULL-
+    * grid (n−1−x) + swap rotation per level. */
+  def xy2d(res: Int, x0: Long, y0: Long): Long = {
+    val n = 1L << res
+    var x = x0
+    var y = y0
+    var d = 0L
+    var s = n >> 1
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3L * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = n - 1 - x; y = n - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+}
+
+/**
  * XZ2 index for extended objects (extents): the XZ-ordering of Böhm,
  * Klump & Kriegel — enlarged quadtree elements so a box maps to ONE
  * cell (no duplication). Public algorithm, own implementation; role of

@@ -295,6 +295,7 @@ object functions {
   def st_within(a: Column, b: Column): Column = c(SpatialRelation(e(a), e(b), "Within"))
   def rf_z2_index(g: Column, crs: Column): Column = c(Z2Index(e(g), e(crs)))
   def rf_xz2_index(g: Column, crs: Column): Column = c(XZ2Index(e(g), e(crs)))
+  def rf_hilbert_index(g: Column, crs: Column): Column = c(HilbertIndex(e(g), e(crs)))
   def rf_rasterize(geom: Column, bounds: Column, value: Column, cols: Int, rows: Int): Column =
     c(Rasterize(Seq(e(geom), e(bounds), e(value), Literal(cols), Literal(rows))))
 
@@ -740,6 +741,7 @@ object Raster {
       reg2(s"st_${op.toLowerCase}", SpatialRelation(_, _, op))
     reg2("rf_z2_index", Z2Index(_, _))
     reg2("rf_xz2_index", XZ2Index(_, _))
+    reg2("rf_hilbert_index", HilbertIndex(_, _))
     regN("rf_rasterize", Rasterize(_))
     reg3("rf_proj_raster", CreateProjectedRaster(_, _, _))
     reg1("rf_extent", GetExtent(_))

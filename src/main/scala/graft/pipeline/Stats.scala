@@ -129,6 +129,115 @@ object Stats {
   }
 
   /**
+   * Wald SPRT — the sequential probability ratio test (Wald '45), the
+   * "stop the A/B early" machinery [[chiSquare2x2]]'s fixed-horizon
+   * test can't give: per key, walk the ORDERED bernoulli outcomes
+   * accumulating the log-likelihood ratio of H1 (rate p1) vs H0 (rate
+   * p0) and decide at the FIRST boundary crossing —
+   *
+   *   llr += x·ln(p1/p0) + (1−x)·ln((1−p1)/(1−p0)),
+   *   accept H1 at llr ≥ ln((1−β)/α),  accept H0 at llr ≤ ln(β/(1−α)).
+   *
+   * The four log constants are rounded ONCE to micro-nats at plan time
+   * (the [[psiReport]] discipline), so the cumulative walk is EXACT
+   * long sums and the crossing index is bit-reproducible — the DuckDB
+   * oracle inlines the same four longs and replays the window.
+   *
+   * Scale shape: one partitioned cumulative-sum window per key (the
+   * per-key event series is the sort unit, never the corpus), one
+   * partial+final rollup. Returns keys + (n, decision, decided_at,
+   * llr_final_micro): decision ∈ accept_h1/accept_h0/continue,
+   * decided_at = 1-based index of the first crossing (NULL if none).
+   */
+  def sprt(df: DataFrame, keys: Seq[String], orderCol: String,
+      successCol: String, p0Permille: Int = 500, p1Permille: Int = 600,
+      alphaPermille: Int = 50, betaPermille: Int = 50): DataFrame = {
+    require(keys.nonEmpty, "keys required")
+    for ((v, n) <- Seq(p0Permille -> "p0", p1Permille -> "p1",
+        alphaPermille -> "alpha", betaPermille -> "beta"))
+      require(v >= 1 && v <= 999, s"$n must be in [1, 999] permille, got $v")
+    require(p0Permille != p1Permille, "p0 and p1 must differ")
+    import org.apache.spark.sql.expressions.Window
+    val Seq(lpS, lpF, aUp, bLo) = sprtConstantsMicro(
+      p0Permille, p1Permille, alphaPermille, betaPermille)
+    val step = when(col(successCol).cast("boolean"), lit(lpS)).otherwise(lit(lpF))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(orderCol)).rowsBetween(Window.unboundedPreceding, 0)
+    val wo = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
+    df.withColumn("__llr", sum(step).over(w))
+      .withColumn("__rn", row_number().over(wo))
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).cast("long").as("n"),
+        min(when(col("__llr") >= aUp, col("__rn"))).as("__hit1"),
+        min(when(col("__llr") <= bLo, col("__rn"))).as("__hit0"),
+        sum(step).as("llr_final_micro"))
+      .withColumn("decision",
+        when(col("__hit1").isNotNull &&
+            (col("__hit0").isNull || col("__hit1") < col("__hit0")), "accept_h1")
+          .when(col("__hit0").isNotNull, "accept_h0")
+          .otherwise("continue"))
+      .withColumn("decided_at", least(col("__hit1"), col("__hit0")).cast("long"))
+      .drop("__hit1", "__hit0")
+      .select((keys.map(col) :+ col("n") :+ col("decision") :+
+        col("decided_at") :+ col("llr_final_micro")): _*)
+  }
+
+  /** The four SPRT micro-nat constants (success step, failure step,
+    * upper bound, lower bound) — plan-time, HALF_UP, shared with the
+    * oracle builder so both engines inline identical longs. */
+  def sprtConstantsMicro(p0Permille: Int, p1Permille: Int,
+      alphaPermille: Int, betaPermille: Int): Seq[Long] = {
+    def r(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val (p0, p1) = (p0Permille / 1000.0, p1Permille / 1000.0)
+    val (a, b) = (alphaPermille / 1000.0, betaPermille / 1000.0)
+    Seq(r(1e6 * math.log(p1 / p0)), r(1e6 * math.log((1 - p1) / (1 - p0))),
+      r(1e6 * math.log((1 - b) / a)), r(1e6 * math.log(b / (1 - a))))
+  }
+
+  /**
+   * Theil–Sen robust trend slope per key — the breakdown-resistant
+   * companion of [[trend]]'s OLS: the MEDIAN of all pairwise slopes
+   * (y₂−y₁)/(x₂−x₁), which one wild day cannot move (29% breakdown
+   * point vs OLS's zero; Theil '50, Sen '68). Each slope is ONE IEEE
+   * division of exact longs; the median picks a VALUE from that
+   * multiset (even counts average the two middles — a commutative
+   * 2-element mean), so ties and sort order cannot change the result
+   * and the DuckDB oracle replays it with the same window arithmetic.
+   *
+   * Scale shape: the pair generation is a keys equi-join of the series
+   * with itself (co-partitioned, x₂ > x₁ filtered AFTER the key
+   * match), O(len²) pairs per key where len is the per-key SERIES
+   * length — bounded by construction for the daily/weekly aggregates
+   * this runs on (the [[graft.pipeline.Temporal]] contract), never
+   * corpus-sized. One partitioned window ranks slopes per key; keys
+   * with fewer than two distinct x carry no pairs and are absent.
+   *
+   * Returns keys + (n_pairs, ts_slope_micro).
+   */
+  def theilSenSlope(df: DataFrame, keys: Seq[String], xCol: String,
+      yCol: String): DataFrame = {
+    require(keys.nonEmpty, "keys required")
+    import org.apache.spark.sql.expressions.Window
+    val a = df.select(keys.map(col) :+ col(xCol).cast("long").as("__x1") :+
+      col(yCol).cast("long").as("__y1"): _*)
+    val b = df.select(keys.map(col) :+ col(xCol).cast("long").as("__x2") :+
+      col(yCol).cast("long").as("__y2"): _*)
+    val pairs = a.join(b, keys).where(col("__x2") > col("__x1"))
+      .withColumn("__s", (col("__y2") - col("__y1")).cast("double") /
+        (col("__x2") - col("__x1")).cast("double"))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__s"))
+    val wk = Window.partitionBy(keys.map(col): _*)
+    pairs.withColumn("__rn", row_number().over(w))
+      .withColumn("__m", count(lit(1)).over(wk))
+      .where(col("__rn") === expr("(__m + 1) div 2") ||
+        col("__rn") === expr("(__m + 2) div 2"))
+      .groupBy(keys.map(col): _*)
+      .agg(max("__m").as("n_pairs"),
+        round(lit(1e6) * avg(col("__s"))).cast("long").as("ts_slope_micro"))
+  }
+
+  /**
    * Benford's-law first-digit audit of a positive integral metric —
    * the classic fabricated-data / unit-mixup screen. Digit shares are
    * compared against `log10(1 + 1/d)` in permille (constants fixed at
@@ -1355,6 +1464,68 @@ object Stats {
         sum(col("__w") * col("__v")).as("sum_w"))
       .select(col("rep").cast("int").as("rep"), col("n_eff"), col("sum_w"),
         (col("sum_w").cast("double") / col("n_eff")).as("mean"))
+  }
+
+  /**
+   * Isotonic (PAV) score calibration — the monotone score→rate mapping
+   * of Zadrozny & Elkan '02, the calibration step a quality-score gate
+   * runs so "score 0.8" MEANS an 80% pass rate: bucket the score by its
+   * own discrete quantiles ([[quantileBounds]] — distinct values
+   * shuffle, never rows), count (n, positives) per bucket, then
+   * pool-adjacent-violators over the ≤ `buckets` bucket rows ON THE
+   * DRIVER (the quantile-bounds class of bounded collect) with EXACT
+   * long cross-product violation compares (pos_t·n_p < pos_p·n_t — no
+   * float drift decides a merge). Each bucket's calibrated rate is its
+   * final block's pooled pos/n: ONE double division, rounded once to
+   * ppm — and because the PAV solution equals the minimax formula
+   * ŷᵢ = max_{j≤i} min_{k≥i} avg(j..k) (Robertson–Wright–Dykstra '88),
+   * the DuckDB oracle replays it with an O(buckets²) pairs join and
+   * bit-identical divisions.
+   *
+   * Scale shape: one value-histogram aggregate for the bounds, one
+   * bucket groupBy (map-side combined, ≤ buckets rows out), a
+   * metadata-sized driver PAV. The fact table shuffles once.
+   *
+   * Returns (bucket, n, n_pos, cal_ppm), cal_ppm non-decreasing.
+   */
+  def isotonicCalibrate(df: DataFrame, scoreCol: String, labelCol: String,
+      buckets: Int = 16): DataFrame = {
+    require(buckets >= 2 && buckets <= 256,
+      s"buckets must be in [2, 256], got $buckets")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bounds = quantileBounds(df, scoreCol, buckets)
+    def bucketOf(v: Column): Column =
+      bounds.foldLeft(lit(0))((acc, b) =>
+        acc + when(v >= lit(b), 1).otherwise(0))
+    val rows = df.select(bucketOf(col(scoreCol).cast("long")).as("bucket"),
+        col(labelCol).cast("boolean").as("__y"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"),
+        count(when(col("__y"), 1)).as("n_pos"))
+      .orderBy("bucket")
+      .collect() // bounded: ≤ buckets rows
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    // PAV: blocks of pooled (firstRow, n, pos); a new block merges left
+    // while its rate is BELOW its neighbor's (exact rational compare)
+    val blocks = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+    rows.zipWithIndex.foreach { case ((_, n, pos), i) =>
+      var (st, bn, bp) = (i, n, pos)
+      while (blocks.nonEmpty &&
+          bp * blocks.last._2 < blocks.last._3 * bn) {
+        val (pst, pn, pp) = blocks.remove(blocks.length - 1)
+        st = pst; bn += pn; bp += pp
+      }
+      blocks += ((st, bn, bp))
+    }
+    val cal = new Array[Long](rows.length)
+    val ends = blocks.map(_._1).drop(1) :+ rows.length
+    blocks.zip(ends).foreach { case ((st, bn, bp), end) =>
+      val ppm = BigDecimal(1e6 * (bp.toDouble / bn))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      (st until end).foreach(cal(_) = ppm)
+    }
+    rows.zipWithIndex.map { case ((b, n, pos), i) => (b, n, pos, cal(i)) }
+      .toSeq.toDF("bucket", "n", "n_pos", "cal_ppm")
   }
 
   /**

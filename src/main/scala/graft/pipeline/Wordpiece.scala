@@ -86,18 +86,32 @@ object Bpe {
     require(rounds >= 1 && rounds <= 16, s"rounds must be in [1,16], got $rounds")
     def unitsOf(w: Column): Column =
       filter(split(w, s"$D+"), u => u =!= "")
-    var work = df.select(transform(
-      filter(split(col(textCol), " "), t => t =!= ""),
-      // DOTALL so line terminators (\n, \r,  ...) are units too —
-      // keeps learn, the BpeApplyMerges kernel (one unit per code
-      // point), and the DuckDB oracle on the same initial decomposition
-      tok => concat(lit(D + D), regexp_replace(tok, "(?s)(.)", "$1" + D + D)))
-      .as("work"))
+    // Learn on the DISTINCT-WORD frequency table, not the corpus: pair
+    // counts are Σ wcnt · (in-word pairs) — identical numbers (the
+    // oracle still derives them per-occurrence), but each round's
+    // count + rewrite touches a VOCABULARY-sized table, so `rounds`
+    // rounds cost `rounds` vocab passes instead of `rounds` corpus
+    // passes — the shape real BPE trainers use, and the difference
+    // between O(rounds·corpus) and O(corpus + rounds·vocab) at 100 TB.
+    // The corpus is scanned exactly once (the word groupBy). Measured
+    // at sf0.1 (README r16 notes): q_bpe_apply 16 s → ~3 s.
+    var work = df.select(explode(
+        filter(split(col(textCol), " "), t => t =!= "")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("wcnt"))
+      // DOTALL so line terminators are units too — keeps learn, the
+      // BpeApplyMerges kernel (one unit per code point), and the DuckDB
+      // oracle on the same initial decomposition
+      .select(concat(lit(D + D),
+          regexp_replace(col("tok"), "(?s)(.)", "$1" + D + D)).as("w"),
+        col("wcnt"))
+      // vocab-bounded eager pin (small by construction after the
+      // groupBy): without it round r replays rounds 1..r-1's rewrites
+      .localCheckpoint(true)
     var out: DataFrame = null
     for (r <- 1 to rounds) {
-      val pairs = work.select(explode(col("work")).as("w"))
-        .select(explode(asColumn(NGrams(asExpr(unitsOf(col("w"))), 2))).as("pair"))
-        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      val pairs = work.select(col("wcnt"),
+          explode(asColumn(NGrams(asExpr(unitsOf(col("w"))), 2))).as("pair"))
+        .groupBy("pair").agg(sum("wcnt").as("cnt"))
       // one-row argmax; eager localCheckpoint keeps round r+1's plan
       // from inlining round r's whole lineage (2^rounds blowup)
       val best = pairs.orderBy(desc("cnt"), asc("pair")).limit(1)
@@ -109,9 +123,11 @@ object Bpe {
         concat(col("__x"), col("__y")).as("merged"), col("cnt"))
       out = if (out == null) row else out.unionByName(row)
       work = work.crossJoin(broadcast(best.select(col("__x"), col("__y"))))
-        .select(transform(col("work"), w => replace(w,
-          concat(lit(D), col("__x"), lit(D + D), col("__y"), lit(D)),
-          concat(lit(D), col("__x"), col("__y"), lit(D)))).as("work"))
+        .select(replace(col("w"),
+            concat(lit(D), col("__x"), lit(D + D), col("__y"), lit(D)),
+            concat(lit(D), col("__x"), col("__y"), lit(D))).as("w"),
+          col("wcnt"))
+        .localCheckpoint(true)
     }
     out
   }

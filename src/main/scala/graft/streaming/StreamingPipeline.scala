@@ -936,6 +936,68 @@ object StreamingPipeline {
       }
   }
 
+  /** (key, order, outcome) projection for the SPRT monitor. */
+  final case class SprtRow(k: String, t: Long, x: Boolean)
+  /** Per-key state: exact LLR micro-nats, trial count, latched verdict
+    * (0 undecided / 1 h1 / 2 h0) and its trial index — four scalars,
+    * bounded regardless of stream length. */
+  final case class SprtSt(llr: Long, n: Long, decided: Int, decidedAt: Long)
+  /** Per-row verdict: running LLR and the (latched) decision. */
+  final case class SprtOut(key: String, t: Long, n: Long, llrMicro: Long,
+      decision: String, decidedAt: Option[Long])
+
+  /**
+   * Streaming Wald SPRT — the live face of
+   * [[graft.pipeline.Stats.sprt]]: every arriving bernoulli outcome
+   * advances the key's exact micro-nat log-likelihood ratio (the same
+   * four plan-time constants as the batch operator —
+   * [[graft.pipeline.Stats.sprtConstantsMicro]]), and the FIRST
+   * boundary crossing latches the verdict, exactly the "stop the A/B
+   * the moment the evidence clears the bar" loop sequential testing
+   * exists for. Rows after the crossing keep accumulating LLR but
+   * carry the latched decision, so a single micro-batch over a static
+   * frame ends each key at the batch operator's
+   * (n, decision, decided_at, llr_final) — spec-pinned parity.
+   *
+   * Cross-batch semantics assume the per-key feed is in order within
+   * the stream (the [[cusumStream]]/[[ewmaStream]] trade); rows
+   * inside one batch are sorted by `orderCol` before folding. State
+   * is FOUR scalars per key; the latch survives checkpoint restarts.
+   */
+  def sprtStream(df: DataFrame, key: String, orderCol: String,
+      successCol: String, p0Permille: Int = 500, p1Permille: Int = 600,
+      alphaPermille: Int = 50, betaPermille: Int = 50): Dataset[SprtOut] = {
+    import df.sparkSession.implicits._
+    val Seq(lpS, lpF, aUp, bLo) = graft.pipeline.Stats.sprtConstantsMicro(
+      p0Permille, p1Permille, alphaPermille, betaPermille)
+    val rows = df.select(col(key).cast("string").as("k"),
+      col(orderCol).cast("long").as("t"),
+      col(successCol).cast("boolean").as("x")).as[SprtRow]
+    rows.groupByKey(_.k)
+      .flatMapGroupsWithState[SprtSt, SprtOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (k: String, it: Iterator[SprtRow], state: GroupState[SprtSt]) =>
+          var st = state.getOption.getOrElse(SprtSt(0L, 0L, 0, -1L))
+          val out = Vector.newBuilder[SprtOut]
+          for (r <- it.toSeq.sortBy(_.t)) {
+            st = st.copy(llr = st.llr + (if (r.x) lpS else lpF), n = st.n + 1)
+            if (st.decided == 0) {
+              if (st.llr >= aUp) st = st.copy(decided = 1, decidedAt = st.n)
+              else if (st.llr <= bLo) st = st.copy(decided = 2, decidedAt = st.n)
+            }
+            val d = st.decided match {
+              case 1 => "accept_h1"
+              case 2 => "accept_h0"
+              case _ => "continue"
+            }
+            out += SprtOut(k, r.t, st.n, st.llr, d,
+              if (st.decided == 0) None else Some(st.decidedAt))
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** (key, ts) projection for the gap-regularity monitor. */
   final case class GapRow(k: Long, t: Long)
   /** Per-key state: last seen timestamp + the three gap moments — 4

@@ -321,6 +321,18 @@ object DumpPlans {
         "hash map, single greedy min-rank loop per word, zero per-merge " +
         "corpus copies and zero Exchanges after the learn phase's " +
         "metadata-sized collect."),
+      "q_unigram_apply" -> ("Unigram-LM (SentencePiece) tokenize: the " +
+        "learned vocab (pieces + integer micro-nat costs) rides in ONE " +
+        "UnigramViterbi expression node — per-executor hash map, exact-" +
+        "long DP per word, the corpus segments inside the scan; the EM " +
+        "fit above it touches only the DISTINCT-WORD table and vocab-" +
+        "bounded collects."),
+      "q_covariance" -> ("One-pass exact covariance matrix: ONE " +
+        "GramMatrixAggregate reduces the embedding corpus to O(d^2) " +
+        "longs of associative state (order-free result, no row " +
+        "shuffles), a single-row posexplode and a broadcast triangle-" +
+        "index equi-join finish d(d+1)/2 cells with DECIMAL(38,0) " +
+        "products and one division each."),
       "q_minhash_eval" -> ("Minhash-LSH quality audit: exact truth from " +
         "a direct shingle-intersection equi-join (no pruning — the eval " +
         "harness must not inherit the candidate generator's blind " +

@@ -167,6 +167,42 @@ class SpatialSpec extends AnyFunSuite {
         .select(rf_tile_sum($"right_tile")).collect()
     }
   }
+
+  test("HilbertIndex.xy2d matches the canonical curve and is a locality-preserving bijection") {
+    import graft.expressions.HilbertIndex.xy2d
+    // order 1: the U
+    assert(xy2d(1, 0, 0) == 0 && xy2d(1, 0, 1) == 1 &&
+      xy2d(1, 1, 1) == 2 && xy2d(1, 1, 0) == 3)
+    // order 2: the classic 16-cell sequence
+    val seq2 = Seq((0, 0), (1, 0), (1, 1), (0, 1), (0, 2), (0, 3), (1, 3), (1, 2),
+      (2, 2), (2, 3), (3, 3), (3, 2), (3, 1), (2, 1), (2, 0), (3, 0))
+    seq2.zipWithIndex.foreach { case ((x, y), d) =>
+      assert(xy2d(2, x, y) == d, s"($x,$y)")
+    }
+    // order 5: bijection over all 1024 cells, and every consecutive
+    // pair of curve positions is GRID-ADJACENT (|dx|+|dy| = 1) — the
+    // locality property z-order lacks at quadrant seams
+    val n = 1 << 5
+    val byD = (for (x <- 0 until n; y <- 0 until n)
+      yield xy2d(5, x, y) -> ((x, y))).toMap
+    assert(byD.size == n * n && byD.keys.min == 0L && byD.keys.max == n * n - 1L)
+    (1 until n * n).foreach { d =>
+      val (ax, ay) = byD(d - 1L)
+      val (bx, by) = byD(d.toLong)
+      assert(math.abs(ax - bx) + math.abs(ay - by) == 1, s"jump at d=$d")
+    }
+  }
+
+  test("rf_hilbert_index evaluates over geometry + CRS like rf_z2_index") {
+    val df = Seq((0.0, 0.0), (10.0, 20.0)).toDF("x", "y")
+    val out = df.select(rf_hilbert_index(st_makePoint($"x", $"y"),
+        lit("epsg:4326")).as("h"))
+      .collect().map(_.getLong(0))
+    // pinned against the scalar kernel on the same lon/lat grid math
+    def grid(lon: Double, lat: Double) = graft.expressions.HilbertIndex.xy2d(16,
+      ((lon + 180.0) / 360.0 * 65535).toLong, ((lat + 90.0) / 180.0 * 65535).toLong)
+    assert(out.toSeq == Seq(grid(0, 0), grid(10, 20)))
+  }
 }
 
 /** Edge cases of the round-8 spark-jts long-tail additions that the

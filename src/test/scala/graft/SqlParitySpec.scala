@@ -168,7 +168,7 @@ class SqlParitySpec extends AnyFunSuite {
         s"undocumented: ${(graftRegistered -- docKeys).toSeq.sorted}")
     // pinned surface size — README §2.15 and the Python parity test
     // (python/tests/test_sql_surface.py) quote this number
-    assert(docKeys.size == 260, s"registered SQL surface moved: ${docKeys.size} names")
+    assert(docKeys.size == 261, s"registered SQL surface moved: ${docKeys.size} names")
     // Examples blocks may only supplement documented names
     val strayExamples = FunctionDocs.examples.keySet -- docKeys
     assert(strayExamples.isEmpty, s"examples for undocumented names: $strayExamples")

@@ -22,6 +22,66 @@ class StatsSpec extends AnyFunSuite {
     assert(out((1, 1)) == ((3L, 12L, 12L, 56L, 4.0)))  // var(2x) = 4
   }
 
+  test("sprt decides at the first exact boundary crossing") {
+    // constants at (500, 600, 50, 50) permille: success step
+    // +ln(1.2)e6 = 182322, failure step ln(0.8)e6 = -223144, bounds
+    // +/-ln(19)e6 = +/-2944439 -> 17 straight successes cross H1,
+    // 14 straight failures cross H0
+    val Seq(lpS, lpF, aUp, _) = Stats.sprtConstantsMicro(500, 600, 50, 50)
+    assert(lpS == 182322L && lpF == -223144L && aUp == 2944439L)
+    val rows =
+      (1 to 20).map(i => ("a", i.toLong, true)) ++
+      (1 to 10).map(i => ("b", i.toLong, true)) ++
+      (1 to 14).map(i => ("c", i.toLong, false))
+    val out = Stats.sprt(rows.toDF("k", "i", "succ"), Seq("k"), "i", "succ")
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4)))
+    assert(out(0) == (("a", 20L, "accept_h1", 17L, 20 * lpS)))
+    assert(out(1) == (("b", 10L, "continue", -1L, 10 * lpS)))
+    assert(out(2) == (("c", 14L, "accept_h0", 14L, 14 * lpF)))
+  }
+
+  test("theilSenSlope is the pairwise-slope median and shrugs off an outlier") {
+    // series (0,0),(1,1),(2,2),(3,100): slopes {1,1,1,100/3,99/2,98};
+    // even count -> mean of the two middles = (1 + 100/3)/2
+    val df = Seq(("k", 0L, 0L), ("k", 1L, 1L), ("k", 2L, 2L), ("k", 3L, 100L))
+      .toDF("k", "x", "y")
+    val out = Stats.theilSenSlope(df, Seq("k"), "x", "y").collect()(0)
+    assert(out.getLong(1) == 6L)
+    assert(out.getLong(2) == math.round(1e6 * (1.0 + 100.0 / 3.0) / 2))
+    // OLS on the same series is dragged far above the robust slope
+    val ols = Stats.trend(df, Seq("k"), "x", "y").collect()(0).getLong(2)
+    assert(out.getLong(2) < ols)
+    // odd count picks the single middle exactly
+    val odd = Seq(("k", 0L, 0L), ("k", 1L, 2L), ("k", 2L, 2L)).toDF("k", "x", "y")
+    val o = Stats.theilSenSlope(odd, Seq("k"), "x", "y").collect()(0)
+    assert(o.getLong(1) == 3L && o.getLong(2) == 1000000L)
+    // a single-point key yields no pairs and is absent
+    val single = Seq(("a", 0L, 0L)).toDF("k", "x", "y")
+    assert(Stats.theilSenSlope(single, Seq("k"), "x", "y").count() == 0L)
+  }
+
+  test("isotonicCalibrate pools adjacent violators exactly") {
+    // scores 1,1,2,2,3,3,4,4; buckets=4 -> bounds [1,2,3] -> buckets
+    // 1:{s=1} rate 1.0, 2:{s=2} rate 0.0, 3:{s=3,4} rate 3/4.
+    // PAV merges the 1.0 > 0.0 violation into a 2/4 block:
+    // cal = [0.5, 0.5, 0.75]
+    val df = Seq((1L, true), (1L, true), (2L, false), (2L, false),
+      (3L, true), (3L, false), (4L, true), (4L, true)).toDF("s", "y")
+    val out = Stats.isotonicCalibrate(df, "s", "y", buckets = 4)
+      .orderBy("bucket").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1, 2L, 2L, 500000L), (2, 2L, 0L, 500000L), (3, 4L, 3L, 750000L)))
+    // already-monotone input is untouched
+    val mono = Seq((1L, false), (1L, false), (2L, true), (2L, false),
+      (3L, true), (3L, true)).toDF("s", "y")
+    val m = Stats.isotonicCalibrate(mono, "s", "y", buckets = 3)
+      .orderBy("bucket").collect().map(_.getLong(3))
+    assert(m.toSeq == m.toSeq.sorted)
+  }
+
   test("pcaTopComponent recovers the dominant eigenpair") {
     // covariance [[1,2],[2,4]] has eigenvalues 5 and 0; top eigenvector
     // is (1,2)/sqrt(5), sign pinned positive on the largest loading

@@ -794,6 +794,62 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(got.size == rows.size)
   }
 
+  test("sprtStream single batch ends each key at the batch sprt verdict") {
+    val dir = Files.createTempDirectory("stream-sprt").toString
+    val rows =
+      (1 to 20).map(i => ("a", i.toLong, true)) ++
+      (1 to 10).map(i => ("b", i.toLong, true)) ++
+      (1 to 14).map(i => ("c", i.toLong, false))
+    val df = rows.toDF("k", "t", "succ")
+    df.write.mode("overwrite").parquet(dir)
+    val out = StreamingPipeline.sprtStream(
+      spark.readStream.schema(df.schema).parquet(dir), "k", "t", "succ")
+    val q = out.toDF().writeStream.format("memory").queryName("sprt_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    // last row per key == the batch operator's verdict
+    val last = spark.sql(
+        """SELECT key, n, llrMicro, decision, decidedAt FROM sprt_stream s
+          |WHERE n = (SELECT MAX(n) FROM sprt_stream WHERE key = s.key)""".stripMargin)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getString(3), if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
+    val batch = graft.pipeline.Stats.sprt(df, Seq("k"), "t", "succ")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1),
+        r.getLong(4), r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    assert(last == batch)
+    // the verdict latches at the crossing and never flips after
+    val aRows = spark.sql("SELECT n, decision FROM sprt_stream WHERE key = 'a' ORDER BY n")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(aRows.take(16).forall(_._2 == "continue"))
+    assert(aRows.drop(16).forall(_._2 == "accept_h1"))
+  }
+
+  test("sprtStream latch survives micro-batch boundaries and restarts") {
+    val dir = Files.createTempDirectory("stream-sprt2").toString
+    val ckpt = Files.createTempDirectory("stream-sprt2-ckpt").toString
+    val outDir = Files.createTempDirectory("stream-sprt2-out").toString
+    val part1 = (1 to 17).map(i => ("a", i.toLong, true))   // crosses H1 at 17
+    val part2 = (18 to 22).map(i => ("a", i.toLong, false)) // contrary evidence
+    val schema = part1.toDF("k", "t", "succ").schema
+    part1.toDF("k", "t", "succ").write.mode("overwrite").parquet(dir)
+    def run(): Map[Long, (String, Long)] = {
+      val out = StreamingPipeline.sprtStream(
+        spark.readStream.schema(schema).parquet(dir), "k", "t", "succ")
+      val q = out.toDF().writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      spark.read.parquet(outDir).collect()
+        .map(r => r.getAs[Long]("n") ->
+          ((r.getAs[String]("decision"), r.getAs[Long]("decidedAt")))).toMap
+    }
+    assert(run()(17L) == (("accept_h1", 17L)))
+    part2.toDF("k", "t", "succ").write.mode("append").parquet(dir)
+    val r2 = run() // restart from checkpoint; contrary rows can't flip the latch
+    assert(r2(22L) == (("accept_h1", 17L)))
+  }
+
   test("ewmaStream carries the lag memory across micro-batches") {
     val dir = Files.createTempDirectory("stream-ewma2").toString
     val ckpt = Files.createTempDirectory("stream-ewma2-ckpt").toString
