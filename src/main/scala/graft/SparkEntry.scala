@@ -2390,6 +2390,18 @@ object SparkEntry {
       graft.pipeline.Graph.labelPropagation(edges, "src", "dst", iterations = 3)
         .orderBy("node")
     }),
+    // ---- wave 37: Newman-Girvan modularity of the q_lpa communities —
+    // are they structure or noise: exact integer intra/degree moments,
+    // DECIMAL numerator, one round-once double division
+    "q_modularity" -> ((s, dir) => {
+      val edges = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"), (col("l_suppkey") + 100000L).as("dst"))
+      val labels = graft.pipeline.Graph.labelPropagation(edges, "src", "dst",
+        iterations = 3)
+      graft.pipeline.Graph.modularity(labels, edges, "src", "dst")
+    }),
     "q_pagerank" -> ((s, dir) => {
       val edges = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
         .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
@@ -5821,6 +5833,41 @@ object SparkEntry {
          |l0 AS (SELECT node, node AS community FROM n),
          |$rounds
          |SELECT node, community FROM l3 ORDER BY node""".stripMargin
+    },
+    // modularity over the replayed LPA labels: same symmetrized edge
+    // set, HUGEINT numerator mirroring the DECIMAL(38,0) Spark side
+    "q_modularity" -> {
+      val rounds = (1 to 3).map { i =>
+        s"""w$i AS (SELECT node, lbl AS community FROM (
+           |   SELECT e.a AS node, l.community AS lbl, COUNT(*) AS c,
+           |     ROW_NUMBER() OVER (PARTITION BY e.a
+           |       ORDER BY COUNT(*) DESC, l.community) AS rn
+           |   FROM e JOIN l${i - 1} l ON l.node = e.b
+           |   GROUP BY e.a, l.community) t WHERE rn = 1),
+           |l$i AS (SELECT n.node, COALESCE(w$i.community, n.node) AS community
+           |        FROM n LEFT JOIN w$i ON w$i.node = n.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH dir AS (SELECT o_custkey AS a, l_suppkey + 100000 AS b
+         |             FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |e AS (SELECT DISTINCT a, b FROM (
+         |  SELECT a, b FROM dir UNION ALL SELECT b, a FROM dir) u WHERE a <> b),
+         |n AS (SELECT DISTINCT a AS node FROM e),
+         |l0 AS (SELECT node, node AS community FROM n),
+         |$rounds,
+         |el AS (SELECT la.community AS ca, lb.community AS cb
+         |  FROM e JOIN l3 la ON la.node = e.a JOIN l3 lb ON lb.node = e.b),
+         |m2 AS (SELECT COUNT(*) AS m2v FROM el),
+         |pc AS (SELECT ca, SUM(CASE WHEN ca = cb THEN 1 ELSE 0 END) AS intra2,
+         |    COUNT(*) AS deg FROM el GROUP BY ca),
+         |ag AS (SELECT COUNT(*) AS n_communities, MAX(m2.m2v) AS m2x,
+         |    SUM(CAST(m2.m2v AS HUGEINT) * intra2
+         |        - CAST(deg AS HUGEINT) * deg) AS num
+         |  FROM pc, m2)
+         |SELECT CAST(n_communities AS BIGINT) AS n_communities,
+         |  CAST(m2x // 2 AS BIGINT) AS m_edges,
+         |  CAST(round(1e6 * CAST(num AS DOUBLE)
+         |    / CAST(CAST(m2x AS HUGEINT) * m2x AS DOUBLE)) AS BIGINT) AS q_ppm
+         |FROM ag""".stripMargin
     },
     "q_pagerank" -> {
       def iter(prev: String, out: String) =

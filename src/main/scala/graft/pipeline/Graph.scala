@@ -115,6 +115,57 @@ object Graph {
   }
 
   /**
+   * Newman–Girvan modularity of a community assignment — the scalar
+   * that says whether [[labelPropagation]]'s communities are REAL
+   * structure or noise (Q ≈ 0): over the symmetrized edge set E₂
+   * (each undirected edge twice, |E₂| = 2m),
+   *
+   *   Q = Σ_c ( intra₂_c/|E₂| − (d_c/|E₂|)² )
+   *     = Σ_c ( |E₂|·intra₂_c − d_c² ) / |E₂|²
+   *
+   * with intra₂_c / d_c exact longs from TWO groupBys, the numerator
+   * summed in DECIMAL(38,0) (d_c² overflows longs at ~3e9 same-
+   * community endpoint rows), and ONE round-once double division at
+   * the end — sign-safe (Q can be negative) and bit-replayable by a
+   * HUGEINT oracle.
+   *
+   * Scale shape: two label equi-joins onto the edge list (shuffles on
+   * the node key the labels already carry), one community groupBy
+   * (map-side combined, |communities| rows out), a one-row broadcast
+   * total. The edge list never shuffles twice.
+   *
+   * Returns one row: (n_communities, m_edges, q_ppm).
+   */
+  def modularity(labels: DataFrame, edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val dir = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+    val e = dir.unionByName(dir.select(col("b").as("a"), col("a").as("b")))
+      .where(col("a") =!= col("b")).distinct()
+    val withL = e
+      .join(labels.select(col("node").as("a"), col("community").as("ca")), "a")
+      .join(labels.select(col("node").as("b"), col("community").as("cb")), "b")
+    val m2t = withL.agg(count(lit(1)).as("__m2"))
+    // rows grouped by the SOURCE label: count = Σ_{i∈c} outdeg_i = d_c;
+    // intra₂ counts both directions of every intra-community edge
+    val perC = withL.groupBy(col("ca"))
+      .agg(count(when(col("ca") === col("cb"), 1)).as("__intra2"),
+        count(lit(1)).as("__deg"))
+    val dec = "decimal(38,0)"
+    perC.crossJoin(broadcast(m2t))
+      .select(col("ca"),
+        (col("__m2").cast(dec) * col("__intra2") -
+          col("__deg").cast(dec) * col("__deg")).as("__num_c"),
+        col("__m2"))
+      .agg(count(lit(1)).as("n_communities"), max("__m2").as("__m2x"),
+        sum("__num_c").as("__num"))
+      .select(col("n_communities"),
+        expr("__m2x div 2").as("m_edges"),
+        round(lit(1e6) * col("__num").cast("double") /
+          (col("__m2x").cast(dec) * col("__m2x")).cast("double"))
+          .cast("long").as("q_ppm"))
+  }
+
+  /**
    * Triangle enumeration over an undirected graph — the clustering /
    * community-density primitive (local clustering coefficients, spam
    * farm detection in link graphs: organic neighborhoods close

@@ -192,4 +192,21 @@ class GraphSpec extends AnyFunSuite {
     val wide = Graph.coMembership(rows, "u", "i", maxItems = 4, minUsers = 1L)
     assert(wide.count() == 6L) // C(4,2) over {w,x,y,z} for u3 ∪ previous
   }
+
+  test("modularity: two triangles and a bridge score the textbook 5/14") {
+    // edges: triangle {1,2,3}, triangle {4,5,6}, bridge 3-4; m = 7.
+    // With labels A={1,2,3}, B={4,5,6}:
+    // Q = 2*(3/7 - (7/14)^2) = 5/14 = 0.357142857... -> 357143 ppm
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("src", "dst")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 4L), (5L, 4L), (6L, 4L)).toDF("node", "community")
+    val out = Graph.modularity(labels, edges, "src", "dst").collect()(0)
+    assert(out.getLong(0) == 2L && out.getLong(1) == 7L)
+    assert(out.getLong(2) == 357143L)
+    // one community holding everything scores exactly 0
+    val one = Seq((1L, 9L), (2L, 9L), (3L, 9L), (4L, 9L), (5L, 9L), (6L, 9L))
+      .toDF("node", "community")
+    assert(Graph.modularity(one, edges, "src", "dst").collect()(0).getLong(2) == 0L)
+  }
 }
