@@ -1460,6 +1460,17 @@ object SparkEntry {
       graft.pipeline.Stats.covarianceMatrix(e, "v", 64)
         .orderBy("i", "j")
     }),
+    // ---- wave 38: per-label embedding centroid drift ----
+    // cosine is scale-invariant, so the mean-vector cosines are the
+    // EXACT-long sum-vector cosines: decimal dot/norms, two sqrts, one
+    // round-once ppm division
+    "q_embed_drift" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("label"),
+        expr("transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))")
+          .as("v"))
+      graft.pipeline.EmbeddingDrift.centroidCosine(e, "label", "v")
+        .orderBy("label_a", "label_b")
+    }),
     // ---- wave 31: unigram-LM (SentencePiece) tokenizer ----
     // hard-EM over integer micro-nat Viterbi costs: 2 EM rounds of
     // segment-with-UnigramViterbi -> recount -> re-smooth; the oracle
@@ -5538,6 +5549,29 @@ object SparkEntry {
          |       - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS DOUBLE)
          |    / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE) AS cov
          |FROM p ORDER BY i, j""".stripMargin,
+    // centroid drift: exact per-label sum vectors, HUGEINT dot/norms,
+    // correctly-rounded sqrts, one ppm rounding point
+    "q_embed_drift" ->
+      s"""WITH q AS (SELECT label, list_transform(embedding,
+         |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v FROM embeddings),
+         |ex AS (SELECT label AS lbl, CAST(u.i - 1 AS INTEGER) AS i,
+         |    v[CAST(u.i AS INTEGER)] AS x
+         |  FROM q, unnest(range(1, len(v) + 1)) u(i)),
+         |sums AS (SELECT lbl, i, CAST(SUM(x) AS BIGINT) AS s, COUNT(*) AS n
+         |  FROM ex GROUP BY 1, 2),
+         |norms AS (SELECT lbl, SUM(CAST(s AS HUGEINT) * s) AS n2, MAX(n) AS n
+         |  FROM sums GROUP BY 1),
+         |dots AS (SELECT a.lbl AS la, b.lbl AS lb,
+         |    SUM(CAST(a.s AS HUGEINT) * b.s) AS dot
+         |  FROM sums a JOIN sums b ON a.i = b.i AND a.lbl < b.lbl GROUP BY 1, 2)
+         |SELECT d.la AS label_a, d.lb AS label_b, CAST(na.n AS BIGINT) AS n_a,
+         |  CAST(nb.n AS BIGINT) AS n_b,
+         |  CASE WHEN na.n2 = 0 OR nb.n2 = 0 THEN NULL
+         |       ELSE CAST(round((1e6 * CAST(dot AS DOUBLE))
+         |         / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))) AS BIGINT)
+         |  END AS cos_ppm
+         |FROM dots d JOIN norms na ON na.lbl = d.la JOIN norms nb ON nb.lbl = d.lb
+         |ORDER BY label_a, label_b""".stripMargin,
     // unigram-LM learn: seed chars+top-multis vocab, 2 hard-EM rounds,
     // each a recursive sliding-window Viterbi DP + recount + re-smooth
     "q_unigram_learn" ->

@@ -1637,3 +1637,54 @@ object Similarity {
       k)
   }
 }
+
+/**
+ * Slice-level embedding statistics — the "did the representation move"
+ * monitors a multimodal/training pipeline runs between sources,
+ * snapshots or label slices.
+ */
+object EmbeddingDrift {
+  /**
+   * Pairwise centroid cosine between label slices of an
+   * integer-quantized embedding column — the drift scalar for "are
+   * source A's vectors pointing somewhere else than source B's".
+   * Cosine is scale-invariant, so the mean vectors' 1/n factors cancel
+   * and the statistic is the cosine of the per-slice SUM vectors —
+   * which are EXACT longs, making the whole report order-free: the dot
+   * and squared norms are DECIMAL(38,0) products of exact sums, and
+   * the only float ops are two correctly-rounded sqrts and one
+   * round-once ppm division, bit-replayable by a HUGEINT oracle.
+   *
+   * `vec` must be integer units (the [[graft.pipeline.Stats.covarianceMatrix]]
+   * milli-quantization contract). Zero-sum slices yield NULL cosine.
+   *
+   * Scale shape: one posexplode + (label, dim) groupBy (map-side
+   * combined — shuffle carries |labels|·d rows, never the corpus), a
+   * dim equi-join of the label-sum table with itself (metadata-sized),
+   * two broadcast-scale per-label rollups.
+   *
+   * Returns (label_a, label_b, n_a, n_b, cos_ppm) for label_a < label_b.
+   */
+  def centroidCosine(df: DataFrame, labelCol: String, vecCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val sums = df.select(col(labelCol).as("lbl"),
+        posexplode(col(vecCol)).as(Seq("i", "x")))
+      .groupBy("lbl", "i").agg(sum("x").as("s"), count(lit(1)).as("n"))
+    val norms = sums.groupBy("lbl")
+      .agg(sum(col("s").cast(dec) * col("s")).as("n2"), max("n").as("n"))
+    val a = sums.select(col("lbl").as("la"), col("i"), col("s").as("sa"))
+    val b = sums.select(col("lbl").as("lb"), col("i"), col("s").as("sb"))
+    val dots = a.join(b, "i").where(col("la") < col("lb"))
+      .groupBy("la", "lb")
+      .agg(sum(col("sa").cast(dec) * col("sb")).as("dot"))
+    dots
+      .join(norms.select(col("lbl").as("la"), col("n2").as("na2"), col("n").as("n_a")), "la")
+      .join(norms.select(col("lbl").as("lb"), col("n2").as("nb2"), col("n").as("n_b")), "lb")
+      .select(col("la").as("label_a"), col("lb").as("label_b"),
+        col("n_a"), col("n_b"),
+        when(col("na2") === 0 || col("nb2") === 0, lit(null))
+          .otherwise(round((lit(1e6) * col("dot").cast("double")) /
+            (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double"))))
+            .cast("long")).as("cos_ppm"))
+  }
+}

@@ -356,4 +356,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got(2L) == ((3L, 375000L)))
     assert(got(3L) == ((0L, 0L)))
   }
+
+  test("EmbeddingDrift.centroidCosine is the exact sum-vector cosine per label pair") {
+    import spark.implicits._
+    // label 0: (1,0)+(1,0) -> sum (2,0); label 1: (0,3); label 2: (4,0)
+    // cos(0,1)=0, cos(0,2)=1, cos(1,2)=0; zero-sum label 3 -> NULL
+    val df = Seq(
+      (0, Seq(1L, 0L)), (0, Seq(1L, 0L)),
+      (1, Seq(0L, 3L)),
+      (2, Seq(4L, 0L)),
+      (3, Seq(0L, 0L))).toDF("label", "v")
+    val out = graft.pipeline.EmbeddingDrift.centroidCosine(df, "label", "v")
+      .orderBy("label_a", "label_b").collect()
+      .map(r => ((r.getInt(0), r.getInt(1)),
+        (r.getLong(2), r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
+    assert(out((0, 1)) == ((2L, 1L, 0L)))
+    assert(out((0, 2)) == ((2L, 1L, 1000000L)))
+    assert(out((1, 2))._3 == 0L)
+    assert(out((0, 3))._3 == -1L && out((1, 3))._3 == -1L) // NULL cosine
+  }
 }
