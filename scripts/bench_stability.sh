@@ -33,7 +33,11 @@ echo "phase 1: compile..." >&2
 sbt -batch compile >/dev/null
 
 run() {
-  SPARK_GRAFT_SF_DIR="$SF" java -Xmx96g \
+  # 1g code cache: the default 240m fills across ~290 codegen-heavy
+  # queries x 3 reps and HotSpot then stops JIT-compiling, which is the
+  # leading hypothesis for the suite-context-only slowdowns (q_mean_pool
+  # 10.9s in-suite vs 0.39s isolated, r16 README note 5)
+  SPARK_GRAFT_SF_DIR="$SF" java -Xmx96g -XX:ReservedCodeCacheSize=1g \
     -cp "target/scala-2.13/classes:/opt/spark/jars/*" graft.Bench 2>/dev/null \
     | grep -o '{"metric".*}' | tail -1
 }

@@ -65,7 +65,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_qnorm" -> ("broadcast 1000-row permille grid + one-row pooled-total " +
       "crossJoins over the distinct-score histogram (pre-quantized scores by contract)"),
     "q_jsd" -> "broadcast one-row (N_P, N_Q, V) totals crossJoin (the q_token_kl shape)",
-    "q_kn_score" -> "broadcast one-row bigram-type-count crossJoin (the Kneser-Ney N1+(··))")
+    "q_kn_score" -> "broadcast one-row bigram-type-count crossJoin (the Kneser-Ney N1+(··))",
+    "q_modularity" -> "broadcast one-row |E2| total crossJoin onto the community table")
 
   test("no query plans an unintended cartesian or nested-loop join") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
