@@ -2784,6 +2784,22 @@ object SparkEntry {
     // z-clustering makes file/row-group min-max stats selective for
     // BOTH keys. Oracle = the same predicate over the original table.
     "q_zorder_prune" -> ((s, dir) => zorderPrune(s, dir)),
+    // ---- wave 39: Hilbert layout writer (locality-first z-order twin)
+    // same write -> filtered re-read contract; the result is layout-
+    // invariant, which is exactly what pins the writer's correctness
+    "q_hilbert_layout" -> ((s, dir) => {
+      val path = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_hilbert_" + dir.replaceAll("[^A-Za-z0-9]", "_")).toString
+      graft.pipeline.Layout.hilbertWrite(
+        t(s, dir, "lineitem").select("l_orderkey", "l_partkey", "l_suppkey",
+          "l_quantity", "l_extendedprice"),
+        "l_partkey", "l_suppkey", path, files = 16)
+      s.read.parquet(path)
+        .where(col("l_partkey").between(100, 299) && col("l_suppkey").between(10, 39))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("cast(round(l_extendedprice * 100) as bigint)")).as("revenue_cents"),
+          sum(col("l_quantity").cast("bigint")).as("sum_qty"))
+    }),
     // Pivot with an EXPLICIT value list — one aggregation pass (pivot
     // values fold into the same partial aggregate); an unlisted pivot
     // would first collect distinct values to the driver, which the
@@ -7223,6 +7239,14 @@ object SparkEntry {
     // the z-order layout must be invisible to rows: the oracle is the
     // same predicate over the ORIGINAL table
     "q_zorder_prune" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 100 AND 299 AND l_suppkey BETWEEN 10 AND 39""".stripMargin,
+    // hilbert layout: the re-read aggregate is layout-invariant, so the
+    // oracle is the same direct filtered aggregate
+    "q_hilbert_layout" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n,
         |CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
         |CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty

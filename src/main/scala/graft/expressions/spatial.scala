@@ -501,6 +501,34 @@ case class HilbertIndex(left: Expression, right: Expression, resolution: Int = 1
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
 }
+/** [[HilbertIndex]]'s raw-key twin for layout control: the same
+  * xy2d walk over two NON-NEGATIVE integer keys (masked to
+  * `resolution` bits), no geometry/CRS — the [[graft.pipeline.Layout]]
+  * interleave for `hilbertWrite`. A chained-Column formulation would
+  * duplicate x/y subtrees ~3× per level (3^16 plan nodes at order 16);
+  * one scalar kernel keeps the plan a single node. */
+case class HilbertKeyIndex(left: Expression, right: Expression,
+    resolution: Int = 16)
+    extends BinaryExpression with CodegenFallback {
+  require(resolution >= 1 && resolution <= 31,
+    s"hilbert key resolution must be in [1, 31], got $resolution")
+  override def prettyName: String = "pl_hilbert_index"
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (bigint, bigint), got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val mask = (1L << resolution) - 1
+    HilbertIndex.xy2d(resolution,
+      a.asInstanceOf[Long] & mask, b.asInstanceOf[Long] & mask)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 object HilbertIndex {
   /** xy → distance along the order-`res` Hilbert curve; exact long
     * walk from the top bit down — the canonical reflect-over-the-FULL-

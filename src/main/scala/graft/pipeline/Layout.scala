@@ -60,6 +60,31 @@ object Layout {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Hilbert interleave of two non-negative integer keys (16 bits
+    * each) — [[zIndex]]'s locality-first twin: consecutive index values
+    * are always grid-adjacent, so range-partitioned files cover tighter
+    * key-space rectangles than Z-order's seam-jumping cells (fewer
+    * files straddle a range predicate's rectangle ⇒ better min-max
+    * pruning on the same stats). One scalar kernel node
+    * ([[graft.expressions.HilbertKeyIndex]]). */
+  def hilbertIndex(a: Column, b: Column): Column = {
+    import graft.expressions.{asColumn, asExpr}
+    asColumn(graft.expressions.HilbertKeyIndex(
+      asExpr(a.cast("long")), asExpr(b.cast("long"))))
+  }
+
+  /** [[zorderWrite]] with the Hilbert interleave: `files` Parquet files
+    * range-partitioned and sorted by the Hilbert index of
+    * `(keyA, keyB)`, index dropped after layout. */
+  def hilbertWrite(df: DataFrame, keyA: String, keyB: String, path: String,
+      files: Int = 16): Unit = {
+    df.withColumn("__graft_h", hilbertIndex(col(keyA), col(keyB)))
+      .repartitionByRange(files, col("__graft_h"))
+      .sortWithinPartitions("__graft_h")
+      .drop("__graft_h")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /**
    * Hash-shard balance audit — the layout-planning question a 100 TB
    * corpus asks before choosing its shard count: assign every row to

@@ -42,6 +42,50 @@ class LayoutSpec extends AnyFunSuite {
     assert(spark.read.parquet(path).count() == 4096)
   }
 
+  test("hilbertIndex matches the scalar kernel and hilbertWrite keeps files disjoint") {
+    val got = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (65535L, 65535L))
+      .toDF("a", "b")
+      .select(Layout.hilbertIndex(col("a"), col("b"))).as[Long].collect().toSeq
+    val want = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (65535L, 65535L))
+      .map { case (a, b) => graft.expressions.HilbertIndex.xy2d(16, a, b) }
+    assert(got == want)
+    val path = java.nio.file.Files.createTempDirectory("graft_layout_h").toString
+    val df = spark.range(4096)
+      .select((col("id") % 64).as("a"), (col("id") / 64).cast("long").as("b"))
+    Layout.hilbertWrite(df, "a", "b", path, files = 8)
+    val ranges = spark.read.parquet(path)
+      .select(input_file_name().as("f"),
+        Layout.hilbertIndex(col("a"), col("b")).as("h"))
+      .groupBy("f").agg(min("h").as("lo"), max("h").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.length > 1, "expected multiple output files")
+    ranges.sliding(2).foreach { case Array((_, hi1), (lo2, _)) =>
+      assert(hi1 <= lo2, s"overlapping per-file h ranges: $ranges")
+    }
+    assert(spark.read.parquet(path).count() == 4096)
+  }
+
+  test("hilbert files cover tighter key rectangles than z-order on the same grid") {
+    // the locality claim, MEASURED: per-file bounding-rectangle area
+    // (da+1)*(db+1) summed over files — Hilbert's step adjacency keeps
+    // each file's keys in one compact blob; Z jumps at quadrant seams
+    val df = spark.range(4096)
+      .select((col("id") % 64).as("a"), (col("id") / 64).cast("long").as("b"))
+    def area(path: String): Long = {
+      spark.read.parquet(path)
+        .select(input_file_name().as("f"), col("a"), col("b"))
+        .groupBy("f").agg(((max("a") - min("a") + 1) *
+          (max("b") - min("b") + 1)).as("area"))
+        .collect().map(_.getLong(1)).sum
+    }
+    val zp = java.nio.file.Files.createTempDirectory("graft_layout_z3").toString
+    val hp = java.nio.file.Files.createTempDirectory("graft_layout_h3").toString
+    Layout.zorderWrite(df, "a", "b", zp, files = 8)
+    Layout.hilbertWrite(df, "a", "b", hp, files = 8)
+    val (za, ha) = (area(zp), area(hp))
+    assert(ha <= za, s"hilbert rectangles ($ha) should not exceed z-order's ($za)")
+  }
+
   test("range filters on both z keys are pushed to the parquet scan") {
     val path = java.nio.file.Files.createTempDirectory("graft_layout_spec2").toString
     val df = spark.range(1024)
