@@ -141,9 +141,25 @@ object Graph {
     val dir = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
     val e = dir.unionByName(dir.select(col("b").as("a"), col("a").as("b")))
       .where(col("a") =!= col("b")).distinct()
+    // Labels must cover EVERY edge endpoint: an inner join would
+    // silently drop unlabeled edges from both |E₂| and the community
+    // counts, skewing Q instead of failing. [[labelPropagation]] output
+    // covers all nodes by construction; caller-supplied labels get the
+    // same contract ENFORCED — left joins with a raise_error woven into
+    // the label column itself (rides the join, no extra counting job,
+    // survives column pruning because ca/cb are load-bearing).
+    def need(c: String, ep: String): Column =
+      when(col(c).isNotNull, col(c)).otherwise(raise_error(concat(
+        lit(s"modularity: edge endpoint "), col(ep).cast("string"),
+        lit(" has no community label — labels must cover every node " +
+          "touched by an edge"))))
     val withL = e
-      .join(labels.select(col("node").as("a"), col("community").as("ca")), "a")
-      .join(labels.select(col("node").as("b"), col("community").as("cb")), "b")
+      .join(labels.select(col("node").as("a"), col("community").as("ca")),
+        Seq("a"), "left")
+      .join(labels.select(col("node").as("b"), col("community").as("cb")),
+        Seq("b"), "left")
+      .select(col("a"), col("b"), need("ca", "a").as("ca"),
+        need("cb", "b").as("cb"))
     val m2t = withL.agg(count(lit(1)).as("__m2"))
     // rows grouped by the SOURCE label: count = Σ_{i∈c} outdeg_i = d_c;
     // intra₂ counts both directions of every intra-community edge

@@ -160,6 +160,12 @@ object Stats {
     import org.apache.spark.sql.expressions.Window
     val Seq(lpS, lpF, aUp, bLo) = sprtConstantsMicro(
       p0Permille, p1Permille, alphaPermille, betaPermille)
+    // alpha + beta >= 1 inverts the Wald boundaries (ln((1-b)/a) <= 0
+    // <= ln(b/(1-a))): every key would "decide" at its first event and
+    // accept_h1/accept_h0 would be meaningless. Fail loudly instead.
+    require(aUp > 0L && bLo < 0L,
+      s"alpha + beta must be < 1000 permille (got $alphaPermille + " +
+        s"$betaPermille): SPRT decision boundaries invert")
     val step = when(col(successCol).cast("boolean"), lit(lpS)).otherwise(lit(lpF))
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(orderCol)).rowsBetween(Window.unboundedPreceding, 0)
@@ -208,21 +214,44 @@ object Stats {
    * Scale shape: the pair generation is a keys equi-join of the series
    * with itself (co-partitioned, x₂ > x₁ filtered AFTER the key
    * match), O(len²) pairs per key where len is the per-key SERIES
-   * length — bounded by construction for the daily/weekly aggregates
-   * this runs on (the [[graft.pipeline.Temporal]] contract), never
-   * corpus-sized. One partitioned window ranks slopes per key; keys
-   * with fewer than two distinct x carry no pairs and are absent.
+   * length — meant for daily/weekly aggregates (the
+   * [[graft.pipeline.Temporal]] contract), never corpus-sized, and
+   * GUARDED: any key whose series exceeds `maxSeriesLen` fails the job
+   * loudly (a `raise_error` riding the key-partitioned scan — the same
+   * hub-guard discipline as [[graft.pipeline.Graph.adamicAdar]]'s
+   * maxDegree) instead of silently detonating a quadratic. Raise the
+   * cap deliberately if your series really are that long. One
+   * partitioned window ranks slopes per key; keys with fewer than two
+   * distinct x carry no pairs and are absent.
    *
    * Returns keys + (n_pairs, ts_slope_micro).
    */
   def theilSenSlope(df: DataFrame, keys: Seq[String], xCol: String,
-      yCol: String): DataFrame = {
+      yCol: String, maxSeriesLen: Int = 4096): DataFrame = {
     require(keys.nonEmpty, "keys required")
+    require(maxSeriesLen >= 2 && maxSeriesLen <= 1048576,
+      s"maxSeriesLen must be in [2, 1048576], got $maxSeriesLen")
     import org.apache.spark.sql.expressions.Window
-    val a = df.select(keys.map(col) :+ col(xCol).cast("long").as("__x1") :+
-      col(yCol).cast("long").as("__y1"): _*)
-    val b = df.select(keys.map(col) :+ col(xCol).cast("long").as("__x2") :+
-      col(yCol).cast("long").as("__y2"): _*)
+    // The guard window partitions by the SAME keys as the self-join
+    // below, so its exchange is the join's exchange — no extra shuffle,
+    // no separate counting job. The raise_error is woven into the x
+    // column itself (not a dropped side column) so column pruning
+    // cannot optimize the check away.
+    val wg = Window.partitionBy(keys.map(col): _*)
+    val src = df.select(keys.map(col) :+ col(xCol).cast("long").as("__x") :+
+        col(yCol).cast("long").as("__y"): _*)
+      .withColumn("__len", count(lit(1)).over(wg))
+      .withColumn("__x", when(col("__len") <= maxSeriesLen, col("__x"))
+        .otherwise(raise_error(concat(
+          lit("theil_sen: per-key series length "), col("__len"),
+          lit(s" exceeds maxSeriesLen=$maxSeriesLen; pair count is " +
+            "O(len^2) per key — pre-aggregate the series (daily/weekly) " +
+            "or raise maxSeriesLen deliberately")))))
+      .drop("__len")
+    val a = src.select(keys.map(col) :+ col("__x").as("__x1") :+
+      col("__y").as("__y1"): _*)
+    val b = src.select(keys.map(col) :+ col("__x").as("__x2") :+
+      col("__y").as("__y2"): _*)
     val pairs = a.join(b, keys).where(col("__x2") > col("__x1"))
       .withColumn("__s", (col("__y2") - col("__y1")).cast("double") /
         (col("__x2") - col("__x1")).cast("double"))
@@ -1506,12 +1535,15 @@ object Stats {
       .collect() // bounded: ≤ buckets rows
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
     // PAV: blocks of pooled (firstRow, n, pos); a new block merges left
-    // while its rate is BELOW its neighbor's (exact rational compare)
+    // while its rate is BELOW its neighbor's (exact rational compare —
+    // in BigInt: pooled counts above ~3e9 rows/block overflow a Long
+    // cross-product and would silently flip merge decisions; ≤256
+    // driver-side compares, so the BigInt cost is nil)
     val blocks = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
     rows.zipWithIndex.foreach { case ((_, n, pos), i) =>
       var (st, bn, bp) = (i, n, pos)
       while (blocks.nonEmpty &&
-          bp * blocks.last._2 < blocks.last._3 * bn) {
+          BigInt(bp) * blocks.last._2 < BigInt(blocks.last._3) * bn) {
         val (pst, pn, pp) = blocks.remove(blocks.length - 1)
         st = pst; bn += pn; bp += pp
       }

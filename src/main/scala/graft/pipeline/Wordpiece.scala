@@ -261,8 +261,9 @@ object Unigram {
       costs = costsOf(vocab.map { case (p, _) => (p, lastCnt.getOrElse(p, 0L)) })
     }
     val cntMap = lastCnt
+    val costMap = costs.toMap // one O(V) build vs O(V²) find-per-piece
     vocab.map { case (p, _) =>
-      (p, cntMap.getOrElse(p, 0L), costs.find(_._1 == p).get._2)
+      (p, cntMap.getOrElse(p, 0L), costMap(p))
     }.toSeq.toDF("piece", "cnt", "cost_unats")
   }
 

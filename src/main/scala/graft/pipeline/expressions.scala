@@ -456,6 +456,17 @@ final class GramBuffer(val d: Int) extends Serializable {
   val sums: Array[Long] = new Array[Long](d)
   val prods: Array[Long] = new Array[Long](d * (d + 1) / 2)
   def add(v: ArrayData): Unit = {
+    // Fail-loud on null ELEMENTS (a null embedding component surviving
+    // an upstream cast): getLong would silently read 0/garbage where a
+    // SQL engine propagates NULL — a silent parity divergence. O(d)
+    // pre-scan vs the O(d²) product loop: free.
+    var c = 0
+    while (c < d) {
+      if (v.isNullAt(c)) throw new IllegalArgumentException(
+        s"gram_matrix: null element at index $c — integer-quantize " +
+          "with a null-free cast (e.g. coalesce before the round)")
+      c += 1
+    }
     n += 1L
     var i = 0
     var k = 0
@@ -474,7 +485,13 @@ final class GramBuffer(val d: Int) extends Serializable {
  * embedding column — the scale shape for covariance estimation and PCA
  * whitening: ONE TypedImperativeAggregate whose state is the d×d second
  * moment (d + d(d+1)/2 + 1 longs ≈ 8·d²/2 bytes — ~16 KiB at d = 64,
- * ~1 MiB at d = 512), merged associatively across partitions. The
+ * ~1 MiB at d = 512, **~67 MiB at the d = 4096 ceiling**), merged
+ * associatively across partitions. MEMORY CONTRACT: every partial
+ * holds one buffer and the final merge holds two, so at d = 4096 plan
+ * for ~134 MiB per concurrently-merging task plus the serialized
+ * partial rows crossing the shuffle — size executor memory (or lower
+ * d via a projection) accordingly; dimensions ≤ 1024 (~4 MiB) need no
+ * special handling. The
  * alternative — posexplode × self-join on the row id — shuffles
  * O(rows·d²) pair rows; this shuffles O(partitions·d²) state and the
  * corpus never leaves its scan.

@@ -209,4 +209,20 @@ class GraphSpec extends AnyFunSuite {
       .toDF("node", "community")
     assert(Graph.modularity(one, edges, "src", "dst").collect()(0).getLong(2) == 0L)
   }
+
+  test("modularity fails loudly when labels miss an edge endpoint") {
+    // node 6 unlabeled: an inner join would silently drop edges 5-6 and
+    // 4-6 and skew Q; the coverage guard must abort instead
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("src", "dst")
+    val partial = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 4L), (5L, 4L)).toDF("node", "community")
+    val ex = intercept[Exception] {
+      Graph.modularity(partial, edges, "src", "dst").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++
+        messages(e.getCause))
+    assert(messages(ex).exists(_.contains("no community label")))
+  }
 }

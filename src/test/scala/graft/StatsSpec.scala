@@ -62,6 +62,52 @@ class StatsSpec extends AnyFunSuite {
     assert(Stats.theilSenSlope(single, Seq("k"), "x", "y").count() == 0L)
   }
 
+  test("theilSenSlope fails loudly when a series exceeds maxSeriesLen") {
+    // 5-point series with a cap of 4: the quadratic guard must abort
+    // the job with the theil_sen message, not silently explode pairs
+    val long5 = (0 until 5).map(i => ("k", i.toLong, i.toLong))
+      .toDF("k", "x", "y")
+    val ex = intercept[Exception] {
+      Stats.theilSenSlope(long5, Seq("k"), "x", "y", maxSeriesLen = 4)
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++
+        messages(e.getCause))
+    assert(messages(ex).exists(_.contains("theil_sen")))
+    // at the cap exactly, the same series is fine
+    val ok = Stats.theilSenSlope(long5, Seq("k"), "x", "y", maxSeriesLen = 5)
+    assert(ok.count() == 1L)
+    assert(intercept[IllegalArgumentException] {
+      Stats.theilSenSlope(long5, Seq("k"), "x", "y", maxSeriesLen = 1)
+    }.getMessage.contains("maxSeriesLen"))
+  }
+
+  test("sprt rejects inverted decision boundaries (alpha + beta >= 1)") {
+    // at alpha=600, beta=500 permille both Wald bounds flip sign and
+    // every key would "decide" immediately — the constructor must fail
+    val df = Seq(("k", 1L, true)).toDF("k", "i", "succ")
+    val ex = intercept[IllegalArgumentException] {
+      Stats.sprt(df, Seq("k"), "i", "succ",
+        alphaPermille = 600, betaPermille = 500)
+    }
+    assert(ex.getMessage.contains("invert"))
+    // a legal near-boundary pair still constructs
+    assert(Stats.sprt(df, Seq("k"), "i", "succ",
+      alphaPermille = 499, betaPermille = 500).count() == 1L)
+  }
+
+  test("covarianceMatrix fails loudly on a null vector ELEMENT") {
+    // a whole-null vector is skipped (tested above) but a null
+    // component inside a vector must abort, not read as 0
+    val df = Seq(Seq(Some(1L), Some(2L)), Seq(Some(3L), None)).toDF("v")
+    val ex = intercept[Exception] { Stats.covarianceMatrix(df, "v", 2).collect() }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++
+        messages(e.getCause))
+    assert(messages(ex).exists(_.contains("null element")))
+  }
+
   test("isotonicCalibrate pools adjacent violators exactly") {
     // scores 1,1,2,2,3,3,4,4; buckets=4 -> bounds [1,2,3] -> buckets
     // 1:{s=1} rate 1.0, 2:{s=2} rate 0.0, 3:{s=3,4} rate 3/4.
