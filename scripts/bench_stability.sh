@@ -32,22 +32,36 @@ PREV="${2:-}"
 echo "phase 1: compile..." >&2
 sbt -batch compile >/dev/null
 
+DIAG_DIR="${DIAG_DIR:-/tmp/graft_bench_diag}"
+mkdir -p "$DIAG_DIR"
+
 run() {
+  # $1 = run tag (gc/safepoint log + stderr + json land under DIAG_DIR).
   # 1g code cache: the default 240m fills across ~290 codegen-heavy
-  # queries x 3 reps and HotSpot then stops JIT-compiling, which is the
-  # leading hypothesis for the suite-context-only slowdowns (q_mean_pool
-  # 10.9s in-suite vs 0.39s isolated, r16 README note 5)
-  SPARK_GRAFT_SF_DIR="$SF" java -Xmx96g -XX:ReservedCodeCacheSize=1g \
-    -cp "target/scala-2.13/classes:/opt/spark/jars/*" graft.Bench 2>/dev/null \
+  # queries x 3 reps and HotSpot then stops JIT-compiling — confirmed
+  # r16 cause of q_mean_pool 10.9s-in-suite vs 0.39s isolated.
+  # GC+safepoint unified logging and the in-process watchdog (thread
+  # dump at 5x the reference median, see Bench.scala) are the r17 spike
+  # forensics: stderr keeps the [spike] per-rep GC deltas.
+  local tag="$1"
+  SPARK_GRAFT_SF_DIR="$SF" \
+  SPARK_GRAFT_BENCH_REF="${BENCH_REF:-BENCH_SELF_r17.json}" \
+  SPARK_GRAFT_BENCH_JSON="$DIAG_DIR/bench_$tag.json" \
+  SPARK_GRAFT_DUMP_DIR="$DIAG_DIR/dumps_$tag" \
+  java -Xmx96g -XX:ReservedCodeCacheSize=1g \
+    "-Xlog:gc*,safepoint:file=$DIAG_DIR/jvm_$tag.log:time,uptime:filecount=0" \
+    -cp "target/scala-2.13/classes:/opt/spark/jars/*" graft.Bench \
+    2>"$DIAG_DIR/stderr_$tag.log" \
     | grep -o '{"metric".*}' | tail -1
 }
 
 echo "phase 2: isolated run 1..." >&2
-J1="$(run)"
+J1="$(run 1)"
 echo "$J1"
 echo "phase 2: isolated run 2..." >&2
-J2="$(run)"
+J2="$(run 2)"
 echo "$J2"
+grep -h '^\[spike\]\|^\[watchdog\]' "$DIAG_DIR"/stderr_*.log >&2 || true
 
 python3 - "$J1" "$J2" "$PREV" <<'PY'
 import json, sys

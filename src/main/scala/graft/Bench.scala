@@ -42,6 +42,68 @@ object Bench {
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
 
+    // ---- spike forensics ----
+    // The r16 stability file showed single-RUN spikes hitting several
+    // heavy-join queries in the SAME run (q_cosine_join 23.7s and
+    // q_kn_score 18.5s in run 3, both ~1s in every other run) that the
+    // code-cache fix did not cure. Evidence collection, not guesswork:
+    //  * per-rep GC-time delta from the GarbageCollectorMXBeans —
+    //    distinguishes "the JVM was collecting" from "the JVM was wedged
+    //    elsewhere";
+    //  * a watchdog thread per timed rep that fires a FULL thread dump
+    //    to SPARK_GRAFT_DUMP_DIR while the slow rep is still running
+    //    (budget: 5x the recorded median from SPARK_GRAFT_BENCH_REF, a
+    //    previous BENCH_SELF json; fallback 5x this run's warmup).
+    // Watchdog threads are daemons and cost one 50ms-poll loop — nothing
+    // measurable against multi-second queries.
+    val refMedians: Map[String, Double] =
+      sys.env.get("SPARK_GRAFT_BENCH_REF")
+        .filter(p => new java.io.File(p).exists).map { p =>
+          val src = scala.io.Source.fromFile(p)
+          val txt = try src.mkString finally src.close()
+          """"(q_[a-z0-9_]+)":([0-9.]+)""".r.findAllMatchIn(txt)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }.getOrElse(Map.empty)
+    val dumpDir = sys.env.getOrElse("SPARK_GRAFT_DUMP_DIR", "/tmp/graft_bench_dumps")
+    def gcTimeMs: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
+    }
+    final class Watchdog(name: String, budgetSec: Double) {
+      @volatile private var done = false
+      private val t0 = System.nanoTime()
+      private val th = new Thread(() => {
+        val deadline = t0 + (budgetSec * 1e9).toLong
+        while (!done && System.nanoTime() < deadline) Thread.sleep(50)
+        if (!done) {
+          val sb = new StringBuilder
+          sb.append(s"=== graft bench watchdog: $name still running after ")
+            .append(f"$budgetSec%.1f s (5x its reference median) ===\n")
+          val mem = java.lang.management.ManagementFactory.getMemoryMXBean
+          sb.append(s"heap: ${mem.getHeapMemoryUsage}\n")
+          import scala.jdk.CollectionConverters._
+          java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+            .asScala.foreach(b => sb.append(
+              s"gc ${b.getName}: count=${b.getCollectionCount} timeMs=${b.getCollectionTime}\n"))
+          sb.append("--- full thread dump ---\n")
+          Thread.getAllStackTraces.asScala.toSeq
+            .sortBy(_._1.getName).foreach { case (t, frames) =>
+              sb.append(s"\n\"${t.getName}\" state=${t.getState}\n")
+              frames.foreach(f => sb.append(s"    at $f\n"))
+            }
+          val dir = new java.io.File(dumpDir)
+          dir.mkdirs()
+          val f = new java.io.File(dir, s"$name-${System.currentTimeMillis()}.txt")
+          val w = new java.io.PrintWriter(f)
+          try w.print(sb.toString) finally w.close()
+          System.err.println(s"[watchdog] $name exceeded ${f"$budgetSec%.1f"}s — thread dump at $f")
+        }
+      })
+      th.setDaemon(true); th.start()
+      def cancel(): Unit = done = true
+    }
+
     /** Release Spark-level state a query invocation may have left behind:
       * SQL-cached plans and persisted/localCheckpoint'ed RDD blocks.
       * Queries that persist internally (IVF assignment, dedup fixpoints)
@@ -57,11 +119,27 @@ object Bench {
 
     /** warmup run + median of 3 timed runs — stable against JIT/GC noise;
       * leftover blocks are released after every rep so rep N doesn't pay
-      * for rep N-1's leaked state. */
-    def medianOf3(body: => Unit): Double = {
-      body // warmup
+      * for rep N-1's leaked state. Each timed rep runs under a watchdog
+      * (thread dump if it blows 5x its reference median) and records its
+      * GC-time delta; a 5x-over-best rep above 2s absolute prints its
+      * per-rep times + GC seconds so spikes carry evidence, not vibes. */
+    def medianOf3(name: String)(body: => Unit): Double = {
+      val tw = time(body) // warmup (also the budget fallback)
       releaseLeftovers()
-      val ts = Array.fill(3) { val t = time(body); releaseLeftovers(); t }.sorted
+      val budget = refMedians.get(name).map(m => math.max(5 * m, 2.0))
+        .getOrElse(math.max(5 * tw, 10.0))
+      val reps = Array.fill(3) {
+        val gc0 = gcTimeMs
+        val wd = new Watchdog(name, budget)
+        val t = try time(body) finally wd.cancel()
+        releaseLeftovers()
+        (t, (gcTimeMs - gc0) / 1000.0)
+      }
+      val ts = reps.map(_._1).sorted
+      if (ts(2) > 5 * ts(0) && ts(2) > 2.0)
+        System.err.println(
+          f"[spike] $name reps_s=${reps.map(r => f"${r._1}%.2f").mkString(",")} " +
+            f"gc_s=${reps.map(r => f"${r._2}%.2f").mkString(",")} warmup_s=$tw%.2f")
       ts(1)
     }
 
@@ -81,7 +159,7 @@ object Bench {
       // a wedged query is identifiable from the log, not just a autopsy
       System.err.println(s"[bench] $name")
       try {
-        results(name) = medianOf3 {
+        results(name) = medianOf3(name) {
           fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         }
       } catch {
@@ -227,7 +305,16 @@ object Bench {
     val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(line)
+    // Full per-query record to a file when asked: the driver's
+    // BENCH_r*.json tail-truncates the stdout line, hiding half the
+    // suite — SPARK_GRAFT_BENCH_JSON preserves every number (committed
+    // per round as BENCH_SELF_r*.json).
+    sys.env.get("SPARK_GRAFT_BENCH_JSON").foreach { p =>
+      val w = new java.io.PrintWriter(p)
+      try w.println(line) finally w.close()
+    }
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -86,6 +86,95 @@ class LayoutSpec extends AnyFunSuite {
     assert(ha <= za, s"hilbert rectangles ($ha) should not exceed z-order's ($za)")
   }
 
+  test("row groups SKIPPED under a range predicate: hilbert >= z-order >> unsorted") {
+    // The user-visible payoff of the layout writers, measured two ways:
+    //  1. footer simulation — walk every file's row-group min-max stats
+    //     (the EXACT stats the parquet reader prunes on) and count the
+    //     groups whose [min,max] rectangle misses the predicate;
+    //  2. live cross-check — run the filtered scan and read the leaf
+    //     FileSourceScan's numOutputRows metric: skipped row groups
+    //     contribute ZERO rows to the scan output, so materialized rows
+    //     must equal the rows of exactly the surviving groups.
+    val df = spark.range(4096)
+      .select((col("id") % 64).as("a"), (col("id") / 64).cast("long").as("b"))
+    // a panel of 7x7 / 8x8 rectangles, half straddling the dyadic
+    // quadrant seams (a or b crossing 16/32/48) where Z-order's
+    // bit-interleave jumps — single-rectangle comparisons are boundary
+    // luck; the panel total is the honest statistic
+    val rects = Seq(
+      (3L, 9L, 5L, 11L), (29L, 36L, 29L, 36L), (13L, 20L, 45L, 52L),
+      (56L, 63L, 0L, 7L), (30L, 37L, 5L, 12L), (14L, 21L, 14L, 21L),
+      (46L, 53L, 46L, 53L), (0L, 7L, 30L, 37L))
+
+    def rowGroups(path: String): Seq[(Long, Long, Long, Long, Long)] = {
+      import scala.jdk.CollectionConverters._
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val dir = new org.apache.hadoop.fs.Path(path)
+      val fs = dir.getFileSystem(conf)
+      fs.listStatus(dir).filter(_.getPath.getName.endsWith(".parquet")).toSeq
+        .flatMap { st =>
+          val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(st.getPath, conf))
+          try rdr.getFooter.getBlocks.asScala.toSeq.map { b =>
+            val byName = b.getColumns.asScala
+              .map(c => c.getPath.toDotString -> c.getStatistics).toMap
+            def mm(n: String) = (
+              byName(n).genericGetMin.asInstanceOf[Number].longValue,
+              byName(n).genericGetMax.asInstanceOf[Number].longValue)
+            val ((amin, amax), (bmin, bmax)) = (mm("a"), mm("b"))
+            (b.getRowCount, amin, amax, bmin, bmax)
+          } finally rdr.close()
+        }
+    }
+    def skipStats(path: String, r: (Long, Long, Long, Long)): (Int, Int, Long) = {
+      val (aLo, aHi, bLo, bHi) = r
+      val gs = rowGroups(path)
+      val surviving = gs.filter { case (_, amin, amax, bmin, bmax) =>
+        amin <= aHi && amax >= aLo && bmin <= bHi && bmax >= bLo }
+      (gs.length - surviving.length, gs.length, surviving.map(_._1).sum)
+    }
+    def scanRows(path: String, r: (Long, Long, Long, Long)): Long = {
+      val (aLo, aHi, bLo, bHi) = r
+      val q = spark.read.parquet(path)
+        .where(col("a").between(aLo, aHi) && col("b").between(bLo, bHi))
+      assert(q.count() == (aHi - aLo + 1) * (bHi - bLo + 1)) // any layout
+      q.collect()
+      q.queryExecution.executedPlan.collectLeaves()
+        .head.metrics("numOutputRows").value
+    }
+
+    val up = java.nio.file.Files.createTempDirectory("graft_layout_u4").toString
+    val zp = java.nio.file.Files.createTempDirectory("graft_layout_z4").toString
+    val hp = java.nio.file.Files.createTempDirectory("graft_layout_h4").toString
+    df.repartition(16).write.mode("overwrite").parquet(up) // no layout
+    Layout.zorderWrite(df, "a", "b", zp, files = 16)
+    Layout.hilbertWrite(df, "a", "b", hp, files = 16)
+    var (uSkipT, zSkipT, hSkipT, uRowsT, zRowsT, hRowsT) = (0, 0, 0, 0L, 0L, 0L)
+    rects.foreach { r =>
+      val (uSkip, uTot, uRows) = skipStats(up, r)
+      val (zSkip, _, zRows) = skipStats(zp, r)
+      val (hSkip, _, hRows) = skipStats(hp, r)
+      info(s"rect $r of $uTot groups: skipped unsorted $uSkip ($uRows rows), " +
+        s"z-order $zSkip ($zRows rows), hilbert $hSkip ($hRows rows)")
+      // live reader agrees with the footer simulation, all three layouts
+      assert(scanRows(up, r) == uRows)
+      assert(scanRows(zp, r) == zRows)
+      assert(scanRows(hp, r) == hRows)
+      uSkipT += uSkip; zSkipT += zSkip; hSkipT += hSkip
+      uRowsT += uRows; zRowsT += zRows; hRowsT += hRows
+    }
+    info(s"panel totals: skipped unsorted $uSkipT ($uRowsT rows), " +
+      s"z-order $zSkipT ($zRowsT rows), hilbert $hSkipT ($hRowsT rows)")
+    // round-robin files all span the full key range: nothing skippable
+    assert(uSkipT == 0, s"unsorted should skip nothing, skipped $uSkipT")
+    // both layouts prune hard (>=75% of group-reads skipped over the
+    // panel); hilbert at least matches z-order on groups AND rows
+    assert(zSkipT >= rects.length * 12 && hSkipT >= rects.length * 12)
+    assert(hSkipT >= zSkipT, s"hilbert skipped $hSkipT < z-order's $zSkipT")
+    assert(hRowsT <= zRowsT && zRowsT < uRowsT / 2,
+      s"rows materialized: hilbert $hRowsT, z $zRowsT, unsorted $uRowsT")
+  }
+
   test("range filters on both z keys are pushed to the parquet scan") {
     val path = java.nio.file.Files.createTempDirectory("graft_layout_spec2").toString
     val df = spark.range(1024)
