@@ -20,10 +20,27 @@ import org.apache.spark.sql.functions._
 object Layer {
 
   /** Write a georeferenced tile frame as a spatially-sorted Parquet layer.
-    * Expects `extent` and `crs` columns; all other columns pass through. */
-  def write(df: DataFrame, path: String, partitions: Int = 0): DataFrame = {
-    val indexed = df.withColumn("spatial_index",
-      rf_xz2_index(st_geometry(col("extent")), col("crs")))
+    * Expects `extent` and `crs` columns; all other columns pass through.
+    *
+    * `index` picks the space-filling curve that orders the files — the
+    * reference's `withSpatialIndex(applyOrdering=true)` role
+    * (ref extensions/LayerSpatialColumnMethods.scala:122-133, which is
+    * Z2-only): "xz2" (default; extent-native, never splits a footprint
+    * across curve cells) or "hilbert" (centroid-keyed, locality-first —
+    * consecutive index values are always grid-adjacent, so
+    * range-partitioned files cover tighter spatial rectangles; see
+    * LayoutSpec's measured pruning panel). Reads and spatial queries are
+    * index-agnostic: pruning predicates hit the extent fields' min-max
+    * stats, which both orderings make selective. */
+  def write(df: DataFrame, path: String, partitions: Int = 0,
+      index: String = "xz2"): DataFrame = {
+    val indexExpr = index match {
+      case "xz2" => rf_xz2_index(st_geometry(col("extent")), col("crs"))
+      case "hilbert" => rf_hilbert_index(st_geometry(col("extent")), col("crs"))
+      case other => throw new IllegalArgumentException(
+        s"Layer.write index must be 'xz2' or 'hilbert', got '$other'")
+    }
+    val indexed = df.withColumn("spatial_index", indexExpr)
     val parts = if (partitions > 0) partitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     indexed

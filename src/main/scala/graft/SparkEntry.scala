@@ -810,6 +810,37 @@ object SparkEntry {
         .where(col("cell").isNotNull)
         .orderBy("l_orderkey", "i")
     }),
+    // the same layer round-trip under the HILBERT spatial ordering
+    // (Layer.write(index="hilbert") — the reference's
+    // withSpatialIndex(applyOrdering=true) role with a locality-first
+    // curve): the file ORDER changes, the content and the pruning
+    // predicate semantics must not, so the oracle is byte-identical to
+    // q_layer_roundtrip's
+    "q_layer_hilbert" -> ((s, dir) => {
+      import java.nio.file.Paths
+      Raster.init(s)
+      val path = Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_layer_hi_" + dir.replaceAll("[^A-Za-z0-9]", "_")).toString
+      val d = tiled(s, dir)
+        .where(col("l_orderkey") % 601 === 3 && expr("l_orderkey div 601") < 25)
+        .withColumn("p", expr("CAST(l_orderkey div 601 AS INT)"))
+        .withColumn("px", col("p") % 5)
+        .withColumn("py", expr("p div 5"))
+      val src = d.select(col("l_orderkey"), col("t_qty").as("tile"),
+        struct((col("px") * 8).cast("double").as("xmin"),
+          (lit(20) - (col("py") + 1) * 4).cast("double").as("ymin"),
+          (col("px") * 8 + 8).cast("double").as("xmax"),
+          (lit(20) - col("py") * 4).cast("double").as("ymax")).as("extent"),
+        lit("epsg:4326").as("crs"))
+      Layer.write(src, path, index = "hilbert")
+      Layer.read(s, path, Some(graft.core.Extent(0, 0, 17, 11)))
+        .select(col("l_orderkey"), rf_explode_tiles(col("tile")))
+        .select(col("l_orderkey"),
+          (col("row_index") * 8 + col("column_index")).cast("int").as("i"),
+          col("tile").as("cell"))
+        .where(col("cell").isNotNull)
+        .orderBy("l_orderkey", "i")
+    }),
     // overview mosaic aggregate: ≤25 sampled per-orderkey tiles placed
     // on a disjoint 5×5 grid of 8×4 footprints (cell size 1 → dest cell
     // centers sample 1:1 source cells; first-wins merge is deterministic
@@ -4621,6 +4652,14 @@ object SparkEntry {
     // grid placement p=(px,py) intersects query (0,0,17,11) iff
     // px*8<=17 (px<=2) and 20-4(py+1)<=11 (py>=2): p ∈ py*5+px
     "q_layer_roundtrip" -> (IDX +
+      """ SELECT l_orderkey, i, q AS cell FROM idx
+        |WHERE l_orderkey % 601 = 3
+        |  AND (l_orderkey // 601) % 5 <= 2
+        |  AND (l_orderkey // 601) // 5 BETWEEN 2 AND 4
+        |  AND l_orderkey // 601 < 25
+        |ORDER BY l_orderkey, i""".stripMargin),
+    // hilbert ordering changes file layout, not content: same oracle
+    "q_layer_hilbert" -> (IDX +
       """ SELECT l_orderkey, i, q AS cell FROM idx
         |WHERE l_orderkey % 601 = 3
         |  AND (l_orderkey // 601) % 5 <= 2

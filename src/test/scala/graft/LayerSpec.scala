@@ -34,6 +34,33 @@ class LayerSpec extends AnyFunSuite {
     assert(sub.count() == 4) // ids with id % 5 == 0
   }
 
+  test("hilbert-ordered layer writes round-trip with identical content and pruning") {
+    val dir = Files.createTempDirectory("layer_hi").toString
+    val df = (0 until 20).toDF("id")
+      .select($"id",
+        rf_synthetic_tile($"id", 16, 16, "uint16").as("tile"),
+        struct(($"id" % 5 * 2).cast("double").as("xmin"), lit(0.0).as("ymin"),
+          ($"id" % 5 * 2 + 1).cast("double").as("xmax"), lit(1.0).as("ymax")).as("extent"),
+        lit("epsg:4326").as("crs"))
+    val expected = df.select(rf_tile_sum($"tile").as("s")).agg(sum($"s")).collect()(0).getDouble(0)
+    Layer.write(df, dir, partitions = 4, index = "hilbert")
+    val back = Layer.read(spark, dir)
+    // the spatial_index column now carries the hilbert key — it must
+    // differ from the XZ2 key of the same geometry (a real re-ordering,
+    // not a silently ignored option)
+    val cmp = back.select(
+      rf_xz2_index(st_geometry($"extent"), $"crs").as("xz2"),
+      $"spatial_index").where($"spatial_index" =!= $"xz2")
+    assert(cmp.count() > 0, "hilbert index identical to xz2 for every row")
+    val total = back.select(rf_tile_sum($"tile").as("s")).agg(sum($"s")).collect()(0).getDouble(0)
+    assert(total == expected)
+    // pruning semantics are index-agnostic (extent-field predicates)
+    assert(Layer.read(spark, dir, Some(Extent(0, 0, 1, 1))).count() == 4)
+    assert(intercept[IllegalArgumentException] {
+      Layer.write(df, dir, index = "morton")
+    }.getMessage.contains("xz2"))
+  }
+
   private def keyedLayer(offset: Double) = (0 until 6).toDF("id")
     .select(
       struct(($"id" % 3).cast("int").as("col"), ($"id" / 3).cast("int").as("row")).as("spatial_key"),
