@@ -295,6 +295,30 @@ object Stress {
           .select(expr("cast(round(value * 100) as bigint)").as("vc")),
         "vc", buckets = 10))
 
+    // r17 wave: the r16 additions' scaling claims, measured. Modularity
+    // over the stride lattice (edges ×factor at constant degree →
+    // label joins + community groupBy should be linear; labels are an
+    // UNTIMED persisted input, the op under test is Q itself);
+    // Kneser–Ney doc scoring (the rotated alphabet grows the distinct
+    // gram table ×~factor, the per-gram tables and the one doc-side
+    // equi-join must absorb it linearly); unigram segmentation under a
+    // FIXED vocab learned on the base copy (the model is a dimension —
+    // the timed pass is the Viterbi kernel riding the ×factor scan).
+    val lpaLabels = graft.pipeline.Graph.labelPropagation(
+      lattice, "src", "dst", 3).persist()
+    lpaLabels.count()
+    timed("modularity", factor)(
+      graft.pipeline.Graph.modularity(lpaLabels, lattice, "src", "dst"))
+    timed("kn_score", factor)(
+      graft.pipeline.NGramLM.knScore(docs, "doc_id", "text"))
+    val uniVocab = graft.pipeline.Unigram.learn(
+        spark.read.parquet(s"$sfDir/documents.parquet"), "text",
+        vocabSize = 64, iters = 2, maxPieceLen = 4)
+      .select("piece", "cost_unats").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq // bounded: vocab
+    timed("unigram_apply", factor)(
+      graft.pipeline.Unigram.segment(docs, "doc_id", "text", uniVocab))
+
     spark.stop()
   }
 }
