@@ -4028,6 +4028,40 @@ object SparkEntry {
         t(s, dir, "documents").select(col("n_chars"),
           size(split(col("text"), " ")).cast("long").as("n_tokens")),
         "n_chars", "n_tokens")),
+    // ---- wave 41: the experimentation-pack completion ----
+    // Mann-Whitney U per source: are en docs longer than non-en? exact
+    // double-rank U + tie-corrected round-once z
+    "q_mwu" -> ((s, dir) =>
+      graft.pipeline.Stats.mannWhitneyU(
+        t(s, dir, "documents").select(col("source"),
+          (col("lang") === "en").as("g"), col("n_chars")),
+        Seq("source"), "g", "n_chars")
+        .orderBy("source")),
+    // BH step-up FDR over a per-(source, lang) test table; p provenance
+    // is the CALLER's by contract — here a deterministic data-derived
+    // fixture (sum(n_chars) mod 1e6), the operator under test is the
+    // exact-integer threshold rule itself
+    "q_bh_fdr" -> ((s, dir) =>
+      graft.pipeline.Stats.bhFdr(
+        t(s, dir, "documents").groupBy("source", "lang")
+          .agg(pmod(sum("n_chars"), lit(1000000L)).as("p_micro")),
+        Seq("source", "lang"), "p_micro", qMicro = 200000L)
+        .orderBy("rank")),
+    // CUPED per event_type: even event_ids are the pre-period covariate,
+    // odd the experiment metric, user parity the variant — pooled theta,
+    // adjusted means and the rho^2 variance cut from exact moments
+    "q_cuped" -> ((s, dir) => {
+      val units = t(s, dir, "events")
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(
+          coalesce(sum(when(col("event_id") % 2 === 0,
+            expr("cast(round(value * 1000) as bigint)"))), lit(0L)).as("x"),
+          coalesce(sum(when(col("event_id") % 2 =!= 0,
+            expr("cast(round(value * 1000) as bigint)"))), lit(0L)).as("y"))
+        .withColumn("variant", pmod(col("user_id"), lit(2L)))
+      graft.pipeline.Stats.cuped(units, Seq("event_type"), "variant", "x", "y")
+        .orderBy("event_type", "variant")
+    }),
     // Jensen-Shannon divergence of the q_token_kl slices — the
     // symmetric bounded mixture-distance to trend
     "q_jsd" -> ((s, dir) => {
@@ -9053,6 +9087,82 @@ object SparkEntry {
         |      sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS BIGINT) END
         |    AS rho_micro
         |FROM m""".stripMargin,
+    "q_mwu" ->
+      """WITH b AS (SELECT source, (lang = 'en') AS g, n_chars AS v
+        |  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+        |h AS (SELECT source, v, COUNT(*) AS c,
+        |    COUNT(*) FILTER (WHERE g) AS ca FROM b GROUP BY 1, 2),
+        |r AS (SELECT *, 2 * COALESCE(SUM(c) OVER (PARTITION BY source
+        |    ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + c + 1 AS dr FROM h),
+        |m AS (SELECT source, SUM(c)::HUGEINT AS n, SUM(ca)::HUGEINT AS na,
+        |    SUM(ca::HUGEINT * dr) AS r2a,
+        |    SUM(c::HUGEINT * c * c - c) AS t FROM r GROUP BY 1)
+        |SELECT source, CAST(na AS BIGINT) AS n_a,
+        |  CAST(n - na AS BIGINT) AS n_b,
+        |  CAST(r2a - na * (na + 1) AS BIGINT) AS u2_a,
+        |  CASE WHEN na = 0 OR n = na
+        |      OR na * (n - na) * (n * n * n - n - t) = 0 THEN NULL
+        |    ELSE CAST(round(1e6 *
+        |      CAST(r2a - na * (na + 1) - na * (n - na) AS DOUBLE) *
+        |      sqrt(CAST(3 * n * (n - 1) AS DOUBLE)) /
+        |      sqrt(CAST(na * (n - na) * (n * n * n - n - t) AS DOUBLE)))
+        |      AS BIGINT) END AS z_micro
+        |FROM m ORDER BY source""".stripMargin,
+    "q_bh_fdr" ->
+      """WITH p AS (SELECT source, lang,
+        |    CAST(SUM(n_chars) % 1000000 AS BIGINT) AS p_micro
+        |  FROM documents GROUP BY 1, 2),
+        |r AS (SELECT *, CAST(row_number() OVER
+        |    (ORDER BY p_micro, source, lang) AS BIGINT) AS rank,
+        |    COUNT(*) OVER () AS m FROM p),
+        |k AS (SELECT MAX(CASE WHEN p_micro * m <= rank * 200000
+        |    THEN rank END) AS k_star, MAX(m) AS m0 FROM r)
+        |SELECT source, lang, p_micro, rank,
+        |  CAST(m0 AS BIGINT) AS m_tests, CAST(k_star AS BIGINT) AS k_star,
+        |  (k_star IS NOT NULL AND rank <= k_star) AS reject
+        |FROM r, k ORDER BY rank""".stripMargin,
+    "q_cuped" ->
+      """WITH u AS (SELECT event_type, user_id,
+        |    COALESCE(SUM(CASE WHEN event_id % 2 = 0
+        |      THEN CAST(round(value * 1000) AS BIGINT) END), 0) AS x,
+        |    COALESCE(SUM(CASE WHEN event_id % 2 <> 0
+        |      THEN CAST(round(value * 1000) AS BIGINT) END), 0) AS y
+        |  FROM events GROUP BY 1, 2),
+        |pv AS (SELECT event_type, user_id % 2 AS variant,
+        |    COUNT(*)::HUGEINT AS nv, SUM(x::HUGEINT) AS sxv,
+        |    SUM(y::HUGEINT) AS syv, SUM(x::HUGEINT * x) AS sxxv,
+        |    SUM(x::HUGEINT * y) AS sxyv, SUM(y::HUGEINT * y) AS syyv
+        |  FROM u GROUP BY 1, 2),
+        |pl AS (SELECT event_type, SUM(nv) AS n, SUM(sxv) AS sx,
+        |    SUM(syv) AS sy, SUM(sxxv) AS sxx, SUM(sxyv) AS sxy,
+        |    SUM(syyv) AS syy FROM pv GROUP BY 1),
+        |j AS (SELECT pv.*, pl.n, pl.sx, pl.sy,
+        |    pl.n * pl.sxy - pl.sx * pl.sy AS covn,
+        |    pl.n * pl.sxx - pl.sx * pl.sx AS varxn,
+        |    pl.n * pl.syy - pl.sy * pl.sy AS varyn
+        |  FROM pv JOIN pl USING (event_type))
+        |SELECT event_type, variant, CAST(nv AS BIGINT) AS n,
+        |  CAST(round(1e6 * (CAST(syv AS DOUBLE) / CAST(nv AS DOUBLE)))
+        |    AS BIGINT) AS mean_y_micro,
+        |  CASE WHEN varxn = 0
+        |    THEN CAST(round(1e6 * (CAST(syv AS DOUBLE) / CAST(nv AS DOUBLE)))
+        |      AS BIGINT)
+        |    ELSE CAST(round(1e6 *
+        |      (CAST(syv AS DOUBLE) / CAST(nv AS DOUBLE) -
+        |        CAST(covn AS DOUBLE) / CAST(varxn AS DOUBLE) *
+        |        (CAST(sxv AS DOUBLE) / CAST(nv AS DOUBLE) -
+        |          CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))) AS BIGINT) END
+        |    AS mean_adj_micro,
+        |  CASE WHEN varxn = 0 THEN NULL
+        |    ELSE CAST(round(1e6 *
+        |      (CAST(covn AS DOUBLE) / CAST(varxn AS DOUBLE))) AS BIGINT) END
+        |    AS theta_micro,
+        |  CASE WHEN varxn = 0 OR varyn = 0 THEN NULL
+        |    ELSE CAST(round(1e6 * CAST(covn AS DOUBLE) * CAST(covn AS DOUBLE)
+        |      / CAST(varxn AS DOUBLE) / CAST(varyn AS DOUBLE)) AS BIGINT) END
+        |    AS var_reduction_ppm
+        |FROM j ORDER BY event_type, variant""".stripMargin,
     // JSD replayed: same joined-count machinery as q_token_kl, one
     // rounded micro-nat per term with m = (p+q)/2 inlined identically
     "q_jsd" -> {

@@ -1438,6 +1438,176 @@ object Stats {
               .cast("double"))).cast("long")).as("rho_micro"))
   }
 
+  /**
+   * Mann–Whitney U rank-sum test per key — the distribution-free
+   * two-sample location test (Mann & Whitney '47): "is the metric
+   * stochastically larger under treatment?" where the t-test's
+   * normality assumption fails on heavy-tailed corpus metrics. Pooled
+   * mid-ranks use [[spearmanCorr]]'s integer DOUBLE-RANK construction
+   * (dr(v) = 2·cum_before + cnt + 1 = 2·mid-rank), so ties never touch
+   * floats:
+   *
+   *   2·U_A = Σ_A dr − n_A(n_A+1)            (exact long, returned)
+   *   z     = (2U_A − n_A·n_B) · √(3n(n−1)) / √(n_A·n_B·(n³−n−T))
+   *
+   * with T = Σ(t³−t) the standard tie correction — every moment is an
+   * exact DECIMAL(38,0) integer and z is ONE round-once micro
+   * expression over their correctly-rounded double casts (the
+   * [[spearmanCorr]] discipline; the HUGEINT oracle replays the same
+   * factoring). z is NULL when a key lacks both groups or all its
+   * values tie (the statistic is undefined). NULL metric/group rows
+   * are excluded by contract (pairwise-complete).
+   *
+   * Scale shape: one per-key distinct-VALUE histogram + cumulative
+   * window (partitioned by key, ordered by value — distinct values,
+   * never a row sort: the [[psiReport]] discipline), then ONE
+   * map-side-combinable moment rollup per key. Overflow contract:
+   * per-key n³ < 10³⁸ ⇒ n to ~10¹² rows/key.
+   *
+   * Returns keys + (n_a, n_b, u2_a, z_micro); group = true is "A".
+   */
+  def mannWhitneyU(df: DataFrame, keys: Seq[String], groupCol: String,
+      valueCol: String): DataFrame = {
+    require(keys.nonEmpty, "keys required")
+    val W = org.apache.spark.sql.expressions.Window
+    val complete = df
+      .where(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(keys.map(col) :+ col(valueCol).cast("long").as("__v") :+
+        col(groupCol).cast("boolean").as("__g"): _*)
+    val w = W.partitionBy(keys.map(col): _*).orderBy(col("__v"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val hist = complete.groupBy(keys.map(col) :+ col("__v"): _*)
+      .agg(count(lit(1)).as("__c"), count(when(col("__g"), 1)).as("__ca"))
+      .withColumn("__dr",
+        lit(2L) * coalesce(sum("__c").over(w), lit(0L)) + col("__c") + lit(1L))
+    val dec = "decimal(38,0)"
+    val m = hist.groupBy(keys.map(col): _*)
+      .agg(sum("__c").cast(dec).as("__n"), sum("__ca").cast(dec).as("__na"),
+        sum(col("__ca").cast(dec) * col("__dr")).as("__r2a"),
+        sum(col("__c").cast(dec) * col("__c") * col("__c") - col("__c"))
+          .as("__t"))
+    val n = col("__n"); val na = col("__na"); val nb = col("__n") - col("__na")
+    val u2a = col("__r2a") - na * (na + lit(1L))
+    val denom = na * nb * (n * n * n - n - col("__t"))
+    m.select((keys.map(col) :+
+      na.cast("long").as("n_a") :+ nb.cast("long").as("n_b") :+
+      u2a.cast("long").as("u2_a") :+
+      when(na === 0L || nb === 0L || denom === 0L, lit(null).cast("long"))
+        .otherwise(round(lit(1e6) * (u2a - na * nb).cast("double") *
+          sqrt((lit(3L).cast(dec) * n * (n - lit(1L))).cast("double")) /
+          sqrt(denom.cast("double"))).cast("long")).as("z_micro")): _*)
+  }
+
+  /**
+   * Benjamini–Hochberg FDR control over a per-test p-value table —
+   * the multiple-testing gate that makes a thousand-experiment scan
+   * honest (Benjamini & Hochberg '95): sort the m p-values ascending,
+   * find k* = max{k : p₍ₖ₎·m ≤ k·q}, reject tests ranked ≤ k*. With
+   * p in exact micro units the threshold compare `p_micro·m ≤ k·q_micro`
+   * is pure long arithmetic (≤ 10¹² at m ≤ 10⁶ tests) — zero floats,
+   * bit-replayable by any engine. Ranks are row_number over
+   * (p, tie-break keys), and tied p-values decide identically by
+   * construction: if rank k passes, every tied row's larger rank r
+   * also satisfies p·m ≤ k·q ≤ r·q, so ties never straddle k*.
+   *
+   * Scale contract: the input is the PER-TEST table (one row per
+   * experiment/hypothesis — metadata-sized, ≤ ~10⁶ rows; the
+   * corpus-sized work happened upstream producing the p's), so the
+   * single-partition rank window and the one-row k* broadcast are
+   * bounded by construction — the [[isotonicCalibrate]] driver-table
+   * discipline, kept distributed anyway.
+   *
+   * Returns keyCols + (p_micro, rank, m_tests, k_star, reject).
+   */
+  def bhFdr(df: DataFrame, keyCols: Seq[String], pMicroCol: String,
+      qMicro: Long = 50000L): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols required")
+    require(qMicro >= 1L && qMicro <= 1000000L,
+      s"qMicro must be in [1, 1000000], got $qMicro")
+    val W = org.apache.spark.sql.expressions.Window
+    val ordered = W.orderBy(col("p_micro") +: keyCols.map(col): _*)
+    val ranked = df
+      .select(keyCols.map(col) :+ col(pMicroCol).cast("long").as("p_micro"): _*)
+      .withColumn("rank", row_number().over(ordered).cast("long"))
+    val kstar = ranked
+      .withColumn("__m", count(lit(1)).over(W.partitionBy()))
+      .agg(max("__m").as("m_tests"),
+        max(when(col("p_micro") * col("__m") <= col("rank") * qMicro,
+          col("rank"))).as("k_star"))
+    ranked.crossJoin(broadcast(kstar))
+      .withColumn("reject",
+        col("k_star").isNotNull && col("rank") <= col("k_star"))
+      .select(keyCols.map(col) :+ col("p_micro") :+ col("rank") :+
+        col("m_tests") :+ col("k_star") :+ col("reject"): _*)
+  }
+
+  /**
+   * CUPED variance reduction for A/B metrics (Deng, Xu, Kohavi &
+   * Walker, WSDM '13) — adjust each variant's metric mean by the
+   * pre-period covariate, cutting variance by the squared correlation:
+   *
+   *   θ        = cov(x,y)/var(x)     (POOLED across variants)
+   *   mean'_v  = ȳ_v − θ·(x̄_v − x̄)
+   *   var cut  = ρ²(x,y)
+   *
+   * The whole estimator is moment identities — no per-row adjusted
+   * column is ever materialized: ONE map-side-combinable groupBy on
+   * (key, variant) collects the six exact DECIMAL(38,0) integer
+   * moments, the pooled moments are the variant partials re-summed
+   * (experiments × variants rows — metadata), and θ/means/ρ² are
+   * round-once micro expressions over correctly-rounded double casts,
+   * replayed by the HUGEINT oracle with the same factoring. θ and
+   * var_reduction_ppm are NULL when var(x) = 0 (or var(y) = 0 for
+   * ρ²), in which case mean_adj falls back to the raw mean. Inputs
+   * are integer-quantized by contract (milli-units upstream).
+   *
+   * Scale shape: corpus scanned ONCE; the shuffle carries
+   * (key, variant) moment rows; the pooled join is a broadcast of a
+   * metadata-sized table. Overflow contract: n·Σxy < 10³⁸ — |x|,|y| ≤
+   * 10⁶ units to ~10¹⁴ rows/key.
+   *
+   * Returns keys + variant + (n, mean_y_micro, mean_adj_micro,
+   * theta_micro, var_reduction_ppm).
+   */
+  def cuped(df: DataFrame, keys: Seq[String], variantCol: String,
+      preCol: String, metricCol: String): DataFrame = {
+    require(keys.nonEmpty, "keys required")
+    val dec = "decimal(38,0)"
+    val x = col(preCol).cast("long").cast(dec)
+    val y = col(metricCol).cast("long").cast(dec)
+    val perVariant = df
+      .where(col(preCol).isNotNull && col(metricCol).isNotNull)
+      .groupBy(keys.map(col) :+ col(variantCol).as("variant"): _*)
+      .agg(count(lit(1)).cast(dec).as("__nv"),
+        sum(x).as("__sxv"), sum(y).as("__syv"),
+        sum(x * x).as("__sxxv"), sum(x * y).as("__sxyv"),
+        sum(y * y).as("__syyv"))
+    val pooled = perVariant.groupBy(keys.map(col): _*)
+      .agg(sum("__nv").as("__n"), sum("__sxv").as("__sx"),
+        sum("__syv").as("__sy"), sum("__sxxv").as("__sxx"),
+        sum("__sxyv").as("__sxy"), sum("__syyv").as("__syy"))
+    val j = perVariant.join(broadcast(pooled), keys)
+    val covN = col("__n") * col("__sxy") - col("__sx") * col("__sy")
+    val varxN = col("__n") * col("__sxx") - col("__sx") * col("__sx")
+    val varyN = col("__n") * col("__syy") - col("__sy") * col("__sy")
+    val theta = covN.cast("double") / varxN.cast("double")
+    val meanY = col("__syv").cast("double") / col("__nv").cast("double")
+    val dxv = col("__sxv").cast("double") / col("__nv").cast("double") -
+      col("__sx").cast("double") / col("__n").cast("double")
+    j.select((keys.map(col) :+ col("variant") :+
+      col("__nv").cast("long").as("n") :+
+      round(lit(1e6) * meanY).cast("long").as("mean_y_micro") :+
+      when(varxN === 0L, round(lit(1e6) * meanY))
+        .otherwise(round(lit(1e6) * (meanY - theta * dxv)))
+        .cast("long").as("mean_adj_micro") :+
+      when(varxN === 0L, lit(null).cast("long"))
+        .otherwise(round(lit(1e6) * theta).cast("long")).as("theta_micro") :+
+      when(varxN === 0L || varyN === 0L, lit(null).cast("long"))
+        .otherwise(round(lit(1e6) * covN.cast("double") * covN.cast("double") /
+          varxN.cast("double") / varyN.cast("double")).cast("long"))
+        .as("var_reduction_ppm")): _*)
+  }
+
   /** Poisson(1) inverse-CDF thresholds on the 63-bit uniform scale:
     * weight(u) = Σ_k [u ≥ T_k], k = 0..6 — so per-row bootstrap weights
     * are 0..7 (the ≥8 tail, mass 1e-5, folds into 7). The literals are

@@ -66,7 +66,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "crossJoins over the distinct-score histogram (pre-quantized scores by contract)"),
     "q_jsd" -> "broadcast one-row (N_P, N_Q, V) totals crossJoin (the q_token_kl shape)",
     "q_kn_score" -> "broadcast one-row bigram-type-count crossJoin (the Kneser-Ney N1+(··))",
-    "q_modularity" -> "broadcast one-row |E2| total crossJoin onto the community table")
+    "q_modularity" -> "broadcast one-row |E2| total crossJoin onto the community table",
+    "q_bh_fdr" -> "broadcast one-row (m, k_star) threshold crossJoin over the per-test table")
 
   test("no query plans an unintended cartesian or nested-loop join") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -125,7 +126,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_token_kl" -> "row_number over the TakeOrdered top-20 term table",
     "q_gini" -> "rank over the per-key count aggregate (keys are metadata-sized)",
     "q_qnorm" -> "cumulative counts over the POOLED distinct-score histogram (pre-quantized)",
-    "q_spearman" -> "cumulative counts over the two DISTINCT-value histograms (mid-rank ties)")
+    "q_spearman" -> "cumulative counts over the two DISTINCT-value histograms (mid-rank ties)",
+    "q_bh_fdr" -> "rank over the PER-TEST p-value table (experiments, not rows — metadata-sized by contract)")
 
   test("every window operator is partitioned (no global fact-table sorts)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}

@@ -97,6 +97,66 @@ class StatsSpec extends AnyFunSuite {
       alphaPermille = 499, betaPermille = 500).count() == 1L)
   }
 
+  test("mannWhitneyU: exact U and tie-corrected z on hand cases") {
+    // no ties: A={1,2}, B={3,4} -> U_A=0, z = -2/sqrt(20/12) = -1.549193...
+    val df = Seq(("k", true, 1L), ("k", true, 2L),
+      ("k", false, 3L), ("k", false, 4L)).toDF("k", "g", "v")
+    val r = Stats.mannWhitneyU(df, Seq("k"), "g", "v").collect()(0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((2L, 2L, 0L)))
+    assert(r.getLong(4) == math.round(1e6 * -4 * math.sqrt(36.0) / math.sqrt(240.0)))
+    assert(r.getLong(4) == -1549193L)
+    // ties: A={1,1}, B={1,2}: mid-ranks make U_A=1 (u2_a=2); T=24 -> z=-1
+    val t = Seq(("k", true, 1L), ("k", true, 1L),
+      ("k", false, 1L), ("k", false, 2L)).toDF("k", "g", "v")
+    val rt = Stats.mannWhitneyU(t, Seq("k"), "g", "v").collect()(0)
+    assert(rt.getLong(3) == 2L && rt.getLong(4) == -1000000L)
+    // one-group key and all-tied key: z NULL, counts still reported
+    val deg = Seq(("a", true, 5L), ("a", true, 6L),
+      ("b", true, 7L), ("b", false, 7L)).toDF("k", "g", "v")
+    val dm = Stats.mannWhitneyU(deg, Seq("k"), "g", "v")
+      .orderBy("k").collect()
+    assert(dm(0).isNullAt(4) && dm(1).isNullAt(4))
+  }
+
+  test("bhFdr: the step-up threshold rejects exactly ranks <= k*") {
+    // m=6, q=0.05: p*6 <= k*50000 holds through k=4, fails at 5,6
+    val df = Seq(("t1", 1000L), ("t2", 9000L), ("t3", 20000L),
+      ("t4", 30000L), ("t5", 500000L), ("t6", 900000L)).toDF("id", "p")
+    val out = Stats.bhFdr(df, Seq("id"), "p").orderBy("rank").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    assert(out.map(_._5).toSeq == Seq(true, true, true, true, false, false))
+    assert(out.forall(r => r._3 == 6L && r._4 == 4L))
+    // nothing significant: k_star NULL, zero rejections
+    val none = Stats.bhFdr(Seq(("a", 700000L), ("b", 900000L)).toDF("id", "p"),
+      Seq("id"), "p").collect()
+    assert(none.forall(r => r.isNullAt(4) && !r.getBoolean(5)))
+    // tied p straddling the cut decide together (both in, same rank set)
+    val tied = Stats.bhFdr(Seq(("a", 10000L), ("b", 10000L), ("c", 990000L))
+      .toDF("id", "p"), Seq("id"), "p", qMicro = 100000L)
+      .orderBy("rank").collect().map(_.getBoolean(5))
+    assert(tied.toSeq == Seq(true, true, false))
+  }
+
+  test("cuped: pooled theta, adjusted means, and the rho^2 variance cut") {
+    // y = 2x exactly: theta=2, both variants adjust to the same mean 50,
+    // rho^2 = 1 (the pre-period explains ALL the variant difference)
+    val df = Seq(("e", 0, 10L, 20L), ("e", 0, 20L, 40L),
+      ("e", 1, 30L, 60L), ("e", 1, 40L, 80L)).toDF("k", "var", "x", "y")
+    val out = Stats.cuped(df, Seq("k"), "var", "x", "y")
+      .orderBy("variant").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))
+    assert(out(0) == ((0, 2L, 30000000L, 50000000L, 2000000L, 1000000L)))
+    assert(out(1) == ((1, 2L, 70000000L, 50000000L, 2000000L, 1000000L)))
+    // constant pre-period: theta/rho^2 NULL, adjusted = raw mean
+    val const = Seq(("e", 0, 5L, 10L), ("e", 0, 5L, 30L),
+      ("e", 1, 5L, 20L), ("e", 1, 5L, 40L)).toDF("k", "var", "x", "y")
+    val c = Stats.cuped(const, Seq("k"), "var", "x", "y")
+      .orderBy("variant").collect()
+    assert(c(0).getLong(4) == c(0).getLong(3) && c(0).isNullAt(5) && c(0).isNullAt(6))
+  }
+
   test("covarianceMatrix fails loudly on a null vector ELEMENT") {
     // a whole-null vector is skipped (tested above) but a null
     // component inside a vector must abort, not read as 0
