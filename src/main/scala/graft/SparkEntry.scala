@@ -4047,6 +4047,40 @@ object SparkEntry {
           .agg(pmod(sum("n_chars"), lit(1000000L)).as("p_micro")),
         Seq("source", "lang"), "p_micro", qMicro = 200000L)
         .orderBy("rank")),
+    // Kendall tau-b per source over COARSELY QUANTIZED length metrics
+    // (the distinct-cell contract): chars-in-hundreds vs tokens-in-tens
+    "q_kendall" -> ((s, dir) =>
+      graft.pipeline.Stats.kendallTau(
+        t(s, dir, "documents").select(col("source"),
+          expr("n_chars div 100").as("xb"),
+          expr("size(split(text, ' ')) div 10").cast("long").as("yb")),
+        Seq("source"), "xb", "yb")
+        .orderBy("source")),
+    // Kaplan-Meier retention per user-parity cohort: duration = days
+    // spanned by the user's events, event = the user reached a purchase
+    // (others right-censored at observation end)
+    "q_km" -> ((s, dir) => {
+      val units = eventsMicros(s, dir)
+        .groupBy("user_id")
+        .agg(expr("(max(tus) - min(tus)) div 86400000000").as("duration"),
+          (count(when(col("event_type") === "purchase", 1)) > 0).as("ev"))
+        .withColumn("cohort", pmod(col("user_id"), lit(4L)))
+      graft.pipeline.Stats.kaplanMeier(units, Seq("cohort"), "duration", "ev")
+        .orderBy("cohort", "t")
+    }),
+    // log-rank test: do the even/odd user cohorts share a survival
+    // curve, per user_id%3 segment — the hypothesis test over q_km's
+    // product-limit machinery
+    "q_logrank" -> ((s, dir) => {
+      val units = eventsMicros(s, dir)
+        .groupBy("user_id")
+        .agg(expr("(max(tus) - min(tus)) div 86400000000").as("duration"),
+          (count(when(col("event_type") === "purchase", 1)) > 0).as("ev"))
+        .withColumn("seg", pmod(col("user_id"), lit(3L)))
+        .withColumn("grp", pmod(col("user_id"), lit(2L)) === 0L)
+      graft.pipeline.Stats.logRank(units, Seq("seg"), "grp", "duration", "ev")
+        .orderBy("seg")
+    }),
     // CUPED per event_type: even event_ids are the pre-period covariate,
     // odd the experiment metric, user parity the variant — pooled theta,
     // adjusted means and the rho^2 variance cut from exact moments
@@ -9109,6 +9143,91 @@ object SparkEntry {
         |      sqrt(CAST(na * (n - na) * (n * n * n - n - t) AS DOUBLE)))
         |      AS BIGINT) END AS z_micro
         |FROM m ORDER BY source""".stripMargin,
+    "q_kendall" ->
+      """WITH b AS (SELECT source, n_chars // 100 AS x,
+        |    len(string_split(text, ' ')) // 10 AS y FROM documents),
+        |cells AS (SELECT source, x, y, COUNT(*)::HUGEINT AS c
+        |  FROM b GROUP BY 1, 2, 3),
+        |cd AS (SELECT a.source AS source,
+        |    SUM(CASE WHEN bb.y > a.y THEN a.c * bb.c ELSE 0 END) AS nc,
+        |    SUM(CASE WHEN bb.y < a.y THEN a.c * bb.c ELSE 0 END) AS nd
+        |  FROM cells a JOIN cells bb ON a.source = bb.source
+        |    AND bb.x > a.x AND bb.y <> a.y GROUP BY 1),
+        |tot AS (SELECT source, SUM(c) AS n FROM cells GROUP BY 1),
+        |m1 AS (SELECT source, SUM(tx * (tx - 1)) AS n1x2 FROM
+        |  (SELECT source, x, SUM(c) AS tx FROM cells GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |m2 AS (SELECT source, SUM(ty * (ty - 1)) AS n2x2 FROM
+        |  (SELECT source, y, SUM(c) AS ty FROM cells GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |SELECT tot.source AS source, CAST(n AS BIGINT) AS n,
+        |  CAST(COALESCE(nc, 0) AS BIGINT) AS nc,
+        |  CAST(COALESCE(nd, 0) AS BIGINT) AS nd,
+        |  CASE WHEN n * (n - 1) - n1x2 = 0 OR n * (n - 1) - n2x2 = 0
+        |    THEN NULL
+        |    ELSE CAST(round(2e6 *
+        |      CAST(COALESCE(nc, 0) - COALESCE(nd, 0) AS DOUBLE) /
+        |      sqrt(CAST(n * (n - 1) - n1x2 AS DOUBLE)) /
+        |      sqrt(CAST(n * (n - 1) - n2x2 AS DOUBLE))) AS BIGINT) END
+        |    AS tau_b_micro
+        |FROM tot JOIN m1 USING (source) JOIN m2 USING (source)
+        |LEFT JOIN cd USING (source) ORDER BY source""".stripMargin,
+    "q_km" ->
+      """WITH u AS (SELECT user_id,
+        |    (MAX(epoch_ns(ts) // 1000) - MIN(epoch_ns(ts) // 1000))
+        |      // 86400000000 AS duration,
+        |    COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) > 0 AS ev
+        |  FROM events GROUP BY 1),
+        |c AS (SELECT user_id % 4 AS cohort, duration AS t, ev FROM u),
+        |pt AS (SELECT cohort, t, COUNT(*) AS nn,
+        |    CAST(COUNT(CASE WHEN ev THEN 1 END) AS BIGINT) AS d_events
+        |  FROM c GROUP BY 1, 2),
+        |r AS (SELECT *, SUM(nn) OVER (PARTITION BY cohort ORDER BY t DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+        |  FROM pt),
+        |tm AS (SELECT *, CASE WHEN d_events = n_risk THEN 0
+        |    ELSE CAST(round(1e6 * ln(CAST(n_risk - d_events AS DOUBLE) /
+        |      CAST(n_risk AS DOUBLE))) AS BIGINT) END AS term FROM r)
+        |SELECT cohort, t, CAST(n_risk AS BIGINT) AS n_risk, d_events,
+        |  CAST(nn - d_events AS BIGINT) AS c_censored,
+        |  CASE WHEN d_events = n_risk THEN NULL
+        |    ELSE CAST(SUM(term) OVER (PARTITION BY cohort ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    END AS km_log_unats
+        |FROM tm ORDER BY cohort, t""".stripMargin,
+    "q_logrank" ->
+      """WITH u AS (SELECT user_id,
+        |    (MAX(epoch_ns(ts) // 1000) - MIN(epoch_ns(ts) // 1000))
+        |      // 86400000000 AS t,
+        |    COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) > 0 AS ev
+        |  FROM events GROUP BY 1),
+        |c AS (SELECT user_id % 3 AS seg, user_id % 2 = 0 AS g, t, ev FROM u),
+        |pt AS (SELECT seg, t, COUNT(*) AS m,
+        |    COUNT(CASE WHEN g THEN 1 END) AS ma,
+        |    COUNT(CASE WHEN ev THEN 1 END) AS d,
+        |    COUNT(CASE WHEN ev AND g THEN 1 END) AS da
+        |  FROM c GROUP BY 1, 2),
+        |r AS (SELECT *, SUM(m) OVER (PARTITION BY seg ORDER BY t DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n,
+        |    SUM(ma) OVER (PARTITION BY seg ORDER BY t DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS na
+        |  FROM pt),
+        |k AS (SELECT * FROM r WHERE d > 0),
+        |tm AS (SELECT seg,
+        |    CAST(round(1e6 * CAST(da::HUGEINT * n - d::HUGEINT * na
+        |      AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) AS oe,
+        |    CASE WHEN n = 1 THEN 0
+        |      ELSE CAST(round(1e6 *
+        |        CAST(d::HUGEINT * na * (n - na) * (n - d) AS DOUBLE) /
+        |        CAST(n::HUGEINT * n * (n - 1) AS DOUBLE)) AS BIGINT) END AS v
+        |  FROM k)
+        |SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_times,
+        |  CAST(SUM(oe) AS BIGINT) AS oe_sum_micro,
+        |  CAST(SUM(v) AS BIGINT) AS var_sum_micro,
+        |  CASE WHEN SUM(v) <= 0 THEN NULL
+        |    ELSE CAST(round(1e3 * CAST(SUM(oe) AS DOUBLE) /
+        |      sqrt(CAST(SUM(v) AS DOUBLE))) AS BIGINT) END AS z_micro
+        |FROM tm GROUP BY 1 ORDER BY seg""".stripMargin,
     "q_bh_fdr" ->
       """WITH p AS (SELECT source, lang,
         |    CAST(SUM(n_chars) % 1000000 AS BIGINT) AS p_micro

@@ -1608,6 +1608,226 @@ object Stats {
         .as("var_reduction_ppm")): _*)
   }
 
+  /**
+   * Kendall tau-b rank correlation per key — [[spearmanCorr]]'s
+   * pair-concordance twin (Kendall '38; tau-b tie correction): the
+   * probability-scale "do the two metrics move together" statistic
+   * whose O(n²) pair definition collapses to the JOINT DISTINCT-CELL
+   * table:
+   *
+   *   nc = Σ c_a·c_b over cell pairs strictly increasing in BOTH dims
+   *   nd = Σ c_a·c_b over cell pairs increasing in x, decreasing in y
+   *   τ_b = (nc − nd) / √(n₀−n₁) / √(n₀−n₂)
+   *
+   * with n₀ = n(n−1)/2 and n₁/n₂ the margin tie terms Σ t(t−1)/2.
+   * Every count is an exact DECIMAL(38,0) integer; τ_b is ONE
+   * round-once micro expression (the [[spearmanCorr]] factoring,
+   * HUGEINT-oracle-replayable). Keys where either metric is constant
+   * return NULL τ (undefined).
+   *
+   * Scale contract: inputs are COARSELY QUANTIZED metrics (the
+   * [[psiReport]] discipline — bucket upstream with `div`), so the
+   * per-key distinct-cell table is bounded; the cell self-join is D²
+   * per key, GUARDED by `maxCellsPerKey` with a fail-loud raise_error
+   * riding the aggregated cell table (the [[theilSenSlope]] guard
+   * pattern — the corpus itself is never pair-joined).
+   *
+   * Returns keys + (n, nc, nd, tau_b_micro).
+   */
+  def kendallTau(df: DataFrame, keys: Seq[String], xCol: String,
+      yCol: String, maxCellsPerKey: Int = 4096): DataFrame = {
+    require(keys.nonEmpty, "keys required")
+    require(maxCellsPerKey >= 2 && maxCellsPerKey <= 65536,
+      s"maxCellsPerKey must be in [2, 65536], got $maxCellsPerKey")
+    val W = org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val cells = df
+      .where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(keys.map(col) :+ col(xCol).cast("long").as("__x") :+
+        col(yCol).cast("long").as("__y"): _*)
+      .groupBy(keys.map(col) :+ col("__x") :+ col("__y"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val wg = W.partitionBy(keys.map(col): _*)
+    val guarded = cells
+      .withColumn("__ncells", count(lit(1)).over(wg))
+      .withColumn("__c", when(col("__ncells") <= maxCellsPerKey, col("__c"))
+        .otherwise(raise_error(concat(
+          lit("kendall_tau: per-key distinct-cell count "), col("__ncells"),
+          lit(s" exceeds maxCellsPerKey=$maxCellsPerKey; the cell " +
+            "self-join is O(D^2) per key — quantize the metrics coarser " +
+            "(div upstream) or raise the cap deliberately")))))
+      .drop("__ncells")
+    val a = guarded.select(keys.map(col) :+ col("__x").as("__ax") :+
+      col("__y").as("__ay") :+ col("__c").as("__ca"): _*)
+    val b = guarded.select(keys.map(col) :+ col("__x").as("__bx") :+
+      col("__y").as("__by") :+ col("__c").as("__cb"): _*)
+    val cd = a.join(b, keys)
+      .where(col("__bx") > col("__ax") && col("__by") =!= col("__ay"))
+      .groupBy(keys.map(col): _*)
+      .agg(
+        sum(when(col("__by") > col("__ay"),
+          col("__ca").cast(dec) * col("__cb")).otherwise(lit(0L).cast(dec)))
+          .as("__nc"),
+        sum(when(col("__by") < col("__ay"),
+          col("__ca").cast(dec) * col("__cb")).otherwise(lit(0L).cast(dec)))
+          .as("__nd"))
+    // doubled tie terms (n0x2 = n(n−1), n1x2 = Σ t(t−1)) keep every
+    // intermediate an INTEGER — no /2 anywhere; the 2 surfaces once in
+    // the final literal: τ = 2e6·(nc−nd)/√(n0x2−n1x2)/√(n0x2−n2x2)
+    val tot = guarded.groupBy(keys.map(col): _*)
+      .agg(sum("__c").cast(dec).as("__n"))
+    val n1 = guarded.groupBy(keys.map(col) :+ col("__x"): _*)
+      .agg(sum("__c").cast(dec).as("__tx"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__tx") * (col("__tx") - lit(1L))).cast(dec).as("__n1x2"))
+    val n2 = guarded.groupBy(keys.map(col) :+ col("__y"): _*)
+      .agg(sum("__c").cast(dec).as("__ty"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__ty") * (col("__ty") - lit(1L))).cast(dec).as("__n2x2"))
+    val n0x2 = col("__n") * (col("__n") - lit(1L))
+    tot.join(n1, keys).join(n2, keys).join(cd, keys, "left")
+      .select((keys.map(col) :+ col("__n").cast("long").as("n") :+
+        coalesce(col("__nc"), lit(0L).cast(dec)).cast("long").as("nc") :+
+        coalesce(col("__nd"), lit(0L).cast(dec)).cast("long").as("nd") :+
+        when(n0x2 - col("__n1x2") === 0L || n0x2 - col("__n2x2") === 0L,
+          lit(null).cast("long"))
+          .otherwise(round(lit(2e6) *
+            (coalesce(col("__nc"), lit(0L).cast(dec)) -
+              coalesce(col("__nd"), lit(0L).cast(dec))).cast("double") /
+            sqrt((n0x2 - col("__n1x2")).cast("double")) /
+            sqrt((n0x2 - col("__n2x2")).cast("double"))).cast("long"))
+          .as("tau_b_micro")): _*)
+  }
+
+  /**
+   * Kaplan–Meier product-limit survival per key (Kaplan & Meier '58) —
+   * the right-censoring-aware retention curve: "what fraction of the
+   * cohort survives past t" when some subjects are still alive
+   * (censored) at observation end, where a naive rate understates
+   * survival. Survival is returned in LOG space as exact long sums of
+   * per-time rounded micro-nat terms (the [[sprt]] constant
+   * discipline, but per-distinct-time instead of plan-time):
+   *
+   *   n_risk(t) = #{duration ≥ t}        (a DESC cumulative window)
+   *   term(t)   = round(1e6·ln((n_risk−d)/n_risk))
+   *   km_log_unats(t) = Σ_{u ≤ t} term(u)   ⇒ S(t) = exp(km/1e6)
+   *
+   * so downstream exp is the CALLER's one rounding decision, and the
+   * DuckDB oracle replays every term and sum bit-for-bit (ln of the
+   * same double quotient — the [[graft.pipeline.NGramLM.knScore]]
+   * parity precedent). When every at-risk subject dies at t
+   * (d = n_risk — necessarily the key's last time point), survival is
+   * exactly 0 and km_log_unats is NULL (log undefined).
+   *
+   * Scale shape: one groupBy to the per-(key, distinct-time) table,
+   * two key-partitioned windows over it (distinct times, never
+   * subject rows), zero joins.
+   *
+   * Returns keys + (t, n_risk, d_events, c_censored, km_log_unats)
+   * — one row per observed distinct duration.
+   */
+  def kaplanMeier(df: DataFrame, keys: Seq[String], durationCol: String,
+      eventCol: String): DataFrame = {
+    require(keys.nonEmpty, "keys required")
+    val W = org.apache.spark.sql.expressions.Window
+    val perT = df
+      .where(col(durationCol).isNotNull && col(eventCol).isNotNull)
+      .select(keys.map(col) :+ col(durationCol).cast("long").as("t") :+
+        col(eventCol).cast("boolean").as("__e"): _*)
+      .groupBy(keys.map(col) :+ col("t"): _*)
+      .agg(count(lit(1)).as("__n"), count(when(col("__e"), 1)).as("d_events"))
+    val wDesc = W.partitionBy(keys.map(col): _*).orderBy(col("t").desc)
+      .rowsBetween(W.unboundedPreceding, 0)
+    val wAsc = W.partitionBy(keys.map(col): _*).orderBy(col("t"))
+      .rowsBetween(W.unboundedPreceding, 0)
+    perT
+      .withColumn("n_risk", sum("__n").over(wDesc))
+      .withColumn("__term",
+        when(col("d_events") === col("n_risk"), lit(0L))
+          .otherwise(round(lit(1e6) * log(
+            (col("n_risk") - col("d_events")).cast("double") /
+              col("n_risk").cast("double"))).cast("long")))
+      .withColumn("km_log_unats",
+        when(col("d_events") === col("n_risk"), lit(null).cast("long"))
+          .otherwise(sum("__term").over(wAsc)))
+      .select(keys.map(col) :+ col("t") :+ col("n_risk") :+
+        col("d_events") :+ (col("__n") - col("d_events")).as("c_censored") :+
+        col("km_log_unats"): _*)
+  }
+
+  /**
+   * Log-rank (Mantel–Cox) test per key — [[kaplanMeier]]'s hypothesis
+   * test: "do cohorts A and B have the SAME survival curve", the
+   * censoring-aware replacement for comparing raw churn rates. At each
+   * distinct event time t with d deaths out of n at risk (n_A in A):
+   *
+   *   O_A−E_A = d_A − d·n_A/n
+   *   V       = d·(n_A/n)·(1−n_A/n)·(n−d)/(n−1)
+   *   z       = Σ(O_A−E_A) / √(ΣV)
+   *
+   * The hypergeometric moments are rationals with per-time
+   * denominators, so each time's numerator term and variance term are
+   * rounded ONCE to micro units (the [[kaplanMeier]] per-term
+   * discipline: both factors exact-integer first, one double division
+   * point each, engine-replayable) and the key's z is one final
+   * division over their exact long sums. z is NULL when a key never
+   * has both groups at risk together (ΣV = 0). Events with d = n and
+   * n = 1 contribute V = 0 (the n−1 guard).
+   *
+   * Scale shape: one groupBy to the per-(key, distinct-time, counts)
+   * table, one DESC cumulative window pair for the risk sets, one
+   * rollup — distinct times, never subject rows, zero joins.
+   *
+   * Returns keys + (n_times, oe_sum_micro, var_sum_micro, z_micro).
+   */
+  def logRank(df: DataFrame, keys: Seq[String], groupCol: String,
+      durationCol: String, eventCol: String): DataFrame = {
+    require(keys.nonEmpty, "keys required")
+    val W = org.apache.spark.sql.expressions.Window
+    val perT = df
+      .where(col(durationCol).isNotNull && col(eventCol).isNotNull &&
+        col(groupCol).isNotNull)
+      .select(keys.map(col) :+ col(durationCol).cast("long").as("__t") :+
+        col(eventCol).cast("boolean").as("__e") :+
+        col(groupCol).cast("boolean").as("__g"): _*)
+      .groupBy(keys.map(col) :+ col("__t"): _*)
+      .agg(count(lit(1)).as("__m"),
+        count(when(col("__g"), 1)).as("__ma"),
+        count(when(col("__e"), 1)).as("__d"),
+        count(when(col("__e") && col("__g"), 1)).as("__da"))
+    val wDesc = W.partitionBy(keys.map(col): _*).orderBy(col("__t").desc)
+      .rowsBetween(W.unboundedPreceding, 0)
+    val risky = perT
+      .withColumn("__n", sum("__m").over(wDesc))
+      .withColumn("__na", sum("__ma").over(wDesc))
+      .where(col("__d") > 0L)
+    // per-time rounded micro terms: exact DECIMAL(38,0) numerators
+    // (the d·n_A·(n−n_A)·(n−d) product reaches n⁴ — longs die at
+    // n ≈ 55k), one double division point each (denominators n and
+    // n²(n−1) respectively)
+    val dec = "decimal(38,0)"
+    def D(c: Column): Column = c.cast(dec)
+    val oeT = round(lit(1e6) *
+      (D(col("__da")) * col("__n") - D(col("__d")) * col("__na"))
+        .cast("double") / col("__n").cast("double")).cast("long")
+    val vT = when(col("__n") === 1L, lit(0L))
+      .otherwise(round(lit(1e6) *
+        (D(col("__d")) * col("__na") * (col("__n") - col("__na")) *
+          (col("__n") - col("__d"))).cast("double") /
+        (D(col("__n")) * col("__n") * (col("__n") - lit(1L))).cast("double"))
+        .cast("long"))
+    // z_micro = 1e6·(Σoe/1e6)/√(Σv/1e6) = 1e3·Σoe/√Σv — one division
+    risky
+      .withColumn("__oe", oeT).withColumn("__v", vT)
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_times"),
+        sum("__oe").as("oe_sum_micro"), sum("__v").as("var_sum_micro"))
+      .withColumn("z_micro",
+        when(col("var_sum_micro") <= 0L, lit(null).cast("long"))
+          .otherwise(round(lit(1e3) * col("oe_sum_micro").cast("double") /
+            sqrt(col("var_sum_micro").cast("double"))).cast("long")))
+  }
+
   /** Poisson(1) inverse-CDF thresholds on the 63-bit uniform scale:
     * weight(u) = Σ_k [u ≥ T_k], k = 0..6 — so per-row bootstrap weights
     * are 0..7 (the ≥8 tail, mass 1e-5, folds into 7). The literals are

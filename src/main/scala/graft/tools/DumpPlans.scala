@@ -408,7 +408,28 @@ object DumpPlans {
         "distinct-score histograms BEFORE any window (fact rows are " +
         "never window-sorted); the pooled inverse-CDF is a 1000-row " +
         "broadcast; the fact table pays ONE (group, score) equi-join " +
-        "plus a broadcast permille lookup."))
+        "plus a broadcast permille lookup."),
+      // ---- wave-41/42 flagships (r17) ----
+      "q_mwu" -> ("Mann-Whitney U: pooled mid-ranks from per-key " +
+        "DISTINCT-VALUE histograms (the spearman construction — fact " +
+        "rows shuffle once into the histogram, never sort), one " +
+        "moment rollup per key; the tie-corrected z is a round-once " +
+        "expression after the aggregate."),
+      "q_cuped" -> ("CUPED variance reduction: ONE (key, variant) " +
+        "moments groupBy over the unit table (map-side combined), " +
+        "pooled moments re-summed from the variant partials " +
+        "(metadata-sized), theta/means/rho-squared as round-once " +
+        "expressions after a broadcast pooled join — no per-row " +
+        "adjusted column ever materializes."),
+      "q_km" -> ("Kaplan-Meier survival: subjects reduce to the " +
+        "per-(key, distinct-time) count table in one groupBy; risk " +
+        "sets are a DESC cumulative window over distinct times (never " +
+        "subject rows), the log-survival walk an ASC one; zero joins."),
+      "q_kendall" -> ("Kendall tau-b: the O(n^2) pair definition " +
+        "collapsed to the quantized joint distinct-CELL table; the " +
+        "cell self-join is D^2 per key under a fail-loud cap, margins " +
+        "and totals are cell-table groupBys — the corpus itself is " +
+        "never pair-joined."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")

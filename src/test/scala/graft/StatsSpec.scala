@@ -138,6 +138,86 @@ class StatsSpec extends AnyFunSuite {
     assert(tied.toSeq == Seq(true, true, false))
   }
 
+  test("kendallTau: concordant/discordant counts and tau-b ties on hand cases") {
+    // perfect agreement: nc=3, nd=0, tau=+1; perfect reversal: tau=-1
+    val up = Seq(("k", 1L, 1L), ("k", 2L, 2L), ("k", 3L, 3L)).toDF("k", "x", "y")
+    val u = Stats.kendallTau(up, Seq("k"), "x", "y").collect()(0)
+    assert((u.getLong(1), u.getLong(2), u.getLong(3), u.getLong(4)) ==
+      ((3L, 3L, 0L, 1000000L)))
+    val down = Seq(("k", 1L, 3L), ("k", 2L, 2L), ("k", 3L, 1L)).toDF("k", "x", "y")
+    assert(Stats.kendallTau(down, Seq("k"), "x", "y").collect()(0)
+      .getLong(4) == -1000000L)
+    // x-tie: (1,1),(1,2),(2,3) -> nc=2, nd=0, n1x2=2:
+    // tau_b = 2e6*2/(sqrt(4)*sqrt(6)) = 816497
+    val tie = Seq(("k", 1L, 1L), ("k", 1L, 2L), ("k", 2L, 3L)).toDF("k", "x", "y")
+    val tb = Stats.kendallTau(tie, Seq("k"), "x", "y").collect()(0)
+    assert((tb.getLong(2), tb.getLong(3)) == ((2L, 0L)))
+    assert(tb.getLong(4) ==
+      math.round(2e6 * 2 / math.sqrt(4.0) / math.sqrt(6.0)))
+    // constant x: tau undefined (NULL), counts still reported
+    val const = Seq(("k", 5L, 1L), ("k", 5L, 2L)).toDF("k", "x", "y")
+    val cr = Stats.kendallTau(const, Seq("k"), "x", "y").collect()(0)
+    assert(cr.getLong(2) == 0L && cr.isNullAt(4))
+    // cell-count guard fails loudly
+    val ex = intercept[Exception] {
+      Stats.kendallTau(up, Seq("k"), "x", "y", maxCellsPerKey = 2).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++
+        messages(e.getCause))
+    assert(messages(ex).exists(_.contains("kendall_tau")))
+  }
+
+  test("kaplanMeier: risk sets, per-time log terms, censoring, extinction") {
+    // durations (1,ev),(2,ev),(3,cens),(4,ev),(5,cens):
+    // S = 4/5 * 3/4 * 1 * 1/2 walk in micro-nats
+    val df = Seq(("k", 1L, true), ("k", 2L, true), ("k", 3L, false),
+      ("k", 4L, true), ("k", 5L, false)).toDF("k", "d", "e")
+    val out = Stats.kaplanMeier(df, Seq("k"), "d", "e").orderBy("t").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) Long.MinValue else r.getLong(5)))
+    val t1 = math.round(1e6 * math.log(4.0 / 5.0)) // -223144
+    val t2 = math.round(1e6 * math.log(3.0 / 4.0)) // -287682
+    val t4 = math.round(1e6 * math.log(1.0 / 2.0)) // -693147
+    assert(out.toSeq == Seq(
+      (1L, 5L, 1L, 0L, t1),
+      (2L, 4L, 1L, 0L, t1 + t2),
+      (3L, 3L, 0L, 1L, t1 + t2),
+      (4L, 2L, 1L, 0L, t1 + t2 + t4),
+      (5L, 1L, 0L, 1L, t1 + t2 + t4)))
+    // exp of the final log matches the product-limit survival exactly
+    assert(math.abs(math.exp((t1 + t2 + t4) / 1e6) - 0.3) < 1e-5)
+    // extinction: everyone at risk dies at t -> survival 0, log NULL
+    val ext = Seq(("k", 1L, true), ("k", 1L, true)).toDF("k", "d", "e")
+    val er = Stats.kaplanMeier(ext, Seq("k"), "d", "e").collect()(0)
+    assert(er.getLong(2) == 2L && er.getLong(3) == 2L && er.isNullAt(5))
+  }
+
+  test("logRank: hypergeometric O-E walk on a hand case") {
+    // A: (1,ev),(3,ev); B: (2,ev),(4,censored)
+    // t=1: n=4, na=2, d=1, da=1 -> oe=+500000, v=250000
+    // t=2: n=3, na=1, d=1, da=0 -> oe=-333333, v=222222
+    // t=3: n=2, na=1, d=1, da=1 -> oe=+500000, v=250000
+    val df = Seq(("k", true, 1L, true), ("k", true, 3L, true),
+      ("k", false, 2L, true), ("k", false, 4L, false))
+      .toDF("k", "g", "d", "e")
+    val r = Stats.logRank(df, Seq("k"), "g", "d", "e").collect()(0)
+    assert(r.getLong(1) == 3L)
+    assert(r.getLong(2) == 666667L && r.getLong(3) == 722222L)
+    assert(r.getLong(4) ==
+      math.round(1e3 * 666667.0 / math.sqrt(722222.0)))
+    // identical curves in both groups: oe terms cancel pairwise
+    val same = Seq(("k", true, 1L, true), ("k", false, 1L, true),
+      ("k", true, 2L, true), ("k", false, 2L, true))
+      .toDF("k", "g", "d", "e")
+    val s0 = Stats.logRank(same, Seq("k"), "g", "d", "e").collect()(0)
+    assert(s0.getLong(2) == 0L && s0.getLong(4) == 0L)
+    // single-group key: every na=n, all v=0 -> z NULL
+    val one = Seq(("k", true, 1L, true), ("k", true, 2L, true))
+      .toDF("k", "g", "d", "e")
+    assert(Stats.logRank(one, Seq("k"), "g", "d", "e").collect()(0).isNullAt(4))
+  }
+
   test("cuped: pooled theta, adjusted means, and the rho^2 variance cut") {
     // y = 2x exactly: theta=2, both variants adjust to the same mean 50,
     // rho^2 = 1 (the pre-period explains ALL the variant difference)
