@@ -48,7 +48,15 @@ run() {
   SPARK_GRAFT_BENCH_REF="${BENCH_REF:-BENCH_SELF_r17.json}" \
   SPARK_GRAFT_BENCH_JSON="$DIAG_DIR/bench_$tag.json" \
   SPARK_GRAFT_DUMP_DIR="$DIAG_DIR/dumps_$tag" \
-  java -Xmx96g -XX:ReservedCodeCacheSize=1g \
+  # -Xms24g + AlwaysPreTouch: the r17 stall autopsy found G1
+  # committing/uncommitting 3-19 GB across concurrent cycles; after an
+  # uncommit, the next allocation burst (broadcast serialization,
+  # exchange storms) pays single-threaded heap re-commit page faults —
+  # seconds of one-thread-slow progress with executors parked, which is
+  # exactly the in-suite spike signature (README "Stall investigation").
+  # Pinning the floor above the observed 19.7 GB peak and pre-touching
+  # it at startup (untimed) removes the resize churn entirely.
+  java -Xms24g -Xmx96g -XX:+AlwaysPreTouch -XX:ReservedCodeCacheSize=1g \
     "-Xlog:gc*,safepoint:file=$DIAG_DIR/jvm_$tag.log:time,uptime:filecount=0" \
     -cp "target/scala-2.13/classes:/opt/spark/jars/*" graft.Bench \
     2>"$DIAG_DIR/stderr_$tag.log" \
