@@ -2762,3 +2762,459 @@ def token_jsd(p, q, text_col):
     return (joined.crossJoin(F.broadcast(totals))
             .agg(F.count(F.lit(1)).alias("n_terms"),
                  F.sum(contrib).alias("jsd_unats")))
+
+
+def mann_whitney_u(df, keys, group_col, value_col):
+    """Mann-Whitney U rank-sum test per key — Python mirror of the
+    Scala ``Stats.mannWhitneyU``: pooled integer double-ranks from
+    per-key distinct-value histograms (never a row sort), exact 2*U,
+    tie-corrected round-once z over DECIMAL(38,0) moments; z NULL when
+    a key lacks both groups or all values tie.
+    """
+    kc = [F.col(k) for k in keys]
+    complete = (df.where(F.col(value_col).isNotNull() &
+                         F.col(group_col).isNotNull())
+                .select(*kc, F.col(value_col).cast("long").alias("__v"),
+                        F.col(group_col).cast("boolean").alias("__g")))
+    w = (Window.partitionBy(*kc).orderBy("__v")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    hist = (complete.groupBy(*kc, F.col("__v"))
+            .agg(F.count(F.lit(1)).alias("__c"),
+                 F.count(F.when(F.col("__g"), 1)).alias("__ca"))
+            .withColumn("__dr", F.lit(2) * F.coalesce(
+                F.sum("__c").over(w), F.lit(0)) + F.col("__c") + F.lit(1)))
+    dec = "decimal(38,0)"
+    m = (hist.groupBy(*kc)
+         .agg(F.sum("__c").cast(dec).alias("__n"),
+              F.sum("__ca").cast(dec).alias("__na"),
+              F.sum(F.col("__ca").cast(dec) * F.col("__dr")).alias("__r2a"),
+              F.sum(F.col("__c").cast(dec) * F.col("__c") * F.col("__c") -
+                    F.col("__c")).alias("__t")))
+    n, na = F.col("__n"), F.col("__na")
+    nb = n - na
+    u2a = F.col("__r2a") - na * (na + F.lit(1))
+    denom = na * nb * (n * n * n - n - F.col("__t"))
+    return m.select(
+        *kc, na.cast("long").alias("n_a"), nb.cast("long").alias("n_b"),
+        u2a.cast("long").alias("u2_a"),
+        F.when((na == 0) | (nb == 0) | (denom == 0),
+               F.lit(None).cast("long"))
+        .otherwise(F.round(F.lit(1e6) * (u2a - na * nb).cast("double") *
+                   F.sqrt((F.lit(3).cast(dec) * n * (n - F.lit(1)))
+                          .cast("double")) /
+                   F.sqrt(denom.cast("double"))).cast("long"))
+        .alias("z_micro"))
+
+
+def bh_fdr(df, key_cols, p_micro_col, q_micro=50000):
+    """Benjamini-Hochberg step-up FDR — Python mirror of the Scala
+    ``Stats.bhFdr``: pure long arithmetic (p_micro*m <= k*q_micro) over
+    the metadata-sized per-test table; ties decide together by
+    construction. Returns key cols + (p_micro, rank, m_tests, k_star,
+    reject)."""
+    kc = [F.col(k) for k in key_cols]
+    ordered = Window.orderBy(F.col("p_micro"), *kc)
+    ranked = (df.select(*kc,
+                        F.col(p_micro_col).cast("long").alias("p_micro"))
+              .withColumn("rank",
+                          F.row_number().over(ordered).cast("long")))
+    kstar = (ranked
+             .withColumn("__m", F.count(F.lit(1)).over(Window.partitionBy()))
+             .agg(F.max("__m").alias("m_tests"),
+                  F.max(F.when(F.col("p_micro") * F.col("__m") <=
+                               F.col("rank") * F.lit(q_micro),
+                               F.col("rank"))).alias("k_star")))
+    return (ranked.crossJoin(F.broadcast(kstar))
+            .withColumn("reject", F.col("k_star").isNotNull() &
+                        (F.col("rank") <= F.col("k_star")))
+            .select(*kc, "p_micro", "rank", "m_tests", "k_star", "reject"))
+
+
+def cuped(df, keys, variant_col, pre_col, metric_col):
+    """CUPED variance reduction — Python mirror of the Scala
+    ``Stats.cuped``: one (key, variant) moments groupBy, pooled moments
+    re-summed from the variant partials, theta / adjusted means / rho^2
+    as round-once micro expressions; theta NULL when var(x) = 0."""
+    dec = "decimal(38,0)"
+    kc = [F.col(k) for k in keys]
+    x = F.col(pre_col).cast("long").cast(dec)
+    y = F.col(metric_col).cast("long").cast(dec)
+    per_variant = (df.where(F.col(pre_col).isNotNull() &
+                            F.col(metric_col).isNotNull())
+                   .groupBy(*kc, F.col(variant_col).alias("variant"))
+                   .agg(F.count(F.lit(1)).cast(dec).alias("__nv"),
+                        F.sum(x).alias("__sxv"), F.sum(y).alias("__syv"),
+                        F.sum(x * x).alias("__sxxv"),
+                        F.sum(x * y).alias("__sxyv"),
+                        F.sum(y * y).alias("__syyv")))
+    pooled = (per_variant.groupBy(*kc)
+              .agg(F.sum("__nv").alias("__n"), F.sum("__sxv").alias("__sx"),
+                   F.sum("__syv").alias("__sy"),
+                   F.sum("__sxxv").alias("__sxx"),
+                   F.sum("__sxyv").alias("__sxy"),
+                   F.sum("__syyv").alias("__syy")))
+    j = per_variant.join(F.broadcast(pooled), keys)
+    covn = F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    varxn = F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    varyn = F.col("__n") * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    theta = covn.cast("double") / varxn.cast("double")
+    mean_y = F.col("__syv").cast("double") / F.col("__nv").cast("double")
+    dxv = (F.col("__sxv").cast("double") / F.col("__nv").cast("double") -
+           F.col("__sx").cast("double") / F.col("__n").cast("double"))
+    return j.select(
+        *kc, "variant", F.col("__nv").cast("long").alias("n"),
+        F.round(F.lit(1e6) * mean_y).cast("long").alias("mean_y_micro"),
+        F.when(varxn == 0, F.round(F.lit(1e6) * mean_y))
+        .otherwise(F.round(F.lit(1e6) * (mean_y - theta * dxv)))
+        .cast("long").alias("mean_adj_micro"),
+        F.when(varxn == 0, F.lit(None).cast("long"))
+        .otherwise(F.round(F.lit(1e6) * theta).cast("long"))
+        .alias("theta_micro"),
+        F.when((varxn == 0) | (varyn == 0), F.lit(None).cast("long"))
+        .otherwise(F.round(F.lit(1e6) * covn.cast("double") *
+                   covn.cast("double") / varxn.cast("double") /
+                   varyn.cast("double")).cast("long"))
+        .alias("var_reduction_ppm"))
+
+
+def kendall_tau(df, keys, x_col, y_col, max_cells_per_key=4096):
+    """Kendall tau-b — Python mirror of the Scala ``Stats.kendallTau``:
+    the O(n^2) pair definition collapsed to the quantized joint
+    distinct-cell table (cell self-join is D^2 per key behind a
+    fail-loud cap); doubled tie terms keep every intermediate integral.
+    """
+    kc = [F.col(k) for k in keys]
+    dec = "decimal(38,0)"
+    cells = (df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+             .select(*kc, F.col(x_col).cast("long").alias("__x"),
+                     F.col(y_col).cast("long").alias("__y"))
+             .groupBy(*kc, F.col("__x"), F.col("__y"))
+             .agg(F.count(F.lit(1)).alias("__c")))
+    wg = Window.partitionBy(*kc)
+    guarded = (cells
+               .withColumn("__ncells", F.count(F.lit(1)).over(wg))
+               .withColumn("__c", F.when(
+                   F.col("__ncells") <= max_cells_per_key, F.col("__c"))
+                   .otherwise(F.raise_error(F.concat(
+                       F.lit("kendall_tau: per-key distinct-cell count "),
+                       F.col("__ncells"),
+                       F.lit(" exceeds max_cells_per_key=%d"
+                             % max_cells_per_key)))))
+               .drop("__ncells"))
+    a = guarded.select(*kc, F.col("__x").alias("__ax"),
+                       F.col("__y").alias("__ay"), F.col("__c").alias("__cca"))
+    b = guarded.select(*kc, F.col("__x").alias("__bx"),
+                       F.col("__y").alias("__by"), F.col("__c").alias("__ccb"))
+    cd = (a.join(b, keys)
+          .where((F.col("__bx") > F.col("__ax")) &
+                 (F.col("__by") != F.col("__ay")))
+          .groupBy(*kc)
+          .agg(F.sum(F.when(F.col("__by") > F.col("__ay"),
+                            F.col("__cca").cast(dec) * F.col("__ccb"))
+                     .otherwise(F.lit(0).cast(dec))).alias("__nc"),
+               F.sum(F.when(F.col("__by") < F.col("__ay"),
+                            F.col("__cca").cast(dec) * F.col("__ccb"))
+                     .otherwise(F.lit(0).cast(dec))).alias("__nd")))
+    tot = guarded.groupBy(*kc).agg(F.sum("__c").cast(dec).alias("__n"))
+    n1 = (guarded.groupBy(*kc, F.col("__x"))
+          .agg(F.sum("__c").cast(dec).alias("__tx"))
+          .groupBy(*kc)
+          .agg(F.sum(F.col("__tx") * (F.col("__tx") - F.lit(1)))
+               .cast(dec).alias("__n1x2")))
+    n2 = (guarded.groupBy(*kc, F.col("__y"))
+          .agg(F.sum("__c").cast(dec).alias("__ty"))
+          .groupBy(*kc)
+          .agg(F.sum(F.col("__ty") * (F.col("__ty") - F.lit(1)))
+               .cast(dec).alias("__n2x2")))
+    n0x2 = F.col("__n") * (F.col("__n") - F.lit(1))
+    z = F.lit(0).cast(dec)
+    return (tot.join(n1, keys).join(n2, keys).join(cd, keys, "left")
+            .select(*kc, F.col("__n").cast("long").alias("n"),
+                    F.coalesce(F.col("__nc"), z).cast("long").alias("nc"),
+                    F.coalesce(F.col("__nd"), z).cast("long").alias("nd"),
+                    F.when((n0x2 - F.col("__n1x2") == 0) |
+                           (n0x2 - F.col("__n2x2") == 0),
+                           F.lit(None).cast("long"))
+                    .otherwise(F.round(F.lit(2e6) *
+                        (F.coalesce(F.col("__nc"), z) -
+                         F.coalesce(F.col("__nd"), z)).cast("double") /
+                        F.sqrt((n0x2 - F.col("__n1x2")).cast("double")) /
+                        F.sqrt((n0x2 - F.col("__n2x2")).cast("double")))
+                        .cast("long")).alias("tau_b_micro")))
+
+
+def kaplan_meier(df, keys, duration_col, event_col):
+    """Kaplan-Meier product-limit survival — Python mirror of the Scala
+    ``Stats.kaplanMeier``: log-space exact long sums of per-time
+    rounded micro-nat terms; risk sets via one DESC cumulative window
+    over distinct times; extinction rows (d = n_risk) carry NULL log.
+    """
+    kc = [F.col(k) for k in keys]
+    per_t = (df.where(F.col(duration_col).isNotNull() &
+                      F.col(event_col).isNotNull())
+             .select(*kc, F.col(duration_col).cast("long").alias("t"),
+                     F.col(event_col).cast("boolean").alias("__e"))
+             .groupBy(*kc, F.col("t"))
+             .agg(F.count(F.lit(1)).alias("__n"),
+                  F.count(F.when(F.col("__e"), 1)).alias("d_events")))
+    w_desc = (Window.partitionBy(*kc).orderBy(F.col("t").desc())
+              .rowsBetween(Window.unboundedPreceding, 0))
+    w_asc = (Window.partitionBy(*kc).orderBy("t")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    return (per_t
+            .withColumn("n_risk", F.sum("__n").over(w_desc))
+            .withColumn("__term", F.when(
+                F.col("d_events") == F.col("n_risk"), F.lit(0))
+                .otherwise(F.round(F.lit(1e6) * F.log(
+                    (F.col("n_risk") - F.col("d_events")).cast("double") /
+                    F.col("n_risk").cast("double"))).cast("long")))
+            .withColumn("km_log_unats", F.when(
+                F.col("d_events") == F.col("n_risk"),
+                F.lit(None).cast("long"))
+                .otherwise(F.sum("__term").over(w_asc)))
+            .select(*kc, "t", "n_risk", "d_events",
+                    (F.col("__n") - F.col("d_events")).alias("c_censored"),
+                    "km_log_unats"))
+
+
+def log_rank(df, keys, group_col, duration_col, event_col):
+    """Log-rank (Mantel-Cox) test — Python mirror of the Scala
+    ``Stats.logRank``: hypergeometric O-E walk over the per-time
+    machinery, DECIMAL(38,0) numerators with one double division point
+    per term, z = 1e3*sum(oe)/sqrt(sum(v))."""
+    kc = [F.col(k) for k in keys]
+    dec = "decimal(38,0)"
+    per_t = (df.where(F.col(duration_col).isNotNull() &
+                      F.col(event_col).isNotNull() &
+                      F.col(group_col).isNotNull())
+             .select(*kc, F.col(duration_col).cast("long").alias("__t"),
+                     F.col(event_col).cast("boolean").alias("__e"),
+                     F.col(group_col).cast("boolean").alias("__g"))
+             .groupBy(*kc, F.col("__t"))
+             .agg(F.count(F.lit(1)).alias("__m"),
+                  F.count(F.when(F.col("__g"), 1)).alias("__ma"),
+                  F.count(F.when(F.col("__e"), 1)).alias("__d"),
+                  F.count(F.when(F.col("__e") & F.col("__g"), 1))
+                  .alias("__da")))
+    w_desc = (Window.partitionBy(*kc).orderBy(F.col("__t").desc())
+              .rowsBetween(Window.unboundedPreceding, 0))
+    risky = (per_t
+             .withColumn("__n", F.sum("__m").over(w_desc))
+             .withColumn("__na", F.sum("__ma").over(w_desc))
+             .where(F.col("__d") > 0))
+
+    def D(c):
+        return c.cast(dec)
+    oe_t = F.round(F.lit(1e6) *
+                   (D(F.col("__da")) * F.col("__n") -
+                    D(F.col("__d")) * F.col("__na")).cast("double") /
+                   F.col("__n").cast("double")).cast("long")
+    v_t = F.when(F.col("__n") == 1, F.lit(0)).otherwise(
+        F.round(F.lit(1e6) *
+                (D(F.col("__d")) * F.col("__na") *
+                 (F.col("__n") - F.col("__na")) *
+                 (F.col("__n") - F.col("__d"))).cast("double") /
+                (D(F.col("__n")) * F.col("__n") *
+                 (F.col("__n") - F.lit(1))).cast("double")).cast("long"))
+    return (risky.withColumn("__oe", oe_t).withColumn("__v", v_t)
+            .groupBy(*kc)
+            .agg(F.count(F.lit(1)).alias("n_times"),
+                 F.sum("__oe").alias("oe_sum_micro"),
+                 F.sum("__v").alias("var_sum_micro"))
+            .withColumn("z_micro", F.when(
+                F.col("var_sum_micro") <= 0, F.lit(None).cast("long"))
+                .otherwise(F.round(F.lit(1e3) *
+                    F.col("oe_sum_micro").cast("double") /
+                    F.sqrt(F.col("var_sum_micro").cast("double")))
+                    .cast("long"))))
+
+
+def sprt_constants_micro(p0_permille, p1_permille, alpha_permille,
+                         beta_permille):
+    """The four Wald SPRT micro-nat constants (success step, failure
+    step, upper bound, lower bound) — plan-time HALF_UP rounding shared
+    with the Scala ``Stats.sprtConstantsMicro`` so both engines inline
+    identical longs."""
+    import math
+    from decimal import Decimal, ROUND_HALF_UP
+
+    def r(x):
+        return int(Decimal(repr(1e6 * x)).quantize(0, ROUND_HALF_UP))
+    p0, p1 = p0_permille / 1000.0, p1_permille / 1000.0
+    a, b = alpha_permille / 1000.0, beta_permille / 1000.0
+    return (r(math.log(p1 / p0)), r(math.log((1 - p1) / (1 - p0))),
+            r(math.log((1 - b) / a)), r(math.log(b / (1 - a))))
+
+
+def sprt(df, keys, order_col, success_col, p0_permille=500,
+         p1_permille=600, alpha_permille=50, beta_permille=50):
+    """Wald SPRT early-stop A/B gate — Python mirror of the Scala
+    ``Stats.sprt``: four plan-time micro-nat constants, exact
+    cumulative-long LLR walk per key, bit-reproducible first-crossing
+    decision. Rejects inverted boundaries (alpha + beta >= 1)."""
+    lp_s, lp_f, a_up, b_lo = sprt_constants_micro(
+        p0_permille, p1_permille, alpha_permille, beta_permille)
+    if not (a_up > 0 > b_lo):
+        raise ValueError("alpha + beta must be < 1000 permille: "
+                         "SPRT decision boundaries invert")
+    kc = [F.col(k) for k in keys]
+    step = (F.when(F.col(success_col).cast("boolean"), F.lit(lp_s))
+            .otherwise(F.lit(lp_f)))
+    w = (Window.partitionBy(*kc).orderBy(F.col(order_col))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    wo = Window.partitionBy(*kc).orderBy(F.col(order_col))
+    return (df.withColumn("__llr", F.sum(step).over(w))
+            .withColumn("__rn", F.row_number().over(wo))
+            .groupBy(*kc)
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.min(F.when(F.col("__llr") >= a_up, F.col("__rn")))
+                 .alias("__hit1"),
+                 F.min(F.when(F.col("__llr") <= b_lo, F.col("__rn")))
+                 .alias("__hit0"),
+                 F.sum(step).alias("llr_final_micro"))
+            .withColumn("decision", F.when(
+                F.col("__hit1").isNotNull() &
+                (F.col("__hit0").isNull() |
+                 (F.col("__hit1") < F.col("__hit0"))), F.lit("accept_h1"))
+                .when(F.col("__hit0").isNotNull(), F.lit("accept_h0"))
+                .otherwise(F.lit("continue")))
+            .withColumn("decided_at",
+                        F.least("__hit1", "__hit0").cast("long"))
+            .drop("__hit1", "__hit0"))
+
+
+def theil_sen_slope(df, keys, x_col, y_col, max_series_len=4096):
+    """Theil-Sen robust slope — Python mirror of the Scala
+    ``Stats.theilSenSlope``: median of all per-key pairwise slopes,
+    with the O(len^2) pair join guarded by a fail-loud raise_error at
+    max_series_len riding the key-partitioned window."""
+    kc = [F.col(k) for k in keys]
+    wg = Window.partitionBy(*kc)
+    src = (df.select(*kc, F.col(x_col).cast("long").alias("__x"),
+                     F.col(y_col).cast("long").alias("__y"))
+           .withColumn("__len", F.count(F.lit(1)).over(wg))
+           .withColumn("__x", F.when(
+               F.col("__len") <= max_series_len, F.col("__x"))
+               .otherwise(F.raise_error(F.concat(
+                   F.lit("theil_sen: per-key series length "),
+                   F.col("__len"),
+                   F.lit(" exceeds max_series_len=%d" % max_series_len)))))
+           .drop("__len"))
+    a = src.select(*kc, F.col("__x").alias("__x1"),
+                   F.col("__y").alias("__y1"))
+    b = src.select(*kc, F.col("__x").alias("__x2"),
+                   F.col("__y").alias("__y2"))
+    pairs = (a.join(b, keys).where(F.col("__x2") > F.col("__x1"))
+             .withColumn("__s", (F.col("__y2") - F.col("__y1"))
+                         .cast("double") /
+                         (F.col("__x2") - F.col("__x1")).cast("double")))
+    w = Window.partitionBy(*kc).orderBy("__s")
+    wk = Window.partitionBy(*kc)
+    return (pairs.withColumn("__rn", F.row_number().over(w))
+            .withColumn("__m", F.count(F.lit(1)).over(wk))
+            .where((F.col("__rn") == F.expr("(__m + 1) div 2")) |
+                   (F.col("__rn") == F.expr("(__m + 2) div 2")))
+            .groupBy(*kc)
+            .agg(F.max("__m").alias("n_pairs"),
+                 F.round(F.lit(1e6) * F.avg("__s")).cast("long")
+                 .alias("ts_slope_micro")))
+
+
+def isotonic_calibrate(df, score_col, label_col, buckets=16):
+    """Isotonic (PAV) score calibration — Python mirror of the Scala
+    ``Stats.isotonicCalibrate``: quantile-bucketed score->rate map,
+    driver-side pool-adjacent-violators over the metadata-sized bucket
+    table with exact (arbitrary-precision) cross-product compares."""
+    from decimal import Decimal, ROUND_HALF_UP
+    if not 2 <= buckets <= 256:
+        raise ValueError("buckets must be in [2, 256]")
+    # exact quantile bounds from the distinct-value histogram — the
+    # Scala Stats.quantileBounds algorithm, never approxQuantile
+    s = df.select(F.col(score_col).cast("long").alias("__s"))
+    hist = s.groupBy("__s").agg(F.count(F.lit(1)).alias("__c"))
+    cum = hist.withColumn("__cume", F.sum("__c").over(
+        Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, 0)))
+    tot = s.agg(F.count(F.lit(1)).alias("__n"))
+    pm = df.sparkSession.createDataFrame(
+        [(i * 1000 // buckets,) for i in range(1, buckets)], "__p long")
+    bounds = sorted(r["__b"] for r in
+                    cum.crossJoin(F.broadcast(tot))
+                    .crossJoin(F.broadcast(pm))
+                    .where(F.col("__cume") >=
+                           F.expr("(__n * __p + 999) div 1000"))
+                    .groupBy("__p").agg(F.min("__s").alias("__b"))
+                    .collect())  # bounded: buckets-1 longs
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + F.when(F.col(score_col).cast("long") >=
+                                 F.lit(int(b)), 1).otherwise(0)
+    rows = (df.select(bucket.alias("bucket"),
+                      F.col(label_col).cast("boolean").alias("__y"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.count(F.when(F.col("__y"), 1)).alias("n_pos"))
+            .orderBy("bucket").collect())
+    rows = [(r["bucket"], r["n"], r["n_pos"]) for r in rows]
+    blocks = []
+    for i, (_, n, pos) in enumerate(rows):
+        st, bn, bp = i, n, pos
+        while blocks and bp * blocks[-1][1] < blocks[-1][2] * bn:
+            pst, pn, pp = blocks.pop()
+            st, bn, bp = pst, bn + pn, bp + pp
+        # python ints are arbitrary-precision — the BigInt compare free
+        blocks.append((st, bn, bp))
+    cal = [0] * len(rows)
+    ends = [b[0] for b in blocks[1:]] + [len(rows)]
+    for (st, bn, bp), end in zip(blocks, ends):
+        ppm = int(Decimal(repr(1e6 * (bp / bn))).quantize(0, ROUND_HALF_UP))
+        for i in range(st, end):
+            cal[i] = ppm
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(b, n, p, cal[i]) for i, (b, n, p) in enumerate(rows)],
+        "bucket int, n long, n_pos long, cal_ppm long")
+
+
+def modularity(labels, edges, src_col, dst_col):
+    """Newman-Girvan modularity — Python mirror of the Scala
+    ``Graph.modularity``: exact integer intra-edge/degree moments per
+    community, DECIMAL(38,0) numerator, one round-once division;
+    labels must cover every edge endpoint (enforced with raise_error).
+    """
+    direct = edges.select(F.col(src_col).alias("a"),
+                          F.col(dst_col).alias("b"))
+    e = (direct.unionByName(direct.select(F.col("b").alias("a"),
+                                          F.col("a").alias("b")))
+         .where(F.col("a") != F.col("b")).distinct())
+
+    def need(c, ep):
+        return (F.when(F.col(c).isNotNull(), F.col(c))
+                .otherwise(F.raise_error(F.concat(
+                    F.lit("modularity: edge endpoint "),
+                    F.col(ep).cast("string"),
+                    F.lit(" has no community label")))))
+    with_l = (e.join(labels.select(F.col("node").alias("a"),
+                                   F.col("community").alias("ca")),
+                     ["a"], "left")
+              .join(labels.select(F.col("node").alias("b"),
+                                  F.col("community").alias("cb")),
+                    ["b"], "left")
+              .select("a", "b", need("ca", "a").alias("ca"),
+                      need("cb", "b").alias("cb")))
+    m2t = with_l.agg(F.count(F.lit(1)).alias("__m2"))
+    per_c = (with_l.groupBy("ca")
+             .agg(F.count(F.when(F.col("ca") == F.col("cb"), 1))
+                  .alias("__intra2"),
+                  F.count(F.lit(1)).alias("__deg")))
+    dec = "decimal(38,0)"
+    return (per_c.crossJoin(F.broadcast(m2t))
+            .select("ca",
+                    (F.col("__m2").cast(dec) * F.col("__intra2") -
+                     F.col("__deg").cast(dec) * F.col("__deg"))
+                    .alias("__num_c"), "__m2")
+            .agg(F.count(F.lit(1)).alias("n_communities"),
+                 F.max("__m2").alias("__m2x"), F.sum("__num_c").alias("__num"))
+            .select("n_communities", F.expr("__m2x div 2").alias("m_edges"),
+                    F.round(F.lit(1e6) * F.col("__num").cast("double") /
+                            (F.col("__m2x").cast(dec) * F.col("__m2x"))
+                            .cast("double")).cast("long").alias("q_ppm")))

@@ -1174,3 +1174,146 @@ def test_token_jsd(spark):
     hand = (term(3 / 8, 1 / 8) + term(2 / 8, 3 / 8) +
             term(2 / 8, 2 / 8) + term(1 / 8, 2 / 8))
     assert token_jsd(p, q, "text").collect()[0]["jsd_unats"] == hand
+
+
+def test_mann_whitney_u_hand(spark):
+    from graft.pipeline import mann_whitney_u
+    import math
+    df = spark.createDataFrame(
+        [("k", True, 1), ("k", True, 2), ("k", False, 3), ("k", False, 4)],
+        "k string, g boolean, v long")
+    r = mann_whitney_u(df, ["k"], "g", "v").collect()[0]
+    assert (r["n_a"], r["n_b"], r["u2_a"]) == (2, 2, 0)
+    assert r["z_micro"] == round(1e6 * -4 * math.sqrt(36.0) /
+                                 math.sqrt(240.0))
+    tie = spark.createDataFrame(
+        [("k", True, 1), ("k", True, 1), ("k", False, 1), ("k", False, 2)],
+        "k string, g boolean, v long")
+    rt = mann_whitney_u(tie, ["k"], "g", "v").collect()[0]
+    assert rt["u2_a"] == 2 and rt["z_micro"] == -1000000
+
+
+def test_bh_fdr_stepup(spark):
+    from graft.pipeline import bh_fdr
+    df = spark.createDataFrame(
+        [("t1", 1000), ("t2", 9000), ("t3", 20000), ("t4", 30000),
+         ("t5", 500000), ("t6", 900000)], "id string, p long")
+    out = bh_fdr(df, ["id"], "p").orderBy("rank").collect()
+    assert [r["reject"] for r in out] == [True] * 4 + [False] * 2
+    assert all(r["k_star"] == 4 and r["m_tests"] == 6 for r in out)
+
+
+def test_cuped_theta_and_adjustment(spark):
+    from graft.pipeline import cuped
+    df = spark.createDataFrame(
+        [("e", 0, 10, 20), ("e", 0, 20, 40), ("e", 1, 30, 60),
+         ("e", 1, 40, 80)], "k string, var int, x long, y long")
+    out = cuped(df, ["k"], "var", "x", "y").orderBy("variant").collect()
+    assert (out[0]["mean_adj_micro"], out[1]["mean_adj_micro"]) == \
+        (50000000, 50000000)
+    assert out[0]["theta_micro"] == 2000000
+    assert out[0]["var_reduction_ppm"] == 1000000
+
+
+def test_kendall_tau_hand(spark):
+    from graft.pipeline import kendall_tau
+    import math
+    up = spark.createDataFrame([("k", 1, 1), ("k", 2, 2), ("k", 3, 3)],
+                               "k string, x long, y long")
+    u = kendall_tau(up, ["k"], "x", "y").collect()[0]
+    assert (u["nc"], u["nd"], u["tau_b_micro"]) == (3, 0, 1000000)
+    tie = spark.createDataFrame([("k", 1, 1), ("k", 1, 2), ("k", 2, 3)],
+                                "k string, x long, y long")
+    tb = kendall_tau(tie, ["k"], "x", "y").collect()[0]
+    assert tb["tau_b_micro"] == round(2e6 * 2 / math.sqrt(4.0) /
+                                      math.sqrt(6.0))
+
+
+def test_kaplan_meier_walk_and_extinction(spark):
+    from graft.pipeline import kaplan_meier
+    import math
+    df = spark.createDataFrame(
+        [("k", 1, True), ("k", 2, True), ("k", 3, False), ("k", 4, True),
+         ("k", 5, False)], "k string, d long, e boolean")
+    out = kaplan_meier(df, ["k"], "d", "e").orderBy("t").collect()
+    t1 = round(1e6 * math.log(4.0 / 5.0))
+    t2 = round(1e6 * math.log(3.0 / 4.0))
+    t4 = round(1e6 * math.log(1.0 / 2.0))
+    assert [r["km_log_unats"] for r in out] == \
+        [t1, t1 + t2, t1 + t2, t1 + t2 + t4, t1 + t2 + t4]
+    ext = spark.createDataFrame([("k", 1, True), ("k", 1, True)],
+                                "k string, d long, e boolean")
+    assert kaplan_meier(ext, ["k"], "d", "e").collect()[0]["km_log_unats"] \
+        is None
+
+
+def test_log_rank_hand(spark):
+    from graft.pipeline import log_rank
+    import math
+    df = spark.createDataFrame(
+        [("k", True, 1, True), ("k", True, 3, True),
+         ("k", False, 2, True), ("k", False, 4, False)],
+        "k string, g boolean, d long, e boolean")
+    r = log_rank(df, ["k"], "g", "d", "e").collect()[0]
+    assert (r["n_times"], r["oe_sum_micro"], r["var_sum_micro"]) == \
+        (3, 666667, 722222)
+    assert r["z_micro"] == round(1e3 * 666667.0 / math.sqrt(722222.0))
+
+
+def test_sprt_crossings_and_inverted_bounds(spark):
+    from graft.pipeline import sprt, sprt_constants_micro
+    import pytest
+    lp_s, lp_f, a_up, b_lo = sprt_constants_micro(500, 600, 50, 50)
+    assert (lp_s, lp_f, a_up) == (182322, -223144, 2944439)
+    rows = ([("a", i, True) for i in range(1, 21)] +
+            [("c", i, False) for i in range(1, 15)])
+    df = spark.createDataFrame(rows, "k string, i long, succ boolean")
+    out = {r["k"]: r for r in sprt(df, ["k"], "i", "succ").collect()}
+    assert out["a"]["decision"] == "accept_h1" and \
+        out["a"]["decided_at"] == 17
+    assert out["c"]["decision"] == "accept_h0" and \
+        out["c"]["decided_at"] == 14
+    with pytest.raises(ValueError):
+        sprt(df, ["k"], "i", "succ", alpha_permille=600, beta_permille=500)
+
+
+def test_theil_sen_median_and_guard(spark):
+    from graft.pipeline import theil_sen_slope
+    df = spark.createDataFrame(
+        [("k", 0, 0), ("k", 1, 1), ("k", 2, 2), ("k", 3, 100)],
+        "k string, x long, y long")
+    r = theil_sen_slope(df, ["k"], "x", "y").collect()[0]
+    assert r["n_pairs"] == 6
+    assert r["ts_slope_micro"] == round(1e6 * (1.0 + 100.0 / 3.0) / 2)
+    import pytest
+    with pytest.raises(Exception):
+        theil_sen_slope(df, ["k"], "x", "y", max_series_len=3).collect()
+
+
+def test_isotonic_calibrate_pav(spark):
+    from graft.pipeline import isotonic_calibrate
+    df = spark.createDataFrame(
+        [(1, True), (1, True), (2, False), (2, False), (3, True),
+         (3, False), (4, True), (4, True)], "s long, y boolean")
+    out = isotonic_calibrate(df, "s", "y", buckets=4).orderBy("bucket") \
+        .collect()
+    assert [(r["bucket"], r["n"], r["n_pos"], r["cal_ppm"])
+            for r in out] == [(1, 2, 2, 500000), (2, 2, 0, 500000),
+                              (3, 4, 3, 750000)]
+
+
+def test_modularity_textbook_and_coverage(spark):
+    from graft.pipeline import modularity
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "src long, dst long")
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 4)],
+        "node long, community long")
+    r = modularity(labels, edges, "src", "dst").collect()[0]
+    assert (r["n_communities"], r["m_edges"], r["q_ppm"]) == (2, 7, 357143)
+    import pytest
+    partial = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4)], "node long, community long")
+    with pytest.raises(Exception):
+        modularity(partial, edges, "src", "dst").collect()

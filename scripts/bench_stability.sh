@@ -43,11 +43,6 @@ run() {
   # GC+safepoint unified logging and the in-process watchdog (thread
   # dump at 5x the reference median, see Bench.scala) are the r17 spike
   # forensics: stderr keeps the [spike] per-rep GC deltas.
-  local tag="$1"
-  SPARK_GRAFT_SF_DIR="$SF" \
-  SPARK_GRAFT_BENCH_REF="${BENCH_REF:-BENCH_SELF_r17.json}" \
-  SPARK_GRAFT_BENCH_JSON="$DIAG_DIR/bench_$tag.json" \
-  SPARK_GRAFT_DUMP_DIR="$DIAG_DIR/dumps_$tag" \
   # -Xms24g + AlwaysPreTouch: the r17 stall autopsy found G1
   # committing/uncommitting 3-19 GB across concurrent cycles; after an
   # uncommit, the next allocation burst (broadcast serialization,
@@ -56,6 +51,13 @@ run() {
   # exactly the in-suite spike signature (README "Stall investigation").
   # Pinning the floor above the observed 19.7 GB peak and pre-touching
   # it at startup (untimed) removes the resize churn entirely.
+  # (Comments must stay ABOVE the env block: a comment inside the
+  # backslash continuation silently detaches the env vars from java.)
+  local tag="$1"
+  SPARK_GRAFT_SF_DIR="$SF" \
+  SPARK_GRAFT_BENCH_REF="${BENCH_REF:-BENCH_SELF_r17.json}" \
+  SPARK_GRAFT_BENCH_JSON="$DIAG_DIR/bench_$tag.json" \
+  SPARK_GRAFT_DUMP_DIR="$DIAG_DIR/dumps_$tag" \
   java -Xms24g -Xmx96g -XX:+AlwaysPreTouch -XX:ReservedCodeCacheSize=1g \
     "-Xlog:gc*,safepoint:file=$DIAG_DIR/jvm_$tag.log:time,uptime:filecount=0" \
     -cp "target/scala-2.13/classes:/opt/spark/jars/*" graft.Bench \
