@@ -237,6 +237,27 @@ class StatsSpec extends AnyFunSuite {
     assert(c(0).getLong(4) == c(0).getLong(3) && c(0).isNullAt(5) && c(0).isNullAt(6))
   }
 
+  test("gram matrix memory contract holds at the d=4096 ceiling") {
+    // the documented contract: one ~67 MiB buffer per partial at the
+    // ceiling — construct it, feed a vector, and pin the state size;
+    // one past the ceiling is rejected at plan time
+    val buf = new graft.pipeline.GramBuffer(4096)
+    assert(buf.prods.length == 4096 * 4097 / 2)
+    val bytes = 8L * (buf.prods.length + buf.sums.length + 1)
+    assert(bytes > 64L * 1024 * 1024 && bytes < 70L * 1024 * 1024,
+      s"buffer is $bytes bytes — update the scaladoc contract if this moved")
+    val v = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array.fill[Any](4096)(1L))
+    buf.add(v)
+    assert(buf.n == 1L && buf.sums(0) == 1L && buf.prods(0) == 1L)
+    assert(intercept[IllegalArgumentException] {
+      graft.pipeline.GramMatrixAggregate(
+        org.apache.spark.sql.catalyst.expressions.Literal(null,
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType)), 4097)
+    }.getMessage.contains("4096"))
+  }
+
   test("covarianceMatrix fails loudly on a null vector ELEMENT") {
     // a whole-null vector is skipped (tested above) but a null
     // component inside a vector must abort, not read as 0
