@@ -3218,3 +3218,50 @@ def modularity(labels, edges, src_col, dst_col):
                     F.round(F.lit(1e6) * F.col("__num").cast("double") /
                             (F.col("__m2x").cast(dec) * F.col("__m2x"))
                             .cast("double")).cast("long").alias("q_ppm")))
+
+
+def distribution_distance(ref, cur, value_col):
+    """Wasserstein-1 + total variation + Cramer-von Mises in one pass —
+    Python mirror of the Scala ``Stats.distributionDistance``: exact
+    cross-multiplied CDF gaps over the joint distinct-value histogram,
+    one integer div for W1/TV, per-value nano-rounded terms for CvM."""
+    dec = "decimal(38,0)"
+
+    def hist(df, name):
+        return (df.select(F.col(value_col).cast("long").alias("__v"))
+                .where(F.col("__v").isNotNull())
+                .groupBy("__v").agg(F.count(F.lit(1)).alias(name)))
+    w = Window.orderBy("__v")
+    joined = (hist(ref, "__ca").join(hist(cur, "__cb"), ["__v"],
+                                     "full_outer")
+              .na.fill(0, ["__ca", "__cb"])
+              .withColumn("__cuma", F.sum("__ca").over(w))
+              .withColumn("__cumb", F.sum("__cb").over(w))
+              .withColumn("__width", F.coalesce(
+                  F.lead("__v", 1).over(w) - F.col("__v"), F.lit(0))))
+    na, nb = F.col("__na").cast(dec), F.col("__nb").cast(dec)
+    gap = F.abs(F.col("__cuma").cast(dec) * F.col("__nb") -
+                F.col("__cumb").cast(dec) * F.col("__na"))
+    pgap = F.abs(F.col("__ca").cast(dec) * F.col("__nb") -
+                 F.col("__cb").cast(dec) * F.col("__na"))
+    gap_d = gap.cast("double") / (na * nb).cast("double")
+    cvm_nano = F.round(F.lit(1e9) * gap_d * gap_d *
+                       (F.col("__ca") + F.col("__cb")).cast("double")) \
+        .cast("long")
+    totals = joined.agg(F.sum("__ca").alias("__na"),
+                        F.sum("__cb").alias("__nb"))
+    return (joined.crossJoin(F.broadcast(totals))
+            .agg(F.max("__na").alias("n_ref"), F.max("__nb").alias("n_cur"),
+                 F.sum(gap * F.col("__width")).alias("__w1num"),
+                 F.sum(pgap).alias("__tvnum"),
+                 F.sum(cvm_nano.cast(dec)).alias("__cvmnano"))
+            .selectExpr("n_ref", "n_cur",
+                        "cast(__w1num * 1000000 div "
+                        "(cast(n_ref as decimal(38,0)) * n_cur) as long) "
+                        "as w1_micro",
+                        "cast(__tvnum * 500000 div "
+                        "(cast(n_ref as decimal(38,0)) * n_cur) as long) "
+                        "as tv_ppm",
+                        "cast(__cvmnano div (1000 * "
+                        "(cast(n_ref as decimal(38,0)) + n_cur)) as long) "
+                        "as cvm_micro"))

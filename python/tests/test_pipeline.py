@@ -1317,3 +1317,12 @@ def test_modularity_textbook_and_coverage(spark):
         [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4)], "node long, community long")
     with pytest.raises(Exception):
         modularity(partial, edges, "src", "dst").collect()
+
+
+def test_distribution_distance_hand(spark):
+    from graft.pipeline import distribution_distance
+    ref = spark.createDataFrame([(0,), (10,)], "v long")
+    cur = spark.createDataFrame([(10,), (20,)], "v long")
+    r = distribution_distance(ref, cur, "v").collect()[0]
+    assert (r["w1_micro"], r["tv_ppm"], r["cvm_micro"]) == \
+        (10000000, 500000, 187500)

@@ -3894,6 +3894,16 @@ object SparkEntry {
         all.where(col("event_type") === "view"),
         all.where(col("event_type") === "click"), "vc")
     }),
+    // ---- wave 43: the drift-family completion ----
+    // W1 (magnitude), TV (mass fraction), CvM (whole-curve squared gap)
+    // over the q_ks slices — one pass, exact integers + per-term nano
+    "q_dist_shift" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("event_type"),
+        expr("cast(round(value * 100) as bigint)").as("vc"))
+      graft.pipeline.Stats.distributionDistance(
+        e.where(col("event_type") === "view"),
+        e.where(col("event_type") === "click"), "vc")
+    }),
     // MRR@3 of the IVF list against brute-force truth — the
     // first-hit leg of the retrieval-eval family (recall / nDCG / MRR)
     "q_mrr" -> ((s, dir) => {
@@ -9195,6 +9205,36 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |    END AS km_log_unats
         |FROM tm ORDER BY cohort, t""".stripMargin,
+    "q_dist_shift" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+        |a AS (SELECT vc AS v, COUNT(*)::HUGEINT AS ca FROM e
+        |  WHERE event_type = 'view' AND vc IS NOT NULL GROUP BY 1),
+        |b AS (SELECT vc AS v, COUNT(*)::HUGEINT AS cb FROM e
+        |  WHERE event_type = 'click' AND vc IS NOT NULL GROUP BY 1),
+        |j AS (SELECT COALESCE(a.v, b.v) AS v, COALESCE(ca, 0) AS ca,
+        |    COALESCE(cb, 0) AS cb FROM a FULL OUTER JOIN b ON a.v = b.v),
+        |c AS (SELECT *,
+        |    SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cuma,
+        |    SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cumb,
+        |    COALESCE(LEAD(v) OVER (ORDER BY v) - v, 0) AS width FROM j),
+        |t AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM j),
+        |g AS (SELECT c.*, na, nb, ABS(cuma * nb - cumb * na) AS gap,
+        |    ABS(ca * nb - cb * na) AS pgap FROM c, t)
+        |SELECT CAST(MAX(na) AS BIGINT) AS n_ref,
+        |  CAST(MAX(nb) AS BIGINT) AS n_cur,
+        |  CAST(SUM(gap * width) * 1000000 // (MAX(na) * MAX(nb))
+        |    AS BIGINT) AS w1_micro,
+        |  CAST(SUM(pgap) * 500000 // (MAX(na) * MAX(nb))
+        |    AS BIGINT) AS tv_ppm,
+        |  CAST(SUM(CAST(round(1e9 *
+        |      (CAST(gap AS DOUBLE) / CAST(na * nb AS DOUBLE)) *
+        |      (CAST(gap AS DOUBLE) / CAST(na * nb AS DOUBLE)) *
+        |      CAST(ca + cb AS DOUBLE)) AS BIGINT)) //
+        |    (1000 * (MAX(na) + MAX(nb))) AS BIGINT) AS cvm_micro
+        |FROM g""".stripMargin,
     "q_logrank" ->
       """WITH u AS (SELECT user_id,
         |    (MAX(epoch_ns(ts) // 1000) - MIN(epoch_ns(ts) // 1000))

@@ -1828,6 +1828,81 @@ object Stats {
             sqrt(col("var_sum_micro").cast("double"))).cast("long")))
   }
 
+  /**
+   * Distribution distance triple — the drift-family completion next to
+   * [[psiReport]]/[[ksStatistic]]/[[tokenJSD]]: ONE pass over the two
+   * sides' distinct-value histograms yields the three statistics the
+   * single-number KS gap cannot express:
+   *
+   *   W₁  (Wasserstein-1 / earth-mover) = Σᵢ |F_a−F_b|(vᵢ)·(vᵢ₊₁−vᵢ)
+   *        — drift WITH MAGNITUDE in value units ("the distribution
+   *        moved ~34 ms right"), where KS only says how far CDFs split;
+   *   TV  (total variation) = ½·Σᵢ |p_a−p_b|(vᵢ) — the FRACTION of
+   *        probability mass that must move, shape-blind;
+   *   CvM (Cramér–von Mises, pooled-weight form) =
+   *        Σᵢ (F_a−F_b)²(vᵢ)·(cₐᵢ+c_bᵢ)/N — the whole-curve squared
+   *        gap that catches many-small-deviations drift a max-gap
+   *        statistic misses.
+   *
+   * Exactness: CDF gaps are cross-multiplied counts
+   * (|cumₐ·n_b − cum_b·nₐ|, DECIMAL(38,0) — no divisions until the
+   * end), W₁ and TV finish with ONE integer `div` each; CvM's squared
+   * gap is irrational in counts, so each value's contribution is
+   * rounded ONCE to nano units (the [[tokenJSD]]/[[kaplanMeier]]
+   * per-term discipline: identical double quotient → identical term on
+   * any engine) and summed exactly. NULL metric values are excluded
+   * from both sides by contract (the [[ksStatistic]] rule). Inputs are
+   * integral by contract (pre-scale upstream).
+   *
+   * Scale shape: identical to [[ksStatistic]] — one groupBy per side
+   * to the distinct-value histograms, one full-outer equi-join, one
+   * cumulative window over DISTINCT values (never rows), a one-row
+   * broadcast of the side totals. Overflow contract:
+   * Σ gap·width < 10³⁸ ⇒ nₐ·n_b·range < 10³⁸.
+   *
+   * Returns one row: (n_ref, n_cur, w1_micro, tv_ppm, cvm_micro).
+   */
+  def distributionDistance(ref: DataFrame, cur: DataFrame,
+      valueCol: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val va = ref.select(col(valueCol).cast("long").as("__v"))
+      .where(col("__v").isNotNull)
+      .groupBy("__v").agg(count(lit(1)).as("__ca"))
+    val vb = cur.select(col(valueCol).cast("long").as("__v"))
+      .where(col("__v").isNotNull)
+      .groupBy("__v").agg(count(lit(1)).as("__cb"))
+    val w = W.orderBy("__v")
+    val joined = va.join(vb, Seq("__v"), "full_outer")
+      .na.fill(0L, Seq("__ca", "__cb"))
+      .withColumn("__cuma", sum("__ca").over(w))
+      .withColumn("__cumb", sum("__cb").over(w))
+      .withColumn("__width",
+        coalesce(lead("__v", 1).over(w) - col("__v"), lit(0L)))
+    val na = col("__na").cast(dec); val nb = col("__nb").cast(dec)
+    val gap = abs(col("__cuma").cast(dec) * col("__nb") -
+      col("__cumb").cast(dec) * col("__na"))
+    val pgap = abs(col("__ca").cast(dec) * col("__nb") -
+      col("__cb").cast(dec) * col("__na"))
+    val gapD = gap.cast("double") / (na * nb).cast("double")
+    val cvmNano = round(lit(1e9) * gapD * gapD *
+      (col("__ca") + col("__cb")).cast("double")).cast("long")
+    joined
+      .crossJoin(broadcast(joined.agg(sum("__ca").as("__na"),
+        sum("__cb").as("__nb"))))
+      .agg(max(col("__na")).as("n_ref"), max(col("__nb")).as("n_cur"),
+        sum(gap * col("__width")).as("__w1num"),
+        sum(pgap).as("__tvnum"),
+        sum(cvmNano.cast(dec)).as("__cvmnano"))
+      .select(col("n_ref"), col("n_cur"),
+        expr("cast(__w1num * 1000000 div " +
+          "(cast(n_ref as decimal(38,0)) * n_cur) as long)").as("w1_micro"),
+        expr("cast(__tvnum * 500000 div " +
+          "(cast(n_ref as decimal(38,0)) * n_cur) as long)").as("tv_ppm"),
+        expr("cast(__cvmnano div (1000 * " +
+          "(cast(n_ref as decimal(38,0)) + n_cur)) as long)").as("cvm_micro"))
+  }
+
   /** Poisson(1) inverse-CDF thresholds on the 63-bit uniform scale:
     * weight(u) = Σ_k [u ≥ T_k], k = 0..6 — so per-row bootstrap weights
     * are 0..7 (the ≥8 tail, mass 1e-5, folds into 7). The literals are

@@ -51,6 +51,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_bpe_learn" -> "broadcast one-row best-pair crossJoin per merge round (3 rows total)",
     "q_minhash_eval" -> "broadcast one-row count crossJoins (n_truth, n_cand, tp)",
     "q_ks" -> "broadcast one-row side-totals crossJoin (n_ref, n_cur — 2 longs)",
+    "q_dist_shift" -> "broadcast one-row side-totals crossJoin (the q_ks shape)",
     "q_mrr" -> "broadcast nlist-row centroid table crossJoin (the q_knn_ivf probe ranking) + the labeled brute baseline as MRR ground truth",
     "q_conformal" -> "broadcast one-row calibration-count crossJoin (the n)",
     "q_bm25" -> "broadcast query-term df table + one-row (N, sumlen) totals crossJoin",
@@ -127,7 +128,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_gini" -> "rank over the per-key count aggregate (keys are metadata-sized)",
     "q_qnorm" -> "cumulative counts over the POOLED distinct-score histogram (pre-quantized)",
     "q_spearman" -> "cumulative counts over the two DISTINCT-value histograms (mid-rank ties)",
-    "q_bh_fdr" -> "rank over the PER-TEST p-value table (experiments, not rows — metadata-sized by contract)")
+    "q_bh_fdr" -> "rank over the PER-TEST p-value table (experiments, not rows — metadata-sized by contract)",
+    "q_dist_shift" -> "cumulative sums + lead over DISTINCT metric values (the q_ks machinery)")
 
   test("every window operator is partitioned (no global fact-table sorts)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}

@@ -237,6 +237,27 @@ class StatsSpec extends AnyFunSuite {
     assert(c(0).getLong(4) == c(0).getLong(3) && c(0).isNullAt(5) && c(0).isNullAt(6))
   }
 
+  test("distributionDistance: W1, TV and CvM on a hand shift") {
+    // ref {0,10} vs cur {10,20}: every point moves 10 right ->
+    // W1 = 10 (value units); half the mass must move -> TV = 0.5;
+    // CvM = (0.25*1 + 0.25*2 + 0)/4 = 0.1875
+    val ref = Seq(0L, 10L).toDF("v")
+    val cur = Seq(10L, 20L).toDF("v")
+    val r = Stats.distributionDistance(ref, cur, "v").collect()(0)
+    assert((r.getLong(0), r.getLong(1)) == ((2L, 2L)))
+    assert(r.getLong(2) == 10000000L) // w1_micro
+    assert(r.getLong(3) == 500000L)   // tv_ppm
+    assert(r.getLong(4) == 187500L)   // cvm_micro
+    // identical distributions: all three zero
+    val same = Seq(1L, 2L, 2L).toDF("v")
+    val z = Stats.distributionDistance(same, same, "v").collect()(0)
+    assert(z.getLong(2) == 0L && z.getLong(3) == 0L && z.getLong(4) == 0L)
+    // NULLs carry no position: excluded from both sides (the ks rule)
+    val withNull = Seq(Some(0L), Some(10L), None).toDF("v")
+    val rn = Stats.distributionDistance(withNull, cur, "v").collect()(0)
+    assert(rn.getLong(0) == 2L && rn.getLong(2) == 10000000L)
+  }
+
   test("gram matrix memory contract holds at the d=4096 ceiling") {
     // the documented contract: one ~67 MiB buffer per partial at the
     // ceiling — construct it, feed a vector, and pin the state size;
