@@ -3894,6 +3894,21 @@ object SparkEntry {
         all.where(col("event_type") === "view"),
         all.where(col("event_type") === "click"), "vc")
     }),
+    // the drift monitor's batch face: per user-parity cohort, the click
+    // value histogram scored against the GLOBAL view histogram with the
+    // exact streaming arithmetic (flatMapGroupsWithState in batch mode)
+    "q_drift_monitor" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("user_id"), col("event_type"),
+        expr("cast(round(value * 100) as bigint)").as("vc"))
+      val refHist = e.where(col("event_type") === "view")
+        .groupBy("vc").agg(count(lit(1)).as("c")).orderBy("vc")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq // bounded: cents
+      graft.streaming.StreamingPipeline.driftStream(
+        e.where(col("event_type") === "click")
+          .select(pmod(col("user_id"), lit(4L)).as("k"), col("vc")),
+        "k", "vc", refHist)
+        .toDF().orderBy("key")
+    }),
     // ---- wave 43: the drift-family completion ----
     // W1 (magnitude), TV (mass fraction), CvM (whole-curve squared gap)
     // over the q_ks slices — one pass, exact integers + per-term nano
@@ -9205,6 +9220,41 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |    END AS km_log_unats
         |FROM tm ORDER BY cohort, t""".stripMargin,
+    "q_drift_monitor" ->
+      """WITH e AS (SELECT user_id % 4 AS k, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+        |a AS (SELECT vc AS v, COUNT(*)::HUGEINT AS ca FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |b AS (SELECT k, vc AS v, COUNT(*)::HUGEINT AS cb FROM e
+        |  WHERE event_type = 'click' GROUP BY 1, 2),
+        |keys AS (SELECT DISTINCT k FROM b),
+        |axis AS (SELECT keys.k AS k, a.v AS v FROM keys CROSS JOIN a
+        |  UNION SELECT k, v FROM b),
+        |j AS (SELECT axis.k, axis.v, COALESCE(a.ca, 0) AS ca,
+        |    COALESCE(b.cb, 0) AS cb FROM axis
+        |  LEFT JOIN a ON a.v = axis.v
+        |  LEFT JOIN b ON b.k = axis.k AND b.v = axis.v),
+        |c AS (SELECT *,
+        |    SUM(ca) OVER (PARTITION BY k ORDER BY v ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+        |    SUM(cb) OVER (PARTITION BY k ORDER BY v ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb,
+        |    COALESCE(LEAD(v) OVER (PARTITION BY k ORDER BY v) - v, 0)
+        |      AS width FROM j),
+        |t AS (SELECT k, SUM(ca) AS na, SUM(cb) AS nb FROM j GROUP BY 1),
+        |g AS (SELECT c.*, t.na, t.nb, ABS(cuma * nb - cumb * na) AS gap,
+        |    ABS(ca * nb - cb * na) AS pgap FROM c JOIN t USING (k))
+        |SELECT k AS key, CAST(MAX(nb) AS BIGINT) AS "nCur",
+        |  CAST(SUM(gap * width) * 1000000 // (MAX(na) * MAX(nb))
+        |    AS BIGINT) AS "w1Micro",
+        |  CAST(SUM(pgap) * 500000 // (MAX(na) * MAX(nb))
+        |    AS BIGINT) AS "tvPpm",
+        |  CAST(SUM(CAST(round(1e9 *
+        |      (CAST(gap AS DOUBLE) / CAST(na * nb AS DOUBLE)) *
+        |      (CAST(gap AS DOUBLE) / CAST(na * nb AS DOUBLE)) *
+        |      CAST(ca + cb AS DOUBLE)) AS BIGINT)) //
+        |    (1000 * (MAX(na) + MAX(nb))) AS BIGINT) AS "cvmMicro"
+        |FROM g GROUP BY 1 ORDER BY key""".stripMargin,
     "q_dist_shift" ->
       """WITH e AS (SELECT event_type,
         |    CAST(round(value * 100) AS BIGINT) AS vc FROM events),

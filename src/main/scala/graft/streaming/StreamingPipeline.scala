@@ -1270,4 +1270,82 @@ object StreamingPipeline {
           next
       }
   }
+
+  /** (key, quantized value) projection for the drift monitor. */
+  final case class DriftRow(k: Long, v: Long)
+  /** Per-key state: the ACTIVE quantized histogram (sorted values +
+    * counts) — bounded by `maxBins` by contract, enforced loudly. */
+  final case class DriftSt(vs: Array[Long], cs: Array[Long])
+  /** One report per key per batch that touched it. */
+  final case class DriftOut(key: Long, nCur: Long, w1Micro: Long,
+      tvPpm: Long, cvmMicro: Long)
+
+  /**
+   * Streaming distribution-drift monitor — the live face of
+   * [[graft.pipeline.Stats.distributionDistance]]: per key, the
+   * cumulative quantized histogram of everything seen so far is scored
+   * against a FIXED reference histogram after every micro-batch,
+   * emitting the same three statistics with the same arithmetic
+   * (exact cross-multiplied CDF gaps via BigInt, one floor division
+   * for W₁/TV, per-value nano-rounded CvM terms — spec-pinned parity
+   * with the batch operator on a single batch).
+   *
+   * The reference is a DRIVER-SIDE (value, count) list — the
+   * metadata-sized artifact of an upstream histogram job — and per-key
+   * state is the current histogram, both bounded by `maxBins`
+   * (quantize upstream; a key whose distinct values exceed the cap
+   * fails the batch loudly rather than growing state without bound —
+   * the streaming analog of [[graft.pipeline.Stats.kendallTau]]'s
+   * cell guard).
+   */
+  def driftStream(df: DataFrame, key: String, valueCol: String,
+      refHist: Seq[(Long, Long)], maxBins: Int = 4096): Dataset[DriftOut] = {
+    require(refHist.nonEmpty, "reference histogram must not be empty")
+    require(refHist.size <= maxBins,
+      s"reference histogram has ${refHist.size} bins, cap is $maxBins")
+    require(refHist.forall(_._2 > 0L), "reference counts must be positive")
+    import df.sparkSession.implicits._
+    val refMap = refHist.toMap
+    val na = refHist.map(_._2).sum
+    val rows = df.select(col(key).cast("long").as("k"),
+      col(valueCol).cast("long").as("v")).as[DriftRow]
+    rows.groupByKey(_.k)
+      .flatMapGroupsWithState[DriftSt, DriftOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (k: Long, it: Iterator[DriftRow], state: GroupState[DriftSt]) =>
+          val hist = scala.collection.mutable.LongMap.empty[Long]
+          state.getOption.foreach(st =>
+            st.vs.indices.foreach(i => hist(st.vs(i)) = st.cs(i)))
+          it.foreach(r => hist(r.v) = hist.getOrElse(r.v, 0L) + 1L)
+          if (hist.size > maxBins) throw new IllegalArgumentException(
+            s"drift_stream: key $k grew ${hist.size} distinct values, " +
+              s"cap is $maxBins — quantize the metric coarser upstream")
+          val values = (refMap.keySet ++ hist.keySet).toArray.sorted
+          val nb = hist.values.sum
+          val naB = BigInt(na); val nbB = BigInt(nb)
+          var cuma = 0L; var cumb = 0L
+          var w1num = BigInt(0); var tvnum = BigInt(0); var cvmNano = BigInt(0)
+          var i = 0
+          while (i < values.length) {
+            val ca = refMap.getOrElse(values(i), 0L)
+            val cb = hist.getOrElse(values(i), 0L)
+            cuma += ca; cumb += cb
+            val gap = (BigInt(cuma) * nbB - BigInt(cumb) * naB).abs
+            tvnum += (BigInt(ca) * nbB - BigInt(cb) * naB).abs
+            if (i + 1 < values.length)
+              w1num += gap * (values(i + 1) - values(i))
+            // the batch operator's per-value nano term, same factoring:
+            // round(1e9 * gd * gd * (ca+cb)) with gd = gap/(na*nb)
+            val gd = gap.toDouble / (naB * nbB).toDouble
+            cvmNano += BigInt(math.round(1e9 * gd * gd * (ca + cb).toDouble))
+            i += 1
+          }
+          val vs = hist.keys.toArray.sorted
+          state.update(DriftSt(vs, vs.map(hist)))
+          Iterator.single(DriftOut(k, nb,
+            (w1num * 1000000 / (naB * nbB)).toLong,
+            (tvnum * 500000 / (naB * nbB)).toLong,
+            (cvmNano / (1000 * (naB + nbB))).toLong))
+      }
+  }
 }

@@ -1496,4 +1496,63 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(run() == Set((1L, "p q", true), (1L, "q r", true),
       (2L, "q r", false), (2L, "r s", true)))
   }
+  test("driftStream single batch equals the batch distributionDistance") {
+    val dir = Files.createTempDirectory("stream-drift").toString
+    val rnd = new scala.util.Random(13)
+    // reference: values 0..19 roughly uniform; stream: shifted right
+    val ref = (0 until 400).map(i => Tuple1((rnd.nextInt(20)).toLong))
+      .toDF("v")
+    val refHist = ref.groupBy("v").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+    val cur = (0 until 300).map(i => (1L, (5 + rnd.nextInt(20)).toLong))
+    val curDf = cur.toDF("k", "v")
+    curDf.write.mode("overwrite").parquet(dir)
+    val out = StreamingPipeline.driftStream(
+      spark.readStream.schema(curDf.schema).parquet(dir),
+      "k", "v", refHist)
+    val q = out.toDF().writeStream.format("memory").queryName("drift_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.sql(
+      "SELECT nCur, w1Micro, tvPpm, cvmMicro FROM drift_stream")
+      .collect()(0)
+    val batch = graft.pipeline.Stats.distributionDistance(
+      ref, curDf.select("v"), "v").collect()(0)
+    assert(got.getLong(0) == batch.getLong(1))
+    assert(got.getLong(1) == batch.getLong(2), "w1 parity")
+    assert(got.getLong(2) == batch.getLong(3), "tv parity")
+    assert(got.getLong(3) == batch.getLong(4), "cvm parity")
+    assert(got.getLong(1) > 0L) // the shift is visible
+  }
+
+  test("driftStream accumulates state across batches and caps bins") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val out = StreamingPipeline.driftStream(
+      mem.toDF().toDF("k", "v"), "k", "v",
+      refHist = Seq((0L, 1L), (10L, 1L)), maxBins = 8)
+    val q = out.toDF().writeStream.format("memory").queryName("drift_acc")
+      .outputMode("append").start()
+    try {
+      // batch 1: cur {10, 20} vs ref {0, 10} — the hand case: W1 = 10
+      mem.addData((1L, 10L), (1L, 20L)); q.processAllAvailable()
+      val b1 = spark.sql(
+        "SELECT w1Micro, tvPpm, cvmMicro FROM drift_acc").collect()(0)
+      assert(b1.getLong(0) == 10000000L && b1.getLong(1) == 500000L &&
+        b1.getLong(2) == 187500L)
+      // batch 2: two more rows at 0 and 10 — the CUMULATIVE histogram
+      // {0:1, 10:2, 20:1} must be scored, not the increment alone
+      mem.addData((1L, 0L), (1L, 10L)); q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT nCur, w1Micro FROM drift_acc ORDER BY nCur").collect()
+      assert(rows.length == 2 && rows(1).getLong(0) == 4L)
+      val batch2 = graft.pipeline.Stats.distributionDistance(
+        Seq(0L, 10L).toDF("v"), Seq(10L, 20L, 0L, 10L).toDF("v"), "v")
+        .collect()(0)
+      assert(rows(1).getLong(1) == batch2.getLong(2))
+    } finally q.stop()
+  }
+
 }
