@@ -3265,3 +3265,36 @@ def distribution_distance(ref, cur, value_col):
                         "cast(__cvmnano div (1000 * "
                         "(cast(n_ref as decimal(38,0)) + n_cur)) as long) "
                         "as cvm_micro"))
+
+
+def token_dispersion(df, part_col, text_col, min_count=5, k=50):
+    """Gries' DP token dispersion — Python mirror of the Scala
+    ``Stats.tokenDispersion``: per token, the total-variation distance
+    between its occurrence distribution over parts and the parts' size
+    shares; exact cross-multiplied integers, one floor div per token,
+    top-k most-concentrated first."""
+    dec = "decimal(38,0)"
+    tok = (df.select(F.col(part_col).alias("part"),
+                     F.explode(F.split(F.col(text_col), " "))
+                     .alias("token"))
+           .where(F.col("token") != ""))
+    ctp = tok.groupBy("token", "part").agg(F.count(F.lit(1)).alias("__c"))
+    ft = (ctp.groupBy("token").agg(F.sum("__c").alias("__f"))
+          .where(F.col("__f") >= min_count))
+    np_ = tok.groupBy("part").agg(F.count(F.lit(1)).alias("__np"))
+    tot = np_.agg(F.sum("__np").alias("__N"))
+    return (ft.crossJoin(F.broadcast(np_))
+            .join(ctp, ["token", "part"], "left")
+            .na.fill(0, ["__c"])
+            .crossJoin(F.broadcast(tot))
+            .groupBy("token")
+            .agg(F.max("__f").alias("f"),
+                 F.sum(F.abs(F.col("__c").cast(dec) * F.col("__N") -
+                             F.col("__np").cast(dec) * F.col("__f")))
+                 .alias("__num"),
+                 F.max("__N").alias("__Nx"))
+            .selectExpr("token", "f",
+                        "cast(__num * 500000 div "
+                        "(cast(f as decimal(38,0)) * __Nx) as long) "
+                        "as dp_ppm")
+            .orderBy(F.col("dp_ppm").desc(), "token").limit(k))

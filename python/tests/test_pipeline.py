@@ -1326,3 +1326,13 @@ def test_distribution_distance_hand(spark):
     r = distribution_distance(ref, cur, "v").collect()[0]
     assert (r["w1_micro"], r["tv_ppm"], r["cvm_micro"]) == \
         (10000000, 500000, 187500)
+
+
+def test_token_dispersion_hand(spark):
+    from graft.pipeline import token_dispersion
+    df = spark.createDataFrame([("a", "x x u"), ("b", "u z z")],
+                               "part string, text string")
+    out = {r["token"]: (r["f"], r["dp_ppm"])
+           for r in token_dispersion(df, "part", "text",
+                                     min_count=1, k=10).collect()}
+    assert out["x"] == (2, 500000) and out["u"] == (2, 0)

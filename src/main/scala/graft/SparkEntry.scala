@@ -3894,6 +3894,11 @@ object SparkEntry {
         all.where(col("event_type") === "view"),
         all.where(col("event_type") === "click"), "vc")
     }),
+    // Gries' DP dispersion of the 50 most source-concentrated tokens —
+    // the template/boilerplate screen TF-IDF misses
+    "q_dispersion" -> ((s, dir) =>
+      graft.pipeline.Stats.tokenDispersion(
+        t(s, dir, "documents"), "source", "text", minCount = 5L, k = 50)),
     // the drift monitor's batch face: per user-parity cohort, the click
     // value histogram scored against the GLOBAL view histogram with the
     // exact streaming arithmetic (flatMapGroupsWithState in batch mode)
@@ -9220,6 +9225,26 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |    END AS km_log_unats
         |FROM tm ORDER BY cohort, t""".stripMargin,
+    "q_dispersion" ->
+      """WITH tk AS (SELECT source AS part,
+        |    unnest(string_split(text, ' ')) AS token FROM documents),
+        |tk2 AS (SELECT part, token FROM tk WHERE token <> ''),
+        |ctp AS (SELECT token, part, COUNT(*)::HUGEINT AS c
+        |  FROM tk2 GROUP BY 1, 2),
+        |ft AS (SELECT token, SUM(c) AS f FROM ctp GROUP BY 1
+        |  HAVING SUM(c) >= 5),
+        |np AS (SELECT part, COUNT(*)::HUGEINT AS n_p FROM tk2 GROUP BY 1),
+        |tot AS (SELECT SUM(n_p) AS nn FROM np),
+        |grid AS (SELECT ft.token, ft.f, np.part, np.n_p,
+        |    COALESCE(ctp.c, 0) AS c
+        |  FROM ft CROSS JOIN np LEFT JOIN ctp
+        |    ON ctp.token = ft.token AND ctp.part = np.part),
+        |agg AS (SELECT token, MAX(f) AS f,
+        |    SUM(ABS(c * nn - n_p * f)) AS num, MAX(nn) AS nx
+        |  FROM grid, tot GROUP BY 1)
+        |SELECT token, CAST(f AS BIGINT) AS f,
+        |  CAST(num * 500000 // (f * nx) AS BIGINT) AS dp_ppm
+        |FROM agg ORDER BY dp_ppm DESC, token LIMIT 50""".stripMargin,
     "q_drift_monitor" ->
       """WITH e AS (SELECT user_id % 4 AS k, event_type,
         |    CAST(round(value * 100) AS BIGINT) AS vc FROM events),

@@ -1903,6 +1903,59 @@ object Stats {
           "(cast(n_ref as decimal(38,0)) + n_cur)) as long)").as("cvm_micro"))
   }
 
+  /**
+   * Token dispersion (Gries' DP, '08) — the corpus-linguistics audit
+   * "is this token spread across the corpus or concentrated in a few
+   * sources": for each token, the total-variation distance between its
+   * occurrence distribution over parts and the parts' size shares,
+   *
+   *   DP(t) = ½ · Σ_p | c_tp/f_t − n_p/N |   ∈ [0, 1)
+   *
+   * 0 = perfectly proportional everywhere (function words), →1 =
+   * concentrated in one vanishing part (boilerplate, templates, source
+   * tags — the contamination/template screen TF-IDF misses because it
+   * ignores WHERE the mass sits). Exact integers: the inner term is
+   * |c_tp·N − n_p·f_t| (DECIMAL(38,0) cross-products), one floor `div`
+   * per token at the end — engine-replayable.
+   *
+   * Scale shape: one (token, part) groupBy rides the token explode
+   * (map-side combined); the dense token×part grid comes from
+   * broadcasting the PARTS dimension (sources — metadata-sized by
+   * construction, the [[tokenLabelMI]] dense-grid pattern) onto the
+   * minCount-filtered token list, so absent cells score their full
+   * |0 − n_p·f_t| instead of silently vanishing; top-k is a
+   * TakeOrdered, never a global sort.
+   *
+   * Returns k rows: (token, f, dp_ppm), most-dispersed-first.
+   */
+  def tokenDispersion(df: DataFrame, partCol: String, textCol: String,
+      minCount: Long = 5L, k: Int = 50): DataFrame = {
+    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
+    require(k >= 1 && k <= 10000, s"k must be in [1, 10000], got $k")
+    val dec = "decimal(38,0)"
+    val tok = df.select(col(partCol).as("part"),
+        explode(split(col(textCol), " ")).as("token"))
+      .where(col("token") =!= "")
+    val ctp = tok.groupBy("token", "part").agg(count(lit(1)).as("__c"))
+    val ft = ctp.groupBy("token").agg(sum("__c").as("__f"))
+      .where(col("__f") >= minCount)
+    val np = tok.groupBy("part").agg(count(lit(1)).as("__np"))
+    val tot = np.agg(sum("__np").as("__N"))
+    ft.crossJoin(broadcast(np))
+      .join(ctp, Seq("token", "part"), "left")
+      .na.fill(0L, Seq("__c"))
+      .crossJoin(broadcast(tot))
+      .groupBy("token")
+      .agg(max("__f").as("f"),
+        sum(abs(col("__c").cast(dec) * col("__N") -
+          col("__np").cast(dec) * col("__f"))).as("__num"),
+        max("__N").as("__Nx"))
+      .select(col("token"), col("f"),
+        expr("cast(__num * 500000 div " +
+          "(cast(f as decimal(38,0)) * __Nx) as long)").as("dp_ppm"))
+      .orderBy(col("dp_ppm").desc, col("token")).limit(k)
+  }
+
   /** Poisson(1) inverse-CDF thresholds on the 63-bit uniform scale:
     * weight(u) = Σ_k [u ≥ T_k], k = 0..6 — so per-row bootstrap weights
     * are 0..7 (the ≥8 tail, mass 1e-5, folds into 7). The literals are

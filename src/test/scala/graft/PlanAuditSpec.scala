@@ -52,6 +52,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_minhash_eval" -> "broadcast one-row count crossJoins (n_truth, n_cand, tp)",
     "q_ks" -> "broadcast one-row side-totals crossJoin (n_ref, n_cur — 2 longs)",
     "q_dist_shift" -> "broadcast one-row side-totals crossJoin (the q_ks shape)",
+    "q_dispersion" -> "broadcast parts-dimension + one-row total crossJoins (the dense-grid pattern; parts are metadata-sized)",
     "q_mrr" -> "broadcast nlist-row centroid table crossJoin (the q_knn_ivf probe ranking) + the labeled brute baseline as MRR ground truth",
     "q_conformal" -> "broadcast one-row calibration-count crossJoin (the n)",
     "q_bm25" -> "broadcast query-term df table + one-row (N, sumlen) totals crossJoin",

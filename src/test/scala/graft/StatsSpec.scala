@@ -258,6 +258,24 @@ class StatsSpec extends AnyFunSuite {
     assert(rn.getLong(0) == 2L && rn.getLong(2) == 10000000L)
   }
 
+  test("tokenDispersion: concentrated tokens score DP=0.5, uniform 0") {
+    // parts a and b of equal token mass: "x x" only in a, "u" in both
+    val df = Seq(("a", "x x u"), ("b", "u z z")).toDF("part", "text")
+    val out = Stats.tokenDispersion(df, "part", "text", minCount = 1L, k = 10)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // x: c_a=2, c_b=0, f=2, n_a=n_b=3, N=6:
+    // num = |2*6-3*2| + |0-3*2| = 12 -> dp = 12*0.5/(2*6) = 0.5
+    assert(out("x") == ((2L, 500000L)))
+    assert(out("z") == ((2L, 500000L)))
+    // u: 1 in each equal part -> perfectly proportional, DP = 0
+    assert(out("u") == ((2L, 0L)))
+    // minCount filters the long tail; k caps output
+    assert(Stats.tokenDispersion(df, "part", "text", minCount = 3L, k = 10)
+      .count() == 0L)
+    assert(Stats.tokenDispersion(df, "part", "text", minCount = 1L, k = 2)
+      .count() == 2L)
+  }
+
   test("gram matrix memory contract holds at the d=4096 ceiling") {
     // the documented contract: one ~67 MiB buffer per partial at the
     // ceiling — construct it, feed a vector, and pin the state size;
