@@ -3903,8 +3903,11 @@ object SparkEntry {
     // value histogram scored against the GLOBAL view histogram with the
     // exact streaming arithmetic (flatMapGroupsWithState in batch mode)
     "q_drift_monitor" -> ((s, dir) => {
+      // deci-units, not centi: the reference histogram must respect the
+      // monitor's maxBins cap at EVERY SF (centi hits 9913 bins at
+      // sf0.1 and the guard fails the job loudly — as designed)
       val e = t(s, dir, "events").select(col("user_id"), col("event_type"),
-        expr("cast(round(value * 100) as bigint)").as("vc"))
+        expr("cast(round(value * 10) as bigint)").as("vc"))
       val refHist = e.where(col("event_type") === "view")
         .groupBy("vc").agg(count(lit(1)).as("c")).orderBy("vc")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq // bounded: cents
@@ -9247,7 +9250,7 @@ object SparkEntry {
         |FROM agg ORDER BY dp_ppm DESC, token LIMIT 50""".stripMargin,
     "q_drift_monitor" ->
       """WITH e AS (SELECT user_id % 4 AS k, event_type,
-        |    CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+        |    CAST(round(value * 10) AS BIGINT) AS vc FROM events),
         |a AS (SELECT vc AS v, COUNT(*)::HUGEINT AS ca FROM e
         |  WHERE event_type = 'view' GROUP BY 1),
         |b AS (SELECT k, vc AS v, COUNT(*)::HUGEINT AS cb FROM e
