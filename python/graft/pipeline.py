@@ -975,6 +975,28 @@ def cusum(df, keys, order_col, value_col, ref, slack, threshold):
             .drop("__graft_ph", "__graft_pl"))
 
 
+def quantize_step(df, value_col, max_bins=4096):
+    """Scale-aware quantization step — Python mirror of the Scala
+    ``Stats.quantizeStep``: the smallest power-of-10 step ``s`` such
+    that ``count(distinct v div s) <= max_bins``. Exact, deterministic
+    and engine-replayable (a distinct-count lattice over the distinct
+    value table, no HLL). Use the result as ``expr(f"v div {s}")``
+    before feeding any quantize-first operator (psi/ks/dist-shift/
+    kendall/drift_stream) — a hand-picked width safe at one scale
+    detonates those operators' fail-loud bin guards at 10x."""
+    if max_bins < 32:
+        raise ValueError("max_bins must be >= 32, got %d" % max_bins)
+    steps = [10 ** e for e in range(19)]
+    dv = (df.where(F.col(value_col).isNotNull())
+          .select(F.col(value_col).cast("long").alias("__v")).distinct())
+    row = dv.agg(*[F.countDistinct(F.expr("__v div %dL" % s))
+                   .alias("c%d" % s) for s in steps]).head()
+    for i, s in enumerate(steps):
+        if row[i] <= max_bins:
+            return s
+    return steps[-1]
+
+
 def psi_report(ref, cur, value_col, buckets=10):
     """Population stability index drift report — Python mirror of the
     Scala ``Stats.psiReport``: reference-decile boundaries from the
@@ -2793,25 +2815,29 @@ def mann_whitney_u(df, keys, group_col, value_col):
     n, na = F.col("__n"), F.col("__na")
     nb = n - na
     u2a = F.col("__r2a") - na * (na + F.lit(1))
-    denom = na * nb * (n * n * n - n - F.col("__t"))
+    # factored denominator: each factor fits DECIMAL(38,0) to n ~ 1e12
+    d1 = na * nb
+    d2 = n * n * n - n - F.col("__t")
     return m.select(
         *kc, na.cast("long").alias("n_a"), nb.cast("long").alias("n_b"),
         u2a.cast("long").alias("u2_a"),
-        F.when((na == 0) | (nb == 0) | (denom == 0),
+        F.when((na == 0) | (nb == 0) | (d2 == 0),
                F.lit(None).cast("long"))
         .otherwise(F.round(F.lit(1e6) * (u2a - na * nb).cast("double") *
                    F.sqrt((F.lit(3).cast(dec) * n * (n - F.lit(1)))
                           .cast("double")) /
-                   F.sqrt(denom.cast("double"))).cast("long"))
+                   F.sqrt(d1.cast("double")) /
+                   F.sqrt(d2.cast("double"))).cast("long"))
         .alias("z_micro"))
 
 
-def bh_fdr(df, key_cols, p_micro_col, q_micro=50000):
+def bh_fdr(df, key_cols, p_micro_col, q_micro=50000, max_tests=1000000):
     """Benjamini-Hochberg step-up FDR — Python mirror of the Scala
     ``Stats.bhFdr``: pure long arithmetic (p_micro*m <= k*q_micro) over
     the metadata-sized per-test table; ties decide together by
-    construction. Returns key cols + (p_micro, rank, m_tests, k_star,
-    reject)."""
+    construction. A ``max_tests`` count guard fails loudly if a
+    corpus-sized table reaches the single-partition rank window.
+    Returns key cols + (p_micro, rank, m_tests, k_star, reject)."""
     kc = [F.col(k) for k in key_cols]
     ordered = Window.orderBy(F.col("p_micro"), *kc)
     ranked = (df.select(*kc,
@@ -2820,6 +2846,13 @@ def bh_fdr(df, key_cols, p_micro_col, q_micro=50000):
                           F.row_number().over(ordered).cast("long")))
     kstar = (ranked
              .withColumn("__m", F.count(F.lit(1)).over(Window.partitionBy()))
+             .withColumn("__m", F.when(F.col("__m") <= max_tests,
+                                       F.col("__m"))
+                         .otherwise(F.raise_error(F.concat(
+                             F.lit("bh_fdr: per-test table has "),
+                             F.col("__m").cast("string"),
+                             F.lit(" rows, exceeds max_tests=%d"
+                                   % max_tests)))))
              .agg(F.max("__m").alias("m_tests"),
                   F.max(F.when(F.col("p_micro") * F.col("__m") <=
                                F.col("rank") * F.lit(q_micro),
@@ -3267,12 +3300,14 @@ def distribution_distance(ref, cur, value_col):
                         "as cvm_micro"))
 
 
-def token_dispersion(df, part_col, text_col, min_count=5, k=50):
+def token_dispersion(df, part_col, text_col, min_count=5, k=50,
+                     max_parts=10000):
     """Gries' DP token dispersion — Python mirror of the Scala
     ``Stats.tokenDispersion``: per token, the total-variation distance
     between its occurrence distribution over parts and the parts' size
     shares; exact cross-multiplied integers, one floor div per token,
-    top-k most-concentrated first."""
+    top-k most-concentrated first. A ``max_parts`` distinct-count guard
+    fails loudly if the part column is corpus-cardinality."""
     dec = "decimal(38,0)"
     tok = (df.select(F.col(part_col).alias("part"),
                      F.explode(F.split(F.col(text_col), " "))
@@ -3281,7 +3316,17 @@ def token_dispersion(df, part_col, text_col, min_count=5, k=50):
     ctp = tok.groupBy("token", "part").agg(F.count(F.lit(1)).alias("__c"))
     ft = (ctp.groupBy("token").agg(F.sum("__c").alias("__f"))
           .where(F.col("__f") >= min_count))
-    np_ = tok.groupBy("part").agg(F.count(F.lit(1)).alias("__np"))
+    np_ = (tok.groupBy("part").agg(F.count(F.lit(1)).alias("__np"))
+           .withColumn("__nparts",
+                       F.count(F.lit(1)).over(Window.partitionBy()))
+           .withColumn("__np", F.when(F.col("__nparts") <= max_parts,
+                                      F.col("__np"))
+                       .otherwise(F.raise_error(F.concat(
+                           F.lit("token_dispersion: "),
+                           F.col("__nparts").cast("string"),
+                           F.lit(" distinct parts exceeds max_parts=%d"
+                                 % max_parts)))))
+           .drop("__nparts"))
     tot = np_.agg(F.sum("__np").alias("__N"))
     return (ft.crossJoin(F.broadcast(np_))
             .join(ctp, ["token", "part"], "left")

@@ -1201,6 +1201,11 @@ def test_bh_fdr_stepup(spark):
     out = bh_fdr(df, ["id"], "p").orderBy("rank").collect()
     assert [r["reject"] for r in out] == [True] * 4 + [False] * 2
     assert all(r["k_star"] == 4 and r["m_tests"] == 6 for r in out)
+    # max_tests guard: at the cap passes, over fails loudly
+    assert bh_fdr(df, ["id"], "p", max_tests=6).count() == 6
+    import pytest
+    with pytest.raises(Exception, match="bh_fdr"):
+        bh_fdr(df, ["id"], "p", max_tests=5).collect()
 
 
 def test_cuped_theta_and_adjustment(spark):
@@ -1336,3 +1341,19 @@ def test_token_dispersion_hand(spark):
            for r in token_dispersion(df, "part", "text",
                                      min_count=1, k=10).collect()}
     assert out["x"] == (2, 500000) and out["u"] == (2, 0)
+    # max_parts guard: at the cap passes, over fails loudly
+    assert token_dispersion(df, "part", "text", min_count=1, k=10,
+                            max_parts=2).count() == 3
+    import pytest
+    with pytest.raises(Exception, match="token_dispersion"):
+        token_dispersion(df, "part", "text", min_count=1, k=10,
+                         max_parts=1).collect()
+
+
+def test_quantize_step_lattice(spark):
+    from graft.pipeline import quantize_step
+    df = spark.range(100).selectExpr("id as v")
+    assert quantize_step(df, "v", max_bins=100) == 1
+    assert quantize_step(df, "v", max_bins=32) == 10
+    wide = spark.range(10000).selectExpr("id as v")
+    assert quantize_step(wide, "v", max_bins=32) == 1000

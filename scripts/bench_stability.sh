@@ -34,6 +34,38 @@ sbt -batch compile >/dev/null
 
 DIAG_DIR="${DIAG_DIR:-/tmp/graft_bench_diag}"
 mkdir -p "$DIAG_DIR"
+# Stale per-run artifacts from earlier invocations would be re-grepped
+# into this run's spike report and pollute spike_autopsy.py's evidence
+# (r17 advice) — clear them before phase 2 writes fresh ones.
+rm -rf "$DIAG_DIR"/stderr_*.log "$DIAG_DIR"/bench_*.json \
+  "$DIAG_DIR"/jvm_*.log "$DIAG_DIR"/dumps_*
+
+# r17 pair C lesson: run 2 launched while run 1's 24 GB JVM was still
+# releasing memory and paid a 3.82x launch-overlap outlier. Serialize:
+# wait for every prior graft.Bench JVM to fully exit AND for
+# MemAvailable to recover above the pinned heap floor + headroom
+# before launching the next run.
+MEM_FLOOR_KB="${MEM_FLOOR_KB:-31457280}"   # 30 GiB > 24g Xms + headroom
+wait_for_quiet() {
+  local deadline=$((SECONDS + 300))
+  while pgrep -f 'graft\.Bench' >/dev/null 2>&1; do
+    if (( SECONDS >= deadline )); then
+      echo "wait_for_quiet: prior graft.Bench JVM still alive after 300s" >&2
+      exit 1
+    fi
+    sleep 2
+  done
+  while true; do
+    local avail
+    avail=$(awk '/MemAvailable/{print $2}' /proc/meminfo)
+    (( avail >= MEM_FLOOR_KB )) && break
+    if (( SECONDS >= deadline )); then
+      echo "wait_for_quiet: MemAvailable ${avail}kB never recovered above ${MEM_FLOOR_KB}kB" >&2
+      exit 1
+    fi
+    sleep 2
+  done
+}
 
 run() {
   # $1 = run tag (gc/safepoint log + stderr + json land under DIAG_DIR).
@@ -66,9 +98,11 @@ run() {
 }
 
 echo "phase 2: isolated run 1..." >&2
+wait_for_quiet
 J1="$(run 1)"
 echo "$J1"
 echo "phase 2: isolated run 2..." >&2
+wait_for_quiet
 J2="$(run 2)"
 echo "$J2"
 grep -h '^\[spike\]\|^\[watchdog\]' "$DIAG_DIR"/stderr_*.log >&2 || true

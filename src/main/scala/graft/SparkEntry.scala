@@ -3903,18 +3903,24 @@ object SparkEntry {
     // value histogram scored against the GLOBAL view histogram with the
     // exact streaming arithmetic (flatMapGroupsWithState in batch mode)
     "q_drift_monitor" -> ((s, dir) => {
-      // deci-units, not centi: the reference histogram must respect the
-      // monitor's maxBins cap at EVERY SF (centi hits 9913 bins at
-      // sf0.1 and the guard fails the job loudly — as designed)
-      val e = t(s, dir, "events").select(col("user_id"), col("event_type"),
-        expr("cast(round(value * 10) as bigint)").as("vc"))
+      // the bin width is COMPUTED, not hand-picked: centi-quantize,
+      // then quantizeStep probes the distinct-value lattice for the
+      // finest power-of-10 step fitting the monitor's maxBins cap at
+      // THIS scale (the r17 lesson: hand-picked centi hit 9913 bins at
+      // sf0.1 and the guard failed the job loudly — as designed; the
+      // oracle replays the identical step computation in SQL)
+      val e0 = t(s, dir, "events").select(col("user_id"), col("event_type"),
+        expr("cast(round(value * 100) as bigint)").as("vc"))
+      val step = graft.pipeline.Stats.quantizeStep(e0, "vc", maxBins = 4096)
+      val e = e0.select(col("user_id"), col("event_type"),
+        expr(s"vc div ${step}L").as("vq"))
       val refHist = e.where(col("event_type") === "view")
-        .groupBy("vc").agg(count(lit(1)).as("c")).orderBy("vc")
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq // bounded: cents
+        .groupBy("vq").agg(count(lit(1)).as("c")).orderBy("vq")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq // bounded: <= maxBins
       graft.streaming.StreamingPipeline.driftStream(
         e.where(col("event_type") === "click")
-          .select(pmod(col("user_id"), lit(4L)).as("k"), col("vc")),
-        "k", "vc", refHist)
+          .select(pmod(col("user_id"), lit(4L)).as("k"), col("vq")),
+        "k", "vq", refHist)
         .toDF().orderBy("key")
     }),
     // ---- wave 43: the drift-family completion ----
@@ -9169,11 +9175,12 @@ object SparkEntry {
         |  CAST(n - na AS BIGINT) AS n_b,
         |  CAST(r2a - na * (na + 1) AS BIGINT) AS u2_a,
         |  CASE WHEN na = 0 OR n = na
-        |      OR na * (n - na) * (n * n * n - n - t) = 0 THEN NULL
+        |      OR n * n * n - n - t = 0 THEN NULL
         |    ELSE CAST(round(1e6 *
         |      CAST(r2a - na * (na + 1) - na * (n - na) AS DOUBLE) *
         |      sqrt(CAST(3 * n * (n - 1) AS DOUBLE)) /
-        |      sqrt(CAST(na * (n - na) * (n * n * n - n - t) AS DOUBLE)))
+        |      sqrt(CAST(na * (n - na) AS DOUBLE)) /
+        |      sqrt(CAST(n * n * n - n - t AS DOUBLE)))
         |      AS BIGINT) END AS z_micro
         |FROM m ORDER BY source""".stripMargin,
     "q_kendall" ->
@@ -9249,8 +9256,15 @@ object SparkEntry {
         |  CAST(num * 500000 // (f * nx) AS BIGINT) AS dp_ppm
         |FROM agg ORDER BY dp_ppm DESC, token LIMIT 50""".stripMargin,
     "q_drift_monitor" ->
-      """WITH e AS (SELECT user_id % 4 AS k, event_type,
-        |    CAST(round(value * 10) AS BIGINT) AS vc FROM events),
+      """WITH e0 AS (SELECT user_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+        |dv AS (SELECT DISTINCT vc FROM e0 WHERE vc IS NOT NULL),
+        |bins AS (SELECT s, COUNT(DISTINCT vc // s) AS nb FROM dv
+        |  CROSS JOIN (VALUES (1::BIGINT),(10),(100),(1000),(10000),
+        |    (100000),(1000000),(10000000),(100000000)) t(s) GROUP BY s),
+        |st AS (SELECT MIN(s) AS step FROM bins WHERE nb <= 4096),
+        |e AS (SELECT user_id % 4 AS k, event_type,
+        |    vc // step AS vc FROM e0, st),
         |a AS (SELECT vc AS v, COUNT(*)::HUGEINT AS ca FROM e
         |  WHERE event_type = 'view' GROUP BY 1),
         |b AS (SELECT k, vc AS v, COUNT(*)::HUGEINT AS cb FROM e

@@ -343,6 +343,42 @@ object Stats {
       .collect().map(_.getLong(1)).sorted // bounded: buckets-1 longs
   }
 
+  /**
+   * Scale-aware quantization step for the quantize-first family
+   * ([[psiReport]], [[ksStatistic]], [[distributionDistance]],
+   * [[kendallTau]], [[graft.streaming.StreamingPipeline.driftStream]]):
+   * every one of those operators pushes a bin-width choice onto the
+   * caller, and a hand-picked width that is safe at one scale detonates
+   * the fail-loud bin guard at 10× (the q_drift_monitor centi-bin
+   * blowout: 9913 bins at sf0.1 against a 4096 cap). This helper
+   * COMPUTES the width instead: the smallest power-of-10 step `s` such
+   * that `count(distinct v div s) <= maxBins` — exact, deterministic,
+   * and engine-replayable (a plain distinct-count lattice, no HLL
+   * sketch, so a DuckDB/any-engine oracle reproduces the identical
+   * step; negative values use trunc division like Spark's `div`).
+   *
+   * Cost/scale shape: ONE distinct on the value column (the same
+   * distinct-value table every downstream histogram materializes
+   * anyway) + one 19-way count-distinct rollup over it (Spark expands
+   * ×19 over DISTINCT VALUES, never corpus rows). Use it once per
+   * pipeline and quantize with `col div step`.
+   *
+   * Recipe: `val s = quantizeStep(df, "v"); df.withColumn("vq",
+   * expr(s"v div ${s}L"))` — then feed `vq` to the family operator.
+   */
+  def quantizeStep(df: DataFrame, valueCol: String,
+      maxBins: Int = 4096): Long = {
+    require(maxBins >= 32, s"maxBins must be >= 32, got $maxBins")
+    val steps = Iterator.iterate(1L)(_ * 10L).take(19).toSeq
+    val dv = df.where(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("long").as("__v")).distinct()
+    val aggs = steps.map(s => countDistinct(expr(s"__v div ${s}L")).as(s"c$s"))
+    val row = dv.agg(aggs.head, aggs.tail: _*).head()
+    val i = steps.indices.find(i => row.getLong(i) <= maxBins)
+    // 10^18 collapses any long range to <= 19 bins, so `find` always hits
+    steps(i.get)
+  }
+
   def psiReport(ref: DataFrame, cur: DataFrame, valueCol: String,
       buckets: Int = 10): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
@@ -912,6 +948,8 @@ object Stats {
    * the fact rows shuffle once per side. Continuous metrics should be
    * bucketed/scaled first (the pre-scaled-long contract); the global
    * window runs over the distinct-value table, not the corpus.
+   * Bin-width choice is SCALE-SENSITIVE — compute it with
+   * [[quantizeStep]] instead of hand-picking.
    */
   def ksStatistic(ref: DataFrame, cur: DataFrame,
       valueCol: String): DataFrame = {
@@ -1462,7 +1500,12 @@ object Stats {
    * window (partitioned by key, ordered by value — distinct values,
    * never a row sort: the [[psiReport]] discipline), then ONE
    * map-side-combinable moment rollup per key. Overflow contract:
-   * per-key n³ < 10³⁸ ⇒ n to ~10¹² rows/key.
+   * the z denominator is FACTORED — √(n_A·n_B)·√(n³−n−T), each factor
+   * an exact DECIMAL(38,0) cast to double separately (the combined
+   * product n_A·n_B·(n³−n−T) ~ n⁵/4 would overflow 38 digits at
+   * ~5·10⁷ rows/key) — so the binding bound is n³ < 10³⁸ ⇒ n to
+   * ~10¹² rows/key, and an overflow NULL can never masquerade as the
+   * "statistic undefined" NULL below that bound.
    *
    * Returns keys + (n_a, n_b, u2_a, z_micro); group = true is "A".
    */
@@ -1488,14 +1531,17 @@ object Stats {
           .as("__t"))
     val n = col("__n"); val na = col("__na"); val nb = col("__n") - col("__na")
     val u2a = col("__r2a") - na * (na + lit(1L))
-    val denom = na * nb * (n * n * n - n - col("__t"))
+    // factored denominator: each factor fits DECIMAL(38,0) to n ~ 1e12
+    val d1 = na * nb
+    val d2 = n * n * n - n - col("__t")
     m.select((keys.map(col) :+
       na.cast("long").as("n_a") :+ nb.cast("long").as("n_b") :+
       u2a.cast("long").as("u2_a") :+
-      when(na === 0L || nb === 0L || denom === 0L, lit(null).cast("long"))
+      when(na === 0L || nb === 0L || d2 === 0L, lit(null).cast("long"))
         .otherwise(round(lit(1e6) * (u2a - na * nb).cast("double") *
           sqrt((lit(3L).cast(dec) * n * (n - lit(1L))).cast("double")) /
-          sqrt(denom.cast("double"))).cast("long")).as("z_micro")): _*)
+          sqrt(d1.cast("double")) / sqrt(d2.cast("double")))
+          .cast("long")).as("z_micro")): _*)
   }
 
   /**
@@ -1515,15 +1561,20 @@ object Stats {
    * corpus-sized work happened upstream producing the p's), so the
    * single-partition rank window and the one-row k* broadcast are
    * bounded by construction — the [[isotonicCalibrate]] driver-table
-   * discipline, kept distributed anyway.
+   * discipline, kept distributed anyway. The contract is ENFORCED:
+   * a `maxTests` count guard (the [[kendallTau]] raise_error
+   * discipline) fails the job loudly if a corpus-sized table is fed
+   * through the single-partition rank window; raise the cap
+   * deliberately if your experiment registry is genuinely bigger.
    *
    * Returns keyCols + (p_micro, rank, m_tests, k_star, reject).
    */
   def bhFdr(df: DataFrame, keyCols: Seq[String], pMicroCol: String,
-      qMicro: Long = 50000L): DataFrame = {
+      qMicro: Long = 50000L, maxTests: Long = 1000000L): DataFrame = {
     require(keyCols.nonEmpty, "keyCols required")
     require(qMicro >= 1L && qMicro <= 1000000L,
       s"qMicro must be in [1, 1000000], got $qMicro")
+    require(maxTests >= 1L, s"maxTests must be >= 1, got $maxTests")
     val W = org.apache.spark.sql.expressions.Window
     val ordered = W.orderBy(col("p_micro") +: keyCols.map(col): _*)
     val ranked = df
@@ -1531,6 +1582,13 @@ object Stats {
       .withColumn("rank", row_number().over(ordered).cast("long"))
     val kstar = ranked
       .withColumn("__m", count(lit(1)).over(W.partitionBy()))
+      .withColumn("__m", when(col("__m") <= maxTests, col("__m"))
+        .otherwise(raise_error(concat(
+          lit("bh_fdr: per-test table has "), col("__m"),
+          lit(s" rows, exceeds maxTests=$maxTests; the global rank " +
+            "window is single-partition by design over a METADATA-sized " +
+            "experiment registry — this looks like a corpus-sized table; " +
+            "aggregate upstream or raise the cap deliberately")))))
       .agg(max("__m").as("m_tests"),
         max(when(col("p_micro") * col("__m") <= col("rank") * qMicro,
           col("rank"))).as("k_star"))
@@ -1630,7 +1688,8 @@ object Stats {
    * per-key distinct-cell table is bounded; the cell self-join is D²
    * per key, GUARDED by `maxCellsPerKey` with a fail-loud raise_error
    * riding the aggregated cell table (the [[theilSenSlope]] guard
-   * pattern — the corpus itself is never pair-joined).
+   * pattern — the corpus itself is never pair-joined). Bucket width
+   * is SCALE-SENSITIVE — compute it with [[quantizeStep]] per metric.
    *
    * Returns keys + (n, nc, nd, tau_b_micro).
    */
@@ -1858,7 +1917,8 @@ object Stats {
    * to the distinct-value histograms, one full-outer equi-join, one
    * cumulative window over DISTINCT values (never rows), a one-row
    * broadcast of the side totals. Overflow contract:
-   * Σ gap·width < 10³⁸ ⇒ nₐ·n_b·range < 10³⁸.
+   * Σ gap·width < 10³⁸ ⇒ nₐ·n_b·range < 10³⁸. Bin-width choice is
+   * SCALE-SENSITIVE — compute it with [[quantizeStep]].
    *
    * Returns one row: (n_ref, n_cur, w1_micro, tv_ppm, cvm_micro).
    */
@@ -1924,22 +1984,40 @@ object Stats {
    * construction, the [[tokenLabelMI]] dense-grid pattern) onto the
    * minCount-filtered token list, so absent cells score their full
    * |0 − n_p·f_t| instead of silently vanishing; top-k is a
-   * TakeOrdered, never a global sort.
+   * TakeOrdered, never a global sort. The metadata-sized-parts
+   * contract is ENFORCED by a `maxParts` distinct-count guard (the
+   * [[kendallTau]] raise_error discipline) — a high-cardinality part
+   * column (e.g. a doc id) fails in the parts rollup with a named
+   * diagnosis instead of five minutes later in a blown broadcast.
    *
-   * Returns k rows: (token, f, dp_ppm), most-dispersed-first.
+   * Returns k rows: (token, f, dp_ppm), most-CONCENTRATED-first
+   * (dp_ppm DESC — high DP = concentrated, the screen's positives).
    */
   def tokenDispersion(df: DataFrame, partCol: String, textCol: String,
-      minCount: Long = 5L, k: Int = 50): DataFrame = {
+      minCount: Long = 5L, k: Int = 50, maxParts: Int = 10000): DataFrame = {
     require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
     require(k >= 1 && k <= 10000, s"k must be in [1, 10000], got $k")
+    require(maxParts >= 1, s"maxParts must be >= 1, got $maxParts")
     val dec = "decimal(38,0)"
+    val W = org.apache.spark.sql.expressions.Window
     val tok = df.select(col(partCol).as("part"),
         explode(split(col(textCol), " ")).as("token"))
       .where(col("token") =!= "")
     val ctp = tok.groupBy("token", "part").agg(count(lit(1)).as("__c"))
     val ft = ctp.groupBy("token").agg(sum("__c").as("__f"))
       .where(col("__f") >= minCount)
+    // the single-partition count window rides the metadata-sized parts
+    // rollup (same bounded table the broadcast ships), never the corpus
     val np = tok.groupBy("part").agg(count(lit(1)).as("__np"))
+      .withColumn("__nparts", count(lit(1)).over(W.partitionBy()))
+      .withColumn("__np", when(col("__nparts") <= maxParts, col("__np"))
+        .otherwise(raise_error(concat(
+          lit("token_dispersion: "), col("__nparts"),
+          lit(s" distinct parts exceeds maxParts=$maxParts; the dense " +
+            "token x part grid needs a METADATA-sized parts dimension " +
+            "(sources, not doc ids) — coarsen the part column or raise " +
+            "the cap deliberately")))))
+      .drop("__nparts")
     val tot = np.agg(sum("__np").as("__N"))
     ft.crossJoin(broadcast(np))
       .join(ctp, Seq("token", "part"), "left")

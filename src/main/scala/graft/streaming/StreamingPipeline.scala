@@ -1296,7 +1296,10 @@ object StreamingPipeline {
    * (quantize upstream; a key whose distinct values exceed the cap
    * fails the batch loudly rather than growing state without bound —
    * the streaming analog of [[graft.pipeline.Stats.kendallTau]]'s
-   * cell guard).
+   * cell guard). The quantization width is SCALE-SENSITIVE — compute
+   * it from a bounded sample/reference batch with
+   * [[graft.pipeline.Stats.quantizeStep]] rather than hand-picking
+   * (a width safe at one scale detonates the cap at 10×).
    */
   def driftStream(df: DataFrame, key: String, valueCol: String,
       refHist: Seq[(Long, Long)], maxBins: Int = 4096): Dataset[DriftOut] = {
@@ -1307,8 +1310,12 @@ object StreamingPipeline {
     import df.sparkSession.implicits._
     val refMap = refHist.toMap
     val na = refHist.map(_._2).sum
-    val rows = df.select(col(key).cast("long").as("k"),
-      col(valueCol).cast("long").as("v")).as[DriftRow]
+    // match the batch operator's NULL contract: exclude NULL key/value
+    // rows (the encoder would otherwise fail the batch on nullable input)
+    val rows = df
+      .where(col(key).isNotNull && col(valueCol).isNotNull)
+      .select(col(key).cast("long").as("k"),
+        col(valueCol).cast("long").as("v")).as[DriftRow]
     rows.groupByKey(_.k)
       .flatMapGroupsWithState[DriftSt, DriftOut](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {

@@ -311,6 +311,54 @@ object Stress {
       graft.pipeline.Graph.modularity(lpaLabels, lattice, "src", "dst"))
     timed("kn_score", factor)(
       graft.pipeline.NGramLM.knScore(docs, "doc_id", "text"))
+    // r18 wave: the r17 statistics pack, measured beyond sf0.1. Every
+    // operator reduces the corpus to distinct-value / per-(key,time)
+    // tables before any window or join, so replication (counts ×factor,
+    // distinct values ~constant) should land each at ~linear:
+    // - MWU/Kendall ride docs (rotation preserves lengths/token counts
+    //   → distinct value/cell tables are factor-invariant, only the
+    //   histogram counts grow);
+    // - KM/log-rank ride a distinct-time-heavy synthetic from events
+    //   (durations = ms-quantized values — distinct times bounded by
+    //   the value lattice, subjects ×factor);
+    // - dist_shift/CUPED ride events (one moment/histogram pass);
+    // - dispersion's token×part grid grows ×factor via the rotated
+    //   vocabulary at a CONSTANT parts dimension.
+    val mdocs = docs.withColumn("v", length(col("text")).cast("long"))
+      .withColumn("g", col("lang") === "en")
+    timed("mwu", factor)(
+      graft.pipeline.Stats.mannWhitneyU(mdocs, Seq("source"), "g", "v"))
+    timed("kendall", factor)(
+      graft.pipeline.Stats.kendallTau(
+        mdocs.withColumn("x", expr("v div 100"))
+          .withColumn("y", expr("cast(size(split(text, ' ')) as long) div 10")),
+        Seq("source"), "x", "y"))
+    val surv = ev.select(pmod(col("user_id"), lit(8L)).as("k"),
+      (col("user_id") % 2L === 0L).as("g"),
+      expr("cast(round(value * 1000) as bigint) + 1").as("d"),
+      (col("event_type") === "click").as("e"))
+    timed("km", factor)(
+      graft.pipeline.Stats.kaplanMeier(surv, Seq("k"), "d", "e"))
+    timed("logrank", factor)(
+      graft.pipeline.Stats.logRank(surv, Seq("k"), "g", "d", "e"))
+    timed("dist_shift", factor)(
+      graft.pipeline.Stats.distributionDistance(
+        ev.where(col("event_type") === "view")
+          .select(expr("cast(round(value * 100) as bigint)").as("vc")),
+        ev.where(col("event_type") === "click")
+          .select(expr("cast(round(value * 100) as bigint)").as("vc")),
+        "vc"))
+    timed("cuped", factor)(
+      graft.pipeline.Stats.cuped(
+        ev.select(pmod(col("user_id"), lit(4L)).as("k"),
+          (col("user_id") % 2L).cast("int").as("variant"),
+          expr("cast(round(value * 10) as bigint)").as("x"),
+          expr("cast(round(value * 100) as bigint)").as("y")),
+        Seq("k"), "variant", "x", "y"))
+    timed("dispersion", factor)(
+      graft.pipeline.Stats.tokenDispersion(docs, "source", "text",
+        minCount = 5L, k = 50))
+
     val uniVocab = graft.pipeline.Unigram.learn(
         spark.read.parquet(s"$sfDir/documents.parquet"), "text",
         vocabSize = 64, iters = 2, maxPieceLen = 4)

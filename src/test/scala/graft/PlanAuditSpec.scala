@@ -130,7 +130,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_qnorm" -> "cumulative counts over the POOLED distinct-score histogram (pre-quantized)",
     "q_spearman" -> "cumulative counts over the two DISTINCT-value histograms (mid-rank ties)",
     "q_bh_fdr" -> "rank over the PER-TEST p-value table (experiments, not rows — metadata-sized by contract)",
-    "q_dist_shift" -> "cumulative sums + lead over DISTINCT metric values (the q_ks machinery)")
+    "q_dist_shift" -> "cumulative sums + lead over DISTINCT metric values (the q_ks machinery)",
+    "q_dispersion" -> "maxParts count guard over the PARTS rollup (sources — the same metadata-sized table the broadcast ships; fails loudly before the grid, never rides the corpus)")
 
   test("every window operator is partitioned (no global fact-table sorts)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}

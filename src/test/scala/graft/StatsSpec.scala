@@ -136,6 +136,16 @@ class StatsSpec extends AnyFunSuite {
       .toDF("id", "p"), Seq("id"), "p", qMicro = 100000L)
       .orderBy("rank").collect().map(_.getBoolean(5))
     assert(tied.toSeq == Seq(true, true, false))
+    // maxTests guard: exactly at the cap passes, one over fails loudly
+    val cap = Seq(("a", 1000L), ("b", 2000L), ("c", 3000L)).toDF("id", "p")
+    assert(Stats.bhFdr(cap, Seq("id"), "p", maxTests = 3L).count() == 3L)
+    val ex = intercept[Exception] {
+      Stats.bhFdr(cap, Seq("id"), "p", maxTests = 2L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++
+        messages(e.getCause))
+    assert(messages(ex).exists(_.contains("bh_fdr")))
   }
 
   test("kendallTau: concordant/discordant counts and tau-b ties on hand cases") {
@@ -274,6 +284,35 @@ class StatsSpec extends AnyFunSuite {
       .count() == 0L)
     assert(Stats.tokenDispersion(df, "part", "text", minCount = 1L, k = 2)
       .count() == 2L)
+    // maxParts guard: at the cap passes, one over fails loudly with the
+    // named diagnosis (not a blown broadcast five minutes later)
+    assert(Stats.tokenDispersion(df, "part", "text", minCount = 1L, k = 10,
+      maxParts = 2).count() == 3L)
+    val ex = intercept[Exception] {
+      Stats.tokenDispersion(df, "part", "text", minCount = 1L, k = 10,
+        maxParts = 1).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++
+        messages(e.getCause))
+    assert(messages(ex).exists(_.contains("token_dispersion")))
+  }
+
+  test("quantizeStep picks the finest power-of-10 step fitting maxBins") {
+    // 0..99 distinct: fits 100 bins at step 1; at maxBins=32 the lattice
+    // probe lands on step 10 (10 bins); 0..9999 needs step 1000 (10 bins
+    // — step 100 still leaves 100 > 32)
+    val small = (0L until 100L).toDF("v")
+    assert(Stats.quantizeStep(small, "v", maxBins = 100) == 1L)
+    assert(Stats.quantizeStep(small, "v", maxBins = 32) == 10L)
+    val wide = (0L until 10000L by 1L).toDF("v")
+    assert(Stats.quantizeStep(wide, "v", maxBins = 32) == 1000L)
+    // NULLs excluded; empty input degenerates to step 1
+    val nulls = Seq[Option[Long]](None, None).toDF("v")
+    assert(Stats.quantizeStep(nulls, "v") == 1L)
+    // the computed step really satisfies the downstream bin guard
+    val step = Stats.quantizeStep(wide, "v", maxBins = 32)
+    assert(wide.selectExpr(s"v div ${step}L as q").distinct().count() <= 32L)
   }
 
   test("gram matrix memory contract holds at the d=4096 ceiling") {

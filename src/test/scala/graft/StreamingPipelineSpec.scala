@@ -1555,4 +1555,52 @@ class StreamingPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("driftStream per-key histogram recovers across runs via checkpoint") {
+    // the sprtStream recovery discipline for the drift monitor: run 1
+    // ends (query killed), run 2 restarts from the SAME checkpoint on
+    // new data — the restored cumulative histogram must score the
+    // union exactly as an uninterrupted run would (three-statistic
+    // parity with the batch operator on the cumulative data)
+    val dir = Files.createTempDirectory("stream-drift-ck").toString
+    val ckpt = Files.createTempDirectory("stream-drift-ck-ckpt").toString
+    val outDir = Files.createTempDirectory("stream-drift-ck-out").toString
+    val refHist = Seq((0L, 1L), (10L, 1L))
+    val schema = Seq((1L, 1L)).toDF("k", "v").schema
+
+    def run(): Unit = {
+      // file sink + checkpoint: the memory sink cannot recover state
+      val rows = StreamingPipeline.driftStream(
+        spark.readStream.schema(schema).parquet(dir), "k", "v",
+        refHist, maxBins = 8)
+      val q = rows.toDF().writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+
+    // run 1: key 1 sees {10, 20}, then the query terminates
+    Seq((1L, 10L), (1L, 20L)).toDF("k", "v")
+      .write.mode("overwrite").parquet(dir)
+    run()
+    // run 2 (new query, same checkpoint): {0, 10} more — the restored
+    // histogram {10:1, 20:1} must accumulate to {0:1, 10:2, 20:1}
+    Seq((1L, 0L), (1L, 10L)).toDF("k", "v")
+      .write.mode("append").parquet(dir)
+    run()
+
+    val out = spark.read.parquet(outDir)
+      .select("nCur", "w1Micro", "tvPpm", "cvmMicro")
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.keySet == Set(2L, 4L))
+    def batchOf(cur: Seq[Long]) = {
+      val b = graft.pipeline.Stats.distributionDistance(
+        Seq(0L, 10L).toDF("v"), cur.toDF("v"), "v").collect()(0)
+      (b.getLong(2), b.getLong(3), b.getLong(4))
+    }
+    assert(out(2L) == batchOf(Seq(10L, 20L)), "run-1 emission parity")
+    assert(out(4L) == batchOf(Seq(10L, 20L, 0L, 10L)),
+      "post-recovery emission must equal the uninterrupted cumulative run")
+  }
+
 }
