@@ -3153,6 +3153,243 @@ def theil_sen_slope(df, keys, x_col, y_col, max_series_len=4096):
                  .alias("ts_slope_micro")))
 
 
+def roc_auc(df, keys, label_col, score_col):
+    """Exact ROC-AUC + Cliff's delta — Python mirror of the Scala
+    ``Stats.rocAuc``: AUC = U/(n+ * n-) via the pooled integer
+    double-rank construction over distinct scores (mid-rank ties =
+    trapezoid); delta = 2*AUC - 1 rides the same moments. Zero floats.
+    """
+    kc = [F.col(k) for k in keys]
+    complete = (df.where(F.col(score_col).isNotNull() &
+                         F.col(label_col).isNotNull())
+                .select(*kc, F.col(score_col).cast("long").alias("__v"),
+                        F.col(label_col).cast("boolean").alias("__g")))
+    w = (Window.partitionBy(*kc).orderBy("__v")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    hist = (complete.groupBy(*kc, F.col("__v"))
+            .agg(F.count(F.lit(1)).alias("__c"),
+                 F.count(F.when(F.col("__g"), 1)).alias("__ca"))
+            .withColumn("__dr", F.lit(2) * F.coalesce(
+                F.sum("__c").over(w), F.lit(0)) + F.col("__c") + F.lit(1)))
+    dec = "decimal(38,0)"
+    m = (hist.groupBy(*kc)
+         .agg(F.sum("__c").cast(dec).alias("__n"),
+              F.sum("__ca").cast(dec).alias("__na"),
+              F.sum(F.col("__ca").cast(dec) * F.col("__dr")).alias("__r2a")))
+    na, n = F.col("__na"), F.col("__n")
+    return m.select(
+        *kc, na.cast("long").alias("n_pos"),
+        (n - na).cast("long").alias("n_neg"),
+        (F.col("__r2a") - na * (na + F.lit(1))).cast("long").alias("u2"),
+        F.when((na == 0) | (n == na), F.lit(None).cast("long"))
+        .otherwise(F.expr("cast(((__r2a - __na * (__na + 1)) * 500000) div "
+                          "(__na * (__n - __na)) as long)")).alias("auc_ppm"),
+        F.when((na == 0) | (n == na), F.lit(None).cast("long"))
+        .otherwise(F.expr(
+            "cast(((__r2a - __na * (__na + 1) - __na * (__n - __na)) "
+            "* 1000000) div (__na * (__n - __na)) as long)"))
+        .alias("delta_ppm"))
+
+
+def pr_auc(df, keys, label_col, score_col):
+    """Trapezoidal PR-AUC — Python mirror of the Scala ``Stats.prAuc``:
+    distinct-threshold points DESC with the (recall 0, precision 1)
+    anchor; per-threshold nano terms rounded once from exact tp/fp,
+    summed as longs."""
+    kc = [F.col(k) for k in keys]
+    complete = (df.where(F.col(score_col).isNotNull() &
+                         F.col(label_col).isNotNull())
+                .select(*kc, F.col(score_col).cast("long").alias("__v"),
+                        F.col(label_col).cast("boolean").alias("__g")))
+    hist = (complete.groupBy(*kc, F.col("__v"))
+            .agg(F.count(F.lit(1)).alias("__c"),
+                 F.count(F.when(F.col("__g"), 1)).alias("__p")))
+    w_desc = (Window.partitionBy(*kc).orderBy(F.col("__v").desc())
+              .rowsBetween(Window.unboundedPreceding, 0))
+    w_key = Window.partitionBy(*kc)
+    w_lag = Window.partitionBy(*kc).orderBy(F.col("__v").desc())
+    pts = (hist
+           .withColumn("__tp", F.sum("__p").over(w_desc))
+           .withColumn("__sc", F.sum("__c").over(w_desc))
+           .withColumn("__na", F.sum("__p").over(w_key))
+           .withColumn("__nt", F.sum("__c").over(w_key))
+           .withColumn("__tpp",
+                       F.coalesce(F.lag("__tp", 1).over(w_lag), F.lit(0)))
+           .withColumn("__scp", F.lag("__sc", 1).over(w_lag)))
+    p_cur = F.col("__tp").cast("double") / F.col("__sc").cast("double")
+    p_prev = (F.when(F.col("__scp").isNull(), F.lit(1.0))
+              .otherwise(F.col("__tpp").cast("double") /
+                         F.col("__scp").cast("double")))
+    terms = pts.withColumn("__nano", F.when(
+        F.col("__na") == 0, F.lit(0))
+        .otherwise(F.round(
+            F.lit(1e9) * (F.col("__tp") - F.col("__tpp")).cast("double") *
+            (p_cur + p_prev) /
+            (F.lit(2.0) * F.col("__na").cast("double"))).cast("long")))
+    return (terms.groupBy(*kc)
+            .agg(F.max("__na").alias("__napos"), F.max("__nt").alias("__ntot"),
+                 F.count(F.lit(1)).alias("n_thresholds"),
+                 F.sum("__nano").alias("__area"))
+            .select(*kc, F.col("__napos").alias("n_pos"),
+                    (F.col("__ntot") - F.col("__napos")).alias("n_neg"),
+                    "n_thresholds",
+                    F.when(F.col("__napos") == 0, F.lit(None).cast("long"))
+                    .otherwise(F.expr("cast(__area div 1000 as long)"))
+                    .alias("pr_auc_micro")))
+
+
+def mcc(df, keys, label_col, pred_col):
+    """Matthews correlation coefficient — Python mirror of the Scala
+    ``Stats.mcc``: exact confusion counts, DECIMAL(38,0) numerator,
+    four marginals under separate sqrts, round-once micro."""
+    kc = [F.col(k) for k in keys]
+    dec = "decimal(38,0)"
+    m = (df.where(F.col(label_col).isNotNull() & F.col(pred_col).isNotNull())
+         .select(*kc, F.col(label_col).cast("boolean").alias("__y"),
+                 F.col(pred_col).cast("boolean").alias("__p"))
+         .groupBy(*kc)
+         .agg(F.count(F.when(F.col("__y") & F.col("__p"), 1)).alias("tp"),
+              F.count(F.when(~F.col("__y") & F.col("__p"), 1)).alias("fp"),
+              F.count(F.when(F.col("__y") & ~F.col("__p"), 1)).alias("fn"),
+              F.count(F.when(~F.col("__y") & ~F.col("__p"), 1)).alias("tn")))
+    num = F.col("tp").cast(dec) * F.col("tn") - \
+        F.col("fp").cast(dec) * F.col("fn")
+    m1 = F.col("tp") + F.col("fp")
+    m2 = F.col("tp") + F.col("fn")
+    m3 = F.col("tn") + F.col("fp")
+    m4 = F.col("tn") + F.col("fn")
+    return m.select(
+        *kc, "tp", "fp", "fn", "tn",
+        F.when((m1 == 0) | (m2 == 0) | (m3 == 0) | (m4 == 0),
+               F.lit(None).cast("long"))
+        .otherwise(F.round(F.lit(1e6) * num.cast("double") /
+                   F.sqrt(m1.cast("double")) / F.sqrt(m2.cast("double")) /
+                   F.sqrt(m3.cast("double")) / F.sqrt(m4.cast("double")))
+                   .cast("long")).alias("mcc_micro"))
+
+
+def calibration_report(df, p_micro_col, label_col, bins=10):
+    """Calibration report + ECE — Python mirror of the Scala
+    ``Stats.calibrationReport``: exact per-bin counts, integer gap
+    |1e6*n_pos - sum(p)|, ECE = sum(gap) div N on every row via a
+    one-row broadcast."""
+    per_bin = (df.where(F.col(p_micro_col).isNotNull() &
+                        F.col(label_col).isNotNull())
+               .select(F.least(
+                   F.expr("(cast(%s as bigint) * %d) div 1000000"
+                          % (p_micro_col, bins)),
+                   F.lit(bins - 1)).alias("bin"),
+                   F.col(label_col).cast("boolean").alias("__y"),
+                   F.col(p_micro_col).cast("long").alias("__p"))
+               .groupBy("bin")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.count(F.when(F.col("__y"), 1)).alias("n_pos"),
+                    F.sum("__p").alias("conf_sum"))
+               .withColumn("gap_abs", F.abs(
+                   F.col("n_pos") * F.lit(1000000) - F.col("conf_sum"))))
+    tot = per_bin.agg(
+        F.sum("n").alias("n_total"),
+        F.expr("cast(sum(gap_abs) div sum(n) as long)").alias("ece_micro"))
+    return per_bin.crossJoin(F.broadcast(tot))
+
+
+def mcnemar(df, keys, a_col, b_col):
+    """McNemar's paired-binary test — Python mirror of the Scala
+    ``Stats.mcnemar``: chi2 = (n10-n01)^2/(n10+n01) as one exact
+    integer expression; NULL with no discordant pairs."""
+    kc = [F.col(k) for k in keys]
+    m = (df.where(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
+         .select(*kc, F.col(a_col).cast("boolean").alias("__a"),
+                 F.col(b_col).cast("boolean").alias("__b"))
+         .groupBy(*kc)
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.count(F.when(F.col("__a") & F.col("__b"), 1)).alias("n11"),
+              F.count(F.when(~F.col("__a") & ~F.col("__b"), 1)).alias("n00"),
+              F.count(F.when(F.col("__a") & ~F.col("__b"), 1)).alias("n10"),
+              F.count(F.when(~F.col("__a") & F.col("__b"), 1)).alias("n01")))
+    return m.select(
+        *kc, "n", "n11", "n00", "n10", "n01",
+        F.when(F.col("n10") + F.col("n01") == 0, F.lit(None).cast("long"))
+        .otherwise(F.expr("cast((cast(n10 - n01 as decimal(38,0)) * "
+                          "(n10 - n01) * 1000000) div (n10 + n01) as long)"))
+        .alias("chi2_micro"))
+
+
+def nelson_aalen(df, keys, duration_col, event_col):
+    """Nelson-Aalen cumulative hazard — Python mirror of the Scala
+    ``Stats.nelsonAalen``: kaplan_meier's per-distinct-time machinery
+    with additive round-once d/n_risk micro terms."""
+    kc = [F.col(k) for k in keys]
+    per_t = (df.where(F.col(duration_col).isNotNull() &
+                      F.col(event_col).isNotNull())
+             .select(*kc, F.col(duration_col).cast("long").alias("t"),
+                     F.col(event_col).cast("boolean").alias("__e"))
+             .groupBy(*kc, F.col("t"))
+             .agg(F.count(F.lit(1)).alias("__n"),
+                  F.count(F.when(F.col("__e"), 1)).alias("d_events")))
+    w_desc = (Window.partitionBy(*kc).orderBy(F.col("t").desc())
+              .rowsBetween(Window.unboundedPreceding, 0))
+    w_asc = (Window.partitionBy(*kc).orderBy("t")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    return (per_t
+            .withColumn("n_risk", F.sum("__n").over(w_desc))
+            .withColumn("__term", F.round(
+                F.lit(1e6) * F.col("d_events").cast("double") /
+                F.col("n_risk").cast("double")).cast("long"))
+            .withColumn("na_cum_micro", F.sum("__term").over(w_asc))
+            .select(*kc, "t", "n_risk", "d_events",
+                    (F.col("__n") - F.col("d_events")).alias("c_censored"),
+                    "na_cum_micro"))
+
+
+def welch_t(df, keys, group_col, value_col):
+    """Welch's unequal-variance t-test — Python mirror of the Scala
+    ``Stats.welchT``: six exact DECIMAL(38,0) moments in one groupBy;
+    t and the Welch-Satterthwaite df as round-once doubles."""
+    kc = [F.col(k) for k in keys]
+    dec = "decimal(38,0)"
+    g = F.col("__g")
+    v = F.col("__v")
+    m = (df.where(F.col(value_col).isNotNull() &
+                  F.col(group_col).isNotNull())
+         .select(*kc, F.col(value_col).cast("long").alias("__v"),
+                 F.col(group_col).cast("boolean").alias("__g"))
+         .groupBy(*kc)
+         .agg(F.count(F.when(g, 1)).cast(dec).alias("__naM"),
+              F.sum(F.when(g, v).otherwise(F.lit(0))).cast(dec).alias("__sa"),
+              F.sum(F.when(g, v * v).otherwise(F.lit(0))).cast(dec)
+              .alias("__qa"),
+              F.count(F.when(~g, 1)).cast(dec).alias("__nbM"),
+              F.sum(F.when(~g, v).otherwise(F.lit(0))).cast(dec).alias("__sb"),
+              F.sum(F.when(~g, v * v).otherwise(F.lit(0))).cast(dec)
+              .alias("__qb")))
+    na, nb = F.col("__naM"), F.col("__nbM")
+    va = (na * F.col("__qa") - F.col("__sa") * F.col("__sa")).cast("double") \
+        / (na * na * (na - F.lit(1))).cast("double")
+    vb = (nb * F.col("__qb") - F.col("__sb") * F.col("__sb")).cast("double") \
+        / (nb * nb * (nb - F.lit(1))).cast("double")
+    ma = F.col("__sa").cast("double") / na.cast("double")
+    mb = F.col("__sb").cast("double") / nb.cast("double")
+    bad = (na < 2) | (nb < 2)
+    return m.select(
+        *kc, na.cast("long").alias("n_a"), nb.cast("long").alias("n_b"),
+        F.when(bad, F.lit(None).cast("long"))
+        .otherwise(F.when(va + vb == 0.0, F.lit(None).cast("long"))
+                   .otherwise(F.round(F.lit(1e6) * (ma - mb) /
+                              F.sqrt(va + vb)).cast("long")))
+        .alias("t_micro"),
+        F.when(bad, F.lit(None).cast("long"))
+        .otherwise(F.when(
+            va * va / (na.cast("double") - F.lit(1.0)) +
+            vb * vb / (nb.cast("double") - F.lit(1.0)) == 0.0,
+            F.lit(None).cast("long"))
+            .otherwise(F.round(
+                F.lit(1e3) * (va + vb) * (va + vb) /
+                (va * va / (na.cast("double") - F.lit(1.0)) +
+                 vb * vb / (nb.cast("double") - F.lit(1.0)))).cast("long")))
+        .alias("df_milli"))
+
+
 def isotonic_calibrate(df, score_col, label_col, buckets=16):
     """Isotonic (PAV) score calibration — Python mirror of the Scala
     ``Stats.isotonicCalibrate``: quantile-bucketed score->rate map,

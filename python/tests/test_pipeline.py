@@ -1350,6 +1350,75 @@ def test_token_dispersion_hand(spark):
                          max_parts=1).collect()
 
 
+def test_roc_auc_hand(spark):
+    from graft.pipeline import roc_auc
+    perfect = spark.createDataFrame(
+        [("k", True, 3), ("k", True, 4), ("k", False, 1), ("k", False, 2)],
+        "k string, g boolean, v long")
+    r = roc_auc(perfect, ["k"], "g", "v").collect()[0]
+    assert (r["n_pos"], r["n_neg"], r["u2"]) == (2, 2, 8)
+    assert (r["auc_ppm"], r["delta_ppm"]) == (1000000, 1000000)
+    tied = spark.createDataFrame(
+        [("k", True, 1), ("k", False, 1), ("k", True, 2), ("k", False, 2)],
+        "k string, g boolean, v long")
+    t = roc_auc(tied, ["k"], "g", "v").collect()[0]
+    assert (t["auc_ppm"], t["delta_ppm"]) == (500000, 0)
+
+
+def test_pr_auc_hand(spark):
+    from graft.pipeline import pr_auc
+    df = spark.createDataFrame(
+        [("k", True, 4), ("k", False, 3), ("k", True, 2), ("k", False, 1)],
+        "k string, g boolean, v long")
+    r = pr_auc(df, ["k"], "g", "v").collect()[0]
+    assert (r["n_pos"], r["n_neg"], r["n_thresholds"]) == (2, 2, 4)
+    assert r["pr_auc_micro"] == (500000000 + 291666667) // 1000
+
+
+def test_mcc_and_mcnemar_hand(spark):
+    from graft.pipeline import mcc, mcnemar
+    perfect = spark.createDataFrame(
+        [("k", True, True), ("k", True, True),
+         ("k", False, False), ("k", False, False)],
+        "k string, y boolean, p boolean")
+    assert mcc(perfect, ["k"], "y", "p").collect()[0]["mcc_micro"] == 1000000
+    pairs = spark.createDataFrame(
+        [("k", True, True), ("k", True, False),
+         ("k", True, False), ("k", False, True)],
+        "k string, a boolean, b boolean")
+    r = mcnemar(pairs, ["k"], "a", "b").collect()[0]
+    assert (r["n10"], r["n01"], r["chi2_micro"]) == (2, 1, 333333)
+
+
+def test_calibration_report_hand(spark):
+    from graft.pipeline import calibration_report
+    df = spark.createDataFrame(
+        [(200000, True), (200000, False), (900000, True), (900000, True)],
+        "p long, y boolean")
+    out = calibration_report(df, "p", "y", bins=2).orderBy("bin").collect()
+    assert [(r["bin"], r["n"], r["n_pos"], r["gap_abs"]) for r in out] == \
+        [(0, 2, 1, 600000), (1, 2, 2, 200000)]
+    assert all(r["ece_micro"] == 200000 for r in out)
+
+
+def test_nelson_aalen_and_welch_t_hand(spark):
+    from graft.pipeline import nelson_aalen, welch_t
+    surv = spark.createDataFrame(
+        [("k", 1, True), ("k", 2, True), ("k", 3, False),
+         ("k", 4, True), ("k", 5, False)], "k string, d long, e boolean")
+    out = [(r["t"], r["na_cum_micro"])
+           for r in nelson_aalen(surv, ["k"], "d", "e").orderBy("t").collect()]
+    assert out == [(1, 200000), (2, 450000), (3, 450000),
+                   (4, 950000), (5, 950000)]
+    import math
+    wt = spark.createDataFrame(
+        [("k", True, 1), ("k", True, 2), ("k", True, 3),
+         ("k", False, 5), ("k", False, 7)], "k string, g boolean, v long")
+    r = welch_t(wt, ["k"], "g", "v").collect()[0]
+    assert r["t_micro"] == round(1e6 * -4.0 / math.sqrt(4.0 / 3.0))
+    assert r["df_milli"] == round(1e3 * 32.0 / 19.0)
+
+
 def test_quantize_step_lattice(spark):
     from graft.pipeline import quantize_step
     df = spark.range(100).selectExpr("id as v")

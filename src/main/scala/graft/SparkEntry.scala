@@ -3899,6 +3899,62 @@ object SparkEntry {
     "q_dispersion" -> ((s, dir) =>
       graft.pipeline.Stats.tokenDispersion(
         t(s, dir, "documents"), "source", "text", minCount = 5L, k = 50)),
+    // ---- wave 46: the evaluation-metrics pack ----
+    // ROC-AUC + Cliff's delta per source: does doc length rank en docs
+    // above non-en — threshold-free, the exact integer U machinery
+    "q_roc_auc" -> ((s, dir) =>
+      graft.pipeline.Stats.rocAuc(
+        t(s, dir, "documents").select(col("source"),
+          (col("lang") === "en").as("g"), col("n_chars")),
+        Seq("source"), "g", "n_chars").orderBy("source")),
+    // trapezoidal PR-AUC over the same ranking — the imbalance-honest
+    // companion (per-threshold nano terms, exact long area)
+    "q_pr_auc" -> ((s, dir) =>
+      graft.pipeline.Stats.prAuc(
+        t(s, dir, "documents").select(col("source"),
+          (col("lang") === "en").as("g"), col("n_chars")),
+        Seq("source"), "g", "n_chars").orderBy("source")),
+    // Matthews correlation of the n_chars>500 "classifier" against the
+    // en label — the imbalance-safe confusion-matrix quality number
+    "q_mcc" -> ((s, dir) =>
+      graft.pipeline.Stats.mcc(
+        t(s, dir, "documents").select(col("source"),
+          (col("lang") === "en").as("y"),
+          (col("n_chars") > 500L).as("p")),
+        Seq("source"), "y", "p").orderBy("source")),
+    // calibration report + ECE of a deterministic data-derived
+    // micro-probability against the en label (10 fixed-width bins)
+    "q_ece" -> ((s, dir) =>
+      graft.pipeline.Stats.calibrationReport(
+        t(s, dir, "documents").select(
+          expr("(n_chars * 997) % 1000001").as("p"),
+          (col("lang") === "en").as("y")),
+        "p", "y", bins = 10).orderBy("bin")),
+    // McNemar paired comparison of two length "models" on the same docs
+    "q_mcnemar" -> ((s, dir) =>
+      graft.pipeline.Stats.mcnemar(
+        t(s, dir, "documents").select(col("source"),
+          (col("n_chars") > 400L).as("a"),
+          (size(split(col("text"), " ")) > 80).as("b")),
+        Seq("source"), "a", "b").orderBy("source")),
+    // Nelson-Aalen cumulative hazard on the q_km cohorts — the additive
+    // twin whose increments are per-time event rates
+    "q_nelson_aalen" -> ((s, dir) => {
+      val units = eventsMicros(s, dir)
+        .groupBy("user_id")
+        .agg(expr("(max(tus) - min(tus)) div 86400000000").as("duration"),
+          (count(when(col("event_type") === "purchase", 1)) > 0).as("ev"))
+        .withColumn("cohort", pmod(col("user_id"), lit(4L)))
+      graft.pipeline.Stats.nelsonAalen(units, Seq("cohort"), "duration", "ev")
+        .orderBy("cohort", "t")
+    }),
+    // Welch's unequal-variance t per source: en vs non-en doc length
+    // without the equal-spread assumption (exact moments, round-once t)
+    "q_welch_t" -> ((s, dir) =>
+      graft.pipeline.Stats.welchT(
+        t(s, dir, "documents").select(col("source"),
+          (col("lang") === "en").as("g"), col("n_chars")),
+        Seq("source"), "g", "n_chars").orderBy("source")),
     // the drift monitor's batch face: per user-parity cohort, the click
     // value histogram scored against the GLOBAL view histogram with the
     // exact streaming arithmetic (flatMapGroupsWithState in batch mode)
@@ -9235,6 +9291,163 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |    END AS km_log_unats
         |FROM tm ORDER BY cohort, t""".stripMargin,
+    "q_roc_auc" ->
+      """WITH b AS (SELECT source, (lang = 'en') AS g, n_chars AS v
+        |  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+        |h AS (SELECT source, v, COUNT(*) AS c,
+        |    COUNT(*) FILTER (WHERE g) AS ca FROM b GROUP BY 1, 2),
+        |r AS (SELECT *, 2 * COALESCE(SUM(c) OVER (PARTITION BY source
+        |    ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + c + 1 AS dr FROM h),
+        |m AS (SELECT source, SUM(c)::HUGEINT AS n, SUM(ca)::HUGEINT AS na,
+        |    SUM(ca::HUGEINT * dr) AS r2a FROM r GROUP BY 1)
+        |SELECT source, CAST(na AS BIGINT) AS n_pos,
+        |  CAST(n - na AS BIGINT) AS n_neg,
+        |  CAST(r2a - na * (na + 1) AS BIGINT) AS u2,
+        |  CASE WHEN na = 0 OR n = na THEN NULL
+        |    ELSE CAST(((r2a - na * (na + 1)) * 500000) // (na * (n - na))
+        |      AS BIGINT) END AS auc_ppm,
+        |  CASE WHEN na = 0 OR n = na THEN NULL
+        |    ELSE CAST(((r2a - na * (na + 1) - na * (n - na)) * 1000000)
+        |      // (na * (n - na)) AS BIGINT) END AS delta_ppm
+        |FROM m ORDER BY source""".stripMargin,
+    "q_pr_auc" ->
+      """WITH b AS (SELECT source, (lang = 'en') AS g, n_chars AS v
+        |  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+        |h AS (SELECT source, v, COUNT(*) AS c,
+        |    COUNT(*) FILTER (WHERE g) AS p FROM b GROUP BY 1, 2),
+        |w AS (SELECT *,
+        |    SUM(p) OVER (PARTITION BY source ORDER BY v DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+        |    SUM(c) OVER (PARTITION BY source ORDER BY v DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sc,
+        |    SUM(p) OVER (PARTITION BY source) AS na,
+        |    SUM(c) OVER (PARTITION BY source) AS nt FROM h),
+        |w2 AS (SELECT *,
+        |    COALESCE(LAG(tp) OVER (PARTITION BY source ORDER BY v DESC), 0)
+        |      AS tpp,
+        |    LAG(sc) OVER (PARTITION BY source ORDER BY v DESC) AS scp
+        |  FROM w),
+        |tm AS (SELECT source, na, nt,
+        |    CASE WHEN na = 0 THEN 0 ELSE CAST(round(1e9 *
+        |      CAST(tp - tpp AS DOUBLE) *
+        |      (CAST(tp AS DOUBLE) / CAST(sc AS DOUBLE) +
+        |       CASE WHEN scp IS NULL THEN 1.0
+        |         ELSE CAST(tpp AS DOUBLE) / CAST(scp AS DOUBLE) END) /
+        |      (2.0 * CAST(na AS DOUBLE))) AS BIGINT) END AS nano FROM w2)
+        |SELECT source, CAST(MAX(na) AS BIGINT) AS n_pos,
+        |  CAST(MAX(nt) - MAX(na) AS BIGINT) AS n_neg,
+        |  COUNT(*) AS n_thresholds,
+        |  CASE WHEN MAX(na) = 0 THEN NULL
+        |    ELSE CAST(SUM(nano) // 1000 AS BIGINT) END AS pr_auc_micro
+        |FROM tm GROUP BY 1 ORDER BY source""".stripMargin,
+    "q_mcc" ->
+      """WITH b AS (SELECT source, (lang = 'en') AS y, (n_chars > 500) AS p
+        |  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+        |m AS (SELECT source,
+        |    COUNT(CASE WHEN y AND p THEN 1 END) AS tp,
+        |    COUNT(CASE WHEN NOT y AND p THEN 1 END) AS fp,
+        |    COUNT(CASE WHEN y AND NOT p THEN 1 END) AS fn,
+        |    COUNT(CASE WHEN NOT y AND NOT p THEN 1 END) AS tn
+        |  FROM b GROUP BY 1)
+        |SELECT source, tp, fp, fn, tn,
+        |  CASE WHEN tp + fp = 0 OR tp + fn = 0 OR tn + fp = 0
+        |      OR tn + fn = 0 THEN NULL
+        |    ELSE CAST(round(1e6 *
+        |      CAST(tp::HUGEINT * tn - fp::HUGEINT * fn AS DOUBLE) /
+        |      sqrt(CAST(tp + fp AS DOUBLE)) / sqrt(CAST(tp + fn AS DOUBLE)) /
+        |      sqrt(CAST(tn + fp AS DOUBLE)) / sqrt(CAST(tn + fn AS DOUBLE)))
+        |      AS BIGINT) END AS mcc_micro
+        |FROM m ORDER BY source""".stripMargin,
+    "q_ece" ->
+      """WITH b AS (SELECT
+        |    LEAST((CAST((n_chars * 997) % 1000001 AS BIGINT) * 10)
+        |      // 1000000, 9) AS bin,
+        |    (lang = 'en') AS y,
+        |    CAST((n_chars * 997) % 1000001 AS BIGINT) AS p
+        |  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+        |g AS (SELECT bin, COUNT(*) AS n,
+        |    COUNT(CASE WHEN y THEN 1 END) AS n_pos,
+        |    SUM(p) AS conf_sum FROM b GROUP BY 1),
+        |g2 AS (SELECT *, ABS(n_pos * 1000000 - conf_sum) AS gap_abs FROM g),
+        |t AS (SELECT SUM(n) AS n_total,
+        |    CAST(SUM(gap_abs) // SUM(n) AS BIGINT) AS ece_micro FROM g2)
+        |SELECT bin, n, n_pos, CAST(conf_sum AS BIGINT) AS conf_sum,
+        |  CAST(gap_abs AS BIGINT) AS gap_abs,
+        |  CAST(n_total AS BIGINT) AS n_total, ece_micro
+        |FROM g2, t ORDER BY bin""".stripMargin,
+    "q_mcnemar" ->
+      """WITH d AS (SELECT source, (n_chars > 400) AS a,
+        |    (len(string_split(text, ' ')) > 80) AS b FROM documents
+        |  WHERE n_chars IS NOT NULL AND text IS NOT NULL),
+        |m AS (SELECT source, COUNT(*) AS n,
+        |    COUNT(CASE WHEN a AND b THEN 1 END) AS n11,
+        |    COUNT(CASE WHEN NOT a AND NOT b THEN 1 END) AS n00,
+        |    COUNT(CASE WHEN a AND NOT b THEN 1 END) AS n10,
+        |    COUNT(CASE WHEN NOT a AND b THEN 1 END) AS n01
+        |  FROM d GROUP BY 1)
+        |SELECT source, n, n11, n00, n10, n01,
+        |  CASE WHEN n10 + n01 = 0 THEN NULL
+        |    ELSE CAST((CAST(n10 - n01 AS HUGEINT) * (n10 - n01) * 1000000)
+        |      // (n10 + n01) AS BIGINT) END AS chi2_micro
+        |FROM m ORDER BY source""".stripMargin,
+    "q_nelson_aalen" ->
+      """WITH u AS (SELECT user_id,
+        |    (MAX(epoch_ns(ts) // 1000) - MIN(epoch_ns(ts) // 1000))
+        |      // 86400000000 AS duration,
+        |    COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) > 0 AS ev
+        |  FROM events GROUP BY 1),
+        |c AS (SELECT user_id % 4 AS cohort, duration AS t, ev FROM u),
+        |pt AS (SELECT cohort, t, COUNT(*) AS nn,
+        |    CAST(COUNT(CASE WHEN ev THEN 1 END) AS BIGINT) AS d_events
+        |  FROM c GROUP BY 1, 2),
+        |r AS (SELECT *, SUM(nn) OVER (PARTITION BY cohort ORDER BY t DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+        |  FROM pt),
+        |tm AS (SELECT *, CAST(round(1e6 * CAST(d_events AS DOUBLE) /
+        |    CAST(n_risk AS DOUBLE)) AS BIGINT) AS term FROM r)
+        |SELECT cohort, t, CAST(n_risk AS BIGINT) AS n_risk, d_events,
+        |  CAST(nn - d_events AS BIGINT) AS c_censored,
+        |  CAST(SUM(term) OVER (PARTITION BY cohort ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS na_cum_micro
+        |FROM tm ORDER BY cohort, t""".stripMargin,
+    "q_welch_t" ->
+      """WITH b AS (SELECT source, (lang = 'en') AS g, n_chars AS v
+        |  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+        |m AS (SELECT source,
+        |    COUNT(CASE WHEN g THEN 1 END)::HUGEINT AS na,
+        |    COALESCE(SUM(CASE WHEN g THEN v ELSE 0 END), 0)::HUGEINT AS sa,
+        |    COALESCE(SUM(CASE WHEN g THEN v::HUGEINT * v ELSE 0 END), 0)
+        |      AS qa,
+        |    COUNT(CASE WHEN NOT g THEN 1 END)::HUGEINT AS nb,
+        |    COALESCE(SUM(CASE WHEN NOT g THEN v ELSE 0 END), 0)::HUGEINT
+        |      AS sb,
+        |    COALESCE(SUM(CASE WHEN NOT g THEN v::HUGEINT * v ELSE 0 END), 0)
+        |      AS qb
+        |  FROM b GROUP BY 1),
+        |vv AS (SELECT source, na, nb,
+        |    CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS ma,
+        |    CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb,
+        |    CASE WHEN na < 2 THEN NULL
+        |      ELSE CAST(na * qa - sa * sa AS DOUBLE) /
+        |        CAST(na * na * (na - 1) AS DOUBLE) END AS va,
+        |    CASE WHEN nb < 2 THEN NULL
+        |      ELSE CAST(nb * qb - sb * sb AS DOUBLE) /
+        |        CAST(nb * nb * (nb - 1) AS DOUBLE) END AS vb
+        |  FROM m)
+        |SELECT source, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  CASE WHEN na < 2 OR nb < 2 OR va + vb = 0 THEN NULL
+        |    ELSE CAST(round(1e6 * (ma - mb) / sqrt(va + vb)) AS BIGINT)
+        |    END AS t_micro,
+        |  CASE WHEN na < 2 OR nb < 2
+        |      OR va * va / (CAST(na AS DOUBLE) - 1.0)
+        |       + vb * vb / (CAST(nb AS DOUBLE) - 1.0) = 0 THEN NULL
+        |    ELSE CAST(round(1e3 * (va + vb) * (va + vb) /
+        |      (va * va / (CAST(na AS DOUBLE) - 1.0) +
+        |       vb * vb / (CAST(nb AS DOUBLE) - 1.0))) AS BIGINT)
+        |    END AS df_milli
+        |FROM vv ORDER BY source""".stripMargin,
     "q_dispersion" ->
       """WITH tk AS (SELECT source AS part,
         |    unnest(string_split(text, ' ')) AS token FROM documents),

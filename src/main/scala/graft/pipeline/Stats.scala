@@ -2068,6 +2068,341 @@ object Stats {
    * reps·max|v|·n < 2^63 with w ≤ 7 — pre-scale coarser for wider
    * regimes (the [[anomalyFlags]] bound discipline).
    */
+  /**
+   * Exact ROC-AUC per key — the threshold-free ranking quality of a
+   * score against a binary label ("does the quality score actually
+   * rank good docs above bad ones"), computed WITHOUT sorting rows:
+   * AUC = U/(n⁺·n⁻) where U is the Mann–Whitney statistic of the
+   * positive class, so the whole computation is [[mannWhitneyU]]'s
+   * pooled integer double-rank construction over the per-key
+   * distinct-SCORE histogram (mid-rank ties = the trapezoid over tied
+   * scores, the standard definition). Cliff's delta rides the same
+   * moments for free (δ = 2·AUC − 1 — the ordinal effect size).
+   * Everything is exact integer arithmetic: 2U as a long, the two
+   * ratios as single truncating `div`s over DECIMAL(38,0) — zero
+   * doubles, bit-replayable by any engine.
+   *
+   * Scale shape: one distinct-score histogram groupBy + one cumulative
+   * window over DISTINCT scores + one moment rollup per key (the
+   * [[mannWhitneyU]] plan exactly — never a row sort). NULL metrics/
+   * labels are excluded by contract.
+   *
+   * Returns keys + (n_pos, n_neg, u2, auc_ppm, delta_ppm); AUC/δ NULL
+   * when a key lacks one of the classes.
+   */
+  def rocAuc(df: DataFrame, keys: Seq[String], labelCol: String,
+      scoreCol: String): DataFrame = {
+    require(keys.nonEmpty, "keys required")
+    val W = org.apache.spark.sql.expressions.Window
+    val complete = df
+      .where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(keys.map(col) :+ col(scoreCol).cast("long").as("__v") :+
+        col(labelCol).cast("boolean").as("__g"): _*)
+    val w = W.partitionBy(keys.map(col): _*).orderBy(col("__v"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val hist = complete.groupBy(keys.map(col) :+ col("__v"): _*)
+      .agg(count(lit(1)).as("__c"), count(when(col("__g"), 1)).as("__ca"))
+      .withColumn("__dr",
+        lit(2L) * coalesce(sum("__c").over(w), lit(0L)) + col("__c") + lit(1L))
+    val dec = "decimal(38,0)"
+    val m = hist.groupBy(keys.map(col): _*)
+      .agg(sum("__c").cast(dec).as("__n"), sum("__ca").cast(dec).as("__na"),
+        sum(col("__ca").cast(dec) * col("__dr")).as("__r2a"))
+    val na = col("__na"); val nb = col("__n") - col("__na")
+    val u2 = col("__r2a") - na * (na + lit(1L))
+    m.select((keys.map(col) :+
+      na.cast("long").as("n_pos") :+ nb.cast("long").as("n_neg") :+
+      u2.cast("long").as("u2") :+
+      when(na === 0L || nb === 0L, lit(null).cast("long"))
+        .otherwise(expr("cast(((__r2a - __na * (__na + 1)) * 500000) div " +
+          "(__na * (__n - __na)) as long)")).as("auc_ppm") :+
+      when(na === 0L || nb === 0L, lit(null).cast("long"))
+        .otherwise(expr("cast(((__r2a - __na * (__na + 1) - __na * (__n - __na)) " +
+          "* 1000000) div (__na * (__n - __na)) as long)")).as("delta_ppm")): _*)
+  }
+
+  /**
+   * Trapezoidal PR-AUC per key — precision-recall area, the ranking
+   * metric that stays honest under the class imbalance ROC-AUC hides
+   * (a 1%-positive corpus can score AUC .99 while precision is
+   * garbage). Points are the distinct score thresholds DESC with the
+   * conventional (recall 0, precision 1) anchor; the area is the
+   * trapezoid sum
+   *
+   *   Σ_i (tp_i − tp_{i−1})/n⁺ · (p_i + p_{i−1})/2
+   *
+   * where tp/fp come from ONE cumulative window over the per-key
+   * distinct-score histogram (never a row sort). Each trapezoid term
+   * is rounded ONCE to nano units from exact-integer tp/fp (the
+   * [[kaplanMeier]] per-term discipline — one double expression per
+   * distinct threshold, engine-replayable), and the key's area is a
+   * single truncating div over their exact long sum.
+   *
+   * Returns keys + (n_pos, n_neg, n_thresholds, pr_auc_micro);
+   * NULL when the key has no positives.
+   */
+  def prAuc(df: DataFrame, keys: Seq[String], labelCol: String,
+      scoreCol: String): DataFrame = {
+    require(keys.nonEmpty, "keys required")
+    val W = org.apache.spark.sql.expressions.Window
+    val complete = df
+      .where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(keys.map(col) :+ col(scoreCol).cast("long").as("__v") :+
+        col(labelCol).cast("boolean").as("__g"): _*)
+    val hist = complete.groupBy(keys.map(col) :+ col("__v"): _*)
+      .agg(count(lit(1)).as("__c"), count(when(col("__g"), 1)).as("__p"))
+    val wDesc = W.partitionBy(keys.map(col): _*).orderBy(col("__v").desc)
+      .rowsBetween(W.unboundedPreceding, 0)
+    val wKey = W.partitionBy(keys.map(col): _*)
+    val wLag = W.partitionBy(keys.map(col): _*).orderBy(col("__v").desc)
+    val pts = hist
+      .withColumn("__tp", sum("__p").over(wDesc))
+      .withColumn("__sc", sum("__c").over(wDesc))
+      .withColumn("__na", sum("__p").over(wKey))
+      .withColumn("__nt", sum("__c").over(wKey))
+      .withColumn("__tpp", coalesce(lag("__tp", 1).over(wLag), lit(0L)))
+      .withColumn("__scp", lag("__sc", 1).over(wLag))
+    // p_prev at the anchor (no previous threshold) is 1 by convention
+    val pCur = col("__tp").cast("double") / col("__sc").cast("double")
+    val pPrev = when(col("__scp").isNull, lit(1.0))
+      .otherwise(col("__tpp").cast("double") / col("__scp").cast("double"))
+    // a no-positive key would divide by n_pos = 0 (ANSI: fatal); its
+    // area is reported NULL below, so the terms are irrelevant — 0
+    val terms = pts.withColumn("__nano",
+      when(col("__na") === 0L, lit(0L))
+        .otherwise(round(lit(1e9) * (col("__tp") - col("__tpp")).cast("double") *
+          (pCur + pPrev) / (lit(2.0) * col("__na").cast("double")))
+          .cast("long")))
+    terms.groupBy(keys.map(col): _*)
+      .agg(max("__na").as("__napos"), max("__nt").as("__ntot"),
+        count(lit(1)).as("n_thresholds"), sum("__nano").as("__area"))
+      .select(keys.map(col) :+
+        col("__napos").as("n_pos") :+
+        (col("__ntot") - col("__napos")).as("n_neg") :+
+        col("n_thresholds") :+
+        when(col("__napos") === 0L, lit(null).cast("long"))
+          .otherwise(expr("cast(__area div 1000 as long)"))
+          .as("pr_auc_micro"): _*)
+  }
+
+  /**
+   * Matthews correlation coefficient per key — the single-number
+   * binary-classifier quality that stays meaningful on imbalanced
+   * labels (accuracy and F1 both saturate; MCC is the φ coefficient
+   * of the confusion matrix):
+   *
+   *   MCC = (tp·tn − fp·fn) / √((tp+fp)(tp+fn)(tn+fp)(tn+fn))
+   *
+   * One map-side-combinable groupBy collects the four exact confusion
+   * counts; the numerator is DECIMAL(38,0) and the denominator is the
+   * FOUR marginals under separate √s (each ≤ n — the [[mannWhitneyU]]
+   * factored-denominator discipline, never the 4-way product that
+   * would overflow at n ~ 10⁹), one round-once micro expression.
+   * NULL when any marginal is 0 (MCC undefined).
+   *
+   * Returns keys + (tp, fp, fn, tn, mcc_micro).
+   */
+  def mcc(df: DataFrame, keys: Seq[String], labelCol: String,
+      predCol: String): DataFrame = {
+    require(keys.nonEmpty, "keys required")
+    val dec = "decimal(38,0)"
+    val m = df
+      .where(col(labelCol).isNotNull && col(predCol).isNotNull)
+      .select(keys.map(col) :+ col(labelCol).cast("boolean").as("__y") :+
+        col(predCol).cast("boolean").as("__p"): _*)
+      .groupBy(keys.map(col): _*)
+      .agg(count(when(col("__y") && col("__p"), 1)).as("tp"),
+        count(when(!col("__y") && col("__p"), 1)).as("fp"),
+        count(when(col("__y") && !col("__p"), 1)).as("fn"),
+        count(when(!col("__y") && !col("__p"), 1)).as("tn"))
+    val num = col("tp").cast(dec) * col("tn") - col("fp").cast(dec) * col("fn")
+    val m1 = col("tp") + col("fp"); val m2 = col("tp") + col("fn")
+    val m3 = col("tn") + col("fp"); val m4 = col("tn") + col("fn")
+    m.select(keys.map(col) :+ col("tp") :+ col("fp") :+ col("fn") :+
+      col("tn") :+
+      when(m1 === 0L || m2 === 0L || m3 === 0L || m4 === 0L,
+        lit(null).cast("long"))
+        .otherwise(round(lit(1e6) * num.cast("double") /
+          sqrt(m1.cast("double")) / sqrt(m2.cast("double")) /
+          sqrt(m3.cast("double")) / sqrt(m4.cast("double"))).cast("long"))
+        .as("mcc_micro"): _*)
+  }
+
+  /**
+   * Calibration report + expected calibration error — "when the model
+   * says 70% it should be right 70% of the time", the reliability
+   * audit for every confidence-weighted curation gate. Scores are
+   * micro-probabilities (p ∈ [0, 10⁶] by contract); `bins` fixed-width
+   * confidence bins each report exact counts and the exact integer
+   * gap |10⁶·n_pos − Σp| — accuracy-vs-confidence with ZERO floats —
+   * and the headline
+   *
+   *   ECE_micro = (Σ_b gap_b) div N
+   *
+   * rides every row via a one-row broadcast (the [[psiReport]] shape).
+   *
+   * Scale shape: one map-side-combinable groupBy to ≤ `bins` rows +
+   * one broadcast — nothing else touches the corpus.
+   *
+   * Returns per-bin rows: (bin, n, n_pos, conf_sum, gap_abs, n_total,
+   * ece_micro).
+   */
+  def calibrationReport(df: DataFrame, pMicroCol: String, labelCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 1000, s"bins must be in [2,1000], got $bins")
+    val perBin = df
+      .where(col(pMicroCol).isNotNull && col(labelCol).isNotNull)
+      .select(least(expr(s"(cast($pMicroCol as bigint) * $bins) div 1000000"),
+        lit(bins - 1L)).as("bin"),
+        col(labelCol).cast("boolean").as("__y"),
+        col(pMicroCol).cast("long").as("__p"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), count(when(col("__y"), 1)).as("n_pos"),
+        sum("__p").as("conf_sum"))
+      .withColumn("gap_abs",
+        abs(col("n_pos") * lit(1000000L) - col("conf_sum")))
+    val tot = perBin.agg(sum("n").as("n_total"),
+      expr("cast(sum(gap_abs) div sum(n) as long)").as("ece_micro"))
+    perBin.crossJoin(broadcast(tot))
+  }
+
+  /**
+   * McNemar's test per key — the PAIRED binary comparison ("is model B
+   * actually better than model A on the same docs", where two
+   * independent accuracy numbers would throw away the pairing): only
+   * the discordant counts matter,
+   *
+   *   χ² = (n₁₀ − n₀₁)² / (n₁₀ + n₀₁)
+   *
+   * computed as one exact integer expression (square in DECIMAL(38,0),
+   * one truncating div to micro units — zero doubles, engine-
+   * replayable). NULL when there are no discordant pairs (test
+   * undefined). One map-side-combinable groupBy; nothing else.
+   *
+   * Returns keys + (n, n11, n00, n10, n01, chi2_micro).
+   */
+  def mcnemar(df: DataFrame, keys: Seq[String], aCol: String,
+      bCol: String): DataFrame = {
+    require(keys.nonEmpty, "keys required")
+    val m = df
+      .where(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(keys.map(col) :+ col(aCol).cast("boolean").as("__a") :+
+        col(bCol).cast("boolean").as("__b"): _*)
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        count(when(col("__a") && col("__b"), 1)).as("n11"),
+        count(when(!col("__a") && !col("__b"), 1)).as("n00"),
+        count(when(col("__a") && !col("__b"), 1)).as("n10"),
+        count(when(!col("__a") && col("__b"), 1)).as("n01"))
+    m.select(keys.map(col) :+ col("n") :+ col("n11") :+ col("n00") :+
+      col("n10") :+ col("n01") :+
+      when(col("n10") + col("n01") === 0L, lit(null).cast("long"))
+        .otherwise(expr("cast((cast(n10 - n01 as decimal(38,0)) * " +
+          "(n10 - n01) * 1000000) div (n10 + n01) as long)"))
+        .as("chi2_micro"): _*)
+  }
+
+  /**
+   * Nelson–Aalen cumulative hazard per key — [[kaplanMeier]]'s
+   * additive twin: H(t) = Σ_{u ≤ t} d_u/n_risk(u), the estimator whose
+   * increments are per-time event RATES (so hazard ratios and crude
+   * churn intensities read straight off the curve, where KM gives the
+   * survival product). Rides the IDENTICAL per-(key, distinct-time)
+   * machinery: risk sets from one DESC cumulative window, each time's
+   * term rounded ONCE to micro units from the exact integer pair
+   * (d, n_risk), the curve an exact long cumulative sum — engine-
+   * replayable term-for-term.
+   *
+   * Returns keys + (t, n_risk, d_events, c_censored, na_cum_micro)
+   * — one row per observed distinct duration.
+   */
+  def nelsonAalen(df: DataFrame, keys: Seq[String], durationCol: String,
+      eventCol: String): DataFrame = {
+    require(keys.nonEmpty, "keys required")
+    val W = org.apache.spark.sql.expressions.Window
+    val perT = df
+      .where(col(durationCol).isNotNull && col(eventCol).isNotNull)
+      .select(keys.map(col) :+ col(durationCol).cast("long").as("t") :+
+        col(eventCol).cast("boolean").as("__e"): _*)
+      .groupBy(keys.map(col) :+ col("t"): _*)
+      .agg(count(lit(1)).as("__n"), count(when(col("__e"), 1)).as("d_events"))
+    val wDesc = W.partitionBy(keys.map(col): _*).orderBy(col("t").desc)
+      .rowsBetween(W.unboundedPreceding, 0)
+    val wAsc = W.partitionBy(keys.map(col): _*).orderBy(col("t"))
+      .rowsBetween(W.unboundedPreceding, 0)
+    perT
+      .withColumn("n_risk", sum("__n").over(wDesc))
+      .withColumn("__term",
+        round(lit(1e6) * col("d_events").cast("double") /
+          col("n_risk").cast("double")).cast("long"))
+      .withColumn("na_cum_micro", sum("__term").over(wAsc))
+      .select(keys.map(col) :+ col("t") :+ col("n_risk") :+
+        col("d_events") :+ (col("__n") - col("d_events")).as("c_censored") :+
+        col("na_cum_micro"): _*)
+  }
+
+  /**
+   * Welch's unequal-variance t-test per key — the two-sample mean
+   * comparison that does NOT assume equal variances (the safe default
+   * when treatment changes the spread, not just the level; Welch '47):
+   *
+   *   t  = (x̄_A − x̄_B) / √(s²_A/n_A + s²_B/n_B)
+   *   ν  = (s²_A/n_A + s²_B/n_B)² / ((s²_A/n_A)²/(n_A−1) + (s²_B/n_B)²/(n_B−1))
+   *
+   * ONE map-side-combinable groupBy collects the six exact
+   * DECIMAL(38,0) moments (n, Σx, Σx² per group — the [[cuped]]
+   * moment discipline); t and the Welch–Satterthwaite ν are round-once
+   * double expressions over their correctly-rounded casts, replayed by
+   * the HUGEINT oracle with the same factoring: each s²/n is computed
+   * as (n·Σx² − (Σx)²)/(n·n·(n−1)) with the numerator exact. NULL when
+   * either group has n < 2 or both variances are 0.
+   *
+   * Returns keys + (n_a, n_b, t_micro, df_milli); group = true is "A".
+   */
+  def welchT(df: DataFrame, keys: Seq[String], groupCol: String,
+      valueCol: String): DataFrame = {
+    require(keys.nonEmpty, "keys required")
+    val dec = "decimal(38,0)"
+    val m = df
+      .where(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(keys.map(col) :+ col(valueCol).cast("long").as("__v") :+
+        col(groupCol).cast("boolean").as("__g"): _*)
+      .groupBy(keys.map(col): _*)
+      .agg(count(when(col("__g"), 1)).cast(dec).as("__naM"),
+        sum(when(col("__g"), col("__v")).otherwise(lit(0L))).cast(dec)
+          .as("__sa"),
+        sum(when(col("__g"), col("__v") * col("__v")).otherwise(lit(0L)))
+          .cast(dec).as("__qa"),
+        count(when(!col("__g"), 1)).cast(dec).as("__nbM"),
+        sum(when(!col("__g"), col("__v")).otherwise(lit(0L))).cast(dec)
+          .as("__sb"),
+        sum(when(!col("__g"), col("__v") * col("__v")).otherwise(lit(0L)))
+          .cast(dec).as("__qb"))
+    val na = col("__naM"); val nb = col("__nbM")
+    // s^2/n with an exact integer numerator, one division point each
+    val va = (na * col("__qa") - col("__sa") * col("__sa")).cast("double") /
+      (na * na * (na - lit(1L))).cast("double")
+    val vb = (nb * col("__qb") - col("__sb") * col("__sb")).cast("double") /
+      (nb * nb * (nb - lit(1L))).cast("double")
+    val ma = col("__sa").cast("double") / na.cast("double")
+    val mb = col("__sb").cast("double") / nb.cast("double")
+    val bad = na < 2L || nb < 2L
+    m.select(keys.map(col) :+
+      na.cast("long").as("n_a") :+ nb.cast("long").as("n_b") :+
+      when(bad, lit(null).cast("long"))
+        .otherwise(when(va + vb === 0.0, lit(null).cast("long"))
+          .otherwise(round(lit(1e6) * (ma - mb) / sqrt(va + vb))
+            .cast("long"))).as("t_micro") :+
+      when(bad, lit(null).cast("long"))
+        .otherwise(when(va * va / (na.cast("double") - 1.0) +
+            vb * vb / (nb.cast("double") - 1.0) === 0.0,
+          lit(null).cast("long"))
+          .otherwise(round(lit(1e3) * (va + vb) * (va + vb) /
+            (va * va / (na.cast("double") - 1.0) +
+              vb * vb / (nb.cast("double") - 1.0))).cast("long")))
+        .as("df_milli"): _*)
+  }
+
   def poissonBootstrap(df: DataFrame, idCol: String, valueCol: String,
       reps: Int = 32): DataFrame = {
     require(reps >= 2 && reps <= 1024, s"reps must be in [2,1024], got $reps")

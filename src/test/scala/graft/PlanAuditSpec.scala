@@ -69,7 +69,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_jsd" -> "broadcast one-row (N_P, N_Q, V) totals crossJoin (the q_token_kl shape)",
     "q_kn_score" -> "broadcast one-row bigram-type-count crossJoin (the Kneser-Ney N1+(··))",
     "q_modularity" -> "broadcast one-row |E2| total crossJoin onto the community table",
-    "q_bh_fdr" -> "broadcast one-row (m, k_star) threshold crossJoin over the per-test table")
+    "q_bh_fdr" -> "broadcast one-row (m, k_star) threshold crossJoin over the per-test table",
+    "q_ece" -> "broadcast one-row (n_total, ece_micro) totals crossJoin onto the <= bins-row table (the psiReport shape)")
 
   test("no query plans an unintended cartesian or nested-loop join") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -298,6 +298,110 @@ class StatsSpec extends AnyFunSuite {
     assert(messages(ex).exists(_.contains("token_dispersion")))
   }
 
+  test("rocAuc: perfect ranking, ties, Cliff's delta identity") {
+    // positives {3,4} above negatives {1,2}: AUC = 1, delta = +1
+    val perfect = Seq(("k", true, 3L), ("k", true, 4L),
+      ("k", false, 1L), ("k", false, 2L)).toDF("k", "g", "v")
+    val p = Stats.rocAuc(perfect, Seq("k"), "g", "v").collect()(0)
+    assert((p.getLong(1), p.getLong(2), p.getLong(3)) == ((2L, 2L, 8L)))
+    assert(p.getLong(4) == 1000000L && p.getLong(5) == 1000000L)
+    // full ties: one pos + one neg at each of two scores -> AUC 0.5
+    val tied = Seq(("k", true, 1L), ("k", false, 1L),
+      ("k", true, 2L), ("k", false, 2L)).toDF("k", "g", "v")
+    val t = Stats.rocAuc(tied, Seq("k"), "g", "v").collect()(0)
+    assert(t.getLong(4) == 500000L && t.getLong(5) == 0L)
+    // one-class key: AUC undefined
+    val deg = Seq(("k", true, 1L), ("k", true, 2L)).toDF("k", "g", "v")
+    assert(Stats.rocAuc(deg, Seq("k"), "g", "v").collect()(0).isNullAt(4))
+  }
+
+  test("prAuc: trapezoid over distinct thresholds with the (0,1) anchor") {
+    // desc thresholds: 4(pos) 3(neg) 2(pos) 1(neg)
+    // terms: 1e9*1*(1+1)/(2*2)=5e8; 0; 1e9*1*(2/3+1/2)/(2*2)=291666667; 0
+    val df = Seq(("k", true, 4L), ("k", false, 3L),
+      ("k", true, 2L), ("k", false, 1L)).toDF("k", "g", "v")
+    val r = Stats.prAuc(df, Seq("k"), "g", "v").collect()(0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((2L, 2L, 4L)))
+    assert(r.getLong(4) == (500000000L + 291666667L) / 1000L)
+    // all-negative key: area undefined
+    val neg = Seq(("k", false, 1L), ("k", false, 2L)).toDF("k", "g", "v")
+    assert(Stats.prAuc(neg, Seq("k"), "g", "v").collect()(0).isNullAt(4))
+  }
+
+  test("mcc: perfect, random, and undefined-marginal hand cases") {
+    val perfect = Seq(("k", true, true), ("k", true, true),
+      ("k", false, false), ("k", false, false)).toDF("k", "y", "p")
+    assert(Stats.mcc(perfect, Seq("k"), "y", "p").collect()(0)
+      .getLong(5) == 1000000L)
+    val random = Seq(("k", true, true), ("k", true, false),
+      ("k", false, true), ("k", false, false)).toDF("k", "y", "p")
+    assert(Stats.mcc(random, Seq("k"), "y", "p").collect()(0)
+      .getLong(5) == 0L)
+    // degenerate: the model always says true -> tn+fn = 0 -> NULL
+    val allPos = Seq(("k", true, true), ("k", false, true)).toDF("k", "y", "p")
+    assert(Stats.mcc(allPos, Seq("k"), "y", "p").collect()(0).isNullAt(5))
+  }
+
+  test("calibrationReport: exact per-bin gaps and the ECE headline") {
+    // bin 0: p=0.2 x2 with one positive -> gap |1e6 - 400000| = 600000
+    // bin 1: p=0.9 x2 both positive   -> gap |2e6 - 1800000| = 200000
+    val df = Seq((200000L, true), (200000L, false),
+      (900000L, true), (900000L, true)).toDF("p", "y")
+    val out = Stats.calibrationReport(df, "p", "y", bins = 2)
+      .orderBy("bin").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))).toSeq == Seq(
+      (0L, 2L, 1L, 400000L, 600000L), (1L, 2L, 2L, 1800000L, 200000L)))
+    assert(out.forall(r => r.getLong(5) == 4L && r.getLong(6) == 200000L))
+    // p = 1e6 lands in the LAST bin, not bins (off-by-one guard)
+    val edge = Seq((1000000L, true)).toDF("p", "y")
+    assert(Stats.calibrationReport(edge, "p", "y", bins = 10)
+      .collect()(0).getLong(0) == 9L)
+  }
+
+  test("mcnemar: only discordant pairs drive the statistic") {
+    // pairs (T,T),(T,F),(T,F),(F,T): n10=2, n01=1 -> chi2 = 1/3
+    val df = Seq(("k", true, true), ("k", true, false),
+      ("k", true, false), ("k", false, true)).toDF("k", "a", "b")
+    val r = Stats.mcnemar(df, Seq("k"), "a", "b").collect()(0)
+    assert((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) ==
+      ((1L, 0L, 2L, 1L)))
+    assert(r.getLong(6) == 333333L)
+    // fully concordant: test undefined
+    val conc = Seq(("k", true, true), ("k", false, false)).toDF("k", "a", "b")
+    assert(Stats.mcnemar(conc, Seq("k"), "a", "b").collect()(0).isNullAt(6))
+  }
+
+  test("nelsonAalen: cumulative hazard walk on the kaplanMeier hand case") {
+    val df = Seq(("k", 1L, true), ("k", 2L, true), ("k", 3L, false),
+      ("k", 4L, true), ("k", 5L, false)).toDF("k", "d", "e")
+    val out = Stats.nelsonAalen(df, Seq("k"), "d", "e").orderBy("t")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(5)))
+    // terms: 1/5=200000, 1/4=250000, 0, 1/2=500000, 0
+    assert(out.toSeq == Seq((1L, 5L, 200000L), (2L, 4L, 450000L),
+      (3L, 3L, 450000L), (4L, 2L, 950000L), (5L, 1L, 950000L)))
+  }
+
+  test("welchT: unequal-variance t and Welch-Satterthwaite df") {
+    // A = {1,2,3}: mean 2, s^2/n = 1/3; B = {5,7}: mean 6, s^2/n = 1
+    // t = -4/sqrt(4/3) = -3.4641016; df = (4/3)^2/(1/18 + 1) = 32/19
+    val df = Seq(("k", true, 1L), ("k", true, 2L), ("k", true, 3L),
+      ("k", false, 5L), ("k", false, 7L)).toDF("k", "g", "v")
+    val r = Stats.welchT(df, Seq("k"), "g", "v").collect()(0)
+    assert((r.getLong(1), r.getLong(2)) == ((3L, 2L)))
+    assert(r.getLong(3) == math.round(1e6 * -4.0 / math.sqrt(4.0 / 3.0)))
+    assert(r.getLong(4) == math.round(1e3 * 32.0 / 19.0))
+    // n < 2 in a group: undefined
+    val small = Seq(("k", true, 1L), ("k", false, 5L), ("k", false, 7L))
+      .toDF("k", "g", "v")
+    val s = Stats.welchT(small, Seq("k"), "g", "v").collect()(0)
+    assert(s.isNullAt(3) && s.isNullAt(4))
+    // equal constant groups: zero variance -> undefined, not Inf
+    val const = Seq(("k", true, 5L), ("k", true, 5L),
+      ("k", false, 5L), ("k", false, 5L)).toDF("k", "g", "v")
+    assert(Stats.welchT(const, Seq("k"), "g", "v").collect()(0).isNullAt(3))
+  }
+
   test("quantizeStep picks the finest power-of-10 step fitting maxBins") {
     // 0..99 distinct: fits 100 bins at step 1; at maxBins=32 the lattice
     // probe lands on step 10 (10 bins); 0..9999 needs step 1000 (10 bins
