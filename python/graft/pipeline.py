@@ -3390,6 +3390,210 @@ def welch_t(df, keys, group_col, value_col):
         .alias("df_milli"))
 
 
+def chi_square_kxm(df, a_col, b_col, max_levels=1000):
+    """General k x m chi-square + Cramer's V — Python mirror of the
+    Scala ``Stats.chiSquareKxM``: exact per-cell nano terms over the
+    dense level grid (absent cells contribute their expected mass);
+    fail-loud max_levels guards on both margins."""
+    base = (df.where(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
+            .select(F.col(a_col).cast("string").alias("__a"),
+                    F.col(b_col).cast("string").alias("__b")))
+    cells = base.groupBy("__a", "__b").agg(F.count(F.lit(1)).alias("__o"))
+
+    def margin(c, n, guard):
+        return (base.groupBy(c).agg(F.count(F.lit(1)).alias(n))
+                .withColumn("__lv",
+                            F.count(F.lit(1)).over(Window.partitionBy()))
+                .withColumn(n, F.when(F.col("__lv") <= max_levels, F.col(n))
+                            .otherwise(F.raise_error(F.concat(
+                                F.lit("chi_square_kxm: %s has " % guard),
+                                F.col("__lv").cast("string"),
+                                F.lit(" levels, exceeds max_levels=%d"
+                                      % max_levels)))))
+                .drop("__lv"))
+
+    ra = margin("__a", "__ra", "column A")
+    cb = margin("__b", "__cb", "column B")
+    tot = base.agg(F.count(F.lit(1)).alias("__N"))
+    dec = "decimal(38,0)"
+    grid = (ra.crossJoin(F.broadcast(cb))
+            .join(cells, ["__a", "__b"], "left")
+            .na.fill(0, ["__o"])
+            .crossJoin(F.broadcast(tot)))
+    num = (F.col("__o").cast(dec) * F.col("__N") -
+           F.col("__ra").cast(dec) * F.col("__cb"))
+    summed = (grid.withColumn("__num2", num * num)
+              .withColumn("__t", F.expr(
+                  "cast(round(1e9 * cast(__num2 as double) / "
+                  "cast(cast(__N as decimal(38,0)) * __ra * __cb as double))"
+                  " as bigint)"))
+              .agg(F.max("__N").alias("n"),
+                   F.countDistinct("__a").alias("k_levels"),
+                   F.countDistinct("__b").alias("m_levels"),
+                   F.sum("__t").alias("chi2_nano")))
+    return summed.select(
+        "n", "k_levels", "m_levels",
+        ((F.col("k_levels") - 1) * (F.col("m_levels") - 1)).alias("dof"),
+        "chi2_nano",
+        F.when((F.col("n") == 0) | (F.col("k_levels") < 2) |
+               (F.col("m_levels") < 2), F.lit(None).cast("long"))
+        .otherwise(F.round(F.lit(1e6) * F.sqrt(
+            F.col("chi2_nano").cast("double") / F.lit(1e9) /
+            (F.col("n").cast("double") *
+             F.least(F.col("k_levels") - 1, F.col("m_levels") - 1)
+             .cast("double")))).cast("long")).alias("v_micro"))
+
+
+def acf(df, keys, order_col, value_col, max_lag=8):
+    """Per-key autocorrelation at lags 1..max_lag — Python mirror of
+    the Scala ``Stats.acf``: exact mean-centered moments (multiply
+    through by n^2), one round-once micro division per lag."""
+    kc = [F.col(k) for k in keys]
+    dec = "decimal(38,0)"
+    w = Window.partitionBy(*kc).orderBy(F.col("__t"))
+    base = (df.where(F.col(value_col).isNotNull() &
+                     F.col(order_col).isNotNull())
+            .select(*kc, F.col(order_col).alias("__t"),
+                    F.col(value_col).cast("long").alias("__x")))
+    lagged = base
+    for lag in range(1, max_lag + 1):
+        lagged = lagged.withColumn("__lag%d" % lag,
+                                   F.lag("__x", lag).over(w))
+    aggs = [F.count(F.lit(1)).cast(dec).alias("__n"),
+            F.sum("__x").cast(dec).alias("__s"),
+            F.sum(F.col("__x") * F.col("__x")).cast(dec).alias("__q")]
+    for lag in range(1, max_lag + 1):
+        lg = F.col("__lag%d" % lag)
+        aggs += [
+            F.sum(F.when(lg.isNotNull(), F.col("__x") * lg)
+                  .otherwise(F.lit(0))).cast(dec).alias("__xx%d" % lag),
+            F.sum(F.when(lg.isNotNull(), lg).otherwise(F.lit(0)))
+            .cast(dec).alias("__sh%d" % lag),
+            F.sum(F.when(lg.isNotNull(), F.col("__x")).otherwise(F.lit(0)))
+            .cast(dec).alias("__st%d" % lag),
+            F.count(F.when(lg.isNotNull(), 1)).cast(dec)
+            .alias("__np%d" % lag)]
+    m = lagged.groupBy(*kc).agg(*aggs)
+    n, s = F.col("__n"), F.col("__s")
+    den = n * n * F.col("__q") - n * s * s
+    per_lag = [F.struct(
+        F.lit(lag).alias("lag"),
+        F.col("__np%d" % lag).cast("long").alias("n_pairs"),
+        F.when((den == 0) | (F.col("__np%d" % lag) == 0),
+               F.lit(None).cast("long"))
+        .otherwise(F.round(F.lit(1e6) * (
+            n * n * F.col("__xx%d" % lag) -
+            n * s * (F.col("__sh%d" % lag) + F.col("__st%d" % lag)) +
+            (n - F.lit(lag)) * s * s).cast("double") /
+            den.cast("double")).cast("long")).alias("r_micro"))
+        for lag in range(1, max_lag + 1)]
+    return (m.select(*kc, F.explode(F.array(*per_lag)).alias("__e"))
+            .select(*kc, "__e.lag", "__e.n_pairs", "__e.r_micro"))
+
+
+def vocabulary_richness(df, text_col):
+    """Good-Turing unseen mass + bias-corrected Chao1 — Python mirror
+    of the Scala ``Stats.vocabularyRichness``: one freq-of-freq rollup,
+    exact integer divisions."""
+    counts = (df.select(F.explode(F.split(F.col(text_col), " "))
+                        .alias("tok"))
+              .where(F.col("tok") != "")
+              .groupBy("tok").agg(F.count(F.lit(1)).alias("__c")))
+    fof = counts.groupBy("__c").agg(F.count(F.lit(1)).alias("__nc"))
+    return (fof.agg(
+        F.sum(F.col("__c") * F.col("__nc")).alias("n_tokens"),
+        F.sum("__nc").alias("vocab"),
+        F.coalesce(F.sum(F.when(F.col("__c") == 1, F.col("__nc"))),
+                   F.lit(0)).alias("n1"),
+        F.coalesce(F.sum(F.when(F.col("__c") == 2, F.col("__nc"))),
+                   F.lit(0)).alias("n2"))
+        .select("n_tokens", "vocab", "n1", "n2",
+                F.expr("cast((n1 * 1000000) div n_tokens as long)")
+                .alias("p0_ppm"),
+                F.expr("cast(vocab * 1000 + (cast(n1 as decimal(38,0)) * "
+                       "(n1 - 1) * 1000) div (2 * (n2 + 1)) as long)")
+                .alias("chao1_milli")))
+
+
+def cohens_d(df, keys, group_col, value_col):
+    """Cohen's d / Hedges' g — Python mirror of the Scala
+    ``Stats.cohensD``: pooled-sd standardized mean difference over the
+    welch_t six-moment groupBy; (1e6*(ma-mb))/sp association order."""
+    kc = [F.col(k) for k in keys]
+    dec = "decimal(38,0)"
+    g, v = F.col("__g"), F.col("__v")
+    m = (df.where(F.col(value_col).isNotNull() &
+                  F.col(group_col).isNotNull())
+         .select(*kc, F.col(value_col).cast("long").alias("__v"),
+                 F.col(group_col).cast("boolean").alias("__g"))
+         .groupBy(*kc)
+         .agg(F.count(F.when(g, 1)).cast(dec).alias("__naM"),
+              F.sum(F.when(g, v).otherwise(F.lit(0))).cast(dec).alias("__sa"),
+              F.sum(F.when(g, v * v).otherwise(F.lit(0))).cast(dec)
+              .alias("__qa"),
+              F.count(F.when(~g, 1)).cast(dec).alias("__nbM"),
+              F.sum(F.when(~g, v).otherwise(F.lit(0))).cast(dec).alias("__sb"),
+              F.sum(F.when(~g, v * v).otherwise(F.lit(0))).cast(dec)
+              .alias("__qb")))
+    na, nb = F.col("__naM"), F.col("__nbM")
+    ssa = (na * F.col("__qa") - F.col("__sa") * F.col("__sa")) \
+        .cast("double") / na.cast("double")
+    ssb = (nb * F.col("__qb") - F.col("__sb") * F.col("__sb")) \
+        .cast("double") / nb.cast("double")
+    ma = F.col("__sa").cast("double") / na.cast("double")
+    mb = F.col("__sb").cast("double") / nb.cast("double")
+    n_tot = (na + nb).cast("double")
+    sp = F.sqrt((ssa + ssb) / (n_tot - F.lit(2.0)))
+    bad = (na < 2) | (nb < 2)
+    return m.select(
+        *kc, na.cast("long").alias("n_a"), nb.cast("long").alias("n_b"),
+        F.when(bad, F.lit(None).cast("long"))
+        .otherwise(F.when(ssa + ssb == 0.0, F.lit(None).cast("long"))
+                   .otherwise(F.round(F.lit(1e6) * (ma - mb) / sp)
+                              .cast("long"))).alias("d_micro"),
+        F.when(bad, F.lit(None).cast("long"))
+        .otherwise(F.when(ssa + ssb == 0.0, F.lit(None).cast("long"))
+                   .otherwise(F.round(F.lit(1e6) * (ma - mb) / sp *
+                              (F.lit(1.0) - F.lit(3.0) /
+                               (F.lit(4.0) * n_tot - F.lit(9.0))))
+                              .cast("long"))).alias("g_micro"))
+
+
+def cochran_armitage(df, keys, score_col, label_col):
+    """Cochran-Armitage trend test — Python mirror of the Scala
+    ``Stats.cochranArmitage``: exact per-level moments, factored
+    denominator (each factor under its own sqrt), round-once z."""
+    kc = [F.col(k) for k in keys]
+    dec = "decimal(38,0)"
+    per_level = (df.where(F.col(score_col).isNotNull() &
+                          F.col(label_col).isNotNull())
+                 .select(*kc, F.col(score_col).cast("long").alias("__s"),
+                         F.col(label_col).cast("boolean").alias("__y"))
+                 .groupBy(*kc, F.col("__s"))
+                 .agg(F.count(F.lit(1)).alias("__ni"),
+                      F.count(F.when(F.col("__y"), 1)).alias("__ri")))
+    m = (per_level.groupBy(*kc)
+         .agg(F.sum("__ni").cast(dec).alias("__N"),
+              F.sum("__ri").cast(dec).alias("__R"),
+              F.count(F.lit(1)).alias("n_levels"),
+              F.sum(F.col("__s").cast(dec) * F.col("__ni")).alias("__ns"),
+              F.sum(F.col("__s").cast(dec) * F.col("__s") * F.col("__ni"))
+              .alias("__nss"),
+              F.sum(F.col("__s").cast(dec) * F.col("__ri")).alias("__sr")))
+    n_big, r = F.col("__N"), F.col("__R")
+    nt = F.col("__sr") * n_big - F.col("__ns") * r
+    x = n_big * F.col("__nss") - F.col("__ns") * F.col("__ns")
+    return m.select(
+        *kc, n_big.cast("long").alias("n"), r.cast("long").alias("r_pos"),
+        "n_levels",
+        F.when((r == 0) | (r == n_big) | (x == 0),
+               F.lit(None).cast("long"))
+        .otherwise(F.round(F.lit(1e6) * nt.cast("double") *
+                   F.sqrt(n_big.cast("double")) /
+                   F.sqrt((r * (n_big - r)).cast("double")) /
+                   F.sqrt(x.cast("double"))).cast("long")).alias("z_micro"))
+
+
 def isotonic_calibrate(df, score_col, label_col, buckets=16):
     """Isotonic (PAV) score calibration — Python mirror of the Scala
     ``Stats.isotonicCalibrate``: quantile-bucketed score->rate map,

@@ -1419,6 +1419,54 @@ def test_nelson_aalen_and_welch_t_hand(spark):
     assert r["df_milli"] == round(1e3 * 32.0 / 19.0)
 
 
+def test_chi_square_kxm_hand(spark):
+    from graft.pipeline import chi_square_kxm
+    rows = [("t", "t")] * 10 + [("t", "f")] * 20 + \
+        [("f", "t")] * 20 + [("f", "f")] * 10
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = chi_square_kxm(df, "a", "b").collect()[0]
+    assert (r["n"], r["k_levels"], r["m_levels"], r["dof"]) == (60, 2, 2, 1)
+    assert r["chi2_nano"] == 4 * 1666666667
+
+
+def test_acf_hand(spark):
+    from graft.pipeline import acf
+    df = spark.createDataFrame(
+        [("k", 1, 1), ("k", 2, 2), ("k", 3, 3), ("k", 4, 4)],
+        "k string, t long, x long")
+    out = [(r["lag"], r["n_pairs"], r["r_micro"])
+           for r in acf(df, ["k"], "t", "x", max_lag=2)
+           .orderBy("lag").collect()]
+    assert out == [(1, 3, 250000), (2, 2, -300000)]
+
+
+def test_vocabulary_richness_hand(spark):
+    from graft.pipeline import vocabulary_richness
+    df = spark.createDataFrame([("a a b c",), ("c d",)], "text string")
+    r = vocabulary_richness(df, "text").collect()[0]
+    assert (r["n_tokens"], r["vocab"], r["n1"], r["n2"]) == (6, 4, 2, 2)
+    assert (r["p0_ppm"], r["chao1_milli"]) == (333333, 4333)
+
+
+def test_cohens_d_and_cochran_armitage_hand(spark):
+    import math
+    from graft.pipeline import cohens_d, cochran_armitage
+    df = spark.createDataFrame(
+        [("k", True, 2), ("k", True, 4), ("k", False, 6), ("k", False, 8)],
+        "k string, g boolean, v long")
+    r = cohens_d(df, ["k"], "g", "v").collect()[0]
+    assert r["d_micro"] == round(1e6 * -4.0 / math.sqrt(2.0))
+    assert r["g_micro"] == round(1e6 * -4.0 / math.sqrt(2.0) *
+                                 (1.0 - 3.0 / 7.0))
+    rows = [("k", 0, i < 1) for i in range(10)] + \
+        [("k", 1, i < 5) for i in range(10)] + \
+        [("k", 2, i < 9) for i in range(10)]
+    ca = spark.createDataFrame(rows, "k string, s long, y boolean")
+    z = cochran_armitage(ca, ["k"], "s", "y").collect()[0]
+    assert (z["n"], z["r_pos"], z["n_levels"]) == (30, 15, 3)
+    assert abs(z["z_micro"] - 1e6 * 8.0 / math.sqrt(5.0)) <= 1.0
+
+
 def test_quantize_step_lattice(spark):
     from graft.pipeline import quantize_step
     df = spark.range(100).selectExpr("id as v")

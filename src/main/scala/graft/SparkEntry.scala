@@ -3955,6 +3955,40 @@ object SparkEntry {
         t(s, dir, "documents").select(col("source"),
           (col("lang") === "en").as("g"), col("n_chars")),
         Seq("source"), "g", "n_chars").orderBy("source")),
+    // ---- wave 47: independence / dose-response / coverage ----
+    // k x m chi-square + Cramer's V: is lang independent of source
+    // (exact per-cell nano terms over the dense level grid)
+    "q_chi_kxm" -> ((s, dir) =>
+      graft.pipeline.Stats.chiSquareKxM(
+        t(s, dir, "documents"), "lang", "source")),
+    // per-user autocorrelation of the event-value series at lags 1..3
+    // (exact mean-centered moments, one round-once division per lag)
+    "q_acf" -> ((s, dir) =>
+      graft.pipeline.Stats.acf(
+        t(s, dir, "events").select(col("user_id"), col("event_id"),
+          expr("cast(round(value * 100) as bigint)").as("vc")),
+        Seq("user_id"), "event_id", "vc", maxLag = 3)
+        .orderBy("user_id", "lag")),
+    // Good-Turing unseen mass + Chao1 vocabulary estimate — how much
+    // of the corpus vocabulary the crawl has NOT seen yet
+    "q_vocab_richness" -> ((s, dir) =>
+      graft.pipeline.Stats.vocabularyRichness(
+        t(s, dir, "documents"), "text")),
+    // Cohen's d / Hedges' g per source: the effect SIZE next to
+    // q_welch_t's significance (same six exact moments)
+    "q_cohens_d" -> ((s, dir) =>
+      graft.pipeline.Stats.cohensD(
+        t(s, dir, "documents").select(col("source"),
+          (col("lang") === "en").as("g"), col("n_chars")),
+        Seq("source"), "g", "n_chars").orderBy("source")),
+    // Cochran-Armitage: does the en rate trend with the length tier
+    // (the ordered-alternative test a k x 2 chi-square wastes power on)
+    "q_cochran_armitage" -> ((s, dir) =>
+      graft.pipeline.Stats.cochranArmitage(
+        t(s, dir, "documents").select(col("source"),
+          expr("n_chars div 100").as("tier"),
+          (col("lang") === "en").as("y")),
+        Seq("source"), "tier", "y").orderBy("source")),
     // the drift monitor's batch face: per user-parity cohort, the click
     // value histogram scored against the GLOBAL view histogram with the
     // exact streaming arithmetic (flatMapGroupsWithState in batch mode)
@@ -9291,6 +9325,143 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |    END AS km_log_unats
         |FROM tm ORDER BY cohort, t""".stripMargin,
+    "q_chi_kxm" ->
+      """WITH b AS (SELECT CAST(lang AS VARCHAR) AS a,
+        |    CAST(source AS VARCHAR) AS bb FROM documents
+        |  WHERE lang IS NOT NULL AND source IS NOT NULL),
+        |cells AS (SELECT a, bb, COUNT(*) AS o FROM b GROUP BY 1, 2),
+        |ra AS (SELECT a, COUNT(*) AS ra FROM b GROUP BY 1),
+        |cb AS (SELECT bb, COUNT(*) AS cb FROM b GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS nn FROM b),
+        |grid AS (SELECT ra.a, cb.bb, ra.ra, cb.cb,
+        |    COALESCE(cells.o, 0) AS o, nn
+        |  FROM ra CROSS JOIN cb
+        |  LEFT JOIN cells ON cells.a = ra.a AND cells.bb = cb.bb, tot),
+        |tm AS (SELECT *, CAST(round(1e9 *
+        |    CAST((o::HUGEINT * nn - ra::HUGEINT * cb) *
+        |         (o::HUGEINT * nn - ra::HUGEINT * cb) AS DOUBLE) /
+        |    CAST(nn::HUGEINT * ra * cb AS DOUBLE)) AS BIGINT) AS t
+        |  FROM grid)
+        |SELECT CAST(MAX(nn) AS BIGINT) AS n,
+        |  COUNT(DISTINCT a) AS k_levels, COUNT(DISTINCT bb) AS m_levels,
+        |  (COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT bb) - 1) AS dof,
+        |  CAST(SUM(t) AS BIGINT) AS chi2_nano,
+        |  CASE WHEN MAX(nn) = 0 OR COUNT(DISTINCT a) < 2
+        |      OR COUNT(DISTINCT bb) < 2 THEN NULL
+        |    ELSE CAST(round(1e6 * sqrt(CAST(SUM(t) AS DOUBLE) / 1e9 /
+        |      (CAST(MAX(nn) AS DOUBLE) *
+        |       LEAST(COUNT(DISTINCT a) - 1, COUNT(DISTINCT bb) - 1))))
+        |      AS BIGINT) END AS v_micro
+        |FROM tm""".stripMargin,
+    "q_acf" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS x FROM events
+        |  WHERE value IS NOT NULL AND event_id IS NOT NULL),
+        |l AS (SELECT user_id, x,
+        |    LAG(x, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS l1,
+        |    LAG(x, 2) OVER (PARTITION BY user_id ORDER BY event_id) AS l2,
+        |    LAG(x, 3) OVER (PARTITION BY user_id ORDER BY event_id) AS l3
+        |  FROM e),
+        |m AS (SELECT user_id, COUNT(*)::HUGEINT AS n, SUM(x)::HUGEINT AS s,
+        |    SUM(x::HUGEINT * x) AS q,
+        |    SUM(CASE WHEN l1 IS NOT NULL THEN x::HUGEINT * l1 ELSE 0 END) AS xx1,
+        |    SUM(CASE WHEN l1 IS NOT NULL THEN l1 ELSE 0 END)::HUGEINT AS sh1,
+        |    SUM(CASE WHEN l1 IS NOT NULL THEN x ELSE 0 END)::HUGEINT AS st1,
+        |    COUNT(CASE WHEN l1 IS NOT NULL THEN 1 END)::HUGEINT AS np1,
+        |    SUM(CASE WHEN l2 IS NOT NULL THEN x::HUGEINT * l2 ELSE 0 END) AS xx2,
+        |    SUM(CASE WHEN l2 IS NOT NULL THEN l2 ELSE 0 END)::HUGEINT AS sh2,
+        |    SUM(CASE WHEN l2 IS NOT NULL THEN x ELSE 0 END)::HUGEINT AS st2,
+        |    COUNT(CASE WHEN l2 IS NOT NULL THEN 1 END)::HUGEINT AS np2,
+        |    SUM(CASE WHEN l3 IS NOT NULL THEN x::HUGEINT * l3 ELSE 0 END) AS xx3,
+        |    SUM(CASE WHEN l3 IS NOT NULL THEN l3 ELSE 0 END)::HUGEINT AS sh3,
+        |    SUM(CASE WHEN l3 IS NOT NULL THEN x ELSE 0 END)::HUGEINT AS st3,
+        |    COUNT(CASE WHEN l3 IS NOT NULL THEN 1 END)::HUGEINT AS np3
+        |  FROM l GROUP BY 1),
+        |u AS (SELECT user_id, 1 AS lag, np1 AS np, xx1 AS xx, sh1 AS sh,
+        |    st1 AS st, n, s, q FROM m
+        |  UNION ALL SELECT user_id, 2, np2, xx2, sh2, st2, n, s, q FROM m
+        |  UNION ALL SELECT user_id, 3, np3, xx3, sh3, st3, n, s, q FROM m)
+        |SELECT user_id, lag, CAST(np AS BIGINT) AS n_pairs,
+        |  CASE WHEN n * n * q - n * s * s = 0 OR np = 0 THEN NULL
+        |    ELSE CAST(round(1e6 *
+        |      CAST(n * n * xx - n * s * (sh + st) + (n - lag) * s * s
+        |        AS DOUBLE) /
+        |      CAST(n * n * q - n * s * s AS DOUBLE)) AS BIGINT)
+        |    END AS r_micro
+        |FROM u ORDER BY user_id, lag""".stripMargin,
+    "q_vocab_richness" ->
+      """WITH tk AS (SELECT unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |cc AS (SELECT tok, COUNT(*) AS c FROM tk WHERE tok <> ''
+        |  GROUP BY 1),
+        |f AS (SELECT c, COUNT(*) AS nc FROM cc GROUP BY 1)
+        |SELECT CAST(SUM(c * nc) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(nc) AS BIGINT) AS vocab,
+        |  CAST(COALESCE(SUM(CASE WHEN c = 1 THEN nc END), 0) AS BIGINT)
+        |    AS n1,
+        |  CAST(COALESCE(SUM(CASE WHEN c = 2 THEN nc END), 0) AS BIGINT)
+        |    AS n2,
+        |  CAST((COALESCE(SUM(CASE WHEN c = 1 THEN nc END), 0) * 1000000)
+        |    // SUM(c * nc) AS BIGINT) AS p0_ppm,
+        |  CAST(SUM(nc) * 1000 +
+        |    (COALESCE(SUM(CASE WHEN c = 1 THEN nc END), 0)::HUGEINT *
+        |     (COALESCE(SUM(CASE WHEN c = 1 THEN nc END), 0) - 1) * 1000)
+        |    // (2 * (COALESCE(SUM(CASE WHEN c = 2 THEN nc END), 0) + 1))
+        |    AS BIGINT) AS chao1_milli
+        |FROM f""".stripMargin,
+    "q_cohens_d" ->
+      """WITH b AS (SELECT source, (lang = 'en') AS g, n_chars AS v
+        |  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+        |m AS (SELECT source,
+        |    COUNT(CASE WHEN g THEN 1 END)::HUGEINT AS na,
+        |    COALESCE(SUM(CASE WHEN g THEN v ELSE 0 END), 0)::HUGEINT AS sa,
+        |    COALESCE(SUM(CASE WHEN g THEN v::HUGEINT * v ELSE 0 END), 0)
+        |      AS qa,
+        |    COUNT(CASE WHEN NOT g THEN 1 END)::HUGEINT AS nb,
+        |    COALESCE(SUM(CASE WHEN NOT g THEN v ELSE 0 END), 0)::HUGEINT
+        |      AS sb,
+        |    COALESCE(SUM(CASE WHEN NOT g THEN v::HUGEINT * v ELSE 0 END), 0)
+        |      AS qb
+        |  FROM b GROUP BY 1),
+        |vv AS (SELECT source, na, nb,
+        |    CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS ma,
+        |    CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb,
+        |    CASE WHEN na < 1 THEN NULL
+        |      ELSE CAST(na * qa - sa * sa AS DOUBLE) / CAST(na AS DOUBLE)
+        |      END AS ssa,
+        |    CASE WHEN nb < 1 THEN NULL
+        |      ELSE CAST(nb * qb - sb * sb AS DOUBLE) / CAST(nb AS DOUBLE)
+        |      END AS ssb
+        |  FROM m)
+        |SELECT source, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  CASE WHEN na < 2 OR nb < 2 OR ssa + ssb = 0 THEN NULL
+        |    ELSE CAST(round(1e6 * (ma - mb) / sqrt((ssa + ssb) /
+        |      (CAST(na + nb AS DOUBLE) - 2.0))) AS BIGINT) END AS d_micro,
+        |  CASE WHEN na < 2 OR nb < 2 OR ssa + ssb = 0 THEN NULL
+        |    ELSE CAST(round(1e6 * (ma - mb) / sqrt((ssa + ssb) /
+        |      (CAST(na + nb AS DOUBLE) - 2.0)) *
+        |      (1.0 - 3.0 / (4.0 * CAST(na + nb AS DOUBLE) - 9.0)))
+        |      AS BIGINT) END AS g_micro
+        |FROM vv ORDER BY source""".stripMargin,
+    "q_cochran_armitage" ->
+      """WITH b AS (SELECT source, n_chars // 100 AS s, (lang = 'en') AS y
+        |  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+        |pl AS (SELECT source, s, COUNT(*) AS ni,
+        |    COUNT(CASE WHEN y THEN 1 END) AS ri FROM b GROUP BY 1, 2),
+        |m AS (SELECT source, SUM(ni)::HUGEINT AS nn, SUM(ri)::HUGEINT AS r,
+        |    COUNT(*) AS n_levels,
+        |    SUM(s::HUGEINT * ni) AS ns, SUM(s::HUGEINT * s * ni) AS nss,
+        |    SUM(s::HUGEINT * ri) AS sr
+        |  FROM pl GROUP BY 1)
+        |SELECT source, CAST(nn AS BIGINT) AS n, CAST(r AS BIGINT) AS r_pos,
+        |  n_levels,
+        |  CASE WHEN r = 0 OR r = nn OR nn * nss - ns * ns = 0 THEN NULL
+        |    ELSE CAST(round(1e6 * CAST(sr * nn - ns * r AS DOUBLE) *
+        |      sqrt(CAST(nn AS DOUBLE)) /
+        |      sqrt(CAST(r * (nn - r) AS DOUBLE)) /
+        |      sqrt(CAST(nn * nss - ns * ns AS DOUBLE))) AS BIGINT)
+        |    END AS z_micro
+        |FROM m ORDER BY source""".stripMargin,
     "q_roc_auc" ->
       """WITH b AS (SELECT source, (lang = 'en') AS g, n_chars AS v
         |  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),

@@ -2403,6 +2403,284 @@ object Stats {
         .as("df_milli"): _*)
   }
 
+  /**
+   * General k×m chi-square independence test + Cramér's V — "are these
+   * two categorical columns independent" beyond [[chiSquare2x2]]'s
+   * binary case (lang × source, label × shard, template × license).
+   * With o the observed cell count, r_a/c_b the margins and N the
+   * total, each cell's contribution clears denominators exactly:
+   *
+   *   (o − e)²/e = (o·N − r_a·c_b)² / (N·r_a·c_b)
+   *
+   * — numerator and denominator are exact DECIMAL(38,0) products, one
+   * nano-rounded division per cell (the [[kaplanMeier]] per-term
+   * discipline), summed as exact longs; Cramér's V = √(χ²/(N·min(k−1,
+   * m−1))) is one round-once expression over the exact nano sum.
+   * ABSENT cells contribute their full expected mass via the dense
+   * level×level grid (the [[tokenDispersion]] broadcast pattern — both
+   * dimensions are label-sized by contract, ENFORCED by `maxLevels`
+   * count guards on each margin).
+   *
+   * Returns one row: (n, k_levels, m_levels, dof, chi2_nano, v_micro).
+   */
+  def chiSquareKxM(df: DataFrame, aCol: String, bCol: String,
+      maxLevels: Int = 1000): DataFrame = {
+    require(maxLevels >= 2 && maxLevels <= 100000,
+      s"maxLevels must be in [2, 100000], got $maxLevels")
+    val W = org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val base = df
+      .where(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).cast("string").as("__a"),
+        col(bCol).cast("string").as("__b"))
+    val cells = base.groupBy("__a", "__b").agg(count(lit(1)).as("__o"))
+    def margin(c: String, n: String, guard: String): DataFrame =
+      base.groupBy(c).agg(count(lit(1)).as(n))
+        .withColumn("__lv", count(lit(1)).over(W.partitionBy()))
+        .withColumn(n, when(col("__lv") <= maxLevels, col(n))
+          .otherwise(raise_error(concat(
+            lit(s"chi_square_kxm: $guard has "), col("__lv"),
+            lit(s" levels, exceeds maxLevels=$maxLevels; margins must be " +
+              "label-sized (the dense grid is k x m) — coarsen the " +
+              "column or raise the cap deliberately")))))
+        .drop("__lv")
+    val ra = margin("__a", "__ra", "column A")
+    val cb = margin("__b", "__cb", "column B")
+    val tot = base.agg(count(lit(1)).as("__N"))
+    val grid = ra.crossJoin(broadcast(cb))
+      .join(cells, Seq("__a", "__b"), "left")
+      .na.fill(0L, Seq("__o"))
+      .crossJoin(broadcast(tot))
+    val num = (col("__o").cast(dec) * col("__N") -
+      col("__ra").cast(dec) * col("__cb"))
+    val term = expr("cast(round(1e9 * cast(__num2 as double) / " +
+      "cast(cast(__N as decimal(38,0)) * __ra * __cb as double)) as bigint)")
+    val summed = grid
+      .withColumn("__num2", num * num)
+      .withColumn("__t", term)
+      .agg(max("__N").as("n"),
+        countDistinct("__a").as("k_levels"),
+        countDistinct("__b").as("m_levels"),
+        sum("__t").as("chi2_nano"))
+    summed.select(col("n"), col("k_levels"), col("m_levels"),
+      ((col("k_levels") - 1L) * (col("m_levels") - 1L)).as("dof"),
+      col("chi2_nano"),
+      when(col("n") === 0L || col("k_levels") < 2L || col("m_levels") < 2L,
+        lit(null).cast("long"))
+        .otherwise(round(lit(1e6) * sqrt(
+          col("chi2_nano").cast("double") / lit(1e9) /
+            (col("n").cast("double") *
+              least(col("k_levels") - 1L, col("m_levels") - 1L)
+                .cast("double")))).cast("long")).as("v_micro"))
+  }
+
+  /**
+   * Autocorrelation function per key — r_ℓ for lags 1..maxLag, the
+   * cadence/seasonality screen for per-key event series ("is this
+   * feed's volume self-similar at lag 24h"). The mean-centered
+   * products clear the rational mean exactly (multiply through by n²):
+   *
+   *   num_ℓ·n² = n²·Σ x_t·x_{t+ℓ} − n·S·(S_head+S_tail) + (n−ℓ)·S²
+   *   den·n²   = n²·Σ x²           − n·S²
+   *   r_ℓ      = num_ℓ/den         (one round-once micro division)
+   *
+   * where S_head/S_tail are the paired-row partial sums — ALL exact
+   * DECIMAL(38,0), so the only double is the final ratio. One window
+   * pass materializes the maxLag lag columns; one map-side-combinable
+   * rollup per key collects every lag's moments (rows never shuffle
+   * per lag). In-batch order is `orderCol`; rows per key are the
+   * series (quantize/bucket upstream for regular spacing).
+   *
+   * Returns one row per (key, lag): keys + (lag, n_pairs, r_micro);
+   * r NULL when the key's variance is 0 or the lag has no pairs.
+   */
+  def acf(df: DataFrame, keys: Seq[String], orderCol: String,
+      valueCol: String, maxLag: Int = 8): DataFrame = {
+    require(keys.nonEmpty, "keys required")
+    require(maxLag >= 1 && maxLag <= 32, s"maxLag in [1,32], got $maxLag")
+    val W = org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val w = W.partitionBy(keys.map(col): _*).orderBy(col("__t"))
+    val base = df
+      .where(col(valueCol).isNotNull && col(orderCol).isNotNull)
+      .select(keys.map(col) :+ col(orderCol).as("__t") :+
+        col(valueCol).cast("long").as("__x"): _*)
+    val lagged = (1 to maxLag).foldLeft(
+      base.withColumn("__t", col("__t")))((d, l) =>
+      d.withColumn(s"__lag$l", lag(col("__x"), l).over(w)))
+    val aggs = Seq(count(lit(1)).cast(dec).as("__n"),
+      sum(col("__x")).cast(dec).as("__s"),
+      sum(col("__x") * col("__x")).cast(dec).as("__q")) ++
+      (1 to maxLag).flatMap { l =>
+        val lg = col(s"__lag$l")
+        Seq(
+          sum(when(lg.isNotNull, col("__x") * lg).otherwise(lit(0L)))
+            .cast(dec).as(s"__xx$l"),
+          sum(when(lg.isNotNull, lg).otherwise(lit(0L))).cast(dec)
+            .as(s"__sh$l"),
+          sum(when(lg.isNotNull, col("__x")).otherwise(lit(0L))).cast(dec)
+            .as(s"__st$l"),
+          count(when(lg.isNotNull, 1)).cast(dec).as(s"__np$l"))
+      }
+    val m = lagged.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val n = col("__n"); val s = col("__s")
+    val den = n * n * col("__q") - n * s * s
+    val perLag = (1 to maxLag).map { l =>
+      struct(lit(l).as("lag"),
+        col(s"__np$l").cast("long").as("n_pairs"),
+        when(den === 0L || col(s"__np$l") === 0L, lit(null).cast("long"))
+          .otherwise(round(lit(1e6) *
+            (n * n * col(s"__xx$l") - n * s * (col(s"__sh$l") + col(s"__st$l")) +
+              (n - lit(l.toLong)) * s * s).cast("double") /
+            den.cast("double")).cast("long")).as("r_micro"))
+    }
+    m.select(keys.map(col) :+ explode(array(perLag: _*)).as("__e"): _*)
+      .select(keys.map(col) :+ col("__e.lag") :+ col("__e.n_pairs") :+
+        col("__e.r_micro"): _*)
+  }
+
+  /**
+   * Vocabulary richness: Good–Turing unseen mass + bias-corrected
+   * Chao1 — "how much of this corpus's vocabulary have we NOT seen",
+   * the coverage answer behind dedup/contamination budgeting (Good
+   * '53; Chao '84). From the frequency-of-frequency table (N_c =
+   * #types with count c):
+   *
+   *   p₀        = N₁/N                    (Good–Turing unseen mass)
+   *   Chao1     = V + N₁(N₁−1)/(2(N₂+1))  (bias-corrected form — no
+   *                                        zero-division when N₂ = 0)
+   *
+   * both as exact integer divisions (ppm / milli units). Scale shape:
+   * token histogram → ONE tiny freq-of-freq rollup (the [[zipfFit]]
+   * table); nothing else touches the corpus.
+   *
+   * Returns one row: (n_tokens, vocab, n1, n2, p0_ppm, chao1_milli).
+   */
+  def vocabularyRichness(df: DataFrame, textCol: String): DataFrame = {
+    val counts = df
+      .select(explode(split(col(textCol), " ")).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("__c"))
+    val fof = counts.groupBy("__c").agg(count(lit(1)).as("__nc"))
+    fof.agg(
+      sum(col("__c") * col("__nc")).as("n_tokens"),
+      sum("__nc").as("vocab"),
+      coalesce(sum(when(col("__c") === 1L, col("__nc"))), lit(0L)).as("n1"),
+      coalesce(sum(when(col("__c") === 2L, col("__nc"))), lit(0L)).as("n2"))
+      .select(col("n_tokens"), col("vocab"), col("n1"), col("n2"),
+        expr("cast((n1 * 1000000) div n_tokens as long)").as("p0_ppm"),
+        expr("cast(vocab * 1000 + (cast(n1 as decimal(38,0)) * (n1 - 1) " +
+          "* 1000) div (2 * (n2 + 1)) as long)").as("chao1_milli"))
+  }
+
+  /**
+   * Cohen's d / Hedges' g per key — the standardized effect size that
+   * turns [[welchT]]'s "significant?" into "HOW BIG" (the report a
+   * thousand-experiment scan actually needs next to its p-value):
+   *
+   *   d = (x̄_A − x̄_B) / s_pooled,  s²_p = ((n_A−1)s²_A + (n_B−1)s²_B)/(n−2)
+   *   g = d · (1 − 3/(4n − 9))      (small-sample bias correction)
+   *
+   * over the same six exact DECIMAL(38,0) moments as [[welchT]] (ONE
+   * map-side-combinable groupBy); d and g are round-once double
+   * expressions with each variance numerator exact. NULL when either
+   * group has n < 2 or the pooled variance is 0.
+   *
+   * Returns keys + (n_a, n_b, d_micro, g_micro); group = true is "A".
+   */
+  def cohensD(df: DataFrame, keys: Seq[String], groupCol: String,
+      valueCol: String): DataFrame = {
+    require(keys.nonEmpty, "keys required")
+    val dec = "decimal(38,0)"
+    val m = df
+      .where(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(keys.map(col) :+ col(valueCol).cast("long").as("__v") :+
+        col(groupCol).cast("boolean").as("__g"): _*)
+      .groupBy(keys.map(col): _*)
+      .agg(count(when(col("__g"), 1)).cast(dec).as("__naM"),
+        sum(when(col("__g"), col("__v")).otherwise(lit(0L))).cast(dec)
+          .as("__sa"),
+        sum(when(col("__g"), col("__v") * col("__v")).otherwise(lit(0L)))
+          .cast(dec).as("__qa"),
+        count(when(!col("__g"), 1)).cast(dec).as("__nbM"),
+        sum(when(!col("__g"), col("__v")).otherwise(lit(0L))).cast(dec)
+          .as("__sb"),
+        sum(when(!col("__g"), col("__v") * col("__v")).otherwise(lit(0L)))
+          .cast(dec).as("__qb"))
+    val na = col("__naM"); val nb = col("__nbM")
+    // (n-1)·s² = (n·Σx² − (Σx)²)/n — keep the numerator exact, divide once
+    val ssA = (na * col("__qa") - col("__sa") * col("__sa")).cast("double") /
+      na.cast("double")
+    val ssB = (nb * col("__qb") - col("__sb") * col("__sb")).cast("double") /
+      nb.cast("double")
+    val ma = col("__sa").cast("double") / na.cast("double")
+    val mb = col("__sb").cast("double") / nb.cast("double")
+    val nTot = (na + nb).cast("double")
+    val sp = sqrt((ssA + ssB) / (nTot - lit(2.0)))
+    val bad = na < 2L || nb < 2L
+    // association order fixed as (1e6·(ma−mb))/sp — the oracle replays
+    // this exact shape; 1e6·((ma−mb)/sp) can differ by an ulp
+    m.select(keys.map(col) :+
+      na.cast("long").as("n_a") :+ nb.cast("long").as("n_b") :+
+      when(bad, lit(null).cast("long"))
+        .otherwise(when(ssA + ssB === 0.0, lit(null).cast("long"))
+          .otherwise(round(lit(1e6) * (ma - mb) / sp).cast("long")))
+        .as("d_micro") :+
+      when(bad, lit(null).cast("long"))
+        .otherwise(when(ssA + ssB === 0.0, lit(null).cast("long"))
+          .otherwise(round(lit(1e6) * (ma - mb) / sp *
+            (lit(1.0) - lit(3.0) / (lit(4.0) * nTot - lit(9.0))))
+            .cast("long"))).as("g_micro"): _*)
+  }
+
+  /**
+   * Cochran–Armitage trend test per key — "does the positive rate RISE
+   * with the ordered dose" (quality tier, dedup round, toxicity
+   * bucket), the ordered-alternative test a k×2 chi-square wastes
+   * power on. With ordinal scores s_i, group sizes n_i, positives r_i,
+   * R = Σr, N = Σn:
+   *
+   *   N·T    = Σ s_i (r_i·N − n_i·R)                (exact)
+   *   z      = N·T·√N / √(R(N−R)) / √(N·Σn_i s_i² − (Σn_i s_i)²)
+   *
+   * — every factor an exact DECIMAL(38,0) under its own √ (the
+   * [[mannWhitneyU]] factored-denominator discipline), z one
+   * round-once micro expression. Scale shape: one groupBy to the
+   * per-(key, score) table (scores are ordinal levels — metadata), one
+   * rollup. NULL when R = 0, R = N, or the scores are constant.
+   *
+   * Returns keys + (n, r_pos, n_levels, z_micro).
+   */
+  def cochranArmitage(df: DataFrame, keys: Seq[String], scoreCol: String,
+      labelCol: String): DataFrame = {
+    require(keys.nonEmpty, "keys required")
+    val dec = "decimal(38,0)"
+    val perLevel = df
+      .where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(keys.map(col) :+ col(scoreCol).cast("long").as("__s") :+
+        col(labelCol).cast("boolean").as("__y"): _*)
+      .groupBy(keys.map(col) :+ col("__s"): _*)
+      .agg(count(lit(1)).as("__ni"), count(when(col("__y"), 1)).as("__ri"))
+    val m = perLevel.groupBy(keys.map(col): _*)
+      .agg(sum("__ni").cast(dec).as("__N"), sum("__ri").cast(dec).as("__R"),
+        count(lit(1)).as("n_levels"),
+        sum(col("__s").cast(dec) * col("__ni")).as("__ns"),
+        sum(col("__s").cast(dec) * col("__s") * col("__ni")).as("__nss"),
+        sum(col("__s").cast(dec) * col("__ri")).as("__sr"))
+    val nBig = col("__N"); val r = col("__R")
+    // N·T = Σ s_i·r_i·N − Σ s_i·n_i·R  (both one product of exact sums)
+    val nt = col("__sr") * nBig - col("__ns") * r
+    val x = nBig * col("__nss") - col("__ns") * col("__ns")
+    m.select(keys.map(col) :+
+      nBig.cast("long").as("n") :+ r.cast("long").as("r_pos") :+
+      col("n_levels") :+
+      when(r === 0L || r === nBig || x === 0L, lit(null).cast("long"))
+        .otherwise(round(lit(1e6) * nt.cast("double") *
+          sqrt(nBig.cast("double")) /
+          sqrt((r * (nBig - r)).cast("double")) /
+          sqrt(x.cast("double"))).cast("long")).as("z_micro"): _*)
+  }
+
   def poissonBootstrap(df: DataFrame, idCol: String, valueCol: String,
       reps: Int = 32): DataFrame = {
     require(reps >= 2 && reps <= 1024, s"reps must be in [2,1024], got $reps")

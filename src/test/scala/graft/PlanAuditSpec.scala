@@ -70,7 +70,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_kn_score" -> "broadcast one-row bigram-type-count crossJoin (the Kneser-Ney N1+(··))",
     "q_modularity" -> "broadcast one-row |E2| total crossJoin onto the community table",
     "q_bh_fdr" -> "broadcast one-row (m, k_star) threshold crossJoin over the per-test table",
-    "q_ece" -> "broadcast one-row (n_total, ece_micro) totals crossJoin onto the <= bins-row table (the psiReport shape)")
+    "q_ece" -> "broadcast one-row (n_total, ece_micro) totals crossJoin onto the <= bins-row table (the psiReport shape)",
+    "q_chi_kxm" -> "broadcast level x level dense-grid crossJoin (both margins label-sized, ENFORCED by maxLevels raise_error) + one-row total")
 
   test("no query plans an unintended cartesian or nested-loop join") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -132,7 +133,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_spearman" -> "cumulative counts over the two DISTINCT-value histograms (mid-rank ties)",
     "q_bh_fdr" -> "rank over the PER-TEST p-value table (experiments, not rows — metadata-sized by contract)",
     "q_dist_shift" -> "cumulative sums + lead over DISTINCT metric values (the q_ks machinery)",
-    "q_dispersion" -> "maxParts count guard over the PARTS rollup (sources — the same metadata-sized table the broadcast ships; fails loudly before the grid, never rides the corpus)")
+    "q_dispersion" -> "maxParts count guard over the PARTS rollup (sources — the same metadata-sized table the broadcast ships; fails loudly before the grid, never rides the corpus)",
+    "q_chi_kxm" -> "maxLevels count guards over the two MARGIN rollups (label-sized tables the dense grid broadcasts; the q_dispersion guard shape)")
 
   test("every window operator is partitioned (no global fact-table sorts)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}

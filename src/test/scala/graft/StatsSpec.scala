@@ -402,6 +402,98 @@ class StatsSpec extends AnyFunSuite {
     assert(Stats.welchT(const, Seq("k"), "g", "v").collect()(0).isNullAt(3))
   }
 
+  test("chiSquareKxM: exact cell terms, dense grid for absent cells, guard") {
+    // 2x2 with margins 30/30, 30/30 on N=60: every e=15,
+    // chi2 = 4 * (300^2/54000e-9 nano) = 6.666..., V = sqrt(chi2/60)
+    val rows = Seq.fill(10)(("t", "t")) ++ Seq.fill(20)(("t", "f")) ++
+      Seq.fill(20)(("f", "t")) ++ Seq.fill(10)(("f", "f"))
+    val df = rows.toDF("a", "b")
+    val r = Stats.chiSquareKxM(df, "a", "b").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((60L, 2L, 2L, 1L)))
+    assert(r.getLong(4) == 4L * 1666666667L)
+    assert(r.getLong(5) == math.round(1e6 *
+      math.sqrt(4L * 1666666667L / 1e9 / 60.0)))
+    // the ABSENT cell (y,q) contributes its full expected mass 1/4
+    val sparse = Seq(("x", "p"), ("x", "p"), ("x", "q"), ("y", "p"))
+      .toDF("a", "b")
+    val s = Stats.chiSquareKxM(sparse, "a", "b").collect()(0)
+    assert(s.getLong(4) == 27777778L + 83333333L + 83333333L + 250000000L)
+    // margin cardinality guard fails loudly (3 levels > maxLevels=2)
+    val wide = Seq(("x", "p"), ("y", "p"), ("z", "q")).toDF("a", "b")
+    val ex = intercept[Exception] {
+      Stats.chiSquareKxM(wide, "a", "b", maxLevels = 2).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++
+        messages(e.getCause))
+    assert(messages(ex).exists(_.contains("chi_square_kxm")))
+  }
+
+  test("acf: exact mean-centered lags on 1..4; constant series undefined") {
+    val df = Seq(("k", 1L, 1L), ("k", 2L, 2L), ("k", 3L, 3L), ("k", 4L, 4L))
+      .toDF("k", "t", "x")
+    val out = Stats.acf(df, Seq("k"), "t", "x", maxLag = 3)
+      .orderBy("lag").collect()
+      .map(r => (r.getInt(1), r.getLong(2),
+        if (r.isNullAt(3)) Long.MinValue else r.getLong(3)))
+    // num_scaled: lag1 = 320-600+300 = 20; lag2 = 176-400+200 = -24;
+    // lag3 = 64-200+100 = -36; den_scaled = 480-400 = 80
+    assert(out.toSeq == Seq((1, 3L, 250000L), (2, 2L, -300000L),
+      (3, 1L, -450000L)))
+    val const = Seq(("k", 1L, 5L), ("k", 2L, 5L)).toDF("k", "t", "x")
+    assert(Stats.acf(const, Seq("k"), "t", "x", maxLag = 1)
+      .collect()(0).isNullAt(3))
+  }
+
+  test("vocabularyRichness: Good-Turing mass and bias-corrected Chao1") {
+    // counts a:2 b:1 c:2 d:1 -> N=6, V=4, N1=2, N2=2
+    val df = Seq("a a b c", "c d").toDF("text")
+    val r = Stats.vocabularyRichness(df, "text").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((6L, 4L, 2L, 2L)))
+    assert(r.getLong(4) == 333333L)           // 2e6 div 6
+    assert(r.getLong(5) == 4333L)             // 4000 + 2000 div 6
+    // singleton-free corpus: chao1 = V exactly, p0 = 0
+    val nosing = Seq("a a b b").toDF("text")
+    val n = Stats.vocabularyRichness(nosing, "text").collect()(0)
+    assert(n.getLong(4) == 0L && n.getLong(5) == 2000L)
+  }
+
+  test("cohensD: pooled-sd effect size and the Hedges correction") {
+    // A={2,4}, B={6,8}: both ss=2, pooled s^2=2, d=-4/sqrt(2), g=d*4/7
+    val df = Seq(("k", true, 2L), ("k", true, 4L),
+      ("k", false, 6L), ("k", false, 8L)).toDF("k", "g", "v")
+    val r = Stats.cohensD(df, Seq("k"), "g", "v").collect()(0)
+    // the operator's exact association order: (1e6*(ma-mb))/sp
+    assert(r.getLong(3) == math.round(1e6 * -4.0 / math.sqrt(2.0)))
+    assert(r.getLong(4) ==
+      math.round(1e6 * -4.0 / math.sqrt(2.0) * (1.0 - 3.0 / 7.0)))
+    // constant both groups: effect size undefined, not Inf
+    val const = Seq(("k", true, 5L), ("k", true, 5L),
+      ("k", false, 5L), ("k", false, 5L)).toDF("k", "g", "v")
+    assert(Stats.cohensD(const, Seq("k"), "g", "v").collect()(0).isNullAt(3))
+  }
+
+  test("cochranArmitage: rising dose-response on the textbook 3-level case") {
+    // s=0: 1/10, s=1: 5/10, s=2: 9/10 -> T=8, Var=5, z = 8/sqrt(5)
+    val rows = (Seq.fill(1)(true) ++ Seq.fill(9)(false)).map(y => ("k", 0L, y)) ++
+      (Seq.fill(5)(true) ++ Seq.fill(5)(false)).map(y => ("k", 1L, y)) ++
+      (Seq.fill(9)(true) ++ Seq.fill(1)(false)).map(y => ("k", 2L, y))
+    val df = rows.toDF("k", "s", "y")
+    val r = Stats.cochranArmitage(df, Seq("k"), "s", "y").collect()(0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((30L, 15L, 3L)))
+    // the factored replay: NT=240, X=600
+    assert(r.getLong(4) == math.round(1e6 * 240.0 * math.sqrt(30.0) /
+      math.sqrt(225.0) / math.sqrt(600.0)))
+    // sanity: equals the textbook z = T/sqrt(Var) within a micro
+    assert(math.abs(r.getLong(4) - 1e6 * 8.0 / math.sqrt(5.0)) <= 1.0)
+    // all-positive key: undefined
+    val allPos = Seq(("k", 0L, true), ("k", 1L, true)).toDF("k", "s", "y")
+    assert(Stats.cochranArmitage(allPos, Seq("k"), "s", "y")
+      .collect()(0).isNullAt(4))
+  }
+
   test("quantizeStep picks the finest power-of-10 step fitting maxBins") {
     // 0..99 distinct: fits 100 bins at step 1; at maxBins=32 the lattice
     // probe lands on step 10 (10 bins); 0..9999 needs step 1000 (10 bins
