@@ -3594,6 +3594,84 @@ def cochran_armitage(df, keys, score_col, label_col):
                    F.sqrt(x.cast("double"))).cast("long")).alias("z_micro"))
 
 
+def anova_f(df, keys, group_col, value_col):
+    """One-way ANOVA F — Python mirror of the Scala ``Stats.anovaF``:
+    per-group nano terms rounded once from exact DECIMAL moments,
+    summed in DECIMAL; F/eta^2 round-once; ss_* reported in whole
+    value^2 units."""
+    kc = [F.col(k) for k in keys]
+    dec = "decimal(38,0)"
+    pg = (df.where(F.col(value_col).isNotNull() &
+                   F.col(group_col).isNotNull())
+          .select(*kc, F.col(group_col).cast("string").alias("__g"),
+                  F.col(value_col).cast("long").alias("__v"))
+          .groupBy(*kc, F.col("__g"))
+          .agg(F.count(F.lit(1)).cast(dec).alias("__ng"),
+               F.sum("__v").cast(dec).alias("__sg"),
+               F.sum(F.col("__v") * F.col("__v")).cast(dec).alias("__qg"))
+          .withColumn("__t", F.round(
+              F.lit(1e9) * (F.col("__sg") * F.col("__sg")).cast("double") /
+              F.col("__ng").cast("double")).cast(dec)))
+    m = (pg.groupBy(*kc)
+         .agg(F.sum("__ng").cast(dec).alias("__n"),
+              F.count(F.lit(1)).alias("k_groups"),
+              F.sum("__sg").cast(dec).alias("__s"),
+              F.sum("__qg").cast(dec).alias("__q"),
+              F.sum("__t").alias("__a")))
+    b_term = F.round(
+        F.lit(1e9) * (F.col("__s") * F.col("__s")).cast("double") /
+        F.col("__n").cast("double")).cast(dec)
+    with_b = (m.withColumn("__b", b_term)
+              .withColumn("__ssb", F.greatest(
+                  F.col("__a") - F.col("__b"), F.lit(0).cast(dec)))
+              .withColumn("__sstd",
+                          F.col("__q") * F.lit(1000000000) - F.col("__b"))
+              .withColumn("__ssw",
+                          F.col("__q") * F.lit(1000000000) - F.col("__a")))
+    n, k = F.col("__n"), F.col("k_groups")
+    bad = (k < 2) | (n <= k.cast(dec)) | (F.col("__ssw") <= 0)
+    return with_b.select(
+        *kc, n.cast("long").alias("n"), k,
+        F.expr("cast(__ssb div 1000000000 as long)").alias("ss_between"),
+        F.expr("cast(__ssw div 1000000000 as long)").alias("ss_within"),
+        F.when(bad, F.lit(None).cast("long"))
+        .otherwise(F.round(F.lit(1e6) *
+                   (F.col("__ssb").cast("double") /
+                    (k - F.lit(1)).cast("double")) /
+                   (F.col("__ssw").cast("double") /
+                    (n - k.cast(dec)).cast("double"))).cast("long"))
+        .alias("f_micro"),
+        F.when((k < 2) | (F.col("__sstd") <= 0), F.lit(None).cast("long"))
+        .otherwise(F.expr("cast((__ssb * 1000000) div __sstd as long)"))
+        .alias("eta2_ppm"))
+
+
+def brown_forsythe(df, keys, group_col, value_col):
+    """Brown-Forsythe robust variance test — Python mirror of the
+    Scala ``Stats.brownForsythe``: deterministic lower medians off the
+    per-(key, group) distinct-value histogram, then anova_f on
+    |x - median|."""
+    kc = [F.col(k) for k in keys]
+    base = (df.where(F.col(value_col).isNotNull() &
+                     F.col(group_col).isNotNull())
+            .select(*kc, F.col(group_col).cast("string").alias("__g"),
+                    F.col(value_col).cast("long").alias("__v")))
+    gk = kc + [F.col("__g")]
+    hist = base.groupBy(*gk, F.col("__v")).agg(F.count(F.lit(1)).alias("__c"))
+    w_cum = (Window.partitionBy(*gk).orderBy(F.col("__v"))
+             .rowsBetween(Window.unboundedPreceding, 0))
+    w_tot = Window.partitionBy(*gk)
+    med = (hist
+           .withColumn("__cum", F.sum("__c").over(w_cum))
+           .withColumn("__tot", F.sum("__c").over(w_tot))
+           .where(F.col("__cum") * 2 >= F.col("__tot"))
+           .groupBy(*gk).agg(F.min("__v").alias("__med")))
+    z = (base.join(med, keys + ["__g"])
+         .select(*kc, F.col("__g"),
+                 F.abs(F.col("__v") - F.col("__med")).alias("__z")))
+    return anova_f(z, keys, "__g", "__z")
+
+
 def isotonic_calibrate(df, score_col, label_col, buckets=16):
     """Isotonic (PAV) score calibration — Python mirror of the Scala
     ``Stats.isotonicCalibrate``: quantile-bucketed score->rate map,

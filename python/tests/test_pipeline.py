@@ -1467,6 +1467,24 @@ def test_cohens_d_and_cochran_armitage_hand(spark):
     assert abs(z["z_micro"] - 1e6 * 8.0 / math.sqrt(5.0)) <= 1.0
 
 
+def test_anova_f_and_brown_forsythe_hand(spark):
+    from graft.pipeline import anova_f, brown_forsythe
+    df = spark.createDataFrame(
+        [("k", "a", 1), ("k", "a", 2), ("k", "a", 3),
+         ("k", "b", 4), ("k", "b", 5), ("k", "b", 6)],
+        "k string, g string, v long")
+    r = anova_f(df, ["k"], "g", "v").collect()[0]
+    assert (r["n"], r["k_groups"], r["ss_between"], r["ss_within"]) == \
+        (6, 2, 13, 4)
+    assert r["f_micro"] == 13500000
+    bf = spark.createDataFrame(
+        [("k", "a", 1), ("k", "a", 2), ("k", "a", 3),
+         ("k", "b", 10), ("k", "b", 20), ("k", "b", 30)],
+        "k string, g string, v long")
+    b = brown_forsythe(bf, ["k"], "g", "v").collect()[0]
+    assert (b["ss_between"], b["ss_within"]) == (53, 67)
+
+
 def test_quantize_step_lattice(spark):
     from graft.pipeline import quantize_step
     df = spark.range(100).selectExpr("id as v")

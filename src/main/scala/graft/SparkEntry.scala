@@ -3989,6 +3989,20 @@ object SparkEntry {
           expr("n_chars div 100").as("tier"),
           (col("lang") === "en").as("y")),
         Seq("source"), "tier", "y").orderBy("source")),
+    // one-way ANOVA F per source: does doc length differ across langs
+    // (per-group nano terms over exact DECIMAL moments)
+    "q_anova_f" -> ((s, dir) =>
+      graft.pipeline.Stats.anovaF(
+        t(s, dir, "documents").select(col("source"), col("lang"),
+          col("n_chars")),
+        Seq("source"), "lang", "n_chars").orderBy("source")),
+    // Brown-Forsythe: do langs have the same length SPREAD per source
+    // (lower medians off the distinct-value histogram, anova on |x-med|)
+    "q_brown_forsythe" -> ((s, dir) =>
+      graft.pipeline.Stats.brownForsythe(
+        t(s, dir, "documents").select(col("source"), col("lang"),
+          col("n_chars")),
+        Seq("source"), "lang", "n_chars").orderBy("source")),
     // the drift monitor's batch face: per user-parity cohort, the click
     // value histogram scored against the GLOBAL view histogram with the
     // exact streaming arithmetic (flatMapGroupsWithState in batch mode)
@@ -9462,6 +9476,67 @@ object SparkEntry {
         |      sqrt(CAST(nn * nss - ns * ns AS DOUBLE))) AS BIGINT)
         |    END AS z_micro
         |FROM m ORDER BY source""".stripMargin,
+    "q_anova_f" ->
+      """WITH b AS (SELECT source, lang AS g, n_chars AS v FROM documents
+        |  WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+        |pg AS (SELECT source, g, COUNT(*)::HUGEINT AS ng,
+        |    SUM(v)::HUGEINT AS sg, SUM(v::HUGEINT * v) AS qg
+        |  FROM b GROUP BY 1, 2),
+        |tg AS (SELECT *, CAST(round(1e9 * CAST(sg * sg AS DOUBLE) /
+        |    CAST(ng AS DOUBLE)) AS HUGEINT) AS t FROM pg),
+        |m AS (SELECT source, SUM(ng) AS n, COUNT(*) AS k, SUM(sg) AS s,
+        |    SUM(qg) AS q, SUM(t) AS a FROM tg GROUP BY 1),
+        |w AS (SELECT *, CAST(round(1e9 * CAST(s * s AS DOUBLE) /
+        |    CAST(n AS DOUBLE)) AS HUGEINT) AS bb FROM m),
+        |w2 AS (SELECT source, n, k, GREATEST(a - bb, 0) AS ssb,
+        |    q * 1000000000 - bb AS sstd, q * 1000000000 - a AS ssw
+        |  FROM w)
+        |SELECT source, CAST(n AS BIGINT) AS n, k AS k_groups,
+        |  CAST(ssb // 1000000000 AS BIGINT) AS ss_between,
+        |  CAST(ssw // 1000000000 AS BIGINT) AS ss_within,
+        |  CASE WHEN k < 2 OR n <= k OR ssw <= 0 THEN NULL
+        |    ELSE CAST(round(1e6 *
+        |      (CAST(ssb AS DOUBLE) / CAST(k - 1 AS DOUBLE)) /
+        |      (CAST(ssw AS DOUBLE) / CAST(n - k AS DOUBLE))) AS BIGINT)
+        |    END AS f_micro,
+        |  CASE WHEN k < 2 OR sstd <= 0 THEN NULL
+        |    ELSE CAST((ssb * 1000000) // sstd AS BIGINT) END AS eta2_ppm
+        |FROM w2 ORDER BY source""".stripMargin,
+    "q_brown_forsythe" ->
+      """WITH b0 AS (SELECT source, lang AS g, n_chars AS v FROM documents
+        |  WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+        |h AS (SELECT source, g, v, COUNT(*) AS c FROM b0 GROUP BY 1, 2, 3),
+        |cum AS (SELECT *,
+        |    SUM(c) OVER (PARTITION BY source, g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
+        |    SUM(c) OVER (PARTITION BY source, g) AS tot FROM h),
+        |med AS (SELECT source, g, MIN(v) AS med FROM cum
+        |  WHERE 2 * cm >= tot GROUP BY 1, 2),
+        |b AS (SELECT b0.source, b0.g, ABS(b0.v - med.med) AS v
+        |  FROM b0 JOIN med USING (source, g)),
+        |pg AS (SELECT source, g, COUNT(*)::HUGEINT AS ng,
+        |    SUM(v)::HUGEINT AS sg, SUM(v::HUGEINT * v) AS qg
+        |  FROM b GROUP BY 1, 2),
+        |tg AS (SELECT *, CAST(round(1e9 * CAST(sg * sg AS DOUBLE) /
+        |    CAST(ng AS DOUBLE)) AS HUGEINT) AS t FROM pg),
+        |m AS (SELECT source, SUM(ng) AS n, COUNT(*) AS k, SUM(sg) AS s,
+        |    SUM(qg) AS q, SUM(t) AS a FROM tg GROUP BY 1),
+        |w AS (SELECT *, CAST(round(1e9 * CAST(s * s AS DOUBLE) /
+        |    CAST(n AS DOUBLE)) AS HUGEINT) AS bb FROM m),
+        |w2 AS (SELECT source, n, k, GREATEST(a - bb, 0) AS ssb,
+        |    q * 1000000000 - bb AS sstd, q * 1000000000 - a AS ssw
+        |  FROM w)
+        |SELECT source, CAST(n AS BIGINT) AS n, k AS k_groups,
+        |  CAST(ssb // 1000000000 AS BIGINT) AS ss_between,
+        |  CAST(ssw // 1000000000 AS BIGINT) AS ss_within,
+        |  CASE WHEN k < 2 OR n <= k OR ssw <= 0 THEN NULL
+        |    ELSE CAST(round(1e6 *
+        |      (CAST(ssb AS DOUBLE) / CAST(k - 1 AS DOUBLE)) /
+        |      (CAST(ssw AS DOUBLE) / CAST(n - k AS DOUBLE))) AS BIGINT)
+        |    END AS f_micro,
+        |  CASE WHEN k < 2 OR sstd <= 0 THEN NULL
+        |    ELSE CAST((ssb * 1000000) // sstd AS BIGINT) END AS eta2_ppm
+        |FROM w2 ORDER BY source""".stripMargin,
     "q_roc_auc" ->
       """WITH b AS (SELECT source, (lang = 'en') AS g, n_chars AS v
         |  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),

@@ -2475,9 +2475,12 @@ object Stats {
   }
 
   /**
-   * Autocorrelation function per key — r_ℓ for lags 1..maxLag, the
-   * cadence/seasonality screen for per-key event series ("is this
-   * feed's volume self-similar at lag 24h"). The mean-centered
+   * Autocorrelation FUNCTION per key — the whole correlogram r_ℓ for
+   * lags 1..maxLag in ONE pass, where [[graft.pipeline.Temporal.autocorr]]
+   * answers a single chosen lag (same integer identity; this is the
+   * multi-lag generalization: one window materializes every lag
+   * column, one rollup carries all 4·maxLag moments, so "which period
+   * is it" costs one job instead of maxLag). The mean-centered
    * products clear the rational mean exactly (multiply through by n²):
    *
    *   num_ℓ·n² = n²·Σ x_t·x_{t+ℓ} − n·S·(S_head+S_tail) + (n−ℓ)·S²
@@ -2679,6 +2682,118 @@ object Stats {
           sqrt(nBig.cast("double")) /
           sqrt((r * (nBig - r)).cast("double")) /
           sqrt(x.cast("double"))).cast("long")).as("z_micro"): _*)
+  }
+
+  /**
+   * One-way ANOVA F per key — "does the metric differ across k
+   * categorical groups" (source tiers, dedup buckets, license pools),
+   * the k-group generalization of the two-sample mean tests. Per-group
+   * moments (n_g, S_g, Q_g) are exact DECIMAL(38,0) from ONE
+   * map-side-combinable groupBy; the per-group rational S²_g/n_g terms
+   * are nano-rounded ONCE each (the [[kaplanMeier]] per-term
+   * discipline — deterministic, engine-replayable; a double sum would
+   * be order-dependent) and summed as exact longs:
+   *
+   *   A = Σ_g round(1e9·S²_g/n_g),  B = round(1e9·S²/N)
+   *   SSB ≈ (A−B)/1e9,  SSW ≈ (1e9·ΣQ − A)/1e9
+   *   F   = (SSB/(k−1)) / (SSW/(N−k)),  η² = SSB/SST
+   *
+   * F/η² are round-once expressions over the exact nano sums, which
+   * live in DECIMAL(38,0) end-to-end (a long nano sum would overflow
+   * at SST ~ 9.2×10⁹ value² — mid-corpus scale); the reported
+   * ss_between/ss_within are the whole value²-unit parts (nano div
+   * 10⁹). NULL F when k < 2, N ≤ k, or SSW = 0. Scale shape: corpus →
+   * per-(key, group) moment table (groups are label-sized) → one
+   * rollup per key.
+   *
+   * Returns keys + (n, k_groups, ss_between, ss_within, f_micro,
+   * eta2_ppm).
+   */
+  def anovaF(df: DataFrame, keys: Seq[String], groupCol: String,
+      valueCol: String): DataFrame = {
+    require(keys.nonEmpty, "keys required")
+    val dec = "decimal(38,0)"
+    val pg = df
+      .where(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(keys.map(col) :+ col(groupCol).cast("string").as("__g") :+
+        col(valueCol).cast("long").as("__v"): _*)
+      .groupBy(keys.map(col) :+ col("__g"): _*)
+      .agg(count(lit(1)).cast(dec).as("__ng"),
+        sum("__v").cast(dec).as("__sg"),
+        sum(col("__v") * col("__v")).cast(dec).as("__qg"))
+      .withColumn("__t", round(lit(1e9) *
+        (col("__sg") * col("__sg")).cast("double") /
+        col("__ng").cast("double")).cast(dec))
+    val m = pg.groupBy(keys.map(col): _*)
+      .agg(sum("__ng").cast(dec).as("__n"), count(lit(1)).as("k_groups"),
+        sum("__sg").cast(dec).as("__s"), sum("__qg").cast(dec).as("__q"),
+        sum("__t").as("__a"))
+    val bTerm = round(lit(1e9) * (col("__s") * col("__s")).cast("double") /
+      col("__n").cast("double")).cast(dec)
+    val withB = m.withColumn("__b", bTerm)
+      // nano rounding can leave SSB at -1e-9 when it is exactly 0
+      .withColumn("__ssb",
+        greatest(col("__a") - col("__b"), lit(0L).cast(dec)))
+      .withColumn("__sstd", col("__q") * lit(1000000000L) - col("__b"))
+      .withColumn("__ssw", col("__q") * lit(1000000000L) - col("__a"))
+    val n = col("__n"); val k = col("k_groups")
+    val bad = k < 2L || n <= k.cast(dec) || col("__ssw") <= 0L
+    withB.select(keys.map(col) :+
+      n.cast("long").as("n") :+ k :+
+      expr("cast(__ssb div 1000000000 as long)").as("ss_between") :+
+      expr("cast(__ssw div 1000000000 as long)").as("ss_within") :+
+      when(bad, lit(null).cast("long"))
+        .otherwise(round(lit(1e6) *
+          (col("__ssb").cast("double") / (k - lit(1L)).cast("double")) /
+          (col("__ssw").cast("double") /
+            (n - k.cast(dec)).cast("double"))).cast("long")).as("f_micro") :+
+      when(k < 2L || col("__sstd") <= 0L, lit(null).cast("long"))
+        .otherwise(expr(
+          "cast((__ssb * 1000000) div __sstd as long)")).as("eta2_ppm"): _*)
+  }
+
+  /**
+   * Brown–Forsythe robust variance-equality test per key — "do the
+   * groups have the SAME spread" with a MEDIAN center (Levene's test
+   * made heavy-tail-safe; Brown & Forsythe '74): the one-way
+   * [[anovaF]] applied to z = |x − median_g|. Group medians are the
+   * deterministic LOWER median (smallest v with 2·cum ≥ n) read off
+   * the per-(key, group) distinct-value histogram — one cumulative
+   * window over DISTINCT values (the [[psiReport]] discipline), the
+   * (key, group) median table equi-joined back (AQE broadcasts it
+   * when small; no forced hint, so huge key sets still shuffle-join
+   * instead of blowing the driver), and z stays
+   * integral so the whole [[anovaF]] exact-moment machinery applies
+   * unchanged.
+   *
+   * Returns keys + (n, k_groups, ss_between, ss_within, f_micro,
+   * eta2_ppm) over the |x − med| frame.
+   */
+  def brownForsythe(df: DataFrame, keys: Seq[String], groupCol: String,
+      valueCol: String): DataFrame = {
+    require(keys.nonEmpty, "keys required")
+    val W = org.apache.spark.sql.expressions.Window
+    val base = df
+      .where(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(keys.map(col) :+ col(groupCol).cast("string").as("__g") :+
+        col(valueCol).cast("long").as("__v"): _*)
+    val gk = keys.map(col) :+ col("__g")
+    val hist = base.groupBy(gk :+ col("__v"): _*).agg(count(lit(1)).as("__c"))
+    val wCum = W.partitionBy(gk: _*).orderBy(col("__v"))
+      .rowsBetween(W.unboundedPreceding, 0)
+    val wTot = W.partitionBy(gk: _*)
+    val med = hist
+      .withColumn("__cum", sum("__c").over(wCum))
+      .withColumn("__tot", sum("__c").over(wTot))
+      .where(col("__cum") * 2L >= col("__tot"))
+      .groupBy(gk: _*).agg(min("__v").as("__med"))
+    // equi-join on (keys, group) — AQE broadcasts when the median
+    // table is small; no hint, so corpus-scale key sets still plan a
+    // shuffle join instead of blowing the driver
+    val z = base.join(med, keys :+ "__g")
+      .select(keys.map(col) :+ col("__g") :+
+        abs(col("__v") - col("__med")).as("__z"): _*)
+    anovaF(z, keys, "__g", "__z")
   }
 
   def poissonBootstrap(df: DataFrame, idCol: String, valueCol: String,

@@ -791,7 +791,9 @@ object Temporal {
    * EXACT lag-`k` autocorrelation per key over a pre-scaled integer
    * series — the seasonality/self-similarity probe (does yesterday
    * predict today? is the metric k-periodic?) that runs before
-   * committing to a seasonal model. The textbook ACF
+   * committing to a seasonal model. For the whole correlogram
+   * (lags 1..L in one pass) use [[graft.pipeline.Stats.acf]] — the
+   * multi-lag generalization of this identity. The textbook ACF
    * `r_k = Σ_{i≤n−k}(x_i−x̄)(x_{i+k}−x̄) / Σ_i(x_i−x̄)²` with the
    * FULL-series mean clears (×n²) to all-integer moments:
    *

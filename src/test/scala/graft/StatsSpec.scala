@@ -494,6 +494,45 @@ class StatsSpec extends AnyFunSuite {
       .collect()(0).isNullAt(4))
   }
 
+  test("anovaF: exact nano decomposition on a two-group hand case") {
+    // a={1,2,3}, b={4,5,6}: A = 12e9+75e9, B = 73.5e9 -> SSB 13.5,
+    // SSW 4, F = 13.5/(4/4) = 13.5, eta2 = 13.5/17.5
+    val df = Seq(("k", "a", 1L), ("k", "a", 2L), ("k", "a", 3L),
+      ("k", "b", 4L), ("k", "b", 5L), ("k", "b", 6L)).toDF("k", "g", "v")
+    val r = Stats.anovaF(df, Seq("k"), "g", "v").collect()(0)
+    assert((r.getLong(1), r.getLong(2)) == ((6L, 2L)))
+    assert(r.getLong(3) == 13L && r.getLong(4) == 4L) // whole value^2 parts
+    assert(r.getLong(5) == 13500000L)
+    assert(r.getLong(6) == 13500000000L * 1000000L / 17500000000L)
+    // single group: F undefined
+    val one = Seq(("k", "a", 1L), ("k", "a", 2L)).toDF("k", "g", "v")
+    assert(Stats.anovaF(one, Seq("k"), "g", "v").collect()(0).isNullAt(5))
+    // zero within-group variance: F undefined (not Inf)
+    val zero = Seq(("k", "a", 1L), ("k", "a", 1L),
+      ("k", "b", 2L), ("k", "b", 2L)).toDF("k", "g", "v")
+    assert(Stats.anovaF(zero, Seq("k"), "g", "v").collect()(0).isNullAt(5))
+  }
+
+  test("brownForsythe: lower medians then anovaF on |x - med|") {
+    // a={1,2,3} med 2 -> z {1,0,1}; b={10,20,30} med 20 -> z {10,0,10}
+    // anova on z: A = 1333333333+133333333333, B = round(1e9*484/6)
+    val df = Seq(("k", "a", 1L), ("k", "a", 2L), ("k", "a", 3L),
+      ("k", "b", 10L), ("k", "b", 20L), ("k", "b", 30L)).toDF("k", "g", "v")
+    val r = Stats.brownForsythe(df, Seq("k"), "g", "v").collect()(0)
+    val a = 1333333333L + 133333333333L
+    val b = math.round(1e9 * 484.0 / 6.0)
+    val ssb = a - b
+    val ssw = 202L * 1000000000L - a
+    assert(r.getLong(3) == ssb / 1000000000L && r.getLong(4) == ssw / 1000000000L)
+    assert(r.getLong(5) == math.round(1e6 *
+      (ssb.toDouble / 1.0) / (ssw.toDouble / 4.0)))
+    // identical spreads around different centers: SSB over z is 0
+    val same = Seq(("k", "a", 1L), ("k", "a", 3L),
+      ("k", "b", 11L), ("k", "b", 13L)).toDF("k", "g", "v")
+    val s = Stats.brownForsythe(same, Seq("k"), "g", "v").collect()(0)
+    assert(s.getLong(3) == 0L && s.getLong(5) == 0L)
+  }
+
   test("quantizeStep picks the finest power-of-10 step fitting maxBins") {
     // 0..99 distinct: fits 100 bins at step 1; at maxBins=32 the lattice
     // probe lands on step 10 (10 bins); 0..9999 needs step 1000 (10 bins
