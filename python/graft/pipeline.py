@@ -3672,6 +3672,86 @@ def brown_forsythe(df, keys, group_col, value_col):
     return anova_f(z, keys, "__g", "__z")
 
 
+def kruskal_wallis(df, keys, group_col, value_col):
+    """Kruskal-Wallis H — Python mirror of the Scala
+    ``Stats.kruskalWallis``: pooled double mid-ranks over distinct
+    values, per-group nano terms, tie-corrected round-once H."""
+    kc = [F.col(k) for k in keys]
+    dec = "decimal(38,0)"
+    cells = (df.where(F.col(value_col).isNotNull() &
+                      F.col(group_col).isNotNull())
+             .select(*kc, F.col(group_col).cast("string").alias("__g"),
+                     F.col(value_col).cast("long").alias("__v"))
+             .groupBy(*kc, F.col("__g"), F.col("__v"))
+             .agg(F.count(F.lit(1)).alias("__cgv")))
+    pooled = cells.groupBy(*kc, F.col("__v")).agg(F.sum("__cgv").alias("__cv"))
+    w = (Window.partitionBy(*kc).orderBy("__v")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    dr = pooled.withColumn("__dr", F.lit(2) * F.coalesce(
+        F.sum("__cv").over(w), F.lit(0)) + F.col("__cv") + F.lit(1))
+    per_g = (cells.join(dr.select(*kc, "__v", "__dr"), keys + ["__v"])
+             .groupBy(*kc, F.col("__g"))
+             .agg(F.sum("__cgv").cast(dec).alias("__ng"),
+                  F.sum(F.col("__cgv").cast(dec) * F.col("__dr"))
+                  .alias("__r2g"))
+             .withColumn("__t", F.round(
+                 F.lit(1e9) * (F.col("__r2g") * F.col("__r2g"))
+                 .cast("double") /
+                 (F.lit(4).cast(dec) * F.col("__ng")).cast("double"))
+                 .cast(dec)))
+    ties = (pooled.groupBy(*kc)
+            .agg(F.sum(F.col("__cv").cast(dec) * F.col("__cv") *
+                       F.col("__cv") - F.col("__cv")).alias("__tie")))
+    m = (per_g.groupBy(*kc)
+         .agg(F.sum("__ng").cast(dec).alias("__n"),
+              F.count(F.lit(1)).alias("k_groups"),
+              F.sum("__t").alias("__a"))
+         .join(ties, keys))
+    n = F.col("__n")
+    corr = F.lit(1.0) - F.col("__tie").cast("double") / \
+        (n * n * n - n).cast("double")
+    bad = (F.col("k_groups") < 2) | ((n * n * n - n) == 0) | \
+        (F.col("__tie") == (n * n * n - n))
+    return m.select(
+        *kc, n.cast("long").alias("n"), "k_groups",
+        F.when(bad, F.lit(None).cast("long"))
+        .otherwise(F.round(F.lit(1e6) * (
+            F.lit(12.0) * F.col("__a").cast("double") / F.lit(1e9) /
+            (n * (n + F.lit(1))).cast("double") -
+            F.lit(3.0) * (n + F.lit(1)).cast("double")) / corr)
+            .cast("long")).alias("h_micro"))
+
+
+def grubbs(df, keys, value_col):
+    """Grubbs' outlier statistic — Python mirror of the Scala
+    ``Stats.grubbs``: extremes-only identity, one moment pass,
+    factored sqrts."""
+    kc = [F.col(k) for k in keys]
+    dec = "decimal(38,0)"
+    m = (df.where(F.col(value_col).isNotNull())
+         .select(*kc, F.col(value_col).cast("long").alias("__v"))
+         .groupBy(*kc)
+         .agg(F.count(F.lit(1)).cast(dec).alias("__n"),
+              F.sum("__v").cast(dec).alias("__s"),
+              F.sum(F.col("__v") * F.col("__v")).cast(dec).alias("__q"),
+              F.min("__v").alias("__mn"), F.max("__v").alias("__mx")))
+    n, s = F.col("__n"), F.col("__s")
+    dev_hi = n * F.col("__mx") - s
+    dev_lo = s - n * F.col("__mn")
+    dev = F.greatest(dev_hi, dev_lo)
+    var_num = n * F.col("__q") - s * s
+    return m.select(
+        *kc, n.cast("long").alias("n"),
+        F.when(dev_hi >= dev_lo, F.col("__mx")).otherwise(F.col("__mn"))
+        .alias("at_value"),
+        F.when((n < 3) | (var_num == 0), F.lit(None).cast("long"))
+        .otherwise(F.round(F.lit(1e6) * dev.cast("double") *
+                   F.sqrt((n - F.lit(1)).cast("double")) /
+                   F.sqrt(n.cast("double")) /
+                   F.sqrt(var_num.cast("double"))).cast("long"))
+        .alias("g_micro"))
+
+
 def isotonic_calibrate(df, score_col, label_col, buckets=16):
     """Isotonic (PAV) score calibration — Python mirror of the Scala
     ``Stats.isotonicCalibrate``: quantile-bucketed score->rate map,

@@ -1485,6 +1485,22 @@ def test_anova_f_and_brown_forsythe_hand(spark):
     assert (b["ss_between"], b["ss_within"]) == (53, 67)
 
 
+def test_kruskal_wallis_and_grubbs_hand(spark):
+    import math
+    from graft.pipeline import kruskal_wallis, grubbs
+    kw = spark.createDataFrame(
+        [("k", "a", 1), ("k", "a", 2), ("k", "b", 3), ("k", "b", 4)],
+        "k string, g string, v long")
+    r = kruskal_wallis(kw, ["k"], "g", "v").collect()[0]
+    assert (r["n"], r["k_groups"], r["h_micro"]) == (4, 2, 2400000)
+    gb = spark.createDataFrame([("k", 1), ("k", 2), ("k", 3), ("k", 10)],
+                               "k string, v long")
+    g = grubbs(gb, ["k"], "v").collect()[0]
+    assert g["at_value"] == 10
+    assert g["g_micro"] == round(1e6 * 24.0 * math.sqrt(3.0) /
+                                 math.sqrt(4.0) / math.sqrt(200.0))
+
+
 def test_quantize_step_lattice(spark):
     from graft.pipeline import quantize_step
     df = spark.range(100).selectExpr("id as v")

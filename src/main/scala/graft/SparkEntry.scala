@@ -3989,6 +3989,19 @@ object SparkEntry {
           expr("n_chars div 100").as("tier"),
           (col("lang") === "en").as("y")),
         Seq("source"), "tier", "y").orderBy("source")),
+    // Kruskal-Wallis H per source: distribution-free k-group location
+    // test over pooled double mid-ranks (the MWU machinery, k groups)
+    "q_kruskal" -> ((s, dir) =>
+      graft.pipeline.Stats.kruskalWallis(
+        t(s, dir, "documents").select(col("source"), col("lang"),
+          col("n_chars")),
+        Seq("source"), "lang", "n_chars").orderBy("source")),
+    // Grubbs' outlier statistic per source: is the most extreme doc
+    // length a statistical outlier (extremes-only, one moment pass)
+    "q_grubbs" -> ((s, dir) =>
+      graft.pipeline.Stats.grubbs(
+        t(s, dir, "documents").select(col("source"), col("n_chars")),
+        Seq("source"), "n_chars").orderBy("source")),
     // one-way ANOVA F per source: does doc length differ across langs
     // (per-group nano terms over exact DECIMAL moments)
     "q_anova_f" -> ((s, dir) =>
@@ -9475,6 +9488,53 @@ object SparkEntry {
         |      sqrt(CAST(r * (nn - r) AS DOUBLE)) /
         |      sqrt(CAST(nn * nss - ns * ns AS DOUBLE))) AS BIGINT)
         |    END AS z_micro
+        |FROM m ORDER BY source""".stripMargin,
+    "q_kruskal" ->
+      """WITH b AS (SELECT source, lang AS g, n_chars AS v FROM documents
+        |  WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+        |cells AS (SELECT source, g, v, COUNT(*) AS cgv FROM b
+        |  GROUP BY 1, 2, 3),
+        |pooled AS (SELECT source, v, SUM(cgv) AS cv FROM cells
+        |  GROUP BY 1, 2),
+        |r AS (SELECT *, 2 * COALESCE(SUM(cv) OVER (PARTITION BY source
+        |    ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    0) + cv + 1 AS dr FROM pooled),
+        |pg AS (SELECT cells.source AS source, cells.g,
+        |    SUM(cgv)::HUGEINT AS ng, SUM(cgv::HUGEINT * dr) AS r2g
+        |  FROM cells JOIN r ON r.source = cells.source AND r.v = cells.v
+        |  GROUP BY 1, 2),
+        |tg AS (SELECT *, CAST(round(1e9 * CAST(r2g * r2g AS DOUBLE) /
+        |    CAST(4 * ng AS DOUBLE)) AS HUGEINT) AS t FROM pg),
+        |ties AS (SELECT source, SUM(cv::HUGEINT * cv * cv - cv) AS tie
+        |  FROM pooled GROUP BY 1),
+        |m AS (SELECT tg.source AS source, SUM(ng) AS n, COUNT(*) AS k,
+        |    SUM(t) AS a FROM tg GROUP BY 1)
+        |SELECT m.source AS source, CAST(n AS BIGINT) AS n, k AS k_groups,
+        |  CASE WHEN k < 2 OR n * n * n - n = 0 OR tie = n * n * n - n
+        |    THEN NULL
+        |    ELSE CAST(round(1e6 *
+        |      (12.0 * CAST(a AS DOUBLE) / 1e9 /
+        |        CAST(n * (n + 1) AS DOUBLE) -
+        |       3.0 * CAST(n + 1 AS DOUBLE)) /
+        |      (1.0 - CAST(tie AS DOUBLE) / CAST(n * n * n - n AS DOUBLE)))
+        |      AS BIGINT) END AS h_micro
+        |FROM m JOIN ties ON ties.source = m.source
+        |ORDER BY source""".stripMargin,
+    "q_grubbs" ->
+      """WITH b AS (SELECT source, n_chars AS v FROM documents
+        |  WHERE n_chars IS NOT NULL),
+        |m AS (SELECT source, COUNT(*)::HUGEINT AS n, SUM(v)::HUGEINT AS s,
+        |    SUM(v::HUGEINT * v) AS q, MIN(v) AS mn, MAX(v) AS mx
+        |  FROM b GROUP BY 1)
+        |SELECT source, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN n * mx - s >= s - n * mn THEN mx ELSE mn END
+        |    AS at_value,
+        |  CASE WHEN n < 3 OR n * q - s * s = 0 THEN NULL
+        |    ELSE CAST(round(1e6 *
+        |      CAST(GREATEST(n * mx - s, s - n * mn) AS DOUBLE) *
+        |      sqrt(CAST(n - 1 AS DOUBLE)) / sqrt(CAST(n AS DOUBLE)) /
+        |      sqrt(CAST(n * q - s * s AS DOUBLE))) AS BIGINT)
+        |    END AS g_micro
         |FROM m ORDER BY source""".stripMargin,
     "q_anova_f" ->
       """WITH b AS (SELECT source, lang AS g, n_chars AS v FROM documents

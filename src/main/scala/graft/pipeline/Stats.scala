@@ -2796,6 +2796,114 @@ object Stats {
     anovaF(z, keys, "__g", "__z")
   }
 
+  /**
+   * Kruskal–Wallis H per key — the k-group distribution-free location
+   * test ([[mannWhitneyU]]'s many-group generalization, [[anovaF]]'s
+   * heavy-tail-safe twin): pooled integer DOUBLE mid-ranks over the
+   * per-key distinct-VALUE histogram (never a row sort), per-group
+   * rank sums as exact DECIMAL(38,0) (2R_g = Σ c_gv·dr), the
+   * per-group rational (2R_g)²/(4n_g) nano-rounded ONCE each and
+   * summed exactly (the [[anovaF]] discipline), then
+   *
+   *   H = [12·ΣR²_g/n_g / (N(N+1)) − 3(N+1)] / (1 − T/(N³−N))
+   *
+   * as ONE round-once micro expression (T = Σ(t³−t) the tie
+   * correction). NULL when k < 2 or all values tie (correction
+   * denominator 0).
+   *
+   * Scale shape: one (key, group, value) histogram groupBy, one
+   * pooled cumulative window over DISTINCT values, one per-(key,
+   * group) rollup (label-sized), one rollup per key.
+   *
+   * Returns keys + (n, k_groups, h_micro).
+   */
+  def kruskalWallis(df: DataFrame, keys: Seq[String], groupCol: String,
+      valueCol: String): DataFrame = {
+    require(keys.nonEmpty, "keys required")
+    val W = org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val cells = df
+      .where(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(keys.map(col) :+ col(groupCol).cast("string").as("__g") :+
+        col(valueCol).cast("long").as("__v"): _*)
+      .groupBy(keys.map(col) :+ col("__g") :+ col("__v"): _*)
+      .agg(count(lit(1)).as("__cgv"))
+    val pooled = cells.groupBy(keys.map(col) :+ col("__v"): _*)
+      .agg(sum("__cgv").as("__cv"))
+    val w = W.partitionBy(keys.map(col): _*).orderBy(col("__v"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val dr = pooled.withColumn("__dr",
+      lit(2L) * coalesce(sum("__cv").over(w), lit(0L)) + col("__cv") + lit(1L))
+    val perG = cells.join(dr.select(keys.map(col) :+ col("__v") :+
+        col("__dr"): _*), keys :+ "__v")
+      .groupBy(keys.map(col) :+ col("__g"): _*)
+      .agg(sum("__cgv").cast(dec).as("__ng"),
+        sum(col("__cgv").cast(dec) * col("__dr")).as("__r2g"))
+      .withColumn("__t", round(lit(1e9) *
+        (col("__r2g") * col("__r2g")).cast("double") /
+        (lit(4L).cast(dec) * col("__ng")).cast("double")).cast(dec))
+    val ties = pooled.groupBy(keys.map(col): _*)
+      .agg(sum(col("__cv").cast(dec) * col("__cv") * col("__cv") -
+        col("__cv")).as("__tie"))
+    val m = perG.groupBy(keys.map(col): _*)
+      .agg(sum("__ng").cast(dec).as("__n"), count(lit(1)).as("k_groups"),
+        sum("__t").as("__a"))
+      .join(ties, keys)
+    val n = col("__n")
+    val corr = lit(1.0) - col("__tie").cast("double") /
+      (n * n * n - n).cast("double")
+    val bad = col("k_groups") < 2L || (n * n * n - n) === 0L ||
+      col("__tie") === (n * n * n - n)
+    m.select(keys.map(col) :+ n.cast("long").as("n") :+ col("k_groups") :+
+      when(bad, lit(null).cast("long"))
+        .otherwise(round(lit(1e6) *
+          (lit(12.0) * col("__a").cast("double") / lit(1e9) /
+            (n * (n + lit(1L))).cast("double") -
+            lit(3.0) * (n + lit(1L)).cast("double")) / corr)
+          .cast("long")).as("h_micro"): _*)
+  }
+
+  /**
+   * Grubbs' outlier statistic per key — "is the most extreme value a
+   * statistical outlier": G = max|x − x̄|/s. The extremes-only
+   * identity makes this ONE map-side-combinable groupBy (the maximum
+   * deviation is always at min or max, so the corpus never sorts or
+   * re-scans): with exact DECIMAL moments (n, S, Q, mn, mx),
+   *
+   *   dev = max(n·mx − S, S − n·mn)          (exact integer)
+   *   G   = dev·√(n−1) / √n / √(n·Q − S²)    (factored √s, one round)
+   *
+   * `at_value` reports which extreme achieved it (ties pick the max —
+   * deterministic). NULL when n < 3 or the variance is 0. Compare G
+   * against the caller's critical value (a plan-time constant).
+   *
+   * Returns keys + (n, at_value, g_micro).
+   */
+  def grubbs(df: DataFrame, keys: Seq[String],
+      valueCol: String): DataFrame = {
+    require(keys.nonEmpty, "keys required")
+    val dec = "decimal(38,0)"
+    val m = df
+      .where(col(valueCol).isNotNull)
+      .select(keys.map(col) :+ col(valueCol).cast("long").as("__v"): _*)
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).cast(dec).as("__n"), sum("__v").cast(dec).as("__s"),
+        sum(col("__v") * col("__v")).cast(dec).as("__q"),
+        min("__v").as("__mn"), max("__v").as("__mx"))
+    val n = col("__n"); val s = col("__s")
+    val devHi = n * col("__mx") - s
+    val devLo = s - n * col("__mn")
+    val dev = greatest(devHi, devLo)
+    val varNum = n * col("__q") - s * s
+    m.select(keys.map(col) :+ n.cast("long").as("n") :+
+      when(devHi >= devLo, col("__mx")).otherwise(col("__mn"))
+        .as("at_value") :+
+      when(n < 3L || varNum === 0L, lit(null).cast("long"))
+        .otherwise(round(lit(1e6) * dev.cast("double") *
+          sqrt((n - lit(1L)).cast("double")) / sqrt(n.cast("double")) /
+          sqrt(varNum.cast("double"))).cast("long")).as("g_micro"): _*)
+  }
+
   def poissonBootstrap(df: DataFrame, idCol: String, valueCol: String,
       reps: Int = 32): DataFrame = {
     require(reps >= 2 && reps <= 1024, s"reps must be in [2,1024], got $reps")

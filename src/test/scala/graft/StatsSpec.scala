@@ -533,6 +533,41 @@ class StatsSpec extends AnyFunSuite {
     assert(s.getLong(3) == 0L && s.getLong(5) == 0L)
   }
 
+  test("kruskalWallis: textbook H on two groups; all-tied undefined") {
+    // a={1,2}, b={3,4}: R_a=3, R_b=7 -> H = 0.6*(4.5+24.5) - 15 = 2.4
+    val df = Seq(("k", "a", 1L), ("k", "a", 2L),
+      ("k", "b", 3L), ("k", "b", 4L)).toDF("k", "g", "v")
+    val r = Stats.kruskalWallis(df, Seq("k"), "g", "v").collect()(0)
+    assert((r.getLong(1), r.getLong(2)) == ((4L, 2L)))
+    assert(r.getLong(3) == 2400000L)
+    // every value tied: correction denominator 0 -> NULL
+    val tied = Seq(("k", "a", 5L), ("k", "b", 5L), ("k", "b", 5L))
+      .toDF("k", "g", "v")
+    assert(Stats.kruskalWallis(tied, Seq("k"), "g", "v")
+      .collect()(0).isNullAt(3))
+    // one group: NULL
+    val one = Seq(("k", "a", 1L), ("k", "a", 2L)).toDF("k", "g", "v")
+    assert(Stats.kruskalWallis(one, Seq("k"), "g", "v")
+      .collect()(0).isNullAt(3))
+  }
+
+  test("grubbs: extreme-deviation statistic off one moment pass") {
+    // {1,2,3,10}: dev = 24 at max, G = 24*sqrt(3)/sqrt(4)/sqrt(200)
+    val df = Seq(("k", 1L), ("k", 2L), ("k", 3L), ("k", 10L)).toDF("k", "v")
+    val r = Stats.grubbs(df, Seq("k"), "v").collect()(0)
+    assert(r.getLong(1) == 4L && r.getLong(2) == 10L)
+    assert(r.getLong(3) == math.round(1e6 * 24.0 * math.sqrt(3.0) /
+      math.sqrt(4.0) / math.sqrt(200.0)))
+    // low-side outlier reports the min
+    val lo = Seq(("k", -10L), ("k", 1L), ("k", 2L), ("k", 3L)).toDF("k", "v")
+    assert(Stats.grubbs(lo, Seq("k"), "v").collect()(0).getLong(2) == -10L)
+    // n < 3 and zero variance: undefined
+    assert(Stats.grubbs(Seq(("k", 1L), ("k", 2L)).toDF("k", "v"),
+      Seq("k"), "v").collect()(0).isNullAt(3))
+    assert(Stats.grubbs(Seq(("k", 5L), ("k", 5L), ("k", 5L)).toDF("k", "v"),
+      Seq("k"), "v").collect()(0).isNullAt(3))
+  }
+
   test("quantizeStep picks the finest power-of-10 step fitting maxBins") {
     // 0..99 distinct: fits 100 bins at step 1; at maxBins=32 the lattice
     // probe lands on step 10 (10 bins); 0..9999 needs step 1000 (10 bins
