@@ -429,7 +429,23 @@ object DumpPlans {
         "collapsed to the quantized joint distinct-CELL table; the " +
         "cell self-join is D^2 per key under a fail-loud cap, margins " +
         "and totals are cell-table groupBys — the corpus itself is " +
-        "never pair-joined."))
+        "never pair-joined."),
+      "q_roc_auc" -> ("Exact ROC-AUC: the ranking metric WITHOUT a " +
+        "rank sort — one distinct-score histogram groupBy, one " +
+        "cumulative window over DISTINCT scores, one moment rollup; " +
+        "AUC and Cliff's delta are integer divisions of the rollup."),
+      "q_chi_kxm" -> ("k x m chi-square: margins and cells are " +
+        "map-side-combinable groupBys; the dense level grid is a " +
+        "label-sized broadcast crossJoin GUARDED by maxLevels " +
+        "raise_error — the corpus is scanned once."),
+      "q_anova_f" -> ("One-way ANOVA: the corpus reduces to the " +
+        "per-(key, group) six-moment table in one partial+final " +
+        "aggregate; per-group nano terms and the key rollup never " +
+        "touch rows again — zero joins, zero windows."),
+      "q_kruskal" -> ("Kruskal-Wallis: pooled double mid-ranks ride " +
+        "ONE cumulative window over the per-key distinct-value " +
+        "table; the (key, group, value) cell table equi-joins the " +
+        "rank column back and rolls up — rows shuffle once."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
