@@ -3752,6 +3752,61 @@ def grubbs(df, keys, value_col):
         .alias("g_micro"))
 
 
+def anderson_darling(ref, cur, value_col):
+    """Anderson-Darling two-sample test — Python mirror of the Scala
+    ``Stats.andersonDarling``: tie-adjusted midrank form over the
+    pooled distinct-value histogram; per-(sample, value) nano terms
+    rounded once, exact long sums, round-once A^2."""
+    dec = "decimal(38,0)"
+
+    def side(df, n):
+        return (df.where(F.col(value_col).isNotNull())
+                .select(F.col(value_col).cast("long").alias("__v"))
+                .groupBy("__v").agg(F.count(F.lit(1)).alias(n)))
+
+    j = (side(ref, "__ca").join(side(cur, "__cb"), ["__v"], "full")
+         .na.fill(0, ["__ca", "__cb"]))
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (j.withColumn("__cuma", F.sum("__ca").over(w))
+           .withColumn("__cumb", F.sum("__cb").over(w)))
+    tot = j.agg(F.sum("__ca").alias("__na"), F.sum("__cb").alias("__nb"),
+                F.count(F.lit(1)).alias("__nv"))
+    g = (cum.crossJoin(F.broadcast(tot))
+         .withColumn("__l", F.col("__ca") + F.col("__cb"))
+         .withColumn("__N", F.col("__na") + F.col("__nb"))
+         .withColumn("__b2", F.lit(2) * (F.col("__cuma") + F.col("__cumb"))
+                     - F.col("__l"))
+         .withColumn("__den2",
+                     F.col("__b2").cast(dec) *
+                     (F.lit(2) * F.col("__N") - F.col("__b2")) -
+                     F.col("__N").cast(dec) * F.col("__l")))
+
+    def term_for(cum_c, c_c, n_c):
+        m2 = F.lit(2) * F.col(cum_c) - F.col(c_c)
+        num2 = (F.col("__N").cast(dec) * m2 -
+                F.col(n_c).cast(dec) * F.col("__b2")).cast("double")
+        return (F.when((F.col("__den2") == 0) | (F.col(n_c) == 0), F.lit(0))
+                .otherwise(F.round(F.lit(1e9) * F.col("__l").cast("double") *
+                           num2 * num2 /
+                           (F.col("__N").cast("double") *
+                            F.col(n_c).cast("double") *
+                            F.col("__den2").cast("double"))).cast("long")))
+
+    return (g.withColumn("__ta", term_for("__cuma", "__ca", "__na"))
+            .withColumn("__tb", term_for("__cumb", "__cb", "__nb"))
+            .agg(F.max("__na").alias("n_ref"), F.max("__nb").alias("n_cur"),
+                 F.max("__nv").alias("__nvx"), F.max("__N").alias("__Nx"),
+                 F.sum(F.col("__ta") + F.col("__tb")).alias("__sum"))
+            .select("n_ref", "n_cur",
+                    F.when((F.col("n_ref") == 0) | (F.col("n_cur") == 0) |
+                           (F.col("__nvx") < 2), F.lit(None).cast("long"))
+                    .otherwise(F.round(
+                        ((F.col("__Nx") - F.lit(1)).cast(dec) *
+                         F.col("__sum")).cast("double") /
+                        F.col("__Nx").cast("double") / F.lit(1000.0))
+                        .cast("long")).alias("a2_micro")))
+
+
 def isotonic_calibrate(df, score_col, label_col, buckets=16):
     """Isotonic (PAV) score calibration — Python mirror of the Scala
     ``Stats.isotonicCalibrate``: quantile-bucketed score->rate map,

@@ -136,6 +136,15 @@ def psi_windowed(df, event_time_col, value_col, ref_bounds, ref_counts,
         window_duration, watermark_delay))
 
 
+def calibration_stream(df, key, p_micro_col, label_col, bins=10):
+    """Streaming calibration monitor — per key, the cumulative per-bin
+    (count, positives, confidence-sum) state re-scored after every
+    micro-batch with the exact batch ECE arithmetic; emits the worst
+    bin and its per-row gap. State is exactly 3*bins longs per key."""
+    return _wrap(df, _bridge(df).calibrationStream(
+        df._jdf, key, p_micro_col, label_col, int(bins)))
+
+
 def distinct_windowed(df, event_time_col, id_col, window_duration, m=64,
                       watermark_delay="0 seconds"):
     """HLL distinct ids per event-time window — state is the m-register

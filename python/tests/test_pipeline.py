@@ -1501,6 +1501,28 @@ def test_kruskal_wallis_and_grubbs_hand(spark):
                                  math.sqrt(4.0) / math.sqrt(200.0))
 
 
+def test_anderson_darling_hand(spark):
+    from graft.pipeline import anderson_darling
+    a = spark.createDataFrame([(1,), (2,)], "v long")
+    b = spark.createDataFrame([(3,), (4,)], "v long")
+    r = anderson_darling(a, b, "v").collect()[0]
+    assert (r["n_ref"], r["n_cur"]) == (2, 2)
+    assert r["a2_micro"] == round(3.0 * 2303030304 / 4.0 / 1000.0)
+    same = anderson_darling(a, a, "v").collect()[0]
+    assert same["a2_micro"] == 0
+
+
+def test_calibration_stream_batch_face(spark):
+    from graft.streaming import calibration_stream
+    df = spark.createDataFrame(
+        [(1, 200000, True), (1, 200000, False),
+         (1, 900000, True), (1, 900000, True)],
+        "k long, p long, y boolean")
+    r = calibration_stream(df, "k", "p", "y", bins=2).collect()[0]
+    assert (r["nTotal"], r["eceMicro"], r["worstBin"],
+            r["worstGapMicro"]) == (4, 200000, 0, 300000)
+
+
 def test_quantize_step_lattice(spark):
     from graft.pipeline import quantize_step
     df = spark.range(100).selectExpr("id as v")

@@ -4040,6 +4040,28 @@ object SparkEntry {
         "k", "vq", refHist)
         .toDF().orderBy("key")
     }),
+    // ---- wave 50: tail-sensitive drift + live calibration ----
+    // Anderson-Darling two-sample on the q_ks slices: the 1/(F(1-F))
+    // tail weighting catches distribution-tail shifts KS misses
+    "q_anderson_darling" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("event_type"),
+        expr("cast(round(value * 100) as bigint)").as("vc"))
+      graft.pipeline.Stats.andersonDarling(
+        e.where(col("event_type") === "view"),
+        e.where(col("event_type") === "click"), "vc")
+    }),
+    // the calibration monitor's batch face: per user-parity cohort,
+    // cumulative per-bin (n, pos, conf) state re-scored with the exact
+    // batch ECE arithmetic (flatMapGroupsWithState in batch mode)
+    "q_calibration_monitor" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(
+        pmod(col("user_id"), lit(4L)).as("k"),
+        expr("(cast(round(value * 100) as bigint) * 997) % 1000001")
+          .as("p"),
+        (col("event_id") % 2L === 0L).as("y"))
+      graft.streaming.StreamingPipeline.calibrationStream(
+        e, "k", "p", "y", bins = 10).toDF().orderBy("key")
+    }),
     // ---- wave 43: the drift-family completion ----
     // W1 (magnitude), TV (mass fraction), CvM (whole-curve squared gap)
     // over the q_ks slices — one pass, exact integers + per-term nano
@@ -9816,6 +9838,69 @@ object SparkEntry {
         |      CAST(ca + cb AS DOUBLE)) AS BIGINT)) //
         |    (1000 * (MAX(na) + MAX(nb))) AS BIGINT) AS "cvmMicro"
         |FROM g GROUP BY 1 ORDER BY key""".stripMargin,
+    "q_anderson_darling" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+        |a AS (SELECT vc AS v, COUNT(*) AS ca FROM e
+        |  WHERE event_type = 'view' AND vc IS NOT NULL GROUP BY 1),
+        |b AS (SELECT vc AS v, COUNT(*) AS cb FROM e
+        |  WHERE event_type = 'click' AND vc IS NOT NULL GROUP BY 1),
+        |j AS (SELECT COALESCE(a.v, b.v) AS v, COALESCE(ca, 0) AS ca,
+        |    COALESCE(cb, 0) AS cb FROM a FULL OUTER JOIN b ON a.v = b.v),
+        |c AS (SELECT *,
+        |    SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cuma,
+        |    SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cumb FROM j),
+        |t AS (SELECT SUM(ca) AS na, SUM(cb) AS nb, COUNT(*) AS nv FROM j),
+        |g AS (SELECT c.*, na, nb, nv, ca + cb AS l, na + nb AS nn,
+        |    2 * (cuma + cumb) - (ca + cb) AS b2 FROM c, t),
+        |g2 AS (SELECT *, CAST(b2 AS HUGEINT) * (2 * nn - b2) -
+        |    CAST(nn AS HUGEINT) * l AS den2 FROM g),
+        |tm AS (SELECT *,
+        |    CASE WHEN den2 = 0 OR na = 0 THEN 0
+        |      ELSE CAST(round(1e9 * CAST(l AS DOUBLE) *
+        |        CAST(CAST(nn AS HUGEINT) * (2 * cuma - ca) -
+        |          CAST(na AS HUGEINT) * b2 AS DOUBLE) *
+        |        CAST(CAST(nn AS HUGEINT) * (2 * cuma - ca) -
+        |          CAST(na AS HUGEINT) * b2 AS DOUBLE) /
+        |        (CAST(nn AS DOUBLE) * CAST(na AS DOUBLE) *
+        |         CAST(den2 AS DOUBLE))) AS BIGINT) END AS ta,
+        |    CASE WHEN den2 = 0 OR nb = 0 THEN 0
+        |      ELSE CAST(round(1e9 * CAST(l AS DOUBLE) *
+        |        CAST(CAST(nn AS HUGEINT) * (2 * cumb - cb) -
+        |          CAST(nb AS HUGEINT) * b2 AS DOUBLE) *
+        |        CAST(CAST(nn AS HUGEINT) * (2 * cumb - cb) -
+        |          CAST(nb AS HUGEINT) * b2 AS DOUBLE) /
+        |        (CAST(nn AS DOUBLE) * CAST(nb AS DOUBLE) *
+        |         CAST(den2 AS DOUBLE))) AS BIGINT) END AS tb
+        |  FROM g2)
+        |SELECT CAST(MAX(na) AS BIGINT) AS n_ref,
+        |  CAST(MAX(nb) AS BIGINT) AS n_cur,
+        |  CASE WHEN MAX(na) = 0 OR MAX(nb) = 0 OR MAX(nv) < 2 THEN NULL
+        |    ELSE CAST(round(CAST((MAX(nn) - 1)::HUGEINT * SUM(ta + tb)
+        |      AS DOUBLE) / CAST(MAX(nn) AS DOUBLE) / 1000.0) AS BIGINT)
+        |    END AS a2_micro
+        |FROM tm""".stripMargin,
+    "q_calibration_monitor" ->
+      """WITH e AS (SELECT user_id % 4 AS k,
+        |    (CAST(round(value * 100) AS BIGINT) * 997) % 1000001 AS p,
+        |    (event_id % 2 = 0) AS y FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |    AND event_id IS NOT NULL),
+        |b AS (SELECT k, LEAST(p * 10 // 1000000, 9) AS bin, COUNT(*) AS n,
+        |    COUNT(CASE WHEN y THEN 1 END) AS pos, SUM(p) AS conf
+        |  FROM e GROUP BY 1, 2),
+        |g AS (SELECT k, bin, n, ABS(pos * 1000000 - conf) AS gap,
+        |    ABS(pos * 1000000 - conf) // n AS perrow FROM b),
+        |m AS (SELECT k, SUM(n) AS nt, SUM(gap) AS gs FROM g GROUP BY 1),
+        |w AS (SELECT k, bin, perrow, ROW_NUMBER() OVER (PARTITION BY k
+        |    ORDER BY perrow DESC, bin ASC) AS rn FROM g)
+        |SELECT m.k AS key, CAST(nt AS BIGINT) AS "nTotal",
+        |  CAST(gs // nt AS BIGINT) AS "eceMicro",
+        |  CAST(w.bin AS INT) AS "worstBin",
+        |  CAST(GREATEST(w.perrow, 0) AS BIGINT) AS "worstGapMicro"
+        |FROM m JOIN w ON w.k = m.k AND w.rn = 1 ORDER BY key""".stripMargin,
     "q_dist_shift" ->
       """WITH e AS (SELECT event_type,
         |    CAST(round(value * 100) AS BIGINT) AS vc FROM events),

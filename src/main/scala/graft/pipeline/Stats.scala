@@ -2904,6 +2904,83 @@ object Stats {
           sqrt(varNum.cast("double"))).cast("long")).as("g_micro"): _*)
   }
 
+  /**
+   * Anderson–Darling two-sample test — the TAIL-sensitive drift
+   * statistic ([[ksStatistic]] weights the middle of the distribution;
+   * AD's 1/(F(1−F)) weighting catches tail shifts KS misses — the
+   * usual recommendation for production drift monitors). The
+   * tie-adjusted midrank form (Scholz & Stephens '87) over the pooled
+   * DISTINCT-value histogram:
+   *
+   *   A² = (N−1)/N · Σ_i 1/n_i · Σ_v (l_v/N)·(N·M_iv − n_i·B_v)² /
+   *        (B_v(N−B_v) − N·l_v/4)
+   *
+   * with B_v/M_iv the midrank cumulative counts. Doubling clears the
+   * halves (2B = 2·cum − l), so every factor is an exact integer; each
+   * (sample, value) term is ONE round-once nano expression over their
+   * double casts (the [[kaplanMeier]] discipline — l·num² would
+   * overflow DECIMAL at N ~ 3×10⁷, so the division happens in double
+   * with a pinned factor order, engine-replayable), summed as exact
+   * longs. NULL when either side is empty or the pooled data has a
+   * single distinct value. Inputs are integral by contract —
+   * compute the width with [[quantizeStep]].
+   *
+   * Scale shape: identical to [[ksStatistic]]/[[distributionDistance]]
+   * — one groupBy per side, one full-outer join of the distinct-value
+   * count tables, cumulative windows over DISTINCT values, a one-row
+   * totals broadcast.
+   *
+   * Returns one row: (n_ref, n_cur, a2_micro).
+   */
+  def andersonDarling(ref: DataFrame, cur: DataFrame,
+      valueCol: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    def side(df: DataFrame, n: String): DataFrame = df
+      .where(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("long").as("__v"))
+      .groupBy("__v").agg(count(lit(1)).as(n))
+    val j = side(ref, "__ca").join(side(cur, "__cb"), Seq("__v"), "full")
+      .na.fill(0L, Seq("__ca", "__cb"))
+    val w = W.orderBy(col("__v")).rowsBetween(W.unboundedPreceding, 0)
+    val cum = j
+      .withColumn("__cuma", sum("__ca").over(w))
+      .withColumn("__cumb", sum("__cb").over(w))
+    val tot = j.agg(sum("__ca").as("__na"), sum("__cb").as("__nb"),
+      count(lit(1)).as("__nv"))
+    val g = cum.crossJoin(broadcast(tot))
+      .withColumn("__l", col("__ca") + col("__cb"))
+      .withColumn("__N", col("__na") + col("__nb"))
+      .withColumn("__b2", lit(2L) * (col("__cuma") + col("__cumb")) - col("__l"))
+      .withColumn("__den2",
+        col("__b2").cast(dec) * (lit(2L) * col("__N") - col("__b2")) -
+          col("__N").cast(dec) * col("__l"))
+    def termFor(cumC: String, cC: String, nC: String): Column = {
+      val m2 = lit(2L) * col(cumC) - col(cC)
+      val num2 = (col("__N").cast(dec) * m2 -
+        col(nC).cast(dec) * col("__b2")).cast("double")
+      // den2 = 0 only at a single-distinct-value pool; n_i = 0 on an
+      // empty side — both cases report NULL overall, terms are moot
+      when(col("__den2") === 0L || col(nC) === 0L, lit(0L))
+        .otherwise(round(lit(1e9) * col("__l").cast("double") *
+          num2 * num2 / (col("__N").cast("double") *
+            col(nC).cast("double") * col("__den2").cast("double")))
+          .cast("long"))
+    }
+    g.withColumn("__ta", termFor("__cuma", "__ca", "__na"))
+      .withColumn("__tb", termFor("__cumb", "__cb", "__nb"))
+      .agg(max("__na").as("n_ref"), max("__nb").as("n_cur"),
+        max("__nv").as("__nvx"), max("__N").as("__Nx"),
+        sum(col("__ta") + col("__tb")).as("__sum"))
+      .select(col("n_ref"), col("n_cur"),
+        when(col("n_ref") === 0L || col("n_cur") === 0L ||
+          col("__nvx") < 2L, lit(null).cast("long"))
+          .otherwise(round(
+            ((col("__Nx") - lit(1L)).cast(dec) * col("__sum")).cast("double") /
+              col("__Nx").cast("double") / lit(1000.0)).cast("long"))
+          .as("a2_micro"))
+  }
+
   def poissonBootstrap(df: DataFrame, idCol: String, valueCol: String,
       reps: Int = 32): DataFrame = {
     require(reps >= 2 && reps <= 1024, s"reps must be in [2,1024], got $reps")

@@ -92,6 +92,12 @@ object StreamingBridge {
     StreamingPipeline.psiWindowed(df, eventTimeCol, valueCol, refBounds,
       refCounts, windowDuration, watermarkDelay)
 
+  /** [[StreamingPipeline.calibrationStream]]. */
+  def calibrationStream(df: DataFrame, key: String, pMicroCol: String,
+      labelCol: String, bins: Int): DataFrame =
+    StreamingPipeline.calibrationStream(df, key, pMicroCol, labelCol,
+      bins).toDF()
+
   /** [[StreamingPipeline.distinctWindowed]]. */
   def distinctWindowed(df: DataFrame, eventTimeCol: String, idCol: String,
       windowDuration: String, m: Int, watermarkDelay: String): DataFrame =

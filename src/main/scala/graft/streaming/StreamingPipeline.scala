@@ -1272,6 +1272,73 @@ object StreamingPipeline {
   }
 
   /** (key, quantized value) projection for the drift monitor. */
+  /** (key, micro-probability, label) projection for the calibration
+    * monitor. */
+  final case class CalRow(k: Long, p: Long, y: Boolean)
+  /** Per-key state: per-bin (n, n_pos, conf_sum) — exactly `bins`
+    * slots, bounded by construction. */
+  final case class CalSt(n: Array[Long], pos: Array[Long], conf: Array[Long])
+  /** One report per key per batch that touched it. */
+  final case class CalOut(key: Long, nTotal: Long, eceMicro: Long,
+      worstBin: Int, worstGapMicro: Long)
+
+  /**
+   * Streaming calibration monitor — the live face of
+   * [[graft.pipeline.Stats.calibrationReport]]: per key, the
+   * CUMULATIVE per-bin (count, positives, confidence-sum) triple of
+   * everything seen so far is re-scored after every micro-batch with
+   * the batch operator's exact integer arithmetic
+   * (ECE_micro = Σ_b |10⁶·pos_b − conf_b| div N, bin = p·bins div 10⁶
+   * clamped to the last bin), plus the worst bin and its per-row gap
+   * (|10⁶·pos − conf| div n_b — where to look when the alarm fires).
+   * State is EXACTLY 3·`bins` longs per key — bounded by construction,
+   * no cap to trip (the [[driftStream]] contract without the
+   * quantization trap: the bin index is computed, not caller-chosen).
+   * NULL key/probability/label rows are excluded (the batch contract).
+   */
+  def calibrationStream(df: DataFrame, key: String, pMicroCol: String,
+      labelCol: String, bins: Int = 10): Dataset[CalOut] = {
+    require(bins >= 2 && bins <= 1000, s"bins must be in [2,1000], got $bins")
+    import df.sparkSession.implicits._
+    val rows = df
+      .where(col(key).isNotNull && col(pMicroCol).isNotNull &&
+        col(labelCol).isNotNull)
+      .select(col(key).cast("long").as("k"),
+        col(pMicroCol).cast("long").as("p"),
+        col(labelCol).cast("boolean").as("y")).as[CalRow]
+    rows.groupByKey(_.k)
+      .flatMapGroupsWithState[CalSt, CalOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (k: Long, it: Iterator[CalRow], state: GroupState[CalSt]) =>
+          val st = state.getOption.getOrElse(CalSt(
+            new Array[Long](bins), new Array[Long](bins),
+            new Array[Long](bins)))
+          it.foreach { r =>
+            val b = math.min(r.p * bins / 1000000L, bins - 1L).toInt
+            st.n(b) += 1L
+            if (r.y) st.pos(b) += 1L
+            st.conf(b) += r.p
+          }
+          var nTot = 0L; var gapSum = 0L
+          var worst = 0; var worstGap = -1L
+          var b = 0
+          while (b < bins) {
+            nTot += st.n(b)
+            val gap = math.abs(st.pos(b) * 1000000L - st.conf(b))
+            gapSum += gap
+            if (st.n(b) > 0L) {
+              val perRow = gap / st.n(b)
+              if (perRow > worstGap) { worstGap = perRow; worst = b }
+            }
+            b += 1
+          }
+          state.update(st)
+          if (nTot == 0L) Iterator.empty
+          else Iterator.single(CalOut(k, nTot, gapSum / nTot, worst,
+            math.max(worstGap, 0L)))
+      }
+  }
+
   final case class DriftRow(k: Long, v: Long)
   /** Per-key state: the ACTIVE quantized histogram (sorted values +
     * counts) — bounded by `maxBins` by contract, enforced loudly. */

@@ -568,6 +568,24 @@ class StatsSpec extends AnyFunSuite {
       Seq("k"), "v").collect()(0).isNullAt(3))
   }
 
+  test("andersonDarling: tie-adjusted midrank A2 on hand cases") {
+    // A={1,2}, B={3,4}: per-value nano terms 166666667/409090909 x2
+    // each -> sum 2303030304, A2 = 3/4 * 2.303... = 1.727273
+    val a = Seq(1L, 2L).toDF("v"); val b = Seq(3L, 4L).toDF("v")
+    val r = Stats.andersonDarling(a, b, "v").collect()(0)
+    assert((r.getLong(0), r.getLong(1)) == ((2L, 2L)))
+    assert(r.getLong(2) == math.round(3.0 * 2303030304L / 4.0 / 1000.0))
+    // identical samples: every num2 is 0 -> A2 = 0
+    val same = Stats.andersonDarling(Seq(1L, 2L).toDF("v"),
+      Seq(1L, 2L).toDF("v"), "v").collect()(0)
+    assert(same.getLong(2) == 0L)
+    // single pooled distinct value / empty side: undefined
+    assert(Stats.andersonDarling(Seq(5L).toDF("v"), Seq(5L).toDF("v"), "v")
+      .collect()(0).isNullAt(2))
+    assert(Stats.andersonDarling(Seq(1L, 2L).toDF("v"),
+      Seq.empty[Long].toDF("v"), "v").collect()(0).isNullAt(2))
+  }
+
   test("quantizeStep picks the finest power-of-10 step fitting maxBins") {
     // 0..99 distinct: fits 100 bins at step 1; at maxBins=32 the lattice
     // probe lands on step 10 (10 bins); 0..9999 needs step 1000 (10 bins

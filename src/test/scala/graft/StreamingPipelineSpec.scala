@@ -1555,6 +1555,40 @@ class StreamingPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("calibrationStream single batch equals the batch calibrationReport") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Boolean)]
+    val out = StreamingPipeline.calibrationStream(
+      mem.toDF().toDF("k", "p", "y"), "k", "p", "y", bins = 2)
+    val q = out.toDF().writeStream.format("memory").queryName("cal_stream")
+      .outputMode("append").start()
+    try {
+      // the wave-46 hand case: bin0 gap 600000 (n=2), bin1 gap 200000
+      mem.addData((1L, 200000L, true), (1L, 200000L, false),
+        (1L, 900000L, true), (1L, 900000L, true))
+      q.processAllAvailable()
+      val r = spark.sql("SELECT * FROM cal_stream").collect()(0)
+      assert(r.getLong(1) == 4L && r.getLong(2) == 200000L)
+      assert(r.getInt(3) == 0 && r.getLong(4) == 300000L)
+      val batch = graft.pipeline.Stats.calibrationReport(
+        Seq((200000L, true), (200000L, false), (900000L, true),
+          (900000L, true)).toDF("p", "y"), "p", "y", bins = 2)
+        .collect()(0)
+      assert(r.getLong(2) == batch.getLong(6), "ECE parity with the batch face")
+      // batch 2: two more perfect bin-1 rows — the CUMULATIVE state is
+      // re-scored (gaps 600000 + 200000 over n=6)
+      mem.addData((1L, 950000L, true), (1L, 850000L, true))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM cal_stream ORDER BY nTotal")
+        .collect()
+      assert(rows.length == 2 && rows(1).getLong(1) == 6L)
+      // conf_sum(bin1) = 3600000, pos = 4 -> gap 400000; ece = 1e6/6
+      assert(rows(1).getLong(2) == (600000L + 400000L) / 6L)
+    } finally q.stop()
+  }
+
   test("driftStream per-key histogram recovers across runs via checkpoint") {
     // the sprtStream recovery discipline for the drift monitor: run 1
     // ends (query killed), run 2 restarts from the SAME checkpoint on
