@@ -3807,6 +3807,61 @@ def anderson_darling(ref, cur, value_col):
                         .cast("long")).alias("a2_micro")))
 
 
+def energy_distance(ref, cur, value_col):
+    """Energy distance two-sample test — Python mirror of the Scala
+    ``Stats.energyDistance``: every pairwise-|difference| sum exact via
+    the sorted prefix identity over distinct values (no pair join);
+    one round-once micro over the three V-statistic ratios."""
+    dec = "decimal(38,0)"
+
+    def side(df, n):
+        return (df.where(F.col(value_col).isNotNull())
+                .select(F.col(value_col).cast("long").alias("__v"))
+                .groupBy("__v").agg(F.count(F.lit(1)).alias(n)))
+
+    j = (side(ref, "__ca").join(side(cur, "__cb"), ["__v"], "full")
+         .na.fill(0, ["__ca", "__cb"]))
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
+    cum = (j.withColumn("__cab", F.coalesce(F.sum("__ca").over(w),
+                                            F.lit(0)).cast(dec))
+           .withColumn("__cbb", F.coalesce(F.sum("__cb").over(w),
+                                           F.lit(0)).cast(dec))
+           .withColumn("__sab", F.coalesce(
+               F.sum(F.col("__v").cast(dec) * F.col("__ca")).over(w),
+               F.lit(0).cast(dec)))
+           .withColumn("__sbb", F.coalesce(
+               F.sum(F.col("__v").cast(dec) * F.col("__cb")).over(w),
+               F.lit(0).cast(dec))))
+    tot = j.agg(F.sum("__ca").alias("__na"), F.sum("__cb").alias("__nb"))
+    v = F.col("__v").cast(dec)
+    terms = (cum
+             .withColumn("__tab", F.col("__ca").cast(dec) *
+                         (v * F.col("__cbb") - F.col("__sbb")) +
+                         F.col("__cb").cast(dec) *
+                         (v * F.col("__cab") - F.col("__sab")))
+             .withColumn("__taa", F.lit(2).cast(dec) * F.col("__ca") *
+                         (v * F.col("__cab") - F.col("__sab")))
+             .withColumn("__tbb", F.lit(2).cast(dec) * F.col("__cb") *
+                         (v * F.col("__cbb") - F.col("__sbb")))
+             .agg(F.sum("__tab").alias("__ab"), F.sum("__taa").alias("__aa"),
+                  F.sum("__tbb").alias("__bb")))
+    return (terms.crossJoin(F.broadcast(tot))
+            .select(F.col("__na").alias("n_ref"),
+                    F.col("__nb").alias("n_cur"),
+                    F.when((F.col("__na") == 0) | (F.col("__nb") == 0),
+                           F.lit(None).cast("long"))
+                    .otherwise(F.round(F.lit(1e6) * (
+                        F.lit(2.0) * F.col("__ab").cast("double") /
+                        (F.col("__na").cast(dec) * F.col("__nb"))
+                        .cast("double") -
+                        F.col("__aa").cast("double") /
+                        (F.col("__na").cast(dec) * F.col("__na"))
+                        .cast("double") -
+                        F.col("__bb").cast("double") /
+                        (F.col("__nb").cast(dec) * F.col("__nb"))
+                        .cast("double"))).cast("long")).alias("e_micro")))
+
+
 def isotonic_calibrate(df, score_col, label_col, buckets=16):
     """Isotonic (PAV) score calibration — Python mirror of the Scala
     ``Stats.isotonicCalibrate``: quantile-bucketed score->rate map,

@@ -1523,6 +1523,15 @@ def test_calibration_stream_batch_face(spark):
             r["worstGapMicro"]) == (4, 200000, 0, 300000)
 
 
+def test_energy_distance_hand(spark):
+    from graft.pipeline import energy_distance
+    a = spark.createDataFrame([(0,), (2,)], "v long")
+    b = spark.createDataFrame([(1,), (3,)], "v long")
+    r = energy_distance(a, b, "v").collect()[0]
+    assert (r["n_ref"], r["n_cur"], r["e_micro"]) == (2, 2, 1000000)
+    assert energy_distance(a, a, "v").collect()[0]["e_micro"] == 0
+
+
 def test_quantize_step_lattice(spark):
     from graft.pipeline import quantize_step
     df = spark.range(100).selectExpr("id as v")

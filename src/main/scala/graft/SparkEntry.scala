@@ -4050,6 +4050,15 @@ object SparkEntry {
         e.where(col("event_type") === "view"),
         e.where(col("event_type") === "click"), "vc")
     }),
+    // energy distance on the q_ks slices: the metric-space two-sample
+    // statistic — exact prefix-identity pair sums, zero pair joins
+    "q_energy_dist" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("event_type"),
+        expr("cast(round(value * 100) as bigint)").as("vc"))
+      graft.pipeline.Stats.energyDistance(
+        e.where(col("event_type") === "view"),
+        e.where(col("event_type") === "click"), "vc")
+    }),
     // the calibration monitor's batch face: per user-parity cohort,
     // cumulative per-bin (n, pos, conf) state re-scored with the exact
     // batch ECE arithmetic (flatMapGroupsWithState in batch mode)
@@ -9882,6 +9891,38 @@ object SparkEntry {
         |      AS DOUBLE) / CAST(MAX(nn) AS DOUBLE) / 1000.0) AS BIGINT)
         |    END AS a2_micro
         |FROM tm""".stripMargin,
+    "q_energy_dist" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+        |a AS (SELECT vc AS v, COUNT(*) AS ca FROM e
+        |  WHERE event_type = 'view' AND vc IS NOT NULL GROUP BY 1),
+        |b AS (SELECT vc AS v, COUNT(*) AS cb FROM e
+        |  WHERE event_type = 'click' AND vc IS NOT NULL GROUP BY 1),
+        |j AS (SELECT COALESCE(a.v, b.v) AS v, COALESCE(ca, 0) AS ca,
+        |    COALESCE(cb, 0) AS cb FROM a FULL OUTER JOIN b ON a.v = b.v),
+        |c AS (SELECT *,
+        |    COALESCE(SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND 1 PRECEDING), 0)::HUGEINT AS cab,
+        |    COALESCE(SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND 1 PRECEDING), 0)::HUGEINT AS cbb,
+        |    COALESCE(SUM(v::HUGEINT * ca) OVER (ORDER BY v ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sab,
+        |    COALESCE(SUM(v::HUGEINT * cb) OVER (ORDER BY v ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sbb FROM j),
+        |t AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM j),
+        |s AS (SELECT
+        |    SUM(ca::HUGEINT * (v::HUGEINT * cbb - sbb) +
+        |        cb::HUGEINT * (v::HUGEINT * cab - sab)) AS ab,
+        |    SUM(2 * ca::HUGEINT * (v::HUGEINT * cab - sab)) AS aa,
+        |    SUM(2 * cb::HUGEINT * (v::HUGEINT * cbb - sbb)) AS bb FROM c)
+        |SELECT CAST(na AS BIGINT) AS n_ref, CAST(nb AS BIGINT) AS n_cur,
+        |  CASE WHEN na = 0 OR nb = 0 THEN NULL
+        |    ELSE CAST(round(1e6 * (
+        |      2.0 * CAST(ab AS DOUBLE) / CAST(na::HUGEINT * nb AS DOUBLE)
+        |      - CAST(aa AS DOUBLE) / CAST(na::HUGEINT * na AS DOUBLE)
+        |      - CAST(bb AS DOUBLE) / CAST(nb::HUGEINT * nb AS DOUBLE)))
+        |      AS BIGINT) END AS e_micro
+        |FROM s, t""".stripMargin,
     "q_calibration_monitor" ->
       """WITH e AS (SELECT user_id % 4 AS k,
         |    (CAST(round(value * 100) AS BIGINT) * 997) % 1000001 AS p,

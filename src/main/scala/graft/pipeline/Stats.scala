@@ -2981,6 +2981,77 @@ object Stats {
           .as("a2_micro"))
   }
 
+  /**
+   * Energy distance two-sample test (Székely & Rizzo '04) — the
+   * metric-space drift statistic behind modern two-sample detectors:
+   *
+   *   E = 2·E|X−Y| − E|X−X'| − E|Y−Y'|    (≥ 0, = 0 iff same dist.)
+   *
+   * Every pairwise-|difference| sum is EXACT via the sorted prefix
+   * identity over the distinct-value histogram (never a pair join):
+   *
+   *   Σ_{i,j}|x_i−y_j| = Σ_v ca(v)·(v·C⁻_B(v) − S⁻_B(v))
+   *                    + Σ_v cb(v)·(v·C⁻_A(v) − S⁻_A(v))
+   *
+   * with C⁻/S⁻ the strictly-below cumulative count/value-sum (equal
+   * values contribute 0) — all DECIMAL(38,0); the only rounding is
+   * the final round-once micro expression over the three V-statistic
+   * ratios (n², m², nm denominators — independent-copy expectations).
+   * NULL when either side is empty. Inputs are integral by contract —
+   * compute the width with [[quantizeStep]].
+   *
+   * Scale shape: the [[ksStatistic]] plan — one groupBy per side, one
+   * full-outer join of distinct-value tables, cumulative windows over
+   * DISTINCT values, a one-row totals broadcast.
+   *
+   * Returns one row: (n_ref, n_cur, e_micro).
+   */
+  def energyDistance(ref: DataFrame, cur: DataFrame,
+      valueCol: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    def side(df: DataFrame, n: String): DataFrame = df
+      .where(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("long").as("__v"))
+      .groupBy("__v").agg(count(lit(1)).as(n))
+    val j = side(ref, "__ca").join(side(cur, "__cb"), Seq("__v"), "full")
+      .na.fill(0L, Seq("__ca", "__cb"))
+    val w = W.orderBy(col("__v")).rowsBetween(W.unboundedPreceding, -1)
+    val cum = j
+      .withColumn("__cab", coalesce(sum("__ca").over(w), lit(0L)).cast(dec))
+      .withColumn("__cbb", coalesce(sum("__cb").over(w), lit(0L)).cast(dec))
+      .withColumn("__sab",
+        coalesce(sum(col("__v").cast(dec) * col("__ca")).over(w),
+          lit(0L).cast(dec)))
+      .withColumn("__sbb",
+        coalesce(sum(col("__v").cast(dec) * col("__cb")).over(w),
+          lit(0L).cast(dec)))
+    val tot = j.agg(sum("__ca").as("__na"), sum("__cb").as("__nb"))
+    val v = col("__v").cast(dec)
+    val terms = cum
+      .withColumn("__tab",
+        col("__ca").cast(dec) * (v * col("__cbb") - col("__sbb")) +
+          col("__cb").cast(dec) * (v * col("__cab") - col("__sab")))
+      .withColumn("__taa",
+        lit(2L).cast(dec) * col("__ca") * (v * col("__cab") - col("__sab")))
+      .withColumn("__tbb",
+        lit(2L).cast(dec) * col("__cb") * (v * col("__cbb") - col("__sbb")))
+      .agg(sum("__tab").as("__ab"), sum("__taa").as("__aa"),
+        sum("__tbb").as("__bb"))
+    terms.crossJoin(broadcast(tot))
+      .select(col("__na").as("n_ref"), col("__nb").as("n_cur"),
+        when(col("__na") === 0L || col("__nb") === 0L,
+          lit(null).cast("long"))
+          .otherwise(round(lit(1e6) * (
+            lit(2.0) * col("__ab").cast("double") /
+              (col("__na").cast(dec) * col("__nb")).cast("double") -
+              col("__aa").cast("double") /
+                (col("__na").cast(dec) * col("__na")).cast("double") -
+              col("__bb").cast("double") /
+                (col("__nb").cast(dec) * col("__nb")).cast("double")))
+            .cast("long")).as("e_micro"))
+  }
+
   def poissonBootstrap(df: DataFrame, idCol: String, valueCol: String,
       reps: Int = 32): DataFrame = {
     require(reps >= 2 && reps <= 1024, s"reps must be in [2,1024], got $reps")

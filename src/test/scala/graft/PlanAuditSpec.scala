@@ -53,6 +53,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_ks" -> "broadcast one-row side-totals crossJoin (n_ref, n_cur — 2 longs)",
     "q_dist_shift" -> "broadcast one-row side-totals crossJoin (the q_ks shape)",
     "q_anderson_darling" -> "broadcast one-row side-totals crossJoin (the q_ks shape)",
+    "q_energy_dist" -> "broadcast one-row side-totals crossJoin (the q_ks shape)",
     "q_dispersion" -> "broadcast parts-dimension + one-row total crossJoins (the dense-grid pattern; parts are metadata-sized)",
     "q_mrr" -> "broadcast nlist-row centroid table crossJoin (the q_knn_ivf probe ranking) + the labeled brute baseline as MRR ground truth",
     "q_conformal" -> "broadcast one-row calibration-count crossJoin (the n)",
@@ -135,6 +136,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_bh_fdr" -> "rank over the PER-TEST p-value table (experiments, not rows — metadata-sized by contract)",
     "q_dist_shift" -> "cumulative sums + lead over DISTINCT metric values (the q_ks machinery)",
     "q_anderson_darling" -> "cumulative sums over DISTINCT metric values (the q_ks machinery)",
+    "q_energy_dist" -> "cumulative count/value-sum prefixes over DISTINCT metric values (the q_ks machinery)",
     "q_dispersion" -> "maxParts count guard over the PARTS rollup (sources — the same metadata-sized table the broadcast ships; fails loudly before the grid, never rides the corpus)",
     "q_chi_kxm" -> "maxLevels count guards over the two MARGIN rollups (label-sized tables the dense grid broadcasts; the q_dispersion guard shape)")
 

@@ -586,6 +586,20 @@ class StatsSpec extends AnyFunSuite {
       Seq.empty[Long].toDF("v"), "v").collect()(0).isNullAt(2))
   }
 
+  test("energyDistance: exact prefix-identity pair sums on hand cases") {
+    // A={0,2}, B={1,3}: E|X-Y| = 6/4, E|X-X'| = E|Y-Y'| = 1 -> E = 1
+    val a = Seq(0L, 2L).toDF("v"); val b = Seq(1L, 3L).toDF("v")
+    val r = Stats.energyDistance(a, b, "v").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2L, 2L, 1000000L)))
+    // identical distributions: E = 0 exactly
+    val same = Seq(1L, 2L).toDF("v")
+    assert(Stats.energyDistance(same, same, "v").collect()(0)
+      .getLong(2) == 0L)
+    // empty side: undefined
+    assert(Stats.energyDistance(a, Seq.empty[Long].toDF("v"), "v")
+      .collect()(0).isNullAt(2))
+  }
+
   test("quantizeStep picks the finest power-of-10 step fitting maxBins") {
     // 0..99 distinct: fits 100 bins at step 1; at maxBins=32 the lattice
     // probe lands on step 10 (10 bins); 0..9999 needs step 1000 (10 bins
