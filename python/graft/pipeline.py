@@ -3862,6 +3862,63 @@ def energy_distance(ref, cur, value_col):
                         .cast("double"))).cast("long")).alias("e_micro")))
 
 
+def mutual_information(df, a_col, b_col, max_levels=1000):
+    """Mutual information + Theil's U — Python mirror of the Scala
+    ``Stats.mutualInformation``: per-cell/level nano-nat terms rounded
+    once from exact counts (absent cells contribute exactly 0 — no
+    dense grid), U = MI/H(A) round-once; max_levels margin guards."""
+    base = (df.where(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
+            .select(F.col(a_col).cast("string").alias("__a"),
+                    F.col(b_col).cast("string").alias("__b")))
+    cells = base.groupBy("__a", "__b").agg(F.count(F.lit(1)).alias("__o"))
+
+    def margin(c, n, guard):
+        return (base.groupBy(c).agg(F.count(F.lit(1)).alias(n))
+                .withColumn("__lv",
+                            F.count(F.lit(1)).over(Window.partitionBy()))
+                .withColumn(n, F.when(F.col("__lv") <= max_levels, F.col(n))
+                            .otherwise(F.raise_error(F.concat(
+                                F.lit("mutual_information: %s has " % guard),
+                                F.col("__lv").cast("string"),
+                                F.lit(" levels, exceeds max_levels=%d"
+                                      % max_levels)))))
+                .drop("__lv"))
+
+    ra = margin("__a", "__ra", "column A")
+    cb = margin("__b", "__cb", "column B")
+    tot = base.agg(F.count(F.lit(1)).alias("__N"))
+    dec = "decimal(38,0)"
+    g = (cells.join(F.broadcast(ra), "__a").join(F.broadcast(cb), "__b")
+         .crossJoin(F.broadcast(tot)))
+    mi_term = F.round(F.lit(1e9) * F.col("__o").cast("double") /
+                      F.col("__N").cast("double") *
+                      F.log((F.col("__o").cast(dec) * F.col("__N"))
+                            .cast("double") /
+                            (F.col("__ra").cast(dec) * F.col("__cb"))
+                            .cast("double"))).cast("long")
+    mi = (g.withColumn("__t", mi_term)
+          .agg(F.max("__N").alias("n"),
+               F.countDistinct("__a").alias("k_levels"),
+               F.countDistinct("__b").alias("m_levels"),
+               F.sum("__t").alias("mi_nano_nats")))
+    ha = (ra.crossJoin(F.broadcast(tot))
+          .withColumn("__h", F.round(
+              F.lit(-1e9) * F.col("__ra").cast("double") /
+              F.col("__N").cast("double") *
+              F.log(F.col("__ra").cast("double") /
+                    F.col("__N").cast("double"))).cast("long"))
+          .agg(F.sum("__h").alias("h_a_nano_nats")))
+    return (mi.crossJoin(F.broadcast(ha))
+            .select("n", "k_levels", "m_levels", "mi_nano_nats",
+                    "h_a_nano_nats",
+                    F.when(F.col("h_a_nano_nats") <= 0,
+                           F.lit(None).cast("long"))
+                    .otherwise(F.round(F.lit(1e6) *
+                               F.col("mi_nano_nats").cast("double") /
+                               F.col("h_a_nano_nats").cast("double"))
+                               .cast("long")).alias("u_micro")))
+
+
 def isotonic_calibrate(df, score_col, label_col, buckets=16):
     """Isotonic (PAV) score calibration — Python mirror of the Scala
     ``Stats.isotonicCalibrate``: quantile-bucketed score->rate map,

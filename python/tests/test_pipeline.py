@@ -1532,6 +1532,20 @@ def test_energy_distance_hand(spark):
     assert energy_distance(a, a, "v").collect()[0]["e_micro"] == 0
 
 
+def test_mutual_information_hand(spark):
+    import math
+    from graft.pipeline import mutual_information
+    dep = spark.createDataFrame([("x", "p"), ("x", "p"), ("y", "q"),
+                                 ("y", "q")], "a string, b string")
+    r = mutual_information(dep, "a", "b").collect()[0]
+    assert r["mi_nano_nats"] == 2 * round(1e9 * 0.5 * math.log(2.0))
+    assert r["u_micro"] == 1000000
+    ind = spark.createDataFrame([("x", "p"), ("x", "q"), ("y", "p"),
+                                 ("y", "q")], "a string, b string")
+    i = mutual_information(ind, "a", "b").collect()[0]
+    assert (i["mi_nano_nats"], i["u_micro"]) == (0, 0)
+
+
 def test_quantize_step_lattice(spark):
     from graft.pipeline import quantize_step
     df = spark.range(100).selectExpr("id as v")

@@ -3961,6 +3961,11 @@ object SparkEntry {
     "q_chi_kxm" -> ((s, dir) =>
       graft.pipeline.Stats.chiSquareKxM(
         t(s, dir, "documents"), "lang", "source")),
+    // mutual information + Theil's U: the chi-square's effect size in
+    // information units (how many nats does source tell you about lang)
+    "q_mutual_info" -> ((s, dir) =>
+      graft.pipeline.Stats.mutualInformation(
+        t(s, dir, "documents"), "lang", "source")),
     // per-user autocorrelation of the event-value series at lags 1..3
     // (exact mean-centered moments, one round-once division per lag)
     "q_acf" -> ((s, dir) =>
@@ -9411,6 +9416,33 @@ object SparkEntry {
         |       LEAST(COUNT(DISTINCT a) - 1, COUNT(DISTINCT bb) - 1))))
         |      AS BIGINT) END AS v_micro
         |FROM tm""".stripMargin,
+    "q_mutual_info" ->
+      """WITH b AS (SELECT CAST(lang AS VARCHAR) AS a,
+        |    CAST(source AS VARCHAR) AS bb FROM documents
+        |  WHERE lang IS NOT NULL AND source IS NOT NULL),
+        |cells AS (SELECT a, bb, COUNT(*) AS o FROM b GROUP BY 1, 2),
+        |ra AS (SELECT a, COUNT(*) AS ra FROM b GROUP BY 1),
+        |cb AS (SELECT bb, COUNT(*) AS cb FROM b GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS nn FROM b),
+        |g AS (SELECT cells.*, ra.ra, cb.cb, nn FROM cells
+        |  JOIN ra USING (a) JOIN cb USING (bb), tot),
+        |mi AS (SELECT MAX(nn) AS nn, COUNT(DISTINCT a) AS k,
+        |    COUNT(DISTINCT bb) AS m,
+        |    SUM(CAST(round(1e9 * CAST(o AS DOUBLE) / CAST(nn AS DOUBLE) *
+        |      ln(CAST(o::HUGEINT * nn AS DOUBLE) /
+        |         CAST(ra::HUGEINT * cb AS DOUBLE))) AS BIGINT)) AS minano
+        |  FROM g),
+        |ha AS (SELECT SUM(CAST(round(-1e9 *
+        |    CAST(ra AS DOUBLE) / CAST(nn AS DOUBLE) *
+        |    ln(CAST(ra AS DOUBLE) / CAST(nn AS DOUBLE))) AS BIGINT))
+        |    AS hnano FROM ra, tot)
+        |SELECT CAST(nn AS BIGINT) AS n, k AS k_levels, m AS m_levels,
+        |  CAST(minano AS BIGINT) AS mi_nano_nats,
+        |  CAST(hnano AS BIGINT) AS h_a_nano_nats,
+        |  CASE WHEN hnano <= 0 THEN NULL
+        |    ELSE CAST(round(1e6 * CAST(minano AS DOUBLE) /
+        |      CAST(hnano AS DOUBLE)) AS BIGINT) END AS u_micro
+        |FROM mi, ha""".stripMargin,
     "q_acf" ->
       """WITH e AS (SELECT user_id, event_id,
         |    CAST(round(value * 100) AS BIGINT) AS x FROM events

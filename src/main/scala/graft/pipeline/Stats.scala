@@ -3052,6 +3052,76 @@ object Stats {
             .cast("long")).as("e_micro"))
   }
 
+  /**
+   * Mutual information + Theil's U between two categorical columns —
+   * [[chiSquareKxM]]'s effect-size companion in INFORMATION units:
+   * "how many nats does knowing B tell you about A" (lang ↔ source,
+   * template ↔ license — the dependence measure that stays comparable
+   * across table shapes where χ² grows with N):
+   *
+   *   MI   = Σ_cells (o/N)·ln(o·N/(r_a·c_b))     (absent cells = 0)
+   *   H(A) = −Σ_a (r_a/N)·ln(r_a/N)
+   *   U    = MI/H(A)                             (Theil's uncertainty
+   *                                               coefficient ∈ [0,1])
+   *
+   * Each cell/level term is ONE nano-rounded expression over exact
+   * integer counts (the [[kaplanMeier]] discipline — ln of the same
+   * double quotient in any engine), summed as exact longs; U is one
+   * round-once ratio of the two nano sums. Unlike χ², absent cells
+   * contribute EXACTLY 0, so only observed cells flow — no dense
+   * grid, just the cells table joined to its two label-sized margins
+   * (`maxLevels`-guarded, the [[chiSquareKxM]] contract).
+   *
+   * Returns one row: (n, k_levels, m_levels, mi_nano_nats,
+   * h_a_nano_nats, u_micro).
+   */
+  def mutualInformation(df: DataFrame, aCol: String, bCol: String,
+      maxLevels: Int = 1000): DataFrame = {
+    require(maxLevels >= 2 && maxLevels <= 100000,
+      s"maxLevels must be in [2, 100000], got $maxLevels")
+    val W = org.apache.spark.sql.expressions.Window
+    val base = df
+      .where(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).cast("string").as("__a"),
+        col(bCol).cast("string").as("__b"))
+    val cells = base.groupBy("__a", "__b").agg(count(lit(1)).as("__o"))
+    def margin(c: String, n: String, guard: String): DataFrame =
+      base.groupBy(c).agg(count(lit(1)).as(n))
+        .withColumn("__lv", count(lit(1)).over(W.partitionBy()))
+        .withColumn(n, when(col("__lv") <= maxLevels, col(n))
+          .otherwise(raise_error(concat(
+            lit(s"mutual_information: $guard has "), col("__lv"),
+            lit(s" levels, exceeds maxLevels=$maxLevels — coarsen the " +
+              "column or raise the cap deliberately")))))
+        .drop("__lv")
+    val ra = margin("__a", "__ra", "column A")
+    val cb = margin("__b", "__cb", "column B")
+    val tot = base.agg(count(lit(1)).as("__N"))
+    val g = cells.join(broadcast(ra), "__a").join(broadcast(cb), "__b")
+      .crossJoin(broadcast(tot))
+    val dec = "decimal(38,0)"
+    val miTerm = round(lit(1e9) * col("__o").cast("double") /
+      col("__N").cast("double") *
+      log((col("__o").cast(dec) * col("__N")).cast("double") /
+        (col("__ra").cast(dec) * col("__cb")).cast("double"))).cast("long")
+    val mi = g.withColumn("__t", miTerm)
+      .agg(max("__N").as("n"), countDistinct("__a").as("k_levels"),
+        countDistinct("__b").as("m_levels"), sum("__t").as("mi_nano_nats"))
+    val ha = ra.crossJoin(broadcast(tot))
+      .withColumn("__h", round(lit(-1e9) * col("__ra").cast("double") /
+        col("__N").cast("double") *
+        log(col("__ra").cast("double") / col("__N").cast("double")))
+        .cast("long"))
+      .agg(sum("__h").as("h_a_nano_nats"))
+    mi.crossJoin(broadcast(ha))
+      .select(col("n"), col("k_levels"), col("m_levels"),
+        col("mi_nano_nats"), col("h_a_nano_nats"),
+        when(col("h_a_nano_nats") <= 0L, lit(null).cast("long"))
+          .otherwise(round(lit(1e6) * col("mi_nano_nats").cast("double") /
+            col("h_a_nano_nats").cast("double")).cast("long"))
+          .as("u_micro"))
+  }
+
   def poissonBootstrap(df: DataFrame, idCol: String, valueCol: String,
       reps: Int = 32): DataFrame = {
     require(reps >= 2 && reps <= 1024, s"reps must be in [2,1024], got $reps")

@@ -73,7 +73,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_modularity" -> "broadcast one-row |E2| total crossJoin onto the community table",
     "q_bh_fdr" -> "broadcast one-row (m, k_star) threshold crossJoin over the per-test table",
     "q_ece" -> "broadcast one-row (n_total, ece_micro) totals crossJoin onto the <= bins-row table (the psiReport shape)",
-    "q_chi_kxm" -> "broadcast level x level dense-grid crossJoin (both margins label-sized, ENFORCED by maxLevels raise_error) + one-row total")
+    "q_chi_kxm" -> "broadcast level x level dense-grid crossJoin (both margins label-sized, ENFORCED by maxLevels raise_error) + one-row total",
+    "q_mutual_info" -> "broadcast label-sized margin joins + one-row total/entropy crossJoins (maxLevels-guarded, the q_chi_kxm contract; only OBSERVED cells flow)")
 
   test("no query plans an unintended cartesian or nested-loop join") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -138,7 +139,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_anderson_darling" -> "cumulative sums over DISTINCT metric values (the q_ks machinery)",
     "q_energy_dist" -> "cumulative count/value-sum prefixes over DISTINCT metric values (the q_ks machinery)",
     "q_dispersion" -> "maxParts count guard over the PARTS rollup (sources — the same metadata-sized table the broadcast ships; fails loudly before the grid, never rides the corpus)",
-    "q_chi_kxm" -> "maxLevels count guards over the two MARGIN rollups (label-sized tables the dense grid broadcasts; the q_dispersion guard shape)")
+    "q_chi_kxm" -> "maxLevels count guards over the two MARGIN rollups (label-sized tables the dense grid broadcasts; the q_dispersion guard shape)",
+    "q_mutual_info" -> "maxLevels count guards over the two MARGIN rollups (the q_chi_kxm guard shape)")
 
   test("every window operator is partitioned (no global fact-table sorts)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}

@@ -600,6 +600,32 @@ class StatsSpec extends AnyFunSuite {
       .collect()(0).isNullAt(2))
   }
 
+  test("mutualInformation: perfect dependence U=1, independence U=0") {
+    val dep = Seq(("x", "p"), ("x", "p"), ("y", "q"), ("y", "q"))
+      .toDF("a", "b")
+    val r = Stats.mutualInformation(dep, "a", "b").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((4L, 2L, 2L)))
+    assert(r.getLong(3) == 2L * math.round(1e9 * 0.5 * math.log(2.0)))
+    assert(r.getLong(3) == r.getLong(4)) // MI = H(A) at perfect dependence
+    assert(r.getLong(5) == 1000000L)
+    val ind = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
+      .toDF("a", "b")
+    val i = Stats.mutualInformation(ind, "a", "b").collect()(0)
+    assert(i.getLong(3) == 0L && i.getLong(5) == 0L)
+    // constant A: H(A) = 0, U undefined
+    val const = Seq(("x", "p"), ("x", "q")).toDF("a", "b")
+    assert(Stats.mutualInformation(const, "a", "b").collect()(0).isNullAt(5))
+    // margin guard fails loudly
+    val ex = intercept[Exception] {
+      Stats.mutualInformation(Seq(("x", "p"), ("y", "p"), ("z", "q"))
+        .toDF("a", "b"), "a", "b", maxLevels = 2).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++
+        messages(e.getCause))
+    assert(messages(ex).exists(_.contains("mutual_information")))
+  }
+
   test("quantizeStep picks the finest power-of-10 step fitting maxBins") {
     // 0..99 distinct: fits 100 bins at step 1; at maxBins=32 the lattice
     // probe lands on step 10 (10 bins); 0..9999 needs step 1000 (10 bins
