@@ -17,6 +17,12 @@ import org.apache.spark.sql.types._
  * NoData in the output cell; tile⊕scalar broadcasts the scalar; output
  * cell type is the union of input cell types. All are CodegenFallback —
  * runtime is dominated by the primitive cell loop, not row glue.
+ *
+ * Row-level NULL: every op here is NULL-strict (NULL in → NULL out,
+ * the default `nullSafeEval` contract) EXCEPT [[LocalAdd]], which
+ * mirrors the reference's lone NULL-as-identity special case
+ * (localops/Add.scala:52-63 — BiasedAdd, the other one, is not
+ * SQL-registered there and only feeds its local aggregates).
  */
 abstract class BinaryLocalOp extends BinaryExpression with CodegenFallback with Serializable {
   /** The cell-wise operation (both views are the double view; NoData prefiltered). */
@@ -94,9 +100,38 @@ abstract class UnaryLocalOp extends UnaryExpression with CodegenFallback with Se
 }
 
 // ---- arithmetic ----
+/**
+ * Cell-wise addition. Unique among the binary local ops (reference
+ * localops/Add.scala:52-63, flagged in SURVEY §1.2): a SQL NULL
+ * *tile* input is the IDENTITY — the non-null tile side passes
+ * through, so left-outer raster joins compose mosaics without
+ * dropping coverage. A NULL *scalar* still nulls the result (SQL
+ * semantics — the addend is unknown). Every other binary local op is
+ * deliberately NULL-strict, matching the reference, where only
+ * Add/BiasedAdd special-case NULL.
+ */
 case class LocalAdd(left: Expression, right: Expression) extends BinaryLocalOp {
   override def prettyName: String = "rf_local_add"
   protected def op(a: Double, b: Double): Double = a + b
+  @transient private lazy val leftPass =
+    if (isTileType(left.dataType)) tileExtractor(left.dataType) else null
+  @transient private lazy val rightPass =
+    if (isTileType(right.dataType)) tileExtractor(right.dataType) else null
+  override def eval(input: InternalRow): Any = {
+    val l = left.eval(input)
+    val r = right.eval(input)
+    if (l == null && r == null) null
+    // identity only when the NULL side is tile-typed (a NULL scalar
+    // stays poison); pass-through re-encodes via the extractor so a
+    // proj_raster input still yields this expression's declared type
+    else if (l == null) {
+      if (leftPass != null && rightPass != null) tileResult(rightPass(r))
+      else null
+    } else if (r == null) {
+      if (rightPass != null && leftPass != null) tileResult(leftPass(l))
+      else null
+    } else nullSafeEval(l, r)
+  }
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
 case class LocalSubtract(left: Expression, right: Expression) extends BinaryLocalOp {

@@ -60,6 +60,35 @@ class RasterFunctionsSpec extends AnyFunSuite {
     assert(r(1).getDouble(1) == 15.0)
   }
 
+  test("rf_local_add treats a SQL NULL tile as identity; " +
+      "the other binary ops and NULL scalars stay strict") {
+    // reference parity (localops/Add.scala:52-63): NULL tile + tile
+    // = the non-null tile; NULL + NULL = NULL; NULL scalar = NULL;
+    // subtract/multiply remain NULL-strict
+    val withNull = Seq(
+      (1, Seq[java.lang.Double](1.0, 2.0, 3.0, 4.0), true),
+      (2, Seq[java.lang.Double](5.0, 6.0, 7.0, 8.0), false)
+    ).toDF("id", "a", "has_b")
+      .select($"id", rf_array_to_tile($"a", 2, 2).as("ta"),
+        when($"has_b", rf_array_to_tile($"a", 2, 2)).as("tb"),
+        when($"has_b", lit(2.0)).as("sc"))
+    val r = withNull.select($"id",
+      rf_tile_sum(rf_local_add($"ta", $"tb")).as("add_rt"),
+      rf_tile_sum(rf_local_add($"tb", $"ta")).as("add_lt"),
+      rf_local_add($"tb", when(lit(false), $"ta")).isNull.as("both_null"),
+      rf_local_add($"ta", $"sc").isNull.as("null_scalar"),
+      rf_local_subtract($"ta", $"tb").isNull.as("sub_strict"),
+      rf_local_multiply($"ta", $"tb").isNull.as("mul_strict"))
+      .orderBy($"id").collect()
+    assert(r(0).getDouble(1) == 20.0 && r(0).getDouble(2) == 20.0)
+    // id=2: tb NULL -> ta passes through on either side
+    assert(r(1).getDouble(1) == 26.0 && r(1).getDouble(2) == 26.0)
+    assert(!r(0).getBoolean(4) && r(1).getBoolean(4), "NULL scalar poisons")
+    assert(r(1).getBoolean(3), "NULL + NULL stays NULL")
+    assert(!r(0).getBoolean(5) && r(1).getBoolean(5), "subtract strict")
+    assert(!r(0).getBoolean(6) && r(1).getBoolean(6), "multiply strict")
+  }
+
   test("SQL registration parity") {
     tiles.createOrReplaceTempView("tiles_v")
     val r = spark.sql(
