@@ -90,6 +90,29 @@ for name, sql in sorted(oracles.items()):
                 print(f"  first diff at row {i}:\n    spark : {a}\n    oracle: {b}")
                 break
 if json_out is not None:
+    # Gate-record coverage assert (r18 lesson: a query landed after the
+    # gate refresh and the committed record silently covered 319/320):
+    # the record's key set must EQUAL SparkEntry.queries.keySet as
+    # dumped by the same Verify run. A missing queries.json means a
+    # partial/stale dump — also a gate failure.
+    qj = outdir / "queries.json"
+    if not qj.exists():
+        print("[FAIL] gate-record coverage: queries.json missing from the "
+              "dump — run a FULL graft.Verify (no SPARK_GRAFT_ONLY)")
+        fail += 1
+    else:
+        all_queries = set(json.loads(qj.read_text()))
+        missing = sorted(all_queries - set(records))
+        extra = sorted(set(records) - all_queries)
+        if missing or extra:
+            print(f"[FAIL] gate-record coverage: record != "
+                  f"SparkEntry.queries.keySet (missing={missing}, "
+                  f"extra={extra}) — every query needs an oracleSql entry "
+                  f"and a green row")
+            fail += 1
+        else:
+            print(f"[OK ] gate-record coverage: {len(records)} records == "
+                  f"queries.keySet")
     json_out.write_text(json.dumps(records, indent=2) + "\n")
     print(f"[json] wrote {len(records)} records to {json_out}")
 sys.exit(1 if fail else 0)

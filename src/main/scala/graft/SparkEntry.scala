@@ -388,6 +388,37 @@ object SparkEntry {
       .orderBy("l_orderkey", "i")
   }
 
+  /** Centi-quantized events with the bin width COMPUTED by
+    * [[graft.pipeline.Stats.quantizeStep]] (never hand-picked — the
+    * r17 lesson: centi alone detonated the drift guard at sf0.1):
+    * (event_type, vc) where vc = round(value·100) div step. The
+    * DuckDB twin is [[QEVENTS]]. */
+  private def quantizedEvents(s: SparkSession, dir: String): DataFrame = {
+    val e0 = t(s, dir, "events").select(col("event_type"),
+      expr("cast(round(value * 100) as bigint)").as("vc"))
+    val step = graft.pipeline.Stats.quantizeStep(e0, "vc", maxBins = 4096)
+    e0.select(col("event_type"), expr(s"vc div ${step}L").as("vc"))
+  }
+
+  /** SQL twin of [[quantizedEvents]]: CTE chain ending in
+    * e(event_type, vc); the step lattice mirrors quantizeStep's 19
+    * powers of 10 and error()s if nothing fits (never NULL-silent). */
+  private val QEVENTS =
+    """WITH e0 AS (SELECT event_type,
+      |    CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+      |qdv AS (SELECT DISTINCT vc FROM e0 WHERE vc IS NOT NULL),
+      |qbins AS (SELECT s, COUNT(DISTINCT vc // s) AS nb FROM qdv
+      |  CROSS JOIN (VALUES (1::BIGINT),(10),(100),(1000),(10000),
+      |    (100000),(1000000),(10000000),(100000000),(1000000000),
+      |    (10000000000),(100000000000),(1000000000000),
+      |    (10000000000000),(100000000000000),(1000000000000000),
+      |    (10000000000000000),(100000000000000000),
+      |    (1000000000000000000)) qt(s) GROUP BY s),
+      |qst AS (SELECT CASE WHEN MIN(s) IS NULL THEN error(
+      |    'quantize oracle: no step fits 4096 bins')
+      |  ELSE MIN(s) END AS step FROM qbins WHERE nb <= 4096),
+      |e AS (SELECT event_type, vc // step AS vc FROM e0, qst)""".stripMargin
+
   private val IDX =
     """WITH idx AS (
       |  SELECT l_orderkey, l_orderkey % 10 AS bucket,
@@ -446,6 +477,19 @@ object SparkEntry {
         rf_tile_sum(rf_local_min(col("t_qty"), 25.0)).as("s_min"),
         rf_tile_sum(rf_local_max(col("t_qty"), 25.0)).as("s_max"))
         .orderBy("l_orderkey")),
+    // NULL-tile identity (reference localops/Add.scala:52-63): a
+    // left-outer join leaves t_r NULL on 2/3 of the keys — rf_local_add
+    // must pass the non-null side through, not null the row
+    "q_local_add_null" -> ((s, dir) => {
+      val base = tiled(s, dir)
+      val right = base.where(col("l_orderkey") % 3 === 0)
+        .select(col("l_orderkey").as("rk"), col("t_ln").as("t_r"))
+      base.join(right, col("l_orderkey") === col("rk"), "left")
+        .select(col("l_orderkey"),
+          rf_tile_sum(rf_local_add(col("t_qty"), col("t_r"))).as("sum_add"),
+          rf_data_cells(rf_local_add(col("t_qty"), col("t_r"))).as("dc"))
+        .orderBy("l_orderkey")
+    }),
     "q_local_divide" -> ((s, dir) =>
       cells(s, dir, rf_local_divide(col("t_qty"), col("t_ln")))),
     "q_normalized_difference" -> ((s, dir) =>
@@ -4049,8 +4093,9 @@ object SparkEntry {
     // Anderson-Darling two-sample on the q_ks slices: the 1/(F(1-F))
     // tail weighting catches distribution-tail shifts KS misses
     "q_anderson_darling" -> ((s, dir) => {
-      val e = t(s, dir, "events").select(col("event_type"),
-        expr("cast(round(value * 100) as bigint)").as("vc"))
+      // bin width COMPUTED via quantizeStep (the q_drift_monitor
+      // contract) — safe at any SF, oracle replays the same step CTE
+      val e = quantizedEvents(s, dir)
       graft.pipeline.Stats.andersonDarling(
         e.where(col("event_type") === "view"),
         e.where(col("event_type") === "click"), "vc")
@@ -4058,8 +4103,7 @@ object SparkEntry {
     // energy distance on the q_ks slices: the metric-space two-sample
     // statistic — exact prefix-identity pair sums, zero pair joins
     "q_energy_dist" -> ((s, dir) => {
-      val e = t(s, dir, "events").select(col("event_type"),
-        expr("cast(round(value * 100) as bigint)").as("vc"))
+      val e = quantizedEvents(s, dir)
       graft.pipeline.Stats.energyDistance(
         e.where(col("event_type") === "view"),
         e.where(col("event_type") === "click"), "vc")
@@ -4080,8 +4124,7 @@ object SparkEntry {
     // W1 (magnitude), TV (mass fraction), CvM (whole-curve squared gap)
     // over the q_ks slices — one pass, exact integers + per-term nano
     "q_dist_shift" -> ((s, dir) => {
-      val e = t(s, dir, "events").select(col("event_type"),
-        expr("cast(round(value * 100) as bigint)").as("vc"))
+      val e = quantizedEvents(s, dir)
       graft.pipeline.Stats.distributionDistance(
         e.where(col("event_type") === "view"),
         e.where(col("event_type") === "click"), "vc")
@@ -4641,6 +4684,11 @@ object SparkEntry {
     "q_local_scalar" -> (IDX +
       """ SELECT l_orderkey, SUM(q + 10.0) AS s_add, SUM(q * 2.0) AS s_mul, SUM(q / 2.0) AS s_div,
         |SUM(LEAST(q, 25.0)) AS s_min, SUM(GREATEST(q, 25.0)) AS s_max
+        |FROM idx GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin),
+    "q_local_add_null" -> (IDX +
+      """ SELECT l_orderkey,
+        |SUM(CASE WHEN l_orderkey % 3 = 0 THEN q + lnv ELSE q END) AS sum_add,
+        |CAST(COUNT(*) AS BIGINT) AS dc
         |FROM idx GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin),
     "q_local_divide" -> (IDX +
       " SELECT l_orderkey, i, q / lnv AS cell FROM idx ORDER BY l_orderkey, i"),
@@ -9843,8 +9891,14 @@ object SparkEntry {
         |dv AS (SELECT DISTINCT vc FROM e0 WHERE vc IS NOT NULL),
         |bins AS (SELECT s, COUNT(DISTINCT vc // s) AS nb FROM dv
         |  CROSS JOIN (VALUES (1::BIGINT),(10),(100),(1000),(10000),
-        |    (100000),(1000000),(10000000),(100000000)) t(s) GROUP BY s),
-        |st AS (SELECT MIN(s) AS step FROM bins WHERE nb <= 4096),
+        |    (100000),(1000000),(10000000),(100000000),(1000000000),
+        |    (10000000000),(100000000000),(1000000000000),
+        |    (10000000000000),(100000000000000),(1000000000000000),
+        |    (10000000000000000),(100000000000000000),
+        |    (1000000000000000000)) t(s) GROUP BY s),
+        |st AS (SELECT CASE WHEN MIN(s) IS NULL THEN error(
+        |    'q_drift_monitor oracle: no quantize step fits 4096 bins')
+        |  ELSE MIN(s) END AS step FROM bins WHERE nb <= 4096),
         |e AS (SELECT user_id % 4 AS k, event_type,
         |    vc // step AS vc FROM e0, st),
         |a AS (SELECT vc AS v, COUNT(*)::HUGEINT AS ca FROM e
@@ -9880,8 +9934,7 @@ object SparkEntry {
         |    (1000 * (MAX(na) + MAX(nb))) AS BIGINT) AS "cvmMicro"
         |FROM g GROUP BY 1 ORDER BY key""".stripMargin,
     "q_anderson_darling" ->
-      """WITH e AS (SELECT event_type,
-        |    CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+      (QEVENTS + """,
         |a AS (SELECT vc AS v, COUNT(*) AS ca FROM e
         |  WHERE event_type = 'view' AND vc IS NOT NULL GROUP BY 1),
         |b AS (SELECT vc AS v, COUNT(*) AS cb FROM e
@@ -9922,10 +9975,9 @@ object SparkEntry {
         |    ELSE CAST(round(CAST((MAX(nn) - 1)::HUGEINT * SUM(ta + tb)
         |      AS DOUBLE) / CAST(MAX(nn) AS DOUBLE) / 1000.0) AS BIGINT)
         |    END AS a2_micro
-        |FROM tm""".stripMargin,
+        |FROM tm""".stripMargin),
     "q_energy_dist" ->
-      """WITH e AS (SELECT event_type,
-        |    CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+      (QEVENTS + """,
         |a AS (SELECT vc AS v, COUNT(*) AS ca FROM e
         |  WHERE event_type = 'view' AND vc IS NOT NULL GROUP BY 1),
         |b AS (SELECT vc AS v, COUNT(*) AS cb FROM e
@@ -9954,7 +10006,7 @@ object SparkEntry {
         |      - CAST(aa AS DOUBLE) / CAST(na::HUGEINT * na AS DOUBLE)
         |      - CAST(bb AS DOUBLE) / CAST(nb::HUGEINT * nb AS DOUBLE)))
         |      AS BIGINT) END AS e_micro
-        |FROM s, t""".stripMargin,
+        |FROM s, t""".stripMargin),
     "q_calibration_monitor" ->
       """WITH e AS (SELECT user_id % 4 AS k,
         |    (CAST(round(value * 100) AS BIGINT) * 997) % 1000001 AS p,
@@ -9975,8 +10027,7 @@ object SparkEntry {
         |  CAST(GREATEST(w.perrow, 0) AS BIGINT) AS "worstGapMicro"
         |FROM m JOIN w ON w.k = m.k AND w.rn = 1 ORDER BY key""".stripMargin,
     "q_dist_shift" ->
-      """WITH e AS (SELECT event_type,
-        |    CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+      (QEVENTS + """,
         |a AS (SELECT vc AS v, COUNT(*)::HUGEINT AS ca FROM e
         |  WHERE event_type = 'view' AND vc IS NOT NULL GROUP BY 1),
         |b AS (SELECT vc AS v, COUNT(*)::HUGEINT AS cb FROM e
@@ -10003,7 +10054,7 @@ object SparkEntry {
         |      (CAST(gap AS DOUBLE) / CAST(na * nb AS DOUBLE)) *
         |      CAST(ca + cb AS DOUBLE)) AS BIGINT)) //
         |    (1000 * (MAX(na) + MAX(nb))) AS BIGINT) AS cvm_micro
-        |FROM g""".stripMargin,
+        |FROM g""".stripMargin),
     "q_logrank" ->
       """WITH u AS (SELECT user_id,
         |    (MAX(epoch_ns(ts) // 1000) - MIN(epoch_ns(ts) // 1000))

@@ -45,6 +45,17 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Full-dump runs also record the COMPLETE query key set so
+    // check_queries.py can assert the gate record covers every query
+    // at HEAD (the r18 lesson: a query landed after the gate refresh
+    // and the committed record silently stopped at 319/320). Partial
+    // SPARK_GRAFT_ONLY runs skip it — they are iteration aids, not
+    // gate runs.
+    if (only.isEmpty) {
+      val keys = SparkEntry.queries.keySet.toSeq.sorted
+        .map(q).mkString("[", ",", "]")
+      Files.writeString(Paths.get(s"$outDir/queries.json"), keys)
+    }
     spark.stop()
   }
 }
