@@ -2205,7 +2205,33 @@ def chi_square_2x2(df, keys, group_col, success_col):
                         .otherwise(F.col("chi2_micro") > 3841459)))
 
 
-def ks_statistic(ref, cur, value_col):
+def _cap_pooled_distinct(joined, op, max_distinct):
+    """Fail-loud cap on the pooled distinct-value table of the batch
+    two-sample family -- mirror of the Scala
+    ``Stats.capPooledDistinct``: the cumulative windows downstream run
+    single-partition over the pooled distinct values, so an
+    unquantized continuous metric is a scale-killer; the guard rides
+    the same empty partitioning (no extra shuffle) and is woven into
+    __ca so pruning cannot drop it."""
+    if not (2 <= max_distinct <= (1 << 24)):
+        raise ValueError("max_distinct must be in [2, %d], got %d"
+                         % (1 << 24, max_distinct))
+    w_all = Window.partitionBy()
+    return (joined
+            .withColumn("__ndv", F.count(F.lit(1)).over(w_all))
+            .withColumn("__ca", F.when(
+                F.col("__ndv") <= max_distinct, F.col("__ca"))
+                .otherwise(F.raise_error(F.concat(
+                    F.lit("%s: pooled distinct-value table has " % op),
+                    F.col("__ndv").cast("string"),
+                    F.lit(" values, exceeds max_distinct=%d -- quantize"
+                          " the metric upstream (quantize_step) or"
+                          " raise max_distinct deliberately"
+                          % max_distinct)))))
+            .drop("__ndv"))
+
+
+def ks_statistic(ref, cur, value_col, max_distinct=65536):
     """Two-sample Kolmogorov-Smirnov statistic — Python mirror of the
     Scala ``Stats.ksStatistic``: exact integer D in ppm over the
     distinct-value table (one groupBy per side, cumulative windows
@@ -2220,10 +2246,11 @@ def ks_statistic(ref, cur, value_col):
           .where(F.col("__v").isNotNull())
           .groupBy("__v").agg(F.count(F.lit(1)).alias("__cb")))
     w = Window.orderBy("__v")
-    joined = (va.join(vb, ["__v"], "full_outer")
-              .na.fill(0, ["__ca", "__cb"])
-              .withColumn("__cuma", F.sum("__ca").over(w))
-              .withColumn("__cumb", F.sum("__cb").over(w)))
+    joined = (_cap_pooled_distinct(
+        va.join(vb, ["__v"], "full_outer").na.fill(0, ["__ca", "__cb"]),
+        "ks_statistic", max_distinct)
+        .withColumn("__cuma", F.sum("__ca").over(w))
+        .withColumn("__cumb", F.sum("__cb").over(w)))
     totals = F.broadcast(joined.agg(F.sum("__ca").alias("__na"),
                                     F.sum("__cb").alias("__nb")))
     return (joined.crossJoin(totals)
@@ -3275,10 +3302,19 @@ def calibration_report(df, p_micro_col, label_col, bins=10):
     one-row broadcast."""
     per_bin = (df.where(F.col(p_micro_col).isNotNull() &
                         F.col(label_col).isNotNull())
-               .select(F.least(
+               # fail loud with a named diagnosis, not a bogus
+               # negative-bin row: p is micro-unit by contract
+               .select(F.when(
+                   (F.col(p_micro_col) < 0) | (F.col(p_micro_col) > 1000000),
+                   F.raise_error(F.concat(
+                       F.lit("calibration_report: p_micro="),
+                       F.col(p_micro_col).cast("string"),
+                       F.lit(" outside [0, 1000000] -- probabilities "
+                             "must be micro-unit scaled"))))
+                .otherwise(F.least(
                    F.expr("(cast(%s as bigint) * %d) div 1000000"
                           % (p_micro_col, bins)),
-                   F.lit(bins - 1)).alias("bin"),
+                   F.lit(bins - 1))).alias("bin"),
                    F.col(label_col).cast("boolean").alias("__y"),
                    F.col(p_micro_col).cast("long").alias("__p"))
                .groupBy("bin")
@@ -3355,14 +3391,18 @@ def welch_t(df, keys, group_col, value_col):
          .select(*kc, F.col(value_col).cast("long").alias("__v"),
                  F.col(group_col).cast("boolean").alias("__g"))
          .groupBy(*kc)
+         # DECIMAL(38,0) from the first multiply -- a long v*v
+         # product wraps silently past 2^63; decimal fails loud
          .agg(F.count(F.when(g, 1)).cast(dec).alias("__naM"),
-              F.sum(F.when(g, v).otherwise(F.lit(0))).cast(dec).alias("__sa"),
-              F.sum(F.when(g, v * v).otherwise(F.lit(0))).cast(dec)
-              .alias("__qa"),
+              F.sum(F.when(g, v.cast(dec)).otherwise(F.lit(0).cast(dec)))
+              .alias("__sa"),
+              F.sum(F.when(g, v.cast(dec) * v.cast(dec))
+                    .otherwise(F.lit(0).cast(dec))).alias("__qa"),
               F.count(F.when(~g, 1)).cast(dec).alias("__nbM"),
-              F.sum(F.when(~g, v).otherwise(F.lit(0))).cast(dec).alias("__sb"),
-              F.sum(F.when(~g, v * v).otherwise(F.lit(0))).cast(dec)
-              .alias("__qb")))
+              F.sum(F.when(~g, v.cast(dec)).otherwise(F.lit(0).cast(dec)))
+              .alias("__sb"),
+              F.sum(F.when(~g, v.cast(dec) * v.cast(dec))
+                    .otherwise(F.lit(0).cast(dec))).alias("__qb")))
     na, nb = F.col("__naM"), F.col("__nbM")
     va = (na * F.col("__qa") - F.col("__sa") * F.col("__sa")).cast("double") \
         / (na * na * (na - F.lit(1))).cast("double")
@@ -3459,18 +3499,22 @@ def acf(df, keys, order_col, value_col, max_lag=8):
     for lag in range(1, max_lag + 1):
         lagged = lagged.withColumn("__lag%d" % lag,
                                    F.lag("__x", lag).over(w))
+    # DECIMAL(38,0) from the first multiply -- a long x*lag product
+    # wraps silently past 2^63; decimal fails loud
+    xd = F.col("__x").cast(dec)
     aggs = [F.count(F.lit(1)).cast(dec).alias("__n"),
-            F.sum("__x").cast(dec).alias("__s"),
-            F.sum(F.col("__x") * F.col("__x")).cast(dec).alias("__q")]
+            F.sum(xd).alias("__s"),
+            F.sum(xd * xd).alias("__q")]
     for lag in range(1, max_lag + 1):
         lg = F.col("__lag%d" % lag)
+        lgd = lg.cast(dec)
         aggs += [
-            F.sum(F.when(lg.isNotNull(), F.col("__x") * lg)
-                  .otherwise(F.lit(0))).cast(dec).alias("__xx%d" % lag),
-            F.sum(F.when(lg.isNotNull(), lg).otherwise(F.lit(0)))
-            .cast(dec).alias("__sh%d" % lag),
-            F.sum(F.when(lg.isNotNull(), F.col("__x")).otherwise(F.lit(0)))
-            .cast(dec).alias("__st%d" % lag),
+            F.sum(F.when(lg.isNotNull(), xd * lgd)
+                  .otherwise(F.lit(0).cast(dec))).alias("__xx%d" % lag),
+            F.sum(F.when(lg.isNotNull(), lgd).otherwise(F.lit(0).cast(dec)))
+            .alias("__sh%d" % lag),
+            F.sum(F.when(lg.isNotNull(), xd).otherwise(F.lit(0).cast(dec)))
+            .alias("__st%d" % lag),
             F.count(F.when(lg.isNotNull(), 1)).cast(dec)
             .alias("__np%d" % lag)]
     m = lagged.groupBy(*kc).agg(*aggs)
@@ -3527,14 +3571,18 @@ def cohens_d(df, keys, group_col, value_col):
          .select(*kc, F.col(value_col).cast("long").alias("__v"),
                  F.col(group_col).cast("boolean").alias("__g"))
          .groupBy(*kc)
+         # DECIMAL(38,0) from the first multiply -- a long v*v
+         # product wraps silently past 2^63; decimal fails loud
          .agg(F.count(F.when(g, 1)).cast(dec).alias("__naM"),
-              F.sum(F.when(g, v).otherwise(F.lit(0))).cast(dec).alias("__sa"),
-              F.sum(F.when(g, v * v).otherwise(F.lit(0))).cast(dec)
-              .alias("__qa"),
+              F.sum(F.when(g, v.cast(dec)).otherwise(F.lit(0).cast(dec)))
+              .alias("__sa"),
+              F.sum(F.when(g, v.cast(dec) * v.cast(dec))
+                    .otherwise(F.lit(0).cast(dec))).alias("__qa"),
               F.count(F.when(~g, 1)).cast(dec).alias("__nbM"),
-              F.sum(F.when(~g, v).otherwise(F.lit(0))).cast(dec).alias("__sb"),
-              F.sum(F.when(~g, v * v).otherwise(F.lit(0))).cast(dec)
-              .alias("__qb")))
+              F.sum(F.when(~g, v.cast(dec)).otherwise(F.lit(0).cast(dec)))
+              .alias("__sb"),
+              F.sum(F.when(~g, v.cast(dec) * v.cast(dec))
+                    .otherwise(F.lit(0).cast(dec))).alias("__qb")))
     na, nb = F.col("__naM"), F.col("__nbM")
     ssa = (na * F.col("__qa") - F.col("__sa") * F.col("__sa")) \
         .cast("double") / na.cast("double")
@@ -3606,9 +3654,11 @@ def anova_f(df, keys, group_col, value_col):
           .select(*kc, F.col(group_col).cast("string").alias("__g"),
                   F.col(value_col).cast("long").alias("__v"))
           .groupBy(*kc, F.col("__g"))
+          # DECIMAL(38,0) from the first multiply -- long v*v wraps
           .agg(F.count(F.lit(1)).cast(dec).alias("__ng"),
-               F.sum("__v").cast(dec).alias("__sg"),
-               F.sum(F.col("__v") * F.col("__v")).cast(dec).alias("__qg"))
+               F.sum(F.col("__v").cast(dec)).alias("__sg"),
+               F.sum(F.col("__v").cast(dec) * F.col("__v").cast(dec))
+               .alias("__qg"))
           .withColumn("__t", F.round(
               F.lit(1e9) * (F.col("__sg") * F.col("__sg")).cast("double") /
               F.col("__ng").cast("double")).cast(dec)))
@@ -3731,9 +3781,11 @@ def grubbs(df, keys, value_col):
     m = (df.where(F.col(value_col).isNotNull())
          .select(*kc, F.col(value_col).cast("long").alias("__v"))
          .groupBy(*kc)
+         # DECIMAL(38,0) from the first multiply -- long v*v wraps
          .agg(F.count(F.lit(1)).cast(dec).alias("__n"),
-              F.sum("__v").cast(dec).alias("__s"),
-              F.sum(F.col("__v") * F.col("__v")).cast(dec).alias("__q"),
+              F.sum(F.col("__v").cast(dec)).alias("__s"),
+              F.sum(F.col("__v").cast(dec) * F.col("__v").cast(dec))
+              .alias("__q"),
               F.min("__v").alias("__mn"), F.max("__v").alias("__mx")))
     n, s = F.col("__n"), F.col("__s")
     dev_hi = n * F.col("__mx") - s
@@ -3752,7 +3804,7 @@ def grubbs(df, keys, value_col):
         .alias("g_micro"))
 
 
-def anderson_darling(ref, cur, value_col):
+def anderson_darling(ref, cur, value_col, max_distinct=65536):
     """Anderson-Darling two-sample test — Python mirror of the Scala
     ``Stats.andersonDarling``: tie-adjusted midrank form over the
     pooled distinct-value histogram; per-(sample, value) nano terms
@@ -3764,8 +3816,9 @@ def anderson_darling(ref, cur, value_col):
                 .select(F.col(value_col).cast("long").alias("__v"))
                 .groupBy("__v").agg(F.count(F.lit(1)).alias(n)))
 
-    j = (side(ref, "__ca").join(side(cur, "__cb"), ["__v"], "full")
-         .na.fill(0, ["__ca", "__cb"]))
+    j = _cap_pooled_distinct(
+        side(ref, "__ca").join(side(cur, "__cb"), ["__v"], "full")
+        .na.fill(0, ["__ca", "__cb"]), "anderson_darling", max_distinct)
     w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
     cum = (j.withColumn("__cuma", F.sum("__ca").over(w))
            .withColumn("__cumb", F.sum("__cb").over(w)))
@@ -3807,7 +3860,7 @@ def anderson_darling(ref, cur, value_col):
                         .cast("long")).alias("a2_micro")))
 
 
-def energy_distance(ref, cur, value_col):
+def energy_distance(ref, cur, value_col, max_distinct=65536):
     """Energy distance two-sample test — Python mirror of the Scala
     ``Stats.energyDistance``: every pairwise-|difference| sum exact via
     the sorted prefix identity over distinct values (no pair join);
@@ -3819,8 +3872,9 @@ def energy_distance(ref, cur, value_col):
                 .select(F.col(value_col).cast("long").alias("__v"))
                 .groupBy("__v").agg(F.count(F.lit(1)).alias(n)))
 
-    j = (side(ref, "__ca").join(side(cur, "__cb"), ["__v"], "full")
-         .na.fill(0, ["__ca", "__cb"]))
+    j = _cap_pooled_distinct(
+        side(ref, "__ca").join(side(cur, "__cb"), ["__v"], "full")
+        .na.fill(0, ["__ca", "__cb"]), "energy_distance", max_distinct)
     w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
     cum = (j.withColumn("__cab", F.coalesce(F.sum("__ca").over(w),
                                             F.lit(0)).cast(dec))
@@ -4019,7 +4073,7 @@ def modularity(labels, edges, src_col, dst_col):
                             .cast("double")).cast("long").alias("q_ppm")))
 
 
-def distribution_distance(ref, cur, value_col):
+def distribution_distance(ref, cur, value_col, max_distinct=65536):
     """Wasserstein-1 + total variation + Cramer-von Mises in one pass —
     Python mirror of the Scala ``Stats.distributionDistance``: exact
     cross-multiplied CDF gaps over the joint distinct-value histogram,
@@ -4031,9 +4085,10 @@ def distribution_distance(ref, cur, value_col):
                 .where(F.col("__v").isNotNull())
                 .groupBy("__v").agg(F.count(F.lit(1)).alias(name)))
     w = Window.orderBy("__v")
-    joined = (hist(ref, "__ca").join(hist(cur, "__cb"), ["__v"],
-                                     "full_outer")
-              .na.fill(0, ["__ca", "__cb"])
+    joined = (_cap_pooled_distinct(
+        hist(ref, "__ca").join(hist(cur, "__cb"), ["__v"], "full_outer")
+        .na.fill(0, ["__ca", "__cb"]),
+        "distribution_distance", max_distinct)
               .withColumn("__cuma", F.sum("__ca").over(w))
               .withColumn("__cumb", F.sum("__cb").over(w))
               .withColumn("__width", F.coalesce(

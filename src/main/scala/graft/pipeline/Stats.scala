@@ -951,8 +951,36 @@ object Stats {
    * Bin-width choice is SCALE-SENSITIVE — compute it with
    * [[quantizeStep]] instead of hand-picking.
    */
+  /**
+   * Fail-loud cap on the pooled distinct-value table of the batch
+   * two-sample family (the [[theilSen]] raise_error discipline, the
+   * streaming `driftStream` maxBins twin): the cumulative windows
+   * these statistics run downstream are SINGLE-partition over the
+   * pooled distinct values by construction, so an unquantized
+   * continuous metric means millions of rows through one partition —
+   * a scale-killer, not a slow query. The guard rides a window with
+   * the same empty partitioning as those cumulative windows (same
+   * exchange — no extra shuffle, no separate counting job) and is
+   * woven into `__ca` itself so column pruning cannot drop it.
+   */
+  private def capPooledDistinct(joined: DataFrame, op: String,
+      maxDistinct: Int): DataFrame = {
+    require(maxDistinct >= 2 && maxDistinct <= (1 << 24),
+      s"maxDistinct must be in [2, ${1 << 24}], got $maxDistinct")
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    joined
+      .withColumn("__ndv", count(lit(1)).over(wAll))
+      .withColumn("__ca", when(col("__ndv") <= maxDistinct, col("__ca"))
+        .otherwise(raise_error(concat(
+          lit(s"$op: pooled distinct-value table has "), col("__ndv"),
+          lit(s" values, exceeds maxDistinct=$maxDistinct — quantize " +
+            "the metric upstream (Stats.quantizeStep) or raise " +
+            "maxDistinct deliberately")))))
+      .drop("__ndv")
+  }
+
   def ksStatistic(ref: DataFrame, cur: DataFrame,
-      valueCol: String): DataFrame = {
+      valueCol: String, maxDistinct: Int = 65536): DataFrame = {
     // NULL metric values carry no position on the value axis and are
     // engine-ambiguous in cumulative windows (Spark orders NULL first,
     // DuckDB last): excluded from both sides by contract (the
@@ -964,8 +992,9 @@ object Stats {
       .where(col("__v").isNotNull)
       .groupBy("__v").agg(count(lit(1)).as("__cb"))
     val w = org.apache.spark.sql.expressions.Window.orderBy("__v")
-    val joined = va.join(vb, Seq("__v"), "full_outer")
-      .na.fill(0L, Seq("__ca", "__cb"))
+    val joined = capPooledDistinct(
+      va.join(vb, Seq("__v"), "full_outer")
+        .na.fill(0L, Seq("__ca", "__cb")), "ks_statistic", maxDistinct)
       .withColumn("__cuma", sum("__ca").over(w))
       .withColumn("__cumb", sum("__cb").over(w))
     joined
@@ -1923,7 +1952,7 @@ object Stats {
    * Returns one row: (n_ref, n_cur, w1_micro, tv_ppm, cvm_micro).
    */
   def distributionDistance(ref: DataFrame, cur: DataFrame,
-      valueCol: String): DataFrame = {
+      valueCol: String, maxDistinct: Int = 65536): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
     val dec = "decimal(38,0)"
     val va = ref.select(col(valueCol).cast("long").as("__v"))
@@ -1933,8 +1962,10 @@ object Stats {
       .where(col("__v").isNotNull)
       .groupBy("__v").agg(count(lit(1)).as("__cb"))
     val w = W.orderBy("__v")
-    val joined = va.join(vb, Seq("__v"), "full_outer")
-      .na.fill(0L, Seq("__ca", "__cb"))
+    val joined = capPooledDistinct(
+      va.join(vb, Seq("__v"), "full_outer")
+        .na.fill(0L, Seq("__ca", "__cb")),
+      "distribution_distance", maxDistinct)
       .withColumn("__cuma", sum("__ca").over(w))
       .withColumn("__cumb", sum("__cb").over(w))
       .withColumn("__width",
@@ -2252,8 +2283,16 @@ object Stats {
     require(bins >= 2 && bins <= 1000, s"bins must be in [2,1000], got $bins")
     val perBin = df
       .where(col(pMicroCol).isNotNull && col(labelCol).isNotNull)
-      .select(least(expr(s"(cast($pMicroCol as bigint) * $bins) div 1000000"),
-        lit(bins - 1L)).as("bin"),
+      // fail loud with a named diagnosis, not a bogus negative-bin
+      // row: p is a probability in micro units by contract
+      .select(when(col(pMicroCol) < 0L || col(pMicroCol) > 1000000L,
+          raise_error(concat(lit("calibration_report: p_micro="),
+            col(pMicroCol).cast("string"),
+            lit(" outside [0, 1000000] — probabilities must be " +
+              "micro-unit scaled"))))
+        .otherwise(least(
+          expr(s"(cast($pMicroCol as bigint) * $bins) div 1000000"),
+          lit(bins - 1L))).as("bin"),
         col(labelCol).cast("boolean").as("__y"),
         col(pMicroCol).cast("long").as("__p"))
       .groupBy("bin")
@@ -2368,16 +2407,20 @@ object Stats {
       .select(keys.map(col) :+ col(valueCol).cast("long").as("__v") :+
         col(groupCol).cast("boolean").as("__g"): _*)
       .groupBy(keys.map(col): _*)
+      // moments accumulate in DECIMAL(38,0) from the first multiply —
+      // a long v*v product wraps silently past 2^63 (~3e9-unit values
+      // at any count, or micro-units at ~9e6 rows/key); the decimal
+      // lattice instead fails loud on overflow (the cuped discipline)
       .agg(count(when(col("__g"), 1)).cast(dec).as("__naM"),
-        sum(when(col("__g"), col("__v")).otherwise(lit(0L))).cast(dec)
-          .as("__sa"),
-        sum(when(col("__g"), col("__v") * col("__v")).otherwise(lit(0L)))
-          .cast(dec).as("__qa"),
+        sum(when(col("__g"), col("__v").cast(dec))
+          .otherwise(lit(0).cast(dec))).as("__sa"),
+        sum(when(col("__g"), col("__v").cast(dec) * col("__v").cast(dec))
+          .otherwise(lit(0).cast(dec))).as("__qa"),
         count(when(!col("__g"), 1)).cast(dec).as("__nbM"),
-        sum(when(!col("__g"), col("__v")).otherwise(lit(0L))).cast(dec)
-          .as("__sb"),
-        sum(when(!col("__g"), col("__v") * col("__v")).otherwise(lit(0L)))
-          .cast(dec).as("__qb"))
+        sum(when(!col("__g"), col("__v").cast(dec))
+          .otherwise(lit(0).cast(dec))).as("__sb"),
+        sum(when(!col("__g"), col("__v").cast(dec) * col("__v").cast(dec))
+          .otherwise(lit(0).cast(dec))).as("__qb"))
     val na = col("__naM"); val nb = col("__nbM")
     // s^2/n with an exact integer numerator, one division point each
     val va = (na * col("__qa") - col("__sa") * col("__sa")).cast("double") /
@@ -2511,17 +2554,21 @@ object Stats {
     val lagged = (1 to maxLag).foldLeft(
       base.withColumn("__t", col("__t")))((d, l) =>
       d.withColumn(s"__lag$l", lag(col("__x"), l).over(w)))
+    // moments accumulate in DECIMAL(38,0) from the first multiply — a
+    // long x*lag product wraps silently past 2^63; decimal fails loud
+    val xd = col("__x").cast(dec)
     val aggs = Seq(count(lit(1)).cast(dec).as("__n"),
-      sum(col("__x")).cast(dec).as("__s"),
-      sum(col("__x") * col("__x")).cast(dec).as("__q")) ++
+      sum(xd).as("__s"),
+      sum(xd * xd).as("__q")) ++
       (1 to maxLag).flatMap { l =>
         val lg = col(s"__lag$l")
+        val lgd = lg.cast(dec)
         Seq(
-          sum(when(lg.isNotNull, col("__x") * lg).otherwise(lit(0L)))
-            .cast(dec).as(s"__xx$l"),
-          sum(when(lg.isNotNull, lg).otherwise(lit(0L))).cast(dec)
+          sum(when(lg.isNotNull, xd * lgd).otherwise(lit(0).cast(dec)))
+            .as(s"__xx$l"),
+          sum(when(lg.isNotNull, lgd).otherwise(lit(0).cast(dec)))
             .as(s"__sh$l"),
-          sum(when(lg.isNotNull, col("__x")).otherwise(lit(0L))).cast(dec)
+          sum(when(lg.isNotNull, xd).otherwise(lit(0).cast(dec)))
             .as(s"__st$l"),
           count(when(lg.isNotNull, 1)).cast(dec).as(s"__np$l"))
       }
@@ -2600,16 +2647,20 @@ object Stats {
       .select(keys.map(col) :+ col(valueCol).cast("long").as("__v") :+
         col(groupCol).cast("boolean").as("__g"): _*)
       .groupBy(keys.map(col): _*)
+      // moments accumulate in DECIMAL(38,0) from the first multiply —
+      // a long v*v product wraps silently past 2^63 (~3e9-unit values
+      // at any count, or micro-units at ~9e6 rows/key); the decimal
+      // lattice instead fails loud on overflow (the cuped discipline)
       .agg(count(when(col("__g"), 1)).cast(dec).as("__naM"),
-        sum(when(col("__g"), col("__v")).otherwise(lit(0L))).cast(dec)
-          .as("__sa"),
-        sum(when(col("__g"), col("__v") * col("__v")).otherwise(lit(0L)))
-          .cast(dec).as("__qa"),
+        sum(when(col("__g"), col("__v").cast(dec))
+          .otherwise(lit(0).cast(dec))).as("__sa"),
+        sum(when(col("__g"), col("__v").cast(dec) * col("__v").cast(dec))
+          .otherwise(lit(0).cast(dec))).as("__qa"),
         count(when(!col("__g"), 1)).cast(dec).as("__nbM"),
-        sum(when(!col("__g"), col("__v")).otherwise(lit(0L))).cast(dec)
-          .as("__sb"),
-        sum(when(!col("__g"), col("__v") * col("__v")).otherwise(lit(0L)))
-          .cast(dec).as("__qb"))
+        sum(when(!col("__g"), col("__v").cast(dec))
+          .otherwise(lit(0).cast(dec))).as("__sb"),
+        sum(when(!col("__g"), col("__v").cast(dec) * col("__v").cast(dec))
+          .otherwise(lit(0).cast(dec))).as("__qb"))
     val na = col("__naM"); val nb = col("__nbM")
     // (n-1)·s² = (n·Σx² − (Σx)²)/n — keep the numerator exact, divide once
     val ssA = (na * col("__qa") - col("__sa") * col("__sa")).cast("double") /
@@ -2718,9 +2769,10 @@ object Stats {
       .select(keys.map(col) :+ col(groupCol).cast("string").as("__g") :+
         col(valueCol).cast("long").as("__v"): _*)
       .groupBy(keys.map(col) :+ col("__g"): _*)
+      // DECIMAL(38,0) from the first multiply — long v*v wraps silently
       .agg(count(lit(1)).cast(dec).as("__ng"),
-        sum("__v").cast(dec).as("__sg"),
-        sum(col("__v") * col("__v")).cast(dec).as("__qg"))
+        sum(col("__v").cast(dec)).as("__sg"),
+        sum(col("__v").cast(dec) * col("__v").cast(dec)).as("__qg"))
       .withColumn("__t", round(lit(1e9) *
         (col("__sg") * col("__sg")).cast("double") /
         col("__ng").cast("double")).cast(dec))
@@ -2887,8 +2939,10 @@ object Stats {
       .where(col(valueCol).isNotNull)
       .select(keys.map(col) :+ col(valueCol).cast("long").as("__v"): _*)
       .groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).cast(dec).as("__n"), sum("__v").cast(dec).as("__s"),
-        sum(col("__v") * col("__v")).cast(dec).as("__q"),
+      // DECIMAL(38,0) from the first multiply — long v*v wraps silently
+      .agg(count(lit(1)).cast(dec).as("__n"),
+        sum(col("__v").cast(dec)).as("__s"),
+        sum(col("__v").cast(dec) * col("__v").cast(dec)).as("__q"),
         min("__v").as("__mn"), max("__v").as("__mx"))
     val n = col("__n"); val s = col("__s")
     val devHi = n * col("__mx") - s
@@ -2923,7 +2977,9 @@ object Stats {
    * with a pinned factor order, engine-replayable), summed as exact
    * longs. NULL when either side is empty or the pooled data has a
    * single distinct value. Inputs are integral by contract —
-   * compute the width with [[quantizeStep]].
+   * compute the width with [[quantizeStep]] — ENFORCED by the
+   * `maxDistinct` fail-loud cap on the pooled distinct-value table
+   * (see [[capPooledDistinct]]).
    *
    * Scale shape: identical to [[ksStatistic]]/[[distributionDistance]]
    * — one groupBy per side, one full-outer join of the distinct-value
@@ -2933,7 +2989,7 @@ object Stats {
    * Returns one row: (n_ref, n_cur, a2_micro).
    */
   def andersonDarling(ref: DataFrame, cur: DataFrame,
-      valueCol: String): DataFrame = {
+      valueCol: String, maxDistinct: Int = 65536): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
     val dec = "decimal(38,0)"
     def side(df: DataFrame, n: String): DataFrame = df
@@ -2942,6 +2998,7 @@ object Stats {
       .groupBy("__v").agg(count(lit(1)).as(n))
     val j = side(ref, "__ca").join(side(cur, "__cb"), Seq("__v"), "full")
       .na.fill(0L, Seq("__ca", "__cb"))
+      .transform(capPooledDistinct(_, "anderson_darling", maxDistinct))
     val w = W.orderBy(col("__v")).rowsBetween(W.unboundedPreceding, 0)
     val cum = j
       .withColumn("__cuma", sum("__ca").over(w))
@@ -2998,7 +3055,9 @@ object Stats {
    * the final round-once micro expression over the three V-statistic
    * ratios (n², m², nm denominators — independent-copy expectations).
    * NULL when either side is empty. Inputs are integral by contract —
-   * compute the width with [[quantizeStep]].
+   * compute the width with [[quantizeStep]] — ENFORCED by the
+   * `maxDistinct` fail-loud cap on the pooled distinct-value table
+   * (see [[capPooledDistinct]]).
    *
    * Scale shape: the [[ksStatistic]] plan — one groupBy per side, one
    * full-outer join of distinct-value tables, cumulative windows over
@@ -3007,7 +3066,7 @@ object Stats {
    * Returns one row: (n_ref, n_cur, e_micro).
    */
   def energyDistance(ref: DataFrame, cur: DataFrame,
-      valueCol: String): DataFrame = {
+      valueCol: String, maxDistinct: Int = 65536): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
     val dec = "decimal(38,0)"
     def side(df: DataFrame, n: String): DataFrame = df
@@ -3016,6 +3075,7 @@ object Stats {
       .groupBy("__v").agg(count(lit(1)).as(n))
     val j = side(ref, "__ca").join(side(cur, "__cb"), Seq("__v"), "full")
       .na.fill(0L, Seq("__ca", "__cb"))
+      .transform(capPooledDistinct(_, "energy_distance", maxDistinct))
     val w = W.orderBy(col("__v")).rowsBetween(W.unboundedPreceding, -1)
     val cum = j
       .withColumn("__cab", coalesce(sum("__ca").over(w), lit(0L)).cast(dec))

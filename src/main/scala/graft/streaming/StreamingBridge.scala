@@ -22,9 +22,15 @@ object StreamingBridge {
     * as two parallel arrays (values, counts). */
   def driftStream(df: DataFrame, key: String, valueCol: String,
       refValues: Array[Long], refCounts: Array[Long],
-      maxBins: Int): DataFrame =
+      maxBins: Int): DataFrame = {
+    // zip would silently truncate to the shorter side, quietly
+    // dropping reference-histogram mass — fail loud instead
+    require(refValues.length == refCounts.length,
+      s"drift_stream: refValues (${refValues.length}) and refCounts " +
+        s"(${refCounts.length}) must be the same length")
     StreamingPipeline.driftStream(df, key, valueCol,
       refValues.toSeq.zip(refCounts.toSeq), maxBins).toDF()
+  }
 
   /** [[StreamingPipeline.sprtStream]]. */
   def sprtStream(df: DataFrame, key: String, orderCol: String,

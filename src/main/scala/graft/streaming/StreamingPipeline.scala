@@ -1314,6 +1314,11 @@ object StreamingPipeline {
             new Array[Long](bins), new Array[Long](bins),
             new Array[Long](bins)))
           it.foreach { r =>
+            // fail loud with a named diagnosis, not a negative array
+            // index: p is a probability in micro units by contract
+            if (r.p < 0L || r.p > 1000000L) throw new IllegalArgumentException(
+              s"calibration_stream: key $k saw p_micro=${r.p}, outside " +
+                "[0, 1000000] — probabilities must be micro-unit scaled")
             val b = math.min(r.p * bins / 1000000L, bins - 1L).toInt
             st.n(b) += 1L
             if (r.y) st.pos(b) += 1L

@@ -357,6 +357,17 @@ class StatsSpec extends AnyFunSuite {
     val edge = Seq((1000000L, true)).toDF("p", "y")
     assert(Stats.calibrationReport(edge, "p", "y", bins = 10)
       .collect()(0).getLong(0) == 9L)
+    // p outside [0, 1e6] fails loudly with a named diagnosis, never
+    // a silent negative-bin row
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++
+        messages(e.getCause))
+    val ex = intercept[Exception] {
+      Stats.calibrationReport(Seq((-5L, true)).toDF("p", "y"), "p", "y",
+        bins = 2).collect()
+    }
+    assert(messages(ex).exists(m => m.contains("calibration_report") &&
+      m.contains("p_micro=-5")), messages(ex).mkString("; "))
   }
 
   test("mcnemar: only discordant pairs drive the statistic") {
@@ -584,6 +595,30 @@ class StatsSpec extends AnyFunSuite {
       .collect()(0).isNullAt(2))
     assert(Stats.andersonDarling(Seq(1L, 2L).toDF("v"),
       Seq.empty[Long].toDF("v"), "v").collect()(0).isNullAt(2))
+  }
+
+  test("two-sample family fails loudly past the pooled distinct-value " +
+      "cap, passes exactly at it") {
+    // 4 pooled distinct values with max_distinct=3: the single-
+    // partition cumulative window must abort with a named diagnosis,
+    // not grind through an unquantized metric; at the cap it is fine
+    val a = Seq(1L, 2L).toDF("v"); val b = Seq(3L, 4L).toDF("v")
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++
+        messages(e.getCause))
+    for ((name, run) <- Seq[(String, Int => org.apache.spark.sql.DataFrame)](
+      ("ks_statistic", n => Stats.ksStatistic(a, b, "v", maxDistinct = n)),
+      ("distribution_distance",
+        n => Stats.distributionDistance(a, b, "v", maxDistinct = n)),
+      ("anderson_darling",
+        n => Stats.andersonDarling(a, b, "v", maxDistinct = n)),
+      ("energy_distance",
+        n => Stats.energyDistance(a, b, "v", maxDistinct = n)))) {
+      val ex = intercept[Exception] { run(3).collect() }
+      assert(messages(ex).exists(m =>
+        m.contains(name) && m.contains("maxDistinct")), s"$name guard")
+      assert(run(4).count() == 1L, s"$name at-cap")
+    }
   }
 
   test("energyDistance: exact prefix-identity pair sums on hand cases") {
@@ -1419,5 +1454,69 @@ class StatsSpec extends AnyFunSuite {
     val expected = (BigInt(2) * ic - BigInt(4) * 2600004L) * 1000000 /
       (BigInt(3) * 2600004L)
     assert(g.getLong(2) == expected.toLong, s"${g.getLong(2)} vs $expected")
+  }
+
+  test("r18 moment family: DECIMAL accumulation survives values whose " +
+      "long square wraps (welchT/cohensD/grubbs/acf)") {
+    // a single 4e9 value already wraps as a long square (1.6e19 > 2^63
+    // ≈ 9.22e18) — the pre-decimal sum(v*v) silently produced garbage
+    // t/d/G/r; the variance numerators (n·Σx² − S²) cancel the offset
+    // EXACTLY in decimal, so the expected statistics stay hand-sized
+    val a = 4000000000L
+    // A = {a, a+2}: s²/n = 1; B = {a+10, a+14}: s²/n = 4; Δmean = -11
+    val w = Seq(("k", true, a), ("k", true, a + 2),
+      ("k", false, a + 10), ("k", false, a + 14)).toDF("k", "g", "v")
+    val wr = Stats.welchT(w, Seq("k"), "g", "v").collect()(0)
+    assert(wr.getLong(3) == math.round(1e6 * -11.0 / math.sqrt(5.0)),
+      s"welchT t_micro wrapped: $wr")
+    assert(wr.getLong(4) == math.round(1e3 * 25.0 / 17.0),
+      s"welchT df_milli wrapped: $wr")
+    // same frame: sp = sqrt(((n-1)s²_A + (n-1)s²_B)/(N-2)) = sqrt(5)
+    val cd = Stats.cohensD(w, Seq("k"), "g", "v").collect()(0)
+    assert(cd.getLong(3) == math.round(1e6 * -11.0 / math.sqrt(5.0)),
+      s"cohensD d_micro wrapped: $cd")
+    assert(cd.getLong(4) == math.round(
+      1e6 * -11.0 / math.sqrt(5.0) * (1.0 - 3.0 / 7.0)),
+      s"cohensD g_micro wrapped: $cd")
+    // {a, a+1, a+2, a+9}: dev = 24 at max, n·Σx²−S² = 200
+    val gdf = Seq(("k", a), ("k", a + 1), ("k", a + 2), ("k", a + 9))
+      .toDF("k", "v")
+    val gr = Stats.grubbs(gdf, Seq("k"), "v").collect()(0)
+    assert(gr.getLong(2) == a + 9, s"grubbs at_value wrapped: $gr")
+    assert(gr.getLong(3) == math.round(1e6 * 24.0 * math.sqrt(3.0) /
+      math.sqrt(4.0) / math.sqrt(200.0)), s"grubbs g_micro wrapped: $gr")
+    // linear series a+{1,2,3,4}: lag-1 numerator/denominator both
+    // cancel to 20/80 exactly — r_micro = 250000, shift-invariant
+    val ts = Seq(("k", 1, a + 1), ("k", 2, a + 2), ("k", 3, a + 3),
+      ("k", 4, a + 4)).toDF("k", "t", "v")
+    val ar = Stats.acf(ts, Seq("k"), "t", "v", maxLag = 1).collect()(0)
+    assert(ar.getLong(3) == 250000L, s"acf r_micro wrapped: $ar")
+  }
+
+  test("anovaF: DECIMAL moments survive row counts whose long Σv² " +
+      "wraps") {
+    // 2.4M rows at v ≈ 3.1e6: Σv² ≈ 2.3e19 > 2^63 — the pre-decimal
+    // long sum wrapped to a negative SSW and a null F. Exact F is
+    // 25·(n−k): groups {c,c+2} (mean c+1) and {c+10,c+12} (mean
+    // c+11), SSW = 2.4e6, SSB = 6e7; the per-group nano terms round
+    // in double at ~1e-16 relative, so assert within 0.5%.
+    val c = 3100000L
+    val half = 600000L
+    val g1 = spark.range(half).select(lit("a").as("g"), lit(c).as("v"))
+      .unionByName(spark.range(half)
+        .select(lit("a").as("g"), lit(c + 2).as("v")))
+    val g2 = spark.range(half).select(lit("b").as("g"), lit(c + 10).as("v"))
+      .unionByName(spark.range(half)
+        .select(lit("b").as("g"), lit(c + 12).as("v")))
+    val df = g1.unionByName(g2).withColumn("k", lit("k"))
+    val r = Stats.anovaF(df, Seq("k"), "g", "v").collect()(0)
+    assert(r.getLong(1) == 4L * half && r.getLong(2) == 2L, r.toString)
+    val ssw = r.getLong(4).toDouble
+    assert(math.abs(ssw - 2400000.0) < 12000.0,
+      s"ss_within wrapped or drifted: $r")
+    val fExact = 1e6 * 25.0 * (4.0 * half - 2.0)
+    assert(!r.isNullAt(5) &&
+      math.abs(r.getLong(5) - fExact) / fExact < 0.005,
+      s"f_micro wrapped or drifted: $r")
   }
 }

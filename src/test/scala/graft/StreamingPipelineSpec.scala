@@ -1589,6 +1589,27 @@ class StreamingPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("calibrationStream rejects p_micro outside [0, 1e6] with a " +
+      "named diagnosis, not an array fault") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Boolean)]
+    val out = StreamingPipeline.calibrationStream(
+      mem.toDF().toDF("k", "p", "y"), "k", "p", "y", bins = 2)
+    val q = out.toDF().writeStream.format("memory").queryName("cal_guard")
+      .outputMode("append").start()
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++
+        messages(e.getCause))
+    try {
+      mem.addData((1L, -5L, true))
+      val ex = intercept[Exception] { q.processAllAvailable() }
+      assert(messages(ex).exists(m => m.contains("calibration_stream") &&
+        m.contains("p_micro=-5")), messages(ex).mkString("; "))
+    } finally q.stop()
+  }
+
   test("driftStream per-key histogram recovers across runs via checkpoint") {
     // the sprtStream recovery discipline for the drift monitor: run 1
     // ends (query killed), run 2 restarts from the SAME checkpoint on
@@ -1635,6 +1656,56 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(out(2L) == batchOf(Seq(10L, 20L)), "run-1 emission parity")
     assert(out(4L) == batchOf(Seq(10L, 20L, 0L, 10L)),
       "post-recovery emission must equal the uninterrupted cumulative run")
+  }
+
+  test("calibrationStream per-key state recovers across runs via " +
+      "checkpoint") {
+    // the driftStream recovery discipline for its sibling monitor:
+    // run 1 ends (query killed), run 2 restarts from the SAME
+    // checkpoint on new rows — the restored 3·bins-long state must
+    // re-score the cumulative data exactly as the batch
+    // calibrationReport on the union would
+    import spark.implicits._
+    val dir = Files.createTempDirectory("stream-cal-ck").toString
+    val ckpt = Files.createTempDirectory("stream-cal-ck-ckpt").toString
+    val outDir = Files.createTempDirectory("stream-cal-ck-out").toString
+    val schema = Seq((1L, 1L, true)).toDF("k", "p", "y").schema
+
+    def run(): Unit = {
+      val rows = StreamingPipeline.calibrationStream(
+        spark.readStream.schema(schema).parquet(dir), "k", "p", "y",
+        bins = 2)
+      val q = rows.toDF().writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+
+    // run 1: the wave-46 hand case (ECE = 200000 over n=4)
+    val b1 = Seq((1L, 200000L, true), (1L, 200000L, false),
+      (1L, 900000L, true), (1L, 900000L, true))
+    b1.toDF("k", "p", "y").write.mode("overwrite").parquet(dir)
+    run()
+    // run 2 (new query, same checkpoint): two more bin-1 rows — the
+    // restored per-bin triples must accumulate, not restart at zero
+    val b2 = Seq((1L, 950000L, true), (1L, 850000L, true))
+    b2.toDF("k", "p", "y").write.mode("append").parquet(dir)
+    run()
+
+    val out = spark.read.parquet(outDir)
+      .select("nTotal", "eceMicro", "worstBin", "worstGapMicro")
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getInt(2), r.getLong(3)))).toMap
+    assert(out.keySet == Set(4L, 6L), out.toString)
+    assert(out(4L)._1 == 200000L, "run-1 emission parity")
+    // cumulative: gaps 600000 (bin0, n=2) + 400000 (bin1, n=4)
+    val batch = graft.pipeline.Stats.calibrationReport(
+      (b1 ++ b2).map(t => (t._2, t._3)).toDF("p", "y"), "p", "y",
+      bins = 2).collect()(0)
+    assert(out(6L)._1 == batch.getLong(6),
+      "post-recovery ECE must equal the batch face on the union")
+    assert(out(6L)._2 == 0 && out(6L)._3 == 300000L,
+      "worst bin is bin0 at 600000/2 per-row gap")
   }
 
 }
