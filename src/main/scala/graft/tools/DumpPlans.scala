@@ -445,7 +445,32 @@ object DumpPlans {
       "q_kruskal" -> ("Kruskal-Wallis: pooled double mid-ranks ride " +
         "ONE cumulative window over the per-key distinct-value " +
         "table; the (key, group, value) cell table equi-joins the " +
-        "rank column back and rolls up — rows shuffle once."))
+        "rank column back and rolls up — rows shuffle once."),
+      "q_anderson_darling" -> ("Anderson-Darling two-sample: the " +
+        "ksStatistic shape — one groupBy per side, a full-outer join " +
+        "of distinct-value tables under the maxDistinct fail-loud " +
+        "cap, cumulative windows over DISTINCT values only, a " +
+        "one-row totals broadcast; the corpus never sorts."),
+      "q_energy_dist" -> ("Energy distance: all three pairwise-|diff| " +
+        "sums are prefix-identity window sums over the pooled " +
+        "distinct-value table (capped by maxDistinct) — NEVER a pair " +
+        "join; one totals broadcast, one round-once micro division."),
+      "q_mutual_info" -> ("Mutual information + Theil's U: only " +
+        "OBSERVED cells flow (absent cells contribute exactly 0 — no " +
+        "dense grid); the two label-sized margins broadcast-join the " +
+        "cell table under maxLevels guards; one scan, one rollup."),
+      "q_calibration_monitor" -> ("Streaming calibration (batch " +
+        "face): one map-side-combinable per-bin groupBy (bins rows " +
+        "total), the one-row ECE headline broadcast back — state in " +
+        "the streaming twin is exactly 3*bins longs per key."),
+      "q_pr_auc" -> ("PR-AUC: trapezoids over the distinct-threshold " +
+        "table DESC — one histogram groupBy, one cumulative window " +
+        "over DISTINCT thresholds, per-threshold round-once terms; " +
+        "no row sort, no join."),
+      "q_grubbs" -> ("Grubbs outlier G: the extremes-only identity " +
+        "makes it ONE moment groupBy (max deviation is at min or " +
+        "max) — five exact DECIMAL moments, factored sqrts, zero " +
+        "windows, zero joins."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")

@@ -359,6 +359,49 @@ object Stress {
       graft.pipeline.Stats.tokenDispersion(docs, "source", "text",
         minCount = 5L, k = 50))
 
+    // r19 wave: the r18 evaluation/drift pack, measured beyond sf0.1.
+    // Same reduction discipline — distinct-score/threshold histograms
+    // (ROC/PR/KW), the pooled distinct-value table (AD/energy — counts
+    // grow ×factor, DISTINCT values are lattice-bounded), label-sized
+    // margins (chi2 kxm / MI — the maxLevels guards must keep headroom
+    // at 16×). Scores/groups derive from events so per-key densities
+    // stay factor-invariant.
+    val scored = ev.select(pmod(col("user_id"), lit(4L)).as("k"),
+      (col("event_id") % 2L === 0L).as("y"),
+      expr("cast(round(value * 100) as bigint)").as("s"))
+    timed("roc_auc", factor)(
+      graft.pipeline.Stats.rocAuc(scored, Seq("k"), "y", "s"))
+    timed("pr_auc", factor)(
+      graft.pipeline.Stats.prAuc(scored, Seq("k"), "y", "s"))
+    timed("kruskal", factor)(
+      graft.pipeline.Stats.kruskalWallis(
+        ev.select(pmod(col("user_id"), lit(4L)).as("k"),
+          col("event_type").as("g"),
+          expr("cast(round(value * 100) as bigint)").as("v")),
+        Seq("k"), "g", "v"))
+    timed("anderson_darling", factor)(
+      graft.pipeline.Stats.andersonDarling(
+        ev.where(col("event_type") === "view")
+          .select(expr("cast(round(value * 100) as bigint)").as("vc")),
+        ev.where(col("event_type") === "click")
+          .select(expr("cast(round(value * 100) as bigint)").as("vc")),
+        "vc"))
+    timed("energy_dist", factor)(
+      graft.pipeline.Stats.energyDistance(
+        ev.where(col("event_type") === "view")
+          .select(expr("cast(round(value * 100) as bigint)").as("vc")),
+        ev.where(col("event_type") === "click")
+          .select(expr("cast(round(value * 100) as bigint)").as("vc")),
+        "vc"))
+    timed("chi_kxm", factor)(
+      graft.pipeline.Stats.chiSquareKxM(
+        ev.select(col("event_type").as("a"),
+          pmod(col("user_id"), lit(16L)).as("b")), "a", "b"))
+    timed("mutual_info", factor)(
+      graft.pipeline.Stats.mutualInformation(
+        ev.select(col("event_type").as("a"),
+          pmod(col("user_id"), lit(16L)).as("b")), "a", "b"))
+
     val uniVocab = graft.pipeline.Unigram.learn(
         spark.read.parquet(s"$sfDir/documents.parquet"), "text",
         vocabSize = 64, iters = 2, maxPieceLen = 4)
