@@ -1553,3 +1553,28 @@ def test_quantize_step_lattice(spark):
     assert quantize_step(df, "v", max_bins=32) == 10
     wide = spark.range(10000).selectExpr("id as v")
     assert quantize_step(wide, "v", max_bins=32) == 1000
+
+
+def test_pooled_distinct_cap_guard(spark):
+    # mirror of the Scala capPooledDistinct specs: 4 pooled distinct
+    # values pass exactly at max_distinct=4, abort loudly at 3
+    import pytest
+    from graft.pipeline import ks_statistic
+    ref = spark.createDataFrame([(v,) for v in (1, 2, 3, 4)], "v long")
+    cur = spark.createDataFrame([(v,) for v in (3, 4)], "v long")
+    assert ks_statistic(ref, cur, "v", max_distinct=4).collect()[0][
+        "n_ref"] == 4
+    with pytest.raises(Exception, match="ks_statistic"):
+        ks_statistic(ref, cur, "v", max_distinct=3).collect()
+    with pytest.raises(ValueError):
+        ks_statistic(ref, cur, "v", max_distinct=1)
+
+
+def test_calibration_report_p_micro_guard(spark):
+    # p outside [0, 1e6] fails loudly with a named diagnosis, never a
+    # bogus negative-bin row (mirror of the Scala spec)
+    import pytest
+    from graft.pipeline import calibration_report
+    bad = spark.createDataFrame([(1200000, True)], "p long, y boolean")
+    with pytest.raises(Exception, match="calibration_report"):
+        calibration_report(bad, "p", "y", bins=2).collect()
