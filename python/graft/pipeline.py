@@ -4164,3 +4164,97 @@ def token_dispersion(df, part_col, text_col, min_count=5, k=50,
                         "(cast(f as decimal(38,0)) * __Nx) as long) "
                         "as dp_ppm")
             .orderBy(F.col("dp_ppm").desc(), "token").limit(k))
+
+
+def durbin_watson(df, keys, order_col, value_col):
+    """Durbin-Watson first-order serial-correlation statistic per key
+    -- Python mirror of the Scala ``Stats.durbinWatson``: DECIMAL(38,0)
+    sums from the first multiply, one key-partitioned lag-1 window +
+    one groupBy, one round-once micro division. NULL when n < 2 or
+    the denominator is 0."""
+    kc = [F.col(k) for k in keys]
+    dec = "decimal(38,0)"
+    w = Window.partitionBy(*kc).orderBy(F.col("__t"))
+    base = (df.where(F.col(value_col).isNotNull() &
+                     F.col(order_col).isNotNull())
+            .select(*kc, F.col(order_col).alias("__t"),
+                    F.col(value_col).cast("long").alias("__x"))
+            .withColumn("__lag", F.lag("__x", 1).over(w)))
+    xd = F.col("__x").cast(dec)
+    dd = (F.col("__x") - F.col("__lag")).cast(dec)
+    m = base.groupBy(*kc).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd * xd).alias("__den"),
+        F.sum(F.when(F.col("__lag").isNotNull(), dd * dd)
+              .otherwise(F.lit(0).cast(dec))).alias("__num"))
+    return m.select(*kc, F.col("n"),
+                    F.when((F.col("n") < 2) | (F.col("__den") == 0),
+                           F.lit(None).cast("long"))
+                    .otherwise(F.round(
+                        F.lit(1e6) * F.col("__num").cast("double") /
+                        F.col("__den").cast("double")).cast("long"))
+                    .alias("dw_micro"))
+
+
+def runs_test(df, keys, order_col, flag_col):
+    """Wald-Wolfowitz runs test per key -- Python mirror of the Scala
+    ``Stats.runsTest``: exact run count via one lag-1 window, exact
+    DECIMAL mean/variance numerators, round-once micro z. NULL when
+    either side is empty, n < 2, or the variance is 0."""
+    kc = [F.col(k) for k in keys]
+    dec = "decimal(38,0)"
+    w = Window.partitionBy(*kc).orderBy(F.col("__t"))
+    base = (df.where(F.col(flag_col).isNotNull() &
+                     F.col(order_col).isNotNull())
+            .select(*kc, F.col(order_col).alias("__t"),
+                    F.col(flag_col).cast("boolean").alias("__x"))
+            .withColumn("__brk", F.when(
+                F.lag("__x", 1).over(w).isNull() |
+                (F.lag("__x", 1).over(w) != F.col("__x")),
+                F.lit(1)).otherwise(F.lit(0))))
+    m = base.groupBy(*kc).agg(
+        F.count(F.when(F.col("__x"), 1)).alias("n_pos"),
+        F.count(F.when(~F.col("__x"), 1)).alias("n_neg"),
+        F.sum("__brk").alias("runs"))
+    n1, n2 = F.col("n_pos").cast(dec), F.col("n_neg").cast(dec)
+    n = n1 + n2
+    two = F.lit(2).cast(dec)
+    mu_num = two * n1 * n2 + n
+    var_num = two * n1 * n2 * (two * n1 * n2 - n)
+    sigma = F.sqrt(var_num.cast("double") /
+                   (n * n * (n - F.lit(1).cast(dec))).cast("double"))
+    return m.select(*kc, "n_pos", "n_neg", "runs",
+                    F.when((F.col("n_pos") == 0) | (F.col("n_neg") == 0) |
+                           (n < F.lit(2).cast(dec)) |
+                           (var_num <= F.lit(0).cast(dec)),
+                           F.lit(None).cast("long"))
+                    .otherwise(F.round(F.lit(1e6) * (
+                        F.col("runs").cast("double") -
+                        mu_num.cast("double") / n.cast("double")) / sigma)
+                        .cast("long")).alias("z_micro"))
+
+
+def ljung_box(df, keys, order_col, value_col, max_lag=8):
+    """Ljung-Box portmanteau whiteness statistic per key -- Python
+    mirror of the Scala ``Stats.ljungBox``: composes ``acf`` by
+    CONTRACT on its quantized r_micro, summing exact integer per-lag
+    terms (order-independent), one round-once division. NULL q when
+    n <= h."""
+    dec = "decimal(38,0)"
+    r = acf(df, keys, order_col, value_col, max_lag)
+    terms = r.withColumn("__term", F.when(
+        F.col("r_micro").isNull(), F.lit(0)).otherwise(
+        F.expr("cast((cast(r_micro as decimal(38,0)) * r_micro"
+               " * 1000000) div n_pairs as bigint)")))
+    s = (terms.groupBy(*[F.col(k) for k in keys])
+         .agg(F.sum("__term").alias("__s"), F.count(F.lit(1)).alias("h"),
+              (F.max(F.when(F.col("lag") == 1, F.col("n_pairs"))) +
+               F.lit(1)).alias("n")))
+    return s.select(*[F.col(k) for k in keys], "n", "h",
+                    F.when(F.col("n") <= F.col("h"),
+                           F.lit(None).cast("long"))
+                    .otherwise(F.round(
+                        (F.col("n").cast(dec) *
+                         (F.col("n") + F.lit(2)).cast(dec)).cast("double") *
+                        F.col("__s").cast("double") / 1e12).cast("long"))
+                    .alias("q_micro"))

@@ -1578,3 +1578,33 @@ def test_calibration_report_p_micro_guard(spark):
     bad = spark.createDataFrame([(1200000, True)], "p long, y boolean")
     with pytest.raises(Exception, match="calibration_report"):
         calibration_report(bad, "p", "y", bins=2).collect()
+
+
+def test_durbin_watson_hand(spark):
+    from graft.pipeline import durbin_watson
+    df = spark.createDataFrame(
+        [("a", 1, 1), ("a", 2, 2), ("a", 3, 3), ("a", 4, 4), ("b", 1, 7)],
+        "k string, t long, v long")
+    out = {r["k"]: (r["n"], r["dw_micro"])
+           for r in durbin_watson(df, ["k"], "t", "v").collect()}
+    assert out["a"] == (4, 100000) and out["b"] == (1, None)
+
+
+def test_runs_test_hand(spark):
+    from graft.pipeline import runs_test
+    df = spark.createDataFrame(
+        [("a", 1, True), ("a", 2, True), ("a", 3, False), ("a", 4, False),
+         ("a", 5, True), ("b", 1, True), ("b", 2, True)],
+        "k string, t long, f boolean")
+    out = {r["k"]: (r["n_pos"], r["n_neg"], r["runs"], r["z_micro"])
+           for r in runs_test(df, ["k"], "t", "f").collect()}
+    assert out["a"] == (3, 2, 3, -436436)
+    assert out["b"] == (2, 0, 1, None)
+
+
+def test_ljung_box_hand(spark):
+    from graft.pipeline import ljung_box
+    df = spark.createDataFrame([("a", i, i) for i in range(1, 7)],
+                               "k string, t long, v long")
+    r = ljung_box(df, ["k"], "t", "v", max_lag=3).collect()[0]
+    assert (r["n"], r["h"], r["q_micro"]) == (6, 3, 3617963)

@@ -4018,6 +4018,30 @@ object SparkEntry {
           expr("cast(round(value * 100) as bigint)").as("vc")),
         Seq("user_id"), "event_id", "vc", maxLag = 3)
         .orderBy("user_id", "lag")),
+    // Durbin-Watson on the per-user event-value series — first-order
+    // serial correlation (one key window + one groupBy)
+    "q_durbin_watson" -> ((s, dir) =>
+      graft.pipeline.Stats.durbinWatson(
+        t(s, dir, "events").select(col("user_id"), col("event_id"),
+          expr("cast(round(value * 100) as bigint)").as("vc")),
+        Seq("user_id"), "event_id", "vc")
+        .orderBy("user_id")),
+    // Wald-Wolfowitz runs test on the per-user above-median flag —
+    // does the boolean health signal streak?
+    "q_runs_test" -> ((s, dir) =>
+      graft.pipeline.Stats.runsTest(
+        t(s, dir, "events").select(col("user_id"), col("event_id"),
+          expr("cast(round(value * 100) as bigint) > 50").as("hi")),
+        Seq("user_id"), "event_id", "hi")
+        .orderBy("user_id")),
+    // Ljung-Box whiteness check composing q_acf's quantized output by
+    // contract (integer per-lag terms — order-independent)
+    "q_ljung_box" -> ((s, dir) =>
+      graft.pipeline.Stats.ljungBox(
+        t(s, dir, "events").select(col("user_id"), col("event_id"),
+          expr("cast(round(value * 100) as bigint)").as("vc")),
+        Seq("user_id"), "event_id", "vc", maxLag = 3)
+        .orderBy("user_id")),
     // Good-Turing unseen mass + Chao1 vocabulary estimate — how much
     // of the corpus vocabulary the crawl has NOT seen yet
     "q_vocab_richness" -> ((s, dir) =>
@@ -9527,6 +9551,95 @@ object SparkEntry {
         |      CAST(n * n * q - n * s * s AS DOUBLE)) AS BIGINT)
         |    END AS r_micro
         |FROM u ORDER BY user_id, lag""".stripMargin,
+    "q_durbin_watson" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS x FROM events
+        |  WHERE value IS NOT NULL AND event_id IS NOT NULL),
+        |l AS (SELECT user_id, x,
+        |    LAG(x, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS lx
+        |  FROM e),
+        |m AS (SELECT user_id, COUNT(*) AS n, SUM(x::HUGEINT * x) AS den,
+        |    COALESCE(SUM(CASE WHEN lx IS NOT NULL
+        |      THEN (x - lx)::HUGEINT * (x - lx) ELSE 0 END), 0) AS num
+        |  FROM l GROUP BY 1)
+        |SELECT user_id, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN n < 2 OR den = 0 THEN NULL
+        |    ELSE CAST(round(1e6 * CAST(num AS DOUBLE) /
+        |      CAST(den AS DOUBLE)) AS BIGINT) END AS dw_micro
+        |FROM m ORDER BY user_id""".stripMargin,
+    "q_runs_test" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    (CAST(round(value * 100) AS BIGINT) > 50) AS x FROM events
+        |  WHERE value IS NOT NULL AND event_id IS NOT NULL),
+        |l AS (SELECT user_id, x,
+        |    LAG(x, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS lx
+        |  FROM e),
+        |m AS (SELECT user_id,
+        |    COUNT(CASE WHEN x THEN 1 END) AS n_pos,
+        |    COUNT(CASE WHEN NOT x THEN 1 END) AS n_neg,
+        |    SUM(CASE WHEN lx IS NULL OR lx <> x THEN 1 ELSE 0 END) AS runs
+        |  FROM l GROUP BY 1),
+        |z AS (SELECT user_id, n_pos, n_neg, runs,
+        |    2::HUGEINT * n_pos * n_neg *
+        |      (2::HUGEINT * n_pos * n_neg - (n_pos + n_neg)) AS var_num,
+        |    2::HUGEINT * n_pos * n_neg + (n_pos + n_neg) AS mu_num,
+        |    (n_pos + n_neg)::HUGEINT AS n FROM m)
+        |SELECT user_id, CAST(n_pos AS BIGINT) AS n_pos,
+        |  CAST(n_neg AS BIGINT) AS n_neg, CAST(runs AS BIGINT) AS runs,
+        |  CASE WHEN n_pos = 0 OR n_neg = 0 OR n < 2 OR var_num <= 0
+        |    THEN NULL
+        |    ELSE CAST(round(1e6 * (CAST(runs AS DOUBLE) -
+        |        CAST(mu_num AS DOUBLE) / CAST(n AS DOUBLE)) /
+        |      sqrt(CAST(var_num AS DOUBLE) /
+        |        CAST(n * n * (n - 1) AS DOUBLE))) AS BIGINT)
+        |    END AS z_micro
+        |FROM z ORDER BY user_id""".stripMargin,
+    "q_ljung_box" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS x FROM events
+        |  WHERE value IS NOT NULL AND event_id IS NOT NULL),
+        |l AS (SELECT user_id, x,
+        |    LAG(x, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS l1,
+        |    LAG(x, 2) OVER (PARTITION BY user_id ORDER BY event_id) AS l2,
+        |    LAG(x, 3) OVER (PARTITION BY user_id ORDER BY event_id) AS l3
+        |  FROM e),
+        |m AS (SELECT user_id, COUNT(*)::HUGEINT AS n, SUM(x)::HUGEINT AS s,
+        |    SUM(x::HUGEINT * x) AS q,
+        |    SUM(CASE WHEN l1 IS NOT NULL THEN x::HUGEINT * l1 ELSE 0 END) AS xx1,
+        |    SUM(CASE WHEN l1 IS NOT NULL THEN l1 ELSE 0 END)::HUGEINT AS sh1,
+        |    SUM(CASE WHEN l1 IS NOT NULL THEN x ELSE 0 END)::HUGEINT AS st1,
+        |    COUNT(CASE WHEN l1 IS NOT NULL THEN 1 END)::HUGEINT AS np1,
+        |    SUM(CASE WHEN l2 IS NOT NULL THEN x::HUGEINT * l2 ELSE 0 END) AS xx2,
+        |    SUM(CASE WHEN l2 IS NOT NULL THEN l2 ELSE 0 END)::HUGEINT AS sh2,
+        |    SUM(CASE WHEN l2 IS NOT NULL THEN x ELSE 0 END)::HUGEINT AS st2,
+        |    COUNT(CASE WHEN l2 IS NOT NULL THEN 1 END)::HUGEINT AS np2,
+        |    SUM(CASE WHEN l3 IS NOT NULL THEN x::HUGEINT * l3 ELSE 0 END) AS xx3,
+        |    SUM(CASE WHEN l3 IS NOT NULL THEN l3 ELSE 0 END)::HUGEINT AS sh3,
+        |    SUM(CASE WHEN l3 IS NOT NULL THEN x ELSE 0 END)::HUGEINT AS st3,
+        |    COUNT(CASE WHEN l3 IS NOT NULL THEN 1 END)::HUGEINT AS np3
+        |  FROM l GROUP BY 1),
+        |u AS (SELECT user_id, 1 AS lag, np1 AS np, xx1 AS xx, sh1 AS sh,
+        |    st1 AS st, n, s, q FROM m
+        |  UNION ALL SELECT user_id, 2, np2, xx2, sh2, st2, n, s, q FROM m
+        |  UNION ALL SELECT user_id, 3, np3, xx3, sh3, st3, n, s, q FROM m),
+        |r AS (SELECT user_id, lag, np,
+        |    CASE WHEN n * n * q - n * s * s = 0 OR np = 0 THEN NULL
+        |      ELSE CAST(round(1e6 *
+        |        CAST(n * n * xx - n * s * (sh + st) + (n - lag) * s * s
+        |          AS DOUBLE) /
+        |        CAST(n * n * q - n * s * s AS DOUBLE)) AS BIGINT)
+        |      END AS r_micro FROM u),
+        |t AS (SELECT user_id,
+        |    COALESCE(SUM(CASE WHEN r_micro IS NULL THEN 0
+        |      ELSE (r_micro::HUGEINT * r_micro * 1000000) // np END), 0) AS s,
+        |    COUNT(*) AS h,
+        |    MAX(CASE WHEN lag = 1 THEN np END) + 1 AS n
+        |  FROM r GROUP BY 1)
+        |SELECT user_id, CAST(n AS BIGINT) AS n, CAST(h AS BIGINT) AS h,
+        |  CASE WHEN n <= h THEN NULL
+        |    ELSE CAST(round(CAST(n::HUGEINT * (n + 2) AS DOUBLE) *
+        |      CAST(s AS DOUBLE) / 1e12) AS BIGINT) END AS q_micro
+        |FROM t ORDER BY user_id""".stripMargin,
     "q_vocab_richness" ->
       """WITH tk AS (SELECT unnest(string_split(text, ' ')) AS tok
         |  FROM documents),

@@ -3182,6 +3182,141 @@ object Stats {
           .as("u_micro"))
   }
 
+  /**
+   * Durbin–Watson statistic per key (Durbin & Watson '50) — the
+   * first-order serial-correlation check on an ordered residual/metric
+   * series (training-loss curves, per-user engagement residuals):
+   *
+   *   DW = Σ_{t≥2} (x_t − x_{t−1})² / Σ x_t²   ∈ [0, 4]; 2 = none
+   *
+   * Both sums accumulate in DECIMAL(38,0) from the first multiply (a
+   * long diff² wraps silently past 2^63); ONE round-once micro
+   * division. Input values are integral by contract (quantize
+   * upstream). NULL when n < 2 or Σx² = 0.
+   *
+   * Scale shape: one key-partitioned lag-1 window (rows shuffle once,
+   * by key), then one map-side-combinable groupBy — the series never
+   * sorts globally and no state beyond the single lag row exists.
+   *
+   * Returns keys + (n, dw_micro).
+   */
+  def durbinWatson(df: DataFrame, keys: Seq[String], orderCol: String,
+      valueCol: String): DataFrame = {
+    require(keys.nonEmpty, "keys required")
+    val W = org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val w = W.partitionBy(keys.map(col): _*).orderBy(col("__t"))
+    val base = df
+      .where(col(valueCol).isNotNull && col(orderCol).isNotNull)
+      .select(keys.map(col) :+ col(orderCol).as("__t") :+
+        col(valueCol).cast("long").as("__x"): _*)
+      .withColumn("__lag", lag(col("__x"), 1).over(w))
+    val xd = col("__x").cast(dec)
+    val dd = (col("__x") - col("__lag")).cast(dec)
+    val m = base.groupBy(keys.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      sum(xd * xd).as("__den"),
+      sum(when(col("__lag").isNotNull, dd * dd).otherwise(lit(0).cast(dec)))
+        .as("__num"))
+    m.select(keys.map(col) :+ col("n") :+
+      when(col("n") < 2L || col("__den") === 0L, lit(null).cast("long"))
+        .otherwise(round(lit(1e6) * col("__num").cast("double") /
+          col("__den").cast("double")).cast("long")).as("dw_micro"): _*)
+  }
+
+  /**
+   * Wald–Wolfowitz runs test per key ('40) — "is this binary sequence
+   * random, or does it streak?" (flaky-test detection, label-order
+   * leakage, drift in a boolean health signal). With n₁ trues, n₂
+   * falses and R observed runs (maximal same-value blocks):
+   *
+   *   μ_R = 2n₁n₂/n + 1,  σ²_R = 2n₁n₂(2n₁n₂ − n) / (n²(n−1))
+   *   z   = (R − μ_R)/σ_R
+   *
+   * R is exact (1 + Σ[x_t ≠ x_{t−1}], one lag-1 window); μ and σ²
+   * keep exact DECIMAL numerators and divide once each into double;
+   * z is a round-once micro. NULL z when either side is empty, n < 2,
+   * or σ = 0. Scale shape: the [[durbinWatson]] plan — one key
+   * window, one groupBy.
+   *
+   * Returns keys + (n_pos, n_neg, runs, z_micro).
+   */
+  def runsTest(df: DataFrame, keys: Seq[String], orderCol: String,
+      flagCol: String): DataFrame = {
+    require(keys.nonEmpty, "keys required")
+    val W = org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val w = W.partitionBy(keys.map(col): _*).orderBy(col("__t"))
+    val base = df
+      .where(col(flagCol).isNotNull && col(orderCol).isNotNull)
+      .select(keys.map(col) :+ col(orderCol).as("__t") :+
+        col(flagCol).cast("boolean").as("__x"): _*)
+      .withColumn("__brk",
+        when(lag(col("__x"), 1).over(w).isNull ||
+          lag(col("__x"), 1).over(w) =!= col("__x"), 1L).otherwise(0L))
+    val m = base.groupBy(keys.map(col): _*).agg(
+      count(when(col("__x"), 1)).as("n_pos"),
+      count(when(!col("__x"), 1)).as("n_neg"),
+      sum("__brk").as("runs"))
+    val n1 = col("n_pos").cast(dec); val n2 = col("n_neg").cast(dec)
+    val n = n1 + n2
+    val two = lit(2).cast(dec)
+    val muNum = two * n1 * n2 + n          // μ = muNum / n
+    val varNum = two * n1 * n2 * (two * n1 * n2 - n) // σ² = varNum/(n²(n−1))
+    val sigma = sqrt(varNum.cast("double") /
+      (n * n * (n - lit(1).cast(dec))).cast("double"))
+    m.select(keys.map(col) :+ col("n_pos") :+ col("n_neg") :+ col("runs") :+
+      when(col("n_pos") === 0L || col("n_neg") === 0L ||
+          n < lit(2).cast(dec) || varNum <= lit(0).cast(dec),
+        lit(null).cast("long"))
+        .otherwise(round(lit(1e6) *
+          (col("runs").cast("double") -
+            muNum.cast("double") / n.cast("double")) / sigma)
+          .cast("long")).as("z_micro"): _*)
+  }
+
+  /**
+   * Ljung–Box portmanteau statistic per key ('78) — "is there ANY
+   * autocorrelation in the first h lags", the whiteness check run
+   * after [[acf]]:
+   *
+   *   Q = n(n+2) Σ_{k=1..h} ρ̂_k² / (n−k)
+   *
+   * Composes [[acf]] by CONTRACT on its quantized output: each ρ̂_k is
+   * the published r_micro, each per-lag term is the exact integer
+   * (r_micro² · 10⁶) div (n−k), and the integer term sum is
+   * order-independent — both engines replay bit-for-bit (summing raw
+   * double terms would make the result depend on Spark's partial-agg
+   * order). One round-once division at the end. Lags with NULL
+   * r_micro (constant series) contribute 0; NULL q when n ≤ h.
+   * Scale shape: [[acf]]'s one window + one groupBy, then an h-row
+   * per-key rollup.
+   *
+   * Returns keys + (n, h, q_micro).
+   */
+  def ljungBox(df: DataFrame, keys: Seq[String], orderCol: String,
+      valueCol: String, maxLag: Int = 8): DataFrame = {
+    require(keys.nonEmpty, "keys required")
+    require(maxLag >= 1 && maxLag <= 32, s"maxLag in [1,32], got $maxLag")
+    val dec = "decimal(38,0)"
+    val r = acf(df, keys, orderCol, valueCol, maxLag)
+    val terms = r.withColumn("__term",
+      when(col("r_micro").isNull, lit(0L))
+        .otherwise(expr("cast((cast(r_micro as decimal(38,0)) * r_micro" +
+          " * 1000000) div n_pairs as bigint)")))
+    // lag is row-based, so n_pairs(k) = n − k exactly: n recovers from
+    // the lag-1 row with no second corpus scan
+    val s = terms.groupBy(keys.map(col): _*)
+      .agg(sum("__term").as("__s"), count(lit(1)).as("h"),
+        (max(when(col("lag") === 1, col("n_pairs"))) + lit(1L)).as("n"))
+    s.select(keys.map(col) :+ col("n") :+ col("h") :+
+      when(col("n") <= col("h"), lit(null).cast("long"))
+        .otherwise(round(
+          (col("n").cast(dec) * (col("n") + lit(2)).cast(dec))
+            .cast("double") * col("__s").cast("double") / 1e12)
+          .cast("long")).as("q_micro"): _*)
+  }
+
   def poissonBootstrap(df: DataFrame, idCol: String, valueCol: String,
       reps: Int = 32): DataFrame = {
     require(reps >= 2 && reps <= 1024, s"reps must be in [2,1024], got $reps")

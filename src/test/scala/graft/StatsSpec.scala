@@ -1519,4 +1519,45 @@ class StatsSpec extends AnyFunSuite {
       math.abs(r.getLong(5) - fExact) / fExact < 0.005,
       s"f_micro wrapped or drifted: $r")
   }
+
+  test("durbinWatson hand case, single-row NULL, zero-denominator NULL") {
+    // a: 1,2,3,4 -> num 3, den 30 -> 0.1; b: one row; c: all zeros
+    val df = Seq(("a", 1L, 1L), ("a", 2L, 2L), ("a", 3L, 3L), ("a", 4L, 4L),
+      ("b", 1L, 7L), ("c", 1L, 0L), ("c", 2L, 0L)).toDF("k", "t", "v")
+    val out = Stats.durbinWatson(df, Seq("k"), "t", "v").orderBy("k")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+    assert(out(0) == (("a", 4L, 100000L)))
+    assert(out(1) == (("b", 1L, -1L)))
+    assert(out(2) == (("c", 2L, -1L)))
+  }
+
+  test("runsTest hand z, one-sided NULL, zero-variance NULL") {
+    // a: T T F F T -> n1=3 n2=2 R=3, z = -0.436436; b: all true;
+    // c: T,F -> var_num = 0
+    val df = Seq(("a", 1L, true), ("a", 2L, true), ("a", 3L, false),
+      ("a", 4L, false), ("a", 5L, true),
+      ("b", 1L, true), ("b", 2L, true),
+      ("c", 1L, true), ("c", 2L, false)).toDF("k", "t", "f")
+    val out = Stats.runsTest(df, Seq("k"), "t", "f").orderBy("k")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(4)) Long.MinValue else r.getLong(4)))
+    assert(out(0) == (("a", 3L, 2L, 3L, -436436L)))
+    assert(out(1) == (("b", 2L, 0L, 1L, Long.MinValue)))
+    assert(out(2) == (("c", 1L, 1L, 2L, Long.MinValue)))
+  }
+
+  test("ljungBox composes acf's quantized output with exact integer " +
+      "terms; short series NULL") {
+    // a: 1..6, h=3 -> r_micro (500000, 57143, -271429),
+    // Q = n(n+2)*Sigma((r^2*1e6) div (n-k)) / 1e12 = 3.617963
+    val df = ((1 to 6).map(i => ("a", i.toLong, i.toLong)) ++
+      (1 to 3).map(i => ("b", i.toLong, (i % 2).toLong))).toDF("k", "t", "v")
+    val out = Stats.ljungBox(df, Seq("k"), "t", "v", maxLag = 3)
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) Long.MinValue else r.getLong(3)))
+    assert(out(0) == (("a", 6L, 3L, 3617963L)))
+    assert(out(1) == (("b", 3L, 3L, Long.MinValue)), "n <= h is NULL")
+  }
 }
