@@ -4258,3 +4258,99 @@ def ljung_box(df, keys, order_col, value_col, max_lag=8):
                          (F.col("n") + F.lit(2)).cast(dec)).cast("double") *
                         F.col("__s").cast("double") / 1e12).cast("long"))
                     .alias("q_micro"))
+
+
+def jarque_bera(df, keys, value_col):
+    """Jarque-Bera normality test per key -- Python mirror of the
+    Scala ``Stats.jarqueBera``: exact single-pass DECIMAL(38,0) power
+    sums s1..s4, scale-free central-moment ratios (the n-powers
+    cancel), m2^1.5 as m2*sqrt(m2) (no pow() parity risk). NULL when
+    n < 2 or M2 = 0. Overflow bound: n * v_max < 10**9.5 per key."""
+    kc = [F.col(k) for k in keys]
+    dec = "decimal(38,0)"
+    vd = F.col("__v").cast(dec)
+    m = (df.where(F.col(value_col).isNotNull())
+         .select(*kc, F.col(value_col).cast("long").alias("__v"))
+         .groupBy(*kc)
+         .agg(F.count(F.lit(1)).cast(dec).alias("__n"),
+              F.sum(vd).alias("__s1"),
+              F.sum(vd * vd).alias("__s2"),
+              F.sum(vd * vd * vd).alias("__s3"),
+              F.sum(vd * vd * vd * vd).alias("__s4")))
+    n, s1 = F.col("__n"), F.col("__s1")
+    s2, s3, s4 = F.col("__s2"), F.col("__s3"), F.col("__s4")
+    three, four, six = (F.lit(x).cast(dec) for x in (3, 4, 6))
+    two = F.lit(2).cast(dec)
+    m2 = n * s2 - s1 * s1
+    m3 = n * n * s3 - three * n * s1 * s2 + two * s1 * s1 * s1
+    m4 = (n * n * n * s4 - four * n * n * s1 * s3 +
+          six * n * s1 * s1 * s2 - three * s1 * s1 * s1 * s1)
+    m2d, m3d, m4d = m2.cast("double"), m3.cast("double"), m4.cast("double")
+    skew = m3d / (m2d * F.sqrt(m2d))
+    kurt = m4d / (m2d * m2d) - F.lit(3.0)
+    bad = (n < F.lit(2).cast(dec)) | (m2 <= F.lit(0).cast(dec))
+    null_long = F.lit(None).cast("long")
+    return m.select(
+        *kc, n.cast("long").alias("n"),
+        F.when(bad, null_long)
+        .otherwise(F.round(F.lit(1e6) * skew).cast("long"))
+        .alias("skew_micro"),
+        F.when(bad, null_long)
+        .otherwise(F.round(F.lit(1e6) * kurt).cast("long"))
+        .alias("kurt_micro"),
+        F.when(bad, null_long)
+        .otherwise(F.round(F.lit(1e6) * n.cast("double") / F.lit(6.0) *
+                           (skew * skew + kurt * kurt / F.lit(4.0)))
+                   .cast("long")).alias("jb_micro"))
+
+
+def cochran_q(df, keys, item_col, treatment_col, outcome_col):
+    """Cochran's Q per key -- Python mirror of the Scala
+    ``Stats.cochranQ``: exact integers end to end over one item-level
+    and one treatment-level rollup; blocks must be complete (fails
+    loud on an item whose treatment count differs from k). NULL when
+    the denominator is 0 or k < 2."""
+    kc = [F.col(k) for k in keys]
+    dec = "decimal(38,0)"
+    base = (df.where(F.col(item_col).isNotNull() &
+                     F.col(treatment_col).isNotNull() &
+                     F.col(outcome_col).isNotNull())
+            .select(*kc, F.col(item_col).alias("__i"),
+                    F.col(treatment_col).alias("__j"),
+                    F.col(outcome_col).cast("boolean").alias("__y")))
+    k = base.groupBy(*kc).agg(F.countDistinct("__j").alias("__k"))
+    items = (base.groupBy(*kc, F.col("__i"))
+             .agg(F.count(F.lit(1)).alias("__ki"),
+                  F.count(F.when(F.col("__y"), 1)).alias("__li")))
+    li = F.col("__li").cast(dec)
+    item_sums = (items.join(F.broadcast(k), keys)
+                 .withColumn("__li", F.when(
+                     F.col("__ki") == F.col("__k"), F.col("__li"))
+                     .otherwise(F.raise_error(F.concat(
+                         F.lit("cochran_q: item "),
+                         F.col("__i").cast("string"), F.lit(" has "),
+                         F.col("__ki").cast("string"),
+                         F.lit(" treatments, expected "),
+                         F.col("__k").cast("string"),
+                         F.lit(" -- blocks must be complete")))))
+                 .groupBy(*kc)
+                 .agg(F.count(F.lit(1)).alias("n_items"),
+                      F.sum(li).alias("__sl"),
+                      F.sum(li * li).alias("__sl2")))
+    gj = F.col("__gj").cast(dec)
+    treat_sums = (base.groupBy(*kc, F.col("__j"))
+                  .agg(F.count(F.when(F.col("__y"), 1)).alias("__gj"))
+                  .groupBy(*kc)
+                  .agg(F.sum(gj).alias("__sg"), F.sum(gj * gj).alias("__sg2")))
+    kd = F.col("__k").cast(dec)
+    num = (kd - F.lit(1).cast(dec)) * \
+        (kd * F.col("__sg2") - F.col("__sg") * F.col("__sg"))
+    den = kd * F.col("__sl") - F.col("__sl2")
+    return (item_sums.join(treat_sums, keys).join(F.broadcast(k), keys)
+            .select(*kc, "n_items", F.col("__k").alias("k"),
+                    F.when((F.col("__k") < 2) |
+                           (den <= F.lit(0).cast(dec)),
+                           F.lit(None).cast("long"))
+                    .otherwise(F.round(F.lit(1e6) * num.cast("double") /
+                                       den.cast("double")).cast("long"))
+                    .alias("q_micro")))

@@ -1608,3 +1608,30 @@ def test_ljung_box_hand(spark):
                                "k string, t long, v long")
     r = ljung_box(df, ["k"], "t", "v", max_lag=3).collect()[0]
     assert (r["n"], r["h"], r["q_micro"]) == (6, 3, 3617963)
+
+
+def test_jarque_bera_hand(spark):
+    from graft.pipeline import jarque_bera
+    df = spark.createDataFrame(
+        [("a", v) for v in (1, 2, 3, 4, 10)] + [("b", 5), ("b", 5)],
+        "k string, v long")
+    out = {r["k"]: (r["n"], r["skew_micro"], r["kurt_micro"], r["jb_micro"])
+           for r in jarque_bera(df, ["k"], "v").collect()}
+    assert out["a"] == (5, 1138420, -212000, 1089363)
+    assert out["b"] == (2, None, None, None)
+
+
+def test_cochran_q_hand(spark):
+    import pytest
+    from graft.pipeline import cochran_q
+    rows = [("k1", i, "t%d" % j, bool(y))
+            for i, ys in ((1, (1, 1, 0)), (2, (1, 1, 1)),
+                          (3, (0, 1, 0)), (4, (0, 0, 0)))
+            for j, y in enumerate(ys)]
+    df = spark.createDataFrame(rows, "g string, i long, j string, y boolean")
+    r = cochran_q(df, ["g"], "i", "j", "y").collect()[0]
+    assert (r["n_items"], r["k"], r["q_micro"]) == (4, 3, 3000000)
+    bad = spark.createDataFrame(rows[1:],
+                                "g string, i long, j string, y boolean")
+    with pytest.raises(Exception, match="cochran_q"):
+        cochran_q(bad, ["g"], "i", "j", "y").collect()

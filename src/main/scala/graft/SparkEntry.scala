@@ -4042,6 +4042,33 @@ object SparkEntry {
           expr("cast(round(value * 100) as bigint)").as("vc")),
         Seq("user_id"), "event_id", "vc", maxLag = 3)
         .orderBy("user_id")),
+    // Jarque-Bera normality per event type — exact 4-moment power
+    // sums, scale-free skew/kurtosis ratios, one groupBy
+    "q_jarque_bera" -> ((s, dir) =>
+      graft.pipeline.Stats.jarqueBera(
+        t(s, dir, "events").select(col("event_type"),
+          expr("cast(round(value * 100) as bigint)").as("vc")),
+        Seq("event_type"), "vc")
+        .orderBy("event_type")),
+    // Cochran's Q per cohort: paired binary "did the user engage with
+    // each event type" over complete absence-as-failure blocks
+    "q_cochran_q" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .where(col("value").isNotNull && col("user_id").isNotNull &&
+          col("event_type").isNotNull)
+        .select((col("user_id") % 2).as("cohort"), col("user_id"),
+          col("event_type"),
+          expr("cast(round(value * 100) as bigint)").as("vc"))
+      val y = e.groupBy("cohort", "user_id", "event_type")
+        .agg((max(col("vc")) > 50L).as("y"))
+      val users = e.select("cohort", "user_id").distinct()
+      val types = e.select("event_type").distinct()
+      val grid = users.join(broadcast(types))
+        .join(y, Seq("cohort", "user_id", "event_type"), "left")
+        .na.fill(false, Seq("y"))
+      graft.pipeline.Stats.cochranQ(grid, Seq("cohort"), "user_id",
+        "event_type", "y").orderBy("cohort")
+    }),
     // Good-Turing unseen mass + Chao1 vocabulary estimate — how much
     // of the corpus vocabulary the crawl has NOT seen yet
     "q_vocab_richness" -> ((s, dir) =>
@@ -9640,6 +9667,69 @@ object SparkEntry {
         |    ELSE CAST(round(CAST(n::HUGEINT * (n + 2) AS DOUBLE) *
         |      CAST(s AS DOUBLE) / 1e12) AS BIGINT) END AS q_micro
         |FROM t ORDER BY user_id""".stripMargin,
+    "q_jarque_bera" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS v FROM events
+        |  WHERE value IS NOT NULL),
+        |m AS (SELECT event_type, COUNT(*)::HUGEINT AS n,
+        |    SUM(v)::HUGEINT AS s1, SUM(v::HUGEINT * v) AS s2,
+        |    SUM(v::HUGEINT * v * v) AS s3,
+        |    SUM(v::HUGEINT * v * v * v) AS s4
+        |  FROM e GROUP BY 1),
+        |c AS (SELECT event_type, n,
+        |    n * s2 - s1 * s1 AS m2,
+        |    n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1 AS m3,
+        |    n * n * n * s4 - 4 * n * n * s1 * s3
+        |      + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1 AS m4
+        |  FROM m),
+        |d AS (SELECT event_type, n, m2,
+        |    CAST(m3 AS DOUBLE) /
+        |      (CAST(m2 AS DOUBLE) * sqrt(CAST(m2 AS DOUBLE))) AS sk,
+        |    CAST(m4 AS DOUBLE) /
+        |      (CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE)) - 3.0 AS ku
+        |  FROM c)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN n < 2 OR m2 <= 0 THEN NULL
+        |    ELSE CAST(round(1e6 * sk) AS BIGINT) END AS skew_micro,
+        |  CASE WHEN n < 2 OR m2 <= 0 THEN NULL
+        |    ELSE CAST(round(1e6 * ku) AS BIGINT) END AS kurt_micro,
+        |  CASE WHEN n < 2 OR m2 <= 0 THEN NULL
+        |    ELSE CAST(round(1e6 * CAST(n AS DOUBLE) / 6.0 *
+        |      (sk * sk + ku * ku / 4.0)) AS BIGINT) END AS jb_micro
+        |FROM d ORDER BY event_type""".stripMargin,
+    "q_cochran_q" ->
+      """WITH e AS (SELECT user_id % 2 AS cohort, user_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS v FROM events
+        |  WHERE value IS NOT NULL AND user_id IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |y AS (SELECT cohort, user_id, event_type, (MAX(v) > 50) AS y
+        |  FROM e GROUP BY 1, 2, 3),
+        |u AS (SELECT DISTINCT cohort, user_id FROM e),
+        |tt AS (SELECT DISTINCT event_type FROM e),
+        |g AS (SELECT u.cohort, u.user_id, tt.event_type,
+        |    COALESCE(y.y, false) AS y
+        |  FROM u CROSS JOIN tt LEFT JOIN y ON y.cohort = u.cohort
+        |    AND y.user_id = u.user_id AND y.event_type = tt.event_type),
+        |it AS (SELECT cohort, user_id,
+        |    COUNT(CASE WHEN y THEN 1 END) AS li FROM g GROUP BY 1, 2),
+        |i AS (SELECT cohort, COUNT(*) AS n_items, SUM(li)::HUGEINT AS sl,
+        |    SUM(li::HUGEINT * li) AS sl2 FROM it GROUP BY 1),
+        |tr AS (SELECT cohort, event_type,
+        |    COUNT(CASE WHEN y THEN 1 END) AS gj FROM g GROUP BY 1, 2),
+        |ts AS (SELECT cohort, SUM(gj)::HUGEINT AS sg,
+        |    SUM(gj::HUGEINT * gj) AS sg2 FROM tr GROUP BY 1),
+        |kk AS (SELECT cohort, COUNT(DISTINCT event_type) AS k
+        |  FROM g GROUP BY 1)
+        |SELECT i.cohort, CAST(n_items AS BIGINT) AS n_items,
+        |  CAST(k AS BIGINT) AS k,
+        |  CASE WHEN k < 2 OR k::HUGEINT * sl - sl2 <= 0 THEN NULL
+        |    ELSE CAST(round(1e6 *
+        |      CAST((k - 1)::HUGEINT * (k * sg2 - sg * sg) AS DOUBLE) /
+        |      CAST(k::HUGEINT * sl - sl2 AS DOUBLE)) AS BIGINT)
+        |    END AS q_micro
+        |FROM i JOIN ts ON i.cohort = ts.cohort
+        |  JOIN kk ON i.cohort = kk.cohort
+        |ORDER BY i.cohort""".stripMargin,
     "q_vocab_richness" ->
       """WITH tk AS (SELECT unnest(string_split(text, ' ')) AS tok
         |  FROM documents),

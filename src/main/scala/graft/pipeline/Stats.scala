@@ -3317,6 +3317,136 @@ object Stats {
           .cast("long")).as("q_micro"): _*)
   }
 
+  /**
+   * Jarque–Bera normality test per key ('80) — "does this metric even
+   * look Gaussian" before anyone reaches for a z-test:
+   *
+   *   JB = n/6 · (S² + K²/4),  S = M₃/M₂^{3/2},  K = M₄/M₂² − 3
+   *
+   * with the scale-free central-moment ratios built from exact
+   * single-pass power sums (s₁..s₄ in DECIMAL(38,0)):
+   *
+   *   M₂ = n·s₂ − s₁²                       (= n²·m₂)
+   *   M₃ = n²·s₃ − 3n·s₁·s₂ + 2s₁³          (= n³·m₃)
+   *   M₄ = n³·s₄ − 4n²·s₁·s₃ + 6n·s₁²·s₂ − 3s₁⁴  (= n⁴·m₄)
+   *
+   * (the n-powers cancel in S and K exactly). m₂^{3/2} is M₂·√M₂ —
+   * sqrt is IEEE-exact in both engines, so no pow() parity risk.
+   * Overflow bound is explicit: s₁⁴ needs (n·v_max)⁴ < 10³⁸, i.e.
+   * n·v_max < 10^9.5 per key — micro-unit values are the wrong scale
+   * here, use centi units ([[quantizeStep]] with a coarse maxBins);
+   * past the bound ANSI decimal fails loud, never wraps. NULL when
+   * n < 2 or M₂ = 0. Scale shape: ONE map-side-combinable groupBy.
+   *
+   * Returns keys + (n, skew_micro, kurt_micro, jb_micro).
+   */
+  def jarqueBera(df: DataFrame, keys: Seq[String],
+      valueCol: String): DataFrame = {
+    require(keys.nonEmpty, "keys required")
+    val dec = "decimal(38,0)"
+    val m = df
+      .where(col(valueCol).isNotNull)
+      .select(keys.map(col) :+ col(valueCol).cast("long").as("__v"): _*)
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).cast(dec).as("__n"),
+        sum(col("__v").cast(dec)).as("__s1"),
+        sum(col("__v").cast(dec) * col("__v").cast(dec)).as("__s2"),
+        sum(col("__v").cast(dec) * col("__v").cast(dec) *
+          col("__v").cast(dec)).as("__s3"),
+        sum(col("__v").cast(dec) * col("__v").cast(dec) *
+          col("__v").cast(dec) * col("__v").cast(dec)).as("__s4"))
+    val n = col("__n"); val s1 = col("__s1"); val s2 = col("__s2")
+    val s3 = col("__s3"); val s4 = col("__s4")
+    val m2 = n * s2 - s1 * s1
+    val m3 = n * n * s3 - lit(3).cast(dec) * n * s1 * s2 +
+      lit(2).cast(dec) * s1 * s1 * s1
+    val m4 = n * n * n * s4 - lit(4).cast(dec) * n * n * s1 * s3 +
+      lit(6).cast(dec) * n * s1 * s1 * s2 -
+      lit(3).cast(dec) * s1 * s1 * s1 * s1
+    val m2d = m2.cast("double"); val m3d = m3.cast("double")
+    val m4d = m4.cast("double")
+    val skew = m3d / (m2d * sqrt(m2d))
+    val kurt = m4d / (m2d * m2d) - lit(3.0)
+    val bad = n < lit(2).cast(dec) || m2 <= lit(0).cast(dec)
+    m.select(keys.map(col) :+ n.cast("long").as("n") :+
+      when(bad, lit(null).cast("long"))
+        .otherwise(round(lit(1e6) * skew).cast("long")).as("skew_micro") :+
+      when(bad, lit(null).cast("long"))
+        .otherwise(round(lit(1e6) * kurt).cast("long")).as("kurt_micro") :+
+      when(bad, lit(null).cast("long"))
+        .otherwise(round(lit(1e6) * n.cast("double") / lit(6.0) *
+          (skew * skew + kurt * kurt / lit(4.0))).cast("long"))
+        .as("jb_micro"): _*)
+  }
+
+  /**
+   * Cochran's Q per key ('50) — the k-treatment extension of
+   * [[mcnemar]] for PAIRED binary outcomes ("did any of these k
+   * checkers/judges/configs behave differently on the same items"):
+   *
+   *   Q = (k−1)·[k·ΣG_j² − (ΣG_j)²] / [k·ΣL_i − ΣL_i²]
+   *
+   * with G_j = successes of treatment j, L_i = successes of item i —
+   * EXACT integers end to end, one round-once micro division. Blocks
+   * must be complete by contract (every item × every treatment);
+   * build absence-as-failure upstream if the panel is sparse. Fails
+   * loud when an item's treatment count differs from k (the
+   * [[chiSquareKxM]] maxLevels discipline — a silent incomplete
+   * block would bias Q, not error).
+   *
+   * Scale shape: one item-level rollup (map-side combinable; items
+   * shuffle once), one treatment-level rollup (k rows), both reduced
+   * before the two one-row sides cross-join — the corpus never sorts
+   * and nothing key-wide ever sits on the driver.
+   *
+   * Returns keys + (n_items, k, q_micro); NULL when the denominator
+   * is 0 (all items all-success or all-failure) or k < 2.
+   */
+  def cochranQ(df: DataFrame, keys: Seq[String], itemCol: String,
+      treatmentCol: String, outcomeCol: String): DataFrame = {
+    require(keys.nonEmpty, "keys required")
+    val dec = "decimal(38,0)"
+    val base = df
+      .where(col(itemCol).isNotNull && col(treatmentCol).isNotNull &&
+        col(outcomeCol).isNotNull)
+      .select(keys.map(col) :+ col(itemCol).as("__i") :+
+        col(treatmentCol).as("__j") :+
+        col(outcomeCol).cast("boolean").as("__y"): _*)
+    val k = base.groupBy(keys.map(col): _*)
+      .agg(countDistinct("__j").as("__k"))
+    // item rollup carries its own treatment count so incomplete
+    // blocks fail loud at the join below
+    val items = base.groupBy(keys.map(col) :+ col("__i"): _*)
+      .agg(count(lit(1)).as("__ki"),
+        count(when(col("__y"), 1)).as("__li"))
+    val itemSums = items.join(broadcast(k), keys)
+      .withColumn("__li", when(col("__ki") === col("__k"), col("__li"))
+        .otherwise(raise_error(concat(lit("cochran_q: item "),
+          col("__i").cast("string"), lit(" has "), col("__ki"),
+          lit(" treatments, expected "), col("__k"),
+          lit(" — blocks must be complete (absence-as-failure upstream)")))))
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("__li").cast(dec)).as("__sl"),
+        sum(col("__li").cast(dec) * col("__li").cast(dec)).as("__sl2"))
+    val treatSums = base.groupBy(keys.map(col) :+ col("__j"): _*)
+      .agg(count(when(col("__y"), 1)).as("__gj"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__gj").cast(dec)).as("__sg"),
+        sum(col("__gj").cast(dec) * col("__gj").cast(dec)).as("__sg2"))
+    val kd = col("__k").cast(dec)
+    val num = (kd - lit(1).cast(dec)) *
+      (kd * col("__sg2") - col("__sg") * col("__sg"))
+    val den = kd * col("__sl") - col("__sl2")
+    itemSums.join(treatSums, keys).join(broadcast(k), keys)
+      .select(keys.map(col) :+ col("n_items") :+
+        col("__k").as("k") :+
+        when(col("__k") < 2L || den <= lit(0).cast(dec),
+          lit(null).cast("long"))
+          .otherwise(round(lit(1e6) * num.cast("double") /
+            den.cast("double")).cast("long")).as("q_micro"): _*)
+  }
+
   def poissonBootstrap(df: DataFrame, idCol: String, valueCol: String,
       reps: Int = 32): DataFrame = {
     require(reps >= 2 && reps <= 1024, s"reps must be in [2,1024], got $reps")

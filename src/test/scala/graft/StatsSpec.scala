@@ -1560,4 +1560,41 @@ class StatsSpec extends AnyFunSuite {
     assert(out(0) == (("a", 6L, 3L, 3617963L)))
     assert(out(1) == (("b", 3L, 3L, Long.MinValue)), "n <= h is NULL")
   }
+
+  test("jarqueBera hand skew/kurtosis/JB; constant series NULL") {
+    val df = (Seq(1L, 2L, 3L, 4L, 10L).map(("a", _)) ++
+      Seq(5L, 5L).map(("b", _))).toDF("k", "v")
+    val out = Stats.jarqueBera(df, Seq("k"), "v").orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) Long.MinValue else r.getLong(2),
+        if (r.isNullAt(3)) Long.MinValue else r.getLong(3),
+        if (r.isNullAt(4)) Long.MinValue else r.getLong(4)))
+    assert(out(0) == (("a", 5L, 1138420L, -212000L, 1089363L)))
+    assert(out(1) == (("b", 2L, Long.MinValue, Long.MinValue,
+      Long.MinValue)), "M2 = 0 is NULL")
+  }
+
+  test("cochranQ textbook case; incomplete block fails loud; " +
+      "degenerate denominator NULL") {
+    val rows = for {
+      (i, ys) <- Seq((1L, Seq(1, 1, 0)), (2L, Seq(1, 1, 1)),
+        (3L, Seq(0, 1, 0)), (4L, Seq(0, 0, 0)))
+      (y, j) <- ys.zipWithIndex
+    } yield ("k1", i, s"t$j", y == 1)
+    val out = Stats.cochranQ(rows.toDF("k", "i", "j", "y"),
+      Seq("k"), "i", "j", "y").collect()(0)
+    assert((out.getLong(1), out.getLong(2), out.getLong(3)) ==
+      ((4L, 3L, 3000000L)))
+    val bad = rows.drop(1).toDF("k", "i", "j", "y") // item 1 lost t0
+    val e = intercept[Exception] {
+      Stats.cochranQ(bad, Seq("k"), "i", "j", "y").collect()
+    }
+    assert(e.getMessage.contains("cochran_q") ||
+      e.getCause.getMessage.contains("cochran_q"))
+    // all items all-success -> den 0 -> NULL
+    val allTrue = (for (i <- 1L to 3L; j <- 0 to 1)
+      yield ("k1", i, s"t$j", true)).toDF("k", "i", "j", "y")
+    assert(Stats.cochranQ(allTrue, Seq("k"), "i", "j", "y")
+      .collect()(0).isNullAt(3))
+  }
 }
