@@ -4354,3 +4354,126 @@ def cochran_q(df, keys, item_col, treatment_col, outcome_col):
                     .otherwise(F.round(F.lit(1e6) * num.cast("double") /
                                        den.cast("double")).cast("long"))
                     .alias("q_micro")))
+
+
+def bartlett(df, keys, group_col, value_col):
+    """Bartlett's equal-variance test per key -- Python mirror of the
+    Scala ``Stats.bartlett``: per-group nano-rounded ln-variance /
+    within-SS / reciprocal terms summed order-independently, exact
+    DECIMAL variance numerators under a single log. NULL when k < 2,
+    any n_g < 2, or any group variance is 0."""
+    kc = [F.col(k) for k in keys]
+    dec = "decimal(38,0)"
+    g = (df.where(F.col(value_col).isNotNull() &
+                  F.col(group_col).isNotNull())
+         .select(*kc, F.col(group_col).cast("string").alias("__g"),
+                 F.col(value_col).cast("long").alias("__v"))
+         .groupBy(*kc, F.col("__g"))
+         .agg(F.count(F.lit(1)).cast(dec).alias("__ng"),
+              F.sum(F.col("__v").cast(dec)).alias("__sg"),
+              F.sum(F.col("__v").cast(dec) * F.col("__v").cast(dec))
+              .alias("__qg")))
+    ng = F.col("__ng")
+    ssn = ng * F.col("__qg") - F.col("__sg") * F.col("__sg")
+    wt = (g.withColumn("__ssn", ssn)
+          .withColumn("__lnterm", F.when(
+              (ng < 2) | (F.col("__ssn") <= 0), F.lit(None).cast(dec))
+              .otherwise(F.round(
+                  F.lit(1e9) * (ng - F.lit(1)).cast("double") *
+                  F.log(F.col("__ssn").cast("double") /
+                        (ng * (ng - F.lit(1))).cast("double"))).cast(dec)))
+          .withColumn("__tnano", F.round(
+              F.lit(1e9) * F.col("__ssn").cast("double") /
+              ng.cast("double")).cast(dec))
+          .withColumn("__inv", F.when(ng < 2, F.lit(None).cast("long"))
+                      .otherwise(F.round(
+                          F.lit(1e9) / (ng - F.lit(1)).cast("double"))
+                          .cast("long"))))
+    m = (wt.groupBy(*kc)
+         .agg(F.count(F.lit(1)).alias("k"),
+              F.sum(ng).cast("long").alias("n"),
+              F.min(ng.cast("long")).alias("__minn"),
+              F.min(F.col("__ssn")).alias("__minssn"),
+              F.sum("__lnterm").alias("__T"),
+              F.sum("__tnano").alias("__ssw"),
+              F.sum("__inv").alias("__invs")))
+    kd = F.col("k").cast("double")
+    nmk = (F.col("n") - F.col("k")).cast("double")
+    ssw = F.col("__ssw").cast("double")
+    chi2 = nmk * (F.log(ssw) - F.log(F.lit(1e9) * nmk)) - \
+        F.col("__T").cast("double") / F.lit(1e9)
+    c = F.lit(1.0) + (F.col("__invs").cast("double") / F.lit(1e9) -
+                      F.lit(1.0) / nmk) / (F.lit(3.0) * (kd - F.lit(1.0)))
+    return m.select(*kc, "k", "n",
+                    F.when((F.col("k") < 2) | (F.col("__minn") < 2) |
+                           (F.col("__minssn") <= 0) | (F.col("__ssw") <= 0),
+                           F.lit(None).cast("long"))
+                    .otherwise(F.round(F.lit(1e6) * chi2 / c).cast("long"))
+                    .alias("chi2_micro"))
+
+
+def moods_median(df, keys, group_col, value_col, max_groups=1000):
+    """Mood's median test per key -- Python mirror of the Scala
+    ``Stats.moodsMedian``: pooled lower median over the per-key
+    distinct-value histogram, then the k x 2 chi-square with exact
+    per-cell nano terms. Fails loud past max_groups group levels."""
+    if not (2 <= max_groups <= 100000):
+        raise ValueError("max_groups must be in [2, 100000], got %d"
+                         % max_groups)
+    kc = [F.col(k) for k in keys]
+    dec = "decimal(38,0)"
+    base = (df.where(F.col(value_col).isNotNull() &
+                     F.col(group_col).isNotNull())
+            .select(*kc, F.col(group_col).cast("string").alias("__g"),
+                    F.col(value_col).cast("long").alias("__v")))
+    wc = Window.partitionBy(*kc).orderBy(F.col("__v"))
+    wk = Window.partitionBy(*kc)
+    med = (base.groupBy(*kc, F.col("__v"))
+           .agg(F.count(F.lit(1)).alias("__c"))
+           .withColumn("__cum", F.sum("__c").over(wc))
+           .withColumn("__N", F.sum("__c").over(wk))
+           .where(F.lit(2) * F.col("__cum") >= F.col("__N"))
+           .groupBy(*kc).agg(F.min("__v").alias("med")))
+    flagged = (base.join(med, keys)
+               .withColumn("__ab", (F.col("__v") > F.col("med"))
+                           .cast("string")))
+    cells = (flagged.groupBy(*kc, F.col("__g"), F.col("__ab"))
+             .agg(F.count(F.lit(1)).alias("__o")))
+    rg = (flagged.groupBy(*kc, F.col("__g"))
+          .agg(F.count(F.lit(1)).alias("__r"))
+          .withColumn("__lv", F.count(F.lit(1)).over(wk))
+          .withColumn("__r", F.when(F.col("__lv") <= max_groups,
+                                    F.col("__r"))
+                      .otherwise(F.raise_error(F.concat(
+                          F.lit("moods_median: group column has "),
+                          F.col("__lv").cast("string"),
+                          F.lit(" levels, exceeds max_groups=%d"
+                                % max_groups)))))
+          .drop("__lv"))
+    cc = (flagged.groupBy(*kc, F.col("__ab"))
+          .agg(F.count(F.lit(1)).alias("__cc")))
+    tot = flagged.groupBy(*kc).agg(F.count(F.lit(1)).alias("__N"),
+                                   F.max("med").alias("med"))
+    grid = (rg.join(cc, keys)
+            .join(cells, list(keys) + ["__g", "__ab"], "left")
+            .na.fill(0, ["__o"]).join(tot, keys))
+    num = F.col("__o").cast(dec) * F.col("__N") - \
+        F.col("__r").cast(dec) * F.col("__cc")
+    summed = (grid.withColumn("__num2", num * num)
+              .withColumn("__t", F.expr(
+                  "cast(round(1e9 * cast(__num2 as double) / "
+                  "cast(cast(__N as decimal(38,0)) * __r * __cc as double))"
+                  " as bigint)"))
+              .groupBy(*kc)
+              .agg(F.max("__N").alias("n"), F.max("med").alias("med"),
+                   F.countDistinct("__g").alias("k_groups"),
+                   F.countDistinct("__ab").alias("__ml"),
+                   F.sum("__t").alias("__chi2n")))
+    return summed.select(*kc, "n", "med", "k_groups",
+                         (F.col("k_groups") - 1).alias("dof"),
+                         F.when((F.col("k_groups") < 2) |
+                                (F.col("__ml") < 2),
+                                F.lit(None).cast("long"))
+                         .otherwise(F.round(
+                             F.col("__chi2n").cast("double") / F.lit(1e3))
+                             .cast("long")).alias("chi2_micro"))

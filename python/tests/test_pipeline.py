@@ -1635,3 +1635,25 @@ def test_cochran_q_hand(spark):
                                 "g string, i long, j string, y boolean")
     with pytest.raises(Exception, match="cochran_q"):
         cochran_q(bad, ["g"], "i", "j", "y").collect()
+
+
+def test_bartlett_hand(spark):
+    from graft.pipeline import bartlett
+    rows = ([("k1", "a", v) for v in (1, 2, 3, 4)] +
+            [("k1", "b", v) for v in (1, 3, 5, 7, 9)] +
+            [("k2", "a", 5), ("k2", "a", 5), ("k2", "b", 1), ("k2", "b", 9)])
+    df = spark.createDataFrame(rows, "kk string, g string, v long")
+    out = {r["kk"]: (r["k"], r["n"], r["chi2_micro"])
+           for r in bartlett(df, ["kk"], "g", "v").collect()}
+    assert out["k1"] == (2, 9, 1990232)
+    assert out["k2"] == (2, 4, None)  # zero-variance group
+
+
+def test_moods_median_hand(spark):
+    from graft.pipeline import moods_median
+    rows = ([("k1", "a", v) for v in (1, 2, 3)] +
+            [("k1", "b", v) for v in (4, 5, 6)])
+    df = spark.createDataFrame(rows, "kk string, g string, v long")
+    r = moods_median(df, ["kk"], "g", "v").collect()[0]
+    assert (r["n"], r["med"], r["k_groups"], r["dof"], r["chi2_micro"]) == \
+        (6, 3, 2, 1, 6000000)

@@ -4069,6 +4069,24 @@ object SparkEntry {
       graft.pipeline.Stats.cochranQ(grid, Seq("cohort"), "user_id",
         "event_type", "y").orderBy("cohort")
     }),
+    // Bartlett variance-homogeneity gate per cohort before anovaF —
+    // per-group nano-rounded ln-variance terms, order-independent
+    "q_bartlett" -> ((s, dir) =>
+      graft.pipeline.Stats.bartlett(
+        t(s, dir, "events").select((col("user_id") % 4).as("cohort"),
+          col("event_type"),
+          expr("cast(round(value * 100) as bigint)").as("vc")),
+        Seq("cohort"), "event_type", "vc")
+        .orderBy("cohort")),
+    // Mood's median test per cohort — pooled lower median over the
+    // distinct-value histogram, then the k x 2 exact-nano chi2
+    "q_moods_median" -> ((s, dir) =>
+      graft.pipeline.Stats.moodsMedian(
+        t(s, dir, "events").select((col("user_id") % 4).as("cohort"),
+          col("event_type"),
+          expr("cast(round(value * 100) as bigint)").as("vc")),
+        Seq("cohort"), "event_type", "vc")
+        .orderBy("cohort")),
     // Good-Turing unseen mass + Chao1 vocabulary estimate — how much
     // of the corpus vocabulary the crawl has NOT seen yet
     "q_vocab_richness" -> ((s, dir) =>
@@ -9730,6 +9748,75 @@ object SparkEntry {
         |FROM i JOIN ts ON i.cohort = ts.cohort
         |  JOIN kk ON i.cohort = kk.cohort
         |ORDER BY i.cohort""".stripMargin,
+    "q_bartlett" ->
+      """WITH e AS (SELECT user_id % 4 AS cohort, event_type AS g,
+        |    CAST(round(value * 100) AS BIGINT) AS v FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |gm AS (SELECT cohort, g, COUNT(*)::HUGEINT AS ng,
+        |    SUM(v)::HUGEINT AS sg, SUM(v::HUGEINT * v) AS qg
+        |  FROM e GROUP BY 1, 2),
+        |t0 AS (SELECT cohort, ng, ng * qg - sg * sg AS ssn FROM gm),
+        |tt AS (SELECT cohort, ng, ssn,
+        |    CASE WHEN ng < 2 OR ssn <= 0 THEN NULL
+        |      ELSE CAST(round(1e9 * CAST(ng - 1 AS DOUBLE) *
+        |        ln(CAST(ssn AS DOUBLE) / CAST(ng * (ng - 1) AS DOUBLE)))
+        |        AS HUGEINT) END AS lnterm,
+        |    CAST(round(1e9 * CAST(ssn AS DOUBLE) / CAST(ng AS DOUBLE))
+        |      AS HUGEINT) AS tnano,
+        |    CASE WHEN ng < 2 THEN NULL
+        |      ELSE CAST(round(1e9 / CAST(ng - 1 AS DOUBLE)) AS BIGINT)
+        |      END AS inv
+        |  FROM t0),
+        |m AS (SELECT cohort, COUNT(*) AS k, SUM(ng) AS n, MIN(ng) AS minn,
+        |    MIN(ssn) AS minssn, SUM(lnterm) AS lt, SUM(tnano) AS ssw,
+        |    SUM(inv) AS invs
+        |  FROM tt GROUP BY 1)
+        |SELECT cohort, CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN k < 2 OR minn < 2 OR minssn <= 0 OR ssw <= 0 THEN NULL
+        |    ELSE CAST(round(1e6 * (CAST(n - k AS DOUBLE) *
+        |        (ln(CAST(ssw AS DOUBLE)) - ln(1e9 * CAST(n - k AS DOUBLE)))
+        |        - CAST(lt AS DOUBLE) / 1e9) /
+        |      (1.0 + (CAST(invs AS DOUBLE) / 1e9 -
+        |        1.0 / CAST(n - k AS DOUBLE)) /
+        |        (3.0 * CAST(k - 1 AS DOUBLE)))) AS BIGINT)
+        |    END AS chi2_micro
+        |FROM m ORDER BY cohort""".stripMargin,
+    "q_moods_median" ->
+      """WITH e AS (SELECT user_id % 4 AS cohort, event_type AS g,
+        |    CAST(round(value * 100) AS BIGINT) AS v FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |dv AS (SELECT cohort, v, COUNT(*) AS c FROM e GROUP BY 1, 2),
+        |cum AS (SELECT cohort, v,
+        |    SUM(c) OVER (PARTITION BY cohort ORDER BY v) AS cm,
+        |    SUM(c) OVER (PARTITION BY cohort) AS nn FROM dv),
+        |md AS (SELECT cohort, MIN(v) AS med FROM cum
+        |  WHERE 2 * cm >= nn GROUP BY 1),
+        |f AS (SELECT e.cohort, g, (v > med) AS ab
+        |  FROM e JOIN md ON e.cohort = md.cohort),
+        |cl AS (SELECT cohort, g, ab, COUNT(*) AS o FROM f GROUP BY 1, 2, 3),
+        |rr AS (SELECT cohort, g, COUNT(*) AS r FROM f GROUP BY 1, 2),
+        |cm2 AS (SELECT cohort, ab, COUNT(*) AS ccc FROM f GROUP BY 1, 2),
+        |nn AS (SELECT cohort, COUNT(*) AS n FROM f GROUP BY 1),
+        |gr AS (SELECT rr.cohort, rr.g, cm2.ab, rr.r, cm2.ccc,
+        |    COALESCE(cl.o, 0) AS o, nn.n
+        |  FROM rr JOIN cm2 ON rr.cohort = cm2.cohort
+        |    JOIN nn ON rr.cohort = nn.cohort
+        |    LEFT JOIN cl ON cl.cohort = rr.cohort AND cl.g = rr.g
+        |      AND cl.ab = cm2.ab),
+        |sm AS (SELECT cohort, MAX(n) AS n, COUNT(DISTINCT g) AS kg,
+        |    COUNT(DISTINCT ab) AS ml,
+        |    SUM(CAST(round(1e9 *
+        |      CAST((o::HUGEINT * n - r::HUGEINT * ccc) *
+        |        (o::HUGEINT * n - r::HUGEINT * ccc) AS DOUBLE) /
+        |      CAST(n::HUGEINT * r * ccc AS DOUBLE)) AS HUGEINT)) AS chi2n
+        |  FROM gr GROUP BY 1)
+        |SELECT sm.cohort, CAST(n AS BIGINT) AS n, med,
+        |  CAST(kg AS BIGINT) AS k_groups, CAST(kg - 1 AS BIGINT) AS dof,
+        |  CASE WHEN kg < 2 OR ml < 2 THEN NULL
+        |    ELSE CAST(round(CAST(chi2n AS DOUBLE) / 1e3) AS BIGINT)
+        |    END AS chi2_micro
+        |FROM sm JOIN md ON sm.cohort = md.cohort
+        |ORDER BY sm.cohort""".stripMargin,
     "q_vocab_richness" ->
       """WITH tk AS (SELECT unnest(string_split(text, ' ')) AS tok
         |  FROM documents),

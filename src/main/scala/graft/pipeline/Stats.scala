@@ -3447,6 +3447,152 @@ object Stats {
             den.cast("double")).cast("long")).as("q_micro"): _*)
   }
 
+  /**
+   * Bartlett's test for equal variances per key ('37) — the
+   * variance-homogeneity gate in front of [[anovaF]] (pooled-variance
+   * ANOVA assumes it; [[brownForsythe]] is the robust fallback):
+   *
+   *   χ² = [(N−k)·ln s²_p − Σ(n_g−1)·ln s²_g] / C
+   *   C  = 1 + (Σ 1/(n_g−1) − 1/(N−k)) / (3(k−1))
+   *
+   * Engine-replayable by the same per-term-rounding discipline as
+   * [[mutualInformation]]: each group's ln-variance term, its
+   * 1e9·ssn/n within-SS share, and its 1/(n_g−1) reciprocal are
+   * rounded to nano INTEGERS per group and summed order-independently
+   * (raw double sums would depend on partial-agg order); s²_g keeps
+   * the exact DECIMAL numerator ssn_g = n_g·Σv² − (Σv)² under a
+   * single log. NULL when k < 2, any n_g < 2, or any group has zero
+   * variance (ln 0). Scale shape: one (key, group) moment groupBy,
+   * one per-key rollup — both map-side combinable, no windows.
+   *
+   * Returns keys + (k, n, chi2_micro).
+   */
+  def bartlett(df: DataFrame, keys: Seq[String], groupCol: String,
+      valueCol: String): DataFrame = {
+    require(keys.nonEmpty, "keys required")
+    val dec = "decimal(38,0)"
+    val g = df
+      .where(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(keys.map(col) :+ col(groupCol).cast("string").as("__g") :+
+        col(valueCol).cast("long").as("__v"): _*)
+      .groupBy(keys.map(col) :+ col("__g"): _*)
+      .agg(count(lit(1)).cast(dec).as("__ng"),
+        sum(col("__v").cast(dec)).as("__sg"),
+        sum(col("__v").cast(dec) * col("__v").cast(dec)).as("__qg"))
+    val ng = col("__ng")
+    val ssn = ng * col("__qg") - col("__sg") * col("__sg")
+    val withTerms = g
+      .withColumn("__ssn", ssn)
+      .withColumn("__lnterm",
+        when(ng < 2L || col("__ssn") <= 0L, lit(null).cast(dec))
+          .otherwise(round(lit(1e9) * (ng - lit(1)).cast("double") *
+            log(col("__ssn").cast("double") /
+              (ng * (ng - lit(1))).cast("double"))).cast(dec)))
+      .withColumn("__tnano",
+        round(lit(1e9) * col("__ssn").cast("double") / ng.cast("double"))
+          .cast(dec))
+      .withColumn("__inv",
+        when(ng < 2L, lit(null).cast("long"))
+          .otherwise(round(lit(1e9) / (ng - lit(1)).cast("double"))
+            .cast("long")))
+    val m = withTerms.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("k"),
+        sum(ng).cast("long").as("n"),
+        min(ng.cast("long")).as("__minn"),
+        min(col("__ssn")).as("__minssn"),
+        sum("__lnterm").as("__T"),
+        sum("__tnano").as("__ssw"),
+        sum("__inv").as("__invs"))
+    val kD = col("k").cast("double")
+    val nmkD = (col("n") - col("k")).cast("double")
+    val sswD = col("__ssw").cast("double")
+    val chi2 = nmkD * (log(sswD) - log(lit(1e9) * nmkD)) -
+      col("__T").cast("double") / lit(1e9)
+    val c = lit(1.0) + (col("__invs").cast("double") / lit(1e9) -
+      lit(1.0) / nmkD) / (lit(3.0) * (kD - lit(1.0)))
+    m.select(keys.map(col) :+ col("k") :+ col("n") :+
+      when(col("k") < 2L || col("__minn") < 2L ||
+          col("__minssn") <= lit(0).cast(dec) || col("__ssw") <= 0L,
+        lit(null).cast("long"))
+        .otherwise(round(lit(1e6) * chi2 / c).cast("long"))
+        .as("chi2_micro"): _*)
+  }
+
+  /**
+   * Mood's median test per key ('50) — the nonparametric k-group
+   * location test that only needs COUNTS above/below the pooled
+   * median (robust to any monotone transform; the coarse cousin of
+   * [[kruskalWallis]] when ranks are overkill):
+   *
+   * pooled lower median = min v with 2·cum(v) ≥ N over the per-key
+   * distinct-value histogram (one cumulative window over DISTINCT
+   * values only — the corpus never sorts), then the k×2 χ² over
+   * (group, above-median) counts with the [[chiSquareKxM]] exact
+   * per-cell nano terms ((o·N − r·c)² over N·r·c, round-once each).
+   * NULL χ² when k < 2 or the median splits degenerately (all mass
+   * one side). maxGroups fails loud on an unbounded group column.
+   *
+   * Returns keys + (n, med, k_groups, dof, chi2_micro).
+   */
+  def moodsMedian(df: DataFrame, keys: Seq[String], groupCol: String,
+      valueCol: String, maxGroups: Int = 1000): DataFrame = {
+    require(keys.nonEmpty, "keys required")
+    require(maxGroups >= 2 && maxGroups <= 100000,
+      s"maxGroups must be in [2, 100000], got $maxGroups")
+    val W = org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val base = df
+      .where(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(keys.map(col) :+ col(groupCol).cast("string").as("__g") :+
+        col(valueCol).cast("long").as("__v"): _*)
+    val wc = W.partitionBy(keys.map(col): _*).orderBy(col("__v"))
+    val wk = W.partitionBy(keys.map(col): _*)
+    val med = base.groupBy(keys.map(col) :+ col("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum("__c").over(wc))
+      .withColumn("__N", sum("__c").over(wk))
+      .where(lit(2L) * col("__cum") >= col("__N"))
+      .groupBy(keys.map(col): _*).agg(min("__v").as("med"))
+    val flagged = base.join(med, keys)
+      .withColumn("__ab", (col("__v") > col("med")).cast("string"))
+    val cells = flagged.groupBy(keys.map(col) :+ col("__g") :+
+      col("__ab"): _*).agg(count(lit(1)).as("__o"))
+    val rg = flagged.groupBy(keys.map(col) :+ col("__g"): _*)
+      .agg(count(lit(1)).as("__r"))
+      .withColumn("__lv", count(lit(1)).over(wk))
+      .withColumn("__r", when(col("__lv") <= maxGroups, col("__r"))
+        .otherwise(raise_error(concat(
+          lit("moods_median: group column has "), col("__lv"),
+          lit(s" levels, exceeds maxGroups=$maxGroups — coarsen or " +
+            "raise deliberately")))))
+      .drop("__lv")
+    val cc = flagged.groupBy(keys.map(col) :+ col("__ab"): _*)
+      .agg(count(lit(1)).as("__cc"))
+    val tot = flagged.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__N"), max("med").as("med"))
+    val grid = rg.join(cc, keys)
+      .join(cells, keys.toSeq ++ Seq("__g", "__ab"), "left")
+      .na.fill(0L, Seq("__o"))
+      .join(tot, keys)
+    val num = col("__o").cast(dec) * col("__N") -
+      col("__r").cast(dec) * col("__cc")
+    val summed = grid
+      .withColumn("__num2", num * num)
+      .withColumn("__t", expr("cast(round(1e9 * cast(__num2 as double) / " +
+        "cast(cast(__N as decimal(38,0)) * __r * __cc as double)) as bigint)"))
+      .groupBy(keys.map(col): _*)
+      .agg(max("__N").as("n"), max("med").as("med"),
+        countDistinct("__g").as("k_groups"),
+        countDistinct("__ab").as("__ml"),
+        sum("__t").as("__chi2n"))
+    summed.select(keys.map(col) :+ col("n") :+ col("med") :+
+      col("k_groups") :+ (col("k_groups") - 1L).as("dof") :+
+      when(col("k_groups") < 2L || col("__ml") < 2L,
+        lit(null).cast("long"))
+        .otherwise(round(col("__chi2n").cast("double") / lit(1e3))
+          .cast("long")).as("chi2_micro"): _*)
+  }
+
   def poissonBootstrap(df: DataFrame, idCol: String, valueCol: String,
       reps: Int = 32): DataFrame = {
     require(reps >= 2 && reps <= 1024, s"reps must be in [2,1024], got $reps")

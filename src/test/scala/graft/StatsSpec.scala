@@ -1597,4 +1597,34 @@ class StatsSpec extends AnyFunSuite {
     assert(Stats.cochranQ(allTrue, Seq("k"), "i", "j", "y")
       .collect()(0).isNullAt(3))
   }
+
+  test("bartlett hand chi2; zero-variance group NULL; k=1 NULL") {
+    val df = (Seq(1L, 2L, 3L, 4L).map(("k1", "a", _)) ++
+      Seq(1L, 3L, 5L, 7L, 9L).map(("k1", "b", _)) ++
+      Seq(5L, 5L, 5L).map(("k2", "a", _)) ++
+      Seq(1L, 2L, 9L).map(("k2", "b", _)) ++
+      Seq(1L, 2L).map(("k3", "a", _))).toDF("kk", "g", "v")
+    val out = Stats.bartlett(df, Seq("kk"), "g", "v").orderBy("kk")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) Long.MinValue else r.getLong(3)))
+    assert(out(0) == (("k1", 2L, 9L, 1990232L)))
+    assert(out(1) == (("k2", 2L, 6L, Long.MinValue)), "ln(0) group NULL")
+    assert(out(2) == (("k3", 1L, 2L, Long.MinValue)), "k < 2 NULL")
+  }
+
+  test("moodsMedian hand chi2 and lower-median rule; degenerate split " +
+      "NULL") {
+    val df = (Seq(1L, 2L, 3L).map(("k1", "a", _)) ++
+      Seq(4L, 5L, 6L).map(("k1", "b", _)) ++
+      Seq(7L, 7L).map(("k2", "a", _)) ++
+      Seq(7L, 7L).map(("k2", "b", _))).toDF("k", "g", "v")
+    val out = Stats.moodsMedian(df, Seq("k"), "g", "v").orderBy("k")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) Long.MinValue else r.getLong(5)))
+    // k1: pooled lower median 3; a entirely <= 3, b entirely > 3
+    assert(out(0) == (("k1", 6L, 3L, 2L, 1L, 6000000L)))
+    // k2: all values equal -> everything <= med, one above-level
+    assert(out(1) == (("k2", 4L, 7L, 2L, 1L, Long.MinValue)))
+  }
 }
