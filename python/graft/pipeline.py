@@ -4477,3 +4477,97 @@ def moods_median(df, keys, group_col, value_col, max_groups=1000):
                          .otherwise(F.round(
                              F.col("__chi2n").cast("double") / F.lit(1e3))
                              .cast("long")).alias("chi2_micro"))
+
+
+def rmst(df, keys, duration_col, event_col, tau):
+    """Restricted mean survival time per key -- Python mirror of the
+    Scala ``Stats.rmst``: area under the ``kaplan_meier`` step curve
+    to tau, composing its published quantized km_log_unats by
+    contract; per-step micro terms round once and sum
+    order-independently. The tau filter applies AFTER the KM windows
+    (n_risk must keep counting beyond-tau subjects)."""
+    if tau <= 0:
+        raise ValueError("tau must be positive, got %d" % tau)
+    kc = [F.col(k) for k in keys]
+    km = (kaplan_meier(df, keys, duration_col, event_col)
+          .where((F.col("t") <= tau) & (F.col("t") >= 0)))
+    w = Window.partitionBy(*kc).orderBy(F.col("t"))
+    wk = Window.partitionBy(*kc)
+    stepped = (km
+               .withColumn("__prevT", F.coalesce(
+                   F.lag("t", 1).over(w), F.lit(0)))
+               .withColumn("__prevLog", F.coalesce(
+                   F.lag("km_log_unats", 1).over(w), F.lit(0)))
+               .withColumn("__s", F.when(
+                   F.col("km_log_unats").isNull(), F.lit(0.0))
+                   .otherwise(F.exp(
+                       F.col("km_log_unats").cast("double") / F.lit(1e6))))
+               .withColumn("__contrib", F.round(
+                   F.lit(1e6) *
+                   F.exp(F.col("__prevLog").cast("double") / F.lit(1e6)) *
+                   (F.col("t") - F.col("__prevT")).cast("double"))
+                   .cast("long"))
+               .withColumn("__maxT", F.max("t").over(wk))
+               .withColumn("__tail", F.when(
+                   (F.col("t") == F.col("__maxT")) & (F.col("t") < tau),
+                   F.round(F.lit(1e6) * F.col("__s") *
+                           (F.lit(tau) - F.col("t")).cast("double"))
+                   .cast("long")).otherwise(F.lit(0))))
+    return (stepped.groupBy(*kc)
+            .agg(F.count(F.lit(1)).alias("n_times"),
+                 (F.sum("__contrib") + F.sum("__tail")).alias("rmst_micro"))
+            .select(*kc, F.lit(tau).cast("long").alias("tau"),
+                    "n_times", "rmst_micro"))
+
+
+def gehan_wilcoxon(df, keys, group_col, duration_col, event_col):
+    """Gehan-Breslow-Wilcoxon early-difference weighted log-rank per
+    key -- Python mirror of the Scala ``Stats.gehanWilcoxon``: the
+    at-risk-count weight cancels the rational denominators, so the
+    n*(O-E) terms are EXACT micro integers (no division) and n^2*V
+    has one division point; terms sum in DECIMAL(38,0)."""
+    kc = [F.col(k) for k in keys]
+    dec = "decimal(38,0)"
+    per_t = (df.where(F.col(duration_col).isNotNull() &
+                      F.col(event_col).isNotNull() &
+                      F.col(group_col).isNotNull())
+             .select(*kc, F.col(duration_col).cast("long").alias("__t"),
+                     F.col(event_col).cast("boolean").alias("__e"),
+                     F.col(group_col).cast("boolean").alias("__g"))
+             .groupBy(*kc, F.col("__t"))
+             .agg(F.count(F.lit(1)).alias("__m"),
+                  F.count(F.when(F.col("__g"), 1)).alias("__ma"),
+                  F.count(F.when(F.col("__e"), 1)).alias("__d"),
+                  F.count(F.when(F.col("__e") & F.col("__g"), 1))
+                  .alias("__da")))
+    w_desc = (Window.partitionBy(*kc).orderBy(F.col("__t").desc())
+              .rowsBetween(Window.unboundedPreceding, 0))
+    risky = (per_t
+             .withColumn("__n", F.sum("__m").over(w_desc))
+             .withColumn("__na", F.sum("__ma").over(w_desc))
+             .where(F.col("__d") > 0))
+
+    def D(c):
+        return c.cast(dec)
+
+    oe_t = (D(F.col("__da")) * F.col("__n") -
+            D(F.col("__d")) * F.col("__na")) * F.lit(1000000).cast(dec)
+    v_t = F.when(F.col("__n") == 1, F.lit(0).cast(dec)).otherwise(
+        F.round(F.lit(1e6) *
+                (D(F.col("__d")) * F.col("__na") *
+                 (F.col("__n") - F.col("__na")) *
+                 (F.col("__n") - F.col("__d"))).cast("double") /
+                (F.col("__n") - F.lit(1)).cast("double")).cast(dec))
+    return (risky
+            .withColumn("__oe", oe_t).withColumn("__v", v_t)
+            .groupBy(*kc)
+            .agg(F.count(F.lit(1)).alias("n_times"),
+                 F.sum("__oe").alias("__oes"), F.sum("__v").alias("__vs"))
+            .select(*kc, "n_times",
+                    F.col("__oes").cast("long").alias("oe_w_sum_micro"),
+                    F.col("__vs").cast("long").alias("var_w_sum_micro"),
+                    F.when(F.col("__vs") <= 0, F.lit(None).cast("long"))
+                    .otherwise(F.round(
+                        F.lit(1e3) * F.col("__oes").cast("double") /
+                        F.sqrt(F.col("__vs").cast("double"))).cast("long"))
+                    .alias("z_micro")))

@@ -1657,3 +1657,23 @@ def test_moods_median_hand(spark):
     r = moods_median(df, ["kk"], "g", "v").collect()[0]
     assert (r["n"], r["med"], r["k_groups"], r["dof"], r["chi2_micro"]) == \
         (6, 3, 2, 1, 6000000)
+
+
+def test_rmst_hand(spark):
+    from graft.pipeline import rmst
+    df = spark.createDataFrame(
+        [("k1", 1, True), ("k1", 2, False), ("k1", 3, True),
+         ("k1", 5, True)], "kk string, dur long, ev boolean")
+    r = rmst(df, ["kk"], "dur", "ev", tau=4).collect()[0]
+    assert (r["tau"], r["n_times"], r["rmst_micro"]) == (4, 3, 2875000)
+
+
+def test_gehan_wilcoxon_hand(spark):
+    from graft.pipeline import gehan_wilcoxon
+    df = spark.createDataFrame(
+        [("k1", True, 1, True), ("k1", True, 3, True),
+         ("k1", False, 2, True), ("k1", False, 4, False)],
+        "kk string, g boolean, dur long, ev boolean")
+    r = gehan_wilcoxon(df, ["kk"], "g", "dur", "ev").collect()[0]
+    assert (r["n_times"], r["oe_w_sum_micro"], r["var_w_sum_micro"],
+            r["z_micro"]) == (3, 2000000, 7000000, 755929)

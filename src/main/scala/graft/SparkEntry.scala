@@ -4385,6 +4385,29 @@ object SparkEntry {
       graft.pipeline.Stats.logRank(units, Seq("seg"), "grp", "duration", "ev")
         .orderBy("seg")
     }),
+    // restricted mean survival time: area under q_km's curve to
+    // tau=30 days — the censoring-robust "average days retained"
+    "q_rmst" -> ((s, dir) => {
+      val units = eventsMicros(s, dir)
+        .groupBy("user_id")
+        .agg(expr("(max(tus) - min(tus)) div 86400000000").as("duration"),
+          (count(when(col("event_type") === "purchase", 1)) > 0).as("ev"))
+        .withColumn("cohort", pmod(col("user_id"), lit(4L)))
+      graft.pipeline.Stats.rmst(units, Seq("cohort"), "duration", "ev",
+        tau = 30L).orderBy("cohort")
+    }),
+    // Gehan-Breslow-Wilcoxon: the early-difference weighted log-rank
+    // over the same cohorts — n-weights make the O-E terms exact
+    "q_gehan" -> ((s, dir) => {
+      val units = eventsMicros(s, dir)
+        .groupBy("user_id")
+        .agg(expr("(max(tus) - min(tus)) div 86400000000").as("duration"),
+          (count(when(col("event_type") === "purchase", 1)) > 0).as("ev"))
+        .withColumn("seg", pmod(col("user_id"), lit(3L)))
+        .withColumn("grp", pmod(col("user_id"), lit(2L)) === 0L)
+      graft.pipeline.Stats.gehanWilcoxon(units, Seq("seg"), "grp",
+        "duration", "ev").orderBy("seg")
+    }),
     // CUPED per event_type: even event_ids are the pre-period covariate,
     // odd the experiment metric, user parity the variant — pooled theta,
     // adjusted means and the rho^2 variance cut from exact moments
@@ -10374,6 +10397,77 @@ object SparkEntry {
         |SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_times,
         |  CAST(SUM(oe) AS BIGINT) AS oe_sum_micro,
         |  CAST(SUM(v) AS BIGINT) AS var_sum_micro,
+        |  CASE WHEN SUM(v) <= 0 THEN NULL
+        |    ELSE CAST(round(1e3 * CAST(SUM(oe) AS DOUBLE) /
+        |      sqrt(CAST(SUM(v) AS DOUBLE))) AS BIGINT) END AS z_micro
+        |FROM tm GROUP BY 1 ORDER BY seg""".stripMargin,
+    "q_rmst" ->
+      """WITH u AS (SELECT user_id,
+        |    (MAX(epoch_ns(ts) // 1000) - MIN(epoch_ns(ts) // 1000))
+        |      // 86400000000 AS t,
+        |    COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) > 0 AS ev
+        |  FROM events GROUP BY 1),
+        |c AS (SELECT user_id % 4 AS cohort, t, ev FROM u),
+        |pt AS (SELECT cohort, t, COUNT(*) AS nn,
+        |    COUNT(CASE WHEN ev THEN 1 END) AS d FROM c GROUP BY 1, 2),
+        |r AS (SELECT *, SUM(nn) OVER (PARTITION BY cohort ORDER BY t DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+        |  FROM pt),
+        |tm AS (SELECT *, CASE WHEN d = n_risk THEN 0
+        |    ELSE CAST(round(1e6 * ln(CAST(n_risk - d AS DOUBLE) /
+        |      CAST(n_risk AS DOUBLE))) AS BIGINT) END AS term FROM r),
+        |km AS (SELECT cohort, t,
+        |    CASE WHEN d = n_risk THEN NULL
+        |      ELSE CAST(SUM(term) OVER (PARTITION BY cohort ORDER BY t
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |        AS BIGINT) END AS lg
+        |  FROM tm),
+        |f AS (SELECT * FROM km WHERE t <= 30 AND t >= 0),
+        |st AS (SELECT cohort, t, lg,
+        |    COALESCE(LAG(t) OVER (PARTITION BY cohort ORDER BY t), 0) AS pt,
+        |    COALESCE(LAG(lg) OVER (PARTITION BY cohort ORDER BY t), 0)
+        |      AS pl,
+        |    MAX(t) OVER (PARTITION BY cohort) AS mt FROM f),
+        |co AS (SELECT cohort,
+        |    CAST(round(1e6 * exp(CAST(pl AS DOUBLE) / 1e6) *
+        |      CAST(t - pt AS DOUBLE)) AS BIGINT) AS contrib,
+        |    CASE WHEN t = mt AND t < 30 THEN CAST(round(1e6 *
+        |      (CASE WHEN lg IS NULL THEN 0.0
+        |        ELSE exp(CAST(lg AS DOUBLE) / 1e6) END) *
+        |      CAST(30 - t AS DOUBLE)) AS BIGINT) ELSE 0 END AS tail
+        |  FROM st)
+        |SELECT cohort, CAST(30 AS BIGINT) AS tau,
+        |  CAST(COUNT(*) AS BIGINT) AS n_times,
+        |  CAST(SUM(contrib) + SUM(tail) AS BIGINT) AS rmst_micro
+        |FROM co GROUP BY 1 ORDER BY cohort""".stripMargin,
+    "q_gehan" ->
+      """WITH u AS (SELECT user_id,
+        |    (MAX(epoch_ns(ts) // 1000) - MIN(epoch_ns(ts) // 1000))
+        |      // 86400000000 AS t,
+        |    COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) > 0 AS ev
+        |  FROM events GROUP BY 1),
+        |c AS (SELECT user_id % 3 AS seg, user_id % 2 = 0 AS g, t, ev FROM u),
+        |pt AS (SELECT seg, t, COUNT(*) AS m,
+        |    COUNT(CASE WHEN g THEN 1 END) AS ma,
+        |    COUNT(CASE WHEN ev THEN 1 END) AS d,
+        |    COUNT(CASE WHEN ev AND g THEN 1 END) AS da
+        |  FROM c GROUP BY 1, 2),
+        |r AS (SELECT *, SUM(m) OVER (PARTITION BY seg ORDER BY t DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n,
+        |    SUM(ma) OVER (PARTITION BY seg ORDER BY t DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS na
+        |  FROM pt),
+        |k AS (SELECT * FROM r WHERE d > 0),
+        |tm AS (SELECT seg,
+        |    (da::HUGEINT * n - d::HUGEINT * na) * 1000000 AS oe,
+        |    CASE WHEN n = 1 THEN 0
+        |      ELSE CAST(round(1e6 *
+        |        CAST(d::HUGEINT * na * (n - na) * (n - d) AS DOUBLE) /
+        |        CAST(n - 1 AS DOUBLE)) AS HUGEINT) END AS v
+        |  FROM k)
+        |SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_times,
+        |  CAST(SUM(oe) AS BIGINT) AS oe_w_sum_micro,
+        |  CAST(SUM(v) AS BIGINT) AS var_w_sum_micro,
         |  CASE WHEN SUM(v) <= 0 THEN NULL
         |    ELSE CAST(round(1e3 * CAST(SUM(oe) AS DOUBLE) /
         |      sqrt(CAST(SUM(v) AS DOUBLE))) AS BIGINT) END AS z_micro

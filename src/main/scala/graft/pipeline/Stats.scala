@@ -3593,6 +3593,128 @@ object Stats {
           .cast("long")).as("chi2_micro"): _*)
   }
 
+  /**
+   * Restricted mean survival time per key (Royston & Parmar '13 for
+   * the reporting case) — "average days survived in the first τ", the
+   * clinically-readable area under the [[kaplanMeier]] curve that
+   * stays defined under heavy censoring where the median never
+   * resolves:
+   *
+   *   RMST(τ) = ∫₀^τ Ŝ(t) dt = Σᵢ Ŝ(t_{i−1})·(tᵢ−t_{i−1}) + Ŝ(t_L)·(τ−t_L)
+   *
+   * Composes [[kaplanMeier]] by CONTRACT on its published quantized
+   * `km_log_unats`: each step's area term is rounded ONCE to micro
+   * units (exp of the cumulative log — exp, like ln, replays across
+   * engines under per-term rounding) and the integer terms sum
+   * order-independently. The step function is right-continuous (the
+   * segment (t_{i−1}, tᵢ] carries S(t_{i−1}); S(0)=1); extinction
+   * rows (S=0, NULL log) close the area exactly. The τ filter is
+   * applied to the KM RESULT, after its windows — n_risk must keep
+   * counting subjects whose durations exceed τ.
+   *
+   * Scale shape: [[kaplanMeier]]'s distinct-time table + one more
+   * lag-1 window over the same per-key ordering — never subject rows.
+   *
+   * Returns keys + (tau, n_times, rmst_micro).
+   */
+  def rmst(df: DataFrame, keys: Seq[String], durationCol: String,
+      eventCol: String, tau: Long): DataFrame = {
+    require(keys.nonEmpty, "keys required")
+    require(tau > 0L, s"tau must be positive, got $tau")
+    val W = org.apache.spark.sql.expressions.Window
+    val km = kaplanMeier(df, keys, durationCol, eventCol)
+      .where(col("t") <= tau && col("t") >= 0L)
+    val w = W.partitionBy(keys.map(col): _*).orderBy(col("t"))
+    val wk = W.partitionBy(keys.map(col): _*)
+    val stepped = km
+      .withColumn("__prevT", coalesce(lag(col("t"), 1).over(w), lit(0L)))
+      .withColumn("__prevLog",
+        coalesce(lag(col("km_log_unats"), 1).over(w), lit(0L)))
+      .withColumn("__s", when(col("km_log_unats").isNull, lit(0.0))
+        .otherwise(exp(col("km_log_unats").cast("double") / lit(1e6))))
+      .withColumn("__contrib", round(lit(1e6) *
+        exp(col("__prevLog").cast("double") / lit(1e6)) *
+        (col("t") - col("__prevT")).cast("double")).cast("long"))
+      .withColumn("__maxT", max(col("t")).over(wk))
+      .withColumn("__tail", when(col("t") === col("__maxT") &&
+          col("t") < tau,
+        round(lit(1e6) * col("__s") *
+          (lit(tau) - col("t")).cast("double")).cast("long"))
+        .otherwise(lit(0L)))
+    stepped.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_times"),
+        (sum("__contrib") + sum("__tail")).as("rmst_micro"))
+      .select(keys.map(col) :+ lit(tau).as("tau") :+ col("n_times") :+
+        col("rmst_micro"): _*)
+  }
+
+  /**
+   * Gehan–Breslow–Wilcoxon test per key ('65) — the early-difference
+   * twin of [[logRank]]: weights each distinct event time by the
+   * at-risk count n, so divergence while MOST subjects are still
+   * alive (early churn) dominates, where log-rank weights all times
+   * equally and late tails can mask it. With the same hypergeometric
+   * moments:
+   *
+   *   z = Σ n·(O_A−E_A) / √(Σ n²·V)
+   *
+   * The n-weights CANCEL the rational denominators: n·(O−E) =
+   * d_A·n − d·n_A is an EXACT integer (micro-scaled, no division at
+   * all) and n²·V = d·n_A·(n−n_A)·(n−d)/(n−1) has one division point
+   * — tighter than unweighted log-rank's two. Terms round once to
+   * micro and sum in DECIMAL(38,0) (they carry an extra n factor over
+   * log-rank's, so long sums would wrap ~n× sooner). NULL z when
+   * ΣV = 0. Scale shape: identical to [[logRank]] — distinct times,
+   * never subject rows, zero joins.
+   *
+   * Returns keys + (n_times, oe_w_sum_micro, var_w_sum_micro,
+   * z_micro).
+   */
+  def gehanWilcoxon(df: DataFrame, keys: Seq[String], groupCol: String,
+      durationCol: String, eventCol: String): DataFrame = {
+    require(keys.nonEmpty, "keys required")
+    val W = org.apache.spark.sql.expressions.Window
+    val perT = df
+      .where(col(durationCol).isNotNull && col(eventCol).isNotNull &&
+        col(groupCol).isNotNull)
+      .select(keys.map(col) :+ col(durationCol).cast("long").as("__t") :+
+        col(eventCol).cast("boolean").as("__e") :+
+        col(groupCol).cast("boolean").as("__g"): _*)
+      .groupBy(keys.map(col) :+ col("__t"): _*)
+      .agg(count(lit(1)).as("__m"),
+        count(when(col("__g"), 1)).as("__ma"),
+        count(when(col("__e"), 1)).as("__d"),
+        count(when(col("__e") && col("__g"), 1)).as("__da"))
+    val wDesc = W.partitionBy(keys.map(col): _*).orderBy(col("__t").desc)
+      .rowsBetween(W.unboundedPreceding, 0)
+    val risky = perT
+      .withColumn("__n", sum("__m").over(wDesc))
+      .withColumn("__na", sum("__ma").over(wDesc))
+      .where(col("__d") > 0L)
+    val dec = "decimal(38,0)"
+    def D(c: Column): Column = c.cast(dec)
+    // n·(O−E) is exact: micro-scale it with NO division point
+    val oeT = (D(col("__da")) * col("__n") - D(col("__d")) * col("__na")) *
+      lit(1000000).cast(dec)
+    val vT = when(col("__n") === 1L, lit(0).cast(dec))
+      .otherwise(round(lit(1e6) *
+        (D(col("__d")) * col("__na") * (col("__n") - col("__na")) *
+          (col("__n") - col("__d"))).cast("double") /
+        (col("__n") - lit(1L)).cast("double")).cast(dec))
+    risky
+      .withColumn("__oe", oeT).withColumn("__v", vT)
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_times"),
+        sum("__oe").as("__oes"), sum("__v").as("__vs"))
+      .select(keys.map(col) :+ col("n_times") :+
+        col("__oes").cast("long").as("oe_w_sum_micro") :+
+        col("__vs").cast("long").as("var_w_sum_micro") :+
+        when(col("__vs") <= lit(0).cast(dec), lit(null).cast("long"))
+          .otherwise(round(lit(1e3) * col("__oes").cast("double") /
+            sqrt(col("__vs").cast("double"))).cast("long"))
+          .as("z_micro"): _*)
+  }
+
   def poissonBootstrap(df: DataFrame, idCol: String, valueCol: String,
       reps: Int = 32): DataFrame = {
     require(reps >= 2 && reps <= 1024, s"reps must be in [2,1024], got $reps")

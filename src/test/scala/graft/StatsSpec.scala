@@ -1627,4 +1627,31 @@ class StatsSpec extends AnyFunSuite {
     // k2: all values equal -> everything <= med, one above-level
     assert(out(1) == (("k2", 4L, 7L, 2L, 1L, Long.MinValue)))
   }
+
+  test("rmst hand area under the KM steps with tail to tau") {
+    // (1,T),(2,F),(3,T),(5,T), tau=4: steps 1.0*1 + 0.75*1 + 0.75*1
+    // + S(3)=0.375 tail to tau -> 2.875; t=5 filtered before windows
+    val df = Seq(("k1", 1L, true), ("k1", 2L, false), ("k1", 3L, true),
+      ("k1", 5L, true)).toDF("kk", "dur", "ev")
+    val r = Stats.rmst(df, Seq("kk"), "dur", "ev", tau = 4L).collect()(0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((4L, 3L, 2875000L)))
+  }
+
+  test("gehanWilcoxon hand z: exact integer n-weighted O-E terms") {
+    // A: (1,T),(3,T); B: (2,T),(4,F) -> oe 2e6, var 7e6,
+    // z = 1e3*2e6/sqrt(7e6) = 755929
+    val df = Seq(("k1", true, 1L, true), ("k1", true, 3L, true),
+      ("k1", false, 2L, true), ("k1", false, 4L, false))
+      .toDF("kk", "g", "dur", "ev")
+    val r = Stats.gehanWilcoxon(df, Seq("kk"), "g", "dur", "ev")
+      .collect()(0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((3L, 2000000L, 7000000L, 755929L)))
+    // one-group key: na = n at every time -> oe 0, var 0 -> z NULL
+    val one = Seq(("k1", true, 1L, true), ("k1", true, 2L, true))
+      .toDF("kk", "g", "dur", "ev")
+    assert(Stats.gehanWilcoxon(one, Seq("kk"), "g", "dur", "ev")
+      .collect()(0).isNullAt(4))
+  }
 }
