@@ -4571,3 +4571,85 @@ def gehan_wilcoxon(df, keys, group_col, duration_col, event_col):
                         F.lit(1e3) * F.col("__oes").cast("double") /
                         F.sqrt(F.col("__vs").cast("double"))).cast("long"))
                     .alias("z_micro")))
+
+
+def theil_inequality(df, keys, value_col):
+    """Theil T + Atkinson(eps=1) inequality per key -- Python mirror
+    of the Scala ``Stats.theilInequality``: per-distinct-value nano
+    terms c*v*ln(v) and c*ln(v) round once and sum order-independently;
+    exact DECIMAL n and sum. Values must be POSITIVE (fails loud)."""
+    kc = [F.col(k) for k in keys]
+    dec = "decimal(38,0)"
+    hist = (df.where(F.col(value_col).isNotNull())
+            .select(*kc, F.col(value_col).cast("long").alias("__v"))
+            .groupBy(*kc, F.col("__v"))
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .withColumn("__c", F.when(F.col("__v") > 0, F.col("__c"))
+                        .otherwise(F.raise_error(F.concat(
+                            F.lit("theil_inequality: value "),
+                            F.col("__v").cast("string"),
+                            F.lit(" is not positive -- filter or shift"
+                                  " upstream DELIBERATELY"))))))
+    cd, vd = F.col("__c").cast(dec), F.col("__v").cast(dec)
+    m = (hist
+         .withColumn("__t", F.round(
+             F.lit(1e9) * (cd * vd).cast("double") *
+             F.log(F.col("__v").cast("double"))).cast(dec))
+         .withColumn("__g", F.round(
+             F.lit(1e9) * cd.cast("double") *
+             F.log(F.col("__v").cast("double"))).cast(dec))
+         .groupBy(*kc)
+         .agg(F.sum(cd).alias("__n"), F.sum(cd * vd).alias("__s"),
+              F.sum("__t").alias("__L"), F.sum("__g").alias("__G")))
+    nd, sd = F.col("__n").cast("double"), F.col("__s").cast("double")
+    ln_mu = F.log(sd / nd)
+    return m.select(
+        *kc, F.col("__n").cast("long").alias("n"),
+        F.round(F.lit(1e6) * (F.col("__L").cast("double") / F.lit(1e9) /
+                              sd - ln_mu)).cast("long").alias("theil_micro"),
+        F.round(F.lit(1e6) * (F.lit(1.0) - F.exp(
+            F.col("__G").cast("double") / F.lit(1e9) / nd - ln_mu)))
+        .cast("long").alias("atkinson_micro"))
+
+
+def trimmed_mean(df, keys, value_col, trim_ppm=100000):
+    """Exact alpha-trimmed mean per key -- Python mirror of the Scala
+    ``Stats.trimmedMean``: drop the lowest/highest g = floor(n*trim)
+    observations EXACTLY via the per-key distinct-value histogram and
+    one cumulative window (no row sort); one round-once division.
+    NULL when over-trimmed."""
+    if not (0 <= trim_ppm < 500000):
+        raise ValueError("trim_ppm must be in [0, 500000), got %d"
+                         % trim_ppm)
+    kc = [F.col(k) for k in keys]
+    dec = "decimal(38,0)"
+    wc = (Window.partitionBy(*kc).orderBy(F.col("__v"))
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wk = Window.partitionBy(*kc)
+    hist = (df.where(F.col(value_col).isNotNull())
+            .select(*kc, F.col(value_col).cast("long").alias("__v"))
+            .groupBy(*kc, F.col("__v"))
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .withColumn("__cum", F.sum("__c").over(wc))
+            .withColumn("__n", F.sum("__c").over(wk))
+            .withColumn("__g", F.expr(
+                "(__n * %d) div 1000000" % trim_ppm)))
+    kept = F.greatest(
+        F.least(F.col("__cum"), F.col("__n") - F.col("__g")) -
+        F.greatest(F.col("__cum") - F.col("__c"), F.col("__g")),
+        F.lit(0))
+    return (hist.withColumn("__kept", kept)
+            .groupBy(*kc)
+            .agg(F.max("__n").alias("n"), F.max("__g").alias("__gm"),
+                 F.sum(F.col("__kept").cast(dec) * F.col("__v").cast(dec))
+                 .alias("__ks"))
+            .select(*kc, "n",
+                    (F.col("n") - F.lit(2) * F.col("__gm"))
+                    .alias("trimmed_n"),
+                    F.when(F.col("n") - F.lit(2) * F.col("__gm") <= 0,
+                           F.lit(None).cast("long"))
+                    .otherwise(F.round(
+                        F.lit(1e6) * F.col("__ks").cast("double") /
+                        (F.col("n") - F.lit(2) * F.col("__gm"))
+                        .cast("double")).cast("long"))
+                    .alias("trimmed_mean_micro")))

@@ -1677,3 +1677,28 @@ def test_gehan_wilcoxon_hand(spark):
     r = gehan_wilcoxon(df, ["kk"], "g", "dur", "ev").collect()[0]
     assert (r["n_times"], r["oe_w_sum_micro"], r["var_w_sum_micro"],
             r["z_micro"]) == (3, 2000000, 7000000, 755929)
+
+
+def test_theil_inequality_hand(spark):
+    import pytest
+    from graft.pipeline import theil_inequality
+    df = spark.createDataFrame([("k1", v) for v in (1, 1, 2, 4)],
+                               "kk string, v long")
+    r = theil_inequality(df, ["kk"], "v").collect()[0]
+    assert (r["n"], r["theil_micro"], r["atkinson_micro"]) == \
+        (4, 173287, 159104)
+    bad = spark.createDataFrame([("k1", 0)], "kk string, v long")
+    with pytest.raises(Exception, match="theil_inequality"):
+        theil_inequality(bad, ["kk"], "v").collect()
+
+
+def test_trimmed_mean_hand(spark):
+    from graft.pipeline import trimmed_mean
+    df = spark.createDataFrame(
+        [("a", v) for v in range(1, 11)] +
+        [("b", v) for v in (1, 1, 1, 5, 9, 9, 9)], "kk string, v long")
+    out = {r["kk"]: (r["n"], r["trimmed_n"], r["trimmed_mean_micro"])
+           for r in trimmed_mean(df, ["kk"], "v", trim_ppm=200000)
+           .collect()}
+    assert out["a"] == (10, 6, 5500000)
+    assert out["b"] == (7, 5, 5000000)

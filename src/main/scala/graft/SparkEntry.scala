@@ -4087,6 +4087,24 @@ object SparkEntry {
           expr("cast(round(value * 100) as bigint)").as("vc")),
         Seq("cohort"), "event_type", "vc")
         .orderBy("cohort")),
+    // Theil T + Atkinson inequality of document length per source —
+    // value-weighted where gini ranks key counts; positive-only
+    // contract, zeros filtered DELIBERATELY here
+    "q_theil" -> ((s, dir) =>
+      graft.pipeline.Stats.theilInequality(
+        t(s, dir, "documents")
+          .where(col("n_chars").isNotNull && col("n_chars") > 0L)
+          .select(col("source"), col("n_chars")),
+        Seq("source"), "n_chars")
+        .orderBy("source")),
+    // exact 10%-trimmed mean of event value per type over the
+    // distinct-value histogram — no row sort
+    "q_trimmed_mean" -> ((s, dir) =>
+      graft.pipeline.Stats.trimmedMean(
+        t(s, dir, "events").select(col("event_type"),
+          expr("cast(round(value * 100) as bigint)").as("vc")),
+        Seq("event_type"), "vc", trimPpm = 100000L)
+        .orderBy("event_type")),
     // Good-Turing unseen mass + Chao1 vocabulary estimate — how much
     // of the corpus vocabulary the crawl has NOT seen yet
     "q_vocab_richness" -> ((s, dir) =>
@@ -9840,6 +9858,49 @@ object SparkEntry {
         |    END AS chi2_micro
         |FROM sm JOIN md ON sm.cohort = md.cohort
         |ORDER BY sm.cohort""".stripMargin,
+    "q_theil" ->
+      """WITH e AS (SELECT source, n_chars AS v FROM documents
+        |  WHERE n_chars IS NOT NULL AND n_chars > 0),
+        |h AS (SELECT source, v, COUNT(*) AS c FROM e GROUP BY 1, 2),
+        |t AS (SELECT source, c, v,
+        |    CAST(round(1e9 * CAST(c::HUGEINT * v AS DOUBLE) *
+        |      ln(CAST(v AS DOUBLE))) AS HUGEINT) AS tn,
+        |    CAST(round(1e9 * CAST(c AS DOUBLE) *
+        |      ln(CAST(v AS DOUBLE))) AS HUGEINT) AS gn
+        |  FROM h),
+        |m AS (SELECT source, SUM(c)::HUGEINT AS n, SUM(c::HUGEINT * v) AS s,
+        |    SUM(tn) AS lsum, SUM(gn) AS gsum FROM t GROUP BY 1)
+        |SELECT source, CAST(n AS BIGINT) AS n,
+        |  CAST(round(1e6 * (CAST(lsum AS DOUBLE) / 1e9 /
+        |    CAST(s AS DOUBLE) -
+        |    ln(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))) AS BIGINT)
+        |    AS theil_micro,
+        |  CAST(round(1e6 * (1.0 - exp(CAST(gsum AS DOUBLE) / 1e9 /
+        |    CAST(n AS DOUBLE) -
+        |    ln(CAST(s AS DOUBLE) / CAST(n AS DOUBLE))))) AS BIGINT)
+        |    AS atkinson_micro
+        |FROM m ORDER BY source""".stripMargin,
+    "q_trimmed_mean" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS v FROM events
+        |  WHERE value IS NOT NULL),
+        |h AS (SELECT event_type, v, COUNT(*) AS c FROM e GROUP BY 1, 2),
+        |cw AS (SELECT *, SUM(c) OVER (PARTITION BY event_type ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(c) OVER (PARTITION BY event_type) AS n FROM h),
+        |g AS (SELECT *, (n * 100000) // 1000000 AS gg FROM cw),
+        |k AS (SELECT event_type, n, gg, v,
+        |    GREATEST(LEAST(cum, n - gg) - GREATEST(cum - c, gg), 0) AS kept
+        |  FROM g),
+        |m AS (SELECT event_type, MAX(n) AS n, MAX(gg) AS gm,
+        |    SUM(kept::HUGEINT * v) AS ks FROM k GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  CAST(n - 2 * gm AS BIGINT) AS trimmed_n,
+        |  CASE WHEN n - 2 * gm <= 0 THEN NULL
+        |    ELSE CAST(round(1e6 * CAST(ks AS DOUBLE) /
+        |      CAST(n - 2 * gm AS DOUBLE)) AS BIGINT)
+        |    END AS trimmed_mean_micro
+        |FROM m ORDER BY event_type""".stripMargin,
     "q_vocab_richness" ->
       """WITH tk AS (SELECT unnest(string_split(text, ' ')) AS tok
         |  FROM documents),

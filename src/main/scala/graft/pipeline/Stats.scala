@@ -3715,6 +3715,111 @@ object Stats {
           .as("z_micro"): _*)
   }
 
+  /**
+   * Theil T + Atkinson(ε=1) inequality indices per key (Theil '67;
+   * Atkinson '70) — "how unevenly is this metric distributed",
+   * value-weighted where [[giniConcentration]] ranks key COUNTS
+   * (compute share, token budget, per-tenant cost):
+   *
+   *   T    = Σ x·ln x / (n·μ) − ln μ          (0 = equal, ln n = max)
+   *   A(1) = 1 − geomean(x)/μ
+   *
+   * Per-DISTINCT-value nano terms c·v·ln v and c·ln v round once and
+   * sum order-independently (the [[mutualInformation]] discipline);
+   * Σx and n stay exact DECIMAL. Values must be POSITIVE — a zero or
+   * negative value fails loud (ln is undefined; silently dropping
+   * mass would understate inequality). Scale shape: one distinct-value
+   * histogram groupBy per key, one rollup — no windows, no joins.
+   *
+   * Returns keys + (n, theil_micro, atkinson_micro).
+   */
+  def theilInequality(df: DataFrame, keys: Seq[String],
+      valueCol: String): DataFrame = {
+    require(keys.nonEmpty, "keys required")
+    val dec = "decimal(38,0)"
+    val hist = df
+      .where(col(valueCol).isNotNull)
+      .select(keys.map(col) :+ col(valueCol).cast("long").as("__v"): _*)
+      .groupBy(keys.map(col) :+ col("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__c", when(col("__v") > 0L, col("__c"))
+        .otherwise(raise_error(concat(
+          lit("theil_inequality: value "), col("__v"),
+          lit(" is not positive — ln is undefined; filter or shift " +
+            "upstream DELIBERATELY")))))
+    val cd = col("__c").cast(dec); val vd = col("__v").cast(dec)
+    val m = hist
+      .withColumn("__t", round(lit(1e9) * (cd * vd).cast("double") *
+        log(col("__v").cast("double"))).cast(dec))
+      .withColumn("__g", round(lit(1e9) * cd.cast("double") *
+        log(col("__v").cast("double"))).cast(dec))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(cd).as("__n"), sum(cd * vd).as("__s"),
+        sum("__t").as("__L"), sum("__g").as("__G"))
+    val nd = col("__n").cast("double"); val sd = col("__s").cast("double")
+    val lnMu = log(sd / nd)
+    m.select(keys.map(col) :+ col("__n").cast("long").as("n") :+
+      round(lit(1e6) * (col("__L").cast("double") / lit(1e9) / sd - lnMu))
+        .cast("long").as("theil_micro") :+
+      round(lit(1e6) * (lit(1.0) -
+        exp(col("__G").cast("double") / lit(1e9) / nd - lnMu)))
+        .cast("long").as("atkinson_micro"): _*)
+  }
+
+  /**
+   * Exact α-trimmed mean per key — the robust location estimate that
+   * survives the heavy-tail/outlier regimes where the plain mean is
+   * one bot away from garbage (the reporting companion to
+   * [[winsorize]], which clips ROWS; this trims the AGGREGATE):
+   * drop the lowest and highest g = ⌊n·trim⌋ observations, average
+   * the rest — computed EXACTLY over the per-key distinct-value
+   * histogram, no row sort:
+   *
+   *   kept(v) = clamp(min(cum(v), n−g) − max(cum(v)−c(v), g), ≥0)
+   *   mean    = Σ kept(v)·v / (n − 2g)     (one round-once division)
+   *
+   * Scale shape: one histogram groupBy, one cumulative window over
+   * DISTINCT values per key, one rollup. NULL when n − 2g ≤ 0
+   * (over-trimmed).
+   *
+   * Returns keys + (n, trimmed_n, trimmed_mean_micro).
+   */
+  def trimmedMean(df: DataFrame, keys: Seq[String], valueCol: String,
+      trimPpm: Long = 100000L): DataFrame = {
+    require(keys.nonEmpty, "keys required")
+    require(trimPpm >= 0L && trimPpm < 500000L,
+      s"trimPpm must be in [0, 500000), got $trimPpm")
+    val W = org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val wc = W.partitionBy(keys.map(col): _*).orderBy(col("__v"))
+      .rowsBetween(W.unboundedPreceding, 0)
+    val wk = W.partitionBy(keys.map(col): _*)
+    val hist = df
+      .where(col(valueCol).isNotNull)
+      .select(keys.map(col) :+ col(valueCol).cast("long").as("__v"): _*)
+      .groupBy(keys.map(col) :+ col("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum("__c").over(wc))
+      .withColumn("__n", sum("__c").over(wk))
+      .withColumn("__g", expr(s"(__n * ${trimPpm}L) div 1000000"))
+    val kept = greatest(
+      least(col("__cum"), col("__n") - col("__g")) -
+        greatest(col("__cum") - col("__c"), col("__g")),
+      lit(0L))
+    hist
+      .withColumn("__kept", kept)
+      .groupBy(keys.map(col): _*)
+      .agg(max("__n").as("n"), max("__g").as("__gm"),
+        sum(col("__kept").cast(dec) * col("__v").cast(dec)).as("__ks"))
+      .select(keys.map(col) :+ col("n") :+
+        (col("n") - lit(2L) * col("__gm")).as("trimmed_n") :+
+        when(col("n") - lit(2L) * col("__gm") <= 0L,
+          lit(null).cast("long"))
+          .otherwise(round(lit(1e6) * col("__ks").cast("double") /
+            (col("n") - lit(2L) * col("__gm")).cast("double"))
+            .cast("long")).as("trimmed_mean_micro"): _*)
+  }
+
   def poissonBootstrap(df: DataFrame, idCol: String, valueCol: String,
       reps: Int = 32): DataFrame = {
     require(reps >= 2 && reps <= 1024, s"reps must be in [2,1024], got $reps")

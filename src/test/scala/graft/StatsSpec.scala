@@ -1654,4 +1654,37 @@ class StatsSpec extends AnyFunSuite {
     assert(Stats.gehanWilcoxon(one, Seq("kk"), "g", "dur", "ev")
       .collect()(0).isNullAt(4))
   }
+
+  test("theilInequality hand T and Atkinson; non-positive fails loud") {
+    val df = Seq(1L, 1L, 2L, 4L).map(("k1", _)).toDF("kk", "v")
+    val r = Stats.theilInequality(df, Seq("kk"), "v").collect()(0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((4L, 173287L, 159104L)))
+    val bad = Seq(0L, 1L).map(("k1", _)).toDF("kk", "v")
+    val e = intercept[Exception] {
+      Stats.theilInequality(bad, Seq("kk"), "v").collect()
+    }
+    assert(e.getMessage.contains("theil_inequality") ||
+      e.getCause.getMessage.contains("theil_inequality"))
+  }
+
+  test("trimmedMean exact over ties; over-trim NULL") {
+    val df = ((1L to 10L).map(("a", _)) ++
+      Seq(1L, 1L, 1L, 5L, 9L, 9L, 9L).map(("b", _)) ++
+      Seq(3L).map(("c", _))).toDF("kk", "v")
+    val out = Stats.trimmedMean(df, Seq("kk"), "v", trimPpm = 200000L)
+      .orderBy("kk").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) Long.MinValue else r.getLong(3)))
+    // a: n=10, g=2, keep 3..8 -> 33/6 = 5.5
+    assert(out(0) == (("a", 10L, 6L, 5500000L)))
+    // b: n=7, g=1, drop one 1 one 9, keep 1,1,5,9,9 -> 25/5 = 5
+    assert(out(1) == (("b", 7L, 5L, 5000000L)))
+    // c: n=1, g=0 -> mean is the value itself
+    assert(out(2) == (("c", 1L, 1L, 3000000L)))
+    // 10% trim on key a: g=1 -> 2..9 mean 5.5
+    val a10 = Stats.trimmedMean(df.where($"kk" === "a"), Seq("kk"), "v",
+      trimPpm = 100000L).collect()(0)
+    assert((a10.getLong(2), a10.getLong(3)) == ((8L, 5500000L)))
+  }
 }
