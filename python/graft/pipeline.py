@@ -4653,3 +4653,39 @@ def trimmed_mean(df, keys, value_col, trim_ppm=100000):
                         (F.col("n") - F.lit(2) * F.col("__gm"))
                         .cast("double")).cast("long"))
                     .alias("trimmed_mean_micro")))
+
+
+def page_hinkley(df, keys, order_col, value_col, delta_micro=0,
+                 lambda_micro=1000000):
+    """Page-Hinkley mean-shift detector per key -- Python mirror of
+    the Scala ``Stats.pageHinkley``: per-row micro terms against the
+    RUNNING mean round once (HALF_UP both engines), cumulative m and
+    its prefix min are exact integer window sums; returns the final
+    row per key. order_col must be unique per key by contract."""
+    if lambda_micro <= 0:
+        raise ValueError("lambda_micro must be positive")
+    kc = [F.col(k) for k in keys]
+    w = (Window.partitionBy(*kc).orderBy(F.col("__t"))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    base = (df.where(F.col(value_col).isNotNull() &
+                     F.col(order_col).isNotNull())
+            .select(*kc, F.col(order_col).cast("long").alias("__t"),
+                    F.col(value_col).cast("long").alias("__x"))
+            .withColumn("__cs", F.sum("__x").over(w))
+            .withColumn("__cn", F.count(F.lit(1)).over(w))
+            .withColumn("__term", F.round(F.lit(1e6) * (
+                F.col("__x").cast("double") -
+                F.col("__cs").cast("double") /
+                F.col("__cn").cast("double"))).cast("long") -
+                F.lit(int(delta_micro)))
+            .withColumn("__m", F.sum("__term").over(w))
+            .withColumn("__minm", F.min("__m").over(w)))
+    return (base.groupBy(*kc)
+            .agg(F.max(F.struct("__t", "__cn", "__m", "__minm"))
+                 .alias("__last"))
+            .select(*kc, F.col("__last.__cn").alias("n"),
+                    F.col("__last.__m").alias("m_micro"),
+                    (F.col("__last.__m") - F.col("__last.__minm"))
+                    .alias("ph_micro"),
+                    (F.col("__last.__m") - F.col("__last.__minm") >
+                     int(lambda_micro)).alias("alarm")))

@@ -82,6 +82,16 @@ def cusum_stream(df, key, order_col, value_col, ref, slack, threshold):
         int(threshold)))
 
 
+def page_hinkley_stream(df, key, order_col, value_col, delta_micro=0,
+                        lambda_micro=1000000):
+    """Streaming Page-Hinkley mean-shift detector per key — deviation
+    from the RUNNING mean (no calibrated baseline); state is exactly
+    4 longs per key."""
+    return _wrap(df, _bridge(df).pageHinkleyStream(
+        df._jdf, key, order_col, value_col, int(delta_micro),
+        int(lambda_micro)))
+
+
 def debounce_stream(df, key, ts_col, id_col, min_gap):
     """Suppress per-key events arriving within ``min_gap`` of the last
     emitted one — state is one long per key."""

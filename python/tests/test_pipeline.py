@@ -1702,3 +1702,14 @@ def test_trimmed_mean_hand(spark):
            .collect()}
     assert out["a"] == (10, 6, 5500000)
     assert out["b"] == (7, 5, 5000000)
+
+
+def test_page_hinkley_hand(spark):
+    from graft.pipeline import page_hinkley
+    df = spark.createDataFrame(
+        [("a", i, x) for i, x in enumerate((10, 10, 10, 20, 20))],
+        "kk string, t long, v long")
+    r = page_hinkley(df, ["kk"], "t", "v",
+                     lambda_micro=4000000).collect()[0]
+    assert (r["n"], r["m_micro"], r["ph_micro"], r["alarm"]) == \
+        (5, 13500000, 13500000, True)

@@ -144,3 +144,18 @@ def test_psi_windowed_shape(spark):
     assert len(out) == 1
     # 60/40 vs the 50/50 reference: a small positive PSI (~40546 unats)
     assert 0 < out[0]["psi_unats"] < 200000
+
+
+def test_page_hinkley_stream_batch_face(spark):
+    from graft.streaming import page_hinkley_stream
+    from graft.pipeline import page_hinkley
+    df = spark.createDataFrame(
+        [(1, i, x) for i, x in enumerate((10, 10, 10, 20, 20))],
+        "k long, t long, x long")
+    out = page_hinkley_stream(df, "k", "t", "x",
+                              lambda_micro=4000000).collect()
+    last = max(out, key=lambda r: r["nSoFar"])
+    batch = page_hinkley(df, ["k"], "t", "x",
+                         lambda_micro=4000000).collect()[0]
+    assert (last["nSoFar"], last["phMicro"], last["alarm"]) == \
+        (batch["n"], batch["ph_micro"], batch["alarm"])

@@ -4105,6 +4105,15 @@ object SparkEntry {
           expr("cast(round(value * 100) as bigint)").as("vc")),
         Seq("event_type"), "vc", trimPpm = 100000L)
         .orderBy("event_type")),
+    // Page-Hinkley mean-shift detector per user over the event-value
+    // series — running-mean deviation, final row per key
+    "q_page_hinkley" -> ((s, dir) =>
+      graft.pipeline.Stats.pageHinkley(
+        t(s, dir, "events").select(col("user_id"), col("event_id"),
+          expr("cast(round(value * 100) as bigint)").as("vc")),
+        Seq("user_id"), "event_id", "vc", deltaMicro = 0L,
+        lambdaMicro = 2000000L)
+        .orderBy("user_id")),
     // Good-Turing unseen mass + Chao1 vocabulary estimate — how much
     // of the corpus vocabulary the crawl has NOT seen yet
     "q_vocab_richness" -> ((s, dir) =>
@@ -9901,6 +9910,35 @@ object SparkEntry {
         |      CAST(n - 2 * gm AS DOUBLE)) AS BIGINT)
         |    END AS trimmed_mean_micro
         |FROM m ORDER BY event_type""".stripMargin,
+    "q_page_hinkley" ->
+      """WITH e AS (SELECT user_id AS k, event_id AS t,
+        |    CAST(round(value * 100) AS BIGINT) AS x FROM events
+        |  WHERE value IS NOT NULL AND event_id IS NOT NULL),
+        |w AS (SELECT k, t, x,
+        |    SUM(x) OVER (PARTITION BY k ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs,
+        |    COUNT(*) OVER (PARTITION BY k ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn
+        |  FROM e),
+        |tm AS (SELECT k, t, cn,
+        |    CAST(round(1e6 * (CAST(x AS DOUBLE) -
+        |      CAST(cs AS DOUBLE) / CAST(cn AS DOUBLE))) AS BIGINT) AS term
+        |  FROM w),
+        |mm AS (SELECT k, t, cn,
+        |    SUM(term) OVER (PARTITION BY k ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+        |  FROM tm),
+        |mn AS (SELECT k, t, cn, m,
+        |    MIN(m) OVER (PARTITION BY k ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS minm
+        |  FROM mm)
+        |SELECT k AS user_id, CAST(cn AS BIGINT) AS n,
+        |  CAST(m AS BIGINT) AS m_micro,
+        |  CAST(m - minm AS BIGINT) AS ph_micro,
+        |  (m - minm > 2000000) AS alarm
+        |FROM mn QUALIFY row_number() OVER (PARTITION BY k
+        |  ORDER BY t DESC) = 1
+        |ORDER BY user_id""".stripMargin,
     "q_vocab_richness" ->
       """WITH tk AS (SELECT unnest(string_split(text, ' ')) AS tok
         |  FROM documents),

@@ -3820,6 +3820,59 @@ object Stats {
             .cast("long")).as("trimmed_mean_micro"): _*)
   }
 
+  /**
+   * Page–Hinkley mean-shift detector per key (Page '54; Hinkley '71)
+   * — the drift-with-memory cousin of [[cusum]]: where CUSUM tracks
+   * deviation from a FIXED reference, PH tracks deviation from the
+   * RUNNING mean, so it needs no calibrated baseline:
+   *
+   *   m_T  = Σ_{t≤T} (x_t − x̄_t − δ),   PH_T = m_T − min_{t≤T} m_t
+   *   alarm when PH_T > λ
+   *
+   * Each row's term rounds ONCE to micro (the running mean x̄_t =
+   * cumsum/t is the single double division; round is HALF_UP =
+   * ties-away-from-zero on BOTH engines) and the cumulative m / its
+   * prefix min are exact integer window sums — engine-replayable.
+   * `orderCol` must be unique per key by contract (ties would make
+   * the prefix nondeterministic). Returns the FINAL row per key.
+   *
+   * Scale shape: one key-partitioned window pass (rows shuffle once),
+   * one max-struct rollup. The streaming twin is
+   * [[graft.streaming.StreamingPipeline.pageHinkleyStream]] (state:
+   * 4 longs per key).
+   *
+   * Returns keys + (n, m_micro, ph_micro, alarm).
+   */
+  def pageHinkley(df: DataFrame, keys: Seq[String], orderCol: String,
+      valueCol: String, deltaMicro: Long = 0L,
+      lambdaMicro: Long): DataFrame = {
+    require(keys.nonEmpty, "keys required")
+    require(lambdaMicro > 0L, s"lambdaMicro must be positive")
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy(keys.map(col): _*).orderBy(col("__t"))
+      .rowsBetween(W.unboundedPreceding, 0)
+    val base = df
+      .where(col(valueCol).isNotNull && col(orderCol).isNotNull)
+      .select(keys.map(col) :+ col(orderCol).cast("long").as("__t") :+
+        col(valueCol).cast("long").as("__x"): _*)
+      .withColumn("__cs", sum("__x").over(w))
+      .withColumn("__cn", count(lit(1)).over(w))
+      .withColumn("__term", round(lit(1e6) *
+        (col("__x").cast("double") -
+          col("__cs").cast("double") / col("__cn").cast("double")))
+        .cast("long") - lit(deltaMicro))
+      .withColumn("__m", sum("__term").over(w))
+      .withColumn("__minm", min("__m").over(w))
+    base.groupBy(keys.map(col): _*)
+      .agg(max(struct(col("__t"), col("__cn"), col("__m"),
+        col("__minm"))).as("__last"))
+      .select(keys.map(col) :+ col("__last.__cn").as("n") :+
+        col("__last.__m").as("m_micro") :+
+        (col("__last.__m") - col("__last.__minm")).as("ph_micro") :+
+        (col("__last.__m") - col("__last.__minm") > lambdaMicro)
+          .as("alarm"): _*)
+  }
+
   def poissonBootstrap(df: DataFrame, idCol: String, valueCol: String,
       reps: Int = 32): DataFrame = {
     require(reps >= 2 && reps <= 1024, s"reps must be in [2,1024], got $reps")

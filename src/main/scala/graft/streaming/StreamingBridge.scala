@@ -59,6 +59,12 @@ object StreamingBridge {
     StreamingPipeline.cusumStream(df, key, orderCol, valueCol,
       ref, slack, threshold).toDF()
 
+  /** [[StreamingPipeline.pageHinkleyStream]]. */
+  def pageHinkleyStream(df: DataFrame, key: String, orderCol: String,
+      valueCol: String, deltaMicro: Long, lambdaMicro: Long): DataFrame =
+    StreamingPipeline.pageHinkleyStream(df, key, orderCol, valueCol,
+      deltaMicro, lambdaMicro).toDF()
+
   /** [[StreamingPipeline.debounceStream]]. */
   def debounceStream(df: DataFrame, key: String, tsCol: String,
       idCol: String, minGap: Long): DataFrame =

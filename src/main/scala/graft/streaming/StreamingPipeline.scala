@@ -833,6 +833,68 @@ object StreamingPipeline {
       }
   }
 
+  /** (key, order, value) projection for the Page–Hinkley detector. */
+  final case class PhRow(k: Long, t: Long, x: Long)
+  /** Per-key state: exactly 4 longs — prefix count, prefix sum, the
+    * cumulative micro deviation m, and its prefix minimum. */
+  final case class PhSt(n: Long, s: Long, m: Long, minM: Long)
+  /** Per-row output: PH statistic against the prefix including this
+    * row, and the alarm flag. */
+  final case class PhOut(key: Long, t: Long, x: Long, nSoFar: Long,
+      phMicro: Long, alarm: Boolean)
+
+  /**
+   * Streaming Page–Hinkley mean-shift detector — the live face of
+   * [[graft.pipeline.Stats.pageHinkley]], the no-baseline cousin of
+   * [[cusumStream]] (deviation from the RUNNING mean, not a fixed
+   * reference). Per row: term = round(1e6·(x − s/n)) − δ, m += term,
+   * PH = m − min m, alarm when PH > λ. The one double division (s/n)
+   * and its HALF_UP rounding are written with BigDecimal
+   * ties-away-from-zero — bit-identical to the batch operator's
+   * `round` (java Math.round would disagree on negative .5 ties), so
+   * a single micro-batch over a static frame reproduces the batch
+   * face's final row per key (spec pins it).
+   *
+   * State is EXACTLY 4 longs per key — bounded regardless of stream
+   * length; moments persist across batches and restarts (specs pin
+   * both). Per-key in-order feed assumed (the [[cusumStream]] trade);
+   * rows inside one batch sorted by `t`.
+   */
+  def pageHinkleyStream(df: DataFrame, key: String, orderCol: String,
+      valueCol: String, deltaMicro: Long = 0L,
+      lambdaMicro: Long): Dataset[PhOut] = {
+    require(lambdaMicro > 0L, "lambdaMicro must be positive")
+    import df.sparkSession.implicits._
+    val rows = df.select(col(key).cast("long").as("k"),
+      col(orderCol).cast("long").as("t"),
+      col(valueCol).cast("long").as("x")).as[PhRow]
+    rows.groupByKey(_.k)
+      .flatMapGroupsWithState[PhSt, PhOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (k: Long, it: Iterator[PhRow], state: GroupState[PhSt]) =>
+          var st = state.getOption.getOrElse(PhSt(0L, 0L, 0L, Long.MaxValue))
+          val out = Vector.newBuilder[PhOut]
+          for (r <- it.toSeq.sortBy(_.t)) {
+            val n = st.n + 1
+            val s = st.s + r.x
+            // BigDecimal.valueOf (shortest-string) + HALF_UP is what
+            // Spark's Round does on doubles — exact parity with the
+            // batch operator's term
+            val term = java.math.BigDecimal.valueOf(
+              1e6 * (r.x.toDouble - s.toDouble / n.toDouble))
+              .setScale(0, java.math.RoundingMode.HALF_UP)
+              .longValueExact() - deltaMicro
+            val m = st.m + term
+            val minM = math.min(st.minM, m)
+            st = PhSt(n, s, m, minM)
+            val ph = m - minM
+            out += PhOut(k, r.t, r.x, n, ph, ph > lambdaMicro)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** (key, order, value) projection for the running z-gate. */
   final case class ZRow(k: Long, t: Long, x: Long)
   /** Per-key state: the three exact integer moments — 3 longs. */

@@ -1687,4 +1687,19 @@ class StatsSpec extends AnyFunSuite {
       trimPpm = 100000L).collect()(0)
     assert((a10.getLong(2), a10.getLong(3)) == ((8L, 5500000L)))
   }
+
+  test("pageHinkley hand walk: level shift alarms, steady level does " +
+      "not") {
+    // 10,10,10,20,20: terms 0,0,0,+7.5,+6.0 -> PH 13.5e6 > lambda 4e6
+    val df = (Seq(10L, 10L, 10L, 20L, 20L).zipWithIndex
+      .map { case (x, i) => ("a", i.toLong, x) } ++
+      Seq(10L, 10L, 10L).zipWithIndex
+        .map { case (x, i) => ("b", i.toLong, x) }).toDF("kk", "t", "v")
+    val out = Stats.pageHinkley(df, Seq("kk"), "t", "v",
+      lambdaMicro = 4000000L).orderBy("kk").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    assert(out(0) == (("a", 5L, 13500000L, 13500000L, true)))
+    assert(out(1) == (("b", 3L, 0L, 0L, false)))
+  }
 }

@@ -1708,4 +1708,92 @@ class StreamingPipelineSpec extends AnyFunSuite {
       "worst bin is bin0 at 600000/2 per-row gap")
   }
 
+  test("pageHinkleyStream single batch matches the batch pageHinkley " +
+      "final row") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long)]
+    val out = StreamingPipeline.pageHinkleyStream(
+      mem.toDF().toDF("k", "t", "x"), "k", "t", "x",
+      lambdaMicro = 4000000L)
+    val q = out.toDF().writeStream.format("memory").queryName("ph_one")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, 1L, 10L), (1L, 2L, 10L), (1L, 3L, 10L),
+        (1L, 4L, 20L), (1L, 5L, 20L))
+      q.processAllAvailable()
+      val last = spark.sql(
+        "SELECT nSoFar, phMicro, alarm FROM ph_one ORDER BY nSoFar DESC")
+        .collect()(0)
+      val batch = graft.pipeline.Stats.pageHinkley(
+        Seq((1L, 1L, 10L), (1L, 2L, 10L), (1L, 3L, 10L), (1L, 4L, 20L),
+          (1L, 5L, 20L)).toDF("k", "t", "x"), Seq("k"), "t", "x",
+        lambdaMicro = 4000000L).collect()(0)
+      assert(last.getLong(0) == batch.getLong(1))
+      assert(last.getLong(1) == batch.getLong(3), "PH parity")
+      assert(last.getBoolean(2) == batch.getBoolean(4))
+    } finally q.stop()
+  }
+
+  test("pageHinkleyStream accumulates the running mean across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long)]
+    val out = StreamingPipeline.pageHinkleyStream(
+      mem.toDF().toDF("k", "t", "x"), "k", "t", "x",
+      lambdaMicro = 4000000L)
+    val q = out.toDF().writeStream.format("memory").queryName("ph_acc")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, 1L, 10L), (1L, 2L, 10L), (1L, 3L, 10L))
+      q.processAllAvailable()
+      mem.addData((1L, 4L, 20L), (1L, 5L, 20L))
+      q.processAllAvailable()
+      val last = spark.sql(
+        "SELECT nSoFar, phMicro, alarm FROM ph_acc ORDER BY nSoFar DESC")
+        .collect()(0)
+      // cumulative prefix, not batch-local: same hand case, PH 13.5e6
+      assert(last.getLong(0) == 5L && last.getLong(1) == 13500000L &&
+        last.getBoolean(2))
+    } finally q.stop()
+  }
+
+  test("pageHinkleyStream 4-long state recovers across runs via " +
+      "checkpoint") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("stream-ph-ck").toString
+    val ckpt = Files.createTempDirectory("stream-ph-ck-ckpt").toString
+    val outDir = Files.createTempDirectory("stream-ph-ck-out").toString
+    val schema = Seq((1L, 1L, 1L)).toDF("k", "t", "x").schema
+
+    def run(): Unit = {
+      val rows = StreamingPipeline.pageHinkleyStream(
+        spark.readStream.schema(schema).parquet(dir), "k", "t", "x",
+        lambdaMicro = 4000000L)
+      val q = rows.toDF().writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+
+    val b1 = Seq((1L, 1L, 10L), (1L, 2L, 10L), (1L, 3L, 10L))
+    b1.toDF("k", "t", "x").write.mode("overwrite").parquet(dir)
+    run()
+    val b2 = Seq((1L, 4L, 20L), (1L, 5L, 20L))
+    b2.toDF("k", "t", "x").write.mode("append").parquet(dir)
+    run()
+
+    val out = spark.read.parquet(outDir)
+      .select("nSoFar", "phMicro", "alarm").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L), out.toString)
+    assert(out(3L) == ((0L, false)), "run-1 steady prefix")
+    // restored (n, s, m, minM) must continue the run-1 prefix: the
+    // level shift scores against the CUMULATIVE mean
+    assert(out(5L) == ((13500000L, true)),
+      "post-recovery PH must equal the batch face on the union")
+  }
+
 }
