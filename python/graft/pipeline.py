@@ -4689,3 +4689,103 @@ def page_hinkley(df, keys, order_col, value_col, delta_micro=0,
                     .alias("ph_micro"),
                     (F.col("__last.__m") - F.col("__last.__minm") >
                      int(lambda_micro)).alias("alarm")))
+
+
+def cronbach_alpha(df, keys, subject_col, item_col, score_col):
+    """Cronbach's alpha per key -- Python mirror of the Scala
+    ``Stats.cronbachAlpha``: exact DECIMAL variance numerators whose
+    shared n(n-1) denominators cancel in the ratio; complete blocks
+    fail loud. NULL when k < 2 or var(total) = 0."""
+    kc = [F.col(k) for k in keys]
+    dec = "decimal(38,0)"
+    base = (df.where(F.col(subject_col).isNotNull() &
+                     F.col(item_col).isNotNull() &
+                     F.col(score_col).isNotNull())
+            .select(*kc, F.col(subject_col).alias("__s"),
+                    F.col(item_col).alias("__i"),
+                    F.col(score_col).cast("long").alias("__x")))
+    k = base.groupBy(*kc).agg(F.countDistinct("__i").alias("__k"))
+    xd = F.col("__x").cast(dec)
+    items = (base.groupBy(*kc, F.col("__i"))
+             .agg(F.count(F.lit(1)).cast(dec).alias("__n"),
+                  F.sum(xd).alias("__si"), F.sum(xd * xd).alias("__qi"))
+             .withColumn("__ssn", F.col("__n") * F.col("__qi") -
+                         F.col("__si") * F.col("__si"))
+             .groupBy(*kc).agg(F.sum("__ssn").alias("__ssi")))
+    subj = (base.groupBy(*kc, F.col("__s"))
+            .agg(F.count(F.lit(1)).alias("__ks"),
+                 F.sum("__x").alias("__T")))
+    td = F.col("__T").cast(dec)
+    totals = (subj.join(F.broadcast(k), keys)
+              .withColumn("__T", F.when(
+                  F.col("__ks") == F.col("__k"), F.col("__T"))
+                  .otherwise(F.raise_error(F.concat(
+                      F.lit("cronbach_alpha: subject "),
+                      F.col("__s").cast("string"), F.lit(" has "),
+                      F.col("__ks").cast("string"),
+                      F.lit(" items, expected "),
+                      F.col("__k").cast("string"),
+                      F.lit(" -- blocks must be complete")))))
+              .groupBy(*kc)
+              .agg(F.count(F.lit(1)).cast(dec).alias("__ns"),
+                   F.sum(td).alias("__st"), F.sum(td * td).alias("__qt"))
+              .withColumn("__sst", F.col("__ns") * F.col("__qt") -
+                          F.col("__st") * F.col("__st")))
+    kd = F.col("__k").cast("double")
+    return (items.join(totals, keys).join(F.broadcast(k), keys)
+            .select(*kc, F.col("__ns").cast("long").alias("n_subjects"),
+                    F.col("__k").alias("k_items"),
+                    F.when((F.col("__k") < 2) | (F.col("__sst") <= 0),
+                           F.lit(None).cast("long"))
+                    .otherwise(F.round(
+                        F.lit(1e6) * kd / (kd - F.lit(1.0)) *
+                        (F.lit(1.0) - F.col("__ssi").cast("double") /
+                         F.col("__sst").cast("double"))).cast("long"))
+                    .alias("alpha_micro")))
+
+
+def two_proportion_z(df, keys, group_col, success_col):
+    """Two-proportion z test + Wilson 95% intervals per key -- Python
+    mirror of the Scala ``Stats.twoProportionZ``: exact counts, one
+    round-once ppm expression per published number (z = 1.96)."""
+    kc = [F.col(k) for k in keys]
+    g = F.col(group_col).cast("boolean")
+    s = F.col(success_col).cast("boolean")
+    m = (df.where(g.isNotNull() & s.isNotNull())
+         .groupBy(*kc)
+         .agg(F.count(F.when(g, 1)).alias("n_a"),
+              F.count(F.when(g & s, 1)).alias("s_a"),
+              F.count(F.when(~g, 1)).alias("n_b"),
+              F.count(F.when(~g & s, 1)).alias("s_b")))
+    nad, sad = F.col("n_a").cast("double"), F.col("s_a").cast("double")
+    nbd, sbd = F.col("n_b").cast("double"), F.col("s_b").cast("double")
+    pp = (sad + sbd) / (nad + nbd)
+    z = (sad / nad - sbd / nbd) / F.sqrt(
+        pp * (F.lit(1.0) - pp) * (F.lit(1.0) / nad + F.lit(1.0) / nbd))
+
+    def wilson(s_d, n_d, hi):
+        z2 = F.lit(1.96 * 1.96)
+        p = s_d / n_d
+        center = p + z2 / (F.lit(2.0) * n_d)
+        half = F.lit(1.96) * F.sqrt(
+            p * (F.lit(1.0) - p) / n_d + z2 / (F.lit(4.0) * n_d * n_d))
+        return F.round(F.lit(1e6) *
+                       ((center + half) if hi else (center - half)) /
+                       (F.lit(1.0) + z2 / n_d)).cast("long")
+
+    null_long = F.lit(None).cast("long")
+    return m.select(
+        *kc, "n_a", "s_a", "n_b", "s_b",
+        F.when((F.col("n_a") == 0) | (F.col("n_b") == 0) |
+               (F.col("s_a") + F.col("s_b") == 0) |
+               (F.col("s_a") + F.col("s_b") ==
+                F.col("n_a") + F.col("n_b")), null_long)
+        .otherwise(F.round(F.lit(1e6) * z).cast("long")).alias("z_micro"),
+        F.when(F.col("n_a") == 0, null_long)
+        .otherwise(wilson(sad, nad, False)).alias("a_lo_ppm"),
+        F.when(F.col("n_a") == 0, null_long)
+        .otherwise(wilson(sad, nad, True)).alias("a_hi_ppm"),
+        F.when(F.col("n_b") == 0, null_long)
+        .otherwise(wilson(sbd, nbd, False)).alias("b_lo_ppm"),
+        F.when(F.col("n_b") == 0, null_long)
+        .otherwise(wilson(sbd, nbd, True)).alias("b_hi_ppm"))

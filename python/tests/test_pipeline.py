@@ -1713,3 +1713,30 @@ def test_page_hinkley_hand(spark):
                      lambda_micro=4000000).collect()[0]
     assert (r["n"], r["m_micro"], r["ph_micro"], r["alarm"]) == \
         (5, 13500000, 13500000, True)
+
+
+def test_cronbach_alpha_hand(spark):
+    import pytest
+    from graft.pipeline import cronbach_alpha
+    scores = {1: (2, 4, 3), 2: (4, 5, 5), 3: (1, 2, 2), 4: (3, 4, 3)}
+    rows = [("g1", s, "item%d" % i, x)
+            for s, xs in scores.items() for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "kk string, s long, i string, x long")
+    r = cronbach_alpha(df, ["kk"], "s", "i", "x").collect()[0]
+    assert (r["n_subjects"], r["k_items"], r["alpha_micro"]) == \
+        (4, 3, 969512)
+    bad = spark.createDataFrame(rows[1:],
+                                "kk string, s long, i string, x long")
+    with pytest.raises(Exception, match="cronbach_alpha"):
+        cronbach_alpha(bad, ["kk"], "s", "i", "x").collect()
+
+
+def test_two_proportion_z_hand(spark):
+    from graft.pipeline import two_proportion_z
+    rows = ([("k1", True, i <= 40) for i in range(1, 101)] +
+            [("k1", False, i <= 30) for i in range(1, 121)])
+    df = spark.createDataFrame(rows, "kk string, g boolean, s boolean")
+    r = two_proportion_z(df, ["kk"], "g", "s").collect()[0]
+    assert r["z_micro"] == 2378475
+    assert (r["a_lo_ppm"], r["a_hi_ppm"]) == (309400, 497999)
+    assert (r["b_lo_ppm"], r["b_hi_ppm"]) == (181097, 334413)

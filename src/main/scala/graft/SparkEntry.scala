@@ -4105,6 +4105,32 @@ object SparkEntry {
           expr("cast(round(value * 100) as bigint)").as("vc")),
         Seq("event_type"), "vc", trimPpm = 100000L)
         .orderBy("event_type")),
+    // Cronbach's alpha per cohort: is the per-user event-type count
+    // panel internally consistent (complete absence-as-zero blocks)
+    "q_cronbach" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .where(col("user_id").isNotNull && col("event_type").isNotNull)
+        .select((col("user_id") % 2).as("cohort"), col("user_id"),
+          col("event_type"))
+      val counts = e.groupBy("cohort", "user_id", "event_type")
+        .agg(count(lit(1)).as("score"))
+      val users = e.select("cohort", "user_id").distinct()
+      val types = e.select("event_type").distinct()
+      val grid = users.join(broadcast(types))
+        .join(counts, Seq("cohort", "user_id", "event_type"), "left")
+        .na.fill(0L, Seq("score"))
+      graft.pipeline.Stats.cronbachAlpha(grid, Seq("cohort"), "user_id",
+        "event_type", "score").orderBy("cohort")
+    }),
+    // two-proportion z + Wilson 95% brackets per event type: did the
+    // even/odd user cohorts convert (value > .5) at the same rate
+    "q_two_prop" -> ((s, dir) =>
+      graft.pipeline.Stats.twoProportionZ(
+        t(s, dir, "events").select(col("event_type"),
+          (col("user_id") % 2 === 0L).as("grp"),
+          expr("cast(round(value * 100) as bigint) > 50").as("succ")),
+        Seq("event_type"), "grp", "succ")
+        .orderBy("event_type")),
     // Page-Hinkley mean-shift detector per user over the event-value
     // series — running-mean deviation, final row per key
     "q_page_hinkley" -> ((s, dir) =>
@@ -9939,6 +9965,85 @@ object SparkEntry {
         |FROM mn QUALIFY row_number() OVER (PARTITION BY k
         |  ORDER BY t DESC) = 1
         |ORDER BY user_id""".stripMargin,
+    "q_cronbach" ->
+      """WITH e AS (SELECT user_id % 2 AS cohort, user_id, event_type
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |cnt AS (SELECT cohort, user_id, event_type, COUNT(*) AS score
+        |  FROM e GROUP BY 1, 2, 3),
+        |u AS (SELECT DISTINCT cohort, user_id FROM e),
+        |tt AS (SELECT DISTINCT event_type FROM e),
+        |g AS (SELECT u.cohort, u.user_id, tt.event_type,
+        |    COALESCE(cnt.score, 0) AS x
+        |  FROM u CROSS JOIN tt LEFT JOIN cnt ON cnt.cohort = u.cohort
+        |    AND cnt.user_id = u.user_id AND cnt.event_type = tt.event_type),
+        |im AS (SELECT cohort, event_type, COUNT(*)::HUGEINT AS n,
+        |    SUM(x)::HUGEINT AS si, SUM(x::HUGEINT * x) AS qi
+        |  FROM g GROUP BY 1, 2),
+        |ii AS (SELECT cohort, SUM(n * qi - si * si) AS ssi
+        |  FROM im GROUP BY 1),
+        |sj AS (SELECT cohort, user_id, SUM(x) AS tot
+        |  FROM g GROUP BY 1, 2),
+        |tm AS (SELECT cohort, COUNT(*)::HUGEINT AS ns,
+        |    SUM(tot)::HUGEINT AS st, SUM(tot::HUGEINT * tot) AS qt
+        |  FROM sj GROUP BY 1),
+        |tv AS (SELECT cohort, ns, ns * qt - st * st AS sst FROM tm),
+        |kk AS (SELECT cohort, COUNT(DISTINCT event_type) AS k
+        |  FROM g GROUP BY 1)
+        |SELECT ii.cohort, CAST(ns AS BIGINT) AS n_subjects,
+        |  CAST(k AS BIGINT) AS k_items,
+        |  CASE WHEN k < 2 OR sst <= 0 THEN NULL
+        |    ELSE CAST(round(1e6 * CAST(k AS DOUBLE) /
+        |      (CAST(k AS DOUBLE) - 1.0) *
+        |      (1.0 - CAST(ssi AS DOUBLE) / CAST(sst AS DOUBLE)))
+        |      AS BIGINT) END AS alpha_micro
+        |FROM ii JOIN tv ON ii.cohort = tv.cohort
+        |  JOIN kk ON ii.cohort = kk.cohort
+        |ORDER BY ii.cohort""".stripMargin,
+    "q_two_prop" ->
+      """WITH e AS (SELECT event_type, user_id % 2 = 0 AS g,
+        |    CAST(round(value * 100) AS BIGINT) > 50 AS s FROM events),
+        |m AS (SELECT event_type,
+        |    COUNT(CASE WHEN g THEN 1 END) AS n_a,
+        |    COUNT(CASE WHEN g AND s THEN 1 END) AS s_a,
+        |    COUNT(CASE WHEN NOT g THEN 1 END) AS n_b,
+        |    COUNT(CASE WHEN NOT g AND s THEN 1 END) AS s_b
+        |  FROM e GROUP BY 1),
+        |d AS (SELECT *, CAST(n_a AS DOUBLE) AS nad,
+        |    CAST(s_a AS DOUBLE) AS sad, CAST(n_b AS DOUBLE) AS nbd,
+        |    CAST(s_b AS DOUBLE) AS sbd,
+        |    (CAST(s_a AS DOUBLE) + s_b) / (CAST(n_a AS DOUBLE) + n_b)
+        |      AS pp
+        |  FROM m)
+        |SELECT event_type, CAST(n_a AS BIGINT) AS n_a,
+        |  CAST(s_a AS BIGINT) AS s_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CAST(s_b AS BIGINT) AS s_b,
+        |  CASE WHEN n_a = 0 OR n_b = 0 OR s_a + s_b = 0
+        |      OR s_a + s_b = n_a + n_b THEN NULL
+        |    ELSE CAST(round(1e6 * (sad / nad - sbd / nbd) /
+        |      sqrt(pp * (1.0 - pp) * (1.0 / nad + 1.0 / nbd)))
+        |      AS BIGINT) END AS z_micro,
+        |  CASE WHEN n_a = 0 THEN NULL ELSE CAST(round(1e6 *
+        |    (sad / nad + 1.96 * 1.96 / (2.0 * nad) -
+        |     1.96 * sqrt(sad / nad * (1.0 - sad / nad) / nad +
+        |       1.96 * 1.96 / (4.0 * nad * nad))) /
+        |    (1.0 + 1.96 * 1.96 / nad)) AS BIGINT) END AS a_lo_ppm,
+        |  CASE WHEN n_a = 0 THEN NULL ELSE CAST(round(1e6 *
+        |    (sad / nad + 1.96 * 1.96 / (2.0 * nad) +
+        |     1.96 * sqrt(sad / nad * (1.0 - sad / nad) / nad +
+        |       1.96 * 1.96 / (4.0 * nad * nad))) /
+        |    (1.0 + 1.96 * 1.96 / nad)) AS BIGINT) END AS a_hi_ppm,
+        |  CASE WHEN n_b = 0 THEN NULL ELSE CAST(round(1e6 *
+        |    (sbd / nbd + 1.96 * 1.96 / (2.0 * nbd) -
+        |     1.96 * sqrt(sbd / nbd * (1.0 - sbd / nbd) / nbd +
+        |       1.96 * 1.96 / (4.0 * nbd * nbd))) /
+        |    (1.0 + 1.96 * 1.96 / nbd)) AS BIGINT) END AS b_lo_ppm,
+        |  CASE WHEN n_b = 0 THEN NULL ELSE CAST(round(1e6 *
+        |    (sbd / nbd + 1.96 * 1.96 / (2.0 * nbd) +
+        |     1.96 * sqrt(sbd / nbd * (1.0 - sbd / nbd) / nbd +
+        |       1.96 * 1.96 / (4.0 * nbd * nbd))) /
+        |    (1.0 + 1.96 * 1.96 / nbd)) AS BIGINT) END AS b_hi_ppm
+        |FROM d ORDER BY event_type""".stripMargin,
     "q_vocab_richness" ->
       """WITH tk AS (SELECT unnest(string_split(text, ' ')) AS tok
         |  FROM documents),

@@ -3873,6 +3873,134 @@ object Stats {
           .as("alarm"): _*)
   }
 
+  /**
+   * Cronbach's alpha per key ('51) — internal-consistency reliability
+   * of a k-item panel ("do these k judges/probes/rubric items measure
+   * the same thing"), the prerequisite before anyone averages them
+   * into one score:
+   *
+   *   α = k/(k−1) · (1 − Σᵢ var(itemᵢ) / var(total))
+   *
+   * Every variance keeps its exact DECIMAL numerator ssn = n·Σx²−(Σx)²
+   * — the shared n(n−1) denominators CANCEL in the ratio, so the only
+   * doubles are the two final divisions. Blocks must be complete
+   * (every subject × every item — fails loud per the [[cochranQ]]
+   * discipline). NULL when k < 2 or var(total) = 0.
+   *
+   * Scale shape: one (key, item) moment rollup + one (key, subject)
+   * total rollup feeding a per-key variance — all map-side
+   * combinable; subjects shuffle once each way, never sort.
+   *
+   * Returns keys + (n_subjects, k_items, alpha_micro).
+   */
+  def cronbachAlpha(df: DataFrame, keys: Seq[String], subjectCol: String,
+      itemCol: String, scoreCol: String): DataFrame = {
+    require(keys.nonEmpty, "keys required")
+    val dec = "decimal(38,0)"
+    val base = df
+      .where(col(subjectCol).isNotNull && col(itemCol).isNotNull &&
+        col(scoreCol).isNotNull)
+      .select(keys.map(col) :+ col(subjectCol).as("__s") :+
+        col(itemCol).as("__i") :+ col(scoreCol).cast("long").as("__x"): _*)
+    val k = base.groupBy(keys.map(col): _*)
+      .agg(countDistinct("__i").as("__k"))
+    val items = base.groupBy(keys.map(col) :+ col("__i"): _*)
+      .agg(count(lit(1)).cast(dec).as("__n"),
+        sum(col("__x").cast(dec)).as("__si"),
+        sum(col("__x").cast(dec) * col("__x").cast(dec)).as("__qi"))
+      .withColumn("__ssn",
+        col("__n") * col("__qi") - col("__si") * col("__si"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum("__ssn").as("__ssi"))
+    val subj = base.groupBy(keys.map(col) :+ col("__s"): _*)
+      .agg(count(lit(1)).as("__ks"), sum("__x").as("__T"))
+    val totals = subj.join(broadcast(k), keys)
+      .withColumn("__T", when(col("__ks") === col("__k"), col("__T"))
+        .otherwise(raise_error(concat(lit("cronbach_alpha: subject "),
+          col("__s").cast("string"), lit(" has "), col("__ks"),
+          lit(" items, expected "), col("__k"),
+          lit(" — blocks must be complete")))))
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).cast(dec).as("__ns"),
+        sum(col("__T").cast(dec)).as("__st"),
+        sum(col("__T").cast(dec) * col("__T").cast(dec)).as("__qt"))
+      .withColumn("__sst",
+        col("__ns") * col("__qt") - col("__st") * col("__st"))
+    val kd = col("__k").cast("double")
+    items.join(totals, keys).join(broadcast(k), keys)
+      .select(keys.map(col) :+ col("__ns").cast("long").as("n_subjects") :+
+        col("__k").as("k_items") :+
+        when(col("__k") < 2L || col("__sst") <= lit(0).cast(dec),
+          lit(null).cast("long"))
+          .otherwise(round(lit(1e6) * kd / (kd - lit(1.0)) *
+            (lit(1.0) - col("__ssi").cast("double") /
+              col("__sst").cast("double"))).cast("long"))
+          .as("alpha_micro"): _*)
+  }
+
+  /**
+   * Two-proportion z test + Wilson 95% intervals per key — the
+   * conversion-rate A/B readout ("did the success RATE move, and what
+   * are the honest brackets"), where [[chiSquare2x2]] answers the same
+   * null via counts but gives no interval:
+   *
+   *   z = (p̂_A − p̂_B) / √(p̂(1−p̂)(1/n_A + 1/n_B)),  p̂ pooled
+   *   Wilson: (p̂ + z²/2n ± z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n)
+   *           with z = 1.96 (the 95% normal quantile, documented)
+   *
+   * Success/trial counts are exact; each published number is one
+   * round-once ppm expression over them (identical double trees both
+   * engines). z NULL when either side is empty or the pooled rate is
+   * degenerate (0 or 1). Scale shape: ONE map-side-combinable groupBy
+   * — four conditional counts per key, nothing else.
+   *
+   * Returns keys + (n_a, s_a, n_b, s_b, z_micro, a_lo_ppm, a_hi_ppm,
+   * b_lo_ppm, b_hi_ppm).
+   */
+  def twoProportionZ(df: DataFrame, keys: Seq[String], groupCol: String,
+      successCol: String): DataFrame = {
+    require(keys.nonEmpty, "keys required")
+    val g = col(groupCol).cast("boolean")
+    val s = col(successCol).cast("boolean")
+    val m = df
+      .where(g.isNotNull && s.isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(count(when(g, 1)).as("n_a"),
+        count(when(g && s, 1)).as("s_a"),
+        count(when(!g, 1)).as("n_b"),
+        count(when(!g && s, 1)).as("s_b"))
+    val naD = col("n_a").cast("double"); val saD = col("s_a").cast("double")
+    val nbD = col("n_b").cast("double"); val sbD = col("s_b").cast("double")
+    val pPool = (saD + sbD) / (naD + nbD)
+    val z = (saD / naD - sbD / nbD) /
+      sqrt(pPool * (lit(1.0) - pPool) * (lit(1.0) / naD + lit(1.0) / nbD))
+    def wilson(sD: Column, nD: Column, hi: Boolean): Column = {
+      val z2 = lit(1.96 * 1.96)
+      val p = sD / nD
+      val center = p + z2 / (lit(2.0) * nD)
+      val half = lit(1.96) * sqrt(p * (lit(1.0) - p) / nD +
+        z2 / (lit(4.0) * nD * nD))
+      val denom = lit(1.0) + z2 / nD
+      round(lit(1e6) *
+        (if (hi) center + half else center - half) / denom).cast("long")
+    }
+    m.select(keys.map(col) :+ col("n_a") :+ col("s_a") :+ col("n_b") :+
+      col("s_b") :+
+      when(col("n_a") === 0L || col("n_b") === 0L ||
+          col("s_a") + col("s_b") === 0L ||
+          col("s_a") + col("s_b") === col("n_a") + col("n_b"),
+        lit(null).cast("long"))
+        .otherwise(round(lit(1e6) * z).cast("long")).as("z_micro") :+
+      when(col("n_a") === 0L, lit(null).cast("long"))
+        .otherwise(wilson(saD, naD, hi = false)).as("a_lo_ppm") :+
+      when(col("n_a") === 0L, lit(null).cast("long"))
+        .otherwise(wilson(saD, naD, hi = true)).as("a_hi_ppm") :+
+      when(col("n_b") === 0L, lit(null).cast("long"))
+        .otherwise(wilson(sbD, nbD, hi = false)).as("b_lo_ppm") :+
+      when(col("n_b") === 0L, lit(null).cast("long"))
+        .otherwise(wilson(sbD, nbD, hi = true)).as("b_hi_ppm"): _*)
+  }
+
   def poissonBootstrap(df: DataFrame, idCol: String, valueCol: String,
       reps: Int = 32): DataFrame = {
     require(reps >= 2 && reps <= 1024, s"reps must be in [2,1024], got $reps")

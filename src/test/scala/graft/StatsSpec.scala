@@ -1702,4 +1702,40 @@ class StatsSpec extends AnyFunSuite {
     assert(out(0) == (("a", 5L, 13500000L, 13500000L, true)))
     assert(out(1) == (("b", 3L, 0L, 0L, false)))
   }
+
+  test("cronbachAlpha hand panel; incomplete block fails loud; " +
+      "k=1 NULL") {
+    val scores = Seq((1L, Seq(2L, 4L, 3L)), (2L, Seq(4L, 5L, 5L)),
+      (3L, Seq(1L, 2L, 2L)), (4L, Seq(3L, 4L, 3L)))
+    val rows = for ((s, xs) <- scores; (x, i) <- xs.zipWithIndex)
+      yield ("g1", s, s"item$i", x)
+    val r = Stats.cronbachAlpha(rows.toDF("kk", "s", "i", "x"),
+      Seq("kk"), "s", "i", "x").collect()(0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((4L, 3L, 969512L)))
+    val e = intercept[Exception] {
+      Stats.cronbachAlpha(rows.drop(1).toDF("kk", "s", "i", "x"),
+        Seq("kk"), "s", "i", "x").collect()
+    }
+    assert(e.getMessage.contains("cronbach_alpha") ||
+      e.getCause.getMessage.contains("cronbach_alpha"))
+    val oneItem = rows.filter(_._3 == "item0")
+    assert(Stats.cronbachAlpha(oneItem.toDF("kk", "s", "i", "x"),
+      Seq("kk"), "s", "i", "x").collect()(0).isNullAt(3))
+  }
+
+  test("twoProportionZ hand z and Wilson brackets; empty side NULL") {
+    val rows = (1 to 100).map(i => ("k1", true, i <= 40)) ++
+      (1 to 120).map(i => ("k1", false, i <= 30)) ++
+      Seq(("k2", true, true))
+    val out = Stats.twoProportionZ(rows.toDF("kk", "g", "s"),
+      Seq("kk"), "g", "s").orderBy("kk").collect()
+    val a = out(0)
+    assert((a.getLong(1), a.getLong(2), a.getLong(3), a.getLong(4)) ==
+      ((100L, 40L, 120L, 30L)))
+    assert(a.getLong(5) == 2378475L)
+    assert((a.getLong(6), a.getLong(7)) == ((309400L, 497999L)))
+    assert((a.getLong(8), a.getLong(9)) == ((181097L, 334413L)))
+    assert(out(1).isNullAt(5) && out(1).isNullAt(8), "empty B side NULL")
+  }
 }
