@@ -4789,3 +4789,94 @@ def two_proportion_z(df, keys, group_col, success_col):
         .otherwise(wilson(sbd, nbd, False)).alias("b_lo_ppm"),
         F.when(F.col("n_b") == 0, null_long)
         .otherwise(wilson(sbd, nbd, True)).alias("b_hi_ppm"))
+
+
+def hellinger_distance(ref, cur, value_col):
+    """Hellinger + Bhattacharyya two-sample distances -- Python mirror
+    of the Scala ``Stats.hellingerDistance``: per-shared-value nano
+    sqrt(ca*cb) terms round once (side totals factor out of the root);
+    inner join of distinct-value tables, no windows. D_B NULL on
+    disjoint supports."""
+    dec = "decimal(38,0)"
+
+    def side(df, n):
+        return (df.select(F.col(value_col).cast("long").alias("__v"))
+                .where(F.col("__v").isNotNull())
+                .groupBy("__v").agg(F.count(F.lit(1)).alias(n)))
+
+    a, b = side(ref, "__ca"), side(cur, "__cb")
+    shared = (a.join(b, ["__v"])
+              .withColumn("__t", F.round(F.lit(1e9) * F.sqrt(
+                  (F.col("__ca").cast(dec) * F.col("__cb").cast(dec))
+                  .cast("double"))).cast(dec))
+              .agg(F.coalesce(F.sum("__t"), F.lit(0).cast(dec))
+                   .alias("__T")))
+    tot = (a.agg(F.sum("__ca").alias("__na"))
+           .crossJoin(b.agg(F.sum("__cb").alias("__nb"))))
+    return (shared.crossJoin(F.broadcast(tot))
+            .withColumn("__bc", F.col("__T").cast("double") / F.lit(1e9) /
+                        F.sqrt(F.col("__na").cast("double") *
+                               F.col("__nb").cast("double")))
+            .select(F.col("__na").alias("n_ref"),
+                    F.col("__nb").alias("n_cur"),
+                    F.round(F.lit(1e6) * F.col("__bc")).cast("long")
+                    .alias("bc_ppm"),
+                    F.round(F.lit(1e6) * F.sqrt(F.greatest(
+                        F.lit(0.0), F.lit(1.0) - F.col("__bc"))))
+                    .cast("long").alias("hellinger_micro"),
+                    F.when(F.col("__bc") <= 0.0, F.lit(None).cast("long"))
+                    .otherwise(F.round(F.lit(-1e6) * F.log(F.col("__bc")))
+                               .cast("long"))
+                    .alias("bhattacharyya_micro")))
+
+
+def weighted_kappa(df, a_col, b_col, quadratic=True, max_levels=1000):
+    """Weighted Cohen's kappa for ordinal raters -- Python mirror of
+    the Scala ``Stats.weightedKappa``: exact integers end to end,
+    observed cells only for disagreement, dense label-sized margin
+    grid for expectation, fail-loud max_levels."""
+    if not (2 <= max_levels <= 100000):
+        raise ValueError("max_levels must be in [2, 100000]")
+    dec = "decimal(38,0)"
+    base = (df.where(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
+            .select(F.col(a_col).cast("long").alias("__a"),
+                    F.col(b_col).cast("long").alias("__b")))
+
+    def wgt(i, j):
+        d = F.abs(i - j).cast(dec)
+        return d * d if quadratic else d
+
+    cells = base.groupBy("__a", "__b").agg(F.count(F.lit(1)).alias("__o"))
+
+    def margin(c, n):
+        w_all = Window.partitionBy()
+        return (base.groupBy(c).agg(F.count(F.lit(1)).alias(n))
+                .withColumn("__lv", F.count(F.lit(1)).over(w_all))
+                .withColumn(n, F.when(F.col("__lv") <= max_levels,
+                                      F.col(n))
+                            .otherwise(F.raise_error(F.concat(
+                                F.lit("weighted_kappa: %s has " % c),
+                                F.col("__lv").cast("string"),
+                                F.lit(" levels, exceeds max_levels=%d"
+                                      % max_levels)))))
+                .drop("__lv"))
+
+    num = cells.agg(
+        F.coalesce(F.sum(wgt(F.col("__a"), F.col("__b")) * F.col("__o")),
+                   F.lit(0).cast(dec)).alias("__num"),
+        F.sum("__o").cast(dec).alias("__N"),
+        F.countDistinct("__a").alias("k_a"),
+        F.countDistinct("__b").alias("k_b"))
+    den = (margin("__a", "__ra")
+           .crossJoin(F.broadcast(margin("__b", "__cb")))
+           .agg(F.coalesce(F.sum(wgt(F.col("__a"), F.col("__b")) *
+                                 F.col("__ra").cast(dec) *
+                                 F.col("__cb").cast(dec)),
+                           F.lit(0).cast(dec)).alias("__den")))
+    return (F.broadcast(num).crossJoin(F.broadcast(den))
+            .select(F.col("__N").cast("long").alias("n"), "k_a", "k_b",
+                    F.when(F.col("__den") <= 0, F.lit(None).cast("long"))
+                    .otherwise(F.round(F.lit(1e6) * (F.lit(1.0) - (
+                        F.col("__N") * F.col("__num")).cast("double") /
+                        F.col("__den").cast("double"))).cast("long"))
+                    .alias("kappa_w_micro")))

@@ -1740,3 +1740,24 @@ def test_two_proportion_z_hand(spark):
     assert r["z_micro"] == 2378475
     assert (r["a_lo_ppm"], r["a_hi_ppm"]) == (309400, 497999)
     assert (r["b_lo_ppm"], r["b_hi_ppm"]) == (181097, 334413)
+
+
+def test_hellinger_distance_hand(spark):
+    from graft.pipeline import hellinger_distance
+    ref = spark.createDataFrame([(v,) for v in (1, 1, 2, 2)], "v long")
+    cur = spark.createDataFrame([(v,) for v in (2, 3, 3, 3)], "v long")
+    r = hellinger_distance(ref, cur, "v").collect()[0]
+    assert (r["n_ref"], r["n_cur"], r["bc_ppm"], r["hellinger_micro"],
+            r["bhattacharyya_micro"]) == (4, 4, 353553, 804019, 1039721)
+
+
+def test_weighted_kappa_hand(spark):
+    from graft.pipeline import weighted_kappa
+    pairs = ([(1, 1)] * 3 + [(1, 2), (2, 1)] + [(2, 2)] * 3 +
+             [(3, 3)] * 2)
+    df = spark.createDataFrame(pairs, "a long, b long")
+    q = weighted_kappa(df, "a", "b").collect()[0]
+    assert (q["n"], q["k_a"], q["k_b"], q["kappa_w_micro"]) == \
+        (10, 3, 3, 821429)
+    l = weighted_kappa(df, "a", "b", quadratic=False).collect()[0]
+    assert l["kappa_w_micro"] == 750000

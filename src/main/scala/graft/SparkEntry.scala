@@ -4105,6 +4105,24 @@ object SparkEntry {
           expr("cast(round(value * 100) as bigint)").as("vc")),
         Seq("event_type"), "vc", trimPpm = 100000L)
         .orderBy("event_type")),
+    // Hellinger + Bhattacharyya on the q_ks slices — the metric-space
+    // drift pair over quantizeStep-derived bins, shared values only
+    "q_hellinger" -> ((s, dir) => {
+      val e = quantizedEvents(s, dir)
+      graft.pipeline.Stats.hellingerDistance(
+        e.where(col("event_type") === "view"),
+        e.where(col("event_type") === "click"), "vc")
+    }),
+    // quadratic-weighted kappa between two ordinal length raters —
+    // near-diagonal disagreement penalized less than far
+    "q_weighted_kappa" -> ((s, dir) =>
+      graft.pipeline.Stats.weightedKappa(
+        t(s, dir, "documents")
+          .where(col("n_chars").isNotNull && col("text").isNotNull)
+          .select(least(expr("n_chars div 200"), lit(4L)).as("ra"),
+            least(expr("size(split(text, ' ')) div 40"), lit(4L))
+              .as("rb")),
+        "ra", "rb")),
     // Cronbach's alpha per cohort: is the per-user event-type count
     // panel internally consistent (complete absence-as-zero blocks)
     "q_cronbach" -> ((s, dir) => {
@@ -10000,6 +10018,49 @@ object SparkEntry {
         |FROM ii JOIN tv ON ii.cohort = tv.cohort
         |  JOIN kk ON ii.cohort = kk.cohort
         |ORDER BY ii.cohort""".stripMargin,
+    "q_hellinger" ->
+      (QEVENTS + """,
+        |ta AS (SELECT vc AS v, COUNT(*) AS ca FROM e
+        |  WHERE event_type = 'view' AND vc IS NOT NULL GROUP BY 1),
+        |tb AS (SELECT vc AS v, COUNT(*) AS cb FROM e
+        |  WHERE event_type = 'click' AND vc IS NOT NULL GROUP BY 1),
+        |sh AS (SELECT COALESCE(SUM(CAST(round(1e9 *
+        |    sqrt(CAST(ca::HUGEINT * cb AS DOUBLE))) AS HUGEINT)), 0) AS tt
+        |  FROM ta JOIN tb USING (v)),
+        |na AS (SELECT SUM(ca) AS nra FROM ta),
+        |nb AS (SELECT SUM(cb) AS nrb FROM tb),
+        |c AS (SELECT tt, nra, nrb,
+        |    CAST(tt AS DOUBLE) / 1e9 /
+        |      sqrt(CAST(nra AS DOUBLE) * CAST(nrb AS DOUBLE)) AS bc
+        |  FROM sh, na, nb)
+        |SELECT CAST(nra AS BIGINT) AS n_ref, CAST(nrb AS BIGINT) AS n_cur,
+        |  CAST(round(1e6 * bc) AS BIGINT) AS bc_ppm,
+        |  CAST(round(1e6 * sqrt(GREATEST(0.0, 1.0 - bc))) AS BIGINT)
+        |    AS hellinger_micro,
+        |  CASE WHEN bc <= 0.0 THEN NULL
+        |    ELSE CAST(round(-1e6 * ln(bc)) AS BIGINT)
+        |    END AS bhattacharyya_micro
+        |FROM c""".stripMargin),
+    "q_weighted_kappa" ->
+      """WITH b AS (SELECT LEAST(n_chars // 200, 4) AS a,
+        |    LEAST(length(string_split(text, ' ')) // 40, 4) AS bb
+        |  FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL),
+        |cells AS (SELECT a, bb, COUNT(*) AS o FROM b GROUP BY 1, 2),
+        |nm AS (SELECT COALESCE(SUM((a - bb)::HUGEINT * (a - bb) * o), 0)
+        |    AS num, SUM(o)::HUGEINT AS n,
+        |    COUNT(DISTINCT a) AS k_a, COUNT(DISTINCT bb) AS k_b
+        |  FROM cells),
+        |ra AS (SELECT a, COUNT(*) AS ca FROM b GROUP BY 1),
+        |cb AS (SELECT bb, COUNT(*) AS cc FROM b GROUP BY 1),
+        |dn AS (SELECT COALESCE(SUM((a - bb)::HUGEINT * (a - bb) *
+        |    ca::HUGEINT * cc), 0) AS den FROM ra CROSS JOIN cb)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(k_a AS BIGINT) AS k_a,
+        |  CAST(k_b AS BIGINT) AS k_b,
+        |  CASE WHEN den <= 0 THEN NULL
+        |    ELSE CAST(round(1e6 * (1.0 -
+        |      CAST(n * num AS DOUBLE) / CAST(den AS DOUBLE))) AS BIGINT)
+        |    END AS kappa_w_micro
+        |FROM nm, dn""".stripMargin,
     "q_two_prop" ->
       """WITH e AS (SELECT event_type, user_id % 2 = 0 AS g,
         |    CAST(round(value * 100) AS BIGINT) > 50 AS s FROM events),

@@ -4001,6 +4001,118 @@ object Stats {
         .otherwise(wilson(sbD, nbD, hi = true)).as("b_hi_ppm"): _*)
   }
 
+  /**
+   * Hellinger + Bhattacharyya two-sample distances — the
+   * drift-family members with METRIC semantics ([[ksStatistic]] is a
+   * max-gap, [[distributionDistance]] mass/shape, these are the
+   * geometry: Hellinger is a true bounded metric in [0,1],
+   * Bhattacharyya the log-overlap that dominates classification
+   * error bounds):
+   *
+   *   BC = Σᵢ √(pᵢ·qᵢ),   H = √(1−BC),   D_B = −ln BC
+   *
+   * Per-DISTINCT-value nano terms √(cₐ·c_b) round once and sum
+   * order-independently (cₐ·c_b exact DECIMAL under the sqrt — the
+   * side totals factor out of the root and divide once at the end).
+   * D_B is NULL on disjoint supports (BC = 0). Inputs integral by
+   * contract ([[quantizeStep]]). Scale shape: one groupBy per side,
+   * one inner equi-join of distinct-value tables (only SHARED values
+   * carry mass — no full-outer needed), one-row totals broadcast; no
+   * windows at all.
+   *
+   * Returns one row: (n_ref, n_cur, bc_ppm, hellinger_micro,
+   * bhattacharyya_micro).
+   */
+  def hellingerDistance(ref: DataFrame, cur: DataFrame,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    def side(df: DataFrame, n: String): DataFrame = df
+      .select(col(valueCol).cast("long").as("__v"))
+      .where(col("__v").isNotNull)
+      .groupBy("__v").agg(count(lit(1)).as(n))
+    val a = side(ref, "__ca"); val b = side(cur, "__cb")
+    val shared = a.join(b, Seq("__v"))
+      .withColumn("__t", round(lit(1e9) * sqrt(
+        (col("__ca").cast(dec) * col("__cb").cast(dec)).cast("double")))
+        .cast(dec))
+      .agg(coalesce(sum("__t"), lit(0).cast(dec)).as("__T"))
+    val tot = a.agg(sum("__ca").as("__na"))
+      .crossJoin(b.agg(sum("__cb").as("__nb")))
+    shared.crossJoin(broadcast(tot))
+      .withColumn("__bc", col("__T").cast("double") / lit(1e9) /
+        sqrt(col("__na").cast("double") * col("__nb").cast("double")))
+      .select(col("__na").as("n_ref"), col("__nb").as("n_cur"),
+        round(lit(1e6) * col("__bc")).cast("long").as("bc_ppm"),
+        round(lit(1e6) * sqrt(greatest(lit(0.0), lit(1.0) - col("__bc"))))
+          .cast("long").as("hellinger_micro"),
+        when(col("__bc") <= lit(0.0), lit(null).cast("long"))
+          .otherwise(round(lit(-1e6) * log(col("__bc"))).cast("long"))
+          .as("bhattacharyya_micro"))
+  }
+
+  /**
+   * Weighted Cohen's kappa for ORDINAL raters (Cohen '68) — the
+   * agreement statistic [[cohenKappa]] cannot express: disagreeing by
+   * one rubric level is not the same failure as disagreeing by four.
+   * With w_ij = (i−j)² (quadratic, default) or |i−j| (linear):
+   *
+   *   κ_w = 1 − N·Σ w_ij·o_ij / Σ w_ij·r_i·c_j
+   *
+   * EXACT integers end to end — observed disagreement needs only the
+   * OBSERVED cells (w_ii = 0, absent cells 0), expected disagreement
+   * is the dense k×k MARGIN grid (label-sized, broadcast
+   * cross-join under a fail-loud maxLevels); one round-once micro
+   * division. Labels must be integral ordinal levels. NULL when the
+   * expected disagreement is 0 (a single level on either side).
+   *
+   * Scale shape: one cell groupBy (fact rows shuffle once), two
+   * label-sized margins, a k²-row broadcast grid — the corpus never
+   * joins itself.
+   *
+   * Returns one row: (n, k_a, k_b, kappa_w_micro).
+   */
+  def weightedKappa(df: DataFrame, aCol: String, bCol: String,
+      quadratic: Boolean = true, maxLevels: Int = 1000): DataFrame = {
+    require(maxLevels >= 2 && maxLevels <= 100000,
+      s"maxLevels must be in [2, 100000], got $maxLevels")
+    val W = org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val base = df
+      .where(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).cast("long").as("__a"),
+        col(bCol).cast("long").as("__b"))
+    def wgt(i: Column, j: Column): Column = {
+      val d = abs(i - j).cast(dec)
+      if (quadratic) d * d else d
+    }
+    val cells = base.groupBy("__a", "__b").agg(count(lit(1)).as("__o"))
+    def margin(c: String, n: String): DataFrame =
+      base.groupBy(c).agg(count(lit(1)).as(n))
+        .withColumn("__lv", count(lit(1)).over(W.partitionBy()))
+        .withColumn(n, when(col("__lv") <= maxLevels, col(n))
+          .otherwise(raise_error(concat(
+            lit(s"weighted_kappa: $c has "), col("__lv"),
+            lit(s" levels, exceeds maxLevels=$maxLevels — ordinal " +
+              "labels must be label-sized")))))
+        .drop("__lv")
+    val num = cells
+      .agg(coalesce(sum(wgt(col("__a"), col("__b")) * col("__o")),
+        lit(0).cast(dec)).as("__num"),
+        sum("__o").cast(dec).as("__N"),
+        countDistinct("__a").as("k_a"), countDistinct("__b").as("k_b"))
+    val den = margin("__a", "__ra").crossJoin(broadcast(margin("__b", "__cb")))
+      .agg(coalesce(sum(wgt(col("__a"), col("__b")) *
+        col("__ra").cast(dec) * col("__cb").cast(dec)),
+        lit(0).cast(dec)).as("__den"))
+    broadcast(num).crossJoin(broadcast(den))
+      .select(col("__N").cast("long").as("n"), col("k_a"), col("k_b"),
+        when(col("__den") <= lit(0).cast(dec), lit(null).cast("long"))
+          .otherwise(round(lit(1e6) * (lit(1.0) -
+            (col("__N") * col("__num")).cast("double") /
+              col("__den").cast("double"))).cast("long"))
+          .as("kappa_w_micro"))
+  }
+
   def poissonBootstrap(df: DataFrame, idCol: String, valueCol: String,
       reps: Int = 32): DataFrame = {
     require(reps >= 2 && reps <= 1024, s"reps must be in [2,1024], got $reps")

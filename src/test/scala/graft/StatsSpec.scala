@@ -1738,4 +1738,31 @@ class StatsSpec extends AnyFunSuite {
     assert((a.getLong(8), a.getLong(9)) == ((181097L, 334413L)))
     assert(out(1).isNullAt(5) && out(1).isNullAt(8), "empty B side NULL")
   }
+
+  test("hellingerDistance hand BC/H/D_B; disjoint supports NULL D_B") {
+    val ref = Seq(1L, 1L, 2L, 2L).toDF("v")
+    val cur = Seq(2L, 3L, 3L, 3L).toDF("v")
+    val r = Stats.hellingerDistance(ref, cur, "v").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((4L, 4L, 353553L, 804019L, 1039721L)))
+    val dj = Stats.hellingerDistance(Seq(1L).toDF("v"),
+      Seq(9L).toDF("v"), "v").collect()(0)
+    assert(dj.getLong(2) == 0L && dj.getLong(3) == 1000000L &&
+      dj.isNullAt(4))
+  }
+
+  test("weightedKappa quadratic and linear hand values; " +
+      "single-level NULL") {
+    val pairs = Seq.fill(3)((1L, 1L)) ++ Seq((1L, 2L), (2L, 1L)) ++
+      Seq.fill(3)((2L, 2L)) ++ Seq.fill(2)((3L, 3L))
+    val df = pairs.toDF("a", "b")
+    val q = Stats.weightedKappa(df, "a", "b").collect()(0)
+    assert((q.getLong(0), q.getLong(1), q.getLong(2), q.getLong(3)) ==
+      ((10L, 3L, 3L, 821429L)))
+    val l = Stats.weightedKappa(df, "a", "b", quadratic = false)
+      .collect()(0)
+    assert(l.getLong(3) == 750000L)
+    val one = Seq((1L, 1L), (1L, 1L)).toDF("a", "b")
+    assert(Stats.weightedKappa(one, "a", "b").collect()(0).isNullAt(3))
+  }
 }
