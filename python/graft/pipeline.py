@@ -4880,3 +4880,57 @@ def weighted_kappa(df, a_col, b_col, quadratic=True, max_levels=1000):
                         F.col("__N") * F.col("__num")).cast("double") /
                         F.col("__den").cast("double"))).cast("long"))
                     .alias("kappa_w_micro")))
+
+
+def heaps_law(df, id_col, text_col, max_docs=1000000):
+    """Heaps'-law vocabulary-growth fit -- Python mirror of the Scala
+    ``Stats.heapsLaw``: growth checkpoints at doc boundaries (terms
+    count at their FIRST doc), exact integer OLS on micro-rounded
+    (ln N, ln V) points; fail-loud max_docs on the doc-level global
+    window."""
+    if not (2 <= max_docs <= (1 << 30)):
+        raise ValueError("max_docs must be in [2, 2^30]")
+    dec = "decimal(38,0)"
+    toks = (df.where(F.col(id_col).isNotNull() &
+                     F.col(text_col).isNotNull())
+            .select(F.col(id_col).alias("__d"),
+                    F.explode(F.split(F.col(text_col), " ")).alias("__t"))
+            .where(F.col("__t") != ""))
+    per_doc = toks.groupBy("__d").agg(F.count(F.lit(1)).alias("__nt"))
+    first_doc = (toks.groupBy("__t").agg(F.min("__d").alias("__d"))
+                 .groupBy("__d").agg(F.count(F.lit(1)).alias("__nv")))
+    w_asc = (Window.orderBy(F.col("__d"))
+             .rowsBetween(Window.unboundedPreceding, 0))
+    w_all = Window.partitionBy()
+    docs = (per_doc.join(first_doc, ["__d"], "left")
+            .na.fill(0, ["__nv"])
+            .withColumn("__ndocs", F.count(F.lit(1)).over(w_all))
+            .withColumn("__nt", F.when(F.col("__ndocs") <= max_docs,
+                                       F.col("__nt"))
+                        .otherwise(F.raise_error(F.concat(
+                            F.lit("heaps_law: "),
+                            F.col("__ndocs").cast("string"),
+                            F.lit(" docs exceed max_docs=%d" % max_docs)))))
+            .withColumn("__N", F.sum("__nt").over(w_asc))
+            .withColumn("__V", F.sum("__nv").over(w_asc))
+            .where((F.col("__N") > 0) & (F.col("__V") > 0)))
+    return (docs.select(
+        F.round(F.lit(1e6) * F.log(F.col("__N").cast("double")))
+        .cast("long").alias("__x"),
+        F.round(F.lit(1e6) * F.log(F.col("__V").cast("double")))
+        .cast("long").alias("__y"), "__N", "__V")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.max("__N").alias("n_tokens"), F.max("__V").alias("vocab"),
+             F.sum(F.col("__x").cast(dec)).alias("__sx"),
+             F.sum(F.col("__y").cast(dec)).alias("__sy"),
+             F.sum(F.col("__x").cast(dec) * F.col("__y")).alias("__sxy"),
+             F.sum(F.col("__x").cast(dec) * F.col("__x")).alias("__sxx"))
+        .withColumn("__den", F.expr("n_docs * __sxx - __sx * __sx"))
+        .withColumn("beta_micro", F.expr(
+            "cast(if(__den = 0, null, (n_docs * __sxy - __sx * __sy)"
+            " * 1000000 div __den) as long)"))
+        .withColumn("ln_k_micro", F.expr(
+            "cast(if(__den = 0, null, (__sy * 1000000 - beta_micro *"
+            " __sx) div (n_docs * 1000000)) as long)"))
+        .select("n_docs", "n_tokens", "vocab", "beta_micro",
+                "ln_k_micro"))

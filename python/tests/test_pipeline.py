@@ -1761,3 +1761,12 @@ def test_weighted_kappa_hand(spark):
         (10, 3, 3, 821429)
     l = weighted_kappa(df, "a", "b", quadratic=False).collect()[0]
     assert l["kappa_w_micro"] == 750000
+
+
+def test_heaps_law_hand(spark):
+    from graft.pipeline import heaps_law
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "b c"), (3, "c a d")], "doc_id long, text string")
+    r = heaps_law(df, "doc_id", "text").collect()[0]
+    assert (r["n_docs"], r["n_tokens"], r["vocab"], r["beta_micro"],
+            r["ln_k_micro"]) == (3, 8, 4, 707951, -70418)

@@ -4105,6 +4105,11 @@ object SparkEntry {
           expr("cast(round(value * 100) as bigint)").as("vc")),
         Seq("event_type"), "vc", trimPpm = 100000L)
         .orderBy("event_type")),
+    // Heaps-law vocabulary growth fit over doc-boundary checkpoints
+    // — is new vocabulary still arriving, and how fast
+    "q_heaps" -> ((s, dir) =>
+      graft.pipeline.Stats.heapsLaw(
+        t(s, dir, "documents"), "doc_id", "text")),
     // Hellinger + Bhattacharyya on the q_ks slices — the metric-space
     // drift pair over quantizeStep-derived bins, shared values only
     "q_hellinger" -> ((s, dir) => {
@@ -10018,6 +10023,40 @@ object SparkEntry {
         |FROM ii JOIN tv ON ii.cohort = tv.cohort
         |  JOIN kk ON ii.cohort = kk.cohort
         |ORDER BY ii.cohort""".stripMargin,
+    "q_heaps" ->
+      """WITH tk AS (SELECT doc_id AS d,
+        |    unnest(string_split(text, ' ')) AS t FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |tok AS (SELECT d, t FROM tk WHERE t <> ''),
+        |pd AS (SELECT d, COUNT(*) AS nt FROM tok GROUP BY 1),
+        |fd AS (SELECT MIN(d) AS d FROM tok GROUP BY t),
+        |fv AS (SELECT d, COUNT(*) AS nv FROM fd GROUP BY 1),
+        |dd AS (SELECT pd.d, nt, COALESCE(nv, 0) AS nv
+        |  FROM pd LEFT JOIN fv ON pd.d = fv.d),
+        |cum AS (SELECT d,
+        |    SUM(nt) OVER (ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nn,
+        |    SUM(nv) OVER (ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vv
+        |  FROM dd),
+        |pts AS (SELECT CAST(round(1e6 * ln(CAST(nn AS DOUBLE)))
+        |      AS BIGINT) AS x,
+        |    CAST(round(1e6 * ln(CAST(vv AS DOUBLE))) AS BIGINT) AS y,
+        |    nn, vv
+        |  FROM cum WHERE nn > 0 AND vv > 0),
+        |m AS (SELECT COUNT(*)::HUGEINT AS n, MAX(nn) AS ntok,
+        |    MAX(vv) AS voc, SUM(x::HUGEINT) AS sx, SUM(y::HUGEINT) AS sy,
+        |    SUM(x::HUGEINT * y) AS sxy, SUM(x::HUGEINT * x) AS sxx
+        |  FROM pts),
+        |s AS (SELECT n, ntok, voc, sx, sy,
+        |    (n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx) AS sl
+        |  FROM m)
+        |SELECT CAST(n AS BIGINT) AS n_docs, CAST(ntok AS BIGINT)
+        |    AS n_tokens, CAST(voc AS BIGINT) AS vocab,
+        |  CAST(sl AS BIGINT) AS beta_micro,
+        |  CAST((sy * 1000000 - sl * sx) // (n * 1000000) AS BIGINT)
+        |    AS ln_k_micro
+        |FROM s""".stripMargin,
     "q_hellinger" ->
       (QEVENTS + """,
         |ta AS (SELECT vc AS v, COUNT(*) AS ca FROM e

@@ -1102,6 +1102,79 @@ object Stats {
       .select(col("n_terms"), col("slope_micro"), col("intercept_micro"))
   }
 
+  /**
+   * Heaps'-law vocabulary-growth fit (Heaps '78) — "how fast does NEW
+   * vocabulary keep arriving as the corpus grows", the planning
+   * number behind tokenizer vocab sizing and dedup-vs-coverage
+   * budgets (V(N) ≈ K·N^β; English prose β ≈ 0.4–0.6 — a β drifting
+   * up mid-crawl means the source mix changed):
+   *
+   * growth checkpoints at DOC boundaries in `idCol` order — N_d =
+   * cumulative tokens, V_d = cumulative distinct terms (a term counts
+   * at its FIRST doc, one corpus groupBy min) — then the exact
+   * integer OLS of [[zipfFit]] on the micro-rounded (ln N_d, ln V_d)
+   * points: slope = β, intercept = ln K.
+   *
+   * Scale shape: token counting and first-doc are corpus-scale
+   * map-side-combinable groupBys; everything ordered is the DOC-level
+   * table (two longs per doc). That table rides global cumulative
+   * windows, so `maxDocs` fails loud (the [[bhFdr]] discipline) —
+   * past it, fit on a doc-bucketed prefix deliberately.
+   *
+   * Returns one row: (n_docs, n_tokens, vocab, beta_micro,
+   * ln_k_micro).
+   */
+  def heapsLaw(df: DataFrame, idCol: String, textCol: String,
+      maxDocs: Int = 1000000): DataFrame = {
+    require(maxDocs >= 2 && maxDocs <= (1 << 30),
+      s"maxDocs must be in [2, 2^30], got $maxDocs")
+    val W = org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val toks = df
+      .where(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("__d"),
+        explode(split(col(textCol), " ")).as("__t"))
+      .where(col("__t") =!= "")
+    val perDoc = toks.groupBy("__d").agg(count(lit(1)).as("__nt"))
+    val firstDoc = toks.groupBy("__t").agg(min("__d").as("__d"))
+      .groupBy("__d").agg(count(lit(1)).as("__nv"))
+    val wAsc = W.orderBy(col("__d")).rowsBetween(W.unboundedPreceding, 0)
+    val wAll = W.partitionBy()
+    val docs = perDoc.join(firstDoc, Seq("__d"), "left")
+      .na.fill(0L, Seq("__nv"))
+      .withColumn("__ndocs", count(lit(1)).over(wAll))
+      .withColumn("__nt", when(col("__ndocs") <= maxDocs, col("__nt"))
+        .otherwise(raise_error(concat(lit("heaps_law: "), col("__ndocs"),
+          lit(s" docs exceed maxDocs=$maxDocs — the growth checkpoints " +
+            "ride a global window; fit on a doc-bucketed prefix " +
+            "deliberately")))))
+      .withColumn("__N", sum("__nt").over(wAsc))
+      .withColumn("__V", sum("__nv").over(wAsc))
+      .where(col("__N") > 0L && col("__V") > 0L)
+    docs
+      .select(
+        round(lit(1e6) * log(col("__N").cast("double"))).cast("long")
+          .as("__x"),
+        round(lit(1e6) * log(col("__V").cast("double"))).cast("long")
+          .as("__y"),
+        col("__N"), col("__V"))
+      .agg(count(lit(1)).as("n_docs"),
+        max("__N").as("n_tokens"), max("__V").as("vocab"),
+        sum(col("__x").cast(dec)).as("__sx"),
+        sum(col("__y").cast(dec)).as("__sy"),
+        sum(col("__x").cast(dec) * col("__y")).as("__sxy"),
+        sum(col("__x").cast(dec) * col("__x")).as("__sxx"))
+      .withColumn("__den", expr("n_docs * __sxx - __sx * __sx"))
+      .withColumn("beta_micro", expr(
+        "cast(if(__den = 0, null," +
+          " (n_docs * __sxy - __sx * __sy) * 1000000 div __den) as long)"))
+      .withColumn("ln_k_micro", expr(
+        "cast(if(__den = 0, null, (__sy * 1000000 - beta_micro * __sx)" +
+          " div (n_docs * 1000000)) as long)"))
+      .select(col("n_docs"), col("n_tokens"), col("vocab"),
+        col("beta_micro"), col("ln_k_micro"))
+  }
+
   def rougeN(df: DataFrame, idCol: String, candCol: String,
       refCol: String, n: Int = 2): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")

@@ -1765,4 +1765,19 @@ class StatsSpec extends AnyFunSuite {
     val one = Seq((1L, 1L), (1L, 1L)).toDF("a", "b")
     assert(Stats.weightedKappa(one, "a", "b").collect()(0).isNullAt(3))
   }
+
+  test("heapsLaw hand fit over doc-boundary checkpoints; maxDocs " +
+      "fails loud") {
+    val df = Seq((1L, "a b a"), (2L, "b c"), (3L, "c a d"))
+      .toDF("doc_id", "text")
+    val r = Stats.heapsLaw(df, "doc_id", "text").collect()(0)
+    // checkpoints (N,V): (3,2),(5,3),(8,4) -> beta .708, lnK -.070
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((3L, 8L, 4L, 707951L, -70418L)))
+    val e = intercept[Exception] {
+      Stats.heapsLaw(df, "doc_id", "text", maxDocs = 2).collect()
+    }
+    assert(e.getMessage.contains("heaps_law") ||
+      e.getCause.getMessage.contains("heaps_law"))
+  }
 }
