@@ -74,7 +74,17 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_bh_fdr" -> "broadcast one-row (m, k_star) threshold crossJoin over the per-test table",
     "q_ece" -> "broadcast one-row (n_total, ece_micro) totals crossJoin onto the <= bins-row table (the psiReport shape)",
     "q_chi_kxm" -> "broadcast level x level dense-grid crossJoin (both margins label-sized, ENFORCED by maxLevels raise_error) + one-row total",
-    "q_mutual_info" -> "broadcast label-sized margin joins + one-row total/entropy crossJoins (maxLevels-guarded, the q_chi_kxm contract; only OBSERVED cells flow)")
+    "q_mutual_info" -> "broadcast label-sized margin joins + one-row total/entropy crossJoins (maxLevels-guarded, the q_chi_kxm contract; only OBSERVED cells flow)",
+    "q_hellinger" -> "broadcast one-row side-totals crossJoin (the q_ks shape)",
+    "q_cronbach" -> ("broadcast event-type dimension crossJoin building the " +
+      "complete absence-as-zero grid (types are metadata-sized) + the " +
+      "broadcast k-count join"),
+    "q_cochran_q" -> ("broadcast event-type dimension crossJoin building " +
+      "the complete absence-as-failure grid (the q_cronbach pattern) + " +
+      "the broadcast k-count join"),
+    "q_weighted_kappa" -> ("broadcast level x level margin dense-grid " +
+      "crossJoin (both margins label-sized, ENFORCED by maxLevels " +
+      "raise_error — the q_chi_kxm pattern) + one-row num/den crossJoins"))
 
   test("no query plans an unintended cartesian or nested-loop join") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -140,7 +150,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_energy_dist" -> "cumulative count/value-sum prefixes over DISTINCT metric values (the q_ks machinery)",
     "q_dispersion" -> "maxParts count guard over the PARTS rollup (sources — the same metadata-sized table the broadcast ships; fails loudly before the grid, never rides the corpus)",
     "q_chi_kxm" -> "maxLevels count guards over the two MARGIN rollups (label-sized tables the dense grid broadcasts; the q_dispersion guard shape)",
-    "q_mutual_info" -> "maxLevels count guards over the two MARGIN rollups (the q_chi_kxm guard shape)")
+    "q_mutual_info" -> "maxLevels count guards over the two MARGIN rollups (the q_chi_kxm guard shape)",
+    "q_weighted_kappa" -> "maxLevels count guards over the two MARGIN rollups (the q_chi_kxm guard shape)",
+    "q_heaps" -> ("cumulative token/vocab sums over the DOC-level table " +
+      "(two longs per doc, never token rows), fail-loud maxDocs guard — " +
+      "the bhFdr metadata-sized-by-contract discipline"))
 
   test("every window operator is partitioned (no global fact-table sorts)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
