@@ -4934,3 +4934,95 @@ def heaps_law(df, id_col, text_col, max_docs=1000000):
             " __sx) div (n_docs * 1000000)) as long)"))
         .select("n_docs", "n_tokens", "vocab", "beta_micro",
                 "ln_k_micro"))
+
+
+def diff_in_diff(df, keys, treated_col, post_col, value_col):
+    """Difference-in-differences per key -- Python mirror of the Scala
+    ``Stats.diffInDiff``: twelve exact DECIMAL cell moments in ONE
+    conditional groupBy row; DID, SE and t are round-once expressions.
+    NULL when any cell has n < 2."""
+    kc = [F.col(k) for k in keys]
+    dec = "decimal(38,0)"
+    g = F.col(treated_col).cast("boolean")
+    t = F.col(post_col).cast("boolean")
+    v = F.col(value_col).cast("long")
+
+    def cell(name, cond):
+        return [F.count(F.when(cond, 1)).cast(dec).alias("__n" + name),
+                F.sum(F.when(cond, v.cast(dec))
+                      .otherwise(F.lit(0).cast(dec))).alias("__s" + name),
+                F.sum(F.when(cond, v.cast(dec) * v.cast(dec))
+                      .otherwise(F.lit(0).cast(dec))).alias("__q" + name)]
+
+    aggs = (cell("tp", g & t) + cell("tr", g & ~t) +
+            cell("cp", ~g & t) + cell("cr", ~g & ~t))
+    m = (df.where(g.isNotNull() & t.isNotNull() & v.isNotNull())
+         .groupBy(*kc).agg(*aggs))
+
+    def mean(n):
+        return F.col("__s" + n).cast("double") / \
+            F.col("__n" + n).cast("double")
+
+    def var_over_n(n):
+        return (F.col("__n" + n) * F.col("__q" + n) -
+                F.col("__s" + n) * F.col("__s" + n)).cast("double") / \
+            (F.col("__n" + n) * F.col("__n" + n) *
+             (F.col("__n" + n) - F.lit(1))).cast("double")
+
+    did = (mean("tp") - mean("tr")) - (mean("cp") - mean("cr"))
+    se = F.sqrt(var_over_n("tp") + var_over_n("tr") + var_over_n("cp") +
+                var_over_n("cr"))
+    bad = ((F.col("__ntp") < 2) | (F.col("__ntr") < 2) |
+           (F.col("__ncp") < 2) | (F.col("__ncr") < 2))
+    null_long = F.lit(None).cast("long")
+    return m.select(
+        *kc, F.col("__ntr").cast("long").alias("n_tpre"),
+        F.col("__ntp").cast("long").alias("n_tpost"),
+        F.col("__ncr").cast("long").alias("n_cpre"),
+        F.col("__ncp").cast("long").alias("n_cpost"),
+        F.when(bad, null_long).otherwise(
+            F.round(F.lit(1e6) * did).cast("long")).alias("did_micro"),
+        F.when(bad, null_long).otherwise(
+            F.round(F.lit(1e6) * se).cast("long")).alias("se_micro"),
+        F.when(bad | (se == 0.0), null_long).otherwise(
+            F.round(F.lit(1e6) * did / se).cast("long")).alias("t_micro"))
+
+
+def poisson_rate_test(df, keys, group_col, events_col, exposure_col):
+    """Two-sample Poisson rate-ratio test per key -- Python mirror of
+    the Scala ``Stats.poissonRateTest``: exact DECIMAL event/exposure
+    totals in ONE conditional groupBy; RR and the log-rate Wald z are
+    round-once expressions. NULL on a zero-event or non-positive
+    exposure side."""
+    kc = [F.col(k) for k in keys]
+    dec = "decimal(38,0)"
+    g = F.col(group_col).cast("boolean")
+    zero = F.lit(0).cast(dec)
+    m = (df.where(g.isNotNull() & F.col(events_col).isNotNull() &
+                  F.col(exposure_col).isNotNull())
+         .groupBy(*kc)
+         .agg(F.sum(F.when(g, F.col(events_col).cast(dec))
+                    .otherwise(zero)).alias("__a"),
+              F.sum(F.when(g, F.col(exposure_col).cast(dec))
+                    .otherwise(zero)).alias("__ta"),
+              F.sum(F.when(~g, F.col(events_col).cast(dec))
+                    .otherwise(zero)).alias("__b"),
+              F.sum(F.when(~g, F.col(exposure_col).cast(dec))
+                    .otherwise(zero)).alias("__tb")))
+    a_d, b_d = F.col("__a").cast("double"), F.col("__b").cast("double")
+    ta_d = F.col("__ta").cast("double")
+    tb_d = F.col("__tb").cast("double")
+    rr = (a_d / ta_d) / (b_d / tb_d)
+    z = F.log(rr) / F.sqrt(F.lit(1.0) / a_d + F.lit(1.0) / b_d)
+    bad = ((F.col("__a") <= 0) | (F.col("__b") <= 0) |
+           (F.col("__ta") <= 0) | (F.col("__tb") <= 0))
+    null_long = F.lit(None).cast("long")
+    return m.select(
+        *kc, F.col("__a").cast("long").alias("events_a"),
+        F.col("__ta").cast("long").alias("exposure_a"),
+        F.col("__b").cast("long").alias("events_b"),
+        F.col("__tb").cast("long").alias("exposure_b"),
+        F.when(bad, null_long).otherwise(
+            F.round(F.lit(1e6) * rr).cast("long")).alias("rate_ratio_ppm"),
+        F.when(bad, null_long).otherwise(
+            F.round(F.lit(1e6) * z).cast("long")).alias("z_micro"))

@@ -1770,3 +1770,25 @@ def test_heaps_law_hand(spark):
     r = heaps_law(df, "doc_id", "text").collect()[0]
     assert (r["n_docs"], r["n_tokens"], r["vocab"], r["beta_micro"],
             r["ln_k_micro"]) == (3, 8, 4, 707951, -70418)
+
+
+def test_diff_in_diff_hand(spark):
+    from graft.pipeline import diff_in_diff
+    rows = ([("k1", True, True, v) for v in (20, 24)] +
+            [("k1", True, False, v) for v in (10, 12)] +
+            [("k1", False, True, v) for v in (12, 16)] +
+            [("k1", False, False, v) for v in (10, 14)])
+    df = spark.createDataFrame(rows,
+                               "kk string, g boolean, post boolean, v long")
+    r = diff_in_diff(df, ["kk"], "g", "post", "v").collect()[0]
+    assert (r["did_micro"], r["se_micro"], r["t_micro"]) == \
+        (9000000, 3605551, 2496151)
+
+
+def test_poisson_rate_test_hand(spark):
+    from graft.pipeline import poisson_rate_test
+    df = spark.createDataFrame(
+        [("k1", True, 30, 100), ("k1", False, 20, 200)],
+        "kk string, g boolean, ev long, expo long")
+    r = poisson_rate_test(df, ["kk"], "g", "ev", "expo").collect()[0]
+    assert (r["rate_ratio_ppm"], r["z_micro"]) == (3000000, 3805705)

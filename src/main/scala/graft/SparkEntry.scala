@@ -4105,6 +4105,27 @@ object SparkEntry {
           expr("cast(round(value * 100) as bigint)").as("vc")),
         Seq("event_type"), "vc", trimPpm = 100000L)
         .orderBy("event_type")),
+    // difference-in-differences per event type: even/odd users as
+    // treated/control, even/odd event ids as post/pre
+    "q_did" -> ((s, dir) =>
+      graft.pipeline.Stats.diffInDiff(
+        t(s, dir, "events").select(col("event_type"),
+          (col("user_id") % 2 === 0L).as("grp"),
+          (col("event_id") % 2 === 0L).as("post"),
+          expr("cast(round(value * 100) as bigint)").as("vc")),
+        Seq("event_type"), "grp", "post", "vc")
+        .orderBy("event_type")),
+    // Poisson rate-ratio per event type: events-per-user between the
+    // even/odd cohorts (unit exposure per user)
+    "q_poisson_rate" -> ((s, dir) => {
+      val u = t(s, dir, "events")
+        .groupBy(col("event_type"), (col("user_id") % 2 === 0L).as("grp"),
+          col("user_id"))
+        .agg(count(lit(1)).as("ev"))
+        .withColumn("expo", lit(1L))
+      graft.pipeline.Stats.poissonRateTest(u, Seq("event_type"), "grp",
+        "ev", "expo").orderBy("event_type")
+    }),
     // Heaps-law vocabulary growth fit over doc-boundary checkpoints
     // — is new vocabulary still arriving, and how fast
     "q_heaps" -> ((s, dir) =>
@@ -10023,6 +10044,82 @@ object SparkEntry {
         |FROM ii JOIN tv ON ii.cohort = tv.cohort
         |  JOIN kk ON ii.cohort = kk.cohort
         |ORDER BY ii.cohort""".stripMargin,
+    "q_did" ->
+      """WITH e AS (SELECT event_type, user_id % 2 = 0 AS g,
+        |    event_id % 2 = 0 AS post,
+        |    CAST(round(value * 100) AS BIGINT) AS v FROM events
+        |  WHERE value IS NOT NULL AND user_id IS NOT NULL
+        |    AND event_id IS NOT NULL),
+        |m AS (SELECT event_type,
+        |    COUNT(CASE WHEN g AND post THEN 1 END)::HUGEINT AS ntp,
+        |    COALESCE(SUM(CASE WHEN g AND post THEN v END), 0)::HUGEINT
+        |      AS stp,
+        |    COALESCE(SUM(CASE WHEN g AND post THEN v::HUGEINT * v END), 0)
+        |      AS qtp,
+        |    COUNT(CASE WHEN g AND NOT post THEN 1 END)::HUGEINT AS ntr,
+        |    COALESCE(SUM(CASE WHEN g AND NOT post THEN v END), 0)::HUGEINT
+        |      AS str,
+        |    COALESCE(SUM(CASE WHEN g AND NOT post
+        |      THEN v::HUGEINT * v END), 0) AS qtr,
+        |    COUNT(CASE WHEN NOT g AND post THEN 1 END)::HUGEINT AS ncp,
+        |    COALESCE(SUM(CASE WHEN NOT g AND post THEN v END), 0)::HUGEINT
+        |      AS scp,
+        |    COALESCE(SUM(CASE WHEN NOT g AND post
+        |      THEN v::HUGEINT * v END), 0) AS qcp,
+        |    COUNT(CASE WHEN NOT g AND NOT post THEN 1 END)::HUGEINT AS ncr,
+        |    COALESCE(SUM(CASE WHEN NOT g AND NOT post THEN v END),
+        |      0)::HUGEINT AS scr,
+        |    COALESCE(SUM(CASE WHEN NOT g AND NOT post
+        |      THEN v::HUGEINT * v END), 0) AS qcr
+        |  FROM e GROUP BY 1),
+        |d AS (SELECT *,
+        |    (CAST(stp AS DOUBLE) / CAST(ntp AS DOUBLE) -
+        |     CAST(str AS DOUBLE) / CAST(ntr AS DOUBLE)) -
+        |    (CAST(scp AS DOUBLE) / CAST(ncp AS DOUBLE) -
+        |     CAST(scr AS DOUBLE) / CAST(ncr AS DOUBLE)) AS did,
+        |    sqrt(CAST(ntp * qtp - stp * stp AS DOUBLE) /
+        |        CAST(ntp * ntp * (ntp - 1) AS DOUBLE) +
+        |      CAST(ntr * qtr - str * str AS DOUBLE) /
+        |        CAST(ntr * ntr * (ntr - 1) AS DOUBLE) +
+        |      CAST(ncp * qcp - scp * scp AS DOUBLE) /
+        |        CAST(ncp * ncp * (ncp - 1) AS DOUBLE) +
+        |      CAST(ncr * qcr - scr * scr AS DOUBLE) /
+        |        CAST(ncr * ncr * (ncr - 1) AS DOUBLE)) AS se
+        |  FROM m)
+        |SELECT event_type, CAST(ntr AS BIGINT) AS n_tpre,
+        |  CAST(ntp AS BIGINT) AS n_tpost, CAST(ncr AS BIGINT) AS n_cpre,
+        |  CAST(ncp AS BIGINT) AS n_cpost,
+        |  CASE WHEN ntp < 2 OR ntr < 2 OR ncp < 2 OR ncr < 2 THEN NULL
+        |    ELSE CAST(round(1e6 * did) AS BIGINT) END AS did_micro,
+        |  CASE WHEN ntp < 2 OR ntr < 2 OR ncp < 2 OR ncr < 2 THEN NULL
+        |    ELSE CAST(round(1e6 * se) AS BIGINT) END AS se_micro,
+        |  CASE WHEN ntp < 2 OR ntr < 2 OR ncp < 2 OR ncr < 2 OR se = 0
+        |    THEN NULL
+        |    ELSE CAST(round(1e6 * did / se) AS BIGINT) END AS t_micro
+        |FROM d ORDER BY event_type""".stripMargin,
+    "q_poisson_rate" ->
+      """WITH u AS (SELECT event_type, user_id % 2 = 0 AS g, user_id,
+        |    COUNT(*) AS ev FROM events GROUP BY 1, 2, 3),
+        |m AS (SELECT event_type,
+        |    COALESCE(SUM(CASE WHEN g THEN ev END), 0)::HUGEINT AS a,
+        |    COUNT(CASE WHEN g THEN 1 END)::HUGEINT AS ta,
+        |    COALESCE(SUM(CASE WHEN NOT g THEN ev END), 0)::HUGEINT AS b,
+        |    COUNT(CASE WHEN NOT g THEN 1 END)::HUGEINT AS tb
+        |  FROM u GROUP BY 1),
+        |d AS (SELECT *,
+        |    (CAST(a AS DOUBLE) / CAST(ta AS DOUBLE)) /
+        |      (CAST(b AS DOUBLE) / CAST(tb AS DOUBLE)) AS rr
+        |  FROM m)
+        |SELECT event_type, CAST(a AS BIGINT) AS events_a,
+        |  CAST(ta AS BIGINT) AS exposure_a, CAST(b AS BIGINT) AS events_b,
+        |  CAST(tb AS BIGINT) AS exposure_b,
+        |  CASE WHEN a <= 0 OR b <= 0 OR ta <= 0 OR tb <= 0 THEN NULL
+        |    ELSE CAST(round(1e6 * rr) AS BIGINT) END AS rate_ratio_ppm,
+        |  CASE WHEN a <= 0 OR b <= 0 OR ta <= 0 OR tb <= 0 THEN NULL
+        |    ELSE CAST(round(1e6 * ln(rr) /
+        |      sqrt(1.0 / CAST(a AS DOUBLE) + 1.0 / CAST(b AS DOUBLE)))
+        |      AS BIGINT) END AS z_micro
+        |FROM d ORDER BY event_type""".stripMargin,
     "q_heaps" ->
       """WITH tk AS (SELECT doc_id AS d,
         |    unnest(string_split(text, ' ')) AS t FROM documents

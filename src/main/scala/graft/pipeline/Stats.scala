@@ -4186,6 +4186,125 @@ object Stats {
           .as("kappa_w_micro"))
   }
 
+  /**
+   * Difference-in-differences estimator per key (Card & Krueger '94
+   * for the canonical design) — the quasi-experimental readout when
+   * treatment was NOT randomized but a pre-period exists:
+   *
+   *   DID = (ȳ_treated,post − ȳ_treated,pre) − (ȳ_ctrl,post − ȳ_ctrl,pre)
+   *   SE  = √(Σ_cells s²_c/n_c),   t = DID/SE
+   *
+   * All twelve cell moments (n, Σv, Σv²) land in ONE conditional
+   * groupBy row — exact DECIMAL(38,0), every published number a
+   * round-once expression over them (no cross-row double sums, so no
+   * partial-agg order dependence). NULL when any cell has n < 2.
+   * Parallel-trends is the CALLER's design assumption, not checked
+   * here. Scale shape: one map-side-combinable groupBy, nothing else.
+   *
+   * Returns keys + (n_tpre, n_tpost, n_cpre, n_cpost, did_micro,
+   * se_micro, t_micro).
+   */
+  def diffInDiff(df: DataFrame, keys: Seq[String], treatedCol: String,
+      postCol: String, valueCol: String): DataFrame = {
+    require(keys.nonEmpty, "keys required")
+    val dec = "decimal(38,0)"
+    val g = col(treatedCol).cast("boolean")
+    val t = col(postCol).cast("boolean")
+    val v = col(valueCol).cast("long")
+    def cell(name: String, cond: Column): Seq[Column] = Seq(
+      count(when(cond, 1)).cast(dec).as(s"__n$name"),
+      sum(when(cond, v.cast(dec)).otherwise(lit(0).cast(dec)))
+        .as(s"__s$name"),
+      sum(when(cond, v.cast(dec) * v.cast(dec))
+        .otherwise(lit(0).cast(dec))).as(s"__q$name"))
+    val aggs = cell("tp", g && t) ++ cell("tr", g && !t) ++
+      cell("cp", !g && t) ++ cell("cr", !g && !t)
+    val m = df
+      .where(g.isNotNull && t.isNotNull && v.isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    def mean(n: String): Column =
+      col(s"__s$n").cast("double") / col(s"__n$n").cast("double")
+    // s²/n = (n·Σv² − (Σv)²) / (n²(n−1)) — exact numerator, one
+    // division point per cell
+    def varOverN(n: String): Column =
+      (col(s"__n$n") * col(s"__q$n") - col(s"__s$n") * col(s"__s$n"))
+        .cast("double") /
+        (col(s"__n$n") * col(s"__n$n") * (col(s"__n$n") - lit(1)))
+          .cast("double")
+    val did = (mean("tp") - mean("tr")) - (mean("cp") - mean("cr"))
+    val se = sqrt(varOverN("tp") + varOverN("tr") + varOverN("cp") +
+      varOverN("cr"))
+    val bad = Seq("tp", "tr", "cp", "cr")
+      .map(n => col(s"__n$n") < lit(2).cast(dec)).reduce(_ || _)
+    m.select(keys.map(col) :+
+      col("__ntr").cast("long").as("n_tpre") :+
+      col("__ntp").cast("long").as("n_tpost") :+
+      col("__ncr").cast("long").as("n_cpre") :+
+      col("__ncp").cast("long").as("n_cpost") :+
+      when(bad, lit(null).cast("long"))
+        .otherwise(round(lit(1e6) * did).cast("long")).as("did_micro") :+
+      when(bad, lit(null).cast("long"))
+        .otherwise(round(lit(1e6) * se).cast("long")).as("se_micro") :+
+      when(bad || se === lit(0.0), lit(null).cast("long"))
+        .otherwise(round(lit(1e6) * did / se).cast("long"))
+        .as("t_micro"): _*)
+  }
+
+  /**
+   * Two-sample Poisson rate-ratio test per key — "did the EVENT RATE
+   * per unit exposure change" (errors per request, purchases per
+   * user-day), the count-data twin of [[twoProportionZ]]:
+   *
+   *   RR = (a/T_A)/(b/T_B),   z = ln RR / √(1/a + 1/b)
+   *
+   * (the standard log-rate Wald test; exposure enters the estimate
+   * but not the variance). Event and exposure totals are exact
+   * DECIMAL sums from ONE conditional groupBy; RR and z are
+   * round-once expressions. NULL when either side has zero events or
+   * non-positive exposure. Scale shape: one map-side-combinable
+   * groupBy.
+   *
+   * Returns keys + (events_a, exposure_a, events_b, exposure_b,
+   * rate_ratio_ppm, z_micro).
+   */
+  def poissonRateTest(df: DataFrame, keys: Seq[String], groupCol: String,
+      eventsCol: String, exposureCol: String): DataFrame = {
+    require(keys.nonEmpty, "keys required")
+    val dec = "decimal(38,0)"
+    val g = col(groupCol).cast("boolean")
+    val m = df
+      .where(g.isNotNull && col(eventsCol).isNotNull &&
+        col(exposureCol).isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(
+        sum(when(g, col(eventsCol).cast(dec)).otherwise(lit(0).cast(dec)))
+          .as("__a"),
+        sum(when(g, col(exposureCol).cast(dec))
+          .otherwise(lit(0).cast(dec))).as("__ta"),
+        sum(when(!g, col(eventsCol).cast(dec)).otherwise(lit(0).cast(dec)))
+          .as("__b"),
+        sum(when(!g, col(exposureCol).cast(dec))
+          .otherwise(lit(0).cast(dec))).as("__tb"))
+    val aD = col("__a").cast("double"); val bD = col("__b").cast("double")
+    val taD = col("__ta").cast("double"); val tbD = col("__tb").cast("double")
+    val rr = (aD / taD) / (bD / tbD)
+    val z = log(rr) / sqrt(lit(1.0) / aD + lit(1.0) / bD)
+    val bad = col("__a") <= lit(0).cast(dec) ||
+      col("__b") <= lit(0).cast(dec) ||
+      col("__ta") <= lit(0).cast(dec) || col("__tb") <= lit(0).cast(dec)
+    m.select(keys.map(col) :+
+      col("__a").cast("long").as("events_a") :+
+      col("__ta").cast("long").as("exposure_a") :+
+      col("__b").cast("long").as("events_b") :+
+      col("__tb").cast("long").as("exposure_b") :+
+      when(bad, lit(null).cast("long"))
+        .otherwise(round(lit(1e6) * rr).cast("long"))
+        .as("rate_ratio_ppm") :+
+      when(bad, lit(null).cast("long"))
+        .otherwise(round(lit(1e6) * z).cast("long")).as("z_micro"): _*)
+  }
+
   def poissonBootstrap(df: DataFrame, idCol: String, valueCol: String,
       reps: Int = 32): DataFrame = {
     require(reps >= 2 && reps <= 1024, s"reps must be in [2,1024], got $reps")

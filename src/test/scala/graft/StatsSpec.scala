@@ -1780,4 +1780,35 @@ class StatsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("heaps_law") ||
       e.getCause.getMessage.contains("heaps_law"))
   }
+
+  test("diffInDiff hand estimate/SE/t; thin cell NULL") {
+    val rows =
+      Seq(20L, 24L).map(("k1", true, true, _)) ++
+        Seq(10L, 12L).map(("k1", true, false, _)) ++
+        Seq(12L, 16L).map(("k1", false, true, _)) ++
+        Seq(10L, 14L).map(("k1", false, false, _)) ++
+        Seq(("k2", true, true, 5L), ("k2", true, false, 1L),
+          ("k2", false, true, 2L), ("k2", false, false, 3L))
+    val out = Stats.diffInDiff(rows.toDF("kk", "g", "post", "v"),
+      Seq("kk"), "g", "post", "v").orderBy("kk").collect()
+    val a = out(0)
+    assert((a.getLong(1), a.getLong(2), a.getLong(3), a.getLong(4)) ==
+      ((2L, 2L, 2L, 2L)))
+    assert((a.getLong(5), a.getLong(6), a.getLong(7)) ==
+      ((9000000L, 3605551L, 2496151L)))
+    assert(out(1).isNullAt(5), "single-row cells are NULL")
+  }
+
+  test("poissonRateTest hand rate ratio and z; zero-event side NULL") {
+    val df = Seq(("k1", true, 30L, 100L), ("k1", false, 20L, 200L),
+      ("k2", true, 0L, 10L), ("k2", false, 5L, 10L))
+      .toDF("kk", "g", "ev", "exp")
+    val out = Stats.poissonRateTest(df, Seq("kk"), "g", "ev", "exp")
+      .orderBy("kk").collect()
+    val a = out(0)
+    assert((a.getLong(1), a.getLong(2), a.getLong(3), a.getLong(4)) ==
+      ((30L, 100L, 20L, 200L)))
+    assert((a.getLong(5), a.getLong(6)) == ((3000000L, 3805705L)))
+    assert(out(1).isNullAt(5) && out(1).isNullAt(6))
+  }
 }
