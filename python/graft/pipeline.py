@@ -5026,3 +5026,90 @@ def poisson_rate_test(df, keys, group_col, events_col, exposure_col):
             F.round(F.lit(1e6) * rr).cast("long")).alias("rate_ratio_ppm"),
         F.when(bad, null_long).otherwise(
             F.round(F.lit(1e6) * z).cast("long")).alias("z_micro"))
+
+
+def icc(df, keys, subject_col, score_col):
+    """ICC(1,1) per key -- Python mirror of the Scala ``Stats.icc``:
+    one-way ANOVA mean squares over subjects as groups with the anovaF
+    per-subject nano-term discipline; balanced panels fail loud."""
+    kc = [F.col(k) for k in keys]
+    dec = "decimal(38,0)"
+    base = (df.where(F.col(subject_col).isNotNull() &
+                     F.col(score_col).isNotNull())
+            .select(*kc, F.col(subject_col).alias("__s"),
+                    F.col(score_col).cast("long").alias("__x")))
+    k = (base.groupBy(*kc, F.col("__s"))
+         .agg(F.count(F.lit(1)).alias("__ks"))
+         .groupBy(*kc)
+         .agg(F.max("__ks").alias("__k"), F.min("__ks").alias("__kmin"))
+         .withColumn("__k", F.when(F.col("__k") == F.col("__kmin"),
+                                   F.col("__k"))
+                     .otherwise(F.raise_error(F.concat(
+                         F.lit("icc: unbalanced panel -- subject rating"
+                               " counts range "),
+                         F.col("__kmin").cast("string"), F.lit(".."),
+                         F.col("__k").cast("string")))))
+         .drop("__kmin"))
+    xd = F.col("__x").cast(dec)
+    subj = (base.groupBy(*kc, F.col("__s"))
+            .agg(F.count(F.lit(1)).alias("__ks"),
+                 F.sum(xd).alias("__ss"), F.sum(xd * xd).alias("__qs"))
+            .withColumn("__t", F.round(F.lit(1e9) * (
+                F.col("__ss") * F.col("__ss")).cast("double") /
+                F.col("__ks").cast("double")).cast(dec)))
+    m = (subj.groupBy(*kc)
+         .agg(F.count(F.lit(1)).alias("__n"),
+              F.sum("__ss").alias("__sum"), F.sum("__qs").alias("__qsum"),
+              F.sum("__t").alias("__tsum"))
+         .join(F.broadcast(k), keys))
+    n_d = F.col("__n").cast("double")
+    k_d = F.col("__k").cast("double")
+    big_n = F.col("__n").cast(dec) * F.col("__k").cast(dec)
+    grand = F.round(F.lit(1e9) * (F.col("__sum") * F.col("__sum"))
+                    .cast("double") / big_n.cast("double")).cast(dec)
+    ssw = F.lit(1000000000).cast(dec) * F.col("__qsum") - F.col("__tsum")
+    ssb = F.col("__tsum") - grand
+    msb = ssb.cast("double") / F.lit(1e9) / (n_d - F.lit(1.0))
+    msw = ssw.cast("double") / F.lit(1e9) / (big_n.cast("double") - n_d)
+    den = msb + (k_d - F.lit(1.0)) * msw
+    return m.select(*kc, F.col("__n").alias("n_subjects"),
+                    F.col("__k").alias("k_ratings"),
+                    F.when((F.col("__n") < 2) | (F.col("__k") < 2) |
+                           (den <= 0.0), F.lit(None).cast("long"))
+                    .otherwise(F.round(F.lit(1e6) * (msb - msw) / den)
+                               .cast("long")).alias("icc_micro"))
+
+
+def holm_bonferroni(df, key_cols, p_micro_col, alpha_micro=50000,
+                    max_tests=1000000):
+    """Holm-Bonferroni step-down rejection -- Python mirror of the
+    Scala ``Stats.holmBonferroni``: pure long arithmetic over the
+    metadata-sized per-test table; reject the largest prefix where
+    every p_(i)*(m-i+1) <= alpha."""
+    if not (1 <= alpha_micro <= 1000000):
+        raise ValueError("alpha_micro must be in [1, 1000000]")
+    kc = [F.col(k) for k in key_cols]
+    ordered = Window.orderBy(F.col("p_micro"), *kc)
+    w_all = Window.partitionBy()
+    ranked = (df.select(*kc, F.col(p_micro_col).cast("long")
+                        .alias("p_micro"))
+              .withColumn("rank", F.row_number().over(ordered)
+                          .cast("long"))
+              .withColumn("__m", F.count(F.lit(1)).over(w_all))
+              .withColumn("__m", F.when(F.col("__m") <= max_tests,
+                                        F.col("__m"))
+                          .otherwise(F.raise_error(F.concat(
+                              F.lit("holm_bonferroni: per-test table "
+                                    "has "),
+                              F.col("__m").cast("string"),
+                              F.lit(" rows, exceeds max_tests=%d"
+                                    % max_tests))))))
+    first_fail = ranked.agg(
+        F.max("__m").alias("m_tests"),
+        F.min(F.when(F.col("p_micro") *
+                     (F.col("__m") - F.col("rank") + 1) > alpha_micro,
+                     F.col("rank"))).alias("__ff"))
+    return (ranked.crossJoin(F.broadcast(first_fail))
+            .withColumn("reject", F.col("__ff").isNull() |
+                        (F.col("rank") < F.col("__ff")))
+            .select(*kc, "p_micro", "rank", "m_tests", "reject"))

@@ -1792,3 +1792,23 @@ def test_poisson_rate_test_hand(spark):
         "kk string, g boolean, ev long, expo long")
     r = poisson_rate_test(df, ["kk"], "g", "ev", "expo").collect()[0]
     assert (r["rate_ratio_ppm"], r["z_micro"]) == (3000000, 3805705)
+
+
+def test_icc_hand(spark):
+    from graft.pipeline import icc
+    scores = {1: (2, 4, 3), 2: (4, 5, 5), 3: (1, 2, 2), 4: (3, 4, 3)}
+    rows = [("g1", s, x) for s, xs in scores.items() for x in xs]
+    df = spark.createDataFrame(rows, "kk string, s long, x long")
+    r = icc(df, ["kk"], "s", "x").collect()[0]
+    assert (r["n_subjects"], r["k_ratings"], r["icc_micro"]) == \
+        (4, 3, 730000)
+
+
+def test_holm_bonferroni_hand(spark):
+    from graft.pipeline import holm_bonferroni
+    df = spark.createDataFrame(
+        [("a", 1000), ("b", 20000), ("c", 30000), ("d", 400000)],
+        "t string, p long")
+    out = [r["reject"] for r in
+           holm_bonferroni(df, ["t"], "p").orderBy("rank").collect()]
+    assert out == [True, False, False, False]

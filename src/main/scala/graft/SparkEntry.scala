@@ -4105,6 +4105,32 @@ object SparkEntry {
           expr("cast(round(value * 100) as bigint)").as("vc")),
         Seq("event_type"), "vc", trimPpm = 100000L)
         .orderBy("event_type")),
+    // ICC(1,1) per cohort over the per-user event-type count panel —
+    // the per-rating reliability twin of q_cronbach, same grid
+    "q_icc" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .where(col("user_id").isNotNull && col("event_type").isNotNull)
+        .select((col("user_id") % 2).as("cohort"), col("user_id"),
+          col("event_type"))
+      val counts = e.groupBy("cohort", "user_id", "event_type")
+        .agg(count(lit(1)).as("score"))
+      val users = e.select("cohort", "user_id").distinct()
+      val types = e.select("event_type").distinct()
+      val grid = users.join(broadcast(types))
+        .join(counts, Seq("cohort", "user_id", "event_type"), "left")
+        .na.fill(0L, Seq("score"))
+      graft.pipeline.Stats.icc(grid, Seq("cohort"), "user_id", "score")
+        .orderBy("cohort")
+    }),
+    // Holm-Bonferroni step-down over the q_bh_fdr per-test table —
+    // family-wise control where bh_fdr controls FDR
+    "q_holm" -> ((s, dir) =>
+      graft.pipeline.Stats.holmBonferroni(
+        t(s, dir, "documents").groupBy("source", "lang")
+          .agg(expr("cast(sum(n_chars) % 1000000 as bigint)")
+            .as("p_micro")),
+        Seq("source", "lang"), "p_micro")
+        .orderBy("rank")),
     // difference-in-differences per event type: even/odd users as
     // treated/control, even/odd event ids as post/pre
     "q_did" -> ((s, dir) =>
@@ -10044,6 +10070,55 @@ object SparkEntry {
         |FROM ii JOIN tv ON ii.cohort = tv.cohort
         |  JOIN kk ON ii.cohort = kk.cohort
         |ORDER BY ii.cohort""".stripMargin,
+    "q_icc" ->
+      """WITH e AS (SELECT user_id % 2 AS cohort, user_id, event_type
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |cnt AS (SELECT cohort, user_id, event_type, COUNT(*) AS score
+        |  FROM e GROUP BY 1, 2, 3),
+        |u AS (SELECT DISTINCT cohort, user_id FROM e),
+        |tt AS (SELECT DISTINCT event_type FROM e),
+        |g AS (SELECT u.cohort, u.user_id,
+        |    COALESCE(cnt.score, 0) AS x, tt.event_type
+        |  FROM u CROSS JOIN tt LEFT JOIN cnt ON cnt.cohort = u.cohort
+        |    AND cnt.user_id = u.user_id AND cnt.event_type = tt.event_type),
+        |sj AS (SELECT cohort, user_id, COUNT(*) AS ks,
+        |    SUM(x)::HUGEINT AS ss, SUM(x::HUGEINT * x) AS qs
+        |  FROM g GROUP BY 1, 2),
+        |st AS (SELECT cohort, user_id, ks, ss, qs,
+        |    CAST(round(1e9 * CAST(ss * ss AS DOUBLE) /
+        |      CAST(ks AS DOUBLE)) AS HUGEINT) AS t FROM sj),
+        |m AS (SELECT cohort, COUNT(*)::HUGEINT AS n, MAX(ks) AS k,
+        |    SUM(ss) AS ssum, SUM(qs) AS qsum, SUM(t) AS tsum
+        |  FROM st GROUP BY 1),
+        |d AS (SELECT cohort, n, k,
+        |    (CAST(tsum - CAST(round(1e9 * CAST(ssum * ssum AS DOUBLE) /
+        |        CAST(n * k AS DOUBLE)) AS HUGEINT) AS DOUBLE) / 1e9 /
+        |      (CAST(n AS DOUBLE) - 1.0)) AS msb,
+        |    (CAST(1000000000::HUGEINT * qsum - tsum AS DOUBLE) / 1e9 /
+        |      (CAST(n * k AS DOUBLE) - CAST(n AS DOUBLE))) AS msw
+        |  FROM m)
+        |SELECT cohort, CAST(n AS BIGINT) AS n_subjects,
+        |  CAST(k AS BIGINT) AS k_ratings,
+        |  CASE WHEN n < 2 OR k < 2
+        |      OR msb + (CAST(k AS DOUBLE) - 1.0) * msw <= 0 THEN NULL
+        |    ELSE CAST(round(1e6 * (msb - msw) /
+        |      (msb + (CAST(k AS DOUBLE) - 1.0) * msw)) AS BIGINT)
+        |    END AS icc_micro
+        |FROM d ORDER BY cohort""".stripMargin,
+    "q_holm" ->
+      """WITH p AS (SELECT source, lang,
+        |    CAST(SUM(n_chars) % 1000000 AS BIGINT) AS p_micro
+        |  FROM documents GROUP BY 1, 2),
+        |r AS (SELECT *, CAST(row_number() OVER
+        |    (ORDER BY p_micro, source, lang) AS BIGINT) AS rank,
+        |    COUNT(*) OVER () AS m FROM p),
+        |f AS (SELECT MIN(CASE WHEN p_micro * (m - rank + 1) > 50000
+        |    THEN rank END) AS ff, MAX(m) AS m0 FROM r)
+        |SELECT source, lang, p_micro, rank,
+        |  CAST(m0 AS BIGINT) AS m_tests,
+        |  (ff IS NULL OR rank < ff) AS reject
+        |FROM r, f ORDER BY rank""".stripMargin,
     "q_did" ->
       """WITH e AS (SELECT event_type, user_id % 2 = 0 AS g,
         |    event_id % 2 = 0 AS post,

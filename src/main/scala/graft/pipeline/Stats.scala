@@ -4305,6 +4305,125 @@ object Stats {
         .otherwise(round(lit(1e6) * z).cast("long")).as("z_micro"): _*)
   }
 
+  /**
+   * Intraclass correlation ICC(1,1) per key (Shrout & Fleiss '79) —
+   * "how much of the score variance is BETWEEN subjects rather than
+   * within them", the reliability number behind repeated measurements
+   * and rater panels (the per-rating twin of [[cronbachAlpha]]'s
+   * per-instrument view):
+   *
+   *   ICC = (MSB − MSW) / (MSB + (k−1)·MSW)
+   *
+   * from the one-way ANOVA mean squares over subjects as groups.
+   * Per-subject nano terms (the [[anovaF]] discipline): t_s =
+   * round(1e9·(Σx)²/k) sums exactly; SSW = 1e9·ΣΣx² − Σt, SSB =
+   * Σt − round(1e9·(ΣΣx)²/N) — every intermediate an exact integer,
+   * the mean squares one double division each. Panels must be
+   * BALANCED (every subject k ratings — fails loud per the
+   * [[cochranQ]] discipline). NULL when n < 2, k < 2, or the
+   * denominator is 0. Scale shape: one (key, subject) moment groupBy
+   * + one per-key rollup, both map-side combinable.
+   *
+   * Returns keys + (n_subjects, k_ratings, icc_micro).
+   */
+  def icc(df: DataFrame, keys: Seq[String], subjectCol: String,
+      scoreCol: String): DataFrame = {
+    require(keys.nonEmpty, "keys required")
+    val dec = "decimal(38,0)"
+    val base = df
+      .where(col(subjectCol).isNotNull && col(scoreCol).isNotNull)
+      .select(keys.map(col) :+ col(subjectCol).as("__s") :+
+        col(scoreCol).cast("long").as("__x"): _*)
+    val k = base.groupBy(keys.map(col) :+ col("__s"): _*)
+      .agg(count(lit(1)).as("__ks"))
+      .groupBy(keys.map(col): _*)
+      .agg(max("__ks").as("__k"), min("__ks").as("__kmin"))
+      .withColumn("__k", when(col("__k") === col("__kmin"), col("__k"))
+        .otherwise(raise_error(concat(lit("icc: unbalanced panel — " +
+          "subject rating counts range "), col("__kmin"), lit(".."),
+          col("__k"), lit("; complete the blocks upstream")))))
+      .drop("__kmin")
+    val subj = base.groupBy(keys.map(col) :+ col("__s"): _*)
+      .agg(count(lit(1)).as("__ks"),
+        sum(col("__x").cast(dec)).as("__ss"),
+        sum(col("__x").cast(dec) * col("__x").cast(dec)).as("__qs"))
+      .withColumn("__t", round(lit(1e9) *
+        (col("__ss") * col("__ss")).cast("double") /
+        col("__ks").cast("double")).cast(dec))
+    val m = subj.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__ss")).as("__sum"), sum(col("__qs")).as("__qsum"),
+        sum("__t").as("__tsum"))
+      .join(broadcast(k), keys)
+    val nD = col("__n").cast("double"); val kD = col("__k").cast("double")
+    val bigN = col("__n").cast(dec) * col("__k").cast(dec)
+    val grand = round(lit(1e9) *
+      (col("__sum") * col("__sum")).cast("double") / bigN.cast("double"))
+      .cast(dec)
+    val ssw = lit(1000000000L).cast(dec) * col("__qsum") - col("__tsum")
+    val ssb = col("__tsum") - grand
+    val msb = ssb.cast("double") / lit(1e9) / (nD - lit(1.0))
+    val msw = ssw.cast("double") / lit(1e9) /
+      (bigN.cast("double") - nD)
+    val den = msb + (kD - lit(1.0)) * msw
+    m.select(keys.map(col) :+ col("__n").as("n_subjects") :+
+      col("__k").as("k_ratings") :+
+      when(col("__n") < 2L || col("__k") < 2L || den <= lit(0.0),
+        lit(null).cast("long"))
+        .otherwise(round(lit(1e6) * (msb - msw) / den).cast("long"))
+        .as("icc_micro"): _*)
+  }
+
+  /**
+   * Holm–Bonferroni step-down per-test rejection (Holm '79) — the
+   * FAMILY-WISE error control next to [[bhFdr]]'s FDR: when even one
+   * false rejection is unacceptable (shipping gates, safety checks),
+   * Holm dominates plain Bonferroni at no extra assumption:
+   *
+   *   sort p ascending; reject the largest PREFIX where EVERY
+   *   i ≤ k satisfies p_(i)·(m−i+1) ≤ α
+   *
+   * Pure long arithmetic over the METADATA-sized per-test table (the
+   * [[bhFdr]] maxTests contract — a global rank window over
+   * experiments, never rows); the step-down prefix rule is one
+   * min-over-failures broadcast. Ties in p decide together
+   * (deterministic rank tie-break on the key columns).
+   *
+   * Returns one row per test: keyCols + (p_micro, rank, m_tests,
+   * reject).
+   */
+  def holmBonferroni(df: DataFrame, keyCols: Seq[String],
+      pMicroCol: String, alphaMicro: Long = 50000L,
+      maxTests: Long = 1000000L): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols required")
+    require(alphaMicro >= 1L && alphaMicro <= 1000000L,
+      s"alphaMicro must be in [1, 1000000], got $alphaMicro")
+    require(maxTests >= 1L, s"maxTests must be >= 1, got $maxTests")
+    val W = org.apache.spark.sql.expressions.Window
+    val ordered = W.orderBy(col("p_micro") +: keyCols.map(col): _*)
+    val ranked = df
+      .select(keyCols.map(col) :+
+        col(pMicroCol).cast("long").as("p_micro"): _*)
+      .withColumn("rank", row_number().over(ordered).cast("long"))
+      .withColumn("__m", count(lit(1)).over(W.partitionBy()))
+      .withColumn("__m", when(col("__m") <= maxTests, col("__m"))
+        .otherwise(raise_error(concat(
+          lit("holm_bonferroni: per-test table has "), col("__m"),
+          lit(s" rows, exceeds maxTests=$maxTests; the global rank " +
+            "window is single-partition by design over a METADATA-sized " +
+            "experiment registry — aggregate upstream or raise the cap " +
+            "deliberately")))))
+    val firstFail = ranked
+      .agg(max("__m").as("m_tests"),
+        min(when(col("p_micro") * (col("__m") - col("rank") + 1L) >
+          lit(alphaMicro), col("rank"))).as("__ff"))
+    ranked.crossJoin(broadcast(firstFail))
+      .withColumn("reject",
+        col("__ff").isNull || col("rank") < col("__ff"))
+      .select(keyCols.map(col) :+ col("p_micro") :+ col("rank") :+
+        col("m_tests") :+ col("reject"): _*)
+  }
+
   def poissonBootstrap(df: DataFrame, idCol: String, valueCol: String,
       reps: Int = 32): DataFrame = {
     require(reps >= 2 && reps <= 1024, s"reps must be in [2,1024], got $reps")

@@ -1811,4 +1811,37 @@ class StatsSpec extends AnyFunSuite {
     assert((a.getLong(5), a.getLong(6)) == ((3000000L, 3805705L)))
     assert(out(1).isNullAt(5) && out(1).isNullAt(6))
   }
+
+  test("icc hand one-way reliability; unbalanced panel fails loud") {
+    val scores = Seq((1L, Seq(2L, 4L, 3L)), (2L, Seq(4L, 5L, 5L)),
+      (3L, Seq(1L, 2L, 2L)), (4L, Seq(3L, 4L, 3L)))
+    val rows = for ((s, xs) <- scores; x <- xs) yield ("g1", s, x)
+    val r = Stats.icc(rows.toDF("kk", "s", "x"), Seq("kk"), "s", "x")
+      .collect()(0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((4L, 3L, 730000L)))
+    val e = intercept[Exception] {
+      Stats.icc(rows.drop(1).toDF("kk", "s", "x"), Seq("kk"), "s", "x")
+        .collect()
+    }
+    assert(e.getMessage.contains("icc") ||
+      e.getCause.getMessage.contains("icc"))
+  }
+
+  test("holmBonferroni step-down prefix; all-pass and over-cap") {
+    val df = Seq(("a", 1000L), ("b", 20000L), ("c", 30000L),
+      ("d", 400000L)).toDF("t", "p")
+    val out = Stats.holmBonferroni(df, Seq("t"), "p").orderBy("rank")
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getBoolean(4)))
+    // rank2: 20000*(4-2+1) = 60000 > 50000 -> only rank 1 rejects
+    assert(out.map(_._3).toSeq == Seq(true, false, false, false))
+    val allPass = Seq(("a", 1000L), ("b", 2000L)).toDF("t", "p")
+    assert(Stats.holmBonferroni(allPass, Seq("t"), "p").collect()
+      .forall(_.getBoolean(4)), "no failure -> all reject")
+    val e = intercept[Exception] {
+      Stats.holmBonferroni(df, Seq("t"), "p", maxTests = 2L).collect()
+    }
+    assert(e.getMessage.contains("holm_bonferroni") ||
+      e.getCause.getMessage.contains("holm_bonferroni"))
+  }
 }
