@@ -633,6 +633,23 @@ def priority_sample(df, id_col, weight_col, k):
             .drop("__graft_u"))
 
 
+def priority_sample_per_key(df, keys, id_col, k):
+    """Per-key deterministic k-sample -- Python mirror of the Scala
+    ``Splits.prioritySamplePerKey`` and batch face of the streaming
+    reservoir: seedless mix64 priorities, k smallest per key via one
+    key-partitioned row_number window."""
+    if k <= 0:
+        raise ValueError("k must be positive, got %d" % k)
+    from graft import functions as gf
+    w = (Window.partitionBy(*[F.col(c) for c in keys])
+         .orderBy(F.col("priority"), F.col(id_col)))
+    return (df.withColumn("priority",
+                          gf.pl_mix64(F.col(id_col))
+                          .bitwiseAND(F.lit(9223372036854775807)))
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= k).drop("__rn"))
+
+
 def band_join(left, right, key, left_val, right_val, eps):
     """Scalar band join — Python mirror of the Scala ``Joins.bandJoin``:
     pairs rows sharing ``key`` whose integral values differ by at most

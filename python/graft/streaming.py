@@ -92,6 +92,14 @@ def page_hinkley_stream(df, key, order_col, value_col, delta_micro=0,
         int(lambda_micro)))
 
 
+def reservoir_stream(df, key, id_col, k):
+    """Streaming bounded k-sample per key — bit-identical to the batch
+    priority_sample_per_key over any stream prefix; state is <= k
+    (priority, id) pairs per key."""
+    return _wrap(df, _bridge(df).reservoirStream(df._jdf, key, id_col,
+                                                 int(k)))
+
+
 def debounce_stream(df, key, ts_col, id_col, min_gap):
     """Suppress per-key events arriving within ``min_gap`` of the last
     emitted one — state is one long per key."""

@@ -1812,3 +1812,17 @@ def test_holm_bonferroni_hand(spark):
     out = [r["reject"] for r in
            holm_bonferroni(df, ["t"], "p").orderBy("rank").collect()]
     assert out == [True, False, False, False]
+
+
+def test_priority_sample_per_key(spark):
+    from graft.pipeline import priority_sample_per_key
+    df = spark.createDataFrame([(t, i) for t in ("a", "b")
+                                for i in range(1, 21)],
+                               "k string, id long")
+    out = priority_sample_per_key(df, ["k"], "id", 3).collect()
+    assert len(out) == 6
+    assert all(r["priority"] >= 0 for r in out)
+    # deterministic: a second run returns the identical sample
+    again = priority_sample_per_key(df, ["k"], "id", 3).collect()
+    assert sorted((r["k"], r["id"]) for r in out) == \
+        sorted((r["k"], r["id"]) for r in again)

@@ -159,3 +159,13 @@ def test_page_hinkley_stream_batch_face(spark):
                          lambda_micro=4000000).collect()[0]
     assert (last["nSoFar"], last["phMicro"], last["alarm"]) == \
         (batch["n"], batch["ph_micro"], batch["alarm"])
+
+
+def test_reservoir_stream_batch_face(spark):
+    from graft.streaming import reservoir_stream
+    from graft.pipeline import priority_sample_per_key
+    df = spark.createDataFrame([(1, i) for i in range(1, 21)],
+                               "k long, id long")
+    out = reservoir_stream(df, "k", "id", 3).collect()
+    batch = priority_sample_per_key(df, ["k"], "id", 3).collect()
+    assert sorted(r["id"] for r in out) == sorted(r["id"] for r in batch)

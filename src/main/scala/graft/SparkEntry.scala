@@ -4105,6 +4105,13 @@ object SparkEntry {
           expr("cast(round(value * 100) as bigint)").as("vc")),
         Seq("event_type"), "vc", trimPpm = 100000L)
         .orderBy("event_type")),
+    // per-key deterministic k-sample: 10 winning event ids per type
+    // by seedless mix64 priority — the reservoirStream batch face
+    "q_sample_per_key" -> ((s, dir) =>
+      graft.pipeline.Splits.prioritySamplePerKey(
+        t(s, dir, "events").select(col("event_type"), col("event_id")),
+        Seq("event_type"), "event_id", k = 10)
+        .orderBy("event_type", "priority")),
     // ICC(1,1) per cohort over the per-user event-type count panel —
     // the per-rating reliability twin of q_cronbach, same grid
     "q_icc" -> ((s, dir) => {
@@ -10070,6 +10077,14 @@ object SparkEntry {
         |FROM ii JOIN tv ON ii.cohort = tv.cohort
         |  JOIN kk ON ii.cohort = kk.cohort
         |ORDER BY ii.cohort""".stripMargin,
+    "q_sample_per_key" ->
+      s"""WITH p AS (SELECT event_type, event_id,
+         |    ${duckToSigned(duckMix64("event_id::HUGEINT") + " % 9223372036854775808::HUGEINT")} AS priority
+         |  FROM events),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+         |    ORDER BY priority, event_id) AS rn FROM p)
+         |SELECT event_type, event_id, priority FROM r WHERE rn <= 10
+         |ORDER BY event_type, priority""".stripMargin,
     "q_icc" ->
       """WITH e AS (SELECT user_id % 2 AS cohort, user_id, event_type
         |  FROM events

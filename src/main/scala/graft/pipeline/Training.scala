@@ -239,6 +239,35 @@ object Splits {
       .limit(k)
       .drop("__graft_u")
   }
+
+  /**
+   * Per-key deterministic k-sample — [[prioritySample]]'s keyed,
+   * unweighted sibling and the batch face of
+   * [[graft.streaming.StreamingPipeline.reservoirStream]]: each row's
+   * priority is `mix64(id) & Long.MaxValue` (seedless — a pure
+   * function of ids, so reruns, engines and the streaming twin agree
+   * row-for-row) and the k SMALLEST priorities per key win.
+   *
+   * 100 TB shape: one scalar projection + one key-partitioned
+   * row_number window — rows shuffle once by key; no global sort, no
+   * driver state. (A rank-over-window keeps ties deterministic via
+   * the (priority, id) order.)
+   *
+   * Output: input columns + `priority`, k winners per key.
+   */
+  def prioritySamplePerKey(df: DataFrame, keys: Seq[String],
+      idCol: String, k: Int): DataFrame = {
+    require(keys.nonEmpty, "keys required")
+    require(k > 0, s"k must be positive, got $k")
+    val W = org.apache.spark.sql.expressions.Window
+    val u = c(Mix64(asExpr(col(idCol)))).bitwiseAND(lit(Long.MaxValue))
+    val w = W.partitionBy(keys.map(col): _*)
+      .orderBy(col("priority"), col(idCol))
+    df.withColumn("priority", u)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .drop("__rn")
+  }
 }
 
 /**

@@ -65,6 +65,11 @@ object StreamingBridge {
     StreamingPipeline.pageHinkleyStream(df, key, orderCol, valueCol,
       deltaMicro, lambdaMicro).toDF()
 
+  /** [[StreamingPipeline.reservoirStream]]. */
+  def reservoirStream(df: DataFrame, key: String, idCol: String,
+      k: Int): DataFrame =
+    StreamingPipeline.reservoirStream(df, key, idCol, k).toDF()
+
   /** [[StreamingPipeline.debounceStream]]. */
   def debounceStream(df: DataFrame, key: String, tsCol: String,
       idCol: String, minGap: Long): DataFrame =

@@ -895,6 +895,59 @@ object StreamingPipeline {
       }
   }
 
+  /** (key, id) projection for the streaming reservoir. */
+  final case class ResRow(k: Long, id: Long)
+  /** Per-key state: the ≤ k current (priority, id) winners, sorted,
+    * plus the total rows seen — bounded at k pairs + 1 long. */
+  final case class ResSt(items: Seq[(Long, Long)], seen: Long)
+  /** Per-batch output: the CURRENT sample after this batch. */
+  final case class ResOut(key: Long, id: Long, priority: Long,
+      nSeen: Long)
+
+  /**
+   * Streaming bounded k-sample per key — the live face of
+   * [[graft.pipeline.Training.prioritySamplePerKey]]: every id's
+   * priority is the SAME seedless `mix64(id) & Long.MaxValue`, and
+   * the state keeps only the k smallest (priority, id) pairs, so
+   * after ANY prefix of the stream the emitted sample is
+   * BIT-IDENTICAL to the batch operator over that prefix (spec pins
+   * it) — a property random-eviction reservoirs cannot offer.
+   * Duplicate ids collapse (same priority, id — set semantics).
+   *
+   * Emits the current k winners after each batch, tagged with the
+   * cumulative `nSeen`. State is ≤ k pairs + 1 long per key —
+   * bounded regardless of stream length; survives restarts via the
+   * checkpoint (spec pins recovery).
+   */
+  def reservoirStream(df: DataFrame, key: String, idCol: String,
+      k: Int): Dataset[ResOut] = {
+    require(k >= 1 && k <= 65536, s"k must be in [1, 65536], got $k")
+    import df.sparkSession.implicits._
+    val rows = df.select(col(key).cast("long").as("k"),
+      col(idCol).cast("long").as("id")).as[ResRow]
+    rows.groupByKey(_.k)
+      .flatMapGroupsWithState[ResSt, ResOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (kk: Long, it: Iterator[ResRow], state: GroupState[ResSt]) =>
+          var st = state.getOption.getOrElse(ResSt(Vector.empty, 0L))
+          var items = st.items.toVector
+          var seen = st.seen
+          for (r <- it) {
+            seen += 1
+            val p = graft.pipeline.Hashing.mix64(r.id) & Long.MaxValue
+            val cand = (p, r.id)
+            if (!items.contains(cand)) {
+              if (items.length < k) items = (items :+ cand).sorted
+              else if (implicitly[Ordering[(Long, Long)]]
+                  .lt(cand, items.last))
+                items = (items.init :+ cand).sorted
+            }
+          }
+          state.update(ResSt(items, seen))
+          items.iterator.map { case (p, id) => ResOut(kk, id, p, seen) }
+      }
+  }
+
   /** (key, order, value) projection for the running z-gate. */
   final case class ZRow(k: Long, t: Long, x: Long)
   /** Per-key state: the three exact integer moments — 3 longs. */

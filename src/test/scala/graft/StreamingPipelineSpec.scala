@@ -1796,4 +1796,68 @@ class StreamingPipelineSpec extends AnyFunSuite {
       "post-recovery PH must equal the batch face on the union")
   }
 
+  test("reservoirStream equals the batch prioritySamplePerKey on any " +
+      "prefix, accumulates across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val out = StreamingPipeline.reservoirStream(
+      mem.toDF().toDF("k", "id"), "k", "id", k = 3)
+    val q = out.toDF().writeStream.format("memory").queryName("res_acc")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L to 10L).map((1L, _)): _*); q.processAllAvailable()
+      mem.addData((11L to 20L).map((1L, _)): _*); q.processAllAvailable()
+      val last = spark.sql(
+        "SELECT id FROM res_acc WHERE nSeen = 20 ORDER BY priority")
+        .collect().map(_.getLong(0)).toSeq
+      val batch = graft.pipeline.Splits.prioritySamplePerKey(
+        (1L to 20L).map((1L, _)).toDF("k", "id"), Seq("k"), "id", k = 3)
+        .orderBy("priority").collect().map(_.getLong(1)).toSeq
+      assert(last == batch, s"stream $last != batch $batch")
+      // prefix property: the batch-1 emission equals batch over 1..10
+      val first = spark.sql(
+        "SELECT id FROM res_acc WHERE nSeen = 10 ORDER BY priority")
+        .collect().map(_.getLong(0)).toSeq
+      val batch10 = graft.pipeline.Splits.prioritySamplePerKey(
+        (1L to 10L).map((1L, _)).toDF("k", "id"), Seq("k"), "id", k = 3)
+        .orderBy("priority").collect().map(_.getLong(1)).toSeq
+      assert(first == batch10)
+    } finally q.stop()
+  }
+
+  test("reservoirStream k-pair state recovers across runs via " +
+      "checkpoint") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("stream-res-ck").toString
+    val ckpt = Files.createTempDirectory("stream-res-ck-ckpt").toString
+    val outDir = Files.createTempDirectory("stream-res-ck-out").toString
+    val schema = Seq((1L, 1L)).toDF("k", "id").schema
+
+    def run(): Unit = {
+      val rows = StreamingPipeline.reservoirStream(
+        spark.readStream.schema(schema).parquet(dir), "k", "id", k = 3)
+      val q = rows.toDF().writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+
+    (1L to 10L).map((1L, _)).toDF("k", "id")
+      .write.mode("overwrite").parquet(dir)
+    run()
+    (11L to 20L).map((1L, _)).toDF("k", "id")
+      .write.mode("append").parquet(dir)
+    run()
+
+    val last = spark.read.parquet(outDir).where($"nSeen" === 20)
+      .orderBy("priority").collect().map(_.getLong(1)).toSeq
+    val batch = graft.pipeline.Splits.prioritySamplePerKey(
+      (1L to 20L).map((1L, _)).toDF("k", "id"), Seq("k"), "id", k = 3)
+      .orderBy("priority").collect().map(_.getLong(1)).toSeq
+    assert(last == batch,
+      "post-recovery sample must equal the batch face on the union")
+  }
+
 }
