@@ -5130,3 +5130,62 @@ def holm_bonferroni(df, key_cols, p_micro_col, alpha_micro=50000,
             .withColumn("reject", F.col("__ff").isNull() |
                         (F.col("rank") < F.col("__ff")))
             .select(*kc, "p_micro", "rank", "m_tests", "reject"))
+
+
+def pairwise_welch(df, keys, group_col, value_col, max_groups=100):
+    """Pairwise Welch t over all group pairs per key -- Python mirror
+    of the Scala ``Stats.pairwiseWelch``: one (key, group) DECIMAL
+    moment rollup, then a label-sized self-equi-join (g_a < g_b) under
+    a fail-loud max_groups guard; welch_t's exact factoring per pair."""
+    if not (2 <= max_groups <= 10000):
+        raise ValueError("max_groups must be in [2, 10000]")
+    kc = [F.col(k) for k in keys]
+    dec = "decimal(38,0)"
+    vd = F.col("__v").cast(dec)
+    m = (df.where(F.col(value_col).isNotNull() &
+                  F.col(group_col).isNotNull())
+         .select(*kc, F.col(group_col).cast("string").alias("__g"),
+                 F.col(value_col).cast("long").alias("__v"))
+         .groupBy(*kc, F.col("__g"))
+         .agg(F.count(F.lit(1)).cast(dec).alias("__n"),
+              F.sum(vd).alias("__s"), F.sum(vd * vd).alias("__q"))
+         .withColumn("__lv", F.count(F.lit(1)).over(
+             Window.partitionBy(*kc)))
+         .withColumn("__n", F.when(F.col("__lv") <= max_groups,
+                                   F.col("__n"))
+                     .otherwise(F.raise_error(F.concat(
+                         F.lit("pairwise_welch: "),
+                         F.col("__lv").cast("string"),
+                         F.lit(" groups exceed max_groups=%d"
+                               % max_groups)))))
+         .drop("__lv"))
+    a = m.select(*kc, F.col("__g").alias("g_a"),
+                 F.col("__n").alias("__na"), F.col("__s").alias("__sa"),
+                 F.col("__q").alias("__qa"))
+    b = m.select(*kc, F.col("__g").alias("g_b"),
+                 F.col("__n").alias("__nb"), F.col("__s").alias("__sb"),
+                 F.col("__q").alias("__qb"))
+    pairs = a.join(b, keys).where(F.col("g_a") < F.col("g_b"))
+    na, nb = F.col("__na"), F.col("__nb")
+    va = (na * F.col("__qa") - F.col("__sa") * F.col("__sa")) \
+        .cast("double") / (na * na * (na - F.lit(1))).cast("double")
+    vb = (nb * F.col("__qb") - F.col("__sb") * F.col("__sb")) \
+        .cast("double") / (nb * nb * (nb - F.lit(1))).cast("double")
+    ma = F.col("__sa").cast("double") / na.cast("double")
+    mb = F.col("__sb").cast("double") / nb.cast("double")
+    bad = (na < 2) | (nb < 2)
+    null_long = F.lit(None).cast("long")
+    return pairs.select(
+        *kc, "g_a", "g_b", na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        F.when(bad, null_long).otherwise(
+            F.when(va + vb == 0.0, null_long).otherwise(
+                F.round(F.lit(1e6) * (ma - mb) / F.sqrt(va + vb))
+                .cast("long"))).alias("t_micro"),
+        F.when(bad, null_long).otherwise(
+            F.when(va * va / (na.cast("double") - 1.0) +
+                   vb * vb / (nb.cast("double") - 1.0) == 0.0, null_long)
+            .otherwise(F.round(F.lit(1e3) * (va + vb) * (va + vb) / (
+                va * va / (na.cast("double") - 1.0) +
+                vb * vb / (nb.cast("double") - 1.0))).cast("long")))
+        .alias("df_milli"))

@@ -100,6 +100,14 @@ def reservoir_stream(df, key, id_col, k):
                                                  int(k)))
 
 
+def quantile_stream(df, key, value_col, max_bins=4096):
+    """Streaming exact-quantile monitor — the live face of
+    percentile_report; cumulative distinct-value histogram per key,
+    fail-loud past max_bins, exact p50/p90/p99 per batch."""
+    return _wrap(df, _bridge(df).quantileStream(df._jdf, key, value_col,
+                                                int(max_bins)))
+
+
 def debounce_stream(df, key, ts_col, id_col, min_gap):
     """Suppress per-key events arriving within ``min_gap`` of the last
     emitted one — state is one long per key."""

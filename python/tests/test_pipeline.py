@@ -1826,3 +1826,16 @@ def test_priority_sample_per_key(spark):
     again = priority_sample_per_key(df, ["k"], "id", 3).collect()
     assert sorted((r["k"], r["id"]) for r in out) == \
         sorted((r["k"], r["id"]) for r in again)
+
+
+def test_pairwise_welch_hand(spark):
+    from graft.pipeline import pairwise_welch
+    rows = ([("k1", "a", v) for v in (1, 2, 3, 4)] +
+            [("k1", "b", v) for v in (1, 3, 5, 7, 9)] +
+            [("k1", "c", v) for v in (10, 10, 12)])
+    df = spark.createDataFrame(rows, "kk string, g string, v long")
+    out = {(r["g_a"], r["g_b"]): (r["t_micro"], r["df_milli"])
+           for r in pairwise_welch(df, ["kk"], "g", "v").collect()}
+    assert out[("a", "b")] == (-1608169, 5521)
+    assert out[("a", "c")] == (-8800660, 4734)
+    assert out[("b", "c")] == (-3624412, 5438)

@@ -169,3 +169,14 @@ def test_reservoir_stream_batch_face(spark):
     out = reservoir_stream(df, "k", "id", 3).collect()
     batch = priority_sample_per_key(df, ["k"], "id", 3).collect()
     assert sorted(r["id"] for r in out) == sorted(r["id"] for r in batch)
+
+
+def test_quantile_stream_batch_face(spark):
+    from graft.streaming import quantile_stream
+    from graft.pipeline import percentile_report
+    df = spark.createDataFrame([(1, v) for v in range(1, 11)],
+                               "k long, v long")
+    r = quantile_stream(df, "k", "v").collect()[0]
+    b = percentile_report(df, ["k"], "v").collect()[0]
+    assert (r["n"], r["p500"], r["p900"], r["p990"]) == \
+        (b["n"], b["p500"], b["p900"], b["p990"])

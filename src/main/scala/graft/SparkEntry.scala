@@ -4105,6 +4105,22 @@ object SparkEntry {
           expr("cast(round(value * 100) as bigint)").as("vc")),
         Seq("event_type"), "vc", trimPpm = 100000L)
         .orderBy("event_type")),
+    // pairwise Welch post-hoc after q_anova_f — which event-type
+    // pairs differ, per cohort; k^2 pairs of moment rows only
+    "q_pairwise_welch" -> ((s, dir) =>
+      graft.pipeline.Stats.pairwiseWelch(
+        t(s, dir, "events").select((col("user_id") % 2).as("cohort"),
+          col("event_type"),
+          expr("cast(round(value * 100) as bigint)").as("vc")),
+        Seq("cohort"), "event_type", "vc")
+        .orderBy("cohort", "g_a", "g_b")),
+    // streaming quantile monitor batch face: exact cumulative
+    // p50/p90/p99 per cohort under the percentileReport rule
+    "q_quantile_monitor" -> ((s, dir) =>
+      graft.streaming.StreamingPipeline.quantileStream(
+        t(s, dir, "events").select((col("user_id") % 4).as("k"),
+          expr("cast(round(value * 100) as bigint)").as("vc")),
+        "k", "vc").toDF().orderBy("key")),
     // per-key deterministic k-sample: 10 winning event ids per type
     // by seedless mix64 priority — the reservoirStream batch face
     "q_sample_per_key" -> ((s, dir) =>
@@ -10077,6 +10093,54 @@ object SparkEntry {
         |FROM ii JOIN tv ON ii.cohort = tv.cohort
         |  JOIN kk ON ii.cohort = kk.cohort
         |ORDER BY ii.cohort""".stripMargin,
+    "q_pairwise_welch" ->
+      """WITH e AS (SELECT user_id % 2 AS cohort, event_type AS g,
+        |    CAST(round(value * 100) AS BIGINT) AS v FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |m AS (SELECT cohort, g, COUNT(*)::HUGEINT AS n,
+        |    SUM(v)::HUGEINT AS s, SUM(v::HUGEINT * v) AS q
+        |  FROM e GROUP BY 1, 2),
+        |pr AS (SELECT a.cohort, a.g AS g_a, b.g AS g_b,
+        |    a.n AS na, a.s AS sa, a.q AS qa,
+        |    b.n AS nb, b.s AS sb, b.q AS qb
+        |  FROM m a JOIN m b ON a.cohort = b.cohort AND a.g < b.g),
+        |d AS (SELECT cohort, g_a, g_b, na, nb,
+        |    CAST(na * qa - sa * sa AS DOUBLE) /
+        |      CAST(na * na * (na - 1) AS DOUBLE) AS va,
+        |    CAST(nb * qb - sb * sb AS DOUBLE) /
+        |      CAST(nb * nb * (nb - 1) AS DOUBLE) AS vb,
+        |    CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS ma,
+        |    CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb
+        |  FROM pr)
+        |SELECT cohort, g_a, g_b, CAST(na AS BIGINT) AS n_a,
+        |  CAST(nb AS BIGINT) AS n_b,
+        |  CASE WHEN na < 2 OR nb < 2 OR va + vb = 0 THEN NULL
+        |    ELSE CAST(round(1e6 * (ma - mb) / sqrt(va + vb)) AS BIGINT)
+        |    END AS t_micro,
+        |  CASE WHEN na < 2 OR nb < 2 OR
+        |      va * va / (CAST(na AS DOUBLE) - 1.0) +
+        |      vb * vb / (CAST(nb AS DOUBLE) - 1.0) = 0 THEN NULL
+        |    ELSE CAST(round(1e3 * (va + vb) * (va + vb) /
+        |      (va * va / (CAST(na AS DOUBLE) - 1.0) +
+        |       vb * vb / (CAST(nb AS DOUBLE) - 1.0))) AS BIGINT)
+        |    END AS df_milli
+        |FROM d ORDER BY cohort, g_a, g_b""".stripMargin,
+    "q_quantile_monitor" ->
+      """WITH e AS (SELECT user_id % 4 AS k,
+        |    CAST(round(value * 100) AS BIGINT) AS v FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |h AS (SELECT k, v, COUNT(*) AS c FROM e GROUP BY 1, 2),
+        |cw AS (SELECT *, SUM(c) OVER (PARTITION BY k ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cume,
+        |    SUM(c) OVER (PARTITION BY k) AS n FROM h)
+        |SELECT k AS key, CAST(MAX(n) AS BIGINT) AS n,
+        |  CAST(MIN(CASE WHEN cume * 1000 >= n * 500 THEN v END)
+        |    AS BIGINT) AS p500,
+        |  CAST(MIN(CASE WHEN cume * 1000 >= n * 900 THEN v END)
+        |    AS BIGINT) AS p900,
+        |  CAST(MIN(CASE WHEN cume * 1000 >= n * 990 THEN v END)
+        |    AS BIGINT) AS p990
+        |FROM cw GROUP BY 1 ORDER BY key""".stripMargin,
     "q_sample_per_key" ->
       s"""WITH p AS (SELECT event_type, event_id,
          |    ${duckToSigned(duckMix64("event_id::HUGEINT") + " % 9223372036854775808::HUGEINT")} AS priority

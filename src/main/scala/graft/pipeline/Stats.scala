@@ -4424,6 +4424,77 @@ object Stats {
         col("m_tests") :+ col("reject"): _*)
   }
 
+  /**
+   * Pairwise Welch t over ALL group pairs per key — the post-hoc step
+   * after [[anovaF]] says "SOME group differs": which pairs? Every
+   * (g_a < g_b) pair gets [[welchT]]'s statistic with the identical
+   * factoring — s²/n from exact DECIMAL numerators with one division
+   * point each, round-once t and Satterthwaite df. Feed the t values
+   * to [[holmBonferroni]]/[[bhFdr]] for multiplicity downstream.
+   *
+   * Scale shape: the corpus reduces ONCE to the (key, group) moment
+   * table (map-side combinable); the pair join is a self-equi-join of
+   * THAT table on the key — k² pairs of moment rows, label-sized
+   * under the fail-loud `maxGroups` guard; the corpus never joins
+   * itself.
+   *
+   * Returns one row per pair: keys + (g_a, g_b, n_a, n_b, t_micro,
+   * df_milli); NULL t when either side has n < 2 or both variances 0.
+   */
+  def pairwiseWelch(df: DataFrame, keys: Seq[String], groupCol: String,
+      valueCol: String, maxGroups: Int = 100): DataFrame = {
+    require(keys.nonEmpty, "keys required")
+    require(maxGroups >= 2 && maxGroups <= 10000,
+      s"maxGroups must be in [2, 10000], got $maxGroups")
+    val W = org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val m = df
+      .where(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(keys.map(col) :+ col(groupCol).cast("string").as("__g") :+
+        col(valueCol).cast("long").as("__v"): _*)
+      .groupBy(keys.map(col) :+ col("__g"): _*)
+      .agg(count(lit(1)).cast(dec).as("__n"),
+        sum(col("__v").cast(dec)).as("__s"),
+        sum(col("__v").cast(dec) * col("__v").cast(dec)).as("__q"))
+      .withColumn("__lv", count(lit(1))
+        .over(W.partitionBy(keys.map(col): _*)))
+      .withColumn("__n", when(col("__lv") <= maxGroups, col("__n"))
+        .otherwise(raise_error(concat(
+          lit("pairwise_welch: "), col("__lv"),
+          lit(s" groups exceed maxGroups=$maxGroups — the pair join " +
+            "is k² in groups; coarsen or raise deliberately")))))
+      .drop("__lv")
+    val a = m.select(keys.map(col) :+ col("__g").as("g_a") :+
+      col("__n").as("__na") :+ col("__s").as("__sa") :+
+      col("__q").as("__qa"): _*)
+    val b = m.select(keys.map(col) :+ col("__g").as("g_b") :+
+      col("__n").as("__nb") :+ col("__s").as("__sb") :+
+      col("__q").as("__qb"): _*)
+    val pairs = a.join(b, keys).where(col("g_a") < col("g_b"))
+    val na = col("__na"); val nb = col("__nb")
+    val va = (na * col("__qa") - col("__sa") * col("__sa")).cast("double") /
+      (na * na * (na - lit(1L))).cast("double")
+    val vb = (nb * col("__qb") - col("__sb") * col("__sb")).cast("double") /
+      (nb * nb * (nb - lit(1L))).cast("double")
+    val ma = col("__sa").cast("double") / na.cast("double")
+    val mb = col("__sb").cast("double") / nb.cast("double")
+    val bad = na < 2L || nb < 2L
+    pairs.select(keys.map(col) :+ col("g_a") :+ col("g_b") :+
+      na.cast("long").as("n_a") :+ nb.cast("long").as("n_b") :+
+      when(bad, lit(null).cast("long"))
+        .otherwise(when(va + vb === 0.0, lit(null).cast("long"))
+          .otherwise(round(lit(1e6) * (ma - mb) / sqrt(va + vb))
+            .cast("long"))).as("t_micro") :+
+      when(bad, lit(null).cast("long"))
+        .otherwise(when(va * va / (na.cast("double") - 1.0) +
+            vb * vb / (nb.cast("double") - 1.0) === 0.0,
+          lit(null).cast("long"))
+          .otherwise(round(lit(1e3) * (va + vb) * (va + vb) /
+            (va * va / (na.cast("double") - 1.0) +
+              vb * vb / (nb.cast("double") - 1.0))).cast("long")))
+        .as("df_milli"): _*)
+  }
+
   def poissonBootstrap(df: DataFrame, idCol: String, valueCol: String,
       reps: Int = 32): DataFrame = {
     require(reps >= 2 && reps <= 1024, s"reps must be in [2,1024], got $reps")

@@ -70,6 +70,11 @@ object StreamingBridge {
       k: Int): DataFrame =
     StreamingPipeline.reservoirStream(df, key, idCol, k).toDF()
 
+  /** [[StreamingPipeline.quantileStream]]. */
+  def quantileStream(df: DataFrame, key: String, valueCol: String,
+      maxBins: Int): DataFrame =
+    StreamingPipeline.quantileStream(df, key, valueCol, maxBins).toDF()
+
   /** [[StreamingPipeline.debounceStream]]. */
   def debounceStream(df: DataFrame, key: String, tsCol: String,
       idCol: String, minGap: Long): DataFrame =

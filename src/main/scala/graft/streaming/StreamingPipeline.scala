@@ -895,6 +895,67 @@ object StreamingPipeline {
       }
   }
 
+  /** (key, value) projection for the quantile monitor. */
+  final case class QuantRow(k: Long, v: Long)
+  /** Per-key state: the cumulative value histogram as parallel
+    * arrays — ≤ maxBins pairs by the fail-loud cap. */
+  final case class QuantSt(vs: Array[Long], cs: Array[Long])
+  /** Per-batch output: exact discrete percentiles of everything seen
+    * so far (the percentileReport rule). */
+  final case class QuantOut(key: Long, n: Long, p500: Long, p900: Long,
+      p990: Long)
+
+  /**
+   * Streaming exact-quantile monitor — the live face of
+   * [[graft.pipeline.Stats.percentileReport]]: per key the state is
+   * the cumulative DISTINCT-value histogram (quantize upstream with
+   * [[graft.pipeline.Stats.quantizeStep]]; past `maxBins` distinct
+   * values the query fails loud with a named diagnosis, the
+   * [[driftStream]] contract), and each batch emits the EXACT
+   * discrete p50/p90/p99 of everything seen so far under the batch
+   * operator's rule — smallest v with cume·1000 ≥ n·p — so a single
+   * micro-batch over a static frame reproduces percentileReport
+   * row-for-row (spec pins it). NULL key/value rows excluded as in
+   * batch. State ≤ maxBins (value, count) pairs per key.
+   */
+  def quantileStream(df: DataFrame, key: String, valueCol: String,
+      maxBins: Int = 4096): Dataset[QuantOut] = {
+    require(maxBins >= 2 && maxBins <= 65536,
+      s"maxBins must be in [2, 65536], got $maxBins")
+    import df.sparkSession.implicits._
+    val rows = df
+      .where(col(key).isNotNull && col(valueCol).isNotNull)
+      .select(col(key).cast("long").as("k"),
+        col(valueCol).cast("long").as("v")).as[QuantRow]
+    rows.groupByKey(_.k)
+      .flatMapGroupsWithState[QuantSt, QuantOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (k: Long, it: Iterator[QuantRow], state: GroupState[QuantSt]) =>
+          val hist = scala.collection.mutable.LongMap.empty[Long]
+          state.getOption.foreach(st =>
+            st.vs.indices.foreach(i => hist(st.vs(i)) = st.cs(i)))
+          it.foreach(r => hist(r.v) = hist.getOrElse(r.v, 0L) + 1L)
+          if (hist.size > maxBins) throw new IllegalArgumentException(
+            s"quantile_stream: key $k grew ${hist.size} distinct " +
+              s"values, cap is $maxBins — quantize the metric coarser " +
+              "upstream (Stats.quantizeStep)")
+          val values = hist.keys.toArray.sorted
+          val n = hist.values.sum
+          def pct(p: Long): Long = {
+            var cume = 0L; var i = 0
+            while (i < values.length) {
+              cume += hist(values(i))
+              if (cume * 1000L >= n * p) return values(i)
+              i += 1
+            }
+            values.last
+          }
+          val sorted = values
+          state.update(QuantSt(sorted, sorted.map(hist)))
+          Iterator.single(QuantOut(k, n, pct(500), pct(900), pct(990)))
+      }
+  }
+
   /** (key, id) projection for the streaming reservoir. */
   final case class ResRow(k: Long, id: Long)
   /** Per-key state: the ≤ k current (priority, id) winners, sorted,

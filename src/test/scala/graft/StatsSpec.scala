@@ -1844,4 +1844,25 @@ class StatsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("holm_bonferroni") ||
       e.getCause.getMessage.contains("holm_bonferroni"))
   }
+
+  test("pairwiseWelch hand pairs match welchT factoring; maxGroups " +
+      "fails loud") {
+    val rows = Seq(1L, 2L, 3L, 4L).map(("k1", "a", _)) ++
+      Seq(1L, 3L, 5L, 7L, 9L).map(("k1", "b", _)) ++
+      Seq(10L, 10L, 12L).map(("k1", "c", _))
+    val out = Stats.pairwiseWelch(rows.toDF("kk", "g", "v"),
+      Seq("kk"), "g", "v").orderBy("g_a", "g_b").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out.toSeq == Seq(
+      ("a", "b", 4L, 5L, -1608169L, 5521L),
+      ("a", "c", 4L, 3L, -8800660L, 4734L),
+      ("b", "c", 5L, 3L, -3624412L, 5438L)))
+    val e = intercept[Exception] {
+      Stats.pairwiseWelch(rows.toDF("kk", "g", "v"), Seq("kk"), "g",
+        "v", maxGroups = 2).collect()
+    }
+    assert(e.getMessage.contains("pairwise_welch") ||
+      e.getCause.getMessage.contains("pairwise_welch"))
+  }
 }

@@ -1860,4 +1860,50 @@ class StreamingPipelineSpec extends AnyFunSuite {
       "post-recovery sample must equal the batch face on the union")
   }
 
+  test("quantileStream single batch equals percentileReport; " +
+      "cumulative across batches; bin cap fails loud") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val out = StreamingPipeline.quantileStream(
+      mem.toDF().toDF("k", "v"), "k", "v", maxBins = 16)
+    val q = out.toDF().writeStream.format("memory").queryName("qt_acc")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L to 10L).map(v => (1L, v)): _*)
+      q.processAllAvailable()
+      val r1 = spark.sql("SELECT * FROM qt_acc").collect()(0)
+      val batch = graft.pipeline.Stats.percentileReport(
+        (1L to 10L).map(v => (1L, v)).toDF("k", "v"), Seq("k"), "v")
+        .collect()(0)
+      assert((r1.getLong(1), r1.getLong(2), r1.getLong(3),
+        r1.getLong(4)) == ((batch.getLong(1), batch.getLong(2),
+        batch.getLong(3), batch.getLong(4))), "batch-face parity")
+      // batch 2: shift mass upward — quantiles re-score cumulatively
+      mem.addData(Seq.fill(10)((1L, 9L)): _*)
+      q.processAllAvailable()
+      val r2 = spark.sql("SELECT * FROM qt_acc ORDER BY n DESC")
+        .collect()(0)
+      val b2 = graft.pipeline.Stats.percentileReport(
+        ((1L to 10L) ++ Seq.fill(10)(9L)).map(v => (1L, v))
+          .toDF("k", "v"), Seq("k"), "v").collect()(0)
+      assert((r2.getLong(1), r2.getLong(2), r2.getLong(3),
+        r2.getLong(4)) == ((b2.getLong(1), b2.getLong(2),
+        b2.getLong(3), b2.getLong(4))))
+    } finally q.stop()
+    // cap: an 11-distinct-value key against maxBins=4 dies loudly
+    val mem2 = MemoryStream[(Long, Long)]
+    val capped = StreamingPipeline.quantileStream(
+      mem2.toDF().toDF("k", "v"), "k", "v", maxBins = 4)
+    val q2 = capped.toDF().writeStream.format("memory")
+      .queryName("qt_cap").outputMode("append").start()
+    try {
+      mem2.addData((1L to 11L).map(v => (1L, v)): _*)
+      val ex = intercept[Exception] { q2.processAllAvailable() }
+      assert(ex.getMessage.contains("quantile_stream"),
+        s"wanted the named diagnosis, got: ${ex.getMessage}")
+    } finally q2.stop()
+  }
+
 }
