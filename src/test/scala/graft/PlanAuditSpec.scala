@@ -84,7 +84,12 @@ class PlanAuditSpec extends AnyFunSuite {
       "the broadcast k-count join"),
     "q_weighted_kappa" -> ("broadcast level x level margin dense-grid " +
       "crossJoin (both margins label-sized, ENFORCED by maxLevels " +
-      "raise_error — the q_chi_kxm pattern) + one-row num/den crossJoins"))
+      "raise_error — the q_chi_kxm pattern) + one-row num/den crossJoins"),
+    "q_icc" -> ("broadcast event-type dimension crossJoin building the " +
+      "complete absence-as-zero grid (the q_cronbach pattern) + the " +
+      "broadcast balanced-k join"),
+    "q_holm" -> ("broadcast one-row (m_tests, first-fail rank) " +
+      "crossJoin over the per-test table (the q_bh_fdr shape)"))
 
   test("no query plans an unintended cartesian or nested-loop join") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -154,7 +159,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_weighted_kappa" -> "maxLevels count guards over the two MARGIN rollups (the q_chi_kxm guard shape)",
     "q_heaps" -> ("cumulative token/vocab sums over the DOC-level table " +
       "(two longs per doc, never token rows), fail-loud maxDocs guard — " +
-      "the bhFdr metadata-sized-by-contract discipline"))
+      "the bhFdr metadata-sized-by-contract discipline"),
+    "q_holm" -> ("rank over the PER-TEST p-value table (experiments, " +
+      "not rows — metadata-sized by the maxTests contract, the " +
+      "q_bh_fdr shape)"))
 
   test("every window operator is partitioned (no global fact-table sorts)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
