@@ -470,7 +470,44 @@ object DumpPlans {
       "q_grubbs" -> ("Grubbs outlier G: the extremes-only identity " +
         "makes it ONE moment groupBy (max deviation is at min or " +
         "max) — five exact DECIMAL moments, factored sqrts, zero " +
-        "windows, zero joins."))
+        "windows, zero joins."),
+      "q_page_hinkley" -> ("Page-Hinkley detector: one key-partitioned " +
+        "window pass (running mean, cumulative m, prefix min — rows " +
+        "shuffle once), one max-struct rollup for the final row; no " +
+        "calibrated baseline, no joins."),
+      "q_moods_median" -> ("Mood's median: pooled lower median from a " +
+        "cumulative window over the per-key DISTINCT-value histogram, " +
+        "then the k x 2 chi-square over counts — the corpus joins the " +
+        "key-bounded median table once and never sorts."),
+      "q_did" -> ("Difference-in-differences: all twelve cell moments " +
+        "in ONE conditional groupBy row — a single keyed shuffle; " +
+        "DID/SE/t are round-once expressions with no cross-row double " +
+        "sums."),
+      "q_trimmed_mean" -> ("Exact trimmed mean: clamped kept-counts on " +
+        "the cumulative distinct-value histogram window — fact rows " +
+        "shuffle once into the histogram and are never window-sorted."),
+      "q_hellinger" -> ("Hellinger/Bhattacharyya: INNER join of the " +
+        "two distinct-value tables (only shared values carry mass), " +
+        "per-value nano sqrt terms, one-row totals broadcast — no " +
+        "windows at all."),
+      "q_pairwise_welch" -> ("Pairwise Welch post-hoc: the corpus " +
+        "reduces ONCE to (key, group) moments; the pair join is a " +
+        "label-sized self-equi-join under the fail-loud maxGroups " +
+        "guard — k^2 moment rows, never corpus rows."),
+      "q_heaps" -> ("Heaps-law fit: token counting and first-doc are " +
+        "corpus groupBys; everything ordered is the DOC-level table " +
+        "(maxDocs fail-loud), then the zipfFit exact integer OLS."),
+      "q_sample_per_key" -> ("Per-key priority sample: one codegen'd " +
+        "mix64 projection + one key-partitioned row_number window — " +
+        "deterministic, seedless, bit-identical to the streaming " +
+        "reservoir over any prefix."),
+      "q_quantile_monitor" -> ("Streaming quantile monitor (batch " +
+        "face): per-key bounded distinct-value histogram state " +
+        "(maxBins fail-loud), exact percentileReport-rule p50/p90/p99 " +
+        "per batch."),
+      "q_jarque_bera" -> ("Jarque-Bera: ONE 4-power-sum groupBy — the " +
+        "n-powers cancel in the scale-free skew/kurtosis ratios; " +
+        "m2^1.5 as m2*sqrt(m2), no pow(), zero joins, zero windows."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")

@@ -402,6 +402,58 @@ object Stress {
         ev.select(col("event_type").as("a"),
           pmod(col("user_id"), lit(16L)).as("b")), "a", "b"))
 
+    // r19 wave: the serial-correlation / inequality / post-hoc pack.
+    // Shapes under test: key-partitioned lag windows (DW, PH, runs —
+    // rows shuffle once, no global sort), distinct-value histogram
+    // windows (trimmed mean, Mood's median), 4-moment groupBys (JB),
+    // per-group moment rollups + label-sized self-joins (Bartlett,
+    // pairwise Welch), and the shared-value inner join (Hellinger).
+    val keyed = ev.select(pmod(col("user_id"), lit(4L)).as("k"),
+      col("event_id").as("t"), col("event_type"),
+      expr("cast(round(value * 100) as bigint)").as("vc"))
+    timed("durbin_watson", factor)(
+      graft.pipeline.Stats.durbinWatson(
+        ev.select(col("user_id"), col("event_id"),
+          expr("cast(round(value * 100) as bigint)").as("vc")),
+        Seq("user_id"), "event_id", "vc"))
+    timed("page_hinkley", factor)(
+      graft.pipeline.Stats.pageHinkley(
+        ev.select(col("user_id"), col("event_id"),
+          expr("cast(round(value * 100) as bigint)").as("vc")),
+        Seq("user_id"), "event_id", "vc", deltaMicro = 0L,
+        lambdaMicro = 2000000L))
+    timed("runs_test", factor)(
+      graft.pipeline.Stats.runsTest(
+        ev.select(col("user_id"), col("event_id"),
+          expr("cast(round(value * 100) as bigint) > 50").as("hi")),
+        Seq("user_id"), "event_id", "hi"))
+    timed("jarque_bera", factor)(
+      graft.pipeline.Stats.jarqueBera(keyed, Seq("event_type"), "vc"))
+    timed("bartlett", factor)(
+      graft.pipeline.Stats.bartlett(keyed, Seq("k"), "event_type", "vc"))
+    timed("moods_median", factor)(
+      graft.pipeline.Stats.moodsMedian(keyed, Seq("k"), "event_type",
+        "vc"))
+    timed("trimmed_mean", factor)(
+      graft.pipeline.Stats.trimmedMean(keyed, Seq("event_type"), "vc",
+        trimPpm = 100000L))
+    timed("pairwise_welch", factor)(
+      graft.pipeline.Stats.pairwiseWelch(keyed, Seq("k"), "event_type",
+        "vc"))
+    timed("hellinger", factor)(
+      graft.pipeline.Stats.hellingerDistance(
+        ev.where(col("event_type") === "view")
+          .select(expr("cast(round(value * 100) as bigint)").as("vc")),
+        ev.where(col("event_type") === "click")
+          .select(expr("cast(round(value * 100) as bigint)").as("vc")),
+        "vc"))
+    timed("theil_ineq", factor)(
+      graft.pipeline.Stats.theilInequality(
+        ev.where(expr("cast(round(value * 100) as bigint) > 0"))
+          .select(col("event_type"),
+            expr("cast(round(value * 100) as bigint)").as("vc")),
+        Seq("event_type"), "vc"))
+
     val uniVocab = graft.pipeline.Unigram.learn(
         spark.read.parquet(s"$sfDir/documents.parquet"), "text",
         vocabSize = 64, iters = 2, maxPieceLen = 4)

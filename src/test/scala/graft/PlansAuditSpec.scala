@@ -33,7 +33,7 @@ class PlansAuditSpec extends AnyFunSuite {
   }
 
   test("flagship count is pinned") {
-    assert(picks.size == 104,
+    assert(picks.size == 114,
       s"picks count changed to ${picks.size}: regenerate PLANS.md and update this pin")
   }
 }
