@@ -408,7 +408,7 @@ object Stress {
     // windows (trimmed mean, Mood's median), 4-moment groupBys (JB),
     // per-group moment rollups + label-sized self-joins (Bartlett,
     // pairwise Welch), and the shared-value inner join (Hellinger).
-    val keyed = ev.select(pmod(col("user_id"), lit(4L)).as("k"),
+    val keyed = ev.select(pmod(col("user_id"), lit(4L)).as("coh"),
       col("event_id").as("t"), col("event_type"),
       expr("cast(round(value * 100) as bigint)").as("vc"))
     timed("durbin_watson", factor)(
@@ -430,15 +430,15 @@ object Stress {
     timed("jarque_bera", factor)(
       graft.pipeline.Stats.jarqueBera(keyed, Seq("event_type"), "vc"))
     timed("bartlett", factor)(
-      graft.pipeline.Stats.bartlett(keyed, Seq("k"), "event_type", "vc"))
+      graft.pipeline.Stats.bartlett(keyed, Seq("coh"), "event_type", "vc"))
     timed("moods_median", factor)(
-      graft.pipeline.Stats.moodsMedian(keyed, Seq("k"), "event_type",
+      graft.pipeline.Stats.moodsMedian(keyed, Seq("coh"), "event_type",
         "vc"))
     timed("trimmed_mean", factor)(
       graft.pipeline.Stats.trimmedMean(keyed, Seq("event_type"), "vc",
         trimPpm = 100000L))
     timed("pairwise_welch", factor)(
-      graft.pipeline.Stats.pairwiseWelch(keyed, Seq("k"), "event_type",
+      graft.pipeline.Stats.pairwiseWelch(keyed, Seq("coh"), "event_type",
         "vc"))
     timed("hellinger", factor)(
       graft.pipeline.Stats.hellingerDistance(
