@@ -5189,3 +5189,100 @@ def pairwise_welch(df, keys, group_col, value_col, max_groups=100):
                 va * va / (na.cast("double") - 1.0) +
                 vb * vb / (nb.cast("double") - 1.0))).cast("long")))
         .alias("df_milli"))
+
+
+def brier_score(df, keys, p_micro_col, label_col):
+    """Brier score per key -- Python mirror of the Scala
+    ``Stats.brierScore``: exact integer squared gaps in one groupBy,
+    round-once division; the base rate and BS_ref = r(1-r) ship for
+    the skill score downstream. p outside [0, 1e6] fails loud."""
+    kc = [F.col(k) for k in keys]
+    dec = "decimal(38,0)"
+    p = F.col(p_micro_col).cast("long")
+    guarded = F.when((p < 0) | (p > 1000000), F.raise_error(F.concat(
+        F.lit("brier_score: p_micro="), p.cast("string"),
+        F.lit(" outside [0, 1000000] -- probabilities must be "
+              "micro-unit scaled")))).otherwise(p)
+    m = (df.where(p.isNotNull() & F.col(label_col).isNotNull())
+         .select(*kc, guarded.alias("__p"),
+                 F.col(label_col).cast("boolean").alias("__y"))
+         .withColumn("__d", F.col("__p") - F.when(
+             F.col("__y"), F.lit(1000000)).otherwise(F.lit(0)))
+         .groupBy(*kc)
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.count(F.when(F.col("__y"), 1)).alias("__pos"),
+              F.sum(F.col("__d").cast(dec) * F.col("__d").cast(dec))
+              .alias("__ss")))
+    n_d = F.col("n").cast("double")
+    rate = F.col("__pos").cast("double") / n_d
+    return m.select(
+        *kc, "n",
+        F.round(F.lit(1e6) * rate).cast("long").alias("base_rate_ppm"),
+        F.round(F.col("__ss").cast("double") / n_d / F.lit(1e6))
+        .cast("long").alias("brier_micro"),
+        F.round(F.lit(1e6) * rate * (F.lit(1.0) - rate)).cast("long")
+        .alias("brier_ref_micro"))
+
+
+def cohens_h(df, keys, group_col, success_col):
+    """Cohen's h arcsine effect size for two proportions -- Python
+    mirror of the Scala ``Stats.cohensH``."""
+    kc = [F.col(k) for k in keys]
+    g = F.col(group_col).cast("boolean")
+    s = F.col(success_col).cast("boolean")
+    m = (df.where(g.isNotNull() & s.isNotNull())
+         .groupBy(*kc)
+         .agg(F.count(F.when(g, 1)).alias("n_a"),
+              F.count(F.when(g & s, 1)).alias("s_a"),
+              F.count(F.when(~g, 1)).alias("n_b"),
+              F.count(F.when(~g & s, 1)).alias("s_b")))
+    phi_a = F.lit(2.0) * F.asin(F.sqrt(
+        F.col("s_a").cast("double") / F.col("n_a").cast("double")))
+    phi_b = F.lit(2.0) * F.asin(F.sqrt(
+        F.col("s_b").cast("double") / F.col("n_b").cast("double")))
+    return m.select(*kc, "n_a", "s_a", "n_b", "s_b",
+                    F.when((F.col("n_a") == 0) | (F.col("n_b") == 0),
+                           F.lit(None).cast("long"))
+                    .otherwise(F.round(F.lit(1e6) * (phi_a - phi_b))
+                               .cast("long")).alias("h_micro"))
+
+
+def by_fdr(df, key_cols, p_micro_col, q_micro=50000, max_tests=1000000):
+    """Benjamini-Yekutieli FDR under arbitrary dependence -- Python
+    mirror of the Scala ``Stats.byFdr``: bh_fdr with the harmonic
+    number accumulated as exact per-rank nano integers."""
+    if not (1 <= q_micro <= 1000000):
+        raise ValueError("q_micro must be in [1, 1000000]")
+    kc = [F.col(k) for k in key_cols]
+    dec = "decimal(38,0)"
+    ordered = Window.orderBy(F.col("p_micro"), *kc)
+    w_all = Window.partitionBy()
+    ranked = (df.select(*kc, F.col(p_micro_col).cast("long")
+                        .alias("p_micro"))
+              .withColumn("rank", F.row_number().over(ordered)
+                          .cast("long"))
+              .withColumn("__m", F.count(F.lit(1)).over(w_all))
+              .withColumn("__m", F.when(F.col("__m") <= max_tests,
+                                        F.col("__m"))
+                          .otherwise(F.raise_error(F.concat(
+                              F.lit("by_fdr: per-test table has "),
+                              F.col("__m").cast("string"),
+                              F.lit(" rows, exceeds max_tests=%d"
+                                    % max_tests)))))
+              .withColumn("__hterm", F.round(
+                  F.lit(1e9) / F.col("rank").cast("double"))
+                  .cast("long")))
+    kstar = (ranked
+             .withColumn("__H", F.sum("__hterm").over(w_all))
+             .agg(F.max("__m").alias("m_tests"),
+                  F.max(F.when(
+                      F.col("p_micro").cast(dec) * F.col("__m") *
+                      F.col("__H") <=
+                      F.col("rank").cast(dec) * q_micro *
+                      F.lit(1000000000),
+                      F.col("rank"))).alias("k_star")))
+    return (ranked.crossJoin(F.broadcast(kstar))
+            .withColumn("reject", F.col("k_star").isNotNull() &
+                        (F.col("rank") <= F.col("k_star")))
+            .select(*kc, "p_micro", "rank", "m_tests", "k_star",
+                    "reject"))

@@ -1839,3 +1839,37 @@ def test_pairwise_welch_hand(spark):
     assert out[("a", "b")] == (-1608169, 5521)
     assert out[("a", "c")] == (-8800660, 4734)
     assert out[("b", "c")] == (-3624412, 5438)
+
+
+def test_brier_score_hand(spark):
+    import pytest
+    from graft.pipeline import brier_score
+    df = spark.createDataFrame(
+        [("k1", 200000, True), ("k1", 200000, False),
+         ("k1", 900000, True), ("k1", 900000, True)],
+        "kk string, p long, y boolean")
+    r = brier_score(df, ["kk"], "p", "y").collect()[0]
+    assert (r["n"], r["base_rate_ppm"], r["brier_micro"],
+            r["brier_ref_micro"]) == (4, 750000, 175000, 187500)
+    bad = spark.createDataFrame([("k1", 1200000, True)],
+                                "kk string, p long, y boolean")
+    with pytest.raises(Exception, match="brier_score"):
+        brier_score(bad, ["kk"], "p", "y").collect()
+
+
+def test_cohens_h_hand(spark):
+    from graft.pipeline import cohens_h
+    rows = ([("k1", True, i <= 40) for i in range(1, 101)] +
+            [("k1", False, i <= 30) for i in range(1, 121)])
+    df = spark.createDataFrame(rows, "kk string, g boolean, s boolean")
+    assert cohens_h(df, ["kk"], "g", "s").collect()[0]["h_micro"] == 322241
+
+
+def test_by_fdr_hand(spark):
+    from graft.pipeline import by_fdr
+    df = spark.createDataFrame(
+        [("a", 1000), ("b", 20000), ("c", 30000), ("d", 400000)],
+        "t string, p long")
+    out = [(r["rank"], r["reject"]) for r in
+           by_fdr(df, ["t"], "p").orderBy("rank").collect()]
+    assert out == [(1, True), (2, False), (3, False), (4, False)]

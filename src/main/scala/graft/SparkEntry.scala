@@ -4105,6 +4105,33 @@ object SparkEntry {
           expr("cast(round(value * 100) as bigint)").as("vc")),
         Seq("event_type"), "vc", trimPpm = 100000L)
         .orderBy("event_type")),
+    // Brier score per event type: proper scoring of vc-as-probability
+    // against the even-event label — exact integer squared gaps
+    "q_brier" -> ((s, dir) =>
+      graft.pipeline.Stats.brierScore(
+        t(s, dir, "events").select(col("event_type"),
+          expr("greatest(least(cast(round(value * 100) as bigint)" +
+            " * 10000, 1000000L), 0L)").as("p"),
+          (col("event_id") % 2 === 0L).as("y")),
+        Seq("event_type"), "p", "y")
+        .orderBy("event_type")),
+    // Cohen's h: the arcsine effect size next to q_two_prop's z
+    "q_cohens_h" -> ((s, dir) =>
+      graft.pipeline.Stats.cohensH(
+        t(s, dir, "events").select(col("event_type"),
+          (col("user_id") % 2 === 0L).as("grp"),
+          expr("cast(round(value * 100) as bigint) > 50").as("succ")),
+        Seq("event_type"), "grp", "succ")
+        .orderBy("event_type")),
+    // Benjamini-Yekutieli over the q_bh_fdr per-test table — FDR
+    // under arbitrary dependence (harmonic-corrected threshold)
+    "q_by_fdr" -> ((s, dir) =>
+      graft.pipeline.Stats.byFdr(
+        t(s, dir, "documents").groupBy("source", "lang")
+          .agg(expr("cast(sum(n_chars) % 1000000 as bigint)")
+            .as("p_micro")),
+        Seq("source", "lang"), "p_micro")
+        .orderBy("rank")),
     // pairwise Welch post-hoc after q_anova_f — which event-type
     // pairs differ, per cohort; k^2 pairs of moment rows only
     "q_pairwise_welch" -> ((s, dir) =>
@@ -10093,6 +10120,61 @@ object SparkEntry {
         |FROM ii JOIN tv ON ii.cohort = tv.cohort
         |  JOIN kk ON ii.cohort = kk.cohort
         |ORDER BY ii.cohort""".stripMargin,
+    "q_brier" ->
+      """WITH e AS (SELECT event_type,
+        |    GREATEST(LEAST(CAST(round(value * 100) AS BIGINT)
+        |      * 10000, 1000000), 0) AS p,
+        |    event_id % 2 = 0 AS y FROM events
+        |  WHERE value IS NOT NULL AND event_id IS NOT NULL),
+        |m AS (SELECT event_type, COUNT(*) AS n,
+        |    COUNT(CASE WHEN y THEN 1 END) AS pos,
+        |    SUM((p - CASE WHEN y THEN 1000000 ELSE 0 END)::HUGEINT *
+        |      (p - CASE WHEN y THEN 1000000 ELSE 0 END)) AS ss
+        |  FROM e GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  CAST(round(1e6 * CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))
+        |    AS BIGINT) AS base_rate_ppm,
+        |  CAST(round(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE) / 1e6)
+        |    AS BIGINT) AS brier_micro,
+        |  CAST(round(1e6 * (CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |    (1.0 - CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))) AS BIGINT)
+        |    AS brier_ref_micro
+        |FROM m ORDER BY event_type""".stripMargin,
+    "q_cohens_h" ->
+      """WITH e AS (SELECT event_type, user_id % 2 = 0 AS g,
+        |    CAST(round(value * 100) AS BIGINT) > 50 AS s FROM events),
+        |m AS (SELECT event_type,
+        |    COUNT(CASE WHEN g THEN 1 END) AS n_a,
+        |    COUNT(CASE WHEN g AND s THEN 1 END) AS s_a,
+        |    COUNT(CASE WHEN NOT g THEN 1 END) AS n_b,
+        |    COUNT(CASE WHEN NOT g AND s THEN 1 END) AS s_b
+        |  FROM e GROUP BY 1)
+        |SELECT event_type, CAST(n_a AS BIGINT) AS n_a,
+        |  CAST(s_a AS BIGINT) AS s_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CAST(s_b AS BIGINT) AS s_b,
+        |  CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+        |    ELSE CAST(round(1e6 * (
+        |      2.0 * asin(sqrt(CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)))
+        |      - 2.0 * asin(sqrt(CAST(s_b AS DOUBLE) /
+        |        CAST(n_b AS DOUBLE))))) AS BIGINT)
+        |    END AS h_micro
+        |FROM m ORDER BY event_type""".stripMargin,
+    "q_by_fdr" ->
+      """WITH p AS (SELECT source, lang,
+        |    CAST(SUM(n_chars) % 1000000 AS BIGINT) AS p_micro
+        |  FROM documents GROUP BY 1, 2),
+        |r AS (SELECT *, CAST(row_number() OVER
+        |    (ORDER BY p_micro, source, lang) AS BIGINT) AS rank,
+        |    COUNT(*) OVER () AS m FROM p),
+        |h AS (SELECT SUM(CAST(round(1e9 / CAST(rank AS DOUBLE))
+        |    AS BIGINT)) AS hh FROM r),
+        |k AS (SELECT MAX(CASE WHEN p_micro::HUGEINT * m * hh <=
+        |      rank::HUGEINT * 50000 * 1000000000 THEN rank END) AS k_star,
+        |    MAX(m) AS m0 FROM r, h)
+        |SELECT source, lang, p_micro, rank,
+        |  CAST(m0 AS BIGINT) AS m_tests, CAST(k_star AS BIGINT) AS k_star,
+        |  (k_star IS NOT NULL AND rank <= k_star) AS reject
+        |FROM r, k ORDER BY rank""".stripMargin,
     "q_pairwise_welch" ->
       """WITH e AS (SELECT user_id % 2 AS cohort, event_type AS g,
         |    CAST(round(value * 100) AS BIGINT) AS v FROM events

@@ -4495,6 +4495,146 @@ object Stats {
         .as("df_milli"): _*)
   }
 
+  /**
+   * Brier score + its two-way decomposition inputs per key (Brier
+   * '50) — the proper scoring rule for probabilistic predictions,
+   * the "how wrong were the probabilities" number [[calibrationReport]]
+   * bins and [[rocAuc]] ignores (AUC is rank-only):
+   *
+   *   BS = (1/n)·Σ (p − y)²,  with p in micro units
+   *
+   * EXACT: each (p − 10⁶·y)² is an integer, the sum a DECIMAL, one
+   * round-once division. Also publishes the all-positive base rate
+   * and the reference score BS_ref = ȳ(1−ȳ) (the skill denominator:
+   * skill = 1 − BS/BS_ref downstream). p outside [0, 10⁶] fails loud
+   * (the [[calibrationReport]] contract). Scale shape: ONE map-side
+   * combinable groupBy.
+   *
+   * Returns keys + (n, base_rate_ppm, brier_micro, brier_ref_micro).
+   */
+  def brierScore(df: DataFrame, keys: Seq[String], pMicroCol: String,
+      labelCol: String): DataFrame = {
+    require(keys.nonEmpty, "keys required")
+    val dec = "decimal(38,0)"
+    val p = col(pMicroCol).cast("long")
+    val guarded = when(p < 0L || p > 1000000L,
+      raise_error(concat(lit("brier_score: p_micro="), p.cast("string"),
+        lit(" outside [0, 1000000] — probabilities must be micro-unit " +
+          "scaled")))).otherwise(p)
+    val m = df
+      .where(p.isNotNull && col(labelCol).isNotNull)
+      .select(keys.map(col) :+ guarded.as("__p") :+
+        col(labelCol).cast("boolean").as("__y"): _*)
+      .withColumn("__d", col("__p") -
+        when(col("__y"), lit(1000000L)).otherwise(lit(0L)))
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        count(when(col("__y"), 1)).as("__pos"),
+        sum((col("__d").cast(dec) * col("__d").cast(dec))).as("__ss"))
+    val nD = col("n").cast("double")
+    val rate = col("__pos").cast("double") / nD
+    m.select(keys.map(col) :+ col("n") :+
+      round(lit(1e6) * rate).cast("long").as("base_rate_ppm") :+
+      round(col("__ss").cast("double") / nD / lit(1e6)).cast("long")
+        .as("brier_micro") :+
+      round(lit(1e6) * rate * (lit(1.0) - rate)).cast("long")
+        .as("brier_ref_micro"): _*)
+  }
+
+  /**
+   * Cohen's h effect size for two proportions ('88) — the arcsine-
+   * stabilized "HOW BIG is the rate difference" that pairs with
+   * [[twoProportionZ]]'s "is it real" (a 1pp move at 50% and at 99%
+   * are very different effects; h sees that, the raw difference
+   * doesn't):
+   *
+   *   h = 2·asin(√p_A) − 2·asin(√p_B)
+   *
+   * Counts are exact from ONE conditional groupBy; h is a round-once
+   * micro expression (asin/sqrt are the engines' shared libm —
+   * per-value rounding absorbs the last-bit risk, the
+   * [[mutualInformation]] ln precedent). NULL when either side is
+   * empty.
+   *
+   * Returns keys + (n_a, s_a, n_b, s_b, h_micro).
+   */
+  def cohensH(df: DataFrame, keys: Seq[String], groupCol: String,
+      successCol: String): DataFrame = {
+    require(keys.nonEmpty, "keys required")
+    val g = col(groupCol).cast("boolean")
+    val s = col(successCol).cast("boolean")
+    val m = df
+      .where(g.isNotNull && s.isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(count(when(g, 1)).as("n_a"),
+        count(when(g && s, 1)).as("s_a"),
+        count(when(!g, 1)).as("n_b"),
+        count(when(!g && s, 1)).as("s_b"))
+    val phiA = lit(2.0) * asin(sqrt(
+      col("s_a").cast("double") / col("n_a").cast("double")))
+    val phiB = lit(2.0) * asin(sqrt(
+      col("s_b").cast("double") / col("n_b").cast("double")))
+    m.select(keys.map(col) :+ col("n_a") :+ col("s_a") :+ col("n_b") :+
+      col("s_b") :+
+      when(col("n_a") === 0L || col("n_b") === 0L,
+        lit(null).cast("long"))
+        .otherwise(round(lit(1e6) * (phiA - phiB)).cast("long"))
+        .as("h_micro"): _*)
+  }
+
+  /**
+   * Benjamini–Yekutieli FDR step-up ('01) — [[bhFdr]] under ARBITRARY
+   * dependence between the tests (BH assumes independence/PRDS; when
+   * the same corpus feeds every metric, BY is the honest choice): the
+   * BH threshold divides by the harmonic number c(m) = Σ_{i≤m} 1/i:
+   *
+   *   reject p_(1..k*),  k* = max{k : p_(k)·m·c(m) ≤ k·q}
+   *
+   * c(m) accumulates as per-rank nano integers (round(10⁹/i), summed
+   * exactly — order-independent, engine-replayable), so the step-up
+   * comparison is pure long/DECIMAL arithmetic: p·m·H_nano ≤
+   * k·q·10⁹. Same METADATA-sized per-test table contract as
+   * [[bhFdr]] (fail-loud maxTests).
+   *
+   * Returns one row per test: keyCols + (p_micro, rank, m_tests,
+   * k_star, reject).
+   */
+  def byFdr(df: DataFrame, keyCols: Seq[String], pMicroCol: String,
+      qMicro: Long = 50000L, maxTests: Long = 1000000L): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols required")
+    require(qMicro >= 1L && qMicro <= 1000000L,
+      s"qMicro must be in [1, 1000000], got $qMicro")
+    require(maxTests >= 1L, s"maxTests must be >= 1, got $maxTests")
+    val W = org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val ordered = W.orderBy(col("p_micro") +: keyCols.map(col): _*)
+    val ranked = df
+      .select(keyCols.map(col) :+
+        col(pMicroCol).cast("long").as("p_micro"): _*)
+      .withColumn("rank", row_number().over(ordered).cast("long"))
+      .withColumn("__m", count(lit(1)).over(W.partitionBy()))
+      .withColumn("__m", when(col("__m") <= maxTests, col("__m"))
+        .otherwise(raise_error(concat(
+          lit("by_fdr: per-test table has "), col("__m"),
+          lit(s" rows, exceeds maxTests=$maxTests; the global rank " +
+            "window is single-partition by design over a METADATA-sized " +
+            "experiment registry — aggregate upstream or raise the cap " +
+            "deliberately")))))
+      .withColumn("__hterm", round(lit(1e9) /
+        col("rank").cast("double")).cast("long"))
+    val kstar = ranked
+      .withColumn("__H", sum("__hterm").over(W.partitionBy()))
+      .agg(max("__m").as("m_tests"),
+        max(when(col("p_micro").cast(dec) * col("__m") * col("__H") <=
+          col("rank").cast(dec) * qMicro * lit(1000000000L),
+          col("rank"))).as("k_star"))
+    ranked.crossJoin(broadcast(kstar))
+      .withColumn("reject",
+        col("k_star").isNotNull && col("rank") <= col("k_star"))
+      .select(keyCols.map(col) :+ col("p_micro") :+ col("rank") :+
+        col("m_tests") :+ col("k_star") :+ col("reject"): _*)
+  }
+
   def poissonBootstrap(df: DataFrame, idCol: String, valueCol: String,
       reps: Int = 32): DataFrame = {
     require(reps >= 2 && reps <= 1024, s"reps must be in [2,1024], got $reps")

@@ -89,7 +89,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "complete absence-as-zero grid (the q_cronbach pattern) + the " +
       "broadcast balanced-k join"),
     "q_holm" -> ("broadcast one-row (m_tests, first-fail rank) " +
-      "crossJoin over the per-test table (the q_bh_fdr shape)"))
+      "crossJoin over the per-test table (the q_bh_fdr shape)"),
+    "q_by_fdr" -> ("broadcast one-row (m, k_star) threshold crossJoin " +
+      "over the per-test table (the q_bh_fdr shape, harmonic-corrected)"))
 
   test("no query plans an unintended cartesian or nested-loop join") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -162,7 +164,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "the bhFdr metadata-sized-by-contract discipline"),
     "q_holm" -> ("rank over the PER-TEST p-value table (experiments, " +
       "not rows — metadata-sized by the maxTests contract, the " +
-      "q_bh_fdr shape)"))
+      "q_bh_fdr shape)"),
+    "q_by_fdr" -> ("rank + harmonic-sum windows over the PER-TEST " +
+      "p-value table (metadata-sized by the maxTests contract)"))
 
   test("every window operator is partitioned (no global fact-table sorts)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}

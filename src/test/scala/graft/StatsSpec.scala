@@ -1865,4 +1865,43 @@ class StatsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("pairwise_welch") ||
       e.getCause.getMessage.contains("pairwise_welch"))
   }
+
+  test("brierScore exact hand case; out-of-range p fails loud") {
+    val df = Seq((200000L, true), (200000L, false), (900000L, true),
+      (900000L, true)).map(t => ("k1", t._1, t._2)).toDF("kk", "p", "y")
+    val r = Stats.brierScore(df, Seq("kk"), "p", "y").collect()(0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((4L, 750000L, 175000L, 187500L)))
+    val bad = Seq(("k1", 1200000L, true)).toDF("kk", "p", "y")
+    val e = intercept[Exception] {
+      Stats.brierScore(bad, Seq("kk"), "p", "y").collect()
+    }
+    assert(e.getMessage.contains("brier_score") ||
+      e.getCause.getMessage.contains("brier_score"))
+  }
+
+  test("cohensH hand effect size; empty side NULL") {
+    val rows = (1 to 100).map(i => ("k1", true, i <= 40)) ++
+      (1 to 120).map(i => ("k1", false, i <= 30)) ++
+      Seq(("k2", true, true))
+    val out = Stats.cohensH(rows.toDF("kk", "g", "s"),
+      Seq("kk"), "g", "s").orderBy("kk").collect()
+    assert(out(0).getLong(5) == 322241L)
+    assert(out(1).isNullAt(5))
+  }
+
+  test("byFdr harmonic threshold is stricter than bhFdr on the same " +
+      "table") {
+    val df = Seq(("a", 1000L), ("b", 20000L), ("c", 30000L),
+      ("d", 400000L)).toDF("t", "p")
+    val by = Stats.byFdr(df, Seq("t"), "p").orderBy("rank").collect()
+      .map(r => (r.getLong(2), r.getBoolean(5)))
+    // H(4) nano = 2083333333; only rank 1 passes p*m*H <= k*q*1e9
+    assert(by.toSeq == Seq((1L, true), (2L, false), (3L, false),
+      (4L, false)))
+    val bh = Stats.bhFdr(df, Seq("t"), "p").orderBy("rank").collect()
+      .map(_.getBoolean(5))
+    assert(bh.count(identity) >= by.count(_._2),
+      "BY must never reject more than BH")
+  }
 }
