@@ -5286,3 +5286,124 @@ def by_fdr(df, key_cols, p_micro_col, q_micro=50000, max_tests=1000000):
                         (F.col("rank") <= F.col("k_star")))
             .select(*kc, "p_micro", "rank", "m_tests", "k_star",
                     "reject"))
+
+
+def g_test(df, a_col, b_col, max_levels=1000):
+    """G-test of independence -- Python mirror of the Scala
+    ``Stats.gTest``: per-OBSERVED-cell nano-nat terms (zero cells
+    contribute 0 — no dense grid), fail-loud max_levels margins."""
+    if not (2 <= max_levels <= 100000):
+        raise ValueError("max_levels must be in [2, 100000]")
+    dec = "decimal(38,0)"
+    w_all = Window.partitionBy()
+    base = (df.where(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
+            .select(F.col(a_col).cast("string").alias("__a"),
+                    F.col(b_col).cast("string").alias("__b")))
+    cells = base.groupBy("__a", "__b").agg(F.count(F.lit(1)).alias("__o"))
+
+    def margin(c, n):
+        return (base.groupBy(c).agg(F.count(F.lit(1)).alias(n))
+                .withColumn("__lv", F.count(F.lit(1)).over(w_all))
+                .withColumn(n, F.when(F.col("__lv") <= max_levels,
+                                      F.col(n))
+                            .otherwise(F.raise_error(F.concat(
+                                F.lit("g_test: %s has " % c),
+                                F.col("__lv").cast("string"),
+                                F.lit(" levels, exceeds max_levels=%d"
+                                      % max_levels)))))
+                .drop("__lv"))
+
+    tot = base.agg(F.count(F.lit(1)).alias("__N"))
+    g = (cells.join(margin("__a", "__ra"), ["__a"])
+         .join(margin("__b", "__cb"), ["__b"])
+         .crossJoin(F.broadcast(tot))
+         .withColumn("__t", F.round(
+             F.lit(2e9) * F.col("__o").cast("double") *
+             F.log((F.col("__o").cast(dec) * F.col("__N"))
+                   .cast("double") /
+                   (F.col("__ra").cast(dec) * F.col("__cb"))
+                   .cast("double"))).cast("long"))
+         .agg(F.max("__N").alias("n"),
+              F.countDistinct("__a").alias("k_levels"),
+              F.countDistinct("__b").alias("m_levels"),
+              F.sum("__t").alias("g_nano")))
+    dof = (F.col("k_levels") - 1) * (F.col("m_levels") - 1)
+    return g.select("n", "k_levels", "m_levels", dof.alias("dof"),
+                    "g_nano",
+                    F.when(dof != 1, F.lit(None).cast("boolean"))
+                    .otherwise(F.col("g_nano") > 3841458821)
+                    .alias("significant_95"))
+
+
+def corr_compare(df, keys, seg_col, x_col, y_col):
+    """Two-segment Pearson correlation comparison via Fisher's z --
+    Python mirror of the Scala ``Stats.corrCompare``: ten exact
+    DECIMAL side moments in one conditional groupBy, factored
+    denominators, atanh written as the half-log. NULL z when either r
+    rounds to +-1 in micro units."""
+    kc = [F.col(k) for k in keys]
+    dec = "decimal(38,0)"
+    g = F.col(seg_col).cast("boolean")
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    zero = F.lit(0).cast(dec)
+
+    def side(name, cond):
+        return [
+            F.count(F.when(cond, 1)).cast(dec).alias("__n" + name),
+            F.sum(F.when(cond, x.cast(dec)).otherwise(zero))
+            .alias("__sx" + name),
+            F.sum(F.when(cond, y.cast(dec)).otherwise(zero))
+            .alias("__sy" + name),
+            F.sum(F.when(cond, x.cast(dec) * y.cast(dec))
+                  .otherwise(zero)).alias("__sxy" + name),
+            F.sum(F.when(cond, x.cast(dec) * x.cast(dec))
+                  .otherwise(zero)).alias("__sxx" + name),
+            F.sum(F.when(cond, y.cast(dec) * y.cast(dec))
+                  .otherwise(zero)).alias("__syy" + name)]
+
+    m = (df.where(g.isNotNull() & x.isNotNull() & y.isNotNull())
+         .groupBy(*kc).agg(*(side("a", g) + side("b", ~g))))
+
+    def r(n):
+        nn = F.col("__n" + n)
+        num = nn * F.col("__sxy" + n) - \
+            F.col("__sx" + n) * F.col("__sy" + n)
+        dx = nn * F.col("__sxx" + n) - \
+            F.col("__sx" + n) * F.col("__sx" + n)
+        dy = nn * F.col("__syy" + n) - \
+            F.col("__sy" + n) * F.col("__sy" + n)
+        return num.cast("double") / (F.sqrt(dx.cast("double")) *
+                                     F.sqrt(dy.cast("double")))
+
+    def var_ok(n):
+        nn = F.col("__n" + n)
+        return ((nn * F.col("__sxx" + n) -
+                 F.col("__sx" + n) * F.col("__sx" + n) > 0) &
+                (nn * F.col("__syy" + n) -
+                 F.col("__sy" + n) * F.col("__sy" + n) > 0))
+
+    ra, rb = r("a"), r("b")
+
+    def zf(rr):
+        return F.lit(0.5) * F.log((F.lit(1.0) + rr) / (F.lit(1.0) - rr))
+
+    na_d = F.col("__na").cast("double")
+    nb_d = F.col("__nb").cast("double")
+    z = (zf(ra) - zf(rb)) / F.sqrt(
+        F.lit(1.0) / (na_d - F.lit(3.0)) +
+        F.lit(1.0) / (nb_d - F.lit(3.0)))
+    bad = ((F.col("__na") <= 3) | (F.col("__nb") <= 3) |
+           ~var_ok("a") | ~var_ok("b"))
+    null_long = F.lit(None).cast("long")
+    return m.select(
+        *kc, F.col("__na").cast("long").alias("n_a"),
+        F.col("__nb").cast("long").alias("n_b"),
+        F.when(bad, null_long).otherwise(
+            F.round(F.lit(1e6) * ra).cast("long")).alias("r_a_micro"),
+        F.when(bad, null_long).otherwise(
+            F.round(F.lit(1e6) * rb).cast("long")).alias("r_b_micro"),
+        F.when(bad | (F.abs(ra) >= 0.9999995) | (F.abs(rb) >= 0.9999995),
+               null_long)
+        .otherwise(F.round(F.lit(1e6) * z).cast("long"))
+        .alias("z_micro"))

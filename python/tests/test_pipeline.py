@@ -1873,3 +1873,26 @@ def test_by_fdr_hand(spark):
     out = [(r["rank"], r["reject"]) for r in
            by_fdr(df, ["t"], "p").orderBy("rank").collect()]
     assert out == [(1, True), (2, False), (3, False), (4, False)]
+
+
+def test_g_test_hand(spark):
+    from graft.pipeline import g_test
+    rows = ([("x", "p")] * 3 + [("x", "q")] + [("y", "p")] +
+            [("y", "q")] * 3)
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = g_test(df, "a", "b").collect()[0]
+    assert (r["n"], r["dof"], r["g_nano"], r["significant_95"]) == \
+        (8, 1, 2092992576, False)
+
+
+def test_corr_compare_hand(spark):
+    from graft.pipeline import corr_compare
+    rows = ([("k1", True, x, y) for x, y in
+             ((1, 2), (2, 3), (3, 5), (4, 4), (5, 7))] +
+            [("k1", False, x, y) for x, y in
+             ((1, 5), (2, 4), (3, 4), (4, 2), (5, 1))])
+    df = spark.createDataFrame(rows,
+                               "kk string, seg boolean, x long, y long")
+    r = corr_compare(df, ["kk"], "seg", "x", "y").collect()[0]
+    assert (r["r_a_micro"], r["r_b_micro"], r["z_micro"]) == \
+        (904194, -962250, 3470184)

@@ -4105,6 +4105,22 @@ object SparkEntry {
           expr("cast(round(value * 100) as bigint)").as("vc")),
         Seq("event_type"), "vc", trimPpm = 100000L)
         .orderBy("event_type")),
+    // G-test of independence on the q_chi_kxm inputs — observed cells
+    // only (no dense grid), 2N*MI in nano-nats with dof
+    "q_g_test" -> ((s, dir) =>
+      graft.pipeline.Stats.gTest(
+        t(s, dir, "documents"), "lang", "source")),
+    // Fisher-z comparison: did the value/noisy-value correlation
+    // change between the even/odd user cohorts, per event type
+    "q_corr_compare" -> ((s, dir) =>
+      graft.pipeline.Stats.corrCompare(
+        t(s, dir, "events").select(col("event_type"),
+          (col("user_id") % 2 === 0L).as("seg"),
+          expr("cast(round(value * 100) as bigint)").as("x"),
+          expr("cast(round(value * 100) as bigint) + (event_id % 21) - 10")
+            .as("y")),
+        Seq("event_type"), "seg", "x", "y")
+        .orderBy("event_type")),
     // Brier score per event type: proper scoring of vc-as-probability
     // against the even-event label — exact integer squared gaps
     "q_brier" -> ((s, dir) =>
@@ -10120,6 +10136,80 @@ object SparkEntry {
         |FROM ii JOIN tv ON ii.cohort = tv.cohort
         |  JOIN kk ON ii.cohort = kk.cohort
         |ORDER BY ii.cohort""".stripMargin,
+    "q_g_test" ->
+      """WITH b AS (SELECT CAST(lang AS VARCHAR) AS a,
+        |    CAST(source AS VARCHAR) AS bb FROM documents
+        |  WHERE lang IS NOT NULL AND source IS NOT NULL),
+        |cells AS (SELECT a, bb, COUNT(*) AS o FROM b GROUP BY 1, 2),
+        |ra AS (SELECT a, COUNT(*) AS rra FROM b GROUP BY 1),
+        |cb AS (SELECT bb, COUNT(*) AS ccb FROM b GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS nn FROM b),
+        |t AS (SELECT CAST(round(2e9 * CAST(o AS DOUBLE) *
+        |      ln(CAST(o::HUGEINT * nn AS DOUBLE) /
+        |        CAST(rra::HUGEINT * ccb AS DOUBLE))) AS BIGINT) AS tm,
+        |    a, bb, nn
+        |  FROM cells JOIN ra USING (a) JOIN cb USING (bb), tot)
+        |SELECT CAST(MAX(nn) AS BIGINT) AS n,
+        |  CAST(COUNT(DISTINCT a) AS BIGINT) AS k_levels,
+        |  CAST(COUNT(DISTINCT bb) AS BIGINT) AS m_levels,
+        |  CAST((COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT bb) - 1)
+        |    AS BIGINT) AS dof,
+        |  CAST(SUM(tm) AS BIGINT) AS g_nano,
+        |  CASE WHEN (COUNT(DISTINCT a) - 1) *
+        |      (COUNT(DISTINCT bb) - 1) <> 1 THEN NULL
+        |    ELSE SUM(tm) > 3841458821 END AS significant_95
+        |FROM t""".stripMargin,
+    "q_corr_compare" ->
+      """WITH e AS (SELECT event_type, user_id % 2 = 0 AS g,
+        |    CAST(round(value * 100) AS BIGINT) AS x,
+        |    CAST(round(value * 100) AS BIGINT) + (event_id % 21) - 10
+        |      AS y FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |    AND event_id IS NOT NULL),
+        |m AS (SELECT event_type,
+        |    COUNT(CASE WHEN g THEN 1 END)::HUGEINT AS na,
+        |    COALESCE(SUM(CASE WHEN g THEN x END), 0)::HUGEINT AS sxa,
+        |    COALESCE(SUM(CASE WHEN g THEN y END), 0)::HUGEINT AS sya,
+        |    COALESCE(SUM(CASE WHEN g THEN x::HUGEINT * y END), 0) AS sxya,
+        |    COALESCE(SUM(CASE WHEN g THEN x::HUGEINT * x END), 0) AS sxxa,
+        |    COALESCE(SUM(CASE WHEN g THEN y::HUGEINT * y END), 0) AS syya,
+        |    COUNT(CASE WHEN NOT g THEN 1 END)::HUGEINT AS nb,
+        |    COALESCE(SUM(CASE WHEN NOT g THEN x END), 0)::HUGEINT AS sxb,
+        |    COALESCE(SUM(CASE WHEN NOT g THEN y END), 0)::HUGEINT AS syb,
+        |    COALESCE(SUM(CASE WHEN NOT g THEN x::HUGEINT * y END), 0)
+        |      AS sxyb,
+        |    COALESCE(SUM(CASE WHEN NOT g THEN x::HUGEINT * x END), 0)
+        |      AS sxxb,
+        |    COALESCE(SUM(CASE WHEN NOT g THEN y::HUGEINT * y END), 0)
+        |      AS syyb
+        |  FROM e GROUP BY 1),
+        |d AS (SELECT *,
+        |    CAST(na * sxya - sxa * sya AS DOUBLE) /
+        |      (sqrt(CAST(na * sxxa - sxa * sxa AS DOUBLE)) *
+        |       sqrt(CAST(na * syya - sya * sya AS DOUBLE))) AS ra,
+        |    CAST(nb * sxyb - sxb * syb AS DOUBLE) /
+        |      (sqrt(CAST(nb * sxxb - sxb * sxb AS DOUBLE)) *
+        |       sqrt(CAST(nb * syyb - syb * syb AS DOUBLE))) AS rb,
+        |    (na <= 3 OR nb <= 3 OR na * sxxa - sxa * sxa <= 0
+        |      OR na * syya - sya * sya <= 0
+        |      OR nb * sxxb - sxb * sxb <= 0
+        |      OR nb * syyb - syb * syb <= 0) AS bad
+        |  FROM m)
+        |SELECT event_type, CAST(na AS BIGINT) AS n_a,
+        |  CAST(nb AS BIGINT) AS n_b,
+        |  CASE WHEN bad THEN NULL
+        |    ELSE CAST(round(1e6 * ra) AS BIGINT) END AS r_a_micro,
+        |  CASE WHEN bad THEN NULL
+        |    ELSE CAST(round(1e6 * rb) AS BIGINT) END AS r_b_micro,
+        |  CASE WHEN bad OR abs(ra) >= 0.9999995 OR abs(rb) >= 0.9999995
+        |    THEN NULL
+        |    ELSE CAST(round(1e6 *
+        |      (0.5 * ln((1.0 + ra) / (1.0 - ra)) -
+        |       0.5 * ln((1.0 + rb) / (1.0 - rb))) /
+        |      sqrt(1.0 / (CAST(na AS DOUBLE) - 3.0) +
+        |        1.0 / (CAST(nb AS DOUBLE) - 3.0))) AS BIGINT)
+        |    END AS z_micro
+        |FROM d ORDER BY event_type""".stripMargin,
     "q_brier" ->
       """WITH e AS (SELECT event_type,
         |    GREATEST(LEAST(CAST(round(value * 100) AS BIGINT)

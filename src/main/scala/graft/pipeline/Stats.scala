@@ -4635,6 +4635,143 @@ object Stats {
         col("m_tests") :+ col("k_star") :+ col("reject"): _*)
   }
 
+  /**
+   * G-test of independence (log-likelihood ratio) — [[chiSquareKxM]]'s
+   * information-theoretic twin, the better-behaved statistic under
+   * small expected counts and the one that decomposes additively
+   * across nested tables:
+   *
+   *   G = 2·Σ o·ln(o·N / (r_a·c_b))     (observed cells only — an
+   *                                      o = 0 cell contributes 0)
+   *
+   * Per-OBSERVED-cell nano-nat terms round once and sum
+   * order-independently (the [[mutualInformation]] machinery — G =
+   * 2N·MI in nats, but published directly with dof so it reads as a
+   * test); margins broadcast under fail-loud maxLevels. NO dense
+   * grid, unlike chi² — the zero cells that force chiSquareKxM's
+   * grid contribute nothing here.
+   *
+   * Returns one row: (n, k_levels, m_levels, dof, g_nano,
+   * significant_95 for dof = 1 only, else NULL).
+   */
+  def gTest(df: DataFrame, aCol: String, bCol: String,
+      maxLevels: Int = 1000): DataFrame = {
+    require(maxLevels >= 2 && maxLevels <= 100000,
+      s"maxLevels must be in [2, 100000], got $maxLevels")
+    val W = org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val base = df
+      .where(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).cast("string").as("__a"),
+        col(bCol).cast("string").as("__b"))
+    val cells = base.groupBy("__a", "__b").agg(count(lit(1)).as("__o"))
+    def margin(c: String, n: String): DataFrame =
+      base.groupBy(c).agg(count(lit(1)).as(n))
+        .withColumn("__lv", count(lit(1)).over(W.partitionBy()))
+        .withColumn(n, when(col("__lv") <= maxLevels, col(n))
+          .otherwise(raise_error(concat(
+            lit(s"g_test: $c has "), col("__lv"),
+            lit(s" levels, exceeds maxLevels=$maxLevels — coarsen or " +
+              "raise deliberately")))))
+        .drop("__lv")
+    val tot = base.agg(count(lit(1)).as("__N"))
+    val g = cells
+      .join(margin("__a", "__ra"), Seq("__a"))
+      .join(margin("__b", "__cb"), Seq("__b"))
+      .crossJoin(broadcast(tot))
+      .withColumn("__t", round(lit(2e9) * col("__o").cast("double") *
+        log((col("__o").cast(dec) * col("__N")).cast("double") /
+          (col("__ra").cast(dec) * col("__cb")).cast("double")))
+        .cast("long"))
+      .agg(max("__N").as("n"), countDistinct("__a").as("k_levels"),
+        countDistinct("__b").as("m_levels"), sum("__t").as("g_nano"))
+    g.select(col("n"), col("k_levels"), col("m_levels"),
+      ((col("k_levels") - 1L) * (col("m_levels") - 1L)).as("dof"),
+      col("g_nano"),
+      when((col("k_levels") - 1L) * (col("m_levels") - 1L) =!= 1L,
+        lit(null).cast("boolean"))
+        .otherwise(col("g_nano") > 3841458821L).as("significant_95"))
+  }
+
+  /**
+   * Two-segment correlation comparison via Fisher's z ('21) — "did
+   * the RELATIONSHIP between x and y change between cohorts/periods"
+   * (feature drift that marginals miss entirely):
+   *
+   *   r per side from exact moments,  z_r = atanh(r) = ½ln((1+r)/(1−r))
+   *   z = (z_A − z_B) / √(1/(n_A−3) + 1/(n_B−3))
+   *
+   * All ten side moments land in ONE conditional groupBy row (exact
+   * DECIMAL); each r keeps its exact cross-moment numerator under
+   * separate √s (the [[mcc]] factored-denominator discipline:
+   * n·Σxy−ΣxΣy over √(n·Σx²−(Σx)²)·√(n·Σy²−(Σy)²)); atanh is written
+   * as the half-log so both engines share one ln. NULL when a side
+   * has n ≤ 3 or zero variance or |r| = 1. Scale shape: one
+   * map-side-combinable groupBy.
+   *
+   * Returns keys + (n_a, n_b, r_a_micro, r_b_micro, z_micro).
+   */
+  def corrCompare(df: DataFrame, keys: Seq[String], segCol: String,
+      xCol: String, yCol: String): DataFrame = {
+    require(keys.nonEmpty, "keys required")
+    val dec = "decimal(38,0)"
+    val g = col(segCol).cast("boolean")
+    val x = col(xCol).cast("long"); val y = col(yCol).cast("long")
+    def side(name: String, cond: Column): Seq[Column] = {
+      val zero = lit(0).cast(dec)
+      Seq(count(when(cond, 1)).cast(dec).as(s"__n$name"),
+        sum(when(cond, x.cast(dec)).otherwise(zero)).as(s"__sx$name"),
+        sum(when(cond, y.cast(dec)).otherwise(zero)).as(s"__sy$name"),
+        sum(when(cond, x.cast(dec) * y.cast(dec)).otherwise(zero))
+          .as(s"__sxy$name"),
+        sum(when(cond, x.cast(dec) * x.cast(dec)).otherwise(zero))
+          .as(s"__sxx$name"),
+        sum(when(cond, y.cast(dec) * y.cast(dec)).otherwise(zero))
+          .as(s"__syy$name"))
+    }
+    val aggs = side("a", g) ++ side("b", !g)
+    val m = df
+      .where(g.isNotNull && x.isNotNull && y.isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    def r(n: String): Column = {
+      val nn = col(s"__n$n")
+      val num = nn * col(s"__sxy$n") - col(s"__sx$n") * col(s"__sy$n")
+      val dx = nn * col(s"__sxx$n") - col(s"__sx$n") * col(s"__sx$n")
+      val dy = nn * col(s"__syy$n") - col(s"__sy$n") * col(s"__sy$n")
+      num.cast("double") /
+        (sqrt(dx.cast("double")) * sqrt(dy.cast("double")))
+    }
+    def varOk(n: String): Column = {
+      val nn = col(s"__n$n")
+      (nn * col(s"__sxx$n") - col(s"__sx$n") * col(s"__sx$n")) >
+        lit(0).cast(dec) &&
+      (nn * col(s"__syy$n") - col(s"__sy$n") * col(s"__sy$n")) >
+        lit(0).cast(dec)
+    }
+    val ra = r("a"); val rb = r("b")
+    def zf(rr: Column): Column =
+      lit(0.5) * log((lit(1.0) + rr) / (lit(1.0) - rr))
+    val naD = col("__na").cast("double"); val nbD = col("__nb").cast("double")
+    val z = (zf(ra) - zf(rb)) /
+      sqrt(lit(1.0) / (naD - lit(3.0)) + lit(1.0) / (nbD - lit(3.0)))
+    val bad = col("__na") <= lit(3).cast(dec) ||
+      col("__nb") <= lit(3).cast(dec) || !varOk("a") || !varOk("b")
+    m.select(keys.map(col) :+
+      col("__na").cast("long").as("n_a") :+
+      col("__nb").cast("long").as("n_b") :+
+      when(bad, lit(null).cast("long"))
+        .otherwise(round(lit(1e6) * ra).cast("long")).as("r_a_micro") :+
+      when(bad, lit(null).cast("long"))
+        .otherwise(round(lit(1e6) * rb).cast("long")).as("r_b_micro") :+
+      // NULL z when either r ROUNDS to ±1 in micro units — atanh has
+      // left any meaningful scale there, and the exact-1.0 double is
+      // not reliably produced by sqrt rounding
+      when(bad || abs(ra) >= lit(0.9999995) || abs(rb) >= lit(0.9999995),
+        lit(null).cast("long"))
+        .otherwise(round(lit(1e6) * z).cast("long")).as("z_micro"): _*)
+  }
+
   def poissonBootstrap(df: DataFrame, idCol: String, valueCol: String,
       reps: Int = 32): DataFrame = {
     require(reps >= 2 && reps <= 1024, s"reps must be in [2,1024], got $reps")

@@ -91,7 +91,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_holm" -> ("broadcast one-row (m_tests, first-fail rank) " +
       "crossJoin over the per-test table (the q_bh_fdr shape)"),
     "q_by_fdr" -> ("broadcast one-row (m, k_star) threshold crossJoin " +
-      "over the per-test table (the q_bh_fdr shape, harmonic-corrected)"))
+      "over the per-test table (the q_bh_fdr shape, harmonic-corrected)"),
+    "q_g_test" -> ("broadcast one-row total crossJoin onto the " +
+      "OBSERVED-cell table (maxLevels-guarded margins; no dense grid " +
+      "— zero cells contribute 0 to G)"))
 
   test("no query plans an unintended cartesian or nested-loop join") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -166,7 +169,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "not rows — metadata-sized by the maxTests contract, the " +
       "q_bh_fdr shape)"),
     "q_by_fdr" -> ("rank + harmonic-sum windows over the PER-TEST " +
-      "p-value table (metadata-sized by the maxTests contract)"))
+      "p-value table (metadata-sized by the maxTests contract)"),
+    "q_g_test" -> ("maxLevels count guards over the two MARGIN " +
+      "rollups (the q_chi_kxm guard shape)"))
 
   test("every window operator is partitioned (no global fact-table sorts)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}

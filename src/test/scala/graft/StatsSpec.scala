@@ -1904,4 +1904,39 @@ class StatsSpec extends AnyFunSuite {
     assert(bh.count(identity) >= by.count(_._2),
       "BY must never reject more than BH")
   }
+
+  test("gTest hand value; dof != 1 has NULL significance") {
+    val rows = Seq.fill(3)(("x", "p")) ++ Seq(("x", "q")) ++
+      Seq(("y", "p")) ++ Seq.fill(3)(("y", "q"))
+    val r = Stats.gTest(rows.toDF("a", "b"), "a", "b").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getBoolean(5)) ==
+      ((8L, 2L, 2L, 1L, 2092992576L, false)))
+    val three = rows ++ Seq(("z", "p"))
+    assert(Stats.gTest(three.toDF("a", "b"), "a", "b")
+      .collect()(0).isNullAt(5), "dof != 1 -> NULL significance")
+  }
+
+  test("corrCompare hand Fisher z; perfect correlation NULL z; " +
+      "thin side NULL") {
+    val a = Seq((1L, 2L), (2L, 3L), (3L, 5L), (4L, 4L), (5L, 7L))
+      .map { case (x, y) => ("k1", true, x, y) }
+    val b = Seq((1L, 5L), (2L, 4L), (3L, 4L), (4L, 2L), (5L, 1L))
+      .map { case (x, y) => ("k1", false, x, y) }
+    val r = Stats.corrCompare((a ++ b).toDF("kk", "seg", "x", "y"),
+      Seq("kk"), "seg", "x", "y").collect()(0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5)) == ((5L, 5L, 904194L, -962250L, 3470184L)))
+    // perfect r on side A -> atanh diverges -> z NULL, r published
+    val perf = Seq((1L, 2L), (2L, 4L), (3L, 6L), (4L, 8L))
+      .map { case (x, y) => ("k2", true, x, y) } ++ b.map(t =>
+      ("k2", false, t._3, t._4))
+    val p = Stats.corrCompare(perf.toDF("kk", "seg", "x", "y"),
+      Seq("kk"), "seg", "x", "y").collect()(0)
+    assert(p.getLong(3) == 1000000L && p.isNullAt(5))
+    // n <= 3 on a side -> all NULL
+    val thin = a.take(3) ++ b
+    assert(Stats.corrCompare(thin.toDF("kk", "seg", "x", "y"),
+      Seq("kk"), "seg", "x", "y").collect()(0).isNullAt(3))
+  }
 }
