@@ -4158,12 +4158,29 @@ object SparkEntry {
         Seq("cohort"), "event_type", "vc")
         .orderBy("cohort", "g_a", "g_b")),
     // streaming quantile monitor batch face: exact cumulative
-    // p50/p90/p99 per cohort under the percentileReport rule
-    "q_quantile_monitor" -> ((s, dir) =>
+    // p50/p90/p99 per cohort under the percentileReport rule.
+    // Bin width COMPUTED via quantizeStepPerKey (the q_drift_monitor
+    // contract, per-key because quantileStream's 4096 cap is per key):
+    // the r19 baseline bench proved the hand-picked centi width
+    // detonates the cap at sf0.1 (key 0: 11015 distinct cents) exactly
+    // like the r17 drift-monitor blowout. Percentiles are reported as
+    // the quantized bin's lower bound re-scaled to cents (vq * step),
+    // so at any SF where step = 1 the output is bit-identical to the
+    // unquantized monitor; the oracle replays the same step CTE.
+    "q_quantile_monitor" -> ((s, dir) => {
+      val e0 = t(s, dir, "events").select((col("user_id") % 4).as("k"),
+        expr("cast(round(value * 100) as bigint)").as("vc"))
+      val step = graft.pipeline.Stats.quantizeStepPerKey(
+        e0, Seq("k"), "vc", maxBins = 4096)
       graft.streaming.StreamingPipeline.quantileStream(
-        t(s, dir, "events").select((col("user_id") % 4).as("k"),
-          expr("cast(round(value * 100) as bigint)").as("vc")),
-        "k", "vc").toDF().orderBy("key")),
+          e0.select(col("k"), expr(s"vc div ${step}L").as("vq")),
+          "k", "vq").toDF()
+        .select(col("key"), col("n"),
+          (col("p500") * step).as("p500"),
+          (col("p900") * step).as("p900"),
+          (col("p990") * step).as("p990"))
+        .orderBy("key")
+    }),
     // per-key deterministic k-sample: 10 winning event ids per type
     // by seedless mix64 priority — the reservoirStream batch face
     "q_sample_per_key" -> ((s, dir) =>
@@ -10298,21 +10315,34 @@ object SparkEntry {
         |    END AS df_milli
         |FROM d ORDER BY cohort, g_a, g_b""".stripMargin,
     "q_quantile_monitor" ->
-      """WITH e AS (SELECT user_id % 4 AS k,
-        |    CAST(round(value * 100) AS BIGINT) AS v FROM events
+      """WITH e0 AS (SELECT user_id % 4 AS k,
+        |    CAST(round(value * 100) AS BIGINT) AS vc FROM events
         |  WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |dv AS (SELECT DISTINCT k, vc FROM e0),
+        |pk AS (SELECT k, s, COUNT(DISTINCT vc // s) AS nb FROM dv
+        |  CROSS JOIN (VALUES (1::BIGINT),(10),(100),(1000),(10000),
+        |    (100000),(1000000),(10000000),(100000000),(1000000000),
+        |    (10000000000),(100000000000),(1000000000000),
+        |    (10000000000000),(100000000000000),(1000000000000000),
+        |    (10000000000000000),(100000000000000000),
+        |    (1000000000000000000)) t(s) GROUP BY 1, 2),
+        |bins AS (SELECT s, MAX(nb) AS mb FROM pk GROUP BY 1),
+        |st AS (SELECT CASE WHEN MIN(s) IS NULL THEN error(
+        |    'q_quantile_monitor oracle: no quantize step fits 4096 bins')
+        |  ELSE MIN(s) END AS step FROM bins WHERE mb <= 4096),
+        |e AS (SELECT k, vc // step AS v FROM e0, st),
         |h AS (SELECT k, v, COUNT(*) AS c FROM e GROUP BY 1, 2),
         |cw AS (SELECT *, SUM(c) OVER (PARTITION BY k ORDER BY v
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cume,
         |    SUM(c) OVER (PARTITION BY k) AS n FROM h)
         |SELECT k AS key, CAST(MAX(n) AS BIGINT) AS n,
         |  CAST(MIN(CASE WHEN cume * 1000 >= n * 500 THEN v END)
-        |    AS BIGINT) AS p500,
+        |    * MAX(step) AS BIGINT) AS p500,
         |  CAST(MIN(CASE WHEN cume * 1000 >= n * 900 THEN v END)
-        |    AS BIGINT) AS p900,
+        |    * MAX(step) AS BIGINT) AS p900,
         |  CAST(MIN(CASE WHEN cume * 1000 >= n * 990 THEN v END)
-        |    AS BIGINT) AS p990
-        |FROM cw GROUP BY 1 ORDER BY key""".stripMargin,
+        |    * MAX(step) AS BIGINT) AS p990
+        |FROM cw, st GROUP BY 1 ORDER BY key""".stripMargin,
     "q_sample_per_key" ->
       s"""WITH p AS (SELECT event_type, event_id,
          |    ${duckToSigned(duckMix64("event_id::HUGEINT") + " % 9223372036854775808::HUGEINT")} AS priority

@@ -379,6 +379,40 @@ object Stats {
     steps(i.get)
   }
 
+  /**
+   * PER-KEY variant of [[quantizeStep]] for operators whose fail-loud
+   * bin cap is per GROUP, not global
+   * ([[graft.streaming.StreamingPipeline.quantileStream]] keeps ≤
+   * maxBins distinct values per key): the smallest power-of-10 step
+   * `s` such that `max over keys of count(distinct v div s) <= maxBins`.
+   * The global probe is a valid but needlessly coarse bound here — a
+   * metric with 40k distinct values split evenly over 16 keys fits the
+   * per-key cap at step 1 while the global probe would force step 10.
+   * Same determinism/replayability contract as [[quantizeStep]]: a
+   * distinct (keys, value) lattice + one 19-way count-distinct rollup
+   * per key + one max, all exact, trunc division like Spark's `div`.
+   * Rows with a NULL key or value are excluded, matching the monitors'
+   * NULL exclusion.
+   */
+  def quantizeStepPerKey(df: DataFrame, keys: Seq[String], valueCol: String,
+      maxBins: Int = 4096): Long = {
+    require(keys.nonEmpty, "quantizeStepPerKey: at least one key column")
+    require(maxBins >= 32, s"maxBins must be >= 32, got $maxBins")
+    val steps = Iterator.iterate(1L)(_ * 10L).take(19).toSeq
+    val nn = (keys.map(k => col(k).isNotNull) :+ col(valueCol).isNotNull)
+      .reduce(_ && _)
+    val dv = df.where(nn)
+      .select(keys.map(col) :+ col(valueCol).cast("long").as("__v"): _*)
+      .distinct()
+    val aggs = steps.map(s => countDistinct(expr(s"__v div ${s}L")).as(s"c$s"))
+    val perKey = dv.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val maxes = steps.map(s => max(col(s"c$s")).as(s"m$s"))
+    val row = perKey.agg(maxes.head, maxes.tail: _*).head()
+    val i = steps.indices.find(i => row.getLong(i) <= maxBins)
+    // 10^18 collapses any long range to <= 19 bins, so `find` always hits
+    steps(i.get)
+  }
+
   def psiReport(ref: DataFrame, cur: DataFrame, valueCol: String,
       buckets: Int = 10): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")

@@ -678,6 +678,28 @@ class StatsSpec extends AnyFunSuite {
     assert(wide.selectExpr(s"v div ${step}L as q").distinct().count() <= 32L)
   }
 
+  test("quantizeStepPerKey probes the max PER-KEY distinct count") {
+    // 100 distinct values split over 2 keys (50 each): the per-key probe
+    // fits maxBins=50 at step 1 where the global probe would force 10
+    val df = (0L until 100L).map(v => (v % 2, v)).toDF("k", "v")
+    assert(Stats.quantizeStepPerKey(df, Seq("k"), "v", maxBins = 50) == 1L)
+    assert(Stats.quantizeStep(df, "v", maxBins = 50) == 10L)
+    // a single hot key drives the step up even when others are tiny
+    val hot = ((0L until 200L).map(v => (0L, v)) ++ Seq((1L, 5L)))
+      .toDF("k", "v")
+    assert(Stats.quantizeStepPerKey(hot, Seq("k"), "v", maxBins = 50) == 10L)
+    // NULL key or value rows are excluded (the monitors' exclusion rule)
+    val nulls = Seq((Some(0L), Some(1L)), (None, Some(2L)),
+      (Some(0L), None)).toDF("k", "v")
+    assert(Stats.quantizeStepPerKey(nulls, Seq("k"), "v") == 1L)
+    // the computed step satisfies the per-key downstream guard
+    val step = Stats.quantizeStepPerKey(hot, Seq("k"), "v", maxBins = 50)
+    val worst = hot.selectExpr("k", s"v div ${step}L as q").distinct()
+      .groupBy("k").count().agg(org.apache.spark.sql.functions.max("count"))
+      .head().getLong(0)
+    assert(worst <= 50L)
+  }
+
   test("gram matrix memory contract holds at the d=4096 ceiling") {
     // the documented contract: one ~67 MiB buffer per partial at the
     // ceiling — construct it, feed a vector, and pin the state size;
