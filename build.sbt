@@ -27,4 +27,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The 350-query bench generates thousands of codegen classes; the JDK17
+  // default 240 MB code cache fills mid-suite, HotSpot stops JIT-compiling,
+  // and codegen'd operators run INTERPRETED at ~10x until the sweeper frees
+  // space (r16's confirmed q_mean_pool 10.9s-in-suite/0.39s-isolated
+  // artifact; r19 baseline reproduced it on q_ljung_box 14.9s-in-suite/
+  // 1.2s-isolated). bench_stability.sh has carried this flag since r16;
+  // the sbt runMain path (what the driver's BENCH_r*.json measures) now
+  // matches it.
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -47,18 +47,22 @@ object Graph {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(dampingPermille >= 0 && dampingPermille <= 1000,
       s"dampingPermille must be in [0, 1000], got $dampingPermille")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct().localCheckpoint(true)
-    val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node")))
+    val nodes = e0.select(col("src").as("node"))
+      .unionByName(e0.select(col("dst").as("node")))
       .distinct().localCheckpoint(true)
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // outdeg is per-src CONSTANT across iterations, so it joins into the
+    // edge table ONCE here instead of once per iteration (r19 opt round:
+    // one groupBy + one join replaces `iterations` of each; the window
+    // formulation would be one pass but windows don't partial-aggregate).
+    val outdeg = e0.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val e = e0.join(outdeg, "src").localCheckpoint(true)
     val base = (1000L - dampingPermille) * Scale
     var ranks = nodes.withColumn("rank", lit(Scale))
     for (_ <- 1 to iterations) {
       val contribs = e
         .join(ranks.withColumnRenamed("node", "src"), "src")
-        .join(outdeg, "src")
         .select(col("dst").as("node"),
           expr("rank div outdeg").as("contrib"))
         .groupBy("node").agg(sum("contrib").as("in_mass"))
@@ -103,12 +107,16 @@ object Graph {
         .join(labels.select(col("node").as("b"), col("community").as("lbl")), "b")
         .groupBy(col("a").as("node"), col("lbl"))
         .agg(count(lit(1)).as("c"))
-      val winner = votes.groupBy("node")
+      // `winner` covers EVERY node by construction — labels cover all
+      // nodes (invariant: the initial labels ARE nodes, and this loop
+      // preserves coverage), e is symmetric so set(a) = set(b) = nodes
+      // and every node appears as `a` with >= 1 neighbor — so the old
+      // `nodes.join(winner, left) + coalesce` re-spine was a provable
+      // no-op costing one broadcast join per iteration (r19 opt round;
+      // LlmPipelineSpec pins isolated/tie semantics unchanged).
+      labels = votes.groupBy("node")
         .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l"))).as("w"))
         .select(col("node"), col("w.l").as("community"))
-      labels = nodes.join(winner, Seq("node"), "left")
-        .select(col("node"),
-          coalesce(col("community"), col("node")).as("community"))
         .localCheckpoint(true)
     }
     labels
@@ -160,12 +168,15 @@ object Graph {
         Seq("b"), "left")
       .select(col("a"), col("b"), need("ca", "a").as("ca"),
         need("cb", "b").as("cb"))
-    val m2t = withL.agg(count(lit(1)).as("__m2"))
     // rows grouped by the SOURCE label: count = Σ_{i∈c} outdeg_i = d_c;
     // intra₂ counts both directions of every intra-community edge
     val perC = withL.groupBy(col("ca"))
       .agg(count(when(col("ca") === col("cb"), 1)).as("__intra2"),
         count(lit(1)).as("__deg"))
+    // |E₂| = Σ_c d_c, so the total rolls up from the tiny per-community
+    // table — the old separate `withL.agg(count(*))` re-executed the
+    // whole label-join subtree a second time (r19 opt round)
+    val m2t = perC.agg(sum("__deg").as("__m2"))
     val dec = "decimal(38,0)"
     perC.crossJoin(broadcast(m2t))
       .select(col("ca"),

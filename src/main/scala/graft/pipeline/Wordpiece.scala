@@ -268,27 +268,28 @@ object Unigram {
   }
 
   /** Tokenize a corpus under a learned vocab: ONE [[UnigramViterbi]]
-    * kernel pass (zero shuffles for the segmentation itself), then a
-    * broadcast cost join + per-doc rollup for the score. Returns
+    * kernel pass and ZERO shuffles — n_pieces/cost/pieces_str are all
+    * per-row array work over the piece stream, with the cost lookup a
+    * vocab-bounded map LITERAL instead of the old broadcast join +
+    * per-doc rollup + join-back (which also evaluated the Viterbi DP
+    * twice, once per consuming branch — r19 opt round; the exact-long
+    * `aggregate` fold equals the old SUM under any order). Returns
     * (id, n_pieces, cost_unats, pieces_str). */
   def segment(df: DataFrame, idCol: String, textCol: String,
       vocab: Seq[(String, Long)], maxPieceLen: Int = 4): DataFrame = {
     require(vocab.nonEmpty, "vocab must not be empty")
-    val spark = df.sparkSession
-    import spark.implicits._
-    val vdf = vocab.toDF("__piece", "__cost")
-    val seg = df.select(col(idCol).as("id"),
-      asColumn(UnigramViterbi(
-        asExpr(filter(split(col(textCol), " "), t => t =!= "")),
-        vocab.map(_._1), vocab.map(_._2), maxPieceLen)).as("__pieces"))
-    val scored = seg.select(col("id"), explode(col("__pieces")).as("__piece"))
-      .join(broadcast(vdf), Seq("__piece"))
-      .groupBy("id").agg(count(lit(1)).cast("long").as("n_pieces"),
-        sum("__cost").as("cost_unats"))
-    seg.select(col("id"), concat_ws(" ", col("__pieces")).as("pieces_str"))
-      .join(scored, Seq("id"), "left")
-      .select(col("id"), coalesce(col("n_pieces"), lit(0L)).as("n_pieces"),
-        coalesce(col("cost_unats"), lit(0L)).as("cost_unats"),
-        col("pieces_str"))
+    val costMap = map(vocab.flatMap { case (p, c) =>
+      Seq(lit(p), lit(c)) }: _*)
+    df.select(col(idCol).as("id"),
+        asColumn(UnigramViterbi(
+          asExpr(filter(split(col(textCol), " "), t => t =!= "")),
+          vocab.map(_._1), vocab.map(_._2), maxPieceLen)).as("__pieces"))
+      .select(col("id"),
+        // coalesce: a NULL text yields a NULL piece array — the old
+        // join-based path reported (0, 0, "") for such rows
+        coalesce(size(col("__pieces")).cast("long"), lit(0L)).as("n_pieces"),
+        coalesce(aggregate(col("__pieces"), lit(0L),
+          (acc, p) => acc + element_at(costMap, p)), lit(0L)).as("cost_unats"),
+        concat_ws(" ", col("__pieces")).as("pieces_str"))
   }
 }
