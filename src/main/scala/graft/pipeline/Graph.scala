@@ -247,7 +247,13 @@ object Graph {
       .where(struct(col("d1"), col("v1")) < struct(col("d2"), col("v2")))
       .select(col("u"), col("v1"), col("v2"))
     val closing = oriented.select(col("v").as("v2"), col("u").as("v1"))
-    wedges.join(closing, Seq("v1", "v2"))
+    // SHUFFLE_HASH on the closing side: the wedge stream is O(m^1.5)
+    // rows (20M at sf0.1) while closing is the m-row oriented edge
+    // list — a sort-merge join would SORT the wedge stream per
+    // partition for nothing; a shuffled-hash join builds the m/parts
+    // hash table and streams the wedges (guide §3.1). Inner equi-join,
+    // result rows identical.
+    wedges.join(closing.hint("shuffle_hash"), Seq("v1", "v2"))
       .select(array_sort(array(col("u"), col("v1"), col("v2"))).as("t"))
       .select(col("t").getItem(0).as("a"), col("t").getItem(1).as("b"),
         col("t").getItem(2).as("c"))
@@ -385,13 +391,18 @@ object Graph {
       .unionByName(e.select(col("hi").as("w"), col("lo").as("nb")))
     val deg = adj.groupBy("w").agg(count(lit(1)).as("deg"))
     val centers = adj.join(deg.where(col("deg") <= maxDegree), "w")
-    val a = centers.select(col("w"), col("nb").as("u"), col("deg"))
+    // the 1/ln(deg) micro term depends only on the CENTER w, so it is
+    // computed once per center-adjacency row here (|adj| rows) instead
+    // of once per wedge (Σ deg² rows — 20M at sf0.1, where the r19
+    // probe measured the per-wedge log/round as a visible slice of the
+    // wedge stage); the wedge rows stay three longs wide either way
+    val a = centers.select(col("w"), col("nb").as("u"),
+      round(lit(1e6) / log(col("deg").cast("double"))).cast("long")
+        .as("__term"))
     val b = centers.select(col("w"), col("nb").as("v"))
     val scored = a.join(b, Seq("w")).where(col("u") < col("v"))
       .groupBy("u", "v")
-      .agg(count(lit(1)).as("common"),
-        sum(round(lit(1e6) / log(col("deg").cast("double"))).cast("long"))
-          .as("aa_unats"))
+      .agg(count(lit(1)).as("common"), sum(col("__term")).as("aa_unats"))
       .where(col("common") >= minCommon)
     scored.join(e, scored("u") === e("lo") && scored("v") === e("hi"),
       "left_anti")

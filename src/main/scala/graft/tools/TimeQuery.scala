@@ -18,12 +18,22 @@ object TimeQuery {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.Raster.init(spark)
+    // mirror Bench.releaseLeftovers: reclaim SQL cache + leaked
+    // checkpoint blocks between reps so rep N isn't charged for rep
+    // N-1's leftover state (same methodology as the suite numbers)
+    def releaseLeftovers(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
     for (n <- names) {
       def run(): Unit =
         graft.SparkEntry.queries(n)(spark, sfDir).write.mode("overwrite").format("noop").save()
       run()
+      releaseLeftovers()
       val ts = Array.fill(3) {
-        val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
+        val t0 = System.nanoTime(); run()
+        val t = (System.nanoTime() - t0) / 1e9
+        releaseLeftovers(); t
       }.sorted
       println(f"TIME $n ${ts(1)}%.3f s (min ${ts(0)}%.3f max ${ts(2)}%.3f) sf=$sfDir")
     }
