@@ -643,7 +643,11 @@ object Dedup {
     val rawGrams = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
       explode(TextFunctions.c(DistinctNGrams(
         asExpr(TextFunctions.tokens(col(textCol))), n))).as("gram"))
-    val grams =
+    val grams = {
+      // materialized ONCE: the gram table feeds the per-doc size count
+      // and both sides of the candidate self-join — without the
+      // checkpoint the tokenize+ngram subtree inlines into every
+      // consumer (r19 opt round, the jaccardPrefixPairs rationale)
       if (maxDocFreq == Int.MaxValue) rawGrams
       else {
         // Partial+final count on the SAME key the join shuffles on, then a
@@ -654,6 +658,7 @@ object Dedup {
           .select(col("blk"), col("gram"))
         rawGrams.join(keep, Seq("blk", "gram"), "left_semi")
       }
+    }.localCheckpoint(true)
     val sizes = grams.groupBy("blk", "id").agg(count(lit(1)).cast("double").as("sz"))
     val common = grams.select(col("blk"), col("id").as("a_id"), col("gram"))
       .join(grams.select(col("blk"), col("id").as("b_id"), col("gram")), Seq("blk", "gram"))
@@ -727,21 +732,30 @@ object Dedup {
     require(shingle >= 1, s"shingle must be >= 1, got $shingle")
     require(hotCap >= 1, s"hotCap must be >= 1, got $hotCap")
     val tp = thresholdPermille
+    // materialized ONCE: the shingle table feeds the df count, the
+    // rare-rank window, the size count and BOTH verify joins — without
+    // the checkpoint the tokenize+shingle subtree inlines into every
+    // consumer (the r19 plan audit counted 28 parquet scans / 56
+    // exchanges in q_jaccard_join's single-run plan)
     val toks = df.select(col(idCol).as("id"),
         TextFunctions.tokens(col(textCol)).as("__t"))
       .where(size(col("__t")) >= shingle)
       .select(col("id"),
         explode(TextFunctions.c(DistinctNGrams(asExpr(col("__t")), shingle))).as("tok"))
       .where(col("tok") =!= "")
+      .localCheckpoint(true)
     val freq = toks.groupBy("tok").agg(count(lit(1)).as("__df"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("id")
       .orderBy(col("__df"), col("tok"))
-    val ranked = toks.join(freq, "tok")
-      .withColumn("__rn", row_number().over(w))
     val sizes = toks.groupBy("id").agg(count(lit(1)).as("sz"))
-    val pref = ranked.join(sizes, "id")
+    // checkpointed: the prefix table (rare-rank window inside) feeds the
+    // hot-block count AND the candidate self-join's two sides
+    val pref = toks.join(freq, "tok")
+      .withColumn("__rn", row_number().over(w))
+      .join(sizes, "id")
       .where(col("__rn") <= col("sz") - expr(s"(sz * $tp + 999) div 1000") + 1L)
       .select(col("id"), col("sz"), col("tok"), col("__rn"))
+      .localCheckpoint(true)
     val hot = pref.groupBy("tok").agg(count(lit(1)).as("__n"))
       .where(col("__n") > hotCap).select("tok")
     val cool = pref.join(broadcast(hot), Seq("tok"), "left_anti")
@@ -804,16 +818,25 @@ object Dedup {
     require(shingle >= 1, s"shingle must be >= 1, got $shingle")
     require(hotCap >= 1, s"hotCap must be >= 1, got $hotCap")
     val tp = thresholdPermille
+    // materialized ONCE — same rationale as [[jaccardPrefixPairs]]: the
+    // shingle table feeds df/size counts, the rank window and both
+    // verify joins (the r19 plan audit counted 20 parquet scans / 36
+    // exchanges in q_containment_join's un-checkpointed plan)
     val toks = df.select(col(idCol).as("id"),
         TextFunctions.tokens(col(textCol)).as("__t"))
       .where(size(col("__t")) >= shingle)
       .select(col("id"),
         explode(TextFunctions.c(DistinctNGrams(asExpr(col("__t")), shingle))).as("tok"))
       .where(col("tok") =!= "")
+      .localCheckpoint(true)
     val freq = toks.groupBy("tok").agg(count(lit(1)).as("__df"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("id")
       .orderBy(col("__df"), col("tok"))
     val sizes = toks.groupBy("id").agg(count(lit(1)).as("sz"))
+    // NOT checkpointed (measured +1 s at sf0.1): the index side streams
+    // the full ranked list exactly once, and materializing the whole
+    // string-keyed table costs more than recomputing the probe's prefix
+    // slice from the checkpointed toks
     val ranked = toks.join(freq, "tok")
       .withColumn("__rn", row_number().over(w))
       .join(sizes, "id")
