@@ -9,13 +9,19 @@ object TimeQuery {
   def main(args: Array[String]): Unit = {
     val names = args(0).split(",").toSeq
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // A/B hook: SPARK_GRAFT_EXTRA_CONF="k1=v1;k2=v2" layers session
+    // confs on top, so candidate settings are measurable without edits
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      builder.config(k.trim, v.trim)
+    })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.Raster.init(spark)
     // mirror Bench.releaseLeftovers: reclaim SQL cache + leaked
