@@ -390,7 +390,12 @@ object Graph {
     val adj = e.select(col("lo").as("w"), col("hi").as("nb"))
       .unionByName(e.select(col("hi").as("w"), col("lo").as("nb")))
     val deg = adj.groupBy("w").agg(count(lit(1)).as("deg"))
-    val centers = adj.join(deg.where(col("deg") <= maxDegree), "w")
+    // deg >= 2: a degree-1 center cannot form a wedge (its self-join
+    // yields only the u = v row the u < v filter drops), so excluding it
+    // up front shrinks the pair join AND keeps ln(deg) > 0 — the old
+    // per-wedge term never saw deg 1, and under ANSI 1e6/ln(1) errors
+    val centers = adj.join(
+      deg.where(col("deg") <= maxDegree && col("deg") >= 2L), "w")
     // the 1/ln(deg) micro term depends only on the CENTER w, so it is
     // computed once per center-adjacency row here (|adj| rows) instead
     // of once per wedge (Σ deg² rows — 20M at sf0.1, where the r19
