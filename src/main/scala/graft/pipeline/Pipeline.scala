@@ -1174,8 +1174,12 @@ object Dedup2 {
       .select(col("a_id").as("src"), col("b_id").as("dst"))
     val labels = connectedComponents(df.select(col(idCol).as("id")),
       exactEdges(df, idCol, textCol).union(near), maxIters)
+    // checkpointed: consumed by BOTH the per-component keeper argmax and
+    // the final join-back — without it the label ⋈ priority subtree
+    // (a corpus re-derivation) executes twice (r19 opt round)
     val withP = labels.join(
       df.select(col(idCol).as("id"), col(priorityCol).as("__graft_p")), "id")
+      .localCheckpoint(true)
     val keepers = withP.groupBy("label")
       .agg(max_by(col("id"),
         struct(col("__graft_p"), (-col("id")).as("__graft_nid"))).as("keep_id"))
