@@ -311,7 +311,10 @@ object Graph {
             .groupBy(col("src").as("node")).agg(sum("auth").as("hub")),
           Seq("node"), "left")
         .select(col("node"), coalesce(col("hub"), lit(0L)).as("hub"))
-      val hub = normalized(hRaw, "hub").localCheckpoint(true)
+      // hub has exactly ONE consumer (the scores join) — checkpointing
+      // it was a pure extra materialization job per iteration; the
+      // scores checkpoint right below still truncates lineage (r19 opt)
+      val hub = normalized(hRaw, "hub")
       scores = hub.join(auth, Seq("node")).select(col("node"), col("hub"), col("auth"))
         .localCheckpoint(true)
     }
