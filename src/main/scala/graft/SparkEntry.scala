@@ -94,6 +94,26 @@ object SparkEntry {
       |dcell AS (SELECT c.bucket, c.tid, j % 8 AS c, j // 8 AS r, q
       |          FROM chunk c JOIN fullt USING (bucket, tid))""".stripMargin
 
+  /**
+   * Global sort with the expensive child materialized ONCE. `orderBy`'s
+   * RangePartitioner samples its bounds by RE-EXECUTING the child (a
+   * full reservoir-sample scan), so a query whose pre-sort pipeline is
+   * kernel-heavy — DP tokenizers, PNG codecs, per-cell raster math —
+   * pays that pipeline twice per run. Hashing the rows through one
+   * exchange first lets the sampler re-read shuffle data instead of
+   * recomputing the kernels (r19 opt round: measured 25–77 % per query
+   * at sf0.1, e.g. q_math 5.9→1.4 s, q_unigram_apply 3.2→1.7 s; at
+   * scale the trade is one extra shuffle of the OUTPUT vs one full
+   * recompute of the kernel pipeline over the corpus — the shuffle wins
+   * exactly when the child is expensive, which is the only place this
+   * helper is used). The sort keys must be a total order so tie order
+   * cannot depend on partitioning — every caller's keys are (and the
+   * oracle hash would trip if not). Row set and order are identical to
+   * a plain orderBy.
+   */
+  private def orderedOnce(df: DataFrame, keys: Column*): DataFrame =
+    df.repartition(keys: _*).orderBy(keys: _*)
+
   /** Explode a tile expression to (l_orderkey, i, cell), data cells only. */
   private def cells(s: SparkSession, dir: String, tile: Column): DataFrame =
     tiled(s, dir)
@@ -508,7 +528,7 @@ object SparkEntry {
         rf_tile_sum(rf_local_clamp(col("t_qty"), 10.0, 40.0)).as("s_clamp"),
         rf_tile_sum(rf_where(rf_local_less(col("t_qty"), 25.0),
           col("t_qty"), rf_local_multiply(col("t_qty"), 2.0))).as("s_where"))
-        .orderBy("l_orderkey")),
+        .transform(d => orderedOnce(d, col("l_orderkey")))),
     "q_is_in" -> ((s, dir) =>
       tiled(s, dir).select(col("l_orderkey"),
         rf_tile_sum(rf_local_is_in(col("t_qty"),
@@ -520,7 +540,7 @@ object SparkEntry {
         rf_tile_sum(rf_mask_by_value(col("t_qty"), col("t_ln"), 3.0)).as("s_mask"),
         rf_tile_sum(rf_inverse_mask_by_value(col("t_qty"), col("t_ln"), 3.0)).as("s_inv"),
         rf_data_cells(rf_mask(col("t_qty"), rf_with_no_data(col("t_ln"), 3.0))).as("dc_mask"))
-        .orderBy("l_orderkey")),
+        .transform(d => orderedOnce(d, col("l_orderkey")))),
     "q_masking2" -> ((s, dir) =>
       // the remaining mask family + predicate tiles + crop + exists/for_all
       tiled(s, dir).select(col("l_orderkey"),
@@ -1255,7 +1275,7 @@ object SparkEntry {
     "q_lang_id" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"), col("lang"),
         TextFunctions.language_id(col("text")).as("guess"))
-        .orderBy("doc_id")),
+        .transform(d => orderedOnce(d, col("doc_id")))),
     // Unicode script composition per doc (codepoint-range counts) —
     // the routing signal for non-space-delimited scripts; pure
     // per-row expression, zero shuffles before the orderBy
@@ -1390,7 +1410,7 @@ object SparkEntry {
           posexplode(col("codes")).as(Seq("pos", "code")))
         .select(col("vec_id"), col("scale"), col("pos").cast("int").as("pos"),
           col("code"), col("code_max"), col("code_min"))
-        .orderBy("vec_id", "pos")
+        .transform(d => orderedOnce(d, col("vec_id"), col("pos")))
     }),
     // C4-style line-level boilerplate cleanup over a deterministic
     // multi-line rendering of the documents (the ' line ' token becomes
@@ -1473,7 +1493,7 @@ object SparkEntry {
           size(graft.pipeline.PII.phones(col("txt"))).as("n_phones"),
           graft.pipeline.PII.piiCount(col("txt")).as("n_pii"),
           graft.pipeline.PII.redact(col("txt")).as("redacted"))
-        .orderBy("doc_id")
+        .transform(d => orderedOnce(d, col("doc_id")))
     }),
     "q_contamination" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -1562,8 +1582,8 @@ object SparkEntry {
           vocabSize = 64, iters = 2, maxPieceLen = 4)
         .select("piece", "cost_unats").collect()
         .map(r => (r.getString(0), r.getLong(1))).toSeq // bounded: vocab
-      graft.pipeline.Unigram.segment(d, "doc_id", "text", model)
-        .orderBy("id")
+      orderedOnce(
+        graft.pipeline.Unigram.segment(d, "doc_id", "text", model), col("id"))
     }),
     // ---- wave 32: isotonic (PAV) score calibration ----
     // quantile-bucketed n_chars vs a lexical label, driver PAV with
@@ -1681,7 +1701,7 @@ object SparkEntry {
           Multimodal.image_pixel(col("blob"), col("w") - 1, col("h") - 1).as("pll"))
         .select(d, col("img.width").as("width"), col("img.height").as("height"),
           col("img.channels").as("channels"), col("p00"), col("pll"))
-        .orderBy("doc_id")
+        .transform(dd => orderedOnce(dd, col("doc_id")))
     }),
     "q_image_resize" -> ((s, dir) => {
       // Same closed-form source image as q_image_decode, resized to a
@@ -1706,7 +1726,7 @@ object SparkEntry {
           Multimodal.decode_image(col("r")).getField("height").as("rh")) ++
           (for (y <- 0 to 1; x <- 0 to 2) yield
             Multimodal.image_pixel(col("r"), lit(x), lit(y)).as(s"p$x$y")): _*)
-        .orderBy("doc_id")
+        .transform(dd => orderedOnce(dd, col("doc_id")))
     }),
     "q_math" -> ((s, dir) =>
       // sqrt is IEEE-754 correctly rounded in both engines → exact oracle;
@@ -1722,7 +1742,7 @@ object SparkEntry {
           (col("row_index") * 8 + col("column_index")).cast("int").as("i"),
           col("cell_0").as("sqrt_q"), col("cell_1").as("abs_q"))
         .where(col("cell_0").isNotNull)
-        .orderBy("l_orderkey", "i")),
+        .transform(d => orderedOnce(d, col("l_orderkey"), col("i")))),
     "q_math_rows" -> ((s, dir) =>
       // log/exp families differ from DuckDB's libm at ulp level, so the
       // per-order sums are rounded to 6 dp on BOTH sides — at that scale
@@ -1739,7 +1759,7 @@ object SparkEntry {
         round(rf_tile_sum(rf_expm1(rf_local_divide(col("t_qty"), 50.0))), 6).as("s_expm1"),
         rf_tile_sum(rf_round(rf_local_divide(col("t_qty"), 7.0))).as("s_round"),
         rf_tile_sum(rf_identity(col("t_qty"))).as("s_id"))
-        .orderBy("l_orderkey")),
+        .transform(d => orderedOnce(d, col("l_orderkey")))),
     "q_agg_quantiles" -> ((s, dir) =>
       // relativeError 1e-4 keeps eps*N < 1 at the oracle SF (exact order
       // statistics) with a 10x smaller GK sample buffer than the default
@@ -1757,7 +1777,7 @@ object SparkEntry {
           (col("row_index") * 4 + col("column_index")).cast("int").as("i2"),
           col("rt").as("cell"))
         .where(col("cell").isNotNull)
-        .orderBy("l_orderkey", "i2")),
+        .transform(d => orderedOnce(d, col("l_orderkey"), col("i2")))),
     // downsample-by-average (the overview/pyramid path) on the
     // NoData-rich per-orderkey tiles: each 2x2 source block averages
     // its data cells exactly; empty blocks are NoData and drop out
@@ -1788,7 +1808,7 @@ object SparkEntry {
           (col("row_index") * 4 + col("column_index")).cast("int").as("i2"),
           col("r_min"), col("r_max"), col("r_sum"), col("r_med"), col("r_mode"))
         .where(col("r_min").isNotNull)
-        .orderBy("l_orderkey", "i2")),
+        .transform(d => orderedOnce(d, col("l_orderkey"), col("i2")))),
     // Keys cubic convolution (a = -0.5) on DENSE tiles at factor 0.5:
     // every tap weight is an exact dyadic (9/16, -1/16), so the 16-term
     // sum is exact in double in ANY accumulation order and the oracle
@@ -3897,9 +3917,8 @@ object SparkEntry {
           t(s, dir, "documents").select(col("text")), "text", rounds = 8)
         .orderBy("round").collect()
         .map { r => val p = r.getString(1).split(" "); (p(0), p(1)) }
-      graft.pipeline.Bpe.applyMerges(
-          t(s, dir, "documents"), "doc_id", "text", merges.toSeq)
-        .orderBy("id")
+      orderedOnce(graft.pipeline.Bpe.applyMerges(
+          t(s, dir, "documents"), "doc_id", "text", merges.toSeq), col("id"))
     }),
     // scene-change detection over framed bytes: consecutive-frame
     // byte-histogram L1 deltas (one pass, integer counts), cut where

@@ -24,6 +24,13 @@ object shims {
     org.apache.spark.sql.classic.GraftColumnConverter.eager(c.node)
   def functionRegistry(spark: SparkSession): FunctionRegistry =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionState.functionRegistry
+  /** DataFrame from a logical plan (Dataset.ofRows is private[sql]) —
+    * lets tools re-drive a query's pre-sort child for measurement. */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
   /** Block until every queued SparkListener event is delivered —
     * deterministic metric collection in tests (listenerBus is
     * private[spark]). */
