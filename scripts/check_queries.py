@@ -113,6 +113,21 @@ if json_out is not None:
         else:
             print(f"[OK ] gate-record coverage: {len(records)} records == "
                   f"queries.keySet")
+    # Stamp the gate record (r19 verdict: a byte-identical refresh leaves
+    # no git trace — generated_at + tree hash make freshness provable).
+    import datetime, subprocess
+    try:
+        head = subprocess.run(["git", "rev-parse", "HEAD"],
+                              capture_output=True, text=True,
+                              cwd=Path(__file__).parent).stdout.strip()
+    except OSError:
+        head = None
+    records["__meta__"] = {
+        "generated_at": datetime.datetime.now(datetime.timezone.utc)
+            .isoformat(timespec="seconds"),
+        "git_head_at_generation": head or "unknown",
+        "n_records": len(records),
+    }
     json_out.write_text(json.dumps(records, indent=2) + "\n")
-    print(f"[json] wrote {len(records)} records to {json_out}")
+    print(f"[json] wrote {len(records) - 1} records to {json_out}")
 sys.exit(1 if fail else 0)

@@ -307,13 +307,28 @@ object Bench {
     val total = results.values.sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     println(line)
+    // The driver captures only a ~2000-char TAIL of stdout, and the full
+    // line above is ~14 KB at 361 entries — BENCH_r14..r19 all have
+    // parsed:{} for exactly this reason (the r19 verdict's "Next round"
+    // item 2 asks for this fix). Emit a second, guaranteed-short summary
+    // line LAST so at minimum the totals parse from the tail; the full
+    // per-query record stays one line above and in
+    // $SPARK_GRAFT_BENCH_JSON. Nothing is removed or renamed — this is
+    // purely additive to the stdout contract.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"sf":"$sfDir"}""")
     // Full per-query record to a file when asked: the driver's
     // BENCH_r*.json tail-truncates the stdout line, hiding half the
     // suite — SPARK_GRAFT_BENCH_JSON preserves every number (committed
     // per round as BENCH_SELF_r*.json).
     sys.env.get("SPARK_GRAFT_BENCH_JSON").foreach { p =>
       val w = new java.io.PrintWriter(p)
-      try w.println(line) finally w.close()
+      // generated_at makes a byte-identical refresh distinguishable from
+      // a stale record (r19 verdict gate-freshness item); file-only — the
+      // stdout lines stay timestamp-free so reruns of the same tree diff
+      // clean.
+      val stamped = line.dropRight(1) +
+        s""","generated_at":"${java.time.Instant.now()}"}"""
+      try w.println(stamped) finally w.close()
     }
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)

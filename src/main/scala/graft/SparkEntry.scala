@@ -617,6 +617,9 @@ object SparkEntry {
     // hash join, never a spatial theta — with colliding right columns
     // right_-prefixed; cell-aligned map algebra across the join oracled
     "q_layer_spatial_join" -> ((s, dir) => {
+      // both layers derive from the same tiled() table; NOT materialized
+      // — the r20 A/B read neutral (2.55 → 2.44 s, within noise): the
+      // assemble aggregate's exchange is already stage-reused by AQE
       val base = tiled(s, dir)
       def layer(tile: Column) = base.select(
         struct((col("l_orderkey") % 4096).cast("int").as("col"),
@@ -3167,6 +3170,10 @@ object SparkEntry {
       val sv = sums.groupBy("label")
         .agg(expr("transform(sort_array(collect_list(struct(pos, s))), x -> x.s)")
           .as("sv"))
+      // lv feeds both sides of the label cross join but is NOT
+      // materialized: the r20 A/B measured an eager checkpoint at +0.8 s
+      // — the pipeline ends in aggregate exchanges that AQE's runtime
+      // stage reuse already shares between the two sides
       val lv = sv.join(codes.groupBy("label").agg(count(lit(1)).as("n")), "label")
       val a = lv.select(col("label").as("label_a"), col("n").as("n_a"),
         col("sv").as("sv_a"))
@@ -3317,6 +3324,11 @@ object SparkEntry {
         .withColumn("v", explode(array(lit(0L), lit(1L))))
         .select((d * 2 + v).as("id"),
           Multimodal.image_ahash(Multimodal.encode_png(pix, w, h)).as("ahash"))
+        // hs feeds BOTH sides of the chunk self-join — without
+        // materialization the PNG-encode + ahash kernel (the expensive
+        // part of this query) runs twice; the table is (id, long) rows
+        // (r19 shingle pattern, guide §1.2)
+        .localCheckpoint(true)
       val chunks = hs
         .withColumn("ci", explode(sequence(lit(0), lit(3))))
         .withColumn("ck", expr("(ahash >> (ci * 16)) & 65535"))
@@ -10333,6 +10345,12 @@ object SparkEntry {
         |       vb * vb / (CAST(nb AS DOUBLE) - 1.0))) AS BIGINT)
         |    END AS df_milli
         |FROM d ORDER BY cohort, g_a, g_b""".stripMargin,
+    // NON-NEGATIVE VALUE ASSUMPTION (r19 advice): DuckDB `//` is floor
+    // division while Spark-side `div` truncates toward zero — identical
+    // on vc >= 0 (events.value >= 0.01 across the fixtures, same
+    // convention as q_drift_monitor) but divergent on negative values
+    // with step > 1. If the fixture ever carries negative cents, make
+    // both sides explicit floor division.
     "q_quantile_monitor" ->
       """WITH e0 AS (SELECT user_id % 4 AS k,
         |    CAST(round(value * 100) AS BIGINT) AS vc FROM events

@@ -26,6 +26,11 @@ object Baskets {
   def frequentPairs(df: DataFrame, basketCol: String, itemCol: String,
       minSupport: Long = 2L): DataFrame = {
     require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    // items has four consumers (basket total, item counts, both pair
+    // sides) but is NOT materialized: the r20 A/B measured an eager
+    // checkpoint at +0.5 s on q_assoc — `items` ends in the distinct's
+    // exchange, which AQE's runtime stage reuse already shares across
+    // all four consumers, so the checkpoint only added a job.
     val items = df.select(col(basketCol).as("__b"), col(itemCol).as("__i")).distinct()
     val nBaskets = items.select("__b").distinct()
       .agg(count(lit(1)).as("__n"))

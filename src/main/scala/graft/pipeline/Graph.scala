@@ -35,6 +35,21 @@ object Graph {
   /** Fixed-point scale: ranks are longs in millionths. */
   val Scale = 1000000L
 
+  /** True when the node ids of the (lo, hi) edge relation provably pack
+    * into one long as `a << 32 | b`: integral type, nonnegative, below
+    * 2^31. One metadata-sized min/max job over the (checkpointed) edge
+    * list — `lo <= hi` per row by construction, so min(lo)/max(hi)
+    * bound every id. Used by the wedge-stream operators to halve their
+    * pair-key width (guide §2.3 "narrower types"); results are
+    * identical on either path, non-packable ids take the general one. */
+  private def packableIds(e: DataFrame, lo: String, hi: String): Boolean = {
+    val t = e.schema(lo).dataType
+    Seq("integer", "long", "short", "byte").contains(t.typeName) && {
+      val r = e.agg(min(col(lo)).cast("long"), max(col(hi)).cast("long")).head()
+      !r.isNullAt(0) && r.getLong(0) >= 0L && r.getLong(1) < (1L << 31)
+    }
+  }
+
   /**
    * `iterations` rounds of damped power iteration over `edges`
    * (`srcCol`, `dstCol`; parallel edges count once — deduped).
@@ -170,9 +185,17 @@ object Graph {
         need("cb", "b").as("cb"))
     // rows grouped by the SOURCE label: count = Σ_{i∈c} outdeg_i = d_c;
     // intra₂ counts both directions of every intra-community edge
+    // perC has TWO consumers (the |E₂| rollup and the numerator scan);
+    // without materialization each re-executes the withL label-join
+    // subtree — the committed r19 after-plan carried the whole edge
+    // derivation twice (16 parquet scans, no ReusedExchange). perC is
+    // |communities| rows, so checkpointing it is metadata-sized while
+    // the saved re-derivation is a full edge+2-label-join pass
+    // (guide §1.2: don't compute things twice).
     val perC = withL.groupBy(col("ca"))
       .agg(count(when(col("ca") === col("cb"), 1)).as("__intra2"),
         count(lit(1)).as("__deg"))
+      .localCheckpoint(true)
     // |E₂| = Σ_c d_c, so the total rolls up from the tiny per-community
     // table — the old separate `withL.agg(count(*))` re-executed the
     // whole label-join subtree a second time (r19 opt round)
@@ -243,17 +266,45 @@ object Graph {
     // the closing edge (if any) is oriented v1 -> v2.
     val w1 = oriented.select(col("u"), col("v").as("v1"), col("dv").as("d1"))
     val w2 = oriented.select(col("u"), col("v").as("v2"), col("dv").as("d2"))
-    val wedges = w1.join(w2, Seq("u"))
+    // When node ids provably pack into one long (see [[packableIds]]),
+    // the (v1, v2) closing key rides as a single long: the O(m^1.5)
+    // wedge stream narrows from 3 words to 2 through its shuffle and
+    // the closing join hashes/compares one long instead of a two-field
+    // key (guide §2.3). Ids unpack — cast back to their original
+    // type — only on the closed triangles, so results are identical;
+    // non-packable ids take the unchanged general path.
+    val idType = e.schema("lo").dataType
+    val packed = packableIds(e, "lo", "hi")
+    def pairKey(a: Column, b: Column): Column =
+      shiftleft(a.cast("long"), 32).bitwiseOR(b.cast("long"))
+    val wedges0 = w1.join(w2, Seq("u"))
       .where(struct(col("d1"), col("v1")) < struct(col("d2"), col("v2")))
-      .select(col("u"), col("v1"), col("v2"))
-    val closing = oriented.select(col("v").as("v2"), col("u").as("v1"))
     // SHUFFLE_HASH on the closing side: the wedge stream is O(m^1.5)
     // rows (20M at sf0.1) while closing is the m-row oriented edge
     // list — a sort-merge join would SORT the wedge stream per
     // partition for nothing; a shuffled-hash join builds the m/parts
     // hash table and streams the wedges (guide §3.1). Inner equi-join,
-    // result rows identical.
-    wedges.join(closing.hint("shuffle_hash"), Seq("v1", "v2"))
+    // result rows identical. SCALE ASSUMPTION (r19 advice): the SHJ
+    // build map does not spill, so the per-partition build side must
+    // fit in memory — it is the ORIENTED edge list hashed on (v1, v2),
+    // i.e. near-uniform m/partitions rows regardless of node skew
+    // (orientation bounds out-degree at O(√m)); size shuffle
+    // partitions to the edge count if the library runs beyond the
+    // bench SFs.
+    val closed = if (packed) {
+      val wedges = wedges0.select(col("u"),
+        pairKey(col("v1"), col("v2")).as("__p"))
+      val closing = oriented.select(pairKey(col("u"), col("v")).as("__p"))
+      wedges.join(closing.hint("shuffle_hash"), Seq("__p"))
+        .select(col("u"), shiftright(col("__p"), 32).cast(idType).as("v1"),
+          col("__p").bitwiseAND(lit(0xffffffffL)).cast(idType).as("v2"))
+    } else {
+      val wedges = wedges0.select(col("u"), col("v1"), col("v2"))
+      val closing = oriented.select(col("v").as("v2"), col("u").as("v1"))
+      wedges.join(closing.hint("shuffle_hash"), Seq("v1", "v2"))
+        .select(col("u"), col("v1"), col("v2"))
+    }
+    closed
       .select(array_sort(array(col("u"), col("v1"), col("v2"))).as("t"))
       .select(col("t").getItem(0).as("a"), col("t").getItem(1).as("b"),
         col("t").getItem(2).as("c"))
@@ -292,6 +343,11 @@ object Graph {
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
       .distinct().localCheckpoint(true)
+    // raw is consumed twice (the one-row max aggregate and the crossJoin
+    // probe side) but NOT materialized: the r20 A/B measured an eager
+    // checkpoint here at +0.4 s on q_hits — the subtree ends in the
+    // groupBy exchange, which AQE's runtime stage reuse already shares
+    // between the two consumers, so the checkpoint only added jobs.
     def normalized(raw: DataFrame, c: String): DataFrame = {
       val mx = raw.agg(max(col(c)).as("__graft_mx"))
       raw.crossJoin(broadcast(mx))
@@ -404,14 +460,42 @@ object Graph {
     // of once per wedge (Σ deg² rows — 20M at sf0.1, where the r19
     // probe measured the per-wedge log/round as a visible slice of the
     // wedge stage); the wedge rows stay three longs wide either way
-    val a = centers.select(col("w"), col("nb").as("u"),
-      round(lit(1e6) / log(col("deg").cast("double"))).cast("long")
-        .as("__term"))
-    val b = centers.select(col("w"), col("nb").as("v"))
-    val scored = a.join(b, Seq("w")).where(col("u") < col("v"))
-      .groupBy("u", "v")
-      .agg(count(lit(1)).as("common"), sum(col("__term")).as("aa_unats"))
-      .where(col("common") >= minCommon)
+    val term = round(lit(1e6) / log(col("deg").cast("double"))).cast("long")
+      .as("__term")
+    // The wedge aggregate is the heaviest stage of this operator: ~15M
+    // (u, v) groups from 20M wedge rows at sf0.1, inherent to exact
+    // common-neighbor counting. When the node ids are provably
+    // packable — integral, nonnegative, below 2^31 (one metadata-sized
+    // min/max job over the checkpointed edge list; the sorted pair has
+    // lo <= hi per row, so min(lo)/max(hi) bound every id) — the pair
+    // key packs into ONE long `u<<32 | v`: the partial-aggregate rows
+    // narrow from 4 words to 3, and the 15M-group hash aggregate hashes
+    // and compares a single long instead of a two-field row (guide §2.3
+    // "narrower types"; r19 verdict "Next round" item 1). Ids are
+    // unpacked — cast back to their original type — only after the
+    // minCommon filter (33k rows at sf0.1), so results and schema are
+    // bit-identical; non-packable ids take the unchanged general path.
+    val idType = e.schema("lo").dataType
+    val scored = if (packableIds(e, "lo", "hi")) {
+      val a = centers.select(col("w"), col("nb").cast("long").as("u"), term)
+      val b = centers.select(col("w"), col("nb").cast("long").as("v"))
+      a.join(b, Seq("w")).where(col("u") < col("v"))
+        .select(shiftleft(col("u"), 32).bitwiseOR(col("v")).as("__uv"),
+          col("__term"))
+        .groupBy("__uv")
+        .agg(count(lit(1)).as("common"), sum(col("__term")).as("aa_unats"))
+        .where(col("common") >= minCommon)
+        .select(shiftright(col("__uv"), 32).cast(idType).as("u"),
+          col("__uv").bitwiseAND(lit(0xffffffffL)).cast(idType).as("v"),
+          col("common"), col("aa_unats"))
+    } else {
+      val a = centers.select(col("w"), col("nb").as("u"), term)
+      val b = centers.select(col("w"), col("nb").as("v"))
+      a.join(b, Seq("w")).where(col("u") < col("v"))
+        .groupBy("u", "v")
+        .agg(count(lit(1)).as("common"), sum(col("__term")).as("aa_unats"))
+        .where(col("common") >= minCommon)
+    }
     scored.join(e, scored("u") === e("lo") && scored("v") === e("hi"),
       "left_anti")
   }

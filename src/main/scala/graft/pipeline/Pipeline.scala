@@ -967,6 +967,11 @@ object EmbeddingDedup {
   def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, dim: Int = 64, planes: Int = 8,
       tables: Int = 8): DataFrame = {
+    // exploded feeds both sides of the bucket self-join, but an eager
+    // materialization LOSES here (r20 A/B: q_embed_dedup ~neutral,
+    // q_knn_lsh +0.2 s with the same shape in lshTopK): the self-join
+    // sides end in canonically-equal exchanges that AQE's runtime stage
+    // reuse already dedups, so a checkpoint just adds a job.
     val exploded = df.select(col(idCol).as("id"),
       posexplode(array((0 until tables).map(t =>
         c(HyperplaneBucket(asExpr(col(vecCol)), dim, planes, 0x5eed0000L + t))): _*))
@@ -1415,6 +1420,10 @@ object Similarity {
     // otherwise shuffle t duplicate copies of both payloads through the
     // join + distinct; instead distinct the id pair and join the vectors
     // back exactly once per side.
+    // exploded feeds both sides of the bucket self-join; NOT
+    // materialized — measured a 0.2-1.7 s LOSS across q_knn_lsh/rrf/ndcg
+    // in the r20 A/B (AQE runtime stage reuse already dedups the
+    // canonically-equal bucket exchanges; the checkpoint only adds a job)
     val exploded = df.select(col(idCol).as("id"),
       posexplode(array((0 until tables).map(t =>
         c(HyperplaneBucket(asExpr(col(vecCol)), dim, planes, 0x5eed0000L + t))): _*))
@@ -1544,6 +1553,13 @@ object Similarity {
    */
   def rboTopK(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
     require(k >= 1 && k <= 62, s"k must be in [1,62], got $k")
+    // `a` has three consumers in this plan and `common` two — the
+    // pre-AQE plan duplicates both subtrees (q_rbo's committed r19 plan
+    // shows the IVF pipeline 3x and the brute O(n²) truth 2x) — but
+    // materializing them is a measured NO-OP (r20 A/B: 4.24 → 4.20 s):
+    // each ranking pipeline ends in aggregate exchanges that AQE's
+    // runtime stage reuse shares across the consumers, so only the cheap
+    // post-exchange tails actually re-execute. Left unmaterialized.
     val ar = a.where(col("rank") <= k).select(col("query_id"),
       col("neighbor_id"), col("rank").cast("long").as("__ra"))
     val br = b.where(col("rank") <= k).select(col("query_id"),

@@ -408,6 +408,11 @@ object Stats {
     val perKey = dv.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
     val maxes = steps.map(s => max(col(s"c$s")).as(s"m$s"))
     val row = perKey.agg(maxes.head, maxes.tail: _*).head()
+    // Empty / all-NULL input: perKey has zero groups, so every max is
+    // NULL — step 1 trivially satisfies any cap, matching the global
+    // quantizeStep's contract for the same case (r19 advice: the
+    // unguarded getLong threw an opaque NPE here).
+    if (row.isNullAt(0)) return 1L
     val i = steps.indices.find(i => row.getLong(i) <= maxBins)
     // 10^18 collapses any long range to <= 19 bins, so `find` always hits
     steps(i.get)

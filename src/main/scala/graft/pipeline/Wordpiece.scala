@@ -278,6 +278,14 @@ object Unigram {
   def segment(df: DataFrame, idCol: String, textCol: String,
       vocab: Seq[(String, Long)], maxPieceLen: Int = 4): DataFrame = {
     require(vocab.nonEmpty, "vocab must not be empty")
+    // duplicate pieces would hit Spark's DUPLICATED_MAP_KEY error deep in
+    // the map literal with no hint that vocab is the cause (the old join
+    // path silently double-counted instead — neither is right; fail with
+    // the actual culprit named)
+    require(vocab.map(_._1).distinct.size == vocab.size,
+      "segment: vocab pieces must be distinct, got duplicates: " +
+        vocab.groupBy(_._1).collect { case (p, vs) if vs.size > 1 => p }
+          .mkString(", "))
     val costMap = map(vocab.flatMap { case (p, c) =>
       Seq(lit(p), lit(c)) }: _*)
     df.select(col(idCol).as("id"),

@@ -17,10 +17,14 @@ object TimeQuery {
       .config("spark.ui.enabled", "false")
     // A/B hook: SPARK_GRAFT_EXTRA_CONF="k1=v1;k2=v2" layers session
     // confs on top, so candidate settings are measurable without edits
-    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      builder.config(k.trim, v.trim)
-    })
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(
+      _.split(";").map(_.trim).filter(_.nonEmpty).foreach { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => builder.config(k.trim, v.trim)
+          case _ => sys.error(
+            s"SPARK_GRAFT_EXTRA_CONF entry '$kv' is not key=value")
+        }
+      })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.Raster.init(spark)

@@ -64,6 +64,18 @@ class GraphSpec extends AnyFunSuite {
     assert(got == Seq((1L, 2L, 3L)))
   }
 
+  test("triangles: general (non-packable id) path matches the packed one") {
+    // ids >= 2^32 disable the r20 packed closing key; the shifted K4
+    // must close the same four triangles, shifted
+    val base = 1L << 32
+    val e = (for { a <- 1L to 4L; b <- 1L to 4L if a < b }
+      yield (base + a, base + b)).toDF("s", "d")
+    val got = Graph.triangles(e, "s", "d").orderBy("a", "b", "c")
+      .collect().map(r => (r.getLong(0) - base, r.getLong(1) - base,
+        r.getLong(2) - base)).toSeq
+    assert(got == Seq((1L, 2L, 3L), (1L, 2L, 4L), (1L, 3L, 4L), (2L, 3L, 4L)))
+  }
+
   test("triangles matches the brute 3-way self-join on a random graph") {
     val rnd = new scala.util.Random(42)
     val edges = (1 to 3000)
@@ -174,6 +186,29 @@ class GraphSpec extends AnyFunSuite {
     val full = Graph.adamicAdar(star, "s", "d", maxDegree = 5).collect()
     assert(full.length == 10) // C(5,2) leaf pairs, each common=1
     assert(full.forall(_.getLong(3) == math.round(1e6 / math.log(5.0))))
+  }
+
+  test("adamicAdar: packed and general pair keys agree (id-range paths)") {
+    // the r20 packed-pair-key fast path fires only for integral ids in
+    // [0, 2^31); shifting the same wedge out of range must take the
+    // general path and score the shifted pair identically
+    val base = 1L << 32 // beyond the packable bound
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("s", "d")
+    val big = Seq((base + 1L, base + 2L), (base + 2L, base + 3L)).toDF("s", "d")
+    val p = Graph.adamicAdar(path, "s", "d").collect().head
+    val b = Graph.adamicAdar(big, "s", "d").collect().head
+    assert(b.getLong(0) == base + 1L && b.getLong(1) == base + 3L)
+    assert(b.getLong(2) == p.getLong(2) && b.getLong(3) == p.getLong(3))
+    // negative ids are not packable either; same wedge, same score
+    val neg = Seq((-3L, -2L), (-2L, -1L)).toDF("s", "d")
+    val n = Graph.adamicAdar(neg, "s", "d").collect().head
+    assert(n.getLong(0) == -3L && n.getLong(1) == -1L)
+    assert(n.getLong(2) == p.getLong(2) && n.getLong(3) == p.getLong(3))
+    // boundary: the largest packable pair round-trips through the pack
+    val edge = (1L << 31) - 1L
+    val wide = Seq((0L, edge - 1L), (edge - 1L, edge)).toDF("s", "d")
+    val w = Graph.adamicAdar(wide, "s", "d").collect().head
+    assert(w.getLong(0) == 0L && w.getLong(1) == edge)
   }
 
   test("coMembership: pair counts, hub-user cap, minUsers prune") {
