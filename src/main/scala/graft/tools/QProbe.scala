@@ -27,6 +27,16 @@ object QProbe {
           val child = org.apache.spark.sql.graft.shims.ofRows(spark, s.child)
           tm(s"$q repart+orderBy")(child.repartition(keys: _*).orderBy(keys: _*)
             .write.mode("overwrite").format("noop").save())
+          // checkpoint variant — the only sampler-dedup option when the
+          // sort key equals the child's existing partitioning key (the
+          // repartition collapses to a plan no-op there)
+          val pure = s.child match {
+            case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression =>
+              org.apache.spark.sql.graft.shims.ofRows(spark, r.child)
+            case _ => child
+          }
+          tm(s"$q ckpt+orderBy")(pure.localCheckpoint(false).orderBy(keys: _*)
+            .write.mode("overwrite").format("noop").save())
         case _ => ()
       }
     }

@@ -9,9 +9,12 @@ object TimeQuery {
   def main(args: Array[String]): Unit = {
     val names = args(0).split(",").toSeq
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    // honor the bench's core-count contract so isolated medians can be
+    // taken at the driver's low-cpu point too (default unchanged: 32)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val builder = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
