@@ -170,9 +170,8 @@ object SparkEntry {
     "q_acf", "q_ljung_box",
     // r19 orderedOnce class, re-probed per query: ckpt beat the
     // repartition on these (resample/resample_aggs stay on repartSort)
-    "q_math", "q_math_rows", "q_quantize", "q_unigram_apply",
-    "q_bpe_apply", "q_pii", "q_lang_id", "q_image_resize",
-    "q_image_decode",
+    "q_math", "q_math_rows", "q_bpe_apply", "q_pii", "q_lang_id",
+    "q_image_resize", "q_image_decode",
     // full-suite paired sweep (r20): every remaining >=0.25 s query timed
     // in both modes, same chunk layout, same JVM structure; these 177
     // cleared ratio <= 0.88 AND >= 0.08 s absolute. The 9 losers
@@ -229,7 +228,11 @@ object SparkEntry {
     * checkpoint (heavy pre-sort rows — resampled tile blobs are cheaper
     * to shuffle than to park in the block manager). */
   private val repartSortQueries: Set[String] = Set(
-    "q_resample", "q_resample_aggs", "q_segment_lm_filter")
+    "q_resample", "q_resample_aggs", "q_segment_lm_filter",
+    // 3-way probed: the exploded token/cell pre-sort rows are heavy,
+    // and the shuffle beat the checkpoint by ~5-7 % isolated (and by
+    // more in-suite) — the r19 shape stands for these two
+    "q_quantize", "q_unigram_apply")
 
   /** Explode a tile expression to (l_orderkey, i, cell), data cells only. */
   private def cells(s: SparkSession, dir: String, tile: Column): DataFrame =
